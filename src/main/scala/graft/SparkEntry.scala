@@ -1,13 +1,295 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import java.sql.Timestamp
+import java.time.Instant
+
+import graft.ops.{FeatureStoreOps, FeatureView}
+import graft.sources.{GraftSource, SourceFormat}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Driver contract — see /root/repo/SURVEY.md §7.
+  *
+  * Every SQL-expressible operator has a `queries` entry and a DuckDB
+  * `oracleSql` twin. Timestamps cross the Spark/DuckDB boundary as
+  * `unix_micros` BIGINTs (Spark truncates parquet ns->µs on read; DuckDB keeps
+  * ns — µs-space comparison removes the dialect drift), and oracle-checked
+  * aggregates are decimal-exact so shuffle order can't perturb hashes.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  // ---- shared constants (µs since epoch, UTC) ----
+  private val StartUs = 1704412800000000L // 2024-01-05T00:00:00Z
+  private val EndUs = 1705708800000000L // 2024-01-20T00:00:00Z
+  private val PitBaseUs = 1704672000000000L // 2024-01-08T00:00:00Z
+  private val TtlSeconds = 604800L // 7 days
+  private val DayUs = 86400000000L
+
+  private def tsOf(us: Long): Timestamp =
+    Timestamp.from(Instant.ofEpochSecond(us / 1000000L, (us % 1000000L) * 1000L))
+
+  private def events(dir: String): GraftSource =
+    GraftSource.of(table = Some(s"$dir/events.parquet"), timestampField = Some("ts"))
+
+  private val scratchDir = "/root/repo/target/graft-scratch"
+
+  /** Derived entity frame for the PIT queries: every user with a
+    * deterministic per-user entity timestamp spread over Jan 8-27.
+    */
+  private def entityFrame(spark: SparkSession, dir: String): DataFrame =
+    events(dir).load(spark)
+      .select(col("user_id")).distinct()
+      .withColumn("event_timestamp",
+        timestamp_micros(lit(PitBaseUs) + (col("user_id") % 20) * lit(DayUs)))
+
+  /** Flagship: point-in-time join on sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    queries("pit_join")(spark, "/root/testdata/sf0.001")
+
+  // =================================================================
+  // §2.1 feature-store core
+  // =================================================================
+
+  private def sourceParquet(s: SparkSession, dir: String): DataFrame =
+    GraftSource.parquet(s"$dir/customer.parquet").load(s)
+      .select("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment")
+
+  private def sourceCsvRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val out = s"$scratchDir/nation_csv"
+    GraftSource.parquet(s"$dir/nation.parquet").load(s)
+      .write.mode("overwrite").option("header", "true").csv(out)
+    GraftSource.of(table = Some(out), format = SourceFormat.Csv,
+      schemaDdl = Some("n_nationkey INT, n_name STRING, n_regionkey INT")).load(s)
+  }
+
+  private def sourceJsonRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val out = s"$scratchDir/region_json"
+    GraftSource.parquet(s"$dir/region.parquet").load(s)
+      .write.mode("overwrite").json(out)
+    GraftSource.of(table = Some(out), format = SourceFormat.Json,
+      schemaDdl = Some("r_regionkey INT, r_name STRING")).load(s)
+  }
+
+  private def sourceQuery(s: SparkSession, dir: String): DataFrame = {
+    s.read.parquet(s"$dir/orders.parquet").createOrReplaceTempView("graft_orders_v")
+    // cents-as-BIGINT keeps the aggregate integer-exact: double->decimal cast
+    // rounding differs between engines, integer sums never do.
+    GraftSource.of(name = Some("order_totals"), query = Some(
+      """SELECT o_custkey, count(*) AS n_orders,
+        |       sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS total_cents
+        |FROM graft_orders_v GROUP BY o_custkey""".stripMargin)).load(s)
+  }
+
+  private def sourceFieldMapping(s: SparkSession, dir: String): DataFrame =
+    GraftSource.of(
+      table = Some(s"$dir/events.parquet"), timestampField = Some("ts"),
+      fieldMapping = Map("value" -> "feature_value", "event_type" -> "feature_type"))
+      .load(s)
+      .select("event_id", "user_id", "feature_value", "feature_type")
+
+  private def schemaEvents(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    events(dir).columnValueTypes(s)
+      .zip(events(dir).columnNamesAndTypes(s))
+      .map { case ((name, vt), (_, raw)) => (name, raw, vt.name) }
+      .toDF("col_name", "data_type", "feast_type")
+  }
+
+  private def pullAllEvents(s: SparkSession, dir: String): DataFrame =
+    FeatureStoreOps.pullAll(s, events(dir),
+      joinKeyColumns = Seq("user_id"),
+      featureNameColumns = Seq("value", "event_type"),
+      timestampField = "ts",
+      startDate = tsOf(StartUs), endDate = tsOf(EndUs))
+      .toDF
+      .select(col("user_id"), col("value"), col("event_type"),
+        unix_micros(col("ts")).as("ts_us"))
+
+  private def pullLatestEvents(s: SparkSession, dir: String): DataFrame =
+    FeatureStoreOps.pullLatest(s, events(dir),
+      joinKeyColumns = Seq("user_id"),
+      featureNameColumns = Seq("value", "event_type"),
+      timestampField = "ts", tieBreak = Some("event_id"),
+      startDate = tsOf(StartUs), endDate = tsOf(EndUs))
+      .toDF
+      .select(col("user_id"), col("value"), col("event_type"),
+        unix_micros(col("ts")).as("ts_us"))
+
+  private def pitJoin(s: SparkSession, dir: String): DataFrame = {
+    val fv = FeatureView("events", events(dir),
+      entityKeys = Seq("user_id"), features = Seq("value", "event_type"),
+      ttlSeconds = TtlSeconds, tieBreak = Some("event_id"))
+    FeatureStoreOps.pointInTime(s, entityFrame(s, dir), Seq(fv)).toDF
+      .select(col("user_id"),
+        unix_micros(col("event_timestamp")).as("event_timestamp_us"),
+        col("value").as("feat_value"), col("event_type").as("feat_event_type"))
+  }
+
+  private def pitJoinCreated(s: SparkSession, dir: String): DataFrame = {
+    events(dir).load(s).createOrReplaceTempView("graft_events_v")
+    // Late "correction" rows: same event timestamps, created 1h later, value
+    // doubled — created-timestamp dedup must pick these.
+    val corrected = GraftSource.of(name = Some("events_corrected"),
+      timestampField = Some("ts"), createdTimestampColumn = Some("created_ts"),
+      query = Some(
+        """SELECT event_id, user_id, ts, value, event_type, ts AS created_ts
+          |FROM graft_events_v
+          |UNION ALL
+          |SELECT event_id, user_id, ts, value * 2 AS value, event_type,
+          |       ts + INTERVAL 1 HOUR AS created_ts
+          |FROM graft_events_v""".stripMargin))
+    val fv = FeatureView("events", corrected,
+      entityKeys = Seq("user_id"), features = Seq("value", "event_type"),
+      ttlSeconds = TtlSeconds, tieBreak = Some("event_id"))
+    FeatureStoreOps.pointInTime(s, entityFrame(s, dir), Seq(fv)).toDF
+      .select(col("user_id"),
+        unix_micros(col("event_timestamp")).as("event_timestamp_us"),
+        col("value").as("feat_value"), col("event_type").as("feat_event_type"))
+  }
+
+  private def pitJoinMulti(s: SparkSession, dir: String): DataFrame = {
+    val evFv = FeatureView("events", events(dir),
+      entityKeys = Seq("user_id"), features = Seq("value", "event_type"),
+      ttlSeconds = TtlSeconds, tieBreak = Some("event_id"))
+    val ordSrc = GraftSource.of(
+      table = Some(s"$dir/orders.parquet"), timestampField = Some("o_orderdate"),
+      fieldMapping = Map("o_custkey" -> "user_id"))
+    val ordFv = FeatureView("orders", ordSrc,
+      entityKeys = Seq("user_id"), features = Seq("o_totalprice", "o_orderstatus"),
+      ttlSeconds = 0L, tieBreak = Some("o_orderkey"))
+    FeatureStoreOps.pointInTime(s, entityFrame(s, dir), Seq(evFv, ordFv),
+      fullFeatureNames = true).toDF
+      .select(col("user_id"),
+        unix_micros(col("event_timestamp")).as("event_timestamp_us"),
+        col("events__value"), col("events__event_type"),
+        col("orders__o_totalprice"), col("orders__o_orderstatus"))
+  }
+
+  // =================================================================
+  // wiring
+  // =================================================================
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "source_parquet" -> (sourceParquet _),
+    "source_csv_roundtrip" -> (sourceCsvRoundtrip _),
+    "source_json_roundtrip" -> (sourceJsonRoundtrip _),
+    "source_query" -> (sourceQuery _),
+    "source_field_mapping" -> (sourceFieldMapping _),
+    "schema_events" -> (schemaEvents _),
+    "pull_all_events" -> (pullAllEvents _),
+    "pull_latest_events" -> (pullLatestEvents _),
+    "pit_join" -> (pitJoin _),
+    "pit_join_created" -> (pitJoinCreated _),
+    "pit_join_multi" -> (pitJoinMulti _),
+  )
+
+  /** DuckDB twin per SQL-expressible key (driver compares on sf0.01). */
+  def oracleSql: Map[String, String] = {
+    val entCte =
+      s"""ent AS (SELECT DISTINCT user_id,
+         |  $PitBaseUs + (user_id % 20) * $DayUs AS ent_us FROM events)""".stripMargin
+    val evCte =
+      """ev AS (SELECT user_id, epoch_us(ts) AS ts_us, event_id, value, event_type
+        |FROM events)""".stripMargin
+    Map(
+      "source_parquet" ->
+        "SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment FROM customer",
+      "source_csv_roundtrip" ->
+        "SELECT n_nationkey, n_name, n_regionkey FROM nation",
+      "source_json_roundtrip" ->
+        "SELECT r_regionkey, r_name FROM region",
+      "source_query" ->
+        """SELECT o_custkey, count(*) AS n_orders,
+          |       sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS total_cents
+          |FROM orders GROUP BY o_custkey""".stripMargin,
+      "source_field_mapping" ->
+        """SELECT event_id, user_id, value AS feature_value,
+          |       event_type AS feature_type FROM events""".stripMargin,
+      "schema_events" ->
+        """SELECT * FROM (VALUES
+          |  ('event_id', 'bigint', 'INT64'),
+          |  ('ts', 'timestamp', 'UNIX_TIMESTAMP'),
+          |  ('user_id', 'bigint', 'INT64'),
+          |  ('event_type', 'string', 'STRING'),
+          |  ('value', 'double', 'DOUBLE'),
+          |  ('props', 'string', 'STRING')) AS t(col_name, data_type, feast_type)""".stripMargin,
+      "pull_all_events" ->
+        s"""SELECT user_id, value, event_type, epoch_us(ts) AS ts_us FROM events
+           |WHERE epoch_us(ts) BETWEEN $StartUs AND $EndUs""".stripMargin,
+      "pull_latest_events" ->
+        s"""SELECT user_id, value, event_type, ts_us FROM (
+           |  SELECT user_id, value, event_type, epoch_us(ts) AS ts_us,
+           |    row_number() OVER (PARTITION BY user_id
+           |      ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
+           |  FROM events WHERE epoch_us(ts) BETWEEN $StartUs AND $EndUs)
+           |WHERE rn = 1""".stripMargin,
+      "pit_join" ->
+        s"""WITH $entCte, $evCte,
+           |base AS (
+           |  SELECT e.user_id, e.ent_us, v.ts_us, v.event_id, v.value, v.event_type
+           |  FROM ent e JOIN ev v ON v.user_id = e.user_id
+           |    AND v.ts_us <= e.ent_us AND v.ts_us >= e.ent_us - ${TtlSeconds}000000),
+           |best AS (
+           |  SELECT user_id, ent_us, value, event_type FROM (
+           |    SELECT *, row_number() OVER (PARTITION BY user_id, ent_us
+           |      ORDER BY ts_us DESC, event_id DESC) AS rn FROM base)
+           |  WHERE rn = 1)
+           |SELECT e.user_id, e.ent_us AS event_timestamp_us,
+           |       b.value AS feat_value, b.event_type AS feat_event_type
+           |FROM ent e LEFT JOIN best b
+           |  ON e.user_id = b.user_id AND e.ent_us = b.ent_us""".stripMargin,
+      "pit_join_created" ->
+        s"""WITH $entCte,
+           |ev AS (
+           |  SELECT user_id, epoch_us(ts) AS ts_us, event_id, value, event_type,
+           |         epoch_us(ts) AS created_us FROM events
+           |  UNION ALL
+           |  SELECT user_id, epoch_us(ts) AS ts_us, event_id, value * 2 AS value,
+           |         event_type, epoch_us(ts) + 3600000000 AS created_us FROM events),
+           |base AS (
+           |  SELECT e.user_id, e.ent_us, v.ts_us, v.created_us, v.event_id,
+           |         v.value, v.event_type
+           |  FROM ent e JOIN ev v ON v.user_id = e.user_id
+           |    AND v.ts_us <= e.ent_us AND v.ts_us >= e.ent_us - ${TtlSeconds}000000),
+           |best AS (
+           |  SELECT user_id, ent_us, value, event_type FROM (
+           |    SELECT *, row_number() OVER (PARTITION BY user_id, ent_us
+           |      ORDER BY ts_us DESC, created_us DESC, event_id DESC) AS rn FROM base)
+           |  WHERE rn = 1)
+           |SELECT e.user_id, e.ent_us AS event_timestamp_us,
+           |       b.value AS feat_value, b.event_type AS feat_event_type
+           |FROM ent e LEFT JOIN best b
+           |  ON e.user_id = b.user_id AND e.ent_us = b.ent_us""".stripMargin,
+      "pit_join_multi" ->
+        s"""WITH $entCte, $evCte,
+           |base AS (
+           |  SELECT e.user_id, e.ent_us, v.ts_us, v.event_id, v.value, v.event_type
+           |  FROM ent e JOIN ev v ON v.user_id = e.user_id
+           |    AND v.ts_us <= e.ent_us AND v.ts_us >= e.ent_us - ${TtlSeconds}000000),
+           |best AS (
+           |  SELECT user_id, ent_us, value, event_type FROM (
+           |    SELECT *, row_number() OVER (PARTITION BY user_id, ent_us
+           |      ORDER BY ts_us DESC, event_id DESC) AS rn FROM base)
+           |  WHERE rn = 1),
+           |ord AS (SELECT o_custkey AS user_id, epoch_us(o_orderdate) AS ts_us,
+           |               o_orderkey, o_totalprice, o_orderstatus FROM orders),
+           |obase AS (
+           |  SELECT e.user_id, e.ent_us, o.ts_us, o.o_orderkey, o.o_totalprice,
+           |         o.o_orderstatus
+           |  FROM ent e JOIN ord o ON o.user_id = e.user_id AND o.ts_us <= e.ent_us),
+           |obest AS (
+           |  SELECT user_id, ent_us, o_totalprice, o_orderstatus FROM (
+           |    SELECT *, row_number() OVER (PARTITION BY user_id, ent_us
+           |      ORDER BY ts_us DESC, o_orderkey DESC) AS rn FROM obase)
+           |  WHERE rn = 1)
+           |SELECT e.user_id, e.ent_us AS event_timestamp_us,
+           |       b.value AS events__value, b.event_type AS events__event_type,
+           |       o.o_totalprice AS orders__o_totalprice,
+           |       o.o_orderstatus AS orders__o_orderstatus
+           |FROM ent e
+           |LEFT JOIN best b ON e.user_id = b.user_id AND e.ent_us = b.ent_us
+           |LEFT JOIN obest o ON e.user_id = o.user_id AND e.ent_us = o.ent_us""".stripMargin,
+    )
+  }
 }

@@ -1,0 +1,35 @@
+package graft.api
+
+import java.sql.Timestamp
+import org.apache.spark.sql.{DataFrame, Row}
+
+/** Metadata about a retrieval (ref: RetrievalMetadata usage at
+  * data_engine_offline_store.py:416-417, 468-475, 505-512).
+  */
+final case class RetrievalMetadata(
+    features: Seq[String],
+    keys: Seq[String],
+    minEventTimestamp: Option[Timestamp] = None,
+    maxEventTimestamp: Option[Timestamp] = None)
+
+/** Lazy retrieval handle — the analog of `DataEngineRetrievalJob`
+  * (ref: data_engine_offline_store.py:313-348). The evaluation function is a
+  * thunk producing a DataFrame (itself lazy), so nothing executes until an
+  * action; `persist` is the saved-dataset path the reference leaves
+  * NotImplemented.
+  */
+final class GraftRetrievalJob(evaluation: () => DataFrame, val metadata: RetrievalMetadata) {
+
+  /** The logical plan for this retrieval; building it runs no Spark job. */
+  lazy val toDF: DataFrame = evaluation()
+
+  /** Driver-side materialization (analog of to_df/to_arrow for a local user). */
+  def toLocal(): Array[Row] = toDF.collect()
+
+  /** Saved-dataset persistence (analog of RetrievalJob.persist). */
+  def persist(path: String, allowOverwrite: Boolean = false): Unit =
+    toDF.write.mode(if (allowOverwrite) "overwrite" else "errorifexists").parquet(path)
+
+  def onDemandFeatureViews: Option[Nothing] = None
+  def fullFeatureNames: Boolean = false
+}

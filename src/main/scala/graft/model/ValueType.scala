@@ -1,0 +1,75 @@
+package graft.model
+
+/** Engine-neutral value types, the analog of feast's `ValueType` enum as the
+  * reference maps warehouse column types onto it
+  * (ref: data_engine_offline_store.py:253-286, tests/test_ibm_data_engine.py:162-191).
+  */
+sealed abstract class ValueType(val name: String) { override def toString: String = name }
+
+object ValueType {
+  case object Unknown extends ValueType("UNKNOWN")
+  case object Bytes extends ValueType("BYTES")
+  case object Bool extends ValueType("BOOL")
+  case object Int32 extends ValueType("INT32")
+  case object Int64 extends ValueType("INT64")
+  case object Float extends ValueType("FLOAT")
+  case object Double extends ValueType("DOUBLE")
+  case object String extends ValueType("STRING")
+  case object UnixTimestamp extends ValueType("UNIX_TIMESTAMP")
+  case object BytesList extends ValueType("BYTES_LIST")
+  case object BoolList extends ValueType("BOOL_LIST")
+  case object Int32List extends ValueType("INT32_LIST")
+  case object Int64List extends ValueType("INT64_LIST")
+  case object FloatList extends ValueType("FLOAT_LIST")
+  case object DoubleList extends ValueType("DOUBLE_LIST")
+  case object StringList extends ValueType("STRING_LIST")
+  case object UnixTimestampList extends ValueType("UNIX_TIMESTAMP_LIST")
+
+  private val scalar: Map[String, ValueType] = Map(
+    "binary" -> Bytes,
+    "boolean" -> Bool,
+    "tinyint" -> Int32,
+    "smallint" -> Int32,
+    "int" -> Int32,
+    "integer" -> Int32,
+    "bigint" -> Int64,
+    "long" -> Int64,
+    "float" -> Float,
+    "double" -> Double,
+    "decimal" -> Double,
+    "string" -> String,
+    "timestamp" -> UnixTimestamp,
+    "timestamp_ntz" -> UnixTimestamp,
+    "date" -> UnixTimestamp,
+  )
+
+  private val list: Map[String, ValueType] = Map(
+    Bytes.name -> BytesList,
+    Bool.name -> BoolList,
+    Int32.name -> Int32List,
+    Int64.name -> Int64List,
+    Float.name -> FloatList,
+    Double.name -> DoubleList,
+    String.name -> StringList,
+    UnixTimestamp.name -> UnixTimestampList,
+  )
+
+  /** Strips precision/scale parameters: `decimal(10,2)` -> `decimal`. */
+  private def base(typeName: Predef.String): Predef.String = {
+    val t = typeName.trim.toLowerCase
+    val paren = t.indexOf('(')
+    if (paren >= 0) t.substring(0, paren) else t
+  }
+
+  /** Maps a Spark catalog type string (e.g. `bigint`, `array<float>`,
+    * `decimal(18,2)`) to the engine-neutral ValueType; unknown types map to
+    * [[Unknown]] exactly like the reference's `.get(typ, ValueType.UNKNOWN)`.
+    */
+  def fromCatalog(typeName: Predef.String): ValueType = {
+    val t = typeName.trim.toLowerCase
+    if (t.startsWith("array<") && t.endsWith(">")) {
+      val inner = base(t.substring(6, t.length - 1))
+      scalar.get(inner).flatMap(v => list.get(v.name)).getOrElse(Unknown)
+    } else scalar.getOrElse(base(t), Unknown)
+  }
+}

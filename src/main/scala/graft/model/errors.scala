@@ -1,0 +1,16 @@
+package graft.model
+
+/** Error surface mirroring the reference plugin's failure modes
+  * (ref: data_engine_offline_store.py:96-101, 140-153, 202-220 and the
+  * feast.errors types it raises).
+  */
+class GraftNoNameException
+    extends IllegalArgumentException("Name must be specified when the source has no table.")
+
+class GraftSourceNotFoundException(what: String)
+    extends IllegalArgumentException(s"Data source not found: $what")
+
+class GraftSchemaError(table: String)
+    extends RuntimeException(s"Error retrieving schema from table: $table")
+
+class InvalidEntityFrameException(msg: String) extends IllegalArgumentException(msg)

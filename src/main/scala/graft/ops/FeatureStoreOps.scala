@@ -1,0 +1,235 @@
+package graft.ops
+
+import java.sql.Timestamp
+
+import graft.api.{GraftRetrievalJob, RetrievalMetadata}
+import graft.model.InvalidEntityFrameException
+import graft.sources.GraftSource
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.TimestampType
+
+/** A feature view: a source plus the entity keys / feature columns / temporal
+  * semantics needed by the point-in-time join (the Spark analog of a feast
+  * FeatureView as consumed by the reference's PIT template,
+  * ref: data_engine_offline_store.py:601-779).
+  *
+  * @param features   feature column names *after* the source's fieldMapping
+  * @param ttlSeconds 0 means unbounded lookback (reference convention,
+  *                   store.py:669-674)
+  * @param tieBreak   optional unique column used to make "latest row" picks
+  *                   deterministic when event (and created) timestamps tie;
+  *                   the reference's ROW_NUMBER leaves such ties arbitrary.
+  */
+final case class FeatureView(
+    name: String,
+    source: GraftSource,
+    entityKeys: Seq[String],
+    features: Seq[String],
+    ttlSeconds: Long = 0L,
+    tieBreak: Option[String] = None) {
+  require(source.timestampField.isDefined, s"FeatureView $name needs source.timestampField")
+}
+
+/** The three retrieval primitives of the reference offline store, re-expressed
+  * as Catalyst plans (ref: data_engine_offline_store.py:351-513, 601-779).
+  *
+  * Scale posture: range filters are plain predicates below every join so they
+  * reach the parquet scan as PushedFilters; "latest row" is a single-shuffle
+  * arg-max (`max(struct(...))`, map-side partial agg) instead of the
+  * reference's window + two self-joins; the entity frame is broadcast when
+  * small (configurable row threshold), else the join shuffles both sides by
+  * the entity key exactly once.
+  */
+object FeatureStoreOps {
+
+  /** Rows-based broadcast threshold for the entity side of the PIT join. */
+  def broadcastRowThreshold(spark: SparkSession): Long =
+    spark.conf.getOption("graft.pit.broadcastRows").map(_.toLong).getOrElse(1000000L)
+
+  /** Time-range scan: keys + features + ts WHERE ts BETWEEN start AND end
+    * (ref: pull_all_from_table_or_query, store.py:479-513; the BETWEEN is
+    * inclusive on both ends per the reference's generated SQL).
+    */
+  def pullAll(
+      spark: SparkSession,
+      source: GraftSource,
+      joinKeyColumns: Seq[String],
+      featureNameColumns: Seq[String],
+      timestampField: String,
+      startDate: Timestamp,
+      endDate: Timestamp): GraftRetrievalJob = {
+    def eval() = {
+      val ts = col(timestampField)
+      source.load(spark)
+        .filter(ts >= lit(startDate) && ts <= lit(endDate))
+        .select((joinKeyColumns ++ featureNameColumns :+ timestampField).map(col): _*)
+    }
+    new GraftRetrievalJob(() => eval(),
+      RetrievalMetadata(featureNameColumns, joinKeyColumns, Some(startDate), Some(endDate)))
+  }
+
+  /** Latest row per key within [start, end]
+    * (ref: pull_latest_from_table_or_query, store.py:421-476).
+    *
+    * Single-shuffle arg-max: `max(struct(ts, tieBreak, features...))` with
+    * map-side partial aggregation — one exchange on the join keys, versus the
+    * reference's max-ts aggregate + join-back (two scans + an extra shuffle).
+    * With a unique `tieBreak` the result is deterministic on ts ties; the
+    * reference's USING-join keeps all tied rows instead (see
+    * [[pullLatestKeepTies]] for that exact shape).
+    */
+  def pullLatest(
+      spark: SparkSession,
+      source: GraftSource,
+      joinKeyColumns: Seq[String],
+      featureNameColumns: Seq[String],
+      timestampField: String,
+      tieBreak: Option[String],
+      startDate: Timestamp,
+      endDate: Timestamp): GraftRetrievalJob = {
+    def eval() = {
+      val ts = col(timestampField)
+      val payloadCols = (timestampField +: (tieBreak.toSeq ++ featureNameColumns)).distinct
+      val in = source.load(spark).filter(ts >= lit(startDate) && ts <= lit(endDate))
+      val agg = in
+        .groupBy(joinKeyColumns.map(col): _*)
+        .agg(max(struct(payloadCols.map(col): _*)).as("_latest"))
+      val out = joinKeyColumns.map(col) ++
+        featureNameColumns.map(f => col(s"_latest.$f").as(f)) :+
+        col(s"_latest.$timestampField").as(timestampField)
+      agg.select(out: _*)
+    }
+    new GraftRetrievalJob(() => eval(),
+      RetrievalMetadata(featureNameColumns, joinKeyColumns, Some(startDate), Some(endDate)))
+  }
+
+  /** Reference-exact latest-per-key: max-ts per key joined back USING
+    * (key, ts), keeping *all* rows tied on the max timestamp
+    * (ref: store.py:435-465).
+    */
+  def pullLatestKeepTies(
+      spark: SparkSession,
+      source: GraftSource,
+      joinKeyColumns: Seq[String],
+      featureNameColumns: Seq[String],
+      timestampField: String,
+      startDate: Timestamp,
+      endDate: Timestamp): GraftRetrievalJob = {
+    def eval() = {
+      val ts = col(timestampField)
+      val in = source.load(spark).filter(ts >= lit(startDate) && ts <= lit(endDate))
+      val maxTs = in.groupBy(joinKeyColumns.map(col): _*)
+        .agg(max(ts).as(timestampField))
+      in.join(maxTs, joinKeyColumns :+ timestampField)
+        .select((joinKeyColumns ++ featureNameColumns :+ timestampField).map(col): _*)
+    }
+    new GraftRetrievalJob(() => eval(),
+      RetrievalMetadata(featureNameColumns, joinKeyColumns, Some(startDate), Some(endDate)))
+  }
+
+  /** Infers the entity frame's event-timestamp column: `event_timestamp` if
+    * present, else the sole TimestampType column (the analog of
+    * offline_utils.infer_event_timestamp_from_entity_df used at store.py:371).
+    */
+  def inferEntityTimestampColumn(entity: DataFrame): String = {
+    val byName = entity.schema.fields.find(_.name == "event_timestamp")
+    byName.map(_.name).getOrElse {
+      entity.schema.fields.filter(_.dataType == TimestampType) match {
+        case Array(one) => one.name
+        case _ => throw new InvalidEntityFrameException(
+          "Entity frame needs an 'event_timestamp' column or exactly one timestamp column")
+      }
+    }
+  }
+
+  /** Point-in-time join (`get_historical_features`,
+    * ref: store.py:355-418 and the SQL template at store.py:601-779).
+    *
+    * For each feature view: take the latest feature row whose event timestamp
+    * is <= the entity row's timestamp (and within `ttlSeconds` lookback when
+    * nonzero), deduplicating by max created-timestamp when the source declares
+    * one; LEFT JOIN each view's result back onto the entity frame.
+    *
+    * Plan shape vs the reference template:
+    *  - the global `[min_entity_ts - ttl, max_entity_ts]` prefilter
+    *    (template's __subquery CTE) is a scan-level predicate -> PushedFilters;
+    *  - __base/__dedup/__latest/__cleaned (a window plus two self-joins) are
+    *    collapsed into one `max(struct(event_ts, created_ts, tieBreak,
+    *    features...))` aggregation — identical result, one shuffle;
+    *  - the entity side is broadcast when its row count is under
+    *    `graft.pit.broadcastRows`.
+    */
+  def pointInTime(
+      spark: SparkSession,
+      entity: DataFrame,
+      views: Seq[FeatureView],
+      fullFeatureNames: Boolean = false,
+      entityTimestampColumn: Option[String] = None): GraftRetrievalJob = {
+    val tsCol = entityTimestampColumn.getOrElse(inferEntityTimestampColumn(entity))
+
+    def eval(): DataFrame = {
+      // Driver-side min/max/count of the (small) entity frame — the analog of
+      // _get_entity_df_event_timestamp_range (store.py:577-598), needed to
+      // push a literal range filter into every feature scan.
+      val stats = entity.agg(
+        min(col(tsCol)).as("mn"), max(col(tsCol)).as("mx"), count(lit(1)).as("n")).head()
+      val (minEnt, maxEnt, nEnt) =
+        (stats.getTimestamp(0), stats.getTimestamp(1), stats.getLong(2))
+      val doBroadcast = nEnt <= broadcastRowThreshold(spark)
+
+      views.foldLeft(entity) { (acc, view) =>
+        val evtTs = view.source.timestampField.get
+        val createdTs = view.source.createdTimestampColumn.filter(_.nonEmpty)
+        val ttl = view.ttlSeconds
+
+        // __subquery: global range prefilter below the join (store.py:655-676)
+        val lower: Column = if (ttl > 0)
+          col(evtTs) >= lit(minEnt) - expr(s"INTERVAL $ttl SECOND") else lit(true)
+        val featCols = ((view.entityKeys :+ evtTs) ++ createdTs.toSeq ++
+          view.tieBreak.toSeq ++ view.features).distinct
+        val feat = view.source.load(spark)
+          .filter(col(evtTs) <= lit(maxEnt) && lower)
+          .select(featCols.map(col): _*)
+
+        // per-view distinct entity rows (template's __entity_dataframe CTE)
+        val entKeysRaw = entity
+          .select((view.entityKeys :+ tsCol).map(col): _*).distinct()
+        val entKeys = if (doBroadcast) broadcast(entKeysRaw) else entKeysRaw
+
+        val f = feat.alias("f")
+        val e = entKeys.alias("e")
+        val keyEq = view.entityKeys
+          .map(k => f.col(k) === e.col(k)).reduce(_ && _)
+        val temporal = f.col(evtTs) <= e.col(tsCol) &&
+          (if (ttl > 0) f.col(evtTs) >= e.col(tsCol) - expr(s"INTERVAL $ttl SECOND")
+           else lit(true))
+
+        // __base join + arg-max collapse of __dedup/__latest/__cleaned
+        val orderCols = (evtTs +: (createdTs.toSeq ++ view.tieBreak.toSeq)) ++ view.features
+        val based = f.join(e, keyEq && temporal, "inner")
+          .groupBy((view.entityKeys.map(e.col(_)) :+ e.col(tsCol)): _*)
+          .agg(max(struct(orderCols.distinct.map(f.col(_)): _*)).as("_best"))
+
+        val featOut = view.features.map { c =>
+          val outName = if (fullFeatureNames) s"${view.name}__$c" else c
+          col(s"_best.$c").as(outName)
+        }
+        val viewResult = based.select(
+          (view.entityKeys.map(col) :+ col(tsCol)) ++ featOut: _*)
+
+        // final merge: entity frame LEFT JOIN each view (store.py:760-779);
+        // joining on (keys, entity_ts) replaces the template's synthetic
+        // entity_row_unique_id string.
+        acc.join(
+          if (doBroadcast) broadcast(viewResult) else viewResult,
+          view.entityKeys :+ tsCol, "left")
+      }
+    }
+
+    val featureNames = views.flatMap(v =>
+      v.features.map(f => if (fullFeatureNames) s"${v.name}__$f" else f))
+    new GraftRetrievalJob(() => eval(),
+      RetrievalMetadata(featureNames, views.flatMap(_.entityKeys).distinct))
+  }
+}

@@ -1,0 +1,193 @@
+package graft.sources
+
+import com.fasterxml.jackson.databind.ObjectMapper
+import com.fasterxml.jackson.databind.node.ObjectNode
+import graft.model._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{expr, timestamp_micros}
+import org.apache.spark.sql.types.{LongType, StructType}
+
+import scala.jdk.CollectionConverters._
+import scala.util.{Failure, Success, Try}
+
+/** Storage format of a path-backed source; the analog of the reference's
+  * `cos_type` (ref: data_engine_offline_store.py:115,133-134,147).
+  */
+sealed abstract class SourceFormat(val name: String)
+object SourceFormat {
+  case object Parquet extends SourceFormat("parquet")
+  case object Csv extends SourceFormat("csv")
+  case object Json extends SourceFormat("json")
+  val all: Seq[SourceFormat] = Seq(Parquet, Csv, Json)
+  def fromName(n: String): SourceFormat =
+    all.find(_.name == n.toLowerCase).getOrElse(
+      throw new IllegalArgumentException(s"format must be one of: json, csv, parquet (got $n)"))
+}
+
+/** A declarative data source: a named catalog table, a file path
+  * (parquet/csv/json), or a SQL query — the Spark-native re-expression of the
+  * reference's `DataEngineDataSource` (ref: data_engine_offline_store.py:103-310).
+  *
+  * Loading produces a plain DataFrame so every downstream operator stays a
+  * Catalyst logical plan (pushdown/pruning free); `fieldMapping` renames are
+  * applied on load so feature names are uniform from there on.
+  *
+  * @param table path (contains `/` or a `scheme://`) or catalog/temp-view name
+  * @param query SQL text used as a subquery source when `table` is absent
+  * @param schemaDdl optional explicit schema (DDL string) for csv/json reads,
+  *                  so round-trips don't depend on inference
+  */
+final case class GraftSource(
+    name: String,
+    table: Option[String] = None,
+    query: Option[String] = None,
+    format: SourceFormat = SourceFormat.Parquet,
+    timestampField: Option[String] = None,
+    createdTimestampColumn: Option[String] = None,
+    fieldMapping: Map[String, String] = Map.empty,
+    schemaDdl: Option[String] = None,
+    description: String = "",
+    tags: Map[String, String] = Map.empty,
+    owner: String = "") {
+
+  require(table.isDefined || query.isDefined, "No \"table\" or \"query\" argument provided.")
+
+  def isPath: Boolean = table.exists(t => t.contains("/") || t.contains("://"))
+
+  /** `table` -> `` `table` ``; query -> `(query)` (ref: store.py:222-226). */
+  def tableQueryString: String =
+    table.map(t => s"`$t`").getOrElse(s"(${query.get})")
+
+  /** Materializes the source as a DataFrame with fieldMapping applied. */
+  def load(spark: SparkSession): DataFrame = {
+    val base = table match {
+      case Some(t) if isPath =>
+        val reader = spark.read.format(format.name)
+        val withSchema = schemaDdl match {
+          case Some(ddl) => reader.schema(StructType.fromDDL(ddl))
+          case None if format != SourceFormat.Parquet => reader.option("inferSchema", "true")
+          case None => reader
+        }
+        (if (format == SourceFormat.Csv) withSchema.option("header", "true") else withSchema)
+          .load(t)
+      case Some(t) => spark.table(t)
+      case None => spark.sql(query.get)
+    }
+    val mapped = fieldMapping.foldLeft(base) { case (df, (from, to)) =>
+      if (df.columns.contains(from)) df.withColumnRenamed(from, to) else df
+    }
+    // Parquet TIMESTAMP(NANOS) columns surface as LongType nanoseconds under
+    // spark.sql.legacy.parquet.nanosAsLong; normalize the declared temporal
+    // columns to TimestampType (µs). Integer `div` — a double division would
+    // lose precision above 2^53 ns (~1970+104 days).
+    (timestampField.toSeq ++ createdTimestampColumn.toSeq).distinct.foldLeft(mapped) {
+      (df, c) =>
+        df.schema.fields.find(_.name == c) match {
+          case Some(f) if f.dataType == LongType =>
+            df.withColumn(c, timestamp_micros(expr(s"`$c` div 1000")))
+          case _ => df
+        }
+    }
+  }
+
+  /** Analysis-time existence check; throws [[GraftSourceNotFoundException]]
+    * (ref: store.py:202-220 — cos summary / schema lookup / LIMIT 1 probe).
+    * Only triggers analysis, never a Spark job.
+    */
+  def validate(spark: SparkSession): Unit = {
+    def probe(what: String)(body: => Unit): Unit =
+      Try(body) match {
+        case Success(_) => ()
+        case Failure(_) => throw new GraftSourceNotFoundException(what)
+      }
+    table match {
+      case Some(t) if isPath => probe(t)(spark.read.format(format.name).load(t).schema)
+      case Some(t) =>
+        if (!spark.catalog.tableExists(t)) throw new GraftSourceNotFoundException(t)
+      case None =>
+        probe(query.get)(spark.sql(s"SELECT * FROM (${query.get}) LIMIT 1").queryExecution.analyzed)
+    }
+  }
+
+  /** (columnName, catalogTypeString) pairs (ref: store.py:228-251). Queries are
+    * resolvable here (unlike the reference, Spark analysis is free), but a
+    * broken source raises [[GraftSchemaError]] with the same surface.
+    */
+  def columnNamesAndTypes(spark: SparkSession): Seq[(String, String)] =
+    Try(load(spark).schema) match {
+      case Success(s) => s.fields.toSeq.map(f => (f.name, f.dataType.catalogString))
+      case Failure(_) => throw new GraftSchemaError(table.orElse(query).getOrElse(name))
+    }
+
+  /** Engine-neutral types for each column (ref: store.py:253-286). */
+  def columnValueTypes(spark: SparkSession): Seq[(String, ValueType)] =
+    columnNamesAndTypes(spark).map { case (n, t) => (n, ValueType.fromCatalog(t)) }
+
+  /** Config serialization round-trip — the analog of to_proto/from_proto
+    * (ref: store.py:165-200, tests/test_ibm_data_engine.py:101-104).
+    */
+  def toJson: String = {
+    val m = new ObjectMapper()
+    val o = m.createObjectNode()
+    o.put("name", name)
+    table.foreach(o.put("table", _))
+    query.foreach(o.put("query", _))
+    o.put("format", format.name)
+    timestampField.foreach(o.put("timestamp_field", _))
+    createdTimestampColumn.foreach(o.put("created_timestamp_column", _))
+    schemaDdl.foreach(o.put("schema_ddl", _))
+    o.put("description", description)
+    o.put("owner", owner)
+    val fm = o.putObject("field_mapping")
+    fieldMapping.foreach { case (k, v) => fm.put(k, v) }
+    val tg = o.putObject("tags")
+    tags.foreach { case (k, v) => tg.put(k, v) }
+    m.writeValueAsString(o)
+  }
+}
+
+object GraftSource {
+  /** Mirrors the reference constructor's name/table/query rules
+    * (ref: store.py:140-153): require table or query; name defaults to table.
+    */
+  def of(
+      name: Option[String] = None,
+      table: Option[String] = None,
+      query: Option[String] = None,
+      format: SourceFormat = SourceFormat.Parquet,
+      timestampField: Option[String] = None,
+      createdTimestampColumn: Option[String] = None,
+      fieldMapping: Map[String, String] = Map.empty,
+      schemaDdl: Option[String] = None): GraftSource = {
+    if (table.isEmpty && query.isEmpty)
+      throw new IllegalArgumentException("No \"table\" or \"query\" argument provided.")
+    val resolved = name.orElse(table).getOrElse(throw new GraftNoNameException)
+    GraftSource(resolved, table, query, format, timestampField, createdTimestampColumn,
+      fieldMapping, schemaDdl)
+  }
+
+  def parquet(path: String, fieldMapping: Map[String, String] = Map.empty): GraftSource =
+    of(table = Some(path), fieldMapping = fieldMapping)
+
+  def fromJson(json: String): GraftSource = {
+    val n = new ObjectMapper().readTree(json)
+    def opt(f: String): Option[String] = Option(n.get(f)).map(_.asText)
+    def strMap(f: String): Map[String, String] = Option(n.get(f)) match {
+      case Some(o: ObjectNode) =>
+        o.fieldNames.asScala.map(k => k -> o.get(k).asText).toMap
+      case _ => Map.empty
+    }
+    GraftSource(
+      name = n.get("name").asText,
+      table = opt("table"),
+      query = opt("query"),
+      format = SourceFormat.fromName(opt("format").getOrElse("parquet")),
+      timestampField = opt("timestamp_field"),
+      createdTimestampColumn = opt("created_timestamp_column"),
+      fieldMapping = strMap("field_mapping"),
+      schemaDdl = opt("schema_ddl"),
+      description = opt("description").getOrElse(""),
+      tags = strMap("tags"),
+      owner = opt("owner").getOrElse(""))
+  }
+}

@@ -1,0 +1,140 @@
+package graft.ops
+
+import java.sql.Timestamp
+
+import graft.SparkTestBase
+import graft.model.InvalidEntityFrameException
+import graft.sources.GraftSource
+import org.apache.spark.sql.DataFrame
+
+/** Semantics of the three retrieval primitives on planted micro-data
+  * (ref: tests/test_ibm_data_engine.py:281-418, test_integration.py:177).
+  */
+class FeatureStoreOpsSpec extends SparkTestBase {
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  // feature rows: (key, event_ts, created_ts, row_id, value)
+  private lazy val featSrc: GraftSource = {
+    import spark.implicits._
+    Seq(
+      (1L, ts("2024-01-01 00:00:00"), ts("2024-01-01 00:00:00"), 10L, 1.0),
+      (1L, ts("2024-01-05 00:00:00"), ts("2024-01-05 00:00:00"), 11L, 2.0),
+      (1L, ts("2024-01-05 00:00:00"), ts("2024-01-06 00:00:00"), 12L, 3.0), // later created
+      (2L, ts("2024-01-03 00:00:00"), ts("2024-01-03 00:00:00"), 20L, 4.0),
+      (3L, ts("2024-02-01 00:00:00"), ts("2024-02-01 00:00:00"), 30L, 5.0),
+    ).toDF("k", "ets", "cts", "rid", "v").createOrReplaceTempView("feat_v")
+    GraftSource.of(table = Some("feat_v"), timestampField = Some("ets"))
+  }
+
+  private def entity(rows: (Long, String)*): DataFrame = {
+    import spark.implicits._
+    rows.map { case (k, t) => (k, ts(t)) }.toSeq.toDF("k", "event_timestamp")
+  }
+
+  test("pullAll: inclusive time range, keys+features+ts (ref store.py:479-513)") {
+    val out = FeatureStoreOps.pullAll(spark, featSrc,
+      joinKeyColumns = Seq("k"), featureNameColumns = Seq("v"),
+      timestampField = "ets",
+      startDate = ts("2024-01-01 00:00:00"), endDate = ts("2024-01-05 00:00:00"))
+      .toDF.collect()
+    assert(out.length == 4) // both boundary rows included, 2024-02-01 excluded
+    assert(out.map(_.getAs[Double]("v")).sorted.toSeq == Seq(1.0, 2.0, 3.0, 4.0))
+  }
+
+  test("pullLatest: latest row per key, tieBreak deterministic (ref store.py:421-476)") {
+    val out = FeatureStoreOps.pullLatest(spark, featSrc,
+      joinKeyColumns = Seq("k"), featureNameColumns = Seq("v"),
+      timestampField = "ets", tieBreak = Some("rid"),
+      startDate = ts("2024-01-01 00:00:00"), endDate = ts("2024-12-31 00:00:00"))
+      .toDF.collect().map(r => r.getAs[Long]("k") -> r.getAs[Double]("v")).toMap
+    // key 1 has two rows tied on max ets=01-05; rid=12 wins
+    assert(out == Map(1L -> 3.0, 2L -> 4.0, 3L -> 5.0))
+  }
+
+  test("pullLatestKeepTies keeps all rows tied on max ts (ref store.py:435-465)") {
+    val out = FeatureStoreOps.pullLatestKeepTies(spark, featSrc,
+      joinKeyColumns = Seq("k"), featureNameColumns = Seq("v"),
+      timestampField = "ets",
+      startDate = ts("2024-01-01 00:00:00"), endDate = ts("2024-12-31 00:00:00"))
+      .toDF.collect()
+    assert(out.count(_.getAs[Long]("k") == 1L) == 2) // both ets=01-05 rows kept
+    assert(out.length == 4)
+  }
+
+  test("pointInTime: asof <= entity ts, TTL window, left-join nulls (ref store.py:601-779)") {
+    val fv = FeatureView("f", featSrc, entityKeys = Seq("k"), features = Seq("v"),
+      ttlSeconds = 3 * 86400L, tieBreak = Some("rid"))
+    val ent = entity(
+      (1L, "2024-01-04 00:00:00"), // TTL bound inclusive: 01-04 - 3d = 01-01 -> v=1.0
+      (1L, "2024-01-06 00:00:00"), // 01-05 rows in window; created dedup -> v=3.0
+      (1L, "2024-01-09 00:00:01"), // window (01-06 00:00:01, ...]: all rows expired -> null
+      (2L, "2024-01-02 00:00:00"), // 01-03 is in the future -> null
+      (9L, "2024-01-10 00:00:00"), // unknown key -> null
+    )
+    val out = FeatureStoreOps.pointInTime(spark, ent, Seq(fv)).toDF.collect()
+      .map(r => (r.getAs[Long]("k"), r.getAs[Timestamp]("event_timestamp").toString,
+        Option(r.getAs[java.lang.Double]("v")).map(_.doubleValue)))
+    assert(out.length == 5)
+    val m = out.map(t => (t._1, t._2) -> t._3).toMap
+    assert(m((1L, "2024-01-04 00:00:00.0")).contains(1.0))
+    assert(m((1L, "2024-01-06 00:00:00.0")).contains(3.0))
+    assert(m((1L, "2024-01-09 00:00:01.0")).isEmpty)
+    assert(m((2L, "2024-01-02 00:00:00.0")).isEmpty)
+    assert(m((9L, "2024-01-10 00:00:00.0")).isEmpty)
+  }
+
+  test("pointInTime: ttl=0 means unbounded lookback (ref store.py:669-674)") {
+    val fv = FeatureView("f", featSrc, entityKeys = Seq("k"), features = Seq("v"),
+      ttlSeconds = 0L, tieBreak = Some("rid"))
+    val out = FeatureStoreOps.pointInTime(spark, entity((1L, "2024-01-04 00:00:00")), Seq(fv))
+      .toDF.collect()
+    assert(out.head.getAs[Double]("v") == 1.0) // 01-01 row now reachable
+  }
+
+  test("pointInTime: created_timestamp dedup picks latest created (ref store.py:703-740)") {
+    import spark.implicits._
+    // same event ts, created later, different value: created dedup must pick v=9
+    Seq(
+      (1L, ts("2024-01-05 00:00:00"), ts("2024-01-05 00:00:00"), 1L, 1.0),
+      (1L, ts("2024-01-05 00:00:00"), ts("2024-01-07 00:00:00"), 2L, 9.0),
+    ).toDF("k", "ets", "cts", "rid", "v").createOrReplaceTempView("feat_created_v")
+    val src = GraftSource.of(table = Some("feat_created_v"),
+      timestampField = Some("ets"), createdTimestampColumn = Some("cts"))
+    val fv = FeatureView("f", src, Seq("k"), Seq("v"), ttlSeconds = 0L, tieBreak = Some("rid"))
+    val out = FeatureStoreOps.pointInTime(spark, entity((1L, "2024-01-08 00:00:00")), Seq(fv))
+      .toDF.collect()
+    assert(out.head.getAs[Double]("v") == 9.0)
+  }
+
+  test("pointInTime: multi-view merge with full_feature_names (ref store.py:760-779)") {
+    import spark.implicits._
+    Seq((1L, ts("2024-01-02 00:00:00"), "a")).toDF("k", "ets", "s")
+      .createOrReplaceTempView("feat2_v")
+    val src2 = GraftSource.of(table = Some("feat2_v"), timestampField = Some("ets"))
+    val fv1 = FeatureView("f1", featSrc, Seq("k"), Seq("v"), tieBreak = Some("rid"))
+    val fv2 = FeatureView("f2", src2, Seq("k"), Seq("s"))
+    val out = FeatureStoreOps.pointInTime(spark, entity((1L, "2024-01-06 00:00:00")),
+      Seq(fv1, fv2), fullFeatureNames = true).toDF
+    assert(out.columns.toSet == Set("k", "event_timestamp", "f1__v", "f2__s"))
+    val r = out.collect().head
+    assert(r.getAs[Double]("f1__v") == 3.0 && r.getAs[String]("f2__s") == "a")
+  }
+
+  test("inferEntityTimestampColumn: event_timestamp, sole ts col, or error") {
+    import spark.implicits._
+    assert(FeatureStoreOps.inferEntityTimestampColumn(
+      entity((1L, "2024-01-01 00:00:00"))) == "event_timestamp")
+    val sole = Seq((1L, ts("2024-01-01 00:00:00"))).toDF("k", "my_ts")
+    assert(FeatureStoreOps.inferEntityTimestampColumn(sole) == "my_ts")
+    val none = Seq((1L, 2L)).toDF("a", "b")
+    intercept[InvalidEntityFrameException](FeatureStoreOps.inferEntityTimestampColumn(none))
+  }
+
+  test("retrieval job is lazy and carries metadata (ref store.py:313-348)") {
+    val job = FeatureStoreOps.pullAll(spark, featSrc, Seq("k"), Seq("v"), "ets",
+      ts("2024-01-01 00:00:00"), ts("2024-01-05 00:00:00"))
+    assert(job.metadata.features == Seq("v") && job.metadata.keys == Seq("k"))
+    assert(job.metadata.minEventTimestamp.contains(ts("2024-01-01 00:00:00")))
+  }
+}

@@ -1,0 +1,91 @@
+package graft.sources
+
+import graft.SparkTestBase
+import graft.model._
+
+/** Mirrors the reference's data-source tests
+  * (ref: tests/test_ibm_data_engine.py:90-241).
+  */
+class GraftSourceSpec extends SparkTestBase {
+
+  test("requires table or query (ref tests.py:90)") {
+    val e = intercept[IllegalArgumentException](GraftSource.of())
+    assert(e.getMessage.contains("table") && e.getMessage.contains("query"))
+  }
+
+  test("name defaults to table; query-only source needs a name (ref tests.py:96-100)") {
+    assert(GraftSource.of(table = Some("t1")).name == "t1")
+    intercept[GraftNoNameException](GraftSource.of(query = Some("SELECT 1")))
+    assert(GraftSource.of(name = Some("q"), query = Some("SELECT 1")).name == "q")
+  }
+
+  test("tableQueryString: backticked table vs parenthesized query (ref store.py:222-226)") {
+    assert(GraftSource.of(table = Some("tbl")).tableQueryString == "`tbl`")
+    assert(GraftSource.of(name = Some("n"), query = Some("SELECT 1")).tableQueryString
+      == "(SELECT 1)")
+  }
+
+  test("json round-trip preserves every field (ref tests.py:101-104)") {
+    val src = GraftSource.of(
+      name = Some("evsrc"), table = Some("/tmp/x.parquet"),
+      format = SourceFormat.Csv, timestampField = Some("ts"),
+      createdTimestampColumn = Some("created"),
+      fieldMapping = Map("a" -> "b", "c" -> "d"),
+      schemaDdl = Some("a INT, c STRING"))
+    assert(GraftSource.fromJson(src.toJson) == src)
+  }
+
+  test("format parsing rejects unknown (ref store.py:133-134)") {
+    assert(SourceFormat.fromName("CSV") == SourceFormat.Csv)
+    val e = intercept[IllegalArgumentException](SourceFormat.fromName("orc"))
+    assert(e.getMessage.contains("json, csv, parquet"))
+  }
+
+  test("validate: missing path and missing table raise source-not-found (ref store.py:202-220)") {
+    intercept[GraftSourceNotFoundException](
+      GraftSource.of(table = Some("/root/nonexistent/nope.parquet")).validate(spark))
+    intercept[GraftSourceNotFoundException](
+      GraftSource.of(table = Some("no_such_table")).validate(spark))
+    // existing path validates fine
+    GraftSource.parquet(s"${sf()}/events.parquet").validate(spark)
+  }
+
+  test("field_mapping renames on load (ref store.py:129-131)") {
+    val df = GraftSource.of(
+      table = Some(s"${sf()}/events.parquet"),
+      fieldMapping = Map("value" -> "feature_value")).load(spark)
+    assert(df.columns.contains("feature_value") && !df.columns.contains("value"))
+  }
+
+  test("schema retrieval returns (name, catalogType) pairs (ref store.py:228-251)") {
+    val cols = GraftSource.parquet(s"${sf()}/customer.parquet").columnNamesAndTypes(spark)
+    assert(cols.map(_._1) ==
+      Seq("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment"))
+    assert(cols.toMap.apply("c_acctbal") == "double")
+  }
+
+  test("timestampField normalizes parquet ns-long to TimestampType") {
+    val df = GraftSource.of(
+      table = Some(s"${sf()}/events.parquet"), timestampField = Some("ts")).load(spark)
+    assert(df.schema("ts").dataType == org.apache.spark.sql.types.TimestampType)
+  }
+
+  test("ValueType mapping incl. arrays and unknowns (ref store.py:253-286, tests.py:162-191)") {
+    import ValueType._
+    assert(fromCatalog("bigint") == Int64)
+    assert(fromCatalog("int") == Int32)
+    assert(fromCatalog("smallint") == Int32)
+    assert(fromCatalog("double") == Double)
+    assert(fromCatalog("decimal(18,2)") == Double)
+    assert(fromCatalog("string") == String)
+    assert(fromCatalog("binary") == Bytes)
+    assert(fromCatalog("boolean") == Bool)
+    assert(fromCatalog("timestamp") == UnixTimestamp)
+    assert(fromCatalog("array<float>") == FloatList)
+    assert(fromCatalog("array<bigint>") == Int64List)
+    assert(fromCatalog("array<string>") == StringList)
+    assert(fromCatalog("array<timestamp>") == UnixTimestampList)
+    assert(fromCatalog("map<string,int>") == Unknown)
+    assert(fromCatalog("struct<a:int>") == Unknown)
+  }
+}

@@ -1,0 +1,66 @@
+#!/usr/bin/env python3
+"""Local replica of the driver's correctness gate: reads Verify's output dir,
+runs each oracle_sql.json entry in DuckDB against the same parquet tables,
+compares row counts, sorted-column schemas, and value hashes (strict: exact
+values after sorting rows & columns). Usage: check.py <sfDir> <verifyOutDir>
+"""
+import glob
+import json
+import sys
+
+import duckdb
+import pandas as pd
+
+TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+
+
+def canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    for c in df.columns:
+        if df[c].dtype == object:
+            df[c] = df[c].astype(str)
+    df = df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True)
+    return df
+
+
+def main():
+    sf_dir, out_dir = sys.argv[1], sys.argv[2]
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    oracles = json.load(open(f"{out_dir}/oracle_sql.json"))
+    results = {}
+    for name, sql in sorted(oracles.items()):
+        files = glob.glob(f"{out_dir}/{name}/*.parquet")
+        if not files:
+            results[name] = "MISSING_SPARK_OUTPUT"
+            continue
+        try:
+            spark_df = canon(pd.concat([pd.read_parquet(f) for f in files]))
+            duck_df = canon(con.sql(sql).df())
+        except Exception as e:
+            results[name] = f"ERROR {type(e).__name__}: {e}"
+            continue
+        if list(spark_df.columns) != list(duck_df.columns):
+            results[name] = f"SCHEMA spark={list(spark_df.columns)} duck={list(duck_df.columns)}"
+        elif len(spark_df) != len(duck_df):
+            results[name] = f"ROWS spark={len(spark_df)} duck={len(duck_df)}"
+        else:
+            try:
+                pd.testing.assert_frame_equal(spark_df, duck_df, check_dtype=False,
+                                              check_exact=False, rtol=1e-9, atol=1e-12)
+                results[name] = "OK"
+            except AssertionError as e:
+                results[name] = "VALUES " + str(e).split("\n")[0][:200]
+    # queries without oracle → rows-only
+    for name in set(glob.glob(f"{out_dir}/*/")) :
+        pass
+    ok = sum(1 for v in results.values() if v == "OK")
+    for name, v in sorted(results.items()):
+        print(f"{'PASS' if v == 'OK' else 'FAIL'} {name}: {v}")
+    print(f"== {ok}/{len(results)} oracle-checked queries pass")
+    sys.exit(0 if ok == len(results) else 1)
+
+
+if __name__ == "__main__":
+    main()

@@ -3,8 +3,9 @@ package graft
 import java.sql.Timestamp
 import java.time.Instant
 
-import graft.ops.{FeatureStoreOps, FeatureView}
+import graft.ops.{Dedup, FeatureStoreOps, FeatureView, Multimodal, Similarity, TextAnalysis}
 import graft.sources.{GraftSource, SourceFormat}
+import graft.streaming.EventStream
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -166,6 +167,150 @@ object SparkEntry {
   }
 
   // =================================================================
+  // §2.2 LLM-pipeline operators
+  // =================================================================
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/documents.parquet")
+
+  private def embs(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/embeddings.parquet")
+
+  /** documents ∪ exact copies at doc_id+100000 — planted exact duplicates. */
+  private def docsWithExactDups(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    d.unionByName(d.withColumn("doc_id", col("doc_id") + 100000L))
+  }
+
+  private def dedupExact(s: SparkSession, dir: String): DataFrame =
+    Dedup.exact(docsWithExactDups(s, dir), Seq("text"), "doc_id")
+      .select("doc_id", "n_dups")
+
+  private def dedupMinhash(s: SparkSession, dir: String): DataFrame = {
+    // plant NEAR-duplicates: one token appended => word-3-gram Jaccard ~0.9
+    val d = docs(s, dir)
+    val u = d.unionByName(d
+      .withColumn("doc_id", col("doc_id") + 100000L)
+      .withColumn("text", concat(col("text"), lit(" graftdup"))))
+    Dedup.minHashLsh(u, "doc_id", "text", threshold = 0.8).select("a_id", "b_id")
+  }
+
+  private def dedupSimhash(s: SparkSession, dir: String): DataFrame =
+    Dedup.simHashNearDup(docsWithExactDups(s, dir), "doc_id", "text", maxHamming = 3)
+      .select("a_id", "b_id")
+
+  private def dedupEmbedding(s: SparkSession, dir: String): DataFrame = {
+    // positive scaling keeps both the cosine (=1) and every hyperplane sign
+    val e = embs(s, dir)
+    val u = e.unionByName(e
+      .withColumn("vec_id", col("vec_id") + 100000L)
+      .withColumn("embedding", transform(col("embedding"), x => x * lit(1.0001f))))
+    Dedup.embeddingNearDup(u, "vec_id", "embedding", dim = 64).select("a_id", "b_id")
+  }
+
+  private def knnQueries(s: SparkSession, dir: String): DataFrame =
+    embs(s, dir).filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+
+  private def knnCorpus(s: SparkSession, dir: String): DataFrame =
+    embs(s, dir).select(col("vec_id").as("id"), col("embedding").as("vec"))
+
+  private def knnBrute(s: SparkSession, dir: String): DataFrame =
+    Similarity.bruteForceTopK(knnQueries(s, dir), knnCorpus(s, dir), k = 10)
+      .select("qid", "neighbor_id", "rank")
+
+  private def knnLsh(s: SparkSession, dir: String): DataFrame =
+    Similarity.lshTopK(knnQueries(s, dir), knnCorpus(s, dir), k = 10, dim = 64)
+      .select("qid", "neighbor_id", "rank")
+
+  private def textStats(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.tokenStats(docs(s, dir), "doc_id", "text")
+
+  private def textQuality(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.qualityScore(docs(s, dir), "doc_id", "text")
+
+  private def textLangid(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.languageId(docs(s, dir), "doc_id", "text")
+
+  private def docFingerprint(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.fingerprintDocs(docs(s, dir), "doc_id", "text")
+
+  private def multimodalMeta(s: SparkSession, dir: String): DataFrame =
+    Multimodal.describe(Multimodal.synthesize(docs(s, dir), "doc_id", "text"))
+
+  /** events with value scaled to an exact integer (1e4 fixed-point) so sums
+    * are shuffle-order- and engine-independent.
+    */
+  private def eventsFixedPoint(s: SparkSession, dir: String): DataFrame =
+    events(dir).load(s)
+      .withColumn("value", round(col("value") * 10000).cast("long"))
+
+  private def eventsWindowed(s: SparkSession, dir: String): DataFrame =
+    EventStream.windowedCounts(eventsFixedPoint(s, dir), "1 hour")
+
+  private def eventsSessions(s: SparkSession, dir: String): DataFrame =
+    EventStream.sessionizeBatch(eventsFixedPoint(s, dir), gapMinutes = 30)
+      .select(col("user_id"),
+        unix_micros(col("session_start")).as("session_start_us"),
+        unix_micros(col("session_end")).as("session_end_us"),
+        col("n_events"), col("total_value"))
+
+  // =================================================================
+  // §2.3 analytics headliners
+  // =================================================================
+
+  private val Q1Cutoff = Timestamp.valueOf("1998-09-02 00:00:00")
+  private val Q3Cutoff = Timestamp.valueOf("1998-06-01 00:00:00")
+
+  private def q1PricingSummary(s: SparkSession, dir: String): DataFrame = {
+    val l = GraftSource.of(table = Some(s"$dir/lineitem.parquet"),
+      timestampField = Some("l_shipdate")).load(s)
+    val disc = col("l_extendedprice") * (lit(1) - col("l_discount"))
+    l.filter(col("l_shipdate") <= lit(Q1Cutoff))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sum(col("l_quantity").cast("long")).as("sum_qty"),
+        sum(round(col("l_extendedprice") * 100).cast("long")).as("sum_base_e2"),
+        sum(round(disc * 100).cast("long")).as("sum_disc_e2"),
+        sum(round(disc * (lit(1) + col("l_tax")) * 100).cast("long")).as("sum_charge_e2"),
+        count(lit(1)).as("count_order"))
+  }
+
+  private def q3TopOrders(s: SparkSession, dir: String): DataFrame = {
+    val cust = s.read.parquet(s"$dir/customer.parquet")
+      .filter(col("c_mktsegment") === "BUILDING")
+      .select("c_custkey")
+    val ord = GraftSource.of(table = Some(s"$dir/orders.parquet"),
+      timestampField = Some("o_orderdate")).load(s)
+      .filter(col("o_orderdate") < lit(Q3Cutoff))
+    val li = GraftSource.of(table = Some(s"$dir/lineitem.parquet"),
+      timestampField = Some("l_shipdate")).load(s)
+      .filter(col("l_shipdate") > lit(Q3Cutoff))
+      .select(col("l_orderkey"),
+        round(col("l_extendedprice") * (lit(1) - col("l_discount")) * 100)
+          .cast("long").as("rev_e2"))
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("o_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+      .agg(sum(col("rev_e2")).as("revenue_e2"))
+      .orderBy(col("revenue_e2").desc, col("o_orderkey"))
+      .limit(10)
+      .select(col("o_orderkey"),
+        unix_micros(col("o_orderdate")).as("o_orderdate_us"),
+        col("o_orderpriority"), col("revenue_e2"))
+  }
+
+  private def topEventsPerUser(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("value").desc, col("event_id"))
+    events(dir).load(s)
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3)
+      .select(col("user_id"), col("event_id"), col("rank"))
+  }
+
+  // =================================================================
   // wiring
   // =================================================================
 
@@ -182,6 +327,22 @@ object SparkEntry {
     "pit_join" -> (pitJoin _),
     "pit_join_created" -> (pitJoinCreated _),
     "pit_join_multi" -> (pitJoinMulti _),
+    "dedup_exact" -> (dedupExact _),
+    "dedup_minhash" -> (dedupMinhash _),
+    "dedup_simhash" -> (dedupSimhash _),
+    "dedup_embedding" -> (dedupEmbedding _),
+    "knn_brute" -> (knnBrute _),
+    "knn_lsh" -> (knnLsh _),
+    "text_stats" -> (textStats _),
+    "text_quality" -> (textQuality _),
+    "text_langid" -> (textLangid _),
+    "doc_fingerprint" -> (docFingerprint _),
+    "multimodal_meta" -> (multimodalMeta _),
+    "events_windowed" -> (eventsWindowed _),
+    "events_sessions" -> (eventsSessions _),
+    "q1_pricing_summary" -> (q1PricingSummary _),
+    "q3_top_orders" -> (q3TopOrders _),
+    "top_events_per_user" -> (topEventsPerUser _),
   )
 
   /** DuckDB twin per SQL-expressible key (driver compares on sf0.01). */
@@ -192,6 +353,12 @@ object SparkEntry {
     val evCte =
       """ev AS (SELECT user_id, epoch_us(ts) AS ts_us, event_id, value, event_type
         |FROM events)""".stripMargin
+    val toksCte =
+      """t AS (SELECT doc_id, text,
+        |list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> len(x) > 0) AS toks
+        |FROM documents)""".stripMargin
+    def sqlList(ws: Seq[String]): String = ws.map(w => s"'$w'").mkString("[", ", ", "]")
+    val allStops = sqlList(TextAnalysis.stopwords.values.flatten.toSeq.distinct)
     Map(
       "source_parquet" ->
         "SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment FROM customer",
@@ -290,6 +457,142 @@ object SparkEntry {
            |FROM ent e
            |LEFT JOIN best b ON e.user_id = b.user_id AND e.ent_us = b.ent_us
            |LEFT JOIN obest o ON e.user_id = o.user_id AND e.ent_us = o.ent_us""".stripMargin,
+      "dedup_exact" ->
+        """WITH u AS (SELECT * FROM documents UNION ALL
+          |  SELECT doc_id + 100000, text, lang, source, n_chars FROM documents)
+          |SELECT min(doc_id) AS doc_id, count(*) AS n_dups
+          |FROM u GROUP BY lower(trim(text))""".stripMargin,
+      // Ground truth is the full all-pairs Jaccard (feasible in DuckDB at the
+      // oracle SF) — so this checks both LSH recall (banded candidates find
+      // every true pair, planted AND organic) and verify precision.
+      // dedup_simhash has no oracle (hamming over xxhash64 signs is not
+      // DuckDB-expressible): rows-only driver check + ScalaTest spec.
+      "dedup_minhash" ->
+        """WITH u AS (SELECT doc_id, text FROM documents UNION ALL
+          |           SELECT doc_id + 100000, text || ' graftdup' FROM documents),
+          |t AS (SELECT doc_id,
+          |  list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> len(x) > 0) AS toks
+          |  FROM u),
+          |sh AS (SELECT doc_id,
+          |  list_distinct(CASE WHEN len(toks) >= 3
+          |    THEN list_transform(range(1, len(toks) - 1),
+          |         i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+          |    ELSE [array_to_string(toks, ' ')] END) AS sh
+          |  FROM t)
+          |SELECT a.doc_id AS a_id, b.doc_id AS b_id
+          |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+          |WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+          |      len(list_distinct(a.sh || b.sh)) >= 0.8""".stripMargin,
+      "dedup_embedding" ->
+        "SELECT vec_id AS a_id, vec_id + 100000 AS b_id FROM embeddings",
+      "knn_brute" ->
+        """SELECT qid, neighbor_id, rank FROM (
+          |  SELECT q.vec_id AS qid, c.vec_id AS neighbor_id,
+          |    row_number() OVER (PARTITION BY q.vec_id
+          |      ORDER BY list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+          |                                      CAST(c.embedding AS DOUBLE[])) DESC,
+          |               c.vec_id) AS rank
+          |  FROM embeddings q CROSS JOIN embeddings c
+          |  WHERE q.vec_id < 5)
+          |WHERE rank <= 10""".stripMargin,
+      "text_stats" ->
+        s"""WITH $toksCte
+           |SELECT doc_id, length(text) AS n_chars, len(toks) AS n_tokens,
+           |  len(list_distinct(toks)) AS n_distinct_tokens,
+           |  len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS n_bpe_tokens,
+           |  len(list_filter(toks, x -> len(x) >= 4)) AS n_long_tokens
+           |FROM t""".stripMargin,
+      "text_quality" ->
+        s"""WITH $toksCte,
+           |c AS (SELECT doc_id, len(toks) AS n_tokens,
+           |  len(list_filter(toks, x -> list_contains($allStops, x))) AS n_stopwords,
+           |  len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS n_punct,
+           |  len(list_distinct(toks)) AS n_distinct_tokens,
+           |  length(text) AS n_chars FROM t)
+           |SELECT doc_id, n_tokens, n_stopwords, n_punct, n_distinct_tokens,
+           |  round(
+           |    least(n_tokens / 20.0, 1.0) * 0.25 +
+           |    (1.0 - least(n_punct / greatest(CAST(n_chars AS DOUBLE), 1.0) * 4.0, 1.0)) * 0.25 +
+           |    (n_distinct_tokens / greatest(CAST(n_tokens AS DOUBLE), 1.0)) * 0.25 +
+           |    least(n_stopwords / greatest(CAST(n_tokens AS DOUBLE), 1.0) * 5.0, 1.0) * 0.25,
+           |    6) AS quality_score
+           |FROM c""".stripMargin,
+      "text_langid" -> {
+        val hits = TextAnalysis.stopwords.keys.toSeq.sorted.map(l =>
+          s"len(list_filter(toks, x -> list_contains(${sqlList(TextAnalysis.stopwords(l))}, x)))" +
+            s" / greatest(CAST(len(toks) AS DOUBLE), 1.0) AS s_$l").mkString(",\n  ")
+        s"""WITH $toksCte,
+           |s AS (SELECT doc_id,
+           |  $hits
+           |FROM t),
+           |b AS (SELECT doc_id, s_de, s_en, s_es, s_fr,
+           |  greatest(s_de, s_en, s_es, s_fr) AS best FROM s)
+           |SELECT doc_id,
+           |  CASE WHEN best = 0 THEN 'und'
+           |       WHEN s_fr = best THEN 'fr'
+           |       WHEN s_es = best THEN 'es'
+           |       WHEN s_en = best THEN 'en'
+           |       ELSE 'de' END AS lang,
+           |  round(best, 6) AS confidence
+           |FROM b""".stripMargin
+      },
+      "doc_fingerprint" ->
+        s"""WITH $toksCte
+           |SELECT doc_id,
+           |  md5(array_to_string(list_sort(list_distinct(toks)), ' ')) AS fingerprint
+           |FROM t""".stripMargin,
+      "multimodal_meta" ->
+        """SELECT doc_id AS item_id,
+          |  octet_length(encode(text)) AS payload_bytes,
+          |  (['image','audio','video'])[CAST(doc_id % 3 AS INT) + 1] AS media_type,
+          |  (['png','wav','mp4'])[CAST(doc_id % 3 AS INT) + 1] AS format,
+          |  CAST(doc_id % 640 + 32 AS INT) AS width,
+          |  CAST(doc_id % 480 + 32 AS INT) AS height,
+          |  CAST(doc_id % 30 + 1 AS INT) AS n_frames
+          |FROM documents""".stripMargin,
+      "events_windowed" ->
+        """SELECT epoch_us(date_trunc('hour', ts)) AS window_start_us, event_type,
+          |  count(*) AS n_events,
+          |  sum(CAST(round(value * 10000) AS BIGINT)) AS total_value
+          |FROM events GROUP BY 1, 2""".stripMargin,
+      "events_sessions" ->
+        """WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us, event_id,
+          |    CAST(round(value * 10000) AS BIGINT) AS v FROM events),
+          |g AS (SELECT *, CASE WHEN ts_us - lag(ts_us)
+          |    OVER (PARTITION BY user_id ORDER BY ts_us, event_id) > 1800000000
+          |    THEN 1 ELSE 0 END AS news FROM e),
+          |sids AS (SELECT *, sum(news) OVER (PARTITION BY user_id
+          |    ORDER BY ts_us, event_id ROWS UNBOUNDED PRECEDING) AS sid FROM g)
+          |SELECT user_id, min(ts_us) AS session_start_us, max(ts_us) AS session_end_us,
+          |  count(*) AS n_events, sum(v) AS total_value
+          |FROM sids GROUP BY user_id, sid""".stripMargin,
+      "q1_pricing_summary" ->
+        """SELECT l_returnflag, l_linestatus,
+          |  sum(CAST(l_quantity AS BIGINT)) AS sum_qty,
+          |  sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS sum_base_e2,
+          |  sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS sum_disc_e2,
+          |  sum(CAST(round(l_extendedprice * (1 - l_discount) * (1 + l_tax) * 100) AS BIGINT)) AS sum_charge_e2,
+          |  count(*) AS count_order
+          |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+          |GROUP BY 1, 2""".stripMargin,
+      "q3_top_orders" ->
+        """SELECT o_orderkey, epoch_us(o_orderdate) AS o_orderdate_us, o_orderpriority,
+          |  revenue_e2 FROM (
+          |  SELECT o.o_orderkey, o.o_orderdate, o.o_orderpriority,
+          |    sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100) AS BIGINT)) AS revenue_e2
+          |  FROM lineitem l
+          |  JOIN orders o ON l.l_orderkey = o.o_orderkey
+          |  JOIN customer c ON o.o_custkey = c.c_custkey
+          |  WHERE c.c_mktsegment = 'BUILDING'
+          |    AND o.o_orderdate < TIMESTAMP '1998-06-01 00:00:00'
+          |    AND l.l_shipdate > TIMESTAMP '1998-06-01 00:00:00'
+          |  GROUP BY 1, 2, 3
+          |  ORDER BY revenue_e2 DESC, o_orderkey LIMIT 10)""".stripMargin,
+      "top_events_per_user" ->
+        """SELECT user_id, event_id, rank FROM (
+          |  SELECT user_id, event_id, row_number() OVER (PARTITION BY user_id
+          |    ORDER BY value DESC, event_id) AS rank FROM events)
+          |WHERE rank <= 3""".stripMargin,
     )
   }
 }

@@ -1,0 +1,95 @@
+package graft
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Column builders for the LLM-pipeline operators. Everything here composes
+  * built-in (codegen'd) Spark expressions — no UDFs — so whole-stage codegen
+  * and pushdown survive, and the same logic runs identically on a 1000-executor
+  * cluster.
+  */
+package object functions {
+
+  /** Lowercased whitespace tokens; empty string -> empty array. */
+  def tokens(text: Column): Column =
+    filter(split(lower(trim(text)), "\\s+"), t => length(t) > 0)
+
+  /** Word n-gram shingles as strings; a doc shorter than `n` words collapses
+    * to one whole-doc shingle so it still participates in MinHash.
+    */
+  def shingles(text: Column, n: Int): Column = {
+    val toks = tokens(text)
+    val grams = transform(
+      sequence(lit(0), size(toks) - n),
+      i => concat_ws(" ", slice(toks, i + 1, lit(n))))
+    when(size(toks) >= n, grams).otherwise(array(concat_ws(" ", toks)))
+  }
+
+  /** Distinct 64-bit hashes of the doc's shingle set (the MinHash universe). */
+  def shingleHashes(text: Column, n: Int): Column =
+    array_distinct(transform(shingles(text, n), s => xxhash64(s)))
+
+  /** MinHash signature: k independent min-hashes over the shingle-hash set.
+    * Independence comes from re-hashing each shingle hash with the hash-index
+    * as a second xxhash64 operand (an independent 64-bit family per index).
+    */
+  def minHashSignature(shingleHashCol: Column, k: Int): Column =
+    transform(sequence(lit(0), lit(k - 1)),
+      i => array_min(transform(shingleHashCol, h => xxhash64(h, i))))
+
+  /** LSH band keys: one (bandIndex, bandHash) struct per band, where bandHash
+    * digests `rowsPerBand` consecutive signature entries. Docs sharing any
+    * band key are near-dup candidates.
+    */
+  def minHashBands(signature: Column, bands: Int, rowsPerBand: Int): Column =
+    transform(sequence(lit(0), lit(bands - 1)),
+      j => struct(
+        j.as("band"),
+        xxhash64(slice(signature, j * rowsPerBand + 1, lit(rowsPerBand))).as("bucket")))
+
+  /** 64-bit SimHash over the token multiset (term frequency = occurrence
+    * count): per bit, sum +1/-1 over each token-hash's bit, emit the sign.
+    *
+    * The sign fold is a `zip_with` against a powers-of-two literal — NOT an
+    * `element_at(bitSums, j)` loop: higher-order functions are interpreted
+    * with no cross-reference CSE, so an indexed 64-step fold would re-run the
+    * whole token aggregation 64 times per row (measured 60x slower).
+    */
+  def simHash64(text: Column): Column = {
+    val bitSums = aggregate(
+      tokens(text),
+      array_repeat(lit(0L), 64),
+      (acc, t) => zip_with(
+        acc,
+        transform(sequence(lit(0), lit(63)),
+          j => when(call_function("shiftright", xxhash64(t), j).bitwiseAND(lit(1L)) === 1L, 1L)
+            .otherwise(-1L)),
+        (a, b) => a + b))
+    val powers = typedLit(Seq.tabulate(64)(j => 1L << j))
+    aggregate(
+      zip_with(bitSums, powers, (s, p) => when(s > 0L, p).otherwise(0L)),
+      lit(0L),
+      (acc, x) => acc + x)
+  }
+
+  /** Content fingerprint: md5 of the sorted distinct token set — identical
+    * across engines (md5 exists in DuckDB too), order- and repetition-proof.
+    */
+  def fingerprint(text: Column): Column =
+    md5(array_join(array_sort(array_distinct(tokens(text))), " "))
+
+  /** Dot product of two equal-length numeric arrays (double out). */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, x) => acc + x)
+
+  /** L2 norm of a numeric array. */
+  def l2Norm(a: Column): Column = sqrt(dot(a, a))
+
+  /** Cosine similarity of two numeric arrays (double). */
+  def cosineSimilarity(a: Column, b: Column): Column =
+    dot(a, b) / (l2Norm(a) * l2Norm(b))
+
+  /** Hamming distance between two 64-bit hashes (e.g. SimHashes). */
+  def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+}

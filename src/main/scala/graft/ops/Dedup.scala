@@ -1,0 +1,177 @@
+package graft.ops
+
+import graft.functions._
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for training-data pipelines: exact, MinHash+LSH,
+  * SimHash, and embedding-cosine near-dup. None of them ever does an all-pairs
+  * compare — candidates come from hash buckets, and bucket size is capped
+  * (`maxBucket`) so a degenerate key can't explode the verify join at 100 TB.
+  */
+object Dedup {
+
+  /** Exact dedup: hash the normalized content columns, keep one canonical row
+    * per hash (the one with the smallest `idCol`), and report the group size.
+    * One shuffle (hash groupBy with map-side partial aggregation); the content
+    * itself never shuffles twice — `min_by(struct(*), id)` carries the
+    * canonical row through the aggregation.
+    */
+  def exact(df: DataFrame, contentCols: Seq[String], idCol: String): DataFrame = {
+    val normed = contentCols.map(c => lower(trim(col(c))))
+    val h = sha2(concat_ws("", normed: _*), 256)
+    df.groupBy(h.as("content_hash"))
+      .agg(
+        min_by(struct(df.columns.map(col): _*), col(idCol)).as("_row"),
+        count(lit(1)).as("n_dups"))
+      .select(col("_row.*"), col("n_dups"))
+  }
+
+  /** Ordered candidate pairs (a < b) from bucket membership: explode bucket
+    * keys, group docs by bucket, drop singleton and oversized buckets, and
+    * emit each within-bucket pair once. `maxBucket` bounds the quadratic
+    * within-bucket blowup — an oversized bucket means the key carries no
+    * selectivity (e.g. an empty-text band), so its pairs are noise at any
+    * scale; we drop it rather than salt it, since salting would silently lose
+    * cross-salt pairs anyway.
+    */
+  private[ops] def bucketPairs(
+      ids: DataFrame, // columns: id, bucketKey (any type)
+      maxBucket: Int): DataFrame = {
+    val grouped = ids
+      .groupBy(col("bucketKey"))
+      .agg(array_sort(collect_list(col("id"))).as("ids"))
+      .filter(size(col("ids")).between(2, maxBucket))
+    val pairs = flatten(transform(col("ids"), (a, i) =>
+      transform(slice(col("ids"), i + 2, size(col("ids"))), b => struct(a.as("a"), b.as("b")))))
+    grouped
+      .select(explode(pairs).as("p"))
+      .select(col("p.a").as("a_id"), col("p.b").as("b_id"))
+      .distinct()
+  }
+
+  /** MinHash + banded LSH near-dup detection with exact n-gram Jaccard
+    * verification inside buckets. Returns (a_id, b_id, jaccard) pairs with
+    * jaccard >= `threshold`, a_id < b_id.
+    *
+    * Shape per 100 TB: one narrow pass computes shingle-hash sets and
+    * signatures (array expressions, no explode of shingles); one shuffle
+    * groups `bands` small (band, bucket, id) rows per doc; the verify join
+    * touches only candidate pairs, never the corpus cross itself.
+    */
+  def minHashLsh(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleN: Int = 3,
+      numHashes: Int = 64,
+      bands: Int = 16,
+      threshold: Double = 0.8,
+      maxBucket: Int = 100): DataFrame = {
+    require(numHashes % bands == 0, "numHashes must be divisible by bands")
+    val rowsPerBand = numHashes / bands
+
+    val sh = df.select(col(idCol).as("id"), shingleHashes(col(textCol), shingleN).as("sh"))
+    val banded = sh
+      .select(col("id"),
+        explode(minHashBands(minHashSignature(col("sh"), numHashes), bands, rowsPerBand))
+          .as("bucketKey"))
+    val cand = bucketPairs(banded.select(col("id"), col("bucketKey")), maxBucket)
+    jaccardVerify(cand, sh, threshold)
+  }
+
+  /** Exact Jaccard verification of candidate pairs against per-doc shingle
+    * hash sets (`sh`: id, sh columns). Only candidate rows join — the verify
+    * cost is O(pairs), not O(corpus^2).
+    */
+  def jaccardVerify(pairs: DataFrame, sh: DataFrame, threshold: Double): DataFrame = {
+    val a = sh.select(col("id").as("a_id"), col("sh").as("sh_a"))
+    val b = sh.select(col("id").as("b_id"), col("sh").as("sh_b"))
+    pairs
+      .join(a, "a_id")
+      .join(b, "b_id")
+      .withColumn("jaccard",
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b"))).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select(col("a_id"), col("b_id"), col("jaccard"))
+  }
+
+  /** Per-doc 64-bit SimHash (id, simhash). */
+  def simHash(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol).as("id"), simHash64(col(textCol)).as("simhash"))
+
+  /** SimHash near-dup pairs: docs whose 64-bit SimHashes are within
+    * `maxHamming` bits. Candidates come from 16-bit chunk buckets — two
+    * hashes within hamming distance 3 must agree on at least one of the four
+    * 16-bit chunks (pigeonhole), so recall is exact for maxHamming <= 3.
+    */
+  def simHashNearDup(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      maxHamming: Int = 3,
+      maxBucket: Int = 100): DataFrame = {
+    val hashes = simHash(df, idCol, textCol)
+    val chunked = hashes.select(
+      col("id"),
+      explode(transform(sequence(lit(0), lit(3)), j => struct(
+        j.as("chunk"),
+        call_function("shiftright", col("simhash"), j * 16)
+          .bitwiseAND(lit(0xffffL)).as("bits")))).as("bucketKey"))
+    val cand = bucketPairs(chunked.select(col("id"), col("bucketKey")), maxBucket)
+    val a = hashes.select(col("id").as("a_id"), col("simhash").as("sim_a"))
+    val b = hashes.select(col("id").as("b_id"), col("simhash").as("sim_b"))
+    cand.join(a, "a_id").join(b, "b_id")
+      .withColumn("hamming", hamming64(col("sim_a"), col("sim_b")))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("a_id"), col("b_id"), col("hamming"))
+  }
+
+  /** Deterministic random hyperplanes for sign-bucket LSH (seeded, so results
+    * are reproducible across runs and engines).
+    */
+  private[ops] def hyperplanes(planes: Int, dim: Int, seed: Long): Seq[Seq[Double]] = {
+    val rng = new scala.util.Random(seed)
+    Seq.fill(planes)(Seq.fill(dim)(rng.nextGaussian()))
+  }
+
+  /** Sign-bit bucket of a vector against the given hyperplanes. */
+  private[ops] def hyperplaneBucket(vec: Column, planes: Seq[Seq[Double]]): Column =
+    planes.zipWithIndex.map { case (p, i) =>
+      when(dot(vec, typedLit(p)) >= 0d, lit(1 << i)).otherwise(lit(0))
+    }.reduce(_ + _)
+
+  /** Embedding-cosine near-dup: random-hyperplane LSH buckets (with 1-bit
+    * multi-probe so a vector sitting on a plane boundary still meets its
+    * twin), exact cosine verification within buckets. Returns
+    * (a_id, b_id, cosine) with cosine >= `threshold`.
+    */
+  def embeddingNearDup(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      dim: Int,
+      numPlanes: Int = 12,
+      threshold: Double = 0.98,
+      maxBucket: Int = 200,
+      seed: Long = 42L): DataFrame = {
+    val planes = hyperplanes(numPlanes, dim, seed)
+    val base = df.select(col(idCol).as("id"), col(vecCol).as("vec"))
+      .withColumn("bucket", hyperplaneBucket(col("vec"), planes))
+    // multi-probe: each doc lands in its own bucket plus every 1-bit flip
+    val probes = base.select(
+      col("id"),
+      explode(transform(sequence(lit(-1), lit(numPlanes - 1)),
+        i => when(i === -1, col("bucket"))
+          .otherwise(col("bucket").bitwiseXOR(call_function("shiftleft", lit(1), i))))
+      ).as("bucketKey"))
+    val cand = bucketPairs(probes.select(col("id"), col("bucketKey")), maxBucket)
+    val a = base.select(col("id").as("a_id"), col("vec").as("vec_a"))
+    val b = base.select(col("id").as("b_id"), col("vec").as("vec_b"))
+    cand.join(a, "a_id").join(b, "b_id")
+      .withColumn("cosine", cosineSimilarity(col("vec_a"), col("vec_b")))
+      .filter(col("cosine") >= threshold)
+      .select(col("a_id"), col("b_id"), col("cosine"))
+  }
+}

@@ -1,0 +1,143 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal column handling: media payloads travel as opaque `binary`
+  * columns next to a typed metadata struct, and per-item processing
+  * (decode / feature-extract / resize / frame-sample) runs as batched
+  * partition-local transforms — the Scala analog of `mapInPandas`, expressed
+  * with `mapPartitions` over a typed Dataset so each executor core streams
+  * through its partition without driver involvement.
+  *
+  * The actual codecs (JPEG decode, audio resample, ...) are NOT in this
+  * container, so [[FakeCodec]] is a clearly-marked deterministic stand-in:
+  * the Spark-side plumbing — schema, partitioning, batch shape, feature
+  * vector contract — is real and tested; swap `FakeCodec` for a JNI/ffmpeg
+  * binding to go live.
+  */
+object Multimodal {
+
+  /** Typed metadata carried beside every payload. */
+  val MetadataSchema: StructType = StructType(Seq(
+    StructField("media_type", StringType, nullable = false), // image | audio | video
+    StructField("format", StringType, nullable = false), // png, wav, mp4, ...
+    StructField("width", IntegerType, nullable = true),
+    StructField("height", IntegerType, nullable = true),
+    StructField("n_frames", IntegerType, nullable = true),
+    StructField("sample_rate", IntegerType, nullable = true)))
+
+  final case class MediaMeta(
+      media_type: String, format: String, width: Option[Int], height: Option[Int],
+      n_frames: Option[Int], sample_rate: Option[Int])
+  final case class MediaItem(item_id: Long, payload: Array[Byte], meta: MediaMeta)
+  final case class MediaFeatures(item_id: Long, feature: Array[Float])
+  final case class MediaFrame(item_id: Long, frame_index: Int, frame: Array[Byte])
+
+  /** ===== deterministic fake codec (stand-in for image/audio libs) ===== */
+  object FakeCodec {
+    /** "Decode" a payload into a `dim`-float feature vector: a seeded hash
+      * mix over the bytes. Deterministic, cheap, shaped exactly like a real
+      * embedding so downstream ANN/dedup plumbing is exercised for real.
+      */
+    def decodeToFeatures(payload: Array[Byte], dim: Int): Array[Float] = {
+      val out = new Array[Float](dim)
+      var h = 1125899906842597L
+      var i = 0
+      while (i < payload.length) { h = h * 31 + payload(i); i += 1 }
+      var j = 0
+      while (j < dim) {
+        h ^= h << 13; h ^= h >>> 7; h ^= h << 17
+        out(j) = (h.toDouble / Long.MaxValue).toFloat
+        j += 1
+      }
+      out
+    }
+
+    /** "Resize": real codecs re-encode; the fake truncates/pads the payload
+      * to the byte budget implied by the target dims (3 bytes/pixel).
+      */
+    def resize(payload: Array[Byte], w: Int, h: Int): Array[Byte] = {
+      val target = w * h * 3
+      java.util.Arrays.copyOf(payload, target)
+    }
+
+    /** "Frame-sample": slice the payload into `nFrames` equal chunks. */
+    def sampleFrames(payload: Array[Byte], nFrames: Int): Seq[Array[Byte]] = {
+      val n = math.max(1, nFrames)
+      val len = math.max(1, payload.length / n)
+      (0 until n).map(i => java.util.Arrays.copyOfRange(
+        payload, math.min(i * len, payload.length), math.min((i + 1) * len, payload.length)))
+    }
+  }
+
+  /** Attach a synthetic payload + metadata to a text table — the
+    * deterministic fake "ingest" used by tests and the driver queries
+    * (payload = utf8 bytes of the text; dims derived from the id).
+    */
+  def synthesize(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(
+      col(idCol).cast("long").as("item_id"),
+      encode(col(textCol), "UTF-8").as("payload"),
+      struct(
+        element_at(typedLit(Seq("image", "audio", "video")),
+          (col(idCol) % 3 + 1).cast("int")).as("media_type"),
+        element_at(typedLit(Seq("png", "wav", "mp4")),
+          (col(idCol) % 3 + 1).cast("int")).as("format"),
+        (col(idCol) % 640 + 32).cast("int").as("width"),
+        (col(idCol) % 480 + 32).cast("int").as("height"),
+        (col(idCol) % 30 + 1).cast("int").as("n_frames"),
+        lit(16000).cast("int").as("sample_rate")).as("meta"))
+
+  /** Decode payloads to fixed-size feature vectors, batched per partition
+    * (mapPartitions — the executor streams its partition through the codec
+    * without per-row closure overhead; at scale, repartition upstream by
+    * payload size if codec cost is skewed).
+    */
+  def decodeFeatures(spark: SparkSession, media: DataFrame, dim: Int = 64): DataFrame = {
+    import spark.implicits._
+    media.select(col("item_id"), col("payload")).as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, payload) =>
+        MediaFeatures(id, FakeCodec.decodeToFeatures(payload, dim))
+      })
+      .toDF()
+  }
+
+  /** Resize every image payload to the target box; non-images pass through. */
+  def resizeImages(spark: SparkSession, media: DataFrame, w: Int, h: Int): DataFrame = {
+    import spark.implicits._
+    media.select(col("item_id"), col("payload"), col("meta.media_type").as("mt"))
+      .as[(Long, Array[Byte], String)]
+      .mapPartitions(_.map { case (id, payload, mt) =>
+        (id, if (mt == "image") FakeCodec.resize(payload, w, h) else payload)
+      })
+      .toDF("item_id", "payload")
+  }
+
+  /** Explode video payloads into sampled frames (item_id, frame_index, frame). */
+  def sampleFrames(spark: SparkSession, media: DataFrame, nFrames: Int): DataFrame = {
+    import spark.implicits._
+    media.filter(col("meta.media_type") === "video")
+      .select(col("item_id"), col("payload")).as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, payload) =>
+        FakeCodec.sampleFrames(payload, nFrames).zipWithIndex.map {
+          case (f, i) => MediaFrame(id, i, f)
+        }
+      })
+      .toDF()
+  }
+
+  /** Scan-speed metadata projection (no codec): per-item payload size and
+    * typed metadata — the query the driver oracle checks.
+    */
+  def describe(media: DataFrame): DataFrame =
+    media.select(
+      col("item_id"),
+      length(col("payload")).as("payload_bytes"),
+      col("meta.media_type").as("media_type"),
+      col("meta.format").as("format"),
+      col("meta.width").as("width"),
+      col("meta.height").as("height"),
+      col("meta.n_frames").as("n_frames"))
+}

@@ -1,0 +1,70 @@
+package graft.ops
+
+import graft.functions._
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Approximate-nearest-neighbor search over an embedding column.
+  *
+  * `bruteForceTopK` is the exact baseline: broadcast the (small) query set
+  * against the corpus — one corpus scan, no corpus shuffle, top-k per query
+  * via a window over the (queries x corpus) score rows partitioned by query.
+  *
+  * `lshTopK` is the scale path: hyperplane sign buckets with multi-probe
+  * restrict scoring to candidates that share (or nearly share) a bucket with
+  * the query, so corpus-side work per query drops from O(N) to O(bucket).
+  */
+object Similarity {
+
+  /** Exact cosine top-k: every query row scored against every corpus row.
+    * The query side is broadcast (queries are few; the corpus is the 100 TB
+    * side) — the corpus never shuffles, and the only exchange is the final
+    * top-k partition by query id.
+    */
+  def bruteForceTopK(
+      queries: DataFrame, // columns: qid, qvec
+      corpus: DataFrame, // columns: id, vec
+      k: Int): DataFrame = {
+    val scored = corpus.join(broadcast(queries))
+      .withColumn("cosine", cosineSimilarity(col("qvec"), col("vec")))
+    val w = Window.partitionBy(col("qid")).orderBy(col("cosine").desc, col("id"))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("id").as("neighbor_id"), col("rank"), col("cosine"))
+  }
+
+  /** LSH-bucketed cosine top-k. Corpus rows land in their sign bucket; query
+    * rows probe every bucket within `probeBits` bit-flips of their own, so a
+    * query near a hyperplane still sees its true neighbors. Recall/cost trade
+    * via `numPlanes` (bucket count) and `probeBits` (probe fan-out); uniform
+    * random corpora are the worst case for any LSH — real embedding spaces
+    * cluster, which is what the sign buckets exploit.
+    */
+  def lshTopK(
+      queries: DataFrame, // columns: qid, qvec
+      corpus: DataFrame, // columns: id, vec
+      k: Int,
+      dim: Int,
+      numPlanes: Int = 8,
+      probeBits: Int = 1,
+      seed: Long = 42L): DataFrame = {
+    val planes = Dedup.hyperplanes(numPlanes, dim, seed)
+    val masks: Seq[Int] =
+      (0 until (1 << numPlanes)).filter(m => Integer.bitCount(m) <= probeBits)
+    val corpusB = corpus.withColumn("bucket", Dedup.hyperplaneBucket(col("vec"), planes))
+    val queryProbes = queries
+      .withColumn("qbucket", Dedup.hyperplaneBucket(col("qvec"), planes))
+      .select(col("qid"), col("qvec"),
+        explode(transform(typedLit(masks), m => col("qbucket").bitwiseXOR(m)))
+          .as("bucket"))
+    val scored = corpusB.join(broadcast(queryProbes), "bucket")
+      .withColumn("cosine", cosineSimilarity(col("qvec"), col("vec")))
+    val w = Window.partitionBy(col("qid")).orderBy(col("cosine").desc, col("id"))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("id").as("neighbor_id"), col("rank"), col("cosine"))
+  }
+}

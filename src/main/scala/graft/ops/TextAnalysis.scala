@@ -1,0 +1,104 @@
+package graft.ops
+
+import graft.functions._
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators over a document table: token statistics, quality
+  * scoring, language identification, and content fingerprinting. Everything is
+  * a narrow per-row projection of built-in expressions — no shuffle, no UDF —
+  * so these run at scan speed over 100 TB and fuse into one codegen stage
+  * with the parquet read.
+  */
+object TextAnalysis {
+
+  /** Small per-language stopword lists for the n-gram/stopword language
+    * heuristic. Deliberately tiny: the signal is the *ratio* of hits, and at
+    * scan speed a 20-word list beats a model we can't ship.
+    */
+  private[graft] val stopwords: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "a", "of", "and", "to", "in", "is", "it", "that", "was",
+      "for", "on", "with", "as", "at", "by", "this", "be", "are", "or"),
+    "es" -> Seq("el", "la", "de", "y", "que", "en", "un", "una", "los", "las",
+      "se", "del", "por", "con", "no", "para", "es", "al", "lo", "como"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "von", "mit", "den", "im",
+      "für", "auf", "des", "ein", "eine", "nicht", "auch", "sich", "es", "zu", "dem"),
+    "fr" -> Seq("le", "la", "les", "de", "des", "et", "un", "une", "du", "que",
+      "est", "en", "qui", "dans", "pour", "pas", "sur", "au", "ne", "ce"),
+  )
+
+  private def stopwordHitsArr(toks: Column, lang: String): Column =
+    size(filter(toks, t => array_contains(typedLit(stopwords(lang)), t)))
+
+  /** Token statistics: whitespace tokens, a BPE-ish regex token count
+    * (word pieces + digit runs + single punctuation marks — the classic
+    * pre-tokenizer shape), char counts, distinct tokens, average token
+    * length. Integer-valued so cross-engine comparison is exact.
+    */
+  def tokenStats(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t = col(textCol)
+    val toks = tokens(t)
+    df.select(
+      col(idCol),
+      length(t).as("n_chars"),
+      size(toks).as("n_tokens"),
+      size(array_distinct(toks)).as("n_distinct_tokens"),
+      size(regexp_extract_all(t, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0)))
+        .as("n_bpe_tokens"),
+      size(filter(toks, tk => length(tk) >= 4)).as("n_long_tokens"))
+  }
+
+  /** Quality signals as exact integer counts plus a composite score in [0,1].
+    * Components (each a scan-speed expression):
+    *  - length signal: docs under ~20 tokens are low-quality;
+    *  - punctuation ratio: mostly-symbol text is markup/noise;
+    *  - repetition: low distinct-token ratio means boilerplate/spam;
+    *  - stopword presence: natural language has function words.
+    */
+  def qualityScore(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t = col(textCol)
+    val toks = tokens(t)
+    val nTok = size(toks).cast("double")
+    val allStops = stopwords.values.flatten.toSeq.distinct
+    val nStop = size(filter(toks, tk => array_contains(typedLit(allStops), tk)))
+    val nPunct = size(regexp_extract_all(t, lit("[^A-Za-z0-9\\s]"), lit(0)))
+    val lengthSignal = least(nTok / 20.0, lit(1.0))
+    val punctSignal = lit(1.0) - least(nPunct / greatest(length(t).cast("double"), lit(1.0)) * 4.0, lit(1.0))
+    val repSignal = size(array_distinct(toks)) / greatest(nTok, lit(1.0))
+    val stopSignal = least(nStop / greatest(nTok, lit(1.0)) * 5.0, lit(1.0))
+    df.select(
+      col(idCol),
+      size(toks).as("n_tokens"),
+      nStop.as("n_stopwords"),
+      nPunct.as("n_punct"),
+      size(array_distinct(toks)).as("n_distinct_tokens"),
+      round((lengthSignal * 0.25 + punctSignal * 0.25 + repSignal * 0.25 + stopSignal * 0.25), 6)
+        .as("quality_score"))
+  }
+
+  /** Language ID by stopword-hit ratio per language; `und` when nothing hits.
+    * Returns (id, lang, confidence). A char-n-gram profile would need a
+    * trained table; stopword ratio is the shippable scan-speed heuristic.
+    */
+  def languageId(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = tokens(col(textCol))
+    val scores = stopwords.keys.toSeq.sorted.map { lang =>
+      struct(
+        (stopwordHitsArr(toks, lang).cast("double") /
+          greatest(size(toks).cast("double"), lit(1.0))).as("score"),
+        lit(lang).as("lang"))
+    }
+    val best = greatest(scores: _*)
+    df.select(
+      col(idCol),
+      when(best.getField("score") > 0d, best.getField("lang")).otherwise(lit("und")).as("lang"),
+      round(best.getField("score"), 6).as("confidence"))
+  }
+
+  /** Content fingerprint: md5 digest of the sorted distinct token set.
+    * Word-order- and repetition-insensitive, so shuffled/boilerplate copies
+    * collide — the cheap "same content?" key for exact-ish dedup joins.
+    */
+  def fingerprintDocs(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol), fingerprint(col(textCol)).as("fingerprint"))
+}

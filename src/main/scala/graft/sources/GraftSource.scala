@@ -4,8 +4,8 @@ import com.fasterxml.jackson.databind.ObjectMapper
 import com.fasterxml.jackson.databind.node.ObjectNode
 import graft.model._
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{expr, timestamp_micros}
-import org.apache.spark.sql.types.{LongType, StructType}
+import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
+import org.apache.spark.sql.types.{LongType, StructType, TimestampNTZType, TimestampType}
 
 import scala.jdk.CollectionConverters._
 import scala.util.{Failure, Success, Try}
@@ -85,6 +85,10 @@ final case class GraftSource(
         df.schema.fields.find(_.name == c) match {
           case Some(f) if f.dataType == LongType =>
             df.withColumn(c, timestamp_micros(expr(s"`$c` div 1000")))
+          case Some(f) if f.dataType == TimestampNTZType =>
+            // parquet µs NTZ -> session-TZ timestamp (session is UTC, so the
+            // instant is unchanged and matches DuckDB's epoch_us reading)
+            df.withColumn(c, col(c).cast(TimestampType))
           case _ => df
         }
     }

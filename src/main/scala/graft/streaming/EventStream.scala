@@ -1,0 +1,121 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** An event row of the `events` table (and its streaming twin). */
+final case class GraftEvent(
+    event_id: Long, ts: Timestamp, user_id: Long, event_type: String, value: Double)
+
+/** A closed user session. */
+final case class GraftSession(
+    user_id: Long, session_start: Timestamp, session_end: Timestamp,
+    n_events: Long, total_value: Double)
+
+private final case class SessionState(startMs: Long, endMs: Long, n: Long, total: Double)
+
+/** Structured-Streaming ingest for the events stream. Every transform here
+  * runs identically on a batch DataFrame (the batch twin is what the driver
+  * oracle checks; the specs assert streaming == batch on the same rows).
+  *
+  * Scale posture: windowed aggregation is a streaming shuffle keyed by
+  * (window, event_type) with watermark-bounded state; sessionization keys
+  * state by user_id — state size is O(active users), and the event-time
+  * timeout evicts idle sessions so state can't grow without bound.
+  */
+object EventStream {
+
+  /** Tumbling-window aggregate: per (window, event_type) event counts and
+    * value sums. On a streaming input a watermark bounds state; on batch the
+    * same plan is a plain two-key groupBy.
+    */
+  def windowedCounts(
+      events: DataFrame,
+      windowDuration: String = "1 hour",
+      watermarkDelay: String = "10 minutes"): DataFrame = {
+    val in = if (events.isStreaming) events.withWatermark("ts", watermarkDelay) else events
+    in.groupBy(window(col("ts"), windowDuration).as("win"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value")).as("total_value"))
+      .select(
+        unix_micros(col("win.start")).as("window_start_us"),
+        col("event_type"), col("n_events"), col("total_value"))
+  }
+
+  /** Streaming sessionization: events within `gapMinutes` of the previous
+    * event (per user) share a session; a session closes when the gap passes,
+    * enforced by an event-time timeout against the watermark
+    * (flatMapGroupsWithState, Append mode).
+    */
+  def sessionize(events: Dataset[GraftEvent], gapMinutes: Int = 30): Dataset[GraftSession] = {
+    import events.sparkSession.implicits._
+    val gapMs = gapMinutes * 60000L
+
+    def close(user: Long, s: SessionState): GraftSession =
+      GraftSession(user, new Timestamp(s.startMs), new Timestamp(s.endMs), s.n, s.total)
+
+    events
+      .withWatermark("ts", s"$gapMinutes minutes")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, GraftSession](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (user: Long, it: Iterator[GraftEvent], state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val closed = close(user, state.get)
+            state.remove()
+            Iterator.single(closed)
+          } else {
+            // per-trigger batch for this user; sort for deterministic merging
+            val evs = it.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+            var out = List.empty[GraftSession]
+            var cur = state.getOption
+            evs.foreach { e =>
+              val t = e.ts.getTime
+              cur = cur match {
+                case Some(s) if t - s.endMs <= gapMs =>
+                  Some(s.copy(endMs = math.max(s.endMs, t), n = s.n + 1, total = s.total + e.value))
+                case Some(s) =>
+                  out ::= close(user, s)
+                  Some(SessionState(t, t, 1L, e.value))
+                case None =>
+                  Some(SessionState(t, t, 1L, e.value))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp(s.endMs + gapMs)
+            }
+            out.reverseIterator
+          }
+      }
+  }
+
+  /** Batch twin of [[sessionize]]: gap-based session ids via a lag window,
+    * then a per-session aggregate. Bit-for-bit the sessions the streaming
+    * path emits once the watermark passes (the spec asserts it).
+    */
+  def sessionizeBatch(events: DataFrame, gapMinutes: Int = 30): DataFrame = {
+    val gapUs = gapMinutes * 60L * 1000000L
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val tsUs = unix_micros(col("ts"))
+    val newSession = when(
+      tsUs - lag(tsUs, 1).over(byUser) > gapUs, 1).otherwise(0)
+    events
+      .withColumn("_new", newSession)
+      .withColumn("_sid", sum(col("_new")).over(
+        Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("_sid"))
+      .agg(
+        min(col("ts")).as("session_start"),
+        max(col("ts")).as("session_end"),
+        count(lit(1)).as("n_events"),
+        sum(col("value")).as("total_value"))
+      .select(col("user_id"), col("session_start"), col("session_end"),
+        col("n_events"), col("total_value"))
+  }
+}

@@ -1,0 +1,87 @@
+package graft.ops
+
+import graft.SparkTestBase
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+class DedupSpec extends SparkTestBase {
+
+  private def docsDf(rows: (Long, String)*): DataFrame = {
+    import spark.implicits._
+    rows.toSeq.toDF("doc_id", "text")
+  }
+
+  test("exact: collapses case/whitespace-normalized duplicates, keeps min id") {
+    val df = docsDf(
+      (1L, "Hello World"), (2L, "hello world  "), (3L, "something else"))
+    val out = Dedup.exact(df, Seq("text"), "doc_id")
+      .select("doc_id", "n_dups").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(1L -> 2L, 3L -> 1L))
+  }
+
+  test("minHashLsh: finds planted near-dups, no false positives on distinct docs") {
+    val base = "the quick brown fox jumps over the lazy dog near the river bank today"
+    val near = base + " extra" // one appended token, high Jaccard
+    val far = "completely different content about spark catalyst optimizer internals here now"
+    val df = docsDf((1L, base), (2L, near), (3L, far), (4L, far + " words"))
+    val pairs = Dedup.minHashLsh(df, "doc_id", "text", threshold = 0.6)
+      .select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(pairs.contains((3L, 4L)))
+    assert(!pairs.exists(p => Set(p._1, p._2) == Set(1L, 3L)))
+    assert(!pairs.exists(p => Set(p._1, p._2) == Set(2L, 3L)))
+  }
+
+  test("minHashLsh: jaccard values are exact set Jaccard over shingle hashes") {
+    // 12 tokens -> 10 shingles; +1 token -> 11, sharing 10 => J = 10/11
+    val a = "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10 w11 w12"
+    val df = docsDf((1L, a), (2L, a + " w13"))
+    val out = Dedup.minHashLsh(df, "doc_id", "text", threshold = 0.5).collect()
+    assert(out.length == 1)
+    assert(math.abs(out.head.getAs[Double]("jaccard") - 10.0 / 11.0) < 1e-12)
+  }
+
+  test("simHashNearDup: exact dups at hamming 0; distinct docs not paired") {
+    val a = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val b = "totally unrelated words about databases and distributed query engines"
+    val df = docsDf((1L, a), (2L, a), (3L, b))
+    val out = Dedup.simHashNearDup(df, "doc_id", "text", maxHamming = 3).collect()
+    assert(out.map(r => (r.getLong(0), r.getLong(1))).toSet == Set((1L, 2L)))
+    assert(out.head.getAs[Int]("hamming") == 0)
+  }
+
+  test("simHash: one-token change moves few bits; different text moves many") {
+    val a = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu nu xi"
+    val df = docsDf((1L, a), (2L, a + " omega"),
+      (3L, "entirely different vocabulary concerning streaming watermarks and state"))
+    val hs = Dedup.simHash(df, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def ham(x: Long, y: Long) = java.lang.Long.bitCount(x ^ y)
+    assert(ham(hs(1L), hs(2L)) < ham(hs(1L), hs(3L)))
+    assert(ham(hs(1L), hs(2L)) <= 12)
+  }
+
+  test("embeddingNearDup: scaled twin found; orthogonal vectors not") {
+    import spark.implicits._
+    val v1 = Seq.tabulate(8)(i => math.sin(i + 1).toFloat)
+    val v1s = v1.map(x => x * 1.001f) // same direction
+    val v2 = Seq.tabulate(8)(i => math.cos(3 * i + 2).toFloat) // unrelated
+    val df = Seq((1L, v1), (2L, v1s), (3L, v2)).toDF("vec_id", "embedding")
+    val out = Dedup.embeddingNearDup(df, "vec_id", "embedding", dim = 8, numPlanes = 6)
+      .collect()
+    assert(out.map(r => (r.getLong(0), r.getLong(1))).toSet == Set((1L, 2L)))
+    assert(out.head.getAs[Double]("cosine") > 0.999)
+  }
+
+  test("bucketPairs: oversized buckets are dropped (cap bounds the blowup)") {
+    import spark.implicits._
+    // one bucket with 5 ids (cap 4 -> dropped), one with 3 (kept: 3 pairs)
+    val ids = (1L to 5L).map(i => (i, "big")) ++ (10L to 12L).map(i => (i, "ok"))
+    val df = ids.toDF("id", "bucketKey")
+    val pairs = Dedup.bucketPairs(df, maxBucket = 4).collect()
+    assert(pairs.length == 3)
+    assert(pairs.map(r => (r.getLong(0), r.getLong(1))).toSet ==
+      Set((10L, 11L), (10L, 12L), (11L, 12L)))
+  }
+}

@@ -1,0 +1,60 @@
+package graft.ops
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+class MultimodalSpec extends SparkTestBase {
+
+  private lazy val media = Multimodal.synthesize(
+    spark.read.parquet(s"${sf()}/documents.parquet").limit(30), "doc_id", "text")
+
+  test("synthesize: binary payload + typed metadata struct schema") {
+    val schema = media.schema
+    assert(schema("payload").dataType.typeName == "binary")
+    val meta = schema("meta").dataType.asInstanceOf[org.apache.spark.sql.types.StructType]
+    assert(meta.fieldNames.toSeq ==
+      Seq("media_type", "format", "width", "height", "n_frames", "sample_rate"))
+    val mt = media.select(col("meta.media_type")).distinct()
+      .collect().map(_.getString(0)).toSet
+    assert(mt.subsetOf(Set("image", "audio", "video")))
+  }
+
+  test("decodeFeatures: deterministic fixed-dim vectors, one per item") {
+    val f1 = Multimodal.decodeFeatures(spark, media, dim = 16).collect()
+      .map(r => r.getAs[Long]("item_id") -> r.getSeq[Float](1).toVector).toMap
+    val f2 = Multimodal.decodeFeatures(spark, media, dim = 16).collect()
+      .map(r => r.getAs[Long]("item_id") -> r.getSeq[Float](1).toVector).toMap
+    assert(f1.size == 30)
+    assert(f1.values.forall(_.length == 16))
+    assert(f1 == f2) // deterministic across runs
+  }
+
+  test("resizeImages: images resized to 3*w*h bytes, others untouched") {
+    val out = Multimodal.resizeImages(spark, media, 8, 8)
+      .join(media.select(col("item_id"), col("meta.media_type").as("mt"),
+        length(col("payload")).as("orig_len")), "item_id")
+      .select(col("mt"), length(col("payload")).as("len"), col("orig_len"))
+      .collect()
+    out.foreach { r =>
+      if (r.getAs[String]("mt") == "image") assert(r.getAs[Int]("len") == 8 * 8 * 3)
+      else assert(r.getAs[Int]("len") == r.getAs[Int]("orig_len"))
+    }
+  }
+
+  test("sampleFrames: only videos, n frames each, indexed") {
+    val frames = Multimodal.sampleFrames(spark, media, nFrames = 4)
+    val videos = media.filter(col("meta.media_type") === "video").count()
+    assert(frames.count() == videos * 4)
+    val idx = frames.groupBy(col("item_id"))
+      .agg(collect_set(col("frame_index")).as("idx")).collect()
+    idx.foreach(r => assert(r.getSeq[Int](1).sorted == Seq(0, 1, 2, 3)))
+  }
+
+  test("describe: payload bytes match utf8 text length") {
+    val d = Multimodal.describe(media)
+      .join(spark.read.parquet(s"${sf()}/documents.parquet")
+        .select(col("doc_id").as("item_id"), col("n_chars")), "item_id")
+      .collect()
+    d.foreach(r => assert(r.getAs[Int]("payload_bytes").toLong == r.getAs[Long]("n_chars")))
+  }
+}

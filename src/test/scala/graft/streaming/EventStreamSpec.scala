@@ -1,0 +1,77 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import graft.SparkTestBase
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+class EventStreamSpec extends SparkTestBase {
+
+  private val Base = Timestamp.valueOf("2024-03-01 00:00:00").getTime
+
+  private def ev(id: Long, user: Long, minutes: Long, v: Double = 1.0) =
+    GraftEvent(id, new Timestamp(Base + minutes * 60000), user, "click", v)
+
+  test("windowedCounts: streaming result equals the batch twin") {
+    import spark.implicits._
+    implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val events = Seq(
+      ev(1, 1, 0), ev(2, 1, 30, 2.0), ev(3, 2, 59), // window 00:00
+      ev(4, 1, 61), ev(5, 2, 90, 3.0)) // window 01:00
+    val ms = MemoryStream[GraftEvent]
+    ms.addData(events)
+    val q = EventStream.windowedCounts(ms.toDF())
+      .writeStream.format("memory").queryName("win_out").outputMode("complete").start()
+    q.processAllAvailable()
+    q.stop()
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.select("window_start_us", "event_type", "n_events", "total_value").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSet
+    val streamed = canon(spark.table("win_out"))
+    val batch = canon(EventStream.windowedCounts(events.toDF()))
+    assert(streamed == batch)
+    assert(batch.map(_._1).size == 2) // two hourly windows
+  }
+
+  test("sessionizeBatch: gap splits sessions, aggregates are exact") {
+    import spark.implicits._
+    val events = Seq(
+      ev(1, 1, 0, 1.0), ev(2, 1, 10, 2.0), // session A: 2 events
+      ev(3, 1, 100, 4.0), // session B (gap 90min > 30min)
+      ev(4, 2, 5, 8.0)) // user 2: one session
+    val out = EventStream.sessionizeBatch(events.toDF(), gapMinutes = 30).collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("n_events"),
+        r.getAs[Double]("total_value"))).toSet
+    assert(out == Set((1L, 2L, 3.0), (1L, 1L, 4.0), (2L, 1L, 8.0)))
+  }
+
+  test("sessionize (streaming) emits the same sessions as the batch twin") {
+    import spark.implicits._
+    implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val main = Seq(
+      ev(1, 1, 0, 1.0), ev(2, 1, 10, 2.0), ev(3, 1, 100, 4.0),
+      ev(4, 2, 5, 8.0), ev(5, 2, 20, 1.5))
+    val ms = MemoryStream[GraftEvent]
+    val q = EventStream.sessionize(ms.toDS(), gapMinutes = 30)
+      .writeStream.format("memory").queryName("sess_out").outputMode("append").start()
+    ms.addData(main)
+    q.processAllAvailable()
+    // two watermark-advancing sentinels so open sessions hit their event-time
+    // timeout and get emitted
+    ms.addData(ev(100, 99, 3000))
+    q.processAllAvailable()
+    ms.addData(ev(101, 98, 6000))
+    q.processAllAvailable()
+    q.stop()
+    def canon(rows: Array[org.apache.spark.sql.Row]) = rows.map(r => (
+      r.getAs[Long]("user_id"),
+      r.getAs[Timestamp]("session_start"), r.getAs[Timestamp]("session_end"),
+      r.getAs[Long]("n_events"), r.getAs[Double]("total_value"))).toSet
+    val streamed = canon(spark.table("sess_out")
+      .filter($"user_id" < 90).collect())
+    val batch = canon(EventStream.sessionizeBatch(main.toDF(), gapMinutes = 30)
+      .collect())
+    assert(streamed == batch)
+    assert(streamed.size == 3)
+  }
+}

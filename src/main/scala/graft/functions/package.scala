@@ -2,6 +2,7 @@ package graft
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.{CosineSimilarity, DotProduct}
 
 /** Column builders for the LLM-pipeline operators. Everything here composes
   * built-in (codegen'd) Spark expressions — no UDFs — so whole-stage codegen
@@ -14,63 +15,28 @@ package object functions {
   def tokens(text: Column): Column =
     filter(split(lower(trim(text)), "\\s+"), t => length(t) > 0)
 
-  /** Word n-gram shingles as strings; a doc shorter than `n` words collapses
-    * to one whole-doc shingle so it still participates in MinHash.
+  /** Word n-gram shingles from an ALREADY-MATERIALIZED token array column; a
+    * doc shorter than `n` words collapses to one whole-doc shingle so it
+    * still participates in MinHash.
+    *
+    * `toks` must be a column attribute, not the `tokens(...)` expression:
+    * interpreted HOF evaluation re-runs a sub-expression at every reference,
+    * so inlining the tokenizer here re-splits the text once per shingle
+    * (~50x per doc, measured). Referencing the alias several times also keeps
+    * CollapseProject from fusing the projections back together.
     */
-  def shingles(text: Column, n: Int): Column = {
-    val toks = tokens(text)
+  def shinglesFromTokens(toks: Column, n: Int): Column = {
     val grams = transform(
       sequence(lit(0), size(toks) - n),
       i => concat_ws(" ", slice(toks, i + 1, lit(n))))
     when(size(toks) >= n, grams).otherwise(array(concat_ws(" ", toks)))
   }
 
-  /** Distinct 64-bit hashes of the doc's shingle set (the MinHash universe). */
-  def shingleHashes(text: Column, n: Int): Column =
-    array_distinct(transform(shingles(text, n), s => xxhash64(s)))
-
-  /** MinHash signature: k independent min-hashes over the shingle-hash set.
-    * Independence comes from re-hashing each shingle hash with the hash-index
-    * as a second xxhash64 operand (an independent 64-bit family per index).
+  /** Distinct 64-bit hashes of a materialized token array's shingle set
+    * (the MinHash universe).
     */
-  def minHashSignature(shingleHashCol: Column, k: Int): Column =
-    transform(sequence(lit(0), lit(k - 1)),
-      i => array_min(transform(shingleHashCol, h => xxhash64(h, i))))
-
-  /** LSH band keys: one (bandIndex, bandHash) struct per band, where bandHash
-    * digests `rowsPerBand` consecutive signature entries. Docs sharing any
-    * band key are near-dup candidates.
-    */
-  def minHashBands(signature: Column, bands: Int, rowsPerBand: Int): Column =
-    transform(sequence(lit(0), lit(bands - 1)),
-      j => struct(
-        j.as("band"),
-        xxhash64(slice(signature, j * rowsPerBand + 1, lit(rowsPerBand))).as("bucket")))
-
-  /** 64-bit SimHash over the token multiset (term frequency = occurrence
-    * count): per bit, sum +1/-1 over each token-hash's bit, emit the sign.
-    *
-    * The sign fold is a `zip_with` against a powers-of-two literal — NOT an
-    * `element_at(bitSums, j)` loop: higher-order functions are interpreted
-    * with no cross-reference CSE, so an indexed 64-step fold would re-run the
-    * whole token aggregation 64 times per row (measured 60x slower).
-    */
-  def simHash64(text: Column): Column = {
-    val bitSums = aggregate(
-      tokens(text),
-      array_repeat(lit(0L), 64),
-      (acc, t) => zip_with(
-        acc,
-        transform(sequence(lit(0), lit(63)),
-          j => when(call_function("shiftright", xxhash64(t), j).bitwiseAND(lit(1L)) === 1L, 1L)
-            .otherwise(-1L)),
-        (a, b) => a + b))
-    val powers = typedLit(Seq.tabulate(64)(j => 1L << j))
-    aggregate(
-      zip_with(bitSums, powers, (s, p) => when(s > 0L, p).otherwise(0L)),
-      lit(0L),
-      (acc, x) => acc + x)
-  }
+  def shingleHashesFromTokens(toks: Column, n: Int): Column =
+    array_distinct(transform(shinglesFromTokens(toks, n), s => xxhash64(s)))
 
   /** Content fingerprint: md5 of the sorted distinct token set — identical
     * across engines (md5 exists in DuckDB too), order- and repetition-proof.
@@ -78,17 +44,18 @@ package object functions {
   def fingerprint(text: Column): Column =
     md5(array_join(array_sort(array_distinct(tokens(text))), " "))
 
-  /** Dot product of two equal-length numeric arrays (double out). */
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, x) => acc + x)
+  /** Dot product of two equal-length numeric arrays (native codegen'd
+    * expression; double out).
+    */
+  def dot(a: Column, b: Column): Column = DotProduct(a, b)
 
   /** L2 norm of a numeric array. */
   def l2Norm(a: Column): Column = sqrt(dot(a, a))
 
-  /** Cosine similarity of two numeric arrays (double). */
-  def cosineSimilarity(a: Column, b: Column): Column =
-    dot(a, b) / (l2Norm(a) * l2Norm(b))
+  /** Cosine similarity of two numeric arrays (native codegen'd expression —
+    * one fused loop instead of interpreted `aggregate(zip_with(...))`).
+    */
+  def cosineSimilarity(a: Column, b: Column): Column = CosineSimilarity(a, b)
 
   /** Hamming distance between two 64-bit hashes (e.g. SimHashes). */
   def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))

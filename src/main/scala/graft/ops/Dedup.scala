@@ -35,7 +35,7 @@ object Dedup {
     * scale; we drop it rather than salt it, since salting would silently lose
     * cross-salt pairs anyway.
     */
-  private[ops] def bucketPairs(
+  private[graft] def bucketPairs(
       ids: DataFrame, // columns: id, bucketKey (any type)
       maxBucket: Int): DataFrame = {
     val grouped = ids
@@ -54,10 +54,15 @@ object Dedup {
     * verification inside buckets. Returns (a_id, b_id, jaccard) pairs with
     * jaccard >= `threshold`, a_id < b_id.
     *
-    * Shape per 100 TB: one narrow pass computes shingle-hash sets and
-    * signatures (array expressions, no explode of shingles); one shuffle
-    * groups `bands` small (band, bucket, id) rows per doc; the verify join
-    * touches only candidate pairs, never the corpus cross itself.
+    * Shape per 100 TB: the shingle set explodes to narrow (id, hash) rows and
+    * everything downstream is codegen'd hash aggregation and shuffle joins —
+    * signatures are `numHashes` `min()` aggregates (map-side partial, one
+    * shuffle by id), candidates come from one shuffle of `bands` small rows
+    * per doc, and the Jaccard verify is a count of matching hashes per
+    * candidate pair, never an all-pairs compare. (The tempting alternative —
+    * per-row array expressions via transform/aggregate — runs interpreted,
+    * re-evaluates shared sub-expressions per reference, and was measured 10x+
+    * slower; see git history.)
     */
   def minHashLsh(
       df: DataFrame,
@@ -71,35 +76,71 @@ object Dedup {
     require(numHashes % bands == 0, "numHashes must be divisible by bands")
     val rowsPerBand = numHashes / bands
 
-    val sh = df.select(col(idCol).as("id"), shingleHashes(col(textCol), shingleN).as("sh"))
-    val banded = sh
-      .select(col("id"),
-        explode(minHashBands(minHashSignature(col("sh"), numHashes), bands, rowsPerBand))
-          .as("bucketKey"))
-    val cand = bucketPairs(banded.select(col("id"), col("bucketKey")), maxBucket)
-    jaccardVerify(cand, sh, threshold)
+    // narrow exploded shingle-hash table: (id, h), distinct per doc by
+    // construction; tokens materialize in their own projection first (see
+    // shinglesFromTokens scaladoc — inlining the tokenizer re-splits the
+    // text once per shingle)
+    val ex = df
+      .select(col(idCol).as("id"), tokens(col(textCol)).as("_toks"))
+      .select(col("id"), explode(shingleHashesFromTokens(col("_toks"), shingleN)).as("h"))
+
+    // signature: numHashes min() aggregates over the per-shingle re-hashes —
+    // a single codegen'd hash aggregation, one shuffle on id
+    val minCols = (0 until numHashes).map(i => min(xxhash64(col("h"), lit(i))).as(s"_m$i"))
+    val sig = ex.groupBy(col("id")).agg(minCols.head, minCols.tail: _*)
+
+    // band keys: digest each run of rowsPerBand signature entries
+    val bandStructs = (0 until bands).map { j =>
+      val slice = (j * rowsPerBand until (j + 1) * rowsPerBand).map(i => col(s"_m$i"))
+      struct(lit(j).as("band"), xxhash64(array(slice: _*)).as("bucket"))
+    }
+    val banded = sig.select(col("id"), explode(array(bandStructs: _*)).as("bucketKey"))
+    val cand = bucketPairs(banded, maxBucket)
+    jaccardVerify(cand, ex, threshold)
   }
 
-  /** Exact Jaccard verification of candidate pairs against per-doc shingle
-    * hash sets (`sh`: id, sh columns). Only candidate rows join — the verify
-    * cost is O(pairs), not O(corpus^2).
+  /** Exact Jaccard verification of candidate pairs against the exploded
+    * per-doc shingle-hash table (`ex`: id, h — distinct per doc). Intersection
+    * size is a join-and-count on (id, h); only candidate rows join, so the
+    * cost is O(pairs x shingles), not O(corpus^2).
     */
-  def jaccardVerify(pairs: DataFrame, sh: DataFrame, threshold: Double): DataFrame = {
-    val a = sh.select(col("id").as("a_id"), col("sh").as("sh_a"))
-    val b = sh.select(col("id").as("b_id"), col("sh").as("sh_b"))
-    pairs
-      .join(a, "a_id")
-      .join(b, "b_id")
+  def jaccardVerify(pairs: DataFrame, ex: DataFrame, threshold: Double): DataFrame = {
+    val sizes = ex.groupBy(col("id")).agg(count(lit(1)).as("n"))
+    val inter = pairs
+      .join(ex.select(col("id").as("a_id"), col("h")), "a_id")
+      .join(ex.select(col("id").as("b_id"), col("h")), Seq("b_id", "h"))
+      .groupBy(col("a_id"), col("b_id"))
+      .agg(count(lit(1)).as("n_inter"))
+    inter
+      .join(sizes.select(col("id").as("a_id"), col("n").as("n_a")), "a_id")
+      .join(sizes.select(col("id").as("b_id"), col("n").as("n_b")), "b_id")
       .withColumn("jaccard",
-        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
-          size(array_union(col("sh_a"), col("sh_b"))).cast("double"))
+        col("n_inter").cast("double") / (col("n_a") + col("n_b") - col("n_inter")))
       .filter(col("jaccard") >= threshold)
       .select(col("a_id"), col("b_id"), col("jaccard"))
   }
 
-  /** Per-doc 64-bit SimHash (id, simhash). */
-  def simHash(df: DataFrame, idCol: String, textCol: String): DataFrame =
-    df.select(col(idCol).as("id"), simHash64(col(textCol)).as("simhash"))
+  /** Per-doc 64-bit SimHash (id, simhash). Exploded shape: tokens become
+    * narrow (id, tokenHash) rows and the 64 per-bit +1/-1 sums are codegen'd
+    * `sum()` aggregates (map-side partial, one shuffle on id) — the per-row
+    * array-expression formulation runs interpreted and much slower. Docs with
+    * no tokens hash to 0 (explode_outer keeps them).
+    */
+  def simHash(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val ex = df
+      .select(col(idCol).as("id"), explode_outer(tokens(col(textCol))).as("t"))
+      .select(col("id"), col("t").isNull.as("empty"), xxhash64(col("t")).as("h"))
+    val bitCols = (0 until 64).map { j =>
+      sum(when(col("empty"), 0L)
+        .when(shiftright(col("h"), j).bitwiseAND(lit(1L)) === 1L, 1L)
+        .otherwise(-1L)).as(s"_b$j")
+    }
+    val agg = ex.groupBy(col("id")).agg(bitCols.head, bitCols.tail: _*)
+    val sim = (0 until 64)
+      .map(j => when(col(s"_b$j") > 0L, lit(1L << j)).otherwise(0L))
+      .reduce(_ + _)
+    agg.select(col("id"), sim.as("simhash"))
+  }
 
   /** SimHash near-dup pairs: docs whose 64-bit SimHashes are within
     * `maxHamming` bits. Candidates come from 16-bit chunk buckets — two

@@ -59,12 +59,9 @@ object FeatureStoreOps {
       timestampField: String,
       startDate: Timestamp,
       endDate: Timestamp): GraftRetrievalJob = {
-    def eval() = {
-      val ts = col(timestampField)
-      source.load(spark)
-        .filter(ts >= lit(startDate) && ts <= lit(endDate))
+    def eval() =
+      source.loadWithTimeRange(spark, Some(startDate), Some(endDate))
         .select((joinKeyColumns ++ featureNameColumns :+ timestampField).map(col): _*)
-    }
     new GraftRetrievalJob(() => eval(),
       RetrievalMetadata(featureNameColumns, joinKeyColumns, Some(startDate), Some(endDate)))
   }
@@ -89,9 +86,8 @@ object FeatureStoreOps {
       startDate: Timestamp,
       endDate: Timestamp): GraftRetrievalJob = {
     def eval() = {
-      val ts = col(timestampField)
       val payloadCols = (timestampField +: (tieBreak.toSeq ++ featureNameColumns)).distinct
-      val in = source.load(spark).filter(ts >= lit(startDate) && ts <= lit(endDate))
+      val in = source.loadWithTimeRange(spark, Some(startDate), Some(endDate))
       val agg = in
         .groupBy(joinKeyColumns.map(col): _*)
         .agg(max(struct(payloadCols.map(col): _*)).as("_latest"))
@@ -117,10 +113,9 @@ object FeatureStoreOps {
       startDate: Timestamp,
       endDate: Timestamp): GraftRetrievalJob = {
     def eval() = {
-      val ts = col(timestampField)
-      val in = source.load(spark).filter(ts >= lit(startDate) && ts <= lit(endDate))
+      val in = source.loadWithTimeRange(spark, Some(startDate), Some(endDate))
       val maxTs = in.groupBy(joinKeyColumns.map(col): _*)
-        .agg(max(ts).as(timestampField))
+        .agg(max(col(timestampField)).as(timestampField))
       in.join(maxTs, joinKeyColumns :+ timestampField)
         .select((joinKeyColumns ++ featureNameColumns :+ timestampField).map(col): _*)
     }
@@ -183,13 +178,13 @@ object FeatureStoreOps {
         val createdTs = view.source.createdTimestampColumn.filter(_.nonEmpty)
         val ttl = view.ttlSeconds
 
-        // __subquery: global range prefilter below the join (store.py:655-676)
-        val lower: Column = if (ttl > 0)
-          col(evtTs) >= lit(minEnt) - expr(s"INTERVAL $ttl SECOND") else lit(true)
+        // __subquery: global range prefilter below the join (store.py:655-676),
+        // applied in raw-column space so it reaches the scan as PushedFilters
+        val lowerTs = if (ttl > 0)
+          Some(Timestamp.from(minEnt.toInstant.minusSeconds(ttl))) else None
         val featCols = ((view.entityKeys :+ evtTs) ++ createdTs.toSeq ++
           view.tieBreak.toSeq ++ view.features).distinct
-        val feat = view.source.load(spark)
-          .filter(col(evtTs) <= lit(maxEnt) && lower)
+        val feat = view.source.loadWithTimeRange(spark, lowerTs, Some(maxEnt))
           .select(featCols.map(col): _*)
 
         // per-view distinct entity rows (template's __entity_dataframe CTE)

@@ -1,10 +1,12 @@
 package graft.sources
 
+import java.sql.Timestamp
+
 import com.fasterxml.jackson.databind.ObjectMapper
 import com.fasterxml.jackson.databind.node.ObjectNode
 import graft.model._
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
+import org.apache.spark.sql.functions.{col, expr, lit, timestamp_micros}
 import org.apache.spark.sql.types.{LongType, StructType, TimestampNTZType, TimestampType}
 
 import scala.jdk.CollectionConverters._
@@ -59,7 +61,23 @@ final case class GraftSource(
     table.map(t => s"`$t`").getOrElse(s"(${query.get})")
 
   /** Materializes the source as a DataFrame with fieldMapping applied. */
-  def load(spark: SparkSession): DataFrame = {
+  def load(spark: SparkSession): DataFrame = loadWithTimeRange(spark, None, None)
+
+  /** [[load]] plus an inclusive time-range filter on `timestampField`,
+    * applied in the RAW column's space so it reaches the parquet scan as
+    * PushedFilters (min/max row-group pruning — the difference between a
+    * time-slice read and a full-table scan at 100 TB):
+    *
+    *  - ns-long raw columns (parquet TIMESTAMP(NANOS) under nanosAsLong)
+    *    compare as long nanoseconds — an equivalent bound to the µs-truncated
+    *    semantic filter (`ns div 1000 <= u  <=>  ns <= u*1000+999`);
+    *  - timestamp / timestamp_ntz columns are filtered post-normalization:
+    *    Catalyst's cast-unwrapping pushes those natively.
+    */
+  def loadWithTimeRange(
+      spark: SparkSession,
+      lower: Option[Timestamp],
+      upper: Option[Timestamp]): DataFrame = {
     val base = table match {
       case Some(t) if isPath =>
         val reader = spark.read.format(format.name)
@@ -76,22 +94,46 @@ final case class GraftSource(
     val mapped = fieldMapping.foldLeft(base) { case (df, (from, to)) =>
       if (df.columns.contains(from)) df.withColumnRenamed(from, to) else df
     }
+    def epochUs(t: Timestamp): Long =
+      t.getTime / 1000L * 1000000L + t.getNanos / 1000L
+    // raw-space range filter on a ns-long timestamp column (scan-pushable)
+    val rangeFiltered = timestampField.filter(_ => lower.isDefined || upper.isDefined)
+      .flatMap(c => mapped.schema.fields.find(_.name == c))
+      .filter(_.dataType == LongType)
+      .map { f =>
+        val conds =
+          lower.map(t => col(f.name) >= lit(epochUs(t) * 1000L)).toSeq ++
+            upper.map(t => col(f.name) <= lit(epochUs(t) * 1000L + 999L))
+        mapped.filter(conds.reduce(_ && _))
+      }
+      .getOrElse(mapped)
     // Parquet TIMESTAMP(NANOS) columns surface as LongType nanoseconds under
     // spark.sql.legacy.parquet.nanosAsLong; normalize the declared temporal
     // columns to TimestampType (µs). Integer `div` — a double division would
     // lose precision above 2^53 ns (~1970+104 days).
-    (timestampField.toSeq ++ createdTimestampColumn.toSeq).distinct.foldLeft(mapped) {
-      (df, c) =>
-        df.schema.fields.find(_.name == c) match {
-          case Some(f) if f.dataType == LongType =>
-            df.withColumn(c, timestamp_micros(expr(s"`$c` div 1000")))
-          case Some(f) if f.dataType == TimestampNTZType =>
-            // parquet µs NTZ -> session-TZ timestamp (session is UTC, so the
-            // instant is unchanged and matches DuckDB's epoch_us reading)
-            df.withColumn(c, col(c).cast(TimestampType))
-          case _ => df
-        }
-    }
+    val normalized =
+      (timestampField.toSeq ++ createdTimestampColumn.toSeq).distinct.foldLeft(rangeFiltered) {
+        (df, c) =>
+          df.schema.fields.find(_.name == c) match {
+            case Some(f) if f.dataType == LongType =>
+              df.withColumn(c, timestamp_micros(expr(s"`$c` div 1000")))
+            case Some(f) if f.dataType == TimestampNTZType =>
+              // parquet µs NTZ -> session-TZ timestamp (session is UTC, so the
+              // instant is unchanged and matches DuckDB's epoch_us reading)
+              df.withColumn(c, col(c).cast(TimestampType))
+            case _ => df
+          }
+      }
+    // exact semantic filter on the normalized column (for timestamp/ntz raw
+    // columns this is the one that pushes, via Catalyst cast-unwrapping)
+    timestampField.filter(_ => lower.isDefined || upper.isDefined)
+      .filter(c => normalized.columns.contains(c))
+      .map { c =>
+        val conds = lower.map(t => col(c) >= lit(t)).toSeq ++
+          upper.map(t => col(c) <= lit(t))
+        normalized.filter(conds.reduce(_ && _))
+      }
+      .getOrElse(normalized)
   }
 
   /** Analysis-time existence check; throws [[GraftSourceNotFoundException]]

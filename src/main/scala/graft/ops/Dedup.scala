@@ -172,13 +172,13 @@ object Dedup {
   /** Deterministic random hyperplanes for sign-bucket LSH (seeded, so results
     * are reproducible across runs and engines).
     */
-  private[ops] def hyperplanes(planes: Int, dim: Int, seed: Long): Seq[Seq[Double]] = {
+  private[graft] def hyperplanes(planes: Int, dim: Int, seed: Long): Seq[Seq[Double]] = {
     val rng = new scala.util.Random(seed)
     Seq.fill(planes)(Seq.fill(dim)(rng.nextGaussian()))
   }
 
   /** Sign-bit bucket of a vector against the given hyperplanes. */
-  private[ops] def hyperplaneBucket(vec: Column, planes: Seq[Seq[Double]]): Column =
+  private[graft] def hyperplaneBucket(vec: Column, planes: Seq[Seq[Double]]): Column =
     planes.zipWithIndex.map { case (p, i) =>
       when(dot(vec, typedLit(p)) >= 0d, lit(1 << i)).otherwise(lit(0))
     }.reduce(_ + _)

@@ -1,0 +1,43 @@
+package graft.spark
+
+import graft.SparkTestBase
+import org.apache.spark.sql.graft.GraftFunctions
+
+class NativeExpressionsSpec extends SparkTestBase {
+
+  test("graft_cosine / graft_dot usable from SQL after registration") {
+    GraftFunctions.register(spark)
+    val r = spark.sql(
+      """SELECT graft_cosine(array(1.0D, 0.0D), array(1.0D, 0.0D)) AS c1,
+        |       graft_cosine(array(1.0D, 0.0D), array(0.0D, 1.0D)) AS c0,
+        |       graft_dot(array(1.0D, 2.0D, 3.0D), array(4.0D, 5.0D, 6.0D)) AS d
+        |""".stripMargin).collect().head
+    assert(math.abs(r.getDouble(0) - 1.0) < 1e-12)
+    assert(math.abs(r.getDouble(1)) < 1e-12)
+    assert(r.getDouble(2) == 32.0)
+  }
+
+  test("float arrays widen to double; length mismatch and null yield null") {
+    GraftFunctions.register(spark)
+    val r = spark.sql(
+      """SELECT graft_cosine(array(CAST(3.0 AS FLOAT)), array(CAST(4.0 AS FLOAT))) AS same,
+        |       graft_dot(array(1.0D), array(1.0D, 2.0D)) AS mismatch,
+        |       graft_cosine(CAST(NULL AS ARRAY<DOUBLE>), array(1.0D)) AS nul
+        |""".stripMargin).collect().head
+    assert(math.abs(r.getDouble(0) - 1.0) < 1e-12)
+    assert(r.isNullAt(1))
+    assert(r.isNullAt(2))
+  }
+
+  test("native cosine matches interpreted arithmetic on real embeddings") {
+    import org.apache.spark.sql.functions._
+    val e = spark.read.parquet(s"${sf()}/embeddings.parquet").limit(50)
+    val interp = e.select(
+      aggregate(zip_with(col("embedding"), col("embedding"),
+        (x, y) => x.cast("double") * y.cast("double")), lit(0.0), (a, x) => a + x)
+        .as("d")).collect().map(_.getDouble(0))
+    val native = e.select(graft.functions.dot(col("embedding"), col("embedding")).as("d"))
+      .collect().map(_.getDouble(0))
+    interp.zip(native).foreach { case (i, n) => assert(i == n) } // bit-identical
+  }
+}

@@ -1,0 +1,43 @@
+package graft.api
+
+import java.nio.file.Files
+import java.sql.Timestamp
+
+import graft.SparkTestBase
+import graft.ops.FeatureStoreOps
+import graft.sources.GraftSource
+
+/** RetrievalJob surface (ref: data_engine_offline_store.py:313-348,
+  * tests.py:242-271): lazy evaluation, metadata, persist round-trip.
+  */
+class GraftRetrievalJobSpec extends SparkTestBase {
+
+  private def job(): GraftRetrievalJob =
+    FeatureStoreOps.pullAll(spark,
+      GraftSource.parquet(s"${sf()}/events.parquet")
+        .copy(timestampField = Some("ts")),
+      joinKeyColumns = Seq("user_id"), featureNameColumns = Seq("value"),
+      timestampField = "ts",
+      startDate = Timestamp.valueOf("2024-01-01 00:00:00"),
+      endDate = Timestamp.valueOf("2024-01-31 00:00:00"))
+
+  test("construction runs no Spark job; toDF is the lazy plan") {
+    val before = spark.sparkContext.statusTracker.getJobIdsForGroup(null).length
+    val j = job() // no action
+    assert(j.metadata.keys == Seq("user_id"))
+    val after = spark.sparkContext.statusTracker.getJobIdsForGroup(null).length
+    assert(after == before, "building the retrieval job must not run a Spark job")
+    assert(j.toDF.columns.toSeq == Seq("user_id", "value", "ts"))
+  }
+
+  test("persist writes a saved dataset; re-read matches toLocal") {
+    val out = Files.createTempDirectory("graft-saved").resolve("ds").toString
+    val j = job()
+    j.persist(out)
+    val reread = spark.read.parquet(out).count()
+    assert(reread == j.toLocal().length && reread > 0)
+    // errorifexists semantics when not allowing overwrite
+    intercept[Exception](j.persist(out))
+    j.persist(out, allowOverwrite = true) // overwrite path succeeds
+  }
+}

@@ -23,8 +23,14 @@ final class GraftRetrievalJob(evaluation: () => DataFrame, val metadata: Retriev
   /** The logical plan for this retrieval; building it runs no Spark job. */
   lazy val toDF: DataFrame = evaluation()
 
-  /** Driver-side materialization (analog of to_df/to_arrow for a local user). */
+  /** Driver-side materialization (analog of to_df for a local user). */
   def toLocal(): Array[Row] = toDF.collect()
+
+  /** Arrow IPC record batches (analog of to_arrow,
+    * ref: data_engine_offline_store.py:338-344).
+    */
+  def toArrowBatches(): Array[Array[Byte]] =
+    org.apache.spark.sql.graft.GraftArrow.toArrowBatches(toDF)
 
   /** Saved-dataset persistence (analog of RetrievalJob.persist). */
   def persist(path: String, allowOverwrite: Boolean = false): Unit =

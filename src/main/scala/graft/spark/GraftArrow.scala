@@ -1,0 +1,19 @@
+package org.apache.spark.sql.graft
+
+import org.apache.spark.sql.{DataFrame, Row}
+
+/** Arrow export — the analog of the reference RetrievalJob's `to_arrow`
+  * (ref: data_engine_offline_store.py:338-344). Spark's Arrow serialization
+  * is `private[sql]`, hence this shim package.
+  */
+object GraftArrow {
+
+  /** Collects the DataFrame as Arrow IPC record batches (one `Array[Byte]`
+    * per partition batch, schema-less record-batch messages in Arrow stream
+    * format — the same bytes Spark ships to PySpark/R for `to_arrow`).
+    */
+  def toArrowBatches(df: DataFrame): Array[Array[Byte]] =
+    df.asInstanceOf[org.apache.spark.sql.classic.Dataset[Row]]
+      .toArrowBatchRdd
+      .collect()
+}

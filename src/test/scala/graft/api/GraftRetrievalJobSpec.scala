@@ -30,6 +30,13 @@ class GraftRetrievalJobSpec extends SparkTestBase {
     assert(j.toDF.columns.toSeq == Seq("user_id", "value", "ts"))
   }
 
+  test("toArrowBatches returns parseable Arrow record-batch bytes (to_arrow analog)") {
+    val batches = job().toArrowBatches()
+    assert(batches.nonEmpty && batches.forall(_.nonEmpty))
+    // Arrow IPC messages start with the 0xFFFFFFFF continuation marker
+    assert(batches.forall(b => (b(0) & 0xff) == 0xff && (b(1) & 0xff) == 0xff))
+  }
+
   test("persist writes a saved dataset; re-read matches toLocal") {
     val out = Files.createTempDirectory("graft-saved").resolve("ds").toString
     val j = job()

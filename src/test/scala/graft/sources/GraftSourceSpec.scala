@@ -19,6 +19,14 @@ class GraftSourceSpec extends SparkTestBase {
     assert(GraftSource.of(name = Some("q"), query = Some("SELECT 1")).name == "q")
   }
 
+  test("value equality and hash over all config fields (ref tests.py:77-89)") {
+    def mk() = GraftSource.of(table = Some("t"), timestampField = Some("ts"),
+      fieldMapping = Map("a" -> "b"))
+    assert(mk() == mk() && mk().hashCode == mk().hashCode)
+    assert(mk() != mk().copy(fieldMapping = Map("a" -> "c")))
+    assert(mk() != mk().copy(timestampField = Some("other")))
+  }
+
   test("tableQueryString: backticked table vs parenthesized query (ref store.py:222-226)") {
     assert(GraftSource.of(table = Some("tbl")).tableQueryString == "`tbl`")
     assert(GraftSource.of(name = Some("n"), query = Some("SELECT 1")).tableQueryString

@@ -1,0 +1,54 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Data-layout management for the 100 TB posture: how a table is WRITTEN
+  * decides whether later reads shuffle.
+  *
+  *  - Bucketed layout: equi-joins and aggregations on the bucket keys read
+  *    co-located data — no exchange at query time (verified by spec: a
+  *    self-join of a bucketed table plans zero shuffles).
+  *  - Time-partitioned layout: `dt=YYYY-MM-DD` directories make every
+  *    time-ranged operator (pullAll/pullLatest/PIT prefilter) prune whole
+  *    partitions before reading a byte.
+  */
+object Layout {
+
+  /** Write `df` as a bucketed (and optionally sorted) catalog table. Joins
+    * and groupBys on `keys` against this table skip their exchange; two
+    * tables bucketed the same way join with no shuffle on either side.
+    * `numBuckets` should be sized so one bucket fits an executor's memory at
+    * the target scale (e.g. 100 TB / 2048 buckets ~ 50 GB per bucket chain).
+    */
+  def writeBucketed(
+      df: DataFrame,
+      tableName: String,
+      keys: Seq[String],
+      numBuckets: Int,
+      sortCols: Seq[String] = Nil,
+      overwrite: Boolean = true): Unit = {
+    val w = df.write
+      .mode(if (overwrite) "overwrite" else "errorifexists")
+      .bucketBy(numBuckets, keys.head, keys.drop(1): _*)
+    (if (sortCols.nonEmpty) w.sortBy(sortCols.head, sortCols.drop(1): _*) else w)
+      .format("parquet")
+      .saveAsTable(tableName)
+  }
+
+  /** Write `df` partitioned by the date of `tsCol` (`dt=YYYY-MM-DD` dirs).
+    * Readers that filter on `dt` (or whose time range implies it) scan only
+    * the matching partitions — `PartitionFilters` in the plan, zero I/O for
+    * the rest.
+    */
+  def writeTimePartitioned(
+      df: DataFrame,
+      path: String,
+      tsCol: String,
+      overwrite: Boolean = true): Unit =
+    df.withColumn("dt", date_format(col(tsCol), "yyyy-MM-dd"))
+      .write
+      .mode(if (overwrite) "overwrite" else "errorifexists")
+      .partitionBy("dt")
+      .parquet(path)
+}

@@ -1,0 +1,46 @@
+package graft.ops
+
+import graft.SparkTestBase
+import graft.sources.GraftSource
+import org.apache.spark.sql.functions._
+
+class LayoutSpec extends SparkTestBase {
+
+  private def events = GraftSource.of(
+    table = Some(s"${sf()}/events.parquet"), timestampField = Some("ts")).load(spark)
+
+  test("bucketed table: join and groupBy on bucket keys plan ZERO exchanges") {
+    spark.sql("DROP TABLE IF EXISTS ev_bucketed")
+    val loc = new java.io.File("spark-warehouse/ev_bucketed")
+    if (loc.exists()) org.apache.commons.io.FileUtils.deleteDirectory(loc)
+    Layout.writeBucketed(events, "ev_bucketed", Seq("user_id"), 8,
+      sortCols = Seq("user_id"))
+    val t = spark.table("ev_bucketed")
+    // disable broadcast so the planner must pick the co-located join path
+    // (at real scale neither side would be broadcastable anyway)
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      // bucketed self-join on the bucket key: no shuffle on either side
+      val joined = t.alias("a").join(t.alias("b"), "user_id")
+      val joinPlan = joined.queryExecution.executedPlan.toString
+      assert(!joinPlan.contains("Exchange"), s"expected no exchange:\n$joinPlan")
+      // aggregation on the bucket key: no exchange before the aggregate
+      val agg = t.groupBy("user_id").agg(sum("value"))
+      val aggPlan = agg.queryExecution.executedPlan.toString
+      assert(!aggPlan.contains("Exchange"), s"expected no exchange:\n$aggPlan")
+      assert(joined.count() > 0 && agg.count() > 0)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  test("time-partitioned write: readers prune partitions via dt") {
+    val path = java.nio.file.Files.createTempDirectory("graft-part").toString + "/ev"
+    Layout.writeTimePartitioned(events, path, "ts")
+    val all = spark.read.parquet(path)
+    val oneDay = all.filter(col("dt") === "2024-01-05")
+    val scan = oneDay.queryExecution.executedPlan.toString
+    assert(scan.contains("PartitionFilters") && scan.contains("dt"),
+      s"expected partition filter in:\n$scan")
+    assert(oneDay.count() > 0 && oneDay.count() < all.count())
+  }
+}

@@ -29,6 +29,21 @@ private final case class SessionState(startMs: Long, endMs: Long, n: Long, total
   */
 object EventStream {
 
+  /** Streaming ingest of an events directory (the parquet-file stream
+    * source): new files appearing under `dir` flow through the same
+    * transforms as batch reads. Handles the testdata's ns-long `ts`
+    * (TIMESTAMP(NANOS) under nanosAsLong) by normalizing to TimestampType.
+    */
+  def fromParquetDir(spark: org.apache.spark.sql.SparkSession, dir: String): Dataset[GraftEvent] = {
+    import spark.implicits._
+    spark.readStream
+      .schema("event_id BIGINT, ts BIGINT, user_id BIGINT, event_type STRING, value DOUBLE")
+      .parquet(dir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .select("event_id", "ts", "user_id", "event_type", "value")
+      .as[GraftEvent]
+  }
+
   /** Tumbling-window aggregate: per (window, event_type) event counts and
     * value sums. On a streaming input a watermark bounds state; on batch the
     * same plan is a plain two-key groupBy.

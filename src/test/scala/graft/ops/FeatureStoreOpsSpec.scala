@@ -121,6 +121,22 @@ class FeatureStoreOpsSpec extends SparkTestBase {
     assert(r.getAs[Double]("f1__v") == 3.0 && r.getAs[String]("f2__s") == "a")
   }
 
+  test("pointInTime: shuffle-join path (broadcast disabled) gives identical results") {
+    val fv = FeatureView("f", featSrc, entityKeys = Seq("k"), features = Seq("v"),
+      ttlSeconds = 0L, tieBreak = Some("rid"))
+    val ent = entity((1L, "2024-01-06 00:00:00"), (2L, "2024-01-04 00:00:00"))
+    def run(): Set[(Long, Option[Double])] =
+      FeatureStoreOps.pointInTime(spark, ent, Seq(fv)).toDF.collect()
+        .map(r => (r.getAs[Long]("k"),
+          Option(r.getAs[java.lang.Double]("v")).map(_.doubleValue))).toSet
+    val broadcasted = run()
+    spark.conf.set("graft.pit.broadcastRows", "0")
+    try {
+      val shuffled = run()
+      assert(shuffled == broadcasted && shuffled == Set((1L, Some(3.0)), (2L, Some(4.0))))
+    } finally spark.conf.unset("graft.pit.broadcastRows")
+  }
+
   test("inferEntityTimestampColumn: event_timestamp, sole ts col, or error") {
     import spark.implicits._
     assert(FeatureStoreOps.inferEntityTimestampColumn(

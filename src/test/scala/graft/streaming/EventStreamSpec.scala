@@ -33,6 +33,21 @@ class EventStreamSpec extends SparkTestBase {
     assert(batch.map(_._1).size == 2) // two hourly windows
   }
 
+  test("fromParquetDir: file-stream ingest equals the batch read") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-stream").toString
+    // stage a slice of the real events table as the "arriving" file
+    spark.read.parquet(s"${sf()}/events.parquet")
+      .limit(200).write.mode("overwrite").parquet(dir)
+    val q = EventStream.windowedCounts(EventStream.fromParquetDir(spark, dir).toDF())
+      .writeStream.format("memory").queryName("file_win").outputMode("complete").start()
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("file_win")
+      .agg(org.apache.spark.sql.functions.sum("n_events")).collect().head.getLong(0)
+    assert(streamed == 200L)
+  }
+
   test("sessionizeBatch: gap splits sessions, aggregates are exact") {
     import spark.implicits._
     val events = Seq(

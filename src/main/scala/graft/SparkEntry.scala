@@ -116,6 +116,16 @@ object SparkEntry {
       .select(col("user_id"), col("value"), col("event_type"),
         unix_micros(col("ts")).as("ts_us"))
 
+  private def pullLatestTies(s: SparkSession, dir: String): DataFrame =
+    FeatureStoreOps.pullLatestKeepTies(s, events(dir),
+      joinKeyColumns = Seq("user_id"),
+      featureNameColumns = Seq("value", "event_type"),
+      timestampField = "ts",
+      startDate = tsOf(StartUs), endDate = tsOf(EndUs))
+      .toDF
+      .select(col("user_id"), col("value"), col("event_type"),
+        unix_micros(col("ts")).as("ts_us"))
+
   private def pitJoin(s: SparkSession, dir: String): DataFrame = {
     val fv = FeatureView("events", events(dir),
       entityKeys = Seq("user_id"), features = Seq("value", "event_type"),
@@ -324,6 +334,7 @@ object SparkEntry {
     "schema_events" -> (schemaEvents _),
     "pull_all_events" -> (pullAllEvents _),
     "pull_latest_events" -> (pullLatestEvents _),
+    "pull_latest_ties" -> (pullLatestTies _),
     "pit_join" -> (pitJoin _),
     "pit_join_created" -> (pitJoinCreated _),
     "pit_join_multi" -> (pitJoinMulti _),
@@ -391,6 +402,12 @@ object SparkEntry {
            |      ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
            |  FROM events WHERE epoch_us(ts) BETWEEN $StartUs AND $EndUs)
            |WHERE rn = 1""".stripMargin,
+      "pull_latest_ties" ->
+        s"""SELECT user_id, value, event_type, ts_us FROM (
+           |  SELECT user_id, value, event_type, epoch_us(ts) AS ts_us,
+           |    max(epoch_us(ts)) OVER (PARTITION BY user_id) AS mx
+           |  FROM events WHERE epoch_us(ts) BETWEEN $StartUs AND $EndUs)
+           |WHERE ts_us = mx""".stripMargin,
       "pit_join" ->
         s"""WITH $entCte, $evCte,
            |base AS (

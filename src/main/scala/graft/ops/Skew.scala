@@ -1,0 +1,37 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Skew handling for joins whose key distribution is too hot for AQE's
+  * runtime skew-split (e.g. a handful of power-law keys owning most of a
+  * 100 TB fact table): classic salting. The skewed (large) side gets a
+  * deterministic salt in [0, saltFactor); the small side is replicated once
+  * per salt value; the join key becomes (keys..., salt), so each hot key
+  * spreads over `saltFactor` tasks.
+  */
+object Skew {
+
+  /** Salted equi-join. Correct for `inner` and `left` joins (the replicated
+    * side must be the right/dimension side — an unmatched right row would
+    * otherwise appear `saltFactor` times in right/full joins).
+    *
+    * The salt is a deterministic hash of the whole left row (not `rand()` —
+    * retries and speculative tasks must salt identically or results drift).
+    */
+  def saltedJoin(
+      left: DataFrame,
+      right: DataFrame,
+      keys: Seq[String],
+      saltFactor: Int,
+      joinType: String = "inner"): DataFrame = {
+    require(joinType == "inner" || joinType == "left",
+      s"saltedJoin supports inner/left (got $joinType); replicating the right " +
+        "side would duplicate unmatched right rows in right/full joins")
+    val salted = left.withColumn("_salt",
+      pmod(xxhash64(left.columns.map(col): _*), lit(saltFactor.toLong)).cast("int"))
+    val replicated = right.withColumn("_salt",
+      explode(typedLit((0 until saltFactor).toList)))
+    salted.join(replicated, keys :+ "_salt", joinType).drop("_salt")
+  }
+}

@@ -147,6 +147,27 @@ class FeatureStoreOpsSpec extends SparkTestBase {
     intercept[InvalidEntityFrameException](FeatureStoreOps.inferEntityTimestampColumn(none))
   }
 
+  test("pointInTime: composite entity keys join on all keys") {
+    import spark.implicits._
+    Seq(
+      (1L, "us", ts("2024-01-02 00:00:00"), 1.0),
+      (1L, "eu", ts("2024-01-03 00:00:00"), 2.0), // same k1, different k2
+      (2L, "us", ts("2024-01-02 00:00:00"), 3.0),
+    ).toDF("k1", "k2", "ets", "v").createOrReplaceTempView("feat_comp_v")
+    val src = GraftSource.of(table = Some("feat_comp_v"), timestampField = Some("ets"))
+    val fv = FeatureView("f", src, entityKeys = Seq("k1", "k2"), features = Seq("v"))
+    val ent = Seq(
+      (1L, "us", ts("2024-01-05 00:00:00")),
+      (1L, "eu", ts("2024-01-05 00:00:00")),
+      (2L, "eu", ts("2024-01-05 00:00:00")), // no (2, eu) feature -> null
+    ).toDF("k1", "k2", "event_timestamp")
+    val out = FeatureStoreOps.pointInTime(spark, ent, Seq(fv)).toDF.collect()
+      .map(r => ((r.getAs[Long]("k1"), r.getAs[String]("k2")),
+        Option(r.getAs[java.lang.Double]("v")).map(_.doubleValue))).toMap
+    assert(out == Map(
+      (1L, "us") -> Some(1.0), (1L, "eu") -> Some(2.0), (2L, "eu") -> None))
+  }
+
   test("retrieval job is lazy and carries metadata (ref store.py:313-348)") {
     val job = FeatureStoreOps.pullAll(spark, featSrc, Seq("k"), Seq("v"), "ets",
       ts("2024-01-01 00:00:00"), ts("2024-01-05 00:00:00"))

@@ -1,0 +1,38 @@
+package graft.ops
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+class SkewSpec extends SparkTestBase {
+
+  private lazy val events = spark.read.parquet(s"${sf()}/events.parquet")
+    .select("event_id", "user_id", "value")
+  private lazy val dim = {
+    import spark.implicits._
+    (0L to 60L).map(u => (u, s"seg${u % 5}")).toDF("user_id", "segment")
+  }
+
+  test("saltedJoin(inner) equals the plain join, key spread over salts") {
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.select("event_id", "user_id", "segment").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    val plain = canon(events.join(dim, Seq("user_id")))
+    val salted = canon(Skew.saltedJoin(events, dim, Seq("user_id"), saltFactor = 4))
+    assert(salted == plain && plain.nonEmpty)
+  }
+
+  test("saltedJoin(left) keeps unmatched left rows exactly once") {
+    import spark.implicits._
+    val l = Seq((1L, "a"), (2L, "b"), (99L, "nomatch")).toDF("user_id", "x")
+    val r = Seq((1L, "s1"), (2L, "s2")).toDF("user_id", "segment")
+    val out = Skew.saltedJoin(l, r, Seq("user_id"), saltFactor = 3, joinType = "left")
+      .collect().map(rr => (rr.getAs[Long]("user_id"), Option(rr.getAs[String]("segment"))))
+    assert(out.count(_._1 == 99L) == 1 && out.toSet.contains((99L, None)))
+    assert(out.length == 3)
+  }
+
+  test("right/full joins are rejected") {
+    intercept[IllegalArgumentException](
+      Skew.saltedJoin(events, dim, Seq("user_id"), 4, joinType = "right"))
+  }
+}

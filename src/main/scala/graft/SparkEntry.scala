@@ -205,6 +205,19 @@ object SparkEntry {
     Dedup.minHashLsh(u, "doc_id", "text", threshold = 0.8).select("a_id", "b_id")
   }
 
+  /** Canonical duplicate-cluster assignment: LSH pairs -> connected
+    * components -> every doc labeled with its cluster's min doc_id.
+    */
+  private def dedupClusters(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val u = d.unionByName(d
+      .withColumn("doc_id", col("doc_id") + 100000L)
+      .withColumn("text", concat(col("text"), lit(" graftdup"))))
+    val pairs = Dedup.minHashLsh(u, "doc_id", "text", threshold = 0.8)
+      .select("a_id", "b_id")
+    Dedup.connectedComponents(u.select(col("doc_id").as("id")), pairs)
+  }
+
   private def dedupSimhash(s: SparkSession, dir: String): DataFrame =
     Dedup.simHashNearDup(docsWithExactDups(s, dir), "doc_id", "text", maxHamming = 3)
       .select("a_id", "b_id")
@@ -340,6 +353,7 @@ object SparkEntry {
     "pit_join_multi" -> (pitJoinMulti _),
     "dedup_exact" -> (dedupExact _),
     "dedup_minhash" -> (dedupMinhash _),
+    "dedup_clusters" -> (dedupClusters _),
     "dedup_simhash" -> (dedupSimhash _),
     "dedup_embedding" -> (dedupEmbedding _),
     "knn_brute" -> (knnBrute _),
@@ -502,6 +516,30 @@ object SparkEntry {
           |      len(list_distinct(a.sh || b.sh)) >= 0.8""".stripMargin,
       "dedup_embedding" ->
         "SELECT vec_id AS a_id, vec_id + 100000 AS b_id FROM embeddings",
+      // connected components as a recursive CTE over the same ground-truth
+      // edge set (transitive closure is tiny: near-dup clusters are shallow)
+      "dedup_clusters" ->
+        """WITH RECURSIVE u AS (SELECT doc_id, text FROM documents UNION ALL
+          |           SELECT doc_id + 100000, text || ' graftdup' FROM documents),
+          |t AS (SELECT doc_id,
+          |  list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> len(x) > 0) AS toks
+          |  FROM u),
+          |sh AS (SELECT doc_id,
+          |  list_distinct(CASE WHEN len(toks) >= 3
+          |    THEN list_transform(range(1, len(toks) - 1),
+          |         i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+          |    ELSE [array_to_string(toks, ' ')] END) AS sh
+          |  FROM t),
+          |e AS (SELECT a.doc_id AS a, b.doc_id AS b
+          |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+          |  WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+          |        len(list_distinct(a.sh || b.sh)) >= 0.8),
+          |edges AS (SELECT a, b FROM e UNION ALL SELECT b, a FROM e),
+          |reach(src, dst) AS (
+          |  SELECT doc_id, doc_id FROM u
+          |  UNION
+          |  SELECT r.src, ed.b FROM reach r JOIN edges ed ON r.dst = ed.a)
+          |SELECT src AS id, min(dst) AS cluster FROM reach GROUP BY src""".stripMargin,
       "knn_brute" ->
         """SELECT qid, neighbor_id, rank FROM (
           |  SELECT q.vec_id AS qid, c.vec_id AS neighbor_id,

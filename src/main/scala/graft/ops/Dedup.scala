@@ -169,6 +169,42 @@ object Dedup {
       .select(col("a_id"), col("b_id"), col("hamming"))
   }
 
+  /** Canonical cluster assignment over near-dup pairs: connected components
+    * by iterative min-label propagation. Every id gets the smallest id of its
+    * duplicate cluster as `cluster`; keep rows where `id == cluster` to dedup.
+    *
+    * Each iteration is one shuffle join + aggregate; iterations needed =
+    * graph diameter (near-dup clusters are shallow — a handful), bounded by
+    * `maxIterations` with early exit when labels stop changing. The per-
+    * iteration driver-side check reads ONE aggregated long, not data.
+    */
+  def connectedComponents(
+      ids: DataFrame, // column: id
+      pairs: DataFrame, // columns: a_id, b_id
+      maxIterations: Int = 20): DataFrame = {
+    val edges = pairs.select(col("a_id").as("src"), col("b_id").as("dst"))
+      .union(pairs.select(col("b_id").as("src"), col("a_id").as("dst")))
+    var labels = ids.select(col("id"), col("id").as("cluster"))
+    var changed = 1L
+    var i = 0
+    while (changed > 0 && i < maxIterations) {
+      // candidate label for dst = min label among neighbors' current labels
+      val viaNeighbors = edges
+        .join(labels.withColumnRenamed("id", "src"), "src")
+        .groupBy(col("dst").as("id"))
+        .agg(min(col("cluster")).as("_nb"))
+      val next = labels.join(viaNeighbors, Seq("id"), "left")
+        .select(col("id"),
+          least(col("cluster"), coalesce(col("_nb"), col("cluster"))).as("cluster"))
+        .localCheckpoint() // truncate the growing iterative lineage
+      changed = next.join(labels.withColumnRenamed("cluster", "_old"), "id")
+        .filter(col("cluster") =!= col("_old")).count()
+      labels = next
+      i += 1
+    }
+    labels
+  }
+
   /** Deterministic random hyperplanes for sign-bucket LSH (seeded, so results
     * are reproducible across runs and engines).
     */

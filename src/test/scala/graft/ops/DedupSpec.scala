@@ -74,6 +74,16 @@ class DedupSpec extends SparkTestBase {
     assert(out.head.getAs[Double]("cosine") > 0.999)
   }
 
+  test("connectedComponents: chains collapse to min id, singletons keep their own") {
+    import spark.implicits._
+    val ids = Seq(1L, 2L, 3L, 4L, 9L).toDF("id")
+    // chain 1-2, 2-3, separate pair 4-?, none for 9
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("a_id", "b_id")
+    val out = Dedup.connectedComponents(ids, pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 9L -> 9L))
+  }
+
   test("bucketPairs: oversized buckets are dropped (cap bounds the blowup)") {
     import spark.implicits._
     // one bucket with 5 ids (cap 4 -> dropped), one with 3 (kept: 3 pairs)

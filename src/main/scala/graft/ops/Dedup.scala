@@ -182,8 +182,11 @@ object Dedup {
       ids: DataFrame, // column: id
       pairs: DataFrame, // columns: a_id, b_id
       maxIterations: Int = 20): DataFrame = {
+    // checkpoint once: edges usually derive from a whole detection pipeline
+    // (LSH + verify) — without this every iteration re-executes it
     val edges = pairs.select(col("a_id").as("src"), col("b_id").as("dst"))
       .union(pairs.select(col("b_id").as("src"), col("a_id").as("dst")))
+      .localCheckpoint()
     var labels = ids.select(col("id"), col("id").as("cluster"))
     var changed = 1L
     var i = 0
@@ -193,13 +196,15 @@ object Dedup {
         .join(labels.withColumnRenamed("id", "src"), "src")
         .groupBy(col("dst").as("id"))
         .agg(min(col("cluster")).as("_nb"))
+      // carry the previous label through the checkpoint so the convergence
+      // check is a filter on materialized data, not another shuffle join
       val next = labels.join(viaNeighbors, Seq("id"), "left")
         .select(col("id"),
-          least(col("cluster"), coalesce(col("_nb"), col("cluster"))).as("cluster"))
+          least(col("cluster"), coalesce(col("_nb"), col("cluster"))).as("cluster"),
+          col("cluster").as("_old"))
         .localCheckpoint() // truncate the growing iterative lineage
-      changed = next.join(labels.withColumnRenamed("cluster", "_old"), "id")
-        .filter(col("cluster") =!= col("_old")).count()
-      labels = next
+      changed = next.filter(col("cluster") =!= col("_old")).count()
+      labels = next.drop("_old")
       i += 1
     }
     labels

@@ -268,6 +268,17 @@ object SparkEntry {
     events(dir).load(s)
       .withColumn("value", round(col("value") * 10000).cast("long"))
 
+  /** Semi-structured column handling: parse the JSON `props` payload with a
+    * declared schema (from_json — codegen'd, no UDF) and aggregate on the
+    * extracted field.
+    */
+  private def eventsJsonExtract(s: SparkSession, dir: String): DataFrame =
+    events(dir).load(s)
+      .withColumn("k", from_json(col("props"), org.apache.spark.sql.types.StructType.fromDDL("k INT")).getField("k"))
+      .groupBy(col("event_type"))
+      .agg(sum(col("k").cast("long")).as("sum_k"),
+        count(col("k")).as("n_with_k"))
+
   private def eventsWindowed(s: SparkSession, dir: String): DataFrame =
     EventStream.windowedCounts(eventsFixedPoint(s, dir), "1 hour")
 
@@ -363,6 +374,7 @@ object SparkEntry {
     "text_langid" -> (textLangid _),
     "doc_fingerprint" -> (docFingerprint _),
     "multimodal_meta" -> (multimodalMeta _),
+    "events_json_extract" -> (eventsJsonExtract _),
     "events_windowed" -> (eventsWindowed _),
     "events_sessions" -> (eventsSessions _),
     "q1_pricing_summary" -> (q1PricingSummary _),
@@ -605,6 +617,11 @@ object SparkEntry {
           |  CAST(doc_id % 480 + 32 AS INT) AS height,
           |  CAST(doc_id % 30 + 1 AS INT) AS n_frames
           |FROM documents""".stripMargin,
+      "events_json_extract" ->
+        """SELECT event_type,
+          |  sum(CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT)) AS sum_k,
+          |  count(*) AS n_with_k
+          |FROM events GROUP BY 1""".stripMargin,
       "events_windowed" ->
         """SELECT epoch_us(date_trunc('hour', ts)) AS window_start_us, event_type,
           |  count(*) AS n_events,

@@ -80,9 +80,13 @@ object Dedup {
     // construction; tokens materialize in their own projection first (see
     // shinglesFromTokens scaladoc — inlining the tokenizer re-splits the
     // text once per shingle)
+    // lazily checkpointed: the exploded table feeds the signature aggregation
+    // AND both sides of the Jaccard verify — without the checkpoint the
+    // tokenize+shingle+hash pass runs three times
     val ex = df
       .select(col(idCol).as("id"), tokens(col(textCol)).as("_toks"))
       .select(col("id"), explode(shingleHashesFromTokens(col("_toks"), shingleN)).as("h"))
+      .localCheckpoint(false)
 
     // signature: numHashes min() aggregates over the per-shingle re-hashes —
     // a single codegen'd hash aggregation, one shuffle on id
@@ -153,7 +157,9 @@ object Dedup {
       textCol: String,
       maxHamming: Int = 3,
       maxBucket: Int = 100): DataFrame = {
-    val hashes = simHash(df, idCol, textCol)
+    // lazily checkpointed: referenced by the chunk buckets and both verify
+    // sides — one explode+aggregate pass instead of three
+    val hashes = simHash(df, idCol, textCol).localCheckpoint(false)
     val chunked = hashes.select(
       col("id"),
       explode(transform(sequence(lit(0), lit(3)), j => struct(

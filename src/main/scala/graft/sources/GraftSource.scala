@@ -78,6 +78,11 @@ final case class GraftSource(
       spark: SparkSession,
       lower: Option[Timestamp],
       upper: Option[Timestamp]): DataFrame = {
+    // Defensive: parquet TIMESTAMP(NANOS) is unreadable without this runtime
+    // conf, and the caller may hand us a session it built without it. Our
+    // normalization assumes the nanosAsLong representation, so pin it.
+    if (format == SourceFormat.Parquet)
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val base = table match {
       case Some(t) if isPath =>
         val reader = spark.read.format(format.name)

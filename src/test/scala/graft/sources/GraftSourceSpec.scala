@@ -72,6 +72,15 @@ class GraftSourceSpec extends SparkTestBase {
     assert(cols.toMap.apply("c_acctbal") == "double")
   }
 
+  test("load works on a session built WITHOUT nanosAsLong (defensive conf)") {
+    val fresh = spark.newSession()
+    fresh.conf.set("spark.sql.legacy.parquet.nanosAsLong", "false")
+    val df = GraftSource.of(
+      table = Some(s"${sf()}/events.parquet"), timestampField = Some("ts")).load(fresh)
+    assert(df.schema("ts").dataType == org.apache.spark.sql.types.TimestampType)
+    assert(df.limit(5).count() == 5)
+  }
+
   test("timestampField normalizes parquet ns-long to TimestampType") {
     val df = GraftSource.of(
       table = Some(s"${sf()}/events.parquet"), timestampField = Some("ts")).load(spark)

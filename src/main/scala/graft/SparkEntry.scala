@@ -289,6 +289,19 @@ object SparkEntry {
         unix_micros(col("session_end")).as("session_end_us"),
         col("n_events"), col("total_value"))
 
+  /** End-to-end corpus cleaning: quality-filter then exact-dedup, the
+    * composition a training-data pipeline actually runs. Output = surviving
+    * canonical docs with their quality score.
+    */
+  private def pipelineCleanCorpus(s: SparkSession, dir: String): DataFrame = {
+    val d = docsWithExactDups(s, dir)
+    val scored = TextAnalysis.qualityScore(d, "doc_id", "text")
+      .filter(col("quality_score") >= 0.5)
+    val kept = Dedup.exact(
+      d.join(scored.select("doc_id"), "doc_id"), Seq("text"), "doc_id")
+    kept.join(scored, "doc_id").select("doc_id", "n_dups", "quality_score")
+  }
+
   // =================================================================
   // §2.3 analytics headliners
   // =================================================================
@@ -363,6 +376,7 @@ object SparkEntry {
     "pit_join_created" -> (pitJoinCreated _),
     "pit_join_multi" -> (pitJoinMulti _),
     "dedup_exact" -> (dedupExact _),
+    "pipeline_clean_corpus" -> (pipelineCleanCorpus _),
     "dedup_minhash" -> (dedupMinhash _),
     "dedup_clusters" -> (dedupClusters _),
     "dedup_simhash" -> (dedupSimhash _),
@@ -505,6 +519,29 @@ object SparkEntry {
           |  SELECT doc_id + 100000, text, lang, source, n_chars FROM documents)
           |SELECT min(doc_id) AS doc_id, count(*) AS n_dups
           |FROM u GROUP BY lower(trim(text))""".stripMargin,
+      "pipeline_clean_corpus" ->
+        s"""WITH u AS (SELECT * FROM documents UNION ALL
+           |  SELECT doc_id + 100000, text, lang, source, n_chars FROM documents),
+           |t AS (SELECT doc_id, text,
+           |  list_filter(string_split_regex(lower(trim(text)), '\\s+'), x -> len(x) > 0) AS toks
+           |  FROM u),
+           |c AS (SELECT doc_id, text, len(toks) AS n_tokens,
+           |  len(list_filter(toks, x -> list_contains($allStops, x))) AS n_stopwords,
+           |  len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS n_punct,
+           |  len(list_distinct(toks)) AS n_distinct_tokens,
+           |  length(text) AS n_chars FROM t),
+           |q AS (SELECT doc_id, text,
+           |  round(
+           |    least(n_tokens / 20.0, 1.0) * 0.25 +
+           |    (1.0 - least(n_punct / greatest(CAST(n_chars AS DOUBLE), 1.0) * 4.0, 1.0)) * 0.25 +
+           |    (n_distinct_tokens / greatest(CAST(n_tokens AS DOUBLE), 1.0)) * 0.25 +
+           |    least(n_stopwords / greatest(CAST(n_tokens AS DOUBLE), 1.0) * 5.0, 1.0) * 0.25,
+           |    6) AS quality_score
+           |  FROM c),
+           |f AS (SELECT * FROM q WHERE quality_score >= 0.5)
+           |SELECT min(doc_id) AS doc_id, count(*) AS n_dups,
+           |       min(quality_score) AS quality_score
+           |FROM f GROUP BY lower(trim(text))""".stripMargin,
       // Ground truth is the full all-pairs Jaccard (feasible in DuckDB at the
       // oracle SF) — so this checks both LSH recall (banded candidates find
       // every true pair, planted AND organic) and verify precision.

@@ -1,0 +1,52 @@
+package graft
+
+import graft.model.ValueType
+import graft.ops.Dedup
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Property-based invariants (raw ScalaCheck driven from ScalaTest — the
+  * scalatestplus bridge isn't on the classpath).
+  */
+class PropertySpec extends AnyFunSuite {
+
+  private def check(prop: Prop): Unit = {
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(200), prop)
+    assert(res.passed, res.status.toString)
+  }
+
+  test("ValueType.fromCatalog is total: never throws on arbitrary strings") {
+    check(Prop.forAll(Gen.asciiPrintableStr) { s =>
+      ValueType.fromCatalog(s) != null
+    })
+  }
+
+  test("array catalog types map to the matching list type (case/space-proof)") {
+    val pairs = Seq(
+      "float" -> ValueType.FloatList, "double" -> ValueType.DoubleList,
+      "bigint" -> ValueType.Int64List, "int" -> ValueType.Int32List,
+      "string" -> ValueType.StringList, "boolean" -> ValueType.BoolList,
+      "binary" -> ValueType.BytesList, "timestamp" -> ValueType.UnixTimestampList)
+    pairs.foreach { case (inner, expected) =>
+      assert(ValueType.fromCatalog(s"array<$inner>") == expected)
+      assert(ValueType.fromCatalog(s"  ARRAY<${inner.toUpperCase}>  ") == expected)
+    }
+  }
+
+  test("hyperplane buckets are invariant under positive scaling") {
+    val planes = Dedup.hyperplanes(8, 16, seed = 7L)
+    def bucket(vec: Seq[Double]): Int =
+      planes.zipWithIndex.map { case (p, i) =>
+        if (p.zip(vec).map { case (a, b) => a * b }.sum >= 0) 1 << i else 0
+      }.sum
+    check(Prop.forAll(Gen.listOfN(16, Gen.chooseNum(-10.0, 10.0)),
+      Gen.chooseNum(0.001, 1000.0)) { (v, scale) =>
+      bucket(v) == bucket(v.map(_ * scale))
+    })
+  }
+
+  test("deterministic hyperplanes: same seed same planes, different seed different") {
+    assert(Dedup.hyperplanes(4, 8, 42L) == Dedup.hyperplanes(4, 8, 42L))
+    assert(Dedup.hyperplanes(4, 8, 42L) != Dedup.hyperplanes(4, 8, 43L))
+  }
+}

@@ -246,6 +246,10 @@ object SparkEntry {
     Similarity.lshTopK(knnQueries(s, dir), knnCorpus(s, dir), k = 10, dim = 64)
       .select("qid", "neighbor_id", "rank")
 
+  private def knnIvf(s: SparkSession, dir: String): DataFrame =
+    Similarity.ivfTopK(knnQueries(s, dir), knnCorpus(s, dir), k = 10)
+      .select("qid", "neighbor_id", "rank")
+
   private def textStats(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.tokenStats(docs(s, dir), "doc_id", "text")
 
@@ -383,6 +387,7 @@ object SparkEntry {
     "dedup_embedding" -> (dedupEmbedding _),
     "knn_brute" -> (knnBrute _),
     "knn_lsh" -> (knnLsh _),
+    "knn_ivf" -> (knnIvf _),
     "text_stats" -> (textStats _),
     "text_quality" -> (textQuality _),
     "text_langid" -> (textLangid _),

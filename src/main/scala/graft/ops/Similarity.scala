@@ -1,6 +1,8 @@
 package graft.ops
 
 import graft.functions._
+import org.apache.spark.ml.clustering.KMeans
+import org.apache.spark.ml.functions.array_to_vector
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -60,6 +62,46 @@ object Similarity {
         explode(transform(typedLit(masks), m => col("qbucket").bitwiseXOR(m)))
           .as("bucket"))
     val scored = corpusB.join(broadcast(queryProbes), "bucket")
+      .withColumn("cosine", cosineSimilarity(col("qvec"), col("vec")))
+    val w = Window.partitionBy(col("qid")).orderBy(col("cosine").desc, col("id"))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("id").as("neighbor_id"), col("rank"), col("cosine"))
+  }
+
+  /** IVF-style ANN: k-means partitions the corpus into `numCells` Voronoi
+    * cells (train once, an action at call time — at scale, fit on a sample
+    * and reuse the model); each query probes its `numProbes` nearest cells
+    * and scores only those cells' vectors. The data-driven cells adapt to
+    * the corpus distribution, which sign-LSH cannot — the standard
+    * IVF-flat trade (train cost + centroid table vs better cell occupancy).
+    */
+  def ivfTopK(
+      queries: DataFrame, // columns: qid, qvec
+      corpus: DataFrame, // columns: id, vec
+      k: Int,
+      numCells: Int = 16,
+      numProbes: Int = 4,
+      seed: Long = 42L): DataFrame = {
+    val train = corpus.withColumn("features",
+      array_to_vector(col("vec").cast("array<double>")))
+    val model = new KMeans().setK(numCells).setSeed(seed).setMaxIter(10)
+      .fit(train)
+    val corpusCells = model.transform(train)
+      .select(col("id"), col("vec"), col("prediction").as("cell"))
+    // centroids are tiny: ship as literals, rank cells per query by L2
+    val centroids: Seq[Seq[Double]] = model.clusterCenters.map(_.toArray.toSeq).toSeq
+    val cellDists = centroids.zipWithIndex.map { case (c, i) =>
+      val qq = dot(col("qvec"), col("qvec"))
+      val cc = c.map(x => x * x).sum
+      struct((qq - lit(2.0) * dot(col("qvec"), typedLit(c)) + lit(cc)).as("dist"),
+        lit(i).as("cell"))
+    }
+    val probes = queries.select(col("qid"), col("qvec"),
+      explode(slice(array_sort(array(cellDists: _*)), 1, numProbes)).as("p"))
+      .select(col("qid"), col("qvec"), col("p.cell").as("cell"))
+    val scored = corpusCells.join(broadcast(probes), "cell")
       .withColumn("cosine", cosineSimilarity(col("qvec"), col("vec")))
     val w = Window.partitionBy(col("qid")).orderBy(col("cosine").desc, col("id"))
     scored

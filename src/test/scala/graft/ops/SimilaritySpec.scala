@@ -40,6 +40,26 @@ class SimilaritySpec extends SparkTestBase {
     assert(recall >= 0.7, s"recall $recall")
   }
 
+  test("ivfTopK: recall@10 vs brute force; probing more cells raises recall") {
+    val e = emb(sf())
+    val q = e.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val c = e.select(col("vec_id").as("id"), col("embedding").as("vec"))
+    def pairs(df: DataFrame): Set[(Long, Long)] =
+      df.select("qid", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = pairs(Similarity.bruteForceTopK(q, c, 10))
+    def recall(numProbes: Int): Double = {
+      val approx = pairs(Similarity.ivfTopK(q, c, 10, numCells = 16, numProbes = numProbes))
+      (exact & approx).size.toDouble / exact.size
+    }
+    val r4 = recall(4)
+    val r16 = recall(16) // probing every cell == exact search
+    assert(r4 >= 0.4, s"recall@4probes $r4")
+    assert(r16 == 1.0, s"recall@16probes $r16")
+    assert(r16 >= r4)
+  }
+
   test("lshTopK: never returns more than k per query, ranks contiguous") {
     val e = emb(sf())
     val q = e.filter(col("vec_id") < 3)

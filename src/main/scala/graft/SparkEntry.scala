@@ -299,8 +299,10 @@ object SparkEntry {
     */
   private def pipelineCleanCorpus(s: SparkSession, dir: String): DataFrame = {
     val d = docsWithExactDups(s, dir)
+    // referenced by the filter join AND the final score join — materialize once
     val scored = TextAnalysis.qualityScore(d, "doc_id", "text")
       .filter(col("quality_score") >= 0.5)
+      .localCheckpoint(false)
     val kept = Dedup.exact(
       d.join(scored.select("doc_id"), "doc_id"), Seq("text"), "doc_id")
     kept.join(scored, "doc_id").select("doc_id", "n_dups", "quality_score")

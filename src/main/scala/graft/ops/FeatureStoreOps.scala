@@ -179,12 +179,14 @@ object FeatureStoreOps {
         val ttl = view.ttlSeconds
 
         // __subquery: global range prefilter below the join (store.py:655-676),
-        // applied in raw-column space so it reaches the scan as PushedFilters
-        val lowerTs = if (ttl > 0)
+        // applied in raw-column space so it reaches the scan as PushedFilters.
+        // An empty entity frame has null min/max — skip the prefilter (the
+        // inner join against zero entity rows yields the empty result anyway)
+        val lowerTs = if (ttl > 0 && minEnt != null)
           Some(Timestamp.from(minEnt.toInstant.minusSeconds(ttl))) else None
         val featCols = ((view.entityKeys :+ evtTs) ++ createdTs.toSeq ++
           view.tieBreak.toSeq ++ view.features).distinct
-        val feat = view.source.loadWithTimeRange(spark, lowerTs, Some(maxEnt))
+        val feat = view.source.loadWithTimeRange(spark, lowerTs, Option(maxEnt))
           .select(featCols.map(col): _*)
 
         // per-view distinct entity rows (template's __entity_dataframe CTE)

@@ -44,6 +44,25 @@ object EventStream {
       .as[GraftEvent]
   }
 
+  /** Streaming parquet sink with exactly-once file commits: the checkpoint
+    * directory carries offsets + commit log, so a restarted query resumes
+    * without duplicating output files (the standard readStream -> transform
+    * -> writeStream tail).
+    */
+  def writeParquetStream(
+      df: DataFrame,
+      path: String,
+      checkpointDir: String,
+      trigger: org.apache.spark.sql.streaming.Trigger =
+        org.apache.spark.sql.streaming.Trigger.AvailableNow()): org.apache.spark.sql.streaming.StreamingQuery =
+    df.writeStream
+      .format("parquet")
+      .option("path", path)
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .outputMode(OutputMode.Append)
+      .start()
+
   /** Tumbling-window aggregate: per (window, event_type) event counts and
     * value sums. On a streaming input a watermark bounds state; on batch the
     * same plan is a plain two-key groupBy.

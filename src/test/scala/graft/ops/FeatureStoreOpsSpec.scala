@@ -137,6 +137,15 @@ class FeatureStoreOpsSpec extends SparkTestBase {
     } finally spark.conf.unset("graft.pit.broadcastRows")
   }
 
+  test("pointInTime: empty entity frame returns empty result with full schema (no NPE)") {
+    val fv = FeatureView("f", featSrc, entityKeys = Seq("k"), features = Seq("v"),
+      ttlSeconds = 86400L, tieBreak = Some("rid"))
+    val out = FeatureStoreOps.pointInTime(spark, entity((1L, "2024-01-06 00:00:00"))
+      .limit(0), Seq(fv)).toDF
+    assert(out.columns.toSet == Set("k", "event_timestamp", "v"))
+    assert(out.count() == 0)
+  }
+
   test("inferEntityTimestampColumn: event_timestamp, sole ts col, or error") {
     import spark.implicits._
     assert(FeatureStoreOps.inferEntityTimestampColumn(

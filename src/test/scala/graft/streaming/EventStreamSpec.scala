@@ -48,6 +48,30 @@ class EventStreamSpec extends SparkTestBase {
     assert(streamed == 200L)
   }
 
+  test("writeParquetStream: end-to-end read->transform->write with checkpoint resume") {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft-sink").toString
+    val (in, out, ckpt) = (s"$base/in", s"$base/out", s"$base/ckpt")
+    spark.read.parquet(s"${sf()}/events.parquet").limit(100)
+      .write.mode("overwrite").parquet(in)
+    def runOnce(): Unit = {
+      val q = EventStream.writeParquetStream(
+        EventStream.fromParquetDir(spark, in).toDF(), out, ckpt)
+      q.awaitTermination() // AvailableNow: stops when caught up
+    }
+    runOnce()
+    assert(spark.read.parquet(out).count() == 100)
+    // restart with no new input: checkpoint prevents re-processing
+    runOnce()
+    assert(spark.read.parquet(out).count() == 100)
+    // new file arrives; restart processes only the increment
+    spark.read.parquet(s"${sf()}/events.parquet")
+      .orderBy($"event_id".desc).limit(40)
+      .write.mode("append").parquet(in)
+    runOnce()
+    assert(spark.read.parquet(out).count() == 140)
+  }
+
   test("sessionizeBatch: gap splits sessions, aggregates are exact") {
     import spark.implicits._
     val events = Seq(

@@ -262,6 +262,10 @@ object SparkEntry {
   private def docFingerprint(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.fingerprintDocs(docs(s, dir), "doc_id", "text")
 
+  private def packSequences(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.packSequences(docs(s, dir), "doc_id", "text",
+      tokenBudget = 512, partitionKey = "source")
+
   private def multimodalMeta(s: SparkSession, dir: String): DataFrame =
     Multimodal.describe(Multimodal.synthesize(docs(s, dir), "doc_id", "text"))
 
@@ -394,6 +398,7 @@ object SparkEntry {
     "text_quality" -> (textQuality _),
     "text_langid" -> (textLangid _),
     "doc_fingerprint" -> (docFingerprint _),
+    "pack_sequences" -> (packSequences _),
     "multimodal_meta" -> (multimodalMeta _),
     "events_json_extract" -> (eventsJsonExtract _),
     "events_windowed" -> (eventsWindowed _),
@@ -652,6 +657,15 @@ object SparkEntry {
            |SELECT doc_id,
            |  md5(array_to_string(list_sort(list_distinct(toks)), ' ')) AS fingerprint
            |FROM t""".stripMargin,
+      "pack_sequences" ->
+        s"""WITH $toksCte
+           |SELECT source, doc_id, len(toks) AS n_tokens,
+           |  coalesce(sum(len(toks)) OVER (PARTITION BY d.source ORDER BY d.doc_id
+           |    ROWS UNBOUNDED PRECEDING) - len(toks), 0) AS start_offset,
+           |  CAST(floor((coalesce(sum(len(toks)) OVER (PARTITION BY d.source
+           |    ORDER BY d.doc_id ROWS UNBOUNDED PRECEDING) - len(toks), 0)) / 512)
+           |    AS BIGINT) AS bin
+           |FROM t JOIN documents d USING (doc_id)""".stripMargin,
       "multimodal_meta" ->
         """SELECT doc_id AS item_id,
           |  octet_length(encode(text)) AS payload_bytes,

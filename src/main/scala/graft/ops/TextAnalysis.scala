@@ -95,6 +95,31 @@ object TextAnalysis {
       round(best.getField("score"), 6).as("confidence"))
   }
 
+  /** Sequence packing for LLM training: documents are concatenated in a
+    * deterministic order and cut into fixed token-budget bins — each doc gets
+    * its running start offset and bin id (`floor(start / budget)`), the
+    * standard concatenate-then-chunk shape. Packing runs independently per
+    * `partitionKey` group (e.g. source shard), so each group's window sorts
+    * locally and the operator parallelizes across groups — a global ordering
+    * would serialize through one partition at 100 TB.
+    */
+  def packSequences(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      tokenBudget: Int,
+      partitionKey: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(partitionKey)).orderBy(col(idCol))
+    val nTok = size(tokens(col(textCol)))
+    df.select(col(partitionKey), col(idCol), nTok.as("n_tokens"))
+      .withColumn("start_offset",
+        coalesce(sum(col("n_tokens")).over(w) - col("n_tokens"), lit(0L)))
+      .withColumn("bin", floor(col("start_offset") / tokenBudget))
+      .select(col(partitionKey), col(idCol), col("n_tokens"),
+        col("start_offset"), col("bin"))
+  }
+
   /** Content fingerprint: md5 digest of the sorted distinct token set.
     * Word-order- and repetition-insensitive, so shuffled/boilerplate copies
     * collide — the cheap "same content?" key for exact-ish dedup joins.

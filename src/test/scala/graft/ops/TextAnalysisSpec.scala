@@ -46,6 +46,21 @@ class TextAnalysisSpec extends SparkTestBase {
     assert(out == Map(1L -> "en", 2L -> "es", 3L -> "de", 4L -> "fr", 5L -> "und"))
   }
 
+  test("packSequences: offsets accumulate per group, bins cut at the budget") {
+    import spark.implicits._
+    val docsDf = Seq(
+      (1L, "a b c", "s1"), // 3 tokens, start 0, bin 0
+      (2L, "d e f g", "s1"), // start 3, bin 0
+      (3L, "h i", "s1"), // start 7, bin 1 (budget 5)
+      (10L, "x y z", "s2"), // independent group: start 0, bin 0
+    ).toDF("doc_id", "text", "source")
+    val out = TextAnalysis.packSequences(docsDf, "doc_id", "text",
+      tokenBudget = 5, partitionKey = "source").collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("start_offset"), r.getAs[Long]("bin"))).toMap
+    assert(out == Map(1L -> (0L, 0L), 2L -> (3L, 0L), 3L -> (7L, 1L), 10L -> (0L, 0L)))
+  }
+
   test("fingerprint: stable under word order and repetition, differs on content") {
     val fp = (t: String) => TextAnalysis.fingerprintDocs(doc(t), "doc_id", "text")
       .collect().head.getAs[String]("fingerprint")

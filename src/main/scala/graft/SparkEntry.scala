@@ -262,6 +262,9 @@ object SparkEntry {
   private def docFingerprint(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.fingerprintDocs(docs(s, dir), "doc_id", "text")
 
+  private def ngramStats(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.ngramStats(docs(s, dir), "doc_id", "text", n = 3, topK = 50)
+
   private def packSequences(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.packSequences(docs(s, dir), "doc_id", "text",
       tokenBudget = 512, partitionKey = "source")
@@ -399,6 +402,7 @@ object SparkEntry {
     "text_langid" -> (textLangid _),
     "doc_fingerprint" -> (docFingerprint _),
     "pack_sequences" -> (packSequences _),
+    "ngram_stats" -> (ngramStats _),
     "multimodal_meta" -> (multimodalMeta _),
     "events_json_extract" -> (eventsJsonExtract _),
     "events_windowed" -> (eventsWindowed _),
@@ -657,6 +661,14 @@ object SparkEntry {
            |SELECT doc_id,
            |  md5(array_to_string(list_sort(list_distinct(toks)), ' ')) AS fingerprint
            |FROM t""".stripMargin,
+      "ngram_stats" ->
+        s"""WITH $toksCte,
+           |g AS (SELECT doc_id, unnest(CASE WHEN len(toks) >= 3
+           |  THEN list_transform(range(1, len(toks) - 1),
+           |       i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+           |  ELSE [array_to_string(toks, ' ')] END) AS ngram FROM t)
+           |SELECT ngram, count(*) AS n_occurrences, count(DISTINCT doc_id) AS n_docs
+           |FROM g GROUP BY 1 ORDER BY n_occurrences DESC, ngram LIMIT 50""".stripMargin,
       "pack_sequences" ->
         s"""WITH $toksCte
            |SELECT source, doc_id, len(toks) AS n_tokens,

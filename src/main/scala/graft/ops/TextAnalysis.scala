@@ -120,6 +120,28 @@ object TextAnalysis {
         col("start_offset"), col("bin"))
   }
 
+  /** Corpus n-gram statistics: the `topK` word n-grams by total occurrences
+    * (ties broken by the gram string, so the cut is deterministic), with
+    * document frequency. Exploded shape — one narrow (id, gram) stream into a
+    * codegen'd hash aggregation; the top-k is a TakeOrdered, not a global
+    * sort.
+    */
+  def ngramStats(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int,
+      topK: Int): DataFrame = {
+    val ex = df
+      .select(col(idCol).as("id"), tokens(col(textCol)).as("_toks"))
+      .select(col("id"), explode(shinglesFromTokens(col("_toks"), n)).as("ngram"))
+    ex.groupBy(col("ngram"))
+      .agg(count(lit(1)).as("n_occurrences"),
+        count_distinct(col("id")).as("n_docs"))
+      .orderBy(col("n_occurrences").desc, col("ngram"))
+      .limit(topK)
+  }
+
   /** Content fingerprint: md5 digest of the sorted distinct token set.
     * Word-order- and repetition-insensitive, so shuffled/boilerplate copies
     * collide — the cheap "same content?" key for exact-ish dedup joins.

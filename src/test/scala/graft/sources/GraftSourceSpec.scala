@@ -87,6 +87,26 @@ class GraftSourceSpec extends SparkTestBase {
     assert(df.schema("ts").dataType == org.apache.spark.sql.types.TimestampType)
   }
 
+  test("loadWithTimeRange: inclusive bounds, identical to post-load filtering") {
+    import java.sql.Timestamp
+    val src = GraftSource.of(
+      table = Some(s"${sf()}/events.parquet"), timestampField = Some("ts"))
+    val lo = Timestamp.valueOf("2024-01-10 00:00:00")
+    val hi = Timestamp.valueOf("2024-01-15 00:00:00")
+    val viaRange = src.loadWithTimeRange(spark, Some(lo), Some(hi))
+      .select("event_id").collect().map(_.getLong(0)).toSet
+    val viaFilter = src.load(spark)
+      .filter(org.apache.spark.sql.functions.col("ts").between(lo, hi))
+      .select("event_id").collect().map(_.getLong(0)).toSet
+    assert(viaRange == viaFilter && viaRange.nonEmpty)
+    // half-open variants: only one bound set
+    val lowerOnly = src.loadWithTimeRange(spark, Some(lo), None).count()
+    val upperOnly = src.loadWithTimeRange(spark, None, Some(hi)).count()
+    val all = src.load(spark).count()
+    assert(lowerOnly < all && upperOnly < all)
+    assert(lowerOnly + upperOnly >= all) // ranges overlap on [lo, hi]
+  }
+
   test("ValueType mapping incl. arrays and unknowns (ref store.py:253-286, tests.py:162-191)") {
     import ValueType._
     assert(fromCatalog("bigint") == Int64)

@@ -433,9 +433,12 @@ object SparkEntry {
         "SELECT n_nationkey, n_name, n_regionkey FROM nation",
       "source_json_roundtrip" ->
         "SELECT r_regionkey, r_name FROM region",
+      // CAST the sum: DuckDB sum(BIGINT) yields HUGEINT, which lands in pandas
+      // as float64 and breaks the driver's exact value hash against Spark's
+      // int64 (applies to every integer sum() in this map).
       "source_query" ->
         """SELECT o_custkey, count(*) AS n_orders,
-          |       sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS total_cents
+          |       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_cents
           |FROM orders GROUP BY o_custkey""".stripMargin,
       "source_field_mapping" ->
         """SELECT event_id, user_id, value AS feature_value,
@@ -672,8 +675,8 @@ object SparkEntry {
       "pack_sequences" ->
         s"""WITH $toksCte
            |SELECT source, doc_id, len(toks) AS n_tokens,
-           |  coalesce(sum(len(toks)) OVER (PARTITION BY d.source ORDER BY d.doc_id
-           |    ROWS UNBOUNDED PRECEDING) - len(toks), 0) AS start_offset,
+           |  CAST(coalesce(sum(len(toks)) OVER (PARTITION BY d.source ORDER BY d.doc_id
+           |    ROWS UNBOUNDED PRECEDING) - len(toks), 0) AS BIGINT) AS start_offset,
            |  CAST(floor((coalesce(sum(len(toks)) OVER (PARTITION BY d.source
            |    ORDER BY d.doc_id ROWS UNBOUNDED PRECEDING) - len(toks), 0)) / 512)
            |    AS BIGINT) AS bin
@@ -689,13 +692,13 @@ object SparkEntry {
           |FROM documents""".stripMargin,
       "events_json_extract" ->
         """SELECT event_type,
-          |  sum(CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT)) AS sum_k,
+          |  CAST(sum(CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT)) AS BIGINT) AS sum_k,
           |  count(*) AS n_with_k
           |FROM events GROUP BY 1""".stripMargin,
       "events_windowed" ->
         """SELECT epoch_us(date_trunc('hour', ts)) AS window_start_us, event_type,
           |  count(*) AS n_events,
-          |  sum(CAST(round(value * 10000) AS BIGINT)) AS total_value
+          |  CAST(sum(CAST(round(value * 10000) AS BIGINT)) AS BIGINT) AS total_value
           |FROM events GROUP BY 1, 2""".stripMargin,
       "events_sessions" ->
         """WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us, event_id,
@@ -706,14 +709,14 @@ object SparkEntry {
           |sids AS (SELECT *, sum(news) OVER (PARTITION BY user_id
           |    ORDER BY ts_us, event_id ROWS UNBOUNDED PRECEDING) AS sid FROM g)
           |SELECT user_id, min(ts_us) AS session_start_us, max(ts_us) AS session_end_us,
-          |  count(*) AS n_events, sum(v) AS total_value
+          |  count(*) AS n_events, CAST(sum(v) AS BIGINT) AS total_value
           |FROM sids GROUP BY user_id, sid""".stripMargin,
       "q1_pricing_summary" ->
         """SELECT l_returnflag, l_linestatus,
-          |  sum(CAST(l_quantity AS BIGINT)) AS sum_qty,
-          |  sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS sum_base_e2,
-          |  sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS sum_disc_e2,
-          |  sum(CAST(round(l_extendedprice * (1 - l_discount) * (1 + l_tax) * 100) AS BIGINT)) AS sum_charge_e2,
+          |  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+          |  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_base_e2,
+          |  CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS sum_disc_e2,
+          |  CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * (1 + l_tax) * 100) AS BIGINT)) AS BIGINT) AS sum_charge_e2,
           |  count(*) AS count_order
           |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
           |GROUP BY 1, 2""".stripMargin,
@@ -721,7 +724,7 @@ object SparkEntry {
         """SELECT o_orderkey, epoch_us(o_orderdate) AS o_orderdate_us, o_orderpriority,
           |  revenue_e2 FROM (
           |  SELECT o.o_orderkey, o.o_orderdate, o.o_orderpriority,
-          |    sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100) AS BIGINT)) AS revenue_e2
+          |    CAST(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100) AS BIGINT)) AS BIGINT) AS revenue_e2
           |  FROM lineitem l
           |  JOIN orders o ON l.l_orderkey = o.o_orderkey
           |  JOIN customer c ON o.o_custkey = c.c_custkey

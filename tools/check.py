@@ -19,6 +19,8 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
     for c in df.columns:
         if df[c].dtype == object:
             df[c] = df[c].astype(str)
+        elif pd.api.types.is_integer_dtype(df[c]):
+            df[c] = df[c].astype("int64")  # driver normalizes int widths
     df = df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True)
     return df
 
@@ -46,12 +48,19 @@ def main():
         elif len(spark_df) != len(duck_df):
             results[name] = f"ROWS spark={len(spark_df)} duck={len(duck_df)}"
         else:
-            try:
-                pd.testing.assert_frame_equal(spark_df, duck_df, check_dtype=False,
-                                              check_exact=False, rtol=1e-9, atol=1e-12)
-                results[name] = "OK"
-            except AssertionError as e:
-                results[name] = "VALUES " + str(e).split("\n")[0][:200]
+            # float-vs-int dtype split breaks the driver's exact value hash
+            # (observed r2: DuckDB sum(BIGINT)->HUGEINT->float64 vs Spark int64)
+            split = [c for c in spark_df.columns
+                     if pd.api.types.is_float_dtype(spark_df[c]) != pd.api.types.is_float_dtype(duck_df[c])]
+            if split:
+                results[name] = f"DTYPE float/int split on {split}"
+            else:
+                try:
+                    pd.testing.assert_frame_equal(spark_df, duck_df, check_dtype=False,
+                                                  check_exact=True)
+                    results[name] = "OK"
+                except AssertionError as e:
+                    results[name] = "VALUES " + str(e).split("\n")[0][:200]
     # queries without oracle → rows-only
     for name in set(glob.glob(f"{out_dir}/*/")) :
         pass

@@ -220,7 +220,7 @@ object SparkEntry {
 
   private def dedupSimhash(s: SparkSession, dir: String): DataFrame =
     Dedup.simHashNearDup(docsWithExactDups(s, dir), "doc_id", "text", maxHamming = 3)
-      .select("a_id", "b_id")
+      .select(col("a_id"), col("b_id"), col("hamming").cast("long").as("hamming"))
 
   private def dedupEmbedding(s: SparkSession, dir: String): DataFrame = {
     // positive scaling keeps both the cosine (=1) and every hyperplane sign
@@ -564,8 +564,6 @@ object SparkEntry {
       // Ground truth is the full all-pairs Jaccard (feasible in DuckDB at the
       // oracle SF) — so this checks both LSH recall (banded candidates find
       // every true pair, planted AND organic) and verify precision.
-      // dedup_simhash has no oracle (hamming over xxhash64 signs is not
-      // DuckDB-expressible): rows-only driver check + ScalaTest spec.
       "dedup_minhash" ->
         """WITH u AS (SELECT doc_id, text FROM documents UNION ALL
           |           SELECT doc_id + 100000, text || ' graftdup' FROM documents),
@@ -584,6 +582,35 @@ object SparkEntry {
           |      len(list_distinct(a.sh || b.sh)) >= 0.8""".stripMargin,
       "dedup_embedding" ->
         "SELECT vec_id AS a_id, vec_id + 100000 AS b_id FROM embeddings",
+      // SimHash ground truth: DuckDB recomputes the exact md5-chunk signature
+      // per doc and does the (feasible at oracle SF) all-pairs hamming — so
+      // this checks banded-candidate recall (pigeonhole: hamming<=3 over 4
+      // chunks) AND signature correctness bit-for-bit.
+      "dedup_simhash" -> {
+        val chunks = (0 until 4).map(c =>
+          s"CAST(concat('0x', substr(hx, ${1 + 4 * c}, 4)) AS BIGINT) AS c$c").mkString(", ")
+        val bits = (0 until 64).map(b =>
+          s"sum(CASE WHEN ((c${3 - b / 16} >> ${b % 16}) & 1) = 1 THEN 1 ELSE -1 END) AS b$b")
+          .mkString(", ")
+        val sig = (0 until 63).map(j =>
+          s"CASE WHEN b$j > 0 THEN (1::BIGINT << $j) ELSE 0::BIGINT END").mkString(" + ") +
+          " + CASE WHEN b63 > 0 THEN (-9223372036854775807 - 1) ELSE 0::BIGINT END"
+        s"""WITH u AS (SELECT doc_id, text FROM documents UNION ALL
+           |  SELECT doc_id + 100000, text FROM documents),
+           |t AS (SELECT doc_id,
+           |  list_filter(string_split_regex(lower(trim(text)), '\\s+'), x -> len(x) > 0) AS toks
+           |  FROM u),
+           |tk AS (SELECT doc_id, unnest(toks) AS tok FROM t),
+           |cc AS (SELECT doc_id, $chunks FROM (SELECT doc_id, md5(tok) AS hx FROM tk)),
+           |bits AS (SELECT doc_id, $bits FROM cc GROUP BY doc_id),
+           |sig0 AS (SELECT doc_id, $sig AS sim FROM bits),
+           |sig AS (SELECT u.doc_id, coalesce(s.sim, 0::BIGINT) AS sim
+           |        FROM u LEFT JOIN sig0 s USING (doc_id))
+           |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+           |       CAST(bit_count(xor(a.sim, b.sim)) AS BIGINT) AS hamming
+           |FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+           |WHERE bit_count(xor(a.sim, b.sim)) <= 3""".stripMargin
+      },
       // connected components as a recursive CTE over the same ground-truth
       // edge set (transitive closure is tiny: near-dup clusters are shallow)
       "dedup_clusters" ->

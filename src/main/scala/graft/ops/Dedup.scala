@@ -129,15 +129,25 @@ object Dedup {
     * `sum()` aggregates (map-side partial, one shuffle on id) — the per-row
     * array-expression formulation runs interpreted and much slower. Docs with
     * no tokens hash to 0 (explode_outer keeps them).
+    *
+    * The per-token 64-bit hash is the first 16 hex chars of md5(token),
+    * decoded as four 16-bit chunks — md5 exists in every engine, so the
+    * signature (and therefore the near-dup result) is reproducible outside
+    * Spark, which is what lets the driver's DuckDB oracle recompute it
+    * exactly (same reason `fingerprint` uses md5).
     */
   def simHash(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val ex = df
       .select(col(idCol).as("id"), explode_outer(tokens(col(textCol))).as("t"))
-      .select(col("id"), col("t").isNull.as("empty"), xxhash64(col("t")).as("h"))
-    val bitCols = (0 until 64).map { j =>
+      .select(col("id") +: col("t").isNull.as("empty") +:
+        (0 until 4).map(c =>
+          conv(substring(md5(col("t").cast("binary")), 1 + 4 * c, 4), 16, 10)
+            .cast("int").as(s"_c$c")): _*)
+    // bit b of the big-endian 64-bit md5 prefix lives in chunk 3 - b/16
+    val bitCols = (0 until 64).map { b =>
       sum(when(col("empty"), 0L)
-        .when(shiftright(col("h"), j).bitwiseAND(lit(1L)) === 1L, 1L)
-        .otherwise(-1L)).as(s"_b$j")
+        .when(shiftright(col(s"_c${3 - b / 16}"), b % 16).bitwiseAND(lit(1)) === 1, 1L)
+        .otherwise(-1L)).as(s"_b$b")
     }
     val agg = ex.groupBy(col("id")).agg(bitCols.head, bitCols.tail: _*)
     val sim = (0 until 64)

@@ -32,10 +32,13 @@ def main():
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
     oracles = json.load(open(f"{out_dir}/oracle_sql.json"))
     results = {}
+    import os
+    subset = os.environ.get("CHECK_SUBSET") == "1"  # skip queries not dumped
     for name, sql in sorted(oracles.items()):
         files = glob.glob(f"{out_dir}/{name}/*.parquet")
         if not files:
-            results[name] = "MISSING_SPARK_OUTPUT"
+            if not subset:
+                results[name] = "MISSING_SPARK_OUTPUT"
             continue
         try:
             spark_df = canon(pd.concat([pd.read_parquet(f) for f in files]))

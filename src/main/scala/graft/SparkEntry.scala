@@ -635,6 +635,72 @@ object SparkEntry {
           |  UNION
           |  SELECT r.src, ed.b FROM reach r JOIN edges ed ON r.dst = ed.a)
           |SELECT src AS id, min(dst) AS cluster FROM reach GROUP BY src""".stripMargin,
+      // The LSH oracle replicates the ALGORITHM in DuckDB: the seeded
+      // hyperplanes are embedded as literals (Double.toString round-trips
+      // exactly), buckets/probes/rank recompute independently. Sign parity is
+      // safe: measured cross-engine dot drift ~9e-16 vs min |dot| ~8e-5 on
+      // this data (both engines accumulate left-to-right in double).
+      "knn_lsh" -> {
+        val planes = graft.ops.Dedup.hyperplanes(8, 64, 42L)
+        def arr(p: Seq[Double]): String =
+          p.map(d => java.lang.Double.toString(d)).mkString("[", ", ", "]")
+        val dots = planes.zipWithIndex.map { case (p, i) =>
+          s"list_dot_product(v, ${arr(p)}) AS dot_$i"
+        }.mkString(",\n  ")
+        val bucket = (0 until 8)
+          .map(i => s"(CASE WHEN dot_$i >= 0 THEN ${1 << i} ELSE 0 END)").mkString(" + ")
+        val masks = (0 until 256).filter(m => Integer.bitCount(m) <= 1)
+          .mkString("[", ", ", "]")
+        s"""WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+           |d AS (SELECT vec_id, v,
+           |  $dots
+           |FROM c),
+           |b AS (SELECT vec_id, v, CAST($bucket AS BIGINT) AS bucket FROM d),
+           |q AS (SELECT vec_id AS qid, v AS qv, bucket AS qbucket FROM b WHERE vec_id < 5),
+           |p AS (SELECT qid, qv, xor(qbucket, m.m) AS bucket
+           |      FROM q, (SELECT CAST(unnest($masks) AS BIGINT) AS m) m),
+           |s AS (SELECT p.qid, cb.vec_id AS id,
+           |  row_number() OVER (PARTITION BY p.qid
+           |    ORDER BY list_cosine_similarity(p.qv, cb.v) DESC, cb.vec_id) AS rank
+           |  FROM p JOIN b cb USING (bucket))
+           |SELECT qid, id AS neighbor_id, rank FROM s WHERE rank <= 10""".stripMargin
+      },
+      // The IVF oracle recomputes the ENTIRE index in DuckDB — deterministic
+      // seed cells (lowest ids), `lloydIters` Lloyd rounds with exact
+      // fixed-point centroid means (bit-identical cross-engine), then
+      // probe + scan. CTE chain generated per iteration.
+      "knn_ivf" -> {
+        val (numCells, numProbes, k, lloydIters) = (16, 4, 10, 2)
+        def dist2(v: String, cv: String) =
+          s"list_dot_product($v, $v) - 2 * list_dot_product($v, $cv) + list_dot_product($cv, $cv)"
+        def assign(i: Int) =
+          s"""a_$i AS (SELECT id, v, cell FROM (
+             |  SELECT c.id, c.v, t.cell, row_number() OVER (PARTITION BY c.id
+             |    ORDER BY ${dist2("c.v", "t.cv")}, t.cell) AS rn
+             |  FROM c CROSS JOIN cent_${i - 1} t) WHERE rn = 1)""".stripMargin
+        def refine(i: Int) =
+          s"""cent_$i AS (SELECT cell, list(m ORDER BY pos) AS cv FROM (
+             |  SELECT cell, pos,
+             |    CAST(sum(CAST(round(x * 1048576) AS BIGINT)) AS DOUBLE) / count(*) / 1048576.0 AS m
+             |  FROM (SELECT cell, unnest(v) AS x, generate_subscripts(v, 1) AS pos FROM a_$i)
+             |  GROUP BY cell, pos) GROUP BY cell)""".stripMargin
+        val iters = (1 to lloydIters).map(i => s"${assign(i)},\n${refine(i)}").mkString(",\n")
+        s"""WITH c AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+           |cent_0 AS (SELECT row_number() OVER (ORDER BY id) - 1 AS cell, v AS cv
+           |           FROM (SELECT id, v FROM c ORDER BY id LIMIT $numCells)),
+           |$iters,
+           |${assign(lloydIters + 1).replace(s"a_${lloydIters + 1}", "afinal")},
+           |q AS (SELECT id AS qid, v AS qv FROM c WHERE id < 5),
+           |probes AS (SELECT qid, qv, cell FROM (
+           |  SELECT q.qid, q.qv, t.cell, row_number() OVER (PARTITION BY q.qid
+           |    ORDER BY ${dist2("q.qv", "t.cv")}, t.cell) AS rn
+           |  FROM q CROSS JOIN cent_$lloydIters t) WHERE rn <= $numProbes),
+           |cand AS (SELECT p.qid, p.qv, a.id, a.v FROM probes p JOIN afinal a USING (cell))
+           |SELECT qid, id AS neighbor_id, rank FROM (
+           |  SELECT qid, id, row_number() OVER (PARTITION BY qid
+           |    ORDER BY list_cosine_similarity(qv, v) DESC, id) AS rank
+           |  FROM cand) WHERE rank <= $k""".stripMargin
+      },
       "knn_brute" ->
         """SELECT qid, neighbor_id, rank FROM (
           |  SELECT q.vec_id AS qid, c.vec_id AS neighbor_id,

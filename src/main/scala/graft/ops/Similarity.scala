@@ -1,8 +1,6 @@
 package graft.ops
 
 import graft.functions._
-import org.apache.spark.ml.clustering.KMeans
-import org.apache.spark.ml.functions.array_to_vector
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -70,12 +68,56 @@ object Similarity {
       .select(col("qid"), col("id").as("neighbor_id"), col("rank"), col("cosine"))
   }
 
-  /** IVF-style ANN: k-means partitions the corpus into `numCells` Voronoi
-    * cells (train once, an action at call time — at scale, fit on a sample
-    * and reuse the model); each query probes its `numProbes` nearest cells
-    * and scores only those cells' vectors. The data-driven cells adapt to
-    * the corpus distribution, which sign-LSH cannot — the standard
-    * IVF-flat trade (train cost + centroid table vs better cell occupancy).
+  /** Squared-L2 cell assignment against driver-held centroids (tiny:
+    * numCells x dim doubles, the standard k-means driver state). One
+    * codegen'd `least` over per-cell (dist, cell) structs — no shuffle;
+    * ties break to the lower cell id.
+    */
+  private def assignCells(corpus: DataFrame, cents: Seq[(Int, Seq[Double])]): DataFrame = {
+    val vv = dot(col("vec"), col("vec"))
+    val ds = cents.map { case (cell, c) =>
+      val cc = c.map(x => x * x).sum
+      struct((vv - lit(2.0) * dot(col("vec"), typedLit(c)) + lit(cc)).as("dist"),
+        lit(cell).as("cell"))
+    }
+    corpus.withColumn("cell", least(ds: _*).getField("cell"))
+  }
+
+  /** Element-wise centroid means in 2^20 fixed point: per-dimension sums are
+    * exact integers, so the result is INDEPENDENT of shuffle/partition order
+    * (a plain double mean is not — fp addition doesn't commute) and
+    * bit-reproducible by any other engine. Only populated cells survive.
+    */
+  private def refineCentroids(assigned: DataFrame): Seq[(Int, Seq[Double])] = {
+    assigned
+      .select(col("cell"), posexplode(col("vec")).as(Seq("pos", "x")))
+      .groupBy(col("cell"), col("pos"))
+      .agg(sum(round(col("x") * lit(1048576.0)).cast("long")).as("s"),
+        count(lit(1)).as("n"))
+      .groupBy(col("cell"))
+      .agg(array_sort(collect_list(struct(col("pos"),
+        (col("s").cast("double") / col("n") / lit(1048576.0)).as("m")))).as("pm"))
+      .collect()
+      .map(r => (r.getInt(0),
+        r.getSeq[org.apache.spark.sql.Row](1).map(_.getDouble(1)).toSeq))
+      .toSeq.sortBy(_._1)
+  }
+
+  /** IVF-flat ANN: Lloyd k-means partitions the corpus into Voronoi cells;
+    * each query probes its `numProbes` nearest cells and scores only those
+    * cells' vectors. The data-driven cells adapt to the corpus distribution,
+    * which sign-LSH cannot — the standard IVF trade (train cost + centroid
+    * table vs better cell occupancy).
+    *
+    * The trainer is deliberately from-scratch and DETERMINISTIC: seeding is
+    * the `numCells` lowest-id corpus vectors and centroid means use exact
+    * fixed-point sums (see refineCentroids), so the whole index — and
+    * therefore the query result — is reproducible bit-for-bit in any engine
+    * (the driver's DuckDB oracle recomputes the full train+probe+scan). Per
+    * iteration: one narrow posexplode shuffle + a numCells x dim driver
+    * collect. At 100 TB, fit on a sample (the assignment pass is unchanged);
+    * `lloydIters` is small because IVF needs balanced cells, not converged
+    * clusters.
     */
   def ivfTopK(
       queries: DataFrame, // columns: qid, qvec
@@ -83,20 +125,23 @@ object Similarity {
       k: Int,
       numCells: Int = 16,
       numProbes: Int = 4,
-      seed: Long = 42L): DataFrame = {
-    val train = corpus.withColumn("features",
-      array_to_vector(col("vec").cast("array<double>")))
-    val model = new KMeans().setK(numCells).setSeed(seed).setMaxIter(10)
-      .fit(train)
-    val corpusCells = model.transform(train)
-      .select(col("id"), col("vec"), col("prediction").as("cell"))
-    // centroids are tiny: ship as literals, rank cells per query by L2
-    val centroids: Seq[Seq[Double]] = model.clusterCenters.map(_.toArray.toSeq).toSeq
-    val cellDists = centroids.zipWithIndex.map { case (c, i) =>
-      val qq = dot(col("qvec"), col("qvec"))
+      lloydIters: Int = 2): DataFrame = {
+    // deterministic seed centroids: the numCells lowest-id vectors
+    var cents: Seq[(Int, Seq[Double])] = corpus
+      .orderBy(col("id")).limit(numCells).select(col("vec")).collect()
+      .map(_.getSeq[Any](0).map {
+        case f: Float => f.toDouble
+        case d: Double => d
+      }.toSeq).zipWithIndex.map { case (v, i) => (i, v) }.toSeq
+    for (_ <- 1 to lloydIters)
+      cents = refineCentroids(assignCells(corpus, cents))
+    val corpusCells = assignCells(corpus, cents)
+
+    val qq = dot(col("qvec"), col("qvec"))
+    val cellDists = cents.map { case (cell, c) =>
       val cc = c.map(x => x * x).sum
       struct((qq - lit(2.0) * dot(col("qvec"), typedLit(c)) + lit(cc)).as("dist"),
-        lit(i).as("cell"))
+        lit(cell).as("cell"))
     }
     val probes = queries.select(col("qid"), col("qvec"),
       explode(slice(array_sort(array(cellDists: _*)), 1, numProbes)).as("p"))

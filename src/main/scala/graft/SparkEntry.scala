@@ -315,6 +315,58 @@ object SparkEntry {
     kept.join(scored, "doc_id").select("doc_id", "n_dups", "quality_score")
   }
 
+  /** Per-user trailing-7-day rolling count/sum over events (RANGE frame). */
+  private def rollingFeatures(s: SparkSession, dir: String): DataFrame =
+    ops.Temporal.rollingAggregate(eventsFixedPoint(s, dir),
+      keys = Seq("user_id"), tsCol = "ts", valueCol = "value",
+      windowSeconds = 7L * 86400L)
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("ts_us"),
+        col("roll_count").as("n_7d"), col("roll_sum").as("value_7d"))
+
+  /** Attribution: for each purchase, clicks by the same user in the
+    * preceding hour (half-open window — the purchase itself excluded).
+    */
+  private def eventAttribution(s: SparkSession, dir: String): DataFrame = {
+    val ev = eventsFixedPoint(s, dir)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select("event_id", "user_id", "ts")
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts").as("click_ts"), col("value"))
+    ops.Temporal.precedingJoinAgg(purchases, clicks,
+      keys = Seq("user_id"), leftTsCol = "ts", rightTsCol = "click_ts",
+      lookbackSeconds = 3600L, valueCol = "value")
+      .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("ts_us"),
+        col("preceding_count").as("n_clicks_1h"),
+        col("preceding_sum").as("click_value_1h"))
+  }
+
+  /** documents with deterministic planted PII on every 5th doc. */
+  private def docsWithPii(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir).withColumn("text",
+      when(col("doc_id") % 5 === 0,
+        concat(col("text"), lit(" contact u"), col("doc_id").cast("string"),
+          lit("@example.com from 10.0."), (col("doc_id") % 200).cast("string"),
+          lit(".7")))
+        .otherwise(col("text")))
+
+  private def textPiiRedact(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.redactPii(docsWithPii(s, dir), "doc_id", "text")
+
+  private def sampleHash(s: SparkSession, dir: String): DataFrame =
+    ops.Sampling.hashSample(docs(s, dir), "doc_id", percent = 10)
+      .select("doc_id", "lang", "source")
+
+  private def filterBlocklist(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val blocked = Seq("src3", "src7", "src11").toDF("value")
+    ops.Sampling.filterBlocklist(docs(s, dir), "source", blocked)
+      .select("doc_id", "source")
+  }
+
+  private def corpusQuantiles(s: SparkSession, dir: String): DataFrame =
+    ops.Stats.groupedQuantiles(docs(s, dir), Seq("lang"), "n_chars",
+      Seq(0.25, 0.5, 0.75))
+
   // =================================================================
   // §2.3 analytics headliners
   // =================================================================
@@ -407,6 +459,12 @@ object SparkEntry {
     "events_json_extract" -> (eventsJsonExtract _),
     "events_windowed" -> (eventsWindowed _),
     "events_sessions" -> (eventsSessions _),
+    "rolling_features" -> (rollingFeatures _),
+    "event_attribution" -> (eventAttribution _),
+    "text_pii_redact" -> (textPiiRedact _),
+    "sample_hash" -> (sampleHash _),
+    "filter_blocklist" -> (filterBlocklist _),
+    "corpus_quantiles" -> (corpusQuantiles _),
     "q1_pricing_summary" -> (q1PricingSummary _),
     "q3_top_orders" -> (q3TopOrders _),
     "top_events_per_user" -> (topEventsPerUser _),
@@ -804,6 +862,48 @@ object SparkEntry {
           |SELECT user_id, min(ts_us) AS session_start_us, max(ts_us) AS session_end_us,
           |  count(*) AS n_events, CAST(sum(v) AS BIGINT) AS total_value
           |FROM sids GROUP BY user_id, sid""".stripMargin,
+      "rolling_features" ->
+        """SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+          |  count(*) OVER w AS n_7d,
+          |  CAST(sum(CAST(round(value * 10000) AS BIGINT)) OVER w AS BIGINT) AS value_7d
+          |FROM events
+          |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+          |  RANGE BETWEEN 604800000000 PRECEDING AND CURRENT ROW)""".stripMargin,
+      "event_attribution" ->
+        """WITH p AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us FROM events
+          |           WHERE event_type = 'purchase'),
+          |c AS (SELECT user_id, epoch_us(ts) AS ts_us,
+          |        CAST(round(value * 10000) AS BIGINT) AS v FROM events
+          |      WHERE event_type = 'click')
+          |SELECT p.event_id, p.user_id, p.ts_us,
+          |  count(c.ts_us) AS n_clicks_1h,
+          |  CAST(coalesce(sum(c.v), 0) AS BIGINT) AS click_value_1h
+          |FROM p LEFT JOIN c ON c.user_id = p.user_id
+          |  AND c.ts_us >= p.ts_us - 3600000000 AND c.ts_us < p.ts_us
+          |GROUP BY 1, 2, 3""".stripMargin,
+      "text_pii_redact" ->
+        s"""WITH d AS (SELECT doc_id, CASE WHEN doc_id % 5 = 0
+           |    THEN text || ' contact u' || CAST(doc_id AS VARCHAR) ||
+           |         '@example.com from 10.0.' || CAST(doc_id % 200 AS VARCHAR) || '.7'
+           |    ELSE text END AS text FROM documents)
+           |SELECT doc_id,
+           |  len(regexp_extract_all(text, '${TextAnalysis.emailRe}')) AS n_emails,
+           |  len(regexp_extract_all(text, '${TextAnalysis.ipv4Re}')) AS n_ips,
+           |  md5(regexp_replace(regexp_replace(text, '${TextAnalysis.emailRe}', '<EMAIL>', 'g'),
+           |      '${TextAnalysis.ipv4Re}', '<IP>', 'g')) AS redacted_fp
+           |FROM d""".stripMargin,
+      "sample_hash" ->
+        """SELECT doc_id, lang, source FROM documents
+          |WHERE CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 6)) AS BIGINT)
+          |      % 100 < 10""".stripMargin,
+      "filter_blocklist" ->
+        "SELECT doc_id, source FROM documents WHERE source NOT IN ('src3', 'src7', 'src11')",
+      "corpus_quantiles" ->
+        """SELECT lang, count(*) AS n_rows,
+          |  quantile_cont(n_chars, 0.25) AS p25,
+          |  quantile_cont(n_chars, 0.50) AS p50,
+          |  quantile_cont(n_chars, 0.75) AS p75
+          |FROM documents GROUP BY lang""".stripMargin,
       "q1_pricing_summary" ->
         """SELECT l_returnflag, l_linestatus,
           |  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,

@@ -1,0 +1,33 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Corpus subsetting operators: deterministic sampling and blocklist
+  * filtering. Both are scan-speed, shuffle-free row filters — the properties
+  * that matter at 100 TB, where `df.sample()`'s per-run randomness would make
+  * pipelines unrepeatable and a NOT IN subquery would shuffle the world.
+  */
+object Sampling {
+
+  /** Deterministic hash sample: keep a row iff the md5 bucket of its key
+    * lands below `percent` (of 100). The same key always samples the same
+    * way — across runs, engines, and dataset versions — which is what makes
+    * train/eval splits and debugging subsets reproducible. Scan-speed filter,
+    * no shuffle, no RNG state.
+    */
+  def hashSample(df: DataFrame, keyCol: String, percent: Int): DataFrame = {
+    require(percent >= 0 && percent <= 100, "percent must be in [0, 100]")
+    val bucket = conv(substring(md5(col(keyCol).cast("string").cast("binary")), 1, 6), 16, 10)
+      .cast("long") % 100
+    df.filter(bucket < percent)
+  }
+
+  /** Blocklist filter: drop rows whose `column` appears in `blocked` (single
+    * column `value`). The blocklist is broadcast — a LEFT ANTI hash join with
+    * no shuffle of the big side, the right shape for a multi-TB corpus vs a
+    * curated list of a few thousand domains/sources.
+    */
+  def filterBlocklist(df: DataFrame, column: String, blocked: DataFrame): DataFrame =
+    df.join(broadcast(blocked), df(column) === blocked("value"), "left_anti")
+}

@@ -1,0 +1,33 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Distribution statistics over grouped data. */
+object Stats {
+
+  /** Exact per-group quantiles (linear interpolation) of `valueCol`, one
+    * output column per requested quantile (`p25`, `p50`, ...), plus the group
+    * row count.
+    *
+    * Exact `percentile` buffers each group's values — fine for per-group
+    * profiling (groups are bounded: languages, sources, shards); for
+    * whole-corpus quantiles at 100 TB switch to `approx_percentile`, which is
+    * mergeable and streams. Dyadic quantiles (.25/.5/.75) over integer values
+    * interpolate exactly in binary floating point, so results are
+    * engine-reproducible bit-for-bit.
+    */
+  def groupedQuantiles(
+      df: DataFrame,
+      groupCols: Seq[String],
+      valueCol: String,
+      qs: Seq[Double]): DataFrame = {
+    val agg = df.groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).as("n_rows"),
+        percentile(col(valueCol), typedLit(qs)).as("_q"))
+    val qCols = qs.zipWithIndex.map { case (q, i) =>
+      element_at(col("_q"), i + 1).as(s"p${math.round(q * 100)}")
+    }
+    agg.select(groupCols.map(col) ++ (col("n_rows") +: qCols): _*)
+  }
+}

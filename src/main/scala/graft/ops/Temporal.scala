@@ -1,0 +1,72 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Temporal feature computation beyond the reference's three retrieval
+  * primitives: rolling time-window aggregates per key (the bread-and-butter
+  * "count/sum over the trailing N days" feature family) and preceding-window
+  * attribution joins (events joined to the qualifying events that led up to
+  * them).
+  *
+  * Scale posture: both operators shuffle once on the entity keys and never
+  * materialize a per-row candidate list — the rolling aggregate is a RANGE
+  * window frame (sort within key partition, streaming frame evaluation), and
+  * the attribution join's fan-out is bounded by events-per-key-per-window,
+  * which is what bounds it on a 1000-executor cluster too.
+  */
+object Temporal {
+
+  /** Per-key rolling aggregates over the trailing `windowSeconds` (inclusive
+    * of the current row's instant): appends `roll_count` and `roll_sum` of
+    * `valueCol`. The frame is a RANGE (value-based) frame over microseconds,
+    * so rows tied on timestamp are peers and see the same frame — standard
+    * SQL semantics, reproducible in any engine.
+    */
+  def rollingAggregate(
+      df: DataFrame,
+      keys: Seq[String],
+      tsCol: String,
+      valueCol: String,
+      windowSeconds: Long): DataFrame = {
+    val w = Window
+      .partitionBy(keys.map(col): _*)
+      .orderBy(unix_micros(col(tsCol)))
+      .rangeBetween(-windowSeconds * 1000000L, 0L)
+    df.withColumn("roll_count", count(lit(1)).over(w))
+      .withColumn("roll_sum", sum(col(valueCol)).over(w))
+  }
+
+  /** Attribution join: for every `left` row, count and sum the `right` rows
+    * with the same keys whose timestamp falls in the half-open window
+    * `[left_ts - lookbackSeconds, left_ts)` — strictly before the probe row,
+    * so an event never attributes to itself. Left rows with no qualifying
+    * right rows survive with count 0 / sum 0 (LEFT join).
+    *
+    * The join is an equality join on `keys` with the temporal predicate as a
+    * join condition — one shuffle per side; keep `left` slim (keys + ts + an
+    * id), since the result groups by all its columns.
+    */
+  def precedingJoinAgg(
+      left: DataFrame,
+      right: DataFrame,
+      keys: Seq[String],
+      leftTsCol: String,
+      rightTsCol: String,
+      lookbackSeconds: Long,
+      valueCol: String): DataFrame = {
+    // prefix-rename the right side: both sides often derive from the SAME
+    // table (self-attribution), where alias-based resolution is ambiguous
+    val r = right.select(right.columns.map(c => col(c).as(s"_r_$c")): _*)
+    val keyEq = keys.map(k => left(k) === r(s"_r_$k")).reduce(_ && _)
+    val lUs = unix_micros(left(leftTsCol))
+    val rUs = unix_micros(r(s"_r_$rightTsCol"))
+    val temporal = rUs >= lUs - lookbackSeconds * 1000000L && rUs < lUs
+    left.join(r, keyEq && temporal, "left")
+      .groupBy(left.columns.map(left(_)): _*)
+      .agg(
+        count(r(s"_r_$rightTsCol")).as("preceding_count"),
+        coalesce(sum(r(s"_r_$valueCol")), lit(0L)).as("preceding_sum"))
+  }
+}

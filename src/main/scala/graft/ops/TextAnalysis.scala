@@ -142,6 +142,29 @@ object TextAnalysis {
       .limit(topK)
   }
 
+  /** Conservative RE2-compatible PII patterns (no lookaround/backrefs, so the
+    * same pattern runs in Java regex, RE2, and DuckDB identically).
+    */
+  private[graft] val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private[graft] val ipv4Re = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+
+  /** PII redaction: replace emails then IPv4 literals with placeholder tags,
+    * reporting per-doc match counts and the md5 fingerprint of the redacted
+    * text (the fingerprint keeps the oracle/diff cheap — no need to ship the
+    * full redacted corpus to compare it). Pure per-row regex projection:
+    * scan-speed, no shuffle.
+    */
+  def redactPii(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t = col(textCol)
+    val redacted = regexp_replace(
+      regexp_replace(t, emailRe, "<EMAIL>"), ipv4Re, "<IP>")
+    df.select(
+      col(idCol),
+      regexp_count(t, lit(emailRe)).as("n_emails"),
+      regexp_count(t, lit(ipv4Re)).as("n_ips"),
+      md5(redacted.cast("binary")).as("redacted_fp"))
+  }
+
   /** Content fingerprint: md5 digest of the sorted distinct token set.
     * Word-order- and repetition-insensitive, so shuffled/boilerplate copies
     * collide — the cheap "same content?" key for exact-ish dedup joins.

@@ -1,0 +1,107 @@
+package graft.ops
+
+import graft.SparkTestBase
+import java.sql.Timestamp
+import org.apache.spark.sql.functions._
+
+/** Specs for the round-3 pipeline operators: rolling window features,
+  * attribution joins, deterministic sampling, blocklist filtering, grouped
+  * quantiles, and PII redaction.
+  */
+class PipelineOpsSpec extends SparkTestBase {
+  import org.apache.spark.sql.Row
+
+  private def ts(s: String): Timestamp = Timestamp.valueOf(s)
+
+  test("rollingAggregate: trailing window includes current row, expires old rows") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, ts("2024-01-01 00:00:00"), 10L),
+      (1L, ts("2024-01-01 00:30:00"), 20L),
+      (1L, ts("2024-01-01 02:00:00"), 40L), // first two outside a 1h window
+      (2L, ts("2024-01-01 00:10:00"), 7L)
+    ).toDF("user_id", "ts", "value")
+    val out = Temporal.rollingAggregate(df, Seq("user_id"), "ts", "value", 3600L)
+      .select("user_id", "value", "roll_count", "roll_sum")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(out === Set(
+      (1L, 10L, 1L, 10L),
+      (1L, 20L, 2L, 30L), // 00:30 sees 00:00 (inclusive 1h lookback)
+      (1L, 40L, 1L, 40L), // 02:00 sees neither (00:30 is 90min back)
+      (2L, 7L, 1L, 7L)))
+  }
+
+  test("precedingJoinAgg: half-open window, self excluded, zero-match rows kept") {
+    import spark.implicits._
+    val probes = Seq(
+      (100L, 1L, ts("2024-01-01 01:00:00")),
+      (101L, 1L, ts("2024-01-01 03:00:00")),
+      (102L, 2L, ts("2024-01-01 01:00:00"))
+    ).toDF("event_id", "user_id", "ts")
+    val src = Seq(
+      (1L, ts("2024-01-01 00:10:00"), 5L), // within 1h of probe 100
+      (1L, ts("2024-01-01 01:00:00"), 9L), // == probe ts -> excluded (half-open)
+      (1L, ts("2024-01-01 02:30:00"), 3L) // within 1h of probe 101
+    ).toDF("user_id", "click_ts", "value")
+    val out = Temporal.precedingJoinAgg(probes, src, Seq("user_id"),
+      "ts", "click_ts", 3600L, "value")
+      .select("event_id", "preceding_count", "preceding_sum")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(out === Set((100L, 1L, 5L), (101L, 1L, 3L), (102L, 0L, 0L)))
+  }
+
+  test("hashSample: deterministic across runs, rate near target, subset property") {
+    val docs = spark.read.parquet(s"${sf()}/documents.parquet")
+    val s10a = Sampling.hashSample(docs, "doc_id", 10).select("doc_id").collect().map(_.getLong(0)).toSet
+    val s10b = Sampling.hashSample(docs, "doc_id", 10).select("doc_id").collect().map(_.getLong(0)).toSet
+    val s30 = Sampling.hashSample(docs, "doc_id", 30).select("doc_id").collect().map(_.getLong(0)).toSet
+    val n = docs.count()
+    assert(s10a === s10b, "same keys must sample identically")
+    assert(s10a.subsetOf(s30), "a 10% sample is contained in the 30% sample")
+    assert(math.abs(s10a.size.toDouble / n - 0.10) < 0.06)
+    assert(Sampling.hashSample(docs, "doc_id", 0).count() === 0L)
+    assert(Sampling.hashSample(docs, "doc_id", 100).count() === n)
+  }
+
+  test("filterBlocklist: anti-join drops exactly the blocked values, plan broadcasts") {
+    import spark.implicits._
+    val docs = spark.read.parquet(s"${sf()}/documents.parquet")
+    val blocked = Seq("src1", "src2").toDF("value")
+    val out = Sampling.filterBlocklist(docs, "source", blocked)
+    assert(out.filter(col("source").isin("src1", "src2")).count() === 0L)
+    assert(out.count() ===
+      docs.filter(!col("source").isin("src1", "src2")).count())
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftAnti"),
+      s"expected broadcast anti join, got:\n$plan")
+  }
+
+  test("groupedQuantiles: exact interpolated quartiles per group") {
+    import spark.implicits._
+    // group g: 1..5 -> p25=2, p50=3, p75=4; group h: 10,20 -> 12.5, 15, 17.5
+    val df = (Seq.tabulate(5)(i => ("g", (i + 1).toLong)) ++
+      Seq(("h", 10L), ("h", 20L))).toDF("grp", "v")
+    val out = Stats.groupedQuantiles(df, Seq("grp"), "v", Seq(0.25, 0.5, 0.75))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))).toSet
+    assert(out === Set(("g", 5L, 2.0, 3.0, 4.0), ("h", 2L, 12.5, 15.0, 17.5)))
+  }
+
+  test("redactPii: emails and IPv4s counted and replaced; clean text untouched") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "write to a.b+c@mail.example.org or ping 192.168.0.1 now"),
+      (2L, "no pii here at all"),
+      (3L, "two mails x@y.io z@w.co one ip 10.0.0.7")
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.redactPii(df, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSet
+    assert(out === Set((1L, 1, 1), (2L, 0, 0), (3L, 2, 1)))
+    // fingerprint of redacted text equals md5 of the hand-redacted string
+    val fp = TextAnalysis.redactPii(df.filter(col("doc_id") === 1L), "doc_id", "text")
+      .select("redacted_fp").head().getString(0)
+    val expected = java.security.MessageDigest.getInstance("MD5")
+      .digest("write to <EMAIL> or ping <IP> now".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    assert(fp === expected)
+  }
+}

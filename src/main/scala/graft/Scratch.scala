@@ -7,10 +7,10 @@ import graft.ops.Dedup
 /** Throwaway profiling main (not part of the driver contract). */
 object Scratch {
   def main(args: Array[String]): Unit = {
-    val dir = args.headOption.getOrElse("/root/testdata/sf0.001")
+    val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val spark = SparkSession.builder()
-      .master("local[8]")
-      .config("spark.sql.shuffle.partitions", "8")
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
@@ -20,20 +20,24 @@ object Scratch {
       val t0 = System.nanoTime(); val r = f
       println(f"[scratch] $name: ${(System.nanoTime() - t0) / 1e9}%.2fs"); r
     }
-    // warm up
-    spark.read.parquet(s"$dir/documents.parquet").count()
+    spark.read.parquet(s"$dir/documents.parquet").count() // warm
 
     val d = spark.read.parquet(s"$dir/documents.parquet")
     val u = d.unionByName(d
       .withColumn("doc_id", col("doc_id") + 100000L)
       .withColumn("text", concat(col("text"), lit(" graftdup"))))
 
-    val pairs = time("minHashLsh")(
-      Dedup.minHashLsh(u, "doc_id", "text", threshold = 0.8)
-        .select("a_id", "b_id").localCheckpoint())
-    println(s"[scratch] pairs: ${pairs.count()}")
-    time("connectedComponents")(
-      Dedup.connectedComponents(u.select(col("doc_id").as("id")), pairs).count())
+    val pairs = time("minHashLsh plan+exec(count)") {
+      val p = Dedup.minHashLsh(u, "doc_id", "text", threshold = 0.8).select("a_id", "b_id")
+      p.count(); p
+    }
+    time("pairs localCheckpoint") {
+      pairs.select(col("a_id").as("src"), col("b_id").as("dst")).localCheckpoint().count()
+    }
+    val ids = u.select(col("doc_id").as("id"))
+    time("connectedComponents total") {
+      Dedup.connectedComponents(ids, pairs).count()
+    }
     spark.stop()
   }
 }

@@ -302,17 +302,17 @@ object SparkEntry {
 
   /** End-to-end corpus cleaning: quality-filter then exact-dedup, the
     * composition a training-data pipeline actually runs. Output = surviving
-    * canonical docs with their quality score.
+    * canonical docs with their quality score. `qualityScore` carries the text
+    * through (`keep`), so the whole pipeline is ONE text pass and ONE shuffle
+    * (the dedup groupBy) — no joins, no checkpoint; the canonical row's score
+    * rides inside the dedup arg-min struct.
     */
   private def pipelineCleanCorpus(s: SparkSession, dir: String): DataFrame = {
-    val d = docsWithExactDups(s, dir)
-    // referenced by the filter join AND the final score join — materialize once
-    val scored = TextAnalysis.qualityScore(d, "doc_id", "text")
+    val scored = TextAnalysis
+      .qualityScore(docsWithExactDups(s, dir), "doc_id", "text", keep = Seq("text"))
       .filter(col("quality_score") >= 0.5)
-      .localCheckpoint(false)
-    val kept = Dedup.exact(
-      d.join(scored.select("doc_id"), "doc_id"), Seq("text"), "doc_id")
-    kept.join(scored, "doc_id").select("doc_id", "n_dups", "quality_score")
+    Dedup.exact(scored, Seq("text"), "doc_id")
+      .select("doc_id", "n_dups", "quality_score")
   }
 
   /** Per-user trailing-7-day rolling count/sum over events (RANGE frame). */

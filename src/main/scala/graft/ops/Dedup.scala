@@ -198,12 +198,17 @@ object Dedup {
       ids: DataFrame, // column: id
       pairs: DataFrame, // columns: a_id, b_id
       maxIterations: Int = 20): DataFrame = {
-    // checkpoint once: edges usually derive from a whole detection pipeline
-    // (LSH + verify) — without this every iteration re-executes it
-    val edges = pairs.select(col("a_id").as("src"), col("b_id").as("dst"))
-      .union(pairs.select(col("b_id").as("src"), col("a_id").as("dst")))
+    // checkpoint the pair list BEFORE mirroring it: pairs usually derive from
+    // a whole detection pipeline (LSH + verify), and a union of two branches
+    // over an unmaterialized plan executes that pipeline twice
+    val p = pairs.select(col("a_id").as("src"), col("b_id").as("dst"))
       .localCheckpoint()
-    var labels = ids.select(col("id"), col("id").as("cluster"))
+    val edges = p.union(p.select(col("dst").as("src"), col("src").as("dst")))
+    // iterate ONLY over nodes that appear in an edge — at corpus scale the
+    // overwhelming majority of docs are in no near-dup pair and their label
+    // never moves; they rejoin as singletons at the end
+    var labels = edges.select(col("src").as("id")).distinct()
+      .select(col("id"), col("id").as("cluster"))
     var changed = 1L
     var i = 0
     while (changed > 0 && i < maxIterations) {
@@ -223,7 +228,9 @@ object Dedup {
       labels = next.drop("_old")
       i += 1
     }
-    labels
+    // singletons (no edges) are their own cluster
+    ids.join(labels, Seq("id"), "left")
+      .select(col("id"), coalesce(col("cluster"), col("id")).as("cluster"))
   }
 
   /** Deterministic random hyperplanes for sign-bucket LSH (seeded, so results

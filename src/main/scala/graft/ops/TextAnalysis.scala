@@ -55,7 +55,11 @@ object TextAnalysis {
     *  - repetition: low distinct-token ratio means boilerplate/spam;
     *  - stopword presence: natural language has function words.
     */
-  def qualityScore(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+  def qualityScore(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      keep: Seq[String] = Nil): DataFrame = {
     val t = col(textCol)
     val toks = tokens(t)
     val nTok = size(toks).cast("double")
@@ -67,13 +71,13 @@ object TextAnalysis {
     val repSignal = size(array_distinct(toks)) / greatest(nTok, lit(1.0))
     val stopSignal = least(nStop / greatest(nTok, lit(1.0)) * 5.0, lit(1.0))
     df.select(
-      col(idCol),
-      size(toks).as("n_tokens"),
-      nStop.as("n_stopwords"),
-      nPunct.as("n_punct"),
-      size(array_distinct(toks)).as("n_distinct_tokens"),
-      round((lengthSignal * 0.25 + punctSignal * 0.25 + repSignal * 0.25 + stopSignal * 0.25), 6)
-        .as("quality_score"))
+      col(idCol) +: keep.map(col) :+
+        size(toks).as("n_tokens") :+
+        nStop.as("n_stopwords") :+
+        nPunct.as("n_punct") :+
+        size(array_distinct(toks)).as("n_distinct_tokens") :+
+        round((lengthSignal * 0.25 + punctSignal * 0.25 + repSignal * 0.25 + stopSignal * 0.25), 6)
+          .as("quality_score"): _*)
   }
 
   /** Language ID by stopword-hit ratio per language; `und` when nothing hits.

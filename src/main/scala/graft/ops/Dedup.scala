@@ -279,4 +279,34 @@ object Dedup {
       .filter(col("cosine") >= threshold)
       .select(col("a_id"), col("b_id"), col("cosine"))
   }
+
+  /** Benchmark decontamination: flag corpus documents that share any word
+    * n-gram with a benchmark/eval set — the standard "did the training data
+    * leak the test set" check. Returns (id, n_hit_grams, n_grams) for
+    * contaminated docs only.
+    *
+    * Shape at 100 TB: the benchmark side is small (eval sets are thousands of
+    * docs), so its distinct gram set is BROADCAST and the corpus does one
+    * scan — explode grams, broadcast-hash semi-match, re-aggregate by doc.
+    * The corpus never shuffles its text; the only exchange carries narrow
+    * (id, counts) rows for docs that actually hit. Grams join as strings
+    * (not hashes) so a hit is a hit, never a hash collision accusation.
+    */
+  def decontaminate(
+      corpus: DataFrame,
+      benchmark: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleN: Int = 3): DataFrame = {
+    def grams(df: DataFrame): DataFrame = df
+      .select(col(idCol).as("id"), tokens(col(textCol)).as("_toks"))
+      .select(col("id"), explode(array_distinct(shinglesFromTokens(col("_toks"), shingleN))).as("g"))
+    val benchGrams = grams(benchmark).select(col("g")).distinct()
+    grams(corpus)
+      .join(broadcast(benchGrams).withColumn("_hit", lit(1)), Seq("g"), "left")
+      .groupBy(col("id"))
+      .agg(sum(col("_hit")).as("n_hit_grams"), count(lit(1)).as("n_grams"))
+      .filter(col("n_hit_grams") >= 1)
+      .select(col("id"), col("n_hit_grams").cast("long").as("n_hit_grams"), col("n_grams"))
+  }
 }

@@ -30,4 +30,50 @@ object Sampling {
     */
   def filterBlocklist(df: DataFrame, column: String, blocked: DataFrame): DataFrame =
     df.join(broadcast(blocked), df(column) === blocked("value"), "left_anti")
+
+  /** Stratified deterministic sample: a per-stratum keep-rate (percent of
+    * 100) applied with the same md5-bucket rule as [[hashSample]]. This is the
+    * language/source-rebalancing primitive of corpus curation (downsample the
+    * dominant language, keep the tail), and it stays a scan-speed, shuffle-free
+    * filter: the rate lookup is a CASE expression compiled from the (tiny)
+    * strata map, not a join.
+    */
+  def stratifiedSample(
+      df: DataFrame,
+      keyCol: String,
+      strataCol: String,
+      rates: Map[String, Int],
+      defaultPercent: Int): DataFrame = {
+    require((rates.values.toSeq :+ defaultPercent).forall(p => p >= 0 && p <= 100),
+      "rates must be in [0, 100]")
+    val bucket = conv(substring(md5(col(keyCol).cast("string").cast("binary")), 1, 6), 16, 10)
+      .cast("long") % 100
+    val rate = rates.toSeq.sortBy(_._1)
+      .foldLeft(lit(defaultPercent)) { case (acc, (stratum, p)) =>
+        when(col(strataCol) === stratum, lit(p)).otherwise(acc)
+      }
+    df.filter(bucket < rate)
+  }
+
+  /** Deterministic global shuffle into `numShards` training shards: shard by
+    * an md5 bucket of the key, order within the shard by the full md5 digest
+    * (then the key, so equal digests can't reorder). The resulting
+    * (shard, position) layout is reproducible across runs and engines —
+    * "shuffled" for training purposes but a pure function of the key set.
+    * One hash-partition exchange + per-shard local sort; shards are
+    * independent, so 100 TB writes out as numShards parallel sorted streams
+    * (vs a global orderBy, which range-partitions through a sampling pass).
+    */
+  def shuffleShards(df: DataFrame, keyCol: String, numShards: Int): DataFrame = {
+    require(numShards > 0, "numShards must be positive")
+    val digest = md5(col(keyCol).cast("string").cast("binary"))
+    val shard = (conv(substring(digest, 1, 6), 16, 10).cast("long") % numShards)
+      .cast("int")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("shard")).orderBy(col("_digest"), col(keyCol))
+    df.withColumn("_digest", digest)
+      .withColumn("shard", shard)
+      .withColumn("position", row_number().over(w) - 1)
+      .drop("_digest")
+  }
 }

@@ -5,11 +5,23 @@ import org.apache.spark.sql.SparkSession
   * and prints one JSON line. Failed queries are reported in an `"errors"`
   * object and excluded from timings — a broken query never masquerades as a
   * fast one.
+  *
+  * Each query is materialized through the `noop` sink, not `count()`:
+  * under `count()` Catalyst prunes every unreferenced column, so a pure
+  * projection (text_stats, doc_fingerprint, ...) would be timed as a
+  * row-count over the scan with none of its expressions ever evaluated.
+  * The noop write consumes every output column and discards the rows —
+  * full operator cost, zero sink cost.
+  *
+  * `SPARK_GRAFT_QUERIES` (comma-separated names) restricts the run for
+  * local iteration; the driver leaves it unset and benches everything.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val only = sys.env.get("SPARK_GRAFT_QUERIES")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -28,16 +40,20 @@ object Bench {
     // successors don't pay (measured: first LSH-family query 6.8s cold vs
     // 2.9s steady-state). Timing the second pass reports steady-state cost,
     // the JMH-standard methodology and what a long-lived cluster session sees.
-    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (_, fn) =>
-      try fn(spark, sfDir).count() catch { case _: Throwable => () }
+    val selected = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+    def run(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Unit =
+      fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+    selected.foreach { case (_, fn) =>
+      try run(fn) catch { case _: Throwable => () }
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
     }
     val timings = collection.mutable.LinkedHashMap[String, Double]()
     val errors = collection.mutable.LinkedHashMap[String, String]()
-    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+    selected.foreach { case (name, fn) =>
       val t0 = System.nanoTime()
       try {
-        fn(spark, sfDir).count()
+        run(fn)
         timings(name) = (System.nanoTime() - t0) / 1e9
       } catch {
         case e: Throwable =>

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.graft.{CosineSimilarity, DotProduct}
+import org.apache.spark.sql.graft.{CosineSimilarity, DotProduct, Md5Prefix64}
 
 /** Column builders for the LLM-pipeline operators. Everything here composes
   * built-in (codegen'd) Spark expressions — no UDFs — so whole-stage codegen
@@ -59,4 +59,10 @@ package object functions {
 
   /** Hamming distance between two 64-bit hashes (e.g. SimHashes). */
   def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  /** First 8 bytes of md5(s) as a big-endian signed long (native codegen'd
+    * expression) — the SimHash per-token hash; reproducible in any engine as
+    * the first 16 hex chars of md5.
+    */
+  def md5Prefix64(s: Column): Column = Md5Prefix64(s)
 }

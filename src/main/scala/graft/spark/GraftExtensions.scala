@@ -4,8 +4,9 @@ import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-/** SQL surface for the native expressions: `graft_cosine(a, b)` and
-  * `graft_dot(a, b)` become callable from `spark.sql(...)`.
+/** SQL surface for the native expressions: `graft_cosine(a, b)`,
+  * `graft_dot(a, b)` and `graft_md5_prefix64(s)` become callable from
+  * `spark.sql(...)`.
   *
   * Two registration paths:
   *  - config: `spark.sql.extensions=org.apache.spark.sql.graft.GraftExtensions`
@@ -29,7 +30,10 @@ object GraftFunctions {
         (children: Seq[Expression]) => CosineSimilarity(children(0), children(1))),
       (FunctionIdentifier("graft_dot"),
         new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),
-        (children: Seq[Expression]) => DotProduct(children(0), children(1))))
+        (children: Seq[Expression]) => DotProduct(children(0), children(1))),
+      (FunctionIdentifier("graft_md5_prefix64"),
+        new ExpressionInfo(classOf[Md5Prefix64].getName, "graft_md5_prefix64"),
+        (children: Seq[Expression]) => Md5Prefix64(children(0))))
 
   /** Registers the graft SQL functions on an existing session (idempotent). */
   def register(spark: SparkSession): Unit =

@@ -1,12 +1,13 @@
 package org.apache.spark.sql.graft
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodeGenerator, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.codegen.Block._
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.classic.ExpressionUtils
 import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
 
 /** Native cosine similarity over two numeric arrays (float or double), with
   * whole-stage codegen — one fused loop per row instead of three interpreted
@@ -153,4 +154,47 @@ object DotProduct {
   def apply(a: Column, b: Column): Column =
     ExpressionUtils.column(
       DotProduct(ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
+}
+
+/** First 8 bytes of md5(utf8(s)) as a big-endian signed 64-bit value — the
+  * SimHash per-token hash. Semantically identical to decoding the first 16
+  * hex chars of `md5(s)` (what the DuckDB oracle does, and what the composed
+  * form `conv(substring(md5(s), ...), 16, 10)` computed), but one digest and
+  * zero hex-string round-trips per token: the composed form ran md5 once per
+  * 4-hex-char chunk plus a string-parse `conv` each, which made the SimHash
+  * signature aggregation 4x slower than the rest of the dedup family.
+  */
+case class Md5Prefix64(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_md5_prefix64"
+
+  override def nullSafeEval(input: Any): Any = {
+    val md = org.apache.commons.codec.digest.DigestUtils.md5(
+      input.asInstanceOf[UTF8String].getBytes)
+    ((md(0) & 0xffL) << 56) | ((md(1) & 0xffL) << 48) | ((md(2) & 0xffL) << 40) |
+      ((md(3) & 0xffL) << 32) | ((md(4) & 0xffL) << 24) | ((md(5) & 0xffL) << 16) |
+      ((md(6) & 0xffL) << 8) | (md(7) & 0xffL)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val md = ctx.freshName("md")
+      s"""
+         |byte[] $md = org.apache.commons.codec.digest.DigestUtils.md5($c.getBytes());
+         |${ev.value} = (($md[0] & 0xffL) << 56) | (($md[1] & 0xffL) << 48) |
+         |  (($md[2] & 0xffL) << 40) | (($md[3] & 0xffL) << 32) | (($md[4] & 0xffL) << 24) |
+         |  (($md[5] & 0xffL) << 16) | (($md[6] & 0xffL) << 8) | ($md[7] & 0xffL);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Md5Prefix64 =
+    copy(child = newChild)
+}
+
+object Md5Prefix64 {
+  def apply(s: Column): Column =
+    ExpressionUtils.column(Md5Prefix64(ExpressionUtils.expression(s)))
 }

@@ -367,6 +367,25 @@ object SparkEntry {
     ops.Stats.groupedQuantiles(docs(s, dir), Seq("lang"), "n_chars",
       Seq(0.25, 0.5, 0.75))
 
+  /** Eval-set leakage check: benchmark = every 97th doc, corpus = everything;
+    * the benchmark docs must flag themselves (every gram hits) and near-dups
+    * flag partially.
+    */
+  private def decontaminateCorpus(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val bench = d.filter(col("doc_id") % 97 === 0)
+    Dedup.decontaminate(d, bench, "doc_id", "text")
+  }
+
+  private def sampleStratified(s: SparkSession, dir: String): DataFrame =
+    ops.Sampling.stratifiedSample(docs(s, dir), "doc_id", "lang",
+      Map("en" -> 5, "de" -> 40), defaultPercent = 80)
+      .select("doc_id", "lang", "source")
+
+  private def shardLayout(s: SparkSession, dir: String): DataFrame =
+    ops.Sampling.shuffleShards(docs(s, dir).select("doc_id", "lang"), "doc_id",
+      numShards = 8)
+
   // =================================================================
   // §2.3 analytics headliners
   // =================================================================
@@ -465,6 +484,9 @@ object SparkEntry {
     "sample_hash" -> (sampleHash _),
     "filter_blocklist" -> (filterBlocklist _),
     "corpus_quantiles" -> (corpusQuantiles _),
+    "decontaminate" -> (decontaminateCorpus _),
+    "sample_stratified" -> (sampleStratified _),
+    "shard_layout" -> (shardLayout _),
     "q1_pricing_summary" -> (q1PricingSummary _),
     "q3_top_orders" -> (q3TopOrders _),
     "top_events_per_user" -> (topEventsPerUser _),
@@ -898,6 +920,40 @@ object SparkEntry {
           |      % 100 < 10""".stripMargin,
       "filter_blocklist" ->
         "SELECT doc_id, source FROM documents WHERE source NOT IN ('src3', 'src7', 'src11')",
+      // Exact replica of Dedup.decontaminate: distinct word-3-grams per doc,
+      // benchmark gram set = docs with doc_id % 97 = 0, hit counting via the
+      // same left join + filter.
+      "decontaminate" ->
+        """WITH t AS (SELECT doc_id,
+          |  list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> len(x) > 0) AS toks
+          |  FROM documents),
+          |sh AS (SELECT doc_id,
+          |  list_distinct(CASE WHEN len(toks) >= 3
+          |    THEN list_transform(range(1, len(toks) - 1),
+          |         i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+          |    ELSE [array_to_string(toks, ' ')] END) AS sh
+          |  FROM t),
+          |cg AS (SELECT doc_id, unnest(sh) AS g FROM sh),
+          |bg AS (SELECT DISTINCT unnest(sh) AS g FROM sh WHERE doc_id % 97 = 0)
+          |SELECT c.doc_id AS id,
+          |  CAST(sum(CASE WHEN b.g IS NOT NULL THEN 1 END) AS BIGINT) AS n_hit_grams,
+          |  count(*) AS n_grams
+          |FROM cg c LEFT JOIN bg b ON c.g = b.g
+          |GROUP BY c.doc_id
+          |HAVING n_hit_grams >= 1""".stripMargin,
+      "sample_stratified" ->
+        """SELECT doc_id, lang, source FROM documents
+          |WHERE CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 6)) AS BIGINT) % 100
+          |  < CASE WHEN lang = 'en' THEN 5 WHEN lang = 'de' THEN 40 ELSE 80 END""".stripMargin,
+      "shard_layout" ->
+        """WITH d AS (SELECT doc_id, lang, md5(CAST(doc_id AS VARCHAR)) AS dg FROM documents),
+          |s AS (SELECT doc_id, lang, dg,
+          |  CAST(CAST(concat('0x', substr(dg, 1, 6)) AS BIGINT) % 8 AS INT) AS shard
+          |  FROM d)
+          |SELECT doc_id, lang, shard,
+          |  CAST(row_number() OVER (PARTITION BY shard ORDER BY dg, doc_id) - 1 AS INT)
+          |    AS position
+          |FROM s""".stripMargin,
       "corpus_quantiles" ->
         """SELECT lang, count(*) AS n_rows,
           |  quantile_cont(n_chars, 0.25) AS p25,

@@ -94,4 +94,25 @@ class DedupSpec extends SparkTestBase {
     assert(pairs.map(r => (r.getLong(0), r.getLong(1))).toSet ==
       Set((10L, 11L), (10L, 12L), (11L, 12L)))
   }
+
+  test("decontaminate: bench doc fully hits itself, overlap partial, clean doc absent") {
+    val bench = docsDf((100L, "alpha beta gamma delta epsilon"))
+    val corpus = docsDf(
+      (1L, "alpha beta gamma delta epsilon"),       // exact leak: 3/3 grams hit
+      (2L, "zz alpha beta gamma yy"),               // partial: shares "alpha beta gamma"
+      (3L, "totally unrelated text about spark"))   // clean: no gram shared
+    val out = Dedup.decontaminate(corpus, bench, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(out(1L) == (3L, 3L), "exact leak: every gram hits")
+    assert(out(2L) == (1L, 3L), "partial overlap: one of three grams hits")
+    assert(!out.contains(3L), "clean doc must not be flagged")
+  }
+
+  test("decontaminate: broadcast side is the benchmark grams") {
+    val bench = docsDf((100L, "alpha beta gamma"))
+    val corpus = docsDf((1L, "alpha beta gamma delta"))
+    val plan = Dedup.decontaminate(corpus, bench, "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"expected broadcast join:\n$plan")
+  }
 }

@@ -104,4 +104,40 @@ class PipelineOpsSpec extends SparkTestBase {
       .map("%02x".format(_)).mkString
     assert(fp === expected)
   }
+
+  test("stratifiedSample: per-stratum rates honored, same bucket rule as hashSample") {
+    val docs = spark.read.parquet(s"${sf()}/documents.parquet")
+    val out = Sampling.stratifiedSample(docs, "doc_id", "lang",
+      Map("en" -> 0, "de" -> 100), defaultPercent = 30)
+    assert(out.filter(col("lang") === "en").count() === 0L, "0% stratum drops everything")
+    assert(out.filter(col("lang") === "de").count() ===
+      docs.filter(col("lang") === "de").count(), "100% stratum keeps everything")
+    // default-rate strata follow the hashSample bucket rule exactly: the
+    // stratified sample of an uncovered stratum == hashSample at the default
+    val restStrat = out.filter(!col("lang").isin("en", "de"))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val restHash = Sampling.hashSample(docs.filter(!col("lang").isin("en", "de")),
+        "doc_id", 30).select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(restStrat === restHash)
+  }
+
+  test("shuffleShards: positions are a dense 0..n-1 per shard, deterministic, key-driven") {
+    val docs = spark.read.parquet(s"${sf()}/documents.parquet").select("doc_id", "lang")
+    val a = Sampling.shuffleShards(docs, "doc_id", 8)
+    val b = Sampling.shuffleShards(docs, "doc_id", 8)
+    assert(a.collect().toSet === b.collect().toSet, "layout is a pure function of keys")
+    val perShard = a.groupBy("shard")
+      .agg(count(lit(1)).as("n"), min("position").as("lo"), max("position").as("hi"))
+      .collect()
+    assert(perShard.length === 8)
+    perShard.foreach { r =>
+      assert(r.getAs[Int]("lo") === 0)
+      assert(r.getAs[Int]("hi").toLong === r.getAs[Long]("n") - 1, "dense positions")
+    }
+    // row order within a shard is NOT the key order (it is digest order): the
+    // shard looks shuffled for training even though it's deterministic
+    val shard0 = a.filter(col("shard") === 0).orderBy("position")
+      .select("doc_id").collect().map(_.getLong(0))
+    assert(!shard0.sameElements(shard0.sorted), "digest order breaks key order")
+  }
 }

@@ -38,6 +38,12 @@ object SourceFormat {
   * @param query SQL text used as a subquery source when `table` is absent
   * @param schemaDdl optional explicit schema (DDL string) for csv/json reads,
   *                  so round-trips don't depend on inference
+  * @param datePartitionColumn name of a `yyyy-MM-dd` string partition column
+  *                  (e.g. the `dt` written by `Layout.writeTimePartitioned`);
+  *                  time-ranged loads derive bounds on it so the scan prunes
+  *                  whole partition directories (ref: store.py:665-673 — the
+  *                  `__subquery` CTE adds `date_partition_column >=/<=
+  *                  timestamp[:10]` alongside the timestamp bounds)
   */
 final case class GraftSource(
     name: String,
@@ -50,7 +56,8 @@ final case class GraftSource(
     schemaDdl: Option[String] = None,
     description: String = "",
     tags: Map[String, String] = Map.empty,
-    owner: String = "") {
+    owner: String = "",
+    datePartitionColumn: Option[String] = None) {
 
   require(table.isDefined || query.isDefined, "No \"table\" or \"query\" argument provided.")
 
@@ -101,17 +108,34 @@ final case class GraftSource(
     }
     def epochUs(t: Timestamp): Long =
       t.getTime / 1000L * 1000000L + t.getNanos / 1000L
+    // Partition-directory pruning: a time range implies bounds on the declared
+    // date partition column (UTC date of the bound, compared as ISO strings —
+    // order-correct and exactly the reference's `[:10]` truncation). These
+    // land in the plan as PartitionFilters: whole directories are skipped
+    // before a single row-group is opened — at 100 TB the difference between
+    // reading a day and reading the table.
+    def utcDate(t: Timestamp): String =
+      t.toInstant.atZone(java.time.ZoneOffset.UTC).toLocalDate.toString
+    val partPruned = datePartitionColumn
+      .filter(_ => lower.isDefined || upper.isDefined)
+      .filter(c => mapped.columns.contains(c))
+      .map { c =>
+        val conds = lower.map(t => col(c) >= lit(utcDate(t))).toSeq ++
+          upper.map(t => col(c) <= lit(utcDate(t)))
+        mapped.filter(conds.reduce(_ && _))
+      }
+      .getOrElse(mapped)
     // raw-space range filter on a ns-long timestamp column (scan-pushable)
     val rangeFiltered = timestampField.filter(_ => lower.isDefined || upper.isDefined)
-      .flatMap(c => mapped.schema.fields.find(_.name == c))
+      .flatMap(c => partPruned.schema.fields.find(_.name == c))
       .filter(_.dataType == LongType)
       .map { f =>
         val conds =
           lower.map(t => col(f.name) >= lit(epochUs(t) * 1000L)).toSeq ++
             upper.map(t => col(f.name) <= lit(epochUs(t) * 1000L + 999L))
-        mapped.filter(conds.reduce(_ && _))
+        partPruned.filter(conds.reduce(_ && _))
       }
-      .getOrElse(mapped)
+      .getOrElse(partPruned)
     // Parquet TIMESTAMP(NANOS) columns surface as LongType nanoseconds under
     // spark.sql.legacy.parquet.nanosAsLong; normalize the declared temporal
     // columns to TimestampType (µs). Integer `div` — a double division would
@@ -187,6 +211,7 @@ final case class GraftSource(
     timestampField.foreach(o.put("timestamp_field", _))
     createdTimestampColumn.foreach(o.put("created_timestamp_column", _))
     schemaDdl.foreach(o.put("schema_ddl", _))
+    datePartitionColumn.foreach(o.put("date_partition_column", _))
     o.put("description", description)
     o.put("owner", owner)
     val fm = o.putObject("field_mapping")
@@ -209,12 +234,13 @@ object GraftSource {
       timestampField: Option[String] = None,
       createdTimestampColumn: Option[String] = None,
       fieldMapping: Map[String, String] = Map.empty,
-      schemaDdl: Option[String] = None): GraftSource = {
+      schemaDdl: Option[String] = None,
+      datePartitionColumn: Option[String] = None): GraftSource = {
     if (table.isEmpty && query.isEmpty)
       throw new IllegalArgumentException("No \"table\" or \"query\" argument provided.")
     val resolved = name.orElse(table).getOrElse(throw new GraftNoNameException)
     GraftSource(resolved, table, query, format, timestampField, createdTimestampColumn,
-      fieldMapping, schemaDdl)
+      fieldMapping, schemaDdl, datePartitionColumn = datePartitionColumn)
   }
 
   def parquet(path: String, fieldMapping: Map[String, String] = Map.empty): GraftSource =
@@ -239,6 +265,7 @@ object GraftSource {
       schemaDdl = opt("schema_ddl"),
       description = opt("description").getOrElse(""),
       tags = strMap("tags"),
-      owner = opt("owner").getOrElse(""))
+      owner = opt("owner").getOrElse(""),
+      datePartitionColumn = opt("date_partition_column"))
   }
 }

@@ -43,4 +43,28 @@ class LayoutSpec extends SparkTestBase {
       s"expected partition filter in:\n$scan")
     assert(oneDay.count() > 0 && oneDay.count() < all.count())
   }
+
+  test("datePartitionColumn: time-ranged load derives dt bounds that partition-prune") {
+    import java.sql.Timestamp
+    val path = java.nio.file.Files.createTempDirectory("graft-dpc").toString + "/ev"
+    Layout.writeTimePartitioned(events, path, "ts")
+    val src = GraftSource.of(table = Some(path), timestampField = Some("ts"),
+      datePartitionColumn = Some("dt"))
+    val lo = Timestamp.valueOf("2024-01-06 00:00:00")
+    val hi = Timestamp.valueOf("2024-01-07 23:59:59")
+    val ranged = src.loadWithTimeRange(spark, Some(lo), Some(hi))
+    val plan = ranged.queryExecution.executedPlan.toString
+    // the derived dt >= '2024-01-06' / dt <= '2024-01-07' must reach the scan
+    // as PartitionFilters (directory pruning), not post-scan Filter
+    val pf = plan.linesIterator.find(_.contains("PartitionFilters")).getOrElse("")
+    assert(pf.contains("dt") && pf.contains("2024-01-06") && pf.contains("2024-01-07"),
+      s"expected derived dt bounds in PartitionFilters:\n$plan")
+    // parity: pruning must not change the result of the time filter
+    val expected = spark.read.parquet(path)
+      .filter(col("ts") >= lit(lo) && col("ts") <= lit(hi)).count()
+    assert(ranged.count() === expected)
+    assert(ranged.count() > 0)
+    // config survives the JSON round-trip
+    assert(GraftSource.fromJson(src.toJson).datePartitionColumn === Some("dt"))
+  }
 }

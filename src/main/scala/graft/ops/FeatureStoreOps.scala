@@ -38,14 +38,22 @@ final case class FeatureView(
   * reach the parquet scan as PushedFilters; "latest row" is a single-shuffle
   * arg-max (`max(struct(...))`, map-side partial agg) instead of the
   * reference's window + two self-joins; the entity frame is broadcast when
-  * small (configurable row threshold), else the join shuffles both sides by
-  * the entity key exactly once.
+  * its size estimate is under `graft.pit.broadcastBytes` (default 100 MB),
+  * else the join shuffles both sides by the entity key exactly once.
   */
 object FeatureStoreOps {
 
-  /** Rows-based broadcast threshold for the entity side of the PIT join. */
-  def broadcastRowThreshold(spark: SparkSession): Long =
-    spark.conf.getOption("graft.pit.broadcastRows").map(_.toLong).getOrElse(1000000L)
+  /** Byte-based broadcast threshold for the entity side of the PIT join
+    * (default 100 MB). The estimate is row count × the schema's default row
+    * width — row-count alone would happily broadcast a million wide rows
+    * into every executor (and the driver).
+    */
+  def broadcastByteThreshold(spark: SparkSession): Long =
+    spark.conf.getOption("graft.pit.broadcastBytes").map(_.toLong)
+      .getOrElse(100L * 1024 * 1024)
+
+  private def estimatedBytes(schema: org.apache.spark.sql.types.StructType, rows: Long): Long =
+    rows * math.max(8, schema.fields.map(_.dataType.defaultSize).sum)
 
   /** Time-range scan: keys + features + ts WHERE ts BETWEEN start AND end
     * (ref: pull_all_from_table_or_query, store.py:479-513; the BETWEEN is
@@ -152,8 +160,8 @@ object FeatureStoreOps {
     *  - __base/__dedup/__latest/__cleaned (a window plus two self-joins) are
     *    collapsed into one `max(struct(event_ts, created_ts, tieBreak,
     *    features...))` aggregation — identical result, one shuffle;
-    *  - the entity side is broadcast when its row count is under
-    *    `graft.pit.broadcastRows`.
+    *  - the entity side is broadcast when its estimated size (rows × schema
+    *    default width) is under `graft.pit.broadcastBytes`.
     */
   def pointInTime(
       spark: SparkSession,
@@ -164,16 +172,26 @@ object FeatureStoreOps {
     val tsCol = entityTimestampColumn.getOrElse(inferEntityTimestampColumn(entity))
 
     def eval(): DataFrame = {
+      // Materialize the entity frame ONCE. It may be derived from a fact
+      // table (a query, a join); without this the stats aggregation, each
+      // view's distinct, and the final join chain would each recompute its
+      // full lineage — V+2 scans of the underlying table. The checkpoint is
+      // local (executor memory/disk), the frame is the small side by
+      // construction, and the stats `.head()` below needs a pass anyway.
+      val ent = entity.localCheckpoint()
       // Driver-side min/max/count of the (small) entity frame — the analog of
       // _get_entity_df_event_timestamp_range (store.py:577-598), needed to
       // push a literal range filter into every feature scan.
-      val stats = entity.agg(
+      val stats = ent.agg(
         min(col(tsCol)).as("mn"), max(col(tsCol)).as("mx"), count(lit(1)).as("n")).head()
       val (minEnt, maxEnt, nEnt) =
         (stats.getTimestamp(0), stats.getTimestamp(1), stats.getLong(2))
-      val doBroadcast = nEnt <= broadcastRowThreshold(spark)
+      // Broadcast decision per joined frame: both broadcast candidates have
+      // at most nEnt rows; width comes from each frame's own schema.
+      def fits(df: DataFrame): Boolean =
+        estimatedBytes(df.schema, nEnt) <= broadcastByteThreshold(spark)
 
-      views.foldLeft(entity) { (acc, view) =>
+      views.foldLeft(ent) { (acc, view) =>
         val evtTs = view.source.timestampField.get
         val createdTs = view.source.createdTimestampColumn.filter(_.nonEmpty)
         val ttl = view.ttlSeconds
@@ -190,9 +208,9 @@ object FeatureStoreOps {
           .select(featCols.map(col): _*)
 
         // per-view distinct entity rows (template's __entity_dataframe CTE)
-        val entKeysRaw = entity
+        val entKeysRaw = ent
           .select((view.entityKeys :+ tsCol).map(col): _*).distinct()
-        val entKeys = if (doBroadcast) broadcast(entKeysRaw) else entKeysRaw
+        val entKeys = if (fits(entKeysRaw)) broadcast(entKeysRaw) else entKeysRaw
 
         val f = feat.alias("f")
         val e = entKeys.alias("e")
@@ -219,7 +237,7 @@ object FeatureStoreOps {
         // joining on (keys, entity_ts) replaces the template's synthetic
         // entity_row_unique_id string.
         acc.join(
-          if (doBroadcast) broadcast(viewResult) else viewResult,
+          if (fits(viewResult)) broadcast(viewResult) else viewResult,
           view.entityKeys :+ tsCol, "left")
       }
     }

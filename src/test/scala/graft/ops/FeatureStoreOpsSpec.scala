@@ -130,11 +130,11 @@ class FeatureStoreOpsSpec extends SparkTestBase {
         .map(r => (r.getAs[Long]("k"),
           Option(r.getAs[java.lang.Double]("v")).map(_.doubleValue))).toSet
     val broadcasted = run()
-    spark.conf.set("graft.pit.broadcastRows", "0")
+    spark.conf.set("graft.pit.broadcastBytes", "0")
     try {
       val shuffled = run()
       assert(shuffled == broadcasted && shuffled == Set((1L, Some(3.0)), (2L, Some(4.0))))
-    } finally spark.conf.unset("graft.pit.broadcastRows")
+    } finally spark.conf.unset("graft.pit.broadcastBytes")
   }
 
   test("pointInTime: empty entity frame returns empty result with full schema (no NPE)") {

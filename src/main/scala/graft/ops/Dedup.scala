@@ -1,7 +1,7 @@
 package graft.ops
 
 import graft.functions._
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Observation}
 import org.apache.spark.sql.functions._
 
 /** Deduplication operators for training-data pipelines: exact, MinHash+LSH,
@@ -34,14 +34,29 @@ object Dedup {
     * selectivity (e.g. an empty-text band), so its pairs are noise at any
     * scale; we drop it rather than salt it, since salting would silently lose
     * cross-salt pairs anyway.
+    *
+    * The drop is NOT free in recall terms: a true near-dup pair whose only
+    * shared buckets are oversized is lost. Pass an [[Observation]] via
+    * `metrics` to see it happening — after the first action it reports
+    * `n_buckets` / `n_dropped_buckets` / `n_dropped_ids` (bucket memberships
+    * in dropped buckets), collected during execution at zero extra cost
+    * (`Dataset.observe`, no second job).
     */
   private[graft] def bucketPairs(
       ids: DataFrame, // columns: id, bucketKey (any type)
-      maxBucket: Int): DataFrame = {
-    val grouped = ids
+      maxBucket: Int,
+      metrics: Option[Observation] = None): DataFrame = {
+    val sized = ids
       .groupBy(col("bucketKey"))
       .agg(array_sort(collect_list(col("id"))).as("ids"))
-      .filter(size(col("ids")).between(2, maxBucket))
+    val observed = metrics.map { o =>
+      sized.observe(o,
+        count(lit(1)).as("n_buckets"),
+        sum(when(size(col("ids")) > maxBucket, 1L).otherwise(0L)).as("n_dropped_buckets"),
+        sum(when(size(col("ids")) > maxBucket, size(col("ids")).cast("long"))
+          .otherwise(0L)).as("n_dropped_ids"))
+    }.getOrElse(sized)
+    val grouped = observed.filter(size(col("ids")).between(2, maxBucket))
     val pairs = flatten(transform(col("ids"), (a, i) =>
       transform(slice(col("ids"), i + 2, size(col("ids"))), b => struct(a.as("a"), b.as("b")))))
     grouped
@@ -72,7 +87,8 @@ object Dedup {
       numHashes: Int = 64,
       bands: Int = 16,
       threshold: Double = 0.8,
-      maxBucket: Int = 100): DataFrame = {
+      maxBucket: Int = 100,
+      metrics: Option[Observation] = None): DataFrame = {
     require(numHashes % bands == 0, "numHashes must be divisible by bands")
     val rowsPerBand = numHashes / bands
 
@@ -99,7 +115,7 @@ object Dedup {
       struct(lit(j).as("band"), xxhash64(array(slice: _*)).as("bucket"))
     }
     val banded = sig.select(col("id"), explode(array(bandStructs: _*)).as("bucketKey"))
-    val cand = bucketPairs(banded, maxBucket)
+    val cand = bucketPairs(banded, maxBucket, metrics)
     jaccardVerify(cand, ex, threshold)
   }
 
@@ -160,14 +176,20 @@ object Dedup {
   /** SimHash near-dup pairs: docs whose 64-bit SimHashes are within
     * `maxHamming` bits. Candidates come from 16-bit chunk buckets — two
     * hashes within hamming distance 3 must agree on at least one of the four
-    * 16-bit chunks (pigeonhole), so recall is exact for maxHamming <= 3.
+    * 16-bit chunks (pigeonhole), so candidate generation misses no pair
+    * for maxHamming <= 3 EXCEPT through the `maxBucket` cap: a chunk value
+    * shared by more than `maxBucket` docs (e.g. every empty doc hashes to 0)
+    * is dropped as carrying no selectivity, and a true pair whose every
+    * shared chunk is that hot is lost with it. Pass `metrics` to observe the
+    * dropped-bucket counts (see [[bucketPairs]]).
     */
   def simHashNearDup(
       df: DataFrame,
       idCol: String,
       textCol: String,
       maxHamming: Int = 3,
-      maxBucket: Int = 100): DataFrame = {
+      maxBucket: Int = 100,
+      metrics: Option[Observation] = None): DataFrame = {
     // lazily checkpointed: referenced by the chunk buckets and both verify
     // sides — one explode+aggregate pass instead of three
     val hashes = simHash(df, idCol, textCol).localCheckpoint(false)
@@ -177,7 +199,7 @@ object Dedup {
         j.as("chunk"),
         call_function("shiftright", col("simhash"), j * 16)
           .bitwiseAND(lit(0xffffL)).as("bits")))).as("bucketKey"))
-    val cand = bucketPairs(chunked.select(col("id"), col("bucketKey")), maxBucket)
+    val cand = bucketPairs(chunked.select(col("id"), col("bucketKey")), maxBucket, metrics)
     val a = hashes.select(col("id").as("a_id"), col("simhash").as("sim_a"))
     val b = hashes.select(col("id").as("b_id"), col("simhash").as("sim_b"))
     cand.join(a, "a_id").join(b, "b_id")
@@ -261,7 +283,8 @@ object Dedup {
       numPlanes: Int = 12,
       threshold: Double = 0.98,
       maxBucket: Int = 200,
-      seed: Long = 42L): DataFrame = {
+      seed: Long = 42L,
+      metrics: Option[Observation] = None): DataFrame = {
     val planes = hyperplanes(numPlanes, dim, seed)
     val base = df.select(col(idCol).as("id"), col(vecCol).as("vec"))
       .withColumn("bucket", hyperplaneBucket(col("vec"), planes))
@@ -272,7 +295,7 @@ object Dedup {
         i => when(i === -1, col("bucket"))
           .otherwise(col("bucket").bitwiseXOR(call_function("shiftleft", lit(1), i))))
       ).as("bucketKey"))
-    val cand = bucketPairs(probes.select(col("id"), col("bucketKey")), maxBucket)
+    val cand = bucketPairs(probes.select(col("id"), col("bucketKey")), maxBucket, metrics)
     val a = base.select(col("id").as("a_id"), col("vec").as("vec_a"))
     val b = base.select(col("id").as("b_id"), col("vec").as("vec_b"))
     cand.join(a, "a_id").join(b, "b_id")

@@ -89,10 +89,16 @@ class DedupSpec extends SparkTestBase {
     // one bucket with 5 ids (cap 4 -> dropped), one with 3 (kept: 3 pairs)
     val ids = (1L to 5L).map(i => (i, "big")) ++ (10L to 12L).map(i => (i, "ok"))
     val df = ids.toDF("id", "bucketKey")
-    val pairs = Dedup.bucketPairs(df, maxBucket = 4).collect()
+    val obs = new org.apache.spark.sql.Observation("buckets")
+    val pairs = Dedup.bucketPairs(df, maxBucket = 4, Some(obs)).collect()
     assert(pairs.length == 3)
     assert(pairs.map(r => (r.getLong(0), r.getLong(1))).toSet ==
       Set((10L, 11L), (10L, 12L), (11L, 12L)))
+    // the drop is surfaced, not silent: observed during the same action
+    val m = obs.get
+    assert(m("n_buckets") == 2L)
+    assert(m("n_dropped_buckets") == 1L)
+    assert(m("n_dropped_ids") == 5L)
   }
 
   test("decontaminate: bench doc fully hits itself, overlap partial, clean doc absent") {

@@ -334,7 +334,7 @@ object SparkEntry {
       .select(col("user_id"), col("ts").as("click_ts"), col("value"))
     ops.Temporal.precedingJoinAgg(purchases, clicks,
       keys = Seq("user_id"), leftTsCol = "ts", rightTsCol = "click_ts",
-      lookbackSeconds = 3600L, valueCol = "value")
+      lookbackSeconds = 3600L, valueCol = "value", leftIdCols = Seq("event_id"))
       .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("ts_us"),
         col("preceding_count").as("n_clicks_1h"),
         col("preceding_sum").as("click_value_1h"))

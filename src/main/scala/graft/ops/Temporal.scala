@@ -45,8 +45,15 @@ object Temporal {
     * right rows survive with count 0 / sum 0 (LEFT join).
     *
     * The join is an equality join on `keys` with the temporal predicate as a
-    * join condition — one shuffle per side; keep `left` slim (keys + ts + an
-    * id), since the result groups by all its columns.
+    * join condition — one shuffle per side.
+    *
+    * `leftIdCols` must uniquely identify a left row (an event id). The
+    * re-aggregation groups by it alone — a narrow grouping key — and carries
+    * the remaining left columns through with `any_value` (exact under the
+    * uniqueness contract). When empty, the group-by key is EVERY left column:
+    * correct only if left rows are fully distinct (duplicate rows would
+    * collapse into one, counting their attribution once), and a wide left
+    * schema makes the key expensive — prefer passing ids.
     */
   def precedingJoinAgg(
       left: DataFrame,
@@ -55,7 +62,8 @@ object Temporal {
       leftTsCol: String,
       rightTsCol: String,
       lookbackSeconds: Long,
-      valueCol: String): DataFrame = {
+      valueCol: String,
+      leftIdCols: Seq[String] = Nil): DataFrame = {
     // prefix-rename the right side: both sides often derive from the SAME
     // table (self-attribution), where alias-based resolution is ambiguous
     val r = right.select(right.columns.map(c => col(c).as(s"_r_$c")): _*)
@@ -63,10 +71,18 @@ object Temporal {
     val lUs = unix_micros(left(leftTsCol))
     val rUs = unix_micros(r(s"_r_$rightTsCol"))
     val temporal = rUs >= lUs - lookbackSeconds * 1000000L && rUs < lUs
-    left.join(r, keyEq && temporal, "left")
-      .groupBy(left.columns.map(left(_)): _*)
-      .agg(
-        count(r(s"_r_$rightTsCol")).as("preceding_count"),
-        coalesce(sum(r(s"_r_$valueCol")), lit(0L)).as("preceding_sum"))
+    val joined = left.join(r, keyEq && temporal, "left")
+    val aggs = Seq(
+      count(r(s"_r_$rightTsCol")).as("preceding_count"),
+      coalesce(sum(r(s"_r_$valueCol")), lit(0L)).as("preceding_sum"))
+    if (leftIdCols.nonEmpty) {
+      val carried = left.columns.filterNot(leftIdCols.contains)
+        .map(c => any_value(left(c)).as(c))
+      joined.groupBy(leftIdCols.map(left(_)): _*)
+        .agg((carried ++ aggs).head, (carried ++ aggs).tail: _*)
+        .select((left.columns.map(col) :+ col("preceding_count") :+
+          col("preceding_sum")): _*)
+    } else
+      joined.groupBy(left.columns.map(left(_)): _*).agg(aggs.head, aggs.tail: _*)
   }
 }

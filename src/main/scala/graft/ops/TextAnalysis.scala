@@ -147,10 +147,17 @@ object TextAnalysis {
   }
 
   /** Conservative RE2-compatible PII patterns (no lookaround/backrefs, so the
-    * same pattern runs in Java regex, RE2, and DuckDB identically).
+    * same pattern runs in Java regex, RE2, and DuckDB identically; alternation
+    * is leftmost-first in both engines, so counts and replacements agree).
+    *
+    * IPv4 octets are bounded to 0-255 (so `999.999.999.999` is not an IP).
+    * A dotted quad of in-range numbers that is actually a version string
+    * (`1.2.3.4`) is textually indistinguishable from an IP and IS redacted —
+    * over-redaction is the intended trade for a PII scrubber.
     */
   private[graft] val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
-  private[graft] val ipv4Re = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+  private[graft] val ipv4Octet = "(25[0-5]|2[0-4]\\d|1\\d\\d|[1-9]?\\d)"
+  private[graft] val ipv4Re = s"\\b$ipv4Octet(\\.$ipv4Octet){3}\\b"
 
   /** PII redaction: replace emails then IPv4 literals with placeholder tags,
     * reporting per-doc match counts and the md5 fingerprint of the redacted

@@ -48,6 +48,23 @@ class PipelineOpsSpec extends SparkTestBase {
       .select("event_id", "preceding_count", "preceding_sum")
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
     assert(out === Set((100L, 1L, 5L), (101L, 1L, 3L), (102L, 0L, 0L)))
+    // with leftIdCols the narrow grouping key gives the identical result...
+    val outById = Temporal.precedingJoinAgg(probes, src, Seq("user_id"),
+      "ts", "click_ts", 3600L, "value", leftIdCols = Seq("event_id"))
+    assert(outById.columns.toSeq ===
+      Seq("event_id", "user_id", "ts", "preceding_count", "preceding_sum"))
+    assert(outById.select("event_id", "preceding_count", "preceding_sum")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet === out)
+    // ...and distinct ids with identical payloads do NOT collapse (they would
+    // under the group-by-all-columns fallback)
+    val dupPayload = Seq(
+      (200L, 1L, ts("2024-01-01 01:00:00")),
+      (201L, 1L, ts("2024-01-01 01:00:00"))
+    ).toDF("event_id", "user_id", "ts")
+    val kept = Temporal.precedingJoinAgg(dupPayload, src, Seq("user_id"),
+      "ts", "click_ts", 3600L, "value", leftIdCols = Seq("event_id"))
+    assert(kept.count() === 2L)
+    assert(kept.select("preceding_count").collect().map(_.getLong(0)).toSeq === Seq(1L, 1L))
   }
 
   test("hashSample: deterministic across runs, rate near target, subset property") {
@@ -91,11 +108,12 @@ class PipelineOpsSpec extends SparkTestBase {
     val df = Seq(
       (1L, "write to a.b+c@mail.example.org or ping 192.168.0.1 now"),
       (2L, "no pii here at all"),
-      (3L, "two mails x@y.io z@w.co one ip 10.0.0.7")
+      (3L, "two mails x@y.io z@w.co one ip 10.0.0.7"),
+      (4L, "bogus 999.999.999.999 and 256.1.1.1 are not IPs; 255.255.255.255 is")
     ).toDF("doc_id", "text")
     val out = TextAnalysis.redactPii(df, "doc_id", "text")
       .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSet
-    assert(out === Set((1L, 1, 1), (2L, 0, 0), (3L, 2, 1)))
+    assert(out === Set((1L, 1, 1), (2L, 0, 0), (3L, 2, 1), (4L, 0, 1)))
     // fingerprint of redacted text equals md5 of the hand-redacted string
     val fp = TextAnalysis.redactPii(df.filter(col("doc_id") === 1L), "doc_id", "text")
       .select("redacted_fp").head().getString(0)

@@ -33,12 +33,21 @@ def main():
     oracles = json.load(open(f"{out_dir}/oracle_sql.json"))
     results = {}
     import os
-    subset = os.environ.get("CHECK_SUBSET") == "1"  # skip queries not dumped
+    # Optional subset run for local iteration: CHECK_SUBSET must name the
+    # queries explicitly (same comma-separated list Verify got). Anything NOT
+    # in the list is skipped LOUDLY; a missing output for a listed (or, with
+    # no subset, any) query is always a failure — a bare "skip what's absent"
+    # toggle would let a full gate run pass with queries silently missing.
+    subset_env = os.environ.get("CHECK_SUBSET", "").strip()
+    subset = {q.strip() for q in subset_env.split(",") if q.strip()} if subset_env else None
+    skipped = []
     for name, sql in sorted(oracles.items()):
+        if subset is not None and name not in subset:
+            skipped.append(name)
+            continue
         files = glob.glob(f"{out_dir}/{name}/*.parquet")
         if not files:
-            if not subset:
-                results[name] = "MISSING_SPARK_OUTPUT"
+            results[name] = "MISSING_SPARK_OUTPUT"
             continue
         try:
             spark_df = canon(pd.concat([pd.read_parquet(f) for f in files]))
@@ -64,12 +73,11 @@ def main():
                     results[name] = "OK"
                 except AssertionError as e:
                     results[name] = "VALUES " + str(e).split("\n")[0][:200]
-    # queries without oracle → rows-only
-    for name in set(glob.glob(f"{out_dir}/*/")) :
-        pass
     ok = sum(1 for v in results.values() if v == "OK")
     for name, v in sorted(results.items()):
         print(f"{'PASS' if v == 'OK' else 'FAIL'} {name}: {v}")
+    if skipped:
+        print(f"== SKIPPED (not in CHECK_SUBSET): {', '.join(skipped)}")
     print(f"== {ok}/{len(results)} oracle-checked queries pass")
     sys.exit(0 if ok == len(results) else 1)
 

@@ -175,10 +175,11 @@ object FeatureStoreOps {
       // Materialize the entity frame ONCE. It may be derived from a fact
       // table (a query, a join); without this the stats aggregation, each
       // view's distinct, and the final join chain would each recompute its
-      // full lineage — V+2 scans of the underlying table. The checkpoint is
-      // local (executor memory/disk), the frame is the small side by
-      // construction, and the stats `.head()` below needs a pass anyway.
-      val ent = entity.localCheckpoint()
+      // full lineage — V+2 scans of the underlying table. Lazy local
+      // checkpoint: the stats `.head()` right below materializes it as a
+      // side effect of a job it runs anyway (an eager checkpoint would cost
+      // one extra full pass).
+      val ent = entity.localCheckpoint(eager = false)
       // Driver-side min/max/count of the (small) entity frame — the analog of
       // _get_entity_df_event_timestamp_range (store.py:577-598), needed to
       // push a literal range filter into every feature scan.

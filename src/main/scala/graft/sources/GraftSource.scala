@@ -32,7 +32,9 @@ object SourceFormat {
   *
   * Loading produces a plain DataFrame so every downstream operator stays a
   * Catalyst logical plan (pushdown/pruning free); `fieldMapping` renames are
-  * applied on load so feature names are uniform from there on.
+  * applied on load so feature names are uniform from there on. (Superset of
+  * the reference: it applies field_mapping only to feature columns, never
+  * entities or timestamps, ref store.py:129-131 — ours renames any column.)
   *
   * @param table path (contains `/` or a `scheme://`) or catalog/temp-view name
   * @param query SQL text used as a subquery source when `table` is absent

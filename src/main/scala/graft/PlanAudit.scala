@@ -22,8 +22,35 @@ object PlanAudit {
     spark.sparkContext.setLogLevel("ERROR")
     names.foreach { name =>
       println(s"\n========== $name ==========")
-      SparkEntry.queries(name)(spark, sfDir).explain("formatted")
+      if (name == "pit_partition_pruning") pitPartitionPruning(spark, sfDir)
+      else SparkEntry.queries(name)(spark, sfDir).explain("formatted")
     }
     spark.stop()
+  }
+
+  /** Synthetic scenario (testdata isn't partitioned): write events
+    * time-partitioned, declare `datePartitionColumn`, and show the derived dt
+    * bounds landing in PartitionFilters for pullAll and the PIT prefilter.
+    */
+  private def pitPartitionPruning(spark: SparkSession, sfDir: String): Unit = {
+    import java.sql.Timestamp
+    import graft.ops.{FeatureStoreOps, FeatureView, Layout}
+    import graft.sources.GraftSource
+    val path = java.nio.file.Files.createTempDirectory("graft-audit").toString + "/ev"
+    val ev = GraftSource.of(table = Some(s"$sfDir/events.parquet"),
+      timestampField = Some("ts")).load(spark)
+    Layout.writeTimePartitioned(ev, path, "ts")
+    val src = GraftSource.of(table = Some(path), timestampField = Some("ts"),
+      datePartitionColumn = Some("dt"))
+    println("---- pullAll over dt-partitioned layout ----")
+    FeatureStoreOps.pullAll(spark, src, Seq("user_id"), Seq("value"), "ts",
+      Timestamp.valueOf("2024-01-06 00:00:00"),
+      Timestamp.valueOf("2024-01-07 23:59:59")).toDF.explain("formatted")
+    println("---- pointInTime prefilter over dt-partitioned layout ----")
+    import spark.implicits._
+    val ent = Seq((3L, Timestamp.valueOf("2024-01-08 00:00:00")))
+      .toDF("user_id", "event_timestamp")
+    val fv = FeatureView("ev", src, Seq("user_id"), Seq("value"), 2 * 86400L)
+    FeatureStoreOps.pointInTime(spark, ent, Seq(fv)).toDF.explain("formatted")
   }
 }

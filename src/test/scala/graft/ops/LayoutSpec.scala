@@ -67,4 +67,37 @@ class LayoutSpec extends SparkTestBase {
     // config survives the JSON round-trip
     assert(GraftSource.fromJson(src.toJson).datePartitionColumn === Some("dt"))
   }
+
+  test("datePartitionColumn prunes through pullAll and pointInTime") {
+    import java.sql.Timestamp
+    val path = java.nio.file.Files.createTempDirectory("graft-dpc2").toString + "/ev"
+    Layout.writeTimePartitioned(events, path, "ts")
+    val src = GraftSource.of(table = Some(path), timestampField = Some("ts"),
+      datePartitionColumn = Some("dt"))
+    val lo = Timestamp.valueOf("2024-01-06 00:00:00")
+    val hi = Timestamp.valueOf("2024-01-07 23:59:59")
+
+    val pulled = FeatureStoreOps.pullAll(spark, src,
+      joinKeyColumns = Seq("user_id"), featureNameColumns = Seq("value"),
+      timestampField = "ts", startDate = lo, endDate = hi).toDF
+    val pullPf = pulled.queryExecution.executedPlan.toString
+      .linesIterator.find(_.contains("PartitionFilters")).getOrElse("")
+    assert(pullPf.contains("2024-01-06") && pullPf.contains("2024-01-07"),
+      s"pullAll must partition-prune, got: $pullPf")
+    assert(pulled.count() > 0)
+
+    // PIT: the derived [minEnt - ttl, maxEnt] prefilter must reach
+    // PartitionFilters on the feature-view scan
+    import spark.implicits._
+    val ent = Seq((3L, Timestamp.valueOf("2024-01-08 00:00:00")))
+      .toDF("user_id", "event_timestamp")
+    val fv = FeatureView("ev", src, entityKeys = Seq("user_id"),
+      features = Seq("value"), ttlSeconds = 2 * 86400L)
+    val pit = FeatureStoreOps.pointInTime(spark, ent, Seq(fv)).toDF
+    val pitPf = pit.queryExecution.executedPlan.toString
+      .linesIterator.find(_.contains("PartitionFilters")).getOrElse("")
+    assert(pitPf.contains("2024-01-06") && pitPf.contains("2024-01-08"),
+      s"pointInTime prefilter must partition-prune, got: $pitPf")
+    assert(pit.count() === 1L)
+  }
 }

@@ -137,6 +137,34 @@ class FeatureStoreOpsSpec extends SparkTestBase {
     } finally spark.conf.unset("graft.pit.broadcastBytes")
   }
 
+  test("pointInTime: byte gate blocks broadcast when rows x width exceeds the threshold") {
+    import org.apache.spark.sql.functions._
+    // 50k rows x (8B key + 12B ts) = ~1 MB estimate. Under the old 1M-ROW gate
+    // this frame would always broadcast no matter how wide its rows; under the
+    // byte gate a 0.5 MB threshold rejects it and the PIT join must shuffle.
+    val wide = spark.range(50000)
+      .select((col("id") % 3 + 1).as("k"),
+        (lit(ts("2024-01-06 00:00:00")).cast("timestamp")).as("event_timestamp"))
+    val fv = FeatureView("f", featSrc, entityKeys = Seq("k"), features = Seq("v"),
+      ttlSeconds = 0L, tieBreak = Some("rid"))
+    def plan(): String =
+      FeatureStoreOps.pointInTime(spark, wide, Seq(fv)).toDF
+        .queryExecution.executedPlan.toString
+    // the gated join is the final LeftOuter merge of entity x viewResult;
+    // Catalyst may still broadcast the tiny FEATURE table inside the view
+    // (its own size-based call) — that's not what the gate controls
+    def leftOuterBroadcasts(p: String): Boolean =
+      p.linesIterator.exists(l => l.contains("BroadcastHashJoin") && l.contains("LeftOuter"))
+    spark.conf.set("graft.pit.broadcastBytes", (512 * 1024).toString)
+    try {
+      val p = plan()
+      assert(!leftOuterBroadcasts(p), s"byte gate must block the entity broadcast:\n$p")
+      assert(p.contains("SortMergeJoin"), s"expected shuffle join:\n$p")
+    } finally spark.conf.unset("graft.pit.broadcastBytes")
+    // with the default 100 MB threshold the same frame broadcasts
+    assert(leftOuterBroadcasts(plan()))
+  }
+
   test("pointInTime: empty entity frame returns empty result with full schema (no NPE)") {
     val fv = FeatureView("f", featSrc, entityKeys = Seq("k"), features = Seq("v"),
       ttlSeconds = 86400L, tieBreak = Some("rid"))

@@ -1,0 +1,93 @@
+package graft
+
+/** Plan-regression gate: every `SparkEntry.queries` entry is planned at
+  * sf0.001 and checked against a committed physical-plan budget —
+  *
+  *  - NO `CartesianProduct`, ever;
+  *  - NO `BroadcastNestedLoopJoin` except `knn_brute`, whose broadcast
+  *    queries × corpus scan IS the documented exact-baseline contract
+  *    (Similarity.scala — cost O(Q·N) by design);
+  *  - shuffle-`Exchange` count at most the committed budget (the plan a
+  *    rewrite should not silently worsen: an extra exchange at 100 TB is an
+  *    extra full shuffle of the data).
+  *
+  * Budgets are the measured counts of the current plans (AQE initial plan,
+  * broadcast exchanges NOT counted — broadcasting a small side is the cheap
+  * choice, not a regression). A NEW query must register a budget here — the
+  * completeness check fails otherwise.
+  */
+class PlanGateSpec extends SparkTestBase {
+
+  /** Iterative/checkpointed constructions: building the DataFrame runs jobs
+    * and the returned plan hangs off materialized checkpoint RDDs, so a
+    * static exchange count would see only the final segment. Covered by the
+    * oracle gate + BASELINE.md instead.
+    */
+  private val iterative = Set("dedup_minhash", "dedup_simhash", "dedup_clusters",
+    "knn_ivf")
+
+  private val maxShuffles = Map(
+    "corpus_quantiles" -> 1,
+    "decontaminate" -> 2,
+    "dedup_embedding" -> 2,
+    "dedup_exact" -> 1,
+    "doc_fingerprint" -> 0,
+    "event_attribution" -> 1,
+    "events_json_extract" -> 1,
+    "events_sessions" -> 1,
+    "events_windowed" -> 1,
+    "filter_blocklist" -> 0,
+    "knn_brute" -> 1,
+    "knn_lsh" -> 1,
+    "multimodal_meta" -> 0,
+    "ngram_stats" -> 2,
+    "pack_sequences" -> 1,
+    "pipeline_clean_corpus" -> 1,
+    "pit_join" -> 2,
+    "pit_join_created" -> 2,
+    "pit_join_multi" -> 4,
+    "pull_all_events" -> 0,
+    "pull_latest_events" -> 1,
+    "pull_latest_ties" -> 1,
+    "q1_pricing_summary" -> 1,
+    "q3_top_orders" -> 1,
+    "rolling_features" -> 1,
+    "sample_hash" -> 0,
+    "sample_stratified" -> 0,
+    "schema_events" -> 0,
+    "shard_layout" -> 1,
+    "source_csv_roundtrip" -> 0,
+    "source_field_mapping" -> 0,
+    "source_json_roundtrip" -> 0,
+    "source_parquet" -> 0,
+    "source_query" -> 1,
+    "text_langid" -> 0,
+    "text_pii_redact" -> 0,
+    "text_quality" -> 0,
+    "text_stats" -> 0,
+    "top_events_per_user" -> 1,
+  )
+
+  test("every query has a plan budget (or a documented exemption)") {
+    val missing = SparkEntry.queries.keySet -- maxShuffles.keySet -- iterative
+    assert(missing.isEmpty, s"register a shuffle budget for: $missing")
+  }
+
+  test("no CartesianProduct; BNLJ only in knn_brute; shuffles within budget") {
+    val shuffleRe = "Exchange (hash|range|Single)".r
+    val failures = maxShuffles.toSeq.sortBy(_._1).flatMap { case (name, budget) =>
+      val plan = SparkEntry.queries(name)(spark, sf()).queryExecution
+        .executedPlan.toString
+      val shuffles = shuffleRe.findAllIn(plan).size
+      val cart = plan.contains("CartesianProduct")
+      val bnlj = plan.contains("BroadcastNestedLoopJoin") && name != "knn_brute"
+      Seq(
+        if (cart) Some(s"$name: CartesianProduct in plan") else None,
+        if (bnlj) Some(s"$name: unexpected BroadcastNestedLoopJoin") else None,
+        if (shuffles > budget)
+          Some(s"$name: $shuffles shuffle exchanges > budget $budget") else None
+      ).flatten
+    }
+    assert(failures.isEmpty, failures.mkString("\n"))
+  }
+}

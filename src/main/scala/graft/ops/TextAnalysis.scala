@@ -60,23 +60,34 @@ object TextAnalysis {
       idCol: String,
       textCol: String,
       keep: Seq[String] = Nil): DataFrame = {
-    val t = col(textCol)
-    val toks = tokens(t)
-    val nTok = size(toks).cast("double")
+    // Staged projections (the interpreted-HOF discipline, SURVEY §3): the
+    // token array materializes ONCE, then the integer counts, then the score
+    // arithmetic. Inlined, the tokenizer would re-split the text at every
+    // reference (~6x/row) and `filter`'s lambda runs interpreted either way —
+    // multiple references to the aliases also keep CollapseProject from
+    // fusing the stages back together.
     val allStops = stopwords.values.flatten.toSeq.distinct
-    val nStop = size(filter(toks, tk => array_contains(typedLit(allStops), tk)))
-    val nPunct = size(regexp_extract_all(t, lit("[^A-Za-z0-9\\s]"), lit(0)))
+    val counts = df
+      .select(col(idCol) +: keep.map(col) :+ col(textCol).as("_t") :+
+        tokens(col(textCol)).as("_toks"): _*)
+      .select(col(idCol) +: keep.map(col) :+
+        size(col("_toks")).as("n_tokens") :+
+        size(filter(col("_toks"), tk => array_contains(typedLit(allStops), tk)))
+          .as("n_stopwords") :+
+        size(regexp_extract_all(col("_t"), lit("[^A-Za-z0-9\\s]"), lit(0))).as("n_punct") :+
+        size(array_distinct(col("_toks"))).as("n_distinct_tokens") :+
+        length(col("_t")).as("_n_chars"): _*)
+    val nTok = col("n_tokens").cast("double")
     val lengthSignal = least(nTok / 20.0, lit(1.0))
-    val punctSignal = lit(1.0) - least(nPunct / greatest(length(t).cast("double"), lit(1.0)) * 4.0, lit(1.0))
-    val repSignal = size(array_distinct(toks)) / greatest(nTok, lit(1.0))
-    val stopSignal = least(nStop / greatest(nTok, lit(1.0)) * 5.0, lit(1.0))
-    df.select(
+    val punctSignal = lit(1.0) -
+      least(col("n_punct") / greatest(col("_n_chars").cast("double"), lit(1.0)) * 4.0, lit(1.0))
+    val repSignal = col("n_distinct_tokens") / greatest(nTok, lit(1.0))
+    val stopSignal = least(col("n_stopwords") / greatest(nTok, lit(1.0)) * 5.0, lit(1.0))
+    counts.select(
       col(idCol) +: keep.map(col) :+
-        size(toks).as("n_tokens") :+
-        nStop.as("n_stopwords") :+
-        nPunct.as("n_punct") :+
-        size(array_distinct(toks)).as("n_distinct_tokens") :+
-        round((lengthSignal * 0.25 + punctSignal * 0.25 + repSignal * 0.25 + stopSignal * 0.25), 6)
+        col("n_tokens") :+ col("n_stopwords") :+ col("n_punct") :+
+        col("n_distinct_tokens") :+
+        round(lengthSignal * 0.25 + punctSignal * 0.25 + repSignal * 0.25 + stopSignal * 0.25, 6)
           .as("quality_score"): _*)
   }
 
@@ -85,18 +96,27 @@ object TextAnalysis {
     * trained table; stopword ratio is the shippable scan-speed heuristic.
     */
   def languageId(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val toks = tokens(col(textCol))
-    val scores = stopwords.keys.toSeq.sorted.map { lang =>
+    // Staged projections (SURVEY §3): tokens materialize once, then the five
+    // per-language hit counts, then the argmax — inlined, the tokenizer would
+    // re-split the text at every one of its ~11 references, and `best` (a
+    // greatest() over structs) would re-run every interpreted stopword filter
+    // for each of its three references below.
+    val langs = stopwords.keys.toSeq.sorted
+    val counts = df
+      .select(col(idCol), tokens(col(textCol)).as("_toks"))
+      .select(col(idCol) +: size(col("_toks")).as("_n") +:
+        langs.map(l => stopwordHitsArr(col("_toks"), l).as(s"_h_$l")): _*)
+    val scores = langs.map { lang =>
       struct(
-        (stopwordHitsArr(toks, lang).cast("double") /
-          greatest(size(toks).cast("double"), lit(1.0))).as("score"),
+        (col(s"_h_$lang").cast("double") /
+          greatest(col("_n").cast("double"), lit(1.0))).as("score"),
         lit(lang).as("lang"))
     }
-    val best = greatest(scores: _*)
-    df.select(
+    val withBest = counts.select(col(idCol), greatest(scores: _*).as("_best"))
+    withBest.select(
       col(idCol),
-      when(best.getField("score") > 0d, best.getField("lang")).otherwise(lit("und")).as("lang"),
-      round(best.getField("score"), 6).as("confidence"))
+      when(col("_best.score") > 0d, col("_best.lang")).otherwise(lit("und")).as("lang"),
+      round(col("_best.score"), 6).as("confidence"))
   }
 
   /** Sequence packing for LLM training: documents are concatenated in a

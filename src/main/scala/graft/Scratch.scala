@@ -2,6 +2,7 @@ package graft
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
+import graft.functions._
 import graft.ops.Dedup
 
 /** Throwaway profiling main (not part of the driver contract). */
@@ -27,16 +28,34 @@ object Scratch {
       .withColumn("doc_id", col("doc_id") + 100000L)
       .withColumn("text", concat(col("text"), lit(" graftdup"))))
 
-    val pairs = time("minHashLsh plan+exec(count)") {
-      val p = Dedup.minHashLsh(u, "doc_id", "text", threshold = 0.8).select("a_id", "b_id")
-      p.count(); p
-    }
-    time("pairs localCheckpoint") {
-      pairs.select(col("a_id").as("src"), col("b_id").as("dst")).localCheckpoint().count()
-    }
-    val ids = u.select(col("doc_id").as("id"))
-    time("connectedComponents total") {
-      Dedup.connectedComponents(ids, pairs).count()
+    // ---- minHashLsh stage-by-stage (mirrors Dedup.minHashLsh internals) ----
+    (1 to 2).foreach { round =>
+      println(s"---- round $round ----")
+      val ex = time("explode shingle hashes + checkpoint") {
+        val e = u
+          .select(col("doc_id").as("id"), tokens(col("text")).as("_toks"))
+          .select(col("id"), explode(shingleHashesFromTokens(col("_toks"), 3)).as("h"))
+          .localCheckpoint(false)
+        e.count(); e
+      }
+      val sig = time("64 min() signature agg") {
+        val minCols = (0 until 64).map(i => min(xxhash64(col("h"), lit(i))).as(s"_m$i"))
+        val s = ex.groupBy(col("id")).agg(minCols.head, minCols.tail: _*)
+        s.count(); s
+      }
+      val banded = time("band + bucketPairs") {
+        val bandStructs = (0 until 16).map { j =>
+          val slice = (j * 4 until (j + 1) * 4).map(i => col(s"_m$i"))
+          struct(lit(j).as("band"), xxhash64(array(slice: _*)).as("bucket"))
+        }
+        val b = sig.select(col("id"), explode(array(bandStructs: _*)).as("bucketKey"))
+        val c = Dedup.bucketPairs(b, 100)
+        c.count(); c
+      }
+      time("jaccard verify") {
+        Dedup.jaccardVerify(banded, ex, 0.8).count()
+      }
+      ex.unpersist()
     }
     spark.stop()
   }

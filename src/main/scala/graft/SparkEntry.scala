@@ -386,6 +386,21 @@ object SparkEntry {
     ops.Sampling.shuffleShards(docs(s, dir).select("doc_id", "lang"), "doc_id",
       numShards = 8)
 
+  /** 32-token chunks with stride 24 (overlapping pretraining windows). */
+  private def chunkDocs(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.chunkDocuments(docs(s, dir), "doc_id", "text",
+      chunkTokens = 32, stride = 24)
+
+  private def topNgram(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.topNgramStats(docs(s, dir), "doc_id", "text", n = 2)
+
+  /** Incremental dedup: docs with doc_id % 3 == 0 play the prior snapshot. */
+  private def dedupAgainstSnapshot(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    Dedup.dedupAgainst(d, d.filter(col("doc_id") % 3 === 0), Seq("text"))
+      .select("doc_id", "lang", "source")
+  }
+
   // =================================================================
   // §2.3 analytics headliners
   // =================================================================
@@ -487,6 +502,9 @@ object SparkEntry {
     "decontaminate" -> (decontaminateCorpus _),
     "sample_stratified" -> (sampleStratified _),
     "shard_layout" -> (shardLayout _),
+    "chunk_documents" -> (chunkDocs _),
+    "top_ngram_stats" -> (topNgram _),
+    "dedup_against" -> (dedupAgainstSnapshot _),
     "q1_pricing_summary" -> (q1PricingSummary _),
     "q3_top_orders" -> (q3TopOrders _),
     "top_events_per_user" -> (topEventsPerUser _),
@@ -941,6 +959,37 @@ object SparkEntry {
           |FROM cg c LEFT JOIN bg b ON c.g = b.g
           |GROUP BY c.doc_id
           |HAVING n_hit_grams >= 1""".stripMargin,
+      "chunk_documents" ->
+        """WITH t AS (SELECT doc_id,
+          |  list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> len(x) > 0) AS toks
+          |  FROM documents),
+          |nz AS (SELECT * FROM t WHERE len(toks) > 0),
+          |st AS (SELECT doc_id, toks, unnest(generate_series(1, len(toks), 24)) AS s FROM nz)
+          |SELECT doc_id AS id,
+          |  CAST((s - 1) / 24 AS INT) AS chunk_id,
+          |  array_to_string(toks[s:s+31], ' ') AS chunk_text,
+          |  CAST(least(32, len(toks) - s + 1) AS INT) AS n_chunk_tokens
+          |FROM st""".stripMargin,
+      "top_ngram_stats" ->
+        """WITH t AS (SELECT doc_id, length(text) AS n_chars,
+          |  list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> len(x) > 0) AS toks
+          |  FROM documents),
+          |g AS (SELECT doc_id, n_chars, unnest(CASE WHEN len(toks) >= 2
+          |    THEN list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1])
+          |    ELSE [array_to_string(toks, ' ')] END) AS gram FROM t),
+          |c AS (SELECT doc_id, n_chars, gram, count(*) AS cnt FROM g GROUP BY 1, 2, 3),
+          |r AS (SELECT *,
+          |  row_number() OVER (PARTITION BY doc_id ORDER BY cnt DESC, gram DESC) AS rn,
+          |  sum(cnt) OVER (PARTITION BY doc_id) AS n_grams FROM c)
+          |SELECT doc_id AS id, gram AS top_ngram, CAST(cnt AS BIGINT) AS top_count,
+          |  CAST(n_grams AS BIGINT) AS n_grams,
+          |  round(cnt * length(gram) / greatest(CAST(n_chars AS DOUBLE), 1.0), 6)
+          |    AS top_char_fraction
+          |FROM r WHERE rn = 1""".stripMargin,
+      "dedup_against" ->
+        """SELECT doc_id, lang, source FROM documents
+          |WHERE lower(trim(text)) NOT IN
+          |  (SELECT lower(trim(text)) FROM documents WHERE doc_id % 3 = 0)""".stripMargin,
       "sample_stratified" ->
         """SELECT doc_id, lang, source FROM documents
           |WHERE CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 6)) AS BIGINT) % 100

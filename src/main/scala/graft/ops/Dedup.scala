@@ -304,6 +304,31 @@ object Dedup {
       .select(col("a_id"), col("b_id"), col("cosine"))
   }
 
+  /** Incremental (cross-snapshot) exact dedup: drop rows of `batch` whose
+    * normalized content already exists in `reference` — the continuously-
+    * ingested-corpus primitive ("is this crawl page already in last month's
+    * corpus?"). Same normalization + sha-256 content key as [[exact]], so a
+    * batch deduped against snapshot N and unioned into it stays [[exact]]-
+    * clean.
+    *
+    * Shape at 100 TB: LEFT ANTI join on the 32-byte content hash — the batch
+    * never carries its text through a shuffle, and the reference side
+    * reduces to distinct hashes (one narrow column) before joining; Spark
+    * broadcasts it when small, else both sides hash-partition on the digest
+    * exactly once.
+    */
+  def dedupAgainst(
+      batch: DataFrame,
+      reference: DataFrame,
+      contentCols: Seq[String]): DataFrame = {
+    def key(df: DataFrame): Column =
+      sha2(concat_ws("", contentCols.map(c => lower(trim(col(c)))): _*), 256)
+    val refKeys = reference.select(key(reference).as("_k")).distinct()
+    batch.withColumn("_k", key(batch))
+      .join(refKeys, Seq("_k"), "left_anti")
+      .drop("_k")
+  }
+
   /** Benchmark decontamination: flag corpus documents that share any word
     * n-gram with a benchmark/eval set — the standard "did the training data
     * leak the test set" check. Returns (id, n_hit_grams, n_grams) for

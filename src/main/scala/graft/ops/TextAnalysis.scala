@@ -166,6 +166,70 @@ object TextAnalysis {
       .limit(topK)
   }
 
+  /** Fixed-token-window document chunking with stride (the pretraining / RAG
+    * "split long docs" primitive): each doc becomes `ceil(n_tokens / stride)`
+    * chunks of up to `chunkTokens` whitespace tokens, chunk `i` starting at
+    * token `i * stride` (stride < chunkTokens ⇒ overlapping windows).
+    * Token-empty docs produce no chunks. Output: (id, chunk_id, chunk_text,
+    * n_chunk_tokens).
+    *
+    * Pure per-row projection + posexplode: no shuffle at any scale — chunking
+    * 100 TB is exactly one scan-speed pass. Tokens materialize once per row
+    * (SURVEY §3 interpreted-HOF discipline) and each chunk is a slice of that
+    * array, never a re-tokenize.
+    */
+  def chunkDocuments(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      chunkTokens: Int,
+      stride: Int): DataFrame = {
+    require(chunkTokens > 0 && stride > 0, "chunkTokens and stride must be positive")
+    val chunks = transform(
+      sequence(lit(0), size(col("_toks")) - 1, lit(stride)),
+      s => struct(
+        concat_ws(" ", slice(col("_toks"), s + 1, lit(chunkTokens))).as("chunk_text"),
+        least(lit(chunkTokens), size(col("_toks")) - s).as("n_chunk_tokens")))
+    df.select(col(idCol).as("id"), tokens(col(textCol)).as("_toks"))
+      .filter(size(col("_toks")) > 0)
+      .select(col("id"), posexplode(chunks).as(Seq("chunk_id", "_c")))
+      .select(col("id"), col("chunk_id"),
+        col("_c.chunk_text").as("chunk_text"),
+        col("_c.n_chunk_tokens").as("n_chunk_tokens"))
+  }
+
+  /** Gopher-style intra-document repetition statistic: the most frequent word
+    * `n`-gram of each doc (counting repeats, unlike the dedup shingle sets),
+    * its occurrence count, and the fraction of the doc's characters its
+    * occurrences cover — high fraction ⇒ boilerplate/spam (the "fraction of
+    * chars in top n-gram" rule from the Gopher data pipeline). Ties break to
+    * the lexicographically greatest gram so the pick is deterministic in any
+    * engine. Docs with fewer than `n` tokens get their whole-doc gram.
+    *
+    * Shape: explode → per-(id, gram) codegen count (map-side partial) → one
+    * arg-max per id (`max(struct(count, gram))`, single shuffle each) — never
+    * a per-doc sort.
+    */
+  def topNgramStats(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
+    val grams = df
+      .select(col(idCol).as("id"), length(col(textCol)).as("n_chars"),
+        tokens(col(textCol)).as("_toks"))
+      .select(col("id"), col("n_chars"),
+        explode(shinglesFromTokens(col("_toks"), n)).as("gram"))
+    grams
+      .groupBy(col("id"), col("n_chars"), col("gram"))
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy(col("id"), col("n_chars"))
+      .agg(max(struct(col("cnt"), col("gram"))).as("_top"),
+        sum(col("cnt")).as("n_grams"))
+      .select(col("id"),
+        col("_top.gram").as("top_ngram"),
+        col("_top.cnt").as("top_count"),
+        col("n_grams"),
+        round(col("_top.cnt") * length(col("_top.gram")) /
+          greatest(col("n_chars").cast("double"), lit(1.0)), 6).as("top_char_fraction"))
+  }
+
   /** Conservative RE2-compatible PII patterns (no lookaround/backrefs, so the
     * same pattern runs in Java regex, RE2, and DuckDB identically; alternation
     * is leftmost-first in both engines, so counts and replacements agree).

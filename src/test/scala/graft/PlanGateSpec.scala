@@ -27,6 +27,9 @@ class PlanGateSpec extends SparkTestBase {
     "knn_ivf")
 
   private val maxShuffles = Map(
+    "chunk_documents" -> 0,
+    "top_ngram_stats" -> 2,
+    "dedup_against" -> 1,
     "corpus_quantiles" -> 1,
     "decontaminate" -> 2,
     "dedup_embedding" -> 2,

@@ -114,6 +114,21 @@ class DedupSpec extends SparkTestBase {
     assert(!out.contains(3L), "clean doc must not be flagged")
   }
 
+  test("dedupAgainst: drops content already in the reference, keeps new content") {
+    val ref = docsDf((1L, "Seen Before"), (2L, "also known"))
+    val batch = docsDf(
+      (10L, "seen before  "),   // normalized match -> dropped
+      (11L, "brand new text"),  // survives
+      (12L, "ALSO KNOWN"))      // case-normalized match -> dropped
+    val out = Dedup.dedupAgainst(batch, ref, Seq("text"))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(out === Set(11L))
+    // consistency with exact(): batch-minus-ref unioned into ref has no dups
+    val merged = ref.unionByName(Dedup.dedupAgainst(batch, ref, Seq("text")))
+    assert(Dedup.exact(merged, Seq("text"), "doc_id")
+      .agg(org.apache.spark.sql.functions.max("n_dups")).head.getLong(0) === 1L)
+  }
+
   test("decontaminate: broadcast side is the benchmark grams") {
     val bench = docsDf((100L, "alpha beta gamma"))
     val corpus = docsDf((1L, "alpha beta gamma delta"))

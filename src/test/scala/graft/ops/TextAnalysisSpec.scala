@@ -67,4 +67,44 @@ class TextAnalysisSpec extends SparkTestBase {
     assert(fp("alpha beta gamma") == fp("gamma alpha beta alpha"))
     assert(fp("alpha beta gamma") != fp("alpha beta delta"))
   }
+
+  test("chunkDocuments: stride windows, short tail, empty doc yields no chunks") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "t1 t2 t3 t4 t5 t6 t7"), // 7 tokens, chunk=3 stride=2 -> starts 0,2,4,6
+      (2L, "a b"),                  // 2 tokens -> one short chunk
+      (3L, "   ")                   // no tokens -> no chunks
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.chunkDocuments(df, "doc_id", "text", chunkTokens = 3, stride = 2)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2), r.getInt(3)))
+    assert(out.filter(_._1 == 1L).toSeq.sortBy(_._2) === Seq(
+      (1L, 0, "t1 t2 t3", 3), (1L, 1, "t3 t4 t5", 3),
+      (1L, 2, "t5 t6 t7", 3), (1L, 3, "t7", 1)))
+    assert(out.filter(_._1 == 2L).toSeq === Seq((2L, 0, "a b", 2)))
+    assert(!out.exists(_._1 == 3L))
+  }
+
+  test("chunkDocuments: pure projection plan, no exchange") {
+    import spark.implicits._
+    val df = Seq((1L, "a b c d")).toDF("doc_id", "text")
+    val plan = TextAnalysis.chunkDocuments(df, "doc_id", "text", 2, 2)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"chunking must not shuffle:\n$plan")
+  }
+
+  test("topNgramStats: counts repeats, deterministic tie-break, char fraction") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "ab cd ab cd ab"),   // 2-grams: "ab cd"x2, "cd ab"x2 -> tie, pick "cd ab"
+      (2L, "xx yy zz"),         // all grams unique -> top count 1, pick "yy zz"
+      (3L, "w")                 // < 2 tokens -> whole-doc gram
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.topNgramStats(df, "doc_id", "text", 2)
+      .collect().map(r => r.getLong(0) ->
+        (r.getString(1), r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+    assert(out(1L)._1 === "cd ab" && out(1L)._2 === 2L && out(1L)._3 === 4L)
+    assert(out(1L)._4 === math.rint(2 * 5 / 14.0 * 1e6) / 1e6)
+    assert(out(2L) === (("yy zz", 1L, 2L, 5.0 / 8.0)))
+    assert(out(3L)._1 === "w" && out(3L)._2 === 1L)
+  }
 }

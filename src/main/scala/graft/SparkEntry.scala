@@ -394,6 +394,10 @@ object SparkEntry {
   private def topNgram(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.topNgramStats(docs(s, dir), "doc_id", "text", n = 2)
 
+  /** Rare = corpus occurrence count <= 2. */
+  private def rareTokens(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.rareTokenStats(docs(s, dir), "doc_id", "text", maxCount = 2L)
+
   /** Incremental dedup: docs with doc_id % 3 == 0 play the prior snapshot. */
   private def dedupAgainstSnapshot(s: SparkSession, dir: String): DataFrame = {
     val d = docs(s, dir)
@@ -505,6 +509,7 @@ object SparkEntry {
     "chunk_documents" -> (chunkDocs _),
     "top_ngram_stats" -> (topNgram _),
     "dedup_against" -> (dedupAgainstSnapshot _),
+    "rare_token_stats" -> (rareTokens _),
     "q1_pricing_summary" -> (q1PricingSummary _),
     "q3_top_orders" -> (q3TopOrders _),
     "top_events_per_user" -> (topEventsPerUser _),
@@ -990,6 +995,22 @@ object SparkEntry {
         """SELECT doc_id, lang, source FROM documents
           |WHERE lower(trim(text)) NOT IN
           |  (SELECT lower(trim(text)) FROM documents WHERE doc_id % 3 = 0)""".stripMargin,
+      "rare_token_stats" ->
+        """WITH t AS (SELECT doc_id,
+          |  list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> len(x) > 0) AS toks
+          |  FROM documents),
+          |ex AS (SELECT doc_id, unnest(CASE WHEN len(toks) = 0
+          |  THEN [CAST(NULL AS VARCHAR)] ELSE toks END) AS tok FROM t),
+          |rare AS (SELECT tok FROM (SELECT tok, count(*) AS c FROM ex
+          |  WHERE tok IS NOT NULL GROUP BY tok) WHERE c <= 2)
+          |SELECT e.doc_id AS id,
+          |  count(e.tok) AS n_tokens,
+          |  CAST(sum(CASE WHEN r.tok IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+          |    AS n_rare_tokens,
+          |  round(CAST(sum(CASE WHEN r.tok IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) /
+          |    greatest(CAST(count(e.tok) AS DOUBLE), 1.0), 6) AS rare_fraction
+          |FROM ex e LEFT JOIN rare r ON e.tok = r.tok
+          |GROUP BY e.doc_id""".stripMargin,
       "sample_stratified" ->
         """SELECT doc_id, lang, source FROM documents
           |WHERE CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 6)) AS BIGINT) % 100

@@ -198,6 +198,42 @@ object TextAnalysis {
         col("_c.n_chunk_tokens").as("n_chunk_tokens"))
   }
 
+  /** Corpus-frequency document scoring (OOV / rare-token filtering): for each
+    * doc, how many of its tokens have a CORPUS-WIDE occurrence count of at
+    * most `maxCount`. A high rare fraction means gibberish, mojibake, or
+    * heavy named-entity soup — the cheap two-pass stand-in for LM-perplexity
+    * filtering (integer-exact, unlike a log-prob sum, so the oracle can hash
+    * it). Output: (id, n_tokens, n_rare_tokens, rare_fraction); token-empty
+    * docs stay with zeros.
+    *
+    * Shape: the exploded (id, token) stream is checkpointed once and feeds
+    * (a) the global vocabulary count — one codegen'd hash agg — and (b) the
+    * join back against the rare subset of that vocabulary; then one
+    * re-aggregation by id. Three hash-partition exchanges of narrow rows
+    * total, no row wider than (long, string) anywhere.
+    */
+  def rareTokenStats(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      maxCount: Long): DataFrame = {
+    val ex = df
+      .select(col(idCol).as("id"), tokens(col(textCol)).as("_toks"))
+      .select(col("id"), explode_outer(col("_toks")).as("tok"))
+      .localCheckpoint(false) // reused by the vocab agg and the join side
+    val rare = ex.filter(col("tok").isNotNull)
+      .groupBy(col("tok")).agg(count(lit(1)).as("_c"))
+      .filter(col("_c") <= maxCount)
+      .select(col("tok"), lit(1).as("_rare"))
+    ex.join(rare, Seq("tok"), "left")
+      .groupBy(col("id"))
+      .agg(count(col("tok")).as("n_tokens"),
+        sum(coalesce(col("_rare"), lit(0))).cast("long").as("n_rare_tokens"))
+      .select(col("id"), col("n_tokens"), col("n_rare_tokens"),
+        round(col("n_rare_tokens") /
+          greatest(col("n_tokens").cast("double"), lit(1.0)), 6).as("rare_fraction"))
+  }
+
   /** Gopher-style intra-document repetition statistic: the most frequent word
     * `n`-gram of each doc (counting repeats, unlike the dedup shingle sets),
     * its occurrence count, and the fraction of the doc's characters its

@@ -63,6 +63,20 @@ object EventStream {
       .outputMode(OutputMode.Append)
       .start()
 
+  /** Streaming exact dedup: drops repeated `event_id`s (at-least-once
+    * ingest -> exactly-once semantics downstream). On a stream the watermark
+    * bounds the dedup state — ids older than `watermark` are evicted, so a
+    * duplicate replayed later than the watermark delay would pass (the
+    * standard Spark state/completeness trade, same as windowedCounts); on
+    * batch the identical call is a plain dropDuplicates. State size is
+    * O(events within the watermark), not O(stream history).
+    */
+  def dedupEvents(
+      events: Dataset[GraftEvent],
+      watermark: String = "1 hour"): Dataset[GraftEvent] =
+    (if (events.isStreaming) events.withWatermark("ts", watermark) else events)
+      .dropDuplicates("event_id")
+
   /** Tumbling-window aggregate: per (window, event_type) event counts and
     * value sums. On a streaming input a watermark bounds state; on batch the
     * same plan is a plain two-key groupBy.

@@ -30,6 +30,7 @@ class PlanGateSpec extends SparkTestBase {
     "chunk_documents" -> 0,
     "top_ngram_stats" -> 2,
     "dedup_against" -> 1,
+    "rare_token_stats" -> 2,
     "corpus_quantiles" -> 1,
     "decontaminate" -> 2,
     "dedup_embedding" -> 2,

@@ -92,6 +92,21 @@ class TextAnalysisSpec extends SparkTestBase {
     assert(!plan.contains("Exchange"), s"chunking must not shuffle:\n$plan")
   }
 
+  test("rareTokenStats: corpus-wide counts, empty doc kept with zeros") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "common common unique1"),  // "common" appears 4x corpus-wide
+      (2L, "common common unique2"),
+      (3L, " ")
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.rareTokenStats(df, "doc_id", "text", maxCount = 2L)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    // uniqueN count 1 <= 2 -> rare; "common" count 4 -> not rare
+    assert(out(1L) === ((3L, 1L, math.rint(1.0 / 3.0 * 1e6) / 1e6)))
+    assert(out(2L) === ((3L, 1L, math.rint(1.0 / 3.0 * 1e6) / 1e6)))
+    assert(out(3L) === ((0L, 0L, 0.0)))
+  }
+
   test("topNgramStats: counts repeats, deterministic tie-break, char fraction") {
     import spark.implicits._
     val df = Seq(

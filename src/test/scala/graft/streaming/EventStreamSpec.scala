@@ -12,6 +12,26 @@ class EventStreamSpec extends SparkTestBase {
   private def ev(id: Long, user: Long, minutes: Long, v: Double = 1.0) =
     GraftEvent(id, new Timestamp(Base + minutes * 60000), user, "click", v)
 
+  test("dedupEvents: streaming drops replayed event_ids; batch twin agrees") {
+    import spark.implicits._
+    implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = MemoryStream[GraftEvent]
+    val q = EventStream.dedupEvents(ms.toDS())
+      .writeStream.format("memory").queryName("dedup_out").outputMode("append").start()
+    ms.addData(Seq(ev(1, 1, 0), ev(2, 1, 5), ev(1, 1, 0))) // in-batch replay
+    q.processAllAvailable()
+    ms.addData(Seq(ev(2, 1, 5), ev(3, 2, 10))) // cross-batch replay within watermark
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("dedup_out").select("event_id")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(streamed === Seq(1L, 2L, 3L), "each event_id exactly once")
+    val batch = EventStream.dedupEvents(
+      Seq(ev(1, 1, 0), ev(2, 1, 5), ev(1, 1, 0), ev(2, 1, 5), ev(3, 2, 10)).toDS())
+      .select("event_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(batch === streamed)
+  }
+
   test("windowedCounts: streaming result equals the batch twin") {
     import spark.implicits._
     implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext

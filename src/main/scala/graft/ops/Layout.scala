@@ -51,4 +51,53 @@ object Layout {
       .mode(if (overwrite) "overwrite" else "errorifexists")
       .partitionBy("dt")
       .parquet(path)
+
+  /** Result of a [[compact]] rewrite. */
+  final case class CompactStats(filesBefore: Int, filesAfter: Int, bytes: Long)
+
+  /** Compact a parquet directory into ~`targetFileMB`-sized files — the
+    * small-files remedy: a table written by many tasks (or many streaming
+    * micro-batches) accumulates files whose per-file open/footer cost and
+    * listing metadata dominate the scan at scale. The target file count is
+    * computed from the ON-DISK byte size (not row count), so the result is
+    * right regardless of schema width.
+    *
+    * `sortCols` additionally range-partitions and sorts within each output
+    * file, so parquet row-group min/max statistics become selective on those
+    * columns — post-compaction, a filter on a sort column prunes row groups
+    * the same way a partition column prunes directories.
+    *
+    * Writes to `outPath` (never in place: an in-place overwrite would delete
+    * the files that the rewriting scan is still reading).
+    */
+  def compact(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      outPath: String,
+      targetFileMB: Int = 512,
+      sortCols: Seq[String] = Nil): CompactStats = {
+    val hadoopPath = new org.apache.hadoop.fs.Path(path)
+    val fs = hadoopPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val files = fs.listFiles(hadoopPath, true)
+    var bytes = 0L
+    var nFiles = 0
+    while (files.hasNext) {
+      val f = files.next()
+      if (f.getPath.getName.endsWith(".parquet")) { bytes += f.getLen; nFiles += 1 }
+    }
+    val target = math.max(1, math.ceil(bytes.toDouble / (targetFileMB.toLong << 20)).toInt)
+    val df = spark.read.parquet(path)
+    val shaped =
+      if (sortCols.nonEmpty)
+        df.repartitionByRange(target, sortCols.map(col): _*)
+          .sortWithinPartitions(sortCols.map(col): _*)
+      else df.repartition(target)
+    shaped.write.mode("errorifexists").parquet(outPath)
+    val outFiles = fs.listFiles(new org.apache.hadoop.fs.Path(outPath), true)
+    var nOut = 0
+    while (outFiles.hasNext) {
+      if (outFiles.next().getPath.getName.endsWith(".parquet")) nOut += 1
+    }
+    CompactStats(nFiles, nOut, bytes)
+  }
 }

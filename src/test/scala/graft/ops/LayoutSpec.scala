@@ -68,6 +68,22 @@ class LayoutSpec extends SparkTestBase {
     assert(GraftSource.fromJson(src.toJson).datePartitionColumn === Some("dt"))
   }
 
+  test("compact: many small files collapse to the size-derived target, rows intact") {
+    val base = java.nio.file.Files.createTempDirectory("graft-compact").toString
+    // simulate a many-task write: 40 tiny files
+    events.repartition(40).write.parquet(s"$base/small")
+    val stats = Layout.compact(spark, s"$base/small", s"$base/compacted",
+      targetFileMB = 1024, sortCols = Seq("user_id"))
+    assert(stats.filesBefore === 40)
+    assert(stats.filesAfter === 1, "a tiny table compacts to a single file")
+    val before = spark.read.parquet(s"$base/small")
+    val after = spark.read.parquet(s"$base/compacted")
+    assert(after.count() === before.count())
+    // sorted-within-file: user_id is nondecreasing in the single output file
+    val ids = after.select("user_id").collect().map(_.getLong(0))
+    assert(ids.sameElements(ids.sorted), "sortCols must order rows within the file")
+  }
+
   test("datePartitionColumn prunes through pullAll and pointInTime") {
     import java.sql.Timestamp
     val path = java.nio.file.Files.createTempDirectory("graft-dpc2").toString + "/ev"

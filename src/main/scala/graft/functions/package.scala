@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.graft.{CosineSimilarity, DotProduct, Md5Prefix64}
+import org.apache.spark.sql.graft.{CosineSimilarity, DotProduct, Md5Prefix64, WordShingleHashes, WordShingles}
 
 /** Column builders for the LLM-pipeline operators. Everything here composes
   * built-in (codegen'd) Spark expressions — no UDFs — so whole-stage codegen
@@ -15,28 +15,23 @@ package object functions {
   def tokens(text: Column): Column =
     filter(split(lower(trim(text)), "\\s+"), t => length(t) > 0)
 
-  /** Word n-gram shingles from an ALREADY-MATERIALIZED token array column; a
-    * doc shorter than `n` words collapses to one whole-doc shingle so it
-    * still participates in MinHash.
-    *
-    * `toks` must be a column attribute, not the `tokens(...)` expression:
-    * interpreted HOF evaluation re-runs a sub-expression at every reference,
-    * so inlining the tokenizer here re-splits the text once per shingle
-    * (~50x per doc, measured). Referencing the alias several times also keeps
-    * CollapseProject from fusing the projections back together.
+  /** Word n-gram shingles from a token array column; a doc shorter than `n`
+    * words collapses to one whole-doc shingle so it still participates in
+    * MinHash. Native codegen'd expression ([[WordShingles]]) — the previous
+    * composed form (`transform(sequence, i -> concat_ws(slice))`) ran an
+    * interpreted lambda per gram, each allocating a slice copy, and re-split
+    * the text per reference when the tokenizer was inlined. Still pass a
+    * materialized token column where it's referenced more than once.
     */
-  def shinglesFromTokens(toks: Column, n: Int): Column = {
-    val grams = transform(
-      sequence(lit(0), size(toks) - n),
-      i => concat_ws(" ", slice(toks, i + 1, lit(n))))
-    when(size(toks) >= n, grams).otherwise(array(concat_ws(" ", toks)))
-  }
+  def shinglesFromTokens(toks: Column, n: Int): Column = WordShingles(toks, n)
 
-  /** Distinct 64-bit hashes of a materialized token array's shingle set
-    * (the MinHash universe).
+  /** Distinct 64-bit xxhash64 values of a materialized token array's shingle
+    * set (the MinHash universe) — native fused expression
+    * ([[WordShingleHashes]]), bit-identical to
+    * `array_distinct(transform(shingles, s => xxhash64(s)))`.
     */
   def shingleHashesFromTokens(toks: Column, n: Int): Column =
-    array_distinct(transform(shinglesFromTokens(toks, n), s => xxhash64(s)))
+    WordShingleHashes(toks, n)
 
   /** Content fingerprint: md5 of the sorted distinct token set — identical
     * across engines (md5 exists in DuckDB too), order- and repetition-proof.

@@ -198,3 +198,118 @@ object Md5Prefix64 {
   def apply(s: Column): Column =
     ExpressionUtils.column(Md5Prefix64(ExpressionUtils.expression(s)))
 }
+
+/** Word n-gram shingles from a token array — the native form of the composed
+  * `transform(sequence(0, size-n), i -> concat_ws(" ", slice(toks, i+1, n)))`:
+  * identical output (size-n+1 space-joined grams; a doc shorter than `n`
+  * tokens collapses to one whole-doc gram), but one static-method call per
+  * row instead of an interpreted lambda per gram, each allocating a slice
+  * copy. Codegen emits a call to [[WordShingles.shingle]], so the projection
+  * stays inside whole-stage codegen.
+  */
+case class WordShingles(child: Expression, n: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+  require(n > 0, "shingle size must be positive")
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(StringType))
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "graft_word_shingles"
+
+  override def nullSafeEval(input: Any): Any =
+    WordShingles.shingle(input.asInstanceOf[ArrayData], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = org.apache.spark.sql.graft.WordShingles.shingle($c, $n);")
+
+  override protected def withNewChildInternal(newChild: Expression): WordShingles =
+    copy(child = newChild)
+}
+
+object WordShingles {
+  private val Sep = UTF8String.fromString(" ")
+
+  def shingle(arr: ArrayData, n: Int): ArrayData = {
+    val sz = arr.numElements()
+    if (sz >= n) {
+      val out = new Array[Any](sz - n + 1)
+      val parts = new Array[UTF8String](n)
+      var i = 0
+      while (i <= sz - n) {
+        var j = 0
+        while (j < n) { parts(j) = arr.getUTF8String(i + j); j += 1 }
+        out(i) = UTF8String.concatWs(Sep, parts: _*)
+        i += 1
+      }
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+    } else {
+      val parts = new Array[UTF8String](sz)
+      var j = 0
+      while (j < sz) { parts(j) = arr.getUTF8String(j); j += 1 }
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        Array[Any](UTF8String.concatWs(Sep, parts: _*)))
+    }
+  }
+
+  def apply(toks: Column, n: Int): Column =
+    ExpressionUtils.column(WordShingles(ExpressionUtils.expression(toks), n))
+}
+
+/** Distinct 64-bit xxhash64 values of a token array's shingle set — the
+  * native fusion of `array_distinct(transform(shingles, s => xxhash64(s)))`.
+  * Hashes each gram with [[org.apache.spark.sql.catalyst.expressions.XxHash64Function]]
+  * at Spark's default seed 42, so values are bit-identical to the built-in
+  * `xxhash64(gram)`; dedup is an open-address pass over primitive longs (no
+  * per-gram boxing, no interpreted transform).
+  */
+case class WordShingleHashes(child: Expression, n: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+  require(n > 0, "shingle size must be positive")
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(StringType))
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_word_shingle_hashes"
+
+  override def nullSafeEval(input: Any): Any =
+    WordShingleHashes.hashes(input.asInstanceOf[ArrayData], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = org.apache.spark.sql.graft.WordShingleHashes.hashes($c, $n);")
+
+  override protected def withNewChildInternal(newChild: Expression): WordShingleHashes =
+    copy(child = newChild)
+}
+
+object WordShingleHashes {
+  private val Seed = 42L // xxhash64()'s default seed
+
+  def hashes(arr: ArrayData, n: Int): ArrayData = {
+    val grams = WordShingles.shingle(arr, n)
+    val sz = grams.numElements()
+    val out = new Array[Long](sz)
+    var m = 0
+    // keep first occurrence order, drop repeats (array_distinct semantics);
+    // linear probe for short docs, hash set once the quadratic scan would bite
+    val set = if (sz > 64) new java.util.HashSet[java.lang.Long](sz * 2) else null
+    var i = 0
+    while (i < sz) {
+      val h = org.apache.spark.sql.catalyst.expressions.XxHash64Function.hash(
+        grams.getUTF8String(i), StringType, Seed)
+      val seen = if (set != null) !set.add(h)
+        else {
+          var s = false
+          var j = 0
+          while (j < m && !s) { s = out(j) == h; j += 1 }
+          s
+        }
+      if (!seen) { out(m) = h; m += 1 }
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      java.util.Arrays.copyOf(out, m))
+  }
+
+  def apply(toks: Column, n: Int): Column =
+    ExpressionUtils.column(WordShingleHashes(ExpressionUtils.expression(toks), n))
+}

@@ -28,7 +28,7 @@ object TextAnalysis {
   )
 
   private def stopwordHitsArr(toks: Column, lang: String): Column =
-    size(filter(toks, t => array_contains(typedLit(stopwords(lang)), t)))
+    org.apache.spark.sql.graft.CountInSet(toks, stopwords(lang))
 
   /** Token statistics: whitespace tokens, a BPE-ish regex token count
     * (word pieces + digit runs + single punctuation marks — the classic
@@ -72,7 +72,7 @@ object TextAnalysis {
         tokens(col(textCol)).as("_toks"): _*)
       .select(col(idCol) +: keep.map(col) :+
         size(col("_toks")).as("n_tokens") :+
-        size(filter(col("_toks"), tk => array_contains(typedLit(allStops), tk)))
+        org.apache.spark.sql.graft.CountInSet(col("_toks"), allStops)
           .as("n_stopwords") :+
         size(regexp_extract_all(col("_t"), lit("[^A-Za-z0-9\\s]"), lit(0))).as("n_punct") :+
         size(array_distinct(col("_toks"))).as("n_distinct_tokens") :+

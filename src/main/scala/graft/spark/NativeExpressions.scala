@@ -313,3 +313,52 @@ object WordShingleHashes {
   def apply(toks: Column, n: Int): Column =
     ExpressionUtils.column(WordShingleHashes(ExpressionUtils.expression(toks), n))
 }
+
+/** Count of a string array's elements that belong to a literal string set —
+  * the native form of `size(filter(arr, t => array_contains(lit(set), t)))`,
+  * which runs an interpreted lambda per element with an O(|set|) linear
+  * array_contains scan each. One hashed lookup per element, one static call
+  * per row, inside whole-stage codegen. Binary UTF8 equality, identical to
+  * array_contains on strings.
+  */
+case class CountInSet(child: Expression, set: Seq[String])
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(StringType))
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "graft_count_in_set"
+
+  @transient private lazy val utf8Set: java.util.HashSet[UTF8String] = {
+    val s = new java.util.HashSet[UTF8String](set.size * 2)
+    set.foreach(x => s.add(UTF8String.fromString(x)))
+    s
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    CountInSet.count(input.asInstanceOf[ArrayData], utf8Set)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val setRef = ctx.addReferenceObj("utf8Set", utf8Set, "java.util.HashSet")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = org.apache.spark.sql.graft.CountInSet.count($c, $setRef);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): CountInSet =
+    copy(child = newChild)
+}
+
+object CountInSet {
+  def count(arr: ArrayData, set: java.util.HashSet[UTF8String]): Int = {
+    val sz = arr.numElements()
+    var c = 0
+    var i = 0
+    while (i < sz) {
+      if (set.contains(arr.getUTF8String(i))) c += 1
+      i += 1
+    }
+    c
+  }
+
+  def apply(arr: Column, set: Seq[String]): Column =
+    ExpressionUtils.column(CountInSet(ExpressionUtils.expression(arr), set))
+}

@@ -33,7 +33,23 @@ object GraftFunctions {
         (children: Seq[Expression]) => DotProduct(children(0), children(1))),
       (FunctionIdentifier("graft_md5_prefix64"),
         new ExpressionInfo(classOf[Md5Prefix64].getName, "graft_md5_prefix64"),
-        (children: Seq[Expression]) => Md5Prefix64(children(0))))
+        (children: Seq[Expression]) => Md5Prefix64(children(0))),
+      (FunctionIdentifier("graft_word_shingles"),
+        new ExpressionInfo(classOf[WordShingles].getName, "graft_word_shingles"),
+        (children: Seq[Expression]) => WordShingles(children(0), foldableInt(children(1)))),
+      (FunctionIdentifier("graft_word_shingle_hashes"),
+        new ExpressionInfo(classOf[WordShingleHashes].getName, "graft_word_shingle_hashes"),
+        (children: Seq[Expression]) =>
+          WordShingleHashes(children(0), foldableInt(children(1)))))
+
+  private def foldableInt(e: Expression): Int = {
+    require(e.foldable, s"argument must be a literal integer, got: ${e.sql}")
+    e.eval() match {
+      case i: Int => i
+      case other => throw new IllegalArgumentException(
+        s"argument must be an integer literal, got: $other")
+    }
+  }
 
   /** Registers the graft SQL functions on an existing session (idempotent). */
   def register(spark: SparkSession): Unit =

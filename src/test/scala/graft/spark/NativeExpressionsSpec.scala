@@ -17,6 +17,27 @@ class NativeExpressionsSpec extends SparkTestBase {
     assert(r.getDouble(2) == 32.0)
   }
 
+  test("graft_word_shingles / graft_word_shingle_hashes from SQL, builtin-identical") {
+    GraftFunctions.register(spark)
+    val r = spark.sql(
+      """SELECT graft_word_shingles(array('a', 'b', 'c', 'd'), 3) AS sh,
+        |       graft_word_shingles(array('a', 'b'), 3) AS short,
+        |       graft_word_shingle_hashes(array('a', 'b', 'c', 'a', 'b', 'c'), 3) AS h,
+        |       xxhash64('a b c') AS h0
+        |""".stripMargin).collect().head
+    assert(r.getSeq[String](0) === Seq("a b c", "b c d"))
+    assert(r.getSeq[String](1) === Seq("a b"))
+    // distinct: 4 raw grams ("a b c","b c a","c a b","a b c") -> 3 hashes,
+    // first one bit-identical to the builtin xxhash64 of the gram text
+    assert(r.getSeq[Long](2).length === 3)
+    assert(r.getSeq[Long](2).head === r.getLong(3))
+    // non-literal n rejected at analysis
+    val err = intercept[Exception] {
+      spark.sql("SELECT graft_word_shingles(array('a'), CAST(rand() * 3 AS INT))").collect()
+    }
+    assert(err.getMessage.contains("literal"))
+  }
+
   test("float arrays widen to double; length mismatch and null yield null") {
     GraftFunctions.register(spark)
     val r = spark.sql(

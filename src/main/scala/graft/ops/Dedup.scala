@@ -159,18 +159,12 @@ object Dedup {
   def simHash(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val ex = df
       .select(col(idCol).as("id"), explode_outer(tokens(col(textCol))).as("t"))
-      .select(col("id"), col("t").isNull.as("empty"), md5Prefix64(col("t")).as("_h"))
-    // bit b (LSB = 0) of the big-endian 64-bit md5 prefix
-    val bitCols = (0 until 64).map { b =>
-      sum(when(col("empty"), 0L)
-        .when(shiftright(col("_h"), b).bitwiseAND(lit(1L)) === 1, 1L)
-        .otherwise(-1L)).as(s"_b$b")
-    }
-    val agg = ex.groupBy(col("id")).agg(bitCols.head, bitCols.tail: _*)
-    val sim = (0 until 64)
-      .map(j => when(col(s"_b$j") > 0L, lit(1L << j)).otherwise(0L))
-      .reduce(_ + _)
-    agg.select(col("id"), sim.as("simhash"))
+      .select(col("id"), md5Prefix64(col("t")).as("_h"))
+    // one-pass 64-bit majority aggregation (see SimHashAgg) — bit-exact with
+    // the 64-separate-sums formulation the DuckDB oracle replicates, at one
+    // buffer update per token instead of 64 aggregate expressions per row
+    ex.groupBy(col("id"))
+      .agg(org.apache.spark.sql.graft.SimHashAgg(col("_h")).as("simhash"))
   }
 
   /** SimHash near-dup pairs: docs whose 64-bit SimHashes are within

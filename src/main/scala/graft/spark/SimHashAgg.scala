@@ -1,0 +1,105 @@
+package org.apache.spark.sql.graft
+
+import java.nio.ByteBuffer
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression}
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.trees.UnaryLike
+import org.apache.spark.sql.classic.ExpressionUtils
+import org.apache.spark.sql.types._
+
+/** Mutable per-group state: per-bit one-counts over the 64-bit token hashes
+  * plus the number of (non-null) tokens seen.
+  */
+final class SimHashState(val ones: Array[Int], var n: Long) {
+  def add(h: Long): Unit = {
+    var b = 0
+    while (b < 64) {
+      if (((h >>> b) & 1L) == 1L) ones(b) += 1
+      b += 1
+    }
+    n += 1
+  }
+}
+
+/** One-pass SimHash signature aggregation over 64-bit token hashes — the
+  * imperative-aggregate form of the 64 separate
+  * `sum(when(shiftright(h, b) & 1 === 1, 1).otherwise(-1))` columns: one
+  * buffer update per token (a 64-iteration shift loop on a primitive long)
+  * instead of 64 independent aggregate expressions each re-evaluating
+  * shift/and/case per row. Bit-exact same result: bit `b` of the signature is
+  * set iff the ±1 sum is positive, i.e. `2 * ones(b) > n` (ties -> 0); null
+  * inputs (the `explode_outer` marker of a token-less doc) count nothing, so
+  * an empty doc aggregates to signature 0 exactly as the composed form did.
+  * Map-side partial aggregation works as usual — `merge` adds count vectors.
+  */
+case class SimHashAgg(
+    child: Expression,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[SimHashState]
+    with UnaryLike[Expression] with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(LongType)
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = false
+  override def prettyName: String = "graft_simhash_agg"
+
+  override def createAggregationBuffer(): SimHashState =
+    new SimHashState(new Array[Int](64), 0L)
+
+  override def update(buffer: SimHashState, input: InternalRow): SimHashState = {
+    val v = child.eval(input)
+    if (v != null) buffer.add(v.asInstanceOf[Long])
+    buffer
+  }
+
+  override def merge(buffer: SimHashState, other: SimHashState): SimHashState = {
+    var b = 0
+    while (b < 64) { buffer.ones(b) += other.ones(b); b += 1 }
+    buffer.n += other.n
+    buffer
+  }
+
+  override def eval(buffer: SimHashState): Any = {
+    var sig = 0L
+    var b = 0
+    while (b < 64) {
+      if (2L * buffer.ones(b) > buffer.n) sig |= (1L << b)
+      b += 1
+    }
+    sig
+  }
+
+  override def serialize(buffer: SimHashState): Array[Byte] = {
+    val bb = ByteBuffer.allocate(8 + 64 * 4)
+    bb.putLong(buffer.n)
+    var b = 0
+    while (b < 64) { bb.putInt(buffer.ones(b)); b += 1 }
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): SimHashState = {
+    val bb = ByteBuffer.wrap(bytes)
+    val n = bb.getLong()
+    val ones = new Array[Int](64)
+    var b = 0
+    while (b < 64) { ones(b) = bb.getInt(); b += 1 }
+    new SimHashState(ones, n)
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): SimHashAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): SimHashAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildInternal(newChild: Expression): SimHashAgg =
+    copy(child = newChild)
+}
+
+object SimHashAgg {
+  def apply(h: Column): Column =
+    ExpressionUtils.column(
+      SimHashAgg(ExpressionUtils.expression(h)).toAggregateExpression())
+}

@@ -90,7 +90,6 @@ object Dedup {
       maxBucket: Int = 100,
       metrics: Option[Observation] = None): DataFrame = {
     require(numHashes % bands == 0, "numHashes must be divisible by bands")
-    val rowsPerBand = numHashes / bands
 
     // narrow exploded shingle-hash table: (id, h), distinct per doc by
     // construction; tokens materialize in their own projection first (see
@@ -104,17 +103,17 @@ object Dedup {
       .select(col("id"), explode(shingleHashesFromTokens(col("_toks"), shingleN)).as("h"))
       .localCheckpoint(false)
 
-    // signature: numHashes min() aggregates over the per-shingle re-hashes —
-    // a single codegen'd hash aggregation, one shuffle on id
-    val minCols = (0 until numHashes).map(i => min(xxhash64(col("h"), lit(i))).as(s"_m$i"))
-    val sig = ex.groupBy(col("id")).agg(minCols.head, minCols.tail: _*)
-
-    // band keys: digest each run of rowsPerBand signature entries
-    val bandStructs = (0 until bands).map { j =>
-      val slice = (j * rowsPerBand until (j + 1) * rowsPerBand).map(i => col(s"_m$i"))
-      struct(lit(j).as("band"), xxhash64(array(slice: _*)).as("bucket"))
-    }
-    val banded = sig.select(col("id"), explode(array(bandStructs: _*)).as("bucketKey"))
+    // signature + band digests in ONE imperative aggregation (see
+    // MinHashBandsAgg): per shingle row the base hash is computed once and
+    // re-seeded numHashes times into a primitive min-buffer, vs numHashes
+    // independent min(xxhash64(h, i)) columns each re-hashing h; band buckets
+    // are bit-exact with the previous xxhash64(array(mins)) digests
+    val sig = ex.groupBy(col("id"))
+      .agg(org.apache.spark.sql.graft.MinHashBandsAgg(col("h"), numHashes, bands)
+        .as("_bands"))
+    val banded = sig
+      .select(col("id"), posexplode(col("_bands")).as(Seq("band", "bucket")))
+      .select(col("id"), struct(col("band"), col("bucket")).as("bucketKey"))
     val cand = bucketPairs(banded, maxBucket, metrics)
     jaccardVerify(cand, ex, threshold)
   }

@@ -1,0 +1,120 @@
+package org.apache.spark.sql.graft
+
+import java.nio.ByteBuffer
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression, XxHash64Function}
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.trees.UnaryLike
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.classic.ExpressionUtils
+import org.apache.spark.sql.types._
+
+/** One-pass MinHash banded-signature aggregation over 64-bit shingle hashes —
+  * the imperative form of `numHashes` separate `min(xxhash64(h, i))` columns
+  * followed by per-band `xxhash64(array(mins...))` digests. Bit-exact with
+  * the composed formulation (asserted by spec):
+  *
+  *  - per-hash value: `xxhash64(h, i)` evaluates as
+  *    `hash(i, hash(h, 42))` — here the inner `hash(h, 42)` is computed ONCE
+  *    per row and re-seeded per hash index, where the composed form re-hashed
+  *    `h` all `numHashes` times;
+  *  - per-band bucket: `xxhash64(array(m_j..m_k))` folds the elements into
+  *    the 42 seed in order, which `eval` replicates.
+  *
+  * Returns the `bands` bucket digests (Array[Long]); callers posexplode into
+  * (band, bucket) keys. Map-side partial aggregation works as usual — merge
+  * is an elementwise min.
+  */
+case class MinHashBandsAgg(
+    child: Expression,
+    numHashes: Int,
+    bands: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[Array[Long]]
+    with UnaryLike[Expression] with ExpectsInputTypes {
+  require(numHashes > 0 && bands > 0 && numHashes % bands == 0,
+    "numHashes must be a positive multiple of bands")
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(LongType)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = false
+  override def prettyName: String = "graft_minhash_bands_agg"
+
+  override def createAggregationBuffer(): Array[Long] =
+    Array.fill(numHashes)(Long.MaxValue)
+
+  override def update(buffer: Array[Long], input: InternalRow): Array[Long] = {
+    val v = child.eval(input)
+    if (v != null) {
+      val base = XxHash64Function.hash(v, LongType, 42L)
+      var i = 0
+      while (i < numHashes) {
+        // the composed form was xxhash64(h, lit(i)) with an INT literal —
+        // XXH64 hashes Int (4 bytes) differently from Long, so seed with
+        // IntegerType to stay bit-exact
+        val h = XxHash64Function.hash(i, IntegerType, base)
+        if (h < buffer(i)) buffer(i) = h
+        i += 1
+      }
+    }
+    buffer
+  }
+
+  override def merge(buffer: Array[Long], other: Array[Long]): Array[Long] = {
+    var i = 0
+    while (i < numHashes) {
+      if (other(i) < buffer(i)) buffer(i) = other(i)
+      i += 1
+    }
+    buffer
+  }
+
+  override def eval(buffer: Array[Long]): Any = {
+    val rowsPerBand = numHashes / bands
+    val out = new Array[Long](bands)
+    var j = 0
+    while (j < bands) {
+      var acc = 42L
+      var k = 0
+      while (k < rowsPerBand) {
+        acc = XxHash64Function.hash(buffer(j * rowsPerBand + k), LongType, acc)
+        k += 1
+      }
+      out(j) = acc
+      j += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override def serialize(buffer: Array[Long]): Array[Byte] = {
+    val bb = ByteBuffer.allocate(numHashes * 8)
+    var i = 0
+    while (i < numHashes) { bb.putLong(buffer(i)); i += 1 }
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): Array[Long] = {
+    val bb = ByteBuffer.wrap(bytes)
+    val out = new Array[Long](numHashes)
+    var i = 0
+    while (i < numHashes) { out(i) = bb.getLong(); i += 1 }
+    out
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): MinHashBandsAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): MinHashBandsAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildInternal(newChild: Expression): MinHashBandsAgg =
+    copy(child = newChild)
+}
+
+object MinHashBandsAgg {
+  def apply(h: Column, numHashes: Int, bands: Int): Column =
+    ExpressionUtils.column(
+      MinHashBandsAgg(ExpressionUtils.expression(h), numHashes, bands)
+        .toAggregateExpression())
+}

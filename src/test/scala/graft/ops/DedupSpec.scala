@@ -114,6 +114,33 @@ class DedupSpec extends SparkTestBase {
     assert(!out.contains(3L), "clean doc must not be flagged")
   }
 
+  test("MinHashBandsAgg: bit-exact with the composed min(xxhash64)/band-digest form") {
+    import graft.functions._
+    val df = docsDf(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "a b"), // short doc -> whole-doc shingle
+      (3L, "completely different content about catalyst optimizer internals"))
+    val ex = df
+      .select(col("doc_id").as("id"), tokens(col("text")).as("_toks"))
+      .select(col("id"), explode(shingleHashesFromTokens(col("_toks"), 3)).as("h"))
+    val composed = {
+      val minCols = (0 until 8).map(i => min(xxhash64(col("h"), lit(i))).as(s"_m$i"))
+      val sig = ex.groupBy(col("id")).agg(minCols.head, minCols.tail: _*)
+      val bandStructs = (0 until 4).map { j =>
+        val slice = (j * 2 until (j + 1) * 2).map(i => col(s"_m$i"))
+        struct(lit(j).as("band"), xxhash64(array(slice: _*)).as("bucket"))
+      }
+      sig.select(col("id"), explode(array(bandStructs: _*)).as("bk"))
+        .select(col("id"), col("bk.band"), col("bk.bucket"))
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    }
+    val native = ex.groupBy(col("id"))
+      .agg(org.apache.spark.sql.graft.MinHashBandsAgg(col("h"), 8, 4).as("_b"))
+      .select(col("id"), posexplode(col("_b")).as(Seq("band", "bucket")))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(native === composed)
+  }
+
   test("dedupAgainst: drops content already in the reference, keeps new content") {
     val ref = docsDf((1L, "Seen Before"), (2L, "also known"))
     val batch = docsDf(

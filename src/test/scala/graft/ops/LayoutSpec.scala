@@ -68,6 +68,24 @@ class LayoutSpec extends SparkTestBase {
     assert(GraftSource.fromJson(src.toJson).datePartitionColumn === Some("dt"))
   }
 
+  test("pullLatest over a bucketed source plans zero exchanges (agg co-located)") {
+    import java.sql.Timestamp
+    spark.sql("DROP TABLE IF EXISTS ev_bucketed_pl")
+    val loc = new java.io.File("spark-warehouse/ev_bucketed_pl")
+    if (loc.exists()) org.apache.commons.io.FileUtils.deleteDirectory(loc)
+    Layout.writeBucketed(events, "ev_bucketed_pl", Seq("user_id"), 8)
+    val src = GraftSource.of(table = Some("ev_bucketed_pl"), timestampField = Some("ts"))
+    val job = FeatureStoreOps.pullLatest(spark, src,
+      joinKeyColumns = Seq("user_id"), featureNameColumns = Seq("value"),
+      timestampField = "ts", tieBreak = Some("event_id"),
+      startDate = Timestamp.valueOf("2024-01-05 00:00:00"),
+      endDate = Timestamp.valueOf("2024-01-20 00:00:00"))
+    val plan = job.toDF.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"),
+      s"bucketed layout must make the latest-per-key agg exchange-free:\n$plan")
+    assert(job.toDF.count() > 0)
+  }
+
   test("compact: many small files collapse to the size-derived target, rows intact") {
     val base = java.nio.file.Files.createTempDirectory("graft-compact").toString
     // simulate a many-task write: 40 tiny files

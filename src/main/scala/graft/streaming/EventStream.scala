@@ -94,6 +94,33 @@ object EventStream {
         col("event_type"), col("n_events"), col("total_value"))
   }
 
+  /** Stream-static feature enrichment — the streaming half of a feature
+    * store: each incoming event is LEFT-joined to the latest feature row per
+    * key from a STATIC snapshot (computed once per micro-batch planning via
+    * the usual single-shuffle arg-max; Spark re-plans the static side per
+    * trigger, so a snapshot refresh is picked up without restarting the
+    * query). The static side is small by construction (one row per key) —
+    * Catalyst broadcasts it, and the stream side never shuffles.
+    *
+    * `features` columns: key col `keyCol`, feature payload, ts col `tsCol`
+    * (latest row per key wins; ties broken by `tieBreak` when given).
+    */
+  def enrichWithLatest(
+      events: DataFrame,
+      features: DataFrame,
+      keyCol: String,
+      tsCol: String,
+      tieBreak: Option[String] = None): DataFrame = {
+    val payload = features.columns.filterNot(c => c == keyCol).toSeq
+    val ordered = (tsCol +: (tieBreak.toSeq ++ payload)).distinct
+    val latest = features
+      .groupBy(col(keyCol))
+      .agg(max(struct(ordered.map(col): _*)).as("_latest"))
+      .select(col(keyCol) +:
+        payload.filterNot(_ == tsCol).map(c => col(s"_latest.$c").as(c)): _*)
+    events.join(latest, Seq(keyCol), "left")
+  }
+
   /** Streaming sessionization: events within `gapMinutes` of the previous
     * event (per user) share a session; a session closes when the gap passes,
     * enforced by an event-time timeout against the watermark

@@ -32,6 +32,35 @@ class EventStreamSpec extends SparkTestBase {
     assert(batch === streamed)
   }
 
+  test("enrichWithLatest: stream rows pick up the latest static feature per key") {
+    import spark.implicits._
+    implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val features = Seq(
+      (1L, new Timestamp(Base - 3600000), "old", 10.0),
+      (1L, new Timestamp(Base - 60000), "fresh", 20.0), // latest for user 1
+      (2L, new Timestamp(Base - 120000), "only", 30.0)
+    ).toDF("user_id", "fts", "tag", "score")
+    val ms = MemoryStream[GraftEvent]
+    val q = EventStream.enrichWithLatest(ms.toDF(), features, "user_id", "fts")
+      .writeStream.format("memory").queryName("enrich_out").outputMode("append").start()
+    ms.addData(Seq(ev(1, 1, 0), ev(2, 2, 1), ev(3, 9, 2))) // user 9: no features
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.table("enrich_out")
+      .select("event_id", "tag", "score").collect()
+      .map(r => (r.getLong(0), Option(r.getString(1)),
+        Option(r.get(2)).map(_.asInstanceOf[Double]))).toSet
+    assert(out === Set(
+      (1L, Some("fresh"), Some(20.0)),
+      (2L, Some("only"), Some(30.0)),
+      (3L, None, None)))
+    // the stream side must not shuffle: the static latest side broadcasts
+    val plan = EventStream.enrichWithLatest(
+      Seq(ev(1, 1, 0)).toDF(), features, "user_id", "fts")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"expected broadcast enrich:\n$plan")
+  }
+
   test("windowedCounts: streaming result equals the batch twin") {
     import spark.implicits._
     implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext

@@ -22,7 +22,7 @@ object Dedup {
     val h = sha2(concat_ws("", normed: _*), 256)
     df.groupBy(h.as("content_hash"))
       .agg(
-        min_by(struct(df.columns.map(col): _*), col(idCol)).as("_row"),
+        min_by(struct(df.columns.toSeq.map(col): _*), col(idCol)).as("_row"),
         count(lit(1)).as("n_dups"))
       .select(col("_row.*"), col("n_dups"))
   }
@@ -70,8 +70,9 @@ object Dedup {
     * jaccard >= `threshold`, a_id < b_id.
     *
     * Shape per 100 TB: the shingle set explodes to narrow (id, hash) rows and
-    * everything downstream is codegen'd hash aggregation and shuffle joins —
-    * signatures are `numHashes` `min()` aggregates (map-side partial, one
+    * everything downstream is hash aggregation and shuffle joins — signatures
+    * + band digests come from ONE imperative aggregation
+    * ([[org.apache.spark.sql.graft.MinHashBandsAgg]], map-side partial, one
     * shuffle by id), candidates come from one shuffle of `bands` small rows
     * per doc, and the Jaccard verify is a count of matching hashes per
     * candidate pair, never an all-pairs compare. (The tempting alternative —
@@ -140,10 +141,12 @@ object Dedup {
   }
 
   /** Per-doc 64-bit SimHash (id, simhash). Exploded shape: tokens become
-    * narrow (id, tokenHash) rows and the 64 per-bit +1/-1 sums are codegen'd
-    * `sum()` aggregates (map-side partial, one shuffle on id) — the per-row
-    * array-expression formulation runs interpreted and much slower. Docs with
-    * no tokens hash to 0 (explode_outer keeps them).
+    * narrow (id, tokenHash) rows and the 64 per-bit majority counters
+    * accumulate in one imperative aggregation
+    * ([[org.apache.spark.sql.graft.SimHashAgg]], map-side partial, one
+    * shuffle on id) — the per-row array-expression formulation runs
+    * interpreted and much slower. Docs with no tokens hash to 0
+    * (explode_outer keeps them).
     *
     * The per-token 64-bit hash is the first 8 bytes of md5(token) big-endian
     * (= the first 16 hex chars decoded) — md5 exists in every engine, so the

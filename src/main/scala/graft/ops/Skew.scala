@@ -29,7 +29,7 @@ object Skew {
       s"saltedJoin supports inner/left (got $joinType); replicating the right " +
         "side would duplicate unmatched right rows in right/full joins")
     val salted = left.withColumn("_salt",
-      pmod(xxhash64(left.columns.map(col): _*), lit(saltFactor.toLong)).cast("int"))
+      pmod(xxhash64(left.columns.toSeq.map(col): _*), lit(saltFactor.toLong)).cast("int"))
     val replicated = right.withColumn("_salt",
       explode(typedLit((0 until saltFactor).toList)))
     salted.join(replicated, keys :+ "_salt", joinType).drop("_salt")

@@ -66,7 +66,7 @@ object Temporal {
       leftIdCols: Seq[String] = Nil): DataFrame = {
     // prefix-rename the right side: both sides often derive from the SAME
     // table (self-attribution), where alias-based resolution is ambiguous
-    val r = right.select(right.columns.map(c => col(c).as(s"_r_$c")): _*)
+    val r = right.select(right.columns.toSeq.map(c => col(c).as(s"_r_$c")): _*)
     val keyEq = keys.map(k => left(k) === r(s"_r_$k")).reduce(_ && _)
     val lUs = unix_micros(left(leftTsCol))
     val rUs = unix_micros(r(s"_r_$rightTsCol"))
@@ -79,10 +79,10 @@ object Temporal {
       val carried = left.columns.filterNot(leftIdCols.contains)
         .map(c => any_value(left(c)).as(c))
       joined.groupBy(leftIdCols.map(left(_)): _*)
-        .agg((carried ++ aggs).head, (carried ++ aggs).tail: _*)
-        .select((left.columns.map(col) :+ col("preceding_count") :+
+        .agg((carried.toSeq ++ aggs).head, (carried.toSeq ++ aggs).tail: _*)
+        .select((left.columns.toSeq.map(col) :+ col("preceding_count") :+
           col("preceding_sum")): _*)
     } else
-      joined.groupBy(left.columns.map(left(_)): _*).agg(aggs.head, aggs.tail: _*)
+      joined.groupBy(left.columns.toSeq.map(left(_)): _*).agg(aggs.head, aggs.tail: _*)
   }
 }

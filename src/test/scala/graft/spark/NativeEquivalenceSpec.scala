@@ -1,0 +1,89 @@
+package graft.spark
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+
+/** Property-based equivalence of every native expression against the composed
+  * builtin formulation it replaced — randomized token arrays / texts through
+  * BOTH paths in the same Spark job, asserting bitwise-identical results.
+  * This is what licenses the perf rewrites to claim "oracle unchanged".
+  */
+class NativeEquivalenceSpec extends SparkTestBase {
+
+  private def check(prop: Prop, n: Int = 30): Unit = {
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(n), prop)
+    assert(res.passed, res.status.toString)
+  }
+
+  private val tokenGen: Gen[List[String]] =
+    Gen.choose(0, 12).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf("a", "bb", "ccc", "δδ", "x1", "longertoken")))
+
+  test("WordShingles === transform(sequence, concat_ws(slice)) on random tokens") {
+    import spark.implicits._
+    check(Prop.forAll(tokenGen, Gen.choose(1, 4)) { (toks, n) =>
+      val df = Seq(Tuple1(toks)).toDF("toks")
+      val native = df.select(graft.functions.shinglesFromTokens(col("toks"), n))
+        .head.getSeq[String](0)
+      val composed = df.select(
+        when(size(col("toks")) >= n,
+          transform(sequence(lit(0), size(col("toks")) - n),
+            i => concat_ws(" ", slice(col("toks"), i + 1, lit(n)))))
+          .otherwise(array(concat_ws(" ", col("toks")))))
+        .head.getSeq[String](0)
+      native == composed
+    })
+  }
+
+  test("WordShingleHashes === array_distinct(transform(shingles, xxhash64))") {
+    import spark.implicits._
+    check(Prop.forAll(tokenGen, Gen.choose(1, 4)) { (toks, n) =>
+      val df = Seq(Tuple1(toks)).toDF("toks")
+      val native = df.select(graft.functions.shingleHashesFromTokens(col("toks"), n))
+        .head.getSeq[Long](0)
+      val composed = df.select(array_distinct(
+        transform(graft.functions.shinglesFromTokens(col("toks"), n), s => xxhash64(s))))
+        .head.getSeq[Long](0)
+      native == composed
+    })
+  }
+
+  test("CountInSet === size(filter(arr, array_contains(set)))") {
+    import spark.implicits._
+    val set = Seq("a", "bb", "δδ")
+    check(Prop.forAll(tokenGen) { toks =>
+      val df = Seq(Tuple1(toks)).toDF("toks")
+      val native = df.select(
+        org.apache.spark.sql.graft.CountInSet(col("toks"), set)).head.getInt(0)
+      val composed = df.select(
+        size(filter(col("toks"), t => array_contains(typedLit(set), t)))).head.getInt(0)
+      native == composed
+    })
+  }
+
+  test("SimHashAgg === 64 per-bit +-1 sums on random token hash groups") {
+    import spark.implicits._
+    val hashGen = Gen.choose(0, 20).flatMap(n => Gen.listOfN(n, Gen.long))
+    check(Prop.forAll(hashGen) { hs =>
+      // group of token hashes for one doc; empty group = token-less doc
+      val rows = if (hs.isEmpty) Seq((1L, Option.empty[Long]))
+        else hs.map(h => (1L, Some(h)))
+      val df = rows.toDF("id", "h")
+      val native = df.groupBy("id")
+        .agg(org.apache.spark.sql.graft.SimHashAgg(col("h")).as("s"))
+        .head.getLong(1)
+      val bitCols = (0 until 64).map { b =>
+        sum(when(col("h").isNull, 0L)
+          .when(shiftright(col("h"), b).bitwiseAND(lit(1L)) === 1, 1L)
+          .otherwise(-1L)).as(s"_b$b")
+      }
+      val agg = df.groupBy("id").agg(bitCols.head, bitCols.tail: _*)
+      val sim = (0 until 64)
+        .map(j => when(col(s"_b$j") > 0L, lit(1L << j)).otherwise(0L))
+        .reduce(_ + _)
+      val composed = agg.select(sim).head.getLong(0)
+      native == composed
+    }, n = 15)
+  }
+}

@@ -236,14 +236,22 @@ object Dedup {
         .join(labels.withColumnRenamed("id", "src"), "src")
         .groupBy(col("dst").as("id"))
         .agg(min(col("cluster")).as("_nb"))
-      // carry the previous label through the checkpoint so the convergence
-      // check is a filter on materialized data, not another shuffle join
+      // the convergence metric rides the checkpoint materialization job
+      // (Dataset.observe) — no separate count() pass per iteration; _old is
+      // carried so the comparison is row-local
+      val obs = new Observation(s"graft_cc_$i")
       val next = labels.join(viaNeighbors, Seq("id"), "left")
         .select(col("id"),
           least(col("cluster"), coalesce(col("_nb"), col("cluster"))).as("cluster"),
           col("cluster").as("_old"))
+        .observe(obs,
+          sum(when(col("cluster") =!= col("_old"), 1L).otherwise(0L)).as("changed"))
         .localCheckpoint() // truncate the growing iterative lineage
-      changed = next.filter(col("cluster") =!= col("_old")).count()
+      changed = scala.util.Try(
+        scala.concurrent.Await.result(obs.future, scala.concurrent.duration.Duration("30s"))
+          .getAs[Long]("changed"))
+        .getOrElse(// listener didn't fire for this action shape: count instead
+          next.filter(col("cluster") =!= col("_old")).count())
       labels = next.drop("_old")
       i += 1
     }

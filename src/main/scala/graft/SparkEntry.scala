@@ -405,6 +405,86 @@ object SparkEntry {
       .select("doc_id", "lang", "source")
   }
 
+  /** Generic as-of enrichment: each purchase picks the same user's most
+    * recent click at-or-before it within 3 days (ties on the click timestamp
+    * break to the greatest click event_id). No-match columns surface as -1
+    * sentinels (value is always > 0) so the cross-engine compare stays
+    * integer-exact — nullable ints decay to float64 in both engines' pandas
+    * bridges, which is a precision hazard at µs magnitudes.
+    */
+  private def asofJoinQuery(s: SparkSession, dir: String): DataFrame = {
+    val ev = events(dir).load(s)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select("event_id", "user_id", "ts")
+    val clicks = ev.filter(col("event_type") === "click")
+      .select("event_id", "user_id", "ts", "value")
+    ops.Temporal.asofJoin(purchases, clicks,
+      keys = Seq("user_id"), leftTsCol = "ts", rightTsCol = "ts",
+      leftIdCols = Seq("event_id"), rightValueCols = Seq("event_id", "value"),
+      direction = "backward", toleranceSeconds = Some(3L * 86400L),
+      tieBreak = Some("event_id"))
+      .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("ts_us"),
+        coalesce(unix_micros(col("asof_ts")), lit(-1L)).as("asof_ts_us"),
+        coalesce(col("asof_event_id"), lit(-1L)).as("asof_event_id"),
+        coalesce(round(col("asof_value") * 100).cast("long"), lit(-1L))
+          .as("asof_value_cents"))
+  }
+
+  /** Interval join without an equality key: 40 overlapping 6-hour analysis
+    * windows (4-hour stride) against the event stream, aggregated per window.
+    * The grid-bucketed join keeps the plan a hash join — a naive range join
+    * here is a nested-loop scan of every event against every window.
+    */
+  private def intervalJoinQuery(s: SparkSession, dir: String): DataFrame = {
+    val strideUs = 4L * 3600000000L
+    val widthUs = 6L * 3600000000L
+    val iv = s.range(40).select(
+      col("id").cast("int").as("window_id"),
+      timestamp_micros(lit(StartUs) + col("id") * strideUs).as("w_start"),
+      timestamp_micros(lit(StartUs) + col("id") * strideUs + widthUs).as("w_end"))
+    val ev = eventsFixedPoint(s, dir).select(col("ts"), col("value"))
+    ops.Temporal.intervalJoin(ev, iv, "ts", "w_start", "w_end",
+      bucketSeconds = 6L * 3600L)
+      .groupBy(col("window_id"), col("w_start"))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("sum_value"))
+      .select(col("window_id"), unix_micros(col("w_start")).as("w_start_us"),
+        col("n_events"), col("sum_value"))
+  }
+
+  private def embeddingQuantize(s: SparkSession, dir: String): DataFrame =
+    ops.Embeddings.quantizeInt8(
+      s.read.parquet(s"$dir/embeddings.parquet"), "vec_id", "embedding")
+      .select("vec_id", "scale", "q_str")
+
+  private def embeddingNormalize(s: SparkSession, dir: String): DataFrame =
+    ops.Embeddings.l2NormalizeFixed(
+      s.read.parquet(s"$dir/embeddings.parquet"), "vec_id", "embedding")
+      .select("vec_id", "norm", "u_str")
+
+  /** documents with deterministic mess planted on every 4th doc (uppercase,
+    * runs of spaces, tabs, a C0 control char) so normalization has real work.
+    */
+  private def docsWithMess(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir).withColumn("text",
+      when(col("doc_id") % 4 === 0,
+        concat(lit("The  QUICK\tStart "), col("text"), lit("  End\u0001Line ")))
+        .otherwise(col("text")))
+
+  private def textNormalize(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.normalizeText(docsWithMess(s, dir), "doc_id", "text")
+
+  private def invertedIndexQuery(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.invertedIndex(docs(s, dir), "doc_id", "text", maxPostings = 8)
+      .select("term", "n_occurrences", "n_docs", "postings_str")
+
+  private def sourceOrcRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val out = s"$scratchDir/supplier_orc"
+    GraftSource.parquet(s"$dir/supplier.parquet").load(s)
+      .select("s_suppkey", "s_name", "s_nationkey", "s_acctbal")
+      .write.mode("overwrite").orc(out)
+    GraftSource.of(table = Some(out), format = SourceFormat.Orc).load(s)
+  }
+
   // =================================================================
   // §2.3 analytics headliners
   // =================================================================
@@ -510,6 +590,13 @@ object SparkEntry {
     "top_ngram_stats" -> (topNgram _),
     "dedup_against" -> (dedupAgainstSnapshot _),
     "rare_token_stats" -> (rareTokens _),
+    "asof_join" -> (asofJoinQuery _),
+    "interval_join" -> (intervalJoinQuery _),
+    "embedding_quantize" -> (embeddingQuantize _),
+    "embedding_normalize" -> (embeddingNormalize _),
+    "text_normalize" -> (textNormalize _),
+    "inverted_index" -> (invertedIndexQuery _),
+    "source_orc_roundtrip" -> (sourceOrcRoundtrip _),
     "q1_pricing_summary" -> (q1PricingSummary _),
     "q3_top_orders" -> (q3TopOrders _),
     "top_events_per_user" -> (topEventsPerUser _),
@@ -1030,6 +1117,95 @@ object SparkEntry {
           |  quantile_cont(n_chars, 0.50) AS p50,
           |  quantile_cont(n_chars, 0.75) AS p75
           |FROM documents GROUP BY lang""".stripMargin,
+      // DuckDB's native ASOF JOIN is the oracle; the operator's tolerance is
+      // a post-filter there (the nearest match being out of tolerance implies
+      // no in-tolerance match exists — the predicate is monotone in ts).
+      // Right-side timestamp ties are pre-collapsed to the greatest event_id
+      // (identical to the operator's tieBreak), and no-match columns use the
+      // same -1 sentinels as the Spark side.
+      "asof_join" ->
+        s"""WITH l AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us
+           |  FROM events WHERE event_type = 'purchase'),
+           |r AS (SELECT user_id, ts_us, event_id, cents FROM (
+           |  SELECT user_id, epoch_us(ts) AS ts_us, event_id,
+           |    CAST(round(value * 100) AS BIGINT) AS cents,
+           |    row_number() OVER (PARTITION BY user_id, epoch_us(ts)
+           |      ORDER BY event_id DESC) AS rn
+           |  FROM events WHERE event_type = 'click') WHERE rn = 1)
+           |SELECT l.event_id, l.user_id, l.ts_us,
+           |  coalesce(CASE WHEN r.ts_us >= l.ts_us - ${3L * 86400000000L}
+           |    THEN r.ts_us END, -1) AS asof_ts_us,
+           |  coalesce(CASE WHEN r.ts_us >= l.ts_us - ${3L * 86400000000L}
+           |    THEN r.event_id END, -1) AS asof_event_id,
+           |  coalesce(CASE WHEN r.ts_us >= l.ts_us - ${3L * 86400000000L}
+           |    THEN r.cents END, -1) AS asof_value_cents
+           |FROM l ASOF LEFT JOIN r
+           |  ON l.user_id = r.user_id AND l.ts_us >= r.ts_us""".stripMargin,
+      "interval_join" ->
+        s"""WITH iv AS (SELECT CAST(i AS INTEGER) AS window_id,
+           |    $StartUs + i * ${4L * 3600000000L} AS ws,
+           |    $StartUs + i * ${4L * 3600000000L} + ${6L * 3600000000L} AS we
+           |  FROM (SELECT unnest(generate_series(0, 39)) AS i)),
+           |ev AS (SELECT epoch_us(ts) AS us,
+           |  CAST(round(value * 10000) AS BIGINT) AS v FROM events)
+           |SELECT window_id, ws AS w_start_us, count(*) AS n_events,
+           |  CAST(sum(v) AS BIGINT) AS sum_value
+           |FROM iv JOIN ev ON ev.us >= iv.ws AND ev.us < iv.we
+           |GROUP BY 1, 2""".stripMargin,
+      // Exactly-rounded IEEE ops (+ * / floor max) in the pinned order make
+      // the quantized bytes engine-identical; the scale itself is a float
+      // max, exact in double.
+      "embedding_quantize" ->
+        """WITH s AS (SELECT vec_id, embedding,
+          |  greatest(abs(CAST(list_max(embedding) AS DOUBLE)),
+          |           abs(CAST(list_min(embedding) AS DOUBLE))) AS scale
+          |  FROM embeddings)
+          |SELECT vec_id, scale,
+          |  CASE WHEN scale = 0
+          |    THEN array_to_string(list_transform(embedding, x -> 0), ',')
+          |    ELSE array_to_string(list_transform(embedding,
+          |      x -> CAST(floor(CAST(x AS DOUBLE) * 127.0 / scale + 0.5) AS BIGINT)), ',')
+          |  END AS q_str
+          |FROM s""".stripMargin,
+      // list_reduce folds left-to-right like the native dot-product loop
+      // (0.0 + x0^2 is exactly x0^2, so the missing explicit zero seed
+      // cannot diverge); sqrt and the per-element ops are exactly rounded.
+      "embedding_normalize" ->
+        """WITH s AS (SELECT vec_id, embedding,
+          |  sqrt(list_reduce(list_transform(embedding, x -> CAST(x AS DOUBLE) * x),
+          |       (a, b) -> a + b)) AS norm
+          |  FROM embeddings)
+          |SELECT vec_id, norm,
+          |  CASE WHEN norm = 0
+          |    THEN array_to_string(list_transform(embedding, x -> 0), ',')
+          |    ELSE array_to_string(list_transform(embedding,
+          |      x -> CAST(floor(CAST(x AS DOUBLE) / norm * 1000000.0 + 0.5) AS BIGINT)), ',')
+          |  END AS u_str
+          |FROM s""".stripMargin,
+      "text_normalize" ->
+        """WITH m AS (SELECT doc_id,
+          |  CASE WHEN doc_id % 4 = 0
+          |    THEN 'The  QUICK' || chr(9) || 'Start ' || text || '  End' || chr(1) || 'Line '
+          |    ELSE text END AS text
+          |  FROM documents),
+          |n AS (SELECT doc_id,
+          |  trim(regexp_replace(
+          |    translate(regexp_replace(text, '[\x00-\x1F\x7F]', ' ', 'g'),
+          |      'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'),
+          |    ' +', ' ', 'g')) AS text_norm
+          |  FROM m)
+          |SELECT doc_id, text_norm, length(text_norm) AS n_chars_norm FROM n""".stripMargin,
+      "inverted_index" ->
+        """WITH t AS (SELECT doc_id,
+          |  list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> len(x) > 0) AS toks
+          |  FROM documents),
+          |pairs AS (SELECT doc_id, unnest(toks) AS term FROM t)
+          |SELECT term, count(*) AS n_occurrences,
+          |  CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+          |  array_to_string(list_sort(list(DISTINCT doc_id))[1:8], ',') AS postings_str
+          |FROM pairs GROUP BY term""".stripMargin,
+      "source_orc_roundtrip" ->
+        "SELECT s_suppkey, s_name, s_nationkey, s_acctbal FROM supplier",
       "q1_pricing_summary" ->
         """SELECT l_returnflag, l_linestatus,
           |  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,

@@ -1,0 +1,71 @@
+package graft.ops
+
+import graft.functions._
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Embedding-column transforms: int8 quantization and fixed-point L2
+  * normalization — the storage/serving-side companions to the ANN operators
+  * in [[Similarity]]. Both are narrow per-row projections (no shuffle, scan
+  * speed at any scale), and both are built from exactly-rounded IEEE ops
+  * (`+ * / sqrt floor max`) in a pinned evaluation order, so the same vector
+  * produces bit-identical output in any engine — which is what lets the
+  * DuckDB oracle hash-match them, and what makes re-quantizing a corpus
+  * reproducible across runs and clusters.
+  */
+object Embeddings {
+
+  /** Max-abs of a numeric array via codegen'd collection min/max — NOT an
+    * interpreted `transform(abs)` pass (SURVEY §3 discipline).
+    */
+  private def maxAbs(v: Column): Column =
+    greatest(abs(array_max(v).cast("double")), abs(array_min(v).cast("double")))
+
+  /** Symmetric per-vector int8 quantization: `scale = max|x_i|`,
+    * `q_i = floor(x_i * 127 / scale + 0.5)` (round-half-up, exact IEEE ops in
+    * this order, so |q_i| <= 127 by construction). All-zero vectors quantize
+    * to zeros with scale 0. Output: id, `scale` (double), `q` —
+    * `array<int>` plus `q_str` (comma-joined, the cross-engine comparison
+    * form).
+    *
+    * The scale materializes in its own projection before the per-element
+    * `transform` references it — an inlined `array_max` would re-scan the
+    * array once per element inside the interpreted HOF (O(d²) per row).
+    */
+  def quantizeInt8(df: DataFrame, idCol: String, vecCol: String): DataFrame =
+    df.select(col(idCol), col(vecCol).as("_v"), maxAbs(col(vecCol)).as("scale"))
+      .select(
+        col(idCol),
+        col("scale"),
+        when(col("scale") === 0d,
+          transform(col("_v"), _ => lit(0)))
+          .otherwise(transform(col("_v"),
+            x => floor(x.cast("double") * 127.0 / col("scale") + 0.5).cast("int")))
+          .as("q"))
+      .withColumn("q_str", array_join(col("q"), ","))
+
+  /** Fixed-point L2 normalization: each component becomes
+    * `floor(x_i / ||x|| * fixedScale + 0.5)` (a signed integer ~ the unit
+    * vector at `fixedScale` resolution). The norm is the native codegen'd
+    * [[graft.functions.dot]] (left-to-right double accumulation from 0.0 —
+    * the order the oracle replays with a `list_reduce` fold) under an exact
+    * IEEE `sqrt`. Zero vectors normalize to zeros with norm 0. Output: id,
+    * `norm` (double), `u` — `array<bigint>` plus `u_str` (comma-joined).
+    */
+  def l2NormalizeFixed(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      fixedScale: Long = 1000000L): DataFrame =
+    df.select(col(idCol), col(vecCol).as("_v"),
+      sqrt(dot(col(vecCol), col(vecCol))).as("norm"))
+      .select(
+        col(idCol),
+        col("norm"),
+        when(col("norm") === 0d,
+          transform(col("_v"), _ => lit(0L)))
+          .otherwise(transform(col("_v"),
+            x => floor(x.cast("double") / col("norm") * fixedScale.toDouble + 0.5)))
+          .as("u"))
+      .withColumn("u_str", array_join(col("u"), ","))
+}

@@ -38,6 +38,108 @@ object Temporal {
       .withColumn("roll_sum", sum(col(valueCol)).over(w))
   }
 
+  /** Generic as-of join (the time-series enrichment primitive, independent of
+    * the feature-store wrapper): every `left` row picks the single nearest
+    * `right` row per `keys` — at-or-before its timestamp (`direction =
+    * "backward"`, the default) or at-or-after (`"forward"`) — optionally
+    * within `toleranceSeconds`. Unmatched left rows survive with nulls
+    * (LEFT semantics). Timestamp ties on the right break to the greatest
+    * `tieBreak` value, so the pick is deterministic in any engine.
+    *
+    * Matched columns surface as `asof_<rightTsCol>` plus `asof_<c>` for each
+    * of `rightValueCols`.
+    *
+    * Shape (same as the PIT flagship): one equality-key shuffle join with the
+    * temporal predicate as join condition, then a single-shuffle arg-max
+    * (`max(struct(signed_ts, tie, payload))`) per left id — never a window
+    * over the fact table, never a sort. Candidate fan-out is bounded by
+    * right-rows-per-key-per-tolerance, which is what bounds it at 100 TB too;
+    * pass a tolerance on high-frequency right sides.
+    *
+    * `leftIdCols` must uniquely identify a left row; remaining left columns
+    * ride through `any_value` (exact under that contract).
+    */
+  def asofJoin(
+      left: DataFrame,
+      right: DataFrame,
+      keys: Seq[String],
+      leftTsCol: String,
+      rightTsCol: String,
+      leftIdCols: Seq[String],
+      rightValueCols: Seq[String],
+      direction: String = "backward",
+      toleranceSeconds: Option[Long] = None,
+      tieBreak: Option[String] = None): DataFrame = {
+    require(direction == "backward" || direction == "forward",
+      s"direction must be backward|forward (got $direction)")
+    require(leftIdCols.nonEmpty, "leftIdCols must uniquely identify a left row")
+    val backward = direction == "backward"
+    val rCols = (keys :+ rightTsCol) ++ rightValueCols ++ tieBreak.toSeq
+    val r = right.select(rCols.distinct.map(c => col(c).as(s"_r_$c")): _*)
+    val keyEq = keys.map(k => left(k) === r(s"_r_$k")).reduce(_ && _)
+    val lUs = unix_micros(left(leftTsCol))
+    val rUs = unix_micros(r(s"_r_$rightTsCol"))
+    val inWindow =
+      if (backward) rUs <= lUs && toleranceSeconds.map(t => rUs >= lUs - t * 1000000L)
+        .getOrElse(lit(true))
+      else rUs >= lUs && toleranceSeconds.map(t => rUs <= lUs + t * 1000000L)
+        .getOrElse(lit(true))
+    val joined = left.join(r, keyEq && inWindow, "left")
+    // arg-max candidate: null when the left row matched nothing, so max()
+    // skips it and the group aggregates to null (nulls-preserved LEFT shape)
+    val ord = if (backward) rUs else -rUs
+    val tie = tieBreak.map(c => r(s"_r_$c")).getOrElse(lit(0))
+    val payload = struct(
+      r(s"_r_$rightTsCol").as(s"asof_$rightTsCol") +:
+        rightValueCols.map(c => r(s"_r_$c").as(s"asof_$c")): _*)
+    val candidate = when(rUs.isNotNull, struct(ord.as("o"), tie.as("t"), payload.as("v")))
+    val carried = left.columns.filterNot(leftIdCols.contains)
+      .map(c => any_value(left(c)).as(c)).toSeq
+    val aggs = carried :+ max(candidate).as("_m")
+    joined.groupBy(leftIdCols.map(left(_)): _*)
+      .agg(aggs.head, aggs.tail: _*)
+      .select(left.columns.toSeq.map(col) ++
+        (s"asof_$rightTsCol" +: rightValueCols.map(c => s"asof_$c"))
+          .map(c => col(s"_m.v.$c").as(c)): _*)
+  }
+
+  /** Interval (range-containment) join without an equality key: each `points`
+    * row pairs with every `intervals` row whose half-open `[start, end)`
+    * window contains its timestamp (plus optional `keys` equality). Intervals
+    * with `end <= start` are dropped (empty windows).
+    *
+    * A naive range join plans as BroadcastNestedLoopJoin / cartesian — O(N·M)
+    * comparisons, the classic 100 TB scale-killer. This operator grid-buckets
+    * time instead: intervals explode into the `bucketSeconds`-wide cells they
+    * overlap, points compute their single cell, and the join is a plain
+    * equality hash join on (cell, keys…) with the exact containment predicate
+    * as a residual filter. Each (point, interval) pair meets in exactly one
+    * cell (the point's), so no dedup pass is needed. Cost scales with
+    * points + intervals × cells-per-interval — pick `bucketSeconds` near the
+    * typical interval length so that factor stays small.
+    */
+  def intervalJoin(
+      points: DataFrame,
+      intervals: DataFrame,
+      pointTsCol: String,
+      startCol: String,
+      endCol: String,
+      bucketSeconds: Long,
+      keys: Seq[String] = Nil): DataFrame = {
+    require(bucketSeconds > 0, "bucketSeconds must be positive")
+    val bUs = bucketSeconds * 1000000L
+    val p = points.withColumn("_cell", floor(unix_micros(col(pointTsCol)) / bUs))
+    val iv = intervals
+      .filter(unix_micros(col(endCol)) > unix_micros(col(startCol)))
+      .withColumn("_cell", explode(sequence(
+        floor(unix_micros(col(startCol)) / bUs),
+        floor((unix_micros(col(endCol)) - 1) / bUs))))
+    p.join(iv, Seq("_cell") ++ keys)
+      .filter(unix_micros(col(pointTsCol)) >= unix_micros(col(startCol)) &&
+        unix_micros(col(pointTsCol)) < unix_micros(col(endCol)))
+      .drop("_cell")
+  }
+
   /** Attribution join: for every `left` row, count and sum the `right` rows
     * with the same keys whose timestamp falls in the half-open window
     * `[left_ts - lookbackSeconds, left_ts)` — strictly before the probe row,

@@ -296,6 +296,64 @@ object TextAnalysis {
       md5(redacted.cast("binary")).as("redacted_fp"))
   }
 
+  /** Canonical text normalization (the step before any hash-keyed dedup or
+    * tokenization): control characters (C0 + DEL) become spaces, ASCII
+    * letters fold to lowercase via `translate` (an explicit 26-char map — NOT
+    * locale/Unicode `lower()`, whose case tables can differ between engines
+    * and versions; byte-deterministic beats marginally-more-correct for a
+    * reproducibility key), space runs collapse to one, and the result is
+    * trimmed. Pure per-row projection — scan speed, no shuffle — and every
+    * step is a deterministic byte transform, so normalized text (and
+    * anything keyed on it) is identical across engines.
+    * Output: id, `text_norm`, `n_chars_norm`.
+    */
+  def normalizeText(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val upper = ('A' to 'Z').mkString
+    val lowerS = ('a' to 'z').mkString
+    val cleaned = regexp_replace(col(textCol), "[\\x00-\\x1F\\x7F]", " ")
+    val folded = translate(cleaned, upper, lowerS)
+    val collapsed = trim(regexp_replace(folded, " +", " "))
+    df.select(col(idCol), collapsed.as("text_norm"),
+      length(collapsed).as("n_chars_norm"))
+  }
+
+  /** Inverted index: per term, exact corpus statistics (total occurrences,
+    * document frequency) plus a capped posting list — the lowest
+    * `maxPostings` doc ids, sorted (deterministic cut). The search-side
+    * companion to [[ngramStats]].
+    *
+    * Scale shape: the exact counts are one codegen'd hash aggregation over
+    * the exploded (term, doc) stream (map-side partial, single exchange).
+    * The posting list is NOT a `collect_set` over the full stream — a stopword
+    * term's set would hold every doc id in the corpus in one aggregation
+    * buffer (the classic giant-group OOM). Instead distinct pairs rank
+    * through a per-term `row_number` (sort-based, spills) and only rows with
+    * rank <= `maxPostings` reach the collect, so aggregation state is bounded
+    * by the cap regardless of term skew.
+    */
+  def invertedIndex(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      maxPostings: Int): DataFrame = {
+    require(maxPostings > 0, "maxPostings must be positive")
+    val pairs = df
+      .select(col(idCol).as("doc_id"), tokens(col(textCol)).as("_toks"))
+      .select(col("doc_id"), explode(col("_toks")).as("term"))
+    val stats = pairs.groupBy(col("term"))
+      .agg(count(lit(1)).as("n_occurrences"),
+        count_distinct(col("doc_id")).as("n_docs"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("term")).orderBy(col("doc_id"))
+    val postings = pairs.distinct()
+      .withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") <= maxPostings)
+      .groupBy(col("term"))
+      .agg(sort_array(collect_list(col("doc_id"))).as("postings"))
+    stats.join(postings, Seq("term"))
+      .withColumn("postings_str", array_join(col("postings"), ","))
+  }
+
   /** Content fingerprint: md5 digest of the sorted distinct token set.
     * Word-order- and repetition-insensitive, so shuffled/boilerplate copies
     * collide — the cheap "same content?" key for exact-ish dedup joins.

@@ -20,10 +20,15 @@ object SourceFormat {
   case object Parquet extends SourceFormat("parquet")
   case object Csv extends SourceFormat("csv")
   case object Json extends SourceFormat("json")
-  val all: Seq[SourceFormat] = Seq(Parquet, Csv, Json)
+
+  /** Beyond the reference's cos_type set: ORC is the other columnar format a
+    * Spark shop actually has on disk, and Spark ships the reader natively.
+    */
+  case object Orc extends SourceFormat("orc")
+  val all: Seq[SourceFormat] = Seq(Parquet, Csv, Json, Orc)
   def fromName(n: String): SourceFormat =
     all.find(_.name == n.toLowerCase).getOrElse(
-      throw new IllegalArgumentException(s"format must be one of: json, csv, parquet (got $n)"))
+      throw new IllegalArgumentException(s"format must be one of: json, csv, parquet, orc (got $n)"))
 }
 
 /** A declarative data source: a named catalog table, a file path

@@ -27,6 +27,13 @@ class PlanGateSpec extends SparkTestBase {
     "knn_ivf")
 
   private val maxShuffles = Map(
+    "asof_join" -> 1,
+    "interval_join" -> 1,
+    "embedding_quantize" -> 0,
+    "embedding_normalize" -> 0,
+    "text_normalize" -> 0,
+    "inverted_index" -> 4,
+    "source_orc_roundtrip" -> 0,
     "chunk_documents" -> 0,
     "top_ngram_stats" -> 2,
     "dedup_against" -> 1,

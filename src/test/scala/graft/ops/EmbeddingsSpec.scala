@@ -1,0 +1,56 @@
+package graft.ops
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+class EmbeddingsSpec extends SparkTestBase {
+
+  test("quantizeInt8: values bounded to [-127,127], max-abs element hits ±127, zero vector -> zeros") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Array(0.5f, -1.0f, 0.25f)), // scale 1.0: q = (64, -127, 32)
+      (2L, Array(0.0f, 0.0f, 0.0f)),
+      (3L, Array(2.0f, 1.0f, -2.0f)) // scale 2.0: q = (127, 64, -127)
+    ).toDF("vec_id", "embedding")
+    val out = Embeddings.quantizeInt8(df, "vec_id", "embedding")
+      .select("vec_id", "scale", "q")
+      .collect().map(r => r.getLong(0) -> ((r.getDouble(1), r.getSeq[Int](2).toSeq))).toMap
+    assert(out(1L) === ((1.0, Seq(64, -127, 32))))
+    assert(out(2L) === ((0.0, Seq(0, 0, 0))))
+    assert(out(3L) === ((2.0, Seq(127, 64, -127))))
+    // bound holds for arbitrary vectors by construction
+    val embs = spark.read.parquet(s"${sf("sf0.001")}/embeddings.parquet")
+    val bad = Embeddings.quantizeInt8(embs, "vec_id", "embedding")
+      .filter(exists(col("q"), x => abs(x) > 127)).count()
+    assert(bad === 0L)
+  }
+
+  test("l2NormalizeFixed: unit norm at fixed resolution, zero vector -> zeros") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Array(3.0f, 4.0f)), // norm 5: u = (600000, 800000)
+      (2L, Array(0.0f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val out = Embeddings.l2NormalizeFixed(df, "vec_id", "embedding")
+      .select("vec_id", "norm", "u")
+      .collect().map(r => (r.getLong(0), (r.getDouble(1), r.getSeq[Long](2).toSeq))).toMap
+    assert(out(1L) === ((5.0, Seq(600000L, 800000L))))
+    assert(out(2L) === ((0.0, Seq(0L, 0L))))
+    // real vectors: reconstructed norm is 1.0 within quantization error
+    val embs = spark.read.parquet(s"${sf("sf0.001")}/embeddings.parquet")
+    val norms = Embeddings.l2NormalizeFixed(embs, "vec_id", "embedding")
+      .select(sqrt(aggregate(col("u"),
+        lit(0.0), (acc, x) => acc + (x / 1000000.0) * (x / 1000000.0))).as("n"))
+      .agg(min("n"), max("n")).collect().head
+    assert(norms.getDouble(0) > 0.999 && norms.getDouble(1) < 1.001)
+  }
+
+  test("quantize/normalize plans: pure projections, zero exchanges") {
+    val embs = spark.read.parquet(s"${sf("sf0.001")}/embeddings.parquet")
+    for (df <- Seq(Embeddings.quantizeInt8(embs, "vec_id", "embedding"),
+        Embeddings.l2NormalizeFixed(embs, "vec_id", "embedding"))) {
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"), plan)
+    }
+  }
+}

@@ -31,6 +31,71 @@ class PipelineOpsSpec extends SparkTestBase {
       (2L, 7L, 1L, 7L)))
   }
 
+  test("asofJoin: backward nearest-at-or-before, tolerance, ties to greatest tieBreak, no-match nulls") {
+    import spark.implicits._
+    val left = Seq(
+      (100L, 1L, ts("2024-01-01 10:00:00")),
+      (101L, 1L, ts("2024-01-01 00:05:00")), // only far history -> out of tolerance
+      (102L, 2L, ts("2024-01-01 10:00:00")) // no right rows for user 2
+    ).toDF("event_id", "user_id", "ts")
+    val right = Seq(
+      (1L, 1L, ts("2024-01-01 09:00:00"), 5.0),
+      (2L, 1L, ts("2024-01-01 09:30:00"), 7.0), // nearest for 100
+      (3L, 1L, ts("2024-01-01 09:30:00"), 8.0), // same ts: greater id wins
+      (4L, 1L, ts("2024-01-01 11:00:00"), 9.0), // after probe -> ignored (backward)
+      (5L, 1L, ts("2023-12-25 00:00:00"), 1.0) // 7d back -> outside 1h tolerance for 101
+    ).toDF("event_id", "user_id", "ts", "value")
+    val out = Temporal.asofJoin(left, right, Seq("user_id"), "ts", "ts",
+      leftIdCols = Seq("event_id"), rightValueCols = Seq("event_id", "value"),
+      toleranceSeconds = Some(3600L), tieBreak = Some("event_id"))
+    assert(out.columns.toSeq === Seq("event_id", "user_id", "ts",
+      "asof_ts", "asof_event_id", "asof_value"))
+    val rows = out.select("event_id", "asof_event_id", "asof_value")
+      .collect().map(r => (r.getLong(0), Option(r.get(1)), Option(r.get(2)))).toSet
+    assert(rows === Set(
+      (100L, Some(3L), Some(8.0)), // tie at 09:30 broke to event_id 3
+      (101L, None, None), // nearest exists but outside tolerance
+      (102L, None, None))) // nothing to match
+  }
+
+  test("asofJoin: forward picks nearest at-or-after; no tolerance means unbounded") {
+    import spark.implicits._
+    val left = Seq((100L, 1L, ts("2024-01-01 10:00:00"))).toDF("event_id", "user_id", "ts")
+    val right = Seq(
+      (1L, 1L, ts("2024-01-01 09:59:00"), 1.0), // before -> ignored (forward)
+      (2L, 1L, ts("2024-01-05 00:00:00"), 2.0), // nearest after (4 days out, no tolerance)
+      (3L, 1L, ts("2024-01-06 00:00:00"), 3.0)
+    ).toDF("event_id", "user_id", "ts", "value")
+    val out = Temporal.asofJoin(left, right, Seq("user_id"), "ts", "ts",
+      leftIdCols = Seq("event_id"), rightValueCols = Seq("value"),
+      direction = "forward")
+      .select("event_id", "asof_value").collect()
+    assert(out.map(r => (r.getLong(0), r.getDouble(1))).toSeq === Seq((100L, 2.0)))
+  }
+
+  test("intervalJoin: parity with a naive range join; equality-key plan, no BNLJ") {
+    import spark.implicits._
+    val points = (0 until 200).map(i => (i.toLong, ts(f"2024-01-01 ${i % 24}%02d:${i % 60}%02d:00")))
+      .toDF("point_id", "ts")
+    val intervals = Seq(
+      (10L, ts("2024-01-01 02:00:00"), ts("2024-01-01 05:30:00")),
+      (11L, ts("2024-01-01 05:00:00"), ts("2024-01-01 09:00:00")), // overlaps 10
+      (12L, ts("2024-01-01 22:00:00"), ts("2024-01-01 22:00:00")), // empty -> dropped
+      (13L, ts("2024-01-01 23:59:00"), ts("2024-01-02 01:00:00"))
+    ).toDF("window_id", "w_start", "w_end")
+    val out = Temporal.intervalJoin(points, intervals, "ts", "w_start", "w_end",
+      bucketSeconds = 3600L)
+    val naive = points.join(intervals,
+      col("ts") >= col("w_start") && col("ts") < col("w_end"))
+    val key = (df: org.apache.spark.sql.DataFrame) =>
+      df.select("point_id", "window_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(key(out) === key(naive))
+    assert(key(out).nonEmpty)
+    // the whole point: a hash join on the grid cell, not a nested-loop scan
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"))
+  }
+
   test("precedingJoinAgg: half-open window, self excluded, zero-match rows kept") {
     import spark.implicits._
     val probes = Seq(

@@ -2,6 +2,7 @@ package graft.ops
 
 import graft.SparkTestBase
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions.col
 
 class TextAnalysisSpec extends SparkTestBase {
 
@@ -121,5 +122,41 @@ class TextAnalysisSpec extends SparkTestBase {
     assert(out(1L)._4 === math.rint(2 * 5 / 14.0 * 1e6) / 1e6)
     assert(out(2L) === (("yy zz", 1L, 2L, 5.0 / 8.0)))
     assert(out(3L)._1 === "w" && out(3L)._2 === 1L)
+  }
+
+  test("normalizeText: control chars out, ASCII fold, space runs collapse, idempotent") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "  Hello\t\tWORLD\u0001x  y  "),
+      (2L, "already clean"),
+      (3L, "\u0000\u001f\u007f") // all-control doc -> empty
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.normalizeText(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getInt(2)))).toMap
+    assert(out(1L) === (("hello world x y", 15)))
+    assert(out(2L) === (("already clean", 13)))
+    assert(out(3L) === (("", 0)))
+    // idempotent: normalizing normalized text is the identity
+    val once = TextAnalysis.normalizeText(df, "doc_id", "text")
+      .select(col("doc_id"), col("text_norm").as("text"))
+    val twice = TextAnalysis.normalizeText(once, "doc_id", "text")
+    assert(once.orderBy("doc_id").collect().map(_.getString(1)).toSeq ===
+      twice.orderBy("doc_id").collect().map(_.getString(1)).toSeq)
+  }
+
+  test("invertedIndex: exact df/tf, postings capped to the lowest ids, sorted") {
+    import spark.implicits._
+    val df = Seq(
+      (5L, "b a b"),
+      (1L, "a b"),
+      (3L, "a a"),
+      (2L, "a")
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.invertedIndex(df, "doc_id", "text", maxPostings = 3)
+      .collect().map(r => (r.getString(0),
+        (r.getLong(1), r.getLong(2), r.getSeq[Long](3).toSeq))).toMap
+    // 'a': 5 occurrences over docs {1,2,3,5} -> capped to lowest 3 ids
+    assert(out("a") === ((5L, 4L, Seq(1L, 2L, 3L))))
+    assert(out("b") === ((3L, 2L, Seq(1L, 5L))))
   }
 }

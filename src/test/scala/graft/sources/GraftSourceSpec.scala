@@ -45,8 +45,21 @@ class GraftSourceSpec extends SparkTestBase {
 
   test("format parsing rejects unknown (ref store.py:133-134)") {
     assert(SourceFormat.fromName("CSV") == SourceFormat.Csv)
-    val e = intercept[IllegalArgumentException](SourceFormat.fromName("orc"))
-    assert(e.getMessage.contains("json, csv, parquet"))
+    assert(SourceFormat.fromName("ORC") == SourceFormat.Orc)
+    val e = intercept[IllegalArgumentException](SourceFormat.fromName("avro"))
+    assert(e.getMessage.contains("json, csv, parquet, orc"))
+  }
+
+  test("orc source: write-read round-trip preserves rows and schema; json config round-trips") {
+    val out = "/root/repo/target/graft-scratch/spec_orc"
+    val orig = spark.read.parquet(s"${sf()}/nation.parquet")
+    orig.write.mode("overwrite").orc(out)
+    val src = GraftSource.of(table = Some(out), format = SourceFormat.Orc)
+    assert(GraftSource.fromJson(src.toJson) == src)
+    val back = src.load(spark)
+    assert(back.schema == orig.schema)
+    assert(back.orderBy("n_nationkey").collect().toSeq ==
+      orig.orderBy("n_nationkey").collect().toSeq)
   }
 
   test("validate: missing path and missing table raise source-not-found (ref store.py:202-220)") {

@@ -477,6 +477,12 @@ object SparkEntry {
     TextAnalysis.invertedIndex(docs(s, dir), "doc_id", "text", maxPostings = 8)
       .select("term", "n_occurrences", "n_docs", "postings_str")
 
+  private def cooccurrenceQuery(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.cooccurrence(docs(s, dir), "doc_id", "text", window = 2, topK = 50)
+
+  private def topTermsQuery(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.topTermsPerDoc(docs(s, dir), "doc_id", "text", k = 3)
+
   private def sourceOrcRoundtrip(s: SparkSession, dir: String): DataFrame = {
     val out = s"$scratchDir/supplier_orc"
     GraftSource.parquet(s"$dir/supplier.parquet").load(s)
@@ -596,6 +602,8 @@ object SparkEntry {
     "embedding_normalize" -> (embeddingNormalize _),
     "text_normalize" -> (textNormalize _),
     "inverted_index" -> (invertedIndexQuery _),
+    "cooccurrence" -> (cooccurrenceQuery _),
+    "top_terms" -> (topTermsQuery _),
     "source_orc_roundtrip" -> (sourceOrcRoundtrip _),
     "q1_pricing_summary" -> (q1PricingSummary _),
     "q3_top_orders" -> (q3TopOrders _),
@@ -1206,6 +1214,33 @@ object SparkEntry {
           |FROM pairs GROUP BY term""".stripMargin,
       "source_orc_roundtrip" ->
         "SELECT s_suppkey, s_name, s_nationkey, s_acctbal FROM supplier",
+      // Parallel unnests zip in DuckDB, giving (token, position); the pair
+      // generation is then an explicit positional self-join — the oracle can
+      // afford the join the operator avoids.
+      "cooccurrence" ->
+        s"""WITH $toksCte,
+           |pos AS (SELECT doc_id, unnest(toks) AS tok,
+           |  unnest(range(1, len(toks) + 1)) AS pos FROM t),
+           |pr AS (SELECT p1.doc_id, p1.tok AS a, p2.tok AS b
+           |  FROM pos p1 JOIN pos p2 ON p1.doc_id = p2.doc_id
+           |    AND p2.pos > p1.pos AND p2.pos <= p1.pos + 2)
+           |SELECT a, b, count(*) AS n_pairs,
+           |  CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+           |FROM pr GROUP BY a, b
+           |ORDER BY n_pairs DESC, a, b LIMIT 50""".stripMargin,
+      // tf/df division: one exactly-rounded IEEE op on two exact integers, so
+      // score and ranking are engine-identical (a log-idf would drift).
+      "top_terms" ->
+        s"""WITH $toksCte,
+           |pairs AS (SELECT doc_id, unnest(toks) AS term FROM t),
+           |tf AS (SELECT doc_id, term, count(*) AS tf FROM pairs GROUP BY 1, 2),
+           |d AS (SELECT term, count(*) AS df FROM tf GROUP BY 1)
+           |SELECT doc_id, term, tf, df, score, rank FROM (
+           |  SELECT tf.doc_id, tf.term, tf.tf, d.df,
+           |    CAST(tf.tf AS DOUBLE) / d.df AS score,
+           |    row_number() OVER (PARTITION BY tf.doc_id
+           |      ORDER BY CAST(tf.tf AS DOUBLE) / d.df DESC, tf.term) AS rank
+           |  FROM tf JOIN d USING (term)) WHERE rank <= 3""".stripMargin,
       "q1_pricing_summary" ->
         """SELECT l_returnflag, l_linestatus,
           |  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,

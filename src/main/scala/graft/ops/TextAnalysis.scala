@@ -354,6 +354,76 @@ object TextAnalysis {
       .withColumn("postings_str", array_join(col("postings"), ","))
   }
 
+  /** Windowed token co-occurrence: ordered pairs `(a, b)` where `b` appears
+    * within `window` positions after `a` in the same doc, with total pair
+    * occurrences and document frequency — the integer-exact substrate for
+    * PMI/embedding-training statistics (the log-scores that would drift
+    * cross-engine are left to the consumer; counts never drift). Returns the
+    * `topK` pairs by occurrence count, ties broken lexicographically so the
+    * cut is deterministic.
+    *
+    * Shape: pairs are generated INSIDE the row projection (slice the token
+    * array at each position — fan-out `window` per token, no self-join of the
+    * exploded stream, which would shuffle the corpus twice at 100 TB), then
+    * one codegen'd hash aggregation and a TakeOrdered for the top-k — the
+    * same explode→agg shape as [[ngramStats]].
+    */
+  def cooccurrence(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      window: Int,
+      topK: Int): DataFrame = {
+    require(window > 0 && topK > 0, "window and topK must be positive")
+    val pairsOfRow = flatten(transform(
+      sequence(lit(0), size(col("_toks")) - 2),
+      i => transform(
+        slice(col("_toks"), i + lit(2), lit(window)),
+        b => struct(element_at(col("_toks"), i + 1).as("a"), b.as("b")))))
+    df.select(col(idCol).as("id"), tokens(col(textCol)).as("_toks"))
+      .filter(size(col("_toks")) >= 2)
+      .select(col("id"), explode(pairsOfRow).as("p"))
+      .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+      .agg(count(lit(1)).as("n_pairs"), count_distinct(col("id")).as("n_docs"))
+      .orderBy(col("n_pairs").desc, col("a"), col("b"))
+      .limit(topK)
+  }
+
+  /** Distinctive terms per document: the `k` terms with the highest
+    * `tf / df` ratio (term frequency in the doc over corpus document
+    * frequency — the division is one exactly-rounded IEEE op on two exact
+    * integers, so the score and therefore the ranking is engine-identical;
+    * a log-idf would not be). Ties break lexicographically. The cheap
+    * keyword-extraction / doc-labeling primitive.
+    *
+    * Shape: one exploded (id, token) stream checkpointed and reused for the
+    * per-doc tf aggregation; df is a second aggregation OVER tf (one row per
+    * (doc, term) — already narrow); the join back is term-keyed and the
+    * top-k is a per-doc row_number over at most distinct-terms-per-doc rows.
+    */
+  def topTermsPerDoc(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int): DataFrame = {
+    require(k > 0, "k must be positive")
+    val tf = df
+      .select(col(idCol).as("doc_id"), tokens(col(textCol)).as("_toks"))
+      .select(col("doc_id"), explode(col("_toks")).as("term"))
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+      .localCheckpoint(false) // feeds both the df agg and the join back
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val scored = tf.join(dfreq, Seq("term"))
+      .withColumn("score", col("tf").cast("double") / col("df"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("score").desc, col("term"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("doc_id"), col("term"), col("tf"), col("df"),
+        col("score"), col("rank"))
+  }
+
   /** Content fingerprint: md5 digest of the sorted distinct token set.
     * Word-order- and repetition-insensitive, so shuffled/boilerplate copies
     * collide — the cheap "same content?" key for exact-ish dedup joins.

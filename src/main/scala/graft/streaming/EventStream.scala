@@ -121,6 +121,43 @@ object EventStream {
     events.join(latest, Seq(keyCol), "left")
   }
 
+  /** Stream-stream attribution join: each left event pairs with the right
+    * events of the same `keyCol` whose timestamp falls in the half-open
+    * lookback window `[left_ts - lookbackSeconds, left_ts)` — the streaming
+    * twin of [[graft.ops.Temporal.precedingJoinAgg]]'s join stage, and the
+    * canonical Structured Streaming interval join (click→purchase
+    * attribution live).
+    *
+    * Both sides carry a watermark and the join condition carries the time
+    * range — exactly what Spark's streaming join needs to bound state: each
+    * side's buffered rows are evicted once the other side's watermark passes
+    * `lookbackSeconds + watermarkDelay`, so state is O(key-rate × window),
+    * not O(stream history). On batch inputs the identical call is a plain
+    * equality+range join (no watermark), which is what the spec compares
+    * against.
+    *
+    * Right-side columns surface with a `right_` prefix (the two sides often
+    * derive from the same source, where unrenamed self-join resolution is
+    * ambiguous).
+    */
+  def streamStreamJoin(
+      left: DataFrame,
+      right: DataFrame,
+      keyCol: String,
+      leftTsCol: String,
+      rightTsCol: String,
+      lookbackSeconds: Long,
+      watermarkDelay: String = "10 minutes"): DataFrame = {
+    val l = if (left.isStreaming) left.withWatermark(leftTsCol, watermarkDelay) else left
+    val r0 = right.select(right.columns.toSeq.map(c => col(c).as(s"right_$c")): _*)
+    val r = if (r0.isStreaming) r0.withWatermark(s"right_$rightTsCol", watermarkDelay) else r0
+    val rTs = col(s"right_$rightTsCol")
+    l.join(r,
+      col(keyCol) === col(s"right_$keyCol") &&
+        rTs >= col(leftTsCol) - expr(s"INTERVAL $lookbackSeconds SECONDS") &&
+        rTs < col(leftTsCol))
+  }
+
   /** Streaming sessionization: events within `gapMinutes` of the previous
     * event (per user) share a session; a session closes when the gap passes,
     * enforced by an event-time timeout against the watermark

@@ -33,6 +33,8 @@ class PlanGateSpec extends SparkTestBase {
     "embedding_normalize" -> 0,
     "text_normalize" -> 0,
     "inverted_index" -> 4,
+    "cooccurrence" -> 2,
+    "top_terms" -> 3,
     "source_orc_roundtrip" -> 0,
     "chunk_documents" -> 0,
     "top_ngram_stats" -> 2,

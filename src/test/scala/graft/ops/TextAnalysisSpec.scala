@@ -144,6 +144,41 @@ class TextAnalysisSpec extends SparkTestBase {
       twice.orderBy("doc_id").collect().map(_.getString(1)).toSeq)
   }
 
+  test("cooccurrence: windowed ordered pairs, counts and doc frequency, deterministic top-k cut") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "a b c a b"), // window 2 pairs: ab ac bc ba ca ab -> (a,b)x2 ...
+      (2L, "a b"),
+      (3L, "x") // single token -> no pairs
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.cooccurrence(df, "doc_id", "text", window = 2, topK = 100)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> ((r.getLong(2), r.getLong(3)))).toMap
+    assert(out(("a", "b")) === ((3L, 2L))) // twice in doc 1, once in doc 2
+    assert(out(("a", "c")) === ((1L, 1L)))
+    assert(out(("b", "c")) === ((1L, 1L)))
+    assert(out(("b", "a")) === ((1L, 1L))) // ordered pairs: (b,a) distinct from (a,b)
+    assert(out(("c", "a")) === ((1L, 1L)))
+    assert(!out.contains(("a", "a")))
+    // topK cut is by (count desc, a, b): with topK=1 the (a,b) pair wins
+    val top1 = TextAnalysis.cooccurrence(df, "doc_id", "text", 2, 1).collect()
+    assert(top1.map(r => (r.getString(0), r.getString(1))).toSeq === Seq(("a", "b")))
+  }
+
+  test("topTermsPerDoc: tf/df ranking, lexicographic ties, k bounds output") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "rare rare common"), // "rare" tf=2 df=1 -> score 2.0 beats common 1/2
+      (2L, "common unique")
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.topTermsPerDoc(df, "doc_id", "text", k = 1)
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getDouble(4)))).toMap
+    assert(out(1L) === (("rare", 2.0)))
+    assert(out(2L) === (("unique", 1.0))) // unique 1/1 beats common 1/2
+    val all = TextAnalysis.topTermsPerDoc(df, "doc_id", "text", k = 5)
+      .collect()
+    assert(all.length === 4) // bounded by distinct terms per doc
+  }
+
   test("invertedIndex: exact df/tf, postings capped to the lowest ids, sorted") {
     import spark.implicits._
     val df = Seq(

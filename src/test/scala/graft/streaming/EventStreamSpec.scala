@@ -162,4 +162,37 @@ class EventStreamSpec extends SparkTestBase {
     assert(streamed == batch)
     assert(streamed.size == 3)
   }
+
+  test("streamStreamJoin: watermarked interval join equals the batch twin") {
+    import spark.implicits._
+    implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val purchases = Seq(ev(100, 1, 60, 9.0), ev(101, 1, 180, 5.0), ev(102, 2, 60, 7.0))
+    val clicks = Seq(
+      ev(1, 1, 30, 1.0), // in 100's 1h window
+      ev(2, 1, 60, 2.0), // == purchase ts -> excluded (half-open)
+      ev(3, 1, 150, 3.0), // in 101's window
+      ev(4, 2, 100, 4.0)) // after 102 -> excluded
+    val msL = MemoryStream[GraftEvent]
+    val msR = MemoryStream[GraftEvent]
+    val q = EventStream.streamStreamJoin(
+      msL.toDF(), msR.toDF(), "user_id", "ts", "ts", lookbackSeconds = 3600L)
+      .select($"event_id", $"right_event_id")
+      .writeStream.format("memory").queryName("ssj_out").outputMode("append").start()
+    msL.addData(purchases)
+    msR.addData(clicks)
+    q.processAllAvailable()
+    // watermark-advancing sentinels on both sides flush buffered matches
+    msL.addData(ev(900, 99, 3000)); msR.addData(ev(901, 98, 3000))
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("ssj_out")
+      .filter($"event_id" < 900)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(streamed === Set((100L, 1L), (101L, 3L)))
+    val batch = EventStream.streamStreamJoin(
+      purchases.toDF(), clicks.toDF(), "user_id", "ts", "ts", 3600L)
+      .select($"event_id", $"right_event_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(batch === streamed)
+  }
 }

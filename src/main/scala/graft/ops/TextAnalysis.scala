@@ -362,11 +362,15 @@ object TextAnalysis {
     * `topK` pairs by occurrence count, ties broken lexicographically so the
     * cut is deterministic.
     *
-    * Shape: pairs are generated INSIDE the row projection (slice the token
-    * array at each position — fan-out `window` per token, no self-join of the
-    * exploded stream, which would shuffle the corpus twice at 100 TB), then
-    * one codegen'd hash aggregation and a TakeOrdered for the top-k — the
-    * same explode→agg shape as [[ngramStats]].
+    * Shape: pairs are generated INSIDE the row projection by the native
+    * codegen'd [[org.apache.spark.sql.graft.WordPairs]] expression (fan-out
+    * `window` per token, no self-join of the exploded stream, which would
+    * shuffle the corpus twice at 100 TB), then one codegen'd hash aggregation
+    * and a TakeOrdered for the top-k — the same explode→agg shape as
+    * [[ngramStats]]. The pair travels as one `"a b"` string through the
+    * aggregation (tokens are whitespace-free, so the encoding is loss-free
+    * and its binary order equals the tuple order — the top-k cut is the
+    * same); only the `topK` winners split back into columns.
     */
   def cooccurrence(
       df: DataFrame,
@@ -375,18 +379,17 @@ object TextAnalysis {
       window: Int,
       topK: Int): DataFrame = {
     require(window > 0 && topK > 0, "window and topK must be positive")
-    val pairsOfRow = flatten(transform(
-      sequence(lit(0), size(col("_toks")) - 2),
-      i => transform(
-        slice(col("_toks"), i + lit(2), lit(window)),
-        b => struct(element_at(col("_toks"), i + 1).as("a"), b.as("b")))))
     df.select(col(idCol).as("id"), tokens(col(textCol)).as("_toks"))
-      .filter(size(col("_toks")) >= 2)
-      .select(col("id"), explode(pairsOfRow).as("p"))
-      .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+      .select(col("id"),
+        explode(org.apache.spark.sql.graft.WordPairs(col("_toks"), window)).as("pair"))
+      .groupBy(col("pair"))
       .agg(count(lit(1)).as("n_pairs"), count_distinct(col("id")).as("n_docs"))
-      .orderBy(col("n_pairs").desc, col("a"), col("b"))
+      .orderBy(col("n_pairs").desc, col("pair"))
       .limit(topK)
+      .select(
+        element_at(split(col("pair"), " "), 1).as("a"),
+        element_at(split(col("pair"), " "), 2).as("b"),
+        col("n_pairs"), col("n_docs"))
   }
 
   /** Distinctive terms per document: the `k` terms with the highest

@@ -255,6 +255,65 @@ object WordShingles {
     ExpressionUtils.column(WordShingles(ExpressionUtils.expression(toks), n))
 }
 
+/** Windowed ordered co-occurrence pairs from a token array: `"a b"` for every
+  * position pair `(i, j)` with `i < j <= i + window` — the native form of the
+  * composed `flatten(transform(sequence, i -> transform(slice(toks, i+2, w),
+  * b -> ...)))`, which ran two nested interpreted lambdas per row, allocating
+  * a slice copy per position and re-evaluating `element_at` per pair. One
+  * static call per row, inside whole-stage codegen. Tokens contain no
+  * whitespace (they come from a whitespace split), so the space-joined pair
+  * string is loss-free and its binary order equals the (a, b) tuple order —
+  * which keeps a downstream `ORDER BY count, pair` cut deterministic and
+  * lets consumers split the winning pairs back apart.
+  */
+case class WordPairs(child: Expression, window: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+  require(window > 0, "window must be positive")
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(StringType))
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "graft_word_pairs"
+
+  override def nullSafeEval(input: Any): Any =
+    WordPairs.pairs(input.asInstanceOf[ArrayData], window)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = org.apache.spark.sql.graft.WordPairs.pairs($c, $window);")
+
+  override protected def withNewChildInternal(newChild: Expression): WordPairs =
+    copy(child = newChild)
+}
+
+object WordPairs {
+  private val Sep = UTF8String.fromString(" ")
+
+  def pairs(arr: ArrayData, w: Int): ArrayData = {
+    val n = arr.numElements()
+    var count = 0
+    var i = 0
+    while (i < n - 1) { count += math.min(w, n - 1 - i); i += 1 }
+    val out = new Array[Any](count)
+    var k = 0
+    i = 0
+    while (i < n - 1) {
+      val a = arr.getUTF8String(i)
+      val end = math.min(i + w, n - 1)
+      var j = i + 1
+      while (j <= end) {
+        out(k) = UTF8String.concatWs(Sep, a, arr.getUTF8String(j))
+        k += 1
+        j += 1
+      }
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  def apply(toks: Column, window: Int): Column =
+    ExpressionUtils.column(WordPairs(ExpressionUtils.expression(toks), window))
+}
+
 /** Distinct 64-bit xxhash64 values of a token array's shingle set — the
   * native fusion of `array_distinct(transform(shingles, s => xxhash64(s)))`.
   * Hashes each gram with [[org.apache.spark.sql.catalyst.expressions.XxHash64Function]]

@@ -49,6 +49,23 @@ class NativeEquivalenceSpec extends SparkTestBase {
     })
   }
 
+  test("WordPairs === flatten(transform(sequence, transform(slice))) on random tokens") {
+    import spark.implicits._
+    check(Prop.forAll(tokenGen, Gen.choose(1, 4)) { (toks, w) =>
+      val df = Seq(Tuple1(toks)).toDF("toks")
+      val native = df.select(
+        org.apache.spark.sql.graft.WordPairs(col("toks"), w)).head.getSeq[String](0)
+      val composed = df.select(
+        when(size(col("toks")) >= 2,
+          flatten(transform(sequence(lit(0), size(col("toks")) - 2),
+            i => transform(slice(col("toks"), i + lit(2), lit(w)),
+              b => concat_ws(" ", element_at(col("toks"), i + 1), b)))))
+          .otherwise(array().cast("array<string>")))
+        .head.getSeq[String](0)
+      native == composed
+    })
+  }
+
   test("CountInSet === size(filter(arr, array_contains(set)))") {
     import spark.implicits._
     val set = Seq("a", "bb", "δδ")

@@ -477,6 +477,17 @@ object SparkEntry {
     TextAnalysis.invertedIndex(docs(s, dir), "doc_id", "text", maxPostings = 8)
       .select("term", "n_occurrences", "n_docs", "postings_str")
 
+  /** Pretraining mixture: 2.5 epochs of src0, 1 epoch of src1, a 30% sample
+    * of src2 — deterministic per doc_id.
+    */
+  private def mixCorporaQuery(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir).select("doc_id", "source")
+    ops.Sampling.mixCorpora(Seq(
+      ("web", d.filter(col("source") === "src0"), 250),
+      ("books", d.filter(col("source") === "src1"), 100),
+      ("code", d.filter(col("source") === "src2"), 30)), "doc_id")
+  }
+
   private def cooccurrenceQuery(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.cooccurrence(docs(s, dir), "doc_id", "text", window = 2, topK = 50)
 
@@ -603,6 +614,7 @@ object SparkEntry {
     "text_normalize" -> (textNormalize _),
     "inverted_index" -> (invertedIndexQuery _),
     "cooccurrence" -> (cooccurrenceQuery _),
+    "mix_corpora" -> (mixCorporaQuery _),
     "top_terms" -> (topTermsQuery _),
     "source_orc_roundtrip" -> (sourceOrcRoundtrip _),
     "q1_pricing_summary" -> (q1PricingSummary _),
@@ -1228,6 +1240,20 @@ object SparkEntry {
            |  CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
            |FROM pr GROUP BY a, b
            |ORDER BY n_pairs DESC, a, b LIMIT 50""".stripMargin,
+      "mix_corpora" ->
+        """WITH b AS (SELECT doc_id, source,
+          |  CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 6)) AS BIGINT) % 100
+          |    AS bucket FROM documents),
+          |u AS (
+          |  SELECT doc_id, source, 2 + CASE WHEN bucket < 50 THEN 1 ELSE 0 END AS n,
+          |    'web' AS mix_source FROM b WHERE source = 'src0'
+          |  UNION ALL
+          |  SELECT doc_id, source, 1 AS n, 'books' AS mix_source FROM b WHERE source = 'src1'
+          |  UNION ALL
+          |  SELECT doc_id, source, CASE WHEN bucket < 30 THEN 1 ELSE 0 END AS n,
+          |    'code' AS mix_source FROM b WHERE source = 'src2')
+          |SELECT doc_id, source, CAST(unnest(range(1, n + 1)) AS INT) AS copy_id, mix_source
+          |FROM u""".stripMargin,
       // tf/df division: one exactly-rounded IEEE op on two exact integers, so
       // score and ranking are engine-identical (a log-idf would drift).
       "top_terms" ->

@@ -55,6 +55,40 @@ object Sampling {
     df.filter(bucket < rate)
   }
 
+  /** Deterministic weighted corpus mixing — the data-mixture primitive of
+    * pretraining (N.M "epochs" per source). Each `(tag, df, weightPct)`
+    * contributes `floor(weightPct / 100)` full copies of itself plus a
+    * `(weightPct % 100)`-percent deterministic hash sample (same md5-bucket
+    * rule as [[hashSample]], so which rows carry the fractional epoch is a
+    * pure function of the key — reproducible across runs, engines, and
+    * cluster sizes). Output = the union of all sources tagged with
+    * `mix_source` and a 1-based `copy_id` (so downstream shuffling/sharding
+    * can keep copies apart). `weightPct = 30` is a plain 30% subsample;
+    * `250` is 2½ epochs.
+    *
+    * Scale shape: copy fan-out happens INSIDE the row projection (explode of
+    * a per-row `sequence`) — no join, no shuffle; rows with zero copies
+    * vanish through the empty-array explode. Mixing 100 TB is one scan per
+    * source.
+    */
+  def mixCorpora(corpora: Seq[(String, DataFrame, Int)], keyCol: String): DataFrame = {
+    require(corpora.nonEmpty, "need at least one corpus")
+    require(corpora.forall(_._3 >= 0), "weights must be non-negative")
+    corpora.map { case (tag, df, weightPct) =>
+      val base = weightPct / 100
+      val rem = weightPct % 100
+      val bucket = conv(substring(md5(col(keyCol).cast("string").cast("binary")), 1, 6), 16, 10)
+        .cast("long") % 100
+      val copies = lit(base) + when(bucket < rem, 1).otherwise(0)
+      df.withColumn("_n", copies)
+        .withColumn("copy_id",
+          explode(when(col("_n") > 0, sequence(lit(1), col("_n")))
+            .otherwise(array().cast("array<int>"))))
+        .drop("_n")
+        .withColumn("mix_source", lit(tag))
+    }.reduce(_ unionByName _)
+  }
+
   /** Deterministic global shuffle into `numShards` training shards: shard by
     * an md5 bucket of the key, order within the shard by the full md5 digest
     * (then the key, so equal digests can't reorder). The resulting

@@ -34,6 +34,7 @@ class PlanGateSpec extends SparkTestBase {
     "text_normalize" -> 0,
     "inverted_index" -> 4,
     "cooccurrence" -> 2,
+    "mix_corpora" -> 0,
     "top_terms" -> 3,
     "source_orc_roundtrip" -> 0,
     "chunk_documents" -> 0,

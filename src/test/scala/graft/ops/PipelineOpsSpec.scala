@@ -204,6 +204,34 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(restStrat === restHash)
   }
 
+  test("mixCorpora: whole epochs copy every row, fractional epochs hash-sample, zero drops; no shuffle") {
+    import spark.implicits._
+    val a = (0L until 200L).map(i => (i, "A")).toDF("doc_id", "src")
+    val b = (0L until 200L).map(i => (i + 1000L, "B")).toDF("doc_id", "src")
+    val out = Sampling.mixCorpora(Seq(("a", a, 230), ("b", b, 0)), "doc_id")
+    assert(out.columns.toSeq === Seq("doc_id", "src", "copy_id", "mix_source"))
+    // weight 0 contributes nothing
+    assert(out.filter(col("mix_source") === "b").count() === 0L)
+    // every A row appears at least twice (2 whole epochs), copy_ids dense from 1
+    val perDoc = out.filter(col("mix_source") === "a")
+      .groupBy("doc_id").agg(count(lit(1)).as("n"), max("copy_id").as("mx"))
+      .collect().map(r => (r.getLong(1), r.getInt(2)))
+    assert(perDoc.length === 200)
+    assert(perDoc.forall { case (n, mx) => (n == 2L || n == 3L) && mx == n })
+    // fractional 30% rides the same bucket rule as hashSample: identical key set
+    val extra = out.filter(col("mix_source") === "a" && col("copy_id") === 3)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val sampled = Sampling.hashSample(a, "doc_id", 30)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(extra === sampled)
+    // deterministic across runs
+    val again = Sampling.mixCorpora(Seq(("a", a, 230)), "doc_id")
+      .filter(col("copy_id") === 3).select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(again === extra)
+    // scan-speed: no exchange anywhere in the plan
+    assert(!out.queryExecution.executedPlan.toString.contains("Exchange"))
+  }
+
   test("shuffleShards: positions are a dense 0..n-1 per shard, deterministic, key-driven") {
     val docs = spark.read.parquet(s"${sf()}/documents.parquet").select("doc_id", "lang")
     val a = Sampling.shuffleShards(docs, "doc_id", 8)

@@ -558,6 +558,61 @@ object SparkEntry {
   }
 
   // =================================================================
+  // §2.4 sketches, PMI, vocabulary, CDC diff, priority sample
+  // =================================================================
+
+  private val CmsWidth = 512
+  private val CmsDepth = 4
+
+  /** Probe mix: frequent corpus tokens, mid-frequency tokens, and two absent
+    * ones (exact 0 — the estimate shows pure collision noise).
+    */
+  private val CmsProbes =
+    Seq("table", "spark", "window", "hash", "scan", "the", "zebra", "qq")
+
+  private def cmsCounts(s: SparkSession, dir: String): DataFrame = {
+    val toks = docs(s, dir)
+      .select(explode(graft.functions.tokens(col("text"))).as("tok"))
+    val sketch = ops.Sketch.countMinSketch(toks, "tok", CmsWidth, CmsDepth)
+    val probes = s.createDataset(CmsProbes)(org.apache.spark.sql.Encoders.STRING)
+      .toDF("tok")
+    val exact = toks.groupBy(col("tok")).agg(count(lit(1)).as("_c"))
+    val est = ops.Sketch.cmsEstimate(sketch, probes, "tok", CmsWidth, CmsDepth)
+    est.join(exact, est("probe_key") === exact("tok"), "left")
+      .select(est("probe_key").as("token"), col("est_count"),
+        coalesce(col("_c"), lit(0L)).as("exact_count"))
+  }
+
+  private def hllRegistersQuery(s: SparkSession, dir: String): DataFrame =
+    ops.Sketch.hllRegisters(events(dir).load(s),
+      groupCols = Seq("event_type"), valueCol = "event_id", p = 8)
+
+  private def vocabCoverageQuery(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.vocabCoverage(docs(s, dir), "doc_id", "text", vocabSize = 30)
+
+  private def pmiPairsQuery(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.pmiPairs(docs(s, dir), "doc_id", "text",
+      window = 2, topK = 40, minPairs = 5)
+
+  /** Snapshot B = A minus every 17th doc, every 13th doc's text revised,
+    * every 23rd doc re-added under a shifted id — deterministic CDC workload.
+    */
+  private def snapshotDiffQuery(s: SparkSession, dir: String): DataFrame = {
+    val a = docs(s, dir).select("doc_id", "text")
+    val b = a.filter(col("doc_id") % 17 =!= 0)
+      .withColumn("text",
+        when(col("doc_id") % 13 === 0, concat(col("text"), lit(" revised")))
+          .otherwise(col("text")))
+      .unionByName(a.filter(col("doc_id") % 23 === 0)
+        .withColumn("doc_id", col("doc_id") + 1000000L))
+    ops.Snapshot.diff(a, b, keyCols = Seq("doc_id"), compareCols = Seq("text"))
+  }
+
+  private def samplePriority(s: SparkSession, dir: String): DataFrame =
+    ops.Sampling.prioritySample(docs(s, dir).select("doc_id", "lang", "source"),
+      "doc_id", k = 60, seed = "r5")
+
+  // =================================================================
   // wiring
   // =================================================================
 
@@ -620,6 +675,12 @@ object SparkEntry {
     "q1_pricing_summary" -> (q1PricingSummary _),
     "q3_top_orders" -> (q3TopOrders _),
     "top_events_per_user" -> (topEventsPerUser _),
+    "cms_counts" -> (cmsCounts _),
+    "hll_registers" -> (hllRegistersQuery _),
+    "vocab_coverage" -> (vocabCoverageQuery _),
+    "pmi_pairs" -> (pmiPairsQuery _),
+    "snapshot_diff" -> (snapshotDiffQuery _),
+    "sample_priority" -> (samplePriority _),
   )
 
   /** DuckDB twin per SQL-expressible key (driver compares on sf0.01). */
@@ -1294,6 +1355,84 @@ object SparkEntry {
           |  SELECT user_id, event_id, row_number() OVER (PARTITION BY user_id
           |    ORDER BY value DESC, event_id) AS rank FROM events)
           |WHERE rank <= 3""".stripMargin,
+      "cms_counts" ->
+        s"""WITH $toksCte,
+           |tok AS (SELECT unnest(toks) AS tok FROM t),
+           |kc AS (SELECT tok, count(*) AS c FROM tok GROUP BY tok),
+           |kj AS (SELECT tok, c, unnest([0, 1, 2, 3]) AS j FROM kc),
+           |cells AS (SELECT j,
+           |  CAST(concat('0x', substr(md5(tok), 1 + 4 * j, 4)) AS BIGINT) % $CmsWidth AS cell,
+           |  c FROM kj),
+           |sk AS (SELECT j, cell, CAST(sum(c) AS BIGINT) AS cell_count
+           |  FROM cells GROUP BY j, cell),
+           |pr AS (SELECT unnest(${sqlList(CmsProbes)}) AS tok),
+           |pj AS (SELECT tok, unnest([0, 1, 2, 3]) AS j FROM pr),
+           |pc AS (SELECT tok, j,
+           |  CAST(concat('0x', substr(md5(tok), 1 + 4 * j, 4)) AS BIGINT) % $CmsWidth AS cell
+           |  FROM pj),
+           |est AS (SELECT pc.tok, CAST(min(coalesce(sk.cell_count, 0)) AS BIGINT) AS est_count
+           |  FROM pc LEFT JOIN sk ON sk.j = pc.j AND sk.cell = pc.cell GROUP BY pc.tok)
+           |SELECT est.tok AS token, est.est_count,
+           |  CAST(coalesce(kc.c, 0) AS BIGINT) AS exact_count
+           |FROM est LEFT JOIN kc ON kc.tok = est.tok""".stripMargin,
+      "hll_registers" -> {
+        val chunks = (0 until 4).map(c =>
+          s"CAST(concat('0x', substr(hx, ${1 + 4 * c}, 4)) AS BIGINT) AS c$c").mkString(", ")
+        val ladder = (1 to 56).map(r =>
+          s"WHEN rest >= ${1L << (56 - r)} THEN $r").mkString(" ")
+        s"""WITH h AS (SELECT event_type,
+           |  substr(md5(CAST(event_id AS VARCHAR)), 1, 16) AS hx FROM events),
+           |c AS (SELECT event_type, $chunks FROM h),
+           |b AS (SELECT event_type, c0 // 256 AS bucket,
+           |  ((c0 % 256) << 48) | (c1 << 32) | (c2 << 16) | c3 AS rest FROM c),
+           |r AS (SELECT event_type, bucket, CASE $ladder ELSE 57 END AS rank FROM b)
+           |SELECT event_type, bucket, max(rank) AS max_rank
+           |FROM r GROUP BY event_type, bucket""".stripMargin
+      },
+      "vocab_coverage" ->
+        s"""WITH $toksCte,
+           |tok AS (SELECT unnest(toks) AS token FROM t),
+           |kc AS (SELECT token, count(*) AS cnt FROM tok GROUP BY token),
+           |tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM kc),
+           |top AS (SELECT token, cnt,
+           |  row_number() OVER (ORDER BY cnt DESC, token) AS rank,
+           |  CAST(sum(cnt) OVER (ORDER BY cnt DESC, token ROWS UNBOUNDED PRECEDING)
+           |    AS BIGINT) AS cum
+           |  FROM kc ORDER BY cnt DESC, token LIMIT 30)
+           |SELECT rank, token, cnt, cum * 1000000 // total AS cum_ppm
+           |FROM top, tot""".stripMargin,
+      "pmi_pairs" ->
+        s"""WITH $toksCte,
+           |pos AS (SELECT doc_id, unnest(toks) AS tok,
+           |  unnest(range(1, len(toks) + 1)) AS pos FROM t),
+           |uni AS (SELECT tok, count(*) AS c FROM pos GROUP BY tok),
+           |pr AS (SELECT p1.tok AS a, p2.tok AS b
+           |  FROM pos p1 JOIN pos p2 ON p1.doc_id = p2.doc_id
+           |    AND p2.pos > p1.pos AND p2.pos <= p1.pos + 2),
+           |pc AS (SELECT a, b, count(*) AS n_pairs FROM pr GROUP BY a, b
+           |  HAVING count(*) >= 5)
+           |SELECT a, b, n_pairs, ua.c AS c_a, ub.c AS c_b,
+           |  CAST(n_pairs * 1000000000 // (ua.c * ub.c) AS BIGINT) AS pmi_scaled
+           |FROM pc JOIN uni ua ON ua.tok = pc.a JOIN uni ub ON ub.tok = pc.b
+           |ORDER BY pmi_scaled DESC, a, b LIMIT 40""".stripMargin,
+      "snapshot_diff" ->
+        """WITH b AS (
+          |  SELECT doc_id, text || CASE WHEN doc_id % 13 = 0 THEN ' revised' ELSE '' END AS text
+          |  FROM documents WHERE doc_id % 17 <> 0
+          |  UNION ALL
+          |  SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 23 = 0),
+          |o AS (SELECT doc_id, md5(text) AS old_fp FROM documents),
+          |n AS (SELECT doc_id, md5(text) AS new_fp FROM b),
+          |j AS (SELECT coalesce(o.doc_id, n.doc_id) AS doc_id, old_fp, new_fp,
+          |  CASE WHEN old_fp IS NULL THEN 'added' WHEN new_fp IS NULL THEN 'removed'
+          |       WHEN old_fp <> new_fp THEN 'changed' ELSE 'unchanged' END AS status
+          |  FROM o FULL JOIN n ON o.doc_id = n.doc_id)
+          |SELECT doc_id, status, old_fp, new_fp FROM j
+          |WHERE status <> 'unchanged'""".stripMargin,
+      "sample_priority" ->
+        """SELECT doc_id, lang, source,
+          |  md5('r5:' || CAST(doc_id AS VARCHAR)) AS priority
+          |FROM documents ORDER BY priority, doc_id LIMIT 60""".stripMargin,
     )
   }
 }

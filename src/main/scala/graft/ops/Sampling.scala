@@ -55,6 +55,28 @@ object Sampling {
     df.filter(bucket < rate)
   }
 
+  /** Deterministic exact-`k` uniform sample (priority sampling): every row
+    * gets priority `md5(seed || ':' || key)` and the `k` smallest win, ties
+    * to the smaller key. Unlike [[hashSample]]'s rate filter this returns an
+    * EXACT row count, and unlike `df.orderBy(rand()).limit(k)` it is a pure
+    * function of (seed, key set) — reproducible across runs, engines, and
+    * cluster sizes, and stable under partition-level retries (a re-executed
+    * task recomputes identical priorities). Changing `seed` redraws the
+    * sample.
+    *
+    * Shape: orderBy+limit plans as TakeOrdered — per-partition top-k then a
+    * driver-side merge of k-row heads — never a global sort: sampling 100 TB
+    * is one scan.
+    */
+  def prioritySample(df: DataFrame, keyCol: String, k: Int, seed: String): DataFrame = {
+    require(k > 0, "k must be positive")
+    val priority = md5(
+      concat(lit(seed), lit(":"), col(keyCol).cast("string")).cast("binary"))
+    df.withColumn("priority", priority)
+      .orderBy(col("priority"), col(keyCol))
+      .limit(k)
+  }
+
   /** Deterministic weighted corpus mixing — the data-mixture primitive of
     * pretraining (N.M "epochs" per source). Each `(tag, df, weightPct)`
     * contributes `floor(weightPct / 100)` full copies of itself plus a

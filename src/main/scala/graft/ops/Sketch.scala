@@ -1,0 +1,156 @@
+package graft.ops
+
+import graft.functions.md5Prefix64
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Probabilistic summary sketches — the sublinear-state primitives a corpus
+  * pipeline needs when exact per-key state no longer fits anywhere: count-min
+  * (frequency estimation / heavy hitters) and HyperLogLog (distinct counts).
+  *
+  * Both sketches are DETERMINISTIC replicas of the textbook algorithms keyed
+  * on the 64-bit md5 prefix ([[graft.functions.md5Prefix64]]): no RNG, no
+  * engine-private hash, so the exact same registers/cells come out of any
+  * engine — a DuckDB oracle recomputes them bit-for-bit, and two clusters
+  * (or two runs years apart) can MERGE their sketches safely, which is the
+  * property that makes a sketch useful as a stored artifact at 100 TB.
+  *
+  * Scale shape: a sketch is a bounded table (depth × width cells, 2^p
+  * registers) produced by one codegen'd hash aggregation over a narrow
+  * exploded stream — map-side partial aggregation does the heavy lifting, the
+  * exchange carries at most the sketch's own (tiny, fixed) cardinality per
+  * partition, and nothing ever collects to the driver.
+  */
+object Sketch {
+
+  /** 16-bit chunk `j` (0..3, MSB-first) of the 64-bit md5 prefix of `s` —
+    * hex chars [1+4j, 4+4j] of `md5(s)`, the cross-engine-reproducible hash
+    * family used by all sketches here.
+    */
+  private def md5Chunk16(h: Column, j: Int): Column = {
+    require(j >= 0 && j < 4, "md5Chunk16 index out of range")
+    shiftrightunsigned(h, 48 - 16 * j).bitwiseAND(lit(0xFFFFL))
+  }
+
+  /** Count-min sketch of key frequencies: a `depth` × `width` grid of
+    * counters; row `j` buckets each key by the `j`-th 16-bit md5 chunk
+    * mod `width`. Point estimates ([[cmsEstimate]]) take the min over rows —
+    * always an overestimate, within `2e/width · N` of truth with probability
+    * `1 - e^-depth` (Cormode & Muthukrishnan 2005).
+    *
+    * Output: `(sketch_row, cell, cell_count)` — only occupied cells, absent
+    * cells are zero. `width` must divide 2^16 so `chunk mod width` stays
+    * uniform; `depth` ≤ 4 (four independent 16-bit chunks per md5 prefix).
+    *
+    * Shape: keys pre-aggregate to `(key, count)` first (vocab-sized), so the
+    * `depth`-way fan-out explodes the DICTIONARY, not the corpus stream; the
+    * sketch itself is one more hash aggregation of at most depth × width
+    * groups. Two exchanges total, both of bounded width.
+    */
+  def countMinSketch(
+      df: DataFrame,
+      keyCol: String,
+      width: Int,
+      depth: Int): DataFrame = {
+    require(depth >= 1 && depth <= 4, "depth must be in [1, 4]")
+    require(width > 0 && 65536 % width == 0,
+      "width must divide 2^16 (keeps chunk mod width uniform)")
+    val keyCounts = df
+      .groupBy(col(keyCol).cast("string").as("_k"))
+      .agg(count(lit(1)).as("_c"))
+    val h = md5Prefix64(col("_k"))
+    val cells = array((0 until depth).map(j => md5Chunk16(h, j) % width): _*)
+    keyCounts
+      .select(col("_c"), posexplode(cells).as(Seq("sketch_row", "cell")))
+      .groupBy(col("sketch_row"), col("cell"))
+      .agg(sum(col("_c")).as("cell_count"))
+  }
+
+  /** Point-estimate lookup against a [[countMinSketch]]: for each probe key,
+    * `min` over the sketch rows of its cell's counter (0 when the cell is
+    * empty). `width`/`depth` must match the sketch's build parameters.
+    * The sketch is broadcast — it is depth × width rows by construction, so
+    * probing any number of keys never shuffles.
+    */
+  def cmsEstimate(
+      sketch: DataFrame,
+      probes: DataFrame,
+      keyCol: String,
+      width: Int,
+      depth: Int): DataFrame = {
+    require(depth >= 1 && depth <= 4, "depth must be in [1, 4]")
+    val h = md5Prefix64(col(keyCol).cast("string"))
+    val cells = array((0 until depth).map(j => md5Chunk16(h, j) % width): _*)
+    probes
+      .select(col(keyCol).as("probe_key"), posexplode(cells).as(Seq("sketch_row", "cell")))
+      .join(broadcast(sketch), Seq("sketch_row", "cell"), "left")
+      .groupBy(col("probe_key"))
+      .agg(min(coalesce(col("cell_count"), lit(0L))).as("est_count"))
+  }
+
+  /** HyperLogLog registers over `valueCol`, optionally per `groupCols` group:
+    * bucket = top `p` bits of the 64-bit md5 prefix, register = max over
+    * values of (leading zeros of the remaining `64-p` bits + 1). Only
+    * non-empty buckets appear (absent buckets are rank 0). Registers are
+    * integer-exact and mergeable by `max` — union of corpora = elementwise
+    * max of their register tables.
+    *
+    * One codegen'd hash aggregation (group keys × at most 2^p buckets); the
+    * rank ladder is a when-chain, fully codegen'd. Flajolet et al. 2007.
+    */
+  def hllRegisters(
+      df: DataFrame,
+      groupCols: Seq[String],
+      valueCol: String,
+      p: Int): DataFrame = {
+    val (bucket, rank) = hllBucketAndRank(col(valueCol), p)
+    df.select(groupCols.map(col) :+ bucket.as("bucket") :+ rank.as("_rank"): _*)
+      .groupBy(groupCols.map(col) :+ col("bucket"): _*)
+      .agg(max(col("_rank")).as("max_rank"))
+  }
+
+  /** The (bucket, rank) column pair underlying [[hllRegisters]] — exposed so
+    * other grouping shapes (e.g. streaming event-time windows,
+    * [[graft.streaming.EventStream]]) can aggregate the same registers:
+    * any `groupBy(..., bucket).agg(max(rank))` is a valid HLL register table.
+    */
+  private[graft] def hllBucketAndRank(value: Column, p: Int): (Column, Column) = {
+    require(p >= 4 && p <= 14, "p must be in [4, 14]")
+    val width = 64 - p
+    val h = md5Prefix64(value.cast("string"))
+    val bucket = shiftrightunsigned(h, width)
+    val rest = h.bitwiseAND(lit((1L << width) - 1))
+    // rank r <=> exactly r-1 leading zeros in the width-bit field:
+    // first match wins in the when-chain, rest == 0 => width + 1
+    val rank = (2 to width)
+      .foldLeft(when(rest >= (1L << (width - 1)), 1)) { (c, r) =>
+        c.when(rest >= (1L << (width - r)), r)
+      }
+      .otherwise(width + 1)
+    (bucket, rank)
+  }
+
+  /** Cardinality estimate from a [[hllRegisters]] table (per group when
+    * `groupCols` is non-empty): the standard HLL estimator with the
+    * small-range (linear counting) correction. Double-valued — intended for
+    * monitoring/specs; the registers themselves are the exact, mergeable,
+    * oracle-checkable artifact.
+    */
+  def hllEstimate(registers: DataFrame, groupCols: Seq[String], p: Int): DataFrame = {
+    val m = (1 << p).toDouble
+    val alpha =
+      if (p == 4) 0.673 else if (p == 5) 0.697 else if (p == 6) 0.709
+      else 0.7213 / (1 + 1.079 / m)
+    val agg = registers
+      .groupBy(groupCols.map(col): _*)
+      .agg(sum(pow(lit(0.5), col("max_rank"))).as("_sum"),
+        count(lit(1)).as("_nonEmpty"))
+      .withColumn("_zeros", lit(m) - col("_nonEmpty"))
+      // absent buckets contribute 2^-0 = 1 each
+      .withColumn("_raw", lit(alpha * m * m) / (col("_sum") + col("_zeros")))
+    agg.select(groupCols.map(col) :+
+      when(col("_raw") <= 2.5 * m && col("_zeros") > 0,
+        lit(m) * log(lit(m) / col("_zeros")))
+        .otherwise(col("_raw")).as("estimate"): _*)
+  }
+}

@@ -1,0 +1,52 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Snapshot versioning: change-data-capture between two materializations of
+  * the same logical table (yesterday's corpus vs today's) — the primitive
+  * behind incremental re-training, eval-set freezing, and audit diffs.
+  */
+object Snapshot {
+
+  /** Diff two snapshots keyed by `keyCols`: emits one row per key whose
+    * membership or content changed — `status` ∈ {`added`, `removed`,
+    * `changed`} with the md5 content fingerprints of both sides (null where
+    * the side is absent). Unchanged keys are filtered out, so output size
+    * scales with the CHANGE volume, not the table.
+    *
+    * Content equality is `md5(concat_ws(0x01, compareCols))` — column values
+    * joined on a separator that cannot appear in text, so the comparison is
+    * order- and padding-proof and the fingerprint is reproducible in any
+    * engine. `compareCols` must be non-null (document the contract rather
+    * than burn a null-sentinel branch per column in the hot path); keys must
+    * be unique per snapshot.
+    *
+    * Shape: each side projects to (keys, 16-byte fingerprint) AT THE SCAN —
+    * full text never reaches the join — then one full-outer hash/sort-merge
+    * join on the key: a single co-partitioned shuffle each side, the minimum
+    * any exact diff needs. 100 TB diffs as two narrow-projection scans + one
+    * key-partitioned exchange pair.
+    */
+  def diff(
+      oldSnap: DataFrame,
+      newSnap: DataFrame,
+      keyCols: Seq[String],
+      compareCols: Seq[String]): DataFrame = {
+    require(keyCols.nonEmpty && compareCols.nonEmpty,
+      "keyCols and compareCols must be non-empty")
+    def fp(df: DataFrame, as: String) = df.select(
+      keyCols.map(col) :+
+        md5(concat_ws("\u0001", compareCols.map(c => col(c).cast("string")): _*)
+          .cast("binary")).as(as): _*)
+    fp(oldSnap, "old_fp")
+      .join(fp(newSnap, "new_fp"), keyCols, "full_outer")
+      .withColumn("status",
+        when(col("old_fp").isNull, "added")
+          .when(col("new_fp").isNull, "removed")
+          .when(col("old_fp") =!= col("new_fp"), "changed")
+          .otherwise("unchanged"))
+      .filter(col("status") =!= "unchanged")
+      .select(keyCols.map(col) :+ col("status") :+ col("old_fp") :+ col("new_fp"): _*)
+  }
+}

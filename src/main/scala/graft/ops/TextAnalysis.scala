@@ -427,6 +427,89 @@ object TextAnalysis {
         col("score"), col("rank"))
   }
 
+  /** Vocabulary coverage curve — the tokenizer-design primitive: the top
+    * `vocabSize` tokens by corpus frequency (ties to the lexicographically
+    * smaller token, so the cut is deterministic) with rank, count, and the
+    * CUMULATIVE share of all token occurrences covered so far, as exact
+    * integer parts-per-million (`cum_ppm`). Reading the curve answers "how
+    * big a vocab covers 95% of the corpus".
+    *
+    * Shape: one codegen'd hash aggregation over the exploded token stream
+    * (map-side partial), a TakeOrdered for the top-`vocabSize` cut (never a
+    * global sort), then the cumulative window runs over only `vocabSize`
+    * rows — the single-partition window is over the RESULT, whose size the
+    * caller fixed, not the data. The corpus-total denominator rides a 1-row
+    * broadcast.
+    */
+  def vocabCoverage(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      vocabSize: Int): DataFrame = {
+    require(vocabSize > 0, "vocabSize must be positive")
+    val counts = df
+      .select(tokens(col(textCol)).as("_toks"))
+      .select(explode(col("_toks")).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("cnt"))
+      .localCheckpoint(false) // feeds the total AND the top-k cut
+    val total = counts.agg(sum(col("cnt")).as("_total"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("cnt").desc, col("token"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    counts.orderBy(col("cnt").desc, col("token")).limit(vocabSize)
+      .withColumn("rank", row_number().over(w))
+      .withColumn("_cum", sum(col("cnt")).over(w))
+      .crossJoin(broadcast(total))
+      .select(col("rank"), col("token"), col("cnt"),
+        expr("_cum * 1000000 DIV _total").as("cum_ppm"))
+  }
+
+  /** Pointwise-mutual-information pair ranking over the [[cooccurrence]]
+    * substrate: the `topK` within-`window` ordered token pairs by
+    * `count(a,b) / (count(a) · count(b))` — PMI up to a corpus-wide constant
+    * factor, which cannot change the ranking. The score ships as
+    * `n_pairs · scale DIV (c_a · c_b)` — exact integer arithmetic, so the
+    * ranking (and the oracle hash) is engine-identical where a floating
+    * `log` would drift. Pairs below `minPairs` occurrences are dropped first
+    * (rare-pair PMI is noise — textbook practice).
+    *
+    * Shape: the tokenized corpus is checkpointed once and feeds both the
+    * pair counts (native codegen'd [[org.apache.spark.sql.graft.WordPairs]]
+    * fan-out, no self-join of the exploded stream) and the unigram counts;
+    * the score join is vocab-keyed (dictionary-sized right side — Spark
+    * broadcasts it when small); the top-k is a TakeOrdered.
+    */
+  def pmiPairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      window: Int,
+      topK: Int,
+      minPairs: Long,
+      scale: Long = 1000000000L): DataFrame = {
+    require(window > 0 && topK > 0 && minPairs >= 1 && scale > 0,
+      "window, topK, minPairs, scale must be positive")
+    val toks = df.select(tokens(col(textCol)).as("_toks")).localCheckpoint(false)
+    val uni = toks.select(explode(col("_toks")).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("c"))
+    val pairs = toks
+      .select(explode(org.apache.spark.sql.graft.WordPairs(col("_toks"), window)).as("pair"))
+      .groupBy(col("pair")).agg(count(lit(1)).as("n_pairs"))
+      .filter(col("n_pairs") >= minPairs)
+      .select(
+        element_at(split(col("pair"), " "), 1).as("a"),
+        element_at(split(col("pair"), " "), 2).as("b"),
+        col("n_pairs"))
+    pairs
+      .join(uni.select(col("tok").as("a"), col("c").as("c_a")), Seq("a"))
+      .join(uni.select(col("tok").as("b"), col("c").as("c_b")), Seq("b"))
+      .withColumn("pmi_scaled", expr(s"n_pairs * ${scale}L DIV (c_a * c_b)"))
+      .orderBy(col("pmi_scaled").desc, col("a"), col("b"))
+      .limit(topK)
+      .select(col("a"), col("b"), col("n_pairs"), col("c_a"), col("c_b"),
+        col("pmi_scaled"))
+  }
+
   /** Content fingerprint: md5 digest of the sorted distinct token set.
     * Word-order- and repetition-insensitive, so shuffled/boilerplate copies
     * collide — the cheap "same content?" key for exact-ish dedup joins.

@@ -1,0 +1,204 @@
+package graft.ops
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+/** Specs for the round-5 operators: count-min sketch, HyperLogLog,
+  * vocabulary coverage, PMI pairs, snapshot CDC diff, priority sampling.
+  */
+class SketchSpec extends SparkTestBase {
+
+  // ---- count-min sketch ----
+
+  test("countMinSketch + cmsEstimate: estimates are >= truth, exact when sparse, 0-floor on absent keys") {
+    import spark.implicits._
+    val df = (Seq.fill(100)("alpha") ++ Seq.fill(37)("beta") ++ Seq.fill(3)("gamma"))
+      .toDF("k")
+    val sketch = Sketch.countMinSketch(df, "k", width = 512, depth = 4)
+    // total mass per row equals the input count
+    val rowMass = sketch.groupBy("sketch_row").agg(sum("cell_count").as("m"))
+      .collect().map(r => r.getLong(1)).toSet
+    assert(rowMass === Set(140L))
+    val probes = Seq("alpha", "beta", "gamma", "absent").toDF("k")
+    val est = Sketch.cmsEstimate(sketch, probes, "k", width = 512, depth = 4)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // 3 keys in 512 cells: collision-free with overwhelming probability for
+    // this fixed md5 hash family (deterministic, so this is a stable fact,
+    // not a flaky assertion)
+    assert(est("alpha") === 100L && est("beta") === 37L && est("gamma") === 3L)
+    assert(est("absent") >= 0L) // min over cells; never negative
+  }
+
+  test("countMinSketch: never underestimates under forced collisions (width 2)") {
+    import spark.implicits._
+    val truth = Map("a" -> 5L, "b" -> 3L, "c" -> 11L, "d" -> 2L)
+    val df = truth.toSeq.flatMap { case (k, n) => Seq.fill(n.toInt)(k) }.toDF("k")
+    val sketch = Sketch.countMinSketch(df, "k", width = 2, depth = 4)
+    val est = Sketch.cmsEstimate(sketch, truth.keys.toSeq.toDF("k"), "k", 2, 4)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    truth.foreach { case (k, n) => assert(est(k) >= n, s"underestimate for $k") }
+  }
+
+  test("countMinSketch rejects non-dividing width and depth > 4") {
+    import spark.implicits._
+    val df = Seq("x").toDF("k")
+    intercept[IllegalArgumentException](Sketch.countMinSketch(df, "k", 100, 4))
+    intercept[IllegalArgumentException](Sketch.countMinSketch(df, "k", 512, 5))
+  }
+
+  // ---- HyperLogLog ----
+
+  /** Scala twin of the register computation (md5 prefix, p bits, rank). */
+  private def refRegisters(values: Seq[String], p: Int): Map[Long, Int] = {
+    val width = 64 - p
+    values.map { v =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(v.getBytes("UTF-8"))
+      val h = (0 until 8).foldLeft(0L)((acc, i) => (acc << 8) | (md(i) & 0xffL))
+      val bucket = h >>> width
+      val rest = h & ((1L << width) - 1)
+      val rank = if (rest == 0) width + 1
+      else java.lang.Long.numberOfLeadingZeros(rest) - p + 1
+      bucket -> rank
+    }.groupMapReduce(_._1)(_._2)(math.max)
+  }
+
+  test("hllRegisters matches a driver-side reference implementation bit for bit") {
+    import spark.implicits._
+    val values = (1 to 2000).map(i => s"v$i")
+    val out = Sketch.hllRegisters(values.toDF("v"), Nil, "v", p = 8)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(out === refRegisters(values, 8))
+  }
+
+  test("hllEstimate is within 5% of the true distinct count (p=10, n=20000)") {
+    import spark.implicits._
+    val n = 20000
+    // duplicates: every value appears 1-3 times; distinct count is exactly n
+    val values = (1 to n).flatMap(i => Seq.fill(1 + i % 3)(s"user-$i"))
+    val regs = Sketch.hllRegisters(values.toDF("v"), Nil, "v", p = 10)
+    val est = Sketch.hllEstimate(regs, Nil, p = 10).collect()(0).getDouble(0)
+    assert(math.abs(est - n) / n < 0.05, s"estimate $est vs true $n")
+  }
+
+  test("hllRegisters merge by max: union registers == elementwise max of part registers") {
+    import spark.implicits._
+    val a = (1 to 500).map(i => s"a$i")
+    val b = (300 to 900).map(i => s"a$i") // overlapping
+    val ra = Sketch.hllRegisters(a.toDF("v"), Nil, "v", 8)
+    val rb = Sketch.hllRegisters(b.toDF("v"), Nil, "v", 8)
+    val merged = ra.unionByName(rb).groupBy("bucket")
+      .agg(max("max_rank").as("max_rank"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val union = Sketch.hllRegisters((a ++ b).toDF("v"), Nil, "v", 8)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(merged === union)
+  }
+
+  test("hllRegisters groups independently per group key") {
+    import spark.implicits._
+    val df = ((1 to 100).map(i => ("g1", s"x$i")) ++ (1 to 7).map(i => ("g2", s"x$i")))
+      .toDF("g", "v")
+    val out = Sketch.hllRegisters(df, Seq("g"), "v", 8)
+    val g2 = out.filter(col("g") === "g2").collect()
+      .map(r => r.getLong(1) -> r.getInt(2)).toMap
+    assert(g2 === refRegisters((1 to 7).map(i => s"x$i"), 8))
+  }
+
+  // ---- vocabulary coverage ----
+
+  test("vocabCoverage: ranks by count then token, cumulative ppm is exact integer math") {
+    import spark.implicits._
+    val df = Seq((1L, "b b b a a c"), (2L, "a d")).toDF("doc_id", "text")
+    // counts: a=3, b=3, c=1, d=1; total=8; order: a(3), b(3), c(1), d(1)
+    val out = TextAnalysis.vocabCoverage(df, "doc_id", "text", vocabSize = 3)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(out.toSeq === Seq(
+      (1, "a", 3L, 375000L), // 3/8
+      (2, "b", 3L, 750000L), // 6/8
+      (3, "c", 1L, 875000L))) // 7/8
+  }
+
+  // ---- PMI pairs ----
+
+  test("pmiPairs: scores rank by n_ab/(c_a*c_b) with exact integer scaling") {
+    import spark.implicits._
+    // "x y" always co-occur (5 times); "x z" once; window 1, minPairs 1
+    val df = ((1 to 5).map(i => (i.toLong, "x y")) :+ (6L, "x z")).toDF("doc_id", "text")
+    val out = TextAnalysis.pmiPairs(df, "doc_id", "text",
+      window = 1, topK = 10, minPairs = 1, scale = 1000L)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(5)))
+    // c_x=6, c_y=5, c_z=1; pair xy=5 -> 5*1000/(6*5)=166; xz=1 -> 1000/6=166
+    // tie on score breaks lexicographically: (x,y) before (x,z)
+    assert(out.toSeq === Seq(("x", "y", 5L, 166L), ("x", "z", 1L, 166L)))
+  }
+
+  test("pmiPairs drops pairs below minPairs") {
+    import spark.implicits._
+    val df = ((1 to 5).map(i => (i.toLong, "x y")) :+ (6L, "x z")).toDF("doc_id", "text")
+    val out = TextAnalysis.pmiPairs(df, "doc_id", "text",
+      window = 1, topK = 10, minPairs = 2)
+    assert(out.collect().map(r => (r.getString(0), r.getString(1))).toSeq
+      === Seq(("x", "y")))
+  }
+
+  // ---- snapshot diff ----
+
+  test("Snapshot.diff: added/removed/changed statuses, unchanged filtered out") {
+    import spark.implicits._
+    val a = Seq((1L, "one"), (2L, "two"), (3L, "three")).toDF("id", "text")
+    val b = Seq((2L, "two"), (3L, "three-edited"), (4L, "four")).toDF("id", "text")
+    val out = Snapshot.diff(a, b, Seq("id"), Seq("text"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out === Map(1L -> "removed", 3L -> "changed", 4L -> "added"))
+    val row3 = Snapshot.diff(a, b, Seq("id"), Seq("text"))
+      .filter(col("id") === 3L).collect()(0)
+    assert(row3.getString(2) != null && row3.getString(3) != null &&
+      row3.getString(2) != row3.getString(3))
+  }
+
+  test("Snapshot.diff: multi-column compare and multi-column keys") {
+    import spark.implicits._
+    val a = Seq((1L, "en", "t", 5L)).toDF("id", "lang", "text", "n")
+    val b = Seq((1L, "en", "t", 6L)).toDF("id", "lang", "text", "n")
+    val changed = Snapshot.diff(a, b, Seq("id", "lang"), Seq("text", "n")).collect()
+    assert(changed.length === 1 && changed(0).getString(2) === "changed")
+    val same = Snapshot.diff(a, a, Seq("id", "lang"), Seq("text", "n")).collect()
+    assert(same.isEmpty)
+  }
+
+  // ---- priority sample ----
+
+  test("prioritySample: exactly k rows, deterministic, and a pure function of the key set") {
+    import spark.implicits._
+    val df = (1 to 500).map(i => (i.toLong, s"row$i")).toDF("id", "payload")
+    val s1 = Sampling.prioritySample(df, "id", k = 50, seed = "s")
+      .collect().map(_.getLong(0)).toSet
+    val s2 = Sampling.prioritySample(df, "id", k = 50, seed = "s")
+      .collect().map(_.getLong(0)).toSet
+    assert(s1.size === 50 && s1 === s2)
+    // different seed redraws
+    val s3 = Sampling.prioritySample(df, "id", k = 50, seed = "other")
+      .collect().map(_.getLong(0)).toSet
+    assert(s3 !== s1)
+    // repartitioning cannot change the winners (priority is per-key, global cut)
+    val s4 = Sampling.prioritySample(df.repartition(13), "id", k = 50, seed = "s")
+      .collect().map(_.getLong(0)).toSet
+    assert(s4 === s1)
+  }
+
+  test("prioritySample of a superset preserves the sample's winners prefix property") {
+    import spark.implicits._
+    // with the same seed, the k winners of a SUBSET that contains all k
+    // winners of the full set are exactly those winners — the bottom-k
+    // sketch/mergeability property of priority sampling
+    val full = (1 to 300).map(_.toLong).toDF("id")
+    val winners = Sampling.prioritySample(full, "id", k = 20, seed = "m")
+      .collect().map(_.getLong(0)).toSet
+    val subset = (1 to 300).filter(i => winners.contains(i.toLong) || i % 3 == 0)
+      .map(_.toLong).toDF("id")
+    val sub = Sampling.prioritySample(subset, "id", k = 20, seed = "m")
+      .collect().map(_.getLong(0)).toSet
+    assert(sub === winners)
+  }
+}

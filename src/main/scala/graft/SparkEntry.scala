@@ -612,6 +612,35 @@ object SparkEntry {
     ops.Sampling.prioritySample(docs(s, dir).select("doc_id", "lang", "source"),
       "doc_id", k = 60, seed = "r5")
 
+  /** Batch twin of the streaming windowed-HLL sketch (same code path —
+    * EventStream transforms run identically on batch inputs).
+    */
+  private def hllWindowed(s: SparkSession, dir: String): DataFrame =
+    EventStream.windowedDistinctSketch(events(dir).load(s), "user_id",
+      windowDuration = "1 hour", p = 8)
+
+  private def valueHistogram(s: SparkSession, dir: String): DataFrame =
+    ops.Stats.histogram(events(dir).load(s), Seq("event_type"), "value",
+      lo = 0.0, hi = 500.0, nBins = 25)
+
+  private def eventFunnel(s: SparkSession, dir: String): DataFrame =
+    ops.Temporal.funnel(events(dir).load(s), "user_id", "ts", "event_type",
+      steps = Seq("signup", "click", "purchase"))
+      .select(col("user_id"),
+        unix_micros(col("step1_ts")).as("step1_us"),
+        unix_micros(col("step2_ts")).as("step2_us"),
+        unix_micros(col("step3_ts")).as("step3_us"))
+
+  private def bloomSemiJoinQuery(s: SparkSession, dir: String): DataFrame = {
+    val li = s.read.parquet(s"$dir/lineitem.parquet")
+      .select("l_orderkey", "l_linenumber", "l_quantity")
+    val urgent = s.read.parquet(s"$dir/orders.parquet")
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .select("o_orderkey")
+    ops.Skew.bloomSemiJoin(li, urgent, "l_orderkey", "o_orderkey",
+      numBits = 1 << 20, k = 5)
+  }
+
   // =================================================================
   // wiring
   // =================================================================
@@ -681,6 +710,10 @@ object SparkEntry {
     "pmi_pairs" -> (pmiPairsQuery _),
     "snapshot_diff" -> (snapshotDiffQuery _),
     "sample_priority" -> (samplePriority _),
+    "hll_windowed" -> (hllWindowed _),
+    "value_histogram" -> (valueHistogram _),
+    "event_funnel" -> (eventFunnel _),
+    "bloom_semi_join" -> (bloomSemiJoinQuery _),
   )
 
   /** DuckDB twin per SQL-expressible key (driver compares on sf0.01). */
@@ -697,6 +730,12 @@ object SparkEntry {
         |FROM documents)""".stripMargin
     def sqlList(ws: Seq[String]): String = ws.map(w => s"'$w'").mkString("[", ", ", "]")
     val allStops = sqlList(TextAnalysis.stopwords.values.flatten.toSeq.distinct)
+    // shared HLL decode (p=8): 16-bit md5 chunks, 56-bit rest, rank ladder
+    val hllChunks = (0 until 4).map(c =>
+      s"CAST(concat('0x', substr(hx, ${1 + 4 * c}, 4)) AS BIGINT) AS c$c").mkString(", ")
+    val hllRest = "((c0 % 256) << 48) | (c1 << 32) | (c2 << 16) | c3"
+    val hllLadder = (1 to 56).map(r =>
+      s"WHEN rest >= ${1L << (56 - r)} THEN $r").mkString(" ")
     Map(
       "source_parquet" ->
         "SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment FROM customer",
@@ -1375,20 +1414,43 @@ object SparkEntry {
            |SELECT est.tok AS token, est.est_count,
            |  CAST(coalesce(kc.c, 0) AS BIGINT) AS exact_count
            |FROM est LEFT JOIN kc ON kc.tok = est.tok""".stripMargin,
-      "hll_registers" -> {
-        val chunks = (0 until 4).map(c =>
-          s"CAST(concat('0x', substr(hx, ${1 + 4 * c}, 4)) AS BIGINT) AS c$c").mkString(", ")
-        val ladder = (1 to 56).map(r =>
-          s"WHEN rest >= ${1L << (56 - r)} THEN $r").mkString(" ")
+      "hll_registers" ->
         s"""WITH h AS (SELECT event_type,
            |  substr(md5(CAST(event_id AS VARCHAR)), 1, 16) AS hx FROM events),
-           |c AS (SELECT event_type, $chunks FROM h),
-           |b AS (SELECT event_type, c0 // 256 AS bucket,
-           |  ((c0 % 256) << 48) | (c1 << 32) | (c2 << 16) | c3 AS rest FROM c),
-           |r AS (SELECT event_type, bucket, CASE $ladder ELSE 57 END AS rank FROM b)
+           |c AS (SELECT event_type, $hllChunks FROM h),
+           |b AS (SELECT event_type, c0 // 256 AS bucket, $hllRest AS rest FROM c),
+           |r AS (SELECT event_type, bucket, CASE $hllLadder ELSE 57 END AS rank FROM b)
            |SELECT event_type, bucket, max(rank) AS max_rank
-           |FROM r GROUP BY event_type, bucket""".stripMargin
-      },
+           |FROM r GROUP BY event_type, bucket""".stripMargin,
+      "hll_windowed" ->
+        s"""WITH h AS (SELECT epoch_us(date_trunc('hour', ts)) AS window_start_us,
+           |  substr(md5(CAST(user_id AS VARCHAR)), 1, 16) AS hx FROM events),
+           |c AS (SELECT window_start_us, $hllChunks FROM h),
+           |b AS (SELECT window_start_us, c0 // 256 AS bucket, $hllRest AS rest FROM c),
+           |r AS (SELECT window_start_us, bucket, CASE $hllLadder ELSE 57 END AS rank FROM b)
+           |SELECT window_start_us, bucket, max(rank) AS max_rank
+           |FROM r GROUP BY window_start_us, bucket""".stripMargin,
+      "value_histogram" ->
+        """SELECT event_type,
+          |  CAST(least(greatest(floor((value - 0.0) / 20.0), 0.0), 24.0) AS BIGINT) AS bin,
+          |  count(*) AS n
+          |FROM events GROUP BY 1, 2""".stripMargin,
+      "event_funnel" ->
+        """WITH s1 AS (SELECT user_id, min(epoch_us(ts)) AS step1_us FROM events
+          |  WHERE event_type = 'signup' GROUP BY user_id),
+          |s2 AS (SELECT s1.user_id, s1.step1_us, min(epoch_us(e.ts)) AS step2_us
+          |  FROM s1 LEFT JOIN events e ON e.user_id = s1.user_id
+          |    AND e.event_type = 'click' AND epoch_us(e.ts) > s1.step1_us
+          |  GROUP BY 1, 2),
+          |s3 AS (SELECT s2.user_id, s2.step1_us, s2.step2_us, min(epoch_us(e.ts)) AS step3_us
+          |  FROM s2 LEFT JOIN events e ON e.user_id = s2.user_id
+          |    AND e.event_type = 'purchase' AND epoch_us(e.ts) > s2.step2_us
+          |  GROUP BY 1, 2, 3)
+          |SELECT user_id, step1_us, step2_us, step3_us FROM s3""".stripMargin,
+      "bloom_semi_join" ->
+        """SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+          |WHERE l_orderkey IN (
+          |  SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT')""".stripMargin,
       "vocab_coverage" ->
         s"""WITH $toksCte,
            |tok AS (SELECT unnest(toks) AS token FROM t),

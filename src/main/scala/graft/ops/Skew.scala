@@ -34,4 +34,40 @@ object Skew {
       explode(typedLit((0 until saltFactor).toList)))
     salted.join(replicated, keys :+ "_salt", joinType).drop("_salt")
   }
+
+  /** Bloom-prefiltered semi join: keep `big` rows whose `bigKey` appears in
+    * `small`'s `smallKey` set. The small side aggregates into a
+    * deterministic [[org.apache.spark.sql.graft.BloomAgg]] bit array
+    * (`numBits / 8` bytes regardless of row count) that broadcasts to the
+    * big side as a 1-row cross join; [[org.apache.spark.sql.graft.BloomContains]]
+    * then drops definitely-absent rows INSIDE the scan's codegen stage —
+    * before any exchange — so the exact semi join that follows shuffles only
+    * the survivors. At 100 TB with a selective key set this is the
+    * difference between shuffling the corpus and shuffling the matches;
+    * it is also the explicit, persistable form of what AQE's runtime bloom
+    * filter does opportunistically.
+    *
+    * With `verify = false` the exact join is skipped: output may contain
+    * false positives at the bloom's rate (~`(1 - e^(-k·n/m))^k`), the right
+    * trade when the consumer re-checks membership anyway. The result is
+    * still deterministic — the filter is a pure function of the key set.
+    */
+  def bloomSemiJoin(
+      big: DataFrame,
+      small: DataFrame,
+      bigKey: String,
+      smallKey: String,
+      numBits: Int = 1 << 20,
+      k: Int = 5,
+      verify: Boolean = true): DataFrame = {
+    import org.apache.spark.sql.graft.{BloomAgg, BloomContains}
+    val bloom = small.agg(
+      BloomAgg(col(smallKey).cast("string"), numBits, k).as("_bloom"))
+    val prefiltered = big.join(broadcast(bloom))
+      .filter(BloomContains(col("_bloom"), col(bigKey).cast("string"), k))
+      .drop("_bloom")
+    if (!verify) prefiltered
+    else prefiltered.join(
+      small.select(col(smallKey).as(bigKey)), Seq(bigKey), "left_semi")
+  }
 }

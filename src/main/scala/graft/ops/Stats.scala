@@ -30,4 +30,30 @@ object Stats {
     }
     agg.select(groupCols.map(col) ++ (col("n_rows") +: qCols): _*)
   }
+
+  /** Fixed-bin histogram of `valueCol` over `[lo, hi)`, per group: bin
+    * `i` covers `[lo + i·w, lo + (i+1)·w)` with `w = (hi-lo)/nBins`;
+    * out-of-range values clamp into the edge bins (so the histogram always
+    * accounts for every row — the profiling contract). Only non-empty bins
+    * are emitted.
+    *
+    * One codegen'd hash aggregation over (groups × nBins) — scan speed at
+    * any scale. The bin computation is three exactly-rounded IEEE ops
+    * (subtract, divide, floor), so bin assignment — and therefore the exact
+    * integer counts — is engine-reproducible.
+    */
+  def histogram(
+      df: DataFrame,
+      groupCols: Seq[String],
+      valueCol: String,
+      lo: Double,
+      hi: Double,
+      nBins: Int): DataFrame = {
+    require(nBins > 0 && hi > lo, "need nBins > 0 and hi > lo")
+    val w = (hi - lo) / nBins
+    val raw = floor((col(valueCol) - lo) / w)
+    val bin = least(greatest(raw, lit(0.0)), lit((nBins - 1).toDouble)).cast("long")
+    df.groupBy(groupCols.map(col) :+ bin.as("bin"): _*)
+      .agg(count(lit(1)).as("n"))
+  }
 }

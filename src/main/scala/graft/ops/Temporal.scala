@@ -140,6 +140,42 @@ object Temporal {
       .drop("_cell")
   }
 
+  /** Ordered funnel: for each key, the earliest strictly-increasing
+    * timestamp chain through `steps` event types — `step1_ts` is the key's
+    * first `steps(0)` event, `step2_ts` the first `steps(1)` event AFTER
+    * `step1_ts`, and so on ("signed up, then clicked, then purchased — in
+    * that order"). The population is step-1 completers; a key that stalls
+    * keeps nulls from the stalled step onward (the greedy earliest chain is
+    * the standard funnel definition: taking the earliest feasible event at
+    * each step never forecloses a later step).
+    *
+    * Shape: one filtered min-aggregation per step plus a key-equality join
+    * with the time predicate as join condition — every stage keys on the
+    * SAME column, so after the first exchange the remaining stages reuse the
+    * partitioning (no window over the full event stream, no per-key event
+    * sorting). Steps are a handful; each stage's state is one row per key.
+    */
+  def funnel(
+      df: DataFrame,
+      keyCol: String,
+      tsCol: String,
+      typeCol: String,
+      steps: Seq[String]): DataFrame = {
+    require(steps.nonEmpty, "steps must be non-empty")
+    val first = df.filter(col(typeCol) === steps.head)
+      .groupBy(col(keyCol))
+      .agg(min(col(tsCol)).as("step1_ts"))
+    steps.tail.zipWithIndex.foldLeft(first) { case (acc, (step, i)) =>
+      val prev = s"step${i + 1}_ts"
+      val carried = (1 to i + 1).map(j => s"step${j}_ts")
+      val ev = df.filter(col(typeCol) === step)
+        .select(col(keyCol).as("_k"), col(tsCol).as("_t"))
+      acc.join(ev, acc(keyCol) === col("_k") && col("_t") > col(prev), "left")
+        .groupBy(col(keyCol) +: carried.map(col): _*)
+        .agg(min(col("_t")).as(s"step${i + 2}_ts"))
+    }
+  }
+
   /** Attribution join: for every `left` row, count and sum the `right` rows
     * with the same keys whose timestamp falls in the half-open window
     * `[left_ts - lookbackSeconds, left_ts)` — strictly before the probe row,

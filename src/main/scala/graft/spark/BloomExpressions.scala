@@ -1,0 +1,163 @@
+package org.apache.spark.sql.graft
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression}
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.trees.UnaryLike
+import org.apache.spark.sql.classic.ExpressionUtils
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Deterministic Bloom filter on the md5 hash family — like the sketches in
+  * [[graft.ops.Sketch]], the bit array is a pure function of the key set (no
+  * RNG, no engine-private hash), so it can be SAVED as an artifact and
+  * applied in another pipeline, engine, or year and still represent exactly
+  * the same set. Double hashing (Kirsch–Mitzenmacher 2006): the two 64-bit
+  * halves of one md5 digest give `g_i = h1 + i·h2` for the `k` probe
+  * positions — one digest per key, not `k`.
+  *
+  * Shared by [[BloomAgg]] (build) and [[BloomContains]] (probe), which MUST
+  * stay in lockstep — any change is a new filter format.
+  */
+object BloomHash {
+  /** Probe `key` against `bloom` (`numBits = bloom.length * 8`, a power of
+    * two). Called from generated code — keep the signature Java-friendly.
+    */
+  def contains(bloom: Array[Byte], key: UTF8String, k: Int): Boolean = {
+    val md = org.apache.commons.codec.digest.DigestUtils.md5(key.getBytes)
+    val h1 = firstLong(md, 0)
+    val h2 = firstLong(md, 8)
+    val mask = bloom.length * 8 - 1
+    var i = 0
+    while (i < k) {
+      val idx = ((h1 + i.toLong * h2) & mask).toInt
+      if ((bloom(idx >>> 3) & (1 << (idx & 7))) == 0) return false
+      i += 1
+    }
+    true
+  }
+
+  /** Set `key`'s bits in `bits` (mutates; build-side twin of [[contains]]). */
+  def add(bits: Array[Byte], key: UTF8String, k: Int): Unit = {
+    val md = org.apache.commons.codec.digest.DigestUtils.md5(key.getBytes)
+    val h1 = firstLong(md, 0)
+    val h2 = firstLong(md, 8)
+    val mask = bits.length * 8 - 1
+    var i = 0
+    while (i < k) {
+      val idx = ((h1 + i.toLong * h2) & mask).toInt
+      bits(idx >>> 3) = (bits(idx >>> 3) | (1 << (idx & 7))).toByte
+      i += 1
+    }
+  }
+
+  private def firstLong(md: Array[Byte], off: Int): Long = {
+    var h = 0L
+    var i = 0
+    while (i < 8) { h = (h << 8) | (md(off + i) & 0xffL); i += 1 }
+    h
+  }
+}
+
+/** Builds the [[BloomHash]] bit array over a string key column: a
+  * `TypedImperativeAggregate` whose buffer is the byte array itself — update
+  * sets `k` bits per key, merge is bitwise OR (so partial aggregation and
+  * cross-dataset unions are exact), eval emits the array as `BinaryType`.
+  * State is `numBits / 8` bytes regardless of input size.
+  */
+case class BloomAgg(
+    child: Expression,
+    numBits: Int,
+    k: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[Array[Byte]]
+    with UnaryLike[Expression] with ExpectsInputTypes {
+
+  require(numBits >= 64 && (numBits & (numBits - 1)) == 0,
+    s"numBits must be a power of two >= 64 (got $numBits)")
+  require(k >= 1 && k <= 16, s"k must be in [1, 16] (got $k)")
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = false
+  override def prettyName: String = "graft_bloom_agg"
+
+  override def createAggregationBuffer(): Array[Byte] = new Array[Byte](numBits / 8)
+
+  override def update(buffer: Array[Byte], input: InternalRow): Array[Byte] = {
+    val v = child.eval(input)
+    if (v != null) BloomHash.add(buffer, v.asInstanceOf[UTF8String], k)
+    buffer
+  }
+
+  override def merge(buffer: Array[Byte], other: Array[Byte]): Array[Byte] = {
+    var i = 0
+    while (i < buffer.length) { buffer(i) = (buffer(i) | other(i)).toByte; i += 1 }
+    buffer
+  }
+
+  override def eval(buffer: Array[Byte]): Any = buffer.clone()
+  override def serialize(buffer: Array[Byte]): Array[Byte] = buffer
+  override def deserialize(bytes: Array[Byte]): Array[Byte] = bytes
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): BloomAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): BloomAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildInternal(newChild: Expression): BloomAgg =
+    copy(child = newChild)
+}
+
+object BloomAgg {
+  def apply(key: Column, numBits: Int, k: Int): Column =
+    ExpressionUtils.column(
+      BloomAgg(ExpressionUtils.expression(key), numBits, k).toAggregateExpression())
+}
+
+/** Membership probe against a [[BloomAgg]] bit array: false means DEFINITELY
+  * absent, true means present-or-false-positive. Codegen'd — one md5 + `k`
+  * bit probes per row inside whole-stage codegen, so filtering a 100 TB scan
+  * costs one digest per row with no join and no shuffle. Unlike Spark's
+  * internal `BloomFilterMightContain` the filter side is an ordinary column
+  * (a 1-row broadcast), not a required scalar subquery.
+  */
+case class BloomContains(left: Expression, right: Expression, k: Int)
+    extends BinaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(BinaryType, StringType)
+  override def dataType: DataType = BooleanType
+  override def prettyName: String = "graft_bloom_contains"
+
+  /** Pseudo-nondeterministic ON PURPOSE (the function itself is a pure
+    * function of its inputs — spec-asserted): declaring determinism lets
+    * Catalyst reorder joins across the probe's Filter, and
+    * PushLeftSemiLeftAntiThroughJoin then moves the exact verify join BELOW
+    * the probe — the big side reaches the join's exchange unfiltered and the
+    * prefilter becomes dead cost. Nondeterminism pins the probe where the
+    * operator put it: between the scan and every later exchange. (Spark's
+    * own runtime bloom filter avoids this only because it injects the probe
+    * after optimization.)
+    */
+  override lazy val deterministic: Boolean = false
+
+  override def nullSafeEval(bloom: Any, key: Any): Any =
+    BloomHash.contains(bloom.asInstanceOf[Array[Byte]], key.asInstanceOf[UTF8String], k)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (b, s) => {
+      s"${ev.value} = org.apache.spark.sql.graft.BloomHash.contains($b, $s, $k);"
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): BloomContains =
+    copy(left = newLeft, right = newRight)
+}
+
+object BloomContains {
+  def apply(bloom: Column, key: Column, k: Int): Column =
+    ExpressionUtils.column(BloomContains(
+      ExpressionUtils.expression(bloom), ExpressionUtils.expression(key), k))
+}

@@ -94,6 +94,37 @@ object EventStream {
         col("event_type"), col("n_events"), col("total_value"))
   }
 
+  /** Windowed approximate-distinct sketch: HyperLogLog registers per
+    * tumbling event-time window — "distinct users per hour" over a stream
+    * whose per-window exact-distinct state would be unbounded. The registers
+    * ([[graft.ops.Sketch.hllRegisters]] semantics: md5-prefix bucket,
+    * max-rank) are integer-exact and order-insensitive, so the streaming
+    * result equals the batch computation on the same rows bit for bit (the
+    * spec asserts it), and windows from different streams/partitions MERGE
+    * by `max` — the property that makes the sketch safe to store and union
+    * across days.
+    *
+    * State per window is at most 2^p registers regardless of traffic — the
+    * whole point vs `approx_count_distinct`, whose binary sketch state is
+    * engine-private; these registers are a portable artifact any engine can
+    * recompute and extend. The watermark evicts closed windows (Append mode).
+    */
+  def windowedDistinctSketch(
+      events: DataFrame,
+      valueCol: String,
+      windowDuration: String = "1 hour",
+      watermarkDelay: String = "10 minutes",
+      p: Int = 8): DataFrame = {
+    val in = if (events.isStreaming) events.withWatermark("ts", watermarkDelay) else events
+    val (bucket, rank) = graft.ops.Sketch.hllBucketAndRank(col(valueCol), p)
+    in.select(window(col("ts"), windowDuration).as("win"),
+        bucket.as("bucket"), rank.as("_rank"))
+      .groupBy(col("win"), col("bucket"))
+      .agg(max(col("_rank")).as("max_rank"))
+      .select(unix_micros(col("win.start")).as("window_start_us"),
+        col("bucket"), col("max_rank"))
+  }
+
   /** Stream-static feature enrichment — the streaming half of a feature
     * store: each incoming event is LEFT-joined to the latest feature row per
     * key from a STATIC snapshot (computed once per micro-batch planning via

@@ -251,4 +251,45 @@ class PipelineOpsSpec extends SparkTestBase {
       .select("doc_id").collect().map(_.getLong(0))
     assert(!shard0.sameElements(shard0.sorted), "digest order breaks key order")
   }
+
+  test("histogram: exact bin assignment, edge clamping, every row accounted for") {
+    import spark.implicits._
+    val df = Seq(
+      ("a", -5.0), // below lo -> clamps to bin 0
+      ("a", 0.0), ("a", 9.99), // bin 0 of [0,100) x 10
+      ("a", 10.0), // bin 1 (left-closed boundary)
+      ("a", 99.9), ("a", 100.0), ("a", 250.0), // 100+ clamps to bin 9
+      ("b", 55.0)
+    ).toDF("g", "v")
+    val out = Stats.histogram(df, Seq("g"), "v", lo = 0.0, hi = 100.0, nBins = 10)
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(out === Map(
+      ("a", 0L) -> 3L, ("a", 1L) -> 1L, ("a", 9L) -> 3L, ("b", 5L) -> 1L))
+    assert(out.values.sum === df.count())
+  }
+
+  test("funnel: strict ordering, stalls keep nulls, greedy earliest chain") {
+    import spark.implicits._
+    def t(m: Long) = ts(f"2024-01-01 ${m / 60}%02d:${m % 60}%02d:00")
+    val ev = Seq(
+      // user 1 completes in order: signup@1, click@5, purchase@9
+      (1L, t(1), "signup"), (1L, t(5), "click"), (1L, t(9), "purchase"),
+      // user 2: click BEFORE signup doesn't count; no click after -> stalls at step 1
+      (2L, t(3), "click"), (2L, t(4), "signup"), (2L, t(2), "purchase"),
+      // user 3: no signup -> not in the funnel population at all
+      (3L, t(1), "click"), (3L, t(2), "purchase"),
+      // user 4: two signups - the EARLIEST starts the chain; purchase between
+      // signup and click doesn't count (order matters), later one does
+      (4L, t(10), "signup"), (4L, t(20), "signup"), (4L, t(12), "purchase"),
+      (4L, t(15), "click"), (4L, t(30), "purchase")
+    ).toDF("user_id", "ts", "event_type")
+    val out = Temporal.funnel(ev, "user_id", "ts", "event_type",
+      Seq("signup", "click", "purchase"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getTimestamp(1), Option(r.getTimestamp(2)), Option(r.getTimestamp(3)))).toMap
+    assert(out.keySet === Set(1L, 2L, 4L))
+    assert(out(1L) === ((t(1), Some(t(5)), Some(t(9)))))
+    assert(out(2L) === ((t(4), None, None)))
+    assert(out(4L) === ((t(10), Some(t(15)), Some(t(30)))))
+  }
 }

@@ -35,4 +35,49 @@ class SkewSpec extends SparkTestBase {
     intercept[IllegalArgumentException](
       Skew.saltedJoin(events, dim, Seq("user_id"), 4, joinType = "right"))
   }
+
+  test("bloomSemiJoin equals the plain left-semi join (verify on)") {
+    import spark.implicits._
+    val big = (1L to 2000L).map(i => (i, s"p$i")).toDF("k", "payload")
+    val small = Seq(3L, 500L, 1999L, 7777L).toDF("sk") // 7777 matches nothing
+    val exact = big.join(small.select($"sk".as("k")), Seq("k"), "left_semi")
+      .collect().map(_.getLong(0)).toSet
+    val bloomed = Skew.bloomSemiJoin(big, small, "k", "sk", numBits = 1 << 10, k = 5)
+      .collect().map(_.getLong(0)).toSet
+    assert(bloomed === exact && exact === Set(3L, 500L, 1999L))
+  }
+
+  test("bloomSemiJoin verify=false: superset of the exact result, no false negatives, deterministic") {
+    import spark.implicits._
+    val big = (1L to 5000L).map(i => (i, i % 7)).toDF("k", "x")
+    val small = (1L to 5000L).filter(_ % 50 == 0).toDF("sk") // 100 keys
+    // tiny filter (256 bits) to force false positives
+    val fast = Skew.bloomSemiJoin(big, small, "k", "sk",
+      numBits = 256, k = 3, verify = false)
+      .collect().map(_.getLong(0)).toSet
+    val exact = (1L to 5000L).filter(_ % 50 == 0).toSet
+    assert(exact.subsetOf(fast), "a bloom filter can never drop a true member")
+    assert(fast.size > exact.size, "256 bits over 100 keys must collide")
+    val again = Skew.bloomSemiJoin(big.repartition(7), small, "k", "sk",
+      numBits = 256, k = 3, verify = false)
+      .collect().map(_.getLong(0)).toSet
+    assert(again === fast, "false positives are deterministic, not run-dependent")
+  }
+
+  test("bloomSemiJoin prefilter runs before any exchange in the plan") {
+    import spark.implicits._
+    val big = (1L to 100L).toDF("k")
+    val small = Seq(5L, 10L).toDF("sk")
+    val qe = Skew.bloomSemiJoin(big, small, "k", "sk").queryExecution
+    assert(qe.executedPlan.toString.contains("graft_bloom_contains"),
+      "bloom probe must appear in the physical plan")
+    // in the optimized logical plan (children print below parents) the
+    // probe's Filter must sit BELOW the semi join — i.e. the big side is
+    // prefiltered before it reaches the join, not after
+    val logical = qe.optimizedPlan.toString
+    val probeIdx = logical.indexOf("graft_bloom_contains")
+    val semiIdx = logical.indexOf("LeftSemi")
+    assert(semiIdx >= 0 && probeIdx > semiIdx,
+      s"probe belongs below the semi join:\n$logical")
+  }
 }

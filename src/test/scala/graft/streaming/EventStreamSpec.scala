@@ -82,6 +82,30 @@ class EventStreamSpec extends SparkTestBase {
     assert(batch.map(_._1).size == 2) // two hourly windows
   }
 
+  test("windowedDistinctSketch: streaming registers equal the batch twin bit for bit") {
+    import spark.implicits._
+    implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // two hourly windows; user 1 repeats within a window (must not change
+    // registers); arrival order differs from event order (max is insensitive)
+    val events = Seq(
+      ev(1, 1, 0), ev(2, 2, 30), ev(3, 1, 45), ev(4, 3, 59), // window 00:00
+      ev(5, 1, 61), ev(6, 4, 90)) // window 01:00
+    val ms = MemoryStream[GraftEvent]
+    ms.addData(events.reverse)
+    val q = EventStream.windowedDistinctSketch(ms.toDF(), "user_id")
+      .writeStream.format("memory").queryName("hll_out").outputMode("complete").start()
+    q.processAllAvailable()
+    q.stop()
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val streamed = canon(spark.table("hll_out"))
+    val batch = canon(EventStream.windowedDistinctSketch(events.toDF(), "user_id"))
+    assert(streamed === batch)
+    // window 0 has 3 distinct users -> at most 3 registers; estimates come
+    // from ops.Sketch.hllEstimate over exactly these registers
+    assert(batch.nonEmpty && batch.groupBy(_._1).forall(_._2.size <= 4))
+  }
+
   test("fromParquetDir: file-stream ingest equals the batch read") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-stream").toString

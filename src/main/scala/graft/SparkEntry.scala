@@ -641,6 +641,34 @@ object SparkEntry {
       numBits = 1 << 20, k = 5)
   }
 
+  private def valueOutliers(s: SparkSession, dir: String): DataFrame =
+    ops.Stats.zScoreOutliers(
+      eventsFixedPoint(s, dir).select("event_id", "event_type", "value")
+        .withColumnRenamed("value", "value_e4"),
+      groupCols = Seq("event_type"), valueCol = "value_e4", z = 2.5)
+      .select(col("event_id"), col("event_type"), col("value_e4"),
+        round(col("z_score"), 6).as("z_score"))
+
+  private def eventTypePivot(s: SparkSession, dir: String): DataFrame =
+    ops.Stats.crosstabCounts(events(dir).load(s), "user_id", "event_type",
+      Seq("click", "error", "purchase", "signup", "view"))
+
+  private def q1Rollup(s: SparkSession, dir: String): DataFrame = {
+    val l = GraftSource.of(table = Some(s"$dir/lineitem.parquet"),
+      timestampField = Some("l_shipdate")).load(s)
+    l.filter(col("l_shipdate") <= lit(Q1Cutoff))
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        (grouping(col("l_returnflag")) * 2 + grouping(col("l_linestatus")))
+          .cast("long").as("gid"),
+        sum(col("l_quantity").cast("long")).as("sum_qty"),
+        count(lit(1)).as("n_rows"))
+      .select(
+        coalesce(col("l_returnflag"), lit("ALL")).as("l_returnflag"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("l_linestatus"),
+        col("gid"), col("sum_qty"), col("n_rows"))
+  }
+
   // =================================================================
   // wiring
   // =================================================================
@@ -714,6 +742,9 @@ object SparkEntry {
     "value_histogram" -> (valueHistogram _),
     "event_funnel" -> (eventFunnel _),
     "bloom_semi_join" -> (bloomSemiJoinQuery _),
+    "value_outliers" -> (valueOutliers _),
+    "event_type_pivot" -> (eventTypePivot _),
+    "q1_rollup" -> (q1Rollup _),
   )
 
   /** DuckDB twin per SQL-expressible key (driver compares on sf0.01). */
@@ -1495,6 +1526,34 @@ object SparkEntry {
         """SELECT doc_id, lang, source,
           |  md5('r5:' || CAST(doc_id AS VARCHAR)) AS priority
           |FROM documents ORDER BY priority, doc_id LIMIT 60""".stripMargin,
+      "value_outliers" ->
+        """WITH e AS (SELECT event_id, event_type,
+          |  CAST(round(value * 10000) AS BIGINT) AS value_e4 FROM events),
+          |st AS (SELECT event_type, count(*) AS n, CAST(sum(value_e4) AS BIGINT) AS s,
+          |  CAST(sum(value_e4 * value_e4) AS BIGINT) AS ss FROM e GROUP BY event_type),
+          |m AS (SELECT event_type, CAST(s AS DOUBLE) / n AS mu,
+          |  sqrt(CAST(ss AS DOUBLE) / n - (CAST(s AS DOUBLE) / n) * (CAST(s AS DOUBLE) / n)) AS sigma
+          |  FROM st)
+          |SELECT e.event_id, e.event_type, e.value_e4,
+          |  round((CAST(value_e4 AS DOUBLE) - mu) / sigma, 6) AS z_score
+          |FROM e JOIN m USING (event_type)
+          |WHERE sigma > 0 AND abs((CAST(value_e4 AS DOUBLE) - mu) / sigma) > 2.5""".stripMargin,
+      "event_type_pivot" ->
+        """SELECT user_id,
+          |  count(*) FILTER (WHERE event_type = 'click') AS click,
+          |  count(*) FILTER (WHERE event_type = 'error') AS "error",
+          |  count(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+          |  count(*) FILTER (WHERE event_type = 'signup') AS signup,
+          |  count(*) FILTER (WHERE event_type = 'view') AS "view"
+          |FROM events GROUP BY user_id""".stripMargin,
+      "q1_rollup" ->
+        """SELECT coalesce(l_returnflag, 'ALL') AS l_returnflag,
+          |  coalesce(l_linestatus, 'ALL') AS l_linestatus,
+          |  CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS BIGINT) AS gid,
+          |  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+          |  count(*) AS n_rows
+          |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+          |GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin,
     )
   }
 }

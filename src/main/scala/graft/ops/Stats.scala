@@ -56,4 +56,63 @@ object Stats {
     df.groupBy(groupCols.map(col) :+ bin.as("bin"): _*)
       .agg(count(lit(1)).as("n"))
   }
+
+  /** Per-group z-score outliers: rows whose `|value - μ| > z·σ` within their
+    * group, with the z-score attached. The cheap distribution-based anomaly
+    * filter (spam spikes, sensor glitches, corrupt values) ahead of any
+    * model-based scoring.
+    *
+    * Exactness contract: `valueCol` must already be an integer fixed-point
+    * column (e.g. cents) — the group moments (n, Σv, Σv²) then aggregate as
+    * exact integers, immune to shuffle order, and μ/σ/z derive from them via
+    * a FIXED sequence of exactly-rounded double ops, so the flag decision
+    * and the reported score are engine-identical. (Summing raw doubles would
+    * make σ — and borderline flags — run-dependent.) Σv² of an int column
+    * caps the usable scale at |v| ≲ 3·10⁶ per billion rows per group.
+    *
+    * Shape: one narrow moment aggregation per group (map-side partial), then
+    * the tiny stats table broadcast-joins back to the rows — the row side
+    * NEVER shuffles; flagging 100 TB is one scan plus a groups-sized
+    * broadcast.
+    */
+  def zScoreOutliers(
+      df: DataFrame,
+      groupCols: Seq[String],
+      valueCol: String,
+      z: Double): DataFrame = {
+    require(z > 0, "z must be positive")
+    val v = col(valueCol)
+    val stats = df.groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).as("_n"), sum(v).as("_s"), sum(v * v).as("_ss"))
+      .withColumn("_mu", col("_s").cast("double") / col("_n"))
+      .withColumn("_sigma",
+        sqrt(col("_ss").cast("double") / col("_n") - col("_mu") * col("_mu")))
+      .select(groupCols.map(col) :+ col("_mu") :+ col("_sigma"): _*)
+    df.join(broadcast(stats), groupCols)
+      .withColumn("z_score", (v.cast("double") - col("_mu")) / col("_sigma"))
+      .filter(col("_sigma") > 0 && abs(col("z_score")) > z)
+      .drop("_mu", "_sigma")
+  }
+
+  /** Crosstab counts: one row per `keyCol`, one column per `pivotValues`
+    * entry with the count of matching `pivotCol` rows (0 when absent, never
+    * null — downstream arithmetic shouldn't need null guards). Values are
+    * passed explicitly: the two-pass `pivot(col)` value discovery is an
+    * extra scan, and a data-driven column set is a schema hazard at scale.
+    *
+    * Deliberately NOT `Dataset.pivot`, which plans a two-phase aggregation
+    * ((key, category) partial, then a second pivoting exchange): explicit
+    * conditional counts aggregate map-side in ONE hash aggregation, so the
+    * single exchange carries one row per key regardless of category count.
+    */
+  def crosstabCounts(
+      df: DataFrame,
+      keyCol: String,
+      pivotCol: String,
+      pivotValues: Seq[String]): DataFrame = {
+    require(pivotValues.nonEmpty, "pivotValues must be non-empty")
+    val counts = pivotValues.map(vl =>
+      count(when(col(pivotCol) === vl, 1)).as(vl))
+    df.groupBy(col(keyCol)).agg(counts.head, counts.tail: _*)
+  }
 }

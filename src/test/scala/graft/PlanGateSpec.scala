@@ -92,15 +92,17 @@ class PlanGateSpec extends SparkTestBase {
     // reuse the first exchange's partitioning — 1 shuffle for 3 stages
     "event_funnel" -> 1,
     "bloom_semi_join" -> 1,
+    "value_outliers" -> 1,
+    "event_type_pivot" -> 1,
+    "q1_rollup" -> 1,
   )
 
   /** Queries where a BroadcastNestedLoopJoin is the documented contract, not
-    * a regression: knn_brute's exact-baseline scan, and the 1-ROW broadcast
-    * cross joins in vocab_coverage (the corpus-total denominator) and
-    * bloom_semi_join (the bloom bit array) — the scalar-subquery idiom; the
-    * nested loop runs exactly once per partition.
+    * a regression: knn_brute's exact-baseline scan, and vocab_coverage's
+    * 1-ROW broadcast cross join (the corpus-total denominator — the scalar-
+    * subquery idiom; the nested loop runs exactly once per partition).
     */
-  private val bnljAllowed = Set("knn_brute", "vocab_coverage", "bloom_semi_join")
+  private val bnljAllowed = Set("knn_brute", "vocab_coverage")
 
   test("every query has a plan budget (or a documented exemption)") {
     val missing = SparkEntry.queries.keySet -- maxShuffles.keySet -- iterative

@@ -268,6 +268,35 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(out.values.sum === df.count())
   }
 
+  test("zScoreOutliers: flags exactly the |z|>threshold rows, never shuffles the row side") {
+    import spark.implicits._
+    // group "a": values 0,10 (x9 each) and one extreme 100
+    val rows = (Seq.fill(9)(0L) ++ Seq.fill(9)(10L) :+ 100L).zipWithIndex
+      .map { case (v, i) => (i.toLong, "a", v) } :+ ((100L, "b", 5L))
+    val df = rows.toDF("id", "g", "v")
+    // group a: n=19, mean=500/19≈26.3... compute via the same formula
+    val out = Stats.zScoreOutliers(df, Seq("g"), "v", z = 3.0)
+      .select("id", "z_score")
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(out.map(_._1).toSeq === Seq(18L), "only the extreme row flags")
+    assert(out.head._2 > 3.0)
+    // constant group (sigma 0) flags nothing rather than dividing by zero
+    val const = Seq((1L, "c", 7L), (2L, "c", 7L)).toDF("id", "g", "v")
+    assert(Stats.zScoreOutliers(const, Seq("g"), "v", 1.0).collect().isEmpty)
+    // plan: row side joins a broadcast stats table - no row-side exchange
+    val plan = Stats.zScoreOutliers(df, Seq("g"), "v", 3.0)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"stats must broadcast:\n$plan")
+  }
+
+  test("crosstabCounts: explicit categories, absent cells are 0L not null") {
+    import spark.implicits._
+    val df = Seq((1L, "x"), (1L, "x"), (1L, "y"), (2L, "y")).toDF("k", "c")
+    val out = Stats.crosstabCounts(df, "k", "c", Seq("x", "y", "z"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(out === Map(1L -> ((2L, 1L, 0L)), 2L -> ((0L, 1L, 0L))))
+  }
+
   test("funnel: strict ordering, stalls keep nulls, greedy earliest chain") {
     import spark.implicits._
     def t(m: Long) = ts(f"2024-01-01 ${m / 60}%02d:${m % 60}%02d:00")

@@ -66,9 +66,11 @@ class SkewSpec extends SparkTestBase {
 
   test("bloomSemiJoin prefilter runs before any exchange in the plan") {
     import spark.implicits._
-    val big = (1L to 100L).toDF("k")
+    // file-backed big side: over a LocalRelation the optimizer would fold
+    // the probe filter into the local scan and hide it from the plan
+    val big = spark.read.parquet(s"${sf()}/lineitem.parquet").select("l_orderkey")
     val small = Seq(5L, 10L).toDF("sk")
-    val qe = Skew.bloomSemiJoin(big, small, "k", "sk").queryExecution
+    val qe = Skew.bloomSemiJoin(big, small, "l_orderkey", "sk").queryExecution
     assert(qe.executedPlan.toString.contains("graft_bloom_contains"),
       "bloom probe must appear in the physical plan")
     // in the optimized logical plan (children print below parents) the

@@ -547,6 +547,52 @@ object SparkEntry {
         col("o_orderpriority"), col("revenue_e2"))
   }
 
+  /** TPC-H Q5 shape: six-table join — the multi-join planning exercise. All
+    * four dimension chains (region→nation→supplier, customer) broadcast;
+    * only the lineitem⋈orders fact join shuffles.
+    */
+  private def q5LocalSupplier(s: SparkSession, dir: String): DataFrame = {
+    val region = s.read.parquet(s"$dir/region.parquet")
+      .filter(col("r_name") === "ASIA").select("r_regionkey")
+    val nation = s.read.parquet(s"$dir/nation.parquet")
+      .select("n_nationkey", "n_name", "n_regionkey")
+    val asiaNations = nation.join(broadcast(region),
+      col("n_regionkey") === col("r_regionkey")).select("n_nationkey", "n_name")
+    val supplier = s.read.parquet(s"$dir/supplier.parquet")
+      .select("s_suppkey", "s_nationkey")
+      .join(broadcast(asiaNations), col("s_nationkey") === col("n_nationkey"))
+      .select("s_suppkey", "s_nationkey", "n_name")
+    val customer = s.read.parquet(s"$dir/customer.parquet")
+      .select("c_custkey", "c_nationkey")
+    val orders = GraftSource.of(table = Some(s"$dir/orders.parquet"),
+      timestampField = Some("o_orderdate")).load(s)
+      .filter(col("o_orderdate") >= lit(Timestamp.valueOf("1996-01-01 00:00:00")) &&
+        col("o_orderdate") < lit(Timestamp.valueOf("1997-01-01 00:00:00")))
+      .select("o_orderkey", "o_custkey")
+    val li = s.read.parquet(s"$dir/lineitem.parquet")
+      .select(col("l_orderkey"), col("l_suppkey"),
+        round(col("l_extendedprice") * (lit(1) - col("l_discount")) * 100)
+          .cast("long").as("rev_e2"))
+    li.join(orders, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(supplier), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(customer.join(broadcast(asiaNations.select(col("n_nationkey"))),
+        col("c_nationkey") === col("n_nationkey")).select("c_custkey", "c_nationkey")),
+        col("o_custkey") === col("c_custkey") &&
+          col("c_nationkey") === col("s_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(sum(col("rev_e2")).as("revenue_e2"))
+  }
+
+  private def cohortRetentionQuery(s: SparkSession, dir: String): DataFrame =
+    ops.Temporal.cohortRetention(events(dir).load(s), "user_id", "ts")
+
+  private def tableProfile(s: SparkSession, dir: String): DataFrame =
+    ops.Stats.profile(
+      eventsFixedPoint(s, dir)
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          col("value").as("value_e4"), unix_micros(col("ts")).as("ts_us")),
+      Seq("event_id", "user_id", "event_type", "value_e4", "ts_us"))
+
   private def topEventsPerUser(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col("user_id"))
@@ -745,6 +791,9 @@ object SparkEntry {
     "value_outliers" -> (valueOutliers _),
     "event_type_pivot" -> (eventTypePivot _),
     "q1_rollup" -> (q1Rollup _),
+    "q5_local_supplier" -> (q5LocalSupplier _),
+    "cohort_retention" -> (cohortRetentionQuery _),
+    "table_profile" -> (tableProfile _),
   )
 
   /** DuckDB twin per SQL-expressible key (driver compares on sf0.01). */
@@ -1554,6 +1603,41 @@ object SparkEntry {
           |  count(*) AS n_rows
           |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
           |GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin,
+      "q5_local_supplier" ->
+        """SELECT n_name,
+          |  CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT))
+          |    AS BIGINT) AS revenue_e2
+          |FROM lineitem l
+          |JOIN orders o ON l.l_orderkey = o.o_orderkey
+          |JOIN supplier s ON l.l_suppkey = s.s_suppkey
+          |JOIN customer c ON o.o_custkey = c.c_custkey AND c.c_nationkey = s.s_nationkey
+          |JOIN nation n ON s.s_nationkey = n.n_nationkey
+          |JOIN region r ON n.n_regionkey = r.r_regionkey
+          |WHERE r.r_name = 'ASIA'
+          |  AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+          |  AND o.o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+          |GROUP BY n_name""".stripMargin,
+      "cohort_retention" ->
+        """WITH w AS (SELECT user_id, epoch_us(date_trunc('week', ts)) AS act_week_us
+          |  FROM events),
+          |f AS (SELECT user_id, min(act_week_us) AS cohort_week_us FROM w GROUP BY user_id)
+          |SELECT cohort_week_us,
+          |  (act_week_us - cohort_week_us) // 604800000000 AS weeks_since,
+          |  CAST(count(DISTINCT w.user_id) AS BIGINT) AS n_users
+          |FROM w JOIN f USING (user_id)
+          |GROUP BY 1, 2""".stripMargin,
+      "table_profile" -> {
+        val profiled = Seq("event_id", "user_id", "event_type", "value_e4", "ts_us")
+        profiled.map(c =>
+          s"""SELECT '$c' AS "column", count(*) AS n_rows,
+             |  count(*) FILTER (WHERE $c IS NULL) AS n_null,
+             |  CAST(count(DISTINCT $c) AS BIGINT) AS n_distinct,
+             |  CAST(min($c) AS VARCHAR) AS min_s, CAST(max($c) AS VARCHAR) AS max_s
+             |FROM (SELECT event_id, user_id, event_type,
+             |  CAST(round(value * 10000) AS BIGINT) AS value_e4,
+             |  epoch_us(ts) AS ts_us FROM events)""".stripMargin)
+          .mkString("\nUNION ALL\n")
+      },
     )
   }
 }

@@ -115,4 +115,37 @@ object Stats {
       count(when(col(pivotCol) === vl, 1)).as(vl))
     df.groupBy(col(keyCol)).agg(counts.head, counts.tail: _*)
   }
+
+  /** Column profile (the `ANALYZE TABLE` analog a data engine owes its
+    * users): per column — row count, null count, exact distinct count, and
+    * min/max rendered as strings. One row per profiled column.
+    *
+    * min/max evaluate on the NATIVE type and only the result is cast to
+    * string (a string-typed min over numbers would be lexicographic).
+    * Callers wanting cross-engine-exact output should profile integer/string
+    * columns (cast doubles to fixed-point first) — double→string rendering
+    * is the one engine-dependent step.
+    *
+    * Shape: ONE aggregation pass computes every column's stats as one wide
+    * row (count_distinct makes it a single expand-based aggregation —
+    * `n` distincts over the same pass, the standard multi-distinct plan),
+    * then a per-row explode unpivots to (column, stats) rows. Profiling
+    * 100 TB is one scan; the exchange carries one row.
+    */
+  def profile(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "cols must be non-empty")
+    val aggs = count(lit(1)).as("_n") +: cols.flatMap { c =>
+      Seq(
+        count(when(col(c).isNull, 1)).as(s"_null_$c"),
+        count_distinct(col(c)).as(s"_dist_$c"),
+        min(col(c)).cast("string").as(s"_min_$c"),
+        max(col(c)).cast("string").as(s"_max_$c"))
+    }
+    val wide = df.agg(aggs.head, aggs.tail: _*)
+    val entries = cols.map(c => struct(
+      lit(c).as("column"), col("_n").as("n_rows"),
+      col(s"_null_$c").as("n_null"), col(s"_dist_$c").as("n_distinct"),
+      col(s"_min_$c").as("min_s"), col(s"_max_$c").as("max_s")))
+    wide.select(explode(array(entries: _*)).as("_e")).select(col("_e.*"))
+  }
 }

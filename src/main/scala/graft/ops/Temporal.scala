@@ -176,6 +176,34 @@ object Temporal {
     }
   }
 
+  /** Cohort retention: users grouped by the week of their FIRST event (the
+    * cohort), counted as active in each subsequent week they appear —
+    * the `(cohort_week, weeks_since, n_users)` matrix behind every retention
+    * curve. Weeks are ISO `date_trunc('week', …)` boundaries (engine-
+    * portable); `weeks_since` is an exact integer because week starts are
+    * exact multiples of 7 days apart in UTC.
+    *
+    * Shape: first-event-per-user is a single-shuffle arg-min on the key;
+    * the join back is key-equality (reusing the same partitioning), and the
+    * final matrix aggregation groups on (cohort, weeks_since) — at most
+    * weeks² groups. No windows over the event stream.
+    */
+  def cohortRetention(
+      df: DataFrame,
+      keyCol: String,
+      tsCol: String): DataFrame = {
+    val weekUs = 7L * 86400L * 1000000L
+    val firstWeek = df.groupBy(col(keyCol))
+      .agg(min(unix_micros(date_trunc("week", col(tsCol)))).as("cohort_week_us"))
+    df.select(col(keyCol),
+        unix_micros(date_trunc("week", col(tsCol))).as("_act_week_us"))
+      .join(firstWeek, Seq(keyCol))
+      .groupBy(col("cohort_week_us"),
+        ((col("_act_week_us") - col("cohort_week_us")) / weekUs)
+          .cast("long").as("weeks_since"))
+      .agg(count_distinct(col(keyCol)).as("n_users"))
+  }
+
   /** Attribution join: for every `left` row, count and sum the `right` rows
     * with the same keys whose timestamp falls in the half-open window
     * `[left_ts - lookbackSeconds, left_ts)` — strictly before the probe row,

@@ -95,6 +95,9 @@ class PlanGateSpec extends SparkTestBase {
     "value_outliers" -> 1,
     "event_type_pivot" -> 1,
     "q1_rollup" -> 1,
+    "q5_local_supplier" -> 1,
+    "cohort_retention" -> 3,
+    "table_profile" -> 2,
   )
 
   /** Queries where a BroadcastNestedLoopJoin is the documented contract, not

@@ -297,6 +297,41 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(out === Map(1L -> ((2L, 1L, 0L)), 2L -> ((0L, 1L, 0L))))
   }
 
+  test("profile: nulls counted, exact distincts, native-type min/max (not lexicographic)") {
+    import spark.implicits._
+    val df = Seq(
+      (Some(2L), Some("b")), (Some(10L), None), (Some(10L), Some("a"))
+    ).toDF("n", "s")
+    val out = Stats.profile(df, Seq("n", "s"))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4), r.getString(5))).toMap
+    // numeric min/max: 2 < 10 numerically (a string min would say "10" < "2")
+    assert(out("n") === ((3L, 0L, 2L, "2", "10")))
+    assert(out("s") === ((3L, 1L, 2L, "a", "b")))
+  }
+
+  test("cohortRetention: cohort = first-event week, weeks_since exact, distinct users") {
+    import spark.implicits._
+    val mon1 = ts("2024-01-01 10:00:00") // Monday week 1
+    val mon1b = ts("2024-01-03 09:00:00") // same week
+    val mon2 = ts("2024-01-08 00:00:00") // week 2
+    val mon3 = ts("2024-01-17 23:00:00") // week 3
+    val df = Seq(
+      (1L, mon1), (1L, mon1b), (1L, mon3), // user 1: cohort w1, active w1+w3
+      (2L, mon2), (2L, mon2), // user 2: cohort w2, active w2 only (dup events)
+      (3L, mon1), (3L, mon2) // user 3: cohort w1, active w1+w2
+    ).toDF("user_id", "ts")
+    val out = Temporal.cohortRetention(df, "user_id", "ts")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val w1 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00").getTime * 1000L
+    val w2 = java.sql.Timestamp.valueOf("2024-01-08 00:00:00").getTime * 1000L
+    assert(out === Map(
+      (w1, 0L) -> 2L, // users 1+3 active in their cohort week
+      (w1, 1L) -> 1L, // user 3 in week 2
+      (w1, 2L) -> 1L, // user 1 in week 3
+      (w2, 0L) -> 1L)) // user 2
+  }
+
   test("funnel: strict ordering, stalls keep nulls, greedy earliest chain") {
     import spark.implicits._
     def t(m: Long) = ts(f"2024-01-01 ${m / 60}%02d:${m % 60}%02d:00")

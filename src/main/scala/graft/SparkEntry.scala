@@ -586,6 +586,22 @@ object SparkEntry {
   private def cohortRetentionQuery(s: SparkSession, dir: String): DataFrame =
     ops.Temporal.cohortRetention(events(dir).load(s), "user_id", "ts")
 
+  /** Tokenize docs against the corpus's own top-30 vocabulary (ids = rank
+    * order — deterministic: count desc, token asc).
+    */
+  private def tokenizeIds(s: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("cnt").desc, col("token"))
+    val vocab = docs(s, dir)
+      .select(explode(graft.functions.tokens(col("text"))).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("token")).limit(30)
+      .withColumn("token_id", (row_number().over(w) - 1).cast("int"))
+      .select("token", "token_id")
+    TextAnalysis.tokenizeToIds(docs(s, dir), "doc_id", "text", vocab)
+      .select(col("id").as("doc_id"), col("ids_str"), col("n_tokens"), col("n_oov"))
+  }
+
   private def tableProfile(s: SparkSession, dir: String): DataFrame =
     ops.Stats.profile(
       eventsFixedPoint(s, dir)
@@ -794,6 +810,7 @@ object SparkEntry {
     "q5_local_supplier" -> (q5LocalSupplier _),
     "cohort_retention" -> (cohortRetentionQuery _),
     "table_profile" -> (tableProfile _),
+    "tokenize_ids" -> (tokenizeIds _),
   )
 
   /** DuckDB twin per SQL-expressible key (driver compares on sf0.01). */
@@ -1626,6 +1643,24 @@ object SparkEntry {
           |  CAST(count(DISTINCT w.user_id) AS BIGINT) AS n_users
           |FROM w JOIN f USING (user_id)
           |GROUP BY 1, 2""".stripMargin,
+      "tokenize_ids" ->
+        s"""WITH $toksCte,
+           |pos AS (SELECT doc_id, unnest(toks) AS token,
+           |  unnest(range(1, len(toks) + 1)) AS pos FROM t),
+           |kc AS (SELECT token, count(*) AS cnt FROM pos GROUP BY token),
+           |vocab AS (SELECT token,
+           |  CAST(row_number() OVER (ORDER BY cnt DESC, token) - 1 AS INTEGER) AS token_id
+           |  FROM kc ORDER BY cnt DESC, token LIMIT 30),
+           |m AS (SELECT p.doc_id, p.pos, coalesce(v.token_id, -1) AS tid,
+           |  CASE WHEN v.token_id IS NULL THEN 1 ELSE 0 END AS oov
+           |  FROM pos p LEFT JOIN vocab v USING (token)),
+           |agg AS (SELECT doc_id,
+           |  string_agg(CAST(tid AS VARCHAR), ',' ORDER BY pos) AS ids_str,
+           |  count(*) AS n_tokens, CAST(sum(oov) AS BIGINT) AS n_oov
+           |  FROM m GROUP BY doc_id)
+           |SELECT t.doc_id, coalesce(agg.ids_str, '') AS ids_str,
+           |  coalesce(agg.n_tokens, 0) AS n_tokens, coalesce(agg.n_oov, 0) AS n_oov
+           |FROM t LEFT JOIN agg USING (doc_id)""".stripMargin,
       "table_profile" -> {
         val profiled = Seq("event_id", "user_id", "event_type", "value_e4", "ts_us")
         profiled.map(c =>

@@ -510,6 +510,46 @@ object TextAnalysis {
         col("pmi_scaled"))
   }
 
+  /** Tokenize to vocabulary ids — the final text→model-input step of a
+    * pretraining pipeline: each doc becomes its ordered id sequence under
+    * `vocab` (columns `token`, `token_id`), with out-of-vocabulary tokens
+    * mapped to `oovId`. Output: (id, `ids_str` — comma-joined id sequence,
+    * `n_tokens`, `n_oov`); token-empty docs keep an empty string and zeros.
+    *
+    * The id sequence travels as a string rather than an array so diffs,
+    * fingerprints, and cross-engine comparisons stay exact and cheap.
+    *
+    * Shape: positional explode → broadcast hash join against the vocabulary
+    * (dictionary-sized by construction — a vocab that can't broadcast can't
+    * fit a tokenizer either) → one re-aggregation per doc whose state is the
+    * doc's own id list. One exchange of narrow (id, pos, token_id) rows; the
+    * join itself never shuffles the corpus.
+    */
+  def tokenizeToIds(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      vocab: DataFrame,
+      oovId: Int = -1): DataFrame = {
+    val pos = df
+      .select(col(idCol).as("id"), tokens(col(textCol)).as("_toks"))
+      .select(col("id"), posexplode_outer(col("_toks")).as(Seq("pos", "token")))
+    pos.join(broadcast(vocab.select(col("token"), col("token_id"))),
+        Seq("token"), "left")
+      .groupBy(col("id"))
+      .agg(
+        // wrap in when(): a token-empty doc's explode_outer marker row would
+        // otherwise contribute a (null, oov) struct — collect_list skips
+        // nulls, so the empty doc aggregates to an empty string
+        array_join(transform(
+          array_sort(collect_list(when(col("pos").isNotNull,
+            struct(col("pos"),
+              coalesce(col("token_id"), lit(oovId)).as("tid"))))),
+          e => e.getField("tid")), ",").as("ids_str"),
+        count(col("pos")).as("n_tokens"),
+        count(when(col("pos").isNotNull && col("token_id").isNull, 1)).as("n_oov"))
+  }
+
   /** Content fingerprint: md5 digest of the sorted distinct token set.
     * Word-order- and repetition-insensitive, so shuffled/boilerplate copies
     * collide — the cheap "same content?" key for exact-ish dedup joins.

@@ -98,6 +98,7 @@ class PlanGateSpec extends SparkTestBase {
     "q5_local_supplier" -> 1,
     "cohort_retention" -> 3,
     "table_profile" -> 2,
+    "tokenize_ids" -> 2,
   )
 
   /** Queries where a BroadcastNestedLoopJoin is the documented contract, not

@@ -64,6 +64,25 @@ class SkewSpec extends SparkTestBase {
     assert(again === fast, "false positives are deterministic, not run-dependent")
   }
 
+  test("bloom bit array is a persistable artifact: parquet roundtrip filters identically") {
+    import org.apache.spark.sql.graft.{BloomAgg, BloomContains}
+    import spark.implicits._
+    val keys = Seq(3L, 500L, 1999L).toDF("sk")
+    val bloomDf = keys.agg(BloomAgg(col("sk").cast("string"), 1 << 10, 5).as("bloom"))
+    val dir = java.nio.file.Files.createTempDirectory("graft-bloom").toString
+    bloomDf.write.mode("overwrite").parquet(dir) // ship the artifact...
+    val reloaded = spark.read.parquet(dir).head.getAs[Array[Byte]]("bloom")
+    // ...and apply it in a "different pipeline", without the key table
+    val big = (1L to 2000L).map(i => (i, s"p$i")).toDF("k", "payload")
+    val hits = big.filter(BloomContains(lit(reloaded), col("k").cast("string"), 5))
+      .collect().map(_.getLong(0)).toSet
+    assert(Set(3L, 500L, 1999L).subsetOf(hits), "no false negatives after roundtrip")
+    val direct = Skew.bloomSemiJoin(big, keys, "k", "sk",
+      numBits = 1 << 10, k = 5, verify = false)
+      .collect().map(_.getLong(0)).toSet
+    assert(hits === direct, "reloaded filter behaves exactly like the fresh one")
+  }
+
   test("bloomSemiJoin prefilter runs before any exchange in the plan") {
     import spark.implicits._
     // file-backed big side: over a LocalRelation the optimizer would fold

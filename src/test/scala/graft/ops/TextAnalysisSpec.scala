@@ -194,4 +194,29 @@ class TextAnalysisSpec extends SparkTestBase {
     assert(out("a") === ((5L, 4L, Seq(1L, 2L, 3L))))
     assert(out("b") === ((3L, 2L, Seq(1L, 5L))))
   }
+
+  test("tokenizeToIds: order preserved, OOV mapped, empty docs keep empty string") {
+    import spark.implicits._
+    val vocab = Seq(("hello", 0), ("world", 1)).toDF("token", "token_id")
+    val docs = Seq(
+      (1L, "world hello world"),
+      (2L, "hello mars"), // mars is OOV
+      (3L, " ") // token-empty
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.tokenizeToIds(docs, "doc_id", "text", vocab)
+      .collect().map(r => r.getLong(0) ->
+        (r.getString(1), r.getLong(2), r.getLong(3))).toMap
+    assert(out === Map(
+      1L -> (("1,0,1", 3L, 0L)),
+      2L -> (("0,-1", 2L, 1L)),
+      3L -> (("", 0L, 0L))))
+  }
+
+  test("tokenizeToIds: duplicate positions impossible, repetition round-trips through ids") {
+    import spark.implicits._
+    val vocab = Seq(("a", 7)).toDF("token", "token_id")
+    val docs = Seq((1L, "a a a a")).toDF("doc_id", "text")
+    val out = TextAnalysis.tokenizeToIds(docs, "doc_id", "text", vocab).collect()(0)
+    assert(out.getString(1) === "7,7,7,7" && out.getLong(2) === 4L)
+  }
 }

@@ -250,6 +250,10 @@ object SparkEntry {
     Similarity.ivfTopK(knnQueries(s, dir), knnCorpus(s, dir), k = 10)
       .select("qid", "neighbor_id", "rank")
 
+  private def kmeansClusters(s: SparkSession, dir: String): DataFrame =
+    Similarity.kmeansAssign(knnCorpus(s, dir), numClusters = 16)
+      .select(col("id").as("vec_id"), col("cluster"))
+
   private def textStats(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.tokenStats(docs(s, dir), "doc_id", "text")
 
@@ -811,6 +815,7 @@ object SparkEntry {
     "cohort_retention" -> (cohortRetentionQuery _),
     "table_profile" -> (tableProfile _),
     "tokenize_ids" -> (tokenizeIds _),
+    "kmeans_clusters" -> (kmeansClusters _),
   )
 
   /** DuckDB twin per SQL-expressible key (driver compares on sf0.01). */
@@ -827,6 +832,30 @@ object SparkEntry {
         |FROM documents)""".stripMargin
     def sqlList(ws: Seq[String]): String = ws.map(w => s"'$w'").mkString("[", ", ", "]")
     val allStops = sqlList(TextAnalysis.stopwords.values.flatten.toSeq.distinct)
+    // shared deterministic-Lloyd training CTEs (knn_ivf + kmeans_clusters):
+    // c = corpus, cent_0 = lowest-id seeds, a_i/cent_i = assign/refine
+    // rounds, afinal = final assignment of every vector
+    def ivfDist2(v: String, cv: String) =
+      s"list_dot_product($v, $v) - 2 * list_dot_product($v, $cv) + list_dot_product($cv, $cv)"
+    def ivfTrainCtes(numCells: Int, lloydIters: Int): String = {
+      def assign(i: Int) =
+        s"""a_$i AS (SELECT id, v, cell FROM (
+           |  SELECT c.id, c.v, t.cell, row_number() OVER (PARTITION BY c.id
+           |    ORDER BY ${ivfDist2("c.v", "t.cv")}, t.cell) AS rn
+           |  FROM c CROSS JOIN cent_${i - 1} t) WHERE rn = 1)""".stripMargin
+      def refine(i: Int) =
+        s"""cent_$i AS (SELECT cell, list(m ORDER BY pos) AS cv FROM (
+           |  SELECT cell, pos,
+           |    CAST(sum(CAST(round(x * 1048576) AS BIGINT)) AS DOUBLE) / count(*) / 1048576.0 AS m
+           |  FROM (SELECT cell, unnest(v) AS x, generate_subscripts(v, 1) AS pos FROM a_$i)
+           |  GROUP BY cell, pos) GROUP BY cell)""".stripMargin
+      val iters = (1 to lloydIters).map(i => s"${assign(i)},\n${refine(i)}").mkString(",\n")
+      s"""c AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |cent_0 AS (SELECT row_number() OVER (ORDER BY id) - 1 AS cell, v AS cv
+         |           FROM (SELECT id, v FROM c ORDER BY id LIMIT $numCells)),
+         |$iters,
+         |${assign(lloydIters + 1).replace(s"a_${lloydIters + 1}", "afinal")}""".stripMargin
+    }
     // shared HLL decode (p=8): 16-bit md5 chunks, 56-bit rest, rank ladder
     val hllChunks = (0 until 4).map(c =>
       s"CAST(concat('0x', substr(hx, ${1 + 4 * c}, 4)) AS BIGINT) AS c$c").mkString(", ")
@@ -1078,29 +1107,11 @@ object SparkEntry {
       // probe + scan. CTE chain generated per iteration.
       "knn_ivf" -> {
         val (numCells, numProbes, k, lloydIters) = (16, 4, 10, 2)
-        def dist2(v: String, cv: String) =
-          s"list_dot_product($v, $v) - 2 * list_dot_product($v, $cv) + list_dot_product($cv, $cv)"
-        def assign(i: Int) =
-          s"""a_$i AS (SELECT id, v, cell FROM (
-             |  SELECT c.id, c.v, t.cell, row_number() OVER (PARTITION BY c.id
-             |    ORDER BY ${dist2("c.v", "t.cv")}, t.cell) AS rn
-             |  FROM c CROSS JOIN cent_${i - 1} t) WHERE rn = 1)""".stripMargin
-        def refine(i: Int) =
-          s"""cent_$i AS (SELECT cell, list(m ORDER BY pos) AS cv FROM (
-             |  SELECT cell, pos,
-             |    CAST(sum(CAST(round(x * 1048576) AS BIGINT)) AS DOUBLE) / count(*) / 1048576.0 AS m
-             |  FROM (SELECT cell, unnest(v) AS x, generate_subscripts(v, 1) AS pos FROM a_$i)
-             |  GROUP BY cell, pos) GROUP BY cell)""".stripMargin
-        val iters = (1 to lloydIters).map(i => s"${assign(i)},\n${refine(i)}").mkString(",\n")
-        s"""WITH c AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-           |cent_0 AS (SELECT row_number() OVER (ORDER BY id) - 1 AS cell, v AS cv
-           |           FROM (SELECT id, v FROM c ORDER BY id LIMIT $numCells)),
-           |$iters,
-           |${assign(lloydIters + 1).replace(s"a_${lloydIters + 1}", "afinal")},
+        s"""WITH ${ivfTrainCtes(numCells, lloydIters)},
            |q AS (SELECT id AS qid, v AS qv FROM c WHERE id < 5),
            |probes AS (SELECT qid, qv, cell FROM (
            |  SELECT q.qid, q.qv, t.cell, row_number() OVER (PARTITION BY q.qid
-           |    ORDER BY ${dist2("q.qv", "t.cv")}, t.cell) AS rn
+           |    ORDER BY ${ivfDist2("q.qv", "t.cv")}, t.cell) AS rn
            |  FROM q CROSS JOIN cent_$lloydIters t) WHERE rn <= $numProbes),
            |cand AS (SELECT p.qid, p.qv, a.id, a.v FROM probes p JOIN afinal a USING (cell))
            |SELECT qid, id AS neighbor_id, rank FROM (
@@ -1108,6 +1119,9 @@ object SparkEntry {
            |    ORDER BY list_cosine_similarity(qv, v) DESC, id) AS rank
            |  FROM cand) WHERE rank <= $k""".stripMargin
       },
+      "kmeans_clusters" ->
+        s"""WITH ${ivfTrainCtes(16, 2)}
+           |SELECT id AS vec_id, cell AS cluster FROM afinal""".stripMargin,
       "knn_brute" ->
         """SELECT qid, neighbor_id, rank FROM (
           |  SELECT q.vec_id AS qid, c.vec_id AS neighbor_id,

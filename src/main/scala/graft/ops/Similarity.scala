@@ -119,14 +119,14 @@ object Similarity {
     * `lloydIters` is small because IVF needs balanced cells, not converged
     * clusters.
     */
-  def ivfTopK(
-      queries: DataFrame, // columns: qid, qvec
-      corpus: DataFrame, // columns: id, vec
-      k: Int,
-      numCells: Int = 16,
-      numProbes: Int = 4,
-      lloydIters: Int = 2): DataFrame = {
-    // deterministic seed centroids: the numCells lowest-id vectors
+  /** Deterministic Lloyd training shared by [[ivfTopK]] and
+    * [[kmeansAssign]]: seed with the `numCells` lowest-id vectors, then
+    * `lloydIters` rounds of exact-fixed-point mean refinement.
+    */
+  private def trainCentroids(
+      corpus: DataFrame,
+      numCells: Int,
+      lloydIters: Int): Seq[(Int, Seq[Double])] = {
     var cents: Seq[(Int, Seq[Double])] = corpus
       .orderBy(col("id")).limit(numCells).select(col("vec")).collect()
       .map(_.getSeq[Any](0).map {
@@ -135,6 +135,37 @@ object Similarity {
       }.toSeq).zipWithIndex.map { case (v, i) => (i, v) }.toSeq
     for (_ <- 1 to lloydIters)
       cents = refineCentroids(assignCells(corpus, cents))
+    cents
+  }
+
+  /** Corpus clustering: every vector's k-means cluster id (the
+    * domain-balancing / semantic-bucketing primitive — "cap any one cluster
+    * at N documents", "sample evenly across content clusters"). Same
+    * deterministic trainer as [[ivfTopK]] (lowest-id seeds, exact
+    * fixed-point means), so assignments are engine-reproducible and the
+    * oracle recomputes them exactly.
+    *
+    * The assignment pass is one scan with a codegen'd `least` over
+    * numClusters distance structs — no shuffle; training costs `lloydIters`
+    * narrow posexplode shuffles + a numClusters × dim driver collect. At
+    * 100 TB: train on a sample, assign everything (assignment is unchanged).
+    */
+  def kmeansAssign(
+      corpus: DataFrame, // columns: id, vec
+      numClusters: Int,
+      lloydIters: Int = 2): DataFrame = {
+    val cents = trainCentroids(corpus, numClusters, lloydIters)
+    assignCells(corpus, cents).select(col("id"), col("cell").as("cluster"))
+  }
+
+  def ivfTopK(
+      queries: DataFrame, // columns: qid, qvec
+      corpus: DataFrame, // columns: id, vec
+      k: Int,
+      numCells: Int = 16,
+      numProbes: Int = 4,
+      lloydIters: Int = 2): DataFrame = {
+    val cents = trainCentroids(corpus, numCells, lloydIters)
     val corpusCells = assignCells(corpus, cents)
 
     val qq = dot(col("qvec"), col("qvec"))

@@ -60,6 +60,19 @@ class SimilaritySpec extends SparkTestBase {
     assert(r16 >= r4)
   }
 
+  test("kmeansAssign: every vector assigned, bounded cluster ids, deterministic across runs") {
+    val e = emb(sf())
+    val c = e.select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val a1 = Similarity.kmeansAssign(c, numClusters = 8)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(a1.size.toLong === c.count(), "every vector gets a cluster")
+    assert(a1.values.forall(cl => cl >= 0 && cl < 8))
+    assert(a1.values.toSet.size > 1, "more than one cluster is populated")
+    val a2 = Similarity.kmeansAssign(c.repartition(7), numClusters = 8)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(a2 === a1, "assignment is partition-order independent (fixed-point means)")
+  }
+
   test("lshTopK: never returns more than k per query, ranks contiguous") {
     val e = emb(sf())
     val q = e.filter(col("vec_id") < 3)

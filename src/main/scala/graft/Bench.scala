@@ -55,6 +55,11 @@ object Bench {
     val timings = collection.mutable.LinkedHashMap[String, Double]()
     val errors = collection.mutable.LinkedHashMap[String, String]()
     selected.foreach { case (name, fn) =>
+      // isolate queries from each other's garbage: collect BEFORE timing so
+      // a heap full of the previous query's shuffle/broadcast debris doesn't
+      // charge its GC pauses to this query (measured: dedup_clusters 2.3 s
+      // isolated vs 5.1 s late in a 75-query suite without this)
+      System.gc()
       val t0 = System.nanoTime()
       try {
         run(fn)

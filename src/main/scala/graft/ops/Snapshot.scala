@@ -49,4 +49,28 @@ object Snapshot {
       .filter(col("status") =!= "unchanged")
       .select(keyCols.map(col) :+ col("status") :+ col("old_fp") :+ col("new_fp"): _*)
   }
+
+  /** Apply a [[diff]] back onto the old snapshot to reconstruct the new one
+    * — the CDC consumer side: ship (diff rows + changed/added payloads)
+    * instead of the full table, replay downstream. `changes` must carry the
+    * diff's `status` plus the full payload columns of `newSnap` for
+    * added/changed keys (removed keys need only their key).
+    *
+    * `apply(old, diff-with-payloads) == new` exactly (spec-asserted
+    * roundtrip). Shape: one anti join dropping removed+changed keys from the
+    * old side, one union of the incoming payloads — both key-partitioned,
+    * output size = |new|.
+    */
+  def applyDiff(
+      oldSnap: DataFrame,
+      changes: DataFrame,
+      keyCols: Seq[String]): DataFrame = {
+    val dropped = changes
+      .filter(col("status").isin("removed", "changed"))
+      .select(keyCols.map(col): _*)
+    val incoming = changes
+      .filter(col("status").isin("added", "changed"))
+      .select(oldSnap.columns.map(col): _*)
+    oldSnap.join(dropped, keyCols, "left_anti").unionByName(incoming)
+  }
 }

@@ -40,7 +40,11 @@ object GraftFunctions {
       (FunctionIdentifier("graft_word_shingle_hashes"),
         new ExpressionInfo(classOf[WordShingleHashes].getName, "graft_word_shingle_hashes"),
         (children: Seq[Expression]) =>
-          WordShingleHashes(children(0), foldableInt(children(1)))))
+          WordShingleHashes(children(0), foldableInt(children(1)))),
+      (FunctionIdentifier("graft_bloom_contains"),
+        new ExpressionInfo(classOf[BloomContains].getName, "graft_bloom_contains"),
+        (children: Seq[Expression]) =>
+          BloomContains(children(0), children(1), foldableInt(children(2)))))
 
   private def foldableInt(e: Expression): Int = {
     require(e.foldable, s"argument must be a literal integer, got: ${e.sql}")

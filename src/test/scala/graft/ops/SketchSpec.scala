@@ -167,6 +167,23 @@ class SketchSpec extends SparkTestBase {
     assert(same.isEmpty)
   }
 
+  test("Snapshot.applyDiff: apply(old, diff-with-payloads) reconstructs new exactly") {
+    import spark.implicits._
+    val a = Seq((1L, "one"), (2L, "two"), (3L, "three"), (5L, "five"))
+      .toDF("id", "text")
+    val b = Seq((2L, "two"), (3L, "three-edited"), (4L, "four"), (5L, "five"))
+      .toDF("id", "text")
+    val d = Snapshot.diff(a, b, Seq("id"), Seq("text"))
+    // CDC payload shipment: diff rows + the new-side payload for added/changed
+    val changes = d.select("id", "status")
+      .join(b, Seq("id"), "left") // removed keys get null payload (unused)
+      .select("id", "text", "status")
+    val rebuilt = Snapshot.applyDiff(a, changes, Seq("id"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    val expected = b.collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(rebuilt === expected)
+  }
+
   // ---- priority sample ----
 
   test("prioritySample: exactly k rows, deterministic, and a pure function of the key set") {

@@ -38,6 +38,28 @@ class NativeExpressionsSpec extends SparkTestBase {
     assert(err.getMessage.contains("literal"))
   }
 
+  test("graft_bloom_contains from SQL: membership against a bloom built in the same query") {
+    GraftFunctions.register(spark)
+    import spark.implicits._
+    import org.apache.spark.sql.graft.BloomAgg
+    import org.apache.spark.sql.functions.col
+    Seq("x", "y", "z").toDF("k")
+      .agg(BloomAgg(col("k"), 1024, 5).as("bloom"))
+      .createOrReplaceTempView("bloom_v")
+    val r = spark.sql(
+      """SELECT graft_bloom_contains(bloom, 'x', 5) AS hit,
+        |       graft_bloom_contains(bloom, 'definitely-absent-key', 5) AS miss
+        |FROM bloom_v""".stripMargin).collect().head
+    assert(r.getBoolean(0), "member must hit")
+    assert(!r.getBoolean(1), "1024 bits over 3 keys: this probe misses")
+    // non-literal k rejected at analysis
+    val err = intercept[Exception] {
+      spark.sql("SELECT graft_bloom_contains(bloom, 'x', CAST(rand()*3 AS INT)) FROM bloom_v")
+        .collect()
+    }
+    assert(err.getMessage.contains("literal"))
+  }
+
   test("float arrays widen to double; length mismatch and null yield null") {
     GraftFunctions.register(spark)
     val r = spark.sql(

@@ -49,4 +49,32 @@ class PropertySpec extends AnyFunSuite {
     assert(Dedup.hyperplanes(4, 8, 42L) == Dedup.hyperplanes(4, 8, 42L))
     assert(Dedup.hyperplanes(4, 8, 42L) != Dedup.hyperplanes(4, 8, 43L))
   }
+
+  test("BloomHash: no false negatives for any key set / filter size / k") {
+    import org.apache.spark.sql.graft.BloomHash
+    import org.apache.spark.unsafe.types.UTF8String
+    val genBits = Gen.oneOf(64, 128, 1024, 65536)
+    val genK = Gen.chooseNum(1, 16)
+    val genKeys = Gen.nonEmptyListOf(Gen.asciiPrintableStr)
+    check(Prop.forAll(genKeys, genBits, genK) { (keys, bits, k) =>
+      val bloom = new Array[Byte](bits / 8)
+      keys.foreach(s => BloomHash.add(bloom, UTF8String.fromString(s), k))
+      keys.forall(s => BloomHash.contains(bloom, UTF8String.fromString(s), k))
+    })
+  }
+
+  test("BloomHash: merge by OR equals building from the union") {
+    import org.apache.spark.sql.graft.BloomHash
+    import org.apache.spark.unsafe.types.UTF8String
+    val genKeys = Gen.listOf(Gen.alphaNumStr)
+    check(Prop.forAll(genKeys, genKeys) { (a, b) =>
+      def build(ks: Seq[String]): Array[Byte] = {
+        val arr = new Array[Byte](128)
+        ks.foreach(s => BloomHash.add(arr, UTF8String.fromString(s), 5))
+        arr
+      }
+      val merged = build(a).zip(build(b)).map { case (x, y) => (x | y).toByte }
+      merged.sameElements(build(a ++ b))
+    })
+  }
 }

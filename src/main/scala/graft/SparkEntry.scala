@@ -551,9 +551,15 @@ object SparkEntry {
         col("o_orderpriority"), col("revenue_e2"))
   }
 
-  /** TPC-H Q5 shape: six-table join — the multi-join planning exercise. All
-    * four dimension chains (region→nation→supplier, customer) broadcast;
-    * only the lineitem⋈orders fact join shuffles.
+  /** TPC-H Q5 shape: six-table join — the multi-join planning exercise.
+    *
+    * Broadcast is FORCED only for the dimensions whose size is bounded by
+    * the schema (region = 5 rows, nation = 25 — constant at any SF).
+    * Supplier and customer SCALE with the data (10k·SF / 150k·SF rows), so
+    * their join strategy is left to cost-based planning: at bench SF the
+    * parquet statistics make Catalyst broadcast them anyway (same plan), and
+    * at 100 TB they correctly fall back to shuffle joins instead of
+    * OOM-ing the driver on a forced hint.
     */
   private def q5LocalSupplier(s: SparkSession, dir: String): DataFrame = {
     val region = s.read.parquet(s"$dir/region.parquet")
@@ -578,9 +584,8 @@ object SparkEntry {
         round(col("l_extendedprice") * (lit(1) - col("l_discount")) * 100)
           .cast("long").as("rev_e2"))
     li.join(orders, col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(supplier), col("l_suppkey") === col("s_suppkey"))
-      .join(broadcast(customer.join(broadcast(asiaNations.select(col("n_nationkey"))),
-        col("c_nationkey") === col("n_nationkey")).select("c_custkey", "c_nationkey")),
+      .join(supplier, col("l_suppkey") === col("s_suppkey"))
+      .join(customer,
         col("o_custkey") === col("c_custkey") &&
           col("c_nationkey") === col("s_nationkey"))
       .groupBy(col("n_name"))

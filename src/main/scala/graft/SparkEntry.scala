@@ -540,8 +540,10 @@ object SparkEntry {
       .select(col("l_orderkey"),
         round(col("l_extendedprice") * (lit(1) - col("l_discount")) * 100)
           .cast("long").as("rev_e2"))
+    // no forced broadcast: the BUILDING segment scales with SF (cost-based
+    // planning broadcasts it at bench SF; at 100 TB a shuffle join is right)
     li.join(ord, col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
       .groupBy(col("o_orderkey"), col("o_orderdate"), col("o_orderpriority"))
       .agg(sum(col("rev_e2")).as("revenue_e2"))
       .orderBy(col("revenue_e2").desc, col("o_orderkey"))

@@ -510,6 +510,58 @@ object TextAnalysis {
         col("pmi_scaled"))
   }
 
+  /** First-fit-decreasing sequence packing: docs are packed WHOLE into
+    * token-budget bins (no document ever splits — the alternative to
+    * [[packSequences]]' concatenate-then-chunk, for training recipes that
+    * can't cut across document boundaries). Within each `partitionKey`
+    * group, docs sort by (tokens desc, id asc) and each goes into the first
+    * bin with room — the classic FFD guarantee (≤ 11/9·OPT + 1 bins). A doc
+    * larger than the budget gets a bin of its own, flagged `oversize`.
+    * Output: (partitionKey, id, n_tokens, bin, oversize).
+    *
+    * Packing is inherently sequential WITHIN a group (each placement depends
+    * on all previous fills), so this is the rare operator where per-group
+    * imperative code is the honest shape: `flatMapGroups` runs the loop
+    * per shard while shards parallelize across the cluster. State per group
+    * is the open-bin fill array (≤ docs/budget entries); a group must fit
+    * one task — which is the same contract sharded training data already
+    * obeys. Everything is deterministic: sort order and first-fit scan leave
+    * no tie to the runtime.
+    */
+  def packSequencesFFD(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      tokenBudget: Int,
+      partitionKey: String): DataFrame = {
+    require(tokenBudget > 0, "tokenBudget must be positive")
+    import df.sparkSession.implicits._
+    val sized = df.select(
+      col(partitionKey).cast("string").as("_shard"),
+      col(idCol).cast("long").as("_id"),
+      size(tokens(col(textCol))).as("_n"))
+      .as[(String, Long, Int)]
+    sized.groupByKey(_._1)
+      .flatMapGroups { (shard: String, it: Iterator[(String, Long, Int)]) =>
+        val docs = it.map(t => (t._2, t._3)).toArray
+        java.util.Arrays.sort(docs, Ordering.by[(Long, Int), (Int, Long)] {
+          case (id, n) => (-n, id)
+        })
+        val fills = scala.collection.mutable.ArrayBuffer.empty[Int]
+        docs.iterator.map { case (id, n) =>
+          val bin =
+            if (n > tokenBudget) { fills += tokenBudget; fills.length - 1 }
+            else {
+              val i = fills.indexWhere(_ + n <= tokenBudget)
+              if (i >= 0) { fills(i) += n; i }
+              else { fills += n; fills.length - 1 }
+            }
+          (shard, id, n, bin, n > tokenBudget)
+        }
+      }
+      .toDF(partitionKey, idCol, "n_tokens", "bin", "oversize")
+  }
+
   /** Tokenize to vocabulary ids — the final text→model-input step of a
     * pretraining pipeline: each doc becomes its ordered id sequence under
     * `vocab` (columns `token`, `token_id`), with out-of-vocabulary tokens

@@ -195,6 +195,48 @@ class TextAnalysisSpec extends SparkTestBase {
     assert(out("b") === ((3L, 2L, Seq(1L, 5L))))
   }
 
+  test("packSequencesFFD: classic first-fit-decreasing placement, hand-checked") {
+    import spark.implicits._
+    // tokens: a=6, b=5, c=4, d=3, e=2; budget 8
+    // FFD order a,b,c,d,e -> bins: [a=6], [b=5], then c: bin0 6+4>8, bin1
+    // 5+4>8 -> new [c=4]; d: bin0 6+3>8? 9>8 yes -> bin1 5+3=8 ok; e: bin0 6+2=8
+    val docs = Seq(
+      (1L, "t t t t t t"), (2L, "t t t t t"), (3L, "t t t t"),
+      (4L, "t t t"), (5L, "t t")
+    ).map { case (id, tx) => (id, tx, "s0") }.toDF("doc_id", "text", "shard")
+    val out = TextAnalysis.packSequencesFFD(docs, "doc_id", "text", 8, "shard")
+      .collect().map(r => r.getLong(1) -> r.getInt(3)).toMap
+    assert(out === Map(1L -> 0, 2L -> 1, 3L -> 2, 4L -> 1, 5L -> 0))
+  }
+
+  test("packSequencesFFD: budget respected, oversize isolated, dense bins, deterministic") {
+    import spark.implicits._
+    val docs = (1 to 200).map { i =>
+      val n = 1 + (i * 37) % 60 // sizes 1..60, some > budget 40
+      (i.toLong, Seq.fill(n)("w").mkString(" "), s"shard${i % 3}")
+    }.toDF("doc_id", "text", "shard")
+    val out = TextAnalysis.packSequencesFFD(docs, "doc_id", "text", 40, "shard")
+    val rows = out.collect().map(r =>
+      (r.getString(0), r.getLong(1), r.getInt(2), r.getInt(3), r.getBoolean(4)))
+    // every oversize doc is alone in its bin; no regular bin exceeds budget
+    rows.groupBy(r => (r._1, r._4)).foreach { case ((_, _), binRows) =>
+      if (binRows.exists(_._5)) assert(binRows.length === 1, "oversize doc alone")
+      else assert(binRows.map(_._3).sum <= 40, "bin within budget")
+    }
+    // bins are dense 0..max per shard, and count >= the volume lower bound
+    rows.groupBy(_._1).foreach { case (_, shardRows) =>
+      val bins = shardRows.map(_._4).distinct.sorted
+      assert(bins === (0 until bins.length).toArray.toSeq)
+      val regular = shardRows.filterNot(_._5)
+      val lower = math.ceil(regular.map(_._3).sum / 40.0).toInt
+      assert(bins.length >= lower)
+    }
+    // pure function of the data, not the partitioning
+    val again = TextAnalysis.packSequencesFFD(docs.repartition(11), "doc_id", "text", 40, "shard")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getInt(3))).toSet
+    assert(again === rows.map(r => (r._1, r._2, r._4)).toSet)
+  }
+
   test("tokenizeToIds: order preserved, OOV mapped, empty docs keep empty string") {
     import spark.implicits._
     val vocab = Seq(("hello", 0), ("world", 1)).toDF("token", "token_id")

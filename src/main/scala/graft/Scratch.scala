@@ -1,14 +1,11 @@
 package graft
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.functions._
-import graft.functions._
-import graft.ops.Dedup
 
 /** Throwaway profiling main (not part of the driver contract). */
 object Scratch {
   def main(args: Array[String]): Unit = {
-    val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val dir = args.headOption.getOrElse("/root/testdata/sf0.01")
     val spark = SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -16,46 +13,17 @@ object Scratch {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    def time[T](name: String)(f: => T): T = {
-      val t0 = System.nanoTime(); val r = f
-      println(f"[scratch] $name: ${(System.nanoTime() - t0) / 1e9}%.2fs"); r
+    spark.sparkContext.setLogLevel("ERROR")
+    val names = args.drop(1) match {
+      case Array() => Array("shard_layout")
+      case more => more
     }
-    spark.read.parquet(s"$dir/documents.parquet").count() // warm
-
-    val d = spark.read.parquet(s"$dir/documents.parquet")
-    val u = d.unionByName(d
-      .withColumn("doc_id", col("doc_id") + 100000L)
-      .withColumn("text", concat(col("text"), lit(" graftdup"))))
-
-    // ---- minHashLsh stage-by-stage (mirrors Dedup.minHashLsh internals) ----
-    (1 to 2).foreach { round =>
-      println(s"---- round $round ----")
-      val ex = time("explode shingle hashes + checkpoint") {
-        val e = u
-          .select(col("doc_id").as("id"), tokens(col("text")).as("_toks"))
-          .select(col("id"), explode(shingleHashesFromTokens(col("_toks"), 3)).as("h"))
-          .localCheckpoint(false)
-        e.count(); e
-      }
-      val sig = time("64 min() signature agg") {
-        val minCols = (0 until 64).map(i => min(xxhash64(col("h"), lit(i))).as(s"_m$i"))
-        val s = ex.groupBy(col("id")).agg(minCols.head, minCols.tail: _*)
-        s.count(); s
-      }
-      val banded = time("band + bucketPairs") {
-        val bandStructs = (0 until 16).map { j =>
-          val slice = (j * 4 until (j + 1) * 4).map(i => col(s"_m$i"))
-          struct(lit(j).as("band"), xxhash64(array(slice: _*)).as("bucket"))
-        }
-        val b = sig.select(col("id"), explode(array(bandStructs: _*)).as("bucketKey"))
-        val c = Dedup.bucketPairs(b, 100)
-        c.count(); c
-      }
-      time("jaccard verify") {
-        Dedup.jaccardVerify(banded, ex, 0.8).count()
-      }
-      ex.unpersist()
+    names.foreach { name =>
+      val df = SparkEntry.queries(name)(spark, dir)
+      val plan = df.queryExecution.executedPlan.toString
+      println(s"==== $name ====")
+      println(plan)
+      println("EXCHANGES=" + "Exchange (hash|range|Single)".r.findAllIn(plan).size)
     }
     spark.stop()
   }

@@ -254,6 +254,14 @@ object SparkEntry {
     Similarity.kmeansAssign(knnCorpus(s, dir), numClusters = 16)
       .select(col("id").as("vec_id"), col("cluster"))
 
+  /** The 100 TB k-means mode: centroids fit on a deterministic 40% md5
+    * sample, assignment still covers every vector (oracle replicates the
+    * sampled training bit-for-bit).
+    */
+  private def kmeansSampleTrain(s: SparkSession, dir: String): DataFrame =
+    Similarity.kmeansAssign(knnCorpus(s, dir), numClusters = 8, trainPercent = 40)
+      .select(col("id").as("vec_id"), col("cluster"))
+
   private def textStats(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.tokenStats(docs(s, dir), "doc_id", "text")
 
@@ -609,8 +617,12 @@ object SparkEntry {
       .orderBy(col("cnt").desc, col("token")).limit(30)
       .withColumn("token_id", (row_number().over(w) - 1).cast("int"))
       .select("token", "token_id")
+    // the operator returns typed array<int> ids; the oracle needs a hashable
+    // scalar, so the comma-join rendering lives HERE, not in the operator
     TextAnalysis.tokenizeToIds(docs(s, dir), "doc_id", "text", vocab)
-      .select(col("id").as("doc_id"), col("ids_str"), col("n_tokens"), col("n_oov"))
+      .select(col("id").as("doc_id"),
+        array_join(transform(col("ids"), _.cast("string")), ",").as("ids_str"),
+        col("n_tokens"), col("n_oov"))
   }
 
   private def tableProfile(s: SparkSession, dir: String): DataFrame =
@@ -823,6 +835,7 @@ object SparkEntry {
     "table_profile" -> (tableProfile _),
     "tokenize_ids" -> (tokenizeIds _),
     "kmeans_clusters" -> (kmeansClusters _),
+    "kmeans_sample_train" -> (kmeansSampleTrain _),
   )
 
   /** DuckDB twin per SQL-expressible key (driver compares on sf0.01). */
@@ -839,29 +852,37 @@ object SparkEntry {
         |FROM documents)""".stripMargin
     def sqlList(ws: Seq[String]): String = ws.map(w => s"'$w'").mkString("[", ", ", "]")
     val allStops = sqlList(TextAnalysis.stopwords.values.flatten.toSeq.distinct)
-    // shared deterministic-Lloyd training CTEs (knn_ivf + kmeans_clusters):
-    // c = corpus, cent_0 = lowest-id seeds, a_i/cent_i = assign/refine
-    // rounds, afinal = final assignment of every vector
+    // shared deterministic-Lloyd training CTEs (knn_ivf + kmeans_clusters +
+    // kmeans_sample_train): c = corpus, ct = train set (md5-bucket sample of
+    // c when trainPercent < 100 — the Sampling.hashSample rule), cent_0 =
+    // lowest-id seeds from ct, a_i/cent_i = assign/refine rounds over ct,
+    // afinal = final assignment of EVERY vector
     def ivfDist2(v: String, cv: String) =
       s"list_dot_product($v, $v) - 2 * list_dot_product($v, $cv) + list_dot_product($cv, $cv)"
-    def ivfTrainCtes(numCells: Int, lloydIters: Int): String = {
-      def assign(i: Int) =
+    def ivfTrainCtes(numCells: Int, lloydIters: Int, trainPercent: Int = 100): String = {
+      def assign(i: Int, src: String) =
         s"""a_$i AS (SELECT id, v, cell FROM (
            |  SELECT c.id, c.v, t.cell, row_number() OVER (PARTITION BY c.id
            |    ORDER BY ${ivfDist2("c.v", "t.cv")}, t.cell) AS rn
-           |  FROM c CROSS JOIN cent_${i - 1} t) WHERE rn = 1)""".stripMargin
+           |  FROM $src c CROSS JOIN cent_${i - 1} t) WHERE rn = 1)""".stripMargin
       def refine(i: Int) =
         s"""cent_$i AS (SELECT cell, list(m ORDER BY pos) AS cv FROM (
            |  SELECT cell, pos,
            |    CAST(sum(CAST(round(x * 1048576) AS BIGINT)) AS DOUBLE) / count(*) / 1048576.0 AS m
            |  FROM (SELECT cell, unnest(v) AS x, generate_subscripts(v, 1) AS pos FROM a_$i)
            |  GROUP BY cell, pos) GROUP BY cell)""".stripMargin
-      val iters = (1 to lloydIters).map(i => s"${assign(i)},\n${refine(i)}").mkString(",\n")
+      val trainFilter =
+        if (trainPercent >= 100) ""
+        else
+          s""" WHERE CAST(concat('0x', substr(md5(CAST(id AS VARCHAR)), 1, 6)) AS BIGINT)
+             |   % 100 < $trainPercent""".stripMargin
+      val iters = (1 to lloydIters).map(i => s"${assign(i, "ct")},\n${refine(i)}").mkString(",\n")
       s"""c AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |ct AS (SELECT id, v FROM c$trainFilter),
          |cent_0 AS (SELECT row_number() OVER (ORDER BY id) - 1 AS cell, v AS cv
-         |           FROM (SELECT id, v FROM c ORDER BY id LIMIT $numCells)),
+         |           FROM (SELECT id, v FROM ct ORDER BY id LIMIT $numCells)),
          |$iters,
-         |${assign(lloydIters + 1).replace(s"a_${lloydIters + 1}", "afinal")}""".stripMargin
+         |${assign(lloydIters + 1, "c").replace(s"a_${lloydIters + 1}", "afinal")}""".stripMargin
     }
     // shared HLL decode (p=8): 16-bit md5 chunks, 56-bit rest, rank ladder
     val hllChunks = (0 until 4).map(c =>
@@ -1129,6 +1150,9 @@ object SparkEntry {
       "kmeans_clusters" ->
         s"""WITH ${ivfTrainCtes(16, 2)}
            |SELECT id AS vec_id, cell AS cluster FROM afinal""".stripMargin,
+      "kmeans_sample_train" ->
+        s"""WITH ${ivfTrainCtes(8, 2, trainPercent = 40)}
+           |SELECT id AS vec_id, cell AS cluster FROM afinal""".stripMargin,
       "knn_brute" ->
         """SELECT qid, neighbor_id, rank FROM (
           |  SELECT q.vec_id AS qid, c.vec_id AS neighbor_id,
@@ -1346,7 +1370,7 @@ object SparkEntry {
           |  CAST(CAST(concat('0x', substr(dg, 1, 6)) AS BIGINT) % 8 AS INT) AS shard
           |  FROM d)
           |SELECT doc_id, lang, shard,
-          |  CAST(row_number() OVER (PARTITION BY shard ORDER BY dg, doc_id) - 1 AS INT)
+          |  CAST(row_number() OVER (PARTITION BY shard ORDER BY dg, doc_id) - 1 AS BIGINT)
           |    AS position
           |FROM s""".stripMargin,
       "corpus_quantiles" ->

@@ -15,11 +15,13 @@ object Dedup {
     * per hash (the one with the smallest `idCol`), and report the group size.
     * One shuffle (hash groupBy with map-side partial aggregation); the content
     * itself never shuffles twice — `min_by(struct(*), id)` carries the
-    * canonical row through the aggregation.
+    * canonical row through the aggregation. The group key is the RAW 32-byte
+    * digest (`unhex` of sha2's hex rendering), not the 64-char hex string —
+    * half the key width through the one shuffle that touches every row.
     */
   def exact(df: DataFrame, contentCols: Seq[String], idCol: String): DataFrame = {
     val normed = contentCols.map(c => lower(trim(col(c))))
-    val h = sha2(concat_ws("", normed: _*), 256)
+    val h = unhex(sha2(concat_ws("", normed: _*), 256))
     df.groupBy(h.as("content_hash"))
       .agg(
         min_by(struct(df.columns.toSeq.map(col): _*), col(idCol)).as("_row"),
@@ -326,7 +328,7 @@ object Dedup {
       reference: DataFrame,
       contentCols: Seq[String]): DataFrame = {
     def key(df: DataFrame): Column =
-      sha2(concat_ws("", contentCols.map(c => lower(trim(col(c)))): _*), 256)
+      unhex(sha2(concat_ws("", contentCols.map(c => lower(trim(col(c)))): _*), 256))
     val refKeys = reference.select(key(reference).as("_k")).distinct()
     batch.withColumn("_k", key(batch))
       .join(refKeys, Seq("_k"), "left_anti")

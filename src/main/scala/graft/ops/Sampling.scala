@@ -116,20 +116,45 @@ object Sampling {
     * (then the key, so equal digests can't reorder). The resulting
     * (shard, position) layout is reproducible across runs and engines —
     * "shuffled" for training purposes but a pure function of the key set.
-    * One hash-partition exchange + per-shard local sort; shards are
-    * independent, so 100 TB writes out as numShards parallel sorted streams
-    * (vs a global orderBy, which range-partitions through a sampling pass).
+    *
+    * Positions are assigned in TWO phases so no task ever sorts a whole
+    * shard (a naive `Window.partitionBy(shard)` puts each 100 GB shard
+    * through one task's spill-sort, capping parallelism at numShards):
+    * rows also carry an order-preserving digest-PREFIX bucket (the first 4
+    * hex chars — a prefix of the sort key, so bucket order IS digest order
+    * within a shard). Phase 1 counts rows per (shard, bucket) and turns the
+    * counts into per-bucket starting offsets via a cumulative window over
+    * the tiny counts table (≤ 65 536 rows per shard). Phase 2 row_numbers
+    * within each (shard, bucket) group and adds the bucket's offset —
+    * identical positions to the single-sort formulation, but the largest
+    * sort any task performs is one bucket (~corpus/65 536), and the
+    * parallelism is numShards × 65 536 groups instead of numShards tasks.
+    * The corpus-sized side shuffles once (the (shard, bucket) exchange,
+    * reused by join and window); the counts subtree's exchanges carry
+    * kilobytes. The offsets join is left to the cost model: its size is
+    * min(rows, numShards·65 536), broadcastable at small numShards only.
     */
   def shuffleShards(df: DataFrame, keyCol: String, numShards: Int): DataFrame = {
     require(numShards > 0, "numShards must be positive")
+    import org.apache.spark.sql.expressions.Window
     val digest = md5(col(keyCol).cast("string").cast("binary"))
     val shard = (conv(substring(digest, 1, 6), 16, 10).cast("long") % numShards)
       .cast("int")
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("shard")).orderBy(col("_digest"), col(keyCol))
-    df.withColumn("_digest", digest)
+    val keyed = df
+      .withColumn("_digest", digest)
       .withColumn("shard", shard)
-      .withColumn("position", row_number().over(w) - 1)
-      .drop("_digest")
+      .withColumn("_bucket", conv(substring(col("_digest"), 1, 4), 16, 10).cast("int"))
+    val offsets = keyed
+      .groupBy(col("shard"), col("_bucket"))
+      .agg(count(lit(1)).as("_cnt"))
+      .withColumn("_offset", coalesce(
+        sum(col("_cnt")).over(Window.partitionBy(col("shard")).orderBy(col("_bucket"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("shard"), col("_bucket"), col("_offset"))
+    val w = Window.partitionBy(col("shard"), col("_bucket"))
+      .orderBy(col("_digest"), col(keyCol))
+    keyed.join(offsets, Seq("shard", "_bucket"))
+      .withColumn("position", col("_offset") + row_number().over(w) - 1)
+      .select(df.columns.map(col) :+ col("shard") :+ col("position"): _*)
   }
 }

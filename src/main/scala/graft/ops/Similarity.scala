@@ -115,26 +115,41 @@ object Similarity {
     * therefore the query result — is reproducible bit-for-bit in any engine
     * (the driver's DuckDB oracle recomputes the full train+probe+scan). Per
     * iteration: one narrow posexplode shuffle + a numCells x dim driver
-    * collect. At 100 TB, fit on a sample (the assignment pass is unchanged);
-    * `lloydIters` is small because IVF needs balanced cells, not converged
-    * clusters.
+    * collect. At 100 TB, fit on a sample via `trainPercent` (the assignment
+    * pass is unchanged and still covers the full corpus); `lloydIters` is
+    * small because IVF needs balanced cells, not converged clusters.
     */
   /** Deterministic Lloyd training shared by [[ivfTopK]] and
     * [[kmeansAssign]]: seed with the `numCells` lowest-id vectors, then
     * `lloydIters` rounds of exact-fixed-point mean refinement.
+    *
+    * `trainPercent < 100` trains on a deterministic md5-bucket sample of the
+    * corpus (the [[Sampling.hashSample]] rule on `id`, so the train set — and
+    * therefore the centroids and every downstream assignment — is a pure
+    * function of the key set, reproducible in any engine). This is the
+    * 100 TB operating mode: each Lloyd iteration scans only the sample,
+    * while the one-scan shuffle-free assignment pass still covers the full
+    * corpus. Centroid quality needs distributional coverage, not every row —
+    * a 1% sample of 10^11 vectors is 10^9 training points.
     */
   private def trainCentroids(
       corpus: DataFrame,
       numCells: Int,
-      lloydIters: Int): Seq[(Int, Seq[Double])] = {
-    var cents: Seq[(Int, Seq[Double])] = corpus
+      lloydIters: Int,
+      trainPercent: Int): Seq[(Int, Seq[Double])] = {
+    require(trainPercent > 0 && trainPercent <= 100,
+      "trainPercent must be in (0, 100]")
+    val trainSet =
+      if (trainPercent >= 100) corpus
+      else Sampling.hashSample(corpus, "id", trainPercent)
+    var cents: Seq[(Int, Seq[Double])] = trainSet
       .orderBy(col("id")).limit(numCells).select(col("vec")).collect()
       .map(_.getSeq[Any](0).map {
         case f: Float => f.toDouble
         case d: Double => d
       }.toSeq).zipWithIndex.map { case (v, i) => (i, v) }.toSeq
     for (_ <- 1 to lloydIters)
-      cents = refineCentroids(assignCells(corpus, cents))
+      cents = refineCentroids(assignCells(trainSet, cents))
     cents
   }
 
@@ -148,13 +163,15 @@ object Similarity {
     * The assignment pass is one scan with a codegen'd `least` over
     * numClusters distance structs — no shuffle; training costs `lloydIters`
     * narrow posexplode shuffles + a numClusters × dim driver collect. At
-    * 100 TB: train on a sample, assign everything (assignment is unchanged).
+    * 100 TB: train on a sample (`trainPercent` — deterministic md5-bucket
+    * rule), assign everything (assignment is unchanged).
     */
   def kmeansAssign(
       corpus: DataFrame, // columns: id, vec
       numClusters: Int,
-      lloydIters: Int = 2): DataFrame = {
-    val cents = trainCentroids(corpus, numClusters, lloydIters)
+      lloydIters: Int = 2,
+      trainPercent: Int = 100): DataFrame = {
+    val cents = trainCentroids(corpus, numClusters, lloydIters, trainPercent)
     assignCells(corpus, cents).select(col("id"), col("cell").as("cluster"))
   }
 
@@ -164,8 +181,9 @@ object Similarity {
       k: Int,
       numCells: Int = 16,
       numProbes: Int = 4,
-      lloydIters: Int = 2): DataFrame = {
-    val cents = trainCentroids(corpus, numCells, lloydIters)
+      lloydIters: Int = 2,
+      trainPercent: Int = 100): DataFrame = {
+    val cents = trainCentroids(corpus, numCells, lloydIters, trainPercent)
     val corpusCells = assignCells(corpus, cents)
 
     val qq = dot(col("qvec"), col("qvec"))

@@ -127,17 +127,32 @@ object Stats {
     * is the one engine-dependent step.
     *
     * Shape: ONE aggregation pass computes every column's stats as one wide
-    * row (count_distinct makes it a single expand-based aggregation —
-    * `n` distincts over the same pass, the standard multi-distinct plan),
-    * then a per-row explode unpivots to (column, stats) rows. Profiling
-    * 100 TB is one scan; the exchange carries one row.
+    * row, then a per-row explode unpivots to (column, stats) rows.
+    *
+    * `approx = false` (the default, and the cross-engine-exact contract)
+    * uses `count_distinct`: Catalyst plans the multi-distinct as an
+    * Expand-based aggregation — each input row is replicated once per
+    * profiled column, and the aggregation state holds every distinct value
+    * of every column. Exact is right at audit scale; at 100 TB a 5-column
+    * profile means a 6× row expansion into an aggregation whose hash table
+    * is the union of all column domains — pass `approx = true` instead,
+    * which swaps in `approx_count_distinct` (HyperLogLog++, `rsd` relative
+    * error): no Expand node, constant-size mergeable state per column, and
+    * the profile stays one map-side-combined scan whose exchange carries
+    * one sketch row regardless of cardinality.
     */
-  def profile(df: DataFrame, cols: Seq[String]): DataFrame = {
+  def profile(
+      df: DataFrame,
+      cols: Seq[String],
+      approx: Boolean = false,
+      rsd: Double = 0.02): DataFrame = {
     require(cols.nonEmpty, "cols must be non-empty")
     val aggs = count(lit(1)).as("_n") +: cols.flatMap { c =>
+      val dist =
+        if (approx) approx_count_distinct(col(c), rsd) else count_distinct(col(c))
       Seq(
         count(when(col(c).isNull, 1)).as(s"_null_$c"),
-        count_distinct(col(c)).as(s"_dist_$c"),
+        dist.as(s"_dist_$c"),
         min(col(c)).cast("string").as(s"_min_$c"),
         max(col(c)).cast("string").as(s"_max_$c"))
     }

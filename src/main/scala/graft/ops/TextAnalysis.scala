@@ -271,9 +271,11 @@ object TextAnalysis {
     * is leftmost-first in both engines, so counts and replacements agree).
     *
     * IPv4 octets are bounded to 0-255 (so `999.999.999.999` is not an IP).
-    * A dotted quad of in-range numbers that is actually a version string
-    * (`1.2.3.4`) is textually indistinguishable from an IP and IS redacted —
-    * over-redaction is the intended trade for a PII scrubber.
+    * Version-string quads glued to a word prefix (`v1.2.3.4`, `rel1.2.3.4`)
+    * are NOT matched — the leading `\b` needs a word/non-word transition, and
+    * none exists between `v` and `1`. A BARE dotted quad of in-range numbers
+    * (`version 1.2.3.4`) is textually indistinguishable from an IP and IS
+    * redacted — over-redaction is the intended trade for a PII scrubber.
     */
   private[graft] val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
   private[graft] val ipv4Octet = "(25[0-5]|2[0-4]\\d|1\\d\\d|[1-9]?\\d)"
@@ -565,11 +567,11 @@ object TextAnalysis {
   /** Tokenize to vocabulary ids — the final text→model-input step of a
     * pretraining pipeline: each doc becomes its ordered id sequence under
     * `vocab` (columns `token`, `token_id`), with out-of-vocabulary tokens
-    * mapped to `oovId`. Output: (id, `ids_str` — comma-joined id sequence,
-    * `n_tokens`, `n_oov`); token-empty docs keep an empty string and zeros.
-    *
-    * The id sequence travels as a string rather than an array so diffs,
-    * fingerprints, and cross-engine comparisons stay exact and cheap.
+    * mapped to `oovId`. Output: (id, `ids` — the ordered `array<int>` id
+    * sequence, `n_tokens`, `n_oov`); token-empty docs keep an empty array
+    * and zeros. The ids stay TYPED — a training pipeline consumes
+    * `array<int>` directly; render a string form downstream if a diff or
+    * fingerprint needs a scalar.
     *
     * Shape: positional explode → broadcast hash join against the vocabulary
     * (dictionary-sized by construction — a vocab that can't broadcast can't
@@ -592,12 +594,12 @@ object TextAnalysis {
       .agg(
         // wrap in when(): a token-empty doc's explode_outer marker row would
         // otherwise contribute a (null, oov) struct — collect_list skips
-        // nulls, so the empty doc aggregates to an empty string
-        array_join(transform(
+        // nulls, so the empty doc aggregates to an empty array
+        transform(
           array_sort(collect_list(when(col("pos").isNotNull,
             struct(col("pos"),
               coalesce(col("token_id"), lit(oovId)).as("tid"))))),
-          e => e.getField("tid")), ",").as("ids_str"),
+          e => e.getField("tid")).as("ids"),
         count(col("pos")).as("n_tokens"),
         count(when(col("pos").isNotNull && col("token_id").isNull, 1)).as("n_oov"))
   }

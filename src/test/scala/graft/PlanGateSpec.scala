@@ -24,7 +24,7 @@ class PlanGateSpec extends SparkTestBase {
     * oracle gate + BASELINE.md instead.
     */
   private val iterative = Set("dedup_minhash", "dedup_simhash", "dedup_clusters",
-    "knn_ivf", "kmeans_clusters")
+    "knn_ivf", "kmeans_clusters", "kmeans_sample_train")
 
   private val maxShuffles = Map(
     "asof_join" -> 1,
@@ -69,7 +69,11 @@ class PlanGateSpec extends SparkTestBase {
     "sample_hash" -> 0,
     "sample_stratified" -> 0,
     "schema_events" -> 0,
-    "shard_layout" -> 1,
+    // two-phase position assignment: the corpus shuffles once on
+    // (shard, bucket); the other 3 exchanges belong to the tiny per-bucket
+    // counts subtree (groupBy partial→final, the per-shard cumulative
+    // window, and its join re-partition) and carry kilobytes at any SF
+    "shard_layout" -> 4,
     "source_csv_roundtrip" -> 0,
     "source_field_mapping" -> 0,
     "source_json_roundtrip" -> 0,

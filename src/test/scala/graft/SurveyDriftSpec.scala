@@ -1,0 +1,46 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** SURVEY.md §2 is the coverage contract the engine is graded against, so it
+  * must never drift from the code: an oracle-checked operator with no §2 row
+  * is invisible to the checklist (it happened — `mix_corpora` shipped a round
+  * before its row), and a row citing a renamed/removed query key overstates
+  * coverage. Both directions fail here.
+  */
+class SurveyDriftSpec extends AnyFunSuite {
+
+  private lazy val section2: String = {
+    val src = scala.io.Source.fromFile("SURVEY.md", "UTF-8")
+    val survey = try src.mkString finally src.close()
+    val start = survey.indexOf("## §2")
+    val end = survey.indexOf("## §3")
+    assert(start >= 0 && end > start, "SURVEY.md must contain §2 and §3 headings")
+    survey.substring(start, end)
+  }
+
+  test("every SparkEntry.queries key appears in a SURVEY §2 row") {
+    val missing = SparkEntry.queries.keySet
+      .filterNot(k => section2.contains(s"`$k`"))
+    assert(missing.isEmpty,
+      s"SURVEY §2 is missing rows citing: ${missing.toSeq.sorted.mkString(", ")}")
+  }
+
+  test("every query key a §2 row cites still exists in SparkEntry.queries") {
+    // keys live in the second-to-last table cell ("queries key(s)"/"Evidence");
+    // only snake_case backticked tokens are treated as query-key citations
+    val keyTok = "`([a-z0-9_]+)`".r
+    val cited = section2.linesIterator
+      .filter(_.startsWith("|"))
+      .flatMap { line =>
+        val cells = line.split("\\|").map(_.trim)
+        if (cells.length < 4) Iterator.empty
+        else keyTok.findAllMatchIn(cells(cells.length - 2)).map(_.group(1))
+      }
+      .filter(_.contains("_"))
+      .toSet
+    val stale = cited -- SparkEntry.queries.keySet
+    assert(stale.isEmpty,
+      s"SURVEY §2 cites nonexistent query keys: ${stale.toSeq.sorted.mkString(", ")}")
+  }
+}

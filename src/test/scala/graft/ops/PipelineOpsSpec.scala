@@ -188,6 +188,24 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(fp === expected)
   }
 
+  test("redactPii: v-prefixed version quads untouched; bare quads redacted by design") {
+    import spark.implicits._
+    def fp(s: String): String = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    // "v1.2.3.4": no word boundary between 'v' and '1', so the quad never
+    // matches — version strings glued to a prefix survive the scrubber
+    val versioned = Seq((1L, "upgrade to v1.2.3.4 today")).toDF("doc_id", "text")
+    val outV = TextAnalysis.redactPii(versioned, "doc_id", "text").head()
+    assert(outV.getInt(2) === 0, "v-prefixed quad is not an IP match")
+    assert(outV.getString(3) === fp("upgrade to v1.2.3.4 today"))
+    // a BARE in-range quad in prose is indistinguishable from an IP and IS
+    // redacted — the decided over-redaction trade (see ipv4Re scaladoc)
+    val bare = Seq((2L, "since version 1.2.3.4 we ship daily")).toDF("doc_id", "text")
+    val outB = TextAnalysis.redactPii(bare, "doc_id", "text").head()
+    assert(outB.getInt(2) === 1, "bare quad counts as an IP match")
+    assert(outB.getString(3) === fp("since version <IP> we ship daily"))
+  }
+
   test("stratifiedSample: per-stratum rates honored, same bucket rule as hashSample") {
     val docs = spark.read.parquet(s"${sf()}/documents.parquet")
     val out = Sampling.stratifiedSample(docs, "doc_id", "lang",
@@ -242,14 +260,22 @@ class PipelineOpsSpec extends SparkTestBase {
       .collect()
     assert(perShard.length === 8)
     perShard.foreach { r =>
-      assert(r.getAs[Int]("lo") === 0)
-      assert(r.getAs[Int]("hi").toLong === r.getAs[Long]("n") - 1, "dense positions")
+      assert(r.getAs[Long]("lo") === 0L)
+      assert(r.getAs[Long]("hi") === r.getAs[Long]("n") - 1, "dense positions")
     }
     // row order within a shard is NOT the key order (it is digest order): the
     // shard looks shuffled for training even though it's deterministic
     val shard0 = a.filter(col("shard") === 0).orderBy("position")
       .select("doc_id").collect().map(_.getLong(0))
     assert(!shard0.sameElements(shard0.sorted), "digest order breaks key order")
+    // scale shape: position assignment is two-phase — NO window may sort a
+    // whole shard in one task, so every window spec that partitions by shard
+    // must also partition by the digest-prefix bucket
+    val plan = a.queryExecution.executedPlan.toString
+    val shardOnlyWindow = "windowspecdefinition\\(shard#\\d+, _digest".r
+    assert(shardOnlyWindow.findFirstIn(plan).isEmpty,
+      "found a per-shard global sort window; positions must come from the " +
+        "(shard, bucket) two-phase assignment")
   }
 
   test("histogram: exact bin assignment, edge clamping, every row accounted for") {
@@ -306,6 +332,27 @@ class PipelineOpsSpec extends SparkTestBase {
       .collect().map(r => r.getString(0) ->
         (r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4), r.getString(5))).toMap
     // numeric min/max: 2 < 10 numerically (a string min would say "10" < "2")
+    assert(out("n") === ((3L, 0L, 2L, "2", "10")))
+    assert(out("s") === ((3L, 1L, 2L, "a", "b")))
+  }
+
+  test("profile approx: same stats at toy scale, and NO Expand in the plan") {
+    import spark.implicits._
+    val df = Seq(
+      (Some(2L), Some("b")), (Some(10L), None), (Some(10L), Some("a"))
+    ).toDF("n", "s")
+    // the exact (default) plan is the documented Expand-based multi-distinct;
+    // the approx plan must NOT pay the per-column row expansion
+    val exactPlan = Stats.profile(df, Seq("n", "s"))
+      .queryExecution.executedPlan.toString
+    assert(exactPlan.contains("Expand"), "exact multi-distinct plans via Expand")
+    val ap = Stats.profile(df, Seq("n", "s"), approx = true)
+    val approxPlan = ap.queryExecution.executedPlan.toString
+    assert(!approxPlan.contains("Expand"),
+      "approx profile must be a single non-expanded aggregation")
+    // at toy cardinalities HLL++ is exact, so values match the exact profile
+    val out = ap.collect().map(r => r.getString(0) ->
+      (r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4), r.getString(5))).toMap
     assert(out("n") === ((3L, 0L, 2L, "2", "10")))
     assert(out("s") === ((3L, 1L, 2L, "a", "b")))
   }

@@ -73,6 +73,26 @@ class SimilaritySpec extends SparkTestBase {
     assert(a2 === a1, "assignment is partition-order independent (fixed-point means)")
   }
 
+  test("kmeansAssign: sample training is deterministic and still assigns every vector") {
+    val e = emb(sf())
+    val c = e.select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val a1 = Similarity.kmeansAssign(c, numClusters = 8, trainPercent = 40)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    // assignment covers the FULL corpus even though training saw only ~40%
+    assert(a1.size.toLong === c.count(), "sample training must not drop assignments")
+    assert(a1.values.forall(cl => cl >= 0 && cl < 8))
+    // the md5-bucket train set is a pure function of the key set: same
+    // result under a different partitioning and across runs
+    val a2 = Similarity.kmeansAssign(c.repartition(5), numClusters = 8, trainPercent = 40)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(a2 === a1, "sampled training is deterministic")
+    // sampled centroids differ from full-corpus centroids (the sample is
+    // real, not a no-op): some assignment should move
+    val full = Similarity.kmeansAssign(c, numClusters = 8)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(full != a1, "trainPercent=40 must actually change the training set")
+  }
+
   test("lshTopK: never returns more than k per query, ranks contiguous") {
     val e = emb(sf())
     val q = e.filter(col("vec_id") < 3)

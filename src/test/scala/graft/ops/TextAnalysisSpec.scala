@@ -237,7 +237,7 @@ class TextAnalysisSpec extends SparkTestBase {
     assert(again === rows.map(r => (r._1, r._2, r._4)).toSet)
   }
 
-  test("tokenizeToIds: order preserved, OOV mapped, empty docs keep empty string") {
+  test("tokenizeToIds: typed array<int> ids in order, OOV mapped, empty docs keep empty array") {
     import spark.implicits._
     val vocab = Seq(("hello", 0), ("world", 1)).toDF("token", "token_id")
     val docs = Seq(
@@ -245,13 +245,16 @@ class TextAnalysisSpec extends SparkTestBase {
       (2L, "hello mars"), // mars is OOV
       (3L, " ") // token-empty
     ).toDF("doc_id", "text")
-    val out = TextAnalysis.tokenizeToIds(docs, "doc_id", "text", vocab)
-      .collect().map(r => r.getLong(0) ->
-        (r.getString(1), r.getLong(2), r.getLong(3))).toMap
+    val result = TextAnalysis.tokenizeToIds(docs, "doc_id", "text", vocab)
+    assert(result.schema("ids").dataType ===
+      org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.IntegerType, containsNull = false))
+    val out = result.collect().map(r => r.getLong(0) ->
+      (r.getSeq[Int](1), r.getLong(2), r.getLong(3))).toMap
     assert(out === Map(
-      1L -> (("1,0,1", 3L, 0L)),
-      2L -> (("0,-1", 2L, 1L)),
-      3L -> (("", 0L, 0L))))
+      1L -> ((Seq(1, 0, 1), 3L, 0L)),
+      2L -> ((Seq(0, -1), 2L, 1L)),
+      3L -> ((Seq.empty[Int], 0L, 0L))))
   }
 
   test("tokenizeToIds: duplicate positions impossible, repetition round-trips through ids") {
@@ -259,6 +262,6 @@ class TextAnalysisSpec extends SparkTestBase {
     val vocab = Seq(("a", 7)).toDF("token", "token_id")
     val docs = Seq((1L, "a a a a")).toDF("doc_id", "text")
     val out = TextAnalysis.tokenizeToIds(docs, "doc_id", "text", vocab).collect()(0)
-    assert(out.getString(1) === "7,7,7,7" && out.getLong(2) === 4L)
+    assert(out.getSeq[Int](1) === Seq(7, 7, 7, 7) && out.getLong(2) === 4L)
   }
 }

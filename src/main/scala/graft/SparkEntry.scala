@@ -284,6 +284,14 @@ object SparkEntry {
   private def multimodalMeta(s: SparkSession, dir: String): DataFrame =
     Multimodal.describe(Multimodal.synthesize(docs(s, dir), "doc_id", "text"))
 
+  /** REAL ImageIO roundtrip: generate a deterministic PNG per doc, decode
+    * it back, report dims + per-channel pixel sums. The oracle recomputes
+    * the sums from the closed-form pixel formula — no image stack needed.
+    */
+  private def imageStats(s: SparkSession, dir: String): DataFrame =
+    Multimodal.imageStats(s,
+      Multimodal.synthesizeImages(s, docs(s, dir).select("doc_id"), "doc_id"))
+
   /** events with value scaled to an exact integer (1e4 fixed-point) so sums
     * are shuffle-order- and engine-independent.
     */
@@ -788,6 +796,7 @@ object SparkEntry {
     "pack_sequences" -> (packSequences _),
     "ngram_stats" -> (ngramStats _),
     "multimodal_meta" -> (multimodalMeta _),
+    "image_stats" -> (imageStats _),
     "events_json_extract" -> (eventsJsonExtract _),
     "events_windowed" -> (eventsWindowed _),
     "events_sessions" -> (eventsSessions _),
@@ -1235,6 +1244,21 @@ object SparkEntry {
           |  CAST(doc_id % 480 + 32 AS INT) AS height,
           |  CAST(doc_id % 30 + 1 AS INT) AS n_frames
           |FROM documents""".stripMargin,
+      // the decoded-pixel sums of a REAL PNG encode→decode roundtrip,
+      // recomputed here from the closed-form pixel formula (PNG is
+      // lossless, so decoded bytes must equal the generator's arithmetic)
+      "image_stats" ->
+        """WITH d AS (SELECT doc_id,
+          |    CAST(doc_id % 16 + 8 AS INT) AS w, CAST(doc_id % 12 + 8 AS INT) AS h
+          |  FROM documents),
+          |px AS (SELECT doc_id, w, h, x.range AS x, y.range AS y
+          |  FROM d, range(0, 24) x, range(0, 20) y
+          |  WHERE x.range < w AND y.range < h)
+          |SELECT doc_id AS item_id, w AS width, h AS height,
+          |  CAST(sum((7 * x + 13 * y + doc_id) % 256) AS BIGINT) AS sum_r,
+          |  CAST(sum((3 * x + 5 * y + 2 * doc_id) % 256) AS BIGINT) AS sum_g,
+          |  CAST(sum((11 * x + 17 * y + 3 * doc_id) % 256) AS BIGINT) AS sum_b
+          |FROM px GROUP BY 1, 2, 3""".stripMargin,
       "events_json_extract" ->
         """SELECT event_type,
           |  CAST(sum(CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT)) AS BIGINT) AS sum_k,

@@ -11,11 +11,13 @@ import org.apache.spark.sql.types._
   * with `mapPartitions` over a typed Dataset so each executor core streams
   * through its partition without driver involvement.
   *
-  * The actual codecs (JPEG decode, audio resample, ...) are NOT in this
-  * container, so [[FakeCodec]] is a clearly-marked deterministic stand-in:
-  * the Spark-side plumbing — schema, partitioning, batch shape, feature
-  * vector contract — is real and tested; swap `FakeCodec` for a JNI/ffmpeg
-  * binding to go live.
+  * Codecs: PNG images are decoded/encoded FOR REAL via the JDK's
+  * `javax.imageio` ([[ImageIoCodec]] — headless-safe, zero native deps).
+  * The formats whose libraries are NOT in this container (JPEG quality
+  * paths, audio resample, video) keep [[FakeCodec]] as a clearly-marked
+  * deterministic stand-in. Either way the Spark-side plumbing — schema,
+  * partitioning, batch shape, feature contract — is identical; swapping a
+  * codec never touches a plan.
   */
 object Multimodal {
 
@@ -72,6 +74,53 @@ object Multimodal {
     }
   }
 
+  /** ===== real image codec (JDK `javax.imageio`, PNG — lossless) ===== */
+  object ImageIoCodec {
+    final case class Decoded(width: Int, height: Int, argb: Array[Int])
+
+    /** Encode a width×height image whose pixel (x, y) is `pixel(x, y)`
+      * (0xRRGGBB) as PNG bytes. PNG is lossless, so a decode returns the
+      * exact pixels — the property the oracle checks arithmetically.
+      */
+    def encodePng(width: Int, height: Int, pixel: (Int, Int) => Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(
+        width, height, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      var y = 0
+      while (y < height) {
+        var x = 0
+        while (x < width) { img.setRGB(x, y, pixel(x, y)); x += 1 }
+        y += 1
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+
+    /** Decode any ImageIO-supported payload (PNG, BMP, GIF, JPEG) to ARGB
+      * pixels; None when the payload is not a decodable image.
+      */
+    def decode(payload: Array[Byte]): Option[Decoded] =
+      Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload)))
+        .map { img =>
+          val (w, h) = (img.getWidth, img.getHeight)
+          Decoded(w, h, img.getRGB(0, 0, w, h, null, 0, w))
+        }
+
+    /** Nearest-neighbor resize with EXPLICIT source-index math
+      * (`sx = x·sw/dw`) rather than Graphics2D scaling — the mapping is a
+      * specified integer formula, so resized pixels are deterministic
+      * across JVMs and checkable against the source image.
+      */
+    def resizeNearest(payload: Array[Byte], dw: Int, dh: Int): Option[Array[Byte]] =
+      decode(payload).map { d =>
+        encodePng(dw, dh, (x, y) => {
+          val sx = x * d.width / dw
+          val sy = y * d.height / dh
+          d.argb(sy * d.width + sx) & 0xFFFFFF
+        })
+      }
+  }
+
   /** Attach a synthetic payload + metadata to a text table — the
     * deterministic fake "ingest" used by tests and the driver queries
     * (payload = utf8 bytes of the text; dims derived from the id).
@@ -126,6 +175,59 @@ object Multimodal {
         }
       })
       .toDF()
+  }
+
+  /** Deterministic generated REAL PNGs, one per row: dims and every pixel
+    * are closed-form functions of the id (`w = id%16+8`, `h = id%12+8`,
+    * `r = (7x+13y+id)%256`, `g = (3x+5y+2id)%256`, `b = (11x+17y+3id)%256`),
+    * so an engine with no image stack can still compute what the DECODED
+    * bytes must sum to — the trick that makes a genuine ImageIO
+    * encode→decode roundtrip oracle-checkable in SQL.
+    */
+  def synthesizeImages(spark: SparkSession, df: DataFrame, idCol: String): DataFrame = {
+    import spark.implicits._
+    df.select(col(idCol).cast("long")).as[Long]
+      .mapPartitions(_.map { id =>
+        val w = (id % 16 + 8).toInt
+        val h = (id % 12 + 8).toInt
+        val png = ImageIoCodec.encodePng(w, h, (x, y) => {
+          val r = ((7L * x + 13L * y + id) % 256).toInt
+          val g = ((3L * x + 5L * y + 2 * id) % 256).toInt
+          val b = ((11L * x + 17L * y + 3 * id) % 256).toInt
+          (r << 16) | (g << 8) | b
+        })
+        (id, png, w, h)
+      })
+      .toDF("item_id", "payload", "width", "height")
+      .select(col("item_id"), col("payload"),
+        struct(lit("image").as("media_type"), lit("png").as("format"),
+          col("width"), col("height"),
+          lit(null).cast("int").as("n_frames"),
+          lit(null).cast("int").as("sample_rate")).as("meta"))
+  }
+
+  /** Decode image payloads (real ImageIO decode) to per-channel pixel sums
+    * and true dimensions — the cheap integrity/feature pass over an image
+    * corpus (corrupt payload ⇒ row dropped; dims come from the DECODED
+    * image, not trusted metadata). Batched per partition like every codec
+    * pass; scan-speed, no shuffle.
+    */
+  def imageStats(spark: SparkSession, media: DataFrame): DataFrame = {
+    import spark.implicits._
+    media.select(col("item_id"), col("payload")).as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, payload) =>
+        ImageIoCodec.decode(payload).map { d =>
+          var (sr, sg, sb) = (0L, 0L, 0L)
+          var i = 0
+          while (i < d.argb.length) {
+            val p = d.argb(i)
+            sr += (p >> 16) & 0xFF; sg += (p >> 8) & 0xFF; sb += p & 0xFF
+            i += 1
+          }
+          (id, d.width, d.height, sr, sg, sb)
+        }
+      })
+      .toDF("item_id", "width", "height", "sum_r", "sum_g", "sum_b")
   }
 
   /** Scan-speed metadata projection (no codec): per-item payload size and

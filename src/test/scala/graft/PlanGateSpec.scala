@@ -54,6 +54,7 @@ class PlanGateSpec extends SparkTestBase {
     "knn_brute" -> 1,
     "knn_lsh" -> 1,
     "multimodal_meta" -> 0,
+    "image_stats" -> 0,
     "ngram_stats" -> 2,
     "pack_sequences" -> 1,
     "pipeline_clean_corpus" -> 1,

@@ -57,4 +57,49 @@ class MultimodalSpec extends SparkTestBase {
       .collect()
     d.foreach(r => assert(r.getAs[Int]("payload_bytes").toLong == r.getAs[Long]("n_chars")))
   }
+
+  test("ImageIoCodec: PNG encode→decode roundtrip is pixel-exact; non-images decode to None") {
+    val pix = (x: Int, y: Int) => ((x * 40) << 16) | ((y * 60) << 8) | (x + y)
+    val png = Multimodal.ImageIoCodec.encodePng(5, 4, pix)
+    val d = Multimodal.ImageIoCodec.decode(png).get
+    assert(d.width === 5 && d.height === 4)
+    for (y <- 0 until 4; x <- 0 until 5)
+      assert((d.argb(y * 5 + x) & 0xFFFFFF) === pix(x, y), s"pixel ($x,$y)")
+    assert(Multimodal.ImageIoCodec.decode("not an image".getBytes("UTF-8")).isEmpty)
+  }
+
+  test("ImageIoCodec.resizeNearest: specified integer source mapping, lossless re-encode") {
+    val src = Multimodal.ImageIoCodec.encodePng(8, 6, (x, y) => (x << 16) | (y << 8) | 7)
+    val d = Multimodal.ImageIoCodec.decode(
+      Multimodal.ImageIoCodec.resizeNearest(src, 4, 3).get).get
+    assert(d.width === 4 && d.height === 3)
+    for (y <- 0 until 3; x <- 0 until 4) {
+      val (sx, sy) = (x * 8 / 4, y * 6 / 3)
+      assert((d.argb(y * 4 + x) & 0xFFFFFF) === ((sx << 16) | (sy << 8) | 7))
+    }
+  }
+
+  test("imageStats: decoded sums match the generator formula; corrupt payloads dropped") {
+    import spark.implicits._
+    val ids = Seq(0L, 5L, 23L).toDF("doc_id")
+    val imgs = Multimodal.synthesizeImages(spark, ids, "doc_id")
+    val out = Multimodal.imageStats(spark, imgs).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    Seq(0L, 5L, 23L).foreach { id =>
+      val w = (id % 16 + 8).toInt
+      val h = (id % 12 + 8).toInt
+      var (sr, sg, sb) = (0L, 0L, 0L)
+      for (x <- 0 until w; y <- 0 until h) {
+        sr += (7L * x + 13L * y + id) % 256
+        sg += (3L * x + 5L * y + 2 * id) % 256
+        sb += (11L * x + 17L * y + 3 * id) % 256
+      }
+      val r = out(id)
+      assert(r.getInt(1) === w && r.getInt(2) === h)
+      assert(r.getLong(3) === sr && r.getLong(4) === sg && r.getLong(5) === sb)
+    }
+    val bad = imgs.select(col("item_id"),
+      lit("definitely not a png".getBytes("UTF-8")).as("payload"))
+    assert(Multimodal.imageStats(spark, bad).count() === 0L, "corrupt rows are dropped")
+  }
 }

@@ -1,11 +1,13 @@
 package graft
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
 
 /** Throwaway profiling main (not part of the driver contract). */
 object Scratch {
   def main(args: Array[String]): Unit = {
-    val dir = args.headOption.getOrElse("/root/testdata/sf0.01")
+    val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val spark = SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -14,17 +16,78 @@ object Scratch {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    val names = args.drop(1) match {
-      case Array() => Array("shard_layout")
-      case more => more
+    def time[T](name: String)(f: => T): T = {
+      val t0 = System.nanoTime(); val r = f
+      println(f"[scratch] $name: ${(System.nanoTime() - t0) / 1e9}%.2fs"); r
     }
-    names.foreach { name =>
-      val df = SparkEntry.queries(name)(spark, dir)
-      val plan = df.queryExecution.executedPlan.toString
-      println(s"==== $name ====")
-      println(plan)
-      println("EXCHANGES=" + "Exchange (hash|range|Single)".r.findAllIn(plan).size)
+    def noop(df: DataFrame): Unit =
+      df.write.format("noop").mode("overwrite").save()
+
+    def keyedOf(df: DataFrame, keyCol: String, numShards: Int): DataFrame = {
+      val digest = md5(col(keyCol).cast("string").cast("binary"))
+      val shard = (conv(substring(digest, 1, 6), 16, 10).cast("long") % numShards)
+        .cast("int")
+      df.withColumn("_digest", digest)
+        .withColumn("shard", shard)
+        .withColumn("_bucket", conv(substring(col("_digest"), 1, 2), 16, 10).cast("int"))
     }
+    def offsetsOf(keyed: DataFrame): DataFrame = keyed
+      .groupBy(col("shard"), col("_bucket"))
+      .agg(count(lit(1)).as("_cnt"))
+      .withColumn("_offset", coalesce(
+        sum(col("_cnt")).over(Window.partitionBy(col("shard")).orderBy(col("_bucket"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("shard"), col("_bucket"), col("_offset"))
+    val w = Window.partitionBy(col("shard"), col("_bucket"))
+      .orderBy(col("_digest"), col("k"))
+
+    def single(df: DataFrame, numShards: Int): DataFrame = {
+      val ws = Window.partitionBy(col("shard")).orderBy(col("_digest"), col("k"))
+      keyedOf(df, "k", numShards)
+        .withColumn("position", (row_number().over(ws) - 1).cast("long"))
+        .drop("_digest", "_bucket")
+    }
+    // v2: repartition first, counts off the shuffled frame
+    def v2(df: DataFrame, numShards: Int): DataFrame = {
+      val parted = keyedOf(df, "k", numShards).repartition(col("shard"), col("_bucket"))
+      parted.join(offsetsOf(parted), Seq("shard", "_bucket"))
+        .withColumn("position", col("_offset") + row_number().over(w) - 1)
+        .select(df.columns.map(col) :+ col("shard") :+ col("position"): _*)
+    }
+    // v3: counts off the unshuffled frame (map-side partial), broadcast offsets
+    def v3(df: DataFrame, numShards: Int): DataFrame = {
+      val keyed = keyedOf(df, "k", numShards)
+      keyed.join(broadcast(offsetsOf(keyed)), Seq("shard", "_bucket"))
+        .withColumn("position", col("_offset") + row_number().over(w) - 1)
+        .select(df.columns.map(col) :+ col("shard") :+ col("position"): _*)
+    }
+
+    // v4: counts off the unshuffled frame (map-side partial -> tiny
+    // exchange, independent stage), probe side pre-repartitioned (overlaps
+    // with counts; window reuses the join partitioning)
+    def v4(df: DataFrame, numShards: Int): DataFrame = {
+      val keyed = keyedOf(df, "k", numShards)
+      val parted = keyed.repartition(col("shard"), col("_bucket"))
+      parted.join(broadcast(offsetsOf(keyed)), Seq("shard", "_bucket"))
+        .withColumn("position", col("_offset") + row_number().over(w) - 1)
+        .select(df.columns.map(col) :+ col("shard") :+ col("position"): _*)
+    }
+
+    val li = spark.read.parquet(s"$dir/lineitem.parquet")
+      .select(concat_ws(":", col("l_orderkey"), col("l_linenumber")).as("k"),
+        col("l_partkey"), col("l_quantity"))
+    println(s"[scratch] lineitem rows = ${li.count()}")
+    (1 to 3).foreach { round =>
+      Seq(("single", single _), ("v2-repart", v2 _), ("v3-bcast", v3 _),
+        ("v4-both", v4 _)).foreach {
+        case (name, fn) =>
+          time(s"$name shards=32 (round $round)")(noop(fn(li, 32)))
+      }
+    }
+    println("==== v4 executed plan ====")
+    val p = v4(li, 32)
+    noop(p)
+    println(p.queryExecution.executedPlan.toString.take(4000))
     spark.stop()
   }
 }

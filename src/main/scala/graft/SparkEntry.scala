@@ -320,6 +320,24 @@ object SparkEntry {
         unix_micros(col("session_end")).as("session_end_us"),
         col("n_events"), col("total_value"))
 
+  /** C4-style segment dedup over synthesized 12-token segments: the test
+    * corpus has no natural line breaks, so the wrapper derives deterministic
+    * ones (every 12 tokens → one "\n"-joined segment) before calling the
+    * operator, which itself just splits on the delimiter. The oracle builds
+    * the identical segments directly from token positions.
+    */
+  private def dedupSegmentsQuery(s: SparkSession, dir: String): DataFrame = {
+    val toks = graft.functions.tokens(col("text"))
+    val nSeg = ceil(size(toks).cast("double") / 12).cast("int")
+    val segText = when(size(toks) > 0,
+      array_join(transform(sequence(lit(0), nSeg - 1),
+        i => array_join(slice(toks, i * 12 + 1, lit(12)), " ")), "\n")).otherwise(lit(""))
+    val prepared = docs(s, dir).select(col("doc_id"), segText.as("seg_text"))
+    Dedup.dedupSegments(prepared, "doc_id", "seg_text")
+      .select(col("id").as("doc_id"), col("text_dedup"),
+        col("n_segments"), col("n_kept"))
+  }
+
   /** End-to-end corpus cleaning: quality-filter then exact-dedup, the
     * composition a training-data pipeline actually runs. Output = surviving
     * canonical docs with their quality score. `qualityScore` carries the text
@@ -812,6 +830,7 @@ object SparkEntry {
     "chunk_documents" -> (chunkDocs _),
     "top_ngram_stats" -> (topNgram _),
     "dedup_against" -> (dedupAgainstSnapshot _),
+    "dedup_segments" -> (dedupSegmentsQuery _),
     "rare_token_stats" -> (rareTokens _),
     "asof_join" -> (asofJoinQuery _),
     "interval_join" -> (intervalJoinQuery _),
@@ -1368,6 +1387,25 @@ object SparkEntry {
         """SELECT doc_id, lang, source FROM documents
           |WHERE lower(trim(text)) NOT IN
           |  (SELECT lower(trim(text)) FROM documents WHERE doc_id % 3 = 0)""".stripMargin,
+      // segment dedup: identical 12-token segments built from token
+      // positions; first occurrence = row_number() over (doc_id, pos)
+      "dedup_segments" ->
+        s"""WITH $toksCte,
+           |ex AS (SELECT doc_id, unnest(toks) AS tok,
+           |  generate_subscripts(toks, 1) AS p FROM t),
+           |segs AS (SELECT doc_id, CAST((p - 1) // 12 AS INT) AS pos,
+           |  string_agg(tok, ' ' ORDER BY p) AS seg
+           |  FROM ex GROUP BY doc_id, (p - 1) // 12),
+           |rn AS (SELECT doc_id, pos, seg,
+           |  row_number() OVER (PARTITION BY seg ORDER BY doc_id, pos) AS rn FROM segs),
+           |agg AS (SELECT doc_id, string_agg(seg, chr(10) ORDER BY pos) AS text_dedup,
+           |  count(*) AS n_kept FROM rn WHERE rn = 1 GROUP BY doc_id),
+           |nseg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_segments
+           |  FROM segs GROUP BY doc_id)
+           |SELECT t.doc_id, coalesce(agg.text_dedup, '') AS text_dedup,
+           |  coalesce(nseg.n_segments, 0) AS n_segments,
+           |  coalesce(agg.n_kept, 0) AS n_kept
+           |FROM t LEFT JOIN nseg USING (doc_id) LEFT JOIN agg USING (doc_id)""".stripMargin,
       "rare_token_stats" ->
         """WITH t AS (SELECT doc_id,
           |  list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> len(x) > 0) AS toks

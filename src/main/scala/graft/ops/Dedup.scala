@@ -335,6 +335,60 @@ object Dedup {
       .drop("_k")
   }
 
+  /** Cross-corpus segment-level dedup — the C4-style boilerplate-removal
+    * step: split each document into segments on `delim`, keep only the FIRST
+    * occurrence of every distinct segment corpus-wide (first = smallest
+    * (id, position), a total order, so the result is a pure function of the
+    * corpus), and reassemble each document from its surviving segments in
+    * original order. Repeated nav bars, cookie banners, and license blocks
+    * survive exactly once — in the earliest document that carries them.
+    * Empty segments are dropped at the split. Output: (id, `text_dedup`,
+    * `n_segments`, `n_kept`); a fully-deduplicated document keeps an empty
+    * string, never disappears.
+    *
+    * Shape at 100 TB: segments explode once; the first-occurrence arg-min
+    * groups on the segment's 32-byte digest (map-side partial `min(struct)`,
+    * so a segment repeated a billion times still aggregates per-partition —
+    * boilerplate IS the skew case and this is the skew-proof plan), and the
+    * winners table (one narrow row per DISTINCT segment) joins back on the
+    * digest — no text ever shuffles as a KEY. Segment text crosses the wire
+    * exactly twice (the explode exchange and the per-doc reassembly), which
+    * is the floor for any reassembling dedup.
+    */
+  def dedupSegments(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      delim: String = "\n"): DataFrame = {
+    val segs = df
+      .select(col(idCol).as("id"),
+        posexplode(filter(
+          split(col(textCol), java.util.regex.Pattern.quote(delim)),
+          s => length(s) > 0)).as(Seq("pos", "seg")))
+      .withColumn("_d", unhex(sha2(col("seg").cast("binary"), 256)))
+    val firsts = segs
+      .groupBy(col("_d"))
+      .agg(min(struct(col("id"), col("pos"))).as("_first"))
+    val kept = segs.join(firsts, Seq("_d"))
+      .filter(col("id") === col("_first.id") && col("pos") === col("_first.pos"))
+    val rebuilt = kept
+      .groupBy(col("id"))
+      .agg(
+        array_join(transform(
+          array_sort(collect_list(struct(col("pos"), col("seg")))),
+          e => e.getField("seg")), delim).as("text_dedup"),
+        count(lit(1)).as("n_kept"))
+    val nSegs = size(filter(
+      split(col(textCol), java.util.regex.Pattern.quote(delim)),
+      s => length(s) > 0))
+    df.select(col(idCol).as("id"), nSegs.cast("long").as("n_segments"))
+      .join(rebuilt, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("text_dedup"), lit("")).as("text_dedup"),
+        col("n_segments"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"))
+  }
+
   /** Benchmark decontamination: flag corpus documents that share any word
     * n-gram with a benchmark/eval set — the standard "did the training data
     * leak the test set" check. Returns (id, n_hit_grams, n_grams) for

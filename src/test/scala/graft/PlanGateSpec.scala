@@ -40,6 +40,10 @@ class PlanGateSpec extends SparkTestBase {
     "chunk_documents" -> 0,
     "top_ngram_stats" -> 2,
     "dedup_against" -> 1,
+    // segment dedup: the two aggregation shuffles (first-occurrence arg-min
+    // on the digest, per-doc reassembly); the winners join broadcasts at
+    // bench SF and becomes a co-partitioned shuffle join at scale
+    "dedup_segments" -> 2,
     "rare_token_stats" -> 2,
     "corpus_quantiles" -> 1,
     "decontaminate" -> 2,

@@ -156,6 +156,28 @@ class DedupSpec extends SparkTestBase {
       .agg(org.apache.spark.sql.functions.max("n_dups")).head.getLong(0) === 1L)
   }
 
+  test("dedupSegments: first occurrence wins corpus-wide, docs reassemble in order") {
+    val docs = docsDf(
+      (1L, "intro one\nshared boilerplate\nbody of one"),
+      (2L, "shared boilerplate\nbody of two\nshared boilerplate"),
+      (3L, "shared boilerplate"), // fully deduplicated -> empty, still present
+      (4L, "")) // no segments at all
+    val out = Dedup.dedupSegments(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        (r.getString(1), r.getLong(2), r.getLong(3))).toMap
+    // doc 1 is the earliest carrier of the boilerplate: keeps everything
+    assert(out(1L) === (("intro one\nshared boilerplate\nbody of one", 3L, 3L)))
+    // doc 2 loses BOTH its copies (first occurrence is doc 1's)
+    assert(out(2L) === (("body of two", 3L, 1L)))
+    assert(out(3L) === (("", 1L, 0L)))
+    assert(out(4L) === (("", 0L, 0L)))
+    // determinism under a different partitioning
+    val again = Dedup.dedupSegments(docs.repartition(5), "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        (r.getString(1), r.getLong(2), r.getLong(3))).toMap
+    assert(again === out)
+  }
+
   test("decontaminate: broadcast side is the benchmark grams") {
     val bench = docsDf((100L, "alpha beta gamma"))
     val corpus = docsDf((1L, "alpha beta gamma delta"))

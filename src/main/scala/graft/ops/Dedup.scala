@@ -360,12 +360,17 @@ object Dedup {
       idCol: String,
       textCol: String,
       delim: String = "\n"): DataFrame = {
+    // lazily checkpointed: the exploded table feeds the first-occurrence
+    // arg-min AND the winners probe — without the checkpoint the
+    // split+explode+sha2 pass runs twice (same discipline as minHashLsh's
+    // shingle table; local blocks, spills to executor disk at scale)
     val segs = df
       .select(col(idCol).as("id"),
         posexplode(filter(
           split(col(textCol), java.util.regex.Pattern.quote(delim)),
           s => length(s) > 0)).as(Seq("pos", "seg")))
       .withColumn("_d", unhex(sha2(col("seg").cast("binary"), 256)))
+      .localCheckpoint(false)
     val firsts = segs
       .groupBy(col("_d"))
       .agg(min(struct(col("id"), col("pos"))).as("_first"))

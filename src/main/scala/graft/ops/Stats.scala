@@ -10,23 +10,31 @@ object Stats {
     * output column per requested quantile (`p25`, `p50`, ...), plus the group
     * row count.
     *
-    * Exact `percentile` buffers each group's values — fine for per-group
-    * profiling (groups are bounded: languages, sources, shards); for
-    * whole-corpus quantiles at 100 TB switch to `approx_percentile`, which is
-    * mergeable and streams. Dyadic quantiles (.25/.5/.75) over integer values
-    * interpolate exactly in binary floating point, so results are
-    * engine-reproducible bit-for-bit.
+    * Exact `percentile` (the default, and the oracle contract) buffers each
+    * group's values — fine for per-group profiling (groups are bounded:
+    * languages, sources, shards). Dyadic quantiles (.25/.5/.75) over integer
+    * values interpolate exactly in binary floating point, so exact results
+    * are engine-reproducible bit-for-bit. For whole-corpus or huge-group
+    * quantiles at 100 TB pass `approx = true`: `approx_percentile`'s
+    * mergeable sketch bounds state at `accuracy`-driven size per group
+    * regardless of group row count (error ≤ 1/accuracy of rank).
     */
   def groupedQuantiles(
       df: DataFrame,
       groupCols: Seq[String],
       valueCol: String,
-      qs: Seq[Double]): DataFrame = {
+      qs: Seq[Double],
+      approx: Boolean = false,
+      accuracy: Int = 10000): DataFrame = {
+    val q =
+      if (approx) approx_percentile(col(valueCol), typedLit(qs), lit(accuracy))
+      else percentile(col(valueCol), typedLit(qs))
     val agg = df.groupBy(groupCols.map(col): _*)
-      .agg(count(lit(1)).as("n_rows"),
-        percentile(col(valueCol), typedLit(qs)).as("_q"))
+      .agg(count(lit(1)).as("n_rows"), q.as("_q"))
+    // cast keeps the schema stable across modes: exact percentile is
+    // already double; approx returns the input type (no interpolation)
     val qCols = qs.zipWithIndex.map { case (q, i) =>
-      element_at(col("_q"), i + 1).as(s"p${math.round(q * 100)}")
+      element_at(col("_q"), i + 1).cast("double").as(s"p${math.round(q * 100)}")
     }
     agg.select(groupCols.map(col) ++ (col("n_rows") +: qCols): _*)
   }

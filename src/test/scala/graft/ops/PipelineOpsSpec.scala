@@ -336,6 +336,22 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(out("s") === ((3L, 1L, 2L, "a", "b")))
   }
 
+  test("groupedQuantiles approx: element-exact on element-aligned quantiles, stable schema") {
+    import spark.implicits._
+    // odd group: p50 falls exactly on an element, so the sketch (exact below
+    // `accuracy` rows) must return precisely the exact answer
+    val df = Seq(("a", 10L), ("a", 20L), ("a", 30L), ("b", 5L)).toDF("g", "v")
+    val exact = Stats.groupedQuantiles(df, Seq("g"), "v", Seq(0.5))
+      .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+    val approx = Stats.groupedQuantiles(df, Seq("g"), "v", Seq(0.5), approx = true)
+      .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+    assert(exact === Map("a" -> 20.0, "b" -> 5.0))
+    assert(approx === exact, "sketch is exact below accuracy rows")
+    // schemas identical across modes (approx casts back to double)
+    assert(Stats.groupedQuantiles(df, Seq("g"), "v", Seq(0.5), approx = true).schema ===
+      Stats.groupedQuantiles(df, Seq("g"), "v", Seq(0.5)).schema)
+  }
+
   test("profile approx: same stats at toy scale, and NO Expand in the plan") {
     import spark.implicits._
     val df = Seq(

@@ -52,6 +52,32 @@ object Layout {
       .partitionBy("dt")
       .parquet(path)
 
+  /** Materialize [[Sampling.shuffleShards]]' deterministic layout as the
+    * thing a training loader actually consumes: `shard=N/` directories of
+    * position-SORTED parquet files. Rows stay on their (shard, bucket)
+    * partitions from the position assignment — no extra shuffle — and each
+    * task writes its buckets into the shard directories it holds, sorted by
+    * position. A shard therefore arrives as MULTIPLE files (one per
+    * task × shard pair), each internally position-ordered, with every
+    * position appearing in exactly one file: a loader recovers global shard
+    * order with a streaming k-way merge over the shard's files (k = files
+    * per shard, bounded by the writer's partition count) — never a global
+    * sort. One file per shard would mean one writer task per shard — the
+    * exact single-task bottleneck the two-phase positions removed.
+    */
+  def writeTrainingShards(
+      df: DataFrame,
+      keyCol: String,
+      numShards: Int,
+      path: String,
+      overwrite: Boolean = true): Unit =
+    Sampling.shuffleShards(df, keyCol, numShards)
+      .sortWithinPartitions(col("shard"), col("position"))
+      .write
+      .mode(if (overwrite) "overwrite" else "errorifexists")
+      .partitionBy("shard")
+      .parquet(path)
+
   /** Result of a [[compact]] rewrite. */
   final case class CompactStats(filesBefore: Int, filesAfter: Int, bytes: Long)
 

@@ -102,6 +102,39 @@ class LayoutSpec extends SparkTestBase {
     assert(ids.sameElements(ids.sorted), "sortCols must order rows within the file")
   }
 
+  test("writeTrainingShards: shard dirs, per-file position order, dense shard positions, no extra exchange") {
+    val docs = spark.read.parquet(s"${sf()}/documents.parquet").select("doc_id", "lang")
+    val path = java.nio.file.Files.createTempDirectory("graft-shards").toString + "/out"
+    Layout.writeTrainingShards(docs, "doc_id", numShards = 4, path)
+    // every shard directory materialized
+    val dirs = new java.io.File(path).listFiles().filter(_.isDirectory)
+      .map(_.getName).filter(_.startsWith("shard=")).sorted
+    assert(dirs.toSeq === Seq("shard=0", "shard=1", "shard=2", "shard=3"))
+    // the layout IS shuffleShards' (pure function of the key set)
+    val expected = Sampling.shuffleShards(docs, "doc_id", 4)
+      .collect().map(r => (r.getLong(0), r.getInt(2), r.getLong(3))).toSet
+    val readBack = spark.read.parquet(path)
+    val got = readBack.select("doc_id", "shard", "position")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(got === expected)
+    // per shard: dense 0..n-1 positions across however many files it has
+    readBack.groupBy("shard")
+      .agg(count(lit(1)).as("n"), min("position").as("lo"), max("position").as("hi"))
+      .collect().foreach { r =>
+        assert(r.getAs[Long]("lo") === 0L)
+        assert(r.getAs[Long]("hi") === r.getAs[Long]("n") - 1)
+      }
+    // each FILE is internally position-sorted (the k-way-merge loader contract)
+    dirs.foreach { d =>
+      new java.io.File(s"$path/$d").listFiles()
+        .filter(_.getName.endsWith(".parquet")).foreach { f =>
+          val pos = spark.read.parquet(f.getPath)
+            .select("position").collect().map(_.getLong(0))
+          assert(pos.sameElements(pos.sorted), s"unsorted file ${f.getName} in $d")
+        }
+    }
+  }
+
   test("datePartitionColumn prunes through pullAll and pointInTime") {
     import java.sql.Timestamp
     val path = java.nio.file.Files.createTempDirectory("graft-dpc2").toString + "/ev"

@@ -424,6 +424,13 @@ object SparkEntry {
     ops.Sampling.shuffleShards(docs(s, dir).select("doc_id", "lang"), "doc_id",
       numShards = 8)
 
+  /** Domain balancing: at most 37 docs per language, smallest-digest-first
+    * (exact deterministic cap, not a rate sample).
+    */
+  private def capPerGroupQuery(s: SparkSession, dir: String): DataFrame =
+    ops.Sampling.capPerGroup(docs(s, dir).select("doc_id", "lang", "source"),
+      "lang", "doc_id", maxPerGroup = 37)
+
   /** 32-token chunks with stride 24 (overlapping pretraining windows). */
   private def chunkDocs(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.chunkDocuments(docs(s, dir), "doc_id", "text",
@@ -827,6 +834,7 @@ object SparkEntry {
     "decontaminate" -> (decontaminateCorpus _),
     "sample_stratified" -> (sampleStratified _),
     "shard_layout" -> (shardLayout _),
+    "cap_per_group" -> (capPerGroupQuery _),
     "chunk_documents" -> (chunkDocs _),
     "top_ngram_stats" -> (topNgram _),
     "dedup_against" -> (dedupAgainstSnapshot _),
@@ -1435,6 +1443,15 @@ object SparkEntry {
           |  CAST(row_number() OVER (PARTITION BY shard ORDER BY dg, doc_id) - 1 AS BIGINT)
           |    AS position
           |FROM s""".stripMargin,
+      // exact deterministic cap: the kept set is the 37 smallest md5
+      // digests per language — row_number over the same (digest, key) order
+      "cap_per_group" ->
+        """SELECT doc_id, lang, source FROM (
+          |  SELECT doc_id, lang, source,
+          |    row_number() OVER (PARTITION BY lang
+          |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+          |  FROM documents)
+          |WHERE rn <= 37""".stripMargin,
       "corpus_quantiles" ->
         """SELECT lang, count(*) AS n_rows,
           |  quantile_cont(n_chars, 0.25) AS p25,

@@ -111,6 +111,58 @@ object Sampling {
     }.reduce(_ unionByName _)
   }
 
+  /** Deterministic per-group cap — the domain/cluster-balancing primitive
+    * ("no domain contributes more than N documents", "cap any one k-means
+    * cluster"): keep at most `maxPerGroup` rows per `groupCol`, chosen as
+    * the rows with the smallest md5 digests of `keyCol` (uniform over the
+    * group but a pure function of the key set — the same reproducibility
+    * contract as [[hashSample]], and unlike a rate filter the cap is EXACT).
+    *
+    * Skew-safe by construction: the obvious
+    * `row_number over (partition by group)` sorts each whole group in one
+    * task — and the group that needs capping is by definition the huge one.
+    * Instead rows carry an order-preserving digest-prefix bucket (first 2
+    * hex chars): per-(group, bucket) counts turn into cumulative starting
+    * ranks via a window over the counts table (≤ 256 rows per group), every
+    * bucket whose rank range lies wholly past the cap is DROPPED before any
+    * sort (the hot group's tail — almost all of it — never reaches the
+    * window), and the surviving rows row_number within their own
+    * (group, bucket) only. Sort work is therefore bounded by the OUTPUT
+    * size plus one bucket (~group/256), not by the hot group's size — the
+    * largest per-task sort is one bucket. The counts/ranks table is one narrow
+    * row per realized (group, bucket) — ≤ 256 × distinct groups — and joins
+    * back co-partitioned; the cost model broadcasts it while small (groups
+    * are unbounded, so no forced hint).
+    */
+  def capPerGroup(
+      df: DataFrame,
+      groupCol: String,
+      keyCol: String,
+      maxPerGroup: Int): DataFrame = {
+    require(maxPerGroup > 0, "maxPerGroup must be positive")
+    import org.apache.spark.sql.expressions.Window
+    val digest = md5(col(keyCol).cast("string").cast("binary"))
+    val keyed = df
+      .withColumn("_digest", digest)
+      .withColumn("_bucket", conv(substring(col("_digest"), 1, 2), 16, 10).cast("int"))
+    val ranks = keyed
+      .groupBy(col(groupCol), col("_bucket"))
+      .agg(count(lit(1)).as("_cnt"))
+      .withColumn("_before", coalesce(
+        sum(col("_cnt")).over(Window.partitionBy(col(groupCol)).orderBy(col("_bucket"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col(groupCol), col("_bucket"), col("_cnt"), col("_before"))
+    val w = Window.partitionBy(col(groupCol), col("_bucket"))
+      .orderBy(col("_digest"), col(keyCol))
+    keyed.join(ranks, Seq(groupCol, "_bucket"))
+      .filter(col("_before") < maxPerGroup)
+      .withColumn("_keep",
+        when(col("_before") + col("_cnt") <= maxPerGroup, lit(true))
+          .otherwise(col("_before") + row_number().over(w) <= maxPerGroup))
+      .filter(col("_keep"))
+      .select(df.columns.map(col): _*)
+  }
+
   /** Deterministic global shuffle into `numShards` training shards: shard by
     * an md5 bucket of the key, order within the shard by the full md5 digest
     * (then the key, so equal digests can't reorder). The resulting

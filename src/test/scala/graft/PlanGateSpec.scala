@@ -79,6 +79,9 @@ class PlanGateSpec extends SparkTestBase {
     // counts subtree (groupBy partial→final, the per-shard cumulative
     // window, and its join re-partition) and carry kilobytes at any SF
     "shard_layout" -> 4,
+    // same two-phase machinery as shard_layout: corpus join exchange +
+    // counts partial→final + per-group cumulative window re-partition
+    "cap_per_group" -> 4,
     "source_csv_roundtrip" -> 0,
     "source_field_mapping" -> 0,
     "source_json_roundtrip" -> 0,

@@ -250,6 +250,32 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(!out.queryExecution.executedPlan.toString.contains("Exchange"))
   }
 
+  test("capPerGroup: exact cap, digest order, small groups untouched, skew-safe plan") {
+    val docs = spark.read.parquet(s"${sf()}/documents.parquet")
+      .select("doc_id", "lang")
+    val before = docs.groupBy("lang").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val k = 5
+    val out = Sampling.capPerGroup(docs, "lang", "doc_id", k)
+    val after = out.groupBy("lang").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    before.foreach { case (lang, n) =>
+      assert(after(lang) === math.min(n, k.toLong), s"lang $lang")
+    }
+    // the kept set is exactly the k smallest digests per group (the
+    // reference semantics the oracle also checks at sf0.01)
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("lang"))
+      .orderBy(md5(col("doc_id").cast("string").cast("binary")), col("doc_id"))
+    val ref = docs.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(out.select("doc_id").collect().map(_.getLong(0)).toSet === ref)
+    // skew-safety: no window partitions by the group alone
+    val plan = out.queryExecution.executedPlan.toString
+    assert("windowspecdefinition\\(lang#\\d+, _digest".r.findFirstIn(plan).isEmpty,
+      "found a whole-group sort window; cap must use the (group, bucket) two-phase")
+  }
+
   test("shuffleShards: positions are a dense 0..n-1 per shard, deterministic, key-driven") {
     val docs = spark.read.parquet(s"${sf()}/documents.parquet").select("doc_id", "lang")
     val a = Sampling.shuffleShards(docs, "doc_id", 8)

@@ -352,8 +352,8 @@ object Dedup {
     * boilerplate IS the skew case and this is the skew-proof plan), and the
     * winners table (one narrow row per DISTINCT segment) joins back on the
     * digest — no text ever shuffles as a KEY. Segment text crosses the wire
-    * exactly twice (the explode exchange and the per-doc reassembly), which
-    * is the floor for any reassembling dedup.
+    * exactly twice (the digest-join exchange and the per-doc reassembly),
+    * which is the floor for any reassembling dedup.
     */
   def dedupSegments(
       df: DataFrame,

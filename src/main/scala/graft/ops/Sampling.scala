@@ -154,7 +154,12 @@ object Sampling {
       .select(col(groupCol), col("_bucket"), col("_cnt"), col("_before"))
     val w = Window.partitionBy(col(groupCol), col("_bucket"))
       .orderBy(col("_digest"), col(keyCol))
-    keyed.join(ranks, Seq(groupCol, "_bucket"))
+    // null-SAFE join on the group: a NULL group is a real group (it caps
+    // like any other) — a plain equi-join would silently drop its rows
+    val r = ranks
+      .withColumnRenamed(groupCol, "_g")
+      .withColumnRenamed("_bucket", "_rb")
+    keyed.join(r, col(groupCol) <=> col("_g") && col("_bucket") === col("_rb"))
       .filter(col("_before") < maxPerGroup)
       .withColumn("_keep",
         when(col("_before") + col("_cnt") <= maxPerGroup, lit(true))

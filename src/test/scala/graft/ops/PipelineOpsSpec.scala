@@ -276,6 +276,18 @@ class PipelineOpsSpec extends SparkTestBase {
       "found a whole-group sort window; cap must use the (group, bucket) two-phase")
   }
 
+  test("capPerGroup: NULL is a real group — capped, never silently dropped") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Option("a")), (2L, Option("a")), (3L, Option("a")),
+      (4L, None), (5L, None), (6L, None), (7L, None)
+    ).toDF("id", "g")
+    val out = Sampling.capPerGroup(df, "g", "id", maxPerGroup = 2)
+      .collect().map(r => (r.getLong(0), Option(r.getString(1))))
+    assert(out.count(_._2.isEmpty) === 2, "null group capped at 2, not dropped")
+    assert(out.count(_._2.contains("a")) === 2)
+  }
+
   test("shuffleShards: positions are a dense 0..n-1 per shard, deterministic, key-driven") {
     val docs = spark.read.parquet(s"${sf()}/documents.parquet").select("doc_id", "lang")
     val a = Sampling.shuffleShards(docs, "doc_id", 8)

@@ -95,11 +95,15 @@ object Stats {
       .withColumn("_mu", col("_s").cast("double") / col("_n"))
       .withColumn("_sigma",
         sqrt(col("_ss").cast("double") / col("_n") - col("_mu") * col("_mu")))
-      .select(groupCols.map(col) :+ col("_mu") :+ col("_sigma"): _*)
-    df.join(broadcast(stats), groupCols)
+      .select(groupCols.map(c => col(c).as(s"_g_$c")) :+
+        col("_mu") :+ col("_sigma"): _*)
+    // null-SAFE group match: a NULL group aggregated its own moments above,
+    // so its rows must find them here too (equi-join would drop them)
+    val cond = groupCols.map(c => col(c) <=> col(s"_g_$c")).reduce(_ && _)
+    df.join(broadcast(stats), cond)
       .withColumn("z_score", (v.cast("double") - col("_mu")) / col("_sigma"))
       .filter(col("_sigma") > 0 && abs(col("z_score")) > z)
-      .drop("_mu", "_sigma")
+      .drop(groupCols.map(c => s"_g_$c") ++ Seq("_mu", "_sigma"): _*)
   }
 
   /** Crosstab counts: one row per `keyCol`, one column per `pivotValues`

@@ -276,6 +276,15 @@ class PipelineOpsSpec extends SparkTestBase {
       "found a whole-group sort window; cap must use the (group, bucket) two-phase")
   }
 
+  test("zScoreOutliers: NULL group keeps its own moments, outliers still flagged") {
+    import spark.implicits._
+    val df = (Seq.fill(20)(10L) :+ 1000L).zipWithIndex
+      .map { case (value, i) => (i.toLong, Option.empty[String], value) }
+      .toDF("id", "g", "v")
+    val out = Stats.zScoreOutliers(df, Seq("g"), "v", z = 3.0).collect()
+    assert(out.map(_.getLong(0)).toSeq === Seq(20L), "null-group outlier flagged")
+  }
+
   test("capPerGroup: NULL is a real group — capped, never silently dropped") {
     import spark.implicits._
     val df = Seq(

@@ -1,0 +1,62 @@
+package graft.ops
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+
+/** Property-based equivalence of the two-phase (digest-prefix-bucket)
+  * formulations against the naive single-sort references they replaced —
+  * random key sets through BOTH paths, asserting identical results. This is
+  * what licenses the scale rewrites to claim "positions/kept-sets unchanged":
+  * the bucket decomposition must be invisible in the output for ANY key set,
+  * not just the committed testdata.
+  */
+class TwoPhaseEquivalenceSpec extends SparkTestBase {
+
+  private def check(prop: Prop, n: Int): Unit = {
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(n), prop)
+    assert(res.passed, res.status.toString)
+  }
+
+  private val keysGen: Gen[List[Long]] =
+    Gen.choose(30, 200).flatMap(n => Gen.listOfN(n, Gen.choose(0L, 1000000L)))
+      .map(_.distinct)
+
+  test("shuffleShards === naive per-shard global sort, any key set / shard count") {
+    import spark.implicits._
+    check(Prop.forAll(keysGen, Gen.choose(1, 11)) { (keys, numShards) =>
+      val df = keys.toDF("k")
+      val twoPhase = Sampling.shuffleShards(df, "k", numShards)
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+      val digest = md5(col("k").cast("string").cast("binary"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("shard")).orderBy(col("_digest"), col("k"))
+      val naive = df
+        .withColumn("_digest", digest)
+        .withColumn("shard",
+          (conv(substring(col("_digest"), 1, 6), 16, 10).cast("long") % numShards)
+            .cast("int"))
+        .withColumn("position", (row_number().over(w) - 1).cast("long"))
+        .select("k", "shard", "position")
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+      twoPhase == naive
+    }, n = 6)
+  }
+
+  test("capPerGroup === naive per-group row_number, any key set / cap") {
+    import spark.implicits._
+    check(Prop.forAll(keysGen, Gen.choose(1, 20)) { (keys, k) =>
+      // ~4 groups, so caps bind on some groups and not others
+      val df = keys.map(id => (id, (id % 4).toString)).toDF("id", "g")
+      val capped = Sampling.capPerGroup(df, "g", "id", k)
+        .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("g"))
+        .orderBy(md5(col("id").cast("string").cast("binary")), col("id"))
+      val naive = df.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
+        .select("id", "g")
+        .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+      capped == naive
+    }, n = 6)
+  }
+}

@@ -74,6 +74,9 @@ object Similarity {
     * ties break to the lower cell id.
     */
   private def assignCells(corpus: DataFrame, cents: Seq[(Int, Seq[Double])]): DataFrame = {
+    // no centroids ⇔ the training corpus was empty; degrade to the empty
+    // assignment (same schema) instead of handing `least` zero arguments
+    if (cents.isEmpty) return corpus.withColumn("cell", lit(0))
     val vv = dot(col("vec"), col("vec"))
     val ds = cents.map { case (cell, c) =>
       val cc = c.map(x => x * x).sum
@@ -184,6 +187,12 @@ object Similarity {
       lloydIters: Int = 2,
       trainPercent: Int = 100): DataFrame = {
     val cents = trainCentroids(corpus, numCells, lloydIters, trainPercent)
+    if (cents.isEmpty)
+      // empty corpus: no cells to probe — empty result, standard schema
+      return corpus.crossJoin(queries)
+        .select(col("qid"), col("id").as("neighbor_id"),
+          lit(0).as("rank"), lit(0.0).as("cosine"))
+        .filter(lit(false))
     val corpusCells = assignCells(corpus, cents)
 
     val qq = dot(col("qvec"), col("qvec"))

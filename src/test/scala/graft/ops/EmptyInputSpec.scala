@@ -1,0 +1,55 @@
+package graft.ops
+
+import graft.SparkTestBase
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Every operator must DEGRADE, not crash, on empty input: a quality filter
+  * or time-range that matches nothing is normal pipeline weather at 100 TB,
+  * and a stage that throws on 0 rows turns "no new data today" into a paged
+  * incident. Each case asserts the empty result arrives with the operator's
+  * normal schema.
+  */
+class EmptyInputSpec extends SparkTestBase {
+  import org.apache.spark.sql.types._
+
+  private def emptyDocs: DataFrame = {
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType),
+      StructField("lang", StringType)))
+    spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+  }
+  private def emptyVecs: DataFrame = {
+    val schema = StructType(Seq(
+      StructField("id", LongType),
+      StructField("vec", ArrayType(FloatType, containsNull = false))))
+    spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+  }
+
+  test("text / dedup / sampling operators: empty in, empty (but well-formed) out") {
+    val d = emptyDocs
+    assert(Dedup.exact(d, Seq("text"), "doc_id").count() === 0L)
+    assert(Dedup.dedupSegments(d, "doc_id", "text").count() === 0L)
+    assert(Dedup.dedupAgainst(d, d, Seq("text")).count() === 0L)
+    assert(Dedup.decontaminate(d, d, "doc_id", "text").count() === 0L)
+    assert(Sampling.hashSample(d, "doc_id", 50).count() === 0L)
+    assert(Sampling.capPerGroup(d, "lang", "doc_id", 5).count() === 0L)
+    assert(Sampling.shuffleShards(d.select("doc_id", "lang"), "doc_id", 4).count() === 0L)
+    assert(Sampling.prioritySample(d, "doc_id", 5, "s").count() === 0L)
+    assert(TextAnalysis.tokenStats(d, "doc_id", "text").count() === 0L)
+    assert(TextAnalysis.qualityScore(d, "doc_id", "text").count() === 0L)
+    assert(TextAnalysis.chunkDocuments(d, "doc_id", "text", 8, 4).count() === 0L)
+    assert(Stats.groupedQuantiles(d, Seq("lang"), "doc_id", Seq(0.5)).count() === 0L)
+    assert(Stats.zScoreOutliers(d, Seq("lang"), "doc_id", 3.0).count() === 0L)
+    assert(Stats.histogram(d, Seq("lang"), "doc_id", 0, 10, 4).count() === 0L)
+  }
+
+  test("similarity operators: empty corpus degrades to empty results") {
+    val vecs = emptyVecs
+    val qs = emptyVecs.select(col("id").as("qid"), col("vec").as("qvec"))
+    assert(Similarity.bruteForceTopK(qs, vecs, 5).count() === 0L)
+    assert(Similarity.lshTopK(qs, vecs, 5, dim = 4).count() === 0L)
+    assert(Similarity.kmeansAssign(vecs, numClusters = 4).count() === 0L)
+    assert(Similarity.ivfTopK(qs, vecs, 5, numCells = 4).count() === 0L)
+  }
+}

@@ -44,6 +44,37 @@ class EmptyInputSpec extends SparkTestBase {
     assert(Stats.histogram(d, Seq("lang"), "doc_id", 0, 10, 4).count() === 0L)
   }
 
+  test("temporal / sketch / feature-store operators: empty in, empty out") {
+    val schema = StructType(Seq(
+      StructField("user_id", LongType), StructField("ts", TimestampType),
+      StructField("event_type", StringType), StructField("value", DoubleType)))
+    val ev = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    assert(Temporal.rollingAggregate(ev, Seq("user_id"), "ts", "value", 60).count() === 0L)
+    assert(Temporal.asofJoin(ev, ev, Seq("user_id"), "ts", "ts",
+      Seq("user_id", "ts"), Seq("value")).count() === 0L)
+    assert(Temporal.funnel(ev, "user_id", "ts", "event_type",
+      Seq("view", "click")).count() === 0L)
+    assert(Temporal.cohortRetention(ev, "user_id", "ts").count() === 0L)
+    assert(Temporal.precedingJoinAgg(ev, ev, Seq("user_id"), "ts", "ts",
+      60, "value").count() === 0L)
+    assert(Sketch.countMinSketch(ev, "event_type", 256, 4).count() === 0L)
+    assert(Sketch.hllRegisters(ev, Seq("event_type"), "user_id", 8).count() === 0L)
+    // pointInTime over an EMPTY entity frame: the null min/max guard skips
+    // the prefilter and the join chain yields zero rows, not a crash
+    import graft.ops.{FeatureView, FeatureStoreOps}
+    import graft.sources.GraftSource
+    val entSchema = StructType(Seq(
+      StructField("user_id", LongType), StructField("event_timestamp", TimestampType)))
+    val ent = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], entSchema)
+    val src = GraftSource.of(table = Some(s"${sf()}/events.parquet"),
+      timestampField = Some("ts"))
+    val fv = FeatureView("ev", src, entityKeys = Seq("user_id"),
+      features = Seq("value"), ttlSeconds = 86400L)
+    assert(FeatureStoreOps.pointInTime(spark, ent, Seq(fv)).toDF.count() === 0L)
+  }
+
   test("similarity operators: empty corpus degrades to empty results") {
     val vecs = emptyVecs
     val qs = emptyVecs.select(col("id").as("qid"), col("vec").as("qvec"))

@@ -64,7 +64,8 @@ final case class GraftSource(
     description: String = "",
     tags: Map[String, String] = Map.empty,
     owner: String = "",
-    datePartitionColumn: Option[String] = None) {
+    datePartitionColumn: Option[String] = None,
+    readOptions: Map[String, String] = Map.empty) {
 
   require(table.isDefined || query.isDefined, "No \"table\" or \"query\" argument provided.")
 
@@ -99,7 +100,11 @@ final case class GraftSource(
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val base = table match {
       case Some(t) if isPath =>
-        val reader = spark.read.format(format.name)
+        // readOptions pass through to the DataFrameReader — the schema-drift
+        // lever at scale is `mergeSchema=true` (a long-lived table gains
+        // columns; without it parquet answers with ONE footer's schema and
+        // silently hides the new columns on mixed directories)
+        val reader = spark.read.format(format.name).options(readOptions)
         val withSchema = schemaDdl match {
           case Some(ddl) => reader.schema(StructType.fromDDL(ddl))
           case None if format != SourceFormat.Parquet => reader.option("inferSchema", "true")
@@ -225,6 +230,8 @@ final case class GraftSource(
     fieldMapping.foreach { case (k, v) => fm.put(k, v) }
     val tg = o.putObject("tags")
     tags.foreach { case (k, v) => tg.put(k, v) }
+    val ro = o.putObject("read_options")
+    readOptions.foreach { case (k, v) => ro.put(k, v) }
     m.writeValueAsString(o)
   }
 }
@@ -242,12 +249,14 @@ object GraftSource {
       createdTimestampColumn: Option[String] = None,
       fieldMapping: Map[String, String] = Map.empty,
       schemaDdl: Option[String] = None,
-      datePartitionColumn: Option[String] = None): GraftSource = {
+      datePartitionColumn: Option[String] = None,
+      readOptions: Map[String, String] = Map.empty): GraftSource = {
     if (table.isEmpty && query.isEmpty)
       throw new IllegalArgumentException("No \"table\" or \"query\" argument provided.")
     val resolved = name.orElse(table).getOrElse(throw new GraftNoNameException)
     GraftSource(resolved, table, query, format, timestampField, createdTimestampColumn,
-      fieldMapping, schemaDdl, datePartitionColumn = datePartitionColumn)
+      fieldMapping, schemaDdl, datePartitionColumn = datePartitionColumn,
+      readOptions = readOptions)
   }
 
   def parquet(path: String, fieldMapping: Map[String, String] = Map.empty): GraftSource =
@@ -273,6 +282,7 @@ object GraftSource {
       description = opt("description").getOrElse(""),
       tags = strMap("tags"),
       owner = opt("owner").getOrElse(""),
-      datePartitionColumn = opt("date_partition_column"))
+      datePartitionColumn = opt("date_partition_column"),
+      readOptions = strMap("read_options"))
   }
 }

@@ -39,8 +39,25 @@ class GraftSourceSpec extends SparkTestBase {
       format = SourceFormat.Csv, timestampField = Some("ts"),
       createdTimestampColumn = Some("created"),
       fieldMapping = Map("a" -> "b", "c" -> "d"),
-      schemaDdl = Some("a INT, c STRING"))
+      schemaDdl = Some("a INT, c STRING"),
+      readOptions = Map("mergeSchema" -> "true"))
     assert(GraftSource.fromJson(src.toJson) == src)
+  }
+
+  test("readOptions: mergeSchema surfaces columns added by schema evolution") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-evolve").toString + "/t"
+    // v1 files lack the column a later writer added
+    Seq((1L, "x")).toDF("id", "a").write.parquet(dir)
+    Seq((2L, "y", 7.5)).toDF("id", "a", "score").write.mode("append").parquet(dir)
+    val merged = GraftSource.of(table = Some(dir),
+      readOptions = Map("mergeSchema" -> "true")).load(spark)
+    assert(merged.columns.toSet === Set("id", "a", "score"),
+      "union schema across file generations")
+    val rows = merged.collect()
+      .map(r => r.getLong(0) -> Option(r.getAs[Any]("score"))).toMap
+    assert(rows(1L).isEmpty, "pre-evolution rows read the new column as null")
+    assert(rows(2L).contains(7.5))
   }
 
   test("format parsing rejects unknown (ref store.py:133-134)") {

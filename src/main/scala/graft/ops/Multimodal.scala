@@ -111,7 +111,8 @@ object Multimodal {
       * specified integer formula, so resized pixels are deterministic
       * across JVMs and checkable against the source image.
       */
-    def resizeNearest(payload: Array[Byte], dw: Int, dh: Int): Option[Array[Byte]] =
+    def resizeNearest(payload: Array[Byte], dw: Int, dh: Int): Option[Array[Byte]] = {
+      require(dw > 0 && dh > 0, "target dimensions must be positive")
       decode(payload).map { d =>
         encodePng(dw, dh, (x, y) => {
           val sx = x * d.width / dw
@@ -119,6 +120,7 @@ object Multimodal {
           d.argb(sy * d.width + sx) & 0xFFFFFF
         })
       }
+    }
   }
 
   /** Attach a synthetic payload + metadata to a text table — the

@@ -140,6 +140,9 @@ object Sampling {
       keyCol: String,
       maxPerGroup: Int): DataFrame = {
     require(maxPerGroup > 0, "maxPerGroup must be positive")
+    val reserved = Seq("_digest", "_bucket", "_cnt", "_before", "_keep", "_g", "_rb")
+    require(!df.columns.exists(reserved.contains),
+      s"input columns collide with capPerGroup internals: ${reserved.mkString(", ")}")
     import org.apache.spark.sql.expressions.Window
     val digest = md5(col(keyCol).cast("string").cast("binary"))
     val keyed = df
@@ -207,6 +210,9 @@ object Sampling {
     */
   def shuffleShards(df: DataFrame, keyCol: String, numShards: Int): DataFrame = {
     require(numShards > 0, "numShards must be positive")
+    val reserved = Seq("shard", "position", "_digest", "_bucket", "_cnt", "_offset")
+    require(!df.columns.exists(reserved.contains),
+      s"input columns collide with shuffleShards output/internals: ${reserved.mkString(", ")}")
     import org.apache.spark.sql.expressions.Window
     val digest = md5(col(keyCol).cast("string").cast("binary"))
     val shard = (conv(substring(digest, 1, 6), 16, 10).cast("long") % numShards)

@@ -383,10 +383,12 @@ object Dedup {
           array_sort(collect_list(struct(col("pos"), col("seg")))),
           e => e.getField("seg")), delim).as("text_dedup"),
         count(lit(1)).as("n_kept"))
-    val nSegs = size(filter(
+    // coalesce: a NULL text has no segments, not a NULL count (size(null)
+    // is NULL under ANSI) — n_segments must stay arithmetic-safe like n_kept
+    val nSegs = coalesce(size(filter(
       split(col(textCol), java.util.regex.Pattern.quote(delim)),
-      s => length(s) > 0))
-    df.select(col(idCol).as("id"), nSegs.cast("long").as("n_segments"))
+      s => length(s) > 0)).cast("long"), lit(0L))
+    df.select(col(idCol).as("id"), nSegs.as("n_segments"))
       .join(rebuilt, Seq("id"), "left")
       .select(col("id"),
         coalesce(col("text_dedup"), lit("")).as("text_dedup"),

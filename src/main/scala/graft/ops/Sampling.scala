@@ -111,12 +111,42 @@ object Sampling {
     }.reduce(_ unionByName _)
   }
 
+  /** Shared two-phase machinery: rows keyed by the md5 digest of `keyCol`
+    * plus the order-preserving digest-prefix bucket (first 2 hex chars — a
+    * prefix of the digest sort key, so bucket order IS digest order).
+    * NULL keys are EXCLUDED here, by both [[capPerGroup]] and
+    * [[shuffleShards]]: a sampling/layout key identifies the row and NULL
+    * identifies nothing — and a null digest would otherwise sort
+    * engine-dependently and tie nondeterministically between null-keyed
+    * rows.
+    */
+  private def withDigestBucket(df: DataFrame, keyCol: String): DataFrame =
+    df.filter(col(keyCol).isNotNull)
+      .withColumn("_digest", md5(col(keyCol).cast("string").cast("binary")))
+      .withColumn("_bucket", conv(substring(col("_digest"), 1, 2), 16, 10).cast("int"))
+
+  /** Per-(partition, bucket) row counts + each bucket's cumulative starting
+    * rank within its partition — the tiny table (≤ 256 rows per partition
+    * value) that lets two-phase operators position/cap rows without ever
+    * sorting a whole partition in one task.
+    */
+  private def bucketOffsets(keyed: DataFrame, partCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    keyed
+      .groupBy(col(partCol), col("_bucket"))
+      .agg(count(lit(1)).as("_cnt"))
+      .withColumn("_before", coalesce(
+        sum(col("_cnt")).over(Window.partitionBy(col(partCol)).orderBy(col("_bucket"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+  }
+
   /** Deterministic per-group cap — the domain/cluster-balancing primitive
     * ("no domain contributes more than N documents", "cap any one k-means
     * cluster"): keep at most `maxPerGroup` rows per `groupCol`, chosen as
     * the rows with the smallest md5 digests of `keyCol` (uniform over the
     * group but a pure function of the key set — the same reproducibility
     * contract as [[hashSample]], and unlike a rate filter the cap is EXACT).
+    * Rows with a NULL `keyCol` are excluded (see [[withDigestBucket]]).
     *
     * Skew-safe by construction: the obvious
     * `row_number over (partition by group)` sorts each whole group in one
@@ -144,16 +174,8 @@ object Sampling {
     require(!df.columns.exists(reserved.contains),
       s"input columns collide with capPerGroup internals: ${reserved.mkString(", ")}")
     import org.apache.spark.sql.expressions.Window
-    val digest = md5(col(keyCol).cast("string").cast("binary"))
-    val keyed = df
-      .withColumn("_digest", digest)
-      .withColumn("_bucket", conv(substring(col("_digest"), 1, 2), 16, 10).cast("int"))
-    val ranks = keyed
-      .groupBy(col(groupCol), col("_bucket"))
-      .agg(count(lit(1)).as("_cnt"))
-      .withColumn("_before", coalesce(
-        sum(col("_cnt")).over(Window.partitionBy(col(groupCol)).orderBy(col("_bucket"))
-          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+    val keyed = withDigestBucket(df, keyCol)
+    val ranks = bucketOffsets(keyed, groupCol)
       .select(col(groupCol), col("_bucket"), col("_cnt"), col("_before"))
     val w = Window.partitionBy(col(groupCol), col("_bucket"))
       .orderBy(col("_digest"), col(keyCol))
@@ -176,6 +198,7 @@ object Sampling {
     * (then the key, so equal digests can't reorder). The resulting
     * (shard, position) layout is reproducible across runs and engines —
     * "shuffled" for training purposes but a pure function of the key set.
+    * Rows with a NULL key are excluded (see [[withDigestBucket]]).
     *
     * Positions are assigned in TWO phases so no task ever sorts a whole
     * shard (a naive `Window.partitionBy(shard)` puts each 100 GB shard
@@ -210,30 +233,22 @@ object Sampling {
     */
   def shuffleShards(df: DataFrame, keyCol: String, numShards: Int): DataFrame = {
     require(numShards > 0, "numShards must be positive")
-    val reserved = Seq("shard", "position", "_digest", "_bucket", "_cnt", "_offset")
+    val reserved = Seq("shard", "position", "_digest", "_bucket", "_cnt", "_before")
     require(!df.columns.exists(reserved.contains),
       s"input columns collide with shuffleShards output/internals: ${reserved.mkString(", ")}")
     import org.apache.spark.sql.expressions.Window
-    val digest = md5(col(keyCol).cast("string").cast("binary"))
-    val shard = (conv(substring(digest, 1, 6), 16, 10).cast("long") % numShards)
-      .cast("int")
-    val keyed = df
-      .withColumn("_digest", digest)
-      .withColumn("shard", shard)
-      .withColumn("_bucket", conv(substring(col("_digest"), 1, 2), 16, 10).cast("int"))
-    val offsets = keyed
-      .groupBy(col("shard"), col("_bucket"))
-      .agg(count(lit(1)).as("_cnt"))
-      .withColumn("_offset", coalesce(
-        sum(col("_cnt")).over(Window.partitionBy(col("shard")).orderBy(col("_bucket"))
-          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-      .select(col("shard"), col("_bucket"), col("_offset"))
+    val keyed = withDigestBucket(df, keyCol)
+      .withColumn("shard",
+        (conv(substring(col("_digest"), 1, 6), 16, 10).cast("long") % numShards)
+          .cast("int"))
+    val offsets = bucketOffsets(keyed, "shard")
+      .select(col("shard"), col("_bucket"), col("_before"))
     val w = Window.partitionBy(col("shard"), col("_bucket"))
       .orderBy(col("_digest"), col(keyCol))
     val offsetsSide = if (numShards <= 8192) broadcast(offsets) else offsets
     keyed.repartition(col("shard"), col("_bucket"))
       .join(offsetsSide, Seq("shard", "_bucket"))
-      .withColumn("position", col("_offset") + row_number().over(w) - 1)
+      .withColumn("position", col("_before") + row_number().over(w) - 1)
       .select(df.columns.map(col) :+ col("shard") :+ col("position"): _*)
   }
 }

@@ -142,15 +142,24 @@ object Similarity {
       trainPercent: Int): Seq[(Int, Seq[Double])] = {
     require(trainPercent > 0 && trainPercent <= 100,
       "trainPercent must be in (0, 100]")
-    val trainSet =
-      if (trainPercent >= 100) corpus
-      else Sampling.hashSample(corpus, "id", trainPercent)
-    var cents: Seq[(Int, Seq[Double])] = trainSet
+    def seeds(from: DataFrame): Seq[(Int, Seq[Double])] = from
       .orderBy(col("id")).limit(numCells).select(col("vec")).collect()
       .map(_.getSeq[Any](0).map {
         case f: Float => f.toDouble
         case d: Double => d
       }.toSeq).zipWithIndex.map { case (v, i) => (i, v) }.toSeq
+    val sampled =
+      if (trainPercent >= 100) corpus
+      else Sampling.hashSample(corpus, "id", trainPercent)
+    // a small corpus can hash-sample to ZERO rows; silently training nothing
+    // would assign every vector to a never-trained cell, so fall back to the
+    // full corpus (still deterministic — the fallback is itself a pure
+    // function of the key set)
+    val sampleSeeds = seeds(sampled)
+    val (trainSet, initial) =
+      if (sampleSeeds.isEmpty && (trainPercent < 100)) (corpus, seeds(corpus))
+      else (sampled, sampleSeeds)
+    var cents: Seq[(Int, Seq[Double])] = initial
     for (_ <- 1 to lloydIters)
       cents = refineCentroids(assignCells(trainSet, cents))
     cents

@@ -103,14 +103,18 @@ final case class GraftSource(
         // readOptions pass through to the DataFrameReader — the schema-drift
         // lever at scale is `mergeSchema=true` (a long-lived table gains
         // columns; without it parquet answers with ONE footer's schema and
-        // silently hides the new columns on mixed directories)
-        val reader = spark.read.format(format.name).options(readOptions)
+        // silently hides the new columns on mixed directories). Applied
+        // LAST so explicit user options override the built-in defaults
+        // (inferSchema/header). Path sources only: catalog tables and
+        // queries read through the session, which takes no reader options.
+        val reader = spark.read.format(format.name)
         val withSchema = schemaDdl match {
           case Some(ddl) => reader.schema(StructType.fromDDL(ddl))
           case None if format != SourceFormat.Parquet => reader.option("inferSchema", "true")
           case None => reader
         }
         (if (format == SourceFormat.Csv) withSchema.option("header", "true") else withSchema)
+          .options(readOptions)
           .load(t)
       case Some(t) => spark.table(t)
       case None => spark.sql(query.get)

@@ -28,7 +28,9 @@ class SurveyDriftSpec extends AnyFunSuite {
 
   test("every query key a §2 row cites still exists in SparkEntry.queries") {
     // keys live in the second-to-last table cell ("queries key(s)"/"Evidence");
-    // only snake_case backticked tokens are treated as query-key citations
+    // every lowercase backticked token there is treated as a query-key
+    // citation — including single-word keys like `cooccurrence`, which an
+    // underscore-only filter would let go stale silently
     val keyTok = "`([a-z0-9_]+)`".r
     val cited = section2.linesIterator
       .filter(_.startsWith("|"))
@@ -37,7 +39,6 @@ class SurveyDriftSpec extends AnyFunSuite {
         if (cells.length < 4) Iterator.empty
         else keyTok.findAllMatchIn(cells(cells.length - 2)).map(_.group(1))
       }
-      .filter(_.contains("_"))
       .toSet
     val stale = cited -- SparkEntry.queries.keySet
     assert(stale.isEmpty,

@@ -285,6 +285,43 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(out.map(_.getLong(0)).toSeq === Seq(20L), "null-group outlier flagged")
   }
 
+  test("two-phase operators: NULL keys excluded by policy, real rows unaffected") {
+    import spark.implicits._
+    val withNull = Seq(
+      (Option(1L), "en"), (Option(2L), "en"), (Option(3L), "de"),
+      (Option.empty[Long], "en"), (Option.empty[Long], "de")
+    ).toDF("doc_id", "lang")
+    val clean = withNull.filter(col("doc_id").isNotNull)
+    // shuffleShards: null keys dropped, surviving layout identical to the
+    // null-free input (no position gaps, no starved buckets)
+    val a = Sampling.shuffleShards(withNull, "doc_id", 2)
+      .collect().map(r => (r.getLong(0), r.getInt(2), r.getLong(3))).toSet
+    val b = Sampling.shuffleShards(clean, "doc_id", 2)
+      .collect().map(r => (r.getLong(0), r.getInt(2), r.getLong(3))).toSet
+    assert(a === b)
+    // capPerGroup: null keys don't occupy cap slots or starve real rows
+    val c1 = Sampling.capPerGroup(withNull, "lang", "doc_id", 2)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    val c2 = Sampling.capPerGroup(clean, "lang", "doc_id", 2)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(c1 === c2)
+    assert(c1.map(_._1) === Set(1L, 2L, 3L))
+  }
+
+  test("kmeans trainPercent: an empty hash sample falls back to full-corpus training") {
+    import spark.implicits._
+    // doc ids 1,2,3 hash to md5 buckets 34/94/64 — a 1% sample keeps NOTHING
+    val corpus = Seq(
+      (1L, Seq(1f, 0f)), (2L, Seq(0f, 1f)), (3L, Seq(1f, 1f))
+    ).toDF("id", "vec")
+    val sampled = Similarity.kmeansAssign(corpus, numClusters = 2, trainPercent = 1)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val full = Similarity.kmeansAssign(corpus, numClusters = 2)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(sampled === full, "empty sample must train on the full corpus, not nothing")
+    assert(sampled.size === 3)
+  }
+
   test("capPerGroup: NULL is a real group — capped, never silently dropped") {
     import spark.implicits._
     val df = Seq(

@@ -338,6 +338,21 @@ object SparkEntry {
         col("n_segments"), col("n_kept"))
   }
 
+  /** DF-based boilerplate strip over the same synthesized 12-token
+    * segments: segments in more than one document vanish from every doc.
+    */
+  private def stripBoilerplateQuery(s: SparkSession, dir: String): DataFrame = {
+    val toks = graft.functions.tokens(col("text"))
+    val nSeg = ceil(size(toks).cast("double") / 12).cast("int")
+    val segText = when(size(toks) > 0,
+      array_join(transform(sequence(lit(0), nSeg - 1),
+        i => array_join(slice(toks, i * 12 + 1, lit(12)), " ")), "\n")).otherwise(lit(""))
+    val prepared = docs(s, dir).select(col("doc_id"), segText.as("seg_text"))
+    Dedup.stripBoilerplate(prepared, "doc_id", "seg_text", maxDocFreq = 1)
+      .select(col("id").as("doc_id"), col("text_kept"),
+        col("n_segments"), col("n_kept"))
+  }
+
   /** End-to-end corpus cleaning: quality-filter then exact-dedup, the
     * composition a training-data pipeline actually runs. Output = surviving
     * canonical docs with their quality score. `qualityScore` carries the text
@@ -839,6 +854,7 @@ object SparkEntry {
     "top_ngram_stats" -> (topNgram _),
     "dedup_against" -> (dedupAgainstSnapshot _),
     "dedup_segments" -> (dedupSegmentsQuery _),
+    "strip_boilerplate" -> (stripBoilerplateQuery _),
     "rare_token_stats" -> (rareTokens _),
     "asof_join" -> (asofJoinQuery _),
     "interval_join" -> (intervalJoinQuery _),
@@ -1452,6 +1468,28 @@ object SparkEntry {
           |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
           |  FROM documents)
           |WHERE rn <= 37""".stripMargin,
+      // boilerplate strip: segments whose distinct-doc frequency exceeds 1
+      // are removed from every carrier; rarer segments survive everywhere
+      "strip_boilerplate" ->
+        s"""WITH $toksCte,
+           |ex AS (SELECT doc_id, unnest(toks) AS tok,
+           |  generate_subscripts(toks, 1) AS p FROM t),
+           |segs AS (SELECT doc_id, CAST((p - 1) // 12 AS INT) AS pos,
+           |  string_agg(tok, ' ' ORDER BY p) AS seg
+           |  FROM ex GROUP BY doc_id, (p - 1) // 12),
+           |boiler AS (SELECT seg FROM (
+           |  SELECT seg, count(DISTINCT doc_id) AS dfreq FROM segs GROUP BY seg)
+           |  WHERE dfreq > 1),
+           |keep AS (SELECT s.doc_id, s.pos, s.seg FROM segs s
+           |  WHERE s.seg NOT IN (SELECT seg FROM boiler)),
+           |agg AS (SELECT doc_id, string_agg(seg, chr(10) ORDER BY pos) AS text_kept,
+           |  count(*) AS n_kept FROM keep GROUP BY doc_id),
+           |nseg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_segments
+           |  FROM segs GROUP BY doc_id)
+           |SELECT t.doc_id, coalesce(agg.text_kept, '') AS text_kept,
+           |  coalesce(nseg.n_segments, 0) AS n_segments,
+           |  coalesce(agg.n_kept, 0) AS n_kept
+           |FROM t LEFT JOIN nseg USING (doc_id) LEFT JOIN agg USING (doc_id)""".stripMargin,
       "corpus_quantiles" ->
         """SELECT lang, count(*) AS n_rows,
           |  quantile_cont(n_chars, 0.25) AS p25,

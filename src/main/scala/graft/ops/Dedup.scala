@@ -396,6 +396,58 @@ object Dedup {
         coalesce(col("n_kept"), lit(0L)).as("n_kept"))
   }
 
+  /** Document-frequency boilerplate strip — the OTHER segment-level cleaner
+    * (RefinedWeb/MassiveText style, complementing [[dedupSegments]]' C4-style
+    * keep-first): a segment that appears in MORE THAN `maxDocFreq` distinct
+    * documents is boilerplate by evidence (nav bars, cookie banners, footers)
+    * and is removed from EVERY document, including the first carrier; rarer
+    * segments are kept everywhere, within-doc repeats included. Output shape
+    * matches [[dedupSegments]]: (id, `text_kept`, `n_segments`, `n_kept`).
+    *
+    * Shape at 100 TB: document frequency per segment digest is computed as
+    * two NARROW aggregations (distinct (digest, doc) then count per digest —
+    * never a count_distinct whose per-key state is the carrier set), the
+    * boilerplate digest set is small by construction (only above-threshold
+    * segments) so the anti join broadcasts, and segment text again crosses
+    * the wire only for reassembly.
+    */
+  def stripBoilerplate(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      delim: String = "\n",
+      maxDocFreq: Int = 1): DataFrame = {
+    require(maxDocFreq >= 1, "maxDocFreq must be >= 1")
+    val segs = df
+      .select(col(idCol).as("id"),
+        posexplode(filter(
+          split(col(textCol), java.util.regex.Pattern.quote(delim)),
+          s => length(s) > 0)).as(Seq("pos", "seg")))
+      .withColumn("_d", unhex(sha2(col("seg").cast("binary"), 256)))
+      .localCheckpoint(false)
+    val boiler = segs.select(col("_d"), col("id")).distinct()
+      .groupBy(col("_d")).agg(count(lit(1)).as("_df"))
+      .filter(col("_df") > maxDocFreq)
+      .select(col("_d"))
+    val kept = segs.join(boiler, Seq("_d"), "left_anti")
+    val rebuilt = kept
+      .groupBy(col("id"))
+      .agg(
+        array_join(transform(
+          array_sort(collect_list(struct(col("pos"), col("seg")))),
+          e => e.getField("seg")), delim).as("text_kept"),
+        count(lit(1)).as("n_kept"))
+    val nSegs = coalesce(size(filter(
+      split(col(textCol), java.util.regex.Pattern.quote(delim)),
+      s => length(s) > 0)).cast("long"), lit(0L))
+    df.select(col(idCol).as("id"), nSegs.as("n_segments"))
+      .join(rebuilt, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("text_kept"), lit("")).as("text_kept"),
+        col("n_segments"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"))
+  }
+
   /** Benchmark decontamination: flag corpus documents that share any word
     * n-gram with a benchmark/eval set — the standard "did the training data
     * leak the test set" check. Returns (id, n_hit_grams, n_grams) for

@@ -44,6 +44,9 @@ class PlanGateSpec extends SparkTestBase {
     // on the digest, per-doc reassembly); the winners join broadcasts at
     // bench SF and becomes a co-partitioned shuffle join at scale
     "dedup_segments" -> 2,
+    // boilerplate strip: distinct (digest, doc) + per-digest count + per-doc
+    // reassembly; the boilerplate anti join broadcasts (small by construction)
+    "strip_boilerplate" -> 3,
     "rare_token_stats" -> 2,
     "corpus_quantiles" -> 1,
     "decontaminate" -> 2,

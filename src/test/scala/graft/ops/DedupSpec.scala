@@ -178,6 +178,25 @@ class DedupSpec extends SparkTestBase {
     assert(again === out)
   }
 
+  test("stripBoilerplate: high-df segments vanish from EVERY carrier, rare ones stay everywhere") {
+    val docs = docsDf(
+      (1L, "unique intro\ncookie banner\nbody one\nbody one"),
+      (2L, "cookie banner\nbody two"),
+      (3L, "cookie banner")) // only boilerplate -> empty, still present
+    val out = Dedup.stripBoilerplate(docs, "doc_id", "text", maxDocFreq = 1)
+      .collect().map(r => r.getLong(0) ->
+        (r.getString(1), r.getLong(2), r.getLong(3))).toMap
+    // the banner (3 docs) goes from ALL docs, including its first carrier;
+    // doc 1's within-doc repeated "body one" (df=1) survives BOTH times
+    assert(out(1L) === (("unique intro\nbody one\nbody one", 4L, 3L)))
+    assert(out(2L) === (("body two", 2L, 1L)))
+    assert(out(3L) === (("", 1L, 0L)))
+    // raising the threshold above the banner's df keeps everything
+    val lax = Dedup.stripBoilerplate(docs, "doc_id", "text", maxDocFreq = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(lax === Map(1L -> 4L, 2L -> 2L, 3L -> 1L))
+  }
+
   test("decontaminate: broadcast side is the benchmark grams") {
     val bench = docsDf((100L, "alpha beta gamma"))
     val corpus = docsDf((1L, "alpha beta gamma delta"))

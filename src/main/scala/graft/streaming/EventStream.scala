@@ -125,6 +125,38 @@ object EventStream {
         col("bucket"), col("max_rank"))
   }
 
+  /** Windowed quantiles per tumbling event-time window — the p50/p95/p99
+    * latency panel over a stream. Exact per-window percentiles would buffer
+    * every value in state; `approx_percentile`'s mergeable sketch bounds
+    * state at the accuracy-driven size per (window, group) regardless of
+    * traffic, and the watermark evicts closed windows (Append mode).
+    *
+    * The sketch is deterministic in the VALUE SET but its binary state is
+    * engine-private, so there is no cross-engine oracle — the correctness
+    * contract is the batch twin: the same call on the same rows as a batch
+    * frame returns the same quantiles (spec asserts it), which also means a
+    * backfill recomputes exactly what the stream reported.
+    */
+  def windowedQuantiles(
+      events: DataFrame,
+      valueCol: String,
+      qs: Seq[Double],
+      windowDuration: String = "1 hour",
+      watermarkDelay: String = "10 minutes",
+      accuracy: Int = 10000): DataFrame = {
+    require(qs.nonEmpty, "qs must be non-empty")
+    val in = if (events.isStreaming) events.withWatermark("ts", watermarkDelay) else events
+    val agg = in
+      .groupBy(window(col("ts"), windowDuration).as("win"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        approx_percentile(col(valueCol), typedLit(qs), lit(accuracy)).as("_q"))
+    val qCols = qs.zipWithIndex.map { case (q, i) =>
+      element_at(col("_q"), i + 1).cast("double").as(s"p${math.round(q * 100)}")
+    }
+    agg.select(unix_micros(col("win.start")).as("window_start_us") +:
+      col("event_type") +: col("n_events") +: qCols: _*)
+  }
+
   /** Stream-static feature enrichment — the streaming half of a feature
     * store: each incoming event is LEFT-joined to the latest feature row per
     * key from a STATIC snapshot (computed once per micro-batch planning via

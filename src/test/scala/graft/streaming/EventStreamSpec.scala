@@ -106,6 +106,30 @@ class EventStreamSpec extends SparkTestBase {
     assert(batch.nonEmpty && batch.groupBy(_._1).forall(_._2.size <= 4))
   }
 
+  test("windowedQuantiles: streaming quantile panel equals the batch twin") {
+    import spark.implicits._
+    implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // values chosen so p50 falls on elements (sketch exact at toy size);
+    // arrival order differs from event order (the sketch is order-insensitive)
+    val events = Seq(
+      ev(1, 1, 0, 10.0), ev(2, 1, 20, 20.0), ev(3, 1, 40, 30.0), // win 00:00
+      ev(4, 1, 61, 5.0), ev(5, 1, 90, 7.0), ev(6, 1, 110, 9.0)) // win 01:00
+    val ms = MemoryStream[GraftEvent]
+    ms.addData(events.reverse)
+    val q = EventStream.windowedQuantiles(ms.toDF(), "value", Seq(0.5, 0.95))
+      .writeStream.format("memory").queryName("q_out").outputMode("complete").start()
+    q.processAllAvailable()
+    q.stop()
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4))).toSet
+    val streamed = canon(spark.table("q_out"))
+    val batch = canon(EventStream.windowedQuantiles(events.toDF(), "value", Seq(0.5, 0.95)))
+    assert(streamed === batch, "backfill must reproduce what the stream reported")
+    val p50ByWindow = batch.map(t => t._1 -> t._4).toMap
+    assert(p50ByWindow.values.toSet === Set(20.0, 7.0), "element-aligned medians exact")
+  }
+
   test("fromParquetDir: file-stream ingest equals the batch read") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-stream").toString

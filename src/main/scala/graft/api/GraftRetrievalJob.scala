@@ -18,7 +18,10 @@ final case class RetrievalMetadata(
   * action; `persist` is the saved-dataset path the reference leaves
   * NotImplemented.
   */
-final class GraftRetrievalJob(evaluation: () => DataFrame, val metadata: RetrievalMetadata) {
+final class GraftRetrievalJob(
+    evaluation: () => DataFrame,
+    val metadata: RetrievalMetadata,
+    val fullFeatureNames: Boolean = false) {
 
   /** The logical plan for this retrieval; building it runs no Spark job. */
   lazy val toDF: DataFrame = evaluation()
@@ -37,5 +40,4 @@ final class GraftRetrievalJob(evaluation: () => DataFrame, val metadata: Retriev
     toDF.write.mode(if (allowOverwrite) "overwrite" else "errorifexists").parquet(path)
 
   def onDemandFeatureViews: Option[Nothing] = None
-  def fullFeatureNames: Boolean = false
 }

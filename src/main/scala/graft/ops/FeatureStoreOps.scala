@@ -136,12 +136,16 @@ object FeatureStoreOps {
     * offline_utils.infer_event_timestamp_from_entity_df used at store.py:371).
     */
   def inferEntityTimestampColumn(entity: DataFrame): String = {
-    val byName = entity.schema.fields.find(_.name == "event_timestamp")
+    // the name match must also be a real timestamp — a string column that
+    // happens to be called event_timestamp would otherwise crash the stats
+    // collection later (getTimestamp on a String) or compare as strings
+    val byName = entity.schema.fields
+      .find(f => f.name == "event_timestamp" && f.dataType == TimestampType)
     byName.map(_.name).getOrElse {
       entity.schema.fields.filter(_.dataType == TimestampType) match {
         case Array(one) => one.name
         case _ => throw new InvalidEntityFrameException(
-          "Entity frame needs an 'event_timestamp' column or exactly one timestamp column")
+          "Entity frame needs an 'event_timestamp' timestamp column or exactly one timestamp column")
       }
     }
   }
@@ -245,7 +249,18 @@ object FeatureStoreOps {
 
     val featureNames = views.flatMap(v =>
       v.features.map(f => if (fullFeatureNames) s"${v.name}__$f" else f))
+    // eager collision check (the reference rejects these too): duplicate
+    // output names — across views without full_feature_names, or a feature
+    // shadowing an entity key / the entity ts — would otherwise surface as
+    // ambiguous-reference errors mid-join or duplicate result columns
+    val reservedOut = views.flatMap(_.entityKeys).distinct :+ tsCol
+    val clashes = featureNames.diff(featureNames.distinct).distinct ++
+      featureNames.filter(reservedOut.contains)
+    require(clashes.isEmpty,
+      s"feature name collision(s): ${clashes.mkString(", ")} — rename the " +
+        "feature(s) or set fullFeatureNames = true")
     new GraftRetrievalJob(() => eval(),
-      RetrievalMetadata(featureNames, views.flatMap(_.entityKeys).distinct))
+      RetrievalMetadata(featureNames, views.flatMap(_.entityKeys).distinct),
+      fullFeatureNames)
   }
 }

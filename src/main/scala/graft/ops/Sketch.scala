@@ -55,7 +55,10 @@ object Sketch {
     require(depth >= 1 && depth <= 4, "depth must be in [1, 4]")
     require(width > 0 && 65536 % width == 0,
       "width must divide 2^16 (keeps chunk mod width uniform)")
+    // NULL keys are not counted (count_distinct semantics): they'd hash to
+    // NULL cells — junk sketch rows a NULL probe could never find anyway
     val keyCounts = df
+      .filter(col(keyCol).isNotNull)
       .groupBy(col(keyCol).cast("string").as("_k"))
       .agg(count(lit(1)).as("_c"))
     val h = md5Prefix64(col("_k"))
@@ -104,7 +107,11 @@ object Sketch {
       valueCol: String,
       p: Int): DataFrame = {
     val (bucket, rank) = hllBucketAndRank(col(valueCol), p)
-    df.select(groupCols.map(col) :+ bucket.as("bucket") :+ rank.as("_rank"): _*)
+    // NULLs are not values (count_distinct semantics): an unfiltered NULL
+    // would hash to a NULL bucket whose rank falls through the when-chain
+    // to width+1 — a phantom register that corrupts every estimate
+    df.filter(col(valueCol).isNotNull)
+      .select(groupCols.map(col) :+ bucket.as("bucket") :+ rank.as("_rank"): _*)
       .groupBy(groupCols.map(col) :+ col("bucket"): _*)
       .agg(max(col("_rank")).as("max_rank"))
   }
@@ -149,8 +156,11 @@ object Sketch {
       // absent buckets contribute 2^-0 = 1 each
       .withColumn("_raw", lit(alpha * m * m) / (col("_sum") + col("_zeros")))
     agg.select(groupCols.map(col) :+
-      when(col("_raw") <= 2.5 * m && col("_zeros") > 0,
-        lit(m) * log(lit(m) / col("_zeros")))
+      // empty register table (global groupBy of zero rows): _sum is NULL and
+      // _raw would propagate it — the cardinality of no data is 0
+      when(col("_nonEmpty") === 0, lit(0.0))
+        .when(col("_raw") <= 2.5 * m && col("_zeros") > 0,
+          lit(m) * log(lit(m) / col("_zeros")))
         .otherwise(col("_raw")).as("estimate"): _*)
   }
 }

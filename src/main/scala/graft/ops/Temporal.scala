@@ -89,9 +89,13 @@ object Temporal {
     // skips it and the group aggregates to null (nulls-preserved LEFT shape)
     val ord = if (backward) rUs else -rUs
     val tie = tieBreak.map(c => r(s"_r_$c")).getOrElse(lit(0))
+    // the ts column always rides as asof_<rightTsCol>; listing it again in
+    // rightValueCols would mint a duplicate struct field name and make the
+    // _m.v.<field> extraction ambiguous
+    val valueOnly = rightValueCols.filterNot(_ == rightTsCol)
     val payload = struct(
       r(s"_r_$rightTsCol").as(s"asof_$rightTsCol") +:
-        rightValueCols.map(c => r(s"_r_$c").as(s"asof_$c")): _*)
+        valueOnly.map(c => r(s"_r_$c").as(s"asof_$c")): _*)
     val candidate = when(rUs.isNotNull, struct(ord.as("o"), tie.as("t"), payload.as("v")))
     val carried = left.columns.filterNot(leftIdCols.contains)
       .map(c => any_value(left(c)).as(c)).toSeq
@@ -99,7 +103,7 @@ object Temporal {
     joined.groupBy(leftIdCols.map(left(_)): _*)
       .agg(aggs.head, aggs.tail: _*)
       .select(left.columns.toSeq.map(col) ++
-        (s"asof_$rightTsCol" +: rightValueCols.map(c => s"asof_$c"))
+        (s"asof_$rightTsCol" +: valueOnly.map(c => s"asof_$c"))
           .map(c => col(s"_m.v.$c").as(c)): _*)
   }
 
@@ -127,6 +131,14 @@ object Temporal {
       bucketSeconds: Long,
       keys: Seq[String] = Nil): DataFrame = {
     require(bucketSeconds > 0, "bucketSeconds must be positive")
+    // fail fast on shared non-key names: the containment filter resolves
+    // columns by name after the join, so a collision would either throw
+    // AMBIGUOUS_REFERENCE mid-query or silently duplicate output columns
+    val overlap = points.columns.toSet.intersect(intervals.columns.toSet) -- keys.toSet
+    require(overlap.isEmpty,
+      s"points/intervals share non-key columns ${overlap.mkString(", ")} — rename one side")
+    require(!points.columns.contains("_cell") && !intervals.columns.contains("_cell"),
+      "input columns collide with intervalJoin internal _cell")
     val bUs = bucketSeconds * 1000000L
     val p = points.withColumn("_cell", floor(unix_micros(col(pointTsCol)) / bUs))
     val iv = intervals
@@ -180,8 +192,9 @@ object Temporal {
     * cohort), counted as active in each subsequent week they appear —
     * the `(cohort_week, weeks_since, n_users)` matrix behind every retention
     * curve. Weeks are ISO `date_trunc('week', …)` boundaries (engine-
-    * portable); `weeks_since` is an exact integer because week starts are
-    * exact multiples of 7 days apart in UTC.
+    * portable); `weeks_since` is an exact integer in ANY session time zone
+    * because it divides a CALENDAR day difference (always a multiple of 7
+    * between week starts), not an epoch gap a DST hour could skew.
     *
     * Shape: first-event-per-user is a single-shuffle arg-min on the key;
     * the join back is key-equality (reusing the same partitioning), and the
@@ -192,14 +205,17 @@ object Temporal {
       df: DataFrame,
       keyCol: String,
       tsCol: String): DataFrame = {
-    val weekUs = 7L * 86400L * 1000000L
     val firstWeek = df.groupBy(col(keyCol))
-      .agg(min(unix_micros(date_trunc("week", col(tsCol)))).as("cohort_week_us"))
-    df.select(col(keyCol),
-        unix_micros(date_trunc("week", col(tsCol))).as("_act_week_us"))
+      .agg(min(date_trunc("week", col(tsCol))).as("_cohort_week"))
+    // weeks_since via CALENDAR day difference of the truncated week starts,
+    // not epoch-microsecond division: week starts are exactly 7k calendar
+    // days apart in ANY session time zone, but a DST transition makes the
+    // epoch gap 7d±1h and a truncating microsecond division misassigns that
+    // week (datediff/7 is exact everywhere, identical under UTC)
+    df.select(col(keyCol), date_trunc("week", col(tsCol)).as("_act_week"))
       .join(firstWeek, Seq(keyCol))
-      .groupBy(col("cohort_week_us"),
-        ((col("_act_week_us") - col("cohort_week_us")) / weekUs)
+      .groupBy(unix_micros(col("_cohort_week")).as("cohort_week_us"),
+        floor(datediff(to_date(col("_act_week")), to_date(col("_cohort_week"))) / 7)
           .cast("long").as("weeks_since"))
       .agg(count_distinct(col(keyCol)).as("n_users"))
   }

@@ -117,7 +117,10 @@ object EventStream {
       p: Int = 8): DataFrame = {
     val in = if (events.isStreaming) events.withWatermark("ts", watermarkDelay) else events
     val (bucket, rank) = graft.ops.Sketch.hllBucketAndRank(col(valueCol), p)
-    in.select(window(col("ts"), windowDuration).as("win"),
+    // same NULL policy as ops.Sketch.hllRegisters: a NULL value must not
+    // mint a phantom (NULL bucket, width+1) register in any window
+    in.filter(col(valueCol).isNotNull)
+      .select(window(col("ts"), windowDuration).as("win"),
         bucket.as("bucket"), rank.as("_rank"))
       .groupBy(col("win"), col("bucket"))
       .agg(max(col("_rank")).as("max_rank"))

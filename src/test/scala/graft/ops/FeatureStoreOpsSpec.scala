@@ -182,6 +182,30 @@ class FeatureStoreOpsSpec extends SparkTestBase {
     assert(FeatureStoreOps.inferEntityTimestampColumn(sole) == "my_ts")
     val none = Seq((1L, 2L)).toDF("a", "b")
     intercept[InvalidEntityFrameException](FeatureStoreOps.inferEntityTimestampColumn(none))
+    // a STRING column that happens to be named event_timestamp must lose to
+    // the real timestamp column (getTimestamp would crash on strings later)
+    val decoy = Seq((1L, "2024-01-01", ts("2024-01-01 00:00:00")))
+      .toDF("k", "event_timestamp", "real_ts")
+    assert(FeatureStoreOps.inferEntityTimestampColumn(decoy) == "real_ts")
+  }
+
+  test("pointInTime: duplicate feature names across views fail fast; flag propagates") {
+    import spark.implicits._
+    Seq((1L, ts("2024-01-02 00:00:00"), 1.0)).toDF("k", "ets", "v")
+      .createOrReplaceTempView("feat_dup_v")
+    val src2 = GraftSource.of(table = Some("feat_dup_v"), timestampField = Some("ets"))
+    val fv1 = FeatureView("f1", featSrc, Seq("k"), Seq("v"), tieBreak = Some("rid"))
+    val fv2 = FeatureView("f2", src2, Seq("k"), Seq("v")) // same feature name
+    val ent = entity((1L, "2024-01-06 00:00:00"))
+    val e = intercept[IllegalArgumentException] {
+      FeatureStoreOps.pointInTime(spark, ent, Seq(fv1, fv2))
+    }
+    assert(e.getMessage.contains("v") && e.getMessage.contains("fullFeatureNames"))
+    // full_feature_names disambiguates — and the job reports the flag
+    val job = FeatureStoreOps.pointInTime(spark, ent, Seq(fv1, fv2),
+      fullFeatureNames = true)
+    assert(job.fullFeatureNames, "flag must propagate to the job surface")
+    assert(job.toDF.columns.toSet === Set("k", "event_timestamp", "f1__v", "f2__v"))
   }
 
   test("pointInTime: composite entity keys join on all keys") {

@@ -457,6 +457,46 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(out("s") === ((3L, 1L, 2L, "a", "b")))
   }
 
+  test("cohortRetention: weeks_since survives a DST transition (non-UTC session)") {
+    import spark.implicits._
+    val prevTz = spark.conf.get("spark.sql.session.timeZone")
+    try {
+      spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+      // US spring-forward 2024-03-10: the Mar-4 -> Mar-11 week gap is
+      // 7d - 1h in epoch micros; an epoch division would truncate it to 0
+      val df = Seq(
+        (1L, java.sql.Timestamp.valueOf("2024-03-05 10:00:00")), // week of Mar 4
+        (1L, java.sql.Timestamp.valueOf("2024-03-12 10:00:00")) // week of Mar 11
+      ).toDF("user_id", "ts")
+      val weeks = Temporal.cohortRetention(df, "user_id", "ts")
+        .collect().map(_.getLong(1)).toSet
+      assert(weeks === Set(0L, 1L), "DST week must count as weeks_since = 1")
+    } finally spark.conf.set("spark.sql.session.timeZone", prevTz)
+  }
+
+  test("asofJoin: rightTsCol listed in rightValueCols does not duplicate the payload field") {
+    import spark.implicits._
+    val left = Seq((1L, ts("2024-01-01 10:00:00"))).toDF("id", "ts")
+    val right = Seq((1L, ts("2024-01-01 09:00:00"), 5.0)).toDF("id", "rts", "v")
+    val out = Temporal.asofJoin(left, right, Seq("id"), "ts", "rts",
+      Seq("id", "ts"), Seq("rts", "v")) // rts redundantly listed
+    assert(out.columns.count(_ == "asof_rts") === 1, "single asof ts column")
+    val row = out.head
+    assert(row.getAs[java.sql.Timestamp]("asof_rts") === ts("2024-01-01 09:00:00"))
+    assert(row.getAs[Double]("asof_v") === 5.0)
+  }
+
+  test("intervalJoin: shared non-key columns fail fast instead of ambiguous refs") {
+    import spark.implicits._
+    val pts = Seq((1L, ts("2024-01-01 10:00:00"))).toDF("id", "ts")
+    val ivs = Seq((9L, ts("2024-01-01 09:00:00"), ts("2024-01-01 11:00:00")))
+      .toDF("id", "s", "e") // "id" collides
+    val e = intercept[IllegalArgumentException] {
+      Temporal.intervalJoin(pts, ivs, "ts", "s", "e", bucketSeconds = 3600)
+    }
+    assert(e.getMessage.contains("id"))
+  }
+
   test("cohortRetention: cohort = first-event week, weeks_since exact, distinct users") {
     import spark.implicits._
     val mon1 = ts("2024-01-01 10:00:00") // Monday week 1

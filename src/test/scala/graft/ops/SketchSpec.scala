@@ -107,6 +107,28 @@ class SketchSpec extends SparkTestBase {
 
   // ---- vocabulary coverage ----
 
+  test("sketches treat NULL as absent: no phantom registers/cells, empty estimate is 0.0") {
+    import spark.implicits._
+    val withNulls = Seq(Some("a"), Some("b"), None, Some("a"), None).toDF("k")
+    val clean = withNulls.filter(col("k").isNotNull)
+    // HLL: registers with nulls present == registers of the non-null rows
+    def regs(df: org.apache.spark.sql.DataFrame) =
+      Sketch.hllRegisters(df, Nil, "k", p = 8)
+        .collect().map(r => r.getLong(0) -> r.getInt(1)).toSet
+    assert(regs(withNulls) === regs(clean))
+    // all-null input: zero registers, and the estimate of no data is 0.0
+    val empty = Sketch.hllRegisters(withNulls.filter(col("k").isNull), Nil, "k", p = 8)
+    assert(empty.count() === 0L)
+    val est = Sketch.hllEstimate(empty, Nil, p = 8).head.getDouble(0)
+    assert(est === 0.0, "cardinality of no data is 0, not NULL")
+    // CMS: no NULL cells, totals exclude the null rows
+    val sk = Sketch.countMinSketch(withNulls, "k", width = 256, depth = 2)
+    assert(sk.filter(col("cell").isNull).count() === 0L)
+    val perRow = sk.groupBy("sketch_row").agg(sum("cell_count").as("t"))
+      .collect().map(_.getLong(1))
+    assert(perRow.forall(_ === 3L), "each sketch row sums to the non-null count")
+  }
+
   test("vocabCoverage: ranks by count then token, cumulative ppm is exact integer math") {
     import spark.implicits._
     val df = Seq((1L, "b b b a a c"), (2L, "a d")).toDF("doc_id", "text")

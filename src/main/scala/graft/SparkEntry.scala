@@ -1087,7 +1087,8 @@ object SparkEntry {
           |  list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> len(x) > 0) AS toks
           |  FROM u),
           |sh AS (SELECT doc_id,
-          |  list_distinct(CASE WHEN len(toks) >= 3
+          |  list_distinct(CASE WHEN len(toks) = 0 THEN CAST([] AS VARCHAR[])
+          |    WHEN len(toks) >= 3
           |    THEN list_transform(range(1, len(toks) - 1),
           |         i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
           |    ELSE [array_to_string(toks, ' ')] END) AS sh
@@ -1136,7 +1137,8 @@ object SparkEntry {
           |  list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> len(x) > 0) AS toks
           |  FROM u),
           |sh AS (SELECT doc_id,
-          |  list_distinct(CASE WHEN len(toks) >= 3
+          |  list_distinct(CASE WHEN len(toks) = 0 THEN CAST([] AS VARCHAR[])
+          |    WHEN len(toks) >= 3
           |    THEN list_transform(range(1, len(toks) - 1),
           |         i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
           |    ELSE [array_to_string(toks, ' ')] END) AS sh
@@ -1263,7 +1265,8 @@ object SparkEntry {
            |FROM t""".stripMargin,
       "ngram_stats" ->
         s"""WITH $toksCte,
-           |g AS (SELECT doc_id, unnest(CASE WHEN len(toks) >= 3
+           |g AS (SELECT doc_id, unnest(CASE WHEN len(toks) = 0 THEN CAST([] AS VARCHAR[])
+          |    WHEN len(toks) >= 3
            |  THEN list_transform(range(1, len(toks) - 1),
            |       i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
            |  ELSE [array_to_string(toks, ' ')] END) AS ngram FROM t)
@@ -1346,13 +1349,15 @@ object SparkEntry {
         s"""WITH d AS (SELECT doc_id, CASE WHEN doc_id % 5 = 0
            |    THEN text || ' contact u' || CAST(doc_id AS VARCHAR) ||
            |         '@example.com from 10.0.' || CAST(doc_id % 200 AS VARCHAR) || '.7'
-           |    ELSE text END AS text FROM documents)
+           |    ELSE text END AS text FROM documents),
+           |e AS (SELECT doc_id, text,
+           |  regexp_replace(text, '${TextAnalysis.emailRe}', '<EMAIL>', 'g') AS t_email
+           |  FROM d)
            |SELECT doc_id,
            |  len(regexp_extract_all(text, '${TextAnalysis.emailRe}')) AS n_emails,
-           |  len(regexp_extract_all(text, '${TextAnalysis.ipv4Re}')) AS n_ips,
-           |  md5(regexp_replace(regexp_replace(text, '${TextAnalysis.emailRe}', '<EMAIL>', 'g'),
-           |      '${TextAnalysis.ipv4Re}', '<IP>', 'g')) AS redacted_fp
-           |FROM d""".stripMargin,
+           |  len(regexp_extract_all(t_email, '${TextAnalysis.ipv4Re}')) AS n_ips,
+           |  md5(regexp_replace(t_email, '${TextAnalysis.ipv4Re}', '<IP>', 'g')) AS redacted_fp
+           |FROM e""".stripMargin,
       "sample_hash" ->
         """SELECT doc_id, lang, source FROM documents
           |WHERE CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 6)) AS BIGINT)
@@ -1367,7 +1372,8 @@ object SparkEntry {
           |  list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> len(x) > 0) AS toks
           |  FROM documents),
           |sh AS (SELECT doc_id,
-          |  list_distinct(CASE WHEN len(toks) >= 3
+          |  list_distinct(CASE WHEN len(toks) = 0 THEN CAST([] AS VARCHAR[])
+          |    WHEN len(toks) >= 3
           |    THEN list_transform(range(1, len(toks) - 1),
           |         i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
           |    ELSE [array_to_string(toks, ' ')] END) AS sh
@@ -1395,7 +1401,8 @@ object SparkEntry {
         """WITH t AS (SELECT doc_id, length(text) AS n_chars,
           |  list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> len(x) > 0) AS toks
           |  FROM documents),
-          |g AS (SELECT doc_id, n_chars, unnest(CASE WHEN len(toks) >= 2
+          |g AS (SELECT doc_id, n_chars, unnest(CASE WHEN len(toks) = 0 THEN CAST([] AS VARCHAR[])
+          |    WHEN len(toks) >= 2
           |    THEN list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1])
           |    ELSE [array_to_string(toks, ' ')] END) AS gram FROM t),
           |c AS (SELECT doc_id, n_chars, gram, count(*) AS cnt FROM g GROUP BY 1, 2, 3),

@@ -11,6 +11,19 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
+  /** Normalized multi-column content key shared by [[exact]] and
+    * [[dedupAgainst]]: per-column `lower(trim(...))`, a NULL column mapped
+    * to a reserved marker (NULL content is content, and concat_ws would
+    * otherwise SKIP it entirely - making (NULL, "x") and ("x", NULL)
+    * collide), and columns joined with a \\u0001 boundary so ("ab", "c")
+    * and ("a", "bc") hash differently. 32 raw digest bytes (see
+    * [[exact]]'s key-width note).
+    */
+  private def contentKey(contentCols: Seq[String]): Column = {
+    val normed = contentCols.map(c => coalesce(lower(trim(col(c))), lit("\u0002")))
+    unhex(sha2(concat_ws("\u0001", normed: _*), 256))
+  }
+
   /** Exact dedup: hash the normalized content columns, keep one canonical row
     * per hash (the one with the smallest `idCol`), and report the group size.
     * One shuffle (hash groupBy with map-side partial aggregation); the content
@@ -20,8 +33,7 @@ object Dedup {
     * half the key width through the one shuffle that touches every row.
     */
   def exact(df: DataFrame, contentCols: Seq[String], idCol: String): DataFrame = {
-    val normed = contentCols.map(c => lower(trim(col(c))))
-    val h = unhex(sha2(concat_ws("", normed: _*), 256))
+    val h = contentKey(contentCols)
     df.groupBy(h.as("content_hash"))
       .agg(
         min_by(struct(df.columns.toSeq.map(col): _*), col(idCol)).as("_row"),
@@ -188,6 +200,11 @@ object Dedup {
       maxHamming: Int = 3,
       maxBucket: Int = 100,
       metrics: Option[Observation] = None): DataFrame = {
+    // the 4×16-bit chunk pigeonhole is COMPLETE only for distance <= 3
+    // (4 chunks, so any 3 flipped bits leave one chunk untouched); a larger
+    // maxHamming would silently miss pairs rather than find more
+    require(maxHamming >= 0 && maxHamming <= 3,
+      "maxHamming must be in [0, 3] (16-bit-chunk candidate generation)")
     // lazily checkpointed: referenced by the chunk buckets and both verify
     // sides — one explode+aggregate pass instead of three
     val hashes = simHash(df, idCol, textCol).localCheckpoint(false)
@@ -327,8 +344,7 @@ object Dedup {
       batch: DataFrame,
       reference: DataFrame,
       contentCols: Seq[String]): DataFrame = {
-    def key(df: DataFrame): Column =
-      unhex(sha2(concat_ws("", contentCols.map(c => lower(trim(col(c)))): _*), 256))
+    def key(df: DataFrame): Column = contentKey(contentCols)
     val refKeys = reference.select(key(reference).as("_k")).distinct()
     batch.withColumn("_k", key(batch))
       .join(refKeys, Seq("_k"), "left_anti")

@@ -133,8 +133,13 @@ object TextAnalysis {
       textCol: String,
       tokenBudget: Int,
       partitionKey: String): DataFrame = {
+    // explicit ROWS frame: the default RANGE frame makes duplicate-id rows
+    // peers sharing one cumulative sum — overlapping start_offsets; with
+    // ROWS each row gets its own running total (ids SHOULD be unique, but
+    // a dup must not silently overlap two documents in a bin)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col(partitionKey)).orderBy(col(idCol))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
     val nTok = size(tokens(col(textCol)))
     df.select(col(partitionKey), col(idCol), nTok.as("n_tokens"))
       .withColumn("start_offset",
@@ -289,12 +294,16 @@ object TextAnalysis {
     */
   def redactPii(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val t = col(textCol)
-    val redacted = regexp_replace(
-      regexp_replace(t, emailRe, "<EMAIL>"), ipv4Re, "<IP>")
+    val emailRedacted = regexp_replace(t, emailRe, "<EMAIL>")
+    val redacted = regexp_replace(emailRedacted, ipv4Re, "<IP>")
     df.select(
       col(idCol),
       regexp_count(t, lit(emailRe)).as("n_emails"),
-      regexp_count(t, lit(ipv4Re)).as("n_ips"),
+      // count IPs on the email-redacted text — the string the replacement
+      // actually runs on — so n_ips always equals the number of <IP> tags
+      // (an IP inside an email, "1.2.3.4@x.com", is consumed by the email
+      // pass and must not be double-counted)
+      regexp_count(emailRedacted, lit(ipv4Re)).as("n_ips"),
       md5(redacted.cast("binary")).as("redacted_fp"))
   }
 
@@ -339,9 +348,13 @@ object TextAnalysis {
       textCol: String,
       maxPostings: Int): DataFrame = {
     require(maxPostings > 0, "maxPostings must be positive")
+    // lazily checkpointed: the exploded stream feeds the stats aggregation
+    // AND the postings branch — without it the tokenize+explode scan (the
+    // expensive pass) runs twice (same discipline as minHashLsh/pmiPairs)
     val pairs = df
       .select(col(idCol).as("doc_id"), tokens(col(textCol)).as("_toks"))
       .select(col("doc_id"), explode(col("_toks")).as("term"))
+      .localCheckpoint(false)
     val stats = pairs.groupBy(col("term"))
       .agg(count(lit(1)).as("n_occurrences"),
         count_distinct(col("doc_id")).as("n_docs"))
@@ -463,7 +476,10 @@ object TextAnalysis {
       .withColumn("_cum", sum(col("cnt")).over(w))
       .crossJoin(broadcast(total))
       .select(col("rank"), col("token"), col("cnt"),
-        expr("_cum * 1000000 DIV _total").as("cum_ppm"))
+        // decimal(38) intermediate: _cum * 1e6 overflows LONG once the
+        // corpus passes ~9.2e12 token occurrences (well inside 100 TB);
+        // the integral divide result still lands as an exact long
+        expr("CAST(_cum AS DECIMAL(38,0)) * 1000000 DIV _total").as("cum_ppm"))
   }
 
   /** Pointwise-mutual-information pair ranking over the [[cooccurrence]]
@@ -505,7 +521,12 @@ object TextAnalysis {
     pairs
       .join(uni.select(col("tok").as("a"), col("c").as("c_a")), Seq("a"))
       .join(uni.select(col("tok").as("b"), col("c").as("c_b")), Seq("b"))
-      .withColumn("pmi_scaled", expr(s"n_pairs * ${scale}L DIV (c_a * c_b)"))
+      // decimal(38) intermediates: c_a·c_b for two stopwords at 100 TB is
+      // ~1e24 — far past Long.Max (ANSI overflow error, or wrapped garbage
+      // ranking with ANSI off); the integral divide still returns a long
+      .withColumn("pmi_scaled",
+        expr(s"CAST(n_pairs AS DECIMAL(38,0)) * ${scale}L DIV " +
+          "(CAST(c_a AS DECIMAL(38,0)) * c_b)"))
       .orderBy(col("pmi_scaled").desc, col("a"), col("b"))
       .limit(topK)
       .select(col("a"), col("b"), col("n_pairs"), col("c_a"), col("c_b"),
@@ -537,6 +558,12 @@ object TextAnalysis {
       tokenBudget: Int,
       partitionKey: String): DataFrame = {
     require(tokenBudget > 0, "tokenBudget must be positive")
+    // the id rides through the typed flatMapGroups as a Long — fail fast on
+    // non-integral ids instead of ANSI cast errors (or NULLs) mid-job
+    require(Seq("byte", "short", "int", "bigint", "long")
+      .contains(df.schema(idCol).dataType.simpleString),
+      s"packSequencesFFD needs an integral $idCol " +
+        s"(got ${df.schema(idCol).dataType.simpleString})")
     import df.sparkSession.implicits._
     val sized = df.select(
       col(partitionKey).cast("string").as("_shard"),

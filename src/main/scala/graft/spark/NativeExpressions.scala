@@ -18,7 +18,12 @@ import org.apache.spark.unsafe.types.UTF8String
   * Semantics match the composed-builtin version exactly: elements are widened
   * to double, products accumulate left-to-right, result is
   * `dot / (sqrt(normA) * sqrt(normB))`; null if either array is null or the
-  * lengths differ (as `zip_with` null-padding would yield).
+  * lengths differ (as `zip_with` null-padding would yield). One DELIBERATE
+  * divergence: a null ELEMENT reads as 0.0 (primitive accessors, no branch
+  * in the hot loop) where the composed form would poison the whole result
+  * to null — embeddings are `containsNull = false` by construction, and for
+  * corrupt data a 0-weighted dimension beats losing the comparison. The
+  * equivalence property suite generates null-free arrays accordingly.
   */
 case class CosineSimilarity(left: Expression, right: Expression)
     extends BinaryExpression with ExpectsInputTypes {
@@ -231,7 +236,12 @@ object WordShingles {
 
   def shingle(arr: ArrayData, n: Int): ArrayData = {
     val sz = arr.numElements()
-    if (sz >= n) {
+    // a token-empty doc has NO grams — emitting the whole-doc fallback gram
+    // ("") here would make every empty doc collide with every other in any
+    // shingle-keyed join (decontamination, MinHash bands)
+    if (sz == 0) {
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(Array.empty[Any])
+    } else if (sz >= n) {
       val out = new Array[Any](sz - n + 1)
       val parts = new Array[UTF8String](n)
       var i = 0

@@ -178,6 +178,26 @@ class DedupSpec extends SparkTestBase {
     assert(again === out)
   }
 
+  test("exact: multi-column content keeps column boundaries and NULL identity") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Option("ab"), Option("c")), // "ab"+"c"
+      (2L, Option("a"), Option("bc")), // "a"+"bc" — NOT a duplicate of row 1
+      (3L, Option.empty[String], Option("x")), // (NULL, "x")
+      (4L, Option("x"), Option.empty[String]), // ("x", NULL) — NOT a dup of row 3
+      (5L, Option("ab"), Option("c")) // true duplicate of row 1
+    ).toDF("id", "t", "b")
+    val out = Dedup.exact(df, Seq("t", "b"), "id")
+      .collect().map(r => r.getLong(0) -> r.getAs[Long]("n_dups")).toMap
+    assert(out === Map(1L -> 2L, 2L -> 1L, 3L -> 1L, 4L -> 1L),
+      "boundary and NULL-position must distinguish contents")
+    // dedupAgainst shares the exact key: batch rows survive unless truly equal
+    val ref = Seq((9L, Option("ab"), Option("c"))).toDF("id", "t", "b")
+    val kept = Dedup.dedupAgainst(df, ref, Seq("t", "b"))
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(kept === Set(2L, 3L, 4L))
+  }
+
   test("stripBoilerplate: high-df segments vanish from EVERY carrier, rare ones stay everywhere") {
     val docs = docsDf(
       (1L, "unique intro\ncookie banner\nbody one\nbody one"),

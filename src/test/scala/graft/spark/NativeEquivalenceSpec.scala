@@ -30,6 +30,8 @@ class NativeEquivalenceSpec extends SparkTestBase {
         when(size(col("toks")) >= n,
           transform(sequence(lit(0), size(col("toks")) - n),
             i => concat_ws(" ", slice(col("toks"), i + 1, lit(n)))))
+          // empty docs have NO grams; 1..n-1 tokens give the whole-doc gram
+          .when(size(col("toks")) === 0, array().cast("array<string>"))
           .otherwise(array(concat_ws(" ", col("toks")))))
         .head.getSeq[String](0)
       native == composed

@@ -1749,8 +1749,9 @@ object SparkEntry {
           |  FROM documents WHERE doc_id % 17 <> 0
           |  UNION ALL
           |  SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 23 = 0),
-          |o AS (SELECT doc_id, md5(text) AS old_fp FROM documents),
-          |n AS (SELECT doc_id, md5(text) AS new_fp FROM b),
+          |o AS (SELECT doc_id, md5(coalesce(md5(text), repeat('~', 32))) AS old_fp
+          |      FROM documents),
+          |n AS (SELECT doc_id, md5(coalesce(md5(text), repeat('~', 32))) AS new_fp FROM b),
           |j AS (SELECT coalesce(o.doc_id, n.doc_id) AS doc_id, old_fp, new_fp,
           |  CASE WHEN old_fp IS NULL THEN 'added' WHEN new_fp IS NULL THEN 'removed'
           |       WHEN old_fp <> new_fp THEN 'changed' ELSE 'unchanged' END AS status

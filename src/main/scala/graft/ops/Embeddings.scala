@@ -42,7 +42,10 @@ object Embeddings {
           .otherwise(transform(col("_v"),
             x => floor(x.cast("double") * 127.0 / col("scale") + 0.5).cast("int")))
           .as("q"))
-      .withColumn("q_str", array_join(col("q"), ","))
+      // explicit nullReplacement: array_join SKIPS null elements, which
+      // would make a vector with a corrupt component serialize identically
+      // to a genuinely lower-dimensional one
+      .withColumn("q_str", array_join(col("q"), ",", "null"))
 
   /** Fixed-point L2 normalization: each component becomes
     * `floor(x_i / ||x|| * fixedScale + 0.5)` (a signed integer ~ the unit
@@ -67,5 +70,6 @@ object Embeddings {
           .otherwise(transform(col("_v"),
             x => floor(x.cast("double") / col("norm") * fixedScale.toDouble + 0.5)))
           .as("u"))
-      .withColumn("u_str", array_join(col("u"), ","))
+      // same nullReplacement rationale as quantizeInt8's q_str
+      .withColumn("u_str", array_join(col("u"), ",", "null"))
 }

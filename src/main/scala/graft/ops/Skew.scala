@@ -25,6 +25,8 @@ object Skew {
       keys: Seq[String],
       saltFactor: Int,
       joinType: String = "inner"): DataFrame = {
+    require(saltFactor > 0, "saltFactor must be positive (0 would explode " +
+      "the right side to nothing and silently empty the join)")
     require(joinType == "inner" || joinType == "left",
       s"saltedJoin supports inner/left (got $joinType); replicating the right " +
         "side would duplicate unmatched right rows in right/full joins")

@@ -15,12 +15,12 @@ object Snapshot {
     * the side is absent). Unchanged keys are filtered out, so output size
     * scales with the CHANGE volume, not the table.
     *
-    * Content equality is `md5(concat_ws(0x01, compareCols))` — column values
-    * joined on a separator that cannot appear in text, so the comparison is
-    * order- and padding-proof and the fingerprint is reproducible in any
-    * engine. `compareCols` must be non-null (document the contract rather
-    * than burn a null-sentinel branch per column in the hot path); keys must
-    * be unique per snapshot.
+    * Content equality is `md5(concat(md5(col) per column))` — every column
+    * contributes a FIXED-WIDTH digest, so the boundary is unambiguous no
+    * matter what bytes the values contain (a separator-based join collides
+    * when a value embeds the separator), a NULL column keeps a reserved
+    * non-hex marker, and the fingerprint is reproducible in any engine.
+    * Keys must be unique per snapshot.
     *
     * Shape: each side projects to (keys, 16-byte fingerprint) AT THE SCAN —
     * full text never reaches the join — then one full-outer hash/sort-merge
@@ -35,9 +35,15 @@ object Snapshot {
       compareCols: Seq[String]): DataFrame = {
     require(keyCols.nonEmpty && compareCols.nonEmpty,
       "keyCols and compareCols must be non-empty")
+    // fingerprint = md5 over FIXED-WIDTH per-column digests: a
+    // separator-based concat collides when a value itself contains the
+    // separator (and concat_ws skips NULLs - (NULL,"x") vs ("x",NULL));
+    // 32-hex-char components make every column boundary unambiguous for
+    // ANY content, and a NULL column keeps a reserved non-hex marker
     def fp(df: DataFrame, as: String) = df.select(
       keyCols.map(col) :+
-        md5(concat_ws("\u0001", compareCols.map(c => col(c).cast("string")): _*)
+        md5(concat(compareCols.map(c =>
+          coalesce(md5(col(c).cast("string").cast("binary")), lit("~" * 32))): _*)
           .cast("binary")).as(as): _*)
     fp(oldSnap, "old_fp")
       .join(fp(newSnap, "new_fp"), keyCols, "full_outer")

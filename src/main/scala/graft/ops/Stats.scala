@@ -6,6 +6,16 @@ import org.apache.spark.sql.functions._
 /** Distribution statistics over grouped data. */
 object Stats {
 
+  /** Collision-free quantile column label: `p50`, `p95`, `p99_9` — the naive
+    * `math.round(q*100)` maps 0.995 and 0.999 BOTH to `p100` (duplicate,
+    * ambiguous columns for the canonical latency-tail request). Shared with
+    * [[graft.streaming.EventStream.windowedQuantiles]].
+    */
+  private[graft] def quantileLabel(q: Double): String = {
+    val pct = (BigDecimal(q.toString) * 100).underlying.stripTrailingZeros
+    "p" + pct.toPlainString.replace('.', '_')
+  }
+
   /** Exact per-group quantiles (linear interpolation) of `valueCol`, one
     * output column per requested quantile (`p25`, `p50`, ...), plus the group
     * row count.
@@ -34,7 +44,7 @@ object Stats {
     // cast keeps the schema stable across modes: exact percentile is
     // already double; approx returns the input type (no interpolation)
     val qCols = qs.zipWithIndex.map { case (q, i) =>
-      element_at(col("_q"), i + 1).cast("double").as(s"p${math.round(q * 100)}")
+      element_at(col("_q"), i + 1).cast("double").as(quantileLabel(q))
     }
     agg.select(groupCols.map(col) ++ (col("n_rows") +: qCols): _*)
   }
@@ -75,8 +85,14 @@ object Stats {
     * exact integers, immune to shuffle order, and μ/σ/z derive from them via
     * a FIXED sequence of exactly-rounded double ops, so the flag decision
     * and the reported score are engine-identical. (Summing raw doubles would
-    * make σ — and borderline flags — run-dependent.) Σv² of an int column
-    * caps the usable scale at |v| ≲ 3·10⁶ per billion rows per group.
+    * make σ — and borderline flags — run-dependent.) Moments accumulate in
+    * decimal(38, 0): v² of an int column would overflow int multiplication
+    * at |v| > 46 340 and even long Σv² caps out near 10⁶ rows per group at
+    * cent scale — decimal keeps the sums exact to 10³⁸. The derived
+    * variance is clamped at 0 before the sqrt: catastrophic cancellation on
+    * near-constant large values can land it a few ulps negative, and
+    * sqrt(-ε) = NaN would pass BOTH filters under Spark's NaN-sorts-last
+    * ordering — flagging the entire group instead of none of it.
     *
     * Shape: one narrow moment aggregation per group (map-side partial), then
     * the tiny stats table broadcast-joins back to the rows — the row side
@@ -90,11 +106,14 @@ object Stats {
       z: Double): DataFrame = {
     require(z > 0, "z must be positive")
     val v = col(valueCol)
+    val vd = v.cast("decimal(38,0)")
     val stats = df.groupBy(groupCols.map(col): _*)
-      .agg(count(lit(1)).as("_n"), sum(v).as("_s"), sum(v * v).as("_ss"))
+      .agg(count(lit(1)).as("_n"), sum(vd).as("_s"), sum(vd * vd).as("_ss"))
       .withColumn("_mu", col("_s").cast("double") / col("_n"))
       .withColumn("_sigma",
-        sqrt(col("_ss").cast("double") / col("_n") - col("_mu") * col("_mu")))
+        sqrt(greatest(
+          col("_ss").cast("double") / col("_n") - col("_mu") * col("_mu"),
+          lit(0.0))))
       .select(groupCols.map(c => col(c).as(s"_g_$c")) :+
         col("_mu") :+ col("_sigma"): _*)
     // null-SAFE group match: a NULL group aggregated its own moments above,

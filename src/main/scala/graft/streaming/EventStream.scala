@@ -17,6 +17,7 @@ final case class GraftSession(
     n_events: Long, total_value: Double)
 
 private final case class SessionState(startMs: Long, endMs: Long, n: Long, total: Double)
+private final case class SessionsState(sessions: List[SessionState])
 
 /** Structured-Streaming ingest for the events stream. Every transform here
   * runs identically on a batch DataFrame (the batch twin is what the driver
@@ -64,18 +65,22 @@ object EventStream {
       .start()
 
   /** Streaming exact dedup: drops repeated `event_id`s (at-least-once
-    * ingest -> exactly-once semantics downstream). On a stream the watermark
-    * bounds the dedup state — ids older than `watermark` are evicted, so a
-    * duplicate replayed later than the watermark delay would pass (the
-    * standard Spark state/completeness trade, same as windowedCounts); on
-    * batch the identical call is a plain dropDuplicates. State size is
-    * O(events within the watermark), not O(stream history).
+    * ingest -> exactly-once semantics downstream). On a stream this is
+    * `dropDuplicatesWithinWatermark` — the variant whose state the watermark
+    * actually EVICTS (plain `dropDuplicates("event_id")` only evicts when
+    * the event-time column is part of the dedup key, so keying on the id
+    * alone would grow state for the life of the query); the trade is the
+    * documented one: a duplicate replayed later than the watermark delay
+    * passes. On batch the identical call is a plain dropDuplicates. State
+    * size is O(events within the watermark), not O(stream history).
     */
   def dedupEvents(
       events: Dataset[GraftEvent],
       watermark: String = "1 hour"): Dataset[GraftEvent] =
-    (if (events.isStreaming) events.withWatermark("ts", watermark) else events)
-      .dropDuplicates("event_id")
+    if (events.isStreaming)
+      events.withWatermark("ts", watermark)
+        .dropDuplicatesWithinWatermark("event_id")
+    else events.dropDuplicates("event_id")
 
   /** Tumbling-window aggregate: per (window, event_type) event counts and
     * value sums. On a streaming input a watermark bounds state; on batch the
@@ -154,7 +159,7 @@ object EventStream {
       .agg(count(lit(1)).as("n_events"),
         approx_percentile(col(valueCol), typedLit(qs), lit(accuracy)).as("_q"))
     val qCols = qs.zipWithIndex.map { case (q, i) =>
-      element_at(col("_q"), i + 1).cast("double").as(s"p${math.round(q * 100)}")
+      element_at(col("_q"), i + 1).cast("double").as(graft.ops.Stats.quantileLabel(q))
     }
     agg.select(unix_micros(col("win.start")).as("window_start_us") +:
       col("event_type") +: col("n_events") +: qCols: _*)
@@ -224,10 +229,17 @@ object EventStream {
         rTs < col(leftTsCol))
   }
 
-  /** Streaming sessionization: events within `gapMinutes` of the previous
-    * event (per user) share a session; a session closes when the gap passes,
-    * enforced by an event-time timeout against the watermark
-    * (flatMapGroupsWithState, Append mode).
+  /** Streaming sessionization: events within `gapMinutes` of each other
+    * (per user) share a session. A session is emitted only once the
+    * WATERMARK passes `session_end + gap` — never merely because a
+    * later-timestamped event arrived in the same micro-batch. That is the
+    * correctness condition for the batch-twin contract: until the watermark
+    * passes, a late-but-in-watermark event may still extend a session,
+    * LOWER its start (events can arrive out of order across triggers), or
+    * BRIDGE two provisional sessions into one — so provisional sessions are
+    * held in state (each user holds at most its sessions inside the
+    * watermark horizon, bounded by gap), and the event-time timeout fires at
+    * the earliest `end + gap` still held (flatMapGroupsWithState, Append).
     */
   def sessionize(events: Dataset[GraftEvent], gapMinutes: Int = 30): Dataset[GraftSession] = {
     import events.sparkSession.implicits._
@@ -236,45 +248,57 @@ object EventStream {
     def close(user: Long, s: SessionState): GraftSession =
       GraftSession(user, new Timestamp(s.startMs), new Timestamp(s.endMs), s.n, s.total)
 
+    // fold an event into the session set: it extends every session within
+    // gap of it (at most two — in which case it BRIDGES them into one)
+    def insert(sessions: List[SessionState], t: Long, v: Double): List[SessionState] = {
+      val (touching, rest) = sessions.partition(s =>
+        t >= s.startMs - gapMs && t <= s.endMs + gapMs)
+      val merged = touching.foldLeft(SessionState(t, t, 1L, v)) { (acc, s) =>
+        SessionState(math.min(acc.startMs, s.startMs), math.max(acc.endMs, s.endMs),
+          acc.n + s.n, acc.total + s.total)
+      }
+      (merged :: rest).sortBy(_.startMs)
+    }
+
+    def emitRipe(
+        user: Long,
+        sessions: List[SessionState],
+        state: GroupState[SessionsState]): Iterator[GraftSession] = {
+      val wm = state.getCurrentWatermarkMs()
+      val (ripe, held) = sessions.partition(_.endMs + gapMs <= wm)
+      if (held.isEmpty) state.remove()
+      else {
+        state.update(SessionsState(held))
+        state.setTimeoutTimestamp(held.map(_.endMs + gapMs).min)
+      }
+      ripe.sortBy(_.startMs).map(close(user, _)).iterator
+    }
+
     events
       .withWatermark("ts", s"$gapMinutes minutes")
       .groupByKey(_.user_id)
-      .flatMapGroupsWithState[SessionState, GraftSession](
+      .flatMapGroupsWithState[SessionsState, GraftSession](
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
-        (user: Long, it: Iterator[GraftEvent], state: GroupState[SessionState]) =>
-          if (state.hasTimedOut) {
-            val closed = close(user, state.get)
-            state.remove()
-            Iterator.single(closed)
-          } else {
+        (user: Long, it: Iterator[GraftEvent], state: GroupState[SessionsState]) =>
+          val held = state.getOption.map(_.sessions).getOrElse(Nil)
+          if (state.hasTimedOut) emitRipe(user, held, state)
+          else {
             // per-trigger batch for this user; sort for deterministic merging
             val evs = it.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
-            var out = List.empty[GraftSession]
-            var cur = state.getOption
-            evs.foreach { e =>
-              val t = e.ts.getTime
-              cur = cur match {
-                case Some(s) if t - s.endMs <= gapMs =>
-                  Some(s.copy(endMs = math.max(s.endMs, t), n = s.n + 1, total = s.total + e.value))
-                case Some(s) =>
-                  out ::= close(user, s)
-                  Some(SessionState(t, t, 1L, e.value))
-                case None =>
-                  Some(SessionState(t, t, 1L, e.value))
-              }
-            }
-            cur.foreach { s =>
-              state.update(s)
-              state.setTimeoutTimestamp(s.endMs + gapMs)
-            }
-            out.reverseIterator
+            val sessions = evs.foldLeft(held)((acc, e) =>
+              insert(acc, e.ts.getTime, e.value))
+            emitRipe(user, sessions, state)
           }
       }
   }
 
   /** Batch twin of [[sessionize]]: gap-based session ids via a lag window,
-    * then a per-session aggregate. Bit-for-bit the sessions the streaming
-    * path emits once the watermark passes (the spec asserts it).
+    * then a per-session aggregate. Emits the same session SET as the
+    * streaming path once the watermark passes (the spec asserts it), with
+    * one honest caveat: `total_value` is an IEEE double sum, so the two
+    * paths (and two runs of this one) can differ in the last ulps when a
+    * session mixes magnitudes — for cross-engine-exact totals feed a
+    * fixed-point value column, the same contract as zScoreOutliers.
     */
   def sessionizeBatch(events: DataFrame, gapMinutes: Int = 30): DataFrame = {
     val gapUs = gapMinutes * 60L * 1000000L

@@ -420,6 +420,29 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(out("s") === ((3L, 1L, 2L, "a", "b")))
   }
 
+  test("zScoreOutliers: near-constant large values give sigma 0, never a NaN that flags everyone") {
+    import spark.implicits._
+    // mu^2 ~ 1e16 where double ulp is 2: the naive variance lands a few ulps
+    // negative, sqrt -> NaN, and NaN passes BOTH filters (NaN > 0 in Spark)
+    val base = 100000001L
+    val df = Seq.tabulate(9)(i => ("g", base + (i % 2))).toDF("g", "v")
+    val out = Stats.zScoreOutliers(df, Seq("g"), "v", z = 3.0).collect()
+    assert(out.forall(r => !r.getAs[Double]("z_score").isNaN))
+    assert(out.length <= 1, "a near-constant group must not flag wholesale")
+    // int values near sqrt(Int.Max) would overflow int v*v — decimal moments don't
+    val big = Seq(("g", 100000), ("g", 100000), ("g", 100001)).toDF("g", "v")
+      .withColumn("v", col("v").cast("int"))
+    assert(Stats.zScoreOutliers(big, Seq("g"), "v", 3.0).count() === 0L)
+  }
+
+  test("quantile labels: tail quantiles get distinct names (p99_9, not a second p100)") {
+    import spark.implicits._
+    val df = Seq.tabulate(1000)(i => ("a", i.toLong)).toDF("g", "v")
+    val out = Stats.groupedQuantiles(df, Seq("g"), "v", Seq(0.5, 0.995, 0.999))
+    assert(out.columns.toSeq === Seq("g", "n_rows", "p50", "p99_5", "p99_9"))
+    assert(out.columns.distinct.length === out.columns.length)
+  }
+
   test("groupedQuantiles approx: element-exact on element-aligned quantiles, stable schema") {
     import spark.implicits._
     // odd group: p50 falls exactly on an element, so the sketch (exact below

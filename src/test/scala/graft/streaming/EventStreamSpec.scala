@@ -12,6 +12,8 @@ class EventStreamSpec extends SparkTestBase {
   private def ev(id: Long, user: Long, minutes: Long, v: Double = 1.0) =
     GraftEvent(id, new Timestamp(Base + minutes * 60000), user, "click", v)
 
+  private def tsAt(minutes: Long) = new Timestamp(Base + minutes * 60000)
+
   test("dedupEvents: streaming drops replayed event_ids; batch twin agrees") {
     import spark.implicits._
     implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
@@ -209,6 +211,35 @@ class EventStreamSpec extends SparkTestBase {
       .collect())
     assert(streamed == batch)
     assert(streamed.size == 3)
+  }
+
+  test("sessionize: late-but-in-watermark events extend, LOWER, and BRIDGE held sessions") {
+    import spark.implicits._
+    implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // gap 30min. Trigger 1 delivers t=0 and t=50min: the naive eager-emit
+    // design closes [0,0] NOW even though the watermark (20min) cannot yet
+    // rule out a bridging event. Trigger 2 delivers t=25min — NOT late
+    // (25 >= 20) — which bridges both provisional sessions into ONE.
+    val t1 = Seq(ev(1, 1, 0, 1.0), ev(2, 1, 50, 2.0))
+    val t2 = Seq(ev(3, 1, 25, 4.0))
+    val ms = MemoryStream[GraftEvent]
+    val q = EventStream.sessionize(ms.toDS(), gapMinutes = 30)
+      .writeStream.format("memory").queryName("sess_late").outputMode("append").start()
+    ms.addData(t1); q.processAllAvailable()
+    ms.addData(t2); q.processAllAvailable()
+    ms.addData(ev(100, 99, 3000)); q.processAllAvailable() // watermark sentinel
+    ms.addData(ev(101, 98, 6000)); q.processAllAvailable()
+    q.stop()
+    val sessions = spark.table("sess_late").filter($"user_id" === 1L)
+      .collect().map(r => (r.getAs[Timestamp]("session_start"),
+        r.getAs[Timestamp]("session_end"), r.getAs[Long]("n_events")))
+    assert(sessions.toSeq === Seq((tsAt(0), tsAt(50), 3L)),
+      s"one bridged session expected, got ${sessions.toSeq}")
+    // and it equals the batch twin on the union of both triggers
+    val batch = EventStream.sessionizeBatch((t1 ++ t2).toDF(), gapMinutes = 30)
+      .collect().map(r => (r.getAs[Timestamp]("session_start"),
+        r.getAs[Timestamp]("session_end"), r.getAs[Long]("n_events")))
+    assert(batch.toSeq === sessions.toSeq)
   }
 
   test("streamStreamJoin: watermarked interval join equals the batch twin") {

@@ -36,17 +36,26 @@ object Layout {
       .saveAsTable(tableName)
   }
 
-  /** Write `df` partitioned by the date of `tsCol` (`dt=YYYY-MM-DD` dirs).
-    * Readers that filter on `dt` (or whose time range implies it) scan only
-    * the matching partitions — `PartitionFilters` in the plan, zero I/O for
-    * the rest.
+  /** Write `df` partitioned by the UTC date of `tsCol` (`dt=YYYY-MM-DD`
+    * dirs). Readers that filter on `dt` (or whose time range implies it)
+    * scan only the matching partitions — `PartitionFilters` in the plan,
+    * zero I/O for the rest.
+    *
+    * `dt` is derived from the UTC day number of the instant (integer epoch
+    * arithmetic), NOT `date_format` — which renders in the session time
+    * zone, while `GraftSource.loadWithTimeRange` prunes this column with
+    * UTC-derived bounds: a non-UTC writer session would place rows in
+    * directories the UTC reader then wrongly skips.
     */
   def writeTimePartitioned(
       df: DataFrame,
       path: String,
       tsCol: String,
       overwrite: Boolean = true): Unit =
-    df.withColumn("dt", date_format(col(tsCol), "yyyy-MM-dd"))
+    df.withColumn("dt",
+        date_from_unix_date(
+          floor(unix_micros(col(tsCol)) / lit(86400000000.0)).cast("int"))
+          .cast("string"))
       .write
       .mode(if (overwrite) "overwrite" else "errorifexists")
       .partitionBy("dt")

@@ -155,15 +155,22 @@ object Multimodal {
       .toDF()
   }
 
-  /** Resize every image payload to the target box; non-images pass through. */
+  /** Resize every image payload to the target box; non-images pass through.
+    * The meta struct rides along (dropping it would break any downstream
+    * media_type dispatch) with width/height REFRESHED for resized images —
+    * stale declared dims after a resize are worse than none.
+    */
   def resizeImages(spark: SparkSession, media: DataFrame, w: Int, h: Int): DataFrame = {
     import spark.implicits._
-    media.select(col("item_id"), col("payload"), col("meta.media_type").as("mt"))
-      .as[(Long, Array[Byte], String)]
-      .mapPartitions(_.map { case (id, payload, mt) =>
-        (id, if (mt == "image") FakeCodec.resize(payload, w, h) else payload)
+    media.select(col("item_id"), col("payload"), col("meta"))
+      .as[(Long, Array[Byte], MediaMeta)]
+      .mapPartitions(_.map { case (id, payload, meta) =>
+        if (meta.media_type == "image")
+          (id, FakeCodec.resize(payload, w, h),
+            meta.copy(width = Some(w), height = Some(h)))
+        else (id, payload, meta)
       })
-      .toDF("item_id", "payload")
+      .toDF("item_id", "payload", "meta")
   }
 
   /** Explode video payloads into sampled frames (item_id, frame_index, frame). */

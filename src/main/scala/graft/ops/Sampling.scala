@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Corpus subsetting operators: deterministic sampling and blocklist
@@ -10,17 +10,27 @@ import org.apache.spark.sql.functions._
   */
 object Sampling {
 
+  /** THE md5-bucket rule every sampler in this file shares (the documented
+    * cross-engine contract — one definition, so the rule cannot drift
+    * between operators): bucket in [0, 100) from the first 6 hex chars of
+    * `md5(key as string)`. NULL keys produce a NULL bucket, which every
+    * comparison rejects — family-wide policy: a sampling key identifies the
+    * row, NULL identifies nothing, so NULL-keyed rows are excluded.
+    */
+  private def md5Bucket100(key: Column): Column =
+    conv(substring(md5(key.cast("string").cast("binary")), 1, 6), 16, 10)
+      .cast("long") % 100
+
   /** Deterministic hash sample: keep a row iff the md5 bucket of its key
     * lands below `percent` (of 100). The same key always samples the same
     * way — across runs, engines, and dataset versions — which is what makes
     * train/eval splits and debugging subsets reproducible. Scan-speed filter,
-    * no shuffle, no RNG state.
+    * no shuffle, no RNG state. NULL-keyed rows are excluded (family policy,
+    * see [[md5Bucket100]]) — even at `percent = 100`.
     */
   def hashSample(df: DataFrame, keyCol: String, percent: Int): DataFrame = {
     require(percent >= 0 && percent <= 100, "percent must be in [0, 100]")
-    val bucket = conv(substring(md5(col(keyCol).cast("string").cast("binary")), 1, 6), 16, 10)
-      .cast("long") % 100
-    df.filter(bucket < percent)
+    df.filter(md5Bucket100(col(keyCol)) < percent)
   }
 
   /** Blocklist filter: drop rows whose `column` appears in `blocked` (single
@@ -46,13 +56,11 @@ object Sampling {
       defaultPercent: Int): DataFrame = {
     require((rates.values.toSeq :+ defaultPercent).forall(p => p >= 0 && p <= 100),
       "rates must be in [0, 100]")
-    val bucket = conv(substring(md5(col(keyCol).cast("string").cast("binary")), 1, 6), 16, 10)
-      .cast("long") % 100
     val rate = rates.toSeq.sortBy(_._1)
       .foldLeft(lit(defaultPercent)) { case (acc, (stratum, p)) =>
         when(col(strataCol) === stratum, lit(p)).otherwise(acc)
       }
-    df.filter(bucket < rate)
+    df.filter(md5Bucket100(col(keyCol)) < rate)
   }
 
   /** Deterministic exact-`k` uniform sample (priority sampling): every row
@@ -70,9 +78,17 @@ object Sampling {
     */
   def prioritySample(df: DataFrame, keyCol: String, k: Int, seed: String): DataFrame = {
     require(k > 0, "k must be positive")
+    // `priority` is part of the OUTPUT contract (the mergeable bottom-k
+    // artifact) — so a same-named input column would be silently clobbered:
+    // fail fast instead. NULL keys are excluded (family policy): a NULL
+    // priority sorts FIRST in Spark, so null-keyed rows would otherwise
+    // preempt every seeded winner and tie nondeterministically.
+    require(!df.columns.contains("priority"),
+      "input already has a 'priority' column — rename it before sampling")
     val priority = md5(
       concat(lit(seed), lit(":"), col(keyCol).cast("string")).cast("binary"))
-    df.withColumn("priority", priority)
+    df.filter(col(keyCol).isNotNull)
+      .withColumn("priority", priority)
       .orderBy(col("priority"), col(keyCol))
       .limit(k)
   }
@@ -96,12 +112,19 @@ object Sampling {
   def mixCorpora(corpora: Seq[(String, DataFrame, Int)], keyCol: String): DataFrame = {
     require(corpora.nonEmpty, "need at least one corpus")
     require(corpora.forall(_._3 >= 0), "weights must be non-negative")
-    corpora.map { case (tag, df, weightPct) =>
+    require(corpora.forall(c =>
+      !Seq("mix_source", "copy_id", "_n").exists(c._2.columns.contains)),
+      "input columns collide with mixCorpora outputs (mix_source, copy_id) " +
+        "or internals (_n) — re-mixing a mixed corpus needs a rename first")
+    corpora.map { case (tag, df0, weightPct) =>
+      // family NULL policy: a null key can't carry a fractional epoch, and
+      // keeping it only for whole copies would make the mixture rule
+      // key-dependent in a way no other sampler is
+      val df = df0.filter(col(keyCol).isNotNull)
       val base = weightPct / 100
       val rem = weightPct % 100
-      val bucket = conv(substring(md5(col(keyCol).cast("string").cast("binary")), 1, 6), 16, 10)
-        .cast("long") % 100
-      val copies = lit(base) + when(bucket < rem, 1).otherwise(0)
+      val copies = lit(base) +
+        when(md5Bucket100(col(keyCol)) < rem, 1).otherwise(0)
       df.withColumn("_n", copies)
         .withColumn("copy_id",
           explode(when(col("_n") > 0, sequence(lit(1), col("_n")))
@@ -232,7 +255,12 @@ object Sampling {
     * as the q5 dimensions.
     */
   def shuffleShards(df: DataFrame, keyCol: String, numShards: Int): DataFrame = {
-    require(numShards > 0, "numShards must be positive")
+    // the shard id comes from a 24-bit digest prefix: more shards than its
+    // domain would leave high shards empty forever, and numShards near the
+    // domain skews shard sizes (residue classes stop dividing evenly) — a
+    // million shards is fine, sixteen million is the ceiling
+    require(numShards > 0 && numShards <= (1 << 24),
+      s"numShards must be in [1, ${1 << 24}] (24-bit digest-prefix domain)")
     val reserved = Seq("shard", "position", "_digest", "_bucket", "_cnt", "_before")
     require(!df.columns.exists(reserved.contains),
       s"input columns collide with shuffleShards output/internals: ${reserved.mkString(", ")}")

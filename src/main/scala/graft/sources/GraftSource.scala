@@ -122,8 +122,10 @@ final case class GraftSource(
     val mapped = fieldMapping.foldLeft(base) { case (df, (from, to)) =>
       if (df.columns.contains(from)) df.withColumnRenamed(from, to) else df
     }
+    // floorDiv: plain / truncates toward zero, so a pre-1970 timestamp with
+    // fractional seconds would round a full second the wrong way
     def epochUs(t: Timestamp): Long =
-      t.getTime / 1000L * 1000000L + t.getNanos / 1000L
+      Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
     // Partition-directory pruning: a time range implies bounds on the declared
     // date partition column (UTC date of the bound, compared as ISO strings —
     // order-correct and exactly the reference's `[:10]` truncation). These
@@ -146,8 +148,13 @@ final case class GraftSource(
       .flatMap(c => partPruned.schema.fields.find(_.name == c))
       .filter(_.dataType == LongType)
       .map { f =>
+        // SAFE prefilter: widened by 999 ns on BOTH sides so it can never
+        // exclude a row the exact semantic filter (applied below, after
+        // normalization) would keep — `div 1000` truncates toward zero, so
+        // the tight bound is direction-dependent for pre-1970 negatives;
+        // admitting <1 µs of slack costs nothing and stays scan-pushable
         val conds =
-          lower.map(t => col(f.name) >= lit(epochUs(t) * 1000L)).toSeq ++
+          lower.map(t => col(f.name) >= lit(epochUs(t) * 1000L - 999L)).toSeq ++
             upper.map(t => col(f.name) <= lit(epochUs(t) * 1000L + 999L))
         partPruned.filter(conds.reduce(_ && _))
       }
@@ -183,7 +190,9 @@ final case class GraftSource(
 
   /** Analysis-time existence check; throws [[GraftSourceNotFoundException]]
     * (ref: store.py:202-220 — cos summary / schema lookup / LIMIT 1 probe).
-    * Only triggers analysis, never a Spark job.
+    * Never a Spark job when the source declares `schemaDdl` (or is parquet,
+    * whose footer read is metadata-only); a schema-LESS csv/json path has to
+    * sample the files to infer — declare the schema to keep validation free.
     */
   def validate(spark: SparkSession): Unit = {
     def probe(what: String)(body: => Unit): Unit =
@@ -192,7 +201,13 @@ final case class GraftSource(
         case Failure(_) => throw new GraftSourceNotFoundException(what)
       }
     table match {
-      case Some(t) if isPath => probe(t)(spark.read.format(format.name).load(t).schema)
+      case Some(t) if isPath => probe(t) {
+        val r = spark.read.format(format.name)
+        (schemaDdl match {
+          case Some(ddl) => r.schema(StructType.fromDDL(ddl))
+          case None => r
+        }).load(t).schema
+      }
       case Some(t) =>
         if (!spark.catalog.tableExists(t)) throw new GraftSourceNotFoundException(t)
       case None =>

@@ -135,6 +135,24 @@ class LayoutSpec extends SparkTestBase {
     }
   }
 
+  test("writeTimePartitioned: dt directories are UTC dates in ANY session time zone") {
+    import spark.implicits._
+    val prevTz = spark.conf.get("spark.sql.session.timeZone")
+    try {
+      spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+      // instant 2024-01-02T03:00:00Z is still Jan 1 in New York — the UTC
+      // reader bounds (GraftSource.utcDate) require the UTC directory
+      val instant = new java.sql.Timestamp(1704164400000L) // 2024-01-02T03:00Z
+      val df = Seq((1L, instant)).toDF("id", "ts")
+      val path = java.nio.file.Files.createTempDirectory("graft-utc").toString + "/t"
+      Layout.writeTimePartitioned(df, path, "ts")
+      val dirs = new java.io.File(path).listFiles().filter(_.isDirectory)
+        .map(_.getName).filter(_.startsWith("dt=")).toSeq
+      assert(dirs === Seq("dt=2024-01-02"),
+        s"session-TZ rendering would have written dt=2024-01-01; got $dirs")
+    } finally spark.conf.set("spark.sql.session.timeZone", prevTz)
+  }
+
   test("datePartitionColumn prunes through pullAll and pointInTime") {
     import java.sql.Timestamp
     val path = java.nio.file.Files.createTempDirectory("graft-dpc2").toString + "/ev"

@@ -58,6 +58,19 @@ class MultimodalSpec extends SparkTestBase {
     d.foreach(r => assert(r.getAs[Int]("payload_bytes").toLong == r.getAs[Long]("n_chars")))
   }
 
+  test("resizeImages: meta rides along, dims refreshed for images, untouched otherwise") {
+    val out = Multimodal.resizeImages(spark, media, 64, 32)
+    assert(out.columns.toSeq === Seq("item_id", "payload", "meta"))
+    val images = out.filter(col("meta.media_type") === "image")
+      .select("meta.width", "meta.height").collect()
+    assert(images.nonEmpty)
+    images.foreach(r => assert(r.getInt(0) === 64 && r.getInt(1) === 32))
+    val others = out.filter(col("meta.media_type") =!= "image")
+      .join(media.select(col("item_id"), col("meta.width").as("w0")), "item_id")
+      .select("meta.width", "w0").collect()
+    others.foreach(r => assert(r.getInt(0) === r.getInt(1), "non-image meta untouched"))
+  }
+
   test("ImageIoCodec: PNG encode→decode roundtrip is pixel-exact; non-images decode to None") {
     val pix = (x: Int, y: Int) => ((x * 40) << 16) | ((y * 60) << 8) | (x + y)
     val png = Multimodal.ImageIoCodec.encodePng(5, 4, pix)

@@ -285,6 +285,21 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(out.map(_.getLong(0)).toSeq === Seq(20L), "null-group outlier flagged")
   }
 
+  test("sampler family: NULL keys excluded everywhere, reserved-name guards fire") {
+    import spark.implicits._
+    val df = Seq((Option(1L), "en"), (Option.empty[Long], "en")).toDF("doc_id", "lang")
+    // even at 100% / whole epochs, a NULL key identifies nothing — excluded
+    assert(Sampling.hashSample(df, "doc_id", 100).count() === 1L)
+    assert(Sampling.prioritySample(df, "doc_id", 5, "s").count() === 1L)
+    assert(Sampling.mixCorpora(Seq(("a", df, 100)), "doc_id").count() === 1L)
+    intercept[IllegalArgumentException](Sampling.prioritySample(
+      df.withColumn("priority", lit(1)), "doc_id", 1, "s"))
+    intercept[IllegalArgumentException](Sampling.mixCorpora(
+      Seq(("a", df.withColumn("copy_id", lit(1)), 100)), "doc_id"))
+    intercept[IllegalArgumentException](
+      Sampling.shuffleShards(df, "doc_id", (1 << 24) + 1))
+  }
+
   test("two-phase operators: NULL keys excluded by policy, real rows unaffected") {
     import spark.implicits._
     val withNull = Seq(

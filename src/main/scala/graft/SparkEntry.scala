@@ -90,9 +90,10 @@ object SparkEntry {
 
   private def schemaEvents(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    events(dir).columnValueTypes(s)
-      .zip(events(dir).columnNamesAndTypes(s))
-      .map { case ((name, vt), (_, raw)) => (name, raw, vt.name) }
+    // one schema load: columnValueTypes is derived from columnNamesAndTypes,
+    // so zipping the two would load (and footer-read) the source twice
+    events(dir).columnNamesAndTypes(s)
+      .map { case (name, raw) => (name, raw, graft.model.ValueType.fromCatalog(raw).name) }
       .toDF("col_name", "data_type", "feast_type")
   }
 
@@ -320,38 +321,35 @@ object SparkEntry {
         unix_micros(col("session_end")).as("session_end_us"),
         col("n_events"), col("total_value"))
 
-  /** C4-style segment dedup over synthesized 12-token segments: the test
-    * corpus has no natural line breaks, so the wrapper derives deterministic
-    * ones (every 12 tokens → one "\n"-joined segment) before calling the
-    * operator, which itself just splits on the delimiter. The oracle builds
-    * the identical segments directly from token positions.
+  /** Shared by the two segment cleaners: the test corpus has no natural
+    * line breaks, so derive deterministic ones — every 12 tokens → one
+    * "\n"-joined segment (the DuckDB twins build the identical segments from
+    * token positions; ONE definition here so the two operators' prepared
+    * inputs cannot drift).
     */
-  private def dedupSegmentsQuery(s: SparkSession, dir: String): DataFrame = {
+  private def twelveTokenSegments(s: SparkSession, dir: String): DataFrame = {
     val toks = graft.functions.tokens(col("text"))
     val nSeg = ceil(size(toks).cast("double") / 12).cast("int")
     val segText = when(size(toks) > 0,
       array_join(transform(sequence(lit(0), nSeg - 1),
         i => array_join(slice(toks, i * 12 + 1, lit(12)), " ")), "\n")).otherwise(lit(""))
-    val prepared = docs(s, dir).select(col("doc_id"), segText.as("seg_text"))
-    Dedup.dedupSegments(prepared, "doc_id", "seg_text")
+    docs(s, dir).select(col("doc_id"), segText.as("seg_text"))
+  }
+
+  /** C4-style segment dedup over the synthesized 12-token segments. */
+  private def dedupSegmentsQuery(s: SparkSession, dir: String): DataFrame =
+    Dedup.dedupSegments(twelveTokenSegments(s, dir), "doc_id", "seg_text")
       .select(col("id").as("doc_id"), col("text_dedup"),
         col("n_segments"), col("n_kept"))
-  }
 
   /** DF-based boilerplate strip over the same synthesized 12-token
     * segments: segments in more than one document vanish from every doc.
     */
-  private def stripBoilerplateQuery(s: SparkSession, dir: String): DataFrame = {
-    val toks = graft.functions.tokens(col("text"))
-    val nSeg = ceil(size(toks).cast("double") / 12).cast("int")
-    val segText = when(size(toks) > 0,
-      array_join(transform(sequence(lit(0), nSeg - 1),
-        i => array_join(slice(toks, i * 12 + 1, lit(12)), " ")), "\n")).otherwise(lit(""))
-    val prepared = docs(s, dir).select(col("doc_id"), segText.as("seg_text"))
-    Dedup.stripBoilerplate(prepared, "doc_id", "seg_text", maxDocFreq = 1)
+  private def stripBoilerplateQuery(s: SparkSession, dir: String): DataFrame =
+    Dedup.stripBoilerplate(twelveTokenSegments(s, dir), "doc_id", "seg_text",
+        maxDocFreq = 1)
       .select(col("id").as("doc_id"), col("text_kept"),
         col("n_segments"), col("n_kept"))
-  }
 
   /** End-to-end corpus cleaning: quality-filter then exact-dedup, the
     * composition a training-data pipeline actually runs. Output = surviving
@@ -566,8 +564,13 @@ object SparkEntry {
   // §2.3 analytics headliners
   // =================================================================
 
-  private val Q1Cutoff = Timestamp.valueOf("1998-09-02 00:00:00")
-  private val Q3Cutoff = Timestamp.valueOf("1998-06-01 00:00:00")
+  // UTC-pinned via tsOf: Timestamp.valueOf parses in the JVM DEFAULT time
+  // zone (the harness pins only spark.sql.session.timeZone), so the cutoff
+  // instants — and the oracle comparison — would shift with the machine
+  private val Q1Cutoff = tsOf(904694400000000L) // 1998-09-02T00:00:00Z
+  private val Q3Cutoff = tsOf(896659200000000L) // 1998-06-01T00:00:00Z
+  private val Q5Start = tsOf(820454400000000L) // 1996-01-01T00:00:00Z
+  private val Q5End = tsOf(852076800000000L) // 1997-01-01T00:00:00Z
 
   private def q1PricingSummary(s: SparkSession, dir: String): DataFrame = {
     val l = GraftSource.of(table = Some(s"$dir/lineitem.parquet"),
@@ -634,8 +637,8 @@ object SparkEntry {
       .select("c_custkey", "c_nationkey")
     val orders = GraftSource.of(table = Some(s"$dir/orders.parquet"),
       timestampField = Some("o_orderdate")).load(s)
-      .filter(col("o_orderdate") >= lit(Timestamp.valueOf("1996-01-01 00:00:00")) &&
-        col("o_orderdate") < lit(Timestamp.valueOf("1997-01-01 00:00:00")))
+      .filter(col("o_orderdate") >= lit(Q5Start) &&
+        col("o_orderdate") < lit(Q5End))
       .select("o_orderkey", "o_custkey")
     val li = s.read.parquet(s"$dir/lineitem.parquet")
       .select(col("l_orderkey"), col("l_suppkey"),
@@ -807,7 +810,10 @@ object SparkEntry {
   // =================================================================
 
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+  // lazy val, not def: both maps are pure constants, and a def would rebuild
+  // the ~90-entry map (oracleSql additionally regenerates hyperplanes and
+  // megabytes of CTE strings) on EVERY per-key lookup the driver makes
+  lazy val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "source_parquet" -> (sourceParquet _),
     "source_csv_roundtrip" -> (sourceCsvRoundtrip _),
     "source_json_roundtrip" -> (sourceJsonRoundtrip _),
@@ -891,7 +897,7 @@ object SparkEntry {
   )
 
   /** DuckDB twin per SQL-expressible key (driver compares on sf0.01). */
-  def oracleSql: Map[String, String] = {
+  lazy val oracleSql: Map[String, String] = {
     val entCte =
       s"""ent AS (SELECT DISTINCT user_id,
          |  $PitBaseUs + (user_id % 20) * $DayUs AS ent_us FROM events)""".stripMargin
@@ -1075,7 +1081,7 @@ object SparkEntry {
            |  FROM c),
            |f AS (SELECT * FROM q WHERE quality_score >= 0.5)
            |SELECT min(doc_id) AS doc_id, count(*) AS n_dups,
-           |       min(quality_score) AS quality_score
+           |       arg_min(quality_score, doc_id) AS quality_score
            |FROM f GROUP BY lower(trim(text))""".stripMargin,
       // Ground truth is the full all-pairs Jaccard (feasible in DuckDB at the
       // oracle SF) — so this checks both LSH recall (banded candidates find
@@ -1305,10 +1311,14 @@ object SparkEntry {
           |  CAST(sum((3 * x + 5 * y + 2 * doc_id) % 256) AS BIGINT) AS sum_g,
           |  CAST(sum((11 * x + 17 * y + 3 * doc_id) % 256) AS BIGINT) AS sum_b
           |FROM px GROUP BY 1, 2, 3""".stripMargin,
+      // n_with_k counts rows whose props ACTUALLY carry k (the Spark side's
+      // count(col) semantics), and TRY_CAST keeps a malformed row a NULL
+      // instead of an oracle crash — so the twins agree beyond the current
+      // every-row-has-k data invariant
       "events_json_extract" ->
         """SELECT event_type,
-          |  CAST(sum(CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT)) AS BIGINT) AS sum_k,
-          |  count(*) AS n_with_k
+          |  CAST(sum(TRY_CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT)) AS BIGINT) AS sum_k,
+          |  count(*) FILTER (WHERE regexp_matches(props, '"k": (\d+)')) AS n_with_k
           |FROM events GROUP BY 1""".stripMargin,
       "events_windowed" ->
         """SELECT epoch_us(date_trunc('hour', ts)) AS window_start_us, event_type,

@@ -43,15 +43,15 @@ object ValueType {
     "date" -> UnixTimestamp,
   )
 
-  private val list: Map[String, ValueType] = Map(
-    Bytes.name -> BytesList,
-    Bool.name -> BoolList,
-    Int32.name -> Int32List,
-    Int64.name -> Int64List,
-    Float.name -> FloatList,
-    Double.name -> DoubleList,
-    String.name -> StringList,
-    UnixTimestamp.name -> UnixTimestampList,
+  private val listOf: Map[ValueType, ValueType] = Map(
+    Bytes -> BytesList,
+    Bool -> BoolList,
+    Int32 -> Int32List,
+    Int64 -> Int64List,
+    Float -> FloatList,
+    Double -> DoubleList,
+    String -> StringList,
+    UnixTimestamp -> UnixTimestampList,
   )
 
   /** Strips precision/scale parameters: `decimal(10,2)` -> `decimal`. */
@@ -69,7 +69,10 @@ object ValueType {
     val t = typeName.trim.toLowerCase
     if (t.startsWith("array<") && t.endsWith(">")) {
       val inner = base(t.substring(6, t.length - 1))
-      scalar.get(inner).flatMap(v => list.get(v.name)).getOrElse(Unknown)
+      // direct scalar→list map: the old name-string indirection meant a
+      // scalar added without a matching list entry silently degraded its
+      // arrays to Unknown
+      scalar.get(inner).flatMap(listOf.get).getOrElse(Unknown)
     } else scalar.getOrElse(base(t), Unknown)
   }
 }

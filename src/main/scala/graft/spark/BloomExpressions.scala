@@ -26,6 +26,9 @@ object BloomHash {
     * two). Called from generated code — keep the signature Java-friendly.
     */
   def contains(bloom: Array[Byte], key: UTF8String, k: Int): Boolean = {
+    // an empty/corrupt sketch has no set bits: nothing is present (the
+    // unguarded mask would be -1 and index outside the array)
+    if (bloom.length == 0) return false
     val md = org.apache.commons.codec.digest.DigestUtils.md5(key.getBytes)
     val h1 = firstLong(md, 0)
     val h2 = firstLong(md, 8)
@@ -126,6 +129,10 @@ object BloomAgg {
   */
 case class BloomContains(left: Expression, right: Expression, k: Int)
     extends BinaryExpression with ExpectsInputTypes {
+  // same envelope BloomAgg enforces at build time — the SQL surface passes
+  // k straight through, and k=0 would make the probe loop vacuous (every
+  // key "present"), silently disabling the filter
+  require(k >= 1 && k <= 16, "k must be in [1, 16]")
 
   override def inputTypes: Seq[AbstractDataType] = Seq(BinaryType, StringType)
   override def dataType: DataType = BooleanType

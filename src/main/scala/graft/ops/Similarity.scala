@@ -1,9 +1,11 @@
 package graft.ops
 
 import graft.functions._
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.broadcast.Broadcast
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.{CentroidMatrix, NearestCell, NearestCells}
 
 /** Approximate-nearest-neighbor search over an embedding column.
   *
@@ -50,9 +52,16 @@ object Similarity {
       numPlanes: Int = 8,
       probeBits: Int = 1,
       seed: Long = 42L): DataFrame = {
+    // bucket ids carry one bit per plane in a signed Int
+    require(numPlanes >= 1 && numPlanes <= 31, "numPlanes must be in [1, 31]")
     val planes = Dedup.hyperplanes(numPlanes, dim, seed)
-    val masks: Seq[Int] =
-      (0 until (1 << numPlanes)).filter(m => Integer.bitCount(m) <= probeBits)
+    // enumerate C(numPlanes, <= probeBits) flip masks directly — filtering
+    // the full 2^numPlanes domain was a silent multi-second driver stall
+    // (and an allocation blow-up) once numPlanes grew past ~24; the mask SET
+    // is identical, and downstream results don't depend on mask order (each
+    // (query, bucket) probe pair is distinct regardless)
+    val masks: Seq[Int] = (0 to math.min(probeBits, numPlanes)).flatMap(b =>
+      (0 until numPlanes).combinations(b).map(_.foldLeft(0)((m, i) => m | (1 << i))))
     val corpusB = corpus.withColumn("bucket", Dedup.hyperplaneBucket(col("vec"), planes))
     val queryProbes = queries
       .withColumn("qbucket", Dedup.hyperplaneBucket(col("qvec"), planes))
@@ -68,28 +77,45 @@ object Similarity {
       .select(col("qid"), col("id").as("neighbor_id"), col("rank"), col("cosine"))
   }
 
-  /** Squared-L2 cell assignment against driver-held centroids (tiny:
-    * numCells x dim doubles, the standard k-means driver state). One
-    * codegen'd `least` over per-cell (dist, cell) structs — no shuffle;
-    * ties break to the lower cell id.
+  /** Pack the driver-held centroid table into a [[CentroidMatrix]] and ship
+    * it ONCE via broadcast. `cc` uses the same left-to-right sum of squares
+    * the retired literal tree precomputed per cell, so assignment arithmetic
+    * is unchanged bit-for-bit.
     */
-  private def assignCells(corpus: DataFrame, cents: Seq[(Int, Seq[Double])]): DataFrame = {
-    // no centroids ⇔ the training corpus was empty; degrade to the empty
-    // assignment (same schema) instead of handing `least` zero arguments
-    if (cents.isEmpty) return corpus.withColumn("cell", lit(0))
-    val vv = dot(col("vec"), col("vec"))
-    val ds = cents.map { case (cell, c) =>
-      val cc = c.map(x => x * x).sum
-      struct((vv - lit(2.0) * dot(col("vec"), typedLit(c)) + lit(cc)).as("dist"),
-        lit(cell).as("cell"))
+  private def broadcastCentroids(
+      spark: SparkSession, cents: Seq[(Int, Seq[Double])]): Broadcast[CentroidMatrix] = {
+    val dim = cents.head._2.length
+    require(cents.forall(_._2.length == dim), "centroid dims must agree")
+    val flat = new Array[Double](cents.length * dim)
+    cents.zipWithIndex.foreach { case ((_, c), j) =>
+      var i = 0
+      c.foreach { x => flat(j * dim + i) = x; i += 1 }
     }
-    corpus.withColumn("cell", least(ds: _*).getField("cell"))
+    spark.sparkContext.broadcast(new CentroidMatrix(
+      cents.map(_._1).toArray, flat, dim,
+      cents.map { case (_, c) => c.map(x => x * x).sum }.toArray))
   }
+
+  /** Squared-L2 cell assignment: ONE native expression holding the centroid
+    * matrix behind a broadcast (see [[CentroidMatrix]]) — no shuffle, O(1)
+    * plan size in numCells, single codegen'd loop per row; ties break to the
+    * lower cell id. The retired form planned `least` over numCells
+    * per-centroid literal structs, which capped numCells at a few hundred
+    * before blowing the 64 KB codegen method limit.
+    */
+  private def assignCells(corpus: DataFrame, bc: Broadcast[CentroidMatrix]): DataFrame =
+    corpus.withColumn("cell", NearestCell(col("vec"), bc))
 
   /** Element-wise centroid means in 2^20 fixed point: per-dimension sums are
     * exact integers, so the result is INDEPENDENT of shuffle/partition order
     * (a plain double mean is not — fp addition doesn't commute) and
     * bit-reproducible by any other engine. Only populated cells survive.
+    *
+    * Driver state: the collected table is numCells x dim doubles — 10^5
+    * cells of a 1024-dim index is ~800 MB, the practical ceiling for this
+    * collect-and-broadcast trainer; typical 100 TB IVF configs (10^5 x 128 ~
+    * 100 MB, or 10^4 cells) are comfortable. Past that, keep the refined
+    * table distributed and join assignments instead of broadcasting.
     */
   private def refineCentroids(assigned: DataFrame): Seq[(Int, Seq[Double])] = {
     assigned
@@ -106,25 +132,12 @@ object Similarity {
       .toSeq.sortBy(_._1)
   }
 
-  /** IVF-flat ANN: Lloyd k-means partitions the corpus into Voronoi cells;
-    * each query probes its `numProbes` nearest cells and scores only those
-    * cells' vectors. The data-driven cells adapt to the corpus distribution,
-    * which sign-LSH cannot — the standard IVF trade (train cost + centroid
-    * table vs better cell occupancy).
-    *
-    * The trainer is deliberately from-scratch and DETERMINISTIC: seeding is
-    * the `numCells` lowest-id corpus vectors and centroid means use exact
-    * fixed-point sums (see refineCentroids), so the whole index — and
-    * therefore the query result — is reproducible bit-for-bit in any engine
-    * (the driver's DuckDB oracle recomputes the full train+probe+scan). Per
-    * iteration: one narrow posexplode shuffle + a numCells x dim driver
-    * collect. At 100 TB, fit on a sample via `trainPercent` (the assignment
-    * pass is unchanged and still covers the full corpus); `lloydIters` is
-    * small because IVF needs balanced cells, not converged clusters.
-    */
   /** Deterministic Lloyd training shared by [[ivfTopK]] and
     * [[kmeansAssign]]: seed with the `numCells` lowest-id vectors, then
-    * `lloydIters` rounds of exact-fixed-point mean refinement.
+    * `lloydIters` rounds of exact-fixed-point mean refinement. Per
+    * iteration: one narrow posexplode shuffle + a numCells x dim driver
+    * collect, and ONE broadcast of the current centroid matrix (destroyed
+    * after the round's collect — the plan itself stays O(1) in numCells).
     *
     * `trainPercent < 100` trains on a deterministic md5-bucket sample of the
     * corpus (the [[Sampling.hashSample]] rule on `id`, so the train set — and
@@ -160,8 +173,13 @@ object Similarity {
       if (sampleSeeds.isEmpty && (trainPercent < 100)) (corpus, seeds(corpus))
       else (sampled, sampleSeeds)
     var cents: Seq[(Int, Seq[Double])] = initial
-    for (_ <- 1 to lloydIters)
-      cents = refineCentroids(assignCells(trainSet, cents))
+    if (cents.nonEmpty) {
+      for (_ <- 1 to lloydIters) {
+        val bc = broadcastCentroids(corpus.sparkSession, cents)
+        cents = refineCentroids(assignCells(trainSet, bc))
+        bc.destroy() // refineCentroids collected — this round's matrix is dead
+      }
+    }
     cents
   }
 
@@ -172,11 +190,12 @@ object Similarity {
     * fixed-point means), so assignments are engine-reproducible and the
     * oracle recomputes them exactly.
     *
-    * The assignment pass is one scan with a codegen'd `least` over
-    * numClusters distance structs — no shuffle; training costs `lloydIters`
-    * narrow posexplode shuffles + a numClusters × dim driver collect. At
-    * 100 TB: train on a sample (`trainPercent` — deterministic md5-bucket
-    * rule), assign everything (assignment is unchanged).
+    * The assignment pass is one scan with a single broadcast-matrix native
+    * kernel (see [[CentroidMatrix]]) — no shuffle, plan size independent of
+    * numClusters; training costs `lloydIters` narrow posexplode shuffles + a
+    * numClusters × dim driver collect. At 100 TB: train on a sample
+    * (`trainPercent` — deterministic md5-bucket rule), assign everything
+    * (assignment is unchanged).
     */
   def kmeansAssign(
       corpus: DataFrame, // columns: id, vec
@@ -184,9 +203,29 @@ object Similarity {
       lloydIters: Int = 2,
       trainPercent: Int = 100): DataFrame = {
     val cents = trainCentroids(corpus, numClusters, lloydIters, trainPercent)
-    assignCells(corpus, cents).select(col("id"), col("cell").as("cluster"))
+    // no centroids ⇔ the corpus was empty; keep the schema without a kernel
+    if (cents.isEmpty)
+      return corpus.select(col("id"), lit(0).as("cluster"))
+    val bc = broadcastCentroids(corpus.sparkSession, cents)
+    assignCells(corpus, bc).select(col("id"), col("cell").as("cluster"))
   }
 
+  /** IVF-flat ANN: Lloyd k-means partitions the corpus into Voronoi cells;
+    * each query probes its `numProbes` nearest cells and scores only those
+    * cells' vectors. The data-driven cells adapt to the corpus distribution,
+    * which sign-LSH cannot — the standard IVF trade (train cost + centroid
+    * table vs better cell occupancy).
+    *
+    * The trainer is deliberately from-scratch and DETERMINISTIC: seeding is
+    * the `numCells` lowest-id corpus vectors and centroid means use exact
+    * fixed-point sums (see refineCentroids), so the whole index — and
+    * therefore the query result — is reproducible bit-for-bit in any engine
+    * (the driver's DuckDB oracle recomputes the full train+probe+scan).
+    * Assignment and probing share one broadcast of the centroid matrix; both
+    * are single native-kernel projections, so realistic cell counts
+    * (10^4–10^5) cost the same PLAN as the default 16 — the scan loop is
+    * O(numCells x dim) per row, which is the IVF contract.
+    */
   def ivfTopK(
       queries: DataFrame, // columns: qid, qvec
       corpus: DataFrame, // columns: id, vec
@@ -202,17 +241,10 @@ object Similarity {
         .select(col("qid"), col("id").as("neighbor_id"),
           lit(0).as("rank"), lit(0.0).as("cosine"))
         .filter(lit(false))
-    val corpusCells = assignCells(corpus, cents)
-
-    val qq = dot(col("qvec"), col("qvec"))
-    val cellDists = cents.map { case (cell, c) =>
-      val cc = c.map(x => x * x).sum
-      struct((qq - lit(2.0) * dot(col("qvec"), typedLit(c)) + lit(cc)).as("dist"),
-        lit(cell).as("cell"))
-    }
+    val bc = broadcastCentroids(corpus.sparkSession, cents)
+    val corpusCells = assignCells(corpus, bc)
     val probes = queries.select(col("qid"), col("qvec"),
-      explode(slice(array_sort(array(cellDists: _*)), 1, numProbes)).as("p"))
-      .select(col("qid"), col("qvec"), col("p.cell").as("cell"))
+      explode(NearestCells(col("qvec"), bc, numProbes)).as("cell"))
     val scored = corpusCells.join(broadcast(probes), "cell")
       .withColumn("cosine", cosineSimilarity(col("qvec"), col("vec")))
     val w = Window.partitionBy(col("qid")).orderBy(col("cosine").desc, col("id"))

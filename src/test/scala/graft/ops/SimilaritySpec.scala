@@ -93,6 +93,163 @@ class SimilaritySpec extends SparkTestBase {
     assert(full != a1, "trainPercent=40 must actually change the training set")
   }
 
+  // --- scale: the broadcast-matrix kernel must hold at realistic cell counts ---
+
+  /** The RETIRED cell-assignment form: `least` over one struct per cell, each
+    * embedding a dim-length centroid literal. Kept here as the equivalence
+    * oracle — the broadcast kernel must reproduce it bit-for-bit (same IEEE
+    * op order, nanSafe tie-breaking) or the DuckDB Lloyd replays drift.
+    */
+  private def legacyAssign(
+      corpus: DataFrame, cents: Seq[(Int, Seq[Double])]): DataFrame = {
+    import graft.functions.dot
+    val vv = dot(col("vec"), col("vec"))
+    val ds = cents.map { case (cell, c) =>
+      val cc = c.map(x => x * x).sum
+      struct((vv - lit(2.0) * dot(col("vec"), typedLit(c)) + lit(cc)).as("dist"),
+        lit(cell).as("cell"))
+    }
+    corpus.withColumn("cell", least(ds: _*).getField("cell"))
+  }
+
+  private def centMatrix(cents: Seq[(Int, Seq[Double])]) = {
+    val dim = cents.head._2.length
+    val flat = cents.flatMap(_._2).toArray
+    new org.apache.spark.sql.graft.CentroidMatrix(
+      cents.map(_._1).toArray, flat, dim,
+      cents.map { case (_, c) => c.map(x => x * x).sum }.toArray)
+  }
+
+  test("NearestCell/NearestCells: bit-identical to the retired literal tree, incl. ties/NaN/mismatch") {
+    import spark.implicits._
+    val rng = new scala.util.Random(11)
+    def v(d: Int) = Seq.fill(d)(rng.nextDouble() * 2 - 1)
+    // non-contiguous cell ids; cells 7 and 9 are IDENTICAL → any vector ties
+    // between them and must break to 7
+    val shared = v(8)
+    val cents: Seq[(Int, Seq[Double])] =
+      Seq(0 -> v(8), 2 -> v(8), 7 -> shared, 9 -> shared, 12 -> v(8))
+    val rows: Seq[(Long, Seq[Double])] =
+      (0L until 500L).map(i => i -> v(8)) ++ Seq(
+        500L -> shared, // exact tie between cells 7 and 9
+        501L -> v(3), // length mismatch: all distances degenerate-equal
+        502L -> Seq.fill(8)(Double.NaN)) // NaN distances everywhere
+    val df = rows.toDF("id", "vec")
+    val legacy = legacyAssign(df, cents)
+      .select(col("id"), col("cell")).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val bc = spark.sparkContext.broadcast(centMatrix(cents))
+    val native = df.withColumn("cell",
+        org.apache.spark.sql.graft.NearestCell(col("vec"), bc))
+      .select(col("id"), col("cell")).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(native === legacy)
+    assert(native(500L) === 7, "exact tie breaks to the lower cell id")
+    assert(native(501L) === 0, "length mismatch degenerates to the lowest cell id")
+    assert(native(502L) === 0, "all-NaN distances degenerate to the lowest cell id")
+    // probe list vs the retired slice(array_sort(array(structs))) form
+    val legacyProbes = {
+      import graft.functions.dot
+      val qq = dot(col("vec"), col("vec"))
+      val ds = cents.map { case (cell, c) =>
+        val cc = c.map(x => x * x).sum
+        struct((qq - lit(2.0) * dot(col("vec"), typedLit(c)) + lit(cc)).as("dist"),
+          lit(cell).as("cell"))
+      }
+      df.select(col("id"),
+          slice(array_sort(array(ds: _*)), 1, 3).getField("cell").as("cells"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    }
+    val nativeProbes = df.select(col("id"),
+        org.apache.spark.sql.graft.NearestCells(col("vec"), bc, 3).as("cells"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    assert(nativeProbes === legacyProbes)
+    // float input path widens identically
+    val fdf = rows.take(100).map { case (i, xs) => i -> xs.map(_.toFloat) }
+      .toDF("id", "vec")
+    val fNative = fdf.withColumn("cell",
+        org.apache.spark.sql.graft.NearestCell(col("vec"), bc))
+      .select(col("id"), col("cell")).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val fLegacy = legacyAssign(fdf, cents)
+      .select(col("id"), col("cell")).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(fNative === fLegacy)
+  }
+
+  test("kmeansAssign at numClusters=256: ONE kernel expression, codegen intact, O(1) plan") {
+    // parquet round-trip, not toDF: a LocalRelation would be pre-evaluated
+    // by ConvertToLocalRelation (hiding the kernel), and building vec with a
+    // HOF inline would drag the non-codegen lambda into the projection under
+    // test — the real operator reads vec as a plain scan column
+    val dir = java.nio.file.Files.createTempDirectory("graft-kmeans256").toString
+    spark.range(2000).select(col("id"),
+        transform(sequence(lit(0), lit(15)),
+          j => pmod(hash(col("id"), j), lit(1000)).cast("double") / 1000.0).as("vec"))
+      .write.mode("overwrite").parquet(dir)
+    val c = spark.read.parquet(dir)
+    val assigned = Similarity.kmeansAssign(c, numClusters = 256, lloydIters = 1)
+    val plan = assigned.queryExecution.executedPlan.toString
+    assert("graft_nearest_cell".r.findAllIn(plan).size === 1,
+      s"expected exactly ONE native kernel in the plan:\n$plan")
+    assert(!plan.contains("least("),
+      "the per-cell literal tree must be gone")
+    val wscg = assigned.queryExecution.executedPlan.collect {
+      case w: org.apache.spark.sql.execution.WholeStageCodegenExec => w.toString
+    }
+    assert(wscg.exists(_.contains("graft_nearest_cell")),
+      s"assignment must stay inside whole-stage codegen:\n$plan")
+    // fail on ANY codegen fallback: 256 cells broke the 64 KB method limit
+    // under the retired literal tree — the kernel must actually compile
+    val prev = spark.conf.getOption("spark.sql.codegen.fallback")
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try {
+      val m = assigned.collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+      assert(m.size === 2000)
+      assert(m.values.forall(cl => cl >= 0 && cl < 256))
+      assert(m.values.toSet.size > 64, "most of the 256 cells are populated")
+    } finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.codegen.fallback", v)
+      case None => spark.conf.unset("spark.sql.codegen.fallback")
+    }
+  }
+
+  test("ivfTopK at numCells=256: probing more cells raises recall; all cells == exact") {
+    import spark.implicits._
+    val rng = new scala.util.Random(13)
+    val c = (0L until 2000L).map(i => i -> Seq.fill(16)(rng.nextDouble() * 2 - 1))
+      .toDF("id", "vec")
+    val q = (0L until 10L).map(i => i -> Seq.fill(16)(rng.nextDouble() * 2 - 1))
+      .toDF("qid", "qvec")
+    def pairs(df: DataFrame): Set[(Long, Long)] =
+      df.select("qid", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = pairs(Similarity.bruteForceTopK(q, c, 10))
+    def recall(numProbes: Int): Double = {
+      val approx = pairs(
+        Similarity.ivfTopK(q, c, 10, numCells = 256, numProbes = numProbes, lloydIters = 1))
+      (exact & approx).size.toDouble / exact.size
+    }
+    val r16 = recall(16)
+    val r64 = recall(64)
+    assert(r64 >= r16, s"recall ladder: probes=64 ($r64) >= probes=16 ($r16)")
+    assert(recall(256) === 1.0, "probing every cell is exact search")
+  }
+
+  test("lshTopK: numPlanes=30 probe masks construct instantly (no 2^numPlanes scan)") {
+    import spark.implicits._
+    val q = Seq((1L, Seq.fill(8)(0.5f))).toDF("qid", "qvec")
+    val c = (0L until 20L).map(i => i -> Seq.fill(8)(i / 20f)).toDF("id", "vec")
+    val t0 = System.nanoTime()
+    // the retired form filtered the full 2^30 mask domain on the driver here
+    val out = Similarity.lshTopK(q, c, 5, dim = 8, numPlanes = 30, probeBits = 2)
+    val built = (System.nanoTime() - t0) / 1e9
+    assert(built < 5.0, s"probe construction took ${built}s — mask enumeration regressed")
+    out.collect() // and the query itself still runs
+    assertThrows[IllegalArgumentException](
+      Similarity.lshTopK(q, c, 5, dim = 8, numPlanes = 32))
+  }
+
   test("lshTopK: never returns more than k per query, ranks contiguous") {
     val e = emb(sf())
     val q = e.filter(col("vec_id") < 3)

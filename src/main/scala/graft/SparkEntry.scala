@@ -1291,7 +1291,7 @@ object SparkEntry {
         """SELECT doc_id AS item_id,
           |  octet_length(encode(text)) AS payload_bytes,
           |  (['image','audio','video'])[CAST(doc_id % 3 AS INT) + 1] AS media_type,
-          |  (['png','wav','mp4'])[CAST(doc_id % 3 AS INT) + 1] AS format,
+          |  (['raw','wav','mp4'])[CAST(doc_id % 3 AS INT) + 1] AS format,
           |  CAST(doc_id % 640 + 32 AS INT) AS width,
           |  CAST(doc_id % 480 + 32 AS INT) AS height,
           |  CAST(doc_id % 30 + 1 AS INT) AS n_frames

@@ -45,21 +45,28 @@ object Layout {
     * arithmetic), NOT `date_format` — which renders in the session time
     * zone, while `GraftSource.loadWithTimeRange` prunes this column with
     * UTC-derived bounds: a non-UTC writer session would place rows in
-    * directories the UTC reader then wrongly skips.
+    * directories the UTC reader then wrongly skips. The day number is an
+    * EXACT integer floor-division (subtract the floor-mod, then divide the
+    * exact multiple): the earlier double `floor(us / 86400e6)` rounds up to
+    * the next integer for instants within ~1µs below midnight once
+    * |epoch days| ≳ 2^17, filing those rows under the next day's directory.
     */
   def writeTimePartitioned(
       df: DataFrame,
       path: String,
       tsCol: String,
-      overwrite: Boolean = true): Unit =
-    df.withColumn("dt",
-        date_from_unix_date(
-          floor(unix_micros(col(tsCol)) / lit(86400000000.0)).cast("int"))
-          .cast("string"))
+      overwrite: Boolean = true): Unit = {
+    // pmod is a floor-mod, so (us - pmod) is an exact multiple of the day
+    // length and the truncating `div` IS the floor quotient
+    val day = expr(
+      s"cast((unix_micros(`$tsCol`) - pmod(unix_micros(`$tsCol`), 86400000000L))" +
+        " div 86400000000L as int)")
+    df.withColumn("dt", date_from_unix_date(day).cast("string"))
       .write
       .mode(if (overwrite) "overwrite" else "errorifexists")
       .partitionBy("dt")
       .parquet(path)
+  }
 
   /** Materialize [[Sampling.shuffleShards]]' deterministic layout as the
     * thing a training loader actually consumes: `shard=N/` directories of

@@ -125,7 +125,11 @@ object Multimodal {
 
   /** Attach a synthetic payload + metadata to a text table — the
     * deterministic fake "ingest" used by tests and the driver queries
-    * (payload = utf8 bytes of the text; dims derived from the id).
+    * (payload = utf8 bytes of the text; dims derived from the id). Image
+    * rows are labelled format `raw`, NOT `png`: the payload is text bytes,
+    * and claiming a real codec format would route them into the genuine
+    * ImageIO path in [[resizeImages]] where they'd (correctly) be treated
+    * as corrupt.
     */
   def synthesize(df: DataFrame, idCol: String, textCol: String): DataFrame =
     df.select(
@@ -134,7 +138,7 @@ object Multimodal {
       struct(
         element_at(typedLit(Seq("image", "audio", "video")),
           (col(idCol) % 3 + 1).cast("int")).as("media_type"),
-        element_at(typedLit(Seq("png", "wav", "mp4")),
+        element_at(typedLit(Seq("raw", "wav", "mp4")),
           (col(idCol) % 3 + 1).cast("int")).as("format"),
         (col(idCol) % 640 + 32).cast("int").as("width"),
         (col(idCol) % 480 + 32).cast("int").as("height"),
@@ -155,8 +159,21 @@ object Multimodal {
       .toDF()
   }
 
+  /** Image formats the JDK codec actually decodes — these take the REAL
+    * resize path; anything else is a stand-in format for libraries not in
+    * this container and keeps [[FakeCodec]].
+    */
+  private val ImageIoFormats = Set("png", "bmp", "gif", "jpeg", "jpg", "wbmp")
+
   /** Resize every image payload to the target box; non-images pass through.
-    * The meta struct rides along (dropping it would break any downstream
+    * Dispatch is on `meta.format`: real ImageIO-decodable formats go through
+    * [[ImageIoCodec.resizeNearest]] (genuine pixel resize, re-encoded as
+    * lossless PNG — format refreshed accordingly), and a real-format payload
+    * that fails to decode is corrupt and DROPPED (the [[imageStats]]
+    * discipline; the old byte-truncating fallback silently corrupted every
+    * real PNG into something downstream decoders then rejected). Stand-in
+    * formats keep the deterministic [[FakeCodec]] byte-budget resize. The
+    * meta struct rides along (dropping it would break any downstream
     * media_type dispatch) with width/height REFRESHED for resized images —
     * stale declared dims after a resize are worse than none.
     */
@@ -164,11 +181,13 @@ object Multimodal {
     import spark.implicits._
     media.select(col("item_id"), col("payload"), col("meta"))
       .as[(Long, Array[Byte], MediaMeta)]
-      .mapPartitions(_.map { case (id, payload, meta) =>
-        if (meta.media_type == "image")
-          (id, FakeCodec.resize(payload, w, h),
-            meta.copy(width = Some(w), height = Some(h)))
-        else (id, payload, meta)
+      .mapPartitions(_.flatMap { case (id, payload, meta) =>
+        if (meta.media_type != "image") Some((id, payload, meta))
+        else if (ImageIoFormats.contains(meta.format))
+          ImageIoCodec.resizeNearest(payload, w, h).map(p => (id, p,
+            meta.copy(format = "png", width = Some(w), height = Some(h))))
+        else Some((id, FakeCodec.resize(payload, w, h),
+          meta.copy(width = Some(w), height = Some(h))))
       })
       .toDF("item_id", "payload", "meta")
   }
@@ -197,6 +216,11 @@ object Multimodal {
     import spark.implicits._
     df.select(col(idCol).cast("long")).as[Long]
       .mapPartitions(_.map { id =>
+        // Scala's % follows the sign: id <= -8 would hand BufferedImage a
+        // non-positive dimension (IllegalArgumentException mid-job) and the
+        // pixel formulas would diverge from the closed-form oracle, which
+        // assumes non-negative remainders
+        require(id >= 0, s"synthesizeImages needs non-negative ids; got $id")
         val w = (id % 16 + 8).toInt
         val h = (id % 12 + 8).toInt
         val png = ImageIoCodec.encodePng(w, h, (x, y) => {

@@ -2,6 +2,7 @@ package graft.ops
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{ByteType, DecimalType, IntegerType, LongType, ShortType}
 
 /** Distribution statistics over grouped data. */
 object Stats {
@@ -105,6 +106,19 @@ object Stats {
       valueCol: String,
       z: Double): DataFrame = {
     require(z > 0, "z must be positive")
+    // the moments are summed in decimal(38,0): a fractional input would be
+    // silently ROUNDED there while z_score divides the raw value by the
+    // rounded-moment sigma — fail fast instead of skewing mu/sigma (same
+    // eager-contract discipline as packSequencesFFD's integral-id check)
+    val vt = df.schema(valueCol).dataType
+    val integral = vt match {
+      case ByteType | ShortType | IntegerType | LongType => true
+      case d: DecimalType => d.scale == 0
+      case _ => false
+    }
+    require(integral, s"zScoreOutliers needs an integral valueCol " +
+      s"(byte/short/int/long or decimal scale 0); '$valueCol' is $vt — " +
+      "scale fractional values to fixed point first (e.g. round(v * 10000))")
     val v = col(valueCol)
     val vd = v.cast("decimal(38,0)")
     val stats = df.groupBy(groupCols.map(col): _*)

@@ -153,6 +153,23 @@ class LayoutSpec extends SparkTestBase {
     } finally spark.conf.set("spark.sql.session.timeZone", prevTz)
   }
 
+  test("writeTimePartitioned: 1µs-before-midnight stays in ITS day even at year 2500") {
+    import spark.implicits._
+    // end of epoch day 193585 (2500-01-07T23:59:59.999999Z): the double
+    // quotient us/86400e6 rounds UP to exactly 193586.0 here (deficit
+    // 1.16e-11 < half-ulp 1.46e-11), which filed the row under the NEXT
+    // day's directory; exact integer floor-division must not
+    val us = 193586L * 86400000000L - 1L
+    val df = Seq(1L).toDF("id")
+      .withColumn("ts", timestamp_micros(lit(us)))
+    val path = java.nio.file.Files.createTempDirectory("graft-midnight").toString + "/t"
+    Layout.writeTimePartitioned(df, path, "ts")
+    val dirs = new java.io.File(path).listFiles().filter(_.isDirectory)
+      .map(_.getName).filter(_.startsWith("dt=")).toSeq
+    assert(dirs === Seq("dt=2500-01-07"),
+      s"IEEE-rounded day number leaked into the directory layout: $dirs")
+  }
+
   test("datePartitionColumn prunes through pullAll and pointInTime") {
     import java.sql.Timestamp
     val path = java.nio.file.Files.createTempDirectory("graft-dpc2").toString + "/ev"

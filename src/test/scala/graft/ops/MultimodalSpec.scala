@@ -29,7 +29,7 @@ class MultimodalSpec extends SparkTestBase {
     assert(f1 == f2) // deterministic across runs
   }
 
-  test("resizeImages: images resized to 3*w*h bytes, others untouched") {
+  test("resizeImages: stand-in-format images resized to 3*w*h bytes, others untouched") {
     val out = Multimodal.resizeImages(spark, media, 8, 8)
       .join(media.select(col("item_id"), col("meta.media_type").as("mt"),
         length(col("payload")).as("orig_len")), "item_id")
@@ -69,6 +69,45 @@ class MultimodalSpec extends SparkTestBase {
       .join(media.select(col("item_id"), col("meta.width").as("w0")), "item_id")
       .select("meta.width", "w0").collect()
     others.foreach(r => assert(r.getInt(0) === r.getInt(1), "non-image meta untouched"))
+  }
+
+  test("resizeImages: real PNGs get a genuine pixel resize; corrupt real-format payloads drop") {
+    import spark.implicits._
+    val ids = Seq(3L, 14L).toDF("doc_id")
+    // synthesizeImages → resizeImages → imageStats: the pipeline the old
+    // byte-truncating path silently destroyed (every row dropped as corrupt)
+    val resized = Multimodal.resizeImages(
+      spark, Multimodal.synthesizeImages(spark, ids, "doc_id"), 6, 5)
+    val metas = resized.select("item_id", "meta.format", "meta.width", "meta.height")
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getInt(2), r.getInt(3)))).toMap
+    assert(metas === Map(3L -> (("png", 6, 5)), 14L -> (("png", 6, 5))))
+    val stats = Multimodal.imageStats(spark, resized).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    Seq(3L, 14L).foreach { id =>
+      val (sw, sh) = ((id % 16 + 8).toInt, (id % 12 + 8).toInt)
+      var (sr, sg, sb) = (0L, 0L, 0L)
+      for (y <- 0 until 5; x <- 0 until 6) {
+        val (sx, sy) = (x * sw / 6, y * sh / 5) // resizeNearest's source mapping
+        sr += (7L * sx + 13L * sy + id) % 256
+        sg += (3L * sx + 5L * sy + 2 * id) % 256
+        sb += (11L * sx + 17L * sy + 3 * id) % 256
+      }
+      val r = stats(id)
+      assert(r.getInt(1) === 6 && r.getInt(2) === 5)
+      assert(r.getLong(3) === sr && r.getLong(4) === sg && r.getLong(5) === sb,
+        s"decoded sums of the resized image must match the nearest-neighbor mapping for id=$id")
+    }
+    // a payload CLAIMING a real format but failing to decode is corrupt: drop
+    val corrupt = Multimodal.synthesizeImages(spark, ids, "doc_id")
+      .withColumn("payload", lit("not a png".getBytes("UTF-8")))
+    assert(Multimodal.resizeImages(spark, corrupt, 6, 5).count() === 0L)
+  }
+
+  test("synthesizeImages: negative ids fail fast (oracle formula assumes non-negative)") {
+    import spark.implicits._
+    val e = intercept[org.apache.spark.SparkException](
+      Multimodal.synthesizeImages(spark, Seq(-9L).toDF("doc_id"), "doc_id").collect())
+    assert(e.getMessage.contains("non-negative"))
   }
 
   test("ImageIoCodec: PNG encode→decode roundtrip is pixel-exact; non-images decode to None") {

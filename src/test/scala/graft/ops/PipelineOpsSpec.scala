@@ -435,6 +435,18 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(out("s") === ((3L, 1L, 2L, "a", "b")))
   }
 
+  test("zScoreOutliers: fractional valueCol fails fast instead of silently rounding the moments") {
+    import spark.implicits._
+    val frac = Seq(("g", 1.5), ("g", 2.5)).toDF("g", "v")
+    val e = intercept[IllegalArgumentException](
+      Stats.zScoreOutliers(frac, Seq("g"), "v", 3.0))
+    assert(e.getMessage.contains("integral"))
+    // decimal scale 0 IS integral and stays accepted
+    val dec = Seq(("g", 1L), ("g", 2L)).toDF("g", "v")
+      .withColumn("v", col("v").cast("decimal(20,0)"))
+    Stats.zScoreOutliers(dec, Seq("g"), "v", 3.0).collect()
+  }
+
   test("zScoreOutliers: near-constant large values give sigma 0, never a NaN that flags everyone") {
     import spark.implicits._
     // mu^2 ~ 1e16 where double ulp is 2: the naive variance lands a few ulps

@@ -282,6 +282,13 @@ object SparkEntry {
     TextAnalysis.packSequences(docs(s, dir), "doc_id", "text",
       tokenBudget = 512, partitionKey = "source")
 
+  /** BPE trainer on the corpus: the first 12 merge ranks, which the oracle
+    * replays exactly (deterministic winner + tie-break — see
+    * [[TextAnalysis.trainBpeMerges]]).
+    */
+  private def bpeMerges(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.trainBpeMerges(docs(s, dir), "text", numMerges = 12)
+
   private def multimodalMeta(s: SparkSession, dir: String): DataFrame =
     Multimodal.describe(Multimodal.synthesize(docs(s, dir), "doc_id", "text"))
 
@@ -841,6 +848,7 @@ object SparkEntry {
     "doc_fingerprint" -> (docFingerprint _),
     "pack_sequences" -> (packSequences _),
     "ngram_stats" -> (ngramStats _),
+    "bpe_merges" -> (bpeMerges _),
     "multimodal_meta" -> (multimodalMeta _),
     "image_stats" -> (imageStats _),
     "events_json_extract" -> (eventsJsonExtract _),
@@ -941,6 +949,42 @@ object SparkEntry {
          |           FROM (SELECT id, v FROM ct ORDER BY id LIMIT $numCells)),
          |$iters,
          |${assign(lloydIters + 1, "c").replace(s"a_${lloydIters + 1}", "afinal")}""".stripMargin
+    }
+    // BPE trainer replay (bpe_merges): words_k carries each vocabulary word
+    // as a \x01tok\x02-wrapped symbol string, so DuckDB's left-to-right
+    // non-overlapping replace() IS the greedy leftmost merge apply; per rank,
+    // p_k counts adjacent pairs weighted by word frequency, m_k picks the
+    // deterministic winner (max n, ties to (l, r) binary order), w_k rewrites.
+    def bpeTrainCtes(numMerges: Int): String = {
+      val parts = scala.collection.mutable.ArrayBuffer(
+        """wcnt AS (
+          |  SELECT w AS word, count(*) AS cnt FROM (
+          |    SELECT unnest(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+          |      x -> len(x) > 0)) AS w FROM documents)
+          |  WHERE regexp_matches(w, '^[!-~]+$') GROUP BY w)""".stripMargin,
+        """w_0 AS (
+          |  SELECT cnt, list_aggregate(list_transform(range(1, len(word) + 1),
+          |    i -> chr(1) || word[i] || chr(2)), 'string_agg', '') AS s
+          |  FROM wcnt)""".stripMargin)
+      for (k <- 1 to numMerges) {
+        parts += s"""p_$k AS (
+          |  SELECT p.l AS l, p.r AS r, CAST(sum(cnt) AS BIGINT) AS n FROM (
+          |    SELECT cnt, unnest(list_transform(range(1, len(toks)),
+          |      i -> struct_pack(l := toks[i], r := toks[i+1]))) AS p
+          |    FROM (SELECT cnt, string_split(trim(s, chr(1) || chr(2)),
+          |                                   chr(2) || chr(1)) AS toks
+          |          FROM w_${k - 1}))
+          |  GROUP BY p.l, p.r)""".stripMargin
+        parts += s"m_$k AS (SELECT l, r, n FROM p_$k ORDER BY n DESC, l, r LIMIT 1)"
+        parts += s"""w_$k AS (
+          |  SELECT cnt, replace(s, chr(1) || m.l || chr(2) || chr(1) || m.r || chr(2),
+          |                         chr(1) || m.l || m.r || chr(2)) AS s
+          |  FROM w_${k - 1}, m_$k m)""".stripMargin
+      }
+      val sel = (1 to numMerges).map(k =>
+        s"SELECT CAST($k AS INT) AS rank, l AS left_sym, r AS right_sym, " +
+          s"l || r AS merged, n FROM m_$k").mkString(" UNION ALL ")
+      parts.mkString(",\n") + s"\n$sel"
     }
     // shared HLL decode (p=8): 16-bit md5 chunks, 56-bit rest, rank ladder
     val hllChunks = (0 until 4).map(c =>
@@ -1278,6 +1322,8 @@ object SparkEntry {
            |  ELSE [array_to_string(toks, ' ')] END) AS ngram FROM t)
            |SELECT ngram, count(*) AS n_occurrences, count(DISTINCT doc_id) AS n_docs
            |FROM g GROUP BY 1 ORDER BY n_occurrences DESC, ngram LIMIT 50""".stripMargin,
+      "bpe_merges" ->
+        s"WITH ${bpeTrainCtes(12)}",
       "pack_sequences" ->
         s"""WITH $toksCte
            |SELECT source, doc_id, len(toks) AS n_tokens,

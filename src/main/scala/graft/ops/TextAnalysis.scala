@@ -637,4 +637,73 @@ object TextAnalysis {
     */
   def fingerprintDocs(df: DataFrame, idCol: String, textCol: String): DataFrame =
     df.select(col(idCol), fingerprint(col(textCol)).as("fingerprint"))
+
+  /** BPE merge-rank training (the classic byte-pair-encoding trainer): the
+    * step between [[vocabCoverage]]'s frequency substrate and
+    * [[tokenizeToIds]]' finished vocabulary. Returns one row per learned
+    * merge — `(rank, left_sym, right_sym, merged, n)` with `n` the weighted
+    * adjacent-pair count the rank was chosen at — fully DETERMINISTIC: the
+    * winner is the max-count pair with ties broken by `(left, right)`
+    * binary order, so any engine replays the table exactly.
+    *
+    * Algorithm (public knowledge — Sennrich et al. 2016 subword-NMT): words
+    * are weighted by corpus frequency and start as character sequences; each
+    * rank counts all adjacent symbol pairs (overlapping occurrences count,
+    * `aaa` holds two `(a,a)`s), merges the winner greedily leftmost
+    * non-overlapping in every word, repeats. Training words are lowercased
+    * whitespace tokens restricted to ASCII-printables (`[!-~]+`) — byte-safe
+    * char splitting in every engine, and the standard trainer posture of
+    * normalizing before learning merges.
+    *
+    * Shape at 100 TB (the [[graft.ops.Dedup.connectedComponents]] loop
+    * discipline): the corpus is scanned ONCE for the word-frequency table;
+    * every iteration after that is a narrow pair-count aggregation over the
+    * VOCABULARY (pair generation in-row via the native `WordPairs` kernel,
+    * counts weighted by `cnt` so corpus size never re-enters), one
+    * 1-row driver collect for the winner, and a checkpointed one-column
+    * rewrite of the symbol arrays. The driver holds only the merge table
+    * (`numMerges` rows); vocabulary state stays distributed.
+    */
+  def trainBpeMerges(
+      df: DataFrame,
+      textCol: String,
+      numMerges: Int): DataFrame = {
+    require(numMerges > 0, "numMerges must be positive")
+    val spark = df.sparkSession
+    import org.apache.spark.sql.graft.{BpeMergeAdjacent, WordPairs}
+    var words = df
+      .select(explode(tokens(col(textCol))).as("word"))
+      .filter(col("word").rlike("^[\\x21-\\x7e]+$"))
+      .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
+      .select(col("cnt"),
+        transform(sequence(lit(1), length(col("word"))),
+          i => col("word").substr(i, lit(1))).as("syms"))
+      .localCheckpoint()
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, String, Long)]
+    var rank = 1
+    var exhausted = false
+    while (rank <= numMerges && !exhausted) {
+      // symbols are space-free (ASCII-printables minus the space the pair
+      // string joins on), so the "l r" pair string orders exactly like the
+      // (l, r) tuple and splits back losslessly
+      val top = words
+        .select(col("cnt"), explode(WordPairs(col("syms"), 1)).as("pair"))
+        .groupBy(col("pair")).agg(sum(col("cnt")).as("n"))
+        .select(split(col("pair"), " ").getItem(0).as("l"),
+          split(col("pair"), " ").getItem(1).as("r"), col("n"))
+        .orderBy(col("n").desc, col("l"), col("r"))
+        .limit(1).collect()
+      if (top.isEmpty) exhausted = true // every word is a single symbol
+      else {
+        val (l, r, n) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+        merges += ((rank, l, r, l + r, n))
+        words = words
+          .withColumn("syms", BpeMergeAdjacent(col("syms"), l, r))
+          .localCheckpoint() // truncate the per-rank growing lineage
+        rank += 1
+      }
+    }
+    import spark.implicits._
+    merges.toSeq.toDF("rank", "left_sym", "right_sym", "merged", "n")
+  }
 }

@@ -383,6 +383,69 @@ object WordShingleHashes {
     ExpressionUtils.column(WordShingleHashes(ExpressionUtils.expression(toks), n))
 }
 
+/** One BPE merge applied to a symbol array: every adjacent `(left, right)`
+  * occurrence is replaced by their concatenation, greedy LEFTMOST and
+  * non-overlapping (`[a,a,a]` with pair `(a,a)` → `[aa,a]`) — the classic
+  * byte-pair-encoding apply step. A native expression because it runs once
+  * per vocabulary word per merge rank inside the training loop; the
+  * stateful scan (skip-2-on-match) has no clean codegen'd HOF form.
+  */
+case class BpeMergeAdjacent(child: Expression, left: String, right: String)
+    extends UnaryExpression with ExpectsInputTypes {
+  require(left.nonEmpty && right.nonEmpty, "merge pair symbols must be non-empty")
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(StringType))
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "graft_bpe_merge"
+
+  @transient private lazy val l = UTF8String.fromString(left)
+  @transient private lazy val r = UTF8String.fromString(right)
+  @transient private lazy val m = UTF8String.fromString(left + right)
+
+  override def nullSafeEval(input: Any): Any =
+    BpeMergeAdjacent.merge(input.asInstanceOf[ArrayData], l, r, m)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val lRef = ctx.addReferenceObj("bpeLeft", l, "UTF8String")
+    val rRef = ctx.addReferenceObj("bpeRight", r, "UTF8String")
+    val mRef = ctx.addReferenceObj("bpeMerged", m, "UTF8String")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = org.apache.spark.sql.graft.BpeMergeAdjacent.merge($c, $lRef, $rRef, $mRef);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): BpeMergeAdjacent =
+    copy(child = newChild)
+}
+
+object BpeMergeAdjacent {
+  def merge(arr: ArrayData, l: UTF8String, r: UTF8String, m: UTF8String): ArrayData = {
+    val n = arr.numElements()
+    val out = new Array[Any](n)
+    var k = 0
+    var i = 0
+    while (i < n) {
+      if (i + 1 < n && arr.getUTF8String(i).equals(l) && arr.getUTF8String(i + 1).equals(r)) {
+        out(k) = m
+        i += 2
+      } else {
+        out(k) = arr.getUTF8String(i)
+        i += 1
+      }
+      k += 1
+    }
+    val trimmed = if (k == n) out else {
+      val t = new Array[Any](k)
+      System.arraycopy(out, 0, t, 0, k)
+      t
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(trimmed)
+  }
+
+  def apply(syms: Column, left: String, right: String): Column =
+    ExpressionUtils.column(
+      BpeMergeAdjacent(ExpressionUtils.expression(syms), left, right))
+}
+
 /** Count of a string array's elements that belong to a literal string set —
   * the native form of `size(filter(arr, t => array_contains(lit(set), t)))`,
   * which runs an interpreted lambda per element with an O(|set|) linear

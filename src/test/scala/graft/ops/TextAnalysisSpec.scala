@@ -264,4 +264,79 @@ class TextAnalysisSpec extends SparkTestBase {
     val out = TextAnalysis.tokenizeToIds(docs, "doc_id", "text", vocab).collect()(0)
     assert(out.getSeq[Int](1) === Seq(7, 7, 7, 7) && out.getLong(2) === 4L)
   }
+
+  /** Reference BPE (Sennrich et al. 2016 training loop) in plain Scala —
+    * the spec oracle [[TextAnalysis.trainBpeMerges]] must replay exactly.
+    */
+  private def referenceBpe(texts: Seq[String], numMerges: Int): Seq[(Int, String, String, String, Long)] = {
+    val wc = scala.collection.mutable.Map.empty[String, Long].withDefaultValue(0L)
+    texts.foreach(_.trim.toLowerCase.split("\\s+").filter(_.nonEmpty)
+      .filter(_.forall(ch => ch >= 0x21 && ch <= 0x7e)).foreach(w => wc(w) += 1))
+    var words: Map[String, Vector[String]] = wc.keys.map(w => w -> w.map(_.toString).toVector).toMap
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, String, Long)]
+    for (k <- 1 to numMerges) {
+      val stats = scala.collection.mutable.Map.empty[(String, String), Long].withDefaultValue(0L)
+      words.foreach { case (w, syms) =>
+        syms.sliding(2).filter(_.size == 2).foreach(p => stats((p(0), p(1))) += wc(w))
+      }
+      if (stats.nonEmpty) {
+        val ((l, r), n) = stats.minBy { case ((a, b), c) => (-c, a, b) }
+        out += ((k, l, r, l + r, n))
+        words = words.map { case (w, syms) =>
+          val nu = Vector.newBuilder[String]
+          var i = 0
+          while (i < syms.size) {
+            if (i + 1 < syms.size && syms(i) == l && syms(i + 1) == r) { nu += l + r; i += 2 }
+            else { nu += syms(i); i += 1 }
+          }
+          w -> nu.result()
+        }
+      }
+    }
+    out.toSeq
+  }
+
+  test("trainBpeMerges: replays the reference BPE loop exactly (ranks, pairs, counts)") {
+    import spark.implicits._
+    val texts = Seq(
+      "low low low low low lower lower newest newest newest newest newest newest",
+      "widest widest widest aaaa bb aaaa", // aaaa: overlapping (a,a) counts
+      "schön ignored", // non-ASCII word excluded from training
+      "  MIXED Case  mixed case ") // normalization: lowercase + trim
+    val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val got = TextAnalysis.trainBpeMerges(docs, "text", numMerges = 10)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getString(3), r.getLong(4)))
+      .sortBy(_._1).toSeq
+    val ref = referenceBpe(texts, 10)
+    assert(got === ref)
+    // greedy leftmost non-overlap: after the (a,a) merge, "aaaa" is [aa, aa],
+    // so the (aa, aa) pair must eventually be learnable — sanity on semantics
+    assert(got.exists(m => m._2 == "a" && m._3 == "a"))
+  }
+
+  test("trainBpeMerges: deterministic under repartition; empty corpus yields zero merges") {
+    import spark.implicits._
+    val docs = spark.read.parquet(s"${sf()}/documents.parquet").limit(40)
+    val a = TextAnalysis.trainBpeMerges(docs, "text", 6).collect().toSeq
+    val b = TextAnalysis.trainBpeMerges(docs.repartition(7), "text", 6).collect().toSeq
+    assert(a === b, "merge table must be partition-order independent")
+    assert(a.size === 6)
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    val out = TextAnalysis.trainBpeMerges(empty, "text", 4)
+    assert(out.count() === 0L)
+    assert(out.columns.toSeq === Seq("rank", "left_sym", "right_sym", "merged", "n"))
+    // single-symbol-only vocab exhausts before numMerges instead of spinning
+    val tiny = Seq((1L, "a b c a")).toDF("doc_id", "text")
+    assert(TextAnalysis.trainBpeMerges(tiny, "text", 5).count() === 0L)
+  }
+
+  test("trainBpeMerges: composes with tokenizeToIds (merged symbols are a usable vocab)") {
+    import spark.implicits._
+    val docs = Seq((1L, "banana bandana banana")).toDF("doc_id", "text")
+    val merges = TextAnalysis.trainBpeMerges(docs, "text", 4).collect()
+    assert(merges.nonEmpty)
+    // every merged symbol is the concatenation of its parts — the invariant
+    // a tokenizer consuming (rank, merged) relies on
+    merges.foreach(m => assert(m.getString(3) === m.getString(1) + m.getString(2)))
+  }
 }

@@ -289,6 +289,14 @@ object SparkEntry {
   private def bpeMerges(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.trainBpeMerges(docs(s, dir), "text", numMerges = 12)
 
+  /** Bigram-LM quality scores, self-trained on the corpus with the pair
+    * table pruned at minCount=2 (exercises the 100 TB broadcast knob); all
+    * fixed-point integer arithmetic, oracle replays it exactly.
+    */
+  private def lmScoreQ(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.lmScore(docs(s, dir), docs(s, dir), "doc_id", "text", minCount = 2)
+      .withColumnRenamed("id", "doc_id")
+
   private def multimodalMeta(s: SparkSession, dir: String): DataFrame =
     Multimodal.describe(Multimodal.synthesize(docs(s, dir), "doc_id", "text"))
 
@@ -849,6 +857,7 @@ object SparkEntry {
     "pack_sequences" -> (packSequences _),
     "ngram_stats" -> (ngramStats _),
     "bpe_merges" -> (bpeMerges _),
+    "lm_score" -> (lmScoreQ _),
     "multimodal_meta" -> (multimodalMeta _),
     "image_stats" -> (imageStats _),
     "events_json_extract" -> (eventsJsonExtract _),
@@ -1324,6 +1333,33 @@ object SparkEntry {
            |FROM g GROUP BY 1 ORDER BY n_occurrences DESC, ngram LIMIT 50""".stripMargin,
       "bpe_merges" ->
         s"WITH ${bpeTrainCtes(12)}",
+      // bigram-LM replay: integer counts, add-one smoothing over the train
+      // vocabulary, q in 2^20 fixed point with integer division — every
+      // value before the final lm_q division is exact in both engines
+      "lm_score" ->
+        s"""WITH $toksCte,
+           |tp AS (SELECT unnest(list_transform(range(1, len(toks)),
+           |  i -> toks[i] || ' ' || toks[i+1])) AS pair FROM t),
+           |pc AS (SELECT pair, count(*) AS c_pair,
+           |  string_split(pair, ' ')[1] AS w1 FROM tp GROUP BY pair),
+           |pfx AS (SELECT w1, CAST(sum(c_pair) AS BIGINT) AS c_prefix
+           |  FROM pc GROUP BY w1),
+           |pt AS (SELECT pair, c_pair FROM pc WHERE c_pair >= 2),
+           |vs AS (SELECT greatest(count(DISTINCT tok), 1) AS v
+           |  FROM (SELECT unnest(toks) AS tok FROM t)),
+           |dp AS (SELECT doc_id, unnest(list_transform(range(1, len(toks)),
+           |  i -> struct_pack(pair := toks[i] || ' ' || toks[i+1], w1 := toks[i]))) AS p
+           |  FROM t),
+           |sq AS (SELECT dp.doc_id,
+           |    CAST(((coalesce(pt.c_pair, 0) + 1) * 1048576)
+           |      // (coalesce(pfx.c_prefix, 0) + vs.v) AS BIGINT) AS q
+           |  FROM dp LEFT JOIN pt ON pt.pair = dp.p.pair
+           |    LEFT JOIN pfx ON pfx.w1 = dp.p.w1, vs)
+           |SELECT d.doc_id, CAST(count(sq.q) AS BIGINT) AS n_bigrams,
+           |  CAST(coalesce(sum(sq.q), 0) AS BIGINT) AS score_sum,
+           |  CASE WHEN count(sq.q) = 0 THEN NULL
+           |       ELSE CAST(coalesce(sum(sq.q), 0) AS DOUBLE) / count(sq.q) END AS lm_q
+           |FROM documents d LEFT JOIN sq USING (doc_id) GROUP BY d.doc_id""".stripMargin,
       "pack_sequences" ->
         s"""WITH $toksCte
            |SELECT source, doc_id, len(toks) AS n_tokens,

@@ -638,6 +638,80 @@ object TextAnalysis {
   def fingerprintDocs(df: DataFrame, idCol: String, textCol: String): DataFrame =
     df.select(col(idCol), fingerprint(col(textCol)).as("fingerprint"))
 
+  /** Model-based quality signal (the CCNet-style filter next to the
+    * heuristic [[qualityScore]]): a bigram language model is trained on
+    * `train` (integer counts, no floats) and every `docs` row is scored by
+    * its mean smoothed transition probability in 2^20 FIXED POINT — per
+    * bigram `q = ((c_pair + 1) << 20) div (c_prefix + V)` (add-one smoothing
+    * over the train vocabulary `V`), all integer arithmetic, so the ranking
+    * is EXACT and engine-reproducible (same discipline as [[pmiPairs]]);
+    * `lm_q = score_sum / n_bigrams` is one deterministic IEEE division at
+    * the end. In-distribution text scores high, shuffled/garbled text low —
+    * the standard "does a reference-corpus LM like this document" filter.
+    *
+    * Output: `(id, n_bigrams, score_sum, lm_q)`; a doc with fewer than two
+    * tokens has no bigrams and scores `lm_q = null` (no evidence either
+    * way), never a fabricated 0.
+    *
+    * Shape at 100 TB: the train corpus is scanned twice (bigram counts —
+    * checkpointed once, both derived tables branch from it — and the
+    * vocabulary size); the count tables are TRAIN-vocabulary-sized and
+    * broadcast like [[tokenizeToIds]]' vocab, so the scored corpus never
+    * shuffles for the lookup — one narrow exchange re-aggregates per-doc
+    * sums. `minCount` prunes the broadcast pair table (pairs below it score
+    * as unseen — their prefix mass and `V` are computed BEFORE pruning, so
+    * smoothing denominators don't shift), the standard knob that keeps a
+    * web-scale bigram table broadcastable. Envelope: `q` stays in a long
+    * while `c_pair < 2^43` (per-bigram train occurrences), far past any
+    * real corpus.
+    */
+  def lmScore(
+      train: DataFrame,
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      minCount: Long = 1L): DataFrame = {
+    require(minCount >= 1, "minCount must be >= 1")
+    import org.apache.spark.sql.graft.WordPairs
+    // tokens contain no whitespace, so the "w1 w2" pair string splits back
+    // losslessly (the WordPairs contract). The count table is materialized
+    // ONCE (localCheckpoint): both derived tables (pruned pair lookup,
+    // prefix mass) branch from it, and as plain plan branches each would
+    // re-run the train-corpus explode+aggregation from scratch
+    val trainPairs = train
+      .select(explode(WordPairs(tokens(col(textCol)), 1)).as("pair"))
+      .groupBy(col("pair")).agg(count(lit(1)).as("c_pair"))
+      .withColumn("w1", split(col("pair"), " ").getItem(0))
+      .localCheckpoint()
+    val prefixCounts = trainPairs.groupBy(col("w1"))
+      .agg(sum(col("c_pair")).as("c_prefix"))
+    val pairTable = trainPairs.filter(col("c_pair") >= minCount)
+      .select(col("pair"), col("c_pair"))
+    val vocabSize = train
+      .select(explode(tokens(col(textCol))).as("tok"))
+      .agg(count_distinct(col("tok")).as("v_size"))
+    docs
+      .select(col(idCol).as("id"),
+        // explode_outer: a doc with < 2 tokens still gets its output row
+        explode_outer(WordPairs(tokens(col(textCol)), 1)).as("pair"))
+      .withColumn("w1", split(col("pair"), " ").getItem(0))
+      .join(broadcast(pairTable), Seq("pair"), "left")
+      .join(broadcast(prefixCounts), Seq("w1"), "left")
+      .crossJoin(broadcast(vocabSize)) // 1 row: the smoothing denominator
+      .withColumn("q", when(col("pair").isNull, lit(null)).otherwise(
+        // greatest(V, 1): an empty train corpus degrades to uniform scores
+        // instead of a divide-by-zero (Spark nulls, DuckDB errors — neither
+        // is a score)
+        expr("((coalesce(c_pair, 0L) + 1L) * 1048576L)" +
+          " div (coalesce(c_prefix, 0L) + greatest(v_size, 1L))")))
+      .groupBy(col("id"))
+      .agg(count(col("pair")).as("n_bigrams"),
+        coalesce(sum(col("q")), lit(0L)).as("score_sum"))
+      .withColumn("lm_q",
+        when(col("n_bigrams") === 0, lit(null).cast("double"))
+          .otherwise(col("score_sum").cast("double") / col("n_bigrams")))
+  }
+
   /** BPE merge-rank training (the classic byte-pair-encoding trainer): the
     * step between [[vocabCoverage]]'s frequency substrate and
     * [[tokenizeToIds]]' finished vocabulary. Returns one row per learned

@@ -119,14 +119,20 @@ class PlanGateSpec extends SparkTestBase {
     "cohort_retention" -> 3,
     "table_profile" -> 2,
     "tokenize_ids" -> 2,
+    // bigram counts are checkpointed (train scanned once for pairs); the
+    // static remainder is the prefix re-agg (1), the distinct-vocab scalar
+    // (2: tok hash + Single), and the per-doc sum re-agg (1) — the scored
+    // corpus side itself never shuffles before that final agg
+    "lm_score" -> 4,
   )
 
   /** Queries where a BroadcastNestedLoopJoin is the documented contract, not
-    * a regression: knn_brute's exact-baseline scan, and vocab_coverage's
-    * 1-ROW broadcast cross join (the corpus-total denominator — the scalar-
-    * subquery idiom; the nested loop runs exactly once per partition).
+    * a regression: knn_brute's exact-baseline scan, and the 1-ROW broadcast
+    * cross joins in vocab_coverage (corpus-total denominator) and lm_score
+    * (train-vocabulary-size smoothing denominator) — the scalar-subquery
+    * idiom; the nested loop runs exactly once per partition.
     */
-  private val bnljAllowed = Set("knn_brute", "vocab_coverage")
+  private val bnljAllowed = Set("knn_brute", "vocab_coverage", "lm_score")
 
   test("every query has a plan budget (or a documented exemption)") {
     val missing = SparkEntry.queries.keySet -- maxShuffles.keySet -- iterative

@@ -265,6 +265,51 @@ class TextAnalysisSpec extends SparkTestBase {
     assert(out.getSeq[Int](1) === Seq(7, 7, 7, 7) && out.getLong(2) === 4L)
   }
 
+  test("lmScore: hand-computed fixed-point bigram scores, smoothing, pruning, short docs") {
+    import spark.implicits._
+    // train "a b a b": c(a b)=2, c(b a)=1; prefix a→2, b→1; V=2
+    val train = Seq((0L, "a b a b")).toDF("doc_id", "text")
+    val docs = Seq(
+      (1L, "a b"), // seen pair: q = (2+1)*2^20 div (2+2) = 786432
+      (2L, "b a"), // seen pair: q = (1+1)*2^20 div (1+2) = 699050
+      (3L, "z q"), // unseen pair AND prefix: q = 1*2^20 div (0+2) = 524288
+      (4L, "a"), // one token: no bigrams, lm_q null
+      (5L, " ") // token-empty: same
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.lmScore(train, docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), Option(r.get(3)).map(_.asInstanceOf[Double])))).toMap
+    assert(out(1L) === ((1L, 786432L, Some(786432.0))))
+    assert(out(2L) === ((1L, 699050L, Some(699050.0))))
+    assert(out(3L) === ((1L, 524288L, Some(524288.0))))
+    assert(out(4L) === ((0L, 0L, None)))
+    assert(out(5L) === ((0L, 0L, None)))
+    // minCount=2 prunes (b a) from the pair table but NOT from the prefix
+    // mass: doc "b a" now scores as unseen against the same denominator
+    val pruned = TextAnalysis.lmScore(train, docs, "doc_id", "text", minCount = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(pruned(1L) === 786432L, "frequent pair survives pruning")
+    assert(pruned(2L) === 1048576L / 3L, "pruned pair scores as unseen: 1*2^20 div (1+2)")
+  }
+
+  test("lmScore: fluent in-distribution docs outrank shuffled-token docs") {
+    import spark.implicits._
+    val sentences = Seq(
+      "the cat sat on the mat", "the dog sat on the rug",
+      "a cat ran to the mat", "the dog ran to the rug",
+      "the cat and the dog sat on the mat")
+    val train = sentences.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val docs = Seq(
+      (100L, "the cat sat on the rug"), // fluent: every bigram trained
+      (101L, "rug the on cat sat the") // same tokens, bigrams broken
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.lmScore(train, docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(out(100L) > out(101L),
+      s"fluent ${out(100L)} must outrank shuffled ${out(101L)}")
+  }
+
   /** Reference BPE (Sennrich et al. 2016 training loop) in plain Scala —
     * the spec oracle [[TextAnalysis.trainBpeMerges]] must replay exactly.
     */

@@ -459,6 +459,22 @@ object SparkEntry {
     ops.Sampling.capPerGroup(docs(s, dir).select("doc_id", "lang", "source"),
       "lang", "doc_id", maxPerGroup = 37)
 
+  /** The end-to-end semantic-rebalance story a training-data platform runs
+    * as one job: k-means cluster the embedding corpus (deterministic Lloyd,
+    * broadcast-matrix kernel) → cap every cluster at 25 vectors (exact
+    * digest-order cap — domain balancing) → deterministic shuffle-shards for
+    * the training loader. Every stage is the already-oracle-checked operator;
+    * this entry pins their COMPOSITION (column contracts, null-safety,
+    * determinism through all three shuffles) end-to-end in DuckDB.
+    */
+  private def pipelineClusterShard(s: SparkSession, dir: String): DataFrame = {
+    val clusters = Similarity.kmeansAssign(knnCorpus(s, dir), numClusters = 16)
+    val capped = ops.Sampling.capPerGroup(clusters, "cluster", "id", maxPerGroup = 25)
+      .select("id", "cluster")
+    ops.Sampling.shuffleShards(capped, "id", numShards = 4)
+      .select(col("id").as("vec_id"), col("cluster"), col("shard"), col("position"))
+  }
+
   /** 32-token chunks with stride 24 (overlapping pretraining windows). */
   private def chunkDocs(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.chunkDocuments(docs(s, dir), "doc_id", "text",
@@ -858,6 +874,7 @@ object SparkEntry {
     "ngram_stats" -> (ngramStats _),
     "bpe_merges" -> (bpeMerges _),
     "lm_score" -> (lmScoreQ _),
+    "pipeline_cluster_shard" -> (pipelineClusterShard _),
     "multimodal_meta" -> (multimodalMeta _),
     "image_stats" -> (imageStats _),
     "events_json_extract" -> (eventsJsonExtract _),
@@ -1266,6 +1283,22 @@ object SparkEntry {
       "kmeans_sample_train" ->
         s"""WITH ${ivfTrainCtes(8, 2, trainPercent = 40)}
            |SELECT id AS vec_id, cell AS cluster FROM afinal""".stripMargin,
+      // composed pipeline: cluster (full Lloyd replay) → exact per-cluster
+      // cap (37-rule of cap_per_group at 25) → shard+position (shard_layout
+      // rule at 4) — one end-to-end determinism check across all stages
+      "pipeline_cluster_shard" ->
+        s"""WITH ${ivfTrainCtes(16, 2)},
+           |capped AS (SELECT id, cluster, md5(CAST(id AS VARCHAR)) AS dg FROM (
+           |  SELECT id, cell AS cluster, row_number() OVER (PARTITION BY cell
+           |    ORDER BY md5(CAST(id AS VARCHAR)), id) AS rn FROM afinal)
+           |  WHERE rn <= 25),
+           |sh AS (SELECT id, cluster, dg,
+           |  CAST(CAST(concat('0x', substr(dg, 1, 6)) AS BIGINT) % 4 AS INT) AS shard
+           |  FROM capped)
+           |SELECT id AS vec_id, cluster, shard,
+           |  CAST(row_number() OVER (PARTITION BY shard ORDER BY dg, id) - 1 AS BIGINT)
+           |    AS position
+           |FROM sh""".stripMargin,
       "knn_brute" ->
         """SELECT qid, neighbor_id, rank FROM (
           |  SELECT q.vec_id AS qid, c.vec_id AS neighbor_id,

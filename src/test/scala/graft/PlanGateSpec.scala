@@ -24,7 +24,8 @@ class PlanGateSpec extends SparkTestBase {
     * oracle gate + BASELINE.md instead.
     */
   private val iterative = Set("dedup_minhash", "dedup_simhash", "dedup_clusters",
-    "knn_ivf", "kmeans_clusters", "kmeans_sample_train", "bpe_merges")
+    "knn_ivf", "kmeans_clusters", "kmeans_sample_train", "bpe_merges",
+    "pipeline_cluster_shard")
 
   private val maxShuffles = Map(
     "asof_join" -> 1,

@@ -289,6 +289,17 @@ object SparkEntry {
   private def bpeMerges(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.trainBpeMerges(docs(s, dir), "text", numMerges = 12)
 
+  /** End-to-end subword tokenization: train 12 merges on the corpus, then
+    * BPE-encode the same corpus with them (oracle replays both halves; the
+    * comma-free space join is lossless — subwords never contain whitespace).
+    */
+  private def bpeEncodeQ(s: SparkSession, dir: String): DataFrame = {
+    val merges = TextAnalysis.trainBpeMerges(docs(s, dir), "text", numMerges = 12)
+    TextAnalysis.bpeEncode(docs(s, dir), "doc_id", "text", merges)
+      .select(col("id").as("doc_id"), col("n_subwords"),
+        array_join(col("subwords"), " ").as("subwords_str"))
+  }
+
   /** Bigram-LM quality scores, self-trained on the corpus with the pair
     * table pruned at minCount=2 (exercises the 100 TB broadcast knob); all
     * fixed-point integer arithmetic, oracle replays it exactly.
@@ -874,6 +885,7 @@ object SparkEntry {
     "ngram_stats" -> (ngramStats _),
     "bpe_merges" -> (bpeMerges _),
     "lm_score" -> (lmScoreQ _),
+    "bpe_encode" -> (bpeEncodeQ _),
     "pipeline_cluster_shard" -> (pipelineClusterShard _),
     "multimodal_meta" -> (multimodalMeta _),
     "image_stats" -> (imageStats _),
@@ -1007,10 +1019,34 @@ object SparkEntry {
           |                         chr(1) || m.l || m.r || chr(2)) AS s
           |  FROM w_${k - 1}, m_$k m)""".stripMargin
       }
-      val sel = (1 to numMerges).map(k =>
-        s"SELECT CAST($k AS INT) AS rank, l AS left_sym, r AS right_sym, " +
-          s"l || r AS merged, n FROM m_$k").mkString(" UNION ALL ")
-      parts.mkString(",\n") + s"\n$sel"
+      parts.mkString(",\n")
+    }
+    def bpeMergesSelect(numMerges: Int): String = (1 to numMerges).map(k =>
+      s"SELECT CAST($k AS INT) AS rank, l AS left_sym, r AS right_sym, " +
+        s"l || r AS merged, n FROM m_$k").mkString(" UNION ALL ")
+    // doc-side encode replay: every token becomes its \x01char\x02-wrapped
+    // string (non-ASCII-printable tokens wrap WHOLE — one opaque subword, no
+    // merge can reach inside), tokens join with chr(3) so a merge pattern
+    // can never span a token boundary, then the trained merges apply once in
+    // rank order via the same replace trick the trainer uses
+    def bpeEncodeCtes(numMerges: Int): String = {
+      val parts = scala.collection.mutable.ArrayBuffer(
+        """d_0 AS (SELECT doc_id, list_aggregate(list_transform(toks, tok ->
+          |  CASE WHEN regexp_matches(tok, '^[!-~]+$')
+          |    THEN list_aggregate(list_transform(range(1, len(tok) + 1),
+          |      i -> chr(1) || tok[i] || chr(2)), 'string_agg', '')
+          |    ELSE chr(1) || tok || chr(2) END), 'string_agg', chr(3)) AS s
+          |  FROM t WHERE len(toks) > 0)""".stripMargin)
+      for (k <- 1 to numMerges)
+        parts += s"""d_$k AS (SELECT doc_id, CASE WHEN m.l IS NULL THEN s ELSE
+          |  replace(s, chr(1) || m.l || chr(2) || chr(1) || m.r || chr(2),
+          |             chr(1) || m.l || m.r || chr(2)) END AS s
+          |  FROM d_${k - 1} LEFT JOIN m_$k m ON TRUE)""".stripMargin
+      parts += s"""enc AS (SELECT doc_id,
+        |  string_split(trim(replace(s, chr(3), ''), chr(1) || chr(2)),
+        |               chr(2) || chr(1)) AS sw
+        |  FROM d_$numMerges)""".stripMargin
+      parts.mkString(",\n")
     }
     // shared HLL decode (p=8): 16-bit md5 chunks, 56-bit rest, rank ladder
     val hllChunks = (0 until 4).map(c =>
@@ -1365,7 +1401,14 @@ object SparkEntry {
            |SELECT ngram, count(*) AS n_occurrences, count(DISTINCT doc_id) AS n_docs
            |FROM g GROUP BY 1 ORDER BY n_occurrences DESC, ngram LIMIT 50""".stripMargin,
       "bpe_merges" ->
-        s"WITH ${bpeTrainCtes(12)}",
+        s"WITH ${bpeTrainCtes(12)}\n${bpeMergesSelect(12)}",
+      "bpe_encode" ->
+        s"""WITH $toksCte,
+           |${bpeTrainCtes(12)},
+           |${bpeEncodeCtes(12)}
+           |SELECT d.doc_id, CAST(coalesce(len(sw), 0) AS INT) AS n_subwords,
+           |  coalesce(array_to_string(sw, ' '), '') AS subwords_str
+           |FROM documents d LEFT JOIN enc USING (doc_id)""".stripMargin,
       // bigram-LM replay: integer counts, add-one smoothing over the train
       // vocabulary, q in 2^20 fixed point with integer division — every
       // value before the final lm_q division is exact in both engines

@@ -712,6 +712,43 @@ object TextAnalysis {
           .otherwise(col("score_sum").cast("double") / col("n_bigrams")))
   }
 
+  /** BPE-encode every document with a trained merge table (the consumer of
+    * [[trainBpeMerges]] — together they close the tokenizer loop: train
+    * merges on a corpus, encode any corpus with them, feed the subwords to
+    * [[tokenizeToIds]] with a subword vocabulary). Returns
+    * `(id, n_subwords, subwords: array<string>)`.
+    *
+    * The merge table rides a broadcast inside ONE native kernel call per
+    * row ([[org.apache.spark.sql.graft.BpeEncodeDoc]]) — plan size is O(1)
+    * in the merge count, so a real 32k-merge vocabulary plans exactly like
+    * the 12-merge test table; encoding is scan-speed, zero shuffles. Per
+    * token the kernel runs the standard BPE encode loop (merge the
+    * lowest-rank adjacent pair until none remains), which for a TRAINED
+    * table is provably the same as replaying merges once in rank order —
+    * a trained pair's constituents are products of strictly lower ranks —
+    * so the DuckDB oracle can replay it with the trainer's own replace
+    * chain (equivalence spec-pinned). Tokens outside the trainer's
+    * ASCII-printable domain pass through as single opaque subwords.
+    *
+    * `merges` must carry `(rank, left_sym, right_sym)` — exactly what
+    * [[trainBpeMerges]] emits; it is collected (merge-table-sized driver
+    * state, same bound as the trainer's own output) and broadcast once.
+    */
+  def bpeEncode(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      merges: DataFrame): DataFrame = {
+    import org.apache.spark.sql.graft.{BpeEncodeDoc, BpeMergeTable}
+    val table = merges.select(col("left_sym"), col("right_sym"), col("rank"))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getInt(2)))
+    val bc = df.sparkSession.sparkContext.broadcast(new BpeMergeTable(table))
+    df.select(col(idCol).as("id"),
+        BpeEncodeDoc(tokens(col(textCol)), bc).as("subwords"))
+      .select(col("id"), size(col("subwords")).as("n_subwords"), col("subwords"))
+  }
+
   /** BPE merge-rank training (the classic byte-pair-encoding trainer): the
     * step between [[vocabCoverage]]'s frequency substrate and
     * [[tokenizeToIds]]' finished vocabulary. Returns one row per learned

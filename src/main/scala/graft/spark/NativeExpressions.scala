@@ -1,5 +1,6 @@
 package org.apache.spark.sql.graft
 
+import org.apache.spark.broadcast.Broadcast
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodeGenerator, ExprCode}
@@ -444,6 +445,126 @@ object BpeMergeAdjacent {
   def apply(syms: Column, left: String, right: String): Column =
     ExpressionUtils.column(
       BpeMergeAdjacent(ExpressionUtils.expression(syms), left, right))
+}
+
+/** Trained BPE merge table, shipped to executors ONCE via broadcast (the
+  * [[org.apache.spark.sql.graft.CentroidMatrix]] operator-state pattern): a
+  * real vocabulary is 10^4–10^5 merges, which as chained per-rank plan
+  * layers would blow plan depth the same way per-centroid literals blew
+  * expression width. Keyed `left + ' ' + right` — symbols come from the
+  * ASCII-printable trainer domain, which excludes the space, so the key
+  * is unambiguous.
+  */
+final class BpeMergeTable(pairs: Array[(String, String, Int)]) extends Serializable {
+  val ranks = new java.util.HashMap[String, Integer](pairs.length * 2)
+  pairs.foreach { case (l, r, rank) => ranks.put(l + ' ' + r, rank) }
+  def isEmpty: Boolean = ranks.isEmpty
+}
+
+/** BPE-encode a whole document's token array into its subword sequence —
+  * one kernel call per row, inside whole-stage codegen, merge table behind
+  * a broadcast.
+  *
+  * Per ASCII-printable token (the trainer's domain): split to characters,
+  * then repeatedly merge the LOWEST-RANK adjacent pair present (all its
+  * leftmost non-overlapping occurrences per pass, the training-time apply
+  * rule) until no adjacent pair is in the table — the standard BPE encode
+  * loop. For a table that came out of [[graft.ops.TextAnalysis.trainBpeMerges]]
+  * this is EXACTLY equivalent to replaying the merges once in rank order
+  * (a trained pair's constituent symbols are always products of strictly
+  * lower ranks, so rank k can never create a match for a rank < k), which
+  * is what the DuckDB oracle does — the equivalence is spec-pinned. Tokens
+  * OUTSIDE the ASCII-printable domain pass through as one opaque subword:
+  * no merge can ever apply to them, and splitting them to characters would
+  * only inflate the sequence.
+  */
+case class BpeEncodeDoc(child: Expression, bc: Broadcast[BpeMergeTable])
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(StringType))
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "graft_bpe_encode"
+
+  override def nullSafeEval(input: Any): Any =
+    BpeEncodeDoc.encode(input.asInstanceOf[ArrayData], bc.value)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val bcRef = ctx.addReferenceObj("bpeBc", bc, "org.apache.spark.broadcast.Broadcast")
+    val tab = ctx.addMutableState("org.apache.spark.sql.graft.BpeMergeTable", "bpeTab",
+      v => s"$v = (org.apache.spark.sql.graft.BpeMergeTable) $bcRef.value();")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = org.apache.spark.sql.graft.BpeEncodeDoc.encode($c, $tab);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): BpeEncodeDoc =
+    copy(child = newChild)
+}
+
+object BpeEncodeDoc {
+  private def asciiPrintable(s: String): Boolean = {
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c < 0x21 || c > 0x7e) return false
+      i += 1
+    }
+    s.nonEmpty
+  }
+
+  private def encodeWord(w: String, tab: BpeMergeTable, out: java.util.ArrayList[Any]): Unit = {
+    var syms = new Array[String](w.length)
+    var i = 0
+    while (i < w.length) { syms(i) = String.valueOf(w.charAt(i)); i += 1 }
+    var n = syms.length
+    var continue = n > 1 && !tab.isEmpty
+    while (continue) {
+      // lowest-rank adjacent pair present anywhere in the word
+      var bestRank = Int.MaxValue
+      var bestL: String = null
+      var bestR: String = null
+      i = 0
+      while (i < n - 1) {
+        val r = tab.ranks.get(syms(i) + ' ' + syms(i + 1))
+        if (r != null && r < bestRank) { bestRank = r; bestL = syms(i); bestR = syms(i + 1) }
+        i += 1
+      }
+      if (bestL == null) continue = false
+      else {
+        // merge ALL leftmost non-overlapping occurrences of that pair
+        val merged = bestL + bestR
+        val nu = new Array[String](n)
+        var k = 0
+        i = 0
+        while (i < n) {
+          if (i + 1 < n && syms(i) == bestL && syms(i + 1) == bestR) { nu(k) = merged; i += 2 }
+          else { nu(k) = syms(i); i += 1 }
+          k += 1
+        }
+        syms = nu
+        n = k
+        if (n < 2) continue = false
+      }
+    }
+    i = 0
+    while (i < n) { out.add(UTF8String.fromString(syms(i))); i += 1 }
+  }
+
+  def encode(toks: ArrayData, tab: BpeMergeTable): ArrayData = {
+    val nTok = toks.numElements()
+    val out = new java.util.ArrayList[Any](nTok * 2)
+    var t = 0
+    while (t < nTok) {
+      val tok = toks.getUTF8String(t)
+      val s = tok.toString
+      if (asciiPrintable(s)) encodeWord(s, tab, out)
+      else out.add(tok) // outside the trainer's domain: one opaque subword
+      t += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out.toArray)
+  }
+
+  def apply(toks: Column, bc: Broadcast[BpeMergeTable]): Column =
+    ExpressionUtils.column(BpeEncodeDoc(ExpressionUtils.expression(toks), bc))
 }
 
 /** Count of a string array's elements that belong to a literal string set —

@@ -2,7 +2,7 @@ package graft.ops
 
 import graft.SparkTestBase
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{col, explode, flatten, collect_list, length, lit, sequence, transform}
 
 class TextAnalysisSpec extends SparkTestBase {
 
@@ -373,6 +373,61 @@ class TextAnalysisSpec extends SparkTestBase {
     // single-symbol-only vocab exhausts before numMerges instead of spinning
     val tiny = Seq((1L, "a b c a")).toDF("doc_id", "text")
     assert(TextAnalysis.trainBpeMerges(tiny, "text", 5).count() === 0L)
+  }
+
+  test("bpeEncode: kernel's min-rank-first loop == rank-order replay on a TRAINED table") {
+    import spark.implicits._
+    import org.apache.spark.sql.graft.BpeMergeAdjacent
+    val texts = Seq(
+      "low lower lowest lowly slow slowly glow glowing below billow",
+      "newest newer news renew newt knew sinew",
+      "aaaa aab baa abab abba bbbb",
+      "the cat the dog the mat on the rug")
+    val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val merges = TextAnalysis.trainBpeMerges(docs, "text", numMerges = 15)
+    val mergeList = merges.collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2))).sortBy(_._1)
+    // rank-order sequential replay (what the DuckDB oracle does): start from
+    // chars, apply each merge once in rank order via the training apply rule
+    val seqReplay = {
+      var syms = docs.select(col("doc_id"),
+        explode(graft.functions.tokens(col("text"))).as("tok"))
+        .withColumn("syms", transform(sequence(lit(1), length(col("tok"))),
+          i => col("tok").substr(i, lit(1))))
+      for ((_, l, r) <- mergeList)
+        syms = syms.withColumn("syms", BpeMergeAdjacent(col("syms"), l, r))
+      syms.groupBy("doc_id")
+        .agg(flatten(collect_list(col("syms"))).as("subwords"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    }
+    val kernel = TextAnalysis.bpeEncode(docs, "doc_id", "text", merges)
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](2)).toMap
+    // per-doc multiset equality isn't enough — order matters; collect_list
+    // over one partition of a tiny df preserves token order per doc
+    assert(kernel === seqReplay)
+  }
+
+  test("bpeEncode: hand case, opaque non-ASCII tokens, empty docs, O(1) plan in merge count") {
+    import spark.implicits._
+    // trained on "abab abab ab": merges learn (a,b) then (ab,ab)
+    val train = Seq((0L, "abab abab ab ab")).toDF("doc_id", "text")
+    val merges = TextAnalysis.trainBpeMerges(train, "text", numMerges = 2)
+    val got = merges.collect().map(r => (r.getString(1), r.getString(2))).toSeq
+    assert(got === Seq(("a", "b"), ("ab", "ab")))
+    val docs = Seq(
+      (1L, "abab ab ba schön"), // schön is outside the ASCII domain: opaque
+      (2L, " ")).toDF("doc_id", "text")
+    val out = TextAnalysis.bpeEncode(docs, "doc_id", "text", merges)
+      .collect().map(r => r.getLong(0) -> ((r.getInt(1), r.getSeq[String](2)))).toMap
+    assert(out(1L) === ((5, Seq("abab", "ab", "b", "a", "schön"))))
+    assert(out(2L) === ((0, Seq.empty[String])))
+    // plan: ONE kernel expression regardless of merge count — never a
+    // chained per-rank rewrite
+    val plan = TextAnalysis.bpeEncode(docs, "doc_id", "text", merges)
+      .queryExecution.executedPlan.toString
+    assert("graft_bpe_encode".r.findAllIn(plan).size <= 2, // projection may alias
+      s"expected the single broadcast kernel:\n$plan")
+    assert(!plan.contains("graft_bpe_merge"), "no per-rank chain in the encode plan")
   }
 
   test("trainBpeMerges: composes with tokenizeToIds (merged symbols are a usable vocab)") {

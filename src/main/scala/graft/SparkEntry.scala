@@ -206,6 +206,27 @@ object SparkEntry {
     Dedup.minHashLsh(u, "doc_id", "text", threshold = 0.8).select("a_id", "b_id")
   }
 
+  /** Exact set-similarity self-join over a graded corpus: appended-token
+    * copies (J ~0.9, above the 0.8 cut) AND half-truncated copies (J ~0.45,
+    * below it — the negative evidence that the threshold actually cuts);
+    * oracle is the full all-pairs Jaccard, so prefix-filter completeness is
+    * checked against ground truth, not another approximation.
+    */
+  private def setSimJoin(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val t = graft.functions.tokens(col("text"))
+    val firstHalf =
+      array_join(slice(t, lit(1), floor((size(t) + lit(1)) / lit(2)).cast("int")), " ")
+    val u = d
+      .unionByName(d
+        .withColumn("doc_id", col("doc_id") + 100000L)
+        .withColumn("text", concat(col("text"), lit(" graftdup"))))
+      .unionByName(d
+        .withColumn("doc_id", col("doc_id") + 200000L)
+        .withColumn("text", firstHalf))
+    Dedup.setSimilarityJoin(u, "doc_id", "text", threshold = 0.8)
+  }
+
   /** Canonical duplicate-cluster assignment: LSH pairs -> connected
     * components -> every doc labeled with its cluster's min doc_id.
     */
@@ -871,6 +892,7 @@ object SparkEntry {
     "dedup_exact" -> (dedupExact _),
     "pipeline_clean_corpus" -> (pipelineCleanCorpus _),
     "dedup_minhash" -> (dedupMinhash _),
+    "set_similarity_join" -> (setSimJoin _),
     "dedup_clusters" -> (dedupClusters _),
     "dedup_simhash" -> (dedupSimhash _),
     "dedup_embedding" -> (dedupEmbedding _),
@@ -1209,6 +1231,37 @@ object SparkEntry {
           |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
           |WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
           |      len(list_distinct(a.sh || b.sh)) >= 0.8""".stripMargin,
+      // Full all-pairs ground truth again — the exact join must equal it
+      // pair-for-pair AND value-for-value (inter/union/jaccard), which pins
+      // prefix-filter completeness and the hash-set == string-set size claim.
+      "set_similarity_join" ->
+        """WITH u AS (SELECT doc_id, text FROM documents UNION ALL
+          |  SELECT doc_id + 100000, text || ' graftdup' FROM documents UNION ALL
+          |  SELECT doc_id + 200000, array_to_string(
+          |    list_slice(tk, 1, (len(tk) + 1) // 2), ' ')
+          |  FROM (SELECT doc_id,
+          |    list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> len(x) > 0) AS tk
+          |    FROM documents)),
+          |t AS (SELECT doc_id,
+          |  list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> len(x) > 0) AS toks
+          |  FROM u),
+          |sh AS (SELECT doc_id,
+          |  list_distinct(CASE WHEN len(toks) = 0 THEN CAST([] AS VARCHAR[])
+          |    WHEN len(toks) >= 3
+          |    THEN list_transform(range(1, len(toks) - 1),
+          |         i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+          |    ELSE [array_to_string(toks, ' ')] END) AS sh
+          |  FROM t),
+          |p AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+          |        len(list_intersect(a.sh, b.sh)) AS inter_size,
+          |        len(a.sh) AS asz, len(b.sh) AS bsz
+          |      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+          |      WHERE len(a.sh) > 0 AND len(b.sh) > 0)
+          |SELECT a_id, b_id, CAST(inter_size AS BIGINT) AS inter_size,
+          |       CAST(asz + bsz - inter_size AS BIGINT) AS union_size,
+          |       CAST(inter_size AS DOUBLE) / (asz + bsz - inter_size) AS jaccard
+          |FROM p
+          |WHERE CAST(inter_size AS DOUBLE) / (asz + bsz - inter_size) >= 0.8""".stripMargin,
       "dedup_embedding" ->
         "SELECT vec_id AS a_id, vec_id + 100000 AS b_id FROM embeddings",
       // SimHash ground truth: DuckDB recomputes the exact md5-chunk signature

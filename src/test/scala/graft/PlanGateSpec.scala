@@ -25,7 +25,7 @@ class PlanGateSpec extends SparkTestBase {
     */
   private val iterative = Set("dedup_minhash", "dedup_simhash", "dedup_clusters",
     "knn_ivf", "kmeans_clusters", "kmeans_sample_train", "bpe_merges",
-    "bpe_encode", "pipeline_cluster_shard")
+    "bpe_encode", "pipeline_cluster_shard", "set_similarity_join")
 
   private val maxShuffles = Map(
     "asof_join" -> 1,

@@ -224,4 +224,57 @@ class DedupSpec extends SparkTestBase {
       .queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastHashJoin"), s"expected broadcast join:\n$plan")
   }
+
+  /** Reference trigram-shingle set, mirroring tokens + shinglesFromTokens. */
+  private def shingleSet(text: String): Set[String] = {
+    val toks = text.trim.toLowerCase.split("\\s+").filter(_.nonEmpty).toSeq
+    if (toks.isEmpty) Set.empty
+    else if (toks.size >= 3) toks.sliding(3).map(_.mkString(" ")).toSet
+    else Set(toks.mkString(" "))
+  }
+
+  test("setSimilarityJoin: exact inter/union/jaccard on a hand case, threshold is a hard cut") {
+    // a vs b: 12-token doc + one appended token -> 10 shared shingles of 10/11
+    val a = "t1 t2 t3 t4 t5 t6 t7 t8 t9 t10 t11 t12"
+    val df = docsDf((1L, a), (2L, a + " t13"), (3L, "other stuff entirely here"))
+    val out = Dedup.setSimilarityJoin(df, "doc_id", "text", threshold = 0.6)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    assert(out.keySet === Set((1L, 2L)))
+    assert(out((1L, 2L)) === ((10L, 11L, 10.0 / 11)))
+    // the same pair vanishes when the threshold moves above its jaccard
+    assert(Dedup.setSimilarityJoin(df, "doc_id", "text", threshold = 0.95).count() === 0L)
+  }
+
+  test("setSimilarityJoin: complete vs brute-force all-pairs (prefix+length filters lose nothing)") {
+    // overlapping token windows over a shared stream produce a full spread of
+    // jaccard values, plus exact twins and disjoint docs
+    val stream = (1 to 60).map(i => s"w$i")
+    val docs = (0 until 20).map { i =>
+      (i.toLong, stream.slice(i * 2, i * 2 + 20).mkString(" "))
+    } ++ Seq((100L, stream.slice(0, 20).mkString(" ")), // twin of doc 0
+      (101L, "x1 x2 x3 x4 x5"), (102L, ""), (103L, "  "))
+    val df = docsDf(docs: _*)
+    for (t <- Seq(0.25, 0.5, 0.8, 1.0)) {
+      val got = Dedup.setSimilarityJoin(df, "doc_id", "text", threshold = t)
+        .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+          ((r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+      val sets = docs.map { case (id, tx) => id -> shingleSet(tx) }.filter(_._2.nonEmpty)
+      val want = (for {
+        (ai, as) <- sets; (bi, bs) <- sets if ai < bi
+        inter = (as & bs).size; union = (as | bs).size
+        j = inter.toDouble / union if j >= t
+      } yield (ai, bi) -> ((inter.toLong, union.toLong, j))).toMap
+      assert(got === want, s"mismatch at threshold $t")
+    }
+  }
+
+  test("setSimilarityJoin: shingle-less docs never pair; tiny docs use the whole-doc shingle") {
+    val df = docsDf((1L, ""), (2L, "   "), (3L, "ab cd"), (4L, "ab cd"), (5L, "ab"))
+    val out = Dedup.setSimilarityJoin(df, "doc_id", "text", threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // 3 and 4 share their single whole-doc shingle "ab cd"; 5's "ab" differs;
+    // the empty docs (no shingle set) pair with nothing, including each other
+    assert(out === Set((3L, 4L)))
+  }
 }

@@ -206,6 +206,23 @@ object SparkEntry {
     Dedup.minHashLsh(u, "doc_id", "text", threshold = 0.8).select("a_id", "b_id")
   }
 
+  /** One fixture query list for `search_bm25` — the Spark entry and the
+    * DuckDB oracle VALUES clause are generated from this single definition.
+    * Mixed coverage on the documents vocabulary: multi-term, repeated-term,
+    * and one term (`graftplan`) absent from the corpus (df = 0 — must
+    * contribute nothing, not divide by zero).
+    */
+  private val bm25Queries = Seq(
+    ("q1", "spark query join graftplan"),
+    ("q2", "window agg batch window"),
+    ("q3", "hash table scan fast slow"))
+
+  private def searchBm25Q(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    TextAnalysis.searchBm25(docs(s, dir), "doc_id", "text",
+      bm25Queries.toDF("qid", "qtext"), k = 10)
+  }
+
   /** Exact set-similarity self-join over a graded corpus: appended-token
     * copies (J ~0.9, above the 0.8 cut) AND half-truncated copies (J ~0.45,
     * below it — the negative evidence that the threshold actually cuts);
@@ -893,6 +910,7 @@ object SparkEntry {
     "pipeline_clean_corpus" -> (pipelineCleanCorpus _),
     "dedup_minhash" -> (dedupMinhash _),
     "set_similarity_join" -> (setSimJoin _),
+    "search_bm25" -> (searchBm25Q _),
     "dedup_clusters" -> (dedupClusters _),
     "dedup_simhash" -> (dedupSimhash _),
     "dedup_embedding" -> (dedupEmbedding _),
@@ -1262,6 +1280,34 @@ object SparkEntry {
           |       CAST(inter_size AS DOUBLE) / (asz + bsz - inter_size) AS jaccard
           |FROM p
           |WHERE CAST(inter_size AS DOUBLE) / (asz + bsz - inter_size) >= 0.8""".stripMargin,
+      // fixed-point BM25 replay: every per-term quantity is integer
+      // arithmetic (2^20 fixed point, k1 = 6/5, b = 3/4 as exact rationals,
+      // ratio idf), so scores and therefore ranks are engine-identical;
+      // the VALUES clause is generated from the same bm25Queries fixture
+      // the Spark entry uses
+      "search_bm25" ->
+        s"""WITH $toksCte,
+           |s AS (SELECT count(*) AS n_docs, coalesce(sum(len(toks)), 0) AS l_total FROM t),
+           |q AS (SELECT * FROM (VALUES ${bm25Queries.map { case (q, tx) => s"('$q', '$tx')" }.mkString(", ")}) AS v(qid, qtext)),
+           |qt AS (SELECT qid, term, count(*) AS qtf FROM (SELECT qid,
+           |    unnest(list_filter(string_split_regex(lower(trim(qtext)), '\\s+'), x -> len(x) > 0)) AS term
+           |  FROM q) GROUP BY 1, 2),
+           |tf AS (SELECT doc_id, term, count(*) AS tf, any_value(dl) AS dl
+           |  FROM (SELECT doc_id, len(toks) AS dl, unnest(toks) AS term FROM t)
+           |  WHERE term IN (SELECT DISTINCT term FROM qt) GROUP BY 1, 2),
+           |dft AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+           |sc AS (SELECT qid, doc_id, sum(qtf * ((idf_fp * tfc_fp) // 1048576)) AS score_fp
+           |  FROM (SELECT qt.qid, tf.doc_id, qt.qtf,
+           |      ((2 * (s.n_docs - dft.df) + 1) * 1048576) // (2 * dft.df + 1) AS idf_fp,
+           |      (22 * s.l_total * tf.tf * 1048576) //
+           |        (10 * s.l_total * tf.tf + 3 * s.l_total + 9 * tf.dl * s.n_docs) AS tfc_fp
+           |    FROM tf JOIN dft USING (term) JOIN qt USING (term) CROSS JOIN s)
+           |  GROUP BY 1, 2)
+           |SELECT qid, doc_id, CAST(rank AS INT) AS rank, CAST(score_fp AS BIGINT) AS score_fp
+           |FROM (SELECT qid, doc_id, score_fp,
+           |        row_number() OVER (PARTITION BY qid ORDER BY score_fp DESC, doc_id) AS rank
+           |      FROM sc)
+           |WHERE rank <= 10""".stripMargin,
       "dedup_embedding" ->
         "SELECT vec_id AS a_id, vec_id + 100000 AS b_id FROM embeddings",
       // SimHash ground truth: DuckDB recomputes the exact md5-chunk signature

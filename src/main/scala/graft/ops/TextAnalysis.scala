@@ -369,6 +369,88 @@ object TextAnalysis {
       .withColumn("postings_str", array_join(col("postings"), ","))
   }
 
+  /** BM25-family top-k text retrieval over the corpus (the query side of
+    * [[invertedIndex]]): every query in `queries` (columns `qid`, `qtext`)
+    * gets its `k` best documents under a rank-exact FIXED-POINT BM25
+    * variant — Okapi tf saturation and length normalization with the
+    * standard k1 = 1.2, b = 0.75 taken as EXACT rationals (6/5, 3/4), and
+    * the `(N - df + 0.5) / (df + 0.5)` idf kept in RATIO form rather than
+    * its log: every per-term quantity is integer arithmetic in 2^20 fixed
+    * point, per-doc scores are integer SUMS (order-independent — an IEEE
+    * float sum would make the ranking depend on partitioning), so the
+    * ranking is exact and engine-reproducible (the [[pmiPairs]] /
+    * [[lmScore]] discipline; the log-idf curve, which would drift
+    * cross-engine, is left to consumers who want calibrated scores rather
+    * than a ranking). Per (doc, query-term):
+    * {{{
+    *   tfc_fp = (22·L·tf << 20) div (10·L·tf + 3·L + 9·dl·N)   // (k1+1)·tf / (tf + k1(1-b+b·dl/avgdl)), ×10L
+    *   idf_fp = ((2(N-df) + 1) << 20) div (2·df + 1)
+    *   score  = Σ_terms qtf · ((idf_fp · tfc_fp) >> 20)
+    * }}}
+    * with N = corpus docs, L = total tokens, dl = doc tokens, df = docs
+    * containing the term, qtf = the term's count in the query. Numerators
+    * run in decimal(38,0) (22·L·tf·2^20 passes 2^63 around L ≈ 4·10^11
+    * tokens — the [[vocabCoverage]] overflow rule); every quotient fits a
+    * long. Ties rank by doc_id, so the cut is deterministic.
+    *
+    * Shape at 100 TB: the corpus is scanned twice (a column-pruned
+    * map-side-aggregated scan for the N/L scalars — one broadcast 1-row
+    * cross join, the [[lmScore]] pattern — and the tokenize+explode scan),
+    * the exploded stream drops every non-query term against the BROADCAST
+    * query-term set before any shuffle, so the one corpus-sized exchange
+    * carries only matching (doc_id, term) rows; df/idf come from the
+    * checkpointed matching-term table (query-sized, broadcast back), and
+    * the final top-k is a per-qid window over each query's candidate set.
+    */
+  def searchBm25(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      queries: DataFrame,
+      k: Int): DataFrame = {
+    require(k > 0, "k must be positive")
+    val qterms = queries
+      .select(col("qid"), explode(tokens(col("qtext"))).as("term"))
+      .groupBy(col("qid"), col("term")).agg(count(lit(1)).as("qtf"))
+    val qset = qterms.select(col("term")).distinct()
+    val scalars = docs
+      .select(size(tokens(col(textCol))).as("dl"))
+      .agg(count(lit(1)).as("n_docs"),
+        coalesce(sum(col("dl")), lit(0L)).as("l_total"))
+    // matching (doc, term) rows only; checkpointed — feeds the df
+    // aggregation AND the scoring join (the invertedIndex discipline:
+    // without it the corpus explode scan runs twice)
+    val tf = docs
+      .select(col(idCol).as("doc_id"), tokens(col(textCol)).as("_toks"))
+      .select(col("doc_id"), size(col("_toks")).as("dl"),
+        explode(col("_toks")).as("term"))
+      .join(broadcast(qset), Seq("term"))
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"), max(col("dl")).as("dl"))
+      .localCheckpoint(false)
+    val dfT = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val scored = tf
+      .join(broadcast(dfT), Seq("term"))
+      .join(broadcast(qterms), Seq("term"))
+      .crossJoin(broadcast(scalars))
+      .withColumn("idf_fp", expr(
+        "(cast(2 * (n_docs - df) + 1 as decimal(38, 0)) * 1048576) div (2 * df + 1)"))
+      .withColumn("tfc_fp", expr(
+        "(cast(22 as decimal(38, 0)) * l_total * tf * 1048576)" +
+          " div (cast(10 as decimal(38, 0)) * l_total * tf + cast(3 as decimal(38, 0)) * l_total" +
+          " + cast(9 as decimal(38, 0)) * dl * n_docs)"))
+      .withColumn("contrib", expr(
+        "qtf * ((cast(idf_fp as decimal(38, 0)) * tfc_fp) div 1048576)"))
+      .groupBy(col("qid"), col("doc_id"))
+      .agg(sum(col("contrib")).as("score_fp"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid")).orderBy(col("score_fp").desc, col("doc_id"))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("doc_id"), col("rank"), col("score_fp"))
+  }
+
   /** Windowed token co-occurrence: ordered pairs `(a, b)` where `b` appears
     * within `window` positions after `a` in the same doc, with total pair
     * occurrences and document frequency — the integer-exact substrate for

@@ -25,7 +25,7 @@ class PlanGateSpec extends SparkTestBase {
     */
   private val iterative = Set("dedup_minhash", "dedup_simhash", "dedup_clusters",
     "knn_ivf", "kmeans_clusters", "kmeans_sample_train", "bpe_merges",
-    "bpe_encode", "pipeline_cluster_shard", "set_similarity_join")
+    "bpe_encode", "pipeline_cluster_shard")
 
   private val maxShuffles = Map(
     "asof_join" -> 1,
@@ -125,6 +125,16 @@ class PlanGateSpec extends SparkTestBase {
     // (2: tok hash + Single), and the per-doc sum re-agg (1) — the scored
     // corpus side itself never shuffles before that final agg
     "lm_score" -> 4,
+    // the query-side aggs (qterms, its distinct term set), the one
+    // corpus-sized matching-(doc,term) agg, the per-(qid,doc) score agg and
+    // the per-qid top-k window; the df/idf/scalars attach as broadcasts
+    "search_bm25" -> 5,
+    // the plan hangs off the two lazily-checkpointed tables (narrow (id,h)
+    // stream, ordered per-doc sets), and at gate SF the candidate and
+    // verify joins broadcast — the one counted exchange is the candidate
+    // distinct; the upstream df/re-agg exchanges live behind the
+    // checkpoints (oracle + BASELINE cover them, the lm_score convention)
+    "set_similarity_join" -> 1,
   )
 
   /** Queries where a BroadcastNestedLoopJoin is the documented contract, not
@@ -133,7 +143,9 @@ class PlanGateSpec extends SparkTestBase {
     * (train-vocabulary-size smoothing denominator) — the scalar-subquery
     * idiom; the nested loop runs exactly once per partition.
     */
-  private val bnljAllowed = Set("knn_brute", "vocab_coverage", "lm_score")
+  private val bnljAllowed = Set("knn_brute", "vocab_coverage", "lm_score",
+    // search_bm25's N/L corpus scalars: the same 1-row broadcast cross join
+    "search_bm25")
 
   test("every query has a plan budget (or a documented exemption)") {
     val missing = SparkEntry.queries.keySet -- maxShuffles.keySet -- iterative

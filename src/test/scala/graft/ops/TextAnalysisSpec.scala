@@ -430,6 +430,63 @@ class TextAnalysisSpec extends SparkTestBase {
     assert(!plan.contains("graft_bpe_merge"), "no per-rank chain in the encode plan")
   }
 
+  test("searchBm25: scores match a plain-Scala fixed-point replica exactly") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, "spark query engine runs the query plan"),
+      (2L, "query plan"),
+      (3L, "spark spark spark streaming"),
+      (4L, "unrelated text about nothing"),
+      (5L, "")) // token-empty: counts in N, matches nothing
+    val queries = Seq(("q1", "spark query"), ("q2", "query query plan"))
+    val got = TextAnalysis.searchBm25(
+        corpus.toDF("doc_id", "text"), "doc_id", "text",
+        queries.toDF("qid", "qtext"), k = 10)
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> ((r.getInt(2), r.getLong(3)))).toMap
+    // replica in plain Scala, BigInt for the decimal(38) lane
+    val toks = corpus.map { case (id, t) =>
+      id -> t.trim.toLowerCase.split("\\s+").filter(_.nonEmpty).toSeq }.toMap
+    val n = corpus.size.toLong
+    val l = toks.values.map(_.size.toLong).sum
+    val dfm = toks.values.flatMap(_.distinct).groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val want = (for {
+      (qid, qtext) <- queries
+      qtf = qtext.split("\\s+").filter(_.nonEmpty).groupBy(identity).view.mapValues(_.size.toLong)
+      (id, ts) <- toks if ts.exists(qtf.keySet)
+    } yield {
+      val dl = ts.size.toLong
+      val score = qtf.toSeq.collect { case (term, qn) if ts.contains(term) =>
+        val tf = ts.count(_ == term).toLong
+        val df = dfm(term)
+        val idf = (BigInt(2 * (n - df) + 1) * 1048576) / (2 * df + 1)
+        val tfc = (BigInt(22) * l * tf * 1048576) /
+          (BigInt(10) * l * tf + BigInt(3) * l + BigInt(9) * dl * n)
+        qn * ((idf * tfc) / 1048576).toLong
+      }.sum
+      (qid, id) -> score
+    }).toMap
+    // ranks: per qid by (score desc, doc_id)
+    val wantRanked = want.groupBy(_._1._1).flatMap { case (_, m) =>
+      m.toSeq.sortBy { case ((_, id), s) => (-s, id) }.zipWithIndex
+        .map { case ((key, s), i) => key -> ((i + 1, s)) }
+    }
+    assert(got === wantRanked)
+    // sanity on the semantics the numbers encode: for q1, doc 1 (both terms,
+    // query twice) beats doc 3 (common term only) and doc 2; doc 4/5 absent
+    assert(got(("q1", 1L))._1 === 1)
+    assert(!got.contains(("q1", 4L)) && !got.contains(("q1", 5L)))
+  }
+
+  test("searchBm25: k cuts per query with deterministic ties; empty query matches nothing") {
+    import spark.implicits._
+    val corpus = (1L to 6L).map(i => (i, "same words here")).toDF("doc_id", "text")
+    val q = Seq(("q", "words"), ("empty", "   ")).toDF("qid", "qtext")
+    val out = TextAnalysis.searchBm25(corpus, "doc_id", "text", q, k = 3)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getInt(2)))
+    // all six docs tie exactly -> the three smallest doc_ids win, in order
+    assert(out.toSet === Set(("q", 1L, 1), ("q", 2L, 2), ("q", 3L, 3)))
+  }
+
   test("trainBpeMerges: composes with tokenizeToIds (merged symbols are a usable vocab)") {
     import spark.implicits._
     val docs = Seq((1L, "banana bandana banana")).toDF("doc_id", "text")

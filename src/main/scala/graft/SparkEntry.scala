@@ -524,6 +524,30 @@ object SparkEntry {
       .select(col("id").as("vec_id"), col("cluster"), col("shard"), col("position"))
   }
 
+  /** The end-to-end TEXT loader-prep story, the text twin of
+    * [[pipelineClusterShard]]: Gopher-rule quality filter (keep
+    * quality_score >= 0.5) → greedy sequence packing of the survivors into
+    * 512-token bins per source → deterministic shuffle-shards for the
+    * training loader. Every stage is an already-oracle-checked operator;
+    * this entry pins their COMPOSITION — that packing sees exactly the
+    * filtered doc set (offsets/bins shift with every dropped doc) and the
+    * shard positions stay deterministic over the packed rows.
+    */
+  private def pipelineTextPack(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val kept = d.join(
+      TextAnalysis.qualityScore(d, "doc_id", "text")
+        .filter(col("quality_score") >= 0.5).select("doc_id"),
+      Seq("doc_id"))
+    val packed = TextAnalysis.packSequences(kept, "doc_id", "text",
+      tokenBudget = 512, partitionKey = "source")
+    ops.Sampling.shuffleShards(
+      packed.select("doc_id", "source", "n_tokens", "start_offset", "bin"),
+      "doc_id", numShards = 4)
+      .select("doc_id", "source", "n_tokens", "start_offset", "bin",
+        "shard", "position")
+  }
+
   /** 32-token chunks with stride 24 (overlapping pretraining windows). */
   private def chunkDocs(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.chunkDocuments(docs(s, dir), "doc_id", "text",
@@ -927,6 +951,7 @@ object SparkEntry {
     "lm_score" -> (lmScoreQ _),
     "bpe_encode" -> (bpeEncodeQ _),
     "pipeline_cluster_shard" -> (pipelineClusterShard _),
+    "pipeline_text_pack" -> (pipelineTextPack _),
     "multimodal_meta" -> (multimodalMeta _),
     "image_stats" -> (imageStats _),
     "events_json_extract" -> (eventsJsonExtract _),
@@ -1544,6 +1569,39 @@ object SparkEntry {
            |    ORDER BY d.doc_id ROWS UNBOUNDED PRECEDING) - len(toks), 0)) / 512)
            |    AS BIGINT) AS bin
            |FROM t JOIN documents d USING (doc_id)""".stripMargin,
+      // quality-filter → pack → shard replayed end-to-end: the offsets/bins
+      // must reflect exactly the filtered doc set, and the shard positions
+      // the packed rows — the composition, not each stage in isolation
+      "pipeline_text_pack" ->
+        s"""WITH $toksCte,
+           |c AS (SELECT doc_id, len(toks) AS n_tokens,
+           |  len(list_filter(toks, x -> list_contains($allStops, x))) AS n_stopwords,
+           |  len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS n_punct,
+           |  len(list_distinct(toks)) AS n_distinct_tokens,
+           |  length(text) AS n_chars FROM t),
+           |q AS (SELECT doc_id FROM c WHERE round(
+           |    least(n_tokens / 20.0, 1.0) * 0.25 +
+           |    (1.0 - least(n_punct / greatest(CAST(n_chars AS DOUBLE), 1.0) * 4.0, 1.0)) * 0.25 +
+           |    (n_distinct_tokens / greatest(CAST(n_tokens AS DOUBLE), 1.0)) * 0.25 +
+           |    least(n_stopwords / greatest(CAST(n_tokens AS DOUBLE), 1.0) * 5.0, 1.0) * 0.25,
+           |    6) >= 0.5),
+           |f AS (SELECT t.doc_id, t.toks, d.source FROM t
+           |  JOIN documents d USING (doc_id) JOIN q USING (doc_id)),
+           |p AS (SELECT source, doc_id, len(toks) AS n_tokens,
+           |  CAST(coalesce(sum(len(toks)) OVER (PARTITION BY source ORDER BY doc_id
+           |    ROWS UNBOUNDED PRECEDING) - len(toks), 0) AS BIGINT) AS start_offset,
+           |  CAST(floor((coalesce(sum(len(toks)) OVER (PARTITION BY source
+           |    ORDER BY doc_id ROWS UNBOUNDED PRECEDING) - len(toks), 0)) / 512)
+           |    AS BIGINT) AS bin
+           |  FROM f),
+           |s AS (SELECT doc_id, source, n_tokens, start_offset, bin,
+           |  md5(CAST(doc_id AS VARCHAR)) AS dg FROM p),
+           |s2 AS (SELECT *, CAST(CAST(concat('0x', substr(dg, 1, 6)) AS BIGINT) % 4 AS INT)
+           |  AS shard FROM s)
+           |SELECT doc_id, source, n_tokens, start_offset, bin, shard,
+           |  CAST(row_number() OVER (PARTITION BY shard ORDER BY dg, doc_id) - 1 AS BIGINT)
+           |    AS position
+           |FROM s2""".stripMargin,
       "multimodal_meta" ->
         """SELECT doc_id AS item_id,
           |  octet_length(encode(text)) AS payload_bytes,

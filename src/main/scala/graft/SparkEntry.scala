@@ -618,6 +618,16 @@ object SparkEntry {
       s.read.parquet(s"$dir/embeddings.parquet"), "vec_id", "embedding")
       .select("vec_id", "scale", "q_str")
 
+  /** JL sign projection 64 → 16 dims, integer-exact (see
+    * [[ops.Embeddings.randomProject]]); the oracle regenerates the md5-parity
+    * sign matrix entirely in SQL — no literals cross engines.
+    */
+  private def embeddingProject(s: SparkSession, dir: String): DataFrame =
+    ops.Embeddings.randomProject(
+      s.read.parquet(s"$dir/embeddings.parquet"), "vec_id", "embedding",
+      dim = 64, outDim = 16)
+      .select("vec_id", "proj_str")
+
   private def embeddingNormalize(s: SparkSession, dir: String): DataFrame =
     ops.Embeddings.l2NormalizeFixed(
       s.read.parquet(s"$dir/embeddings.parquet"), "vec_id", "embedding")
@@ -977,6 +987,7 @@ object SparkEntry {
     "interval_join" -> (intervalJoinQuery _),
     "embedding_quantize" -> (embeddingQuantize _),
     "embedding_normalize" -> (embeddingNormalize _),
+    "embedding_project" -> (embeddingProject _),
     "text_normalize" -> (textNormalize _),
     "inverted_index" -> (invertedIndexQuery _),
     "cooccurrence" -> (cooccurrenceQuery _),
@@ -1878,6 +1889,20 @@ object SparkEntry {
           |      x -> CAST(floor(CAST(x AS DOUBLE) * 127.0 / scale + 0.5) AS BIGINT)), ',')
           |  END AS q_str
           |FROM s""".stripMargin,
+      // the sign matrix regenerates IN SQL from md5 nibble parity (no
+      // cross-engine literals); quantization is floor(x * 2^10) — exact —
+      // and the projection is pure integer sums, so values hash-match
+      "embedding_project" ->
+        """WITH q AS (SELECT vec_id, d.range AS d,
+          |  CAST(floor(CAST(embedding[CAST(d.range AS INT) + 1] AS DOUBLE) * 1024) AS BIGINT) AS qv
+          |  FROM embeddings, range(0, 64) d),
+          |sgn AS (SELECT j.range AS j, d.range AS d,
+          |  CASE WHEN CAST(concat('0x', substr(md5('graftproj:' || j.range || ':' || d.range), 1, 1)) AS INT) % 2 = 0
+          |       THEN 1 ELSE -1 END AS s
+          |  FROM range(0, 16) j, range(0, 64) d),
+          |p AS (SELECT vec_id, j, sum(s * qv) AS pv FROM q JOIN sgn USING (d) GROUP BY 1, 2)
+          |SELECT vec_id, string_agg(CAST(pv AS VARCHAR), ',' ORDER BY j) AS proj_str
+          |FROM p GROUP BY vec_id""".stripMargin,
       // list_reduce folds left-to-right like the native dot-product loop
       // (0.0 + x0^2 is exactly x0^2, so the missing explicit zero seed
       // cannot diverge); sqrt and the per-element ops are exactly rounded.

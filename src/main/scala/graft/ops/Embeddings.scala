@@ -72,4 +72,42 @@ object Embeddings {
           .as("u"))
       // same nullReplacement rationale as quantizeInt8's q_str
       .withColumn("u_str", array_join(col("u"), ",", "null"))
+
+  /** Johnson–Lindenstrauss random projection to `outDim` dimensions with a
+    * ±1 sign matrix (Achlioptas 2001 — sign projections satisfy the JL
+    * distance-preservation bound with the same guarantees as Gaussian ones,
+    * and stay integer-exact): each component quantizes to
+    * `floor(x_d · quantScale)` and `out_j = Σ_d sign(j,d) · q_d` runs in
+    * pure long arithmetic inside ONE native kernel
+    * ([[org.apache.spark.sql.graft.SignProjectVec]]) — order-independent
+    * integer sums, so the projection is bit-identical in any engine, and
+    * the matrix rides a broadcast (plan O(1) in outDim × dim — the
+    * CentroidMatrix operator-state pattern, applied from day one). Cosine /
+    * distance consumers downstream scale by `1/(quantScale·√outDim)`
+    * themselves; cosine is scale-invariant so the integer lane loses only
+    * the quantization granularity.
+    *
+    * The sign matrix derives from `md5("tag:j:d")` nibble parity — no
+    * runtime randomness, no literals shipped: any engine regenerates the
+    * identical matrix from the tag (the DuckDB oracle builds it in SQL).
+    * Wrong-dimension vectors project to null (surfaced, not zero-padded).
+    * Output: (id, `proj` — `array<long>`, `proj_str`).
+    */
+  def randomProject(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      dim: Int,
+      outDim: Int,
+      quantScale: Long = 1024L,
+      tag: String = "graftproj"): DataFrame = {
+    require(outDim > 0 && dim > 0, "dims must be positive")
+    require(quantScale > 0, "quantScale must be positive")
+    val bc = df.sparkSession.sparkContext.broadcast(
+      org.apache.spark.sql.graft.SignMatrix.fromTag(tag, outDim, dim))
+    df.select(col(idCol),
+        org.apache.spark.sql.graft.SignProjectVec(col(vecCol), bc, quantScale).as("proj"))
+      .withColumn("proj_str",
+        array_join(transform(col("proj"), _.cast("string")), ",", "null"))
+  }
 }

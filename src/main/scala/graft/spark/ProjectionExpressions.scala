@@ -1,0 +1,123 @@
+package org.apache.spark.sql.graft
+
+import org.apache.spark.broadcast.Broadcast
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.classic.ExpressionUtils
+import org.apache.spark.sql.types._
+
+/** ±1 sign matrix for Johnson–Lindenstrauss random projection, held as
+  * OPERATOR STATE behind a broadcast (the [[CentroidMatrix]] lesson applied
+  * from day one: an outDim × dim literal matrix in the expression tree would
+  * blow codegen limits exactly the way per-centroid literals did — a
+  * 256 × 4096 projection is a million literals as a plan, one broadcast as
+  * state). `flat` is row-major outDim × dim of +1/-1.
+  *
+  * The signs are NOT runtime-random: entry (j, d) derives from the parity of
+  * the first hex nibble of `md5("tag:j:d")`, so any engine (and the DuckDB
+  * oracle) regenerates the identical matrix from the tag alone — the
+  * seeded-hyperplane reproducibility stance, but with no literals shipped.
+  */
+final class SignMatrix(val flat: Array[Byte], val outDim: Int, val dim: Int)
+    extends Serializable {
+  require(outDim > 0 && dim > 0 && flat.length == outDim * dim,
+    "sign matrix shape mismatch")
+}
+
+object SignMatrix {
+  /** Deterministic engine-reproducible matrix: parity of md5's first hex
+    * nibble (DuckDB: `CAST('0x' || substr(md5(key), 1, 1) AS INT) % 2`).
+    */
+  def fromTag(tag: String, outDim: Int, dim: Int): SignMatrix = {
+    val flat = new Array[Byte](outDim * dim)
+    var j = 0
+    while (j < outDim) {
+      var d = 0
+      while (d < dim) {
+        val h = java.security.MessageDigest.getInstance("MD5")
+          .digest(s"$tag:$j:$d".getBytes("UTF-8"))
+        flat(j * dim + d) = if (((h(0) >> 4) & 0x1) == 0) 1 else -1
+        d += 1
+      }
+      j += 1
+    }
+    new SignMatrix(flat, outDim, dim)
+  }
+}
+
+/** Quantize-then-project kernel: each input component becomes
+  * `floor(x_d * quantScale)` (widen to double, multiply by a power of two —
+  * exact — floor), then `out_j = Σ_d sign(j,d) · q_d` in pure LONG
+  * arithmetic — integer sums are order-independent, so the projected vector
+  * is bit-identical in any engine (a float-lane projection would drift in
+  * the last ulp and break hash comparison). One fused loop per row inside
+  * whole-stage codegen; the matrix rides the broadcast.
+  *
+  * A vector whose length differs from the matrix dim projects to NULL (a
+  * wrong-dimension input has no meaningful projection — surfacing null beats
+  * silently zero-padding).
+  */
+case class SignProjectVec(
+    child: Expression,
+    bc: Broadcast[SignMatrix],
+    quantScale: Long)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(TypeCollection(ArrayType(FloatType), ArrayType(DoubleType)))
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_sign_project"
+
+  private def isFloat =
+    child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  override def nullSafeEval(input: Any): Any =
+    SignProjectVec.project(input.asInstanceOf[ArrayData], bc.value, quantScale, isFloat)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val bcRef = ctx.addReferenceObj("signBc", bc, "org.apache.spark.broadcast.Broadcast")
+    val mat = ctx.addMutableState("org.apache.spark.sql.graft.SignMatrix", "signMat",
+      v => s"$v = (org.apache.spark.sql.graft.SignMatrix) $bcRef.value();")
+    val res = ctx.freshName("proj")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"""org.apache.spark.sql.catalyst.util.ArrayData $res =
+         |  org.apache.spark.sql.graft.SignProjectVec.project($c, $mat, ${quantScale}L, $isFloat);
+         |if ($res == null) { ${ev.isNull} = true; } else { ${ev.value} = $res; }
+         |""".stripMargin)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): SignProjectVec =
+    copy(child = newChild)
+}
+
+object SignProjectVec {
+  def project(vec: ArrayData, mat: SignMatrix, quantScale: Long, isFloat: Boolean): ArrayData = {
+    val dim = mat.dim
+    if (vec.numElements() != dim) return null
+    val q = new Array[Long](dim)
+    var d = 0
+    while (d < dim) {
+      val x = if (isFloat) vec.getFloat(d).toDouble else vec.getDouble(d)
+      q(d) = math.floor(x * quantScale).toLong
+      d += 1
+    }
+    val out = new Array[Any](mat.outDim)
+    var j = 0
+    while (j < mat.outDim) {
+      var acc = 0L
+      val base = j * dim
+      d = 0
+      while (d < dim) { acc += mat.flat(base + d) * q(d); d += 1 }
+      out(j) = acc
+      j += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  def apply(vec: Column, bc: Broadcast[SignMatrix], quantScale: Long): Column =
+    ExpressionUtils.column(
+      SignProjectVec(ExpressionUtils.expression(vec), bc, quantScale))
+}

@@ -32,6 +32,7 @@ class PlanGateSpec extends SparkTestBase {
     "interval_join" -> 1,
     "embedding_quantize" -> 0,
     "embedding_normalize" -> 0,
+    "embedding_project" -> 0,
     "text_normalize" -> 0,
     "inverted_index" -> 4,
     "cooccurrence" -> 2,

@@ -53,4 +53,55 @@ class EmbeddingsSpec extends SparkTestBase {
       assert(!plan.contains("Exchange"), plan)
     }
   }
+
+  /** Plain-Scala replica of the md5-nibble-parity sign derivation. */
+  private def refSign(tag: String, j: Int, d: Int): Long = {
+    val h = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"$tag:$j:$d".getBytes("UTF-8"))
+    if (((h(0) >> 4) & 0x1) == 0) 1L else -1L
+  }
+
+  test("randomProject: exact integer values vs a plain-Scala replica; wrong dim -> null") {
+    import spark.implicits._
+    val vs = Seq(
+      (1L, Array(0.5f, -0.25f, 0.125f, 1.0f)),
+      (2L, Array(-1.5f, 0.0f, 0.75f, -0.001f)),
+      (3L, Array(0.1f, 0.2f))) // wrong dim
+    val out = Embeddings.randomProject(vs.toDF("vec_id", "embedding"),
+        "vec_id", "embedding", dim = 4, outDim = 3, quantScale = 1024L, tag = "t")
+      .collect().map(r => r.getLong(0) ->
+        Option(r.getSeq[Long](1)).map(_.toSeq)).toMap
+    for ((id, v) <- vs.take(2)) {
+      val q = v.map(x => math.floor(x.toDouble * 1024).toLong)
+      val want = (0 until 3).map(j =>
+        (0 until 4).map(d => refSign("t", j, d) * q(d)).sum)
+      assert(out(id) === Some(want), s"vec $id")
+    }
+    assert(out(3L) === None)
+  }
+
+  test("randomProject: cosine survives the projection; plan is one broadcast kernel, no sign literals") {
+    import spark.implicits._
+    // deterministic fixture: parallel pair must land at cosine exactly 1,
+    // and a 64-dim near-orthogonal pair stays near 0 after projecting to 16
+    val base = (0 until 64).map(i => ((i * 37 + 11) % 29 - 14) / 14.0f).toArray
+    val par = base.map(_ * 2.0f)
+    val orth = (0 until 64).map(i => if (i % 2 == 0) base(i + 1) else -base(i - 1)).toArray
+    val df = Seq((1L, base), (2L, par), (3L, orth)).toDF("vec_id", "embedding")
+    val proj = Embeddings.randomProject(df, "vec_id", "embedding", dim = 64, outDim = 16)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).map(_.toDouble).toArray).toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      val d = a.zip(b).map { case (x, y) => x * y }.sum
+      d / math.sqrt(a.map(x => x * x).sum * b.map(x => x * x).sum)
+    }
+    assert(cos(proj(1L), proj(2L)) > 0.999) // parallel stays parallel
+    assert(math.abs(cos(proj(1L), proj(3L))) < 0.35) // orthogonal stays far
+    // plan: the kernel, not outDim x dim literals (parquet source — a local
+    // relation folds the whole projection into LocalTableScan)
+    val embs = spark.read.parquet(s"${sf("sf0.001")}/embeddings.parquet")
+    val plan = Embeddings.randomProject(embs, "vec_id", "embedding", dim = 64, outDim = 16)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("graft_sign_project"), plan)
+    assert(!plan.contains("Exchange"), plan)
+  }
 }

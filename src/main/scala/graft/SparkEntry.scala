@@ -346,6 +346,36 @@ object SparkEntry {
     TextAnalysis.lmScore(docs(s, dir), docs(s, dir), "doc_id", "text", minCount = 2)
       .withColumnRenamed("id", "doc_id")
 
+  /** CCNet-deployment-shaped quality-stratified mixing: the corpus is
+    * bucketed head/middle/tail on the bigram-LM score and re-weighted per
+    * bucket (head 2.5 epochs, middle 1, tail 20%) through
+    * [[ops.Sampling.mixCorpora]]. The cutoffs are CONSTANTS in the LM's
+    * integer fixed-point lane (`score_sum >= T · n_bigrams` — no float
+    * compare anywhere), which is how CCNet actually deploys: thresholds
+    * learned once offline, applied as literals at scan speed — never a
+    * global percentile pass over the full corpus. Docs with no bigram
+    * evidence (lm_q null) fall to tail, not to a fabricated score.
+    */
+  private def pipelineQualityMix(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val bucketed = TextAnalysis.lmScore(d, d, "doc_id", "text", minCount = 2)
+      .select(col("id").as("doc_id"),
+        when(col("n_bigrams") > 0 &&
+            col("score_sum") >= lit(36600L) * col("n_bigrams"), "head")
+          .when(col("n_bigrams") > 0 &&
+            col("score_sum") >= lit(35700L) * col("n_bigrams"), "middle")
+          .otherwise("tail").as("bucket"))
+      // the three mixCorpora branches below each filter this table — the
+      // lazy checkpoint materializes the scored corpus once, not thrice
+      .localCheckpoint(false)
+    def part(b: String) = bucketed.filter(col("bucket") === b).select("doc_id")
+    ops.Sampling.mixCorpora(Seq(
+        ("head", part("head"), 250),
+        ("middle", part("middle"), 100),
+        ("tail", part("tail"), 20)), "doc_id")
+      .select(col("doc_id"), col("mix_source"), col("copy_id"))
+  }
+
   private def multimodalMeta(s: SparkSession, dir: String): DataFrame =
     Multimodal.describe(Multimodal.synthesize(docs(s, dir), "doc_id", "text"))
 
@@ -962,6 +992,7 @@ object SparkEntry {
     "bpe_encode" -> (bpeEncodeQ _),
     "pipeline_cluster_shard" -> (pipelineClusterShard _),
     "pipeline_text_pack" -> (pipelineTextPack _),
+    "pipeline_quality_mix" -> (pipelineQualityMix _),
     "multimodal_meta" -> (multimodalMeta _),
     "image_stats" -> (imageStats _),
     "events_json_extract" -> (eventsJsonExtract _),
@@ -1030,6 +1061,29 @@ object SparkEntry {
       """t AS (SELECT doc_id, text,
         |list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> len(x) > 0) AS toks
         |FROM documents)""".stripMargin
+    // bigram-LM train+score CTE chain ending in per-doc integer
+    // (n_bigrams, score_sum) — shared by lm_score and pipeline_quality_mix
+    val lmCtes =
+      """tp AS (SELECT unnest(list_transform(range(1, len(toks)),
+        |  i -> toks[i] || ' ' || toks[i+1])) AS pair FROM t),
+        |pc AS (SELECT pair, count(*) AS c_pair,
+        |  string_split(pair, ' ')[1] AS w1 FROM tp GROUP BY pair),
+        |pfx AS (SELECT w1, CAST(sum(c_pair) AS BIGINT) AS c_prefix
+        |  FROM pc GROUP BY w1),
+        |pt AS (SELECT pair, c_pair FROM pc WHERE c_pair >= 2),
+        |vs AS (SELECT greatest(count(DISTINCT tok), 1) AS v
+        |  FROM (SELECT unnest(toks) AS tok FROM t)),
+        |dp AS (SELECT doc_id, unnest(list_transform(range(1, len(toks)),
+        |  i -> struct_pack(pair := toks[i] || ' ' || toks[i+1], w1 := toks[i]))) AS p
+        |  FROM t),
+        |sq AS (SELECT dp.doc_id,
+        |    CAST(((coalesce(pt.c_pair, 0) + 1) * 1048576)
+        |      // (coalesce(pfx.c_prefix, 0) + vs.v) AS BIGINT) AS q
+        |  FROM dp LEFT JOIN pt ON pt.pair = dp.p.pair
+        |    LEFT JOIN pfx ON pfx.w1 = dp.p.w1, vs),
+        |lmagg AS (SELECT d.doc_id, CAST(count(sq.q) AS BIGINT) AS n_bigrams,
+        |  CAST(coalesce(sum(sq.q), 0) AS BIGINT) AS score_sum
+        |  FROM documents d LEFT JOIN sq USING (doc_id) GROUP BY d.doc_id)""".stripMargin
     def sqlList(ws: Seq[String]): String = ws.map(w => s"'$w'").mkString("[", ", ", "]")
     val allStops = sqlList(TextAnalysis.stopwords.values.flatten.toSeq.distinct)
     // shared deterministic-Lloyd training CTEs (knn_ivf + kmeans_clusters +
@@ -1547,30 +1601,36 @@ object SparkEntry {
       // bigram-LM replay: integer counts, add-one smoothing over the train
       // vocabulary, q in 2^20 fixed point with integer division — every
       // value before the final lm_q division is exact in both engines
+      // (lmCtes is shared with pipeline_quality_mix, which buckets on the
+      // same integer pair (n_bigrams, score_sum))
       "lm_score" ->
         s"""WITH $toksCte,
-           |tp AS (SELECT unnest(list_transform(range(1, len(toks)),
-           |  i -> toks[i] || ' ' || toks[i+1])) AS pair FROM t),
-           |pc AS (SELECT pair, count(*) AS c_pair,
-           |  string_split(pair, ' ')[1] AS w1 FROM tp GROUP BY pair),
-           |pfx AS (SELECT w1, CAST(sum(c_pair) AS BIGINT) AS c_prefix
-           |  FROM pc GROUP BY w1),
-           |pt AS (SELECT pair, c_pair FROM pc WHERE c_pair >= 2),
-           |vs AS (SELECT greatest(count(DISTINCT tok), 1) AS v
-           |  FROM (SELECT unnest(toks) AS tok FROM t)),
-           |dp AS (SELECT doc_id, unnest(list_transform(range(1, len(toks)),
-           |  i -> struct_pack(pair := toks[i] || ' ' || toks[i+1], w1 := toks[i]))) AS p
-           |  FROM t),
-           |sq AS (SELECT dp.doc_id,
-           |    CAST(((coalesce(pt.c_pair, 0) + 1) * 1048576)
-           |      // (coalesce(pfx.c_prefix, 0) + vs.v) AS BIGINT) AS q
-           |  FROM dp LEFT JOIN pt ON pt.pair = dp.p.pair
-           |    LEFT JOIN pfx ON pfx.w1 = dp.p.w1, vs)
-           |SELECT d.doc_id, CAST(count(sq.q) AS BIGINT) AS n_bigrams,
-           |  CAST(coalesce(sum(sq.q), 0) AS BIGINT) AS score_sum,
-           |  CASE WHEN count(sq.q) = 0 THEN NULL
-           |       ELSE CAST(coalesce(sum(sq.q), 0) AS DOUBLE) / count(sq.q) END AS lm_q
-           |FROM documents d LEFT JOIN sq USING (doc_id) GROUP BY d.doc_id""".stripMargin,
+           |$lmCtes
+           |SELECT doc_id, n_bigrams, score_sum,
+           |  CASE WHEN n_bigrams = 0 THEN NULL
+           |       ELSE CAST(score_sum AS DOUBLE) / n_bigrams END AS lm_q
+           |FROM lmagg""".stripMargin,
+      // LM-score bucketing in the pure-integer lane (score_sum >= T *
+      // n_bigrams) + the mixCorpora md5-bucket epoch rule, replayed
+      // end-to-end: which copies exist is a pure function of the key
+      "pipeline_quality_mix" ->
+        s"""WITH $toksCte,
+           |$lmCtes,
+           |b AS (SELECT doc_id,
+           |  CASE WHEN n_bigrams > 0 AND score_sum >= 36600 * n_bigrams THEN 'head'
+           |       WHEN n_bigrams > 0 AND score_sum >= 35700 * n_bigrams THEN 'middle'
+           |       ELSE 'tail' END AS bucket FROM lmagg),
+           |mb AS (SELECT doc_id, bucket,
+           |  CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 6)) AS BIGINT) % 100
+           |    AS hb FROM b),
+           |u AS (
+           |  SELECT doc_id, bucket, 2 + CASE WHEN hb < 50 THEN 1 ELSE 0 END AS n
+           |    FROM mb WHERE bucket = 'head'
+           |  UNION ALL SELECT doc_id, bucket, 1 AS n FROM mb WHERE bucket = 'middle'
+           |  UNION ALL SELECT doc_id, bucket, CASE WHEN hb < 20 THEN 1 ELSE 0 END AS n
+           |    FROM mb WHERE bucket = 'tail')
+           |SELECT doc_id, bucket AS mix_source, CAST(unnest(range(1, n + 1)) AS INT) AS copy_id
+           |FROM u""".stripMargin,
       "pack_sequences" ->
         s"""WITH $toksCte
            |SELECT source, doc_id, len(toks) AS n_tokens,

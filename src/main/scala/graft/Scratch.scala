@@ -1,10 +1,14 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-/** Throwaway profiling main (not part of the driver contract). */
+/** Throwaway profiling main (not part of the driver contract).
+  * Current use: 1x vs 5x scaling stress for the round-7 batch-2 operators
+  * (setSimilarityJoin, searchBm25, bpeEncode, lmScore). The 5x corpus gets a
+  * copy-distinct prefix token per copy so shingle/bigram boundaries shift and
+  * the duplicate-pair rate stays representative instead of exploding 25x.
+  */
 object Scratch {
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
@@ -23,71 +27,41 @@ object Scratch {
     def noop(df: DataFrame): Unit =
       df.write.format("noop").mode("overwrite").save()
 
-    def keyedOf(df: DataFrame, keyCol: String, numShards: Int): DataFrame = {
-      val digest = md5(col(keyCol).cast("string").cast("binary"))
-      val shard = (conv(substring(digest, 1, 6), 16, 10).cast("long") % numShards)
-        .cast("int")
-      df.withColumn("_digest", digest)
-        .withColumn("shard", shard)
-        .withColumn("_bucket", conv(substring(col("_digest"), 1, 2), 16, 10).cast("int"))
-    }
-    def offsetsOf(keyed: DataFrame): DataFrame = keyed
-      .groupBy(col("shard"), col("_bucket"))
-      .agg(count(lit(1)).as("_cnt"))
-      .withColumn("_offset", coalesce(
-        sum(col("_cnt")).over(Window.partitionBy(col("shard")).orderBy(col("_bucket"))
-          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-      .select(col("shard"), col("_bucket"), col("_offset"))
-    val w = Window.partitionBy(col("shard"), col("_bucket"))
-      .orderBy(col("_digest"), col("k"))
+    val d1Path = "target/stress_d1"
+    val d5Path = "target/stress_d5"
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select("doc_id", "text", "source")
+    val d5 = (0 until 5).map(c => docs
+      .withColumn("doc_id", col("doc_id") + lit(c.toLong * 10000000L))
+      .withColumn("text", concat(lit(s"copytok$c "), col("text"))))
+      .reduce(_ unionByName _)
+    docs.write.mode("overwrite").parquet(d1Path)
+    d5.write.mode("overwrite").parquet(d5Path)
+    val one = spark.read.parquet(d1Path)
+    val five = spark.read.parquet(d5Path)
+    println(s"[scratch] d1 = ${one.count()}, d5 = ${five.count()}")
 
-    def single(df: DataFrame, numShards: Int): DataFrame = {
-      val ws = Window.partitionBy(col("shard")).orderBy(col("_digest"), col("k"))
-      keyedOf(df, "k", numShards)
-        .withColumn("position", (row_number().over(ws) - 1).cast("long"))
-        .drop("_digest", "_bucket")
-    }
-    // v2: repartition first, counts off the shuffled frame
-    def v2(df: DataFrame, numShards: Int): DataFrame = {
-      val parted = keyedOf(df, "k", numShards).repartition(col("shard"), col("_bucket"))
-      parted.join(offsetsOf(parted), Seq("shard", "_bucket"))
-        .withColumn("position", col("_offset") + row_number().over(w) - 1)
-        .select(df.columns.map(col) :+ col("shard") :+ col("position"): _*)
-    }
-    // v3: counts off the unshuffled frame (map-side partial), broadcast offsets
-    def v3(df: DataFrame, numShards: Int): DataFrame = {
-      val keyed = keyedOf(df, "k", numShards)
-      keyed.join(broadcast(offsetsOf(keyed)), Seq("shard", "_bucket"))
-        .withColumn("position", col("_offset") + row_number().over(w) - 1)
-        .select(df.columns.map(col) :+ col("shard") :+ col("position"): _*)
-    }
+    import graft.ops.{Dedup, TextAnalysis}
+    import spark.implicits._
+    val queries = Seq(
+      ("q1", "spark query join graftplan"),
+      ("q2", "window agg batch window"),
+      ("q3", "hash table scan fast slow")).toDF("qid", "qtext")
+    val merges1 = TextAnalysis.trainBpeMerges(one, "text", numMerges = 12)
+      .localCheckpoint() // train held fixed: isolates ENCODE scaling
 
-    // v4: counts off the unshuffled frame (map-side partial -> tiny
-    // exchange, independent stage), probe side pre-repartitioned (overlaps
-    // with counts; window reuses the join partitioning)
-    def v4(df: DataFrame, numShards: Int): DataFrame = {
-      val keyed = keyedOf(df, "k", numShards)
-      val parted = keyed.repartition(col("shard"), col("_bucket"))
-      parted.join(broadcast(offsetsOf(keyed)), Seq("shard", "_bucket"))
-        .withColumn("position", col("_offset") + row_number().over(w) - 1)
-        .select(df.columns.map(col) :+ col("shard") :+ col("position"): _*)
-    }
-
-    val li = spark.read.parquet(s"$dir/lineitem.parquet")
-      .select(concat_ws(":", col("l_orderkey"), col("l_linenumber")).as("k"),
-        col("l_partkey"), col("l_quantity"))
-    println(s"[scratch] lineitem rows = ${li.count()}")
-    (1 to 3).foreach { round =>
-      Seq(("single", single _), ("v2-repart", v2 _), ("v3-bcast", v3 _),
-        ("v4-both", v4 _)).foreach {
-        case (name, fn) =>
-          time(s"$name shards=32 (round $round)")(noop(fn(li, 32)))
+    (1 to 2).foreach { round =>
+      for ((tag, df) <- Seq(("1x", one), ("5x", five))) {
+        time(s"set_similarity_join $tag (round $round)")(
+          noop(Dedup.setSimilarityJoin(df, "doc_id", "text", threshold = 0.8)))
+        time(s"search_bm25 $tag (round $round)")(
+          noop(TextAnalysis.searchBm25(df, "doc_id", "text", queries, k = 10)))
+        time(s"bpe_encode $tag (round $round)")(
+          noop(TextAnalysis.bpeEncode(df, "doc_id", "text", merges1)))
+        time(s"lm_score $tag (round $round)")(
+          noop(TextAnalysis.lmScore(df, df, "doc_id", "text", minCount = 2)))
       }
     }
-    println("==== v4 executed plan ====")
-    val p = v4(li, 32)
-    noop(p)
-    println(p.queryExecution.executedPlan.toString.take(4000))
     spark.stop()
   }
 }

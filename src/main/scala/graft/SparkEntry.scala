@@ -436,6 +436,15 @@ object SparkEntry {
       .select(col("id").as("doc_id"), col("text_dedup"),
         col("n_segments"), col("n_kept"))
 
+  /** Intra-doc repetition removal over the same synthesized 12-token
+    * segments: repeats WITHIN a doc collapse to the first occurrence,
+    * cross-doc repeats untouched (the zero-shuffle member of the family).
+    */
+  private def dedupWithinDocQuery(s: SparkSession, dir: String): DataFrame =
+    Dedup.dedupWithinDoc(twelveTokenSegments(s, dir), "doc_id", "seg_text")
+      .select(col("id").as("doc_id"), col("text_dedup"),
+        col("n_segments"), col("n_kept"))
+
   /** DF-based boilerplate strip over the same synthesized 12-token
     * segments: segments in more than one document vanish from every doc.
     */
@@ -1012,6 +1021,7 @@ object SparkEntry {
     "top_ngram_stats" -> (topNgram _),
     "dedup_against" -> (dedupAgainstSnapshot _),
     "dedup_segments" -> (dedupSegmentsQuery _),
+    "dedup_within_doc" -> (dedupWithinDocQuery _),
     "strip_boilerplate" -> (stripBoilerplateQuery _),
     "rare_token_stats" -> (rareTokens _),
     "asof_join" -> (asofJoinQuery _),
@@ -1825,6 +1835,25 @@ object SparkEntry {
            |  FROM ex GROUP BY doc_id, (p - 1) // 12),
            |rn AS (SELECT doc_id, pos, seg,
            |  row_number() OVER (PARTITION BY seg ORDER BY doc_id, pos) AS rn FROM segs),
+           |agg AS (SELECT doc_id, string_agg(seg, chr(10) ORDER BY pos) AS text_dedup,
+           |  count(*) AS n_kept FROM rn WHERE rn = 1 GROUP BY doc_id),
+           |nseg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_segments
+           |  FROM segs GROUP BY doc_id)
+           |SELECT t.doc_id, coalesce(agg.text_dedup, '') AS text_dedup,
+           |  coalesce(nseg.n_segments, 0) AS n_segments,
+           |  coalesce(agg.n_kept, 0) AS n_kept
+           |FROM t LEFT JOIN nseg USING (doc_id) LEFT JOIN agg USING (doc_id)""".stripMargin,
+      // same segment synthesis, but keep-first runs PER DOC (partition by
+      // doc_id, seg) — cross-doc repeats must survive
+      "dedup_within_doc" ->
+        s"""WITH $toksCte,
+           |ex AS (SELECT doc_id, unnest(toks) AS tok,
+           |  generate_subscripts(toks, 1) AS p FROM t),
+           |segs AS (SELECT doc_id, CAST((p - 1) // 12 AS INT) AS pos,
+           |  string_agg(tok, ' ' ORDER BY p) AS seg
+           |  FROM ex GROUP BY doc_id, (p - 1) // 12),
+           |rn AS (SELECT doc_id, pos, seg,
+           |  row_number() OVER (PARTITION BY doc_id, seg ORDER BY pos) AS rn FROM segs),
            |agg AS (SELECT doc_id, string_agg(seg, chr(10) ORDER BY pos) AS text_dedup,
            |  count(*) AS n_kept FROM rn WHERE rn = 1 GROUP BY doc_id),
            |nseg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_segments

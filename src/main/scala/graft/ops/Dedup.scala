@@ -412,6 +412,40 @@ object Dedup {
         coalesce(col("n_kept"), lit(0L)).as("n_kept"))
   }
 
+  /** Within-document repetition removal — the third segment-level cleaner,
+    * completing the family ([[dedupSegments]] = corpus-wide keep-first,
+    * [[stripBoilerplate]] = cross-doc frequency strip, this = INTRA-doc
+    * keep-first): repeated segments inside one document collapse to their
+    * first occurrence, other documents unaffected (the C4 within-page
+    * dedup rule). Output shape matches the family:
+    * (id, `text_dedup`, `n_segments`, `n_kept`).
+    *
+    * Shape at 100 TB: a document's segments live in its own row, so this is
+    * a ZERO-shuffle scan-speed projection — `array_distinct` keeps first
+    * occurrences in first-appearance order (codegen'd collection op, no
+    * interpreted lambda), and no digest ever crosses the wire. The corpus-
+    * wide variants genuinely need their shuffles; this one would be WRONG
+    * to shuffle.
+    */
+  def dedupWithinDoc(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      delim: String = "\n"): DataFrame = {
+    val segs = filter(
+      split(col(textCol), java.util.regex.Pattern.quote(delim)),
+      s => length(s) > 0)
+    // segments materialize once; array_distinct references would otherwise
+    // re-split per use (the staged-projection discipline)
+    df.select(col(idCol).as("id"), segs.as("_segs"))
+      .select(col("id"), col("_segs"), array_distinct(col("_segs")).as("_kept"))
+      .select(
+        col("id"),
+        coalesce(array_join(col("_kept"), delim), lit("")).as("text_dedup"),
+        coalesce(size(col("_segs")).cast("long"), lit(0L)).as("n_segments"),
+        coalesce(size(col("_kept")).cast("long"), lit(0L)).as("n_kept"))
+  }
+
   /** Document-frequency boilerplate strip — the OTHER segment-level cleaner
     * (RefinedWeb/MassiveText style, complementing [[dedupSegments]]' C4-style
     * keep-first): a segment that appears in MORE THAN `maxDocFreq` distinct

@@ -59,6 +59,7 @@ class PlanGateSpec extends SparkTestBase {
     "decontaminate" -> 2,
     "dedup_embedding" -> 2,
     "dedup_exact" -> 1,
+    "dedup_within_doc" -> 0,
     "doc_fingerprint" -> 0,
     "event_attribution" -> 1,
     "events_json_extract" -> 1,

@@ -269,6 +269,29 @@ class DedupSpec extends SparkTestBase {
     }
   }
 
+  test("dedupWithinDoc: intra-doc repeats collapse to first occurrence, cross-doc repeats untouched") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "intro\nbody\nbody\noutro\nbody"),
+      (2L, "body\nbody"), // same segment as doc 1 — must survive here (intra only)
+      (3L, ""),
+      (4L, null.asInstanceOf[String]),
+      (5L, "\n\nonly\n\n")) // empty segments vanish before dedup
+      .toDF("doc_id", "text")
+    val out = Dedup.dedupWithinDoc(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(out(1L) === (("intro\nbody\noutro", 5L, 3L))) // order preserved, firsts kept
+    assert(out(2L) === (("body", 2L, 1L))) // doc 1 having "body" is irrelevant
+    assert(out(3L) === (("", 0L, 0L)))
+    assert(out(4L) === (("", 0L, 0L)))
+    assert(out(5L) === (("only", 1L, 1L)))
+    // scale shape: pure projection, zero exchanges
+    val plan = Dedup.dedupWithinDoc(
+        spark.read.parquet(s"${sf("sf0.001")}/documents.parquet"), "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+  }
+
   test("setSimilarityJoin: shingle-less docs never pair; tiny docs use the whole-doc shingle") {
     val df = docsDf((1L, ""), (2L, "   "), (3L, "ab cd"), (4L, "ab cd"), (5L, "ab"))
     val out = Dedup.setSimilarityJoin(df, "doc_id", "text", threshold = 0.5)

@@ -206,6 +206,33 @@ object SparkEntry {
     Dedup.minHashLsh(u, "doc_id", "text", threshold = 0.8).select("a_id", "b_id")
   }
 
+  /** The dedup END-GAME a platform actually ships: near-dup pairs (LSH) →
+    * connected components → keep the BEST-QUALITY doc per cluster (max
+    * quality_score, ties to min doc_id — not blindly min-id, which on a
+    * crawl keeps whichever copy was crawled first, boilerplate and all).
+    * The canonical pick runs as one `min(struct(-quality, id))` aggregate —
+    * negation is IEEE-exact, so the (quality desc, id asc) argmax is
+    * engine-identical and never a nondeterministic max_by.
+    */
+  private def pipelineCanonicalize(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val u = d.unionByName(d
+      .withColumn("doc_id", col("doc_id") + 100000L)
+      .withColumn("text", concat(col("text"), lit(" graftdup"))))
+    val pairs = Dedup.minHashLsh(u, "doc_id", "text", threshold = 0.8)
+      .select("a_id", "b_id")
+    val clusters = Dedup.connectedComponents(u.select(col("doc_id").as("id")), pairs)
+    val quality = TextAnalysis.qualityScore(u, "doc_id", "text")
+      .select(col("doc_id").as("id"), col("quality_score"))
+    clusters.join(quality, "id")
+      .groupBy(col("cluster"))
+      .agg(
+        min(struct((-col("quality_score")).as("nq"), col("id").as("cid"))).as("_w"),
+        count(lit(1)).as("n_members"))
+      .select(col("cluster"), col("_w.cid").as("canonical_id"),
+        (-col("_w.nq")).as("quality_score"), col("n_members"))
+  }
+
   /** One fixture query list for `search_bm25` — the Spark entry and the
     * DuckDB oracle VALUES clause are generated from this single definition.
     * Mixed coverage on the documents vocabulary: multi-term, repeated-term,
@@ -985,6 +1012,7 @@ object SparkEntry {
     "set_similarity_join" -> (setSimJoin _),
     "search_bm25" -> (searchBm25Q _),
     "dedup_clusters" -> (dedupClusters _),
+    "pipeline_canonicalize" -> (pipelineCanonicalize _),
     "dedup_simhash" -> (dedupSimhash _),
     "dedup_embedding" -> (dedupEmbedding _),
     "knn_brute" -> (knnBrute _),
@@ -1464,6 +1492,51 @@ object SparkEntry {
           |  UNION
           |  SELECT r.src, ed.b FROM reach r JOIN edges ed ON r.dst = ed.a)
           |SELECT src AS id, min(dst) AS cluster FROM reach GROUP BY src""".stripMargin,
+      // same ground-truth clusters, then the canonical pick: max quality,
+      // ties to min doc_id — the (quality desc, id) argmax both engines
+      // compute on the identical round(.,6) score
+      "pipeline_canonicalize" ->
+        """WITH RECURSIVE u AS (SELECT doc_id, text FROM documents UNION ALL
+          |           SELECT doc_id + 100000, text || ' graftdup' FROM documents),
+          |t AS (SELECT doc_id, text,
+          |  list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> len(x) > 0) AS toks
+          |  FROM u),
+          |sh AS (SELECT doc_id,
+          |  list_distinct(CASE WHEN len(toks) = 0 THEN CAST([] AS VARCHAR[])
+          |    WHEN len(toks) >= 3
+          |    THEN list_transform(range(1, len(toks) - 1),
+          |         i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+          |    ELSE [array_to_string(toks, ' ')] END) AS sh
+          |  FROM t),
+          |e AS (SELECT a.doc_id AS a, b.doc_id AS b
+          |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+          |  WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+          |        len(list_distinct(a.sh || b.sh)) >= 0.8),
+          |edges AS (SELECT a, b FROM e UNION ALL SELECT b, a FROM e),
+          |reach(src, dst) AS (
+          |  SELECT doc_id, doc_id FROM u
+          |  UNION
+          |  SELECT r.src, ed.b FROM reach r JOIN edges ed ON r.dst = ed.a),
+          |cl AS (SELECT src AS id, min(dst) AS cluster FROM reach GROUP BY src),
+          |c AS (SELECT doc_id, len(toks) AS n_tokens,
+          |  len(list_filter(toks, x -> list_contains(GRAFT_STOPS, x))) AS n_stopwords,
+          |  len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS n_punct,
+          |  len(list_distinct(toks)) AS n_distinct_tokens,
+          |  length(text) AS n_chars FROM t),
+          |q AS (SELECT doc_id AS id, round(
+          |    least(n_tokens / 20.0, 1.0) * 0.25 +
+          |    (1.0 - least(n_punct / greatest(CAST(n_chars AS DOUBLE), 1.0) * 4.0, 1.0)) * 0.25 +
+          |    (n_distinct_tokens / greatest(CAST(n_tokens AS DOUBLE), 1.0)) * 0.25 +
+          |    least(n_stopwords / greatest(CAST(n_tokens AS DOUBLE), 1.0) * 5.0, 1.0) * 0.25,
+          |    6) AS quality_score FROM c),
+          |j AS (SELECT cl.cluster, cl.id, q.quality_score,
+          |  row_number() OVER (PARTITION BY cl.cluster
+          |    ORDER BY q.quality_score DESC, cl.id) AS rn
+          |  FROM cl JOIN q USING (id))
+          |SELECT cluster, max(CASE WHEN rn = 1 THEN id END) AS canonical_id,
+          |  max(CASE WHEN rn = 1 THEN quality_score END) AS quality_score,
+          |  count(*) AS n_members
+          |FROM j GROUP BY cluster""".stripMargin.replace("GRAFT_STOPS", allStops),
       // The LSH oracle replicates the ALGORITHM in DuckDB: the seeded
       // hyperplanes are embedded as literals (Double.toString round-trips
       // exactly), buckets/probes/rank recompute independently. Sign parity is

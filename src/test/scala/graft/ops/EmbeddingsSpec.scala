@@ -80,6 +80,23 @@ class EmbeddingsSpec extends SparkTestBase {
     assert(out(3L) === None)
   }
 
+  test("randomProject: wrong-dim null survives the CODEGEN path (range plan, not local-relation fold)") {
+    // spark.range produces a real WholeStageCodegen plan, so the kernel's
+    // generated null-branch executes — the hand-case spec above only
+    // exercises interpreted eval through the local relation
+    val df = spark.range(4).select(col("id"),
+      when(col("id") === 1, array(lit(1.0), lit(2.0)))
+        .otherwise(array(lit(1.0), lit(2.0), lit(3.0))).as("embedding"))
+    val out = Embeddings.randomProject(df, "id", "embedding", dim = 3, outDim = 2)
+    // the kernel projection sits inside a codegen stage (the `*(n)` prefix
+    // in the abbreviated plan string)
+    assert(out.queryExecution.executedPlan.toString
+      .matches("(?s).*\\*\\(\\d+\\) Project \\[id#\\d+L, graft_sign_project.*"))
+    val rows = out.collect().map(r => r.getLong(0) -> Option(r.get(1))).toMap
+    assert(rows(1L) === None)
+    assert(Seq(0L, 2L, 3L).forall(rows(_).isDefined))
+  }
+
   test("randomProject: cosine survives the projection; plan is one broadcast kernel, no sign literals") {
     import spark.implicits._
     // deterministic fixture: parallel pair must land at cosine exactly 1,

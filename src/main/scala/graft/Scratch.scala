@@ -43,10 +43,9 @@ object Scratch {
 
     import graft.ops.{Dedup, TextAnalysis}
     import spark.implicits._
-    val queries = Seq(
-      ("q1", "spark query join graftplan"),
-      ("q2", "window agg batch window"),
-      ("q3", "hash table scan fast slow")).toDF("qid", "qtext")
+    // the single fixture definition (SparkEntry) — stress numbers must be
+    // measured on the same queries the suite benches
+    val queries = SparkEntry.bm25Queries.toDF("qid", "qtext")
     val merges1 = TextAnalysis.trainBpeMerges(one, "text", numMerges = 12)
       .localCheckpoint() // train held fixed: isolates ENCODE scaling
 

@@ -239,7 +239,7 @@ object SparkEntry {
     * and one term (`graftplan`) absent from the corpus (df = 0 — must
     * contribute nothing, not divide by zero).
     */
-  private val bm25Queries = Seq(
+  private[graft] val bm25Queries = Seq(
     ("q1", "spark query join graftplan"),
     ("q2", "window agg batch window"),
     ("q3", "hash table scan fast slow"))

@@ -379,9 +379,13 @@ object TextAnalysis {
     * point, per-doc scores are integer SUMS (order-independent — an IEEE
     * float sum would make the ranking depend on partitioning), so the
     * ranking is exact and engine-reproducible (the [[pmiPairs]] /
-    * [[lmScore]] discipline; the log-idf curve, which would drift
-    * cross-engine, is left to consumers who want calibrated scores rather
-    * than a ranking). Per (doc, query-term):
+    * [[lmScore]] discipline). BE CLEAR about what the ratio idf changes:
+    * per TERM it is a monotone transform of log-BM25, but summed across a
+    * multi-term query it weighs rare terms more heavily than the log curve,
+    * so the top-k can differ from textbook BM25 — this is a deliberately
+    * DIFFERENT, deterministic ranking function (rare-term-dominant), chosen
+    * because a cross-engine-exact log is not expressible and a drifting
+    * ranking is worse than a documented variant. Per (doc, query-term):
     * {{{
     *   tfc_fp = (22·L·tf << 20) div (10·L·tf + 3·L + 9·dl·N)   // (k1+1)·tf / (tf + k1(1-b+b·dl/avgdl)), ×10L
     *   idf_fp = ((2(N-df) + 1) << 20) div (2·df + 1)
@@ -826,8 +830,13 @@ object TextAnalysis {
       .collect()
       .map(r => (r.getString(0), r.getString(1), r.getInt(2)))
     val bc = df.sparkSession.sparkContext.broadcast(new BpeMergeTable(table))
+    // family null policy (dedupWithinDoc/dedupSegments/lmScore): a NULL text
+    // has zero tokens, not a NULL subword row — coalesce BEFORE the kernel
+    // so null-propagation can't leak (id, null, null) past the oracle shape
     df.select(col(idCol).as("id"),
-        BpeEncodeDoc(tokens(col(textCol)), bc).as("subwords"))
+        BpeEncodeDoc(
+          coalesce(tokens(col(textCol)), array().cast("array<string>")), bc)
+          .as("subwords"))
       .select(col("id"), size(col("subwords")).as("n_subwords"), col("subwords"))
   }
 

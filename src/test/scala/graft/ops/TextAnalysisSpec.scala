@@ -435,6 +435,21 @@ class TextAnalysisSpec extends SparkTestBase {
     assert(!plan.contains("graft_bpe_merge"), "no per-rank chain in the encode plan")
   }
 
+  test("decodeIds: round trip through tokenizeToIds — OOV marked, order kept, lengths survive") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "alpha beta gamma alpha"),
+      (2L, "delta alpha"), // delta is out of vocab
+      (3L, "")).toDF("doc_id", "text")
+    val vocab = Seq(("alpha", 0), ("beta", 1), ("gamma", 2)).toDF("token", "token_id")
+    val encoded = TextAnalysis.tokenizeToIds(docs, "doc_id", "text", vocab)
+    val out = TextAnalysis.decodeIds(encoded, "id", "ids", vocab)
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(out(1L) === (("alpha beta gamma alpha", 4L, 0L)))
+    assert(out(2L) === (("<unk> alpha", 2L, 1L))) // oov survives as a position
+    assert(out(3L) === (("", 0L, 0L)))
+  }
+
   test("searchBm25: scores match a plain-Scala fixed-point replica exactly") {
     import spark.implicits._
     val corpus = Seq(

@@ -253,4 +253,68 @@ object Similarity {
       .filter(col("rank") <= k)
       .select(col("qid"), col("id").as("neighbor_id"), col("rank"), col("cosine"))
   }
+
+  /** Persist a trained IVF index: `path/centroids` (the numCells × dim
+    * table) and `path/postings` — the cell-assigned corpus written
+    * `partitionBy("cell")`, one directory per Voronoi cell. This is what
+    * makes IVF an INDEX rather than a per-query job: train+assign runs once
+    * at build time, and every later query batch reads only its probed
+    * cells' directories (see [[queryIvfIndex]]). Same deterministic trainer
+    * as [[ivfTopK]] — identical params yield an identical on-disk index,
+    * byte-reproducible across builds.
+    */
+  def writeIvfIndex(
+      corpus: DataFrame, // columns: id, vec
+      path: String,
+      numCells: Int,
+      lloydIters: Int = 2,
+      trainPercent: Int = 100): Unit = {
+    val cents = trainCentroids(corpus, numCells, lloydIters, trainPercent)
+    require(cents.nonEmpty, "cannot index an empty corpus")
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    cents.toDF("cell", "centroid")
+      .repartition(1) // numCells × dim rows: one small file, read whole
+      .write.mode("overwrite").parquet(s"$path/centroids")
+    val bc = broadcastCentroids(spark, cents)
+    assignCells(corpus, bc)
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$path/postings")
+    bc.destroy() // the write above is eager; this round's matrix is dead
+  }
+
+  /** Probe a persisted IVF index: load the (small) centroid table, find each
+    * query's `numProbes` nearest cells, and scan ONLY those cells' postings
+    * directories — the probed-cell set is collected (query-batch-sized
+    * driver state, the documented trade) into a literal `isin` filter so the
+    * cell predicate lands in the scan's `PartitionFilters` and unprobed
+    * directories are never opened. At 100 TB this is the difference between
+    * reading ~numProbes/numCells of the index and reading all of it.
+    * Result contract matches [[ivfTopK]] run with the same build params —
+    * spec-pinned equality.
+    */
+  def queryIvfIndex(
+      spark: SparkSession,
+      path: String,
+      queries: DataFrame, // columns: qid, qvec
+      k: Int,
+      numProbes: Int = 4): DataFrame = {
+    val cents = spark.read.parquet(s"$path/centroids")
+      .orderBy(col("cell")).collect()
+      .map(r => (r.getInt(0), r.getSeq[Double](1).toSeq)).toSeq
+    require(cents.nonEmpty, s"no centroids at $path/centroids")
+    val bc = broadcastCentroids(spark, cents)
+    val probes = queries.select(col("qid"), col("qvec"),
+      explode(NearestCells(col("qvec"), bc, numProbes)).as("cell"))
+    val probedCells = probes.select(col("cell")).distinct()
+      .collect().map(_.getInt(0)).sorted
+    val postings = spark.read.parquet(s"$path/postings")
+      .filter(col("cell").isin(probedCells.map(Integer.valueOf): _*))
+    val scored = postings.join(broadcast(probes), "cell")
+      .withColumn("cosine", cosineSimilarity(col("qvec"), col("vec")))
+    val w = Window.partitionBy(col("qid")).orderBy(col("cosine").desc, col("id"))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("id").as("neighbor_id"), col("rank"), col("cosine"))
+  }
 }

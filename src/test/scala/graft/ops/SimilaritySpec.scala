@@ -271,6 +271,31 @@ class SimilaritySpec extends SparkTestBase {
     bc.destroy()
   }
 
+  test("IVF index persistence: layout, pruned probe reads, results == in-memory ivfTopK") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivf").toString
+    val e = emb(sf())
+    val corpus = e.select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val queries = e.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    Similarity.writeIvfIndex(corpus, dir, numCells = 8, lloydIters = 2)
+    // layout: one directory per populated cell + a single small centroid file
+    val cellDirs = new java.io.File(s"$dir/postings").listFiles()
+      .filter(_.getName.startsWith("cell=")).map(_.getName).toSet
+    assert(cellDirs.nonEmpty && cellDirs.forall(_.matches("cell=\\d+")))
+    // the persisted probe must return EXACTLY what the in-memory path does
+    // (same deterministic trainer, same params)
+    def key(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3))).toSet
+    val fromIndex = Similarity.queryIvfIndex(spark, dir, queries, k = 5, numProbes = 4)
+    val inMemory = Similarity.ivfTopK(queries, corpus, k = 5, numCells = 8,
+      numProbes = 4, lloydIters = 2)
+    assert(key(fromIndex) === key(inMemory))
+    // pruning: the cell predicate lands in PartitionFilters, so unprobed
+    // cell directories are never opened
+    val plan = fromIndex.queryExecution.executedPlan.toString
+    assert(plan.matches("(?s).*PartitionFilters: \\[[^\\]]*cell.*"), plan.take(3000))
+  }
+
   test("lshTopK: never returns more than k per query, ranks contiguous") {
     val e = emb(sf())
     val q = e.filter(col("vec_id") < 3)

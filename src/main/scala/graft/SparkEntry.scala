@@ -1117,6 +1117,16 @@ object SparkEntry {
       """t AS (SELECT doc_id, text,
         |list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> len(x) > 0) AS toks
         |FROM documents)""".stripMargin
+    // positional token stream + top-30 vocab (count desc, token asc) —
+    // shared by tokenize_ids and decode_ids, one definition so the two
+    // oracles cannot drift (the Spark side shares top30Vocab the same way)
+    val vocabCtes =
+      """pos AS (SELECT doc_id, unnest(toks) AS token,
+        |  unnest(range(1, len(toks) + 1)) AS pos FROM t),
+        |kc AS (SELECT token, count(*) AS cnt FROM pos GROUP BY token),
+        |vocab AS (SELECT token,
+        |  CAST(row_number() OVER (ORDER BY cnt DESC, token) - 1 AS INTEGER) AS token_id
+        |  FROM kc ORDER BY cnt DESC, token LIMIT 30)""".stripMargin
     // bigram-LM train+score CTE chain ending in per-doc integer
     // (n_bigrams, score_sum) — shared by lm_score and pipeline_quality_mix
     val lmCtes =
@@ -2345,12 +2355,7 @@ object SparkEntry {
           |GROUP BY 1, 2""".stripMargin,
       "tokenize_ids" ->
         s"""WITH $toksCte,
-           |pos AS (SELECT doc_id, unnest(toks) AS token,
-           |  unnest(range(1, len(toks) + 1)) AS pos FROM t),
-           |kc AS (SELECT token, count(*) AS cnt FROM pos GROUP BY token),
-           |vocab AS (SELECT token,
-           |  CAST(row_number() OVER (ORDER BY cnt DESC, token) - 1 AS INTEGER) AS token_id
-           |  FROM kc ORDER BY cnt DESC, token LIMIT 30),
+           |$vocabCtes,
            |m AS (SELECT p.doc_id, p.pos, coalesce(v.token_id, -1) AS tid,
            |  CASE WHEN v.token_id IS NULL THEN 1 ELSE 0 END AS oov
            |  FROM pos p LEFT JOIN vocab v USING (token)),
@@ -2366,12 +2371,7 @@ object SparkEntry {
       // tokenize_ids, so the two oracles can't drift
       "decode_ids" ->
         s"""WITH $toksCte,
-           |pos AS (SELECT doc_id, unnest(toks) AS token,
-           |  unnest(range(1, len(toks) + 1)) AS pos FROM t),
-           |kc AS (SELECT token, count(*) AS cnt FROM pos GROUP BY token),
-           |vocab AS (SELECT token,
-           |  CAST(row_number() OVER (ORDER BY cnt DESC, token) - 1 AS INTEGER) AS token_id
-           |  FROM kc ORDER BY cnt DESC, token LIMIT 30),
+           |$vocabCtes,
            |m AS (SELECT p.doc_id, p.pos,
            |  CASE WHEN v.token_id IS NULL THEN '<unk>' ELSE p.token END AS tok,
            |  CASE WHEN v.token_id IS NULL THEN 1 ELSE 0 END AS oov

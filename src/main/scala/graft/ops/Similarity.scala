@@ -278,7 +278,13 @@ object Similarity {
       .write.mode("overwrite").parquet(s"$path/centroids")
     val bc = broadcastCentroids(spark, cents)
     assignCells(corpus, bc)
-      .write.mode("overwrite").partitionBy("cell").parquet(s"$path/postings")
+      .write.mode("overwrite")
+      // force STATIC overwrite regardless of the session/cluster default: a
+      // dynamic-mode rebuild would keep any cell directory the new
+      // assignment leaves empty, and a later probe of that cell would score
+      // the OLD build's vectors — breaking the reproducible-index contract
+      .option("partitionOverwriteMode", "static")
+      .partitionBy("cell").parquet(s"$path/postings")
     bc.destroy() // the write above is eager; this round's matrix is dead
   }
 
@@ -303,8 +309,13 @@ object Similarity {
       .map(r => (r.getInt(0), r.getSeq[Double](1).toSeq)).toSeq
     require(cents.nonEmpty, s"no centroids at $path/centroids")
     val bc = broadcastCentroids(spark, cents)
+    // checkpointed: the probe set is read TWICE (the probed-cell collect
+    // below and the postings join) — as a plain plan a non-replay-stable
+    // queries source could probe a cell the isin list never saw, silently
+    // pruning away true neighbors (the re-scanned-branch discipline)
     val probes = queries.select(col("qid"), col("qvec"),
       explode(NearestCells(col("qvec"), bc, numProbes)).as("cell"))
+      .localCheckpoint()
     val probedCells = probes.select(col("cell")).distinct()
       .collect().map(_.getInt(0)).sorted
     val postings = spark.read.parquet(s"$path/postings")

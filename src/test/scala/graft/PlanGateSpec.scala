@@ -127,9 +127,10 @@ class PlanGateSpec extends SparkTestBase {
     "cohort_retention" -> 3,
     "table_profile" -> 2,
     "tokenize_ids" -> 2,
-    // encode exchange + decode re-agg; the vocab (checkpointed, broadcast
-    // both directions) adds its tiny agg + global top-30 window
-    "decode_ids" -> 5,
+    // ONE exchange measured: encode's groupBy(id); the decode re-agg reuses
+    // that partitioning, and the checkpointed vocab's agg/window exchanges
+    // sit behind a Scan ExistingRDD (never counted — the lm_score convention)
+    "decode_ids" -> 1,
     // bigram counts are checkpointed (train scanned once for pairs); the
     // static remainder is the prefix re-agg (1), the distinct-vocab scalar
     // (2: tok hash + Single), and the per-doc sum re-agg (1) — the scored

@@ -873,6 +873,10 @@ object SparkEntry {
       .select(col("id").as("doc_id"), col("decoded"), col("n_ids"), col("n_unknown"))
   }
 
+  /** Per-source corpus report card (the dataset datasheet). */
+  private def corpusReportQ(s: SparkSession, dir: String): DataFrame =
+    ops.Stats.corpusReport(docs(s, dir), "doc_id", "text", "source")
+
   private def tableProfile(s: SparkSession, dir: String): DataFrame =
     ops.Stats.profile(
       eventsFixedPoint(s, dir)
@@ -1099,6 +1103,7 @@ object SparkEntry {
     "q5_local_supplier" -> (q5LocalSupplier _),
     "cohort_retention" -> (cohortRetentionQuery _),
     "table_profile" -> (tableProfile _),
+    "corpus_report" -> (corpusReportQ _),
     "tokenize_ids" -> (tokenizeIds _),
     "decode_ids" -> (decodeIdsQ _),
     "kmeans_clusters" -> (kmeansClusters _),
@@ -1944,6 +1949,31 @@ object SparkEntry {
            |  coalesce(nseg.n_segments, 0) AS n_segments,
            |  coalesce(agg.n_kept, 0) AS n_kept
            |FROM t LEFT JOIN nseg USING (doc_id) LEFT JOIN agg USING (doc_id)""".stripMargin,
+      // per-source datasheet: pure integer counts + ONE division at the end;
+      // digests aren't emitted, only distinct-counted, so the hex-casing of
+      // sha256 never matters cross-engine
+      "corpus_report" ->
+        s"""WITH $toksCte,
+           |dl AS (SELECT d.source,
+           |  sha256(coalesce(lower(trim(d.text)), '')) AS dg,
+           |  len(t.toks) AS nt, coalesce(length(d.text), 0) AS nc
+           |  FROM documents d JOIN t USING (doc_id)),
+           |base AS (SELECT source, count(*) AS n_docs,
+           |  sum(CASE WHEN nt = 0 THEN 1 ELSE 0 END) AS n_empty_docs,
+           |  count(DISTINCT dg) AS n_unique_docs,
+           |  sum(nt) AS n_tokens, sum(nc) AS total_chars
+           |  FROM dl GROUP BY source),
+           |v AS (SELECT source, count(DISTINCT tok) AS n_distinct_tokens
+           |  FROM (SELECT d.source, unnest(t.toks) AS tok
+           |        FROM documents d JOIN t USING (doc_id)) GROUP BY source)
+           |SELECT b.source, CAST(n_docs AS BIGINT) AS n_docs,
+           |  CAST(n_empty_docs AS BIGINT) AS n_empty_docs,
+           |  CAST(n_unique_docs AS BIGINT) AS n_unique_docs,
+           |  CAST(n_tokens AS BIGINT) AS n_tokens,
+           |  CAST(coalesce(n_distinct_tokens, 0) AS BIGINT) AS n_distinct_tokens,
+           |  CAST(total_chars AS BIGINT) AS total_chars,
+           |  CAST(n_tokens AS DOUBLE) / n_docs AS avg_doc_tokens
+           |FROM base b LEFT JOIN v USING (source)""".stripMargin,
       // same segment synthesis, but keep-first runs PER DOC (partition by
       // doc_id, seg) — cross-doc repeats must survive
       "dedup_within_doc" ->

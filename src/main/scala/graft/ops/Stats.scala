@@ -186,6 +186,52 @@ object Stats {
     * the profile stays one map-side-combined scan whose exchange carries
     * one sketch row regardless of cardinality.
     */
+  /** Per-group corpus report card — the dataset "datasheet" a platform
+    * renders before training: per `groupCol` value (source, language,
+    * shard), `n_docs`, `n_empty_docs` (zero tokens), `n_unique_docs`
+    * (distinct normalized-content digests — exact duplicate load),
+    * `n_tokens`, `n_distinct_tokens` (group vocabulary), `total_chars`,
+    * and `avg_doc_tokens` (ONE IEEE division on two exact integers, the
+    * topTermsPerDoc rule — engine-identical). NULL text counts as an empty
+    * doc (zero tokens/chars), not a dropped row: a report that silently
+    * loses rows understates exactly the corpus problems it exists to show.
+    *
+    * Shape at 100 TB: a doc-level projection (digest + counts — text never
+    * crosses the wire) feeds one narrow group aggregation; the group
+    * vocabulary is distinct (group, token) → count per group, two narrow
+    * exchanges of the exploded stream — never a count_distinct whose
+    * per-group state is the token set. Group cardinality is report-sized
+    * (sources/languages/shards) by construction.
+    */
+  def corpusReport(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      groupCol: String): DataFrame = {
+    val toks = graft.functions.tokens(col(textCol))
+    val docLevel = df.select(
+      col(groupCol),
+      sha2(coalesce(lower(trim(col(textCol))), lit("")).cast("binary"), 256).as("_d"),
+      coalesce(size(toks), lit(0)).cast("long").as("_nt"),
+      coalesce(length(col(textCol)), lit(0)).cast("long").as("_nc"))
+    val base = docLevel.groupBy(col(groupCol)).agg(
+      count(lit(1)).as("n_docs"),
+      sum(when(col("_nt") === 0, 1L).otherwise(0L)).as("n_empty_docs"),
+      count_distinct(col("_d")).as("n_unique_docs"),
+      sum(col("_nt")).as("n_tokens"),
+      sum(col("_nc")).as("total_chars"))
+    val vocabSize = df
+      .select(col(groupCol), explode(toks).as("_tok"))
+      .groupBy(col(groupCol), col("_tok")).agg(count(lit(1)).as("_c"))
+      .groupBy(col(groupCol)).agg(count(lit(1)).as("n_distinct_tokens"))
+    base.join(vocabSize, Seq(groupCol), "left")
+      .select(col(groupCol), col("n_docs"), col("n_empty_docs"),
+        col("n_unique_docs"), col("n_tokens"),
+        coalesce(col("n_distinct_tokens"), lit(0L)).as("n_distinct_tokens"),
+        col("total_chars"),
+        (col("n_tokens").cast("double") / col("n_docs")).as("avg_doc_tokens"))
+  }
+
   def profile(
       df: DataFrame,
       cols: Seq[String],

@@ -56,6 +56,10 @@ class PlanGateSpec extends SparkTestBase {
     "strip_boilerplate" -> 3,
     "rare_token_stats" -> 2,
     "corpus_quantiles" -> 1,
+    // doc-digest distinct (2: partial on (group, digest) + final) and the
+    // group-vocabulary distinct (2: (group, token) + re-agg); the two
+    // group-level tables broadcast-join
+    "corpus_report" -> 4,
     "decontaminate" -> 2,
     "dedup_embedding" -> 2,
     "dedup_exact" -> 1,

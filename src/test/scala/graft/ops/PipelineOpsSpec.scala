@@ -593,4 +593,24 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(out(2L) === ((t(4), None, None)))
     assert(out(4L) === ((t(10), Some(t(15)), Some(t(30)))))
   }
+
+  test("corpusReport: per-group counts exact; null/empty docs counted, not dropped") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a", "alpha beta alpha"),
+      (2L, "a", "ALPHA beta alpha"), // normalizes equal to doc 1 -> not unique
+      (3L, "a", ""),
+      (4L, "a", null.asInstanceOf[String]),
+      (5L, "b", "gamma")).toDF("doc_id", "source", "text")
+    val out = Stats.corpusReport(docs, "doc_id", "text", "source")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5),
+          r.getLong(6), r.getDouble(7)))).toMap
+    // group a: 4 docs, 2 empty (null + ""), 2 unique contents (docs 1 and 2
+    // normalize equal; null coalesces to "" and collides with doc 3 — an
+    // empty doc IS empty content), 6 tokens, vocab {alpha, beta} = 2,
+    // chars 16 + 16 + 0 + 0
+    assert(out("a") === ((4L, 2L, 2L, 6L, 2L, 32L, 1.5)))
+    assert(out("b") === ((1L, 0L, 1L, 1L, 1L, 5L, 1.0)))
+  }
 }

@@ -875,7 +875,7 @@ object SparkEntry {
 
   /** Per-source corpus report card (the dataset datasheet). */
   private def corpusReportQ(s: SparkSession, dir: String): DataFrame =
-    ops.Stats.corpusReport(docs(s, dir), "doc_id", "text", "source")
+    ops.Stats.corpusReport(docs(s, dir), "text", "source")
 
   private def tableProfile(s: SparkSession, dir: String): DataFrame =
     ops.Stats.profile(
@@ -1956,7 +1956,7 @@ object SparkEntry {
         s"""WITH $toksCte,
            |dl AS (SELECT d.source,
            |  sha256(coalesce(lower(trim(d.text)), '')) AS dg,
-           |  len(t.toks) AS nt, coalesce(length(d.text), 0) AS nc
+           |  coalesce(len(t.toks), 0) AS nt, coalesce(length(d.text), 0) AS nc
            |  FROM documents d JOIN t USING (doc_id)),
            |base AS (SELECT source, count(*) AS n_docs,
            |  sum(CASE WHEN nt = 0 THEN 1 ELSE 0 END) AS n_empty_docs,

@@ -205,7 +205,6 @@ object Stats {
     */
   def corpusReport(
       df: DataFrame,
-      idCol: String,
       textCol: String,
       groupCol: String): DataFrame = {
     val toks = graft.functions.tokens(col(textCol))

@@ -602,7 +602,7 @@ class PipelineOpsSpec extends SparkTestBase {
       (3L, "a", ""),
       (4L, "a", null.asInstanceOf[String]),
       (5L, "b", "gamma")).toDF("doc_id", "source", "text")
-    val out = Stats.corpusReport(docs, "doc_id", "text", "source")
+    val out = Stats.corpusReport(docs, "text", "source")
       .collect().map(r => r.getString(0) ->
         ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5),
           r.getLong(6), r.getDouble(7)))).toMap

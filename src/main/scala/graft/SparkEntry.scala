@@ -1973,7 +1973,7 @@ object SparkEntry {
            |  CAST(coalesce(n_distinct_tokens, 0) AS BIGINT) AS n_distinct_tokens,
            |  CAST(total_chars AS BIGINT) AS total_chars,
            |  CAST(n_tokens AS DOUBLE) / n_docs AS avg_doc_tokens
-           |FROM base b LEFT JOIN v USING (source)""".stripMargin,
+           |FROM base b LEFT JOIN v ON b.source IS NOT DISTINCT FROM v.source""".stripMargin,
       // same segment synthesis, but keep-first runs PER DOC (partition by
       // doc_id, seg) — cross-doc repeats must survive
       "dedup_within_doc" ->

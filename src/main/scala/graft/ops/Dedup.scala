@@ -247,6 +247,12 @@ object Dedup {
     // never moves; they rejoin as singletons at the end
     var labels = edges.select(col("src").as("id")).distinct()
       .select(col("id"), col("id").as("cluster"))
+    // handle to the previous iteration's checkpoint so its blocks release
+    // once the next one materializes (the trainBpeMerges discipline): at
+    // most two label snapshots live in executor storage, not one per
+    // iteration. `p` and the FINAL labels checkpoint stay persisted — the
+    // returned (lazy) plan reads them.
+    var prevCkpt: Option[DataFrame] = None
     var changed = 1L
     var i = 0
     while (changed > 0 && i < maxIterations) {
@@ -271,6 +277,8 @@ object Dedup {
           .getAs[Long]("changed"))
         .getOrElse(// listener didn't fire for this action shape: count instead
           next.filter(col("cluster") =!= col("_old")).count())
+      prevCkpt.foreach(org.apache.spark.sql.graft.CheckpointUtil.unpersist(_))
+      prevCkpt = Some(next)
       labels = next.drop("_old")
       i += 1
     }
@@ -456,10 +464,15 @@ object Dedup {
     *
     * Shape at 100 TB: document frequency per segment digest is computed as
     * two NARROW aggregations (distinct (digest, doc) then count per digest —
-    * never a count_distinct whose per-key state is the carrier set), the
-    * boilerplate digest set is small by construction (only above-threshold
-    * segments) so the anti join broadcasts, and segment text again crosses
-    * the wire only for reassembly.
+    * never a count_distinct whose per-key state is the carrier set), and
+    * segment text crosses the wire only for reassembly. The anti join on the
+    * boilerplate digest set is broadcast-OR-shuffle depending on the set's
+    * actual size: at a high `maxDocFreq` the above-threshold set is small
+    * and broadcasts, but at `maxDocFreq = 1` on a real crawl EVERY segment
+    * appearing in ≥2 docs qualifies — a corpus-scaled set, for which Spark
+    * correctly falls back to a shuffle anti join on the 32-byte digest
+    * (narrow keys, no text; fine, just not free). Don't assume broadcast in
+    * a plan budget.
     */
   def stripBoilerplate(
       df: DataFrame,

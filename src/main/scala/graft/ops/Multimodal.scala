@@ -176,17 +176,29 @@ object Multimodal {
     * meta struct rides along (dropping it would break any downstream
     * media_type dispatch) with width/height REFRESHED for resized images —
     * stale declared dims after a resize are worse than none.
+    *
+    * Unlike [[imageStats]] (a stats pass), this is a TRANSFORM in the data
+    * path, so drops must be observable: pass `dropped` (a registered
+    * `LongAccumulator`) and every corrupt-payload drop counts into it — a
+    * systematic decode failure (a format variant ImageIO rejects) surfaces
+    * as attrition a pipeline can alert on instead of a silently smaller
+    * corpus. Accumulator semantics apply: task retries can over-count, so
+    * treat it as an alerting metric, not an exact ledger.
     */
-  def resizeImages(spark: SparkSession, media: DataFrame, w: Int, h: Int): DataFrame = {
+  def resizeImages(
+      spark: SparkSession, media: DataFrame, w: Int, h: Int,
+      dropped: Option[org.apache.spark.util.LongAccumulator] = None): DataFrame = {
     import spark.implicits._
     media.select(col("item_id"), col("payload"), col("meta"))
       .as[(Long, Array[Byte], MediaMeta)]
       .mapPartitions(_.flatMap { case (id, payload, meta) =>
         if (meta.media_type != "image") Some((id, payload, meta))
-        else if (ImageIoFormats.contains(meta.format))
-          ImageIoCodec.resizeNearest(payload, w, h).map(p => (id, p,
+        else if (ImageIoFormats.contains(meta.format)) {
+          val resized = ImageIoCodec.resizeNearest(payload, w, h).map(p => (id, p,
             meta.copy(format = "png", width = Some(w), height = Some(h))))
-        else Some((id, FakeCodec.resize(payload, w, h),
+          if (resized.isEmpty) dropped.foreach(_.add(1L))
+          resized
+        } else Some((id, FakeCodec.resize(payload, w, h),
           meta.copy(width = Some(w), height = Some(h))))
       })
       .toDF("item_id", "payload", "meta")

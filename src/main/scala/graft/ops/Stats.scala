@@ -219,11 +219,16 @@ object Stats {
       count_distinct(col("_d")).as("n_unique_docs"),
       sum(col("_nt")).as("n_tokens"),
       sum(col("_nc")).as("total_chars"))
+    // The vocab side re-aggregates under an aliased key and joins back
+    // null-SAFELY (<=>): both aggregations produce a row for a NULL group
+    // key, and a plain equality join would drop the vocab row on the floor
+    // (NULL = NULL is not true) — reporting n_distinct_tokens = 0 for a
+    // group whose other counters are non-zero.
     val vocabSize = df
-      .select(col(groupCol), explode(toks).as("_tok"))
-      .groupBy(col(groupCol), col("_tok")).agg(count(lit(1)).as("_c"))
-      .groupBy(col(groupCol)).agg(count(lit(1)).as("n_distinct_tokens"))
-    base.join(vocabSize, Seq(groupCol), "left")
+      .select(col(groupCol).as("_g"), explode(toks).as("_tok"))
+      .groupBy(col("_g"), col("_tok")).agg(count(lit(1)).as("_c"))
+      .groupBy(col("_g")).agg(count(lit(1)).as("n_distinct_tokens"))
+    base.join(vocabSize, col(groupCol) <=> col("_g"), "left")
       .select(col(groupCol), col("n_docs"), col("n_empty_docs"),
         col("n_unique_docs"), col("n_tokens"),
         coalesce(col("n_distinct_tokens"), lit(0L)).as("n_distinct_tokens"),

@@ -898,7 +898,16 @@ object TextAnalysis {
     * counts weighted by `cnt` so corpus size never re-enters), one
     * 1-row driver collect for the winner, and a checkpointed one-column
     * rewrite of the symbol arrays. The driver holds only the merge table
-    * (`numMerges` rows); vocabulary state stays distributed.
+    * (`numMerges` rows); vocabulary state stays distributed. Each rank's
+    * checkpoint is RELEASED as soon as its successor materializes
+    * ([[org.apache.spark.sql.graft.CheckpointUtil]]) — executor storage
+    * holds at most two vocabulary snapshots at any instant, not one per
+    * rank. Cost model for a production run: ranks are inherently
+    * sequential (each merge depends on the counts AFTER the previous one),
+    * so a 32k-merge train is 32k vocabulary-sized jobs — minutes-to-hours
+    * of fixed scheduling overhead regardless of corpus size; budget
+    * accordingly and train on the word table of a sample when the corpus
+    * is 100 TB (word frequencies converge long before that).
     */
   def trainBpeMerges(
       df: DataFrame,
@@ -933,12 +942,20 @@ object TextAnalysis {
       else {
         val (l, r, n) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
         merges += ((rank, l, r, l + r, n))
+        val prev = words
         words = words
           .withColumn("syms", BpeMergeAdjacent(col("syms"), l, r))
           .localCheckpoint() // truncate the per-rank growing lineage
+        // the new checkpoint is materialized (localCheckpoint is eager), so
+        // the superseded rank's blocks are dead — release them now instead
+        // of retaining one vocabulary copy per rank until driver GC
+        org.apache.spark.sql.graft.CheckpointUtil.unpersist(prev)
         rank += 1
       }
     }
+    // the merge table lives on the driver; nothing reads the final
+    // vocabulary snapshot either
+    org.apache.spark.sql.graft.CheckpointUtil.unpersist(words)
     import spark.implicits._
     merges.toSeq.toDF("rank", "left_sym", "right_sym", "merged", "n")
   }

@@ -1,0 +1,31 @@
+package org.apache.spark.sql.graft
+
+import org.apache.spark.sql.Dataset
+import org.apache.spark.sql.execution.LogicalRDD
+
+/** Storage release for `localCheckpoint()`'d Datasets.
+  *
+  * `Dataset.localCheckpoint()` persists the computed rows as RDD blocks in
+  * executor storage, and `Dataset.unpersist()` does NOT release them (it
+  * talks to the cache manager, which never heard of the checkpoint) — the
+  * blocks live until the driver GCs the unreferenced Dataset and the
+  * ContextCleaner notices. An iterative operator that checkpoints every
+  * round (BPE training: one per merge rank; connected components: one per
+  * label iteration) therefore accumulates every superseded round's blocks
+  * for the lifetime of the job unless it releases them explicitly — at a
+  * production 32k-merge BPE run that is 32k retained copies of the
+  * vocabulary table.
+  *
+  * `unpersist` here frees exactly the checkpointed RDD(s) a Dataset's plan
+  * holds. Call it ONLY on a handle whose plan is the checkpoint itself (the
+  * Dataset `localCheckpoint()` returned, or a pure projection of it), and
+  * only once nothing will read it again: a locally-checkpointed RDD cannot
+  * be recomputed, so any later action over it would fail.
+  */
+object CheckpointUtil {
+  def unpersist(ds: Dataset[_], blocking: Boolean = false): Unit =
+    ds.queryExecution.analyzed.foreach {
+      case l: LogicalRDD => l.rdd.unpersist(blocking)
+      case _ => ()
+    }
+}

@@ -59,7 +59,11 @@ object SignMatrix {
   *
   * A vector whose length differs from the matrix dim projects to NULL (a
   * wrong-dimension input has no meaningful projection — surfacing null beats
-  * silently zero-padding).
+  * silently zero-padding). Likewise a vector with any NaN/Infinite component
+  * projects to NULL: `floor(NaN).toLong` is 0 and `floor(+Inf).toLong` is
+  * Long.MaxValue, so a corrupt embedding would otherwise quantize to a
+  * plausible-looking integer vector and flow into hash/bucket comparisons
+  * as if it were real data.
   */
 case class SignProjectVec(
     child: Expression,
@@ -103,6 +107,7 @@ object SignProjectVec {
     var d = 0
     while (d < dim) {
       val x = if (isFloat) vec.getFloat(d).toDouble else vec.getDouble(d)
+      if (java.lang.Double.isNaN(x) || java.lang.Double.isInfinite(x)) return null
       q(d) = math.floor(x * quantScale).toLong
       d += 1
     }

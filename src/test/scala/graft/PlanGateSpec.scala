@@ -52,7 +52,10 @@ class PlanGateSpec extends SparkTestBase {
     // bench SF and becomes a co-partitioned shuffle join at scale
     "dedup_segments" -> 2,
     // boilerplate strip: distinct (digest, doc) + per-digest count + per-doc
-    // reassembly; the boilerplate anti join broadcasts (small by construction)
+    // reassembly; the boilerplate anti join broadcasts at this SF/threshold
+    // but is broadcast-OR-shuffle by the set's actual size (maxDocFreq = 1
+    // on a real crawl makes it corpus-scaled → shuffle anti on the 32-byte
+    // digest, i.e. +2 exchanges beyond this budget, keys-only, acceptable)
     "strip_boilerplate" -> 3,
     "rare_token_stats" -> 2,
     "corpus_quantiles" -> 1,

@@ -84,6 +84,22 @@ class DedupSpec extends SparkTestBase {
     assert(out == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 9L -> 9L))
   }
 
+  test("connectedComponents: superseded iteration checkpoints are released (≤2 retained)") {
+    import spark.implicits._
+    // a length-9 chain forces several label-propagation iterations, each of
+    // which localCheckpoints; only the edge list and the FINAL labels (which
+    // the returned lazy plan reads) may stay persisted — superseded
+    // iterations must not accumulate one snapshot per round
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val ids = (1L to 9L).toDF("id")
+    val pairs = (1L until 9L).map(i => (i, i + 1)).toDF("a_id", "b_id")
+    val out = Dedup.connectedComponents(ids, pairs)
+    val retained = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(retained.size <= 2,
+      s"connectedComponents retained ${retained.size} checkpointed RDDs: $retained")
+    assert(out.collect().map(r => r.getLong(1)).toSet === Set(1L))
+  }
+
   test("bucketPairs: oversized buckets are dropped (cap bounds the blowup)") {
     import spark.implicits._
     // one bucket with 5 ids (cap 4 -> dropped), one with 3 (kept: 3 pairs)

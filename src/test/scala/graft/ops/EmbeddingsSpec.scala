@@ -80,6 +80,25 @@ class EmbeddingsSpec extends SparkTestBase {
     assert(out(3L) === None)
   }
 
+  test("randomProject: NaN/Infinite components -> null, matching the wrong-dim contract") {
+    import spark.implicits._
+    // floor(NaN).toLong is 0 and floor(+Inf).toLong is Long.MaxValue — a
+    // silent quantization would hand downstream hash/bucket comparisons a
+    // plausible-looking integer vector for a corrupt embedding
+    val vs = Seq(
+      (1L, Array(0.5f, Float.NaN, 0.125f, 1.0f)),
+      (2L, Array(Float.PositiveInfinity, 0.0f, 0.75f, -0.5f)),
+      (3L, Array(0.5f, 0.25f, Float.NegativeInfinity, 1.0f)),
+      (4L, Array(0.5f, -0.25f, 0.125f, 1.0f))) // finite control
+    val out = Embeddings.randomProject(vs.toDF("vec_id", "embedding"),
+        "vec_id", "embedding", dim = 4, outDim = 3, quantScale = 1024L, tag = "t")
+      .collect().map(r => r.getLong(0) -> Option(r.get(1))).toMap
+    assert(out(1L) === None)
+    assert(out(2L) === None)
+    assert(out(3L) === None)
+    assert(out(4L).isDefined)
+  }
+
   test("randomProject: wrong-dim null survives the CODEGEN path (range plan, not local-relation fold)") {
     // spark.range produces a real WholeStageCodegen plan, so the kernel's
     // generated null-branch executes — the hand-case spec above only

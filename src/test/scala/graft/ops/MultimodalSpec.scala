@@ -98,9 +98,18 @@ class MultimodalSpec extends SparkTestBase {
         s"decoded sums of the resized image must match the nearest-neighbor mapping for id=$id")
     }
     // a payload CLAIMING a real format but failing to decode is corrupt: drop
+    // — and the drop is OBSERVABLE through the accumulator (a transform that
+    // silently shrinks the corpus hides exactly the failure it should surface)
     val corrupt = Multimodal.synthesizeImages(spark, ids, "doc_id")
       .withColumn("payload", lit("not a png".getBytes("UTF-8")))
-    assert(Multimodal.resizeImages(spark, corrupt, 6, 5).count() === 0L)
+    val acc = spark.sparkContext.longAccumulator("resize_dropped")
+    assert(Multimodal.resizeImages(spark, corrupt, 6, 5, Some(acc)).count() === 0L)
+    assert(acc.value === 2L)
+    // healthy inputs leave the counter untouched
+    val acc2 = spark.sparkContext.longAccumulator("resize_dropped_ok")
+    Multimodal.resizeImages(
+      spark, Multimodal.synthesizeImages(spark, ids, "doc_id"), 6, 5, Some(acc2)).count()
+    assert(acc2.value === 0L)
   }
 
   test("synthesizeImages: negative ids fail fast (oracle formula assumes non-negative)") {

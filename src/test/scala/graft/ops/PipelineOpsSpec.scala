@@ -613,4 +613,19 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(out("a") === ((4L, 2L, 2L, 6L, 2L, 32L, 1.5)))
     assert(out("b") === ((1L, 0L, 1L, 1L, 1L, 5L, 1.0)))
   }
+
+  test("corpusReport: NULL group key keeps its vocabulary (null-safe join)") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, null.asInstanceOf[String], "alpha beta alpha"),
+      (2L, null.asInstanceOf[String], "beta gamma"),
+      (3L, "a", "delta")).toDF("doc_id", "source", "text")
+    val out = Stats.corpusReport(docs, "text", "source")
+      .collect().map(r => Option(r.getString(0)) ->
+        ((r.getLong(1), r.getLong(4), r.getLong(5)))).toMap
+    // Both sides of the internal join aggregate the NULL group; a plain
+    // equality join would report n_distinct_tokens = 0 here.
+    assert(out(None) === ((2L, 5L, 3L))) // 2 docs, 5 tokens, vocab {alpha,beta,gamma}
+    assert(out(Some("a")) === ((1L, 1L, 1L)))
+  }
 }

@@ -375,6 +375,23 @@ class TextAnalysisSpec extends SparkTestBase {
     assert(TextAnalysis.trainBpeMerges(tiny, "text", 5).count() === 0L)
   }
 
+  test("trainBpeMerges: superseded per-rank checkpoints are released (no storage leak)") {
+    import spark.implicits._
+    // each rank localCheckpoints the symbol table; without explicit release a
+    // production 32k-merge run retains 32k dead vocabulary copies in executor
+    // storage. The trainer must leave NOTHING persisted behind (the merge
+    // table is driver-local), so the persistent-RDD census is flat.
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val docs = Seq(
+      (1L, "low low lower newest newest widest"),
+      (2L, "newest lowest low widest widest")).toDF("doc_id", "text")
+    val merges = TextAnalysis.trainBpeMerges(docs, "text", numMerges = 8)
+    assert(merges.count() === 8L)
+    val leaked = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(leaked.isEmpty,
+      s"trainBpeMerges left ${leaked.size} checkpointed RDDs persisted: $leaked")
+  }
+
   test("bpeEncode: kernel's min-rank-first loop == rank-order replay on a TRAINED table") {
     import spark.implicits._
     import org.apache.spark.sql.graft.BpeMergeAdjacent

@@ -858,7 +858,8 @@ object TextAnalysis {
       df: DataFrame,
       idCol: String,
       textCol: String,
-      merges: DataFrame): DataFrame = {
+      merges: DataFrame,
+      byteLevel: Boolean = false): DataFrame = {
     import org.apache.spark.sql.graft.{BpeEncodeDoc, BpeMergeTable}
     val table = merges.select(col("left_sym"), col("right_sym"), col("rank"))
       .collect()
@@ -869,7 +870,7 @@ object TextAnalysis {
     // so null-propagation can't leak (id, null, null) past the oracle shape
     df.select(col(idCol).as("id"),
         BpeEncodeDoc(
-          coalesce(tokens(col(textCol)), array().cast("array<string>")), bc)
+          coalesce(tokens(col(textCol)), array().cast("array<string>")), bc, byteLevel)
           .as("subwords"))
       .select(col("id"), size(col("subwords")).as("n_subwords"), col("subwords"))
   }
@@ -887,9 +888,16 @@ object TextAnalysis {
     * rank counts all adjacent symbol pairs (overlapping occurrences count,
     * `aaa` holds two `(a,a)`s), merges the winner greedily leftmost
     * non-overlapping in every word, repeats. Training words are lowercased
-    * whitespace tokens restricted to ASCII-printables (`[!-~]+`) — byte-safe
-    * char splitting in every engine, and the standard trainer posture of
-    * normalizing before learning merges.
+    * whitespace tokens; in the default mode they are restricted to
+    * ASCII-printables (`[!-~]+`) — byte-safe char splitting in every engine,
+    * and the standard trainer posture of normalizing before learning merges.
+    * With `byteLevel = true` the restriction disappears: every token's UTF-8
+    * bytes map through the reversible GPT-2 byte→unicode alphabet
+    * ([[org.apache.spark.sql.graft.ByteAlphabet]]), a leading space byte
+    * (`Ġ`) marks every non-doc-initial token, and merges are learned over
+    * byte-chars — a multilingual corpus (the normal case) trains on ALL of
+    * its text, and the encoder's output decodes byte-exactly back to the
+    * space-joined token stream.
     *
     * Shape at 100 TB (the [[graft.ops.Dedup.connectedComponents]] loop
     * discipline): the corpus is scanned ONCE for the word-frequency table;
@@ -912,18 +920,37 @@ object TextAnalysis {
   def trainBpeMerges(
       df: DataFrame,
       textCol: String,
-      numMerges: Int): DataFrame = {
+      numMerges: Int,
+      byteLevel: Boolean = false): DataFrame = {
     require(numMerges > 0, "numMerges must be positive")
     val spark = df.sparkSession
-    import org.apache.spark.sql.graft.{BpeMergeAdjacent, WordPairs}
-    var words = df
-      .select(explode(tokens(col(textCol))).as("word"))
-      .filter(col("word").rlike("^[\\x21-\\x7e]+$"))
-      .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
-      .select(col("cnt"),
-        transform(sequence(lit(1), length(col("word"))),
-          i => col("word").substr(i, lit(1))).as("syms"))
-      .localCheckpoint()
+    import org.apache.spark.sql.graft.{BpeMergeAdjacent, ByteSyms, WordPairs}
+    // Byte mode trains over EVERY token — each word's UTF-8 bytes map
+    // through the reversible [[org.apache.spark.sql.graft.ByteAlphabet]]
+    // (GPT-2 bytes_to_unicode), so multilingual text participates instead of
+    // falling out of the ASCII-printable filter. The inter-token space rides
+    // as a leading Ġ byte-char on every token except a doc's first (the
+    // GPT-2 pre-token convention, and what makes the encoder's subword
+    // stream byte-decodable back to the space-joined tokens); prefixed and
+    // unprefixed occurrences of a word are distinct training words, exactly
+    // as in the original scheme. Alphabet chars never include the ASCII
+    // space, so the space-joined pair keys below stay lossless in both
+    // modes.
+    val trainWords =
+      if (byteLevel)
+        df.select(posexplode(tokens(col(textCol))).as(Seq("pos", "word")))
+          .select(when(col("pos") > 0, concat(lit(" "), col("word")))
+            .otherwise(col("word")).as("word"))
+          .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
+          .select(col("cnt"), ByteSyms(col("word")).as("syms"))
+      else
+        df.select(explode(tokens(col(textCol))).as("word"))
+          .filter(col("word").rlike("^[\\x21-\\x7e]+$"))
+          .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
+          .select(col("cnt"),
+            transform(sequence(lit(1), length(col("word"))),
+              i => col("word").substr(i, lit(1))).as("syms"))
+    var words = trainWords.localCheckpoint()
     val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, String, Long)]
     var rank = 1
     var exhausted = false

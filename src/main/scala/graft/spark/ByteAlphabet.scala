@@ -1,0 +1,129 @@
+package org.apache.spark.sql.graft
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.classic.ExpressionUtils
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** The reversible byte→unicode alphabet of byte-level BPE (public knowledge
+  * — the GPT-2 `bytes_to_unicode` table): every byte 0–255 maps to ONE
+  * printable unicode codepoint, so arbitrary UTF-8 text becomes a string of
+  * "visible characters" a character-level BPE loop can merge without ever
+  * producing control characters or whitespace inside a symbol.
+  *
+  * The mapping: bytes that are already printable-and-not-space keep their own
+  * codepoint — `0x21–0x7e`, `0xa1–0xac`, `0xae–0xff` — and the 68 excluded
+  * bytes (`0x00–0x20`, `0x7f–0xa0`, `0xad`) map to `256 + rank` in byte
+  * order, e.g. the space `0x20` → U+0120 'Ġ'. Both directions are total and
+  * exact: [[decode]]([[toAlpha]](s)) == s for every valid string, and the
+  * oracle replays the same table in SQL (a 3-branch CASE over the byte
+  * value). No alphabet char is ASCII space / `\x01` / `\x02` / `\x03`, so
+  * the trainer's space-joined pair keys and the oracle's sentinel-wrapped
+  * replay both stay lossless in byte mode.
+  */
+object ByteAlphabet {
+  /** alphabet codepoint for each byte value 0–255 */
+  val codepoints: Array[Int] = {
+    val a = new Array[Int](256)
+    var k = 0 // rank among excluded bytes, in byte order
+    var b = 0
+    while (b < 256) {
+      val printable = (b >= 0x21 && b <= 0x7e) || (b >= 0xa1 && b <= 0xac) ||
+        (b >= 0xae && b <= 0xff)
+      if (printable) a(b) = b
+      else { a(b) = 256 + k; k += 1 }
+      b += 1
+    }
+    a
+  }
+
+  /** per-byte alphabet chars as 1-char strings (all codepoints < 0x400, so
+    * each is exactly one UTF-16 char / one unicode codepoint)
+    */
+  val chars: Array[String] = codepoints.map(cp => String.valueOf(cp.toChar))
+
+  private val inverse: java.util.HashMap[Character, Integer] = {
+    val m = new java.util.HashMap[Character, Integer](512)
+    var b = 0
+    while (b < 256) { m.put(codepoints(b).toChar, b); b += 1 }
+    m
+  }
+
+  /** UTF-8 bytes of `s`, each rendered as its alphabet char. */
+  def syms(s: String): Array[String] = {
+    val bytes = s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val out = new Array[String](bytes.length)
+    var i = 0
+    while (i < bytes.length) { out(i) = chars(bytes(i) & 0xff); i += 1 }
+    out
+  }
+
+  /** `s` as one alphabet string (the concatenation of [[syms]]). */
+  def toAlpha(s: String): String = {
+    val bytes = s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val sb = new java.lang.StringBuilder(bytes.length)
+    var i = 0
+    while (i < bytes.length) { sb.append(codepoints(bytes(i) & 0xff).toChar); i += 1 }
+    sb.toString
+  }
+
+  /** Inverse of [[toAlpha]]: alphabet string back to the original text.
+    * Throws on a char outside the alphabet — decode input is by construction
+    * a concatenation of trained subwords, so an unknown char is caller
+    * corruption, not data.
+    */
+  def decode(alpha: String): String = {
+    val bytes = new Array[Byte](alpha.length)
+    var i = 0
+    while (i < alpha.length) {
+      val b = inverse.get(alpha.charAt(i))
+      require(b != null, s"char U+${alpha.charAt(i).toInt.toHexString} is not in the byte alphabet")
+      bytes(i) = b.byteValue()
+      i += 1
+    }
+    new String(bytes, java.nio.charset.StandardCharsets.UTF_8)
+  }
+}
+
+/** A word as its byte-level BPE start state: the array of per-UTF-8-byte
+  * alphabet chars ([[ByteAlphabet]]). The byte-mode twin of the trainer's
+  * ASCII `substr`-split — native because the byte walk has no clean
+  * codegen'd builtin form (Spark's `split`/`substr` are character-based and
+  * `encode` would hand back an un-indexable binary).
+  */
+case class ByteSyms(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "graft_byte_syms"
+
+  override def nullSafeEval(input: Any): Any =
+    ByteSyms.eval(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = org.apache.spark.sql.graft.ByteSyms.eval($c);")
+
+  override protected def withNewChildInternal(newChild: Expression): ByteSyms =
+    copy(child = newChild)
+}
+
+object ByteSyms {
+  def eval(s: UTF8String): GenericArrayData = {
+    val bytes = s.getBytes
+    val out = new Array[Any](bytes.length)
+    var i = 0
+    while (i < bytes.length) {
+      out(i) = UTF8String.fromString(ByteAlphabet.chars(bytes(i) & 0xff))
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  def apply(word: Column): Column =
+    ExpressionUtils.column(ByteSyms(ExpressionUtils.expression(word)))
+}

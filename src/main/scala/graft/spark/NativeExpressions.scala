@@ -478,7 +478,8 @@ final class BpeMergeTable(pairs: Array[(String, String, Int)]) extends Serializa
   * no merge can ever apply to them, and splitting them to characters would
   * only inflate the sequence.
   */
-case class BpeEncodeDoc(child: Expression, bc: Broadcast[BpeMergeTable])
+case class BpeEncodeDoc(child: Expression, bc: Broadcast[BpeMergeTable],
+    byteLevel: Boolean = false)
     extends UnaryExpression with ExpectsInputTypes {
 
   override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(StringType))
@@ -486,14 +487,14 @@ case class BpeEncodeDoc(child: Expression, bc: Broadcast[BpeMergeTable])
   override def prettyName: String = "graft_bpe_encode"
 
   override def nullSafeEval(input: Any): Any =
-    BpeEncodeDoc.encode(input.asInstanceOf[ArrayData], bc.value)
+    BpeEncodeDoc.encode(input.asInstanceOf[ArrayData], bc.value, byteLevel)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val bcRef = ctx.addReferenceObj("bpeBc", bc, "org.apache.spark.broadcast.Broadcast")
     val tab = ctx.addMutableState("org.apache.spark.sql.graft.BpeMergeTable", "bpeTab",
       v => s"$v = (org.apache.spark.sql.graft.BpeMergeTable) $bcRef.value();")
     nullSafeCodeGen(ctx, ev, c =>
-      s"${ev.value} = org.apache.spark.sql.graft.BpeEncodeDoc.encode($c, $tab);")
+      s"${ev.value} = org.apache.spark.sql.graft.BpeEncodeDoc.encode($c, $tab, $byteLevel);")
   }
 
   override protected def withNewChildInternal(newChild: Expression): BpeEncodeDoc =
@@ -512,10 +513,17 @@ object BpeEncodeDoc {
   }
 
   private def encodeWord(w: String, tab: BpeMergeTable, out: java.util.ArrayList[Any]): Unit = {
-    var syms = new Array[String](w.length)
+    val syms = new Array[String](w.length)
     var i = 0
     while (i < w.length) { syms(i) = String.valueOf(w.charAt(i)); i += 1 }
+    encodeSyms(syms, tab, out)
+  }
+
+  private def encodeSyms(syms0: Array[String], tab: BpeMergeTable,
+      out: java.util.ArrayList[Any]): Unit = {
+    var syms = syms0
     var n = syms.length
+    var i = 0
     var continue = n > 1 && !tab.isEmpty
     while (continue) {
       // lowest-rank adjacent pair present anywhere in the word
@@ -549,14 +557,21 @@ object BpeEncodeDoc {
     while (i < n) { out.add(UTF8String.fromString(syms(i))); i += 1 }
   }
 
-  def encode(toks: ArrayData, tab: BpeMergeTable): ArrayData = {
+  def encode(toks: ArrayData, tab: BpeMergeTable, byteLevel: Boolean): ArrayData = {
     val nTok = toks.numElements()
     val out = new java.util.ArrayList[Any](nTok * 2)
     var t = 0
     while (t < nTok) {
       val tok = toks.getUTF8String(t)
       val s = tok.toString
-      if (asciiPrintable(s)) encodeWord(s, tab, out)
+      if (byteLevel) {
+        // byte mode: every token is in-domain — its UTF-8 bytes map through
+        // the reversible alphabet, with the inter-token space carried as a
+        // leading Ġ byte-char on every token but the doc's first (the GPT-2
+        // pre-token convention), so decode(concat(subwords)) reproduces the
+        // space-joined token stream byte-exactly
+        encodeSyms(ByteAlphabet.syms(if (t == 0) s else " " + s), tab, out)
+      } else if (asciiPrintable(s)) encodeWord(s, tab, out)
       else out.add(tok) // outside the trainer's domain: one opaque subword
       t += 1
     }
@@ -565,6 +580,9 @@ object BpeEncodeDoc {
 
   def apply(toks: Column, bc: Broadcast[BpeMergeTable]): Column =
     ExpressionUtils.column(BpeEncodeDoc(ExpressionUtils.expression(toks), bc))
+
+  def apply(toks: Column, bc: Broadcast[BpeMergeTable], byteLevel: Boolean): Column =
+    ExpressionUtils.column(BpeEncodeDoc(ExpressionUtils.expression(toks), bc, byteLevel))
 }
 
 /** Count of a string array's elements that belong to a literal string set —

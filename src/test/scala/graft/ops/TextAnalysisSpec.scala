@@ -2,7 +2,7 @@ package graft.ops
 
 import graft.SparkTestBase
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.functions.{col, explode, flatten, collect_list, length, lit, sequence, transform}
+import org.apache.spark.sql.functions.{col, concat, explode, flatten, collect_list, length, lit, posexplode, sequence, transform, when}
 
 class TextAnalysisSpec extends SparkTestBase {
 
@@ -450,6 +450,127 @@ class TextAnalysisSpec extends SparkTestBase {
     assert("graft_bpe_encode".r.findAllIn(plan).size <= 2, // projection may alias
       s"expected the single broadcast kernel:\n$plan")
     assert(!plan.contains("graft_bpe_merge"), "no per-rank chain in the encode plan")
+  }
+
+  /** Plain-Scala byte-level reference: the GPT-2-alphabet twin of
+    * [[referenceBpe]] — words are space-prefixed per doc position (every
+    * token but the doc's first), syms are per-UTF-8-byte alphabet chars.
+    */
+  private def referenceByteBpe(texts: Seq[String], numMerges: Int): Seq[(Int, String, String, String, Long)] = {
+    import org.apache.spark.sql.graft.ByteAlphabet
+    val wc = scala.collection.mutable.Map.empty[String, Long].withDefaultValue(0L)
+    texts.foreach { t =>
+      val toks = t.trim.toLowerCase.split("\\s+").filter(_.nonEmpty)
+      toks.zipWithIndex.foreach { case (w, i) => wc(if (i == 0) w else " " + w) += 1 }
+    }
+    var words: Map[String, Vector[String]] =
+      wc.keys.map(w => w -> ByteAlphabet.syms(w).toVector).toMap
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, String, Long)]
+    for (k <- 1 to numMerges) {
+      val stats = scala.collection.mutable.Map.empty[(String, String), Long].withDefaultValue(0L)
+      words.foreach { case (w, syms) =>
+        syms.sliding(2).filter(_.size == 2).foreach(p => stats((p(0), p(1))) += wc(w))
+      }
+      if (stats.nonEmpty) {
+        val ((l, r), n) = stats.minBy { case ((a, b), c) => (-c, a, b) }
+        out += ((k, l, r, l + r, n))
+        words = words.map { case (w, syms) =>
+          val nu = Vector.newBuilder[String]
+          var i = 0
+          while (i < syms.size) {
+            if (i + 1 < syms.size && syms(i) == l && syms(i + 1) == r) { nu += l + r; i += 2 }
+            else { nu += syms(i); i += 1 }
+          }
+          w -> nu.result()
+        }
+      }
+    }
+    out.toSeq
+  }
+
+  test("ByteAlphabet: total, reversible, and pinned to the GPT-2 table") {
+    import org.apache.spark.sql.graft.ByteAlphabet
+    // bijection over all 256 byte values
+    assert(ByteAlphabet.codepoints.distinct.length === 256)
+    // printable bytes keep their codepoint; excluded ranks are byte-ordered
+    assert(ByteAlphabet.codepoints(0x41) === 0x41) // 'A'
+    assert(ByteAlphabet.codepoints(0x20) === 0x120) // space -> 'Ġ'
+    assert(ByteAlphabet.codepoints(0x00) === 0x100)
+    assert(ByteAlphabet.codepoints(0xa9) === 0xa9) // '©' keeps itself
+    assert(ByteAlphabet.codepoints(0x7f) === 0x100 + 33) // first post-control rank
+    assert(ByteAlphabet.codepoints(0xad) === 0x100 + 67) // soft hyphen, last excluded
+    // round trip through multi-byte UTF-8: accents, CJK, emoji (4-byte)
+    for (s <- Seq("héllo wörld", "日本語テキスト", "mixed ascii + ñ", "🙂🙃", ""))
+      assert(ByteAlphabet.decode(ByteAlphabet.toAlpha(s)) === s)
+    // no alphabet char collides with the engine's sentinels or the space
+    // the trainer joins pair keys on
+    assert(!ByteAlphabet.codepoints.exists(cp => cp == 0x01 || cp == 0x02 || cp == 0x03 || cp == 0x20))
+  }
+
+  test("trainBpeMerges byteLevel: replays the byte-level reference loop on multilingual text") {
+    import spark.implicits._
+    val texts = Seq(
+      "schön schön schön grün grün über", // 2-byte UTF-8 sequences train
+      "日本語 日本語 日本 テキスト", // 3-byte CJK
+      "low low lower newest newest", // ASCII still works byte-wise
+      "  MIXED Case  mixed case ")
+    val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val got = TextAnalysis.trainBpeMerges(docs, "text", numMerges = 12, byteLevel = true)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getString(3), r.getLong(4)))
+      .sortBy(_._1).toSeq
+    val ref = referenceByteBpe(texts, 12)
+    assert(got === ref)
+    // the non-ASCII text actually participates: some learned symbol must
+    // contain a byte-char outside ASCII (ö = 0xc3 0xb6 -> 'Ã' '¶')
+    assert(got.exists(m => m._4.exists(_ > 0x7e)),
+      s"no non-ASCII byte-char in any merged symbol: ${got.map(_._4)}")
+    // determinism under repartition
+    val b = TextAnalysis.trainBpeMerges(docs.repartition(5), "text", 12, byteLevel = true)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getString(3), r.getLong(4)))
+      .sortBy(_._1).toSeq
+    assert(b === got)
+  }
+
+  test("bpeEncode byteLevel: kernel == rank-order replay, and subwords decode back byte-exactly") {
+    import spark.implicits._
+    import org.apache.spark.sql.graft.{BpeMergeAdjacent, ByteAlphabet, ByteSyms}
+    val texts = Seq(
+      "schön grün über schön",
+      "日本語 テキスト 日本",
+      "plain ascii words here",
+      "mixté açaí naïve café")
+    val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val merges = TextAnalysis.trainBpeMerges(docs, "text", numMerges = 14, byteLevel = true)
+    val mergeList = merges.collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2))).sortBy(_._1)
+    // rank-order sequential replay (the oracle's strategy), byte-mode start
+    // state: space-prefixed tokens by doc position, ByteSyms char arrays
+    val seqReplay = {
+      var syms = docs.select(col("doc_id"),
+        posexplode(graft.functions.tokens(col("text"))).as(Seq("pos", "tok")))
+        .withColumn("syms", ByteSyms(
+          when(col("pos") > 0, concat(lit(" "), col("tok"))).otherwise(col("tok"))))
+      for ((_, l, r) <- mergeList)
+        syms = syms.withColumn("syms", BpeMergeAdjacent(col("syms"), l, r))
+      syms.groupBy("doc_id")
+        .agg(flatten(collect_list(col("syms"))).as("subwords"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    }
+    val kernel = TextAnalysis.bpeEncode(docs, "doc_id", "text", merges, byteLevel = true)
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](2)).toMap
+    assert(kernel === seqReplay)
+    // the round trip the alphabet exists for: concatenated subwords decode
+    // to the space-joined (normalized) token stream, byte-exactly — no token
+    // is opaque in byte mode
+    for ((t, i) <- texts.zipWithIndex) {
+      val expected = t.trim.toLowerCase.split("\\s+").filter(_.nonEmpty).mkString(" ")
+      assert(ByteAlphabet.decode(kernel(i.toLong).mkString("")) === expected)
+    }
+    // empty + NULL docs keep the family shape
+    val edge = Seq((8L, " "), (9L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    val er = TextAnalysis.bpeEncode(edge, "doc_id", "text", merges, byteLevel = true)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(er === Map(8L -> 0, 9L -> 0))
   }
 
   test("decodeIds: round trip through tokenizeToIds — OOV marked, order kept, lengths survive") {

@@ -104,12 +104,16 @@ object Bench {
     // bench started elsewhere would otherwise "succeed" while the tracked
     // evidence file silently lands in the wrong directory. Resolution:
     // explicit SPARK_GRAFT_REPO_ROOT, else walk up from cwd to a .git
-    // marker, else complain loudly and skip the tracked copy.
+    // marker THAT IS THIS REPO (a bench launched from inside an unrelated
+    // checkout would otherwise drop the evidence file into that repo's
+    // root), else complain loudly and skip the tracked copy.
+    def isThisRepo(d: java.nio.file.Path): Boolean =
+      java.nio.file.Files.exists(d.resolve("src/main/scala/graft/Bench.scala"))
     val repoRoot: Option[java.nio.file.Path] =
       sys.env.get("SPARK_GRAFT_REPO_ROOT").map(java.nio.file.Paths.get(_)).orElse {
         Iterator.iterate(java.nio.file.Paths.get("").toAbsolutePath)(_.getParent)
           .takeWhile(_ != null)
-          .find(d => java.nio.file.Files.exists(d.resolve(".git")))
+          .find(d => java.nio.file.Files.exists(d.resolve(".git")) && isThisRepo(d))
       }
     val tracked = repoRoot match {
       case Some(r) => Seq(r.resolve("BENCH_full_latest.json").toString)

@@ -365,6 +365,48 @@ object SparkEntry {
         array_join(col("subwords"), " ").as("subwords_str"))
   }
 
+  /** Deterministic multilingualizer for the byte-level BPE rows: the fixture
+    * corpus is ASCII, so byte mode's whole point (multi-byte UTF-8 in the
+    * reversible GPT-2 alphabet) would go unexercised on the raw table. This
+    * is a pure function of (doc_id, text) the DuckDB oracle replays verbatim:
+    * every third doc gains 2-byte codepoints (a→ä, e→é via `translate`),
+    * every seventh a tail with 3-byte CJK and a 4-byte emoji — all four
+    * UTF-8 width branches of the alphabet participate in training AND
+    * encoding, not just the compiled code path.
+    */
+  private def multilingualDocs(s: SparkSession, dir: String): DataFrame = {
+    val base = when(col("doc_id") % 3 === 0, translate(col("text"), "ae", "äé"))
+      .otherwise(col("text"))
+    val mtext = when(col("doc_id") % 7 === 0, concat(base, lit(" 日本語 😀")))
+      .otherwise(base)
+    docs(s, dir).select(col("doc_id"), mtext.as("text"))
+  }
+
+  /** Byte-level BPE trainer (GPT-2 `bytes_to_unicode` alphabet): the first
+    * 12 merge ranks over the multilingualized corpus — every token trains
+    * (no ASCII-printable filter), inter-token spaces ride as leading Ġ
+    * byte-chars, and the oracle replays the byte→alphabet mapping as SQL
+    * CASE arithmetic over UTF-8 codepoints plus the same wrapped-symbol
+    * merge replay as `bpe_merges`.
+    */
+  private def bpeMergesBytes(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.trainBpeMerges(multilingualDocs(s, dir), "text",
+      numMerges = 12, byteLevel = true)
+
+  /** End-to-end byte-level subword tokenization: train 12 byte-mode merges,
+    * then byte-encode the same corpus. The space join is lossless in byte
+    * mode too — the alphabet excludes ASCII space by construction (it maps
+    * to Ġ), so no subword can contain the separator.
+    */
+  private def bpeEncodeBytesQ(s: SparkSession, dir: String): DataFrame = {
+    val merges = TextAnalysis.trainBpeMerges(multilingualDocs(s, dir), "text",
+      numMerges = 12, byteLevel = true)
+    TextAnalysis.bpeEncode(multilingualDocs(s, dir), "doc_id", "text", merges,
+      byteLevel = true)
+      .select(col("id").as("doc_id"), col("n_subwords"),
+        array_join(col("subwords"), " ").as("subwords_str"))
+  }
+
   /** Bigram-LM quality scores, self-trained on the corpus with the pair
     * table pruned at minCount=2 (exercises the 100 TB broadcast knob); all
     * fixed-point integer arithmetic, oracle replays it exactly.
@@ -1046,8 +1088,10 @@ object SparkEntry {
     "pack_sequences" -> (packSequences _),
     "ngram_stats" -> (ngramStats _),
     "bpe_merges" -> (bpeMerges _),
+    "bpe_merges_bytes" -> (bpeMergesBytes _),
     "lm_score" -> (lmScoreQ _),
     "bpe_encode" -> (bpeEncodeQ _),
+    "bpe_encode_bytes" -> (bpeEncodeBytesQ _),
     "pipeline_cluster_shard" -> (pipelineClusterShard _),
     "pipeline_text_pack" -> (pipelineTextPack _),
     "pipeline_quality_mix" -> (pipelineQualityMix _),
@@ -1194,8 +1238,71 @@ object SparkEntry {
     // non-overlapping replace() IS the greedy leftmost merge apply; per rank,
     // p_k counts adjacent pairs weighted by word frequency, m_k picks the
     // deterministic winner (max n, ties to (l, r) binary order), w_k rewrites.
-    def bpeTrainCtes(numMerges: Int): String = {
-      val parts = scala.collection.mutable.ArrayBuffer(
+    // byte-level replay pieces (ByteAlphabet.scala:26-41, the GPT-2
+    // bytes_to_unicode table): a byte value b maps to chr(b) when printable
+    // (0x21-0x7e, 0xa1-0xac, 0xae-0xff) and to chr(256 + rank-among-excluded)
+    // otherwise — ranks: 0x00-0x20 → 0-32, 0x7f-0xa0 → 33-66 (chr(162+b)),
+    // 0xad → 67 (chr(323))
+    def byteAlpha(b: String): String =
+      s"CASE WHEN ($b BETWEEN 33 AND 126) OR ($b BETWEEN 161 AND 172) " +
+        s"OR ($b >= 174 AND $b <= 255) THEN chr($b) " +
+        s"WHEN $b <= 32 THEN chr(256 + $b) WHEN $b = 173 THEN chr(323) " +
+        s"ELSE chr(162 + $b) END"
+    // UTF-8 encoder in SQL: a codepoint becomes its 1-4 bytes arithmetically,
+    // each byte through the alphabet — so list element i of the result is
+    // EXACTLY ByteAlphabet.syms' symbol for that byte
+    def utf8Alpha(cp: String): String = {
+      def lst(bs: Seq[String]) = bs.map(b => byteAlpha(s"($b)")).mkString("[", ", ", "]")
+      s"CASE WHEN $cp < 128 THEN [${byteAlpha(cp)}] " +
+        s"WHEN $cp < 2048 THEN ${lst(Seq(s"192 + $cp // 64", s"128 + $cp % 64"))} " +
+        s"WHEN $cp < 65536 THEN ${lst(Seq(s"224 + $cp // 4096",
+          s"128 + ($cp // 64) % 64", s"128 + $cp % 64"))} " +
+        s"ELSE ${lst(Seq(s"240 + $cp // 262144", s"128 + ($cp // 4096) % 64",
+          s"128 + ($cp // 64) % 64", s"128 + $cp % 64"))} END"
+    }
+    // a word as its wrapped byte-symbol string: every UTF-8 byte of every
+    // character, each chr(1)..chr(2)-wrapped alphabet char
+    def byteSymsSql(word: String): String =
+      s"""list_aggregate(list_transform(
+         |    flatten(list_transform(range(1, len($word) + 1),
+         |      i -> ${utf8Alpha(s"ord($word[i])")})),
+         |    c -> chr(1) || c || chr(2)), 'string_agg', '')""".stripMargin
+    // DuckDB inlines a CTE at EVERY reference site, and each BPE rank's
+    // w_k/d_k references its predecessor twice (pair count + rewrite) — so
+    // inlined evaluation duplicates the whole prefix per rank, 2^numMerges
+    // copies of the seed CTE (measured: ASCII 12-rank train 142 s at sf0.01;
+    // 0.2 s with MATERIALIZED, identical rows). Pin linear evaluation.
+    def materialize(ctes: String): String =
+      ctes.replaceAll("""(?m)^(\s*)(\w+) AS \(""", "$1$2 AS MATERIALIZED (")
+    // the multilingualized corpus (multilingualDocs' transform, replayed) +
+    // its token stream — inputs of the byte-mode BPE rows
+    val multiDocCtes =
+      """mdoc AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 7 = 0 THEN mb || ' 日本語 😀' ELSE mb END AS text
+        |  FROM (SELECT doc_id,
+        |      CASE WHEN doc_id % 3 = 0 THEN translate(text, 'ae', 'äé')
+        |           ELSE text END AS mb FROM documents)),
+        |tb AS (SELECT doc_id,
+        |  list_filter(string_split_regex(lower(trim(text)), '\s+'),
+        |    x -> len(x) > 0) AS toks FROM mdoc)""".stripMargin
+    def bpeTrainCtes(numMerges: Int, byteMode: Boolean = false): String = {
+      val parts =
+        if (byteMode)
+          // byte mode trains on EVERY token (no printable filter); a leading
+          // space byte (→ Ġ) marks every non-doc-initial token, and
+          // prefixed/unprefixed occurrences are distinct training words
+          scala.collection.mutable.ArrayBuffer(
+            """wcnt AS (
+              |  SELECT w AS word, count(*) AS cnt FROM (
+              |    SELECT CASE WHEN pos > 1 THEN ' ' || tok ELSE tok END AS w FROM (
+              |      SELECT unnest(toks) AS tok, generate_subscripts(toks, 1) AS pos
+              |      FROM tb))
+              |  GROUP BY w)""".stripMargin,
+            s"""w_0 AS (
+               |  SELECT cnt, ${byteSymsSql("word")} AS s
+               |  FROM wcnt)""".stripMargin)
+        else scala.collection.mutable.ArrayBuffer(
         """wcnt AS (
           |  SELECT w AS word, count(*) AS cnt FROM (
           |    SELECT unnest(list_filter(string_split_regex(lower(trim(text)), '\s+'),
@@ -1230,14 +1337,27 @@ object SparkEntry {
     // merge can reach inside), tokens join with chr(3) so a merge pattern
     // can never span a token boundary, then the trained merges apply once in
     // rank order via the same replace trick the trainer uses
-    def bpeEncodeCtes(numMerges: Int): String = {
-      val parts = scala.collection.mutable.ArrayBuffer(
+    def bpeEncodeCtes(numMerges: Int, byteMode: Boolean = false): String = {
+      val seed =
+        if (byteMode)
+          // byte mode: every token wraps per-BYTE (space-prefixed when not
+          // doc-initial — the kernel's t==0 rule); chr(3) still separates
+          // tokens so no merge pattern can span a boundary
+          s"""d_0 AS (SELECT doc_id, string_agg(ws, chr(3) ORDER BY pos) AS s FROM (
+             |  SELECT doc_id, pos, ${byteSymsSql("word")} AS ws
+             |  FROM (SELECT doc_id, pos,
+             |      CASE WHEN pos > 1 THEN ' ' || tok ELSE tok END AS word
+             |    FROM (SELECT doc_id, unnest(toks) AS tok,
+             |        generate_subscripts(toks, 1) AS pos FROM tb)))
+             |  GROUP BY doc_id)""".stripMargin
+        else
         """d_0 AS (SELECT doc_id, list_aggregate(list_transform(toks, tok ->
           |  CASE WHEN regexp_matches(tok, '^[!-~]+$')
           |    THEN list_aggregate(list_transform(range(1, len(tok) + 1),
           |      i -> chr(1) || tok[i] || chr(2)), 'string_agg', '')
           |    ELSE chr(1) || tok || chr(2) END), 'string_agg', chr(3)) AS s
-          |  FROM t WHERE len(toks) > 0)""".stripMargin)
+          |  FROM t WHERE len(toks) > 0)""".stripMargin
+      val parts = scala.collection.mutable.ArrayBuffer(seed)
       for (k <- 1 to numMerges)
         parts += s"""d_$k AS (SELECT doc_id, CASE WHEN m.l IS NULL THEN s ELSE
           |  replace(s, chr(1) || m.l || chr(2) || chr(1) || m.r || chr(2),
@@ -1706,11 +1826,20 @@ object SparkEntry {
            |SELECT ngram, count(*) AS n_occurrences, count(DISTINCT doc_id) AS n_docs
            |FROM g GROUP BY 1 ORDER BY n_occurrences DESC, ngram LIMIT 50""".stripMargin,
       "bpe_merges" ->
-        s"WITH ${bpeTrainCtes(12)}\n${bpeMergesSelect(12)}",
+        s"WITH ${materialize(bpeTrainCtes(12))}\n${bpeMergesSelect(12)}",
+      "bpe_merges_bytes" ->
+        s"WITH ${materialize(s"$multiDocCtes,\n${bpeTrainCtes(12, byteMode = true)}")}\n${bpeMergesSelect(12)}",
       "bpe_encode" ->
-        s"""WITH $toksCte,
+        s"""WITH ${materialize(s"""$toksCte,
            |${bpeTrainCtes(12)},
-           |${bpeEncodeCtes(12)}
+           |${bpeEncodeCtes(12)}""".stripMargin)}
+           |SELECT d.doc_id, CAST(coalesce(len(sw), 0) AS INT) AS n_subwords,
+           |  coalesce(array_to_string(sw, ' '), '') AS subwords_str
+           |FROM documents d LEFT JOIN enc USING (doc_id)""".stripMargin,
+      "bpe_encode_bytes" ->
+        s"""WITH ${materialize(s"""$multiDocCtes,
+           |${bpeTrainCtes(12, byteMode = true)},
+           |${bpeEncodeCtes(12, byteMode = true)}""".stripMargin)}
            |SELECT d.doc_id, CAST(coalesce(len(sw), 0) AS INT) AS n_subwords,
            |  coalesce(array_to_string(sw, ' '), '') AS subwords_str
            |FROM documents d LEFT JOIN enc USING (doc_id)""".stripMargin,

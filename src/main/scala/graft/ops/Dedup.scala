@@ -235,7 +235,22 @@ object Dedup {
   def connectedComponents(
       ids: DataFrame, // column: id
       pairs: DataFrame, // columns: a_id, b_id
-      maxIterations: Int = 20): DataFrame = {
+      maxIterations: Int = 20): DataFrame =
+    connectedComponentsReleasable(ids, pairs, maxIterations)._1
+
+  /** [[connectedComponents]] plus a storage-release hook. The returned plan
+    * permanently reads TWO localCheckpoints (the materialized edge list and
+    * the final labels), so a long-lived job that runs CC repeatedly would
+    * accumulate 2 persisted RDDs per invocation with no sanctioned way to
+    * reclaim them. Call `release()` ONCE, only after the result has fully
+    * materialized (collected / written / checkpointed onward) — checkpoint
+    * blocks cannot be recomputed, so any later action over the returned
+    * frame would fail.
+    */
+  def connectedComponentsReleasable(
+      ids: DataFrame, // column: id
+      pairs: DataFrame, // columns: a_id, b_id
+      maxIterations: Int = 20): (DataFrame, () => Unit) = {
     // checkpoint the pair list BEFORE mirroring it: pairs usually derive from
     // a whole detection pipeline (LSH + verify), and a union of two branches
     // over an unmaterialized plan executes that pipeline twice
@@ -283,8 +298,14 @@ object Dedup {
       i += 1
     }
     // singletons (no edges) are their own cluster
-    ids.join(labels, Seq("id"), "left")
+    val result = ids.join(labels, Seq("id"), "left")
       .select(col("id"), coalesce(col("cluster"), col("id")).as("cluster"))
+    val finalCkpt = prevCkpt
+    val release = () => {
+      org.apache.spark.sql.graft.CheckpointUtil.unpersist(p)
+      finalCkpt.foreach(org.apache.spark.sql.graft.CheckpointUtil.unpersist(_))
+    }
+    (result, release)
   }
 
   /** Deterministic random hyperplanes for sign-bucket LSH (seeded, so results

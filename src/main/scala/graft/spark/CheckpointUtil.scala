@@ -23,9 +23,16 @@ import org.apache.spark.sql.execution.LogicalRDD
   * be recomputed, so any later action over it would fail.
   */
 object CheckpointUtil {
-  def unpersist(ds: Dataset[_], blocking: Boolean = false): Unit =
-    ds.queryExecution.analyzed.foreach {
-      case l: LogicalRDD => l.rdd.unpersist(blocking)
-      case _ => ()
-    }
+  def unpersist(ds: Dataset[_], blocking: Boolean = false): Unit = {
+    val rdds = ds.queryExecution.analyzed.collect { case l: LogicalRDD => l.rdd }
+    // Exactly one checkpoint per handle, enforced: a plan joining TWO
+    // checkpointed frames would otherwise silently release both, leaving the
+    // other frame unrecomputable (localCheckpoint blocks can't be rebuilt).
+    // Misuse must fail fast, not corrupt an unrelated persisted frame.
+    require(rdds.size == 1,
+      s"CheckpointUtil.unpersist expects a plan holding exactly one " +
+        s"checkpointed RDD (a localCheckpoint handle or a pure projection " +
+        s"of one); found ${rdds.size} LogicalRDDs")
+    rdds.head.unpersist(blocking)
+  }
 }

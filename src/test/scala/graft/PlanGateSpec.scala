@@ -25,7 +25,8 @@ class PlanGateSpec extends SparkTestBase {
     */
   private val iterative = Set("dedup_minhash", "dedup_simhash", "dedup_clusters",
     "knn_ivf", "kmeans_clusters", "kmeans_sample_train", "bpe_merges",
-    "bpe_encode", "pipeline_cluster_shard", "pipeline_canonicalize",
+    "bpe_encode", "bpe_merges_bytes", "bpe_encode_bytes",
+    "pipeline_cluster_shard", "pipeline_canonicalize",
     // lmScore checkpoints its train tables eagerly while the DataFrame is
     // being BUILT (same machinery as lm_score, which carries a budget only
     // because its scored side stays un-checkpointed; here the bucketed

@@ -243,7 +243,7 @@ class DedupSpec extends SparkTestBase {
 
   /** Reference trigram-shingle set, mirroring tokens + shinglesFromTokens. */
   private def shingleSet(text: String): Set[String] = {
-    val toks = text.trim.toLowerCase.split("\\s+").filter(_.nonEmpty).toSeq
+    val toks = text.trim.toLowerCase(java.util.Locale.ROOT).split("\\s+").filter(_.nonEmpty).toSeq
     if (toks.isEmpty) Set.empty
     else if (toks.size >= 3) toks.sliding(3).map(_.mkString(" ")).toSet
     else Set(toks.mkString(" "))

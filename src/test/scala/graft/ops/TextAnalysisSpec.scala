@@ -315,7 +315,7 @@ class TextAnalysisSpec extends SparkTestBase {
     */
   private def referenceBpe(texts: Seq[String], numMerges: Int): Seq[(Int, String, String, String, Long)] = {
     val wc = scala.collection.mutable.Map.empty[String, Long].withDefaultValue(0L)
-    texts.foreach(_.trim.toLowerCase.split("\\s+").filter(_.nonEmpty)
+    texts.foreach(_.trim.toLowerCase(java.util.Locale.ROOT).split("\\s+").filter(_.nonEmpty)
       .filter(_.forall(ch => ch >= 0x21 && ch <= 0x7e)).foreach(w => wc(w) += 1))
     var words: Map[String, Vector[String]] = wc.keys.map(w => w -> w.map(_.toString).toVector).toMap
     val out = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, String, Long)]
@@ -460,7 +460,7 @@ class TextAnalysisSpec extends SparkTestBase {
     import org.apache.spark.sql.graft.ByteAlphabet
     val wc = scala.collection.mutable.Map.empty[String, Long].withDefaultValue(0L)
     texts.foreach { t =>
-      val toks = t.trim.toLowerCase.split("\\s+").filter(_.nonEmpty)
+      val toks = t.trim.toLowerCase(java.util.Locale.ROOT).split("\\s+").filter(_.nonEmpty)
       toks.zipWithIndex.foreach { case (w, i) => wc(if (i == 0) w else " " + w) += 1 }
     }
     var words: Map[String, Vector[String]] =
@@ -563,7 +563,7 @@ class TextAnalysisSpec extends SparkTestBase {
     // to the space-joined (normalized) token stream, byte-exactly — no token
     // is opaque in byte mode
     for ((t, i) <- texts.zipWithIndex) {
-      val expected = t.trim.toLowerCase.split("\\s+").filter(_.nonEmpty).mkString(" ")
+      val expected = t.trim.toLowerCase(java.util.Locale.ROOT).split("\\s+").filter(_.nonEmpty).mkString(" ")
       assert(ByteAlphabet.decode(kernel(i.toLong).mkString("")) === expected)
     }
     // empty + NULL docs keep the family shape
@@ -603,7 +603,7 @@ class TextAnalysisSpec extends SparkTestBase {
       .collect().map(r => (r.getString(0), r.getLong(1)) -> ((r.getInt(2), r.getLong(3)))).toMap
     // replica in plain Scala, BigInt for the decimal(38) lane
     val toks = corpus.map { case (id, t) =>
-      id -> t.trim.toLowerCase.split("\\s+").filter(_.nonEmpty).toSeq }.toMap
+      id -> t.trim.toLowerCase(java.util.Locale.ROOT).split("\\s+").filter(_.nonEmpty).toSeq }.toMap
     val n = corpus.size.toLong
     val l = toks.values.map(_.size.toLong).sum
     val dfm = toks.values.flatMap(_.distinct).groupBy(identity).view.mapValues(_.size.toLong).toMap

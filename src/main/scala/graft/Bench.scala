@@ -115,7 +115,19 @@ object Bench {
           .takeWhile(_ != null)
           .find(d => java.nio.file.Files.exists(d.resolve(".git")) && isThisRepo(d))
       }
+    // Local-iteration runs must never clobber the tracked full-run evidence:
+    // round 10 committed an 11-query SPARK_GRAFT_QUERIES partial over the
+    // 95-query map, leaving the repo with no tracked full per-query run.
+    // Two tells identify a local run: an explicit query subset, or an
+    // explicit SPARK_GRAFT_BENCH_OUT redirect (the driver sets neither —
+    // its bench_out.json lands at the default path).
     val tracked = repoRoot match {
+      case _ if only.isDefined || sys.env.contains("SPARK_GRAFT_BENCH_OUT") =>
+        System.err.println(
+          "bench: local run (SPARK_GRAFT_QUERIES or SPARK_GRAFT_BENCH_OUT " +
+            "set) — NOT overwriting the tracked BENCH_full_latest.json " +
+            "full-run evidence file")
+        Seq.empty
       case Some(r) => Seq(r.resolve("BENCH_full_latest.json").toString)
       case None =>
         System.err.println(

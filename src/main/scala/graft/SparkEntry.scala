@@ -523,6 +523,72 @@ object SparkEntry {
       .select(col("id").as("doc_id"), col("text_kept"),
         col("n_segments"), col("n_kept"))
 
+  /** 30-token run planted by [[docsWithPlantedRuns]] — fixed content, no
+    * punctuation, already lowercase so the planted text IS its token stream.
+    */
+  private val PlantedRun: String =
+    "the quick brown fox jumps over the lazy dog while ninety nine red " +
+      "balloons drift across the harbor and the band plays on through the " +
+      "long hot summer night again"
+
+  /** documents with the fixed [[PlantedRun]] appended to every 4th doc
+    * behind a VARYING pad-token prefix (doc_id % 5 pads) — cross-doc
+    * duplicate substrings at arbitrary token offsets, deliberately
+    * straddling any 12-token segment alignment: the case the segment
+    * family (rows 96/100/111) cannot catch and sliding-window dedup
+    * exists for. NULL text stays NULL (concat propagates), matching the
+    * DuckDB `||` twin.
+    */
+  private def docsWithPlantedRuns(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir).select(col("doc_id"),
+      when(col("doc_id") % 4 === 0,
+        concat(col("text"), lit(" "),
+          array_join(array_repeat(lit("pad"), (col("doc_id") % 5).cast("int")), " "),
+          lit(" "), lit(PlantedRun)))
+        .otherwise(col("text")).as("text"))
+
+  /** Deterministic synthetic URL per doc — documents carry no url column, so
+    * derive one: the host cycles `doc_id % 7` over a fixed table spanning a
+    * two-label public suffix (example.co.uk behind two subdomains), an
+    * unknown TLD earmarked for the blocklist (spam.test, two subdomains),
+    * a shared .org registrable domain, and a plain .net host; the DuckDB
+    * twin replays the same list-index pick.
+    */
+  private val UrlHosts: Seq[String] = Seq(
+    "news.example.co.uk", "blog.example.co.uk", "www.spam.test",
+    "cdn.spam.test", "a.example.org", "b.example.org", "docs.sample.net")
+
+  private def docsWithUrls(s: SparkSession, dir: String): DataFrame = {
+    val host = element_at(array(UrlHosts.map(lit): _*),
+      (col("doc_id") % 7).cast("int") + 1)
+    docs(s, dir).select(col("doc_id"), col("source"),
+      concat(lit("https://"), host, lit("/"), col("source"), lit("/"),
+        col("doc_id")).as("url"))
+  }
+
+  /** Per-domain curation: registrable-domain extraction → blocklist
+    * (spam.test) → deterministic 40-per-domain cap.
+    */
+  private def domainCapsQuery(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val blocked = Seq("spam.test").toDF("value")
+    ops.Url.domainCaps(docsWithUrls(s, dir), "url", "doc_id",
+        maxPerDomain = 40, blockedDomains = blocked)
+      .select("doc_id", "domain", "source")
+  }
+
+  /** Lee-et-al exact substring-window dedup over the planted corpus:
+    * 12-token windows at stride 6 slide over the raw token stream, corpus-
+    * wide first occurrence of each distinct window survives, docs reassemble
+    * from covered tokens. Catches both the planted runs AND the corpus's
+    * organic near-dup token runs, at any offset.
+    */
+  private def dedupWindowsQuery(s: SparkSession, dir: String): DataFrame =
+    Dedup.dedupWindows(docsWithPlantedRuns(s, dir), "doc_id", "text",
+        windowTokens = 12, stride = 6)
+      .select(col("id").as("doc_id"), col("text_dedup"),
+        col("n_tokens"), col("n_kept"))
+
   /** End-to-end corpus cleaning: quality-filter then exact-dedup, the
     * composition a training-data pipeline actually runs. Output = surviving
     * canonical docs with their quality score. `qualityScore` carries the text
@@ -1115,6 +1181,8 @@ object SparkEntry {
     "dedup_against" -> (dedupAgainstSnapshot _),
     "dedup_segments" -> (dedupSegmentsQuery _),
     "dedup_within_doc" -> (dedupWithinDocQuery _),
+    "dedup_windows" -> (dedupWindowsQuery _),
+    "domain_caps" -> (domainCapsQuery _),
     "strip_boilerplate" -> (stripBoilerplateQuery _),
     "rare_token_stats" -> (rareTokens _),
     "asof_join" -> (asofJoinQuery _),
@@ -2059,6 +2127,42 @@ object SparkEntry {
         """SELECT doc_id, lang, source FROM documents
           |WHERE lower(trim(text)) NOT IN
           |  (SELECT lower(trim(text)) FROM documents WHERE doc_id % 3 = 0)""".stripMargin,
+      // substring-window dedup: plant the fixed run behind varying pad
+      // offsets, slide 12-token windows at stride 6 (+ tail window), keep
+      // the corpus-wide first occurrence of each distinct window content
+      // (row_number over (doc_id, p)), expand surviving (start, len)
+      // intervals to covered token indices, reassemble
+      "dedup_windows" ->
+        (s"""WITH d AS (SELECT doc_id,
+           |  CASE WHEN doc_id % 4 = 0 THEN text || ' ' ||
+           |    repeat('pad ', CAST(doc_id % 5 AS INT)) || ' $PlantedRun'
+           |  ELSE text END AS text FROM documents),
+           |wt AS (SELECT doc_id,
+           |""".stripMargin +
+          """  list_filter(string_split_regex(lower(trim(text)), '\s+'),
+           |    x -> len(x) > 0) AS toks FROM d),
+           |sz AS (SELECT doc_id, toks, coalesce(len(toks), 0) AS n FROM wt),
+           |st AS (SELECT doc_id, n, unnest(
+           |  CASE WHEN n = 0 THEN CAST([] AS BIGINT[])
+           |       WHEN n <= 12 THEN [CAST(0 AS BIGINT)]
+           |       ELSE list_distinct(list_append(range(0, n - 11, 6),
+           |         CAST(n - 12 AS BIGINT))) END) AS p FROM sz),
+           |w AS (SELECT st.doc_id, st.p, least(12, st.n) AS wlen,
+           |  array_to_string(sz.toks[st.p + 1 : st.p + least(12, st.n)], ' ') AS wtext
+           |  FROM st JOIN sz USING (doc_id)),
+           |rn AS (SELECT doc_id, p, wlen,
+           |  row_number() OVER (PARTITION BY wtext ORDER BY doc_id, p) AS rn FROM w),
+           |alive AS (SELECT doc_id, p, wlen FROM rn WHERE rn = 1),
+           |iv AS (SELECT doc_id, unnest(range(p, p + wlen)) AS i FROM alive),
+           |ki AS (SELECT DISTINCT doc_id, i FROM iv),
+           |kept AS (SELECT ki.doc_id, ki.i, sz.toks[CAST(ki.i AS INT) + 1] AS tok
+           |  FROM ki JOIN sz USING (doc_id)),
+           |agg AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY i) AS text_dedup,
+           |  count(*) AS n_kept FROM kept GROUP BY doc_id)
+           |SELECT sz.doc_id, coalesce(agg.text_dedup, '') AS text_dedup,
+           |  CAST(sz.n AS BIGINT) AS n_tokens,
+           |  CAST(coalesce(agg.n_kept, 0) AS BIGINT) AS n_kept
+           |FROM sz LEFT JOIN agg USING (doc_id)""".stripMargin),
       // segment dedup: identical 12-token segments built from token
       // positions; first occurrence = row_number() over (doc_id, pos)
       "dedup_segments" ->
@@ -2151,6 +2255,30 @@ object SparkEntry {
           |  CAST(row_number() OVER (PARTITION BY shard ORDER BY dg, doc_id) - 1 AS BIGINT)
           |    AS position
           |FROM s""".stripMargin,
+      // domain curation: same synthetic host pick, registrable-domain rule
+      // replayed over labels (last-2, or last-3 behind a two-label public
+      // suffix), blocklist drop, then the 40-smallest-md5-digest cap per
+      // domain (the cap_per_group replay, keyed on domain)
+      "domain_caps" ->
+        """WITH u AS (SELECT doc_id, source,
+          |  ['news.example.co.uk','blog.example.co.uk','www.spam.test',
+          |   'cdn.spam.test','a.example.org','b.example.org',
+          |   'docs.sample.net'][CAST(doc_id % 7 AS INT) + 1] AS host
+          |  FROM documents),
+          |d AS (SELECT doc_id, source,
+          |  CASE WHEN len(string_split(host, '.')) <= 2 THEN host
+          |       WHEN array_to_string(string_split(host, '.')[-2:], '.')
+          |         IN ('co.uk','org.uk','gov.uk','ac.uk','com.au','co.jp')
+          |         THEN array_to_string(string_split(host, '.')[-3:], '.')
+          |       ELSE array_to_string(string_split(host, '.')[-2:], '.')
+          |  END AS domain FROM u),
+          |a AS (SELECT * FROM d WHERE domain <> 'spam.test')
+          |SELECT doc_id, domain, source FROM (
+          |  SELECT doc_id, domain, source,
+          |    row_number() OVER (PARTITION BY domain
+          |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+          |  FROM a)
+          |WHERE rn <= 40""".stripMargin,
       // exact deterministic cap: the kept set is the 37 smallest md5
       // digests per language — row_number over the same (digest, key) order
       "cap_per_group" ->

@@ -532,6 +532,95 @@ object Dedup {
         coalesce(col("n_kept"), lit(0L)).as("n_kept"))
   }
 
+  /** Exact substring-window dedup — the Lee et al. ("Deduplicating Training
+    * Data Makes Language Models Better") exact-substring cleaner, working
+    * BELOW segment granularity where the segment family (dedupSegments /
+    * stripBoilerplate / dedupWithinDoc) stops: duplicated token runs at
+    * ARBITRARY offsets — straddling line breaks, sentence boundaries, any
+    * delimiter — are caught because windows slide over the raw token stream
+    * and never see delimiters at all.
+    *
+    * Semantics (exact, corpus-deterministic):
+    *  - tokens = lowercased whitespace tokens (the shared [[graft.functions.tokens]]);
+    *  - window starts at every multiple of `stride` with `windowTokens`
+    *    tokens remaining, PLUS a tail window at `n - windowTokens` so every
+    *    token is covered by >=1 window; a doc shorter than `windowTokens`
+    *    contributes one whole-doc window (it still participates in dedup);
+    *  - for each DISTINCT window token-sequence the corpus-wide first
+    *    occurrence survives (first = min (id, start), a total order, so the
+    *    result is a pure function of the corpus — partitioning-independent);
+    *  - a token survives iff covered by >=1 surviving window; each doc is
+    *    reassembled from its surviving tokens in original order (joined with
+    *    single spaces — window dedup is a token-stream operator, so output
+    *    whitespace is normalized by construction).
+    * Output: (id, `text_dedup`, `n_tokens`, `n_kept`); a fully-duplicated
+    * doc keeps an empty string, never disappears.
+    *
+    * Shape at 100 TB: windows explode once into NARROW rows — (id, start,
+    * len, 32-byte digest); window TEXT is digested in-row and never shuffles
+    * at all, let alone as a key (the segment-family discipline, tightened).
+    * The first-occurrence arg-min groups on the digest with map-side partial
+    * `min(struct)` — a window repeated a billion times (boilerplate IS the
+    * skew case) still aggregates per-partition. Survivor intervals re-group
+    * per doc (narrow (start, len) pairs, ~n/stride per doc), and reassembly
+    * expands intervals to covered indices via sequence+flatten+distinct —
+    * O(n · windowTokens/stride) per doc, linear for a fixed overlap factor,
+    * all inside one codegen'd projection. The token arrays are rebuilt from
+    * the original df at the final join rather than checkpointed through the
+    * pipeline — tokenization is CPU-cheap; materializing the tokenized
+    * corpus would be a second copy of the data.
+    */
+  def dedupWindows(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      windowTokens: Int = 50,
+      stride: Int = 25): DataFrame = {
+    require(windowTokens >= 1, "windowTokens must be >= 1")
+    require(stride >= 1 && stride <= windowTokens,
+      "stride must be in [1, windowTokens] — a stride beyond the window " +
+        "length leaves tokens covered by no window, which silently deletes them")
+    val k = windowTokens
+    val toksCol = coalesce(tokens(col(textCol)), array().cast("array<string>"))
+    val base = df.select(col(idCol).as("id"), toksCol.as("_toks"))
+      .withColumn("_n", size(col("_toks")))
+    val starts = when(col("_n") === 0, array().cast("array<int>"))
+      .when(col("_n") <= k, array(lit(0)))
+      .otherwise(array_union(
+        sequence(lit(0), col("_n") - k, lit(stride)),
+        array(col("_n") - k)))
+    // lazily checkpointed: the narrow window table feeds BOTH the arg-min
+    // and the survivor probe — without it the tokenize+explode+sha2 pass
+    // runs twice (same discipline as dedupSegments' segment table; local
+    // blocks, spills to executor disk at scale)
+    val wins = base
+      .select(col("id"), col("_toks"), col("_n"), explode(starts).as("p"))
+      .select(col("id"), col("p"),
+        least(lit(k), col("_n")).as("len"),
+        unhex(sha2(
+          array_join(slice(col("_toks"), col("p") + 1, least(lit(k), col("_n"))), " ")
+            .cast("binary"), 256)).as("_d"))
+      .localCheckpoint(false)
+    val firsts = wins.groupBy(col("_d"))
+      .agg(min(struct(col("id"), col("p"))).as("_first"))
+    val alive = wins.join(firsts, Seq("_d"))
+      .filter(col("id") === col("_first.id") && col("p") === col("_first.p"))
+      .groupBy(col("id"))
+      .agg(collect_list(struct(col("p"), col("len"))).as("_ivs"))
+    val keptIdx = when(col("_ivs").isNull, array().cast("array<int>"))
+      .otherwise(array_sort(array_distinct(flatten(transform(col("_ivs"),
+        iv => sequence(iv.getField("p"), iv.getField("p") + iv.getField("len") - 1))))))
+    base.join(alive, Seq("id"), "left")
+      .select(col("id"), col("_toks"), col("_n"), keptIdx.as("_kept"))
+      .select(
+        col("id"),
+        coalesce(
+          array_join(transform(col("_kept"), i => element_at(col("_toks"), i + 1)), " "),
+          lit("")).as("text_dedup"),
+        col("_n").cast("long").as("n_tokens"),
+        coalesce(size(col("_kept")), lit(0)).cast("long").as("n_kept"))
+  }
+
   /** Benchmark decontamination: flag corpus documents that share any word
     * n-gram with a benchmark/eval set — the standard "did the training data
     * leak the test set" check. Returns (id, n_hit_grams, n_grams) for

@@ -1,0 +1,90 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** URL/domain operators for crawl curation — every web-scale pipeline groups
+  * by registrable domain before anything else (per-domain caps, domain
+  * blocklists, domain mixing weights), and the grouping key is NOT the raw
+  * host: `news.example.co.uk` and `blog.example.co.uk` are the same publisher
+  * (`example.co.uk`), while `a.github.io` and `b.github.io` are different
+  * ones. Reference analogue: the feast-ibm source surface has no URL ops
+  * (feature stores key on entities); this family exists for the
+  * training-data side of the engine, next to the dedup/sampling operators
+  * it composes with.
+  */
+object Url {
+
+  /** Two-label public suffixes recognized by [[registrableDomain]]'s default
+    * rule. The real public-suffix list is a DATA FILE (thousands of entries,
+    * revised continuously), not an algorithm — a production deployment
+    * passes its own current list; this default covers the common ccTLD
+    * second-level registries so the default behavior is sane, documented,
+    * and deterministic.
+    */
+  val DefaultTwoLabelSuffixes: Seq[String] = Seq(
+    "co.uk", "org.uk", "gov.uk", "ac.uk", "com.au", "net.au", "org.au",
+    "co.jp", "or.jp", "ne.jp", "co.kr", "co.in", "co.za", "com.br",
+    "com.mx", "com.ar", "com.cn", "com.tw", "com.sg", "com.tr")
+
+  /** Registrable domain of a URL column — the PSL rule over a caller-supplied
+    * two-label-suffix set: host = `parse_url(url, HOST)` lowercased; a host
+    * of ≤ 2 labels is its own registrable domain; otherwise the last THREE
+    * labels when the last two form a known public suffix (`example.co.uk`),
+    * else the last TWO (`example.com`, and unknown TLDs fall back the same
+    * way — the PSL "*" default). NULL/unparseable URLs yield NULL, which the
+    * downstream cap/blocklist operators already treat as a real group or
+    * drop explicitly — never a fabricated domain.
+    *
+    * Shape at 100 TB: a pure scan-speed projection — `parse_url` +
+    * `split` + a literal `isin` compiled into codegen; no UDF, no join, no
+    * broadcast. The suffix set rides in the PLAN as literals, which is why
+    * the parameter is a small curated list (20–200 entries), not the full
+    * 10k-entry PSL — at that size pass the suffixes as a broadcast-joined
+    * table instead; the default keeps the hot path join-free.
+    */
+  def registrableDomain(
+      url: Column,
+      twoLabelSuffixes: Seq[String] = DefaultTwoLabelSuffixes): Column = {
+    val host = lower(parse_url(url, lit("HOST")))
+    val labels = split(host, "\\.")
+    val last2 = concat_ws(".", element_at(labels, -2), element_at(labels, -1))
+    val last3 = concat_ws(".", element_at(labels, -3), last2)
+    when(host.isNull, lit(null).cast("string"))
+      .when(size(labels) <= 2, host)
+      .when(last2.isin(twoLabelSuffixes: _*), last3)
+      .otherwise(last2)
+  }
+
+  /** The per-domain curation pipeline every crawl corpus runs before
+    * training: annotate each row with its registrable domain, drop blocked
+    * domains, and cap every surviving domain at `maxPerDomain` rows — the
+    * deterministic digest-order cap, so the kept set is a pure function of
+    * (key set, cap), reproducible across runs and engines. Output = the
+    * input columns plus `domain`. Rows with a NULL domain (unparseable URL)
+    * are dropped explicitly — a crawl row without a parseable URL has no
+    * place in a per-domain budget (the cap itself would otherwise treat
+    * NULL as one more real group, its null-safe-join policy).
+    *
+    * Shape at 100 TB: domain extraction is scan-speed ([[registrableDomain]]);
+    * the blocklist is a BROADCAST anti join (curated lists are thousands of
+    * entries — [[Sampling.filterBlocklist]]); the cap is the two-phase
+    * bucket-offset machinery of [[Sampling.capPerGroup]] — one full-row
+    * shuffle on (domain, digest-bucket), no task ever sorts a whole domain,
+    * which matters precisely because crawl domains are the canonical skew
+    * case (one domain can be 1% of the corpus).
+    */
+  def domainCaps(
+      df: DataFrame,
+      urlCol: String,
+      keyCol: String,
+      maxPerDomain: Int,
+      blockedDomains: DataFrame,
+      twoLabelSuffixes: Seq[String] = DefaultTwoLabelSuffixes): DataFrame = {
+    val withDomain = df.withColumn("domain",
+      registrableDomain(col(urlCol), twoLabelSuffixes))
+      .filter(col("domain").isNotNull)
+    val allowed = Sampling.filterBlocklist(withDomain, "domain", blockedDomains)
+    Sampling.capPerGroup(allowed, "domain", keyCol, maxPerDomain)
+  }
+}

@@ -52,6 +52,12 @@ class PlanGateSpec extends SparkTestBase {
     // on the digest, per-doc reassembly); the winners join broadcasts at
     // bench SF and becomes a co-partitioned shuffle join at scale
     "dedup_segments" -> 2,
+    // substring-window dedup: same two aggregation shuffles as the segment
+    // family (first-occurrence arg-min on the window digest, per-doc
+    // survivor-interval collect); the survivor join broadcasts at gate SF
+    // and becomes a co-partitioned digest join at scale; the narrow window
+    // table is checkpointed (the dedup_segments convention)
+    "dedup_windows" -> 2,
     // boilerplate strip: distinct (digest, doc) + per-digest count + per-doc
     // reassembly; the boilerplate anti join broadcasts at this SF/threshold
     // but is broadcast-OR-shuffle by the set's actual size (maxDocFreq = 1
@@ -101,6 +107,9 @@ class PlanGateSpec extends SparkTestBase {
     // same two-phase machinery as shard_layout: corpus join exchange +
     // counts partial→final + per-group cumulative window re-partition
     "cap_per_group" -> 4,
+    // domain extraction is scan-speed and the blocklist anti join
+    // broadcasts; the 4 are capPerGroup's documented two-phase machinery
+    "domain_caps" -> 4,
     "source_csv_roundtrip" -> 0,
     "source_field_mapping" -> 0,
     "source_json_roundtrip" -> 0,

@@ -194,6 +194,59 @@ class DedupSpec extends SparkTestBase {
     assert(again === out)
   }
 
+  test("dedupWindows: cross-doc runs at shifted offsets die; first carrier keeps all") {
+    // k=4, s=2: doc 2 embeds doc 1's entire 8-token run two tokens in —
+    // an offset no segment delimiter alignment would catch
+    val docs = docsDf(
+      (1L, "a b c d e f g h"),
+      (2L, "x y a b c d e f g h z"),
+      (3L, "a b c d e f g h"), // full duplicate of doc 1 -> empties out
+      (4L, null.asInstanceOf[String]),
+      (5L, "")) // no tokens at all
+    val out = Dedup.dedupWindows(docs, "doc_id", "text", windowTokens = 4, stride = 2)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(out(1L) === (("a b c d e f g h", 8L, 8L)))
+    // doc 2's windows over the shared run ([a b c d], [c d e f], [e f g h])
+    // die to doc 1; survivors [x y a b] and the tail [f g h z] cover
+    // indices 0-3 and 7-10 — c d e (covered only by dead windows) drop
+    assert(out(2L) === (("x y a b f g h z", 11L, 8L)))
+    assert(out(3L) === (("", 8L, 0L))) // fully deduplicated, never disappears
+    assert(out(4L) === (("", 0L, 0L)))
+    assert(out(5L) === (("", 0L, 0L)))
+    // determinism under a different partitioning (arg-min is a total order)
+    val again = Dedup.dedupWindows(docs.repartition(7), "doc_id", "text",
+        windowTokens = 4, stride = 2)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(again === out)
+  }
+
+  test("dedupWindows: tail window covers every token; short docs dedup whole-doc") {
+    val docs = docsDf(
+      (1L, "t1 t2 t3 t4 t5 t6 t7"), // n=7, k=4, s=3: starts 0, 3 + tail 3 — all covered
+      (2L, "q r"),  // shorter than the window -> one whole-doc window
+      (3L, "q r"))  // duplicate short doc -> empties out
+    val out = Dedup.dedupWindows(docs, "doc_id", "text", windowTokens = 4, stride = 3)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    // a doc with NO duplicated windows must reassemble losslessly even when
+    // n is not a multiple of the stride (the tail window closes the gap)
+    assert(out(1L) === (("t1 t2 t3 t4 t5 t6 t7", 7L, 7L)))
+    assert(out(2L) === (("q r", 2L, 2L)))
+    assert(out(3L) === (("", 2L, 0L)))
+  }
+
+  test("dedupWindows: rejects a stride that would leave tokens uncovered") {
+    val docs = docsDf((1L, "a b c"))
+    intercept[IllegalArgumentException] {
+      Dedup.dedupWindows(docs, "doc_id", "text", windowTokens = 4, stride = 5)
+    }
+    intercept[IllegalArgumentException] {
+      Dedup.dedupWindows(docs, "doc_id", "text", windowTokens = 0, stride = 1)
+    }
+  }
+
   test("exact: multi-column content keeps column boundaries and NULL identity") {
     import spark.implicits._
     val df = Seq(

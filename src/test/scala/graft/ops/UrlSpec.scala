@@ -1,0 +1,75 @@
+package graft.ops
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+class UrlSpec extends SparkTestBase {
+
+  private def domainsOf(urls: (Long, String)*): Map[Long, Option[String]] = {
+    import spark.implicits._
+    urls.toSeq.toDF("id", "url")
+      .select(col("id"), Url.registrableDomain(col("url")).as("d"))
+      .collect().map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+  }
+
+  test("registrableDomain: PSL rule over hosts — suffixes, unknown TLDs, case, nulls") {
+    val out = domainsOf(
+      (1L, "https://news.example.co.uk/a/b"),      // two-label suffix -> 3 labels
+      (2L, "https://blog.example.co.uk/x"),        // same publisher, other subdomain
+      (3L, "http://www.example.com/path?q=1"),     // generic TLD -> last 2
+      (4L, "https://example.com"),                 // bare registrable host
+      (5L, "https://a.b.deep.spam.test/"),         // unknown TLD -> last-2 fallback
+      (6L, "https://LOCALHOST:8080/x"),            // single label, port, case
+      (7L, "https://HTTPS.Example.CO.UK/Y"),       // case-normalized before labels
+      (8L, null.asInstanceOf[String]))             // null url -> null domain
+    assert(out(1L) === Some("example.co.uk"))
+    assert(out(2L) === Some("example.co.uk"))
+    assert(out(3L) === Some("example.com"))
+    assert(out(4L) === Some("example.com"))
+    assert(out(5L) === Some("spam.test"))
+    assert(out(6L) === Some("localhost"))
+    assert(out(7L) === Some("example.co.uk"))
+    assert(out(8L) === None)
+  }
+
+  test("registrableDomain: caller-supplied suffix set replaces the default") {
+    import spark.implicits._
+    val df = Seq((1L, "https://a.example.github.io/p")).toDF("id", "url")
+    val custom = df.select(
+      Url.registrableDomain(col("url"), Seq("github.io")).as("d")).head.getString(0)
+    val default = df.select(
+      Url.registrableDomain(col("url")).as("d")).head.getString(0)
+    assert(custom === "example.github.io") // github.io is a public suffix here
+    assert(default === "github.io")        // ...but not in the default set
+  }
+
+  test("domainCaps: blocklist drops the domain, caps bind per domain, output deterministic") {
+    import spark.implicits._
+    // 6 docs on example.org (via two subdomains), 4 on spam.test, 2 on one.net
+    val rows = (0L until 6L).map(i =>
+        (i, s"https://${if (i % 2 == 0) "a" else "b"}.example.org/$i")) ++
+      (10L until 14L).map(i => (i, s"https://x.spam.test/$i")) ++
+      Seq((20L, "https://one.net/a"), (21L, "https://one.net/b"), (30L, null.asInstanceOf[String]))
+    val df = rows.toDF("doc_id", "url")
+    val blocked = Seq("spam.test").toDF("value")
+    val out = Url.domainCaps(df, "url", "doc_id", maxPerDomain = 4, blocked)
+      .select("doc_id", "domain").collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    val byDomain = out.groupBy(_._2).view.mapValues(_.map(_._1).toSet).toMap
+    assert(!byDomain.contains("spam.test"))          // blocklisted
+    assert(byDomain("example.org").size === 4)       // capped from 6
+    assert(byDomain("one.net") === Set(20L, 21L))    // under the cap, all kept
+    assert(!out.exists(_._1 == 30L))                 // null url dropped
+    // kept set is the 4 smallest md5(doc_id) digests — a pure function of
+    // the key set: recompute expected survivors in plain Scala
+    def md5hex(s: String): String = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val expected = (0L until 6L).sortBy(i => (md5hex(i.toString), i)).take(4).toSet
+    assert(byDomain("example.org") === expected)
+    // determinism under a different partitioning
+    val again = Url.domainCaps(df.repartition(5), "url", "doc_id",
+        maxPerDomain = 4, blocked)
+      .select("doc_id", "domain").collect().map(r => r.getLong(0) -> r.getString(1))
+    assert(again.toSet === out.toSet)
+  }
+}

@@ -456,6 +456,20 @@ object SparkEntry {
     Multimodal.imageStats(s,
       Multimodal.synthesizeImages(s, docs(s, dir).select("doc_id"), "doc_id"))
 
+  /** Real WAV encode→decode roundtrip over the closed-form synthetic
+    * signals, with every 10th payload TRUNCATED to 20 bytes (shorter than a
+    * RIFF header — undecodable by construction): corrupt rows must drop,
+    * decoded rows must match the generator arithmetic the oracle replays.
+    */
+  private def audioStats(s: SparkSession, dir: String): DataFrame = {
+    val media = Multimodal
+      .synthesizeAudio(s, docs(s, dir).select("doc_id"), "doc_id")
+      .withColumn("payload",
+        when(col("item_id") % 10 === 0, expr("substring(payload, 1, 20)"))
+          .otherwise(col("payload")))
+    Multimodal.audioStats(s, media)
+  }
+
   /** events with value scaled to an exact integer (1e4 fixed-point) so sums
     * are shuffle-order- and engine-independent.
     */
@@ -1163,6 +1177,7 @@ object SparkEntry {
     "pipeline_quality_mix" -> (pipelineQualityMix _),
     "multimodal_meta" -> (multimodalMeta _),
     "image_stats" -> (imageStats _),
+    "audio_stats" -> (audioStats _),
     "events_json_extract" -> (eventsJsonExtract _),
     "events_windowed" -> (eventsWindowed _),
     "events_sessions" -> (eventsSessions _),
@@ -2010,6 +2025,23 @@ object SparkEntry {
           |  CAST(sum((3 * x + 5 * y + 2 * doc_id) % 256) AS BIGINT) AS sum_g,
           |  CAST(sum((11 * x + 17 * y + 3 * doc_id) % 256) AS BIGINT) AS sum_b
           |FROM px GROUP BY 1, 2, 3""".stripMargin,
+      // the decoded-sample stats of a REAL WAV encode→decode roundtrip,
+      // recomputed from the closed-form integer signal (WAV PCM16 is
+      // lossless, so decoded samples must equal the generator arithmetic);
+      // every 10th payload is truncated below header size and must be
+      // absent — the corrupt-drop contract in the oracle itself
+      "audio_stats" ->
+        """WITH d AS (SELECT doc_id, CAST(doc_id % 400 + 100 AS BIGINT) AS n,
+          |    CAST(8000 + (doc_id % 3) * 4000 AS INT) AS sample_rate
+          |  FROM documents WHERE doc_id % 10 <> 0),
+          |sm AS (SELECT doc_id, n, sample_rate,
+          |    ((37 * i.range + 101 * doc_id) % 65536) - 32768 AS v
+          |  FROM d, range(0, 500) i WHERE i.range < n)
+          |SELECT doc_id AS item_id, sample_rate, n AS n_samples,
+          |  CAST(sum(v) AS BIGINT) AS sum_val,
+          |  CAST(sum(abs(v)) AS BIGINT) AS sum_abs,
+          |  CAST(max(abs(v)) AS BIGINT) AS max_abs
+          |FROM sm GROUP BY 1, 2, 3""".stripMargin,
       // n_with_k counts rows whose props ACTUALLY carry k (the Spark side's
       // count(col) semantics), and TRY_CAST keeps a malformed row a NULL
       // instead of an oracle crash — so the twins agree beyond the current

@@ -123,6 +123,132 @@ object Multimodal {
     }
   }
 
+  /** ===== real audio codec (JDK `javax.sound.sampled`, WAV PCM16 — lossless) ===== */
+  object WavCodec {
+    final case class DecodedAudio(sampleRate: Int, samples: Array[Short])
+
+    /** Encode mono 16-bit PCM samples as a WAV container via the JDK's
+      * `AudioSystem` (headless-safe, zero native deps — the audio sibling
+      * of [[ImageIoCodec]]). WAV PCM is lossless, so a decode returns the
+      * exact samples — the property the oracle checks arithmetically.
+      */
+    def encodeWav(sampleRate: Int, samples: Array[Short]): Array[Byte] = {
+      require(sampleRate > 0, "sampleRate must be positive")
+      val fmt = new javax.sound.sampled.AudioFormat(
+        sampleRate.toFloat, 16, 1, true, false) // mono, signed, little-endian
+      val bytes = new Array[Byte](samples.length * 2)
+      var i = 0
+      while (i < samples.length) {
+        bytes(2 * i) = (samples(i) & 0xFF).toByte
+        bytes(2 * i + 1) = ((samples(i) >> 8) & 0xFF).toByte
+        i += 1
+      }
+      val ais = new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(bytes), fmt, samples.length.toLong)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.sound.sampled.AudioSystem.write(ais,
+        javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+      bos.toByteArray
+    }
+
+    /** Decode a WAV payload to its PCM16 mono samples; None when the payload
+      * is not a parseable audio file OR not 16-bit signed PCM mono — this
+      * codec's documented contract, not a general transcoder (resample /
+      * channel-mix belongs to libraries not in this container).
+      */
+    def decode(payload: Array[Byte]): Option[DecodedAudio] =
+      try {
+        val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(payload))
+        val fmt = ais.getFormat
+        if (fmt.getSampleSizeInBits != 16 || fmt.getChannels != 1 ||
+            fmt.getEncoding != javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED)
+          None
+        else {
+          val bytes = ais.readAllBytes()
+          val n = bytes.length / 2
+          val out = new Array[Short](n)
+          val le = !fmt.isBigEndian
+          var i = 0
+          while (i < n) {
+            val lo = bytes(2 * i) & 0xFF
+            val hi = bytes(2 * i + 1) & 0xFF
+            out(i) = (if (le) (hi << 8) | lo else (lo << 8) | hi).toShort
+            i += 1
+          }
+          Some(DecodedAudio(fmt.getSampleRate.toInt, out))
+        }
+      } catch {
+        case _: javax.sound.sampled.UnsupportedAudioFileException => None
+        case _: java.io.IOException => None
+      }
+  }
+
+  /** Deterministic generated REAL WAVs, one per row — the audio twin of
+    * [[synthesizeImages]]: sample count, rate, and every PCM16 sample are
+    * closed-form INTEGER functions of the id (`n = id%400+100`,
+    * `rate = 8000 + (id%3)*4000`, `sample(i) = (37i + 101·id) mod 65536
+    * − 32768`), so an engine with no audio stack can still compute what the
+    * DECODED samples must sum to — the trick that makes a genuine
+    * AudioSystem encode→decode roundtrip oracle-checkable in SQL. No trig:
+    * a sine would put IEEE transcendentals between the two engines.
+    */
+  def synthesizeAudio(spark: SparkSession, df: DataFrame, idCol: String): DataFrame = {
+    import spark.implicits._
+    df.select(col(idCol).cast("long")).as[Long]
+      .mapPartitions(_.map { id =>
+        // negative ids would flip Scala's %-sign and hand the closed-form
+        // oracle a different signal (same guard as synthesizeImages)
+        require(id >= 0, s"synthesizeAudio needs non-negative ids; got $id")
+        val n = (id % 400 + 100).toInt
+        val rate = (8000 + (id % 3) * 4000).toInt
+        val samples = Array.tabulate(n)(i =>
+          (((37L * i + 101L * id) % 65536L) - 32768L).toShort)
+        (id, WavCodec.encodeWav(rate, samples), rate)
+      })
+      .toDF("item_id", "payload", "sample_rate")
+      .select(col("item_id"), col("payload"),
+        struct(lit("audio").as("media_type"), lit("wav").as("format"),
+          lit(null).cast("int").as("width"), lit(null).cast("int").as("height"),
+          lit(null).cast("int").as("n_frames"),
+          col("sample_rate").cast("int").as("sample_rate")).as("meta"))
+  }
+
+  /** Decode audio payloads (real AudioSystem decode) to amplitude stats and
+    * true rate/length — the integrity/feature pass over an audio corpus,
+    * sibling of [[imageStats]]: corrupt or non-PCM16-mono payloads are
+    * DROPPED, and rate/length come from the DECODED stream, never trusted
+    * metadata. Pass `dropped` (a registered `LongAccumulator`) to make the
+    * attrition observable — a systematic decode failure surfaces as a
+    * metric, not a silently smaller corpus (accumulator semantics: task
+    * retries can over-count; an alerting signal, not an exact ledger).
+    * Batched per partition; scan-speed, no shuffle.
+    */
+  def audioStats(
+      spark: SparkSession, media: DataFrame,
+      dropped: Option[org.apache.spark.util.LongAccumulator] = None): DataFrame = {
+    import spark.implicits._
+    media.select(col("item_id"), col("payload")).as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, payload) =>
+        val d = WavCodec.decode(payload)
+        if (d.isEmpty) dropped.foreach(_.add(1L))
+        d.map { a =>
+          var (sumV, sumAbs, maxAbs) = (0L, 0L, 0L)
+          var i = 0
+          while (i < a.samples.length) {
+            val s = a.samples(i).toLong
+            sumV += s
+            val abs = math.abs(s)
+            sumAbs += abs
+            if (abs > maxAbs) maxAbs = abs
+            i += 1
+          }
+          (id, a.sampleRate, a.samples.length.toLong, sumV, sumAbs, maxAbs)
+        }
+      })
+      .toDF("item_id", "sample_rate", "n_samples", "sum_val", "sum_abs", "max_abs")
+  }
+
   /** Attach a synthetic payload + metadata to a text table — the
     * deterministic fake "ingest" used by tests and the driver queries
     * (payload = utf8 bytes of the text; dims derived from the id). Image

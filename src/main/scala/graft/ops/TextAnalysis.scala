@@ -832,6 +832,46 @@ object TextAnalysis {
           .otherwise(col("score_sum").cast("double") / col("n_bigrams")))
   }
 
+  /** Collect [[lmScore]]'s trained tables into a broadcast
+    * [[org.apache.spark.sql.graft.LmTable]] — the deployable form of the
+    * bigram LM: pruned pair counts, FULL prefix masses, vocabulary size,
+    * built by the exact aggregations the batch scorer broadcast-joins, so a
+    * consumer scoring with this table is value-identical to [[lmScore]] in
+    * the 2^20 fixed-point lane. This is what the STREAMING quality gate
+    * ([[graft.streaming.EventStream.qualityGate]]) needs: a stream cannot
+    * re-plan broadcast joins per doc, but it can look pairs up in-row from
+    * a broadcast map. Driver-state bound = the pruned pair table —
+    * `minCount` is the caller's knob, the same bound the batch scorer's
+    * broadcast join already implies (prune harder for a bigger train
+    * corpus; pruning never shifts smoothing denominators, the lmScore
+    * contract).
+    */
+  def trainLmTable(
+      train: DataFrame,
+      textCol: String,
+      minCount: Long = 1L): org.apache.spark.broadcast.Broadcast[org.apache.spark.sql.graft.LmTable] = {
+    require(minCount >= 1, "minCount must be >= 1")
+    import org.apache.spark.sql.graft.{LmTable, WordPairs}
+    // one train-corpus scan materialized once, three narrow collects off it
+    // (the lmScore checkpoint discipline)
+    val trainPairs = train
+      .select(explode(WordPairs(tokens(col(textCol)), 1)).as("pair"))
+      .groupBy(col("pair")).agg(count(lit(1)).as("c_pair"))
+      .localCheckpoint()
+    val pairRows = trainPairs.filter(col("c_pair") >= minCount)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val prefixRows = trainPairs
+      .withColumn("w1", split(col("pair"), " ").getItem(0))
+      .groupBy(col("w1")).agg(sum(col("c_pair")).as("c_prefix"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val v = train.select(explode(tokens(col(textCol))).as("tok"))
+      .agg(count_distinct(col("tok")).as("v")).head.getLong(0)
+    val bc = train.sparkSession.sparkContext
+      .broadcast(new LmTable(pairRows, prefixRows, v))
+    org.apache.spark.sql.graft.CheckpointUtil.unpersist(trainPairs)
+    bc
+  }
+
   /** BPE-encode every document with a trained merge table (the consumer of
     * [[trainBpeMerges]] — together they close the tokenizer loop: train
     * merges on a corpus, encode any corpus with them, feed the subwords to
@@ -914,15 +954,31 @@ object TextAnalysis {
     * sequential (each merge depends on the counts AFTER the previous one),
     * so a 32k-merge train is 32k vocabulary-sized jobs — minutes-to-hours
     * of fixed scheduling overhead regardless of corpus size; budget
-    * accordingly and train on the word table of a sample when the corpus
-    * is 100 TB (word frequencies converge long before that).
+    * accordingly and train on a sample when the corpus is 100 TB (word
+    * frequencies converge long before that) — `samplePercent` IS that knob:
+    * the deterministic md5-bucket rule over the text column (the
+    * [[Similarity.kmeansAssign]] `trainPercent` pattern), so the sampled
+    * word table — and therefore the merge table — is a pure function of
+    * (corpus, percent), reproducible across runs, engines, and
+    * partitionings. A sample that selects zero rows falls back to the full
+    * corpus (itself deterministic) rather than silently training an empty
+    * tokenizer.
     */
   def trainBpeMerges(
       df: DataFrame,
       textCol: String,
       numMerges: Int,
-      byteLevel: Boolean = false): DataFrame = {
+      byteLevel: Boolean = false,
+      samplePercent: Int = 100): DataFrame = {
     require(numMerges > 0, "numMerges must be positive")
+    require(samplePercent > 0 && samplePercent <= 100,
+      "samplePercent must be in (0, 100]")
+    val trainDf =
+      if (samplePercent >= 100) df
+      else {
+        val sampled = Sampling.hashSample(df, textCol, samplePercent)
+        if (sampled.isEmpty) df else sampled
+      }
     val spark = df.sparkSession
     import org.apache.spark.sql.graft.{BpeMergeAdjacent, ByteSyms, WordPairs}
     // Byte mode trains over EVERY token — each word's UTF-8 bytes map
@@ -938,13 +994,13 @@ object TextAnalysis {
     // modes.
     val trainWords =
       if (byteLevel)
-        df.select(posexplode(tokens(col(textCol))).as(Seq("pos", "word")))
+        trainDf.select(posexplode(tokens(col(textCol))).as(Seq("pos", "word")))
           .select(when(col("pos") > 0, concat(lit(" "), col("word")))
             .otherwise(col("word")).as("word"))
           .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
           .select(col("cnt"), ByteSyms(col("word")).as("syms"))
       else
-        df.select(explode(tokens(col(textCol))).as("word"))
+        trainDf.select(explode(tokens(col(textCol))).as("word"))
           .filter(col("word").rlike("^[\\x21-\\x7e]+$"))
           .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
           .select(col("cnt"),

@@ -633,3 +633,78 @@ object CountInSet {
   def apply(arr: Column, set: Seq[String]): Column =
     ExpressionUtils.column(CountInSet(ExpressionUtils.expression(arr), set))
 }
+
+/** Broadcast bigram-LM count tables for [[LmDocScore]] — the pruned pair
+  * counts, full prefix masses, and vocabulary size that
+  * [[graft.ops.TextAnalysis.lmScore]] keeps as broadcast-joined DataFrames;
+  * here they collapse into two hash maps so a STREAM can score documents
+  * in-row with zero joins and zero state. Driver-state bound = the pruned
+  * pair table (`minCount` is the caller's knob, the same bound the batch
+  * scorer's broadcast join already implies).
+  */
+final class LmTable(
+    pairCounts: Array[(String, Long)],
+    prefixCounts: Array[(String, Long)],
+    val vocabSize: Long) extends Serializable {
+  val pairs = new java.util.HashMap[String, java.lang.Long](pairCounts.length * 2)
+  pairCounts.foreach { case (k, v) => pairs.put(k, v) }
+  val prefixes = new java.util.HashMap[String, java.lang.Long](prefixCounts.length * 2)
+  prefixCounts.foreach { case (k, v) => prefixes.put(k, v) }
+}
+
+/** Per-document bigram-LM score over a token array — one kernel call per
+  * row, count tables behind a broadcast, inside whole-stage codegen.
+  * Returns `[score_sum, n_bigrams]` (long×2) in the SAME 2^20 fixed-point
+  * lane as [[graft.ops.TextAnalysis.lmScore]]:
+  * `q = ((c_pair + 1) · 2^20) div (c_prefix + max(V, 1))` summed over the
+  * doc's adjacent token pairs — integer-exact, so the stream path and the
+  * batch scorer are value-identical by construction (spec-pinned), not
+  * merely statistically close. Null input → null (family policy).
+  */
+case class LmDocScore(child: Expression, bc: Broadcast[LmTable])
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(StringType))
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_lm_doc_score"
+
+  override def nullSafeEval(input: Any): Any =
+    LmDocScore.score(input.asInstanceOf[ArrayData], bc.value)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val bcRef = ctx.addReferenceObj("lmBc", bc, "org.apache.spark.broadcast.Broadcast")
+    val tab = ctx.addMutableState("org.apache.spark.sql.graft.LmTable", "lmTab",
+      v => s"$v = (org.apache.spark.sql.graft.LmTable) $bcRef.value();")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = org.apache.spark.sql.graft.LmDocScore.score($c, $tab);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): LmDocScore =
+    copy(child = newChild)
+}
+
+object LmDocScore {
+  def score(toks: ArrayData, tab: LmTable): ArrayData = {
+    val n = toks.numElements()
+    var sum = 0L
+    var i = 0
+    val vFloor = math.max(tab.vocabSize, 1L)
+    var prev: String = if (n > 0) toks.getUTF8String(0).toString else null
+    i = 1
+    while (i < n) {
+      val cur = toks.getUTF8String(i).toString
+      val cPairBoxed = tab.pairs.get(prev + ' ' + cur)
+      val cPair = if (cPairBoxed == null) 0L else cPairBoxed.longValue()
+      val cPrefBoxed = tab.prefixes.get(prev)
+      val cPref = if (cPrefBoxed == null) 0L else cPrefBoxed.longValue()
+      sum += ((cPair + 1L) * 1048576L) / (cPref + vFloor)
+      prev = cur
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      Array[Any](sum, math.max(n - 1, 0).toLong))
+  }
+
+  def apply(toks: Column, bc: Broadcast[LmTable]): Column =
+    ExpressionUtils.column(LmDocScore(ExpressionUtils.expression(toks), bc))
+}

@@ -192,6 +192,46 @@ object EventStream {
     events.join(latest, Seq(keyCol), "left")
   }
 
+  /** Streaming quality gate — the model-based filter
+    * ([[graft.ops.TextAnalysis.lmScore]]'s CCNet posture) applied to a LIVE
+    * document stream: each incoming doc is scored in-row against the
+    * broadcast-trained bigram tables
+    * ([[graft.ops.TextAnalysis.trainLmTable]]) and kept iff
+    * `score_sum >= thresholdQ · n_bigrams` — the same CONSTANT-cutoff
+    * integer compare as the batch `pipeline_quality_mix` bucketing (2^20
+    * fixed point, no float compare, no global percentile pass, which a
+    * stream could not run anyway). Docs with no bigrams (< 2 tokens) drop:
+    * a gate that cannot score a doc must not wave it through.
+    *
+    * Batch-twin contract (spec-pinned): on a BATCH input the identical call
+    * returns exactly the docs whose [[graft.ops.TextAnalysis.lmScore]] row
+    * satisfies the same inequality, with `score_sum`/`n_bigrams`
+    * value-identical — the kernel replays the scorer's fixed-point formula
+    * per pair, so streaming == batch == backfill by construction.
+    *
+    * Shape: a pure per-row projection + filter — ZERO state, no watermark,
+    * no shuffle, append-mode trivial; the stream side never exchanges and
+    * the trained tables ride one broadcast (the [[enrichWithLatest]]
+    * posture taken further: not even a broadcast JOIN per trigger, just a
+    * map lookup inside whole-stage codegen). Retraining = build a new
+    * table and restart the query — deliberate: a quality cutoff that
+    * drifts mid-stream makes the kept corpus unreproducible.
+    */
+  def qualityGate(
+      docs: DataFrame,
+      textCol: String,
+      lm: org.apache.spark.broadcast.Broadcast[org.apache.spark.sql.graft.LmTable],
+      thresholdQ: Long): DataFrame = {
+    import org.apache.spark.sql.graft.LmDocScore
+    docs
+      .withColumn("_lm", LmDocScore(graft.functions.tokens(col(textCol)), lm))
+      .withColumn("score_sum", element_at(col("_lm"), 1))
+      .withColumn("n_bigrams", element_at(col("_lm"), 2))
+      .drop("_lm")
+      .filter(col("n_bigrams") > 0 &&
+        col("score_sum") >= lit(thresholdQ) * col("n_bigrams"))
+  }
+
   /** Stream-stream attribution join: each left event pairs with the right
     * events of the same `keyCol` whose timestamp falls in the half-open
     * lookback window `[left_ts - lookbackSeconds, left_ts)` — the streaming

@@ -84,6 +84,7 @@ class PlanGateSpec extends SparkTestBase {
     "knn_lsh" -> 1,
     "multimodal_meta" -> 0,
     "image_stats" -> 0,
+    "audio_stats" -> 0,
     "ngram_stats" -> 2,
     "pack_sequences" -> 1,
     "pipeline_clean_corpus" -> 1,

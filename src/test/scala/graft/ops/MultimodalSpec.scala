@@ -163,4 +163,53 @@ class MultimodalSpec extends SparkTestBase {
       lit("definitely not a png".getBytes("UTF-8")).as("payload"))
     assert(Multimodal.imageStats(spark, bad).count() === 0L, "corrupt rows are dropped")
   }
+
+  test("WavCodec: WAV encode→decode roundtrip is sample-exact; non-audio decodes to None") {
+    val samples = Array[Short](0, 1, -1, 32767, -32768, 12345, -23456, 7)
+    val wav = Multimodal.WavCodec.encodeWav(16000, samples)
+    val dec = Multimodal.WavCodec.decode(wav)
+    assert(dec.isDefined)
+    assert(dec.get.sampleRate === 16000)
+    assert(dec.get.samples.toSeq === samples.toSeq, "PCM16 WAV is lossless")
+    // zero samples still roundtrip (a valid empty stream, not a crash)
+    val empty = Multimodal.WavCodec.decode(Multimodal.WavCodec.encodeWav(8000, Array.empty))
+    assert(empty.isDefined && empty.get.samples.isEmpty)
+    assert(Multimodal.WavCodec.decode("not a riff header at all".getBytes("UTF-8")).isEmpty)
+    assert(Multimodal.WavCodec.decode(wav.take(20)).isEmpty, "truncated below header size")
+  }
+
+  test("audioStats: decoded stats match the generator formula; corrupt drops counted") {
+    import spark.implicits._
+    val ids = Seq(2L, 7L, 360L).toDF("doc_id")
+    val media = Multimodal.synthesizeAudio(spark, ids, "doc_id")
+    // meta carries the declared rate; stats must come from the DECODED stream
+    val metas = media.select("item_id", "meta.media_type", "meta.format", "meta.sample_rate")
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getString(2), r.getInt(3)))).toMap
+    assert(metas(7L) === (("audio", "wav", 8000 + (7 % 3) * 4000)))
+    val corrupted = media.withColumn("payload",
+      when(col("item_id") === 360L, lit("xx".getBytes("UTF-8"))).otherwise(col("payload")))
+    val dropped = spark.sparkContext.longAccumulator("audioDropped")
+    val out = Multimodal.audioStats(spark, corrupted, Some(dropped)).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(out.keySet === Set(2L, 7L), "corrupt payload dropped")
+    assert(dropped.value === 1L, "the drop is observable")
+    Seq(2L, 7L).foreach { id =>
+      val n = (id % 400 + 100).toInt
+      val vals = (0 until n).map(i => ((37L * i + 101L * id) % 65536L) - 32768L)
+      val r = out(id)
+      assert(r.getInt(1) === (8000 + (id % 3) * 4000).toInt, "rate from the decoded stream")
+      assert(r.getLong(2) === n.toLong)
+      assert(r.getLong(3) === vals.sum)
+      assert(r.getLong(4) === vals.map(math.abs).sum)
+      assert(r.getLong(5) === vals.map(math.abs).max)
+    }
+  }
+
+  test("synthesizeAudio: negative ids fail fast (oracle formula assumes non-negative)") {
+    import spark.implicits._
+    val ex = intercept[org.apache.spark.SparkException] {
+      Multimodal.synthesizeAudio(spark, Seq(-3L).toDF("doc_id"), "doc_id").collect()
+    }
+    assert(ex.getMessage != null)
+  }
 }

@@ -375,6 +375,35 @@ class TextAnalysisSpec extends SparkTestBase {
     assert(TextAnalysis.trainBpeMerges(tiny, "text", 5).count() === 0L)
   }
 
+  test("trainBpeMerges: samplePercent trains on the deterministic md5-bucket subset") {
+    import spark.implicits._
+    val docs = spark.read.parquet(s"${sf()}/documents.parquet").limit(60)
+    // the sampled train must equal training on the hashSample subset
+    // explicitly — the parameter IS the documented rule, nothing more
+    val sampled = TextAnalysis.trainBpeMerges(docs, "text", 5, samplePercent = 60)
+      .collect().toSeq
+    val explicit = TextAnalysis.trainBpeMerges(
+      Sampling.hashSample(docs, "text", 60), "text", 5).collect().toSeq
+    assert(sampled === explicit)
+    assert(sampled.size === 5)
+    // reproducible across partitionings (pure function of (corpus, percent))
+    val again = TextAnalysis.trainBpeMerges(
+      docs.repartition(9), "text", 5, samplePercent = 60).collect().toSeq
+    assert(again === sampled)
+    // a sample that selects zero rows falls back to the full corpus
+    // instead of silently training an empty tokenizer
+    val one = Seq((1L, "zq zq zq")).toDF("doc_id", "text")
+    val pct = Sampling.hashSample(one, "text", 1).count()
+    if (pct == 0) { // "zq zq zq" buckets above 1% — the fallback path fires
+      val fb = TextAnalysis.trainBpeMerges(one, "text", 1, samplePercent = 1)
+        .collect().toSeq
+      assert(fb === TextAnalysis.trainBpeMerges(one, "text", 1).collect().toSeq)
+    }
+    intercept[IllegalArgumentException] {
+      TextAnalysis.trainBpeMerges(docs, "text", 5, samplePercent = 0)
+    }
+  }
+
   test("trainBpeMerges: superseded per-rank checkpoints are released (no storage leak)") {
     import spark.implicits._
     // each rank localCheckpoints the symbol table; without explicit release a

@@ -4,6 +4,7 @@ import java.sql.Timestamp
 
 import graft.SparkTestBase
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions.col
 
 class EventStreamSpec extends SparkTestBase {
 
@@ -61,6 +62,60 @@ class EventStreamSpec extends SparkTestBase {
       Seq(ev(1, 1, 0)).toDF(), features, "user_id", "fts")
       .queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastHashJoin"), s"expected broadcast enrich:\n$plan")
+  }
+
+  test("qualityGate: stream keeps exactly the batch lmScore survivors, value-identical") {
+    import spark.implicits._
+    implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val train = Seq(
+      (100L, "the cat sat on the mat and the dog ran to the cat"),
+      (101L, "the cat and the dog sat on the mat near the door")).toDF("doc_id", "text")
+    val docs = Seq(
+      (1L, "the cat sat on the mat"),       // fluent: high score
+      (2L, "mat door ran cat zz qq"),       // shuffled/rare pairs: low score
+      (3L, "the dog ran to the mat"),
+      (4L, "single"),                        // no bigrams: must drop
+      (5L, "")).toDF("doc_id", "text")       // no tokens: must drop
+    val lm = graft.ops.TextAnalysis.trainLmTable(train, "text")
+    // pick a threshold that separates the fluent docs from the shuffled one
+    // using the BATCH scorer, so the spec can't go vacuous if data shifts
+    val batchScores = graft.ops.TextAnalysis.lmScore(train, docs, "doc_id", "text")
+      .filter(col("n_bigrams") > 0)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(1))).toSeq // (id, score_sum, n)
+    val thresholdQ = {
+      val qs = batchScores.map { case (_, s, n) => s / n }.sorted
+      (qs.head + qs.last) / 2 // between min and max mean-q
+    }
+    val expected = batchScores
+      .filter { case (_, s, n) => s >= thresholdQ * n }.map(_._1).toSet
+    assert(expected.nonEmpty && !expected.contains(2L) && !expected.contains(4L),
+      s"threshold must separate: $batchScores @ $thresholdQ")
+    // batch twin of the gate itself: same survivors, same integer stats
+    val gateBatch = EventStream.qualityGate(docs, "text", lm, thresholdQ)
+      .select("doc_id", "score_sum", "n_bigrams").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(gateBatch.keySet === expected)
+    batchScores.filter(t => expected(t._1)).foreach { case (id, s, n) =>
+      assert(gateBatch(id) === ((s, n)), s"fixed-point stats must match lmScore for $id")
+    }
+    // streaming run: same docs through a MemoryStream micro-batch
+    val ms = MemoryStream[(Long, String)]
+    val q = EventStream.qualityGate(
+        ms.toDF().toDF("doc_id", "text"), "text", lm, thresholdQ)
+      .writeStream.format("memory").queryName("qgate_out").outputMode("append").start()
+    ms.addData(Seq((1L, "the cat sat on the mat"), (2L, "mat door ran cat zz qq")))
+    q.processAllAvailable()
+    ms.addData(Seq((3L, "the dog ran to the mat"), (4L, "single"), (5L, "")))
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("qgate_out")
+      .select("doc_id", "score_sum", "n_bigrams").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(streamed === gateBatch, "streaming == batch, stats included")
+    // scale shape: zero exchanges, zero state — a pure scan projection
+    val plan = EventStream.qualityGate(docs, "text", lm, thresholdQ)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"gate must not shuffle:\n$plan")
   }
 
   test("windowedCounts: streaming result equals the batch twin") {

@@ -537,6 +537,22 @@ object SparkEntry {
       .select(col("id").as("doc_id"), col("text_kept"),
         col("n_segments"), col("n_kept"))
 
+  /** Substring-clean THEN collapse — the composed cleaner a platform runs
+    * when window dedup can empty docs entirely: [[Dedup.dedupWindows]] over
+    * the planted corpus, then [[Dedup.exact]] on the CLEANED text, so every
+    * fully-deduplicated doc (text_dedup = "") collapses into ONE canonical
+    * empty doc and partially-cleaned docs that became identical collapse
+    * too. Pins the composition: dedup_windows' output columns feed exact's
+    * content key unchanged, and the canonical row's n_kept rides through
+    * exact's arg-min struct.
+    */
+  private def pipelineSubstringDedup(s: SparkSession, dir: String): DataFrame = {
+    val cleaned = Dedup.dedupWindows(docsWithPlantedRuns(s, dir), "doc_id", "text",
+      windowTokens = 12, stride = 6)
+    Dedup.exact(cleaned, Seq("text_dedup"), "id")
+      .select(col("id").as("doc_id"), col("n_dups"), col("n_kept"))
+  }
+
   /** 30-token run planted by [[docsWithPlantedRuns]] — fixed content, no
     * punctuation, already lowercase so the planted text IS its token stream.
     */
@@ -1198,6 +1214,7 @@ object SparkEntry {
     "dedup_within_doc" -> (dedupWithinDocQuery _),
     "dedup_windows" -> (dedupWindowsQuery _),
     "domain_caps" -> (domainCapsQuery _),
+    "pipeline_substring_dedup" -> (pipelineSubstringDedup _),
     "strip_boilerplate" -> (stripBoilerplateQuery _),
     "rare_token_stats" -> (rareTokens _),
     "asof_join" -> (asofJoinQuery _),
@@ -1249,6 +1266,41 @@ object SparkEntry {
       """t AS (SELECT doc_id, text,
         |list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> len(x) > 0) AS toks
         |FROM documents)""".stripMargin
+    // substring-window dedup replay, shared by dedup_windows and
+    // pipeline_substring_dedup (one definition so the two oracles cannot
+    // drift): plant → tokenize → slide → first-occurrence arg-min →
+    // interval reassembly, ending in CTE `fin`
+    val windowDedupCtes =
+      (s"""d AS (SELECT doc_id,
+         |  CASE WHEN doc_id % 4 = 0 THEN text || ' ' ||
+         |    repeat('pad ', CAST(doc_id % 5 AS INT)) || ' $PlantedRun'
+         |  ELSE text END AS text FROM documents),
+         |wt AS (SELECT doc_id,
+         |""".stripMargin +
+        """  list_filter(string_split_regex(lower(trim(text)), '\s+'),
+         |    x -> len(x) > 0) AS toks FROM d),
+         |sz AS (SELECT doc_id, toks, coalesce(len(toks), 0) AS n FROM wt),
+         |st AS (SELECT doc_id, n, unnest(
+         |  CASE WHEN n = 0 THEN CAST([] AS BIGINT[])
+         |       WHEN n <= 12 THEN [CAST(0 AS BIGINT)]
+         |       ELSE list_distinct(list_append(range(0, n - 11, 6),
+         |         CAST(n - 12 AS BIGINT))) END) AS p FROM sz),
+         |w AS (SELECT st.doc_id, st.p, least(12, st.n) AS wlen,
+         |  array_to_string(sz.toks[st.p + 1 : st.p + least(12, st.n)], ' ') AS wtext
+         |  FROM st JOIN sz USING (doc_id)),
+         |rn AS (SELECT doc_id, p, wlen,
+         |  row_number() OVER (PARTITION BY wtext ORDER BY doc_id, p) AS rn FROM w),
+         |alive AS (SELECT doc_id, p, wlen FROM rn WHERE rn = 1),
+         |iv AS (SELECT doc_id, unnest(range(p, p + wlen)) AS i FROM alive),
+         |ki AS (SELECT DISTINCT doc_id, i FROM iv),
+         |kept AS (SELECT ki.doc_id, ki.i, sz.toks[CAST(ki.i AS INT) + 1] AS tok
+         |  FROM ki JOIN sz USING (doc_id)),
+         |agg AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY i) AS text_dedup,
+         |  count(*) AS n_kept FROM kept GROUP BY doc_id),
+         |fin AS (SELECT sz.doc_id, coalesce(agg.text_dedup, '') AS text_dedup,
+         |  CAST(sz.n AS BIGINT) AS n_tokens,
+         |  CAST(coalesce(agg.n_kept, 0) AS BIGINT) AS n_kept
+         |FROM sz LEFT JOIN agg USING (doc_id))""".stripMargin)
     // positional token stream + top-30 vocab (count desc, token asc) —
     // shared by tokenize_ids and decode_ids, one definition so the two
     // oracles cannot drift (the Spark side shares top30Vocab the same way)
@@ -2165,36 +2217,20 @@ object SparkEntry {
       // (row_number over (doc_id, p)), expand surviving (start, len)
       // intervals to covered token indices, reassemble
       "dedup_windows" ->
-        (s"""WITH d AS (SELECT doc_id,
-           |  CASE WHEN doc_id % 4 = 0 THEN text || ' ' ||
-           |    repeat('pad ', CAST(doc_id % 5 AS INT)) || ' $PlantedRun'
-           |  ELSE text END AS text FROM documents),
-           |wt AS (SELECT doc_id,
-           |""".stripMargin +
-          """  list_filter(string_split_regex(lower(trim(text)), '\s+'),
-           |    x -> len(x) > 0) AS toks FROM d),
-           |sz AS (SELECT doc_id, toks, coalesce(len(toks), 0) AS n FROM wt),
-           |st AS (SELECT doc_id, n, unnest(
-           |  CASE WHEN n = 0 THEN CAST([] AS BIGINT[])
-           |       WHEN n <= 12 THEN [CAST(0 AS BIGINT)]
-           |       ELSE list_distinct(list_append(range(0, n - 11, 6),
-           |         CAST(n - 12 AS BIGINT))) END) AS p FROM sz),
-           |w AS (SELECT st.doc_id, st.p, least(12, st.n) AS wlen,
-           |  array_to_string(sz.toks[st.p + 1 : st.p + least(12, st.n)], ' ') AS wtext
-           |  FROM st JOIN sz USING (doc_id)),
-           |rn AS (SELECT doc_id, p, wlen,
-           |  row_number() OVER (PARTITION BY wtext ORDER BY doc_id, p) AS rn FROM w),
-           |alive AS (SELECT doc_id, p, wlen FROM rn WHERE rn = 1),
-           |iv AS (SELECT doc_id, unnest(range(p, p + wlen)) AS i FROM alive),
-           |ki AS (SELECT DISTINCT doc_id, i FROM iv),
-           |kept AS (SELECT ki.doc_id, ki.i, sz.toks[CAST(ki.i AS INT) + 1] AS tok
-           |  FROM ki JOIN sz USING (doc_id)),
-           |agg AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY i) AS text_dedup,
-           |  count(*) AS n_kept FROM kept GROUP BY doc_id)
-           |SELECT sz.doc_id, coalesce(agg.text_dedup, '') AS text_dedup,
-           |  CAST(sz.n AS BIGINT) AS n_tokens,
-           |  CAST(coalesce(agg.n_kept, 0) AS BIGINT) AS n_kept
-           |FROM sz LEFT JOIN agg USING (doc_id)""".stripMargin),
+        s"""WITH $windowDedupCtes
+           |SELECT doc_id, text_dedup, n_tokens, n_kept FROM fin""".stripMargin,
+      // the composed cleaner: window-dedup THEN exact-collapse of the
+      // CLEANED text — the smallest doc_id per distinct cleaned text wins,
+      // n_dups counts the collapse (all fully-deduplicated docs share '')
+      "pipeline_substring_dedup" ->
+        s"""WITH $windowDedupCtes,
+           |ex AS (SELECT doc_id, n_kept,
+           |  row_number() OVER (PARTITION BY lower(trim(text_dedup))
+           |    ORDER BY doc_id) AS rn,
+           |  count(*) OVER (PARTITION BY lower(trim(text_dedup))) AS n_dups
+           |  FROM fin)
+           |SELECT doc_id, CAST(n_dups AS BIGINT) AS n_dups, n_kept
+           |FROM ex WHERE rn = 1""".stripMargin,
       // segment dedup: identical 12-token segments built from token
       // positions; first occurrence = row_number() over (doc_id, pos)
       "dedup_segments" ->

@@ -58,6 +58,9 @@ class PlanGateSpec extends SparkTestBase {
     // and becomes a co-partitioned digest join at scale; the narrow window
     // table is checkpointed (the dedup_segments convention)
     "dedup_windows" -> 2,
+    // dedup_windows' two aggregation shuffles + the exact-collapse groupBy
+    // on the cleaned text's digest
+    "pipeline_substring_dedup" -> 3,
     // boilerplate strip: distinct (digest, doc) + per-digest count + per-doc
     // reassembly; the boilerplate anti join broadcasts at this SF/threshold
     // but is broadcast-OR-shuffle by the set's actual size (maxDocFreq = 1

@@ -553,6 +553,40 @@ object SparkEntry {
       .select(col("id").as("doc_id"), col("n_dups"), col("n_kept"))
   }
 
+  /** Deterministic synthetic HTML wrapper around every doc: script/style/
+    * comment blocks whose CONTENTS must vanish, attributes, a self-closing
+    * tag, every decoded entity, and the double-decode trap (`&amp;lt;` must
+    * extract as the literal `&lt;`). The DuckDB twin replays the same
+    * concatenation.
+    */
+  private def docsWithHtml(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir).select(col("doc_id"),
+      concat(
+        lit("<html><head><title>t</title><style>body { color: red; }</style>" +
+          "<script>var x = 1 && 2;</script><!-- hidden --></head>" +
+          "<body><p id=\"a\">"),
+        col("text"),
+        lit("</p><br/><div class=\"f\">Tom &amp; Jerry &lt;3 &quot;q&quot; " +
+          "&#39;s&#39; &amp;lt; x&nbsp;y</div></body></html>")).as("text"))
+
+  private def extractHtmlQuery(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.extractHtmlText(docsWithHtml(s, dir), "doc_id", "text")
+
+  /** Incremental crawl ingest over the planted corpus: the accepted
+    * reference snapshot is every 3rd doc, the batch is the rest — the
+    * planted run rides BOTH sides (doc_id % 4 crosses doc_id % 3), so
+    * batch windows die against reference substrings at misaligned offsets
+    * AND against earlier batch occurrences.
+    */
+  private def dedupWindowsAgainstQuery(s: SparkSession, dir: String): DataFrame = {
+    val d = docsWithPlantedRuns(s, dir)
+    Dedup.dedupWindowsAgainst(
+        d.filter(col("doc_id") % 3 =!= 0), d.filter(col("doc_id") % 3 === 0),
+        "doc_id", "text", windowTokens = 12, stride = 6)
+      .select(col("id").as("doc_id"), col("text_dedup"),
+        col("n_tokens"), col("n_kept"))
+  }
+
   /** 30-token run planted by [[docsWithPlantedRuns]] — fixed content, no
     * punctuation, already lowercase so the planted text IS its token stream.
     */
@@ -1213,6 +1247,7 @@ object SparkEntry {
     "dedup_segments" -> (dedupSegmentsQuery _),
     "dedup_within_doc" -> (dedupWithinDocQuery _),
     "dedup_windows" -> (dedupWindowsQuery _),
+    "dedup_windows_against" -> (dedupWindowsAgainstQuery _),
     "domain_caps" -> (domainCapsQuery _),
     "pipeline_substring_dedup" -> (pipelineSubstringDedup _),
     "strip_boilerplate" -> (stripBoilerplateQuery _),
@@ -1223,6 +1258,7 @@ object SparkEntry {
     "embedding_normalize" -> (embeddingNormalize _),
     "embedding_project" -> (embeddingProject _),
     "text_normalize" -> (textNormalize _),
+    "extract_html" -> (extractHtmlQuery _),
     "inverted_index" -> (invertedIndexQuery _),
     "cooccurrence" -> (cooccurrenceQuery _),
     "mix_corpora" -> (mixCorporaQuery _),
@@ -1266,11 +1302,9 @@ object SparkEntry {
       """t AS (SELECT doc_id, text,
         |list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> len(x) > 0) AS toks
         |FROM documents)""".stripMargin
-    // substring-window dedup replay, shared by dedup_windows and
-    // pipeline_substring_dedup (one definition so the two oracles cannot
-    // drift): plant → tokenize → slide → first-occurrence arg-min →
-    // interval reassembly, ending in CTE `fin`
-    val windowDedupCtes =
+    // planted corpus + tokenization, shared by all three window-dedup
+    // oracles (one definition so the replays cannot drift)
+    val plantedToksCtes =
       (s"""d AS (SELECT doc_id,
          |  CASE WHEN doc_id % 4 = 0 THEN text || ' ' ||
          |    repeat('pad ', CAST(doc_id % 5 AS INT)) || ' $PlantedRun'
@@ -1279,7 +1313,12 @@ object SparkEntry {
          |""".stripMargin +
         """  list_filter(string_split_regex(lower(trim(text)), '\s+'),
          |    x -> len(x) > 0) AS toks FROM d),
-         |sz AS (SELECT doc_id, toks, coalesce(len(toks), 0) AS n FROM wt),
+         |sz AS (SELECT doc_id, toks, coalesce(len(toks), 0) AS n FROM wt)""".stripMargin)
+    // substring-window dedup replay, shared by dedup_windows and
+    // pipeline_substring_dedup: slide → first-occurrence arg-min →
+    // interval reassembly, ending in CTE `fin`
+    val windowDedupCtes = plantedToksCtes + "," +
+      ("""
          |st AS (SELECT doc_id, n, unnest(
          |  CASE WHEN n = 0 THEN CAST([] AS BIGINT[])
          |       WHEN n <= 12 THEN [CAST(0 AS BIGINT)]
@@ -2219,6 +2258,45 @@ object SparkEntry {
       "dedup_windows" ->
         s"""WITH $windowDedupCtes
            |SELECT doc_id, text_dedup, n_tokens, n_kept FROM fin""".stripMargin,
+      // incremental window dedup: reference (doc_id % 3 = 0) enumerates
+      // k-grams at STRIDE 1 — containment at any offset — batch windows
+      // die via NOT IN against that gram set, then batch-first arg-min
+      // and the same interval reassembly, output batch docs only
+      "dedup_windows_against" ->
+        (s"""WITH $plantedToksCtes,
+           |""".stripMargin +
+          """rst AS (SELECT doc_id, n, unnest(
+           |  CASE WHEN n = 0 THEN CAST([] AS BIGINT[])
+           |       WHEN n <= 12 THEN [CAST(0 AS BIGINT)]
+           |       ELSE range(0, n - 11) END) AS p
+           |  FROM sz WHERE doc_id % 3 = 0),
+           |refg AS (SELECT DISTINCT
+           |  array_to_string(sz.toks[rst.p + 1 : rst.p + least(12, rst.n)], ' ') AS g
+           |  FROM rst JOIN sz USING (doc_id)),
+           |bst AS (SELECT doc_id, n, unnest(
+           |  CASE WHEN n = 0 THEN CAST([] AS BIGINT[])
+           |       WHEN n <= 12 THEN [CAST(0 AS BIGINT)]
+           |       ELSE list_distinct(list_append(range(0, n - 11, 6),
+           |         CAST(n - 12 AS BIGINT))) END) AS p
+           |  FROM sz WHERE doc_id % 3 <> 0),
+           |w AS (SELECT bst.doc_id, bst.p, least(12, bst.n) AS wlen,
+           |  array_to_string(sz.toks[bst.p + 1 : bst.p + least(12, bst.n)], ' ') AS wtext
+           |  FROM bst JOIN sz USING (doc_id)),
+           |fr AS (SELECT * FROM w WHERE wtext NOT IN (SELECT g FROM refg)),
+           |rn AS (SELECT doc_id, p, wlen,
+           |  row_number() OVER (PARTITION BY wtext ORDER BY doc_id, p) AS rn FROM fr),
+           |alive AS (SELECT doc_id, p, wlen FROM rn WHERE rn = 1),
+           |iv AS (SELECT doc_id, unnest(range(p, p + wlen)) AS i FROM alive),
+           |ki AS (SELECT DISTINCT doc_id, i FROM iv),
+           |kept AS (SELECT ki.doc_id, ki.i, sz.toks[CAST(ki.i AS INT) + 1] AS tok
+           |  FROM ki JOIN sz USING (doc_id)),
+           |agg AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY i) AS text_dedup,
+           |  count(*) AS n_kept FROM kept GROUP BY doc_id)
+           |SELECT sz.doc_id, coalesce(agg.text_dedup, '') AS text_dedup,
+           |  CAST(sz.n AS BIGINT) AS n_tokens,
+           |  CAST(coalesce(agg.n_kept, 0) AS BIGINT) AS n_kept
+           |FROM sz LEFT JOIN agg USING (doc_id)
+           |WHERE sz.doc_id % 3 <> 0""".stripMargin),
       // the composed cleaner: window-dedup THEN exact-collapse of the
       // CLEANED text — the smallest doc_id per distinct cleaned text wins,
       // n_dups counts the collapse (all fully-deduplicated docs share '')
@@ -2463,6 +2541,33 @@ object SparkEntry {
           |      x -> CAST(floor(CAST(x AS DOUBLE) / norm * 1000000.0 + 0.5) AS BIGINT)), ',')
           |  END AS u_str
           |FROM s""".stripMargin,
+      // HTML extraction: identical regex chain (RE2-compatible patterns),
+      // entity decode by literal replace in the same order — &amp; LAST, so
+      // the planted &amp;lt; renders the literal &lt;, never double-decodes
+      "extract_html" ->
+        """WITH h AS (SELECT doc_id,
+          |  '<html><head><title>t</title><style>body { color: red; }</style>'
+          |  || '<script>var x = 1 && 2;</script><!-- hidden --></head>'
+          |  || '<body><p id="a">' || text
+          |  || '</p><br/><div class="f">Tom &amp; Jerry &lt;3 &quot;q&quot; '
+          |  || '&#39;s&#39; &amp;lt; x&nbsp;y</div></body></html>' AS html
+          |  FROM documents),
+          |a1 AS (SELECT doc_id,
+          |  regexp_replace(html, '(?is)<script.*?</script>', ' ', 'g') AS t FROM h),
+          |a2 AS (SELECT doc_id,
+          |  regexp_replace(t, '(?is)<style.*?</style>', ' ', 'g') AS t FROM a1),
+          |a3 AS (SELECT doc_id,
+          |  regexp_replace(t, '(?s)<!--.*?-->', ' ', 'g') AS t FROM a2),
+          |a4 AS (SELECT doc_id,
+          |  regexp_replace(t, '<[^>]+>', ' ', 'g') AS t FROM a3),
+          |a5 AS (SELECT doc_id, replace(replace(replace(replace(replace(replace(t,
+          |  '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''),
+          |  '&nbsp;', ' '), '&amp;', '&') AS t FROM a4),
+          |f AS (SELECT doc_id,
+          |  coalesce(trim(regexp_replace(t, '\s+', ' ', 'g')), '') AS text_extracted
+          |  FROM a5)
+          |SELECT doc_id, text_extracted,
+          |  length(text_extracted) AS n_chars_extracted FROM f""".stripMargin,
       "text_normalize" ->
         """WITH m AS (SELECT doc_id,
           |  CASE WHEN doc_id % 4 = 0

@@ -576,23 +576,96 @@ object Dedup {
       textCol: String,
       windowTokens: Int = 50,
       stride: Int = 25): DataFrame = {
+    requireWindowParams(windowTokens, stride)
+    val base = tokenBase(df, idCol, textCol)
+    val wins = windowRows(base, windowTokens, stride)
+    val firsts = wins.groupBy(col("_d"))
+      .agg(min(struct(col("id"), col("p"))).as("_first"))
+    val alive = wins.join(firsts, Seq("_d"))
+      .filter(col("id") === col("_first.id") && col("p") === col("_first.p"))
+    reassembleFromWindows(base, alive)
+  }
+
+  /** Cross-snapshot substring-window dedup — [[dedupWindows]]' incremental
+    * form, completing the family the way [[dedupAgainst]] completes
+    * [[exact]]: windows of the NEW batch die when their k-token content
+    * appears ANYWHERE in the reference corpus (at any offset — the
+    * reference side enumerates every k-gram, stride 1, so batch duplicates
+    * of reference substrings are caught regardless of alignment), and
+    * within the batch the usual corpus-wide first occurrence survives.
+    * This is the nightly crawl-ingest shape: the accepted corpus never
+    * rewrites, only the new batch cleans against it. Output shape matches
+    * the family: (id, `text_dedup`, `n_tokens`, `n_kept`).
+    *
+    * Shape at 100 TB: the reference never materializes text off-scan — its
+    * k-grams digest in-row ([[graft.functions.shinglesFromTokens]], the
+    * native codegen kernel) and shuffle ONLY as distinct 32-byte digests;
+    * the batch side anti-joins on the digest (shuffle-or-broadcast by the
+    * cost model — a reference's distinct-gram table is corpus-scaled, so
+    * expect a shuffle anti join on narrow keys, same posture as
+    * [[stripBoilerplate]]'s documented fallback). Stride-1 enumeration of
+    * the reference is the honest price of exact substring containment —
+    * ~|ref tokens| narrow rows through one distinct, once per ingest; a
+    * coarser reference stride would silently miss misaligned duplicates.
+    */
+  def dedupWindowsAgainst(
+      batch: DataFrame,
+      reference: DataFrame,
+      idCol: String,
+      textCol: String,
+      windowTokens: Int = 50,
+      stride: Int = 25): DataFrame = {
+    requireWindowParams(windowTokens, stride)
+    val refDigests = reference
+      .select(explode(shinglesFromTokens(
+        coalesce(tokens(col(textCol)), array().cast("array<string>")),
+        windowTokens)).as("_g"))
+      .select(unhex(sha2(col("_g").cast("binary"), 256)).as("_d"))
+      .distinct()
+    val base = tokenBase(batch, idCol, textCol)
+    // checkpoint AFTER the reference anti join, not before it: `fresh` is
+    // the table both consumers read — checkpointing `wins` here would
+    // materialize the batch windows once and then run the reference
+    // distinct + anti join TWICE (measured: +2 exchanges in the gate plan)
+    val wins = windowRows(base, windowTokens, stride, checkpoint = false)
+    val fresh = wins.join(refDigests, Seq("_d"), "left_anti")
+      .localCheckpoint(false)
+    val firsts = fresh.groupBy(col("_d"))
+      .agg(min(struct(col("id"), col("p"))).as("_first"))
+    val alive = fresh.join(firsts, Seq("_d"))
+      .filter(col("id") === col("_first.id") && col("p") === col("_first.p"))
+    reassembleFromWindows(base, alive)
+  }
+
+  private def requireWindowParams(windowTokens: Int, stride: Int): Unit = {
     require(windowTokens >= 1, "windowTokens must be >= 1")
     require(stride >= 1 && stride <= windowTokens,
       "stride must be in [1, windowTokens] — a stride beyond the window " +
         "length leaves tokens covered by no window, which silently deletes them")
-    val k = windowTokens
+  }
+
+  /** (id, _toks, _n) — the tokenized view both window passes read. */
+  private def tokenBase(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val toksCol = coalesce(tokens(col(textCol)), array().cast("array<string>"))
-    val base = df.select(col(idCol).as("id"), toksCol.as("_toks"))
+    df.select(col(idCol).as("id"), toksCol.as("_toks"))
       .withColumn("_n", size(col("_toks")))
+  }
+
+  /** Narrow window table (id, p, len, _d): starts at every multiple of
+    * `stride` plus the tail window (so every token is covered), whole-doc
+    * window for docs shorter than `k`. Checkpointed (lazily) when it is the
+    * table both downstream consumers read — without that the
+    * tokenize+explode+sha2 pass runs twice (same discipline as
+    * dedupSegments' segment table; local blocks, spills to executor disk
+    * at scale); the against-variant checkpoints one stage later instead.
+    */
+  private def windowRows(
+      base: DataFrame, k: Int, stride: Int, checkpoint: Boolean = true): DataFrame = {
     val starts = when(col("_n") === 0, array().cast("array<int>"))
       .when(col("_n") <= k, array(lit(0)))
       .otherwise(array_union(
         sequence(lit(0), col("_n") - k, lit(stride)),
         array(col("_n") - k)))
-    // lazily checkpointed: the narrow window table feeds BOTH the arg-min
-    // and the survivor probe — without it the tokenize+explode+sha2 pass
-    // runs twice (same discipline as dedupSegments' segment table; local
-    // blocks, spills to executor disk at scale)
     val wins = base
       .select(col("id"), col("_toks"), col("_n"), explode(starts).as("p"))
       .select(col("id"), col("p"),
@@ -600,17 +673,22 @@ object Dedup {
         unhex(sha2(
           array_join(slice(col("_toks"), col("p") + 1, least(lit(k), col("_n"))), " ")
             .cast("binary"), 256)).as("_d"))
-      .localCheckpoint(false)
-    val firsts = wins.groupBy(col("_d"))
-      .agg(min(struct(col("id"), col("p"))).as("_first"))
-    val alive = wins.join(firsts, Seq("_d"))
-      .filter(col("id") === col("_first.id") && col("p") === col("_first.p"))
+    if (checkpoint) wins.localCheckpoint(false) else wins
+  }
+
+  /** Per-doc reassembly from surviving windows: collect (start, len)
+    * intervals, expand to covered token indices (linear for a fixed
+    * overlap factor), rebuild the token stream in order. Docs with no
+    * surviving window keep an empty string, never disappear.
+    */
+  private def reassembleFromWindows(base: DataFrame, alive: DataFrame): DataFrame = {
+    val ivs = alive
       .groupBy(col("id"))
       .agg(collect_list(struct(col("p"), col("len"))).as("_ivs"))
     val keptIdx = when(col("_ivs").isNull, array().cast("array<int>"))
       .otherwise(array_sort(array_distinct(flatten(transform(col("_ivs"),
         iv => sequence(iv.getField("p"), iv.getField("p") + iv.getField("len") - 1))))))
-    base.join(alive, Seq("id"), "left")
+    base.join(ivs, Seq("id"), "left")
       .select(col("id"), col("_toks"), col("_n"), keptIdx.as("_kept"))
       .select(
         col("id"),

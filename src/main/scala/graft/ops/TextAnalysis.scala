@@ -318,6 +318,38 @@ object TextAnalysis {
     * anything keyed on it) is identical across engines.
     * Output: id, `text_norm`, `n_chars_norm`.
     */
+  /** HTML → text extraction — the step before every other cleaner when the
+    * corpus is a crawl: drop `<script>`/`<style>` blocks and comments WITH
+    * their contents (code and CSS are not prose), strip remaining tags,
+    * decode the six ubiquitous entities, collapse whitespace. Regex-only by
+    * design — RE2-compatible patterns (non-greedy, inline flags, no
+    * backreferences/lookahead), so the DuckDB twin replays the identical
+    * chain and a real HTML parser is not smuggled in as a dependency; a
+    * platform with libhtml swaps this operator, not its plan shape.
+    * Entity decode is single-pass by replacement ORDER — `&amp;` decodes
+    * LAST, so `&amp;lt;` renders `&lt;` (the literal four characters), never
+    * double-decodes to `<` (spec-pinned). NULL text yields an empty
+    * extraction, never a dropped row. Output:
+    * (id, `text_extracted`, `n_chars_extracted`).
+    *
+    * Shape at 100 TB: a pure scan-speed projection — one regex chain inside
+    * whole-stage codegen, zero shuffles, zero joins (the [[normalizeText]]
+    * lane; compose them extract-then-normalize).
+    */
+  def extractHtmlText(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val noScript = regexp_replace(col(textCol), "(?is)<script.*?</script>", " ")
+    val noStyle = regexp_replace(noScript, "(?is)<style.*?</style>", " ")
+    val noComment = regexp_replace(noStyle, "(?s)<!--.*?-->", " ")
+    val noTags = regexp_replace(noComment, "<[^>]+>", " ")
+    val decoded = Seq(
+      "&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
+      "&#39;" -> "'", "&nbsp;" -> " ", "&amp;" -> "&")
+      .foldLeft(noTags) { case (c, (e, r)) => regexp_replace(c, e, r) }
+    val collapsed = coalesce(trim(regexp_replace(decoded, "\\s+", " ")), lit(""))
+    df.select(col(idCol), collapsed.as("text_extracted"),
+      length(collapsed).as("n_chars_extracted"))
+  }
+
   def normalizeText(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val upper = ('A' to 'Z').mkString
     val lowerS = ('a' to 'z').mkString

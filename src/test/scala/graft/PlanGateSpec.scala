@@ -40,6 +40,7 @@ class PlanGateSpec extends SparkTestBase {
     "embedding_normalize" -> 0,
     "embedding_project" -> 0,
     "text_normalize" -> 0,
+    "extract_html" -> 0,
     "inverted_index" -> 4,
     "cooccurrence" -> 2,
     "mix_corpora" -> 0,
@@ -61,6 +62,11 @@ class PlanGateSpec extends SparkTestBase {
     // dedup_windows' two aggregation shuffles + the exact-collapse groupBy
     // on the cleaned text's digest
     "pipeline_substring_dedup" -> 3,
+    // the two aggregation shuffles (batch-first arg-min, per-doc interval
+    // collect); the reference gram-digest distinct + anti join live BEHIND
+    // the post-anti checkpoint (corpus-scaled at 100 TB -> shuffle anti on
+    // 32-byte digests, the stripBoilerplate posture)
+    "dedup_windows_against" -> 2,
     // boilerplate strip: distinct (digest, doc) + per-digest count + per-doc
     // reassembly; the boilerplate anti join broadcasts at this SF/threshold
     // but is broadcast-OR-shuffle by the set's actual size (maxDocFreq = 1

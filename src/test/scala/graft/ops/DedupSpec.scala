@@ -237,6 +237,32 @@ class DedupSpec extends SparkTestBase {
     assert(out(3L) === (("", 2L, 0L)))
   }
 
+  test("dedupWindowsAgainst: reference substrings kill batch windows at any offset; batch-first still applies") {
+    val ref = docsDf((100L, "a b c d e f g h"))
+    val batch = docsDf(
+      (1L, "x y c d e f g h z w"), // embeds ref tokens c..h two tokens in
+      (2L, "a b c d"),             // whole doc is a ref substring -> empties
+      (3L, "p q r s"),             // not in ref: survives
+      (4L, "p q r s"))             // within-batch dup of 3 -> empties
+    val out = Dedup.dedupWindowsAgainst(batch, ref, "doc_id", "text",
+        windowTokens = 4, stride = 2)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    // doc 1's windows [c d e f] and [e f g h] match ref 4-grams at offsets
+    // no reference-side stride alignment would produce — stride-1 gram
+    // enumeration catches them; e f (covered only by dead windows) drop
+    assert(out(1L) === (("x y c d g h z w", 10L, 8L)))
+    assert(out(2L) === (("", 4L, 0L)))
+    assert(out(3L) === (("p q r s", 4L, 4L)))
+    assert(out(4L) === (("", 4L, 0L)))
+    assert(out.keySet === Set(1L, 2L, 3L, 4L), "reference docs never rewrite")
+    val again = Dedup.dedupWindowsAgainst(batch.repartition(5), ref.repartition(3),
+        "doc_id", "text", windowTokens = 4, stride = 2)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(again === out)
+  }
+
   test("dedupWindows: rejects a stride that would leave tokens uncovered") {
     val docs = docsDf((1L, "a b c"))
     intercept[IllegalArgumentException] {

@@ -124,6 +124,33 @@ class TextAnalysisSpec extends SparkTestBase {
     assert(out(3L)._1 === "w" && out(3L)._2 === 1L)
   }
 
+  test("extractHtmlText: blocks vanish with contents, tags strip, entities decode once") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "<html><head><style>p { a: b }</style><script>if (x < 3) y();</script>" +
+        "</head><body><h1 class=\"t\">Title</h1><p>Body &amp; soul</p></body></html>"),
+      (2L, "plain text, no markup"),
+      (3L, "a &amp;lt; b &#39;q&#39; x&nbsp;y"), // decode-once trap
+      (4L, "<div><div><span>deep</span></div></div>"),
+      (5L, null.asInstanceOf[String]),
+      (6L, "<p>unclosed")
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.extractHtmlText(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getInt(2)))).toMap
+    // script CONTENT (with its '<' comparison!) and style content are gone
+    assert(out(1L) === (("Title Body & soul", 17)))
+    assert(out(2L) === (("plain text, no markup", 21)))
+    // &amp;lt; decodes ONCE to the literal &lt; — never twice to '<'
+    assert(out(3L) === (("a &lt; b 'q' x y", 16)))
+    assert(out(4L) === (("deep", 4)))
+    assert(out(5L) === (("", 0))) // null text: empty extraction, row kept
+    assert(out(6L) === (("unclosed", 8)))
+    // scale shape: pure projection, zero exchanges
+    val plan = TextAnalysis.extractHtmlText(df, "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+  }
+
   test("normalizeText: control chars out, ASCII fold, space runs collapse, idempotent") {
     import spark.implicits._
     val df = Seq(

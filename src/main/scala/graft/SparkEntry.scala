@@ -553,6 +553,21 @@ object SparkEntry {
       .select(col("id").as("doc_id"), col("n_dups"), col("n_kept"))
   }
 
+  /** Real frame-container roundtrip over the closed-form synthetic videos,
+    * with every 9th payload truncated to 6 bytes (shorter than the
+    * container header — structurally undecodable): corrupt rows must drop,
+    * decoded rows must match the per-(frame, pixel) generator arithmetic
+    * the oracle replays.
+    */
+  private def videoStats(s: SparkSession, dir: String): DataFrame = {
+    val media = Multimodal
+      .synthesizeVideos(s, docs(s, dir).select("doc_id"), "doc_id")
+      .withColumn("payload",
+        when(col("item_id") % 9 === 0, expr("substring(payload, 1, 6)"))
+          .otherwise(col("payload")))
+    Multimodal.videoStats(s, media)
+  }
+
   /** Deterministic synthetic HTML wrapper around every doc: script/style/
     * comment blocks whose CONTENTS must vanish, attributes, a self-closing
     * tag, every decoded entity, and the double-decode trap (`&amp;lt;` must
@@ -1228,6 +1243,7 @@ object SparkEntry {
     "multimodal_meta" -> (multimodalMeta _),
     "image_stats" -> (imageStats _),
     "audio_stats" -> (audioStats _),
+    "video_stats" -> (videoStats _),
     "events_json_extract" -> (eventsJsonExtract _),
     "events_windowed" -> (eventsWindowed _),
     "events_sessions" -> (eventsSessions _),
@@ -2116,6 +2132,22 @@ object SparkEntry {
           |  CAST(sum((3 * x + 5 * y + 2 * doc_id) % 256) AS BIGINT) AS sum_g,
           |  CAST(sum((11 * x + 17 * y + 3 * doc_id) % 256) AS BIGINT) AS sum_b
           |FROM px GROUP BY 1, 2, 3""".stripMargin,
+      // the decoded-frame sums of a REAL container-parse + per-frame PNG
+      // decode roundtrip, recomputed from the closed-form (id, frame, x, y)
+      // pixel formula; every 9th payload truncated below header size must
+      // be absent — the corrupt-drop contract in the oracle itself
+      "video_stats" ->
+        """WITH v AS (SELECT doc_id, CAST(doc_id % 5 + 2 AS BIGINT) AS nf,
+          |    CAST(doc_id % 8 + 4 AS INT) AS w, CAST(doc_id % 6 + 4 AS INT) AS h
+          |  FROM documents WHERE doc_id % 9 <> 0),
+          |px AS (SELECT doc_id, nf, w, h, f.range AS f, x.range AS x, y.range AS y
+          |  FROM v, range(0, 7) f, range(0, 12) x, range(0, 10) y
+          |  WHERE f.range < nf AND x.range < w AND y.range < h)
+          |SELECT doc_id AS item_id, nf AS n_frames, w AS width, h AS height,
+          |  CAST(sum((7 * x + 13 * y + doc_id + 19 * f) % 256) AS BIGINT) AS sum_r,
+          |  CAST(sum((3 * x + 5 * y + 2 * doc_id + 23 * f) % 256) AS BIGINT) AS sum_g,
+          |  CAST(sum((11 * x + 17 * y + 3 * doc_id + 29 * f) % 256) AS BIGINT) AS sum_b
+          |FROM px GROUP BY 1, 2, 3, 4""".stripMargin,
       // the decoded-sample stats of a REAL WAV encode→decode roundtrip,
       // recomputed from the closed-form integer signal (WAV PCM16 is
       // lossless, so decoded samples must equal the generator arithmetic);

@@ -12,12 +12,14 @@ import org.apache.spark.sql.types._
   * through its partition without driver involvement.
   *
   * Codecs: PNG images are decoded/encoded FOR REAL via the JDK's
-  * `javax.imageio` ([[ImageIoCodec]] — headless-safe, zero native deps).
+  * `javax.imageio` ([[ImageIoCodec]] — headless-safe, zero native deps),
+  * WAV PCM16 audio via `javax.sound.sampled` ([[WavCodec]]), and video as
+  * a real parseable frame container of genuine PNGs ([[FrameContainer]]).
   * The formats whose libraries are NOT in this container (JPEG quality
-  * paths, audio resample, video) keep [[FakeCodec]] as a clearly-marked
-  * deterministic stand-in. Either way the Spark-side plumbing — schema,
-  * partitioning, batch shape, feature contract — is identical; swapping a
-  * codec never touches a plan.
+  * paths, audio resample, MP4/H.264) keep [[FakeCodec]] as a
+  * clearly-marked deterministic stand-in. Either way the Spark-side
+  * plumbing — schema, partitioning, batch shape, feature contract — is
+  * identical; swapping a codec never touches a plan.
   */
 object Multimodal {
 
@@ -247,6 +249,146 @@ object Multimodal {
         }
       })
       .toDF("item_id", "sample_rate", "n_samples", "sum_val", "sum_abs", "max_abs")
+  }
+
+  /** ===== real video-frame container (length-prefixed REAL PNG frames) =====
+    *
+    * No MP4/H.264 stack ships in the JDK — but "video as opaque binary"
+    * does not have to mean fake BYTES: this container is a real, parseable
+    * format (magic + frame count + length-prefixed frames, big-endian),
+    * each frame a genuine PNG, so frame extraction is real parsing, frame
+    * decode is the real [[ImageIoCodec]], and corruption is detected
+    * structurally (bad magic, counts or lengths that leave the payload
+    * bounds) instead of pretended. A platform with libav swaps this codec
+    * object; every Spark-side shape stays.
+    */
+  object FrameContainer {
+    val Magic: Int = 0x47564944 // "GVID"
+
+    def encode(frames: Seq[Array[Byte]]): Array[Byte] = {
+      val total = 8 + frames.map(f => 4 + f.length).sum
+      val bb = java.nio.ByteBuffer.allocate(total) // big-endian by default
+      bb.putInt(Magic).putInt(frames.length)
+      frames.foreach { f => bb.putInt(f.length); bb.put(f) }
+      bb.array()
+    }
+
+    /** None on structural corruption: short header, wrong magic, negative
+      * or bounds-escaping counts/lengths, or trailing garbage.
+      */
+    def decode(payload: Array[Byte]): Option[Seq[Array[Byte]]] = {
+      if (payload.length < 8) return None
+      val bb = java.nio.ByteBuffer.wrap(payload)
+      if (bb.getInt() != Magic) return None
+      val n = bb.getInt()
+      if (n < 0 || n > payload.length) return None
+      val out = Seq.newBuilder[Array[Byte]]
+      var i = 0
+      while (i < n) {
+        if (bb.remaining() < 4) return None
+        val len = bb.getInt()
+        if (len < 0 || len > bb.remaining()) return None
+        val f = new Array[Byte](len)
+        bb.get(f)
+        out += f
+        i += 1
+      }
+      if (bb.remaining() != 0) None else Some(out.result())
+    }
+  }
+
+  /** Deterministic generated REAL videos — the moving-picture member of the
+    * synthesize family ([[synthesizeImages]] / [[synthesizeAudio]]): each
+    * row is a [[FrameContainer]] of `id % 5 + 2` genuine PNG frames whose
+    * dims and every pixel are closed-form functions of (id, frame, x, y) —
+    * the frame index shifts each channel, so consecutive frames differ and
+    * the oracle can still recompute every decoded byte arithmetically.
+    */
+  def synthesizeVideos(spark: SparkSession, df: DataFrame, idCol: String): DataFrame = {
+    import spark.implicits._
+    df.select(col(idCol).cast("long")).as[Long]
+      .mapPartitions(_.map { id =>
+        require(id >= 0, s"synthesizeVideos needs non-negative ids; got $id")
+        val nf = (id % 5 + 2).toInt
+        val w = (id % 8 + 4).toInt
+        val h = (id % 6 + 4).toInt
+        val frames = (0 until nf).map { f =>
+          ImageIoCodec.encodePng(w, h, (x, y) => {
+            val r = ((7L * x + 13L * y + id + 19L * f) % 256).toInt
+            val g = ((3L * x + 5L * y + 2 * id + 23L * f) % 256).toInt
+            val b = ((11L * x + 17L * y + 3 * id + 29L * f) % 256).toInt
+            (r << 16) | (g << 8) | b
+          })
+        }
+        (id, FrameContainer.encode(frames), nf, w, h)
+      })
+      .toDF("item_id", "payload", "n_frames", "width", "height")
+      .select(col("item_id"), col("payload"),
+        struct(lit("video").as("media_type"), lit("gvid").as("format"),
+          col("width").cast("int").as("width"), col("height").cast("int").as("height"),
+          col("n_frames").cast("int").as("n_frames"),
+          lit(null).cast("int").as("sample_rate")).as("meta"))
+  }
+
+  /** Decode video payloads — REAL container parse + REAL per-frame PNG
+    * decode — to frame count, decoded dims, and per-channel pixel sums over
+    * ALL frames; the integrity pass of the video family, completing the
+    * [[imageStats]]/[[audioStats]] trio. A structurally-corrupt container
+    * OR any undecodable frame drops the row (observably, via `dropped`) —
+    * half-decoded stats are worse than attrition. Dims come from the first
+    * DECODED frame, never trusted metadata. Scan-speed, no shuffle.
+    */
+  def videoStats(
+      spark: SparkSession, media: DataFrame,
+      dropped: Option[org.apache.spark.util.LongAccumulator] = None): DataFrame = {
+    import spark.implicits._
+    media.select(col("item_id"), col("payload")).as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, payload) =>
+        val stats = FrameContainer.decode(payload).flatMap { frames =>
+          val decoded = frames.map(ImageIoCodec.decode)
+          if (decoded.isEmpty || decoded.exists(_.isEmpty)) None
+          else {
+            var (sr, sg, sb) = (0L, 0L, 0L)
+            decoded.foreach { d =>
+              val argb = d.get.argb
+              var i = 0
+              while (i < argb.length) {
+                val p = argb(i)
+                sr += (p >> 16) & 0xFF; sg += (p >> 8) & 0xFF; sb += p & 0xFF
+                i += 1
+              }
+            }
+            val first = decoded.head.get
+            Some((id, frames.length.toLong, first.width, first.height, sr, sg, sb))
+          }
+        }
+        if (stats.isEmpty) dropped.foreach(_.add(1L))
+        stats
+      })
+      .toDF("item_id", "n_frames", "width", "height", "sum_r", "sum_g", "sum_b")
+  }
+
+  /** Explode REAL container videos into every `stride`-th frame —
+    * (item_id, frame_index, frame), each frame a standalone decodable PNG
+    * (the honest upgrade of [[sampleFrames]]' byte-slicing stand-in, which
+    * remains for formats without a JVM codec). Corrupt containers drop
+    * observably; non-video rows are filtered by media_type.
+    */
+  def sampleFramesDecoded(
+      spark: SparkSession, media: DataFrame, stride: Int = 1,
+      dropped: Option[org.apache.spark.util.LongAccumulator] = None): DataFrame = {
+    require(stride >= 1, "stride must be >= 1")
+    import spark.implicits._
+    media.filter(col("meta.media_type") === "video")
+      .select(col("item_id"), col("payload")).as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, payload) =>
+        val frames = FrameContainer.decode(payload)
+        if (frames.isEmpty) { dropped.foreach(_.add(1L)); Iterator.empty }
+        else frames.get.zipWithIndex.collect {
+          case (f, i) if i % stride == 0 => MediaFrame(id, i, f)
+        }.iterator
+      })
+      .toDF()
   }
 
   /** Attach a synthetic payload + metadata to a text table — the

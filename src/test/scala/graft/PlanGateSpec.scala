@@ -94,6 +94,7 @@ class PlanGateSpec extends SparkTestBase {
     "multimodal_meta" -> 0,
     "image_stats" -> 0,
     "audio_stats" -> 0,
+    "video_stats" -> 0,
     "ngram_stats" -> 2,
     "pack_sequences" -> 1,
     "pipeline_clean_corpus" -> 1,

@@ -205,6 +205,67 @@ class MultimodalSpec extends SparkTestBase {
     }
   }
 
+  test("FrameContainer: encode→decode roundtrip byte-exact; structural corruption → None") {
+    val frames = Seq(Array[Byte](1, 2, 3), Array.empty[Byte], Array[Byte](-5, 0, 9, 9))
+    val enc = Multimodal.FrameContainer.encode(frames)
+    val dec = Multimodal.FrameContainer.decode(enc)
+    assert(dec.isDefined)
+    assert(dec.get.map(_.toSeq) === frames.map(_.toSeq))
+    assert(Multimodal.FrameContainer.decode(Multimodal.FrameContainer.encode(Seq.empty))
+      .exists(_.isEmpty), "zero-frame container roundtrips")
+    assert(Multimodal.FrameContainer.decode(enc.take(6)).isEmpty, "short header")
+    assert(Multimodal.FrameContainer.decode(enc.take(enc.length - 2)).isEmpty,
+      "truncated mid-frame")
+    assert(Multimodal.FrameContainer.decode(enc ++ Array[Byte](0)).isEmpty,
+      "trailing garbage")
+    val badMagic = enc.clone(); badMagic(0) = 'X'.toByte
+    assert(Multimodal.FrameContainer.decode(badMagic).isEmpty, "wrong magic")
+  }
+
+  test("videoStats: decoded per-frame sums match the generator; corrupt drops counted") {
+    import spark.implicits._
+    val ids = Seq(3L, 10L).toDF("doc_id")
+    val media = Multimodal.synthesizeVideos(spark, ids, "doc_id")
+    val corrupted = media.withColumn("payload",
+      when(col("item_id") === 10L, lit(Array[Byte](1, 2, 3))).otherwise(col("payload")))
+    val dropped = spark.sparkContext.longAccumulator("videoDropped")
+    val out = Multimodal.videoStats(spark, corrupted, Some(dropped)).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(out.keySet === Set(3L))
+    assert(dropped.value === 1L)
+    val id = 3L
+    val (nf, w, h) = ((id % 5 + 2).toInt, (id % 8 + 4).toInt, (id % 6 + 4).toInt)
+    var (sr, sg, sb) = (0L, 0L, 0L)
+    for (f <- 0 until nf; y <- 0 until h; x <- 0 until w) {
+      sr += (7L * x + 13L * y + id + 19L * f) % 256
+      sg += (3L * x + 5L * y + 2 * id + 23L * f) % 256
+      sb += (11L * x + 17L * y + 3 * id + 29L * f) % 256
+    }
+    val r = out(id)
+    assert(r.getLong(1) === nf.toLong)
+    assert(r.getInt(2) === w && r.getInt(3) === h, "dims from the DECODED first frame")
+    assert(r.getLong(4) === sr && r.getLong(5) === sg && r.getLong(6) === sb)
+  }
+
+  test("sampleFramesDecoded: every stride-th frame, each a standalone decodable PNG") {
+    import spark.implicits._
+    val media = Multimodal.synthesizeVideos(spark, Seq(4L).toDF("doc_id"), "doc_id")
+    // id 4: 6 frames; stride 2 -> indices 0, 2, 4
+    val frames = Multimodal.sampleFramesDecoded(spark, media, stride = 2).collect()
+      .map(r => (r.getInt(1), r.getAs[Array[Byte]](2)))
+    assert(frames.map(_._1).sorted.toSeq === Seq(0, 2, 4))
+    // each sampled frame decodes as a real PNG with the generator's pixels
+    val (id, w, h) = (4L, (4L % 8 + 4).toInt, (4L % 6 + 4).toInt)
+    frames.foreach { case (f, png) =>
+      val d = Multimodal.ImageIoCodec.decode(png)
+      assert(d.isDefined && d.get.width === w && d.get.height === h)
+      val p00 = d.get.argb(0) & 0xFFFFFF // pixel (0, 0) of frame f
+      val exp = ((((id + 19L * f) % 256) << 16) |
+        (((2 * id + 23L * f) % 256) << 8) | ((3 * id + 29L * f) % 256)).toInt
+      assert(p00 === exp, s"frame $f pixel(0,0)")
+    }
+  }
+
   test("synthesizeAudio: negative ids fail fast (oracle formula assumes non-negative)") {
     import spark.implicits._
     val ex = intercept[org.apache.spark.SparkException] {

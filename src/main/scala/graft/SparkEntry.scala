@@ -553,6 +553,33 @@ object SparkEntry {
       .select(col("id").as("doc_id"), col("n_dups"), col("n_kept"))
   }
 
+  /** Deterministic multi-line synthesis for the C4 line filter: 12-token
+    * segments become lines, each ending in '.' UNLESS (doc_id + segIndex)
+    * is divisible by 3 (those lines fail the terminal-punctuation rule);
+    * every 4th doc gets a planted boilerplate line carrying a blocked
+    * substring. Tail segments shorter than 3 tokens exercise the min-token
+    * rule organically. The DuckDB twin rebuilds identical lines from token
+    * positions.
+    */
+  private def docsWithLines(s: SparkSession, dir: String): DataFrame = {
+    val toks = graft.functions.tokens(col("text"))
+    val nSeg = ceil(size(toks).cast("double") / 12).cast("int")
+    val segs = transform(sequence(lit(0), nSeg - 1), i =>
+      concat(array_join(slice(toks, i * 12 + 1, lit(12)), " "),
+        when((col("doc_id") + i) % 3 =!= 0, lit(".")).otherwise(lit(""))))
+    val withBlocked = when(col("doc_id") % 4 === 0,
+      concat(array(lit("please enable javascript and accept our cookie policy.")),
+        segs)).otherwise(segs)
+    docs(s, dir).select(col("doc_id"),
+      when(size(toks) > 0, array_join(withBlocked, "\n"))
+        .otherwise(lit("")).as("text"))
+  }
+
+  private def filterLinesQuery(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.filterLines(docsWithLines(s, dir), "doc_id", "text")
+      .select(col("id").as("doc_id"), col("text_kept"),
+        col("n_lines"), col("n_kept"))
+
   /** Real frame-container roundtrip over the closed-form synthetic videos,
     * with every 9th payload truncated to 6 bytes (shorter than the
     * container header — structurally undecodable): corrupt rows must drop,
@@ -1275,6 +1302,7 @@ object SparkEntry {
     "embedding_project" -> (embeddingProject _),
     "text_normalize" -> (textNormalize _),
     "extract_html" -> (extractHtmlQuery _),
+    "filter_lines" -> (filterLinesQuery _),
     "inverted_index" -> (invertedIndexQuery _),
     "cooccurrence" -> (cooccurrenceQuery _),
     "mix_corpora" -> (mixCorporaQuery _),
@@ -2573,6 +2601,40 @@ object SparkEntry {
           |      x -> CAST(floor(CAST(x AS DOUBLE) / norm * 1000000.0 + 0.5) AS BIGINT)), ',')
           |  END AS u_str
           |FROM s""".stripMargin,
+      // C4 line filter: rebuild the identical lines from token positions
+      // (12-token segments + conditional '.' + the planted boilerplate
+      // line), then apply the three rules — >= 3 tokens, terminal
+      // punctuation, no blocked substring — and reassemble survivors
+      "filter_lines" ->
+        (s"""WITH $toksCte,
+           |""".stripMargin +
+          """ex AS (SELECT doc_id, unnest(toks) AS tok,
+           |  generate_subscripts(toks, 1) AS p FROM t),
+           |segs AS (SELECT doc_id, CAST((p - 1) // 12 AS INT) AS pos,
+           |  string_agg(tok, ' ' ORDER BY p) ||
+           |    CASE WHEN (doc_id + CAST((p - 1) // 12 AS INT)) % 3 <> 0
+           |      THEN '.' ELSE '' END AS line
+           |  FROM ex GROUP BY doc_id, (p - 1) // 12),
+           |withb AS (
+           |  SELECT doc_id, -1 AS pos,
+           |    'please enable javascript and accept our cookie policy.' AS line
+           |  FROM t WHERE doc_id % 4 = 0 AND len(toks) > 0
+           |  UNION ALL SELECT doc_id, pos, line FROM segs),
+           |""".stripMargin +
+          """kept AS (SELECT doc_id, pos, line FROM withb
+           |  WHERE len(list_filter(string_split_regex(trim(line), '\s+'),
+           |      x -> len(x) > 0)) >= 3
+           |    AND right(trim(line), 1) IN ('.', '!', '?', '"')
+           |    AND NOT contains(lower(line), 'javascript')
+           |    AND NOT contains(lower(line), 'lorem ipsum')
+           |    AND NOT contains(lower(line), '{')),
+           |agg AS (SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS text_kept,
+           |  count(*) AS n_kept FROM kept GROUP BY doc_id),
+           |nl AS (SELECT doc_id, count(*) AS n_lines FROM withb GROUP BY doc_id)
+           |SELECT t.doc_id, coalesce(agg.text_kept, '') AS text_kept,
+           |  CAST(coalesce(nl.n_lines, 0) AS BIGINT) AS n_lines,
+           |  CAST(coalesce(agg.n_kept, 0) AS BIGINT) AS n_kept
+           |FROM t LEFT JOIN nl USING (doc_id) LEFT JOIN agg USING (doc_id)""".stripMargin),
       // HTML extraction: identical regex chain (RE2-compatible patterns),
       // entity decode by literal replace in the same order — &amp; LAST, so
       // the planted &amp;lt; renders the literal &lt;, never double-decodes

@@ -318,6 +318,56 @@ object TextAnalysis {
     * anything keyed on it) is identical across engines.
     * Output: id, `text_norm`, `n_chars_norm`.
     */
+  /** C4-style line-level filtering (Raffel et al.'s page cleaner, the rule
+    * set every crawl pipeline applies between HTML extraction and document
+    * dedup): a line survives iff it has at least `minLineTokens` whitespace
+    * tokens, ends in terminal punctuation (`.` `!` `?` `"`) when
+    * `requireTerminalPunct`, and contains none of `blockedSubstrings`
+    * (case-insensitive; the C4 defaults target code fragments and
+    * boilerplate notices). Empty lines are separators, not lines — they
+    * drop before counting. Docs reassemble from surviving lines in order;
+    * a fully-filtered doc keeps an empty string, never disappears. Output
+    * matches the segment-cleaner family: (id, `text_kept`, `n_lines`,
+    * `n_kept`).
+    *
+    * Shape at 100 TB: a doc's lines live in its own row, so this is a
+    * ZERO-shuffle scan-speed projection (the [[graft.ops.Dedup.dedupWithinDoc]]
+    * lane) — no digest, no join, nothing crosses the wire. The rules are
+    * PARAMETERS, not policy baked in code: a platform tightens them per
+    * corpus without touching the operator.
+    */
+  def filterLines(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      minLineTokens: Int = 3,
+      requireTerminalPunct: Boolean = true,
+      blockedSubstrings: Seq[String] = Seq("javascript", "lorem ipsum", "{")): DataFrame = {
+    require(minLineTokens >= 0, "minLineTokens must be >= 0")
+    val blocked = blockedSubstrings.map(_.toLowerCase)
+    val lines = filter(split(col(textCol), "\n"), l => length(trim(l)) > 0)
+    def keeps(l: Column): Column = {
+      val t = trim(l)
+      val toksOk =
+        size(filter(split(t, "\\s+"), w => length(w) > 0)) >= minLineTokens
+      val punctOk =
+        if (requireTerminalPunct) substring(t, -1, 1).isin(".", "!", "?", "\"")
+        else lit(true)
+      val blockedOk =
+        if (blocked.isEmpty) lit(true)
+        else blocked.map(b => !lower(l).contains(b)).reduce(_ && _)
+      toksOk && punctOk && blockedOk
+    }
+    // lines materialize once; the kept array references them twice
+    df.select(col(idCol).as("id"), lines.as("_lines"))
+      .select(col("id"), col("_lines"), filter(col("_lines"), keeps _).as("_kept"))
+      .select(
+        col("id"),
+        coalesce(array_join(col("_kept"), "\n"), lit("")).as("text_kept"),
+        coalesce(size(col("_lines")), lit(0)).cast("long").as("n_lines"),
+        coalesce(size(col("_kept")), lit(0)).cast("long").as("n_kept"))
+  }
+
   /** HTML → text extraction — the step before every other cleaner when the
     * corpus is a crawl: drop `<script>`/`<style>` blocks and comments WITH
     * their contents (code and CSS are not prose), strip remaining tags,

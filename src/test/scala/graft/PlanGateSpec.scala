@@ -41,6 +41,7 @@ class PlanGateSpec extends SparkTestBase {
     "embedding_project" -> 0,
     "text_normalize" -> 0,
     "extract_html" -> 0,
+    "filter_lines" -> 0,
     "inverted_index" -> 4,
     "cooccurrence" -> 2,
     "mix_corpora" -> 0,

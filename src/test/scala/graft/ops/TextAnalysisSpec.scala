@@ -124,6 +124,35 @@ class TextAnalysisSpec extends SparkTestBase {
     assert(out(3L)._1 === "w" && out(3L)._2 === 1L)
   }
 
+  test("filterLines: the three C4 rules apply per line; docs reassemble; empty lines are separators") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "this line ends with punctuation.\nno terminal punct here\n" +
+        "too short.\n\n\nplease enable javascript now.\nAnother good line!"),
+      (2L, "lorem ipsum dolor sit amet.\ncode { body: red }.\nall three rules pass?"),
+      (3L, ""),
+      (4L, null.asInstanceOf[String])
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.filterLines(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    // doc 1: 5 non-empty lines; survivors = rule-passing lines in order
+    assert(out(1L) === (("this line ends with punctuation.\nAnother good line!", 5L, 2L)))
+    // doc 2: 'lorem ipsum' and '{' are blocked substrings
+    assert(out(2L) === (("all three rules pass?", 3L, 1L)))
+    assert(out(3L) === (("", 0L, 0L)))
+    assert(out(4L) === (("", 0L, 0L)))
+    // rules are parameters: relaxing punctuation keeps the bare line
+    val relaxed = TextAnalysis.filterLines(df, "doc_id", "text",
+        requireTerminalPunct = false)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(relaxed(1L).contains("no terminal punct here"))
+    // scale shape: pure projection, zero exchanges
+    val plan = TextAnalysis.filterLines(df, "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+  }
+
   test("extractHtmlText: blocks vanish with contents, tags strip, entities decode once") {
     import spark.implicits._
     val df = Seq(

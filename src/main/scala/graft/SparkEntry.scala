@@ -206,6 +206,20 @@ object SparkEntry {
     Dedup.minHashLsh(u, "doc_id", "text", threshold = 0.8).select("a_id", "b_id")
   }
 
+  /** Incremental near-dup: the batch is every doc re-planted one token
+    * longer (J ≈ 0.9 vs its original), the reference the originals — each
+    * batch doc must pair with its reference twin, plus any organic
+    * cross-corpus near-dups the all-pairs oracle finds.
+    */
+  private def dedupMinhashAgainst(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val batch = d
+      .withColumn("doc_id", col("doc_id") + 100000L)
+      .withColumn("text", concat(col("text"), lit(" graftdup")))
+    Dedup.minHashLshAgainst(batch, d, "doc_id", "text", threshold = 0.8)
+      .select("batch_id", "ref_id")
+  }
+
   /** The dedup END-GAME a platform actually ships: near-dup pairs (LSH) →
     * connected components → keep the BEST-QUALITY doc per cluster (max
     * quality_score, ties to min doc_id — not blindly min-id, which on a
@@ -1291,6 +1305,7 @@ object SparkEntry {
     "dedup_within_doc" -> (dedupWithinDocQuery _),
     "dedup_windows" -> (dedupWindowsQuery _),
     "dedup_windows_against" -> (dedupWindowsAgainstQuery _),
+    "dedup_minhash_against" -> (dedupMinhashAgainst _),
     "domain_caps" -> (domainCapsQuery _),
     "pipeline_substring_dedup" -> (pipelineSubstringDedup _),
     "strip_boilerplate" -> (stripBoilerplateQuery _),
@@ -1731,6 +1746,36 @@ object SparkEntry {
       // Ground truth is the full all-pairs Jaccard (feasible in DuckDB at the
       // oracle SF) — so this checks both LSH recall (banded candidates find
       // every true pair, planted AND organic) and verify precision.
+      // cross-corpus ground truth: ALL (batch, ref) pairs by exact string-
+      // shingle Jaccard — the LSH result must equal it pair-for-pair
+      "dedup_minhash_against" ->
+        """WITH b AS (SELECT doc_id + 100000 AS doc_id, text || ' graftdup' AS text
+          |  FROM documents),
+          |tb AS (SELECT doc_id,
+          |  list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> len(x) > 0) AS toks
+          |  FROM b),
+          |tr AS (SELECT doc_id,
+          |  list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> len(x) > 0) AS toks
+          |  FROM documents),
+          |shb AS (SELECT doc_id,
+          |  list_distinct(CASE WHEN len(toks) = 0 THEN CAST([] AS VARCHAR[])
+          |    WHEN len(toks) >= 3
+          |    THEN list_transform(range(1, len(toks) - 1),
+          |         i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+          |    ELSE [array_to_string(toks, ' ')] END) AS sh
+          |  FROM tb),
+          |shr AS (SELECT doc_id,
+          |  list_distinct(CASE WHEN len(toks) = 0 THEN CAST([] AS VARCHAR[])
+          |    WHEN len(toks) >= 3
+          |    THEN list_transform(range(1, len(toks) - 1),
+          |         i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+          |    ELSE [array_to_string(toks, ' ')] END) AS sh
+          |  FROM tr)
+          |SELECT a.doc_id AS batch_id, r.doc_id AS ref_id
+          |FROM shb a JOIN shr r
+          |  ON len(a.sh) > 0 AND len(r.sh) > 0
+          | AND CAST(len(list_intersect(a.sh, r.sh)) AS DOUBLE) /
+          |     len(list_distinct(a.sh || r.sh)) >= 0.8""".stripMargin,
       "dedup_minhash" ->
         """WITH u AS (SELECT doc_id, text FROM documents UNION ALL
           |           SELECT doc_id + 100000, text || ' graftdup' FROM documents),

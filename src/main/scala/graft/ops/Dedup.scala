@@ -133,6 +133,80 @@ object Dedup {
     jaccardVerify(cand, ex, threshold)
   }
 
+  /** Incremental MinHash+LSH near-dup detection — [[minHashLsh]]'s
+    * cross-corpus form, completing the near-dup family the way
+    * [[dedupAgainst]]/[[dedupWindowsAgainst]] complete their exact
+    * counterparts: (batch_id, ref_id, jaccard) pairs where a NEW batch doc
+    * near-duplicates an ACCEPTED reference doc at `jaccard >= threshold`.
+    * No batch×batch pairs (that is [[minHashLsh]] on the batch) and no
+    * ref×ref pairs — the nightly ingest asks exactly one question: which
+    * new docs already exist, approximately, in the corpus.
+    *
+    * Shape at 100 TB: both sides run the [[minHashLsh]] machinery — narrow
+    * (id, shingle-hash) explosion, ONE imperative signature aggregation
+    * per side, banded bucket rows — and candidates come from an INNER join
+    * of the two banded tables' per-bucket membership arrays: a bucket
+    * produces work only when BOTH sides populate it, and either side
+    * exceeding `maxBucket` drops the bucket with the same observable
+    * metrics contract as [[bucketPairs]] (degenerate buckets carry no
+    * selectivity; dropping beats a quadratic cross explosion). The exact
+    * Jaccard verify joins each side's own shingle table — id spaces may
+    * overlap between batch and reference, so the two sides never mix in
+    * one table.
+    */
+  def minHashLshAgainst(
+      batch: DataFrame,
+      reference: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleN: Int = 3,
+      numHashes: Int = 64,
+      bands: Int = 16,
+      threshold: Double = 0.8,
+      maxBucket: Int = 100,
+      metrics: Option[Observation] = None): DataFrame = {
+    require(numHashes % bands == 0, "numHashes must be divisible by bands")
+    def exploded(df: DataFrame): DataFrame = df
+      .select(col(idCol).as("id"), tokens(col(textCol)).as("_toks"))
+      .select(col("id"), explode(shingleHashesFromTokens(col("_toks"), shingleN)).as("h"))
+      .localCheckpoint(false)
+    def bandedGroups(ex: DataFrame, idsCol: String): DataFrame = ex
+      .groupBy(col("id"))
+      .agg(org.apache.spark.sql.graft.MinHashBandsAgg(col("h"), numHashes, bands)
+        .as("_bands"))
+      .select(col("id"), posexplode(col("_bands")).as(Seq("band", "bucket")))
+      .groupBy(struct(col("band"), col("bucket")).as("bucketKey"))
+      .agg(array_sort(collect_list(col("id"))).as(idsCol))
+    val exB = exploded(batch)
+    val exR = exploded(reference)
+    val joined = bandedGroups(exB, "b_ids").join(bandedGroups(exR, "r_ids"), "bucketKey")
+    val oversized = size(col("b_ids")) > maxBucket || size(col("r_ids")) > maxBucket
+    val observed = metrics.map { o =>
+      joined.observe(o,
+        count(lit(1)).as("n_buckets"),
+        sum(when(oversized, 1L).otherwise(0L)).as("n_dropped_buckets"),
+        sum(when(oversized, (size(col("b_ids")) + size(col("r_ids"))).cast("long"))
+          .otherwise(0L)).as("n_dropped_ids"))
+    }.getOrElse(joined)
+    val cand = observed.filter(!oversized)
+      .select(explode(col("b_ids")).as("a_id"), col("r_ids"))
+      .select(col("a_id"), explode(col("r_ids")).as("b_id"))
+      .distinct()
+    val sizesA = exB.groupBy(col("id")).agg(count(lit(1)).as("n"))
+    val sizesB = exR.groupBy(col("id")).agg(count(lit(1)).as("n"))
+    cand
+      .join(exB.select(col("id").as("a_id"), col("h")), "a_id")
+      .join(exR.select(col("id").as("b_id"), col("h")), Seq("b_id", "h"))
+      .groupBy(col("a_id"), col("b_id"))
+      .agg(count(lit(1)).as("n_inter"))
+      .join(sizesA.select(col("id").as("a_id"), col("n").as("n_a")), "a_id")
+      .join(sizesB.select(col("id").as("b_id"), col("n").as("n_b")), "b_id")
+      .withColumn("jaccard",
+        col("n_inter").cast("double") / (col("n_a") + col("n_b") - col("n_inter")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("a_id").as("batch_id"), col("b_id").as("ref_id"), col("jaccard"))
+  }
+
   /** Exact Jaccard verification of candidate pairs against the exploded
     * per-doc shingle-hash table (`ex`: id, h — distinct per doc). Intersection
     * size is a join-and-count on (id, h); only candidate rows join, so the

@@ -23,7 +23,8 @@ class PlanGateSpec extends SparkTestBase {
     * static exchange count would see only the final segment. Covered by the
     * oracle gate + BASELINE.md instead.
     */
-  private val iterative = Set("dedup_minhash", "dedup_simhash", "dedup_clusters",
+  private val iterative = Set("dedup_minhash", "dedup_minhash_against",
+    "dedup_simhash", "dedup_clusters",
     "knn_ivf", "kmeans_clusters", "kmeans_sample_train", "bpe_merges",
     "bpe_encode", "bpe_merges_bytes", "bpe_encode_bytes",
     "pipeline_cluster_shard", "pipeline_canonicalize",

@@ -237,6 +237,25 @@ class DedupSpec extends SparkTestBase {
     assert(out(3L) === (("", 2L, 0L)))
   }
 
+  test("minHashLshAgainst: cross-corpus pairs only, exact jaccard, no within-side pairs") {
+    val base = "the quick brown fox jumps over the lazy dog near the river bank today"
+    val ref = docsDf((1L, base), (2L, "totally different reference content about catalyst optimizer internals and planning"))
+    // batch docs 10/11 near-dup EACH OTHER and doc 10 near-dups ref doc 1 —
+    // only the cross pair may surface
+    val batch = docsDf((10L, base + " extra"), (11L, base + " other"),
+      (12L, "unrelated new content concerning streaming watermarks state and triggers today"))
+    val out = Dedup.minHashLshAgainst(batch, ref, "doc_id", "text", threshold = 0.6)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(out.keySet === Set((10L, 1L), (11L, 1L)), s"got ${out.keySet}")
+    // 14-token base -> 12 shingles; +1 token batch doc shares all 12 of 13
+    assert(math.abs(out((10L, 1L)) - 12.0 / 13.0) < 1e-12, "exact set Jaccard")
+    // id spaces may overlap between sides: same id, different content —
+    // the two sides' shingle tables must never mix
+    val refSameId = docsDf((10L, "completely disjoint vocabulary here with nothing shared at all okay"))
+    val out2 = Dedup.minHashLshAgainst(batch, refSameId, "doc_id", "text", threshold = 0.6)
+    assert(out2.count() === 0L)
+  }
+
   test("dedupWindowsAgainst: reference substrings kill batch windows at any offset; batch-first still applies") {
     val ref = docsDf((100L, "a b c d e f g h"))
     val batch = docsDf(

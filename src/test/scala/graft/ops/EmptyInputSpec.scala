@@ -42,6 +42,17 @@ class EmptyInputSpec extends SparkTestBase {
     assert(Stats.groupedQuantiles(d, Seq("lang"), "doc_id", Seq(0.5)).count() === 0L)
     assert(Stats.zScoreOutliers(d, Seq("lang"), "doc_id", 3.0).count() === 0L)
     assert(Stats.histogram(d, Seq("lang"), "doc_id", 0, 10, 4).count() === 0L)
+    // round-11 additions: window dedup (both forms), line filter, HTML
+    // extraction, domain caps — all must stay well-formed on zero rows
+    assert(Dedup.dedupWindows(d, "doc_id", "text", 8, 4).count() === 0L)
+    assert(Dedup.dedupWindowsAgainst(d, d, "doc_id", "text", 8, 4).count() === 0L)
+    assert(Dedup.minHashLshAgainst(d, d, "doc_id", "text").count() === 0L)
+    assert(TextAnalysis.filterLines(d, "doc_id", "text").count() === 0L)
+    assert(TextAnalysis.extractHtmlText(d, "doc_id", "text").count() === 0L)
+    val blocked = { import spark.implicits._; Seq("x.com").toDF("value") }
+    assert(Url.domainCaps(d.select(col("doc_id"),
+        concat(lit("https://a.com/"), col("doc_id")).as("url")),
+      "url", "doc_id", 5, blocked).count() === 0L)
   }
 
   test("temporal / sketch / feature-store operators: empty in, empty out") {

@@ -594,6 +594,24 @@ object SparkEntry {
       .select(col("id").as("doc_id"), col("text_kept"),
         col("n_lines"), col("n_kept"))
 
+  /** The crawl-ingest composition a platform runs page by page: C4 line
+    * filter → quality score over the KEPT text → >= 0.5 cut → exact dedup
+    * of the cleaned content. Pins the chain's column contracts: the line
+    * filter's `text_kept` feeds the scorer's text column AND rides through
+    * `keep` into exact's content key; the canonical row's score survives
+    * the arg-min struct. Fully-line-filtered docs score 0.25 and drop at
+    * the quality cut — an empty page is not trainable content.
+    */
+  private def pipelineCrawlClean(s: SparkSession, dir: String): DataFrame = {
+    val filtered = TextAnalysis.filterLines(docsWithLines(s, dir), "doc_id", "text")
+      .select(col("id").as("doc_id"), col("text_kept"))
+    val scored = TextAnalysis
+      .qualityScore(filtered, "doc_id", "text_kept", keep = Seq("text_kept"))
+      .filter(col("quality_score") >= 0.5)
+    Dedup.exact(scored, Seq("text_kept"), "doc_id")
+      .select("doc_id", "n_dups", "quality_score")
+  }
+
   /** Real frame-container roundtrip over the closed-form synthetic videos,
     * with every 9th payload truncated to 6 bytes (shorter than the
     * container header — structurally undecodable): corrupt rows must drop,
@@ -1318,6 +1336,7 @@ object SparkEntry {
     "text_normalize" -> (textNormalize _),
     "extract_html" -> (extractHtmlQuery _),
     "filter_lines" -> (filterLinesQuery _),
+    "pipeline_crawl_clean" -> (pipelineCrawlClean _),
     "inverted_index" -> (invertedIndexQuery _),
     "cooccurrence" -> (cooccurrenceQuery _),
     "mix_corpora" -> (mixCorporaQuery _),
@@ -1373,6 +1392,38 @@ object SparkEntry {
         """  list_filter(string_split_regex(lower(trim(text)), '\s+'),
          |    x -> len(x) > 0) AS toks FROM d),
          |sz AS (SELECT doc_id, toks, coalesce(len(toks), 0) AS n FROM wt)""".stripMargin)
+    // line-filter replay (the docsWithLines synthesis + the three C4
+    // rules), shared by filter_lines and pipeline_crawl_clean; ends in
+    // CTE `lf` (doc_id, text_kept, n_lines, n_kept)
+    val lineFilterCtes =
+      (s"""$toksCte,
+         |ex AS (SELECT doc_id, unnest(toks) AS tok,
+         |  generate_subscripts(toks, 1) AS p FROM t),
+         |segs AS (SELECT doc_id, CAST((p - 1) // 12 AS INT) AS pos,
+         |  string_agg(tok, ' ' ORDER BY p) ||
+         |    CASE WHEN (doc_id + CAST((p - 1) // 12 AS INT)) % 3 <> 0
+         |      THEN '.' ELSE '' END AS line
+         |  FROM ex GROUP BY doc_id, (p - 1) // 12),
+         |withb AS (
+         |  SELECT doc_id, -1 AS pos,
+         |    'please enable javascript and accept our cookie policy.' AS line
+         |  FROM t WHERE doc_id % 4 = 0 AND len(toks) > 0
+         |  UNION ALL SELECT doc_id, pos, line FROM segs),
+         |""".stripMargin +
+        """kept AS (SELECT doc_id, pos, line FROM withb
+         |  WHERE len(list_filter(string_split_regex(trim(line), '\s+'),
+         |      x -> len(x) > 0)) >= 3
+         |    AND right(trim(line), 1) IN ('.', '!', '?', '"')
+         |    AND NOT contains(lower(line), 'javascript')
+         |    AND NOT contains(lower(line), 'lorem ipsum')
+         |    AND NOT contains(lower(line), '{')),
+         |lagg AS (SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS text_kept,
+         |  count(*) AS n_kept FROM kept GROUP BY doc_id),
+         |nl AS (SELECT doc_id, count(*) AS n_lines FROM withb GROUP BY doc_id),
+         |lf AS (SELECT t.doc_id, coalesce(lagg.text_kept, '') AS text_kept,
+         |  CAST(coalesce(nl.n_lines, 0) AS BIGINT) AS n_lines,
+         |  CAST(coalesce(lagg.n_kept, 0) AS BIGINT) AS n_kept
+         |FROM t LEFT JOIN nl USING (doc_id) LEFT JOIN lagg USING (doc_id))""".stripMargin)
     // substring-window dedup replay, shared by dedup_windows and
     // pipeline_substring_dedup: slide → first-occurrence arg-min →
     // interval reassembly, ending in CTE `fin`
@@ -2651,35 +2702,34 @@ object SparkEntry {
       // line), then apply the three rules — >= 3 tokens, terminal
       // punctuation, no blocked substring — and reassemble survivors
       "filter_lines" ->
-        (s"""WITH $toksCte,
+        s"""WITH $lineFilterCtes
+           |SELECT doc_id, text_kept, n_lines, n_kept FROM lf""".stripMargin,
+      // the crawl-ingest composition: line filter → quality score over the
+      // KEPT text → >= 0.5 cut → exact dedup of the cleaned text (smallest
+      // doc_id per distinct cleaned content wins; its score rides through)
+      "pipeline_crawl_clean" ->
+        (s"""WITH $lineFilterCtes,
+           |t2 AS (SELECT doc_id, text_kept AS text,
            |""".stripMargin +
-          """ex AS (SELECT doc_id, unnest(toks) AS tok,
-           |  generate_subscripts(toks, 1) AS p FROM t),
-           |segs AS (SELECT doc_id, CAST((p - 1) // 12 AS INT) AS pos,
-           |  string_agg(tok, ' ' ORDER BY p) ||
-           |    CASE WHEN (doc_id + CAST((p - 1) // 12 AS INT)) % 3 <> 0
-           |      THEN '.' ELSE '' END AS line
-           |  FROM ex GROUP BY doc_id, (p - 1) // 12),
-           |withb AS (
-           |  SELECT doc_id, -1 AS pos,
-           |    'please enable javascript and accept our cookie policy.' AS line
-           |  FROM t WHERE doc_id % 4 = 0 AND len(toks) > 0
-           |  UNION ALL SELECT doc_id, pos, line FROM segs),
-           |""".stripMargin +
-          """kept AS (SELECT doc_id, pos, line FROM withb
-           |  WHERE len(list_filter(string_split_regex(trim(line), '\s+'),
-           |      x -> len(x) > 0)) >= 3
-           |    AND right(trim(line), 1) IN ('.', '!', '?', '"')
-           |    AND NOT contains(lower(line), 'javascript')
-           |    AND NOT contains(lower(line), 'lorem ipsum')
-           |    AND NOT contains(lower(line), '{')),
-           |agg AS (SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS text_kept,
-           |  count(*) AS n_kept FROM kept GROUP BY doc_id),
-           |nl AS (SELECT doc_id, count(*) AS n_lines FROM withb GROUP BY doc_id)
-           |SELECT t.doc_id, coalesce(agg.text_kept, '') AS text_kept,
-           |  CAST(coalesce(nl.n_lines, 0) AS BIGINT) AS n_lines,
-           |  CAST(coalesce(agg.n_kept, 0) AS BIGINT) AS n_kept
-           |FROM t LEFT JOIN nl USING (doc_id) LEFT JOIN agg USING (doc_id)""".stripMargin),
+          s"""  list_filter(string_split_regex(lower(trim(text_kept)), '\\s+'),
+           |    x -> len(x) > 0) AS toks FROM lf),
+           |c2 AS (SELECT doc_id, text, len(toks) AS n_tokens,
+           |  len(list_filter(toks, x -> list_contains($allStops, x))) AS n_stopwords,
+           |  len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS n_punct,
+           |  len(list_distinct(toks)) AS n_distinct_tokens,
+           |  length(text) AS n_chars FROM t2),
+           |q2 AS (SELECT doc_id, text,
+           |  round(
+           |    least(n_tokens / 20.0, 1.0) * 0.25 +
+           |    (1.0 - least(n_punct / greatest(CAST(n_chars AS DOUBLE), 1.0) * 4.0, 1.0)) * 0.25 +
+           |    (n_distinct_tokens / greatest(CAST(n_tokens AS DOUBLE), 1.0)) * 0.25 +
+           |    least(n_stopwords / greatest(CAST(n_tokens AS DOUBLE), 1.0) * 5.0, 1.0) * 0.25,
+           |    6) AS quality_score
+           |  FROM c2),
+           |f2 AS (SELECT * FROM q2 WHERE quality_score >= 0.5)
+           |SELECT min(doc_id) AS doc_id, count(*) AS n_dups,
+           |       arg_min(quality_score, doc_id) AS quality_score
+           |FROM f2 GROUP BY lower(trim(text))""".stripMargin),
       // HTML extraction: identical regex chain (RE2-compatible patterns),
       // entity decode by literal replace in the same order — &amp; LAST, so
       // the planted &amp;lt; renders the literal &lt;, never double-decodes

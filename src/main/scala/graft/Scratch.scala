@@ -59,6 +59,14 @@ object Scratch {
           noop(TextAnalysis.bpeEncode(df, "doc_id", "text", merges1)))
         time(s"lm_score $tag (round $round)")(
           noop(TextAnalysis.lmScore(df, df, "doc_id", "text", minCount = 2)))
+        // round-11 window family: both must scale ~linearly (digest
+        // arg-min + interval reassembly are linear; no candidate blowup)
+        time(s"dedup_windows $tag (round $round)")(
+          noop(Dedup.dedupWindows(df, "doc_id", "text", 12, 6)))
+        time(s"dedup_windows_against $tag (round $round)")(
+          noop(Dedup.dedupWindowsAgainst(df, one, "doc_id", "text", 12, 6)))
+        time(s"filter_lines $tag (round $round)")(
+          noop(TextAnalysis.filterLines(df, "doc_id", "text")))
       }
     }
     spark.stop()

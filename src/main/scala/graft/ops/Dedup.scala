@@ -642,7 +642,10 @@ object Dedup {
     * all inside one codegen'd projection. The token arrays are rebuilt from
     * the original df at the final join rather than checkpointed through the
     * pipeline — tokenization is CPU-cheap; materializing the tokenized
-    * corpus would be a second copy of the data.
+    * corpus would be a second copy of the data. Measured (Scratch, sf0.1):
+    * 5× corpus → 1.7× wall-clock for both this and [[dedupWindowsAgainst]]
+    * — scheduling-floor-dominated at bench SF, no candidate blowup
+    * anywhere in the chain.
     */
   def dedupWindows(
       df: DataFrame,

@@ -742,6 +742,17 @@ object SparkEntry {
       .select("doc_id", "n_dups", "quality_score")
   }
 
+  /** Recency-weighted per-user feature: half-life-decayed value sum as of
+    * 2024-01-31 with a 6-hour half-life — the 30-day events table spans
+    * ~120 half-lives, so the 40-half-life horizon genuinely binds (events
+    * older than 10 days drop) while recent events carry decayed weight.
+    */
+  private def decayedFeatures(s: SparkSession, dir: String): DataFrame =
+    ops.Temporal.decayedSum(eventsFixedPoint(s, dir),
+      keys = Seq("user_id"), tsCol = "ts", valueCol = "value",
+      halfLifeSeconds = 21600L,
+      asOf = java.sql.Timestamp.from(java.time.Instant.parse("2024-01-31T00:00:00Z")))
+
   /** Per-user trailing-7-day rolling count/sum over events (RANGE frame). */
   private def rollingFeatures(s: SparkSession, dir: String): DataFrame =
     ops.Temporal.rollingAggregate(eventsFixedPoint(s, dir),
@@ -1307,6 +1318,7 @@ object SparkEntry {
     "events_windowed" -> (eventsWindowed _),
     "events_sessions" -> (eventsSessions _),
     "rolling_features" -> (rollingFeatures _),
+    "decayed_features" -> (decayedFeatures _),
     "event_attribution" -> (eventAttribution _),
     "text_pii_redact" -> (textPiiRedact _),
     "sample_hash" -> (sampleHash _),
@@ -2314,6 +2326,22 @@ object SparkEntry {
           |SELECT user_id, min(ts_us) AS session_start_us, max(ts_us) AS session_end_us,
           |  count(*) AS n_events, CAST(sum(v) AS BIGINT) AS total_value
           |FROM sids GROUP BY user_id, sid""".stripMargin,
+      // step-decay replay in pure integer arithmetic: k half-lives from
+      // the integer microsecond delta, weight 2^(40-k) exact in decimal,
+      // one decimal->double conversion + one division by the exact
+      // constant 2^40 (a pure exponent shift) at the very end
+      "decayed_features" ->
+        """WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us,
+          |    CAST(round(value * 10000) AS BIGINT) AS v FROM events),
+          |d AS (SELECT user_id, v,
+          |    CAST((1706659200000000 - ts_us) // 21600000000 AS INT) AS k
+          |  FROM e WHERE ts_us <= 1706659200000000),
+          |f AS (SELECT * FROM d WHERE k < 40)
+          |SELECT user_id, count(*) AS n_events,
+          |  round(CAST(sum(CAST(v AS DECIMAL(38,0)) *
+          |      CAST(power(2, 40 - k) AS DECIMAL(38,0))) AS DOUBLE)
+          |    / 1099511627776.0, 6) AS decayed_sum
+          |FROM f GROUP BY user_id""".stripMargin,
       "rolling_features" ->
         """SELECT user_id, event_id, epoch_us(ts) AS ts_us,
           |  count(*) OVER w AS n_7d,

@@ -18,6 +18,56 @@ import org.apache.spark.sql.functions._
   */
 object Temporal {
 
+  /** Half-life-decayed per-key aggregate — the recency-weighted feature
+    * every feature store serves next to the rolling window (row 48):
+    * `decayed_sum = Σ value · 2^(−floor(Δt / halfLife))`, a STEP decay with
+    * integer exponents, evaluated AS OF a fixed instant. The step form is a
+    * deliberate choice over continuous `exp(−λΔt)`: integer exponents make
+    * every weight an exact power of two, so the whole aggregation runs in
+    * the integer-exact lane (the lmScore/vocabCoverage discipline) —
+    * `Σ value · 2^(maxHalfLives − k)` accumulates as DECIMAL(38,0) with no
+    * float addition anywhere, and the single IEEE step at the end (decimal
+    * → double, then division by the exact constant 2^maxHalfLives — a pure
+    * exponent shift, no rounding) is engine- and partitioning-identical.
+    * Events older than `maxHalfLives` half-lives (weight < 2^−40 by
+    * default) and events after `asOf` contribute nothing — the horizon is
+    * the contract, not an approximation. `valueCol` must be integer-valued
+    * (fixed-point by the caller, the events-fixture convention).
+    *
+    * Shape at 100 TB: one scan with the horizon filter PUSHED to the scan
+    * (a ts range predicate — partition-prunable under a dt layout), one
+    * hash aggregation with map-side partials on the keys. Nothing else.
+    */
+  def decayedSum(
+      df: DataFrame,
+      keys: Seq[String],
+      tsCol: String,
+      valueCol: String,
+      halfLifeSeconds: Long,
+      asOf: java.sql.Timestamp,
+      maxHalfLives: Int = 40): DataFrame = {
+    require(halfLifeSeconds > 0, "halfLifeSeconds must be positive")
+    require(maxHalfLives >= 1 && maxHalfLives <= 50,
+      "maxHalfLives must be in [1, 50] (2^50 keeps the per-row weight exact in decimal)")
+    val asOfUs = asOf.getTime * 1000L
+    val tsUs = unix_micros(col(tsCol))
+    val k = floor((lit(asOfUs) - tsUs) / lit(halfLifeSeconds * 1000000L)).cast("int")
+    df.filter(tsUs <= asOfUs)
+      .withColumn("_k", k)
+      .filter(col("_k") < maxHalfLives)
+      // 2^(M−k) is exact in double up to 2^52, and the cast to decimal is
+      // exact for integers — the weight never passes through a rounding
+      .withColumn("_w",
+        pow(lit(2.0), lit(maxHalfLives) - col("_k")).cast("decimal(38,0)"))
+      .groupBy(keys.map(col): _*)
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(col(valueCol).cast("decimal(38,0)") * col("_w")).as("_num"))
+      .select(keys.map(col) :+ col("n_events") :+
+        round(col("_num").cast("double") / math.pow(2.0, maxHalfLives), 6)
+          .as("decayed_sum"): _*)
+  }
+
   /** Per-key rolling aggregates over the trailing `windowSeconds` (inclusive
     * of the current row's instant): appends `roll_count` and `roll_sum` of
     * `valueCol`. The frame is a RANGE (value-based) frame over microseconds,

@@ -112,6 +112,8 @@ class PlanGateSpec extends SparkTestBase {
     "q1_pricing_summary" -> 1,
     "q3_top_orders" -> 1,
     "rolling_features" -> 1,
+    // one scan with the horizon predicate + one keyed hash aggregation
+    "decayed_features" -> 1,
     "sample_hash" -> 0,
     "sample_stratified" -> 0,
     "schema_events" -> 0,

@@ -282,6 +282,49 @@ class DedupSpec extends SparkTestBase {
     assert(again === out)
   }
 
+  test("dedupWindows: agrees with a plain-Scala reference model on random corpora") {
+    // executable spec of the window-dedup semantics, independent of Spark:
+    // tokenize, slide (+ tail window), corpus-wide min-(id, start) survivor,
+    // reassemble from covered indices
+    def refModel(docs: Seq[(Long, String)], k: Int, s: Int): Map[Long, (String, Long, Long)] = {
+      val toks = docs.map { case (id, t) =>
+        id -> Option(t).getOrElse("").trim.toLowerCase
+          .split("\\s+").filter(_.nonEmpty).toSeq
+      }.toMap
+      final case class Win(id: Long, p: Int, len: Int, content: Seq[String])
+      val wins = docs.flatMap { case (id, _) =>
+        val tk = toks(id); val n = tk.size
+        val starts =
+          if (n == 0) Seq.empty[Int]
+          else if (n <= k) Seq(0)
+          else ((0 to n - k by s) :+ (n - k)).distinct
+        starts.map(p => Win(id, p, math.min(k, n), tk.slice(p, p + math.min(k, n))))
+      }
+      val firsts = wins.groupBy(_.content)
+        .map { case (_, ws) => ws.minBy(w => (w.id, w.p)) }.toSet
+      docs.map { case (id, _) =>
+        val tk = toks(id)
+        val covered = firsts.filter(_.id == id)
+          .flatMap(w => w.p until (w.p + w.len)).toSeq.distinct.sorted
+        id -> ((covered.map(tk).mkString(" "), tk.size.toLong, covered.size.toLong))
+      }.toMap
+    }
+    val rnd = new scala.util.Random(20260813L)
+    val alphabet = Vector("a", "b", "c", "d", "e", "f", "g", "h")
+    (1 to 10).foreach { trial =>
+      val k = 2 + rnd.nextInt(5) // 2..6
+      val s = 1 + rnd.nextInt(k) // 1..k
+      val docs = (0 until 6).map { i =>
+        val n = rnd.nextInt(31) // small alphabet -> organic duplicate windows
+        (i.toLong, (0 until n).map(_ => alphabet(rnd.nextInt(alphabet.size))).mkString(" "))
+      }
+      val got = Dedup.dedupWindows(docsDf(docs: _*), "doc_id", "text", k, s)
+        .collect().map(r => r.getLong(0) ->
+          ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+      assert(got === refModel(docs, k, s), s"trial $trial k=$k s=$s docs=$docs")
+    }
+  }
+
   test("dedupWindows: rejects a stride that would leave tokens uncovered") {
     val docs = docsDf((1L, "a b c"))
     intercept[IllegalArgumentException] {

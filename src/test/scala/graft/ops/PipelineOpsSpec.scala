@@ -31,6 +31,36 @@ class PipelineOpsSpec extends SparkTestBase {
       (2L, 7L, 1L, 7L)))
   }
 
+  test("decayedSum: exact power-of-two step decay, horizon and future cutoffs") {
+    import spark.implicits._
+    val asOf = ts("2024-01-10 00:00:00")
+    val df = Seq(
+      (1L, ts("2024-01-10 00:00:00"), 1000L), // dt 0 -> k=0, weight 1
+      (1L, ts("2024-01-09 00:00:00"), 1000L), // 1 day = 1 half-life -> 1/2
+      (1L, ts("2024-01-07 12:00:00"), 1000L), // 2.5 days -> k=2 -> 1/4
+      (1L, ts("2023-11-01 00:00:00"), 9999L), // 70 days -> beyond 40 half-lives: dropped
+      (1L, ts("2024-01-11 00:00:00"), 9999L), // after asOf: dropped
+      (2L, ts("2024-01-08 00:00:00"), 400L)   // k=2 -> 100
+    ).toDF("user_id", "ts", "value")
+    val out = Temporal.decayedSum(df, Seq("user_id"), "ts", "value",
+        halfLifeSeconds = 86400L, asOf = asOf)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(out(1L) === ((3L, 1000.0 + 500.0 + 250.0)))
+    assert(out(2L) === ((1L, 100.0)))
+    // deterministic under partitioning (integer lane — no float summation)
+    val again = Temporal.decayedSum(df.repartition(5), Seq("user_id"), "ts", "value",
+        halfLifeSeconds = 86400L, asOf = asOf)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(again === out)
+    intercept[IllegalArgumentException] {
+      Temporal.decayedSum(df, Seq("user_id"), "ts", "value", 0L, asOf)
+    }
+    intercept[IllegalArgumentException] {
+      Temporal.decayedSum(df, Seq("user_id"), "ts", "value", 86400L, asOf,
+        maxHalfLives = 51)
+    }
+  }
+
   test("asofJoin: backward nearest-at-or-before, tolerance, ties to greatest tieBreak, no-match nulls") {
     import spark.implicits._
     val left = Seq(

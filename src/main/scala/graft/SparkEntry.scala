@@ -742,6 +742,20 @@ object SparkEntry {
       .select("doc_id", "n_dups", "quality_score")
   }
 
+  /** Feature-correlation profile over lineitem's four measure columns in
+    * ×100 fixed point (prices/rates carry two decimals): six unordered
+    * pairs, exact integer moment sums, one IEEE step per pair.
+    */
+  private def columnCorrelations(s: SparkSession, dir: String): DataFrame = {
+    val li = s.read.parquet(s"$dir/lineitem.parquet")
+    val fp = li.select(
+      round(col("l_quantity") * 100).cast("long").as("q"),
+      round(col("l_extendedprice") * 100).cast("long").as("ep"),
+      round(col("l_discount") * 100).cast("long").as("disc"),
+      round(col("l_tax") * 100).cast("long").as("tax"))
+    ops.Stats.correlations(fp, Seq("q", "ep", "disc", "tax"))
+  }
+
   /** Recency-weighted per-user feature: half-life-decayed value sum as of
     * 2024-01-31 with a 6-hour half-life — the 30-day events table spans
     * ~120 half-lives, so the 40-half-life horizon genuinely binds (events
@@ -1319,6 +1333,7 @@ object SparkEntry {
     "events_sessions" -> (eventsSessions _),
     "rolling_features" -> (rollingFeatures _),
     "decayed_features" -> (decayedFeatures _),
+    "column_correlations" -> (columnCorrelations _),
     "event_attribution" -> (eventAttribution _),
     "text_pii_redact" -> (textPiiRedact _),
     "sample_hash" -> (sampleHash _),
@@ -2326,6 +2341,36 @@ object SparkEntry {
           |SELECT user_id, min(ts_us) AS session_start_us, max(ts_us) AS session_end_us,
           |  count(*) AS n_events, CAST(sum(v) AS BIGINT) AS total_value
           |FROM sids GROUP BY user_id, sid""".stripMargin,
+      // correlation replay: identical exact decimal moment sums in ONE
+      // pass, then the same single IEEE step per pair (generated from the
+      // same pair list as the Spark side — the oracle cannot drift)
+      "column_correlations" -> {
+        val cc = Seq("q", "ep", "disc", "tax")
+        val cPairs = for { i <- cc.indices; j <- (i + 1) until cc.size }
+          yield (cc(i), cc(j))
+        def dd(c: String) = s"CAST($c AS DECIMAL(38,0))"
+        val sums = cc.flatMap(c => Seq(
+          s"sum(${dd(c)}) AS s_$c",
+          s"sum(${dd(c)} * ${dd(c)}) AS ss_$c")) ++
+          cPairs.map { case (a, b) => s"sum(${dd(a)} * ${dd(b)}) AS p_${a}_$b" }
+        val branches = cPairs.map { case (a, b) =>
+          s"""SELECT '$a' AS col_x, '$b' AS col_y, n,
+             |  CASE WHEN CAST(nn * ss_$a - s_$a * s_$a AS DOUBLE) *
+             |            CAST(nn * ss_$b - s_$b * s_$b AS DOUBLE) = 0 THEN NULL
+             |  ELSE round(CAST(nn * p_${a}_$b - s_$a * s_$b AS DOUBLE) /
+             |    sqrt(CAST(nn * ss_$a - s_$a * s_$a AS DOUBLE) *
+             |         CAST(nn * ss_$b - s_$b * s_$b AS DOUBLE)), 6)
+             |  END AS corr FROM a""".stripMargin
+        }
+        s"""WITH f AS (SELECT
+           |  CAST(round(l_quantity * 100) AS BIGINT) AS q,
+           |  CAST(round(l_extendedprice * 100) AS BIGINT) AS ep,
+           |  CAST(round(l_discount * 100) AS BIGINT) AS disc,
+           |  CAST(round(l_tax * 100) AS BIGINT) AS tax FROM lineitem),
+           |a AS (SELECT count(*) AS n, CAST(count(*) AS DECIMAL(38,0)) AS nn,
+           |  ${sums.mkString(",\n  ")} FROM f)
+           |${branches.mkString("\nUNION ALL\n")}""".stripMargin
+      },
       // step-decay replay in pure integer arithmetic: k half-lives from
       // the integer microsecond delta, weight 2^(40-k) exact in decimal,
       // one decimal->double conversion + one division by the exact

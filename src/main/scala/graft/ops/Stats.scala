@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{ByteType, DecimalType, IntegerType, LongType, ShortType}
 
@@ -150,6 +150,55 @@ object Stats {
     * conditional counts aggregate map-side in ONE hash aggregation, so the
     * single exchange carries one row per key regardless of category count.
     */
+  /** Pearson correlation matrix over integer-valued columns (fixed-point by
+    * the caller, the family convention) — the feature-profiling pass run
+    * before training ("which features are redundant"). All five moment sums
+    * (n, Σx, Σx², Σxy per pair) accumulate EXACTLY as DECIMAL(38,0) in ONE
+    * corpus pass — no float addition anywhere, so the sums are partitioning-
+    * and engine-identical — and each pair's correlation is then a single
+    * closed-form IEEE step over exact integers (decimal→double conversions,
+    * one multiply, one sqrt, one divide — all correctly-rounded operations
+    * on identical inputs, hence engine-identical results; rounded to 6).
+    * A zero-variance column yields NULL against every partner, never a
+    * NaN. Output: (col_x, col_y, n, corr), one row per unordered pair.
+    *
+    * Overflow bound (document, don't discover): `n · max|x|² · n` must stay
+    * inside 38 digits — e.g. 1e8 rows of 1e9-scale fixed-point values peak
+    * at ~1e34. Pre-scale coarser if the corpus exceeds it.
+    *
+    * Shape at 100 TB: ONE map-side-partial global aggregation (the only
+    * exchange is the single-partition gather of per-partition partials);
+    * the pair expansion is a union of 1-row projections over the eagerly
+    * checkpointed aggregate row — without that checkpoint each union
+    * branch would re-run the corpus pass.
+    */
+  def correlations(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.size >= 2, "need at least two columns")
+    require(cols.distinct.size == cols.size, "columns must be distinct")
+    val dec = "decimal(38,0)"
+    def d(c: String): Column = col(c).cast(dec)
+    val pairs = for { i <- cols.indices; j <- (i + 1) until cols.size }
+      yield (cols(i), cols(j))
+    val aggs: Seq[Column] =
+      (count(lit(1)).as("_n") +:
+        cols.flatMap(c => Seq(
+          sum(d(c)).as(s"_s_$c"),
+          sum(d(c) * d(c)).as(s"_ss_$c")))) ++
+        pairs.map { case (a, b) => sum(d(a) * d(b)).as(s"_p_${a}_${b}") }
+    val g = df.agg(aggs.head, aggs.tail: _*).localCheckpoint()
+    val n = col("_n").cast(dec)
+    val rows = pairs.map { case (a, b) =>
+      val num = (n * col(s"_p_${a}_${b}") - col(s"_s_$a") * col(s"_s_$b")).cast("double")
+      val va = (n * col(s"_ss_$a") - col(s"_s_$a") * col(s"_s_$a")).cast("double")
+      val vb = (n * col(s"_ss_$b") - col(s"_s_$b") * col(s"_s_$b")).cast("double")
+      g.select(
+        lit(a).as("col_x"), lit(b).as("col_y"), col("_n").as("n"),
+        when(va * vb === 0.0, lit(null).cast("double"))
+          .otherwise(round(num / sqrt(va * vb), 6)).as("corr"))
+    }
+    rows.reduce(_ unionByName _)
+  }
+
   def crosstabCounts(
       df: DataFrame,
       keyCol: String,

@@ -114,6 +114,9 @@ class PlanGateSpec extends SparkTestBase {
     "rolling_features" -> 1,
     // one scan with the horizon predicate + one keyed hash aggregation
     "decayed_features" -> 1,
+    // the one corpus pass runs during construction (eager 1-row checkpoint);
+    // the static plan is a union of 1-row projections over it
+    "column_correlations" -> 0,
     "sample_hash" -> 0,
     "sample_stratified" -> 0,
     "schema_events" -> 0,

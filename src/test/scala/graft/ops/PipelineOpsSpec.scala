@@ -31,6 +31,34 @@ class PipelineOpsSpec extends SparkTestBase {
       (2L, 7L, 1L, 7L)))
   }
 
+  test("correlations: hand-built perfect/anti/independent pairs; zero variance yields null") {
+    import spark.implicits._
+    // y = 2x (corr 1), z = -x (corr -1), w constant (zero variance -> null),
+    // u crafted so corr(x, u) = 0 exactly (u symmetric around its mean
+    // while x is monotone: covariance terms cancel)
+    val df = Seq(
+      (1L, 2L, -1L, 7L, 5L),
+      (2L, 4L, -2L, 7L, 9L),
+      (3L, 6L, -3L, 7L, 5L)
+    ).toDF("x", "y", "z", "w", "u")
+    val out = Stats.correlations(df, Seq("x", "y", "z", "w", "u"))
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), Option(r.get(3)).map(_.asInstanceOf[Double])))).toMap
+    assert(out(("x", "y")) === ((3L, Some(1.0))))
+    assert(out(("x", "z")) === ((3L, Some(-1.0))))
+    assert(out(("y", "z")) === ((3L, Some(-1.0))))
+    assert(out(("x", "w")) === ((3L, None)), "zero variance -> null, not NaN")
+    assert(out(("x", "u")) === ((3L, Some(0.0))))
+    assert(out.size === 10, "one row per unordered pair")
+    // deterministic under partitioning (decimal sums, no float accumulation)
+    val again = Stats.correlations(df.repartition(4), Seq("x", "y", "z", "w", "u"))
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), Option(r.get(3)).map(_.asInstanceOf[Double])))).toMap
+    assert(again === out)
+    intercept[IllegalArgumentException] { Stats.correlations(df, Seq("x")) }
+    intercept[IllegalArgumentException] { Stats.correlations(df, Seq("x", "x")) }
+  }
+
   test("decayedSum: exact power-of-two step decay, horizon and future cutoffs") {
     import spark.implicits._
     val asOf = ts("2024-01-10 00:00:00")

@@ -742,6 +742,15 @@ object SparkEntry {
       .select("doc_id", "n_dups", "quality_score")
   }
 
+  /** Per-label embedding centroids via quantized mean pooling, emitted in
+    * long form (one row per (label, dimension)) so the oracle compares
+    * scalars, never array renderings.
+    */
+  private def embeddingMeanPool(s: SparkSession, dir: String): DataFrame =
+    ops.Embeddings.meanPool(embs(s, dir), "label", "embedding")
+      .select(col("label"), col("n_vecs"),
+        posexplode(col("centroid")).as(Seq("dim", "mean_component")))
+
   /** Feature-correlation profile over lineitem's four measure columns in
     * ×100 fixed point (prices/rates carry two decimals): six unordered
     * pairs, exact integer moment sums, one IEEE step per pair.
@@ -1334,6 +1343,7 @@ object SparkEntry {
     "rolling_features" -> (rollingFeatures _),
     "decayed_features" -> (decayedFeatures _),
     "column_correlations" -> (columnCorrelations _),
+    "embedding_mean_pool" -> (embeddingMeanPool _),
     "event_attribution" -> (eventAttribution _),
     "text_pii_redact" -> (textPiiRedact _),
     "sample_hash" -> (sampleHash _),
@@ -2341,6 +2351,20 @@ object SparkEntry {
           |SELECT user_id, min(ts_us) AS session_start_us, max(ts_us) AS session_end_us,
           |  count(*) AS n_events, CAST(sum(v) AS BIGINT) AS total_value
           |FROM sids GROUP BY user_id, sid""".stripMargin,
+      // mean-pool replay: identical floor-quantization, integer per-dim
+      // sums, one division per dimension
+      "embedding_mean_pool" ->
+        """WITH e AS (SELECT label, unnest(embedding) AS x,
+          |    generate_subscripts(embedding, 1) AS dim1 FROM embeddings),
+          |q AS (SELECT label, dim1 - 1 AS dim,
+          |    CAST(floor(CAST(x AS DOUBLE) * 1024) AS BIGINT) AS qq FROM e),
+          |g AS (SELECT label, dim, sum(qq) AS s, count(*) AS n
+          |  FROM q GROUP BY 1, 2),
+          |nv AS (SELECT label, max(n) AS n_vecs FROM g GROUP BY label)
+          |SELECT g.label, CAST(nv.n_vecs AS BIGINT) AS n_vecs, g.dim,
+          |  round(CAST(s AS DOUBLE) / (CAST(n AS DOUBLE) * 1024.0), 6)
+          |    AS mean_component
+          |FROM g JOIN nv USING (label)""".stripMargin,
       // correlation replay: identical exact decimal moment sums in ONE
       // pass, then the same single IEEE step per pair (generated from the
       // same pair list as the Spark side — the oracle cannot drift)

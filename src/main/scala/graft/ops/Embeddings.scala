@@ -93,6 +93,46 @@ object Embeddings {
     * Wrong-dimension vectors project to null (surfaced, not zero-padded).
     * Output: (id, `proj` — `array<long>`, `proj_str`).
     */
+  /** Per-group element-wise mean of embedding vectors — the pooling step
+    * that turns chunk embeddings into a document embedding (or cluster
+    * members into a centroid) after [[graft.ops.TextAnalysis.chunkDocuments]]
+    * + encode. Components quantize `floor(x · 2^quantBits)` into LONGs (the
+    * [[randomProject]] convention — float→double and ×2^k are both exact,
+    * so quantization is engine-identical), per-dimension sums accumulate as
+    * integers with map-side partials, and the mean is ONE correctly-rounded
+    * IEEE division per dimension (`Σq / (n · 2^quantBits)`, the divisor
+    * exact in double), rounded to 6 — partitioning- and engine-identical
+    * end to end, no float summation anywhere. Ragged groups are safe: each
+    * dimension averages the components that exist at that position, and
+    * `n_vecs` reports the group's deepest dimension count. Output:
+    * (group, `n_vecs`, `centroid` — `array<double>` ordered by dimension).
+    *
+    * Shape at 100 TB: one explode to narrow (group, dim, q) rows, one
+    * hash aggregation on (group, dim), one per-group re-collect of
+    * dim-count rows — embeddings never shuffle as arrays.
+    */
+  def meanPool(
+      df: DataFrame,
+      groupCol: String,
+      vecCol: String,
+      quantBits: Int = 10): DataFrame = {
+    require(quantBits >= 0 && quantBits <= 20, "quantBits must be in [0, 20]")
+    val scale = math.pow(2.0, quantBits) // exact power of two
+    val q = transform(col(vecCol),
+      x => floor(x.cast("double") * scale).cast("long"))
+    df.select(col(groupCol), posexplode(q).as(Seq("dim", "_q")))
+      .groupBy(col(groupCol), col("dim"))
+      .agg(sum(col("_q")).as("_s"), count(lit(1)).as("_n"))
+      .groupBy(col(groupCol))
+      .agg(
+        max(col("_n")).as("n_vecs"),
+        array_sort(collect_list(struct(col("dim"),
+          round(col("_s").cast("double") / (col("_n").cast("double") * scale), 6)
+            .as("m")))).as("_dm"))
+      .select(col(groupCol), col("n_vecs"),
+        transform(col("_dm"), e => e.getField("m")).as("centroid"))
+  }
+
   def randomProject(
       df: DataFrame,
       idCol: String,

@@ -117,6 +117,8 @@ class PlanGateSpec extends SparkTestBase {
     // the one corpus pass runs during construction (eager 1-row checkpoint);
     // the static plan is a union of 1-row projections over it
     "column_correlations" -> 0,
+    // (group, dim) aggregation + per-group centroid re-collect
+    "embedding_mean_pool" -> 2,
     "sample_hash" -> 0,
     "sample_stratified" -> 0,
     "schema_events" -> 0,

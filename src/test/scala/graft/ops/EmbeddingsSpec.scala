@@ -140,4 +140,28 @@ class EmbeddingsSpec extends SparkTestBase {
     assert(plan.contains("graft_sign_project"), plan)
     assert(!plan.contains("Exchange"), plan)
   }
+
+  test("meanPool: quantized per-dim means, ragged groups, partitioning determinism") {
+    import spark.implicits._
+    val df = Seq(
+      ("a", Array(1.0f, -0.5f)),
+      ("a", Array(0.0f, 0.5f)),
+      ("b", Array(0.25f, 0.25f, 1.0f)), // deeper vector
+      ("b", Array(0.75f))               // ragged: only dim 0
+    ).toDF("grp", "embedding")
+    val out = Embeddings.meanPool(df, "grp", "embedding")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getSeq[Double](2).toList))).toMap
+    // quant floor(x*1024): a -> [1024, -512], [0, 512]; means 0.5, 0.0
+    assert(out("a") === ((2L, List(0.5, 0.0))))
+    // b: dim0 averages both (256+768)/(2*1024)=0.5; dims 1-2 only vec 1
+    assert(out("b") === ((2L, List(0.5, 0.25, 1.0))))
+    val again = Embeddings.meanPool(df.repartition(5), "grp", "embedding")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getSeq[Double](2).toList))).toMap
+    assert(again === out)
+    intercept[IllegalArgumentException] {
+      Embeddings.meanPool(df, "grp", "embedding", quantBits = 21)
+    }
+  }
 }

@@ -742,6 +742,11 @@ object SparkEntry {
       .select("doc_id", "n_dups", "quality_score")
   }
 
+  /** Deterministic 80/10/10 corpus split keyed on doc_id. */
+  private def splitBucketsQuery(s: SparkSession, dir: String): DataFrame =
+    ops.Sampling.splitBuckets(docs(s, dir).select("doc_id", "source"), "doc_id",
+      Seq("train" -> 80, "val" -> 10, "test" -> 10))
+
   /** Per-label embedding centroids via quantized mean pooling, emitted in
     * long form (one row per (label, dimension)) so the oracle compares
     * scalars, never array renderings.
@@ -1344,6 +1349,7 @@ object SparkEntry {
     "decayed_features" -> (decayedFeatures _),
     "column_correlations" -> (columnCorrelations _),
     "embedding_mean_pool" -> (embeddingMeanPool _),
+    "split_buckets" -> (splitBucketsQuery _),
     "event_attribution" -> (eventAttribution _),
     "text_pii_redact" -> (textPiiRedact _),
     "sample_hash" -> (sampleHash _),
@@ -2443,6 +2449,16 @@ object SparkEntry {
            |  len(regexp_extract_all(t_email, '${TextAnalysis.ipv4Re}')) AS n_ips,
            |  md5(regexp_replace(t_email, '${TextAnalysis.ipv4Re}', '<IP>', 'g')) AS redacted_fp
            |FROM e""".stripMargin,
+      // same md5 bucket rule as sample_hash, cut into consecutive ranges
+      "split_buckets" ->
+        """WITH b AS (SELECT doc_id, source,
+          |  CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 6)) AS BIGINT)
+          |    % 100 AS bk
+          |  FROM documents WHERE doc_id IS NOT NULL)
+          |SELECT doc_id, source,
+          |  CASE WHEN bk < 80 THEN 'train' WHEN bk < 90 THEN 'val'
+          |       ELSE 'test' END AS split
+          |FROM b""".stripMargin,
       "sample_hash" ->
         """SELECT doc_id, lang, source FROM documents
           |WHERE CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 6)) AS BIGINT)

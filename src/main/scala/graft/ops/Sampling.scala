@@ -33,6 +33,36 @@ object Sampling {
     df.filter(md5Bucket100(col(keyCol)) < percent)
   }
 
+  /** Deterministic labeled split — the train/val/test cut every training
+    * run starts with, as a pure function of the key: the md5 bucket
+    * ([[md5Bucket100]]) falls into consecutive percentage ranges and the
+    * row gets that range's label (e.g. train [0, 98), val [98, 99),
+    * test [99, 100)). The same key lands in the same split across runs,
+    * engines, and dataset versions — which is precisely what keeps a
+    * test set uncontaminated as the corpus grows; percentages must sum to
+    * exactly 100 so no row silently vanishes (a split is a partition, not
+    * a sample — [[hashSample]] is the drop-rows knob). NULL keys are
+    * excluded, the family policy. Scan-speed CASE projection, no shuffle,
+    * no RNG state. Output: input columns + `split`.
+    */
+  def splitBuckets(
+      df: DataFrame,
+      keyCol: String,
+      cuts: Seq[(String, Int)]): DataFrame = {
+    require(cuts.nonEmpty, "cuts must be non-empty")
+    require(cuts.forall(_._2 > 0), "every cut must be a positive percentage")
+    require(cuts.map(_._2).sum == 100,
+      "cut percentages must sum to exactly 100 — a split partitions the corpus")
+    require(cuts.map(_._1).distinct.size == cuts.size, "labels must be distinct")
+    val bucket = md5Bucket100(col(keyCol))
+    val bounds = cuts.scanLeft(0) { case (acc, (_, p)) => acc + p }.tail
+    val label = cuts.zip(bounds).reverse
+      .foldLeft(lit(cuts.last._1)) { case (acc, ((l, _), hi)) =>
+        when(bucket < hi, lit(l)).otherwise(acc)
+      }
+    df.filter(col(keyCol).isNotNull).withColumn("split", label)
+  }
+
   /** Blocklist filter: drop rows whose `column` appears in `blocked` (single
     * column `value`). The blocklist is broadcast — a LEFT ANTI hash join with
     * no shuffle of the big side, the right shape for a multi-TB corpus vs a

@@ -120,6 +120,7 @@ class PlanGateSpec extends SparkTestBase {
     // (group, dim) aggregation + per-group centroid re-collect
     "embedding_mean_pool" -> 2,
     "sample_hash" -> 0,
+    "split_buckets" -> 0,
     "sample_stratified" -> 0,
     "schema_events" -> 0,
     // two-phase position assignment: the corpus shuffles once on

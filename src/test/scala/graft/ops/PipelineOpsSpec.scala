@@ -190,6 +190,30 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(kept.select("preceding_count").collect().map(_.getLong(0)).toSeq === Seq(1L, 1L))
   }
 
+  test("splitBuckets: labeled partition of the corpus, consistent with hashSample's rule") {
+    import spark.implicits._
+    val df = spark.read.parquet(s"${sf()}/documents.parquet").select("doc_id")
+    val out = Sampling.splitBuckets(df, "doc_id",
+      Seq("train" -> 80, "val" -> 10, "test" -> 10))
+    val byLabel = out.groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // a split PARTITIONS the corpus: every non-null-key row labeled
+    assert(byLabel.values.sum === df.count())
+    assert(byLabel.keySet === Set("train", "val", "test"))
+    // consistency: train+val = exactly hashSample at 90 (same bucket rule)
+    val trainVal = out.filter(col("split") =!= "test")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val sampled = Sampling.hashSample(df, "doc_id", 90)
+      .collect().map(_.getLong(0)).toSet
+    assert(trainVal === sampled)
+    intercept[IllegalArgumentException] {
+      Sampling.splitBuckets(df, "doc_id", Seq("a" -> 50, "b" -> 40)) // != 100
+    }
+    intercept[IllegalArgumentException] {
+      Sampling.splitBuckets(df, "doc_id", Seq("a" -> 50, "a" -> 50)) // dup label
+    }
+  }
+
   test("hashSample: deterministic across runs, rate near target, subset property") {
     val docs = spark.read.parquet(s"${sf()}/documents.parquet")
     val s10a = Sampling.hashSample(docs, "doc_id", 10).select("doc_id").collect().map(_.getLong(0)).toSet

@@ -704,6 +704,24 @@ object SparkEntry {
         col("doc_id")).as("url"))
   }
 
+  /** Messy deterministic URLs cycling three templates: mixed-case scheme/
+    * host with a default port + utm pair + fragment; :80 http with gclid;
+    * clean https with an fbclid between real params. The DuckDB twin
+    * replays the same concatenation and the same canonicalization chain.
+    */
+  private def urlCanonicalizeQuery(s: SparkSession, dir: String): DataFrame = {
+    val id = col("doc_id")
+    val url = when(id % 3 === 0,
+        concat(lit("HTTPS://NEWS.Example.CO.UK:443/Path/"), id,
+          lit("?utm_source=feed&id="), id, lit("&utm_campaign=x#frag")))
+      .when(id % 3 === 1,
+        concat(lit("http://blog.example.co.uk:80/p?id="), id, lit("&gclid=abc123")))
+      .otherwise(
+        concat(lit("https://docs.sample.net/Q/"), id, lit("?a=1&fbclid=zz&b=2")))
+    docs(s, dir).select(id,
+      ops.Url.canonicalizeUrl(url).as("canonical_url"))
+  }
+
   /** Per-domain curation: registrable-domain extraction → blocklist
     * (spam.test) → deterministic 40-per-domain cap.
     */
@@ -1368,6 +1386,7 @@ object SparkEntry {
     "dedup_windows_against" -> (dedupWindowsAgainstQuery _),
     "dedup_minhash_against" -> (dedupMinhashAgainst _),
     "domain_caps" -> (domainCapsQuery _),
+    "url_canonicalize" -> (urlCanonicalizeQuery _),
     "pipeline_substring_dedup" -> (pipelineSubstringDedup _),
     "strip_boilerplate" -> (stripBoilerplateQuery _),
     "rare_token_stats" -> (rareTokens _),
@@ -2670,6 +2689,38 @@ object SparkEntry {
           |  CAST(row_number() OVER (PARTITION BY shard ORDER BY dg, doc_id) - 1 AS BIGINT)
           |    AS position
           |FROM s""".stripMargin,
+      // canonicalization replay: same messy-url synthesis, same regex
+      // chain (DuckDB backrefs are \1 and need the 'g' flag; semantics
+      // identical to Spark's $1 global replace)
+      "url_canonicalize" ->
+        """WITH u AS (SELECT doc_id,
+          |  CASE WHEN doc_id % 3 = 0 THEN
+          |    'HTTPS://NEWS.Example.CO.UK:443/Path/' || doc_id ||
+          |    '?utm_source=feed&id=' || doc_id || '&utm_campaign=x#frag'
+          |  WHEN doc_id % 3 = 1 THEN
+          |    'http://blog.example.co.uk:80/p?id=' || doc_id || '&gclid=abc123'
+          |  ELSE 'https://docs.sample.net/Q/' || doc_id || '?a=1&fbclid=zz&b=2'
+          |  END AS url FROM documents),
+          |p AS (SELECT doc_id,
+          |  lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://.*$', 1)) AS sch,
+          |  lower(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*).*$', 1)) AS auth,
+          |  regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*(.*)$', 1) AS rest
+          |  FROM u),
+          |n AS (SELECT doc_id, sch,
+          |  CASE WHEN sch = 'http' THEN regexp_replace(auth, ':80$', '')
+          |       WHEN sch = 'https' THEN regexp_replace(auth, ':443$', '')
+          |       ELSE auth END AS auth,
+          |  regexp_replace(
+          |    regexp_replace(
+          |      regexp_replace(
+          |        regexp_replace(
+          |          regexp_replace(rest, '#.*$', '', 'g'),
+          |          '([?&])(utm_[^&#=]*|gclid|fbclid)=[^&#]*', '\1', 'g'),
+          |        '&{2,}', '&', 'g'),
+          |      '\?&', '?', 'g'),
+          |    '[?&]$', '', 'g') AS rest
+          |  FROM p)
+          |SELECT doc_id, sch || '://' || auth || rest AS canonical_url FROM n""".stripMargin,
       // domain curation: same synthetic host pick, registrable-domain rule
       // replayed over labels (last-2, or last-3 behind a two-label public
       // suffix), blocklist drop, then the 40-smallest-md5-digest cap per

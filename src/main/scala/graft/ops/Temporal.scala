@@ -34,9 +34,13 @@ object Temporal {
     * the contract, not an approximation. `valueCol` must be integer-valued
     * (fixed-point by the caller, the events-fixture convention).
     *
-    * Shape at 100 TB: one scan with the horizon filter PUSHED to the scan
-    * (a ts range predicate — partition-prunable under a dt layout), one
-    * hash aggregation with map-side partials on the keys. Nothing else.
+    * Shape at 100 TB: one scan + one hash aggregation with map-side
+    * partials on the keys. The horizon predicate pushes to the scan on a
+    * native timestamp column (Catalyst cast-unwrapping); over this
+    * project's raw-ns testdata regime the conversion blocks pushdown
+    * (verified in the plan), so at scale compose with
+    * `GraftSource.loadWithTimeRange(asOf − maxHalfLives·halfLife, asOf)` —
+    * the raw-space range filter + dt partition pruning ARE the horizon.
     */
   def decayedSum(
       df: DataFrame,

@@ -56,6 +56,37 @@ object Url {
       .otherwise(last2)
   }
 
+  /** Canonical URL normalization — the dedup key for "same page, different
+    * link": lowercase the scheme and authority (path/query case is
+    * SIGNIFICANT and survives), strip the fragment, strip default ports
+    * (:80 on http, :443 on https), and remove the ubiquitous tracking
+    * parameters (`utm_*`, `gclid`, `fbclid`) with separator repair — so
+    * `HTTPS://Example.COM:443/A/b?utm_source=x&id=1#top` and
+    * `https://example.com/A/b?id=1` canonicalize identically. Regex-only
+    * with RE2-compatible patterns (no lookbehind — separator repair is a
+    * collapse chain instead), so the DuckDB twin replays the identical
+    * steps; non-URL strings (no `scheme://`) pass through unchanged rather
+    * than becoming NULL — garbage in, the same garbage out, never a
+    * fabricated canonical. A scan-speed codegen projection.
+    */
+  def canonicalizeUrl(url: Column): Column = {
+    val scheme = regexp_extract(url, "^([A-Za-z][A-Za-z0-9+.-]*)://.*$", 1)
+    val auth = regexp_extract(url, "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*).*$", 1)
+    val rest = regexp_extract(url, "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*(.*)$", 1)
+    val lScheme = lower(scheme)
+    val lAuth0 = lower(auth)
+    val lAuth = when(lScheme === "http", regexp_replace(lAuth0, ":80$", ""))
+      .when(lScheme === "https", regexp_replace(lAuth0, ":443$", ""))
+      .otherwise(lAuth0)
+    val noFrag = regexp_replace(rest, "#.*$", "")
+    val noTrack = regexp_replace(noFrag,
+      "([?&])(utm_[^&#=]*|gclid|fbclid)=[^&#]*", "$1")
+    val collapsed = regexp_replace(regexp_replace(noTrack, "&{2,}", "&"), "\\?&", "?")
+    val cleanRest = regexp_replace(collapsed, "[?&]$", "")
+    when(scheme === "", url)
+      .otherwise(concat(lScheme, lit("://"), lAuth, cleanRest))
+  }
+
   /** The per-domain curation pipeline every crawl corpus runs before
     * training: annotate each row with its registrable domain, drop blocked
     * domains, and cap every surviving domain at `maxPerDomain` rows — the

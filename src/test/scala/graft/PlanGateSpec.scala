@@ -134,6 +134,7 @@ class PlanGateSpec extends SparkTestBase {
     // domain extraction is scan-speed and the blocklist anti join
     // broadcasts; the 4 are capPerGroup's documented two-phase machinery
     "domain_caps" -> 4,
+    "url_canonicalize" -> 0,
     "source_csv_roundtrip" -> 0,
     "source_field_mapping" -> 0,
     "source_json_roundtrip" -> 0,

@@ -43,6 +43,31 @@ class UrlSpec extends SparkTestBase {
     assert(default === "github.io")        // ...but not in the default set
   }
 
+  test("canonicalizeUrl: case/port/fragment/tracking normalization, path case preserved") {
+    import spark.implicits._
+    val cases = Seq(
+      // equivalent messy forms collapse to one canonical
+      (1L, "HTTPS://Example.COM:443/A/b?utm_source=x&id=1#top", "https://example.com/A/b?id=1"),
+      (2L, "https://example.com/A/b?id=1", "https://example.com/A/b?id=1"),
+      // tracking-only query vanishes entirely, separators repaired
+      (3L, "http://h.net:80/p?utm_a=1&utm_b=2", "http://h.net/p"),
+      (4L, "http://h.net/p?utm_a=1&gclid=g&x=3", "http://h.net/p?x=3"),
+      (5L, "http://h.net/p?a=1&fbclid=f&b=2", "http://h.net/p?a=1&b=2"),
+      // non-default port survives; :443 on http is NOT a default port
+      (6L, "https://h.net:8443/x", "https://h.net:8443/x"),
+      (7L, "http://h.net:443/x", "http://h.net:443/x"),
+      // non-URL passes through unchanged — never a fabricated canonical
+      (8L, "not a url at all", "not a url at all"))
+    val out = cases.map(c => (c._1, c._2)).toDF("id", "url")
+      .select(col("id"), Url.canonicalizeUrl(col("url")).as("c"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    cases.foreach { case (id, in, want) => assert(out(id) === want, s"in=$in") }
+    // null in, null out
+    val n = Seq((9L, null.asInstanceOf[String])).toDF("id", "url")
+      .select(Url.canonicalizeUrl(col("url"))).head
+    assert(n.isNullAt(0))
+  }
+
   test("domainCaps: blocklist drops the domain, caps bind per domain, output deterministic") {
     import spark.implicits._
     // 6 docs on example.org (via two subdomains), 4 on spam.test, 2 on one.net

@@ -118,6 +118,42 @@ class EventStreamSpec extends SparkTestBase {
     assert(!plan.contains("Exchange"), s"gate must not shuffle:\n$plan")
   }
 
+  test("filterLines and splitBuckets are stream-safe projections: streaming == batch") {
+    import spark.implicits._
+    implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val rows = Seq(
+      (1L, "a good long line with many words here.\nshort.\nenable javascript now please."),
+      (2L, "every single line of this document survives the filter today!"),
+      (3L, ""))
+    val batchDf = rows.toDF("doc_id", "text")
+    val batchFiltered = graft.ops.TextAnalysis.filterLines(batchDf, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val batchSplit = graft.ops.Sampling.splitBuckets(batchDf, "doc_id",
+        Seq("train" -> 80, "val" -> 10, "test" -> 10))
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    val ms = MemoryStream[(Long, String)]
+    val streamDf = ms.toDF().toDF("doc_id", "text")
+    // zero-state projections compose on a stream exactly as on a batch —
+    // the crawl-clean chain runs LIVE with no watermark and no shuffle
+    val chained = graft.ops.Sampling.splitBuckets(
+      graft.ops.TextAnalysis.filterLines(streamDf, "doc_id", "text")
+        .withColumnRenamed("id", "doc_id"),
+      "doc_id", Seq("train" -> 80, "val" -> 10, "test" -> 10))
+    val q = chained.writeStream.format("memory").queryName("lines_out")
+      .outputMode("append").start()
+    ms.addData(rows.take(2)); q.processAllAvailable()
+    ms.addData(rows.drop(2)); q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("lines_out")
+      .select("doc_id", "text_kept", "split").collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getString(2)))).toMap
+    assert(streamed.keySet === Set(1L, 2L, 3L))
+    streamed.foreach { case (id, (kept, split)) =>
+      assert(kept === batchFiltered(id), s"doc $id text_kept")
+      assert(split === batchSplit(id), s"doc $id split")
+    }
+  }
+
   test("windowedCounts: streaming result equals the batch twin") {
     import spark.implicits._
     implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext

@@ -53,6 +53,32 @@ class EmptyInputSpec extends SparkTestBase {
     assert(Url.domainCaps(d.select(col("doc_id"),
         concat(lit("https://a.com/"), col("doc_id")).as("url")),
       "url", "doc_id", 5, blocked).count() === 0L)
+    assert(Sampling.splitBuckets(d, "doc_id",
+      Seq("train" -> 90, "test" -> 10)).count() === 0L)
+    assert(Stats.correlations(
+      d.select(col("doc_id").as("x"), col("doc_id").as("y")), Seq("x", "y"))
+      .collect().forall(_.isNullAt(3)), "empty corpus: null corr rows, no crash")
+    assert(d.select(Url.canonicalizeUrl(col("text"))).count() === 0L)
+  }
+
+  test("temporal / embedding round-11 operators: empty in, empty out") {
+    val e = {
+      import org.apache.spark.sql.types._
+      val schema = StructType(Seq(
+        StructField("user_id", LongType), StructField("ts", TimestampType),
+        StructField("value", LongType)))
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    }
+    assert(Temporal.decayedSum(e, Seq("user_id"), "ts", "value", 3600L,
+      java.sql.Timestamp.valueOf("2024-01-01 00:00:00")).count() === 0L)
+    val v = {
+      import org.apache.spark.sql.types._
+      val schema = StructType(Seq(
+        StructField("grp", StringType),
+        StructField("embedding", ArrayType(FloatType, containsNull = false))))
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    }
+    assert(Embeddings.meanPool(v, "grp", "embedding").count() === 0L)
   }
 
   test("temporal / sketch / feature-store operators: empty in, empty out") {

@@ -311,6 +311,24 @@ object SparkEntry {
     Dedup.embeddingNearDup(u, "vec_id", "embedding", dim = 64).select("a_id", "b_id")
   }
 
+  /** SemDeDup over the embedding corpus with planted scaled twins (float
+    * multiply, bit-identical in DuckDB — cosine ≈ 1 vs a measured organic
+    * maximum of 0.51 at the gate SF, so the 0.98 cut is margin-safe) and a
+    * deterministic integer quality `vec_id*7 % 101`: twin and original get
+    * DIFFERENT qualities, so the survivor is the best-quality group member —
+    * often the planted twin, never blindly the min id.
+    */
+  private def dedupSemantic(s: SparkSession, dir: String): DataFrame = {
+    val e = embs(s, dir)
+    val u = e.unionByName(e
+      .withColumn("vec_id", col("vec_id") + 100000L)
+      .withColumn("embedding", transform(col("embedding"), x => x * lit(1.0001f))))
+      .select(col("vec_id"), col("embedding"),
+        (col("vec_id") * 7 % 101).as("quality"))
+    Dedup.semanticDedup(u, "vec_id", "embedding", "quality",
+      numClusters = 16, threshold = 0.98)
+  }
+
   private def knnQueries(s: SparkSession, dir: String): DataFrame =
     embs(s, dir).filter(col("vec_id") < 5)
       .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
@@ -1339,6 +1357,7 @@ object SparkEntry {
     "pipeline_canonicalize" -> (pipelineCanonicalize _),
     "dedup_simhash" -> (dedupSimhash _),
     "dedup_embedding" -> (dedupEmbedding _),
+    "dedup_semantic" -> (dedupSemantic _),
     "knn_brute" -> (knnBrute _),
     "knn_lsh" -> (knnLsh _),
     "knn_ivf" -> (knnIvf _),
@@ -1554,7 +1573,9 @@ object SparkEntry {
     // afinal = final assignment of EVERY vector
     def ivfDist2(v: String, cv: String) =
       s"list_dot_product($v, $v) - 2 * list_dot_product($v, $cv) + list_dot_product($cv, $cv)"
-    def ivfTrainCtes(numCells: Int, lloydIters: Int, trainPercent: Int = 100): String = {
+    def ivfTrainCtes(numCells: Int, lloydIters: Int, trainPercent: Int = 100,
+        corpusSql: String =
+          "SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings"): String = {
       def assign(i: Int, src: String) =
         s"""a_$i AS (SELECT id, v, cell FROM (
            |  SELECT c.id, c.v, t.cell, row_number() OVER (PARTITION BY c.id
@@ -1572,7 +1593,7 @@ object SparkEntry {
           s""" WHERE CAST(concat('0x', substr(md5(CAST(id AS VARCHAR)), 1, 6)) AS BIGINT)
              |   % 100 < $trainPercent""".stripMargin
       val iters = (1 to lloydIters).map(i => s"${assign(i, "ct")},\n${refine(i)}").mkString(",\n")
-      s"""c AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      s"""c AS ($corpusSql),
          |ct AS (SELECT id, v FROM c$trainFilter),
          |cent_0 AS (SELECT row_number() OVER (ORDER BY id) - 1 AS cell, v AS cv
          |           FROM (SELECT id, v FROM ct ORDER BY id LIMIT $numCells)),
@@ -1860,7 +1881,13 @@ object SparkEntry {
       // oracle SF) — so this checks both LSH recall (banded candidates find
       // every true pair, planted AND organic) and verify precision.
       // cross-corpus ground truth: ALL (batch, ref) pairs by exact string-
-      // shingle Jaccard — the LSH result must equal it pair-for-pair
+      // shingle Jaccard — the LSH result must equal it pair-for-pair.
+      // Recall assumption (documented at Dedup.minHashLshAgainst): exact
+      // ground truth vs probabilistic LSH matches pair-for-pair only
+      // because every true pair at this SF sits far above the band
+      // S-curve's 50% point and no bucket nears maxBucket — a data/seed
+      // change can break the gate without a code bug; check those two
+      // assumptions first.
       "dedup_minhash_against" ->
         """WITH b AS (SELECT doc_id + 100000 AS doc_id, text || ' graftdup' AS text
           |  FROM documents),
@@ -1967,6 +1994,40 @@ object SparkEntry {
            |WHERE rank <= 10""".stripMargin,
       "dedup_embedding" ->
         "SELECT vec_id AS a_id, vec_id + 100000 AS b_id FROM embeddings",
+      // SemDeDup replay: full deterministic-Lloyd train+assign over the
+      // twin-planted corpus (float-exact: FLOAT*FLOAT is IEEE single in
+      // both engines, and a float product of 24-bit mantissas is exact in
+      // the double it rounds from), within-cluster pairs at cosine >= 0.98
+      // (organic max measured 0.51 — margin-safe), recursive-CTE closure,
+      // then the (quality desc, id) argmax pick per semantic group
+      "dedup_semantic" -> {
+        val corpus =
+          """SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM (
+            |  SELECT vec_id, embedding FROM embeddings
+            |  UNION ALL
+            |  SELECT vec_id + 100000,
+            |    list_transform(embedding, x -> x * CAST(1.0001 AS FLOAT))
+            |  FROM embeddings)""".stripMargin
+        s"""WITH RECURSIVE ${ivfTrainCtes(16, 2, corpusSql = corpus)},
+           |p AS (SELECT a.id AS a, b.id AS b FROM afinal a JOIN afinal b
+           |  ON a.cell = b.cell AND a.id < b.id
+           |  WHERE list_cosine_similarity(a.v, b.v) >= 0.98),
+           |edges AS (SELECT a, b FROM p UNION ALL SELECT b, a FROM p),
+           |reach(src, dst) AS (
+           |  SELECT id, id FROM c
+           |  UNION
+           |  SELECT r.src, ed.b FROM reach r JOIN edges ed ON r.dst = ed.a),
+           |grp AS (SELECT src AS id, min(dst) AS group_id FROM reach GROUP BY src),
+           |m AS (SELECT g.id, g.group_id, (g.id * 7) % 101 AS quality,
+           |  count(*) OVER (PARTITION BY g.group_id) AS n_members,
+           |  row_number() OVER (PARTITION BY g.group_id
+           |    ORDER BY (g.id * 7) % 101 DESC, g.id) AS rn
+           |  FROM grp g)
+           |SELECT id AS vec_id, group_id,
+           |  CAST(n_members AS BIGINT) AS n_members,
+           |  CAST(quality AS BIGINT) AS quality
+           |FROM m WHERE rn = 1""".stripMargin
+      },
       // SimHash ground truth: DuckDB recomputes the exact md5-chunk signature
       // per doc and does the (feasible at oracle SF) all-pairs hamming — so
       // this checks banded-candidate recall (pigeonhole: hamming<=3 over 4
@@ -2383,7 +2444,7 @@ object SparkEntry {
           |    generate_subscripts(embedding, 1) AS dim1 FROM embeddings),
           |q AS (SELECT label, dim1 - 1 AS dim,
           |    CAST(floor(CAST(x AS DOUBLE) * 1024) AS BIGINT) AS qq FROM e),
-          |g AS (SELECT label, dim, sum(qq) AS s, count(*) AS n
+          |g AS (SELECT label, dim, sum(qq) AS s, count(qq) AS n
           |  FROM q GROUP BY 1, 2),
           |nv AS (SELECT label, max(n) AS n_vecs FROM g GROUP BY label)
           |SELECT g.label, CAST(nv.n_vecs AS BIGINT) AS n_vecs, g.dim,
@@ -2710,17 +2771,24 @@ object SparkEntry {
           |  CASE WHEN sch = 'http' THEN regexp_replace(auth, ':80$', '')
           |       WHEN sch = 'https' THEN regexp_replace(auth, ':443$', '')
           |       ELSE auth END AS auth,
+          |  regexp_replace(rest, '#.*$', '', 'g') AS nofrag
+          |  FROM p),
+          |s AS (SELECT doc_id, sch, auth,
+          |  regexp_replace(nofrag, '\?.*$', '', 'g') AS path,
+          |  regexp_extract(nofrag, '(\?.*)$', 1) AS query FROM n),
+          |q AS (SELECT doc_id, sch, auth, path,
           |  regexp_replace(
           |    regexp_replace(
           |      regexp_replace(
           |        regexp_replace(
-          |          regexp_replace(rest, '#.*$', '', 'g'),
-          |          '([?&])(utm_[^&#=]*|gclid|fbclid)=[^&#]*', '\1', 'g'),
+          |          regexp_replace(query,
+          |            '([?&])(utm_[^&#=]*|gclid|fbclid)(=[^&#]*)?(&|$)', '\1\4', 'g'),
+          |          '([?&])(utm_[^&#=]*|gclid|fbclid)(=[^&#]*)?(&|$)', '\1\4', 'g'),
           |        '&{2,}', '&', 'g'),
           |      '\?&', '?', 'g'),
-          |    '[?&]$', '', 'g') AS rest
-          |  FROM p)
-          |SELECT doc_id, sch || '://' || auth || rest AS canonical_url FROM n""".stripMargin,
+          |    '[?&]$', '', 'g') AS cq
+          |  FROM s)
+          |SELECT doc_id, sch || '://' || auth || path || cq AS canonical_url FROM q""".stripMargin,
       // domain curation: same synthetic host pick, registrable-domain rule
       // replayed over labels (last-2, or last-3 behind a two-label public
       // suffix), blocklist drop, then the 40-smallest-md5-digest cap per

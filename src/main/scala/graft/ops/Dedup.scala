@@ -153,6 +153,19 @@ object Dedup {
     * Jaccard verify joins each side's own shingle table — id spaces may
     * overlap between batch and reference, so the two sides never mix in
     * one table.
+    *
+    * Oracle-recall assumption (the [[minHashLsh]] contract, stated here
+    * because the gate depends on it): the DuckDB oracle is the EXACT
+    * all-pairs cross-corpus Jaccard, while LSH recall is probabilistic —
+    * a true pair above threshold can in principle share no band, and a
+    * `maxBucket` drop removes its bucket's pairs entirely. The gate holds
+    * because at the gate SF the corpus's true pairs sit far above the
+    * 16-band/4-row S-curve's 50% point (J≥0.8 ⇒ band-match probability
+    * ≈ 1−(1−0.8⁴)¹⁶ ≈ 0.9997 per pair, and the planted/organic pairs are
+    * J≥0.9) and no bucket approaches `maxBucket` (observable via
+    * `metrics`). A data or seed change that surfaces borderline-J pairs or
+    * oversized buckets can fail the gate WITHOUT a code bug — re-verify
+    * the two assumptions before suspecting the operator.
     */
   def minHashLshAgainst(
       batch: DataFrame,
@@ -428,6 +441,102 @@ object Dedup {
       .withColumn("cosine", cosineSimilarity(col("vec_a"), col("vec_b")))
       .filter(col("cosine") >= threshold)
       .select(col("a_id"), col("b_id"), col("cosine"))
+  }
+
+  /** SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    * arXiv:2303.09540) — the modern-dedup-lattice member that catches
+    * SAME-MEANING documents no token-level operator can: cluster the
+    * embedding corpus with the deterministic Lloyd trainer
+    * ([[Similarity.kmeansAssign]] — lowest-id seeds, exact fixed-point
+    * means, so the whole pass is engine-reproducible), generate candidate
+    * pairs ONLY within a cluster (the paper's core trick: k-means makes the
+    * quadratic search local), keep pairs at exact cosine >= `threshold`,
+    * close them transitively ([[connectedComponents]] — pairs never cross
+    * clusters, so components stay inside their cluster by construction) and
+    * keep the BEST-QUALITY doc per semantic group: max `qualityCol`, ties
+    * to min id, as ONE `min(struct(-q, id))` aggregate (the
+    * pipeline_canonicalize argmax discipline — never a nondeterministic
+    * max_by; blindly keeping min-id would keep whichever copy crawled
+    * first). `qualityCol` must be integer-valued (the fixed-point family
+    * convention — callers quantize floats first, exact compares only).
+    *
+    * Output: one row per SURVIVING doc — (idCol, group_id, n_members,
+    * qualityCol), where `group_id` is the smallest id in the doc's semantic
+    * group and `n_members` its size (1 for docs with no near-twin).
+    *
+    * Shape at 100 TB: assignment is the one-kernel broadcast-matrix scan
+    * (plan O(1) in numClusters); the candidate join is an EQUALITY hash
+    * join on the cluster id — never a BNLJ — and its quadratic within-
+    * cluster cost is bounded two ways: numClusters sizes the expected
+    * cluster (the paper runs 50k clusters at web scale; cost falls as
+    * 1/numClusters), and clusters past `maxCluster` contribute NO pairs
+    * (their docs all survive — the maxBucket drop discipline: a megacluster
+    * means the embedding space there carries no discriminative structure,
+    * and its pairs would be exactly the quadratic blowup this operator
+    * exists to avoid). The drop is observable via `metrics`
+    * (n_ids / n_dropped_ids / max_cluster_size — the [[bucketPairs]]
+    * observability contract adapted to the row-level panel observe allows:
+    * no DISTINCT, and nothing under the broadcast side, which would never
+    * report). Embeddings cross the candidate-join wire once per side;
+    * quality and ids ride the narrow CC + argmax path.
+    *
+    * Threshold discipline: cosine compares are IEEE doubles computed
+    * left-to-right identically in both engines; gate thresholds must sit in
+    * the wide margin between true-twin cosines (~1) and organic pairs (the
+    * [[embeddingNearDup]] contract — measured margin-to-drift ratio ~1e11).
+    */
+  def semanticDedup(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      qualityCol: String,
+      numClusters: Int,
+      threshold: Double = 0.98,
+      lloydIters: Int = 2,
+      trainPercent: Int = 100,
+      maxCluster: Int = 10000,
+      metrics: Option[Observation] = None): DataFrame = {
+    val base = df.select(col(idCol).as("id"), col(vecCol).as("vec"),
+      col(qualityCol).cast("long").as("_q"))
+    val assigned = Similarity.kmeansAssign(base, numClusters, lloydIters,
+      trainPercent, keep = Seq("vec", "_q"))
+    val sizes = assigned.groupBy(col("cluster")).agg(count(lit(1)).as("_cn"))
+    val sized = assigned.join(broadcast(sizes), "cluster")
+    val inPlay = sized.filter(col("_cn") <= maxCluster)
+    val a = inPlay.select(col("cluster"), col("id").as("a_id"), col("vec").as("_va"))
+    val b = inPlay.select(col("cluster"), col("id").as("b_id"), col("vec").as("_vb"))
+    val pairs = a.join(b, "cluster")
+      .filter(col("a_id") < col("b_id"))
+      .filter(cosineSimilarity(col("_va"), col("_vb")) >= threshold)
+      .select(col("a_id"), col("b_id"))
+    val groups = connectedComponents(base.select(col("id")), pairs)
+      .withColumnRenamed("cluster", "group_id")
+    val labeled = base.select(col("id"), col("_q")).join(groups, "id")
+    val winners = labeled.groupBy(col("group_id"))
+      .agg(min(struct((-col("_q")).as("nq"), col("id").as("wid"))).as("_w"),
+        count(lit(1)).as("n_members"))
+      .select(col("_w.wid").as("id"), col("group_id"), col("n_members"))
+    // the observation rides ONLY the returned plan's quality side — never
+    // the pair path: the pair join can be propagated EMPTY by AQE at
+    // runtime (every cluster oversized, or an impossible threshold), which
+    // prunes a CollectMetrics out of the executed plan and completes the
+    // observation with an empty row during connectedComponents' internal
+    // checkpoint actions. On the final plan the frame always carries rows
+    // (one per survivor), so the metrics fire — exactly once, on the
+    // caller's first real action (the bucketPairs contract). Cluster-level
+    // counts would need DISTINCT (observe forbids it); the row-level panel
+    // is exact and carries what matters: how many ids lost pairing, and
+    // how big the biggest cluster is (crawl-scale skew shows up HERE).
+    val qualitySide = metrics.map { o =>
+      sized.observe(o,
+        count(lit(1)).as("n_ids"),
+        sum(when(col("_cn") > maxCluster, 1L).otherwise(0L))
+          .as("n_dropped_ids"),
+        max(col("_cn")).as("max_cluster_size"))
+    }.getOrElse(sized)
+    winners.join(qualitySide.select(col("id"), col("_q")), "id")
+      .select(col("id").as(idCol), col("group_id"), col("n_members"),
+        col("_q").as(qualityCol))
   }
 
   /** Incremental (cross-snapshot) exact dedup: drop rows of `batch` whose

@@ -122,7 +122,10 @@ object Embeddings {
       x => floor(x.cast("double") * scale).cast("long"))
     df.select(col(groupCol), posexplode(q).as(Seq("dim", "_q")))
       .groupBy(col(groupCol), col("dim"))
-      .agg(sum(col("_q")).as("_s"), count(lit(1)).as("_n"))
+      // count the QUANTIZED component, not the row: a NULL array element
+      // must be excluded from numerator AND denominator alike, else that
+      // dimension's mean silently biases toward zero
+      .agg(sum(col("_q")).as("_s"), count(col("_q")).as("_n"))
       .groupBy(col(groupCol))
       .agg(
         max(col("_n")).as("n_vecs"),

@@ -198,16 +198,23 @@ object Similarity {
     * (assignment is unchanged).
     */
   def kmeansAssign(
-      corpus: DataFrame, // columns: id, vec
+      corpus: DataFrame, // columns: id, vec (+ any `keep` columns)
       numClusters: Int,
       lloydIters: Int = 2,
-      trainPercent: Int = 100): DataFrame = {
-    val cents = trainCentroids(corpus, numClusters, lloydIters, trainPercent)
+      trainPercent: Int = 100,
+      keep: Seq[String] = Nil): DataFrame = {
+    // `keep` columns ride through the assignment scan (the qualityScore
+    // `keep` convention) — consumers like semanticDedup need (vec, quality)
+    // NEXT TO the cluster id without a corpus-wide join-back on id
+    val cents = trainCentroids(corpus.select(col("id"), col("vec")),
+      numClusters, lloydIters, trainPercent)
+    val keepCols = keep.map(col)
     // no centroids ⇔ the corpus was empty; keep the schema without a kernel
     if (cents.isEmpty)
-      return corpus.select(col("id"), lit(0).as("cluster"))
+      return corpus.select(col("id") +: lit(0).as("cluster") +: keepCols: _*)
     val bc = broadcastCentroids(corpus.sparkSession, cents)
-    assignCells(corpus, bc).select(col("id"), col("cell").as("cluster"))
+    assignCells(corpus, bc)
+      .select(col("id") +: col("cell").as("cluster") +: keepCols: _*)
   }
 
   /** IVF-flat ANN: Lloyd k-means partitions the corpus into Voronoi cells;

@@ -63,11 +63,28 @@ object Url {
     * parameters (`utm_*`, `gclid`, `fbclid`) with separator repair — so
     * `HTTPS://Example.COM:443/A/b?utm_source=x&id=1#top` and
     * `https://example.com/A/b?id=1` canonicalize identically. Regex-only
-    * with RE2-compatible patterns (no lookbehind — separator repair is a
+    * with RE2-compatible patterns (no lookarounds — separator repair is a
     * collapse chain instead), so the DuckDB twin replays the identical
     * steps; non-URL strings (no `scheme://`) pass through unchanged rather
     * than becoming NULL — garbage in, the same garbage out, never a
     * fabricated canonical. A scan-speed codegen projection.
+    *
+    * Tracking removal operates on the QUERY only: the rest splits at the
+    * first `?` and the path half is never touched, so a literal
+    * `&gclid=...` inside a PATH segment (legal, and it does occur on
+    * crawls) cannot delete the rest of the path or the real query.
+    * Valueless params (`?gclid`, `&utm_source`) are removed too: each
+    * tracking param must be terminated by `&` or end-of-query — which
+    * also keeps distinct names like `gclidx` intact where a bare prefix
+    * match would eat them — and because a match CONSUMES that terminator,
+    * the replacement re-emits it (`$1$4`) and the removal pass runs TWICE:
+    * in pass one a consecutive tracking run loses every other member (the
+    * scan resumes past each consumed terminator, starving the immediate
+    * right neighbor of its separator), but each removal re-emits BOTH its
+    * separators, so after pass one every adjacent survivor pair is
+    * separated by `&&` — pass two consumes at most one of each pair and
+    * therefore reaches EVERY survivor, for any run length; the collapse
+    * chain then repairs `?&`/`&&`/trailing separators.
     */
   def canonicalizeUrl(url: Column): Column = {
     val scheme = regexp_extract(url, "^([A-Za-z][A-Za-z0-9+.-]*)://.*$", 1)
@@ -79,12 +96,15 @@ object Url {
       .when(lScheme === "https", regexp_replace(lAuth0, ":443$", ""))
       .otherwise(lAuth0)
     val noFrag = regexp_replace(rest, "#.*$", "")
-    val noTrack = regexp_replace(noFrag,
-      "([?&])(utm_[^&#=]*|gclid|fbclid)=[^&#]*", "$1")
+    val path = regexp_replace(noFrag, "\\?.*$", "")
+    val query = regexp_extract(noFrag, "(\\?.*)$", 1)
+    val trackPat = "([?&])(utm_[^&#=]*|gclid|fbclid)(=[^&#]*)?(&|$)"
+    val noTrack =
+      regexp_replace(regexp_replace(query, trackPat, "$1$4"), trackPat, "$1$4")
     val collapsed = regexp_replace(regexp_replace(noTrack, "&{2,}", "&"), "\\?&", "?")
-    val cleanRest = regexp_replace(collapsed, "[?&]$", "")
+    val cleanQuery = regexp_replace(collapsed, "[?&]$", "")
     when(scheme === "", url)
-      .otherwise(concat(lScheme, lit("://"), lAuth, cleanRest))
+      .otherwise(concat(lScheme, lit("://"), lAuth, path, cleanQuery))
   }
 
   /** The per-domain curation pipeline every crawl corpus runs before
@@ -112,6 +132,10 @@ object Url {
       maxPerDomain: Int,
       blockedDomains: DataFrame,
       twoLabelSuffixes: Seq[String] = DefaultTwoLabelSuffixes): DataFrame = {
+    // withColumn would silently OVERWRITE a pre-existing `domain` column and
+    // cap/block on recomputed values the caller never sees — refuse instead
+    require(!df.columns.contains("domain"),
+      "domainCaps derives its own `domain` column; rename the input's")
     val withDomain = df.withColumn("domain",
       registrableDomain(col(urlCol), twoLabelSuffixes))
       .filter(col("domain").isNotNull)

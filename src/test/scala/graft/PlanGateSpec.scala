@@ -24,7 +24,7 @@ class PlanGateSpec extends SparkTestBase {
     * oracle gate + BASELINE.md instead.
     */
   private val iterative = Set("dedup_minhash", "dedup_minhash_against",
-    "dedup_simhash", "dedup_clusters",
+    "dedup_simhash", "dedup_clusters", "dedup_semantic",
     "knn_ivf", "kmeans_clusters", "kmeans_sample_train", "bpe_merges",
     "bpe_encode", "bpe_merges_bytes", "bpe_encode_bytes",
     "pipeline_cluster_shard", "pipeline_canonicalize",

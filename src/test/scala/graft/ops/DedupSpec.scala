@@ -74,6 +74,71 @@ class DedupSpec extends SparkTestBase {
     assert(out.head.getAs[Double]("cosine") > 0.999)
   }
 
+  test("semanticDedup: twins collapse, best quality survives, ties to min id, singletons stay") {
+    import spark.implicits._
+    // ids ordered so the k-means seeds (the numClusters LOWEST ids) are the
+    // three distinct directions, never a twin pair — seeding two clusters on
+    // near-identical vectors would legitimately separate the twins
+    val rows = Seq(
+      (1L, Seq(1.0f, 0.0f), 10L),
+      (2L, Seq(0.0f, 1.0f), 50L),
+      (3L, Seq(-1.0f, -1.0f), 7L),       // singleton
+      (11L, Seq(1.0001f, 0.0f), 30L),    // twin of 1, HIGHER quality -> survives
+      (12L, Seq(0.0f, 1.0002f), 20L),    // twin of 2, lower quality -> drops
+      (13L, Seq(0.7071f, 0.7071f), 9L),
+      (14L, Seq(0.70717f, 0.70717f), 9L)) // equal quality -> tie to min id 13
+    val df = rows.toDF("id", "vec", "q")
+    val out = Dedup.semanticDedup(df, "id", "vec", "q",
+        numClusters = 3, threshold = 0.98)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    assert(out === Set(
+      (11L, 1L, 2L, 30L),   // group of {1,11}: winner 11 (q 30 > 10)
+      (2L, 2L, 2L, 50L),    // group of {2,12}: winner 2 (q 50 > 20)
+      (3L, 3L, 1L, 7L),     // no twin
+      (13L, 13L, 2L, 9L)))  // tie -> min id
+    // determinism under a different partitioning
+    val again = Dedup.semanticDedup(df.repartition(5), "id", "vec", "q",
+        numClusters = 3, threshold = 0.98)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    assert(again === out)
+  }
+
+  test("semanticDedup: groups close transitively — a~b, b~c merge even when a!~c") {
+    import spark.implicits._
+    // unit vectors at 0°/10°/20°: cos(10°)=0.985 makes adjacent pairs,
+    // cos(20°)=0.940 does NOT — the group must still merge all three
+    val df = Seq(
+      (1L, Seq(1.0f, 0.0f), 1L),
+      (2L, Seq(0.9848f, 0.1736f), 2L),
+      (3L, Seq(0.9397f, 0.3420f), 3L)).toDF("id", "vec", "q")
+    val out = Dedup.semanticDedup(df, "id", "vec", "q",
+        numClusters = 1, threshold = 0.97)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.toSet === Set((3L, 1L, 3L, 3L))) // one group, best quality 3
+  }
+
+  test("semanticDedup: impossible threshold keeps everything; oversize clusters drop pairs observably") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Seq(1.0f, 0.0f), 1L), (2L, Seq(1.0001f, 0.0f), 2L),
+      (3L, Seq(0.0f, 1.0f), 3L)).toDF("id", "vec", "q")
+    val all = Dedup.semanticDedup(df, "id", "vec", "q",
+      numClusters = 2, threshold = 1.1)
+    assert(all.count() === 3L)
+    assert(all.select("n_members").collect().forall(_.getLong(0) === 1L))
+    // maxCluster = 1: every cluster is oversized -> no pairs, all survive,
+    // and the drop is visible through the metrics observation
+    val obs = new org.apache.spark.sql.Observation("sem_drop")
+    val guarded = Dedup.semanticDedup(df, "id", "vec", "q",
+      numClusters = 1, threshold = 0.98, maxCluster = 1, metrics = Some(obs))
+    assert(guarded.count() === 3L)
+    val m = obs.get
+    assert(m("n_dropped_ids").asInstanceOf[Long] === 3L)
+    assert(m("max_cluster_size").asInstanceOf[Long] === 3L)
+  }
+
   test("connectedComponents: chains collapse to min id, singletons keep their own") {
     import spark.implicits._
     val ids = Seq(1L, 2L, 3L, 4L, 9L).toDF("id")

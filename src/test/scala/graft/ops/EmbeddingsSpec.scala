@@ -164,4 +164,21 @@ class EmbeddingsSpec extends SparkTestBase {
       Embeddings.meanPool(df, "grp", "embedding", quantBits = 21)
     }
   }
+
+  test("meanPool: NULL components drop from numerator AND denominator alike") {
+    // dim 1 has a null in the second vector: its mean must average the ONE
+    // real component (0.5), not bias toward zero by counting the null row
+    val df = spark.sql(
+      """SELECT 'a' AS grp, array(1.0F, 0.5F) AS embedding
+        |UNION ALL SELECT 'a', array(0.0F, CAST(NULL AS FLOAT))""".stripMargin)
+    val out = Embeddings.meanPool(df, "grp", "embedding").collect().head
+    assert(out.getLong(1) === 2L)
+    assert(out.getSeq[Any](2).toList === List(0.5, 0.5))
+    // an all-null dimension degrades to a NULL mean, never NaN/Infinity
+    val allNull = spark.sql(
+      """SELECT 'b' AS grp, array(1.0F, CAST(NULL AS FLOAT)) AS embedding
+        |UNION ALL SELECT 'b', array(0.0F, CAST(NULL AS FLOAT))""".stripMargin)
+    val nOut = Embeddings.meanPool(allNull, "grp", "embedding").collect().head
+    assert(nOut.getSeq[Any](2).toList === List(0.5, null))
+  }
 }

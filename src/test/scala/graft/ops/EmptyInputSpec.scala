@@ -119,5 +119,7 @@ class EmptyInputSpec extends SparkTestBase {
     assert(Similarity.lshTopK(qs, vecs, 5, dim = 4).count() === 0L)
     assert(Similarity.kmeansAssign(vecs, numClusters = 4).count() === 0L)
     assert(Similarity.ivfTopK(qs, vecs, 5, numCells = 4).count() === 0L)
+    assert(Dedup.semanticDedup(vecs.select(col("id"), col("vec"),
+        lit(1L).as("q")), "id", "vec", "q", numClusters = 4).count() === 0L)
   }
 }

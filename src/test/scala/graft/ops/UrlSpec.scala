@@ -57,7 +57,21 @@ class UrlSpec extends SparkTestBase {
       (6L, "https://h.net:8443/x", "https://h.net:8443/x"),
       (7L, "http://h.net:443/x", "http://h.net:443/x"),
       // non-URL passes through unchanged — never a fabricated canonical
-      (8L, "not a url at all", "not a url at all"))
+      (8L, "not a url at all", "not a url at all"),
+      // tracking NAMES inside the PATH are path content, not params — the
+      // query split keeps the path and the real query intact
+      (10L, "https://h.net/a&gclid=x/more?id=1", "https://h.net/a&gclid=x/more?id=1"),
+      (11L, "https://h.net/utm_source=feed/x?id=2", "https://h.net/utm_source=feed/x?id=2"),
+      // valueless tracking params vanish like valued ones
+      (12L, "https://h.net/p?utm_source&id=1", "https://h.net/p?id=1"),
+      (13L, "https://h.net/p?id=1&gclid", "https://h.net/p?id=1"),
+      (14L, "https://h.net/p?gclid", "https://h.net/p"),
+      // ...but gclid/fbclid are exact names — gclidx is a different param
+      (15L, "https://h.net/p?gclidx=1", "https://h.net/p?gclidx=1"),
+      // consecutive tracking runs die entirely (the two-pass contract)
+      (16L, "https://h.net/p?utm_a=1&utm_b=2&utm_c=3&utm_d=4&id=9",
+        "https://h.net/p?id=9"),
+      (17L, "https://h.net/p?utm_a&utm_b&utm_c&utm_d", "https://h.net/p"))
     val out = cases.map(c => (c._1, c._2)).toDF("id", "url")
       .select(col("id"), Url.canonicalizeUrl(col("url")).as("c"))
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
@@ -96,5 +110,16 @@ class UrlSpec extends SparkTestBase {
         maxPerDomain = 4, blocked)
       .select("doc_id", "domain").collect().map(r => r.getLong(0) -> r.getString(1))
     assert(again.toSet === out.toSet)
+  }
+
+  test("domainCaps: refuses an input that already carries a domain column") {
+    import spark.implicits._
+    val df = Seq((1L, "https://a.example.org/x", "stale.example"))
+      .toDF("doc_id", "url", "domain")
+    val blocked = Seq.empty[String].toDF("value")
+    val e = intercept[IllegalArgumentException] {
+      Url.domainCaps(df, "url", "doc_id", maxPerDomain = 4, blocked)
+    }
+    assert(e.getMessage.contains("domain"))
   }
 }

@@ -168,9 +168,12 @@ object Stats {
     *
     * Shape at 100 TB: ONE map-side-partial global aggregation (the only
     * exchange is the single-partition gather of per-partition partials);
-    * the pair expansion is a union of 1-row projections over the eagerly
-    * checkpointed aggregate row — without that checkpoint each union
-    * branch would re-run the corpus pass.
+    * the pair expansion is a single `inline(array(...))` projection over
+    * the one aggregate row — C(k,2) struct expressions inside ONE Generate
+    * node, never a union of per-pair plan branches (the retired form built
+    * C(k,2) union branches: quadratic PLAN depth, and it needed an eager
+    * checkpoint just to stop each branch re-running the corpus pass; one
+    * consumer needs neither). Plan-size gated at k=30 by a spec.
     */
   def correlations(df: DataFrame, cols: Seq[String]): DataFrame = {
     require(cols.size >= 2, "need at least two columns")
@@ -185,18 +188,18 @@ object Stats {
           sum(d(c)).as(s"_s_$c"),
           sum(d(c) * d(c)).as(s"_ss_$c")))) ++
         pairs.map { case (a, b) => sum(d(a) * d(b)).as(s"_p_${a}_${b}") }
-    val g = df.agg(aggs.head, aggs.tail: _*).localCheckpoint()
+    val g = df.agg(aggs.head, aggs.tail: _*)
     val n = col("_n").cast(dec)
     val rows = pairs.map { case (a, b) =>
       val num = (n * col(s"_p_${a}_${b}") - col(s"_s_$a") * col(s"_s_$b")).cast("double")
       val va = (n * col(s"_ss_$a") - col(s"_s_$a") * col(s"_s_$a")).cast("double")
       val vb = (n * col(s"_ss_$b") - col(s"_s_$b") * col(s"_s_$b")).cast("double")
-      g.select(
+      struct(
         lit(a).as("col_x"), lit(b).as("col_y"), col("_n").as("n"),
         when(va * vb === 0.0, lit(null).cast("double"))
           .otherwise(round(num / sqrt(va * vb), 6)).as("corr"))
     }
-    rows.reduce(_ unionByName _)
+    g.select(inline(array(rows: _*)))
   }
 
   def crosstabCounts(

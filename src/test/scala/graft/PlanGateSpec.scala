@@ -114,9 +114,11 @@ class PlanGateSpec extends SparkTestBase {
     "rolling_features" -> 1,
     // one scan with the horizon predicate + one keyed hash aggregation
     "decayed_features" -> 1,
-    // the one corpus pass runs during construction (eager 1-row checkpoint);
-    // the static plan is a union of 1-row projections over it
-    "column_correlations" -> 0,
+    // the single-partition gather of the one global moment aggregation —
+    // previously hidden behind an eager checkpoint (the shuffle ran at
+    // construction time); the inline-projection rewrite made the full lazy
+    // plan visible, which is the honest count
+    "column_correlations" -> 1,
     // (group, dim) aggregation + per-group centroid re-collect
     "embedding_mean_pool" -> 2,
     "sample_hash" -> 0,

@@ -59,6 +59,28 @@ class PipelineOpsSpec extends SparkTestBase {
     intercept[IllegalArgumentException] { Stats.correlations(df, Seq("x", "x")) }
   }
 
+  test("correlations: wide tables plan as ONE inline projection, no per-pair unions") {
+    import spark.implicits._
+    // k = 30 -> C(30,2) = 435 pairs: the retired union-of-branches form grew
+    // the PLAN quadratically (435 one-row projections + an eager checkpoint);
+    // the inline form must stay one aggregate + one Generate
+    val k = 30
+    val names = (0 until k).map(i => s"c$i")
+    val df = Seq(1L, 2L, 3L).toDF("v")
+      .select(names.map(nm => (col("v") * (names.indexOf(nm) + 1)).as(nm)): _*)
+    val out = Stats.correlations(df, names)
+    val plan = out.queryExecution.optimizedPlan.toString
+    assert(!plan.contains("Union"), "pair expansion must not plan as a union")
+    assert(out.queryExecution.optimizedPlan.collect {
+      case g: org.apache.spark.sql.catalyst.plans.logical.Generate => g
+    }.size === 1, "one Generate node carries all pairs")
+    // values still exact: every column is a multiple of v, so every pair is
+    // perfectly correlated
+    val rows = out.collect()
+    assert(rows.length === k * (k - 1) / 2)
+    assert(rows.forall(r => r.getDouble(3) === 1.0))
+  }
+
   test("decayedSum: exact power-of-two step decay, horizon and future cutoffs") {
     import spark.implicits._
     val asOf = ts("2024-01-10 00:00:00")

@@ -295,6 +295,40 @@ object Similarity {
     bc.destroy() // the write above is eager; this round's matrix is dead
   }
 
+  /** Append a new vector batch to an EXISTING persisted IVF index — the ANN
+    * sibling of the nightly-ingest dedup forms ([[graft.ops.Dedup.dedupAgainst]]
+    * / `dedupWindowsAgainst` / `minHashLshAgainst`): assign the batch to the
+    * index's FROZEN centroids (loaded from `path/centroids`, shipped once by
+    * broadcast through the same native kernel as the build) and append the
+    * assigned rows to the cell directories. The centroids deliberately never
+    * move: re-training on arrival would silently invalidate every existing
+    * posting's cell assignment — the reproducible-index contract — so drift
+    * accumulates in cell OCCUPANCY instead, and a periodic full
+    * [[writeIvfIndex]] rebuild is the honest re-balance (same cadence
+    * question as compaction, [[graft.ops.Layout.compact]]).
+    *
+    * Shape at 100 TB: one scan of the batch through the broadcast-matrix
+    * kernel (no shuffle — the partitioned write splits by the `cell` column
+    * in-task), centroid driver state bounded exactly as [[queryIvfIndex]]
+    * documents. A batch landing in a previously-empty cell creates that
+    * cell's directory; [[queryIvfIndex]]'s probed-cell `isin` filter picks
+    * it up like any other (PartitionFilters prune by VALUE, not by the
+    * build's directory list).
+    */
+  def appendToIvfIndex(
+      spark: SparkSession,
+      path: String,
+      batch: DataFrame): Unit = { // columns: id, vec
+    val cents = spark.read.parquet(s"$path/centroids")
+      .orderBy(col("cell")).collect()
+      .map(r => (r.getInt(0), r.getSeq[Double](1).toSeq)).toSeq
+    require(cents.nonEmpty, s"no centroids at $path/centroids")
+    val bc = broadcastCentroids(spark, cents)
+    assignCells(batch.select(col("id"), col("vec")), bc)
+      .write.mode("append").partitionBy("cell").parquet(s"$path/postings")
+    bc.destroy() // the append is eager; this matrix is dead
+  }
+
   /** Probe a persisted IVF index: load the (small) centroid table, find each
     * query's `numProbes` nearest cells, and scan ONLY those cells' postings
     * directories — the probed-cell set is collected (query-batch-sized

@@ -296,6 +296,54 @@ class SimilaritySpec extends SparkTestBase {
     assert(plan.matches("(?s).*PartitionFilters: \\[[^\\]]*cell.*"), plan.take(3000))
   }
 
+  test("appendToIvfIndex: centroids frozen, appended index == frozen-centroid model over A ∪ B") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivf-app").toString
+    val e = emb(sf())
+    val all = e.select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val a = all.filter(col("id") % 3 =!= 0) // the built corpus
+    val b = all.filter(col("id") % 3 === 0) // the nightly batch
+    Similarity.writeIvfIndex(a, dir, numCells = 8, lloydIters = 2)
+    val centsBefore = spark.read.parquet(s"$dir/centroids").collect()
+      .map(r => r.getInt(0) -> r.getSeq[Double](1).toList).toMap
+    Similarity.appendToIvfIndex(spark, dir, b)
+    // the append must not touch the centroid table — frozen by contract
+    val centsAfter = spark.read.parquet(s"$dir/centroids").collect()
+      .map(r => r.getInt(0) -> r.getSeq[Double](1).toList).toMap
+    assert(centsAfter === centsBefore)
+    val queries = e.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val out = Similarity.queryIvfIndex(spark, dir, queries, k = 5, numProbes = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    // plain-Scala reference model of the contract: assign A ∪ B to the
+    // FROZEN centroids, probe each query's 3 nearest cells, exact cosine
+    // top-5 over the probed cells' vectors (ties: cosine desc, id asc)
+    val cents = centsAfter.toSeq.sortBy(_._1)
+    def d2(v: Seq[Double], c: Seq[Double]): Double =
+      v.zip(c).foldLeft(0.0) { case (acc, (x, y)) => acc + (x - y) * (x - y) }
+    def cos(x: Seq[Double], y: Seq[Double]): Double = {
+      val dot = x.zip(y).foldLeft(0.0) { case (acc, (p, q)) => acc + p * q }
+      dot / (math.sqrt(x.map(p => p * p).sum) * math.sqrt(y.map(p => p * p).sum))
+    }
+    val vecs = all.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toList).toMap
+    def nearestCells(v: Seq[Double], n: Int): Seq[Int] =
+      cents.sortBy { case (cell, cv) => (d2(v, cv), cell) }.take(n).map(_._1)
+    val expected = vecs.keys.filter(_ < 3).flatMap { qid =>
+      val qv = vecs(qid)
+      val probed = nearestCells(qv, 3).toSet
+      vecs.toSeq
+        .filter { case (id, v) => probed.contains(nearestCells(v, 1).head) }
+        .map { case (id, v) => (id, cos(qv, v)) }
+        .sortBy { case (id, c) => (-c, id) }
+        .take(5).zipWithIndex
+        .map { case ((id, _), i) => (qid, id, i + 1) }
+    }.toSet
+    assert(out === expected)
+    // batch members are genuinely queryable: at least one appended id (an
+    // id % 3 == 0 vector queried BY itself) must appear as its own top hit
+    assert(out.contains((0L, 0L, 1)))
+  }
+
   test("lshTopK: never returns more than k per query, ranks contiguous") {
     val e = emb(sf())
     val q = e.filter(col("vec_id") < 3)

@@ -1,7 +1,10 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.{NarrowDependency, Partition, TaskContext}
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{IntegerType, StructField, StructType}
 
 /** Data-layout management for the 100 TB posture: how a table is WRITTEN
   * decides whether later reads shuffle.
@@ -94,6 +97,65 @@ object Layout {
       .partitionBy("shard")
       .parquet(path)
 
+  /** Read a [[writeTrainingShards]] layout back in GLOBAL per-shard position
+    * order — the loader contract the writer's scaladoc promises, implemented
+    * as the promised streaming k-way merge and nothing more: each shard's
+    * files are already internally position-sorted and pairwise disjoint in
+    * position, so one task per shard merges its file iterators with a heap.
+    * ZERO shuffles and ZERO sorts anywhere in the lineage (spec-gated): the
+    * read costs exactly one pass over the bytes, where re-establishing order
+    * with `repartition(shard) + sortWithinPartitions` would pay a full
+    * exchange plus an O(n/shards · log) sort per task.
+    *
+    * Output: the written columns (originals + `position`) plus `shard`, with
+    * exactly one output partition per shard dir, rows position-ascending
+    * within it — what a training loop consumes shard-by-shard, expressed as
+    * a DataFrame so in-engine consumers (a packing or tokenization stage
+    * that needs shard order) compose without a sort.
+    *
+    * Mechanics: a per-read session clone pins `files.openCostInBytes` high
+    * so the scan never PACKS two files into one partition (packing would
+    * concatenate two sorted runs into an unsorted iterator); files larger
+    * than `maxPartitionBytes` still SPLIT, which is safe — consecutive
+    * row-group ranges of a position-sorted file are themselves sorted,
+    * disjoint runs. The merge is a [[NarrowDependency]] RDD (one output
+    * partition consuming all scan partitions of its shard), so the no-
+    * shuffle claim is structural, not an optimizer accident.
+    *
+    * Shape at 100 TB: read parallelism = numShards (the loader's own unit —
+    * shards are the atoms of data-parallel training, and numShards is sized
+    * to the fleet by construction); per-task open-file bound = files per
+    * shard = the writer's partition count, the same bound the writer
+    * documents — [[compact]] within shard dirs is the remedy if a long
+    * streaming-ingest history ever makes k large. Heap cost is O(log k) per
+    * row over k buffered column readers.
+    */
+  def readTrainingShards(spark: SparkSession, path: String): DataFrame = {
+    val hadoopPath = new org.apache.hadoop.fs.Path(path)
+    val fs = hadoopPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val shardDirs = fs.listStatus(hadoopPath)
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("shard="))
+      .map(s => (s.getPath.getName.stripPrefix("shard=").toInt, s.getPath.toString))
+      .sortBy(_._1)
+    require(shardDirs.nonEmpty, s"no shard=N directories under $path")
+    // session clone: one-file-chunk-per-partition is a read-path requirement
+    // of THIS operator, not a global setting to race other queries for.
+    // 2^40 ≫ maxPartitionBytes forces a partition break after every file
+    // while staying far from the planner's Σ(len + openCost) overflow.
+    val reader = spark.newSession()
+    reader.conf.set("spark.sql.files.openCostInBytes", (1L << 40).toString)
+    val schema = reader.read.parquet(shardDirs.head._2).schema
+    val posIdx = schema.fieldIndex("position")
+    val ord = Ordering.by[Row, Long](_.getLong(posIdx))
+    val merged: Seq[RDD[Row]] = shardDirs.toSeq.map { case (sid, dir) =>
+      new KWayMergeRDD(reader.read.parquet(dir).rdd, ord)
+        .map(r => Row.fromSeq(r.toSeq :+ sid))
+    }
+    spark.createDataFrame(
+      spark.sparkContext.union(merged),
+      StructType(schema.fields :+ StructField("shard", IntegerType, nullable = false)))
+  }
+
   /** Result of a [[compact]] rewrite. */
   final case class CompactStats(filesBefore: Int, filesAfter: Int, bytes: Long)
 
@@ -141,5 +203,46 @@ object Layout {
       if (outFiles.next().getPath.getName.endsWith(".parquet")) nOut += 1
     }
     CompactStats(nFiles, nOut, bytes)
+  }
+}
+
+/** One-output-partition RDD that k-way-merges ALL parent partitions, each of
+  * which MUST be a sorted run under `ord` (the [[Layout.readTrainingShards]]
+  * read path guarantees it: one file chunk per partition, files written
+  * position-sorted). The dependency is narrow — every parent partition feeds
+  * the single output — so no shuffle exists to reorder, spill, or re-hash
+  * anything; the merge streams with a k-ary heap.
+  */
+private[ops] final class KWayMergeRDD(parent: RDD[Row], ord: Ordering[Row])
+  extends RDD[Row](parent.sparkContext, Seq(new NarrowDependency[Row](parent) {
+    override def getParents(partitionId: Int): Seq[Int] = parent.partitions.indices
+  })) {
+
+  // parent partition handles are captured DRIVER-side: a scan RDD's
+  // partition list is @transient and unavailable inside an executor task
+  private final class MergeAllPartition(val parents: Array[Partition])
+    extends Partition { override val index: Int = 0 }
+
+  override protected def getPartitions: Array[Partition] =
+    Array(new MergeAllPartition(parent.partitions))
+
+  override def compute(split: Partition, context: TaskContext): Iterator[Row] = {
+    // heap of buffered parent iterators keyed by their current head; dequeue,
+    // emit, re-enqueue while non-empty — the textbook streaming k-way merge
+    val byHead = Ordering.by[BufferedIterator[Row], Row](_.head)(ord).reverse
+    val heap = new scala.collection.mutable.PriorityQueue[BufferedIterator[Row]]()(byHead)
+    split.asInstanceOf[MergeAllPartition].parents.foreach { p =>
+      val it = parent.iterator(p, context).buffered
+      if (it.hasNext) heap.enqueue(it)
+    }
+    new Iterator[Row] {
+      override def hasNext: Boolean = heap.nonEmpty
+      override def next(): Row = {
+        val it = heap.dequeue()
+        val row = it.next()
+        if (it.hasNext) heap.enqueue(it)
+        row
+      }
+    }
   }
 }

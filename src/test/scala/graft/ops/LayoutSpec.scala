@@ -135,6 +135,53 @@ class LayoutSpec extends SparkTestBase {
     }
   }
 
+  test("readTrainingShards: global per-shard position order via zero-shuffle k-way merge") {
+    val docs = spark.read.parquet(s"${sf()}/documents.parquet").select("doc_id", "lang")
+    val path = java.nio.file.Files.createTempDirectory("graft-shardsrt").toString + "/out"
+    // force file rollover so every shard arrives as MULTIPLE sorted files —
+    // exactly what a many-task writer produces at scale
+    val prevMax = spark.conf.get("spark.sql.files.maxRecordsPerFile", "0")
+    try {
+      spark.conf.set("spark.sql.files.maxRecordsPerFile", "40")
+      Layout.writeTrainingShards(docs, "doc_id", numShards = 4, path)
+    } finally spark.conf.set("spark.sql.files.maxRecordsPerFile", prevMax)
+    // the merge must be exercised for real: ≥ 2 files in some shard dir
+    val filesPerShard = new java.io.File(path).listFiles().filter(_.isDirectory)
+      .map(d => d.listFiles().count(_.getName.endsWith(".parquet")))
+    assert(filesPerShard.exists(_ >= 2),
+      s"k-way merge not exercised — files per shard: ${filesPerShard.toSeq}")
+
+    val back = Layout.readTrainingShards(spark, path)
+    // one output partition per shard, and NOTHING in the lineage shuffles:
+    // the no-sort/no-exchange claim is structural (NarrowDependency merge)
+    assert(back.rdd.getNumPartitions === 4)
+    def hasShuffle(rdd: org.apache.spark.rdd.RDD[_]): Boolean =
+      rdd.dependencies.exists {
+        case _: org.apache.spark.ShuffleDependency[_, _, _] => true
+        case d => hasShuffle(d.rdd)
+      }
+    assert(!hasShuffle(back.rdd), "readTrainingShards lineage must be shuffle-free")
+
+    // each partition holds exactly its shard, positions dense-ascending 0..n-1
+    val perPartition = back.select("shard", "position").rdd
+      .mapPartitionsWithIndex { case (pid, it) =>
+        val rows = it.toArray
+        Iterator((pid, rows.map(_.getInt(0)).distinct.toSeq,
+          rows.map(_.getLong(1)).toSeq))
+      }.collect()
+    perPartition.foreach { case (pid, shards, positions) =>
+      assert(shards === Seq(pid), s"partition $pid holds shards $shards")
+      assert(positions === positions.indices.map(_.toLong),
+        s"partition $pid not in dense global position order")
+    }
+    // the read-back rows ARE shuffleShards' assignment (nothing lost or dup'd)
+    val expected = Sampling.shuffleShards(docs, "doc_id", 4)
+      .collect().map(r => (r.getLong(0), r.getInt(2), r.getLong(3))).toSet
+    val got = back.select("doc_id", "shard", "position")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(got === expected)
+  }
+
   test("writeTimePartitioned: dt directories are UTC dates in ANY session time zone") {
     import spark.implicits._
     val prevTz = spark.conf.get("spark.sql.session.timeZone")

@@ -1,0 +1,258 @@
+package graft.sources
+
+import java.nio.ByteBuffer
+
+import graft.model.GraftSourceNotFoundException
+import org.apache.avro.Schema
+import org.apache.avro.generic.{GenericData, GenericRecord}
+import org.apache.avro.mapred.AvroKey
+import org.apache.avro.mapreduce.{AvroJob, AvroKeyInputFormat, AvroKeyOutputFormat}
+import org.apache.avro.util.Utf8
+import org.apache.hadoop.io.NullWritable
+import org.apache.hadoop.mapreduce.Job
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.types._
+
+import scala.jdk.CollectionConverters._
+
+/** Avro read/write for [[GraftSource]] without the spark-avro module — the
+  * most common streaming-interchange format, implemented directly on the
+  * `avro` + `avro-mapred` jars Spark already ships (the Hadoop
+  * `AvroKeyInputFormat`/`AvroKeyOutputFormat` pair), because the offline
+  * environment has no spark-avro artifact to resolve.
+  *
+  * Scale posture: Avro container files are SPLITTABLE on their sync markers,
+  * and `AvroKeyInputFormat` splits them — a 100 TB avro directory reads with
+  * full parallelism, exactly like the built-in formats. What this path does
+  * NOT give (and spark-avro would): columnar pushdown — Avro is a row format,
+  * so there are no column-pruned scans or pushed filters by construction;
+  * the documented posture is "ingest from Avro once, convert to parquet for
+  * analytics", which is what every Spark shop does with Kafka-archive Avro.
+  *
+  * Type mapping (both directions, the [[graft.model.ValueType]] surface):
+  * boolean/int/long/float/double/string/bytes, `timestamp-micros` and
+  * `timestamp-millis` logical longs → TimestampType (µs), `date` logical int
+  * → DateType, arrays of all of these, and nullable as the standard
+  * `[null, T]` union. Nested records/maps/enums are rejected with a clear
+  * error — the engine's source surface is flat-plus-arrays.
+  *
+  * Object-reuse trap (the classic Hadoop bug): the avro record reader REUSES
+  * its `GenericRecord` across `next()` calls, so every record is converted to
+  * a fresh [[Row]] (strings/bytes copied out) strictly before the iterator
+  * advances — the lazy one-element-at-a-time map guarantees the ordering.
+  */
+object AvroIO {
+
+  // ---------------------------------------------------------------- schema
+
+  private val NullSchema = Schema.create(Schema.Type.NULL)
+
+  /** Spark → Avro schema. `nullable` fields become `[null, T]` unions. */
+  def toAvroSchema(schema: StructType, recordName: String): Schema = {
+    val fields = schema.fields.map { f =>
+      val base = toAvroType(f.dataType, f.name)
+      val t = if (f.nullable) Schema.createUnion(java.util.List.of(NullSchema, base)) else base
+      new Schema.Field(f.name, t, null, if (f.nullable) Schema.Field.NULL_DEFAULT_VALUE else null)
+    }
+    Schema.createRecord(recordName, null, "graft", false, fields.toList.asJava)
+  }
+
+  private def toAvroType(dt: DataType, fieldName: String): Schema = dt match {
+    case BooleanType => Schema.create(Schema.Type.BOOLEAN)
+    case IntegerType | ShortType | ByteType => Schema.create(Schema.Type.INT)
+    case LongType => Schema.create(Schema.Type.LONG)
+    case FloatType => Schema.create(Schema.Type.FLOAT)
+    case DoubleType => Schema.create(Schema.Type.DOUBLE)
+    case StringType => Schema.create(Schema.Type.STRING)
+    case BinaryType => Schema.create(Schema.Type.BYTES)
+    case TimestampType =>
+      org.apache.avro.LogicalTypes.timestampMicros()
+        .addToSchema(Schema.create(Schema.Type.LONG))
+    case DateType =>
+      org.apache.avro.LogicalTypes.date().addToSchema(Schema.create(Schema.Type.INT))
+    case ArrayType(elem, containsNull) =>
+      val e = toAvroType(elem, fieldName)
+      Schema.createArray(
+        if (containsNull) Schema.createUnion(java.util.List.of(NullSchema, e)) else e)
+    case other =>
+      throw new IllegalArgumentException(
+        s"Avro source supports flat columns + arrays; field `$fieldName` has $other")
+  }
+
+  /** Avro → Spark schema (top level must be a record of supported fields). */
+  def toStructType(schema: Schema): StructType = {
+    require(schema.getType == Schema.Type.RECORD,
+      s"Avro source expects a record top level, got ${schema.getType}")
+    StructType(schema.getFields.asScala.toSeq.map { f =>
+      val (dt, nullable) = toSparkType(f.schema(), f.name())
+      StructField(f.name(), dt, nullable)
+    })
+  }
+
+  private def toSparkType(s: Schema, fieldName: String): (DataType, Boolean) = s.getType match {
+    case Schema.Type.UNION =>
+      val branches = s.getTypes.asScala.filterNot(_.getType == Schema.Type.NULL)
+      require(branches.size == 1,
+        s"field `$fieldName`: only [null, T] unions are supported, got $s")
+      (toSparkType(branches.head, fieldName)._1, true)
+    case Schema.Type.BOOLEAN => (BooleanType, false)
+    case Schema.Type.INT =>
+      if (s.getLogicalType != null && s.getLogicalType.getName == "date") (DateType, false)
+      else (IntegerType, false)
+    case Schema.Type.LONG => s.getLogicalType match {
+      case lt if lt != null && lt.getName == "timestamp-micros" => (TimestampType, false)
+      case lt if lt != null && lt.getName == "timestamp-millis" => (TimestampType, false)
+      case _ => (LongType, false)
+    }
+    case Schema.Type.FLOAT => (FloatType, false)
+    case Schema.Type.DOUBLE => (DoubleType, false)
+    case Schema.Type.STRING => (StringType, false)
+    case Schema.Type.BYTES => (BinaryType, false)
+    case Schema.Type.ARRAY =>
+      val (e, elemNullable) = toSparkType(s.getElementType, fieldName)
+      (ArrayType(e, elemNullable), false)
+    case other =>
+      throw new IllegalArgumentException(
+        s"Avro source supports flat columns + arrays; field `$fieldName` has $other")
+  }
+
+  // ---------------------------------------------------------------- values
+
+  private def toAvroValue(v: Any, s: Schema): Any = {
+    val target = if (s.getType == Schema.Type.UNION)
+      s.getTypes.asScala.find(_.getType != Schema.Type.NULL).get else s
+    v match {
+      case null => null
+      case t: java.sql.Timestamp =>
+        // logical timestamp-micros: exact integer µs, the engine's lane
+        Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
+      case i: java.time.Instant =>
+        Math.multiplyExact(i.getEpochSecond, 1000000L) + i.getNano / 1000L
+      case d: java.sql.Date => d.toLocalDate.toEpochDay.toInt
+      case d: java.time.LocalDate => d.toEpochDay.toInt
+      case b: Array[Byte] => ByteBuffer.wrap(b)
+      case seq: scala.collection.Seq[_] =>
+        val elem = target.getElementType
+        new GenericData.Array[Any](target,
+          seq.map(e => toAvroValue(e, elem)).asJava.asInstanceOf[java.util.List[Any]])
+      case other => other // boolean/int/long/float/double/string pass through
+    }
+  }
+
+  private def fromAvroValue(v: Any, dt: DataType): Any = (v, dt) match {
+    case (null, _) => null
+    case (u: Utf8, StringType) => u.toString
+    case (s: CharSequence, StringType) => s.toString
+    case (b: ByteBuffer, BinaryType) =>
+      val out = new Array[Byte](b.remaining()); b.duplicate().get(out); out
+    case (l: java.lang.Long, TimestampType) =>
+      // written as micros by this sink; millis-logical files are normalized
+      // at read time by the ×1000 in recordToRow (see `tsScale`)
+      java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(
+        Math.floorDiv(l.longValue(), 1000000L),
+        Math.floorMod(l.longValue(), 1000000L) * 1000L))
+    case (i: java.lang.Integer, DateType) =>
+      java.sql.Date.valueOf(java.time.LocalDate.ofEpochDay(i.longValue()))
+    case (arr: java.util.Collection[_], ArrayType(elem, _)) =>
+      arr.asScala.toSeq.map(e => fromAvroValue(e, elem))
+    case (other, _) => other
+  }
+
+  // ---------------------------------------------------------------- write
+
+  /** Write `df` as an Avro container-file directory (one file per task — the
+    * standard many-writer layout; files are splittable on read, so file
+    * count is a writer-parallelism artifact, not a read constraint).
+    */
+  def write(df: DataFrame, path: String, overwrite: Boolean = true): Unit = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(df.sparkSession.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) {
+      if (!overwrite) throw new IllegalArgumentException(s"$path exists (overwrite=false)")
+      fs.delete(p, true)
+    }
+    val structType = df.schema
+    val avroSchema = toAvroSchema(structType, "graft_record")
+    val schemaJson = avroSchema.toString // Schema is not serializable: ship JSON
+    val job = Job.getInstance(df.sparkSession.sparkContext.hadoopConfiguration)
+    AvroJob.setOutputKeySchema(job, avroSchema)
+    df.rdd.mapPartitions { it =>
+      val schema = new Schema.Parser().parse(schemaJson)
+      val fieldSchemas = schema.getFields.asScala.map(_.schema()).toArray
+      it.map { row =>
+        val rec = new GenericData.Record(schema)
+        var i = 0
+        while (i < fieldSchemas.length) {
+          rec.put(i, toAvroValue(row.get(i), fieldSchemas(i)))
+          i += 1
+        }
+        (new AvroKey[GenericRecord](rec), NullWritable.get())
+      }
+    }.saveAsNewAPIHadoopFile(
+      path,
+      classOf[AvroKey[GenericRecord]],
+      classOf[NullWritable],
+      classOf[AvroKeyOutputFormat[GenericRecord]],
+      job.getConfiguration)
+  }
+
+  // ----------------------------------------------------------------- read
+
+  /** Driver-side schema fetch: one container-file header, no data read. */
+  def readSchema(spark: SparkSession, path: String): Schema = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val file = fs.listStatus(p).map(_.getPath)
+      .filter(f => f.getName.endsWith(".avro") && !f.getName.startsWith("_"))
+      .sortBy(_.getName)
+      .headOption
+      .getOrElse(throw new GraftSourceNotFoundException(s"no .avro files under $path"))
+    val in = fs.open(file)
+    try {
+      val reader = new org.apache.avro.file.DataFileStream[GenericRecord](
+        in, new org.apache.avro.generic.GenericDatumReader[GenericRecord]())
+      try reader.getSchema finally reader.close()
+    } finally in.close() // idempotent if the stream reader already closed it
+  }
+
+  /** Read an Avro directory as a DataFrame. Schema comes from the first
+    * file's header (Avro is self-describing); hidden files (`_SUCCESS`,
+    * `.crc`) are skipped by the input format's standard filter.
+    */
+  def read(spark: SparkSession, path: String): DataFrame = {
+    val avroSchema = readSchema(spark, path)
+    val structType = toStructType(avroSchema)
+    val fieldTypes = structType.fields.map(_.dataType)
+    // timestamp-millis logical columns normalize to µs on the way in
+    val tsScale: Array[Long] = avroSchema.getFields.asScala.map { f =>
+      val s = if (f.schema().getType == Schema.Type.UNION)
+        f.schema().getTypes.asScala.find(_.getType != Schema.Type.NULL).get else f.schema()
+      if (s.getLogicalType != null && s.getLogicalType.getName == "timestamp-millis") 1000L
+      else 1L
+    }.toArray
+    val rdd = spark.sparkContext.newAPIHadoopFile(
+        path,
+        classOf[AvroKeyInputFormat[GenericRecord]],
+        classOf[AvroKey[GenericRecord]],
+        classOf[NullWritable])
+      .mapPartitions { it =>
+        it.map { case (k, _) =>
+          // convert BEFORE the reader's next(): the record object is reused
+          val rec = k.datum()
+          val values = new Array[Any](fieldTypes.length)
+          var i = 0
+          while (i < fieldTypes.length) {
+            val raw = rec.get(i) match {
+              case l: java.lang.Long if tsScale(i) != 1L =>
+                java.lang.Long.valueOf(l * tsScale(i))
+              case other => other
+            }
+            values(i) = fromAvroValue(raw, fieldTypes(i))
+            i += 1
+          }
+          Row.fromSeq(values.toSeq)
+        }
+      }
+    spark.createDataFrame(rdd, structType)
+  }
+}

@@ -25,10 +25,19 @@ object SourceFormat {
     * Spark shop actually has on disk, and Spark ships the reader natively.
     */
   case object Orc extends SourceFormat("orc")
-  val all: Seq[SourceFormat] = Seq(Parquet, Csv, Json, Orc)
+
+  /** Avro — the streaming-interchange format every Kafka archive lands in.
+    * The offline environment has no spark-avro module, so reads/writes go
+    * through [[AvroIO]] (the Hadoop input/output formats on the avro jars
+    * Spark ships); splittable, full read parallelism, row-format posture
+    * documented there.
+    */
+  case object Avro extends SourceFormat("avro")
+  val all: Seq[SourceFormat] = Seq(Parquet, Csv, Json, Orc, Avro)
   def fromName(n: String): SourceFormat =
     all.find(_.name == n.toLowerCase).getOrElse(
-      throw new IllegalArgumentException(s"format must be one of: json, csv, parquet, orc (got $n)"))
+      throw new IllegalArgumentException(
+        s"format must be one of: json, csv, parquet, orc, avro (got $n)"))
 }
 
 /** A declarative data source: a named catalog table, a file path
@@ -99,6 +108,11 @@ final case class GraftSource(
     if (format == SourceFormat.Parquet)
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val base = table match {
+      case Some(t) if isPath && format == SourceFormat.Avro =>
+        // no spark-avro DataSource offline: AvroIO reads the container files
+        // through the Hadoop input format (splittable; schema self-described,
+        // so schemaDdl/readOptions — parquet/csv/json levers — don't apply)
+        AvroIO.read(spark, t)
       case Some(t) if isPath =>
         // readOptions pass through to the DataFrameReader — the schema-drift
         // lever at scale is `mergeSchema=true` (a long-lived table gains
@@ -201,6 +215,8 @@ final case class GraftSource(
         case Failure(_) => throw new GraftSourceNotFoundException(what)
       }
     table match {
+      case Some(t) if isPath && format == SourceFormat.Avro =>
+        probe(t)(AvroIO.readSchema(spark, t)) // one file header, no data read
       case Some(t) if isPath => probe(t) {
         val r = spark.read.format(format.name)
         (schemaDdl match {

@@ -1,0 +1,124 @@
+package graft.sources
+
+import graft.SparkTestBase
+import graft.model.GraftSourceNotFoundException
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+class AvroIOSpec extends SparkTestBase {
+
+  private def tmp(name: String): String =
+    java.nio.file.Files.createTempDirectory(s"graft-avro-$name").toString + "/d"
+
+  test("full type-surface roundtrip: long/int/double/float/string/bool/binary/ts/date/arrays/nulls") {
+    val schema = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("i", IntegerType, nullable = true),
+      StructField("d", DoubleType, nullable = true),
+      StructField("f", FloatType, nullable = true),
+      StructField("s", StringType, nullable = true),
+      StructField("b", BooleanType, nullable = true),
+      StructField("bin", BinaryType, nullable = true),
+      StructField("ts", TimestampType, nullable = true),
+      StructField("dt", DateType, nullable = true),
+      StructField("af", ArrayType(FloatType, containsNull = false), nullable = true),
+      StructField("as", ArrayType(StringType, containsNull = true), nullable = true)))
+    val ts = java.sql.Timestamp.valueOf("2024-03-05 06:07:08.123456")
+    val dt = java.sql.Date.valueOf("2024-03-05")
+    val rows = Seq(
+      Row(1L, 7, 2.5d, 1.25f, "hello", true, Array[Byte](1, 2, 3), ts, dt,
+        Seq(0.5f, -1.5f), Seq("a", null, "c")),
+      // a full row of NULLs through every [null, T] union branch
+      Row(2L, null, null, null, null, null, null, null, null, null, null))
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.map(identity), 2), schema)
+    val out = tmp("types")
+    AvroIO.write(df, out)
+    val back = AvroIO.read(spark, out)
+    assert(back.schema === schema)
+    val got = back.orderBy("id").collect()
+    val r1 = got(0)
+    assert(r1.getLong(0) === 1L && r1.getInt(1) === 7 && r1.getDouble(2) === 2.5d)
+    assert(r1.getFloat(3) === 1.25f && r1.getString(4) === "hello" && r1.getBoolean(5))
+    assert(r1.getAs[Array[Byte]](6).toSeq === Seq[Byte](1, 2, 3))
+    // timestamp-micros logical type: µs-exact, including the .123456 fraction
+    assert(r1.getTimestamp(7) === ts)
+    assert(r1.getDate(8).toString === "2024-03-05")
+    assert(r1.getSeq[Float](9) === Seq(0.5f, -1.5f))
+    assert(r1.getSeq[String](10) === Seq("a", null, "c"))
+    val r2 = got(1)
+    (1 until schema.length).foreach(i => assert(r2.isNullAt(i), s"field $i not null"))
+  }
+
+  test("GraftSource avro: load + validate + fieldMapping + json config roundtrip") {
+    val out = tmp("src")
+    val orig = spark.read.parquet(s"${sf()}/nation.parquet")
+    AvroIO.write(orig, out)
+    val src = GraftSource.of(table = Some(out), format = SourceFormat.Avro,
+      fieldMapping = Map("n_name" -> "nation_name"))
+    src.validate(spark) // schema probe on the file header must pass
+    assert(GraftSource.fromJson(src.toJson) == src)
+    val back = src.load(spark)
+    assert(back.columns.contains("nation_name"))
+    assert(back.orderBy("n_nationkey").select("n_nationkey", "nation_name")
+      .collect().toSeq ===
+      orig.orderBy("n_nationkey").select("n_nationkey", "n_name").collect().toSeq)
+    // missing path → the standard source-not-found surface
+    intercept[GraftSourceNotFoundException](
+      GraftSource.of(table = Some("/root/nonexistent/av"),
+        format = SourceFormat.Avro).validate(spark))
+  }
+
+  test("many-writer layout reads back complete (multiple container files)") {
+    val out = tmp("many")
+    val orig = spark.read.parquet(s"${sf()}/customer.parquet")
+      .select("c_custkey", "c_name", "c_acctbal")
+    AvroIO.write(orig.repartition(4), out)
+    val files = new java.io.File(out).listFiles()
+      .filter(_.getName.endsWith(".avro"))
+    assert(files.length === 4, s"expected 4 container files, got ${files.length}")
+    val back = AvroIO.read(spark, out)
+    assert(back.count() === orig.count())
+    assert(back.select(sum("c_custkey")).head.getLong(0) ===
+      orig.select(sum("c_custkey")).head.getLong(0))
+  }
+
+  test("nested struct and map columns are rejected with a clear error") {
+    import spark.implicits._
+    val nested = Seq((1L, (2L, "x"))).toDF("id", "pair")
+    val e = intercept[IllegalArgumentException](AvroIO.write(nested, tmp("bad")))
+    assert(e.getMessage.contains("pair"))
+    val withMap = Seq((1L, Map("a" -> 1))).toDF("id", "m")
+    intercept[IllegalArgumentException](AvroIO.write(withMap, tmp("bad2")))
+  }
+
+  test("timestamp-millis logical files (foreign writer) normalize to µs on read") {
+    // a Kafka-archive style file written by ANOTHER system with millis
+    // precision — built with the raw avro API, not our writer
+    import org.apache.avro.{LogicalTypes, Schema, SchemaBuilder}
+    import org.apache.avro.generic.{GenericData, GenericRecord}
+    val millisTs = LogicalTypes.timestampMillis()
+      .addToSchema(Schema.create(Schema.Type.LONG))
+    val schema = SchemaBuilder.record("ext").fields()
+      .requiredLong("id")
+      .name("ev_ts").`type`(millisTs).noDefault()
+      .endRecord()
+    val dir = new java.io.File(tmp("millis")); dir.mkdirs()
+    val w = new org.apache.avro.file.DataFileWriter[GenericRecord](
+      new org.apache.avro.generic.GenericDatumWriter[GenericRecord](schema))
+    w.create(schema, new java.io.File(dir, "part-00000.avro"))
+    val rec = new GenericData.Record(schema)
+    rec.put(0, 5L); rec.put(1, 1704164400123L) // 2024-01-02T03:00:00.123Z
+    w.append(rec); w.close()
+    val back = AvroIO.read(spark, dir.toString)
+    assert(back.schema("ev_ts").dataType === TimestampType)
+    val got = back.head()
+    assert(got.getLong(0) === 5L)
+    val micros = {
+      val t = got.getTimestamp(1)
+      Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
+    }
+    assert(micros === 1704164400123000L)
+  }
+}

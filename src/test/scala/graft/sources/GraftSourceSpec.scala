@@ -63,8 +63,9 @@ class GraftSourceSpec extends SparkTestBase {
   test("format parsing rejects unknown (ref store.py:133-134)") {
     assert(SourceFormat.fromName("CSV") == SourceFormat.Csv)
     assert(SourceFormat.fromName("ORC") == SourceFormat.Orc)
-    val e = intercept[IllegalArgumentException](SourceFormat.fromName("avro"))
-    assert(e.getMessage.contains("json, csv, parquet, orc"))
+    assert(SourceFormat.fromName("AVRO") == SourceFormat.Avro)
+    val e = intercept[IllegalArgumentException](SourceFormat.fromName("xml"))
+    assert(e.getMessage.contains("json, csv, parquet, orc, avro"))
   }
 
   test("orc source: write-read round-trip preserves rows and schema; json config round-trips") {

@@ -119,6 +119,96 @@ object TextAnalysis {
       round(col("_best.score"), 6).as("confidence"))
   }
 
+  /** Lowercased ASCII-letter character tokens — the [[languageIdModel]]
+    * substrate. Regex-only by design (the extract_html discipline): lowercase
+    * + trim, strip everything outside `[a-z]`, then break into single-char
+    * tokens by inserting a space after every character — both engines replay
+    * the identical chain, so the oracle needs no char-iteration UDF.
+    */
+  private def charTokens(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    tokens(regexp_replace(regexp_replace(lower(trim(c)), "[^a-z]+", ""), "(.)", "$1 "))
+
+  /** TRAINED language ID — the honest upgrade of [[languageId]]'s stopword
+    * heuristic: a per-language character-bigram LM with add-one smoothing,
+    * the [[lmScore]] machinery generalized to k languages and char grams
+    * (Cavnar–Trenkle n-gram profiles recast in the fixed-point lane). Every
+    * per-gram probability is the integer
+    * `q = ((c_pair + 1) · 2^20) div (c_prefix + V_lang)` and scores
+    * accumulate as exact longs, so ranking and ties are engine- and
+    * partitioning-identical — the oracle replays train AND score hash-exact.
+    *
+    * Output: `(id, lang, n_bigrams, score_sum)` — the argmax language
+    * (ties → lexicographically first), `und` for docs with no char bigrams
+    * (never a fabricated language).
+    *
+    * Shape at 100 TB: the labeled train corpus aggregates to per-language
+    * pair/prefix/vocab tables — char-bigram-domain-sized (≤ 26² per
+    * language), the most broadcastable model in the repo — and the scored
+    * corpus aggregates per-doc DISTINCT pairs first (one keyed exchange over
+    * narrow (id, 3-char pair) rows), so the ×k language expansion multiplies
+    * the compressed pair counts, never the raw char stream. `minCount`
+    * prunes the pair table with prefix mass and V computed BEFORE pruning
+    * (the lmScore contract: smoothing denominators never shift).
+    */
+  def languageIdModel(
+      train: DataFrame,
+      langCol: String,
+      trainTextCol: String,
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      minCount: Long = 1L): DataFrame = {
+    require(minCount >= 1, "minCount must be >= 1")
+    import org.apache.spark.sql.graft.WordPairs
+    val labeled = train.filter(col(langCol).isNotNull)
+    // one labeled-corpus scan for pair counts, checkpointed once — pair
+    // table and prefix masses branch from it (the lmScore discipline); the
+    // vocabulary sizes are the documented second scan
+    val trainPairs = labeled
+      .select(col(langCol).as("_lang"),
+        explode(WordPairs(charTokens(col(trainTextCol)), 1)).as("pair"))
+      .groupBy(col("_lang"), col("pair")).agg(count(lit(1)).as("c_pair"))
+      .localCheckpoint()
+    val prefixCounts = trainPairs
+      .withColumn("c1", split(col("pair"), " ").getItem(0))
+      .groupBy(col("_lang"), col("c1")).agg(sum(col("c_pair")).as("c_prefix"))
+    val pairTable = trainPairs.filter(col("c_pair") >= minCount)
+      .select(col("_lang"), col("pair"), col("c_pair"))
+    val langTable = labeled
+      .select(col(langCol).as("_lang"), explode(charTokens(col(trainTextCol))).as("_ch"))
+      .groupBy(col("_lang"))
+      .agg(greatest(count_distinct(col("_ch")), lit(1L)).as("v_size"))
+    // doc side: compress to per-(id, pair) counts BEFORE the ×k expansion;
+    // explode_outer keeps sub-2-char docs alive for their 'und' row
+    val docPairs = docs
+      .select(col(idCol).as("id"),
+        explode_outer(WordPairs(charTokens(col(textCol)), 1)).as("pair"))
+      .groupBy(col("id"), col("pair")).agg(count(col("pair")).as("c_doc"))
+    val scored = docPairs
+      // k-row language table: the 1-row scalar-attach idiom at k rows —
+      // a broadcast nested loop that runs once per partition
+      .crossJoin(broadcast(langTable))
+      .withColumn("c1", split(col("pair"), " ").getItem(0))
+      .join(broadcast(pairTable), Seq("_lang", "pair"), "left")
+      .join(broadcast(prefixCounts), Seq("_lang", "c1"), "left")
+      .withColumn("q", when(col("pair").isNull, lit(null)).otherwise(
+        col("c_doc") *
+          expr("((coalesce(c_pair, 0L) + 1L) * 1048576L)" +
+            " div (coalesce(c_prefix, 0L) + v_size)")))
+      .groupBy(col("id"), col("_lang"))
+      .agg(
+        coalesce(sum(when(col("pair").isNotNull, col("c_doc"))), lit(0L)).as("n_bigrams"),
+        coalesce(sum(col("q")), lit(0L)).as("score_sum"))
+    scored
+      .groupBy(col("id"))
+      .agg(min(struct((-col("score_sum")).as("_neg"), col("_lang").as("_l"),
+        col("n_bigrams").as("_nb"), col("score_sum").as("_ss"))).as("_best"))
+      .select(col("id"),
+        when(col("_best._nb") === 0L, lit("und")).otherwise(col("_best._l")).as("lang"),
+        col("_best._nb").as("n_bigrams"),
+        col("_best._ss").as("score_sum"))
+  }
+
   /** Sequence packing for LLM training: documents are concatenated in a
     * deterministic order and cut into fixed token-budget bins — each doc gets
     * its running start offset and bin id (`floor(start / budget)`), the

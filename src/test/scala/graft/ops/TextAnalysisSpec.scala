@@ -739,4 +739,78 @@ class TextAnalysisSpec extends SparkTestBase {
     // a tokenizer consuming (rank, merged) relies on
     merges.foreach(m => assert(m.getString(3) === m.getString(1) + m.getString(2)))
   }
+
+  // ------------------------------------------------- trained language ID
+
+  private def langidCorpus = {
+    import spark.implicits._
+    // two synthetic "languages" with disjoint char distributions: the model
+    // must recover them on held-out docs — behavior, not just arithmetic
+    val aa = (1L to 8L).map(i => (i, "aa", "abba bab abab babba abb" * 3))
+    val zz = (9L to 16L).map(i => (i, "zz", "zyz yzzy zzyz yzy zyy" * 3))
+    (aa ++ zz).toDF("doc_id", "lang", "text")
+  }
+
+  test("languageIdModel: held-out docs classify by char distribution; integer scores") {
+    import spark.implicits._
+    val train = langidCorpus.filter($"doc_id" % 4 =!= 0) // hold out every 4th
+    val out = TextAnalysis.languageIdModel(
+      train, "lang", "text", langidCorpus, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    (1L to 8L).foreach(i => assert(out(i) === "aa", s"doc $i"))
+    (9L to 16L).foreach(i => assert(out(i) === "zz", s"doc $i"))
+  }
+
+  test("languageIdModel: no-bigram docs get 'und' with zero counts, never a language") {
+    import spark.implicits._
+    val docs = Seq((1L, "a"), (2L, "   "), (3L, null: String), (4L, "123 !?"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.languageIdModel(
+      langidCorpus, "lang", "text", docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(out.length === 4)
+    out.foreach { case (id, lang, nb, ss) =>
+      assert(lang === "und" && nb === 0L && ss === 0L, s"doc $id: ($lang, $nb, $ss)")
+    }
+  }
+
+  test("languageIdModel: score ties break to the lexicographically first language") {
+    import spark.implicits._
+    // both "languages" train on IDENTICAL text → every doc ties exactly
+    val train = Seq((1L, "bb", "abc abc"), (2L, "aa", "abc abc"))
+      .toDF("doc_id", "lang", "text")
+    val docs = Seq((10L, "abc")).toDF("doc_id", "text")
+    val r = TextAnalysis.languageIdModel(train, "lang", "text", docs, "doc_id", "text")
+      .collect().head
+    assert(r.getString(1) === "aa")
+  }
+
+  test("languageIdModel: minCount prunes pairs but never shifts smoothing denominators") {
+    import spark.implicits._
+    val docs = Seq((10L, "abba")).toDF("doc_id", "text")
+    // minCount past every pair count → all pairs score as unseen: q =
+    // (0+1)*2^20 div (c_prefix + V) with c_prefix/V from the UNPRUNED table
+    val out = TextAnalysis.languageIdModel(
+      langidCorpus, "lang", "text", docs, "doc_id", "text", minCount = 1000000L)
+      .collect().head
+    assert(out.getLong(2) === 3L) // ab, bb, ba
+    assert(out.getLong(3) > 0L, "unseen pairs still carry smoothed mass")
+    // prefix masses survive pruning: denominators include full train counts,
+    // so the score must be STRICTLY below the unpruned run's
+    val unpruned = TextAnalysis.languageIdModel(
+      langidCorpus, "lang", "text", docs, "doc_id", "text").collect().head
+    assert(out.getLong(3) < unpruned.getLong(3))
+  }
+
+  test("languageIdModel: partitioning-independent (1 vs 16 partitions, identical rows)") {
+    val a = TextAnalysis.languageIdModel(
+      langidCorpus.repartition(1), "lang", "text",
+      langidCorpus.repartition(1), "doc_id", "text")
+      .collect().map(_.toSeq).toSet
+    val b = TextAnalysis.languageIdModel(
+      langidCorpus.repartition(16), "lang", "text",
+      langidCorpus.repartition(16), "doc_id", "text")
+      .collect().map(_.toSeq).toSet
+    assert(a === b)
+  }
 }

@@ -220,6 +220,61 @@ object Dedup {
       .select(col("a_id").as("batch_id"), col("b_id").as("ref_id"), col("jaccard"))
   }
 
+  /** Build the broadcast LSH index a STREAMING near-dup gate scores against
+    * ([[graft.streaming.EventStream.nearDupGate]]) — the deployable form of
+    * [[minHashLshAgainst]]'s reference side, the way
+    * [[graft.ops.TextAnalysis.trainLmTable]] is the deployable form of
+    * [[graft.ops.TextAnalysis.lmScore]]'s train side: the SAME machinery
+    * (shingle-hash explode, one [[org.apache.spark.sql.graft.MinHashBandsAgg]]
+    * aggregation, banded bucket rows) builds the tables, then they collapse
+    * into broadcast maps so each live doc is matched in-row with zero joins
+    * and zero state.
+    *
+    * `maxBucket` applies at BUILD time: a reference bucket past it is
+    * dropped from the index entirely (degenerate buckets carry no
+    * selectivity — the [[bucketPairs]] discipline). The stream side holds
+    * one doc per row, so the batch operator's batch-side occupancy drop has
+    * no streaming counterpart.
+    *
+    * Driver/executor bound (the honest contract): the index carries the
+    * reference corpus's distinct shingle hashes — the DECONTAMINATION
+    * regime (benchmark/known-bad sets, what a live gate actually guards),
+    * NOT a 100 TB accepted corpus; corpus-scale incremental near-dup stays
+    * the batch [[minHashLshAgainst]] nightly.
+    */
+  def buildNearDupIndex(
+      reference: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleN: Int = 3,
+      numHashes: Int = 64,
+      bands: Int = 16,
+      maxBucket: Int = 100): org.apache.spark.broadcast.Broadcast[org.apache.spark.sql.graft.NearDupIndex] = {
+    require(numHashes % bands == 0, "numHashes must be divisible by bands")
+    val ex = reference
+      .select(col(idCol).as("id"), tokens(col(textCol)).as("_toks"))
+      .select(col("id"), explode(shingleHashesFromTokens(col("_toks"), shingleN)).as("h"))
+      .localCheckpoint(false)
+    val bucketRows = ex.groupBy(col("id"))
+      .agg(org.apache.spark.sql.graft.MinHashBandsAgg(col("h"), numHashes, bands)
+        .as("_bands"))
+      .select(col("id"), posexplode(col("_bands")).as(Seq("band", "bucket")))
+      .groupBy(col("band"), col("bucket"))
+      .agg(array_sort(collect_list(col("id"))).as("ids"))
+      .filter(size(col("ids")) <= maxBucket)
+      .collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getSeq[Long](2).toArray))
+    val refSetRows = ex.groupBy(col("id"))
+      .agg(array_sort(collect_list(col("h"))).as("hs"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1).toArray))
+    val bc = reference.sparkSession.sparkContext.broadcast(
+      new org.apache.spark.sql.graft.NearDupIndex(
+        bucketRows, refSetRows, shingleN, numHashes, bands))
+    org.apache.spark.sql.graft.CheckpointUtil.unpersist(ex)
+    bc
+  }
+
   /** Exact Jaccard verification of candidate pairs against the exploded
     * per-doc shingle-hash table (`ex`: id, h — distinct per doc). Intersection
     * size is a join-and-count on (id, h); only candidate rows join, so the

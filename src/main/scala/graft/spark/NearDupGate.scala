@@ -1,0 +1,164 @@
+package org.apache.spark.sql.graft
+
+import org.apache.spark.broadcast.Broadcast
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression, UnaryExpression, XxHash64Function}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.classic.ExpressionUtils
+import org.apache.spark.sql.types._
+
+/** Broadcast LSH index of a REFERENCE corpus for the streaming near-dup
+  * gate — per-band bucket membership plus per-ref-doc sorted shingle-hash
+  * sets, collapsed into hash maps exactly the way [[LmTable]] collapses the
+  * LM count tables: a stream cannot re-plan the batch
+  * [[graft.ops.Dedup.minHashLshAgainst]] joins per document, but it CAN look
+  * band buckets up in-row and verify exact Jaccard against the candidate's
+  * set.
+  *
+  * Bucket keys mix (band, bucket-digest) into one long; a key collision
+  * would only MERGE two buckets' candidate lists, which adds candidates the
+  * exact verify then rejects — recall is unaffected and precision is
+  * guarded, so the mix needs no collision-freedom proof.
+  *
+  * Memory bound (the honest contract): the index holds the reference
+  * corpus's distinct shingle hashes — this is the DECONTAMINATION regime
+  * (benchmark/test-set-sized reference, the thing a live gate actually
+  * guards against), not a 100 TB accepted corpus; corpus-scale incremental
+  * near-dup stays the batch [[graft.ops.Dedup.minHashLshAgainst]] nightly.
+  */
+final class NearDupIndex(
+    bucketRows: Array[(Int, Long, Array[Long])],
+    refSetRows: Array[(Long, Array[Long])],
+    val shingleN: Int,
+    val numHashes: Int,
+    val bands: Int) extends Serializable {
+  val buckets = new java.util.HashMap[java.lang.Long, Array[Long]](bucketRows.length * 2)
+  bucketRows.foreach { case (band, bucket, ids) =>
+    buckets.put(NearDupIndex.key(band, bucket), ids)
+  }
+  val refSets = new java.util.HashMap[java.lang.Long, Array[Long]](refSetRows.length * 2)
+  refSetRows.foreach { case (id, hs) => refSets.put(id, hs) }
+}
+
+object NearDupIndex {
+  /** (band, bucket) → one long key; see collision note on the class. */
+  def key(band: Int, bucket: Long): Long =
+    bucket ^ (band.toLong * 0x9E3779B97F4A7C15L)
+}
+
+/** Per-document streaming near-dup matcher: one kernel call per row computes
+  * the doc's distinct shingle hashes ([[WordShingleHashes]] — bit-identical
+  * to the batch explode), its banded MinHash signature (the
+  * [[MinHashBandsAgg]] update/eval arithmetic replayed over the in-row
+  * array — same base-hash-reseeded values, same band digests), collects
+  * candidate reference docs from the broadcast bucket map, and exact-verifies
+  * Jaccard by sorted-array intersection. Returns the matches as an array of
+  * `(ref_id, jaccard)` structs sorted by ref_id — empty array = novel doc.
+  *
+  * Zero state, zero shuffle, zero joins on the stream: the
+  * [[LmDocScore]] posture applied to near-dup detection. Null token array →
+  * null (family policy).
+  */
+case class NearDupDocMatches(
+    child: Expression,
+    bc: Broadcast[NearDupIndex],
+    threshold: Double)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(StringType))
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(
+      StructField("ref_id", LongType, nullable = false),
+      StructField("jaccard", DoubleType, nullable = false))),
+    containsNull = false)
+  override def prettyName: String = "graft_near_dup_matches"
+
+  override def nullSafeEval(input: Any): Any =
+    NearDupDocMatches.matches(input.asInstanceOf[ArrayData], bc.value, threshold)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val bcRef = ctx.addReferenceObj("ndBc", bc, "org.apache.spark.broadcast.Broadcast")
+    val idx = ctx.addMutableState("org.apache.spark.sql.graft.NearDupIndex", "ndIdx",
+      v => s"$v = (org.apache.spark.sql.graft.NearDupIndex) $bcRef.value();")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = org.apache.spark.sql.graft.NearDupDocMatches" +
+        s".matches($c, $idx, $threshold);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): NearDupDocMatches =
+    copy(child = newChild)
+}
+
+object NearDupDocMatches {
+
+  def matches(toks: ArrayData, idx: NearDupIndex, threshold: Double): ArrayData = {
+    // 1. distinct shingle hashes — the batch table's rows, in-row
+    val hs = WordShingleHashes.hashes(toks, idx.shingleN)
+    val n = hs.numElements()
+    if (n == 0) return new GenericArrayData(Array.empty[Any])
+    val docHashes = new Array[Long](n)
+    var i = 0
+    while (i < n) { docHashes(i) = hs.getLong(i); i += 1 }
+
+    // 2. banded signature — MinHashBandsAgg's update+eval over the array
+    val mins = Array.fill(idx.numHashes)(Long.MaxValue)
+    i = 0
+    while (i < n) {
+      val base = XxHash64Function.hash(docHashes(i), LongType, 42L)
+      var j = 0
+      while (j < idx.numHashes) {
+        val h = XxHash64Function.hash(j, IntegerType, base)
+        if (h < mins(j)) mins(j) = h
+        j += 1
+      }
+      i += 1
+    }
+    val rowsPerBand = idx.numHashes / idx.bands
+    val cands = new java.util.TreeSet[java.lang.Long]() // sorted → deterministic
+    var b = 0
+    while (b < idx.bands) {
+      var acc = 42L
+      var k = 0
+      while (k < rowsPerBand) {
+        acc = XxHash64Function.hash(mins(b * rowsPerBand + k), LongType, acc)
+        k += 1
+      }
+      val ids = idx.buckets.get(NearDupIndex.key(b, acc))
+      if (ids != null) {
+        var m = 0
+        while (m < ids.length) { cands.add(ids(m)); m += 1 }
+      }
+      b += 1
+    }
+    if (cands.isEmpty) return new GenericArrayData(Array.empty[Any])
+
+    // 3. exact Jaccard verify — sorted-array intersection, the batch
+    //    jaccardVerify's n_inter / (n_a + n_b - n_inter) on exact ints
+    val sorted = docHashes.clone()
+    java.util.Arrays.sort(sorted)
+    val out = new java.util.ArrayList[Any]()
+    val it = cands.iterator()
+    while (it.hasNext) {
+      val refId = it.next().longValue()
+      val refSet = idx.refSets.get(refId)
+      if (refSet != null) {
+        var a = 0; var c = 0; var inter = 0
+        while (a < sorted.length && c < refSet.length) {
+          if (sorted(a) == refSet(c)) { inter += 1; a += 1; c += 1 }
+          else if (sorted(a) < refSet(c)) a += 1
+          else c += 1
+        }
+        val j = inter.toDouble / (sorted.length + refSet.length - inter)
+        if (j >= threshold) {
+          out.add(org.apache.spark.sql.catalyst.InternalRow(refId, j))
+        }
+      }
+    }
+    new GenericArrayData(out.toArray)
+  }
+
+  def apply(toks: Column, bc: Broadcast[NearDupIndex], threshold: Double): Column =
+    ExpressionUtils.column(
+      NearDupDocMatches(ExpressionUtils.expression(toks), bc, threshold))
+}

@@ -232,6 +232,43 @@ object EventStream {
         col("score_sum") >= lit(thresholdQ) * col("n_bigrams"))
   }
 
+  /** Streaming near-dup gate — [[graft.ops.Dedup.minHashLshAgainst]]'s
+    * question asked live: does this incoming doc already exist,
+    * approximately, in a fixed reference corpus? Each doc's shingle hashes,
+    * banded MinHash signature, candidate lookup, and exact-Jaccard verify
+    * all run IN-ROW against the broadcast index
+    * ([[graft.ops.Dedup.buildNearDupIndex]]) — the [[qualityGate]] posture
+    * for near-dup detection: zero state, no watermark, no shuffle, no join
+    * per trigger, append-mode trivial. The live decontamination gate:
+    * benchmark/known-bad reference sets are exactly index-sized.
+    *
+    * Output: the input columns + `near_dups` — `(ref_id, jaccard)` structs
+    * sorted by ref_id, every reference doc at `jaccard >= threshold`; an
+    * empty array marks a novel doc (callers keep
+    * `size(near_dups) = 0`). A null/absent text yields NULL, not a
+    * fabricated "novel" (family policy — a gate that cannot read a doc
+    * must not wave it through).
+    *
+    * Batch-twin contract (spec-pinned): on a batch input the exploded
+    * `near_dups` pairs equal [[graft.ops.Dedup.minHashLshAgainst]]'s
+    * (batch_id, ref_id, jaccard) rows — same shingle hashing, same
+    * signature arithmetic (the [[org.apache.spark.sql.graft.MinHashBandsAgg]]
+    * update/eval replayed in-row), same exact-verify division — when no
+    * batch-side bucket exceeds `maxBucket` there (the stream scores docs
+    * one at a time, so batch-side bucket occupancy has no streaming
+    * counterpart; the REFERENCE-side `maxBucket` drop is baked into the
+    * index at build time).
+    */
+  def nearDupGate(
+      docs: DataFrame,
+      textCol: String,
+      index: org.apache.spark.broadcast.Broadcast[org.apache.spark.sql.graft.NearDupIndex],
+      threshold: Double): DataFrame = {
+    import org.apache.spark.sql.graft.NearDupDocMatches
+    docs.withColumn("near_dups",
+      NearDupDocMatches(graft.functions.tokens(col(textCol)), index, threshold))
+  }
+
   /** Stream-stream attribution join: each left event pairs with the right
     * events of the same `keyCol` whose timestamp falls in the half-open
     * lookback window `[left_ts - lookbackSeconds, left_ts)` — the streaming

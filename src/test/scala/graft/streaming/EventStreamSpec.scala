@@ -4,7 +4,7 @@ import java.sql.Timestamp
 
 import graft.SparkTestBase
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{col, explode}
 
 class EventStreamSpec extends SparkTestBase {
 
@@ -116,6 +116,82 @@ class EventStreamSpec extends SparkTestBase {
     val plan = EventStream.qualityGate(docs, "text", lm, thresholdQ)
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), s"gate must not shuffle:\n$plan")
+  }
+
+  test("nearDupGate: stream matches == batch minHashLshAgainst pairs; novel docs pass") {
+    import spark.implicits._
+    implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val refA = "the quick brown fox jumps over the lazy dog again and again tonight"
+    val refB = "pack my box with five dozen liquor jugs before the autumn festival starts"
+    val reference = Seq((100L, refA), (101L, refB)).toDF("doc_id", "text")
+    val batchDocs = Seq(
+      (1L, refA),                                               // exact: J = 1 vs 100
+      (2L, refA.replaceAll("tonight$", "tomorrow")),            // last-token edit: J ≈ 0.83
+      (3L, "completely unrelated words about spark plans and shuffles at scale"),
+      (4L, refB),                                               // exact: J = 1 vs 101
+      (5L, null.asInstanceOf[String]))                          // null text → NULL gate
+      .toDF("doc_id", "text")
+    val idx = graft.ops.Dedup.buildNearDupIndex(reference, "doc_id", "text")
+
+    // batch twin: the exploded gate pairs ARE minHashLshAgainst's rows
+    val expectedPairs = graft.ops.Dedup.minHashLshAgainst(
+        batchDocs.filter($"text".isNotNull), reference, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(expectedPairs.map(p => (p._1, p._2)) === Set((1L, 100L), (2L, 100L), (4L, 101L)),
+      s"test corpus must produce exactly these near-dups, got $expectedPairs")
+    val gated = EventStream.nearDupGate(batchDocs, "text", idx, threshold = 0.8)
+    val gatePairs = gated
+      .select(col("doc_id"), explode(col("near_dups")).as("m"))
+      .select(col("doc_id"), col("m.ref_id"), col("m.jaccard"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(gatePairs === expectedPairs, "gate pairs must equal the batch operator's")
+    // novel doc: EMPTY array (kept by size = 0); null text: NULL, never novel
+    val byId = gated.collect().map(r => r.getLong(0) -> r).toMap
+    assert(byId(3L).getSeq[Any](2).isEmpty)
+    assert(byId(5L).isNullAt(2))
+
+    // streaming run: identical matches through a MemoryStream
+    val ms = MemoryStream[(Long, String)]
+    val q = EventStream.nearDupGate(
+        ms.toDF().toDF("doc_id", "text"), "text", idx, threshold = 0.8)
+      .select(col("doc_id"), explode(col("near_dups")).as("m"))
+      .writeStream.format("memory").queryName("ndgate_out").outputMode("append").start()
+    ms.addData(Seq((1L, refA), (3L, "completely unrelated words about spark plans and shuffles at scale")))
+    q.processAllAvailable()
+    ms.addData(Seq((2L, refA.replaceAll("tonight$", "tomorrow")), (4L, refB)))
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("ndgate_out")
+      .select(col("doc_id"), col("m.ref_id"), col("m.jaccard"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(streamed === expectedPairs, "streaming == batch, jaccard values included")
+
+    // scale shape: zero exchanges, zero state — a pure scan projection
+    val plan = EventStream.nearDupGate(batchDocs, "text", idx, 0.8)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"gate must not shuffle:\n$plan")
+  }
+
+  test("nearDupGate: build-time maxBucket drops degenerate reference buckets observably") {
+    import spark.implicits._
+    // 5 identical reference docs → every bucket holds all 5 ids; maxBucket=4
+    // drops them ALL from the index, so even an exact copy streams through
+    val text = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val reference = (100L to 104L).map(i => (i, text)).toDF("doc_id", "text")
+    val idx = graft.ops.Dedup.buildNearDupIndex(
+      reference, "doc_id", "text", maxBucket = 4)
+    assert(idx.value.buckets.isEmpty, "every reference bucket must drop at maxBucket=4")
+    val out = EventStream.nearDupGate(
+      Seq((1L, text)).toDF("doc_id", "text"), "text", idx, 0.8).collect().head
+    assert(out.getSeq[Any](2).isEmpty,
+      "with all buckets dropped the gate must see no candidates")
+    // and with the default maxBucket the same copy matches all 5 refs
+    val idxFull = graft.ops.Dedup.buildNearDupIndex(reference, "doc_id", "text")
+    val full = EventStream.nearDupGate(
+      Seq((1L, text)).toDF("doc_id", "text"), "text", idxFull, 0.8)
+      .select(explode(col("near_dups")).as("m")).select(col("m.ref_id"))
+      .collect().map(_.getLong(0)).toSet
+    assert(full === (100L to 104L).toSet)
   }
 
   test("filterLines and splitBuckets are stream-safe projections: streaming == batch") {

@@ -369,6 +369,16 @@ object SparkEntry {
   private def textLangid(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.languageId(docs(s, dir), "doc_id", "text")
 
+  // trained char-bigram langid: labels from the corpus's own lang column,
+  // train on 4/5 of the docs (doc_id % 5 != 0), score ALL docs; minCount=2
+  // exercises the prune-after-denominators contract
+  private def textLangidModel(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    TextAnalysis.languageIdModel(
+      d.filter(col("doc_id") % 5 =!= 0), "lang", "text",
+      d, "doc_id", "text", minCount = 2L)
+  }
+
   private def docFingerprint(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.fingerprintDocs(docs(s, dir), "doc_id", "text")
 
@@ -1061,6 +1071,18 @@ object SparkEntry {
     GraftSource.of(table = Some(out), format = SourceFormat.Orc).load(s)
   }
 
+  // parquet → avro container files (graft.sources.AvroIO — no spark-avro
+  // offline, so the Hadoop input/output formats carry it) → GraftSource read
+  // back; the oracle reads the original parquet, so the hash match proves the
+  // long/string/double lanes survive the row-format roundtrip bit-exactly
+  private def sourceAvroRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val out = s"$scratchDir/customer_avro"
+    graft.sources.AvroIO.write(
+      GraftSource.parquet(s"$dir/customer.parquet").load(s)
+        .select("c_custkey", "c_name", "c_nationkey", "c_acctbal"), out)
+    GraftSource.of(table = Some(out), format = SourceFormat.Avro).load(s)
+  }
+
   // =================================================================
   // §2.3 analytics headliners
   // =================================================================
@@ -1364,6 +1386,7 @@ object SparkEntry {
     "text_stats" -> (textStats _),
     "text_quality" -> (textQuality _),
     "text_langid" -> (textLangid _),
+    "text_langid_model" -> (textLangidModel _),
     "doc_fingerprint" -> (docFingerprint _),
     "pack_sequences" -> (packSequences _),
     "ngram_stats" -> (ngramStats _),
@@ -1423,6 +1446,7 @@ object SparkEntry {
     "mix_corpora" -> (mixCorporaQuery _),
     "top_terms" -> (topTermsQuery _),
     "source_orc_roundtrip" -> (sourceOrcRoundtrip _),
+    "source_avro_roundtrip" -> (sourceAvroRoundtrip _),
     "q1_pricing_summary" -> (q1PricingSummary _),
     "q3_top_orders" -> (q3TopOrders _),
     "top_events_per_user" -> (topEventsPerUser _),
@@ -2248,6 +2272,48 @@ object SparkEntry {
            |  round(best, 6) AS confidence
            |FROM b""".stripMargin
       },
+      // full train+score replay of the per-language char-bigram LM: the SAME
+      // char-token chain (lower/trim → strip non-[a-z] → space after every
+      // char), per-language pair/prefix/vocab tables with minCount=2 pruning
+      // AFTER the denominators, fixed-point q, and the (score desc, lang)
+      // argmax — everything integer, so the match is hash-exact
+      "text_langid_model" ->
+        """WITH ct AS (SELECT doc_id, lang, list_filter(string_split_regex(
+          |  regexp_replace(regexp_replace(lower(trim(text)), '[^a-z]+', '', 'g'),
+          |    '(.)', '\1 ', 'g'), '\s+'), x -> len(x) > 0) AS ctoks FROM documents),
+          |tr AS (SELECT * FROM ct WHERE doc_id % 5 != 0),
+          |tp AS (SELECT lang, unnest(list_transform(range(1, len(ctoks)),
+          |  i -> ctoks[i] || ' ' || ctoks[i+1])) AS pair FROM tr),
+          |pc AS (SELECT lang, pair, count(*) AS c_pair,
+          |  string_split(pair, ' ')[1] AS c1 FROM tp GROUP BY lang, pair),
+          |pfx AS (SELECT lang, c1, CAST(sum(c_pair) AS BIGINT) AS c_prefix
+          |  FROM pc GROUP BY lang, c1),
+          |pt AS (SELECT lang, pair, c_pair FROM pc WHERE c_pair >= 2),
+          |vs AS (SELECT lang, greatest(count(DISTINCT ch), 1) AS v
+          |  FROM (SELECT lang, unnest(ctoks) AS ch FROM tr) GROUP BY lang),
+          |dp AS (SELECT doc_id, pair, count(*) AS c_doc FROM
+          |  (SELECT doc_id, unnest(list_transform(range(1, len(ctoks)),
+          |    i -> ctoks[i] || ' ' || ctoks[i+1])) AS pair FROM ct)
+          |  GROUP BY doc_id, pair),
+          |sq AS (SELECT dp.doc_id, vs.lang, dp.c_doc,
+          |    CAST(dp.c_doc * (((coalesce(pt.c_pair, 0) + 1) * 1048576)
+          |      // (coalesce(pfx.c_prefix, 0) + vs.v)) AS BIGINT) AS q
+          |  FROM dp CROSS JOIN vs
+          |  LEFT JOIN pt ON pt.lang = vs.lang AND pt.pair = dp.pair
+          |  LEFT JOIN pfx ON pfx.lang = vs.lang
+          |    AND pfx.c1 = string_split(dp.pair, ' ')[1]),
+          |agg AS (SELECT doc_id, lang, CAST(sum(c_doc) AS BIGINT) AS n_bigrams,
+          |  CAST(coalesce(sum(q), 0) AS BIGINT) AS score_sum
+          |  FROM sq GROUP BY doc_id, lang),
+          |best AS (SELECT doc_id, lang, n_bigrams, score_sum,
+          |  row_number() OVER (PARTITION BY doc_id
+          |    ORDER BY score_sum DESC, lang) AS rn FROM agg)
+          |SELECT d.doc_id AS id,
+          |  CASE WHEN coalesce(b.n_bigrams, 0) = 0 THEN 'und' ELSE b.lang END AS lang,
+          |  CAST(coalesce(b.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+          |  CAST(coalesce(b.score_sum, 0) AS BIGINT) AS score_sum
+          |FROM documents d
+          |LEFT JOIN (SELECT * FROM best WHERE rn = 1) b USING (doc_id)""".stripMargin,
       "doc_fingerprint" ->
         s"""WITH $toksCte
            |SELECT doc_id,
@@ -3013,6 +3079,8 @@ object SparkEntry {
           |FROM pairs GROUP BY term""".stripMargin,
       "source_orc_roundtrip" ->
         "SELECT s_suppkey, s_name, s_nationkey, s_acctbal FROM supplier",
+      "source_avro_roundtrip" ->
+        "SELECT c_custkey, c_name, c_nationkey, c_acctbal FROM customer",
       // Parallel unnests zip in DuckDB, giving (token, position); the pair
       // generation is then an explicit positional self-join — the oracle can
       // afford the join the operator avoids.

@@ -543,6 +543,56 @@ object Multimodal {
       .toDF("item_id", "width", "height", "sum_r", "sum_g", "sum_b")
   }
 
+  /** Ingest a DIRECTORY of media files as the engine's (item_id, payload,
+    * meta) shape — the missing first edge of the multimodal graph: every
+    * codec operator here consumed an already-columnar payload, but a real
+    * corpus starts as files on object storage. Spark's built-in `binaryFile`
+    * source carries the read (path/length/content columns, distributed
+    * listing, `pathGlobFilter` pushdown — non-matching files are never
+    * opened), so this is a scan-speed projection on top: `item_id` =
+    * xxhash64 of the file path (stable across re-ingests and re-listings —
+    * a positional id would reshuffle on every new file), `format` = the
+    * lowercased filename extension, `media_type` from the format family,
+    * and declared dims NULL — real dims come from DECODE
+    * ([[imageStats]]/[[videoStats]] read them from the bytes; trusting
+    * filenames for dimensions is how corrupt metadata gets born).
+    *
+    * 100 TB posture: `binaryFile` splits the LISTING across the cluster but
+    * never a file (an opaque payload has no split points); per-file cost is
+    * one open + one sequential read, and `spark.sql.files.maxPartitionBytes`
+    * packs small files into sane tasks. Oversized payloads are the caller's
+    * filter (`length <= maxBytes` prunes on the LISTING column before any
+    * content is read).
+    */
+  def ingestBinaryFiles(
+      spark: SparkSession,
+      dir: String,
+      glob: Option[String] = None,
+      maxBytes: Long = 512L << 20): DataFrame = {
+    val reader = spark.read.format("binaryFile")
+    val files = glob.fold(reader)(g => reader.option("pathGlobFilter", g))
+      .option("recursiveFileLookup", "true")
+      .load(dir)
+      .filter(col("length") <= maxBytes)
+    val ext = lower(regexp_extract(col("path"), "\\.([A-Za-z0-9]+)$", 1))
+    val mediaType = when(ext.isin("png", "bmp", "gif", "jpeg", "jpg", "wbmp"), "image")
+      .when(ext.isin("wav", "flac", "mp3", "ogg"), "audio")
+      .when(ext.isin("mp4", "webm", "mkv", "avi", "fcv"), "video")
+      .otherwise("binary")
+    files.select(
+      xxhash64(col("path")).as("item_id"),
+      col("content").as("payload"),
+      struct(
+        mediaType.as("media_type"),
+        ext.as("format"),
+        lit(null).cast("int").as("width"),
+        lit(null).cast("int").as("height"),
+        lit(null).cast("int").as("n_frames"),
+        lit(null).cast("int").as("sample_rate")).as("meta"),
+      col("path").as("source_path"),
+      col("length").as("payload_bytes"))
+  }
+
   /** Scan-speed metadata projection (no codec): per-item payload size and
     * typed metadata — the query the driver oracle checks.
     */

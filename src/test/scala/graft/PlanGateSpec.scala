@@ -51,6 +51,9 @@ class PlanGateSpec extends SparkTestBase {
     "mix_corpora" -> 0,
     "top_terms" -> 3,
     "source_orc_roundtrip" -> 0,
+    // the returned plan is the AvroIO RDD scan (the write is an eager action
+    // before it); zero exchanges by construction
+    "source_avro_roundtrip" -> 0,
     "chunk_documents" -> 0,
     "top_ngram_stats" -> 2,
     "dedup_against" -> 1,
@@ -180,6 +183,11 @@ class PlanGateSpec extends SparkTestBase {
     // (2: tok hash + Single), and the per-doc sum re-agg (1) — the scored
     // corpus side itself never shuffles before that final agg
     "lm_score" -> 4,
+    // doc side: per-(id,pair) compress (1), per-(id,lang) sums (1), per-id
+    // argmax (1); broadcast model sides: prefix re-agg (1) + per-lang
+    // distinct-char vocab (2: expand hash + re-agg) — the pair table itself
+    // hangs off the checkpoint
+    "text_langid_model" -> 6,
     // the query-side aggs (qterms, its distinct term set), the one
     // corpus-sized matching-(doc,term) agg, the per-(qid,doc) score agg and
     // the per-qid top-k window; the df/idf/scalars attach as broadcasts
@@ -204,7 +212,10 @@ class PlanGateSpec extends SparkTestBase {
     */
   private val bnljAllowed = Set("knn_brute", "vocab_coverage", "lm_score",
     // search_bm25's N/L corpus scalars: the same 1-row broadcast cross join
-    "search_bm25")
+    "search_bm25",
+    // the k-row language table (k = languages, ≤ a few dozen ever): the
+    // scalar-attach idiom at k rows — the nested loop runs once per partition
+    "text_langid_model")
 
   test("every query has a plan budget (or a documented exemption)") {
     val missing = SparkEntry.queries.keySet -- maxShuffles.keySet -- iterative

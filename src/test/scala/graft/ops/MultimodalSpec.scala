@@ -273,4 +273,47 @@ class MultimodalSpec extends SparkTestBase {
     }
     assert(ex.getMessage != null)
   }
+
+  test("ingestBinaryFiles: files-on-disk → imageStats identical to the columnar path") {
+    import spark.implicits._
+    val ids = Seq(3L, 7L, 11L, 42L)
+    val imgs = Multimodal.synthesizeImages(spark, ids.toDF("id"), "id")
+      .select("item_id", "payload").collect()
+      .map(r => r.getLong(0) -> r.getAs[Array[Byte]](1)).toMap
+    val dir = java.nio.file.Files.createTempDirectory("graft-ingest")
+    imgs.foreach { case (id, png) =>
+      java.nio.file.Files.write(dir.resolve(s"img_$id.png"), png)
+    }
+    // junk the glob must exclude without ever opening
+    java.nio.file.Files.write(dir.resolve("notes.txt"), "not an image".getBytes)
+
+    val ingested = Multimodal.ingestBinaryFiles(spark, dir.toString, Some("*.png"))
+    val rows = ingested.collect()
+    assert(rows.length === ids.length, "glob must exclude the junk file")
+    rows.foreach { r =>
+      val meta = r.getStruct(r.fieldIndex("meta"))
+      assert(meta.getString(0) === "image" && meta.getString(1) === "png")
+    }
+    // item_id is a pure function of the path: a second listing re-derives it
+    val again = Multimodal.ingestBinaryFiles(spark, dir.toString, Some("*.png"))
+      .select("item_id").collect().map(_.getLong(0)).toSet
+    assert(again === rows.map(_.getLong(0)).toSet)
+
+    // decode parity: stats over the ingested payloads == stats over the
+    // columnar payloads (join back on the original id parsed from the path)
+    val statsIngested = Multimodal.imageStats(spark, ingested)
+      .join(ingested.select(col("item_id"),
+        regexp_extract(col("source_path"), "img_(\\d+)\\.png$", 1)
+          .cast("long").as("orig_id")), "item_id")
+      .select(col("orig_id"), col("width"), col("height"),
+        col("sum_r"), col("sum_g"), col("sum_b"))
+      .collect().map(r => r.getLong(0) -> r.toSeq.tail).toMap
+    val statsDirect = Multimodal.imageStats(spark,
+        Multimodal.synthesizeImages(spark, ids.toDF("id"), "id"))
+      .collect().map(r => r.getLong(0) -> r.toSeq.tail).toMap
+    assert(statsIngested === statsDirect)
+    // listing-column prune: a 1-byte cap filters everything BEFORE decode
+    assert(Multimodal.ingestBinaryFiles(
+      spark, dir.toString, Some("*.png"), maxBytes = 1L).count() === 0L)
+  }
 }

@@ -261,6 +261,127 @@ object Similarity {
       .select(col("qid"), col("id").as("neighbor_id"), col("rank"), col("cosine"))
   }
 
+  /** Product-quantization codebooks (Jégou et al. 2011): the vector splits
+    * into `m` contiguous subspaces and each subspace trains its OWN
+    * deterministic-Lloyd codebook ([[trainCentroids]] — lowest-id seeds,
+    * exact fixed-point means), so the whole model is a pure function of the
+    * key set and any engine replays it bit-for-bit. Driver state =
+    * m × cellsPerSub × (dim/m) doubles = cellsPerSub × dim — one centroid
+    * table's worth regardless of m.
+    *
+    * Why PQ next to IVF/LSH: the code is `m` small ints per vector (a
+    * 64-dim float vector compresses 64×4 bytes → m bytes at 256 cells), so
+    * a 100 TB embedding corpus's SEARCHABLE form fits in a fraction of the
+    * space and ADC scoring ([[pqTopK]]) reads only codes, never raw
+    * vectors. Train cost: m × lloydIters narrow posexplode shuffles over
+    * the (sampled) corpus — `trainPercent` is the 100 TB knob exactly as in
+    * [[kmeansAssign]].
+    */
+  def pqTrainCodebooks(
+      corpus: DataFrame, // columns: id, vec
+      dim: Int,
+      m: Int,
+      cellsPerSub: Int,
+      lloydIters: Int = 2,
+      trainPercent: Int = 100): Seq[(Int, Seq[(Int, Seq[Double])])] = {
+    require(m >= 1 && dim % m == 0, s"dim=$dim must split evenly into m=$m subspaces")
+    val subDim = dim / m
+    (0 until m).map { s =>
+      val sub = corpus.select(col("id"),
+        slice(col("vec"), s * subDim + 1, subDim).as("vec"))
+      (s, trainCentroids(sub, cellsPerSub, lloydIters, trainPercent))
+    }
+  }
+
+  /** Encode every vector as its `m` per-subspace nearest-centroid ids —
+    * `(id, code: array<int>)`. One scan, ZERO shuffles: the m codebooks ride
+    * m broadcast-matrix kernels inside a single projection (plan size O(m),
+    * independent of cellsPerSub). The code column is the persistable,
+    * joinable compressed form of the corpus.
+    */
+  def pqEncode(
+      corpus: DataFrame, // columns: id, vec
+      codebooks: Seq[(Int, Seq[(Int, Seq[Double])])]): DataFrame = {
+    require(codebooks.nonEmpty && codebooks.forall(_._2.nonEmpty),
+      "pqEncode needs non-empty codebooks (train on a non-empty corpus)")
+    val subDim = codebooks.head._2.head._2.length
+    val bcs = codebooks.map { case (s, cents) =>
+      (s, broadcastCentroids(corpus.sparkSession, cents))
+    }
+    corpus.select(col("id"),
+      array(bcs.map { case (s, bc) =>
+        NearestCell(slice(col("vec"), s * subDim + 1, subDim), bc)
+      }: _*).as("code"))
+  }
+
+  /** Asymmetric-distance (ADC) top-k over PQ codes: each query precomputes
+    * its m × cellsPerSub squared-L2 distance table on the DRIVER (queries
+    * are few — the [[bruteForceTopK]] contract; the table is m·k doubles per
+    * query), the tables ship in ONE broadcast, and scoring the corpus is a
+    * single in-row kernel over the CODE column — `m` table lookups per
+    * (query, vector), never a raw-vector read, never a corpus shuffle; the
+    * only exchange is the final per-query top-k window. Distances use the
+    * [[org.apache.spark.sql.graft.CentroidMatrix]] form
+    * (`qq − 2·dot + cc`, left-to-right) summed in ascending subspace order,
+    * so the DuckDB oracle replays the ranking exactly.
+    *
+    * Output: `(qid, neighbor_id, rank, adc_dist)` — ranks by (dist asc,
+    * id asc). ADC distance is an approximation of the true L2 (quantization
+    * error bounded by cell radii); recall/compression trade via m and
+    * cellsPerSub, the PQ contract.
+    */
+  def pqTopK(
+      queries: DataFrame, // columns: qid, qvec
+      codes: DataFrame, // columns: id, code (from pqEncode)
+      codebooks: Seq[(Int, Seq[(Int, Seq[Double])])],
+      k: Int): DataFrame = {
+    import org.apache.spark.sql.graft.{PqAdcScores, PqAdcTables}
+    val subDim = codebooks.head._2.head._2.length
+    val m = codebooks.length
+    val qrows = queries.orderBy(col("qid")).collect()
+    if (qrows.isEmpty)
+      return codes.select(col("id").as("neighbor_id"), lit(0L).as("qid"),
+        lit(0).as("rank"), lit(0.0).as("adc_dist"))
+        .select("qid", "neighbor_id", "rank", "adc_dist").filter(lit(false))
+    val qids = qrows.map(_.getLong(0))
+    val qvecs = qrows.map(_.getSeq[Any](1).map {
+      case f: Float => f.toDouble
+      case d: Double => d
+    }.toArray)
+    // per (query, subspace): dist table indexed by CELL ID (ids may be
+    // non-contiguous after refinement — unpopulated slots stay NaN and no
+    // code ever references them)
+    val tables: Array[Array[Array[Double]]] = qvecs.map { qv =>
+      codebooks.map { case (s, cents) =>
+        val t = Array.fill(cents.map(_._1).max + 1)(Double.NaN)
+        cents.foreach { case (cellId, c) =>
+          var qq = 0.0
+          var dot = 0.0
+          var cc = 0.0
+          var i = 0
+          while (i < subDim) {
+            val q = qv(s * subDim + i)
+            qq += q * q
+            dot += q * c(i)
+            cc += c(i) * c(i)
+            i += 1
+          }
+          t(cellId) = qq - 2.0 * dot + cc
+        }
+        t
+      }.toArray
+    }
+    val bc = codes.sparkSession.sparkContext.broadcast(new PqAdcTables(qids, tables, m))
+    val w = Window.partitionBy(col("_qi")).orderBy(col("adc_dist").asc, col("id"))
+    codes
+      .withColumn("_d", PqAdcScores(col("code"), bc))
+      .select(col("id"), posexplode(col("_d")).as(Seq("_qi", "adc_dist")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(element_at(typedLit(qids.toSeq), col("_qi") + 1).as("qid"),
+        col("id").as("neighbor_id"), col("rank"), col("adc_dist"))
+  }
+
   /** Persist a trained IVF index: `path/centroids` (the numCells × dim
     * table) and `path/postings` — the cell-assigned corpus written
     * `partitionBy("cell")`, one directory per Voronoi cell. This is what

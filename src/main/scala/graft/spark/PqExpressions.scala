@@ -1,0 +1,78 @@
+package org.apache.spark.sql.graft
+
+import org.apache.spark.broadcast.Broadcast
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.classic.ExpressionUtils
+import org.apache.spark.sql.types._
+
+/** Per-query ADC distance tables for [[PqAdcScores]] — the operator-state
+  * broadcast of product-quantization search ([[graft.ops.Similarity.pqTopK]]):
+  * `tables(q)(s)(cellId)` holds query q's squared-L2 distance to subspace
+  * s's centroid `cellId`, precomputed driver-side in the
+  * [[CentroidMatrix]] arithmetic (`qq − 2·dot + cc`, left-to-right). Size:
+  * queries × m × cellsPerSub doubles — query-batch-sized, the documented
+  * trade.
+  */
+final class PqAdcTables(
+    val qids: Array[Long],
+    val tables: Array[Array[Array[Double]]],
+    val m: Int) extends Serializable {
+  require(tables.length == qids.length, "one table set per query")
+  require(tables.forall(_.length == m), "one table per subspace")
+}
+
+/** ADC scoring kernel: given a PQ code (array of m cell ids), return every
+  * query's approximate squared-L2 distance — `m` table lookups per query,
+  * summed in ascending subspace order (the order the oracle replays).
+  * Returns array<double> aligned with [[PqAdcTables.qids]]; a code of the
+  * wrong arity is a corrupt row and yields null (family policy: never a
+  * fabricated distance).
+  */
+case class PqAdcScores(child: Expression, bc: Broadcast[PqAdcTables])
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(IntegerType))
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def prettyName: String = "graft_pq_adc_scores"
+
+  override def nullSafeEval(input: Any): Any =
+    PqAdcScores.scores(input.asInstanceOf[ArrayData], bc.value)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val bcRef = ctx.addReferenceObj("pqBc", bc, "org.apache.spark.broadcast.Broadcast")
+    val tabs = ctx.addMutableState("org.apache.spark.sql.graft.PqAdcTables", "pqTabs",
+      v => s"$v = (org.apache.spark.sql.graft.PqAdcTables) $bcRef.value();")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = org.apache.spark.sql.graft.PqAdcScores.scores($c, $tabs);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): PqAdcScores =
+    copy(child = newChild)
+}
+
+object PqAdcScores {
+  def scores(code: ArrayData, tabs: PqAdcTables): ArrayData = {
+    if (code.numElements() != tabs.m) return null
+    val nq = tabs.qids.length
+    val out = new Array[Any](nq)
+    var q = 0
+    while (q < nq) {
+      val t = tabs.tables(q)
+      var total = 0.0
+      var s = 0
+      while (s < tabs.m) {
+        total += t(s)(code.getInt(s))
+        s += 1
+      }
+      out(q) = total
+      q += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  def apply(code: Column, bc: Broadcast[PqAdcTables]): Column =
+    ExpressionUtils.column(PqAdcScores(ExpressionUtils.expression(code), bc))
+}

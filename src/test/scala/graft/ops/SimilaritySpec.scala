@@ -344,6 +344,103 @@ class SimilaritySpec extends SparkTestBase {
     assert(out.contains((0L, 0L, 1)))
   }
 
+  test("pqEncode: codes reference trained cells; deterministic across runs and partitionings") {
+    val corpus = emb(sf())
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val books = Similarity.pqTrainCodebooks(corpus, dim = 64, m = 4, cellsPerSub = 8)
+    assert(books.length === 4)
+    books.foreach { case (_, cents) =>
+      assert(cents.nonEmpty && cents.forall(_._2.length === 16)) // dim/m
+    }
+    val codes = Similarity.pqEncode(corpus, books)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    assert(codes.values.forall(_.length === 4))
+    books.zipWithIndex.foreach { case ((_, cents), s) =>
+      val valid = cents.map(_._1).toSet
+      assert(codes.values.forall(c => valid(c(s))), s"subspace $s code outside codebook")
+    }
+    // pure function of the key set: retrain + re-encode on a different
+    // partitioning yields identical codes (exact fixed-point means)
+    val books2 = Similarity.pqTrainCodebooks(corpus.repartition(7), dim = 64,
+      m = 4, cellsPerSub = 8)
+    val codes2 = Similarity.pqEncode(corpus.repartition(13), books2)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    assert(codes2 === codes)
+  }
+
+  test("pqTopK: recall@10 vs brute-force L2 on real embeddings; zero corpus shuffle") {
+    val e = emb(sf())
+    val corpus = e.select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val q = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    // exact L2 top-10 (the metric PQ approximates — NOT cosine)
+    val exact = corpus.join(broadcast(q))
+      .withColumn("d2", aggregate(zip_with(col("qvec"), col("vec"),
+        (a, b) => (a - b) * (a - b)), lit(0.0d), (acc, x) => acc + x))
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("qid"))
+          .orderBy(col("d2").asc, col("id"))))
+      .filter(col("rank") <= 10)
+    val exactSets = exact.select("qid", "id").collect().groupBy(_.getLong(0))
+      .map { case (k2, v) => k2 -> v.map(_.getLong(1)).toSet }
+    def pqAt(m: Int, cells: Int): DataFrame = {
+      val books = Similarity.pqTrainCodebooks(corpus, dim = 64, m = m, cellsPerSub = cells)
+      Similarity.pqTopK(q, Similarity.pqEncode(corpus, books), books, k = 10)
+    }
+    def recallOf(pq: DataFrame): Double = {
+      val pqSets = pq.collect().groupBy(_.getLong(0))
+        .map { case (k2, v) => k2 -> v.map(_.getLong(1)).toSet }
+      pqSets.map { case (qid, s) =>
+        (s intersect exactSets(qid)).size.toDouble / 10.0 }.sum / pqSets.size
+    }
+    // scale shape FIRST (un-executed plan — after execution AQE prints the
+    // plan twice and the regex double-counts): the only exchange is the
+    // final top-k window on the query index — codes never shuffle, vectors
+    // are never read at query time, and WindowGroupLimit pushes the top-k
+    // partial below the exchange
+    val pqBig = pqAt(m = 16, cells = 32) // 80-bit code
+    val plan = pqBig.queryExecution.executedPlan.toString
+    val exchanges = "Exchange (hash|range|Single)".r.findAllIn(plan).size
+    assert(exchanges <= 1, s"expected ≤1 exchange (top-k window):\n$plan")
+    assert(plan.contains("WindowGroupLimit"), "top-k must push below the exchange")
+    // uniform-random embeddings are the quantizer worst case (the lshTopK
+    // caveat), so the contract is the KNOB, not an absolute bar: a bigger
+    // code (more subspaces × more cells) must buy recall, and even the
+    // small code must beat chance (10/500 = 0.02) by an order of magnitude
+    val small = recallOf(pqAt(m = 4, cells = 8)) // 12-bit code
+    val big = recallOf(pqBig)
+    assert(small >= 0.2, s"12-bit ADC recall@10 = $small")
+    assert(big > small && big >= 0.5,
+      s"code size must buy recall: 12-bit $small vs 80-bit $big")
+    // ranks contiguous, exactly k per query
+    pqBig.collect().groupBy(_.getLong(0)).values.foreach { rows =>
+      assert(rows.map(_.getInt(2)).sorted.toSeq === (1 to 10))
+    }
+  }
+
+  test("pqTopK: exact on a corpus the codebook represents losslessly; empty queries") {
+    import spark.implicits._
+    // 4 distinct 4-dim vectors, m=2, 4 cells/subspace, enough iters: each
+    // subspace's codebook holds every distinct subvector → ADC == exact L2
+    val vecs = Seq(
+      (1L, Seq(1f, 0f, 0f, 0f)),
+      (2L, Seq(0f, 1f, 0f, 1f)),
+      (3L, Seq(0f, 0f, 1f, 0f)),
+      (4L, Seq(1f, 1f, 1f, 1f))).toDF("id", "vec")
+    val books = Similarity.pqTrainCodebooks(vecs, dim = 4, m = 2,
+      cellsPerSub = 4, lloydIters = 4)
+    val codes = Similarity.pqEncode(vecs, books)
+    val q = Seq((9L, Seq(1f, 0f, 0f, 0f))).toDF("qid", "qvec")
+    val out = Similarity.pqTopK(q, codes, books, k = 4)
+      .orderBy("rank").collect()
+    assert(out.head.getLong(1) === 1L, "own vector must be the top hit")
+    assert(out.head.getDouble(3) <= 1e-12, "lossless codebook ⇒ zero self-distance")
+    // empty query set: empty result, standard schema
+    val none = Similarity.pqTopK(q.filter(lit(false)), codes, books, k = 4)
+    assert(none.columns.toSeq ===
+      Seq("qid", "neighbor_id", "rank", "adc_dist") && none.count() === 0)
+  }
+
   test("lshTopK: never returns more than k per query, ranks contiguous") {
     val e = emb(sf())
     val q = e.filter(col("vec_id") < 3)

@@ -202,6 +202,74 @@ object Stats {
     g.select(inline(array(rows: _*)))
   }
 
+  /** Categorical drift between two corpus snapshots — the "did the data
+    * change under me" check every feature store and training pipeline runs
+    * between yesterday's table and today's ([[Snapshot]] tells you WHICH
+    * rows changed; this tells you whether the DISTRIBUTION did). Per column:
+    * total-variation distance `TVD = ½ Σ_v |p_base(v) − p_cur(v)|`, chosen
+    * over PSI/KL deliberately: TVD is a pure RATIONAL of the counts, so it
+    * rides the integer-exact lane — per category the numerator
+    * `|c_base·n_cur − c_cur·n_base|` accumulates as DECIMAL(38,0) with no
+    * float anywhere, and the single IEEE step at the end
+    * (`num / (2·n_base·n_cur)`) is engine- and partitioning-identical,
+    * where PSI's log is a transcendental no two engines are guaranteed to
+    * round alike. TVD ∈ [0, 1]: 0 = identical distributions, 1 = disjoint
+    * supports. A category missing from one side counts at 0 (the full-outer
+    * join — new and vanished categories are exactly what drift IS); NULL is
+    * its own category, never a dropped row; an empty side yields NULL,
+    * never a fabricated 0.
+    *
+    * Output: `(column, n_base, n_current, n_categories, tvd)`.
+    *
+    * Shape at 100 TB: each side melts to narrow (column, value) rows in-row
+    * and aggregates to per-category counts (one keyed map-side-partial
+    * exchange per side — category cardinality, not row count, crosses the
+    * wire after the partials); the two count tables full-outer join
+    * CO-PARTITIONED on (column, value) (no extra exchange), per-column
+    * totals ride one window, and the final per-column rollup is
+    * already-partitioned. Overflow bound: Σ|c·n| ≤ 2·n_base·n_cur < 10^38
+    * for corpora to ~10^18 rows — documented, not discovered.
+    */
+  def categoricalDrift(
+      base: DataFrame,
+      current: DataFrame,
+      cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "need at least one column")
+    require(cols.distinct.size == cols.size, "columns must be distinct")
+    val dec = "decimal(38,0)"
+    def melt(df: DataFrame): DataFrame = df
+      .select(explode(array(cols.map(c => struct(
+        lit(c).as("column"),
+        coalesce(col(c).cast("string"), lit("<null>")).as("value"))): _*)).as("cv"))
+      .select(col("cv.column").as("column"), col("cv.value").as("value"))
+    val cb = melt(base).groupBy(col("column"), col("value"))
+      .agg(count(lit(1)).as("c_base"))
+    val cc = melt(current).groupBy(col("column"), col("value"))
+      .agg(count(lit(1)).as("c_cur"))
+    val joined = cb.join(cc, Seq("column", "value"), "full_outer")
+      .select(col("column"), col("value"),
+        coalesce(col("c_base"), lit(0L)).as("c_base"),
+        coalesce(col("c_cur"), lit(0L)).as("c_cur"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("column"))
+    joined
+      .withColumn("n_base", sum(col("c_base")).over(w))
+      .withColumn("n_cur", sum(col("c_cur")).over(w))
+      .groupBy(col("column"))
+      .agg(
+        max(col("n_base")).as("n_base"), // constant within the column
+        max(col("n_cur")).as("n_current"),
+        count(lit(1)).as("n_categories"),
+        sum(abs(col("c_base").cast(dec) * col("n_cur").cast(dec) -
+          col("c_cur").cast(dec) * col("n_base").cast(dec))).as("_num"))
+      .withColumn("tvd",
+        when(col("n_base") === 0L || col("n_current") === 0L,
+          lit(null).cast("double"))
+          .otherwise(round(col("_num").cast("double") /
+            (lit(2.0) * col("n_base").cast("double") *
+              col("n_current").cast("double")), 6)))
+      .drop("_num")
+  }
+
   def crosstabCounts(
       df: DataFrame,
       keyCol: String,

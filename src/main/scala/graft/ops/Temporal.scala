@@ -113,6 +113,52 @@ object Temporal {
     * `leftIdCols` must uniquely identify a left row; remaining left columns
     * ride through `any_value` (exact under that contract).
     */
+  /** SCD2 validity intervals from a change log — the dimension-history build
+    * every warehouse runs next to CDC ([[Snapshot]]) and the PRODUCER of
+    * what [[asofJoin]] consumes: each key's tracked values become
+    * `[valid_from, valid_to)` rows, `valid_to` NULL on the open (current)
+    * interval. Semantics:
+    *
+    *  - (key, ts) duplicates collapse FIRST to one deterministic row (max
+    *    value struct — two changes in the same instant have no order, so
+    *    the rule must be a pure function of the values);
+    *  - with `collapseNoChange` (the SCD2 default), a change that writes
+    *    the SAME tracked values extends the current interval instead of
+    *    opening a new one — no-op churn in the source system never
+    *    fragments history;
+    *  - `valid_to` = the NEXT surviving change's ts, so intervals tile each
+    *    key's timeline exactly (spec-pinned: an as-of probe into the
+    *    intervals equals [[asofJoin]] against the raw log).
+    *
+    * Shape at 100 TB: one keyed map-side-partial aggregation (the (key, ts)
+    * collapse) + one window pass per key — two keyed exchanges, no joins,
+    * no data-scaled driver state. History length per key is the window's
+    * partition size; a key hot enough to matter here is hot enough to have
+    * needed the skew tools ([[Skew]]) everywhere else first.
+    */
+  def scd2(
+      df: DataFrame,
+      keyCol: String,
+      tsCol: String,
+      valueCols: Seq[String],
+      collapseNoChange: Boolean = true): DataFrame = {
+    require(valueCols.nonEmpty, "scd2 needs at least one tracked value column")
+    val vstruct = struct(valueCols.map(col): _*)
+    val dedup = df.groupBy(col(keyCol), col(tsCol)).agg(max(vstruct).as("_v"))
+    val wAsc = Window.partitionBy(col(keyCol)).orderBy(col(tsCol))
+    val changed =
+      if (collapseNoChange)
+        dedup.withColumn("_pv", lag(col("_v"), 1).over(wAsc))
+          .filter(col("_pv").isNull || col("_v") =!= col("_pv"))
+          .drop("_pv")
+      else dedup
+    // lead AFTER the collapse: valid_to is the next SURVIVING change
+    changed
+      .withColumn("valid_to", lead(col(tsCol), 1).over(wAsc))
+      .select(col(keyCol) +: valueCols.map(c => col(s"_v.$c").as(c)) :+
+        col(tsCol).as("valid_from") :+ col("valid_to"): _*)
+  }
+
   def asofJoin(
       left: DataFrame,
       right: DataFrame,

@@ -59,6 +59,37 @@ class PipelineOpsSpec extends SparkTestBase {
     intercept[IllegalArgumentException] { Stats.correlations(df, Seq("x", "x")) }
   }
 
+  test("categoricalDrift: hand-built TVD; new/vanished categories count; nulls are a category") {
+    import spark.implicits._
+    // base: a×3, b×1   current: a×1, c×3  → p_base = (.75, .25, 0),
+    // p_cur = (.25, 0, .75) → TVD = ½(.5 + .25 + .75) = 0.75
+    val base = Seq("a", "a", "a", "b").toDF("k")
+    val cur = Seq("a", "c", "c", "c").toDF("k")
+    val r = Stats.categoricalDrift(base, cur, Seq("k")).collect().head
+    assert(r.getString(0) === "k" && r.getLong(1) === 4L && r.getLong(2) === 4L)
+    assert(r.getLong(3) === 3L) // a, b, c — union of both supports
+    assert(r.getDouble(4) === 0.75)
+    // identical distributions → 0; disjoint supports → 1
+    assert(Stats.categoricalDrift(base, base, Seq("k"))
+      .collect().head.getDouble(4) === 0.0)
+    assert(Stats.categoricalDrift(
+      Seq("x").toDF("k"), Seq("y").toDF("k"), Seq("k"))
+      .collect().head.getDouble(4) === 1.0)
+    // NULL is a category, not a dropped row
+    val withNull = Stats.categoricalDrift(
+      Seq(Some("a"), None).toDF("k"), Seq(Some("a"), Some("a")).toDF("k"), Seq("k"))
+      .collect().head
+    assert(withNull.getLong(3) === 2L && withNull.getDouble(4) === 0.5)
+    // empty side → NULL tvd, never a fabricated number
+    val emptySide = Stats.categoricalDrift(
+      base.filter(lit(false)), cur, Seq("k")).collect().head
+    assert(emptySide.isNullAt(4))
+    // partitioning-independent (decimal lane)
+    val a = Stats.categoricalDrift(base.repartition(7), cur.repartition(5), Seq("k"))
+      .collect().head.getDouble(4)
+    assert(a === 0.75)
+  }
+
   test("correlations: wide tables plan as ONE inline projection, no per-pair unions") {
     import spark.implicits._
     // k = 30 -> C(30,2) = 435 pairs: the retired union-of-branches form grew
@@ -109,6 +140,66 @@ class PipelineOpsSpec extends SparkTestBase {
       Temporal.decayedSum(df, Seq("user_id"), "ts", "value", 86400L, asOf,
         maxHalfLives = 51)
     }
+  }
+
+  test("scd2: interval build — same-instant collapse, no-op extension, open tail") {
+    import spark.implicits._
+    val log = Seq(
+      (1L, ts("2024-01-01 00:00:00"), "A"),
+      (1L, ts("2024-01-02 00:00:00"), "A"), // no-op: extends, never fragments
+      (1L, ts("2024-01-03 00:00:00"), "B"),
+      (1L, ts("2024-01-03 00:00:00"), "C"), // same instant: max value wins
+      (1L, ts("2024-01-04 00:00:00"), "A"),
+      (2L, ts("2024-01-01 12:00:00"), "X")
+    ).toDF("user_id", "ts", "v")
+    val out = Temporal.scd2(log, "user_id", "ts", Seq("v"))
+      .collect().map(r => (r.getLong(0), r.getString(1),
+        r.getTimestamp(2), Option(r.getTimestamp(3)))).toSet
+    assert(out === Set(
+      (1L, "A", ts("2024-01-01 00:00:00"), Some(ts("2024-01-03 00:00:00"))),
+      (1L, "C", ts("2024-01-03 00:00:00"), Some(ts("2024-01-04 00:00:00"))),
+      (1L, "A", ts("2024-01-04 00:00:00"), None),
+      (2L, "X", ts("2024-01-01 12:00:00"), None)))
+    // collapseNoChange = false keeps the no-op row as its own interval
+    val raw = Temporal.scd2(log, "user_id", "ts", Seq("v"), collapseNoChange = false)
+    assert(raw.filter($"user_id" === 1L).count() === 4)
+  }
+
+  test("scd2: intervals tile each key's timeline; as-of probes equal asofJoin on the log") {
+    val ev = graft.sources.GraftSource.of(
+      table = Some(s"${sf()}/events.parquet"), timestampField = Some("ts")).load(spark)
+    val hist = Temporal.scd2(ev, "user_id", "ts", Seq("event_type"))
+    // tiling: per key, ordered intervals chain valid_to == next valid_from,
+    // exactly one open tail, and no consecutive equal values (collapse held)
+    hist.collect().groupBy(_.getLong(0)).foreach { case (uid, rows) =>
+      val sorted = rows.sortBy(_.getTimestamp(2).getTime)
+      sorted.sliding(2).filter(_.length == 2).foreach { case Array(a, b) =>
+        assert(a.getTimestamp(3) === b.getTimestamp(2), s"gap/overlap for user $uid")
+        assert(a.getString(1) !== b.getString(1), s"uncollapsed no-op for user $uid")
+      }
+      assert(sorted.init.forall(!_.isNullAt(3)) && sorted.last.isNullAt(3),
+        s"exactly one open tail for user $uid")
+    }
+    // the PRODUCER/CONSUMER invariant: an as-of probe into the intervals
+    // (valid_from <= t, latest) returns what asofJoin finds on the log
+    import spark.implicits._
+    val probes = ev.select(col("user_id"), col("ts")).orderBy("ts")
+      .limit(50).withColumn("event_id", monotonically_increasing_id())
+    val viaHist = Temporal.asofJoin(probes,
+        hist.select(col("user_id"), col("valid_from").as("ts"), col("event_type")),
+        Seq("user_id"), "ts", "ts",
+        leftIdCols = Seq("event_id"), rightValueCols = Seq("event_type"))
+      .select("event_id", "asof_event_type")
+      .collect().map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+    // log side must collapse same-instant duplicates by the SAME max rule
+    val dedupLog = ev.groupBy(col("user_id"), col("ts"))
+      .agg(max(col("event_type")).as("event_type"))
+    val viaLog = Temporal.asofJoin(probes, dedupLog,
+        Seq("user_id"), "ts", "ts",
+        leftIdCols = Seq("event_id"), rightValueCols = Seq("event_type"))
+      .select("event_id", "asof_event_type")
+      .collect().map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+    assert(viaHist === viaLog)
   }
 
   test("asofJoin: backward nearest-at-or-before, tolerance, ties to greatest tieBreak, no-match nulls") {

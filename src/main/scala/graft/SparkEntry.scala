@@ -348,6 +348,15 @@ object SparkEntry {
     Similarity.ivfTopK(knnQueries(s, dir), knnCorpus(s, dir), k = 10)
       .select("qid", "neighbor_id", "rank")
 
+  // PQ search: 64-dim vectors → 4 subspaces × 8 cells, deterministic per-
+  // subspace Lloyd; the oracle replays train+encode+ADC rank-for-rank
+  private def knnPq(s: SparkSession, dir: String): DataFrame = {
+    val corpus = knnCorpus(s, dir)
+    val books = Similarity.pqTrainCodebooks(corpus, dim = 64, m = 4, cellsPerSub = 8)
+    Similarity.pqTopK(knnQueries(s, dir), Similarity.pqEncode(corpus, books), books, k = 10)
+      .select("qid", "neighbor_id", "rank")
+  }
+
   private def kmeansClusters(s: SparkSession, dir: String): DataFrame =
     Similarity.kmeansAssign(knnCorpus(s, dir), numClusters = 16)
       .select(col("id").as("vec_id"), col("cluster"))
@@ -971,6 +980,28 @@ object SparkEntry {
     * integer-exact — nullable ints decay to float64 in both engines' pandas
     * bridges, which is a precision hazard at µs magnitudes.
     */
+  /** Distribution drift between the first two weeks of events and the rest:
+    * TVD per categorical column (event_type + a floor(value) band).
+    */
+  private def categoricalDriftQuery(s: SparkSession, dir: String): DataFrame = {
+    val ev = events(dir).load(s)
+      .withColumn("value_band", floor(col("value")).cast("long").cast("string"))
+    val cut = java.sql.Timestamp.from(java.time.Instant.parse("2024-01-15T00:00:00Z"))
+    ops.Stats.categoricalDrift(
+      ev.filter(col("ts") < lit(cut)),
+      ev.filter(col("ts") >= lit(cut)),
+      Seq("event_type", "value_band"))
+  }
+
+  /** SCD2 history build over the event log: each user's event_type runs
+    * become [valid_from, valid_to) rows (no-op repeats extend the interval).
+    */
+  private def scd2Intervals(s: SparkSession, dir: String): DataFrame =
+    ops.Temporal.scd2(events(dir).load(s), "user_id", "ts", Seq("event_type"))
+      .select(col("user_id"), col("event_type"),
+        unix_micros(col("valid_from")).as("valid_from_us"),
+        unix_micros(col("valid_to")).as("valid_to_us"))
+
   private def asofJoinQuery(s: SparkSession, dir: String): DataFrame = {
     val ev = events(dir).load(s)
     val purchases = ev.filter(col("event_type") === "purchase")
@@ -1383,6 +1414,7 @@ object SparkEntry {
     "knn_brute" -> (knnBrute _),
     "knn_lsh" -> (knnLsh _),
     "knn_ivf" -> (knnIvf _),
+    "knn_pq" -> (knnPq _),
     "text_stats" -> (textStats _),
     "text_quality" -> (textQuality _),
     "text_langid" -> (textLangid _),
@@ -1433,6 +1465,8 @@ object SparkEntry {
     "strip_boilerplate" -> (stripBoilerplateQuery _),
     "rare_token_stats" -> (rareTokens _),
     "asof_join" -> (asofJoinQuery _),
+    "scd2_intervals" -> (scd2Intervals _),
+    "categorical_drift" -> (categoricalDriftQuery _),
     "interval_join" -> (intervalJoinQuery _),
     "embedding_quantize" -> (embeddingQuantize _),
     "embedding_normalize" -> (embeddingNormalize _),
@@ -1597,32 +1631,36 @@ object SparkEntry {
     // afinal = final assignment of EVERY vector
     def ivfDist2(v: String, cv: String) =
       s"list_dot_product($v, $v) - 2 * list_dot_product($v, $cv) + list_dot_product($cv, $cv)"
+    // `prefix` namespaces every CTE (c/ct/cent_i/a_i/afinal → ${p}c/...), so
+    // the chain can be instantiated once PER PQ SUBSPACE in one WITH clause
     def ivfTrainCtes(numCells: Int, lloydIters: Int, trainPercent: Int = 100,
         corpusSql: String =
-          "SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings"): String = {
+          "SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings",
+        prefix: String = ""): String = {
+      val p = prefix
       def assign(i: Int, src: String) =
-        s"""a_$i AS (SELECT id, v, cell FROM (
+        s"""${p}a_$i AS (SELECT id, v, cell FROM (
            |  SELECT c.id, c.v, t.cell, row_number() OVER (PARTITION BY c.id
            |    ORDER BY ${ivfDist2("c.v", "t.cv")}, t.cell) AS rn
-           |  FROM $src c CROSS JOIN cent_${i - 1} t) WHERE rn = 1)""".stripMargin
+           |  FROM $src c CROSS JOIN ${p}cent_${i - 1} t) WHERE rn = 1)""".stripMargin
       def refine(i: Int) =
-        s"""cent_$i AS (SELECT cell, list(m ORDER BY pos) AS cv FROM (
+        s"""${p}cent_$i AS (SELECT cell, list(m ORDER BY pos) AS cv FROM (
            |  SELECT cell, pos,
            |    CAST(sum(CAST(round(x * 1048576) AS BIGINT)) AS DOUBLE) / count(*) / 1048576.0 AS m
-           |  FROM (SELECT cell, unnest(v) AS x, generate_subscripts(v, 1) AS pos FROM a_$i)
+           |  FROM (SELECT cell, unnest(v) AS x, generate_subscripts(v, 1) AS pos FROM ${p}a_$i)
            |  GROUP BY cell, pos) GROUP BY cell)""".stripMargin
       val trainFilter =
         if (trainPercent >= 100) ""
         else
           s""" WHERE CAST(concat('0x', substr(md5(CAST(id AS VARCHAR)), 1, 6)) AS BIGINT)
              |   % 100 < $trainPercent""".stripMargin
-      val iters = (1 to lloydIters).map(i => s"${assign(i, "ct")},\n${refine(i)}").mkString(",\n")
-      s"""c AS ($corpusSql),
-         |ct AS (SELECT id, v FROM c$trainFilter),
-         |cent_0 AS (SELECT row_number() OVER (ORDER BY id) - 1 AS cell, v AS cv
-         |           FROM (SELECT id, v FROM ct ORDER BY id LIMIT $numCells)),
+      val iters = (1 to lloydIters).map(i => s"${assign(i, s"${p}ct")},\n${refine(i)}").mkString(",\n")
+      s"""${p}c AS ($corpusSql),
+         |${p}ct AS (SELECT id, v FROM ${p}c$trainFilter),
+         |${p}cent_0 AS (SELECT row_number() OVER (ORDER BY id) - 1 AS cell, v AS cv
+         |           FROM (SELECT id, v FROM ${p}ct ORDER BY id LIMIT $numCells)),
          |$iters,
-         |${assign(lloydIters + 1, "c").replace(s"a_${lloydIters + 1}", "afinal")}""".stripMargin
+         |${assign(lloydIters + 1, s"${p}c").replace(s"${p}a_${lloydIters + 1}", s"${p}afinal")}""".stripMargin
     }
     // BPE trainer replay (bpe_merges): words_k carries each vocabulary word
     // as a \x01tok\x02-wrapped symbol string, so DuckDB's left-to-right
@@ -2198,6 +2236,41 @@ object SparkEntry {
            |  SELECT qid, id, row_number() OVER (PARTITION BY qid
            |    ORDER BY list_cosine_similarity(qv, v) DESC, id) AS rank
            |  FROM cand) WHERE rank <= $k""".stripMargin
+      },
+      // PQ replay: per subspace, the SAME Lloyd chain over the vector SLICE
+      // (prefixed CTEs so four chains share one WITH clause); encode = each
+      // subspace's afinal cell, ADC = per-(query, cell) dist tables joined
+      // through the codes and summed in ascending subspace order (explicit
+      // parens pin the left-to-right IEEE association the kernel uses)
+      "knn_pq" -> {
+        val (m, cellsPerSub, k, lloydIters, subDim) = (4, 8, 10, 2, 16)
+        val chains = (0 until m).map { s =>
+          ivfTrainCtes(cellsPerSub, lloydIters,
+            corpusSql = "SELECT vec_id AS id, (CAST(embedding AS DOUBLE[]))" +
+              s"[${s * subDim + 1}:${(s + 1) * subDim}] AS v FROM embeddings",
+            prefix = s"s${s}_")
+        }.mkString(",\n")
+        val dtables = (0 until m).map { s =>
+          s"""t$s AS (SELECT q.id AS qid, t.cell, ${ivfDist2("q.v", "t.cv")} AS d
+             |  FROM (SELECT id, v FROM s${s}_c WHERE id < 5) q
+             |  CROSS JOIN s${s}_cent_$lloydIters t)""".stripMargin
+        }.mkString(",\n")
+        val codeJoins = (1 until m)
+          .map(s => s"JOIN s${s}_afinal a$s ON a$s.id = a0.id").mkString("\n  ")
+        val distJoins = (0 until m).map { s =>
+          val qlink = if (s == 0) "" else s" AND t$s.qid = t0.qid"
+          s"JOIN t$s ON t$s.cell = a$s.cell$qlink"
+        }.mkString("\n  ")
+        val distSum = (1 until m).foldLeft("t0.d")((acc, s) => s"($acc + t$s.d)")
+        s"""WITH $chains,
+           |$dtables,
+           |scored AS (SELECT t0.qid, a0.id, $distSum AS dist
+           |  FROM s0_afinal a0
+           |  $codeJoins
+           |  $distJoins)
+           |SELECT qid, id AS neighbor_id, rank FROM (
+           |  SELECT qid, id, row_number() OVER (PARTITION BY qid
+           |    ORDER BY dist, id) AS rank FROM scored) WHERE rank <= $k""".stripMargin
       },
       "kmeans_clusters" ->
         s"""WITH ${ivfTrainCtes(16, 2)}
@@ -2922,6 +2995,50 @@ object SparkEntry {
       // Right-side timestamp ties are pre-collapsed to the greatest event_id
       // (identical to the operator's tieBreak), and no-match columns use the
       // same -1 sentinels as the Spark side.
+      // TVD drift replay: melt both snapshots to (column, value) counts, the
+      // full-outer category join, per-column totals via window, and the one
+      // decimal→double division — everything before it exact integers
+      "categorical_drift" ->
+        """WITH ev AS (SELECT event_type,
+          |  CAST(CAST(floor(value) AS BIGINT) AS VARCHAR) AS value_band,
+          |  epoch_us(ts) AS ts_us FROM events),
+          |m AS (SELECT 'event_type' AS "column",
+          |    coalesce(event_type, '<null>') AS value, ts_us FROM ev
+          |  UNION ALL SELECT 'value_band', coalesce(value_band, '<null>'), ts_us FROM ev),
+          |cb AS (SELECT "column", value, count(*) AS c_base FROM m
+          |  WHERE ts_us < 1705276800000000 GROUP BY 1, 2),
+          |cc AS (SELECT "column", value, count(*) AS c_cur FROM m
+          |  WHERE ts_us >= 1705276800000000 GROUP BY 1, 2),
+          |j AS (SELECT coalesce(cb."column", cc."column") AS "column",
+          |    coalesce(cb.value, cc.value) AS value,
+          |    coalesce(c_base, 0) AS c_base, coalesce(c_cur, 0) AS c_cur
+          |  FROM cb FULL OUTER JOIN cc
+          |    ON cb."column" = cc."column" AND cb.value = cc.value),
+          |t AS (SELECT "column", c_base, c_cur,
+          |  sum(c_base) OVER (PARTITION BY "column") AS n_base,
+          |  sum(c_cur) OVER (PARTITION BY "column") AS n_cur FROM j)
+          |SELECT "column",
+          |  CAST(max(n_base) AS BIGINT) AS n_base,
+          |  CAST(max(n_cur) AS BIGINT) AS n_current,
+          |  count(*) AS n_categories,
+          |  round(CAST(sum(abs(
+          |      CAST(c_base AS DECIMAL(38,0)) * CAST(n_cur AS DECIMAL(38,0)) -
+          |      CAST(c_cur AS DECIMAL(38,0)) * CAST(n_base AS DECIMAL(38,0))))
+          |    AS DOUBLE) / (2.0 * CAST(max(n_base) AS DOUBLE)
+          |      * CAST(max(n_cur) AS DOUBLE)), 6) AS tvd
+          |FROM t GROUP BY "column"""".stripMargin,
+      // SCD2 replay: (key, ts) collapse to max value, drop no-op repeats via
+      // lag, valid_to = lead over the SURVIVORS — all deterministic windows
+      "scd2_intervals" ->
+        """WITH ev AS (SELECT user_id, epoch_us(ts) AS ts_us, event_type FROM events),
+          |dd AS (SELECT user_id, ts_us, max(event_type) AS v
+          |  FROM ev GROUP BY user_id, ts_us),
+          |lg AS (SELECT user_id, ts_us, v,
+          |  lag(v) OVER (PARTITION BY user_id ORDER BY ts_us) AS pv FROM dd),
+          |ch AS (SELECT user_id, ts_us, v FROM lg WHERE pv IS NULL OR v != pv)
+          |SELECT user_id, v AS event_type, ts_us AS valid_from_us,
+          |  lead(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us) AS valid_to_us
+          |FROM ch""".stripMargin,
       "asof_join" ->
         s"""WITH l AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us
            |  FROM events WHERE event_type = 'purchase'),

@@ -161,6 +161,13 @@ object TextAnalysis {
     require(minCount >= 1, "minCount must be >= 1")
     import org.apache.spark.sql.graft.WordPairs
     val labeled = train.filter(col(langCol).isNotNull)
+    // empty-train degrade (the EmptyInputSpec family contract): with no
+    // labeled languages the ×k expansion would be ×0 and every doc would
+    // VANISH — a model with nothing to say must say 'und' for every doc,
+    // never delete the corpus. One 1-row driver probe, train-side only.
+    if (labeled.isEmpty)
+      return docs.select(col(idCol).as("id"), lit("und").as("lang"),
+        lit(0L).as("n_bigrams"), lit(0L).as("score_sum"))
     // one labeled-corpus scan for pair counts, checkpointed once — pair
     // table and prefix masses branch from it (the lmScore discipline); the
     // vocabulary sizes are the documented second scan

@@ -36,6 +36,12 @@ class PlanGateSpec extends SparkTestBase {
 
   private val maxShuffles = Map(
     "asof_join" -> 1,
+    // the (key, ts) collapse exchange + the per-key window exchange
+    "scd2_intervals" -> 2,
+    // one per-category count exchange per side; the full-outer join is
+    // co-partitioned on (column, value), the per-column window re-keys (1),
+    // and the final per-column rollup reuses its partitioning
+    "categorical_drift" -> 3,
     "interval_join" -> 1,
     "embedding_quantize" -> 0,
     "embedding_normalize" -> 0,
@@ -99,6 +105,10 @@ class PlanGateSpec extends SparkTestBase {
     "filter_blocklist" -> 0,
     "knn_brute" -> 1,
     "knn_lsh" -> 1,
+    // training/encode broadcasts are built eagerly driver-side; the returned
+    // plan is one codes scan + ADC kernel + posexplode + the top-k window
+    // exchange on _qi
+    "knn_pq" -> 1,
     "multimodal_meta" -> 0,
     "image_stats" -> 0,
     "audio_stats" -> 0,

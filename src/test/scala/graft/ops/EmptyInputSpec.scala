@@ -122,4 +122,37 @@ class EmptyInputSpec extends SparkTestBase {
     assert(Dedup.semanticDedup(vecs.select(col("id"), col("vec"),
         lit(1L).as("q")), "id", "vec", "q", numClusters = 4).count() === 0L)
   }
+
+  test("round-12 operators: empty inputs degrade, never crash or fabricate") {
+    import spark.implicits._
+    // scd2 on an empty log: empty, well-formed intervals
+    val noLog = Seq.empty[(Long, java.sql.Timestamp, String)]
+      .toDF("user_id", "ts", "v")
+    val scd2Out = Temporal.scd2(noLog, "user_id", "ts", Seq("v"))
+    assert(scd2Out.columns.toSeq === Seq("user_id", "v", "valid_from", "valid_to"))
+    assert(scd2Out.count() === 0L)
+    // drift with BOTH sides empty: no categories, no rows — and never a NaN
+    val noK = Seq.empty[String].toDF("k")
+    assert(Stats.categoricalDrift(noK, noK, Seq("k")).count() === 0L)
+    // trained langid with an EMPTY labeled train set: every doc says 'und'
+    // with zero evidence — the corpus must never vanish through the ×k join
+    val docs = Seq((1L, "hello world"), (2L, "abc")).toDF("doc_id", "text")
+    val und = TextAnalysis.languageIdModel(
+      noLog.select(col("v").as("lang"), col("v").as("text")), "lang", "text",
+      docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(und.toSet === Set((1L, "und", 0L, 0L), (2L, "und", 0L, 0L)))
+    // near-dup gate against an EMPTY reference: everything is novel
+    val idx = Dedup.buildNearDupIndex(
+      Seq.empty[(Long, String)].toDF("doc_id", "text"), "doc_id", "text")
+    val gated = graft.streaming.EventStream.nearDupGate(docs, "text", idx, 0.8)
+    assert(gated.count() === 2L)
+    assert(gated.collect().forall(_.getSeq[Any](2).isEmpty))
+    // PQ: an empty corpus cannot train a codebook — fail FAST with a clear
+    // message at build, not a null kernel mid-job
+    val noVecs = Seq.empty[(Long, Seq[Float])].toDF("id", "vec")
+    val emptyBooks = Similarity.pqTrainCodebooks(noVecs, dim = 4, m = 2, cellsPerSub = 2)
+    val e = intercept[IllegalArgumentException](Similarity.pqEncode(noVecs, emptyBooks))
+    assert(e.getMessage.contains("non-empty"))
+  }
 }

@@ -450,6 +450,149 @@ object Similarity {
     bc.destroy() // the append is eager; this matrix is dead
   }
 
+  /** Persist an IVF-PQ index — the production ANN shape that composes the
+    * two approximations this file already ships: coarse IVF centroids
+    * partition the corpus into probeable cells ([[writeIvfIndex]]'s layout,
+    * PartitionFilters and all), and PQ codebooks trained on the RESIDUALS
+    * (`vec − coarse_centroid`, the classic IVF-ADC refinement — residuals
+    * concentrate around 0, so the same cellsPerSub quantizes them far
+    * better than raw vectors) encode each posting as `m` ints. The postings
+    * store (id, code) ONLY — no raw vectors anywhere in the index: at
+    * 100 TB the index is smaller than the corpus by the PQ compression
+    * factor, which is the reason IVF-PQ exists.
+    *
+    * Layout: `path/centroids` (coarse), `path/codebooks`
+    * ((subspace, cell, centroid) rows), `path/postings/cell=N/` of
+    * (id, code). Everything deterministic (both trainers are the exact
+    * fixed-point Lloyd), so identical params ⇒ identical on-disk index.
+    */
+  def writeIvfPqIndex(
+      corpus: DataFrame, // columns: id, vec
+      path: String,
+      numCells: Int,
+      m: Int,
+      cellsPerSub: Int,
+      lloydIters: Int = 2,
+      trainPercent: Int = 100): Unit = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val cents = trainCentroids(corpus, numCells, lloydIters, trainPercent)
+    require(cents.nonEmpty, "cannot index an empty corpus")
+    cents.toDF("cell", "centroid")
+      .repartition(1)
+      .write.mode("overwrite").parquet(s"$path/centroids")
+    val bc = broadcastCentroids(spark, cents)
+    val centDf = cents.toDF("cell", "_cent")
+    // residuals materialize ONCE: the PQ trainer re-scans its input
+    // m × (lloydIters + 1) times, and each scan would otherwise re-run the
+    // coarse assign + join
+    val resid = assignCells(corpus, bc)
+      .join(broadcast(centDf), "cell")
+      .select(col("id"), col("cell"),
+        zip_with(col("vec").cast("array<double>"), col("_cent"),
+          (a, b) => a - b).as("vec"))
+      .localCheckpoint()
+    val dim = cents.head._2.length
+    val books = pqTrainCodebooks(resid.select(col("id"), col("vec")),
+      dim, m, cellsPerSub, lloydIters, trainPercent)
+    books.flatMap { case (s, cs) => cs.map { case (cell, c) => (s, cell, c) } }
+      .toDF("subspace", "cell", "centroid")
+      .repartition(1)
+      .write.mode("overwrite").parquet(s"$path/codebooks")
+    pqEncode(resid.select(col("id"), col("vec")), books)
+      .join(resid.select(col("id"), col("cell")), "id")
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "static")
+      .partitionBy("cell").parquet(s"$path/postings")
+    org.apache.spark.sql.graft.CheckpointUtil.unpersist(resid)
+    bc.destroy()
+  }
+
+  /** Query a persisted IVF-PQ index: probe each query's `numProbes` nearest
+    * coarse cells (the [[queryIvfIndex]] `isin` PartitionFilter — unprobed
+    * cell directories are never opened), then score ONLY codes: residuals
+    * differ per coarse cell, so each (query, probed cell) pair gets its own
+    * m × cellsPerSub ADC table, built driver-side (queries × numProbes
+    * tables — query-batch-sized) and shipped in one broadcast; each posting
+    * row costs `m` lookups. Raw vectors are never read — the index IS the
+    * data at query time. Output: `(qid, neighbor_id, rank, adc_dist)`,
+    * ranks by (dist asc, id asc), deterministic.
+    */
+  def queryIvfPqIndex(
+      spark: SparkSession,
+      path: String,
+      queries: DataFrame, // columns: qid, qvec
+      k: Int,
+      numProbes: Int = 4): DataFrame = {
+    import org.apache.spark.sql.graft.{PqAdcScoreOne, PqAdcTableSet}
+    val cents = spark.read.parquet(s"$path/centroids")
+      .orderBy(col("cell")).collect()
+      .map(r => (r.getInt(0), r.getSeq[Double](1).toSeq)).toSeq
+    require(cents.nonEmpty, s"no centroids at $path/centroids")
+    val coarse = cents.toMap
+    val books = spark.read.parquet(s"$path/codebooks")
+      .orderBy(col("subspace"), col("cell")).collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2).toArray))
+      .groupBy(_._1).toSeq.sortBy(_._1)
+      .map { case (s, rows) => (s, rows.map(r => (r._2, r._3))) }
+    require(books.nonEmpty, s"no codebooks at $path/codebooks")
+    val mSub = books.length
+    val subDim = books.head._2.head._2.length
+    val bcCoarse = broadcastCentroids(spark, cents)
+    // the probe set is query-batch-sized by the bruteForceTopK contract, so
+    // collecting it to build per-(query, cell) tables is the documented trade
+    val probeRows = queries
+      .select(col("qid"), col("qvec"),
+        explode(NearestCells(col("qvec"), bcCoarse, numProbes)).as("cell"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Any](1).map {
+        case f: Float => f.toDouble
+        case d: Double => d
+      }.toArray, r.getInt(2)))
+    bcCoarse.destroy()
+    if (probeRows.isEmpty)
+      return spark.range(0)
+        .select(col("id").as("qid"), col("id").as("neighbor_id"),
+          lit(0).as("rank"), lit(0.0).as("adc_dist"))
+    // per (query, probed cell): the RESIDUAL q − c_cell feeds the table,
+    // same CentroidMatrix arithmetic as pqTopK
+    val tables: Array[Array[Array[Double]]] = probeRows.map { case (_, qv, cell) =>
+      val cc = coarse(cell)
+      books.map { case (s, cs) =>
+        val t = Array.fill(cs.map(_._1).max + 1)(Double.NaN)
+        cs.foreach { case (pqCell, c) =>
+          var qq = 0.0
+          var dot = 0.0
+          var ccc = 0.0
+          var i = 0
+          while (i < subDim) {
+            val q = qv(s * subDim + i) - cc(s * subDim + i)
+            qq += q * q
+            dot += q * c(i)
+            ccc += c(i) * c(i)
+            i += 1
+          }
+          t(pqCell) = qq - 2.0 * dot + ccc
+        }
+        t
+      }.toArray
+    }.toArray
+    val bcTables = spark.sparkContext.broadcast(new PqAdcTableSet(tables, mSub))
+    import spark.implicits._
+    val probesDf = probeRows.zipWithIndex
+      .map { case ((qid, _, cell), i) => (qid, cell, i) }.toSeq
+      .toDF("qid", "cell", "_tid")
+    val probedCells = probeRows.map(_._3).distinct.sorted
+    val postings = spark.read.parquet(s"$path/postings")
+      .filter(col("cell").isin(probedCells.map(Integer.valueOf): _*))
+    val w = Window.partitionBy(col("qid")).orderBy(col("adc_dist").asc, col("id"))
+    postings.join(broadcast(probesDf), "cell")
+      .withColumn("adc_dist", PqAdcScoreOne(col("code"), col("_tid"), bcTables))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("id").as("neighbor_id"), col("rank"), col("adc_dist"))
+  }
+
   /** Probe a persisted IVF index: load the (small) centroid table, find each
     * query's `numProbes` nearest cells, and scan ONLY those cells' postings
     * directories — the probed-cell set is collected (query-batch-sized

@@ -53,6 +53,72 @@ case class PqAdcScores(child: Expression, bc: Broadcast[PqAdcTables])
     copy(child = newChild)
 }
 
+/** Distance-table set for [[PqAdcScoreOne]] — IVF-PQ's per-(query, probed
+  * cell) ADC tables ([[graft.ops.Similarity.queryIvfPqIndex]]): residuals
+  * differ per coarse cell, so each (query, cell) probe pair gets its own
+  * table, identified by the `table_id` the probe row carries. Size:
+  * queries × numProbes × m × cellsPerSub doubles — query-batch-sized.
+  */
+final class PqAdcTableSet(val tables: Array[Array[Array[Double]]], val m: Int)
+  extends Serializable {
+  require(tables.forall(_.length == m), "one table per subspace")
+}
+
+/** One ADC distance: `m` lookups for (code, table_id), summed in ascending
+  * subspace order. A wrong-arity code can only mean a corrupt self-built
+  * index — fail loudly with the path forward, never a silent null distance.
+  */
+case class PqAdcScoreOne(
+    codeExpr: Expression,
+    tableIdExpr: Expression,
+    bc: Broadcast[PqAdcTableSet])
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
+    with ExpectsInputTypes {
+
+  override def left: Expression = codeExpr
+  override def right: Expression = tableIdExpr
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(IntegerType), IntegerType)
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "graft_pq_adc_score_one"
+
+  override def nullSafeEval(code: Any, tableId: Any): Any =
+    PqAdcScoreOne.score(code.asInstanceOf[ArrayData],
+      tableId.asInstanceOf[Int], bc.value)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val bcRef = ctx.addReferenceObj("pqSetBc", bc, "org.apache.spark.broadcast.Broadcast")
+    val tabs = ctx.addMutableState("org.apache.spark.sql.graft.PqAdcTableSet", "pqSet",
+      v => s"$v = (org.apache.spark.sql.graft.PqAdcTableSet) $bcRef.value();")
+    nullSafeCodeGen(ctx, ev, (c, t) =>
+      s"${ev.value} = org.apache.spark.sql.graft.PqAdcScoreOne.score($c, $t, $tabs);")
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): PqAdcScoreOne =
+    copy(codeExpr = newLeft, tableIdExpr = newRight)
+}
+
+object PqAdcScoreOne {
+  def score(code: ArrayData, tableId: Int, tabs: PqAdcTableSet): Double = {
+    if (code.numElements() != tabs.m)
+      throw new IllegalStateException(
+        s"PQ code arity ${code.numElements()} != m=${tabs.m} — corrupt index; rebuild it")
+    val t = tabs.tables(tableId)
+    var total = 0.0
+    var s = 0
+    while (s < tabs.m) {
+      total += t(s)(code.getInt(s))
+      s += 1
+    }
+    total
+  }
+
+  def apply(code: Column, tableId: Column, bc: Broadcast[PqAdcTableSet]): Column =
+    ExpressionUtils.column(PqAdcScoreOne(
+      ExpressionUtils.expression(code), ExpressionUtils.expression(tableId), bc))
+}
+
 object PqAdcScores {
   def scores(code: ArrayData, tabs: PqAdcTables): ArrayData = {
     if (code.numElements() != tabs.m) return null

@@ -441,6 +441,81 @@ class SimilaritySpec extends SparkTestBase {
       Seq("qid", "neighbor_id", "rank", "adc_dist") && none.count() === 0)
   }
 
+  test("IVF-PQ index: no raw vectors on disk, probe pruning, result == plain-Scala model") {
+    val corpus = emb(sf())
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val q = emb(sf()).filter(col("vec_id") < 4)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val path = java.nio.file.Files.createTempDirectory("graft-ivfpq").toString + "/idx"
+    val (numCells, m, cellsPerSub, numProbes, k) = (8, 4, 8, 3, 10)
+    Similarity.writeIvfPqIndex(corpus, path, numCells, m, cellsPerSub)
+
+    // compression: postings carry (id, code) ONLY — the raw vector is gone
+    val postings = spark.read.parquet(s"$path/postings")
+    assert(postings.columns.sorted.toSeq === Seq("cell", "code", "id"))
+
+    // determinism: a rebuild produces identical centroids and codebooks
+    val path2 = java.nio.file.Files.createTempDirectory("graft-ivfpq2").toString + "/idx"
+    Similarity.writeIvfPqIndex(corpus, path2, numCells, m, cellsPerSub)
+    def slurp(p: String) = spark.read.parquet(p).collect().map(_.toString).sorted.toSeq
+    assert(slurp(s"$path/centroids") === slurp(s"$path2/centroids"))
+    assert(slurp(s"$path/codebooks") === slurp(s"$path2/codebooks"))
+
+    val res = Similarity.queryIvfPqIndex(spark, path, q, k, numProbes)
+    // probed-cell pruning reaches the scan as PartitionFilters
+    val plan = res.queryExecution.executedPlan.toString
+    val pf = plan.linesIterator.find(l =>
+      l.contains("PartitionFilters") && l.contains("cell")).getOrElse("")
+    assert(pf.contains("cell"), s"expected cell PartitionFilters in:\n$plan")
+
+    // plain-Scala reference model over the WRITTEN artifacts (the
+    // appendToIvfIndex discipline): coarse probe, per-(query, cell)
+    // residual ADC tables, m lookups per posting, (dist, id) top-k
+    val cents = spark.read.parquet(s"$path/centroids").collect()
+      .map(r => r.getInt(0) -> r.getSeq[Double](1).toArray).toMap
+    val books = spark.read.parquet(s"$path/codebooks").collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2).toArray))
+      .groupBy(_._1).toSeq.sortBy(_._1)
+      .map { case (s, rows) => rows.map(r => r._2 -> r._3).toMap }
+    val post = postings.collect()
+      .map(r => (r.getLong(r.fieldIndex("id")), r.getSeq[Int](r.fieldIndex("code")),
+        r.getInt(r.fieldIndex("cell"))))
+    val subDim = 64 / m
+    def coarseDist(qv: Array[Double], c: Array[Double]): Double = {
+      var vv = 0.0; var dot = 0.0; var cc = 0.0
+      var i = 0
+      while (i < 64) { vv += qv(i) * qv(i); dot += qv(i) * c(i); cc += c(i) * c(i); i += 1 }
+      vv - 2.0 * dot + cc
+    }
+    val expected = q.collect().flatMap { r =>
+      val qid = r.getLong(0)
+      val qv = r.getSeq[Float](1).map(_.toDouble).toArray
+      val probed = cents.toSeq.map { case (cell, c) => (coarseDist(qv, c), cell) }
+        .sortBy(identity).take(numProbes).map(_._2).toSet
+      val scored = post.filter(p => probed(p._3)).map { case (id, code, cell) =>
+        val cc = cents(cell)
+        var total = 0.0
+        for (s <- 0 until m) {
+          val pqc = books(s)(code(s))
+          var qq = 0.0; var dot = 0.0; var ccc = 0.0
+          var i = 0
+          while (i < subDim) {
+            val qr = qv(s * subDim + i) - cc(s * subDim + i)
+            qq += qr * qr; dot += qr * pqc(i); ccc += pqc(i) * pqc(i)
+            i += 1
+          }
+          total += qq - 2.0 * dot + ccc
+        }
+        (id, total)
+      }
+      scored.sortBy { case (id, d) => (d, id) }.take(k).zipWithIndex
+        .map { case ((id, d), i) => (qid, id, i + 1, d) }
+    }.toSet
+    val got = res.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3))).toSet
+    assert(got === expected, "index query must equal the reference model exactly")
+  }
+
   test("lshTopK: never returns more than k per query, ranks contiguous") {
     val e = emb(sf())
     val q = e.filter(col("vec_id") < 3)

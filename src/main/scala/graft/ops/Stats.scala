@@ -270,6 +270,32 @@ object Stats {
       .drop("_num")
   }
 
+  /** Collect a snapshot's categorical distribution into the broadcast form
+    * the STREAMING drift monitor scores against
+    * ([[graft.streaming.EventStream.driftMonitor]]) — the deployable twin of
+    * [[categoricalDrift]]'s base side, the way `trainLmTable` deploys
+    * `lmScore`'s train side. Driver bound = category cardinality across the
+    * monitored columns (monitor categories, never keys).
+    */
+  def baselineDist(
+      df: DataFrame,
+      cols: Seq[String]): org.apache.spark.broadcast.Broadcast[org.apache.spark.sql.graft.BaselineDist] = {
+    require(cols.nonEmpty, "need at least one column")
+    require(cols.distinct.size == cols.size, "columns must be distinct")
+    val melted = df
+      .select(explode(array(cols.map(c => struct(
+        lit(c).as("column"),
+        coalesce(col(c).cast("string"), lit("<null>")).as("value"))): _*)).as("cv"))
+      .select(col("cv.column").as("column"), col("cv.value").as("value"))
+    val counts = melted.groupBy(col("column"), col("value"))
+      .agg(count(lit(1)).as("c")).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val totals = counts.groupBy(_._1).map { case (c, rows) =>
+      (c, rows.map(_._3).sum) }.toArray
+    df.sparkSession.sparkContext.broadcast(
+      new org.apache.spark.sql.graft.BaselineDist(counts, totals))
+  }
+
   def crosstabCounts(
       df: DataFrame,
       keyCol: String,

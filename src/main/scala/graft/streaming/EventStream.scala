@@ -269,6 +269,54 @@ object EventStream {
       NearDupDocMatches(graft.functions.tokens(col(textCol)), index, threshold))
   }
 
+  /** Streaming drift monitor — [[graft.ops.Stats.categoricalDrift]] asked
+    * LIVE, per event-time window: does the current window's categorical
+    * distribution still look like the baseline snapshot's? Two chained
+    * event-time aggregations (the Spark ≥3.4 multiple-stateful-operator
+    * shape): per-(window, column, value) counts under the watermark, then a
+    * window-of-window rollup collecting each column's category list, and
+    * ONE in-row kernel call computes the TVD against the broadcast baseline
+    * ([[org.apache.spark.sql.graft.DriftTvd]]) — numerator in BigInteger,
+    * the batch operator's exact division + round, so streaming == batch
+    * per window slice BY CONSTRUCTION (spec-pinned). Vanished categories
+    * contribute their baseline mass (vanishing IS drift); an empty side
+    * yields NULL, never a fabricated 0.
+    *
+    * Output per (window, column): `(window_start, column, n_current, tvd)`.
+    * State bound: category cardinality × live windows — a monitor over
+    * categories, never keys.
+    */
+  def driftMonitor(
+      docs: DataFrame,
+      tsCol: String,
+      cols: Seq[String],
+      baseline: org.apache.spark.broadcast.Broadcast[org.apache.spark.sql.graft.BaselineDist],
+      windowMinutes: Int = 60,
+      watermarkMinutes: Int = 30): DataFrame = {
+    import org.apache.spark.sql.graft.DriftTvd
+    require(cols.nonEmpty, "need at least one column")
+    val isStreaming = docs.isStreaming
+    val melted0 = docs.select(col(tsCol) +: cols.map(col): _*)
+    val melted =
+      (if (isStreaming) melted0.withWatermark(tsCol, s"$watermarkMinutes minutes")
+       else melted0)
+        .select(col(tsCol), explode(array(cols.map(c => struct(
+          lit(c).as("column"),
+          coalesce(col(c).cast("string"), lit("<null>")).as("value"))): _*)).as("cv"))
+        .select(col(tsCol), col("cv.column").as("column"), col("cv.value").as("value"))
+    val w = s"$windowMinutes minutes"
+    val counts = melted
+      .groupBy(window(col(tsCol), w), col("column"), col("value"))
+      .agg(count(lit(1)).as("c_cur"))
+    counts
+      .groupBy(window(col("window"), w), col("column"))
+      .agg(collect_list(struct(col("value"), col("c_cur"))).as("_cats"),
+        sum(col("c_cur")).as("n_current"))
+      .select(col("window.start").as("window_start"), col("column"),
+        col("n_current"),
+        DriftTvd(col("column"), col("_cats"), baseline).as("tvd"))
+  }
+
   /** Stream-stream attribution join: each left event pairs with the right
     * events of the same `keyCol` whose timestamp falls in the half-open
     * lookback window `[left_ts - lookbackSeconds, left_ts)` — the streaming

@@ -194,6 +194,58 @@ class EventStreamSpec extends SparkTestBase {
     assert(full === (100L to 104L).toSet)
   }
 
+  test("driftMonitor: streaming windows == batch == categoricalDrift per window slice") {
+    import spark.implicits._
+    implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def t(s: String) = Timestamp.valueOf(s)
+    // baseline: a 50/25/25 distribution over {a, b, <null>}
+    val baseDf = (Seq.fill(2)(Some("a")) ++ Seq(Some("b"), None)).toDF("k")
+    val baseline = graft.ops.Stats.baselineDist(baseDf, Seq("k"))
+    // two 10-minute windows with different drifts; w2 introduces a NEW
+    // category and loses 'b' entirely
+    val w1 = Seq((t("2024-01-01 10:01:00"), "a"), (t("2024-01-01 10:02:00"), "a"),
+      (t("2024-01-01 10:03:00"), "b"), (t("2024-01-01 10:04:00"), null: String))
+    val w2 = Seq((t("2024-01-01 10:11:00"), "c"), (t("2024-01-01 10:12:00"), "a"))
+    val all = (w1 ++ w2).toDF("ts", "k")
+
+    // batch run of the SAME monitor (no watermark, same window math)
+    val batch = EventStream.driftMonitor(all, "ts", Seq("k"), baseline,
+        windowMinutes = 10, watermarkMinutes = 5)
+      .collect().map(r => (r.getTimestamp(0), r.getLong(2), r.getDouble(3))).toSet
+    assert(batch.map(_._1) ===
+      Set(t("2024-01-01 10:00:00"), t("2024-01-01 10:10:00")))
+
+    // cross-operator exactness: each window's tvd equals the batch
+    // categoricalDrift of (baseline, that window's slice)
+    def sliceTvd(rows: Seq[(Timestamp, String)]): Double =
+      graft.ops.Stats.categoricalDrift(baseDf,
+        rows.map(_._2).map(Option(_)).toDF("k"), Seq("k"))
+        .collect().head.getDouble(4)
+    val expected = Set(
+      (t("2024-01-01 10:00:00"), 4L, sliceTvd(w1)),
+      (t("2024-01-01 10:10:00"), 2L, sliceTvd(w2)))
+    assert(batch === expected, "monitor must equal categoricalDrift per slice")
+    // w1 matches the baseline exactly → tvd 0; w2's new+vanished categories
+    // drive it up — sanity that the numbers mean what they claim
+    assert(sliceTvd(w1) === 0.0 && sliceTvd(w2) === 0.5) // ½(0 + ¼ + ¼ + ½)
+
+    // streaming run: same rows, watermark advanced past both windows
+    val ms = MemoryStream[(Timestamp, String)]
+    val q = EventStream.driftMonitor(ms.toDF().toDF("ts", "k"), "ts", Seq("k"),
+        baseline, windowMinutes = 10, watermarkMinutes = 5)
+      .writeStream.format("memory").queryName("drift_out").outputMode("append").start()
+    ms.addData(w1)
+    q.processAllAvailable()
+    ms.addData(w2)
+    q.processAllAvailable()
+    ms.addData(Seq((t("2024-01-01 11:00:00"), "a"))) // advance the watermark
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("drift_out")
+      .collect().map(r => (r.getTimestamp(0), r.getLong(2), r.getDouble(3))).toSet
+    assert(streamed === expected, "streaming == batch, tvd values included")
+  }
+
   test("filterLines and splitBuckets are stream-safe projections: streaming == batch") {
     import spark.implicits._
     implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext

@@ -348,6 +348,18 @@ object SparkEntry {
     Similarity.ivfTopK(knnQueries(s, dir), knnCorpus(s, dir), k = 10)
       .select("qid", "neighbor_id", "rank")
 
+  /** RRF ensemble of the three ANN rankings (brute exact + LSH + IVF) —
+    * hybrid-search fusion with fixed-point reciprocal scores.
+    */
+  private def searchRrfFusion(s: SparkSession, dir: String): DataFrame = {
+    val q = knnQueries(s, dir)
+    val c = knnCorpus(s, dir)
+    Similarity.rrfFuse(Seq(
+      Similarity.bruteForceTopK(q, c, 10),
+      Similarity.lshTopK(q, c, 10, dim = 64),
+      Similarity.ivfTopK(q, c, 10)))
+  }
+
   // PQ search: 64-dim vectors → 4 subspaces × 8 cells, deterministic per-
   // subspace Lloyd; the oracle replays train+encode+ADC rank-for-rank
   private def knnPq(s: SparkSession, dir: String): DataFrame = {
@@ -1415,6 +1427,7 @@ object SparkEntry {
     "knn_lsh" -> (knnLsh _),
     "knn_ivf" -> (knnIvf _),
     "knn_pq" -> (knnPq _),
+    "search_rrf_fusion" -> (searchRrfFusion _),
     "text_stats" -> (textStats _),
     "text_quality" -> (textQuality _),
     "text_langid" -> (textLangid _),
@@ -1804,6 +1817,58 @@ object SparkEntry {
     val hllRest = "((c0 % 256) << 48) | (c1 << 32) | (c2 << 16) | c3"
     val hllLadder = (1 to 56).map(r =>
       s"WHEN rest >= ${1L << (56 - r)} THEN $r").mkString(" ")
+    // the three ANN replays as vals: each is its own oracle entry AND a
+    // WITH-in-subquery branch of search_rrf_fusion (one definition, the
+    // fused replay cannot drift from the per-ranking ones)
+    val knnBruteSql =
+      """SELECT qid, neighbor_id, rank FROM (
+        |  SELECT q.vec_id AS qid, c.vec_id AS neighbor_id,
+        |    row_number() OVER (PARTITION BY q.vec_id
+        |      ORDER BY list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+        |                                      CAST(c.embedding AS DOUBLE[])) DESC,
+        |               c.vec_id) AS rank
+        |  FROM embeddings q CROSS JOIN embeddings c
+        |  WHERE q.vec_id < 5)
+        |WHERE rank <= 10""".stripMargin
+    val knnLshSql = {
+      val planes = graft.ops.Dedup.hyperplanes(8, 64, 42L)
+      def arr(p: Seq[Double]): String =
+        p.map(d => java.lang.Double.toString(d)).mkString("[", ", ", "]")
+      val dots = planes.zipWithIndex.map { case (p, i) =>
+        s"list_dot_product(v, ${arr(p)}) AS dot_$i"
+      }.mkString(",\n  ")
+      val bucket = (0 until 8)
+        .map(i => s"(CASE WHEN dot_$i >= 0 THEN ${1 << i} ELSE 0 END)").mkString(" + ")
+      val masks = (0 until 256).filter(m => Integer.bitCount(m) <= 1)
+        .mkString("[", ", ", "]")
+      s"""WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |d AS (SELECT vec_id, v,
+         |  $dots
+         |FROM c),
+         |b AS (SELECT vec_id, v, CAST($bucket AS BIGINT) AS bucket FROM d),
+         |q AS (SELECT vec_id AS qid, v AS qv, bucket AS qbucket FROM b WHERE vec_id < 5),
+         |p AS (SELECT qid, qv, xor(qbucket, m.m) AS bucket
+         |      FROM q, (SELECT CAST(unnest($masks) AS BIGINT) AS m) m),
+         |s AS (SELECT p.qid, cb.vec_id AS id,
+         |  row_number() OVER (PARTITION BY p.qid
+         |    ORDER BY list_cosine_similarity(p.qv, cb.v) DESC, cb.vec_id) AS rank
+         |  FROM p JOIN b cb USING (bucket))
+         |SELECT qid, id AS neighbor_id, rank FROM s WHERE rank <= 10""".stripMargin
+    }
+    val knnIvfSql = {
+      val (numCells, numProbes, k, lloydIters) = (16, 4, 10, 2)
+      s"""WITH ${ivfTrainCtes(numCells, lloydIters)},
+         |q AS (SELECT id AS qid, v AS qv FROM c WHERE id < 5),
+         |probes AS (SELECT qid, qv, cell FROM (
+         |  SELECT q.qid, q.qv, t.cell, row_number() OVER (PARTITION BY q.qid
+         |    ORDER BY ${ivfDist2("q.qv", "t.cv")}, t.cell) AS rn
+         |  FROM q CROSS JOIN cent_$lloydIters t) WHERE rn <= $numProbes),
+         |cand AS (SELECT p.qid, p.qv, a.id, a.v FROM probes p JOIN afinal a USING (cell))
+         |SELECT qid, id AS neighbor_id, rank FROM (
+         |  SELECT qid, id, row_number() OVER (PARTITION BY qid
+         |    ORDER BY list_cosine_similarity(qv, v) DESC, id) AS rank
+         |  FROM cand) WHERE rank <= $k""".stripMargin
+    }
     Map(
       "source_parquet" ->
         "SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment FROM customer",
@@ -2194,49 +2259,28 @@ object SparkEntry {
       // exactly), buckets/probes/rank recompute independently. Sign parity is
       // safe: measured cross-engine dot drift ~9e-16 vs min |dot| ~8e-5 on
       // this data (both engines accumulate left-to-right in double).
-      "knn_lsh" -> {
-        val planes = graft.ops.Dedup.hyperplanes(8, 64, 42L)
-        def arr(p: Seq[Double]): String =
-          p.map(d => java.lang.Double.toString(d)).mkString("[", ", ", "]")
-        val dots = planes.zipWithIndex.map { case (p, i) =>
-          s"list_dot_product(v, ${arr(p)}) AS dot_$i"
-        }.mkString(",\n  ")
-        val bucket = (0 until 8)
-          .map(i => s"(CASE WHEN dot_$i >= 0 THEN ${1 << i} ELSE 0 END)").mkString(" + ")
-        val masks = (0 until 256).filter(m => Integer.bitCount(m) <= 1)
-          .mkString("[", ", ", "]")
-        s"""WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-           |d AS (SELECT vec_id, v,
-           |  $dots
-           |FROM c),
-           |b AS (SELECT vec_id, v, CAST($bucket AS BIGINT) AS bucket FROM d),
-           |q AS (SELECT vec_id AS qid, v AS qv, bucket AS qbucket FROM b WHERE vec_id < 5),
-           |p AS (SELECT qid, qv, xor(qbucket, m.m) AS bucket
-           |      FROM q, (SELECT CAST(unnest($masks) AS BIGINT) AS m) m),
-           |s AS (SELECT p.qid, cb.vec_id AS id,
-           |  row_number() OVER (PARTITION BY p.qid
-           |    ORDER BY list_cosine_similarity(p.qv, cb.v) DESC, cb.vec_id) AS rank
-           |  FROM p JOIN b cb USING (bucket))
-           |SELECT qid, id AS neighbor_id, rank FROM s WHERE rank <= 10""".stripMargin
-      },
+      "knn_lsh" -> knnLshSql,
       // The IVF oracle recomputes the ENTIRE index in DuckDB — deterministic
       // seed cells (lowest ids), `lloydIters` Lloyd rounds with exact
       // fixed-point centroid means (bit-identical cross-engine), then
       // probe + scan. CTE chain generated per iteration.
-      "knn_ivf" -> {
-        val (numCells, numProbes, k, lloydIters) = (16, 4, 10, 2)
-        s"""WITH ${ivfTrainCtes(numCells, lloydIters)},
-           |q AS (SELECT id AS qid, v AS qv FROM c WHERE id < 5),
-           |probes AS (SELECT qid, qv, cell FROM (
-           |  SELECT q.qid, q.qv, t.cell, row_number() OVER (PARTITION BY q.qid
-           |    ORDER BY ${ivfDist2("q.qv", "t.cv")}, t.cell) AS rn
-           |  FROM q CROSS JOIN cent_$lloydIters t) WHERE rn <= $numProbes),
-           |cand AS (SELECT p.qid, p.qv, a.id, a.v FROM probes p JOIN afinal a USING (cell))
-           |SELECT qid, id AS neighbor_id, rank FROM (
-           |  SELECT qid, id, row_number() OVER (PARTITION BY qid
-           |    ORDER BY list_cosine_similarity(qv, v) DESC, id) AS rank
-           |  FROM cand) WHERE rank <= $k""".stripMargin
-      },
+      "knn_ivf" -> knnIvfSql,
+      // RRF fusion replay: the three ANN oracle chains verbatim as
+      // WITH-in-subquery branches (one definition each — the fused replay
+      // cannot drift from the per-ranking replays), fixed-point reciprocal
+      // sum, (score desc, id) window
+      "search_rrf_fusion" ->
+        s"""WITH u AS (
+           |  SELECT * FROM ($knnBruteSql)
+           |  UNION ALL SELECT * FROM ($knnLshSql)
+           |  UNION ALL SELECT * FROM ($knnIvfSql)),
+           |sc AS (SELECT qid, neighbor_id,
+           |  CAST(sum(1048576 // (60 + rank)) AS BIGINT) AS rrf_score
+           |  FROM u GROUP BY 1, 2)
+           |SELECT qid, neighbor_id, rank, rrf_score FROM (
+           |  SELECT qid, neighbor_id, rrf_score, row_number() OVER (
+           |    PARTITION BY qid ORDER BY rrf_score DESC, neighbor_id) AS rank
+           |  FROM sc) WHERE rank <= 10""".stripMargin,
       // PQ replay: per subspace, the SAME Lloyd chain over the vector SLICE
       // (prefixed CTEs so four chains share one WITH clause); encode = each
       // subspace's afinal cell, ADC = per-(query, cell) dist tables joined
@@ -2294,16 +2338,7 @@ object SparkEntry {
            |  CAST(row_number() OVER (PARTITION BY shard ORDER BY dg, id) - 1 AS BIGINT)
            |    AS position
            |FROM sh""".stripMargin,
-      "knn_brute" ->
-        """SELECT qid, neighbor_id, rank FROM (
-          |  SELECT q.vec_id AS qid, c.vec_id AS neighbor_id,
-          |    row_number() OVER (PARTITION BY q.vec_id
-          |      ORDER BY list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
-          |                                      CAST(c.embedding AS DOUBLE[])) DESC,
-          |               c.vec_id) AS rank
-          |  FROM embeddings q CROSS JOIN embeddings c
-          |  WHERE q.vec_id < 5)
-          |WHERE rank <= 10""".stripMargin,
+      "knn_brute" -> knnBruteSql,
       "text_stats" ->
         s"""WITH $toksCte
            |SELECT doc_id, length(text) AS n_chars, len(toks) AS n_tokens,

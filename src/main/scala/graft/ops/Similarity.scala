@@ -261,6 +261,42 @@ object Similarity {
       .select(col("qid"), col("id").as("neighbor_id"), col("rank"), col("cosine"))
   }
 
+  /** Reciprocal-rank fusion (Cormack et al. 2009) — the standard way to
+    * combine heterogeneous retrieval rankings (BM25 + ANN is the canonical
+    * hybrid-search pairing; any rankings sharing (qid, id) fuse): per
+    * (query, candidate), `score = Σ_sources ⌊2^20 / (rrfK + rank)⌋`, a
+    * candidate missing from a source contributing 0. The classic formula is
+    * `Σ 1/(k + rank)`; the 2^20 fixed-point floor keeps the sum an exact
+    * integer — RRF only consumes the ORDERING of scores, floors preserve it
+    * within a source (ranks are small ints), and integer sums make the
+    * fused ranking partitioning- and engine-identical where a float Σ of
+    * reciprocals is neither. Ties break to the lower id.
+    *
+    * Shape: union of the (already tiny, top-k-sized) rankings → one keyed
+    * sum → one per-query window. The expensive part of hybrid search is the
+    * input rankings; fusion is rank-table-sized by construction.
+    */
+  def rrfFuse(
+      rankings: Seq[DataFrame], // each: (qid, neighbor_id, rank)
+      rrfK: Int = 60,
+      topK: Int = 10): DataFrame = {
+    require(rankings.nonEmpty, "need at least one ranking")
+    require(rrfK >= 0, "rrfK must be non-negative")
+    val u = rankings
+      .map(_.select(col("qid"), col("neighbor_id"), col("rank")))
+      .reduce(_ unionAll _)
+    val scored = u
+      .withColumn("_s", expr(s"1048576L div (${rrfK}L + rank)"))
+      .groupBy(col("qid"), col("neighbor_id"))
+      .agg(sum(col("_s")).as("rrf_score"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("rrf_score").desc, col("neighbor_id"))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= topK)
+      .select(col("qid"), col("neighbor_id"), col("rank"), col("rrf_score"))
+  }
+
   /** Product-quantization codebooks (Jégou et al. 2011): the vector splits
     * into `m` contiguous subspaces and each subspace trains its OWN
     * deterministic-Lloyd codebook ([[trainCentroids]] — lowest-id seeds,

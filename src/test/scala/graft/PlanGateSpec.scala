@@ -109,6 +109,10 @@ class PlanGateSpec extends SparkTestBase {
     // plan is one codes scan + ADC kernel + posexplode + the top-k window
     // exchange on _qi
     "knn_pq" -> 1,
+    // fusion over three top-k-sized rankings: brute (1: its window) + lsh
+    // (1: its window) + the keyed RRF sum (1) + the fused window (1); the
+    // IVF branch's exchanges hang off its eager training like knn_ivf
+    "search_rrf_fusion" -> 6,
     "multimodal_meta" -> 0,
     "image_stats" -> 0,
     "audio_stats" -> 0,
@@ -225,7 +229,9 @@ class PlanGateSpec extends SparkTestBase {
     "search_bm25",
     // the k-row language table (k = languages, ≤ a few dozen ever): the
     // scalar-attach idiom at k rows — the nested loop runs once per partition
-    "text_langid_model")
+    "text_langid_model",
+    // contains knn_brute's sanctioned exact-baseline BNLJ as one branch
+    "search_rrf_fusion")
 
   test("every query has a plan budget (or a documented exemption)") {
     val missing = SparkEntry.queries.keySet -- maxShuffles.keySet -- iterative

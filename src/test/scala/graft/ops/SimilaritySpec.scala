@@ -441,6 +441,30 @@ class SimilaritySpec extends SparkTestBase {
       Seq("qid", "neighbor_id", "rank", "adc_dist") && none.count() === 0)
   }
 
+  test("rrfFuse: fixed-point reciprocal sum, missing sources score 0, ties to lower id") {
+    import spark.implicits._
+    val a = Seq((1L, 10L, 1), (1L, 20L, 2)).toDF("qid", "neighbor_id", "rank")
+    val b = Seq((1L, 20L, 1), (1L, 30L, 2)).toDF("qid", "neighbor_id", "rank")
+    val out = Similarity.rrfFuse(Seq(a, b), rrfK = 0, topK = 10)
+      .orderBy("rank").collect()
+      .map(r => (r.getLong(1), r.getInt(2), r.getLong(3)))
+    // 20 appears rank 2 + rank 1 → 2^20/2 + 2^20/1; 10 only rank 1; 30 only rank 2
+    assert(out.toSeq === Seq(
+      (20L, 1, 1048576L / 2 + 1048576L),
+      (10L, 2, 1048576L),
+      (30L, 3, 1048576L / 2)))
+    // exact tie (same ranks in both sources) breaks to the LOWER id
+    val t1 = Seq((1L, 7L, 1), (1L, 5L, 2)).toDF("qid", "neighbor_id", "rank")
+    val t2 = Seq((1L, 5L, 1), (1L, 7L, 2)).toDF("qid", "neighbor_id", "rank")
+    val tied = Similarity.rrfFuse(Seq(t1, t2), rrfK = 60, topK = 2)
+      .orderBy("rank").collect().map(_.getLong(1))
+    assert(tied.toSeq === Seq(5L, 7L))
+    // partitioning-independent (integer sums)
+    val again = Similarity.rrfFuse(Seq(a.repartition(4), b.repartition(3)), rrfK = 0)
+      .orderBy("rank").collect().map(r => (r.getLong(1), r.getInt(2), r.getLong(3)))
+    assert(again.toSeq === out.toSeq)
+  }
+
   test("IVF-PQ index: no raw vectors on disk, probe pruning, result == plain-Scala model") {
     val corpus = emb(sf())
       .select(col("vec_id").as("id"), col("embedding").as("vec"))

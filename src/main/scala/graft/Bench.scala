@@ -117,16 +117,20 @@ object Bench {
       }
     // Local-iteration runs must never clobber the tracked full-run evidence:
     // round 10 committed an 11-query SPARK_GRAFT_QUERIES partial over the
-    // 95-query map, leaving the repo with no tracked full per-query run.
-    // Two tells identify a local run: an explicit query subset, or an
-    // explicit SPARK_GRAFT_BENCH_OUT redirect (the driver sets neither —
-    // its bench_out.json lands at the default path).
+    // 95-query map, leaving the repo with no tracked full per-query run,
+    // and round 12 committed a full-query-list run at sf0.001 over the
+    // sf0.1 map — the timings were meaningless against the sf0.1 anchors.
+    // Three tells identify a local run: an explicit query subset, an
+    // explicit SPARK_GRAFT_BENCH_OUT redirect, or any SF dir other than
+    // the anchor scale (the driver benches sf0.1; BASELINE.md anchors are
+    // sf0.1 numbers, so evidence at any other SF must never replace them).
+    val anchorSf = sfDir.endsWith("/sf0.1") || sfDir.endsWith("/sf0.1/")
     val tracked = repoRoot match {
-      case _ if only.isDefined || sys.env.contains("SPARK_GRAFT_BENCH_OUT") =>
+      case _ if only.isDefined || sys.env.contains("SPARK_GRAFT_BENCH_OUT") || !anchorSf =>
         System.err.println(
           "bench: local run (SPARK_GRAFT_QUERIES or SPARK_GRAFT_BENCH_OUT " +
-            "set) — NOT overwriting the tracked BENCH_full_latest.json " +
-            "full-run evidence file")
+            "set, or non-sf0.1 SF dir) — NOT overwriting the tracked " +
+            "BENCH_full_latest.json full-run evidence file")
         Seq.empty
       case Some(r) => Seq(r.resolve("BENCH_full_latest.json").toString)
       case None =>

@@ -1005,6 +1005,19 @@ object SparkEntry {
       Seq("event_type", "value_band"))
   }
 
+  /** Continuous drift over the same two-week split: `value` binned with the
+    * histogram arithmetic (0–500, 25 bins — the `value_histogram` spec) and
+    * `user_id` binned 0–200 in 20 (a population shift would land here).
+    */
+  private def numericDriftQuery(s: SparkSession, dir: String): DataFrame = {
+    val ev = events(dir).load(s)
+    val cut = java.sql.Timestamp.from(java.time.Instant.parse("2024-01-15T00:00:00Z"))
+    ops.Stats.numericDrift(
+      ev.filter(col("ts") < lit(cut)),
+      ev.filter(col("ts") >= lit(cut)),
+      Seq(("value", 0.0, 500.0, 25), ("user_id", 0.0, 200.0, 20)))
+  }
+
   /** SCD2 history build over the event log: each user's event_type runs
     * become [valid_from, valid_to) rows (no-op repeats extend the interval).
     */
@@ -1480,6 +1493,7 @@ object SparkEntry {
     "asof_join" -> (asofJoinQuery _),
     "scd2_intervals" -> (scd2Intervals _),
     "categorical_drift" -> (categoricalDriftQuery _),
+    "numeric_drift" -> (numericDriftQuery _),
     "interval_join" -> (intervalJoinQuery _),
     "embedding_quantize" -> (embeddingQuantize _),
     "embedding_normalize" -> (embeddingNormalize _),
@@ -1522,6 +1536,34 @@ object SparkEntry {
 
   /** DuckDB twin per SQL-expressible key (driver compares on sf0.01). */
   lazy val oracleSql: Map[String, String] = {
+    // Shared TVD-drift chain, continuing from an `m(column, value, ts_us)`
+    // melt CTE: per-side counts split at Jan 15, full-outer category join,
+    // per-column totals via window, exact decimal numerator, one final
+    // decimal→double division. ONE definition serves both drift oracles
+    // (categorical_drift / numeric_drift) so the replays cannot drift.
+    val tvdChainSql =
+      """cb AS (SELECT "column", value, count(*) AS c_base FROM m
+        |  WHERE ts_us < 1705276800000000 GROUP BY 1, 2),
+        |cc AS (SELECT "column", value, count(*) AS c_cur FROM m
+        |  WHERE ts_us >= 1705276800000000 GROUP BY 1, 2),
+        |j AS (SELECT coalesce(cb."column", cc."column") AS "column",
+        |    coalesce(cb.value, cc.value) AS value,
+        |    coalesce(c_base, 0) AS c_base, coalesce(c_cur, 0) AS c_cur
+        |  FROM cb FULL OUTER JOIN cc
+        |    ON cb."column" = cc."column" AND cb.value = cc.value),
+        |t AS (SELECT "column", c_base, c_cur,
+        |  sum(c_base) OVER (PARTITION BY "column") AS n_base,
+        |  sum(c_cur) OVER (PARTITION BY "column") AS n_cur FROM j)
+        |SELECT "column",
+        |  CAST(max(n_base) AS BIGINT) AS n_base,
+        |  CAST(max(n_cur) AS BIGINT) AS n_current,
+        |  count(*) AS n_categories,
+        |  round(CAST(sum(abs(
+        |      CAST(c_base AS DECIMAL(38,0)) * CAST(n_cur AS DECIMAL(38,0)) -
+        |      CAST(c_cur AS DECIMAL(38,0)) * CAST(n_base AS DECIMAL(38,0))))
+        |    AS DOUBLE) / (2.0 * CAST(max(n_base) AS DOUBLE)
+        |      * CAST(max(n_cur) AS DOUBLE)), 6) AS tvd
+        |FROM t GROUP BY "column"""".stripMargin
     val entCte =
       s"""ent AS (SELECT DISTINCT user_id,
          |  $PitBaseUs + (user_id % 20) * $DayUs AS ent_us FROM events)""".stripMargin
@@ -3034,34 +3076,29 @@ object SparkEntry {
       // full-outer category join, per-column totals via window, and the one
       // decimal→double division — everything before it exact integers
       "categorical_drift" ->
-        """WITH ev AS (SELECT event_type,
-          |  CAST(CAST(floor(value) AS BIGINT) AS VARCHAR) AS value_band,
-          |  epoch_us(ts) AS ts_us FROM events),
-          |m AS (SELECT 'event_type' AS "column",
-          |    coalesce(event_type, '<null>') AS value, ts_us FROM ev
-          |  UNION ALL SELECT 'value_band', coalesce(value_band, '<null>'), ts_us FROM ev),
-          |cb AS (SELECT "column", value, count(*) AS c_base FROM m
-          |  WHERE ts_us < 1705276800000000 GROUP BY 1, 2),
-          |cc AS (SELECT "column", value, count(*) AS c_cur FROM m
-          |  WHERE ts_us >= 1705276800000000 GROUP BY 1, 2),
-          |j AS (SELECT coalesce(cb."column", cc."column") AS "column",
-          |    coalesce(cb.value, cc.value) AS value,
-          |    coalesce(c_base, 0) AS c_base, coalesce(c_cur, 0) AS c_cur
-          |  FROM cb FULL OUTER JOIN cc
-          |    ON cb."column" = cc."column" AND cb.value = cc.value),
-          |t AS (SELECT "column", c_base, c_cur,
-          |  sum(c_base) OVER (PARTITION BY "column") AS n_base,
-          |  sum(c_cur) OVER (PARTITION BY "column") AS n_cur FROM j)
-          |SELECT "column",
-          |  CAST(max(n_base) AS BIGINT) AS n_base,
-          |  CAST(max(n_cur) AS BIGINT) AS n_current,
-          |  count(*) AS n_categories,
-          |  round(CAST(sum(abs(
-          |      CAST(c_base AS DECIMAL(38,0)) * CAST(n_cur AS DECIMAL(38,0)) -
-          |      CAST(c_cur AS DECIMAL(38,0)) * CAST(n_base AS DECIMAL(38,0))))
-          |    AS DOUBLE) / (2.0 * CAST(max(n_base) AS DOUBLE)
-          |      * CAST(max(n_cur) AS DOUBLE)), 6) AS tvd
-          |FROM t GROUP BY "column"""".stripMargin,
+        s"""WITH ev AS (SELECT event_type,
+           |  CAST(CAST(floor(value) AS BIGINT) AS VARCHAR) AS value_band,
+           |  epoch_us(ts) AS ts_us FROM events),
+           |m AS (SELECT 'event_type' AS "column",
+           |    coalesce(event_type, '<null>') AS value, ts_us FROM ev
+           |  UNION ALL SELECT 'value_band', coalesce(value_band, '<null>'), ts_us FROM ev),
+           |$tvdChainSql""".stripMargin,
+      // numeric drift = the histogram bin arithmetic as the melt, then the
+      // IDENTICAL shared TVD chain (one definition — cannot drift from the
+      // categorical replay)
+      "numeric_drift" ->
+        s"""WITH ev AS (SELECT
+           |  CASE WHEN value IS NULL THEN NULL ELSE
+           |    CAST(CAST(least(greatest(floor((value - 0.0) / 20.0), 0.0), 24.0)
+           |      AS BIGINT) AS VARCHAR) END AS value_bin,
+           |  CASE WHEN user_id IS NULL THEN NULL ELSE
+           |    CAST(CAST(least(greatest(floor((CAST(user_id AS DOUBLE) - 0.0) / 10.0),
+           |      0.0), 19.0) AS BIGINT) AS VARCHAR) END AS user_bin,
+           |  epoch_us(ts) AS ts_us FROM events),
+           |m AS (SELECT 'value' AS "column",
+           |    coalesce(value_bin, '<null>') AS value, ts_us FROM ev
+           |  UNION ALL SELECT 'user_id', coalesce(user_bin, '<null>'), ts_us FROM ev),
+           |$tvdChainSql""".stripMargin,
       // SCD2 replay: (key, ts) collapse to max value, drop no-op repeats via
       // lag, valid_to = lead over the SURVIVORS — all deterministic windows
       "scd2_intervals" ->

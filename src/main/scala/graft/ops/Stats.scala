@@ -270,6 +270,53 @@ object Stats {
       .drop("_num")
   }
 
+  /** Numeric drift between two corpus snapshots — [[categoricalDrift]]'s
+    * continuous sibling, completing the drift family for the columns that
+    * have no categories: each numeric column is binned with EXACTLY the
+    * fixed-bin [[histogram]] arithmetic (`floor((v − lo)/w)` with
+    * `w = (hi−lo)/nBins`, out-of-range values clamping into the edge bins so
+    * a mass migration past either boundary still registers — three
+    * exactly-rounded IEEE ops, engine-reproducible), and the bin label then
+    * rides the UNCHANGED categorical TVD chain — one definition of the
+    * drift arithmetic, so the two family members cannot diverge, and the
+    * whole integer-exact numerator discipline is inherited rather than
+    * re-implemented. NULL values stay their own category (a null-rate shift
+    * IS drift); the bin spec `(column, lo, hi, nBins)` is an explicit
+    * contract like the histogram's, never inferred from the data — inferred
+    * bounds would make the binning (and therefore the reported drift) a
+    * function of the very snapshots being compared.
+    *
+    * Output: `(column, n_base, n_current, n_categories, tvd)` with
+    * `n_categories` = non-empty bins across both sides (≤ nBins + 1).
+    *
+    * Shape at 100 TB: the binning is a scan-speed in-row projection fused
+    * into the melt; everything after is [[categoricalDrift]]'s plan —
+    * per-side map-side-partial count exchanges sized by BIN cardinality,
+    * not row count, then the co-partitioned full-outer and one window.
+    */
+  def numericDrift(
+      base: DataFrame,
+      current: DataFrame,
+      specs: Seq[(String, Double, Double, Int)]): DataFrame = {
+    require(specs.nonEmpty, "need at least one column spec")
+    require(specs.map(_._1).distinct.size == specs.size, "columns must be distinct")
+    specs.foreach { case (c, lo, hi, nBins) =>
+      require(nBins > 0 && hi > lo, s"column $c: need nBins > 0 and hi > lo")
+    }
+    def binned(df: DataFrame): DataFrame =
+      df.select(specs.map { case (c, lo, hi, nBins) =>
+        val w = (hi - lo) / nBins
+        val raw = floor((col(c) - lo) / w)
+        // explicit null guard: Spark's greatest/least IGNORE null arguments,
+        // so without it a NULL value would silently clamp into bin 0 instead
+        // of surfacing as the null category
+        when(col(c).isNotNull,
+          least(greatest(raw, lit(0.0)), lit((nBins - 1).toDouble))
+            .cast("long").cast("string")).as(c)
+      }: _*)
+    categoricalDrift(binned(base), binned(current), specs.map(_._1))
+  }
+
   /** Collect a snapshot's categorical distribution into the broadcast form
     * the STREAMING drift monitor scores against
     * ([[graft.streaming.EventStream.driftMonitor]]) — the deployable twin of

@@ -42,6 +42,8 @@ class PlanGateSpec extends SparkTestBase {
     // co-partitioned on (column, value), the per-column window re-keys (1),
     // and the final per-column rollup reuses its partitioning
     "categorical_drift" -> 3,
+    // identical chain — the binning is a fused in-row projection
+    "numeric_drift" -> 3,
     "interval_join" -> 1,
     "embedding_quantize" -> 0,
     "embedding_normalize" -> 0,

@@ -90,6 +90,39 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(a === 0.75)
   }
 
+  test("numericDrift: histogram binning feeds the categorical TVD chain") {
+    import spark.implicits._
+    // bins of width 10 over [0,40): base fills bin 0 ×3 + bin 1 ×1,
+    // current bin 0 ×1 + bin 3 ×3 → same shape as the categorical hand case:
+    // TVD = ½(.5 + .25 + .75) = 0.75
+    val base = Seq(1.0, 2.0, 9.9, 15.0).toDF("v")
+    val cur = Seq(3.0, 31.0, 35.0, 39.9).toDF("v")
+    val r = Stats.numericDrift(base, cur, Seq(("v", 0.0, 40.0, 4))).collect().head
+    assert(r.getString(0) === "v" && r.getLong(1) === 4L && r.getLong(2) === 4L)
+    assert(r.getLong(3) === 3L) // bins 0, 1, 3 — union of both supports
+    assert(r.getDouble(4) === 0.75)
+    // out-of-range mass clamps into the EDGE bins and still registers:
+    // base all in bin 0, current all below lo (clamped to bin 0) → identical
+    val below = Stats.numericDrift(
+      Seq(0.0, 5.0).toDF("v"), Seq(-100.0, -1.0).toDF("v"),
+      Seq(("v", 0.0, 40.0, 4))).collect().head
+    assert(below.getDouble(4) === 0.0)
+    // ...but mass moving ABOVE hi lands in the top bin: disjoint → 1
+    val above = Stats.numericDrift(
+      Seq(0.0, 5.0).toDF("v"), Seq(100.0, 999.0).toDF("v"),
+      Seq(("v", 0.0, 40.0, 4))).collect().head
+    assert(above.getDouble(4) === 1.0)
+    // NULL stays its own category — a null-rate shift is drift
+    val withNull = Stats.numericDrift(
+      Seq(Some(1.0), None).toDF("v"), Seq(Some(1.0), Some(1.0)).toDF("v"),
+      Seq(("v", 0.0, 40.0, 4))).collect().head
+    assert(withNull.getLong(3) === 2L && withNull.getDouble(4) === 0.5)
+    // bad spec rejected loudly
+    intercept[IllegalArgumentException] {
+      Stats.numericDrift(base, cur, Seq(("v", 40.0, 0.0, 4)))
+    }
+  }
+
   test("correlations: wide tables plan as ONE inline projection, no per-pair unions") {
     import spark.implicits._
     // k = 30 -> C(30,2) = 435 pairs: the retired union-of-branches form grew

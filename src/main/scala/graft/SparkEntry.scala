@@ -643,6 +643,45 @@ object SparkEntry {
       .select(col("id").as("doc_id"), col("text_kept"),
         col("n_lines"), col("n_kept"))
 
+  /** Multi-line docs for the Gopher gate: 12-token segments where every
+    * (doc_id+i)%5==0 line opens with a bullet, every (doc_id+i)%7==0 line
+    * ends in an ellipsis instead of a period, and every 6th doc re-appends
+    * its first line — so the bullet/ellipsis/duplicate-line rules all
+    * genuinely bind and vary per doc.
+    */
+  private def docsWithGopherLines(s: SparkSession, dir: String): DataFrame = {
+    val toks = graft.functions.tokens(col("text"))
+    val nSeg = ceil(size(toks).cast("double") / 12).cast("int")
+    val segs = transform(sequence(lit(0), nSeg - 1), i =>
+      concat(
+        when((col("doc_id") + i) % 5 === 0, lit("- ")).otherwise(lit("")),
+        array_join(slice(toks, i * 12 + 1, lit(12)), " "),
+        when((col("doc_id") + i) % 7 === 0, lit("...")).otherwise(lit("."))))
+    val withDup = when(col("doc_id") % 6 === 0, concat(segs, slice(segs, 1, 1)))
+      .otherwise(segs)
+    docs(s, dir).select(col("doc_id"),
+      when(size(toks) > 0, array_join(withDup, "\n"))
+        .otherwise(lit("")).as("text"))
+  }
+
+  /** The Gopher doc-shape gate over the planted multi-line corpus, rule
+    * verdicts emitted as ints for the engine-neutral compare. Thresholds
+    * chosen so every rule discriminates at sf0.01 (bullet 15% < the ~20%
+    * planted rate, dup 10% vs 1 planted dup line per 6th doc, ellipsis 20%
+    * vs the ~14% planted rate).
+    */
+  private def filterGopherQuery(s: SparkSession, dir: String): DataFrame = {
+    val out = TextAnalysis.gopherFilter(docsWithGopherLines(s, dir),
+      "doc_id", "text",
+      minWords = 30, maxWords = 500,
+      maxSymbolWordPct = 2, maxEllipsisLinePct = 20,
+      maxBulletLinePct = 15, maxDupLinePct = 10)
+    val flags = Seq("words_ok", "mean_word_len_ok", "alpha_ok", "symbol_ok",
+      "bullet_ok", "ellipsis_ok", "dup_line_ok", "stopword_ok", "keep")
+    out.select(col("doc_id") +: out.columns.filter(_.startsWith("n_")).map(col).toSeq ++:
+      flags.map(f => col(f).cast("int").as(f)): _*)
+  }
+
   /** The crawl-ingest composition a platform runs page by page: C4 line
     * filter → quality score over the KEPT text → >= 0.5 cut → exact dedup
     * of the cleaned content. Pins the chain's column contracts: the line
@@ -1501,6 +1540,7 @@ object SparkEntry {
     "text_normalize" -> (textNormalize _),
     "extract_html" -> (extractHtmlQuery _),
     "filter_lines" -> (filterLinesQuery _),
+    "filter_gopher" -> (filterGopherQuery _),
     "pipeline_crawl_clean" -> (pipelineCrawlClean _),
     "inverted_index" -> (invertedIndexQuery _),
     "cooccurrence" -> (cooccurrenceQuery _),
@@ -3191,6 +3231,83 @@ object SparkEntry {
       "filter_lines" ->
         s"""WITH $lineFilterCtes
            |SELECT doc_id, text_kept, n_lines, n_kept FROM lf""".stripMargin,
+      // Gopher gate replay: rebuild the planted multi-line corpus from token
+      // positions (bullet prefix every (doc_id+pos)%5, ellipsis terminal
+      // every %7, first line re-appended every 6th doc), then every counter
+      // and every cross-multiplied integer rule verdict end-to-end
+      "filter_gopher" -> {
+        val wordsOk = "n_words >= 30 AND n_words <= 500"
+        val meanOk =
+          "n_word_chars * 100 >= 300 * n_words AND n_word_chars * 100 <= 1000 * n_words"
+        val alphaOk = "n_alpha_words * 100 >= 80 * n_words"
+        val symbolOk = "n_symbols * 100 <= 2 * n_words"
+        val bulletOk = "n_bullet_lines * 100 <= 15 * n_lines"
+        val ellipsisOk = "n_ellipsis_lines * 100 <= 20 * n_lines"
+        val dupOk = "(n_lines - n_distinct_lines) * 100 <= 10 * n_lines"
+        val stopOk = "n_stopword_hits >= 2"
+        s"""WITH $toksCte,
+           |ex AS (SELECT doc_id, unnest(toks) AS tok,
+           |  generate_subscripts(toks, 1) AS p FROM t),
+           |segs AS (SELECT doc_id, CAST((p - 1) // 12 AS INT) AS pos,
+           |  CASE WHEN (doc_id + (p - 1) // 12) % 5 = 0 THEN '- ' ELSE '' END ||
+           |    string_agg(tok, ' ' ORDER BY p) ||
+           |    CASE WHEN (doc_id + (p - 1) // 12) % 7 = 0 THEN '...' ELSE '.' END AS line
+           |  FROM ex GROUP BY doc_id, (p - 1) // 12),
+           |mx AS (SELECT doc_id, max(pos) AS mp FROM segs GROUP BY doc_id),
+           |al AS (SELECT doc_id, pos, line FROM segs
+           |  UNION ALL SELECT s.doc_id, mx.mp + 1, s.line
+           |    FROM segs s JOIN mx USING (doc_id)
+           |    WHERE s.pos = 0 AND s.doc_id % 6 = 0),
+           |doc AS (SELECT t.doc_id, coalesce(d.text, '') AS text FROM t LEFT JOIN
+           |  (SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS text
+           |   FROM al GROUP BY doc_id) d USING (doc_id)),
+           |tk AS (SELECT doc_id, text,
+           |  list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+           |    x -> len(x) > 0) AS toks2 FROM doc),
+           |wc AS (SELECT doc_id, len(toks2) AS n_words,
+           |  coalesce(list_sum(list_transform(toks2, x -> len(x))), 0) AS n_word_chars,
+           |  len(list_filter(toks2, x -> regexp_matches(x, '[a-z]'))) AS n_alpha_words,
+           |  len(list_filter(toks2, x -> list_contains($allStops, x))) AS n_stopword_hits,
+           |  (len(text) - len(replace(text, '#', ''))) +
+           |    (len(text) - len(replace(text, '…', ''))) +
+           |    (len(text) - len(replace(text, '...', ''))) // 3 AS n_symbols
+           |  FROM tk),
+           |lc AS (SELECT doc_id, count(*) AS n_lines,
+           |  count(DISTINCT line) AS n_distinct_lines,
+           |  count(*) FILTER (WHERE left(ltrim(line), 1) IN ('-', '*', '•'))
+           |    AS n_bullet_lines,
+           |  count(*) FILTER (WHERE right(rtrim(line), 3) = '...'
+           |    OR right(rtrim(line), 1) = '…') AS n_ellipsis_lines
+           |  FROM al GROUP BY doc_id),
+           |c AS (SELECT wc.doc_id, n_words, n_word_chars, n_alpha_words,
+           |  n_stopword_hits, coalesce(n_lines, 0) AS n_lines,
+           |  coalesce(n_distinct_lines, 0) AS n_distinct_lines,
+           |  coalesce(n_bullet_lines, 0) AS n_bullet_lines,
+           |  coalesce(n_ellipsis_lines, 0) AS n_ellipsis_lines, n_symbols
+           |  FROM wc LEFT JOIN lc USING (doc_id))
+           |SELECT doc_id,
+           |  CAST(n_words AS BIGINT) AS n_words,
+           |  CAST(n_word_chars AS BIGINT) AS n_word_chars,
+           |  CAST(n_alpha_words AS BIGINT) AS n_alpha_words,
+           |  CAST(n_stopword_hits AS BIGINT) AS n_stopword_hits,
+           |  CAST(n_lines AS BIGINT) AS n_lines,
+           |  CAST(n_distinct_lines AS BIGINT) AS n_distinct_lines,
+           |  CAST(n_bullet_lines AS BIGINT) AS n_bullet_lines,
+           |  CAST(n_ellipsis_lines AS BIGINT) AS n_ellipsis_lines,
+           |  CAST(n_symbols AS BIGINT) AS n_symbols,
+           |  CAST($wordsOk AS INT) AS words_ok,
+           |  CAST($meanOk AS INT) AS mean_word_len_ok,
+           |  CAST($alphaOk AS INT) AS alpha_ok,
+           |  CAST($symbolOk AS INT) AS symbol_ok,
+           |  CAST($bulletOk AS INT) AS bullet_ok,
+           |  CAST($ellipsisOk AS INT) AS ellipsis_ok,
+           |  CAST($dupOk AS INT) AS dup_line_ok,
+           |  CAST($stopOk AS INT) AS stopword_ok,
+           |  CAST(($wordsOk) AND ($meanOk) AND ($alphaOk) AND ($symbolOk)
+           |    AND ($bulletOk) AND ($ellipsisOk) AND ($dupOk) AND ($stopOk)
+           |    AS INT) AS keep
+           |FROM c""".stripMargin
+      },
       // the crawl-ingest composition: line filter → quality score over the
       // KEPT text → >= 0.5 cut → exact dedup of the cleaned text (smallest
       // doc_id per distinct cleaned content wins; its score rides through)

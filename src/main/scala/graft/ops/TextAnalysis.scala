@@ -465,6 +465,98 @@ object TextAnalysis {
         coalesce(size(col("_kept")), lit(0)).cast("long").as("n_kept"))
   }
 
+  /** Gopher-style document quality rules (Rae et al. 2021 §A1.1) — the
+    * DOC-level repetition/shape gate that sits next to [[filterLines]]'s
+    * LINE-level cleaner in every crawl pipeline: word-count bounds, mean
+    * word length bounds, symbol-to-word ratio, alphabetic-word fraction,
+    * bullet/ellipsis line fractions, duplicate-line fraction, and a minimum
+    * stopword-hit count (the "is this prose at all" signal). Emits every
+    * counter, every per-rule verdict, and the AND as `keep` — a curation
+    * run needs to know WHICH rule killed a document, not just that one did.
+    *
+    * Exactness contract: every ratio rule compares by integer
+    * CROSS-MULTIPLICATION (`100·n_sym ≤ pct·n_words`), so thresholds are
+    * exact percentages and no ratio ever materializes as a float — verdicts
+    * are engine- and partitioning-identical. Ratio rules with a zero
+    * denominator pass vacuously (no words ⇒ no word-ratio verdict; only the
+    * word-count rule drops empty docs); the stopword rule is a genuine
+    * content minimum and does fail on empty docs — same outcome, stated
+    * honestly. NULL text scores as the empty document, never a dropped row
+    * (the [[extractHtmlText]] family contract). Lines follow the
+    * [[filterLines]] discipline: empty lines are separators, not lines.
+    * `…` and `...` both count as ellipses; `-`/`*`/`•` open bullet lines.
+    *
+    * Shape at 100 TB: one staged scan-speed projection per doc — the token
+    * and line arrays materialize ONCE (the interpreted-HOF discipline,
+    * SURVEY §3), then integer counters, then the rule arithmetic; zero
+    * shuffles, zero joins.
+    */
+  def gopherFilter(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      minWords: Int = 50,
+      maxWords: Int = 100000,
+      minMeanWordLenX100: Int = 300,
+      maxMeanWordLenX100: Int = 1000,
+      maxSymbolWordPct: Int = 10,
+      minAlphaWordPct: Int = 80,
+      maxEllipsisLinePct: Int = 30,
+      maxBulletLinePct: Int = 90,
+      maxDupLinePct: Int = 30,
+      minStopwordHits: Int = 2,
+      keep: Seq[String] = Nil): DataFrame = {
+    require(minWords >= 0 && maxWords >= minWords, "bad word-count bounds")
+    require(minMeanWordLenX100 >= 0 && maxMeanWordLenX100 >= minMeanWordLenX100,
+      "bad mean-word-length bounds")
+    val allStops = stopwords.values.flatten.toSeq.distinct
+    val staged = df.select(col(idCol) +: keep.map(col) :+
+      coalesce(col(textCol), lit("")).as("_t"): _*)
+      .select(col(idCol) +: keep.map(col) :+ col("_t") :+
+        tokens(col("_t")).as("_toks") :+
+        filter(split(col("_t"), "\n"), l => length(trim(l)) > 0).as("_lines"): _*)
+    val counts = staged.select(col(idCol) +: keep.map(col) :+
+      size(col("_toks")).cast("long").as("n_words") :+
+      aggregate(col("_toks"), lit(0L), (a, x) => a + length(x)).as("n_word_chars") :+
+      size(filter(col("_toks"), x => x.rlike("[a-z]"))).cast("long").as("n_alpha_words") :+
+      org.apache.spark.sql.graft.CountInSet(col("_toks"), allStops)
+        .cast("long").as("n_stopword_hits") :+
+      size(col("_lines")).cast("long").as("n_lines") :+
+      size(array_distinct(col("_lines"))).cast("long").as("n_distinct_lines") :+
+      size(filter(col("_lines"), l =>
+        substring(ltrim(l), 1, 1).isin("-", "*", "•"))).cast("long").as("n_bullet_lines") :+
+      size(filter(col("_lines"), l =>
+        endswith(rtrim(l), lit("...")) || endswith(rtrim(l), lit("…"))))
+        .cast("long").as("n_ellipsis_lines") :+
+      ((length(col("_t")) - length(replace(col("_t"), lit("#"), lit("")))) +
+        (length(col("_t")) - length(replace(col("_t"), lit("…"), lit("")))) +
+        (length(col("_t")) - length(replace(col("_t"), lit("..."), lit("")))) / 3)
+        .cast("long").as("n_symbols"): _*)
+    val w = col("n_words")
+    val lns = col("n_lines")
+    val wordsOk = w >= minWords && w <= maxWords
+    val meanOk = col("n_word_chars") * 100 >= lit(minMeanWordLenX100.toLong) * w &&
+      col("n_word_chars") * 100 <= lit(maxMeanWordLenX100.toLong) * w
+    val alphaOk = col("n_alpha_words") * 100 >= lit(minAlphaWordPct.toLong) * w
+    val symbolOk = col("n_symbols") * 100 <= lit(maxSymbolWordPct.toLong) * w
+    val bulletOk = col("n_bullet_lines") * 100 <= lit(maxBulletLinePct.toLong) * lns
+    val ellipsisOk =
+      col("n_ellipsis_lines") * 100 <= lit(maxEllipsisLinePct.toLong) * lns
+    val dupOk =
+      (lns - col("n_distinct_lines")) * 100 <= lit(maxDupLinePct.toLong) * lns
+    val stopOk = col("n_stopword_hits") >= minStopwordHits
+    counts.select(col(idCol) +: keep.map(col) :+
+      col("n_words") :+ col("n_word_chars") :+ col("n_alpha_words") :+
+      col("n_stopword_hits") :+ col("n_lines") :+ col("n_distinct_lines") :+
+      col("n_bullet_lines") :+ col("n_ellipsis_lines") :+ col("n_symbols") :+
+      wordsOk.as("words_ok") :+ meanOk.as("mean_word_len_ok") :+
+      alphaOk.as("alpha_ok") :+ symbolOk.as("symbol_ok") :+
+      bulletOk.as("bullet_ok") :+ ellipsisOk.as("ellipsis_ok") :+
+      dupOk.as("dup_line_ok") :+ stopOk.as("stopword_ok") :+
+      (wordsOk && meanOk && alphaOk && symbolOk && bulletOk && ellipsisOk &&
+        dupOk && stopOk).as("keep"): _*)
+  }
+
   /** HTML → text extraction — the step before every other cleaner when the
     * corpus is a crawl: drop `<script>`/`<style>` blocks and comments WITH
     * their contents (code and CSS are not prose), strip remaining tags,

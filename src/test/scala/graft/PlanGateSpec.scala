@@ -51,6 +51,7 @@ class PlanGateSpec extends SparkTestBase {
     "text_normalize" -> 0,
     "extract_html" -> 0,
     "filter_lines" -> 0,
+    "filter_gopher" -> 0,
     // line filter + quality score are scan-speed projections; the one
     // exchange is exact dedup's content-digest groupBy
     "pipeline_crawl_clean" -> 1,

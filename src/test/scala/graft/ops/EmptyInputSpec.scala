@@ -48,6 +48,7 @@ class EmptyInputSpec extends SparkTestBase {
     assert(Dedup.dedupWindowsAgainst(d, d, "doc_id", "text", 8, 4).count() === 0L)
     assert(Dedup.minHashLshAgainst(d, d, "doc_id", "text").count() === 0L)
     assert(TextAnalysis.filterLines(d, "doc_id", "text").count() === 0L)
+    assert(TextAnalysis.gopherFilter(d, "doc_id", "text").count() === 0L)
     assert(TextAnalysis.extractHtmlText(d, "doc_id", "text").count() === 0L)
     val blocked = { import spark.implicits._; Seq("x.com").toDF("value") }
     assert(Url.domainCaps(d.select(col("doc_id"),

@@ -153,6 +153,60 @@ class TextAnalysisSpec extends SparkTestBase {
     assert(!plan.contains("Exchange"), plan)
   }
 
+  test("gopherFilter: every rule verdict isolates its own violation; cross-multiplied thresholds") {
+    import spark.implicits._
+    val good = "the tiger and the lion were waiting.\nthe hunters kept watching them all."
+    val df = Seq(
+      (1L, good),                                        // passes every rule
+      (2L, "- the cats sat here fine.\n- the dogs ran there too."), // 100% bullets
+      (3L, "the cats sat here fine...\nthe dogs ran there too..."), // 100% ellipsis
+      (4L, "the cats sat here fine.\nthe cats sat here fine."),     // 50% dup lines
+      (5L, "### the ### cats ### sat ### here ###."),               // symbol-heavy
+      (6L, "111 222 333 444 the 555 666 777 888 999 000 the"),      // 17% alpha words
+      (7L, "a b c d e f g the h i the j"),               // mean word length 1.25 < 3
+      (8L, "tigers lions"),                              // below minWords
+      (9L, null.asInstanceOf[String])                    // null = empty doc
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.gopherFilter(df, "doc_id", "text",
+      minWords = 5, maxWords = 100)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    def flag(id: Long, name: String): Boolean =
+      out(id).getBoolean(out(id).fieldIndex(name))
+    assert(flag(1L, "keep"), out(1L).toString)
+    assert(!flag(2L, "bullet_ok") && flag(2L, "ellipsis_ok") && !flag(2L, "keep"))
+    assert(!flag(3L, "ellipsis_ok") && flag(3L, "bullet_ok") && !flag(3L, "keep"))
+    assert(!flag(4L, "dup_line_ok") && !flag(4L, "keep"))
+    assert(!flag(5L, "symbol_ok") && !flag(5L, "keep"))
+    assert(!flag(6L, "alpha_ok") && !flag(6L, "keep"))
+    assert(!flag(7L, "mean_word_len_ok") && !flag(7L, "keep"))
+    // short doc: ONLY the word-count rule fires — ratio rules stay vacuous
+    assert(!flag(8L, "words_ok") && flag(8L, "mean_word_len_ok") &&
+      flag(8L, "alpha_ok") && !flag(8L, "keep"))
+    // null text = the empty document: zero counters, never a dropped row
+    assert(out(9L).getLong(out(9L).fieldIndex("n_words")) === 0L)
+    assert(!flag(9L, "words_ok") && flag(9L, "symbol_ok") && !flag(9L, "keep"))
+    assert(out.size === 9)
+    // counters exact on the hand case: 13 words, 2 lines, stopword hits
+    // (the ×3 + and + were... from the list: the, and, all)
+    assert(out(1L).getLong(out(1L).fieldIndex("n_words")) === 13L)
+    assert(out(1L).getLong(out(1L).fieldIndex("n_lines")) === 2L)
+    assert(out(1L).getLong(out(1L).fieldIndex("n_distinct_lines")) === 2L)
+    // scale shape: one staged scan-speed projection, zero exchanges
+    val plan = TextAnalysis.gopherFilter(df, "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+    // thresholds are exact integer percentages: 3 of 10 lines dup = 30%
+    // passes maxDupLinePct=30 (<=), 31% would fail — pin the boundary
+    val boundary = Seq((1L, Seq.fill(3)("dup dup dup dup dup.").mkString("\n") +
+      "\n" + (1 to 7).map(i => s"unique line number $i x.").mkString("\n")))
+      .toDF("doc_id", "text")
+    val b = TextAnalysis.gopherFilter(boundary, "doc_id", "text",
+      minWords = 1).collect().head
+    assert(b.getLong(b.fieldIndex("n_lines")) === 10L)
+    assert(b.getLong(b.fieldIndex("n_distinct_lines")) === 8L)
+    assert(b.getBoolean(b.fieldIndex("dup_line_ok"))) // 2/10 = 20% <= 30%
+  }
+
   test("extractHtmlText: blocks vanish with contents, tags strip, entities decode once") {
     import spark.implicits._
     val df = Seq(

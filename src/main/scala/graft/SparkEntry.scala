@@ -1152,6 +1152,18 @@ object SparkEntry {
       ("code", d.filter(col("source") === "src2"), 30)), "doc_id")
   }
 
+  /** Temperature mixing over the three largest language corpora (en 218 /
+    * zh 75 / es 73 at sf0.01): √-scaling downweights en to ~0.77 epochs and
+    * upweights zh/es to ~1.3 — real discrimination, replayed exactly.
+    */
+  private def mixTemperatureQuery(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir).select("doc_id", "lang")
+    ops.Sampling.temperatureMix(Seq(
+      ("en", d.filter(col("lang") === "en")),
+      ("zh", d.filter(col("lang") === "zh")),
+      ("es", d.filter(col("lang") === "es"))), "doc_id")
+  }
+
   private def cooccurrenceQuery(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.cooccurrence(docs(s, dir), "doc_id", "text", window = 2, topK = 50)
 
@@ -1545,6 +1557,7 @@ object SparkEntry {
     "inverted_index" -> (invertedIndexQuery _),
     "cooccurrence" -> (cooccurrenceQuery _),
     "mix_corpora" -> (mixCorporaQuery _),
+    "mix_temperature" -> (mixTemperatureQuery _),
     "top_terms" -> (topTermsQuery _),
     "source_orc_roundtrip" -> (sourceOrcRoundtrip _),
     "source_avro_roundtrip" -> (sourceAvroRoundtrip _),
@@ -3415,6 +3428,43 @@ object SparkEntry {
           |    'code' AS mix_source FROM b WHERE source = 'src2')
           |SELECT doc_id, source, CAST(unnest(range(1, n + 1)) AS INT) AS copy_id, mix_source
           |FROM u""".stripMargin,
+      // temperature-mix replay: per-corpus counts pivot into ONE row so the
+      // √-sum is an explicit left-associated expression (the documented op
+      // order; a SQL aggregate's float summation order is unspecified), the
+      // pct derivation is the identical IEEE chain (sqrt is correctly
+      // rounded — the α=½ contract), and the realized mixture replays the
+      // mixCorpora whole-epoch + md5-bucket rule with the DERIVED pcts
+      "mix_temperature" -> {
+        def pctSql(n: String) =
+          s"CAST(floor(100.0 * sqrt(CAST($n AS DOUBLE)) * total / s / $n) AS INT)"
+        s"""WITH n AS (SELECT
+           |  count(*) FILTER (WHERE lang = 'en') AS n0,
+           |  count(*) FILTER (WHERE lang = 'zh') AS n1,
+           |  count(*) FILTER (WHERE lang = 'es') AS n2
+           |  FROM documents WHERE doc_id IS NOT NULL),
+           |p AS (SELECT n0, n1, n2, n0 + n1 + n2 AS total,
+           |  sqrt(CAST(n0 AS DOUBLE)) + sqrt(CAST(n1 AS DOUBLE))
+           |    + sqrt(CAST(n2 AS DOUBLE)) AS s FROM n),
+           |w AS (SELECT ${pctSql("n0")} AS p0, ${pctSql("n1")} AS p1,
+           |  ${pctSql("n2")} AS p2 FROM p),
+           |b AS (SELECT doc_id, lang,
+           |  CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 6)) AS BIGINT) % 100
+           |    AS bucket FROM documents),
+           |u AS (
+           |  SELECT doc_id, lang, p0 // 100 +
+           |    CASE WHEN bucket < p0 % 100 THEN 1 ELSE 0 END AS n, 'en' AS mix_source
+           |  FROM b, w WHERE lang = 'en'
+           |  UNION ALL
+           |  SELECT doc_id, lang, p1 // 100 +
+           |    CASE WHEN bucket < p1 % 100 THEN 1 ELSE 0 END AS n, 'zh' AS mix_source
+           |  FROM b, w WHERE lang = 'zh'
+           |  UNION ALL
+           |  SELECT doc_id, lang, p2 // 100 +
+           |    CASE WHEN bucket < p2 % 100 THEN 1 ELSE 0 END AS n, 'es' AS mix_source
+           |  FROM b, w WHERE lang = 'es')
+           |SELECT doc_id, lang, CAST(unnest(range(1, n + 1)) AS INT) AS copy_id, mix_source
+           |FROM u""".stripMargin
+      },
       // tf/df division: one exactly-rounded IEEE op on two exact integers, so
       // score and ranking are engine-identical (a log-idf would drift).
       "top_terms" ->

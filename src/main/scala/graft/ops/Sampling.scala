@@ -164,6 +164,47 @@ object Sampling {
     }.reduce(_ unionByName _)
   }
 
+  /** Temperature-scaled corpus mixing — the multilingual/multi-source
+    * rebalance rule (XLM-R, mBERT): sampling weight `p_i ∝ n_i^α` flattens
+    * the size distribution so a dominant corpus stops drowning the small
+    * ones while the mixture's total size stays ≈ Σn. α is FIXED at ½
+    * deliberately: `sqrt` is correctly rounded in IEEE 754 (the only
+    * power that is), so the derived weights — and therefore the exact
+    * per-corpus epoch percentages — are engine-identical, where a general
+    * `pow(n, α)` is a transcendental no two engines are guaranteed to
+    * round alike. Each corpus gets
+    * `pct_i = ⌊100·√n_i·T / S / n_i⌋` with `T = Σn_i` (exact integer) and
+    * `S = Σ√n_i` summed LEFT-ASSOCIATED IN THE GIVEN CORPUS ORDER (the
+    * documented op sequence the oracle replays), then rows mix through
+    * [[mixCorpora]]'s whole-epochs + hash-sampled-fraction rule — so the
+    * realized mixture inherits its determinism: the same key always lands
+    * the same way. An empty corpus contributes nothing (pct 0), never a
+    * division by zero.
+    *
+    * Driver contract: k `count()` jobs (k = number of corpora, a config
+    * constant) — the sizes are the INPUT to the mixture rule, not
+    * data-scaled state. The mixing itself is [[mixCorpora]]'s scan-speed
+    * zero-shuffle projection.
+    */
+  def temperatureMix(
+      corpora: Seq[(String, DataFrame)],
+      keyCol: String): DataFrame = {
+    require(corpora.nonEmpty, "need at least one corpus")
+    val sized = corpora.map { case (tag, df) =>
+      (tag, df, df.filter(col(keyCol).isNotNull).count())
+    }
+    val total = sized.map(_._3).sum
+    val sumW = sized.foldLeft(0.0) { case (acc, (_, _, n)) =>
+      acc + math.sqrt(n.toDouble)
+    }
+    mixCorpora(sized.map { case (tag, df, n) =>
+      val pct =
+        if (n == 0L) 0
+        else math.floor(100.0 * math.sqrt(n.toDouble) * total / sumW / n).toInt
+      (tag, df, pct)
+    }, keyCol)
+  }
+
   /** Shared two-phase machinery: rows keyed by the md5 digest of `keyCol`
     * plus the order-preserving digest-prefix bucket (first 2 hex chars — a
     * prefix of the digest sort key, so bucket order IS digest order).

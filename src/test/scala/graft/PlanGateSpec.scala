@@ -58,6 +58,9 @@ class PlanGateSpec extends SparkTestBase {
     "inverted_index" -> 4,
     "cooccurrence" -> 2,
     "mix_corpora" -> 0,
+    // sizes are driver-side count jobs at build time; the mix itself is
+    // mixCorpora's zero-shuffle projection
+    "mix_temperature" -> 0,
     "top_terms" -> 3,
     "source_orc_roundtrip" -> 0,
     // the returned plan is the AvroIO RDD scan (the write is an eager action

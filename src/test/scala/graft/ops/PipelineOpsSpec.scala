@@ -478,6 +478,28 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(!out.queryExecution.executedPlan.toString.contains("Exchange"))
   }
 
+  test("temperatureMix: √-scaled epochs from exact sizes; realized mix = mixCorpora at the derived pcts") {
+    import spark.implicits._
+    // sizes 400 / 100: T = 500, S = √400 + √100 = 30 →
+    // pct_a = ⌊100·20·500/30/400⌋ = 83, pct_b = ⌊100·10·500/30/100⌋ = 166 —
+    // the big corpus downweights below 1 epoch, the small one upweights
+    val a = (0L until 400L).map(i => (i, "A")).toDF("doc_id", "src")
+    val b = (0L until 100L).map(i => (i + 1000L, "B")).toDF("doc_id", "src")
+    val out = Sampling.temperatureMix(Seq(("a", a), ("b", b)), "doc_id")
+    val expect = Sampling.mixCorpora(Seq(("a", a, 83), ("b", b, 166)), "doc_id")
+    assert(out.collect().map(_.toSeq).toSet === expect.collect().map(_.toSeq).toSet)
+    // flattening direction: a contributes < 1 epoch, b > 1
+    val byTag = out.groupBy("mix_source").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byTag("a") < 400L && byTag("b") > 100L)
+    // an empty corpus contributes nothing — and never a division by zero
+    val withEmpty = Sampling.temperatureMix(
+      Seq(("a", a), ("none", a.filter(lit(false)))), "doc_id")
+    assert(withEmpty.filter(col("mix_source") === "none").count() === 0L)
+    assert(Sampling.temperatureMix(
+      Seq(("x", a.filter(lit(false)))), "doc_id").count() === 0L)
+  }
+
   test("capPerGroup: exact cap, digest order, small groups untouched, skew-safe plan") {
     val docs = spark.read.parquet(s"${sf()}/documents.parquet")
       .select("doc_id", "lang")

@@ -204,6 +204,123 @@ object Layout {
     }
     CompactStats(nFiles, nOut, bytes)
   }
+
+  /** 16-bit rank of a numeric column over explicit `[lo, hi)` bounds — the
+    * histogram bin arithmetic at 65 536 bins, clamped into the edge ranks.
+    * Explicit bounds keep the rank (and so the whole layout) a pure function
+    * of the values, never of the dataset being written.
+    */
+  private def rank16(c: org.apache.spark.sql.Column, lo: Double, hi: Double) = {
+    val w = (hi - lo) / 65536.0
+    least(greatest(floor((c - lo) / w), lit(0.0)), lit(65535.0)).cast("long")
+  }
+
+  /** Interleave the low 16 bits of two long columns into a 32-bit Morton
+    * (Z-order) key: bit spreading via the classic shift-and-mask chain —
+    * five codegen'd integer ops per column, no UDF.
+    */
+  private def morton2(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) = {
+    def spread(x: org.apache.spark.sql.Column) = {
+      val m1 = x.bitwiseAND(lit(0xFFFFL))
+      val m2 = (m1.bitwiseOR(shiftleft(m1, 8))).bitwiseAND(lit(0x00FF00FFL))
+      val m3 = (m2.bitwiseOR(shiftleft(m2, 4))).bitwiseAND(lit(0x0F0F0F0FL))
+      val m4 = (m3.bitwiseOR(shiftleft(m3, 2))).bitwiseAND(lit(0x33333333L))
+      (m4.bitwiseOR(shiftleft(m4, 1))).bitwiseAND(lit(0x55555555L))
+    }
+    spread(a).bitwiseOR(shiftleft(spread(b), 1))
+  }
+
+  /** Z-ordered write + zone-map manifest — the data-skipping layout every
+    * lakehouse table format (Delta OPTIMIZE ZORDER, Iceberg sort orders,
+    * Hudi clustering) builds for multi-column selective scans, here
+    * first-class: rows sort by the Morton interleave of the two index
+    * columns' 16-bit ranks, so file boundaries become axis-aligned boxes in
+    * (a, b) space and a selective range on EITHER column touches only the
+    * files whose box intersects it — where a linear sort on `a` leaves a
+    * `b`-range scattered across every file. After the write, one columnar
+    * scan of ONLY the index columns builds the per-file min/max manifest
+    * (`_zonemap/`, underscore-prefixed so normal parquet reads ignore it).
+    *
+    * At 100 TB the manifest is the entire point: [[readZonePruned]] lists
+    * candidate files from the kilobyte-scale manifest BEFORE the scan, so a
+    * selective query over a petabyte table opens only the files that can
+    * contain matches — the same I/O shape as partition pruning, but on
+    * value ranges of any two numeric columns, orthogonal to the partition
+    * scheme. Null index values clamp nowhere: their rows sort to one end
+    * (null ranks NULL → morton NULL → range-partitioner null group) and
+    * their files carry null-aware min/max, which the pruner treats as
+    * non-matching — correct, because a range predicate never selects nulls.
+    *
+    * Bounds are an explicit contract (the [[graft.ops.Stats.histogram]]
+    * discipline): values outside clamp into edge ranks, so the layout
+    * degrades gracefully rather than failing, and the SAME bounds document
+    * the layout for every future writer of the table.
+    */
+  def writeZoneMapped(
+      df: DataFrame,
+      path: String,
+      indexA: (String, Double, Double),
+      indexB: (String, Double, Double),
+      numFiles: Int): Unit = {
+    require(numFiles >= 1, "numFiles must be >= 1")
+    val (ca, loA, hiA) = indexA
+    val (cb, loB, hiB) = indexB
+    require(hiA > loA && hiB > loB, "need hi > lo for both index columns")
+    val z = morton2(rank16(col(ca), loA, hiA), rank16(col(cb), loB, hiB))
+    df.withColumn("_z", z)
+      .repartitionByRange(numFiles, col("_z"))
+      .sortWithinPartitions(col("_z"))
+      .drop("_z")
+      .write.mode("errorifexists").parquet(path)
+    val manifest = df.sparkSession.read.parquet(path)
+      .select(input_file_name().as("file"), col(ca), col(cb))
+      .groupBy(col("file"))
+      .agg(min(col(ca)).as("min_a"), max(col(ca)).as("max_a"),
+        min(col(cb)).as("min_b"), max(col(cb)).as("max_b"))
+    manifest.coalesce(1).write.mode("errorifexists").parquet(s"$path/_zonemap")
+  }
+
+  /** Zone-pruned read: intersect the query box `[aLo, aHi] × [bLo, bHi]`
+    * with the manifest's per-file boxes, read ONLY the surviving files, and
+    * re-apply the precise predicate (the manifest proves absence, never
+    * presence). Driver state = the manifest (one row per file — kilobytes
+    * per petabyte at sane file sizes). A file whose min/max are NULL (all
+    * index values null) prunes away — correct: a range predicate never
+    * selects null. Result ≡ full scan + filter, spec-gated; the scan's
+    * file list is the pruned set, which is the entire I/O win.
+    */
+  def readZonePruned(
+      spark: SparkSession,
+      path: String,
+      colA: String, aLo: Double, aHi: Double,
+      colB: String, bLo: Double, bHi: Double): DataFrame = {
+    val files = spark.read.parquet(s"$path/_zonemap")
+      .filter(col("min_a") <= aHi && col("max_a") >= aLo &&
+        col("min_b") <= bHi && col("max_b") >= bLo)
+      .select("file").collect().map(_.getString(0))
+    val pred = col(colA) >= aLo && col(colA) <= aHi &&
+      col(colB) >= bLo && col(colB) <= bHi
+    if (files.isEmpty) {
+      // preserve the schema without reading data files
+      spark.read.parquet(path).filter(lit(false))
+    } else {
+      spark.read.parquet(files.toIndexedSeq: _*).filter(pred)
+    }
+  }
+
+  /** The pruner's candidate-file count for a query box — the observable the
+    * spec (and an operator at scale) uses to SEE the skipping: files the
+    * scan would open under the manifest vs the total. */
+  def zonePruneStats(
+      spark: SparkSession,
+      path: String,
+      colA: String, aLo: Double, aHi: Double,
+      colB: String, bLo: Double, bHi: Double): (Long, Long) = {
+    val m = spark.read.parquet(s"$path/_zonemap")
+    val kept = m.filter(col("min_a") <= aHi && col("max_a") >= aLo &&
+      col("min_b") <= bHi && col("max_b") >= bLo).count()
+    (kept, m.count())
+  }
 }
 
 /** One-output-partition RDD that k-way-merges ALL parent partitions, each of

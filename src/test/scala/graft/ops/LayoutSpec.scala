@@ -249,4 +249,63 @@ class LayoutSpec extends SparkTestBase {
       s"pointInTime prefilter must partition-prune, got: $pitPf")
     assert(pit.count() === 1L)
   }
+
+  test("zone-mapped Z-order layout: box queries on EITHER column prune files; result = full scan + filter") {
+    import spark.implicits._
+    // a 200×200 value grid: every (a, b) combination, so any linear sort
+    // necessarily scatters the other dimension
+    val grid = spark.range(40000L)
+      .select((col("id") / 200).cast("long").as("a"),
+        (col("id") % 200).cast("long").as("b"),
+        col("id").as("payload"))
+    val base = java.nio.file.Files.createTempDirectory("graft-zorder").toString
+    val zPath = s"$base/z"
+    Layout.writeZoneMapped(grid, zPath,
+      ("a", 0.0, 200.0), ("b", 0.0, 200.0), numFiles = 16)
+    // manifest exists and is invisible to a plain read
+    assert(spark.read.parquet(zPath).count() === 40000L)
+    // correctness: pruned read ≡ full scan + the same predicate
+    val full = spark.read.parquet(zPath)
+      .filter(col("a") >= 20 && col("a") <= 39 && col("b") >= 50 && col("b") <= 69)
+      .collect().map(_.toSeq).toSet
+    val pruned = Layout.readZonePruned(spark, zPath, "a", 20, 39, "b", 50, 69)
+    assert(pruned.collect().map(_.toSeq).toSet === full)
+    assert(full.size === 400)
+    // the I/O win: a 10%-wide box on either single column keeps a strict
+    // subset of files under Z-order…
+    val (keptA, totalZ) = Layout.zonePruneStats(spark, zPath, "a", 20, 39, "b", 0, 200)
+    val (keptB, _) = Layout.zonePruneStats(spark, zPath, "a", 0, 200, "b", 50, 69)
+    assert(totalZ === 16L, s"expected 16 files, got $totalZ")
+    assert(keptA < totalZ, s"a-range must prune under Z-order: $keptA/$totalZ")
+    assert(keptB < totalZ, s"b-range must prune under Z-order: $keptB/$totalZ")
+    // …where the SAME data sorted linearly by a leaves a b-range touching
+    // every file (the scatter Z-order exists to fix)
+    val aPath = s"$base/linear"
+    grid.repartitionByRange(16, col("a")).sortWithinPartitions(col("a"))
+      .write.parquet(aPath)
+    val linMan = spark.read.parquet(aPath)
+      .select(org.apache.spark.sql.functions.input_file_name().as("file"), col("b"))
+      .groupBy("file").agg(min("b").as("min_b"), max("b").as("max_b"))
+    val linKeptB = linMan.filter(col("min_b") <= 69 && col("max_b") >= 50).count()
+    val linTotal = linMan.count()
+    assert(linKeptB === linTotal,
+      s"linear-by-a layout should NOT prune a b-range: $linKeptB/$linTotal")
+    assert(keptB < linKeptB, "Z-order must beat the linear layout on the b-range")
+    // an impossible box prunes everything and still returns the right schema
+    val none = Layout.readZonePruned(spark, zPath, "a", 500, 600, "b", 0, 200)
+    assert(none.count() === 0L)
+    assert(none.columns.toSeq === Seq("a", "b", "payload"))
+    // nulls: a range predicate never selects them, pruned read stays correct
+    val nPath = s"$base/withnull"
+    val withNull = grid.select(
+      when(col("payload") % 1000 === 0, lit(null).cast("long"))
+        .otherwise(col("a")).as("a"), col("b"), col("payload"))
+    Layout.writeZoneMapped(withNull, nPath,
+      ("a", 0.0, 200.0), ("b", 0.0, 200.0), numFiles = 8)
+    val fullN = spark.read.parquet(nPath)
+      .filter(col("a") >= 20 && col("a") <= 39 && col("b") >= 50 && col("b") <= 69)
+      .count()
+    assert(Layout.readZonePruned(spark, nPath, "a", 20, 39, "b", 50, 69)
+      .count() === fullN)
+  }
 }

@@ -1357,6 +1357,21 @@ object SparkEntry {
   private val CmsProbes =
     Seq("table", "spark", "window", "hash", "scan", "the", "zebra", "qq")
 
+  /** CMS inner-product join-size estimate next to the exact answer: the
+    * broadcast-vs-shuffle planning primitive, estimate always ≥ truth.
+    */
+  private def cmsJoinSizeQuery(s: SparkSession, dir: String): DataFrame = {
+    val evs = events(dir).load(s).select(col("user_id"))
+    val ords = s.read.parquet(s"$dir/orders.parquet").select(col("o_custkey"))
+    val skA = ops.Sketch.countMinSketch(evs, "user_id", CmsWidth, CmsDepth)
+    val skB = ops.Sketch.countMinSketch(ords, "o_custkey", CmsWidth, CmsDepth)
+    val est = ops.Sketch.cmsJoinSize(skA, skB, CmsDepth)
+      .select(col("est_join_size").cast("long").as("est_join_size"))
+    val truth = evs.join(ords, col("user_id") === col("o_custkey"))
+      .agg(count(lit(1)).as("true_join_size"))
+    est.crossJoin(truth)
+  }
+
   private def cmsCounts(s: SparkSession, dir: String): DataFrame = {
     val toks = docs(s, dir)
       .select(explode(graft.functions.tokens(col("text"))).as("tok"))
@@ -1565,6 +1580,7 @@ object SparkEntry {
     "q3_top_orders" -> (q3TopOrders _),
     "top_events_per_user" -> (topEventsPerUser _),
     "cms_counts" -> (cmsCounts _),
+    "cms_join_size" -> (cmsJoinSizeQuery _),
     "hll_registers" -> (hllRegistersQuery _),
     "vocab_coverage" -> (vocabCoverageQuery _),
     "pmi_pairs" -> (pmiPairsQuery _),
@@ -3525,6 +3541,34 @@ object SparkEntry {
            |SELECT est.tok AS token, est.est_count,
            |  CAST(coalesce(kc.c, 0) AS BIGINT) AS exact_count
            |FROM est LEFT JOIN kc ON kc.tok = est.tok""".stripMargin,
+      // CMS inner-product join-size replay: per-side key counts → the
+      // identical md5-chunk cells → per-row DECIMAL dot products, min over
+      // a generated FULL row set (a zero-overlap row proves disjointness
+      // and must drive the min to 0), next to the exact join count
+      "cms_join_size" ->
+        s"""WITH ka AS (SELECT CAST(user_id AS VARCHAR) AS k, count(*) AS c
+           |  FROM events WHERE user_id IS NOT NULL GROUP BY 1),
+           |kb AS (SELECT CAST(o_custkey AS VARCHAR) AS k, count(*) AS c
+           |  FROM orders WHERE o_custkey IS NOT NULL GROUP BY 1),
+           |sa AS (SELECT j,
+           |    CAST(concat('0x', substr(md5(k), 1 + 4 * j, 4)) AS BIGINT) % $CmsWidth AS cell,
+           |    CAST(sum(c) AS BIGINT) AS ca
+           |  FROM (SELECT k, c, unnest([0, 1, 2, 3]) AS j FROM ka)
+           |  GROUP BY 1, 2),
+           |sb AS (SELECT j,
+           |    CAST(concat('0x', substr(md5(k), 1 + 4 * j, 4)) AS BIGINT) % $CmsWidth AS cell,
+           |    CAST(sum(c) AS BIGINT) AS cb
+           |  FROM (SELECT k, c, unnest([0, 1, 2, 3]) AS j FROM kb)
+           |  GROUP BY 1, 2),
+           |dots AS (SELECT sa.j,
+           |    sum(CAST(ca AS DECIMAL(38,0)) * CAST(cb AS DECIMAL(38,0))) AS dot
+           |  FROM sa JOIN sb ON sa.j = sb.j AND sa.cell = sb.cell GROUP BY sa.j),
+           |rws AS (SELECT unnest([0, 1, 2, 3]) AS j),
+           |est AS (SELECT CAST(min(coalesce(dot, 0)) AS BIGINT) AS est_join_size
+           |  FROM rws LEFT JOIN dots USING (j)),
+           |tr AS (SELECT count(*) AS true_join_size
+           |  FROM events e JOIN orders o ON e.user_id = o.o_custkey)
+           |SELECT est_join_size, true_join_size FROM est, tr""".stripMargin,
       "hll_registers" ->
         s"""WITH h AS (SELECT event_type,
            |  substr(md5(CAST(event_id AS VARCHAR)), 1, 16) AS hx FROM events),

@@ -91,6 +91,47 @@ object Sketch {
       .agg(min(coalesce(col("cell_count"), lit(0L))).as("est_count"))
   }
 
+  /** Join-cardinality estimate from two [[countMinSketch]]es built with the
+    * SAME `(width, depth)`: the true inner-join size on the sketched key is
+    * `Σ_k f_A(k)·f_B(k)`, and `min_j Σ_cell A[j][cell]·B[j][cell]` — the
+    * CMS inner product (Cormode & Muthukrishnan 2005 §4.2) — estimates it
+    * from the sketches alone. Always an OVERestimate (colliding keys only
+    * ADD cross terms), within `e/width · N_A·N_B` of truth with probability
+    * `1 − e^−depth`; exact whenever no two distinct keys share a cell in
+    * some row.
+    *
+    * This is the 100 TB PLANNING primitive: broadcast-vs-shuffle and
+    * skew-handling decisions need the join's output size BEFORE running it,
+    * and two kilobyte-scale sketches answer without re-scanning either
+    * table — sketches are mergeable across partitions/days, so a nightly
+    * pipeline keeps them as table metadata next to the data. Products and
+    * dot sums accumulate as DECIMAL(38,0) — `N_A·N_B` cross terms overflow
+    * int64 at petabyte row counts; exact decimal keeps the estimate (and
+    * the row-min decision) engine-identical.
+    *
+    * A sketch row with NO overlapping occupied cells dots to 0 — that row
+    * PROVES the key sets are disjoint, so the estimate must be 0, which is
+    * why the per-row dots left-join a generated full row set rather than
+    * trusting the join to surface every row. Output: one row,
+    * `est_join_size DECIMAL(38,0)`.
+    */
+  def cmsJoinSize(a: DataFrame, b: DataFrame, depth: Int): DataFrame = {
+    require(depth >= 1 && depth <= 4, "depth must be in [1, 4]")
+    val dec = "decimal(38,0)"
+    // both sketches are ≤ depth × width rows by construction — broadcast
+    // keeps the dot join (and the row-set attach) exchange-free
+    val dots = a.select(col("sketch_row"), col("cell"), col("cell_count").as("_ca"))
+      .join(broadcast(
+        b.select(col("sketch_row"), col("cell"), col("cell_count").as("_cb"))),
+        Seq("sketch_row", "cell"))
+      .groupBy(col("sketch_row"))
+      .agg(sum(col("_ca").cast(dec) * col("_cb").cast(dec)).as("_dot"))
+    a.sparkSession.range(depth)
+      .select(col("id").cast("int").as("sketch_row"))
+      .join(broadcast(dots), Seq("sketch_row"), "left")
+      .agg(min(coalesce(col("_dot"), lit(0L).cast(dec))).as("est_join_size"))
+  }
+
   /** HyperLogLog registers over `valueCol`, optionally per `groupCols` group:
     * bucket = top `p` bits of the 64-bit md5 prefix, register = max over
     * values of (leading zeros of the remaining `64-p` bits + 1). Only

@@ -61,6 +61,10 @@ class PlanGateSpec extends SparkTestBase {
     // sizes are driver-side count jobs at build time; the mix itself is
     // mixCorpora's zero-shuffle projection
     "mix_temperature" -> 0,
+    // 2 per sketch build (key-count agg + cell agg), the b-side sketch is
+    // broadcast into the dot join, per-row dot re-agg + Single for the min,
+    // and the exact-truth branch's join + 1-row agg
+    "cms_join_size" -> 9,
     "top_terms" -> 3,
     "source_orc_roundtrip" -> 0,
     // the returned plan is the AvroIO RDD scan (the write is an eager action
@@ -230,7 +234,7 @@ class PlanGateSpec extends SparkTestBase {
     * (train-vocabulary-size smoothing denominator) — the scalar-subquery
     * idiom; the nested loop runs exactly once per partition.
     */
-  private val bnljAllowed = Set("knn_brute", "vocab_coverage", "lm_score",
+  private val bnljAllowed = Set("knn_brute", "cms_join_size", "vocab_coverage", "lm_score",
     // search_bm25's N/L corpus scalars: the same 1-row broadcast cross join
     "search_bm25",
     // the k-row language table (k = languages, ≤ a few dozen ever): the

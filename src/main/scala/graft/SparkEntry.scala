@@ -1044,6 +1044,15 @@ object SparkEntry {
       Seq("event_type", "value_band"))
   }
 
+  /** Decile features over the event values, per event type — the row-level
+    * bucket assignment (groupedQuantiles returns the cut VALUES; this tags
+    * every row), deterministic via the (value, event_id) total order.
+    */
+  private def equiDepthBinsQuery(s: SparkSession, dir: String): DataFrame =
+    ops.Stats.equiDepthBins(events(dir).load(s),
+      Seq("event_type"), "value", "event_id", k = 10)
+      .select(col("event_id"), col("event_type"), col("value"), col("bin"))
+
   /** Continuous drift over the same two-week split: `value` binned with the
     * histogram arithmetic (0–500, 25 bins — the `value_histogram` spec) and
     * `user_id` binned 0–200 in 20 (a population shift would land here).
@@ -1560,6 +1569,7 @@ object SparkEntry {
     "scd2_intervals" -> (scd2Intervals _),
     "categorical_drift" -> (categoricalDriftQuery _),
     "numeric_drift" -> (numericDriftQuery _),
+    "equi_depth_bins" -> (equiDepthBinsQuery _),
     "interval_join" -> (intervalJoinQuery _),
     "embedding_quantize" -> (embeddingQuantize _),
     "embedding_normalize" -> (embeddingNormalize _),
@@ -3152,6 +3162,13 @@ object SparkEntry {
            |    coalesce(event_type, '<null>') AS value, ts_us FROM ev
            |  UNION ALL SELECT 'value_band', coalesce(value_band, '<null>'), ts_us FROM ev),
            |$tvdChainSql""".stripMargin,
+      // ntile is rank-based over a TOTAL order (value, event_id), so the
+      // bucket assignment — including how equal values split across the
+      // boundary — is deterministic and the replay is row-exact
+      "equi_depth_bins" ->
+        """SELECT event_id, event_type, value,
+          |  ntile(10) OVER (PARTITION BY event_type ORDER BY value, event_id) AS bin
+          |FROM events WHERE value IS NOT NULL""".stripMargin,
       // numeric drift = the histogram bin arithmetic as the melt, then the
       // IDENTICAL shared TVD chain (one definition — cannot drift from the
       // categorical replay)

@@ -50,6 +50,38 @@ object Stats {
     agg.select(groupCols.map(col) ++ (col("n_rows") +: qCols): _*)
   }
 
+  /** Equi-depth (quantile) binning — the decile-feature assignment operator
+    * next to [[groupedQuantiles]] (which returns the quantile VALUES; this
+    * assigns each ROW its quantile bucket): `bin = ntile(k)` over the total
+    * order `(value, id)` within each group. The id tiebreak makes the
+    * assignment a pure function of the data — equal values split between
+    * adjacent buckets deterministically, across runs, partitionings, and
+    * engines (bare `ntile` over a non-unique order is free to tie-break
+    * arbitrarily). ntile's SQL-standard fill rule (⌈n/k⌉-sized buckets
+    * first, remainder spread from bucket 1) is what DuckDB implements too,
+    * so the replay is exact. NULL values are excluded — a null has no rank,
+    * and binning it would put a fabricated boundary into every bucket
+    * below it.
+    *
+    * Shape at 100 TB: one window exchange keyed on the group columns — the
+    * standard per-group sort. Groups are the parallelism unit; a single
+    * giant group serializes its sort, which is the documented reason the
+    * histogram/quantile pair exists for the whole-corpus case.
+    */
+  def equiDepthBins(
+      df: DataFrame,
+      groupCols: Seq[String],
+      valueCol: String,
+      idCol: String,
+      k: Int): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(groupCols.map(col): _*)
+      .orderBy(col(valueCol).asc, col(idCol).asc)
+    df.filter(col(valueCol).isNotNull)
+      .withColumn("bin", ntile(k).over(w))
+  }
+
   /** Fixed-bin histogram of `valueCol` over `[lo, hi)`, per group: bin
     * `i` covers `[lo + i·w, lo + (i+1)·w)` with `w = (hi-lo)/nBins`;
     * out-of-range values clamp into the edge bins (so the histogram always

@@ -44,6 +44,8 @@ class PlanGateSpec extends SparkTestBase {
     "categorical_drift" -> 3,
     // identical chain — the binning is a fused in-row projection
     "numeric_drift" -> 3,
+    // one window exchange keyed on the group columns
+    "equi_depth_bins" -> 1,
     "interval_join" -> 1,
     "embedding_quantize" -> 0,
     "embedding_normalize" -> 0,

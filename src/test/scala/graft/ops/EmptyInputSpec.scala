@@ -137,6 +137,8 @@ class EmptyInputSpec extends SparkTestBase {
     assert(Stats.categoricalDrift(noK, noK, Seq("k")).count() === 0L)
     val noV = Seq.empty[Double].toDF("v")
     assert(Stats.numericDrift(noV, noV, Seq(("v", 0.0, 10.0, 5))).count() === 0L)
+    val noVid = Seq.empty[(Long, Double)].toDF("id", "v")
+    assert(Stats.equiDepthBins(noVid, Seq.empty, "v", "id", 4).count() === 0L)
     // trained langid with an EMPTY labeled train set: every doc says 'und'
     // with zero evidence — the corpus must never vanish through the ×k join
     val docs = Seq((1L, "hello world"), (2L, "abc")).toDF("doc_id", "text")

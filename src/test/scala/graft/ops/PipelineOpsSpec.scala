@@ -123,6 +123,35 @@ class PipelineOpsSpec extends SparkTestBase {
     }
   }
 
+  test("equiDepthBins: SQL-standard ntile fill, deterministic tie split, nulls excluded") {
+    import spark.implicits._
+    // 10 rows, k=4 → bucket sizes 3,3,2,2 (remainder spreads from bucket 1)
+    val df = (1 to 10).map(i => (i.toLong, "g", i.toDouble)).toDF("id", "g", "v")
+    val bins = Stats.equiDepthBins(df, Seq("g"), "v", "id", 4)
+      .collect().map(r => r.getLong(0) -> r.getInt(3)).toMap
+    assert(bins === Map(1L -> 1, 2L -> 1, 3L -> 1, 4L -> 2, 5L -> 2, 6L -> 2,
+      7L -> 3, 8L -> 3, 9L -> 4, 10L -> 4))
+    // equal values split across the boundary by id — a pure function of the
+    // data, not of partitioning
+    val ties = (1 to 8).map(i => (i.toLong, "g", 5.0)).toDF("id", "g", "v")
+    val a = Stats.equiDepthBins(ties, Seq("g"), "v", "id", 2)
+      .collect().map(r => r.getLong(0) -> r.getInt(3)).toMap
+    assert(a === Map(1L -> 1, 2L -> 1, 3L -> 1, 4L -> 1,
+      5L -> 2, 6L -> 2, 7L -> 2, 8L -> 2))
+    val b = Stats.equiDepthBins(ties.repartition(7), Seq("g"), "v", "id", 2)
+      .collect().map(r => r.getLong(0) -> r.getInt(3)).toMap
+    assert(b === a)
+    // nulls have no rank: excluded, never a fabricated boundary
+    val withNull = (Seq((1L, "g", Some(1.0)), (2L, "g", None), (3L, "g", Some(3.0))))
+      .toDF("id", "g", "v")
+    val n = Stats.equiDepthBins(withNull, Seq("g"), "v", "id", 2)
+      .collect().map(r => r.getLong(0) -> r.getInt(3)).toMap
+    assert(n === Map(1L -> 1, 3L -> 2))
+    intercept[IllegalArgumentException] {
+      Stats.equiDepthBins(df, Seq("g"), "v", "id", 0)
+    }
+  }
+
   test("correlations: wide tables plan as ONE inline projection, no per-pair unions") {
     import spark.implicits._
     // k = 30 -> C(30,2) = 435 pairs: the retired union-of-branches form grew

@@ -136,6 +136,21 @@ object Temporal {
     * partition size; a key hot enough to matter here is hot enough to have
     * needed the skew tools ([[Skew]]) everywhere else first.
     */
+  /** Same-instant collapse shared by [[scd2]] and the incremental
+    * [[scd2UpsertBatch]] store: two changes in one instant have no order, so
+    * the survivor is the deterministic `max(struct(values))` — a pure
+    * function of the values, and ASSOCIATIVE, which is what makes the
+    * incremental merge exact: collapsing (old survivors ∪ new batch) equals
+    * collapsing the full history. Returns `(key, ts, _v struct)`.
+    */
+  private[graft] def collapseSameInstant(
+      df: DataFrame,
+      keyCol: String,
+      tsCol: String,
+      valueCols: Seq[String]): DataFrame =
+    df.groupBy(col(keyCol), col(tsCol))
+      .agg(max(struct(valueCols.map(col): _*)).as("_v"))
+
   def scd2(
       df: DataFrame,
       keyCol: String,
@@ -143,8 +158,7 @@ object Temporal {
       valueCols: Seq[String],
       collapseNoChange: Boolean = true): DataFrame = {
     require(valueCols.nonEmpty, "scd2 needs at least one tracked value column")
-    val vstruct = struct(valueCols.map(col): _*)
-    val dedup = df.groupBy(col(keyCol), col(tsCol)).agg(max(vstruct).as("_v"))
+    val dedup = collapseSameInstant(df, keyCol, tsCol, valueCols)
     val wAsc = Window.partitionBy(col(keyCol)).orderBy(col(tsCol))
     val changed =
       if (collapseNoChange)
@@ -157,6 +171,97 @@ object Temporal {
       .withColumn("valid_to", lead(col(tsCol), 1).over(wAsc))
       .select(col(keyCol) +: valueCols.map(c => col(s"_v.$c").as(c)) :+
         col(tsCol).as("valid_from") :+ col("valid_to"): _*)
+  }
+
+  /** Incremental SCD2 maintenance — merge a change batch into a bucketed
+    * on-disk CHANGE LOG, rewriting ONLY the key-hash buckets the batch
+    * touches (Spark's dynamic partition overwrite: the output contains just
+    * the affected buckets, so untouched directories are never rewritten).
+    *
+    * What is materialized is deliberately the collapsed LOG, not the
+    * intervals. Materializing [[scd2]]'s survivor intervals is LOSSY under
+    * out-of-order arrivals: with history `t1=A, t2=A`, the `t2` change is
+    * dropped as a no-op — but if `t1.5=B` arrives later, the full history
+    * is `A[t1,t1.5) B[t1.5,t2) A[t2,∞)` and the dropped `t2=A` is load-
+    * bearing again. The same-instant collapse, by contrast, is ASSOCIATIVE
+    * (max-struct), so log merging is exact under ANY arrival order — and
+    * IDEMPOTENT, which is what makes a replayed micro-batch (foreachBatch's
+    * at-least-once contract) merge to the identical log: exactly-once
+    * semantics without a transactional sink. Intervals derive on read
+    * ([[readScd2Store]]), where [[scd2]]'s no-op drop sees the complete
+    * per-key history and is always right.
+    *
+    * NULL keys drop (the family policy: a key identifies the row; NULL
+    * identifies nothing). Per batch: one scan of the batch + one scan of
+    * the AFFECTED buckets only (partition-pruned by the bucket values),
+    * one collapse aggregation, one pruned-partition write. Driver state =
+    * the affected bucket id set (≤ numBuckets ints).
+    */
+  def scd2UpsertBatch(
+      batch: DataFrame,
+      path: String,
+      keyCol: String,
+      tsCol: String,
+      valueCols: Seq[String],
+      numBuckets: Int): Unit = {
+    require(numBuckets >= 1, "numBuckets must be >= 1")
+    require(valueCols.nonEmpty, "need at least one tracked value column")
+    val spark = batch.sparkSession
+    val cols = (keyCol +: tsCol +: valueCols).map(col)
+    val flat = collapseSameInstant(
+      batch.filter(col(keyCol).isNotNull).select(cols: _*), keyCol, tsCol, valueCols)
+      .select(col(keyCol) +: col(tsCol) +: valueCols.map(c => col(s"_v.$c").as(c)): _*)
+    val bucket = pmod(xxhash64(col(keyCol)), lit(numBuckets.toLong)).cast("int")
+    val withBucket = flat.withColumn("bucket", bucket)
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(new org.apache.hadoop.fs.Path(path))) {
+      withBucket.write.partitionBy("bucket").parquet(path)
+    } else {
+      val affected = withBucket.select("bucket").distinct()
+        .collect().map(_.getInt(0)).toSeq
+      val existing = spark.read.parquet(path)
+        .filter(col("bucket").isin(affected: _*))
+        .select((keyCol +: tsCol +: valueCols).map(col): _*)
+      val merged = collapseSameInstant(
+        existing.unionByName(flat), keyCol, tsCol, valueCols)
+        .select(col(keyCol) +: col(tsCol) +:
+          valueCols.map(c => col(s"_v.$c").as(c)): _*)
+        .withColumn("bucket", bucket)
+      merged.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("bucket").parquet(path)
+    }
+  }
+
+  /** Read the bucketed SCD2 store back as validity intervals: [[scd2]] over
+    * the stored log — the no-op drop runs HERE, where it sees each key's
+    * complete history (see [[scd2UpsertBatch]] for why it must not run at
+    * write time). With `keys`, the read prunes to the probed keys' buckets
+    * FIRST (the bucket values land as PartitionFilters — whole directories
+    * never open) and then semi-joins the exact keys; serving one entity's
+    * history from a petabyte store reads one bucket.
+    */
+  def readScd2Store(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      keyCol: String,
+      tsCol: String,
+      valueCols: Seq[String],
+      numBuckets: Int,
+      keys: Option[DataFrame] = None): DataFrame = {
+    val log = spark.read.parquet(path)
+    val pruned = keys match {
+      case None => log
+      case Some(k) =>
+        val buckets = k.filter(col(keyCol).isNotNull)
+          .select(pmod(xxhash64(col(keyCol)), lit(numBuckets.toLong))
+            .cast("int").as("b"))
+          .distinct().collect().map(_.getInt(0)).toSeq
+        log.filter(col("bucket").isin(buckets: _*))
+          .join(k.select(col(keyCol)).distinct(), Seq(keyCol), "left_semi")
+    }
+    scd2(pruned.drop("bucket"), keyCol, tsCol, valueCols)
   }
 
   def asofJoin(

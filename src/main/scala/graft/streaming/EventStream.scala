@@ -64,6 +64,39 @@ object EventStream {
       .outputMode(OutputMode.Append)
       .start()
 
+  /** Streaming SCD2 maintenance — a live change stream keeps the bucketed
+    * dimension-history store current: every micro-batch merges through
+    * [[graft.ops.Temporal.scd2UpsertBatch]], rewriting only the key-hash
+    * buckets the batch touches. `foreachBatch` is the right tool and its
+    * at-least-once replay contract is SAFE here by construction: the log
+    * merge is idempotent (associative same-instant collapse), so a replayed
+    * batch produces the byte-identical log — exactly-once semantics with no
+    * transactional sink. Out-of-order and late changes are equally safe:
+    * the store materializes the collapsed LOG, and the no-op drop runs at
+    * read time over complete per-key history (the lossy-survivor
+    * counterexample in the upsert's scaladoc is exactly what this design
+    * avoids). Readers serve [[graft.ops.Temporal.readScd2Store]] —
+    * key-targeted reads open one bucket via PartitionFilters.
+    */
+  def scd2Sink(
+      changes: DataFrame,
+      path: String,
+      checkpointDir: String,
+      keyCol: String,
+      tsCol: String,
+      valueCols: Seq[String],
+      numBuckets: Int,
+      trigger: org.apache.spark.sql.streaming.Trigger =
+        org.apache.spark.sql.streaming.Trigger.AvailableNow()): org.apache.spark.sql.streaming.StreamingQuery =
+    changes.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        graft.ops.Temporal.scd2UpsertBatch(
+          batch.toDF(), path, keyCol, tsCol, valueCols, numBuckets)
+      }
+      .start()
+
   /** Streaming exact dedup: drops repeated `event_id`s (at-least-once
     * ingest -> exactly-once semantics downstream). On a stream this is
     * `dropDuplicatesWithinWatermark` — the variant whose state the watermark

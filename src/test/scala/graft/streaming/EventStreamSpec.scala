@@ -493,4 +493,75 @@ class EventStreamSpec extends SparkTestBase {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(batch === streamed)
   }
+
+  test("scd2Sink: out-of-order micro-batches merge exactly; only touched buckets rewrite; key reads prune") {
+    import spark.implicits._
+    implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import graft.ops.Temporal
+    def t(m: Int) = new Timestamp(1700000000000L + m * 60000L)
+    val base = java.nio.file.Files.createTempDirectory("graft-scd2s").toString
+    val path = s"$base/store"
+    val ck = s"$base/ck"
+    val nb = 8
+    val ms = MemoryStream[(Long, Timestamp, String)]
+    def run(): Unit = {
+      val q = EventStream.scd2Sink(
+        ms.toDF().toDF("user_id", "ts", "plan"),
+        path, ck, "user_id", "ts", Seq("plan"), nb)
+      q.processAllAvailable(); q.stop()
+    }
+    // batch 1: key 7 writes A at t1 and A again at t10 (a no-op — for now)
+    ms.addData(Seq((7L, t(1), "A"), (7L, t(10), "A"), (3L, t(1), "X")))
+    run()
+    // the lossy-survivor counterexample: B lands BETWEEN them, one batch late.
+    // If the store had materialized scd2 survivors, t10=A would be gone and
+    // this history would be unrecoverable.
+    val beforeFiles = {
+      val d = new java.io.File(path)
+      d.listFiles().filter(_.getName.startsWith("bucket="))
+        .map(f => f.getName -> f.listFiles().map(_.getName).toSet).toMap
+    }
+    ms.addData(Seq((7L, t(5), "B")))
+    run()
+    val allChanges = Seq(
+      (7L, t(1), "A"), (7L, t(10), "A"), (3L, t(1), "X"), (7L, t(5), "B"))
+      .toDF("user_id", "ts", "plan")
+    val expect = Temporal.scd2(allChanges, "user_id", "ts", Seq("plan"))
+      .collect().map(_.toSeq).toSet
+    val got = Temporal.readScd2Store(spark, path, "user_id", "ts", Seq("plan"), nb)
+      .collect().map(_.toSeq).toSet
+    assert(got === expect)
+    // key 7's history has all three intervals — t10=A is load-bearing again
+    assert(got.count(_.head == 7L) === 3)
+    // only key 7's bucket was rewritten: key 3's bucket dir kept its files
+    val afterFiles = {
+      val d = new java.io.File(path)
+      d.listFiles().filter(_.getName.startsWith("bucket="))
+        .map(f => f.getName -> f.listFiles().map(_.getName).toSet).toMap
+    }
+    import org.apache.spark.sql.functions.{lit, pmod, xxhash64}
+    val bucketOf = (k: Long) => spark.range(1).select(
+      pmod(xxhash64(lit(k)), lit(nb.toLong)).cast("int")).collect().head.getInt(0)
+    assert(bucketOf(3L) !== bucketOf(7L), "test setup: keys must land in different buckets")
+    assert(afterFiles(s"bucket=${bucketOf(3L)}") === beforeFiles(s"bucket=${bucketOf(3L)}"),
+      "untouched bucket must keep its exact file set")
+    assert(afterFiles(s"bucket=${bucketOf(7L)}") !== beforeFiles(s"bucket=${bucketOf(7L)}"))
+    // idempotent replay: re-merging the same batch leaves the log identical
+    val logBefore = spark.read.parquet(path).collect().map(_.toSeq).toSet
+    Temporal.scd2UpsertBatch(Seq((7L, t(5), "B")).toDF("user_id", "ts", "plan"),
+      path, "user_id", "ts", Seq("plan"), nb)
+    assert(spark.read.parquet(path).collect().map(_.toSeq).toSet === logBefore)
+    // same-instant conflict across batches: max-struct survivor, associative
+    Temporal.scd2UpsertBatch(Seq((3L, t(1), "W")).toDF("user_id", "ts", "plan"),
+      path, "user_id", "ts", Seq("plan"), nb)
+    val k3 = Temporal.readScd2Store(spark, path, "user_id", "ts", Seq("plan"), nb,
+      keys = Some(Seq(3L).toDF("user_id")))
+    assert(k3.collect().map(r => r.getString(1)).toSeq === Seq("X"),
+      "max(struct) survivor: X > W")
+    // key-targeted read prunes to the probed key's bucket via PartitionFilters
+    val plan = Temporal.readScd2Store(spark, path, "user_id", "ts", Seq("plan"), nb,
+      keys = Some(Seq(3L).toDF("user_id"))).queryExecution.executedPlan.toString
+    val pf = plan.linesIterator.find(_.contains("PartitionFilters")).getOrElse("")
+    assert(pf.contains("bucket"), s"key read must partition-prune, got: $pf")
+  }
 }

@@ -1173,6 +1173,20 @@ object SparkEntry {
       ("es", d.filter(col("lang") === "es"))), "doc_id")
   }
 
+  /** Link authority over the customer→supplier purchase graph (suppliers
+    * offset into their own id space): the crawl-curation ranking signal,
+    * integer-exact so the oracle replays every iteration.
+    */
+  private def pageRankQuery(s: SparkSession, dir: String): DataFrame = {
+    val orders = s.read.parquet(s"$dir/orders.parquet")
+      .select("o_orderkey", "o_custkey")
+    val li = s.read.parquet(s"$dir/lineitem.parquet")
+      .select("l_orderkey", "l_suppkey")
+    val edges = orders.join(li, col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_custkey").as("src"), (col("l_suppkey") + 1000000L).as("dst"))
+    ops.Graph.pageRank(edges, "src", "dst")
+  }
+
   private def cooccurrenceQuery(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.cooccurrence(docs(s, dir), "doc_id", "text", window = 2, topK = 50)
 
@@ -1583,6 +1597,7 @@ object SparkEntry {
     "cooccurrence" -> (cooccurrenceQuery _),
     "mix_corpora" -> (mixCorporaQuery _),
     "mix_temperature" -> (mixTemperatureQuery _),
+    "page_rank" -> (pageRankQuery _),
     "top_terms" -> (topTermsQuery _),
     "source_orc_roundtrip" -> (sourceOrcRoundtrip _),
     "source_avro_roundtrip" -> (sourceAvroRoundtrip _),
@@ -3461,6 +3476,28 @@ object SparkEntry {
           |    'code' AS mix_source FROM b WHERE source = 'src2')
           |SELECT doc_id, source, CAST(unnest(range(1, n + 1)) AS INT) AS copy_id, mix_source
           |FROM u""".stripMargin,
+      // PageRank replay: the iteration body is GENERATED once per iteration
+      // from one Scala template (contribution = rank // outdeg summed per
+      // dst, update = teleport + (inbound * 85) // 100), so the unrolled
+      // chain cannot drift from itself — all integer ops, engine-identical
+      "page_rank" -> {
+        val iters = (1 to 3).map { i =>
+          s"""c$i AS (SELECT e.dst AS node,
+             |    CAST(sum(r.rank // od.outdeg) AS BIGINT) AS inb
+             |  FROM e JOIN od USING (src) JOIN r${i - 1} r ON r.node = e.src
+             |  GROUP BY e.dst),
+             |r$i AS (SELECT n.node,
+             |    CAST(150000 + (coalesce(c.inb, 0) * 85) // 100 AS BIGINT) AS rank
+             |  FROM nodes n LEFT JOIN c$i c USING (node))""".stripMargin
+        }.mkString(",\n")
+        s"""WITH e AS (SELECT DISTINCT o_custkey AS src, l_suppkey + 1000000 AS dst
+           |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+           |od AS (SELECT src, count(*) AS outdeg FROM e GROUP BY src),
+           |nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+           |r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS rank FROM nodes),
+           |$iters
+           |SELECT node, rank FROM r3""".stripMargin
+      },
       // temperature-mix replay: per-corpus counts pivot into ONE row so the
       // √-sum is an explicit left-associated expression (the documented op
       // order; a SQL aggregate's float summation order is unspecified), the

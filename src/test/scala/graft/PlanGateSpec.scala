@@ -32,7 +32,10 @@ class PlanGateSpec extends SparkTestBase {
     // being BUILT (same machinery as lm_score, which carries a budget only
     // because its scored side stays un-checkpointed; here the bucketed
     // corpus is also checkpointed for the three mix branches)
-    "pipeline_quality_mix")
+    "pipeline_quality_mix",
+    // per-iteration localCheckpoints (the CC discipline) — the final plan
+    // reads the last snapshot only
+    "page_rank")
 
   private val maxShuffles = Map(
     "asof_join" -> 1,

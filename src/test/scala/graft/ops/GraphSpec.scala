@@ -1,0 +1,49 @@
+package graft.ops
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+class GraphSpec extends SparkTestBase {
+
+  test("pageRank: hand-computed integer iterations, dangling leak, duplicate edges count once") {
+    import spark.implicits._
+    // A(1)→B(2), A→C(3), B→C; C dangles. scale 1e6, damping 85.
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L), (1L, 2L)).toDF("src", "dst")
+    // iteration 1 by hand: contributions B←1e6//2, C←1e6//2 + 1e6 →
+    // A 150000, B 150000+425000, C 150000+1275000
+    val r1 = Graph.pageRank(edges, "src", "dst", iterations = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(r1 === Map(1L -> 150000L, 2L -> 575000L, 3L -> 1425000L))
+    // iteration 2: B←150000//2, C←75000 + 575000 →
+    // A 150000, B 150000+63750, C 150000+552500
+    val r2 = Graph.pageRank(edges, "src", "dst", iterations = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(r2 === Map(1L -> 150000L, 2L -> 213750L, 3L -> 702500L))
+    // partitioning-independent (integer lane, no float summation)
+    val r2b = Graph.pageRank(edges.repartition(7), "src", "dst", iterations = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(r2b === r2)
+    // the authority ORDER is what the signal is for: sink > hub > source
+    assert(r2(3L) > r2(2L) && r2(2L) > r2(1L))
+    // dangling leak stated honestly: total mass decreases, never grows
+    assert(r2.values.sum < 3L * 1000000L)
+    // null endpoints drop, never a fabricated node
+    val withNull = Seq((Some(1L), Some(2L)), (None, Some(3L)), (Some(2L), None))
+      .toDF("src", "dst")
+    val rn = Graph.pageRank(withNull, "src", "dst", iterations = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(rn.keySet === Set(1L, 2L))
+    intercept[IllegalArgumentException] {
+      Graph.pageRank(edges, "src", "dst", iterations = 0)
+    }
+    intercept[IllegalArgumentException] {
+      Graph.pageRank(edges, "src", "dst", scale = 999L)
+    }
+  }
+
+  test("pageRank: empty edge list yields an empty ranking, no crash") {
+    import spark.implicits._
+    val none = Seq.empty[(Long, Long)].toDF("src", "dst")
+    assert(Graph.pageRank(none, "src", "dst").count() === 0L)
+  }
+}

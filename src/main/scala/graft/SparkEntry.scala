@@ -360,6 +360,17 @@ object SparkEntry {
       Similarity.ivfTopK(q, c, 10)))
   }
 
+  /** The LSH ranking judged against the brute-force ground truth — the
+    * recall-vs-speed evidence for the ANN family, per query.
+    */
+  private def searchEval(s: SparkSession, dir: String): DataFrame = {
+    val q = knnQueries(s, dir)
+    val c = knnCorpus(s, dir)
+    Similarity.rankingMetrics(
+      Similarity.lshTopK(q, c, 10, dim = 64),
+      Similarity.bruteForceTopK(q, c, 10), k = 10)
+  }
+
   // PQ search: 64-dim vectors → 4 subspaces × 8 cells, deterministic per-
   // subspace Lloyd; the oracle replays train+encode+ADC rank-for-rank
   private def knnPq(s: SparkSession, dir: String): DataFrame = {
@@ -1530,6 +1541,7 @@ object SparkEntry {
     "knn_ivf" -> (knnIvf _),
     "knn_pq" -> (knnPq _),
     "search_rrf_fusion" -> (searchRrfFusion _),
+    "search_eval" -> (searchEval _),
     "text_stats" -> (textStats _),
     "text_quality" -> (textQuality _),
     "text_langid" -> (textLangid _),
@@ -2405,6 +2417,25 @@ object SparkEntry {
       // WITH-in-subquery branches (one definition each — the fused replay
       // cannot drift from the per-ranking replays), fixed-point reciprocal
       // sum, (score desc, id) window
+      // retrieval eval replay: the SAME brute/LSH chains as their own oracle
+      // entries (one definition each — the eval cannot drift from the
+      // rankings it grades), left-joined on (qid, neighbor_id), exact hit
+      // counts, one IEEE division each for recall@k and reciprocal rank
+      "search_eval" ->
+        s"""WITH tr AS ($knnBruteSql),
+           |ca AS ($knnLshSql),
+           |j AS (SELECT tr.qid, tr.rank AS trank, ca.rank AS crank
+           |  FROM tr LEFT JOIN ca
+           |    ON tr.qid = ca.qid AND tr.neighbor_id = ca.neighbor_id)
+           |SELECT qid,
+           |  count(*) AS n_truth,
+           |  count(crank) AS n_hits,
+           |  round(CAST(count(crank) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6)
+           |    AS recall_at_k,
+           |  coalesce(round(CAST(1.0 AS DOUBLE) /
+           |    min(CASE WHEN trank = 1 THEN crank END), 6), 0.0)
+           |    AS reciprocal_rank
+           |FROM j GROUP BY qid""".stripMargin,
       "search_rrf_fusion" ->
         s"""WITH u AS (
            |  SELECT * FROM ($knnBruteSql)

@@ -297,6 +297,47 @@ object Similarity {
       .select(col("qid"), col("neighbor_id"), col("rank"), col("rrf_score"))
   }
 
+  /** Retrieval evaluation — recall@k and per-query reciprocal rank of a
+    * candidate ranking against a ground-truth ranking (both in the family's
+    * `(qid, neighbor_id, rank)` shape, e.g. [[lshTopK]] judged against
+    * [[bruteForceTopK]]): the eval harness every approximate-retrieval
+    * deployment runs before trading recall for speed, and the measured form
+    * of each ANN operator's recall knob. Per query:
+    *
+    *  - `n_truth` / `n_hits`: EXACT integers — truth items within rank ≤ k
+    *    and how many the candidate list (also ≤ k) recovered;
+    *  - `recall_at_k` = one IEEE division of those exact integers, round 6;
+    *  - `reciprocal_rank`: `1/rank_cand(truth top-1)`, 0.0 when the true
+    *    best item is absent — one exact-integer division, so the MRR a
+    *    caller derives by averaging is built from engine-identical terms.
+    *
+    * A truth query absent from the candidates scores (0 hits, rr 0.0) —
+    * absence IS the finding; it never drops. Plan: both sides filter to
+    * rank ≤ k (rank-table-sized by construction), ONE join keyed
+    * `(qid, neighbor_id)`, one per-query aggregation.
+    */
+  def rankingMetrics(
+      candidates: DataFrame,
+      truth: DataFrame,
+      k: Int): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    val t = truth.filter(col("rank") <= k)
+      .select(col("qid"), col("neighbor_id"), col("rank").as("_trank"))
+    val c = candidates.filter(col("rank") <= k)
+      .select(col("qid"), col("neighbor_id"), col("rank").as("_crank"))
+    t.join(c, Seq("qid", "neighbor_id"), "left")
+      .groupBy(col("qid"))
+      .agg(
+        count(lit(1)).as("n_truth"),
+        count(col("_crank")).as("n_hits"),
+        min(when(col("_trank") === 1, col("_crank"))).as("_top1"))
+      .select(col("qid"), col("n_truth"), col("n_hits"),
+        round(col("n_hits").cast("double") / col("n_truth").cast("double"), 6)
+          .as("recall_at_k"),
+        coalesce(round(lit(1.0) / col("_top1"), 6), lit(0.0))
+          .as("reciprocal_rank"))
+  }
+
   /** Product-quantization codebooks (Jégou et al. 2011): the vector splits
     * into `m` contiguous subspaces and each subspace trains its OWN
     * deterministic-Lloyd codebook ([[trainCentroids]] — lowest-id seeds,

@@ -128,6 +128,9 @@ class PlanGateSpec extends SparkTestBase {
     // (1: its window) + the keyed RRF sum (1) + the fused window (1); the
     // IVF branch's exchanges hang off its eager training like knn_ivf
     "search_rrf_fusion" -> 6,
+    // brute window (1) + lsh window (1) + the (qid, neighbor_id) eval join
+    // (2) + the per-query agg (1)
+    "search_eval" -> 5,
     "multimodal_meta" -> 0,
     "image_stats" -> 0,
     "audio_stats" -> 0,
@@ -246,7 +249,7 @@ class PlanGateSpec extends SparkTestBase {
     // scalar-attach idiom at k rows — the nested loop runs once per partition
     "text_langid_model",
     // contains knn_brute's sanctioned exact-baseline BNLJ as one branch
-    "search_rrf_fusion")
+    "search_rrf_fusion", "search_eval")
 
   test("every query has a plan budget (or a documented exemption)") {
     val missing = SparkEntry.queries.keySet -- maxShuffles.keySet -- iterative

@@ -552,4 +552,31 @@ class SimilaritySpec extends SparkTestBase {
       assert(rows.map(_.getAs[Int]("rank")).sorted.toSeq == (1 to rows.length))
     }
   }
+  test("rankingMetrics: exact hits, recall@k and RR per query; absent queries score zero") {
+    import spark.implicits._
+    val truth = Seq(
+      (1L, 10L, 1), (1L, 20L, 2), (1L, 30L, 3),
+      (2L, 40L, 1), (2L, 50L, 2)
+    ).toDF("qid", "neighbor_id", "rank")
+    val cand = Seq(
+      (1L, 20L, 1), (1L, 10L, 2), (1L, 99L, 3), (1L, 30L, 4) // 30 beyond k
+    ).toDF("qid", "neighbor_id", "rank")
+    val m = Similarity.rankingMetrics(cand, truth, k = 3)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4)))).toMap
+    // q1: truth {10,20,30}, candidates at k=3 {20,10,99} -> 2 hits; the true
+    // top-1 (10) sits at candidate rank 2 -> RR = 0.5
+    assert(m(1L) === ((3L, 2L, 0.666667, 0.5)))
+    // q2 never appears in the candidates: 0 hits, RR 0.0 - absence IS the
+    // finding, the query never drops
+    assert(m(2L) === ((2L, 0L, 0.0, 0.0)))
+    assert(m.size === 2)
+    // perfect self-eval: recall 1, RR 1 for every query
+    val self = Similarity.rankingMetrics(truth, truth, k = 3)
+      .collect().map(r => (r.getDouble(3), r.getDouble(4))).toSet
+    assert(self === Set((1.0, 1.0)))
+    intercept[IllegalArgumentException] {
+      Similarity.rankingMetrics(cand, truth, k = 0)
+    }
+  }
 }

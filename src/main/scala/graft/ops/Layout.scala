@@ -280,6 +280,67 @@ object Layout {
     manifest.coalesce(1).write.mode("errorifexists").parquet(s"$path/_zonemap")
   }
 
+  /** Incremental zone-mapped ingest — the nightly-append sibling of
+    * [[writeZoneMapped]] (the ANN family has `appendToIvfIndex`; this is the
+    * layout family's): the NEW batch Z-sorts into its own `numFiles` files
+    * and appends, and the manifest updates by scanning ONLY the appended
+    * files (the before/after listing diff names them) — at 100 TB the
+    * existing corpus is never re-read, which is the entire point of an
+    * append path. Existing manifest rows ride through UNTOUCHED (the spec
+    * pins them byte-identical), so the manifest stays the exact union of
+    * every file's true min/max. Each batch's files cover only that batch's
+    * value boxes; interleaving batches degrades PRUNING (boxes from
+    * different batches may overlap — drift accumulates in box overlap, not
+    * correctness), and a periodic [[writeZoneMapped]] rewrite is the honest
+    * re-cluster, exactly as the IVF scaladoc prescribes rebuilds.
+    */
+  def appendZoneMapped(
+      df: DataFrame,
+      path: String,
+      indexA: (String, Double, Double),
+      indexB: (String, Double, Double),
+      numFiles: Int): Unit = {
+    require(numFiles >= 1, "numFiles must be >= 1")
+    val (ca, loA, hiA) = indexA
+    val (cb, loB, hiB) = indexB
+    require(hiA > loA && hiB > loB, "need hi > lo for both index columns")
+    val spark = df.sparkSession
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def dataFiles(): Set[String] = {
+      val it = fs.listFiles(new org.apache.hadoop.fs.Path(path), false)
+      val out = scala.collection.mutable.Set[String]()
+      while (it.hasNext) {
+        val f = it.next().getPath
+        if (f.getName.endsWith(".parquet") && !f.getName.startsWith("_"))
+          out += f.toString
+      }
+      out.toSet
+    }
+    val before = dataFiles()
+    val z = morton2(rank16(col(ca), loA, hiA), rank16(col(cb), loB, hiB))
+    df.withColumn("_z", z)
+      .repartitionByRange(numFiles, col("_z"))
+      .sortWithinPartitions(col("_z"))
+      .drop("_z")
+      .write.mode("append").parquet(path)
+    val added = (dataFiles() -- before).toSeq.sorted
+    if (added.nonEmpty) {
+      val newRows = spark.read.parquet(added: _*)
+        .select(input_file_name().as("file"), col(ca), col(cb))
+        .groupBy(col("file"))
+        .agg(min(col(ca)).as("min_a"), max(col(ca)).as("max_a"),
+          min(col(cb)).as("min_b"), max(col(cb)).as("max_b"))
+      val manifestPath = s"$path/_zonemap"
+      val merged = spark.read.parquet(manifestPath).unionByName(newRows)
+      // the manifest is kilobytes — materialize before overwriting its input
+      val rows = merged.collect().toIndexedSeq
+      val out = spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, 1), merged.schema)
+      out.write.mode("overwrite").parquet(manifestPath)
+    }
+  }
+
   /** Zone-pruned read: intersect the query box `[aLo, aHi] × [bLo, bHi]`
     * with the manifest's per-file boxes, read ONLY the surviving files, and
     * re-apply the precise predicate (the manifest proves absence, never

@@ -308,4 +308,38 @@ class LayoutSpec extends SparkTestBase {
     assert(Layout.readZonePruned(spark, nPath, "a", 20, 39, "b", 50, 69)
       .count() === fullN)
   }
+
+  test("appendZoneMapped: only new files scanned into the manifest; old rows byte-identical; reads stay exact") {
+    import spark.implicits._
+    val grid = spark.range(10000L)
+      .select((col("id") / 100).cast("long").as("a"),
+        (col("id") % 100).cast("long").as("b"), col("id").as("payload"))
+    val base = java.nio.file.Files.createTempDirectory("graft-zappend").toString
+    val path = s"$base/z"
+    Layout.writeZoneMapped(grid, path, ("a", 0.0, 100.0), ("b", 0.0, 100.0), 8)
+    val manifestBefore = spark.read.parquet(s"$path/_zonemap")
+      .collect().map(_.toSeq).toSet
+    // a later batch in a fresh value region appends without re-reading the
+    // existing corpus
+    val batch = spark.range(10000L, 12000L)
+      .select(lit(150L).as("a"), (col("id") % 100).cast("long").as("b"),
+        col("id").as("payload"))
+    Layout.appendZoneMapped(batch, path, ("a", 0.0, 100.0), ("b", 0.0, 100.0), 4)
+    val manifestAfter = spark.read.parquet(s"$path/_zonemap")
+      .collect().map(_.toSeq).toSet
+    // existing manifest rows ride through untouched; 4 new file rows appear
+    assert(manifestBefore.subsetOf(manifestAfter))
+    assert(manifestAfter.size === manifestBefore.size + 4)
+    // combined reads stay exact: a box over the OLD region, and one over the
+    // appended region (a=150 clamps into the top rank — still prunable)
+    val old = Layout.readZonePruned(spark, path, "a", 10, 19, "b", 20, 29)
+    assert(old.count() === spark.read.parquet(path)
+      .filter(col("a").between(10, 19) && col("b").between(20, 29)).count())
+    val appended = Layout.readZonePruned(spark, path, "a", 140, 200, "b", 0, 100)
+    assert(appended.count() === 2000L)
+    // and the appended-region query prunes every original file: its
+    // candidates are exactly the 4 new ones
+    val (kept, total) = Layout.zonePruneStats(spark, path, "a", 140, 200, "b", 0, 100)
+    assert(total === 12L && kept === 4L, s"expected 4/12 files, got $kept/$total")
+  }
 }

@@ -205,6 +205,41 @@ object Layout {
     CompactStats(nFiles, nOut, bytes)
   }
 
+  /** Parquet write with per-column BLOOM FILTERS — the point-lookup lever
+    * the zone map cannot provide: min/max boxes prune RANGES, but a
+    * high-cardinality id scattered uniformly (the usual case for join/
+    * lookup keys after hashing) intersects every box, while a bloom filter
+    * answers "this row group cannot contain key X" directly. Parquet
+    * readers (Spark's vectorized reader included, `parquet.filter.bloom.
+    * enabled`, default on) consult the filter for `=` / `IN` predicates and
+    * skip whole row groups — at 100 TB a point lookup on a bloom-indexed
+    * key touches the footer + filter bytes of most files and the data pages
+    * of almost none.
+    *
+    * `ndvPerCol` sizes each filter (bits ≈ ndv × ~10 for the default FPP);
+    * an honest NDV estimate per ROW GROUP is what matters — oversizing
+    * wastes footer bytes, undersizing inflates false positives, and
+    * [[graft.ops.Sketch.hllEstimate]] is the sanctioned way to measure it.
+    * This is a WRITE-side contract: files remain plain parquet, readable by
+    * anything; readers without bloom support just ignore the extra bytes.
+    */
+  def writeWithBloomFilters(
+      df: DataFrame,
+      path: String,
+      ndvPerCol: Map[String, Long],
+      rowGroupMB: Int = 128): Unit = {
+    require(ndvPerCol.nonEmpty, "name at least one bloom-filter column")
+    ndvPerCol.foreach { case (c, ndv) =>
+      require(ndv > 0, s"column $c: ndv must be positive")
+      require(df.columns.contains(c), s"column $c not in the frame")
+    }
+    val w = df.write.option("parquet.block.size", (rowGroupMB.toLong << 20).toString)
+    ndvPerCol.foldLeft(w) { case (acc, (c, ndv)) =>
+      acc.option(s"parquet.bloom.filter.enabled#$c", "true")
+        .option(s"parquet.bloom.filter.expected.ndv#$c", ndv.toString)
+    }.mode("errorifexists").parquet(path)
+  }
+
   /** 16-bit rank of a numeric column over explicit `[lo, hi)` bounds — the
     * histogram bin arithmetic at 65 536 bins, clamped into the edge ranks.
     * Explicit bounds keep the rank (and so the whole layout) a pure function

@@ -342,4 +342,40 @@ class LayoutSpec extends SparkTestBase {
     val (kept, total) = Layout.zonePruneStats(spark, path, "a", 140, 200, "b", 0, 100)
     assert(total === 12L && kept === 4L, s"expected 4/12 files, got $kept/$total")
   }
+
+  test("writeWithBloomFilters: footer carries a real bloom filter; present keys hit, absent keys miss") {
+    import scala.jdk.CollectionConverters._
+    val df = spark.range(20000L).toDF("k")
+      .withColumn("payload", org.apache.spark.sql.functions.col("k") * 2)
+      .coalesce(1)
+    val base = java.nio.file.Files.createTempDirectory("graft-bloom").toString
+    val path = s"$base/t"
+    Layout.writeWithBloomFilters(df, path, Map("k" -> 20000L))
+    // plain parquet stays readable by anyone, values intact
+    assert(spark.read.parquet(path).count() === 20000L)
+    val file = new java.io.File(path).listFiles()
+      .filter(_.getName.endsWith(".parquet")).head
+    val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+      org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+        new org.apache.hadoop.fs.Path(file.toString),
+        spark.sparkContext.hadoopConfiguration))
+    try {
+      val block = reader.getFooter.getBlocks.get(0)
+      val cols = block.getColumns.asScala
+      val kCol = cols.find(_.getPath.toDotString == "k").get
+      val pCol = cols.find(_.getPath.toDotString == "payload").get
+      // the filter exists ONLY where requested
+      assert(kCol.getBloomFilterOffset >= 0, "k must carry a bloom filter")
+      assert(pCol.getBloomFilterOffset < 0, "payload must not")
+      val bf = reader.getBloomFilterDataReader(block).readBloomFilter(kCol)
+      // every present key hits (a bloom filter has no false negatives)
+      (0L until 20000L by 997L).foreach { k =>
+        assert(bf.findHash(bf.hash(k)), s"present key $k must hit")
+      }
+      // absent keys overwhelmingly miss (default FPP ~1%: 100 probes, allow 5)
+      val falsePositives =
+        (1000000L until 1000100L).count(k => bf.findHash(bf.hash(k)))
+      assert(falsePositives <= 5, s"$falsePositives/100 false positives")
+    } finally reader.close()
+  }
 }

@@ -565,6 +565,9 @@ object SparkEntry {
   private def eventsWindowed(s: SparkSession, dir: String): DataFrame =
     EventStream.windowedCounts(eventsFixedPoint(s, dir), "1 hour")
 
+  private def eventsTopkWindowed(s: SparkSession, dir: String): DataFrame =
+    EventStream.windowedTopK(events(dir).load(s), k = 3, "1 hour")
+
   private def eventsSessions(s: SparkSession, dir: String): DataFrame =
     EventStream.sessionizeBatch(eventsFixedPoint(s, dir), gapMinutes = 30)
       .select(col("user_id"),
@@ -1563,6 +1566,7 @@ object SparkEntry {
     "video_stats" -> (videoStats _),
     "events_json_extract" -> (eventsJsonExtract _),
     "events_windowed" -> (eventsWindowed _),
+    "events_topk_windowed" -> (eventsTopkWindowed _),
     "events_sessions" -> (eventsSessions _),
     "rolling_features" -> (rollingFeatures _),
     "decayed_features" -> (decayedFeatures _),
@@ -2767,6 +2771,16 @@ object SparkEntry {
           |  count(*) AS n_events,
           |  CAST(sum(CAST(round(value * 10000) AS BIGINT)) AS BIGINT) AS total_value
           |FROM events GROUP BY 1, 2""".stripMargin,
+      // the chained-agg + in-row comparator sort equals a row_number over
+      // (n desc, event_type) — deterministic ties, replayed as the window
+      "events_topk_windowed" ->
+        """WITH c AS (SELECT epoch_us(date_trunc('hour', ts)) AS window_start_us,
+          |    event_type, count(*) AS n FROM events GROUP BY 1, 2),
+          |r AS (SELECT window_start_us, event_type, n,
+          |  row_number() OVER (PARTITION BY window_start_us
+          |    ORDER BY n DESC, event_type) AS rank FROM c)
+          |SELECT window_start_us, CAST(rank AS INT) AS rank, event_type, n
+          |FROM r WHERE rank <= 3""".stripMargin,
       "events_sessions" ->
         """WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us, event_id,
           |    CAST(round(value * 10000) AS BIGINT) AS v FROM events),

@@ -64,6 +64,46 @@ object EventStream {
       .outputMode(OutputMode.Append)
       .start()
 
+  /** Windowed top-k heavy hitters — "what dominated each hour", the last
+    * member of the windowed-analytics family (counts / HLL / quantiles /
+    * drift): per event-time window, the k most frequent event types with
+    * their exact counts and dense ranks. On a stream this is the chained
+    * two-stateful-aggregation shape ([[driftMonitor]]'s): per-(window,
+    * type) counts under the watermark, then a window-of-window rollup
+    * collects the per-type counts and an IN-ROW comparator sort takes the
+    * top k — the candidate array is bounded by the type cardinality (heavy
+    * hitters are over CATEGORIES, never keys), so the in-row sort is
+    * constant work and the streaming state stays category-bounded. Ties
+    * break by event_type ascending — the ranking is a pure function of the
+    * counts, identical on stream and batch by construction.
+    */
+  def windowedTopK(
+      events: DataFrame,
+      k: Int = 3,
+      windowDuration: String = "1 hour",
+      watermarkDelay: String = "10 minutes"): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    val in =
+      if (events.isStreaming) events.withWatermark("ts", watermarkDelay)
+      else events
+    val counts = in
+      .groupBy(window(col("ts"), windowDuration), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    val cmp = (l: org.apache.spark.sql.Column, r: org.apache.spark.sql.Column) =>
+      when(l.getField("n") > r.getField("n"), -1)
+        .when(l.getField("n") < r.getField("n"), 1)
+        .when(l.getField("event_type") < r.getField("event_type"), -1)
+        .when(l.getField("event_type") > r.getField("event_type"), 1)
+        .otherwise(0)
+    counts
+      .groupBy(window(col("window"), windowDuration))
+      .agg(collect_list(struct(col("n"), col("event_type"))).as("_c"))
+      .select(unix_micros(col("window.start")).as("window_start_us"),
+        posexplode(slice(array_sort(col("_c"), cmp), 1, k)))
+      .select(col("window_start_us"), (col("pos") + 1).cast("int").as("rank"),
+        col("col.event_type").as("event_type"), col("col.n").as("n"))
+  }
+
   /** Streaming SCD2 maintenance — a live change stream keeps the bucketed
     * dimension-history store current: every micro-batch merges through
     * [[graft.ops.Temporal.scd2UpsertBatch]], rewriting only the key-hash

@@ -70,6 +70,9 @@ class PlanGateSpec extends SparkTestBase {
     // broadcast into the dot join, per-row dot re-agg + Single for the min,
     // and the exact-truth branch's join + 1-row agg
     "cms_join_size" -> 9,
+    // per-(window, type) counts (1) + the window-of-window rollup (1);
+    // the top-k sort is in-row over the category-bounded array
+    "events_topk_windowed" -> 2,
     "top_terms" -> 3,
     "source_orc_roundtrip" -> 0,
     // the returned plan is the AvroIO RDD scan (the write is an eager action

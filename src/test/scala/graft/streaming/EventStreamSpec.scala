@@ -246,6 +246,40 @@ class EventStreamSpec extends SparkTestBase {
     assert(streamed === expected, "streaming == batch, tvd values included")
   }
 
+  test("windowedTopK: streaming chained-agg top-k equals the batch twin; ranks deterministic") {
+    import spark.implicits._
+    implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def e(id: Long, minutes: Long, typ: String) =
+      GraftEvent(id, tsAt(minutes), 1L, typ, 1.0)
+    // window 0: click×3, view×2, buy×1 → top-3 = click, view, buy;
+    // window 1: view×2, buy×2 (a TIE — buy ranks first lexicographically)
+    val events = Seq(
+      e(1, 0, "click"), e(2, 10, "click"), e(3, 20, "click"),
+      e(4, 30, "view"), e(5, 40, "view"), e(6, 50, "buy"),
+      e(7, 61, "view"), e(8, 70, "view"), e(9, 80, "buy"), e(10, 90, "buy"))
+    val batch = EventStream.windowedTopK(events.toDF(), k = 2)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2), r.getLong(3)))
+      .toSet
+    val w0 = tsAt(0).getTime * 1000L
+    val w1 = tsAt(60).getTime * 1000L
+    assert(batch === Set(
+      (w0, 1, "click", 3L), (w0, 2, "view", 2L),
+      (w1, 1, "buy", 2L), (w1, 2, "view", 2L)))
+    // streaming run: identical rows, watermark advanced past both windows
+    val ms = MemoryStream[GraftEvent]
+    val q = EventStream.windowedTopK(ms.toDF(), k = 2)
+      .writeStream.format("memory").queryName("topk_out").outputMode("append").start()
+    ms.addData(events)
+    q.processAllAvailable()
+    ms.addData(Seq(e(99, 300, "click"))) // advance the watermark
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("topk_out")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2), r.getLong(3)))
+      .toSet
+    assert(streamed === batch, "streaming == batch, ranks and counts included")
+  }
+
   test("filterLines and splitBuckets are stream-safe projections: streaming == batch") {
     import spark.implicits._
     implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext

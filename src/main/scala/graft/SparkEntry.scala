@@ -862,6 +862,17 @@ object SparkEntry {
       .select("doc_id", "n_dups", "quality_score")
   }
 
+  /** DSIR-style importance resample: the 100 most English-like documents
+    * (target = the `lang='en'` slice, raw = the whole corpus) by hashed
+    * word-bigram probability ratio in the 2^20 fixed-point lane —
+    * [[ops.Selection.importanceResample]]'s deterministic top-k.
+    */
+  private def dsirSelect(s: SparkSession, dir: String): DataFrame =
+    ops.Selection.importanceResample(
+      docs(s, dir).filter(col("lang") === "en"),
+      docs(s, dir), "doc_id", "text", numBuckets = 1024, k = 100)
+      .withColumnRenamed("id", "doc_id")
+
   /** Deterministic 80/10/10 corpus split keyed on doc_id. */
   private def splitBucketsQuery(s: SparkSession, dir: String): DataFrame =
     ops.Sampling.splitBuckets(docs(s, dir).select("doc_id", "source"), "doc_id",
@@ -1573,6 +1584,7 @@ object SparkEntry {
     "column_correlations" -> (columnCorrelations _),
     "embedding_mean_pool" -> (embeddingMeanPool _),
     "split_buckets" -> (splitBucketsQuery _),
+    "dsir_select" -> (dsirSelect _),
     "event_attribution" -> (eventAttribution _),
     "text_pii_redact" -> (textPiiRedact _),
     "sample_hash" -> (sampleHash _),
@@ -2898,6 +2910,37 @@ object SparkEntry {
         """SELECT doc_id, lang, source FROM documents
           |WHERE CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 6)) AS BIGINT)
           |      % 100 < 10""".stripMargin,
+      // DSIR replay end-to-end: bigram features → md5 buckets → target/raw
+      // bucket counts → add-1 fixed-point probability ratio (HUGEINT
+      // products, one integral division) → per-doc mean → deterministic
+      // top-100 by (imp_q DESC, md5(doc_id), doc_id)
+      "dsir_select" ->
+        s"""WITH $toksCte,
+           |tp AS (SELECT doc_id, unnest(list_transform(range(1, len(toks)),
+           |  i -> toks[i] || ' ' || toks[i+1])) AS pair FROM t),
+           |fb AS (SELECT doc_id,
+           |  CAST(concat('0x', substr(md5(pair), 1, 6)) AS BIGINT) % 1024 AS b FROM tp),
+           |tgt AS (SELECT fb.b FROM fb JOIN documents d USING (doc_id)
+           |  WHERE d.lang = 'en'),
+           |tc AS (SELECT b, count(*) AS c_t FROM tgt GROUP BY b),
+           |rc AS (SELECT b, count(*) AS c_r FROM fb GROUP BY b),
+           |tot AS (SELECT (SELECT count(*) FROM tgt) AS t_total,
+           |  (SELECT count(*) FROM fb) AS r_total),
+           |q AS (SELECT fb.doc_id,
+           |  CAST((CAST(coalesce(tc.c_t, 0) + 1 AS HUGEINT)
+           |      * (tot.r_total + 1024) * 1048576)
+           |    // (CAST(coalesce(rc.c_r, 0) + 1 AS HUGEINT)
+           |      * (tot.t_total + 1024)) AS BIGINT) AS q
+           |  FROM fb LEFT JOIN tc USING (b) LEFT JOIN rc USING (b), tot),
+           |agg AS (SELECT d.doc_id, CAST(count(q.q) AS BIGINT) AS n_feats,
+           |  CAST(coalesce(sum(q.q), 0) AS BIGINT) AS imp_sum
+           |  FROM documents d LEFT JOIN q USING (doc_id) GROUP BY d.doc_id)
+           |SELECT doc_id, n_feats, imp_sum,
+           |  CAST(CASE WHEN n_feats = 0 THEN NULL
+           |       ELSE imp_sum // n_feats END AS BIGINT) AS imp_q
+           |FROM agg
+           |ORDER BY imp_q DESC NULLS LAST, md5(CAST(doc_id AS VARCHAR)), doc_id
+           |LIMIT 100""".stripMargin,
       "filter_blocklist" ->
         "SELECT doc_id, source FROM documents WHERE source NOT IN ('src3', 'src7', 'src11')",
       // Exact replica of Dedup.decontaminate: distinct word-3-grams per doc,

@@ -1,0 +1,136 @@
+package graft.ops
+
+import graft.functions.tokens
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Data selection via importance resampling (DSIR-style, Xie et al. 2023):
+  * score every raw document by how target-like its hashed n-gram profile is,
+  * then keep a deterministic top-k "resample". This is the modern
+  * data-selection primitive a training-data platform runs right after
+  * cleaning — "give me the 10M most Wikipedia-like documents out of the
+  * crawl" — and the one selection family member the engine lacked next to
+  * quality scoring ([[TextAnalysis.qualityScore]]), LM scoring
+  * ([[TextAnalysis.lmScore]]) and the Gopher gate
+  * ([[TextAnalysis.gopherFilter]]).
+  *
+  * Method (the published recipe, re-expressed in the engine's fixed-point
+  * lane): word-bigram features hash into `numBuckets` buckets (the md5
+  * bucket rule the sampling family shares — reproducible across engines and
+  * runs); bucket counts over the TARGET corpus and over the RAW corpus give
+  * two hashed-feature distributions; a document's importance is the mean
+  * add-1-smoothed probability ratio of its features,
+  *
+  *   q_b   = ((c_target(b)+1) · (R+B) · 2^20) div ((c_raw(b)+1) · (T+B))
+  *   imp_q = (Σ q_b over the doc's bigrams) div n_bigrams
+  *
+  * where T and R are total target/raw feature counts and B = numBuckets.
+  * DSIR as published sums LOG ratios (a geometric mean); we use the
+  * arithmetic mean in 2^20 fixed point instead — the exact trade
+  * [[TextAnalysis.lmScore]] documents: a float log-sum drifts with partition
+  * order and cannot be replayed hash-exact by another engine, while integer
+  * products and one integral division are engine- and partitioning-identical
+  * (the DuckDB oracle replays the whole chain bit-for-bit). Ranking quality
+  * is preserved where it matters: the ratio is monotone per feature, and
+  * boilerplate-heavy outlier features dominate either mean the same way.
+  *
+  * Overflow bound (documented, not discovered): the q_b numerator
+  * `(c_t+1)·(R+B)·2^20` stays inside DECIMAL(38,0) for c_t ≤ 10^12 and
+  * R ≤ 10^11 (10^12 · 10^11 · 10^6 = 10^29 ≪ 10^38) — a 100 TB corpus is
+  * ~10^11 bigrams, so the head-room is real; q_b itself fits a long
+  * whenever the smoothed ratio is below 2^43, which even a degenerate
+  * single-bucket target cannot exceed against a non-trivial raw corpus.
+  *
+  * Plan shape at 100 TB: the two bucket-count tables are ≤ B rows each
+  * (one map-side-partial aggregation per corpus — B distinct keys, so the
+  * shuffle is partitions·B narrow rows), ride broadcasts into the scoring
+  * scan together with the 1-row totals; the only data-scaled shuffle is the
+  * per-doc groupBy. Raw text never shuffles — only (id, bucket) pairs.
+  */
+object Selection {
+
+  /** Hashed feature bucket in `[0, numBuckets)` from the first 6 hex chars
+    * of md5(pair) — the [[Sampling]] md5-bucket rule with a caller modulus,
+    * replayable in DuckDB as `CAST(concat('0x', substr(md5(pair), 1, 6)) AS
+    * BIGINT) % B`.
+    */
+  private def featureBucket(pair: Column, numBuckets: Int): Column =
+    conv(substring(md5(pair.cast("binary")), 1, 6), 16, 10)
+      .cast("long") % numBuckets
+
+  /** Score every `raw` document's target-likeness (see object doc). Returns
+    * `(id, n_feats, imp_sum, imp_q)`: feature count, exact fixed-point ratio
+    * sum, and the integral mean `imp_sum div n_feats` (NULL for docs with
+    * fewer than two tokens — no evidence is not a score, the
+    * [[TextAnalysis.lmScore]] policy).
+    */
+  def importanceScore(
+      target: DataFrame,
+      raw: DataFrame,
+      idCol: String,
+      textCol: String,
+      numBuckets: Int = 4096): DataFrame = {
+    require(numBuckets >= 2, "numBuckets must be >= 2")
+    import org.apache.spark.sql.graft.WordPairs
+
+    def featureBuckets(df: DataFrame): DataFrame = df
+      .select(explode(WordPairs(tokens(col(textCol)), 1)).as("pair"))
+      .select(featureBucket(col("pair"), numBuckets).as("b"))
+
+    // each count table is materialized once (localCheckpoint — the lmScore
+    // discipline): its total branches off it, and as a plain plan branch the
+    // 1-row total would re-run the corpus explode+aggregation from scratch
+    val tCounts = featureBuckets(target)
+      .groupBy(col("b")).agg(count(lit(1)).as("c_t"))
+      .localCheckpoint()
+    val rCounts = featureBuckets(raw)
+      .groupBy(col("b")).agg(count(lit(1)).as("c_r"))
+      .localCheckpoint()
+    val totals = tCounts.agg(coalesce(sum(col("c_t")), lit(0L)).as("t_total"))
+      .crossJoin(rCounts.agg(coalesce(sum(col("c_r")), lit(0L)).as("r_total")))
+
+    val scored = raw
+      .select(col(idCol).as("id"),
+        // explode_outer: a doc with < 2 tokens still gets its output row
+        explode_outer(WordPairs(tokens(col(textCol)), 1)).as("pair"))
+      .withColumn("b", featureBucket(col("pair"), numBuckets))
+      .join(broadcast(tCounts), Seq("b"), "left")
+      .join(broadcast(rCounts), Seq("b"), "left")
+      .crossJoin(broadcast(totals)) // 1 row: the smoothing denominators
+      .withColumn("q", when(col("pair").isNull, lit(null)).otherwise(
+        expr(s"""(CAST(coalesce(c_t, 0L) + 1L AS DECIMAL(38,0))
+                |   * (r_total + $numBuckets) * 1048576L)
+                | div (CAST(coalesce(c_r, 0L) + 1L AS DECIMAL(38,0))
+                |   * (t_total + $numBuckets))""".stripMargin)))
+    scored
+      .groupBy(col("id"))
+      .agg(count(col("pair")).as("n_feats"),
+        coalesce(sum(col("q")), lit(0L)).as("imp_sum"))
+      .withColumn("imp_q",
+        when(col("n_feats") === 0, lit(null).cast("long"))
+          .otherwise(expr("imp_sum div n_feats")))
+  }
+
+  /** Deterministic top-k importance resample: the `k` most target-like raw
+    * documents by `(imp_q DESC, md5(id), id)` — the full ordering key makes
+    * the SELECTED SET a pure function of the corpora, across runs, engines,
+    * and partitionings (published DSIR draws Gumbel noise; a reproducible
+    * pipeline wants the same "sample" twice). Docs without feature evidence
+    * (imp_q NULL) order last and are only taken once every scored doc is.
+    * Plans as TakeOrderedAndProject — per-partition top-k then one k-row
+    * merge, never a global sort.
+    */
+  def importanceResample(
+      target: DataFrame,
+      raw: DataFrame,
+      idCol: String,
+      textCol: String,
+      numBuckets: Int = 4096,
+      k: Int = 1000): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    importanceScore(target, raw, idCol, textCol, numBuckets)
+      .orderBy(col("imp_q").desc_nulls_last,
+        md5(col("id").cast("string").cast("binary")), col("id"))
+      .limit(k)
+  }
+}

@@ -218,6 +218,10 @@ class PlanGateSpec extends SparkTestBase {
     // (2: tok hash + Single), and the per-doc sum re-agg (1) — the scored
     // corpus side itself never shuffles before that final agg
     "lm_score" -> 4,
+    // bucket-count tables are checkpointed (each corpus scanned once); the
+    // static remainder is the two 1-row totals (2: partial→Single each) and
+    // the per-doc score sum (1) — raw text never shuffles, only (id, bucket)
+    "dsir_select" -> 3,
     // doc side: per-(id,pair) compress (1), per-(id,lang) sums (1), per-id
     // argmax (1); broadcast model sides: prefix re-agg (1) + per-lang
     // distinct-char vocab (2: expand hash + re-agg) — the pair table itself
@@ -246,6 +250,8 @@ class PlanGateSpec extends SparkTestBase {
     * idiom; the nested loop runs exactly once per partition.
     */
   private val bnljAllowed = Set("knn_brute", "cms_join_size", "vocab_coverage", "lm_score",
+    // dsir_select's 1-row smoothing-totals broadcast: the scalar-attach idiom
+    "dsir_select",
     // search_bm25's N/L corpus scalars: the same 1-row broadcast cross join
     "search_bm25",
     // the k-row language table (k = languages, ≤ a few dozen ever): the

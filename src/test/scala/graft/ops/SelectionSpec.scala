@@ -1,0 +1,106 @@
+package graft.ops
+
+import graft.SparkTestBase
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** [[Selection]] — DSIR-style importance scoring and deterministic
+  * resampling. The oracle (`dsir_select`) replays the full chain in DuckDB;
+  * here we pin the algebraic invariants and a plain-Scala reference model
+  * the SQL replay can't express as directly.
+  */
+class SelectionSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private val B = 64
+
+  private def df(rows: (Long, String)*): DataFrame =
+    rows.toDF("id", "text")
+
+  /** Plain-Scala model of the scorer (same md5-bucket rule, same add-1
+    * fixed-point ratio, BigInt arithmetic — no Spark).
+    */
+  private def model(
+      target: Seq[String], raw: Seq[(Long, String)], b: Int): Map[Long, (Long, Long, Option[Long])] = {
+    def toks(s: String) = s.toLowerCase.trim.split("\\s+").filter(_.nonEmpty).toSeq
+    def pairs(s: String) = { val t = toks(s); t.zip(t.drop(1)).map { case (a, c) => s"$a $c" } }
+    def bucket(p: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(p.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(md.take(6), 16) % b
+    }
+    val tc = target.flatMap(pairs).map(bucket).groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    val rc = raw.flatMap(p => pairs(p._2)).map(bucket).groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    val tTot = tc.values.sum; val rTot = rc.values.sum
+    raw.map { case (id, text) =>
+      val qs = pairs(text).map { p =>
+        val bk = bucket(p)
+        val num = BigInt(tc.getOrElse(bk, 0L) + 1) * BigInt(rTot + b) * BigInt(1048576)
+        val den = BigInt(rc.getOrElse(bk, 0L) + 1) * BigInt(tTot + b)
+        (num / den).toLong
+      }
+      val n = qs.size.toLong; val s = qs.sum
+      id -> ((n, s, if (n == 0) None else Some(s / n)))
+    }.toMap
+  }
+
+  test("importanceScore matches the plain-Scala reference model") {
+    val target = Seq("the cat sat", "the cat ran", "a dog sat")
+    val raw = Seq(
+      1L -> "the cat sat on the mat",
+      2L -> "quantum flux capacitors hum loudly",
+      3L -> "the cat ran far",
+      4L -> "one",
+      5L -> "a dog sat quietly")
+    val exp = model(target, raw, B)
+    val got = Selection.importanceScore(df(target.zipWithIndex.map(t => (t._2.toLong, t._1)): _*),
+        df(raw: _*), "id", "text", numBuckets = B)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), if (r.isNullAt(3)) None else Some(r.getLong(3))))).toMap
+    assert(got === exp)
+    // and target-like docs outrank the out-of-domain one
+    assert(got(1L)._3.get > got(2L)._3.get)
+  }
+
+  test("target == raw scores exactly 2^20 for every doc with features") {
+    val corpus = df(1L -> "alpha beta gamma", 2L -> "beta gamma delta", 3L -> "solo")
+    val out = Selection.importanceScore(corpus, corpus, "id", "text", numBuckets = B)
+      .collect().map(r => r.getLong(0) -> (if (r.isNullAt(3)) None else Some(r.getLong(3)))).toMap
+    // t_b == r_b and T == R, so every ratio is exactly 1 in 2^20 fixed point
+    assert(out(1L) === Some(1048576L))
+    assert(out(2L) === Some(1048576L))
+    assert(out(3L) === None) // single token: no bigram evidence, not a score
+  }
+
+  test("score is partitioning-invariant and empty target degrades") {
+    val target = df(10L -> "the quick brown fox")
+    val raw = (1L to 40L).map(i => i -> s"word$i the quick brown thing ${i % 5}")
+    val a = Selection.importanceScore(target, df(raw: _*), "id", "text", numBuckets = B)
+      .orderBy("id").collect().toSeq
+    val b = Selection.importanceScore(target.repartition(7), df(raw: _*).repartition(13),
+        "id", "text", numBuckets = B)
+      .orderBy("id").collect().toSeq
+    assert(a === b)
+    // empty target: uniform numerator (c_t = 0 everywhere), defined scores
+    val e = Selection.importanceScore(df(), df(1L -> "a b c"), "id", "text", numBuckets = B)
+      .collect()
+    assert(e.length === 1 && !e.head.isNullAt(3))
+  }
+
+  test("importanceResample: deterministic top-k, k-bound, nulls last") {
+    val target = df(100L -> "the quick brown fox jumps")
+    val raw = df((1L to 20L).map(i => i -> s"token$i the quick brown fox ${i % 3}") ++
+      Seq(90L -> "x") : _*) // featureless doc must come last
+    val top5 = Selection.importanceResample(target, raw, "id", "text", B, k = 5)
+    assert(top5.count() === 5)
+    // stable across partitionings: same SET
+    val again = Selection.importanceResample(target, raw.repartition(9), "id", "text", B, k = 5)
+    assert(top5.select("id").collect().map(_.getLong(0)).toSet ===
+      again.select("id").collect().map(_.getLong(0)).toSet)
+    // k >= rows: everything comes back, featureless doc included (last)
+    val all = Selection.importanceResample(target, raw, "id", "text", B, k = 1000)
+    assert(all.count() === 21)
+    // the top-k plans as TakeOrderedAndProject — never a global sort
+    assert(top5.queryExecution.executedPlan.toString.contains("TakeOrderedAndProject"))
+  }
+}

@@ -1334,6 +1334,20 @@ object SparkEntry {
   private def cohortRetentionQuery(s: SparkSession, dir: String): DataFrame =
     ops.Temporal.cohortRetention(events(dir).load(s), "user_id", "ts")
 
+  /** First-order event transition matrix with ppm row probabilities —
+    * [[ops.Temporal.transitionMatrix]] over the (ts, event_id) total order.
+    */
+  private def eventTransitions(s: SparkSession, dir: String): DataFrame =
+    ops.Temporal.transitionMatrix(events(dir).load(s),
+      "user_id", "ts", "event_type", "event_id")
+
+  /** Top-20 organic user journeys (first 8 events per user) —
+    * [[ops.Temporal.topPaths]].
+    */
+  private def eventPaths(s: SparkSession, dir: String): DataFrame =
+    ops.Temporal.topPaths(events(dir).load(s),
+      "user_id", "ts", "event_type", "event_id", maxLen = 8, k = 20)
+
   /** Tokenize docs against the corpus's own top-30 vocabulary (ids = rank
     * order — deterministic: count desc, token asc).
     */
@@ -1642,6 +1656,8 @@ object SparkEntry {
     "hll_windowed" -> (hllWindowed _),
     "value_histogram" -> (valueHistogram _),
     "event_funnel" -> (eventFunnel _),
+    "event_transitions" -> (eventTransitions _),
+    "event_paths" -> (eventPaths _),
     "bloom_semi_join" -> (bloomSemiJoinQuery _),
     "value_outliers" -> (valueOutliers _),
     "event_type_pivot" -> (eventTypePivot _),
@@ -3744,6 +3760,29 @@ object SparkEntry {
           |    AND e.event_type = 'purchase' AND epoch_us(e.ts) > s2.step2_us
           |  GROUP BY 1, 2, 3)
           |SELECT user_id, step1_us, step2_us, step3_us FROM s3""".stripMargin,
+      // successor pairing under the (ts, event_id) total order, then exact
+      // pair counts with a fixed-point ppm row probability (integer //)
+      "event_transitions" ->
+        """WITH o AS (SELECT user_id, event_type,
+          |  lead(event_type) OVER (PARTITION BY user_id
+          |    ORDER BY epoch_us(ts), event_id) AS next_type FROM events),
+          |p AS (SELECT event_type AS from_type, next_type AS to_type,
+          |  CAST(count(*) AS BIGINT) AS n FROM o
+          |  WHERE next_type IS NOT NULL GROUP BY 1, 2)
+          |SELECT from_type, to_type, n,
+          |  CAST(n * 1000000 // sum(n) OVER (PARTITION BY from_type) AS BIGINT)
+          |    AS p_ppm
+          |FROM p""".stripMargin,
+      // per-user first-8 path under the same total order, exact path counts,
+      // deterministic top-20 by (n_keys desc, path)
+      "event_paths" ->
+        """WITH o AS (SELECT user_id, event_type,
+          |  row_number() OVER (PARTITION BY user_id
+          |    ORDER BY epoch_us(ts), event_id) AS rn FROM events),
+          |p AS (SELECT user_id, string_agg(event_type, '>' ORDER BY rn) AS path
+          |  FROM o WHERE rn <= 8 GROUP BY user_id)
+          |SELECT path, CAST(count(*) AS BIGINT) AS n_keys FROM p
+          |GROUP BY path ORDER BY n_keys DESC, path LIMIT 20""".stripMargin,
       "bloom_semi_join" ->
         """SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
           |WHERE l_orderkey IN (

@@ -442,6 +442,78 @@ object Temporal {
     * collapse into one, counting their attribution once), and a wide left
     * schema makes the key expensive — prefer passing ids.
     */
+  /** First-order event transition matrix — the Markov-chain view of the
+    * event stream ("after a `view`, what comes next and how often"), the
+    * aggregate behind every flow/Sankey panel and next-event model baseline.
+    * Each event pairs with its key's NEXT event under the total order
+    * `(tsCol, idCol)` — the id tiebreak makes simultaneous events pair
+    * deterministically, so the matrix is a pure function of the data — and
+    * `(from_type, to_type)` pairs aggregate to exact counts plus a
+    * fixed-point row probability `p_ppm = n · 10^6 div Σ n over from_type`
+    * (integer division — engine-identical, the ppm lane).
+    *
+    * Shape at 100 TB: ONE shuffle on the key for the successor window (the
+    * per-key sort is events-per-key-bounded, the same bound that sizes every
+    * per-key operator here), then an aggregation whose result is at most
+    * T² rows for T event types — the per-from normalization is a window over
+    * that tiny table, never over the event stream.
+    */
+  def transitionMatrix(
+      df: DataFrame,
+      keyCol: String,
+      tsCol: String,
+      typeCol: String,
+      idCol: String): DataFrame = {
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(tsCol), col(idCol))
+    val pairs = df
+      .withColumn("_next", lead(col(typeCol), 1).over(w))
+      .filter(col("_next").isNotNull) // a key's last event has no successor
+      .groupBy(col(typeCol).as("from_type"), col("_next").as("to_type"))
+      .agg(count(lit(1)).as("n"))
+    pairs.withColumn("p_ppm",
+      expr("n * 1000000L div sum(n) OVER (PARTITION BY from_type)"))
+      .select(col("from_type"), col("to_type"), col("n"), col("p_ppm"))
+  }
+
+  /** Top-k user journeys: each key's path is its first `maxLen` event types
+    * in `(tsCol, idCol)` order joined with `>`, and the output is the `k`
+    * most common paths with exact key counts — the "what do users actually
+    * do" panel next to [[funnel]] (which asks about ONE prescribed path;
+    * this surfaces the organic ones). Ties rank by path ascending, so the
+    * selected set is a pure function of the data.
+    *
+    * Shape at 100 TB: one shuffle on the key (successor window + per-key
+    * path assembly share it — the row_number and the grouped sort-collect
+    * key on the same column), one aggregation over path strings of bounded
+    * length (`maxLen` types ≤ a few hundred bytes — paths never carry
+    * payloads), and the top-k plans as TakeOrderedAndProject: per-partition
+    * top-k then a k-row merge, never a global sort.
+    */
+  def topPaths(
+      df: DataFrame,
+      keyCol: String,
+      tsCol: String,
+      typeCol: String,
+      idCol: String,
+      maxLen: Int = 8,
+      k: Int = 20): DataFrame = {
+    require(maxLen >= 1, "maxLen must be >= 1")
+    require(k >= 1, "k must be >= 1")
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(tsCol), col(idCol))
+    df.withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") <= maxLen)
+      .groupBy(col(keyCol))
+      // ordered assembly without a second sort: collect (rn, type) structs,
+      // array_sort on the leading rn, project the types back out
+      .agg(array_sort(collect_list(struct(col("_rn"), col(typeCol).as("_t"))))
+        .as("_steps"))
+      .select(concat_ws(">", transform(col("_steps"), s => s("_t"))).as("path"))
+      .groupBy(col("path"))
+      .agg(count(lit(1)).as("n_keys"))
+      .orderBy(col("n_keys").desc, col("path"))
+      .limit(k)
+  }
+
   def precedingJoinAgg(
       left: DataFrame,
       right: DataFrame,

@@ -74,6 +74,13 @@ class PlanGateSpec extends SparkTestBase {
     // the top-k sort is in-row over the category-bounded array
     "events_topk_windowed" -> 2,
     "top_terms" -> 3,
+    // successor window on the key (1), the (from, to) pair agg (1), and the
+    // per-from ppm window over the ≤T² pair table (1)
+    "event_transitions" -> 3,
+    // successor-order window on the key (1; the per-key path assembly reuses
+    // its partitioning) + the path-count agg (1); the top-k is
+    // TakeOrderedAndProject, never a sort exchange
+    "event_paths" -> 2,
     "source_orc_roundtrip" -> 0,
     // the returned plan is the AvroIO RDD scan (the write is an eager action
     // before it); zero exchanges by construction

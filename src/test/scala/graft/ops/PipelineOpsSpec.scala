@@ -907,4 +907,58 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(out(None) === ((2L, 5L, 3L))) // 2 docs, 5 tokens, vocab {alpha,beta,gamma}
     assert(out(Some("a")) === ((1L, 1L, 1L)))
   }
+
+  test("transitionMatrix: hand case — pairs, ppm normalization, last event drops, id tiebreak") {
+    import spark.implicits._
+    val df = Seq(
+      // user 1: a -> b -> a -> c; user 2: a -> b; the two events at the SAME
+      // ts for user 1 order by event_id (20 before 21)
+      (10L, ts("2024-01-01 00:00:00"), 1L, "a"),
+      (11L, ts("2024-01-01 00:01:00"), 1L, "b"),
+      (20L, ts("2024-01-01 00:02:00"), 1L, "a"),
+      (21L, ts("2024-01-01 00:02:00"), 1L, "c"),
+      (30L, ts("2024-01-01 00:00:00"), 2L, "a"),
+      (31L, ts("2024-01-01 00:05:00"), 2L, "b")
+    ).toDF("event_id", "ts", "user_id", "event_type")
+    val out = Temporal.transitionMatrix(df, "user_id", "ts", "event_type", "event_id")
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3)))).toMap
+    // from 'a': a->b twice, a->c once (3 total); from 'b': b->a once (1 total)
+    assert(out(("a", "b")) === ((2L, 666666L))) // 2*10^6 div 3
+    assert(out(("b", "a")) === ((1L, 1000000L)))
+    assert(out(("a", "c")) === ((1L, 333333L)))
+    assert(out.size === 3, "each user's last event pairs with nothing")
+    // partitioning-invariant
+    val again = Temporal.transitionMatrix(df.repartition(5), "user_id", "ts",
+      "event_type", "event_id")
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3)))).toMap
+    assert(again === out)
+  }
+
+  test("topPaths: ordered assembly, maxLen truncation, deterministic tie ranking") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, ts("2024-01-01 00:00:00"), 1L, "a"),
+      (2L, ts("2024-01-01 00:01:00"), 1L, "b"),
+      (3L, ts("2024-01-01 00:02:00"), 1L, "c"), // truncated at maxLen=2
+      (4L, ts("2024-01-01 00:00:00"), 2L, "a"),
+      (5L, ts("2024-01-01 00:01:00"), 2L, "b"),
+      (6L, ts("2024-01-01 00:00:00"), 3L, "a"),
+      (7L, ts("2024-01-01 00:00:00"), 4L, "z")
+    ).toDF("event_id", "ts", "user_id", "event_type")
+    val all = Temporal.topPaths(df, "user_id", "ts", "event_type", "event_id",
+      maxLen = 2, k = 10)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(all.toSet === Set(("a>b", 2L), ("a", 1L), ("z", 1L)))
+    // k cuts on (n_keys desc, path asc): the n=1 tie resolves to "a" over "z"
+    val top2 = Temporal.topPaths(df, "user_id", "ts", "event_type", "event_id",
+      maxLen = 2, k = 2)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(top2.toSet === Set(("a>b", 2L), ("a", 1L)))
+    // the top-k never plans a global sort
+    val plan = Temporal.topPaths(df, "user_id", "ts", "event_type", "event_id",
+      maxLen = 2, k = 2).queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"))
+  }
 }

@@ -1348,6 +1348,58 @@ object SparkEntry {
     ops.Temporal.topPaths(events(dir).load(s),
       "user_id", "ts", "event_type", "event_id", maxLen = 8, k = 20)
 
+  /** Per-user activity crosstab: one wide row per user with a count per
+    * event type, as ONE conditional aggregation (`count(when(type = t))`
+    * per declared value — the count-FILTER form). Deliberately NOT
+    * `.pivot`: the values-less overload runs a collect-distinct job over
+    * the corpus first (a full extra scan at 100 TB and a nondeterministic
+    * column order), and even the explicit-values overload plans TWO
+    * aggregations (`RewritePivot`'s per-(key, value) partial then the
+    * pivot re-agg — two exchanges); the conditional form is one scan + one
+    * exchange with map-side partials. Type cardinality is a catalog fact
+    * the caller owns.
+    */
+  private def eventsPivot(s: SparkSession, dir: String): DataFrame = {
+    val types = Seq("click", "error", "purchase", "signup", "view")
+    events(dir).load(s)
+      .groupBy(col("user_id"))
+      .agg(types.map(t => count(when(col("event_type") === t, 1)).as(s"n_$t"))
+        .head, types.tail.map(t =>
+        count(when(col("event_type") === t, 1)).as(s"n_$t")): _*)
+  }
+
+  /** Daily × type revenue rollup with grouping ids — the OLAP grouping-sets
+    * surface: Spark's `rollup` plans ONE aggregation over an Expand (3
+    * grouping levels in a single shuffle), never one scan per level.
+    * `gid = grouping(dt)·2 + grouping(event_type)` spelled explicitly so the
+    * bit order is engine-portable rather than an engine default.
+    */
+  private def eventsRollup(s: SparkSession, dir: String): DataFrame =
+    events(dir).load(s)
+      .withColumn("dt", to_date(col("ts")).cast("string"))
+      .withColumn("v", round(col("value") * 10000).cast("long"))
+      .rollup(col("dt"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("v")).as("sum_value"),
+        (grouping(col("dt")) * 2 + grouping(col("event_type")))
+          .cast("long").as("gid"))
+
+  /** Smoothed target-mean encoding of event_type against the fixed-point
+    * value — [[ops.Features.targetEncode]] at prior weight 20.
+    */
+  private def targetEncodeQuery(s: SparkSession, dir: String): DataFrame =
+    ops.Features.targetEncode(
+      events(dir).load(s)
+        .withColumn("v", round(col("value") * 10000).cast("long")),
+      "event_type", "v", priorWeight = 20L)
+
+  /** Hashing-trick encoding of the documents' categorical columns into 64
+    * signed buckets, long form — [[ops.Features.featureHash]].
+    */
+  private def featureHashQuery(s: SparkSession, dir: String): DataFrame =
+    ops.Features.featureHash(docs(s, dir), "doc_id", Seq("lang", "source"),
+      numBuckets = 64)
+      .withColumnRenamed("id", "doc_id")
+
   /** Tokenize docs against the corpus's own top-30 vocabulary (ids = rank
     * order — deterministic: count desc, token asc).
     */
@@ -1658,6 +1710,10 @@ object SparkEntry {
     "event_funnel" -> (eventFunnel _),
     "event_transitions" -> (eventTransitions _),
     "event_paths" -> (eventPaths _),
+    "events_pivot" -> (eventsPivot _),
+    "events_rollup" -> (eventsRollup _),
+    "target_encode" -> (targetEncodeQuery _),
+    "feature_hash" -> (featureHashQuery _),
     "bloom_semi_join" -> (bloomSemiJoinQuery _),
     "value_outliers" -> (valueOutliers _),
     "event_type_pivot" -> (eventTypePivot _),
@@ -3760,6 +3816,46 @@ object SparkEntry {
           |    AND e.event_type = 'purchase' AND epoch_us(e.ts) > s2.step2_us
           |  GROUP BY 1, 2, 3)
           |SELECT user_id, step1_us, step2_us, step3_us FROM s3""".stripMargin,
+      "events_pivot" ->
+        """SELECT user_id,
+          |  count(*) FILTER (event_type = 'click') AS n_click,
+          |  count(*) FILTER (event_type = 'error') AS n_error,
+          |  count(*) FILTER (event_type = 'purchase') AS n_purchase,
+          |  count(*) FILTER (event_type = 'signup') AS n_signup,
+          |  count(*) FILTER (event_type = 'view') AS n_view
+          |FROM events GROUP BY user_id""".stripMargin,
+      // ROLLUP with the grouping-id bit order spelled explicitly on both
+      // sides (GROUPING(dt)*2 + GROUPING(event_type))
+      "events_rollup" ->
+        """WITH e AS (SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS dt, event_type,
+          |  CAST(round(value * 10000) AS BIGINT) AS v FROM events)
+          |SELECT dt, event_type, CAST(count(*) AS BIGINT) AS n,
+          |  CAST(sum(v) AS BIGINT) AS sum_value,
+          |  CAST(GROUPING(dt) * 2 + GROUPING(event_type) AS BIGINT) AS gid
+          |FROM e GROUP BY ROLLUP (dt, event_type)""".stripMargin,
+      // smoothed mean encoding with the global mean's denominator cleared:
+      // enc_q = (N·sum_c + m·S)·2^20 // (N·(n_c + m)), all-integer
+      "target_encode" ->
+        """WITH c AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+          |  sum(CAST(round(value * 10000) AS BIGINT)) AS s
+          |  FROM events GROUP BY event_type),
+          |t AS (SELECT sum(n) AS nt, sum(s) AS st FROM c)
+          |SELECT event_type, n,
+          |  CAST(((nt * s + 20 * st) * 1048576) // (nt * (n + 20)) AS BIGINT)
+          |    AS enc_q
+          |FROM c, t""".stripMargin,
+      // signed hashing trick: bucket from md5 hex 1-6, sign from hex 7
+      // parity, within-(id, bucket) collisions SUM
+      "feature_hash" ->
+        """WITH f AS (
+          |  SELECT doc_id, 'lang=' || lang AS s FROM documents WHERE lang IS NOT NULL
+          |  UNION ALL
+          |  SELECT doc_id, 'source=' || source FROM documents WHERE source IS NOT NULL)
+          |SELECT doc_id,
+          |  CAST(concat('0x', substr(md5(s), 1, 6)) AS BIGINT) % 64 AS bucket,
+          |  CAST(sum(1 - CAST(concat('0x', substr(md5(s), 7, 1)) AS BIGINT) % 2 * 2)
+          |    AS BIGINT) AS w
+          |FROM f GROUP BY 1, 2""".stripMargin,
       // successor pairing under the (ts, event_id) total order, then exact
       // pair counts with a fixed-point ppm row probability (integer //)
       "event_transitions" ->

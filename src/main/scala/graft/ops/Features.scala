@@ -1,0 +1,113 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Tabular feature engineering for model training: smoothed target encoding
+  * of categoricals (the mean-encoding trick with an additive prior) and the
+  * hashing trick (fixed-width feature space from unbounded categorical
+  * vocabularies). Both live in the integer-exact lane — encodings are
+  * training-set statistics that MUST replay identically across engines and
+  * runs, or the train/serve skew they cause is undetectable.
+  */
+object Features {
+
+  /** The family's md5 bucket rule (the [[Sampling]] / [[Selection]] chain):
+    * first 6 hex chars of md5 as an integer, mod `numBuckets` — replayable
+    * in DuckDB as `CAST(concat('0x', substr(md5(s), 1, 6)) AS BIGINT) % B`.
+    */
+  private def md5Bucket(s: Column, numBuckets: Int): Column =
+    conv(substring(md5(s.cast("binary")), 1, 6), 16, 10)
+      .cast("long") % numBuckets
+
+  /** Smoothed target-mean encoding of a categorical column (the standard
+    * additive-prior form): for category c with `n_c` rows summing target
+    * `sum_c`, over a corpus of `N` rows summing `S`,
+    *
+    *   enc = (sum_c + m·μ) / (n_c + m)   with μ = S/N the global mean
+    *
+    * — a category with few rows shrinks toward the global mean, one with
+    * many speaks for itself. Computed EXACTLY in 2^20 fixed point by
+    * clearing μ's denominator: `enc_q = (N·sum_c + m·S)·2^20 div
+    * (N·(n_c + m))` — integer products in DECIMAL(38,0) and ONE integral
+    * division, so the encoding is partitioning- and engine-identical (a
+    * float mean is neither — the lmScore discipline). Overflow bound
+    * (documented, not discovered): N ≤ 10^12 rows with |sum_c| ≤ 10^15
+    * keeps `N·sum_c·2^20` under 10^34 ≪ 10^38.
+    *
+    * `targetCol` must be integer-valued (fixed-point by the caller, the
+    * events-cents convention). NULL categories encode like any other
+    * category (the null-safe aggregation keying); an empty input returns an
+    * empty frame.
+    *
+    * Shape at 100 TB: ONE corpus pass — `rollup(cat)` produces the per-
+    * category rows AND the global-total row in a single aggregation with
+    * map-side partials (no second scan for μ's denominators), then the
+    * 1-row global slice broadcast-joins back to the category rows, both
+    * sides of which are category-table-sized.
+    */
+  def targetEncode(
+      df: DataFrame,
+      catCol: String,
+      targetCol: String,
+      priorWeight: Long = 20L,
+      outCol: String = "enc_q"): DataFrame = {
+    require(priorWeight >= 0, "priorWeight must be >= 0")
+    val agg = df.rollup(col(catCol))
+      .agg(count(lit(1)).as("n"),
+        sum(col(targetCol).cast("decimal(38,0)")).as("s"),
+        // grouping() distinguishes the rollup's global row from a genuine
+        // NULL category row
+        grouping(col(catCol)).as("_g"))
+    val cats = agg.filter(col("_g") === 0)
+      .select(col(catCol), col("n"), col("s"))
+    val total = agg.filter(col("_g") === 1)
+      .select(col("n").as("_nt"), col("s").as("_st"))
+    cats.crossJoin(broadcast(total))
+      .select(col(catCol), col("n"),
+        expr(s"""((_nt * s + ${priorWeight}L * _st) * 1048576L)
+                | div (_nt * (n + ${priorWeight}L))""".stripMargin)
+          .cast("long").as(outCol))
+  }
+
+  /** Hashing-trick encoding (Weinberger et al. 2009) of categorical columns
+    * into a fixed `numBuckets`-wide feature space, in the long (sparse)
+    * form every 100 TB feature pipeline actually stores: one `(id, bucket,
+    * w)` row per populated bucket, where each column contributes
+    * `bucket = md5("col=value") % B` with a ± sign from an independent hex
+    * digit of the same digest (the signed variant — colliding features
+    * cancel in expectation instead of compounding), and a row's collisions
+    * within a bucket SUM (the hashing-trick contract). NULL values
+    * contribute nothing. Dense materialization is a trivial pivot of this
+    * output; the long form is the one that scales — width never enters the
+    * shuffle.
+    *
+    * Everything md5-deterministic: the feature space is a pure function of
+    * (column names, values, B) — reproducible across engines, runs, and
+    * corpus versions, which is what makes train/serve encodings comparable.
+    *
+    * Shape: one scan (per-row explode over the ≤|cols| feature structs —
+    * bounded fan-out, no text ever widens) + ONE aggregation keyed
+    * `(id, bucket)`.
+    */
+  def featureHash(
+      df: DataFrame,
+      idCol: String,
+      cols: Seq[String],
+      numBuckets: Int = 1 << 18): DataFrame = {
+    require(cols.nonEmpty, "need at least one feature column")
+    require(numBuckets >= 2, "numBuckets must be >= 2")
+    val feats = array(cols.map(c =>
+      struct(lit(c).as("_c"), col(c).cast("string").as("_v"))): _*)
+    df.select(col(idCol).as("id"), explode(feats).as("f"))
+      .filter(col("f._v").isNotNull)
+      .withColumn("_s", concat(col("f._c"), lit("="), col("f._v")))
+      .select(col("id"),
+        md5Bucket(col("_s"), numBuckets).as("bucket"),
+        // sign from hex digit 7 of the same digest: even → +1, odd → −1
+        (lit(1L) - conv(substring(md5(col("_s").cast("binary")), 7, 1), 16, 10)
+          .cast("long") % 2 * 2).as("_w"))
+      .groupBy(col("id"), col("bucket"))
+      .agg(sum(col("_w")).as("w"))
+  }
+}

@@ -81,6 +81,16 @@ class PlanGateSpec extends SparkTestBase {
     // its partitioning) + the path-count agg (1); the top-k is
     // TakeOrderedAndProject, never a sort exchange
     "event_paths" -> 2,
+    // one pivot aggregation on the key with map-side partials — explicit
+    // pivot values, so NO collect-distinct pre-scan job exists to count
+    "events_pivot" -> 1,
+    // Expand + ONE aggregation for all three grouping levels
+    "events_rollup" -> 1,
+    // the rollup agg feeds both the category rows and the broadcast global
+    // row — two plan branches of the same 1-exchange aggregation
+    "target_encode" -> 2,
+    // bounded per-row feature explode + the (id, bucket) sum
+    "feature_hash" -> 1,
     "source_orc_roundtrip" -> 0,
     // the returned plan is the AvroIO RDD scan (the write is an eager action
     // before it); zero exchanges by construction
@@ -257,6 +267,8 @@ class PlanGateSpec extends SparkTestBase {
     * idiom; the nested loop runs exactly once per partition.
     */
   private val bnljAllowed = Set("knn_brute", "cms_join_size", "vocab_coverage", "lm_score",
+    // target_encode's 1-row global-totals broadcast: the scalar-attach idiom
+    "target_encode",
     // dsir_select's 1-row smoothing-totals broadcast: the scalar-attach idiom
     "dsir_select",
     // search_bm25's N/L corpus scalars: the same 1-row broadcast cross join

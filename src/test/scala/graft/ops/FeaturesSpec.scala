@@ -1,0 +1,88 @@
+package graft.ops
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+/** [[Features]] — smoothed target encoding and the hashing trick. The
+  * oracles (`target_encode`, `feature_hash`) replay both chains in DuckDB;
+  * here we pin the algebra and the contracts the SQL replay states less
+  * directly.
+  */
+class FeaturesSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("targetEncode: exact fixed-point algebra, shrinkage toward the global mean") {
+    // cat a: n=2, sum=20 (mean 10); cat b: n=1, sum=40; global: N=3, S=60 (mean 20)
+    val df = Seq(("a", 10L), ("a", 10L), ("b", 40L)).toDF("cat", "y")
+    val out = Features.targetEncode(df, "cat", "y", priorWeight = 2L)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    // enc(a) = (3·20 + 2·60)·2^20 / (3·(2+2)) = 180·2^20/12 = 15·2^20
+    assert(out("a") === ((2L, 15L * 1048576L)))
+    // enc(b) = (3·40 + 2·60)·2^20 / (3·(1+2)) = 240·2^20/9
+    assert(out("b") === ((1L, 240L * 1048576L / 9L)))
+    // shrinkage: both encodings land strictly between the category mean and
+    // the global mean (10 < enc(a)/2^20 = 15 < 20; 40 > enc(b)/2^20 > 20)
+    assert(out("a")._2 > 10L * 1048576L && out("a")._2 < 20L * 1048576L)
+    assert(out("b")._2 < 40L * 1048576L && out("b")._2 > 20L * 1048576L)
+  }
+
+  test("targetEncode: priorWeight 0 is the plain category mean; NULL category encodes") {
+    val df = Seq(("a", 10L), ("a", 20L), (null, 7L))
+      .toDF("cat", "y")
+    val out = Features.targetEncode(df, "cat", "y", priorWeight = 0L)
+      .collect().map(r => Option(r.getString(0)) -> r.getLong(2)).toMap
+    assert(out(Some("a")) === 15L * 1048576L)
+    // the genuine NULL category row is distinct from the rollup total row
+    assert(out(None) === 7L * 1048576L)
+    assert(out.size === 2)
+  }
+
+  test("targetEncode: partitioning-invariant, empty input degrades to empty") {
+    val df = (1L to 50L).map(i => (s"c${i % 7}", i)).toDF("cat", "y")
+    val a = Features.targetEncode(df, "cat", "y").orderBy("cat").collect().toSeq
+    val b = Features.targetEncode(df.repartition(11), "cat", "y")
+      .orderBy("cat").collect().toSeq
+    assert(a === b)
+    assert(Features.targetEncode(df.limit(0), "cat", "y").count() === 0L)
+  }
+
+  test("featureHash: md5 reference model, signs, within-bucket collision sums, null drops") {
+    val df = Seq(
+      (1L, "en", "web"),
+      (2L, "en", null), // null contributes nothing
+      (3L, "de", "web")
+    ).toDF("id", "lang", "source")
+    val out = Features.featureHash(df, "id", Seq("lang", "source"), numBuckets = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // plain-Scala model of the same md5 chain
+    def bucket(s: String): (Long, Long) = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      (java.lang.Long.parseLong(md.take(6), 16) % 8,
+        1L - java.lang.Long.parseLong(md.substring(6, 7), 16) % 2 * 2)
+    }
+    // within-(id, bucket) collisions SUM (a fully-cancelled bucket keeps its
+    // w=0 row — the aggregation key exists; pruning zeros is the caller's
+    // densify choice, not the encoder's)
+    def expected(id: Long, feats: Seq[String]): Map[(Long, Long), Long] =
+      feats.map(bucket).groupBy(_._1)
+        .map { case (b, ws) => (id, b) -> ws.map(_._2).sum }
+    val exp = expected(1L, Seq("lang=en", "source=web")) ++
+      expected(2L, Seq("lang=en")) ++ // null source contributes nothing
+      expected(3L, Seq("lang=de", "source=web"))
+    assert(out === exp)
+    assert(out.keys.count(_._1 == 2L) === 1, "null source row: only lang hashes")
+  }
+
+  test("featureHash: deterministic across partitionings; bucket domain bounded") {
+    val df = (1L to 200L).map(i => (i, s"l${i % 5}", s"s${i % 13}"))
+      .toDF("id", "lang", "source")
+    val a = Features.featureHash(df, "id", Seq("lang", "source"), 16)
+      .orderBy("id", "bucket").collect().toSeq
+    val b = Features.featureHash(df.repartition(9), "id", Seq("lang", "source"), 16)
+      .orderBy("id", "bucket").collect().toSeq
+    assert(a === b)
+    assert(a.forall(r => r.getLong(1) >= 0 && r.getLong(1) < 16))
+    assert(Features.featureHash(df.limit(0), "id", Seq("lang"), 16).count() === 0L)
+  }
+}

@@ -1383,6 +1383,19 @@ object SparkEntry {
         (grouping(col("dt")) * 2 + grouping(col("event_type")))
           .cast("long").as("gid"))
 
+  /** Materialized-rollup range query: per-user totals for Jan 8–14 merged
+    * from [[ops.Incremental.dailyState]]'s per-(day, user) partials — the
+    * raw events are aggregated once into state and the range answer comes
+    * from state rows alone.
+    */
+  private def incrementalAgg(s: SparkSession, dir: String): DataFrame = {
+    val state = ops.Incremental.dailyState(
+      events(dir).load(s)
+        .withColumn("v", round(col("value") * 10000).cast("long")),
+      Seq("user_id"), "ts", "v")
+    ops.Incremental.mergeState(state, Seq("user_id"), "2024-01-08", "2024-01-14")
+  }
+
   /** Smoothed target-mean encoding of event_type against the fixed-point
     * value — [[ops.Features.targetEncode]] at prior weight 20.
     */
@@ -1714,6 +1727,7 @@ object SparkEntry {
     "events_rollup" -> (eventsRollup _),
     "target_encode" -> (targetEncodeQuery _),
     "feature_hash" -> (featureHashQuery _),
+    "incremental_agg" -> (incrementalAgg _),
     "bloom_semi_join" -> (bloomSemiJoinQuery _),
     "value_outliers" -> (valueOutliers _),
     "event_type_pivot" -> (eventTypePivot _),
@@ -3833,6 +3847,21 @@ object SparkEntry {
           |  CAST(sum(v) AS BIGINT) AS sum_value,
           |  CAST(GROUPING(dt) * 2 + GROUPING(event_type) AS BIGINT) AS gid
           |FROM e GROUP BY ROLLUP (dt, event_type)""".stripMargin,
+      // the state chain replayed, not collapsed to a direct aggregation:
+      // per-(day, user) partials first, then the range merge over state
+      // rows — the oracle pins the two-step semantics
+      "incremental_agg" ->
+        """WITH e AS (SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS dt, user_id,
+          |  CAST(round(value * 10000) AS BIGINT) AS v FROM events),
+          |s AS (SELECT dt, user_id, CAST(count(*) AS BIGINT) AS n,
+          |  CAST(sum(v) AS BIGINT) AS sum_value,
+          |  min(v) AS min_value, max(v) AS max_value
+          |  FROM e GROUP BY dt, user_id)
+          |SELECT user_id, CAST(sum(n) AS BIGINT) AS n,
+          |  CAST(sum(sum_value) AS BIGINT) AS sum_value,
+          |  min(min_value) AS min_value, max(max_value) AS max_value
+          |FROM s WHERE dt >= '2024-01-08' AND dt <= '2024-01-14'
+          |GROUP BY user_id""".stripMargin,
       // smoothed mean encoding with the global mean's denominator cleared:
       // enc_q = (N·sum_c + m·S)·2^20 // (N·(n_c + m)), all-integer
       "target_encode" ->

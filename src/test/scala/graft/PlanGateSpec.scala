@@ -91,6 +91,9 @@ class PlanGateSpec extends SparkTestBase {
     "target_encode" -> 2,
     // bounded per-row feature explode + the (id, bucket) sum
     "feature_hash" -> 1,
+    // the per-(day, key) state aggregation (1) + the range merge over
+    // state rows (1) — the raw scan happens exactly once
+    "incremental_agg" -> 2,
     "source_orc_roundtrip" -> 0,
     // the returned plan is the AvroIO RDD scan (the write is an eager action
     // before it); zero exchanges by construction

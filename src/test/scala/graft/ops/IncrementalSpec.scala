@@ -1,0 +1,79 @@
+package graft.ops
+
+import graft.SparkTestBase
+import java.sql.Timestamp
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** [[Incremental]] — materialized daily rollup state. The `incremental_agg`
+  * oracle replays the state→merge chain in DuckDB; here we pin the
+  * algebraic-merge identity, the persisted layout's partition pruning, and
+  * the idempotent day-upsert contract.
+  */
+class IncrementalSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def ts(s: String): Timestamp = Timestamp.valueOf(s)
+
+  private val ev = Seq(
+    (1L, ts("2024-01-05 10:00:00"), 100L),
+    (1L, ts("2024-01-05 11:00:00"), 50L),
+    (1L, ts("2024-01-06 09:00:00"), 7L),
+    (2L, ts("2024-01-05 23:59:59"), 40L),
+    (2L, ts("2024-01-08 00:00:00"), 9L) // outside a 05..06 range
+  ).toDF("user_id", "ts", "v")
+
+  test("dailyState + mergeState == direct aggregation over the range (the algebraic identity)") {
+    val state = Incremental.dailyState(ev, Seq("user_id"), "ts", "v")
+    // the state itself: day-grained partials
+    val s = state.collect().map(r => (r.getString(0), r.getLong(1)) ->
+      ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    assert(s(("2024-01-05", 1L)) === ((2L, 150L, 50L, 100L)))
+    assert(s(("2024-01-06", 1L)) === ((1L, 7L, 7L, 7L)))
+    val merged = Incremental.mergeState(state, Seq("user_id"),
+      "2024-01-05", "2024-01-06")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    val direct = ev.filter(col("ts") < ts("2024-01-07 00:00:00"))
+      .groupBy("user_id")
+      .agg(count(lit(1)), sum("v"), min("v"), max("v"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(merged === direct)
+    assert(merged(2L) === ((1L, 40L, 40L, 40L)), "the 01-08 row stays out of range")
+  }
+
+  test("persisted state: range merge prunes partitions; upsert replaces only its days") {
+    val path = java.nio.file.Files.createTempDirectory("graft-inc").toString + "/state"
+    Incremental.writeDailyState(ev, path, Seq("user_id"), "ts", "v")
+    val merged = Incremental.mergeRange(spark, path, Seq("user_id"),
+      "2024-01-05", "2024-01-06")
+    // the date predicate lands in PartitionFilters — out-of-range day
+    // directories are never opened
+    val scan = merged.queryExecution.executedPlan.toString
+      .linesIterator.find(_.contains("PartitionFilters")).getOrElse("")
+    assert(scan.contains("dt"), s"expected dt partition filter, plan scan line: $scan")
+    val viaDisk = merged.collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(viaDisk === Map(1L -> 157L, 2L -> 40L))
+
+    // re-running day 01-05's ingest with CORRECTED data replaces exactly
+    // that day's partition: no double count, other days untouched
+    val corrected = Seq((1L, ts("2024-01-05 10:00:00"), 999L))
+      .toDF("user_id", "ts", "v")
+    Incremental.upsertDayState(spark, path, corrected, Seq("user_id"), "ts", "v")
+    val after = Incremental.mergeRange(spark, path, Seq("user_id"),
+      "2024-01-05", "2024-01-08")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2)))).toMap
+    assert(after(1L) === ((2L, 999L + 7L)), "01-05 replaced, 01-06 rides through")
+    assert(after(2L) === ((1L, 9L)), "user 2's 01-05 row was replaced away with the day")
+  }
+
+  test("empty input and empty range degrade to empty frames") {
+    val state = Incremental.dailyState(ev.limit(0), Seq("user_id"), "ts", "v")
+    assert(state.count() === 0L)
+    assert(Incremental.mergeState(
+      Incremental.dailyState(ev, Seq("user_id"), "ts", "v"),
+      Seq("user_id"), "2030-01-01", "2030-12-31").count() === 0L)
+  }
+}

@@ -99,6 +99,33 @@ object Incremental {
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("dt").parquet(path)
 
+  /** One micro-batch of STREAMING state maintenance (the
+    * [[graft.streaming.EventStream.dailyStateSink]] worker, factored out so
+    * the replay contract is spec-testable): the batch's partials write
+    * under `partitionBy("dt", "batch_id")` with dynamic overwrite. The
+    * extra `batch_id` dimension is what makes at-least-once `foreachBatch`
+    * replay EXACTLY-ONCE here: a replayed batch rewrites its own
+    * `(dt, batch_id)` partitions byte-identically instead of double-merging
+    * into the day (a read-merge-write day upsert would count the replay
+    * twice — the scd2 sink gets idempotence from its merge algebra; this
+    * sink gets it from partition identity). Range reads ([[mergeRange]])
+    * re-aggregate over state rows anyway, so the extra dimension only adds
+    * rows — many batch partitions per day compact away with a periodic
+    * [[writeDailyState]] rebuild, the usual remedy.
+    */
+  def stateUpsertBatch(
+      batch: DataFrame,
+      path: String,
+      keys: Seq[String],
+      tsCol: String,
+      valueCol: String,
+      batchId: Long): Unit =
+    dailyState(batch, keys, tsCol, valueCol)
+      .withColumn("batch_id", lit(batchId))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("dt", "batch_id").parquet(path)
+
   /** Range-merge the persisted state: the date predicate compares the `dt`
     * PARTITION column directly (no cast wrapping it), so it prunes at
     * directory level — `PartitionFilters` in the scan, out-of-range days

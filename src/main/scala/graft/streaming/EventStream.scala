@@ -137,6 +137,34 @@ object EventStream {
       }
       .start()
 
+  /** Streaming incremental-rollup maintenance — a live event stream keeps
+    * the [[graft.ops.Incremental]] daily state current: every micro-batch's
+    * partials land via [[graft.ops.Incremental.stateUpsertBatch]], whose
+    * `(dt, batch_id)` partition identity turns foreachBatch's
+    * at-least-once replay into exactly-once state (a replayed batch
+    * rewrites its own partitions byte-identically — see the worker's
+    * scaladoc for why a day-merge upsert would double-count instead).
+    * Readers run [[graft.ops.Incremental.mergeRange]] unchanged: range
+    * answers from state rows, raw events never rescanned.
+    */
+  def dailyStateSink(
+      events: DataFrame,
+      path: String,
+      checkpointDir: String,
+      keys: Seq[String],
+      tsCol: String,
+      valueCol: String,
+      trigger: org.apache.spark.sql.streaming.Trigger =
+        org.apache.spark.sql.streaming.Trigger.AvailableNow()): org.apache.spark.sql.streaming.StreamingQuery =
+    events.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        graft.ops.Incremental.stateUpsertBatch(
+          batch.toDF(), path, keys, tsCol, valueCol, batchId)
+      }
+      .start()
+
   /** Streaming exact dedup: drops repeated `event_id`s (at-least-once
     * ingest -> exactly-once semantics downstream). On a stream this is
     * `dropDuplicatesWithinWatermark` — the variant whose state the watermark

@@ -69,6 +69,26 @@ class IncrementalSpec extends SparkTestBase {
     assert(after(2L) === ((1L, 9L)), "user 2's 01-05 row was replaced away with the day")
   }
 
+  test("stateUpsertBatch: same-batch-id replay is byte-idempotent; distinct ids accumulate") {
+    val path = java.nio.file.Files.createTempDirectory("graft-incb").toString + "/state"
+    val b1 = Seq((1L, ts("2024-01-05 10:00:00"), 100L)).toDF("user_id", "ts", "v")
+    Incremental.stateUpsertBatch(b1, path, Seq("user_id"), "ts", "v", batchId = 0L)
+    val once = Incremental.mergeRange(spark, path, Seq("user_id"),
+      "2024-01-01", "2024-12-31").collect().map(_.toSeq).toSet
+    // an at-least-once REPLAY of batch 0 rewrites its own (dt, batch_id)
+    // partition — the state is unchanged, not doubled
+    Incremental.stateUpsertBatch(b1, path, Seq("user_id"), "ts", "v", batchId = 0L)
+    val replayed = Incremental.mergeRange(spark, path, Seq("user_id"),
+      "2024-01-01", "2024-12-31").collect().map(_.toSeq).toSet
+    assert(replayed === once)
+    // a genuinely NEW batch (next id) accumulates into the same day
+    Incremental.stateUpsertBatch(b1, path, Seq("user_id"), "ts", "v", batchId = 1L)
+    val two = Incremental.mergeRange(spark, path, Seq("user_id"),
+      "2024-01-01", "2024-12-31")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(two(1L) === ((2L, 200L)))
+  }
+
   test("empty input and empty range degrade to empty frames") {
     val state = Incremental.dailyState(ev.limit(0), Seq("user_id"), "ts", "v")
     assert(state.count() === 0L)

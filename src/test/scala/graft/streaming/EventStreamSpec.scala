@@ -528,6 +528,45 @@ class EventStreamSpec extends SparkTestBase {
     assert(batch === streamed)
   }
 
+  test("dailyStateSink: a day split across micro-batches merges to the batch answer") {
+    import spark.implicits._
+    implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import graft.ops.Incremental
+    def t(s: String) = Timestamp.valueOf(s)
+    val base = java.nio.file.Files.createTempDirectory("graft-incs").toString
+    val path = s"$base/state"
+    val ck = s"$base/ck"
+    val ms = MemoryStream[(Long, Timestamp, Long)]
+    def run(): Unit = {
+      val q = EventStream.dailyStateSink(ms.toDF().toDF("user_id", "ts", "v"),
+        path, ck, Seq("user_id"), "ts", "v")
+      q.processAllAvailable(); q.stop()
+    }
+    // 2024-01-05 arrives in TWO micro-batches (the case a day-replace
+    // upsert would get wrong); 01-06 rides in the second
+    ms.addData(Seq((1L, t("2024-01-05 10:00:00"), 100L),
+      (2L, t("2024-01-05 11:00:00"), 40L)))
+    run()
+    ms.addData(Seq((1L, t("2024-01-05 12:00:00"), 50L),
+      (1L, t("2024-01-06 09:00:00"), 7L)))
+    run()
+    val streamed = Incremental.mergeRange(spark, path, Seq("user_id"),
+      "2024-01-05", "2024-01-06")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    val all = Seq(
+      (1L, t("2024-01-05 10:00:00"), 100L), (2L, t("2024-01-05 11:00:00"), 40L),
+      (1L, t("2024-01-05 12:00:00"), 50L), (1L, t("2024-01-06 09:00:00"), 7L)
+    ).toDF("user_id", "ts", "v")
+    val batch = Incremental.mergeState(
+      Incremental.dailyState(all, Seq("user_id"), "ts", "v"),
+      Seq("user_id"), "2024-01-05", "2024-01-06")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(streamed === batch)
+    assert(streamed(1L) === ((3L, 157L, 7L, 100L)))
+  }
+
   test("scd2Sink: out-of-order micro-batches merge exactly; only touched buckets rewrite; key reads prune") {
     import spark.implicits._
     implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext

@@ -1405,6 +1405,16 @@ object SparkEntry {
         .withColumn("v", round(col("value") * 10000).cast("long")),
       "event_type", "v", priorWeight = 20L)
 
+  /** Per-type z-score standardization of the fixed-point event value —
+    * [[ops.Features.standardize]]'s exact-moment form.
+    */
+  private def featureStandardize(s: SparkSession, dir: String): DataFrame =
+    ops.Features.standardize(
+      events(dir).load(s)
+        .select(col("event_id"), col("event_type"),
+          round(col("value") * 10000).cast("long").as("v")),
+      Seq("event_type"), "v")
+
   /** Hashing-trick encoding of the documents' categorical columns into 64
     * signed buckets, long form — [[ops.Features.featureHash]].
     */
@@ -1728,6 +1738,7 @@ object SparkEntry {
     "target_encode" -> (targetEncodeQuery _),
     "feature_hash" -> (featureHashQuery _),
     "incremental_agg" -> (incrementalAgg _),
+    "feature_standardize" -> (featureStandardize _),
     "bloom_semi_join" -> (bloomSemiJoinQuery _),
     "value_outliers" -> (valueOutliers _),
     "event_type_pivot" -> (eventTypePivot _),
@@ -3862,6 +3873,19 @@ object SparkEntry {
           |  min(min_value) AS min_value, max(max_value) AS max_value
           |FROM s WHERE dt >= '2024-01-08' AND dt <= '2024-01-14'
           |GROUP BY user_id""".stripMargin,
+      // z = (n·x − Σx)/√(n·Σx² − Σx²): exact-integer numerator and
+      // radicand, one cast + sqrt + division tail — engine-identical
+      "feature_standardize" ->
+        """WITH e AS (SELECT event_id, event_type,
+          |  CAST(round(value * 10000) AS BIGINT) AS v FROM events),
+          |s AS (SELECT event_type, CAST(count(*) AS HUGEINT) AS n,
+          |  CAST(sum(v) AS HUGEINT) AS sx,
+          |  sum(CAST(v AS HUGEINT) * v) AS sxx FROM e GROUP BY event_type)
+          |SELECT event_id, e.event_type, v,
+          |  CASE WHEN n * sxx - sx * sx <= 0 THEN NULL
+          |       ELSE round(CAST(n * v - sx AS DOUBLE)
+          |         / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)), 6) END AS z
+          |FROM e JOIN s USING (event_type)""".stripMargin,
       // smoothed mean encoding with the global mean's denominator cleared:
       // enc_q = (N·sum_c + m·S)·2^20 // (N·(n_c + m)), all-integer
       "target_encode" ->

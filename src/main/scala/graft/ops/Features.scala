@@ -70,6 +70,47 @@ object Features {
           .cast("long").as(outCol))
   }
 
+  /** Per-group z-score standardization of an integer-valued feature — the
+    * scaling step between encoding and training. Numerically restructured
+    * so the result is ENGINE-IDENTICAL: with exact group moments
+    * `n, Σx, Σx²` (DECIMAL(38,0) sums, no float addition anywhere),
+    *
+    *   z = (x − μ)/σ_pop = (n·x − Σx) / √(n·Σx² − (Σx)²)
+    *
+    * — the numerator and the radicand are exact integers, so the whole
+    * float tail is one cast, one correctly-rounded sqrt, and one
+    * correctly-rounded division (identical on identical inputs in any
+    * IEEE engine; the naive mean-then-std chain is neither partitioning-
+    * nor engine-stable), rounded to 6. A zero-variance group yields NULL
+    * z (not NaN, not ±Inf) — "no spread" is not a score. Overflow bound:
+    * n·Σx² stays inside 38 digits for n ≤ 10^12 rows of |x| ≤ 10^12.
+    *
+    * Shape at 100 TB: ONE moment aggregation on the group keys (map-side
+    * partials), group stats broadcast back into the scan — the corpus
+    * never shuffles for the scaling pass.
+    */
+  def standardize(
+      df: DataFrame,
+      groupCols: Seq[String],
+      valueCol: String,
+      outCol: String = "z"): DataFrame = {
+    val d = col(valueCol).cast("decimal(38,0)")
+    val stats = df.groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).cast("decimal(38,0)").as("_n"),
+        sum(d).as("_sx"), sum(d * d).as("_sxx"))
+    val joined =
+      if (groupCols.isEmpty) df.crossJoin(broadcast(stats))
+      else df.join(broadcast(stats), groupCols)
+    joined
+      .withColumn("_rad", expr("_n * _sxx - _sx * _sx"))
+      .withColumn(outCol,
+        when(col("_rad") <= 0, lit(null).cast("double"))
+          .otherwise(round(
+            (col("_n") * col(valueCol) - col("_sx")).cast("double") /
+              sqrt(col("_rad").cast("double")), 6)))
+      .drop("_n", "_sx", "_sxx", "_rad")
+  }
+
   /** Hashing-trick encoding (Weinberger et al. 2009) of categorical columns
     * into a fixed `numBuckets`-wide feature space, in the long (sparse)
     * form every 100 TB feature pipeline actually stores: one `(id, bucket,

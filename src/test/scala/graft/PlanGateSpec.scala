@@ -94,6 +94,9 @@ class PlanGateSpec extends SparkTestBase {
     // the per-(day, key) state aggregation (1) + the range merge over
     // state rows (1) — the raw scan happens exactly once
     "incremental_agg" -> 2,
+    // ONE moment aggregation on the group keys; the stats broadcast back
+    // into the scan, so the corpus never shuffles for the scaling pass
+    "feature_standardize" -> 1,
     "source_orc_roundtrip" -> 0,
     // the returned plan is the AvroIO RDD scan (the write is an eager action
     // before it); zero exchanges by construction

@@ -74,6 +74,26 @@ class FeaturesSpec extends SparkTestBase {
     assert(out.keys.count(_._1 == 2L) === 1, "null source row: only lang hashes")
   }
 
+  test("standardize: hand case, zero-variance NULL, partitioning invariance") {
+    // group a: values 1, 3 → μ=2, σ_pop=1 → z = ±1; group b: constant → NULL
+    val df = Seq(("a", 1L), ("a", 3L), ("b", 5L), ("b", 5L)).toDF("g", "v")
+    val out = Features.standardize(df, Seq("g"), "v")
+      .collect().map(r => (r.getString(0), r.getLong(1)) ->
+        Option(r.get(2)).map(_.asInstanceOf[Double])).toMap
+    assert(out(("a", 1L)) === Some(-1.0))
+    assert(out(("a", 3L)) === Some(1.0))
+    assert(out(("b", 5L)) === None, "zero variance -> NULL, not NaN/Inf")
+    val big = (1L to 300L).map(i => (s"g${i % 4}", i * 7 % 97)).toDF("g", "v")
+    val x = Features.standardize(big, Seq("g"), "v").orderBy("g", "v").collect().toSeq
+    val y = Features.standardize(big.repartition(13), Seq("g"), "v")
+      .orderBy("g", "v").collect().toSeq
+    assert(x === y)
+    // ungrouped (whole-corpus) mode standardizes against the global moments
+    val glob = Features.standardize(Seq(("x", 0L), ("y", 10L)).toDF("g", "v"),
+      Nil, "v").collect().map(r => r.getLong(1) -> r.getDouble(2)).toMap
+    assert(glob(0L) === -1.0 && glob(10L) === 1.0)
+  }
+
   test("featureHash: deterministic across partitionings; bucket domain bounded") {
     val df = (1L to 200L).map(i => (i, s"l${i % 5}", s"s${i % 13}"))
       .toDF("id", "lang", "source")

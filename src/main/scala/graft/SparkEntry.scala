@@ -1405,6 +1405,13 @@ object SparkEntry {
         .withColumn("v", round(col("value") * 10000).cast("long")),
       "event_type", "v", priorWeight = 20L)
 
+  /** Top-20 heaviest join keys on events.user_id with exact shares and
+    * mean-relative heaviness — [[ops.Stats.keySkewProfile]], the
+    * pre-join salting diagnostic.
+    */
+  private def keySkewQuery(s: SparkSession, dir: String): DataFrame =
+    ops.Stats.keySkewProfile(events(dir).load(s), "user_id", k = 20)
+
   /** Per-type z-score standardization of the fixed-point event value —
     * [[ops.Features.standardize]]'s exact-moment form.
     */
@@ -1739,6 +1746,7 @@ object SparkEntry {
     "feature_hash" -> (featureHashQuery _),
     "incremental_agg" -> (incrementalAgg _),
     "feature_standardize" -> (featureStandardize _),
+    "key_skew_profile" -> (keySkewQuery _),
     "bloom_semi_join" -> (bloomSemiJoinQuery _),
     "value_outliers" -> (valueOutliers _),
     "event_type_pivot" -> (eventTypePivot _),
@@ -3873,6 +3881,21 @@ object SparkEntry {
           |  min(min_value) AS min_value, max(max_value) AS max_value
           |FROM s WHERE dt >= '2024-01-08' AND dt <= '2024-01-14'
           |GROUP BY user_id""".stripMargin,
+      // per-key counts → deterministic top-20 → ppm share and
+      // mean-relative heaviness, HUGEINT products with integral //
+      "key_skew_profile" ->
+        """WITH c AS (SELECT CAST(user_id AS VARCHAR) AS key,
+          |  CAST(count(*) AS BIGINT) AS n FROM events GROUP BY 1),
+          |t AS (SELECT CAST(sum(n) AS HUGEINT) AS nr,
+          |  CAST(count(*) AS BIGINT) AS nk FROM c),
+          |top AS (SELECT key, n,
+          |  row_number() OVER (ORDER BY n DESC, key NULLS FIRST) AS rank
+          |  FROM c ORDER BY n DESC, key NULLS FIRST LIMIT 20)
+          |SELECT rank, key, n,
+          |  CAST((CAST(n AS HUGEINT) * 1000000) // nr AS BIGINT) AS share_ppm,
+          |  CAST((CAST(n AS HUGEINT) * nk * 1000000) // nr AS BIGINT)
+          |    AS skew_x_ppm
+          |FROM top, t""".stripMargin,
       // z = (n·x − Σx)/√(n·Σx² − Σx²): exact-integer numerator and
       // radicand, one cast + sqrt + division tail — engine-identical
       "feature_standardize" ->

@@ -461,6 +461,54 @@ object Stats {
         (col("n_tokens").cast("double") / col("n_docs")).as("avg_doc_tokens"))
   }
 
+  /** Join-key skew profile — the diagnostic that decides between a plain
+    * shuffle join, AQE skew splitting, and [[Skew.saltedJoin]] BEFORE the
+    * join runs: the `k` heaviest keys with exact counts, each key's corpus
+    * share, and its heaviness relative to the MEAN key,
+    *
+    *   share_ppm = n_key · 10^6 div N
+    *   skew_x_ppm = n_key · n_keys · 10^6 div N   (10^6 = exactly average)
+    *
+    * — both integral (the ppm lane), so the profile replays engine-exact.
+    * A `skew_x_ppm` in the tens of millions on a top key is the "one task
+    * gets 10× the mean partition" signature that motivates salting; NULL
+    * keys profile like any other key (they hash to one partition too — the
+    * classic silent skew).
+    *
+    * Shape at 100 TB: one exchange for the per-key counts; the top-k is
+    * TakeOrderedAndProject over the count table and the (N, n_keys) totals
+    * re-aggregate the SAME count table — key-table-sized work after the
+    * single corpus pass, with the counts checkpointed so the two consumers
+    * don't re-scan the corpus. Ties rank by key string ascending.
+    */
+  def keySkewProfile(
+      df: DataFrame,
+      keyCol: String,
+      k: Int = 20): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    val counts = df
+      .groupBy(col(keyCol).cast("string").as("key"))
+      .agg(count(lit(1)).as("n"))
+      .localCheckpoint()
+    val totals = counts.agg(
+      coalesce(sum(col("n")), lit(0L)).as("_nr"),
+      count(lit(1)).as("_nk"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("n").desc, col("key"))
+    counts
+      .orderBy(col("n").desc, col("key")).limit(k)
+      .crossJoin(broadcast(totals))
+      .withColumn("rank", row_number().over(w))
+      // DECIMAL(38,0) products: n·n_keys·10^6 overflows int64 once the
+      // corpus passes ~10^12 rows over ~10^9 keys — exactly the regime the
+      // profiler exists for
+      .select(col("rank"), col("key"), col("n"),
+        expr("(CAST(n AS DECIMAL(38,0)) * 1000000) div _nr")
+          .cast("long").as("share_ppm"),
+        expr("(CAST(n AS DECIMAL(38,0)) * _nk * 1000000) div _nr")
+          .cast("long").as("skew_x_ppm"))
+  }
+
   def profile(
       df: DataFrame,
       cols: Seq[String],

@@ -97,6 +97,10 @@ class PlanGateSpec extends SparkTestBase {
     // ONE moment aggregation on the group keys; the stats broadcast back
     // into the scan, so the corpus never shuffles for the scaling pass
     "feature_standardize" -> 1,
+    // the per-key count exchange is behind a checkpoint (one corpus pass
+    // feeding both consumers); static remainder: the totals re-agg over the
+    // count table (2: partial→Single) and the k-row rank window (1)
+    "key_skew_profile" -> 3,
     "source_orc_roundtrip" -> 0,
     // the returned plan is the AvroIO RDD scan (the write is an eager action
     // before it); zero exchanges by construction
@@ -275,6 +279,8 @@ class PlanGateSpec extends SparkTestBase {
   private val bnljAllowed = Set("knn_brute", "cms_join_size", "vocab_coverage", "lm_score",
     // target_encode's 1-row global-totals broadcast: the scalar-attach idiom
     "target_encode",
+    // key_skew_profile's 1-row (N, n_keys) broadcast: the same idiom
+    "key_skew_profile",
     // dsir_select's 1-row smoothing-totals broadcast: the scalar-attach idiom
     "dsir_select",
     // search_bm25's N/L corpus scalars: the same 1-row broadcast cross join

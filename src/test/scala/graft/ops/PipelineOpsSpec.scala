@@ -908,6 +908,26 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(out(Some("a")) === ((1L, 1L, 1L)))
   }
 
+  test("keySkewProfile: exact shares and heaviness, NULL key profiles, k-bound, determinism") {
+    import spark.implicits._
+    // 10 rows: key a ×6, b ×2, c ×1, NULL ×1 → 4 keys, mean 2.5 rows/key
+    val df = (Seq.fill(6)("a") ++ Seq.fill(2)("b") ++ Seq("c", null))
+      .toDF("k")
+    val out = Stats.keySkewProfile(df, "k", k = 3)
+      .collect().map(r => r.getInt(0) ->
+        ((Option(r.getString(1)), r.getLong(2), r.getLong(3), r.getLong(4))))
+    assert(out.length === 3, "k bounds the output")
+    // a: share 6/10, heaviness 6·4/10 = 2.4× the mean key
+    assert(out(0) === (1 -> ((Some("a"), 6L, 600000L, 2400000L))))
+    assert(out(1) === (2 -> ((Some("b"), 2L, 200000L, 800000L))))
+    // the n=1 tie between c and NULL ranks NULL first (asc nulls-first,
+    // the Spark total order — pinned so the oracle can replay it)
+    assert(out(2) === (3 -> ((None, 1L, 100000L, 400000L))))
+    val again = Stats.keySkewProfile(df.repartition(7), "k", k = 3)
+      .collect().map(_.toSeq).toSeq
+    assert(again === Stats.keySkewProfile(df, "k", k = 3).collect().map(_.toSeq).toSeq)
+  }
+
   test("transitionMatrix: hand case — pairs, ppm normalization, last event drops, id tiebreak") {
     import spark.implicits._
     val df = Seq(

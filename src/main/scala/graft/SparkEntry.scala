@@ -1396,6 +1396,19 @@ object SparkEntry {
     ops.Incremental.mergeState(state, Seq("user_id"), "2024-01-08", "2024-01-14")
   }
 
+  /** CUBE over (dt, event_type) — rollup's four-grouping-set sibling (the
+    * extra set: per-type totals across all days), still ONE Expand
+    * aggregation in a single shuffle; same explicit gid arithmetic.
+    */
+  private def eventsCube(s: SparkSession, dir: String): DataFrame =
+    events(dir).load(s)
+      .withColumn("dt", to_date(col("ts")).cast("string"))
+      .withColumn("v", round(col("value") * 10000).cast("long"))
+      .cube(col("dt"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("v")).as("sum_value"),
+        (grouping(col("dt")) * 2 + grouping(col("event_type")))
+          .cast("long").as("gid"))
+
   /** Smoothed target-mean encoding of event_type against the fixed-point
     * value — [[ops.Features.targetEncode]] at prior weight 20.
     */
@@ -1742,6 +1755,7 @@ object SparkEntry {
     "event_paths" -> (eventPaths _),
     "events_pivot" -> (eventsPivot _),
     "events_rollup" -> (eventsRollup _),
+    "events_cube" -> (eventsCube _),
     "target_encode" -> (targetEncodeQuery _),
     "feature_hash" -> (featureHashQuery _),
     "incremental_agg" -> (incrementalAgg _),
@@ -3909,6 +3923,15 @@ object SparkEntry {
           |       ELSE round(CAST(n * v - sx AS DOUBLE)
           |         / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)), 6) END AS z
           |FROM e JOIN s USING (event_type)""".stripMargin,
+      // CUBE adds the per-type-across-days set to rollup's three; same
+      // explicit GROUPING bit order
+      "events_cube" ->
+        """WITH e AS (SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS dt, event_type,
+          |  CAST(round(value * 10000) AS BIGINT) AS v FROM events)
+          |SELECT dt, event_type, CAST(count(*) AS BIGINT) AS n,
+          |  CAST(sum(v) AS BIGINT) AS sum_value,
+          |  CAST(GROUPING(dt) * 2 + GROUPING(event_type) AS BIGINT) AS gid
+          |FROM e GROUP BY CUBE (dt, event_type)""".stripMargin,
       // smoothed mean encoding with the global mean's denominator cleared:
       // enc_q = (N·sum_c + m·S)·2^20 // (N·(n_c + m)), all-integer
       "target_encode" ->

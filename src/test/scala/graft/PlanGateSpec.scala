@@ -86,6 +86,8 @@ class PlanGateSpec extends SparkTestBase {
     "events_pivot" -> 1,
     // Expand + ONE aggregation for all three grouping levels
     "events_rollup" -> 1,
+    // same Expand shape, four grouping sets, still one exchange
+    "events_cube" -> 1,
     // the rollup agg feeds both the category rows and the broadcast global
     // row — two plan branches of the same 1-exchange aggregation
     "target_encode" -> 2,

@@ -1435,6 +1435,16 @@ object SparkEntry {
           round(col("value") * 10000).cast("long").as("v")),
       Seq("event_type"), "v")
 
+  /** Per-type min-max scaling of the fixed-point event value to [0, 2^20]
+    * — [[ops.Features.minMaxScale]], the no-float-step scaler.
+    */
+  private def featureMinMax(s: SparkSession, dir: String): DataFrame =
+    ops.Features.minMaxScale(
+      events(dir).load(s)
+        .select(col("event_id"), col("event_type"),
+          round(col("value") * 10000).cast("long").as("v")),
+      Seq("event_type"), "v")
+
   /** Hashing-trick encoding of the documents' categorical columns into 64
     * signed buckets, long form — [[ops.Features.featureHash]].
     */
@@ -1761,6 +1771,7 @@ object SparkEntry {
     "incremental_agg" -> (incrementalAgg _),
     "feature_standardize" -> (featureStandardize _),
     "key_skew_profile" -> (keySkewQuery _),
+    "feature_minmax" -> (featureMinMax _),
     "bloom_semi_join" -> (bloomSemiJoinQuery _),
     "value_outliers" -> (valueOutliers _),
     "event_type_pivot" -> (eventTypePivot _),
@@ -3910,6 +3921,17 @@ object SparkEntry {
           |  CAST((CAST(n AS HUGEINT) * nk * 1000000) // nr AS BIGINT)
           |    AS skew_x_ppm
           |FROM top, t""".stripMargin,
+      // (x − min)·2^20 // (max − min): all-integer, no float step anywhere
+      "feature_minmax" ->
+        """WITH e AS (SELECT event_id, event_type,
+          |  CAST(round(value * 10000) AS BIGINT) AS v FROM events),
+          |s AS (SELECT event_type, min(v) AS mn, max(v) AS mx
+          |  FROM e GROUP BY event_type)
+          |SELECT event_id, e.event_type, v,
+          |  CASE WHEN mx = mn THEN NULL
+          |       ELSE CAST((CAST(v AS HUGEINT) - mn) * 1048576
+          |         // (CAST(mx AS HUGEINT) - mn) AS BIGINT) END AS scaled_q
+          |FROM e JOIN s USING (event_type)""".stripMargin,
       // z = (n·x − Σx)/√(n·Σx² − Σx²): exact-integer numerator and
       // radicand, one cast + sqrt + division tail — engine-identical
       "feature_standardize" ->

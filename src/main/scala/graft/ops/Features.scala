@@ -111,6 +111,40 @@ object Features {
       .drop("_n", "_sx", "_sxx", "_rad")
   }
 
+  /** Per-group min-max scaling to `[0, 2^20]` fixed point — the bounded
+    * scaler next to [[standardize]] (z-scores preserve outlier magnitude;
+    * min-max clamps the range, the usual choice for inputs that feed
+    * bounded activations or histogram bins):
+    *
+    *   scaled_q = (x − min)·2^20 div (max − min)
+    *
+    * — per-group min/max are exact integers and the scale is ONE integral
+    * division, so the output is engine- and partitioning-identical with no
+    * float step at all (strictly stronger than standardize's one-step
+    * tail). A constant group (max = min) yields NULL — no spread is not a
+    * position. Same shape as [[standardize]]: one min/max aggregation on
+    * the group keys, stats broadcast back, corpus never shuffles.
+    */
+  def minMaxScale(
+      df: DataFrame,
+      groupCols: Seq[String],
+      valueCol: String,
+      outCol: String = "scaled_q"): DataFrame = {
+    val stats = df.groupBy(groupCols.map(col): _*)
+      .agg(min(col(valueCol)).as("_mn"), max(col(valueCol)).as("_mx"))
+    val joined =
+      if (groupCols.isEmpty) df.crossJoin(broadcast(stats))
+      else df.join(broadcast(stats), groupCols)
+    joined
+      .withColumn(outCol,
+        when(col("_mx") === col("_mn"), lit(null).cast("long"))
+          .otherwise(expr(
+            s"""((CAST($valueCol AS DECIMAL(38,0)) - _mn) * 1048576)
+               | div (CAST(_mx AS DECIMAL(38,0)) - _mn)""".stripMargin)
+            .cast("long")))
+      .drop("_mn", "_mx")
+  }
+
   /** Hashing-trick encoding (Weinberger et al. 2009) of categorical columns
     * into a fixed `numBuckets`-wide feature space, in the long (sparse)
     * form every 100 TB feature pipeline actually stores: one `(id, bucket,

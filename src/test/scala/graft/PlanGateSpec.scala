@@ -99,6 +99,8 @@ class PlanGateSpec extends SparkTestBase {
     // ONE moment aggregation on the group keys; the stats broadcast back
     // into the scan, so the corpus never shuffles for the scaling pass
     "feature_standardize" -> 1,
+    // identical shape: one min/max agg, stats broadcast back
+    "feature_minmax" -> 1,
     // the per-key count exchange is behind a checkpoint (one corpus pass
     // feeding both consumers); static remainder: the totals re-agg over the
     // count table (2: partial→Single) and the k-row rank window (1)

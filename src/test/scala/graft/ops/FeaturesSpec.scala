@@ -94,6 +94,23 @@ class FeaturesSpec extends SparkTestBase {
     assert(glob(0L) === -1.0 && glob(10L) === 1.0)
   }
 
+  test("minMaxScale: exact endpoints and midpoint, constant-group NULL, determinism") {
+    val df = Seq(("a", 10L), ("a", 20L), ("a", 30L), ("b", 5L), ("b", 5L))
+      .toDF("g", "v")
+    val out = Features.minMaxScale(df, Seq("g"), "v")
+      .collect().map(r => (r.getString(0), r.getLong(1)) ->
+        Option(r.get(2)).map(_.asInstanceOf[Long])).toMap
+    assert(out(("a", 10L)) === Some(0L))
+    assert(out(("a", 20L)) === Some(524288L)) // exactly 2^19, the midpoint
+    assert(out(("a", 30L)) === Some(1048576L))
+    assert(out(("b", 5L)) === None, "no spread is not a position")
+    val big = (1L to 200L).map(i => (s"g${i % 3}", i * 11 % 89)).toDF("g", "v")
+    val x = Features.minMaxScale(big, Seq("g"), "v").orderBy("g", "v").collect().toSeq
+    val y = Features.minMaxScale(big.repartition(7), Seq("g"), "v")
+      .orderBy("g", "v").collect().toSeq
+    assert(x === y)
+  }
+
   test("featureHash: deterministic across partitionings; bucket domain bounded") {
     val df = (1L to 200L).map(i => (i, s"l${i % 5}", s"s${i % 13}"))
       .toDF("id", "lang", "source")

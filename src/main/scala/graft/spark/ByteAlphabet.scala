@@ -102,18 +102,22 @@ case class ByteSyms(child: Expression)
   override def prettyName: String = "graft_byte_syms"
 
   override def nullSafeEval(input: Any): Any =
-    ByteSyms.eval(input.asInstanceOf[UTF8String])
+    ByteSyms.toSyms(input.asInstanceOf[UTF8String])
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, c =>
-      s"${ev.value} = org.apache.spark.sql.graft.ByteSyms.eval($c);")
+      s"${ev.value} = org.apache.spark.sql.graft.ByteSyms.toSyms($c);")
 
   override protected def withNewChildInternal(newChild: Expression): ByteSyms =
     copy(child = newChild)
 }
 
 object ByteSyms {
-  def eval(s: UTF8String): GenericArrayData = {
+  // Named toSyms (not eval): an `eval` here would collide with the class's
+  // inherited eval(InternalRow), suppressing the static forwarder Janino
+  // needs — the generated call would fail to compile and the whole plan
+  // would silently drop to interpreter mode.
+  def toSyms(s: UTF8String): GenericArrayData = {
     val bytes = s.getBytes
     val out = new Array[Any](bytes.length)
     var i = 0

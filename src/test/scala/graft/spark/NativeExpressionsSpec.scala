@@ -60,6 +60,43 @@ class NativeExpressionsSpec extends SparkTestBase {
     assert(err.getMessage.contains("literal"))
   }
 
+  test("ByteSyms: codegen intact — compiles inside whole-stage codegen, no fallback") {
+    // The regression this pins: the companion's helper was once named `eval`,
+    // colliding with the class's inherited eval(InternalRow) so scalac emitted
+    // no static forwarder; Janino couldn't resolve ByteSyms.toSyms's old name
+    // and every byte-BPE plan silently dropped to interpreter mode. Parquet
+    // round-trip (not toDF) so ConvertToLocalRelation can't pre-evaluate the
+    // kernel out of the plan under test.
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.graft.ByteSyms
+    val dir = java.nio.file.Files.createTempDirectory("graft-bytesyms").toString
+    spark.range(500)
+      .select(concat(lit("schön日本語-"), col("id").cast("string")).as("word"))
+      .write.mode("overwrite").parquet(dir)
+    val projected = spark.read.parquet(dir).select(ByteSyms(col("word")).as("syms"))
+    val wscg = projected.queryExecution.executedPlan.collect {
+      case w: org.apache.spark.sql.execution.WholeStageCodegenExec => w.toString
+    }
+    assert(wscg.exists(_.contains("graft_byte_syms")),
+      s"byte-syms projection must stay inside whole-stage codegen:\n" +
+        projected.queryExecution.executedPlan)
+    // fail on ANY codegen fallback: with fallback disabled a Janino compile
+    // error surfaces as an exception instead of a logged warning
+    val prev = spark.conf.getOption("spark.sql.codegen.fallback")
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try {
+      val rows = projected.collect()
+      assert(rows.length === 500)
+      // ö = 0xc3 0xb6 and each CJK char is 3 bytes: 6 ASCII letters +
+      // 2 + 9 byte-chars + 1 hyphen + the id digits
+      val syms = rows.head.getSeq[String](0)
+      assert(syms.length >= 18 && syms.forall(_.length == 1))
+    } finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.codegen.fallback", v)
+      case None => spark.conf.unset("spark.sql.codegen.fallback")
+    }
+  }
+
   test("float arrays widen to double; length mismatch and null yield null") {
     GraftFunctions.register(spark)
     val r = spark.sql(

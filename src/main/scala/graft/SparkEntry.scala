@@ -530,6 +530,38 @@ object SparkEntry {
     Multimodal.imageStats(s,
       Multimodal.synthesizeImages(s, docs(s, dir).select("doc_id"), "doc_id"))
 
+  /** Perceptual near-dup over REAL PNG payloads: the base corpus plus
+    * re-encoded twins (identity nearest-neighbor resize — lossless, so
+    * dHash-identical, hamming 0) plus mildly-resized twins (w+4, h+2 — the
+    * composed integer nearest-neighbor mapping), with every 9th BASE
+    * payload truncated below PNG header size (corrupt ⇒ decode drops it ⇒
+    * it appears in no pair, even where its twin survives). maxBucket is
+    * set inert so candidate generation is the pure 4-chunk pigeonhole and
+    * the result is EXACTLY all pairs within hamming 3 — which the oracle
+    * replays arithmetically from the closed-form pixels, no image stack.
+    */
+  private def imageNearDupQ(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val base = Multimodal.synthesizeImages(s, docs(s, dir).select("doc_id"), "doc_id")
+      .select(col("item_id"), col("payload"),
+        col("meta.width").as("w"), col("meta.height").as("h"))
+    // twins derive from the CLEAN payloads (a real pipeline's copies were
+    // made before the original rotted); %7 wins when both rules match
+    val twins = base
+      .filter(col("item_id") % 7 === 0 || col("item_id") % 11 === 0)
+      .as[(Long, Array[Byte], Int, Int)]
+      .map { case (id, p, w, h) =>
+        if (id % 7 == 0) (id + 10000000L, Multimodal.ImageIoCodec.resizeNearest(p, w, h).get)
+        else (id + 20000000L, Multimodal.ImageIoCodec.resizeNearest(p, w + 4, h + 2).get)
+      }
+      .toDF("item_id", "payload")
+    val corrupted = base.select(col("item_id"),
+      when(col("item_id") % 9 === 0, expr("substring(payload, 1, 20)"))
+        .otherwise(col("payload")).as("payload"))
+    ops.Dedup.imageNearDup(s, corrupted.unionByName(twins),
+      maxHamming = 3, maxBucket = 1000000)
+  }
+
   /** Real WAV encode→decode roundtrip over the closed-form synthetic
     * signals, with every 10th payload TRUNCATED to 20 bytes (shorter than a
     * RIFF header — undecodable by construction): corrupt rows must drop,
@@ -1692,6 +1724,7 @@ object SparkEntry {
     "pipeline_quality_mix" -> (pipelineQualityMix _),
     "multimodal_meta" -> (multimodalMeta _),
     "image_stats" -> (imageStats _),
+    "image_neardup" -> (imageNearDupQ _),
     "audio_stats" -> (audioStats _),
     "video_stats" -> (videoStats _),
     "events_json_extract" -> (eventsJsonExtract _),
@@ -2866,6 +2899,47 @@ object SparkEntry {
           |  CAST(sum((3 * x + 5 * y + 2 * doc_id) % 256) AS BIGINT) AS sum_g,
           |  CAST(sum((11 * x + 17 * y + 3 * doc_id) % 256) AS BIGINT) AS sum_b
           |FROM px GROUP BY 1, 2, 3""".stripMargin,
+      // the dHash of a REAL PNG decode, replayed arithmetically: a 9x8
+      // nearest-neighbor luma grid over the closed-form pixels (composed
+      // through the twin resize for the resized population), 64
+      // neighbor-brightness bits, then the all-pairs hamming<=3 join (the
+      // inert-cap pigeonhole makes Spark's banded join exactly that).
+      // Corrupt originals (doc_id%9=0) are excluded here BY the oracle —
+      // the corrupt-drop contract — while their twins still participate
+      "image_neardup" ->
+        """WITH pop AS (
+          |  SELECT doc_id AS id, doc_id AS src,
+          |    CAST(doc_id % 16 + 8 AS BIGINT) AS w, CAST(doc_id % 12 + 8 AS BIGINT) AS h,
+          |    CAST(doc_id % 16 + 8 AS BIGINT) AS w0, CAST(doc_id % 12 + 8 AS BIGINT) AS h0
+          |  FROM documents WHERE doc_id % 9 <> 0
+          |  UNION ALL
+          |  SELECT doc_id + 10000000, doc_id,
+          |    doc_id % 16 + 8, doc_id % 12 + 8, doc_id % 16 + 8, doc_id % 12 + 8
+          |  FROM documents WHERE doc_id % 7 = 0
+          |  UNION ALL
+          |  SELECT doc_id + 20000000, doc_id,
+          |    doc_id % 16 + 12, doc_id % 12 + 10, doc_id % 16 + 8, doc_id % 12 + 8
+          |  FROM documents WHERE doc_id % 11 = 0 AND doc_id % 7 <> 0),
+          |g AS (SELECT id, src, gx.range AS gx, gy.range AS gy,
+          |    ((gx.range * w) // 9) * w0 // w AS sx,
+          |    ((gy.range * h) // 8) * h0 // h AS sy
+          |  FROM pop, range(0, 9) gx, range(0, 8) gy),
+          |lum AS (SELECT id, gx, gy,
+          |    (77 * ((7 * sx + 13 * sy + src) % 256)
+          |   + 150 * ((3 * sx + 5 * sy + 2 * src) % 256)
+          |   + 29 * ((11 * sx + 17 * sy + 3 * src) % 256)) // 256 AS lum
+          |  FROM g),
+          |sig AS (SELECT a.id,
+          |    CAST(sum(CASE WHEN b.lum > a.lum THEN
+          |      CASE WHEN a.gy * 8 + a.gx = 63 THEN (-9223372036854775807 - 1)
+          |           ELSE (1::BIGINT << CAST(a.gy * 8 + a.gx AS INT)) END
+          |      ELSE 0 END) AS BIGINT) AS sig
+          |  FROM lum a JOIN lum b ON a.id = b.id AND a.gy = b.gy AND b.gx = a.gx + 1
+          |  WHERE a.gx < 8 GROUP BY 1)
+          |SELECT a.id AS a_id, b.id AS b_id,
+          |  CAST(bit_count(xor(a.sig, b.sig)) AS BIGINT) AS hamming
+          |FROM sig a JOIN sig b ON a.id < b.id
+          |WHERE bit_count(xor(a.sig, b.sig)) <= 3""".stripMargin,
       // the decoded-frame sums of a REAL container-parse + per-frame PNG
       // decode roundtrip, recomputed from the closed-form (id, frame, x, y)
       // pixel formula; every 9th payload truncated below header size must

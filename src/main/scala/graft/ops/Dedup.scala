@@ -342,28 +342,72 @@ object Dedup {
       maxHamming: Int = 3,
       maxBucket: Int = 100,
       metrics: Option[Observation] = None): DataFrame = {
+    hammingNearDupPairs(
+      simHash(df, idCol, textCol).select(col("id"), col("simhash").as("sig")),
+      maxHamming, maxBucket, metrics)
+  }
+
+  /** Hamming near-dup pairs over ANY precomputed 64-bit signature frame
+    * (columns: `id`, `sig`) — the banded candidate-join engine shared by
+    * [[simHashNearDup]] (text SimHash) and [[imageNearDup]] (perceptual
+    * dHash). Candidates come from 16-bit chunk buckets; the 4-chunk
+    * pigeonhole is complete for `maxHamming <= 3` modulo the `maxBucket`
+    * hot-bucket cap (see [[simHashNearDup]] for the cap caveat and
+    * [[bucketPairs]] for the observable drop metrics).
+    *
+    * Shape per 100 TB: the signature frame is 16 bytes/row however large
+    * the underlying objects were; one localCheckpoint materializes it once
+    * for its three uses (chunk explode + both verify sides), the bucket
+    * grouping shuffles only (id, chunkKey) rows, and the verify join ships
+    * one long per side.
+    */
+  private[graft] def hammingNearDupPairs(
+      sigs: DataFrame, // columns: id, sig (a 64-bit signature)
+      maxHamming: Int,
+      maxBucket: Int,
+      metrics: Option[Observation] = None): DataFrame = {
     // the 4×16-bit chunk pigeonhole is COMPLETE only for distance <= 3
     // (4 chunks, so any 3 flipped bits leave one chunk untouched); a larger
     // maxHamming would silently miss pairs rather than find more
     require(maxHamming >= 0 && maxHamming <= 3,
       "maxHamming must be in [0, 3] (16-bit-chunk candidate generation)")
     // lazily checkpointed: referenced by the chunk buckets and both verify
-    // sides — one explode+aggregate pass instead of three
-    val hashes = simHash(df, idCol, textCol).localCheckpoint(false)
+    // sides — one upstream pass instead of three
+    val hashes = sigs.select(col("id"), col("sig")).localCheckpoint(false)
     val chunked = hashes.select(
       col("id"),
       explode(transform(sequence(lit(0), lit(3)), j => struct(
         j.as("chunk"),
-        call_function("shiftright", col("simhash"), j * 16)
+        call_function("shiftright", col("sig"), j * 16)
           .bitwiseAND(lit(0xffffL)).as("bits")))).as("bucketKey"))
     val cand = bucketPairs(chunked.select(col("id"), col("bucketKey")), maxBucket, metrics)
-    val a = hashes.select(col("id").as("a_id"), col("simhash").as("sim_a"))
-    val b = hashes.select(col("id").as("b_id"), col("simhash").as("sim_b"))
+    val a = hashes.select(col("id").as("a_id"), col("sig").as("sim_a"))
+    val b = hashes.select(col("id").as("b_id"), col("sig").as("sim_b"))
     cand.join(a, "a_id").join(b, "b_id")
       .withColumn("hamming", hamming64(col("sim_a"), col("sim_b")))
       .filter(col("hamming") <= maxHamming)
       .select(col("a_id"), col("b_id"), col("hamming"))
   }
+
+  /** Perceptual image near-dup pairs: items whose 64-bit dHashes
+    * ([[Multimodal.dHash]] — decode → 9×8 luma grid → neighbor-brightness
+    * bits) are within `maxHamming` bits. The image twin of
+    * [[simHashNearDup]]: re-encoded, mildly resized, or slightly retouched
+    * copies of an image land within a few bits of each other, while the
+    * candidate join only ever touches 16-byte signatures — the decoded
+    * pixels never shuffle. Corrupt payloads drop at the decode pass and
+    * therefore appear in no pair.
+    */
+  def imageNearDup(
+      spark: org.apache.spark.sql.SparkSession,
+      media: DataFrame, // columns: item_id, payload
+      maxHamming: Int = 3,
+      maxBucket: Int = 100,
+      metrics: Option[Observation] = None): DataFrame =
+    hammingNearDupPairs(
+      graft.ops.Multimodal.dHash(spark, media)
+        .select(col("item_id").as("id"), col("dhash").as("sig")),
+      maxHamming, maxBucket, metrics)
 
   /** Canonical cluster assignment over near-dup pairs: connected components
     * by iterative min-label propagation. Every id gets the smallest id of its

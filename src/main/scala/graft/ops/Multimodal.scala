@@ -99,14 +99,19 @@ object Multimodal {
     }
 
     /** Decode any ImageIO-supported payload (PNG, BMP, GIF, JPEG) to ARGB
-      * pixels; None when the payload is not a decodable image.
+      * pixels; None when the payload is not a decodable image. ImageIO
+      * signals corruption inconsistently — unknown formats return null but
+      * a TRUNCATED payload of a recognized format throws (EOF inside the
+      * PNG header) — so both are normalized to None: a corrupt byte string
+      * must drop the row, never kill the scan task.
       */
     def decode(payload: Array[Byte]): Option[Decoded] =
-      Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload)))
+      try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload)))
         .map { img =>
           val (w, h) = (img.getWidth, img.getHeight)
           Decoded(w, h, img.getRGB(0, 0, w, h, null, 0, w))
         }
+      catch { case _: java.io.IOException => None }
 
     /** Nearest-neighbor resize with EXPLICIT source-index math
       * (`sx = x·sw/dw`) rather than Graphics2D scaling — the mapping is a
@@ -541,6 +546,61 @@ object Multimodal {
         }
       })
       .toDF("item_id", "width", "height", "sum_r", "sum_g", "sum_b")
+  }
+
+  /** Perceptual difference-hash (dHash) over REAL image payloads: decode,
+    * sample a 9×8 luma grid by the EXPLICIT nearest-neighbor index formula
+    * (`sx = gx·w/9`, `sy = gy·h/8` — the same specified integer mapping as
+    * [[ImageIoCodec.resizeNearest]], so the hash is reproducible
+    * arithmetically outside any image stack), and set bit `gy·8+gx` when
+    * the right neighbor is brighter. Luma is the integer BT.601-weight
+    * approximation `(77r + 150g + 29b) >> 8` — weights sum to 256, all
+    * integer, so every engine computes the identical grid.
+    *
+    * The result is a 64-bit signature whose hamming distance survives
+    * re-encoding (lossless or mildly lossy) and small resizes — gradients
+    * between neighboring cells barely move — which is exactly what a text
+    * SimHash is to token streams. Feed it to
+    * [[Dedup.imageNearDup]] / [[Dedup.hammingNearDupPairs]] for the
+    * banded near-dup join. Corrupt payloads drop (decode returns None).
+    *
+    * Shape per 100 TB: one scan-speed mapPartitions decode pass, no
+    * shuffle; output is 16 bytes/row regardless of image size, so the
+    * downstream near-dup join runs over ~1/10⁶ of the corpus bytes.
+    */
+  def dHash(spark: SparkSession, media: DataFrame): DataFrame = {
+    import spark.implicits._
+    media.select(col("item_id"), col("payload")).as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, payload) =>
+        ImageIoCodec.decode(payload).map { d =>
+          val lum = new Array[Int](9 * 8)
+          var gy = 0
+          while (gy < 8) {
+            var gx = 0
+            while (gx < 9) {
+              val sx = gx * d.width / 9
+              val sy = gy * d.height / 8
+              val p = d.argb(sy * d.width + sx)
+              lum(gy * 9 + gx) =
+                (77 * ((p >> 16) & 0xFF) + 150 * ((p >> 8) & 0xFF) + 29 * (p & 0xFF)) >> 8
+              gx += 1
+            }
+            gy += 1
+          }
+          var sig = 0L
+          gy = 0
+          while (gy < 8) {
+            var gx = 0
+            while (gx < 8) {
+              if (lum(gy * 9 + gx + 1) > lum(gy * 9 + gx)) sig |= 1L << (gy * 8 + gx)
+              gx += 1
+            }
+            gy += 1
+          }
+          (id, sig)
+        }
+      })
+      .toDF("item_id", "dhash")
   }
 
   /** Ingest a DIRECTORY of media files as the engine's (item_id, payload,

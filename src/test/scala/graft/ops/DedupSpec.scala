@@ -522,4 +522,51 @@ class DedupSpec extends SparkTestBase {
     // the empty docs (no shingle set) pair with nothing, including each other
     assert(out === Set((3L, 4L)))
   }
+
+  test("imageNearDup: re-encoded twin found at hamming 0; distinct images unpaired; corrupt drops") {
+    import spark.implicits._
+    val codec = Multimodal.ImageIoCodec
+    // two visually unrelated images + a lossless re-encode twin of the first
+    val a = codec.encodePng(40, 30, (x, y) => { val g = 4 * x; (g << 16) | (g << 8) | g })
+    val b = codec.encodePng(40, 30, (x, y) => {
+      val g = (x * 37 + y * 91) % 256; (g << 16) | ((255 - g) << 8) | (g * 7 % 256)
+    })
+    val twin = codec.resizeNearest(a, 40, 30).get
+    val corrupt = a.take(25) // truncated below PNG header: undecodable
+    val media = Seq((1L, a), (2L, b), (10L, twin), (99L, corrupt)).toDF("item_id", "payload")
+    val pairs = Dedup.imageNearDup(spark, media).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(pairs.contains((1L, 10L, 0)), s"planted twin must pair at hamming 0: $pairs")
+    assert(!pairs.exists(p => p._1 == 99L || p._2 == 99L), "corrupt item appears in no pair")
+    assert(!pairs.exists(p => Set(p._1, p._2) == Set(1L, 2L)),
+      "unrelated images must not pair")
+  }
+
+  test("imageNearDup: hot-bucket cap bounds the blowup observably (the simHash caveat, image side)") {
+    import spark.implicits._
+    val codec = Multimodal.ImageIoCodec
+    // ten IDENTICAL images: one shared dHash, so each of the 4 chunk buckets
+    // holds all ten ids — over the cap, dropped, and the true dups are lost
+    // exactly as documented (observable via the metrics, never silent). A
+    // second pair of identical images stays UNDER the cap so the result
+    // isn't globally empty (an all-empty plan is AQE-propagated away,
+    // CollectMetrics node included — same reason the other metric specs
+    // keep a survivor)
+    val img = codec.encodePng(24, 24, (x, y) => { val g = 5 * x + y; (g << 16) | (g << 8) | g })
+    // DECREASING gradient: dHash 0, sharing no 16-bit chunk with img's
+    // all-bits dHash — its buckets stay disjoint from the hot clique's
+    val other = codec.encodePng(24, 24, (x, y) => { val g = 200 - 7 * x - 3 * y; (g << 16) | (g << 8) | g })
+    val media = ((1L to 10L).map(i => (i, img)) ++ Seq((20L, other), (21L, other)))
+      .toDF("item_id", "payload")
+    val obs = new org.apache.spark.sql.Observation("img-buckets")
+    val capped = Dedup.imageNearDup(spark, media, maxBucket = 5, metrics = Some(obs)).collect()
+    assert(capped.map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet ===
+      Set((20L, 21L, 0)), "only the under-cap twin pair survives")
+    val m = obs.get
+    assert(m("n_dropped_buckets") == 4L, s"all four hot chunk buckets over cap: $m")
+    assert(m("n_dropped_ids") == 40L)
+    // inert cap: the hot clique's 45 pairs + the twin pair, all hamming 0
+    val full = Dedup.imageNearDup(spark, media, maxBucket = 100).collect()
+    assert(full.length === 46 && full.forall(_.getInt(2) == 0))
+  }
 }

@@ -316,4 +316,33 @@ class MultimodalSpec extends SparkTestBase {
     assert(Multimodal.ingestBinaryFiles(
       spark, dir.toString, Some("*.png"), maxBytes = 1L).count() === 0L)
   }
+
+  test("dHash: gradient saturates all 64 bits, flat image hashes 0, corrupt drops") {
+    import spark.implicits._
+    // monotone x-gradient: every right neighbor on the 9x8 grid is brighter
+    val grad = Multimodal.ImageIoCodec.encodePng(64, 48, (x, _) => {
+      val g = 3 * x; (g << 16) | (g << 8) | g
+    })
+    // flat: no neighbor is strictly brighter anywhere
+    val flat = Multimodal.ImageIoCodec.encodePng(32, 32, (_, _) => 0x808080)
+    val corrupt = grad.take(20)
+    val media = Seq((1L, grad), (2L, flat), (3L, corrupt)).toDF("item_id", "payload")
+    val out = Multimodal.dHash(spark, media).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(1L -> -1L, 2L -> 0L)) // all-64-bits-set == -1L; corrupt absent
+  }
+
+  test("dHash: re-encode is hash-identical; a mild resize of a smooth image moves few bits") {
+    import spark.implicits._
+    val base = Multimodal.ImageIoCodec.encodePng(60, 40, (x, y) => {
+      val g = 2 * x + y; (g << 16) | (g << 8) | g
+    })
+    val reencoded = Multimodal.ImageIoCodec.resizeNearest(base, 60, 40).get
+    val resized = Multimodal.ImageIoCodec.resizeNearest(base, 64, 42).get
+    val m = Seq((1L, base), (2L, reencoded), (3L, resized)).toDF("item_id", "payload")
+    val h = Multimodal.dHash(spark, m).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(h(2L) === h(1L), "lossless re-encode must not move the hash")
+    assert(java.lang.Long.bitCount(h(1L) ^ h(3L)) <= 3,
+      s"mild resize of a smooth image stays near: ${java.lang.Long.bitCount(h(1L) ^ h(3L))} bits")
+  }
 }

@@ -576,6 +576,26 @@ object SparkEntry {
     Multimodal.audioStats(s, media)
   }
 
+  /** Profile-driven skew remediation end-to-end: collapse every third user
+    * onto user 0 (a planted power-law head owning ~a third of the fact
+    * table — keySkewProfile flags it at ~300000×-mean ppm), then join the
+    * fact side to its per-user dimension through
+    * [[ops.Skew.profiledSaltedJoin]]: ONLY the hot key is salted (its
+    * measured share earns the factor), the cold majority joins plainly.
+    * The oracle is the PLAIN join — salting must be invisible in the
+    * result, which is the entire correctness contract of the remediation.
+    */
+  private def skewSaltedJoinQ(s: SparkSession, dir: String): DataFrame = {
+    val ev = events(dir).load(s).select(
+      col("event_id"),
+      when(col("user_id") % 3 === 0, 0L).otherwise(col("user_id")).as("uid"),
+      round(col("value") * 10000).cast("long").as("v"))
+    val dim = ev.groupBy("uid")
+      .agg(count(lit(1)).as("n_u"), sum("v").as("sum_u"))
+    ops.Skew.profiledSaltedJoin(ev, dim, "uid")
+      .select(col("event_id"), col("uid"), col("v"), col("n_u"), col("sum_u"))
+  }
+
   /** events with value scaled to an exact integer (1e4 fixed-point) so sums
     * are shuffle-order- and engine-independent.
     */
@@ -1740,6 +1760,7 @@ object SparkEntry {
     "event_attribution" -> (eventAttribution _),
     "text_pii_redact" -> (textPiiRedact _),
     "sample_hash" -> (sampleHash _),
+    "skew_salted_join" -> (skewSaltedJoinQ _),
     "filter_blocklist" -> (filterBlocklist _),
     "corpus_quantiles" -> (corpusQuantiles _),
     "decontaminate" -> (decontaminateCorpus _),
@@ -3087,6 +3108,15 @@ object SparkEntry {
           |FROM p LEFT JOIN c ON c.user_id = p.user_id
           |  AND c.ts_us >= p.ts_us - 3600000000 AND c.ts_us < p.ts_us
           |GROUP BY 1, 2, 3""".stripMargin,
+      // the PLAIN join — the salted plan must be row-identical to it
+      "skew_salted_join" ->
+        """WITH ev AS (SELECT event_id,
+          |    CASE WHEN user_id % 3 = 0 THEN 0 ELSE user_id END AS uid,
+          |    CAST(round(value * 10000) AS BIGINT) AS v FROM events),
+          |dim AS (SELECT uid, count(*) AS n_u, CAST(sum(v) AS BIGINT) AS sum_u
+          |  FROM ev GROUP BY 1)
+          |SELECT e.event_id, e.uid, e.v, d.n_u, d.sum_u
+          |FROM ev e JOIN dim d USING (uid)""".stripMargin,
       "text_pii_redact" ->
         s"""WITH d AS (SELECT doc_id, CASE WHEN doc_id % 5 = 0
            |    THEN text || ' contact u' || CAST(doc_id AS VARCHAR) ||

@@ -37,6 +37,102 @@ object Skew {
     salted.join(replicated, keys :+ "_salt", joinType).drop("_salt")
   }
 
+  /** Per-key salt factors derived from a [[Stats.keySkewProfile]] run: the
+    * keys heavy enough to deserve salting, each with the factor its row
+    * share earns. A key is hot when it is at least `hotThresholdXPpm`/10⁶
+    * times the mean key AND its share spans ≥ 2 shuffle partitions; its
+    * salt factor is `ceil(share_ppm · P / 10⁶)` (≈ the number of tasks its
+    * rows would fill at the session's shuffle parallelism `P`), capped at
+    * `maxSaltFactor`. NULL keys are never salted — they can't match an
+    * equi-join anyway (the profile still SHOWS them, so null-skew is
+    * visible, just not remediated here).
+    *
+    * Driver-side by design: the profile's top-k is ≤ k rows — the same
+    * bounded-scalar discipline as [[bloomSemiJoin]]'s filter bytes.
+    */
+  private[graft] def hotKeySalts(
+      left: DataFrame,
+      key: String,
+      profileK: Int = 20,
+      hotThresholdXPpm: Long = 4000000L,
+      maxSaltFactor: Int = 64): Map[String, Int] = {
+    val p = left.sparkSession.conf.getOption("spark.sql.shuffle.partitions")
+      .flatMap(_.toIntOption).getOrElse(200)
+    Stats.keySkewProfile(left, key, profileK).collect().toSeq
+      .filter(r => !r.isNullAt(r.fieldIndex("key")))
+      .map { r =>
+        val salt = math.min(maxSaltFactor.toLong,
+          (r.getAs[Long]("share_ppm") * p + 999999L) / 1000000L).toInt
+        (r.getAs[String]("key"), r.getAs[Long]("skew_x_ppm"), salt)
+      }
+      .filter { case (_, skewX, salt) => skewX >= hotThresholdXPpm && salt >= 2 }
+      .map { case (k, _, s) => k -> s }.toMap
+  }
+
+  /** Replicate the dimension side once per salt value of ITS key: hot keys
+    * (in `salts`) get copies 0..salt−1, every other row exactly one copy
+    * (salt 0) — so the blowup is bounded by Σ salts over the ≤ k hot keys,
+    * not `saltFactor × |right|` as in uniform [[saltedJoin]].
+    */
+  private[graft] def replicateForSalts(
+      right: DataFrame,
+      key: String,
+      salts: Map[String, Int]): DataFrame = {
+    val spark = right.sparkSession
+    import spark.implicits._
+    val saltDf = salts.toSeq.toDF("_gsj_hot", "_gsj_n")
+    right.join(broadcast(saltDf), col(key).cast("string") === col("_gsj_hot"), "left")
+      .withColumn("_gsj_salt",
+        explode(sequence(lit(0), coalesce(col("_gsj_n") - 1, lit(0)))))
+      .drop("_gsj_hot", "_gsj_n")
+  }
+
+  /** Profile-driven salted equi-join — [[Stats.keySkewProfile]] composed
+    * with the salting trick, remediating ONLY the keys that need it: the
+    * profile's hot keys spread over their earned salt factor while the
+    * (overwhelming) cold majority joins plainly — one tag broadcast, one
+    * salt column, ONE shuffle join, no split-union double scan of the fact
+    * side. Uniform [[saltedJoin]] multiplies the whole dimension by a
+    * guessed constant; here the replication is `|right| + Σ hot salts` rows
+    * and the factor per key is sized from measured share
+    * ([[hotKeySalts]]), so at 100 TB the plan pays exactly for the
+    * power-law head and nothing else. Degenerates to the plain join
+    * (identical plan, not just identical rows) when the profile finds no
+    * hot key.
+    *
+    * Result ≡ the plain `left.join(right, key, joinType)` for inner/left
+    * joins (same replicated-right caveat as [[saltedJoin]]); the salt on
+    * the fact side is a deterministic whole-row hash, so retries and
+    * speculative tasks agree.
+    */
+  def profiledSaltedJoin(
+      left: DataFrame,
+      right: DataFrame,
+      key: String,
+      joinType: String = "inner",
+      profileK: Int = 20,
+      hotThresholdXPpm: Long = 4000000L,
+      maxSaltFactor: Int = 64): DataFrame = {
+    require(joinType == "inner" || joinType == "left",
+      s"profiledSaltedJoin supports inner/left (got $joinType); replicating " +
+        "the right side would duplicate unmatched right rows in right/full joins")
+    val salts = hotKeySalts(left, key, profileK, hotThresholdXPpm, maxSaltFactor)
+    if (salts.isEmpty) left.join(right, Seq(key), joinType)
+    else {
+      val spark = left.sparkSession
+      import spark.implicits._
+      val saltDf = salts.toSeq.toDF("_gsj_hot", "_gsj_n")
+      val l = left
+        .join(broadcast(saltDf), col(key).cast("string") === col("_gsj_hot"), "left")
+        .withColumn("_gsj_salt", when(col("_gsj_n").isNull, lit(0))
+          .otherwise(pmod(xxhash64(left.columns.toSeq.map(col): _*), col("_gsj_n").cast("long"))
+            .cast("int")))
+        .drop("_gsj_hot", "_gsj_n")
+      l.join(replicateForSalts(right, key, salts), Seq(key, "_gsj_salt"), joinType)
+        .drop("_gsj_salt")
+    }
+  }
+
   /** Bloom-prefiltered semi join: keep `big` rows whose `bigKey` appears in
     * `small`'s `smallKey` set. The small side aggregates into a
     * deterministic [[org.apache.spark.sql.graft.BloomAgg]] bit array

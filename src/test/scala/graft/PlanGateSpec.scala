@@ -194,6 +194,10 @@ class PlanGateSpec extends SparkTestBase {
     // (group, dim) aggregation + per-group centroid re-collect
     "embedding_mean_pool" -> 2,
     "sample_hash" -> 0,
+    // dim aggregation (1) + the re-key of both sides onto (uid, salt) (2);
+    // the profile that sized the salts ran at BUILD time (bounded top-k
+    // collect), the tag joins are broadcasts
+    "skew_salted_join" -> 3,
     "split_buckets" -> 0,
     "sample_stratified" -> 0,
     "schema_events" -> 0,

@@ -101,4 +101,61 @@ class SkewSpec extends SparkTestBase {
     assert(semiIdx >= 0 && probeIdx > semiIdx,
       s"probe belongs below the semi join:\n$logical")
   }
+
+  // planted power law: key 0 owns ~half the fact side, everything else 1-2 rows
+  private def skewedFact = {
+    import spark.implicits._
+    ((1L to 500L).map(i => (i, 0L)) ++ (501L to 1000L).map(i => (i, i % 300 + 1)))
+      .toDF("row_id", "k")
+  }
+  private def factDim = {
+    import spark.implicits._
+    (0L to 301L).map(u => (u, s"seg${u % 7}")).toDF("k", "segment")
+  }
+
+  test("hotKeySalts: flags exactly the planted hot key, sized by share; inert when no skew") {
+    val salts = Skew.hotKeySalts(skewedFact, "k")
+    assert(salts.keySet === Set("0"), s"only the planted head is hot: $salts")
+    // key 0 owns ~500000 ppm; at the test session's 4 shuffle partitions
+    // that earns ceil(0.5 * 4) = 2 tasks
+    assert(salts("0") === 2)
+    // uniform data: no key earns a salt
+    import spark.implicits._
+    val uniform = (1L to 1000L).map(i => (i, i % 100)).toDF("row_id", "k")
+    assert(Skew.hotKeySalts(uniform, "k").isEmpty)
+  }
+
+  test("profiledSaltedJoin(inner) equals the plain join on skewed data") {
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.select("row_id", "k", "segment").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    val plain = canon(skewedFact.join(factDim, Seq("k")))
+    val salted = canon(Skew.profiledSaltedJoin(skewedFact, factDim, "k"))
+    assert(salted === plain && plain.size === 1000)
+  }
+
+  test("profiledSaltedJoin(left) keeps unmatched hot and cold rows exactly once") {
+    // hot key 0 has NO dimension row: its 500 fact rows must each survive
+    // exactly once, null-filled — the failure mode a replicated right side
+    // would cause in an unsalted-aware join
+    val dimMissingHot = factDim.filter(col("k") =!= 0L)
+    val out = Skew.profiledSaltedJoin(skewedFact, dimMissingHot, "k", joinType = "left")
+      .select("row_id", "k", "segment").collect()
+      .map(r => (r.getLong(0), r.getLong(1), Option(r.getString(2))))
+    assert(out.length === 1000, "every fact row exactly once")
+    assert(out.count(t => t._2 == 0L && t._3.isEmpty) === 500,
+      "unmatched hot rows pass through null-filled, not duplicated")
+  }
+
+  test("replication is bounded by sum-of-salts, not saltFactor x |dim|; salt<=1 degenerates to plain") {
+    val salts = Skew.hotKeySalts(skewedFact, "k")
+    val replicated = Skew.replicateForSalts(factDim, "k", salts)
+    // |dim| + Σ(salt_i - 1) extra copies, only for the hot keys
+    assert(replicated.count() === factDim.count() + salts.values.map(_ - 1).sum)
+    // maxSaltFactor = 1 -> no key can earn >= 2 -> the PLAIN join plan (no
+    // salt column, no tag broadcast), not merely the same rows
+    val degenerate = Skew.profiledSaltedJoin(skewedFact, factDim, "k", maxSaltFactor = 1)
+    assert(!degenerate.queryExecution.analyzed.toString.contains("_gsj_salt"))
+    assert(degenerate.count() === 1000)
+  }
 }

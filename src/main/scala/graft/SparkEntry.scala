@@ -576,6 +576,43 @@ object SparkEntry {
     Multimodal.audioStats(s, media)
   }
 
+  /** The composed feature-SERVING chain — what a training-set build or an
+    * online-store backfill actually runs, pinned end-to-end the way the
+    * LLM-side pipelines (rows 104/108/112/127) pin theirs: entity frame →
+    * point-in-time feature pick over the events view (TTL + tie-break) →
+    * batch recency feature (fixed-cutoff half-life-decayed sum, attached
+    * per user) → SCD2 dimension regime attached AS-OF each entity row's
+    * own timestamp (backward as-of pick ≡ interval containment, since
+    * scd2's intervals tile each user's timeline). Every stage is the
+    * already-oracled operator, so this query's contract is purely the
+    * COMPOSITION: join keys, null propagation for users with no eligible
+    * feature row, and the as-of boundary at interval edges.
+    */
+  private def pipelineFeatureServe(s: SparkSession, dir: String): DataFrame = {
+    val fv = FeatureView("events", events(dir),
+      entityKeys = Seq("user_id"), features = Seq("value", "event_type"),
+      ttlSeconds = TtlSeconds, tieBreak = Some("event_id"))
+    val pit = FeatureStoreOps.pointInTime(s, entityFrame(s, dir), Seq(fv)).toDF
+      .select(col("user_id"), col("event_timestamp"),
+        col("value").as("feat_value"), col("event_type").as("feat_event_type"))
+    val recency = ops.Temporal.decayedSum(eventsFixedPoint(s, dir),
+      keys = Seq("user_id"), tsCol = "ts", valueCol = "value",
+      halfLifeSeconds = 21600L,
+      asOf = java.sql.Timestamp.from(java.time.Instant.parse("2024-01-31T00:00:00Z")))
+    val dim = ops.Temporal.scd2(events(dir).load(s), "user_id", "ts", Seq("event_type"))
+    ops.Temporal.asofJoin(pit.join(recency, Seq("user_id"), "left"), dim,
+        keys = Seq("user_id"), leftTsCol = "event_timestamp",
+        rightTsCol = "valid_from",
+        leftIdCols = Seq("user_id", "event_timestamp"),
+        rightValueCols = Seq("event_type"))
+      .select(col("user_id"),
+        unix_micros(col("event_timestamp")).as("event_timestamp_us"),
+        col("feat_value"), col("feat_event_type"),
+        col("n_events"), col("decayed_sum"),
+        col("asof_event_type").as("regime_event_type"),
+        unix_micros(col("asof_valid_from")).as("regime_since_us"))
+  }
+
   /** Profile-driven skew remediation end-to-end: collapse every third user
     * onto user 0 (a planted power-law head owning ~a third of the fact
     * table — keySkewProfile flags it at ~300000×-mean ppm), then join the
@@ -1713,6 +1750,7 @@ object SparkEntry {
     "pit_join_multi" -> (pitJoinMulti _),
     "dedup_exact" -> (dedupExact _),
     "pipeline_clean_corpus" -> (pipelineCleanCorpus _),
+    "pipeline_feature_serve" -> (pipelineFeatureServe _),
     "dedup_minhash" -> (dedupMinhash _),
     "set_similarity_join" -> (setSimJoin _),
     "search_bm25" -> (searchBm25Q _),
@@ -1882,6 +1920,46 @@ object SparkEntry {
         |FROM documents)""".stripMargin
     // planted corpus + tokenization, shared by all three window-dedup
     // oracles (one definition so the replays cannot drift)
+    // PIT pick + decayed recency + SCD2 history fragments, each shared
+    // VERBATIM by its standalone oracle (pit_join / decayed_features /
+    // scd2_intervals) and by the composed pipeline_feature_serve — one
+    // definition so the serving replay cannot drift from the parts
+    val pitCtes =
+      s"""base AS (
+         |  SELECT e.user_id, e.ent_us, v.ts_us, v.event_id, v.value, v.event_type
+         |  FROM ent e JOIN ev v ON v.user_id = e.user_id
+         |    AND v.ts_us <= e.ent_us AND v.ts_us >= e.ent_us - ${TtlSeconds}000000),
+         |best AS (
+         |  SELECT user_id, ent_us, value, event_type FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY user_id, ent_us
+         |      ORDER BY ts_us DESC, event_id DESC) AS rn FROM base)
+         |  WHERE rn = 1),
+         |pit AS (
+         |  SELECT e.user_id, e.ent_us, b.value AS feat_value,
+         |         b.event_type AS feat_event_type
+         |  FROM ent e LEFT JOIN best b
+         |    ON e.user_id = b.user_id AND e.ent_us = b.ent_us)""".stripMargin
+    val decayedCtes =
+      """de AS (SELECT user_id, epoch_us(ts) AS ts_us,
+        |    CAST(round(value * 10000) AS BIGINT) AS v FROM events),
+        |dk AS (SELECT user_id, v,
+        |    CAST((1706659200000000 - ts_us) // 21600000000 AS INT) AS k
+        |  FROM de WHERE ts_us <= 1706659200000000),
+        |rec AS (SELECT user_id, count(*) AS n_events,
+        |  round(CAST(sum(CAST(v AS DECIMAL(38,0)) *
+        |      CAST(power(2, 40 - k) AS DECIMAL(38,0))) AS DOUBLE)
+        |    / 1099511627776.0, 6) AS decayed_sum
+        |  FROM dk WHERE k < 40 GROUP BY user_id)""".stripMargin
+    val scd2Ctes =
+      """sev AS (SELECT user_id, epoch_us(ts) AS ts_us, event_type FROM events),
+        |sdd AS (SELECT user_id, ts_us, max(event_type) AS v
+        |  FROM sev GROUP BY user_id, ts_us),
+        |slg AS (SELECT user_id, ts_us, v,
+        |  lag(v) OVER (PARTITION BY user_id ORDER BY ts_us) AS pv FROM sdd),
+        |sch AS (SELECT user_id, ts_us, v FROM slg WHERE pv IS NULL OR v != pv),
+        |scd AS (SELECT user_id, v AS event_type, ts_us AS valid_from_us,
+        |  lead(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us) AS valid_to_us
+        |  FROM sch)""".stripMargin
     val plantedToksCtes =
       (s"""d AS (SELECT doc_id,
          |  CASE WHEN doc_id % 4 = 0 THEN text || ' ' ||
@@ -2259,20 +2337,10 @@ object SparkEntry {
            |  FROM events WHERE epoch_us(ts) BETWEEN $StartUs AND $EndUs)
            |WHERE ts_us = mx""".stripMargin,
       "pit_join" ->
-        s"""WITH $entCte, $evCte,
-           |base AS (
-           |  SELECT e.user_id, e.ent_us, v.ts_us, v.event_id, v.value, v.event_type
-           |  FROM ent e JOIN ev v ON v.user_id = e.user_id
-           |    AND v.ts_us <= e.ent_us AND v.ts_us >= e.ent_us - ${TtlSeconds}000000),
-           |best AS (
-           |  SELECT user_id, ent_us, value, event_type FROM (
-           |    SELECT *, row_number() OVER (PARTITION BY user_id, ent_us
-           |      ORDER BY ts_us DESC, event_id DESC) AS rn FROM base)
-           |  WHERE rn = 1)
-           |SELECT e.user_id, e.ent_us AS event_timestamp_us,
-           |       b.value AS feat_value, b.event_type AS feat_event_type
-           |FROM ent e LEFT JOIN best b
-           |  ON e.user_id = b.user_id AND e.ent_us = b.ent_us""".stripMargin,
+        s"""WITH $entCte, $evCte, $pitCtes
+           |SELECT user_id, ent_us AS event_timestamp_us,
+           |       feat_value, feat_event_type
+           |FROM pit""".stripMargin,
       "pit_join_created" ->
         s"""WITH $entCte,
            |ev AS (
@@ -3078,17 +3146,8 @@ object SparkEntry {
       // one decimal->double conversion + one division by the exact
       // constant 2^40 (a pure exponent shift) at the very end
       "decayed_features" ->
-        """WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us,
-          |    CAST(round(value * 10000) AS BIGINT) AS v FROM events),
-          |d AS (SELECT user_id, v,
-          |    CAST((1706659200000000 - ts_us) // 21600000000 AS INT) AS k
-          |  FROM e WHERE ts_us <= 1706659200000000),
-          |f AS (SELECT * FROM d WHERE k < 40)
-          |SELECT user_id, count(*) AS n_events,
-          |  round(CAST(sum(CAST(v AS DECIMAL(38,0)) *
-          |      CAST(power(2, 40 - k) AS DECIMAL(38,0))) AS DOUBLE)
-          |    / 1099511627776.0, 6) AS decayed_sum
-          |FROM f GROUP BY user_id""".stripMargin,
+        s"""WITH $decayedCtes
+           |SELECT user_id, n_events, decayed_sum FROM rec""".stripMargin,
       "rolling_features" ->
         """SELECT user_id, event_id, epoch_us(ts) AS ts_us,
           |  count(*) OVER w AS n_7d,
@@ -3108,6 +3167,24 @@ object SparkEntry {
           |FROM p LEFT JOIN c ON c.user_id = p.user_id
           |  AND c.ts_us >= p.ts_us - 3600000000 AND c.ts_us < p.ts_us
           |GROUP BY 1, 2, 3""".stripMargin,
+      // the full serving chain replayed from the SAME fragments as its
+      // parts: PIT pick (pitCtes) + fixed-cutoff decayed recency
+      // (decayedCtes) + SCD2 regime containment-attach (scd2Ctes)
+      "pipeline_feature_serve" ->
+        s"""WITH $entCte, $evCte, $pitCtes, $decayedCtes, $scd2Ctes,
+           |att AS (
+           |  SELECT p.user_id, p.ent_us, s.event_type AS regime_event_type,
+           |         s.valid_from_us AS regime_since_us
+           |  FROM pit p LEFT JOIN scd s ON s.user_id = p.user_id
+           |    AND s.valid_from_us <= p.ent_us
+           |    AND (s.valid_to_us IS NULL OR p.ent_us < s.valid_to_us))
+           |SELECT p.user_id, p.ent_us AS event_timestamp_us,
+           |       p.feat_value, p.feat_event_type,
+           |       r.n_events, r.decayed_sum,
+           |       a.regime_event_type, a.regime_since_us
+           |FROM pit p
+           |LEFT JOIN rec r ON r.user_id = p.user_id
+           |LEFT JOIN att a ON a.user_id = p.user_id AND a.ent_us = p.ent_us""".stripMargin,
       // the PLAIN join — the salted plan must be row-identical to it
       "skew_salted_join" ->
         """WITH ev AS (SELECT event_id,
@@ -3525,15 +3602,8 @@ object SparkEntry {
       // SCD2 replay: (key, ts) collapse to max value, drop no-op repeats via
       // lag, valid_to = lead over the SURVIVORS — all deterministic windows
       "scd2_intervals" ->
-        """WITH ev AS (SELECT user_id, epoch_us(ts) AS ts_us, event_type FROM events),
-          |dd AS (SELECT user_id, ts_us, max(event_type) AS v
-          |  FROM ev GROUP BY user_id, ts_us),
-          |lg AS (SELECT user_id, ts_us, v,
-          |  lag(v) OVER (PARTITION BY user_id ORDER BY ts_us) AS pv FROM dd),
-          |ch AS (SELECT user_id, ts_us, v FROM lg WHERE pv IS NULL OR v != pv)
-          |SELECT user_id, v AS event_type, ts_us AS valid_from_us,
-          |  lead(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us) AS valid_to_us
-          |FROM ch""".stripMargin,
+        s"""WITH $scd2Ctes
+           |SELECT user_id, event_type, valid_from_us, valid_to_us FROM scd""".stripMargin,
       "asof_join" ->
         s"""WITH l AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us
            |  FROM events WHERE event_type = 'purchase'),

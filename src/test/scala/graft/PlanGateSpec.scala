@@ -198,6 +198,10 @@ class PlanGateSpec extends SparkTestBase {
     // the profile that sized the salts ran at BUILD time (bounded top-k
     // collect), the tag joins are broadcasts
     "skew_salted_join" -> 3,
+    // exactly the SUM of its stages' budgets — entity distinct + pit pick
+    // (2), decayed agg (1), scd2 collapse + window (2), as-of arg-max (1);
+    // every attach join broadcasts, so composition adds ZERO exchanges
+    "pipeline_feature_serve" -> 6,
     "split_buckets" -> 0,
     "sample_stratified" -> 0,
     "schema_events" -> 0,

@@ -981,4 +981,37 @@ class PipelineOpsSpec extends SparkTestBase {
       maxLen = 2, k = 2).queryExecution.executedPlan.toString
     assert(plan.contains("TakeOrderedAndProject"))
   }
+
+  test("pipeline_feature_serve: one row per entity; regime equals the last event at-or-before; nulls propagate") {
+    import org.apache.spark.sql.expressions.Window
+    val served = graft.SparkEntry.queries("pipeline_feature_serve")(spark, sf())
+    val ev = spark.read.parquet(s"${sf()}/events.parquet")
+      .withColumn("ts_us", unix_micros(col("ts").cast("timestamp")))
+    val rows = served.collect()
+    // composition must not fan out: exactly the entity frame's row count
+    val nUsers = ev.select("user_id").distinct().count()
+    assert(rows.length.toLong === nUsers)
+    // independent regime oracle: the event_type of each user's LAST event
+    // (max ts, ties to max event_type — scd2's same-instant collapse) at or
+    // before the entity timestamp
+    val regime = ev
+      .withColumn("ent_us", // the entity-frame formula: Jan 8 + (uid % 20) days
+        lit(1704672000000000L) + (col("user_id") % 20) * lit(86400000000L))
+      .filter(col("ts_us") <= col("ent_us"))
+      .withColumn("rn", row_number().over(Window.partitionBy("user_id")
+        .orderBy(col("ts_us").desc, col("event_type").desc)))
+      .filter(col("rn") === 1)
+      .select("user_id", "event_type").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    rows.foreach { r =>
+      val u = r.getLong(0)
+      val got = Option(r.getString(r.fieldIndex("regime_event_type")))
+      assert(got === regime.get(u),
+        s"user $u: regime $got vs independent ${regime.get(u)}")
+      // a user with no event at-or-before the entity ts has NO regime and
+      // no since; the row itself still serves (left-join null propagation)
+      if (got.isEmpty) assert(r.isNullAt(r.fieldIndex("regime_since_us")))
+    }
+    assert(rows.exists(r => !r.isNullAt(r.fieldIndex("regime_event_type"))))
+  }
 }

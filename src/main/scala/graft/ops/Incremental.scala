@@ -110,8 +110,12 @@ object Incremental {
     * twice — the scd2 sink gets idempotence from its merge algebra; this
     * sink gets it from partition identity). Range reads ([[mergeRange]])
     * re-aggregate over state rows anyway, so the extra dimension only adds
-    * rows — many batch partitions per day compact away with a periodic
-    * [[writeDailyState]] rebuild, the usual remedy.
+    * rows — many batch partitions per day compact away with
+    * [[compactStateDays]], which preserves this two-level layout (a
+    * [[writeDailyState]] rebuild into the same path would NOT: its dt-only
+    * directories alongside these dt/batch_id ones make the next read fail
+    * on conflicting partition depths — rebuild only into a FRESH path with
+    * the sink restarted against it).
     */
   def stateUpsertBatch(
       batch: DataFrame,
@@ -125,6 +129,68 @@ object Incremental {
       .write.mode("overwrite")
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("dt", "batch_id").parquet(path)
+
+  /** Compact ONLY the fragmented days of a streaming state store: every
+    * `dt=` directory holding more than `maxBatchesPerDay` `batch_id=`
+    * partitions has its per-batch partials merged (the same algebraic
+    * merge as [[mergeState]], still PARTIALS — sums sum, mins min) into a
+    * single reserved `batch_id=-1` partition; the superseded batch
+    * directories are then deleted. Days under the threshold are not read,
+    * not rewritten, and stay byte-identical — at 100 TB the maintenance
+    * cost is proportional to the fragmentation, not the store.
+    *
+    * The layout is the POINT: the compacted partition keeps the
+    * `(dt, batch_id)` two-level shape [[stateUpsertBatch]] writes, so
+    * reads never see mixed partition depths (a [[writeDailyState]]-style
+    * dt-only rebuild into the same path breaks the next
+    * `spark.read.parquet` with conflicting directory structures).
+    *
+    * Contracts: single concurrent maintainer (write-then-delete is not
+    * atomic — a reader racing the delete can double-count a day, the usual
+    * object-store compaction caveat); compact only days PAST the stream's
+    * replay horizon — a replay of batch `b` recreates `(dt, b)` after `b`
+    * was folded into `-1`, double-counting the day. `batch_id=-1` is
+    * reserved for compaction output (re-compacting a compacted day is a
+    * no-op merge with itself, so repeated maintenance is idempotent).
+    *
+    * Returns the compacted `dt` values.
+    */
+  def compactStateDays(
+      spark: SparkSession,
+      path: String,
+      keys: Seq[String],
+      maxBatchesPerDay: Int = 8): Seq[String] = {
+    require(maxBatchesPerDay >= 1, "maxBatchesPerDay must be >= 1")
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) return Seq.empty
+    val dayDirs = fs.listStatus(root)
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("dt="))
+    val fragmented = dayDirs.filter { d =>
+      fs.listStatus(d.getPath).count(s =>
+        s.isDirectory && s.getPath.getName.startsWith("batch_id=")) > maxBatchesPerDay
+    }
+    val dts = fragmented.map(_.getPath.getName.stripPrefix("dt=")).toSeq
+    if (dts.nonEmpty) {
+      // ONE job for all fragmented days: the dt partition filter prunes the
+      // scan to exactly them, the merge is mergeState's algebra with dt
+      // kept, and the repartition lands ~one output file per day
+      val day = spark.read.parquet(path).filter(col("dt").cast("string").isin(dts: _*))
+      mergeAgg(day, "dt" +: keys)
+        .withColumn("batch_id", lit(-1L))
+        .repartition(dts.size, col("dt"))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("dt", "batch_id").parquet(path)
+      fragmented.foreach { d =>
+        fs.listStatus(d.getPath)
+          .filter(s => s.isDirectory && s.getPath.getName.startsWith("batch_id=") &&
+            s.getPath.getName != "batch_id=-1")
+          .foreach(s => fs.delete(s.getPath, true))
+      }
+    }
+    dts
+  }
 
   /** Range-merge the persisted state: the date predicate compares the `dt`
     * PARTITION column directly (no cast wrapping it), so it prunes at

@@ -234,6 +234,59 @@ object Temporal {
     }
   }
 
+  /** Compact ONLY the fragmented buckets of the SCD2 store: every
+    * `bucket=` directory holding more than `maxFilesPerBucket` parquet
+    * files (each [[scd2UpsertBatch]] append-merge leaves the bucket's
+    * task-count of files; hundreds of batches ⇒ hundreds of small files)
+    * is re-read, same-instant-collapsed with the store's own merge algebra
+    * ([[collapseSameInstant]] — exactly what the next upsert would apply),
+    * and rewritten via dynamic partition overwrite as ~one file. Buckets
+    * under the threshold are not read, not rewritten, byte-identical
+    * after — maintenance cost follows fragmentation, not store size.
+    * [[readScd2Store]] output is unchanged by construction: it collapses
+    * and interval-izes at read time, and collapse is idempotent.
+    *
+    * Single concurrent maintainer (dynamic overwrite of a bucket is not
+    * atomic against a racing reader listing that directory — the standard
+    * object-store compaction caveat). `numBuckets` must be the store's own
+    * bucket count (it recomputes each row's bucket; a different value
+    * would MOVE rows between partitions and break [[readScd2Store]]'s
+    * bucket pruning).
+    *
+    * Returns the compacted bucket ids.
+    */
+  def compactScd2Buckets(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      keyCol: String,
+      tsCol: String,
+      valueCols: Seq[String],
+      numBuckets: Int,
+      maxFilesPerBucket: Int = 8): Seq[Int] = {
+    require(maxFilesPerBucket >= 1, "maxFilesPerBucket must be >= 1")
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) return Seq.empty
+    val fragmented = fs.listStatus(root)
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("bucket="))
+      .filter(b => fs.listStatus(b.getPath)
+        .count(f => f.isFile && f.getPath.getName.endsWith(".parquet")) > maxFilesPerBucket)
+      .map(_.getPath.getName.stripPrefix("bucket=").toInt).toSeq
+    if (fragmented.nonEmpty) {
+      val rows = spark.read.parquet(path)
+        .filter(col("bucket").isin(fragmented: _*))
+        .select((keyCol +: tsCol +: valueCols).map(col): _*)
+      collapseSameInstant(rows, keyCol, tsCol, valueCols)
+        .select(col(keyCol) +: col(tsCol) +: valueCols.map(c => col(s"_v.$c").as(c)): _*)
+        .withColumn("bucket", pmod(xxhash64(col(keyCol)), lit(numBuckets.toLong)).cast("int"))
+        .repartition(fragmented.size, col("bucket"))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("bucket").parquet(path)
+    }
+    fragmented
+  }
+
   /** Read the bucketed SCD2 store back as validity intervals: [[scd2]] over
     * the stored log — the no-op drop runs HERE, where it sees each key's
     * complete history (see [[scd2UpsertBatch]] for why it must not run at

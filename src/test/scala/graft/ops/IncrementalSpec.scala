@@ -89,6 +89,49 @@ class IncrementalSpec extends SparkTestBase {
     assert(two(1L) === ((2L, 200L)))
   }
 
+  test("compactStateDays: fragmented days collapse to batch_id=-1, reads identical, untouched days byte-identical") {
+    val path = java.nio.file.Files.createTempDirectory("graft-compact").toString + "/state"
+    // day 05: 3 batches (fragmented at max 2); day 06: 1 batch (untouched)
+    val batches = Seq(
+      (0L, Seq((1L, ts("2024-01-05 10:00:00"), 100L), (2L, ts("2024-01-05 11:00:00"), 40L))),
+      (1L, Seq((1L, ts("2024-01-05 12:00:00"), 50L))),
+      (2L, Seq((1L, ts("2024-01-05 13:00:00"), 8L))),
+      (3L, Seq((1L, ts("2024-01-06 09:00:00"), 7L))))
+    batches.foreach { case (id, rows) =>
+      Incremental.stateUpsertBatch(rows.toDF("user_id", "ts", "v"),
+        path, Seq("user_id"), "ts", "v", batchId = id)
+    }
+    def merged = Incremental.mergeRange(spark, path, Seq("user_id"),
+      "2024-01-01", "2024-12-31").collect().map(r =>
+        r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    val before = merged
+    def lsDay(dt: String) = {
+      val d = new java.io.File(s"$path/dt=$dt")
+      d.listFiles().filter(_.isDirectory).map(_.getName).sorted.toSeq
+    }
+    val day06FilesBefore = new java.io.File(s"$path/dt=2024-01-06")
+      .listFiles().map(f => f.getName -> f.lastModified()).toMap
+    val compacted = Incremental.compactStateDays(spark, path, Seq("user_id"),
+      maxBatchesPerDay = 2)
+    assert(compacted === Seq("2024-01-05"), "only the fragmented day compacts")
+    assert(lsDay("2024-01-05") === Seq("batch_id=-1"), "superseded batch dirs deleted")
+    assert(lsDay("2024-01-06") === Seq("batch_id=3"))
+    // read-back identical through the range merge
+    assert(merged === before)
+    // the untouched day's files were not rewritten
+    val day06After = new java.io.File(s"$path/dt=2024-01-06")
+      .listFiles().map(f => f.getName -> f.lastModified()).toMap
+    assert(day06After === day06FilesBefore)
+    // idempotent: nothing is fragmented anymore
+    assert(Incremental.compactStateDays(spark, path, Seq("user_id"), 2).isEmpty)
+    assert(merged === before)
+    // maintenance composes with live ingest: a NEW batch still accumulates
+    Incremental.stateUpsertBatch(
+      Seq((1L, ts("2024-01-05 14:00:00"), 1L)).toDF("user_id", "ts", "v"),
+      path, Seq("user_id"), "ts", "v", batchId = 4L)
+    assert(merged(1L) === ((5L, 166L, 1L, 100L)))
+  }
+
   test("empty input and empty range degrade to empty frames") {
     val state = Incremental.dailyState(ev.limit(0), Seq("user_id"), "ts", "v")
     assert(state.count() === 0L)

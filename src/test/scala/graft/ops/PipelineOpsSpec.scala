@@ -982,6 +982,55 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(plan.contains("TakeOrderedAndProject"))
   }
 
+  test("compactScd2Buckets: fragmented bucket collapses to ~1 file, reads identical, other bucket untouched") {
+    import spark.implicits._
+    val nb = 2
+    def bucketOf(k: Long) = spark.range(1).select(
+      pmod(xxhash64(lit(k)), lit(nb.toLong)).cast("int")).collect().head.getInt(0)
+    val hotBucket = bucketOf(1L)
+    // 50 keys in the hot bucket (many collapse partitions -> many files),
+    // one key in the other
+    val hotKeys = (1L to 400L).filter(bucketOf(_) == hotBucket).take(50)
+    val coldKey = (1L to 400L).find(bucketOf(_) != hotBucket).get
+    def t(m: Int) = new java.sql.Timestamp(1700000000000L + m * 60000L)
+    val path = java.nio.file.Files.createTempDirectory("graft-scd2c").toString + "/store"
+    Temporal.scd2UpsertBatch(
+      (hotKeys.map(k => (k, t(1), "A")) :+ ((coldKey, t(1), "X")))
+        .toDF("user_id", "ts", "plan"),
+      path, "user_id", "ts", Seq("plan"), nb)
+    Temporal.scd2UpsertBatch(
+      hotKeys.map(k => (k, t(2), "B")).toDF("user_id", "ts", "plan"),
+      path, "user_id", "ts", Seq("plan"), nb)
+    // fragment the hot bucket the way a long-lived store fragments: more
+    // change rows landing as separate files (append writes carrying the
+    // store's own bucket rule)
+    (3 to 5).foreach { i =>
+      hotKeys.map(k => (k, t(i), s"P$i")).toDF("user_id", "ts", "plan")
+        .withColumn("bucket", pmod(xxhash64(col("user_id")), lit(nb.toLong)).cast("int"))
+        .coalesce(1)
+        .write.mode("append").partitionBy("bucket").parquet(path)
+    }
+    def files(b: Int) = new java.io.File(s"$path/bucket=$b")
+      .listFiles().filter(_.getName.endsWith(".parquet"))
+      .map(f => f.getName -> f.lastModified()).toMap
+    val hotBefore = files(hotBucket)
+    val coldBefore = files(if (hotBucket == 0) 1 else 0)
+    assert(hotBefore.size > 2, s"setup: hot bucket fragmented (${hotBefore.size} files)")
+    def readAll = Temporal.readScd2Store(spark, path, "user_id", "ts", Seq("plan"), nb)
+      .collect().map(_.toSeq).toSet
+    val before = readAll
+    val compacted = Temporal.compactScd2Buckets(spark, path, "user_id", "ts",
+      Seq("plan"), nb, maxFilesPerBucket = 2)
+    assert(compacted === Seq(hotBucket), "only the fragmented bucket compacts")
+    assert(files(hotBucket).size <= 2, "file count drops where fragmented")
+    assert(files(if (hotBucket == 0) 1 else 0) === coldBefore,
+      "untouched bucket byte-identical (same files, same mtimes)")
+    assert(readAll === before, "interval read-back identical")
+    // idempotent: nothing fragmented anymore
+    assert(Temporal.compactScd2Buckets(spark, path, "user_id", "ts",
+      Seq("plan"), nb, maxFilesPerBucket = 2).isEmpty)
+  }
+
   test("pipeline_feature_serve: one row per entity; regime equals the last event at-or-before; nulls propagate") {
     import org.apache.spark.sql.expressions.Window
     val served = graft.SparkEntry.queries("pipeline_feature_serve")(spark, sf())

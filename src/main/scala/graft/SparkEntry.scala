@@ -4130,8 +4130,12 @@ object SparkEntry {
           |FROM e GROUP BY CUBE (dt, event_type)""".stripMargin,
       // smoothed mean encoding with the global mean's denominator cleared:
       // enc_q = (N·sum_c + m·S)·2^20 // (N·(n_c + m)), all-integer
+      // count(target): NULL targets count into neither n nor s (the
+      // partially-labeled-data contract; value is never NULL here, so the
+      // twin is exercised by the spec's hand case)
       "target_encode" ->
-        """WITH c AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        """WITH c AS (SELECT event_type,
+          |  CAST(count(CAST(round(value * 10000) AS BIGINT)) AS BIGINT) AS n,
           |  sum(CAST(round(value * 10000) AS BIGINT)) AS s
           |  FROM events GROUP BY event_type),
           |t AS (SELECT sum(n) AS nt, sum(s) AS st FROM c)

@@ -37,8 +37,11 @@ object Features {
     *
     * `targetCol` must be integer-valued (fixed-point by the caller, the
     * events-cents convention). NULL categories encode like any other
-    * category (the null-safe aggregation keying); an empty input returns an
-    * empty frame.
+    * category (the null-safe aggregation keying); NULL targets are
+    * excluded from BOTH `n` and the sums (`count(target)`, not
+    * `count(*)`), so the formula holds exactly on partially-labeled data —
+    * a category whose every target is NULL encodes NULL. An empty input
+    * returns an empty frame.
     *
     * Shape at 100 TB: ONE corpus pass — `rollup(cat)` produces the per-
     * category rows AND the global-total row in a single aggregation with
@@ -53,8 +56,12 @@ object Features {
       priorWeight: Long = 20L,
       outCol: String = "enc_q"): DataFrame = {
     require(priorWeight >= 0, "priorWeight must be >= 0")
+    // count(target), not count(*): a NULL target contributes to neither n
+    // nor s, keeping the published (S + m·μ)/(n + m) formula exact — with
+    // count(*) a NULL-target row would inflate n while sum() skipped it,
+    // silently shrinking every encoding toward a deflated global mean
     val agg = df.rollup(col(catCol))
-      .agg(count(lit(1)).as("n"),
+      .agg(count(col(targetCol)).as("n"),
         sum(col(targetCol).cast("decimal(38,0)")).as("s"),
         // grouping() distinguishes the rollup's global row from a genuine
         // NULL category row
@@ -94,21 +101,24 @@ object Features {
       groupCols: Seq[String],
       valueCol: String,
       outCol: String = "z"): DataFrame = {
-    val d = col(valueCol).cast("decimal(38,0)")
+    // stats columns referenced THROUGH the stats frame (dataset-bound, not
+    // by name) and dropped the same way: an input frame already carrying a
+    // column of the same name stays untouched and unambiguous
+    val d = df(valueCol).cast("decimal(38,0)")
     val stats = df.groupBy(groupCols.map(col): _*)
-      .agg(count(lit(1)).cast("decimal(38,0)").as("_n"),
-        sum(d).as("_sx"), sum(d * d).as("_sxx"))
+      .agg(count(lit(1)).cast("decimal(38,0)").as("_std_n"),
+        sum(d).as("_std_sx"), sum(d * d).as("_std_sxx"))
     val joined =
       if (groupCols.isEmpty) df.crossJoin(broadcast(stats))
       else df.join(broadcast(stats), groupCols)
+    val (n, sx, sxx) = (stats("_std_n"), stats("_std_sx"), stats("_std_sxx"))
+    val rad = n * sxx - sx * sx
     joined
-      .withColumn("_rad", expr("_n * _sxx - _sx * _sx"))
       .withColumn(outCol,
-        when(col("_rad") <= 0, lit(null).cast("double"))
+        when(rad <= 0, lit(null).cast("double"))
           .otherwise(round(
-            (col("_n") * col(valueCol) - col("_sx")).cast("double") /
-              sqrt(col("_rad").cast("double")), 6)))
-      .drop("_n", "_sx", "_sxx", "_rad")
+            (n * df(valueCol) - sx).cast("double") / sqrt(rad.cast("double")), 6)))
+      .drop(n).drop(sx).drop(sxx)
   }
 
   /** Per-group min-max scaling to `[0, 2^20]` fixed point — the bounded
@@ -130,19 +140,23 @@ object Features {
       groupCols: Seq[String],
       valueCol: String,
       outCol: String = "scaled_q"): DataFrame = {
+    // same dataset-bound temp-column hygiene as standardize, and the scale
+    // expression built with the Column API (no name splicing — a value
+    // column needing quoting works unchanged)
     val stats = df.groupBy(groupCols.map(col): _*)
-      .agg(min(col(valueCol)).as("_mn"), max(col(valueCol)).as("_mx"))
+      .agg(min(df(valueCol)).as("_mms_mn"), max(df(valueCol)).as("_mms_mx"))
     val joined =
       if (groupCols.isEmpty) df.crossJoin(broadcast(stats))
       else df.join(broadcast(stats), groupCols)
+    val (mn, mx) = (stats("_mms_mn"), stats("_mms_mx"))
     joined
       .withColumn(outCol,
-        when(col("_mx") === col("_mn"), lit(null).cast("long"))
-          .otherwise(expr(
-            s"""((CAST($valueCol AS DECIMAL(38,0)) - _mn) * 1048576)
-               | div (CAST(_mx AS DECIMAL(38,0)) - _mn)""".stripMargin)
+        when(mx === mn, lit(null).cast("long"))
+          .otherwise(call_function("div",
+            (df(valueCol).cast("decimal(38,0)") - mn) * lit(1048576),
+            mx.cast("decimal(38,0)") - mn)
             .cast("long")))
-      .drop("_mn", "_mx")
+      .drop(mn).drop(mx)
   }
 
   /** Hashing-trick encoding (Weinberger et al. 2009) of categorical columns

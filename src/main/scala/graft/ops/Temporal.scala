@@ -523,8 +523,12 @@ object Temporal {
       .filter(col("_next").isNotNull) // a key's last event has no successor
       .groupBy(col(typeCol).as("from_type"), col("_next").as("to_type"))
       .agg(count(lit(1)).as("n"))
+    // DECIMAL(38,0) product (the keySkewProfile discipline): n·10^6 in
+    // int64 silently wraps once a (from, to) pair passes ~9.2e12 rows —
+    // inside the 100 TB envelope this operator claims
     pairs.withColumn("p_ppm",
-      expr("n * 1000000L div sum(n) OVER (PARTITION BY from_type)"))
+      expr("(CAST(n AS DECIMAL(38,0)) * 1000000) div sum(n) OVER (PARTITION BY from_type)")
+        .cast("long"))
       .select(col("from_type"), col("to_type"), col("n"), col("p_ppm"))
   }
 

@@ -122,4 +122,35 @@ class FeaturesSpec extends SparkTestBase {
     assert(a.forall(r => r.getLong(1) >= 0 && r.getLong(1) < 16))
     assert(Features.featureHash(df.limit(0), "id", Seq("lang"), 16).count() === 0L)
   }
+
+  test("targetEncode: NULL targets count into neither n nor s (exact formula on partial labels)") {
+    val df = Seq(("a", Some(10L)), ("a", Some(10L)), ("a", None), ("b", Some(40L)),
+      ("c", None)).toDF("cat", "y")
+    val out = Features.targetEncode(df, "cat", "y", priorWeight = 2L)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), if (r.isNullAt(2)) None else Some(r.getLong(2))))).toMap
+    // labeled rows only: a:(2, 20), b:(1, 40); N=3, S=60, mu=20
+    assert(out("a")._1 === 2L, "NULL target must not inflate n")
+    // a: (3*20 + 2*60)*2^20 div (3*(2+2)) = 180*2^20/12 = 15*2^20
+    assert(out("a")._2 === Some(15L * 1048576L))
+    // b: (3*40 + 2*60)*2^20 div (3*(1+2)) = 240*2^20 div 9
+    assert(out("b")._2 === Some(240L * 1048576L / 9L))
+    // an all-NULL category has no labeled evidence at all
+    assert(out("c") === ((0L, None)))
+  }
+
+  test("standardize/minMaxScale: input frames already carrying the internal stat names survive") {
+    // _std_n / _mms_mn etc. as USER columns must neither collide nor vanish
+    val df = Seq(("g", 0L, 7L, 9L), ("g", 10L, 7L, 9L))
+      .toDF("grp", "v", "_std_n", "_mms_mn")
+    val z = Features.standardize(df, Seq("grp"), "v")
+    assert(z.columns.count(_ == "_std_n") === 1, "user column survives exactly once")
+    assert(z.select("_std_n").collect().forall(_.getLong(0) === 7L))
+    assert(z.select("z").collect().map(_.getDouble(0)).sorted.toSeq === Seq(-1.0, 1.0))
+    val m = Features.minMaxScale(df, Seq("grp"), "v")
+    assert(m.columns.count(_ == "_mms_mn") === 1)
+    assert(m.select("_mms_mn").collect().forall(_.getLong(0) === 9L))
+    assert(m.select("scaled_q").collect().map(_.getLong(0)).sorted.toSeq ===
+      Seq(0L, 1048576L))
+  }
 }

@@ -576,6 +576,17 @@ object SparkEntry {
     Multimodal.audioStats(s, media)
   }
 
+  /** Unigram-LM vocabulary train (Kudo 2018's EM-prune loop in the exact-
+    * integer lane): substring seed → 2 rounds of {Viterbi E-step, usage
+    * M-step, prune-to-48 with the alphabet kept}. The oracle replays the
+    * ENTIRE train — seed counts, both layered Viterbi dps with the
+    * (fewest-pieces, max-weight-sum, min-path) pick, both prunes — in pure
+    * integer SQL; matching it pins every tie-break in the trainer.
+    */
+  private def unigramVocabQ(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.trainUnigramVocab(docs(s, dir), "text",
+      vocabSize = 48, seedSize = 192, emRounds = 2)
+
   /** The composed feature-SERVING chain — what a training-set build or an
     * online-store backfill actually runs, pinned end-to-end the way the
     * LLM-side pipelines (rows 104/108/112/127) pin theirs: entity frame →
@@ -1773,6 +1784,7 @@ object SparkEntry {
     "pack_sequences" -> (packSequences _),
     "ngram_stats" -> (ngramStats _),
     "bpe_merges" -> (bpeMerges _),
+    "unigram_vocab" -> (unigramVocabQ _),
     "bpe_merges_bytes" -> (bpeMergesBytes _),
     "lm_score" -> (lmScoreQ _),
     "bpe_encode" -> (bpeEncodeQ _),
@@ -2154,6 +2166,58 @@ object SparkEntry {
         |tb AS (SELECT doc_id,
         |  list_filter(string_split_regex(lower(trim(text)), '\s+'),
         |    x -> len(x) > 0) AS toks FROM mdoc)""".stripMargin
+    // Unigram-LM train replay (trainUnigramVocab's exact contract): layered
+    // Viterbi dp per word position — dp{r}_{i} holds each word's single
+    // best state at position i under the (k ASC, s DESC, path ASC) order,
+    // which is dp-exact because the objective is extension-consistent (see
+    // UnigramSegmentWord's scaladoc) — with the seed, both E-step usage
+    // counts, and both alphabet-preserving prunes in pure integer SQL
+    def unigramCtes(vocabSize: Int, seedSize: Int, maxP: Int, maxW: Int,
+        rounds: Int): String = {
+      def dpChain(r: Int): String = {
+        val parts = scala.collection.mutable.ArrayBuffer(
+          s"dp${r}_0 AS (SELECT word, 0 AS k, CAST(0 AS BIGINT) AS s, '' AS path FROM uw)")
+        for (i <- 1 to maxW) {
+          val branches = (1 to math.min(maxP, i)).map { j =>
+            s"""SELECT d.word, d.k + 1 AS k, d.s + v.n AS s,
+               |  CASE WHEN d.path = '' THEN v.piece ELSE d.path || ' ' || v.piece END AS path
+               |FROM dp${r}_${i - j} d JOIN uvocab$r v ON v.piece = substr(d.word, ${i - j + 1}, $j)
+               |WHERE len(d.word) >= $i""".stripMargin
+          }.mkString("\nUNION ALL\n")
+          parts += s"""dp${r}_$i AS (SELECT word, k, s, path FROM (
+            |  SELECT *, row_number() OVER (PARTITION BY word ORDER BY k, s DESC, path) AS rn
+            |  FROM ($branches)) WHERE rn = 1)""".stripMargin
+        }
+        parts += ("seg" + r + " AS (" + (1 to maxW).map(i =>
+          s"SELECT word, path FROM dp${r}_$i WHERE len(word) = $i")
+          .mkString("\nUNION ALL\n") + ")")
+        parts += s"""use$r AS (SELECT piece, CAST(sum(cnt) AS BIGINT) AS n FROM (
+          |  SELECT w.cnt, unnest(string_split(s.path, ' ')) AS piece
+          |  FROM seg$r s JOIN uw w USING (word)) GROUP BY piece)""".stripMargin
+        parts.mkString(",\n")
+      }
+      def prune(r: Int): String =
+        s"""utop$r AS (SELECT piece, n FROM use$r ORDER BY n DESC, piece LIMIT $vocabSize),
+           |uvocab${r + 1} AS (SELECT piece, n FROM utop$r UNION
+           |  SELECT c.piece, coalesce(u.n, CAST(0 AS BIGINT)) AS n
+           |  FROM (SELECT piece FROM upieces WHERE len(piece) = 1) c
+           |  LEFT JOIN use$r u USING (piece))""".stripMargin
+      val base =
+        s"""uw AS (
+           |  SELECT w AS word, CAST(count(*) AS BIGINT) AS cnt FROM (
+           |    SELECT unnest(list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+           |      x -> len(x) > 0)) AS w FROM documents)
+           |  WHERE regexp_matches(w, '^[!-~]+$$') AND len(w) <= $maxW GROUP BY w),
+           |upieces AS (SELECT piece, CAST(sum(cnt) AS BIGINT) AS n FROM (
+           |    SELECT cnt, substr(word, CAST(i.range AS INT), CAST(l.range AS INT)) AS piece
+           |    FROM uw, range(1, ${maxW + 1}) i, range(1, ${maxP + 1}) l
+           |    WHERE i.range + l.range - 1 <= len(word))
+           |  GROUP BY piece),
+           |useed AS (SELECT piece, n FROM upieces ORDER BY n DESC, piece LIMIT $seedSize),
+           |uvocab1 AS (SELECT piece, n FROM useed UNION
+           |  SELECT piece, n FROM upieces WHERE len(piece) = 1)""".stripMargin
+      (base +: (1 to rounds).flatMap(r => Seq(dpChain(r), prune(r)))).mkString(",\n")
+    }
     def bpeTrainCtes(numMerges: Int, byteMode: Boolean = false): String = {
       val parts =
         if (byteMode)
@@ -2873,6 +2937,11 @@ object SparkEntry {
            |FROM g GROUP BY 1 ORDER BY n_occurrences DESC, ngram LIMIT 50""".stripMargin,
       "bpe_merges" ->
         s"WITH ${materialize(bpeTrainCtes(12))}\n${bpeMergesSelect(12)}",
+      // the whole unigram train replayed: every count, cut, and Viterbi
+      // tie-break is integer/total-order, so the final table is bit-equal
+      "unigram_vocab" ->
+        s"""WITH ${materialize(unigramCtes(48, 192, 4, 12, 2))}
+           |SELECT piece, n FROM uvocab3""".stripMargin,
       "bpe_merges_bytes" ->
         s"WITH ${materialize(s"$multiDocCtes,\n${bpeTrainCtes(12, byteMode = true)}")}\n${bpeMergesSelect(12)}",
       "bpe_encode" ->

@@ -1313,4 +1313,99 @@ object TextAnalysis {
     import spark.implicits._
     merges.toSeq.toDF("rank", "left_sym", "right_sym", "merged", "n")
   }
+
+  /** Unigram-LM tokenizer trainer (public knowledge — Kudo 2018, the
+    * SentencePiece unigram model) in this engine's fixed-point lane: seed a
+    * large candidate vocabulary from frequent substrings, then run EM
+    * rounds of {Viterbi-segment every word with the current weights,
+    * re-count piece usage, prune to the `vocabSize` most-used pieces} —
+    * the worst-loss pieces each round are the ones the best segmentations
+    * stopped using. Returns the final vocabulary as `(piece, n)` with `n`
+    * the piece's usage count in the last round's optimal segmentations.
+    *
+    * Determinism contract (what makes the DuckDB oracle replay the WHOLE
+    * train bit-exactly): the E-step objective is the exact-arithmetic
+    * surrogate documented on [[org.apache.spark.sql.graft.UnigramSegmentWord]]
+    * — (fewest pieces, greatest integer weight sum, smallest piece string)
+    * — so no float log-prob ever enters; every count is an int64 sum; all
+    * top-k cuts order by `(n DESC, piece ASC)`, a total order. Single
+    * characters seen in training are never pruned (the closed-alphabet
+    * guarantee every unigram trainer keeps so segmentation stays total);
+    * they re-enter each round with their current usage, 0 if the optimal
+    * paths stopped using them. Training words are lowercased whitespace
+    * tokens in the ASCII-printable domain (the [[trainBpeMerges]] default
+    * posture) of length ≤ `maxWordLen` — longer words are RARE by Zipf and
+    * skipped rather than truncated (truncation would mint substrings the
+    * corpus never contained).
+    *
+    * Shape at 100 TB: ONE corpus scan builds the word-frequency table
+    * (checkpointed — every later pass runs over the vocabulary-sized word
+    * table, corpus size never re-enters); the seed substring count is one
+    * in-row explode + aggregation over that table; each EM round is one
+    * codegen'd kernel pass (vocabulary behind a broadcast, the
+    * [[org.apache.spark.sql.graft.BpeMergeTable]] pattern) + one
+    * aggregation, with the ≤ `seedSize`-row usage table collected to the
+    * driver for the prune — the corpus-sized side never shuffles after the
+    * first scan. Unlike BPE's inherently sequential 32k merge ranks, the
+    * whole train is `emRounds + 1` jobs regardless of vocabulary size —
+    * the reason SentencePiece trains unigram vocabularies faster than BPE
+    * at equal size.
+    */
+  def trainUnigramVocab(
+      df: DataFrame,
+      textCol: String,
+      vocabSize: Int,
+      seedSize: Int = 0, // <= 0: defaults to 4 * vocabSize
+      emRounds: Int = 2,
+      maxPieceLen: Int = 4,
+      maxWordLen: Int = 12): DataFrame = {
+    require(vocabSize >= 1, "vocabSize must be >= 1")
+    require(emRounds >= 1, "emRounds must be >= 1")
+    require(maxPieceLen >= 1 && maxPieceLen <= maxWordLen,
+      "maxPieceLen must be in [1, maxWordLen]")
+    val actualSeed = if (seedSize <= 0) 4 * vocabSize else seedSize
+    val spark = df.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.graft.{UnigramSegmentWord, UnigramVocab}
+    val words = df.select(explode(tokens(col(textCol))).as("word"))
+      .filter(col("word").rlike("^[\\x21-\\x7e]+$") &&
+        length(col("word")) <= maxWordLen)
+      .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
+      .localCheckpoint()
+    // seed substrate: every substring of length 1..maxPieceLen, weighted by
+    // word frequency, overlapping occurrences each counted — one in-row
+    // double transform, no kernel needed
+    val subs = words.select(col("cnt"), explode(flatten(
+        transform(sequence(lit(1), length(col("word"))), i =>
+          transform(
+            sequence(lit(1), least(lit(maxPieceLen), length(col("word")) - i + lit(1))),
+            l => col("word").substr(i, l))))).as("piece"))
+      .groupBy(col("piece")).agg(sum(col("cnt")).as("n"))
+      .localCheckpoint()
+    val seedTop = subs.orderBy(col("n").desc, col("piece")).limit(actualSeed)
+      .collect().map(r => r.getString(0) -> r.getLong(1))
+    // the closed alphabet: every single character seen in training
+    val chars = subs.filter(length(col("piece")) === 1)
+      .collect().map(r => r.getString(0) -> r.getLong(1))
+    org.apache.spark.sql.graft.CheckpointUtil.unpersist(subs)
+    var vocab: Map[String, Long] = (chars ++ seedTop).toMap
+    var round = 1
+    while (round <= emRounds) {
+      val bc = spark.sparkContext.broadcast(new UnigramVocab(vocab.toArray, maxPieceLen))
+      // E-step: usage counts along each word's optimal segmentation;
+      // M-step + prune: usage becomes next round's weights, top vocabSize
+      // survive, the alphabet always does (with its current usage, 0 when
+      // the optimal paths stopped using a character)
+      val useAll = words
+        .select(col("cnt"), explode(UnigramSegmentWord(col("word"), bc)).as("piece"))
+        .groupBy(col("piece")).agg(sum(col("cnt")).as("n"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      bc.unpersist(false)
+      val top = useAll.toSeq.sortBy { case (p, n) => (-n, p) }.take(vocabSize)
+      vocab = (chars.map { case (c, _) => c -> useAll.getOrElse(c, 0L) } ++ top).toMap
+      round += 1
+    }
+    org.apache.spark.sql.graft.CheckpointUtil.unpersist(words)
+    vocab.toSeq.toDF("piece", "n")
+  }
 }

@@ -1,0 +1,126 @@
+package org.apache.spark.sql.graft
+
+import org.apache.spark.broadcast.Broadcast
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.classic.ExpressionUtils
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Unigram-vocabulary state for the Viterbi segmentation kernel, shipped to
+  * executors ONCE via broadcast (the [[BpeMergeTable]] operator-state
+  * pattern): piece → integer weight. A real seed vocabulary is 10^5–10^6
+  * pieces — as a join it would shuffle the word table per EM round; as
+  * per-piece literals it would blow expression width the way the
+  * per-centroid literal tree once did.
+  */
+final class UnigramVocab(entries: Array[(String, Long)], val maxPieceLen: Int)
+    extends Serializable {
+  require(maxPieceLen >= 1, "maxPieceLen must be >= 1")
+  val weights = new java.util.HashMap[String, java.lang.Long](entries.length * 2)
+  entries.foreach { case (p, n) => weights.put(p, n) }
+}
+
+/** Viterbi-segment one training word against a broadcast unigram vocabulary
+  * — the E-step kernel of [[graft.ops.TextAnalysis.trainUnigramVocab]], one
+  * call per word row inside whole-stage codegen.
+  *
+  * The objective is the trainer's EXACT-ARITHMETIC surrogate for the
+  * unigram log-likelihood (the fixed-point lane): among all segmentations
+  * into vocabulary pieces of length ≤ `maxPieceLen`, pick lexicographically
+  * by (fewest pieces, then greatest sum of piece weights, then smallest
+  * space-joined piece string in binary order). Fewer-pieces-first is the
+  * dominant behavior of the true `Σ log p` objective (every extra factor
+  * multiplies by p < 1); the integer weight sum replaces the float log-prob
+  * tail so every engine replays the SAME segmentation bit-for-bit — the
+  * same determinism trade the bigram LM and the target encoder make. The
+  * objective is dp-consistent: states at equal position have equal path
+  * character count (position chars + pieces−1 separators), so neither path
+  * is a prefix of the other and appending a common suffix preserves string
+  * order; extending two comparable states with the same piece preserves
+  * (k, −s) order — optimal substructure holds and the per-position
+  * best-state dp below is exact, which is what lets the DuckDB oracle
+  * replay it as a layered SQL dp with a row_number pick per position.
+  *
+  * A word containing a character absent from the vocabulary has no
+  * segmentation and returns NULL (the trainer seeds every single character
+  * it has seen and never prunes them, so this only arises probing unseen
+  * text).
+  */
+case class UnigramSegmentWord(child: Expression, bc: Broadcast[UnigramVocab])
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_unigram_segment"
+
+  override def nullSafeEval(input: Any): Any =
+    UnigramSegmentWord.segment(input.asInstanceOf[UTF8String], bc.value)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val bcRef = ctx.addReferenceObj("unigramBc", bc, "org.apache.spark.broadcast.Broadcast")
+    val tab = ctx.addMutableState("org.apache.spark.sql.graft.UnigramVocab", "unigramTab",
+      v => s"$v = (org.apache.spark.sql.graft.UnigramVocab) $bcRef.value();")
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = org.apache.spark.sql.graft.UnigramSegmentWord.segment($c, $tab);
+      if (${ev.value} == null) { ${ev.isNull} = true; }""")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): UnigramSegmentWord =
+    copy(child = newChild)
+}
+
+object UnigramSegmentWord {
+  // named segment, not eval: the ByteSyms forwarder lesson — an `eval` here
+  // would collide with the class's inherited eval(InternalRow) and drop the
+  // generated static call to interpreter mode
+  def segment(word: UTF8String, vocab: UnigramVocab): GenericArrayData = {
+    val w = word.toString
+    val len = w.length
+    if (len == 0) return new GenericArrayData(new Array[Any](0))
+    // per-position best state; path == null marks infeasible
+    val k = new Array[Int](len + 1)
+    val s = new Array[Long](len + 1)
+    val path = new Array[String](len + 1)
+    path(0) = ""
+    var i = 1
+    while (i <= len) {
+      var bk = 0
+      var bs = 0L
+      var bp: String = null
+      val jm = math.min(vocab.maxPieceLen, i)
+      var j = 1
+      while (j <= jm) {
+        val pred = path(i - j)
+        if (pred != null) {
+          val piece = w.substring(i - j, i)
+          val n = vocab.weights.get(piece)
+          if (n != null) {
+            val ck = k(i - j) + 1
+            val cs = s(i - j) + n.longValue
+            val cp = if (pred.isEmpty) piece else pred + ' ' + piece
+            if (bp == null || ck < bk || (ck == bk &&
+                (cs > bs || (cs == bs && cp.compareTo(bp) < 0)))) {
+              bk = ck; bs = cs; bp = cp
+            }
+          }
+        }
+        j += 1
+      }
+      k(i) = bk; s(i) = bs; path(i) = bp
+      i += 1
+    }
+    if (path(len) == null) return null
+    val pieces = path(len).split(' ')
+    val out = new Array[Any](pieces.length)
+    i = 0
+    while (i < pieces.length) { out(i) = UTF8String.fromString(pieces(i)); i += 1 }
+    new GenericArrayData(out)
+  }
+
+  def apply(word: Column, bc: Broadcast[UnigramVocab]): Column =
+    ExpressionUtils.column(UnigramSegmentWord(ExpressionUtils.expression(word), bc))
+}

@@ -1,0 +1,105 @@
+package graft.ops
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.{UnigramSegmentWord, UnigramVocab}
+
+/** [[TextAnalysis.trainUnigramVocab]] + its Viterbi E-step kernel. The
+  * `unigram_vocab` oracle replays the full two-round train in DuckDB; here
+  * we pin the kernel's exact objective, the prune/alphabet contract, and
+  * partitioning invariance.
+  */
+class UnigramSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def segment(word: String, entries: (String, Long)*): Option[Seq[String]] = {
+    val bc = spark.sparkContext.broadcast(new UnigramVocab(entries.toArray, 4))
+    try {
+      val r = Seq(word).toDF("word")
+        .select(UnigramSegmentWord(col("word"), bc).as("p")).collect().head
+      if (r.isNullAt(0)) None else Some(r.getSeq[String](0))
+    } finally bc.unpersist(false)
+  }
+
+  test("kernel: fewest pieces dominates any weight sum") {
+    // 'abcd' as one piece (weight 1) beats a+b+c+d (sum 4000)
+    assert(segment("abcd", "abcd" -> 1L, "a" -> 1000L, "b" -> 1000L,
+      "c" -> 1000L, "d" -> 1000L) === Some(Seq("abcd")))
+  }
+
+  test("kernel: equal piece count resolves by greater weight sum, then smaller path") {
+    // k=2 both ways: a+bc (1+9) beats ab+c (5+1)
+    assert(segment("abc", "ab" -> 5L, "c" -> 1L, "a" -> 1L, "bc" -> 9L)
+      === Some(Seq("a", "bc")))
+    // equal sums: path 'a bc' < 'ab c' in binary order
+    assert(segment("abc", "ab" -> 3L, "c" -> 3L, "a" -> 3L, "bc" -> 3L)
+      === Some(Seq("a", "bc")))
+  }
+
+  test("kernel: character outside the vocabulary -> NULL (no segmentation exists)") {
+    assert(segment("az", "a" -> 5L) === None)
+    assert(segment("", "a" -> 1L) === Some(Seq.empty))
+  }
+
+  test("kernel: segmentation runs inside whole-stage codegen") {
+    val bc = spark.sparkContext.broadcast(
+      new UnigramVocab(Array("a" -> 1L, "b" -> 1L), 4))
+    try {
+      val dir = java.nio.file.Files.createTempDirectory("graft-useg").toString
+      spark.range(100).select(concat(lit("ab"),
+        when(col("id") % 2 === 0, "a").otherwise("b")).as("word"))
+        .write.mode("overwrite").parquet(dir)
+      val seg = spark.read.parquet(dir)
+        .select(UnigramSegmentWord(col("word"), bc).as("p"))
+      val wscg = seg.queryExecution.executedPlan.collect {
+        case w: org.apache.spark.sql.execution.WholeStageCodegenExec => w.toString
+      }
+      assert(wscg.exists(_.contains("graft_unigram_segment")))
+      val prev = spark.conf.getOption("spark.sql.codegen.fallback")
+      spark.conf.set("spark.sql.codegen.fallback", "false")
+      try assert(seg.collect().forall(_.getSeq[String](0).length === 3))
+      finally prev match {
+        case Some(v) => spark.conf.set("spark.sql.codegen.fallback", v)
+        case None => spark.conf.unset("spark.sql.codegen.fallback")
+      }
+    } finally bc.unpersist(false)
+  }
+
+  test("trainer: hand corpus — frequent substring survives, alphabet kept at usage 0, rest pruned") {
+    val docs = Seq("abab abab cd", "abab abab ab ab").toDF("text")
+    val out = TextAnalysis.trainUnigramVocab(docs, "text", vocabSize = 3, seedSize = 5)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // E-step picks whole-word pieces; prune to 3 keeps (abab, ab, c) by
+    // (n DESC, piece ASC) — d survives only through the alphabet rule, and
+    // a/b re-enter at usage 0 because no optimal path uses them
+    assert(out === Map("abab" -> 4L, "ab" -> 2L, "c" -> 1L, "d" -> 1L,
+      "a" -> 0L, "b" -> 0L))
+  }
+
+  test("trainer: partitioning-invariant and repeat-deterministic") {
+    val docs = spark.read.parquet(s"${sf()}/documents.parquet").select("text")
+    val a = TextAnalysis.trainUnigramVocab(docs, "text", vocabSize = 20)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val b = TextAnalysis.trainUnigramVocab(docs.repartition(7), "text", vocabSize = 20)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(a === b)
+    assert(a.nonEmpty)
+  }
+
+  test("trainer: vocab bounded by vocabSize + alphabet; long words skipped; empty corpus degrades") {
+    val docs = Seq("supercalifragilistic xy xy xy zq").toDF("text")
+    val out = TextAnalysis.trainUnigramVocab(docs, "text", vocabSize = 2,
+      seedSize = 8, maxWordLen = 4)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // the 20-char word is skipped entirely: none of its characters enter
+    // the alphabet, so every surviving piece is xy/zq material
+    assert(out.keySet.forall(p => p.forall("xyzq".contains(_))),
+      s"only xy/zq material trains: $out")
+    // bound: <= vocabSize non-char pieces + the alphabet
+    assert(out.keys.count(_.length > 1) <= 2)
+    assert(Set("x", "y", "z", "q").subsetOf(out.keySet), "alphabet always kept")
+    val empty = TextAnalysis.trainUnigramVocab(
+      Seq.empty[String].toDF("text"), "text", vocabSize = 4)
+    assert(empty.count() === 0L)
+  }
+}

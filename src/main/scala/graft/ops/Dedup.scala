@@ -1072,13 +1072,16 @@ object Dedup {
       .localCheckpoint(false)
     val dfc = ex.groupBy(col("h")).agg(count(lit(1)).as("dfc"))
 
-    // per doc: shingle hashes sorted rare-first + set size + prefix length;
-    // checkpointed — it feeds the prefix stream and BOTH verify joins
+    // per doc: shingle hashes sorted rare-first (the prefix order) PLUS the
+    // numerically-sorted twin the verify kernel merges — same bytes either
+    // way, and the verify join ships only the sorted copy; checkpointed —
+    // feeds the prefix stream and BOTH verify joins
     val docsT = ex.join(dfc, "h")
       .groupBy(col("id"))
       .agg(
         transform(array_sort(collect_list(struct(col("dfc"), col("h")))),
           e => e.getField("h")).as("hs"),
+        array_sort(collect_list(col("h"))).as("shs"),
         count(lit(1)).as("sz"))
       .withColumn("plen", (col("sz") - ceilT(col("sz")) + lit(1)).cast("int"))
       .localCheckpoint(false)
@@ -1092,10 +1095,15 @@ object Dedup {
       .select(col("a_id"), col("b_id"))
       .distinct()
 
+    // verify: the native two-pointer merge over the sorted twins — the
+    // composed size(array_intersect(...)) allocated a hash set + result
+    // array PER CANDIDATE, the measured source of this query's GC-bound
+    // slow mode under full-suite heap pressure
     cand
-      .join(docsT.select(col("id").as("a_id"), col("hs").as("a_hs"), col("sz").as("a_sz")), "a_id")
-      .join(docsT.select(col("id").as("b_id"), col("hs").as("b_hs"), col("sz").as("b_sz")), "b_id")
-      .withColumn("inter_size", size(array_intersect(col("a_hs"), col("b_hs"))).cast("long"))
+      .join(docsT.select(col("id").as("a_id"), col("shs").as("a_hs"), col("sz").as("a_sz")), "a_id")
+      .join(docsT.select(col("id").as("b_id"), col("shs").as("b_hs"), col("sz").as("b_sz")), "b_id")
+      .withColumn("inter_size",
+        org.apache.spark.sql.graft.SortedIntersectCount(col("a_hs"), col("b_hs")))
       .withColumn("union_size", col("a_sz") + col("b_sz") - col("inter_size"))
       .withColumn("jaccard", col("inter_size").cast("double") / col("union_size"))
       .filter(col("jaccard") >= threshold)

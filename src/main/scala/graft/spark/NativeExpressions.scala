@@ -708,3 +708,58 @@ object LmDocScore {
   def apply(toks: Column, bc: Broadcast[LmTable]): Column =
     ExpressionUtils.column(LmDocScore(ExpressionUtils.expression(toks), bc))
 }
+
+/** Intersection SIZE of two ascending-sorted distinct long arrays — the
+  * verify kernel of [[graft.ops.Dedup.setSimilarityJoin]]. The composed
+  * `size(array_intersect(a, b))` allocates a hash set AND a result array
+  * per candidate pair (the measured source of that query's GC-bound slow
+  * mode under full-suite heap pressure); this is one fused two-pointer
+  * merge over the unsafe array buffers — zero allocation, whole-stage
+  * codegen, reads elements in place via `getLong`.
+  *
+  * Contract: both inputs ascending and duplicate-free (they come from
+  * `array_sort(collect_list(h))` over per-doc DISTINCT shingle hashes);
+  * on unsorted input the count is simply wrong — this is a kernel for the
+  * operator's own plumbing, not a general SQL surface.
+  */
+case class SortedIntersectCount(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(LongType), ArrayType(LongType))
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_sorted_intersect_count"
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    SortedIntersectCount.count(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = org.apache.spark.sql.graft.SortedIntersectCount.count($a, $b);")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): SortedIntersectCount =
+    copy(left = newLeft, right = newRight)
+}
+
+object SortedIntersectCount {
+  def count(a: ArrayData, b: ArrayData): Long = {
+    val na = a.numElements()
+    val nb = b.numElements()
+    var i = 0
+    var j = 0
+    var n = 0L
+    while (i < na && j < nb) {
+      val x = a.getLong(i)
+      val y = b.getLong(j)
+      if (x == y) { n += 1L; i += 1; j += 1 }
+      else if (x < y) i += 1
+      else j += 1
+    }
+    n
+  }
+
+  def apply(a: Column, b: Column): Column =
+    ExpressionUtils.column(SortedIntersectCount(
+      ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
+}

@@ -587,6 +587,20 @@ object SparkEntry {
     TextAnalysis.trainUnigramVocab(docs(s, dir), "text",
       vocabSize = 48, seedSize = 192, emRounds = 2)
 
+  /** Train-then-encode round trip: the corpus encoded with its own trained
+    * unigram vocabulary. Every in-domain token segments by the trainer's
+    * exact Viterbi objective (so the oracle replays this as one more dp
+    * round against uvocab3); out-of-domain tokens pass through opaque.
+    */
+  private def unigramEncodeQ(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val vocab = TextAnalysis.trainUnigramVocab(d, "text",
+      vocabSize = 48, seedSize = 192, emRounds = 2)
+    TextAnalysis.unigramEncode(d, "doc_id", "text", vocab)
+      .select(col("id").as("doc_id"), col("n_subwords"),
+        array_join(col("subwords"), " ").as("subwords_str"))
+  }
+
   /** The composed feature-SERVING chain — what a training-set build or an
     * online-store backfill actually runs, pinned end-to-end the way the
     * LLM-side pipelines (rows 104/108/112/127) pin theirs: entity frame →
@@ -1785,6 +1799,7 @@ object SparkEntry {
     "ngram_stats" -> (ngramStats _),
     "bpe_merges" -> (bpeMerges _),
     "unigram_vocab" -> (unigramVocabQ _),
+    "unigram_encode" -> (unigramEncodeQ _),
     "bpe_merges_bytes" -> (bpeMergesBytes _),
     "lm_score" -> (lmScoreQ _),
     "bpe_encode" -> (bpeEncodeQ _),
@@ -2172,8 +2187,14 @@ object SparkEntry {
     // which is dp-exact because the objective is extension-consistent (see
     // UnigramSegmentWord's scaladoc) — with the seed, both E-step usage
     // counts, and both alphabet-preserving prunes in pure integer SQL
+    // withEncode appends one more Viterbi dp round against the FINAL
+    // vocabulary (the deployment segmentation — train-then-encode over the
+    // train corpus reuses the same eligible word set `uw`) plus the per-doc
+    // reassembly: tokens explode with position, eligible words look up
+    // their dp path, out-of-domain tokens stay opaque, and the doc's
+    // subword stream re-flattens in token order (ends in CTE `uenc`)
     def unigramCtes(vocabSize: Int, seedSize: Int, maxP: Int, maxW: Int,
-        rounds: Int): String = {
+        rounds: Int, withEncode: Boolean = false): String = {
       def dpChain(r: Int): String = {
         val parts = scala.collection.mutable.ArrayBuffer(
           s"dp${r}_0 AS (SELECT word, 0 AS k, CAST(0 AS BIGINT) AS s, '' AS path FROM uw)")
@@ -2216,7 +2237,19 @@ object SparkEntry {
            |useed AS (SELECT piece, n FROM upieces ORDER BY n DESC, piece LIMIT $seedSize),
            |uvocab1 AS (SELECT piece, n FROM useed UNION
            |  SELECT piece, n FROM upieces WHERE len(piece) = 1)""".stripMargin
-      (base +: (1 to rounds).flatMap(r => Seq(dpChain(r), prune(r)))).mkString(",\n")
+      val train = base +: (1 to rounds).flatMap(r => Seq(dpChain(r), prune(r)))
+      val encode = if (!withEncode) Seq.empty else Seq(
+        dpChain(rounds + 1),
+        s"""utok AS (SELECT doc_id, tok, pos FROM (
+           |  SELECT doc_id, unnest(toks) AS tok, generate_subscripts(toks, 1) AS pos
+           |  FROM t)),
+           |usw AS (SELECT doc_id, pos,
+           |  CASE WHEN s.path IS NOT NULL THEN string_split(s.path, ' ')
+           |       ELSE [tok] END AS pieces
+           |  FROM utok LEFT JOIN seg${rounds + 1} s ON s.word = utok.tok),
+           |uenc AS (SELECT doc_id, flatten(list(pieces ORDER BY pos)) AS sw
+           |  FROM usw GROUP BY doc_id)""".stripMargin)
+      (train ++ encode).mkString(",\n")
     }
     def bpeTrainCtes(numMerges: Int, byteMode: Boolean = false): String = {
       val parts =
@@ -2942,6 +2975,13 @@ object SparkEntry {
       "unigram_vocab" ->
         s"""WITH ${materialize(unigramCtes(48, 192, 4, 12, 2))}
            |SELECT piece, n FROM uvocab3""".stripMargin,
+      // the full train REPLAYED plus one deployment dp round + per-doc
+      // reassembly; out-of-domain tokens ride through opaque
+      "unigram_encode" ->
+        s"""WITH ${materialize(s"$toksCte,\n${unigramCtes(48, 192, 4, 12, 2, withEncode = true)}")}
+           |SELECT d.doc_id, CAST(coalesce(len(sw), 0) AS INT) AS n_subwords,
+           |  coalesce(array_to_string(sw, ' '), '') AS subwords_str
+           |FROM documents d LEFT JOIN uenc USING (doc_id)""".stripMargin,
       "bpe_merges_bytes" ->
         s"WITH ${materialize(s"$multiDocCtes,\n${bpeTrainCtes(12, byteMode = true)}")}\n${bpeMergesSelect(12)}",
       "bpe_encode" ->

@@ -1408,4 +1408,39 @@ object TextAnalysis {
     org.apache.spark.sql.graft.CheckpointUtil.unpersist(words)
     vocab.toSeq.toDF("piece", "n")
   }
+
+  /** Unigram-encode documents with a trained vocabulary — the deployment
+    * pair of [[trainUnigramVocab]], mirroring [[bpeEncode]]'s surface:
+    * `(id, n_subwords, subwords)`. The vocabulary (exactly what the
+    * trainer emits: `(piece, n)`) is collected — driver state bounded by
+    * the vocabulary size, the same bound the trainer itself holds — and
+    * broadcast into ONE codegen'd kernel call per row
+    * ([[org.apache.spark.sql.graft.UnigramEncodeDoc]]): plan size is O(1)
+    * in vocabulary size, encoding is scan-speed, zero shuffles. Each token
+    * segments by the trainer's exact Viterbi objective, so
+    * train-then-encode over the same corpus reproduces the E-step
+    * segmentations bit-for-bit (what lets the oracle replay this as one
+    * more dp round); out-of-domain tokens (non-printable, over-long,
+    * unseen character) pass through as single opaque subwords.
+    */
+  def unigramEncode(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      vocab: DataFrame, // (piece, n) — trainUnigramVocab's output
+      maxPieceLen: Int = 4,
+      maxWordLen: Int = 12): DataFrame = {
+    import org.apache.spark.sql.graft.{UnigramEncodeDoc, UnigramVocab}
+    val entries = vocab.select(col("piece"), col("n")).collect()
+      .map(r => r.getString(0) -> r.getLong(1))
+    val bc = df.sparkSession.sparkContext.broadcast(
+      new UnigramVocab(entries, maxPieceLen))
+    // family null policy (bpeEncode): NULL text is zero tokens, not a NULL
+    // subword row
+    df.select(col(idCol).as("id"),
+        UnigramEncodeDoc(
+          coalesce(tokens(col(textCol)), array().cast("array<string>")),
+          bc, maxWordLen).as("subwords"))
+      .select(col("id"), size(col("subwords")).as("n_subwords"), col("subwords"))
+  }
 }

@@ -78,9 +78,20 @@ object UnigramSegmentWord {
   // would collide with the class's inherited eval(InternalRow) and drop the
   // generated static call to interpreter mode
   def segment(word: UTF8String, vocab: UnigramVocab): GenericArrayData = {
-    val w = word.toString
+    val pieces = segmentString(word.toString, vocab)
+    if (pieces == null) return null
+    val out = new Array[Any](pieces.length)
+    var i = 0
+    while (i < pieces.length) { out(i) = UTF8String.fromString(pieces(i)); i += 1 }
+    new GenericArrayData(out)
+  }
+
+  /** The dp core over a plain string: the best path's pieces, or null when
+    * no segmentation exists (a character outside the vocabulary).
+    */
+  def segmentString(w: String, vocab: UnigramVocab): Array[String] = {
     val len = w.length
-    if (len == 0) return new GenericArrayData(new Array[Any](0))
+    if (len == 0) return new Array[String](0)
     // per-position best state; path == null marks infeasible
     val k = new Array[Int](len + 1)
     val s = new Array[Long](len + 1)
@@ -114,13 +125,83 @@ object UnigramSegmentWord {
       i += 1
     }
     if (path(len) == null) return null
-    val pieces = path(len).split(' ')
-    val out = new Array[Any](pieces.length)
-    i = 0
-    while (i < pieces.length) { out(i) = UTF8String.fromString(pieces(i)); i += 1 }
-    new GenericArrayData(out)
+    path(len).split(' ')
   }
 
   def apply(word: Column, bc: Broadcast[UnigramVocab]): Column =
     ExpressionUtils.column(UnigramSegmentWord(ExpressionUtils.expression(word), bc))
+}
+
+/** Unigram-encode a whole document's token array into its subword sequence
+  * — the deployment pair of [[graft.ops.TextAnalysis.trainUnigramVocab]],
+  * one kernel call per row, vocabulary behind one broadcast (the
+  * [[BpeEncodeDoc]] posture exactly). Per token: Viterbi-segment with the
+  * trained weights (the [[UnigramSegmentWord]] objective); tokens outside
+  * the trainer's domain — non-ASCII-printable, longer than `maxWordLen`,
+  * or containing a character the training corpus never showed — pass
+  * through as ONE opaque subword, the same stance [[BpeEncodeDoc]] takes
+  * for out-of-domain tokens (splitting them would only inflate the
+  * sequence with pieces the model has no statistics for).
+  */
+case class UnigramEncodeDoc(child: Expression, bc: Broadcast[UnigramVocab],
+    maxWordLen: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(StringType))
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "graft_unigram_encode"
+
+  override def nullSafeEval(input: Any): Any =
+    UnigramEncodeDoc.encode(
+      input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      bc.value, maxWordLen)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val bcRef = ctx.addReferenceObj("unigramEncBc", bc, "org.apache.spark.broadcast.Broadcast")
+    val tab = ctx.addMutableState("org.apache.spark.sql.graft.UnigramVocab", "unigramEncTab",
+      v => s"$v = (org.apache.spark.sql.graft.UnigramVocab) $bcRef.value();")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = org.apache.spark.sql.graft.UnigramEncodeDoc.encode($c, $tab, $maxWordLen);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): UnigramEncodeDoc =
+    copy(child = newChild)
+}
+
+object UnigramEncodeDoc {
+  private def asciiPrintable(s: String): Boolean = {
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c < 0x21 || c > 0x7e) return false
+      i += 1
+    }
+    s.nonEmpty
+  }
+
+  def encode(toks: org.apache.spark.sql.catalyst.util.ArrayData,
+      vocab: UnigramVocab, maxWordLen: Int): GenericArrayData = {
+    val n = toks.numElements()
+    val out = new java.util.ArrayList[Any](n * 2)
+    var i = 0
+    while (i < n) {
+      val tok = toks.getUTF8String(i)
+      val s = tok.toString
+      var opaque = true
+      if (s.length <= maxWordLen && asciiPrintable(s)) {
+        val pieces = UnigramSegmentWord.segmentString(s, vocab)
+        if (pieces != null) {
+          var j = 0
+          while (j < pieces.length) { out.add(UTF8String.fromString(pieces(j))); j += 1 }
+          opaque = false
+        }
+      }
+      if (opaque) out.add(tok.clone())
+      i += 1
+    }
+    new GenericArrayData(out.toArray)
+  }
+
+  def apply(toks: Column, bc: Broadcast[UnigramVocab], maxWordLen: Int): Column =
+    ExpressionUtils.column(UnigramEncodeDoc(ExpressionUtils.expression(toks), bc, maxWordLen))
 }

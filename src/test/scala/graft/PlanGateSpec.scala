@@ -32,8 +32,9 @@ class PlanGateSpec extends SparkTestBase {
     "bpe_encode", "bpe_merges_bytes", "bpe_encode_bytes",
     "pipeline_cluster_shard", "pipeline_canonicalize",
     // EM rounds collect the bounded usage table per round while the frame
-    // is BUILT; the returned vocabulary is a driver-local table
-    "unigram_vocab",
+    // is BUILT; the returned vocabulary is a driver-local table (and the
+    // encode query trains first, so it inherits the same build-time jobs)
+    "unigram_vocab", "unigram_encode",
     // lmScore checkpoints its train tables eagerly while the DataFrame is
     // being BUILT (same machinery as lm_score, which carries a budget only
     // because its scored side stays un-checkpointed; here the bucketed

@@ -86,6 +86,43 @@ class UnigramSpec extends SparkTestBase {
     assert(a.nonEmpty)
   }
 
+  test("encode: trained segmentation replayed; out-of-domain tokens opaque; null text empty") {
+    val docs = Seq((1L, "abab abab cd"), (2L, "abab abab ab ab")).toDF("doc_id", "text")
+    val vocab = TextAnalysis.trainUnigramVocab(docs, "text", vocabSize = 3, seedSize = 5)
+    val probe = Seq(
+      (10L, "abab ab cd"), // all in-domain: the E-step segmentations verbatim
+      (11L, "abab Schön abab"), // non-ASCII-printable token passes opaque
+      (12L, "ababababababab"), // 14 chars > maxWordLen 12: opaque
+      (13L, "abz"), // z never seen: no segmentation, opaque
+      (14L, null.asInstanceOf[String])) // null text: zero subwords
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.unigramEncode(probe, "doc_id", "text", vocab)
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](2)).toMap
+    assert(out(10L) === Seq("abab", "ab", "c", "d"))
+    assert(out(11L) === Seq("abab", "schön", "abab"), "tokens() lowercases; ö stays opaque")
+    assert(out(12L) === Seq("ababababababab"))
+    assert(out(13L) === Seq("abz"))
+    assert(out(14L) === Seq.empty)
+    // every in-domain subword is a vocabulary piece
+    val pieces = vocab.collect().map(_.getString(0)).toSet
+    assert(out(10L).forall(pieces.contains))
+  }
+
+  test("encode: subwords reconstitute each in-domain token exactly (lossless cover)") {
+    val docs = spark.read.parquet(s"${sf()}/documents.parquet").select("doc_id", "text").limit(40)
+    val vocab = TextAnalysis.trainUnigramVocab(docs, "text", vocabSize = 30)
+    val enc = TextAnalysis.unigramEncode(docs, "doc_id", "text", vocab)
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](2)).toMap
+    val toks = docs.select(col("doc_id"), graft.functions.tokens(col("text")).as("t"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    toks.foreach { case (id, ts) =>
+      // subword stream concatenates to the token stream: segmentation is a
+      // cover, opaque tokens ride whole
+      assert(enc(id).mkString === ts.mkString,
+        s"doc $id: subwords must spell the token stream")
+    }
+  }
+
   test("trainer: vocab bounded by vocabSize + alphabet; long words skipped; empty corpus degrades") {
     val docs = Seq("supercalifragilistic xy xy xy zq").toDF("text")
     val out = TextAnalysis.trainUnigramVocab(docs, "text", vocabSize = 2,

@@ -562,6 +562,33 @@ object SparkEntry {
       maxHamming = 3, maxBucket = 1000000)
   }
 
+  /** Video near-dup over REAL containers: base corpus + TRIMMED twins
+    * (every 6th video cut to its first frame through a real decode →
+    * container re-encode — the leading frame rides bit-identical, so the
+    * representative-frame dHash pairs them at hamming 0) with every 9th
+    * BASE payload truncated below the container header (corrupt ⇒
+    * dropped). The oracle replays frame-0 dHashes arithmetically (the
+    * `+19f/+23f/+29f` frame terms vanish at f = 0) and takes the all-pairs
+    * hamming ≤ 3 join at inert cap.
+    */
+  private def videoNearDupQ(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val base = Multimodal.synthesizeVideos(s, docs(s, dir).select("doc_id"), "doc_id")
+      .select(col("item_id"), col("payload"))
+    val twins = base.filter(col("item_id") % 6 === 0)
+      .as[(Long, Array[Byte])]
+      .map { case (id, p) =>
+        val frames = Multimodal.FrameContainer.decode(p).get
+        (id + 10000000L, Multimodal.FrameContainer.encode(frames.take(1)))
+      }
+      .toDF("item_id", "payload")
+    val corrupted = base.select(col("item_id"),
+      when(col("item_id") % 9 === 0, expr("substring(payload, 1, 6)"))
+        .otherwise(col("payload")).as("payload"))
+    ops.Dedup.videoNearDup(s, corrupted.unionByName(twins),
+      maxHamming = 3, maxBucket = 1000000)
+  }
+
   /** Real WAV encode→decode roundtrip over the closed-form synthetic
     * signals, with every 10th payload TRUNCATED to 20 bytes (shorter than a
     * RIFF header — undecodable by construction): corrupt rows must drop,
@@ -1810,6 +1837,7 @@ object SparkEntry {
     "multimodal_meta" -> (multimodalMeta _),
     "image_stats" -> (imageStats _),
     "image_neardup" -> (imageNearDupQ _),
+    "video_neardup" -> (videoNearDupQ _),
     "audio_stats" -> (audioStats _),
     "video_stats" -> (videoStats _),
     "events_json_extract" -> (eventsJsonExtract _),
@@ -3121,6 +3149,38 @@ object SparkEntry {
           |g AS (SELECT id, src, gx.range AS gx, gy.range AS gy,
           |    ((gx.range * w) // 9) * w0 // w AS sx,
           |    ((gy.range * h) // 8) * h0 // h AS sy
+          |  FROM pop, range(0, 9) gx, range(0, 8) gy),
+          |lum AS (SELECT id, gx, gy,
+          |    (77 * ((7 * sx + 13 * sy + src) % 256)
+          |   + 150 * ((3 * sx + 5 * sy + 2 * src) % 256)
+          |   + 29 * ((11 * sx + 17 * sy + 3 * src) % 256)) // 256 AS lum
+          |  FROM g),
+          |sig AS (SELECT a.id,
+          |    CAST(sum(CASE WHEN b.lum > a.lum THEN
+          |      CASE WHEN a.gy * 8 + a.gx = 63 THEN (-9223372036854775807 - 1)
+          |           ELSE (1::BIGINT << CAST(a.gy * 8 + a.gx AS INT)) END
+          |      ELSE 0 END) AS BIGINT) AS sig
+          |  FROM lum a JOIN lum b ON a.id = b.id AND a.gy = b.gy AND b.gx = a.gx + 1
+          |  WHERE a.gx < 8 GROUP BY 1)
+          |SELECT a.id AS a_id, b.id AS b_id,
+          |  CAST(bit_count(xor(a.sig, b.sig)) AS BIGINT) AS hamming
+          |FROM sig a JOIN sig b ON a.id < b.id
+          |WHERE bit_count(xor(a.sig, b.sig)) <= 3""".stripMargin,
+      // frame-0 dHashes replayed arithmetically (f = 0 kills the frame
+      // terms; trim twins keep the leading frame bit-identical, so their
+      // hash rows are the same formulas), then the all-pairs hamming join;
+      // corrupt originals (doc_id%9=0) excluded BY the oracle while their
+      // twins participate
+      "video_neardup" ->
+        """WITH pop AS (
+          |  SELECT doc_id AS id, doc_id AS src,
+          |    CAST(doc_id % 8 + 4 AS BIGINT) AS w, CAST(doc_id % 6 + 4 AS BIGINT) AS h
+          |  FROM documents WHERE doc_id % 9 <> 0
+          |  UNION ALL
+          |  SELECT doc_id + 10000000, doc_id, doc_id % 8 + 4, doc_id % 6 + 4
+          |  FROM documents WHERE doc_id % 6 = 0),
+          |g AS (SELECT id, src, gx.range AS gx, gy.range AS gy,
+          |    (gx.range * w) // 9 AS sx, (gy.range * h) // 8 AS sy
           |  FROM pop, range(0, 9) gx, range(0, 8) gy),
           |lum AS (SELECT id, gx, gy,
           |    (77 * ((7 * sx + 13 * sy + src) % 256)

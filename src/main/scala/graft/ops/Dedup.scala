@@ -409,6 +409,25 @@ object Dedup {
         .select(col("item_id").as("id"), col("dhash").as("sig")),
       maxHamming, maxBucket, metrics)
 
+  /** Video near-dup pairs by representative-frame dHash
+    * ([[Multimodal.videoDHash]]): re-encoded, container-rewritten, or
+    * tail-trimmed copies of the same footage keep their leading frame and
+    * land at hamming 0–few, while the candidate join never touches decoded
+    * frames — the same 16-byte-signature economics as [[imageNearDup]].
+    * Corrupt containers drop at decode and appear in no pair.
+    */
+  def videoNearDup(
+      spark: org.apache.spark.sql.SparkSession,
+      media: DataFrame, // columns: item_id, payload
+      maxHamming: Int = 3,
+      maxBucket: Int = 100,
+      frameIndex: Int = 0,
+      metrics: Option[Observation] = None): DataFrame =
+    hammingNearDupPairs(
+      graft.ops.Multimodal.videoDHash(spark, media, frameIndex)
+        .select(col("item_id").as("id"), col("dhash").as("sig")),
+      maxHamming, maxBucket, metrics)
+
   /** Canonical cluster assignment over near-dup pairs: connected components
     * by iterative min-label propagation. Every id gets the smallest id of its
     * duplicate cluster as `cluster`; keep rows where `id == cluster` to dedup.

@@ -572,33 +572,66 @@ object Multimodal {
     import spark.implicits._
     media.select(col("item_id"), col("payload")).as[(Long, Array[Byte])]
       .mapPartitions(_.flatMap { case (id, payload) =>
-        ImageIoCodec.decode(payload).map { d =>
-          val lum = new Array[Int](9 * 8)
-          var gy = 0
-          while (gy < 8) {
-            var gx = 0
-            while (gx < 9) {
-              val sx = gx * d.width / 9
-              val sy = gy * d.height / 8
-              val p = d.argb(sy * d.width + sx)
-              lum(gy * 9 + gx) =
-                (77 * ((p >> 16) & 0xFF) + 150 * ((p >> 8) & 0xFF) + 29 * (p & 0xFF)) >> 8
-              gx += 1
-            }
-            gy += 1
-          }
-          var sig = 0L
-          gy = 0
-          while (gy < 8) {
-            var gx = 0
-            while (gx < 8) {
-              if (lum(gy * 9 + gx + 1) > lum(gy * 9 + gx)) sig |= 1L << (gy * 8 + gx)
-              gx += 1
-            }
-            gy += 1
-          }
-          (id, sig)
-        }
+        ImageIoCodec.decode(payload).map(d => (id, dHashPixels(d)))
+      })
+      .toDF("item_id", "dhash")
+  }
+
+  /** The dHash core over decoded pixels — shared by [[dHash]] (images) and
+    * [[videoDHash]] (a video's representative frame).
+    */
+  private[graft] def dHashPixels(d: ImageIoCodec.Decoded): Long = {
+    val lum = new Array[Int](9 * 8)
+    var gy = 0
+    while (gy < 8) {
+      var gx = 0
+      while (gx < 9) {
+        val sx = gx * d.width / 9
+        val sy = gy * d.height / 8
+        val p = d.argb(sy * d.width + sx)
+        lum(gy * 9 + gx) =
+          (77 * ((p >> 16) & 0xFF) + 150 * ((p >> 8) & 0xFF) + 29 * (p & 0xFF)) >> 8
+        gx += 1
+      }
+      gy += 1
+    }
+    var sig = 0L
+    gy = 0
+    while (gy < 8) {
+      var gx = 0
+      while (gx < 8) {
+        if (lum(gy * 9 + gx + 1) > lum(gy * 9 + gx)) sig |= 1L << (gy * 8 + gx)
+        gx += 1
+      }
+      gy += 1
+    }
+    sig
+  }
+
+  /** Perceptual dHash of a VIDEO's representative frame (`frameIndex`,
+    * default the first): container parse → one real PNG decode → the
+    * shared 9×8 luma dHash ([[dHashPixels]]). One frame is the right
+    * signature for the near-dup question "is this the same footage,
+    * re-encoded or trimmed?" — a trimmed or container-rewritten copy keeps
+    * its leading frame bit-identical, while hashing every frame would cost
+    * a full decode pass and then need per-frame pair semantics anyway.
+    * Corrupt containers, out-of-range indexes, and undecodable frames drop
+    * the row (never half-hash). Scan-speed, no shuffle, 16-byte output
+    * rows regardless of video size.
+    */
+  def videoDHash(
+      spark: SparkSession,
+      media: DataFrame,
+      frameIndex: Int = 0): DataFrame = {
+    require(frameIndex >= 0, "frameIndex must be >= 0")
+    import spark.implicits._
+    media.select(col("item_id"), col("payload")).as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, payload) =>
+        for {
+          frames <- FrameContainer.decode(payload)
+          if frameIndex < frames.length
+          d <- ImageIoCodec.decode(frames(frameIndex))
+        } yield (id, dHashPixels(d))
       })
       .toDF("item_id", "dhash")
   }

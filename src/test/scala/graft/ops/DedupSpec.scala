@@ -542,6 +542,31 @@ class DedupSpec extends SparkTestBase {
       "unrelated images must not pair")
   }
 
+  test("videoNearDup: trimmed twin pairs at hamming 0; corrupt container drops; frame choice matters") {
+    import spark.implicits._
+    val codec = Multimodal.ImageIoCodec
+    def frame(seed: Int) = codec.encodePng(24, 20, (x, y) => {
+      val g = (seed + 3 * x + y) % 200; (g << 16) | (g << 8) | g
+    })
+    // video A: 3 frames; its trimmed twin keeps only frame 0
+    val a = Multimodal.FrameContainer.encode(Seq(frame(0), frame(90), frame(150)))
+    val trimmed = Multimodal.FrameContainer.encode(Seq(frame(0)))
+    // unrelated video: decreasing gradient leading frame (dHash 0 vs all-ones)
+    val other = Multimodal.FrameContainer.encode(Seq(
+      codec.encodePng(24, 20, (x, y) => { val g = 199 - 3 * x - y; (g << 16) | (g << 8) | g })))
+    val corrupt = a.take(6)
+    val media = Seq((1L, a), (2L, other), (10L, trimmed), (99L, corrupt))
+      .toDF("item_id", "payload")
+    val pairs = Dedup.videoNearDup(spark, media).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(pairs === Set((1L, 10L, 0)),
+      s"trimmed twin at hamming 0, nothing else: $pairs")
+    // representative frame is CHOSEN: against frame index 1 the trimmed
+    // copy has no frame and drops instead of mispairing
+    val f1 = Dedup.videoNearDup(spark, media, frameIndex = 1).collect()
+    assert(f1.isEmpty, "only video A has a frame 1; no pairs possible")
+  }
+
   test("imageNearDup: hot-bucket cap bounds the blowup observably (the simHash caveat, image side)") {
     import spark.implicits._
     val codec = Multimodal.ImageIoCodec

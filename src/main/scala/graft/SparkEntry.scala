@@ -589,6 +589,37 @@ object SparkEntry {
       maxHamming = 3, maxBucket = 1000000)
   }
 
+  /** Audio near-dup over REAL WAVs: base corpus + re-encoded twins
+    * (decode → encode, sample-identical, hamming 0) + HALF-VOLUME twins
+    * (every sample truncation-halved — the envelope comparisons mostly
+    * cancel the gain, landing within a few bits: the invariance the
+    * fingerprint exists for), with every 10th BASE payload truncated below
+    * the RIFF header (corrupt ⇒ dropped). The oracle replays the
+    * 65-window energy envelope and both twin transforms arithmetically.
+    */
+  private def audioNearDupQ(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val base = Multimodal.synthesizeAudio(s, docs(s, dir).select("doc_id"), "doc_id")
+      .select(col("item_id"), col("payload"))
+    val twins = base
+      .filter(col("item_id") % 7 === 0 || col("item_id") % 11 === 0)
+      .as[(Long, Array[Byte])]
+      .map { case (id, p) =>
+        val d = Multimodal.WavCodec.decode(p).get
+        if (id % 7 == 0)
+          (id + 10000000L, Multimodal.WavCodec.encodeWav(d.sampleRate, d.samples))
+        else
+          (id + 20000000L, Multimodal.WavCodec.encodeWav(d.sampleRate,
+            d.samples.map(v => (v / 2).toShort))) // truncation toward zero
+      }
+      .toDF("item_id", "payload")
+    val corrupted = base.select(col("item_id"),
+      when(col("item_id") % 10 === 0, expr("substring(payload, 1, 20)"))
+        .otherwise(col("payload")).as("payload"))
+    ops.Dedup.audioNearDup(s, corrupted.unionByName(twins),
+      maxHamming = 3, maxBucket = 1000000)
+  }
+
   /** Real WAV encode→decode roundtrip over the closed-form synthetic
     * signals, with every 10th payload TRUNCATED to 20 bytes (shorter than a
     * RIFF header — undecodable by construction): corrupt rows must drop,
@@ -1838,6 +1869,7 @@ object SparkEntry {
     "image_stats" -> (imageStats _),
     "image_neardup" -> (imageNearDupQ _),
     "video_neardup" -> (videoNearDupQ _),
+    "audio_neardup" -> (audioNearDupQ _),
     "audio_stats" -> (audioStats _),
     "video_stats" -> (videoStats _),
     "events_json_extract" -> (eventsJsonExtract _),
@@ -3214,6 +3246,39 @@ object SparkEntry {
           |  CAST(sum((3 * x + 5 * y + 2 * doc_id + 23 * f) % 256) AS BIGINT) AS sum_g,
           |  CAST(sum((11 * x + 17 * y + 3 * doc_id + 29 * f) % 256) AS BIGINT) AS sum_b
           |FROM px GROUP BY 1, 2, 3, 4""".stripMargin,
+      // the 65-window energy envelope of REAL WAV decodes replayed
+      // arithmetically — window of sample i is the bounds-partition
+      // inverse (65i+64)//n, half-volume twins truncate toward zero like
+      // the JVM's integer division — then the all-pairs hamming join;
+      // corrupt originals (doc_id%10=0) excluded BY the oracle
+      "audio_neardup" ->
+        """WITH pop AS (
+          |  SELECT doc_id AS id, doc_id AS src, 1 AS hv FROM documents
+          |  WHERE doc_id % 10 <> 0
+          |  UNION ALL SELECT doc_id + 10000000, doc_id, 1 FROM documents
+          |  WHERE doc_id % 7 = 0
+          |  UNION ALL SELECT doc_id + 20000000, doc_id, 2 FROM documents
+          |  WHERE doc_id % 11 = 0 AND doc_id % 7 <> 0),
+          |sm AS (SELECT id, hv, CAST(src % 400 + 100 AS BIGINT) AS n, i.range AS i,
+          |    ((37 * i.range + 101 * src) % 65536) - 32768 AS s0
+          |  FROM pop, range(0, 500) i WHERE i.range < src % 400 + 100),
+          |sv AS (SELECT id, n, i,
+          |    CASE WHEN hv = 1 THEN s0 WHEN s0 >= 0 THEN s0 // 2
+          |         ELSE -((-s0) // 2) END AS s
+          |  FROM sm),
+          |en AS (SELECT id, CAST((65 * i + 64) // n AS INT) AS w,
+          |    CAST(sum(abs(s)) AS BIGINT) AS e
+          |  FROM sv GROUP BY 1, 2),
+          |sig AS (SELECT a.id,
+          |    CAST(sum(CASE WHEN b.e > a.e THEN
+          |      CASE WHEN a.w = 63 THEN (-9223372036854775807 - 1)
+          |           ELSE (1::BIGINT << a.w) END ELSE 0 END) AS BIGINT) AS sig
+          |  FROM en a JOIN en b ON a.id = b.id AND b.w = a.w + 1
+          |  WHERE a.w < 64 GROUP BY 1)
+          |SELECT a.id AS a_id, b.id AS b_id,
+          |  CAST(bit_count(xor(a.sig, b.sig)) AS BIGINT) AS hamming
+          |FROM sig a JOIN sig b ON a.id < b.id
+          |WHERE bit_count(xor(a.sig, b.sig)) <= 3""".stripMargin,
       // the decoded-sample stats of a REAL WAV encode→decode roundtrip,
       // recomputed from the closed-form integer signal (WAV PCM16 is
       // lossless, so decoded samples must equal the generator arithmetic);

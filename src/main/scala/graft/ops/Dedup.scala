@@ -409,6 +409,24 @@ object Dedup {
         .select(col("item_id").as("id"), col("dhash").as("sig")),
       maxHamming, maxBucket, metrics)
 
+  /** Audio near-dup pairs by energy-envelope fingerprint
+    * ([[Multimodal.audioFingerprint]]): re-encoded and volume-scaled
+    * copies of the same recording land at hamming 0–few (adjacent-window
+    * loudness comparisons cancel the gain), decoded samples never
+    * shuffle — the audio member of the [[imageNearDup]] /
+    * [[videoNearDup]] trio, on the same 16-byte-signature engine.
+    */
+  def audioNearDup(
+      spark: org.apache.spark.sql.SparkSession,
+      media: DataFrame, // columns: item_id, payload
+      maxHamming: Int = 3,
+      maxBucket: Int = 100,
+      metrics: Option[Observation] = None): DataFrame =
+    hammingNearDupPairs(
+      graft.ops.Multimodal.audioFingerprint(spark, media)
+        .select(col("item_id").as("id"), col("afp").as("sig")),
+      maxHamming, maxBucket, metrics)
+
   /** Video near-dup pairs by representative-frame dHash
     * ([[Multimodal.videoDHash]]): re-encoded, container-rewritten, or
     * tail-trimmed copies of the same footage keep their leading frame and

@@ -221,6 +221,49 @@ object Multimodal {
           col("sample_rate").cast("int").as("sample_rate")).as("meta"))
   }
 
+  /** Perceptual audio fingerprint: decode (real WAV PCM16 decode), split
+    * the sample stream into 65 contiguous windows by the explicit integer
+    * bounds `start_w = w·n/65`, sum each window's absolute amplitude
+    * (exact int64), and set bit `w` when window `w+1` is louder than
+    * window `w` — the energy-envelope dHash, completing the
+    * [[dHashPixels]] family for the audio column. Comparing ADJACENT
+    * window energies (not absolute levels) is what buys the invariance
+    * that matters for near-dup: a re-encoded copy hashes identically, a
+    * volume-scaled copy preserves almost every comparison (loudness
+    * cancels in the inequality), while genuinely different audio flips
+    * ~half the bits. Corrupt or non-PCM16 payloads and streams shorter
+    * than 65 samples (no well-defined envelope) drop. Scan-speed, no
+    * shuffle, 16-byte rows into [[Dedup.audioNearDup]]'s hamming join.
+    */
+  def audioFingerprint(spark: SparkSession, media: DataFrame): DataFrame = {
+    import spark.implicits._
+    media.select(col("item_id"), col("payload")).as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, payload) =>
+        WavCodec.decode(payload).filter(_.samples.length >= 65).map { d =>
+          val n = d.samples.length
+          val energy = new Array[Long](65)
+          var w = 0
+          while (w < 65) {
+            val start = w * n / 65
+            val end = (w + 1) * n / 65
+            var e = 0L
+            var i = start
+            while (i < end) { e += math.abs(d.samples(i).toLong); i += 1 }
+            energy(w) = e
+            w += 1
+          }
+          var sig = 0L
+          w = 0
+          while (w < 64) {
+            if (energy(w + 1) > energy(w)) sig |= 1L << w
+            w += 1
+          }
+          (id, sig)
+        }
+      })
+      .toDF("item_id", "afp")
+  }
+
   /** Decode audio payloads (real AudioSystem decode) to amplitude stats and
     * true rate/length — the integrity/feature pass over an audio corpus,
     * sibling of [[imageStats]]: corrupt or non-PCM16-mono payloads are

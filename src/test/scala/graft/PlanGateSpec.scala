@@ -27,7 +27,7 @@ class PlanGateSpec extends SparkTestBase {
     "dedup_simhash", "dedup_clusters", "dedup_semantic",
     // same checkpointed signature frame as dedup_simhash (the shared
     // hammingNearDupPairs engine), plus the decode pass feeding it
-    "image_neardup", "video_neardup",
+    "image_neardup", "video_neardup", "audio_neardup",
     "knn_ivf", "kmeans_clusters", "kmeans_sample_train", "bpe_merges",
     "bpe_encode", "bpe_merges_bytes", "bpe_encode_bytes",
     "pipeline_cluster_shard", "pipeline_canonicalize",

@@ -567,6 +567,34 @@ class DedupSpec extends SparkTestBase {
     assert(f1.isEmpty, "only video A has a frame 1; no pairs possible")
   }
 
+  test("audioNearDup: re-encode identical, half-volume near, different audio far, corrupt/short drop") {
+    import spark.implicits._
+    val codec = Multimodal.WavCodec
+    // a deterministic pseudo-noise signal, long enough for the 65 windows
+    val samples = Array.tabulate(400)(i => (((i * 2731 + 17) % 30000) - 15000).toShort)
+    val a = codec.encodeWav(8000, samples)
+    val reenc = codec.encodeWav(8000, codec.decode(a).get.samples)
+    val half = codec.encodeWav(8000, samples.map(v => (v / 2).toShort))
+    val other = codec.encodeWav(8000,
+      Array.tabulate(400)(i => (((i * 911 + 5) % 28000) - 14000).toShort))
+    val short = codec.encodeWav(8000, Array.tabulate(40)(i => (i * 100).toShort))
+    val corrupt = a.take(20)
+    val media = Seq((1L, a), (2L, reenc), (3L, half), (4L, other),
+      (5L, short), (99L, corrupt)).toDF("item_id", "payload")
+    val fp = Multimodal.audioFingerprint(spark, media).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fp.keySet === Set(1L, 2L, 3L, 4L), "corrupt and <65-sample streams drop")
+    assert(fp(2L) === fp(1L), "re-encode is fingerprint-identical")
+    assert(java.lang.Long.bitCount(fp(1L) ^ fp(3L)) <= 3,
+      "halving the volume barely moves the envelope hash")
+    assert(java.lang.Long.bitCount(fp(1L) ^ fp(4L)) > 10,
+      "different audio flips many bits")
+    val pairs = Dedup.audioNearDup(spark, media).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)) && pairs.contains((1L, 3L)) && pairs.contains((2L, 3L)))
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
+  }
+
   test("imageNearDup: hot-bucket cap bounds the blowup observably (the simHash caveat, image side)") {
     import spark.implicits._
     val codec = Multimodal.ImageIoCodec

@@ -1617,6 +1617,16 @@ object SparkEntry {
           round(col("value") * 10000).cast("long").as("v")),
       Seq("event_type"), "v")
 
+  /** Median/IQR robust scaling of document length per language —
+    * [[ops.Features.robustScale]], discrete order statistics, one integral
+    * division. The oracle replays the rank picks and the toward-zero
+    * division explicitly.
+    */
+  private def featureRobust(s: SparkSession, dir: String): DataFrame =
+    ops.Features.robustScale(
+      docs(s, dir).select(col("doc_id"), col("lang"), col("n_chars")),
+      Seq("lang"), "n_chars")
+
   /** Hashing-trick encoding of the documents' categorical columns into 64
     * signed buckets, long form — [[ops.Features.featureHash]].
     */
@@ -1951,6 +1961,7 @@ object SparkEntry {
     "feature_standardize" -> (featureStandardize _),
     "key_skew_profile" -> (keySkewQuery _),
     "feature_minmax" -> (featureMinMax _),
+    "feature_robust" -> (featureRobust _),
     "bloom_semi_join" -> (bloomSemiJoinQuery _),
     "value_outliers" -> (valueOutliers _),
     "event_type_pivot" -> (eventTypePivot _),
@@ -4377,6 +4388,26 @@ object SparkEntry {
           |  CAST(((nt * s + 20 * st) * 1048576) // (nt * (n + 20)) AS BIGINT)
           |    AS enc_q
           |FROM c, t""".stripMargin,
+      // discrete-quartile robust scale: the rank-⌊(n−1)q⌋+1 picks replayed
+      // with an explicit row_number, and the integral division spelled
+      // toward-zero (DuckDB's // floors; Spark's div truncates)
+      "feature_robust" ->
+        """WITH nn AS (SELECT lang, n_chars FROM documents WHERE n_chars IS NOT NULL),
+          |rk AS (SELECT lang, n_chars,
+          |    row_number() OVER (PARTITION BY lang ORDER BY n_chars) AS rn,
+          |    count(*) OVER (PARTITION BY lang) AS n FROM nn),
+          |st AS (SELECT lang,
+          |    max(CASE WHEN rn = (n - 1) // 2 + 1 THEN n_chars END) AS med,
+          |    max(CASE WHEN rn = (n - 1) // 4 + 1 THEN n_chars END) AS q1,
+          |    max(CASE WHEN rn = 3 * (n - 1) // 4 + 1 THEN n_chars END) AS q3
+          |  FROM rk GROUP BY lang)
+          |SELECT d.doc_id, d.lang, d.n_chars,
+          |  CASE WHEN s.q3 = s.q1 THEN NULL
+          |       WHEN (d.n_chars - s.med) >= 0
+          |         THEN CAST(((d.n_chars - s.med) * 1048576) // (s.q3 - s.q1) AS BIGINT)
+          |       ELSE CAST(-(((s.med - d.n_chars) * 1048576) // (s.q3 - s.q1)) AS BIGINT)
+          |  END AS robust_q
+          |FROM documents d JOIN st s ON d.lang = s.lang""".stripMargin,
       // signed hashing trick: bucket from md5 hex 1-6, sign from hex 7
       // parity, within-(id, bucket) collisions SUM
       "feature_hash" ->

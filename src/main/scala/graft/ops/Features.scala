@@ -159,6 +159,64 @@ object Features {
       .drop(mn).drop(mx)
   }
 
+  /** Per-group robust scaling of an integer-valued feature — the
+    * outlier-resistant third member of the scaler family
+    * ([[standardize]] preserves outlier magnitude, [[minMaxScale]] lets
+    * one outlier own the range; median/IQR ignores the tails entirely):
+    *
+    *   robust_q = (x − median)·2^20 div (q3 − q1)
+    *
+    * with the three quartiles as EXACT DISCRETE order statistics — the
+    * value at ascending rank `⌊(n−1)·q⌋ + 1` over the group's non-null
+    * values (pure integer rank arithmetic, no interpolated float like
+    * [[Stats.groupedQuantiles]]' continuous mode) — so the output is
+    * engine- and partitioning-identical with ONE integral division. The
+    * division truncates toward zero (Spark's `div`); an engine whose `//`
+    * floors must replay it as `sign(v)·(|v| div d)` (the oracle does). A
+    * zero-IQR group yields NULL — no spread is not a position.
+    *
+    * Shape at 100 TB: one window exchange on the group keys ranks the
+    * (narrow: groups + value) projection, the three rank rows per group
+    * aggregate to a group-count-sized stats table, and the stats broadcast
+    * back into the scan — the corpus never shuffles for the scaling pass.
+    * Groups are the parallelism unit: a single giant group serializes its
+    * sort (the [[Stats.equiDepthBins]] caveat).
+    */
+  def robustScale(
+      df: DataFrame,
+      groupCols: Seq[String],
+      valueCol: String,
+      outCol: String = "robust_q"): DataFrame = {
+    val part = org.apache.spark.sql.expressions.Window
+      .partitionBy(groupCols.map(col): _*)
+    val w = part.orderBy(col(valueCol))
+    // rank over the NARROW projection only — user columns never enter the
+    // window, so the internal names cannot collide with input columns
+    val ranked = df.filter(col(valueCol).isNotNull)
+      .select((groupCols :+ valueCol).map(col): _*)
+      .select(col("*"), row_number().over(w).as("_rsq_rn"),
+        count(lit(1)).over(part).as("_rsq_n"))
+    val atRank = (num: Int, den: Int) =>
+      max(when(col("_rsq_rn") ===
+        expr(s"$num * (_rsq_n - 1) div $den + 1"), col(valueCol)))
+    val stats = ranked.groupBy(groupCols.map(col): _*)
+      .agg(atRank(1, 2).as("_rsq_med"),
+        atRank(1, 4).as("_rsq_q1"),
+        atRank(3, 4).as("_rsq_q3"))
+    val joined =
+      if (groupCols.isEmpty) df.crossJoin(broadcast(stats))
+      else df.join(broadcast(stats), groupCols)
+    val (med, q1, q3) = (stats("_rsq_med"), stats("_rsq_q1"), stats("_rsq_q3"))
+    joined
+      .withColumn(outCol,
+        when(q3 === q1, lit(null).cast("long"))
+          .otherwise(call_function("div",
+            (df(valueCol).cast("decimal(38,0)") - med) * lit(1048576),
+            q3.cast("decimal(38,0)") - q1)
+            .cast("long")))
+      .drop(med).drop(q1).drop(q3)
+  }
+
   /** Hashing-trick encoding (Weinberger et al. 2009) of categorical columns
     * into a fixed `numBuckets`-wide feature space, in the long (sparse)
     * form every 100 TB feature pipeline actually stores: one `(id, bucket,

@@ -202,6 +202,9 @@ class PlanGateSpec extends SparkTestBase {
     // the profile that sized the salts ran at BUILD time (bounded top-k
     // collect), the tag joins are broadcasts
     "skew_salted_join" -> 3,
+    // the quartile-rank window exchange; stats agg reuses its partitioning
+    // and the stats attach broadcasts
+    "feature_robust" -> 1,
     // exactly the SUM of its stages' budgets — entity distinct + pit pick
     // (2), decayed agg (1), scd2 collapse + window (2), as-of arg-max (1);
     // every attach join broadcasts, so composition adds ZERO exchanges

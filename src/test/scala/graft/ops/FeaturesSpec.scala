@@ -139,6 +139,35 @@ class FeaturesSpec extends SparkTestBase {
     assert(out("c") === ((0L, None)))
   }
 
+  test("robustScale: hand quartiles, toward-zero division, zero-IQR NULL, null values excluded") {
+    // group g: values 0,10,20,30,100 (n=5): ranks med=(4//2)+1=3 -> 20,
+    // q1=(4//4)+1=2 -> 10, q3=(12//4)+1=4 -> 30; IQR=20
+    val df = Seq(("g", 0L), ("g", 10L), ("g", 20L), ("g", 30L), ("g", 100L),
+      ("c", 7L), ("c", 7L)).toDF("grp", "v")
+      .unionByName(Seq(("g", Option.empty[Long])).toDF("grp", "v"))
+    val out = Features.robustScale(df, Seq("grp"), "v")
+      .collect().map(r => (r.getString(0), if (r.isNullAt(1)) None else Some(r.getLong(1)),
+        if (r.isNullAt(2)) None else Some(r.getLong(2)))).toSet
+    // (v - 20) * 2^20 div 20: outlier 100 scales to 4*2^20 - robust to the
+    // tail, unlike min-max where it would own the range
+    assert(out === Set(
+      ("g", Some(0L), Some(-1048576L)),   // -20*2^20/20 = -2^20 (toward zero == exact)
+      ("g", Some(10L), Some(-524288L)),
+      ("g", Some(20L), Some(0L)),
+      ("g", Some(30L), Some(524288L)),
+      ("g", Some(100L), Some(4194304L)),
+      ("g", None, None),                   // null value scales to null
+      ("c", Some(7L), None)))              // zero IQR: no spread, no position
+    // toward-zero on a non-exact negative: v=5, med=20, IQR=20 ->
+    // -15*2^20/20 = -786432 exactly; probe a ragged one instead
+    val ragged = Features.robustScale(
+      Seq(("g", 0L), ("g", 7L), ("g", 20L), ("g", 30L), ("g", 100L)).toDF("grp", "v"),
+      Seq("grp"), "v").filter(col("v") === 7L)
+      .collect().head.getAs[Long]("robust_q")
+    // (7-20)*2^20 div 23 = -13631488 div 23 = -592673.39... -> -592673 (trunc)
+    assert(ragged === -592673L)
+  }
+
   test("standardize/minMaxScale: input frames already carrying the internal stat names survive") {
     // _std_n / _mms_mn etc. as USER columns must neither collide nor vanish
     val df = Seq(("g", 0L, 7L, 9L), ("g", 10L, 7L, 9L))

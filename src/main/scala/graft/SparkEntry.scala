@@ -1384,6 +1384,25 @@ object SparkEntry {
     ops.Graph.pageRank(edges, "src", "dst")
   }
 
+  /** Triangle counts over the co-supply graph: suppliers are adjacent when
+    * they ship line items in at least 28 common orders (the strength
+    * threshold keeps the graph sparse — below it the co-supply relation
+    * degenerates toward the complete graph and triangles stop meaning
+    * community). [[ops.Graph.triangleCounts]] with the degree-ordered
+    * orientation; the oracle counts x<y<z triangles by numeric order —
+    * orientation must be invisible in the result.
+    */
+  private def triangleCountQ(s: SparkSession, dir: String): DataFrame = {
+    val li = s.read.parquet(s"$dir/lineitem.parquet")
+      .select(col("l_orderkey").as("ok"), col("l_suppkey").as("sk")).distinct()
+    val co = li.select(col("ok"), col("sk").as("s1"))
+      .join(li.select(col("ok"), col("sk").as("s2")), "ok")
+      .filter(col("s1") < col("s2"))
+      .groupBy(col("s1"), col("s2")).agg(count(lit(1)).as("w"))
+      .filter(col("w") >= 28)
+    ops.Graph.triangleCounts(co, "s1", "s2")
+  }
+
   private def cooccurrenceQuery(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.cooccurrence(docs(s, dir), "doc_id", "text", window = 2, topK = 50)
 
@@ -1934,6 +1953,7 @@ object SparkEntry {
     "mix_corpora" -> (mixCorporaQuery _),
     "mix_temperature" -> (mixTemperatureQuery _),
     "page_rank" -> (pageRankQuery _),
+    "triangle_count" -> (triangleCountQ _),
     "top_terms" -> (topTermsQuery _),
     "source_orc_roundtrip" -> (sourceOrcRoundtrip _),
     "source_avro_roundtrip" -> (sourceAvroRoundtrip _),
@@ -4420,6 +4440,22 @@ object SparkEntry {
           |  CAST(sum(1 - CAST(concat('0x', substr(md5(s), 7, 1)) AS BIGINT) % 2 * 2)
           |    AS BIGINT) AS w
           |FROM f GROUP BY 1, 2""".stripMargin,
+      // x<y<z triangles by plain numeric order — the operator's
+      // degree-ordered orientation is a plan strategy, invisible in results
+      "triangle_count" ->
+        """WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_suppkey AS s FROM lineitem),
+          |co AS (SELECT a.s AS s1, b.s AS s2 FROM li a JOIN li b ON a.ok = b.ok AND a.s < b.s
+          |  GROUP BY 1, 2 HAVING count(*) >= 28),
+          |tri AS (SELECT e1.s1 AS x, e1.s2 AS y, e2.s2 AS z
+          |  FROM co e1 JOIN co e2 ON e2.s1 = e1.s1 AND e2.s2 > e1.s2
+          |  JOIN co e3 ON e3.s1 = e1.s2 AND e3.s2 = e2.s2),
+          |nodes AS (SELECT DISTINCT s FROM (
+          |  SELECT s1 AS s FROM co UNION ALL SELECT s2 FROM co)),
+          |cnt AS (SELECT id, CAST(count(*) AS BIGINT) AS n FROM (
+          |  SELECT x AS id FROM tri UNION ALL SELECT y FROM tri
+          |  UNION ALL SELECT z FROM tri) GROUP BY 1)
+          |SELECT n.s AS id, coalesce(c.n, 0) AS n_triangles
+          |FROM nodes n LEFT JOIN cnt c ON c.id = n.s""".stripMargin,
       // successor pairing under the (ts, event_id) total order, then exact
       // pair counts with a fixed-point ppm row probability (integer //)
       "event_transitions" ->

@@ -83,4 +83,66 @@ object Graph {
     }
     rank
   }
+
+  /** Per-node triangle counts over an undirected edge list — the local
+    * clustering signal (a crawl node whose neighbors all know each other
+    * is a community; one whose neighbors never touch is a hub or spam
+    * farm). Input edges may be directed/duplicated either way; they
+    * normalize to distinct undirected `(a < b)` pairs first, self-loops
+    * dropped. Returns `(id, n_triangles)` for every node on an edge,
+    * zero-participation nodes included.
+    *
+    * The scale trick is DEGREE-ORDERED ORIENTATION (the standard
+    * compact-forward algorithm): orient every undirected edge from its
+    * lower-(degree, id) endpoint to the higher one, then count wedges
+    * `u→v, u→w` closed by an oriented edge `v→w`. Every triangle is
+    * counted EXACTLY once (its nodes are totally ordered by (degree, id);
+    * the wedge forms at the smallest), and — the part that matters at
+    * 100 TB — every node's oriented out-degree is O(√|E|), so the wedge
+    * join's intermediate is Σ outdeg² ≤ |E|^1.5 instead of the Σ deg²
+    * blowup a hub node causes in the naive wedge count: a celebrity with
+    * 10^7 followers contributes zero wedges as a wedge CENTER because
+    * every edge points INTO it. Three shuffle aggregations + two
+    * self-joins on node keys; the triangle table never materializes wider
+    * than (x, y, z).
+    */
+  def triangleCounts(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String): DataFrame = {
+    val und = edges
+      .select(least(col(srcCol), col(dstCol)).as("a"),
+        greatest(col(srcCol), col(dstCol)).as("b"))
+      .filter(col("a") =!= col("b"))
+      .distinct()
+      .localCheckpoint(false) // feeds degrees AND the orientation join
+    val deg = und.select(col("a").as("id"))
+      .unionByName(und.select(col("b").as("id")))
+      .groupBy(col("id")).agg(count(lit(1)).as("deg"))
+    // orient by the (deg, id) total order: the lower endpoint owns the edge
+    val ori = und
+      .join(deg.select(col("id").as("a"), col("deg").as("_da")), "a")
+      .join(deg.select(col("id").as("b"), col("deg").as("_db")), "b")
+      .select(
+        when(struct(col("_da"), col("a")) < struct(col("_db"), col("b")),
+          struct(col("a").as("u"), col("b").as("v")))
+          .otherwise(struct(col("b").as("u"), col("a").as("v"))).as("e"))
+      .select(col("e.u").as("u"), col("e.v").as("v"))
+      .join(deg.select(col("id").as("v"), col("deg").as("_dv")), "v")
+      .localCheckpoint(false) // feeds the wedge join twice and the closer
+    // wedges at u between its two higher neighbors, ordered to count once
+    val w1 = ori.select(col("u"), col("v"), col("_dv"))
+    val w2 = ori.select(col("u"), col("v").as("w"), col("_dv").as("_dw"))
+    val tri = w1.join(w2, Seq("u"))
+      .filter(struct(col("_dv"), col("v")) < struct(col("_dw"), col("w")))
+      .select(col("u"), col("v"), col("w"))
+      .join(ori.select(col("u").as("v"), col("v").as("w")), Seq("v", "w"), "left_semi")
+    val perNode = tri.select(col("u").as("id"))
+      .unionByName(tri.select(col("v").as("id")))
+      .unionByName(tri.select(col("w").as("id")))
+      .groupBy(col("id")).agg(count(lit(1)).as("n_triangles"))
+    deg.select(col("id"))
+      .join(perNode, Seq("id"), "left")
+      .select(col("id"), coalesce(col("n_triangles"), lit(0L)).as("n_triangles"))
+  }
 }

@@ -42,7 +42,10 @@ class PlanGateSpec extends SparkTestBase {
     "pipeline_quality_mix",
     // per-iteration localCheckpoints (the CC discipline) — the final plan
     // reads the last snapshot only
-    "page_rank")
+    "page_rank",
+    // the normalized edge list and the oriented list are localCheckpoints
+    // (each feeds 2-3 consumers); the final plan hangs off the second
+    "triangle_count")
 
   private val maxShuffles = Map(
     "asof_join" -> 1,

@@ -41,6 +41,41 @@ class GraphSpec extends SparkTestBase {
     }
   }
 
+  test("triangleCounts: K4 hand case; star has none until a leaf edge closes one") {
+    import spark.implicits._
+    // K4: every node sits in C(3,2) = 3 triangles
+    val k4 = (for (a <- 1L to 4L; b <- 1L to 4L if a < b) yield (a, b)).toDF("s", "d")
+    val got = Graph.triangleCounts(k4, "s", "d").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
+    // star: the hub's wedges are never closed — everyone counts 0 (and the
+    // orientation makes the hub a wedge center for NOTHING: all its edges
+    // point into it)
+    val star = (2L to 8L).map(l => (1L, l)).toDF("s", "d")
+    val s0 = Graph.triangleCounts(star, "s", "d").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(s0.size === 7 + 1 && s0.values.forall(_ == 0L))
+    // one leaf-leaf edge closes exactly one triangle at (hub, 2, 3)
+    val closed = Graph.triangleCounts(star.unionByName(Seq((2L, 3L)).toDF("s", "d")), "s", "d")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(closed(1L) === 1L && closed(2L) === 1L && closed(3L) === 1L)
+    assert((4L to 8L).forall(closed(_) === 0L))
+  }
+
+  test("triangleCounts: direction/duplicate/self-loop normalization and partitioning invariance") {
+    import spark.implicits._
+    val tri = Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 1L), (1L, 1L), (2L, 3L))
+      .toDF("s", "d")
+    val got = Graph.triangleCounts(tri, "s", "d").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L),
+      "reversed duplicates and self-loops collapse to one undirected triangle")
+    val big = (1L to 400L).map(i => (i % 37, (i * 7) % 37)).toDF("s", "d")
+    val a = Graph.triangleCounts(big, "s", "d").orderBy("id").collect().toSeq
+    val b = Graph.triangleCounts(big.repartition(11), "s", "d").orderBy("id").collect().toSeq
+    assert(a === b && a.nonEmpty)
+  }
+
   test("pageRank: empty edge list yields an empty ranking, no crash") {
     import spark.implicits._
     val none = Seq.empty[(Long, Long)].toDF("src", "dst")

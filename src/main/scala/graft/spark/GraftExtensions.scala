@@ -44,7 +44,14 @@ object GraftFunctions {
       (FunctionIdentifier("graft_bloom_contains"),
         new ExpressionInfo(classOf[BloomContains].getName, "graft_bloom_contains"),
         (children: Seq[Expression]) =>
-          BloomContains(children(0), children(1), foldableInt(children(2)))))
+          BloomContains(children(0), children(1), foldableInt(children(2)))),
+      (FunctionIdentifier("graft_byte_syms"),
+        new ExpressionInfo(classOf[ByteSyms].getName, "graft_byte_syms"),
+        (children: Seq[Expression]) => ByteSyms(children(0))),
+      (FunctionIdentifier("graft_sorted_intersect_count"),
+        new ExpressionInfo(classOf[SortedIntersectCount].getName,
+          "graft_sorted_intersect_count"),
+        (children: Seq[Expression]) => SortedIntersectCount(children(0), children(1))))
 
   private def foldableInt(e: Expression): Int = {
     require(e.foldable, s"argument must be a literal integer, got: ${e.sql}")

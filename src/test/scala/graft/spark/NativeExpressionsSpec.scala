@@ -60,6 +60,18 @@ class NativeExpressionsSpec extends SparkTestBase {
     assert(err.getMessage.contains("literal"))
   }
 
+  test("graft_byte_syms / graft_sorted_intersect_count usable from SQL after registration") {
+    GraftFunctions.register(spark)
+    val r = spark.sql(
+      """SELECT graft_byte_syms('aö') AS syms,
+        |       graft_sorted_intersect_count(array(1L, 3L, 7L), array(2L, 3L, 7L, 9L)) AS n,
+        |       graft_sorted_intersect_count(array(1L), array(2L)) AS zero
+        |""".stripMargin).collect().head
+    assert(r.getSeq[String](0).length === 3, "a + the two UTF-8 bytes of ö")
+    assert(r.getLong(1) === 2L)
+    assert(r.getLong(2) === 0L)
+  }
+
   test("ByteSyms: codegen intact — compiles inside whole-stage codegen, no fallback") {
     // The regression this pins: the companion's helper was once named `eval`,
     // colliding with the class's inherited eval(InternalRow) so scalac emitted

@@ -540,7 +540,7 @@ object SparkEntry {
     * the result is EXACTLY all pairs within hamming 3 — which the oracle
     * replays arithmetically from the closed-form pixels, no image stack.
     */
-  private def imageNearDupQ(s: SparkSession, dir: String): DataFrame = {
+  private def imageNearDupMedia(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val base = Multimodal.synthesizeImages(s, docs(s, dir).select("doc_id"), "doc_id")
       .select(col("item_id"), col("payload"),
@@ -558,8 +558,30 @@ object SparkEntry {
     val corrupted = base.select(col("item_id"),
       when(col("item_id") % 9 === 0, expr("substring(payload, 1, 20)"))
         .otherwise(col("payload")).as("payload"))
-    ops.Dedup.imageNearDup(s, corrupted.unionByName(twins),
+    corrupted.unionByName(twins)
+  }
+
+  private def imageNearDupQ(s: SparkSession, dir: String): DataFrame =
+    ops.Dedup.imageNearDup(s, imageNearDupMedia(s, dir),
       maxHamming = 3, maxBucket = 1000000)
+
+  /** The image-dedup chain END-TO-END (what a multimodal curation run
+    * actually executes, the media twin of `pipeline_canonicalize`): decode
+    * + hash ONCE (checkpointed — pairs and the id universe share the scan),
+    * hamming near-dup pairs, connected components to transitive clusters,
+    * min-id canonical labels with cluster sizes. Corrupt payloads fell out
+    * at decode, so they appear in no cluster at all.
+    */
+  private def pipelineImageDedupQ(s: SparkSession, dir: String): DataFrame = {
+    val hashes = Multimodal.dHash(s, imageNearDupMedia(s, dir))
+      .select(col("item_id").as("id"), col("dhash").as("sig"))
+      .localCheckpoint(false)
+    val pairs = ops.Dedup.hammingNearDupPairs(hashes, maxHamming = 3, maxBucket = 1000000)
+    val cc = ops.Dedup.connectedComponents(hashes.select(col("id")), pairs)
+    val sz = cc.groupBy(col("cluster")).agg(count(lit(1)).as("n_members"))
+    cc.join(sz, "cluster")
+      .select(col("id"), col("cluster"), col("n_members"),
+        (col("id") === col("cluster")).as("is_canonical"))
   }
 
   /** Video near-dup over REAL containers: base corpus + TRIMMED twins
@@ -1897,6 +1919,7 @@ object SparkEntry {
     "multimodal_meta" -> (multimodalMeta _),
     "image_stats" -> (imageStats _),
     "image_neardup" -> (imageNearDupQ _),
+    "pipeline_image_dedup" -> (pipelineImageDedupQ _),
     "video_neardup" -> (videoNearDupQ _),
     "audio_neardup" -> (audioNearDupQ _),
     "audio_stats" -> (audioStats _),
@@ -2038,6 +2061,40 @@ object SparkEntry {
         |FROM documents)""".stripMargin
     // planted corpus + tokenization, shared by all three window-dedup
     // oracles (one definition so the replays cannot drift)
+    // the image dHash populations (base + re-encoded + resized twins,
+    // corrupt originals excluded) replayed arithmetically from the
+    // closed-form pixels; ends in CTE `sig` (id, sig) — shared by
+    // image_neardup and pipeline_image_dedup so the replays cannot drift
+    val imageHashCtes =
+      """pop AS (
+        |  SELECT doc_id AS id, doc_id AS src,
+        |    CAST(doc_id % 16 + 8 AS BIGINT) AS w, CAST(doc_id % 12 + 8 AS BIGINT) AS h,
+        |    CAST(doc_id % 16 + 8 AS BIGINT) AS w0, CAST(doc_id % 12 + 8 AS BIGINT) AS h0
+        |  FROM documents WHERE doc_id % 9 <> 0
+        |  UNION ALL
+        |  SELECT doc_id + 10000000, doc_id,
+        |    doc_id % 16 + 8, doc_id % 12 + 8, doc_id % 16 + 8, doc_id % 12 + 8
+        |  FROM documents WHERE doc_id % 7 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 20000000, doc_id,
+        |    doc_id % 16 + 12, doc_id % 12 + 10, doc_id % 16 + 8, doc_id % 12 + 8
+        |  FROM documents WHERE doc_id % 11 = 0 AND doc_id % 7 <> 0),
+        |g AS (SELECT id, src, gx.range AS gx, gy.range AS gy,
+        |    ((gx.range * w) // 9) * w0 // w AS sx,
+        |    ((gy.range * h) // 8) * h0 // h AS sy
+        |  FROM pop, range(0, 9) gx, range(0, 8) gy),
+        |lum AS (SELECT id, gx, gy,
+        |    (77 * ((7 * sx + 13 * sy + src) % 256)
+        |   + 150 * ((3 * sx + 5 * sy + 2 * src) % 256)
+        |   + 29 * ((11 * sx + 17 * sy + 3 * src) % 256)) // 256 AS lum
+        |  FROM g),
+        |sig AS (SELECT a.id,
+        |    CAST(sum(CASE WHEN b.lum > a.lum THEN
+        |      CASE WHEN a.gy * 8 + a.gx = 63 THEN (-9223372036854775807 - 1)
+        |           ELSE (1::BIGINT << CAST(a.gy * 8 + a.gx AS INT)) END
+        |      ELSE 0 END) AS BIGINT) AS sig
+        |  FROM lum a JOIN lum b ON a.id = b.id AND a.gy = b.gy AND b.gx = a.gx + 1
+        |  WHERE a.gx < 8 GROUP BY 1)""".stripMargin
     // PIT pick + decayed recency + SCD2 history fragments, each shared
     // VERBATIM by its standalone oracle (pit_join / decayed_features /
     // scd2_intervals) and by the composed pipeline_feature_serve — one
@@ -3196,40 +3253,30 @@ object SparkEntry {
       // Corrupt originals (doc_id%9=0) are excluded here BY the oracle —
       // the corrupt-drop contract — while their twins still participate
       "image_neardup" ->
-        """WITH pop AS (
-          |  SELECT doc_id AS id, doc_id AS src,
-          |    CAST(doc_id % 16 + 8 AS BIGINT) AS w, CAST(doc_id % 12 + 8 AS BIGINT) AS h,
-          |    CAST(doc_id % 16 + 8 AS BIGINT) AS w0, CAST(doc_id % 12 + 8 AS BIGINT) AS h0
-          |  FROM documents WHERE doc_id % 9 <> 0
-          |  UNION ALL
-          |  SELECT doc_id + 10000000, doc_id,
-          |    doc_id % 16 + 8, doc_id % 12 + 8, doc_id % 16 + 8, doc_id % 12 + 8
-          |  FROM documents WHERE doc_id % 7 = 0
-          |  UNION ALL
-          |  SELECT doc_id + 20000000, doc_id,
-          |    doc_id % 16 + 12, doc_id % 12 + 10, doc_id % 16 + 8, doc_id % 12 + 8
-          |  FROM documents WHERE doc_id % 11 = 0 AND doc_id % 7 <> 0),
-          |g AS (SELECT id, src, gx.range AS gx, gy.range AS gy,
-          |    ((gx.range * w) // 9) * w0 // w AS sx,
-          |    ((gy.range * h) // 8) * h0 // h AS sy
-          |  FROM pop, range(0, 9) gx, range(0, 8) gy),
-          |lum AS (SELECT id, gx, gy,
-          |    (77 * ((7 * sx + 13 * sy + src) % 256)
-          |   + 150 * ((3 * sx + 5 * sy + 2 * src) % 256)
-          |   + 29 * ((11 * sx + 17 * sy + 3 * src) % 256)) // 256 AS lum
-          |  FROM g),
-          |sig AS (SELECT a.id,
-          |    CAST(sum(CASE WHEN b.lum > a.lum THEN
-          |      CASE WHEN a.gy * 8 + a.gx = 63 THEN (-9223372036854775807 - 1)
-          |           ELSE (1::BIGINT << CAST(a.gy * 8 + a.gx AS INT)) END
-          |      ELSE 0 END) AS BIGINT) AS sig
-          |  FROM lum a JOIN lum b ON a.id = b.id AND a.gy = b.gy AND b.gx = a.gx + 1
-          |  WHERE a.gx < 8 GROUP BY 1)
-          |SELECT a.id AS a_id, b.id AS b_id,
-          |  CAST(bit_count(xor(a.sig, b.sig)) AS BIGINT) AS hamming
-          |FROM sig a JOIN sig b ON a.id < b.id
-          |WHERE bit_count(xor(a.sig, b.sig)) <= 3""".stripMargin,
-      // frame-0 dHashes replayed arithmetically (f = 0 kills the frame
+        s"""WITH $imageHashCtes
+           |SELECT a.id AS a_id, b.id AS b_id,
+           |  CAST(bit_count(xor(a.sig, b.sig)) AS BIGINT) AS hamming
+           |FROM sig a JOIN sig b ON a.id < b.id
+           |WHERE bit_count(xor(a.sig, b.sig)) <= 3""".stripMargin,
+      // the full image-dedup chain over the SAME hash fragment: near-dup
+      // pairs → undirected transitive closure (recursive CTE — the
+      // dedup_clusters pattern) → min-id canonical labels + cluster sizes
+      "pipeline_image_dedup" ->
+        s"""WITH RECURSIVE $imageHashCtes,
+           |e AS (SELECT a.id AS a, b.id AS b FROM sig a JOIN sig b
+           |  ON a.id < b.id WHERE bit_count(xor(a.sig, b.sig)) <= 3),
+           |edges AS (SELECT a, b FROM e UNION ALL SELECT b, a FROM e),
+           |reach(src, dst) AS (
+           |  SELECT id, id FROM sig
+           |  UNION
+           |  SELECT r.src, ed.b FROM reach r JOIN edges ed ON r.dst = ed.a),
+           |lab AS (SELECT src AS id, min(dst) AS cluster FROM reach GROUP BY src),
+           |sz AS (SELECT cluster, CAST(count(*) AS BIGINT) AS n_members
+           |  FROM lab GROUP BY cluster)
+           |SELECT l.id, l.cluster, s.n_members,
+           |  l.id = l.cluster AS is_canonical
+           |FROM lab l JOIN sz s USING (cluster)""".stripMargin,
+            // frame-0 dHashes replayed arithmetically (f = 0 kills the frame
       // terms; trim twins keep the leading frame bit-identical, so their
       // hash rows are the same formulas), then the all-pairs hamming join;
       // corrupt originals (doc_id%9=0) excluded BY the oracle while their

@@ -28,6 +28,8 @@ class PlanGateSpec extends SparkTestBase {
     // same checkpointed signature frame as dedup_simhash (the shared
     // hammingNearDupPairs engine), plus the decode pass feeding it
     "image_neardup", "video_neardup", "audio_neardup",
+    // near-dup pairs + per-iteration CC checkpoints (the dedup_clusters shape)
+    "pipeline_image_dedup",
     "knn_ivf", "kmeans_clusters", "kmeans_sample_train", "bpe_merges",
     "bpe_encode", "bpe_merges_bytes", "bpe_encode_bytes",
     "pipeline_cluster_shard", "pipeline_canonicalize",

@@ -1668,6 +1668,15 @@ object SparkEntry {
       docs(s, dir).select(col("doc_id"), col("lang"), col("n_chars")),
       Seq("lang"), "n_chars")
 
+  /** Winsorize event values (1e4 fixed point) per event type at the
+    * [p5, p95] discrete quantiles — [[ops.Features.winsorize]].
+    */
+  private def featureWinsorize(s: SparkSession, dir: String): DataFrame =
+    ops.Features.winsorize(
+      events(dir).load(s).select(col("event_id"), col("event_type"),
+        round(col("value") * 10000).cast("long").as("v")),
+      Seq("event_type"), "v", loPpm = 50000L, hiPpm = 950000L)
+
   /** Hashing-trick encoding of the documents' categorical columns into 64
     * signed buckets, long form — [[ops.Features.featureHash]].
     */
@@ -2005,6 +2014,7 @@ object SparkEntry {
     "key_skew_profile" -> (keySkewQuery _),
     "feature_minmax" -> (featureMinMax _),
     "feature_robust" -> (featureRobust _),
+    "feature_winsorize" -> (featureWinsorize _),
     "bloom_semi_join" -> (bloomSemiJoinQuery _),
     "value_outliers" -> (valueOutliers _),
     "event_type_pivot" -> (eventTypePivot _),
@@ -4475,6 +4485,23 @@ object SparkEntry {
           |       ELSE CAST(-(((s.med - d.n_chars) * 1048576) // (s.q3 - s.q1)) AS BIGINT)
           |  END AS robust_q
           |FROM documents d JOIN st s ON d.lang = s.lang""".stripMargin,
+      // rank-pick winsorization bounds replayed with an explicit
+      // row_number; the clip itself is plain least/greatest
+      "feature_winsorize" ->
+        """WITH ev AS (SELECT event_id, event_type,
+          |    CAST(round(value * 10000) AS BIGINT) AS v FROM events),
+          |rk AS (SELECT event_type, v,
+          |    row_number() OVER (PARTITION BY event_type ORDER BY v) AS rn,
+          |    count(*) OVER (PARTITION BY event_type) AS n
+          |  FROM ev WHERE v IS NOT NULL),
+          |st AS (SELECT event_type,
+          |    max(CASE WHEN rn = 50000 * (n - 1) // 1000000 + 1 THEN v END) AS lo,
+          |    max(CASE WHEN rn = 950000 * (n - 1) // 1000000 + 1 THEN v END) AS hi
+          |  FROM rk GROUP BY event_type)
+          |SELECT e.event_id, e.event_type, e.v,
+          |  CASE WHEN e.v IS NULL THEN NULL
+          |       ELSE least(greatest(e.v, s.lo), s.hi) END AS v_w
+          |FROM ev e JOIN st s USING (event_type)""".stripMargin,
       // signed hashing trick: bucket from md5 hex 1-6, sign from hex 7
       // parity, within-(id, bucket) collisions SUM
       "feature_hash" ->

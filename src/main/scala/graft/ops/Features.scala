@@ -217,6 +217,51 @@ object Features {
       .drop(med).drop(q1).drop(q3)
   }
 
+  /** Per-group winsorization — clip an integer-valued feature to its
+    * group's `[p_lo, p_hi]` DISCRETE quantiles (the values at ascending
+    * rank `⌊(n−1)·q⌋ + 1`, same exact-rank lane as [[robustScale]]): the
+    * tail treatment that PRESERVES rows where a filter would drop them
+    * and a z-score would let one sensor glitch dominate the loss. Quantile
+    * fractions arrive as ppm integers (`loPpm`/`hiPpm`, e.g. 10000 = p1)
+    * so the rank arithmetic `ppm·(n−1) div 10^6 + 1` never touches a
+    * float. Output appends `<valueCol>_w` (clipped, NULL iff the value is
+    * NULL); rows with NULL values don't shape the quantiles. Same plan as
+    * [[robustScale]]: one narrow window exchange, rank rows aggregate on
+    * its partitioning, bounds broadcast back — the corpus never shuffles.
+    */
+  def winsorize(
+      df: DataFrame,
+      groupCols: Seq[String],
+      valueCol: String,
+      loPpm: Long = 10000L,
+      hiPpm: Long = 990000L): DataFrame = {
+    require(loPpm >= 0 && hiPpm <= 1000000L && loPpm <= hiPpm,
+      "need 0 <= loPpm <= hiPpm <= 1000000")
+    val part = org.apache.spark.sql.expressions.Window
+      .partitionBy(groupCols.map(col): _*)
+    val w = part.orderBy(col(valueCol))
+    val ranked = df.filter(col(valueCol).isNotNull)
+      .select((groupCols :+ valueCol).map(col): _*)
+      .select(col("*"), row_number().over(w).as("_wz_rn"),
+        count(lit(1)).over(part).as("_wz_n"))
+    val atPpm = (ppm: Long) =>
+      max(when(col("_wz_rn") ===
+        expr(s"${ppm}L * (_wz_n - 1) div 1000000 + 1"), col(valueCol)))
+    val stats = ranked.groupBy(groupCols.map(col): _*)
+      .agg(atPpm(loPpm).as("_wz_lo"), atPpm(hiPpm).as("_wz_hi"))
+    val joined =
+      if (groupCols.isEmpty) df.crossJoin(broadcast(stats))
+      else df.join(broadcast(stats), groupCols)
+    val (lo, hi) = (stats("_wz_lo"), stats("_wz_hi"))
+    joined
+      // explicit NULL guard: Spark's greatest/least SKIP nulls, which would
+      // silently clip a NULL value to the lower bound
+      .withColumn(s"${valueCol}_w",
+        when(df(valueCol).isNull, lit(null))
+          .otherwise(least(greatest(df(valueCol), lo), hi)))
+      .drop(lo).drop(hi)
+  }
+
   /** Hashing-trick encoding (Weinberger et al. 2009) of categorical columns
     * into a fixed `numBuckets`-wide feature space, in the long (sparse)
     * form every 100 TB feature pipeline actually stores: one `(id, bucket,

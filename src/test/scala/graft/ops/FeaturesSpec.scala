@@ -168,6 +168,25 @@ class FeaturesSpec extends SparkTestBase {
     assert(ragged === -592673L)
   }
 
+  test("winsorize: rank-pick bounds clip both tails; NULL stays NULL; interior untouched") {
+    // n=10 values 1..9 + outlier 1000: lo rank (100000*9 div 1e6)+1 = 1 -> 1
+    // (p10 with loPpm=100000); hi rank (900000*9 div 1e6)+1 = 9 -> 9
+    val df = ((1L to 9L).map(v => ("g", Some(v))) :+ (("g", Some(1000L))) :+ (("g", Option.empty[Long])))
+      .toDF("grp", "v")
+    val out = Features.winsorize(df, Seq("grp"), "v", loPpm = 100000L, hiPpm = 900000L)
+      .collect().map(r => (if (r.isNullAt(1)) None else Some(r.getLong(1))) ->
+        (if (r.isNullAt(2)) None else Some(r.getLong(2)))).toMap
+    assert(out(Some(1000L)) === Some(9L), "the outlier clips to the p90 value")
+    assert(out(Some(5L)) === Some(5L), "interior values ride through")
+    assert(out(Some(1L)) === Some(1L))
+    assert(out(None) === None, "NULL value must NOT clip to the lower bound")
+    // degenerate full range: loPpm=0, hiPpm=1e6 is the identity on non-nulls
+    val id = Features.winsorize(df, Seq("grp"), "v", loPpm = 0L, hiPpm = 1000000L)
+      .collect().forall(r => r.isNullAt(1) == r.isNullAt(2) &&
+        (r.isNullAt(1) || r.getLong(1) == r.getLong(2)))
+    assert(id)
+  }
+
   test("standardize/minMaxScale: input frames already carrying the internal stat names survive") {
     // _std_n / _mms_mn etc. as USER columns must neither collide nor vanish
     val df = Seq(("g", 0L, 7L, 9L), ("g", 10L, 7L, 9L))

@@ -681,6 +681,32 @@ object SparkEntry {
         array_join(col("subwords"), " ").as("subwords_str"))
   }
 
+  /** Online-store materialization end-to-end: the event log ingests as
+    * three OUT-OF-ORDER batches (split by event_id residue — each carries
+    * an interleaved slice of time), one batch REPLAYS (the at-least-once
+    * reality), and the store is rebuilt from scratch each run (a store is
+    * state; the query's contract is the full ingest history). The full
+    * read-back must equal pullLatest over the entire log — out-of-order
+    * convergence and replay idempotence are exactly what the
+    * latest-merge's associative/idempotent algebra promises.
+    */
+  private def onlineStoreLatestQ(s: SparkSession, dir: String): DataFrame = {
+    val path = s"$scratchDir/online_store_latest"
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) fs.delete(p, true)
+    val ev = eventsFixedPoint(s, dir)
+      .select(col("user_id"), col("ts"), col("event_id"),
+        col("value").as("v"), col("event_type"))
+    def ingest(k: Int): Unit = ops.LatestStore.upsertBatch(
+      ev.filter(col("event_id") % 3 === k), path, "user_id", "ts",
+      Seq("v", "event_type"), numBuckets = 8, tieBreak = Some("event_id"))
+    Seq(2, 0, 1, 0).foreach(ingest) // out of order, batch 0 replayed
+    ops.LatestStore.readLatest(s, path, "user_id", numBuckets = 8)
+      .select(col("user_id"), unix_micros(col("ts")).as("ts_us"),
+        col("event_id"), col("v"), col("event_type"))
+  }
+
   /** The composed feature-SERVING chain — what a training-set build or an
     * online-store backfill actually runs, pinned end-to-end the way the
     * LLM-side pipelines (rows 104/108/112/127) pin theirs: entity frame →
@@ -1888,6 +1914,7 @@ object SparkEntry {
     "pull_all_events" -> (pullAllEvents _),
     "pull_latest_events" -> (pullLatestEvents _),
     "pull_latest_ties" -> (pullLatestTies _),
+    "online_store_latest" -> (onlineStoreLatestQ _),
     "pit_join" -> (pitJoin _),
     "pit_join_created" -> (pitJoinCreated _),
     "pit_join_multi" -> (pitJoinMulti _),
@@ -2591,6 +2618,14 @@ object SparkEntry {
            |    max(epoch_us(ts)) OVER (PARTITION BY user_id) AS mx
            |  FROM events WHERE epoch_us(ts) BETWEEN $StartUs AND $EndUs)
            |WHERE ts_us = mx""".stripMargin,
+      // latest-per-user over the WHOLE log: out-of-order ingest + replay
+      // must be invisible — the store read equals this single window pick
+      "online_store_latest" ->
+        """WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us, event_id,
+          |    CAST(round(value * 10000) AS BIGINT) AS v, event_type FROM events),
+          |r AS (SELECT *, row_number() OVER (PARTITION BY user_id
+          |    ORDER BY ts_us DESC, event_id DESC) AS rn FROM e)
+          |SELECT user_id, ts_us, event_id, v, event_type FROM r WHERE rn = 1""".stripMargin,
       "pit_join" ->
         s"""WITH $entCte, $evCte, $pitCtes
            |SELECT user_id, ent_us AS event_timestamp_us,

@@ -30,6 +30,9 @@ class PlanGateSpec extends SparkTestBase {
     "image_neardup", "video_neardup", "audio_neardup",
     // near-dup pairs + per-iteration CC checkpoints (the dedup_clusters shape)
     "pipeline_image_dedup",
+    // the query function runs the whole ingest (4 upsert write jobs) at
+    // build time; the returned plan is the store read-back
+    "online_store_latest",
     "knn_ivf", "kmeans_clusters", "kmeans_sample_train", "bpe_merges",
     "bpe_encode", "bpe_merges_bytes", "bpe_encode_bytes",
     "pipeline_cluster_shard", "pipeline_canonicalize",

@@ -1,0 +1,65 @@
+package graft.ops
+
+import graft.SparkTestBase
+import java.sql.Timestamp
+import org.apache.spark.sql.functions._
+
+/** [[LatestStore]] — the materialized latest-values (online) store. The
+  * `online_store_latest` oracle replays the full out-of-order ingest against
+  * a single window pick; here we pin the merge algebra, bucket isolation,
+  * and the pruned point read.
+  */
+class LatestStoreSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def t(m: Int) = new Timestamp(1700000000000L + m * 60000L)
+
+  test("out-of-order batches + replay converge to latest-per-key; nulls dropped") {
+    val base = java.nio.file.Files.createTempDirectory("graft-ols").toString
+    val path = s"$base/store"
+    def up(rows: Seq[(java.lang.Long, Timestamp, Long, String)]): Unit =
+      LatestStore.upsertBatch(rows.toDF("user_id", "ts", "eid", "plan"),
+        path, "user_id", "ts", Seq("plan"), numBuckets = 4, tieBreak = Some("eid"))
+    // newest value first, older later: order must not matter
+    up(Seq((7L, t(10), 3L, "C"), (3L, t(1), 1L, "X")))
+    up(Seq((7L, t(5), 2L, "B"), (null.asInstanceOf[java.lang.Long], t(9), 9L, "NOPE")))
+    up(Seq((7L, t(1), 1L, "A")))
+    up(Seq((7L, t(5), 2L, "B"))) // replay
+    val got = LatestStore.readLatest(spark, path, "user_id", 4)
+      .select("user_id", "plan").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got === Map(7L -> "C", 3L -> "X"))
+    // ts tie resolves by the tieBreak, deterministically
+    up(Seq((3L, t(1), 5L, "Y"), (3L, t(1), 4L, "W")))
+    val tied = LatestStore.readLatest(spark, path, "user_id", 4)
+      .filter(col("user_id") === 3L).collect().head.getAs[String]("plan")
+    assert(tied === "Y", "max eid wins the same-instant race")
+  }
+
+  test("upsert rewrites only touched buckets; point read prunes and filters") {
+    val base = java.nio.file.Files.createTempDirectory("graft-ols2").toString
+    val path = s"$base/store"
+    val nb = 8
+    def bucketOf(k: Long) = spark.range(1).select(
+      pmod(xxhash64(lit(k)), lit(nb.toLong)).cast("int")).collect().head.getInt(0)
+    val (k1, k2) = (3L, 7L)
+    assert(bucketOf(k1) !== bucketOf(k2), "test setup: distinct buckets")
+    def up(rows: Seq[(Long, Timestamp, Long, String)]): Unit =
+      LatestStore.upsertBatch(rows.toDF("user_id", "ts", "eid", "plan"),
+        path, "user_id", "ts", Seq("plan"), nb, tieBreak = Some("eid"))
+    up(Seq((k1, t(1), 1L, "X"), (k2, t(1), 1L, "A")))
+    def files(b: Int) = new java.io.File(s"$path/bucket=$b")
+      .listFiles().map(f => f.getName -> f.lastModified()).toMap
+    val before = files(bucketOf(k1))
+    up(Seq((k2, t(2), 2L, "B")))
+    assert(files(bucketOf(k1)) === before, "k1's bucket untouched byte-for-byte")
+    // pruned point read: only k2's bucket in PartitionFilters, only k2 back
+    val probe = LatestStore.readLatest(spark, path, "user_id", nb,
+      keys = Some(Seq(k2).toDF("user_id")))
+    val pf = probe.queryExecution.executedPlan.toString.linesIterator
+      .find(_.contains("PartitionFilters")).getOrElse("")
+    assert(pf.contains("bucket"), s"point read must partition-prune: $pf")
+    val rows = probe.collect()
+    assert(rows.length === 1 && rows.head.getAs[String]("plan") === "B")
+  }
+}

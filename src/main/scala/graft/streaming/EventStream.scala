@@ -137,6 +137,37 @@ object EventStream {
       }
       .start()
 
+  /** Streaming online-store maintenance — a live feature stream keeps the
+    * [[graft.ops.LatestStore]] current: every micro-batch merges through
+    * [[graft.ops.LatestStore.upsertBatch]], rewriting only the key-hash
+    * buckets it touches. Exactly-once comes from the merge ALGEBRA, not
+    * batch identity: latest-of-latest is associative, commutative, and
+    * idempotent, so an at-least-once replayed batch merges to the same
+    * store bytes and out-of-order micro-batches converge (the scd2Sink
+    * stance; contrast dailyStateSink, whose additive partials need
+    * partition identity instead). Serving reads
+    * [[graft.ops.LatestStore.readLatest]] unchanged, mid-stream.
+    */
+  def latestStoreSink(
+      changes: DataFrame,
+      path: String,
+      checkpointDir: String,
+      keyCol: String,
+      tsCol: String,
+      valueCols: Seq[String],
+      numBuckets: Int,
+      tieBreak: Option[String] = None,
+      trigger: org.apache.spark.sql.streaming.Trigger =
+        org.apache.spark.sql.streaming.Trigger.AvailableNow()): org.apache.spark.sql.streaming.StreamingQuery =
+    changes.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        graft.ops.LatestStore.upsertBatch(
+          batch.toDF(), path, keyCol, tsCol, valueCols, numBuckets, tieBreak)
+      }
+      .start()
+
   /** Streaming incremental-rollup maintenance — a live event stream keeps
     * the [[graft.ops.Incremental]] daily state current: every micro-batch's
     * partials land via [[graft.ops.Incremental.stateUpsertBatch]], whose

@@ -567,6 +567,44 @@ class EventStreamSpec extends SparkTestBase {
     assert(streamed(1L) === ((3L, 157L, 7L, 100L)))
   }
 
+  test("latestStoreSink: live micro-batches keep the online store serving; restart replay is invisible") {
+    import spark.implicits._
+    implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import graft.ops.LatestStore
+    def t(m: Int) = new Timestamp(1700000000000L + m * 60000L)
+    val base = java.nio.file.Files.createTempDirectory("graft-olsk").toString
+    val (path, ck) = (s"$base/store", s"$base/ck")
+    val ms = MemoryStream[(Long, Timestamp, Long, String)]
+    def run(): Unit = {
+      val q = EventStream.latestStoreSink(
+        ms.toDF().toDF("user_id", "ts", "eid", "plan"),
+        path, ck, "user_id", "ts", Seq("plan"), numBuckets = 4,
+        tieBreak = Some("eid"))
+      q.processAllAvailable(); q.stop()
+    }
+    ms.addData(Seq((7L, t(10), 3L, "C"), (3L, t(1), 1L, "X")))
+    run()
+    // serving works MID-STREAM
+    def serve = LatestStore.readLatest(spark, path, "user_id", 4)
+      .select("user_id", "plan").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(serve === Map(7L -> "C", 3L -> "X"))
+    // a LATE batch for 7 must not regress the newer value
+    ms.addData(Seq((7L, t(5), 2L, "B")))
+    run()
+    assert(serve === Map(7L -> "C", 3L -> "X"))
+    // restart-replay: re-merging the same data leaves the store identical
+    val logBefore = spark.read.parquet(path).collect().map(_.toSeq).toSet
+    graft.ops.LatestStore.upsertBatch(
+      Seq((7L, t(5), 2L, "B")).toDF("user_id", "ts", "eid", "plan"),
+      path, "user_id", "ts", Seq("plan"), 4, Some("eid"))
+    assert(spark.read.parquet(path).collect().map(_.toSeq).toSet === logBefore)
+    // a genuinely new maximum advances it
+    ms.addData(Seq((3L, t(20), 9L, "Z")))
+    run()
+    assert(serve === Map(7L -> "C", 3L -> "Z"))
+  }
+
   test("scd2Sink: out-of-order micro-batches merge exactly; only touched buckets rewrite; key reads prune") {
     import spark.implicits._
     implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext

@@ -707,6 +707,33 @@ object SparkEntry {
         col("event_id"), col("v"), col("event_type"))
   }
 
+  /** Interval-overlap join end-to-end: each user's SCD2 event-type regimes
+    * (open tails closed at the Feb-1 horizon) against 3-day windows opened
+    * by that user's purchases — "which regimes were active while the
+    * purchase window ran". The oracle is the plain overlap join; the grid
+    * cells and the first-cell emit rule must be result-invisible.
+    */
+  private def intervalOverlapQ(s: SparkSession, dir: String): DataFrame = {
+    val ev = events(dir).load(s)
+    val regimes = ops.Temporal.scd2(ev, "user_id", "ts", Seq("event_type"))
+      .select(col("user_id"), col("event_type").as("regime"),
+        col("valid_from"),
+        coalesce(col("valid_to"), timestamp_micros(lit(1706745600000000L)))
+          .as("valid_to"))
+    val windows = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("purchase_id"),
+        col("ts").as("w_start"),
+        timestamp_micros(unix_micros(col("ts")) + lit(259200000000L)).as("w_end"))
+    ops.Temporal.intervalOverlapJoin(regimes, windows,
+        "valid_from", "valid_to", "w_start", "w_end",
+        bucketSeconds = 3L * 86400L, keys = Seq("user_id"))
+      .select(col("user_id"), col("purchase_id"), col("regime"),
+        unix_micros(col("valid_from")).as("valid_from_us"),
+        unix_micros(col("valid_to")).as("valid_to_us"),
+        unix_micros(col("w_start")).as("w_start_us"),
+        unix_micros(col("w_end")).as("w_end_us"))
+  }
+
   /** The composed feature-SERVING chain — what a training-set build or an
     * online-store backfill actually runs, pinned end-to-end the way the
     * LLM-side pipelines (rows 104/108/112/127) pin theirs: entity frame →
@@ -1999,6 +2026,7 @@ object SparkEntry {
     "numeric_drift" -> (numericDriftQuery _),
     "equi_depth_bins" -> (equiDepthBinsQuery _),
     "interval_join" -> (intervalJoinQuery _),
+    "interval_overlap_join" -> (intervalOverlapQ _),
     "embedding_quantize" -> (embeddingQuantize _),
     "embedding_normalize" -> (embeddingNormalize _),
     "embedding_project" -> (embeddingProject _),
@@ -3958,6 +3986,20 @@ object SparkEntry {
            |$tvdChainSql""".stripMargin,
       // SCD2 replay: (key, ts) collapse to max value, drop no-op repeats via
       // lag, valid_to = lead over the SURVIVORS — all deterministic windows
+      // the plain two-sided overlap join over the SAME scd fragment — the
+      // grid cells and first-cell emit rule must be result-invisible
+      "interval_overlap_join" ->
+        s"""WITH $scd2Ctes,
+           |l AS (SELECT user_id, event_type AS regime, valid_from_us,
+           |  coalesce(valid_to_us, 1706745600000000) AS valid_to_us FROM scd),
+           |r AS (SELECT user_id, event_id AS purchase_id, epoch_us(ts) AS w_start_us,
+           |  epoch_us(ts) + 259200000000 AS w_end_us FROM events
+           |  WHERE event_type = 'purchase')
+           |SELECT l.user_id, r.purchase_id, l.regime, l.valid_from_us,
+           |  l.valid_to_us, r.w_start_us, r.w_end_us
+           |FROM l JOIN r ON l.user_id = r.user_id
+           |  AND l.valid_from_us < r.w_end_us
+           |  AND r.w_start_us < l.valid_to_us""".stripMargin,
       "scd2_intervals" ->
         s"""WITH $scd2Ctes
            |SELECT user_id, event_type, valid_from_us, valid_to_us FROM scd""".stripMargin,

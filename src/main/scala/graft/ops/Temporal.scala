@@ -410,6 +410,56 @@ object Temporal {
       .drop("_cell")
   }
 
+  /** Interval OVERLAP join — both sides are interval tables and a pair
+    * matches when the half-open windows intersect
+    * (`lStart < rEnd && rStart < lEnd`, plus optional `keys` equality):
+    * the "which campaigns ran while this regime was active" /
+    * "which maintenance windows clipped this session" join, the two-sided
+    * sibling of [[intervalJoin]] (whose left side is points).
+    *
+    * A naive overlap join plans as BroadcastNestedLoopJoin — O(N·M). Same
+    * grid trick as [[intervalJoin]], one twist: BOTH sides explode into
+    * their `bucketSeconds` cells, so an overlapping pair meets in EVERY
+    * shared cell; instead of a dedup pass, the join keeps a pair only in
+    * the cell of `max(lStart, rStart)` — the overlap's first instant,
+    * which lies in exactly ONE cell — so each pair emits once with no
+    * `distinct` over the matched stream (the cost that matters: distinct
+    * would re-shuffle every matched pair on the whole row). Cost scales
+    * with intervals × cells-per-interval on each side; pick
+    * `bucketSeconds` near the typical interval length. Empty intervals
+    * (`end <= start`) drop.
+    */
+  def intervalOverlapJoin(
+      left: DataFrame,
+      right: DataFrame,
+      lStartCol: String,
+      lEndCol: String,
+      rStartCol: String,
+      rEndCol: String,
+      bucketSeconds: Long,
+      keys: Seq[String] = Nil): DataFrame = {
+    require(bucketSeconds > 0, "bucketSeconds must be positive")
+    val overlap = left.columns.toSet.intersect(right.columns.toSet) -- keys.toSet
+    require(overlap.isEmpty,
+      s"left/right share non-key columns ${overlap.mkString(", ")} — rename one side")
+    require(!left.columns.contains("_cell") && !right.columns.contains("_cell"),
+      "input columns collide with intervalOverlapJoin internal _cell")
+    val bUs = bucketSeconds * 1000000L
+    def cells(df: DataFrame, s: String, e: String): DataFrame = df
+      .filter(unix_micros(col(e)) > unix_micros(col(s)))
+      .withColumn("_cell", explode(sequence(
+        floor(unix_micros(col(s)) / bUs),
+        floor((unix_micros(col(e)) - 1) / bUs))))
+    val (ls, le) = (unix_micros(col(lStartCol)), unix_micros(col(lEndCol)))
+    val (rs, re) = (unix_micros(col(rStartCol)), unix_micros(col(rEndCol)))
+    cells(left, lStartCol, lEndCol)
+      .join(cells(right, rStartCol, rEndCol), Seq("_cell") ++ keys)
+      .filter(ls < re && rs < le &&
+        // emit only in the overlap's FIRST cell — each pair exactly once
+        col("_cell") === floor(greatest(ls, rs) / bUs))
+      .drop("_cell")
+  }
+
   /** Ordered funnel: for each key, the earliest strictly-increasing
     * timestamp chain through `steps` event types — `step1_ts` is the key's
     * first `steps(0)` event, `step2_ts` the first `steps(1)` event AFTER

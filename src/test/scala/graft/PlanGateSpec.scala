@@ -65,6 +65,9 @@ class PlanGateSpec extends SparkTestBase {
     // one window exchange keyed on the group columns
     "equi_depth_bins" -> 1,
     "interval_join" -> 1,
+    // the scd2 regime build's collapse + window exchanges; the overlap
+    // join itself is a broadcast equality join on (cell, user)
+    "interval_overlap_join" -> 2,
     "embedding_quantize" -> 0,
     "embedding_normalize" -> 0,
     "embedding_project" -> 0,

@@ -306,6 +306,46 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(out.map(r => (r.getLong(0), r.getDouble(1))).toSeq === Seq((100L, 2.0)))
   }
 
+  test("intervalOverlapJoin: parity with the naive overlap join; one emit per pair; no BNLJ") {
+    import spark.implicits._
+    def t(m: Int) = new java.sql.Timestamp(1700000000000L + m * 60000L)
+    // mixed lengths: a 9-hour interval spans MANY 1-hour cells against a
+    // 7-hour one — shared cells galore, must still emit once
+    val l = Seq(
+      (1L, "u", t(0), t(540)), (2L, "u", t(600), t(660)),
+      (3L, "v", t(0), t(60)), (4L, "u", t(100), t(100))) // empty drops
+      .toDF("lid", "k", "ls", "le")
+    val r = Seq(
+      (10L, "u", t(120), t(540)), // overlaps 1 across many cells
+      (11L, "u", t(540), t(700)), // touches 1 at its end: half-open, NO match; overlaps 2
+      (12L, "v", t(30), t(90)), // overlaps 3
+      (13L, "w", t(0), t(600))) // key isolation: matches nothing
+      .toDF("rid", "k", "rs", "re")
+    val got = Temporal.intervalOverlapJoin(l, r, "ls", "le", "rs", "re",
+      bucketSeconds = 3600L, keys = Seq("k")).select("lid", "rid").collect()
+      .map(x => (x.getLong(0), x.getLong(1)))
+    assert(got.length === got.toSet.size, "each overlapping pair exactly once")
+    assert(got.toSet === Set((1L, 10L), (2L, 11L), (3L, 12L)))
+    // naive parity on random data
+    val rng = new scala.util.Random(7)
+    val la = (1L to 150L).map(i => (i, s"k${i % 3}", t(rng.nextInt(500)), rng.nextInt(300)))
+      .map { case (i, k, s, d) => (i, k, s, new java.sql.Timestamp(s.getTime + d * 60000L)) }
+      .toDF("lid", "k", "ls", "le")
+    val ra = (1L to 150L).map(i => (i, s"k${i % 3}", t(rng.nextInt(500)), 1 + rng.nextInt(300)))
+      .map { case (i, k, s, d) => (i, k, s, new java.sql.Timestamp(s.getTime + d * 60000L)) }
+      .toDF("rid", "k", "rs", "re")
+    val fast = Temporal.intervalOverlapJoin(la, ra, "ls", "le", "rs", "re", 7200L, Seq("k"))
+      .select("lid", "rid").collect().map(x => (x.getLong(0), x.getLong(1))).sorted.toSeq
+    val naive = la.join(ra, Seq("k"))
+      .filter(col("ls") < col("re") && col("rs") < col("le"))
+      .select("lid", "rid").collect().map(x => (x.getLong(0), x.getLong(1))).sorted.toSeq
+    assert(fast === naive && naive.nonEmpty)
+    // the plan is an equality join on (_cell, keys) — never a nested loop
+    val plan = Temporal.intervalOverlapJoin(la, ra, "ls", "le", "rs", "re", 7200L, Seq("k"))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"))
+  }
+
   test("intervalJoin: parity with a naive range join; equality-key plan, no BNLJ") {
     import spark.implicits._
     val points = (0 until 200).map(i => (i.toLong, ts(f"2024-01-01 ${i % 24}%02d:${i % 60}%02d:00")))

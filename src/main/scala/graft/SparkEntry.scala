@@ -1841,6 +1841,20 @@ object SparkEntry {
     ops.Sketch.hllRegisters(events(dir).load(s),
       groupCols = Seq("event_type"), valueCol = "event_id", p = 8)
 
+  /** The mergeability contract pinned THE HARD WAY: registers built
+    * per-event-type and then MERGED (bucket-wise max, collapsing the type
+    * dimension) must equal the oracle's registers built directly over the
+    * union of rows — merge commutes with build, the property that lets
+    * per-partition/per-day sketches roll up without raw values.
+    */
+  private def hllMergeQuery(s: SparkSession, dir: String): DataFrame =
+    ops.Sketch.hllMergeRegisters(
+      ops.Sketch.hllRegisters(
+        events(dir).load(s)
+          .filter(col("event_type").isin("click", "purchase")),
+        groupCols = Seq("event_type"), valueCol = "event_id", p = 8),
+      groupCols = Nil)
+
   private def vocabCoverageQuery(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.vocabCoverage(docs(s, dir), "doc_id", "text", vocabSize = 30)
 
@@ -2050,6 +2064,7 @@ object SparkEntry {
     "cms_counts" -> (cmsCounts _),
     "cms_join_size" -> (cmsJoinSizeQuery _),
     "hll_registers" -> (hllRegistersQuery _),
+    "hll_merge" -> (hllMergeQuery _),
     "vocab_coverage" -> (vocabCoverageQuery _),
     "pmi_pairs" -> (pmiPairsQuery _),
     "snapshot_diff" -> (snapshotDiffQuery _),
@@ -4414,6 +4429,15 @@ object SparkEntry {
            |tr AS (SELECT count(*) AS true_join_size
            |  FROM events e JOIN orders o ON e.user_id = o.o_custkey)
            |SELECT est_join_size, true_join_size FROM est, tr""".stripMargin,
+      // registers built DIRECTLY over the union of rows — the Spark side
+      // built per-type and merged, so matching pins merge == rebuild
+      "hll_merge" ->
+        s"""WITH h AS (SELECT substr(md5(CAST(event_id AS VARCHAR)), 1, 16) AS hx
+           |  FROM events WHERE event_type IN ('click', 'purchase')),
+           |c AS (SELECT $hllChunks FROM h),
+           |b AS (SELECT c0 // 256 AS bucket, $hllRest AS rest FROM c),
+           |r AS (SELECT bucket, CASE $hllLadder ELSE 57 END AS rank FROM b)
+           |SELECT bucket, max(rank) AS max_rank FROM r GROUP BY bucket""".stripMargin,
       "hll_registers" ->
         s"""WITH h AS (SELECT event_type,
            |  substr(md5(CAST(event_id AS VARCHAR)), 1, 16) AS hx FROM events),

@@ -178,6 +178,41 @@ object Sketch {
     (bucket, rank)
   }
 
+  /** Merge HLL register tables by collapsing grouping dimensions: the
+    * registers of a UNION of sets are the bucket-wise max of the parts'
+    * registers — the algebra that makes HLL the distributed-systems
+    * distinct-counter (per-partition sketches merge without the raw
+    * values; a day's registers roll up to a month's by max). `groupCols`
+    * are the dimensions KEPT; everything else (e.g. the per-source column
+    * the registers were built under) collapses into the merge. The output
+    * is itself a valid [[hllRegisters]] table: merge-then-estimate equals
+    * build-over-the-union by construction (max is associative/commutative/
+    * idempotent — the [[graft.ops.LatestStore]] argument, spec- and
+    * oracle-pinned).
+    */
+  def hllMergeRegisters(registers: DataFrame, groupCols: Seq[String]): DataFrame =
+    registers
+      .groupBy(groupCols.map(col) :+ col("bucket"): _*)
+      .agg(max(col("max_rank")).as("max_rank"))
+
+  /** Intersection-cardinality estimate for two register tables over the
+    * same value domain: inclusion–exclusion on the HLL estimates —
+    * `|A∩B| ≈ est(A) + est(B) − est(A∪B)` with the union estimated from
+    * the MERGED registers — clamped at 0 (the subtraction of three noisy
+    * estimates can go slightly negative on small overlaps; HLL has no
+    * native intersection, this is the standard derived form and its error
+    * compounds accordingly — monitoring math, like [[hllEstimate]]
+    * itself). Returns one row: `(n_a, n_b, n_union, n_intersect)`.
+    */
+  def hllIntersectEstimate(a: DataFrame, b: DataFrame, p: Int): DataFrame = {
+    def est(df: DataFrame, name: String): DataFrame =
+      hllEstimate(df, Nil, p).select(col("estimate").as(name))
+    val merged = hllMergeRegisters(a.unionByName(b), Nil)
+    est(a, "n_a").crossJoin(est(b, "n_b")).crossJoin(est(merged, "n_union"))
+      .withColumn("n_intersect",
+        greatest(col("n_a") + col("n_b") - col("n_union"), lit(0.0)))
+  }
+
   /** Cardinality estimate from a [[hllRegisters]] table (per group when
     * `groupCols` is non-empty): the standard HLL estimator with the
     * small-range (linear counting) correction. Double-valued — intended for

@@ -218,6 +218,8 @@ class PlanGateSpec extends SparkTestBase {
     "feature_robust" -> 1,
     // identical shape: the rank window exchange, bounds broadcast back
     "feature_winsorize" -> 1,
+    // the per-type register aggregation (1) + the collapsing merge (1)
+    "hll_merge" -> 2,
     // exactly the SUM of its stages' budgets — entity distinct + pit pick
     // (2), decayed agg (1), scd2 collapse + window (2), as-of arg-max (1);
     // every attach join broadcasts, so composition adds ZERO exchanges

@@ -116,12 +116,36 @@ class SketchSpec extends SparkTestBase {
     val b = (300 to 900).map(i => s"a$i") // overlapping
     val ra = Sketch.hllRegisters(a.toDF("v"), Nil, "v", 8)
     val rb = Sketch.hllRegisters(b.toDF("v"), Nil, "v", 8)
-    val merged = ra.unionByName(rb).groupBy("bucket")
-      .agg(max("max_rank").as("max_rank"))
+    val merged = Sketch.hllMergeRegisters(ra.unionByName(rb), Nil)
       .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
     val union = Sketch.hllRegisters((a ++ b).toDF("v"), Nil, "v", 8)
       .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
     assert(merged === union)
+    // collapsing a dimension: per-group registers merge to the global table
+    val grouped = Sketch.hllRegisters(
+      (a.map(("x", _)) ++ b.map(("y", _))).toDF("g", "v"), Seq("g"), "v", 8)
+    val collapsed = Sketch.hllMergeRegisters(grouped, Nil)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(collapsed === union)
+  }
+
+  test("hllIntersectEstimate: within tolerance of the true overlap; disjoint clamps to ~0") {
+    import spark.implicits._
+    val a = (1 to 4000).map(i => s"v$i")
+    val b = (3001 to 7000).map(i => s"v$i") // true intersection: 1000
+    val ra = Sketch.hllRegisters(a.toDF("v"), Nil, "v", 10)
+    val rb = Sketch.hllRegisters(b.toDF("v"), Nil, "v", 10)
+    val r = Sketch.hllIntersectEstimate(ra, rb, 10).collect().head
+    val (na, nb, nu, ni) = (r.getDouble(0), r.getDouble(1), r.getDouble(2), r.getDouble(3))
+    assert(math.abs(na - 4000) / 4000 < 0.1 && math.abs(nb - 4000) / 4000 < 0.1)
+    assert(math.abs(nu - 7000) / 7000 < 0.1)
+    // inclusion-exclusion compounds three estimators' noise: generous band
+    assert(ni > 400 && ni < 1600, s"true 1000, got $ni")
+    // disjoint sets: clamped at 0, never negative
+    val c = (20000 to 23000).map(i => s"w$i")
+    val rc = Sketch.hllRegisters(c.toDF("v"), Nil, "v", 10)
+    val dj = Sketch.hllIntersectEstimate(ra, rc, 10).collect().head.getDouble(3)
+    assert(dj >= 0.0 && dj < 500.0)
   }
 
   test("hllRegisters groups independently per group key") {

@@ -160,4 +160,43 @@ class EmptyInputSpec extends SparkTestBase {
     val e = intercept[IllegalArgumentException](Similarity.pqEncode(noVecs, emptyBooks))
     assert(e.getMessage.contains("non-empty"))
   }
+
+  test("round-13 operators: empty in, empty (well-formed) out") {
+    import spark.implicits._
+    val d = emptyDocs
+    // scalers on an empty frame
+    assert(Features.robustScale(d.select(col("lang"), col("doc_id").as("v")),
+      Seq("lang"), "v").count() === 0L)
+    assert(Features.winsorize(d.select(col("lang"), col("doc_id").as("v")),
+      Seq("lang"), "v").count() === 0L)
+    // graph with no edges: no nodes, no triangles, no crash
+    val noEdges = Seq.empty[(Long, Long)].toDF("s", "dst")
+    assert(Graph.triangleCounts(noEdges, "s", "dst").count() === 0L)
+    // media with no rows: hashes and pairs are empty
+    val noMedia = Seq.empty[(Long, Array[Byte])].toDF("item_id", "payload")
+    assert(Multimodal.dHash(spark, noMedia).count() === 0L)
+    assert(Multimodal.videoDHash(spark, noMedia).count() === 0L)
+    assert(Multimodal.audioFingerprint(spark, noMedia).count() === 0L)
+    assert(Dedup.imageNearDup(spark, noMedia).count() === 0L)
+    // profiled salting with an empty fact side degenerates to the plain
+    // (empty) join
+    val noFact = Seq.empty[(Long, Long)].toDF("row_id", "k")
+    val dim = Seq((1L, "s")).toDF("k", "seg")
+    assert(Skew.profiledSaltedJoin(noFact, dim, "k").count() === 0L)
+    // overlap join with an empty side
+    val noIv = Seq.empty[(Long, java.sql.Timestamp, java.sql.Timestamp)]
+      .toDF("lid", "ls", "le")
+    val iv = Seq((1L, new java.sql.Timestamp(0L), new java.sql.Timestamp(60000L)))
+      .toDF("rid", "rs", "re")
+    assert(Temporal.intervalOverlapJoin(noIv, iv, "ls", "le", "rs", "re", 60L)
+      .count() === 0L)
+    // unigram encode with an empty corpus AND an empty vocabulary
+    val noVocab = Seq.empty[(String, Long)].toDF("piece", "n")
+    assert(TextAnalysis.unigramEncode(d, "doc_id", "text", noVocab).count() === 0L)
+    // HLL merge/intersect over empty register tables
+    val noReg = Seq.empty[(Long, Int)].toDF("bucket", "max_rank")
+    assert(Sketch.hllMergeRegisters(noReg, Nil).count() === 0L)
+    assert(Sketch.hllIntersectEstimate(noReg, noReg, 8)
+      .collect().head.getDouble(3) === 0.0)
+  }
 }

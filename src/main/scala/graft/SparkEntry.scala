@@ -1899,6 +1899,13 @@ object SparkEntry {
         unix_micros(col("step2_ts")).as("step2_us"),
         unix_micros(col("step3_ts")).as("step3_us"))
 
+  /** The funnel dashboard panel: per-step completer counts + exact
+    * lower-median time-to-convert between consecutive steps.
+    */
+  private def eventFunnelStats(s: SparkSession, dir: String): DataFrame =
+    ops.Temporal.funnelStats(events(dir).load(s), "user_id", "ts", "event_type",
+      steps = Seq("signup", "click", "purchase"))
+
   private def bloomSemiJoinQuery(s: SparkSession, dir: String): DataFrame = {
     val li = s.read.parquet(s"$dir/lineitem.parquet")
       .select("l_orderkey", "l_linenumber", "l_quantity")
@@ -2072,6 +2079,7 @@ object SparkEntry {
     "hll_windowed" -> (hllWindowed _),
     "value_histogram" -> (valueHistogram _),
     "event_funnel" -> (eventFunnel _),
+    "event_funnel_stats" -> (eventFunnelStats _),
     "event_transitions" -> (eventTransitions _),
     "event_paths" -> (eventPaths _),
     "events_pivot" -> (eventsPivot _),
@@ -4471,6 +4479,35 @@ object SparkEntry {
           |    AND e.event_type = 'purchase' AND epoch_us(e.ts) > s2.step2_us
           |  GROUP BY 1, 2, 3)
           |SELECT user_id, step1_us, step2_us, step3_us FROM s3""".stripMargin,
+      // the funnel chain (same s1/s2/s3 shape as event_funnel) summarized:
+      // count(col) per step + the rank-picked lower-median gaps
+      "event_funnel_stats" ->
+        """WITH s1 AS (SELECT user_id, min(epoch_us(ts)) AS step1_us FROM events
+          |  WHERE event_type = 'signup' GROUP BY user_id),
+          |s2 AS (SELECT s1.user_id, s1.step1_us, min(epoch_us(e.ts)) AS step2_us
+          |  FROM s1 LEFT JOIN events e ON e.user_id = s1.user_id
+          |    AND e.event_type = 'click' AND epoch_us(e.ts) > s1.step1_us
+          |  GROUP BY 1, 2),
+          |s3 AS (SELECT s2.user_id, s2.step1_us, s2.step2_us, min(epoch_us(e.ts)) AS step3_us
+          |  FROM s2 LEFT JOIN events e ON e.user_id = s2.user_id
+          |    AND e.event_type = 'purchase' AND epoch_us(e.ts) > s2.step2_us
+          |  GROUP BY 1, 2, 3),
+          |c AS (SELECT CAST(count(step1_us) AS BIGINT) AS n_step1,
+          |  CAST(count(step2_us) AS BIGINT) AS n_step2,
+          |  CAST(count(step3_us) AS BIGINT) AS n_step3 FROM s3),
+          |g12 AS (SELECT step2_us - step1_us AS gap, user_id FROM s3
+          |  WHERE step2_us IS NOT NULL),
+          |m12 AS (SELECT gap AS median_gap12_us FROM (
+          |  SELECT gap, row_number() OVER (ORDER BY gap, user_id) AS rn,
+          |    count(*) OVER () AS n FROM g12) WHERE rn = (n - 1) // 2 + 1),
+          |g23 AS (SELECT step3_us - step2_us AS gap, user_id FROM s3
+          |  WHERE step3_us IS NOT NULL),
+          |m23 AS (SELECT gap AS median_gap23_us FROM (
+          |  SELECT gap, row_number() OVER (ORDER BY gap, user_id) AS rn,
+          |    count(*) OVER () AS n FROM g23) WHERE rn = (n - 1) // 2 + 1)
+          |SELECT c.n_step1, c.n_step2, c.n_step3,
+          |  m12.median_gap12_us, m23.median_gap23_us
+          |FROM c LEFT JOIN m12 ON true LEFT JOIN m23 ON true""".stripMargin,
       "events_pivot" ->
         """SELECT user_id,
           |  count(*) FILTER (event_type = 'click') AS n_click,

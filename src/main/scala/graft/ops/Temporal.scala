@@ -496,6 +496,51 @@ object Temporal {
     }
   }
 
+  /** Funnel summary panel — the numbers a dashboard shows next to
+    * [[funnel]]'s per-key rows: per step, how many keys completed it, and
+    * between consecutive steps the EXACT lower-median time-to-convert
+    * (the value at ascending rank `⌊(n−1)/2⌋+1` among completers' gaps —
+    * the discrete-order-statistic lane of `Features.robustScale`, so the
+    * medians are integers any engine replays; a float percentile would
+    * interpolate). Returns ONE row:
+    * `(n_step1…n_stepK, median_gap12_us…median_gap{K-1}{K}_us)`; a step
+    * with no completers reports a NULL median.
+    *
+    * Shape: [[funnel]]'s per-key table (one row per step-1 completer, the
+    * parallel unit) → per-gap rank windows over the COMPLETER table (not
+    * the event stream) → one global 1-row aggregate. The gap rank uses
+    * (gap, key) as its total order so ties split deterministically.
+    */
+  def funnelStats(
+      df: DataFrame,
+      keyCol: String,
+      tsCol: String,
+      typeCol: String,
+      steps: Seq[String]): DataFrame = {
+    require(steps.size >= 2, "a funnel needs at least two steps")
+    val f = funnel(df, keyCol, tsCol, typeCol, steps).localCheckpoint(false)
+    val countAggs = (1 to steps.size).map(i =>
+      count(col(s"step${i}_ts")).as(s"n_step$i"))
+    val counts = f.agg(countAggs.head, countAggs.tail: _*)
+    val medians = (1 until steps.size).map { i =>
+      val gap = unix_micros(col(s"step${i + 1}_ts")) - unix_micros(col(s"step${i}_ts"))
+      val g = f.filter(col(s"step${i + 1}_ts").isNotNull)
+        .select(col(keyCol), gap.as("_fs_gap"))
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(col("_fs_gap"), col(keyCol))
+      g.select(col("_fs_gap"), row_number().over(w).as("_fs_rn"),
+          count(lit(1)).over().as("_fs_n"))
+        .filter(col("_fs_rn") === expr("(_fs_n - 1) div 2 + 1"))
+        .select(col("_fs_gap").as(s"median_gap${i}${i + 1}_us"))
+    }
+    // 1-row × ≤1-row attaches on a constant key (broadcast HASH join — a
+    // lit(true) condition would plan the banned nested loop); left outer so
+    // a gap with no completers keeps its NULL median
+    medians.foldLeft(counts.withColumn("_fs_j", lit(1))) { (acc, m) =>
+      acc.join(broadcast(m.withColumn("_fs_j", lit(1))), Seq("_fs_j"), "left")
+    }.drop("_fs_j")
+  }
+
   /** Cohort retention: users grouped by the week of their FIRST event (the
     * cohort), counted as active in each subsequent week they appear —
     * the `(cohort_week, weeks_since, n_users)` matrix behind every retention

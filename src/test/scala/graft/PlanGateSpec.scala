@@ -68,6 +68,10 @@ class PlanGateSpec extends SparkTestBase {
     // the scd2 regime build's collapse + window exchanges; the overlap
     // join itself is a broadcast equality join on (cell, user)
     "interval_overlap_join" -> 2,
+    // funnel's per-step key-agg exchange (reused across stages) + the two
+    // gap-median rank windows (each a Single exchange over the completer
+    // table, never the event stream)
+    "event_funnel_stats" -> 3,
     "embedding_quantize" -> 0,
     "embedding_normalize" -> 0,
     "embedding_project" -> 0,
@@ -318,6 +322,8 @@ class PlanGateSpec extends SparkTestBase {
     "target_encode",
     // key_skew_profile's 1-row (N, n_keys) broadcast: the same idiom
     "key_skew_profile",
+    // the 1-row counts x <=1-row median attaches: the same scalar idiom
+    "event_funnel_stats",
     // dsir_select's 1-row smoothing-totals broadcast: the scalar-attach idiom
     "dsir_select",
     // search_bm25's N/L corpus scalars: the same 1-row broadcast cross join

@@ -306,6 +306,36 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(out.map(r => (r.getLong(0), r.getDouble(1))).toSeq === Seq((100L, 2.0)))
   }
 
+  test("funnelStats: hand counts and exact lower medians; stalled steps yield NULL medians") {
+    import spark.implicits._
+    def t(m: Int) = new java.sql.Timestamp(1700000000000L + m * 60000L)
+    // u1: signup@0 -> click@10 -> purchase@40 (gaps 10m, 30m)
+    // u2: signup@0 -> click@30            (gap 30m, stalls)
+    // u3: signup@0 -> click@50 -> purchase@60 (gaps 50m, 10m)
+    // u4: signup@0 only
+    val ev = Seq(
+      (1L, t(0), "signup"), (1L, t(10), "click"), (1L, t(40), "purchase"),
+      (2L, t(0), "signup"), (2L, t(30), "click"),
+      (3L, t(0), "signup"), (3L, t(50), "click"), (3L, t(60), "purchase"),
+      (4L, t(0), "signup"),
+      (5L, t(5), "click")) // no signup: not in the funnel population
+      .toDF("user_id", "ts", "event_type")
+    val r = Temporal.funnelStats(ev, "user_id", "ts", "event_type",
+      Seq("signup", "click", "purchase")).collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) === ((4L, 3L, 2L)))
+    // gaps12 sorted: 10, 30, 50 -> rank (3-1)//2+1 = 2 -> 30 minutes
+    assert(r.getLong(3) === 30L * 60000000L)
+    // gaps23 sorted: 10, 30 -> rank (2-1)//2+1 = 1 -> LOWER median 10
+    assert(r.getLong(4) === 10L * 60000000L)
+    // a funnel where nobody reaches step 2: counts still real, medians NULL
+    val stalled = Temporal.funnelStats(
+      Seq((1L, t(0), "signup")).toDF("user_id", "ts", "event_type"),
+      "user_id", "ts", "event_type", Seq("signup", "click", "purchase"))
+      .collect().head
+    assert(stalled.getLong(0) === 1L && stalled.getLong(1) === 0L)
+    assert(stalled.isNullAt(3) && stalled.isNullAt(4))
+  }
+
   test("intervalOverlapJoin: parity with the naive overlap join; one emit per pair; no BNLJ") {
     import spark.implicits._
     def t(m: Int) = new java.sql.Timestamp(1700000000000L + m * 60000L)

@@ -1906,6 +1906,18 @@ object SparkEntry {
     ops.Temporal.funnelStats(events(dir).load(s), "user_id", "ts", "event_type",
       steps = Seq("signup", "click", "purchase"))
 
+  /** Exact rank AUC of the (fixed-point) event value against the
+    * is-purchase label — does value separate purchases? (It should not:
+    * value is type-independent in this data, so the interesting part is
+    * the exact ~0.5 the integer rank algebra must reproduce.)
+    */
+  private def evalAucQ(s: SparkSession, dir: String): DataFrame =
+    ops.Stats.rankAuc(
+      events(dir).load(s).select(
+        round(col("value") * 10000).cast("long").as("score"),
+        (col("event_type") === "purchase").as("label")),
+      "score", "label")
+
   private def bloomSemiJoinQuery(s: SparkSession, dir: String): DataFrame = {
     val li = s.read.parquet(s"$dir/lineitem.parquet")
       .select("l_orderkey", "l_linenumber", "l_quantity")
@@ -2080,6 +2092,7 @@ object SparkEntry {
     "value_histogram" -> (valueHistogram _),
     "event_funnel" -> (eventFunnel _),
     "event_funnel_stats" -> (eventFunnelStats _),
+    "eval_auc" -> (evalAucQ _),
     "event_transitions" -> (eventTransitions _),
     "event_paths" -> (eventPaths _),
     "events_pivot" -> (eventsPivot _),
@@ -4508,6 +4521,22 @@ object SparkEntry {
           |SELECT c.n_step1, c.n_step2, c.n_step3,
           |  m12.median_gap12_us, m23.median_gap23_us
           |FROM c LEFT JOIN m12 ON true LEFT JOIN m23 ON true""".stripMargin,
+      // the integer Mann-Whitney chain: tied scores at average rank via
+      // 2*avgrank = 2*cum_below + cnt + 1, one integral division at the end
+      "eval_auc" ->
+        """WITH e AS (SELECT CAST(round(value * 10000) AS BIGINT) AS s,
+          |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS pos
+          |  FROM events WHERE value IS NOT NULL AND event_type IS NOT NULL),
+          |g AS (SELECT s, CAST(count(*) AS BIGINT) AS cnt,
+          |    CAST(sum(pos) AS BIGINT) AS pos FROM e GROUP BY s),
+          |c AS (SELECT *, coalesce(sum(cnt) OVER (ORDER BY s
+          |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum FROM g)
+          |SELECT CAST(sum(pos) AS BIGINT) AS n_pos,
+          |  CAST(sum(cnt - pos) AS BIGINT) AS n_neg,
+          |  CAST(((sum(CAST(pos AS HUGEINT) * (2 * cum + cnt + 1))
+          |        - CAST(sum(pos) AS HUGEINT) * (sum(pos) + 1)) * 1048576)
+          |    // (2 * sum(pos) * sum(cnt - pos)) AS BIGINT) AS auc_q
+          |FROM c""".stripMargin,
       "events_pivot" ->
         """SELECT user_id,
           |  count(*) FILTER (event_type = 'click') AS n_click,

@@ -481,6 +481,59 @@ object Stats {
     * single corpus pass, with the counts checkpointed so the two consumers
     * don't re-scan the corpus. Ties rank by key string ascending.
     */
+  /** Exact rank AUC (Mann–Whitney U) of an integer score against a boolean
+    * label — "does this quality/importance score actually separate the
+    * positives?", the evaluation metric for every filter and selection
+    * scorer in this engine, computed ENTIRELY in the integer lane:
+    * with tied scores taking their average rank, twice a score group's
+    * average rank is the integer `2·cum_below + cnt + 1`, so
+    *
+    *   auc_q = (Σ_pos 2·avgrank − 2·P·(P+1)/2) · 2^20 div (2·P·N)
+    *         = (Σ_pos (2·cum_below + cnt + 1) − P·(P+1)) · 2^20 div (2·P·N)
+    *
+    * — every term an exact int64/decimal, ONE integral division, so the
+    * value replays bit-identically in any engine (a float rank-sum would
+    * drift in shuffle order). Returns one row
+    * `(n_pos, n_neg, auc_q)` with `auc_q` in 2^20 fixed point
+    * (524288 = 0.5 = no separation); NULL when either class is empty
+    * (AUC of a one-class sample is undefined, not 0.5). NULL scores and
+    * NULL labels drop — an unscored row has no rank.
+    *
+    * Shape at 100 TB: one aggregation on the score (map-side partials) to
+    * a distinct-score table, a cumulative window over THAT table (score-
+    * cardinality-sized, never the corpus), and a 1-row rollup. Overflow:
+    * Σ_pos avgrank ≤ P·(P+N) — DECIMAL(38,0) keeps it exact past 10^18
+    * rows.
+    */
+  def rankAuc(
+      df: DataFrame,
+      scoreCol: String,
+      labelCol: String): DataFrame = {
+    val base = df
+      .filter(col(scoreCol).isNotNull && col(labelCol).isNotNull)
+      .groupBy(col(scoreCol).as("_s"))
+      .agg(count(lit(1)).as("_cnt"),
+        sum(when(col(labelCol).cast("boolean"), 1L).otherwise(0L)).as("_pos"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("_s"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    base
+      .withColumn("_cum", coalesce(sum(col("_cnt")).over(w), lit(0L)))
+      .agg(
+        sum(col("_pos")).as("n_pos"),
+        sum(col("_cnt") - col("_pos")).as("n_neg"),
+        sum(col("_pos").cast("decimal(38,0)") *
+          (lit(2) * col("_cum") + col("_cnt") + lit(1))).as("_r2"))
+      .select(
+        coalesce(col("n_pos"), lit(0L)).as("n_pos"),
+        coalesce(col("n_neg"), lit(0L)).as("n_neg"),
+        when(col("n_pos").isNull || col("n_pos") === 0 || col("n_neg") === 0,
+          lit(null).cast("long"))
+          .otherwise(expr(
+            """((_r2 - CAST(n_pos AS DECIMAL(38,0)) * (n_pos + 1)) * 1048576)
+              | div (CAST(2 AS DECIMAL(38,0)) * n_pos * n_neg)""".stripMargin)
+            .cast("long")).as("auc_q"))
+  }
+
   def keySkewProfile(
       df: DataFrame,
       keyCol: String,

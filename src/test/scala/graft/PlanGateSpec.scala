@@ -72,6 +72,10 @@ class PlanGateSpec extends SparkTestBase {
     // gap-median rank windows (each a Single exchange over the completer
     // table, never the event stream)
     "event_funnel_stats" -> 3,
+    // the distinct-score aggregation (1) + the cumulative window's single
+    // partition over the score-cardinality table (1); the 1-row rollup
+    // rides the window's partitioning
+    "eval_auc" -> 2,
     "embedding_quantize" -> 0,
     "embedding_normalize" -> 0,
     "embedding_project" -> 0,

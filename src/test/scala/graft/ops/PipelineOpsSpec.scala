@@ -306,6 +306,33 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(out.map(r => (r.getLong(0), r.getDouble(1))).toSeq === Seq((100L, 2.0)))
   }
 
+  test("rankAuc: perfect/anti/random separation, tie averaging, one-class NULL") {
+    import spark.implicits._
+    def auc(rows: Seq[(Long, Boolean)]): Option[Long] = {
+      val r = Stats.rankAuc(rows.toDF("score", "label"), "score", "label").collect().head
+      if (r.isNullAt(2)) None else Some(r.getLong(2))
+    }
+    // perfect separation: every positive outranks every negative -> 1.0
+    assert(auc(Seq((1L, false), (2L, false), (10L, true), (20L, true))) === Some(1048576L))
+    // perfectly wrong -> 0.0
+    assert(auc(Seq((10L, false), (20L, false), (1L, true), (2L, true))) === Some(0L))
+    // all scores tied: average ranks make AUC exactly 0.5
+    assert(auc(Seq((5L, true), (5L, false), (5L, true), (5L, false))) === Some(524288L))
+    // hand case with a tie straddling the classes: scores pos={2,3}, neg={1,3}
+    // ranks: 1->1, 2->2, 3->avg(3,4)=3.5; U = (2 + 3.5) - 2*3/2 = 2.5;
+    // AUC = 2.5/4 = 0.625 -> 0.625 * 2^20 = 655360
+    assert(auc(Seq((1L, false), (2L, true), (3L, true), (3L, false))) === Some(655360L))
+    // one-class samples are undefined, not 0.5
+    assert(auc(Seq((1L, true), (2L, true))) === None)
+    assert(auc(Seq((1L, false))) === None)
+    // partitioning-invariant on a larger mix
+    val big = (1L to 2000L).map(i => (i * 37 % 501, i % 3 == 0))
+    val a = Stats.rankAuc(big.toDF("score", "label"), "score", "label").collect().head
+    val b = Stats.rankAuc(big.toDF("score", "label").repartition(13), "score", "label")
+      .collect().head
+    assert(a.getLong(2) === b.getLong(2) && a.getLong(0) === 666L)
+  }
+
   test("funnelStats: hand counts and exact lower medians; stalled steps yield NULL medians") {
     import spark.implicits._
     def t(m: Int) = new java.sql.Timestamp(1700000000000L + m * 60000L)

@@ -1730,6 +1730,15 @@ object SparkEntry {
         round(col("value") * 10000).cast("long").as("v")),
       Seq("event_type"), "v", loPpm = 50000L, hiPpm = 950000L)
 
+  /** Per-event-type percent rank of the fixed-point value — the exact ppm
+    * ECDF transform ([[ops.Features.percentRank]]).
+    */
+  private def featurePercentRank(s: SparkSession, dir: String): DataFrame =
+    ops.Features.percentRank(
+      events(dir).load(s).select(col("event_id"), col("event_type"),
+        round(col("value") * 10000).cast("long").as("v")),
+      Seq("event_type"), "v")
+
   /** Hashing-trick encoding of the documents' categorical columns into 64
     * signed buckets, long form — [[ops.Features.featureHash]].
     */
@@ -2106,6 +2115,7 @@ object SparkEntry {
     "feature_minmax" -> (featureMinMax _),
     "feature_robust" -> (featureRobust _),
     "feature_winsorize" -> (featureWinsorize _),
+    "feature_percent_rank" -> (featurePercentRank _),
     "bloom_semi_join" -> (bloomSemiJoinQuery _),
     "value_outliers" -> (valueOutliers _),
     "event_type_pivot" -> (eventTypePivot _),
@@ -4652,6 +4662,21 @@ object SparkEntry {
           |       ELSE CAST(-(((s.med - d.n_chars) * 1048576) // (s.q3 - s.q1)) AS BIGINT)
           |  END AS robust_q
           |FROM documents d JOIN st s ON d.lang = s.lang""".stripMargin,
+      // SQL-standard percent_rank in the integral ppm lane: RANK with
+      // shared ties, (rank-1)*1e6 div (n-1), single-row groups at 0
+      "feature_percent_rank" ->
+        """WITH ev AS (SELECT event_id, event_type,
+          |    CAST(round(value * 10000) AS BIGINT) AS v FROM events),
+          |rk AS (SELECT event_type, v,
+          |    rank() OVER (PARTITION BY event_type ORDER BY v) AS rk,
+          |    count(*) OVER (PARTITION BY event_type) AS n
+          |  FROM ev WHERE v IS NOT NULL),
+          |pr AS (SELECT DISTINCT event_type, v,
+          |    CASE WHEN n = 1 THEN 0
+          |         ELSE CAST((rk - 1) * 1000000 // (n - 1) AS BIGINT) END AS ppm
+          |  FROM rk)
+          |SELECT e.event_id, e.event_type, e.v, p.ppm AS v_pr_ppm
+          |FROM ev e LEFT JOIN pr p ON p.event_type = e.event_type AND p.v = e.v""".stripMargin,
       // rank-pick winsorization bounds replayed with an explicit
       // row_number; the clip itself is plain least/greatest
       "feature_winsorize" ->

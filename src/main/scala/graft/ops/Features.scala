@@ -262,6 +262,44 @@ object Features {
       .drop(lo).drop(hi)
   }
 
+  /** Exact per-group percent rank — the ECDF/uniformizing transform that
+    * completes the rank family (equi-depth bins coarsen to k buckets;
+    * this is the continuous limit, the standard precursor to rank
+    * gaussianization): SQL-standard semantics, `(rank − 1)·10⁶ div
+    * (n − 1)` ppm with RANK (ties share a rank, so no id tiebreak is
+    * needed for determinism — equal values get equal positions), all
+    * integer, NULL values excluded from ranking and transformed to NULL,
+    * a single-row group at 0 ppm (the SQL-standard `percent_rank` of one
+    * row). Appends `<valueCol>_pr_ppm`.
+    *
+    * Same plan family as [[robustScale]]: one window exchange over the
+    * narrow (groups, value) projection; the join back BROADCASTS the
+    * distinct (group, value, ppm) table — ranks are per distinct value
+    * (ties share), so the attach table is value-cardinality-sized, not
+    * corpus-sized.
+    */
+  def percentRank(
+      df: DataFrame,
+      groupCols: Seq[String],
+      valueCol: String): DataFrame = {
+    val part = org.apache.spark.sql.expressions.Window
+      .partitionBy(groupCols.map(col): _*)
+    val w = part.orderBy(col(valueCol))
+    val ranked = df.filter(col(valueCol).isNotNull)
+      .select((groupCols :+ valueCol).map(col): _*)
+      .select(col("*"), rank().over(w).as("_pr_rk"),
+        count(lit(1)).over(part).as("_pr_n"))
+      .distinct() // ties share (group, value, rank): one attach row per value
+      .withColumn("_pr_ppm",
+        when(col("_pr_n") === 1, lit(0L))
+          .otherwise(expr("CAST((_pr_rk - 1) AS BIGINT) * 1000000 div (_pr_n - 1)")))
+    val stats = ranked.select((groupCols :+ valueCol).map(col) :+ col("_pr_ppm"): _*)
+    val joined =
+      if (groupCols.isEmpty) df.join(broadcast(stats), Seq(valueCol), "left")
+      else df.join(broadcast(stats), groupCols :+ valueCol, "left")
+    joined.withColumnRenamed("_pr_ppm", s"${valueCol}_pr_ppm")
+  }
+
   /** Hashing-trick encoding (Weinberger et al. 2009) of categorical columns
     * into a fixed `numBuckets`-wide feature space, in the long (sparse)
     * form every 100 TB feature pipeline actually stores: one `(id, bucket,

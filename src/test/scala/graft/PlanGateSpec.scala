@@ -76,6 +76,9 @@ class PlanGateSpec extends SparkTestBase {
     // partition over the score-cardinality table (1); the 1-row rollup
     // rides the window's partitioning
     "eval_auc" -> 2,
+    // the rank window exchange over the narrow projection; the distinct
+    // attach table broadcasts back
+    "feature_percent_rank" -> 2,
     "embedding_quantize" -> 0,
     "embedding_normalize" -> 0,
     "embedding_project" -> 0,

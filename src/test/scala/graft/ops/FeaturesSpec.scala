@@ -187,6 +187,23 @@ class FeaturesSpec extends SparkTestBase {
     assert(id)
   }
 
+  test("percentRank: SQL-standard tie-sharing ppm ECDF; endpoints; singleton 0; NULL rides") {
+    // g: 10,20,20,40 (n=4): ranks 1,2,2,4 -> ppm 0, 333333, 333333, 1000000
+    val df = Seq(("g", Some(10L)), ("g", Some(20L)), ("g", Some(20L)),
+      ("g", Some(40L)), ("s", Some(7L)), ("g", Option.empty[Long]))
+      .toDF("grp", "v")
+    val out = Features.percentRank(df, Seq("grp"), "v")
+      .collect().map(r => (r.getString(0), if (r.isNullAt(1)) None else Some(r.getLong(1))) ->
+        (if (r.isNullAt(2)) None else Some(r.getLong(2))))
+    val m = out.toMap
+    assert(m(("g", Some(10L))) === Some(0L))
+    assert(m(("g", Some(20L))) === Some(333333L), "shared rank for ties: (2-1)*1e6 div 3")
+    assert(m(("g", Some(40L))) === Some(1000000L))
+    assert(m(("s", Some(7L))) === Some(0L), "singleton group sits at 0 (SQL standard)")
+    assert(m(("g", None)) === None, "NULL value transforms to NULL, row survives")
+    assert(out.length === 6, "every input row rides through exactly once")
+  }
+
   test("standardize/minMaxScale: input frames already carrying the internal stat names survive") {
     // _std_n / _mms_mn etc. as USER columns must neither collide nor vanish
     val df = Seq(("g", 0L, 7L, 9L), ("g", 10L, 7L, 9L))

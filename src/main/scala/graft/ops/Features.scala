@@ -203,19 +203,46 @@ object Features {
       .agg(atRank(1, 2).as("_rsq_med"),
         atRank(1, 4).as("_rsq_q1"),
         atRank(3, 4).as("_rsq_q3"))
-    val joined =
-      if (groupCols.isEmpty) df.crossJoin(broadcast(stats))
-      else df.join(broadcast(stats), groupCols)
+    // null-safe LEFT join: every input row survives — an all-NULL-value
+    // group (or an empty stats table) has no stats row and rides through
+    // with a NULL output column, and NULL group keys match their own
+    // window partition's stats instead of dropping
+    val joined = joinStatsLeft(df, stats, groupCols)
     val (med, q1, q3) = (stats("_rsq_med"), stats("_rsq_q1"), stats("_rsq_q3"))
     joined
       .withColumn(outCol,
-        when(q3 === q1, lit(null).cast("long"))
+        when(q1.isNull || q3 === q1, lit(null).cast("long"))
           .otherwise(call_function("div",
             (df(valueCol).cast("decimal(38,0)") - med) * lit(1048576),
             q3.cast("decimal(38,0)") - q1)
             .cast("long")))
       .drop(med).drop(q1).drop(q3)
   }
+
+  /** Null-safe left attach of a broadcast per-group stats table: inner
+    * equality joins drop all-NULL-value groups (no stats row) and
+    * NULL-keyed rows (NULL never equals NULL) — both must survive with
+    * NULL stats per the scaler contracts. Empty `groupCols` degrades to a
+    * constant-key left join so an empty stats table cannot erase the
+    * corpus the way a crossJoin would. */
+  private def joinStatsLeft(
+      df: DataFrame, stats: DataFrame, groupCols: Seq[String]): DataFrame =
+    if (groupCols.isEmpty) {
+      val k = "_gs_one"
+      df.withColumn(k, lit(1))
+        .join(broadcast(stats.withColumn(k, lit(1))), Seq(k), "left")
+        .drop(k)
+    } else {
+      // stats derives FROM df, so df(c)/stats(c) Column references share
+      // attribute ids (self-join ambiguity) — disambiguate by NAME: the
+      // stats side's keys move to internal _gs_k_ names before the join
+      val s2 = groupCols.foldLeft(stats) {
+        (d, c) => d.withColumnRenamed(c, s"_gs_k_$c")
+      }
+      val cond = groupCols.map(c => col(c) <=> col(s"_gs_k_$c")).reduce(_ && _)
+      df.join(broadcast(s2), cond, "left")
+        .drop(groupCols.map(c => s"_gs_k_$c"): _*)
+    }
 
   /** Per-group winsorization — clip an integer-valued feature to its
     * group's `[p_lo, p_hi]` DISCRETE quantiles (the values at ascending
@@ -249,9 +276,8 @@ object Features {
         expr(s"${ppm}L * (_wz_n - 1) div 1000000 + 1"), col(valueCol)))
     val stats = ranked.groupBy(groupCols.map(col): _*)
       .agg(atPpm(loPpm).as("_wz_lo"), atPpm(hiPpm).as("_wz_hi"))
-    val joined =
-      if (groupCols.isEmpty) df.crossJoin(broadcast(stats))
-      else df.join(broadcast(stats), groupCols)
+    // same survival contract as robustScale: null-safe left attach
+    val joined = joinStatsLeft(df, stats, groupCols)
     val (lo, hi) = (stats("_wz_lo"), stats("_wz_hi"))
     joined
       // explicit NULL guard: Spark's greatest/least SKIP nulls, which would
@@ -273,10 +299,13 @@ object Features {
     * row). Appends `<valueCol>_pr_ppm`.
     *
     * Same plan family as [[robustScale]]: one window exchange over the
-    * narrow (groups, value) projection; the join back BROADCASTS the
+    * narrow (groups, value) projection; the join back attaches the
     * distinct (group, value, ppm) table — ranks are per distinct value
     * (ties share), so the attach table is value-cardinality-sized, not
-    * corpus-sized.
+    * corpus-sized — with NO forced broadcast: discrete domains stay
+    * small and AQE broadcasts them at runtime, while continuous domains
+    * (attach table ≈ corpus) fall back to a shuffle join instead of an
+    * unconditional driver materialization.
     */
   def percentRank(
       df: DataFrame,
@@ -294,9 +323,14 @@ object Features {
         when(col("_pr_n") === 1, lit(0L))
           .otherwise(expr("CAST((_pr_rk - 1) AS BIGINT) * 1000000 div (_pr_n - 1)")))
     val stats = ranked.select((groupCols :+ valueCol).map(col) :+ col("_pr_ppm"): _*)
+    // NO broadcast hint: the attach table is distinct-value-sized, which
+    // for near-unique/continuous values approaches corpus size — a forced
+    // broadcast() would bypass autoBroadcastJoinThreshold and OOM the
+    // driver at the 100 TB envelope. AQE still converts to broadcast at
+    // runtime whenever the measured build side is actually small.
     val joined =
-      if (groupCols.isEmpty) df.join(broadcast(stats), Seq(valueCol), "left")
-      else df.join(broadcast(stats), groupCols :+ valueCol, "left")
+      if (groupCols.isEmpty) df.join(stats, Seq(valueCol), "left")
+      else df.join(stats, groupCols :+ valueCol, "left")
     joined.withColumnRenamed("_pr_ppm", s"${valueCol}_pr_ppm")
   }
 

@@ -203,12 +203,27 @@ object Sketch {
     * native intersection, this is the standard derived form and its error
     * compounds accordingly — monitoring math, like [[hllEstimate]]
     * itself). Returns one row: `(n_a, n_b, n_union, n_intersect)`.
+    *
+    * Both inputs must have been built with THIS `p`: registers of
+    * different precisions occupy different bucket domains and their
+    * bucket-wise max is meaningless, so each side's buckets are range-
+    * checked against `2^p` INLINE (a `raise_error` guard inside the same
+    * scan — no extra validation job) and an out-of-domain bucket fails the
+    * query loudly instead of silently producing a bogus estimate.
     */
   def hllIntersectEstimate(a: DataFrame, b: DataFrame, p: Int): DataFrame = {
+    def checked(df: DataFrame, side: String): DataFrame =
+      df.withColumn("bucket",
+        when(col("bucket") >= 0 && col("bucket") < (1 << p), col("bucket"))
+          .otherwise(raise_error(concat(
+            lit(s"hllIntersectEstimate: $side bucket outside [0, 2^$p) — " +
+              s"registers built with a different precision than p=$p: "),
+            col("bucket").cast("string")))))
     def est(df: DataFrame, name: String): DataFrame =
       hllEstimate(df, Nil, p).select(col("estimate").as(name))
-    val merged = hllMergeRegisters(a.unionByName(b), Nil)
-    est(a, "n_a").crossJoin(est(b, "n_b")).crossJoin(est(merged, "n_union"))
+    val (ca, cb) = (checked(a, "left input"), checked(b, "right input"))
+    val merged = hllMergeRegisters(ca.unionByName(cb), Nil)
+    est(ca, "n_a").crossJoin(est(cb, "n_b")).crossJoin(est(merged, "n_union"))
       .withColumn("n_intersect",
         greatest(col("n_a") + col("n_b") - col("n_union"), lit(0.0)))
   }

@@ -186,6 +186,11 @@ object UnigramEncodeDoc {
     var i = 0
     while (i < n) {
       val tok = toks.getUTF8String(i)
+      // inputTypes accept containsNull=true arrays, so a NULL element is
+      // legal input: drop it (a NULL token has no subwords) instead of
+      // NPE-ing the task on tok.toString
+      if (tok == null) { i += 1 }
+      else {
       val s = tok.toString
       var opaque = true
       if (s.length <= maxWordLen && asciiPrintable(s)) {
@@ -198,6 +203,7 @@ object UnigramEncodeDoc {
       }
       if (opaque) out.add(tok.clone())
       i += 1
+      }
     }
     new GenericArrayData(out.toArray)
   }

@@ -187,6 +187,33 @@ class FeaturesSpec extends SparkTestBase {
     assert(id)
   }
 
+  test("robustScale/winsorize: all-NULL-value groups and NULL group keys survive with NULL stats") {
+    // group "dead" has no non-null values (no stats row); one row has a
+    // NULL group key — an inner equality join would drop all three
+    val df = Seq(("dead", Option.empty[Long]), ("dead", Option.empty[Long]),
+      ("live", Some(1L)), ("live", Some(2L)), ("live", Some(3L)))
+      .toDF("grp", "v")
+      .unionByName(Seq((Option.empty[String], Some(5L))).toDF("grp", "v"))
+    val rs = Features.robustScale(df, Seq("grp"), "v")
+    assert(rs.count() === 6, "every input row survives robustScale")
+    assert(rs.filter(col("grp") === "dead").collect()
+      .forall(_.isNullAt(2)), "all-NULL group scales to NULL")
+    // the NULL-keyed row is its own window partition (rank 1 of 1): a
+    // single value has zero IQR -> NULL output, but the row SURVIVES
+    assert(rs.filter(col("grp").isNull).count() === 1)
+    assert(rs.filter(col("grp").isNull).collect().head.isNullAt(2))
+    val wz = Features.winsorize(df, Seq("grp"), "v")
+    assert(wz.count() === 6, "every input row survives winsorize")
+    assert(wz.filter(col("grp") === "dead").collect().forall(_.isNullAt(2)))
+    // the NULL-keyed singleton clips to its own (degenerate) bounds: 5
+    assert(wz.filter(col("grp").isNull).collect().head.getLong(2) === 5L)
+    // ungrouped variant over an all-NULL frame: stats is EMPTY — the old
+    // crossJoin shape would erase the corpus
+    val allNull = Seq(Option.empty[Long], Option.empty[Long]).toDF("v")
+    assert(Features.robustScale(allNull, Nil, "v").count() === 2)
+    assert(Features.winsorize(allNull, Nil, "v").count() === 2)
+  }
+
   test("percentRank: SQL-standard tie-sharing ppm ECDF; endpoints; singleton 0; NULL rides") {
     // g: 10,20,20,40 (n=4): ranks 1,2,2,4 -> ppm 0, 333333, 333333, 1000000
     val df = Seq(("g", Some(10L)), ("g", Some(20L)), ("g", Some(20L)),

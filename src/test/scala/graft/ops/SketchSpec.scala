@@ -148,6 +148,23 @@ class SketchSpec extends SparkTestBase {
     assert(dj >= 0.0 && dj < 500.0)
   }
 
+  test("hllIntersectEstimate: mismatched-precision inputs fail loudly, not silently") {
+    import spark.implicits._
+    val ra = Sketch.hllRegisters((1 to 500).map(i => s"v$i").toDF("v"), Nil, "v", 10)
+    val rb = Sketch.hllRegisters((1 to 500).map(i => s"v$i").toDF("v"), Nil, "v", 12)
+    // rb's buckets run up to 2^12-1 — merging them as p=10 registers would
+    // silently produce a bogus estimate; the inline guard must throw
+    val e = intercept[Exception] {
+      Sketch.hllIntersectEstimate(ra, rb, 10).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(e).exists(_.contains("different precision")),
+      s"expected the precision guard, got: ${messages(e).mkString(" | ")}")
+    // matching precision still works untouched
+    assert(Sketch.hllIntersectEstimate(ra, ra, 10).collect().head.getDouble(3) > 0)
+  }
+
   test("hllRegisters groups independently per group key") {
     import spark.implicits._
     val df = ((1 to 100).map(i => ("g1", s"x$i")) ++ (1 to 7).map(i => ("g2", s"x$i")))

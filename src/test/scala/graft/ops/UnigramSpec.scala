@@ -108,6 +108,21 @@ class UnigramSpec extends SparkTestBase {
     assert(out(10L).forall(pieces.contains))
   }
 
+  test("encode kernel: NULL token-array elements drop instead of killing the task") {
+    // inputTypes accept containsNull=true arrays, so a NULL element is
+    // legal input the kernel must survive (it used to NPE on tok.toString)
+    import org.apache.spark.sql.graft.{UnigramEncodeDoc, UnigramVocab}
+    val docs = Seq((1L, "abab abab cd")).toDF("doc_id", "text")
+    val vocab = TextAnalysis.trainUnigramVocab(docs, "text", vocabSize = 3, seedSize = 5)
+    val entries = vocab.collect().map(r => r.getString(0) -> r.getLong(1))
+    val bc = spark.sparkContext.broadcast(new UnigramVocab(entries, 4))
+    val holey = Seq((1L, Seq(Some("abab"), Option.empty[String], Some("cd"))))
+      .toDF("id", "toks")
+    val out = holey.select(UnigramEncodeDoc(col("toks"), bc, 12).as("sw"))
+      .collect().head.getSeq[String](0)
+    assert(out === Seq("abab", "c", "d"), "null element drops, neighbors encode")
+  }
+
   test("encode: subwords reconstitute each in-domain token exactly (lossless cover)") {
     val docs = spark.read.parquet(s"${sf()}/documents.parquet").select("doc_id", "text").limit(40)
     val vocab = TextAnalysis.trainUnigramVocab(docs, "text", vocabSize = 30)

@@ -32,6 +32,15 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
+      // the warm-up pass only delivers steady-state if the generated
+      // classes SURVIVE until the timed pass: the codegen class cache
+      // defaults to 100 entries, so a 150+-query suite evicts the
+      // alphabetically-early queries' classes during warm-up and they
+      // recompile INSIDE their timed window — measured as a uniform
+      // ~1.5-2.5x inflation of exactly the early-suite rows (the r13
+      // closing artifact's c/d-named over-2x cluster). Static conf: must
+      // be set before the session exists.
+      .config("spark.sql.codegen.cache.maxEntries", "5000")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     def esc(s: String): String =
@@ -44,7 +53,13 @@ object Bench {
     // successors don't pay (measured: first LSH-family query 6.8s cold vs
     // 2.9s steady-state). Timing the second pass reports steady-state cost,
     // the JMH-standard methodology and what a long-lived cluster session sees.
-    val selected = SparkEntry.queries.toSeq.sortBy(_._1)
+    // SPARK_GRAFT_ORDER=desc reverses the suite order — the suite-position
+    // forensics knob: per-query times must be order-independent, and a
+    // reversed full run is the committed evidence (set BENCH_OUT so the
+    // canonical ascending artifact is never replaced by a reversed one)
+    val descending = sys.env.get("SPARK_GRAFT_ORDER").contains("desc")
+    val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
+    val selected = (if (descending) ordered.reverse else ordered)
       .filter { case (name, _) => only.forall(_.contains(name)) }
     def run(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Unit =
       fn(spark, sfDir).write.format("noop").mode("overwrite").save()
@@ -140,7 +155,8 @@ object Bench {
     // sf0.1 numbers, so evidence at any other SF must never replace them).
     val anchorSf = sfDir.endsWith("/sf0.1") || sfDir.endsWith("/sf0.1/")
     val tracked = repoRoot match {
-      case _ if only.isDefined || sys.env.contains("SPARK_GRAFT_BENCH_OUT") || !anchorSf =>
+      case _ if only.isDefined || sys.env.contains("SPARK_GRAFT_BENCH_OUT") ||
+          !anchorSf || descending =>
         System.err.println(
           "bench: local run (SPARK_GRAFT_QUERIES or SPARK_GRAFT_BENCH_OUT " +
             "set, or non-sf0.1 SF dir) — NOT overwriting the tracked " +

@@ -1,0 +1,86 @@
+#!/usr/bin/env python3
+"""Adjudicate bench artifacts against BASELINE.md anchors.
+
+Usage: python3 tools/adjudicate.py BENCH1.json [BENCH2.json ...]
+
+Parses every anchor table in BASELINE.md (stopping at the Round-over-round
+notes section so the sf0.01-vs-sf0.1 scaling tables are never mistaken for
+anchors), adds the prose-only anchors, computes the ELEMENTWISE BEST across
+the given bench artifacts, and prints the aggregate ratio, the rows over 2x,
+and the worst rows. This is the same arithmetic the round verdicts use.
+"""
+import json
+import re
+import sys
+import os
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+# Anchors that live in BASELINE.md prose rather than a table (each cites its
+# measuring runs there).
+PROSE_ANCHORS = {
+    "feature_standardize": 1.03,
+    "key_skew_profile": 0.63,
+    "events_cube": 0.62,
+    "feature_minmax": 0.84,
+    "interval_overlap_join": 0.90,
+    "hll_merge": 0.49,
+    "event_funnel_stats": 0.91,
+    "eval_auc": 0.68,
+    "feature_percent_rank": 1.18,
+}
+
+
+def load_anchors():
+    anchors = dict(PROSE_ANCHORS)
+    text = open(os.path.join(ROOT, "BASELINE.md")).read()
+    text = text.split("## Round-over-round notes")[0]
+    for name, sec in re.findall(r"\| `([a-z0-9_]+)` \| ([0-9.]+) ", text):
+        v = float(sec)
+        # a query re-anchored later in the file: grade against the tightest
+        anchors[name] = min(anchors.get(name, v), v)
+    return anchors
+
+
+def load_bench(path):
+    line = [l for l in open(path) if '"queries"' in l][-1]
+    d = json.loads(line[line.index("{"):])
+    return d["queries"], d.get("errors", {})
+
+
+def main():
+    anchors = load_anchors()
+    best = {}
+    runs = []
+    for p in sys.argv[1:]:
+        qs, errs = load_bench(p)
+        if errs:
+            print(f"!! {p} has errors: {errs}")
+        runs.append((p, qs))
+        for k, v in qs.items():
+            best[k] = min(best.get(k, v), v)
+    rows = []
+    unanchored = []
+    for k, v in sorted(best.items()):
+        if k in anchors:
+            rows.append((v / anchors[k], k, v, anchors[k]))
+        else:
+            unanchored.append((k, v))
+    rows.sort(reverse=True)
+    agg = sum(v for _, _, v, _ in rows) / sum(a for _, _, _, a in rows)
+    over2 = [r for r in rows if r[0] > 2.0]
+    print(f"anchored rows: {len(rows)}   aggregate (best-of-{len(runs)}): "
+          f"{agg:.3f}x   rows over 2x: {len(over2)}")
+    for ratio, k, v, a in rows[:15]:
+        print(f"  {ratio:5.2f}x  {k:32s} {v:7.2f} vs anchor {a:.2f}")
+    if unanchored:
+        print("unanchored queries (need a BASELINE.md entry):")
+        for k, v in unanchored:
+            print(f"         {k:32s} {v:7.2f}")
+    missing = sorted(set(anchors) - set(best))
+    if missing:
+        print(f"anchors with no timing in these runs: {missing}")
+
+
+if __name__ == "__main__":
+    main()

@@ -1196,6 +1196,34 @@ object SparkEntry {
   private def textPiiRedact(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.redactPii(docsWithPii(s, dir), "doc_id", "text")
 
+  /** documents with deterministic planted v2 identifiers: every category,
+    * including a Luhn-VALID card in each written form (spaced, dashed,
+    * contiguous 15-digit Amex) and two Luhn-REJECT cards — the checksum
+    * reject is part of the oracle, not just the spec. */
+  private def docsWithPiiV2(s: SparkSession, dir: String): DataFrame = {
+    val plant = Map(
+      0L -> " card 4111 1111 1111 1111 ok",
+      1L -> " card 4111 1111 1111 1112 bad",
+      2L -> " pay 5555-5555-5555-4444 now",
+      3L -> " amex 378282246310005 billed",
+      4L -> " iban DE89370400440532013000 wired",
+      5L -> " call +44 20 7946 0958 today",
+      6L -> " call (415) 555-2671 today",
+      7L -> " fax 555-123-4567 attn",
+      9L -> " order 1234567890123456 shipped")
+    val planted = plant.foldLeft(
+      when(col("doc_id") % 11 === 8,
+        concat(col("text"), lit(" contact u"), col("doc_id").cast("string"),
+          lit("@example.com from 10.0."), (col("doc_id") % 200).cast("string"),
+          lit(".7")))) { case (acc, (k, suffix)) =>
+      acc.when(col("doc_id") % 11 === k, concat(col("text"), lit(suffix)))
+    }
+    docs(s, dir).withColumn("text", planted.otherwise(col("text")))
+  }
+
+  private def textPiiRedactV2(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.redactPiiV2(docsWithPiiV2(s, dir), "doc_id", "text")
+
   private def sampleHash(s: SparkSession, dir: String): DataFrame =
     ops.Sampling.hashSample(docs(s, dir), "doc_id", percent = 10)
       .select("doc_id", "lang", "source")
@@ -2041,6 +2069,7 @@ object SparkEntry {
     "dsir_select" -> (dsirSelect _),
     "event_attribution" -> (eventAttribution _),
     "text_pii_redact" -> (textPiiRedact _),
+    "text_pii_redact_v2" -> (textPiiRedactV2 _),
     "sample_hash" -> (sampleHash _),
     "skew_salted_join" -> (skewSaltedJoinQ _),
     "filter_blocklist" -> (filterBlocklist _),
@@ -3638,6 +3667,51 @@ object SparkEntry {
            |  len(regexp_extract_all(t_email, '${TextAnalysis.ipv4Re}')) AS n_ips,
            |  md5(regexp_replace(t_email, '${TextAnalysis.ipv4Re}', '<IP>', 'g')) AS redacted_fp
            |FROM e""".stripMargin,
+      // v2: the staged pass chain replayed with DuckDB list functions; the
+      // Luhn sum is the same right-anchored integer recurrence Spark runs
+      "text_pii_redact_v2" ->
+        s"""WITH d AS (SELECT doc_id, CASE
+           |    WHEN doc_id % 11 = 0 THEN text || ' card 4111 1111 1111 1111 ok'
+           |    WHEN doc_id % 11 = 1 THEN text || ' card 4111 1111 1111 1112 bad'
+           |    WHEN doc_id % 11 = 2 THEN text || ' pay 5555-5555-5555-4444 now'
+           |    WHEN doc_id % 11 = 3 THEN text || ' amex 378282246310005 billed'
+           |    WHEN doc_id % 11 = 4 THEN text || ' iban DE89370400440532013000 wired'
+           |    WHEN doc_id % 11 = 5 THEN text || ' call +44 20 7946 0958 today'
+           |    WHEN doc_id % 11 = 6 THEN text || ' call (415) 555-2671 today'
+           |    WHEN doc_id % 11 = 7 THEN text || ' fax 555-123-4567 attn'
+           |    WHEN doc_id % 11 = 8 THEN text || ' contact u' || CAST(doc_id AS VARCHAR)
+           |      || '@example.com from 10.0.' || CAST(doc_id % 200 AS VARCHAR) || '.7'
+           |    WHEN doc_id % 11 = 9 THEN text || ' order 1234567890123456 shipped'
+           |    ELSE text END AS t0 FROM documents),
+           |s1 AS (SELECT doc_id, t0,
+           |    regexp_replace(t0, '${TextAnalysis.emailRe}', '<EMAIL>', 'g') AS t1 FROM d),
+           |s2 AS (SELECT *, regexp_replace(t1, '${TextAnalysis.ibanRe}', '<IBAN>', 'g') AS t2 FROM s1),
+           |s3 AS (SELECT *, regexp_replace(t2, '${TextAnalysis.phoneRe}', '<PHONE>', 'g') AS t3 FROM s2),
+           |s4 AS (SELECT *,
+           |    regexp_split_to_array(t3, '${TextAnalysis.cardRe}') AS parts,
+           |    regexp_extract_all(t3, '${TextAnalysis.cardRe}') AS raw FROM s3),
+           |s5 AS (SELECT *,
+           |    list_transform(list_transform(raw, m -> regexp_replace(m, '[ -]', '', 'g')),
+           |      s -> (list_sum(list_transform(range(1, length(s) + 1),
+           |        i -> CASE WHEN (length(s) - i) % 2 = 1
+           |             THEN CASE WHEN (ascii(s[i]) - 48) * 2 > 9
+           |                  THEN (ascii(s[i]) - 48) * 2 - 9
+           |                  ELSE (ascii(s[i]) - 48) * 2 END
+           |             ELSE ascii(s[i]) - 48 END)) % 10 = 0)) AS ok FROM s4),
+           |s6 AS (SELECT *,
+           |    array_to_string(list_transform(range(1, len(parts) + 1),
+           |      i -> parts[i] || coalesce(CASE WHEN ok[i] THEN '<CARD>' ELSE raw[i] END, '')),
+           |      '') AS t4 FROM s5),
+           |s7 AS (SELECT *, regexp_replace(t4, '${TextAnalysis.ipv4Re}', '<IP>', 'g') AS t5 FROM s6)
+           |SELECT doc_id,
+           |  len(regexp_extract_all(t0, '${TextAnalysis.emailRe}')) AS n_emails,
+           |  len(regexp_extract_all(t1, '${TextAnalysis.ibanRe}')) AS n_ibans,
+           |  len(regexp_extract_all(t2, '${TextAnalysis.phoneRe}')) AS n_phones,
+           |  len(list_filter(ok, x -> x)) AS n_cards,
+           |  len(ok) - len(list_filter(ok, x -> x)) AS n_cards_rejected,
+           |  len(regexp_extract_all(t4, '${TextAnalysis.ipv4Re}')) AS n_ips,
+           |  md5(t5) AS redacted_fp
+           |FROM s7""".stripMargin,
       // same md5 bucket rule as sample_hash, cut into consecutive ranges
       "split_buckets" ->
         """WITH b AS (SELECT doc_id, source,

@@ -404,6 +404,84 @@ object TextAnalysis {
       md5(redacted.cast("binary")).as("redacted_fp"))
   }
 
+  /** v2 patterns, same RE2-compatible discipline as [[emailRe]]/[[ipv4Re]]
+    * (no lookaround/backrefs; `\b`/`\d` are ASCII in both Java and RE2;
+    * alternation is leftmost-first in both engines).
+    *
+    *  - IBAN-shaped: 2 uppercase country letters + 2 check digits + 11-30
+    *    alphanumerics (total 15-34, the ISO 13616 length envelope), compact
+    *    form. Shape-gated, not mod-97-validated — a scrubber over-redacts.
+    *  - Phone: international `+CC ...` groups, `(415) 555-2671`, or the
+    *    dashed US 3-3-4. The `+`/`(`/dash anchors keep bare digit runs
+    *    (quantities, ids, card numbers) out of the phone pass.
+    *  - Card candidate: 13-19 digits with optional single space/dash
+    *    separators. A candidate is only REDACTED if its digits pass the
+    *    Luhn checksum (pure integer arithmetic — engine-replayable);
+    *    checksum rejects stay verbatim and are counted separately. Runs
+    *    ≥20 digits never match (`\b` cannot fall mid-run), so long ids are
+    *    structurally safe.
+    */
+  private[graft] val ibanRe = "\\b[A-Z]{2}\\d{2}[A-Z0-9]{11,30}\\b"
+  private[graft] val phoneRe =
+    "\\+[1-9]\\d{0,2}([ -]?\\d{2,4}){2,4}\\b|\\(\\d{3}\\) ?\\d{3}-\\d{4}|\\b\\d{3}-\\d{3}-\\d{4}\\b"
+  private[graft] val cardRe = "\\b\\d(?:[ -]?\\d){12,18}\\b"
+
+  /** PII redaction v2 — [[redactPii]] plus the identifiers a release gate
+    * actually checks: phone numbers, IBAN-shaped strings, and payment-card
+    * numbers VALIDATED by the Luhn checksum, not just shape (a 16-digit
+    * order id with a failing check digit must survive; the oracle plants
+    * both cases). Pass order: email → IBAN → phone → card → IPv4, each
+    * category counted on the text the pass actually runs on (the
+    * [[redactPii]] rule — no double counting across categories; phones
+    * consume their digits before the card pass sees them).
+    *
+    * The Luhn-conditional pass stays in built-in, codegen'd functions:
+    * `split` on the candidate pattern gives the n+1 around-texts,
+    * `regexp_extract_all` the n candidates; a `transform` strips
+    * separators, an `aggregate` over `sequence(1, len)` computes the
+    * right-anchored double-every-second digit sum (all integer — DuckDB
+    * replays it as `list_transform`/`list_sum` bit-for-bit), and a
+    * `zip_with` re-interleaves parts with `<CARD>` or the rejected
+    * original. Output per doc: id, `n_emails`, `n_ibans`, `n_phones`,
+    * `n_cards`, `n_cards_rejected`, `n_ips`, `redacted_fp`.
+    *
+    * Shape at 100 TB: pure per-row projection — scan-speed, ZERO shuffle,
+    * nothing but (id, counts, 32-hex fp) leaves the scan. Regex cost is
+    * 5 passes + 1 extract over each document, all in one codegen stage.
+    */
+  def redactPiiV2(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val luhnSum =
+      "aggregate(sequence(1, length(s)), 0, (acc, i) -> acc + " +
+        "CASE WHEN (length(s) - i) % 2 = 1 " +
+        "THEN IF((ascii(substring(s, i, 1)) - 48) * 2 > 9, " +
+        "(ascii(substring(s, i, 1)) - 48) * 2 - 9, " +
+        "(ascii(substring(s, i, 1)) - 48) * 2) " +
+        "ELSE ascii(substring(s, i, 1)) - 48 END)"
+    df.select(col(idCol), col(textCol).as("_pii_t0"))
+      .withColumn("_pii_t1", regexp_replace(col("_pii_t0"), emailRe, "<EMAIL>"))
+      .withColumn("_pii_t2", regexp_replace(col("_pii_t1"), ibanRe, "<IBAN>"))
+      .withColumn("_pii_t3", regexp_replace(col("_pii_t2"), phoneRe, "<PHONE>"))
+      .withColumn("_pii_parts", split(col("_pii_t3"), cardRe, -1))
+      .withColumn("_pii_raw", regexp_extract_all(col("_pii_t3"), lit(cardRe), lit(0)))
+      .withColumn("_pii_ok",
+        expr("transform(transform(_pii_raw, m -> regexp_replace(m, '[ -]', '')), " +
+          s"s -> $luhnSum % 10 = 0)"))
+      .withColumn("_pii_t4",
+        expr("array_join(zip_with(_pii_parts, " +
+          "zip_with(_pii_ok, _pii_raw, (o, m) -> IF(o, '<CARD>', m)), " +
+          "(p, m) -> concat(p, coalesce(m, ''))), '')"))
+      .withColumn("_pii_t5", regexp_replace(col("_pii_t4"), ipv4Re, "<IP>"))
+      .select(
+        col(idCol),
+        regexp_count(col("_pii_t0"), lit(emailRe)).as("n_emails"),
+        regexp_count(col("_pii_t1"), lit(ibanRe)).as("n_ibans"),
+        regexp_count(col("_pii_t2"), lit(phoneRe)).as("n_phones"),
+        expr("size(filter(_pii_ok, x -> x))").as("n_cards"),
+        expr("size(_pii_ok) - size(filter(_pii_ok, x -> x))").as("n_cards_rejected"),
+        regexp_count(col("_pii_t4"), lit(ipv4Re)).as("n_ips"),
+        md5(col("_pii_t5").cast("binary")).as("redacted_fp"))
+  }
+
   /** Canonical text normalization (the step before any hash-keyed dedup or
     * tokenization): control characters (C0 + DEL) become spaces, ASCII
     * letters fold to lowercase via `translate` (an explicit 26-char map — NOT

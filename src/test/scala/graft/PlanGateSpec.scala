@@ -257,6 +257,7 @@ class PlanGateSpec extends SparkTestBase {
     "source_query" -> 1,
     "text_langid" -> 0,
     "text_pii_redact" -> 0,
+    "text_pii_redact_v2" -> 0,
     "text_quality" -> 0,
     "text_stats" -> 0,
     "top_events_per_user" -> 1,

@@ -560,6 +560,50 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(outB.getString(3) === fp("since version <IP> we ship daily"))
   }
 
+  test("redactPiiV2: Luhn gate redacts valid cards only; all five categories count; no cross-eating") {
+    import spark.implicits._
+    def fp(s: String): String = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val df = Seq(
+      // valid spaced Visa + Luhn-reject sibling in the SAME doc
+      (1L, "pay 4111 1111 1111 1111 not 4111 1111 1111 1112 ok"),
+      // dashed MC (valid), contiguous Amex 15-digit (valid)
+      (2L, "mc 5555-5555-5555-4444 amex 378282246310005"),
+      // order id: card-shaped 16 digits, Luhn-invalid -> stays verbatim
+      (3L, "order 1234567890123456 shipped"),
+      // 20-digit run: \b cannot fall mid-run, structurally never a candidate
+      (4L, "serial 12345678901234567890 intact"),
+      // all three phone forms; the intl digits must NOT reach the card pass
+      (5L, "call +44 20 7946 0958 or (415) 555-2671 or 555-123-4567"),
+      (6L, "iban DE89370400440532013000 wired"),
+      (7L, "mail a@b.io from 10.0.0.7"),
+      (8L, "clean text")
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.redactPiiV2(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getInt(1), r.getInt(2), r.getInt(3), r.getInt(4), r.getInt(5),
+          r.getInt(6), r.getString(7)))).toMap
+    // (n_emails, n_ibans, n_phones, n_cards, n_cards_rejected, n_ips, fp)
+    assert(out(1L) === ((0, 0, 0, 1, 1, 0,
+      fp("pay <CARD> not 4111 1111 1111 1112 ok"))))
+    assert(out(2L) === ((0, 0, 0, 2, 0, 0, fp("mc <CARD> amex <CARD>"))))
+    assert(out(3L) === ((0, 0, 0, 0, 1, 0, fp("order 1234567890123456 shipped"))))
+    assert(out(4L) === ((0, 0, 0, 0, 0, 0, fp("serial 12345678901234567890 intact"))))
+    assert(out(5L) === ((0, 0, 3, 0, 0, 0, fp("call <PHONE> or <PHONE> or <PHONE>"))))
+    assert(out(6L) === ((0, 1, 0, 0, 0, 0, fp("iban <IBAN> wired"))))
+    assert(out(7L) === ((1, 0, 0, 0, 0, 1, fp("mail <EMAIL> from <IP>"))))
+    assert(out(8L) === ((0, 0, 0, 0, 0, 0, fp("clean text"))))
+    // partitioning invariance + empty input degrade
+    val a = TextAnalysis.redactPiiV2(df.repartition(7), "doc_id", "text")
+      .collect().map(_.toSeq).toSet
+    assert(a === TextAnalysis.redactPiiV2(df, "doc_id", "text").collect().map(_.toSeq).toSet)
+    assert(TextAnalysis.redactPiiV2(df.limit(0), "doc_id", "text").count() === 0)
+    // zero-Exchange plan: pure scan-speed projection
+    val plan = TextAnalysis.redactPiiV2(df, "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"expected shuffle-free plan:\n$plan")
+  }
+
   test("stratifiedSample: per-stratum rates honored, same bucket rule as hashSample") {
     val docs = spark.read.parquet(s"${sf()}/documents.parquet")
     val out = Sampling.stratifiedSample(docs, "doc_id", "lang",

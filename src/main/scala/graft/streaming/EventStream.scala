@@ -324,6 +324,73 @@ object EventStream {
     events.join(latest, Seq(keyCol), "left")
   }
 
+  /** Streaming POINT-IN-TIME enrichment — the feature store's flagship
+    * semantic ([[graft.ops.FeatureStoreOps.pointInTime]], row 12's
+    * contract) applied to a LIVE event stream: each event is enriched with
+    * the latest feature row whose event timestamp is `<=` the EVENT's OWN
+    * timestamp (not the wall clock — [[enrichWithLatest]]'s
+    * latest-snapshot answer is wrong for late/replayed events) and within
+    * `ttlSeconds` lookback when nonzero, deduplicated by max
+    * created-timestamp when the view declares one. Events with no
+    * in-window feature row ride through with NULL features (TTL-expired
+    * included), never drop.
+    *
+    * The trick that makes this STATELESS: a post-join arg-max would be a
+    * streaming aggregation (watermark state, update-mode pain), so instead
+    * the STATIC side is pre-shaped into SCD2-style validity intervals —
+    * per (keys, featTs) arg-max on (createdTs, features), then
+    * `lead(featTs)` as the exclusive `valid_to` — and PIT becomes a
+    * single LEFT equality join on the keys with an interval-containment
+    * residual (`event_ts ∈ [valid_from, valid_to)` and the TTL bound).
+    * Intervals are disjoint per key by construction, so each event matches
+    * AT MOST one row and no aggregation ever touches the stream.
+    * Late/out-of-order arrivals need no watermark: every event carries its
+    * own timestamp and the join is per-row.
+    *
+    * Shape at 100 TB: the interval table is snapshot-sized (one row per
+    * feature version) and BROADCASTS — the stream side never exchanges;
+    * Spark re-plans the static side each micro-batch, so a snapshot
+    * refresh is picked up live (the [[enrichWithLatest]] posture). The
+    * interval build itself is one window exchange over the snapshot at
+    * trigger planning. Batch-twin contract (spec-pinned): on a batch
+    * input the identical call reproduces `pointInTime` row-for-row over
+    * the same events — same arg-max ordering, same TTL nulls.
+    */
+  def pitEnrich(
+      events: DataFrame,
+      features: DataFrame,
+      keys: Seq[String],
+      eventTsCol: String,
+      featTsCol: String,
+      featureCols: Seq[String],
+      ttlSeconds: Long = 0L,
+      createdTsCol: Option[String] = None): DataFrame = {
+    require(keys.nonEmpty, "pitEnrich needs at least one join key")
+    // arg-max dedup per (keys, featTs): max created-ts wins, features break
+    // remaining ties deterministically (pointInTime's orderCols discipline)
+    val ordered = (createdTsCol.toSeq ++ featureCols).distinct
+    val oneVersion = features
+      .groupBy((keys :+ featTsCol).map(col): _*)
+      .agg(max(struct(ordered.map(col): _*)).as("_pit_best"))
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(col(featTsCol))
+    // internal names on the static side: the stream's own columns must
+    // never collide (the joinStatsLeft lesson — disambiguate by NAME)
+    val intervals = oneVersion
+      .withColumn("_pit_to", lead(col(featTsCol), 1).over(w))
+      .select(keys.map(c => col(c).as(s"_pit_k_$c")) ++
+        Seq(col(featTsCol).as("_pit_from"), col("_pit_to")) ++
+        featureCols.map(c => col(s"_pit_best.$c").as(s"_pit_f_$c")): _*)
+    val cond = keys.map(c => col(c) === col(s"_pit_k_$c")).reduce(_ && _) &&
+      col(eventTsCol) >= col("_pit_from") &&
+      (col("_pit_to").isNull || col(eventTsCol) < col("_pit_to")) &&
+      (if (ttlSeconds > 0)
+         col("_pit_from") >= col(eventTsCol) - expr(s"INTERVAL $ttlSeconds SECOND")
+       else lit(true))
+    events.join(broadcast(intervals), cond, "left")
+      .drop((keys.map(c => s"_pit_k_$c") :+ "_pit_from" :+ "_pit_to"): _*)
+      .withColumnsRenamed(featureCols.map(c => s"_pit_f_$c" -> c).toMap)
+  }
+
   /** Streaming quality gate — the model-based filter
     * ([[graft.ops.TextAnalysis.lmScore]]'s CCNet posture) applied to a LIVE
     * document stream: each incoming doc is scored in-row against the

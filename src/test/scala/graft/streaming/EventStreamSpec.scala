@@ -3,6 +3,7 @@ package graft.streaming
 import java.sql.Timestamp
 
 import graft.SparkTestBase
+import graft.sources.GraftSource
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions.{col, explode}
 
@@ -62,6 +63,69 @@ class EventStreamSpec extends SparkTestBase {
       Seq(ev(1, 1, 0)).toDF(), features, "user_id", "fts")
       .queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastHashJoin"), s"expected broadcast enrich:\n$plan")
+  }
+
+  test("pitEnrich: streaming PIT == batch pointInTime; created dedup; TTL nulls; late arrivals; broadcast") {
+    import spark.implicits._
+    implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def ts(s: String) = Timestamp.valueOf(s)
+    val feats = Seq(
+      (1L, ts("2024-01-01 00:00:00"), ts("2024-01-01 00:00:00"), 1.0),
+      (1L, ts("2024-01-05 00:00:00"), ts("2024-01-05 00:00:00"), 2.0),
+      (1L, ts("2024-01-05 00:00:00"), ts("2024-01-06 00:00:00"), 3.0), // later created wins
+      (2L, ts("2024-01-03 00:00:00"), ts("2024-01-03 00:00:00"), 4.0)
+    ).toDF("user_id", "fts", "cts", "score")
+    val ttl = 3 * 86400L
+    val evs = Seq(
+      (100L, 1L, ts("2024-01-06 00:00:00")), // as-of 01-05, created dedup -> 3.0
+      (101L, 1L, ts("2024-01-04 00:00:00")), // TTL bound inclusive: 01-01 -> 1.0
+      (102L, 1L, ts("2024-01-20 00:00:00")), // latest 01-05 outside 3d TTL -> null
+      (103L, 2L, ts("2024-01-02 00:00:00")), // before first feature -> null
+      (104L, 9L, ts("2024-01-05 00:00:00"))  // unknown key -> null
+    )
+    def toDf(rows: Seq[(Long, Long, Timestamp)]) =
+      rows.toDF("event_id", "user_id", "ts")
+    // streaming run, the TTL-null + late/out-of-order rows split across
+    // micro-batches (102 arrives before the EARLIER-timestamped 101)
+    val ms = MemoryStream[(Long, Long, Timestamp)]
+    val q = EventStream.pitEnrich(
+      ms.toDF().toDF("event_id", "user_id", "ts"), feats,
+      keys = Seq("user_id"), eventTsCol = "ts", featTsCol = "fts",
+      featureCols = Seq("score"), ttlSeconds = ttl, createdTsCol = Some("cts"))
+      .writeStream.format("memory").queryName("pit_out").outputMode("append").start()
+    ms.addData(Seq(evs(0), evs(2)))
+    q.processAllAvailable()
+    ms.addData(Seq(evs(1), evs(3), evs(4))) // late arrival: older event_time
+    q.processAllAvailable()
+    q.stop()
+    def asMap(df: org.apache.spark.sql.DataFrame) =
+      df.select("event_id", "score").collect()
+        .map(r => r.getLong(0) -> Option(r.get(1)).map(_.asInstanceOf[Double])).toMap
+    val streamed = asMap(spark.table("pit_out"))
+    assert(streamed === Map(
+      100L -> Some(3.0), 101L -> Some(1.0), 102L -> None, 103L -> None, 104L -> None))
+    // batch twin: the identical call on a batch frame
+    val batchDf = EventStream.pitEnrich(toDf(evs), feats,
+      Seq("user_id"), "ts", "fts", Seq("score"), ttl, Some("cts"))
+    assert(asMap(batchDf) === streamed)
+    // pointInTime parity: the flagship batch semantic over the same events
+    feats.createOrReplaceTempView("pit_enrich_feats")
+    val fv = graft.ops.FeatureView("f",
+      GraftSource.of(table = Some("pit_enrich_feats"),
+        timestampField = Some("fts"), createdTimestampColumn = Some("cts")),
+      entityKeys = Seq("user_id"), features = Seq("score"), ttlSeconds = ttl)
+    val pit = graft.ops.FeatureStoreOps.pointInTime(spark,
+      toDf(evs).withColumnRenamed("ts", "event_timestamp"), Seq(fv)).toDF
+    val pitMap = pit.collect()
+      .map(r => r.getAs[Long]("event_id") ->
+        Option(r.getAs[Any]("score")).map(_.asInstanceOf[Double])).toMap
+    assert(pitMap === streamed, "pitEnrich must reproduce pointInTime")
+    // plan: the interval side broadcasts, the stream side never exchanges
+    val plan = batchDf.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"expected broadcast PIT join:\n$plan")
+    // empty stream degrade
+    assert(EventStream.pitEnrich(toDf(evs).limit(0), feats,
+      Seq("user_id"), "ts", "fts", Seq("score"), ttl, Some("cts")).count() === 0)
   }
 
   test("qualityGate: stream keeps exactly the batch lmScore survivors, value-identical") {

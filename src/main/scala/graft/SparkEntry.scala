@@ -1239,6 +1239,22 @@ object SparkEntry {
     ops.Stats.groupedQuantiles(docs(s, dir), Seq("lang"), "n_chars",
       Seq(0.25, 0.5, 0.75))
 
+  /** Mergeable quantile sketch: per-lang bottom-64 md5-priority registers
+    * over n_chars, estimates at p25/p50/p75 from the registers, plus a
+    * fingerprint over every register priority — so the oracle pins the
+    * whole digest pick bit-for-bit, not just the few rank rows. */
+  private def quantileSketchQ(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir).filter(col("lang").isNotNull)
+    val reg = ops.Sketch.quantileRegisters(d, Seq("lang"), "n_chars", "doc_id",
+      k = 64, seed = "qsk14")
+    val est = ops.Sketch.quantileEstimate(reg, Seq("lang"),
+      Seq(250000L, 500000L, 750000L))
+    val fp = reg.groupBy(col("lang")).agg(
+      md5(array_join(sort_array(collect_list(col("priority"))), ",")
+        .cast("binary")).as("registers_fp"))
+    est.join(fp, Seq("lang"))
+  }
+
   /** Eval-set leakage check: benchmark = every 97th doc, corpus = everything;
     * the benchmark docs must flag themselves (every gram hits) and near-dups
     * flag partially.
@@ -2074,6 +2090,7 @@ object SparkEntry {
     "skew_salted_join" -> (skewSaltedJoinQ _),
     "filter_blocklist" -> (filterBlocklist _),
     "corpus_quantiles" -> (corpusQuantiles _),
+    "quantile_sketch" -> (quantileSketchQ _),
     "decontaminate" -> (decontaminateCorpus _),
     "sample_stratified" -> (sampleStratified _),
     "shard_layout" -> (shardLayout _),
@@ -4064,6 +4081,27 @@ object SparkEntry {
           |  quantile_cont(n_chars, 0.50) AS p50,
           |  quantile_cont(n_chars, 0.75) AS p75
           |FROM documents GROUP BY lang""".stripMargin,
+      // the whole digest pick replayed: bottom-64 md5 priorities per lang,
+      // rank-picked estimates, and a fingerprint over every register row
+      "quantile_sketch" ->
+        """WITH r AS (SELECT lang,
+          |    md5('qsk14:' || CAST(doc_id AS VARCHAR)) AS priority,
+          |    n_chars AS v,
+          |    row_number() OVER (PARTITION BY lang
+          |      ORDER BY md5('qsk14:' || CAST(doc_id AS VARCHAR)), n_chars) AS rn
+          |  FROM documents
+          |  WHERE doc_id IS NOT NULL AND n_chars IS NOT NULL AND lang IS NOT NULL),
+          |reg AS (SELECT lang, priority, v FROM r WHERE rn <= 64),
+          |rk AS (SELECT lang, priority, v,
+          |    row_number() OVER (PARTITION BY lang ORDER BY v, priority) AS rn,
+          |    count(*) OVER (PARTITION BY lang) AS n FROM reg),
+          |fp AS (SELECT lang, md5(string_agg(priority, ',' ORDER BY priority))
+          |    AS registers_fp FROM reg GROUP BY lang),
+          |q(q_ppm) AS (VALUES (250000), (500000), (750000))
+          |SELECT rk.lang, q.q_ppm, rk.n AS n_sample, rk.v AS estimate,
+          |  fp.registers_fp
+          |FROM rk JOIN q ON rk.rn = q.q_ppm * (rk.n - 1) // 1000000 + 1
+          |JOIN fp ON rk.lang = fp.lang""".stripMargin,
       // DuckDB's native ASOF JOIN is the oracle; the operator's tolerance is
       // a post-filter there (the nearest match being out of tolerance implies
       // no in-tolerance match exists — the predicate is monotone in ts).

@@ -228,6 +228,100 @@ object Sketch {
         greatest(col("n_a") + col("n_b") - col("n_union"), lit(0.0)))
   }
 
+  /** Mergeable QUANTILE sketch — the family's third member (CMS answers
+    * "how often", HLL "how many distinct", this answers "how is it
+    * distributed"): a per-group DETERMINISTIC bottom-k register table under
+    * the [[graft.ops.Sampling.prioritySample]] md5-priority rule —
+    * `priority = md5(seed:id)`, keep each group's k smallest (priority,
+    * value) rows. A bottom-k priority pick IS a uniform k-row sample of
+    * the group, so rank statistics over the registers estimate the
+    * group's quantiles with the standard `O(√(q(1−q)/k))` rank error —
+    * and unlike a t-digest the pick is a pure function of (seed, ids):
+    * engine-replayable bit-for-bit (the DuckDB oracle re-derives every
+    * register row), stable under retries, and MERGEABLE — the bottom-k of
+    * a union is the bottom-k of the parts' bottom-k's
+    * ([[quantileMergeRegisters]]), the [[hllMergeRegisters]] algebra with
+    * min-k in place of bucket-max. Rows with NULL id, NULL value, or
+    * (grouped) all-NULL groups contribute nothing; NULL group keys form
+    * their own group (groupBy semantics, both engines).
+    *
+    * Output: `groupCols…, priority (md5 hex), v` — at most k rows per
+    * group. Shape at 100 TB: one window exchange over the NARROW
+    * (groups, priority, value) projection, rank-filtered to k — state is
+    * k·groups rows forever after, and daily register tables roll up to
+    * months without touching raw data (the HLL posture). Ungrouped builds
+    * plan as TakeOrdered (per-partition heads + driver merge of k-row
+    * lists), never a global sort.
+    */
+  def quantileRegisters(
+      df: DataFrame,
+      groupCols: Seq[String],
+      valueCol: String,
+      idCol: String,
+      k: Int,
+      seed: String): DataFrame = {
+    require(k > 0, "k must be positive")
+    val pr = md5(concat(lit(seed), lit(":"), col(idCol).cast("string")).cast("binary"))
+    val narrow = df
+      .filter(col(idCol).isNotNull && col(valueCol).isNotNull)
+      .select(groupCols.map(col) ++ Seq(pr.as("priority"), col(valueCol).as("v")): _*)
+    bottomK(narrow, groupCols, k)
+  }
+
+  /** Per-group bottom-k of a register-shaped frame by (priority, v). */
+  private def bottomK(reg: DataFrame, groupCols: Seq[String], k: Int): DataFrame =
+    if (groupCols.isEmpty) reg.orderBy(col("priority"), col("v")).limit(k)
+    else {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(groupCols.map(col): _*).orderBy(col("priority"), col("v"))
+      reg.withColumn("_qr_rn", row_number().over(w))
+        .filter(col("_qr_rn") <= k).drop("_qr_rn")
+    }
+
+  /** Merge [[quantileRegisters]] tables: dedup identical register rows
+    * (the same id sampled by two overlapping parts carries the same
+    * priority — merging a day twice is a no-op, the idempotence that makes
+    * the artifact safe to re-ingest), then re-take each group's bottom-k.
+    * Merge-then-estimate ≡ build-over-the-union by construction (min-k is
+    * associative/commutative/idempotent on deduped rows — spec-pinned,
+    * the [[hllMergeRegisters]] argument). `groupCols` are the dimensions
+    * KEPT; anything else must already be absent from the register schema.
+    */
+  def quantileMergeRegisters(
+      registers: DataFrame, groupCols: Seq[String], k: Int): DataFrame =
+    bottomK(registers.distinct(), groupCols, k)
+
+  /** Grouped quantile estimates from a [[quantileRegisters]] table: for
+    * each requested ppm fraction, the register value at ascending-value
+    * rank `⌊q·(n−1)⌋ + 1` of the group's n registers — the
+    * [[graft.ops.Stats.groupedQuantiles]] discrete rank rule applied to
+    * the sample, all integer (ppm in, rank arithmetic in BIGINT, the
+    * group's own value type out; priority breaks value ties
+    * deterministically). Output: `groupCols…, q_ppm, n_sample, estimate`
+    * — long form, one row per (group, q). Register tables are ≤ k rows
+    * per group, so this is window + filter over a bounded table: answers
+    * come from STATE, the raw corpus is never touched.
+    */
+  def quantileEstimate(
+      registers: DataFrame,
+      groupCols: Seq[String],
+      qPpms: Seq[Long]): DataFrame = {
+    require(qPpms.nonEmpty && qPpms.forall(q => q >= 0 && q <= 1000000L),
+      "quantile fractions are ppm in [0, 1000000]")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(groupCols.map(col): _*).orderBy(col("v"), col("priority"))
+    val part = org.apache.spark.sql.expressions.Window
+      .partitionBy(groupCols.map(col): _*)
+    registers
+      .withColumn("_qe_rn", row_number().over(w))
+      .withColumn("_qe_n", count(lit(1)).over(part))
+      .withColumn("q_ppm", explode(array(qPpms.map(q => lit(q)): _*)))
+      .filter(col("_qe_rn") ===
+        expr("q_ppm * (_qe_n - 1) div 1000000 + 1"))
+      .select(groupCols.map(col) ++ Seq(col("q_ppm"),
+        col("_qe_n").as("n_sample"), col("v").as("estimate")): _*)
+  }
+
   /** Cardinality estimate from a [[hllRegisters]] table (per group when
     * `groupCols` is non-empty): the standard HLL estimator with the
     * small-range (linear counting) correction. Double-valued — intended for

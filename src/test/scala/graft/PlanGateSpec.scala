@@ -256,6 +256,10 @@ class PlanGateSpec extends SparkTestBase {
     "source_parquet" -> 0,
     "source_query" -> 1,
     "text_langid" -> 0,
+    // the register window exchange on lang (shared by the estimate and
+    // fingerprint branches) + the branch join re-exchange; both operands
+    // are register-table-sized (k·groups rows), never the corpus
+    "quantile_sketch" -> 2,
     "text_pii_redact" -> 0,
     "text_pii_redact_v2" -> 0,
     "text_quality" -> 0,

@@ -165,6 +165,93 @@ class SketchSpec extends SparkTestBase {
     assert(Sketch.hllIntersectEstimate(ra, ra, 10).collect().head.getDouble(3) > 0)
   }
 
+  test("quantileRegisters: deterministic bottom-k digest pick, hand-verified; NULLs excluded") {
+    import spark.implicits._
+    def md5hex(s: String): String = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val df = ((1L to 20L).map(i => ("g", Some(i), Some(i * 10))) ++
+      Seq(("g", Option.empty[Long], Some(999L)),   // null id: excluded
+          ("g", Some(99L), Option.empty[Long]),    // null value: excluded
+          ("h", Some(1L), Some(7L))))              // ids may repeat across groups
+      .toDF("grp", "id", "v")
+    val out = Sketch.quantileRegisters(df, Seq("grp"), "v", "id", k = 5, seed = "s1")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    // brute-force the pick in the JVM: same md5(seed:id) priority rule
+    val expectG = (1L to 20L).map(i => (md5hex(s"s1:$i"), i * 10))
+      .sortBy(identity).take(5)
+    assert(out.filter(_._1 == "g").map(t => (t._2, t._3)).sortBy(identity).toSeq
+      === expectG)
+    assert(out.filter(_._1 == "h").map(t => (t._2, t._3)).toSeq
+      === Seq((md5hex("s1:1"), 7L)), "a group smaller than k keeps all its rows")
+    // partitioning invariance
+    val b = Sketch.quantileRegisters(df.repartition(7), Seq("grp"), "v", "id", 5, "s1")
+      .collect().map(_.toSeq).toSet
+    assert(b === out.map(t => Seq[Any](t._1, t._2, t._3)).toSet)
+    // empty input + ungrouped TakeOrdered path
+    assert(Sketch.quantileRegisters(df.limit(0), Seq("grp"), "v", "id", 5, "s1").count() === 0)
+    val g = Sketch.quantileRegisters(df, Nil, "v", "id", 3, "s1")
+      .collect().map(r => r.getString(0)).toSeq
+    val allIds = ((1L to 20L).map(i => md5hex(s"s1:$i")) :+ md5hex("s1:1")).sorted.take(3)
+    assert(g.sorted === allIds.sorted)
+  }
+
+  test("quantileRegisters: merge == rebuild (overlapping days idempotent), estimate from state") {
+    import spark.implicits._
+    val dayA = (1L to 300L).map(i => ("g", i, i % 97)).toDF("grp", "id", "v")
+    val dayB = (250L to 600L).map(i => ("g", i, i % 89)).toDF("grp", "id", "v")
+    // NOTE: ids 250-300 overlap but carry DIFFERENT values across days (i%97
+    // vs i%89) — that would be two distinct register rows; real re-ingest
+    // replays the same rows, so model overlap with identical rows:
+    val dayB2 = (250L to 600L).map(i => ("g", i, i % 97)).toDF("grp", "id", "v")
+    val union = (1L to 600L).map(i => ("g", i, i % 97)).toDF("grp", "id", "v")
+    val k = 32
+    val ra = Sketch.quantileRegisters(dayA, Seq("grp"), "v", "id", k, "s2")
+    val rb = Sketch.quantileRegisters(dayB2, Seq("grp"), "v", "id", k, "s2")
+    val merged = Sketch.quantileMergeRegisters(ra.unionByName(rb), Seq("grp"), k)
+      .collect().map(_.toSeq).toSet
+    val rebuilt = Sketch.quantileRegisters(union, Seq("grp"), "v", "id", k, "s2")
+      .collect().map(_.toSeq).toSet
+    assert(merged === rebuilt, "bottom-k of parts' bottom-k == bottom-k of union")
+    // idempotence: merging the same day twice is a no-op
+    val twice = Sketch.quantileMergeRegisters(ra.unionByName(ra), Seq("grp"), k)
+      .collect().map(_.toSeq).toSet
+    assert(twice === ra.collect().map(_.toSeq).toSet)
+    // estimate comes from register STATE and lands on a real register value
+    val est = Sketch.quantileEstimate(
+      Sketch.quantileMergeRegisters(ra.unionByName(rb), Seq("grp"), k),
+      Seq("grp"), Seq(0L, 500000L, 1000000L))
+      .collect().map(r => r.getLong(1) -> r.getLong(3)).toMap
+    assert(est.size === 3)
+    val regVals = merged.map(_(2).asInstanceOf[Long])
+    assert(est.values.forall(regVals.contains), "estimates are register values")
+    assert(est(0L) === regVals.min && est(1000000L) === regVals.max,
+      "q=0/q=1 are the sample extremes")
+  }
+
+  test("quantileEstimate: rank error vs the exact distribution within the sampling bound") {
+    val docs = spark.read.parquet(s"${sf()}/documents.parquet")
+    val k = 256
+    val reg = Sketch.quantileRegisters(docs, Seq("lang"), "n_chars", "doc_id", k, "qe")
+    val est = Sketch.quantileEstimate(reg, Seq("lang"),
+      Seq(250000L, 500000L, 750000L)).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(3)))
+    assert(est.nonEmpty)
+    // exact ECDF position of each estimate in its group: |pos - q| must sit
+    // inside ~4·sqrt(q(1-q)/k) (k=256 -> ~0.125 at the median), the
+    // uniform-sample rank bound — deterministic, no flake: the sample is a
+    // pure function of (seed, ids)
+    val byLang = docs.select("lang", "n_chars").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).groupBy(_._1)
+      .map { case (l, a) => l -> a.map(_._2).sorted }
+    est.foreach { case (lang, qPpm, v) =>
+      val vals = byLang(lang)
+      val pos = vals.count(_ <= v).toDouble / vals.length
+      val q = qPpm / 1e6
+      assert(math.abs(pos - q) < 0.13,
+        s"$lang q=$q estimate $v sits at ECDF $pos — outside the rank bound")
+    }
+  }
+
   test("hllRegisters groups independently per group key") {
     import spark.implicits._
     val df = ((1 to 100).map(i => ("g1", s"x$i")) ++ (1 to 7).map(i => ("g2", s"x$i")))

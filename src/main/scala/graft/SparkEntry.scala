@@ -329,6 +329,25 @@ object SparkEntry {
       numClusters = 16, threshold = 0.98)
   }
 
+  /** Incremental SemDeDup: reference = the whole embeddings corpus; batch =
+    * scaled twins of every 3rd vector (semantic dups — must pair with their
+    * originals) + reversed embeddings of every (3k+1)th (novel — must pair
+    * with nothing). Cosine stays out of the projection (float-op-order
+    * across engines — the dedup_embedding discipline); the pair SET is the
+    * checked artifact. */
+  private def dedupSemanticAgainstQ(s: SparkSession, dir: String): DataFrame = {
+    val e = embs(s, dir)
+    val batch = e.filter(col("vec_id") % 3 === 0)
+      .select((col("vec_id") + 200000L).as("vec_id"),
+        transform(col("embedding"), x => x * lit(1.0001f)).as("embedding"))
+      .unionByName(e.filter(col("vec_id") % 3 === 1)
+        .select((col("vec_id") + 200000L).as("vec_id"),
+          reverse(col("embedding")).as("embedding")))
+    Dedup.semanticDedupAgainst(batch, e.select(col("vec_id"), col("embedding")),
+      "vec_id", "embedding", numClusters = 16)
+      .select("batch_id", "ref_id")
+  }
+
   private def knnQueries(s: SparkSession, dir: String): DataFrame =
     embs(s, dir).filter(col("vec_id") < 5)
       .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
@@ -2042,6 +2061,7 @@ object SparkEntry {
     "dedup_simhash" -> (dedupSimhash _),
     "dedup_embedding" -> (dedupEmbedding _),
     "dedup_semantic" -> (dedupSemantic _),
+    "dedup_semantic_against" -> (dedupSemanticAgainstQ _),
     "knn_brute" -> (knnBrute _),
     "knn_lsh" -> (knnLsh _),
     "knn_ivf" -> (knnIvf _),
@@ -2980,6 +3000,26 @@ object SparkEntry {
            |  CAST(n_members AS BIGINT) AS n_members,
            |  CAST(quality AS BIGINT) AS quality
            |FROM m WHERE rn = 1""".stripMargin
+      },
+      // frozen-centroid incremental SemDeDup: train on the reference only
+      // (the ivfTrainCtes chain), assign the batch against the FINAL
+      // centroid table, cross-side pairs within a cell at cosine >= 0.98
+      "dedup_semantic_against" -> {
+        s"""WITH ${ivfTrainCtes(16, 2)},
+           |bat AS (SELECT id, CAST(v AS DOUBLE[]) AS v FROM (
+           |  SELECT vec_id + 200000 AS id,
+           |    list_transform(embedding, x -> x * CAST(1.0001 AS FLOAT)) AS v
+           |  FROM embeddings WHERE vec_id % 3 = 0
+           |  UNION ALL
+           |  SELECT vec_id + 200000, list_reverse(embedding)
+           |  FROM embeddings WHERE vec_id % 3 = 1)),
+           |ba AS (SELECT id, v, cell FROM (
+           |  SELECT c.id, c.v, t.cell, row_number() OVER (PARTITION BY c.id
+           |    ORDER BY ${ivfDist2("c.v", "t.cv")}, t.cell) AS rn
+           |  FROM bat c CROSS JOIN cent_2 t) WHERE rn = 1)
+           |SELECT ba.id AS batch_id, a.id AS ref_id
+           |FROM ba JOIN afinal a ON ba.cell = a.cell
+           |WHERE list_cosine_similarity(ba.v, a.v) >= 0.98""".stripMargin
       },
       // SimHash ground truth: DuckDB recomputes the exact md5-chunk signature
       // per doc and does the (feasible at oracle SF) all-pairs hamming — so

@@ -675,6 +675,82 @@ object Dedup {
         col("_q").as(qualityCol))
   }
 
+  /** Incremental (cross-snapshot) SEMANTIC dedup — the last cell of the
+    * incremental lattice ([[dedupAgainst]] exact, [[dedupWindowsAgainst]]
+    * substring, [[minHashLshAgainst]] token-level; this one catches the
+    * nightly batch's SAME-MEANING twins): does each batch embedding already
+    * exist, semantically, in the accepted corpus? Centroids are trained on
+    * the REFERENCE ONLY and FROZEN (the [[Similarity.appendToIvfIndex]]
+    * contract — the accepted corpus defines the semantic geometry; a batch
+    * that could move the centroids would make yesterday's decisions
+    * unrepeatable), both sides assign against the same broadcast matrix,
+    * and candidates are CROSS-SIDE pairs within a cell only — batch×batch
+    * pairs are [[semanticDedup]]'s job on the batch itself, and
+    * ref×ref pairs were settled when the reference was accepted. Pairs at
+    * exact cosine ≥ `threshold` emit as `(batch_id, ref_id, cosine)` —
+    * callers anti-join `batch_id` to admit only novel docs (the
+    * [[minHashLshAgainst]] surface).
+    *
+    * Shape at 100 TB: training is `lloydIters` narrow shuffles over the
+    * reference (sampled via `trainPercent` — at scale, train on the
+    * sample, assign everything); both assignment passes are shuffle-free
+    * broadcast-matrix kernel scans; the candidate join is an EQUALITY
+    * hash join on the cell id. Quadratic within-cell cost is bounded the
+    * [[semanticDedup]] two ways: numClusters sizes the expected cell, and
+    * a cell whose batch OR reference occupancy exceeds `maxCell`
+    * contributes no pairs (its batch docs all read as novel — the
+    * maxBucket drop discipline, observable via `metrics`:
+    * n_ref_ids / n_dropped_ref_ids / max_cell_pairs).
+    */
+  def semanticDedupAgainst(
+      batch: DataFrame,
+      reference: DataFrame,
+      idCol: String,
+      vecCol: String,
+      numClusters: Int,
+      threshold: Double = 0.98,
+      lloydIters: Int = 2,
+      trainPercent: Int = 100,
+      maxCell: Int = 10000,
+      metrics: Option[Observation] = None): DataFrame = {
+    val b = batch.select(col(idCol).as("id"), col(vecCol).as("vec"))
+    val r = reference.select(col(idCol).as("id"), col(vecCol).as("vec"))
+    val cents = Similarity.trainCentroids(r, numClusters, lloydIters, trainPercent)
+    if (cents.isEmpty)
+      // empty reference: nothing to collide with — empty result, std schema
+      return b.select(col("id").as("batch_id"), col("id").as("ref_id"))
+        .withColumn("cosine", lit(0.0)).limit(0)
+    val bc = Similarity.broadcastCentroids(batch.sparkSession, cents)
+    val ab = Similarity.assignCells(b, bc)
+      .select(col("cell"), col("id").as("batch_id"), col("vec").as("_vb"))
+    val ar = Similarity.assignCells(r, bc)
+      .select(col("cell"), col("id").as("ref_id"), col("vec").as("_vr"))
+    val stats = ab.groupBy(col("cell")).agg(count(lit(1)).as("_bn"))
+      .join(ar.groupBy(col("cell")).agg(count(lit(1)).as("_rn")), "cell")
+    // panel rides the REFERENCE side (structurally the big side — the
+    // accepted corpus vs a nightly batch), so the CollectMetrics node sits
+    // in the probe-task path: AQE broadcasts the batch side, and a metrics
+    // node under a BroadcastExchange never reports (the semanticDedup
+    // qualitySide lesson — observe the side that will NOT be broadcast).
+    // Row-level panel (observe forbids DISTINCT): ref rows in shared
+    // cells, ref rows losing pairing to the drop, worst cell's pair count.
+    val sizedR = ar.join(broadcast(stats), "cell")
+    val observedR = metrics.map { o =>
+      sizedR.observe(o,
+        count(lit(1)).as("n_ref_ids"),
+        sum(when(col("_bn") > maxCell || col("_rn") > maxCell, 1L)
+          .otherwise(0L)).as("n_dropped_ref_ids"),
+        max(col("_bn") * col("_rn")).as("max_cell_pairs"))
+    }.getOrElse(sizedR)
+    // the inner join on cell carries the drop to the batch side for free:
+    // dropped cells simply have no surviving reference rows to meet
+    val inPlayR = observedR.filter(col("_bn") <= maxCell && col("_rn") <= maxCell)
+    ab.join(inPlayR, "cell")
+      .withColumn("cosine", cosineSimilarity(col("_vb"), col("_vr")))
+      .filter(col("cosine") >= threshold)
+      .select(col("batch_id"), col("ref_id"), col("cosine"))
+  }
+
   /** Incremental (cross-snapshot) exact dedup: drop rows of `batch` whose
     * normalized content already exists in `reference` — the continuously-
     * ingested-corpus primitive ("is this crawl page already in last month's

@@ -82,7 +82,7 @@ object Similarity {
     * the retired literal tree precomputed per cell, so assignment arithmetic
     * is unchanged bit-for-bit.
     */
-  private def broadcastCentroids(
+  private[graft] def broadcastCentroids(
       spark: SparkSession, cents: Seq[(Int, Seq[Double])]): Broadcast[CentroidMatrix] = {
     val dim = cents.head._2.length
     require(cents.forall(_._2.length == dim), "centroid dims must agree")
@@ -103,7 +103,7 @@ object Similarity {
     * per-centroid literal structs, which capped numCells at a few hundred
     * before blowing the 64 KB codegen method limit.
     */
-  private def assignCells(corpus: DataFrame, bc: Broadcast[CentroidMatrix]): DataFrame =
+  private[graft] def assignCells(corpus: DataFrame, bc: Broadcast[CentroidMatrix]): DataFrame =
     corpus.withColumn("cell", NearestCell(col("vec"), bc))
 
   /** Element-wise centroid means in 2^20 fixed point: per-dimension sums are
@@ -148,7 +148,7 @@ object Similarity {
     * corpus. Centroid quality needs distributional coverage, not every row —
     * a 1% sample of 10^11 vectors is 10^9 training points.
     */
-  private def trainCentroids(
+  private[graft] def trainCentroids(
       corpus: DataFrame,
       numCells: Int,
       lloydIters: Int,

@@ -33,6 +33,9 @@ class PlanGateSpec extends SparkTestBase {
     // the query function runs the whole ingest (4 upsert write jobs) at
     // build time; the returned plan is the store read-back
     "online_store_latest",
+    // frozen-centroid train collects the centroid matrix at build time
+    // (the kmeans_clusters signature)
+    "dedup_semantic_against",
     "knn_ivf", "kmeans_clusters", "kmeans_sample_train", "bpe_merges",
     "bpe_encode", "bpe_merges_bytes", "bpe_encode_bytes",
     "pipeline_cluster_shard", "pipeline_canonicalize",

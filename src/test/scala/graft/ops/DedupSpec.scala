@@ -139,6 +139,56 @@ class DedupSpec extends SparkTestBase {
     assert(m("max_cluster_size").asInstanceOf[Long] === 3L)
   }
 
+  test("semanticDedupAgainst: cross-side pairs only; frozen centroids; novel batch docs pair with nothing") {
+    import spark.implicits._
+    val ref = Seq(
+      (1L, Seq(1.0f, 0.0f, 0.0f)),
+      (2L, Seq(0.0f, 1.0f, 0.0f)),
+      (3L, Seq(0.0f, 0.0f, 1.0f))).toDF("id", "vec")
+    val batch = Seq(
+      (11L, Seq(1.0001f, 0.0f, 0.0f)),  // twin of ref 1
+      (12L, Seq(1.0002f, 0.0f, 0.0f)),  // ANOTHER twin of ref 1 — and of 11
+      (13L, Seq(0.0f, 1.0001f, 0.0f)),  // twin of ref 2
+      (19L, Seq(0.5774f, -0.5774f, 0.5774f))).toDF("id", "vec") // novel
+    val out = Dedup.semanticDedupAgainst(batch, ref, "id", "vec",
+      numClusters = 3, threshold = 0.98)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // 11 and 12 are near-twins OF EACH OTHER but batch x batch pairs must
+    // never emit — only the cross-side collisions
+    assert(out === Set((11L, 1L), (12L, 1L), (13L, 2L)))
+    // determinism under different partitioning
+    val again = Dedup.semanticDedupAgainst(batch.repartition(5), ref.repartition(3),
+      "id", "vec", numClusters = 3, threshold = 0.98)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(again === out)
+    // overlapping ids across sides stay distinguishable (separate columns)
+    val overlap = Dedup.semanticDedupAgainst(
+      batch.withColumn("id", col("id") - 10L), ref, "id", "vec",
+      numClusters = 3, threshold = 0.98)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(overlap === Set((1L, 1L), (2L, 1L), (3L, 2L)))
+    // empty reference / empty batch degrade to empty with the std schema
+    assert(Dedup.semanticDedupAgainst(batch, ref.limit(0), "id", "vec", 3).count() === 0)
+    assert(Dedup.semanticDedupAgainst(batch.limit(0), ref, "id", "vec", 3).count() === 0)
+  }
+
+  test("semanticDedupAgainst: oversize cells drop pairs observably (batch reads as novel)") {
+    import spark.implicits._
+    val ref = Seq(
+      (1L, Seq(1.0f, 0.0f)), (2L, Seq(0.9999f, 0.0001f))).toDF("id", "vec")
+    val batch = Seq((11L, Seq(1.0001f, 0.0f))).toDF("id", "vec")
+    val obs = new org.apache.spark.sql.Observation("sem_against_drop")
+    // one cell holds both ref vectors: ref occupancy 2 > maxCell 1 -> the
+    // cell contributes nothing and the batch doc reads as novel
+    val out = Dedup.semanticDedupAgainst(batch, ref, "id", "vec",
+      numClusters = 1, threshold = 0.98, maxCell = 1, metrics = Some(obs))
+    assert(out.count() === 0)
+    val m = obs.get
+    assert(m("n_ref_ids").asInstanceOf[Long] === 2L)
+    assert(m("n_dropped_ref_ids").asInstanceOf[Long] === 2L)
+    assert(m("max_cell_pairs").asInstanceOf[Long] === 2L)
+  }
+
   test("connectedComponents: chains collapse to min id, singletons keep their own") {
     import spark.implicits._
     val ids = Seq(1L, 2L, 3L, 4L, 9L).toDF("id")

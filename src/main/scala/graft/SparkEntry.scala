@@ -298,6 +298,18 @@ object SparkEntry {
     Dedup.connectedComponents(u.select(col("doc_id").as("id")), pairs)
   }
 
+  /** Same ground-truth corpus and oracle as dedup_clusters, labels computed
+    * by the large-star/small-star contraction instead of min-label. */
+  private def dedupClustersLs(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val u = d.unionByName(d
+      .withColumn("doc_id", col("doc_id") + 100000L)
+      .withColumn("text", concat(col("text"), lit(" graftdup"))))
+    val pairs = Dedup.minHashLsh(u, "doc_id", "text", threshold = 0.8)
+      .select("a_id", "b_id")
+    Dedup.connectedComponentsLS(u.select(col("doc_id").as("id")), pairs)
+  }
+
   private def dedupSimhash(s: SparkSession, dir: String): DataFrame =
     Dedup.simHashNearDup(docsWithExactDups(s, dir), "doc_id", "text", maxHamming = 3)
       .select(col("a_id"), col("b_id"), col("hamming").cast("long").as("hamming"))
@@ -2057,6 +2069,7 @@ object SparkEntry {
     "set_similarity_join" -> (setSimJoin _),
     "search_bm25" -> (searchBm25Q _),
     "dedup_clusters" -> (dedupClusters _),
+    "dedup_clusters_ls" -> (dedupClustersLs _),
     "pipeline_canonicalize" -> (pipelineCanonicalize _),
     "dedup_simhash" -> (dedupSimhash _),
     "dedup_embedding" -> (dedupEmbedding _),
@@ -3053,6 +3066,30 @@ object SparkEntry {
       // connected components as a recursive CTE over the same ground-truth
       // edge set (transitive closure is tiny: near-dup clusters are shallow)
       "dedup_clusters" ->
+        """WITH RECURSIVE u AS (SELECT doc_id, text FROM documents UNION ALL
+          |           SELECT doc_id + 100000, text || ' graftdup' FROM documents),
+          |t AS (SELECT doc_id,
+          |  list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> len(x) > 0) AS toks
+          |  FROM u),
+          |sh AS (SELECT doc_id,
+          |  list_distinct(CASE WHEN len(toks) = 0 THEN CAST([] AS VARCHAR[])
+          |    WHEN len(toks) >= 3
+          |    THEN list_transform(range(1, len(toks) - 1),
+          |         i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+          |    ELSE [array_to_string(toks, ' ')] END) AS sh
+          |  FROM t),
+          |e AS (SELECT a.doc_id AS a, b.doc_id AS b
+          |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+          |  WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+          |        len(list_distinct(a.sh || b.sh)) >= 0.8),
+          |edges AS (SELECT a, b FROM e UNION ALL SELECT b, a FROM e),
+          |reach(src, dst) AS (
+          |  SELECT doc_id, doc_id FROM u
+          |  UNION
+          |  SELECT r.src, ed.b FROM reach r JOIN edges ed ON r.dst = ed.a)
+          |SELECT src AS id, min(dst) AS cluster FROM reach GROUP BY src""".stripMargin,
+      // the LS/SS variant is graded against the IDENTICAL ground truth
+      "dedup_clusters_ls" ->
         """WITH RECURSIVE u AS (SELECT doc_id, text FROM documents UNION ALL
           |           SELECT doc_id + 100000, text || ' graftdup' FROM documents),
           |t AS (SELECT doc_id,

@@ -531,6 +531,93 @@ object Dedup {
     (result, release)
   }
 
+  /** Connected components by alternating LARGE-STAR / SMALL-STAR rounds
+    * (Kiveris et al. 2014, "Connected Components in MapReduce and Beyond") —
+    * the O(log n)-round alternative to [[connectedComponents]]'s min-label
+    * propagation, whose round count grows with component DIAMETER: on the
+    * long chain components a crawl-graph dedup end-game produces (page A ~
+    * B ~ C ~ … through pairwise near-dup edges), min-label needs diameter
+    * rounds while star contraction collapses the chain geometrically, at
+    * the same one-join-plus-aggregate cost per round.
+    *
+    * Per round: large-star connects every neighbor v > u to
+    * `m = min(Γ(u) ∪ {u})` (each undirected edge emitted from its smaller
+    * endpoint — no edge lost), then small-star re-points each node's
+    * smaller neighbors (and itself) at its minimum. The fixed point is a
+    * disjoint union of min-stars; labels read off as `src → dst` with
+    * centers and edge-less singletons mapping to themselves. Same output
+    * contract as [[connectedComponents]]: every id gets its component's
+    * SMALLEST id as `cluster`.
+    *
+    * Shape at 100 TB: each round is two narrow (src, dst) aggregations +
+    * equality joins, map-side combinable, edge-set-sized — never touches
+    * payloads; the [[connectedComponentsReleasable]] checkpoint discipline
+    * (at most two edge snapshots persisted, previous released as the next
+    * materializes). Convergence check: edge count + one `except` when
+    * counts match — exact set equality, edge-set-sized.
+    */
+  def connectedComponentsLS(
+      ids: DataFrame, // column: id
+      pairs: DataFrame, // columns: a_id, b_id
+      maxIterations: Int = 20): DataFrame =
+    connectedComponentsLSRounds(ids, pairs, maxIterations)._1
+
+  /** [[connectedComponentsLS]] with the round count and the storage-release
+    * hook (the [[connectedComponentsReleasable]] contract). */
+  private[graft] def connectedComponentsLSRounds(
+      ids: DataFrame,
+      pairs: DataFrame,
+      maxIterations: Int = 20): (DataFrame, Int, () => Unit) = {
+    var edges = pairs
+      .filter(col("a_id") =!= col("b_id"))
+      .select(greatest(col("a_id"), col("b_id")).as("src"),
+        least(col("a_id"), col("b_id")).as("dst"))
+      .distinct()
+      .localCheckpoint()
+    var prevCount = edges.count()
+    var prevCkpt: Option[DataFrame] = None
+    var converged = prevCount == 0L
+    var rounds = 0
+    while (!converged && rounds < maxIterations) {
+      // LARGE-STAR over symmetric neighborhoods: m_u = min(Γ(u) ∪ {u});
+      // every strictly-larger neighbor re-points at m_u
+      val nb = edges.union(edges.select(col("dst").as("src"), col("src").as("dst")))
+      val mTab = nb.groupBy(col("src"))
+        .agg(min(col("dst")).as("_mn"))
+        .select(col("src"), least(col("src"), col("_mn")).as("_m"))
+      val ls = nb.join(mTab, "src")
+        .filter(col("dst") > col("src"))
+        .select(col("dst").as("src"), col("_m").as("dst")) // v > u >= m
+        .filter(col("src") =!= col("dst"))
+        .distinct()
+      // SMALL-STAR on the now larger→smaller directed edges: each node's
+      // smaller neighbors (and the node itself) re-point at its minimum
+      val mTab2 = ls.groupBy(col("src")).agg(min(col("dst")).as("_m"))
+      val ss = ls.join(mTab2, "src")
+        .select(col("dst").as("x"), col("_m"))
+        .union(mTab2.select(col("src").as("x"), col("_m")))
+        .filter(col("x") =!= col("_m"))
+        .select(col("x").as("src"), col("_m").as("dst"))
+        .distinct()
+        .localCheckpoint()
+      val n = ss.count() // materializes the checkpoint
+      converged = n == prevCount && ss.except(edges).count() == 0L
+      prevCkpt.foreach(org.apache.spark.sql.graft.CheckpointUtil.unpersist(_))
+      prevCkpt = Some(edges)
+      edges = ss
+      prevCount = n
+      rounds += 1
+    }
+    prevCkpt.foreach(org.apache.spark.sql.graft.CheckpointUtil.unpersist(_))
+    // min per src guards the not-converged-at-cap case (multiple out-edges)
+    val lbl = edges.groupBy(col("src").as("id")).agg(min(col("dst")).as("cluster"))
+    val result = ids.join(lbl, Seq("id"), "left")
+      .select(col("id"), coalesce(col("cluster"), col("id")).as("cluster"))
+    val finalCkpt = edges
+    (result, rounds,
+      () => org.apache.spark.sql.graft.CheckpointUtil.unpersist(finalCkpt))
+  }
+
   /** Deterministic random hyperplanes for sign-bucket LSH (seeded, so results
     * are reproducible across runs and engines).
     */

@@ -24,7 +24,7 @@ class PlanGateSpec extends SparkTestBase {
     * oracle gate + BASELINE.md instead.
     */
   private val iterative = Set("dedup_minhash", "dedup_minhash_against",
-    "dedup_simhash", "dedup_clusters", "dedup_semantic",
+    "dedup_simhash", "dedup_clusters", "dedup_clusters_ls", "dedup_semantic",
     // same checkpointed signature frame as dedup_simhash (the shared
     // hammingNearDupPairs engine), plus the decode pass feeding it
     "image_neardup", "video_neardup", "audio_neardup",

@@ -189,6 +189,44 @@ class DedupSpec extends SparkTestBase {
     assert(m("max_cell_pairs").asInstanceOf[Long] === 2L)
   }
 
+  test("connectedComponentsLS: equals min-label CC; geometric rounds beat diameter on a path") {
+    import spark.implicits._
+    // planted 40-node path 1-2-...-40 plus a separate triangle and singletons
+    val n = 40
+    val ids = ((1L to n.toLong) ++ Seq(100L, 101L, 102L, 999L)).toDF("id")
+    val pairs = ((1L until n.toLong).map(i => (i, i + 1)) ++
+      Seq((100L, 101L), (101L, 102L))).toDF("a_id", "b_id")
+    val (res, rounds, release) =
+      Dedup.connectedComponentsLSRounds(ids, pairs, maxIterations = 15)
+    val out = res.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert((1L to n.toLong).forall(out(_) == 1L), "the whole path collapses to 1")
+    assert(Seq(100L, 101L, 102L).forall(out(_) == 100L))
+    assert(out(999L) === 999L, "edge-less singleton keeps its own id")
+    // the round-count claim: star contraction is geometric, min-label is
+    // one hop per round — a diameter-39 path converges in far fewer rounds
+    assert(rounds < 10, s"LS/SS took $rounds rounds on a 40-path (diameter 39)")
+    // min-label with the SAME bound demonstrably cannot finish the path
+    val cappedMinLabel = Dedup.connectedComponents(ids, pairs, maxIterations = rounds)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cappedMinLabel(n.toLong) !== 1L,
+      "min-label at the LS/SS round budget must still be mid-propagation")
+    release()
+    // result equality with min-label CC on an irregular planted graph
+    val ids2 = (1L to 30L).toDF("id")
+    val pairs2 = Seq((1L, 5L), (5L, 9L), (9L, 2L), (3L, 4L), (4L, 3L),
+      (7L, 7L), (11L, 12L), (12L, 13L), (13L, 11L), (20L, 29L))
+      .toDF("a_id", "b_id")
+    val a = Dedup.connectedComponentsLS(ids2, pairs2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val b = Dedup.connectedComponents(ids2, pairs2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(a === b, "LS/SS and min-label must agree exactly")
+    // empty edge set: everything is its own cluster
+    val none = Dedup.connectedComponentsLS(ids2, pairs2.limit(0))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(none.forall { case (k, v) => k == v })
+  }
+
   test("connectedComponents: chains collapse to min id, singletons keep their own") {
     import spark.implicits._
     val ids = Seq(1L, 2L, 3L, 4L, 9L).toDF("id")

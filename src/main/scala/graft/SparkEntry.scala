@@ -916,7 +916,10 @@ object SparkEntry {
     * rule organically. The DuckDB twin rebuilds identical lines from token
     * positions.
     */
-  private def docsWithLines(s: SparkSession, dir: String): DataFrame = {
+  /** The docsWithLines planting over ANY (doc_id, text) frame — shared by
+    * the filter_lines query and the crawl-full capstone so the line
+    * synthesis cannot drift between them. */
+  private[graft] def withSyntheticLines(d: DataFrame): DataFrame = {
     val toks = graft.functions.tokens(col("text"))
     val nSeg = ceil(size(toks).cast("double") / 12).cast("int")
     val segs = transform(sequence(lit(0), nSeg - 1), i =>
@@ -925,10 +928,13 @@ object SparkEntry {
     val withBlocked = when(col("doc_id") % 4 === 0,
       concat(array(lit("please enable javascript and accept our cookie policy.")),
         segs)).otherwise(segs)
-    docs(s, dir).select(col("doc_id"),
+    d.select(col("doc_id"),
       when(size(toks) > 0, array_join(withBlocked, "\n"))
         .otherwise(lit("")).as("text"))
   }
+
+  private def docsWithLines(s: SparkSession, dir: String): DataFrame =
+    withSyntheticLines(docs(s, dir).select(col("doc_id"), col("text")))
 
   private def filterLinesQuery(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.filterLines(docsWithLines(s, dir), "doc_id", "text")
@@ -982,6 +988,82 @@ object SparkEntry {
     * the arg-min struct. Fully-line-filtered docs score 0.25 and drop at
     * the quality cut — an empty page is not trainable content.
     */
+  /** The FULL crawl-curation capstone — the whole platform chained once:
+    * HTML extract → synthetic-line split + C4 line filter → Gopher gate →
+    * exact dedup → MinHash canonicalize → quality-stratified mix →
+    * shuffle shards. Every stage is the standard operator at the standard
+    * oracle parameters (the single-stage rows 123/125/147/17/112/110/56);
+    * this function only pins the COLUMN CONTRACTS between them. Takes the
+    * raw (doc_id, text) frame so the hand-survival spec can feed
+    * controlled documents through all seven stages.
+    */
+  private[graft] def crawlFullPipeline(raw: DataFrame): DataFrame = {
+    // 1 — HTML extraction over the standard synthetic wrapper
+    val extracted = TextAnalysis
+      .extractHtmlText(withSyntheticHtml(raw), "doc_id", "text")
+      .select(col("doc_id"), col("text_extracted").as("text"))
+    // 2 — line synthesis (the docsWithLines planting) + C4 line filter
+    val filtered = TextAnalysis
+      .filterLines(withSyntheticLines(extracted), "doc_id", "text")
+      .select(col("id").as("doc_id"), col("text_kept"))
+    // 3 — Gopher gate at the filter_gopher oracle thresholds
+    val gophered = TextAnalysis.gopherFilter(filtered, "doc_id", "text_kept",
+        minWords = 30, maxWords = 500, maxSymbolWordPct = 2,
+        maxBulletLinePct = 15, maxEllipsisLinePct = 20, maxDupLinePct = 10,
+        keep = Seq("text_kept"))
+      .filter(col("keep"))
+      .select(col("doc_id"), col("text_kept"))
+    // 4 — exact dedup of the cleaned text (min doc_id canonical, n_dups)
+    val exactDeduped = Dedup.exact(gophered, Seq("text_kept"), "doc_id")
+    // 5 — MinHash canonicalize (the pipeline_canonicalize chain)
+    val pairs = Dedup.minHashLsh(exactDeduped, "doc_id", "text_kept",
+      threshold = 0.8).select("a_id", "b_id")
+    val clusters = Dedup.connectedComponents(
+      exactDeduped.select(col("doc_id").as("id")), pairs)
+    val quality = TextAnalysis
+      .qualityScore(exactDeduped, "doc_id", "text_kept", keep = Seq("n_dups"))
+      .select(col("doc_id").as("id"), col("n_dups"), col("quality_score"))
+    val canon = clusters.join(quality, "id")
+      .groupBy(col("cluster"))
+      .agg(min(struct((-col("quality_score")).as("nq"), col("id").as("cid"),
+          col("n_dups").as("nd"))).as("_w"),
+        count(lit(1)).as("n_members"))
+      .select(col("_w.cid").as("doc_id"), (-col("_w.nq")).as("quality_score"),
+        col("_w.nd").as("n_dups"), col("n_members"))
+      // the three mix branches below each filter this frame — materialize
+      // the whole seven-stage chain once, not thrice (lazy: the mix's own
+      // first job pays for it)
+      .withColumn("bucket",
+        when(col("quality_score") >= 0.75, "head")
+          .when(col("quality_score") >= 0.65, "middle").otherwise("tail"))
+      .localCheckpoint(false)
+    // 6 — quality-stratified mixing (head 2 epochs, middle 1, tail 30%)
+    def part(b: String) = canon.filter(col("bucket") === b)
+      .select("doc_id", "quality_score", "n_dups", "n_members")
+    val mixed = ops.Sampling.mixCorpora(Seq(
+      ("head", part("head"), 200),
+      ("middle", part("middle"), 100),
+      ("tail", part("tail"), 30)), "doc_id")
+    // 7 — shuffle-sharding on the (doc, copy) identity
+    val keyed = mixed.withColumn("shard_key",
+      concat(col("doc_id").cast("string"), lit("_"), col("copy_id").cast("string")))
+    ops.Sampling.shuffleShards(keyed, "shard_key", numShards = 8)
+      .select(col("doc_id"), col("mix_source"), col("copy_id"),
+        col("quality_score"), col("n_dups"), col("n_members"),
+        col("shard"), col("position"))
+  }
+
+  /** sf-corpus capstone run: documents plus exact twins (same text,
+    * doc_id+100002 — offset ≡ 0 mod 3 keeps the line-punct planting
+    * identical, so the twin's cleaned text is byte-identical and stage 4
+    * provably collapses it; near-dup merging is pinned by the hand spec,
+    * where token streams are controlled). */
+  private def pipelineCrawlFull(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir).select(col("doc_id"), col("text"))
+    crawlFullPipeline(d.unionByName(
+      d.withColumn("doc_id", col("doc_id") + 100002L)))
+  }
+
   private def pipelineCrawlClean(s: SparkSession, dir: String): DataFrame = {
     val filtered = TextAnalysis.filterLines(docsWithLines(s, dir), "doc_id", "text")
       .select(col("id").as("doc_id"), col("text_kept"))
@@ -1013,15 +1095,22 @@ object SparkEntry {
     * extract as the literal `&lt;`). The DuckDB twin replays the same
     * concatenation.
     */
+  private[graft] val htmlPrefix =
+    "<html><head><title>t</title><style>body { color: red; }</style>" +
+      "<script>var x = 1 && 2;</script><!-- hidden --></head>" +
+      "<body><p id=\"a\">"
+  private[graft] val htmlSuffix =
+    "</p><br/><div class=\"f\">Tom &amp; Jerry &lt;3 &quot;q&quot; " +
+      "&#39;s&#39; &amp;lt; x&nbsp;y</div></body></html>"
+
+  /** The synthetic HTML wrapper over ANY (doc_id, text) frame — shared by
+    * the extract_html query and the crawl-full capstone. */
+  private[graft] def withSyntheticHtml(d: DataFrame): DataFrame =
+    d.select(col("doc_id"),
+      concat(lit(htmlPrefix), col("text"), lit(htmlSuffix)).as("text"))
+
   private def docsWithHtml(s: SparkSession, dir: String): DataFrame =
-    docs(s, dir).select(col("doc_id"),
-      concat(
-        lit("<html><head><title>t</title><style>body { color: red; }</style>" +
-          "<script>var x = 1 && 2;</script><!-- hidden --></head>" +
-          "<body><p id=\"a\">"),
-        col("text"),
-        lit("</p><br/><div class=\"f\">Tom &amp; Jerry &lt;3 &quot;q&quot; " +
-          "&#39;s&#39; &amp;lt; x&nbsp;y</div></body></html>")).as("text"))
+    withSyntheticHtml(docs(s, dir).select(col("doc_id"), col("text")))
 
   private def extractHtmlQuery(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.extractHtmlText(docsWithHtml(s, dir), "doc_id", "text")
@@ -2156,6 +2245,7 @@ object SparkEntry {
     "filter_lines" -> (filterLinesQuery _),
     "filter_gopher" -> (filterGopherQuery _),
     "pipeline_crawl_clean" -> (pipelineCrawlClean _),
+    "pipeline_crawl_full" -> (pipelineCrawlFull _),
     "inverted_index" -> (invertedIndexQuery _),
     "cooccurrence" -> (cooccurrenceQuery _),
     "mix_corpora" -> (mixCorporaQuery _),
@@ -2245,10 +2335,13 @@ object SparkEntry {
     val evCte =
       """ev AS (SELECT user_id, epoch_us(ts) AS ts_us, event_id, value, event_type
         |FROM events)""".stripMargin
-    val toksCte =
-      """t AS (SELECT doc_id, text,
-        |list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> len(x) > 0) AS toks
-        |FROM documents)""".stripMargin
+    // tokenization CTE over ANY (doc_id, text) source — the capstone reuses
+    // it over its stage outputs, documents-based oracles over the table
+    def toksCteFrom(src: String): String =
+      s"""t AS (SELECT doc_id, text,
+         |list_filter(string_split_regex(lower(trim(text)), '\\s+'), x -> len(x) > 0) AS toks
+         |FROM $src)""".stripMargin
+    val toksCte = toksCteFrom("documents")
     // planted corpus + tokenization, shared by all three window-dedup
     // oracles (one definition so the replays cannot drift)
     // the image dHash populations (base + re-encoded + resized twins,
@@ -2338,9 +2431,11 @@ object SparkEntry {
     // line-filter replay (the docsWithLines synthesis + the three C4
     // rules), shared by filter_lines and pipeline_crawl_clean; ends in
     // CTE `lf` (doc_id, text_kept, n_lines, n_kept)
-    val lineFilterCtes =
-      (s"""$toksCte,
-         |ex AS (SELECT doc_id, unnest(toks) AS tok,
+    // the synthetic-line planting + C4 line filter, reading the `t` CTE
+    // (doc_id, text, toks) — shared by filter_lines, pipeline_crawl_clean,
+    // and the crawl-full capstone (which feeds its own `t`)
+    val lineFilterChain =
+      (s"""ex AS (SELECT doc_id, unnest(toks) AS tok,
          |  generate_subscripts(toks, 1) AS p FROM t),
          |segs AS (SELECT doc_id, CAST((p - 1) // 12 AS INT) AS pos,
          |  string_agg(tok, ' ' ORDER BY p) ||
@@ -2367,6 +2462,114 @@ object SparkEntry {
          |  CAST(coalesce(nl.n_lines, 0) AS BIGINT) AS n_lines,
          |  CAST(coalesce(lagg.n_kept, 0) AS BIGINT) AS n_kept
          |FROM t LEFT JOIN nl USING (doc_id) LEFT JOIN lagg USING (doc_id))""".stripMargin)
+    val lineFilterCtes = toksCte + ",\n" + lineFilterChain
+    def sqlList(ws: Seq[String]): String = ws.map(w => s"'$w'").mkString("[", ", ", "]")
+    val allStops = sqlList(TextAnalysis.stopwords.values.flatten.toSeq.distinct)
+    // the synthetic HTML wrapper + extraction chain over ANY (doc_id, text)
+    // source — ends in CTE `f` (doc_id, text_extracted); shared by
+    // extract_html and the crawl-full capstone
+    def htmlExtractCtes(src: String): String =
+      s"""h AS (SELECT doc_id,
+         |  '<html><head><title>t</title><style>body { color: red; }</style>' ||
+         |  '<script>var x = 1 && 2;</script><!-- hidden --></head>' ||
+         |  '<body><p id="a">' || text ||
+         |  '</p><br/><div class="f">Tom &amp; Jerry &lt;3 &quot;q&quot; ' ||
+         |  '&#39;s&#39; &amp;lt; x&nbsp;y</div></body></html>' AS html
+         |  FROM $src),
+         |a1 AS (SELECT doc_id,
+         |  regexp_replace(html, '(?is)<script.*?</script>', ' ', 'g') AS t FROM h),
+         |a2 AS (SELECT doc_id,
+         |  regexp_replace(t, '(?is)<style.*?</style>', ' ', 'g') AS t FROM a1),
+         |a3 AS (SELECT doc_id,
+         |  regexp_replace(t, '(?s)<!--.*?-->', ' ', 'g') AS t FROM a2),
+         |a4 AS (SELECT doc_id,
+         |  regexp_replace(t, '<[^>]+>', ' ', 'g') AS t FROM a3),
+         |a5 AS (SELECT doc_id, replace(replace(replace(replace(replace(replace(t,
+         |  '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''),
+         |  '&nbsp;', ' '), '&amp;', '&') AS t FROM a4),
+         |f AS (SELECT doc_id,
+         |  coalesce(trim(regexp_replace(t, '\\s+', ' ', 'g')), '') AS text_extracted
+         |  FROM a5)""".stripMargin
+    // Gopher gate — the filter_gopher oracle thresholds and stats chain,
+    // shared verbatim with the crawl-full capstone. The chain reads ANY
+    // (doc_id, text) CTE; lines derive by the operator's own rule (split on
+    // \n, drop blank-trim lines). Ends in CTE `gc`.
+    val gWordsOk = "n_words >= 30 AND n_words <= 500"
+    val gMeanOk =
+      "n_word_chars * 100 >= 300 * n_words AND n_word_chars * 100 <= 1000 * n_words"
+    val gAlphaOk = "n_alpha_words * 100 >= 80 * n_words"
+    val gSymbolOk = "n_symbols * 100 <= 2 * n_words"
+    val gBulletOk = "n_bullet_lines * 100 <= 15 * n_lines"
+    val gEllipsisOk = "n_ellipsis_lines * 100 <= 20 * n_lines"
+    val gDupOk = "(n_lines - n_distinct_lines) * 100 <= 10 * n_lines"
+    val gStopOk = "n_stopword_hits >= 2"
+    val gKeepCond =
+      s"($gWordsOk) AND ($gMeanOk) AND ($gAlphaOk) AND ($gSymbolOk) AND " +
+        s"($gBulletOk) AND ($gEllipsisOk) AND ($gDupOk) AND ($gStopOk)"
+    def gopherChain(docSrc: String): String =
+      s"""gl AS (SELECT doc_id, unnest(list_filter(string_split(text, chr(10)),
+         |    x -> len(trim(x)) > 0)) AS line FROM $docSrc),
+         |gtk AS (SELECT doc_id, text,
+         |  list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+         |    x -> len(x) > 0) AS toks2 FROM $docSrc),
+         |gwc AS (SELECT doc_id, len(toks2) AS n_words,
+         |  coalesce(list_sum(list_transform(toks2, x -> len(x))), 0) AS n_word_chars,
+         |  len(list_filter(toks2, x -> regexp_matches(x, '[a-z]'))) AS n_alpha_words,
+         |  len(list_filter(toks2, x -> list_contains($allStops, x))) AS n_stopword_hits,
+         |  (len(text) - len(replace(text, '#', ''))) +
+         |    (len(text) - len(replace(text, '…', ''))) +
+         |    (len(text) - len(replace(text, '...', ''))) // 3 AS n_symbols
+         |  FROM gtk),
+         |glc AS (SELECT doc_id, count(*) AS n_lines,
+         |  count(DISTINCT line) AS n_distinct_lines,
+         |  count(*) FILTER (WHERE left(ltrim(line), 1) IN ('-', '*', '•'))
+         |    AS n_bullet_lines,
+         |  count(*) FILTER (WHERE right(rtrim(line), 3) = '...'
+         |    OR right(rtrim(line), 1) = '…') AS n_ellipsis_lines
+         |  FROM gl GROUP BY doc_id),
+         |gc AS (SELECT gwc.doc_id, n_words, n_word_chars, n_alpha_words,
+         |  n_stopword_hits, coalesce(n_lines, 0) AS n_lines,
+         |  coalesce(n_distinct_lines, 0) AS n_distinct_lines,
+         |  coalesce(n_bullet_lines, 0) AS n_bullet_lines,
+         |  coalesce(n_ellipsis_lines, 0) AS n_ellipsis_lines, n_symbols
+         |  FROM gwc LEFT JOIN glc USING (doc_id))""".stripMargin
+    // MinHash-canonicalize replay over ANY (doc_id, text) CTE: all-pairs
+    // shingle-Jaccard ground truth → transitive closure → (quality desc, id)
+    // argmax. Requires WITH RECURSIVE. Ends in CTEs `ccl` (id, cluster) and
+    // `cjq` (id, quality_score). Shared by pipeline_canonicalize (planted
+    // corpus) and the crawl-full capstone (cleaned corpus).
+    def canonicalizeCtes(docSrc: String): String =
+      s"""ct AS (SELECT doc_id, text,
+         |  list_filter(string_split_regex(lower(trim(text)), '\\s+'), x -> len(x) > 0) AS toks
+         |  FROM $docSrc),
+         |csh AS (SELECT doc_id,
+         |  list_distinct(CASE WHEN len(toks) = 0 THEN CAST([] AS VARCHAR[])
+         |    WHEN len(toks) >= 3
+         |    THEN list_transform(range(1, len(toks) - 1),
+         |         i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+         |    ELSE [array_to_string(toks, ' ')] END) AS sh
+         |  FROM ct),
+         |ce AS (SELECT a.doc_id AS a, b.doc_id AS b
+         |  FROM csh a JOIN csh b ON a.doc_id < b.doc_id
+         |  WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+         |        len(list_distinct(a.sh || b.sh)) >= 0.8),
+         |cedges AS (SELECT a, b FROM ce UNION ALL SELECT b, a FROM ce),
+         |creach(src, dst) AS (
+         |  SELECT doc_id, doc_id FROM ct
+         |  UNION
+         |  SELECT r.src, ed.b FROM creach r JOIN cedges ed ON r.dst = ed.a),
+         |ccl AS (SELECT src AS id, min(dst) AS cluster FROM creach GROUP BY src),
+         |ccnt AS (SELECT doc_id, text, len(toks) AS n_tokens,
+         |  len(list_filter(toks, x -> list_contains($allStops, x))) AS n_stopwords,
+         |  len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS n_punct,
+         |  len(list_distinct(toks)) AS n_distinct_tokens,
+         |  length(text) AS n_chars FROM ct),
+         |cjq AS (SELECT doc_id AS id, round(
+         |    least(n_tokens / 20.0, 1.0) * 0.25 +
+         |    (1.0 - least(n_punct / greatest(CAST(n_chars AS DOUBLE), 1.0) * 4.0, 1.0)) * 0.25 +
+         |    (n_distinct_tokens / greatest(CAST(n_tokens AS DOUBLE), 1.0)) * 0.25 +
+         |    least(n_stopwords / greatest(CAST(n_tokens AS DOUBLE), 1.0) * 5.0, 1.0) * 0.25,
+         |    6) AS quality_score FROM ccnt)""".stripMargin
     // substring-window dedup replay, shared by dedup_windows and
     // pipeline_substring_dedup: slide → first-occurrence arg-min →
     // interval reassembly, ending in CTE `fin`
@@ -2426,8 +2629,6 @@ object SparkEntry {
         |lmagg AS (SELECT d.doc_id, CAST(count(sq.q) AS BIGINT) AS n_bigrams,
         |  CAST(coalesce(sum(sq.q), 0) AS BIGINT) AS score_sum
         |  FROM documents d LEFT JOIN sq USING (doc_id) GROUP BY d.doc_id)""".stripMargin
-    def sqlList(ws: Seq[String]): String = ws.map(w => s"'$w'").mkString("[", ", ", "]")
-    val allStops = sqlList(TextAnalysis.stopwords.values.flatten.toSeq.distinct)
     // shared deterministic-Lloyd training CTEs (knn_ivf + kmeans_clusters +
     // kmeans_sample_train): c = corpus, ct = train set (md5-bucket sample of
     // c when trainPercent < 100 — the Sampling.hashSample rule), cent_0 =
@@ -3116,47 +3317,17 @@ object SparkEntry {
       // ties to min doc_id — the (quality desc, id) argmax both engines
       // compute on the identical round(.,6) score
       "pipeline_canonicalize" ->
-        """WITH RECURSIVE u AS (SELECT doc_id, text FROM documents UNION ALL
-          |           SELECT doc_id + 100000, text || ' graftdup' FROM documents),
-          |t AS (SELECT doc_id, text,
-          |  list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> len(x) > 0) AS toks
-          |  FROM u),
-          |sh AS (SELECT doc_id,
-          |  list_distinct(CASE WHEN len(toks) = 0 THEN CAST([] AS VARCHAR[])
-          |    WHEN len(toks) >= 3
-          |    THEN list_transform(range(1, len(toks) - 1),
-          |         i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
-          |    ELSE [array_to_string(toks, ' ')] END) AS sh
-          |  FROM t),
-          |e AS (SELECT a.doc_id AS a, b.doc_id AS b
-          |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-          |  WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
-          |        len(list_distinct(a.sh || b.sh)) >= 0.8),
-          |edges AS (SELECT a, b FROM e UNION ALL SELECT b, a FROM e),
-          |reach(src, dst) AS (
-          |  SELECT doc_id, doc_id FROM u
-          |  UNION
-          |  SELECT r.src, ed.b FROM reach r JOIN edges ed ON r.dst = ed.a),
-          |cl AS (SELECT src AS id, min(dst) AS cluster FROM reach GROUP BY src),
-          |c AS (SELECT doc_id, len(toks) AS n_tokens,
-          |  len(list_filter(toks, x -> list_contains(GRAFT_STOPS, x))) AS n_stopwords,
-          |  len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS n_punct,
-          |  len(list_distinct(toks)) AS n_distinct_tokens,
-          |  length(text) AS n_chars FROM t),
-          |q AS (SELECT doc_id AS id, round(
-          |    least(n_tokens / 20.0, 1.0) * 0.25 +
-          |    (1.0 - least(n_punct / greatest(CAST(n_chars AS DOUBLE), 1.0) * 4.0, 1.0)) * 0.25 +
-          |    (n_distinct_tokens / greatest(CAST(n_tokens AS DOUBLE), 1.0)) * 0.25 +
-          |    least(n_stopwords / greatest(CAST(n_tokens AS DOUBLE), 1.0) * 5.0, 1.0) * 0.25,
-          |    6) AS quality_score FROM c),
-          |j AS (SELECT cl.cluster, cl.id, q.quality_score,
-          |  row_number() OVER (PARTITION BY cl.cluster
-          |    ORDER BY q.quality_score DESC, cl.id) AS rn
-          |  FROM cl JOIN q USING (id))
-          |SELECT cluster, max(CASE WHEN rn = 1 THEN id END) AS canonical_id,
-          |  max(CASE WHEN rn = 1 THEN quality_score END) AS quality_score,
-          |  count(*) AS n_members
-          |FROM j GROUP BY cluster""".stripMargin.replace("GRAFT_STOPS", allStops),
+        s"""WITH RECURSIVE u AS (SELECT doc_id, text FROM documents UNION ALL
+           |           SELECT doc_id + 100000, text || ' graftdup' FROM documents),
+           |${canonicalizeCtes("u")},
+           |j AS (SELECT ccl.cluster, ccl.id, cjq.quality_score,
+           |  row_number() OVER (PARTITION BY ccl.cluster
+           |    ORDER BY cjq.quality_score DESC, ccl.id) AS rn
+           |  FROM ccl JOIN cjq USING (id))
+           |SELECT cluster, max(CASE WHEN rn = 1 THEN id END) AS canonical_id,
+           |  max(CASE WHEN rn = 1 THEN quality_score END) AS quality_score,
+           |  count(*) AS n_members
+           |FROM j GROUP BY cluster""".stripMargin,
       // The LSH oracle replicates the ALGORITHM in DuckDB: the seeded
       // hyperplanes are embedded as literals (Double.toString round-trips
       // exactly), buckets/probes/rank recompute independently. Sign parity is
@@ -4322,16 +4493,7 @@ object SparkEntry {
       // positions (bullet prefix every (doc_id+pos)%5, ellipsis terminal
       // every %7, first line re-appended every 6th doc), then every counter
       // and every cross-multiplied integer rule verdict end-to-end
-      "filter_gopher" -> {
-        val wordsOk = "n_words >= 30 AND n_words <= 500"
-        val meanOk =
-          "n_word_chars * 100 >= 300 * n_words AND n_word_chars * 100 <= 1000 * n_words"
-        val alphaOk = "n_alpha_words * 100 >= 80 * n_words"
-        val symbolOk = "n_symbols * 100 <= 2 * n_words"
-        val bulletOk = "n_bullet_lines * 100 <= 15 * n_lines"
-        val ellipsisOk = "n_ellipsis_lines * 100 <= 20 * n_lines"
-        val dupOk = "(n_lines - n_distinct_lines) * 100 <= 10 * n_lines"
-        val stopOk = "n_stopword_hits >= 2"
+      "filter_gopher" ->
         s"""WITH $toksCte,
            |ex AS (SELECT doc_id, unnest(toks) AS tok,
            |  generate_subscripts(toks, 1) AS p FROM t),
@@ -4348,30 +4510,7 @@ object SparkEntry {
            |doc AS (SELECT t.doc_id, coalesce(d.text, '') AS text FROM t LEFT JOIN
            |  (SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS text
            |   FROM al GROUP BY doc_id) d USING (doc_id)),
-           |tk AS (SELECT doc_id, text,
-           |  list_filter(string_split_regex(lower(trim(text)), '\\s+'),
-           |    x -> len(x) > 0) AS toks2 FROM doc),
-           |wc AS (SELECT doc_id, len(toks2) AS n_words,
-           |  coalesce(list_sum(list_transform(toks2, x -> len(x))), 0) AS n_word_chars,
-           |  len(list_filter(toks2, x -> regexp_matches(x, '[a-z]'))) AS n_alpha_words,
-           |  len(list_filter(toks2, x -> list_contains($allStops, x))) AS n_stopword_hits,
-           |  (len(text) - len(replace(text, '#', ''))) +
-           |    (len(text) - len(replace(text, '…', ''))) +
-           |    (len(text) - len(replace(text, '...', ''))) // 3 AS n_symbols
-           |  FROM tk),
-           |lc AS (SELECT doc_id, count(*) AS n_lines,
-           |  count(DISTINCT line) AS n_distinct_lines,
-           |  count(*) FILTER (WHERE left(ltrim(line), 1) IN ('-', '*', '•'))
-           |    AS n_bullet_lines,
-           |  count(*) FILTER (WHERE right(rtrim(line), 3) = '...'
-           |    OR right(rtrim(line), 1) = '…') AS n_ellipsis_lines
-           |  FROM al GROUP BY doc_id),
-           |c AS (SELECT wc.doc_id, n_words, n_word_chars, n_alpha_words,
-           |  n_stopword_hits, coalesce(n_lines, 0) AS n_lines,
-           |  coalesce(n_distinct_lines, 0) AS n_distinct_lines,
-           |  coalesce(n_bullet_lines, 0) AS n_bullet_lines,
-           |  coalesce(n_ellipsis_lines, 0) AS n_ellipsis_lines, n_symbols
-           |  FROM wc LEFT JOIN lc USING (doc_id))
+           |${gopherChain("doc")}
            |SELECT doc_id,
            |  CAST(n_words AS BIGINT) AS n_words,
            |  CAST(n_word_chars AS BIGINT) AS n_word_chars,
@@ -4382,19 +4521,16 @@ object SparkEntry {
            |  CAST(n_bullet_lines AS BIGINT) AS n_bullet_lines,
            |  CAST(n_ellipsis_lines AS BIGINT) AS n_ellipsis_lines,
            |  CAST(n_symbols AS BIGINT) AS n_symbols,
-           |  CAST($wordsOk AS INT) AS words_ok,
-           |  CAST($meanOk AS INT) AS mean_word_len_ok,
-           |  CAST($alphaOk AS INT) AS alpha_ok,
-           |  CAST($symbolOk AS INT) AS symbol_ok,
-           |  CAST($bulletOk AS INT) AS bullet_ok,
-           |  CAST($ellipsisOk AS INT) AS ellipsis_ok,
-           |  CAST($dupOk AS INT) AS dup_line_ok,
-           |  CAST($stopOk AS INT) AS stopword_ok,
-           |  CAST(($wordsOk) AND ($meanOk) AND ($alphaOk) AND ($symbolOk)
-           |    AND ($bulletOk) AND ($ellipsisOk) AND ($dupOk) AND ($stopOk)
-           |    AS INT) AS keep
-           |FROM c""".stripMargin
-      },
+           |  CAST($gWordsOk AS INT) AS words_ok,
+           |  CAST($gMeanOk AS INT) AS mean_word_len_ok,
+           |  CAST($gAlphaOk AS INT) AS alpha_ok,
+           |  CAST($gSymbolOk AS INT) AS symbol_ok,
+           |  CAST($gBulletOk AS INT) AS bullet_ok,
+           |  CAST($gEllipsisOk AS INT) AS ellipsis_ok,
+           |  CAST($gDupOk AS INT) AS dup_line_ok,
+           |  CAST($gStopOk AS INT) AS stopword_ok,
+           |  CAST($gKeepCond AS INT) AS keep
+           |FROM gc""".stripMargin,
       // the crawl-ingest composition: line filter → quality score over the
       // KEPT text → >= 0.5 cut → exact dedup of the cleaned text (smallest
       // doc_id per distinct cleaned content wins; its score rides through)
@@ -4421,33 +4557,70 @@ object SparkEntry {
            |SELECT min(doc_id) AS doc_id, count(*) AS n_dups,
            |       arg_min(quality_score, doc_id) AS quality_score
            |FROM f2 GROUP BY lower(trim(text))""".stripMargin),
+      // the CAPSTONE: all seven stages chained from the SAME shared
+      // fragments the single-stage oracles use (htmlExtractCtes,
+      // toksCteFrom+lineFilterChain, gopherChain+gKeepCond,
+      // canonicalizeCtes) — composition cannot drift from the stages
+      "pipeline_crawl_full" ->
+        s"""WITH RECURSIVE
+           |u0 AS (SELECT doc_id, text FROM documents
+           |       UNION ALL SELECT doc_id + 100002, text FROM documents),
+           |${htmlExtractCtes("u0")},
+           |x AS (SELECT doc_id, text_extracted AS text FROM f),
+           |${toksCteFrom("x")},
+           |$lineFilterChain,
+           |g0 AS (SELECT doc_id, text_kept AS text FROM lf),
+           |${gopherChain("g0")},
+           |gk AS (SELECT g0.doc_id, g0.text FROM g0 JOIN gc USING (doc_id)
+           |       WHERE $gKeepCond),
+           |edd AS (SELECT min(doc_id) AS doc_id, arg_min(text, doc_id) AS text,
+           |        count(*) AS n_dups
+           |        FROM gk GROUP BY lower(trim(text))),
+           |${canonicalizeCtes("edd")},
+           |j2 AS (SELECT ccl.cluster, ccl.id, cjq.quality_score, nd.n_dups,
+           |  row_number() OVER (PARTITION BY ccl.cluster
+           |    ORDER BY cjq.quality_score DESC, ccl.id) AS rn,
+           |  count(*) OVER (PARTITION BY ccl.cluster) AS n_members
+           |  FROM ccl JOIN cjq USING (id)
+           |  JOIN (SELECT doc_id AS id, n_dups FROM edd) nd USING (id)),
+           |canon AS (SELECT id AS doc_id, quality_score, n_dups, n_members
+           |  FROM j2 WHERE rn = 1),
+           |bk AS (SELECT *,
+           |  CASE WHEN quality_score >= 0.75 THEN 'head'
+           |       WHEN quality_score >= 0.65 THEN 'middle' ELSE 'tail' END AS bucket,
+           |  CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 6)) AS BIGINT) % 100
+           |    AS hb FROM canon),
+           |mu AS (
+           |  SELECT doc_id, quality_score, n_dups, n_members, bucket, 2 AS n
+           |    FROM bk WHERE bucket = 'head'
+           |  UNION ALL SELECT doc_id, quality_score, n_dups, n_members, bucket, 1 AS n
+           |    FROM bk WHERE bucket = 'middle'
+           |  UNION ALL SELECT doc_id, quality_score, n_dups, n_members, bucket,
+           |    CASE WHEN hb < 30 THEN 1 ELSE 0 END AS n
+           |    FROM bk WHERE bucket = 'tail'),
+           |mixed AS (SELECT doc_id, bucket AS mix_source,
+           |  CAST(unnest(range(1, n + 1)) AS INT) AS copy_id,
+           |  quality_score, n_dups, n_members FROM mu),
+           |sd AS (SELECT *,
+           |  CAST(doc_id AS VARCHAR) || '_' || CAST(copy_id AS VARCHAR) AS shard_key,
+           |  md5(CAST(doc_id AS VARCHAR) || '_' || CAST(copy_id AS VARCHAR)) AS dg
+           |  FROM mixed),
+           |ss AS (SELECT *,
+           |  CAST(CAST(concat('0x', substr(dg, 1, 6)) AS BIGINT) % 8 AS INT) AS shard
+           |  FROM sd)
+           |SELECT doc_id, mix_source, copy_id, quality_score,
+           |  CAST(n_dups AS BIGINT) AS n_dups,
+           |  CAST(n_members AS BIGINT) AS n_members, shard,
+           |  CAST(row_number() OVER (PARTITION BY shard ORDER BY dg, shard_key) - 1
+           |    AS BIGINT) AS position
+           |FROM ss""".stripMargin,
       // HTML extraction: identical regex chain (RE2-compatible patterns),
       // entity decode by literal replace in the same order — &amp; LAST, so
       // the planted &amp;lt; renders the literal &lt;, never double-decodes
       "extract_html" ->
-        """WITH h AS (SELECT doc_id,
-          |  '<html><head><title>t</title><style>body { color: red; }</style>'
-          |  || '<script>var x = 1 && 2;</script><!-- hidden --></head>'
-          |  || '<body><p id="a">' || text
-          |  || '</p><br/><div class="f">Tom &amp; Jerry &lt;3 &quot;q&quot; '
-          |  || '&#39;s&#39; &amp;lt; x&nbsp;y</div></body></html>' AS html
-          |  FROM documents),
-          |a1 AS (SELECT doc_id,
-          |  regexp_replace(html, '(?is)<script.*?</script>', ' ', 'g') AS t FROM h),
-          |a2 AS (SELECT doc_id,
-          |  regexp_replace(t, '(?is)<style.*?</style>', ' ', 'g') AS t FROM a1),
-          |a3 AS (SELECT doc_id,
-          |  regexp_replace(t, '(?s)<!--.*?-->', ' ', 'g') AS t FROM a2),
-          |a4 AS (SELECT doc_id,
-          |  regexp_replace(t, '<[^>]+>', ' ', 'g') AS t FROM a3),
-          |a5 AS (SELECT doc_id, replace(replace(replace(replace(replace(replace(t,
-          |  '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''),
-          |  '&nbsp;', ' '), '&amp;', '&') AS t FROM a4),
-          |f AS (SELECT doc_id,
-          |  coalesce(trim(regexp_replace(t, '\s+', ' ', 'g')), '') AS text_extracted
-          |  FROM a5)
-          |SELECT doc_id, text_extracted,
-          |  length(text_extracted) AS n_chars_extracted FROM f""".stripMargin,
+        s"""WITH ${htmlExtractCtes("documents")}
+           |SELECT doc_id, text_extracted,
+           |  length(text_extracted) AS n_chars_extracted FROM f""".stripMargin,
       "text_normalize" ->
         """WITH m AS (SELECT doc_id,
           |  CASE WHEN doc_id % 4 = 0

@@ -36,6 +36,9 @@ class PlanGateSpec extends SparkTestBase {
     // frozen-centroid train collects the centroid matrix at build time
     // (the kmeans_clusters signature)
     "dedup_semantic_against",
+    // seven-stage capstone: the canonicalize stage runs minhash + CC
+    // checkpoints at build time (the pipeline_canonicalize signature)
+    "pipeline_crawl_full",
     "knn_ivf", "kmeans_clusters", "kmeans_sample_train", "bpe_merges",
     "bpe_encode", "bpe_merges_bytes", "bpe_encode_bytes",
     "pipeline_cluster_shard", "pipeline_canonicalize",

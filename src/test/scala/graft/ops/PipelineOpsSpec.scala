@@ -560,6 +560,63 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(outB.getString(3) === fp("since version <IP> we ship daily"))
   }
 
+  test("crawlFullPipeline: one hand-traced corpus survives all seven stages correctly") {
+    import spark.implicits._
+    // 96 controlled tokens: alpha-heavy 8-char words, "the" every 12th for
+    // the stopword gate; the planting math (12-token lines, (id+i)%3 period
+    // rule) then decides exactly which lines survive per doc id
+    def toks(tweak: Int => String): String =
+      (1 to 96).map(k => if (k % 12 == 1) "the" else tweak(k)).mkString(" ")
+    val base = toks(k => s"word${k}xx")
+    val nearDup = toks(k => if (k == 50) "zzqq" else s"word${k}xx") // 1 token off
+    val short = (1 to 24).map(k => if (k % 12 == 1) "the" else s"word${k}xx").mkString(" ")
+    val df = Seq(
+      (1L, base),        // A: survives end-to-end
+      (100003L, base),   // B: exact twin of A (same %3 class) -> stage-4 collapse
+      (4L, nearDup),     // C: near twin of A (same %3 class) -> stage-5 merge
+      (7L, short),       // D: too few kept words -> Gopher kills it
+      (8L, base)         // F: %4==0 gets the blocked javascript line -> filtered, doc survives
+    ).toDF("doc_id", "text")
+    val out = graft.SparkEntry.crawlFullPipeline(df).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getInt(2), r.getDouble(3),
+        r.getLong(4), r.getLong(5), r.getInt(6), r.getLong(7)))
+    val byDoc = out.groupBy(_._1)
+    // D is gone; B collapsed into A (exact); C merged into A's semantic
+    // group (near-dup), so exactly ONE of {1, 4} is canonical
+    assert(!byDoc.contains(7L), "short doc must die at the Gopher gate")
+    assert(!byDoc.contains(100003L), "exact twin must collapse at stage 4")
+    val abCanon = Seq(1L, 4L).filter(byDoc.contains)
+    assert(abCanon.size === 1, s"exactly one canonical of the near-dup pair, got $abCanon")
+    val canon = byDoc(abCanon.head).head
+    assert(canon._6 === 2L, "semantic group {A, C} has two members")
+    // A's exact-dup count rode through iff A won the quality argmax
+    if (abCanon.head == 1L) assert(canon._5 === 2L, "A carries n_dups 2 (B collapsed)")
+    assert(byDoc.contains(8L), "blocked-line doc survives once the line drops")
+    // stage 6/7 invariants for every surviving doc: copies match the bucket
+    // of its own quality score, shard positions are dense per shard
+    byDoc.foreach { case (_, rows) =>
+      val q = rows.head._4
+      val bucket = if (q >= 0.75) "head" else if (q >= 0.65) "middle" else "tail"
+      assert(rows.forall(_._2 == bucket), s"mix_source must equal bucket($q)")
+      val expected = if (bucket == "head") 2 else 1 // tail docs present have 1
+      assert(rows.map(_._3).sorted.toSeq === (1 to expected),
+        s"bucket $bucket docs carry copy_ids 1..$expected")
+    }
+    out.groupBy(_._7).foreach { case (shard, rows) =>
+      assert(rows.map(_._8).sorted.toSeq === rows.indices.map(_.toLong),
+        s"shard $shard positions must be dense 0..n-1")
+    }
+    // the blocked line never leaks into any stage: re-run stage 1+2 alone
+    val lined = graft.ops.TextAnalysis.filterLines(
+      graft.SparkEntry.withSyntheticLines(
+        graft.ops.TextAnalysis.extractHtmlText(
+          graft.SparkEntry.withSyntheticHtml(df.filter(col("doc_id") === 8L)),
+          "doc_id", "text")
+          .select(col("doc_id"), col("text_extracted").as("text"))),
+      "doc_id", "text").select("text_kept").head().getString(0)
+    assert(!lined.toLowerCase.contains("javascript"))
+  }
+
   test("redactPiiV2: Luhn gate redacts valid cards only; all five categories count; no cross-eating") {
     import spark.implicits._
     def fp(s: String): String = java.security.MessageDigest.getInstance("MD5")

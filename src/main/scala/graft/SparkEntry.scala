@@ -57,16 +57,16 @@ object SparkEntry {
 
   private def sourceCsvRoundtrip(s: SparkSession, dir: String): DataFrame = {
     val out = s"$scratchDir/nation_csv"
-    GraftSource.parquet(s"$dir/nation.parquet").load(s)
-      .write.mode("overwrite").option("header", "true").csv(out)
+    graft.sources.FormatIO.write(
+      GraftSource.parquet(s"$dir/nation.parquet").load(s), out, SourceFormat.Csv)
     GraftSource.of(table = Some(out), format = SourceFormat.Csv,
       schemaDdl = Some("n_nationkey INT, n_name STRING, n_regionkey INT")).load(s)
   }
 
   private def sourceJsonRoundtrip(s: SparkSession, dir: String): DataFrame = {
     val out = s"$scratchDir/region_json"
-    GraftSource.parquet(s"$dir/region.parquet").load(s)
-      .write.mode("overwrite").json(out)
+    graft.sources.FormatIO.write(
+      GraftSource.parquet(s"$dir/region.parquet").load(s), out, SourceFormat.Json)
     GraftSource.of(table = Some(out), format = SourceFormat.Json,
       schemaDdl = Some("r_regionkey INT, r_name STRING")).load(s)
   }
@@ -1650,9 +1650,10 @@ object SparkEntry {
 
   private def sourceOrcRoundtrip(s: SparkSession, dir: String): DataFrame = {
     val out = s"$scratchDir/supplier_orc"
-    GraftSource.parquet(s"$dir/supplier.parquet").load(s)
-      .select("s_suppkey", "s_name", "s_nationkey", "s_acctbal")
-      .write.mode("overwrite").orc(out)
+    graft.sources.FormatIO.write(
+      GraftSource.parquet(s"$dir/supplier.parquet").load(s)
+        .select("s_suppkey", "s_name", "s_nationkey", "s_acctbal"),
+      out, SourceFormat.Orc)
     GraftSource.of(table = Some(out), format = SourceFormat.Orc).load(s)
   }
 
@@ -1662,9 +1663,10 @@ object SparkEntry {
   // long/string/double lanes survive the row-format roundtrip bit-exactly
   private def sourceAvroRoundtrip(s: SparkSession, dir: String): DataFrame = {
     val out = s"$scratchDir/customer_avro"
-    graft.sources.AvroIO.write(
+    graft.sources.FormatIO.write(
       GraftSource.parquet(s"$dir/customer.parquet").load(s)
-        .select("c_custkey", "c_name", "c_nationkey", "c_acctbal"), out)
+        .select("c_custkey", "c_name", "c_nationkey", "c_acctbal"),
+      out, SourceFormat.Avro)
     GraftSource.of(table = Some(out), format = SourceFormat.Avro).load(s)
   }
 

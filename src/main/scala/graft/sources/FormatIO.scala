@@ -1,0 +1,44 @@
+package graft.sources
+
+import org.apache.spark.sql.DataFrame
+
+/** Unified WRITE side of the format family — the mirror of
+  * [[GraftSource]]'s read dispatch (ref: data_engine_offline_store.py
+  * 103-310 reads `format` the same way), so "format family" is a closed
+  * write+read matrix: anything written here reads back through
+  * `GraftSource.of(table, format)` and the FormatMatrixSpec pins the type
+  * surface each format round-trips.
+  *
+  *  - parquet / orc / json: Spark's native writers (columnar codecs +
+  *    whole-stage write path);
+  *  - csv: native writer with `header=true` baked in — a headerless CSV
+  *    directory is unreadable without a side-channel schema, and the read
+  *    side's `schemaDdl` names columns by header;
+  *  - avro: [[AvroIO.write]] (container files via the Hadoop output
+  *    format — no spark-avro module offline).
+  *
+  * Writer parallelism = the frame's partitioning: one file per task, every
+  * format splittable (or many-filed) on read — layout tuning (bucketing,
+  * time partitions, shards) stays [[graft.ops.Layout]]'s job; this is the
+  * FORMAT boundary only.
+  */
+object FormatIO {
+  def write(
+      df: DataFrame,
+      path: String,
+      format: SourceFormat,
+      options: Map[String, String] = Map.empty): Unit = format match {
+    case SourceFormat.Avro =>
+      require(options.isEmpty, "AvroIO carries no writer options")
+      AvroIO.write(df, path)
+    case SourceFormat.Csv =>
+      df.write.mode("overwrite")
+        .options(Map("header" -> "true") ++ options).csv(path)
+    case SourceFormat.Json =>
+      df.write.mode("overwrite").options(options).json(path)
+    case SourceFormat.Orc =>
+      df.write.mode("overwrite").options(options).orc(path)
+    case SourceFormat.Parquet =>
+      df.write.mode("overwrite").options(options).parquet(path)
+  }
+}

@@ -1002,10 +1002,15 @@ object SparkEntry {
     val extracted = TextAnalysis
       .extractHtmlText(withSyntheticHtml(raw), "doc_id", "text")
       .select(col("doc_id"), col("text_extracted").as("text"))
-    // 2 — line synthesis (the docsWithLines planting) + C4 line filter
+    // 2 — line synthesis (the docsWithLines planting) + C4 line filter.
+    // Lazy checkpoint: the Gopher stage's interpreted HOF lambdas reference
+    // the text several times per row — on top of the unmaterialized
+    // extract+line expression tree that re-evaluation costs ~12 s at sf0.1;
+    // materialized strings bring the stage back to its standalone cost
     val filtered = TextAnalysis
       .filterLines(withSyntheticLines(extracted), "doc_id", "text")
       .select(col("id").as("doc_id"), col("text_kept"))
+      .localCheckpoint(false)
     // 3 — Gopher gate at the filter_gopher oracle thresholds
     val gophered = TextAnalysis.gopherFilter(filtered, "doc_id", "text_kept",
         minWords = 30, maxWords = 500, maxSymbolWordPct = 2,
@@ -1013,8 +1018,13 @@ object SparkEntry {
         keep = Seq("text_kept"))
       .filter(col("keep"))
       .select(col("doc_id"), col("text_kept"))
-    // 4 — exact dedup of the cleaned text (min doc_id canonical, n_dups)
+    // 4 — exact dedup of the cleaned text (min doc_id canonical, n_dups).
+    // Lazy checkpoint: the canonicalize stage reads this frame from FOUR
+    // consumers (minhash explode, CC ids, quality, the argmax join-back) —
+    // without it each one re-runs the whole stage-1..4 cleaning chain
+    // (measured 41.8 s vs ~12 s at sf0.1)
     val exactDeduped = Dedup.exact(gophered, Seq("text_kept"), "doc_id")
+      .localCheckpoint(false)
     // 5 — MinHash canonicalize (the pipeline_canonicalize chain)
     val pairs = Dedup.minHashLsh(exactDeduped, "doc_id", "text_kept",
       threshold = 0.8).select("a_id", "b_id")

@@ -1337,6 +1337,7 @@ object SparkEntry {
       2L -> " pay 5555-5555-5555-4444 now",
       3L -> " amex 378282246310005 billed",
       4L -> " iban DE89370400440532013000 wired",
+      10L -> " code DE89370400440532013001 rejected",
       5L -> " call +44 20 7946 0958 today",
       6L -> " call (415) 555-2671 today",
       7L -> " fax 555-123-4567 attn",
@@ -3959,10 +3960,24 @@ object SparkEntry {
            |    WHEN doc_id % 11 = 8 THEN text || ' contact u' || CAST(doc_id AS VARCHAR)
            |      || '@example.com from 10.0.' || CAST(doc_id % 200 AS VARCHAR) || '.7'
            |    WHEN doc_id % 11 = 9 THEN text || ' order 1234567890123456 shipped'
+           |    WHEN doc_id % 11 = 10 THEN text || ' code DE89370400440532013001 rejected'
            |    ELSE text END AS t0 FROM documents),
            |s1 AS (SELECT doc_id, t0,
            |    regexp_replace(t0, '${TextAnalysis.emailRe}', '<EMAIL>', 'g') AS t1 FROM d),
-           |s2 AS (SELECT *, regexp_replace(t1, '${TextAnalysis.ibanRe}', '<IBAN>', 'g') AS t2 FROM s1),
+           |i1 AS (SELECT *, regexp_split_to_array(t1, '${TextAnalysis.ibanRe}') AS ib_parts,
+           |    regexp_extract_all(t1, '${TextAnalysis.ibanRe}') AS ib_raw FROM s1),
+           |i2 AS (SELECT *,
+           |    list_transform(list_transform(ib_raw, m -> substr(m, 5) || substr(m, 1, 4)),
+           |      s -> list_reduce(list_prepend(CAST(0 AS BIGINT),
+           |        list_transform(range(1, length(s) + 1),
+           |          i -> CAST(CASE WHEN s[i] BETWEEN '0' AND '9'
+           |               THEN 10 * 1024 + ascii(s[i]) - 48
+           |               ELSE 100 * 1024 + ascii(s[i]) - 55 END AS BIGINT))),
+           |        (acc, e) -> (acc * (e // 1024) + e % 1024) % 97) = 1) AS ib_ok FROM i1),
+           |s2 AS (SELECT *, array_to_string(list_transform(range(1, len(ib_parts) + 1),
+           |    i -> ib_parts[i] ||
+           |      coalesce(CASE WHEN ib_ok[i] THEN '<IBAN>' ELSE ib_raw[i] END, '')),
+           |    '') AS t2 FROM i2),
            |s3 AS (SELECT *, regexp_replace(t2, '${TextAnalysis.phoneRe}', '<PHONE>', 'g') AS t3 FROM s2),
            |s4 AS (SELECT *,
            |    regexp_split_to_array(t3, '${TextAnalysis.cardRe}') AS parts,
@@ -3982,7 +3997,8 @@ object SparkEntry {
            |s7 AS (SELECT *, regexp_replace(t4, '${TextAnalysis.ipv4Re}', '<IP>', 'g') AS t5 FROM s6)
            |SELECT doc_id,
            |  len(regexp_extract_all(t0, '${TextAnalysis.emailRe}')) AS n_emails,
-           |  len(regexp_extract_all(t1, '${TextAnalysis.ibanRe}')) AS n_ibans,
+           |  len(list_filter(ib_ok, x -> x)) AS n_ibans,
+           |  len(ib_ok) - len(list_filter(ib_ok, x -> x)) AS n_ibans_rejected,
            |  len(regexp_extract_all(t2, '${TextAnalysis.phoneRe}')) AS n_phones,
            |  len(list_filter(ok, x -> x)) AS n_cards,
            |  len(ok) - len(list_filter(ok, x -> x)) AS n_cards_rejected,

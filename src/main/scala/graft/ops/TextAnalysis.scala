@@ -427,60 +427,92 @@ object TextAnalysis {
   private[graft] val cardRe = "\\b\\d(?:[ -]?\\d){12,18}\\b"
 
   /** PII redaction v2 — [[redactPii]] plus the identifiers a release gate
-    * actually checks: phone numbers, IBAN-shaped strings, and payment-card
-    * numbers VALIDATED by the Luhn checksum, not just shape (a 16-digit
-    * order id with a failing check digit must survive; the oracle plants
-    * both cases). Pass order: email → IBAN → phone → card → IPv4, each
+    * actually checks: phone numbers, IBANs VALIDATED by the ISO 7064
+    * mod-97 checksum, and payment-card numbers VALIDATED by the Luhn
+    * checksum — shape alone is not identity: a 16-digit order id with a
+    * failing check digit and an IBAN-shaped product code with the wrong
+    * check pair must both survive (the oracle plants valid AND invalid
+    * cases of each). Pass order: email → IBAN → phone → card → IPv4, each
     * category counted on the text the pass actually runs on (the
     * [[redactPii]] rule — no double counting across categories; phones
     * consume their digits before the card pass sees them).
     *
-    * The Luhn-conditional pass stays in built-in, codegen'd functions:
-    * `split` on the candidate pattern gives the n+1 around-texts,
-    * `regexp_extract_all` the n candidates; a `transform` strips
-    * separators, an `aggregate` over `sequence(1, len)` computes the
-    * right-anchored double-every-second digit sum (all integer — DuckDB
-    * replays it as `list_transform`/`list_sum` bit-for-bit), and a
-    * `zip_with` re-interleaves parts with `<CARD>` or the rejected
-    * original. Output per doc: id, `n_emails`, `n_ibans`, `n_phones`,
+    * Both checksum passes stay in built-in, codegen'd functions
+    * ([[checksumPass]]): `split` on the candidate pattern gives the n+1
+    * around-texts, `regexp_extract_all` the n candidates, an integer
+    * `aggregate` per candidate computes the checksum — Luhn's
+    * right-anchored double-every-second digit sum; mod-97's rearranged
+    * running remainder with A..Z as 10..35 — and a `zip_with`
+    * re-interleaves parts with the tag or the rejected original. All
+    * integer: DuckDB replays both checksums bit-for-bit. Output per doc:
+    * id, `n_emails`, `n_ibans`, `n_ibans_rejected`, `n_phones`,
     * `n_cards`, `n_cards_rejected`, `n_ips`, `redacted_fp`.
     *
     * Shape at 100 TB: pure per-row projection — scan-speed, ZERO shuffle,
     * nothing but (id, counts, 32-hex fp) leaves the scan. Regex cost is
-    * 5 passes + 1 extract over each document, all in one codegen stage.
+    * 5 passes + 2 extracts over each document, all in one codegen stage.
     */
   def redactPiiV2(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val luhnSum =
+    val luhnValid =
       "aggregate(sequence(1, length(s)), 0, (acc, i) -> acc + " +
         "CASE WHEN (length(s) - i) % 2 = 1 " +
         "THEN IF((ascii(substring(s, i, 1)) - 48) * 2 > 9, " +
         "(ascii(substring(s, i, 1)) - 48) * 2 - 9, " +
         "(ascii(substring(s, i, 1)) - 48) * 2) " +
-        "ELSE ascii(substring(s, i, 1)) - 48 END)"
-    df.select(col(idCol), col(textCol).as("_pii_t0"))
+        "ELSE ascii(substring(s, i, 1)) - 48 END) % 10 = 0"
+    // ISO 13616/7064: move the country+check quad to the end, read A..Z as
+    // 10..35, and the big decimal number mod 97 must be 1 — computed as a
+    // left-to-right running remainder (×10 per digit, ×100 per letter), so
+    // the accumulator never exceeds 97·100+35 and stays in an int
+    val mod97Valid =
+      "aggregate(sequence(1, length(s)), 0, (acc, i) -> " +
+        "CASE WHEN substring(s, i, 1) >= '0' AND substring(s, i, 1) <= '9' " +
+        "THEN (acc * 10 + ascii(substring(s, i, 1)) - 48) % 97 " +
+        "ELSE (acc * 100 + ascii(substring(s, i, 1)) - 55) % 97 END) = 1"
+    val staged = df.select(col(idCol), col(textCol).as("_pii_t0"))
       .withColumn("_pii_t1", regexp_replace(col("_pii_t0"), emailRe, "<EMAIL>"))
-      .withColumn("_pii_t2", regexp_replace(col("_pii_t1"), ibanRe, "<IBAN>"))
+    val ibanPass = checksumPass(staged, "_pii_t1", "_pii_ib", ibanRe,
+      normSql = "concat(substring(m, 5), substring(m, 1, 4))",
+      validSql = mod97Valid, tag = "<IBAN>", textOut = "_pii_t2")
+    val phoned = ibanPass
       .withColumn("_pii_t3", regexp_replace(col("_pii_t2"), phoneRe, "<PHONE>"))
-      .withColumn("_pii_parts", split(col("_pii_t3"), cardRe, -1))
-      .withColumn("_pii_raw", regexp_extract_all(col("_pii_t3"), lit(cardRe), lit(0)))
-      .withColumn("_pii_ok",
-        expr("transform(transform(_pii_raw, m -> regexp_replace(m, '[ -]', '')), " +
-          s"s -> $luhnSum % 10 = 0)"))
-      .withColumn("_pii_t4",
-        expr("array_join(zip_with(_pii_parts, " +
-          "zip_with(_pii_ok, _pii_raw, (o, m) -> IF(o, '<CARD>', m)), " +
-          "(p, m) -> concat(p, coalesce(m, ''))), '')"))
+    val cardPass = checksumPass(phoned, "_pii_t3", "_pii_cd", cardRe,
+      normSql = "regexp_replace(m, '[ -]', '')",
+      validSql = luhnValid, tag = "<CARD>", textOut = "_pii_t4")
+    cardPass
       .withColumn("_pii_t5", regexp_replace(col("_pii_t4"), ipv4Re, "<IP>"))
       .select(
         col(idCol),
         regexp_count(col("_pii_t0"), lit(emailRe)).as("n_emails"),
-        regexp_count(col("_pii_t1"), lit(ibanRe)).as("n_ibans"),
+        expr("size(filter(_pii_ib_ok, x -> x))").as("n_ibans"),
+        expr("size(_pii_ib_ok) - size(filter(_pii_ib_ok, x -> x))")
+          .as("n_ibans_rejected"),
         regexp_count(col("_pii_t2"), lit(phoneRe)).as("n_phones"),
-        expr("size(filter(_pii_ok, x -> x))").as("n_cards"),
-        expr("size(_pii_ok) - size(filter(_pii_ok, x -> x))").as("n_cards_rejected"),
+        expr("size(filter(_pii_cd_ok, x -> x))").as("n_cards"),
+        expr("size(_pii_cd_ok) - size(filter(_pii_cd_ok, x -> x))")
+          .as("n_cards_rejected"),
         regexp_count(col("_pii_t4"), lit(ipv4Re)).as("n_ips"),
         md5(col("_pii_t5").cast("binary")).as("redacted_fp"))
   }
+
+  /** One checksum-conditional redaction pass: extract candidates of
+    * `pattern` from `textIn`, normalize each with `normSql` (an expression
+    * over `m`), validate with `validSql` (a boolean over `s`), and rebuild
+    * `textOut` with valid candidates replaced by `tag` and rejects kept
+    * verbatim. Leaves `<prefix>_ok` (per-candidate verdicts, in order) for
+    * the caller's counts. Pure built-ins — one codegen stage. */
+  private def checksumPass(
+      df: DataFrame, textIn: String, prefix: String, pattern: String,
+      normSql: String, validSql: String, tag: String, textOut: String): DataFrame =
+    df.withColumn(s"${prefix}_parts", split(col(textIn), pattern, -1))
+      .withColumn(s"${prefix}_raw",
+        regexp_extract_all(col(textIn), lit(pattern), lit(0)))
+      .withColumn(s"${prefix}_ok",
+        expr(s"transform(transform(${prefix}_raw, m -> $normSql), s -> $validSql)"))
+      .withColumn(textOut,
+        expr(s"array_join(zip_with(${prefix}_parts, " +
+          s"zip_with(${prefix}_ok, ${prefix}_raw, (o, m) -> IF(o, '$tag', m)), " +
+          "(p, m) -> concat(p, coalesce(m, ''))), '')"))
 
   /** Canonical text normalization (the step before any hash-keyed dedup or
     * tokenization): control characters (C0 + DEL) become spaces, ASCII

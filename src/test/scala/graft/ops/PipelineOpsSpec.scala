@@ -632,24 +632,29 @@ class PipelineOpsSpec extends SparkTestBase {
       (4L, "serial 12345678901234567890 intact"),
       // all three phone forms; the intl digits must NOT reach the card pass
       (5L, "call +44 20 7946 0958 or (415) 555-2671 or 555-123-4567"),
-      (6L, "iban DE89370400440532013000 wired"),
+      // mod-97 valid IBAN redacts; the check-digit-off sibling stays
+      (6L, "iban DE89370400440532013000 not DE89370400440532013001 wired"),
       (7L, "mail a@b.io from 10.0.0.7"),
-      (8L, "clean text")
+      (8L, "clean text"),
+      (9L, "gb GB82WEST12345698765432 ok")
     ).toDF("doc_id", "text")
     val out = TextAnalysis.redactPiiV2(df, "doc_id", "text")
       .collect().map(r => r.getLong(0) ->
         ((r.getInt(1), r.getInt(2), r.getInt(3), r.getInt(4), r.getInt(5),
-          r.getInt(6), r.getString(7)))).toMap
-    // (n_emails, n_ibans, n_phones, n_cards, n_cards_rejected, n_ips, fp)
-    assert(out(1L) === ((0, 0, 0, 1, 1, 0,
+          r.getInt(6), r.getInt(7), r.getString(8)))).toMap
+    // (n_emails, n_ibans, n_ibans_rejected, n_phones, n_cards,
+    //  n_cards_rejected, n_ips, fp)
+    assert(out(1L) === ((0, 0, 0, 0, 1, 1, 0,
       fp("pay <CARD> not 4111 1111 1111 1112 ok"))))
-    assert(out(2L) === ((0, 0, 0, 2, 0, 0, fp("mc <CARD> amex <CARD>"))))
-    assert(out(3L) === ((0, 0, 0, 0, 1, 0, fp("order 1234567890123456 shipped"))))
-    assert(out(4L) === ((0, 0, 0, 0, 0, 0, fp("serial 12345678901234567890 intact"))))
-    assert(out(5L) === ((0, 0, 3, 0, 0, 0, fp("call <PHONE> or <PHONE> or <PHONE>"))))
-    assert(out(6L) === ((0, 1, 0, 0, 0, 0, fp("iban <IBAN> wired"))))
-    assert(out(7L) === ((1, 0, 0, 0, 0, 1, fp("mail <EMAIL> from <IP>"))))
-    assert(out(8L) === ((0, 0, 0, 0, 0, 0, fp("clean text"))))
+    assert(out(2L) === ((0, 0, 0, 0, 2, 0, 0, fp("mc <CARD> amex <CARD>"))))
+    assert(out(3L) === ((0, 0, 0, 0, 0, 1, 0, fp("order 1234567890123456 shipped"))))
+    assert(out(4L) === ((0, 0, 0, 0, 0, 0, 0, fp("serial 12345678901234567890 intact"))))
+    assert(out(5L) === ((0, 0, 0, 3, 0, 0, 0, fp("call <PHONE> or <PHONE> or <PHONE>"))))
+    assert(out(6L) === ((0, 1, 1, 0, 0, 0, 0,
+      fp("iban <IBAN> not DE89370400440532013001 wired"))))
+    assert(out(7L) === ((1, 0, 0, 0, 0, 0, 1, fp("mail <EMAIL> from <IP>"))))
+    assert(out(8L) === ((0, 0, 0, 0, 0, 0, 0, fp("clean text"))))
+    assert(out(9L) === ((0, 1, 0, 0, 0, 0, 0, fp("gb <IBAN> ok"))))
     // partitioning invariance + empty input degrade
     val a = TextAnalysis.redactPiiV2(df.repartition(7), "doc_id", "text")
       .collect().map(_.toSeq).toSet

@@ -1244,6 +1244,15 @@ object SparkEntry {
     * word-bigram probability ratio in the 2^20 fixed-point lane —
     * [[ops.Selection.importanceResample]]'s deterministic top-k.
     */
+    /** Token-budget selection: deterministic integer quality (doc_id*7 % 101)
+    * with real ties, n_chars as the token proxy, a 1M-token budget. */
+  private def selectBudgetQ(s: SparkSession, dir: String): DataFrame =
+    ops.Selection.selectToBudget(
+      docs(s, dir).select(col("doc_id"),
+        (col("doc_id") * 7 % 101).as("q"), col("n_chars")),
+      "doc_id", "q", "n_chars", budget = 1000000L)
+      .select("doc_id", "q", "n_chars", "cum_tokens")
+
   private def dsirSelect(s: SparkSession, dir: String): DataFrame =
     ops.Selection.importanceResample(
       docs(s, dir).filter(col("lang") === "en"),
@@ -2218,6 +2227,7 @@ object SparkEntry {
     "embedding_mean_pool" -> (embeddingMeanPool _),
     "split_buckets" -> (splitBucketsQuery _),
     "dsir_select" -> (dsirSelect _),
+    "select_budget" -> (selectBudgetQ _),
     "event_attribution" -> (eventAttribution _),
     "text_pii_redact" -> (textPiiRedact _),
     "text_pii_redact_v2" -> (textPiiRedactV2 _),
@@ -4050,6 +4060,18 @@ object SparkEntry {
            |FROM agg
            |ORDER BY imp_q DESC NULLS LAST, md5(CAST(doc_id AS VARCHAR)), doc_id
            |LIMIT 100""".stripMargin,
+      // the two-phase cumulative sum replayed as one ordered window: same
+      // (q desc, md5-sub, id) total order, same inclusive prefix rule
+      "select_budget" ->
+        """WITH d AS (SELECT doc_id, (doc_id * 7) % 101 AS q, n_chars,
+          |    CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 2)) AS BIGINT) AS sub
+          |  FROM documents WHERE doc_id IS NOT NULL AND n_chars IS NOT NULL),
+          |c AS (SELECT doc_id, q, n_chars,
+          |    CAST(sum(n_chars) OVER (ORDER BY q DESC, sub, doc_id
+          |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+          |  FROM d)
+          |SELECT doc_id, q, n_chars, cum_tokens FROM c
+          |WHERE cum_tokens <= 1000000""".stripMargin,
       "filter_blocklist" ->
         "SELECT doc_id, source FROM documents WHERE source NOT IN ('src3', 'src7', 'src11')",
       // Exact replica of Dedup.decontaminate: distinct word-3-grams per doc,

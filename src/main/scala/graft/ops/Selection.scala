@@ -133,4 +133,70 @@ object Selection {
         md5(col("id").cast("string").cast("binary")), col("id"))
       .limit(k)
   }
+
+  /** TOKEN-BUDGET selection — the other half of the selection family's
+    * question: [[importanceResample]] answers "the k best DOCUMENTS", this
+    * answers "the best `budget` TOKENS", which is how pretraining runs are
+    * actually sized. Documents are taken in the deterministic total order
+    * `(quality desc, md5-bucket(id), id)` — best tiers first; within a
+    * quality tier the md5 sub-bucket gives a deterministic shuffle, so
+    * selection inside a tier is not id-correlated (crawl ids encode time
+    * and host) yet replays identically anywhere — and a document is KEPT
+    * iff the running token total INCLUDING it stays ≤ `budget` (the prefix
+    * rule: selection is a clean order-prefix, not a bin-packing — a later
+    * smaller doc never leapfrogs the boundary, so the kept set is a pure
+    * function of (order, budget)). Output: the kept rows plus
+    * `cum_tokens`, each row's inclusive running total. `qualityCol` must
+    * be integer-valued (the fixed-point family convention) and `tokensCol`
+    * a non-negative count; NULL quality/token rows are never taken.
+    *
+    * Shape at 100 TB: a global ordered cumulative sum — done WITHOUT a
+    * single-partition window (the shard_layout two-phase discipline):
+    * per-(quality, md5-sub-bucket) token sums aggregate to a small stats
+    * table (≤ 256·|quality tiers| rows), ONE bounded-table window computes
+    * each group's exclusive prefix offset, the offsets broadcast back, and
+    * the per-row running sum is a window partitioned by (quality, sub) —
+    * parallelism 256 per tier, no task ever sorts more than its own
+    * sub-bucket. Rows whose GROUP starts past the budget are filtered
+    * before the window even runs (group-level pruning: `_before > budget`
+    * kills whole sub-buckets at the broadcast join).
+    */
+  def selectToBudget(
+      df: DataFrame,
+      idCol: String,
+      qualityCol: String,
+      tokensCol: String,
+      budget: Long): DataFrame = {
+    require(budget >= 0, "budget must be non-negative")
+    import org.apache.spark.sql.expressions.Window
+    val reserved = Seq("cum_tokens", "_stb_sub", "_stb_sum", "_stb_before", "_stb_run")
+    require(!df.columns.exists(reserved.contains),
+      s"input columns collide with selectToBudget internals: ${reserved.mkString(", ")}")
+    val keyed = df
+      .filter(col(qualityCol).isNotNull && col(tokensCol).isNotNull)
+      .withColumn("_stb_sub",
+        conv(substring(md5(col(idCol).cast("string").cast("binary")), 1, 2), 16, 10)
+          .cast("int"))
+    val sums = keyed.groupBy(col(qualityCol), col("_stb_sub"))
+      .agg(sum(col(tokensCol)).as("_stb_sum"))
+    // bounded-table window: ≤ 256 rows per quality tier — the one place a
+    // no-partition window is the RIGHT plan (the bucketOffsets exception)
+    val offsets = sums
+      .withColumn("_stb_before",
+        coalesce(sum(col("_stb_sum")).over(
+          Window.orderBy(col(qualityCol).desc, col("_stb_sub"))
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col(qualityCol), col("_stb_sub"), col("_stb_before"))
+    val w = Window.partitionBy(col(qualityCol), col("_stb_sub"))
+      .orderBy(col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    keyed
+      .join(broadcast(offsets), Seq(qualityCol, "_stb_sub"))
+      // whole sub-buckets past the boundary never reach the window
+      .filter(col("_stb_before") <= budget)
+      .withColumn("_stb_run", sum(col(tokensCol)).over(w))
+      .withColumn("cum_tokens", col("_stb_before") + col("_stb_run"))
+      .filter(col("cum_tokens") <= budget)
+      .select(df.columns.map(col) :+ col("cum_tokens"): _*)
+  }
 }

@@ -266,6 +266,9 @@ class PlanGateSpec extends SparkTestBase {
     // fingerprint branches) + the branch join re-exchange; both operands
     // are register-table-sized (k·groups rows), never the corpus
     "quantile_sketch" -> 2,
+    // per-(q, sub) sums (1) + the bounded offsets window's Single exchange
+    // (1) + the per-group running-sum window re-key (1); offsets broadcast
+    "select_budget" -> 3,
     "text_pii_redact" -> 0,
     "text_pii_redact_v2" -> 0,
     "text_quality" -> 0,

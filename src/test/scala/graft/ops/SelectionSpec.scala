@@ -103,4 +103,41 @@ class SelectionSpec extends SparkTestBase {
     // the top-k plans as TakeOrderedAndProject — never a global sort
     assert(top5.queryExecution.executedPlan.toString.contains("TakeOrderedAndProject"))
   }
+
+  test("selectToBudget: prefix rule at the exact boundary; two-phase == naive order; NULLs out") {
+    import spark.implicits._
+    def md5sub(id: Long): Int = Integer.parseInt(
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8")).map("%02x".format(_)).mkString
+        .substring(0, 2), 16)
+    // quality tiers with ties; tokens chosen so the budget cuts mid-tier
+    val rows = (1L to 40L).map(i => (i, (i % 4).toInt, 10L)) ++
+      Seq((41L, 9, 25L), (42L, 9, 25L)) // top tier: 50 tokens total
+    val df = rows.toDF("id", "q", "tk")
+      .unionByName(Seq((50L, Option.empty[Int], Some(10L)),
+        (51L, Some(2), Option.empty[Long])).toDF("id", "q", "tk"))
+    // naive reference: sort by (q desc, md5-sub, id), inclusive cumsum
+    def naive(budget: Long): Seq[(Long, Long)] = {
+      val ordered = rows.sortBy { case (id, q, _) => (-q, md5sub(id), id) }
+      ordered.scanLeft((0L, 0L)) { case ((_, cum), (id, _, tk)) => (id, cum + tk) }
+        .drop(1).takeWhile(_._2 <= budget)
+    }
+    for (budget <- Seq(0L, 49L, 50L, 75L, 449L, 450L, 10000L)) {
+      val got = Selection.selectToBudget(df, "id", "q", "tk", budget)
+        .collect().map(r => (r.getLong(0), r.getLong(3))).sortBy(_._1).toSeq
+      assert(got === naive(budget).sortBy(_._1),
+        s"budget $budget: two-phase must equal the naive ordered prefix")
+    }
+    // boundary semantics: at budget 50 BOTH top-tier docs fit (cum 25, 50);
+    // at 49 only the first md5-ordered one does
+    assert(Selection.selectToBudget(df, "id", "q", "tk", 50L).count() === 2)
+    assert(Selection.selectToBudget(df, "id", "q", "tk", 49L).count() === 1)
+    // partitioning invariance + empty input
+    val a = Selection.selectToBudget(df.repartition(7), "id", "q", "tk", 120L)
+      .collect().map(_.toSeq).toSet
+    val b = Selection.selectToBudget(df, "id", "q", "tk", 120L)
+      .collect().map(_.toSeq).toSet
+    assert(a === b)
+    assert(Selection.selectToBudget(df.limit(0), "id", "q", "tk", 100L).count() === 0)
+  }
 }

@@ -1260,6 +1260,14 @@ object SparkEntry {
       .withColumnRenamed("id", "doc_id")
 
   /** Deterministic 80/10/10 corpus split keyed on doc_id. */
+  /** Exact stratified split: per-lang EXACT 80/10/10 counts under the
+    * deterministic (md5(doc_id), doc_id) shuffle. */
+  private def splitExactQ(s: SparkSession, dir: String): DataFrame =
+    ops.Sampling.exactStratifiedSplit(
+      docs(s, dir).select(col("doc_id"), col("lang")),
+      Seq("lang"), "doc_id", Seq(("train", 80), ("val", 10), ("test", 10)))
+      .select("doc_id", "lang", "split")
+
   private def splitBucketsQuery(s: SparkSession, dir: String): DataFrame =
     ops.Sampling.splitBuckets(docs(s, dir).select("doc_id", "source"), "doc_id",
       Seq("train" -> 80, "val" -> 10, "test" -> 10))
@@ -2226,6 +2234,7 @@ object SparkEntry {
     "column_correlations" -> (columnCorrelations _),
     "embedding_mean_pool" -> (embeddingMeanPool _),
     "split_buckets" -> (splitBucketsQuery _),
+    "split_exact" -> (splitExactQ _),
     "dsir_select" -> (dsirSelect _),
     "select_budget" -> (selectBudgetQ _),
     "event_attribution" -> (eventAttribution _),
@@ -4025,6 +4034,18 @@ object SparkEntry {
           |  CASE WHEN bk < 80 THEN 'train' WHEN bk < 90 THEN 'val'
           |       ELSE 'test' END AS split
           |FROM b""".stripMargin,
+      // exact per-stratum counts: same deterministic shuffle, same
+      // cumulative-floor boundaries
+      "split_exact" ->
+        """WITH r AS (SELECT doc_id, lang,
+          |    row_number() OVER (PARTITION BY lang
+          |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn,
+          |    count(*) OVER (PARTITION BY lang) AS n
+          |  FROM documents WHERE doc_id IS NOT NULL)
+          |SELECT doc_id, lang,
+          |  CASE WHEN rn <= (n * 80) // 100 THEN 'train'
+          |       WHEN rn <= (n * 90) // 100 THEN 'val' ELSE 'test' END AS split
+          |FROM r""".stripMargin,
       "sample_hash" ->
         """SELECT doc_id, lang, source FROM documents
           |WHERE CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 6)) AS BIGINT)

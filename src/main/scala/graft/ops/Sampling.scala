@@ -63,6 +63,54 @@ object Sampling {
     df.filter(col(keyCol).isNotNull).withColumn("split", label)
   }
 
+  /** EXACT stratified split — [[splitBuckets]]' md5-bucket rule gives each
+    * row an independent coin, so a 1 000-row language at 80/10/10 can land
+    * 812/89/99 (binomial noise, worst for small strata — exactly the
+    * strata that must not lose their whole validation slice). This variant
+    * guarantees the COUNTS: within each stratum, rows rank by
+    * `(md5(key), key)` — a deterministic shuffle, reproducible anywhere —
+    * and the first `⌊n·p₁⌋` ranks take label 1, the next `⌊n·(p₁+p₂)⌋−⌊n·p₁⌋`
+    * label 2, … (cumulative-floor boundaries, so every stratum splits into
+    * EXACTLY the rounded proportions and remainders fall to the last
+    * label). Percentages must sum to 100; NULL keys are excluded (the
+    * [[splitBuckets]] family policy). Appends `split`.
+    *
+    * The price vs [[splitBuckets]] (documented trade, not a replacement):
+    * exactness needs each stratum's n, so this costs ONE window exchange
+    * on the strata keys where the bucket rule is a scan-speed filter — and
+    * a row's label now depends on the stratum's membership (adding a row
+    * can relabel another), where the hash rule is per-row stable.
+    * Per-stratum windows are the parallelism unit — a single giant stratum
+    * serializes its sort (the [[graft.ops.Stats.equiDepthBins]] caveat;
+    * for unstratified exact splits pass a coarse salt stratum).
+    */
+  def exactStratifiedSplit(
+      df: DataFrame,
+      strataCols: Seq[String],
+      keyCol: String,
+      cuts: Seq[(String, Int)]): DataFrame = {
+    require(cuts.nonEmpty, "cuts must be non-empty")
+    require(cuts.forall(_._2 > 0), "every cut must be a positive percentage")
+    require(cuts.map(_._2).sum == 100,
+      "cut percentages must sum to exactly 100 — a split partitions the corpus")
+    require(cuts.map(_._1).distinct.size == cuts.size, "labels must be distinct")
+    import org.apache.spark.sql.expressions.Window
+    val part = Window.partitionBy(strataCols.map(col): _*)
+    val w = part.orderBy(
+      md5(col(keyCol).cast("string").cast("binary")), col(keyCol))
+    val ranked = df.filter(col(keyCol).isNotNull)
+      .withColumn("_ess_rn", row_number().over(w))
+      .withColumn("_ess_n", count(lit(1)).over(part))
+    // label = first cut whose cumulative-floor boundary covers the rank
+    val bounds = cuts.scanLeft(0) { case (acc, (_, p)) => acc + p }.tail
+    val label = cuts.zip(bounds).init.reverse
+      .foldLeft(lit(cuts.last._1)) { case (acc, ((l, _), cum)) =>
+        when(col("_ess_rn") <= expr(s"CAST(_ess_n * $cum AS BIGINT) div 100"),
+          lit(l)).otherwise(acc)
+      }
+    ranked.withColumn("split", label).drop("_ess_rn", "_ess_n")
+  }
+
   /** Blocklist filter: drop rows whose `column` appears in `blocked` (single
     * column `value`). The blocklist is broadcast — a LEFT ANTI hash join with
     * no shuffle of the big side, the right shape for a multi-TB corpus vs a

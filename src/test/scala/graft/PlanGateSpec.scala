@@ -269,6 +269,8 @@ class PlanGateSpec extends SparkTestBase {
     // per-(q, sub) sums (1) + the bounded offsets window's Single exchange
     // (1) + the per-group running-sum window re-key (1); offsets broadcast
     "select_budget" -> 3,
+    // one window exchange on the strata keys (rank + count share it)
+    "split_exact" -> 1,
     "text_pii_redact" -> 0,
     "text_pii_redact_v2" -> 0,
     "text_quality" -> 0,

@@ -560,6 +560,40 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(outB.getString(3) === fp("since version <IP> we ship daily"))
   }
 
+  test("exactStratifiedSplit: counts are exact per stratum; deterministic; hash split is binomial") {
+    import spark.implicits._
+    // strata of awkward sizes: 10, 7, 3, 1 — the small-strata case the
+    // hash-bucket split gets wrong
+    val df = ((1L to 10L).map(i => (i, "a")) ++ (11L to 17L).map(i => (i, "b")) ++
+      (18L to 20L).map(i => (i, "c")) :+ ((21L, "d")))
+      .toDF("id", "grp")
+      .unionByName(Seq((Option.empty[Long], "a")).toDF("id", "grp"))
+    val cuts = Seq(("train", 80), ("val", 10), ("test", 10))
+    val out = Sampling.exactStratifiedSplit(df, Seq("grp"), "id", cuts)
+      .collect().map(r => (r.getString(1), r.getString(2)))
+    val counts = out.groupBy(identity).view.mapValues(_.length).toMap
+    // n=10: 8/1/1; n=7: floor(5.6)=5 train, floor(6.3)-5=1 val, 1 test;
+    // n=3: 2/0/1; n=1: 0/0/1 (remainders fall to the LAST label)
+    assert(counts === Map(
+      ("a", "train") -> 8, ("a", "val") -> 1, ("a", "test") -> 1,
+      ("b", "train") -> 5, ("b", "val") -> 1, ("b", "test") -> 1,
+      ("c", "train") -> 2, ("c", "test") -> 1,
+      ("d", "test") -> 1))
+    assert(out.length === 21, "NULL keys are excluded, everything else labeled")
+    // deterministic under partitioning: identical (id, split) assignment
+    val a = Sampling.exactStratifiedSplit(df.repartition(7), Seq("grp"), "id", cuts)
+      .collect().map(r => (r.get(0), r.getString(2))).toSet
+    val b = Sampling.exactStratifiedSplit(df, Seq("grp"), "id", cuts)
+      .collect().map(r => (r.get(0), r.getString(2))).toSet
+    assert(a === b)
+    // empty input degrades
+    assert(Sampling.exactStratifiedSplit(df.limit(0), Seq("grp"), "id", cuts).count() === 0)
+    // bad cuts fail fast
+    intercept[IllegalArgumentException] {
+      Sampling.exactStratifiedSplit(df, Seq("grp"), "id", Seq(("x", 60), ("y", 30)))
+    }
+  }
+
   test("crawlFullPipeline: one hand-traced corpus survives all seven stages correctly") {
     import spark.implicits._
     // 96 controlled tokens: alpha-heavy 8-char words, "the" every 12th for

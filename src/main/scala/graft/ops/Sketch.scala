@@ -291,6 +291,40 @@ object Sketch {
       registers: DataFrame, groupCols: Seq[String], k: Int): DataFrame =
     bottomK(registers.distinct(), groupCols, k)
 
+  /** One micro-batch of streaming quantile-sketch maintenance: build the
+    * batch's registers, merge them into the persisted store, write back.
+    * EXACTLY-ONCE STATE FROM AT-LEAST-ONCE DELIVERY BY ALGEBRA, not by
+    * bookkeeping: a replayed batch contributes the identical (priority,
+    * value) rows, [[quantileMergeRegisters]]' dedup makes re-merging them
+    * a no-op — the same argument as the HLL registers' bucket-max and
+    * [[LatestStore]]'s arg-max, this time via min-k idempotence. The store
+    * stays at most k·groups rows forever (bounded state regardless of
+    * stream history), so the full-store rewrite per batch is kilobytes;
+    * the eager localCheckpoint breaks the read-path lineage so the
+    * overwrite of the path being read is legal.
+    */
+  def quantileUpsertBatch(
+      batch: DataFrame,
+      path: String,
+      groupCols: Seq[String],
+      valueCol: String,
+      idCol: String,
+      k: Int,
+      seed: String): Unit = {
+    val spark = batch.sparkSession
+    val incoming = quantileRegisters(batch, groupCols, valueCol, idCol, k, seed)
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) incoming.write.parquet(path)
+    else {
+      val merged = quantileMergeRegisters(
+        spark.read.parquet(path).unionByName(incoming), groupCols, k)
+        .localCheckpoint()
+      try merged.write.mode("overwrite").parquet(path)
+      finally org.apache.spark.sql.graft.CheckpointUtil.unpersist(merged)
+    }
+  }
+
   /** Grouped quantile estimates from a [[quantileRegisters]] table: for
     * each requested ppm fraction, the register value at ascending-value
     * rank `⌊q·(n−1)⌋ + 1` of the group's n registers — the

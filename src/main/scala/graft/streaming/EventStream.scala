@@ -196,6 +196,37 @@ object EventStream {
       }
       .start()
 
+  /** Streaming quantile-sketch maintenance — a live stream keeps the
+    * [[graft.ops.Sketch.quantileRegisters]] store current: each
+    * micro-batch's bottom-k registers merge into the persisted table via
+    * [[graft.ops.Sketch.quantileUpsertBatch]], whose min-k idempotence
+    * turns foreachBatch's at-least-once replay into exactly-once state
+    * (a replayed batch re-merges identical rows — a no-op; the
+    * [[latestStoreSink]] algebra with priorities for timestamps). Readers
+    * answer grouped quantile queries from the bounded store with
+    * [[graft.ops.Sketch.quantileEstimate]] — the raw stream is never
+    * rescanned, and state is ≤ k·groups rows regardless of history.
+    */
+  def quantileSketchSink(
+      rows: DataFrame,
+      path: String,
+      checkpointDir: String,
+      groupCols: Seq[String],
+      valueCol: String,
+      idCol: String,
+      k: Int,
+      seed: String,
+      trigger: org.apache.spark.sql.streaming.Trigger =
+        org.apache.spark.sql.streaming.Trigger.AvailableNow()): org.apache.spark.sql.streaming.StreamingQuery =
+    rows.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        graft.ops.Sketch.quantileUpsertBatch(
+          batch.toDF(), path, groupCols, valueCol, idCol, k, seed)
+      }
+      .start()
+
   /** Streaming exact dedup: drops repeated `event_id`s (at-least-once
     * ingest -> exactly-once semantics downstream). On a stream this is
     * `dropDuplicatesWithinWatermark` — the variant whose state the watermark

@@ -128,6 +128,49 @@ class EventStreamSpec extends SparkTestBase {
       Seq("user_id"), "ts", "fts", Seq("score"), ttl, Some("cts")).count() === 0)
   }
 
+  test("quantileSketchSink: live batches maintain the register store; replay is a no-op; estimates from state") {
+    import spark.implicits._
+    implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val base = java.nio.file.Files.createTempDirectory("graft-qsk").toString
+    val (store, ckpt) = (s"$base/store", s"$base/ckpt")
+    val k = 16
+    val b1 = (1L to 50L).map(i => ("g", i, i * 3 % 97)) ++
+      (1L to 20L).map(i => ("h", i + 1000L, i * 7 % 89))
+    val b2 = (51L to 120L).map(i => ("g", i, i * 3 % 97))
+    val ms = MemoryStream[(String, Long, Long)]
+    def run(): Unit = {
+      // AvailableNow trigger: start AFTER the data is queued, drain, stop
+      val q = EventStream.quantileSketchSink(
+        ms.toDF().toDF("grp", "id", "v"), store, ckpt,
+        Seq("grp"), "v", "id", k, "qs")
+      q.processAllAvailable(); q.stop()
+    }
+    ms.addData(b1); run()
+    ms.addData(b2); run()
+    def stateRows = spark.read.parquet(store).collect().map(_.toSeq).toSet
+    // state == registers rebuilt over everything the stream ever saw
+    val rebuilt = graft.ops.Sketch.quantileRegisters(
+      (b1 ++ b2).toDF("grp", "id", "v"), Seq("grp"), "v", "id", k, "qs")
+      .collect().map(_.toSeq).toSet
+    val after = stateRows
+    assert(after === rebuilt, "streamed store must equal the batch rebuild")
+    // at-least-once replay: re-delivering batch 2 must be a state no-op
+    graft.ops.Sketch.quantileUpsertBatch(
+      b2.toDF("grp", "id", "v"), store, Seq("grp"), "v", "id", k, "qs")
+    assert(stateRows === after, "replayed batch re-merges identical rows — no-op")
+    // grouped quantiles answer from STATE and match the rebuilt registers
+    val estState = graft.ops.Sketch.quantileEstimate(
+      spark.read.parquet(store), Seq("grp"), Seq(500000L))
+      .collect().map(r => r.getString(0) -> r.getLong(3)).toMap
+    val estRebuilt = graft.ops.Sketch.quantileEstimate(
+      (b1 ++ b2).toDF("grp", "id", "v").transform(df =>
+        graft.ops.Sketch.quantileRegisters(df, Seq("grp"), "v", "id", k, "qs")),
+      Seq("grp"), Seq(500000L))
+      .collect().map(r => r.getString(0) -> r.getLong(3)).toMap
+    assert(estState === estRebuilt)
+    assert(estState.keySet === Set("g", "h"))
+  }
+
   test("qualityGate: stream keeps exactly the batch lmScore survivors, value-identical") {
     import spark.implicits._
     implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext

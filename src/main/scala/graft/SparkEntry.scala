@@ -220,6 +220,21 @@ object SparkEntry {
       .select("batch_id", "ref_id")
   }
 
+  /** The same incremental question through the PERSISTED signature store:
+    * build the store from the reference corpus, probe the batch against it
+    * — must equal minHashLshAgainst on the same planting (shared oracle
+    * ground truth). */
+  private def dedupMinhashStoreQ(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val batch = d
+      .withColumn("doc_id", col("doc_id") + 100000L)
+      .withColumn("text", concat(col("text"), lit(" graftdup")))
+    val store = s"$scratchDir/minhash_store"
+    Dedup.buildSignatureStore(d, "doc_id", "text", store)
+    Dedup.minHashLshAgainstStore(batch, "doc_id", "text", store, threshold = 0.8)
+      .select("batch_id", "ref_id")
+  }
+
   /** The dedup END-GAME a platform actually ships: near-dup pairs (LSH) →
     * connected components → keep the BEST-QUALITY doc per cluster (max
     * quality_score, ties to min doc_id — not blindly min-id, which on a
@@ -2257,6 +2272,7 @@ object SparkEntry {
     "dedup_windows" -> (dedupWindowsQuery _),
     "dedup_windows_against" -> (dedupWindowsAgainstQuery _),
     "dedup_minhash_against" -> (dedupMinhashAgainst _),
+    "dedup_minhash_store" -> (dedupMinhashStoreQ _),
     "domain_caps" -> (domainCapsQuery _),
     "url_canonicalize" -> (urlCanonicalizeQuery _),
     "pipeline_substring_dedup" -> (pipelineSubstringDedup _),
@@ -3108,6 +3124,35 @@ object SparkEntry {
       // change can break the gate without a code bug; check those two
       // assumptions first.
       "dedup_minhash_against" ->
+        """WITH b AS (SELECT doc_id + 100000 AS doc_id, text || ' graftdup' AS text
+          |  FROM documents),
+          |tb AS (SELECT doc_id,
+          |  list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> len(x) > 0) AS toks
+          |  FROM b),
+          |tr AS (SELECT doc_id,
+          |  list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> len(x) > 0) AS toks
+          |  FROM documents),
+          |shb AS (SELECT doc_id,
+          |  list_distinct(CASE WHEN len(toks) = 0 THEN CAST([] AS VARCHAR[])
+          |    WHEN len(toks) >= 3
+          |    THEN list_transform(range(1, len(toks) - 1),
+          |         i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+          |    ELSE [array_to_string(toks, ' ')] END) AS sh
+          |  FROM tb),
+          |shr AS (SELECT doc_id,
+          |  list_distinct(CASE WHEN len(toks) = 0 THEN CAST([] AS VARCHAR[])
+          |    WHEN len(toks) >= 3
+          |    THEN list_transform(range(1, len(toks) - 1),
+          |         i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+          |    ELSE [array_to_string(toks, ' ')] END) AS sh
+          |  FROM tr)
+          |SELECT a.doc_id AS batch_id, r.doc_id AS ref_id
+          |FROM shb a JOIN shr r
+          |  ON len(a.sh) > 0 AND len(r.sh) > 0
+          | AND CAST(len(list_intersect(a.sh, r.sh)) AS DOUBLE) /
+          |     len(list_distinct(a.sh || r.sh)) >= 0.8""".stripMargin,
+      // the store-probed form is graded against the IDENTICAL ground truth
+      "dedup_minhash_store" ->
         """WITH b AS (SELECT doc_id + 100000 AS doc_id, text || ' graftdup' AS text
           |  FROM documents),
           |tb AS (SELECT doc_id,

@@ -167,6 +167,23 @@ object Dedup {
     * oversized buckets can fail the gate WITHOUT a code bug — re-verify
     * the two assumptions before suspecting the operator.
     */
+  /** Narrow (id, shingle-hash) explosion — the first stage of every minhash
+    * operator and the `hashes` slice of the signature store. */
+  private[graft] def minHashExploded(
+      df: DataFrame, idCol: String, textCol: String, shingleN: Int): DataFrame =
+    df.select(col(idCol).as("id"), tokens(col(textCol)).as("_toks"))
+      .select(col("id"),
+        explode(shingleHashesFromTokens(col("_toks"), shingleN)).as("h"))
+
+  /** One signature aggregation → (id, band, bucket) rows — the banded form
+    * shared by the in-memory operators and the store's `buckets` slice. */
+  private[graft] def minHashBandRows(
+      ex: DataFrame, numHashes: Int, bands: Int): DataFrame =
+    ex.groupBy(col("id"))
+      .agg(org.apache.spark.sql.graft.MinHashBandsAgg(col("h"), numHashes, bands)
+        .as("_bands"))
+      .select(col("id"), posexplode(col("_bands")).as(Seq("band", "bucket")))
+
   def minHashLshAgainst(
       batch: DataFrame,
       reference: DataFrame,
@@ -179,17 +196,12 @@ object Dedup {
       maxBucket: Int = 100,
       metrics: Option[Observation] = None): DataFrame = {
     require(numHashes % bands == 0, "numHashes must be divisible by bands")
-    def exploded(df: DataFrame): DataFrame = df
-      .select(col(idCol).as("id"), tokens(col(textCol)).as("_toks"))
-      .select(col("id"), explode(shingleHashesFromTokens(col("_toks"), shingleN)).as("h"))
-      .localCheckpoint(false)
-    def bandedGroups(ex: DataFrame, idsCol: String): DataFrame = ex
-      .groupBy(col("id"))
-      .agg(org.apache.spark.sql.graft.MinHashBandsAgg(col("h"), numHashes, bands)
-        .as("_bands"))
-      .select(col("id"), posexplode(col("_bands")).as(Seq("band", "bucket")))
-      .groupBy(struct(col("band"), col("bucket")).as("bucketKey"))
-      .agg(array_sort(collect_list(col("id"))).as(idsCol))
+    def exploded(df: DataFrame): DataFrame =
+      minHashExploded(df, idCol, textCol, shingleN).localCheckpoint(false)
+    def bandedGroups(ex: DataFrame, idsCol: String): DataFrame =
+      minHashBandRows(ex, numHashes, bands)
+        .groupBy(struct(col("band"), col("bucket")).as("bucketKey"))
+        .agg(array_sort(collect_list(col("id"))).as(idsCol))
     val exB = exploded(batch)
     val exR = exploded(reference)
     val joined = bandedGroups(exB, "b_ids").join(bandedGroups(exR, "r_ids"), "bucketKey")
@@ -214,6 +226,130 @@ object Dedup {
       .agg(count(lit(1)).as("n_inter"))
       .join(sizesA.select(col("id").as("a_id"), col("n").as("n_a")), "a_id")
       .join(sizesB.select(col("id").as("b_id"), col("n").as("n_b")), "b_id")
+      .withColumn("jaccard",
+        col("n_inter").cast("double") / (col("n_a") + col("n_b") - col("n_inter")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("a_id").as("batch_id"), col("b_id").as("ref_id"), col("jaccard"))
+  }
+
+  /** Persist the REFERENCE side of [[minHashLshAgainst]] as an on-disk
+    * SIGNATURE STORE — the storage story that makes nightly incremental
+    * near-dup dedup scale: the batch form re-tokenizes, re-hashes, and
+    * re-signs the whole accepted corpus every night (a full 100 TB text
+    * scan to answer questions about a 100 GB batch), while the store keeps
+    * exactly the three narrow artifacts the probe needs and the corpus
+    * text is NEVER read again:
+    *
+    *  - `buckets` — (band, bucket, id): the banded signature rows;
+    *  - `hashes` — (id, h): each doc's distinct shingle-hash set (16
+    *    bytes/row — the exact-verify evidence, an index not a copy);
+    *  - `sizes`  — (id, n): shingle-set cardinalities.
+    *
+    * [[appendToSignatureStore]] adds a newly-ACCEPTED batch's slices
+    * (append-only — the nightly admit step after
+    * [[minHashLshAgainstStore]] says which docs are novel). Contract:
+    * each accepted id is appended EXACTLY ONCE (duplicate slices would
+    * double-count the verify intersection — the
+    * [[graft.ops.Incremental]] compaction single-maintainer caveat);
+    * store parameters (shingleN/numHashes/bands) are fixed at build time
+    * and every probe/append must pass the same ones.
+    */
+  def buildSignatureStore(
+      reference: DataFrame,
+      idCol: String,
+      textCol: String,
+      path: String,
+      shingleN: Int = 3,
+      numHashes: Int = 64,
+      bands: Int = 16): Unit =
+    writeStoreSlices(reference, idCol, textCol, path, shingleN, numHashes,
+      bands, org.apache.spark.sql.SaveMode.Overwrite)
+
+  /** Append newly-accepted docs to a [[buildSignatureStore]] store. */
+  def appendToSignatureStore(
+      accepted: DataFrame,
+      idCol: String,
+      textCol: String,
+      path: String,
+      shingleN: Int = 3,
+      numHashes: Int = 64,
+      bands: Int = 16): Unit =
+    writeStoreSlices(accepted, idCol, textCol, path, shingleN, numHashes,
+      bands, org.apache.spark.sql.SaveMode.Append)
+
+  private def writeStoreSlices(
+      df: DataFrame, idCol: String, textCol: String, path: String,
+      shingleN: Int, numHashes: Int, bands: Int,
+      mode: org.apache.spark.sql.SaveMode): Unit = {
+    // one explode feeds all three slices — materialize it once (lazy: the
+    // first write's job pays for it)
+    val ex = minHashExploded(df, idCol, textCol, shingleN).localCheckpoint(false)
+    ex.write.mode(mode).parquet(s"$path/hashes")
+    ex.groupBy(col("id")).agg(count(lit(1)).as("n"))
+      .write.mode(mode).parquet(s"$path/sizes")
+    minHashBandRows(ex, numHashes, bands)
+      .write.mode(mode).parquet(s"$path/buckets")
+    org.apache.spark.sql.graft.CheckpointUtil.unpersist(ex)
+  }
+
+  /** [[minHashLshAgainst]] probing a PERSISTED store instead of a live
+    * reference frame: same candidates, same exact-Jaccard verify, same
+    * `maxBucket` drop and metrics panel — spec- and oracle-pinned
+    * equivalent to the batch form on the same corpus — but the reference
+    * cost is index reads: banded-bucket rows for candidate generation and
+    * a hash-set join for the verify, both narrow slices, the corpus text
+    * untouched. The verify's store-side read is semi-pruned to candidate
+    * ids before the hash join, so a small batch touches a small fraction
+    * of the index regardless of corpus size.
+    */
+  def minHashLshAgainstStore(
+      batch: DataFrame,
+      idCol: String,
+      textCol: String,
+      path: String,
+      shingleN: Int = 3,
+      numHashes: Int = 64,
+      bands: Int = 16,
+      threshold: Double = 0.8,
+      maxBucket: Int = 100,
+      metrics: Option[Observation] = None): DataFrame = {
+    require(numHashes % bands == 0, "numHashes must be divisible by bands")
+    val spark = batch.sparkSession
+    val exB = minHashExploded(batch, idCol, textCol, shingleN).localCheckpoint(false)
+    val bGroups = minHashBandRows(exB, numHashes, bands)
+      .groupBy(struct(col("band"), col("bucket")).as("bucketKey"))
+      .agg(array_sort(collect_list(col("id"))).as("b_ids"))
+    val rGroups = spark.read.parquet(s"$path/buckets")
+      .groupBy(struct(col("band"), col("bucket")).as("bucketKey"))
+      .agg(array_sort(collect_list(col("id"))).as("r_ids"))
+    val joined = bGroups.join(rGroups, "bucketKey")
+    val oversized = size(col("b_ids")) > maxBucket || size(col("r_ids")) > maxBucket
+    val observed = metrics.map { o =>
+      joined.observe(o,
+        count(lit(1)).as("n_buckets"),
+        sum(when(oversized, 1L).otherwise(0L)).as("n_dropped_buckets"),
+        sum(when(oversized, (size(col("b_ids")) + size(col("r_ids"))).cast("long"))
+          .otherwise(0L)).as("n_dropped_ids"))
+    }.getOrElse(joined)
+    val cand = observed.filter(!oversized)
+      .select(explode(col("b_ids")).as("a_id"), col("r_ids"))
+      .select(col("a_id"), explode(col("r_ids")).as("b_id"))
+      .distinct()
+      .localCheckpoint(false) // feeds the verify join AND the id pruning
+    // verify evidence: only candidate ref ids' hash sets leave the index
+    val candRefIds = cand.select(col("b_id").as("id")).distinct()
+    val refHashes = spark.read.parquet(s"$path/hashes")
+      .join(candRefIds, Seq("id"), "left_semi")
+    val refSizes = spark.read.parquet(s"$path/sizes")
+      .join(candRefIds, Seq("id"), "left_semi")
+    val sizesA = exB.groupBy(col("id")).agg(count(lit(1)).as("n"))
+    cand
+      .join(exB.select(col("id").as("a_id"), col("h")), "a_id")
+      .join(refHashes.select(col("id").as("b_id"), col("h")), Seq("b_id", "h"))
+      .groupBy(col("a_id"), col("b_id"))
+      .agg(count(lit(1)).as("n_inter"))
+      .join(sizesA.select(col("id").as("a_id"), col("n").as("n_a")), "a_id")
+      .join(refSizes.select(col("id").as("b_id"), col("n").as("n_b")), "b_id")
       .withColumn("jaccard",
         col("n_inter").cast("double") / (col("n_a") + col("n_b") - col("n_inter")))
       .filter(col("jaccard") >= threshold)

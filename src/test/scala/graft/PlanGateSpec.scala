@@ -24,6 +24,9 @@ class PlanGateSpec extends SparkTestBase {
     * oracle gate + BASELINE.md instead.
     */
   private val iterative = Set("dedup_minhash", "dedup_minhash_against",
+    // store build writes three parquet slices at query-build time; the
+    // returned plan reads the checkpointed batch side + the store
+    "dedup_minhash_store",
     "dedup_simhash", "dedup_clusters", "dedup_clusters_ls", "dedup_semantic",
     // same checkpointed signature frame as dedup_simhash (the shared
     // hammingNearDupPairs engine), plus the decode pass feeding it

@@ -139,6 +139,55 @@ class DedupSpec extends SparkTestBase {
     assert(m("max_cluster_size").asInstanceOf[Long] === 3L)
   }
 
+  test("signature store: probe == live minHashLshAgainst; append extends the reference; no text reread") {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft-sigstore").toString
+    val store = s"$base/store"
+    val ref = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+      (2L, "completely different content about spark catalyst optimizer internals here now"),
+      (3L, "a third reference document with its own distinct vocabulary and phrasing style")
+    ).toDF("doc_id", "text")
+    val batch = Seq(
+      (11L, "the quick brown fox jumps over the lazy dog near the river bank today extra"),
+      (12L, "novel text sharing nothing with any accepted reference document at all thanks"),
+      (13L, "completely different content about spark catalyst optimizer internals here now also")
+    ).toDF("doc_id", "text")
+    Dedup.buildSignatureStore(ref, "doc_id", "text", store)
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val viaStore = pairs(Dedup.minHashLshAgainstStore(
+      batch, "doc_id", "text", store, threshold = 0.6))
+    val live = pairs(Dedup.minHashLshAgainst(
+      batch, ref, "doc_id", "text", threshold = 0.6))
+    assert(viaStore === live, "store probe must equal the live batch form")
+    assert(viaStore === Set((11L, 1L), (13L, 2L)))
+    // jaccard values identical too (exact verify from stored hash sets)
+    val jStore = Dedup.minHashLshAgainstStore(batch, "doc_id", "text", store,
+      threshold = 0.6).collect().map(r => (r.getLong(0), r.getDouble(2))).toMap
+    val jLive = Dedup.minHashLshAgainst(batch, ref, "doc_id", "text",
+      threshold = 0.6).collect().map(r => (r.getLong(0), r.getDouble(2))).toMap
+    assert(jStore === jLive)
+    // nightly admit: append a batch doc, the next batch finds it
+    Dedup.appendToSignatureStore(
+      Seq((12L, "novel text sharing nothing with any accepted reference document at all thanks"))
+        .toDF("doc_id", "text"), "doc_id", "text", store)
+    val next = Seq((21L,
+      "novel text sharing nothing with any accepted reference document at all thanks more"))
+      .toDF("doc_id", "text")
+    assert(pairs(Dedup.minHashLshAgainstStore(next, "doc_id", "text", store,
+      threshold = 0.6)) === Set((21L, 12L)), "appended doc is part of the reference")
+    // and the append equals a rebuilt store over ref + the admitted doc
+    val store2 = s"$base/store2"
+    Dedup.buildSignatureStore(ref.unionByName(
+      Seq((12L, "novel text sharing nothing with any accepted reference document at all thanks"))
+        .toDF("doc_id", "text")), "doc_id", "text", store2)
+    assert(pairs(Dedup.minHashLshAgainstStore(next, "doc_id", "text", store2,
+      threshold = 0.6)) === Set((21L, 12L)))
+    // empty batch degrades
+    assert(Dedup.minHashLshAgainstStore(batch.limit(0), "doc_id", "text", store).count() === 0)
+  }
+
   test("semanticDedupAgainst: cross-side pairs only; frozen centroids; novel batch docs pair with nothing") {
     import spark.implicits._
     val ref = Seq(

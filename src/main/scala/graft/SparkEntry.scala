@@ -780,6 +780,23 @@ object SparkEntry {
         unix_micros(col("w_end")).as("w_end_us"))
   }
 
+  /** Interval flatten end-to-end: 36-hour engagement windows opened by each
+    * of a user's click/purchase events, collapsed into the user's maximal
+    * disjoint engagement intervals ("when was this user engaged AT ALL") —
+    * the gaps-and-islands canonicalizer over real overlapping windows.
+    * DuckDB replays the identical running-max / island-sum chain.
+    */
+  private def intervalFlattenQ(s: SparkSession, dir: String): DataFrame = {
+    val iv = events(dir).load(s)
+      .filter(col("event_type").isin("click", "purchase"))
+      .select(col("user_id"), col("ts").as("w_start"),
+        timestamp_micros(unix_micros(col("ts")) + lit(129600000000L)).as("w_end"))
+    ops.Temporal.flattenIntervals(iv, "w_start", "w_end", keys = Seq("user_id"))
+      .select(col("user_id"),
+        unix_micros(col("valid_from")).as("valid_from_us"),
+        unix_micros(col("valid_to")).as("valid_to_us"), col("n_merged"))
+  }
+
   /** The composed feature-SERVING chain — what a training-set build or an
     * online-store backfill actually runs, pinned end-to-end the way the
     * LLM-side pipelines (rows 104/108/112/127) pin theirs: entity frame →
@@ -836,6 +853,21 @@ object SparkEntry {
     ops.Skew.profiledSaltedJoin(ev, dim, "uid")
       .select(col("event_id"), col("uid"), col("v"), col("n_u"), col("sum_u"))
   }
+
+  /** Resample + forward fill end-to-end: each user's event stream downsampled
+    * to 6-hour buckets (last observation per bucket, event_id tie-break),
+    * empty buckets forward-filled up to 8 buckets (48 h staleness TTL) —
+    * the model-ready panel builder. DuckDB replays the arg-max, the lead
+    * gap, and the capped fill explode row-exactly.
+    */
+  private def resampleFfillQ(s: SparkSession, dir: String): DataFrame =
+    ops.Temporal.resampleForwardFill(
+      eventsFixedPoint(s, dir).withColumnRenamed("value", "v_cents"),
+      tsCol = "ts", valueCols = Seq("v_cents", "event_type"),
+      bucketSeconds = 21600L, maxFillBuckets = 8L,
+      keys = Seq("user_id"), tieBreak = Some("event_id"))
+      .select(col("user_id"), unix_micros(col("bucket_start")).as("bucket_start_us"),
+        col("v_cents"), col("event_type"), col("n_obs"), col("is_observed"))
 
   /** events with value scaled to an exact integer (1e4 fixed-point) so sums
     * are shuffle-order- and engine-independent.
@@ -2285,6 +2317,8 @@ object SparkEntry {
     "equi_depth_bins" -> (equiDepthBinsQuery _),
     "interval_join" -> (intervalJoinQuery _),
     "interval_overlap_join" -> (intervalOverlapQ _),
+    "interval_flatten" -> (intervalFlattenQ _),
+    "resample_ffill" -> (resampleFfillQ _),
     "embedding_quantize" -> (embeddingQuantize _),
     "embedding_normalize" -> (embeddingNormalize _),
     "embedding_project" -> (embeddingProject _),
@@ -4525,6 +4559,46 @@ object SparkEntry {
       "scd2_intervals" ->
         s"""WITH $scd2Ctes
            |SELECT user_id, event_type, valid_from_us, valid_to_us FROM scd""".stripMargin,
+      // gaps-and-islands replay: running max of earlier ends (ROWS ... 1
+      // PRECEDING), island = running sum of new-island flags, then min/max
+      // per (user, island) — deterministic because (s, e) is a total order
+      // up to interchangeable duplicates
+      "interval_flatten" ->
+        s"""WITH iv AS (SELECT user_id, epoch_us(ts) AS s,
+           |    epoch_us(ts) + 129600000000 AS e FROM events
+           |  WHERE event_type IN ('click', 'purchase') AND user_id IS NOT NULL),
+           |o AS (SELECT user_id, s, e,
+           |    max(e) OVER (PARTITION BY user_id ORDER BY s, e
+           |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm FROM iv),
+           |isl AS (SELECT user_id, s, e,
+           |    sum(CASE WHEN pm IS NULL OR s > pm THEN 1 ELSE 0 END)
+           |      OVER (PARTITION BY user_id ORDER BY s, e
+           |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island FROM o)
+           |SELECT user_id, min(s) AS valid_from_us, max(e) AS valid_to_us,
+           |  CAST(count(*) AS BIGINT) AS n_merged
+           |FROM isl GROUP BY user_id, island""".stripMargin,
+      // resample replay: per-(user, 6h-bucket) arg-max by (ts, event_id) —
+      // the max-struct survivor — then the lead gap and the capped fill
+      // explode (min(gap-1, 8) extra rows carrying the survivor forward)
+      "resample_ffill" ->
+        s"""WITH ev AS (SELECT user_id, epoch_us(ts) AS us, event_id,
+           |    CAST(round(value * 10000) AS BIGINT) AS v_cents, event_type
+           |  FROM events WHERE user_id IS NOT NULL),
+           |obs AS (SELECT user_id, us // 21600000000 AS bucket, v_cents, event_type,
+           |    row_number() OVER (PARTITION BY user_id, us // 21600000000
+           |      ORDER BY us DESC, event_id DESC) AS rn,
+           |    count(*) OVER (PARTITION BY user_id, us // 21600000000) AS n
+           |  FROM ev),
+           |w AS (SELECT user_id, bucket, v_cents, event_type, n,
+           |    lead(bucket) OVER (PARTITION BY user_id ORDER BY bucket) AS nxt
+           |  FROM obs WHERE rn = 1),
+           |g AS (SELECT user_id, bucket, v_cents, event_type, n,
+           |    unnest(generate_series(0, least(coalesce(nxt - bucket - 1, 0), 8))) AS i
+           |  FROM w)
+           |SELECT user_id, (bucket + i) * 21600000000 AS bucket_start_us, v_cents,
+           |  event_type, CAST(CASE WHEN i = 0 THEN n ELSE 0 END AS BIGINT) AS n_obs,
+           |  CAST(CASE WHEN i = 0 THEN 1 ELSE 0 END AS BIGINT) AS is_observed
+           |FROM g""".stripMargin,
       "asof_join" ->
         s"""WITH l AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us
            |  FROM events WHERE event_type = 'purchase'),

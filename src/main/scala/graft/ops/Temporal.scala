@@ -460,6 +460,131 @@ object Temporal {
       .drop("_cell")
   }
 
+  /** Interval FLATTEN (union / gaps-and-islands): collapse a per-key bag of
+    * half-open intervals into the maximal DISJOINT coverage intervals —
+    * "when was this machine under ANY maintenance window", "total distinct
+    * time a user had ANY session open", the normalizer that turns
+    * overlapping validity fragments into a clean timeline. The third member
+    * of the interval family next to the point-in-interval join
+    * ([[intervalJoin]]) and the two-sided overlap join
+    * ([[intervalOverlapJoin]]): those ANSWER against interval tables, this
+    * CANONICALIZES one.
+    *
+    * Half-open semantics throughout: `[a,b)` and `[b,c)` touch and merge
+    * (their union `[a,c)` is contiguous — no instant in between is
+    * uncovered), nested and duplicate intervals fold in, and a new island
+    * starts exactly when an interval's start exceeds the running maximum of
+    * every earlier end (ordered by `(start, end)` — the classic
+    * gaps-and-islands rule, deterministic because rows tied on both bounds
+    * are interchangeable). Output: `keys, valid_from, valid_to, n_merged`
+    * (source-interval count per island). Empty intervals (`end <= start`),
+    * NULL bounds, and NULL keys drop (the family policy).
+    *
+    * Shape at scale: ONE shuffle — the per-key window exchange. Both window
+    * frames are running frames (`rowsBetween(unboundedPreceding, …)`:
+    * streaming evaluation, no per-row frame rescan), and the island
+    * aggregation that follows groups on `(keys, island)`, which the window's
+    * `hashpartitioning(keys)` already clusters — Catalyst plans it
+    * exchange-free. Cost is a sort within key partitions; per-key interval
+    * counts are the skew axis (a key with millions of fragments sorts on one
+    * task — upstream bucketing by coarse time is the standard relief).
+    * Ungrouped (`keys = Nil`) flattens ONE global timeline on a single
+    * partition — correct, and only for reference-table-sized inputs (the
+    * documented trade; a corpus-wide ungrouped flatten should pre-aggregate
+    * to coarse buckets first).
+    */
+  def flattenIntervals(
+      df: DataFrame,
+      startCol: String,
+      endCol: String,
+      keys: Seq[String] = Nil): DataFrame = {
+    val internal = Seq("_s", "_e", "_new", "_island")
+    require(!keys.exists(internal.contains) &&
+      internal.forall(c => !df.columns.contains(c) || c == startCol || c == endCol),
+      "input columns collide with flattenIntervals internals (_s/_e/_new/_island)")
+    val clean = df
+      .filter(keys.map(col(_).isNotNull)
+        .foldLeft(col(startCol).isNotNull && col(endCol).isNotNull &&
+          col(endCol) > col(startCol))(_ && _))
+      .select(keys.map(col) :+ col(startCol).as("_s") :+ col(endCol).as("_e"): _*)
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(col("_s"), col("_e"))
+    val prevMax = max(col("_e"))
+      .over(w.rowsBetween(Window.unboundedPreceding, -1))
+    clean
+      .withColumn("_new",
+        when(prevMax.isNull || col("_s") > prevMax, 1L).otherwise(0L))
+      .withColumn("_island", sum(col("_new"))
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(keys.map(col) :+ col("_island"): _*)
+      .agg(min(col("_s")).as("valid_from"), max(col("_e")).as("valid_to"),
+        count(lit(1)).as("n_merged"))
+      .select(keys.map(col) :+ col("valid_from") :+ col("valid_to") :+
+        col("n_merged"): _*)
+  }
+
+  /** Resample to a fixed time grid + TTL'd FORWARD FILL — the gap-filling
+    * aligner every feature/training pipeline needs between raw events and
+    * model-ready panels: per key, keep the LAST observation in each
+    * `bucketSeconds` bucket, then carry it forward across the empty buckets
+    * that follow, up to `maxFillBuckets` consecutive fills (the staleness
+    * bound — the batch twin of the PIT join's TTL: beyond it the panel has
+    * an honest HOLE rather than a stale value; the timeline also ends at
+    * each key's last observation — no future is invented).
+    *
+    * Determinism: the per-bucket survivor is the `max(struct(ts, tieBreak?,
+    * values…))` arg-max — a pure function of the rows (pass `tieBreak` when
+    * same-instant duplicates are possible, the [[asofJoin]] convention;
+    * without it, same-instant winners fall through to value comparison,
+    * where cross-engine NULL ordering is unspecified). Output: `keys,
+    * bucket_start, values…, n_obs (observations IN that bucket — 0 on
+    * filled rows), is_observed (1/0)`. NULL keys/timestamps drop.
+    *
+    * Shape at scale: NO self-join and NO second fill pass — the survivor
+    * row itself explodes across its fill span (`sequence(0, min(gap-1,
+    * maxFill))`), so forward fill falls out of the explode by construction
+    * (the SCD2-explode trick). Two shuffles total: the `(keys, bucket)`
+    * arg-max aggregation (map-side partial combine collapses each bucket
+    * before the wire) and the per-key `lead` window; fan-out is bounded by
+    * `maxFillBuckets + 1` per survivor, independent of gap length — an
+    * uncapped fill would explode a year-long gap into thousands of rows,
+    * which is why the cap is required, not optional.
+    */
+  def resampleForwardFill(
+      df: DataFrame,
+      tsCol: String,
+      valueCols: Seq[String],
+      bucketSeconds: Long,
+      maxFillBuckets: Long,
+      keys: Seq[String] = Nil,
+      tieBreak: Option[String] = None): DataFrame = {
+    require(bucketSeconds > 0, "bucketSeconds must be positive")
+    require(maxFillBuckets >= 0, "maxFillBuckets must be >= 0")
+    require(valueCols.nonEmpty, "resampleForwardFill needs value columns")
+    val internal = Seq("_bucket", "_v", "_n", "_nxt", "_i")
+    require(internal.forall(c => !df.columns.contains(c)),
+      "input columns collide with resampleForwardFill internals")
+    val bUs = bucketSeconds * 1000000L
+    val clean = df.filter(keys.map(col(_).isNotNull)
+      .foldLeft(col(tsCol).isNotNull)(_ && _))
+    val survivorStruct = struct(
+      (col(tsCol) +: tieBreak.map(col).toSeq) ++ valueCols.map(col): _*)
+    val obs = clean
+      .withColumn("_bucket", floor(unix_micros(col(tsCol)) / bUs).cast("long"))
+      .groupBy(keys.map(col) :+ col("_bucket"): _*)
+      .agg(max(survivorStruct).as("_v"), count(lit(1)).as("_n"))
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(col("_bucket"))
+    obs
+      .withColumn("_nxt", lead(col("_bucket"), 1).over(w))
+      .withColumn("_i", explode(sequence(lit(0L),
+        least(coalesce(col("_nxt") - col("_bucket") - 1L, lit(0L)),
+          lit(maxFillBuckets)))))
+      .select(keys.map(col) ++
+        (timestamp_micros((col("_bucket") + col("_i")) * bUs).as("bucket_start") +:
+          valueCols.map(c => col(s"_v.$c").as(c))) ++ Seq(
+        when(col("_i") === 0L, col("_n")).otherwise(0L).as("n_obs"),
+        when(col("_i") === 0L, 1L).otherwise(0L).as("is_observed")): _*)
+  }
+
   /** Ordered funnel: for each key, the earliest strictly-increasing
     * timestamp chain through `steps` event types — `step1_ts` is the key's
     * first `steps(0)` event, `step2_ts` the first `steps(1)` event AFTER

@@ -77,6 +77,12 @@ class PlanGateSpec extends SparkTestBase {
     // the scd2 regime build's collapse + window exchanges; the overlap
     // join itself is a broadcast equality join on (cell, user)
     "interval_overlap_join" -> 2,
+    // the per-key window exchange; the island groupBy reuses the window's
+    // hashpartitioning(user_id) (clustering on a superset is satisfied)
+    "interval_flatten" -> 1,
+    // the (user, bucket) arg-max aggregation + the per-user lead window;
+    // the fill explode is in-row
+    "resample_ffill" -> 2,
     // funnel's per-step key-agg exchange (reused across stages) + the two
     // gap-median rank windows (each a Single exchange over the completer
     // table, never the event stream)

@@ -190,6 +190,11 @@ class EmptyInputSpec extends SparkTestBase {
       .toDF("rid", "rs", "re")
     assert(Temporal.intervalOverlapJoin(noIv, iv, "ls", "le", "rs", "re", 60L)
       .count() === 0L)
+    // interval flatten over no intervals
+    assert(Temporal.flattenIntervals(noIv, "ls", "le", Seq("lid")).count() === 0L)
+    // resample + forward fill over no observations
+    assert(Temporal.resampleForwardFill(noIv, "ls", Seq("le"), 60L, 2L,
+      Seq("lid")).count() === 0L)
     // unigram encode with an empty corpus AND an empty vocabulary
     val noVocab = Seq.empty[(String, Long)].toDF("piece", "n")
     assert(TextAnalysis.unigramEncode(d, "doc_id", "text", noVocab).count() === 0L)

@@ -403,6 +403,83 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"))
   }
 
+  test("flattenIntervals: touching/nested/duplicate intervals fold per key; nulls and empties drop") {
+    import spark.implicits._
+    def t(m: Int) = new java.sql.Timestamp(1700000000000L + m * 60000L)
+    val iv = Seq(
+      (Option("u"), Option(t(0)), Option(t(60))), // island 1 opens
+      (Option("u"), Option(t(30)), Option(t(50))), // nested: folds in
+      (Option("u"), Option(t(60)), Option(t(90))), // touches at 60: half-open MERGE
+      (Option("u"), Option(t(30)), Option(t(50))), // exact duplicate: folds in
+      (Option("u"), Option(t(120)), Option(t(130))), // gap [90,120): island 2
+      (Option("v"), Option(t(0)), Option(t(10))), // key isolation
+      (Option("u"), Option(t(200)), Option(t(200))), // empty interval: drops
+      (Option("u"), Option(t(300)), Option.empty[java.sql.Timestamp]), // NULL bound: drops
+      (Option.empty[String], Option(t(0)), Option(t(500)))) // NULL key: drops
+      .toDF("k", "s", "e")
+    def run(df: org.apache.spark.sql.DataFrame, keys: Seq[String]) =
+      Temporal.flattenIntervals(df, "s", "e", keys).collect()
+        .map(r => (if (keys.isEmpty) "*" else r.getString(0),
+          r.getTimestamp(if (keys.isEmpty) 0 else 1),
+          r.getTimestamp(if (keys.isEmpty) 1 else 2),
+          r.getLong(if (keys.isEmpty) 2 else 3))).toSet
+    val got = run(iv, Seq("k"))
+    assert(got === Set(
+      ("u", t(0), t(90), 4L), ("u", t(120), t(130), 1L), ("v", t(0), t(10), 1L)))
+    // partitioning invariance: the island rule is a pure function of the rows
+    assert(run(iv.repartition(13), Seq("k")) === got)
+    // ungrouped = one global timeline (v's [0,10) folds into u's first
+    // island; NULL keys only drop when keys are in play, so drop that row)
+    assert(run(iv.filter(col("k").isNotNull), Nil) ===
+      Set(("*", t(0), t(90), 5L), ("*", t(120), t(130), 1L)))
+    // the island aggregation reuses the window's key partitioning: the whole
+    // flatten is ONE shuffle, and never a nested loop
+    val plan = Temporal.flattenIntervals(iv, "s", "e", Seq("k"))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"))
+    assert("Exchange hashpartitioning".r.findAllIn(plan).length === 1)
+  }
+
+  test("resampleForwardFill: per-bucket arg-max, capped fill span, holes past the TTL") {
+    import spark.implicits._
+    // base aligned to the 60s grid so bucket starts are round offsets
+    def t(s: Int) = new java.sql.Timestamp(1700000040000L + s * 1000L)
+    def us(s: Int) = 1700000040000000L + s * 1000000L
+    val ev = Seq(
+      (Option("u"), Option(t(0)), 1L, 10L), // b0: earlier obs, loses to s=30
+      (Option("u"), Option(t(30)), 2L, 20L), // b0 survivor (later ts)
+      (Option("u"), Option(t(90)), 5L, 30L), // b1: same-instant pair —
+      (Option("u"), Option(t(90)), 6L, 40L), //   eid tie-break picks 6
+      (Option("u"), Option(t(330)), 7L, 50L), // b5: gap of 3 empty buckets
+      (Option("w"), Option(t(10)), 8L, 60L), // key isolation
+      (Option.empty[String], Option(t(0)), 9L, 70L), // NULL key drops
+      (Option("u"), Option.empty[java.sql.Timestamp], 10L, 80L)) // NULL ts drops
+      .toDF("k", "ts", "eid", "v")
+    def run(df: org.apache.spark.sql.DataFrame) =
+      Temporal.resampleForwardFill(df, "ts", Seq("v"), bucketSeconds = 60L,
+        maxFillBuckets = 2L, keys = Seq("k"), tieBreak = Some("eid"))
+        .select(col("k"), unix_micros(col("bucket_start")).as("b"),
+          col("v"), col("n_obs"), col("is_observed"))
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4))).toSet
+    val got = run(ev)
+    assert(got === Set(
+      ("u", us(0), 20L, 2L, 1L), // arg-max by ts within the bucket
+      ("u", us(60), 40L, 2L, 1L), // same-instant: eid tie-break
+      ("u", us(120), 40L, 0L, 0L), // fill 1 of 2
+      ("u", us(180), 40L, 0L, 0L), // fill 2 of 2
+      // us(240) is a HOLE: the 3-bucket gap exceeds maxFillBuckets = 2
+      ("u", us(300), 50L, 1L, 1L), // last obs: no fill past it
+      ("w", us(0), 60L, 1L, 1L)))
+    // the fill is a pure function of the rows — partitioning-invariant
+    assert(run(ev.repartition(11)) === got)
+    // two shuffles: the (key, bucket) arg-max agg + the per-key lead window
+    val plan = Temporal.resampleForwardFill(ev, "ts", Seq("v"), 60L, 2L,
+      Seq("k"), Some("eid")).queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"))
+    assert("Exchange hashpartitioning".r.findAllIn(plan).length <= 2)
+  }
+
   test("intervalJoin: parity with a naive range join; equality-key plan, no BNLJ") {
     import spark.implicits._
     val points = (0 until 200).map(i => (i.toLong, ts(f"2024-01-01 ${i % 24}%02d:${i % 60}%02d:00")))

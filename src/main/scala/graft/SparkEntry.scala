@@ -869,6 +869,52 @@ object SparkEntry {
       .select(col("user_id"), unix_micros(col("bucket_start")).as("bucket_start_us"),
         col("v_cents"), col("event_type"), col("n_obs"), col("is_observed"))
 
+  /** Entity resolution end-to-end on structured records: the customer table
+    * with deterministically planted duplicate records — a case-formatting
+    * variant (normalization-identical, segment/balance missing, SMALLER
+    * record id so survivorship must fall through its NULL fields) for md5
+    * buckets < 10, and a one-char-deletion typo variant for buckets [5, 20)
+    * (buckets [5, 10) get BOTH → 3-member clusters through the original as
+    * hub). Names are 12-hex-char md5 cores, so cross-record trigram overlap
+    * is noise (~2%) and the planted pairs (≥ 583333 ppm) separate cleanly
+    * at the 550000 threshold. The oracle grades against ALL-PAIRS ground
+    * truth — blocking recall is measured, not assumed.
+    */
+  private def entityResolutionQ(s: SparkSession, dir: String): DataFrame = {
+    val cust = GraftSource.parquet(s"$dir/customer.parquet").load(s)
+    def keyMd5 = md5(col("c_custkey").cast("string").cast("binary"))
+    val core = substring(keyMd5, 1, 12)
+    val bucket = conv(substring(keyMd5, 1, 6), 16, 10).cast("long") % 100
+    val base = cust.select(
+      col("c_custkey").cast("long").as("rec_id"), core.as("name"),
+      col("c_nationkey").cast("long").as("nation"),
+      col("c_mktsegment").as("segment"),
+      round(col("c_acctbal") * 100).cast("long").as("bal_cents"))
+    val withB = cust.withColumn("_b", bucket)
+    val kindA = withB.filter(col("_b") < 10).select(
+      (-col("c_custkey").cast("long") - 1L).as("rec_id"),
+      upper(core).as("name"), col("c_nationkey").cast("long").as("nation"),
+      lit(null).cast("string").as("segment"),
+      lit(null).cast("long").as("bal_cents"))
+    val kindB = withB.filter(col("_b") >= 5 && col("_b") < 20).select(
+      (col("c_custkey").cast("long") + 3000000L).as("rec_id"),
+      concat(substring(core, 1, 4), substring(core, 6, 7)).as("name"),
+      col("c_nationkey").cast("long").as("nation"),
+      col("c_mktsegment").as("segment"),
+      round(col("c_acctbal") * 100).cast("long").as("bal_cents"))
+    val recs = base.unionByName(kindA).unionByName(kindB)
+    val blocks = Seq(
+      "name4" -> substring(ops.EntityResolution.normalized(col("name")), 1, 4),
+      // NULL segment null-propagates through concat: no attribute block
+      "attrs" -> concat(col("nation").cast("string"), lit("|"), col("segment")))
+    val labels = ops.EntityResolution.resolveEntities(
+      recs, "rec_id", "name", blocks, thresholdPpm = 550000L, maxBlock = 500)
+    ops.EntityResolution.goldenRecords(recs, labels, "rec_id",
+      Seq("name", "segment", "bal_cents"))
+      .select(col("entity_id"), col("n_members"), col("name"), col("segment"),
+        col("bal_cents"))
+  }
+
   /** events with value scaled to an exact integer (1e4 fixed-point) so sums
     * are shuffle-order- and engine-independent.
     */
@@ -2319,6 +2365,7 @@ object SparkEntry {
     "interval_overlap_join" -> (intervalOverlapQ _),
     "interval_flatten" -> (intervalFlattenQ _),
     "resample_ffill" -> (resampleFfillQ _),
+    "entity_resolution" -> (entityResolutionQ _),
     "embedding_quantize" -> (embeddingQuantize _),
     "embedding_normalize" -> (embeddingNormalize _),
     "embedding_project" -> (embeddingProject _),
@@ -4599,6 +4646,48 @@ object SparkEntry {
            |  event_type, CAST(CASE WHEN i = 0 THEN n ELSE 0 END AS BIGINT) AS n_obs,
            |  CAST(CASE WHEN i = 0 THEN 1 ELSE 0 END AS BIGINT) AS is_observed
            |FROM g""".stripMargin,
+      // entity-resolution replay against ALL-PAIRS ground truth: planted
+      // variants → normalized trigram sets → every pair scored (no blocking
+      // in the oracle — recall is measured) → recursive-CTE components →
+      // per-field first-non-null-by-id survivorship
+      "entity_resolution" ->
+        """WITH RECURSIVE cust AS (SELECT c_custkey AS k,
+          |    substr(md5(CAST(c_custkey AS VARCHAR)), 1, 12) AS core,
+          |    CAST(concat('0x', substr(md5(CAST(c_custkey AS VARCHAR)), 1, 6)) AS BIGINT)
+          |      % 100 AS b,
+          |    CAST(c_nationkey AS BIGINT) AS nation, c_mktsegment AS segment,
+          |    CAST(round(c_acctbal * 100) AS BIGINT) AS bal_cents
+          |  FROM customer),
+          |recs AS (
+          |  SELECT k AS rec_id, core AS name, nation, segment, bal_cents FROM cust
+          |  UNION ALL
+          |  SELECT -k - 1, upper(core), nation, NULL, NULL FROM cust WHERE b < 10
+          |  UNION ALL
+          |  SELECT k + 3000000, substr(core, 1, 4) || substr(core, 6, 7), nation,
+          |    segment, bal_cents FROM cust WHERE b >= 5 AND b < 20),
+          |nm AS (SELECT rec_id,
+          |    trim(regexp_replace(lower(name), '[^a-z0-9]+', ' ', 'g')) AS s
+          |  FROM recs),
+          |g AS (SELECT rec_id, list_distinct(list_transform(
+          |    generate_series(1, greatest(len(s) - 2, 1)),
+          |    i -> substr(s, CAST(i AS INTEGER), 3))) AS tg
+          |  FROM nm WHERE len(s) > 0),
+          |e AS (SELECT a.rec_id AS a, b.rec_id AS b
+          |  FROM g a JOIN g b ON a.rec_id < b.rec_id
+          |  WHERE len(list_intersect(a.tg, b.tg)) * 1000000
+          |      // len(list_distinct(a.tg || b.tg)) >= 550000),
+          |edges AS (SELECT a, b FROM e UNION ALL SELECT b, a FROM e),
+          |reach(src, dst) AS (
+          |  SELECT rec_id, rec_id FROM recs
+          |  UNION
+          |  SELECT r.src, ed.b FROM reach r JOIN edges ed ON r.dst = ed.a),
+          |lab AS (SELECT src AS rec_id, min(dst) AS entity_id FROM reach GROUP BY src)
+          |SELECT l.entity_id, CAST(count(*) AS BIGINT) AS n_members,
+          |  arg_min(r.name, r.rec_id) FILTER (WHERE r.name IS NOT NULL) AS name,
+          |  arg_min(r.segment, r.rec_id) FILTER (WHERE r.segment IS NOT NULL) AS segment,
+          |  arg_min(r.bal_cents, r.rec_id) FILTER (WHERE r.bal_cents IS NOT NULL) AS bal_cents
+          |FROM recs r JOIN lab l ON r.rec_id = l.rec_id
+          |GROUP BY l.entity_id""".stripMargin,
       "asof_join" ->
         s"""WITH l AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us
            |  FROM events WHERE event_type = 'purchase'),

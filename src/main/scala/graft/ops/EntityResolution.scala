@@ -1,0 +1,165 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, Observation}
+import org.apache.spark.sql.functions._
+
+/** Structured entity resolution (record linkage): the dedup lattice applied
+  * to ROWS instead of documents — customer/vendor/account records that
+  * describe the same real-world entity under formatting drift, typos, and
+  * partial fields. The classic three-stage shape, each stage the cheapest
+  * Spark-native form:
+  *
+  *  1. BLOCKING proposes: records sharing any cheap equality key (name
+  *     prefix, attribute combination, phone digits) become candidate pairs —
+  *     an equality hash join on the block key, never all-pairs. Hot blocks
+  *     (every record sharing a default value) are dropped by the `maxBlock`
+  *     cap with observable metrics — the [[Dedup.bucketPairs]] engine, the
+  *     LSH bucket discipline verbatim.
+  *  2. SIMILARITY disposes: candidate pairs are scored by char-trigram SET
+  *     Jaccard over the normalized name (integer ppm — engine-replayable),
+  *     thresholded. Only ids and short normalized names ride the verify
+  *     join; the wide record never shuffles.
+  *  3. TRANSITIVITY closes: matched pairs feed [[Dedup.connectedComponents]]
+  *     (min-label, or the LS/SS variant for deep graphs) so chains of
+  *     pairwise matches collapse to one entity id per record.
+  *
+  * Survivorship ([[goldenRecords]]) then builds one golden row per entity:
+  * per field, the first NON-NULL value in id order — deterministic, total,
+  * and replayable (no "most recent" clock dependence unless the caller maps
+  * one in via the id order).
+  *
+  * Scale posture: blocking is the only stage that touches every record (one
+  * narrow (id, blockKey) shuffle per block type); pair verification is
+  * proportional to candidate pairs (bounded by `maxBlock`² per block); CC
+  * runs on matched pairs only — at 100 TB the match graph is the tiny
+  * fraction of records with a duplicate, and everyone else rejoins as a
+  * singleton in one labels join.
+  */
+object EntityResolution {
+
+  /** Matching-normalization: lowercase, every non-alphanumeric run collapsed
+    * to one space, ends trimmed — "J. SMITH & Co" and "j smith co" agree.
+    */
+  def normalized(c: Column): Column =
+    trim(regexp_replace(lower(c), "[^a-z0-9]+", " "))
+
+  /** Distinct char-trigram set of an (already-normalized) string; strings
+    * shorter than 3 chars contribute themselves as their single gram.
+    */
+  private[graft] def trigramSet(c: Column): Column =
+    array_distinct(transform(
+      sequence(lit(1), greatest(length(c) - 2, lit(1))),
+      i => c.substr(i, lit(3))))
+
+  /** Candidate record pairs via equality blocking: each `(blockName, expr)`
+    * contributes one key per record (NULL/empty keys carry no evidence and
+    * drop), records sharing ANY key pair up — `(a_id, b_id)` distinct,
+    * `a_id < b_id`. Blocks hotter than `maxBlock` are dropped observably
+    * (pass `metrics`): a block shared by half the corpus has no selectivity,
+    * only cost — the standard blocking-key discipline. Metrics ride the
+    * query's own execution (the house Observation contract); note that a
+    * query whose ENTIRE result is empty can be AQE-empty-propagated past the
+    * CollectMetrics node and report nothing — a real corpus always has
+    * surviving blocks, but don't gate tests on metrics of an all-dropped
+    * run.
+    */
+  def candidateRecordPairs(
+      df: DataFrame,
+      idCol: String,
+      blocks: Seq[(String, Column)],
+      maxBlock: Int = 100,
+      metrics: Option[Observation] = None): DataFrame = {
+    require(blocks.nonEmpty, "need at least one blocking key")
+    val keyed = df.select(
+      col(idCol).as("id"),
+      explode(array(blocks.map { case (name, expr) =>
+        struct(lit(name).as("b"), expr.cast("string").as("v"))
+      }: _*)).as("bucketKey"))
+      .filter(col("bucketKey.v").isNotNull && length(col("bucketKey.v")) > 0)
+    Dedup.bucketPairs(keyed, maxBlock, metrics)
+  }
+
+  /** Blocked-and-verified match pairs: candidates from
+    * [[candidateRecordPairs]], scored by trigram-set Jaccard over the
+    * normalized `nameCol` (`|∩|·10⁶ / |∪|`, exact in double for these
+    * magnitudes — the integral-lane contract), kept at
+    * `score_ppm >= thresholdPpm`. Records whose normalized name is empty or
+    * NULL carry no evidence and match nothing. Returns
+    * `(a_id, b_id, score_ppm)`.
+    */
+  def matchRecords(
+      df: DataFrame,
+      idCol: String,
+      nameCol: String,
+      blocks: Seq[(String, Column)],
+      thresholdPpm: Long,
+      maxBlock: Int = 100,
+      metrics: Option[Observation] = None): DataFrame = {
+    require(thresholdPpm >= 0 && thresholdPpm <= 1000000L,
+      "thresholdPpm must be in [0, 1000000]")
+    val cand = candidateRecordPairs(df, idCol, blocks, maxBlock, metrics)
+    // trigram sets computed ONCE per record, not per pair; only (id, grams)
+    // rides the verify join
+    val grams = df
+      .select(col(idCol).as("id"), normalized(col(nameCol)).as("_nm"))
+      .filter(col("_nm").isNotNull && length(col("_nm")) > 0)
+      .select(col("id"), trigramSet(col("_nm")).as("_g"))
+    val inter = size(array_intersect(col("_ga"), col("_gb"))).cast("long")
+    val union = size(array_union(col("_ga"), col("_gb"))).cast("long")
+    cand
+      .join(grams.select(col("id").as("a_id"), col("_g").as("_ga")), "a_id")
+      .join(grams.select(col("id").as("b_id"), col("_g").as("_gb")), "b_id")
+      // |∩|·10⁶ ≤ ~10⁹ and |∪| ≥ 1: both exact in double, and the true
+      // quotient's fractional part is a multiple of 1/|∪| — floor over the
+      // correctly-rounded double quotient cannot land on the wrong side
+      .withColumn("score_ppm", floor(inter * lit(1000000L) / union).cast("long"))
+      .filter(col("score_ppm") >= thresholdPpm)
+      .select(col("a_id"), col("b_id"), col("score_ppm"))
+  }
+
+  /** Full resolve: every record labeled with its entity id (the smallest
+    * record id of its transitive match cluster — singletons label
+    * themselves). Returns `(id, entity_id)`.
+    */
+  def resolveEntities(
+      df: DataFrame,
+      idCol: String,
+      nameCol: String,
+      blocks: Seq[(String, Column)],
+      thresholdPpm: Long,
+      maxBlock: Int = 100,
+      maxIterations: Int = 20,
+      metrics: Option[Observation] = None): DataFrame = {
+    val pairs =
+      matchRecords(df, idCol, nameCol, blocks, thresholdPpm, maxBlock, metrics)
+    Dedup.connectedComponents(
+      df.select(col(idCol).as("id")),
+      pairs.select(col("a_id"), col("b_id")), maxIterations)
+      .withColumnRenamed("cluster", "entity_id")
+  }
+
+  /** Golden records: one row per entity with per-field survivorship = the
+    * first NON-NULL value in record-id order (deterministic and total — a
+    * member with a missing field falls through to the next member, so the
+    * golden row is as complete as the cluster allows), plus `n_members`.
+    * `labels` is [[resolveEntities]] output; every labeled record
+    * contributes.
+    */
+  def goldenRecords(
+      df: DataFrame,
+      labels: DataFrame, // columns: id, entity_id
+      idCol: String,
+      fields: Seq[String]): DataFrame = {
+    require(fields.nonEmpty, "need at least one survivorship field")
+    require(!df.columns.contains("_gr_id"),
+      "input columns collide with goldenRecords internal _gr_id")
+    val lab = labels.select(col("id").as("_gr_id"), col("entity_id"))
+    val joined = df.join(lab, col(idCol) === col("_gr_id")).drop("_gr_id")
+    joined.groupBy(col("entity_id"))
+      .agg(count(lit(1)).as("n_members"),
+        fields.map(f =>
+          min(when(col(f).isNotNull,
+            struct(col(idCol).as("_i"), col(f).as("_f"))))
+            .getField("_f").as(f)): _*)
+  }
+}

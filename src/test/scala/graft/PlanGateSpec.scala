@@ -33,6 +33,8 @@ class PlanGateSpec extends SparkTestBase {
     "image_neardup", "video_neardup", "audio_neardup",
     // near-dup pairs + per-iteration CC checkpoints (the dedup_clusters shape)
     "pipeline_image_dedup",
+    // blocked match pairs feed CC's per-iteration checkpoints
+    "entity_resolution",
     // the query function runs the whole ingest (4 upsert write jobs) at
     // build time; the returned plan is the store read-back
     "online_store_latest",

@@ -195,6 +195,11 @@ class EmptyInputSpec extends SparkTestBase {
     // resample + forward fill over no observations
     assert(Temporal.resampleForwardFill(noIv, "ls", Seq("le"), 60L, 2L,
       Seq("lid")).count() === 0L)
+    // entity resolution over no records
+    val noRecs = Seq.empty[(Long, String)].toDF("id", "name")
+    assert(EntityResolution.resolveEntities(noRecs, "id", "name",
+      Seq("n4" -> substring(EntityResolution.normalized(col("name")), 1, 4)),
+      thresholdPpm = 500000L).count() === 0L)
     // unigram encode with an empty corpus AND an empty vocabulary
     val noVocab = Seq.empty[(String, Long)].toDF("piece", "n")
     assert(TextAnalysis.unigramEncode(d, "doc_id", "text", noVocab).count() === 0L)

@@ -1,0 +1,107 @@
+package graft.ops
+
+import org.apache.spark.sql.Observation
+import org.apache.spark.sql.functions._
+import graft.SparkTestBase
+
+class EntityResolutionSpec extends SparkTestBase {
+
+  private def recs = {
+    import spark.implicits._
+    Seq(
+      (1L, "Jane K. Smith", Option("415-555"), Option("gold")),
+      (2L, "JANE SMITH", Option("415-555"), Option.empty[String]), // formatting twin of 1 (normalize drops the "k")
+      (3L, "jane smith", Option("415-555"), Option("silver")), // exact normalized twin of 2
+      (4L, "Robert Jones", Option("415-555"), Option("bronze")), // shares 1-3's block, name rejects
+      (5L, "rbert jones", Option("206-111"), Option.empty[String]), // typo twin of 4 — in the FIRST 4 chars: no shared block
+      (6L, "", Option("415-555"), Option("x")), // empty name: no evidence, never matches
+      (7L, "zoe", Option.empty[String], Option("y")), // null phone: only the name block
+      (8L, "Ada Lovelace", Option("206-111"), Option("z"))) // keeps 5's block alive under the cap
+      .toDF("id", "name", "phone", "tier")
+  }
+
+  private val blocks = Seq(
+    "phone" -> col("phone"),
+    "name4" -> substring(EntityResolution.normalized(col("name")), 1, 4))
+
+  test("matchRecords: blocking proposes, trigram jaccard disposes; no block, no pair") {
+    val pairs = EntityResolution
+      .matchRecords(recs, "id", "name", blocks, thresholdPpm = 500000L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val byPair = pairs.map(p => (p._1, p._2) -> p._3).toMap
+    // "jane smith" vs "jane smith": identical normalized names
+    assert(byPair((2L, 3L)) === 1000000L)
+    // "jane k smith" vs "jane smith" share most trigrams (7 of 11)
+    assert(byPair((1L, 2L)) === 636363L && byPair((1L, 3L)) === 636363L)
+    // 4 shares the phone block with 1-3 but "robert jones" rejects on name;
+    // 8 shares 5's phone block but "ada lovelace" rejects on name
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
+    assert(!pairs.exists(p => p._1 == 8L || p._2 == 8L))
+    // 5 IS a typo twin of 4 (jaccard 727272 would pass) — but the typo hits
+    // the first 4 chars and the phones differ: NO shared block, blocking
+    // misses it by design — the documented recall trade
+    assert(!pairs.exists(p => p._1 == 5L || p._2 == 5L))
+    // empty names carry no evidence even inside a hot block
+    assert(!pairs.exists(p => p._1 == 6L || p._2 == 6L))
+  }
+
+  test("candidateRecordPairs: hot blocks drop observably via maxBlock") {
+    val obs = new Observation("er_blocks")
+    val got = EntityResolution.candidateRecordPairs(
+      recs, "id", Seq("phone" -> col("phone")), maxBlock = 3,
+      metrics = Some(obs)).collect().map(r => (r.getLong(0), r.getLong(1)))
+    // the 415-555 block holds ids 1,2,3,4,6 (5 > maxBlock): dropped whole;
+    // the 206-111 block {5, 8} survives and pairs up (candidates are
+    // UNVERIFIED — the name verdict is matchRecords' job)
+    assert(got.toSeq === Seq((5L, 8L)))
+    val m = obs.get
+    assert(m("n_buckets").asInstanceOf[Long] === 2L)
+    assert(m("n_dropped_buckets").asInstanceOf[Long] === 1L)
+    assert(m("n_dropped_ids").asInstanceOf[Long] === 5L)
+  }
+
+  test("resolveEntities: transitive closure labels chains; singletons label themselves") {
+    val labels = EntityResolution.resolveEntities(
+      recs, "id", "name", blocks, thresholdPpm = 500000L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // 1~2, 2~3 (and 1~3): one entity, smallest id
+    assert(labels(1L) === 1L && labels(2L) === 1L && labels(3L) === 1L)
+    // everyone else is their own entity
+    Seq(4L, 5L, 6L, 7L, 8L).foreach(i => assert(labels(i) === i))
+    assert(labels.size === 8)
+  }
+
+  test("goldenRecords: first-non-null-by-id survivorship and n_members") {
+    val labels = EntityResolution.resolveEntities(
+      recs, "id", "name", blocks, thresholdPpm = 500000L)
+    val golden = EntityResolution.goldenRecords(
+      recs, labels, "id", Seq("name", "phone", "tier"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getString(2), r.getString(3), r.getString(4)))).toMap
+    // member 1 has the smallest id: its name+phone win; its tier is non-null
+    assert(golden(1L) === ((3L, "Jane K. Smith", "415-555", "gold")))
+    // singleton with a null field: the null survives (nothing to fall to)
+    assert(golden(7L) === ((1L, "zoe", null, "y")))
+    // survivorship falls THROUGH null fields: drop member 1, so the entity
+    // is {2, 3} — name/phone from 2 (smaller id), tier falls through 2's
+    // null to 3's "silver"
+    val recs23 = recs.filter(col("id").isin(2L, 3L))
+    val l23 = EntityResolution.resolveEntities(
+      recs23, "id", "name", blocks, thresholdPpm = 500000L)
+    val g23 = EntityResolution.goldenRecords(recs23, l23, "id",
+      Seq("name", "phone", "tier"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getString(2), r.getString(3), r.getString(4)))).toMap
+    assert(g23(2L) === ((2L, "JANE SMITH", "415-555", "silver")))
+  }
+
+  test("resolveEntities: partitioning invariance") {
+    val a = EntityResolution.resolveEntities(
+      recs.repartition(7), "id", "name", blocks, thresholdPpm = 500000L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val b = EntityResolution.resolveEntities(
+      recs, "id", "name", blocks, thresholdPpm = 500000L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(a === b)
+  }
+}

@@ -1744,6 +1744,21 @@ object SparkEntry {
     ops.Graph.pageRank(edges, "src", "dst")
   }
 
+  /** Link communities over the same customer→supplier purchase graph the
+    * PageRank signal ranks: 4 synchronous label-propagation rounds with the
+    * (count DESC, label ASC) winner — deterministic, so the oracle unrolls
+    * every round as plain SQL over the mirrored edge list.
+    */
+  private def graphCommunitiesQ(s: SparkSession, dir: String): DataFrame = {
+    val orders = s.read.parquet(s"$dir/orders.parquet")
+      .select("o_orderkey", "o_custkey")
+    val li = s.read.parquet(s"$dir/lineitem.parquet")
+      .select("l_orderkey", "l_suppkey")
+    val edges = orders.join(li, col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_custkey").as("src"), (col("l_suppkey") + 1000000L).as("dst"))
+    ops.Graph.labelPropagation(edges, "src", "dst", rounds = 4)
+  }
+
   /** Triangle counts over the co-supply graph: suppliers are adjacent when
     * they ship line items in at least 28 common orders (the strength
     * threshold keeps the graph sparse — below it the co-supply relation
@@ -2380,6 +2395,7 @@ object SparkEntry {
     "mix_corpora" -> (mixCorporaQuery _),
     "mix_temperature" -> (mixTemperatureQuery _),
     "page_rank" -> (pageRankQuery _),
+    "graph_communities" -> (graphCommunitiesQ _),
     "triangle_count" -> (triangleCountQ _),
     "top_terms" -> (topTermsQuery _),
     "source_orc_roundtrip" -> (sourceOrcRoundtrip _),
@@ -4975,6 +4991,27 @@ object SparkEntry {
            |r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS rank FROM nodes),
            |$iters
            |SELECT node, rank FROM r3""".stripMargin
+      },
+      // synchronous LPA unrolled: each round is a plain (node, label) count
+      // over the mirrored edges + the (count DESC, label ASC) row_number
+      // pick — the fixed-round contract makes the replay exact
+      "graph_communities" -> {
+        val lpaRounds = (1 to 4).map { i =>
+          s"""u$i AS (SELECT nb.dst AS id, l.community, count(*) AS c
+             |  FROM nb JOIN l${i - 1} l ON nb.src = l.id
+             |  GROUP BY nb.dst, l.community),
+             |l$i AS (SELECT id, community FROM (
+             |  SELECT id, community, row_number() OVER (PARTITION BY id
+             |    ORDER BY c DESC, community ASC) AS rn
+             |  FROM u$i) WHERE rn = 1)""".stripMargin
+        }.mkString(",\n")
+        s"""WITH e AS (SELECT DISTINCT least(o_custkey, l_suppkey + 1000000) AS a,
+           |    greatest(o_custkey, l_suppkey + 1000000) AS b
+           |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+           |nb AS (SELECT a AS src, b AS dst FROM e UNION ALL SELECT b, a FROM e),
+           |l0 AS (SELECT a AS id, a AS community FROM e UNION SELECT b, b FROM e),
+           |$lpaRounds
+           |SELECT id, community FROM l4""".stripMargin
       },
       // temperature-mix replay: per-corpus counts pivot into ONE row so the
       // √-sum is an explicit left-associated expression (the documented op

@@ -106,6 +106,69 @@ object Graph {
     * self-joins on node keys; the triangle table never materializes wider
     * than (x, y, z).
     */
+  /** Label-propagation communities over an undirected edge list — the
+    * community-detection member of the graph family next to the two CCs
+    * (which find CONNECTED pieces) and [[triangleCounts]] (which scores
+    * local density): each round, every node adopts the most frequent label
+    * among its neighbors (ties → smallest label), so dense regions agree on
+    * their minimum id in a few rounds while bridges stay thin. Communities
+    * partition finer than components — the crawl-graph use is splitting a
+    * giant connected blob into link neighborhoods for per-community caps.
+    *
+    * Deterministic by construction where classic LPA is not: updates are
+    * SYNCHRONOUS (every node reads round t−1's labels), the winner is the
+    * `(count DESC, label ASC)` arg-max — a pure function of the edge set —
+    * and the round count is FIXED rather than convergence-detected, because
+    * synchronous LPA can 2-cycle on bipartite structure (the documented
+    * trade: a fixed unroll is engine-replayable; convergence detection on
+    * an oscillating system isn't even well-defined). Self-loops drop,
+    * multi-edges collapse, direction is ignored; only nodes on at least one
+    * surviving edge are labeled (an isolated node is trivially its own
+    * community — union it back if the caller needs the full universe).
+    *
+    * Shape at 100 TB: per round one equality join of the mirrored edge list
+    * with the labels table plus two keyed aggregations ((node, label) counts
+    * then per-node arg-max) — all narrow (id, label, count) rows; the edge
+    * list checkpoints once, each round's labels checkpoint to truncate
+    * lineage with at most two snapshots live (the [[pageRank]] /
+    * [[Dedup.connectedComponents]] discipline).
+    */
+  def labelPropagation(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      rounds: Int = 4): DataFrame = {
+    require(rounds >= 1 && rounds <= 20, "rounds must be in [1, 20]")
+    val und = edges
+      .select(least(col(srcCol), col(dstCol)).as("a"),
+        greatest(col(srcCol), col(dstCol)).as("b"))
+      .filter(col("a").isNotNull && col("b").isNotNull && col("a") =!= col("b"))
+      .distinct()
+      .localCheckpoint(false) // feeds the mirror both ways + the node set
+    val nbrs = und.select(col("a").as("src"), col("b").as("dst"))
+      .unionByName(und.select(col("b").as("src"), col("a").as("dst")))
+    var labels = und.select(col("a").as("id"))
+      .unionByName(und.select(col("b").as("id"))).distinct()
+      .select(col("id"), col("id").as("community"))
+    var prevCkpt: Option[DataFrame] = None
+    for (_ <- 1 to rounds) {
+      val next = nbrs
+        .join(labels.select(col("id").as("src"), col("community")), Seq("src"))
+        .groupBy(col("dst").as("id"), col("community"))
+        .agg(count(lit(1)).as("_c"))
+        // (count DESC, label ASC) via min over the negated-count struct
+        .groupBy(col("id"))
+        .agg(min(struct((-col("_c")).as("_nc"), col("community").as("_l")))
+          .as("_best"))
+        .select(col("id"), col("_best._l").as("community"))
+        .localCheckpoint()
+      prevCkpt.foreach(org.apache.spark.sql.graft.CheckpointUtil.unpersist(_))
+      prevCkpt = Some(next)
+      labels = next
+    }
+    labels
+  }
+
   def triangleCounts(
       edges: DataFrame,
       srcCol: String,

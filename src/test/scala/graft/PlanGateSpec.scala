@@ -59,6 +59,8 @@ class PlanGateSpec extends SparkTestBase {
     // per-iteration localCheckpoints (the CC discipline) — the final plan
     // reads the last snapshot only
     "page_rank",
+    // per-round label checkpoints (the page_rank shape)
+    "graph_communities",
     // the normalized edge list and the oriented list are localCheckpoints
     // (each feeds 2-3 consumers); the final plan hangs off the second
     "triangle_count")

@@ -195,6 +195,9 @@ class EmptyInputSpec extends SparkTestBase {
     // resample + forward fill over no observations
     assert(Temporal.resampleForwardFill(noIv, "ls", Seq("le"), 60L, 2L,
       Seq("lid")).count() === 0L)
+    // label propagation over no edges
+    val noLpaEdges = Seq.empty[(Long, Long)].toDF("s", "d")
+    assert(Graph.labelPropagation(noLpaEdges, "s", "d").count() === 0L)
     // entity resolution over no records
     val noRecs = Seq.empty[(Long, String)].toDF("id", "name")
     assert(EntityResolution.resolveEntities(noRecs, "id", "name",

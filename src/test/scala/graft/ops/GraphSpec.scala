@@ -76,6 +76,35 @@ class GraphSpec extends SparkTestBase {
     assert(a === b && a.nonEmpty)
   }
 
+  test("labelPropagation: two cliques over a bridge split into min-label communities") {
+    import spark.implicits._
+    // 4-clique {1,2,3,4} — bridge 4-11 — 4-clique {11,12,13,14}; messy
+    // input: duplicates, reversed direction, a self-loop
+    val clique = (ns: Seq[Long]) =>
+      for (a <- ns; b <- ns if a < b) yield (a, b)
+    val ev = (clique(Seq(1L, 2L, 3L, 4L)) ++ clique(Seq(11L, 12L, 13L, 14L)) ++
+      Seq((4L, 11L), (11L, 4L), (1L, 2L), (7L, 7L))).toDF("s", "d")
+    val got = Graph.labelPropagation(ev, "s", "d", rounds = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(Seq(1L, 2L, 3L, 4L).forall(got(_) == 1L))
+    assert(Seq(11L, 12L, 13L, 14L).forall(got(_) == 11L))
+    // the self-loop node is on no surviving edge: unlabeled by contract
+    assert(got.size === 8)
+    // partitioning invariance (the arg-max is a pure function of the edges)
+    val re = Graph.labelPropagation(ev.repartition(9), "s", "d", rounds = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(re === got)
+    // synchronous LPA 2-cycles on a bare edge — the fixed round count pins
+    // the answer (rounds=4: each endpoint is back to its own label)
+    val pair = Seq((1L, 2L)).toDF("s", "d")
+    val p4 = Graph.labelPropagation(pair, "s", "d", rounds = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(p4 === Map(1L -> 1L, 2L -> 2L))
+    val p3 = Graph.labelPropagation(pair, "s", "d", rounds = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(p3 === Map(1L -> 2L, 2L -> 1L))
+  }
+
   test("pageRank: empty edge list yields an empty ranking, no crash") {
     import spark.implicits._
     val none = Seq.empty[(Long, Long)].toDF("src", "dst")

@@ -915,6 +915,20 @@ object SparkEntry {
         col("bal_cents"))
   }
 
+  /** Time-weighted average end-to-end: each user's fixed-point value as a
+    * stepwise SCD2 regime (same-instant max collapse, no-op drop), averaged
+    * by HOLDING TIME over the Jan-8..Jan-28 window — the step-function mean
+    * an event-count AVG gets wrong. DuckDB replays the regime build, the
+    * second-truncated overlap clip, and both integral divisions.
+    */
+  private def timeWeightedAvgQ(s: SparkSession, dir: String): DataFrame = {
+    val ev = eventsFixedPoint(s, dir).withColumnRenamed("value", "v_cents")
+    val regimes = ops.Temporal.scd2(ev, "user_id", "ts", Seq("v_cents"))
+    ops.Temporal.timeWeightedAverage(regimes, "user_id", "v_cents",
+      "valid_from", "valid_to",
+      windowStartUs = 1704672000000000L, windowEndUs = 1706400000000000L)
+  }
+
   /** events with value scaled to an exact integer (1e4 fixed-point) so sums
     * are shuffle-order- and engine-independent.
     */
@@ -2381,6 +2395,7 @@ object SparkEntry {
     "interval_flatten" -> (intervalFlattenQ _),
     "resample_ffill" -> (resampleFfillQ _),
     "entity_resolution" -> (entityResolutionQ _),
+    "time_weighted_avg" -> (timeWeightedAvgQ _),
     "embedding_quantize" -> (embeddingQuantize _),
     "embedding_normalize" -> (embeddingNormalize _),
     "embedding_project" -> (embeddingProject _),
@@ -4662,6 +4677,29 @@ object SparkEntry {
            |  event_type, CAST(CASE WHEN i = 0 THEN n ELSE 0 END AS BIGINT) AS n_obs,
            |  CAST(CASE WHEN i = 0 THEN 1 ELSE 0 END AS BIGINT) AS is_observed
            |FROM g""".stripMargin,
+      // TWA replay: the scd2 regime chain (same-instant max, no-op drop,
+      // lead), the window clip truncated to whole seconds, then the two
+      // integral divisions — all positive here, so // matches floor
+      "time_weighted_avg" ->
+        s"""WITH ev AS (SELECT user_id, epoch_us(ts) AS us,
+           |    CAST(round(value * 10000) AS BIGINT) AS v FROM events),
+           |c AS (SELECT user_id, us, max(v) AS v FROM ev GROUP BY 1, 2),
+           |ch AS (SELECT user_id, us, v,
+           |    lag(v) OVER (PARTITION BY user_id ORDER BY us) AS pv FROM c),
+           |sur AS (SELECT user_id, us, v FROM ch WHERE pv IS NULL OR v <> pv),
+           |iv AS (SELECT user_id, v, us AS f,
+           |    lead(us) OVER (PARTITION BY user_id ORDER BY us) AS t FROM sur),
+           |o AS (SELECT user_id, v,
+           |    CASE WHEN least(coalesce(t, 1706400000000000), 1706400000000000)
+           |        > greatest(f, 1704672000000000)
+           |      THEN (least(coalesce(t, 1706400000000000), 1706400000000000)
+           |        - greatest(f, 1704672000000000)) // 1000000
+           |      ELSE 0 END AS d FROM iv)
+           |SELECT user_id, CAST(sum(d) AS BIGINT) AS coverage_s,
+           |  CAST(sum(v * d) AS BIGINT) AS vt_integral,
+           |  CASE WHEN sum(d) > 0
+           |    THEN CAST(sum(v * d) // sum(d) AS BIGINT) END AS twa_q
+           |FROM o GROUP BY user_id""".stripMargin,
       // entity-resolution replay against ALL-PAIRS ground truth: planted
       // variants → normalized trigram sets → every pair scored (no blocking
       // in the oracle — recall is measured) → recursive-CTE components →

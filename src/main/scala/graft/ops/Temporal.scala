@@ -522,6 +522,64 @@ object Temporal {
         col("n_merged"): _*)
   }
 
+  /** Time-weighted average over validity intervals — the feature-store rate
+    * primitive for stepwise signals ("average balance held over January",
+    * "mean regime value while the account was open"): a plain AVG over
+    * observation EVENTS is wrong for a step function because it weights by
+    * observation count, not by how long each value HELD. Input is an
+    * interval table ([[scd2]] output shape: `key, value, from, to` with
+    * NULL `to` = still current); each interval contributes its value
+    * weighted by its overlap with the `[windowStartUs, windowEndUs)`
+    * observation window.
+    *
+    * Integer-lane contract: overlaps are truncated to whole SECONDS (the
+    * weight resolution — a rate's meaning never lives in sub-second
+    * truncation noise, and the truncation is part of the replayable
+    * contract), the integral is `Σ value·overlap_s` in int64, and the
+    * average is one integral division. Overflow bound: |value| ·
+    * window-seconds must fit int64 — at a 10-year window (3·10⁸ s) that
+    * allows |value| up to ~3·10¹⁰, documented not discovered. Output:
+    * `key, coverage_s (seconds of the window covered by any interval),
+    * vt_integral (value·seconds), twa_q (integral div coverage — FLOOR
+    * division, toward −∞: on a negative integral this differs from a
+    * truncating `div`/`//`, so a replaying engine must use floor too)`,
+    * `twa_q` NULL when nothing overlaps. Intervals are assumed DISJOINT per key (the scd2
+    * contract); overlapping input double-counts honestly — run
+    * [[flattenIntervals]] first if coverage is what you mean. NULL keys
+    * drop.
+    *
+    * Shape at scale: the overlap clip is a scan-speed projection; ONE
+    * keyed aggregation shuffle, map-side partials collapsing each key's
+    * intervals before the wire.
+    */
+  def timeWeightedAverage(
+      intervals: DataFrame,
+      keyCol: String,
+      valueCol: String,
+      fromCol: String,
+      toCol: String,
+      windowStartUs: Long,
+      windowEndUs: Long): DataFrame = {
+    require(windowEndUs > windowStartUs, "window must be non-empty")
+    val s = greatest(unix_micros(col(fromCol)), lit(windowStartUs))
+    val e = least(coalesce(unix_micros(col(toCol)), lit(windowEndUs)),
+      lit(windowEndUs))
+    // (e - s) ≤ window-µs < 2^53: the double quotient is exact on whole
+    // multiples and its rounding error (~1e-9 of a unit) can never cross
+    // the floor boundary (granularity 1/10⁶)
+    val durS = when(col(fromCol).isNotNull && e > s,
+      floor((e - s) / lit(1000000L))).otherwise(lit(0L)).cast("long")
+    intervals
+      .filter(col(keyCol).isNotNull)
+      .select(col(keyCol), col(valueCol).cast("long").as("_v"), durS.as("_d"))
+      .groupBy(col(keyCol))
+      .agg(sum(col("_d")).as("coverage_s"),
+        sum(col("_v") * col("_d")).as("vt_integral"))
+      .withColumn("twa_q",
+        when(col("coverage_s") > 0,
+          floor(col("vt_integral") / col("coverage_s")).cast("long")))
+  }
+
   /** Resample to a fixed time grid + TTL'd FORWARD FILL — the gap-filling
     * aligner every feature/training pipeline needs between raw events and
     * model-ready panels: per key, keep the LAST observation in each

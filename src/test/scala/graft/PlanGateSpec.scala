@@ -87,6 +87,9 @@ class PlanGateSpec extends SparkTestBase {
     // the (user, bucket) arg-max aggregation + the per-user lead window;
     // the fill explode is in-row
     "resample_ffill" -> 2,
+    // the scd2 regime build's collapse + window exchanges; the TWA
+    // aggregation reuses the per-user partitioning
+    "time_weighted_avg" -> 2,
     // funnel's per-step key-agg exchange (reused across stages) + the two
     // gap-median rank windows (each a Single exchange over the completer
     // table, never the event stream)

@@ -480,6 +480,38 @@ class PipelineOpsSpec extends SparkTestBase {
     assert("Exchange hashpartitioning".r.findAllIn(plan).length <= 2)
   }
 
+  test("timeWeightedAverage: holding-time weights, window clips, open tails, zero coverage") {
+    import spark.implicits._
+    // window [100s, 200s) in µs; values are integer "cents"
+    val (ws, we) = (100000000L, 200000000L)
+    def t(sec: Long) = new java.sql.Timestamp(sec * 1000L) // epoch sec -> ts
+    val iv = Seq(
+      // u: 10 cents held [50,130), 40 cents [130,170), 10 cents [170, open)
+      (Option("u"), 10L, Option(t(50)), Option(t(130))),
+      (Option("u"), 40L, Option(t(130)), Option(t(170))),
+      (Option("u"), 10L, Option(t(170)), Option.empty[java.sql.Timestamp]),
+      // w: entirely before the window -> zero coverage, NULL twa
+      (Option("w"), 99L, Option(t(10)), Option(t(20))),
+      // NULL key drops
+      (Option.empty[String], 5L, Option(t(100)), Option(t(200))))
+      .toDF("k", "v", "f", "to")
+    val got = ops2map(Temporal.timeWeightedAverage(
+      iv, "k", "v", "f", "to", ws, we))
+    // u: 10·30 + 40·40 + 10·30 = 2200 over 100s -> twa 22
+    assert(got("u") === ((100L, 2200L, Option(22L))))
+    assert(got("w") === ((0L, 0L, Option.empty[Long])))
+    assert(got.size === 2)
+    // an events-count average would say (10+40+10)/3 = 20 — the point
+    // partitioning invariance
+    assert(ops2map(Temporal.timeWeightedAverage(
+      iv.repartition(7), "k", "v", "f", "to", ws, we)) === got)
+  }
+
+  private def ops2map(df: org.apache.spark.sql.DataFrame) =
+    df.collect().map(r => r.getString(0) ->
+      ((r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) Option.empty[Long] else Option(r.getLong(3))))).toMap
+
   test("intervalJoin: parity with a naive range join; equality-key plan, no BNLJ") {
     import spark.implicits._
     val points = (0 until 200).map(i => (i.toLong, ts(f"2024-01-01 ${i % 24}%02d:${i % 60}%02d:00")))

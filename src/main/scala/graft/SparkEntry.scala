@@ -880,7 +880,15 @@ object SparkEntry {
     * at the 550000 threshold. The oracle grades against ALL-PAIRS ground
     * truth — blocking recall is measured, not assumed.
     */
-  private def entityResolutionQ(s: SparkSession, dir: String): DataFrame = {
+  /** Planted ER universe over the customer table (shared by the batch and
+    * incremental ER queries): 12-hex md5-core names, a case-formatting
+    * variant (buckets < 10, smaller id, NULL segment/balance), a
+    * one-char-deletion typo variant (buckets [5, 20)), and — for the
+    * incremental form's novel lane — a reversed-name variant (buckets
+    * [20, 28)) whose trigram overlap with everything is noise.
+    */
+  private def erParts(s: SparkSession, dir: String)
+      : (DataFrame, DataFrame, DataFrame, DataFrame) = {
     val cust = GraftSource.parquet(s"$dir/customer.parquet").load(s)
     def keyMd5 = md5(col("c_custkey").cast("string").cast("binary"))
     val core = substring(keyMd5, 1, 12)
@@ -902,17 +910,45 @@ object SparkEntry {
       col("c_nationkey").cast("long").as("nation"),
       col("c_mktsegment").as("segment"),
       round(col("c_acctbal") * 100).cast("long").as("bal_cents"))
+    val kindC = withB.filter(col("_b") >= 20 && col("_b") < 28).select(
+      (col("c_custkey").cast("long") + 4000000L).as("rec_id"),
+      reverse(core).as("name"),
+      col("c_nationkey").cast("long").as("nation"),
+      col("c_mktsegment").as("segment"),
+      round(col("c_acctbal") * 100).cast("long").as("bal_cents"))
+    (base, kindA, kindB, kindC)
+  }
+
+  private def erBlocks = Seq(
+    "name4" -> substring(ops.EntityResolution.normalized(col("name")), 1, 4),
+    // NULL segment null-propagates through concat: no attribute block
+    "attrs" -> concat(col("nation").cast("string"), lit("|"), col("segment")))
+
+  private def entityResolutionQ(s: SparkSession, dir: String): DataFrame = {
+    val (base, kindA, kindB, _) = erParts(s, dir)
     val recs = base.unionByName(kindA).unionByName(kindB)
-    val blocks = Seq(
-      "name4" -> substring(ops.EntityResolution.normalized(col("name")), 1, 4),
-      // NULL segment null-propagates through concat: no attribute block
-      "attrs" -> concat(col("nation").cast("string"), lit("|"), col("segment")))
     val labels = ops.EntityResolution.resolveEntities(
-      recs, "rec_id", "name", blocks, thresholdPpm = 550000L, maxBlock = 500)
+      recs, "rec_id", "name", erBlocks, thresholdPpm = 550000L, maxBlock = 500)
     ops.EntityResolution.goldenRecords(recs, labels, "rec_id",
       Seq("name", "segment", "bal_cents"))
       .select(col("entity_id"), col("n_members"), col("name"), col("segment"),
         col("bal_cents"))
+  }
+
+  /** Incremental entity resolution end-to-end: the accepted reference is the
+    * original customer universe (each its own entity), the nightly batch is
+    * every planted variant — formatting and typo twins must ASSIGN to their
+    * original's entity, and the reversed-name records (which share attribute
+    * blocks but no name evidence) must come back NULL = novel. Graded
+    * against cross-side ALL-PAIRS ground truth.
+    */
+  private def entityResolutionAgainstQ(s: SparkSession, dir: String): DataFrame = {
+    val (base, kindA, kindB, kindC) = erParts(s, dir)
+    val reference = base.withColumn("entity", col("rec_id"))
+    val batch = kindA.unionByName(kindB).unionByName(kindC)
+    ops.EntityResolution.resolveAgainst(
+      batch, reference, "rec_id", "name", "entity", erBlocks,
+      thresholdPpm = 550000L, maxBlock = 500)
   }
 
   /** Time-weighted average end-to-end: each user's fixed-point value as a
@@ -2396,6 +2432,7 @@ object SparkEntry {
     "resample_ffill" -> (resampleFfillQ _),
     "entity_resolution" -> (entityResolutionQ _),
     "time_weighted_avg" -> (timeWeightedAvgQ _),
+    "entity_resolution_against" -> (entityResolutionAgainstQ _),
     "embedding_quantize" -> (embeddingQuantize _),
     "embedding_normalize" -> (embeddingNormalize _),
     "embedding_project" -> (embeddingProject _),
@@ -4700,6 +4737,45 @@ object SparkEntry {
            |  CASE WHEN sum(d) > 0
            |    THEN CAST(sum(v * d) // sum(d) AS BIGINT) END AS twa_q
            |FROM o GROUP BY user_id""".stripMargin,
+      // incremental ER replay: cross-side ALL-PAIRS ground truth (blocking
+      // recall measured), the (score DESC, entity ASC) winner per batch
+      // record, novel records ride the LEFT join as NULLs
+      "entity_resolution_against" ->
+        """WITH cust AS (SELECT c_custkey AS k,
+          |    substr(md5(CAST(c_custkey AS VARCHAR)), 1, 12) AS core,
+          |    CAST(concat('0x', substr(md5(CAST(c_custkey AS VARCHAR)), 1, 6)) AS BIGINT)
+          |      % 100 AS b
+          |  FROM customer),
+          |ref AS (SELECT k AS rec_id, core AS name FROM cust),
+          |batch AS (
+          |  SELECT -k - 1 AS rec_id, upper(core) AS name FROM cust WHERE b < 10
+          |  UNION ALL SELECT k + 3000000, substr(core, 1, 4) || substr(core, 6, 7)
+          |    FROM cust WHERE b >= 5 AND b < 20
+          |  UNION ALL SELECT k + 4000000, reverse(core)
+          |    FROM cust WHERE b >= 20 AND b < 28),
+          |gb AS (SELECT rec_id, list_distinct(list_transform(
+          |    generate_series(1, greatest(len(s) - 2, 1)),
+          |    i -> substr(s, CAST(i AS INTEGER), 3))) AS tg
+          |  FROM (SELECT rec_id,
+          |      trim(regexp_replace(lower(name), '[^a-z0-9]+', ' ', 'g')) AS s
+          |    FROM batch) WHERE len(s) > 0),
+          |gr AS (SELECT rec_id, list_distinct(list_transform(
+          |    generate_series(1, greatest(len(s) - 2, 1)),
+          |    i -> substr(s, CAST(i AS INTEGER), 3))) AS tg
+          |  FROM (SELECT rec_id,
+          |      trim(regexp_replace(lower(name), '[^a-z0-9]+', ' ', 'g')) AS s
+          |    FROM ref) WHERE len(s) > 0),
+          |p AS (SELECT b.rec_id AS id, r.rec_id AS ref_id,
+          |    len(list_intersect(b.tg, r.tg)) * 1000000
+          |      // len(list_distinct(b.tg || r.tg)) AS score
+          |  FROM gb b CROSS JOIN gr r),
+          |a AS (SELECT id, ref_id AS entity_id, score, ref_id AS rid,
+          |    row_number() OVER (PARTITION BY id
+          |      ORDER BY score DESC, ref_id ASC) AS rn
+          |  FROM p WHERE score >= 550000)
+          |SELECT b.rec_id AS id, a.entity_id,
+          |  CAST(a.score AS BIGINT) AS score_ppm, a.rid AS ref_id
+          |FROM batch b LEFT JOIN a ON b.rec_id = a.id AND a.rn = 1""".stripMargin,
       // entity-resolution replay against ALL-PAIRS ground truth: planted
       // variants → normalized trigram sets → every pair scored (no blocking
       // in the oracle — recall is measured) → recursive-CTE components →

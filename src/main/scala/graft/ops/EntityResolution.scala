@@ -138,6 +138,98 @@ object EntityResolution {
       .withColumnRenamed("cluster", "entity_id")
   }
 
+  /** Incremental entity resolution — the nightly-ingest form, the ER cell of
+    * the incremental lattice (exact / window / MinHash / semantic dedup all
+    * have `…Against` siblings): does each incoming record describe an entity
+    * the ACCEPTED corpus already knows? Candidates are CROSS-SIDE only
+    * (batch×batch merging is [[resolveEntities]]' job on the novel
+    * remainder; ref×ref was settled at acceptance), generated by the same
+    * equality blocking, verified by the same trigram-ppm score, and each
+    * batch record is ASSIGNED to its best-scoring reference record's entity
+    * under the deterministic `(score DESC, entity ASC, ref_id ASC)` winner —
+    * or left NULL (novel). Output: `(id, entity_id, score_ppm, ref_id)`, one
+    * row per batch record.
+    *
+    * Hot blocks are capped TWO-SIDED: a block with batch-side occupancy `bn`
+    * and ref-side `rn` costs `bn·rn` pairs, so blocks where EITHER side
+    * exceeds `maxBlock` drop whole (the semanticDedupAgainst two-sided
+    * discipline). The drop panel rides the blocked-key JOIN OUTPUT — never
+    * under a BroadcastExchange (the house Observation lesson) — reporting
+    * `n_candidate_keyrows`, `n_dropped_keyrows`, `max_block_pairs`; the one
+    * reporting hole is a run where ZERO batch records match (AQE
+    * empty-propagates the assignment subtree, metrics node included) — a
+    * real nightly batch always assigns something.
+    *
+    * Shape at scale: blocking keys are narrow (id, block) rows on both
+    * sides; the block-size stats table joins without a forced broadcast
+    * (block cardinality is data-scaled — the planner picks); candidate pairs
+    * dedup through one (b_id, r_id) aggregation; only (id, grams) rides the
+    * verify; assignment is a per-batch-id arg-max with map-side partials.
+    * The reference is READ, never recomputed — pair it with a persisted
+    * grams/blocks store if re-deriving them nightly dominates (the
+    * signature-store pattern).
+    */
+  def resolveAgainst(
+      batch: DataFrame,
+      reference: DataFrame,
+      idCol: String,
+      nameCol: String,
+      entityCol: String,
+      blocks: Seq[(String, Column)],
+      thresholdPpm: Long,
+      maxBlock: Int = 100,
+      metrics: Option[Observation] = None): DataFrame = {
+    require(thresholdPpm >= 0 && thresholdPpm <= 1000000L,
+      "thresholdPpm must be in [0, 1000000]")
+    require(blocks.nonEmpty, "need at least one blocking key")
+    def keyed(df: DataFrame, idAs: String) = df.select(
+      col(idCol).as(idAs),
+      explode(array(blocks.map { case (name, expr) =>
+        struct(lit(name).as("b"), expr.cast("string").as("v"))
+      }: _*)).as("bucketKey"))
+      .filter(col("bucketKey.v").isNotNull && length(col("bucketKey.v")) > 0)
+    val bk = keyed(batch, "b_id")
+    val rk = keyed(reference, "r_id")
+    val stats = bk.groupBy(col("bucketKey")).agg(count(lit(1)).as("_bn"))
+      .join(rk.groupBy(col("bucketKey")).agg(count(lit(1)).as("_rn")),
+        Seq("bucketKey"))
+    val blockJoin = bk.join(rk, Seq("bucketKey")).join(stats, Seq("bucketKey"))
+    val observed = metrics.map { o =>
+      blockJoin.observe(o,
+        count(lit(1)).as("n_candidate_keyrows"),
+        sum(when(col("_bn") > maxBlock || col("_rn") > maxBlock, 1L)
+          .otherwise(0L)).as("n_dropped_keyrows"),
+        max(col("_bn") * col("_rn")).as("max_block_pairs"))
+    }.getOrElse(blockJoin)
+    val cand = observed
+      .filter(col("_bn") <= maxBlock && col("_rn") <= maxBlock)
+      .groupBy(col("b_id"), col("r_id")).agg(count(lit(1)).as("_nb"))
+      .drop("_nb")
+    def grams(df: DataFrame, idAs: String, gAs: String) = df
+      .select(col(idCol).as(idAs), normalized(col(nameCol)).as("_nm"))
+      .filter(col("_nm").isNotNull && length(col("_nm")) > 0)
+      .select(col(idAs), trigramSet(col("_nm")).as(gAs))
+    val refGrams = grams(reference, "r_id", "_gr")
+      .join(reference.select(col(idCol).as("r_id"),
+        col(entityCol).as("_ent")), "r_id")
+    val inter = size(array_intersect(col("_gb"), col("_gr"))).cast("long")
+    val union = size(array_union(col("_gb"), col("_gr"))).cast("long")
+    val assigned = cand
+      .join(grams(batch, "b_id", "_gb"), "b_id")
+      .join(refGrams, "r_id")
+      .withColumn("_score", floor(inter * lit(1000000L) / union).cast("long"))
+      .filter(col("_score") >= thresholdPpm)
+      .groupBy(col("b_id"))
+      .agg(min(struct((-col("_score")).as("_ns"), col("_ent").as("_e"),
+        col("r_id").as("_r"))).as("_best"))
+      .select(col("b_id"), col("_best._e").as("entity_id"),
+        (-col("_best._ns")).as("score_ppm"), col("_best._r").as("ref_id"))
+    batch.select(col(idCol).as("b_id")).distinct()
+      .join(assigned, Seq("b_id"), "left")
+      .select(col("b_id").as("id"), col("entity_id"), col("score_ppm"),
+        col("ref_id"))
+  }
+
   /** Golden records: one row per entity with per-field survivorship = the
     * first NON-NULL value in record-id order (deterministic and total — a
     * member with a missing field falls through to the next member, so the

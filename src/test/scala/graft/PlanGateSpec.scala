@@ -90,6 +90,10 @@ class PlanGateSpec extends SparkTestBase {
     // the scd2 regime build's collapse + window exchanges; the TWA
     // aggregation reuses the per-user partitioning
     "time_weighted_avg" -> 2,
+    // the two per-side block-occupancy aggs, the (b_id, r_id) candidate
+    // dedup, the per-batch-id arg-max, and the novel left join; the block
+    // and grams joins ride broadcasts at this scale
+    "entity_resolution_against" -> 5,
     // funnel's per-step key-agg exchange (reused across stages) + the two
     // gap-median rank windows (each a Single exchange over the completer
     // table, never the event stream)

@@ -95,6 +95,71 @@ class EntityResolutionSpec extends SparkTestBase {
     assert(g23(2L) === ((2L, "JANE SMITH", "415-555", "silver")))
   }
 
+  test("resolveAgainst: batch assigns to accepted entities, novel stays NULL, cross-side only") {
+    import spark.implicits._
+    val reference = Seq(
+      (10L, "jane smith", Option("415-555"), 10L),
+      (11L, "robert jones", Option("415-555"), 11L),
+      (12L, "ada lovelace", Option.empty[String], 11L)) // 12 resolved INTO entity 11 upstream
+      .toDF("id", "name", "phone", "entity")
+    val batch = Seq(
+      (100L, "JANE SMITH", Option("415-555")), // formatting twin -> entity 10
+      (101L, "jane k smith", Option("415-555")), // typo twin -> entity 10
+      (102L, "ada lovelaze", Option.empty[String]), // typo twin of 12 -> its entity 11
+      (103L, "grace hopper", Option("415-555")), // shares a block, name rejects: novel
+      (104L, "JANE SMITH", Option("415-555"))) // batch-internal twin of 100: NOT paired here
+      .toDF("id", "name", "phone")
+    val got = EntityResolution.resolveAgainst(
+      batch, reference, "id", "name", "entity", blocks,
+      thresholdPpm = 500000L)
+      .collect().map(r => r.getLong(0) ->
+        ((if (r.isNullAt(1)) -1L else r.getLong(1),
+          if (r.isNullAt(2)) -1L else r.getLong(2)))).toMap
+    assert(got(100L) === ((10L, 1000000L)))
+    assert(got(101L)._1 === 10L && got(101L)._2 > 500000L && got(101L)._2 < 1000000L)
+    // assignment carries the REFERENCE record's entity label, not its id
+    assert(got(102L)._1 === 11L)
+    // novel: shares the hot 415-555 block but no name survives the verify
+    assert(got(103L) === ((-1L, -1L)))
+    // batch×batch is resolveEntities' job on the novel remainder — 104 still
+    // assigns to the REFERENCE entity, never to batch-mate 100
+    assert(got(104L) === ((10L, 1000000L)))
+    assert(got.size === 5)
+  }
+
+  test("resolveAgainst: two-sided hot-block metrics; empty reference degrades to all-novel") {
+    import spark.implicits._
+    val reference = Seq((10L, "jane smith", Option("415-555"), 10L),
+      (11L, "jane smyth", Option("415-555"), 11L),
+      (12L, "zz top", Option("777-000"), 12L))
+      .toDF("id", "name", "phone", "entity")
+    val batch = Seq((100L, "jane smith", Option("415-555")),
+      (101L, "mark twain", Option("415-555")),
+      (102L, "zz top", Option("777-000")))
+      .toDF("id", "name", "phone")
+    val obs = new Observation("er_against_blocks")
+    val got = EntityResolution.resolveAgainst(
+      batch, reference, "id", "name", "entity",
+      Seq("phone" -> col("phone")), thresholdPpm = 500000L, maxBlock = 1,
+      metrics = Some(obs))
+      .collect().map(r => r.getLong(0) -> r.isNullAt(1)).toMap
+    // the 415-555 block is hot on BOTH sides (2 > 1) and drops whole: 100
+    // stays novel DESPITE being an exact name twin of ref 10 — its only
+    // shared block carried no selectivity; the 777-000 block (1×1) survives
+    assert(got === Map(100L -> true, 101L -> true, 102L -> false))
+    val m = obs.get
+    assert(m("n_candidate_keyrows").asInstanceOf[Long] === 5L)
+    assert(m("n_dropped_keyrows").asInstanceOf[Long] === 4L)
+    assert(m("max_block_pairs").asInstanceOf[Long] === 4L)
+    // empty reference: every batch record comes back novel, schema intact
+    val noRef = reference.limit(0)
+    val allNovel = EntityResolution.resolveAgainst(
+      batch, noRef, "id", "name", "entity",
+      Seq("phone" -> col("phone")), thresholdPpm = 500000L)
+      .collect().map(r => r.getLong(0) -> r.isNullAt(1)).toMap
+    assert(allNovel === Map(100L -> true, 101L -> true, 102L -> true))
+  }
+
   test("resolveEntities: partitioning invariance") {
     val a = EntityResolution.resolveEntities(
       recs.repartition(7), "id", "name", blocks, thresholdPpm = 500000L)

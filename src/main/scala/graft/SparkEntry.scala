@@ -965,6 +965,31 @@ object SparkEntry {
       windowStartUs = 1704672000000000L, windowEndUs = 1706400000000000L)
   }
 
+  /** Composed panel anomaly: the resampled + forward-filled panel (the
+    * resample_ffill stage verbatim) fed to the z-score outlier rule grouped
+    * by the carried regime label — HOLDING-STATE statistics instead of
+    * event-arrival statistics (an irregular sampler's stats overweight
+    * active periods; the filled panel weights every user-bucket equally).
+    * The contract here is the COMPOSITION: the panel's column shapes feed
+    * zScoreOutliers' integral-value gate unchanged.
+    */
+  private def pipelinePanelAnomalyQ(s: SparkSession, dir: String): DataFrame = {
+    // stage boundary: zScoreOutliers consumes its input TWICE (the moment
+    // branch and the attach side) — without the lazy checkpoint the whole
+    // resample chain runs twice (the capstone multi-consumer lesson)
+    val panel = ops.Temporal.resampleForwardFill(
+      eventsFixedPoint(s, dir).withColumnRenamed("value", "v_cents"),
+      tsCol = "ts", valueCols = Seq("v_cents", "event_type"),
+      bucketSeconds = 21600L, maxFillBuckets = 8L,
+      keys = Seq("user_id"), tieBreak = Some("event_id"))
+      .localCheckpoint(false)
+    ops.Stats.zScoreOutliers(panel, Seq("event_type"), "v_cents", z = 2.5)
+      .select(col("user_id"),
+        unix_micros(col("bucket_start")).as("bucket_start_us"),
+        col("event_type"), col("v_cents"),
+        round(col("z_score"), 6).as("z_score"))
+  }
+
   /** events with value scaled to an exact integer (1e4 fixed-point) so sums
     * are shuffle-order- and engine-independent.
     */
@@ -2433,6 +2458,7 @@ object SparkEntry {
     "entity_resolution" -> (entityResolutionQ _),
     "time_weighted_avg" -> (timeWeightedAvgQ _),
     "entity_resolution_against" -> (entityResolutionAgainstQ _),
+    "pipeline_panel_anomaly" -> (pipelinePanelAnomalyQ _),
     "embedding_quantize" -> (embeddingQuantize _),
     "embedding_normalize" -> (embeddingNormalize _),
     "embedding_project" -> (embeddingProject _),
@@ -3079,6 +3105,24 @@ object SparkEntry {
     // the three ANN replays as vals: each is its own oracle entry AND a
     // WITH-in-subquery branch of search_rrf_fusion (one definition, the
     // fused replay cannot drift from the per-ranking ones)
+    // shared resample chain (arg-max per 6h bucket, lead gap, capped fill
+    // explode) — used by resample_ffill AND the panel-anomaly pipeline so
+    // the composed replay cannot drift from the single-stage one
+    val resampleFfillCtes =
+      """ev AS (SELECT user_id, epoch_us(ts) AS us, event_id,
+        |    CAST(round(value * 10000) AS BIGINT) AS v_cents, event_type
+        |  FROM events WHERE user_id IS NOT NULL),
+        |obs AS (SELECT user_id, us // 21600000000 AS bucket, v_cents, event_type,
+        |    row_number() OVER (PARTITION BY user_id, us // 21600000000
+        |      ORDER BY us DESC, event_id DESC) AS rn,
+        |    count(*) OVER (PARTITION BY user_id, us // 21600000000) AS n
+        |  FROM ev),
+        |w AS (SELECT user_id, bucket, v_cents, event_type, n,
+        |    lead(bucket) OVER (PARTITION BY user_id ORDER BY bucket) AS nxt
+        |  FROM obs WHERE rn = 1),
+        |g AS (SELECT user_id, bucket, v_cents, event_type, n,
+        |    unnest(generate_series(0, least(coalesce(nxt - bucket - 1, 0), 8))) AS i
+        |  FROM w)""".stripMargin
     val knnBruteSql =
       """SELECT qid, neighbor_id, rank FROM (
         |  SELECT q.vec_id AS qid, c.vec_id AS neighbor_id,
@@ -4696,24 +4740,31 @@ object SparkEntry {
       // the max-struct survivor — then the lead gap and the capped fill
       // explode (min(gap-1, 8) extra rows carrying the survivor forward)
       "resample_ffill" ->
-        s"""WITH ev AS (SELECT user_id, epoch_us(ts) AS us, event_id,
-           |    CAST(round(value * 10000) AS BIGINT) AS v_cents, event_type
-           |  FROM events WHERE user_id IS NOT NULL),
-           |obs AS (SELECT user_id, us // 21600000000 AS bucket, v_cents, event_type,
-           |    row_number() OVER (PARTITION BY user_id, us // 21600000000
-           |      ORDER BY us DESC, event_id DESC) AS rn,
-           |    count(*) OVER (PARTITION BY user_id, us // 21600000000) AS n
-           |  FROM ev),
-           |w AS (SELECT user_id, bucket, v_cents, event_type, n,
-           |    lead(bucket) OVER (PARTITION BY user_id ORDER BY bucket) AS nxt
-           |  FROM obs WHERE rn = 1),
-           |g AS (SELECT user_id, bucket, v_cents, event_type, n,
-           |    unnest(generate_series(0, least(coalesce(nxt - bucket - 1, 0), 8))) AS i
-           |  FROM w)
+        s"""WITH $resampleFfillCtes
            |SELECT user_id, (bucket + i) * 21600000000 AS bucket_start_us, v_cents,
            |  event_type, CAST(CASE WHEN i = 0 THEN n ELSE 0 END AS BIGINT) AS n_obs,
            |  CAST(CASE WHEN i = 0 THEN 1 ELSE 0 END AS BIGINT) AS is_observed
            |FROM g""".stripMargin,
+      // composed panel anomaly: the SAME resample chain, then the
+      // value_outliers moment chain over the FILLED panel — holding-state
+      // statistics, not event-arrival statistics
+      "pipeline_panel_anomaly" ->
+        s"""WITH $resampleFfillCtes,
+           |panel AS (SELECT user_id, (bucket + i) * 21600000000 AS bucket_start_us,
+           |    v_cents, event_type FROM g),
+           |st AS (SELECT event_type, count(*) AS n,
+           |    CAST(sum(v_cents) AS BIGINT) AS s,
+           |    CAST(sum(v_cents * v_cents) AS BIGINT) AS ss
+           |  FROM panel GROUP BY event_type),
+           |m AS (SELECT event_type, CAST(s AS DOUBLE) / n AS mu,
+           |    sqrt(CAST(ss AS DOUBLE) / n
+           |      - (CAST(s AS DOUBLE) / n) * (CAST(s AS DOUBLE) / n)) AS sigma
+           |  FROM st)
+           |SELECT p.user_id, p.bucket_start_us, p.event_type, p.v_cents,
+           |  round((CAST(v_cents AS DOUBLE) - mu) / sigma, 6) AS z_score
+           |FROM panel p JOIN m USING (event_type)
+           |WHERE sigma > 0
+           |  AND abs((CAST(v_cents AS DOUBLE) - mu) / sigma) > 2.5""".stripMargin,
       // TWA replay: the scd2 regime chain (same-instant max, no-op drop,
       // lead), the window clip truncated to whole seconds, then the two
       // integral divisions — all positive here, so // matches floor

@@ -630,6 +630,12 @@ object Temporal {
       .withColumn("_bucket", floor(unix_micros(col(tsCol)) / bUs).cast("long"))
       .groupBy(keys.map(col) :+ col("_bucket"): _*)
       .agg(max(survivorStruct).as("_v"), count(lit(1)).as("_n"))
+      // flatten the survivor struct HERE: no nested-field extraction may
+      // cross the window/explode below (Catalyst's nested-column aliasing
+      // mis-prunes the extracted fields under a downstream self-joinish
+      // consumer — INTERNAL_ERROR_ATTRIBUTE_NOT_FOUND, seen live)
+      .select(keys.map(col) ++ Seq(col("_bucket"), col("_n")) ++
+        valueCols.map(c => col(s"_v.$c").as(c)): _*)
     val w = Window.partitionBy(keys.map(col): _*).orderBy(col("_bucket"))
     obs
       .withColumn("_nxt", lead(col("_bucket"), 1).over(w))
@@ -638,7 +644,7 @@ object Temporal {
           lit(maxFillBuckets)))))
       .select(keys.map(col) ++
         (timestamp_micros((col("_bucket") + col("_i")) * bUs).as("bucket_start") +:
-          valueCols.map(c => col(s"_v.$c").as(c))) ++ Seq(
+          valueCols.map(col)) ++ Seq(
         when(col("_i") === 0L, col("_n")).otherwise(0L).as("n_obs"),
         when(col("_i") === 0L, 1L).otherwise(0L).as("is_observed")): _*)
   }

@@ -94,6 +94,11 @@ class PlanGateSpec extends SparkTestBase {
     // dedup, the per-batch-id arg-max, and the novel left join; the block
     // and grams joins ride broadcasts at this scale
     "entity_resolution_against" -> 5,
+    // the per-regime moment aggregation; the panel stage is a lazy
+    // checkpoint boundary (zScoreOutliers consumes it twice — moment branch
+    // + attach side), its own two exchanges are the resample_ffill budget;
+    // the stats attach is a broadcast
+    "pipeline_panel_anomaly" -> 1,
     // funnel's per-step key-agg exchange (reused across stages) + the two
     // gap-median rank windows (each a Single exchange over the completer
     // table, never the event stream)

@@ -230,6 +230,83 @@ object EntityResolution {
         col("ref_id"))
   }
 
+  /** Broadcastable entity index for the STREAMING gate: one row per block
+    * value holding every reference candidate's `(entity, ref_id, trigram
+    * set)` as an array — hot blocks past `maxBlock` dropped whole (the
+    * blocking discipline; an unbounded block would also make the in-row
+    * candidate array unbounded). Built once from the accepted corpus;
+    * stream-static joins re-plan per micro-batch, so rebuilding the index
+    * DataFrame refreshes a live gate without restarting the query.
+    */
+  def buildEntityIndex(
+      reference: DataFrame,
+      idCol: String,
+      nameCol: String,
+      entityCol: String,
+      blockExpr: Column,
+      maxBlock: Int = 100): DataFrame =
+    reference
+      .select(blockExpr.cast("string").as("block_v"),
+        col(entityCol).as("_ent"), col(idCol).as("_rid"),
+        normalized(col(nameCol)).as("_nm"))
+      .filter(col("block_v").isNotNull && length(col("block_v")) > 0 &&
+        col("_nm").isNotNull && length(col("_nm")) > 0)
+      .select(col("block_v"),
+        struct(col("_ent"), col("_rid"), trigramSet(col("_nm")).as("_g"))
+          .as("_c"))
+      .groupBy(col("block_v")).agg(collect_list(col("_c")).as("cands"))
+      .filter(size(col("cands")) <= maxBlock)
+
+  /** Streaming entity gate — [[resolveAgainst]]'s deployable live form, the
+    * near-dup-gate posture applied to record linkage: each incoming record
+    * LEFT-joins the [[buildEntityIndex]] table on ONE block key (the
+    * documented statelessness trade: a multi-block gate would need a
+    * per-record aggregation, i.e. state — multi-block recall stays the
+    * nightly batch form) and the candidate array is scored and arg-maxed
+    * IN-ROW with higher-order functions: per candidate the trigram-ppm
+    * score, threshold filter, `array_min` over `(-score, entity, ref_id)`
+    * structs — order-independent, so `collect_list`'s nondeterministic
+    * candidate order is result-invisible. Unmatched / empty-name / unknown-
+    * block records ride through with NULLs (novel). ZERO state, zero
+    * shuffle on the stream, no watermark; works identically on a batch
+    * frame (how the spec pins stream ≡ batch).
+    *
+    * Output: input columns + `entity_id`, `score_ppm`, `ref_id`.
+    */
+  def entityGate(
+      records: DataFrame,
+      index: DataFrame,
+      nameCol: String,
+      blockExpr: Column,
+      thresholdPpm: Long): DataFrame = {
+    require(thresholdPpm >= 0 && thresholdPpm <= 1000000L,
+      "thresholdPpm must be in [0, 1000000]")
+    val internal = Seq("_bv", "_g", "_best", "block_v", "cands")
+    require(internal.forall(c => !records.columns.contains(c)),
+      "input columns collide with entityGate internals")
+    val nm = normalized(col(nameCol))
+    val rec = records
+      .withColumn("_bv", blockExpr.cast("string"))
+      .withColumn("_g",
+        when(nm.isNotNull && length(nm) > 0, trigramSet(nm)))
+    val joined = rec.join(
+      broadcast(index.withColumnRenamed("block_v", "_bv")), Seq("_bv"), "left")
+    val scored = transform(col("cands"), c => {
+      val inter = size(array_intersect(col("_g"), c.getField("_g"))).cast("long")
+      val union = size(array_union(col("_g"), c.getField("_g"))).cast("long")
+      struct(
+        (-floor(inter * lit(1000000L) / union).cast("long")).as("_ns"),
+        c.getField("_ent").as("_e"), c.getField("_rid").as("_r"))
+    })
+    joined
+      .withColumn("_best", array_min(
+        filter(scored, s => -s.getField("_ns") >= lit(thresholdPpm))))
+      .select(records.columns.map(col) ++ Seq(
+        col("_best._e").as("entity_id"),
+        (-col("_best._ns")).as("score_ppm"),
+        col("_best._r").as("ref_id")): _*)
+  }
+
   /** Golden records: one row per entity with per-field survivorship = the
     * first NON-NULL value in record-id order (deterministic and total — a
     * member with a missing field falls through to the next member, so the

@@ -160,6 +160,77 @@ class EntityResolutionSpec extends SparkTestBase {
     assert(allNovel === Map(100L -> true, 101L -> true, 102L -> true))
   }
 
+  test("entityGate: stream ≡ batch resolveAgainst on the single block; stateless broadcast plan") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val reference = Seq(
+      (10L, "jane smith", "415-555", 10L),
+      (11L, "robert jones", "415-555", 11L),
+      (12L, "ada lovelace", "206-111", 11L)) // resolved INTO entity 11 upstream
+      .toDF("id", "name", "phone", "entity")
+    val idx = EntityResolution.buildEntityIndex(
+      reference, "id", "name", "entity", col("phone"))
+    val batch = Seq(
+      (100L, "JANE SMITH", "415-555"), // formatting twin -> entity 10 @ 1e6
+      (101L, "jane k smith", "415-555"), // typo twin -> entity 10
+      (102L, "ada lovelaze", "206-111"), // typo twin of 12 -> its entity 11
+      (103L, "grace hopper", "415-555"), // candidates exist, names reject: novel
+      (104L, "jane smith", "999-999"), // unknown block: novel despite exact name
+      (105L, "", "415-555")) // empty name: no evidence, novel
+      .toDF("id", "name", "phone")
+    def toMap(rows: Array[org.apache.spark.sql.Row], idAt: Int, entAt: Int) =
+      rows.map(r => r.getLong(idAt) ->
+        ((if (r.isNullAt(entAt)) -1L else r.getLong(entAt),
+          if (r.isNullAt(entAt + 1)) -1L else r.getLong(entAt + 1),
+          if (r.isNullAt(entAt + 2)) -1L else r.getLong(entAt + 2)))).toMap
+    // batch twin: the gate on a batch frame == resolveAgainst's single-block form
+    val viaGate = toMap(EntityResolution.entityGate(
+      batch, idx, "name", col("phone"), thresholdPpm = 500000L)
+      .select("id", "entity_id", "score_ppm", "ref_id").collect(), 0, 1)
+    val viaBatch = toMap(EntityResolution.resolveAgainst(
+      batch, reference, "id", "name", "entity",
+      Seq("phone" -> col("phone")), thresholdPpm = 500000L).collect(), 0, 1)
+    assert(viaGate === viaBatch)
+    assert(viaGate(100L) === ((10L, 1000000L, 10L)))
+    assert(viaGate(102L) === ((11L, 666666L, 12L))) // entity label, not ref id
+    assert(viaGate(103L) === ((-1L, -1L, -1L)))
+    assert(viaGate(104L) === ((-1L, -1L, -1L)))
+    assert(viaGate(105L) === ((-1L, -1L, -1L)))
+    // live: identical assignments through a MemoryStream, no state, no watermark
+    val ms = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String, String)]
+    val q = EntityResolution.entityGate(
+      ms.toDF().toDF("id", "name", "phone"), idx, "name", col("phone"), 500000L)
+      .writeStream.format("memory").queryName("egate_out").outputMode("append").start()
+    ms.addData((100L, "JANE SMITH", "415-555"), (104L, "jane smith", "999-999"))
+    q.processAllAvailable()
+    ms.addData((102L, "ada lovelaze", "206-111"))
+    q.processAllAvailable()
+    q.stop()
+    val streamed = toMap(spark.table("egate_out")
+      .select("id", "entity_id", "score_ppm", "ref_id").collect(), 0, 1)
+    assert(streamed === viaGate.filter(kv => Set(100L, 102L, 104L)(kv._1)))
+    // scale shape: the index rides a broadcast — zero shuffles on the
+    // STREAM side (the index's own one-time build aggregation is
+    // materialized here so the gate plan shows only the per-record work)
+    val plan = EntityResolution.entityGate(
+      batch, idx.localCheckpoint(), "name", col("phone"), 500000L)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange hashpartitioning") && plan.contains("BroadcastHashJoin"))
+  }
+
+  test("buildEntityIndex: hot blocks drop whole; empty index gates everything novel") {
+    import spark.implicits._
+    val reference = Seq((1L, "aa bb", "p1", 1L), (2L, "cc dd", "p1", 2L))
+      .toDF("id", "name", "phone", "entity")
+    val idx = EntityResolution.buildEntityIndex(
+      reference, "id", "name", "entity", col("phone"), maxBlock = 1)
+    assert(idx.count() === 0L) // the p1 block (2 > 1) dropped whole
+    val batch = Seq((100L, "aa bb", "p1")).toDF("id", "name", "phone")
+    val out = EntityResolution.entityGate(batch, idx, "name", col("phone"), 500000L)
+      .collect().head
+    assert(out.isNullAt(3) && out.isNullAt(4) && out.isNullAt(5))
+  }
+
   test("resolveEntities: partitioning invariance") {
     val a = EntityResolution.resolveEntities(
       recs.repartition(7), "id", "name", blocks, thresholdPpm = 500000L)

@@ -965,6 +965,20 @@ object SparkEntry {
       windowStartUs = 1704672000000000L, windowEndUs = 1706400000000000L)
   }
 
+  /** Sorted-neighborhood candidates over the planted ER universe: records
+    * sorted by normalized name within first-char partitions, each paired
+    * with its next 3 neighbors, trigram-verified — the complementary
+    * blocking pass (formatting twins sort identically, char-5 typo twins
+    * share the 4-char sort prefix and land adjacent). DuckDB replays the
+    * window, the three leads, and the verify scores row-exactly.
+    */
+  private def erSortedPairsQ(s: SparkSession, dir: String): DataFrame = {
+    val (base, kindA, kindB, _) = erParts(s, dir)
+    ops.EntityResolution.sortedNeighborPairs(
+      base.unionByName(kindA).unionByName(kindB), "rec_id", "name",
+      thresholdPpm = 550000L, windowSize = 4, prefixLen = 1)
+  }
+
   /** Composed panel anomaly: the resampled + forward-filled panel (the
     * resample_ffill stage verbatim) fed to the z-score outlier rule grouped
     * by the carried regime label — HOLDING-STATE statistics instead of
@@ -2459,6 +2473,7 @@ object SparkEntry {
     "time_weighted_avg" -> (timeWeightedAvgQ _),
     "entity_resolution_against" -> (entityResolutionAgainstQ _),
     "pipeline_panel_anomaly" -> (pipelinePanelAnomalyQ _),
+    "er_sorted_pairs" -> (erSortedPairsQ _),
     "embedding_quantize" -> (embeddingQuantize _),
     "embedding_normalize" -> (embeddingNormalize _),
     "embedding_project" -> (embeddingProject _),
@@ -4788,6 +4803,46 @@ object SparkEntry {
            |  CASE WHEN sum(d) > 0
            |    THEN CAST(sum(v * d) // sum(d) AS BIGINT) END AS twa_q
            |FROM o GROUP BY user_id""".stripMargin,
+      // SNM replay: the same planted universe, the prefix-partitioned
+      // (name, id) window, three leads unioned, trigram verify — row-exact
+      "er_sorted_pairs" ->
+        """WITH cust AS (SELECT c_custkey AS k,
+          |    substr(md5(CAST(c_custkey AS VARCHAR)), 1, 12) AS core,
+          |    CAST(concat('0x', substr(md5(CAST(c_custkey AS VARCHAR)), 1, 6)) AS BIGINT)
+          |      % 100 AS b
+          |  FROM customer),
+          |recs AS (
+          |  SELECT k AS rec_id, core AS name FROM cust
+          |  UNION ALL SELECT -k - 1, upper(core) FROM cust WHERE b < 10
+          |  UNION ALL SELECT k + 3000000, substr(core, 1, 4) || substr(core, 6, 7)
+          |    FROM cust WHERE b >= 5 AND b < 20),
+          |f AS (SELECT rec_id,
+          |    trim(regexp_replace(lower(name), '[^a-z0-9]+', ' ', 'g')) AS s
+          |  FROM recs),
+          |ff AS (SELECT rec_id, s FROM f WHERE len(s) > 0),
+          |o AS (SELECT rec_id, s,
+          |    lead(rec_id, 1) OVER w AS id1, lead(s, 1) OVER w AS s1,
+          |    lead(rec_id, 2) OVER w AS id2, lead(s, 2) OVER w AS s2,
+          |    lead(rec_id, 3) OVER w AS id3, lead(s, 3) OVER w AS s3
+          |  FROM ff WINDOW w AS (PARTITION BY substr(s, 1, 1) ORDER BY s, rec_id)),
+          |p AS (SELECT rec_id AS id, s, id1 AS nid, s1 AS ns FROM o WHERE id1 IS NOT NULL
+          |  UNION ALL SELECT rec_id, s, id2, s2 FROM o WHERE id2 IS NOT NULL
+          |  UNION ALL SELECT rec_id, s, id3, s3 FROM o WHERE id3 IS NOT NULL),
+          |sc AS (SELECT id, nid,
+          |    len(list_intersect(
+          |      list_distinct(list_transform(generate_series(1, greatest(len(s) - 2, 1)),
+          |        i -> substr(s, CAST(i AS INTEGER), 3))),
+          |      list_distinct(list_transform(generate_series(1, greatest(len(ns) - 2, 1)),
+          |        i -> substr(ns, CAST(i AS INTEGER), 3))))) * 1000000
+          |    // len(list_distinct(
+          |      list_distinct(list_transform(generate_series(1, greatest(len(s) - 2, 1)),
+          |        i -> substr(s, CAST(i AS INTEGER), 3))) ||
+          |      list_distinct(list_transform(generate_series(1, greatest(len(ns) - 2, 1)),
+          |        i -> substr(ns, CAST(i AS INTEGER), 3))))) AS score
+          |  FROM p)
+          |SELECT least(id, nid) AS a_id, greatest(id, nid) AS b_id,
+          |  CAST(score AS BIGINT) AS score_ppm
+          |FROM sc WHERE score >= 550000""".stripMargin,
       // incremental ER replay: cross-side ALL-PAIRS ground truth (blocking
       // recall measured), the (score DESC, entity ASC) winner per batch
       // record, novel records ride the LEFT join as NULLs

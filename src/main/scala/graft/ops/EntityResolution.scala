@@ -230,6 +230,74 @@ object EntityResolution {
         col("ref_id"))
   }
 
+  /** Sorted-neighborhood candidate pairs — the SECOND blocking strategy,
+    * covering exactly the miss equality blocking documents: a typo INSIDE
+    * the block key ("rbert jones" vs "robert jones" with different phones)
+    * lands in no shared equality block, but the two sort adjacently. Records
+    * sort by `(normalized name, id)` within a `prefixLen`-char partition and
+    * each record pairs with its next `windowSize − 1` neighbors; pairs are
+    * verified by the same trigram-ppm score. Run BOTH strategies and union
+    * the pairs — complementary recall (SNM misses first-char typos, which
+    * equality blocks on phone/attrs catch; equality blocking misses in-key
+    * typos, which SNM catches).
+    *
+    * Shape at scale: ONE window exchange on the prefix partitions plus an
+    * in-row lead explode — no self-join, fan-out `windowSize − 1` per
+    * record. The prefix partition is the distributed-SNM trade stated
+    * honestly: a truly global sorted window would single-partition; pairs
+    * whose members straddle a prefix boundary are missed (first-char typos
+    * again — the union with equality blocking is the answer, not a bigger
+    * window). Skewed prefixes (every record named "customer…") make one
+    * partition hot — pick `prefixLen` so prefix cardinality spreads, or
+    * normalize away shared boilerplate first. Returns
+    * `(a_id, b_id, score_ppm)` with `a_id < b_id`, each unordered pair at
+    * most once (emitted only from its earlier-in-sort member).
+    */
+  def sortedNeighborPairs(
+      df: DataFrame,
+      idCol: String,
+      nameCol: String,
+      thresholdPpm: Long,
+      windowSize: Int = 3,
+      prefixLen: Int = 1): DataFrame = {
+    require(windowSize >= 2 && windowSize <= 32,
+      "windowSize must be in [2, 32]")
+    require(prefixLen >= 1, "prefixLen must be >= 1")
+    require(thresholdPpm >= 0 && thresholdPpm <= 1000000L,
+      "thresholdPpm must be in [0, 1000000]")
+    val base = df
+      .select(col(idCol).as("_id"), normalized(col(nameCol)).as("_nm"))
+      .filter(col("_id").isNotNull && col("_nm").isNotNull &&
+        length(col("_nm")) > 0)
+      // the prefix must be a materialized COLUMN: partitioning windows by
+      // the raw expression makes each per-offset Window op re-demand its
+      // own distribution (4 exchanges for a window of 3, measured)
+      .withColumn("_pfx", substring(col("_nm"), 1, prefixLen))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("_pfx"))
+      .orderBy(col("_nm"), col("_id"))
+    val inter = size(array_intersect(col("_g"), col("_ng"))).cast("long")
+    val union = size(array_union(col("_g"), col("_ng"))).cast("long")
+    // leads land as plain columns first — a window expression cannot sit
+    // inside the explode generator
+    val withLeads = (1 until windowSize).foldLeft(base) { (df, i) =>
+      df.withColumn(s"_nid$i", lead(col("_id"), i).over(w))
+        .withColumn(s"_nnm$i", lead(col("_nm"), i).over(w))
+    }
+    withLeads
+      .withColumn("_nbr", explode(array((1 until windowSize).map(i =>
+        struct(col(s"_nid$i").as("_nid"), col(s"_nnm$i").as("_nnm"))): _*)))
+      .filter(col("_nbr._nid").isNotNull)
+      .select(col("_id"), col("_nm"), col("_nbr._nid").as("_nid"),
+        col("_nbr._nnm").as("_nnm"))
+      .withColumn("_g", trigramSet(col("_nm")))
+      .withColumn("_ng", trigramSet(col("_nnm")))
+      .withColumn("score_ppm", floor(inter * lit(1000000L) / union).cast("long"))
+      .filter(col("score_ppm") >= thresholdPpm)
+      .select(least(col("_id"), col("_nid")).as("a_id"),
+        greatest(col("_id"), col("_nid")).as("b_id"), col("score_ppm"))
+  }
+
   /** Broadcastable entity index for the STREAMING gate: one row per block
     * value holding every reference candidate's `(entity, ref_id, trigram
     * set)` as an array — hot blocks past `maxBlock` dropped whole (the

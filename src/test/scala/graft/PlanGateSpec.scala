@@ -99,6 +99,8 @@ class PlanGateSpec extends SparkTestBase {
     // + attach side), its own two exchanges are the resample_ffill budget;
     // the stats attach is a broadcast
     "pipeline_panel_anomaly" -> 1,
+    // the one prefix-partitioned sort window; the lead explode is in-row
+    "er_sorted_pairs" -> 1,
     // funnel's per-step key-agg exchange (reused across stages) + the two
     // gap-median rank windows (each a Single exchange over the completer
     // table, never the event stream)

@@ -231,6 +231,45 @@ class EntityResolutionSpec extends SparkTestBase {
     assert(out.isNullAt(3) && out.isNullAt(4) && out.isNullAt(5))
   }
 
+  test("sortedNeighborPairs: in-key typos pair through sort adjacency; each pair once") {
+    import spark.implicits._
+    val recs = Seq(
+      (1L, "robert jones"), // the pair equality blocking MISSES (different
+      (2L, "rbert jones"), //   phones, typo in the prefix) sorts adjacent
+      (3L, "jane smith"),
+      (4L, "JANE SMITH"), // identical normalized: adjacent, 1e6
+      (5L, "zachary q"), // alone in its partition
+      (6L, "roberto jones"), // near 1 in sort order, 615384 vs 1
+      (7L, "")) // empty name drops
+      .toDF("id", "name")
+    val got = EntityResolution.sortedNeighborPairs(
+      recs, "id", "name", thresholdPpm = 500000L, windowSize = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // sort in 'r': rbert jones < robert jones < roberto jones — (2,1) and
+    // (1,6) verify; (2,6) is generated by the window but rejects at 428571
+    assert(got === Map((1L, 2L) -> 727272L, (3L, 4L) -> 1000000L,
+      (1L, 6L) -> 615384L))
+    // three identical names: every unordered pair exactly once
+    val trip = Seq((1L, "same name"), (2L, "same name"), (3L, "same name"))
+      .toDF("id", "name")
+    val pairs = EntityResolution.sortedNeighborPairs(
+      trip, "id", "name", 500000L, windowSize = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.length === pairs.distinct.length &&
+      pairs.toSet === Set((1L, 2L), (1L, 3L), (2L, 3L)))
+    // pure function of the rows: partitioning-invariant
+    val re = EntityResolution.sortedNeighborPairs(
+      recs.repartition(5), "id", "name", 500000L, windowSize = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(re === got)
+    // one window exchange, no self-join
+    val plan = EntityResolution.sortedNeighborPairs(
+      recs, "id", "name", 500000L, windowSize = 3)
+      .queryExecution.executedPlan.toString
+    assert("Exchange hashpartitioning".r.findAllIn(plan).length === 1)
+    assert(!plan.contains("Join"))
+  }
+
   test("resolveEntities: partitioning invariance") {
     val a = EntityResolution.resolveEntities(
       recs.repartition(7), "id", "name", blocks, thresholdPpm = 500000L)

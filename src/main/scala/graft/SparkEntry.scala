@@ -979,6 +979,35 @@ object SparkEntry {
       thresholdPpm = 550000L, windowSize = 4, prefixLen = 1)
   }
 
+  /** Linkage evaluation over the planted universe INCLUDING the reversed-
+    * name plants: detected = equality blocking ∪ sorted neighborhood (both
+    * at 550000 ppm), truth = every planted same-entity pair — formatting,
+    * typo, the formatting×typo transitive pair, AND the reversed-name pair
+    * that carries zero name evidence. Recall is therefore honestly below
+    * one (the reversed plants measure the name-evidence ceiling); precision
+    * stays at one because random hex trigram noise never crosses the
+    * threshold. All counts and ppm values replay exactly.
+    */
+  private def erEvalQ(s: SparkSession, dir: String): DataFrame = {
+    val (base, kindA, kindB, kindC) = erParts(s, dir)
+    val recs = base.unionByName(kindA).unionByName(kindB).unionByName(kindC)
+    val eq = ops.EntityResolution.matchRecords(
+      recs, "rec_id", "name", erBlocks, thresholdPpm = 550000L, maxBlock = 500)
+      .select("a_id", "b_id")
+    val snm = ops.EntityResolution.sortedNeighborPairs(
+      recs, "rec_id", "name", thresholdPpm = 550000L, windowSize = 4)
+      .select("a_id", "b_id")
+    val ka = kindA.select((-col("rec_id") - 1L).as("a_id"), col("rec_id").as("b_id"))
+    val kb = kindB.select((col("rec_id") - 3000000L).as("a_id"), col("rec_id").as("b_id"))
+    val kc = kindC.select((col("rec_id") - 4000000L).as("a_id"), col("rec_id").as("b_id"))
+    val kab = ka.select(col("a_id").as("k"), col("b_id").as("aid"))
+      .join(kb.select(col("a_id").as("k"), col("b_id").as("bid")), "k")
+      .select(col("aid").as("a_id"), col("bid").as("b_id"))
+    ops.EntityResolution.linkageEval(
+      eq.unionByName(snm),
+      ka.unionByName(kb).unionByName(kc).unionByName(kab))
+  }
+
   /** Composed panel anomaly: the resampled + forward-filled panel (the
     * resample_ffill stage verbatim) fed to the z-score outlier rule grouped
     * by the carried regime label — HOLDING-STATE statistics instead of
@@ -2474,6 +2503,7 @@ object SparkEntry {
     "entity_resolution_against" -> (entityResolutionAgainstQ _),
     "pipeline_panel_anomaly" -> (pipelinePanelAnomalyQ _),
     "er_sorted_pairs" -> (erSortedPairsQ _),
+    "er_eval" -> (erEvalQ _),
     "embedding_quantize" -> (embeddingQuantize _),
     "embedding_normalize" -> (embeddingNormalize _),
     "embedding_project" -> (embeddingProject _),
@@ -4803,6 +4833,78 @@ object SparkEntry {
            |  CASE WHEN sum(d) > 0
            |    THEN CAST(sum(v * d) // sum(d) AS BIGINT) END AS twa_q
            |FROM o GROUP BY user_id""".stripMargin,
+      // linkage-eval replay: BOTH detectors re-run blocked (not all-pairs —
+      // precision/recall are properties of the DETECTOR), the planted truth
+      // set incl. the zero-evidence reversed pairs, three counts, three
+      // integral divisions
+      "er_eval" ->
+        """WITH cust AS (SELECT c_custkey AS k,
+          |    substr(md5(CAST(c_custkey AS VARCHAR)), 1, 12) AS core,
+          |    CAST(concat('0x', substr(md5(CAST(c_custkey AS VARCHAR)), 1, 6)) AS BIGINT)
+          |      % 100 AS b,
+          |    CAST(c_nationkey AS BIGINT) AS nation, c_mktsegment AS segment
+          |  FROM customer),
+          |recs AS (
+          |  SELECT k AS rec_id, core AS name, nation, segment FROM cust
+          |  UNION ALL SELECT -k - 1, upper(core), nation, NULL FROM cust WHERE b < 10
+          |  UNION ALL SELECT k + 3000000, substr(core, 1, 4) || substr(core, 6, 7),
+          |    nation, segment FROM cust WHERE b >= 5 AND b < 20
+          |  UNION ALL SELECT k + 4000000, reverse(core), nation, segment
+          |    FROM cust WHERE b >= 20 AND b < 28),
+          |nm AS (SELECT rec_id, nation, segment,
+          |    trim(regexp_replace(lower(name), '[^a-z0-9]+', ' ', 'g')) AS s FROM recs),
+          |g AS (SELECT rec_id, list_distinct(list_transform(
+          |    generate_series(1, greatest(len(s) - 2, 1)),
+          |    i -> substr(s, CAST(i AS INTEGER), 3))) AS tg
+          |  FROM nm WHERE len(s) > 0),
+          |bk AS (SELECT rec_id, 'name4' AS bn, substr(s, 1, 4) AS bv FROM nm WHERE len(s) > 0
+          |  UNION ALL SELECT rec_id, 'attrs', CAST(nation AS VARCHAR) || '|' || segment
+          |    FROM nm WHERE nation IS NOT NULL AND segment IS NOT NULL),
+          |eqp AS (SELECT DISTINCT x.rec_id AS a, y.rec_id AS b
+          |  FROM bk x JOIN bk y ON x.bn = y.bn AND x.bv = y.bv AND x.rec_id < y.rec_id),
+          |eqv AS (SELECT a, b FROM (SELECT p.a, p.b,
+          |    len(list_intersect(ga.tg, gb2.tg)) * 1000000
+          |      // len(list_distinct(ga.tg || gb2.tg)) AS score
+          |  FROM eqp p JOIN g ga ON p.a = ga.rec_id JOIN g gb2 ON p.b = gb2.rec_id)
+          |  WHERE score >= 550000),
+          |o AS (SELECT rec_id, s,
+          |    lead(rec_id, 1) OVER w AS id1, lead(s, 1) OVER w AS s1,
+          |    lead(rec_id, 2) OVER w AS id2, lead(s, 2) OVER w AS s2,
+          |    lead(rec_id, 3) OVER w AS id3, lead(s, 3) OVER w AS s3
+          |  FROM (SELECT rec_id, s FROM nm WHERE len(s) > 0)
+          |  WINDOW w AS (PARTITION BY substr(s, 1, 1) ORDER BY s, rec_id)),
+          |pp AS (SELECT rec_id AS x, id1 AS y FROM o WHERE id1 IS NOT NULL
+          |  UNION ALL SELECT rec_id, id2 FROM o WHERE id2 IS NOT NULL
+          |  UNION ALL SELECT rec_id, id3 FROM o WHERE id3 IS NOT NULL),
+          |snmv AS (SELECT least(x, y) AS a, greatest(x, y) AS b FROM (
+          |    SELECT x, y, len(list_intersect(gx.tg, gy.tg)) * 1000000
+          |      // len(list_distinct(gx.tg || gy.tg)) AS score
+          |    FROM pp JOIN g gx ON pp.x = gx.rec_id JOIN g gy ON pp.y = gy.rec_id)
+          |  WHERE score >= 550000),
+          |det AS (SELECT a, b FROM eqv UNION SELECT a, b FROM snmv),
+          |tru AS (SELECT DISTINCT least(p1, p2) AS a, greatest(p1, p2) AS b FROM (
+          |  SELECT k AS p1, -k - 1 AS p2 FROM cust WHERE b < 10
+          |  UNION ALL SELECT k, k + 3000000 FROM cust WHERE b >= 5 AND b < 20
+          |  UNION ALL SELECT -k - 1, k + 3000000 FROM cust WHERE b >= 5 AND b < 10
+          |  UNION ALL SELECT k, k + 4000000 FROM cust WHERE b >= 20 AND b < 28)),
+          |c AS (SELECT
+          |    (SELECT count(*) FROM tru) AS n_truth,
+          |    (SELECT count(*) FROM det) AS n_detected,
+          |    (SELECT count(*) FROM det JOIN tru ON det.a = tru.a AND det.b = tru.b)
+          |      AS n_correct),
+          |c2 AS (SELECT CAST(n_truth AS BIGINT) AS n_truth,
+          |    CAST(n_detected AS BIGINT) AS n_detected,
+          |    CAST(n_correct AS BIGINT) AS n_correct,
+          |    CASE WHEN n_detected > 0
+          |      THEN CAST(n_correct * 1000000 // n_detected AS BIGINT) END AS precision_ppm,
+          |    CASE WHEN n_truth > 0
+          |      THEN CAST(n_correct * 1000000 // n_truth AS BIGINT) END AS recall_ppm
+          |  FROM c)
+          |SELECT *, CASE WHEN precision_ppm IS NOT NULL AND recall_ppm IS NOT NULL
+          |    AND precision_ppm + recall_ppm > 0
+          |  THEN CAST(2 * precision_ppm * recall_ppm
+          |    // (precision_ppm + recall_ppm) AS BIGINT) END AS f1_ppm
+          |FROM c2""".stripMargin,
       // SNM replay: the same planted universe, the prefix-partitioned
       // (name, id) window, three leads unioned, trigram verify — row-exact
       "er_sorted_pairs" ->

@@ -375,6 +375,46 @@ object EntityResolution {
         col("_best._r").as("ref_id")): _*)
   }
 
+  /** Linkage-evaluation panel — the measured-quality story for the ER
+    * family (what `search_eval` is to the ANN family): detected pairs vs a
+    * labeled truth set, scored as exact integer counts plus ppm
+    * precision / recall / F1 (each one integral division — engine-
+    * replayable; F1's harmonic mean is `2PR div (P+R)` over the ppm values).
+    * Both inputs normalize to distinct `(least, greatest)` pairs first, so
+    * orientation and duplicates are evaluation-invisible. One output row;
+    * NULL precision when nothing was detected, NULL recall when the truth
+    * set is empty, NULL F1 when either is NULL or both are zero.
+    *
+    * Shape: two count aggregates + one left-semi count over the pair join,
+    * attached by 1-row broadcast cross joins (the scalar-attach idiom).
+    */
+  def linkageEval(detected: DataFrame, truth: DataFrame): DataFrame = {
+    def norm(df: DataFrame) = df.select(
+      least(col("a_id"), col("b_id")).as("a_id"),
+      greatest(col("a_id"), col("b_id")).as("b_id"))
+      .filter(col("a_id").isNotNull && col("b_id").isNotNull &&
+        col("a_id") =!= col("b_id"))
+      .distinct()
+    val d = norm(detected)
+    val t = norm(truth)
+    val nt = t.agg(count(lit(1)).as("n_truth"))
+    val nd = d.agg(count(lit(1)).as("n_detected"))
+    val nc = d.join(t, Seq("a_id", "b_id"), "left_semi")
+      .agg(count(lit(1)).as("n_correct"))
+    val p = when(col("n_detected") > 0,
+      floor(col("n_correct") * lit(1000000L) / col("n_detected")).cast("long"))
+    val r = when(col("n_truth") > 0,
+      floor(col("n_correct") * lit(1000000L) / col("n_truth")).cast("long"))
+    nt.crossJoin(nd).crossJoin(nc)
+      .withColumn("precision_ppm", p)
+      .withColumn("recall_ppm", r)
+      .withColumn("f1_ppm",
+        when(col("precision_ppm").isNotNull && col("recall_ppm").isNotNull &&
+          (col("precision_ppm") + col("recall_ppm")) > 0,
+          floor(lit(2L) * col("precision_ppm") * col("recall_ppm") /
+            (col("precision_ppm") + col("recall_ppm"))).cast("long")))
+  }
+
   /** Golden records: one row per entity with per-field survivorship = the
     * first NON-NULL value in record-id order (deterministic and total — a
     * member with a missing field falls through to the next member, so the

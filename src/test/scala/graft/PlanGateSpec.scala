@@ -101,6 +101,10 @@ class PlanGateSpec extends SparkTestBase {
     "pipeline_panel_anomaly" -> 1,
     // the one prefix-partitioned sort window; the lead explode is in-row
     "er_sorted_pairs" -> 1,
+    // two full detector pipelines (equality blocking's bucket agg + pair
+    // distinct + verify joins; SNM's window) + the detected-pair distinct,
+    // the semi-join side, and the three count aggregates
+    "er_eval" -> 14,
     // funnel's per-step key-agg exchange (reused across stages) + the two
     // gap-median rank windows (each a Single exchange over the completer
     // table, never the event stream)
@@ -382,7 +386,9 @@ class PlanGateSpec extends SparkTestBase {
     // scalar-attach idiom at k rows — the nested loop runs once per partition
     "text_langid_model",
     // contains knn_brute's sanctioned exact-baseline BNLJ as one branch
-    "search_rrf_fusion", "search_eval")
+    "search_rrf_fusion", "search_eval",
+    // the three 1-row count attaches: the scalar-attach idiom
+    "er_eval")
 
   test("every query has a plan budget (or a documented exemption)") {
     val missing = SparkEntry.queries.keySet -- maxShuffles.keySet -- iterative

@@ -270,6 +270,23 @@ class EntityResolutionSpec extends SparkTestBase {
     assert(!plan.contains("Join"))
   }
 
+  test("linkageEval: exact counts, ppm divisions, degenerate NULLs") {
+    import spark.implicits._
+    // orientation and duplicates are evaluation-invisible
+    val detected = Seq((1L, 2L), (2L, 3L), (9L, 8L), (8L, 9L)).toDF("a_id", "b_id")
+    val truth = Seq((2L, 1L), (3L, 4L), (8L, 9L), (5L, 6L)).toDF("a_id", "b_id")
+    val r = EntityResolution.linkageEval(detected, truth).collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) === ((4L, 3L, 2L)))
+    assert(r.getLong(3) === 666666L) // precision 2/3
+    assert(r.getLong(4) === 500000L) // recall 2/4
+    assert(r.getLong(5) === 571428L) // harmonic mean, floored
+    // nothing detected: precision and F1 are undefined, recall is plain 0
+    val none = EntityResolution.linkageEval(
+      detected.limit(0), truth).collect().head
+    assert(none.getLong(0) === 4L && none.getLong(1) === 0L && none.getLong(2) === 0L)
+    assert(none.isNullAt(3) && none.getLong(4) === 0L && none.isNullAt(5))
+  }
+
   test("resolveEntities: partitioning invariance") {
     val a = EntityResolution.resolveEntities(
       recs.repartition(7), "id", "name", blocks, thresholdPpm = 500000L)

@@ -300,6 +300,28 @@ object SparkEntry {
     Dedup.setSimilarityJoin(u, "doc_id", "text", threshold = 0.8)
   }
 
+  /** Cosine set-similarity join over the SAME planted universe as
+    * set_similarity_join, at 0.7 — where the two measures genuinely
+    * diverge: a half-document vs its full original sits at Jaccard ≈ 0.5
+    * (invisible to the 0.8 Jaccard join) but cosine ≈ √(|half|/|full|) ≈
+    * 0.71, so the truncation pairs appear HERE and only here. The oracle is
+    * the all-pairs cosine — prefix-filter recall measured, not assumed.
+    */
+  private def cosineSetJoinQ(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val t = graft.functions.tokens(col("text"))
+    val firstHalf =
+      array_join(slice(t, lit(1), floor((size(t) + lit(1)) / lit(2)).cast("int")), " ")
+    val u = d
+      .unionByName(d
+        .withColumn("doc_id", col("doc_id") + 100000L)
+        .withColumn("text", concat(col("text"), lit(" graftdup"))))
+      .unionByName(d
+        .withColumn("doc_id", col("doc_id") + 200000L)
+        .withColumn("text", firstHalf))
+    Dedup.cosineSetJoin(u, "doc_id", "text", threshold = 0.7)
+  }
+
   /** Canonical duplicate-cluster assignment: LSH pairs -> connected
     * components -> every doc labeled with its cluster's min doc_id.
     */
@@ -2412,6 +2434,7 @@ object SparkEntry {
     "pipeline_feature_serve" -> (pipelineFeatureServe _),
     "dedup_minhash" -> (dedupMinhash _),
     "set_similarity_join" -> (setSimJoin _),
+    "cosine_set_join" -> (cosineSetJoinQ _),
     "search_bm25" -> (searchBm25Q _),
     "dedup_clusters" -> (dedupClusters _),
     "dedup_clusters_ls" -> (dedupClustersLs _),
@@ -3466,6 +3489,35 @@ object SparkEntry {
           |       CAST(inter_size AS DOUBLE) / (asz + bsz - inter_size) AS jaccard
           |FROM p
           |WHERE CAST(inter_size AS DOUBLE) / (asz + bsz - inter_size) >= 0.8""".stripMargin,
+      // cosine sibling: the identical all-pairs universe, Ochiai over the
+      // distinct shingle sets, the same IEEE multiply/sqrt/divide chain
+      "cosine_set_join" ->
+        """WITH u AS (SELECT doc_id, text FROM documents UNION ALL
+          |  SELECT doc_id + 100000, text || ' graftdup' FROM documents UNION ALL
+          |  SELECT doc_id + 200000, array_to_string(
+          |    list_slice(tk, 1, (len(tk) + 1) // 2), ' ')
+          |  FROM (SELECT doc_id,
+          |    list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> len(x) > 0) AS tk
+          |    FROM documents)),
+          |t AS (SELECT doc_id,
+          |  list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> len(x) > 0) AS toks
+          |  FROM u),
+          |sh AS (SELECT doc_id,
+          |  list_distinct(CASE WHEN len(toks) = 0 THEN CAST([] AS VARCHAR[])
+          |    WHEN len(toks) >= 3
+          |    THEN list_transform(range(1, len(toks) - 1),
+          |         i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+          |    ELSE [array_to_string(toks, ' ')] END) AS sh
+          |  FROM t),
+          |p AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+          |        len(list_intersect(a.sh, b.sh)) AS inter_size,
+          |        len(a.sh) AS asz, len(b.sh) AS bsz
+          |      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+          |      WHERE len(a.sh) > 0 AND len(b.sh) > 0)
+          |SELECT a_id, b_id, CAST(inter_size AS BIGINT) AS inter_size,
+          |       CAST(inter_size AS DOUBLE) / sqrt(CAST(asz * bsz AS DOUBLE)) AS cosine
+          |FROM p
+          |WHERE CAST(inter_size AS DOUBLE) / sqrt(CAST(asz * bsz AS DOUBLE)) >= 0.7""".stripMargin,
       // fixed-point BM25 replay: every per-term quantity is integer
       // arithmetic (2^20 fixed point, k1 = 6/5, b = 3/4 as exact rationals,
       // ratio idf), so scores and therefore ranks are engine-identical;

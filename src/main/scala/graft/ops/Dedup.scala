@@ -1350,6 +1350,76 @@ object Dedup {
       .select(col("id"), col("n_hit_grams").cast("long").as("n_hit_grams"), col("n_grams"))
   }
 
+  /** EXACT binary-cosine set-similarity self-join — [[setSimilarityJoin]]'s
+    * COSINE sibling: every pair with `|∩| / sqrt(|A|·|B|) >= threshold`
+    * (Ochiai coefficient over distinct shingle-hash sets — the
+    * length-normalized measure, kinder than Jaccard when one doc is a long
+    * superset of the other). Same prefix-filter engine, different bounds:
+    * a cosine-t pair satisfies `|∩| >= t²·sz` on EACH side (via the size
+    * filter `|B| >= t²·|A|`, so `t·sqrt(|A||B|) >= t²·max`), hence prefix
+    * length `sz − ceil(t²·sz) + 1` and the size filter both key off t².
+    *
+    * t² bounds stay in the exact small-integer lane by DECOMPOSITION —
+    * `ceil(t²·sz) >= ceilT(floorT(sz))` with both steps over `t·x <= 1e11`
+    * products (the one-shot `t²·sz` over a 1e12 denominator would leave
+    * double-exactness at 1e17) — conservative by at most one position, so
+    * recall can only gain. Verify is the identical IEEE chain in any
+    * engine: one multiply, one correctly-rounded sqrt, one division.
+    * Returns `(a_id, b_id, inter_size, cosine)`, a_id < b_id.
+    */
+  def cosineSetJoin(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      threshold: Double,
+      shingleN: Int = 3): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0, "threshold must be in (0, 1]")
+    val den = 1000000L
+    val tNum = (threshold * den).toLong
+    def ceilT(sz: Column): Column = {
+      val x = lit(tNum) * sz + lit(den - 1)
+      ((x - pmod(x, lit(den))) / lit(den)).cast("long")
+    }
+    def floorT(sz: Column): Column = {
+      val x = lit(tNum) * sz
+      ((x - pmod(x, lit(den))) / lit(den)).cast("long")
+    }
+    // safe lower bound of ceil(t²·sz): prefixes only get longer
+    def ceilT2(sz: Column): Column = ceilT(floorT(sz))
+
+    val ex = df
+      .select(col(idCol).as("id"), tokens(col(textCol)).as("_toks"))
+      .select(col("id"), explode(shingleHashesFromTokens(col("_toks"), shingleN)).as("h"))
+      .localCheckpoint(false)
+    val dfc = ex.groupBy(col("h")).agg(count(lit(1)).as("dfc"))
+    val docsT = ex.join(dfc, "h")
+      .groupBy(col("id"))
+      .agg(
+        transform(array_sort(collect_list(struct(col("dfc"), col("h")))),
+          e => e.getField("h")).as("hs"),
+        array_sort(collect_list(col("h"))).as("shs"),
+        count(lit(1)).as("sz"))
+      .withColumn("plen", (col("sz") - ceilT2(col("sz")) + lit(1)).cast("int"))
+      .localCheckpoint(false)
+    val pref = docsT.select(col("id"), col("sz"),
+      explode(slice(col("hs"), lit(1), col("plen"))).as("h"))
+    val cand = pref.select(col("id").as("a_id"), col("sz").as("a_sz"), col("h"))
+      .join(pref.select(col("id").as("b_id"), col("sz").as("b_sz"), col("h")), Seq("h"))
+      .filter(col("a_id") < col("b_id") &&
+        col("b_sz") >= ceilT2(col("a_sz")) && col("a_sz") >= ceilT2(col("b_sz")))
+      .select(col("a_id"), col("b_id"))
+      .distinct()
+    cand
+      .join(docsT.select(col("id").as("a_id"), col("shs").as("a_hs"), col("sz").as("a_sz")), "a_id")
+      .join(docsT.select(col("id").as("b_id"), col("shs").as("b_hs"), col("sz").as("b_sz")), "b_id")
+      .withColumn("inter_size",
+        org.apache.spark.sql.graft.SortedIntersectCount(col("a_hs"), col("b_hs")))
+      .withColumn("cosine", col("inter_size").cast("double") /
+        sqrt((col("a_sz") * col("b_sz")).cast("double")))
+      .filter(col("cosine") >= threshold)
+      .select(col("a_id"), col("b_id"), col("inter_size"), col("cosine"))
+  }
+
   /** EXACT set-similarity self-join (the VernicaJoin / prefix-filter family,
     * Vernica–Carey–Li SIGMOD'10): every pair `(a_id, b_id)` with shingle-set
     * Jaccard >= `threshold`, a_id < b_id, with the exact

@@ -359,6 +359,8 @@ class PlanGateSpec extends SparkTestBase {
     // distinct; the upstream df/re-agg exchanges live behind the
     // checkpoints (oracle + BASELINE cover them, the lm_score convention)
     "set_similarity_join" -> 1,
+    // the identical checkpointed-prefix engine with the t-squared bounds
+    "cosine_set_join" -> 1,
     // quality filter joins broadcast; the 4 = the per-source packing window
     // exchange + the shard-machinery trio shard_layout documents (corpus
     // (shard,bucket) exchange + tiny counts partial→final + cumulative join)

@@ -628,6 +628,42 @@ class DedupSpec extends SparkTestBase {
     }
   }
 
+  test("cosineSetJoin: truncation pairs visible to cosine, invisible to jaccard; complete vs brute force") {
+    // a half-document vs its original: inter = |half|, cosine =
+    // sqrt(|half|/|full|) ≈ 0.71, jaccard ≈ 0.5 — the measure divergence
+    val full = (1 to 24).map(i => s"t$i").mkString(" ")
+    val half = (1 to 12).map(i => s"t$i").mkString(" ")
+    val df = docsDf((1L, full), (2L, half), (3L, "other stuff entirely here"))
+    val cos = Dedup.cosineSetJoin(df, "doc_id", "text", threshold = 0.65)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(3)).toMap
+    // full has 22 shingles, half has 10, all 10 shared
+    assert(cos.keySet === Set((1L, 2L)))
+    assert(math.abs(cos((1L, 2L)) - 10.0 / math.sqrt(22.0 * 10.0)) < 1e-12)
+    assert(Dedup.setSimilarityJoin(df, "doc_id", "text", threshold = 0.65)
+      .count() === 0L) // jaccard 10/22 = 0.45: the jaccard join can't see it
+    // completeness vs brute-force all-pairs across thresholds
+    val stream = (1 to 60).map(i => s"w$i")
+    val docs = (0 until 20).map { i =>
+      (i.toLong, stream.slice(i * 2, i * 2 + 20).mkString(" "))
+    } ++ Seq((100L, stream.slice(0, 20).mkString(" ")),
+      (101L, "x1 x2 x3 x4 x5"), (102L, ""), (103L, "  "))
+    val dfa = docsDf(docs: _*)
+    for (t <- Seq(0.3, 0.7, 0.9, 1.0)) {
+      val got = Dedup.cosineSetJoin(dfa, "doc_id", "text", threshold = t)
+        .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+          ((r.getLong(2), r.getDouble(3)))).toMap
+      val sets = docs.map { case (id, tx) => id -> shingleSet(tx) }.filter(_._2.nonEmpty)
+      val want = (for {
+        (ai, as) <- sets; (bi, bs) <- sets if ai < bi
+        inter = (as & bs).size
+        c = inter.toDouble / math.sqrt(as.size.toDouble * bs.size) if c >= t
+      } yield (ai, bi) -> ((inter.toLong, c))).toMap
+      assert(got.keySet === want.keySet, s"pair-set mismatch at threshold $t")
+      want.foreach { case (k, (i, c)) =>
+        assert(got(k)._1 === i && math.abs(got(k)._2 - c) < 1e-12) }
+    }
+  }
+
   test("dedupWithinDoc: intra-doc repeats collapse to first occurrence, cross-doc repeats untouched") {
     import spark.implicits._
     val docs = Seq(

@@ -322,6 +322,24 @@ object SparkEntry {
     Dedup.cosineSetJoin(u, "doc_id", "text", threshold = 0.7)
   }
 
+  /** Containment join over documents plus planted first-half excerpts —
+    * the asymmetric measure: excerpt→original containment is exactly 1.0
+    * (every shingle of the half is a shingle of the full) while Jaccard and
+    * cosine both shrink with the host's length. Directed all-pairs ground
+    * truth in the oracle: prefix-filter + full-posting-probe recall is
+    * measured, not assumed.
+    */
+  private def containmentJoinQ(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val t = graft.functions.tokens(col("text"))
+    val firstHalf =
+      array_join(slice(t, lit(1), floor((size(t) + lit(1)) / lit(2)).cast("int")), " ")
+    val u = d.unionByName(
+      d.withColumn("doc_id", col("doc_id") + 100000L)
+        .withColumn("text", firstHalf))
+    Dedup.containmentJoin(u, "doc_id", "text", threshold = 0.9)
+  }
+
   /** Canonical duplicate-cluster assignment: LSH pairs -> connected
     * components -> every doc labeled with its cluster's min doc_id.
     */
@@ -2435,6 +2453,7 @@ object SparkEntry {
     "dedup_minhash" -> (dedupMinhash _),
     "set_similarity_join" -> (setSimJoin _),
     "cosine_set_join" -> (cosineSetJoinQ _),
+    "containment_join" -> (containmentJoinQ _),
     "search_bm25" -> (searchBm25Q _),
     "dedup_clusters" -> (dedupClusters _),
     "dedup_clusters_ls" -> (dedupClustersLs _),
@@ -3518,6 +3537,35 @@ object SparkEntry {
           |       CAST(inter_size AS DOUBLE) / sqrt(CAST(asz * bsz AS DOUBLE)) AS cosine
           |FROM p
           |WHERE CAST(inter_size AS DOUBLE) / sqrt(CAST(asz * bsz AS DOUBLE)) >= 0.7""".stripMargin,
+      // asymmetric sibling: DIRECTED all-pairs containment — the planted
+      // first-half excerpts sit at containment 1.0 into their originals
+      "containment_join" ->
+        """WITH u AS (SELECT doc_id, text FROM documents UNION ALL
+          |  SELECT doc_id + 100000, array_to_string(
+          |    list_slice(tk, 1, (len(tk) + 1) // 2), ' ')
+          |  FROM (SELECT doc_id,
+          |    list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> len(x) > 0) AS tk
+          |    FROM documents)),
+          |t AS (SELECT doc_id,
+          |  list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> len(x) > 0) AS toks
+          |  FROM u),
+          |sh AS (SELECT doc_id,
+          |  list_distinct(CASE WHEN len(toks) = 0 THEN CAST([] AS VARCHAR[])
+          |    WHEN len(toks) >= 3
+          |    THEN list_transform(range(1, len(toks) - 1),
+          |         i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+          |    ELSE [array_to_string(toks, ' ')] END) AS sh
+          |  FROM t),
+          |p AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+          |        len(list_intersect(a.sh, b.sh)) AS inter_size,
+          |        len(a.sh) AS asz
+          |      FROM sh a JOIN sh b ON a.doc_id <> b.doc_id
+          |      WHERE len(a.sh) > 0 AND len(b.sh) > 0)
+          |SELECT a_id, b_id, CAST(inter_size AS BIGINT) AS inter_size,
+          |       CAST(asz AS BIGINT) AS a_sz,
+          |       CAST(inter_size AS DOUBLE) / asz AS containment
+          |FROM p
+          |WHERE CAST(inter_size AS DOUBLE) / asz >= 0.9""".stripMargin,
       // fixed-point BM25 replay: every per-term quantity is integer
       // arithmetic (2^20 fixed point, k1 = 6/5, b = 3/4 as exact rationals,
       // ratio idf), so scores and therefore ranks are engine-identical;

@@ -1350,6 +1350,87 @@ object Dedup {
       .select(col("id"), col("n_hit_grams").cast("long").as("n_hit_grams"), col("n_grams"))
   }
 
+  /** EXACT containment self-join — the ASYMMETRIC member of the
+    * set-similarity family: every DIRECTED pair `(a_id, b_id)`, a ≠ b, with
+    * `|A∩B| / |A| >= threshold` — "A is (nearly) contained in B". This is
+    * the measure the symmetric joins structurally cannot see: a quote, an
+    * excerpt, or a chunk inside a much longer host sits at Jaccard ≈
+    * |A|/|B| ≈ 0 and cosine ≈ √(|A|/|B|), both arbitrarily small, while
+    * containment is 1.0 regardless of the host's length.
+    *
+    * Why the engine differs from [[setSimilarityJoin]]: containment puts NO
+    * upper bound on the host's size, so there is no symmetric size filter
+    * and no host-side prefix — a host must be probed through its FULL
+    * posting list (miss any element and a fully-contained A whose one
+    * prefix element is that one is lost). Candidates are therefore
+    * query-prefix × full-postings: A's first `|A| − ceil(t·|A|) + 1`
+    * elements in the global rarest-first order (pigeonhole: B missing all
+    * of them caps `|A∩B|` at `ceil(t·|A|) − 1 < t·|A|`) joined on the
+    * shingle hash against every doc's full set, with the one surviving
+    * size bound `|B| >= ceil(t·|A|)` applied inside the join. Rarest-first
+    * prefixes keep stop-shingles out of the probe side; the full-posting
+    * side is the price of the asymmetric measure and is linear in corpus
+    * shingle volume — an equality join on narrow (h, id, sz) rows, AQE
+    * skew-handled, never all-pairs.
+    *
+    * Same exact-integer prune arithmetic as the siblings (floor-rational
+    * `ceil(t·sz)`, conservative toward recall), same
+    * [[org.apache.spark.sql.graft.SortedIntersectCount]] verify, one IEEE
+    * division for the final predicate. Returns
+    * `(a_id, b_id, inter_size, a_sz, containment)` — directed, so a
+    * near-identical pair legitimately appears in both orientations.
+    */
+  def containmentJoin(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      threshold: Double,
+      shingleN: Int = 3): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0, "threshold must be in (0, 1]")
+    val den = 1000000L
+    val tNum = (threshold * den).toLong
+    def ceilT(sz: Column): Column = {
+      val x = lit(tNum) * sz + lit(den - 1)
+      ((x - pmod(x, lit(den))) / lit(den)).cast("long")
+    }
+
+    val ex = df
+      .select(col(idCol).as("id"), tokens(col(textCol)).as("_toks"))
+      .select(col("id"), explode(shingleHashesFromTokens(col("_toks"), shingleN)).as("h"))
+      .localCheckpoint(false)
+    val dfc = ex.groupBy(col("h")).agg(count(lit(1)).as("dfc"))
+    val docsT = ex.join(dfc, "h")
+      .groupBy(col("id"))
+      .agg(
+        transform(array_sort(collect_list(struct(col("dfc"), col("h")))),
+          e => e.getField("h")).as("hs"),
+        array_sort(collect_list(col("h"))).as("shs"),
+        count(lit(1)).as("sz"))
+      .withColumn("plen", (col("sz") - ceilT(col("sz")) + lit(1)).cast("int"))
+      .localCheckpoint(false)
+
+    // query-side prefix vs host-side FULL postings (shs: same elements,
+    // numeric order — the order is irrelevant on the probe-target side)
+    val pref = docsT.select(col("id").as("a_id"), col("sz").as("a_sz"),
+      explode(slice(col("hs"), lit(1), col("plen"))).as("h"))
+    val full = docsT.select(col("id").as("b_id"), col("sz").as("b_sz"),
+      explode(col("shs")).as("h"))
+    val cand = pref
+      .join(full, Seq("h"))
+      .filter(col("a_id") =!= col("b_id") && col("b_sz") >= ceilT(col("a_sz")))
+      .select(col("a_id"), col("b_id"))
+      .distinct()
+
+    cand
+      .join(docsT.select(col("id").as("a_id"), col("shs").as("a_hs"), col("sz").as("a_sz")), "a_id")
+      .join(docsT.select(col("id").as("b_id"), col("shs").as("b_hs")), "b_id")
+      .withColumn("inter_size",
+        org.apache.spark.sql.graft.SortedIntersectCount(col("a_hs"), col("b_hs")))
+      .withColumn("containment", col("inter_size").cast("double") / col("a_sz"))
+      .filter(col("containment") >= threshold)
+      .select(col("a_id"), col("b_id"), col("inter_size"), col("a_sz"), col("containment"))
+  }
+
   /** EXACT binary-cosine set-similarity self-join — [[setSimilarityJoin]]'s
     * COSINE sibling: every pair with `|∩| / sqrt(|A|·|B|) >= threshold`
     * (Ochiai coefficient over distinct shingle-hash sets — the

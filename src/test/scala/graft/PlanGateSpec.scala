@@ -361,6 +361,9 @@ class PlanGateSpec extends SparkTestBase {
     "set_similarity_join" -> 1,
     // the identical checkpointed-prefix engine with the t-squared bounds
     "cosine_set_join" -> 1,
+    // query-prefix × full-postings probe over the same checkpointed engine;
+    // the one counted exchange is the candidate distinct
+    "containment_join" -> 1,
     // quality filter joins broadcast; the 4 = the per-source packing window
     // exchange + the shard-machinery trio shard_layout documents (corpus
     // (shard,bucket) exchange + tiny counts partial→final + cumulative join)

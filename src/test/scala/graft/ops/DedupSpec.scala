@@ -664,6 +664,44 @@ class DedupSpec extends SparkTestBase {
     }
   }
 
+  test("containmentJoin: quote-in-host visible only to containment; directed, complete vs brute force") {
+    // a 6-token quote inside a 40-token host: containment(quote→host) = 1.0,
+    // jaccard = 4/38 ≈ 0.105, cosine = 4/sqrt(4*38) ≈ 0.32 — the siblings
+    // structurally cannot see it at any useful threshold
+    val host = ((1 to 20).map(i => s"h$i") ++ (1 to 6).map(i => s"q$i") ++
+      (21 to 34).map(i => s"h$i")).mkString(" ")
+    val quote = (1 to 6).map(i => s"q$i").mkString(" ")
+    val df = docsDf((1L, host), (2L, quote), (3L, "noise words only here"))
+    val got = Dedup.containmentJoin(df, "doc_id", "text", threshold = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(4)).toMap
+    assert(got.keySet === Set((2L, 1L))) // directed: quote INTO host only
+    assert(got((2L, 1L)) === 1.0)
+    assert(Dedup.setSimilarityJoin(df, "doc_id", "text", threshold = 0.3).count() === 0L)
+    assert(Dedup.cosineSetJoin(df, "doc_id", "text", threshold = 0.5).count() === 0L)
+    // completeness vs brute-force DIRECTED all-pairs across thresholds
+    val stream = (1 to 60).map(i => s"w$i")
+    val docs = (0 until 20).map { i =>
+      (i.toLong, stream.slice(i * 2, i * 2 + 20).mkString(" "))
+    } ++ Seq((100L, stream.slice(0, 20).mkString(" ")),
+      (101L, stream.slice(4, 10).mkString(" ")),
+      (102L, ""), (103L, "  "))
+    val dfa = docsDf(docs: _*)
+    for (t <- Seq(0.5, 0.8, 0.9, 1.0)) {
+      val res = Dedup.containmentJoin(dfa, "doc_id", "text", threshold = t)
+        .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+          ((r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+      val sets = docs.map { case (id, tx) => id -> shingleSet(tx) }.filter(_._2.nonEmpty)
+      val want = (for {
+        (ai, as) <- sets; (bi, bs) <- sets if ai != bi
+        inter = (as & bs).size
+        c = inter.toDouble / as.size if c >= t
+      } yield (ai, bi) -> ((inter.toLong, as.size.toLong, c))).toMap
+      assert(res.keySet === want.keySet, s"directed pair-set mismatch at threshold $t")
+      want.foreach { case (k, (i, sz, c)) =>
+        assert(res(k)._1 === i && res(k)._2 === sz && math.abs(res(k)._3 - c) < 1e-12) }
+    }
+  }
+
   test("dedupWithinDoc: intra-doc repeats collapse to first occurrence, cross-doc repeats untouched") {
     import spark.implicits._
     val docs = Seq(

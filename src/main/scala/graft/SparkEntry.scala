@@ -322,6 +322,28 @@ object SparkEntry {
     Dedup.cosineSetJoin(u, "doc_id", "text", threshold = 0.7)
   }
 
+  /** Data-quality constraint panel over orders: one row per declared
+    * constraint with exact violation counts. The referential check runs
+    * against a deliberately incomplete dimension (positive-balance
+    * customers only) so the panel shows a real failure alongside real
+    * passes; the priority uniqueness check fails by construction (few
+    * distinct values), proving the duplicate-group row accounting.
+    */
+  private def qualityPanelQ(s: SparkSession, dir: String): DataFrame = {
+    import graft.ops.Quality
+    import graft.ops.Quality._
+    val orders = s.read.parquet(s"$dir/orders.parquet")
+    val goodCustomers = s.read.parquet(s"$dir/customer.parquet")
+      .filter(col("c_acctbal") > 0)
+    Quality.checkConstraints(orders, Seq(
+      NotNullCheck("o_custkey"),
+      RangeCheck("o_totalprice", 0.0, 400000.0),
+      RegexCheck("o_orderstatus", "^[A-Z]$"),
+      UniqueCheck("o_orderkey"),
+      UniqueCheck("o_orderpriority"),
+      RefCheck("o_custkey", goodCustomers, "c_custkey")))
+  }
+
   /** Containment join over documents plus planted first-half excerpts —
     * the asymmetric measure: excerpt→original containment is exactly 1.0
     * (every shingle of the half is a shingle of the full) while Jaccard and
@@ -2454,6 +2476,7 @@ object SparkEntry {
     "set_similarity_join" -> (setSimJoin _),
     "cosine_set_join" -> (cosineSetJoinQ _),
     "containment_join" -> (containmentJoinQ _),
+    "quality_panel" -> (qualityPanelQ _),
     "search_bm25" -> (searchBm25Q _),
     "dedup_clusters" -> (dedupClusters _),
     "dedup_clusters_ls" -> (dedupClustersLs _),
@@ -3537,6 +3560,42 @@ object SparkEntry {
           |       CAST(inter_size AS DOUBLE) / sqrt(CAST(asz * bsz AS DOUBLE)) AS cosine
           |FROM p
           |WHERE CAST(inter_size AS DOUBLE) / sqrt(CAST(asz * bsz AS DOUBLE)) >= 0.7""".stripMargin,
+      // quality panel: each constraint replayed as its defining SQL — the
+      // row-local trio from one scan, uniqueness as duplicate-group row
+      // sums, referential as NOT EXISTS against the filtered dimension
+      "quality_panel" ->
+        """WITH rl AS (
+          |  SELECT count(*) AS n_rows,
+          |    sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS v_nn,
+          |    sum(CASE WHEN o_totalprice IS NOT NULL
+          |             AND (o_totalprice < 0.0 OR o_totalprice > 400000.0)
+          |        THEN 1 ELSE 0 END) AS v_rng,
+          |    sum(CASE WHEN o_orderstatus IS NOT NULL
+          |             AND NOT regexp_matches(o_orderstatus, '^[A-Z]$')
+          |        THEN 1 ELSE 0 END) AS v_rx
+          |  FROM orders),
+          |uq1 AS (SELECT COALESCE(sum(c), 0) AS v FROM (
+          |  SELECT count(*) AS c FROM orders WHERE o_orderkey IS NOT NULL
+          |  GROUP BY o_orderkey HAVING count(*) > 1)),
+          |uq2 AS (SELECT COALESCE(sum(c), 0) AS v FROM (
+          |  SELECT count(*) AS c FROM orders WHERE o_orderpriority IS NOT NULL
+          |  GROUP BY o_orderpriority HAVING count(*) > 1)),
+          |rf AS (SELECT count(*) AS v FROM orders o
+          |  WHERE o_custkey IS NOT NULL AND NOT EXISTS (
+          |    SELECT 1 FROM customer c
+          |    WHERE c.c_custkey = o.o_custkey AND c.c_acctbal > 0))
+          |SELECT 'not_null' AS "check", 'o_custkey' AS col_name, n_rows,
+          |       CAST(v_nn AS BIGINT) AS n_violations, v_nn = 0 AS passed FROM rl
+          |UNION ALL SELECT 'in_range', 'o_totalprice', n_rows,
+          |       CAST(v_rng AS BIGINT), v_rng = 0 FROM rl
+          |UNION ALL SELECT 'regex', 'o_orderstatus', n_rows,
+          |       CAST(v_rx AS BIGINT), v_rx = 0 FROM rl
+          |UNION ALL SELECT 'unique', 'o_orderkey', (SELECT n_rows FROM rl),
+          |       CAST(v AS BIGINT), v = 0 FROM uq1
+          |UNION ALL SELECT 'unique', 'o_orderpriority', (SELECT n_rows FROM rl),
+          |       CAST(v AS BIGINT), v = 0 FROM uq2
+          |UNION ALL SELECT 'ref_integrity', 'o_custkey', (SELECT n_rows FROM rl),
+          |       CAST(v AS BIGINT), v = 0 FROM rf""".stripMargin,
       // asymmetric sibling: DIRECTED all-pairs containment — the planted
       // first-half excerpts sit at containment 1.0 into their originals
       "containment_join" ->

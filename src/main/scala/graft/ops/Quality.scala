@@ -1,0 +1,114 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Declarative data-quality constraint checking — the Deequ-style
+  * release gate a training-data pipeline runs before a corpus snapshot
+  * ships (the reference's source-validation step,
+  * data_engine_offline_store.py:211-238, checks only that columns exist
+  * and types map; this is the value-level generalization).
+  *
+  * One call = one panel: every constraint becomes one output row
+  * `(check, col_name, n_rows, n_violations, passed)`, so the gate is a
+  * single `passed = false` filter over the panel and the evidence (the
+  * violation counts) rides along for the incident report.
+  *
+  * 100 TB plan shape: all ROW-LOCAL constraints (null, range, regex) fold
+  * into ONE shared aggregate pass over the fact table — adding a tenth
+  * range check adds a conditional counter to the same pass, not a scan.
+  * Each uniqueness constraint is one hash aggregation on its column
+  * (unavoidable: uniqueness is a distribution property), and each
+  * referential constraint is one anti-join against the dimension's
+  * distinct keys (broadcast when small — the planner's choice, not a
+  * forced hint). The panel itself is a union of one-row frames with the
+  * table count attached by a single 1-row broadcast cross join (the
+  * scalar-attach idiom): bytes, not data movement.
+  *
+  * NULL semantics (documented contract): NULL never violates a range,
+  * regex, uniqueness, or referential constraint — missingness is
+  * [[NotNullCheck]]'s business alone, so one absent value trips exactly
+  * one constraint, not four.
+  */
+object Quality {
+
+  sealed trait QualityCheck { def column: String }
+  /** violation = the value is NULL. */
+  final case class NotNullCheck(column: String) extends QualityCheck
+  /** violation = every row whose (non-null) value occurs more than once —
+    * counts all members of a duplicated value-group, so the count answers
+    * "how many rows would a dedup touch", not "how many extra values".
+    */
+  final case class UniqueCheck(column: String) extends QualityCheck
+  /** violation = non-null value outside `[lo, hi]` (inclusive). */
+  final case class RangeCheck(column: String, lo: Double, hi: Double) extends QualityCheck
+  /** violation = non-null value NOT matched by `pattern` (find-anywhere
+    * semantics, identical in Spark `regexp_like` and DuckDB
+    * `regexp_matches` — anchor with `^...$` for full-string conformance).
+    */
+  final case class RegexCheck(column: String, pattern: String) extends QualityCheck
+  /** violation = non-null value absent from `dim`'s `dimKey` column. */
+  final case class RefCheck(column: String, dim: DataFrame, dimKey: String) extends QualityCheck
+
+  private def checkName(c: QualityCheck): String = c match {
+    case _: NotNullCheck => "not_null"
+    case _: UniqueCheck  => "unique"
+    case _: RangeCheck   => "in_range"
+    case _: RegexCheck   => "regex"
+    case _: RefCheck     => "ref_integrity"
+  }
+
+  /** Run `checks` against `df`; one output row per check:
+    * `(check, col_name, n_rows, n_violations, passed)`.
+    */
+  def checkConstraints(df: DataFrame, checks: Seq[QualityCheck]): DataFrame = {
+    require(checks.nonEmpty, "at least one check required")
+
+    // row-local constraints: one conditional counter each, ONE shared pass
+    val rowLocal: Seq[(QualityCheck, Column)] = checks.collect {
+      case c @ NotNullCheck(n) =>
+        (c: QualityCheck) -> sum(when(col(n).isNull, 1L).otherwise(0L))
+      case c @ RangeCheck(n, lo, hi) =>
+        (c: QualityCheck) -> sum(
+          when(col(n).isNotNull && (col(n) < lit(lo) || col(n) > lit(hi)), 1L).otherwise(0L))
+      case c @ RegexCheck(n, p) =>
+        (c: QualityCheck) -> sum(
+          when(col(n).isNotNull && !regexp_like(col(n), lit(p)), 1L).otherwise(0L))
+    }
+
+    val local: Option[DataFrame] =
+      if (rowLocal.isEmpty) None
+      else {
+        val aggCols = rowLocal.zipWithIndex.map { case ((_, c), i) => c.as(s"_v$i") }
+        val one = df.agg(aggCols.head, aggCols.tail: _*)
+        // unpivot the single row into one panel row per constraint
+        val entries = rowLocal.zipWithIndex.map { case ((chk, _), i) =>
+          struct(lit(checkName(chk)).as("check"), lit(chk.column).as("col_name"),
+            coalesce(col(s"_v$i"), lit(0L)).as("n_violations"))
+        }
+        Some(one.select(explode(array(entries: _*)).as("e"))
+          .select(col("e.check"), col("e.col_name"), col("e.n_violations")))
+      }
+
+    val distributional: Seq[DataFrame] = checks.collect {
+      case c @ UniqueCheck(n) =>
+        df.filter(col(n).isNotNull)
+          .groupBy(col(n)).agg(count(lit(1)).as("_c"))
+          .filter(col("_c") > 1)
+          .agg(coalesce(sum(col("_c")), lit(0L)).as("n_violations"))
+          .select(lit(checkName(c)).as("check"), lit(n).as("col_name"), col("n_violations"))
+      case c @ RefCheck(n, dim, k) =>
+        df.filter(col(n).isNotNull)
+          .join(dim.select(col(k).as(n)).distinct(), Seq(n), "left_anti")
+          .agg(count(lit(1)).as("n_violations"))
+          .select(lit(checkName(c)).as("check"), lit(n).as("col_name"), col("n_violations"))
+    }
+
+    val nRows = df.agg(count(lit(1)).as("n_rows"))
+    (local.toSeq ++ distributional)
+      .reduce(_ unionByName _)
+      .join(broadcast(nRows))
+      .withColumn("passed", col("n_violations") === 0L)
+      .select(col("check"), col("col_name"), col("n_rows"), col("n_violations"), col("passed"))
+  }
+}

@@ -364,6 +364,11 @@ class PlanGateSpec extends SparkTestBase {
     // query-prefix × full-postings probe over the same checkpointed engine;
     // the one counted exchange is the candidate distinct
     "containment_join" -> 1,
+    // constraint panel: row-local trio is ONE scalar agg (1) + the n_rows
+    // scalar agg (1); each uniqueness check pays its value-distribution
+    // partial->final exchange + a scalar reduce (2x2); the ref anti-join's
+    // dim distinct + scalar reduce (2); panel glue is 1-row frames
+    "quality_panel" -> 8,
     // quality filter joins broadcast; the 4 = the per-source packing window
     // exchange + the shard-machinery trio shard_layout documents (corpus
     // (shard,bucket) exchange + tiny counts partial→final + cumulative join)
@@ -385,6 +390,8 @@ class PlanGateSpec extends SparkTestBase {
     "event_funnel_stats",
     // dsir_select's 1-row smoothing-totals broadcast: the scalar-attach idiom
     "dsir_select",
+    // quality_panel's 1-row n_rows attach onto the panel: the same idiom
+    "quality_panel",
     // search_bm25's N/L corpus scalars: the same 1-row broadcast cross join
     "search_bm25",
     // the k-row language table (k = languages, ≤ a few dozen ever): the

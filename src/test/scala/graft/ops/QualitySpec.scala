@@ -1,0 +1,71 @@
+package graft.ops
+
+import graft.SparkTestBase
+import graft.ops.Quality._
+import org.apache.spark.sql.Row
+
+class QualitySpec extends SparkTestBase {
+
+  private def panel(rows: Array[Row]): Map[(String, String), (Long, Long, Boolean)] =
+    rows.map(r => (r.getString(0), r.getString(1)) ->
+      ((r.getLong(2), r.getLong(3), r.getBoolean(4)))).toMap
+
+  test("checkConstraints: every check type counts its violations exactly; NULL trips only not_null") {
+    import spark.implicits._
+    val dim = Seq(1L, 2L).toDF("k")
+    val df = Seq(
+      // (id, key, score, code)
+      (Some(10L), Some(1L), Some(5.0), Some("A")),
+      (Some(10L), Some(2L), Some(50.0), Some("B")),   // dup id
+      (Some(11L), Some(9L), Some(-1.0), Some("ab")),  // dangling ref, range low, regex
+      (Some(12L), None, None, None),                  // nulls: ONLY not_null counts them
+      (Some(13L), Some(1L), Some(101.0), Some("Z"))   // range high
+    ).toDF("id", "key", "score", "code")
+    val got = panel(Quality.checkConstraints(df, Seq(
+      NotNullCheck("key"), NotNullCheck("id"),
+      RangeCheck("score", 0.0, 100.0),
+      RegexCheck("code", "^[A-Z]$"),
+      UniqueCheck("id"),
+      RefCheck("key", dim, "k"))).collect())
+    assert(got === Map(
+      ("not_null", "key") -> ((5L, 1L, false)),
+      ("not_null", "id") -> ((5L, 0L, true)),
+      ("in_range", "score") -> ((5L, 2L, false)),
+      ("regex", "code") -> ((5L, 1L, false)),
+      // duplicate-group ROW accounting: both rows of the dup pair count
+      ("unique", "id") -> ((5L, 2L, false)),
+      ("ref_integrity", "key") -> ((5L, 1L, false))))
+  }
+
+  test("checkConstraints: empty input — zero violations everywhere, all passed") {
+    import spark.implicits._
+    val df = Seq.empty[(Option[Long], Option[String])].toDF("id", "code")
+    val dim = Seq(1L).toDF("k")
+    val got = panel(Quality.checkConstraints(df, Seq(
+      NotNullCheck("id"), RangeCheck("id", 0, 10), RegexCheck("code", "x"),
+      UniqueCheck("id"), RefCheck("id", dim, "k"))).collect())
+    assert(got.size === 5)
+    got.foreach { case (k, (n, v, p)) =>
+      assert(n === 0L && v === 0L && p, s"check $k") }
+  }
+
+  test("checkConstraints: purely distributional panel (no row-local pass) still reports n_rows") {
+    import spark.implicits._
+    val df = Seq(1L, 1L, 2L).toDF("id")
+    val got = panel(Quality.checkConstraints(df, Seq(UniqueCheck("id"))).collect())
+    assert(got === Map(("unique", "id") -> ((3L, 2L, false))))
+  }
+
+  test("checkConstraints: partitioning invariance") {
+    import spark.implicits._
+    val df = Seq.tabulate(100)(i => (i.toLong % 40, s"c$i")).toDF("id", "code")
+    val checks = Seq(NotNullCheck("id"), UniqueCheck("id"),
+      RangeCheck("id", 0, 30), RegexCheck("code", "^c[0-9]+$"))
+    val a = panel(Quality.checkConstraints(df.repartition(1), checks).collect())
+    val b = panel(Quality.checkConstraints(df.repartition(7), checks).collect())
+    assert(a === b)
+    assert(a(("unique", "id")) === ((100L, 100L, false)))
+    // ids 31..39 (9 values, 2 occurrences each) sit above the [0,30] range
+    assert(a(("in_range", "id")) === ((100L, 18L, false)))
+  }
+}

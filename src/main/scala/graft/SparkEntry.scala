@@ -1052,7 +1052,13 @@ object SparkEntry {
     */
   private def erEvalQ(s: SparkSession, dir: String): DataFrame = {
     val (base, kindA, kindB, kindC) = erParts(s, dir)
+    // stage boundary: recs feeds matchRecords (which consumes it twice —
+    // blocking explode + trigram table), sortedNeighborPairs, and the
+    // truth-side builders; without the lazy checkpoint the whole planted-
+    // universe derivation re-runs once per consumer (the capstone
+    // multi-consumer lesson, 41.8 s -> 4.6 s there).
     val recs = base.unionByName(kindA).unionByName(kindB).unionByName(kindC)
+      .localCheckpoint(false)
     val eq = ops.EntityResolution.matchRecords(
       recs, "rec_id", "name", erBlocks, thresholdPpm = 550000L, maxBlock = 500)
       .select("a_id", "b_id")

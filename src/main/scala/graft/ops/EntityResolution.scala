@@ -193,16 +193,27 @@ object EntityResolution {
     val stats = bk.groupBy(col("bucketKey")).agg(count(lit(1)).as("_bn"))
       .join(rk.groupBy(col("bucketKey")).agg(count(lit(1)).as("_rn")),
         Seq("bucketKey"))
-    val blockJoin = bk.join(rk, Seq("bucketKey")).join(stats, Seq("bucketKey"))
+    // cap BEFORE the bk×rk explosion: the batch keyrows join only the
+    // block-stats table first (each bk row carries its block's _bn/_rn), the
+    // hot filter runs on that narrow frame, and only surviving keyrows meet
+    // rk — a hot block never pays its bn·rn join cost. Metrics ride the
+    // batch-keyed side (structurally the side the planner won't broadcast —
+    // the house Observation lesson); sum(_rn) over batch keyrows equals the
+    // would-be join-output row count Σ bn·rn exactly, so the panel's values
+    // are unchanged from the post-join formulation.
+    val bkStats = bk.join(stats, Seq("bucketKey"))
+    val hot = col("_bn") > maxBlock || col("_rn") > maxBlock
     val observed = metrics.map { o =>
-      blockJoin.observe(o,
-        count(lit(1)).as("n_candidate_keyrows"),
-        sum(when(col("_bn") > maxBlock || col("_rn") > maxBlock, 1L)
-          .otherwise(0L)).as("n_dropped_keyrows"),
-        max(col("_bn") * col("_rn")).as("max_block_pairs"))
-    }.getOrElse(blockJoin)
+      bkStats.observe(o,
+        coalesce(sum(col("_rn")), lit(0L)).as("n_candidate_keyrows"),
+        coalesce(sum(when(hot, col("_rn")).otherwise(0L)), lit(0L))
+          .as("n_dropped_keyrows"),
+        coalesce(max(col("_bn") * col("_rn")), lit(0L)).as("max_block_pairs"))
+    }.getOrElse(bkStats)
     val cand = observed
-      .filter(col("_bn") <= maxBlock && col("_rn") <= maxBlock)
+      .filter(!hot)
+      .select(col("bucketKey"), col("b_id"))
+      .join(rk, Seq("bucketKey"))
       .groupBy(col("b_id"), col("r_id")).agg(count(lit(1)).as("_nb"))
       .drop("_nb")
     def grams(df: DataFrame, idAs: String, gAs: String) = df

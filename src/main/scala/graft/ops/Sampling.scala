@@ -83,6 +83,15 @@ object Sampling {
     * Per-stratum windows are the parallelism unit — a single giant stratum
     * serializes its sort (the [[graft.ops.Stats.equiDepthBins]] caveat;
     * for unstratified exact splits pass a coarse salt stratum).
+    *
+    * `keyCol` MUST be unique within each stratum (the md5-family key
+    * contract): `(md5(key), key)` is a total order only then — duplicate
+    * key values tie on BOTH sort expressions, making row_number (and hence
+    * which duplicate gets which label) nondeterministic across runs, where
+    * [[splitBuckets]] is per-key stable by construction. Duplicates don't
+    * corrupt the COUNTS (n and the boundaries are value-independent), only
+    * which twin carries which label — still, replays and oracles can
+    * diverge: pre-dedup or synthesize a unique key first.
     */
   def exactStratifiedSplit(
       df: DataFrame,

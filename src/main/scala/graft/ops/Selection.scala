@@ -148,7 +148,7 @@ object Selection {
     * function of (order, budget)). Output: the kept rows plus
     * `cum_tokens`, each row's inclusive running total. `qualityCol` must
     * be integer-valued (the fixed-point family convention) and `tokensCol`
-    * a non-negative count; NULL quality/token rows are never taken.
+    * a non-negative count; NULL id/quality/token rows are never taken.
     *
     * Shape at 100 TB: a global ordered cumulative sum — done WITHOUT a
     * single-partition window (the shard_layout two-phase discipline):
@@ -173,7 +173,12 @@ object Selection {
     require(!df.columns.exists(reserved.contains),
       s"input columns collide with selectToBudget internals: ${reserved.mkString(", ")}")
     val keyed = df
-      .filter(col(qualityCol).isNotNull && col(tokensCol).isNotNull)
+      // NULL ids carry no deterministic position (md5(NULL) is NULL) and are
+      // excluded like NULL quality/tokens — without this, a NULL-key group
+      // would consume budget in the offsets table yet never survive the
+      // equality join back, silently shrinking the emitted prefix
+      .filter(col(idCol).isNotNull &&
+        col(qualityCol).isNotNull && col(tokensCol).isNotNull)
       .withColumn("_stb_sub",
         conv(substring(md5(col(idCol).cast("string").cast("binary")), 1, 2), 16, 10)
           .cast("int"))

@@ -299,9 +299,19 @@ object Sketch {
     * a no-op — the same argument as the HLL registers' bucket-max and
     * [[LatestStore]]'s arg-max, this time via min-k idempotence. The store
     * stays at most k·groups rows forever (bounded state regardless of
-    * stream history), so the full-store rewrite per batch is kilobytes;
-    * the eager localCheckpoint breaks the read-path lineage so the
-    * overwrite of the path being read is legal.
+    * stream history), so the full-store rewrite per batch is kilobytes.
+    *
+    * CRASH SAFETY: the store IS the state (a stream cannot rebuild it), so
+    * the swap is generational, never an in-place overwrite — a
+    * `mode("overwrite")` of the path being read deletes the target before
+    * the write job commits, and a mid-write failure would destroy the only
+    * copy. Instead the merged registers commit fully to a `.__tmp` sibling,
+    * the live generation is parked at `.__prev`, and two renames make the
+    * new generation live; at every crash point at least one COMPLETE
+    * generation exists on disk, and the next call's recovery preamble
+    * promotes it (tmp-with-_SUCCESS first — it is the newer committed
+    * generation — else prev). A batch whose tmp never committed is simply
+    * re-merged on redelivery; min-k idempotence makes the replay a no-op.
     */
   def quantileUpsertBatch(
       batch: DataFrame,
@@ -315,13 +325,26 @@ object Sketch {
     val incoming = quantileRegisters(batch, groupCols, valueCol, idCol, k, seed)
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tmp = new org.apache.hadoop.fs.Path(path + ".__tmp")
+    val prev = new org.apache.hadoop.fs.Path(path + ".__prev")
+    // recovery preamble: if the live generation is missing, promote the
+    // newest complete one (tmp committed with _SUCCESS beats prev)
+    if (!fs.exists(p)) {
+      if (fs.exists(new org.apache.hadoop.fs.Path(tmp, "_SUCCESS")))
+        fs.rename(tmp, p)
+      else if (fs.exists(prev)) fs.rename(prev, p)
+    }
     if (!fs.exists(p)) incoming.write.parquet(path)
     else {
       val merged = quantileMergeRegisters(
         spark.read.parquet(path).unionByName(incoming), groupCols, k)
-        .localCheckpoint()
-      try merged.write.mode("overwrite").parquet(path)
-      finally org.apache.spark.sql.graft.CheckpointUtil.unpersist(merged)
+      if (fs.exists(tmp)) fs.delete(tmp, true)
+      // commits fully (job commit + _SUCCESS) before the live path is touched
+      merged.write.parquet(tmp.toString)
+      if (fs.exists(prev)) fs.delete(prev, true)
+      fs.rename(p, prev)
+      fs.rename(tmp, p)
+      fs.delete(prev, true)
     }
   }
 

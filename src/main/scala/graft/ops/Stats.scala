@@ -500,24 +500,68 @@ object Stats {
     * NULL labels drop — an unscored row has no rank.
     *
     * Shape at 100 TB: one aggregation on the score (map-side partials) to
-    * a distinct-score table, a cumulative window over THAT table (score-
-    * cardinality-sized, never the corpus), and a 1-row rollup. Overflow:
-    * Σ_pos avgrank ≤ P·(P+N) — DECIMAL(38,0) keeps it exact past 10^18
-    * rows.
+    * a distinct-score table — checkpointed, since three consumers hang off
+    * it — then the cumulative rank sum via the TWO-PHASE bucketed
+    * discipline (the [[graft.ops.Selection.selectToBudget]] shape, made
+    * order-preserving): scores band into ≤256 value-range buckets
+    * (width_bucket over the table's own min/max — a monotone function of
+    * the score, so bucket order IS score order and equal scores share a
+    * bucket), per-bucket count sums make a ≤257-row offsets table whose
+    * prefix sum is the one legitimately-unpartitioned window, and the
+    * per-score running count is a window PARTITIONED by bucket. No plan
+    * node ever globally sorts the distinct-score table — a raw continuous
+    * score (corpus-cardinality distinct values) was previously a
+    * single-task sort; now its worst case is one hot VALUE-RANGE bucket
+    * (uniform banding, not equi-depth — pathological all-mass-in-one-band
+    * distributions degrade parallelism, never correctness). The bucketing
+    * does not touch the VALUES: cum_below per score group is exact, so
+    * auc_q is bit-identical to the single-window formulation. `scoreCol`
+    * must be numeric (it is cast to double only to pick a band; ranking
+    * compares the exact original values). Overflow: Σ_pos avgrank ≤
+    * P·(P+N) — DECIMAL(38,0) keeps it exact past 10^18 rows.
     */
   def rankAuc(
       df: DataFrame,
       scoreCol: String,
       labelCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // one corpus pass; the lazy checkpoint stops the build-time range pull,
+    // the offsets agg, and the join probe from each re-running it
     val base = df
       .filter(col(scoreCol).isNotNull && col(labelCol).isNotNull)
       .groupBy(col(scoreCol).as("_s"))
       .agg(count(lit(1)).as("_cnt"),
         sum(when(col(labelCol).cast("boolean"), 1L).otherwise(0L)).as("_pos"))
-    val w = org.apache.spark.sql.expressions.Window.orderBy(col("_s"))
-      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
-    base
-      .withColumn("_cum", coalesce(sum(col("_cnt")).over(w), lit(0L)))
+      .localCheckpoint(false)
+    // the score range is a bounded 1-row driver pull at build time (the
+    // centroid-collect precedent) — embedding lo/hi as literals keeps the
+    // band id a pure projection instead of duplicating a scalar-attach
+    // subtree under both downstream consumers
+    val rngRow = base.agg(
+      min(col("_s").cast("double")), max(col("_s").cast("double"))).head
+    val (lo, hi) =
+      if (rngRow.isNullAt(0)) (0.0, 0.0)
+      else (rngRow.getDouble(0), rngRow.getDouble(1))
+    // monotone band id in [1, 255]; NaN (width_bucket -> NULL) sorts above
+    // every double in Spark's ordering, so the last band keeps monotonicity
+    val bucketed = base.withColumn("_bkt",
+      if (lo == hi) lit(1L)
+      else coalesce(
+        width_bucket(col("_s").cast("double"), lit(lo), lit(hi), lit(254)),
+        lit(255L)))
+    val offsets = bucketed
+      .groupBy(col("_bkt")).agg(sum(col("_cnt")).as("_bsum"))
+      .withColumn("_before",
+        coalesce(sum(col("_bsum")).over(
+          Window.orderBy(col("_bkt"))
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("_bkt"), col("_before"))
+    val w = Window.partitionBy(col("_bkt")).orderBy(col("_s"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    bucketed
+      .join(broadcast(offsets), Seq("_bkt"))
+      .withColumn("_cum",
+        col("_before") + coalesce(sum(col("_cnt")).over(w), lit(0L)))
       .agg(
         sum(col("_pos")).as("n_pos"),
         sum(col("_cnt") - col("_pos")).as("n_neg"),

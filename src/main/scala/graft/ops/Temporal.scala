@@ -575,9 +575,16 @@ object Temporal {
       .groupBy(col(keyCol))
       .agg(sum(col("_d")).as("coverage_s"),
         sum(col("_v") * col("_d")).as("vt_integral"))
+      // exact integer floor division, never through double: vt_integral can
+      // legitimately exceed 2^53, where floor over the double quotient can
+      // be off by one — subtract the floor-sign pmod (making the numerator
+      // an exact multiple) and let integral DIV finish it in the long lane
+      // (the ceilT pattern)
       .withColumn("twa_q",
         when(col("coverage_s") > 0,
-          floor(col("vt_integral") / col("coverage_s")).cast("long")))
+          call_function("div",
+            col("vt_integral") - pmod(col("vt_integral"), col("coverage_s")),
+            col("coverage_s")).cast("long")))
   }
 
   /** Resample to a fixed time grid + TTL'd FORWARD FILL — the gap-filling

@@ -109,10 +109,13 @@ class PlanGateSpec extends SparkTestBase {
     // gap-median rank windows (each a Single exchange over the completer
     // table, never the event stream)
     "event_funnel_stats" -> 3,
-    // the distinct-score aggregation (1) + the cumulative window's single
-    // partition over the score-cardinality table (1); the 1-row rollup
-    // rides the window's partitioning
-    "eval_auc" -> 2,
+    // the distinct-score aggregation is a lazy checkpoint boundary (two
+    // consumers + the build-time 1-row range pull); visible: the per-band
+    // count agg (1), the offsets prefix window's single partition over the
+    // ≤257-row band table (1), the per-band cumulative window (1), the final
+    // rollup (1) — every global-sort node is band-table-sized, never the
+    // distinct-score table (the continuous-score 100× guard)
+    "eval_auc" -> 4,
     // the rank window exchange over the narrow projection; the distinct
     // attach table broadcasts back
     "feature_percent_rank" -> 2,

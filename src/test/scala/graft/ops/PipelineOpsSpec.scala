@@ -333,6 +333,58 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(a.getLong(2) === b.getLong(2) && a.getLong(0) === 666L)
   }
 
+  test("rankAuc: continuous scores pay no global score-table sort; values match brute-force pairs") {
+    import spark.implicits._
+    // corpus-cardinality distinct doubles — the 100×-scale shape the banded
+    // two-phase cumulative exists for (a raw-score window would single-task)
+    val rows = (1 to 3000).map(i =>
+      (math.sin(i.toDouble) * 1000.0 + i * 1e-7, i % 7 == 0))
+    val out = Stats.rankAuc(rows.toDF("score", "label"), "score", "label")
+    val got = out.collect().head
+    val pos = rows.filter(_._2).map(_._1)
+    val neg = rows.filterNot(_._2).map(_._1)
+    // brute-force Mann–Whitney pair count in half-win units
+    val wins = (for { p <- pos; n <- neg }
+      yield if (p > n) 2L else if (p == n) 1L else 0L).sum
+    val expected = wins * (1L << 20) / (2L * pos.size * neg.size)
+    assert(got.getLong(0) === pos.size.toLong)
+    assert(got.getLong(1) === neg.size.toLong)
+    assert(got.getLong(2) === expected)
+    // plan gate: every Window node in the per-score lane is PARTITIONED (by
+    // band); the only unpartitioned window runs over the ≤257-row band
+    // offsets table, whose child is the per-band AGGREGATE — never the
+    // distinct-score table itself
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.window.WindowExec
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    def windows(p: SparkPlan): Seq[WindowExec] = {
+      val kids = p match {
+        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+        case q: QueryStageExec => Seq(q.plan)
+        case _ => p.children
+      }
+      (p match { case w: WindowExec => Seq(w); case _ => Seq.empty }) ++
+        kids.flatMap(windows)
+    }
+    val ws = windows(out.queryExecution.executedPlan)
+    assert(ws.nonEmpty)
+    val (bounded, perScore) = ws.partition(_.partitionSpec.isEmpty)
+    assert(perScore.nonEmpty, "the per-score cumulative window must exist")
+    assert(perScore.forall(_.partitionSpec.nonEmpty))
+    // the unpartitioned one(s) must sit over an aggregate (the band table),
+    // not over the score table
+    def hasAgg(p: SparkPlan): Boolean = {
+      val kids = p match {
+        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+        case q: QueryStageExec => Seq(q.plan)
+        case _ => p.children
+      }
+      p.isInstanceOf[org.apache.spark.sql.execution.aggregate.BaseAggregateExec] ||
+        kids.exists(hasAgg)
+    }
+    assert(bounded.forall(hasAgg))
+  }
+
   test("funnelStats: hand counts and exact lower medians; stalled steps yield NULL medians") {
     import spark.implicits._
     def t(m: Int) = new java.sql.Timestamp(1700000000000L + m * 60000L)

@@ -111,4 +111,168 @@ object Quality {
       .withColumn("passed", col("n_violations") === 0L)
       .select(col("check"), col("col_name"), col("n_rows"), col("n_violations"), col("passed"))
   }
+
+  /** [[checkConstraints]] grouped by a snapshot column — the metric-HISTORY
+    * form (Deequ's metrics repository): one row per
+    * `(snapshot, check, col_name)` with that snapshot's exact
+    * `(n_rows, n_violations, passed)`, the input [[anomalyFlags]] bands
+    * over. The snapshot column is typically a date/batch label; NULL
+    * snapshot ids group together like any key.
+    *
+    * 100 TB plan shape: the [[checkConstraints]] discipline per stage —
+    * ONE grouped pass computes every row-local counter AND each snapshot's
+    * row count (lazy-checkpointed: the unpivot and each distributional
+    * left-join reuse it without re-scanning the corpus); each uniqueness
+    * check pays its own `(snapshot, value)` aggregation, each referential
+    * check one anti-join — all keyed by snapshot, so partials combine
+    * map-side and the output is `|checks| × |snapshots|` rows: kilobytes
+    * per petabyte.
+    */
+  def constraintMetricsByGroup(
+      df: DataFrame,
+      snapshotCol: String,
+      checks: Seq[QualityCheck]): DataFrame = {
+    require(checks.nonEmpty, "at least one check required")
+    val rowLocal: Seq[(QualityCheck, Column)] = checks.collect {
+      case c @ NotNullCheck(n) =>
+        (c: QualityCheck) -> sum(when(col(n).isNull, 1L).otherwise(0L))
+      case c @ RangeCheck(n, lo, hi) =>
+        (c: QualityCheck) -> sum(
+          when(col(n).isNotNull && (col(n) < lit(lo) || col(n) > lit(hi)), 1L)
+            .otherwise(0L))
+      case c @ RegexCheck(n, p) =>
+        (c: QualityCheck) -> sum(
+          when(col(n).isNotNull && !regexp_like(col(n), lit(p)), 1L)
+            .otherwise(0L))
+    }
+    val aggCols = count(lit(1)).as("n_rows") +:
+      rowLocal.zipWithIndex.map { case ((_, c), i) => c.as(s"_v$i") }
+    val aggd = df.groupBy(col(snapshotCol))
+      .agg(aggCols.head, aggCols.tail: _*)
+      .localCheckpoint(false)
+    val totals = aggd.select(col(snapshotCol), col("n_rows"))
+    val localRows: Option[DataFrame] =
+      if (rowLocal.isEmpty) None
+      else {
+        val entries = rowLocal.zipWithIndex.map { case ((chk, _), i) =>
+          struct(lit(checkName(chk)).as("check"), lit(chk.column).as("col_name"),
+            coalesce(col(s"_v$i"), lit(0L)).as("n_violations"))
+        }
+        Some(aggd
+          .select(col(snapshotCol), col("n_rows"),
+            explode(array(entries: _*)).as("e"))
+          .select(col(snapshotCol), col("e.check"), col("e.col_name"),
+            col("n_rows"), col("e.n_violations")))
+      }
+    val distributional: Seq[DataFrame] = checks.collect {
+      case c @ UniqueCheck(n) =>
+        val viol = df.filter(col(n).isNotNull)
+          .groupBy(col(snapshotCol), col(n)).agg(count(lit(1)).as("_c"))
+          .filter(col("_c") > 1)
+          .groupBy(col(snapshotCol)).agg(sum(col("_c")).as("_nv"))
+        totals.join(viol, Seq(snapshotCol), "left")
+          .select(col(snapshotCol), lit(checkName(c)).as("check"),
+            lit(n).as("col_name"), col("n_rows"),
+            coalesce(col("_nv"), lit(0L)).as("n_violations"))
+      case c @ RefCheck(n, dim, k) =>
+        val viol = df.filter(col(n).isNotNull)
+          .join(dim.select(col(k).as(n)).distinct(), Seq(n), "left_anti")
+          .groupBy(col(snapshotCol)).agg(count(lit(1)).as("_nv"))
+        totals.join(viol, Seq(snapshotCol), "left")
+          .select(col(snapshotCol), lit(checkName(c)).as("check"),
+            lit(n).as("col_name"), col("n_rows"),
+            coalesce(col("_nv"), lit(0L)).as("n_violations"))
+    }
+    (localRows.toSeq ++ distributional)
+      .reduce(_ unionByName _)
+      .withColumn("passed", col("n_violations") === 0L)
+      .select(col(snapshotCol), col("check"), col("col_name"),
+        col("n_rows"), col("n_violations"), col("passed"))
+  }
+
+  /** Deequ's second half — metric ANOMALY DETECTION over a constraint
+    * history: each `(check, col_name)` series' violation RATE
+    * (`n_violations·10⁶ div n_rows`, DECIMAL-exact ppm — rates, not raw
+    * counts, so a snapshot 3× the size doesn't false-flag) is compared
+    * against the band spanned by its previous `window` snapshots
+    * (trailing min − margin … max + margin, the floor clamped at 0).
+    * A snapshot outside the band is `flagged` — the not-null rate that was
+    * ~0 ppm for a month and jumps to 4% ships the incident, while the
+    * constraint itself may still "pass" (anomaly ≠ violation: a SHIFT is
+    * the signal). Snapshots with fewer than `minPrior` predecessors carry
+    * NULL bands and never flag (no evidence, no alarm — including the
+    * first snapshot ever); after a level shift the shifted value enters
+    * the trailing band, so a persistent new normal flags once, not
+    * forever. Appends `violation_ppm, n_prior, band_lo_ppm, band_hi_ppm,
+    * flagged`.
+    *
+    * Shape at scale: the metrics table is `|checks| × |snapshots|` rows —
+    * the window partitions by constraint and sorts each series by
+    * snapshot label (ISO dates sort correctly as strings), so no node
+    * ever touches more than one series; the corpus itself was already
+    * reduced by [[constraintMetricsByGroup]].
+    */
+  def anomalyFlags(
+      metrics: DataFrame,
+      snapshotCol: String,
+      window: Int,
+      marginPpm: Long,
+      minPrior: Int = 3): DataFrame = {
+    require(window >= 1, "window must be >= 1")
+    require(marginPpm >= 0, "marginPpm must be non-negative")
+    require(minPrior >= 1 && minPrior <= window,
+      "minPrior must be in [1, window]")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("check"), col("col_name"))
+      .orderBy(col(snapshotCol))
+      .rowsBetween(-window, -1)
+    metrics
+      // n_violations ≤ n_rows can pass 2^43 at petabyte scale: the ×10⁶
+      // product rides DECIMAL(38,0) into the integral division
+      .withColumn("violation_ppm",
+        when(col("n_rows") > 0,
+          expr("(CAST(n_violations AS DECIMAL(38,0)) * 1000000) div n_rows")
+            .cast("long"))
+          .otherwise(lit(0L)))
+      .withColumn("n_prior", count(lit(1)).over(w))
+      .withColumn("band_lo_ppm",
+        when(col("n_prior") >= minPrior,
+          greatest(min(col("violation_ppm")).over(w) - marginPpm, lit(0L))))
+      .withColumn("band_hi_ppm",
+        when(col("n_prior") >= minPrior,
+          max(col("violation_ppm")).over(w) + marginPpm))
+      .withColumn("flagged",
+        col("n_prior") >= minPrior &&
+          (col("violation_ppm") < col("band_lo_ppm") ||
+            col("violation_ppm") > col("band_hi_ppm")))
+  }
+
+  /** Persist one snapshot's [[checkConstraints]] panel into a dt-partitioned
+    * metric history (the [[graft.ops.Incremental.writeDailyState]]
+    * discipline): the snapshot's partition is REPLACED on re-run (dynamic
+    * overwrite — re-shipping yesterday's gate is idempotent, an append
+    * would double its rows), every other snapshot's files ride through
+    * untouched, and a range read's `dt` predicate lands in
+    * `PartitionFilters`. The panel is `|checks|` rows — the write is
+    * kilobytes regardless of corpus size.
+    */
+  def writeMetricsSnapshot(
+      df: DataFrame,
+      checks: Seq[QualityCheck],
+      path: String,
+      snapshot: String): Unit =
+    checkConstraints(df, checks)
+      .withColumn("dt", lit(snapshot))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("dt").parquet(path)
+
+  /** Read a [[writeMetricsSnapshot]] history back; feed to [[anomalyFlags]]
+    * with `snapshotCol = "dt"`.
+    */
+  def readMetricsHistory(
+      spark: org.apache.spark.sql.SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+      .select(col("dt").cast("string").as("dt"), col("check"),
+        col("col_name"), col("n_rows"), col("n_violations"), col("passed"))
 }

@@ -227,6 +227,55 @@ object EventStream {
       }
       .start()
 
+  /** One micro-batch of the streaming data-quality gate (the
+    * [[stateUpsertBatch]] factoring: the worker is a plain function so the
+    * stream == batch contract is spec-testable): run the declared
+    * [[graft.ops.Quality.QualityCheck]]s against the batch with
+    * [[graft.ops.Quality.checkConstraints]] — the IDENTICAL panel the
+    * nightly batch gate produces on the same rows — and persist the
+    * `|checks|`-row panel under `batch_id=`. Exactly-once from
+    * at-least-once by PARTITION IDENTITY (the stateUpsertBatch argument,
+    * not an algebra): a replayed batch rewrites its own `batch_id`
+    * partition byte-identically instead of appending a duplicate panel.
+    * Monitoring reads the history with `batch_id` as the snapshot column
+    * straight into [[graft.ops.Quality.anomalyFlags]].
+    */
+  def qualityGateBatch(
+      batch: DataFrame,
+      checks: Seq[graft.ops.Quality.QualityCheck],
+      path: String,
+      batchId: Long): Unit =
+    graft.ops.Quality.checkConstraints(batch, checks)
+      .withColumn("batch_id", lit(batchId))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch_id").parquet(path)
+
+  /** Streaming data-quality gate — the [[graft.ops.Quality]] release panel
+    * run continuously: every micro-batch's violation counts land as one
+    * `batch_id=` partition of a growing metric history (state is the
+    * history itself — bounded by `|checks| × batches`, kilobytes — never
+    * keyed stream state: no watermark, no state store). Distributional
+    * checks (unique / ref-integrity) hold WITHIN each micro-batch by
+    * construction — cross-batch uniqueness is [[dedupEvents]]' job; the
+    * honest per-batch scope is the panel's contract, matching how a
+    * nightly gate scopes to its snapshot.
+    */
+  def qualityGateSink(
+      rows: DataFrame,
+      checks: Seq[graft.ops.Quality.QualityCheck],
+      path: String,
+      checkpointDir: String,
+      trigger: org.apache.spark.sql.streaming.Trigger =
+        org.apache.spark.sql.streaming.Trigger.AvailableNow()): org.apache.spark.sql.streaming.StreamingQuery =
+    rows.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        qualityGateBatch(batch.toDF(), checks, path, batchId)
+      }
+      .start()
+
   /** Streaming exact dedup: drops repeated `event_id`s (at-least-once
     * ingest -> exactly-once semantics downstream). On a stream this is
     * `dropDuplicatesWithinWatermark` — the variant whose state the watermark

@@ -56,6 +56,101 @@ class QualitySpec extends SparkTestBase {
     assert(got === Map(("unique", "id") -> ((3L, 2L, false))))
   }
 
+  test("constraintMetricsByGroup: per-snapshot counts equal per-snapshot checkConstraints") {
+    import spark.implicits._
+    val dim = Seq(1L, 2L).toDF("k")
+    val df = Seq(
+      ("d1", Some(10L), Some(1L), Some("A")),
+      ("d1", Some(10L), Some(2L), Some("B")),   // dup id within d1
+      ("d1", Some(11L), Some(9L), Some("ab")),  // dangling ref + regex in d1
+      ("d2", Some(10L), None, None),            // d2: null key only
+      ("d2", Some(12L), Some(1L), Some("C"))
+    ).toDF("dt", "id", "key", "code")
+    val checks = Seq(NotNullCheck("key"), RegexCheck("code", "^[A-Z]$"),
+      UniqueCheck("id"), RefCheck("key", dim, "k"))
+    val grouped = Quality.constraintMetricsByGroup(df, "dt", checks)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2)) ->
+        ((r.getLong(3), r.getLong(4), r.getBoolean(5)))).toMap
+    // twin contract: each snapshot's rows == checkConstraints on that slice
+    for (d <- Seq("d1", "d2")) {
+      val twin = panel(Quality.checkConstraints(
+        df.filter($"dt" === d), checks).collect())
+      twin.foreach { case ((c, n), v) =>
+        assert(grouped((d, c, n)) === v, s"$d/$c/$n") }
+    }
+    // d2 has no duplicate ids: the clean snapshot still emits its 0 row
+    assert(grouped(("d2", "unique", "id")) === ((2L, 0L, true)))
+    assert(grouped.size === 8)
+  }
+
+  test("anomalyFlags: level shift flags once, re-enters band; sparse history never flags") {
+    import spark.implicits._
+    // one not_null series: 0 ppm for 5 days, shift to 50000 ppm on day 6+
+    val hist = (1 to 9).map { d =>
+      val v = if (d >= 6) 5L else 0L
+      (f"2024-01-$d%02d", "not_null", "v", 100L, v, v == 0L)
+    }.toDF("dt", "check", "col_name", "n_rows", "n_violations", "passed")
+    val got = Quality.anomalyFlags(hist, "dt", window = 4, marginPpm = 10000L,
+      minPrior = 2)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(6), r.getLong(7),
+          if (r.isNullAt(8)) -1L else r.getLong(8),
+          if (r.isNullAt(9)) -1L else r.getLong(9),
+          r.getBoolean(10)))).toMap
+    // day 1: no priors -> NULL band, never flagged
+    assert(got("2024-01-01") === ((0L, 0L, -1L, -1L, false)))
+    // day 2: one prior < minPrior -> still no band
+    assert(got("2024-01-02") === ((0L, 1L, -1L, -1L, false)))
+    // day 3: two priors, band [0-10000 clamped, 0+10000], inside
+    assert(got("2024-01-03") === ((0L, 2L, 0L, 10000L, false)))
+    // day 6: the shift — 50000 ppm vs band [0, 10000] -> flagged
+    assert(got("2024-01-06") === ((50000L, 4L, 0L, 10000L, true)))
+    // day 7: shifted value now in the trailing window -> band absorbs it
+    assert(got("2024-01-07") === ((50000L, 4L, 0L, 60000L, false)))
+    // day 9's window {05..08} still holds one pre-shift 0 -> lo clamps to 0
+    assert(got("2024-01-09") === ((50000L, 4L, 0L, 60000L, false)))
+  }
+
+  test("anomalyFlags: zero-row snapshots rate as 0 ppm; DOWNWARD shifts flag too") {
+    import spark.implicits._
+    val hist = Seq(
+      ("d1", "in_range", "v", 100L, 40L, false),
+      ("d2", "in_range", "v", 100L, 42L, false),
+      ("d3", "in_range", "v", 100L, 38L, false),
+      ("d4", "in_range", "v", 0L, 0L, true),   // empty snapshot -> 0 ppm
+      ("d5", "in_range", "v", 100L, 40L, false)
+    ).toDF("dt", "check", "col_name", "n_rows", "n_violations", "passed")
+    val got = Quality.anomalyFlags(hist, "dt", window = 3, marginPpm = 50000L,
+      minPrior = 3)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(6), r.getBoolean(10)))).toMap
+    // d4: 0 ppm vs band [380000-50000, 420000+50000] -> flagged downward
+    assert(got("d4") === ((0L, true)))
+    // d5: window {d2,d3,d4} -> lo 0-margin clamps to 0 -> inside
+    assert(got("d5") === ((400000L, false)))
+  }
+
+  test("writeMetricsSnapshot: dt-partitioned history, idempotent re-run, reads into anomalyFlags") {
+    import spark.implicits._
+    val path = java.nio.file.Files.createTempDirectory("dqhist").toString + "/m"
+    val checks = Seq(NotNullCheck("v"), UniqueCheck("id"))
+    def day(nulls: Int) = (1 to 10).map(i =>
+      (i.toLong, if (i <= nulls) None else Some(i.toLong))).toDF("id", "v")
+    Quality.writeMetricsSnapshot(day(0), checks, path, "2024-01-01")
+    Quality.writeMetricsSnapshot(day(0), checks, path, "2024-01-02")
+    Quality.writeMetricsSnapshot(day(5), checks, path, "2024-01-03")
+    // re-run of day 2 REPLACES its partition (no duplicate rows)
+    Quality.writeMetricsSnapshot(day(0), checks, path, "2024-01-02")
+    val hist = Quality.readMetricsHistory(spark, path)
+    assert(hist.count() === 6)
+    val flags = Quality.anomalyFlags(hist, "dt", window = 2, marginPpm = 0L,
+      minPrior = 2)
+      .filter($"check" === "not_null").collect()
+      .map(r => r.getString(0) -> r.getBoolean(10)).toMap
+    assert(flags === Map("2024-01-01" -> false, "2024-01-02" -> false,
+      "2024-01-03" -> true))
+  }
+
   test("checkConstraints: partitioning invariance") {
     import spark.implicits._
     val df = Seq.tabulate(100)(i => (i.toLong % 40, s"c$i")).toDF("id", "code")

@@ -171,6 +171,53 @@ class EventStreamSpec extends SparkTestBase {
     assert(estState.keySet === Set("g", "h"))
   }
 
+  test("qualityGateSink: per-batch panels equal the batch twin; replay rewrites, never duplicates") {
+    import spark.implicits._
+    import graft.ops.Quality
+    import graft.ops.Quality._
+    implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val base = java.nio.file.Files.createTempDirectory("graft-dqg").toString
+    val (store, ckpt) = (s"$base/panel", s"$base/ckpt")
+    val checks = Seq(NotNullCheck("v"), RangeCheck("v", 0.0, 100.0),
+      UniqueCheck("id"))
+    val b1 = Seq((1L, Option(5L)), (2L, Option(50L)), (2L, Option(200L))) // dup id + range
+    val b2 = Seq((10L, Option.empty[Long]), (11L, Option(7L)))            // a null
+    val ms = MemoryStream[(Long, Option[Long])]
+    def run(): Unit = {
+      val q = EventStream.qualityGateSink(
+        ms.toDF().toDF("id", "v"), checks, store, ckpt)
+      q.processAllAvailable(); q.stop()
+    }
+    ms.addData(b1); run()
+    ms.addData(b2); run()
+    // re-list per read: the replay rewrite below invalidates cached listings
+    def panelOf(bid: Long) = spark.read.parquet(store)
+      .filter($"batch_id" === bid)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getBoolean(4)))).toMap
+    // stream == batch: each micro-batch's panel is checkConstraints verbatim
+    def twin(rows: Seq[(Long, Option[Long])]) =
+      Quality.checkConstraints(rows.toDF("id", "v"), checks)
+        .collect().map(r => (r.getString(0), r.getString(1)) ->
+          ((r.getLong(2), r.getLong(3), r.getBoolean(4)))).toMap
+    assert(panelOf(0L) === twin(b1))
+    assert(panelOf(1L) === twin(b2))
+    assert(panelOf(0L)(("unique", "id")) === ((3L, 2L, false)))
+    assert(panelOf(1L)(("not_null", "v")) === ((2L, 1L, false)))
+    // at-least-once replay: re-running batch 1 rewrites its OWN partition
+    EventStream.qualityGateBatch(b2.toDF("id", "v"), checks, store, 1L)
+    assert(spark.read.parquet(store).count() === checks.size * 2L)
+    assert(panelOf(1L) === twin(b2))
+    // monitoring composes: the history feeds anomalyFlags on batch_id
+    val flags = Quality.anomalyFlags(
+      spark.read.parquet(store)
+        .withColumn("dt", $"batch_id".cast("string")).drop("batch_id"),
+      "dt", window = 1, marginPpm = 0L, minPrior = 1)
+    // every batch-1 series moved off batch 0's point band (margin 0):
+    // not_null 0->500000, in_range 333333->0, unique 666666->0
+    assert(flags.filter($"flagged").count() === 3L)
+  }
+
   test("qualityGate: stream keeps exactly the batch lmScore survivors, value-identical") {
     import spark.implicits._
     implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext

@@ -344,6 +344,37 @@ object SparkEntry {
       RefCheck("o_custkey", goodCustomers, "c_custkey")))
   }
 
+  /** DQ metric history + anomaly flags over the per-day event snapshots —
+    * Deequ's second half: the constraint panel grouped by day, each
+    * series' violation RATE banded against its trailing week. The plant is
+    * a level shift, not a violation-vs-pass toggle: from Jan 24 every
+    * 23rd event's value goes missing (~43 000 ppm not-null rate where the
+    * prior band is 0 ± margin), so the SHIFT day flags while the already-
+    * shifted days that follow re-enter the trailing band — the "flag the
+    * incident once, not forever" contract. The range check's natural
+    * day-to-day rate rides inside the margin; uniqueness and the regex are
+    * clean series that must never flag. Every count, ppm division, and
+    * band endpoint replays exactly in the oracle.
+    */
+  private def dqHistoryQ(s: SparkSession, dir: String): DataFrame = {
+    import graft.ops.Quality
+    import graft.ops.Quality._
+    val base = eventsFixedPoint(s, dir)
+      .select(to_date(col("ts")).cast("string").as("dt"),
+        col("event_id"), col("event_type"), col("value").as("v_cents"))
+      .withColumn("v_planted",
+        when(col("dt") >= "2024-01-24" && pmod(col("event_id"), lit(23)) === 0,
+          lit(null).cast("long"))
+          .otherwise(col("v_cents")))
+    val metrics = Quality.constraintMetricsByGroup(base, "dt", Seq(
+      NotNullCheck("v_planted"),
+      RangeCheck("v_cents", 100.0, 4500000.0),
+      UniqueCheck("event_id"),
+      RegexCheck("event_type", "^[a-z]+$")))
+    Quality.anomalyFlags(metrics, "dt", window = 7, marginPpm = 20000L,
+      minPrior = 3)
+  }
+
   /** Containment join over documents plus planted first-half excerpts —
     * the asymmetric measure: excerpt→original containment is exactly 1.0
     * (every shingle of the half is a shingle of the full) while Jaccard and
@@ -1065,15 +1096,59 @@ object SparkEntry {
     val snm = ops.EntityResolution.sortedNeighborPairs(
       recs, "rec_id", "name", thresholdPpm = 550000L, windowSize = 4)
       .select("a_id", "b_id")
+    ops.EntityResolution.linkageEval(
+      eq.unionByName(snm), erTruthPairs(kindA, kindB, kindC))
+  }
+
+  /** Every planted same-entity pair of the ER universe: formatting, typo,
+    * the formatting×typo transitive pair, and the reversed-name plants.
+    */
+  private def erTruthPairs(
+      kindA: DataFrame, kindB: DataFrame, kindC: DataFrame): DataFrame = {
     val ka = kindA.select((-col("rec_id") - 1L).as("a_id"), col("rec_id").as("b_id"))
     val kb = kindB.select((col("rec_id") - 3000000L).as("a_id"), col("rec_id").as("b_id"))
     val kc = kindC.select((col("rec_id") - 4000000L).as("a_id"), col("rec_id").as("b_id"))
     val kab = ka.select(col("a_id").as("k"), col("b_id").as("aid"))
       .join(kb.select(col("a_id").as("k"), col("b_id").as("bid")), "k")
       .select(col("aid").as("a_id"), col("bid").as("b_id"))
+    ka.unionByName(kb).unionByName(kc).unionByName(kab)
+  }
+
+  /** Linkage evaluation WITH the Fellegi–Sunter detector in the union —
+    * the recall gain multi-attribute evidence buys, measured against the
+    * identical truth as `er_eval` (which stays registered unchanged as the
+    * name-evidence-only baseline): the reversed-name plants carry ZERO
+    * name evidence (er_eval's honest recall ceiling) but agree on nation,
+    * segment, AND the high-cardinality balance — under the declared
+    * weights (+5/+2/+35 agree vs −20 name disagreement) they cross the
+    * match threshold, while a random same-attrs-block pair (balance
+    * disagrees: −5, name disagrees: −20) sits deep below it. Precision
+    * must hold at 1.0; recall must rise by exactly the reversed-plant
+    * count. All weights are declared integers; the oracle replays every
+    * agreement sum.
+    */
+  private def erEvalFsQ(s: SparkSession, dir: String): DataFrame = {
+    import ops.EntityResolution.FieldWeight
+    val (base, kindA, kindB, kindC) = erParts(s, dir)
+    val recs = base.unionByName(kindA).unionByName(kindB).unionByName(kindC)
+      .localCheckpoint(false)
+    val eq = ops.EntityResolution.matchRecords(
+      recs, "rec_id", "name", erBlocks, thresholdPpm = 550000L, maxBlock = 500)
+      .select("a_id", "b_id")
+    val snm = ops.EntityResolution.sortedNeighborPairs(
+      recs, "rec_id", "name", thresholdPpm = 550000L, windowSize = 4)
+      .select("a_id", "b_id")
+    val fs = ops.EntityResolution.matchRecordsWeighted(
+      recs, "rec_id", "name", erBlocks,
+      fields = Seq(FieldWeight("nation", 5L, -30L),
+        FieldWeight("segment", 2L, -20L),
+        FieldWeight("bal_cents", 35L, -5L)),
+      nameAgreePpm = 550000L, nameAgree = 40L, nameDisagree = -20L,
+      threshold = 20L, maxBlock = 500)
+      .select("a_id", "b_id")
     ops.EntityResolution.linkageEval(
-      eq.unionByName(snm),
-      ka.unionByName(kb).unionByName(kc).unionByName(kab))
+      eq.unionByName(snm).unionByName(fs),
+      erTruthPairs(kindA, kindB, kindC))
   }
 
   /** Composed panel anomaly: the resampled + forward-filled panel (the
@@ -2483,6 +2558,7 @@ object SparkEntry {
     "cosine_set_join" -> (cosineSetJoinQ _),
     "containment_join" -> (containmentJoinQ _),
     "quality_panel" -> (qualityPanelQ _),
+    "dq_history" -> (dqHistoryQ _),
     "search_bm25" -> (searchBm25Q _),
     "dedup_clusters" -> (dedupClusters _),
     "dedup_clusters_ls" -> (dedupClustersLs _),
@@ -2575,6 +2651,7 @@ object SparkEntry {
     "pipeline_panel_anomaly" -> (pipelinePanelAnomalyQ _),
     "er_sorted_pairs" -> (erSortedPairsQ _),
     "er_eval" -> (erEvalQ _),
+    "er_eval_fs" -> (erEvalFsQ _),
     "embedding_quantize" -> (embeddingQuantize _),
     "embedding_normalize" -> (embeddingNormalize _),
     "embedding_project" -> (embeddingProject _),
@@ -3602,6 +3679,64 @@ object SparkEntry {
           |       CAST(v AS BIGINT), v = 0 FROM uq2
           |UNION ALL SELECT 'ref_integrity', 'o_custkey', (SELECT n_rows FROM rl),
           |       CAST(v AS BIGINT), v = 0 FROM rf""".stripMargin,
+      // per-day grouped panel + trailing-week rate bands; the planted
+      // level shift (every 23rd value missing from Jan 24) must flag on
+      // the shift day and re-enter the band after
+      "dq_history" ->
+        """WITH p AS (
+          |  SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS dt, event_id,
+          |    event_type, CAST(round(value * 10000) AS BIGINT) AS v,
+          |    CASE WHEN CAST(CAST(ts AS DATE) AS VARCHAR) >= '2024-01-24'
+          |              AND event_id % 23 = 0
+          |         THEN NULL ELSE CAST(round(value * 10000) AS BIGINT)
+          |    END AS vp
+          |  FROM events),
+          |tot AS (SELECT dt, CAST(count(*) AS BIGINT) AS n_rows
+          |  FROM p GROUP BY dt),
+          |m AS (
+          |  SELECT dt, 'not_null' AS check_name, 'v_planted' AS col_name,
+          |    CAST(sum(CASE WHEN vp IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+          |      AS n_violations
+          |  FROM p GROUP BY dt
+          |  UNION ALL
+          |  SELECT dt, 'in_range', 'v_cents',
+          |    CAST(sum(CASE WHEN v IS NOT NULL
+          |                  AND (v < 100.0 OR v > 4500000.0)
+          |             THEN 1 ELSE 0 END) AS BIGINT)
+          |  FROM p GROUP BY dt
+          |  UNION ALL
+          |  SELECT t.dt, 'unique', 'event_id', CAST(COALESCE(u.nv, 0) AS BIGINT)
+          |  FROM tot t LEFT JOIN (
+          |    SELECT dt, sum(c) AS nv FROM (
+          |      SELECT dt, event_id, count(*) AS c FROM p
+          |      WHERE event_id IS NOT NULL GROUP BY dt, event_id)
+          |    WHERE c > 1 GROUP BY dt) u USING (dt)
+          |  UNION ALL
+          |  SELECT dt, 'regex', 'event_type',
+          |    CAST(sum(CASE WHEN event_type IS NOT NULL
+          |                  AND NOT regexp_matches(event_type, '^[a-z]+$')
+          |             THEN 1 ELSE 0 END) AS BIGINT)
+          |  FROM p GROUP BY dt),
+          |j AS (SELECT m.dt, check_name, col_name, t.n_rows, n_violations,
+          |  CAST(CASE WHEN t.n_rows > 0
+          |    THEN (CAST(n_violations AS HUGEINT) * 1000000) // t.n_rows
+          |    ELSE 0 END AS BIGINT) AS violation_ppm
+          |  FROM m JOIN tot t USING (dt)),
+          |wnd AS (SELECT *,
+          |  CAST(count(*) OVER w AS BIGINT) AS n_prior,
+          |  min(violation_ppm) OVER w AS lo,
+          |  max(violation_ppm) OVER w AS hi
+          |  FROM j
+          |  WINDOW w AS (PARTITION BY check_name, col_name ORDER BY dt
+          |               ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING))
+          |SELECT dt, check_name AS "check", col_name, n_rows, n_violations,
+          |  n_violations = 0 AS passed, violation_ppm, n_prior,
+          |  CASE WHEN n_prior >= 3 THEN greatest(lo - 20000, 0)
+          |       END AS band_lo_ppm,
+          |  CASE WHEN n_prior >= 3 THEN hi + 20000 END AS band_hi_ppm,
+          |  n_prior >= 3 AND (violation_ppm < greatest(lo - 20000, 0)
+          |                    OR violation_ppm > hi + 20000) AS flagged
+          |FROM wnd""".stripMargin,
       // asymmetric sibling: DIRECTED all-pairs containment — the planted
       // first-half excerpts sit at containment 1.0 into their originals
       "containment_join" ->
@@ -5047,6 +5182,98 @@ object SparkEntry {
           |    FROM pp JOIN g gx ON pp.x = gx.rec_id JOIN g gy ON pp.y = gy.rec_id)
           |  WHERE score >= 550000),
           |det AS (SELECT a, b FROM eqv UNION SELECT a, b FROM snmv),
+          |tru AS (SELECT DISTINCT least(p1, p2) AS a, greatest(p1, p2) AS b FROM (
+          |  SELECT k AS p1, -k - 1 AS p2 FROM cust WHERE b < 10
+          |  UNION ALL SELECT k, k + 3000000 FROM cust WHERE b >= 5 AND b < 20
+          |  UNION ALL SELECT -k - 1, k + 3000000 FROM cust WHERE b >= 5 AND b < 10
+          |  UNION ALL SELECT k, k + 4000000 FROM cust WHERE b >= 20 AND b < 28)),
+          |c AS (SELECT
+          |    (SELECT count(*) FROM tru) AS n_truth,
+          |    (SELECT count(*) FROM det) AS n_detected,
+          |    (SELECT count(*) FROM det JOIN tru ON det.a = tru.a AND det.b = tru.b)
+          |      AS n_correct),
+          |c2 AS (SELECT CAST(n_truth AS BIGINT) AS n_truth,
+          |    CAST(n_detected AS BIGINT) AS n_detected,
+          |    CAST(n_correct AS BIGINT) AS n_correct,
+          |    CASE WHEN n_detected > 0
+          |      THEN CAST(n_correct * 1000000 // n_detected AS BIGINT) END AS precision_ppm,
+          |    CASE WHEN n_truth > 0
+          |      THEN CAST(n_correct * 1000000 // n_truth AS BIGINT) END AS recall_ppm
+          |  FROM c)
+          |SELECT *, CASE WHEN precision_ppm IS NOT NULL AND recall_ppm IS NOT NULL
+          |    AND precision_ppm + recall_ppm > 0
+          |  THEN CAST(2 * precision_ppm * recall_ppm
+          |    // (precision_ppm + recall_ppm) AS BIGINT) END AS f1_ppm
+          |FROM c2""".stripMargin,
+      // er_eval + the Fellegi–Sunter detector: same universe with balance,
+      // per-pair agreement-weight sums over blocked candidates, same truth
+      "er_eval_fs" ->
+        """WITH cust AS (SELECT c_custkey AS k,
+          |    substr(md5(CAST(c_custkey AS VARCHAR)), 1, 12) AS core,
+          |    CAST(concat('0x', substr(md5(CAST(c_custkey AS VARCHAR)), 1, 6)) AS BIGINT)
+          |      % 100 AS b,
+          |    CAST(c_nationkey AS BIGINT) AS nation, c_mktsegment AS segment,
+          |    CAST(round(c_acctbal * 100) AS BIGINT) AS bal
+          |  FROM customer),
+          |recs AS (
+          |  SELECT k AS rec_id, core AS name, nation, segment, bal FROM cust
+          |  UNION ALL SELECT -k - 1, upper(core), nation, NULL, NULL
+          |    FROM cust WHERE b < 10
+          |  UNION ALL SELECT k + 3000000, substr(core, 1, 4) || substr(core, 6, 7),
+          |    nation, segment, bal FROM cust WHERE b >= 5 AND b < 20
+          |  UNION ALL SELECT k + 4000000, reverse(core), nation, segment, bal
+          |    FROM cust WHERE b >= 20 AND b < 28),
+          |nm AS (SELECT rec_id, nation, segment, bal,
+          |    trim(regexp_replace(lower(name), '[^a-z0-9]+', ' ', 'g')) AS s FROM recs),
+          |g AS (SELECT rec_id, list_distinct(list_transform(
+          |    generate_series(1, greatest(len(s) - 2, 1)),
+          |    i -> substr(s, CAST(i AS INTEGER), 3))) AS tg
+          |  FROM nm WHERE len(s) > 0),
+          |bk AS (SELECT rec_id, 'name4' AS bn, substr(s, 1, 4) AS bv FROM nm WHERE len(s) > 0
+          |  UNION ALL SELECT rec_id, 'attrs', CAST(nation AS VARCHAR) || '|' || segment
+          |    FROM nm WHERE nation IS NOT NULL AND segment IS NOT NULL),
+          |eqp AS (SELECT DISTINCT x.rec_id AS a, y.rec_id AS b
+          |  FROM bk x JOIN bk y ON x.bn = y.bn AND x.bv = y.bv AND x.rec_id < y.rec_id),
+          |eqv AS (SELECT a, b FROM (SELECT p.a, p.b,
+          |    len(list_intersect(ga.tg, gb2.tg)) * 1000000
+          |      // len(list_distinct(ga.tg || gb2.tg)) AS score
+          |  FROM eqp p JOIN g ga ON p.a = ga.rec_id JOIN g gb2 ON p.b = gb2.rec_id)
+          |  WHERE score >= 550000),
+          |o AS (SELECT rec_id, s,
+          |    lead(rec_id, 1) OVER w AS id1, lead(s, 1) OVER w AS s1,
+          |    lead(rec_id, 2) OVER w AS id2, lead(s, 2) OVER w AS s2,
+          |    lead(rec_id, 3) OVER w AS id3, lead(s, 3) OVER w AS s3
+          |  FROM (SELECT rec_id, s FROM nm WHERE len(s) > 0)
+          |  WINDOW w AS (PARTITION BY substr(s, 1, 1) ORDER BY s, rec_id)),
+          |pp AS (SELECT rec_id AS x, id1 AS y FROM o WHERE id1 IS NOT NULL
+          |  UNION ALL SELECT rec_id, id2 FROM o WHERE id2 IS NOT NULL
+          |  UNION ALL SELECT rec_id, id3 FROM o WHERE id3 IS NOT NULL),
+          |snmv AS (SELECT least(x, y) AS a, greatest(x, y) AS b FROM (
+          |    SELECT x, y, len(list_intersect(gx.tg, gy.tg)) * 1000000
+          |      // len(list_distinct(gx.tg || gy.tg)) AS score
+          |    FROM pp JOIN g gx ON pp.x = gx.rec_id JOIN g gy ON pp.y = gy.rec_id)
+          |  WHERE score >= 550000),
+          |fsv AS (SELECT a, b FROM (SELECT p.a, p.b,
+          |    CASE WHEN ga.tg IS NOT NULL AND gb2.tg IS NOT NULL THEN
+          |      CASE WHEN len(list_intersect(ga.tg, gb2.tg)) * 1000000
+          |             // len(list_distinct(ga.tg || gb2.tg)) >= 550000
+          |           THEN 40 ELSE -20 END
+          |    ELSE 0 END
+          |    + CASE WHEN ra.nation IS NOT NULL AND rb.nation IS NOT NULL
+          |        THEN CASE WHEN ra.nation = rb.nation THEN 5 ELSE -30 END
+          |        ELSE 0 END
+          |    + CASE WHEN ra.segment IS NOT NULL AND rb.segment IS NOT NULL
+          |        THEN CASE WHEN ra.segment = rb.segment THEN 2 ELSE -20 END
+          |        ELSE 0 END
+          |    + CASE WHEN ra.bal IS NOT NULL AND rb.bal IS NOT NULL
+          |        THEN CASE WHEN ra.bal = rb.bal THEN 35 ELSE -5 END
+          |        ELSE 0 END AS w
+          |  FROM eqp p
+          |  JOIN nm ra ON p.a = ra.rec_id JOIN nm rb ON p.b = rb.rec_id
+          |  LEFT JOIN g ga ON p.a = ga.rec_id LEFT JOIN g gb2 ON p.b = gb2.rec_id)
+          |  WHERE w >= 20),
+          |det AS (SELECT a, b FROM eqv UNION SELECT a, b FROM snmv
+          |  UNION SELECT a, b FROM fsv),
           |tru AS (SELECT DISTINCT least(p1, p2) AS a, greatest(p1, p2) AS b FROM (
           |  SELECT k AS p1, -k - 1 AS p2 FROM cust WHERE b < 10
           |  UNION ALL SELECT k, k + 3000000 FROM cust WHERE b >= 5 AND b < 20

@@ -309,6 +309,91 @@ object EntityResolution {
         greatest(col("_id"), col("_nid")).as("b_id"), col("score_ppm"))
   }
 
+  /** One field's Fellegi–Sunter agreement/disagreement weights. The values
+    * are caller-declared INTEGERS (abstract log-odds-shaped units — in the
+    * FS model `agree ≈ log(m/u)`, `disagree ≈ log((1−m)/(1−u))`, but the
+    * engine never computes a logarithm: declaring the rounded weights keeps
+    * the whole score in the exact integer lane, replayable anywhere).
+    * Convention: `agree` positive and large for HIGH-cardinality fields
+    * (an account-balance match is strong evidence — u is tiny), small for
+    * low-cardinality ones (same nation is weak); `disagree` negative.
+    */
+  final case class FieldWeight(column: String, agree: Long, disagree: Long)
+
+  /** Multi-attribute record matching — the Fellegi–Sunter decision rule
+    * over blocked candidates: each pair's score is the SUM of per-field
+    * evidence, where a field contributes `agree` when both sides are
+    * non-null and equal, `disagree` when both are non-null and different,
+    * and 0 when either side is missing (absence is no evidence — the
+    * [[checkConstraints]]-style NULL contract, and the reason a sparse
+    * record degrades gracefully instead of being repelled). The NAME field
+    * is special-cased as banded string evidence: trigram-ppm ≥
+    * `nameAgreePpm` counts as agreement, below it as disagreement, either
+    * side without a usable name as missing. Pairs with total weight ≥
+    * `threshold` match.
+    *
+    * This is the detector that sees what single-field name matching
+    * CANNOT: a reversed/translated/aliased name with agreeing
+    * high-cardinality attributes (same balance, same phone) accumulates
+    * positive evidence past the threshold even while the name field votes
+    * against — and conversely a name-collision pair with disagreeing
+    * attributes is pushed back below it. Returns
+    * `(a_id, b_id, weight, name_ppm)` (`name_ppm` NULL when name evidence
+    * was missing).
+    *
+    * Shape at scale: the [[matchRecords]] discipline verbatim — candidates
+    * from equality blocking (hot blocks capped observably), ONE narrow
+    * attribute row per record computed once (id, grams, declared fields),
+    * two hash joins attach the sides, the weight is a scan-speed
+    * projection. Adding a field adds a column to the attribute row, never
+    * a pass.
+    */
+  def matchRecordsWeighted(
+      df: DataFrame,
+      idCol: String,
+      nameCol: String,
+      blocks: Seq[(String, Column)],
+      fields: Seq[FieldWeight],
+      nameAgreePpm: Long,
+      nameAgree: Long,
+      nameDisagree: Long,
+      threshold: Long,
+      maxBlock: Int = 100,
+      metrics: Option[Observation] = None): DataFrame = {
+    require(nameAgreePpm >= 0 && nameAgreePpm <= 1000000L,
+      "nameAgreePpm must be in [0, 1000000]")
+    require(fields.nonEmpty || nameAgree != 0 || nameDisagree != 0,
+      "declare at least one evidence source")
+    val cand = candidateRecordPairs(df, idCol, blocks, maxBlock, metrics)
+    def side(prefix: String) = df.select(
+      col(idCol).as(s"${prefix}_id") +:
+        when(length(normalized(col(nameCol))) > 0,
+          trigramSet(normalized(col(nameCol)))).as(s"${prefix}_g") +:
+        fields.zipWithIndex.map { case (f, i) =>
+          col(f.column).as(s"${prefix}_f$i")
+        }: _*)
+    val inter = size(array_intersect(col("a_g"), col("b_g"))).cast("long")
+    val union = size(array_union(col("a_g"), col("b_g"))).cast("long")
+    val namePpm = when(col("a_g").isNotNull && col("b_g").isNotNull,
+      floor(inter * lit(1000000L) / union).cast("long"))
+    val nameW = when(namePpm.isNull, lit(0L))
+      .when(namePpm >= nameAgreePpm, lit(nameAgree))
+      .otherwise(lit(nameDisagree))
+    val fieldW = fields.zipWithIndex.map { case (f, i) =>
+      when(col(s"a_f$i").isNotNull && col(s"b_f$i").isNotNull,
+        when(col(s"a_f$i") === col(s"b_f$i"), lit(f.agree))
+          .otherwise(lit(f.disagree)))
+        .otherwise(lit(0L))
+    }.foldLeft(lit(0L))(_ + _)
+    cand
+      .join(side("a"), "a_id")
+      .join(side("b"), "b_id")
+      .withColumn("name_ppm", namePpm)
+      .withColumn("weight", nameW + fieldW)
+      .filter(col("weight") >= threshold)
+      .select(col("a_id"), col("b_id"), col("weight"), col("name_ppm"))
+  }
+
   /** Broadcastable entity index for the STREAMING gate: one row per block
     * value holding every reference candidate's `(entity, ref_id, trigram
     * set)` as an array — hot blocks past `maxBlock` dropped whole (the

@@ -105,6 +105,9 @@ class PlanGateSpec extends SparkTestBase {
     // distinct + verify joins; SNM's window) + the detected-pair distinct,
     // the semi-join side, and the three count aggregates
     "er_eval" -> 14,
+    // er_eval's two detectors plus the FS detector's own candidate distinct
+    // + two attribute-side joins, against the same three count aggregates
+    "er_eval_fs" -> 19,
     // funnel's per-step key-agg exchange (reused across stages) + the two
     // gap-median rank windows (each a Single exchange over the completer
     // table, never the event stream)
@@ -372,6 +375,12 @@ class PlanGateSpec extends SparkTestBase {
     // partial->final exchange + a scalar reduce (2x2); the ref anti-join's
     // dim distinct + scalar reduce (2); panel glue is 1-row frames
     "quality_panel" -> 8,
+    // the grouped row-local agg is a lazy checkpoint boundary (totals +
+    // unpivot + uniqueness left-join reuse it); visible: uniqueness's
+    // (dt, id) value-distribution agg + its per-dt re-agg, and the band
+    // window keyed by (check, col_name) over the |checks|x|days| metric
+    // table — the totals join rides a broadcast at gate SF
+    "dq_history" -> 3,
     // quality filter joins broadcast; the 4 = the per-source packing window
     // exchange + the shard-machinery trio shard_layout documents (corpus
     // (shard,bucket) exchange + tiny counts partial→final + cumulative join)
@@ -403,7 +412,7 @@ class PlanGateSpec extends SparkTestBase {
     // contains knn_brute's sanctioned exact-baseline BNLJ as one branch
     "search_rrf_fusion", "search_eval",
     // the three 1-row count attaches: the scalar-attach idiom
-    "er_eval")
+    "er_eval", "er_eval_fs")
 
   test("every query has a plan budget (or a documented exemption)") {
     val missing = SparkEntry.queries.keySet -- maxShuffles.keySet -- iterative

@@ -95,6 +95,42 @@ class EntityResolutionSpec extends SparkTestBase {
     assert(g23(2L) === ((2L, "JANE SMITH", "415-555", "silver")))
   }
 
+  test("matchRecordsWeighted: FS evidence sums — agree/disagree/missing per field, banded name") {
+    import spark.implicits._
+    val df = Seq(
+      // (id, name, phone, city)
+      (1L, "jane smith", Option("415-555"), Option("oakland")),
+      (2L, "htims enaj", Option("415-555"), Option("oakland")),  // reversed name, attrs agree
+      (3L, "jane smith", Option("212-000"), Option("boston")),   // name agrees, attrs disagree
+      (4L, "grace hopper", Option("415-555"), Option.empty[String]), // shares block, weak evidence
+      (5L, "", Option("415-555"), Option("oakland")))             // no name evidence
+      .toDF("id", "name", "phone", "city")
+    val fields = Seq(
+      EntityResolution.FieldWeight("phone", 30L, -10L),
+      EntityResolution.FieldWeight("city", 10L, -15L))
+    def run(threshold: Long) = EntityResolution.matchRecordsWeighted(
+      df, "id", "name", Seq("phone" -> col("phone")), fields,
+      nameAgreePpm = 500000L, nameAgree = 40L, nameDisagree = -20L,
+      threshold = threshold)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), if (r.isNullAt(3)) -1L else r.getLong(3)))).toMap
+    val all = run(Long.MinValue)
+    // 1-2: name disagrees (-20), phone +30, city +10 = 20; name_ppm present
+    assert(all((1L, 2L))._1 === 20L && all((1L, 2L))._2 >= 0L)
+    // 1-4: name disagrees (-20), phone +30, city missing (0) = 10
+    assert(all((1L, 4L)) === ((10L, all((1L, 4L))._2)))
+    // 1-5: name evidence MISSING (empty normalizes away) = 0, +30 +10 = 40
+    assert(all((1L, 5L)) === ((40L, -1L)))
+    // 3 never blocks with 1 (different phone, the only block) — absent
+    assert(!all.contains((1L, 3L)))
+    // threshold gates: at 20 the reversed-name pair survives; the
+    // name-disagreeing city-missing pairs (1-4, 2-4 at 10) drop
+    val gated = run(20L)
+    assert(gated.keySet === Set((1L, 2L), (1L, 5L), (2L, 5L), (4L, 5L)))
+    // 2-5: name missing, phone +30, city +10 = 40
+    assert(gated((2L, 5L))._1 === 40L)
+  }
+
   test("resolveAgainst: batch assigns to accepted entities, novel stays NULL, cross-side only") {
     import spark.implicits._
     val reference = Seq(

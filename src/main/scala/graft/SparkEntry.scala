@@ -578,6 +578,28 @@ object SparkEntry {
         array_join(col("subwords"), " ").as("subwords_str"))
   }
 
+  /** WordPiece trainer on the corpus: the first 10 likelihood-greedy merge
+    * ranks — the `count(l,r)/(count(l)·count(r))` criterion in the
+    * quantized integral lane, which the oracle replays rank by rank
+    * including every score_q division and the (score_q, n, l, r) argmax.
+    */
+  private def wordPieceMergesQ(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.trainWordPieceMerges(docs(s, dir), "text", numMerges = 10)
+
+  /** End-to-end WordPiece tokenization: train 10 merges, build the
+    * deployment vocabulary (alphabet ∪ merged pieces), greedy
+    * longest-match-encode the same corpus — the oracle replays the train,
+    * the vocabulary union, and the per-position longest-match walk (a
+    * layered SQL dp, one layer per consumed span).
+    */
+  private def wordPieceEncodeQ(s: SparkSession, dir: String): DataFrame = {
+    val merges = TextAnalysis.trainWordPieceMerges(docs(s, dir), "text",
+      numMerges = 10)
+    val vocab = TextAnalysis.wordPieceAlphabet(docs(s, dir), "text")
+      .unionByName(merges.select(col("merged").as("piece")))
+    TextAnalysis.wordPieceEncode(docs(s, dir), "doc_id", "text", vocab)
+  }
+
   /** Deterministic multilingualizer for the byte-level BPE rows: the fixture
     * corpus is ASCII, so byte mode's whole point (multi-byte UTF-8 in the
     * reversible GPT-2 alphabet) would go unexercised on the raw table. This
@@ -2586,6 +2608,8 @@ object SparkEntry {
     "bpe_merges_bytes" -> (bpeMergesBytes _),
     "lm_score" -> (lmScoreQ _),
     "bpe_encode" -> (bpeEncodeQ _),
+    "wordpiece_merges" -> (wordPieceMergesQ _),
+    "wordpiece_encode" -> (wordPieceEncodeQ _),
     "bpe_encode_bytes" -> (bpeEncodeBytesQ _),
     "pipeline_cluster_shard" -> (pipelineClusterShard _),
     "pipeline_text_pack" -> (pipelineTextPack _),
@@ -3252,6 +3276,106 @@ object SparkEntry {
     def bpeMergesSelect(numMerges: Int): String = (1 to numMerges).map(k =>
       s"SELECT CAST($k AS INT) AS rank, l AS left_sym, r AS right_sym, " +
         s"l || r AS merged, n FROM m_$k").mkString(" UNION ALL ")
+    // WordPiece train replay: ##-seeded symbols, per-rank pair AND marginal
+    // counts, the likelihood argmax in quantized HUGEINT (n·10¹² // nl·nr),
+    // the marker-stripped merged symbol — rank by rank, the bpeTrainCtes
+    // replace-apply discipline
+    def wordPieceTrainCtes(numMerges: Int): String = {
+      val parts = scala.collection.mutable.ArrayBuffer(
+        """wpw AS (
+          |  SELECT w AS word, count(*) AS cnt FROM (
+          |    SELECT unnest(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+          |      x -> len(x) > 0)) AS w FROM documents)
+          |  WHERE regexp_matches(w, '^[!-~]+$') AND NOT contains(w, '#')
+          |  GROUP BY w)""".stripMargin,
+        """wp_0 AS (
+          |  SELECT cnt, list_aggregate(list_transform(range(1, len(word) + 1),
+          |    i -> chr(1) || (CASE WHEN i = 1 THEN word[i]
+          |                         ELSE '##' || word[i] END) || chr(2)),
+          |    'string_agg', '') AS s
+          |  FROM wpw)""".stripMargin)
+      for (k <- 1 to numMerges) {
+        parts += s"""wt_$k AS (SELECT cnt,
+          |  string_split(trim(s, chr(1) || chr(2)), chr(2) || chr(1)) AS toks
+          |  FROM wp_${k - 1})""".stripMargin
+        parts += s"""wsc_$k AS (SELECT tok AS sym, CAST(sum(cnt) AS BIGINT) AS ns
+          |  FROM (SELECT cnt, unnest(toks) AS tok FROM wt_$k) GROUP BY tok)""".stripMargin
+        parts += s"""wpp_$k AS (
+          |  SELECT p.l AS l, p.r AS r, CAST(sum(cnt) AS BIGINT) AS n FROM (
+          |    SELECT cnt, unnest(list_transform(range(1, len(toks)),
+          |      i -> struct_pack(l := toks[i], r := toks[i+1]))) AS p
+          |    FROM wt_$k)
+          |  GROUP BY p.l, p.r)""".stripMargin
+        parts += s"""wm_$k AS (SELECT l, r, n,
+          |  CAST(CAST(n AS HUGEINT) * 1000000000000
+          |    // (CAST(sl.ns AS HUGEINT) * sr.ns) AS BIGINT) AS score_q,
+          |  l || CASE WHEN r LIKE '##%' THEN substr(r, 3) ELSE r END AS merged
+          |  FROM wpp_$k JOIN wsc_$k sl ON wpp_$k.l = sl.sym
+          |  JOIN wsc_$k sr ON wpp_$k.r = sr.sym
+          |  ORDER BY score_q DESC, n DESC, l, r LIMIT 1)""".stripMargin
+        parts += s"""wp_$k AS (
+          |  SELECT cnt, replace(s, chr(1) || m.l || chr(2) || chr(1) || m.r || chr(2),
+          |                         chr(1) || m.merged || chr(2)) AS s
+          |  FROM wp_${k - 1}, wm_$k m)""".stripMargin
+      }
+      parts.mkString(",\n")
+    }
+    def wordPieceMergesSelect(numMerges: Int): String = (1 to numMerges).map(k =>
+      s"SELECT CAST($k AS INT) AS rank, l AS left_sym, r AS right_sym, " +
+        s"merged, n, score_q FROM wm_$k").mkString(" UNION ALL ")
+    // WordPiece encode replay: deployment vocabulary = alphabet ∪ merged
+    // ranks, then the greedy longest-match walk as a LAYERED dp (one layer
+    // per consumed span, ≤ maxWordLen layers) over the distinct eligible
+    // words — per layer, every candidate span length joins the vocabulary
+    // and max(j) is the longest match; a matchless position fails the whole
+    // word to [UNK] (pos = -1), the kernel's exact contract. Per-doc
+    // reassembly passes out-of-domain tokens through opaque.
+    def wordPieceEncodeCtes(numMerges: Int, maxWordLen: Int): String = {
+      val mergedUnion = (1 to numMerges)
+        .map(k => s"SELECT merged AS piece FROM wm_$k").mkString(" UNION ")
+      val parts = scala.collection.mutable.ArrayBuffer(
+        """wpalpha AS (SELECT DISTINCT
+          |    CASE WHEN i = 1 THEN word[CAST(i AS INT)]
+          |         ELSE '##' || word[CAST(i AS INT)] END AS piece
+          |  FROM (SELECT word, unnest(range(1, len(word) + 1)) AS i FROM wpw))""".stripMargin,
+        s"wpvocab AS (SELECT piece FROM wpalpha UNION $mergedUnion)",
+        s"wpuw AS (SELECT word FROM wpw WHERE len(word) <= $maxWordLen)",
+        "wps_0 AS (SELECT word, 0 AS pos, '' AS acc FROM wpuw)")
+      for (k <- 1 to maxWordLen) {
+        parts += s"""wpc_$k AS (SELECT word, pos, acc,
+          |    unnest(range(1, len(word) - pos + 1)) AS j
+          |  FROM wps_${k - 1} WHERE pos >= 0 AND pos < len(word))""".stripMargin
+        parts += s"""wpb_$k AS (SELECT word, pos, acc,
+          |    max(CASE WHEN v.piece IS NOT NULL THEN j END) AS bj
+          |  FROM wpc_$k c LEFT JOIN wpvocab v ON v.piece =
+          |    CASE WHEN c.pos = 0 THEN substr(c.word, 1, CAST(c.j AS INT))
+          |         ELSE '##' || substr(c.word, c.pos + 1, CAST(c.j AS INT)) END
+          |  GROUP BY word, pos, acc)""".stripMargin
+        parts += s"""wps_$k AS (
+          |  SELECT word, pos, acc FROM wps_${k - 1}
+          |    WHERE pos < 0 OR pos >= len(word)
+          |  UNION ALL
+          |  SELECT word,
+          |    CASE WHEN bj IS NULL THEN -1 ELSE pos + CAST(bj AS INT) END,
+          |    CASE WHEN bj IS NULL THEN NULL
+          |         ELSE (CASE WHEN acc = '' THEN '' ELSE acc || ' ' END) ||
+          |              (CASE WHEN pos = 0 THEN substr(word, 1, CAST(bj AS INT))
+          |                    ELSE '##' || substr(word, pos + 1, CAST(bj AS INT))
+          |               END) END
+          |  FROM wpb_$k)""".stripMargin
+      }
+      parts += s"""wpseg AS (SELECT word,
+        |  CASE WHEN pos < 0 THEN '[UNK]' ELSE acc END AS seg
+        |  FROM wps_$maxWordLen)""".stripMargin
+      parts += s"""wptok AS (SELECT doc_id, unnest(toks) AS tok,
+        |  generate_subscripts(toks, 1) AS tpos FROM t)""".stripMargin
+      parts += s"""wpenc AS (SELECT doc_id,
+        |  string_agg(CASE WHEN seg IS NOT NULL THEN seg ELSE tok END,
+        |    ' ' ORDER BY tpos) AS sws
+        |  FROM wptok LEFT JOIN wpseg ON wpseg.word = wptok.tok
+        |  GROUP BY doc_id)""".stripMargin
+      parts.mkString(",\n")
+    }
     // doc-side encode replay: every token becomes its \x01char\x02-wrapped
     // string (non-ASCII-printable tokens wrap WHOLE — one opaque subword, no
     // merge can reach inside), tokens join with chr(3) so a merge pattern
@@ -4174,6 +4298,16 @@ object SparkEntry {
            |SELECT d.doc_id, CAST(coalesce(len(sw), 0) AS INT) AS n_subwords,
            |  coalesce(array_to_string(sw, ' '), '') AS subwords_str
            |FROM documents d LEFT JOIN enc USING (doc_id)""".stripMargin,
+      "wordpiece_merges" ->
+        s"WITH ${materialize(wordPieceTrainCtes(10))}\n${wordPieceMergesSelect(10)}",
+      "wordpiece_encode" ->
+        s"""WITH ${materialize(s"""$toksCte,
+           |${wordPieceTrainCtes(10)},
+           |${wordPieceEncodeCtes(10, 12)}""".stripMargin)}
+           |SELECT d.doc_id,
+           |  CAST(coalesce(len(string_split(sws, ' ')), 0) AS INT) AS n_subwords,
+           |  coalesce(sws, '') AS subwords_str
+           |FROM documents d LEFT JOIN wpenc USING (doc_id)""".stripMargin,
       // bigram-LM replay: integer counts, add-one smoothing over the train
       // vocabulary, q in 2^20 fixed point with integer division — every
       // value before the final lm_q division is exact in both engines

@@ -1424,6 +1424,155 @@ object TextAnalysis {
     merges.toSeq.toDF("rank", "left_sym", "right_sym", "merged", "n")
   }
 
+  /** WordPiece trainer (public knowledge — Wu et al. 2016; the BERT
+    * tokenizer family) — the third production tokenizer next to BPE and
+    * unigram-LM, distinguished by its LIKELIHOOD-greedy merge criterion:
+    * where BPE merges the most FREQUENT adjacent pair, WordPiece merges the
+    * pair maximizing `count(l,r) / (count(l)·count(r))` — the pair whose
+    * parts co-occur far beyond what their marginals predict (the
+    * corpus-likelihood gain of fusing them), which is why WordPiece prefers
+    * "unlikely-apart" morphemes over merely-common ones. Words seed as
+    * `[c₁, ##c₂, ##c₃, …]` (the `##` continuation marker; `#`-containing
+    * raw words are excluded — the marker is reserved), and a merge of
+    * `(l, r)` produces `l + r-without-##` so word-initial and continuation
+    * pieces stay distinct symbols throughout, exactly as deployed
+    * vocabularies ship them.
+    *
+    * Exact-arithmetic selection (the engine-replay contract): the ratio is
+    * compared as the quantized integral `score_q = ⌊n·10¹² / (n_l·n_r)⌋`
+    * (DECIMAL(38,0) products — exact past 10¹³-count symbols), argmax by
+    * `(score_q DESC, n DESC, l, r)` — a total order, so the whole merge
+    * sequence replays bit-for-bit in any engine; no float ratio ever
+    * enters. Returns `(rank, left_sym, right_sym, merged, n, score_q)`.
+    *
+    * Shape at 100 TB: the [[trainBpeMerges]] discipline — ONE corpus scan
+    * builds the word-frequency table (checkpointed), then each rank is two
+    * vocabulary-sized aggregations (adjacent pairs + symbol marginals, the
+    * marginal join riding the tiny pair table) and a 1-row collect; the
+    * corpus never re-enters. Merge application is the same
+    * [[org.apache.spark.sql.graft.BpeMergeAdjacent]] kernel with the
+    * marker-stripped merged symbol.
+    */
+  def trainWordPieceMerges(
+      df: DataFrame,
+      textCol: String,
+      numMerges: Int,
+      samplePercent: Int = 100): DataFrame = {
+    require(numMerges > 0, "numMerges must be positive")
+    require(samplePercent > 0 && samplePercent <= 100,
+      "samplePercent must be in (0, 100]")
+    val trainDf =
+      if (samplePercent >= 100) df
+      else {
+        val sampled = Sampling.hashSample(df, textCol, samplePercent)
+        if (sampled.isEmpty) df else sampled
+      }
+    val spark = df.sparkSession
+    import org.apache.spark.sql.graft.{BpeMergeAdjacent, WordPairs}
+    val trainWords = trainDf
+      .select(explode(tokens(col(textCol))).as("word"))
+      .filter(col("word").rlike("^[\\x21-\\x7e]+$") &&
+        !col("word").contains("#"))
+      .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
+      .select(col("cnt"),
+        transform(sequence(lit(1), length(col("word"))), i =>
+          when(i === 1, col("word").substr(i, lit(1)))
+            .otherwise(concat(lit("##"), col("word").substr(i, lit(1)))))
+          .as("syms"))
+    var words = trainWords.localCheckpoint()
+    val merges =
+      scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, String, Long, Long)]
+    var rank = 1
+    var exhausted = false
+    while (rank <= numMerges && !exhausted) {
+      val symCnt = words
+        .select(col("cnt"), explode(col("syms")).as("s"))
+        .groupBy(col("s")).agg(sum(col("cnt")).as("ns"))
+      val top = words
+        .select(col("cnt"), explode(WordPairs(col("syms"), 1)).as("pair"))
+        .groupBy(col("pair")).agg(sum(col("cnt")).as("n"))
+        .select(split(col("pair"), " ").getItem(0).as("l"),
+          split(col("pair"), " ").getItem(1).as("r"), col("n"))
+        .join(symCnt.select(col("s").as("l"), col("ns").as("nl")), "l")
+        .join(symCnt.select(col("s").as("r"), col("ns").as("nr")), "r")
+        .withColumn("score_q",
+          expr("(CAST(n AS DECIMAL(38,0)) * 1000000000000) div " +
+            "(CAST(nl AS DECIMAL(38,0)) * nr)").cast("long"))
+        // USING joins move their key column first — fix positions by name
+        .select(col("l"), col("r"), col("n"), col("score_q"))
+        .orderBy(col("score_q").desc, col("n").desc, col("l"), col("r"))
+        .limit(1).collect()
+      if (top.isEmpty) exhausted = true
+      else {
+        val (l, r, n, sq) = (top(0).getString(0), top(0).getString(1),
+          top(0).getLong(2), top(0).getLong(3))
+        val merged = l + r.stripPrefix("##")
+        merges += ((rank, l, r, merged, n, sq))
+        val prev = words
+        words = words
+          .withColumn("syms", BpeMergeAdjacent(col("syms"), l, r, merged))
+          .localCheckpoint()
+        org.apache.spark.sql.graft.CheckpointUtil.unpersist(prev)
+        rank += 1
+      }
+    }
+    org.apache.spark.sql.graft.CheckpointUtil.unpersist(words)
+    import spark.implicits._
+    merges.toSeq.toDF("rank", "left_sym", "right_sym", "merged", "n", "score_q")
+  }
+
+  /** The WordPiece alphabet of a corpus: every word-initial character bare
+    * and every continuation character in its `##` form, over the trainer's
+    * word domain — the closed base vocabulary that makes greedy matching
+    * total on in-domain training words. Union with
+    * [[trainWordPieceMerges]]' `merged` column for the deployment
+    * vocabulary.
+    */
+  def wordPieceAlphabet(df: DataFrame, textCol: String): DataFrame =
+    df.select(explode(tokens(col(textCol))).as("word"))
+      .filter(col("word").rlike("^[\\x21-\\x7e]+$") &&
+        !col("word").contains("#"))
+      .select(explode(
+        transform(sequence(lit(1), length(col("word"))), i =>
+          when(i === 1, col("word").substr(i, lit(1)))
+            .otherwise(concat(lit("##"), col("word").substr(i, lit(1))))))
+        .as("piece"))
+      .distinct()
+
+  /** WordPiece-encode documents with a trained vocabulary — the deployment
+    * pair of [[trainWordPieceMerges]], mirroring [[bpeEncode]]'s surface:
+    * `(id, n_subwords, subwords_str)`. The vocabulary (piece strings —
+    * typically [[wordPieceAlphabet]] ∪ the trainer's `merged`) is collected
+    * (driver state bounded by vocabulary size) and broadcast into ONE
+    * codegen'd kernel call per row
+    * ([[org.apache.spark.sql.graft.WordPieceEncodeDoc]]): greedy
+    * longest-match-first per token, continuation positions probing their
+    * `##` form, a matchless position making the WHOLE word `unk` (the
+    * classic WordPiece stance); out-of-domain tokens pass through as single
+    * opaque subwords. Plan size O(1) in vocabulary size, scan-speed, zero
+    * shuffles on the document side.
+    */
+  def wordPieceEncode(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      vocab: DataFrame, // single piece column (any name)
+      maxWordLen: Int = 12,
+      unk: String = "[UNK]"): DataFrame = {
+    require(maxWordLen >= 1, "maxWordLen must be >= 1")
+    val spark = df.sparkSession
+    import org.apache.spark.sql.graft.{WordPieceEncodeDoc, WordPieceVocab}
+    val pieces = vocab
+      .select(col(vocab.columns.head).cast("string").as("p"))
+      .filter(col("p").isNotNull).distinct()
+      .collect().map(_.getString(0))
+    val bc = spark.sparkContext.broadcast(new WordPieceVocab(pieces))
+    df.select(col(idCol),
+      WordPieceEncodeDoc(tokens(col(textCol)), bc, maxWordLen, unk).as("_sw"))
+      .select(col(idCol), size(col("_sw")).cast("int").as("n_subwords"),
+        array_join(col("_sw"), " ").as("subwords_str"))
+  }
+
   /** Unigram-LM tokenizer trainer (public knowledge — Kudo 2018, the
     * SentencePiece unigram model) in this engine's fixed-point lane: seed a
     * large candidate vocabulary from frequent substrings, then run EM

@@ -391,7 +391,8 @@ object WordShingleHashes {
   * per vocabulary word per merge rank inside the training loop; the
   * stateful scan (skip-2-on-match) has no clean codegen'd HOF form.
   */
-case class BpeMergeAdjacent(child: Expression, left: String, right: String)
+case class BpeMergeAdjacent(child: Expression, left: String, right: String,
+    mergedOverride: Option[String] = None)
     extends UnaryExpression with ExpectsInputTypes {
   require(left.nonEmpty && right.nonEmpty, "merge pair symbols must be non-empty")
 
@@ -401,7 +402,10 @@ case class BpeMergeAdjacent(child: Expression, left: String, right: String)
 
   @transient private lazy val l = UTF8String.fromString(left)
   @transient private lazy val r = UTF8String.fromString(right)
-  @transient private lazy val m = UTF8String.fromString(left + right)
+  // plain concatenation by default; WordPiece overrides with the
+  // continuation-marker-stripped form (l + r minus r's leading ##)
+  @transient private lazy val m =
+    UTF8String.fromString(mergedOverride.getOrElse(left + right))
 
   override def nullSafeEval(input: Any): Any =
     BpeMergeAdjacent.merge(input.asInstanceOf[ArrayData], l, r, m)
@@ -445,6 +449,10 @@ object BpeMergeAdjacent {
   def apply(syms: Column, left: String, right: String): Column =
     ExpressionUtils.column(
       BpeMergeAdjacent(ExpressionUtils.expression(syms), left, right))
+
+  def apply(syms: Column, left: String, right: String, merged: String): Column =
+    ExpressionUtils.column(
+      BpeMergeAdjacent(ExpressionUtils.expression(syms), left, right, Some(merged)))
 }
 
 /** Trained BPE merge table, shipped to executors ONCE via broadcast (the

@@ -1,0 +1,135 @@
+package org.apache.spark.sql.graft
+
+import org.apache.spark.broadcast.Broadcast
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.classic.ExpressionUtils
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** WordPiece vocabulary state for the greedy longest-match kernel, shipped
+  * to executors ONCE via broadcast (the [[UnigramVocab]] operator-state
+  * pattern): a piece set plus the longest RAW span any piece covers
+  * (continuation pieces carry the `##` marker, which spans no characters —
+  * `##abc` covers 3), so the matcher's inner scan is bounded by real piece
+  * length, not string length.
+  */
+final class WordPieceVocab(pieces: Array[String]) extends Serializable {
+  val set = new java.util.HashSet[String](pieces.length * 2)
+  var maxRawLen = 1
+  pieces.foreach { p =>
+    set.add(p)
+    val raw = if (p.startsWith("##")) p.length - 2 else p.length
+    if (raw > maxRawLen) maxRawLen = raw
+  }
+}
+
+/** WordPiece-encode a whole document's token array into its subword
+  * sequence — the deployment kernel of
+  * [[graft.ops.TextAnalysis.trainWordPieceMerges]], one call per row,
+  * vocabulary behind one broadcast (the [[UnigramEncodeDoc]] posture).
+  * Per in-domain token the CLASSIC WordPiece matcher (public knowledge —
+  * Wu et al. 2016; the BERT tokenizer): greedy longest-match-first from
+  * the left, continuation positions probing their `##`-prefixed form; a
+  * position with NO matching piece makes the WHOLE word the `unk` symbol
+  * (the WordPiece stance — unlike BPE, partial progress is discarded, so
+  * an unseen character can't leak half an encoding). Tokens outside the
+  * trainer's domain — non-ASCII-printable, longer than `maxWordLen`, or
+  * containing the reserved `#` — pass through as ONE opaque subword, the
+  * [[BpeEncodeDoc]]/[[UnigramEncodeDoc]] convention.
+  */
+case class WordPieceEncodeDoc(child: Expression, bc: Broadcast[WordPieceVocab],
+    maxWordLen: Int, unk: String)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(StringType))
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "graft_wordpiece_encode"
+
+  override def nullSafeEval(input: Any): Any =
+    WordPieceEncodeDoc.encode(
+      input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      bc.value, maxWordLen, unk)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val bcRef = ctx.addReferenceObj("wpBc", bc, "org.apache.spark.broadcast.Broadcast")
+    val tab = ctx.addMutableState("org.apache.spark.sql.graft.WordPieceVocab", "wpTab",
+      v => s"$v = (org.apache.spark.sql.graft.WordPieceVocab) $bcRef.value();")
+    val unkRef = ctx.addReferenceObj("wpUnk", unk, "String")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = org.apache.spark.sql.graft.WordPieceEncodeDoc.encode($c, $tab, $maxWordLen, $unkRef);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): WordPieceEncodeDoc =
+    copy(child = newChild)
+}
+
+object WordPieceEncodeDoc {
+  private def asciiPrintableNoHash(s: String): Boolean = {
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c < 0x21 || c > 0x7e || c == '#') return false
+      i += 1
+    }
+    s.nonEmpty
+  }
+
+  /** Greedy longest-match pieces of one word, or null when some position
+    * has no matching piece (→ the whole word is unk).
+    */
+  def matchGreedy(w: String, vocab: WordPieceVocab): Array[String] = {
+    val len = w.length
+    val out = new java.util.ArrayList[String](4)
+    var pos = 0
+    while (pos < len) {
+      var j = math.min(vocab.maxRawLen, len - pos)
+      var found: String = null
+      while (j >= 1 && found == null) {
+        val cand =
+          if (pos == 0) w.substring(0, j)
+          else "##" + w.substring(pos, pos + j)
+        if (vocab.set.contains(cand)) found = cand
+        j -= 1
+      }
+      if (found == null) return null
+      out.add(found)
+      pos += (if (found.startsWith("##")) found.length - 2 else found.length)
+    }
+    out.toArray(new Array[String](out.size))
+  }
+
+  def encode(toks: org.apache.spark.sql.catalyst.util.ArrayData,
+      vocab: WordPieceVocab, maxWordLen: Int, unk: String): GenericArrayData = {
+    val n = toks.numElements()
+    val out = new java.util.ArrayList[Any](n * 2)
+    var i = 0
+    while (i < n) {
+      val tok = toks.getUTF8String(i)
+      // containsNull=true arrays are legal input: a NULL token has no
+      // subwords — drop it (the UnigramEncodeDoc stance)
+      if (tok != null) {
+        val s = tok.toString
+        if (s.length <= maxWordLen && asciiPrintableNoHash(s)) {
+          val pieces = matchGreedy(s, vocab)
+          if (pieces == null) out.add(UTF8String.fromString(unk))
+          else {
+            var j = 0
+            while (j < pieces.length) {
+              out.add(UTF8String.fromString(pieces(j))); j += 1
+            }
+          }
+        } else out.add(tok.clone())
+      }
+      i += 1
+    }
+    new GenericArrayData(out.toArray)
+  }
+
+  def apply(toks: Column, bc: Broadcast[WordPieceVocab], maxWordLen: Int,
+      unk: String): Column =
+    ExpressionUtils.column(
+      WordPieceEncodeDoc(ExpressionUtils.expression(toks), bc, maxWordLen, unk))
+}

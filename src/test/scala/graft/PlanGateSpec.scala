@@ -46,6 +46,10 @@ class PlanGateSpec extends SparkTestBase {
     "pipeline_crawl_full",
     "knn_ivf", "kmeans_clusters", "kmeans_sample_train", "bpe_merges",
     "bpe_encode", "bpe_merges_bytes", "bpe_encode_bytes",
+    // the same per-rank checkpointed train loop (likelihood argmax collects
+    // 1 row per rank); the encode query trains first, then the vocabulary
+    // rides one broadcast into the scan-speed kernel
+    "wordpiece_merges", "wordpiece_encode",
     "pipeline_cluster_shard", "pipeline_canonicalize",
     // EM rounds collect the bounded usage table per round while the frame
     // is BUILT; the returned vocabulary is a driver-local table (and the

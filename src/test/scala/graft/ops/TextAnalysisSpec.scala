@@ -485,6 +485,55 @@ class TextAnalysisSpec extends SparkTestBase {
     assert(TextAnalysis.trainBpeMerges(tiny, "text", 5).count() === 0L)
   }
 
+  test("trainWordPieceMerges: LIKELIHOOD argmax beats raw frequency; ## seeding; marker-stripped merge") {
+    import spark.implicits._
+    // "xy" x10 dominates by frequency, but (z, ##w) has the higher
+    // likelihood ratio: 1·10¹²/(1·1) vs 10·10¹²/(10·10) — the criterion
+    // that distinguishes WordPiece from BPE must pick (z, ##w) FIRST
+    val docs = Seq((1L, ("xy " * 10) + "zw")).toDF("doc_id", "text")
+    val got = TextAnalysis.trainWordPieceMerges(docs, "text", numMerges = 5)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2),
+        r.getString(3), r.getLong(4), r.getLong(5)))
+    assert(got.toSeq === Seq(
+      (1, "z", "##w", "zw", 1L, 1000000000000L),
+      // after zw fuses, only (x, ##y) remains: 10·10¹²/(10·10)
+      (2, "x", "##y", "xy", 10L, 100000000000L)))
+    // rank 3 is exhausted (every word one symbol) — 2 rows, not 5
+    assert(got.length === 2)
+    // '#'-containing raw words are excluded from training (reserved marker)
+    val withHash = Seq((1L, "ab ab a#b a#b a#b")).toDF("doc_id", "text")
+    val m = TextAnalysis.trainWordPieceMerges(withHash, "text", 3).collect()
+    assert(m.map(_.getString(3)).toSeq === Seq("ab"))
+  }
+
+  test("wordPieceEncode: greedy longest match, whole-word UNK, opaque out-of-domain") {
+    import spark.implicits._
+    val train = Seq((1L, ("xy " * 10) + "zw")).toDF("doc_id", "text")
+    val merges = TextAnalysis.trainWordPieceMerges(train, "text", 5)
+    val vocab = TextAnalysis.wordPieceAlphabet(train, "text")
+      .unionByName(merges.select(col("merged").as("piece")))
+    val docs = Seq(
+      (1L, "xy zw x"),          // trained words + bare alphabet char
+      (2L, "xz"),               // x matches, ##z unseen -> whole word [UNK]
+      (3L, "yx"),               // 'y' never word-initial -> [UNK] at pos 0
+      (4L, "a#b 日本 " + ("x" * 13)), // reserved #, non-printable, over-long: all opaque
+      (5L, "")).toDF("doc_id", "text")
+    val got = TextAnalysis.wordPieceEncode(docs, "doc_id", "text", vocab)
+      .collect().map(r => r.getLong(0) -> ((r.getInt(1), r.getString(2)))).toMap
+    assert(got(1L) === ((3, "xy zw x")))
+    assert(got(2L) === ((1, "[UNK]")))
+    assert(got(3L) === ((1, "[UNK]")))
+    assert(got(4L) === ((3, "a#b 日本 " + ("x" * 13))))
+    assert(got(5L) === ((0, "")))
+    // longest-match-first: with both 'x' and 'xy' in vocab, "xyx" takes
+    // xy then x — never three singles
+    val g2 = TextAnalysis.wordPieceEncode(
+      Seq((9L, "xyx")).toDF("doc_id", "text"), "doc_id", "text",
+      vocab.unionByName(Seq("##x").toDF("piece")))
+      .collect().head
+    assert((g2.getInt(1), g2.getString(2)) === ((2, "xy ##x")))
+  }
+
   test("trainBpeMerges: samplePercent trains on the deterministic md5-bucket subset") {
     import spark.implicits._
     val docs = spark.read.parquet(s"${sf()}/documents.parquet").limit(60)

@@ -1588,6 +1588,21 @@ object SparkEntry {
       .select("doc_id", "domain", "source")
   }
 
+  /** Content-defined chunking dedup over a prefix-insertion plant: every
+    * copy gains ONE leading token ('zzz'), the edit that de-aligns every
+    * fixed-offset window — rolling-hash boundaries re-synchronize after
+    * the first gramSize windows, so the copy shares essentially all its
+    * chunks with its original and the duplicate-chunk report lights up.
+    * All boundary hashes, chunk texts, and counts replay exactly.
+    */
+  private def cdcDupChunksQ(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val u = d.unionByName(
+      d.withColumn("doc_id", col("doc_id") + 200000L)
+        .withColumn("text", concat(lit("zzz "), col("text"))))
+    Dedup.cdcDuplicateChunks(u, "doc_id", "text", gramSize = 8, modulus = 16)
+  }
+
   /** Lee-et-al exact substring-window dedup over the planted corpus:
     * 12-token windows at stride 6 slide over the raw token stream, corpus-
     * wide first occurrence of each distinct window survives, docs reassemble
@@ -2474,6 +2489,30 @@ object SparkEntry {
     ops.Sampling.prioritySample(docs(s, dir).select("doc_id", "lang", "source"),
       "doc_id", k = 60, seed = "r5")
 
+  /** Weighted exact-k: documents sampled proportional to token count (the
+    * token-budget-proportional selection a pretraining mixer wants) — the
+    * A-ES race with hash-only comparisons, every min-of-w draw and the
+    * bottom-k cut replayed exactly in DuckDB.
+    */
+  private def sampleWeighted(s: SparkSession, dir: String): DataFrame =
+    ops.Sampling.weightedPrioritySample(
+      docs(s, dir).select(col("doc_id"), col("lang"), col("source"),
+        least(size(graft.functions.tokens(col("text"))), lit(256))
+          .cast("long").as("weight")),
+      "doc_id", "weight", k = 50, seed = "w15")
+
+  /** Per-language weighted exact-k: the language-balanced selection a
+    * multilingual mixer wants — 12 docs per language, within-language
+    * inclusion proportional to token count, one window exchange keyed on
+    * lang.
+    */
+  private def sampleWeightedPerGroup(s: SparkSession, dir: String): DataFrame =
+    ops.Sampling.weightedSamplePerGroup(
+      docs(s, dir).select(col("doc_id"), col("lang"), col("source"),
+        least(size(graft.functions.tokens(col("text"))), lit(256))
+          .cast("long").as("weight")),
+      Seq("lang"), "doc_id", "weight", k = 12, seed = "w15g")
+
   /** Batch twin of the streaming windowed-HLL sketch (same code path —
     * EventStream transforms run identically on batch inputs).
     */
@@ -2652,6 +2691,7 @@ object SparkEntry {
     "dedup_segments" -> (dedupSegmentsQuery _),
     "dedup_within_doc" -> (dedupWithinDocQuery _),
     "dedup_windows" -> (dedupWindowsQuery _),
+    "cdc_dup_chunks" -> (cdcDupChunksQ _),
     "dedup_windows_against" -> (dedupWindowsAgainstQuery _),
     "dedup_minhash_against" -> (dedupMinhashAgainst _),
     "dedup_minhash_store" -> (dedupMinhashStoreQ _),
@@ -2706,6 +2746,8 @@ object SparkEntry {
     "pmi_pairs" -> (pmiPairsQuery _),
     "snapshot_diff" -> (snapshotDiffQuery _),
     "sample_priority" -> (samplePriority _),
+    "sample_weighted" -> (sampleWeighted _),
+    "sample_weighted_grouped" -> (sampleWeightedPerGroup _),
     "hll_windowed" -> (hllWindowed _),
     "value_histogram" -> (valueHistogram _),
     "event_funnel" -> (eventFunnel _),
@@ -4874,6 +4916,40 @@ object SparkEntry {
       "dedup_windows" ->
         s"""WITH $windowDedupCtes
            |SELECT doc_id, text_dedup, n_tokens, n_kept FROM fin""".stripMargin,
+      // CDC replay: rolling-hash boundaries (md5-prefix integer % 16 over
+      // each 8-token window), chunk assembly between consecutive ends,
+      // duplicate-content report — the prefix-insertion plant resyncs
+      "cdc_dup_chunks" ->
+        """WITH u AS (SELECT doc_id, text FROM documents
+          |  UNION ALL SELECT doc_id + 200000, 'zzz ' || text FROM documents),
+          |tk AS (SELECT doc_id,
+          |  list_filter(string_split_regex(lower(trim(text)), '\s+'),
+          |    x -> len(x) > 0) AS toks FROM u),
+          |ch AS (SELECT doc_id, toks, len(toks) AS n,
+          |  list_filter(range(8, len(toks) + 1), i ->
+          |    (CAST(concat('0x', substr(md5(array_to_string(
+          |       list_slice(toks, i - 7, i), ' ')), 1, 8)) AS BIGINT) % 16) = 0)
+          |    AS bpos
+          |  FROM tk WHERE len(toks) >= 1),
+          |ce AS (SELECT doc_id, toks,
+          |  CASE WHEN len(bpos) > 0 AND bpos[-1] = n THEN bpos
+          |       ELSE list_append(bpos, n) END AS ends FROM ch),
+          |cx AS (SELECT doc_id,
+          |    unnest(list_transform(range(1, len(ends) + 1), k ->
+          |      struct_pack(
+          |        ntk := ends[k] - (CASE WHEN k = 1 THEN 1
+          |                               ELSE ends[k - 1] + 1 END) + 1,
+          |        txt := array_to_string(list_slice(toks,
+          |          CASE WHEN k = 1 THEN 1 ELSE ends[k - 1] + 1 END,
+          |          ends[k]), ' ')))) AS c
+          |  FROM ce),
+          |r AS (SELECT doc_id, md5(c.txt) AS chunk_hash,
+          |    CAST(c.ntk AS INT) AS ntk FROM cx)
+          |SELECT chunk_hash, min(ntk) AS n_tokens,
+          |  CAST(count(*) AS BIGINT) AS n_occurrences,
+          |  CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+          |  min(doc_id) AS first_id
+          |FROM r GROUP BY chunk_hash HAVING count(*) > 1""".stripMargin,
       // incremental window dedup: reference (doc_id % 3 = 0) enumerates
       // k-grams at STRIDE 1 — containment at any offset — batch windows
       // die via NOT IN against that gram set, then batch-first arg-min
@@ -6320,6 +6396,38 @@ object SparkEntry {
         """SELECT doc_id, lang, source,
           |  md5('r5:' || CAST(doc_id AS VARCHAR)) AS priority
           |FROM documents ORDER BY priority, doc_id LIMIT 60""".stripMargin,
+      // the per-group A-ES cut: same min-of-w priority, row_number <= k
+      // inside each language
+      "sample_weighted_grouped" ->
+        """WITH t AS (SELECT doc_id, lang, source,
+          |  list_filter(string_split_regex(lower(trim(text)), '\s+'),
+          |    x -> len(x) > 0) AS toks FROM documents),
+          |w AS (SELECT doc_id, lang, source,
+          |  CAST(least(len(toks), 256) AS BIGINT) AS weight FROM t),
+          |p AS (SELECT doc_id, lang, source, weight,
+          |  list_min(list_transform(range(1, CAST(weight AS INT) + 1),
+          |    j -> md5('w15g:' || CAST(doc_id AS VARCHAR) || ':' ||
+          |              CAST(j AS VARCHAR)))) AS priority
+          |  FROM w WHERE weight >= 1)
+          |SELECT doc_id, lang, source, weight, priority FROM (
+          |  SELECT *, row_number() OVER (PARTITION BY lang
+          |    ORDER BY priority, doc_id) AS rn FROM p)
+          |WHERE rn <= 12""".stripMargin,
+      // A-ES weighted bottom-k: min of w seeded md5 draws per row (the
+      // exponential race, no logarithm), bottom-k by (priority, key)
+      "sample_weighted" ->
+        """WITH t AS (SELECT doc_id, lang, source,
+          |  list_filter(string_split_regex(lower(trim(text)), '\s+'),
+          |    x -> len(x) > 0) AS toks FROM documents),
+          |w AS (SELECT doc_id, lang, source,
+          |  CAST(least(len(toks), 256) AS BIGINT) AS weight FROM t),
+          |p AS (SELECT doc_id, lang, source, weight,
+          |  list_min(list_transform(range(1, CAST(weight AS INT) + 1),
+          |    j -> md5('w15:' || CAST(doc_id AS VARCHAR) || ':' ||
+          |              CAST(j AS VARCHAR)))) AS priority
+          |  FROM w WHERE weight >= 1)
+          |SELECT doc_id, lang, source, weight, priority
+          |FROM p ORDER BY priority, doc_id LIMIT 50""".stripMargin,
       "value_outliers" ->
         """WITH e AS (SELECT event_id, event_type,
           |  CAST(round(value * 10000) AS BIGINT) AS value_e4 FROM events),

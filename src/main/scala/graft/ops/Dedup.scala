@@ -1596,4 +1596,82 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
       .select(col("a_id"), col("b_id"), col("inter_size"), col("union_size"), col("jaccard"))
   }
+
+  /** Content-defined chunking (public knowledge — the rsync/LBFS/FastCDC
+    * family): documents split at ROLLING-HASH boundaries instead of fixed
+    * offsets — token position `i` ends a chunk when the hash of the last
+    * `gramSize` tokens satisfies `H % modulus == 0` (expected chunk length
+    * ≈ `modulus` tokens), the final chunk absorbing the tail. The point vs
+    * [[dedupWindows]]' fixed grid: boundaries are functions of CONTENT, so
+    * an insertion near the top of a document shifts only the chunks whose
+    * g-token windows contain it — every later boundary lands on the same
+    * content and the chunk stream RE-SYNCHRONIZES, where fixed windows
+    * stay misaligned to the end of the document. `H` is the first 8 hex
+    * chars of md5 over the space-joined window — engine-portable integers,
+    * no platform hash.
+    *
+    * Returns one row per chunk: `(id, chunk_idx, n_tokens, chunk_text,
+    * chunk_hash)` (`chunk_hash` = md5 of the chunk text). Documents with
+    * no tokens yield no chunks.
+    *
+    * Shape at 100 TB: boundary detection, chunk assembly, and hashing are
+    * ONE in-row projection (filter/slice/transform over the token array —
+    * linear in document length, no per-position explode, no window
+    * exchange, no shuffle); only the per-chunk rows leave the scan.
+    */
+  def cdcChunks(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      gramSize: Int = 8,
+      modulus: Int = 16): DataFrame = {
+    require(gramSize >= 1, "gramSize must be >= 1")
+    require(modulus >= 2, "modulus must be >= 2")
+    val toks = graft.functions.tokens(col(textCol))
+    val n = size(toks)
+    val bpos = filter(sequence(lit(1), n), i =>
+      i >= gramSize &&
+        (conv(substring(md5(
+          array_join(slice(toks, i - (gramSize - 1), lit(gramSize)), " ")
+            .cast("binary")), 1, 8), 16, 10).cast("long") % modulus) === 0)
+    val lastIsN = size(bpos) > 0 &&
+      get(bpos, size(bpos) - 1) === n
+    val ends = when(lastIsN, bpos).otherwise(concat(bpos, array(n)))
+    val chunks = transform(sequence(lit(1), size(ends)), k => {
+      val start = when(k === 1, lit(1)).otherwise(get(ends, k - 2) + 1)
+      val end = get(ends, k - 1)
+      struct(k.cast("int").as("chunk_idx"),
+        (end - start + 1).cast("int").as("n_tokens"),
+        array_join(slice(toks, start, end - start + 1), " ").as("chunk_text"))
+    })
+    df.select(col(idCol).as("id"),
+      explode(when(n >= 1, chunks)
+        .otherwise(array().cast("array<struct<chunk_idx:int,n_tokens:int,chunk_text:string>>")))
+        .as("c"))
+      .select(col("id"), col("c.chunk_idx"), col("c.n_tokens"),
+        col("c.chunk_text"),
+        md5(col("c.chunk_text").cast("binary")).as("chunk_hash"))
+  }
+
+  /** Duplicate-chunk report over [[cdcChunks]]: every chunk content that
+    * occurs more than once in the corpus, with exact occurrence/document
+    * counts — the edit-robust segment-dedup diagnostic (a copied passage
+    * inside an otherwise-edited document surfaces here even when a leading
+    * insertion de-aligned every fixed window). Only 32-char digests enter
+    * the aggregation; text never shuffles.
+    */
+  def cdcDuplicateChunks(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      gramSize: Int = 8,
+      modulus: Int = 16): DataFrame =
+    cdcChunks(df, idCol, textCol, gramSize, modulus)
+      .select(col("chunk_hash"), col("n_tokens"), col("id"))
+      .groupBy(col("chunk_hash"))
+      .agg(min(col("n_tokens")).as("n_tokens"),
+        count(lit(1)).as("n_occurrences"),
+        countDistinct(col("id")).as("n_docs"),
+        min(col("id")).as("first_id"))
+      .filter(col("n_occurrences") > 1)
 }

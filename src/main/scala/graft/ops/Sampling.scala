@@ -180,6 +180,123 @@ object Sampling {
       .limit(k)
   }
 
+  /** WEIGHTED exact-k sampling — Efraimidis–Spirakis A-ES (public
+    * knowledge, Efraimidis & Spirakis 2006) without a single logarithm or
+    * float: the textbook key `u^(1/w)` order is equivalent to racing
+    * per-row exponential clocks of rate `w`, and the minimum of `w` unit
+    * exponentials IS an exponential of rate `w` — so each row draws `w`
+    * seeded md5 values (`seed:key:1 … seed:key:w`, in-row, no fan-out) and
+    * keeps the MINIMUM as its priority; the bottom-k rows by
+    * `(priority, key)` are an exact-k sample where inclusion follows the
+    * A-ES weighted-without-replacement law. Every comparison is a hash
+    * comparison — bit-identical in any engine, the [[prioritySample]]
+    * discipline with weights (and degenerating to it at weight 1).
+    *
+    * Weights are positive integers (the epoch/token-count convention):
+    * NULL or < 1 carries no mass and is excluded (the family NULL policy);
+    * a weight above `maxWeight` fails the query via `assert_true` rather
+    * than silently biasing the sample — per-row cost is `w` md5
+    * evaluations, so the cap is a compute contract, not a tuning knob
+    * (weight 4096 = 4096 hashes for that row; renormalize huge weights
+    * before sampling). Appends `priority`; the output is the same
+    * mergeable bottom-k artifact as [[prioritySample]]
+    * ([[mergeBottomKSamples]]): identical rows dedup (priorities are pure
+    * functions of the key) and re-taking the bottom-k over a union equals
+    * sampling the union — merge-idempotent, double-ingest safe.
+    *
+    * Shape at 100 TB: a scan-speed projection + TakeOrderedAndProject —
+    * zero shuffles beyond the top-k's partial reduction.
+    */
+  def weightedPrioritySample(
+      df: DataFrame,
+      keyCol: String,
+      weightCol: String,
+      k: Int,
+      seed: String,
+      maxWeight: Int = 4096): DataFrame = {
+    require(k > 0, "k must be positive")
+    require(maxWeight >= 1, "maxWeight must be >= 1")
+    require(!df.columns.contains("priority"),
+      "input already has a 'priority' column — rename it before sampling")
+    val w = col(weightCol).cast("long")
+    val minDraw = array_min(transform(sequence(lit(1L), w), j =>
+      md5(concat(lit(seed), lit(":"), col(keyCol).cast("string"),
+        lit(":"), j.cast("string")).cast("binary"))))
+    // assert_true rides INSIDE the kept expression so pruning can't drop it
+    val priority = when(
+      assert_true(w <= lit(maxWeight.toLong),
+        lit(s"weight exceeds maxWeight $maxWeight — renormalize before " +
+          "sampling")).isNull,
+      minDraw)
+    df.filter(col(keyCol).isNotNull && w.isNotNull && w >= 1L)
+      .withColumn("priority", priority)
+      .orderBy(col("priority"), col(keyCol))
+      .limit(k)
+  }
+
+  /** PER-GROUP weighted exact-k — [[weightedPrioritySample]]'s A-ES race
+    * run independently inside each group ("k docs per language, chosen
+    * proportional to token count"): the same min-of-w md5 priority, but
+    * the cut is a `row_number ≤ k` over a window PARTITIONED by the group
+    * columns instead of a global top-k — every group pays only its own
+    * sort, groups parallelize across the cluster, and a group with fewer
+    * than k rows keeps them all (exact-k where possible, total otherwise).
+    * Same weight/NULL/cap contract as the global form; appends `priority`.
+    * The per-group artifact merges with [[mergeBottomKSamples]] run
+    * group-wise (dedup + re-cut — the identical idempotence argument).
+    *
+    * Shape at 100 TB: one window exchange keyed on the groups — no global
+    * sort anywhere; a single giant group serializes only its own sort (the
+    * [[exactStratifiedSplit]] caveat).
+    */
+  def weightedSamplePerGroup(
+      df: DataFrame,
+      groupCols: Seq[String],
+      keyCol: String,
+      weightCol: String,
+      k: Int,
+      seed: String,
+      maxWeight: Int = 4096): DataFrame = {
+    require(k > 0, "k must be positive")
+    require(groupCols.nonEmpty, "need at least one group column")
+    require(maxWeight >= 1, "maxWeight must be >= 1")
+    require(!df.columns.contains("priority"),
+      "input already has a 'priority' column — rename it before sampling")
+    val w = col(weightCol).cast("long")
+    val minDraw = array_min(transform(sequence(lit(1L), w), j =>
+      md5(concat(lit(seed), lit(":"), col(keyCol).cast("string"),
+        lit(":"), j.cast("string")).cast("binary"))))
+    val priority = when(
+      assert_true(w <= lit(maxWeight.toLong),
+        lit(s"weight exceeds maxWeight $maxWeight — renormalize before " +
+          "sampling")).isNull,
+      minDraw)
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy(groupCols.map(col): _*)
+      .orderBy(col("priority"), col(keyCol))
+    df.filter(col(keyCol).isNotNull && w.isNotNull && w >= 1L)
+      .withColumn("priority", priority)
+      .withColumn("_wsg_rn", row_number().over(win))
+      .filter(col("_wsg_rn") <= k)
+      .drop("_wsg_rn")
+  }
+
+  /** Merge two bottom-k sample artifacts ([[prioritySample]] /
+    * [[weightedPrioritySample]] outputs over parts of a corpus) into the
+    * bottom-k of their union: dedup identical rows (same key ⇒ same
+    * priority — pure hash functions), re-take the k smallest. Equals
+    * sampling the unioned corpus directly, and re-merging a part already
+    * merged is a no-op (the [[graft.ops.Sketch.quantileMergeRegisters]]
+    * idempotence argument).
+    */
+  def mergeBottomKSamples(
+      a: DataFrame, b: DataFrame, keyCol: String, k: Int): DataFrame = {
+    require(k > 0, "k must be positive")
+    a.unionByName(b).distinct()
+      .orderBy(col("priority"), col(keyCol))
+      .limit(k)
+  }
+
   /** Deterministic weighted corpus mixing — the data-mixture primitive of
     * pretraining (N.M "epochs" per source). Each `(tag, df, weightPct)`
     * contributes `floor(weightPct / 100)` full copies of itself plus a

@@ -323,6 +323,14 @@ class PlanGateSpec extends SparkTestBase {
     "pmi_pairs" -> 3,
     "snapshot_diff" -> 2,
     "sample_priority" -> 0,
+    // the same TakeOrderedAndProject cut; the w md5 draws are in-row
+    "sample_weighted" -> 0,
+    // the one per-group window exchange; no global sort anywhere
+    "sample_weighted_grouped" -> 1,
+    // boundary detection + chunk assembly + hashing are one in-row
+    // projection; the report's COUNT DISTINCT doc pays the two-phase
+    // distinct-aggregate pair of exchanges ((hash, id) then hash)
+    "cdc_dup_chunks" -> 2,
     "hll_windowed" -> 1,
     "value_histogram" -> 1,
     // funnel's per-step stages all key on user_id: the later joins/aggs

@@ -424,6 +424,48 @@ class DedupSpec extends SparkTestBase {
     assert(again === out)
   }
 
+  test("cdcChunks: chunks partition the token stream exactly; boundaries resync after a prefix edit") {
+    import spark.implicits._
+    val base = (1 to 120).map(i => s"w$i").mkString(" ")
+    val docs = Seq((1L, base), (2L, "zzz " + base), (3L, ""),
+      (4L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    val ch = Dedup.cdcChunks(docs, "doc_id", "text", gramSize = 4, modulus = 4)
+    val byDoc = ch.collect().groupBy(_.getLong(0)).map { case (d, rs) =>
+      d -> rs.sortBy(_.getInt(1)).map(r =>
+        (r.getInt(1), r.getInt(2), r.getString(3)))
+    }
+    // PARTITION property: chunk texts joined in order reassemble the doc,
+    // chunk_idx is 1..m contiguous, n_tokens sums to the doc length
+    val c1 = byDoc(1L)
+    assert(c1.map(_._1).toSeq === (1 to c1.length))
+    assert(c1.map(_._3).mkString(" ") === base)
+    assert(c1.map(_._2).sum === 120)
+    assert(c1.length > 3, "modulus 4 over 120 tokens must cut several chunks")
+    // tokenless docs yield no chunks
+    assert(!byDoc.contains(3L) && !byDoc.contains(4L))
+    // RESYNC property — the reason CDC exists: one inserted leading token
+    // shifts every fixed window, but only boundaries whose 4-token window
+    // contains the insertion move; chunk CONTENTS after the first boundary
+    // are identical
+    // only the head region (boundaries whose window overlaps the insertion,
+    // plus the chunk it splits) can differ: ≤ 2 chunks each side — a fixed
+    // grid would share ZERO windows after the shift
+    val set1 = c1.map(_._3).toSet
+    val set2 = byDoc(2L).map(_._3).toSet
+    assert((set1 -- set2).size <= 2, s"original lost ${(set1 -- set2).size} chunks")
+    assert((set2 -- set1).size <= 2, s"copy gained ${(set2 -- set1).size} chunks")
+    assert((set1 & set2).size >= set1.size - 2)
+    // partitioning invariance
+    val again = Dedup.cdcChunks(docs.repartition(7), "doc_id", "text", 4, 4)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(4))).toSet
+    assert(again === ch.collect().map(r =>
+      (r.getLong(0), r.getInt(1), r.getString(4))).toSet)
+    // the duplicate report sees the shared chunks, hashes only
+    val rep = Dedup.cdcDuplicateChunks(docs, "doc_id", "text", 4, 4)
+      .collect().map(r => (r.getLong(2), r.getLong(3)))
+    assert(rep.nonEmpty && rep.forall { case (occ, nd) => occ === 2L && nd === 2L })
+  }
+
   test("dedupWindows: tail window covers every token; short docs dedup whole-doc") {
     val docs = docsDf(
       (1L, "t1 t2 t3 t4 t5 t6 t7"), // n=7, k=4, s=3: starts 0, 3 + tail 3 — all covered

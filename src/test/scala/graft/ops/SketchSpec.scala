@@ -383,6 +383,80 @@ class SketchSpec extends SparkTestBase {
     assert(s4 === s1)
   }
 
+  test("weightedPrioritySample: A-ES race — heavier rows win proportionally; weight 1 equals prioritySample") {
+    import spark.implicits._
+    // weight 1 degenerates to the unweighted sampler's exact draw: the
+    // min over one md5(seed:key:1) replaces md5(seed:key), so compare the
+    // LAW not the hash — same deterministic pipeline twice instead
+    val df = (1 to 400).map(i => (i.toLong, if (i <= 40) 25L else 1L))
+      .toDF("id", "w")
+    val got = Sampling.weightedPrioritySample(df, "id", "w", k = 60, seed = "es")
+    val ids = got.collect().map(_.getLong(0)).toSet
+    assert(ids.size === 60)
+    // the 40 heavy rows carry 1000 of 1360 total weight — the sample must
+    // be dominated by them (a uniform draw would include ~6; binomial
+    // bounds make < 15 astronomically unlikely under the weighted law)
+    val heavy = ids.count(_ <= 40L)
+    assert(heavy >= 15, s"only $heavy heavy rows sampled — weights ignored?")
+    // deterministic + partitioning-invariant
+    val again = Sampling.weightedPrioritySample(
+      df.repartition(7), "id", "w", k = 60, seed = "es")
+      .collect().map(_.getLong(0)).toSet
+    assert(again === ids)
+    // NULL / zero / negative weights carry no mass
+    val mixed = Seq((1L, Option(3L)), (2L, Option.empty[Long]),
+      (3L, Option(0L)), (4L, Option(-2L))).toDF("id", "w")
+    val kept = Sampling.weightedPrioritySample(mixed, "id", "w", 10, "es")
+      .collect().map(_.getLong(0)).toSet
+    assert(kept === Set(1L))
+    // a weight past the cap fails loudly instead of silently biasing
+    val over = Seq((1L, 5000L)).toDF("id", "w")
+    intercept[Exception] {
+      Sampling.weightedPrioritySample(over, "id", "w", 10, "es").collect()
+    }
+  }
+
+  test("weightedSamplePerGroup: exact k inside every group, total below k; group-local A-ES winners") {
+    import spark.implicits._
+    // groups: "a" 100 rows, "b" 50 rows, "c" 3 rows (below k)
+    val df = ((1 to 100).map(i => (i.toLong, "a", (i % 5 + 1).toLong)) ++
+      (1 to 50).map(i => (i.toLong + 1000, "b", 2L)) ++
+      (1 to 3).map(i => (i.toLong + 2000, "c", 9L))).toDF("id", "g", "w")
+    val got = Sampling.weightedSamplePerGroup(df, Seq("g"), "id", "w",
+      k = 10, seed = "pg")
+    val byG = got.collect().groupBy(_.getString(1))
+      .map { case (g, rs) => g -> rs.map(_.getLong(0)).toSet }
+    assert(byG("a").size === 10 && byG("b").size === 10 && byG("c").size === 3)
+    // group-local law: a group's winners are exactly the global sampler's
+    // winners run on that group alone (the window cut == per-group bottom-k)
+    val aAlone = Sampling.weightedPrioritySample(
+      df.filter($"g" === "a"), "id", "w", 10, "pg")
+      .collect().map(_.getLong(0)).toSet
+    assert(byG("a") === aAlone)
+    // partitioning invariance
+    val again = Sampling.weightedSamplePerGroup(df.repartition(9), Seq("g"),
+      "id", "w", 10, "pg").collect().map(r => (r.getString(1), r.getLong(0))).toSet
+    assert(again === got.collect().map(r => (r.getString(1), r.getLong(0))).toSet)
+  }
+
+  test("mergeBottomKSamples: part-wise sampling merges to the union's sample; re-merge is a no-op") {
+    import spark.implicits._
+    val all = (1 to 300).map(i => (i.toLong, (i % 7 + 1).toLong)).toDF("id", "w")
+    val partA = all.filter($"id" <= 150)
+    val partB = all.filter($"id" > 150)
+    val k = 25
+    def sample(d: org.apache.spark.sql.DataFrame) =
+      Sampling.weightedPrioritySample(d, "id", "w", k, "mg")
+    val direct = sample(all).collect().map(_.getLong(0)).toSet
+    val merged = Sampling.mergeBottomKSamples(sample(partA), sample(partB), "id", k)
+    val mergedIds = merged.collect().map(_.getLong(0)).toSet
+    assert(mergedIds === direct)
+    // double-ingest: merging part A's sample in again changes nothing
+    val again = Sampling.mergeBottomKSamples(merged, sample(partA), "id", k)
+      .collect().map(_.getLong(0)).toSet
+    assert(again === direct)
+  }
+
   test("prioritySample of a superset preserves the sample's winners prefix property") {
     import spark.implicits._
     // with the same seed, the k winners of a SUBSET that contains all k

@@ -1066,6 +1066,29 @@ object SparkEntry {
       thresholdPpm = 550000L, maxBlock = 500)
   }
 
+  /** Incremental ER under the Fellegi–Sunter rule: same reference/batch
+    * universe as `entity_resolution_against`, but assignment by
+    * multi-attribute evidence — the reversed-name plants (zero name
+    * evidence, trigram form returns them NOVEL) now ASSIGN to their
+    * original's entity through nation+segment+balance agreement overcoming
+    * the name disagreement (−20+5+2+35 = 22 ≥ 20), while random same-block
+    * pairs stay below threshold. Graded against cross-side ALL-PAIRS
+    * ground truth (blocking recall measured, not assumed).
+    */
+  private def entityResolutionAgainstFsQ(s: SparkSession, dir: String): DataFrame = {
+    import ops.EntityResolution.FieldWeight
+    val (base, kindA, kindB, kindC) = erParts(s, dir)
+    val reference = base.withColumn("entity", col("rec_id"))
+    val batch = kindA.unionByName(kindB).unionByName(kindC)
+    ops.EntityResolution.resolveAgainstWeighted(
+      batch, reference, "rec_id", "name", "entity", erBlocks,
+      fields = Seq(FieldWeight("nation", 5L, -30L),
+        FieldWeight("segment", 2L, -20L),
+        FieldWeight("bal_cents", 35L, -5L)),
+      nameAgreePpm = 550000L, nameAgree = 40L, nameDisagree = -20L,
+      threshold = 20L, maxBlock = 500)
+  }
+
   /** Time-weighted average end-to-end: each user's fixed-point value as a
     * stepwise SCD2 regime (same-instant max collapse, no-op drop), averaged
     * by HOLDING TIME over the Jan-8..Jan-28 window — the step-function mean
@@ -2042,6 +2065,30 @@ object SparkEntry {
     ops.Graph.pageRank(edges, "src", "dst")
   }
 
+  /** 3-core of the purchase graph plus a planted double-chain filament
+    * (nodes 2000001..2000025, edges (i,i+1) and (i,i+2)): the chain's ends
+    * sit at degree 2 and each removal drops the next node to 2, so the
+    * filament peels from both ends INWARD — 12 cascade rounds no single
+    * degree filter could express — while the main graph's ≥3-degree body
+    * survives untouched. The oracle unrolls 16 peel layers: the k-core is
+    * the unique maximal fixed point and post-convergence layers are
+    * no-ops, so a generous fixed unroll replays the early-stopping engine
+    * exactly.
+    */
+  private def kCoreQ(s: SparkSession, dir: String): DataFrame = {
+    val orders = s.read.parquet(s"$dir/orders.parquet")
+      .select("o_orderkey", "o_custkey")
+    val li = s.read.parquet(s"$dir/lineitem.parquet")
+      .select("l_orderkey", "l_suppkey")
+    val edges = orders.join(li, col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_custkey").as("src"), (col("l_suppkey") + 1000000L).as("dst"))
+    val chain = s.range(1, 25)
+      .select((col("id") + 2000000L).as("src"), (col("id") + 2000001L).as("dst"))
+      .unionByName(s.range(1, 24)
+        .select((col("id") + 2000000L).as("src"), (col("id") + 2000002L).as("dst")))
+    ops.Graph.kCore(edges.unionByName(chain), "src", "dst", k = 3)
+  }
+
   /** Link communities over the same customer→supplier purchase graph the
     * PageRank signal ranks: 4 synchronous label-propagation rounds with the
     * (count DESC, label ASC) winner — deterministic, so the oracle unrolls
@@ -2716,6 +2763,7 @@ object SparkEntry {
     "er_sorted_pairs" -> (erSortedPairsQ _),
     "er_eval" -> (erEvalQ _),
     "er_eval_fs" -> (erEvalFsQ _),
+    "entity_resolution_against_fs" -> (entityResolutionAgainstFsQ _),
     "embedding_quantize" -> (embeddingQuantize _),
     "embedding_normalize" -> (embeddingNormalize _),
     "embedding_project" -> (embeddingProject _),
@@ -2731,6 +2779,7 @@ object SparkEntry {
     "mix_temperature" -> (mixTemperatureQuery _),
     "page_rank" -> (pageRankQuery _),
     "graph_communities" -> (graphCommunitiesQ _),
+    "graph_kcore" -> (kCoreQ _),
     "triangle_count" -> (triangleCountQ _),
     "top_terms" -> (topTermsQuery _),
     "source_orc_roundtrip" -> (sourceOrcRoundtrip _),
@@ -5550,6 +5599,62 @@ object SparkEntry {
       // incremental ER replay: cross-side ALL-PAIRS ground truth (blocking
       // recall measured), the (score DESC, entity ASC) winner per batch
       // record, novel records ride the LEFT join as NULLs
+      // FS incremental replay: cross-side ALL-PAIRS agreement-weight sums
+      // (blocking recall measured), (w DESC, entity ASC, ref ASC) argmax,
+      // novel NULL below threshold
+      "entity_resolution_against_fs" ->
+        """WITH cust AS (SELECT c_custkey AS k,
+          |    substr(md5(CAST(c_custkey AS VARCHAR)), 1, 12) AS core,
+          |    CAST(concat('0x', substr(md5(CAST(c_custkey AS VARCHAR)), 1, 6)) AS BIGINT)
+          |      % 100 AS b,
+          |    CAST(c_nationkey AS BIGINT) AS nation, c_mktsegment AS segment,
+          |    CAST(round(c_acctbal * 100) AS BIGINT) AS bal
+          |  FROM customer),
+          |ref AS (SELECT k AS rec_id, core AS name, nation, segment, bal FROM cust),
+          |batch AS (
+          |  SELECT -k - 1 AS rec_id, upper(core) AS name, nation,
+          |    CAST(NULL AS VARCHAR) AS segment, CAST(NULL AS BIGINT) AS bal
+          |    FROM cust WHERE b < 10
+          |  UNION ALL SELECT k + 3000000, substr(core, 1, 4) || substr(core, 6, 7),
+          |    nation, segment, bal FROM cust WHERE b >= 5 AND b < 20
+          |  UNION ALL SELECT k + 4000000, reverse(core), nation, segment, bal
+          |    FROM cust WHERE b >= 20 AND b < 28),
+          |gb AS (SELECT rec_id, list_distinct(list_transform(
+          |    generate_series(1, greatest(len(s) - 2, 1)),
+          |    i -> substr(s, CAST(i AS INTEGER), 3))) AS tg
+          |  FROM (SELECT rec_id,
+          |      trim(regexp_replace(lower(name), '[^a-z0-9]+', ' ', 'g')) AS s
+          |    FROM batch) WHERE len(s) > 0),
+          |gr AS (SELECT rec_id, list_distinct(list_transform(
+          |    generate_series(1, greatest(len(s) - 2, 1)),
+          |    i -> substr(s, CAST(i AS INTEGER), 3))) AS tg
+          |  FROM (SELECT rec_id,
+          |      trim(regexp_replace(lower(name), '[^a-z0-9]+', ' ', 'g')) AS s
+          |    FROM ref) WHERE len(s) > 0),
+          |p AS (SELECT bt.rec_id AS id, r.rec_id AS rid,
+          |    CASE WHEN gb.tg IS NOT NULL AND gr.tg IS NOT NULL THEN
+          |      CASE WHEN len(list_intersect(gb.tg, gr.tg)) * 1000000
+          |             // len(list_distinct(gb.tg || gr.tg)) >= 550000
+          |           THEN 40 ELSE -20 END
+          |    ELSE 0 END
+          |    + CASE WHEN bt.nation IS NOT NULL AND r.nation IS NOT NULL
+          |        THEN CASE WHEN bt.nation = r.nation THEN 5 ELSE -30 END
+          |        ELSE 0 END
+          |    + CASE WHEN bt.segment IS NOT NULL AND r.segment IS NOT NULL
+          |        THEN CASE WHEN bt.segment = r.segment THEN 2 ELSE -20 END
+          |        ELSE 0 END
+          |    + CASE WHEN bt.bal IS NOT NULL AND r.bal IS NOT NULL
+          |        THEN CASE WHEN bt.bal = r.bal THEN 35 ELSE -5 END
+          |        ELSE 0 END AS w
+          |  FROM batch bt CROSS JOIN ref r
+          |  LEFT JOIN gb ON gb.rec_id = bt.rec_id
+          |  LEFT JOIN gr ON gr.rec_id = r.rec_id),
+          |a AS (SELECT id, rid, w, row_number() OVER (PARTITION BY id
+          |    ORDER BY w DESC, rid ASC) AS rn
+          |  FROM p WHERE w >= 20)
+          |SELECT bt.rec_id AS id, a.rid AS entity_id,
+          |  CAST(a.w AS BIGINT) AS weight, a.rid AS ref_id
+          |FROM batch bt LEFT JOIN a ON bt.rec_id = a.id AND a.rn = 1""".stripMargin,
       "entity_resolution_against" ->
         """WITH cust AS (SELECT c_custkey AS k,
           |    substr(md5(CAST(c_custkey AS VARCHAR)), 1, 12) AS core,
@@ -5898,6 +6003,101 @@ object SparkEntry {
       // from one Scala template (contribution = rank // outdeg summed per
       // dst, update = teleport + (inbound * 85) // 100), so the unrolled
       // chain cannot drift from itself — all integer ops, engine-identical
+      // 16 unrolled peel layers over the planted-filament graph: the
+      // k-core fixed point is unique and post-convergence layers are
+      // no-ops, so the fixed unroll replays the early-stopping engine
+      "graph_kcore" ->
+        """WITH kl_0 AS MATERIALIZED (
+          |  SELECT DISTINCT least(a0, b0) AS a, greatest(a0, b0) AS b FROM (
+          |    SELECT o_custkey AS a0, l_suppkey + 1000000 AS b0
+          |    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+          |    UNION ALL SELECT 2000000 + i, 2000001 + i FROM range(1, 25) t(i)
+          |    UNION ALL SELECT 2000000 + i, 2000002 + i FROM range(1, 24) t(i))
+          |  WHERE a0 <> b0),
+          |kk_1 AS MATERIALIZED (SELECT id FROM (SELECT a AS id FROM kl_0
+          |    UNION ALL SELECT b FROM kl_0) GROUP BY id
+          |  HAVING count(*) >= 3),
+          |kl_1 AS MATERIALIZED (SELECT a, b FROM kl_0
+          |  WHERE a IN (SELECT id FROM kk_1) AND b IN (SELECT id FROM kk_1)),
+          |kk_2 AS MATERIALIZED (SELECT id FROM (SELECT a AS id FROM kl_1
+          |    UNION ALL SELECT b FROM kl_1) GROUP BY id
+          |  HAVING count(*) >= 3),
+          |kl_2 AS MATERIALIZED (SELECT a, b FROM kl_1
+          |  WHERE a IN (SELECT id FROM kk_2) AND b IN (SELECT id FROM kk_2)),
+          |kk_3 AS MATERIALIZED (SELECT id FROM (SELECT a AS id FROM kl_2
+          |    UNION ALL SELECT b FROM kl_2) GROUP BY id
+          |  HAVING count(*) >= 3),
+          |kl_3 AS MATERIALIZED (SELECT a, b FROM kl_2
+          |  WHERE a IN (SELECT id FROM kk_3) AND b IN (SELECT id FROM kk_3)),
+          |kk_4 AS MATERIALIZED (SELECT id FROM (SELECT a AS id FROM kl_3
+          |    UNION ALL SELECT b FROM kl_3) GROUP BY id
+          |  HAVING count(*) >= 3),
+          |kl_4 AS MATERIALIZED (SELECT a, b FROM kl_3
+          |  WHERE a IN (SELECT id FROM kk_4) AND b IN (SELECT id FROM kk_4)),
+          |kk_5 AS MATERIALIZED (SELECT id FROM (SELECT a AS id FROM kl_4
+          |    UNION ALL SELECT b FROM kl_4) GROUP BY id
+          |  HAVING count(*) >= 3),
+          |kl_5 AS MATERIALIZED (SELECT a, b FROM kl_4
+          |  WHERE a IN (SELECT id FROM kk_5) AND b IN (SELECT id FROM kk_5)),
+          |kk_6 AS MATERIALIZED (SELECT id FROM (SELECT a AS id FROM kl_5
+          |    UNION ALL SELECT b FROM kl_5) GROUP BY id
+          |  HAVING count(*) >= 3),
+          |kl_6 AS MATERIALIZED (SELECT a, b FROM kl_5
+          |  WHERE a IN (SELECT id FROM kk_6) AND b IN (SELECT id FROM kk_6)),
+          |kk_7 AS MATERIALIZED (SELECT id FROM (SELECT a AS id FROM kl_6
+          |    UNION ALL SELECT b FROM kl_6) GROUP BY id
+          |  HAVING count(*) >= 3),
+          |kl_7 AS MATERIALIZED (SELECT a, b FROM kl_6
+          |  WHERE a IN (SELECT id FROM kk_7) AND b IN (SELECT id FROM kk_7)),
+          |kk_8 AS MATERIALIZED (SELECT id FROM (SELECT a AS id FROM kl_7
+          |    UNION ALL SELECT b FROM kl_7) GROUP BY id
+          |  HAVING count(*) >= 3),
+          |kl_8 AS MATERIALIZED (SELECT a, b FROM kl_7
+          |  WHERE a IN (SELECT id FROM kk_8) AND b IN (SELECT id FROM kk_8)),
+          |kk_9 AS MATERIALIZED (SELECT id FROM (SELECT a AS id FROM kl_8
+          |    UNION ALL SELECT b FROM kl_8) GROUP BY id
+          |  HAVING count(*) >= 3),
+          |kl_9 AS MATERIALIZED (SELECT a, b FROM kl_8
+          |  WHERE a IN (SELECT id FROM kk_9) AND b IN (SELECT id FROM kk_9)),
+          |kk_10 AS MATERIALIZED (SELECT id FROM (SELECT a AS id FROM kl_9
+          |    UNION ALL SELECT b FROM kl_9) GROUP BY id
+          |  HAVING count(*) >= 3),
+          |kl_10 AS MATERIALIZED (SELECT a, b FROM kl_9
+          |  WHERE a IN (SELECT id FROM kk_10) AND b IN (SELECT id FROM kk_10)),
+          |kk_11 AS MATERIALIZED (SELECT id FROM (SELECT a AS id FROM kl_10
+          |    UNION ALL SELECT b FROM kl_10) GROUP BY id
+          |  HAVING count(*) >= 3),
+          |kl_11 AS MATERIALIZED (SELECT a, b FROM kl_10
+          |  WHERE a IN (SELECT id FROM kk_11) AND b IN (SELECT id FROM kk_11)),
+          |kk_12 AS MATERIALIZED (SELECT id FROM (SELECT a AS id FROM kl_11
+          |    UNION ALL SELECT b FROM kl_11) GROUP BY id
+          |  HAVING count(*) >= 3),
+          |kl_12 AS MATERIALIZED (SELECT a, b FROM kl_11
+          |  WHERE a IN (SELECT id FROM kk_12) AND b IN (SELECT id FROM kk_12)),
+          |kk_13 AS MATERIALIZED (SELECT id FROM (SELECT a AS id FROM kl_12
+          |    UNION ALL SELECT b FROM kl_12) GROUP BY id
+          |  HAVING count(*) >= 3),
+          |kl_13 AS MATERIALIZED (SELECT a, b FROM kl_12
+          |  WHERE a IN (SELECT id FROM kk_13) AND b IN (SELECT id FROM kk_13)),
+          |kk_14 AS MATERIALIZED (SELECT id FROM (SELECT a AS id FROM kl_13
+          |    UNION ALL SELECT b FROM kl_13) GROUP BY id
+          |  HAVING count(*) >= 3),
+          |kl_14 AS MATERIALIZED (SELECT a, b FROM kl_13
+          |  WHERE a IN (SELECT id FROM kk_14) AND b IN (SELECT id FROM kk_14)),
+          |kk_15 AS MATERIALIZED (SELECT id FROM (SELECT a AS id FROM kl_14
+          |    UNION ALL SELECT b FROM kl_14) GROUP BY id
+          |  HAVING count(*) >= 3),
+          |kl_15 AS MATERIALIZED (SELECT a, b FROM kl_14
+          |  WHERE a IN (SELECT id FROM kk_15) AND b IN (SELECT id FROM kk_15)),
+          |kk_16 AS MATERIALIZED (SELECT id FROM (SELECT a AS id FROM kl_15
+          |    UNION ALL SELECT b FROM kl_15) GROUP BY id
+          |  HAVING count(*) >= 3),
+          |kl_16 AS MATERIALIZED (SELECT a, b FROM kl_15
+          |  WHERE a IN (SELECT id FROM kk_16) AND b IN (SELECT id FROM kk_16)),
+          |f AS (SELECT a, b FROM kl_16)
+          |SELECT id, CAST(count(*) AS BIGINT) AS degree FROM (
+          |  SELECT a AS id FROM f UNION ALL SELECT b FROM f)
+          |GROUP BY id""".stripMargin,
       "page_rank" -> {
         val iters = (1 to 3).map { i =>
           s"""c$i AS (SELECT e.dst AS node,

@@ -169,18 +169,24 @@ object EntityResolution {
     * grams/blocks store if re-deriving them nightly dominates (the
     * signature-store pattern).
     */
-  def resolveAgainst(
+  /** Cross-side blocked candidates with the two-sided hot-block cap applied
+    * BEFORE the bk×rk explosion — the shared candidate stage of
+    * [[resolveAgainst]] and [[resolveAgainstWeighted]]: batch keyrows join
+    * only the block-stats table first (each carrying its block's _bn/_rn),
+    * the hot filter runs on that narrow frame, and only surviving keyrows
+    * meet the reference side — a hot block never pays its bn·rn join cost.
+    * Metrics ride the batch-keyed side (structurally the side the planner
+    * won't broadcast — the house Observation lesson); sum(_rn) over batch
+    * keyrows equals the would-be join-output row count Σ bn·rn exactly.
+    * Returns distinct `(b_id, r_id)`.
+    */
+  private def crossSideCandidates(
       batch: DataFrame,
       reference: DataFrame,
       idCol: String,
-      nameCol: String,
-      entityCol: String,
       blocks: Seq[(String, Column)],
-      thresholdPpm: Long,
-      maxBlock: Int = 100,
-      metrics: Option[Observation] = None): DataFrame = {
-    require(thresholdPpm >= 0 && thresholdPpm <= 1000000L,
-      "thresholdPpm must be in [0, 1000000]")
+      maxBlock: Int,
+      metrics: Option[Observation]): DataFrame = {
     require(blocks.nonEmpty, "need at least one blocking key")
     def keyed(df: DataFrame, idAs: String) = df.select(
       col(idCol).as(idAs),
@@ -193,14 +199,6 @@ object EntityResolution {
     val stats = bk.groupBy(col("bucketKey")).agg(count(lit(1)).as("_bn"))
       .join(rk.groupBy(col("bucketKey")).agg(count(lit(1)).as("_rn")),
         Seq("bucketKey"))
-    // cap BEFORE the bk×rk explosion: the batch keyrows join only the
-    // block-stats table first (each bk row carries its block's _bn/_rn), the
-    // hot filter runs on that narrow frame, and only surviving keyrows meet
-    // rk — a hot block never pays its bn·rn join cost. Metrics ride the
-    // batch-keyed side (structurally the side the planner won't broadcast —
-    // the house Observation lesson); sum(_rn) over batch keyrows equals the
-    // would-be join-output row count Σ bn·rn exactly, so the panel's values
-    // are unchanged from the post-join formulation.
     val bkStats = bk.join(stats, Seq("bucketKey"))
     val hot = col("_bn") > maxBlock || col("_rn") > maxBlock
     val observed = metrics.map { o =>
@@ -210,12 +208,27 @@ object EntityResolution {
           .as("n_dropped_keyrows"),
         coalesce(max(col("_bn") * col("_rn")), lit(0L)).as("max_block_pairs"))
     }.getOrElse(bkStats)
-    val cand = observed
+    observed
       .filter(!hot)
       .select(col("bucketKey"), col("b_id"))
       .join(rk, Seq("bucketKey"))
       .groupBy(col("b_id"), col("r_id")).agg(count(lit(1)).as("_nb"))
       .drop("_nb")
+  }
+
+  def resolveAgainst(
+      batch: DataFrame,
+      reference: DataFrame,
+      idCol: String,
+      nameCol: String,
+      entityCol: String,
+      blocks: Seq[(String, Column)],
+      thresholdPpm: Long,
+      maxBlock: Int = 100,
+      metrics: Option[Observation] = None): DataFrame = {
+    require(thresholdPpm >= 0 && thresholdPpm <= 1000000L,
+      "thresholdPpm must be in [0, 1000000]")
+    val cand = crossSideCandidates(batch, reference, idCol, blocks, maxBlock, metrics)
     def grams(df: DataFrame, idAs: String, gAs: String) = df
       .select(col(idCol).as(idAs), normalized(col(nameCol)).as("_nm"))
       .filter(col("_nm").isNotNull && length(col("_nm")) > 0)
@@ -238,6 +251,81 @@ object EntityResolution {
     batch.select(col(idCol).as("b_id")).distinct()
       .join(assigned, Seq("b_id"), "left")
       .select(col("b_id").as("id"), col("entity_id"), col("score_ppm"),
+        col("ref_id"))
+  }
+
+  /** [[resolveAgainst]] under the Fellegi–Sunter decision rule — the
+    * incremental form of [[matchRecordsWeighted]], completing the FS
+    * lattice cell: each batch record's candidates (same cross-side
+    * blocking, same pre-explosion hot cap) are scored by the SUM of
+    * per-field agreement evidence plus the banded name (the
+    * matchRecordsWeighted semantics verbatim: agree / disagree / missing=0,
+    * weights caller-declared integers), and the record ASSIGNS to its
+    * best-scoring reference's entity under the deterministic
+    * `(weight DESC, entity ASC, ref_id ASC)` winner — or stays NULL
+    * (novel) below `threshold`. This is what lets a nightly ingest adopt a
+    * record whose NAME carries no evidence at all (reversed, translated,
+    * aliased) but whose high-cardinality attributes match an accepted
+    * entity — the case the trigram-only [[resolveAgainst]] must honestly
+    * return as novel. Output: `(id, entity_id, weight, ref_id)`.
+    *
+    * Shape: identical to [[resolveAgainst]] — one narrow attribute row per
+    * record on each side, candidates × scan-speed weight projection, one
+    * per-batch-id arg-max with map-side partials.
+    */
+  def resolveAgainstWeighted(
+      batch: DataFrame,
+      reference: DataFrame,
+      idCol: String,
+      nameCol: String,
+      entityCol: String,
+      blocks: Seq[(String, Column)],
+      fields: Seq[FieldWeight],
+      nameAgreePpm: Long,
+      nameAgree: Long,
+      nameDisagree: Long,
+      threshold: Long,
+      maxBlock: Int = 100,
+      metrics: Option[Observation] = None): DataFrame = {
+    require(nameAgreePpm >= 0 && nameAgreePpm <= 1000000L,
+      "nameAgreePpm must be in [0, 1000000]")
+    val cand = crossSideCandidates(batch, reference, idCol, blocks, maxBlock, metrics)
+    def side(df: DataFrame, prefix: String) = df.select(
+      col(idCol).as(s"${prefix}_id") +:
+        when(length(normalized(col(nameCol))) > 0,
+          trigramSet(normalized(col(nameCol)))).as(s"${prefix}_g") +:
+        fields.zipWithIndex.map { case (f, i) =>
+          col(f.column).as(s"${prefix}_f$i")
+        }: _*)
+    val refSide = side(reference, "r")
+      .join(reference.select(col(idCol).as("r_id"),
+        col(entityCol).as("_ent")), "r_id")
+    val inter = size(array_intersect(col("b_g"), col("r_g"))).cast("long")
+    val union = size(array_union(col("b_g"), col("r_g"))).cast("long")
+    val namePpm = when(col("b_g").isNotNull && col("r_g").isNotNull,
+      floor(inter * lit(1000000L) / union).cast("long"))
+    val nameW = when(namePpm.isNull, lit(0L))
+      .when(namePpm >= nameAgreePpm, lit(nameAgree))
+      .otherwise(lit(nameDisagree))
+    val fieldW = fields.zipWithIndex.map { case (f, i) =>
+      when(col(s"b_f$i").isNotNull && col(s"r_f$i").isNotNull,
+        when(col(s"b_f$i") === col(s"r_f$i"), lit(f.agree))
+          .otherwise(lit(f.disagree)))
+        .otherwise(lit(0L))
+    }.foldLeft(lit(0L))(_ + _)
+    val assigned = cand
+      .join(side(batch, "b"), "b_id")
+      .join(refSide, "r_id")
+      .withColumn("_w", nameW + fieldW)
+      .filter(col("_w") >= threshold)
+      .groupBy(col("b_id"))
+      .agg(min(struct((-col("_w")).as("_nw"), col("_ent").as("_e"),
+        col("r_id").as("_r"))).as("_best"))
+      .select(col("b_id"), col("_best._e").as("entity_id"),
+        (-col("_best._nw")).as("weight"), col("_best._r").as("ref_id"))
+    batch.select(col(idCol).as("b_id")).distinct()
+      .join(assigned, Seq("b_id"), "left")
+      .select(col("b_id").as("id"), col("entity_id"), col("weight"),
         col("ref_id"))
   }
 

@@ -169,6 +169,78 @@ object Graph {
     labels
   }
 
+  /** k-core of an undirected simple graph — the maximal subgraph in which
+    * every node has degree ≥ k, by iterative peeling: each round drops
+    * every node whose CURRENT degree is below k (and the edges it
+    * carries), until a round removes nothing. The crawl-curation use sits
+    * next to [[pageRank]]: the k-core strips the low-engagement periphery
+    * (pages/domains held in the graph only by a thin thread) while spam
+    * farms — dense but isolated — survive coring and fall instead to
+    * [[labelPropagation]] community caps; conversely a node with many
+    * edges into REMOVED nodes peels in a later round, which no single
+    * degree filter can express.
+    *
+    * Determinism: the k-core is the UNIQUE maximal fixed point — peel
+    * order cannot change it (removing any sub-k node never raises another
+    * node's degree), so unlike LPA there is nothing order-sensitive to
+    * pin; convergence detection is well-defined and extra rounds past the
+    * fixed point are no-ops, which is exactly what lets an oracle replay
+    * a FIXED generous unroll and land on the same answer the early-stopping
+    * engine produced. Self-loops drop, multi-edges collapse, direction is
+    * ignored. Returns the core's nodes with their within-core degree
+    * (`(id, degree)`, every `degree ≥ k`); an empty core returns no rows.
+    *
+    * Shape at 100 TB: per round one mirrored degree aggregation + two
+    * semi-joins of the surviving edge list against the keep set — narrow
+    * (a, b)/(id, deg) rows only; each round's survivors checkpoint
+    * (truncating lineage, at most two snapshots live — the
+    * [[Dedup.connectedComponents]] discipline) and the round count is
+    * bounded by the peel depth, ≤ a few dozen on real degree
+    * distributions (each round removes a whole degree-layer, not one
+    * node).
+    */
+  def kCore(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      k: Int,
+      maxRounds: Int = 40): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    require(maxRounds >= 1, "maxRounds must be >= 1")
+    val und = edges
+      .select(least(col(srcCol), col(dstCol)).as("a"),
+        greatest(col(srcCol), col(dstCol)).as("b"))
+      .filter(col("a").isNotNull && col("b").isNotNull && col("a") =!= col("b"))
+      .distinct()
+      .localCheckpoint()
+    var live = und
+    var nLive = live.count()
+    var prevCkpt: Option[DataFrame] = Some(und)
+    var round = 0
+    var done = nLive == 0L
+    while (round < maxRounds && !done) {
+      val deg = live.select(col("a").as("id"))
+        .unionByName(live.select(col("b").as("id")))
+        .groupBy(col("id")).agg(count(lit(1)).as("deg"))
+      val keep = deg.filter(col("deg") >= k).select(col("id"))
+      val next = live
+        .join(keep.select(col("id").as("a")), Seq("a"), "left_semi")
+        .join(keep.select(col("id").as("b")), Seq("b"), "left_semi")
+        .select(col("a"), col("b"))
+        .localCheckpoint()
+      val n = next.count()
+      prevCkpt.foreach(org.apache.spark.sql.graft.CheckpointUtil.unpersist(_))
+      prevCkpt = Some(next)
+      done = n == nLive
+      nLive = n
+      live = next
+      round += 1
+    }
+    live.select(col("a").as("id"))
+      .unionByName(live.select(col("b").as("id")))
+      .groupBy(col("id")).agg(count(lit(1)).as("degree"))
+  }
+
   def triangleCounts(
       edges: DataFrame,
       srcCol: String,

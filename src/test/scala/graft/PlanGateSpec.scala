@@ -65,6 +65,9 @@ class PlanGateSpec extends SparkTestBase {
     "page_rank",
     // per-round label checkpoints (the page_rank shape)
     "graph_communities",
+    // per-round survivor checkpoints + the convergence count jobs; the
+    // final plan is one degree aggregation over the last snapshot
+    "graph_kcore",
     // the normalized edge list and the oriented list are localCheckpoints
     // (each feeds 2-3 consumers); the final plan hangs off the second
     "triangle_count")
@@ -98,6 +101,9 @@ class PlanGateSpec extends SparkTestBase {
     // dedup, the per-batch-id arg-max, and the novel left join; the block
     // and grams joins ride broadcasts at this scale
     "entity_resolution_against" -> 5,
+    // same candidate machinery + the erParts batch union resolving as a
+    // three-branch scan; attribute sides join after the capped candidates
+    "entity_resolution_against_fs" -> 7,
     // the per-regime moment aggregation; the panel stage is a lazy
     // checkpoint boundary (zScoreOutliers consumes it twice — moment branch
     // + attach side), its own two exchanges are the resample_ffill budget;

@@ -163,6 +163,39 @@ class EntityResolutionSpec extends SparkTestBase {
     assert(got.size === 5)
   }
 
+  test("resolveAgainstWeighted: attribute evidence assigns what the name alone cannot") {
+    import spark.implicits._
+    val reference = Seq(
+      (10L, "jane smith", Option("415-555"), Option("oakland"), 10L),
+      (11L, "robert jones", Option("415-555"), Option("boston"), 11L))
+      .toDF("id", "name", "phone", "city", "entity")
+    val batch = Seq(
+      (100L, "htims enaj", Option("415-555"), Option("oakland")), // reversed name, attrs agree -> 10
+      (101L, "JANE SMITH", Option("212-000"), Option.empty[String]), // name alone: shares no block -> novel
+      (102L, "jane smith", Option("415-555"), Option("boston")),  // name + phone beat the city miss -> 10
+      (103L, "grace hopper", Option("415-555"), Option.empty[String])) // weak: -20+30 = 10 < 20 -> novel
+      .toDF("id", "name", "phone", "city")
+    val fields = Seq(
+      EntityResolution.FieldWeight("phone", 30L, -10L),
+      EntityResolution.FieldWeight("city", 10L, -15L))
+    val got = EntityResolution.resolveAgainstWeighted(
+      batch, reference, "id", "name", "entity",
+      Seq("phone" -> col("phone")), fields,
+      nameAgreePpm = 500000L, nameAgree = 40L, nameDisagree = -20L,
+      threshold = 20L)
+      .collect().map(r => r.getLong(0) ->
+        ((if (r.isNullAt(1)) -1L else r.getLong(1),
+          if (r.isNullAt(2)) -1L else r.getLong(2)))).toMap
+    // 100: name disagrees (-20) but phone (+30) + city (+10) = 20 -> entity 10
+    assert(got(100L) === ((10L, 20L)))
+    // 101: exact name but its only block key (phone) matches nothing -> novel
+    assert(got(101L) === ((-1L, -1L)))
+    // 102: +40 name +30 phone -15 city = 55 -> entity 10 over 11 (w DESC)
+    assert(got(102L) === ((10L, 55L)))
+    assert(got(103L) === ((-1L, -1L)))
+    assert(got.size === 4)
+  }
+
   test("resolveAgainst: two-sided hot-block metrics; empty reference degrades to all-novel") {
     import spark.implicits._
     val reference = Seq((10L, "jane smith", Option("415-555"), 10L),

@@ -105,6 +105,40 @@ class GraphSpec extends SparkTestBase {
     assert(p3 === Map(1L -> 2L, 2L -> 1L))
   }
 
+  test("kCore: cascading peel reaches the unique fixed point; a single filter could not") {
+    import spark.implicits._
+    // K4 on {1,2,3,4} (every degree 3) + a disconnected filament 11..16
+    // with (i,i+1) and (i,i+2) edges — ends at degree 2, interior at 3-4,
+    // so under k=3 the filament peels from both ends over three rounds
+    val k4 = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L))
+    val chain = (1 to 5).map(i => (i + 10L, i + 11L)) ++
+      (1 to 4).map(i => (i + 10L, i + 12L))
+    val edges = (k4 ++ chain).toDF("src", "dst")
+    val got = Graph.kCore(edges, "src", "dst", k = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // the chain peels from both ends over multiple rounds (11 and 16 start
+    // at degree 2; their removal drops 12 and 15, then 13 and 14) — the
+    // 3-core is exactly K4, every survivor at degree 3
+    assert(got === Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
+    // round-1-only peeling would have kept 12..15 (degrees 3,4,4,3): prove
+    // the cascade by checking the single-pass answer differs
+    val deg1 = edges.select($"src".as("id")).union(edges.select($"dst"))
+      .groupBy("id").count().filter($"count" >= 3)
+      .collect().map(_.getLong(0)).toSet
+    assert(deg1.exists(id => id > 10L && !got.contains(id)),
+      "fixture must cascade: some node survives one filter pass but not the peel")
+    // k=1 keeps everything (simple graph, no isolated nodes in an edge list)
+    assert(Graph.kCore(edges, "src", "dst", k = 1).count() === 10L)
+    // empty core: k above the max degree
+    assert(Graph.kCore(edges, "src", "dst", k = 10).count() === 0L)
+    // duplicate/reversed/self-loop edges collapse; partitioning invariance
+    val noisy = edges.unionByName(edges.select($"dst".as("src"), $"src".as("dst")))
+      .unionByName(Seq((1L, 1L)).toDF("src", "dst")).repartition(7)
+    val again = Graph.kCore(noisy, "src", "dst", k = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(again === got)
+  }
+
   test("pageRank: empty edge list yields an empty ranking, no crash") {
     import spark.implicits._
     val none = Seq.empty[(Long, Long)].toDF("src", "dst")

@@ -1627,16 +1627,24 @@ object Dedup {
       modulus: Int = 16): DataFrame = {
     require(gramSize >= 1, "gramSize must be >= 1")
     require(modulus >= 2, "modulus must be >= 2")
-    val toks = graft.functions.tokens(col(textCol))
+    // STAGED projections, each referencing the previous stage's MATERIALIZED
+    // column, never the expression: interpreted HOF lambdas re-evaluate
+    // their child per reference (the sortedNeighborPairs lesson), so an
+    // inline tokens(text) inside the per-position boundary lambda
+    // re-tokenizes the whole document PER POSITION — O(n²) per doc,
+    // measured 486 s at sf0.1 vs ~1 s staged. CollapseProject keeps the
+    // stages apart (the aliases are non-cheap and multiply referenced).
+    val toks = col("_cdc_toks")
     val n = size(toks)
-    val bpos = filter(sequence(lit(1), n), i =>
+    val bposE = filter(sequence(lit(1), n), i =>
       i >= gramSize &&
         (conv(substring(md5(
           array_join(slice(toks, i - (gramSize - 1), lit(gramSize)), " ")
             .cast("binary")), 1, 8), 16, 10).cast("long") % modulus) === 0)
-    val lastIsN = size(bpos) > 0 &&
-      get(bpos, size(bpos) - 1) === n
-    val ends = when(lastIsN, bpos).otherwise(concat(bpos, array(n)))
+    val bpos = col("_cdc_bpos")
+    val lastIsN = size(bpos) > 0 && get(bpos, size(bpos) - 1) === n
+    val endsE = when(lastIsN, bpos).otherwise(concat(bpos, array(n)))
+    val ends = col("_cdc_ends")
     val chunks = transform(sequence(lit(1), size(ends)), k => {
       val start = when(k === 1, lit(1)).otherwise(get(ends, k - 2) + 1)
       val end = get(ends, k - 1)
@@ -1645,9 +1653,13 @@ object Dedup {
         array_join(slice(toks, start, end - start + 1), " ").as("chunk_text"))
     })
     df.select(col(idCol).as("id"),
-      explode(when(n >= 1, chunks)
-        .otherwise(array().cast("array<struct<chunk_idx:int,n_tokens:int,chunk_text:string>>")))
-        .as("c"))
+      graft.functions.tokens(col(textCol)).as("_cdc_toks"))
+      .select(col("id"), toks, bposE.as("_cdc_bpos"))
+      .select(col("id"), toks, endsE.as("_cdc_ends"))
+      .select(col("id"),
+        explode(when(n >= 1, chunks)
+          .otherwise(array().cast("array<struct<chunk_idx:int,n_tokens:int,chunk_text:string>>")))
+          .as("c"))
       .select(col("id"), col("c.chunk_idx"), col("c.n_tokens"),
         col("c.chunk_text"),
         md5(col("c.chunk_text").cast("binary")).as("chunk_hash"))

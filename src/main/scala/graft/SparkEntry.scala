@@ -540,6 +540,27 @@ object SparkEntry {
   private def textLangid(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.languageId(docs(s, dir), "doc_id", "text")
 
+  /** The German-stopword tail planted on every 11th doc for the
+    * language-consistency row — 60 tokens, so at chunkTokens=50 every
+    * planted doc gains at least one chunk whose MAJORITY is German.
+    */
+  private def langMixTail: String =
+    (1 to 3).flatMap(_ => TextAnalysis.stopwords("de")).mkString(" ")
+
+  /** Mixed-language detection: fixed 50-token chunks language-ID
+    * independently, per-doc consistency report — the planted German tails
+    * must flag `mixed` wherever the base doc identifies as a different
+    * language, and the whole chain (chunking, per-chunk stopword votes,
+    * majority, ppm) replays in DuckDB.
+    */
+  private def langMixQ(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir).withColumn("text",
+      when(col("doc_id") % 11 === 0,
+        concat(col("text"), lit(" " + langMixTail)))
+        .otherwise(col("text")))
+    TextAnalysis.languageConsistency(d, "doc_id", "text", chunkTokens = 50)
+  }
+
   // trained char-bigram langid: labels from the corpus's own lang column,
   // train on 4/5 of the docs (doc_id % 5 != 0), score ALL docs; minCount=2
   // exercises the prune-after-denominators contract
@@ -1626,6 +1647,25 @@ object SparkEntry {
     Dedup.cdcDuplicateChunks(u, "doc_id", "text", gramSize = 8, modulus = 16)
   }
 
+  /** Cross-snapshot CDC dedup: the accepted reference is every third doc,
+    * the nightly batch is the rest PLUS zzz-prefixed copies of reference
+    * docs — copies of ACCEPTED content that a fixed grid would miss after
+    * the leading insertion. Plants separate cleanly (median ~676k
+    * dup_token_ppm vs 0 organic at sf0.01): everything after the first
+    * boundary matches; the head chunk honestly absorbs the edit, and a
+    * short doc whose ONLY chunk is the whole text cannot resync at all —
+    * the documented CDC granularity floor.
+    */
+  private def cdcDedupAgainstQ(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val ref = d.filter(col("doc_id") % 3 === 0)
+    val batch = d.filter(col("doc_id") % 3 =!= 0)
+      .unionByName(ref.withColumn("doc_id", col("doc_id") + 300000L)
+        .withColumn("text", concat(lit("zzz "), col("text"))))
+    Dedup.cdcDedupAgainst(batch, ref, "doc_id", "text",
+      gramSize = 8, modulus = 16)
+  }
+
   /** Lee-et-al exact substring-window dedup over the planted corpus:
     * 12-token windows at stride 6 slide over the raw token stream, corpus-
     * wide first occurrence of each distinct window survives, docs reassemble
@@ -2684,6 +2724,7 @@ object SparkEntry {
     "text_stats" -> (textStats _),
     "text_quality" -> (textQuality _),
     "text_langid" -> (textLangid _),
+    "lang_mix" -> (langMixQ _),
     "text_langid_model" -> (textLangidModel _),
     "doc_fingerprint" -> (docFingerprint _),
     "pack_sequences" -> (packSequences _),
@@ -2739,6 +2780,7 @@ object SparkEntry {
     "dedup_within_doc" -> (dedupWithinDocQuery _),
     "dedup_windows" -> (dedupWindowsQuery _),
     "cdc_dup_chunks" -> (cdcDupChunksQ _),
+    "cdc_dedup_against" -> (cdcDedupAgainstQ _),
     "dedup_windows_against" -> (dedupWindowsAgainstQuery _),
     "dedup_minhash_against" -> (dedupMinhashAgainst _),
     "dedup_minhash_store" -> (dedupMinhashStoreQ _),
@@ -4303,6 +4345,45 @@ object SparkEntry {
            |  round(best, 6) AS confidence
            |FROM b""".stripMargin
       },
+      // per-chunk langid votes, per-doc majority + mixed flag; the ladder
+      // order mirrors greatest(struct)'s largest-lang tie-break
+      "lang_mix" -> {
+        val hits = TextAnalysis.stopwords.keys.toSeq.sorted.map(l =>
+          s"len(list_filter(ctoks, x -> list_contains(${sqlList(TextAnalysis.stopwords(l))}, x)))" +
+            s" / greatest(CAST(len(ctoks) AS DOUBLE), 1.0) AS s_$l").mkString(",\n  ")
+        s"""WITH u AS (SELECT doc_id,
+           |  CASE WHEN doc_id % 11 = 0 THEN text || ' $langMixTail'
+           |       ELSE text END AS text
+           |  FROM documents),
+           |t2 AS (SELECT doc_id,
+           |  list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+           |    x -> len(x) > 0) AS toks FROM u),
+           |cxl AS (SELECT doc_id, unnest(list_transform(range(0, len(toks), 50),
+           |  s2 -> list_slice(toks, s2 + 1, least(s2 + 50, len(toks))))) AS ctoks
+           |  FROM t2 WHERE len(toks) > 0),
+           |sc AS (SELECT doc_id,
+           |  $hits
+           |FROM cxl),
+           |b2 AS (SELECT doc_id, s_de, s_en, s_es, s_fr,
+           |  greatest(s_de, s_en, s_es, s_fr) AS best FROM sc),
+           |lg AS (SELECT doc_id,
+           |  CASE WHEN best = 0 THEN 'und'
+           |       WHEN s_fr = best THEN 'fr'
+           |       WHEN s_es = best THEN 'es'
+           |       WHEN s_en = best THEN 'en'
+           |       ELSE 'de' END AS lang FROM b2),
+           |pl AS (SELECT doc_id, lang, count(*) AS c FROM lg GROUP BY 1, 2),
+           |ag AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_chunks,
+           |  CAST(sum(CASE WHEN lang <> 'und' THEN 1 ELSE 0 END) AS BIGINT)
+           |    AS n_langs FROM pl GROUP BY doc_id),
+           |tp AS (SELECT doc_id, lang AS top_lang, c FROM (
+           |  SELECT *, row_number() OVER (PARTITION BY doc_id
+           |    ORDER BY c DESC, lang ASC) AS rn FROM pl) WHERE rn = 1)
+           |SELECT ag.doc_id AS id, n_chunks, n_langs, top_lang,
+           |  CAST(c * 1000000 // n_chunks AS BIGINT) AS top_lang_chunk_ppm,
+           |  n_langs > 1 AS mixed
+           |FROM ag JOIN tp USING (doc_id)""".stripMargin
+      },
       // full train+score replay of the per-language char-bigram LM: the SAME
       // char-token chain (lower/trim → strip non-[a-z] → space after every
       // char), per-language pair/prefix/vocab tables with minCount=2 pruning
@@ -4968,6 +5049,68 @@ object SparkEntry {
       // CDC replay: rolling-hash boundaries (md5-prefix integer % 16 over
       // each 8-token window), chunk assembly between consecutive ends,
       // duplicate-content report — the prefix-insertion plant resyncs
+      // incremental CDC: reference chunk digests vs the batch's chunks,
+      // token-weighted dup ppm per batch doc; the zzz plant must resync
+      "cdc_dedup_against" ->
+        """WITH refd AS (SELECT doc_id, text FROM documents WHERE doc_id % 3 = 0),
+          |bat AS (SELECT doc_id, text FROM documents WHERE doc_id % 3 <> 0
+          |  UNION ALL SELECT doc_id + 300000, 'zzz ' || text
+          |  FROM documents WHERE doc_id % 3 = 0),
+          |rtk AS (SELECT doc_id,
+          |  list_filter(string_split_regex(lower(trim(text)), '\s+'),
+          |    x -> len(x) > 0) AS toks FROM refd),
+          |rch AS (SELECT doc_id, toks, len(toks) AS n,
+          |  list_filter(range(8, len(toks) + 1), i ->
+          |    (CAST(concat('0x', substr(md5(array_to_string(
+          |       list_slice(toks, i - 7, i), ' ')), 1, 8)) AS BIGINT) % 16) = 0)
+          |    AS bpos
+          |  FROM rtk WHERE len(toks) >= 1),
+          |rce AS (SELECT doc_id, toks,
+          |  CASE WHEN len(bpos) > 0 AND bpos[-1] = n THEN bpos
+          |       ELSE list_append(bpos, n) END AS ends FROM rch),
+          |rcx AS (SELECT doc_id,
+          |    unnest(list_transform(range(1, len(ends) + 1), k ->
+          |      struct_pack(
+          |        ntk := ends[k] - (CASE WHEN k = 1 THEN 1
+          |                               ELSE ends[k - 1] + 1 END) + 1,
+          |        txt := array_to_string(list_slice(toks,
+          |          CASE WHEN k = 1 THEN 1 ELSE ends[k - 1] + 1 END,
+          |          ends[k]), ' ')))) AS c
+          |  FROM rce),
+          |rh AS (SELECT DISTINCT md5(c.txt) AS h FROM rcx),
+          |btk AS (SELECT doc_id,
+          |  list_filter(string_split_regex(lower(trim(text)), '\s+'),
+          |    x -> len(x) > 0) AS toks FROM bat),
+          |bch AS (SELECT doc_id, toks, len(toks) AS n,
+          |  list_filter(range(8, len(toks) + 1), i ->
+          |    (CAST(concat('0x', substr(md5(array_to_string(
+          |       list_slice(toks, i - 7, i), ' ')), 1, 8)) AS BIGINT) % 16) = 0)
+          |    AS bpos
+          |  FROM btk WHERE len(toks) >= 1),
+          |bce AS (SELECT doc_id, toks,
+          |  CASE WHEN len(bpos) > 0 AND bpos[-1] = n THEN bpos
+          |       ELSE list_append(bpos, n) END AS ends FROM bch),
+          |bcx AS (SELECT doc_id,
+          |    unnest(list_transform(range(1, len(ends) + 1), k ->
+          |      struct_pack(
+          |        ntk := ends[k] - (CASE WHEN k = 1 THEN 1
+          |                               ELSE ends[k - 1] + 1 END) + 1,
+          |        txt := array_to_string(list_slice(toks,
+          |          CASE WHEN k = 1 THEN 1 ELSE ends[k - 1] + 1 END,
+          |          ends[k]), ' ')))) AS c
+          |  FROM bce),
+          |br AS (SELECT doc_id, md5(c.txt) AS h,
+          |    CAST(c.ntk AS BIGINT) AS ntk FROM bcx)
+          |SELECT br.doc_id AS id, CAST(count(*) AS BIGINT) AS n_chunks,
+          |  CAST(sum(ntk) AS BIGINT) AS n_tokens,
+          |  CAST(sum(CASE WHEN rh.h IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+          |    AS n_dup_chunks,
+          |  CAST(sum(CASE WHEN rh.h IS NOT NULL THEN ntk ELSE 0 END) AS BIGINT)
+          |    AS n_dup_tokens,
+          |  CAST(sum(CASE WHEN rh.h IS NOT NULL THEN ntk ELSE 0 END)
+          |    * 1000000 // sum(ntk) AS BIGINT) AS dup_token_ppm
+          |FROM br LEFT JOIN rh ON rh.h = br.h
+          |GROUP BY br.doc_id""".stripMargin,
       "cdc_dup_chunks" ->
         """WITH u AS (SELECT doc_id, text FROM documents
           |  UNION ALL SELECT doc_id + 200000, 'zzz ' || text FROM documents),

@@ -1686,4 +1686,49 @@ object Dedup {
         countDistinct(col("id")).as("n_docs"),
         min(col("id")).as("first_id"))
       .filter(col("n_occurrences") > 1)
+
+  /** Cross-snapshot CDC dedup — the incremental cell of the CDC family
+    * (the way [[dedupAgainst]]/[[dedupWindowsAgainst]]/[[minHashLshAgainst]]
+    * complete theirs): each NEW-batch document is chunked content-defined
+    * and scored by how much of it the ACCEPTED reference corpus already
+    * contains — per doc, chunk and token counts, how many chunks/tokens
+    * already exist in the reference's chunk set, and the duplication rate
+    * as integral ppm over TOKENS (token-weighted, so one long copied
+    * passage scores honestly against many short fresh chunks). Because
+    * boundaries are content-defined, a reference passage pasted into a new
+    * document — at ANY offset, even after leading edits — re-synchronizes
+    * to the same chunks and is caught; the fixed-grid form
+    * ([[dedupWindowsAgainst]]) pays stride-1 reference enumeration for the
+    * same guarantee, while here the reference stores only its ~(tokens /
+    * modulus) chunk digests. The selection decision stays with the caller
+    * (gate on `dup_token_ppm`), the report IS the contract.
+    *
+    * Shape at 100 TB: both sides chunk at scan speed (the staged
+    * [[cdcChunks]] projection); the reference leaves its scan as DISTINCT
+    * 32-char digests only, and the batch probes them with one left-semi
+    * shape (a join on the digest, planner-chosen shuffle-or-broadcast)
+    * followed by a per-doc aggregation — text never shuffles on either
+    * side.
+    */
+  def cdcDedupAgainst(
+      batch: DataFrame,
+      reference: DataFrame,
+      idCol: String,
+      textCol: String,
+      gramSize: Int = 8,
+      modulus: Int = 16): DataFrame = {
+    val refHashes = cdcChunks(reference, idCol, textCol, gramSize, modulus)
+      .select(col("chunk_hash")).distinct()
+    val probed = cdcChunks(batch, idCol, textCol, gramSize, modulus)
+      .join(refHashes.withColumn("_in_ref", lit(1)), Seq("chunk_hash"), "left")
+    probed
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(col("n_tokens").cast("long")).as("n_tokens"),
+        sum(when(col("_in_ref").isNotNull, 1L).otherwise(0L)).as("n_dup_chunks"),
+        sum(when(col("_in_ref").isNotNull, col("n_tokens").cast("long"))
+          .otherwise(0L)).as("n_dup_tokens"))
+      .withColumn("dup_token_ppm",
+        expr("n_dup_tokens * 1000000 div n_tokens"))
+  }
 }

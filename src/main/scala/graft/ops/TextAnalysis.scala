@@ -300,6 +300,52 @@ object TextAnalysis {
         col("_c.n_chunk_tokens").as("n_chunk_tokens"))
   }
 
+  /** Per-document LANGUAGE CONSISTENCY — mixed-language detection, the
+    * multilingual curation gate between document-level language ID and a
+    * monolingual training mix: a doc that identifies as English overall but
+    * carries a German boilerplate block or a pasted foreign passage
+    * pollutes a monolingual corpus in a way one whole-doc label can't see.
+    * The doc splits into fixed non-overlapping `chunkTokens` chunks
+    * ([[chunkDocuments]] at stride = chunk), each chunk language-IDs
+    * independently ([[languageId]]'s stopword vote — chunk-level, where a
+    * short foreign block is the MAJORITY of its own chunk instead of noise
+    * in the doc vote), and the per-doc report aggregates: chunk count,
+    * distinct identified languages (`und` — no evidence — never counts as
+    * a language), the majority language under the `(count DESC, lang ASC)`
+    * winner, its chunk share as integral ppm, and the `mixed` flag
+    * (≥ 2 real languages). Token-empty docs emit nothing (no chunks — the
+    * chunkDocuments contract).
+    *
+    * Shape at 100 TB: chunking and per-chunk scoring are scan-speed
+    * projections (staged — the languageId discipline); ONE (id, lang)
+    * aggregation then one per-id aggregation, both map-side-combining
+    * narrow rows.
+    */
+  def languageConsistency(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      chunkTokens: Int = 50): DataFrame = {
+    require(chunkTokens >= 1, "chunkTokens must be >= 1")
+    val chunks = chunkDocuments(df, idCol, textCol, chunkTokens,
+      stride = chunkTokens)
+      .select(struct(col("id"), col("chunk_id")).as("_key"),
+        col("chunk_text"))
+    val lid = languageId(chunks, "_key", "chunk_text")
+      .select(col("_key.id").as("id"), col("lang"))
+    lid.groupBy(col("id"), col("lang")).agg(count(lit(1)).as("_c"))
+      .groupBy(col("id"))
+      .agg(sum(col("_c")).as("n_chunks"),
+        sum(when(col("lang") =!= "und", 1L).otherwise(0L)).as("n_langs"),
+        min(struct((-col("_c")).as("_nc"), col("lang").as("_l"))).as("_top"))
+      .withColumn("top_lang", col("_top._l"))
+      .withColumn("top_lang_chunk_ppm",
+        expr("(-_top._nc) * 1000000 div n_chunks"))
+      .withColumn("mixed", col("n_langs") > 1)
+      .select(col("id"), col("n_chunks"), col("n_langs"), col("top_lang"),
+        col("top_lang_chunk_ppm"), col("mixed"))
+  }
+
   /** Corpus-frequency document scoring (OOV / rare-token filtering): for each
     * doc, how many of its tokens have a CORPUS-WIDE occurrence count of at
     * most `maxCount`. A high rare fraction means gibberish, mojibake, or

@@ -337,6 +337,12 @@ class PlanGateSpec extends SparkTestBase {
     // projection; the report's COUNT DISTINCT doc pays the two-phase
     // distinct-aggregate pair of exchanges ((hash, id) then hash)
     "cdc_dup_chunks" -> 2,
+    // the reference digest distinct (1) + the per-doc report agg (1); the
+    // probe join rides a broadcast at gate SF, text never shuffles
+    "cdc_dedup_against" -> 2,
+    // chunking + per-chunk votes are staged scan-speed projections; the
+    // (id, lang) count agg (1) + the per-id majority re-agg (1)
+    "lang_mix" -> 2,
     "hll_windowed" -> 1,
     "value_histogram" -> 1,
     // funnel's per-step stages all key on user_id: the later joins/aggs

@@ -466,6 +466,35 @@ class DedupSpec extends SparkTestBase {
     assert(rep.nonEmpty && rep.forall { case (occ, nd) => occ === 2L && nd === 2L })
   }
 
+  test("cdcDedupAgainst: reference content found at any offset; fresh text scores zero") {
+    import spark.implicits._
+    val base = (1 to 120).map(i => s"w$i").mkString(" ")
+    val fresh = (1 to 120).map(i => s"f$i").mkString(" ")
+    val ref = Seq((1L, base)).toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, "zzz " + base),      // leading edit: resyncs, high dup ppm
+      (11L, fresh),              // disjoint tokens: zero overlap
+      (12L, fresh + " " + base)) // reference passage pasted mid-doc
+      .toDF("doc_id", "text")
+    val got = Dedup.cdcDedupAgainst(batch, ref, "doc_id", "text",
+      gramSize = 4, modulus = 4)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(3), r.getLong(5)))).toMap
+    val (c10, d10, ppm10) = got(10L)
+    assert(d10 >= c10 - 2 && ppm10 > 500000L,
+      s"prefix-edited copy must resync: $d10/$c10 chunks, $ppm10 ppm")
+    assert(got(11L)._2 === 0L && got(11L)._3 === 0L)
+    // pasted passage: the base-content chunks after the splice boundary
+    // match; the fresh half contributes zero — ppm sits strictly between
+    val (_, d12, ppm12) = got(12L)
+    assert(d12 > 0L && ppm12 > 200000L && ppm12 < 800000L,
+      s"mid-doc paste must partially match: $d12 chunks, $ppm12 ppm")
+    // determinism under repartition
+    val again = Dedup.cdcDedupAgainst(batch.repartition(5), ref, "doc_id",
+      "text", 4, 4).collect().map(r => r.getLong(0) -> r.getLong(5)).toMap
+    assert(again === got.map { case (k, v) => k -> v._3 })
+  }
+
   test("dedupWindows: tail window covers every token; short docs dedup whole-doc") {
     val docs = docsDf(
       (1L, "t1 t2 t3 t4 t5 t6 t7"), // n=7, k=4, s=3: starts 0, 3 + tail 3 — all covered

@@ -534,6 +534,34 @@ class TextAnalysisSpec extends SparkTestBase {
     assert((g2.getInt(1), g2.getString(2)) === ((2, "xy ##x")))
   }
 
+  test("languageConsistency: foreign block flags mixed; und chunks never count as a language") {
+    import spark.implicits._
+    // 160 en tokens: chunk-aligned so the German block owns its own chunk
+    val en = Seq.fill(16)("the cat sat on the mat and it was a day").mkString(" ")
+    val de = Seq.fill(4)("der die das und ist von mit den im auf").mkString(" ")
+    val noise = Seq.fill(5)("zzqq kkrr vvpp mmnn ttss xxyy hhgg ffdd").mkString(" ")
+    val docs = Seq(
+      (1L, en + " " + de),   // English body + a German block -> mixed
+      (2L, en),              // monolingual -> not mixed
+      (3L, en + " " + noise),// und chunks: no second LANGUAGE -> not mixed
+      (4L, noise),           // all und: zero languages, majority 'und'
+      (5L, "")).toDF("doc_id", "text")
+    val got = TextAnalysis.languageConsistency(docs, "doc_id", "text",
+      chunkTokens = 40)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3), r.getLong(4),
+          r.getBoolean(5)))).toMap
+    val (n1, l1, top1, ppm1, mix1) = got(1L)
+    assert(mix1 && l1 === 2L && top1 === "en" && ppm1 > 500000L && n1 >= 3L)
+    val (_, l2, top2, ppm2, mix2) = got(2L)
+    assert(!mix2 && l2 === 1L && top2 === "en" && ppm2 === 1000000L)
+    val (_, l3, top3, _, mix3) = got(3L)
+    assert(!mix3 && l3 === 1L && top3 === "en")
+    assert(got(4L) === ((1L, 0L, "und", 1000000L, false)))
+    // token-empty docs emit nothing
+    assert(!got.contains(5L))
+  }
+
   test("trainBpeMerges: samplePercent trains on the deterministic md5-bucket subset") {
     import spark.implicits._
     val docs = spark.read.parquet(s"${sf()}/documents.parquet").limit(60)

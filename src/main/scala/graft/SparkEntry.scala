@@ -2684,6 +2684,19 @@ object SparkEntry {
   // lazy val, not def: both maps are pure constants, and a def would rebuild
   // the ~90-entry map (oracleSql additionally regenerates hyperplanes and
   // megabytes of CTE strings) on EVERY per-key lookup the driver makes
+  /** Co-purchase association rules over order-baskets of distinct parts:
+    * cap 10 drops the 11-item tail baskets whole (the documented skew
+    * contract, exercised at every SF), support 2 keeps the pair table at
+    * rule-worthy co-occurrences. All three rule metrics land in the exact
+    * ppm integral-division lane the oracle replays with `//`.
+    */
+  private def basketRulesQ(s: SparkSession, dir: String): DataFrame = {
+    val li = s.read.parquet(s"$dir/lineitem.parquet")
+      .select("l_orderkey", "l_partkey")
+    ops.Affinity.basketRules(li, "l_orderkey", "l_partkey",
+      minSupport = 2L, maxBasketItems = 10)
+  }
+
   lazy val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "source_parquet" -> (sourceParquet _),
     "source_csv_roundtrip" -> (sourceCsvRoundtrip _),
@@ -2870,6 +2883,7 @@ object SparkEntry {
     "decode_ids" -> (decodeIdsQ _),
     "kmeans_clusters" -> (kmeansClusters _),
     "kmeans_sample_train" -> (kmeansSampleTrain _),
+    "basket_rules" -> (basketRulesQ _),
   )
 
   /** DuckDB twin per SQL-expressible key (driver compares on sf0.01). */
@@ -6851,6 +6865,34 @@ object SparkEntry {
            |SELECT t.doc_id, coalesce(agg.decoded, '') AS decoded,
            |  coalesce(agg.n_ids, 0) AS n_ids, coalesce(agg.n_unknown, 0) AS n_unknown
            |FROM t LEFT JOIN agg USING (doc_id)""".stripMargin,
+      // basket-rule replay: the same distinct-presence → cap → pair-count
+      // → both-directions → integral-ppm chain; `//` is DuckDB's floor
+      // division, matching the engine's DECIMAL(38,0) `div` on these
+      // all-positive lanes
+      "basket_rules" ->
+        """WITH d AS MATERIALIZED (
+          |  SELECT DISTINCT l_orderkey AS basket, l_partkey AS item
+          |  FROM lineitem WHERE l_orderkey IS NOT NULL AND l_partkey IS NOT NULL),
+          |ok AS MATERIALIZED (
+          |  SELECT basket FROM d GROUP BY basket HAVING count(*) <= 10),
+          |dd AS MATERIALIZED (SELECT d.* FROM d JOIN ok USING (basket)),
+          |n AS (SELECT count(DISTINCT basket) AS nb FROM dd),
+          |ic AS MATERIALIZED (
+          |  SELECT item, count(*) AS ci FROM dd GROUP BY item),
+          |pc AS MATERIALIZED (
+          |  SELECT a.item AS ia, b.item AS ib, count(*) AS cab
+          |  FROM dd a JOIN dd b ON a.basket = b.basket AND a.item < b.item
+          |  GROUP BY 1, 2 HAVING count(*) >= 2),
+          |r AS (SELECT ia AS antecedent, ib AS consequent, cab FROM pc
+          |  UNION ALL SELECT ib, ia, cab FROM pc)
+          |SELECT r.antecedent, r.consequent, r.cab AS n_pair_baskets,
+          |  r.cab * 1000000 // n.nb AS support_ppm,
+          |  r.cab * 1000000 // ca.ci AS confidence_ppm,
+          |  r.cab * n.nb * 1000000 // (ca.ci * cb.ci) AS lift_ppm
+          |FROM r
+          |JOIN ic ca ON r.antecedent = ca.item
+          |JOIN ic cb ON r.consequent = cb.item
+          |CROSS JOIN n""".stripMargin,
       "table_profile" -> {
         val profiled = Seq("event_id", "user_id", "event_type", "value_e4", "ts_us")
         profiled.map(c =>

@@ -1,0 +1,131 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, Observation}
+import org.apache.spark.sql.functions._
+
+/** Market-basket affinity mining — the association-rule family (support /
+  * confidence / lift) every retail-ish analytics engine ships and every
+  * corpus curator reuses as "which sources co-occur in the same crawl
+  * snapshot" / "which tags co-occur on the same document". The reference's
+  * surface stops at SQL-templated retrieval (data_engine_offline_store.py:
+  * 356-519); this family is part of the wider pipeline brief, built
+  * Spark-first as three narrow aggregations plus one in-row pair
+  * expansion.
+  *
+  * Scale shape (the 100 TB question): the only wide operation is the
+  * groupBy(basket) that assembles each basket's distinct item set — one
+  * shuffle keyed by basket id, map-side partial collect_set. Pair
+  * generation happens IN-ROW on the assembled array (no self-join of the
+  * item table with itself, which would shuffle the corpus twice and
+  * explode hot baskets before any cap could see them), so a basket of b
+  * items costs C(b,2) generated structs only after the cap filter has
+  * dropped pathological baskets whole. `maxBasketItems` is the skew
+  * contract: a crawler user with 10^6 distinct items would otherwise
+  * alone emit 5·10^11 pairs; over-cap baskets drop entirely (counted in
+  * `metrics` as `n_dropped_baskets`, the bucketPairs discipline — biasing
+  * silently toward small baskets is dishonest, dropping observably is a
+  * documented estimator choice). Pair counts then aggregate on the
+  * (item_a, item_b) key — cardinality bounded by the pair support
+  * distribution, not the corpus — and item supports ride a broadcast
+  * into the final rule projection.
+  *
+  * Integer-exact lane: support/confidence/lift are emitted in ppm via
+  * DECIMAL(38,0) integral division (`div`), so c_ab·N·10^6 stays exact
+  * past 10^12 baskets where the int64 product would wrap; every engine
+  * replaying the same integral divisions lands on identical longs.
+  */
+object Affinity {
+
+  /** Association rules over `(basketCol, itemCol)` presence pairs.
+    *
+    * Semantics: a basket "contains" an item if at least one row carries
+    * the pair (multiplicity ignored — presence, the classic market-basket
+    * formulation). Baskets with more than `maxBasketItems` DISTINCT items
+    * drop whole before pair expansion. NULL baskets and NULL items drop.
+    * For every unordered item pair {a, b} co-occurring in at least
+    * `minSupport` surviving baskets, BOTH directed rules (a→b, b→a) are
+    * emitted with:
+    *   - `n_pair_baskets`  — c_ab, baskets containing both
+    *   - `support_ppm`     — ⌊c_ab·10^6 / N⌋, N = surviving baskets
+    *   - `confidence_ppm`  — ⌊c_ab·10^6 / c_antecedent⌋
+    *   - `lift_ppm`        — ⌊c_ab·N·10^6 / (c_a·c_b)⌋ (>10^6 ⇔ positive
+    *     association), exact via the DECIMAL(38,0) lane
+    *
+    * The surviving-basket count N is a bounded one-row driver pull at
+    * build time (the rankAuc min/max precedent): embedding it as a
+    * literal keeps the rule projection a pure map over the pair table
+    * instead of hanging a scalar-subquery subtree under two consumers.
+    */
+  def basketRules(
+      df: DataFrame,
+      basketCol: String,
+      itemCol: String,
+      minSupport: Long = 2L,
+      maxBasketItems: Int = 64,
+      metrics: Option[Observation] = None): DataFrame = {
+    require(minSupport >= 1, "minSupport must be >= 1")
+    require(maxBasketItems >= 2, "maxBasketItems must be >= 2 (pairs need 2 items)")
+    // one shuffle: basket-keyed distinct item sets (collect_set dedups
+    // map-side); the sorted array makes in-row pair order deterministic
+    // three consumers (the N pull, item supports, pair counts) hang off
+    // the assembled basket table — checkpoint so the scan+groupBy lineage
+    // runs once (the be32538 multi-consumer discipline). The checkpoint
+    // sits BELOW the observe node: a CollectMetrics buried inside a
+    // checkpointed RDD's lineage is invisible to the consuming action's
+    // executed plan, and the observation would never surface its values
+    val assembled = df
+      .filter(col(basketCol).isNotNull && col(itemCol).isNotNull)
+      .groupBy(col(basketCol).as("_basket"))
+      .agg(array_sort(collect_set(col(itemCol).cast("long"))).as("_items"))
+      .localCheckpoint(false)
+    val capped = metrics.map { o =>
+      assembled.observe(o,
+        count(lit(1)).as("n_baskets_in"),
+        coalesce(sum(when(size(col("_items")) > maxBasketItems, 1L)
+          .otherwise(0L)), lit(0L)).as("n_dropped_baskets"))
+    }.getOrElse(assembled)
+      .filter(size(col("_items")) <= maxBasketItems)
+    val nBaskets = capped.count()
+    // item supports: narrow explode of the capped arrays, second agg on
+    // the item key; broadcast into the rule projection (bounded by item
+    // vocabulary, not corpus)
+    val itemCounts = capped
+      .select(explode(col("_items")).as("_item"))
+      .groupBy(col("_item")).agg(count(lit(1)).as("_ci"))
+    // in-row unordered pair expansion over the sorted array: element i
+    // pairs with every later element — C(b,2) structs per basket, only
+    // AFTER the cap filter; lambdas reference a materialized attribute
+    // (the d599542 lesson: an inline child re-evaluates per reference)
+    val pairs = capped
+      .select(flatten(transform(col("_items"), (x, i) =>
+        transform(slice(col("_items"), i + lit(2),
+          greatest(size(col("_items")) - i - lit(1), lit(0))), y =>
+          struct(x.as("_ia"), y.as("_ib"))))).as("_ps"))
+      .select(explode(col("_ps")).as("_p"))
+      .groupBy(col("_p._ia").as("_ia"), col("_p._ib").as("_ib"))
+      .agg(count(lit(1)).as("_cab"))
+      .filter(col("_cab") >= minSupport)
+    // both rule directions from each unordered pair, then supports join;
+    // item-count side broadcasts (vocabulary-sized)
+    val directed = pairs
+      .select(col("_ia").as("antecedent"), col("_ib").as("consequent"), col("_cab"))
+      .unionByName(pairs.select(col("_ib").as("antecedent"),
+        col("_ia").as("consequent"), col("_cab")))
+    val dec = "decimal(38,0)"
+    directed
+      .join(broadcast(itemCounts.withColumnRenamed("_item", "antecedent")
+        .withColumnRenamed("_ci", "_ca")), Seq("antecedent"))
+      .join(broadcast(itemCounts.withColumnRenamed("_item", "consequent")
+        .withColumnRenamed("_ci", "_cb")), Seq("consequent"))
+      .select(
+        col("antecedent"),
+        col("consequent"),
+        col("_cab").as("n_pair_baskets"),
+        expr(s"(CAST(_cab AS $dec) * 1000000) div ${nBaskets}L")
+          .cast("long").as("support_ppm"),
+        expr(s"(CAST(_cab AS $dec) * 1000000) div _ca")
+          .cast("long").as("confidence_ppm"),
+        expr(s"(CAST(_cab AS $dec) * ${nBaskets}L * 1000000) div " +
+          s"(CAST(_ca AS $dec) * _cb)").cast("long").as("lift_ppm"))
+  }
+}

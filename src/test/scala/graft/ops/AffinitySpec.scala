@@ -1,0 +1,97 @@
+package graft.ops
+
+import graft.SparkTestBase
+import org.apache.spark.sql.Observation
+import org.apache.spark.sql.functions._
+
+class AffinitySpec extends SparkTestBase {
+
+  import Affinity.basketRules
+
+  private def fixture = {
+    import spark.implicits._
+    // baskets: 1:{10,20,30} 2:{10,20} 3:{10,20,40} 4:{40} 5:{10,20}
+    // pair {10,20} in baskets 1,2,3,5 (c=4); {10,30}/{20,30} once; {10,40}/{20,40} once
+    Seq(
+      (1L, 10L), (1L, 20L), (1L, 30L),
+      (2L, 10L), (2L, 20L), (2L, 10L), // dup row: presence, not multiplicity
+      (3L, 10L), (3L, 20L), (3L, 40L),
+      (4L, 40L),
+      (5L, 10L), (5L, 20L)
+    ).toDF("basket", "item")
+  }
+
+  test("hand-checked support/confidence/lift in the exact ppm lane") {
+    val out = basketRules(fixture, "basket", "item", minSupport = 2L)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    // only {10,20} reaches support 2; N=5, c10=4, c20=4, c1020=4
+    assert(out.keySet == Set((10L, 20L), (20L, 10L)))
+    val (cab, sup, conf, lift) = out((10L, 20L))
+    assert(cab == 4L)
+    assert(sup == 4L * 1000000L / 5L)        // 800000
+    assert(conf == 4L * 1000000L / 4L)       // 1000000
+    assert(lift == 4L * 5L * 1000000L / 16L) // 1250000
+    assert(out((20L, 10L)) == out((10L, 20L))) // symmetric counts, same c_a=c_b here
+  }
+
+  test("multiplicity is ignored: duplicate (basket,item) rows do not inflate counts") {
+    import spark.implicits._
+    val dup = fixture.unionByName(Seq((1L, 10L), (1L, 10L)).toDF("basket", "item"))
+    val a = basketRules(fixture, "basket", "item").collect().toSeq.map(_.toSeq).toSet
+    val b = basketRules(dup, "basket", "item").collect().toSeq.map(_.toSeq).toSet
+    assert(a == b)
+  }
+
+  test("over-cap baskets drop whole and are observed") {
+    import spark.implicits._
+    // basket 9 has 5 items — with cap 4 it must not contribute ANY pair,
+    // including pairs among its first items
+    val wide = (1L to 5L).map(i => (9L, i * 100L)).toDF("basket", "item")
+    val base = fixture.unionByName(wide)
+    val o = Observation()
+    val out = basketRules(base, "basket", "item", minSupport = 1L,
+      maxBasketItems = 4, metrics = Some(o))
+    val got = out.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(!got.exists(p => p._1 >= 100L || p._2 >= 100L))
+    val m = o.get
+    assert(m("n_dropped_baskets").asInstanceOf[Long] == 1L)
+    assert(m("n_baskets_in").asInstanceOf[Long] == 6L)
+  }
+
+  test("lift calibration: independent items sit at ~1e6, anti-correlated below") {
+    import spark.implicits._
+    // 40 baskets: item 1 in all, item 2 in even baskets (independent of 1),
+    // items 3 and 4 perfectly anti-correlated (never co-occur)
+    val rows = (1L to 40L).flatMap { b =>
+      Seq(b -> 1L) ++ (if (b % 2 == 0) Seq(b -> 2L) else Nil) ++
+        Seq(b -> (if (b % 2 == 0) 3L else 4L))
+    }
+    val out = basketRules(rows.toDF("basket", "item"), "basket", "item",
+      minSupport = 1L)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(5)).toMap
+    assert(out((1L, 2L)) == 1000000L) // c12=20, c1=40, c2=20, N=40
+    assert(!out.contains((3L, 4L)))   // never co-occur -> no rule at all
+    assert(out((2L, 3L)) == 2000000L) // 2 and 3 coincide exactly (even baskets)
+  }
+
+  test("NULLs drop; empty input yields empty rules") {
+    import spark.implicits._
+    val withNulls = Seq(
+      (Option(1L), Option(10L)), (Option(1L), None), (None, Option(20L))
+    ).toDF("basket", "item")
+    assert(basketRules(withNulls, "basket", "item", minSupport = 1L).count() == 0L)
+    val empty = spark.emptyDataFrame
+      .withColumn("basket", lit(null).cast("long"))
+      .withColumn("item", lit(null).cast("long"))
+    assert(basketRules(empty, "basket", "item").count() == 0L)
+  }
+
+  test("partitioning invariance: same rules at 1 and 13 partitions") {
+    val a = basketRules(fixture.repartition(1), "basket", "item")
+      .collect().map(_.toSeq).toSet
+    val b = basketRules(fixture.repartition(13), "basket", "item")
+      .collect().map(_.toSeq).toSet
+    assert(a == b && a.nonEmpty)
+  }
+}

@@ -2697,6 +2697,71 @@ object SparkEntry {
       minSupport = 2L, maxBasketItems = 10)
   }
 
+  /** Shared KMV register build for the two kmv_* queries: per-source
+    * bottom-256 sketches over the distinct-token universe (in-row
+    * array_distinct BEFORE the explode keeps the exploded volume at
+    * per-doc-vocabulary size, not token count).
+    */
+  private def kmvSourceRegisters(s: SparkSession, dir: String): DataFrame = {
+    val toks = s.read.parquet(s"$dir/documents.parquet")
+      .select(col("source"),
+        explode(array_distinct(graft.functions.tokens(col("text")))).as("tok"))
+    ops.Sketch.kmvRegisters(toks, Seq("source"), "tok", k = 256, seed = "kmv")
+  }
+
+  /** Per-source vocabulary-cardinality estimates from the KMV sketch —
+    * below capacity the sketch is exact; at capacity the (k−1)·2^60/U_(k)
+    * integral estimate engages (it does at every SF: 25 docs/source
+    * already carry >256 distinct tokens).
+    */
+  private def kmvDistinctQ(s: SparkSession, dir: String): DataFrame =
+    ops.Sketch.kmvEstimate(kmvSourceRegisters(s, dir), Seq("source"), k = 256)
+
+  /** All 190 source-pair vocabulary overlaps from the same registers —
+    * the intersect/Jaccard estimates HLL structurally cannot produce.
+    */
+  private def kmvJaccardQ(s: SparkSession, dir: String): DataFrame =
+    ops.Sketch.kmvPairwise(kmvSourceRegisters(s, dir), "source", k = 256)
+
+  /** Exact KS statistic for all 10 event-type pairs over the value
+    * distribution — the drift family's no-binning member; ~950 pooled
+    * distinct values per 1000 events keep the dense V×G grid honest at
+    * every SF.
+    */
+  private def ksTestQ(s: SparkSession, dir: String): DataFrame = {
+    val ev = s.read.parquet(s"$dir/events.parquet")
+      .select("event_type", "value")
+    ops.Stats.ksTest(ev, "event_type", "value")
+  }
+
+  /** Exact PR curve over the events value score against the purchase
+    * label — one row per distinct score (~950 per 1000 events: the
+    * continuous-score shape the banded two-phase cumulative exists for).
+    */
+  private def evalPrQ(s: SparkSession, dir: String): DataFrame = {
+    val ev = s.read.parquet(s"$dir/events.parquet")
+      .select(col("value"), (col("event_type") === "purchase").as("label"))
+    ops.Stats.prCurve(ev, "value", "label")
+  }
+
+  /** Daily CUSUM changepoint scan per event type over the value series —
+    * where each type's cumulative value mass diverges most from uniform
+    * accumulation.
+    */
+  private def cusumChangeQ(s: SparkSession, dir: String): DataFrame =
+    ops.Stats.cusumChangepoint(
+      events(dir).load(s).select("event_type", "ts", "value"),
+      "event_type", "ts", "value", bucketSeconds = 86400L)
+      .withColumn("change_at_us", unix_micros(col("change_at")))
+      .drop("change_at")
+
+  /** Exact DAU/WAU/MAU engagement panel over the events stream. */
+  private def activeUsersQ(s: SparkSession, dir: String): DataFrame =
+    ops.Temporal.activeUsers(
+      events(dir).load(s).select("user_id", "ts"), "user_id", "ts")
+      .withColumn("day_us", unix_micros(col("day")))
+      .drop("day")
+
   lazy val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "source_parquet" -> (sourceParquet _),
     "source_csv_roundtrip" -> (sourceCsvRoundtrip _),
@@ -2884,6 +2949,12 @@ object SparkEntry {
     "kmeans_clusters" -> (kmeansClusters _),
     "kmeans_sample_train" -> (kmeansSampleTrain _),
     "basket_rules" -> (basketRulesQ _),
+    "kmv_distinct" -> (kmvDistinctQ _),
+    "kmv_jaccard" -> (kmvJaccardQ _),
+    "ks_test" -> (ksTestQ _),
+    "eval_pr" -> (evalPrQ _),
+    "cusum_change" -> (cusumChangeQ _),
+    "active_users" -> (activeUsersQ _),
   )
 
   /** DuckDB twin per SQL-expressible key (driver compares on sf0.01). */
@@ -2929,6 +3000,20 @@ object SparkEntry {
          |list_filter(string_split_regex(lower(trim(text)), '\\s+'), x -> len(x) > 0) AS toks
          |FROM $src)""".stripMargin
     val toksCte = toksCteFrom("documents")
+    // per-source KMV bottom-256 registers over the distinct-token universe;
+    // shared by kmv_distinct and kmv_jaccard (one definition, no drift)
+    val KmvRegCtes =
+      """tk AS MATERIALIZED (SELECT source,
+        |  unnest(list_distinct(list_filter(
+        |    string_split_regex(lower(trim(text)), '\s+'),
+        |    x -> len(x) > 0))) AS tok
+        |  FROM documents),
+        |hv AS MATERIALIZED (SELECT DISTINCT source,
+        |  CAST(concat('0x', substr(md5(concat('kmv:', tok)), 1, 15)) AS BIGINT)
+        |    AS kmv_h FROM tk),
+        |rk AS MATERIALIZED (SELECT source, kmv_h, row_number() OVER (
+        |  PARTITION BY source ORDER BY kmv_h) AS r FROM hv),
+        |reg AS MATERIALIZED (SELECT source, kmv_h FROM rk WHERE r <= 256)""".stripMargin
     // planted corpus + tokenization, shared by all three window-dedup
     // oracles (one definition so the replays cannot drift)
     // the image dHash populations (base + re-encoded + resized twins,
@@ -6865,6 +6950,151 @@ object SparkEntry {
            |SELECT t.doc_id, coalesce(agg.decoded, '') AS decoded,
            |  coalesce(agg.n_ids, 0) AS n_ids, coalesce(agg.n_unknown, 0) AS n_unknown
            |FROM t LEFT JOIN agg USING (doc_id)""".stripMargin,
+      // KMV replay: one shared register CTE chain (distinct tokens →
+      // 60-bit md5 hash → per-source bottom-256) serves both kmv oracles
+      // so the replays cannot drift; 255·2^60 rides HUGEINT, `//` is the
+      // integral division matching the engine's DECIMAL(38,0) div
+      "kmv_distinct" ->
+        s"""WITH $KmvRegCtes
+           |SELECT source, count(*) AS n_registers,
+           |  CASE WHEN count(*) < 256 OR max(kmv_h) <= 0 THEN count(*)
+           |    ELSE CAST(CAST(255 AS HUGEINT) * 1152921504606846976
+           |      // max(kmv_h) AS BIGINT) END AS est_distinct
+           |FROM reg GROUP BY source""".stripMargin,
+      "kmv_jaccard" ->
+        s"""WITH $KmvRegCtes,
+           |gs AS (SELECT DISTINCT source AS g FROM reg),
+           |pr AS (SELECT a.g AS group_a, b.g AS group_b
+           |  FROM gs a JOIN gs b ON a.g < b.g),
+           |u AS (SELECT p.group_a, p.group_b, r.kmv_h,
+           |    max(CASE WHEN r.source = p.group_a THEN 1 ELSE 0 END) AS ina,
+           |    max(CASE WHEN r.source = p.group_b THEN 1 ELSE 0 END) AS inb
+           |  FROM pr p JOIN reg r
+           |    ON r.source = p.group_a OR r.source = p.group_b
+           |  GROUP BY 1, 2, 3),
+           |rk2 AS (SELECT *, row_number() OVER (
+           |    PARTITION BY group_a, group_b ORDER BY kmv_h) AS r FROM u),
+           |s AS (SELECT group_a, group_b,
+           |    CAST(sum(ina * inb) AS BIGINT) AS n_common,
+           |    count(*) AS n_union_sketch, max(kmv_h) AS hmax
+           |  FROM rk2 WHERE r <= 256 GROUP BY 1, 2),
+           |e AS (SELECT group_a, group_b, n_common, n_union_sketch,
+           |    CASE WHEN n_union_sketch < 256 OR hmax <= 0 THEN n_union_sketch
+           |      ELSE CAST(CAST(255 AS HUGEINT) * 1152921504606846976
+           |        // hmax AS BIGINT) END AS union_est
+           |  FROM s)
+           |SELECT group_a, group_b, n_common, n_union_sketch, union_est,
+           |  n_common * 1000000 // n_union_sketch AS jaccard_ppm,
+           |  n_common * union_est // n_union_sketch AS intersect_est
+           |FROM e""".stripMargin,
+      // KS replay: the identical (group, value) count table → dense V×G
+      // grid → per-group cumulative → cross-scaled |F̂_a·n_b − F̂_b·n_a|
+      // pair max → min value attaining it; every quantity integer until
+      // the final integral `//` (matching the engine's DECIMAL(38,0) div)
+      "ks_test" ->
+        """WITH base AS MATERIALIZED (
+          |  SELECT CAST(event_type AS VARCHAR) AS g,
+          |    CAST(value AS DOUBLE) AS v, count(*) AS c
+          |  FROM events WHERE event_type IS NOT NULL AND value IS NOT NULL
+          |  GROUP BY 1, 2),
+          |totals AS (SELECT g, CAST(sum(c) AS BIGINT) AS n FROM base GROUP BY 1),
+          |vals AS (SELECT DISTINCT v FROM base),
+          |cum AS MATERIALIZED (SELECT t.g, vals.v,
+          |    sum(coalesce(base.c, 0)) OVER (
+          |      PARTITION BY t.g ORDER BY vals.v) AS f
+          |  FROM vals CROSS JOIN (SELECT g FROM totals) t
+          |  LEFT JOIN base ON base.g = t.g AND base.v = vals.v),
+          |pv AS MATERIALIZED (SELECT a.v, a.g AS group_a, b.g AS group_b,
+          |    ta.n AS n_a, tb.n AS n_b,
+          |    abs(CAST(a.f AS HUGEINT) * tb.n - CAST(b.f AS HUGEINT) * ta.n) AS d
+          |  FROM cum a JOIN cum b ON a.v = b.v AND a.g < b.g
+          |  JOIN totals ta ON ta.g = a.g JOIN totals tb ON tb.g = b.g),
+          |m AS (SELECT group_a, group_b, n_a, n_b, max(d) AS dmax
+          |  FROM pv GROUP BY 1, 2, 3, 4)
+          |SELECT m.group_a, m.group_b, m.n_a, m.n_b,
+          |  CAST(m.dmax AS BIGINT) AS d_num,
+          |  CAST(m.dmax * 1000000 // (CAST(m.n_a AS HUGEINT) * m.n_b)
+          |    AS BIGINT) AS ks_ppm,
+          |  min(pv.v) AS d_at
+          |FROM m JOIN pv ON pv.group_a = m.group_a AND pv.group_b = m.group_b
+          |  AND pv.d = m.dmax
+          |GROUP BY 1, 2, 3, 4, 5, 6""".stripMargin,
+      // PR-curve replay: distinct-score confusion matrices from the same
+      // counts-below cumulative (predict positive ⇔ score ≥ t); integral
+      // `//` matches the engine's DECIMAL(38,0) div on all-positive lanes
+      "eval_pr" ->
+        """WITH base AS MATERIALIZED (
+          |  SELECT value AS s, count(*) AS cnt,
+          |    sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS pos
+          |  FROM events WHERE value IS NOT NULL AND event_type IS NOT NULL
+          |  GROUP BY 1),
+          |tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS n,
+          |  CAST(sum(pos) AS BIGINT) AS p FROM base),
+          |cum AS (SELECT s,
+          |    coalesce(sum(cnt) OVER (ORDER BY s
+          |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cc,
+          |    coalesce(sum(pos) OVER (ORDER BY s
+          |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cp
+          |  FROM base)
+          |SELECT s AS threshold,
+          |  CAST(p - cp AS BIGINT) AS tp,
+          |  CAST((n - cc) - (p - cp) AS BIGINT) AS fp,
+          |  CAST(cp AS BIGINT) AS fn,
+          |  CAST((p - cp) * 1000000 // (n - cc) AS BIGINT) AS precision_ppm,
+          |  CASE WHEN p > 0
+          |    THEN CAST((p - cp) * 1000000 // p AS BIGINT) END AS recall_ppm,
+          |  CASE WHEN p > 0
+          |    THEN CAST(2 * (p - cp) * 1000000 // ((n - cc) + p) AS BIGINT)
+          |  END AS f1_ppm
+          |FROM cum CROSS JOIN tot""".stripMargin,
+      // CUSUM replay: the identical micro-unit daily bucket sums → per-group
+      // running-sum deviation |n·S_i − i·S_n| → max → earliest attaining
+      // bucket; HUGEINT carries the cross-scaled products exactly
+      "cusum_change" ->
+        """WITH base AS MATERIALIZED (
+          |  SELECT CAST(event_type AS VARCHAR) AS g,
+          |    epoch_us(ts) // 86400000000 AS b,
+          |    CAST(sum(CAST(floor(CAST(value AS DOUBLE) * 1000000)
+          |      AS BIGINT)) AS BIGINT) AS x
+          |  FROM events
+          |  WHERE event_type IS NOT NULL AND ts IS NOT NULL
+          |    AND value IS NOT NULL
+          |  GROUP BY 1, 2),
+          |tot AS (SELECT g, CAST(count(*) AS BIGINT) AS n,
+          |  CAST(sum(x) AS BIGINT) AS st FROM base GROUP BY 1),
+          |dd AS MATERIALIZED (SELECT base.g, b, n, st,
+          |    abs(CAST(n AS HUGEINT) *
+          |        (sum(x) OVER (PARTITION BY base.g ORDER BY b)) -
+          |      CAST(row_number() OVER (PARTITION BY base.g ORDER BY b)
+          |        AS HUGEINT) * st) AS d
+          |  FROM base JOIN tot ON tot.g = base.g),
+          |m AS (SELECT g, n, st, max(d) AS dmax FROM dd GROUP BY 1, 2, 3)
+          |SELECT m.g AS event_type, m.n AS n_buckets, m.st AS s_total,
+          |  CAST(m.dmax AS BIGINT) AS d_num,
+          |  CASE WHEN m.st != 0 THEN CAST(m.dmax * 1000000 //
+          |    (CAST(m.n AS HUGEINT) * abs(m.st)) AS BIGINT) END AS cusum_ppm,
+          |  min(dd.b) * 86400000000 AS change_at_us
+          |FROM m JOIN dd ON dd.g = m.g AND dd.d = m.dmax
+          |GROUP BY 1, 2, 3, 4, 5""".stripMargin,
+      // DAU/WAU/MAU replay: distinct (user, day) pairs fan out to their 30
+      // cover days (generate_series is inclusive, matching sequence), min
+      // offset per (day, user), then the conditional counts
+      "active_users" ->
+        """WITH pairs AS MATERIALIZED (
+          |  SELECT DISTINCT user_id AS u, epoch_us(ts) // 86400000000 AS d
+          |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+          |mx AS (SELECT max(d) AS maxd FROM pairs),
+          |fil AS (SELECT u, d + gs.j AS cover, min(gs.j) AS off
+          |  FROM pairs CROSS JOIN generate_series(0, 29) gs(j) CROSS JOIN mx
+          |  WHERE d + gs.j <= mx.maxd
+          |  GROUP BY 1, 2)
+          |SELECT cover * 86400000000 AS day_us,
+          |  CAST(sum(CASE WHEN off = 0 THEN 1 ELSE 0 END) AS BIGINT) AS dau,
+          |  CAST(sum(CASE WHEN off < 7 THEN 1 ELSE 0 END) AS BIGINT) AS wau,
+          |  count(*) AS mau,
+          |  CAST(sum(CASE WHEN off = 0 THEN 1 ELSE 0 END) * 1000000
+          |    // count(*) AS BIGINT) AS stickiness_ppm
+          |FROM fil GROUP BY 1""".stripMargin,
       // basket-rule replay: the same distinct-presence → cap → pair-count
       // → both-directions → integral-ppm chain; `//` is DuckDB's floor
       // division, matching the engine's DECIMAL(38,0) `div` on these

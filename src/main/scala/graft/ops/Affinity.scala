@@ -89,9 +89,13 @@ object Affinity {
     // item supports: narrow explode of the capped arrays, second agg on
     // the item key; broadcast into the rule projection (bounded by item
     // vocabulary, not corpus)
+    // vocabulary-sized; checkpointed because TWO broadcasts (antecedent +
+    // consequent side) consume it — without the boundary each broadcast
+    // re-runs the explode+agg over the corpus
     val itemCounts = capped
       .select(explode(col("_items")).as("_item"))
       .groupBy(col("_item")).agg(count(lit(1)).as("_ci"))
+      .localCheckpoint(false)
     // in-row unordered pair expansion over the sorted array: element i
     // pairs with every later element — C(b,2) structs per basket, only
     // AFTER the cap filter; lambdas reference a materialized attribute
@@ -105,6 +109,9 @@ object Affinity {
       .groupBy(col("_p._ia").as("_ia"), col("_p._ib").as("_ib"))
       .agg(count(lit(1)).as("_cab"))
       .filter(col("_cab") >= minSupport)
+      // pair-support-sized; checkpointed because both rule DIRECTIONS read
+      // it — without the boundary the C(b,2) expansion + pair agg run twice
+      .localCheckpoint(false)
     // both rule directions from each unordered pair, then supports join;
     // item-count side broadcasts (vocabulary-sized)
     val directed = pairs

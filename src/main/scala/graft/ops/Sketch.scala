@@ -405,4 +405,185 @@ object Sketch {
           lit(m) * log(lit(m) / col("_zeros")))
         .otherwise(col("_raw")).as("estimate"): _*)
   }
+
+  // ---------------------------------------------------------------- KMV ---
+
+  /** 2^60 — the size of the KMV hash space: 15 hex chars of md5, always
+    * positive in an int64, replayable in any engine as
+    * `CAST('0x' || substr(md5(seed || ':' || v), 1, 15) AS BIGINT)`.
+    */
+  private val KmvSpace = 1152921504606846976L
+
+  private def kmvHash(v: Column, seed: String): Column =
+    conv(substring(md5(concat(lit(seed), lit(":"), v.cast("string"))
+      .cast("binary")), 1, 15), 16, 10).cast("long")
+
+  /** K-Minimum-Values (bottom-k) distinct sketch — the sketch family's
+    * fourth member, and the one that closes the gap HLL leaves open: HLL
+    * registers (rows 75/186) union perfectly but CANNOT intersect (the
+    * inclusion–exclusion estimate there degrades with set count), while a
+    * KMV sketch supports union AND intersection/Jaccard natively, because
+    * the k smallest hashes of A ∪ B are a uniform coordinated sample of
+    * the union on which membership in A and B is directly observable
+    * (Beyer et al., "On synopses for distinct-value estimation under
+    * multiset operations", SIGMOD'07 — the same bottom-k coordinated-
+    * sample law [[graft.ops.Sampling.prioritySample]] uses for rows).
+    *
+    * The registers are the artifact: the k smallest DISTINCT 60-bit md5
+    * hashes per group — k rows/group, persistable, mergeable ([[
+    * kmvMergeRegisters]]), deterministic in any engine (pure md5 lane, no
+    * floats). Estimates derive from registers alone: with n < k registers
+    * the sketch IS the value set (exact count); otherwise the k-th
+    * smallest hash U_(k) estimates density as (k−1)·2^60 / U_(k).
+    *
+    * Scale shape: the register build is one groupBy over (group, hash)
+    * with map-side combine — the same shuffle class as any exact
+    * distinct — then a group-partitioned bottom-k window over the
+    * DISTINCT-hash table. The sketch's 100 TB value is what comes after:
+    * nightly unions, cross-corpus overlap matrices, and contamination
+    * screens all run on k-row register slices without re-scanning text.
+    */
+  def kmvRegisters(
+      df: DataFrame,
+      groupCols: Seq[String],
+      valueCol: String,
+      k: Int,
+      seed: String): DataFrame = {
+    require(k >= 2, "k must be >= 2 (the estimator divides by k-1)")
+    import org.apache.spark.sql.expressions.Window
+    val keys = groupCols.map(col)
+    val distinctHashes = df
+      .filter(col(valueCol).isNotNull)
+      .select(keys :+ kmvHash(col(valueCol), seed).as("kmv_h"): _*)
+      .distinct()
+    val w =
+      if (groupCols.isEmpty) Window.orderBy(col("kmv_h"))
+      else Window.partitionBy(keys: _*).orderBy(col("kmv_h"))
+    distinctHashes
+      .withColumn("_r", row_number().over(w))
+      .filter(col("_r") <= k)
+      .drop("_r")
+  }
+
+  /** Merge KMV register tables by collapsing grouping dimensions (or
+    * unioning snapshots stacked with `unionByName` first): dedup hashes
+    * per surviving group, keep the k smallest. Exact-mergeable: because
+    * each input sketch holds ITS k smallest, every hash in the merged
+    * bottom-k is present in at least one input — bottom-k(bottom-k(A) ∪
+    * bottom-k(B)) = bottom-k(A ∪ B), so a re-sketch of the union lands on
+    * identical registers (double-ingest idempotent, like the quantile
+    * sketch's dedup-by-row discipline).
+    */
+  def kmvMergeRegisters(
+      registers: DataFrame,
+      groupCols: Seq[String],
+      k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val keys = groupCols.map(col)
+    val w =
+      if (groupCols.isEmpty) Window.orderBy(col("kmv_h"))
+      else Window.partitionBy(keys: _*).orderBy(col("kmv_h"))
+    registers
+      .select(keys :+ col("kmv_h"): _*)
+      .distinct()
+      .withColumn("_r", row_number().over(w))
+      .filter(col("_r") <= k)
+      .drop("_r")
+  }
+
+  /** Distinct-cardinality estimate per group from a [[kmvRegisters]]
+    * table, in the exact integer lane: n < k registers means the sketch
+    * saw every distinct value (estimate = n, exact); at capacity the
+    * estimate is ⌊(k−1)·2^60 / U_(k)⌋ with U_(k) = max register = the
+    * k-th smallest hash. DECIMAL(38,0) holds the (k−1)·2^60 product
+    * exactly (it overflows int64 from k=9), and integral `div` makes the
+    * replay bit-identical in any engine.
+    */
+  def kmvEstimate(
+      registers: DataFrame,
+      groupCols: Seq[String],
+      k: Int): DataFrame = {
+    require(k >= 2, "k must be >= 2")
+    val keys = groupCols.map(col)
+    registers
+      .groupBy(keys: _*)
+      .agg(count(lit(1)).as("n_registers"), max(col("kmv_h")).as("_hmax"))
+      .select(keys ++ Seq(
+        col("n_registers"),
+        when(col("n_registers") < k || col("_hmax") <= 0, col("n_registers"))
+          .otherwise(expr(
+            s"(CAST(${k - 1} AS DECIMAL(38,0)) * $KmvSpace) div _hmax")
+            .cast("long")).as("est_distinct")): _*)
+  }
+
+  /** Pairwise overlap estimates between every two groups of ONE register
+    * table — the operation HLL cannot do: for each group pair (a, b) with
+    * a < b in the group column's own ordering, the k smallest hashes of
+    * the UNION of the two sketches form a coordinated uniform sample of
+    * A ∪ B; the fraction of that sample present in BOTH sketches is the
+    * Jaccard estimate, and Jaccard × union-estimate is the intersection
+    * estimate — all in the integral-ppm lane.
+    *
+    * Output per pair: `n_common` (shared registers in the union sample),
+    * `n_union_sketch` (sample size, min(k, |regs_a ∪ regs_b|)),
+    * `union_est`, `jaccard_ppm`, `intersect_est`.
+    *
+    * Scale shape: pairs come from a self-join of the group table (G²/2
+    * rows — G is a dimension like source or language, not the corpus) and
+    * ride a broadcast onto the k-row register slices; per-pair work is at
+    * most 2k rows through one window. The corpus was only ever touched by
+    * the register build.
+    */
+  def kmvPairwise(
+      registers: DataFrame,
+      groupCol: String,
+      k: Int): DataFrame = {
+    require(k >= 2, "k must be >= 2")
+    import org.apache.spark.sql.expressions.Window
+    // THREE consumers read the register slice (the pair builder and both
+    // membership sides) — checkpoint it so the register build's lineage
+    // (corpus distinct + bottom-k window) runs once, not three times
+    val regs = registers.select(col(groupCol).as("_rg"), col("kmv_h"))
+      .localCheckpoint(false)
+    // G² pair table from a non-equi self-cross of the G-row group list —
+    // a broadcast nested-loop over two dimension-sized frames by design
+    // (G is a source/language dimension, never the corpus); checkpointed
+    // because both membership sides broadcast it
+    val groups = regs.select(col("_rg").as("_g")).distinct()
+    val pairs = groups.select(col("_g").as("group_a"))
+      .join(groups.select(col("_g").as("group_b")),
+        col("group_a") < col("group_b"))
+      .localCheckpoint(false)
+    val sideA = regs.join(broadcast(pairs), col("_rg") === col("group_a"))
+      .select(col("group_a"), col("group_b"), col("kmv_h"),
+        lit(1).as("_ina"), lit(0).as("_inb"))
+    val sideB = regs.join(broadcast(pairs), col("_rg") === col("group_b"))
+      .select(col("group_a"), col("group_b"), col("kmv_h"),
+        lit(0).as("_ina"), lit(1).as("_inb"))
+    val w = Window.partitionBy(col("group_a"), col("group_b"))
+      .orderBy(col("kmv_h"))
+    sideA.unionByName(sideB)
+      .groupBy(col("group_a"), col("group_b"), col("kmv_h"))
+      .agg(max(col("_ina")).as("_a"), max(col("_inb")).as("_b"))
+      .withColumn("_r", row_number().over(w))
+      .filter(col("_r") <= k)
+      .groupBy(col("group_a"), col("group_b"))
+      .agg(
+        sum(col("_a") * col("_b")).cast("long").as("n_common"),
+        count(lit(1)).as("n_union_sketch"),
+        max(col("kmv_h")).as("_hmax"))
+      .select(
+        col("group_a"), col("group_b"), col("n_common"), col("n_union_sketch"),
+        when(col("n_union_sketch") < k || col("_hmax") <= 0,
+          col("n_union_sketch"))
+          .otherwise(expr(
+            s"(CAST(${k - 1} AS DECIMAL(38,0)) * $KmvSpace) div _hmax")
+            .cast("long")).as("union_est"))
+      .withColumn("jaccard_ppm",
+        expr("(CAST(n_common AS DECIMAL(38,0)) * 1000000) div n_union_sketch")
+          .cast("long"))
+      .withColumn("intersect_est",
+        expr("(CAST(n_common AS DECIMAL(38,0)) * union_est) div n_union_sketch")
+          .cast("long"))
+  }
 }

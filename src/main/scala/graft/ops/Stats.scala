@@ -628,4 +628,276 @@ object Stats {
       col(s"_min_$c").as("min_s"), col(s"_max_$c").as("max_s")))
     wide.select(explode(array(entries: _*)).as("_e")).select(col("_e.*"))
   }
+
+  /** Exact two-sample Kolmogorov–Smirnov statistic for EVERY group pair of
+    * one group column — the drift family's exact member: categoricalDrift/
+    * numericDrift (rows 142/146) compare binned shapes, while KS is the
+    * classic distribution-equality statistic D = sup_v |F_a(v) − F_b(v)|,
+    * and the supremum over all reals is attained at pooled sample values,
+    * so it is computable EXACTLY with no binning approximation in the
+    * integer lane: D's numerator is max over pooled distinct values of
+    * |F̂_a(v)·n_b − F̂_b(v)·n_a| (cumulative COUNTS cross-scaled — every
+    * quantity a bigint), reported with `ks_ppm = ⌊d_num·10^6/(n_a·n_b)⌋`
+    * and `d_at`, the smallest value attaining the max (where the
+    * distributions diverge most — the actionable bit of a drift alarm).
+    *
+    * NULL groups/values drop. `valueCol` must be numeric and NaN-free
+    * (NaN has engine-specific sort position; the banding coalesces it
+    * into the top band but cross-engine ORDER BY differs).
+    *
+    * Scale shape: one corpus pass builds the (group, value) count table
+    * (map-side combine); everything after runs on distinct-value
+    * cardinality V × group count G. The per-group cumulative uses the
+    * TWO-PHASE bucketed discipline ([[rankAuc]]'s shape): values band
+    * into ≤254 monotone value-range buckets, per-(group,bucket) offsets
+    * make a G×257-row table whose within-group prefix sum is the only
+    * unpartitioned-per-group window, and the per-value running sum is
+    * partitioned by (group, bucket) — no corpus-cardinality single-task
+    * sort anywhere. The pair stage joins the cumulative grid to itself on
+    * the value key (V·G²/2 rows — G is a dimension, never the corpus) and
+    * reduces to one row per pair; the G-row group list rides a broadcast
+    * nested-loop onto the value grid (the text_langid_model k-row
+    * scalar-attach idiom). d_num ≤ n_a·n_b stays exact in DECIMAL(38,0)
+    * and fits the emitted long for any two groups under ~3·10^9 rows
+    * each.
+    */
+  def ksTest(
+      df: DataFrame,
+      groupCol: String,
+      valueCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // one corpus pass; checkpointed — totals, the value grid, and the
+    // count join all hang off it
+    val base = df
+      .filter(col(groupCol).isNotNull && col(valueCol).isNotNull)
+      .groupBy(col(groupCol).cast("string").as("_g"),
+        col(valueCol).cast("double").as("_v"))
+      .agg(count(lit(1)).as("_c"))
+      .localCheckpoint(false)
+    val totals = base.groupBy(col("_g"))
+      .agg(sum(col("_c")).as("_n")).localCheckpoint(false)
+    val vals = base.select(col("_v")).distinct()
+    // dense V×G grid: a group with no mass at a pooled value still carries
+    // its last cumulative there — the left join fills those cells with 0
+    val grid = vals.crossJoin(broadcast(totals.select(col("_g"))))
+    val counts = grid.join(base, Seq("_g", "_v"), "left")
+      .withColumn("_c", coalesce(col("_c"), lit(0L)))
+    // two-phase bucketed cumulative (the rankAuc discipline): the value
+    // range is a bounded 1-row driver pull; banding is monotone so bucket
+    // order IS value order and the cumulative is exact
+    val rngRow = vals.agg(min(col("_v")), max(col("_v"))).head
+    val (lo, hi) =
+      if (rngRow.isNullAt(0)) (0.0, 0.0)
+      else (rngRow.getDouble(0), rngRow.getDouble(1))
+    val bucketed = counts.withColumn("_bkt",
+      if (lo == hi) lit(1L)
+      else coalesce(width_bucket(col("_v"), lit(lo), lit(hi), lit(254)),
+        lit(255L)))
+    val offsets = bucketed
+      .groupBy(col("_g"), col("_bkt")).agg(sum(col("_c")).as("_bsum"))
+      .withColumn("_before",
+        coalesce(sum(col("_bsum")).over(
+          Window.partitionBy(col("_g")).orderBy(col("_bkt"))
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("_g"), col("_bkt"), col("_before"))
+    val wCum = Window.partitionBy(col("_g"), col("_bkt")).orderBy(col("_v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = bucketed
+      .join(broadcast(offsets), Seq("_g", "_bkt"))
+      .withColumn("_f", col("_before") + sum(col("_c")).over(wCum))
+      .select(col("_g"), col("_v"), col("_f"))
+    // pair stage: cross-scaled cumulative difference per pooled value;
+    // checkpointed — the max pass and the argmin pass both read it
+    val a = cum.select(col("_v"), col("_g").as("group_a"), col("_f").as("_fa"))
+    val b = cum.select(col("_v"), col("_g").as("group_b"), col("_f").as("_fb"))
+    val ta = totals.select(col("_g").as("group_a"), col("_n").as("n_a"))
+    val tb = totals.select(col("_g").as("group_b"), col("_n").as("n_b"))
+    val pv = a.join(b, Seq("_v")).filter(col("group_a") < col("group_b"))
+      .join(broadcast(ta), Seq("group_a"))
+      .join(broadcast(tb), Seq("group_b"))
+      .withColumn("_d",
+        abs(col("_fa").cast("decimal(38,0)") * col("n_b") -
+          col("_fb").cast("decimal(38,0)") * col("n_a")))
+      .localCheckpoint(false)
+    val dmax = pv.groupBy(col("group_a"), col("group_b"))
+      .agg(max(col("_d")).as("_dmax"))
+    pv.join(broadcast(dmax), Seq("group_a", "group_b"))
+      .filter(col("_d") === col("_dmax"))
+      .groupBy(col("group_a"), col("group_b"), col("n_a"), col("n_b"),
+        col("_dmax"))
+      .agg(min(col("_v")).as("d_at"))
+      .select(
+        col("group_a"), col("group_b"), col("n_a"), col("n_b"),
+        col("_dmax").cast("long").as("d_num"),
+        expr("(CAST(_dmax AS DECIMAL(38,0)) * 1000000) div " +
+          "(CAST(n_a AS DECIMAL(38,0)) * n_b)").cast("long").as("ks_ppm"),
+        col("d_at"))
+  }
+
+  /** Exact precision/recall curve at EVERY distinct score threshold — the
+    * ML-evaluation family's second member next to [[rankAuc]]: where AUC
+    * compresses ranking quality to one number, the PR curve is the
+    * operating-point table a deployment actually thresholds on. The rule
+    * is `predict positive ⇔ score ≥ t` with t ranging over the observed
+    * distinct scores (between two observed scores every threshold yields
+    * the same confusion matrix, so the distinct-score table IS the full
+    * curve). Per threshold: `tp`, `fp`, `fn` (exact counts) and
+    * `precision_ppm = ⌊tp·10^6/(tp+fp)⌋`, `recall_ppm = ⌊tp·10^6/P⌋`,
+    * `f1_ppm = ⌊2·tp·10^6/(predicted+P)⌋` (the 2tp/(2tp+fp+fn) identity)
+    * — integral divisions only, NULL when P = 0 (no positives: recall/F1
+    * undefined; precision still emitted). NULL scores/labels drop.
+    *
+    * Shape at 100 TB: identical to [[rankAuc]] — one aggregation to the
+    * distinct-score table (map-side partials), the ≤255-band two-phase
+    * bucketed cumulative for counts-below (the only unpartitioned window
+    * runs over the ≤256-row band-offsets table), and the 1-row totals
+    * attach on a broadcast (the scalar-attach idiom, a BNLJ over one row
+    * by construction). tp/fp fall out as P − pos_below / rows-at-or-above;
+    * no plan node sorts the distinct-score table globally, so a raw
+    * continuous score (corpus-cardinality distinct values) still
+    * parallelizes across bands. Output rows = distinct scores — the
+    * caller's curve resolution, not a sampled approximation of it.
+    */
+  def prCurve(
+      df: DataFrame,
+      scoreCol: String,
+      labelCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // one corpus pass; checkpointed — the range pull, the totals agg, the
+    // band offsets, and the probe side all hang off it
+    val base = df
+      .filter(col(scoreCol).isNotNull && col(labelCol).isNotNull)
+      .groupBy(col(scoreCol).as("_s"))
+      .agg(count(lit(1)).as("_cnt"),
+        sum(when(col(labelCol).cast("boolean"), 1L).otherwise(0L)).as("_pos"))
+      .localCheckpoint(false)
+    val totals = base.agg(
+      coalesce(sum(col("_cnt")), lit(0L)).as("_n"),
+      coalesce(sum(col("_pos")), lit(0L)).as("_p"))
+    val rngRow = base.agg(
+      min(col("_s").cast("double")), max(col("_s").cast("double"))).head
+    val (lo, hi) =
+      if (rngRow.isNullAt(0)) (0.0, 0.0)
+      else (rngRow.getDouble(0), rngRow.getDouble(1))
+    val bucketed = base.withColumn("_bkt",
+      if (lo == hi) lit(1L)
+      else coalesce(
+        width_bucket(col("_s").cast("double"), lit(lo), lit(hi), lit(254)),
+        lit(255L)))
+    val offsets = bucketed
+      .groupBy(col("_bkt"))
+      .agg(sum(col("_cnt")).as("_bc"), sum(col("_pos")).as("_bp"))
+      .withColumn("_cntBefore",
+        coalesce(sum(col("_bc")).over(
+          Window.orderBy(col("_bkt"))
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("_posBefore",
+        coalesce(sum(col("_bp")).over(
+          Window.orderBy(col("_bkt"))
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("_bkt"), col("_cntBefore"), col("_posBefore"))
+    val w = Window.partitionBy(col("_bkt")).orderBy(col("_s"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    bucketed
+      .join(broadcast(offsets), Seq("_bkt"))
+      .withColumn("_cumCnt",
+        col("_cntBefore") + coalesce(sum(col("_cnt")).over(w), lit(0L)))
+      .withColumn("_cumPos",
+        col("_posBefore") + coalesce(sum(col("_pos")).over(w), lit(0L)))
+      .crossJoin(broadcast(totals))
+      .withColumn("tp", col("_p") - col("_cumPos"))
+      .withColumn("_predicted", col("_n") - col("_cumCnt"))
+      .select(
+        col("_s").as("threshold"),
+        col("tp"),
+        (col("_predicted") - col("tp")).as("fp"),
+        (col("_p") - col("tp")).as("fn"),
+        expr("(CAST(tp AS DECIMAL(38,0)) * 1000000) div _predicted")
+          .cast("long").as("precision_ppm"),
+        when(col("_p") > 0,
+          expr("(CAST(tp AS DECIMAL(38,0)) * 1000000) div _p").cast("long"))
+          .as("recall_ppm"),
+        when(col("_p") > 0,
+          expr("(CAST(2 AS DECIMAL(38,0)) * tp * 1000000) div (_predicted + _p)")
+            .cast("long")).as("f1_ppm"))
+  }
+
+  /** CUSUM changepoint scan — the drift family's TEMPORAL member: where
+    * [[ksTest]]/[[categoricalDrift]] compare two populations you already
+    * split, CUSUM asks WHERE to split one time series. Per group, bucket
+    * the series into `bucketSeconds` buckets (value in the exact
+    * micro-unit lane, `⌊v·10^6⌋`), and over the n observed buckets in
+    * time order compute the classic cumulative-sum deviation from the
+    * uniform line, cross-scaled to stay integral:
+    * `D_i = |n·S_i − i·S_n|` (= n·|S_i − (i/n)·S_n| — the distance of the
+    * running sum from straight-line accumulation at position i). The
+    * report per group: `n_buckets`, `s_total` (micro-units), `d_num =
+    * max_i D_i`, `cusum_ppm = ⌊d_num·10^6 / (n·|s_total|)⌋` (the
+    * scale-free alarm statistic, NULL when s_total = 0), and `change_at`
+    * — the START of the EARLIEST bucket attaining the max, i.e. the most
+    * likely last-pre-change point. NULL groups/timestamps/values drop.
+    *
+    * Shape at 100 TB: one corpus pass to the (group, bucket) sum table
+    * (map-side partials); everything after runs on group × bucket-count
+    * cardinality — buckets are bounded by TIME RANGE / bucketSeconds, not
+    * by the corpus, so the per-group ordered window (row index + running
+    * sum) is a bounded-partition window by construction. The max + the
+    * earliest-attaining argmin are two narrow aggs on that same table
+    * (the [[ksTest]] max/argmin pattern). Overflow: D_i ≤ 2·n·|S|_∞ rides
+    * DECIMAL(38,0) exactly; the emitted long is exact while
+    * n·|s_total| < 2^63 (~9·10^18 micro-unit-bucket — petabyte-scale
+    * headroom on real metrics).
+    */
+  def cusumChangepoint(
+      df: DataFrame,
+      groupCol: String,
+      tsCol: String,
+      valueCol: String,
+      bucketSeconds: Long): DataFrame = {
+    require(bucketSeconds > 0, "bucketSeconds must be positive")
+    import org.apache.spark.sql.expressions.Window
+    val usPerBucket = bucketSeconds * 1000000L
+    // one corpus pass; checkpointed — the totals agg and the window probe
+    // both hang off it
+    val base = df
+      .filter(col(groupCol).isNotNull && col(tsCol).isNotNull &&
+        col(valueCol).isNotNull)
+      .groupBy(col(groupCol).cast("string").as("_g"),
+        call_function("div", unix_micros(col(tsCol)), lit(usPerBucket))
+          .as("_b"))
+      .agg(sum(floor(col(valueCol).cast("double") * 1000000L).cast("long"))
+        .as("_x"))
+      .localCheckpoint(false)
+    val totals = base.groupBy(col("_g"))
+      .agg(count(lit(1)).as("n_buckets"), sum(col("_x")).as("s_total"))
+    val wOrd = Window.partitionBy(col("_g")).orderBy(col("_b"))
+    val wCum = wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // per-(group,bucket) deviation rows; checkpointed — the max pass and
+    // the earliest-attaining pass both read it
+    val dev = base
+      .join(totals, Seq("_g"))
+      .withColumn("_i", row_number().over(wOrd).cast("long"))
+      .withColumn("_si", sum(col("_x")).over(wCum))
+      .withColumn("_d", abs(
+        col("n_buckets").cast("decimal(38,0)") * col("_si") -
+          col("_i").cast("decimal(38,0)") * col("s_total")))
+      .select(col("_g"), col("_b"), col("n_buckets"), col("s_total"),
+        col("_d"))
+      .localCheckpoint(false)
+    val dmax = dev.groupBy(col("_g")).agg(max(col("_d")).as("_dmax"))
+    dev.join(broadcast(dmax), Seq("_g"))
+      .filter(col("_d") === col("_dmax"))
+      .groupBy(col("_g"), col("n_buckets"), col("s_total"), col("_dmax"))
+      .agg(min(col("_b")).as("_bAt"))
+      .select(
+        col("_g").as(groupCol),
+        col("n_buckets"),
+        col("s_total"),
+        col("_dmax").cast("long").as("d_num"),
+        when(col("s_total") =!= 0,
+          expr("(CAST(_dmax AS DECIMAL(38,0)) * 1000000) div " +
+            "(CAST(n_buckets AS DECIMAL(38,0)) * abs(s_total))").cast("long"))
+          .as("cusum_ppm"),
+        timestamp_micros(col("_bAt") * usPerBucket).as("change_at"))
+  }
 }

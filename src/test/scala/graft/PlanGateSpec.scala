@@ -409,6 +409,36 @@ class PlanGateSpec extends SparkTestBase {
     // exchange + the shard-machinery trio shard_layout documents (corpus
     // (shard,bucket) exchange + tiny counts partial→final + cumulative join)
     "pipeline_text_pack" -> 4,
+    // the basket groupBy + the N-count action run at build time behind the
+    // multi-consumer checkpoint; the returned plan is the directed-rule
+    // projection over the checkpointed pair table with both item-support
+    // sides on broadcasts — zero further exchanges
+    "basket_rules" -> 0,
+    // corpus (group, hash) distinct + the group-partitioned bottom-k
+    // window; the estimate agg clusters on the window's partitioning
+    "kmv_distinct" -> 2,
+    // membership-union groupBy on (a, b, h) + the per-pair bottom-k window
+    // re-key to (a, b); register build + G² pair cross (a dimension-sized
+    // BNLJ by design) sit behind build-time checkpoints
+    "kmv_jaccard" -> 2,
+    // per-pair max agg + the min-attaining re-agg over the checkpointed
+    // V×G²/2 pair grid; the corpus count pass, dense-grid cumulative
+    // (banded two-phase windows), and the G-row BNLJ scalar-attach all sit
+    // behind build-time checkpoints
+    "ks_test" -> 2,
+    // the eval_auc discipline minus the rollup, plus the 1-row totals agg:
+    // per-band agg (1), offsets prefix window over the ≤256-row band table
+    // (1), per-band cumulative window (1), totals global agg (1) — no
+    // global-sort node ever sees the distinct-score table
+    "eval_pr" -> 4,
+    // per-group max agg + earliest-attaining re-agg over the checkpointed
+    // (group, bucket) deviation table; the corpus bucket-sum pass and the
+    // per-group running-sum window sit behind build-time checkpoints
+    "cusum_change" -> 2,
+    // (cover_day, user) min-offset agg + the per-day panel re-agg; the
+    // corpus-sized distinct-(user,day) exchange sits behind the build-time
+    // checkpoint, and the 30-way fan-out is an in-row explode, not a join
+    "active_users" -> 2,
   )
 
   /** Queries where a BroadcastNestedLoopJoin is the documented contract, not
@@ -436,7 +466,10 @@ class PlanGateSpec extends SparkTestBase {
     // contains knn_brute's sanctioned exact-baseline BNLJ as one branch
     "search_rrf_fusion", "search_eval",
     // the three 1-row count attaches: the scalar-attach idiom
-    "er_eval", "er_eval_fs")
+    "er_eval", "er_eval_fs",
+    // the 1-row (n, p) totals attach onto the distinct-score curve: the
+    // scalar-attach idiom
+    "eval_pr")
 
   test("every query has a plan budget (or a documented exemption)") {
     val missing = SparkEntry.queries.keySet -- maxShuffles.keySet -- iterative

@@ -385,6 +385,241 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(bounded.forall(hasAgg))
   }
 
+  test("ksTest: hand-computed D, ppm, and smallest attaining value") {
+    import spark.implicits._
+    // a = {1,2,3}, b = {2,3,4}: cross-scaled D = 3 at every v in {1,2,3};
+    // d_at is the SMALLEST attaining value
+    val df = Seq(("a", 1.0), ("a", 2.0), ("a", 3.0),
+      ("b", 2.0), ("b", 3.0), ("b", 4.0)).toDF("g", "v")
+    val r = Stats.ksTest(df, "g", "v").collect().head
+    assert((r.getString(0), r.getString(1)) === (("a", "b")))
+    assert(r.getAs[Long]("n_a") === 3L && r.getAs[Long]("n_b") === 3L)
+    assert(r.getAs[Long]("d_num") === 3L)
+    assert(r.getAs[Long]("ks_ppm") === 333333L)
+    assert(r.getAs[Double]("d_at") === 1.0)
+  }
+
+  test("ksTest: identical distributions read 0; disjoint supports read 1e6") {
+    import spark.implicits._
+    val same = Seq(("a", 1.0), ("a", 5.0), ("b", 1.0), ("b", 5.0)).toDF("g", "v")
+    val rs = Stats.ksTest(same, "g", "v").collect().head
+    assert(rs.getAs[Long]("d_num") === 0L && rs.getAs[Long]("ks_ppm") === 0L)
+    assert(rs.getAs[Double]("d_at") === 1.0) // every value attains a zero max
+    // disjoint: a = {1,2}, b = {10,11}; the max 4 = n_a·n_b first holds at v=2
+    val dj = Seq(("a", 1.0), ("a", 2.0), ("b", 10.0), ("b", 11.0)).toDF("g", "v")
+    val rd = Stats.ksTest(dj, "g", "v").collect().head
+    assert(rd.getAs[Long]("ks_ppm") === 1000000L)
+    assert(rd.getAs[Double]("d_at") === 2.0)
+  }
+
+  test("ksTest: all pairs emitted; duplicates weight the CDF; NULLs drop") {
+    import spark.implicits._
+    val df = Seq(
+      ("a", Option(1.0)), ("a", Option(1.0)), ("a", Option(4.0)), // mass 2/3 at 1
+      ("b", Option(1.0)), ("b", Option(4.0)), ("b", Option(4.0)), // mass 1/3 at 1
+      ("c", Option(9.0)), (null: String, Option(1.0)), ("c", None: Option[Double])
+    ).toDF("g", "v")
+    val out = Stats.ksTest(df, "g", "v").collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r).toMap
+    assert(out.keySet === Set(("a", "b"), ("a", "c"), ("b", "c")))
+    val ab = out(("a", "b"))
+    // F_a(1) = 2/3 vs F_b(1) = 1/3 -> d_num = |2·3 − 1·3| = 3 of 9
+    assert(ab.getAs[Long]("d_num") === 3L && ab.getAs[Double]("d_at") === 1.0)
+    assert(out(("a", "c")).getAs[Long]("ks_ppm") === 1000000L)
+    assert(out(("a", "c")).getAs[Long]("n_b") === 1L) // c's NULL row dropped
+  }
+
+  test("ksTest: matches brute force on a continuous mix and is partitioning-invariant") {
+    import spark.implicits._
+    // corpus-cardinality distinct doubles — the shape the banded two-phase
+    // cumulative exists for (a raw-value window would single-task per group)
+    val rows = (1 to 4000).map { i =>
+      val g = s"g${i % 3}"
+      (g, math.sin(i.toDouble) * (1.0 + (i % 3) * 0.2) + (i % 3) * 0.1)
+    }
+    def brute(ga: String, gb: String): (Long, Long, Double) = {
+      val a = rows.filter(_._1 == ga).map(_._2)
+      val b = rows.filter(_._1 == gb).map(_._2)
+      val pooled = (a ++ b).distinct.sorted
+      val na = a.size.toLong; val nb = b.size.toLong
+      val ds = pooled.map { v =>
+        val fa = a.count(_ <= v).toLong; val fb = b.count(_ <= v).toLong
+        (math.abs(fa * nb - fb * na), v)
+      }
+      val dmax = ds.map(_._1).max
+      (dmax, dmax * 1000000L / (na * nb), ds.filter(_._1 == dmax).map(_._2).min)
+    }
+    def run(df: org.apache.spark.sql.DataFrame) =
+      Stats.ksTest(df, "g", "v").collect()
+        .map(r => (r.getString(0), r.getString(1)) ->
+          ((r.getAs[Long]("d_num"), r.getAs[Long]("ks_ppm"),
+            r.getAs[Double]("d_at")))).toMap
+    val out = run(rows.toDF("g", "v"))
+    assert(out.size === 3)
+    for (((ga, gb), got) <- out) assert(got === brute(ga, gb), s"$ga/$gb")
+    assert(run(rows.toDF("g", "v").repartition(13)) === out)
+  }
+
+  test("prCurve: hand-computed confusion rows at every distinct threshold") {
+    import spark.implicits._
+    val df = Seq((1.0, false), (2.0, true), (3.0, false), (4.0, true))
+      .toDF("score", "label")
+    val out = Stats.prCurve(df, "score", "label").collect()
+      .map(r => r.getDouble(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(5), r.getLong(6)))).toMap
+    assert(out.keySet === Set(1.0, 2.0, 3.0, 4.0))
+    //                 tp  fp  fn  precision recall   f1
+    assert(out(1.0) === ((2L, 2L, 0L, 500000L, 1000000L, 666666L)))
+    assert(out(2.0) === ((2L, 1L, 0L, 666666L, 1000000L, 800000L)))
+    assert(out(3.0) === ((1L, 1L, 1L, 500000L, 500000L, 500000L)))
+    assert(out(4.0) === ((1L, 0L, 1L, 1000000L, 500000L, 666666L)))
+  }
+
+  test("prCurve: no positives leaves recall/F1 NULL; duplicates collapse per threshold") {
+    import spark.implicits._
+    val noPos = Seq((1.0, false), (2.0, false)).toDF("score", "label")
+    val r = Stats.prCurve(noPos, "score", "label")
+      .orderBy("threshold").collect()
+    assert(r.length === 2)
+    assert(r.forall(x => x.getLong(1) === 0L && x.isNullAt(5) && x.isNullAt(6)))
+    assert(r.map(_.getLong(4)).toSeq === Seq(0L, 0L)) // precision still emitted
+    // duplicate scores: one row per distinct threshold, counts weighted
+    val dup = Seq((5.0, true), (5.0, true), (5.0, false), (7.0, false))
+      .toDF("score", "label")
+    val d = Stats.prCurve(dup, "score", "label").collect()
+      .map(x => x.getDouble(0) -> ((x.getLong(1), x.getLong(2)))).toMap
+    assert(d === Map(5.0 -> ((2L, 2L)), 7.0 -> ((0L, 1L))))
+  }
+
+  test("prCurve: matches a brute-force confusion matrix on a continuous mix; partitioning-invariant") {
+    import spark.implicits._
+    val rows = (1 to 3000).map(i =>
+      (math.sin(i.toDouble) * 100.0 + i * 1e-6, i % 5 == 0))
+    def run(df: org.apache.spark.sql.DataFrame) =
+      Stats.prCurve(df, "score", "label").collect()
+        .map(r => r.getDouble(0) ->
+          ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+            Option(r.get(5)), Option(r.get(6))))).toMap
+    val out = run(rows.toDF("score", "label"))
+    assert(out.size === rows.map(_._1).distinct.size)
+    val p = rows.count(_._2).toLong
+    for (t <- Seq(rows.map(_._1).min, rows.map(_._1).max,
+        rows(17)._1, rows(1234)._1)) {
+      val tp = rows.count(x => x._1 >= t && x._2).toLong
+      val pred = rows.count(_._1 >= t).toLong
+      assert(out(t) === ((tp, pred - tp, p - tp,
+        tp * 1000000L / pred, Some(tp * 1000000L / p),
+        Some(2L * tp * 1000000L / (pred + p)))), s"threshold $t")
+    }
+    assert(run(rows.toDF("score", "label").repartition(13)) === out)
+  }
+
+  test("cusumChangepoint: a level shift lands the changepoint at the last pre-change bucket") {
+    import spark.implicits._
+    def dayTs(d: Int) = new java.sql.Timestamp(d * 86400000L)
+    // 1.0/day for days 0-4, then 2.0/day for days 5-9: D_i = 5e6·i peaks
+    // at i=5 (epoch day 4 — the last uniform bucket); S_n = 15e6, n = 10
+    val df = (0 until 10).map(d =>
+      ("g", dayTs(d), if (d < 5) 1.0 else 2.0)).toDF("g", "ts", "v")
+    val r = Stats.cusumChangepoint(df, "g", "ts", "v", 86400L).collect().head
+    assert(r.getAs[Long]("n_buckets") === 10L)
+    assert(r.getAs[Long]("s_total") === 15000000L)
+    assert(r.getAs[Long]("d_num") === 25000000L)
+    assert(r.getAs[Long]("cusum_ppm") === 166666L)
+    assert(r.getAs[java.sql.Timestamp]("change_at") === dayTs(4))
+  }
+
+  test("cusumChangepoint: uniform series reads 0 at the first bucket; zero-total NULLs ppm") {
+    import spark.implicits._
+    def dayTs(d: Int) = new java.sql.Timestamp(d * 86400000L)
+    val flat = (0 until 6).map(d => ("g", dayTs(d), 3.5)).toDF("g", "ts", "v")
+    val rf = Stats.cusumChangepoint(flat, "g", "ts", "v", 86400L).collect().head
+    assert(rf.getAs[Long]("d_num") === 0L && rf.getAs[Long]("cusum_ppm") === 0L)
+    assert(rf.getAs[java.sql.Timestamp]("change_at") === dayTs(0))
+    // single bucket: D_1 = |1·S − 1·S| = 0
+    val one = Seq(("g", dayTs(3), 9.0)).toDF("g", "ts", "v")
+    val ro = Stats.cusumChangepoint(one, "g", "ts", "v", 86400L).collect().head
+    assert(ro.getAs[Long]("n_buckets") === 1L && ro.getAs[Long]("d_num") === 0L)
+    // +1 then −1: s_total = 0 -> ppm NULL, deviation still real
+    val mix = Seq(("g", dayTs(0), 1.0), ("g", dayTs(1), -1.0)).toDF("g", "ts", "v")
+    val rm = Stats.cusumChangepoint(mix, "g", "ts", "v", 86400L).collect().head
+    assert(rm.getAs[Long]("s_total") === 0L)
+    assert(rm.getAs[Long]("d_num") === 2000000L)
+    assert(rm.isNullAt(rm.fieldIndex("cusum_ppm")))
+  }
+
+  test("cusumChangepoint: NULLs drop; per-group independence; partitioning-invariant") {
+    import spark.implicits._
+    def dayTs(d: Int) = new java.sql.Timestamp(d * 86400000L)
+    val rows = (0 until 200).map { i =>
+      val g = s"g${i % 2}"
+      val d = i / 2
+      (g, dayTs(d), if (g == "g1" && d >= 60) 5.0 else 1.0 + (d % 3) * 0.25)
+    } ++ Seq((null: String, dayTs(0), 9.0), ("g0", null: java.sql.Timestamp, 9.0))
+    def run(df: org.apache.spark.sql.DataFrame) =
+      Stats.cusumChangepoint(df, "g", "ts", "v", 86400L).collect()
+        .map(r => r.getString(0) -> r.toSeq.drop(1)).toMap
+    val out = run(rows.toDF("g", "ts", "v"))
+    assert(out.keySet === Set("g0", "g1"))
+    assert(out("g0").head === 100L) // NULL rows dropped, 100 buckets each
+    // the shifted group's alarm statistic dwarfs the flat group's
+    val ppm = (g: String) => out(g)(3).asInstanceOf[Long]
+    assert(ppm("g1") > 10L * ppm("g0"))
+    assert(run(rows.toDF("g", "ts", "v").repartition(13)) === out)
+  }
+
+  test("activeUsers: hand timeline with window entry/exit and truncation") {
+    import spark.implicits._
+    def dayTs(d: Int) = new java.sql.Timestamp(d * 86400000L)
+    // A active days 0 and 2 (twice on day 0 — dedups), B day 0, C day 35
+    val df = Seq(("A", 0), ("A", 0), ("A", 2), ("B", 0), ("C", 35))
+      .map { case (u, d) => (u, dayTs(d)) }.toDF("u", "ts")
+    val out = Temporal.activeUsers(df, "u", "ts").collect()
+      .map(r => (r.getAs[java.sql.Timestamp]("day").getTime / 86400000L).toInt ->
+        ((r.getAs[Long]("dau"), r.getAs[Long]("wau"), r.getAs[Long]("mau"),
+          r.getAs[Long]("stickiness_ppm")))).toMap
+    assert(out(0) === ((2L, 2L, 2L, 1000000L)))
+    assert(out(1) === ((0L, 2L, 2L, 0L)))
+    assert(out(2) === ((1L, 2L, 2L, 500000L)))
+    assert(out(6) === ((0L, 2L, 2L, 0L)))  // B's day-0 still in: offset 6 < 7
+    assert(out(7) === ((0L, 1L, 2L, 0L)))  // B exits WAU at offset 7
+    assert(out(8) === ((0L, 1L, 2L, 0L)))  // A's day-2 last WAU day
+    assert(out(9) === ((0L, 0L, 2L, 0L)))  // A exits WAU too
+    assert(out(29) === ((0L, 0L, 2L, 0L))) // B's last MAU day (offset 29)
+    assert(out(30) === ((0L, 0L, 1L, 0L))) // only A (via day 2, offset 28)
+    assert(out(31) === ((0L, 0L, 1L, 0L))) // A's last MAU day
+    assert(!out.contains(32) && !out.contains(34)) // dead gap: absent, not 0
+    assert(out(35) === ((1L, 1L, 1L, 1000000L)))
+    assert(out.keySet.max === 35) // truncation: nothing past last activity
+  }
+
+  test("activeUsers: NULLs drop; matches brute force; partitioning-invariant") {
+    import spark.implicits._
+    def dayTs(d: Int) = new java.sql.Timestamp(d * 86400000L)
+    val active = (1 to 800).map(i => (s"u${i % 37}", (i * 13) % 60))
+    val rows = active.map { case (u, d) => (u, dayTs(d)) } ++
+      Seq((null: String, dayTs(1)), ("uX", null: java.sql.Timestamp))
+    def run(df: org.apache.spark.sql.DataFrame) =
+      Temporal.activeUsers(df, "u", "ts").collect()
+        .map(r => (r.getAs[java.sql.Timestamp]("day").getTime / 86400000L) ->
+          ((r.getAs[Long]("dau"), r.getAs[Long]("wau"),
+            r.getAs[Long]("mau")))).toMap
+    val out = run(rows.toDF("u", "ts"))
+    val pairs = active.distinct
+    val maxD = pairs.map(_._2).max
+    for (day <- 0 to maxD) {
+      val dau = pairs.filter(_._2 == day).map(_._1).distinct.size.toLong
+      val wau = pairs.filter(p => p._2 <= day && p._2 > day - 7)
+        .map(_._1).distinct.size.toLong
+      val mau = pairs.filter(p => p._2 <= day && p._2 > day - 30)
+        .map(_._1).distinct.size.toLong
+      if (mau == 0) assert(!out.contains(day.toLong), s"day $day")
+      else assert(out(day.toLong) === ((dau, wau, mau)), s"day $day")
+    }
+    assert(run(rows.toDF("u", "ts").repartition(13)) === out)
+  }
+
   test("funnelStats: hand counts and exact lower medians; stalled steps yield NULL medians") {
     import spark.implicits._
     def t(m: Int) = new java.sql.Timestamp(1700000000000L + m * 60000L)

@@ -471,4 +471,95 @@ class SketchSpec extends SparkTestBase {
       .collect().map(_.getLong(0)).toSet
     assert(sub === winners)
   }
+
+  // ---- KMV bottom-k distinct sketch ----
+
+  private def kmvFixture(n: Int, tag: String) = {
+    import spark.implicits._
+    (1 to n).map(i => ("g", s"$tag$i")).toDF("g", "v")
+  }
+
+  test("kmvRegisters: exactly the k smallest distinct hashes, duplicates ignored") {
+    import spark.implicits._
+    val df = kmvFixture(100, "x").unionByName(kmvFixture(100, "x")) // every value twice
+    val regs = Sketch.kmvRegisters(df, Seq("g"), "v", k = 16, seed = "s")
+      .collect().map(_.getAs[Long]("kmv_h")).sorted
+    assert(regs.length == 16 && regs.distinct.length == 16)
+    // brute force: same hash formula over the distinct values
+    val brute = Sketch.kmvRegisters(kmvFixture(100, "x"), Seq("g"), "v", k = 100000, seed = "s")
+      .collect().map(_.getAs[Long]("kmv_h")).sorted
+    assert(brute.length == 100)
+    assert(regs.toSeq == brute.take(16).toSeq)
+  }
+
+  test("kmvEstimate: exact below capacity, calibrated at capacity") {
+    val small = Sketch.kmvEstimate(
+      Sketch.kmvRegisters(kmvFixture(100, "a"), Seq("g"), "v", 256, "s"), Seq("g"), 256)
+      .head()
+    assert(small.getAs[Long]("n_registers") == 100L &&
+      small.getAs[Long]("est_distinct") == 100L)
+    val big = Sketch.kmvEstimate(
+      Sketch.kmvRegisters(kmvFixture(5000, "b"), Seq("g"), "v", 256, "s"), Seq("g"), 256)
+      .head().getAs[Long]("est_distinct")
+    // KMV relative error ~ 1/sqrt(k-1) ≈ 6.3%; allow 4 sigma
+    assert(big > 3700 && big < 6300, s"estimate $big far from 5000")
+  }
+
+  test("kmvMergeRegisters: merging halves' sketches == sketching the whole") {
+    import spark.implicits._
+    val a = (1 to 600).map(i => ("g", s"v$i")).toDF("g", "v")
+    val b = (301 to 900).map(i => ("g", s"v$i")).toDF("g", "v") // overlap 301..600
+    val whole = Sketch.kmvRegisters(a.unionByName(b), Seq("g"), "v", 64, "s")
+      .collect().map(_.getAs[Long]("kmv_h")).sorted.toSeq
+    val merged = Sketch.kmvMergeRegisters(
+      Sketch.kmvRegisters(a, Seq("g"), "v", 64, "s")
+        .unionByName(Sketch.kmvRegisters(b, Seq("g"), "v", 64, "s")),
+      Seq("g"), 64)
+      .collect().map(_.getAs[Long]("kmv_h")).sorted.toSeq
+    assert(merged == whole && merged.length == 64)
+    // double-ingest idempotence: merging the merged table with itself is a no-op
+    val regsDf = Sketch.kmvMergeRegisters(
+      Sketch.kmvRegisters(a, Seq("g"), "v", 64, "s")
+        .unionByName(Sketch.kmvRegisters(b, Seq("g"), "v", 64, "s")),
+      Seq("g"), 64)
+    val twice = Sketch.kmvMergeRegisters(regsDf.unionByName(regsDf), Seq("g"), 64)
+      .collect().map(_.getAs[Long]("kmv_h")).sorted.toSeq
+    assert(twice == merged)
+  }
+
+  test("kmvPairwise: identical groups read 1e6 ppm, disjoint read 0, half-overlap calibrated") {
+    import spark.implicits._
+    val rows =
+      (1 to 2000).map(i => ("same1", s"v$i")) ++
+      (1 to 2000).map(i => ("same2", s"v$i")) ++
+      (1 to 2000).map(i => ("disj", s"w$i"))
+    val regs = Sketch.kmvRegisters(rows.toDF("g", "v"), Seq("g"), "v", 256, "s")
+    val out = Sketch.kmvPairwise(regs, "g", 256)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r).toMap
+    val same = out(("same1", "same2"))
+    assert(same.getAs[Long]("jaccard_ppm") == 1000000L)
+    assert(same.getAs[Long]("n_common") == 256L)
+    val dj = out(("disj", "same1"))
+    assert(dj.getAs[Long]("jaccard_ppm") == 0L && dj.getAs[Long]("n_common") == 0L)
+    // half overlap: A=1..2000, B=1001..3000 -> J = 1000/3000 ≈ 333333 ppm
+    val a = (1 to 2000).map(i => ("ha", s"v$i"))
+    val b = (1001 to 3000).map(i => ("hb", s"v$i"))
+    val r2 = Sketch.kmvPairwise(
+      Sketch.kmvRegisters((a ++ b).toDF("g", "v"), Seq("g"), "v", 256, "s"), "g", 256)
+      .head()
+    val jp = r2.getAs[Long]("jaccard_ppm")
+    assert(jp > 200000 && jp < 470000, s"jaccard_ppm $jp far from 333333")
+    val ie = r2.getAs[Long]("intersect_est")
+    assert(ie > 500 && ie < 1700, s"intersect_est $ie far from 1000")
+  }
+
+  test("kmv partitioning invariance and determinism") {
+    import spark.implicits._
+    val rows = (1 to 3000).map(i => (s"g${i % 3}", s"v$i")).toDF("g", "v")
+    def run(df: org.apache.spark.sql.DataFrame) =
+      Sketch.kmvPairwise(
+        Sketch.kmvRegisters(df, Seq("g"), "v", 128, "seed9"), "g", 128)
+        .collect().map(_.toSeq).toSet
+    assert(run(rows.repartition(1)) == run(rows.repartition(17)))
+  }
 }

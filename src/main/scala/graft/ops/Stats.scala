@@ -900,4 +900,79 @@ object Stats {
           .as("cusum_ppm"),
         timestamp_micros(col("_bAt") * usPerBucket).as("change_at"))
   }
+
+  /** Exact chi-square contingency panel — the categorical INDEPENDENCE
+    * test next to [[ksTest]]'s distribution-equality test: are `rowCol`
+    * and `colCol` associated, and WHICH cells carry the association? One
+    * row per (row value, col value) cell of the dense contingency table
+    * (absent combinations count 0 — they contribute to the statistic):
+    * `observed`, `expected_ppm = ⌊R·C·10^6/N⌋` (the independence
+    * expectation in ppm-scaled counts), the cell's quantized contribution
+    * `cell_chi2_ppm = ⌊(O·N − R·C)²·10^6/(R·C·N)⌋` (the classic
+    * (O−E)²/E written over the common denominator so every intermediate
+    * is an integer), and the table-level `chi2_ppm = Σ cell_chi2_ppm`,
+    * `dof = (|rows|−1)·(|cols|−1)`, `n`. The table statistic sums the
+    * per-cell FLOORS — a deterministically quantized χ² (each cell's
+    * error < 1 ppm, so the total sits within |cells| ppm of the real
+    * statistic), which is what makes it bit-identical in any engine; the
+    * integral lane is exact while (O·N − R·C)² < 10^38, i.e. N up to
+    * ~10^9 — beyond that a significance test is vacuous anyway (every
+    * association is "significant" at 10^9 samples; compare effect sizes
+    * like `expected_ppm` vs observed instead). NULL rows/cols drop.
+    *
+    * Shape at 100 TB: ONE corpus pass to the (row, col) cell counts
+    * (map-side partials); everything downstream runs on the dense
+    * R×C dimension grid — marginals are narrow re-aggregations of the
+    * cell table, the grid is a broadcast cross of the two marginal
+    * tables, and the 1-row total + the table statistic attach through
+    * broadcast scalar-joins (the text_langid_model scalar-attach idiom).
+    */
+  def chiSquare(
+      df: DataFrame,
+      rowCol: String,
+      colCol: String): DataFrame = {
+    // one corpus pass; checkpointed — both marginals, the total, and the
+    // grid's left join all hang off it
+    val base = df
+      .filter(col(rowCol).isNotNull && col(colCol).isNotNull)
+      .groupBy(col(rowCol).as("_r"), col(colCol).as("_c"))
+      .agg(count(lit(1)).as("_o"))
+      .localCheckpoint(false)
+    val rTot = base.groupBy(col("_r")).agg(sum(col("_o")).as("_rr"))
+      .localCheckpoint(false)
+    val cTot = base.groupBy(col("_c")).agg(sum(col("_o")).as("_cc"))
+      .localCheckpoint(false)
+    val nTot = base.agg(sum(col("_o")).as("_nn"))
+    val dofT = rTot.select(count(lit(1)).as("_nr"))
+      .crossJoin(cTot.select(count(lit(1)).as("_nc")))
+      .select(((col("_nr") - 1) * (col("_nc") - 1)).as("dof"))
+    val dec = "decimal(38,0)"
+    val cells = rTot.crossJoin(broadcast(cTot))
+      .join(base, Seq("_r", "_c"), "left")
+      .crossJoin(broadcast(nTot))
+      .withColumn("_onn", coalesce(col("_o"), lit(0L)).cast(dec) * col("_nn"))
+      .withColumn("_rc", col("_rr").cast(dec) * col("_cc"))
+      .withColumn("expected_ppm",
+        expr("(CAST(_rr AS DECIMAL(38,0)) * _cc * 1000000) div _nn")
+          .cast("long"))
+      .withColumn("_num",
+        (col("_onn") - col("_rc")) * (col("_onn") - col("_rc")) *
+          lit(1000000L).cast(dec))
+      .withColumn("_den", col("_rc") * col("_nn"))
+      // integral `div` — the one exact floor division on decimals (a
+      // decimal divide-then-cast would round half-up, not floor)
+      .withColumn("cell_chi2_ppm", expr("_num div _den").cast("long"))
+      .localCheckpoint(false)
+    val tot = cells.agg(sum(col("cell_chi2_ppm")).as("chi2_ppm"))
+    cells
+      .crossJoin(broadcast(tot))
+      .crossJoin(broadcast(dofT))
+      .select(
+        col("_r").as("row_val"), col("_c").as("col_val"),
+        coalesce(col("_o"), lit(0L)).as("observed"),
+        col("expected_ppm"), col("cell_chi2_ppm"),
+        col("chi2_ppm").cast("long").as("chi2_ppm"),
+        col("dof").cast("long").as("dof"),
+        col("_nn").as("n"))
+  }
 }

@@ -409,6 +409,15 @@ class PlanGateSpec extends SparkTestBase {
     // exchange + the shard-machinery trio shard_layout documents (corpus
     // (shard,bucket) exchange + tiny counts partial→final + cumulative join)
     "pipeline_text_pack" -> 4,
+    // the 1-row table-statistic agg + the two 1-row dof marginal counts
+    // (all three land in broadcast scalar-attaches); the corpus cell pass,
+    // marginals, and the dense grid sit behind the cells checkpoint
+    "chi_square" -> 3,
+    // gram-frequency agg + its attach onto the gram stream + the per-value
+    // prefix re-agg + prefix self-join re-key + candidate distinct; the
+    // distinct-value build sits behind its checkpoint and the verify
+    // string-attach joins ride broadcasts at gate SF
+    "edit_distance_join" -> 5,
     // the basket groupBy + the N-count action run at build time behind the
     // multi-consumer checkpoint; the returned plan is the directed-rule
     // projection over the checkpointed pair table with both item-support
@@ -460,6 +469,8 @@ class PlanGateSpec extends SparkTestBase {
     "quality_panel",
     // search_bm25's N/L corpus scalars: the same 1-row broadcast cross join
     "search_bm25",
+    // chi_square's 1-row table-statistic and dof attaches: the same idiom
+    "chi_square",
     // the k-row language table (k = languages, ≤ a few dozen ever): the
     // scalar-attach idiom at k rows — the nested loop runs once per partition
     "text_langid_model",

@@ -904,4 +904,65 @@ class DedupSpec extends SparkTestBase {
     val full = Dedup.imageNearDup(spark, media, maxBucket = 100).collect()
     assert(full.length === 46 && full.forall(_.getInt(2) == 0))
   }
+
+  // reference Levenshtein for the edit-distance-join ground truth
+  private def lev(a: String, b: String): Int = {
+    val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+      if (i == 0) j else if (j == 0) i else 0
+    }
+    for (i <- 1 to a.length; j <- 1 to b.length)
+      d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+        d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+    d(a.length)(b.length)
+  }
+
+  private def edjBrute(
+      rows: Seq[(Long, String)], t: Int): Set[(Long, Long, Long)] = {
+    val vals = rows.filter(_._2 != null).groupBy(_._2)
+      .map { case (s, rs) => (rs.map(_._1).min, s) }.toSeq
+    (for {
+      (ai, as) <- vals; (bi, bs) <- vals if ai < bi
+      d = lev(as, bs) if d >= 1 && d <= t
+    } yield (ai, bi, d.toLong)).toSet
+  }
+
+  private def edjRun(
+      df: DataFrame, t: Int, q: Int = 3): Set[(Long, Long, Long)] =
+    Dedup.editDistanceJoin(df, "id", "s", maxDistance = t, q = q)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+
+  test("editDistanceJoin: substitution/insertion/deletion found; identical values collapse to one representative") {
+    import spark.implicits._
+    val rows = Seq(
+      (1L, "warehouse-north-17"), (2L, "warehouse-north-18"), // subst
+      (3L, "warehouse-nortth-17"),                            // insert vs 1
+      (4L, "warehouse-nort-17"),                              // delete vs 1
+      (5L, "warehouse-north-17"),                             // exact dup of 1
+      (6L, "completely different"), (7L, null: String))
+    val got = edjRun(rows.toDF("id", "s"), t = 1)
+    assert(got === edjBrute(rows, 1))
+    // dist-0 identity pairs absent; id 5 never appears (1 is the min-id rep)
+    assert(got.contains((1L, 2L, 1L)) && got.contains((1L, 3L, 1L)) &&
+      got.contains((1L, 4L, 1L)))
+    assert(!got.exists(p => p._1 == 5L || p._2 == 5L))
+  }
+
+  test("editDistanceJoin: complete vs brute force across short/long strings and t=1,2") {
+    import spark.implicits._
+    // serial-number structure (one-digit neighbors), planted typos, short
+    // codes below the prefix path's length floor, and empty strings
+    val serial = (0 until 40).map(i => (i.toLong, f"unit-$i%03d"))
+    val typos = Seq((100L, "unit-0077"), (101L, "unt-007"), (102L, "Unit-007"))
+    val shorts = Seq((200L, "ab"), (201L, "b"), (202L, "abc"), (203L, "abcd"),
+      (204L, "zz"), (205L, ""), (206L, "a"))
+    val rows = serial ++ typos ++ shorts
+    val df = rows.toDF("id", "s")
+    for (t <- Seq(1, 2)) {
+      assert(edjRun(df, t) === edjBrute(rows, t), s"t=$t")
+    }
+    // q=2 prefix geometry must find the identical answer
+    assert(edjRun(df, 1, q = 2) === edjBrute(rows, 1))
+    // partitioning invariance
+    assert(edjRun(df.repartition(13), 1) === edjBrute(rows, 1))
+  }
 }

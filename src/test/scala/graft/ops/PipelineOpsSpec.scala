@@ -1696,4 +1696,50 @@ class PipelineOpsSpec extends SparkTestBase {
     }
     assert(rows.exists(r => !r.isNullAt(r.fieldIndex("regime_event_type"))))
   }
+
+  private def chiRows(rows: Seq[(String, String)]) = {
+    import spark.implicits._
+    Stats.chiSquare(rows.toDF("r", "c"), "r", "c").collect()
+      .map(x => (x.getString(0), x.getString(1)) ->
+        ((x.getLong(2), x.getLong(3), x.getLong(4), x.getLong(5),
+          x.getLong(6), x.getLong(7)))).toMap
+  }
+
+  test("chiSquare: hand-computed 2x2 association; zero cells enter the grid; NULLs drop") {
+    import spark.implicits._
+    // 30/10 vs 10/30 on N=80: every marginal 40, every expected count 20,
+    // every cell contributes (800)^2*1e6/(1600*80) = 5e6 -> chi2 = 20.0
+    val rows =
+      Seq.fill(30)(("a", "x")) ++ Seq.fill(10)(("a", "y")) ++
+      Seq.fill(10)(("b", "x")) ++ Seq.fill(30)(("b", "y")) ++
+      Seq((null, "x"), ("a", null))
+    val out = chiRows(rows.map { case (r, c) => (r, c) })
+    assert(out.keySet === Set(("a", "x"), ("a", "y"), ("b", "x"), ("b", "y")))
+    assert(out(("a", "x")) === ((30L, 20000000L, 5000000L, 20000000L, 1L, 80L)))
+    assert(out(("b", "y")) === ((30L, 20000000L, 5000000L, 20000000L, 1L, 80L)))
+    assert(out(("a", "y")) === ((10L, 20000000L, 5000000L, 20000000L, 1L, 80L)))
+    // an absent combination materializes with observed 0 and a real
+    // contribution: drop all (b, z): E = 40*5*1e6/85 cells shift
+    val withZ = rows ++ Seq.fill(5)(("a", "z"))
+    val oz = chiRows(withZ)
+    assert(oz(("b", "z"))._1 === 0L)
+    assert(oz(("b", "z"))._3 > 0L) // (0*N - R*C)^2 term is positive
+    assert(oz.values.head._5 === 2L) // dof = (2-1)*(3-1)
+  }
+
+  test("chiSquare: exact independence reads zero; partitioning-invariant") {
+    import spark.implicits._
+    // proportional table: E == O in every cell, so every (O*N - R*C) == 0
+    val rows =
+      Seq.fill(20)(("a", "x")) ++ Seq.fill(10)(("a", "y")) ++
+      Seq.fill(40)(("b", "x")) ++ Seq.fill(20)(("b", "y"))
+    val out = chiRows(rows)
+    assert(out.values.forall(v => v._3 == 0L && v._4 == 0L))
+    assert(out(("a", "x"))._2 === 20 * 1000000L)
+    val rep = Stats.chiSquare(rows.toDF("r", "c").repartition(13), "r", "c")
+      .collect().map(x => (x.getString(0), x.getString(1)) ->
+        ((x.getLong(2), x.getLong(3), x.getLong(4), x.getLong(5),
+          x.getLong(6), x.getLong(7)))).toMap
+    assert(rep === out)
+  }
 }

@@ -2777,6 +2777,22 @@ object SparkEntry {
     ops.Stats.chiSquare(ev, "event_type", "dow")
   }
 
+  /** Link-prediction panel over the co-supply graph (the triangle_count
+    * graph: suppliers adjacent at >= 28 common orders) — every absent
+    * edge at distance 2 scored by common neighbors / neighborhood
+    * Jaccard / preferential attachment.
+    */
+  private def linkPredictQ(s: SparkSession, dir: String): DataFrame = {
+    val li = s.read.parquet(s"$dir/lineitem.parquet")
+      .select(col("l_orderkey").as("ok"), col("l_suppkey").as("sk")).distinct()
+    val co = li.select(col("ok"), col("sk").as("s1"))
+      .join(li.select(col("ok"), col("sk").as("s2")), "ok")
+      .filter(col("s1") < col("s2"))
+      .groupBy(col("s1"), col("s2")).agg(count(lit(1)).as("w"))
+      .filter(col("w") >= 28)
+    ops.Graph.linkScores(co, "s1", "s2")
+  }
+
   /** Exact DAU/WAU/MAU engagement panel over the events stream. */
   private def activeUsersQ(s: SparkSession, dir: String): DataFrame =
     ops.Temporal.activeUsers(
@@ -2979,6 +2995,7 @@ object SparkEntry {
     "active_users" -> (activeUsersQ _),
     "edit_distance_join" -> (editDistanceJoinQ _),
     "chi_square" -> (chiSquareQ _),
+    "link_predict" -> (linkPredictQ _),
   )
 
   /** DuckDB twin per SQL-expressible key (driver compares on sf0.01). */
@@ -7161,6 +7178,34 @@ object SparkEntry {
           |    * ((SELECT count(*) FROM ct) - 1) AS BIGINT) AS dof,
           |  nn AS n
           |FROM cells""".stripMargin,
+      // link-prediction replay: the identical co-supply graph → adjacency
+      // → capped wedge expansion → non-edge filter → degree attach chain
+      // with integral `//` for the neighborhood Jaccard
+      "link_predict" ->
+        """WITH li AS MATERIALIZED (
+          |  SELECT DISTINCT l_orderkey AS ok, l_suppkey AS sk FROM lineitem),
+          |und AS MATERIALIZED (
+          |  SELECT x.sk AS a, y.sk AS b FROM li x JOIN li y
+          |  ON x.ok = y.ok AND x.sk < y.sk
+          |  GROUP BY 1, 2 HAVING count(*) >= 28),
+          |adj AS (SELECT a AS c, b AS n FROM und
+          |  UNION ALL SELECT b, a FROM und),
+          |deg AS MATERIALIZED (
+          |  SELECT c AS id, count(*) AS deg FROM adj GROUP BY 1),
+          |ok_c AS (SELECT id FROM deg WHERE deg <= 256),
+          |cand AS MATERIALIZED (
+          |  SELECT x.n AS a, y.n AS b, count(*) AS cn
+          |  FROM adj x JOIN adj y ON x.c = y.c AND x.n < y.n
+          |  JOIN ok_c ON ok_c.id = x.c
+          |  GROUP BY 1, 2),
+          |ne AS (SELECT cand.* FROM cand LEFT JOIN und
+          |  ON und.a = cand.a AND und.b = cand.b WHERE und.a IS NULL)
+          |SELECT ne.a, ne.b, ne.cn AS common_neighbors,
+          |  da.deg AS deg_a, db.deg AS deg_b,
+          |  ne.cn * 1000000 // (da.deg + db.deg - ne.cn) AS jaccard_ppm,
+          |  da.deg * db.deg AS pa_score
+          |FROM ne JOIN deg da ON da.id = ne.a JOIN deg db ON db.id = ne.b
+          |WHERE ne.cn >= 1""".stripMargin,
       // basket-rule replay: the same distinct-presence → cap → pair-count
       // → both-directions → integral-ppm chain; `//` is DuckDB's floor
       // division, matching the engine's DECIMAL(38,0) `div` on these

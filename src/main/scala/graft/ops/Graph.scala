@@ -280,4 +280,85 @@ object Graph {
       .join(perNode, Seq("id"), "left")
       .select(col("id"), coalesce(col("n_triangles"), lit(0L)).as("n_triangles"))
   }
+
+  /** Link-prediction scores over an undirected simple graph — the classic
+    * neighborhood heuristics (Liben-Nowell & Kleinberg CIKM'03) for every
+    * NON-edge pair at distance 2: `common_neighbors` (the wedge count),
+    * full degrees of both endpoints, `jaccard_ppm =
+    * ⌊cn·10^6/(deg_a + deg_b − cn)⌋` (neighborhood Jaccard in the integral
+    * lane — no Adamic–Adar here, its 1/log(deg) weights have no exact
+    * integer form), and the preferential-attachment score
+    * `pa_score = deg_a·deg_b`. Existing edges are excluded (the point is
+    * predicting ABSENT links); pairs below `minCommon` drop.
+    *
+    * Skew contract (the [[Affinity.basketRules]] discipline): a wedge
+    * center of degree d contributes C(d,2) candidate pairs, so centers
+    * with more than `maxDegree` neighbors drop WHOLE before expansion,
+    * observably (`n_centers_in` / `n_dropped_centers` via `metrics`) —
+    * one celebrity node in a 10^12-edge graph would alone emit 10^12+
+    * pairs, and evidence THROUGH such a hub is the least informative kind
+    * (everything neighbors it). Degrees in the output stay FULL degrees;
+    * only wedge evidence through dropped centers is forgone, and with the
+    * cap above the true max degree the scores are exact.
+    *
+    * Shape at 100 TB: one exchange to assemble per-center sorted neighbor
+    * arrays (collect_set dedups map-side), the C(d,2) expansion happens
+    * IN-ROW over the capped arrays (never a corpus self-join), pair
+    * counts aggregate on the pair key, the existing-edge exclusion is a
+    * left-anti hash join on the canonical edge key, and degrees attach by
+    * node-keyed hash joins — every exchange is edge- or pair-volume,
+    * bounded by the cap.
+    */
+  def linkScores(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      minCommon: Long = 1L,
+      maxDegree: Int = 256,
+      metrics: Option[org.apache.spark.sql.Observation] = None): DataFrame = {
+    require(minCommon >= 1, "minCommon must be >= 1")
+    require(maxDegree >= 2, "maxDegree must be >= 2 (wedges need 2 neighbors)")
+    val und = edges
+      .select(least(col(srcCol), col(dstCol)).as("a"),
+        greatest(col(srcCol), col(dstCol)).as("b"))
+      .filter(col("a").isNotNull && col("b").isNotNull && col("a") =!= col("b"))
+      .distinct()
+      .localCheckpoint(false) // feeds adjacency, degrees, and the anti-join
+    val deg = und.select(col("a").as("id"))
+      .unionByName(und.select(col("b").as("id")))
+      .groupBy(col("id")).agg(count(lit(1)).as("deg"))
+      .localCheckpoint(false) // consumed by BOTH endpoint attaches
+    // per-center sorted neighbor arrays; the cap drops hot centers whole,
+    // observably, BEFORE the C(d,2) in-row expansion
+    val adj = und.select(col("a").as("_c"), col("b").as("_n"))
+      .unionByName(und.select(col("b").as("_c"), col("a").as("_n")))
+      .groupBy(col("_c")).agg(array_sort(collect_set(col("_n"))).as("_ns"))
+    val capped = metrics.map { o =>
+      adj.observe(o,
+        count(lit(1)).as("n_centers_in"),
+        coalesce(sum(when(size(col("_ns")) > maxDegree, 1L).otherwise(0L)),
+          lit(0L)).as("n_dropped_centers"))
+    }.getOrElse(adj)
+      .filter(size(col("_ns")) <= maxDegree)
+    val cand = capped
+      .select(flatten(transform(col("_ns"), (x, i) =>
+        transform(slice(col("_ns"), i + lit(2),
+          greatest(size(col("_ns")) - i - lit(1), lit(0))), y =>
+          struct(x.as("_pa"), y.as("_pb"))))).as("_ps"))
+      .select(explode(col("_ps")).as("_p"))
+      .groupBy(col("_p._pa").as("a"), col("_p._pb").as("b"))
+      .agg(count(lit(1)).as("common_neighbors"))
+      .filter(col("common_neighbors") >= minCommon)
+      // the pair key is already canonical (sorted arrays pair low→high),
+      // so the anti-join hits the canonical edge key directly
+      .join(und, Seq("a", "b"), "left_anti")
+    cand
+      .join(deg.select(col("id").as("a"), col("deg").as("deg_a")), "a")
+      .join(deg.select(col("id").as("b"), col("deg").as("deg_b")), "b")
+      .select(col("a"), col("b"), col("common_neighbors"),
+        col("deg_a"), col("deg_b"),
+        expr("(CAST(common_neighbors AS DECIMAL(38,0)) * 1000000) div " +
+          "(deg_a + deg_b - common_neighbors)").cast("long").as("jaccard_ppm"),
+        (col("deg_a") * col("deg_b")).as("pa_score"))
+  }
 }

@@ -409,6 +409,11 @@ class PlanGateSpec extends SparkTestBase {
     // exchange + the shard-machinery trio shard_layout documents (corpus
     // (shard,bucket) exchange + tiny counts partial→final + cumulative join)
     "pipeline_text_pack" -> 4,
+    // adjacency re-key + center groupBy + pair groupBy + anti-join re-key
+    // + the two degree attaches (cand re-keys on a then b, deg side
+    // exchanges once); the canonical edge build and degree table sit
+    // behind their checkpoints
+    "link_predict" -> 7,
     // the 1-row table-statistic agg + the two 1-row dof marginal counts
     // (all three land in broadcast scalar-attaches); the corpus cell pass,
     // marginals, and the dense grid sit behind the cells checkpoint

@@ -144,4 +144,68 @@ class GraphSpec extends SparkTestBase {
     val none = Seq.empty[(Long, Long)].toDF("src", "dst")
     assert(Graph.pageRank(none, "src", "dst").count() === 0L)
   }
+
+  private def lsRun(
+      edges: org.apache.spark.sql.DataFrame,
+      minCommon: Long = 1L, maxDeg: Int = 256) =
+    Graph.linkScores(edges, "src", "dst", minCommon, maxDeg)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5),
+          r.getLong(6)))).toMap
+
+  test("linkScores: hand wedges; edges and closed triangles excluded; duplicate/reversed edges count once") {
+    import spark.implicits._
+    // path 1-2-3 (wedge at 2), square 10-11-12-13 (two diagonals), and a
+    // closed triangle 20-21-22 (no candidates); edge 1-2 also reversed+dup
+    val edges = Seq(
+      (1L, 2L), (2L, 1L), (1L, 2L), (2L, 3L),
+      (10L, 11L), (11L, 12L), (12L, 13L), (13L, 10L),
+      (20L, 21L), (21L, 22L), (20L, 22L)).toDF("src", "dst")
+    val out = lsRun(edges)
+    assert(out.keySet === Set((1L, 3L), (10L, 12L), (11L, 13L)))
+    // path ends: cn=1, both degree 1 -> jaccard 1e6, pa 1
+    assert(out((1L, 3L)) === ((1L, 1L, 1L, 1000000L, 1L)))
+    // square diagonals: cn=2, both degree 2 -> union 2 -> jaccard 1e6, pa 4
+    assert(out((10L, 12L)) === ((2L, 2L, 2L, 1000000L, 4L)))
+    assert(out((11L, 13L)) === ((2L, 2L, 2L, 1000000L, 4L)))
+    // minCommon prunes the single-wedge pair
+    assert(lsRun(edges, minCommon = 2L).keySet === Set((10L, 12L), (11L, 13L)))
+  }
+
+  test("linkScores: hot-center cap drops its wedges observably; degrees stay full; brute-force complete") {
+    import spark.implicits._
+    // hub 100 neighbors 1..6 (degree 6 > cap 5): its wedges vanish; the
+    // side wedge 1-7-2 survives and endpoint degrees still count the hub
+    val hub = (1L to 6L).map(n => (100L, n))
+    val side = Seq((1L, 7L), (7L, 2L))
+    val obs = new org.apache.spark.sql.Observation("ls-cap")
+    val out = Graph.linkScores(
+      (hub ++ side).toDF("src", "dst"), "src", "dst",
+      minCommon = 1L, maxDegree = 5, metrics = Some(obs))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    // 1-7-2 survives, and so does 7..100 through the NON-hub centers 1 and
+    // 2 — the cap silences evidence THROUGH the hub, not evidence ABOUT it
+    assert(out.keySet === Set((1L, 2L), (7L, 100L)))
+    // full degrees: node 1 has hub + 7 = 2, node 2 likewise
+    assert(out((1L, 2L)) === ((1L, 2L, 2L)))
+    assert(out((7L, 100L)) === ((2L, 2L, 6L)))
+    val m = obs.get
+    assert(m("n_centers_in") == 8L && m("n_dropped_centers") == 1L)
+    // brute force on a deterministic pseudo-random graph, cap not binding
+    val rnd = (1 to 120).map(i => ((i * 7) % 23).toLong -> ((i * 13) % 23).toLong)
+      .filter(e => e._1 != e._2)
+    val got = lsRun(rnd.toDF("src", "dst"))
+    val und = rnd.map(e => (math.min(e._1, e._2), math.max(e._1, e._2))).toSet
+    val nbrs = und.toSeq.flatMap(e => Seq(e._1 -> e._2, e._2 -> e._1))
+      .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSet }
+    val want = (for {
+      (a, na) <- nbrs.toSeq; (b, nb) <- nbrs.toSeq
+      if a < b && !und((a, b))
+      cn = (na & nb).size.toLong if cn >= 1
+    } yield (a, b) -> ((cn, na.size.toLong, nb.size.toLong,
+      cn * 1000000L / (na.size + nb.size - cn), na.size.toLong * nb.size))).toMap
+    assert(got === want)
+    assert(lsRun(rnd.toDF("src", "dst").repartition(13)) === got)
+  }
 }

@@ -2793,6 +2793,17 @@ object SparkEntry {
     ops.Graph.linkScores(co, "s1", "s2")
   }
 
+  /** Calibration panel of the events value score against the purchase
+    * label over 10 uniform bins — eval_pr's operating points ask "how do
+    * precision and recall trade", this asks "does the score MEAN its
+    * value" (and ece_ppm compresses the answer).
+    */
+  private def calibrationQ(s: SparkSession, dir: String): DataFrame = {
+    val ev = events(dir).load(s)
+      .select(col("value"), (col("event_type") === "purchase").as("label"))
+    ops.Stats.calibration(ev, "value", "label", nBins = 10)
+  }
+
   /** Exact DAU/WAU/MAU engagement panel over the events stream. */
   private def activeUsersQ(s: SparkSession, dir: String): DataFrame =
     ops.Temporal.activeUsers(
@@ -2996,6 +3007,7 @@ object SparkEntry {
     "edit_distance_join" -> (editDistanceJoinQ _),
     "chi_square" -> (chiSquareQ _),
     "link_predict" -> (linkPredictQ _),
+    "eval_calibration" -> (calibrationQ _),
   )
 
   /** DuckDB twin per SQL-expressible key (driver compares on sf0.01). */
@@ -7206,6 +7218,34 @@ object SparkEntry {
           |  da.deg * db.deg AS pa_score
           |FROM ne JOIN deg da ON da.id = ne.a JOIN deg db ON db.id = ne.b
           |WHERE ne.cn >= 1""".stripMargin,
+      // calibration replay: the identical IEEE width-binning (subtract,
+      // divide, floor — exactly rounded in both engines) → micro-unit
+      // panel → n-weighted ECE chain with integral `//`
+      "eval_calibration" ->
+        """WITH base AS MATERIALIZED (
+          |  SELECT CAST(value AS DOUBLE) AS s,
+          |    event_type = 'purchase' AS y
+          |  FROM events WHERE value IS NOT NULL AND event_type IS NOT NULL),
+          |rng AS (SELECT min(s) AS lo, max(s) AS hi FROM base),
+          |b AS MATERIALIZED (
+          |  SELECT CASE WHEN hi = lo THEN 0 ELSE
+          |      least(greatest(CAST(floor((s - lo) / ((hi - lo) / 10))
+          |        AS BIGINT), 0), 9) END AS bin,
+          |    s, y
+          |  FROM base CROSS JOIN rng),
+          |p AS MATERIALIZED (
+          |  SELECT bin, count(*) AS n,
+          |    CAST(sum(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+          |    CAST(sum(CAST(floor(s * 1000000) AS BIGINT)) AS BIGINT) AS sm
+          |  FROM b GROUP BY 1),
+          |g AS (SELECT bin, n, n_pos,
+          |    sm // n AS conf_ppm, n_pos * 1000000 // n AS acc_ppm,
+          |    abs(sm // n - n_pos * 1000000 // n) AS gap_ppm
+          |  FROM p)
+          |SELECT bin, n, n_pos, conf_ppm, acc_ppm, gap_ppm,
+          |  CAST(sum(gap_ppm * n) OVER () // sum(n) OVER () AS BIGINT)
+          |    AS ece_ppm
+          |FROM g""".stripMargin,
       // basket-rule replay: the same distinct-presence → cap → pair-count
       // → both-directions → integral-ppm chain; `//` is DuckDB's floor
       // division, matching the engine's DECIMAL(38,0) `div` on these

@@ -901,6 +901,72 @@ object Stats {
         timestamp_micros(col("_bAt") * usPerBucket).as("change_at"))
   }
 
+  /** Model calibration panel with expected calibration error — the
+    * ML-evaluation family's third member next to [[rankAuc]] (ranking) and
+    * [[prCurve]] (operating points): does a score of 0.8 actually mean
+    * 80% positive? Uniform score bins (the textbook ECE formulation —
+    * equal-WIDTH over the observed [lo, hi] range, deliberately not
+    * equi-depth: [[equiDepthBins]]' per-group ntile is a single-task
+    * global sort on an ungrouped corpus, while width binning is pure
+    * scan-speed arithmetic), one row per non-empty bin:
+    * `n`, `n_pos`, `conf_ppm = ⌊Σ⌊s·10^6⌋ / n⌋` (mean predicted score in
+    * the micro-unit lane), `acc_ppm = ⌊n_pos·10^6/n⌋` (observed positive
+    * rate), `gap_ppm = |conf − acc|`, and the table-level
+    * `ece_ppm = ⌊Σ gap_i·n_i / N⌋` — the standard n-weighted expected
+    * calibration error, integral end to end. Bin assignment is the
+    * [[histogram]] contract: three exactly-rounded IEEE ops (subtract,
+    * divide, floor) then an integer clamp, engine-reproducible; a
+    * constant score column collapses to one bin. NULL scores/labels drop.
+    * Scores must be non-negative (probabilities/rates — the micro-unit
+    * divisions are floor-exact only on the non-negative lane; shift a
+    * signed score first, the cusumChangepoint convention).
+    *
+    * Shape at 100 TB: a bounded 1-row range pull at build time (the
+    * rankAuc precedent), ONE hash aggregation to the nBins-sized panel
+    * (map-side partials), and the ECE scalar attaches through a 1-row
+    * broadcast — no sort, no window, no join touches the corpus.
+    */
+  def calibration(
+      df: DataFrame,
+      scoreCol: String,
+      labelCol: String,
+      nBins: Int = 10): DataFrame = {
+    require(nBins >= 1, "nBins must be >= 1")
+    val base = df
+      .filter(col(scoreCol).isNotNull && col(labelCol).isNotNull)
+      .select(col(scoreCol).cast("double").as("_s"),
+        col(labelCol).cast("boolean").as("_y"))
+      .localCheckpoint(false) // the range pull and the bin agg both read it
+    val rng = base.agg(min(col("_s")), max(col("_s"))).head
+    val (lo, hi) =
+      if (rng.isNullAt(0)) (0.0, 0.0)
+      else (rng.getDouble(0), rng.getDouble(1))
+    val bin =
+      if (lo == hi) lit(0L)
+      else least(greatest(
+        floor((col("_s") - lit(lo)) / lit((hi - lo) / nBins)), lit(0L)),
+        lit(nBins - 1L))
+    val panel = base
+      .groupBy(bin.as("bin"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(when(col("_y"), 1L).otherwise(0L)).as("n_pos"),
+        sum(floor(col("_s") * 1000000L).cast("long")).as("_smicro"))
+      .withColumn("conf_ppm",
+        expr("CAST(_smicro AS DECIMAL(38,0)) div n").cast("long"))
+      .withColumn("acc_ppm",
+        expr("(CAST(n_pos AS DECIMAL(38,0)) * 1000000) div n").cast("long"))
+      .withColumn("gap_ppm", abs(col("conf_ppm") - col("acc_ppm")))
+      .localCheckpoint(false) // the ECE scalar and the output both read it
+    val ece = panel.agg(
+      expr("CAST(sum(CAST(gap_ppm AS DECIMAL(38,0)) * n) AS DECIMAL(38,0)) " +
+        "div sum(n)").cast("long").as("ece_ppm"))
+    panel
+      .crossJoin(broadcast(ece))
+      .select(col("bin"), col("n"), col("n_pos"),
+        col("conf_ppm"), col("acc_ppm"), col("gap_ppm"), col("ece_ppm"))
+  }
+
   /** Exact chi-square contingency panel — the categorical INDEPENDENCE
     * test next to [[ksTest]]'s distribution-equality test: are `rowCol`
     * and `colCol` associated, and WHICH cells carry the association? One

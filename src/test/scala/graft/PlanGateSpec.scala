@@ -409,6 +409,9 @@ class PlanGateSpec extends SparkTestBase {
     // exchange + the shard-machinery trio shard_layout documents (corpus
     // (shard,bucket) exchange + tiny counts partial→final + cumulative join)
     "pipeline_text_pack" -> 4,
+    // the 1-row ECE agg over the checkpointed nBins-sized panel; the
+    // corpus bin aggregation and the range pull sit behind checkpoints
+    "eval_calibration" -> 1,
     // adjacency re-key + center groupBy + pair groupBy + anti-join re-key
     // + the two degree attaches (cand re-keys on a then b, deg side
     // exchanges once); the canonical edge build and degree table sit
@@ -476,6 +479,8 @@ class PlanGateSpec extends SparkTestBase {
     "search_bm25",
     // chi_square's 1-row table-statistic and dof attaches: the same idiom
     "chi_square",
+    // eval_calibration's 1-row ECE attach onto the bin panel: the same idiom
+    "eval_calibration",
     // the k-row language table (k = languages, ≤ a few dozen ever): the
     // scalar-attach idiom at k rows — the nested loop runs once per partition
     "text_langid_model",

@@ -1727,6 +1727,31 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(oz.values.head._5 === 2L) // dof = (2-1)*(3-1)
   }
 
+  test("calibration: hand panel and ECE; constant score collapses; NULLs drop; partitioning-invariant") {
+    import spark.implicits._
+    // two score levels, 2 bins: 0.2 (1/4 positive) under-calibrated by
+    // 50000 ppm in each direction, 0.8 (3/4 positive) over — ECE 50000
+    val rows: Seq[(Option[Double], Option[Boolean])] =
+      Seq.fill(3)((Some(0.2), Some(false))) ++ Seq((Some(0.2), Some(true))) ++
+      Seq.fill(3)((Some(0.8), Some(true))) ++ Seq((Some(0.8), Some(false))) ++
+      Seq((None, Some(true)), (Some(0.9), None))
+    val df = rows.toDF("s", "y")
+    def run(d: org.apache.spark.sql.DataFrame, k: Int) =
+      Stats.calibration(d, "s", "y", nBins = k).collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getLong(4), r.getLong(5), r.getLong(6)))).toMap
+    val out = run(df, 2)
+    assert(out.keySet === Set(0L, 1L))
+    assert(out(0L) === ((4L, 1L, 200000L, 250000L, 50000L, 50000L)))
+    assert(out(1L) === ((4L, 3L, 800000L, 750000L, 50000L, 50000L)))
+    assert(run(df.repartition(13), 2) === out)
+    // a constant score collapses to bin 0 with a pure base-rate panel
+    val const = Seq.fill(5)((0.5, true)) ++ Seq.fill(5)((0.5, false))
+    val c = run(const.toDF("s", "y"), 10)
+    assert(c.keySet === Set(0L))
+    assert(c(0L) === ((10L, 5L, 500000L, 500000L, 0L, 0L)))
+  }
+
   test("chiSquare: exact independence reads zero; partitioning-invariant") {
     import spark.implicits._
     // proportional table: E == O in every cell, so every (O*N - R*C) == 0

@@ -2804,6 +2804,18 @@ object SparkEntry {
     ops.Stats.calibration(ev, "value", "label", nBins = 10)
   }
 
+  /** Weekly-seasonality anomaly panel per event type: daily value-mass
+    * buckets compared against their own day-of-week mean, flagged outside
+    * ±50% — "it's Sunday" and "something broke" separated.
+    */
+  private def seasonalAnomalyQ(s: SparkSession, dir: String): DataFrame =
+    ops.Stats.seasonalAnomaly(
+      events(dir).load(s).select("event_type", "ts", "value"),
+      "event_type", "ts", "value",
+      bucketSeconds = 86400L, periodBuckets = 7, bandPpm = 500000L)
+      .withColumn("bucket_us", unix_micros(col("bucket")))
+      .drop("bucket")
+
   /** Exact DAU/WAU/MAU engagement panel over the events stream. */
   private def activeUsersQ(s: SparkSession, dir: String): DataFrame =
     ops.Temporal.activeUsers(
@@ -3008,6 +3020,7 @@ object SparkEntry {
     "chi_square" -> (chiSquareQ _),
     "link_predict" -> (linkPredictQ _),
     "eval_calibration" -> (calibrationQ _),
+    "seasonal_anomaly" -> (seasonalAnomalyQ _),
   )
 
   /** DuckDB twin per SQL-expressible key (driver compares on sf0.01). */
@@ -7246,6 +7259,30 @@ object SparkEntry {
           |  CAST(sum(gap_ppm * n) OVER () // sum(n) OVER () AS BIGINT)
           |    AS ece_ppm
           |FROM g""".stripMargin,
+      // seasonal-anomaly replay: the identical micro-unit bucket sums →
+      // (group, phase) integral means → ratio/band chain; `%` on
+      // non-negative epoch buckets matches Spark's pmod
+      "seasonal_anomaly" ->
+        """WITH base AS MATERIALIZED (
+          |  SELECT event_type AS g, epoch_us(ts) // 86400000000 AS b,
+          |    CAST(sum(CAST(floor(CAST(value AS DOUBLE) * 1000000)
+          |      AS BIGINT)) AS BIGINT) AS x
+          |  FROM events
+          |  WHERE event_type IS NOT NULL AND ts IS NOT NULL
+          |    AND value IS NOT NULL
+          |  GROUP BY 1, 2),
+          |ph AS (SELECT g, b, b % 7 AS p, x FROM base),
+          |pm AS (SELECT g, p, CAST(sum(x) // count(*) AS BIGINT) AS m
+          |  FROM ph GROUP BY 1, 2),
+          |r AS (SELECT ph.g, ph.b, ph.p, ph.x, pm.m,
+          |    CASE WHEN pm.m > 0 THEN ph.x * 1000000 // pm.m END AS ratio
+          |  FROM ph JOIN pm ON pm.g = ph.g AND pm.p = ph.p)
+          |SELECT g AS event_type, p AS phase, x AS value_micro,
+          |  m AS phase_mean_micro, CAST(ratio AS BIGINT) AS ratio_ppm,
+          |  (ratio IS NOT NULL AND (ratio < 500000 OR ratio > 1500000))
+          |    AS anomalous,
+          |  b * 86400000000 AS bucket_us
+          |FROM r""".stripMargin,
       // basket-rule replay: the same distinct-presence → cap → pair-count
       // → both-directions → integral-ppm chain; `//` is DuckDB's floor
       // division, matching the engine's DECIMAL(38,0) `div` on these

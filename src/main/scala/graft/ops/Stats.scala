@@ -901,6 +901,74 @@ object Stats {
         timestamp_micros(col("_bAt") * usPerBucket).as("change_at"))
   }
 
+  /** Seasonality-normalized anomaly panel — the drift family's PERIODIC
+    * member next to [[cusumChangepoint]] (which finds one level shift;
+    * this separates "it's Sunday" from "something broke"): per group the
+    * value series buckets by `bucketSeconds`, each bucket's phase is
+    * `bucket mod periodBuckets` (7 daily buckets = day-of-week), and the
+    * bucket's mass compares against its OWN phase's mean — the classic
+    * seasonal index, so a quiet weekend never false-alarms against a
+    * weekday baseline and a weekday outage never hides inside a weekly
+    * average. Per bucket: `value_micro` (the ⌊v·10^6⌋ micro-unit sum),
+    * `phase_mean_micro = ⌊Σ_phase / n_phase⌋`, `ratio_ppm =
+    * ⌊value·10^6/phase_mean⌋` (NULL when the phase mean is ≤ 0 — a ratio
+    * against nothing means nothing), and `anomalous` when the ratio sits
+    * outside `[10^6 − bandPpm, 10^6 + bandPpm]`. The phase mean includes
+    * the bucket itself (the standard seasonal-index estimate; at
+    * history lengths worth monitoring the self-term is 1/n of the mean).
+    * Values must be non-negative (the micro-unit floor lane). NULL
+    * groups/timestamps/values drop.
+    *
+    * Shape at 100 TB: ONE corpus pass to the (group, bucket) sums
+    * (map-side partials); the phase table is a (group, phase)
+    * re-aggregation of that bucket table — at most G·period rows — and
+    * attaches back by broadcast. No window functions, no sort, no
+    * corpus-sized join: buckets are bounded by time-range/bucketSeconds,
+    * never by event volume.
+    */
+  def seasonalAnomaly(
+      df: DataFrame,
+      groupCol: String,
+      tsCol: String,
+      valueCol: String,
+      bucketSeconds: Long = 86400L,
+      periodBuckets: Int = 7,
+      bandPpm: Long = 500000L): DataFrame = {
+    require(bucketSeconds > 0, "bucketSeconds must be positive")
+    require(periodBuckets >= 2, "periodBuckets must be >= 2 (a period of 1 is just the mean)")
+    require(bandPpm > 0, "bandPpm must be positive")
+    val usPerBucket = bucketSeconds * 1000000L
+    // one corpus pass; checkpointed — the phase means and the panel both
+    // read it
+    val base = df
+      .filter(col(groupCol).isNotNull && col(tsCol).isNotNull &&
+        col(valueCol).isNotNull)
+      .groupBy(col(groupCol).as("_g"),
+        call_function("div", unix_micros(col(tsCol)), lit(usPerBucket))
+          .as("_b"))
+      .agg(sum(floor(col(valueCol).cast("double") * 1000000L).cast("long"))
+        .as("_x"))
+      .withColumn("_ph", pmod(col("_b"), lit(periodBuckets.toLong)))
+      .localCheckpoint(false)
+    val phase = base.groupBy(col("_g"), col("_ph"))
+      .agg(expr("CAST(sum(_x) AS DECIMAL(38,0)) div count(1)").cast("long")
+        .as("_pm"))
+    base.join(broadcast(phase), Seq("_g", "_ph"))
+      .withColumn("ratio_ppm",
+        when(col("_pm") > 0,
+          expr("(CAST(_x AS DECIMAL(38,0)) * 1000000) div _pm").cast("long")))
+      .select(
+        col("_g").as(groupCol),
+        timestamp_micros(col("_b") * usPerBucket).as("bucket"),
+        col("_ph").as("phase"),
+        col("_x").as("value_micro"),
+        col("_pm").as("phase_mean_micro"),
+        col("ratio_ppm"),
+        (col("ratio_ppm").isNotNull &&
+          (col("ratio_ppm") < 1000000L - bandPpm ||
+            col("ratio_ppm") > 1000000L + bandPpm)).as("anomalous"))
+  }
+
   /** Model calibration panel with expected calibration error — the
     * ML-evaluation family's third member next to [[rankAuc]] (ranking) and
     * [[prCurve]] (operating points): does a score of 0.8 actually mean

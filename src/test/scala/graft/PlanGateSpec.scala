@@ -409,6 +409,9 @@ class PlanGateSpec extends SparkTestBase {
     // exchange + the shard-machinery trio shard_layout documents (corpus
     // (shard,bucket) exchange + tiny counts partial→final + cumulative join)
     "pipeline_text_pack" -> 4,
+    // the (group, phase) mean re-agg riding inside the broadcast attach;
+    // the corpus bucket-sum pass sits behind the base checkpoint
+    "seasonal_anomaly" -> 1,
     // the 1-row ECE agg over the checkpointed nBins-sized panel; the
     // corpus bin aggregation and the range pull sit behind checkpoints
     "eval_calibration" -> 1,

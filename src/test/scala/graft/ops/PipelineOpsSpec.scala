@@ -1752,6 +1752,42 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(c(0L) === ((10L, 5L, 500000L, 500000L, 0L, 0L)))
   }
 
+  test("seasonalAnomaly: planted spike flags against its OWN phase; flat series reads 1e6; zero-mass phase yields NULL ratio") {
+    import spark.implicits._
+    def dayTs(d: Int) = new java.sql.Timestamp(d * 86400000L)
+    // 6 weeks of 100/day, one 500 spike at day 16 (phase 2, week 3): the
+    // spike's phase mean is (5*100+500)/6 = 166.67 -> normal phase-2 days
+    // read 600000 ppm (inside the ±50% band), the spike reads 3e6
+    val rows = (0 until 42).map(d =>
+      ("g", dayTs(d), if (d == 16) 500.0 else 100.0)) ++
+      // a second group entirely zero: phase means 0 -> NULL ratios, no flag
+      (0 until 14).map(d => ("z", dayTs(d), 0.0)) ++
+      Seq((null, dayTs(1), 1.0), ("g", null, 1.0))
+    def run(df: org.apache.spark.sql.DataFrame) =
+      Stats.seasonalAnomaly(df, "g", "ts", "v").collect()
+        .map(r => (r.getString(0),
+          r.getAs[java.sql.Timestamp]("bucket").getTime / 86400000L) ->
+          ((r.getLong(2), r.getLong(3), r.getLong(4),
+            Option(r.get(5)).map(_.asInstanceOf[Long]), r.getBoolean(6))))
+        .toMap
+    val out = run(rows.toDF("g", "ts", "v"))
+    assert(out.size === 56)
+    // the spike: phase 2, 5e8 micro vs floor(1e9/6) mean -> ratio 3000000
+    val spike = out(("g", 16L))
+    assert(spike._1 === 2L && spike._2 === 500000000L)
+    assert(spike._3 === 166666666L && spike._4 === Some(3000000L) && spike._5)
+    // its phase siblings sit at 600000 ppm — inside the band, not flagged
+    assert(out(("g", 2L)) ===
+      ((2L, 100000000L, 166666666L, Some(600000L), false)))
+    // every other phase is flat: ratio exactly 1e6, never flagged
+    assert(out(("g", 3L)) ===
+      ((3L, 100000000L, 100000000L, Some(1000000L), false)))
+    assert(out.count { case ((g, _), v) => g == "g" && v._5 } === 1)
+    // the zero group: NULL ratios, nothing flagged
+    assert(out(("z", 0L))._4.isEmpty && !out(("z", 0L))._5)
+    assert(run(rows.toDF("g", "ts", "v").repartition(13)) === out)
+  }
+
   test("chiSquare: exact independence reads zero; partitioning-invariant") {
     import spark.implicits._
     // proportional table: E == O in every cell, so every (O*N - R*C) == 0

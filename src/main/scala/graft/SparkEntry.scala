@@ -2816,6 +2816,28 @@ object SparkEntry {
       .withColumn("bucket_us", unix_micros(col("bucket")))
       .drop("bucket")
 
+  /** asofJoin's third direction: each view event joins the CLOSEST
+    * purchase of the same user within 12 hours, either side — |Δt| ties
+    * to the earlier purchase, then to the greatest event_id.
+    */
+  private def nearestJoinQ(s: SparkSession, dir: String): DataFrame = {
+    val ev = events(dir).load(s)
+    val views = ev.filter(col("event_type") === "view")
+      .select("event_id", "user_id", "ts")
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select("event_id", "user_id", "ts", "value")
+    ops.Temporal.asofJoin(views, purchases,
+      keys = Seq("user_id"), leftTsCol = "ts", rightTsCol = "ts",
+      leftIdCols = Seq("event_id"), rightValueCols = Seq("event_id", "value"),
+      direction = "nearest", toleranceSeconds = Some(12L * 3600L),
+      tieBreak = Some("event_id"))
+      .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("ts_us"),
+        coalesce(unix_micros(col("asof_ts")), lit(-1L)).as("near_ts_us"),
+        coalesce(col("asof_event_id"), lit(-1L)).as("near_event_id"),
+        coalesce(round(col("asof_value") * 100).cast("long"), lit(-1L))
+          .as("near_value_cents"))
+  }
+
   /** Exact DAU/WAU/MAU engagement panel over the events stream. */
   private def activeUsersQ(s: SparkSession, dir: String): DataFrame =
     ops.Temporal.activeUsers(
@@ -3021,6 +3043,7 @@ object SparkEntry {
     "link_predict" -> (linkPredictQ _),
     "eval_calibration" -> (calibrationQ _),
     "seasonal_anomaly" -> (seasonalAnomalyQ _),
+    "nearest_join" -> (nearestJoinQ _),
   )
 
   /** DuckDB twin per SQL-expressible key (driver compares on sf0.01). */
@@ -7283,6 +7306,25 @@ object SparkEntry {
           |    AS anomalous,
           |  b * 86400000000 AS bucket_us
           |FROM r""".stripMargin,
+      // nearest-join replay: candidates within tolerance either side, then
+      // the engine's exact pick order — min |Δt|, earlier right ts, then
+      // greatest event_id — as a row_number argmin
+      "nearest_join" ->
+        s"""WITH l AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us
+           |  FROM events WHERE event_type = 'view'),
+           |r AS (SELECT user_id, epoch_us(ts) AS rts, event_id AS rid,
+           |    CAST(round(value * 100) AS BIGINT) AS cents
+           |  FROM events WHERE event_type = 'purchase'),
+           |c AS (SELECT l.event_id, r.rts, r.rid, r.cents,
+           |    row_number() OVER (PARTITION BY l.event_id
+           |      ORDER BY abs(r.rts - l.ts_us), r.rts, r.rid DESC) AS rn
+           |  FROM l JOIN r ON l.user_id = r.user_id
+           |    AND abs(r.rts - l.ts_us) <= ${12L * 3600000000L})
+           |SELECT l.event_id, l.user_id, l.ts_us,
+           |  coalesce(c.rts, -1) AS near_ts_us,
+           |  coalesce(c.rid, -1) AS near_event_id,
+           |  coalesce(c.cents, -1) AS near_value_cents
+           |FROM l LEFT JOIN c ON c.event_id = l.event_id AND c.rn = 1""".stripMargin,
       // basket-rule replay: the same distinct-presence → cap → pair-count
       // → both-directions → integral-ppm chain; `//` is DuckDB's floor
       // division, matching the engine's DECIMAL(38,0) `div` on these

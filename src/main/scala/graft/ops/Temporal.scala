@@ -95,7 +95,12 @@ object Temporal {
   /** Generic as-of join (the time-series enrichment primitive, independent of
     * the feature-store wrapper): every `left` row picks the single nearest
     * `right` row per `keys` — at-or-before its timestamp (`direction =
-    * "backward"`, the default) or at-or-after (`"forward"`) — optionally
+    * "backward"`, the default), at-or-after (`"forward"`), or the closest
+    * in EITHER direction (`"nearest"` — pandas merge_asof's third mode,
+    * the sensor-fusion pick: a reading joins its closest calibration
+    * sample whichever side it fell on; |Δt| ties break to the EARLIER
+    * right row, the deterministic convention that a measurement is
+    * usually better explained by what preceded it) — optionally
     * within `toleranceSeconds`. Unmatched left rows survive with nulls
     * (LEFT semantics). Timestamp ties on the right break to the greatest
     * `tieBreak` value, so the pick is deterministic in any engine.
@@ -328,25 +333,35 @@ object Temporal {
       direction: String = "backward",
       toleranceSeconds: Option[Long] = None,
       tieBreak: Option[String] = None): DataFrame = {
-    require(direction == "backward" || direction == "forward",
-      s"direction must be backward|forward (got $direction)")
+    require(direction == "backward" || direction == "forward" ||
+      direction == "nearest",
+      s"direction must be backward|forward|nearest (got $direction)")
     require(leftIdCols.nonEmpty, "leftIdCols must uniquely identify a left row")
     val backward = direction == "backward"
+    val nearest = direction == "nearest"
     val rCols = (keys :+ rightTsCol) ++ rightValueCols ++ tieBreak.toSeq
     val r = right.select(rCols.distinct.map(c => col(c).as(s"_r_$c")): _*)
     val keyEq = keys.map(k => left(k) === r(s"_r_$k")).reduce(_ && _)
     val lUs = unix_micros(left(leftTsCol))
     val rUs = unix_micros(r(s"_r_$rightTsCol"))
     val inWindow =
-      if (backward) rUs <= lUs && toleranceSeconds.map(t => rUs >= lUs - t * 1000000L)
+      if (nearest) toleranceSeconds
+        .map(t => abs(rUs - lUs) <= t * 1000000L).getOrElse(lit(true))
+      else if (backward) rUs <= lUs && toleranceSeconds.map(t => rUs >= lUs - t * 1000000L)
         .getOrElse(lit(true))
       else rUs >= lUs && toleranceSeconds.map(t => rUs <= lUs + t * 1000000L)
         .getOrElse(lit(true))
     val joined = left.join(r, keyEq && inWindow, "left")
     // arg-max candidate: null when the left row matched nothing, so max()
     // skips it and the group aggregates to null (nulls-preserved LEFT shape)
-    val ord = if (backward) rUs else -rUs
-    val tie = tieBreak.map(c => r(s"_r_$c")).getOrElse(lit(0))
+    // nearest picks the smallest |Δt|, ties to the EARLIER right row (the
+    // deterministic convention: a measurement is usually better explained
+    // by what preceded it), then to the caller's tieBreak
+    val ord = if (nearest) -abs(rUs - lUs)
+      else if (backward) rUs else -rUs
+    val tsTie = if (nearest) -rUs else lit(0L)
+    val tie = struct(tsTie.as("_ts"),
+      tieBreak.map(c => r(s"_r_$c")).getOrElse(lit(0)).as("_u"))
     // the ts column always rides as asof_<rightTsCol>; listing it again in
     // rightValueCols would mint a duplicate struct field name and make the
     // _m.v.<field> extraction ambiguous

@@ -74,6 +74,8 @@ class PlanGateSpec extends SparkTestBase {
 
   private val maxShuffles = Map(
     "asof_join" -> 1,
+    // the asof_join shape exactly: candidate equi-join + one arg-max agg
+    "nearest_join" -> 1,
     // the (key, ts) collapse exchange + the per-key window exchange
     "scd2_intervals" -> 2,
     // one per-category count exchange per side; the full-outer join is

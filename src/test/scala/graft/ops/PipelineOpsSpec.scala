@@ -306,6 +306,41 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(out.map(r => (r.getLong(0), r.getDouble(1))).toSeq === Seq((100L, 2.0)))
   }
 
+  test("asofJoin: nearest picks min |Δt| either side; ties to the earlier right, then greatest tieBreak; tolerance binds both sides") {
+    import spark.implicits._
+    val left = Seq(
+      (100L, 1L, ts("2024-01-01 10:00:00")), // 09:20 (40m back) vs 10:30 (30m fwd)
+      (101L, 1L, ts("2024-01-01 12:00:00")), // equidistant 11:30/12:30 -> earlier
+      (102L, 1L, ts("2024-01-05 10:00:00")), // nothing within tolerance
+      (103L, 2L, ts("2024-01-01 10:00:00")) // no right rows for user 2
+    ).toDF("event_id", "user_id", "ts")
+    val right = Seq(
+      (1L, 1L, ts("2024-01-01 09:20:00"), 1.0),
+      (2L, 1L, ts("2024-01-01 10:30:00"), 2.0), // nearest for 100
+      (3L, 1L, ts("2024-01-01 11:30:00"), 3.0), // equidistant EARLIER: wins 101
+      (4L, 1L, ts("2024-01-01 12:30:00"), 4.0),
+      (5L, 1L, ts("2024-01-01 11:30:00"), 5.0) // same ts as 3: greater id wins
+    ).toDF("event_id", "user_id", "ts", "value")
+    val out = Temporal.asofJoin(left, right, Seq("user_id"), "ts", "ts",
+      leftIdCols = Seq("event_id"), rightValueCols = Seq("event_id", "value"),
+      direction = "nearest", toleranceSeconds = Some(3600L),
+      tieBreak = Some("event_id"))
+      .select("event_id", "asof_event_id", "asof_value").collect()
+      .map(r => (r.getLong(0), Option(r.get(1)), Option(r.get(2)))).toSet
+    assert(out === Set(
+      (100L, Some(2L), Some(2.0)), // 30m forward beats 40m back
+      (101L, Some(5L), Some(5.0)), // earlier side wins the tie, id 5 > 3
+      (102L, None, None),
+      (103L, None, None)))
+    // without tolerance, nearest is unbounded: 102 now finds the 12:30 row
+    val unb = Temporal.asofJoin(left, right, Seq("user_id"), "ts", "ts",
+      leftIdCols = Seq("event_id"), rightValueCols = Seq("event_id"),
+      direction = "nearest", tieBreak = Some("event_id"))
+      .select("event_id", "asof_event_id").collect()
+      .map(r => (r.getLong(0), Option(r.get(1)))).toMap
+    assert(unb(102L) === Some(4L))
+  }
+
   test("rankAuc: perfect/anti/random separation, tie averaging, one-class NULL") {
     import spark.implicits._
     def auc(rows: Seq[(Long, Boolean)]): Option[Long] = {

@@ -2838,6 +2838,22 @@ object SparkEntry {
           .as("near_value_cents"))
   }
 
+  /** Personalized PageRank over the purchase graph, restarting at nation-0
+    * customers: every customer and supplier scored by proximity to that
+    * nation's buying base — the seed-expansion signal.
+    */
+  private def personalizedPageRankQ(s: SparkSession, dir: String): DataFrame = {
+    val orders = s.read.parquet(s"$dir/orders.parquet")
+      .select("o_orderkey", "o_custkey")
+    val li = s.read.parquet(s"$dir/lineitem.parquet")
+      .select("l_orderkey", "l_suppkey")
+    val edges = orders.join(li, col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_custkey").as("src"), (col("l_suppkey") + 1000000L).as("dst"))
+    val seeds = s.read.parquet(s"$dir/customer.parquet")
+      .filter(col("c_nationkey") === 0).select(col("c_custkey"))
+    ops.Graph.personalizedPageRank(edges, "src", "dst", seeds, "c_custkey")
+  }
+
   /** Exact DAU/WAU/MAU engagement panel over the events stream. */
   private def activeUsersQ(s: SparkSession, dir: String): DataFrame =
     ops.Temporal.activeUsers(
@@ -3044,6 +3060,7 @@ object SparkEntry {
     "eval_calibration" -> (calibrationQ _),
     "seasonal_anomaly" -> (seasonalAnomalyQ _),
     "nearest_join" -> (nearestJoinQ _),
+    "personalized_pagerank" -> (personalizedPageRankQ _),
   )
 
   /** DuckDB twin per SQL-expressible key (driver compares on sf0.01). */
@@ -6444,6 +6461,33 @@ object SparkEntry {
            |od AS (SELECT src, count(*) AS outdeg FROM e GROUP BY src),
            |nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
            |r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS rank FROM nodes),
+           |$iters
+           |SELECT node, rank FROM r3""".stripMargin
+      },
+      // personalized PR: the page_rank unroll with the restart vector
+      // concentrated on nation-0 customers (tp/r0 per node from the seed
+      // flag); arithmetic is otherwise identical
+      "personalized_pagerank" -> {
+        val iters = (1 to 3).map { i =>
+          s"""c$i AS (SELECT e.dst AS node,
+             |    CAST(sum(r.rank // od.outdeg) AS BIGINT) AS inb
+             |  FROM e JOIN od USING (src) JOIN r${i - 1} r ON r.node = e.src
+             |  GROUP BY e.dst),
+             |r$i AS (SELECT n.node,
+             |    CAST(n.tp + (coalesce(c.inb, 0) * 85) // 100 AS BIGINT) AS rank
+             |  FROM nt n LEFT JOIN c$i c USING (node))""".stripMargin
+        }.mkString(",\n")
+        s"""WITH e AS (SELECT DISTINCT o_custkey AS src, l_suppkey + 1000000 AS dst
+           |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+           |od AS (SELECT src, count(*) AS outdeg FROM e GROUP BY src),
+           |nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+           |sd AS (SELECT DISTINCT c_custkey AS node FROM customer
+           |  WHERE c_nationkey = 0),
+           |nt AS MATERIALIZED (SELECT n.node,
+           |    CASE WHEN sd.node IS NOT NULL THEN 150000 ELSE 0 END AS tp,
+           |    CASE WHEN sd.node IS NOT NULL THEN 1000000 ELSE 0 END AS r0
+           |  FROM nodes n LEFT JOIN sd ON sd.node = n.node),
+           |r0 AS (SELECT node, CAST(r0 AS BIGINT) AS rank FROM nt),
            |$iters
            |SELECT node, rank FROM r3""".stripMargin
       },

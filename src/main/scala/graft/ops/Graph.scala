@@ -60,9 +60,26 @@ object Graph {
     val outdeg = e.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
     val eDeg = e.join(outdeg, Seq("src")).localCheckpoint()
     val nodes = eDeg.select(col("src").as("node"))
-      .union(eDeg.select(col("dst").as("node"))).distinct().localCheckpoint()
+      .union(eDeg.select(col("dst").as("node"))).distinct()
     val teleport = scale / 100L * (100L - dampingPct)
-    var rank = nodes.select(col("node"), lit(scale).as("rank"))
+    prLoop(eDeg,
+      nodes.select(col("node"), lit(teleport).as("_tp"), lit(scale).as("_r0")),
+      iterations, dampingPct)
+  }
+
+  /** The shared power-iteration loop of [[pageRank]] and
+    * [[personalizedPageRank]]: `nodesT` carries each node's per-iteration
+    * teleport term (`_tp`) and initial rank (`_r0`) — uniform for global
+    * PageRank, seed-concentrated for the personalized form. Identical
+    * integer lane and checkpoint discipline either way.
+    */
+  private def prLoop(
+      eDeg: DataFrame,
+      nodesT: DataFrame,
+      iterations: Int,
+      dampingPct: Int): DataFrame = {
+    val nodes = nodesT.localCheckpoint()
+    var rank = nodes.select(col("node"), col("_r0").as("rank"))
     var prevCkpt: Option[DataFrame] = None
     for (_ <- 1 to iterations) {
       val contrib = eDeg
@@ -71,7 +88,7 @@ object Graph {
         .groupBy(col("node")).agg(sum(col("_c")).as("_in"))
       val next = nodes.join(contrib, Seq("node"), "left")
         .select(col("node"),
-          (lit(teleport) +
+          (col("_tp") +
             expr(s"(coalesce(_in, 0L) * $dampingPct) div 100")).as("rank"))
         .localCheckpoint()
       // at most two rank snapshots live in executor storage (the
@@ -82,6 +99,56 @@ object Graph {
       rank = next
     }
     rank
+  }
+
+  /** Personalized PageRank — [[pageRank]] with the teleport mass
+    * CONCENTRATED on a seed set instead of spread uniformly: random walks
+    * restart at the seeds, so a node's rank reads "proximity to the
+    * seeds through the link structure" — the standard related-items /
+    * seed-expansion signal (grow a trusted-domain whitelist outward, rank
+    * suppliers by closeness to one nation's customer base). Same exact
+    * integer lane as the global form: seeds start at `scale` and receive
+    * the full per-node teleport term each iteration, non-seeds start at
+    * 0 and receive none — every arithmetic op is the global form's,
+    * so the oracle replay differs only in the restart vector. Nodes
+    * unreachable from the seeds hold rank 0 (emitted, not dropped — the
+    * caller sees the whole universe scored). Seeds not on any edge are
+    * ignored (they have no links to walk).
+    *
+    * Shape: identical to [[pageRank]] — the seed flag rides the node
+    * table built once at the start (one left-semi hash join against the
+    * seed frame), and the loop is the shared [[prLoop]].
+    */
+  def personalizedPageRank(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      seeds: DataFrame,
+      seedCol: String,
+      iterations: Int = 3,
+      dampingPct: Int = 85,
+      scale: Long = 1000000L): DataFrame = {
+    require(iterations >= 1 && iterations <= 50, "iterations must be in [1, 50]")
+    require(dampingPct >= 0 && dampingPct <= 100, "dampingPct must be in [0, 100]")
+    require(scale >= 100 && scale % 100 == 0,
+      "scale must be a positive multiple of 100 (keeps the teleport term exact)")
+    val e = edges
+      .select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .filter(col("src").isNotNull && col("dst").isNotNull)
+      .distinct()
+    val outdeg = e.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
+    val eDeg = e.join(outdeg, Seq("src")).localCheckpoint()
+    val nodes = eDeg.select(col("src").as("node"))
+      .union(eDeg.select(col("dst").as("node"))).distinct()
+    val seedSet = seeds.select(col(seedCol).as("node"))
+      .filter(col("node").isNotNull).distinct()
+    val teleport = scale / 100L * (100L - dampingPct)
+    val nodesT = nodes
+      .join(seedSet.withColumn("_s", lit(true)), Seq("node"), "left")
+      .select(col("node"),
+        when(col("_s"), lit(teleport)).otherwise(lit(0L)).as("_tp"),
+        when(col("_s"), lit(scale)).otherwise(lit(0L)).as("_r0"))
+    prLoop(eDeg, nodesT, iterations, dampingPct)
   }
 
   /** Per-node triangle counts over an undirected edge list — the local

@@ -63,6 +63,8 @@ class PlanGateSpec extends SparkTestBase {
     // per-iteration localCheckpoints (the CC discipline) — the final plan
     // reads the last snapshot only
     "page_rank",
+    // the same shared prLoop with a seeded restart vector
+    "personalized_pagerank",
     // per-round label checkpoints (the page_rank shape)
     "graph_communities",
     // per-round survivor checkpoints + the convergence count jobs; the

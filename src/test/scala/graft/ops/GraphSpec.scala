@@ -145,6 +145,36 @@ class GraphSpec extends SparkTestBase {
     assert(Graph.pageRank(none, "src", "dst").count() === 0L)
   }
 
+  test("personalizedPageRank: hand iterations from a seeded restart; unreachable nodes emit 0; off-graph seeds ignored") {
+    import spark.implicits._
+    // chain 1→2→3 seeded at 1, plus an unreachable island 10→11 and a
+    // seed (99) on no edge
+    val edges = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("src", "dst")
+    val seeds = Seq(1L, 99L).toDF("id")
+    def run(it: Int) =
+      Graph.personalizedPageRank(edges, "src", "dst", seeds, "id",
+        iterations = it)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // r0: 1e6 at the seed only. iter 1: 2 ← 1e6 div 1, damped 850000;
+    // seed re-teleports 150000; everything else 0
+    assert(run(1) === Map(1L -> 150000L, 2L -> 850000L, 3L -> 0L,
+      10L -> 0L, 11L -> 0L))
+    // iter 2: 2 ← 150000·85% = 127500, 3 ← 850000·85% = 722500
+    assert(run(2) === Map(1L -> 150000L, 2L -> 127500L, 3L -> 722500L,
+      10L -> 0L, 11L -> 0L))
+    // integer lane: partitioning-invariant
+    val rep = Graph.personalizedPageRank(edges.repartition(7), "src", "dst",
+      seeds, "id", iterations = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(rep === run(2))
+    // global pageRank unchanged by the shared-loop refactor: uniform
+    // teleport replays the documented hand case
+    val g = Seq((1L, 2L), (1L, 3L), (2L, 3L)).toDF("src", "dst")
+    val pr = Graph.pageRank(g, "src", "dst", iterations = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(pr === Map(1L -> 150000L, 2L -> 575000L, 3L -> 1425000L))
+  }
+
   private def lsRun(
       edges: org.apache.spark.sql.DataFrame,
       minCommon: Long = 1L, maxDeg: Int = 256) =

@@ -2656,6 +2656,14 @@ object SparkEntry {
       .select(col("event_id"), col("event_type"), col("value_e4"),
         round(col("z_score"), 6).as("z_score"))
 
+  /** Robust (median/MAD) outliers over the same fixed-point lane as
+    * value_outliers — the zScore panel's 50%-breakdown twin. */
+  private def madOutliersQ(s: SparkSession, dir: String): DataFrame =
+    ops.Stats.madOutliers(
+      eventsFixedPoint(s, dir).select("event_id", "event_type", "value")
+        .withColumnRenamed("value", "value_e4"),
+      groupCols = Seq("event_type"), valueCol = "value_e4")
+
   private def eventTypePivot(s: SparkSession, dir: String): DataFrame =
     ops.Stats.crosstabCounts(events(dir).load(s), "user_id", "event_type",
       Seq("click", "error", "purchase", "signup", "view"))
@@ -3061,6 +3069,7 @@ object SparkEntry {
     "seasonal_anomaly" -> (seasonalAnomalyQ _),
     "nearest_join" -> (nearestJoinQ _),
     "personalized_pagerank" -> (personalizedPageRankQ _),
+    "mad_outliers" -> (madOutliersQ _),
   )
 
   /** DuckDB twin per SQL-expressible key (driver compares on sf0.01). */
@@ -7003,6 +7012,31 @@ object SparkEntry {
           |  FROM w WHERE weight >= 1)
           |SELECT doc_id, lang, source, weight, priority
           |FROM p ORDER BY priority, doc_id LIMIT 50""".stripMargin,
+      // MAD replay: exact lower medians as rank (n+1)//2 order statistics
+      // (never an interpolated midpoint), then the integral band test
+      "mad_outliers" ->
+        """WITH base AS MATERIALIZED (
+          |  SELECT event_id, event_type AS g,
+          |    CAST(round(value * 10000) AS BIGINT) AS v
+          |  FROM events WHERE value IS NOT NULL),
+          |m AS (SELECT g, v AS med FROM (
+          |  SELECT g, v, row_number() OVER (PARTITION BY g ORDER BY v) AS rn,
+          |    count(*) OVER (PARTITION BY g) AS n FROM base)
+          |  WHERE rn = (n + 1) // 2),
+          |d AS MATERIALIZED (SELECT base.event_id, base.g, base.v, m.med,
+          |    abs(base.v - m.med) AS adev
+          |  FROM base JOIN m USING (g)),
+          |md AS (SELECT g, adev AS mad FROM (
+          |  SELECT g, adev, row_number() OVER (PARTITION BY g ORDER BY adev) AS rn,
+          |    count(*) OVER (PARTITION BY g) AS n FROM d)
+          |  WHERE rn = (n + 1) // 2)
+          |SELECT d.event_id, d.g AS event_type, d.v AS value_e4,
+          |  d.med AS med_fp, md.mad AS mad_fp,
+          |  CASE WHEN md.mad > 0
+          |    THEN CAST(d.adev * 1000000 // md.mad AS BIGINT) END AS dev_ppm
+          |FROM d JOIN md USING (g)
+          |WHERE (md.mad = 0 AND d.adev > 0)
+          |   OR (md.mad > 0 AND d.adev * 1000000 > md.mad * 4450000)""".stripMargin,
       "value_outliers" ->
         """WITH e AS (SELECT event_id, event_type,
           |  CAST(round(value * 10000) AS BIGINT) AS value_e4 FROM events),

@@ -171,6 +171,75 @@ object Stats {
       .drop(groupCols.map(c => s"_g_$c") ++ Seq("_mu", "_sigma"): _*)
   }
 
+  /** Median/MAD robust outliers — [[zScoreOutliers]]' robust twin: mean and
+    * standard deviation are themselves dragged by the outliers they're
+    * meant to find (one 10^9 reading inflates σ until nothing else flags),
+    * while the median and the median absolute deviation have a 50%
+    * breakdown point. Flags rows where
+    * `|v − med| · 10^6 > kPpm · mad` (default kPpm 4450000 ≈ the classic
+    * 3σ-equivalent 3·1.4826); returns the flagged rows with `med_fp`,
+    * `mad_fp`, and `dev_ppm = ⌊|v − med|·10^6 / mad⌋` appended. Both
+    * centers are EXACT LOWER MEDIANS (rank ⌊(n+1)/2⌋ — the funnelStats
+    * discipline: an order statistic, not an interpolated midpoint, so the
+    * value is one the data actually contains and every engine replays it
+    * bit-for-bit). A zero-MAD group (majority of values identical) flags
+    * every row off its median with NULL `dev_ppm` — the standard rule:
+    * against zero spread, any deviation is infinite. NULL values drop;
+    * NULL groups aggregate and match null-safely (the zScoreOutliers
+    * contract). `valueCol` must be integral fixed-point (same eager check).
+    *
+    * Shape at 100 TB: two grouped aggregations (median, then MAD of the
+    * residuals) + two null-safe joins back. The medians buffer one group
+    * in memory (`collect_list`, the [[groupedQuantiles]] exact-mode
+    * contract) — groups are the parallelism unit; the whole-corpus case
+    * belongs to the sketch ([[Sketch.quantileSketch]]).
+    */
+  def madOutliers(
+      df: DataFrame,
+      groupCols: Seq[String],
+      valueCol: String,
+      kPpm: Long = 4450000L): DataFrame = {
+    require(kPpm > 0, "kPpm must be positive")
+    val vt = df.schema(valueCol).dataType
+    val integral = vt match {
+      case ByteType | ShortType | IntegerType | LongType => true
+      case d: DecimalType => d.scale == 0
+      case _ => false
+    }
+    require(integral, s"madOutliers needs an integral valueCol " +
+      s"(byte/short/int/long or decimal scale 0); '$valueCol' is $vt — " +
+      "scale fractional values to fixed point first (e.g. round(v * 10000))")
+    val v = col(valueCol).cast("long")
+    def lowerMedian(c: org.apache.spark.sql.Column) =
+      element_at(array_sort(collect_list(c)),
+        ((count(c) + 1L) / 2L).cast("int"))
+    val base = df.filter(col(valueCol).isNotNull).localCheckpoint(false)
+    val med = base.groupBy(groupCols.map(col): _*)
+      .agg(lowerMedian(v).as("med_fp"))
+      .select(groupCols.map(c => col(c).as(s"_g_$c")) :+ col("med_fp"): _*)
+    val cond = (s: String) =>
+      groupCols.map(c => col(c) <=> col(s"$s$c")).reduce(_ && _)
+    val withMed = base.join(med, cond("_g_"))
+      .drop(groupCols.map(c => s"_g_$c"): _*)
+      .withColumn("_adev", abs(v - col("med_fp")))
+      .localCheckpoint(false) // the MAD agg and the flag pass both read it
+    val mad = withMed.groupBy(groupCols.map(col): _*)
+      .agg(lowerMedian(col("_adev")).as("mad_fp"))
+      .select(groupCols.map(c => col(c).as(s"_h_$c")) :+ col("mad_fp"): _*)
+    withMed.join(mad, cond("_h_"))
+      .drop(groupCols.map(c => s"_h_$c"): _*)
+      .filter(
+        (col("mad_fp") === 0L && col("_adev") > 0L) ||
+          (col("mad_fp") > 0L &&
+            col("_adev").cast("decimal(38,0)") * 1000000L >
+              col("mad_fp").cast("decimal(38,0)") * kPpm))
+      .withColumn("dev_ppm",
+        when(col("mad_fp") > 0L,
+          expr("(CAST(_adev AS DECIMAL(38,0)) * 1000000) div mad_fp")
+            .cast("long")))
+      .drop("_adev")
+  }
+
   /** Crosstab counts: one row per `keyCol`, one column per `pivotValues`
     * entry with the count of matching `pivotCol` rows (0 when absent, never
     * null — downstream arithmetic shouldn't need null guards). Values are

@@ -413,6 +413,10 @@ class PlanGateSpec extends SparkTestBase {
     // exchange + the shard-machinery trio shard_layout documents (corpus
     // (shard,bucket) exchange + tiny counts partial→final + cumulative join)
     "pipeline_text_pack" -> 4,
+    // the MAD agg over the checkpointed residual table + its group-key
+    // join back (both sides exchange at gate SF); the base scan, median
+    // agg, and median attach sit behind the withMed checkpoint
+    "mad_outliers" -> 3,
     // the (group, phase) mean re-agg riding inside the broadcast attach;
     // the corpus bucket-sum pass sits behind the base checkpoint
     "seasonal_anomaly" -> 1,

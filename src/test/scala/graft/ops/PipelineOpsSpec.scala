@@ -1823,6 +1823,35 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(run(rows.toDF("g", "ts", "v").repartition(13)) === out)
   }
 
+  test("madOutliers: lower-median band flags what dragged moments miss; zero-MAD rule; fractional input rejected") {
+    import spark.implicits._
+    // g1: med 5 (rank 5 of 10), MAD 2 -> only the 1000 flags (dev 497.5x)
+    val g1 = ((1L to 9L) :+ 1000L).map(v => ("g1", v))
+    // g2: FOUR 10^6 outliers drag sigma so far the z-test goes blind
+    // (|z| = 2.0 < 2.5) while the median band flags exactly those four
+    val g2 = ((1L to 16L) ++ Seq.fill(4)(1000000L)).map(v => ("g2", v))
+    // g3: constant-majority -> MAD 0 -> any deviation flags, NULL dev_ppm
+    val g3 = Seq.fill(4)(("g3", 10L)) :+ (("g3", 100L))
+    val df = (g1 ++ g2 ++ g3).toDF("g", "v")
+    def run(d: org.apache.spark.sql.DataFrame) =
+      Stats.madOutliers(d, Seq("g"), "v").collect()
+        .map(r => (r.getString(0), r.getLong(1)) ->
+          ((r.getLong(2), r.getLong(3), Option(r.get(4))))).toMap
+    val out = run(df)
+    assert(out.keySet === Set(("g1", 1000L), ("g2", 1000000L), ("g3", 100L)))
+    assert(out(("g1", 1000L)) === ((5L, 2L, Some(497500000L))))
+    assert(out(("g2", 1000000L))._1 === 10L) // lower median of 1..18 + twins
+    assert(out(("g3", 100L)) === ((10L, 0L, None)))
+    // the z-test on g2 misses what MAD catches (the breakdown story)
+    assert(Stats.zScoreOutliers(g2.toDF("g", "v"), Seq("g"), "v", z = 2.5)
+      .count() === 0L)
+    assert(run(df.repartition(13)) === out)
+    val err = intercept[IllegalArgumentException] {
+      Stats.madOutliers(Seq(("a", 1.5)).toDF("g", "v"), Seq("g"), "v")
+    }
+    assert(err.getMessage.contains("integral"))
+  }
+
   test("chiSquare: exact independence reads zero; partitioning-invariant") {
     import spark.implicits._
     // proportional table: E == O in every cell, so every (O*N - R*C) == 0

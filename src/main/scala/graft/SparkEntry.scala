@@ -2862,6 +2862,38 @@ object SparkEntry {
     ops.Graph.personalizedPageRank(edges, "src", "dst", seeds, "c_custkey")
   }
 
+  /** Interval intersection: each user's view-activity coverage (events
+    * padded to 30-minute intervals, flattened) AND-ed with the click-
+    * activity coverage — when was the user simultaneously inside both
+    * kinds of stretch.
+    */
+  private def intervalIntersectQ(s: SparkSession, dir: String): DataFrame = {
+    val ev = events(dir).load(s)
+    def iv(t: String, sc: String, ec: String) =
+      ev.filter(col("event_type") === t)
+        .select(col("user_id"), col("ts").as(sc),
+          timestamp_micros(unix_micros(col("ts")) + 1800000000L).as(ec))
+    ops.Temporal.intersectIntervals(
+      iv("view", "a_s", "a_e"), iv("click", "b_s", "b_e"),
+      "a_s", "a_e", "b_s", "b_e",
+      bucketSeconds = 3600L, keys = Seq("user_id"))
+      .withColumn("from_us", unix_micros(col("valid_from")))
+      .withColumn("to_us", unix_micros(col("valid_to")))
+      .drop("valid_from", "valid_to")
+  }
+
+  /** Activity-gap report: per-user silences over two days long in the
+    * event stream — the sessionization complement (sessions are presence,
+    * gaps are the alarms).
+    */
+  private def activityGapsQ(s: SparkSession, dir: String): DataFrame =
+    ops.Temporal.activityGaps(
+      events(dir).load(s).select("user_id", "ts"), "user_id", "ts",
+      minGapSeconds = 2L * 86400L)
+      .withColumn("gap_start_us", unix_micros(col("gap_start")))
+      .withColumn("gap_end_us", unix_micros(col("gap_end")))
+      .drop("gap_start", "gap_end")
+
   /** Exact DAU/WAU/MAU engagement panel over the events stream. */
   private def activeUsersQ(s: SparkSession, dir: String): DataFrame =
     ops.Temporal.activeUsers(
@@ -3070,6 +3102,8 @@ object SparkEntry {
     "nearest_join" -> (nearestJoinQ _),
     "personalized_pagerank" -> (personalizedPageRankQ _),
     "mad_outliers" -> (madOutliersQ _),
+    "interval_intersect" -> (intervalIntersectQ _),
+    "activity_gaps" -> (activityGapsQ _),
   )
 
   /** DuckDB twin per SQL-expressible key (driver compares on sf0.01). */
@@ -7012,6 +7046,47 @@ object SparkEntry {
           |  FROM w WHERE weight >= 1)
           |SELECT doc_id, lang, source, weight, priority
           |FROM p ORDER BY priority, doc_id LIMIT 50""".stripMargin,
+      // interval-intersection replay: gaps-and-islands flatten per side
+      // (the flattenIntervals rule verbatim), then a direct overlap join
+      // of the two disjoint families clipped to [max(starts), min(ends))
+      "interval_intersect" -> {
+        def flat(tpe: String, n: String) =
+          s"""${n}0 AS (SELECT u, t AS s, t + 1800000000 AS e FROM ev
+             |  WHERE event_type = '$tpe'),
+             |${n}1 AS (SELECT u, s, e,
+             |    CASE WHEN max(e) OVER (PARTITION BY u ORDER BY s, e
+             |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+             |        IS NULL
+             |      OR s > max(e) OVER (PARTITION BY u ORDER BY s, e
+             |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+             |      THEN 1 ELSE 0 END AS nw
+             |  FROM ${n}0),
+             |$n AS (SELECT u, min(s) AS fs, max(e) AS fe FROM (
+             |    SELECT u, s, e, sum(nw) OVER (PARTITION BY u ORDER BY s, e
+             |      ROWS UNBOUNDED PRECEDING) AS isl FROM ${n}1)
+             |  GROUP BY u, isl)""".stripMargin
+        s"""WITH ev AS MATERIALIZED (
+           |  SELECT user_id AS u, epoch_us(ts) AS t, event_type FROM events
+           |  WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+           |${flat("view", "af")},
+           |${flat("click", "bf")}
+           |SELECT af.u AS user_id,
+           |  least(af.fe, bf.fe) - greatest(af.fs, bf.fs) AS duration_us,
+           |  greatest(af.fs, bf.fs) AS from_us,
+           |  least(af.fe, bf.fe) AS to_us
+           |FROM af JOIN bf ON af.u = bf.u
+           |WHERE af.fs < bf.fe AND bf.fs < af.fe""".stripMargin
+      },
+      // gap replay: the identical per-key lag; the tie argument makes the
+      // emitted (prev, cur) pair set order-independent in both engines
+      "activity_gaps" ->
+        """WITH base AS (SELECT user_id AS k, epoch_us(ts) AS t FROM events
+          |  WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+          |g AS (SELECT k, lag(t) OVER (PARTITION BY k ORDER BY t) AS p, t
+          |  FROM base)
+          |SELECT k AS user_id, t - p AS gap_us,
+          |  p AS gap_start_us, t AS gap_end_us
+          |FROM g WHERE t - p > 172800000000""".stripMargin,
       // MAD replay: exact lower medians as rank (n+1)//2 order statistics
       // (never an interpolated midpoint), then the integral band test
       "mad_outliers" ->

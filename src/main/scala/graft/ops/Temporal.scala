@@ -537,6 +537,84 @@ object Temporal {
         col("n_merged"): _*)
   }
 
+  /** Interval INTERSECTION — the fourth member of the interval algebra:
+    * [[flattenIntervals]] is the per-set UNION, this is the cross-set AND
+    * ("when were BOTH sensors up", "time under maintenance AND on-call",
+    * the SLA-overlap question). Each side flattens to its canonical
+    * disjoint coverage first, then the pairwise overlaps of two DISJOINT
+    * families are themselves disjoint — so the clipped
+    * `[max(starts), min(ends))` pieces ARE the canonical intersection
+    * with no re-flatten pass. Output: `keys, valid_from, valid_to,
+    * duration_us`, half-open semantics throughout (touching intervals
+    * intersect empty and are absent). Empty/NULL intervals and NULL keys
+    * drop (the family policy).
+    *
+    * Shape at 100 TB: two [[flattenIntervals]] window passes (one keyed
+    * exchange each) + the [[intervalOverlapJoin]] grid join — both
+    * flattened sides explode into `bucketSeconds` cells and pairs meet in
+    * exactly the overlap's first cell, so the join is a hash join with no
+    * dedup pass and never a nested loop; pick `bucketSeconds` near the
+    * typical interval length.
+    */
+  def intersectIntervals(
+      left: DataFrame,
+      right: DataFrame,
+      lStartCol: String,
+      lEndCol: String,
+      rStartCol: String,
+      rEndCol: String,
+      bucketSeconds: Long,
+      keys: Seq[String] = Nil): DataFrame = {
+    val fa = flattenIntervals(left, lStartCol, lEndCol, keys)
+      .select(keys.map(col) :+ col("valid_from").as("_a_from") :+
+        col("valid_to").as("_a_to"): _*)
+    val fb = flattenIntervals(right, rStartCol, rEndCol, keys)
+      .select(keys.map(col) :+ col("valid_from").as("_b_from") :+
+        col("valid_to").as("_b_to"): _*)
+    intervalOverlapJoin(fa, fb, "_a_from", "_a_to", "_b_from", "_b_to",
+      bucketSeconds, keys)
+      .select(keys.map(col) :+
+        greatest(col("_a_from"), col("_b_from")).as("valid_from") :+
+        least(col("_a_to"), col("_b_to")).as("valid_to"): _*)
+      .withColumn("duration_us",
+        unix_micros(col("valid_to")) - unix_micros(col("valid_from")))
+  }
+
+  /** Activity-gap report — [[graft.streaming.EventStream.sessionizeBatch]]'s
+    * complement: sessions are when a key WAS active, gaps are the silences
+    * worth alarming on ("sensor went dark for six hours", "no heartbeat
+    * from the executor"). One row per consecutive-event pair of the same
+    * key more than `minGapSeconds` apart: `(key, gap_start, gap_end,
+    * gap_us)` — gap_start the last event before the silence, gap_end the
+    * event that broke it. Leading/trailing silence (before a key's first
+    * event / after its last) is unobservable by construction and absent.
+    * Deterministic under timestamp ties: among m equal-ts rows exactly one
+    * sees the prior distinct timestamp through `lag`, and every emitted
+    * (prev, cur) VALUE pair is the same whichever row that is (the
+    * sessionizeBatch tie argument). NULL keys/timestamps drop.
+    *
+    * Shape at 100 TB: one keyed window exchange (per-key sort, streaming
+    * lag frame) + a scan-speed filter — per-key event counts are the
+    * partition size, the [[rollingAggregate]] contract.
+    */
+  def activityGaps(
+      df: DataFrame,
+      keyCol: String,
+      tsCol: String,
+      minGapSeconds: Long): DataFrame = {
+    require(minGapSeconds > 0, "minGapSeconds must be positive")
+    val w = Window.partitionBy(col("_k")).orderBy(col("_t"))
+    df.filter(col(keyCol).isNotNull && col(tsCol).isNotNull)
+      .select(col(keyCol).as("_k"), unix_micros(col(tsCol)).as("_t"))
+      .withColumn("_prev", lag(col("_t"), 1).over(w))
+      .filter(col("_t") - col("_prev") > minGapSeconds * 1000000L)
+      .select(
+        col("_k").as(keyCol),
+        timestamp_micros(col("_prev")).as("gap_start"),
+        timestamp_micros(col("_t")).as("gap_end"),
+        (col("_t") - col("_prev")).as("gap_us"))
+  }
+
   /** Time-weighted average over validity intervals — the feature-store rate
     * primitive for stepwise signals ("average balance held over January",
     * "mean regime value while the account was open"): a plain AVG over

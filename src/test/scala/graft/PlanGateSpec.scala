@@ -413,6 +413,11 @@ class PlanGateSpec extends SparkTestBase {
     // exchange + the shard-machinery trio shard_layout documents (corpus
     // (shard,bucket) exchange + tiny counts partial→final + cumulative join)
     "pipeline_text_pack" -> 4,
+    // one flatten window exchange per side; the grid overlap join clusters
+    // on the cell key the explodes already carry at gate SF
+    "interval_intersect" -> 2,
+    // the single per-key window exchange; the lag filter is scan-speed
+    "activity_gaps" -> 1,
     // the MAD agg over the checkpointed residual table + its group-key
     // join back (both sides exchange at gate SF); the base scan, median
     // agg, and median attach sit behind the withMed checkpoint

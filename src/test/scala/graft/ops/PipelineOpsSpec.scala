@@ -1852,6 +1852,51 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(err.getMessage.contains("integral"))
   }
 
+  test("intersectIntervals: clipped AND of flattened coverages; touching intervals intersect empty; fragments fold first") {
+    import spark.implicits._
+    def t(sec: Int) = new java.sql.Timestamp(sec * 1000L)
+    // u1 side A: fragments [0,6)+[4,10) fold to [0,10), plus [20,30)
+    // u1 side B: [5,25) -> intersections [5,10) and [20,25)
+    // u2: A [0,10) and B [10,20) touch -> empty
+    // u3: only on side A -> absent
+    val a = Seq(("u1", t(0), t(6)), ("u1", t(4), t(10)), ("u1", t(20), t(30)),
+      ("u2", t(0), t(10)), ("u3", t(0), t(100)),
+      ("u1", t(50), t(50)), // empty interval drops
+      (null, t(0), t(10))).toDF("k", "a_s", "a_e")
+    val b = Seq(("u1", t(5), t(25)), ("u2", t(10), t(20)))
+      .toDF("k", "b_s", "b_e")
+    def run(l: org.apache.spark.sql.DataFrame, r: org.apache.spark.sql.DataFrame) =
+      Temporal.intersectIntervals(l, r, "a_s", "a_e", "b_s", "b_e",
+        bucketSeconds = 4L, keys = Seq("k")).collect()
+        .map(x => (x.getString(0),
+          x.getAs[java.sql.Timestamp]("valid_from").getTime / 1000,
+          x.getAs[java.sql.Timestamp]("valid_to").getTime / 1000,
+          x.getAs[Long]("duration_us"))).toSet
+    val out = run(a, b)
+    assert(out === Set(("u1", 5L, 10L, 5000000L), ("u1", 20L, 25L, 5000000L)))
+    assert(run(a.repartition(13), b.repartition(7)) === out)
+  }
+
+  test("activityGaps: silences over threshold per key; ties and boundary exact; leading/trailing unobservable") {
+    import spark.implicits._
+    def t(sec: Int) = new java.sql.Timestamp(sec * 1000L)
+    val rows = Seq(
+      ("a", t(0)), ("a", t(0)), ("a", t(100)), // tie at 0; gap 100 > 60
+      ("a", t(160)), ("a", t(221)),            // 60 NOT > 60; 61 flags
+      ("b", t(5)),                             // single event: no gaps
+      (null, t(0)), ("c", null)).toDF("k", "ts")
+    def run(df: org.apache.spark.sql.DataFrame) =
+      Temporal.activityGaps(df, "k", "ts", minGapSeconds = 60L).collect()
+        .map(r => (r.getString(0),
+          r.getAs[java.sql.Timestamp]("gap_start").getTime / 1000,
+          r.getAs[java.sql.Timestamp]("gap_end").getTime / 1000,
+          r.getAs[Long]("gap_us"))).toSet
+    val out = run(rows.toDF("k", "ts"))
+    assert(out === Set(("a", 0L, 100L, 100000000L),
+      ("a", 160L, 221L, 61000000L)))
+    assert(run(rows.toDF("k", "ts").repartition(13)) === out)
+  }
+
   test("chiSquare: exact independence reads zero; partitioning-invariant") {
     import spark.implicits._
     // proportional table: E == O in every cell, so every (O*N - R*C) == 0

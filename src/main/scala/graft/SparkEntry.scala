@@ -2894,6 +2894,24 @@ object SparkEntry {
       .withColumn("gap_end_us", unix_micros(col("gap_end")))
       .drop("gap_start", "gap_end")
 
+  /** k-anonymity / l-diversity audit of the customer table: equivalence
+    * classes of (nation, segment) with account balance as the sensitive
+    * attribute — the failing classes are the suppression work-list.
+    */
+  private def kAnonymityQ(s: SparkSession, dir: String): DataFrame =
+    ops.Quality.kAnonymity(
+      s.read.parquet(s"$dir/customer.parquet"),
+      Seq("c_nationkey", "c_mktsegment"), "c_acctbal", k = 10L)
+
+  /** FD audit: which orders violate l_orderkey → l_suppkey (i.e. were
+    * supplied by more than one supplier) — an empty result would BE the
+    * dependency holding.
+    */
+  private def fdCheckQ(s: SparkSession, dir: String): DataFrame =
+    ops.Quality.functionalDependency(
+      s.read.parquet(s"$dir/lineitem.parquet"),
+      Seq("l_orderkey"), "l_suppkey")
+
   /** Exact DAU/WAU/MAU engagement panel over the events stream. */
   private def activeUsersQ(s: SparkSession, dir: String): DataFrame =
     ops.Temporal.activeUsers(
@@ -3104,6 +3122,8 @@ object SparkEntry {
     "mad_outliers" -> (madOutliersQ _),
     "interval_intersect" -> (intervalIntersectQ _),
     "activity_gaps" -> (activityGapsQ _),
+    "k_anonymity" -> (kAnonymityQ _),
+    "fd_check" -> (fdCheckQ _),
   )
 
   /** DuckDB twin per SQL-expressible key (driver compares on sf0.01). */
@@ -7046,6 +7066,18 @@ object SparkEntry {
           |  FROM w WHERE weight >= 1)
           |SELECT doc_id, lang, source, weight, priority
           |FROM p ORDER BY priority, doc_id LIMIT 50""".stripMargin,
+      // k-anonymity replay: plain two-level grouping; SQL GROUP BY is
+      // null-safe exactly like the engine's groupBy
+      "k_anonymity" ->
+        """SELECT c_nationkey, c_mktsegment, count(*) AS n_rows,
+          |  CAST(count(DISTINCT c_acctbal) AS BIGINT) AS l_distinct,
+          |  count(*) >= 10 AS k_anonymous
+          |FROM customer GROUP BY 1, 2""".stripMargin,
+      "fd_check" ->
+        """SELECT l_orderkey, count(*) AS n_rows,
+          |  CAST(count(DISTINCT l_suppkey) AS BIGINT) AS n_distinct_rhs
+          |FROM lineitem GROUP BY 1
+          |HAVING count(DISTINCT l_suppkey) > 1""".stripMargin,
       // interval-intersection replay: gaps-and-islands flatten per side
       // (the flattenIntervals rule verbatim), then a direct overlap join
       // of the two disjoint families clipped to [max(starts), min(ends))

@@ -275,4 +275,65 @@ object Quality {
     spark.read.parquet(path)
       .select(col("dt").cast("string").as("dt"), col("check"),
         col("col_name"), col("n_rows"), col("n_violations"), col("passed"))
+
+  /** k-anonymity / l-diversity audit — the re-identification gate a
+    * governed dataset passes before release (what ARX/Amnesia run): every
+    * EQUIVALENCE CLASS of the quasi-identifier columns (the attacker's
+    * join key: zip + birth-year + segment) with its row count, the number
+    * of distinct non-null `sensitiveCol` values inside it (`l_distinct` —
+    * a class can be k-anonymous yet leak everything if all k rows share
+    * one diagnosis), and `k_anonymous = n_rows >= k`. The failing classes
+    * ARE the suppression/generalization work-list. Rows with a NULL in
+    * any quasi column form their own NULL-keyed classes (null-safe
+    * grouping — an attacker can join on absence too). Sensitive NULLs
+    * don't count toward diversity.
+    *
+    * Shape at 100 TB: ONE hash aggregation on the quasi-identifier key
+    * (count + distinct-sensitive as a two-level agg on (quasi, sensitive)
+    * then a re-agg — both map-side partial); output is
+    * equivalence-class-sized, which for a sane quasi set is a dimension.
+    */
+  def kAnonymity(
+      df: DataFrame,
+      quasiCols: Seq[String],
+      sensitiveCol: String,
+      k: Long): DataFrame = {
+    require(quasiCols.nonEmpty, "quasiCols must be non-empty")
+    require(k >= 2, "k must be >= 2 (k=1 is vacuous)")
+    df.groupBy(quasiCols.map(col) :+ col(sensitiveCol).as("_sv"): _*)
+      .agg(count(lit(1)).as("_c"))
+      .groupBy(quasiCols.map(col): _*)
+      .agg(
+        sum(col("_c")).as("n_rows"),
+        sum(when(col("_sv").isNotNull, 1L).otherwise(0L)).as("l_distinct"))
+      .withColumn("k_anonymous", col("n_rows") >= k)
+  }
+
+  /** Functional-dependency audit — the profiling question "does A
+    * determine B" ("one status per order?", "one currency per country?"),
+    * the schema-inference half Deequ ships as hasUniqueness on pairs:
+    * one row per LHS value violating `lhs → rhs` (more than one distinct
+    * non-null rhs), with `n_rows` and `n_distinct_rhs`. An EMPTY result
+    * IS the dependency holding; the violating classes are the repair
+    * work-list. NULL rhs values don't break a dependency (missingness is
+    * the not-null check's business — the [[checkConstraints]] policy);
+    * NULL LHS values form their own class (null-safe grouping).
+    *
+    * Shape: the [[kAnonymity]] two-level aggregation exactly — (lhs, rhs)
+    * counts then the lhs re-agg, both map-side partial; output bounded by
+    * violating-class count.
+    */
+  def functionalDependency(
+      df: DataFrame,
+      lhsCols: Seq[String],
+      rhsCol: String): DataFrame = {
+    require(lhsCols.nonEmpty, "lhsCols must be non-empty")
+    df.groupBy(lhsCols.map(col) :+ col(rhsCol).as("_rv"): _*)
+      .agg(count(lit(1)).as("_c"))
+      .groupBy(lhsCols.map(col): _*)
+      .agg(
+        sum(col("_c")).as("n_rows"),
+        sum(when(col("_rv").isNotNull, 1L).otherwise(0L)).as("n_distinct_rhs"))
+      .filter(col("n_distinct_rhs") > 1L)
+  }
 }

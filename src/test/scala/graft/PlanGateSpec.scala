@@ -413,6 +413,10 @@ class PlanGateSpec extends SparkTestBase {
     // exchange + the shard-machinery trio shard_layout documents (corpus
     // (shard,bucket) exchange + tiny counts partial→final + cumulative join)
     "pipeline_text_pack" -> 4,
+    // the (quasi, sensitive) agg + the quasi re-agg, both map-side partial
+    "k_anonymity" -> 2,
+    // the identical two-level shape on (lhs, rhs)
+    "fd_check" -> 2,
     // one flatten window exchange per side; the grid overlap join clusters
     // on the cell key the explodes already carry at gate SF
     "interval_intersect" -> 2,

@@ -163,4 +163,40 @@ class QualitySpec extends SparkTestBase {
     // ids 31..39 (9 values, 2 occurrences each) sit above the [0,30] range
     assert(a(("in_range", "id")) === ((100L, 18L, false)))
   }
+
+  test("kAnonymity: class sizes, l-diversity, NULL quasi classes; sensitive NULLs don't count") {
+    import spark.implicits._
+    val rows: Seq[(Option[String], String, Option[String])] = Seq(
+      (Some("z1"), "a", Some("flu")), (Some("z1"), "a", Some("flu")),
+      (Some("z1"), "a", Some("cold")),                 // n=3, l=2
+      (Some("z2"), "b", Some("flu")), (Some("z2"), "b", None), // n=2, l=1
+      (None, "c", Some("flu")))                        // NULL quasi: own class
+    val out = Quality.kAnonymity(rows.toDF("zip", "seg", "dx"),
+      Seq("zip", "seg"), "dx", k = 3L).collect()
+      .map(r => (Option(r.getString(0)), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getBoolean(4)))).toMap
+    assert(out((Some("z1"), "a")) === ((3L, 2L, true)))
+    assert(out((Some("z2"), "b")) === ((2L, 1L, false))) // NULL dx not diverse
+    assert(out((None, "c")) === ((1L, 1L, false)))
+    val err = intercept[IllegalArgumentException] {
+      Quality.kAnonymity(rows.toDF("zip", "seg", "dx"), Seq("zip"), "dx", 1L)
+    }
+    assert(err.getMessage.contains("vacuous"))
+  }
+
+  test("functionalDependency: empty result IS the FD holding; NULL rhs never breaks it; violators carry counts") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val rows: Seq[(Long, Option[String])] = Seq(
+      (1L, Some("x")), (1L, Some("x")), (1L, None), // nulls don't break 1
+      (2L, Some("x")), (2L, Some("y")), (2L, Some("y")), // violator
+      (3L, None)) // all-null rhs: no evidence, no violation
+    val out = Quality.functionalDependency(rows.toDF("k", "v"), Seq("k"), "v")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(out === Map(2L -> ((3L, 2L))))
+    // a truly functional column: empty violation set
+    assert(Quality.functionalDependency(
+      rows.toDF("k", "v").withColumn("c", col("k") * 2), Seq("k"), "c")
+      .count() === 0L)
+  }
 }

@@ -1632,9 +1632,17 @@ object Dedup {
     *     (`len <= q + t*q − 1 + t`), so the pairing is a band join over
     *     the distinct short-value table — bounded by the alphabet's
     *     short-string vocabulary, never the corpus.
-    *  5. Exact verify on candidates only: Spark's codegen'd `levenshtein`
-    *     with the threshold early-exit (O(t·min(len)) per pair, not the
-    *     full DP matrix).
+    *  5. Exact verify on candidates only, BEFORE deduplication, via the
+    *     native [[org.apache.spark.sql.graft.EditDistanceWithin]] kernel
+    *     (common-prefix/suffix strip + early-exit two-row DP on in-place
+    *     bytes — the builtin levenshtein measured ~55 µs/pair, 16+ s over
+    *     the candidate stream; the kernel is ~two orders cheaper, and
+    *     verifying first means the final distinct shuffles only TRUE
+    *     pairs, never the candidate stream). Candidate strings ride the
+    *     prefix rows themselves, so no attach-back join ever touches the
+    *     (huge) candidate stream — only value-sized prefix tables are
+    *     exchanged; the pairs are join OUTPUT, consumed by the codegen'd
+    *     filter in place.
     */
   def editDistanceJoin(
       df: DataFrame,
@@ -1654,33 +1662,56 @@ object Dedup {
       .agg(min(col(idCol)).as("_id"))
       .withColumn("_len", length(col("_s")))
       .localCheckpoint(false)
-    // q-gram multiset per value, in-row (no per-position explode until the
-    // narrow (_id, _g) stream); sequence() flips to a descending range when
-    // len < q, so the short case must short-circuit to an empty array
+    // positional q-gram multiset per value, in-row (no per-position
+    // explode until the narrow (_id, _g, _p) stream); sequence() flips to
+    // a descending range when len < q, so the short case must
+    // short-circuit to an empty array
     val gramsArr = when(col("_len") >= q,
       transform(sequence(lit(1), col("_len") - (q - 1)),
-        i => col("_s").substr(i, lit(q))))
+        i => struct(col("_s").substr(i, lit(q)).as("_g"), i.as("_p"))))
       .otherwise(array())
-    val ex = vals.select(col("_id"), explode(gramsArr).as("_g"))
+    val ex = vals.select(col("_id"), explode(gramsArr).as("_gp"))
+      .select(col("_id"), col("_gp._g").as("_g"), col("_gp._p").as("_p"))
       .localCheckpoint(false)
     val dfc = ex.groupBy(col("_g")).agg(count(lit(1)).as("_dfc"))
-    // rare-first prefix grams of the big values: sort occurrences by
-    // (global freq, gram), keep the first plen — the slice happens in-row
-    // on the aggregated array, so only prefix grams re-explode
+    // rare-first prefix occurrences of the big values: sort by (global
+    // freq, gram, POSITION) — the position key makes equal-gram ties a
+    // total order, which the location filter's proof needs — keep the
+    // first plen with their positions; checkpointed because the candidate
+    // SELF-JOIN consumes it twice
     val pref = ex.join(dfc, "_g")
       .groupBy(col("_id"))
-      .agg(transform(
-        array_sort(collect_list(struct(col("_dfc"), col("_g")))),
-        e => e.getField("_g")).as("_hs"))
-      .select(col("_id"),
-        explode(slice(col("_hs"), 1, plen)).as("_g"))
-      .join(vals.select(col("_id"), col("_len")), "_id")
+      .agg(array_sort(collect_list(
+        struct(col("_dfc"), col("_g"), col("_p")))).as("_hs"))
+      // the VALUE rides the prefix rows: the candidate join then emits
+      // both strings directly and the threshold levenshtein verifies
+      // INSIDE the join's post-filter — no attach-back join ever touches
+      // the (huge) candidate stream; only the two value-sized prefix
+      // sides are exchanged
+      .join(vals.select(col("_id"), col("_s"), col("_len")), "_id")
       .filter(col("_len") > shortLen)
-    val candBig = pref.select(col("_id").as("_aid"), col("_len").as("_al"), col("_g"))
-      .join(pref.select(col("_id").as("_bid"), col("_len").as("_bl"), col("_g")), Seq("_g"))
+      .select(col("_id"), col("_s"), col("_len"),
+        explode(slice(col("_hs"), 1, plen)).as("_e"))
+      .select(col("_id"), col("_s"), col("_len"),
+        col("_e._g").as("_g"), col("_e._p").as("_p"))
+      .localCheckpoint(false)
+    // the ED-Join LOCATION filter rides the candidate join: distance-t
+    // pairs must share a prefix gram within t POSITIONS (with prefixes
+    // sorted (freq, gram, pos) the aligned-occurrence argument closes even
+    // through the tie case: if e_A∈P_A aligns outside P_B, the witnessing
+    // f_B∈P_B has the same gram and |pos(e_A)−pos(f_B)| ≤ 2 one-sided
+    // τ-shifts that collapse to ≤ τ — see the spec's brute-force gate).
+    // On serial-number corpora the value-only filter admits f² pairs per
+    // hot tail gram (measured 10M candidates / 15k names at sf0.1); the
+    // position predicate cuts that to the truly alignable pairs
+    val candBig = pref.select(col("_id").as("_aid"), col("_s").as("_as"),
+        col("_len").as("_al"), col("_g"), col("_p").as("_pa"))
+      .join(pref.select(col("_id").as("_bid"), col("_s").as("_bs"),
+        col("_len").as("_bl"), col("_g"), col("_p").as("_pb")), Seq("_g"))
       .filter(col("_aid") < col("_bid") &&
-        abs(col("_al") - col("_bl")) <= maxDistance)
-      .select(col("_aid"), col("_bid"))
+        abs(col("_al") - col("_bl")) <= maxDistance &&
+        abs(col("_pa") - col("_pb")) <= maxDistance)
+      .select(col("_aid"), col("_bid"), col("_as"), col("_bs"))
     // short path: values with fewer than plen gram occurrences pair against
     // every value within maxDistance of their length — both sides length-
     // bounded, so this is a band join over the short VOCABULARY (the
@@ -1688,23 +1719,33 @@ object Dedup {
     val shorts = vals.filter(col("_len") <= shortLen)
     val partners = vals.filter(col("_len") <= shortLen + maxDistance)
     val candShort = shorts
-      .select(col("_id").as("_aid"),
+      .select(col("_id").as("_aid"), col("_s").as("_as"),
         explode(sequence(col("_len") - maxDistance, col("_len") + maxDistance))
           .as("_pl"))
-      .join(partners.select(col("_id").as("_bid"), col("_len").as("_pl")), Seq("_pl"))
+      .join(partners.select(col("_id").as("_bid"), col("_s").as("_bs"),
+        col("_len").as("_pl")), Seq("_pl"))
       .filter(col("_aid") =!= col("_bid"))
       .select(least(col("_aid"), col("_bid")).as("_aid"),
-        greatest(col("_aid"), col("_bid")).as("_bid"))
-    val cand = candBig.unionByName(candShort).distinct()
-    cand
-      .join(vals.select(col("_id").as("_aid"), col("_s").as("_as")), "_aid")
-      .join(vals.select(col("_id").as("_bid"), col("_s").as("_bs")), "_bid")
-      .withColumn("dist", levenshtein(col("_as"), col("_bs"), maxDistance))
+        greatest(col("_aid"), col("_bid")).as("_bid"),
+        when(col("_aid") < col("_bid"), col("_as")).otherwise(col("_bs")).as("_as"),
+        when(col("_aid") < col("_bid"), col("_bs")).otherwise(col("_as")).as("_bs"))
+    // verify BEFORE deduplicating: a pair sharing several prefix grams
+    // reaches the threshold levenshtein once per witness (an extra
+    // codegen'd char comparison), and the distinct runs over the tiny
+    // VERIFIED set — deduplicating first would shuffle the full candidate
+    // stream on the pair key, which on a serial-number corpus (every hot
+    // tail gram admitting f² pairs the length and position filters cannot
+    // cut — all values share one length and one layout) measured 16 s of
+    // pure exchange at sf0.1 vs sub-second this way
+    candBig.unionByName(candShort)
+      .withColumn("dist", org.apache.spark.sql.graft.EditDistanceWithin(
+        col("_as"), col("_bs"), maxDistance))
       .filter(col("dist") >= 1 && col("dist") <= maxDistance)
       .select(
         least(col("_aid"), col("_bid")).as("a_id"),
         greatest(col("_aid"), col("_bid")).as("b_id"),
         col("dist").cast("long").as("dist"))
+      .distinct()
   }
 
   /** Content-defined chunking (public knowledge — the rsync/LBFS/FastCDC

@@ -441,11 +441,12 @@ class PlanGateSpec extends SparkTestBase {
     // (all three land in broadcast scalar-attaches); the corpus cell pass,
     // marginals, and the dense grid sit behind the cells checkpoint
     "chi_square" -> 3,
-    // gram-frequency agg + its attach onto the gram stream + the per-value
-    // prefix re-agg + prefix self-join re-key + candidate distinct; the
-    // distinct-value build sits behind its checkpoint and the verify
-    // string-attach joins ride broadcasts at gate SF
-    "edit_distance_join" -> 5,
+    // the final distinct over VERIFIED pairs only; the value build, gram
+    // stream, frequency attach, and prefix re-agg all sit behind
+    // checkpoints, the candidate self-join clusters on the checkpointed
+    // prefix table, and the verify is an in-join kernel filter — the
+    // candidate stream is never exchanged
+    "edit_distance_join" -> 1,
     // the basket groupBy + the N-count action run at build time behind the
     // multi-consumer checkpoint; the returned plan is the directed-rule
     // projection over the checkpointed pair table with both item-support

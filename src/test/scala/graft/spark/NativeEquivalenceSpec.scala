@@ -105,4 +105,19 @@ class NativeEquivalenceSpec extends SparkTestBase {
       native == composed
     }, n = 15)
   }
+
+  test("EditDistanceWithin === levenshtein wherever the builtin lands in [0, t], on ASCII and astral unicode") {
+    import spark.implicits._
+    val charGen = Gen.oneOf(('a' to 'e').map(_.toString) ++
+      Seq("0", "1", "δ", "日", new String(Character.toChars(0x1F600))))
+    val strGen = Gen.choose(0, 14).flatMap(n =>
+      Gen.listOfN(n, charGen).map(_.mkString))
+    check(Prop.forAll(strGen, strGen, Gen.choose(1, 3)) { (a, b, t) =>
+      val df = Seq((a, b)).toDF("a", "b")
+      val native = df.select(org.apache.spark.sql.graft.EditDistanceWithin(
+        col("a"), col("b"), t)).head.getInt(0)
+      val builtin = df.select(levenshtein(col("a"), col("b"))).head.getInt(0)
+      if (builtin <= t) native == builtin else native == -1
+    }, n = 200)
+  }
 }

@@ -2664,6 +2664,16 @@ object SparkEntry {
         .withColumnRenamed("value", "value_e4"),
       groupCols = Seq("event_type"), valueCol = "value_e4")
 
+  /** Per-event-type linear trend of the fixed-point value over time —
+    * which signals drift up or down, at what daily rate, and how linear
+    * the drift is.
+    */
+  private def trendLinesQ(s: SparkSession, dir: String): DataFrame =
+    ops.Stats.trendLines(
+      eventsFixedPoint(s, dir).select("event_type", "ts", "value")
+        .withColumnRenamed("value", "value_e4"),
+      Seq("event_type"), "ts", "value_e4")
+
   private def eventTypePivot(s: SparkSession, dir: String): DataFrame =
     ops.Stats.crosstabCounts(events(dir).load(s), "user_id", "event_type",
       Seq("click", "error", "purchase", "signup", "view"))
@@ -3124,6 +3134,7 @@ object SparkEntry {
     "activity_gaps" -> (activityGapsQ _),
     "k_anonymity" -> (kAnonymityQ _),
     "fd_check" -> (fdCheckQ _),
+    "trend_lines" -> (trendLinesQ _),
   )
 
   /** DuckDB twin per SQL-expressible key (driver compares on sf0.01). */
@@ -7066,6 +7077,31 @@ object SparkEntry {
           |  FROM w WHERE weight >= 1)
           |SELECT doc_id, lang, source, weight, priority
           |FROM p ORDER BY priority, doc_id LIMIT 50""".stripMargin,
+      // trend replay: identical HUGEINT moment sums then the same
+      // correctly-rounded IEEE closed-form steps (the correlations rule)
+      "trend_lines" ->
+        """WITH e AS (SELECT event_type AS g,
+          |    CAST(epoch_us(ts) // 1000000 AS HUGEINT) AS t,
+          |    CAST(CAST(round(value * 10000) AS BIGINT) AS HUGEINT) AS v
+          |  FROM events WHERE ts IS NOT NULL AND value IS NOT NULL),
+          |m AS (SELECT g, count(*) AS n, sum(t) AS st, sum(t * t) AS stt,
+          |    sum(v) AS sv, sum(v * v) AS svv, sum(t * v) AS stv
+          |  FROM e GROUP BY 1),
+          |d AS (SELECT g, n,
+          |    CAST(n * stt - st * st AS DOUBLE) AS sxx,
+          |    CAST(n * svv - sv * sv AS DOUBLE) AS syy,
+          |    CAST(n * stv - st * sv AS DOUBLE) AS sxy,
+          |    CAST(st AS DOUBLE) AS std, CAST(sv AS DOUBLE) AS svd
+          |  FROM m)
+          |SELECT g AS event_type, n,
+          |  CASE WHEN sxx != 0 THEN round(sxy / sxx * 86400.0, 6) END
+          |    AS slope_per_day,
+          |  CASE WHEN sxx != 0
+          |    THEN round((svd - sxy / sxx * std) / CAST(n AS DOUBLE), 6) END
+          |    AS intercept,
+          |  CASE WHEN sxx * syy != 0
+          |    THEN round(sxy * sxy / (sxx * syy), 6) END AS r2
+          |FROM d""".stripMargin,
       // k-anonymity replay: plain two-level grouping; SQL GROUP BY is
       // null-safe exactly like the engine's groupBy
       "k_anonymity" ->

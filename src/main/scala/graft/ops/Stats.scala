@@ -303,6 +303,72 @@ object Stats {
     g.select(inline(array(rows: _*)))
   }
 
+  /** Per-group linear trend — the "which metrics are trending, and how
+    * fast" panel next to [[correlations]] (which asks whether two FEATURES
+    * move together; this regresses each group's value on TIME): exact OLS
+    * over (t seconds, fixed-point value) with all five moment sums
+    * (n, Σt, Σt², Σv, Σtv) accumulated as DECIMAL(38,0) in ONE corpus pass
+    * — no float addition anywhere, partitioning- and engine-identical —
+    * then the slope/intercept/R² fall out as closed-form IEEE steps over
+    * exact integers (the [[correlations]] discipline: correctly-rounded
+    * ops on identical inputs give engine-identical results; rounded to 6).
+    * Output per group: `n`, `slope_per_day` (fixed-point units per DAY —
+    * per-second slopes of daily phenomena vanish under round-6),
+    * `intercept` (value at epoch-day 0 of the group's own time origin —
+    * t is centered per group implicitly via the moment identities, so the
+    * reported intercept is at t = 0 epoch, the standard raw-moment form),
+    * `r2` (fit quality; NULL when either variance is zero — a flat line
+    * through constant data explains nothing, the correlations NULL rule).
+    * `valueCol` must be integral fixed-point (the family's eager check).
+    *
+    * Overflow bound (document, don't discover): n·max(t)² must stay inside
+    * 38 digits — epoch SECONDS (~2·10⁹) allow ~10¹⁸ rows per group.
+    *
+    * Shape at 100 TB: ONE map-side-partial hash aggregation to a
+    * group-sized moment table; everything after is a per-row projection.
+    */
+  def trendLines(
+      df: DataFrame,
+      groupCols: Seq[String],
+      tsCol: String,
+      valueCol: String): DataFrame = {
+    val vt = df.schema(valueCol).dataType
+    val integral = vt match {
+      case ByteType | ShortType | IntegerType | LongType => true
+      case d: DecimalType => d.scale == 0
+      case _ => false
+    }
+    require(integral, s"trendLines needs an integral valueCol " +
+      s"(byte/short/int/long or decimal scale 0); '$valueCol' is $vt — " +
+      "scale fractional values to fixed point first (e.g. round(v * 10000))")
+    val dec = "decimal(38,0)"
+    val t = call_function("div", unix_micros(col(tsCol)), lit(1000000L))
+      .cast(dec)
+    val v = col(valueCol).cast(dec)
+    val g = df
+      .filter(col(tsCol).isNotNull && col(valueCol).isNotNull)
+      .groupBy(groupCols.map(col): _*)
+      .agg(
+        count(lit(1)).as("_n"),
+        sum(t).as("_st"), sum(t * t).as("_stt"),
+        sum(v).as("_sv"), sum(v * v).as("_svv"),
+        sum(t * v).as("_stv"))
+    val n = col("_n").cast(dec)
+    val sxx = (n * col("_stt") - col("_st") * col("_st")).cast("double")
+    val syy = (n * col("_svv") - col("_sv") * col("_sv")).cast("double")
+    val sxy = (n * col("_stv") - col("_st") * col("_sv")).cast("double")
+    val slope = sxy / sxx
+    g.select(groupCols.map(col) :+ col("_n").as("n") :+
+      when(sxx === 0.0, lit(null).cast("double"))
+        .otherwise(round(slope * 86400.0, 6)).as("slope_per_day") :+
+      when(sxx === 0.0, lit(null).cast("double"))
+        .otherwise(round(
+          (col("_sv").cast("double") - slope * col("_st").cast("double")) /
+            col("_n").cast("double"), 6)).as("intercept") :+
+      when(sxx * syy === 0.0, lit(null).cast("double"))
+        .otherwise(round(sxy * sxy / (sxx * syy), 6)).as("r2"): _*)
+  }
+
   /** Categorical drift between two corpus snapshots — the "did the data
     * change under me" check every feature store and training pipeline runs
     * between yesterday's table and today's ([[Snapshot]] tells you WHICH

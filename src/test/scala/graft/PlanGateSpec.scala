@@ -413,6 +413,8 @@ class PlanGateSpec extends SparkTestBase {
     // exchange + the shard-machinery trio shard_layout documents (corpus
     // (shard,bucket) exchange + tiny counts partial→final + cumulative join)
     "pipeline_text_pack" -> 4,
+    // one map-side-partial moment aggregation; the line math is projection
+    "trend_lines" -> 1,
     // the (quasi, sensitive) agg + the quasi re-agg, both map-side partial
     "k_anonymity" -> 2,
     // the identical two-level shape on (lhs, rhs)

@@ -1897,6 +1897,32 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(run(rows.toDF("k", "ts").repartition(13)) === out)
   }
 
+  test("trendLines: perfect line recovers slope/intercept/r2 exactly; flat and single-point groups read NULL; partitioning-invariant") {
+    import spark.implicits._
+    def ts(sec: Long) = new java.sql.Timestamp(sec * 1000L)
+    // g: v = 2t + 5 exactly -> slope 2/s = 172800/day, r2 = 1
+    val line = (1000L to 1019L).map(t => ("g", ts(t), 2L * t + 5L))
+    val flat = (1000L to 1009L).map(t => ("f", ts(t), 7L))
+    val one = Seq(("o", ts(1000L), 3L))
+    val df = (line ++ flat ++ one).toDF("g", "ts", "v")
+    def run(d: org.apache.spark.sql.DataFrame) =
+      Stats.trendLines(d, Seq("g"), "ts", "v").collect()
+        .map(r => r.getString(0) -> ((r.getLong(1),
+          Option(r.get(2)), Option(r.get(3)), Option(r.get(4))))).toMap
+    val out = run(df)
+    assert(out("g") === ((20L, Some(172800.0), Some(5.0), Some(1.0))))
+    // flat: slope exactly 0, intercept 7, but r2 NULL (zero value variance)
+    assert(out("f") === ((10L, Some(0.0), Some(7.0), None)))
+    // single point: zero time variance -> no line at all
+    assert(out("o") === ((1L, None, None, None)))
+    assert(run(df.repartition(13)) === out)
+    val err = intercept[IllegalArgumentException] {
+      Stats.trendLines(Seq(("a", ts(1), 1.5)).toDF("g", "ts", "v"),
+        Seq("g"), "ts", "v")
+    }
+    assert(err.getMessage.contains("integral"))
+  }
+
   test("chiSquare: exact independence reads zero; partitioning-invariant") {
     import spark.implicits._
     // proportional table: E == O in every cell, so every (O*N - R*C) == 0

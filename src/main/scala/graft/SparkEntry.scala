@@ -2922,6 +2922,22 @@ object SparkEntry {
       s.read.parquet(s"$dir/lineitem.parquet"),
       Seq("l_orderkey"), "l_suppkey")
 
+  /** U-shaped multi-touch attribution: each purchase's 10^6 ppm of credit
+    * split 40/20/40 across the user's view/click/signup touches in the
+    * preceding 3 days, summed per channel.
+    */
+  private def positionAttributionQ(s: SparkSession, dir: String): DataFrame = {
+    val ev = events(dir).load(s)
+    val conv = ev.filter(col("event_type") === "purchase")
+      .select("user_id", "event_id", "ts")
+    val touches = ev.filter(col("event_type") =!= "purchase")
+      .select(col("user_id"), col("event_id"), col("ts"), col("event_type"))
+    ops.Temporal.positionAttribution(conv, touches, Seq("user_id"),
+      convTsCol = "ts", convIdCol = "event_id",
+      touchTsCol = "ts", touchIdCol = "event_id", channelCol = "event_type",
+      lookbackSeconds = 3L * 86400L)
+  }
+
   /** Exact DAU/WAU/MAU engagement panel over the events stream. */
   private def activeUsersQ(s: SparkSession, dir: String): DataFrame =
     ops.Temporal.activeUsers(
@@ -3135,6 +3151,7 @@ object SparkEntry {
     "k_anonymity" -> (kAnonymityQ _),
     "fd_check" -> (fdCheckQ _),
     "trend_lines" -> (trendLinesQ _),
+    "attribution_position" -> (positionAttributionQ _),
   )
 
   /** DuckDB twin per SQL-expressible key (driver compares on sf0.01). */
@@ -7077,6 +7094,36 @@ object SparkEntry {
           |  FROM w WHERE weight >= 1)
           |SELECT doc_id, lang, source, weight, priority
           |FROM p ORDER BY priority, doc_id LIMIT 50""".stripMargin,
+      // U-shape attribution replay: the identical window join → (ts, id)
+      // rank → integral credit ladder (remainder to the first touch) →
+      // channel rollup; the channel-NULL row carries the unattributed
+      // conversions
+      "attribution_position" ->
+        s"""WITH conv AS (SELECT user_id AS u, event_id AS cid,
+           |    epoch_us(ts) AS cts FROM events WHERE event_type = 'purchase'),
+           |tch AS (SELECT user_id AS u, event_id AS tid, epoch_us(ts) AS tts,
+           |    event_type AS ch FROM events WHERE event_type != 'purchase'),
+           |j AS (SELECT conv.cid, tch.tid, tch.tts, tch.ch
+           |  FROM conv LEFT JOIN tch ON conv.u = tch.u
+           |    AND tch.tts < conv.cts
+           |    AND tch.tts >= conv.cts - ${3L * 86400000000L}),
+           |r AS (SELECT cid, tts, ch,
+           |    CASE WHEN tts IS NOT NULL THEN row_number()
+           |      OVER (PARTITION BY cid ORDER BY tts, tid) END AS rk,
+           |    count(tts) OVER (PARTITION BY cid) AS n
+           |  FROM j),
+           |c AS (SELECT cid, ch,
+           |    CASE WHEN tts IS NULL THEN NULL
+           |         WHEN n = 1 THEN 1000000
+           |         WHEN n = 2 THEN 500000
+           |         WHEN rk = 1 THEN 400000 + (200000 % (n - 2))
+           |         WHEN rk = n THEN 400000
+           |         ELSE 200000 // (n - 2) END AS credit
+           |  FROM r)
+           |SELECT ch AS channel, count(credit) AS n_touches,
+           |  CAST(count(DISTINCT cid) AS BIGINT) AS n_conversions,
+           |  CAST(coalesce(sum(credit), 0) AS BIGINT) AS credit_ppm
+           |FROM c GROUP BY 1""".stripMargin,
       // trend replay: identical HUGEINT moment sums then the same
       // correctly-rounded IEEE closed-form steps (the correlations rule)
       "trend_lines" ->

@@ -615,6 +615,89 @@ object Temporal {
         (col("_t") - col("_prev")).as("gap_us"))
   }
 
+  /** Position-based (U-shaped) multi-touch attribution — the
+    * marketing-analytics staple completing the attribution family:
+    * [[precedingJoinAgg]] counts what led up to a conversion, [[funnel]]
+    * orders steps, this SPLITS each conversion's credit across its
+    * preceding touches so channels can be compared on one scale. The
+    * classic U-shape in the exact integral-ppm lane: a conversion with
+    * one touch gives it 10^6; two touches split 500000/500000; three or
+    * more give the FIRST touch `firstPpm` (default 400000), the LAST
+    * `lastPpm` (default 400000), and the middle touches
+    * `⌊rest/(n−2)⌋` each with the division remainder credited to the
+    * first touch — so every conversion's credits sum to EXACTLY 10^6 and
+    * the whole panel is engine-replayable integer arithmetic. Touches
+    * rank by `(ts, touchId)` — the total order that makes first/last
+    * deterministic under timestamp ties. Only touches in the half-open
+    * `[conv_ts − lookback, conv_ts)` window count; conversions with no
+    * touch in window surface as the channel-NULL row (distinct
+    * unattributed conversions, zero credit) rather than silently
+    * dropping. Output per channel:
+    * `n_touches` (credited touch rows), `n_conversions` (distinct
+    * conversions the channel touched), `credit_ppm` (Σ credit — divide by
+    * 10^6 for "conversions attributed").
+    *
+    * Shape at 100 TB: one equality-key join with the time window as join
+    * condition (the [[precedingJoinAgg]] shape — fan-out bounded by
+    * touches-per-key-per-lookback), two window passes over the matched
+    * stream partitioned by CONVERSION (rank + count share one
+    * exchange+sort), and one channel-keyed aggregation. Never a window
+    * over the raw fact tables.
+    */
+  def positionAttribution(
+      conversions: DataFrame,
+      touches: DataFrame,
+      keys: Seq[String],
+      convTsCol: String,
+      convIdCol: String,
+      touchTsCol: String,
+      touchIdCol: String,
+      channelCol: String,
+      lookbackSeconds: Long,
+      firstPpm: Long = 400000L,
+      lastPpm: Long = 400000L): DataFrame = {
+    require(lookbackSeconds > 0, "lookbackSeconds must be positive")
+    require(firstPpm >= 0 && lastPpm >= 0 && firstPpm + lastPpm <= 1000000L,
+      "firstPpm + lastPpm must fit inside 10^6")
+    val midPool = 1000000L - firstPpm - lastPpm
+    val t = touches.select(
+      (keys.map(k => col(k).as(s"_t_$k")) :+
+        col(touchTsCol).as("_tts") :+ col(touchIdCol).as("_tid") :+
+        col(channelCol).as("_ch")): _*)
+    val c = conversions.select(keys.map(col) :+ col(convIdCol).as("_cid") :+
+      col(convTsCol).as("_cts"): _*)
+    val keyEq = keys.map(k => c(k) === t(s"_t_$k")).reduce(_ && _)
+    val cUs = unix_micros(c("_cts"))
+    val tUs = unix_micros(t("_tts"))
+    val joined = c
+      .join(t, keyEq && tUs < cUs && tUs >= cUs - lookbackSeconds * 1000000L,
+        "left")
+    val wOrd = Window.partitionBy(col("_cid"))
+      .orderBy(col("_tts"), col("_tid"))
+    val wAll = Window.partitionBy(col("_cid"))
+    val ranked = joined
+      .withColumn("_rk", when(col("_tts").isNotNull,
+        row_number().over(wOrd).cast("long")))
+      .withColumn("_n", count(col("_tts")).over(wAll))
+    val credit = when(col("_n") === 1L, lit(1000000L))
+      .when(col("_n") === 2L, lit(500000L))
+      .when(col("_rk") === 1L,
+        lit(firstPpm) + pmod(lit(midPool), col("_n") - 2L))
+      .when(col("_rk") === col("_n"), lit(lastPpm))
+      .otherwise(expr(s"CAST($midPool AS DECIMAL(38,0)) div (_n - 2)")
+        .cast("long"))
+    // untouched conversions surface as the channel-NULL row (their
+    // n_conversions = distinct unattributed conversions, credit 0) —
+    // reported, never silently dropped
+    ranked
+      .withColumn("_credit", when(col("_tts").isNotNull, credit))
+      .groupBy(col("_ch").as("channel"))
+      .agg(
+        count(col("_credit")).as("n_touches"),
+        count_distinct(col("_cid")).as("n_conversions"),
+        coalesce(sum(col("_credit")), lit(0L)).as("credit_ppm"))
+  }
+
   /** Time-weighted average over validity intervals — the feature-store rate
     * primitive for stepwise signals ("average balance held over January",
     * "mean regime value while the account was open"): a plain AVG over

@@ -415,6 +415,10 @@ class PlanGateSpec extends SparkTestBase {
     "pipeline_text_pack" -> 4,
     // one map-side-partial moment aggregation; the line math is projection
     "trend_lines" -> 1,
+    // the window-condition join + ONE shared exchange for both
+    // per-conversion windows (same partitioning and sort) + the channel
+    // rollup
+    "attribution_position" -> 3,
     // the (quasi, sensitive) agg + the quasi re-agg, both map-side partial
     "k_anonymity" -> 2,
     // the identical two-level shape on (lhs, rhs)

@@ -1923,6 +1923,44 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(err.getMessage.contains("integral"))
   }
 
+  test("positionAttribution: U-shape credits sum to exactly 1e6 per conversion; ties rank by id; unattributed surface as NULL channel") {
+    import spark.implicits._
+    def ts(sec: Long) = new java.sql.Timestamp(sec * 1000L)
+    // user A: conv X@100 sees 4 touches (10v 20c 30v 40s):
+    //   first v 400000, mid c/v 100000 each, last s 400000
+    // user A: conv Y@25 sees 2 touches (10v 20c): 500000 each
+    // user B: conv Z@50 sees none -> NULL-channel row
+    // user C: conv W@100, 3 touches with a TIE at t=10 (ids 2 < 3):
+    //   first = id 2 (c) 400000 (+ 200000 mod 1 = 0), mid id 3 (v) 200000,
+    //   last @20 (s) 400000
+    val conv = Seq(("A", 900L, 100L), ("A", 901L, 25L), ("B", 902L, 50L),
+      ("C", 903L, 100L))
+      .map { case (u, id, t) => (u, id, ts(t)) }.toDF("user_id", "cid", "cts")
+    val tch = Seq(
+      ("A", 1L, 10L, "v"), ("A", 2L, 20L, "c"), ("A", 3L, 30L, "v"),
+      ("A", 4L, 40L, "s"),
+      ("C", 2L, 10L, "c"), ("C", 3L, 10L, "v"), ("C", 4L, 20L, "s"))
+      .map { case (u, id, t, ch) => (u, id, ts(t), ch) }
+      .toDF("user_id", "tid", "tts", "ch")
+    def run(c: org.apache.spark.sql.DataFrame, t: org.apache.spark.sql.DataFrame) =
+      Temporal.positionAttribution(c, t, Seq("user_id"),
+        "cts", "cid", "tts", "tid", "ch", lookbackSeconds = 1000L)
+        .collect().map(r => Option(r.getString(0)) ->
+          ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    val out = run(conv, tch)
+    // v: X(400000 + 100000) + Y(500000) + W(200000) = 1200000, 3 convs
+    assert(out(Some("v")) === ((4L, 3L, 1200000L)))
+    // c: X(100000) + Y(500000) + W(400000) = 1000000, 3 convs
+    assert(out(Some("c")) === ((3L, 3L, 1000000L)))
+    // s: X(400000) + W(400000), 2 convs
+    assert(out(Some("s")) === ((2L, 2L, 800000L)))
+    // unattributed conversion Z
+    assert(out(None) === ((0L, 1L, 0L)))
+    // conservation: total credit = 1e6 x 3 attributed conversions
+    assert(out.values.map(_._3).sum === 3000000L)
+    assert(run(conv.repartition(7), tch.repartition(5)) === out)
+  }
+
   test("chiSquare: exact independence reads zero; partitioning-invariant") {
     import spark.implicits._
     // proportional table: E == O in every cell, so every (O*N - R*C) == 0

@@ -579,8 +579,13 @@ object EntityResolution {
       .filter(col("a_id").isNotNull && col("b_id").isNotNull &&
         col("a_id") =!= col("b_id"))
       .distinct()
-    val d = norm(detected)
-    val t = norm(truth)
+    // BOTH normalized sides have two consumers (their count agg and the
+    // semi-join) — without the boundary each consumer re-runs the full
+    // upstream lineage, and the detected side of an eval harness is a
+    // UNION OF DETECTORS (er_eval_fs: three blocked matchers — measured
+    // as the 9.5-19.9 s suite spread; the checkpoint is the fix)
+    val d = norm(detected).localCheckpoint(false)
+    val t = norm(truth).localCheckpoint(false)
     val nt = t.agg(count(lit(1)).as("n_truth"))
     val nd = d.agg(count(lit(1)).as("n_detected"))
     val nc = d.join(t, Seq("a_id", "b_id"), "left_semi")

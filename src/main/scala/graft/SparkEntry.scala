@@ -2938,6 +2938,16 @@ object SparkEntry {
       lookbackSeconds = 3L * 86400L)
   }
 
+  /** Exact 1-Wasserstein drift for all event-type pairs over the value
+    * distribution — KS's sup-norm sibling reads the worst gap, this
+    * integrates it: how much mass moved how far.
+    */
+  private def emdDriftQ(s: SparkSession, dir: String): DataFrame = {
+    val ev = s.read.parquet(s"$dir/events.parquet")
+      .select("event_type", "value")
+    ops.Stats.emdDrift(ev, "event_type", "value")
+  }
+
   /** Exact DAU/WAU/MAU engagement panel over the events stream. */
   private def activeUsersQ(s: SparkSession, dir: String): DataFrame =
     ops.Temporal.activeUsers(
@@ -3152,6 +3162,7 @@ object SparkEntry {
     "fd_check" -> (fdCheckQ _),
     "trend_lines" -> (trendLinesQ _),
     "attribution_position" -> (positionAttributionQ _),
+    "emd_drift" -> (emdDriftQ _),
   )
 
   /** DuckDB twin per SQL-expressible key (driver compares on sf0.01). */
@@ -7376,6 +7387,35 @@ object SparkEntry {
           |FROM m JOIN pv ON pv.group_a = m.group_a AND pv.group_b = m.group_b
           |  AND pv.d = m.dmax
           |GROUP BY 1, 2, 3, 4, 5, 6""".stripMargin,
+      // W1 replay: the ks_test grid with the step integral instead of the
+      // max — Σ |ΔF·n| · micro-lattice gap, one integral division
+      "emd_drift" ->
+        """WITH base AS MATERIALIZED (
+          |  SELECT CAST(event_type AS VARCHAR) AS g,
+          |    CAST(value AS DOUBLE) AS v, count(*) AS c
+          |  FROM events WHERE event_type IS NOT NULL AND value IS NOT NULL
+          |  GROUP BY 1, 2),
+          |totals AS (SELECT g, CAST(sum(c) AS BIGINT) AS n FROM base GROUP BY 1),
+          |vals AS MATERIALIZED (SELECT DISTINCT v FROM base),
+          |gaps AS (SELECT v, coalesce(
+          |    CAST(floor(lead(v) OVER (ORDER BY v) * 1000000) AS HUGEINT)
+          |      - CAST(floor(v * 1000000) AS HUGEINT),
+          |    CAST(0 AS HUGEINT)) AS gap FROM vals),
+          |cum AS MATERIALIZED (SELECT t.g, vals.v,
+          |    sum(coalesce(base.c, 0)) OVER (
+          |      PARTITION BY t.g ORDER BY vals.v) AS f
+          |  FROM vals CROSS JOIN (SELECT g FROM totals) t
+          |  LEFT JOIN base ON base.g = t.g AND base.v = vals.v),
+          |pv AS (SELECT a.v, a.g AS group_a, b.g AS group_b,
+          |    ta.n AS n_a, tb.n AS n_b,
+          |    abs(CAST(a.f AS HUGEINT) * tb.n - CAST(b.f AS HUGEINT) * ta.n) AS d
+          |  FROM cum a JOIN cum b ON a.v = b.v AND a.g < b.g
+          |  JOIN totals ta ON ta.g = a.g JOIN totals tb ON tb.g = b.g)
+          |SELECT pv.group_a, pv.group_b, pv.n_a, pv.n_b,
+          |  CAST(sum(pv.d * gaps.gap)
+          |    // (CAST(pv.n_a AS HUGEINT) * pv.n_b) AS BIGINT) AS emd_micro
+          |FROM pv JOIN gaps ON gaps.v = pv.v
+          |GROUP BY 1, 2, 3, 4""".stripMargin,
       // PR-curve replay: distinct-score confusion matrices from the same
       // counts-below cumulative (predict positive ⇔ score ≥ t); integral
       // `//` matches the engine's DECIMAL(38,0) div on all-positive lanes

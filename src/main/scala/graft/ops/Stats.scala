@@ -764,6 +764,80 @@ object Stats {
     wide.select(explode(array(entries: _*)).as("_e")).select(col("_e.*"))
   }
 
+  /** Shared by [[ksTest]] and [[emdDrift]]: the pooled-distinct-value
+    * cumulative grid — one corpus pass to (group, value) counts, the dense
+    * V×G grid (a group with no mass at a pooled value still carries its
+    * last cumulative there), and the TWO-PHASE bucketed cumulative (the
+    * rankAuc discipline: ≤254 monotone value bands from a bounded 1-row
+    * range pull, per-(group,band) offsets, within-band windows — no
+    * corpus-cardinality single-task sort anywhere). Returns
+    * (cum `(_g,_v,_f)`, totals `(_g,_n)`, vals `(_v)` — vals checkpointed:
+    * the callers' gap/grid stages re-read it).
+    */
+  private def pooledCumulativeGrid(
+      df: DataFrame,
+      groupCol: String,
+      valueCol: String): (DataFrame, DataFrame, DataFrame) = {
+    import org.apache.spark.sql.expressions.Window
+    // one corpus pass; checkpointed — totals, the value grid, and the
+    // count join all hang off it
+    val base = df
+      .filter(col(groupCol).isNotNull && col(valueCol).isNotNull)
+      .groupBy(col(groupCol).cast("string").as("_g"),
+        col(valueCol).cast("double").as("_v"))
+      .agg(count(lit(1)).as("_c"))
+      .localCheckpoint(false)
+    val totals = base.groupBy(col("_g"))
+      .agg(sum(col("_c")).as("_n")).localCheckpoint(false)
+    val vals = base.select(col("_v")).distinct().localCheckpoint(false)
+    val grid = vals.crossJoin(broadcast(totals.select(col("_g"))))
+    val counts = grid.join(base, Seq("_g", "_v"), "left")
+      .withColumn("_c", coalesce(col("_c"), lit(0L)))
+    val rngRow = vals.agg(min(col("_v")), max(col("_v"))).head
+    val (lo, hi) =
+      if (rngRow.isNullAt(0)) (0.0, 0.0)
+      else (rngRow.getDouble(0), rngRow.getDouble(1))
+    val bucketed = counts.withColumn("_bkt",
+      if (lo == hi) lit(1L)
+      else coalesce(width_bucket(col("_v"), lit(lo), lit(hi), lit(254)),
+        lit(255L)))
+    val offsets = bucketed
+      .groupBy(col("_g"), col("_bkt")).agg(sum(col("_c")).as("_bsum"))
+      .withColumn("_before",
+        coalesce(sum(col("_bsum")).over(
+          Window.partitionBy(col("_g")).orderBy(col("_bkt"))
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("_g"), col("_bkt"), col("_before"))
+    val wCum = Window.partitionBy(col("_g"), col("_bkt")).orderBy(col("_v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // checkpointed: BOTH callers self-join the grid (the a/b pair sides),
+    // and without the boundary the whole grid build — including the
+    // by-design G-row broadcast cross onto vals — runs once per side
+    val cum = bucketed
+      .join(broadcast(offsets), Seq("_g", "_bkt"))
+      .withColumn("_f", col("_before") + sum(col("_c")).over(wCum))
+      .select(col("_g"), col("_v"), col("_f"))
+      .localCheckpoint(false)
+    (cum, totals, vals)
+  }
+
+  /** The V·G²/2 pair grid of cross-scaled cumulative differences shared by
+    * the grid statistics: one row per (value, group pair) with
+    * `_d = |F̂_a(v)·n_b − F̂_b(v)·n_a|` exact in DECIMAL(38,0).
+    */
+  private def pairDiffGrid(cum: DataFrame, totals: DataFrame): DataFrame = {
+    val a = cum.select(col("_v"), col("_g").as("group_a"), col("_f").as("_fa"))
+    val b = cum.select(col("_v"), col("_g").as("group_b"), col("_f").as("_fb"))
+    val ta = totals.select(col("_g").as("group_a"), col("_n").as("n_a"))
+    val tb = totals.select(col("_g").as("group_b"), col("_n").as("n_b"))
+    a.join(b, Seq("_v")).filter(col("group_a") < col("group_b"))
+      .join(broadcast(ta), Seq("group_a"))
+      .join(broadcast(tb), Seq("group_b"))
+      .withColumn("_d",
+        abs(col("_fa").cast("decimal(38,0)") * col("n_b") -
+          col("_fb").cast("decimal(38,0)") * col("n_a")))
+  }
+
   /** Exact two-sample Kolmogorov–Smirnov statistic for EVERY group pair of
     * one group column — the drift family's exact member: categoricalDrift/
     * numericDrift (rows 142/146) compare binned shapes, while KS is the
@@ -800,60 +874,10 @@ object Stats {
       df: DataFrame,
       groupCol: String,
       valueCol: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    // one corpus pass; checkpointed — totals, the value grid, and the
-    // count join all hang off it
-    val base = df
-      .filter(col(groupCol).isNotNull && col(valueCol).isNotNull)
-      .groupBy(col(groupCol).cast("string").as("_g"),
-        col(valueCol).cast("double").as("_v"))
-      .agg(count(lit(1)).as("_c"))
-      .localCheckpoint(false)
-    val totals = base.groupBy(col("_g"))
-      .agg(sum(col("_c")).as("_n")).localCheckpoint(false)
-    val vals = base.select(col("_v")).distinct()
-    // dense V×G grid: a group with no mass at a pooled value still carries
-    // its last cumulative there — the left join fills those cells with 0
-    val grid = vals.crossJoin(broadcast(totals.select(col("_g"))))
-    val counts = grid.join(base, Seq("_g", "_v"), "left")
-      .withColumn("_c", coalesce(col("_c"), lit(0L)))
-    // two-phase bucketed cumulative (the rankAuc discipline): the value
-    // range is a bounded 1-row driver pull; banding is monotone so bucket
-    // order IS value order and the cumulative is exact
-    val rngRow = vals.agg(min(col("_v")), max(col("_v"))).head
-    val (lo, hi) =
-      if (rngRow.isNullAt(0)) (0.0, 0.0)
-      else (rngRow.getDouble(0), rngRow.getDouble(1))
-    val bucketed = counts.withColumn("_bkt",
-      if (lo == hi) lit(1L)
-      else coalesce(width_bucket(col("_v"), lit(lo), lit(hi), lit(254)),
-        lit(255L)))
-    val offsets = bucketed
-      .groupBy(col("_g"), col("_bkt")).agg(sum(col("_c")).as("_bsum"))
-      .withColumn("_before",
-        coalesce(sum(col("_bsum")).over(
-          Window.partitionBy(col("_g")).orderBy(col("_bkt"))
-            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-      .select(col("_g"), col("_bkt"), col("_before"))
-    val wCum = Window.partitionBy(col("_g"), col("_bkt")).orderBy(col("_v"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val cum = bucketed
-      .join(broadcast(offsets), Seq("_g", "_bkt"))
-      .withColumn("_f", col("_before") + sum(col("_c")).over(wCum))
-      .select(col("_g"), col("_v"), col("_f"))
+    val (cum, totals, _) = pooledCumulativeGrid(df, groupCol, valueCol)
     // pair stage: cross-scaled cumulative difference per pooled value;
     // checkpointed — the max pass and the argmin pass both read it
-    val a = cum.select(col("_v"), col("_g").as("group_a"), col("_f").as("_fa"))
-    val b = cum.select(col("_v"), col("_g").as("group_b"), col("_f").as("_fb"))
-    val ta = totals.select(col("_g").as("group_a"), col("_n").as("n_a"))
-    val tb = totals.select(col("_g").as("group_b"), col("_n").as("n_b"))
-    val pv = a.join(b, Seq("_v")).filter(col("group_a") < col("group_b"))
-      .join(broadcast(ta), Seq("group_a"))
-      .join(broadcast(tb), Seq("group_b"))
-      .withColumn("_d",
-        abs(col("_fa").cast("decimal(38,0)") * col("n_b") -
-          col("_fb").cast("decimal(38,0)") * col("n_a")))
-      .localCheckpoint(false)
+    val pv = pairDiffGrid(cum, totals).localCheckpoint(false)
     val dmax = pv.groupBy(col("group_a"), col("group_b"))
       .agg(max(col("_d")).as("_dmax"))
     pv.join(broadcast(dmax), Seq("group_a", "group_b"))
@@ -867,6 +891,71 @@ object Stats {
         expr("(CAST(_dmax AS DECIMAL(38,0)) * 1000000) div " +
           "(CAST(n_a AS DECIMAL(38,0)) * n_b)").cast("long").as("ks_ppm"),
         col("d_at"))
+  }
+
+  /** Exact 1-Wasserstein (earth-mover's) distance for EVERY group pair —
+    * the drift family's TRANSPORT member next to [[ksTest]]: KS reads the
+    * single worst CDF gap (a sup-norm — one sharp localized shift can
+    * dominate it while a broad small shift hides), W₁ integrates the gap
+    * over the value axis, `W₁ = ∫ |F_a(v) − F_b(v)| dv` — the "how much
+    * mass moved how far" number ML monitoring actually wants. Between
+    * empirical distributions the integrand is a step function constant
+    * between consecutive pooled distinct values, so the integral computes
+    * EXACTLY as `Σ_i |F̂_a(v_i)·n_b − F̂_b(v_i)·n_a| · gap_i` with
+    * `gap_i = ⌊v_{i+1}·10^6⌋ − ⌊v_i·10^6⌋` (the micro-unit value lattice —
+    * values closer than 10⁻⁶ contribute zero width, the documented
+    * quantization), every term a DECIMAL(38,0) integer. Reported:
+    * `emd_micro = ⌊Σ / (n_a·n_b)⌋` — the distance in micro-units of the
+    * value axis. NULL groups/values drop.
+    *
+    * Shape at 100 TB: the [[pooledCumulativeGrid]] machinery (one corpus
+    * pass, banded two-phase cumulative, no corpus-cardinality sort); the
+    * value-gap table derives from the SAME ≤254 banding (within-band lead
+    * windows + each band's closing gap from the ≤255-row per-band head
+    * table — never one global lead window); the pair stage is one
+    * aggregation over the V·G²/2 diff grid. Overflow bound: Σ |ΔF|·gap ≤
+    * n_a·n_b·range_micro — at 10⁹ rows/group and a 10⁶-unit range that is
+    * 10²⁴, inside 38 digits.
+    */
+  def emdDrift(
+      df: DataFrame,
+      groupCol: String,
+      valueCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val (cum, totals, vals) = pooledCumulativeGrid(df, groupCol, valueCol)
+    // value gaps on the micro lattice, banded (the grid's own discipline):
+    // lead within each band, and each band's LAST value closes against the
+    // next band's head from a <=255-row broadcast table
+    val rngRow = vals.agg(min(col("_v")), max(col("_v"))).head
+    val (lo, hi) =
+      if (rngRow.isNullAt(0)) (0.0, 0.0)
+      else (rngRow.getDouble(0), rngRow.getDouble(1))
+    val banded = vals.withColumn("_bkt",
+      if (lo == hi) lit(1L)
+      else coalesce(width_bucket(col("_v"), lit(lo), lit(hi), lit(254)),
+        lit(255L)))
+    val heads = banded.groupBy(col("_bkt")).agg(min(col("_v")).as("_head"))
+      .withColumn("_nexthead",
+        lead(col("_head"), 1).over(Window.orderBy(col("_bkt"))))
+      .select(col("_bkt"), col("_nexthead"))
+    val wLead = Window.partitionBy(col("_bkt")).orderBy(col("_v"))
+    val gaps = banded
+      .withColumn("_nv", lead(col("_v"), 1).over(wLead))
+      .join(broadcast(heads), Seq("_bkt"))
+      .withColumn("_next", coalesce(col("_nv"), col("_nexthead")))
+      .select(col("_v"),
+        when(col("_next").isNotNull,
+          floor(col("_next") * 1000000L).cast("decimal(38,0)") -
+            floor(col("_v") * 1000000L).cast("decimal(38,0)"))
+          .otherwise(lit(0L).cast("decimal(38,0)")).as("_gap"))
+    pairDiffGrid(cum, totals)
+      .join(gaps, Seq("_v"))
+      .groupBy(col("group_a"), col("group_b"), col("n_a"), col("n_b"))
+      .agg(sum(col("_d") * col("_gap")).as("_num"))
+      .select(
+        col("group_a"), col("group_b"), col("n_a"), col("n_b"),
+        expr("CAST(_num AS DECIMAL(38,0)) div " +
+          "(CAST(n_a AS DECIMAL(38,0)) * n_b)").cast("long").as("emd_micro"))
   }
 
   /** Exact precision/recall curve at EVERY distinct score threshold — the

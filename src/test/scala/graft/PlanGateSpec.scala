@@ -415,6 +415,11 @@ class PlanGateSpec extends SparkTestBase {
     "pipeline_text_pack" -> 4,
     // one map-side-partial moment aggregation; the line math is projection
     "trend_lines" -> 1,
+    // gap table (band groupBy + head lead + within-band lead windows) +
+    // the pair join re-keys on the value + the pair-sum agg; the grid
+    // build sits behind the shared cum checkpoint, and the <=255-row
+    // band-head lead is the documented bounded-table window
+    "emd_drift" -> 6,
     // the window-condition join + ONE shared exchange for both
     // per-conversion windows (same partitioning and sort) + the channel
     // rollup

@@ -1961,6 +1961,35 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(run(conv.repartition(7), tch.repartition(5)) === out)
   }
 
+  test("emdDrift: hand W1 distances; identical reads 0; unit shift reads 1e6 micro; sub-micro gaps quantize to zero") {
+    import spark.implicits._
+    def run(rows: Seq[(String, Double)]) =
+      Stats.emdDrift(rows.toDF("g", "v"), "g", "v").collect()
+        .map(r => (r.getString(0), r.getString(1)) ->
+          ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    // a={0,1}, b={1}: mass 1/2 moves distance 1 -> 500000 micro
+    val h = run(Seq(("a", 0.0), ("a", 1.0), ("b", 1.0)))
+    assert(h(("a", "b")) === ((2L, 1L, 500000L)))
+    // identical distributions: exactly zero
+    val ident = run(Seq(("a", 3.0), ("a", 7.0), ("b", 3.0), ("b", 7.0)))
+    assert(ident(("a", "b")) === ((2L, 2L, 0L)))
+    // whole-distribution shift by 1.0: W1 = 1e6 micro regardless of spread
+    val shift = run(Seq(("a", 0.0), ("a", 10.0), ("b", 1.0), ("b", 11.0)))
+    assert(shift(("a", "b")) === ((2L, 2L, 1000000L)))
+    // values closer than 1e-6 carry zero lattice width
+    val tiny = run(Seq(("a", 1.0), ("b", 1.0 + 1e-9)))
+    assert(tiny(("a", "b"))._3 === 0L)
+    // three groups -> three pairs; partitioning-invariant
+    val rows = (1 to 300).map(i =>
+      (s"g${i % 3}", ((i * 7) % 50).toDouble / 4.0))
+    val out = Stats.emdDrift(rows.toDF("g", "v"), "g", "v").collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(4)).toMap
+    assert(out.size === 3)
+    val rep = Stats.emdDrift(rows.toDF("g", "v").repartition(13), "g", "v")
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(4)).toMap
+    assert(rep === out)
+  }
+
   test("chiSquare: exact independence reads zero; partitioning-invariant") {
     import spark.implicits._
     // proportional table: E == O in every cell, so every (O*N - R*C) == 0

@@ -2674,6 +2674,16 @@ object SparkEntry {
         .withColumnRenamed("value", "value_e4"),
       Seq("event_type"), "ts", "value_e4")
 
+  /** Benford first-digit audit of the fixed-point event values per type —
+    * the fraud/DQ screen: observed vs log10(1+1/d) leading-digit shares
+    * with the per-group TVD deviation.
+    */
+  private def benfordAuditQ(s: SparkSession, dir: String): DataFrame =
+    ops.Stats.benfordAudit(
+      eventsFixedPoint(s, dir).select("event_type", "value")
+        .withColumnRenamed("value", "value_e4"),
+      Seq("event_type"), "value_e4")
+
   private def eventTypePivot(s: SparkSession, dir: String): DataFrame =
     ops.Stats.crosstabCounts(events(dir).load(s), "user_id", "event_type",
       Seq("click", "error", "purchase", "signup", "view"))
@@ -3163,6 +3173,7 @@ object SparkEntry {
     "trend_lines" -> (trendLinesQ _),
     "attribution_position" -> (positionAttributionQ _),
     "emd_drift" -> (emdDriftQ _),
+    "benford_audit" -> (benfordAuditQ _),
   )
 
   /** DuckDB twin per SQL-expressible key (driver compares on sf0.01). */
@@ -7387,6 +7398,31 @@ object SparkEntry {
           |FROM m JOIN pv ON pv.group_a = m.group_a AND pv.group_b = m.group_b
           |  AND pv.d = m.dmax
           |GROUP BY 1, 2, 3, 4, 5, 6""".stripMargin,
+      // Benford replay: integer-lane first digit (head of the decimal
+      // string), dense 9-digit grid, integral shares, half-sum TVD
+      "benford_audit" ->
+        """WITH e AS (SELECT event_type AS g,
+          |    CAST(substr(CAST(abs(CAST(round(value * 10000) AS BIGINT))
+          |      AS VARCHAR), 1, 1) AS BIGINT) AS digit
+          |  FROM events WHERE value IS NOT NULL
+          |    AND CAST(round(value * 10000) AS BIGINT) != 0),
+          |c AS MATERIALIZED (SELECT g, digit, count(*) AS n FROM e GROUP BY 1, 2),
+          |t AS (SELECT g, CAST(sum(n) AS BIGINT) AS nt FROM c GROUP BY 1),
+          |d AS (SELECT * FROM (VALUES (1, 301029), (2, 176091), (3, 124938),
+          |  (4, 96910), (5, 79181), (6, 66946), (7, 57991), (8, 51152),
+          |  (9, 45757)) AS v(digit, exp_ppm)),
+          |grid AS (SELECT t.g, CAST(d.digit AS BIGINT) AS digit,
+          |    CAST(d.exp_ppm AS BIGINT) AS exp_ppm,
+          |    coalesce(c.n, 0) AS n, t.nt
+          |  FROM t CROSS JOIN d
+          |  LEFT JOIN c ON c.g = t.g AND c.digit = d.digit),
+          |o AS (SELECT g, digit, n,
+          |    CAST(n * 1000000 // nt AS BIGINT) AS obs_ppm, exp_ppm
+          |  FROM grid)
+          |SELECT g AS event_type, digit, n, obs_ppm, exp_ppm,
+          |  CAST(sum(abs(obs_ppm - exp_ppm)) OVER (PARTITION BY g) // 2
+          |    AS BIGINT) AS benford_tvd_ppm
+          |FROM o""".stripMargin,
       // W1 replay: the ks_test grid with the step integral instead of the
       // max — Σ |ΔF·n| · micro-lattice gap, one integral division
       "emd_drift" ->

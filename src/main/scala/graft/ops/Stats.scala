@@ -369,6 +369,77 @@ object Stats {
         .otherwise(round(sxy * sxy / (sxx * syy), 6)).as("r2"): _*)
   }
 
+  /** Benford's-law first-digit audit — the fraud/data-quality screen audit
+    * tooling ships (naturally-arising multiplicative quantities follow
+    * P(d) = log10(1 + 1/d); fabricated or capped numbers don't): per
+    * (group, leading digit 1..9) the exact count, `obs_ppm`, and the
+    * Benford expectation `exp_ppm` (the nine ⌊log10(1+1/d)·10^6⌋
+    * constants — no engine computes a log), with the group-level
+    * `benford_tvd_ppm = ⌊½ Σ_d |obs_ppm − exp_ppm|⌋` deviation attached
+    * to every row (absent digits contribute their full expectation
+    * through the dense digit grid). The first digit extracts in the pure
+    * integer lane: for a positive int64 the leading decimal digit IS the
+    * first character of its decimal string — no float log, identical in
+    * any engine. `valueCol` must be integral fixed-point (the family
+    * check); zero and NULL values drop (no leading digit), negatives
+    * audit by |v| (Benford is sign-blind).
+    *
+    * Shape at 100 TB: ONE map-side-partial hash aggregation to the
+    * (group, digit) table (≤ 9 rows per group), the dense digit grid is a
+    * broadcast cross with a 9-row literal frame, and the TVD attaches by
+    * a group-keyed re-agg join — nothing after the first pass touches
+    * the corpus.
+    */
+  def benfordAudit(
+      df: DataFrame,
+      groupCols: Seq[String],
+      valueCol: String): DataFrame = {
+    val vt = df.schema(valueCol).dataType
+    val integral = vt match {
+      case ByteType | ShortType | IntegerType | LongType => true
+      case d: DecimalType => d.scale == 0
+      case _ => false
+    }
+    require(integral, s"benfordAudit needs an integral valueCol " +
+      s"(byte/short/int/long or decimal scale 0); '$valueCol' is $vt — " +
+      "scale fractional values to fixed point first (e.g. round(v * 10000))")
+    // floor(log10(1 + 1/d) * 1e6), d = 1..9 — sums to 999995 (floor loss)
+    val expPpm = Seq(301029L, 176091L, 124938L, 96910L, 79181L,
+      66946L, 57991L, 51152L, 45757L)
+    val digitExp = expPpm.zipWithIndex.map { case (e, i) =>
+      struct(lit(i + 1L).as("digit"), lit(e).as("exp_ppm"))
+    }
+    // one corpus pass; checkpointed — the grid left-join and the totals
+    // re-agg both hang off it
+    val counts = df
+      .filter(col(valueCol).isNotNull && col(valueCol) =!= 0)
+      .groupBy(groupCols.map(col) :+
+        substring(abs(col(valueCol)).cast("long").cast("string"), 1, 1)
+          .cast("long").as("digit"): _*)
+      .agg(count(lit(1)).as("n"))
+      .localCheckpoint(false)
+    val totals = counts.groupBy(groupCols.map(col): _*)
+      .agg(sum(col("n")).as("_nt"))
+      .localCheckpoint(false) // the grid cross and the TVD attach share it
+    val grid = totals
+      .crossJoin(broadcast(
+        counts.sparkSession.range(1).select(
+          explode(array(digitExp: _*)).as("_e"))
+          .select(col("_e.digit").as("digit"), col("_e.exp_ppm"))))
+      .join(counts, groupCols :+ "digit", "left")
+      .withColumn("n", coalesce(col("n"), lit(0L)))
+      .withColumn("obs_ppm",
+        expr("(CAST(n AS DECIMAL(38,0)) * 1000000) div _nt").cast("long"))
+      .localCheckpoint(false) // the TVD re-agg and the output both read it
+    val tvd = grid.groupBy(groupCols.map(c => col(c).as(s"_t_$c")): _*)
+      .agg((sum(abs(col("obs_ppm") - col("exp_ppm"))) / 2L).cast("long")
+        .as("benford_tvd_ppm"))
+    val cond = groupCols.map(c => col(c) <=> col(s"_t_$c")).reduce(_ && _)
+    grid.join(broadcast(tvd), cond)
+      .select(groupCols.map(col) :+ col("digit") :+ col("n") :+
+        col("obs_ppm") :+ col("exp_ppm") :+ col("benford_tvd_ppm"): _*)
+  }
+
   /** Categorical drift between two corpus snapshots — the "did the data
     * change under me" check every feature store and training pipeline runs
     * between yesterday's table and today's ([[Snapshot]] tells you WHICH

@@ -415,6 +415,9 @@ class PlanGateSpec extends SparkTestBase {
     "pipeline_text_pack" -> 4,
     // one map-side-partial moment aggregation; the line math is projection
     "trend_lines" -> 1,
+    // the TVD re-agg over the checkpointed dense digit grid; the corpus
+    // digit pass, totals, and grid cross sit behind checkpoints
+    "benford_audit" -> 1,
     // gap table (band groupBy + head lead + within-band lead windows) +
     // the pair join re-keys on the value + the pair-sum agg; the grid
     // build sits behind the shared cum checkpoint, and the <=255-row

@@ -1990,6 +1990,30 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(rep === out)
   }
 
+  test("benfordAudit: uniform-digit and single-digit TVDs by hand; absent digits keep their expectation; sign-blind; zeros drop") {
+    import spark.implicits._
+    // u: digits 1..9 once each (obs 111111 ppm) -> TVD 268727 by hand
+    // x: everything leads with 1 (one NEGATIVE, one zero dropped)
+    val rows = (1L to 9L).map(d => ("u", d * 100L)) ++
+      Seq(("x", 123L), ("x", -150L), ("x", 1999L), ("x", 0L))
+    val out = Stats.benfordAudit(rows.toDF("g", "v"), Seq("g"), "v")
+      .collect().map(r => (r.getString(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    assert(out.size === 18) // dense grid: 9 digits per group
+    assert(out(("u", 1L)) === ((1L, 111111L, 301029L, 268727L)))
+    assert(out(("u", 9L)) === ((1L, 111111L, 45757L, 268727L)))
+    assert(out(("x", 1L)) === ((3L, 1000000L, 301029L, 698968L)))
+    assert(out(("x", 2L)) === ((0L, 0L, 176091L, 698968L))) // absent digit
+    val rep = Stats.benfordAudit(rows.toDF("g", "v").repartition(13),
+      Seq("g"), "v").collect().map(r => (r.getString(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    assert(rep === out)
+    val err = intercept[IllegalArgumentException] {
+      Stats.benfordAudit(Seq(("a", 1.5)).toDF("g", "v"), Seq("g"), "v")
+    }
+    assert(err.getMessage.contains("integral"))
+  }
+
   test("chiSquare: exact independence reads zero; partitioning-invariant") {
     import spark.implicits._
     // proportional table: E == O in every cell, so every (O*N - R*C) == 0

@@ -2958,6 +2958,15 @@ object SparkEntry {
     ops.Stats.emdDrift(ev, "event_type", "value")
   }
 
+  /** Ordered 3-event behavior patterns per user with distinct-user
+    * support — basket rules' sequential sibling over the event stream.
+    */
+  private def sequencePatternsQ(s: SparkSession, dir: String): DataFrame =
+    ops.Affinity.sequencePatterns(
+      events(dir).load(s).select("user_id", "ts", "event_type"),
+      "user_id", "ts", "event_type", k = 3, minSupport = 2L,
+      maxSeqLen = 512)
+
   /** Exact DAU/WAU/MAU engagement panel over the events stream. */
   private def activeUsersQ(s: SparkSession, dir: String): DataFrame =
     ops.Temporal.activeUsers(
@@ -3174,6 +3183,7 @@ object SparkEntry {
     "attribution_position" -> (positionAttributionQ _),
     "emd_drift" -> (emdDriftQ _),
     "benford_audit" -> (benfordAuditQ _),
+    "sequence_patterns" -> (sequencePatternsQ _),
   )
 
   /** DuckDB twin per SQL-expressible key (driver compares on sf0.01). */
@@ -7398,6 +7408,27 @@ object SparkEntry {
           |FROM m JOIN pv ON pv.group_a = m.group_a AND pv.group_b = m.group_b
           |  AND pv.d = m.dmax
           |GROUP BY 1, 2, 3, 4, 5, 6""".stripMargin,
+      // sequence-pattern replay: (ts, item)-sorted per-user sequences →
+      // in-list contiguous 3-grams → per-user dedup → support/share
+      "sequence_patterns" ->
+        """WITH s AS MATERIALIZED (
+          |  SELECT user_id AS u, list_transform(list_sort(
+          |      list(struct_pack(t := epoch_us(ts), i := event_type))),
+          |    x -> x.i) AS seq
+          |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+          |    AND event_type IS NOT NULL
+          |  GROUP BY 1),
+          |c AS MATERIALIZED (SELECT u, seq FROM s WHERE len(seq) <= 512),
+          |n AS (SELECT count(*) AS nk FROM c),
+          |g AS (SELECT u, unnest(list_distinct(
+          |    CASE WHEN len(seq) >= 3 THEN
+          |      list_transform(generate_series(1, len(seq) - 2),
+          |        i -> array_to_string(seq[i:i+2], ' '))
+          |    ELSE [] END)) AS pattern
+          |  FROM c)
+          |SELECT pattern, count(*) AS support,
+          |  count(*) * 1000000 // (SELECT nk FROM n) AS share_ppm
+          |FROM g GROUP BY 1 HAVING count(*) >= 2""".stripMargin,
       // Benford replay: integer-lane first digit (head of the decimal
       // string), dense 9-digit grid, integral shares, half-sum TVD
       "benford_audit" ->

@@ -135,4 +135,75 @@ object Affinity {
         expr(s"(CAST(_cab AS $dec) * ${nBaskets}L * 1000000) div " +
           s"(CAST(_ca AS $dec) * _cb)").cast("long").as("lift_ppm"))
   }
+
+  /** Sequential pattern mining — [[basketRules]]' ORDERED sibling (the
+    * contiguous-k-gram slice of the GSP/PrefixSpan family): baskets ignore
+    * order, but "view → view → purchase" and "purchase → view → view" are
+    * different stories. Every contiguous k-item subsequence of each key's
+    * time-ordered item sequence, with support = the number of DISTINCT
+    * keys whose sequence contains it (presence, the basket formulation —
+    * a user looping one pattern all day counts once) and
+    * `share_ppm = ⌊support·10^6 / n_keys⌋` over the surviving keys.
+    * Sequences order by `(ts, item)` — the total order that makes k-grams
+    * deterministic under timestamp ties (equal (ts, item) rows are
+    * interchangeable). Keys with more than `maxSeqLen` events drop WHOLE
+    * before expansion, observably (`n_keys_in` / `n_dropped_keys` — the
+    * [[basketRules]] skew contract; one crawler session of 10^6 events
+    * would dominate every pattern count while meaning nothing).
+    *
+    * Shape at 100 TB: ONE wide shuffle (key-grouped sorted sequence
+    * assembly, collect_list map-side), the k-gram slice + per-key dedup
+    * IN-ROW over the capped arrays (linear in sequence length — never an
+    * explode-then-self-join), pattern counts aggregate on the pattern
+    * key, and the surviving-key count is a bounded 1-row build-time pull
+    * (the basketRules N precedent).
+    */
+  def sequencePatterns(
+      df: DataFrame,
+      keyCol: String,
+      tsCol: String,
+      itemCol: String,
+      k: Int,
+      minSupport: Long = 2L,
+      maxSeqLen: Int = 512,
+      metrics: Option[Observation] = None): DataFrame = {
+    require(k >= 2, s"k must be >= 2 (got $k; k=1 is plain item counts)")
+    require(minSupport >= 1, "minSupport must be >= 1")
+    require(maxSeqLen >= k, s"maxSeqLen must be >= k")
+    // one shuffle: per-key (ts, item)-sorted item sequences; checkpointed —
+    // the N pull and the gram expansion both hang off it
+    val assembled = df
+      .filter(col(keyCol).isNotNull && col(tsCol).isNotNull &&
+        col(itemCol).isNotNull)
+      .groupBy(col(keyCol).as("_k"))
+      .agg(transform(
+        array_sort(collect_list(struct(
+          unix_micros(col(tsCol)).as("_t"),
+          col(itemCol).cast("string").as("_i")))),
+        e => e.getField("_i")).as("_seq"))
+      .localCheckpoint(false)
+    val capped = metrics.map { o =>
+      assembled.observe(o,
+        count(lit(1)).as("n_keys_in"),
+        coalesce(sum(when(size(col("_seq")) > maxSeqLen, 1L).otherwise(0L)),
+          lit(0L)).as("n_dropped_keys"))
+    }.getOrElse(assembled)
+      .filter(size(col("_seq")) <= maxSeqLen)
+    val nKeys = capped.count()
+    // in-row contiguous k-grams over the sorted sequence, deduped PER KEY
+    // before the explode (presence semantics); lambdas reference the
+    // materialized _seq attribute (the d599542 interpreted-HOF lesson)
+    val grams = capped
+      .select(explode(array_distinct(
+        when(size(col("_seq")) >= k,
+          transform(sequence(lit(1), size(col("_seq")) - (k - 1)),
+            i => concat_ws(" ", slice(col("_seq"), i, lit(k)))))
+          .otherwise(array()))).as("pattern"))
+      .groupBy(col("pattern"))
+      .agg(count(lit(1)).as("support"))
+      .filter(col("support") >= minSupport)
+    grams.select(col("pattern"), col("support"),
+      expr(s"(CAST(support AS DECIMAL(38,0)) * 1000000) div ${nKeys}L")
+        .cast("long").as("share_ppm"))
+  }
 }

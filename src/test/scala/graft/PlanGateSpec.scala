@@ -415,6 +415,10 @@ class PlanGateSpec extends SparkTestBase {
     "pipeline_text_pack" -> 4,
     // one map-side-partial moment aggregation; the line math is projection
     "trend_lines" -> 1,
+    // the pattern-key agg over the checkpointed sequence table; the
+    // k-gram slice + per-key dedup are in-row, and the N pull runs at
+    // build time
+    "sequence_patterns" -> 1,
     // the TVD re-agg over the checkpointed dense digit grid; the corpus
     // digit pass, totals, and grid cross sit behind checkpoints
     "benford_audit" -> 1,

@@ -94,4 +94,45 @@ class AffinitySpec extends SparkTestBase {
       .collect().map(_.toSeq).toSet
     assert(a == b && a.nonEmpty)
   }
+
+  private def seqDf(rows: Seq[(String, Long, String)]) = {
+    import spark.implicits._
+    rows.map { case (u, t, i) => (u, new java.sql.Timestamp(t * 1000L), i) }
+      .toDF("u", "ts", "item")
+  }
+
+  test("sequencePatterns: order matters, presence dedups, ties rank by item, hot keys drop observably") {
+    // u1: a b c a b c  -> distinct 3-grams {abc, bca, cab}
+    // u2: a b c        -> {abc}; u3: c b a -> {cba} (the ORDER story)
+    // u4: tie at t=10 between b and a -> (ts, item) order reads a first
+    val rows = Seq(
+      ("u1", 1L, "a"), ("u1", 2L, "b"), ("u1", 3L, "c"),
+      ("u1", 4L, "a"), ("u1", 5L, "b"), ("u1", 6L, "c"),
+      ("u2", 1L, "a"), ("u2", 2L, "b"), ("u2", 3L, "c"),
+      ("u3", 1L, "c"), ("u3", 2L, "b"), ("u3", 3L, "a"),
+      ("u4", 10L, "b"), ("u4", 10L, "a"), ("u4", 20L, "c"))
+    def run(df: org.apache.spark.sql.DataFrame, minSup: Long) =
+      Affinity.sequencePatterns(df, "u", "ts", "item", k = 3,
+        minSupport = minSup).collect()
+        .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val all = run(seqDf(rows), 1L)
+    // u1's repeated loop counts ONCE (presence); the u4 tie orders by
+    // (ts, item) -> "a b c" too: support = u1 + u2 + u4 of 4 keys
+    assert(all("a b c") === ((3L, 750000L)))
+    assert(all("c b a") === ((1L, 250000L))) // order distinguishes u3
+    assert(all("b c a") === ((1L, 250000L))) // u1's wrap gram, deduped
+    assert(run(seqDf(rows), 2L).keySet === Set("a b c"))
+    // cap: a 600-event key drops whole, observably
+    val hot = (1L to 600L).map(t => ("hot", t, "x"))
+    val obs = new org.apache.spark.sql.Observation("seq-cap")
+    val capped = Affinity.sequencePatterns(
+      seqDf(rows ++ hot), "u", "ts", "item", k = 3, minSupport = 1L,
+      metrics = Some(obs)).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(!capped.contains("x x x"))
+    val m = obs.get
+    assert(m("n_keys_in") == 5L && m("n_dropped_keys") == 1L)
+    // partitioning invariance
+    assert(run(seqDf(rows).repartition(13), 1L) === all)
+  }
 }

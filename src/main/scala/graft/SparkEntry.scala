@@ -2967,6 +2967,15 @@ object SparkEntry {
       "user_id", "ts", "event_type", k = 3, minSupport = 2L,
       maxSeqLen = 512)
 
+  /** Daily-bucket autocorrelation at lags 1..7 per event type — the
+    * periodicity detector that tells seasonal_anomaly its period.
+    */
+  private def autocorrelationQ(s: SparkSession, dir: String): DataFrame =
+    ops.Stats.autocorrelation(
+      events(dir).load(s).select("event_type", "ts", "value"),
+      "event_type", "ts", "value", bucketSeconds = 86400L,
+      lags = Seq(1, 2, 3, 4, 5, 6, 7))
+
   /** Exact DAU/WAU/MAU engagement panel over the events stream. */
   private def activeUsersQ(s: SparkSession, dir: String): DataFrame =
     ops.Temporal.activeUsers(
@@ -3184,6 +3193,7 @@ object SparkEntry {
     "emd_drift" -> (emdDriftQ _),
     "benford_audit" -> (benfordAuditQ _),
     "sequence_patterns" -> (sequencePatternsQ _),
+    "autocorrelation" -> (autocorrelationQ _),
   )
 
   /** DuckDB twin per SQL-expressible key (driver compares on sf0.01). */
@@ -7429,6 +7439,37 @@ object SparkEntry {
           |SELECT pattern, count(*) AS support,
           |  count(*) * 1000000 // (SELECT nk FROM n) AS share_ppm
           |FROM g GROUP BY 1 HAVING count(*) >= 2""".stripMargin,
+      // ACF replay: identical micro-unit bucket sums → one lag-exploded
+      // self-join → HUGEINT moments → the correctly-rounded IEEE corr step
+      "autocorrelation" ->
+        """WITH base AS MATERIALIZED (
+          |  SELECT event_type AS g, epoch_us(ts) // 86400000000 AS b,
+          |    CAST(sum(CAST(floor(CAST(value AS DOUBLE) * 1000000)
+          |      AS BIGINT)) AS BIGINT) AS x
+          |  FROM events
+          |  WHERE event_type IS NOT NULL AND ts IS NOT NULL
+          |    AND value IS NOT NULL
+          |  GROUP BY 1, 2),
+          |p AS (SELECT a.g, l.lag,
+          |    CAST(a.x AS HUGEINT) AS xa, CAST(c.x AS HUGEINT) AS xc
+          |  FROM base a
+          |  CROSS JOIN (SELECT unnest(generate_series(1, 7)) AS lag) l
+          |  JOIN base c ON c.g = a.g AND c.b = a.b + l.lag),
+          |m AS (SELECT g, lag, count(*) AS n,
+          |    sum(xa) AS sa, sum(xa * xa) AS saa,
+          |    sum(xc) AS sc, sum(xc * xc) AS scc,
+          |    sum(xa * xc) AS sac
+          |  FROM p GROUP BY 1, 2),
+          |d AS (SELECT g, lag, n,
+          |    CAST(n * saa - sa * sa AS DOUBLE) AS sxx,
+          |    CAST(n * scc - sc * sc AS DOUBLE) AS syy,
+          |    CAST(n * sac - sa * sc AS DOUBLE) AS sxy
+          |  FROM m)
+          |SELECT g AS event_type, CAST(lag AS BIGINT) AS lag,
+          |  n AS n_pairs,
+          |  CASE WHEN sxx * syy != 0
+          |    THEN round(sxy / sqrt(sxx * syy), 6) END AS acf
+          |FROM d""".stripMargin,
       // Benford replay: integer-lane first digit (head of the decimal
       // string), dense 9-digit grid, integral shares, half-sum TVD
       "benford_audit" ->

@@ -369,6 +369,75 @@ object Stats {
         .otherwise(round(sxy * sxy / (sxx * syy), 6)).as("r2"): _*)
   }
 
+  /** Per-group autocorrelation at chosen bucket lags — the periodicity
+    * DETECTOR the drift family's periodic member ([[seasonalAnomaly]])
+    * assumes an answer to: seasonalAnomaly needs the caller to KNOW the
+    * period is 7 days; the ACF panel finds it (a weekly signal reads a
+    * spike at lag 7, a trend reads slow decay, noise reads ~0). For each
+    * group the value series buckets by `bucketSeconds` into micro-unit
+    * sums, and each requested lag correlates the series with itself
+    * shifted `lag` buckets — Pearson over the AVAILABLE bucket pairs
+    * (missing buckets pair with nothing: the standard sample ACF on
+    * irregular data; `n_pairs` rides along so a sparse estimate is
+    * visibly sparse). All six moment sums accumulate as DECIMAL(38,0) in
+    * one pass over the pair table ([[correlations]]' discipline — no
+    * float addition), the correlation is one closed-form correctly-
+    * rounded IEEE step (round-6), and zero variance on either side reads
+    * NULL.
+    *
+    * Shape at 100 TB: one corpus pass to the (group, bucket) table
+    * (map-side partials; bounded by time-range/bucketSeconds, never
+    * volume), ONE self-join for ALL lags (the probe side explodes the
+    * lag list in-row — |lags|·buckets rows, a dimension), one moment
+    * aggregation per (group, lag).
+    */
+  def autocorrelation(
+      df: DataFrame,
+      groupCol: String,
+      tsCol: String,
+      valueCol: String,
+      bucketSeconds: Long,
+      lags: Seq[Int]): DataFrame = {
+    require(bucketSeconds > 0, "bucketSeconds must be positive")
+    require(lags.nonEmpty && lags.forall(_ >= 1), "lags must be >= 1")
+    val usPerBucket = bucketSeconds * 1000000L
+    // one corpus pass; checkpointed — both sides of the lag join read it
+    val base = df
+      .filter(col(groupCol).isNotNull && col(tsCol).isNotNull &&
+        col(valueCol).isNotNull)
+      .groupBy(col(groupCol).as("_g"),
+        call_function("div", unix_micros(col(tsCol)), lit(usPerBucket))
+          .as("_b"))
+      .agg(sum(floor(col(valueCol).cast("double") * 1000000L).cast("long"))
+        .as("_x"))
+      .localCheckpoint(false)
+    val dec = "decimal(38,0)"
+    val probe = base
+      .withColumn("_lag", explode(typedLit(lags.map(_.toLong))))
+      .select(col("_g"), (col("_b") + col("_lag")).as("_b"),
+        col("_lag"), col("_x").as("_xl"))
+    val pairs = probe.join(base, Seq("_g", "_b"))
+      .select(col("_g"), col("_lag"),
+        col("_xl").cast(dec).as("_a"), col("_x").cast(dec).as("_c2"))
+    val n = col("_n").cast(dec)
+    val sxx = (n * col("_saa") - col("_sa") * col("_sa")).cast("double")
+    val syy = (n * col("_scc") - col("_sc") * col("_sc")).cast("double")
+    val sxy = (n * col("_sac") - col("_sa") * col("_sc")).cast("double")
+    pairs
+      .groupBy(col("_g"), col("_lag"))
+      .agg(
+        count(lit(1)).as("_n"),
+        sum(col("_a")).as("_sa"), sum(col("_a") * col("_a")).as("_saa"),
+        sum(col("_c2")).as("_sc"), sum(col("_c2") * col("_c2")).as("_scc"),
+        sum(col("_a") * col("_c2")).as("_sac"))
+      .select(
+        col("_g").as(groupCol),
+        col("_lag").as("lag"),
+        col("_n").as("n_pairs"),
+        when(sxx * syy === 0.0, lit(null).cast("double"))
+          .otherwise(round(sxy / sqrt(sxx * syy), 6)).as("acf"))
+  }
+
   /** Benford's-law first-digit audit — the fraud/data-quality screen audit
     * tooling ships (naturally-arising multiplicative quantities follow
     * P(d) = log10(1 + 1/d); fabricated or capped numbers don't): per

@@ -415,6 +415,9 @@ class PlanGateSpec extends SparkTestBase {
     "pipeline_text_pack" -> 4,
     // one map-side-partial moment aggregation; the line math is projection
     "trend_lines" -> 1,
+    // the (group, lag) moment agg; the lag self-join clusters on the
+    // checkpointed bucket table (broadcast at gate SF)
+    "autocorrelation" -> 1,
     // the pattern-key agg over the checkpointed sequence table; the
     // k-gram slice + per-key dedup are in-row, and the N pull runs at
     // build time

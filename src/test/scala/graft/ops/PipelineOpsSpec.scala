@@ -2014,6 +2014,32 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(err.getMessage.contains("integral"))
   }
 
+  test("autocorrelation: period-2 alternation reads -1/+1 exactly; constant series NULL; holes shrink n_pairs; partitioning-invariant") {
+    import spark.implicits._
+    def dayTs(d: Int) = new java.sql.Timestamp(d * 86400000L)
+    // g: 12 days alternating 10/20 -> lag1 exactly -1, lag2 exactly +1
+    val alt = (0 until 12).map(d =>
+      ("g", dayTs(d), if (d % 2 == 0) 10.0 else 20.0))
+    // f: constant -> zero variance, NULL acf
+    val flat = (0 until 8).map(d => ("f", dayTs(d), 5.0))
+    // h: alternating with day 5 missing -> lag-1 pairs drop from 9 to 7
+    val holed = (0 until 10).filter(_ != 5).map(d =>
+      ("h", dayTs(d), if (d % 2 == 0) 1.0 else 3.0))
+    val df = (alt ++ flat ++ holed).toDF("g", "ts", "v")
+    def run(d: org.apache.spark.sql.DataFrame) =
+      Stats.autocorrelation(d, "g", "ts", "v", 86400L, Seq(1, 2)).collect()
+        .map(r => (r.getString(0), r.getLong(1)) ->
+          ((r.getLong(2), Option(r.get(3))))).toMap
+    val out = run(df)
+    assert(out(("g", 1L)) === ((11L, Some(-1.0))))
+    assert(out(("g", 2L)) === ((10L, Some(1.0))))
+    assert(out(("f", 1L)) === ((7L, None)))
+    assert(out(("h", 1L))._1 === 7L) // pairs (4,5) and (5,6) both gone
+    assert(out(("h", 2L))._1 === 6L)
+    assert(out(("h", 1L))._2 === Some(-1.0)) // survivors still alternate
+    assert(run(df.repartition(13)) === out)
+  }
+
   test("chiSquare: exact independence reads zero; partitioning-invariant") {
     import spark.implicits._
     // proportional table: E == O in every cell, so every (O*N - R*C) == 0

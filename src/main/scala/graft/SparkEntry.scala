@@ -7433,7 +7433,7 @@ object SparkEntry {
           |g AS (SELECT u, unnest(list_distinct(
           |    CASE WHEN len(seq) >= 3 THEN
           |      list_transform(generate_series(1, len(seq) - 2),
-          |        i -> array_to_string(seq[i:i+2], ' '))
+          |        i -> array_to_string(seq[i:i+2], chr(31)))
           |    ELSE [] END)) AS pattern
           |  FROM c)
           |SELECT pattern, count(*) AS support,
@@ -7487,7 +7487,8 @@ object SparkEntry {
           |    CAST(d.exp_ppm AS BIGINT) AS exp_ppm,
           |    coalesce(c.n, 0) AS n, t.nt
           |  FROM t CROSS JOIN d
-          |  LEFT JOIN c ON c.g = t.g AND c.digit = d.digit),
+          |  LEFT JOIN c ON c.g IS NOT DISTINCT FROM t.g
+          |    AND c.digit = d.digit),
           |o AS (SELECT g, digit, n,
           |    CAST(n * 1000000 // nt AS BIGINT) AS obs_ppm, exp_ppm
           |  FROM grid)

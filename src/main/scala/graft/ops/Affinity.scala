@@ -146,7 +146,10 @@ object Affinity {
     * `share_ppm = ⌊support·10^6 / n_keys⌋` over the surviving keys.
     * Sequences order by `(ts, item)` — the total order that makes k-grams
     * deterministic under timestamp ties (equal (ts, item) rows are
-    * interchangeable). Keys with more than `maxSeqLen` events drop WHOLE
+    * interchangeable). Patterns encode with the `\u001F` unit separator,
+    * NOT a space — item values may themselves contain spaces, and a
+    * space join would silently merge distinct patterns (["a b","c"] vs
+    * ["a","b c"]). Keys with more than `maxSeqLen` events drop WHOLE
     * before expansion, observably (`n_keys_in` / `n_dropped_keys` — the
     * [[basketRules]] skew contract; one crawler session of 10^6 events
     * would dominate every pattern count while meaning nothing).
@@ -197,7 +200,7 @@ object Affinity {
       .select(explode(array_distinct(
         when(size(col("_seq")) >= k,
           transform(sequence(lit(1), size(col("_seq")) - (k - 1)),
-            i => concat_ws(" ", slice(col("_seq"), i, lit(k)))))
+            i => concat_ws("\u001f", slice(col("_seq"), i, lit(k)))))
           .otherwise(array()))).as("pattern"))
       .groupBy(col("pattern"))
       .agg(count(lit(1)).as("support"))

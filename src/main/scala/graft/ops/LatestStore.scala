@@ -52,6 +52,12 @@ object LatestStore {
     val flat = collapse(batch.filter(col(keyCol).isNotNull)
       .select((keyCol +: payload).map(col): _*))
       .withColumn("bucket", bucket)
+    // generational commit (the quantile store's tmp/prev swap via
+    // StoreSwap): the merged buckets land in a committed sibling and
+    // untouched buckets are adopted by rename — a crash at any point
+    // leaves a complete generation, where dynamic overwrite deleted the
+    // touched directories before its own commit
+    StoreSwap.recover(spark, path, depth = 1)
     val fs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(new org.apache.hadoop.fs.Path(path))) {
@@ -62,11 +68,11 @@ object LatestStore {
       val existing = spark.read.parquet(path)
         .filter(col("bucket").isin(affected: _*))
         .select((keyCol +: payload).map(col): _*)
-      collapse(existing.unionByName(flat.drop("bucket")))
+      val merged = collapse(existing.unionByName(flat.drop("bucket")))
         .withColumn("bucket", bucket)
-        .write.mode("overwrite")
-        .option("partitionOverwriteMode", "dynamic")
-        .partitionBy("bucket").parquet(path)
+      StoreSwap.swapIn(spark, path, depth = 1) { tmp =>
+        merged.write.partitionBy("bucket").parquet(tmp)
+      }
     }
   }
 

@@ -490,13 +490,22 @@ object Stats {
     val totals = counts.groupBy(groupCols.map(col): _*)
       .agg(sum(col("n")).as("_nt"))
       .localCheckpoint(false) // the grid cross and the TVD attach share it
+    // counts attach null-safely (<=>, the family convention — a NULL
+    // group is a real group and its digit counts must land on its grid
+    // rows, not report a phantom n=0 panel)
+    val countsR = counts.select(
+      groupCols.map(c => col(c).as(s"_c_$c")) :+
+        col("digit").as("_c_digit") :+ col("n"): _*)
+    val gridCond = (groupCols.map(c => col(c) <=> col(s"_c_$c")) :+
+      (col("digit") === col("_c_digit"))).reduce(_ && _)
     val grid = totals
       .crossJoin(broadcast(
         counts.sparkSession.range(1).select(
           explode(array(digitExp: _*)).as("_e"))
           .select(col("_e.digit").as("digit"), col("_e.exp_ppm"))))
-      .join(counts, groupCols :+ "digit", "left")
+      .join(countsR, gridCond, "left")
       .withColumn("n", coalesce(col("n"), lit(0L)))
+      .drop((groupCols.map(c => s"_c_$c") :+ "_c_digit"): _*)
       .withColumn("obs_ppm",
         expr("(CAST(n AS DECIMAL(38,0)) * 1000000) div _nt").cast("long"))
       .localCheckpoint(false) // the TVD re-agg and the output both read it
@@ -1413,10 +1422,15 @@ object Stats {
     * per-cell FLOORS — a deterministically quantized χ² (each cell's
     * error < 1 ppm, so the total sits within |cells| ppm of the real
     * statistic), which is what makes it bit-identical in any engine; the
-    * integral lane is exact while (O·N − R·C)² < 10^38, i.e. N up to
-    * ~10^9 — beyond that a significance test is vacuous anyway (every
-    * association is "significant" at 10^9 samples; compare effect sizes
-    * like `expected_ppm` vs observed instead). NULL rows/cols drop.
+    * integral lane is exact while (O·N − R·C)²·10^6 < 10^38, i.e.
+    * |O·N − R·C| < 10^16 — worst case N around ~10^8 (a fully-associated
+    * 2×2 table maximizes the residual at ~N²/4). Beyond the bound a
+    * DECIMAL(38,0) cell overflows; under non-ANSI mode it would NULL out
+    * and silently understate `chi2_ppm`, so the bound is ENFORCED: the
+    * build fails fast when N exceeds 10^8 (at that scale a significance
+    * test is vacuous anyway — every association is "significant";
+    * compare effect sizes like `expected_ppm` vs observed instead).
+    * NULL rows/cols drop.
     *
     * Shape at 100 TB: ONE corpus pass to the (row, col) cell counts
     * (map-side partials); everything downstream runs on the dense
@@ -1448,6 +1462,17 @@ object Stats {
     val cells = rTot.crossJoin(broadcast(cTot))
       .join(base, Seq("_r", "_c"), "left")
       .crossJoin(broadcast(nTot))
+      // enforce the documented exactness bound in-plan (assert_true is
+      // NULL on pass, so the coalesce-add keeps it un-prunable and free):
+      // past N = 10^8 a worst-case cell residual (O·N−R·C)²·10^6 would
+      // overflow DECIMAL(38,0) and silently NULL under non-ANSI mode
+      .withColumn("_nn", col("_nn") + coalesce(
+        assert_true(col("_nn") <= lit(100000000L),
+          lit("chiSquare: N exceeds the 10^8 integer-exact bound — " +
+            "cell residuals would overflow DECIMAL(38,0); compare " +
+            "effect sizes (expected_ppm vs observed) at this scale"))
+          .cast("long"),
+        lit(0L)))
       .withColumn("_onn", coalesce(col("_o"), lit(0L)).cast(dec) * col("_nn"))
       .withColumn("_rc", col("_rr").cast(dec) * col("_cc"))
       .withColumn("expected_ppm",

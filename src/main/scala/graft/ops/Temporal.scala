@@ -632,7 +632,10 @@ object Temporal {
     * `[conv_ts − lookback, conv_ts)` window count; conversions with no
     * touch in window surface as the channel-NULL row (distinct
     * unattributed conversions, zero credit) rather than silently
-    * dropping. Output per channel:
+    * dropping. Touches whose channel is NULL drop before the join —
+    * credit cannot attach to an unknown channel, and admitting them
+    * would pollute the channel-NULL row with credited touches,
+    * breaking its zero-credit contract. Output per channel:
     * `n_touches` (credited touch rows), `n_conversions` (distinct
     * conversions the channel touched), `credit_ppm` (Σ credit — divide by
     * 10^6 for "conversions attributed").
@@ -660,10 +663,16 @@ object Temporal {
     require(firstPpm >= 0 && lastPpm >= 0 && firstPpm + lastPpm <= 1000000L,
       "firstPpm + lastPpm must fit inside 10^6")
     val midPool = 1000000L - firstPpm - lastPpm
-    val t = touches.select(
-      (keys.map(k => col(k).as(s"_t_$k")) :+
-        col(touchTsCol).as("_tts") :+ col(touchIdCol).as("_tid") :+
-        col(channelCol).as("_ch")): _*)
+    // NULL-channel touches drop up front: credit to an unknown channel is
+    // meaningless, and letting them through would fold credited touches
+    // into the channel-NULL output row — which is contractually the
+    // ZERO-credit unattributed-conversions bucket, nothing else
+    val t = touches
+      .filter(col(channelCol).isNotNull)
+      .select(
+        (keys.map(k => col(k).as(s"_t_$k")) :+
+          col(touchTsCol).as("_tts") :+ col(touchIdCol).as("_tid") :+
+          col(channelCol).as("_ch")): _*)
     val c = conversions.select(keys.map(col) :+ col(convIdCol).as("_cid") :+
       col(convTsCol).as("_cts"): _*)
     val keyEq = keys.map(k => c(k) === t(s"_t_$k")).reduce(_ && _)

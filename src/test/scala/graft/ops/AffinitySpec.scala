@@ -118,10 +118,19 @@ class AffinitySpec extends SparkTestBase {
     val all = run(seqDf(rows), 1L)
     // u1's repeated loop counts ONCE (presence); the u4 tie orders by
     // (ts, item) -> "a b c" too: support = u1 + u2 + u4 of 4 keys
-    assert(all("a b c") === ((3L, 750000L)))
-    assert(all("c b a") === ((1L, 250000L))) // order distinguishes u3
-    assert(all("b c a") === ((1L, 250000L))) // u1's wrap gram, deduped
-    assert(run(seqDf(rows), 2L).keySet === Set("a b c"))
+    val sep = "\u001f"
+    assert(all(s"a${sep}b${sep}c") === ((3L, 750000L)))
+    assert(all(s"c${sep}b${sep}a") === ((1L, 250000L))) // order distinguishes u3
+    assert(all(s"b${sep}c${sep}a") === ((1L, 250000L))) // u1's wrap gram, deduped
+    assert(run(seqDf(rows), 2L).keySet === Set(s"a${sep}b${sep}c"))
+    // separator regression: space-bearing items must NOT collide —
+    // ["a b","c"] and ["a","b c"] are different 2-step stories
+    val spacey = Seq(("s1", 1L, "a b"), ("s1", 2L, "c"),
+      ("s2", 1L, "a"), ("s2", 2L, "b c"))
+    val sp = Affinity.sequencePatterns(seqDf(spacey), "u", "ts", "item",
+      k = 2, minSupport = 1L).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(sp(s"a b${sep}c") == 1L && sp(s"a${sep}b c") == 1L)
     // cap: a 600-event key drops whole, observably
     val hot = (1L to 600L).map(t => ("hot", t, "x"))
     val obs = new org.apache.spark.sql.Observation("seq-cap")
@@ -129,7 +138,7 @@ class AffinitySpec extends SparkTestBase {
       seqDf(rows ++ hot), "u", "ts", "item", k = 3, minSupport = 1L,
       metrics = Some(obs)).collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
-    assert(!capped.contains("x x x"))
+    assert(!capped.contains(s"x${sep}x${sep}x"))
     val m = obs.get
     assert(m("n_keys_in") == 5L && m("n_dropped_keys") == 1L)
     // partitioning invariance

@@ -1959,6 +1959,12 @@ class PipelineOpsSpec extends SparkTestBase {
     // conservation: total credit = 1e6 x 3 attributed conversions
     assert(out.values.map(_._3).sum === 3000000L)
     assert(run(conv.repartition(7), tch.repartition(5)) === out)
+    // NULL-channel touches drop before the join: B's in-window NULL touch
+    // must NOT turn the unattributed NULL row into a credited one
+    val tchN = tch.unionByName(Seq(("B", 9L, 40L))
+      .map { case (u, id, t) => (u, id, ts(t), null.asInstanceOf[String]) }
+      .toDF("user_id", "tid", "tts", "ch"))
+    assert(run(conv, tchN) === out)
   }
 
   test("emdDrift: hand W1 distances; identical reads 0; unit shift reads 1e6 micro; sub-micro gaps quantize to zero") {
@@ -2012,6 +2018,19 @@ class PipelineOpsSpec extends SparkTestBase {
       Stats.benfordAudit(Seq(("a", 1.5)).toDF("g", "v"), Seq("g"), "v")
     }
     assert(err.getMessage.contains("integral"))
+    // null-safe grid attach: a NULL group's digit counts land on ITS grid
+    // rows (pre-fix the plain-equality join reported a phantom all-zero
+    // panel for the NULL group while its total still drove obs shares)
+    val nullG = Seq((Option("a"), 123L), (None, 150L), (None, 1999L),
+      (None, 2048L))
+      .toDF("g", "v")
+    val ng = Stats.benfordAudit(nullG, Seq("g"), "v")
+      .collect().map(r => (Option(r.getString(0)), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3)))).toMap
+    assert(ng((None, 1L)) === ((2L, 666666L)))
+    assert(ng((None, 2L)) === ((1L, 333333L)))
+    assert(ng((None, 3L)) === ((0L, 0L)))
+    assert(ng((Some("a"), 1L)) === ((1L, 1000000L)))
   }
 
   test("autocorrelation: period-2 alternation reads -1/+1 exactly; constant series NULL; holes shrink n_pairs; partitioning-invariant") {

@@ -81,11 +81,12 @@ object Incremental {
 
   /** Fold a new (or re-run) batch into the persisted state: the batch's
     * days are re-aggregated from the batch alone and their partitions
-    * REPLACED (dynamic overwrite — only directories the batch touches are
-    * rewritten; every other day's files ride through untouched). The
-    * caller's contract is day-grained batches (the ingest norm): a batch
-    * carrying HALF a day replaces the whole day with half, which is why the
-    * grain is the contract, not a hint.
+    * REPLACED through [[StoreSwap]]'s generational commit (only the
+    * batch's day directories are written; every other day adopts into the
+    * new generation by metadata rename, and a crash at any point leaves a
+    * complete generation). The caller's contract is day-grained batches
+    * (the ingest norm): a batch carrying HALF a day replaces the whole day
+    * with half, which is why the grain is the contract, not a hint.
     */
   def upsertDayState(
       spark: SparkSession,
@@ -93,16 +94,22 @@ object Incremental {
       batch: DataFrame,
       keys: Seq[String],
       tsCol: String,
-      valueCol: String): Unit =
-    dailyState(batch, keys, tsCol, valueCol)
-      .write.mode("overwrite")
-      .option("partitionOverwriteMode", "dynamic")
-      .partitionBy("dt").parquet(path)
+      valueCol: String): Unit = {
+    val days = dailyState(batch, keys, tsCol, valueCol)
+    StoreSwap.recover(spark, path, depth = 1)
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) days.write.partitionBy("dt").parquet(path)
+    else StoreSwap.swapIn(spark, path, depth = 1) { tmp =>
+      days.write.partitionBy("dt").parquet(tmp)
+    }
+  }
 
   /** One micro-batch of STREAMING state maintenance (the
     * [[graft.streaming.EventStream.dailyStateSink]] worker, factored out so
     * the replay contract is spec-testable): the batch's partials write
-    * under `partitionBy("dt", "batch_id")` with dynamic overwrite. The
+    * under `partitionBy("dt", "batch_id")` through [[graft.ops.StoreSwap]]'s
+    * generational commit. The
     * extra `batch_id` dimension is what makes at-least-once `foreachBatch`
     * replay EXACTLY-ONCE here: a replayed batch rewrites its own
     * `(dt, batch_id)` partitions byte-identically instead of double-merging
@@ -123,12 +130,25 @@ object Incremental {
       keys: Seq[String],
       tsCol: String,
       valueCol: String,
-      batchId: Long): Unit =
-    dailyState(batch, keys, tsCol, valueCol)
+      batchId: Long): Unit = {
+    val spark = batch.sparkSession
+    val partials = dailyState(batch, keys, tsCol, valueCol)
       .withColumn("batch_id", lit(batchId))
-      .write.mode("overwrite")
-      .option("partitionOverwriteMode", "dynamic")
-      .partitionBy("dt", "batch_id").parquet(path)
+    // generational commit (StoreSwap): the batch's (dt, batch_id)
+    // partitions commit to a sibling and every other leaf partition
+    // adopts by rename — replay still rewrites the identical partitions
+    // (the exactly-once-by-partition-identity contract is unchanged),
+    // but a crash or a racing reader now always sees a complete
+    // generation, which dynamic overwrite's delete-at-commit did not give
+    StoreSwap.recover(spark, path, depth = 2)
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root))
+      partials.write.partitionBy("dt", "batch_id").parquet(path)
+    else StoreSwap.swapIn(spark, path, depth = 2) { tmp =>
+      partials.write.partitionBy("dt", "batch_id").parquet(tmp)
+    }
+  }
 
   /** Compact ONLY the fragmented days of a streaming state store: every
     * `dt=` directory holding more than `maxBatchesPerDay` `batch_id=`

@@ -18,8 +18,11 @@ import org.apache.spark.sql.functions._
   * `bucket = xxhash64(key) % numBuckets`; each batch collapses to its own
   * per-key latest, merges with the CURRENT rows of only the buckets it
   * touches (max of two argmaxes = argmax of the union — the merge is
-  * associative, commutative, idempotent), and dynamically overwrites
-  * exactly those buckets. Replaying a batch therefore rewrites the same
+  * associative, commutative, idempotent), and commits exactly those
+  * buckets through [[StoreSwap]]'s generational tmp/prev swap (untouched
+  * buckets adopt by metadata rename — a crash at any point leaves a
+  * complete generation on disk, and a reader never sees a half-replaced
+  * bucket directory). Replaying a batch therefore rewrites the same
   * bytes (exactly-once from at-least-once), out-of-order batches converge
   * to the same store, and a 100 TB backfill day touches only the buckets
   * its keys hash into. NULL keys are dropped at ingest (they can never be

@@ -323,28 +323,17 @@ object Sketch {
       seed: String): Unit = {
     val spark = batch.sparkSession
     val incoming = quantileRegisters(batch, groupCols, valueCol, idCol, k, seed)
+    // generational commit via the shared StoreSwap protocol (this store
+    // is where the pattern started); depth 0 — the store is flat, every
+    // generation is complete, adoption is vacuous
+    StoreSwap.recover(spark, path, depth = 0)
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val tmp = new org.apache.hadoop.fs.Path(path + ".__tmp")
-    val prev = new org.apache.hadoop.fs.Path(path + ".__prev")
-    // recovery preamble: if the live generation is missing, promote the
-    // newest complete one (tmp committed with _SUCCESS beats prev)
-    if (!fs.exists(p)) {
-      if (fs.exists(new org.apache.hadoop.fs.Path(tmp, "_SUCCESS")))
-        fs.rename(tmp, p)
-      else if (fs.exists(prev)) fs.rename(prev, p)
-    }
     if (!fs.exists(p)) incoming.write.parquet(path)
     else {
       val merged = quantileMergeRegisters(
         spark.read.parquet(path).unionByName(incoming), groupCols, k)
-      if (fs.exists(tmp)) fs.delete(tmp, true)
-      // commits fully (job commit + _SUCCESS) before the live path is touched
-      merged.write.parquet(tmp.toString)
-      if (fs.exists(prev)) fs.delete(prev, true)
-      fs.rename(p, prev)
-      fs.rename(tmp, p)
-      fs.delete(prev, true)
+      StoreSwap.swapIn(spark, path, depth = 0)(merged.write.parquet(_))
     }
   }
 

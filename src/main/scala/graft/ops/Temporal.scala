@@ -180,8 +180,10 @@ object Temporal {
 
   /** Incremental SCD2 maintenance — merge a change batch into a bucketed
     * on-disk CHANGE LOG, rewriting ONLY the key-hash buckets the batch
-    * touches (Spark's dynamic partition overwrite: the output contains just
-    * the affected buckets, so untouched directories are never rewritten).
+    * touches, committed through [[StoreSwap]]'s generational tmp/prev swap
+    * (untouched bucket directories adopt into the new generation by
+    * metadata rename — never re-read, never rewritten — and a crash at
+    * any point leaves a complete generation on disk).
     *
     * What is materialized is deliberately the collapsed LOG, not the
     * intervals. Materializing [[scd2]]'s survivor intervals is LOSSY under
@@ -218,6 +220,10 @@ object Temporal {
       .select(col(keyCol) +: col(tsCol) +: valueCols.map(c => col(s"_v.$c").as(c)): _*)
     val bucket = pmod(xxhash64(col(keyCol)), lit(numBuckets.toLong)).cast("int")
     val withBucket = flat.withColumn("bucket", bucket)
+    // generational commit (StoreSwap — the quantile store's tmp/prev
+    // swap): merged buckets commit to a sibling, untouched buckets adopt
+    // by rename; a crash at any point leaves a complete generation
+    StoreSwap.recover(spark, path, depth = 1)
     val fs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(new org.apache.hadoop.fs.Path(path))) {
@@ -233,9 +239,9 @@ object Temporal {
         .select(col(keyCol) +: col(tsCol) +:
           valueCols.map(c => col(s"_v.$c").as(c)): _*)
         .withColumn("bucket", bucket)
-      merged.write.mode("overwrite")
-        .option("partitionOverwriteMode", "dynamic")
-        .partitionBy("bucket").parquet(path)
+      StoreSwap.swapIn(spark, path, depth = 1) { tmp =>
+        merged.write.partitionBy("bucket").parquet(tmp)
+      }
     }
   }
 

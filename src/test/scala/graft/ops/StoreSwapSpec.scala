@@ -1,0 +1,136 @@
+package graft.ops
+
+import graft.SparkTestBase
+import org.apache.hadoop.fs.Path
+
+/** [[StoreSwap]] — the generational tmp/prev commit shared by the four
+  * on-disk state stores. Each test arranges a CRASH-POINT directory state
+  * by hand (the states the protocol can be interrupted in) and asserts
+  * the recovery preamble lands on a complete, correct generation.
+  */
+class StoreSwapSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def fs = new Path("/tmp").getFileSystem(
+    spark.sparkContext.hadoopConfiguration)
+
+  private def freshBase(tag: String) =
+    java.nio.file.Files.createTempDirectory(s"graft-swap-$tag").toString
+
+  /** Write a one-level bucketed generation {bucket -> value} to `path`. */
+  private def writeGen(path: String, rows: Map[Int, String]): Unit =
+    rows.toSeq.map { case (b, v) => (b, v) }.toDF("bucket", "v")
+      .select($"v", $"bucket")
+      .write.partitionBy("bucket").parquet(path)
+
+  private def readGen(path: String): Map[Int, Set[String]] =
+    spark.read.parquet(path).collect()
+      .groupBy(_.getAs[Int]("bucket"))
+      .map { case (b, rs) => b -> rs.map(_.getAs[String]("v")).toSet }
+
+  private def noSiblings(path: String): Unit = {
+    assert(!fs.exists(new Path(path + ".__tmp")), "tmp must be gone")
+    assert(!fs.exists(new Path(path + ".__prev")), "prev must be gone")
+  }
+
+  test("swapIn: touched buckets replaced, untouched adopted by rename; no siblings survive") {
+    val p = freshBase("swap") + "/store"
+    writeGen(p, Map(0 -> "a0", 1 -> "a1", 2 -> "a2"))
+    // remember the untouched bucket's part-file names — adoption is a
+    // rename, so the exact files must ride through, not be rewritten
+    val before = fs.listStatus(new Path(p, "bucket=0"))
+      .map(_.getPath.getName).toSet
+    StoreSwap.swapIn(spark, p, depth = 1) { tmp =>
+      writeGen(tmp, Map(1 -> "b1"))
+    }
+    assert(readGen(p) === Map(0 -> Set("a0"), 1 -> Set("b1"), 2 -> Set("a2")))
+    val after = fs.listStatus(new Path(p, "bucket=0"))
+      .map(_.getPath.getName).toSet
+    assert(after === before, "untouched bucket adopts by rename — same files")
+    noSiblings(p)
+  }
+
+  test("recover: crash after park (no live, committed tmp, full prev) promotes tmp and adopts the rest") {
+    val p = freshBase("park") + "/store"
+    writeGen(p + ".__prev", Map(0 -> "a0", 1 -> "a1", 2 -> "a2"))
+    writeGen(p + ".__tmp", Map(1 -> "b1")) // job commit wrote _SUCCESS
+    assert(fs.exists(new Path(p + ".__tmp", "_SUCCESS")))
+    StoreSwap.recover(spark, p, depth = 1)
+    assert(readGen(p) === Map(0 -> Set("a0"), 1 -> Set("b1"), 2 -> Set("a2")))
+    noSiblings(p)
+  }
+
+  test("recover: crash mid-adoption resumes — already-adopted leaves are not doubled") {
+    val p = freshBase("mid") + "/store"
+    writeGen(p + ".__prev", Map(0 -> "a0", 1 -> "a1", 2 -> "a2"))
+    writeGen(p + ".__tmp", Map(1 -> "b1"))
+    // simulate: bucket=2 already adopted into tmp before the crash
+    fs.rename(new Path(p + ".__prev", "bucket=2"),
+      new Path(p + ".__tmp", "bucket=2"))
+    StoreSwap.recover(spark, p, depth = 1)
+    assert(readGen(p) === Map(0 -> Set("a0"), 1 -> Set("b1"), 2 -> Set("a2")))
+    noSiblings(p)
+  }
+
+  test("recover: crash after promote, before prev delete — superseded prev is discarded, not re-adopted") {
+    val p = freshBase("post") + "/store"
+    writeGen(p, Map(0 -> "a0", 1 -> "b1", 2 -> "a2")) // the NEW generation is live
+    writeGen(p + ".__prev", Map(1 -> "a1")) // only the superseded bucket remains
+    StoreSwap.recover(spark, p, depth = 1)
+    assert(readGen(p) === Map(0 -> Set("a0"), 1 -> Set("b1"), 2 -> Set("a2")),
+      "prev's stale bucket=1 must not resurface")
+    noSiblings(p)
+  }
+
+  test("recover: stale committed tmp alongside a live store is discarded (batch re-merges on redelivery)") {
+    val p = freshBase("stale") + "/store"
+    writeGen(p, Map(0 -> "a0", 1 -> "a1"))
+    writeGen(p + ".__tmp", Map(1 -> "b1"))
+    StoreSwap.recover(spark, p, depth = 1)
+    assert(readGen(p) === Map(0 -> Set("a0"), 1 -> Set("a1")))
+    noSiblings(p)
+  }
+
+  test("recover: uncommitted tmp (no _SUCCESS), live missing — prev restores verbatim") {
+    val p = freshBase("uncommitted") + "/store"
+    writeGen(p + ".__prev", Map(0 -> "a0", 1 -> "a1"))
+    writeGen(p + ".__tmp", Map(1 -> "b1"))
+    fs.delete(new Path(p + ".__tmp", "_SUCCESS"), false) // never committed
+    StoreSwap.recover(spark, p, depth = 1)
+    assert(readGen(p) === Map(0 -> Set("a0"), 1 -> Set("a1")),
+      "an uncommitted generation must never win")
+    noSiblings(p)
+  }
+
+  test("depth 2: adoption merges sibling leaves under a shared first-level dir") {
+    val p = freshBase("deep") + "/store"
+    def gen(path: String, rows: Seq[(String, Long, String)]): Unit =
+      rows.toDF("dt", "batch_id", "v").select($"v", $"dt", $"batch_id")
+        .write.partitionBy("dt", "batch_id").parquet(path)
+    gen(p, Seq(("d1", 1L, "x"), ("d2", 1L, "y")))
+    StoreSwap.swapIn(spark, p, depth = 2) { tmp =>
+      gen(tmp, Seq(("d1", 2L, "z"))) // same day d1, NEW batch partition
+    }
+    val got = spark.read.parquet(p).collect()
+      .map(r => (r.getAs[String]("dt"), r.getAs[Long]("batch_id"),
+        r.getAs[String]("v"))).toSet
+    // d1/batch 1 adopted INTO the tmp's existing d1 dir; d2 adopted whole
+    assert(got === Set(("d1", 1L, "x"), ("d1", 2L, "z"), ("d2", 1L, "y")))
+    noSiblings(p)
+  }
+
+  test("depth 2 replay: a redelivered batch's partitions replace, never double") {
+    val p = freshBase("replay") + "/store"
+    def up(rows: Seq[(java.sql.Timestamp, String, Double)], bid: Long): Unit =
+      Incremental.stateUpsertBatch(rows.toDF("ts", "k", "v"), p,
+        Seq("k"), "ts", "v", bid)
+    def ts(d: Int) = new java.sql.Timestamp(1700000000000L + d * 86400000L)
+    up(Seq((ts(0), "a", 1.0), (ts(0), "a", 2.0)), bid = 1L)
+    up(Seq((ts(1), "a", 5.0)), bid = 2L)
+    val once = spark.read.parquet(p).collect().map(_.toSeq).toSet
+    up(Seq((ts(1), "a", 5.0)), bid = 2L) // at-least-once redelivery
+    assert(spark.read.parquet(p).collect().map(_.toSeq).toSet === once,
+      "replay rewrites its own (dt, batch_id) partitions byte-identically")
+    noSiblings(p)
+  }
+}

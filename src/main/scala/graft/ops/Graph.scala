@@ -25,10 +25,15 @@ object Graph {
     *    100` with `d = dampingPct` — pure integer ops, so the oracle
     *    replays it exactly.
     *
-    * Simplifications stated honestly: dangling nodes (no out-edges) leak
-    * their mass rather than teleporting it — the classic simplified
-    * formulation; ranks are therefore comparable WITHIN a run, which is
-    * what a curation ranking needs. Fixed `iterations` (default 3) rather
+    * Dangling nodes (no out-edges): by default they leak their mass — the
+    * classic simplified formulation; ranks are comparable WITHIN a run,
+    * which is what a curation ranking needs. `redistributeDangling = true`
+    * enables the standard correction: each iteration the dangling nodes'
+    * total rank is collected by ONE 1-row aggregate (alongside the node
+    * count), split evenly (`mass div N`, integral), and every node's
+    * inbound sum receives the share through a broadcast scalar cross —
+    * total mass is then conserved up to integral-division floors, the
+    * property a cross-RUN comparison needs. Fixed `iterations` (default 3) rather
     * than convergence detection: a ranking signal stabilizes its ORDER in
     * a few iterations, and a fixed count keeps the oracle an unrolled
     * replay. Overflow bound: `inbound·dampingPct` stays inside int64 up to
@@ -48,7 +53,8 @@ object Graph {
       dstCol: String,
       iterations: Int = 3,
       dampingPct: Int = 85,
-      scale: Long = 1000000L): DataFrame = {
+      scale: Long = 1000000L,
+      redistributeDangling: Boolean = false): DataFrame = {
     require(iterations >= 1 && iterations <= 50, "iterations must be in [1, 50]")
     require(dampingPct >= 0 && dampingPct <= 100, "dampingPct must be in [0, 100]")
     require(scale >= 100 && scale % 100 == 0,
@@ -62,9 +68,15 @@ object Graph {
     val nodes = eDeg.select(col("src").as("node"))
       .union(eDeg.select(col("dst").as("node"))).distinct()
     val teleport = scale / 100L * (100L - dampingPct)
-    prLoop(eDeg,
-      nodes.select(col("node"), lit(teleport).as("_tp"), lit(scale).as("_r0")),
-      iterations, dampingPct)
+    // the dangling flag rides the node table (one anti-ish left join at
+    // build time, not per iteration): a node with no out-edge leaks —
+    // or, under redistribution, donates — its whole rank each round
+    val srcs = eDeg.select(col("src").as("node")).distinct()
+      .withColumn("_has_out", lit(true))
+    val nodesT = nodes.join(srcs, Seq("node"), "left")
+      .select(col("node"), lit(teleport).as("_tp"), lit(scale).as("_r0"),
+        col("_has_out").isNull.as("_dg"))
+    prLoop(eDeg, nodesT, iterations, dampingPct, redistributeDangling)
   }
 
   /** The shared power-iteration loop of [[pageRank]] and
@@ -77,19 +89,35 @@ object Graph {
       eDeg: DataFrame,
       nodesT: DataFrame,
       iterations: Int,
-      dampingPct: Int): DataFrame = {
+      dampingPct: Int,
+      redistribute: Boolean = false): DataFrame = {
     val nodes = nodesT.localCheckpoint()
-    var rank = nodes.select(col("node"), col("_r0").as("rank"))
+    var rank = nodes.select(col("node"), col("_r0").as("rank"),
+      (if (redistribute) col("_dg") else lit(false)).as("_dg"))
     var prevCkpt: Option[DataFrame] = None
     for (_ <- 1 to iterations) {
       val contrib = eDeg
-        .join(rank.withColumnRenamed("node", "src"), Seq("src"))
+        .join(rank.select(col("node").as("src"), col("rank")), Seq("src"))
         .select(col("dst").as("node"), expr("rank div outdeg").as("_c"))
         .groupBy(col("node")).agg(sum(col("_c")).as("_in"))
+      // each node's share of the dangling mass: one 1-row aggregate over
+      // the current ranks (mass AND node count in the same pass), divided
+      // integrally, broadcast into the update — zero when redistribution
+      // is off, so the leaky formulation's arithmetic is untouched
+      val dShare =
+        if (redistribute)
+          rank.agg(
+            coalesce(sum(when(col("_dg"), col("rank"))), lit(0L)).as("_dm"),
+            count(lit(1)).as("_n"))
+            .select(expr("_dm div _n").as("_ds"))
+        else rank.sparkSession.range(1).select(lit(0L).as("_ds"))
       val next = nodes.join(contrib, Seq("node"), "left")
+        .crossJoin(broadcast(dShare))
         .select(col("node"),
           (col("_tp") +
-            expr(s"(coalesce(_in, 0L) * $dampingPct) div 100")).as("rank"))
+            expr(s"((coalesce(_in, 0L) + _ds) * $dampingPct) div 100"))
+            .as("rank"),
+          (if (redistribute) col("_dg") else lit(false)).as("_dg"))
         .localCheckpoint()
       // at most two rank snapshots live in executor storage (the
       // connectedComponents discipline); eDeg/nodes and the FINAL rank
@@ -98,7 +126,7 @@ object Graph {
       prevCkpt = Some(next)
       rank = next
     }
-    rank
+    rank.select(col("node"), col("rank"))
   }
 
   /** Personalized PageRank — [[pageRank]] with the teleport mass

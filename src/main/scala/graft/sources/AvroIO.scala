@@ -29,12 +29,18 @@ import scala.jdk.CollectionConverters._
   * the documented posture is "ingest from Avro once, convert to parquet for
   * analytics", which is what every Spark shop does with Kafka-archive Avro.
   *
-  * Type mapping (both directions, the [[graft.model.ValueType]] surface):
-  * boolean/int/long/float/double/string/bytes, `timestamp-micros` and
-  * `timestamp-millis` logical longs → TimestampType (µs), `date` logical int
-  * → DateType, arrays of all of these, and nullable as the standard
-  * `[null, T]` union. Nested records/maps/enums are rejected with a clear
-  * error — the engine's source surface is flat-plus-arrays.
+  * Type mapping (both directions): boolean/int/long/float/double/string/
+  * bytes, `timestamp-micros` and `timestamp-millis` logical longs →
+  * TimestampType (µs), `date` logical int → DateType, arrays, NESTED
+  * records → StructType (record names derive from the field path, unique
+  * by construction), string-keyed maps → MapType, nullable as the standard
+  * `[null, T]` union — the same nested surface parquet/orc/json carry, so
+  * the format matrix is uniform (CSV is the one documented flat-only
+  * format). Enums/fixed/non-null-branching unions are rejected with a
+  * clear error. [[graft.model.ValueType]] (the reference-parity schema
+  * enum) still reports nested columns as UNKNOWN — that mirrors the
+  * reference's own flat-plus-arrays type map (store.py:253-286), while
+  * the FORMAT layer round-trips the data itself losslessly.
   *
   * Object-reuse trap (the classic Hadoop bug): the avro record reader REUSES
   * its `GenericRecord` across `next()` calls, so every record is converted to
@@ -47,17 +53,20 @@ object AvroIO {
 
   private val NullSchema = Schema.create(Schema.Type.NULL)
 
-  /** Spark → Avro schema. `nullable` fields become `[null, T]` unions. */
+  /** Spark → Avro schema. `nullable` fields become `[null, T]` unions.
+    * Nested structs map to Avro records (named by their field PATH, so
+    * names are unique by construction), string-keyed maps to Avro maps.
+    */
   def toAvroSchema(schema: StructType, recordName: String): Schema = {
     val fields = schema.fields.map { f =>
-      val base = toAvroType(f.dataType, f.name)
+      val base = toAvroType(f.dataType, s"${recordName}_${f.name}")
       val t = if (f.nullable) Schema.createUnion(java.util.List.of(NullSchema, base)) else base
       new Schema.Field(f.name, t, null, if (f.nullable) Schema.Field.NULL_DEFAULT_VALUE else null)
     }
     Schema.createRecord(recordName, null, "graft", false, fields.toList.asJava)
   }
 
-  private def toAvroType(dt: DataType, fieldName: String): Schema = dt match {
+  private def toAvroType(dt: DataType, fieldPath: String): Schema = dt match {
     case BooleanType => Schema.create(Schema.Type.BOOLEAN)
     case IntegerType | ShortType | ByteType => Schema.create(Schema.Type.INT)
     case LongType => Schema.create(Schema.Type.LONG)
@@ -71,12 +80,23 @@ object AvroIO {
     case DateType =>
       org.apache.avro.LogicalTypes.date().addToSchema(Schema.create(Schema.Type.INT))
     case ArrayType(elem, containsNull) =>
-      val e = toAvroType(elem, fieldName)
+      val e = toAvroType(elem, s"${fieldPath}_item")
       Schema.createArray(
         if (containsNull) Schema.createUnion(java.util.List.of(NullSchema, e)) else e)
+    case st: StructType =>
+      // record name = field path — unique within the schema by construction
+      toAvroSchema(st, fieldPath)
+    case MapType(StringType, valueType, valueContainsNull) =>
+      val v = toAvroType(valueType, s"${fieldPath}_value")
+      Schema.createMap(
+        if (valueContainsNull) Schema.createUnion(java.util.List.of(NullSchema, v)) else v)
+    case MapType(other, _, _) =>
+      throw new IllegalArgumentException(
+        s"Avro maps are string-keyed; field `$fieldPath` has map key type $other")
     case other =>
       throw new IllegalArgumentException(
-        s"Avro source supports flat columns + arrays; field `$fieldName` has $other")
+        s"Avro source supports scalars, arrays, structs, and string-keyed " +
+          s"maps; field `$fieldPath` has $other")
   }
 
   /** Avro → Spark schema (top level must be a record of supported fields). */
@@ -111,9 +131,14 @@ object AvroIO {
     case Schema.Type.ARRAY =>
       val (e, elemNullable) = toSparkType(s.getElementType, fieldName)
       (ArrayType(e, elemNullable), false)
+    case Schema.Type.RECORD => (toStructType(s), false)
+    case Schema.Type.MAP =>
+      val (v, valueNullable) = toSparkType(s.getValueType, fieldName)
+      (MapType(StringType, v, valueNullable), false)
     case other =>
       throw new IllegalArgumentException(
-        s"Avro source supports flat columns + arrays; field `$fieldName` has $other")
+        s"Avro source supports scalars, arrays, records, and maps; " +
+          s"field `$fieldName` has $other")
   }
 
   // ---------------------------------------------------------------- values
@@ -135,6 +160,20 @@ object AvroIO {
         val elem = target.getElementType
         new GenericData.Array[Any](target,
           seq.map(e => toAvroValue(e, elem)).asJava.asInstanceOf[java.util.List[Any]])
+      case r: org.apache.spark.sql.Row =>
+        val rec = new GenericData.Record(target)
+        val fs = target.getFields
+        var i = 0
+        while (i < fs.size()) {
+          rec.put(i, toAvroValue(r.get(i), fs.get(i).schema()))
+          i += 1
+        }
+        rec
+      case m: scala.collection.Map[_, _] =>
+        val vs = target.getValueType
+        val jm = new java.util.HashMap[CharSequence, Any](m.size)
+        m.foreach { case (k, mv) => jm.put(k.toString, toAvroValue(mv, vs)) }
+        jm
       case other => other // boolean/int/long/float/double/string pass through
     }
   }
@@ -155,6 +194,13 @@ object AvroIO {
       java.sql.Date.valueOf(java.time.LocalDate.ofEpochDay(i.longValue()))
     case (arr: java.util.Collection[_], ArrayType(elem, _)) =>
       arr.asScala.toSeq.map(e => fromAvroValue(e, elem))
+    case (rec: GenericRecord, st: StructType) =>
+      org.apache.spark.sql.Row.fromSeq(
+        st.fields.zipWithIndex.map { case (f, i) =>
+          fromAvroValue(rec.get(i), f.dataType)
+        }.toSeq)
+    case (m: java.util.Map[_, _], MapType(_, vt, _)) =>
+      m.asScala.map { case (k, mv) => k.toString -> fromAvroValue(mv, vt) }.toMap
     case (other, _) => other
   }
 
@@ -176,6 +222,12 @@ object AvroIO {
     val schemaJson = avroSchema.toString // Schema is not serializable: ship JSON
     val job = Job.getInstance(df.sparkSession.sparkContext.hadoopConfiguration)
     AvroJob.setOutputKeySchema(job, avroSchema)
+    // the output format's default data model is ReflectData, whose writer
+    // tries to resolve Java CLASSES for union branches and NPEs on
+    // array<record> elements (no class exists for a generic record);
+    // GenericData writes GenericRecord/Collection/Map values directly
+    org.apache.avro.hadoop.io.AvroSerialization.setDataModelClass(
+      job.getConfiguration, classOf[GenericData])
     df.rdd.mapPartitions { it =>
       val schema = new Schema.Parser().parse(schemaJson)
       val fieldSchemas = schema.getFields.asScala.map(_.schema()).toArray
@@ -230,11 +282,19 @@ object AvroIO {
       if (s.getLogicalType != null && s.getLogicalType.getName == "timestamp-millis") 1000L
       else 1L
     }.toArray
+    // same ReflectData trap as the write side: the input format's default
+    // data model resolves Java classes per union branch and NPEs on
+    // array<record>; GenericData reads generic records directly
+    val conf = new org.apache.hadoop.conf.Configuration(
+      spark.sparkContext.hadoopConfiguration)
+    org.apache.avro.hadoop.io.AvroSerialization.setDataModelClass(
+      conf, classOf[GenericData])
     val rdd = spark.sparkContext.newAPIHadoopFile(
         path,
         classOf[AvroKeyInputFormat[GenericRecord]],
         classOf[AvroKey[GenericRecord]],
-        classOf[NullWritable])
+        classOf[NullWritable],
+        conf)
       .mapPartitions { it =>
         it.map { case (k, _) =>
           // convert BEFORE the reader's next(): the record object is reused

@@ -23,6 +23,17 @@ import org.apache.spark.sql.DataFrame
   * FORMAT boundary only.
   */
 object FormatIO {
+
+  /** Does `dt` contain a struct or map anywhere (incl. inside arrays)? */
+  private def hasNested(dt: org.apache.spark.sql.types.DataType): Boolean = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case _: StructType | _: MapType => true
+      case ArrayType(e, _) => hasNested(e)
+      case _ => false
+    }
+  }
+
   def write(
       df: DataFrame,
       path: String,
@@ -32,6 +43,14 @@ object FormatIO {
       require(options.isEmpty, "AvroIO carries no writer options")
       AvroIO.write(df, path)
     case SourceFormat.Csv =>
+      // the one flat-only format in the matrix: CSV has no nested syntax,
+      // and Spark's writer would throw a generic AnalysisException deep in
+      // the write — reject up front with the matrix's own typed error
+      val nested = df.schema.fields.filter(f => hasNested(f.dataType))
+      require(nested.isEmpty,
+        s"CSV cannot represent nested types; nested columns: " +
+          s"${nested.map(f => s"${f.name}: ${f.dataType.simpleString}").mkString(", ")}. " +
+          "Use parquet/orc/json/avro (the nested-capable formats) or flatten first")
       df.write.mode("overwrite")
         .options(Map("header" -> "true") ++ options).csv(path)
     case SourceFormat.Json =>

@@ -41,6 +41,35 @@ class GraphSpec extends SparkTestBase {
     }
   }
 
+  test("pageRank: dangling redistribution conserves total mass; hand iterations; leaky default untouched") {
+    import spark.implicits._
+    // A(1)→B(2), A→C(3), B→C; C dangles. N=3, scale 1e6, damping 85.
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L)).toDF("src", "dst")
+    def run(it: Int, rd: Boolean) =
+      Graph.pageRank(edges, "src", "dst", iterations = it,
+        redistributeDangling = rd)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // iter 1 by hand: D=1e6, ds=333333; contributions B←500000, C←1500000
+    // A: 150000+(333333*85)//100=433333; B: 150000+(833333*85)//100=858333;
+    // C: 150000+(1833333*85)//100=1708333
+    val r1 = run(1, rd = true)
+    assert(r1 === Map(1L -> 433333L, 2L -> 858333L, 3L -> 1708333L))
+    assert(r1.values.sum >= 3000000L - 3L, "mass conserved up to floors")
+    // iter 2: D=1708333, ds=569444; B←216666, C←216666+858333=1074999
+    val r2 = run(2, rd = true)
+    assert(r2 === Map(1L -> 634027L, 2L -> 818193L, 3L -> 1547776L))
+    assert(r2.values.sum >= 3000000L - 6L)
+    // partitioning invariance (integer lane)
+    val r2b = Graph.pageRank(edges.repartition(7), "src", "dst",
+      iterations = 2, redistributeDangling = true)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(r2b === r2)
+    // default still LEAKS — the baseline arithmetic is bit-identical
+    val leak = run(2, rd = false)
+    assert(leak === Map(1L -> 150000L, 2L -> 213750L, 3L -> 702500L))
+    assert(leak.values.sum < 3000000L)
+  }
+
   test("triangleCounts: K4 hand case; star has none until a leaf edge closes one") {
     import spark.implicits._
     // K4: every node sits in C(3,2) = 3 triangles

@@ -84,13 +84,26 @@ class AvroIOSpec extends SparkTestBase {
       orig.select(sum("c_custkey")).head.getLong(0))
   }
 
-  test("nested struct and map columns are rejected with a clear error") {
+  test("nested structs and string-keyed maps round-trip; non-string map keys are rejected") {
     import spark.implicits._
-    val nested = Seq((1L, (2L, "x"))).toDF("id", "pair")
-    val e = intercept[IllegalArgumentException](AvroIO.write(nested, tmp("bad")))
-    assert(e.getMessage.contains("pair"))
-    val withMap = Seq((1L, Map("a" -> 1))).toDF("id", "m")
-    intercept[IllegalArgumentException](AvroIO.write(withMap, tmp("bad2")))
+    val nested = Seq((1L, (2L, "x")), (2L, (0L, null.asInstanceOf[String])))
+      .toDF("id", "pair")
+    val nestedPath = tmp("nested")
+    AvroIO.write(nested, nestedPath)
+    val back = AvroIO.read(spark, nestedPath).collect()
+      .map(r => (r.getLong(0),
+        (r.getStruct(1).getLong(0), r.getStruct(1).getString(1)))).toSet
+    assert(back === Set((1L, (2L, "x")), (2L, (0L, null))))
+    val withMap = Seq((1L, Map("a" -> 1, "b" -> 7))).toDF("id", "m")
+    val mapPath = tmp("map")
+    AvroIO.write(withMap, mapPath)
+    val backMap = AvroIO.read(spark, mapPath).collect()
+      .map(r => r.getLong(0) -> r.getMap[String, Int](1).toMap).toMap
+    assert(backMap === Map(1L -> Map("a" -> 1, "b" -> 7)))
+    // the documented avro boundary: map keys must be strings
+    val badKeys = Seq((1L, Map(2L -> "x"))).toDF("id", "m")
+    val e = intercept[IllegalArgumentException](AvroIO.write(badKeys, tmp("bad")))
+    assert(e.getMessage.contains("string-keyed"))
   }
 
   test("timestamp-millis logical files (foreign writer) normalize to µs on read") {

@@ -81,6 +81,42 @@ class FormatMatrixSpec extends SparkTestBase {
     assert(norm(jr) === norm(richDf.drop("bin")), "json rich subset")
   }
 
+  test("nested types: parquet/orc/json/avro round-trip struct + map + array<struct>; csv rejects with the matrix's typed error") {
+    import spark.implicits._
+    val nestedDf = Seq(
+      (1L, ("alice", 30L), Map("a" -> 1L, "b" -> 2L),
+        Seq(("x", 1L), ("y", 2L))),
+      (2L, ("bob", -5L), Map.empty[String, Long], Seq.empty[(String, Long)])
+    ).toDF("id", "person", "tags", "events")
+    def canon(df: DataFrame) = df.collect().map { r =>
+      (r.getLong(0),
+        Option(r.getStruct(1)).map(s => (s.getString(0), s.getLong(1))),
+        r.getMap[String, Long](2).toMap,
+        r.getSeq[org.apache.spark.sql.Row](3)
+          .map(s => (s.getString(0), s.getLong(1))))
+    }.toSet
+    val want = canon(nestedDf)
+    for (fmt <- Seq(SourceFormat.Parquet, SourceFormat.Orc, SourceFormat.Avro))
+      assert(canon(roundtrip(nestedDf, fmt)) === want, s"$fmt nested")
+    // json needs the explicit DDL (text format, no embedded schema)
+    val jr = roundtrip(nestedDf, SourceFormat.Json, Some(
+      "id BIGINT, person STRUCT<_1: STRING, _2: BIGINT>, " +
+        "tags MAP<STRING, BIGINT>, events ARRAY<STRUCT<_1: STRING, _2: BIGINT>>"))
+    assert(canon(jr) === want, "json nested")
+    // CSV: the flat-only format rejects nested schemas with one typed error
+    val err = intercept[IllegalArgumentException] {
+      FormatIO.write(nestedDf, scratch("csv_nested"), SourceFormat.Csv)
+    }
+    assert(err.getMessage.contains("CSV cannot represent nested types"))
+    assert(err.getMessage.contains("person"))
+    // avro map keys must be strings — the documented avro boundary
+    val badMap = Seq((1L, Map(2L -> "x"))).toDF("id", "m")
+    val err2 = intercept[IllegalArgumentException] {
+      FormatIO.write(badMap, scratch("avro_badmap"), SourceFormat.Avro)
+    }
+    assert(err2.getMessage.contains("string-keyed"))
+  }
+
   test("avro rejects writer options; csv writes carry the header by construction") {
     intercept[IllegalArgumentException] {
       FormatIO.write(scalarDf, scratch("avro_opts"), SourceFormat.Avro,

@@ -23,9 +23,40 @@ object PlanAudit {
     names.foreach { name =>
       println(s"\n========== $name ==========")
       if (name == "pit_partition_pruning") pitPartitionPruning(spark, sfDir)
+      else if (name == "--summary") summary(spark, sfDir)
       else SparkEntry.queries(name)(spark, sfDir).explain("formatted")
     }
     spark.stop()
+  }
+
+  /** One digest line per registered query: shuffle/broadcast exchange
+    * counts, join operators, scan count + how many scans carry non-empty
+    * pushed filters, and whole-stage-codegen span count — the facts the
+    * PlanGateSpec budgets pin, in committed human-readable form.
+    */
+  private def summary(spark: SparkSession, sfDir: String): Unit = {
+    val shuffleRe = "Exchange (hash|range|Single)".r
+    val wscRe = """\*\((\d+)\)""".r
+    println("| query | shuffles | bcast | BHJ | SMJ | SHJ | BNLJ | cart | scans | pushed | codegen |")
+    println("|---|---|---|---|---|---|---|---|---|---|---|")
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      try {
+        val plan = fn(spark, sfDir).queryExecution.executedPlan.toString
+        def c(s: String) = s.r.findAllIn(plan).size
+        val shuffles = shuffleRe.findAllIn(plan).size
+        val spans = wscRe.findAllMatchIn(plan).map(_.group(1).toInt).toSet.size
+        val scans = c("FileScan parquet") + c("Scan parquet")
+        val pushed = "PushedFilters: \\[[^\\]]".r.findAllIn(plan).size
+        println(s"| $name | $shuffles | ${c("BroadcastExchange")} | " +
+          s"${c("BroadcastHashJoin")} | ${c("SortMergeJoin")} | " +
+          s"${c("ShuffledHashJoin")} | ${c("BroadcastNestedLoopJoin")} | " +
+          s"${c("CartesianProduct")} | $scans | $pushed | $spans |")
+      } catch {
+        case e: Throwable => println(s"| $name | ERROR ${e.getMessage} |")
+      }
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
+    }
   }
 
   /** Synthetic scenario (testdata isn't partitioned): write events

@@ -133,6 +133,90 @@ object Skew {
     }
   }
 
+  /** The strategy [[sketchPlannedJoin]] picks from two [[Sketch.countMinSketch]]es
+    * of the join keys — exposed separately so the decision itself is
+    * spec-testable at its documented thresholds:
+    *
+    *  - `"broadcast"` when the right side's sketched row count (`Σ` of any
+    *    one sketch row's cells — each row of a CMS counts every key once)
+    *    is at most `broadcastMaxRows`: a dimension that small should ride
+    *    a broadcast hash join, no salt, no shuffle of the fact side;
+    *  - `"salted"` when the CMS inner-product estimate of the join OUTPUT
+    *    ([[Sketch.cmsJoinSize]]) exceeds `saltAboveXPpm`/10⁶ × the left
+    *    side's row count — output ≫ input on an equi-join means a
+    *    power-law head is about to fan out, exactly what per-key salting
+    *    remediates;
+    *  - `"plain"` otherwise — AQE handles mild skew, and the estimate says
+    *    the output is input-shaped.
+    *
+    * Everything is decided from two kilobyte-scale sketches (driver pull
+    * bounded by depth × width cells — the [[bloomSemiJoin]] scalar
+    * discipline), never by scanning either table: at 100 TB the sketches
+    * live as table metadata and the plan is chosen BEFORE any exchange.
+    * CMS estimates only ever OVERcount, so the error direction is safe:
+    * a collision-inflated estimate can only upgrade plain → salted, never
+    * demote a join that needed remediation.
+    */
+  def joinStrategy(
+      sketchLeft: DataFrame,
+      sketchRight: DataFrame,
+      depth: Int,
+      broadcastMaxRows: Long = 1000000L,
+      saltAboveXPpm: Long = 4000000L): String = {
+    require(broadcastMaxRows >= 0, "broadcastMaxRows must be >= 0")
+    require(saltAboveXPpm >= 1000000L,
+      "saltAboveXPpm below 1x would salt every join (output >= matched input)")
+    val dec = "decimal(38,0)"
+    def rows(sk: DataFrame): java.math.BigDecimal = sk
+      .filter(col("sketch_row") === 0)
+      .agg(coalesce(sum(col("cell_count")).cast(dec), lit(0).cast(dec)).as("n"))
+      .collect()(0).getDecimal(0)
+    val nLeft = rows(sketchLeft)
+    val nRight = rows(sketchRight)
+    if (nRight.compareTo(new java.math.BigDecimal(broadcastMaxRows)) <= 0) "broadcast"
+    else {
+      val est = Sketch.cmsJoinSize(sketchLeft, sketchRight, depth)
+        .collect()(0).getDecimal(0)
+      // est > nLeft * saltAboveXPpm / 1e6, kept integral: est*1e6 > nLeft*x
+      val lhs = est.multiply(new java.math.BigDecimal(1000000L))
+      val rhs = nLeft.multiply(new java.math.BigDecimal(saltAboveXPpm))
+      if (lhs.compareTo(rhs) > 0) "salted" else "plain"
+    }
+  }
+
+  /** Sketch-planned equi-join — [[Sketch.cmsJoinSize]] composed into the
+    * remediation ([[joinStrategy]] picks, this dispatches): broadcast the
+    * dimension when the sketch says it is small, join plainly when the
+    * estimated output is input-shaped, fall through to
+    * [[profiledSaltedJoin]] only when the inner-product estimate predicts
+    * hot-key fan-out. Result rows are IDENTICAL to the plain
+    * `left.join(right, key, joinType)` on every path (inner/left only —
+    * the replicated-right caveat); only the physical plan differs.
+    * Sketches must be built on `key` with the same `(width, depth)`; keep
+    * them as table metadata at scale and the decision costs two kilobyte
+    * pulls, not a scan.
+    */
+  def sketchPlannedJoin(
+      left: DataFrame,
+      right: DataFrame,
+      key: String,
+      sketchLeft: DataFrame,
+      sketchRight: DataFrame,
+      depth: Int,
+      joinType: String = "inner",
+      broadcastMaxRows: Long = 1000000L,
+      saltAboveXPpm: Long = 4000000L,
+      profileK: Int = 20,
+      hotThresholdXPpm: Long = 4000000L,
+      maxSaltFactor: Int = 64): DataFrame =
+    joinStrategy(sketchLeft, sketchRight, depth, broadcastMaxRows,
+      saltAboveXPpm) match {
+      case "broadcast" => left.join(broadcast(right), Seq(key), joinType)
+      case "plain" => left.join(right, Seq(key), joinType)
+      case _ => profiledSaltedJoin(left, right, key, joinType, profileK,
+        hotThresholdXPpm, maxSaltFactor)
+    }
+
   /** Bloom-prefiltered semi join: keep `big` rows whose `bigKey` appears in
     * `small`'s `smallKey` set. The small side aggregates into a
     * deterministic [[org.apache.spark.sql.graft.BloomAgg]] bit array

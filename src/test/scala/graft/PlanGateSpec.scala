@@ -63,6 +63,8 @@ class PlanGateSpec extends SparkTestBase {
     // per-iteration localCheckpoints (the CC discipline) — the final plan
     // reads the last snapshot only
     "page_rank",
+    // the same loop with the per-iteration dangling-mass 1-row aggregate
+    "page_rank_dangling",
     // the same shared prLoop with a seeded restart vector
     "personalized_pagerank",
     // per-round label checkpoints (the page_rank shape)
@@ -281,6 +283,9 @@ class PlanGateSpec extends SparkTestBase {
     // the profile that sized the salts ran at BUILD time (bounded top-k
     // collect), the tag joins are broadcasts
     "skew_salted_join" -> 3,
+    // sketch build + decision run at query-build time (bounded kilobyte
+    // pulls); the returned plan is the chosen join — dim agg + salted join
+    "planned_join" -> 3,
     // the quartile-rank window exchange; stats agg reuses its partitioning
     // and the stats attach broadcasts
     "feature_robust" -> 1,

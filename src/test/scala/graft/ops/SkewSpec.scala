@@ -158,4 +158,49 @@ class SkewSpec extends SparkTestBase {
     assert(!degenerate.queryExecution.analyzed.toString.contains("_gsj_salt"))
     assert(degenerate.count() === 1000)
   }
+
+  test("joinStrategy: decision flips at the documented thresholds") {
+    import spark.implicits._
+    // left: 60 rows over 6 keys (10 each); right variants below.
+    // width 1024 >> 6 keys -> no CMS collisions, estimates are EXACT.
+    val left = (1L to 60L).map(i => (i % 6, i)).toDF("k", "payload")
+    val skL = Sketch.countMinSketch(left, "k", width = 1024, depth = 3)
+    def strat(right: org.apache.spark.sql.DataFrame,
+              bMax: Long, xPpm: Long) =
+      Skew.joinStrategy(skL,
+        Sketch.countMinSketch(right, "k", width = 1024, depth = 3),
+        depth = 3, broadcastMaxRows = bMax, saltAboveXPpm = xPpm)
+    // 6-row dim: broadcast at the boundary (nRight <= bMax), not below it
+    val dim1 = (0L until 6L).map(k => (k, s"d$k")).toDF("k", "attr")
+    assert(strat(dim1, bMax = 6L, xPpm = 4000000L) === "broadcast")
+    // one above the boundary: 1 row per key -> est = 60 = 1.0x nLeft -> plain
+    assert(strat(dim1, bMax = 5L, xPpm = 4000000L) === "plain")
+    // 5 rows per key -> est = 300 = 5x nLeft: salted above a 4x threshold,
+    // plain when the caller tolerates 5x — the flip IS the threshold
+    val dim5 = (0L until 30L).map(i => (i % 6, s"d$i")).toDF("k", "attr")
+    assert(strat(dim5, bMax = 5L, xPpm = 4000000L) === "salted")
+    assert(strat(dim5, bMax = 5L, xPpm = 5000000L) === "plain")
+    // exact boundary: est == 5.0x is NOT strictly above 5x -> plain
+    assert(strat(dim5, bMax = 5L, xPpm = 4999999L) === "salted")
+    intercept[IllegalArgumentException] {
+      strat(dim1, bMax = 5L, xPpm = 999999L)
+    }
+  }
+
+  test("sketchPlannedJoin: identical rows to the plain join on every decision path") {
+    import spark.implicits._
+    val left = (1L to 60L).map(i => (i % 6, i)).toDF("k", "payload")
+    val dim5 = (0L until 30L).map(i => (i % 6, s"d$i")).toDF("k", "attr")
+    val skL = Sketch.countMinSketch(left, "k", width = 1024, depth = 3)
+    val skR = Sketch.countMinSketch(dim5, "k", width = 1024, depth = 3)
+    val plain = left.join(dim5, Seq("k")).collect().map(_.toSeq).toSet
+    def run(bMax: Long, xPpm: Long) =
+      Skew.sketchPlannedJoin(left, dim5, "k", skL, skR, depth = 3,
+        broadcastMaxRows = bMax, saltAboveXPpm = xPpm,
+        hotThresholdXPpm = 1000000L)
+        .select("k", "payload", "attr").collect().map(_.toSeq).toSet
+    assert(run(100L, 4000000L) === plain)     // broadcast path
+    assert(run(5L, 6000000L) === plain)       // plain path
+    assert(run(5L, 4000000L) === plain)       // salted path
+  }
 }

@@ -3348,9 +3348,12 @@ object SparkEntry {
         |    ((gy.range * h) // 8) * h0 // h AS sy
         |  FROM pop, range(0, 9) gx, range(0, 8) gy),
         |lum AS (SELECT id, gx, gy,
-        |    (77 * ((7 * sx + 13 * sy + src) % 256)
-        |   + 150 * ((3 * sx + 5 * sy + 2 * src) % 256)
-        |   + 29 * ((11 * sx + 17 * sy + 3 * src) % 256)) // 256 AS lum
+        |    (77 * ((((sx * 2654435761 + sy * 40503001 + 11) % 65536) *
+        |      ((src * 1099087573) % 65521 + 3) // 256) % 256)
+        |   + 150 * ((((sx * 2246822519 + sy * 2654435761 + 7) % 65536) *
+        |      ((src * 97002721) % 65521 + 5) // 256) % 256)
+        |   + 29 * ((((sx * 3266489917 + sy * 97002721 + 13) % 65536) *
+        |      ((src * 2246822519) % 65521 + 7) // 256) % 256)) // 256 AS lum
         |  FROM g),
         |sig AS (SELECT a.id,
         |    CAST(sum(CASE WHEN b.lum > a.lum THEN
@@ -4983,9 +4986,12 @@ object SparkEntry {
           |  FROM d, range(0, 24) x, range(0, 20) y
           |  WHERE x.range < w AND y.range < h)
           |SELECT doc_id AS item_id, w AS width, h AS height,
-          |  CAST(sum((7 * x + 13 * y + doc_id) % 256) AS BIGINT) AS sum_r,
-          |  CAST(sum((3 * x + 5 * y + 2 * doc_id) % 256) AS BIGINT) AS sum_g,
-          |  CAST(sum((11 * x + 17 * y + 3 * doc_id) % 256) AS BIGINT) AS sum_b
+          |  CAST(sum((((x * 2654435761 + y * 40503001 + 11) % 65536) *
+          |    ((doc_id * 1099087573) % 65521 + 3) // 256) % 256) AS BIGINT) AS sum_r,
+          |  CAST(sum((((x * 2246822519 + y * 2654435761 + 7) % 65536) *
+          |    ((doc_id * 97002721) % 65521 + 5) // 256) % 256) AS BIGINT) AS sum_g,
+          |  CAST(sum((((x * 3266489917 + y * 97002721 + 13) % 65536) *
+          |    ((doc_id * 2246822519) % 65521 + 7) // 256) % 256) AS BIGINT) AS sum_b
           |FROM px GROUP BY 1, 2, 3""".stripMargin,
       // the dHash of a REAL PNG decode, replayed arithmetically: a 9x8
       // nearest-neighbor luma grid over the closed-form pixels (composed
@@ -5026,18 +5032,21 @@ object SparkEntry {
       "video_neardup" ->
         """WITH pop AS (
           |  SELECT doc_id AS id, doc_id AS src,
-          |    CAST(doc_id % 8 + 4 AS BIGINT) AS w, CAST(doc_id % 6 + 4 AS BIGINT) AS h
+          |    CAST(doc_id % 8 + 12 AS BIGINT) AS w, CAST(doc_id % 6 + 10 AS BIGINT) AS h
           |  FROM documents WHERE doc_id % 9 <> 0
           |  UNION ALL
-          |  SELECT doc_id + 10000000, doc_id, doc_id % 8 + 4, doc_id % 6 + 4
+          |  SELECT doc_id + 10000000, doc_id, doc_id % 8 + 12, doc_id % 6 + 10
           |  FROM documents WHERE doc_id % 6 = 0),
           |g AS (SELECT id, src, gx.range AS gx, gy.range AS gy,
           |    (gx.range * w) // 9 AS sx, (gy.range * h) // 8 AS sy
           |  FROM pop, range(0, 9) gx, range(0, 8) gy),
           |lum AS (SELECT id, gx, gy,
-          |    (77 * ((7 * sx + 13 * sy + src) % 256)
-          |   + 150 * ((3 * sx + 5 * sy + 2 * src) % 256)
-          |   + 29 * ((11 * sx + 17 * sy + 3 * src) % 256)) // 256 AS lum
+          |    (77 * ((((sx * 2654435761 + sy * 40503001 + 11) % 65536) *
+          |      ((src * 1099087573) % 65521 + 3) // 256) % 256)
+          |   + 150 * ((((sx * 2246822519 + sy * 2654435761 + 7) % 65536) *
+          |      ((src * 97002721) % 65521 + 5) // 256) % 256)
+          |   + 29 * ((((sx * 3266489917 + sy * 97002721 + 13) % 65536) *
+          |      ((src * 2246822519) % 65521 + 7) // 256) % 256)) // 256 AS lum
           |  FROM g),
           |sig AS (SELECT a.id,
           |    CAST(sum(CASE WHEN b.lum > a.lum THEN
@@ -5056,15 +5065,21 @@ object SparkEntry {
       // be absent — the corrupt-drop contract in the oracle itself
       "video_stats" ->
         """WITH v AS (SELECT doc_id, CAST(doc_id % 5 + 2 AS BIGINT) AS nf,
-          |    CAST(doc_id % 8 + 4 AS INT) AS w, CAST(doc_id % 6 + 4 AS INT) AS h
+          |    CAST(doc_id % 8 + 12 AS INT) AS w, CAST(doc_id % 6 + 10 AS INT) AS h
           |  FROM documents WHERE doc_id % 9 <> 0),
           |px AS (SELECT doc_id, nf, w, h, f.range AS f, x.range AS x, y.range AS y
-          |  FROM v, range(0, 7) f, range(0, 12) x, range(0, 10) y
+          |  FROM v, range(0, 7) f, range(0, 20) x, range(0, 16) y
           |  WHERE f.range < nf AND x.range < w AND y.range < h)
           |SELECT doc_id AS item_id, nf AS n_frames, w AS width, h AS height,
-          |  CAST(sum((7 * x + 13 * y + doc_id + 19 * f) % 256) AS BIGINT) AS sum_r,
-          |  CAST(sum((3 * x + 5 * y + 2 * doc_id + 23 * f) % 256) AS BIGINT) AS sum_g,
-          |  CAST(sum((11 * x + 17 * y + 3 * doc_id + 29 * f) % 256) AS BIGINT) AS sum_b
+          |  CAST(sum((((x * 2654435761 + y * 40503001 + 11) % 65536) *
+          |    ((doc_id * 1099087573 + f * 668265263) % 65521 + 3) // 256) % 256)
+          |    AS BIGINT) AS sum_r,
+          |  CAST(sum((((x * 2246822519 + y * 2654435761 + 7) % 65536) *
+          |    ((doc_id * 97002721 + f * 40503001) % 65521 + 5) // 256) % 256)
+          |    AS BIGINT) AS sum_g,
+          |  CAST(sum((((x * 3266489917 + y * 97002721 + 13) % 65536) *
+          |    ((doc_id * 2246822519 + f * 2654435761) % 65521 + 7) // 256) % 256)
+          |    AS BIGINT) AS sum_b
           |FROM px GROUP BY 1, 2, 3, 4""".stripMargin,
       // the 65-window energy envelope of REAL WAV decodes replayed
       // arithmetically — window of sample i is the bounds-partition
@@ -5079,9 +5094,10 @@ object SparkEntry {
           |  WHERE doc_id % 7 = 0
           |  UNION ALL SELECT doc_id + 20000000, doc_id, 2 FROM documents
           |  WHERE doc_id % 11 = 0 AND doc_id % 7 <> 0),
-          |sm AS (SELECT id, hv, CAST(src % 400 + 100 AS BIGINT) AS n, i.range AS i,
-          |    ((37 * i.range + 101 * src) % 65536) - 32768 AS s0
-          |  FROM pop, range(0, 500) i WHERE i.range < src % 400 + 100),
+          |sm AS (SELECT id, hv, CAST((src % 7) * 65 + 130 AS BIGINT) AS n, i.range AS i,
+          |    ((i.range * 2654435761 + 11) % 65536) *
+          |      ((src * 1099087573) % 65521 + 3) // 16 % 65536 - 32768 AS s0
+          |  FROM pop, range(0, 520) i WHERE i.range < (src % 7) * 65 + 130),
           |sv AS (SELECT id, n, i,
           |    CASE WHEN hv = 1 THEN s0 WHEN s0 >= 0 THEN s0 // 2
           |         ELSE -((-s0) // 2) END AS s
@@ -5105,12 +5121,13 @@ object SparkEntry {
       // every 10th payload is truncated below header size and must be
       // absent — the corrupt-drop contract in the oracle itself
       "audio_stats" ->
-        """WITH d AS (SELECT doc_id, CAST(doc_id % 400 + 100 AS BIGINT) AS n,
+        """WITH d AS (SELECT doc_id, CAST((doc_id % 7) * 65 + 130 AS BIGINT) AS n,
           |    CAST(8000 + (doc_id % 3) * 4000 AS INT) AS sample_rate
           |  FROM documents WHERE doc_id % 10 <> 0),
           |sm AS (SELECT doc_id, n, sample_rate,
-          |    ((37 * i.range + 101 * doc_id) % 65536) - 32768 AS v
-          |  FROM d, range(0, 500) i WHERE i.range < n)
+          |    ((i.range * 2654435761 + 11) % 65536) *
+          |      ((doc_id * 1099087573) % 65521 + 3) // 16 % 65536 - 32768 AS v
+          |  FROM d, range(0, 520) i WHERE i.range < n)
           |SELECT doc_id AS item_id, sample_rate, n AS n_samples,
           |  CAST(sum(v) AS BIGINT) AS sum_val,
           |  CAST(sum(abs(v)) AS BIGINT) AS sum_abs,

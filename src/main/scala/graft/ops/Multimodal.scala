@@ -207,10 +207,20 @@ object Multimodal {
         // negative ids would flip Scala's %-sign and hand the closed-form
         // oracle a different signal (same guard as synthesizeImages)
         require(id >= 0, s"synthesizeAudio needs non-negative ids; got $id")
-        val n = (id % 400 + 100).toInt
+        // n is a multiple of 65 (the fingerprint's window count), so every
+        // envelope window holds the same number of samples: with uniform
+        // hash samples, unequal windows made energy ∝ window LENGTH — a
+        // function of n alone — collapsing the fingerprint space into
+        // one signature class per n (quadratic near-dup at scale)
+        val n = ((id % 7) * 65 + 130).toInt
         val rate = (8000 + (id % 3) * 4000).toInt
+        // hash samples, not a sawtooth: the 37i+101id ramp gave every
+        // stream a near-flat energy envelope, collapsing the fingerprint
+        // space and degenerating audio near-dup candidates quadratic at
+        // scale (the synthesizeImages lesson, audio edition)
         val samples = Array.tabulate(n)(i =>
-          (((37L * i + 101L * id) % 65536L) - 32768L).toShort)
+          (((((i * 2654435761L + 11L) % 65536L) *
+            ((id * 1099087573L) % 65521L + 3L)) >>> 4) % 65536L - 32768L).toShort)
         (id, WavCodec.encodeWav(rate, samples), rate)
       })
       .toDF("item_id", "payload", "sample_rate")
@@ -358,13 +368,23 @@ object Multimodal {
       .mapPartitions(_.map { id =>
         require(id >= 0, s"synthesizeVideos needs non-negative ids; got $id")
         val nf = (id % 5 + 2).toInt
-        val w = (id % 8 + 4).toInt
-        val h = (id % 6 + 4).toInt
+        // frames must be at least as wide as the 9x8 dHash grid: below
+        // that, adjacent grid cells sample the SAME source pixel and their
+        // comparison bits are structurally zero — a 4px frame leaves ~12
+        // effective signature bits and near-dup degenerates quadratic
+        val w = (id % 8 + 12).toInt
+        val h = (id % 6 + 10).toInt
         val frames = (0 until nf).map { f =>
           ImageIoCodec.encodePng(w, h, (x, y) => {
-            val r = ((7L * x + 13L * y + id + 19L * f) % 256).toInt
-            val g = ((3L * x + 5L * y + 2 * id + 23L * f) % 256).toInt
-            val b = ((11L * x + 17L * y + 3 * id + 29L * f) % 256).toInt
+            // the image formula's hash pixels + a per-frame term (the
+            // f-terms vanish at f = 0, so a trimmed-to-frame-0 twin still
+            // hashes identically — the videoNearDup planting contract)
+            val r = ((((x * 2654435761L + y * 40503001L + 11L) % 65536L) *
+              ((id * 1099087573L + f * 668265263L) % 65521L + 3L)) >>> 8).toInt % 256
+            val g = ((((x * 2246822519L + y * 2654435761L + 7L) % 65536L) *
+              ((id * 97002721L + f * 40503001L) % 65521L + 5L)) >>> 8).toInt % 256
+            val b = ((((x * 3266489917L + y * 97002721L + 13L) % 65536L) *
+              ((id * 2246822519L + f * 2654435761L) % 65521L + 7L)) >>> 8).toInt % 256
             (r << 16) | (g << 8) | b
           })
         }
@@ -552,9 +572,25 @@ object Multimodal {
         val w = (id % 16 + 8).toInt
         val h = (id % 12 + 8).toInt
         val png = ImageIoCodec.encodePng(w, h, (x, y) => {
-          val r = ((7L * x + 13L * y + id) % 256).toInt
-          val g = ((3L * x + 5L * y + 2 * id) % 256).toInt
-          val b = ((11L * x + 17L * y + 3 * id) % 256).toInt
+          // multiplicative-hash pixels (NOT a linear gradient): a linear
+          // formula makes neighbor-brightness comparisons near-constant, so
+          // every synthesized image's dHash collides into a handful of
+          // values and the near-dup candidate space degenerates quadratic
+          // (measured: 751 distinct dHashes over 5000 images, image_neardup
+          // 100x wall for 10x data). Knuth-style odd constants spread bits
+          // 24.. well; everything stays non-negative int64 (exact while
+          // id < ~4e9), so a SQL engine replays it with // and %.
+          // the id term must enter MULTIPLICATIVELY: an additive id shifts
+          // every pixel by a near-constant after the shift, so brightness
+          // COMPARISONS (what dHash keeps) survive across ids and copies
+          // collide anyway; the bounded product (both factors < 2^17)
+          // scrambles bits 8.. nonlinearly per (x, y, id)
+          val r = ((((x * 2654435761L + y * 40503001L + 11L) % 65536L) *
+            ((id * 1099087573L) % 65521L + 3L)) >>> 8).toInt % 256
+          val g = ((((x * 2246822519L + y * 2654435761L + 7L) % 65536L) *
+            ((id * 97002721L) % 65521L + 5L)) >>> 8).toInt % 256
+          val b = ((((x * 3266489917L + y * 97002721L + 13L) % 65536L) *
+            ((id * 2246822519L) % 65521L + 7L)) >>> 8).toInt % 256
           (r << 16) | (g << 8) | b
         })
         (id, png, w, h)

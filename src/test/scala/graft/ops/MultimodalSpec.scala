@@ -88,9 +88,12 @@ class MultimodalSpec extends SparkTestBase {
       var (sr, sg, sb) = (0L, 0L, 0L)
       for (y <- 0 until 5; x <- 0 until 6) {
         val (sx, sy) = (x * sw / 6, y * sh / 5) // resizeNearest's source mapping
-        sr += (7L * sx + 13L * sy + id) % 256
-        sg += (3L * sx + 5L * sy + 2 * id) % 256
-        sb += (11L * sx + 17L * sy + 3 * id) % 256
+        sr += (((sx * 2654435761L + sy * 40503001L + 11L) % 65536L) *
+          ((id * 1099087573L) % 65521L + 3L) >>> 8) % 256
+        sg += (((sx * 2246822519L + sy * 2654435761L + 7L) % 65536L) *
+          ((id * 97002721L) % 65521L + 5L) >>> 8) % 256
+        sb += (((sx * 3266489917L + sy * 97002721L + 13L) % 65536L) *
+          ((id * 2246822519L) % 65521L + 7L) >>> 8) % 256
       }
       val r = stats(id)
       assert(r.getInt(1) === 6 && r.getInt(2) === 5)
@@ -151,9 +154,12 @@ class MultimodalSpec extends SparkTestBase {
       val h = (id % 12 + 8).toInt
       var (sr, sg, sb) = (0L, 0L, 0L)
       for (x <- 0 until w; y <- 0 until h) {
-        sr += (7L * x + 13L * y + id) % 256
-        sg += (3L * x + 5L * y + 2 * id) % 256
-        sb += (11L * x + 17L * y + 3 * id) % 256
+        sr += (((x * 2654435761L + y * 40503001L + 11L) % 65536L) *
+          ((id * 1099087573L) % 65521L + 3L) >>> 8) % 256
+        sg += (((x * 2246822519L + y * 2654435761L + 7L) % 65536L) *
+          ((id * 97002721L) % 65521L + 5L) >>> 8) % 256
+        sb += (((x * 3266489917L + y * 97002721L + 13L) % 65536L) *
+          ((id * 2246822519L) % 65521L + 7L) >>> 8) % 256
       }
       val r = out(id)
       assert(r.getInt(1) === w && r.getInt(2) === h)
@@ -194,8 +200,10 @@ class MultimodalSpec extends SparkTestBase {
     assert(out.keySet === Set(2L, 7L), "corrupt payload dropped")
     assert(dropped.value === 1L, "the drop is observable")
     Seq(2L, 7L).foreach { id =>
-      val n = (id % 400 + 100).toInt
-      val vals = (0 until n).map(i => ((37L * i + 101L * id) % 65536L) - 32768L)
+      val n = ((id % 7) * 65 + 130).toInt
+      val vals = (0 until n).map(i =>
+        ((((i * 2654435761L + 11L) % 65536L) *
+          ((id * 1099087573L) % 65521L + 3L) >>> 4) % 65536L) - 32768L)
       val r = out(id)
       assert(r.getInt(1) === (8000 + (id % 3) * 4000).toInt, "rate from the decoded stream")
       assert(r.getLong(2) === n.toLong)
@@ -234,12 +242,15 @@ class MultimodalSpec extends SparkTestBase {
     assert(out.keySet === Set(3L))
     assert(dropped.value === 1L)
     val id = 3L
-    val (nf, w, h) = ((id % 5 + 2).toInt, (id % 8 + 4).toInt, (id % 6 + 4).toInt)
+    val (nf, w, h) = ((id % 5 + 2).toInt, (id % 8 + 12).toInt, (id % 6 + 10).toInt)
     var (sr, sg, sb) = (0L, 0L, 0L)
     for (f <- 0 until nf; y <- 0 until h; x <- 0 until w) {
-      sr += (7L * x + 13L * y + id + 19L * f) % 256
-      sg += (3L * x + 5L * y + 2 * id + 23L * f) % 256
-      sb += (11L * x + 17L * y + 3 * id + 29L * f) % 256
+      sr += (((x * 2654435761L + y * 40503001L + 11L) % 65536L) *
+        ((id * 1099087573L + f * 668265263L) % 65521L + 3L) >>> 8) % 256
+      sg += (((x * 2246822519L + y * 2654435761L + 7L) % 65536L) *
+        ((id * 97002721L + f * 40503001L) % 65521L + 5L) >>> 8) % 256
+      sb += (((x * 3266489917L + y * 97002721L + 13L) % 65536L) *
+        ((id * 2246822519L + f * 2654435761L) % 65521L + 7L) >>> 8) % 256
     }
     val r = out(id)
     assert(r.getLong(1) === nf.toLong)
@@ -255,13 +266,17 @@ class MultimodalSpec extends SparkTestBase {
       .map(r => (r.getInt(1), r.getAs[Array[Byte]](2)))
     assert(frames.map(_._1).sorted.toSeq === Seq(0, 2, 4))
     // each sampled frame decodes as a real PNG with the generator's pixels
-    val (id, w, h) = (4L, (4L % 8 + 4).toInt, (4L % 6 + 4).toInt)
+    val (id, w, h) = (4L, (4L % 8 + 12).toInt, (4L % 6 + 10).toInt)
     frames.foreach { case (f, png) =>
       val d = Multimodal.ImageIoCodec.decode(png)
       assert(d.isDefined && d.get.width === w && d.get.height === h)
       val p00 = d.get.argb(0) & 0xFFFFFF // pixel (0, 0) of frame f
-      val exp = ((((id + 19L * f) % 256) << 16) |
-        (((2 * id + 23L * f) % 256) << 8) | ((3 * id + 29L * f) % 256)).toInt
+      val exp = ((((11L % 65536L) *
+          ((id * 1099087573L + f * 668265263L) % 65521L + 3L) >>> 8) % 256 << 16) |
+        (((7L % 65536L) *
+          ((id * 97002721L + f * 40503001L) % 65521L + 5L) >>> 8) % 256 << 8) |
+        (((13L % 65536L) *
+          ((id * 2246822519L + f * 2654435761L) % 65521L + 7L) >>> 8) % 256)).toInt
       assert(p00 === exp, s"frame $f pixel(0,0)")
     }
   }

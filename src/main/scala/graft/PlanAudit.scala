@@ -35,6 +35,12 @@ object PlanAudit {
     * PlanGateSpec budgets pin, in committed human-readable form.
     */
   private def summary(spark: SparkSession, sfDir: String): Unit = {
+    // AQE wraps the physical plan in AdaptiveSparkPlanExec, whose toString
+    // (pre-execution) carries no WholeStageCodegen `*(n)` markers — the
+    // codegen column would read 0 for every query. Count on the static
+    // plan; exchange/join/scan counts are identical pre-execution.
+    val aqeWas = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
     val shuffleRe = "Exchange (hash|range|Single)".r
     val wscRe = """\*\((\d+)\)""".r
     println("| query | shuffles | bcast | BHJ | SMJ | SHJ | BNLJ | cart | scans | pushed | codegen |")
@@ -57,6 +63,7 @@ object PlanAudit {
       spark.sparkContext.getPersistentRDDs.values
         .foreach(_.unpersist(blocking = false))
     }
+    spark.conf.set("spark.sql.adaptive.enabled", aqeWas)
   }
 
   /** Synthetic scenario (testdata isn't partitioned): write events

@@ -3026,6 +3026,54 @@ object SparkEntry {
     ops.Stats.emdDrift(ev, "event_type", "value")
   }
 
+  /** Exact Mann–Whitney rank-sum panel for all event-type pairs over the
+    * value distribution — the drift trio's rank member: which population
+    * runs systematically higher, with the tie-corrected z².
+    */
+  private def rankSumQ(s: SparkSession, dir: String): DataFrame = {
+    val ev = s.read.parquet(s"$dir/events.parquet")
+      .select("event_type", "value")
+    ops.Stats.rankSumTest(ev, "event_type", "value")
+  }
+
+  /** Customer-spend concentration per order priority — Gini / HHI /
+    * top-10 share over per-customer order totals, exact micro-unit lane.
+    */
+  private def concentrationQ(s: SparkSession, dir: String): DataFrame = {
+    val o = s.read.parquet(s"$dir/orders.parquet")
+      .select("o_orderpriority", "o_custkey", "o_totalprice")
+    ops.Stats.concentrationPanel(
+      o, "o_orderpriority", "o_custkey", "o_totalprice", topK = 10)
+  }
+
+  /** Per-event-type Pareto frontier over users on (activity, value): the
+    * undominated (n_events, value_micro) set — the exact SKYLINE operator.
+    */
+  private def paretoFrontQ(s: SparkSession, dir: String): DataFrame = {
+    val peru = s.read.parquet(s"$dir/events.parquet")
+      .filter(col("user_id").isNotNull && col("value").isNotNull)
+      .groupBy(col("event_type"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(floor(col("value").cast("double") * 1000000L).cast("long"))
+          .as("value_micro"))
+    ops.Stats.paretoFront(
+      peru, "event_type", "user_id", "n_events", "value_micro")
+  }
+
+  /** One-row degree/assortativity panel over the co-supplier graph (the
+    * triangle_count graph: suppliers co-occurring in >= 28 orders).
+    */
+  private def graphAssortativityQ(s: SparkSession, dir: String): DataFrame = {
+    val li = s.read.parquet(s"$dir/lineitem.parquet")
+      .select(col("l_orderkey").as("ok"), col("l_suppkey").as("sk")).distinct()
+    val co = li.select(col("ok"), col("sk").as("s1"))
+      .join(li.select(col("ok"), col("sk").as("s2")), "ok")
+      .filter(col("s1") < col("s2"))
+      .groupBy(col("s1"), col("s2")).agg(count(lit(1)).as("w"))
+      .filter(col("w") >= 28)
+    ops.Graph.degreeAssortativity(co, "s1", "s2")
+  }
+
   /** Ordered 3-event behavior patterns per user with distinct-user
     * support — basket rules' sequential sibling over the event stream.
     */
@@ -3261,6 +3309,10 @@ object SparkEntry {
     "trend_lines" -> (trendLinesQ _),
     "attribution_position" -> (positionAttributionQ _),
     "emd_drift" -> (emdDriftQ _),
+    "rank_sum_test" -> (rankSumQ _),
+    "concentration" -> (concentrationQ _),
+    "pareto_front" -> (paretoFrontQ _),
+    "graph_assortativity" -> (graphAssortativityQ _),
     "benford_audit" -> (benfordAuditQ _),
     "sequence_patterns" -> (sequencePatternsQ _),
     "autocorrelation" -> (autocorrelationQ _),
@@ -7651,6 +7703,132 @@ object SparkEntry {
           |    // (CAST(pv.n_a AS HUGEINT) * pv.n_b) AS BIGINT) AS emd_micro
           |FROM pv JOIN gaps ON gaps.v = pv.v
           |GROUP BY 1, 2, 3, 4""".stripMargin,
+      // rank-sum replay: the same pooled grid carrying point mass c, the
+      // u2/tie-term pair aggregation, then the one correctly-rounded IEEE
+      // closed-form z² step in the IDENTICAL operand order as the engine
+      "rank_sum_test" ->
+        """WITH base AS MATERIALIZED (
+          |  SELECT CAST(event_type AS VARCHAR) AS g,
+          |    CAST(value AS DOUBLE) AS v, count(*) AS c
+          |  FROM events WHERE event_type IS NOT NULL AND value IS NOT NULL
+          |  GROUP BY 1, 2),
+          |totals AS (SELECT g, CAST(sum(c) AS BIGINT) AS n FROM base GROUP BY 1),
+          |vals AS (SELECT DISTINCT v FROM base),
+          |cum AS MATERIALIZED (SELECT t.g, vals.v,
+          |    CAST(coalesce(base.c, 0) AS HUGEINT) AS c,
+          |    CAST(sum(coalesce(base.c, 0)) OVER (
+          |      PARTITION BY t.g ORDER BY vals.v) AS HUGEINT) AS f
+          |  FROM vals CROSS JOIN (SELECT g FROM totals) t
+          |  LEFT JOIN base ON base.g = t.g AND base.v = vals.v),
+          |pr AS (SELECT a.g AS group_a, b.g AS group_b,
+          |    sum(a.c * (b.f * 2 - b.c)) AS u2,
+          |    sum((a.c + b.c) * (a.c + b.c) * (a.c + b.c) - (a.c + b.c)) AS tt
+          |  FROM cum a JOIN cum b ON a.v = b.v AND a.g < b.g
+          |  GROUP BY 1, 2),
+          |fin AS (SELECT pr.group_a, pr.group_b, ta.n AS n_a, tb.n AS n_b,
+          |    pr.u2, pr.u2 - CAST(ta.n AS HUGEINT) * tb.n AS d,
+          |    CAST(ta.n AS HUGEINT) + tb.n AS nn,
+          |    (CAST(ta.n AS HUGEINT) + tb.n + 1) * (CAST(ta.n AS HUGEINT) + tb.n)
+          |      * (CAST(ta.n AS HUGEINT) + tb.n - 1) - pr.tt AS w
+          |  FROM pr JOIN totals ta ON ta.g = pr.group_a
+          |    JOIN totals tb ON tb.g = pr.group_b)
+          |SELECT group_a, group_b, n_a, n_b, CAST(u2 AS BIGINT) AS u2,
+          |  CAST(u2 * 1000000 // (CAST(n_a AS HUGEINT) * n_b * 2)
+          |    AS BIGINT) AS u_ppm,
+          |  CASE WHEN w <> 0 THEN round(CAST(d AS DOUBLE) * CAST(d AS DOUBLE)
+          |      * 3.0 * CAST(nn AS DOUBLE) * CAST(nn - 1 AS DOUBLE)
+          |      / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)
+          |        * CAST(w AS DOUBLE)), 6)
+          |  END AS z2
+          |FROM fin""".stripMargin,
+      // concentration replay: per-entity micro totals, the two rank
+      // windows, then HUGEINT moment sums and integral `//` indices in
+      // the engine's operand order (all-positive lanes throughout)
+      "concentration" ->
+        """WITH base AS (
+          |  SELECT CAST(o_orderpriority AS VARCHAR) AS g,
+          |    CAST(o_custkey AS VARCHAR) AS e,
+          |    sum(CAST(floor(CAST(o_totalprice AS DOUBLE) * 1000000)
+          |      AS BIGINT)) AS s
+          |  FROM orders
+          |  WHERE o_orderpriority IS NOT NULL AND o_custkey IS NOT NULL
+          |    AND o_totalprice IS NOT NULL
+          |  GROUP BY 1, 2),
+          |r AS (SELECT g, s,
+          |    row_number() OVER (PARTITION BY g ORDER BY s ASC, e ASC) AS ra,
+          |    row_number() OVER (PARTITION BY g ORDER BY s DESC, e ASC) AS rd
+          |  FROM base),
+          |p AS (SELECT g, CAST(count(*) AS BIGINT) AS n_entities,
+          |    sum(CAST(s AS HUGEINT)) AS t,
+          |    sum(CAST(s AS HUGEINT) * s) AS sq,
+          |    sum(CAST(ra AS HUGEINT) * s) AS rs,
+          |    sum(CASE WHEN rd <= 10 THEN CAST(s AS HUGEINT) ELSE 0 END) AS tp
+          |  FROM r GROUP BY 1)
+          |SELECT g AS o_orderpriority, n_entities,
+          |  CAST(t AS BIGINT) AS total_micro,
+          |  CASE WHEN t > 0 THEN CAST(sq * 1000000 // (t * t) AS BIGINT)
+          |  END AS hhi_ppm,
+          |  CASE WHEN t > 0 THEN CAST((rs * 2 -
+          |      (CAST(n_entities AS HUGEINT) + 1) * t) * 1000000
+          |    // (CAST(n_entities AS HUGEINT) * t) AS BIGINT)
+          |  END AS gini_ppm,
+          |  CASE WHEN t > 0 THEN CAST(tp * 1000000 // t AS BIGINT)
+          |  END AS topk_share_ppm
+          |FROM p""".stripMargin,
+      // skyline replay: (group, x) level maxima, the strictly-greater-x
+      // running max (1 PRECEDING frame), survivors where y equals the
+      // level max and strictly beats the running max
+      "pareto_front" ->
+        """WITH peru AS (
+          |  SELECT event_type, user_id, CAST(count(*) AS BIGINT) AS n_events,
+          |    CAST(sum(CAST(floor(CAST(value AS DOUBLE) * 1000000)
+          |      AS BIGINT)) AS BIGINT) AS value_micro
+          |  FROM events
+          |  WHERE user_id IS NOT NULL AND value IS NOT NULL
+          |    AND event_type IS NOT NULL
+          |  GROUP BY 1, 2),
+          |lvl AS (SELECT event_type, n_events,
+          |    max(value_micro) AS ymax,
+          |    max(max(value_micro)) OVER (PARTITION BY event_type
+          |      ORDER BY n_events DESC
+          |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm
+          |  FROM peru GROUP BY 1, 2)
+          |SELECT p.event_type, p.user_id, p.n_events, p.value_micro
+          |FROM peru p JOIN lvl l
+          |  ON l.event_type = p.event_type AND l.n_events = p.n_events
+          |WHERE p.value_micro = l.ymax
+          |  AND (l.pm IS NULL OR p.value_micro > l.pm)""".stripMargin,
+      // assortativity replay: the triangle_count co-supplier graph, degree
+      // table, directed stubs, HUGEINT moments, ONE IEEE division in the
+      // engine's operand order
+      "graph_assortativity" ->
+        """WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_suppkey AS s
+          |    FROM lineitem),
+          |co AS (SELECT a.s AS s1, b.s AS s2 FROM li a
+          |  JOIN li b ON a.ok = b.ok AND a.s < b.s
+          |  GROUP BY 1, 2 HAVING count(*) >= 28),
+          |deg AS (SELECT id, CAST(count(*) AS BIGINT) AS deg FROM (
+          |  SELECT s1 AS id FROM co UNION ALL SELECT s2 FROM co) GROUP BY 1),
+          |stubs AS (SELECT s1 AS u, s2 AS v FROM co
+          |  UNION ALL SELECT s2, s1 FROM co),
+          |m AS (SELECT CAST(count(*) AS BIGINT) AS m,
+          |    sum(CAST(du.deg AS HUGEINT)) AS sx,
+          |    sum(CAST(du.deg AS HUGEINT) * du.deg) AS sxx,
+          |    sum(CAST(du.deg AS HUGEINT) * dv.deg) AS sxy
+          |  FROM stubs JOIN deg du ON du.id = stubs.u
+          |  JOIN deg dv ON dv.id = stubs.v),
+          |nd AS (SELECT CAST(count(*) AS BIGINT) AS n_nodes,
+          |    max(deg) AS max_degree FROM deg)
+          |SELECT nd.n_nodes, CAST(m.m // 2 AS BIGINT) AS n_edges,
+          |  nd.max_degree,
+          |  CAST(CAST(m.m AS HUGEINT) * 1000000 // nd.n_nodes AS BIGINT)
+          |    AS mean_degree_ppm,
+          |  CASE WHEN (CAST(m.m AS HUGEINT) * m.sxx - m.sx * m.sx) <> 0 THEN
+          |    round(CAST(CAST(m.m AS HUGEINT) * m.sxy - m.sx * m.sx AS DOUBLE)
+          |      / CAST(CAST(m.m AS HUGEINT) * m.sxx - m.sx * m.sx AS DOUBLE),
+          |      6)
+          |  END AS assortativity
+          |FROM nd, m""".stripMargin,
       // PR-curve replay: distinct-score confusion matrices from the same
       // counts-below cumulative (predict positive ⇔ score ≥ t); integral
       // `//` matches the engine's DECIMAL(38,0) div on all-positive lanes

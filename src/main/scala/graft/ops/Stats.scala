@@ -920,7 +920,9 @@ object Stats {
     * rankAuc discipline: ≤254 monotone value bands from a bounded 1-row
     * range pull, per-(group,band) offsets, within-band windows — no
     * corpus-cardinality single-task sort anywhere). Returns
-    * (cum `(_g,_v,_f)`, totals `(_g,_n)`, vals `(_v)` — vals checkpointed:
+    * (cum `(_g,_v,_c,_f)` — the dense per-value count rides along for
+    * callers needing point mass, not just the cumulative ([[rankSumTest]]'s
+    * U and tie terms), totals `(_g,_n)`, vals `(_v)` — vals checkpointed:
     * the callers' gap/grid stages re-read it).
     */
   private def pooledCumulativeGrid(
@@ -965,7 +967,7 @@ object Stats {
     val cum = bucketed
       .join(broadcast(offsets), Seq("_g", "_bkt"))
       .withColumn("_f", col("_before") + sum(col("_c")).over(wCum))
-      .select(col("_g"), col("_v"), col("_f"))
+      .select(col("_g"), col("_v"), col("_c"), col("_f"))
       .localCheckpoint(false)
     (cum, totals, vals)
   }
@@ -1105,6 +1107,78 @@ object Stats {
         col("group_a"), col("group_b"), col("n_a"), col("n_b"),
         expr("CAST(_num AS DECIMAL(38,0)) div " +
           "(CAST(n_a AS DECIMAL(38,0)) * n_b)").cast("long").as("emd_micro"))
+  }
+
+  /** Exact Mann–Whitney rank-sum test for EVERY group pair — the drift
+    * trio's RANK member: KS ([[ksTest]]) reads the worst CDF gap, W₁
+    * ([[emdDrift]]) the transported mass, the rank-sum test answers the
+    * monitoring question both dodge: does one population run
+    * systematically HIGHER, and is the shift significant? The U statistic
+    * is pure pair-counting — `U = #{(x∈a, y∈b): x > y} + ½·#ties` — so it
+    * computes EXACTLY from the pooled value grid with no ranks
+    * materialized per row: `u2 = 2U = Σ_v c_a(v)·(2·F̂_b(v) − c_b(v))`
+    * (doubled to keep half-tie credit integral), every term DECIMAL(38,0).
+    * Per pair: `n_a`, `n_b`, `u2`, the common-language effect size
+    * `u_ppm = ⌊u2·10⁶/(2·n_a·n_b)⌋` (= P(a > b) + ½P(a = b) — the
+    * probability a random a-draw exceeds a random b-draw; 500000 means
+    * stochastically equal, and it equals [[rankAuc]] when one side is the
+    * positive class), and the tie-corrected normal-approximation `z2`
+    * (z², one correctly-rounded IEEE closed-form step over the exact
+    * integer moments — the [[correlations]] discipline, round-6):
+    * `z² = d²·3·N·(N−1) / (n_a·n_b·W)` with `d = u2 − n_a·n_b = 2(U−μ)`,
+    * `W = (N+1)·N·(N−1) − Σ_v(t_v³−t_v)` the tie-corrected variance weight
+    * over pooled tie groups t_v. W = 0 (every pooled value identical)
+    * reads NULL z2 — no variance, no test. NULL groups/values drop.
+    *
+    * Overflow bound (document, don't discover): W ≤ N³ and the tie sum
+    * ≤ N³ ride DECIMAL(38,0) exactly for N ≲ 3·10¹² pooled rows per pair;
+    * u2 ≤ 2·n_a·n_b fits the emitted long for any two groups under
+    * ~2·10⁹ rows each.
+    *
+    * Shape at 100 TB: the [[pooledCumulativeGrid]] machinery — one corpus
+    * pass to (group, value) counts, the banded two-phase cumulative (no
+    * corpus-cardinality sort), then ONE aggregation over the V·G²/2 pair
+    * grid to a G²/2-row panel; the totals attach by broadcast.
+    */
+  def rankSumTest(
+      df: DataFrame,
+      groupCol: String,
+      valueCol: String): DataFrame = {
+    val (cum, totals, _) = pooledCumulativeGrid(df, groupCol, valueCol)
+    val dec = "decimal(38,0)"
+    val a = cum.select(col("_v"), col("_g").as("group_a"),
+      col("_c").as("_ca"), col("_f").as("_fa"))
+    val b = cum.select(col("_v"), col("_g").as("group_b"),
+      col("_c").as("_cb"), col("_f").as("_fb"))
+    val t = (col("_ca") + col("_cb")).cast(dec)
+    val agg = a.join(b, Seq("_v")).filter(col("group_a") < col("group_b"))
+      .groupBy(col("group_a"), col("group_b"))
+      .agg(
+        sum(col("_ca").cast(dec) *
+          (col("_fb").cast(dec) * 2 - col("_cb"))).as("_u2"),
+        sum(t * t * t - t).as("_tt"))
+    val ta = totals.select(col("_g").as("group_a"), col("_n").as("n_a"))
+    val tb = totals.select(col("_g").as("group_b"), col("_n").as("n_b"))
+    val na = col("n_a").cast(dec)
+    val nb = col("n_b").cast(dec)
+    val nn = na + nb
+    val w = (nn + lit(1)) * nn * (nn - lit(1)) - col("_tt")
+    val d = col("_u2") - na * nb
+    // one IEEE closed-form step over exact integers, identical operand
+    // order in the DuckDB twin: ((((d·d)·3)·N)·(N−1)) / ((n_a·n_b)·W)
+    val z2 = d.cast("double") * d.cast("double") * lit(3.0) *
+      nn.cast("double") * (nn - lit(1)).cast("double") /
+      (na.cast("double") * nb.cast("double") * w.cast("double"))
+    agg
+      .join(broadcast(ta), Seq("group_a"))
+      .join(broadcast(tb), Seq("group_b"))
+      .select(
+        col("group_a"), col("group_b"), col("n_a"), col("n_b"),
+        col("_u2").cast("long").as("u2"),
+        expr("(CAST(_u2 AS DECIMAL(38,0)) * 1000000) div " +
+          "(CAST(n_a AS DECIMAL(38,0)) * n_b * 2)").cast("long").as("u_ppm"),
+        when(w === lit(0).cast(dec), lit(null).cast("double"))
+          .otherwise(round(z2, 6)).as("z2"))
   }
 
   /** Exact precision/recall curve at EVERY distinct score threshold — the
@@ -1497,5 +1571,125 @@ object Stats {
         col("chi2_ppm").cast("long").as("chi2_ppm"),
         col("dof").cast("long").as("dof"),
         col("_nn").as("n"))
+  }
+
+  /** Per-group contribution-concentration panel — the "who owns the
+    * corpus" question every curation and revenue review asks: per group,
+    * aggregate `valueCol` per entity and report how unequally the total
+    * is distributed. Entirely in the exact lane: values enter as
+    * `⌊v·10⁶⌋` micro-units (the [[seasonalAnomaly]] floor lane), every
+    * moment is DECIMAL(38,0), every index one integral `div`:
+    *  - `n_entities`, `total_micro`;
+    *  - `hhi_ppm = ⌊Σs²·10⁶ / T²⌋` — the Herfindahl–Hirschman
+    *    concentration index in ppm (10⁶ = one entity owns everything,
+    *    10⁶/n = perfectly even);
+    *  - `gini_ppm = ⌊(2·Σr·s − (n+1)·T)·10⁶ / (n·T)⌋` over ascending
+    *    ranks r (ties rank by entity id — Σr·s is tie-order invariant
+    *    because equal s contribute equally under any permutation);
+    *    0 = even, (n−1)/n·10⁶ = one owner;
+    *  - `topk_share_ppm = ⌊(Σ top-`topK` s)·10⁶ / T⌋` — the head share.
+    * Values must be non-negative (the Lorenz/Gini contract; the micro
+    * floor lane). A group with T = 0 reads NULL indices — no mass, no
+    * concentration. NULL groups/entities/values drop.
+    *
+    * Overflow bound (document, don't discover): Σs² ≤ T² needs T < 10¹⁹
+    * micro-units inside DECIMAL(38,0) — ~10¹³ in value units, petabyte
+    * scale; Σr·s ≤ n·T another factor 10⁹ of headroom beyond any real
+    * entity count.
+    *
+    * Shape at 100 TB: one corpus pass to the (group, entity) totals,
+    * ONE group-keyed exchange shared by both rank windows (same
+    * partitioning, two sorts — entity cardinality per group, never the
+    * corpus), and the final group agg clusters on that partitioning —
+    * no further exchange, no global sort.
+    */
+  def concentrationPanel(
+      df: DataFrame,
+      groupCol: String,
+      entityCol: String,
+      valueCol: String,
+      topK: Int = 10): DataFrame = {
+    require(topK >= 1, s"topK must be >= 1, got $topK")
+    import org.apache.spark.sql.expressions.Window
+    val dec = "decimal(38,0)"
+    val base = df
+      .filter(col(groupCol).isNotNull && col(entityCol).isNotNull &&
+        col(valueCol).isNotNull)
+      .groupBy(col(groupCol).cast("string").as("_g"),
+        col(entityCol).cast("string").as("_e"))
+      .agg(sum(floor(col(valueCol).cast("double") * 1000000L).cast("long"))
+        .as("_s"))
+    val wAsc = Window.partitionBy(col("_g"))
+      .orderBy(col("_s").asc, col("_e").asc)
+    val wDesc = Window.partitionBy(col("_g"))
+      .orderBy(col("_s").desc, col("_e").asc)
+    base
+      .withColumn("_r", row_number().over(wAsc))
+      .withColumn("_rd", row_number().over(wDesc))
+      .groupBy(col("_g"))
+      .agg(
+        count(lit(1)).as("n_entities"),
+        sum(col("_s").cast(dec)).as("_t"),
+        sum(col("_s").cast(dec) * col("_s")).as("_sq"),
+        sum(col("_r").cast(dec) * col("_s")).as("_rs"),
+        sum(when(col("_rd") <= topK, col("_s").cast(dec))
+          .otherwise(lit(0).cast(dec))).as("_top"))
+      .select(
+        col("_g").as(groupCol),
+        col("n_entities"),
+        col("_t").cast("long").as("total_micro"),
+        when(col("_t") > 0,
+          expr("(_sq * 1000000) div (_t * _t)").cast("long")).as("hhi_ppm"),
+        when(col("_t") > 0,
+          expr("((_rs * 2 - (CAST(n_entities AS DECIMAL(38,0)) + 1) * _t)" +
+            " * 1000000) div (CAST(n_entities AS DECIMAL(38,0)) * _t)")
+            .cast("long")).as("gini_ppm"),
+        when(col("_t") > 0,
+          expr("(_top * 1000000) div _t").cast("long")).as("topk_share_ppm"))
+  }
+
+  /** Exact per-group Pareto frontier (skyline) under maximize-both
+    * dominance on two metrics — the classic Börzsönyi et al. (ICDE'01)
+    * SKYLINE operator: a row survives iff NO other row in its group has
+    * `x' ≥ x ∧ y' ≥ y` with at least one strict. Duplicated optima
+    * (equal (x, y)) all survive — neither dominates the other.
+    *
+    * Exactness: dominance is pure comparison, no arithmetic — works on
+    * any orderable numeric columns as-is. The two-pass shape makes the
+    * O(n²) definition linear: within an x-level only `y = max(y)` rows
+    * can survive (dominated at equal x otherwise), and across levels a
+    * row survives iff its y STRICTLY exceeds the running max of y over
+    * all strictly-greater x (`y = prevMax` means some higher-x row
+    * matches y — dominated). First level (max x) has no prevMax.
+    *
+    * Shape at 100 TB: one exchange to the (group, x) level maxima, the
+    * running-max window rides the same group partitioning (level
+    * cardinality, not corpus), and the level verdicts join back to the
+    * corpus by (group, x) hash — no self-join, no global sort, output
+    * is the frontier only.
+    */
+  def paretoFront(
+      df: DataFrame,
+      groupCol: String,
+      idCol: String,
+      xCol: String,
+      yCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = df
+      .filter(col(groupCol).isNotNull && col(idCol).isNotNull &&
+        col(xCol).isNotNull && col(yCol).isNotNull)
+      .select(col(groupCol).as("_g"), col(idCol).as("_id"),
+        col(xCol).as("_x"), col(yCol).as("_y"))
+      .localCheckpoint(false) // feeds the level maxima AND the verdict join
+    val lvl = base.groupBy(col("_g"), col("_x"))
+      .agg(max(col("_y")).as("_ymax"))
+      .withColumn("_pm", max(col("_ymax")).over(
+        Window.partitionBy(col("_g")).orderBy(col("_x").desc)
+          .rowsBetween(Window.unboundedPreceding, -1)))
+    base.join(lvl, Seq("_g", "_x"))
+      .filter(col("_y") === col("_ymax") &&
+        (col("_pm").isNull || col("_y") > col("_pm")))
+      .select(col("_g").as(groupCol), col("_id").as(idCol),
+        col("_x").as(xCol), col("_y").as(yCol))
   }
 }

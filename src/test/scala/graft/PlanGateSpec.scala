@@ -490,6 +490,22 @@ class PlanGateSpec extends SparkTestBase {
     // (banded two-phase windows), and the G-row BNLJ scalar-attach all sit
     // behind build-time checkpoints
     "ks_test" -> 2,
+    // pair self-join re-key on the value (both sides from the shared cum
+    // checkpoint, 2) + the (group_a, group_b) pair agg (1); the grid build
+    // sits behind the checkpoint and both totals attach as broadcasts
+    "rank_sum_test" -> 3,
+    // the (group, entity) totals agg + ONE group-keyed exchange shared by
+    // both rank windows; the final group agg clusters on the window's
+    // partitioning — no further exchange
+    "concentration" -> 2,
+    // the (group, x) level-maxima agg + the group-keyed running-max
+    // window; the verdict joins back to the checkpointed corpus as a
+    // level-sized broadcast
+    "pareto_front" -> 2,
+    // the nodes/moments 1-row aggs (2, landing in the whitelisted scalar
+    // cross) + the two node-keyed degree-attach SMJs over the
+    // checkpointed stub stream (2x2 re-keys)
+    "graph_assortativity" -> 6,
     // the eval_auc discipline minus the rollup, plus the 1-row totals agg:
     // per-band agg (1), offsets prefix window over the ≤256-row band table
     // (1), per-band cumulative window (1), totals global agg (1) — no
@@ -537,7 +553,9 @@ class PlanGateSpec extends SparkTestBase {
     "er_eval", "er_eval_fs",
     // the 1-row (n, p) totals attach onto the distinct-score curve: the
     // scalar-attach idiom
-    "eval_pr")
+    "eval_pr",
+    // the 1-row moments x 1-row node-panel cross: the scalar-attach idiom
+    "graph_assortativity")
 
   test("every query has a plan budget (or a documented exemption)") {
     val missing = SparkEntry.queries.keySet -- maxShuffles.keySet -- iterative

@@ -267,4 +267,40 @@ class GraphSpec extends SparkTestBase {
     assert(got === want)
     assert(lsRun(rnd.toDF("src", "dst").repartition(13)) === got)
   }
+
+  test("degreeAssortativity: star reads -1, path reads -1, regular graph reads NULL; dupes/self-loops/nulls drop; invariant") {
+    import spark.implicits._
+    def run(edges: Seq[(java.lang.Long, java.lang.Long)]) = {
+      val r = Graph.degreeAssortativity(
+        edges.toDF("src", "dst"), "src", "dst").collect()(0)
+      (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3),
+        if (r.isNullAt(4)) None else Some(r.getDouble(4)))
+    }
+    def L(x: Long): java.lang.Long = x
+    // star 1-{2,3,4}: M=6, sx=12, sxx=30, sxy=18 -> r = -36/36 = -1 (the
+    // canonical disassortative graph); mean degree 6e6/4
+    assert(run(Seq(L(1) -> L(2), L(1) -> L(3), L(1) -> L(4)))
+      === ((4L, 3L, 3L, 1500000L, Some(-1.0))))
+    // path 1-2-3: stub degrees {1,2,2,1} vs {2,1,1,2}, perfectly
+    // anticorrelated
+    assert(run(Seq(L(1) -> L(2), L(2) -> L(3)))._5 === Some(-1.0))
+    // 4-cycle: 2-regular, zero degree variance -> NULL r, not a number
+    assert(run(Seq(L(1) -> L(2), L(2) -> L(3), L(3) -> L(4), L(4) -> L(1)))
+      === ((4L, 4L, 2L, 2000000L, None)))
+    // duplicates (both orders) and self-loops drop; NULL endpoints drop
+    assert(run(Seq(L(1) -> L(2), L(2) -> L(1), L(1) -> L(1), L(2) -> L(3),
+      null.asInstanceOf[java.lang.Long] -> L(9), L(9) -> null))
+      === run(Seq(L(1) -> L(2), L(2) -> L(3))))
+    // partitioning-invariant on a pseudo-random graph
+    val rnd = (1 to 150).map(i =>
+      L((i * 7) % 29) -> L((i * 13) % 29)).filter(e => e._1 != e._2)
+    val a = Graph.degreeAssortativity(
+      rnd.toDF("src", "dst"), "src", "dst").collect()(0).toSeq
+    val b = Graph.degreeAssortativity(
+      rnd.toDF("src", "dst").repartition(13), "src", "dst")
+      .collect()(0).toSeq
+    assert(a === b)
+  }
 }

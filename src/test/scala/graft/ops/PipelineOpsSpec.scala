@@ -1996,6 +1996,124 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(rep === out)
   }
 
+  test("rankSumTest: hand U/z2 incl. tie correction; separation reads u_ppm 0; stochastic equality reads 500000 with z2 0; all-tied pool reads NULL z2") {
+    import spark.implicits._
+    def run(rows: Seq[(String, Double)]) =
+      Stats.rankSumTest(rows.toDF("g", "v"), "g", "v").collect()
+        .map(r => (r.getString(0), r.getString(1)) ->
+          ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5),
+            if (r.isNullAt(6)) None else Some(r.getDouble(6))))).toMap
+    // complete separation a={1,2} < b={3,4}: U=0, u_ppm=0; no ties so
+    // W=(N+1)N(N-1)=60, d=-n_a*n_b=-4, z2 = 16*3*4*3/(4*60) = 2.4 — the
+    // classic small-sample normal approximation (mu=2, sigma2=5/3)
+    assert(run(Seq(("a", 1.0), ("a", 2.0), ("b", 3.0), ("b", 4.0)))(("a", "b"))
+      === ((2L, 2L, 0L, 0L, Some(2.4))))
+    // identical distributions a=b={1,2}: U = 1 win + 2 half-ties = 2 =
+    // n_a*n_b/2 -> u_ppm 500000 (stochastically equal), d=0 -> z2=0
+    assert(run(Seq(("a", 1.0), ("a", 2.0), ("b", 1.0), ("b", 2.0)))(("a", "b"))
+      === ((2L, 2L, 4L, 500000L, Some(0.0))))
+    // tie correction by hand: a={1,2,2}, b={2,3}: wins 0, ties 2 (the two
+    // a-2s vs the b-2) -> u2=2, u_ppm = 2e6/12 = 166666; pooled tie group
+    // t=3 at v=2 eats 24 from W: W = 6*5*4-24 = 96, d = 2-6 = -4,
+    // z2 = 16*3*5*4/(6*96) = 1.666667 (classic: (U-mu)^2/sigma2 = 4/2.4)
+    assert(run(Seq(("a", 1.0), ("a", 2.0), ("a", 2.0), ("b", 2.0), ("b", 3.0)))(
+      ("a", "b")) === ((3L, 2L, 2L, 166666L, Some(1.666667))))
+    // every pooled value identical: zero variance -> z2 NULL, not a test;
+    // u_ppm still reads the half-tie 500000
+    assert(run(Seq(("a", 5.0), ("a", 5.0), ("b", 5.0)))(("a", "b"))
+      === ((2L, 1L, 2L, 500000L, None)))
+    // NULL groups/values drop; three groups -> three pairs; invariant
+    // under repartitioning
+    val rows = (1 to 300).map(i =>
+      (s"g${i % 3}", ((i * 7) % 50).toDouble / 4.0))
+    val out = Stats.rankSumTest(rows.toDF("g", "v"), "g", "v").collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(4)).toMap
+    assert(out.size === 3)
+    val rep = Stats.rankSumTest(
+      rows.toDF("g", "v").repartition(13), "g", "v").collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(4)).toMap
+    assert(rep === out)
+    val withNulls = rows.toDF("g", "v")
+      .unionByName(Seq(("zz", Option.empty[Double])).toDF("g", "v"))
+      .unionByName(Seq((Option.empty[String], 9.0)).toDF("g", "v"))
+    val outN = Stats.rankSumTest(withNulls, "g", "v").collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(4)).toMap
+    assert(outN === out)
+  }
+
+  test("concentrationPanel: hand Gini/HHI/top-share; even reads gini 0, one owner reads (n-1)/n; zero-mass group reads NULL; micro floor") {
+    import spark.implicits._
+    def run(rows: Seq[(String, String, Double)], topK: Int = 10) =
+      Stats.concentrationPanel(
+        rows.toDF("g", "e", "v"), "g", "e", "v", topK).collect()
+        .map(r => r.getString(0) -> ((r.getLong(1),
+          if (r.isNullAt(2)) -1L else r.getLong(2),
+          if (r.isNullAt(3)) -1L else r.getLong(3),
+          if (r.isNullAt(4)) -1L else r.getLong(4),
+          if (r.isNullAt(5)) -1L else r.getLong(5)))).toMap
+    // even: 4 entities x 1.0 -> HHI = 1e6/4, gini 0, top-10 share = all
+    assert(run(Seq(("g", "a", 1.0), ("g", "b", 1.0), ("g", "c", 1.0),
+      ("g", "d", 1.0)))("g") === ((4L, 4000000L, 250000L, 0L, 1000000L)))
+    // one owner of 4: HHI 1e6, gini = 3/4 (the (n-1)/n ceiling)
+    assert(run(Seq(("g", "a", 1.0), ("g", "b", 0.0), ("g", "c", 0.0),
+      ("g", "d", 0.0)))("g") === ((4L, 1000000L, 1000000L, 750000L, 1000000L)))
+    // hand case values {3,1}: T=4e6, HHI=(9+1)/16 -> 625000, gini: ranks
+    // asc (1,1e6),(2,3e6) -> (2*7e6-3*4e6)*1e6/(2*4e6) = 250000; topK=1
+    // share 3/4
+    assert(run(Seq(("g", "a", 3.0), ("g", "b", 1.0)), topK = 1)("g")
+      === ((2L, 4000000L, 625000L, 250000L, 750000L)))
+    // multi-entity rows aggregate per entity before ranking: a=1+2, b=3
+    // is two equal entities -> gini 0
+    assert(run(Seq(("g", "a", 1.0), ("g", "a", 2.0), ("g", "b", 3.0)))("g")
+      === ((2L, 6000000L, 500000L, 0L, 1000000L)))
+    // zero-mass group: indices NULL, entity count stays
+    assert(run(Seq(("z", "a", 0.0), ("z", "b", 0.0)))("z")
+      === ((2L, 0L, -1L, -1L, -1L)))
+    // micro floor lane: 0.5 -> 500000; NULLs drop; two groups independent
+    val out = run(Seq(("g", "a", 0.5), ("g", "b", 0.25),
+      ("h", "x", 2.0), (null, "q", 9.0), ("g", null, 9.0)))
+    assert(out("g")._2 === 750000L && out("h")._1 === 1L && out.size === 2)
+    // partitioning-invariant
+    val rows = (1 to 400).map(i =>
+      (s"g${i % 3}", s"e${i % 37}", ((i * 7) % 50).toDouble / 4.0))
+    assert(run(rows) === Stats.concentrationPanel(
+      rows.toDF("g", "e", "v").repartition(13), "g", "e", "v", 10).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5)))).toMap)
+  }
+
+  test("paretoFront: hand skyline; same-x lower-y and equal-y-higher-x dominated; duplicate optima both survive; groups independent") {
+    import spark.implicits._
+    def run(rows: Seq[(String, String, Long, Long)]) =
+      Stats.paretoFront(rows.toDF("g", "id", "x", "y"), "g", "id", "x", "y")
+        .collect().map(r => (r.getString(0), r.getString(1),
+          r.getLong(2), r.getLong(3))).toSet
+    // frontier {(3,1),(2,5)}: (3,0) loses at equal x; (2,3) loses at
+    // equal x; (1,5) dominated by (2,5) — equal y, strictly greater x
+    assert(run(Seq(("g", "a", 1L, 5L), ("g", "b", 2L, 3L), ("g", "c", 3L, 1L),
+      ("g", "d", 2L, 5L), ("g", "e", 3L, 0L)))
+      === Set(("g", "c", 3L, 1L), ("g", "d", 2L, 5L)))
+    // duplicate optima: neither dominates, both survive
+    assert(run(Seq(("g", "a", 2L, 5L), ("g", "b", 2L, 5L), ("g", "c", 1L, 1L)))
+      === Set(("g", "a", 2L, 5L), ("g", "b", 2L, 5L)))
+    // single max point dominates everything weakly below it
+    assert(run(Seq(("g", "a", 9L, 9L), ("g", "b", 9L, 8L), ("g", "c", 8L, 9L),
+      ("g", "d", 3L, 3L))) === Set(("g", "a", 9L, 9L)))
+    // groups independent; brute-force dominance check + invariance on a
+    // pseudo-random set
+    val rows = (1 to 200).map(i => (s"g${i % 2}", s"p$i",
+      ((i * 7) % 23).toLong, ((i * 13) % 19).toLong))
+    val got = run(rows)
+    val want = rows.filter { p =>
+      !rows.exists(q => q._1 == p._1 &&
+        q._3 >= p._3 && q._4 >= p._4 && (q._3 > p._3 || q._4 > p._4))
+    }.toSet
+    assert(got === want)
+    assert(Stats.paretoFront(rows.toDF("g", "id", "x", "y").repartition(13),
+      "g", "id", "x", "y").collect().map(r => (r.getString(0), r.getString(1),
+      r.getLong(2), r.getLong(3))).toSet === got)
+  }
+
   test("benfordAudit: uniform-digit and single-digit TVDs by hand; absent digits keep their expectation; sign-blind; zeros drop") {
     import spark.implicits._
     // u: digits 1..9 once each (obs 111111 ppm) -> TVD 268727 by hand

@@ -3061,7 +3061,8 @@ object SparkEntry {
   }
 
   /** One-row degree/assortativity panel over the co-supplier graph (the
-    * triangle_count graph: suppliers co-occurring in >= 28 orders).
+    * triangle_count graph shape at a >= 8 co-order threshold — 28 empties
+    * it at sf0.1, where pair co-occurrence dilutes with supplier count).
     */
   private def graphAssortativityQ(s: SparkSession, dir: String): DataFrame = {
     val li = s.read.parquet(s"$dir/lineitem.parquet")
@@ -3070,8 +3071,47 @@ object SparkEntry {
       .join(li.select(col("ok"), col("sk").as("s2")), "ok")
       .filter(col("s1") < col("s2"))
       .groupBy(col("s1"), col("s2")).agg(count(lit(1)).as("w"))
-      .filter(col("w") >= 28)
+      .filter(col("w") >= 8)
     ops.Graph.degreeAssortativity(co, "s1", "s2")
+  }
+
+  /** Kaplan–Meier conversion-survival curves per entry cohort: per user,
+    * duration = days from first event to first purchase (censored at the
+    * corpus horizon when no purchase); cohort = the user's first event
+    * type under the (day, type) total order.
+    */
+  private def kaplanMeierQ(s: SparkSession, dir: String): DataFrame = {
+    val usPerDay = 86400000000L
+    val ev = events(dir).load(s)
+      .filter(col("user_id").isNotNull && col("ts").isNotNull)
+      .select(col("user_id"), col("event_type"),
+        call_function("div", unix_micros(col("ts")), lit(usPerDay)).as("day"))
+      .localCheckpoint(false) // feeds the horizon pull AND the cohort agg
+    // corpus horizon: bounded 1-row build-time pull (activeUsers precedent)
+    val mxRow = ev.agg(max(col("day"))).head
+    val maxDay = if (mxRow.isNullAt(0)) 0L else mxRow.getLong(0)
+    val subjects = ev.groupBy(col("user_id"))
+      .agg(
+        min(struct(col("day"), col("event_type"))).as("_first"),
+        min(when(col("event_type") === "purchase", col("day"))).as("_pday"))
+      .select(
+        col("_first.event_type").as("cohort"),
+        coalesce(col("_pday"), lit(maxDay))
+          .minus(col("_first.day")).as("duration"),
+        col("_pday").isNotNull.as("converted"))
+    ops.Temporal.kaplanMeier(subjects, "cohort", "duration", "converted")
+  }
+
+  /** Supplier co-membership graph from order containment: the bipartite
+    * (order, supplier) list projected with the 100 TB cap observable —
+    * orders with more than 6 distinct suppliers drop whole, co-counts
+    * below 3 drop after.
+    */
+  private def bipartiteProjectQ(s: SparkSession, dir: String): DataFrame = {
+    val li = s.read.parquet(s"$dir/lineitem.parquet")
+      .select(col("l_orderkey"), col("l_suppkey"))
+    ops.Graph.bipartiteProject(li, "l_orderkey", "l_suppkey",
+      maxPerLeft = 6, minWeight = 3L)
   }
 
   /** Ordered 3-event behavior patterns per user with distinct-user
@@ -3313,6 +3353,8 @@ object SparkEntry {
     "concentration" -> (concentrationQ _),
     "pareto_front" -> (paretoFrontQ _),
     "graph_assortativity" -> (graphAssortativityQ _),
+    "kaplan_meier" -> (kaplanMeierQ _),
+    "bipartite_project" -> (bipartiteProjectQ _),
     "benford_audit" -> (benfordAuditQ _),
     "sequence_patterns" -> (sequencePatternsQ _),
     "autocorrelation" -> (autocorrelationQ _),
@@ -7806,7 +7848,7 @@ object SparkEntry {
           |    FROM lineitem),
           |co AS (SELECT a.s AS s1, b.s AS s2 FROM li a
           |  JOIN li b ON a.ok = b.ok AND a.s < b.s
-          |  GROUP BY 1, 2 HAVING count(*) >= 28),
+          |  GROUP BY 1, 2 HAVING count(*) >= 8),
           |deg AS (SELECT id, CAST(count(*) AS BIGINT) AS deg FROM (
           |  SELECT s1 AS id FROM co UNION ALL SELECT s2 FROM co) GROUP BY 1),
           |stubs AS (SELECT s1 AS u, s2 AS v FROM co
@@ -7821,14 +7863,69 @@ object SparkEntry {
           |    max(deg) AS max_degree FROM deg)
           |SELECT nd.n_nodes, CAST(m.m // 2 AS BIGINT) AS n_edges,
           |  nd.max_degree,
-          |  CAST(CAST(m.m AS HUGEINT) * 1000000 // nd.n_nodes AS BIGINT)
-          |    AS mean_degree_ppm,
+          |  CASE WHEN nd.n_nodes > 0 THEN
+          |    CAST(CAST(m.m AS HUGEINT) * 1000000 // nd.n_nodes AS BIGINT)
+          |  END AS mean_degree_ppm,
           |  CASE WHEN (CAST(m.m AS HUGEINT) * m.sxx - m.sx * m.sx) <> 0 THEN
           |    round(CAST(CAST(m.m AS HUGEINT) * m.sxy - m.sx * m.sx AS DOUBLE)
           |      / CAST(CAST(m.m AS HUGEINT) * m.sxx - m.sx * m.sx AS DOUBLE),
           |      6)
           |  END AS assortativity
           |FROM nd, m""".stripMargin,
+      // KM replay: cohort/duration subjects, (g,t) event/censor counts,
+      // the at-risk exclusive prefix, then the survival recurrence as a
+      // RECURSIVE CTE — base row = first factor, step = s·next, the
+      // IDENTICAL left-fold operand order as the engine's in-row
+      // aggregate (1.0·x = x exactly, so the engine's seed adds nothing)
+      "kaplan_meier" ->
+        """WITH RECURSIVE ev AS (
+          |  SELECT user_id, event_type, epoch_us(ts) // 86400000000 AS day
+          |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+          |mx AS (SELECT max(day) AS maxday FROM ev),
+          |fe AS (SELECT user_id, day, event_type, row_number() OVER (
+          |    PARTITION BY user_id ORDER BY day, event_type) AS rn FROM ev),
+          |subj AS (SELECT c.event_type AS g,
+          |    coalesce(p.pday, mx.maxday) - c.day AS t,
+          |    p.pday IS NOT NULL AS conv
+          |  FROM fe c
+          |  LEFT JOIN (SELECT user_id, min(day) AS pday FROM ev
+          |    WHERE event_type = 'purchase' GROUP BY 1) p
+          |    ON p.user_id = c.user_id
+          |  CROSS JOIN mx WHERE c.rn = 1),
+          |cnt AS (SELECT g, t,
+          |    CAST(sum(CASE WHEN conv THEN 1 ELSE 0 END) AS BIGINT) AS d,
+          |    CAST(sum(CASE WHEN conv THEN 0 ELSE 1 END) AS BIGINT) AS c
+          |  FROM subj GROUP BY 1, 2),
+          |ar AS (SELECT g, t, d, c,
+          |    CAST(sum(d + c) OVER (PARTITION BY g) -
+          |      coalesce(sum(d + c) OVER (PARTITION BY g ORDER BY t
+          |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+          |      AS BIGINT) AS n
+          |  FROM cnt),
+          |st AS (SELECT g, t, d, c, n, row_number() OVER (
+          |    PARTITION BY g ORDER BY t) AS rn FROM ar WHERE d > 0),
+          |km AS (
+          |  SELECT g, t, d, c, n, rn,
+          |    1.0 - CAST(d AS DOUBLE) / CAST(n AS DOUBLE) AS s
+          |  FROM st WHERE rn = 1
+          |  UNION ALL
+          |  SELECT o.g, o.t, o.d, o.c, o.n, o.rn,
+          |    km.s * (1.0 - CAST(o.d AS DOUBLE) / CAST(o.n AS DOUBLE))
+          |  FROM km JOIN st o ON o.g = km.g AND o.rn = km.rn + 1)
+          |SELECT g AS cohort, t, n AS n_risk, d, c,
+          |  round(s, 6) AS survival FROM km""".stripMargin,
+      // projection replay: the cap as a HAVING on left-membership counts
+      // BEFORE the pair join — the drop-whole contract is replayed, not
+      // approximated
+      "bipartite_project" ->
+        """WITH mem AS (SELECT DISTINCT l_orderkey AS l, l_suppkey AS r
+          |    FROM lineitem
+          |    WHERE l_orderkey IS NOT NULL AND l_suppkey IS NOT NULL),
+          |keep AS (SELECT l FROM mem GROUP BY l HAVING count(*) <= 6),
+          |m2 AS (SELECT mem.l, mem.r FROM mem JOIN keep USING (l))
+          |SELECT a.r AS a, b.r AS b, CAST(count(*) AS BIGINT) AS weight
+          |FROM m2 a JOIN m2 b ON a.l = b.l AND a.r < b.r
+          |GROUP BY 1, 2 HAVING count(*) >= 3""".stripMargin,
       // PR-curve replay: distinct-score confusion matrices from the same
       // counts-below cumulative (predict positive ⇔ score ≥ t); integral
       // `//` matches the engine's DECIMAL(38,0) div on all-positive lanes

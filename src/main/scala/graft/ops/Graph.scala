@@ -457,6 +457,60 @@ object Graph {
         (col("deg_a") * col("deg_b")).as("pa_score"))
   }
 
+  /** Bipartite → unipartite projection: the co-membership graph builder
+    * every "items that co-occur in a container" analysis starts from
+    * (suppliers co-filling orders, users co-editing documents, tokens
+    * co-tagging items) — the inline step the co-supplier queries compose,
+    * made first-class WITH the missing 100 TB contract: two right-nodes
+    * get an edge weighted by how many left-containers hold both.
+    *
+    * Skew contract (the [[linkScores]] / [[Affinity.basketRules]]
+    * discipline): a left node with k members emits C(k,2) pairs — one
+    * 10⁶-member container alone would emit 5·10¹¹ pairs — so left nodes
+    * with more than `maxPerLeft` members drop WHOLE before expansion,
+    * observably (`n_left_in` / `n_dropped_left` via `metrics`). Pairs
+    * below `minWeight` drop after the count.
+    *
+    * Shape at 100 TB: membership distinct (one exchange), per-left sorted
+    * member arrays (collect_set dedups map-side, one exchange), the
+    * C(k,2) expansion IN-ROW over capped arrays (never a self-join —
+    * compare the naive `m JOIN m ON same left` whose skew is unbounded),
+    * one pair-keyed count agg. Sorted arrays pair low→high, so the edge
+    * key is canonical (a < b) by construction.
+    */
+  def bipartiteProject(
+      df: DataFrame,
+      leftCol: String,
+      rightCol: String,
+      maxPerLeft: Int = 256,
+      minWeight: Long = 1L,
+      metrics: Option[org.apache.spark.sql.Observation] = None): DataFrame = {
+    require(maxPerLeft >= 2,
+      s"maxPerLeft must be >= 2 (pairs need 2 members), got $maxPerLeft")
+    require(minWeight >= 1, s"minWeight must be >= 1, got $minWeight")
+    val adj = df
+      .filter(col(leftCol).isNotNull && col(rightCol).isNotNull)
+      .select(col(leftCol).as("_l"), col(rightCol).as("_r"))
+      .distinct()
+      .groupBy(col("_l")).agg(array_sort(collect_set(col("_r"))).as("_ns"))
+    val capped = metrics.map { o =>
+      adj.observe(o,
+        count(lit(1)).as("n_left_in"),
+        coalesce(sum(when(size(col("_ns")) > maxPerLeft, 1L).otherwise(0L)),
+          lit(0L)).as("n_dropped_left"))
+    }.getOrElse(adj)
+      .filter(size(col("_ns")) <= maxPerLeft)
+    capped
+      .select(flatten(transform(col("_ns"), (x, i) =>
+        transform(slice(col("_ns"), i + lit(2),
+          greatest(size(col("_ns")) - i - lit(1), lit(0))), y =>
+          struct(x.as("_pa"), y.as("_pb"))))).as("_ps"))
+      .select(explode(col("_ps")).as("_p"))
+      .groupBy(col("_p._pa").as("a"), col("_p._pb").as("b"))
+      .agg(count(lit(1)).as("weight"))
+      .filter(col("weight") >= minWeight)
+  }
+
   /** One-row degree/assortativity panel over an undirected simple graph —
     * the structural summary every graph operator here assumes implicitly
     * (is this a hub-and-spoke crawl graph or a flat mesh?), made
@@ -517,8 +571,12 @@ object Graph {
         col("n_nodes"),
         expr("_m div 2").cast("long").as("n_edges"),
         col("max_degree"),
-        expr("(CAST(_m AS DECIMAL(38,0)) * 1000000) div n_nodes")
-          .cast("long").as("mean_degree_ppm"),
+        // guarded: an EMPTY graph still emits its one panel row (that the
+        // graph is empty IS the structural finding) — n_nodes = 0 must
+        // read NULL mean, not an ANSI divide-by-zero
+        when(col("n_nodes") > 0,
+          expr("(CAST(_m AS DECIMAL(38,0)) * 1000000) div n_nodes")
+            .cast("long")).as("mean_degree_ppm"),
         when(den === lit(0).cast(dec), lit(null).cast("double"))
           .otherwise(round(num.cast("double") / den.cast("double"), 6))
           .as("assortativity"))

@@ -1145,4 +1145,90 @@ object Temporal {
         expr("(CAST(dau AS DECIMAL(38,0)) * 1000000) div mau")
           .cast("long").as("stickiness_ppm"))
   }
+
+  /** Kaplan–Meier survival curve per group (Kaplan & Meier, JASA 53:282
+    * (1958)) — the time-to-event panel retention/churn analysis needs and
+    * [[cohortRetention]]'s fixed-period matrix cannot give: subjects enter
+    * with a `durationCol` (time to event, in whatever unit the caller
+    * buckets to) and an `eventCol` flag (true = the event happened at that
+    * duration, false = right-censored: observation ended, event unseen —
+    * the case naive "fraction converted by day d" silently miscounts).
+    * One output row per (group, duration-with-events): `n_risk` (subjects
+    * with duration ≥ t), `d` (events at t), `c` (censored at t), and the
+    * product-limit estimate `survival = Π_{t_j ≤ t} (1 − d_j/n_j)`.
+    *
+    * Exactness: `n_risk`/`d`/`c` are exact longs from one corpus pass +
+    * an exclusive-prefix window. The product has no integer form (its
+    * exact value is a rational with Π n_j in the denominator), so
+    * `survival` is the deterministic LEFT fold `acc·(1 − d/n)` over the
+    * group's time-ordered factors — each factor one IEEE divide+subtract,
+    * each step one multiply, `1.0·x = x` exactly so the seed adds no
+    * error — rounded to 6. The DuckDB twin replays the identical
+    * recurrence as a recursive CTE (base row = first factor, step =
+    * `s·next`), so the fold is bit-reproducible across engines — the
+    * operand-order discipline of [[Stats.correlations]], extended from
+    * one closed-form step to an ordered recurrence.
+    *
+    * State contract: the fold buffers one group's DISTINCT event times
+    * (collect + in-row fold) — the grouped-exact-quantiles contract:
+    * per-group distinct-duration cardinality is the caller's bucketing
+    * choice (days/weeks), not the corpus. NULL groups/durations/flags
+    * drop; negative durations are the caller's unit bug and pass through.
+    *
+    * Shape at 100 TB: one corpus pass to (group, duration) event/censor
+    * counts, ONE group-keyed exchange (the at-risk prefix window + the
+    * time-list collect ride it), the fold and re-explode are in-row.
+    */
+  def kaplanMeier(
+      df: DataFrame,
+      groupCol: String,
+      durationCol: String,
+      eventCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = df
+      .filter(col(groupCol).isNotNull && col(durationCol).isNotNull &&
+        col(eventCol).isNotNull)
+      .groupBy(col(groupCol).cast("string").as("_g"),
+        col(durationCol).cast("long").as("_t"))
+      .agg(
+        sum(when(col(eventCol).cast("boolean"), 1L).otherwise(0L)).as("_d"),
+        sum(when(col(eventCol).cast("boolean"), 0L).otherwise(1L)).as("_c"))
+    val w = Window.partitionBy(col("_g")).orderBy(col("_t"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wAll = Window.partitionBy(col("_g"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val atRisk = counts
+      .withColumn("_n",
+        sum(col("_d") + col("_c")).over(wAll) -
+          coalesce(sum(col("_d") + col("_c")).over(w), lit(0L)))
+      .filter(col("_d") > 0) // KM steps only where events happen
+    atRisk
+      .groupBy(col("_g"))
+      .agg(array_sort(collect_list(struct(col("_t"), col("_d"), col("_c"),
+        col("_n")))).as("_steps"))
+      .select(col("_g"), explode(expr(
+        // left fold in time order: acc.p carries the running product,
+        // acc.out accumulates the emitted rows — deterministic order by
+        // construction, replayed step-for-step by the oracle's
+        // recursive CTE
+        """aggregate(
+          |  _steps,
+          |  struct(CAST(1.0 AS DOUBLE) AS p,
+          |    CAST(array() AS ARRAY<STRUCT<t: BIGINT, d: BIGINT,
+          |      c: BIGINT, n: BIGINT, s: DOUBLE>>) AS out),
+          |  (acc, x) -> struct(
+          |    acc.p * (1.0 - CAST(x._d AS DOUBLE) / CAST(x._n AS DOUBLE)) AS p,
+          |    array_append(acc.out, struct(x._t AS t, x._d AS d, x._c AS c,
+          |      x._n AS n,
+          |      acc.p * (1.0 - CAST(x._d AS DOUBLE) / CAST(x._n AS DOUBLE))
+          |        AS s)) AS out),
+          |  acc -> acc.out)""".stripMargin)).as("_r"))
+      .select(
+        col("_g").as(groupCol),
+        col("_r.t").as("t"),
+        col("_r.n").as("n_risk"),
+        col("_r.d").as("d"),
+        col("_r.c").as("c"),
+        round(col("_r.s"), 6).as("survival"))
+  }
 }

@@ -506,6 +506,14 @@ class PlanGateSpec extends SparkTestBase {
     // cross) + the two node-keyed degree-attach SMJs over the
     // checkpointed stub stream (2x2 re-keys)
     "graph_assortativity" -> 6,
+    // the per-user subject agg (events checkpointed behind it) + the
+    // (group, duration) count agg + ONE group-keyed exchange carrying
+    // both at-risk windows and the fold collect
+    "kaplan_meier" -> 3,
+    // per-left member arrays (collect_set dedups map-side — Catalyst
+    // even folds the membership distinct into it) + the pair-keyed
+    // count agg; the C(k,2) expansion is in-row
+    "bipartite_project" -> 2,
     // the eval_auc discipline minus the rollup, plus the 1-row totals agg:
     // per-band agg (1), offsets prefix window over the ≤256-row band table
     // (1), per-band cumulative window (1), totals global agg (1) — no

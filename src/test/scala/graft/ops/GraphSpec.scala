@@ -268,6 +268,41 @@ class GraphSpec extends SparkTestBase {
     assert(lsRun(rnd.toDF("src", "dst").repartition(13)) === got)
   }
 
+  test("bipartiteProject: hand co-membership weights; cap drops hot containers whole, observably; duplicate memberships collapse; minWeight filters") {
+    import spark.implicits._
+    val mem = Seq(
+      ("L1", "a"), ("L1", "b"), ("L1", "c"),
+      ("L2", "a"), ("L2", "b"), ("L2", "b"), // dup membership collapses
+      ("L3", "a"), ("L3", "b")).toDF("l", "r")
+    def run(df: org.apache.spark.sql.DataFrame, cap: Int, mw: Long,
+        obs: Option[org.apache.spark.sql.Observation] = None) =
+      Graph.bipartiteProject(df, "l", "r", cap, mw, obs).collect()
+        .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    // uncapped: (a,b) in all three, (a,c)/(b,c) only in L1
+    assert(run(mem, 256, 1L) ===
+      Map(("a", "b") -> 3L, ("a", "c") -> 1L, ("b", "c") -> 1L))
+    // minWeight prunes the tail
+    assert(run(mem, 256, 2L) === Map(("a", "b") -> 3L))
+    // cap 2 drops L1 whole (its (a,b) evidence too), observably
+    val o = org.apache.spark.sql.Observation()
+    assert(run(mem, 2, 1L, Some(o)) === Map(("a", "b") -> 2L))
+    assert(o.get("n_left_in") === 3L && o.get("n_dropped_left") === 1L)
+    // matches the triangle_count co-builder shape on a pseudo-random
+    // bipartite list (cap not binding) + partitioning-invariance
+    val rnd = (1 to 300).map(i => ((i * 7) % 40).toLong -> ((i * 13) % 23).toLong)
+    val got = Graph.bipartiteProject(
+      rnd.toDF("l", "r"), "l", "r", 256, 1L).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val und = rnd.distinct.groupBy(_._1).values.flatMap { ms =>
+      val rs = ms.map(_._2).distinct.sorted
+      for (i <- rs.indices; j <- i + 1 until rs.size) yield (rs(i), rs(j))
+    }.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    assert(got === und)
+    assert(Graph.bipartiteProject(rnd.toDF("l", "r").repartition(13),
+      "l", "r", 256, 1L).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap === got)
+  }
+
   test("degreeAssortativity: star reads -1, path reads -1, regular graph reads NULL; dupes/self-loops/nulls drop; invariant") {
     import spark.implicits._
     def run(edges: Seq[(java.lang.Long, java.lang.Long)]) = {
@@ -293,6 +328,9 @@ class GraphSpec extends SparkTestBase {
     assert(run(Seq(L(1) -> L(2), L(2) -> L(1), L(1) -> L(1), L(2) -> L(3),
       null.asInstanceOf[java.lang.Long] -> L(9), L(9) -> null))
       === run(Seq(L(1) -> L(2), L(2) -> L(3))))
+    // EMPTY graph still emits its one panel row with NULLs, no ANSI
+    // divide-by-zero (that the graph is empty IS the finding)
+    assert(run(Seq(L(5) -> L(5))) === ((0L, 0L, -1L, -1L, None)))
     // partitioning-invariant on a pseudo-random graph
     val rnd = (1 to 150).map(i =>
       L((i * 7) % 29) -> L((i * 13) % 29)).filter(e => e._1 != e._2)

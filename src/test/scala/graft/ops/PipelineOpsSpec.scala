@@ -2082,6 +2082,43 @@ class PipelineOpsSpec extends SparkTestBase {
         r.getLong(3), r.getLong(4), r.getLong(5)))).toMap)
   }
 
+  test("kaplanMeier: hand product-limit curve; censoring reduces at-risk without a step; same-time censor counts at risk; all-censored group empty") {
+    import spark.implicits._
+    def run(rows: Seq[(String, Long, Boolean)]) =
+      Temporal.kaplanMeier(rows.toDF("g", "t", "e"), "g", "t", "e").collect()
+        .map(r => (r.getString(0), r.getLong(1)) ->
+          ((r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5)))).toMap
+    // classic: events at 1 and 3, censors at 2 and 4: S(1) = 3/4; at t=3
+    // only 2 remain at risk (the t=2 censor left WITHOUT a step) ->
+    // S(3) = 0.75 * 0.5; censored times emit no rows
+    val h = run(Seq(("g", 1L, true), ("g", 2L, false),
+      ("g", 3L, true), ("g", 4L, false)))
+    assert(h === Map(("g", 1L) -> ((4L, 1L, 0L, 0.75)),
+      ("g", 3L) -> ((2L, 1L, 0L, 0.375))))
+    // a censor AT an event time still counts at risk there (standard
+    // convention): n=5 now, so S(1) = 4/5, and t=3 reads n=3, d=1, c=1,
+    // S = 0.8 * (1 - 1/3) = 0.533333
+    val h2 = run(Seq(("g", 1L, true), ("g", 2L, false),
+      ("g", 3L, true), ("g", 3L, false), ("g", 4L, false)))
+    assert(h2(("g", 1L)) === ((5L, 1L, 0L, 0.8)))
+    assert(h2(("g", 3L)) === ((3L, 1L, 1L, 0.533333)))
+    // everyone events at the same time: one row, survival exactly 0
+    assert(run(Seq(("g", 5L, true), ("g", 5L, true)))
+      === Map(("g", 5L) -> ((2L, 2L, 0L, 0.0))))
+    // all-censored group emits nothing; groups independent; NULLs drop
+    val m = run(Seq(("a", 1L, true), ("z", 9L, false)))
+    assert(m.keySet === Set(("a", 1L)))
+    // partitioning-invariant on a multi-group fixture
+    val rows = (1 to 200).map(i =>
+      (s"g${i % 3}", ((i * 7) % 13).toLong, i % 4 != 0))
+    val out = run(rows)
+    val rep = Temporal.kaplanMeier(
+      rows.toDF("g", "t", "e").repartition(13), "g", "t", "e").collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5)))).toMap
+    assert(rep === out)
+  }
+
   test("paretoFront: hand skyline; same-x lower-y and equal-y-higher-x dominated; duplicate optima both survive; groups independent") {
     import spark.implicits._
     def run(rows: Seq[(String, String, Long, Long)]) =

@@ -3114,6 +3114,23 @@ object SparkEntry {
       maxPerLeft = 6, minWeight = 3L)
   }
 
+  /** EWMA control chart per event type over daily value buckets — the
+    * monitoring family's recency member next to cusum_change.
+    */
+  private def ewmaChartQ(s: SparkSession, dir: String): DataFrame =
+    ops.Stats.ewmaChart(events(dir).load(s)
+        .select("event_type", "ts", "value"),
+      "event_type", "ts", "value",
+      bucketSeconds = 86400L, alphaPpm = 300000L)
+      .withColumn("bucket_us", unix_micros(col("bucket"))).drop("bucket")
+
+  /** Gap-based session panel per user over the event stream (30-minute
+    * inactivity cut) — the batch counterpart to streaming sessions.
+    */
+  private def sessionizeQ(s: SparkSession, dir: String): DataFrame =
+    ops.Temporal.sessionize(events(dir).load(s).select("user_id", "ts"),
+      "user_id", "ts", gapSeconds = 1800L)
+
   /** Ordered 3-event behavior patterns per user with distinct-user
     * support — basket rules' sequential sibling over the event stream.
     */
@@ -3355,6 +3372,8 @@ object SparkEntry {
     "graph_assortativity" -> (graphAssortativityQ _),
     "kaplan_meier" -> (kaplanMeierQ _),
     "bipartite_project" -> (bipartiteProjectQ _),
+    "ewma_chart" -> (ewmaChartQ _),
+    "sessionize" -> (sessionizeQ _),
     "benford_audit" -> (benfordAuditQ _),
     "sequence_patterns" -> (sequencePatternsQ _),
     "autocorrelation" -> (autocorrelationQ _),
@@ -7914,6 +7933,55 @@ object SparkEntry {
           |  FROM km JOIN st o ON o.g = km.g AND o.rn = km.rn + 1)
           |SELECT g AS cohort, t, n AS n_risk, d, c,
           |  round(s, 6) AS survival FROM km""".stripMargin,
+      // EWMA replay: (group, day-bucket) micro sums, then the recurrence
+      // s1 = x1, st = s + alpha*(x - s) as a RECURSIVE CTE in the
+      // IDENTICAL operand order, alpha divided from its ppm integer
+      // in-engine on both sides
+      "ewma_chart" ->
+        """WITH RECURSIVE b AS (
+          |  SELECT CAST(event_type AS VARCHAR) AS g,
+          |    epoch_us(ts) // 86400000000 AS bkt,
+          |    CAST(sum(CAST(floor(CAST(value AS DOUBLE) * 1000000)
+          |      AS BIGINT)) AS BIGINT) AS x
+          |  FROM events
+          |  WHERE event_type IS NOT NULL AND ts IS NOT NULL
+          |    AND value IS NOT NULL
+          |  GROUP BY 1, 2),
+          |st AS (SELECT g, bkt, x, row_number() OVER (
+          |    PARTITION BY g ORDER BY bkt) AS rn FROM b),
+          |ew AS (
+          |  SELECT g, bkt, x, rn, CAST(x AS DOUBLE) AS s,
+          |    CAST(NULL AS DOUBLE) AS r
+          |  FROM st WHERE rn = 1
+          |  UNION ALL
+          |  SELECT o.g, o.bkt, o.x, o.rn,
+          |    ew.s + (CAST(300000 AS DOUBLE) / 1000000.0) *
+          |      (CAST(o.x AS DOUBLE) - ew.s),
+          |    CAST(o.x AS DOUBLE) - ew.s
+          |  FROM ew JOIN st o ON o.g = ew.g AND o.rn = ew.rn + 1)
+          |SELECT g AS event_type, x AS value_micro,
+          |  CAST(floor(s) AS BIGINT) AS ewma_micro,
+          |  CAST(floor(r) AS BIGINT) AS resid_micro,
+          |  bkt * 86400000000 AS bucket_us
+          |FROM ew""".stripMargin,
+      // sessionization replay: the same lag > gap flag over sorted
+      // timestamps, running flag sum as the session id, per-session agg
+      "sessionize" ->
+        """WITH e AS (SELECT user_id, epoch_us(ts) AS t FROM events
+          |  WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+          |f AS (SELECT user_id, t,
+          |    CASE WHEN t - lag(t) OVER (PARTITION BY user_id ORDER BY t)
+          |      > 1800000000 THEN 1 ELSE 0 END AS nw
+          |  FROM e),
+          |s AS (SELECT user_id, t, 1 + sum(nw) OVER (
+          |    PARTITION BY user_id ORDER BY t
+          |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+          |  FROM f)
+          |SELECT user_id, CAST(sid AS BIGINT) AS session_index,
+          |  min(t) AS session_start_us, max(t) AS session_end_us,
+          |  max(t) - min(t) AS duration_us,
+          |  CAST(count(*) AS BIGINT) AS n_events
+          |FROM s GROUP BY 1, 2""".stripMargin,
       // projection replay: the cap as a HAVING on left-membership counts
       // BEFORE the pair join — the drop-whole contract is replayed, not
       // approximated

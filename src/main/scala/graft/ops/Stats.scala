@@ -1348,6 +1348,91 @@ object Stats {
         timestamp_micros(col("_bAt") * usPerBucket).as("change_at"))
   }
 
+  /** EWMA control chart — the monitoring family's RECENCY member next to
+    * [[cusumChangepoint]] (CUSUM accumulates evidence of one persistent
+    * level shift over the whole window; the exponentially-weighted moving
+    * average tracks the CURRENT level with geometric forgetting, the
+    * classic Roberts (1959) chart): per group the value series buckets by
+    * `bucketSeconds` into the ⌊v·10⁶⌋ micro-unit lane, and over observed
+    * buckets in time order the recurrence `s₁ = x₁`,
+    * `sₜ = sₜ₋₁ + α·(xₜ − sₜ₋₁)` with `α = alphaPpm/10⁶`. Per bucket:
+    * `value_micro` (exact long), `ewma` (the smoothed level, round 6) and
+    * `resid` (`xₜ − sₜ₋₁`, the one-step prediction error the caller
+    * thresholds — NULL on each group's first bucket, no prediction yet).
+    *
+    * Determinism: the recurrence is the [[graft.ops.Temporal.kaplanMeier]]
+    * ordered-fold discipline — a LEFT fold over time-sorted buckets, each
+    * step one subtract+multiply+add in fixed operand order, α computed as
+    * one IEEE division from its ppm integer INSIDE both engines — so the
+    * DuckDB twin's recursive CTE replays it bit-for-bit. State contract:
+    * the fold buffers one group's observed buckets (bounded by TIME RANGE
+    * / bucketSeconds, never the corpus — the cusum contract). Missing
+    * buckets are skipped, not zero-filled (compose [[graft.ops.Temporal
+    * .resampleForwardFill]] upstream to chart dense time). NULL groups/
+    * timestamps/values drop.
+    *
+    * Shape at 100 TB: one corpus pass to the (group, bucket) sums
+    * (map-side partials), ONE group-keyed exchange for the collect, the
+    * fold and re-explode in-row.
+    */
+  def ewmaChart(
+      df: DataFrame,
+      groupCol: String,
+      tsCol: String,
+      valueCol: String,
+      bucketSeconds: Long,
+      alphaPpm: Long = 300000L): DataFrame = {
+    require(bucketSeconds > 0, "bucketSeconds must be positive")
+    require(alphaPpm >= 1 && alphaPpm <= 1000000L,
+      s"alphaPpm must be in [1, 1000000], got $alphaPpm")
+    val usPerBucket = bucketSeconds * 1000000L
+    val base = df
+      .filter(col(groupCol).isNotNull && col(tsCol).isNotNull &&
+        col(valueCol).isNotNull)
+      .groupBy(col(groupCol).cast("string").as("_g"),
+        call_function("div", unix_micros(col(tsCol)), lit(usPerBucket))
+          .as("_b"))
+      .agg(sum(floor(col(valueCol).cast("double") * 1000000L).cast("long"))
+        .as("_x"))
+    base
+      .groupBy(col("_g"))
+      .agg(array_sort(collect_list(struct(col("_b"), col("_x"))))
+        .as("_steps"))
+      .select(col("_g"), explode(expr(
+        // left fold in bucket order; the first bucket seeds s = x with a
+        // NULL residual; alpha divides from its ppm integer IN-PLAN so
+        // the oracle's recursive CTE performs the identical IEEE ops
+        s"""aggregate(
+           |  _steps,
+           |  struct(false AS init, CAST(0.0 AS DOUBLE) AS s,
+           |    CAST(array() AS ARRAY<STRUCT<b: BIGINT, x: BIGINT,
+           |      s: DOUBLE, r: DOUBLE>>) AS out),
+           |  (acc, e) -> struct(
+           |    true AS init,
+           |    CASE WHEN acc.init THEN acc.s +
+           |        (CAST($alphaPpm AS DOUBLE) / 1000000.0D) *
+           |        (CAST(e._x AS DOUBLE) - acc.s)
+           |      ELSE CAST(e._x AS DOUBLE) END AS s,
+           |    array_append(acc.out, struct(e._b AS b, e._x AS x,
+           |      CASE WHEN acc.init THEN acc.s +
+           |          (CAST($alphaPpm AS DOUBLE) / 1000000.0D) *
+           |          (CAST(e._x AS DOUBLE) - acc.s)
+           |        ELSE CAST(e._x AS DOUBLE) END AS s,
+           |      CASE WHEN acc.init
+           |        THEN CAST(e._x AS DOUBLE) - acc.s END AS r)) AS out),
+           |  acc -> acc.out)""".stripMargin)).as("_r"))
+      .select(
+        col("_g").as(groupCol),
+        timestamp_micros(col("_r.b") * usPerBucket).as("bucket"),
+        col("_r.x").as("value_micro"),
+        // floor to the micro lattice: the recurrence's doubles are
+        // bit-identical across engines, but decimal ROUNDING of a ~10⁹
+        // micro value sits below one ulp and the two engines' round()
+        // disagree there — floor of identical doubles never does
+        floor(col("_r.s")).cast("long").as("ewma_micro"),
+        floor(col("_r.r")).cast("long").as("resid_micro"))
+  }
+
   /** Seasonality-normalized anomaly panel — the drift family's PERIODIC
     * member next to [[cusumChangepoint]] (which finds one level shift;
     * this separates "it's Sunday" from "something broke"): per group the

@@ -1146,6 +1146,57 @@ object Temporal {
           .cast("long").as("stickiness_ppm"))
   }
 
+  /** Batch gap-based sessionization panel — the batch counterpart to the
+    * streaming sessionizer ([[graft.streaming.EventStream]]'s
+    * session windows) and the aggregation [[activityGaps]] stops short
+    * of: activity gaps REPORT the silences, this op CUTS on them — a new
+    * session starts wherever the key's gap to the previous event exceeds
+    * `gapSeconds` — and returns one panel row per session: 1-based
+    * `session_index` in time order, `session_start_us` / `session_end_us`
+    * (unix micros), `duration_us`, `n_events`. All exact integers.
+    *
+    * Determinism under timestamp ties: the new-session flag compares
+    * consecutive SORTED timestamps, and consecutive differences of a
+    * sorted multiset don't depend on how equal values are ordered — so
+    * session ids, panels, and indices are stable under any tie order
+    * and any partitioning. NULL keys/timestamps drop.
+    *
+    * Shape at 100 TB: ONE key-keyed exchange carries the lag + running
+    * flag-sum windows AND the (key, session) panel agg (hash partitioning
+    * on the key satisfies the grouped clustering — no re-exchange); the
+    * per-key window is per-key event cardinality, the classic user-
+    * activity bound, never the corpus in one task.
+    */
+  def sessionize(
+      df: DataFrame,
+      keyCol: String,
+      tsCol: String,
+      gapSeconds: Long): DataFrame = {
+    require(gapSeconds > 0, "gapSeconds must be positive")
+    import org.apache.spark.sql.expressions.Window
+    val gapUs = gapSeconds * 1000000L
+    val w = Window.partitionBy(col("_k")).orderBy(col("_t"))
+    df
+      .filter(col(keyCol).isNotNull && col(tsCol).isNotNull)
+      .select(col(keyCol).as("_k"), unix_micros(col(tsCol)).as("_t"))
+      .withColumn("_new",
+        when(col("_t") - lag(col("_t"), 1).over(w) > gapUs, 1L)
+          .otherwise(lit(0L)))
+      .withColumn("_sid", lit(1L) + sum(col("_new"))
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("_k"), col("_sid"))
+      .agg(min(col("_t")).as("session_start_us"),
+        max(col("_t")).as("session_end_us"),
+        count(lit(1)).as("n_events"))
+      .select(
+        col("_k").as(keyCol),
+        col("_sid").as("session_index"),
+        col("session_start_us"),
+        col("session_end_us"),
+        (col("session_end_us") - col("session_start_us")).as("duration_us"),
+        col("n_events"))
+  }
+
   /** Kaplan–Meier survival curve per group (Kaplan & Meier, JASA 53:282
     * (1958)) — the time-to-event panel retention/churn analysis needs and
     * [[cohortRetention]]'s fixed-period matrix cannot give: subjects enter

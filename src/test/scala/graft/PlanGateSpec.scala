@@ -514,6 +514,13 @@ class PlanGateSpec extends SparkTestBase {
     // even folds the membership distinct into it) + the pair-keyed
     // count agg; the C(k,2) expansion is in-row
     "bipartite_project" -> 2,
+    // the (group, bucket) sum agg + the group-keyed fold collect; the
+    // recurrence and re-explode are in-row
+    "ewma_chart" -> 2,
+    // ONE key-keyed exchange: both windows AND the (key, session) panel
+    // agg ride it (hash partitioning on the key satisfies the grouped
+    // clustering)
+    "sessionize" -> 1,
     // the eval_auc discipline minus the rollup, plus the 1-row totals agg:
     // per-band agg (1), offsets prefix window over the ≤256-row band table
     // (1), per-band cumulative window (1), totals global agg (1) — no

@@ -2082,6 +2082,89 @@ class PipelineOpsSpec extends SparkTestBase {
         r.getLong(3), r.getLong(4), r.getLong(5)))).toMap)
   }
 
+  test("ewmaChart: hand recurrence at alpha=1/2; first bucket seeds with NULL residual; missing buckets skip; NULLs drop; invariant") {
+    import spark.implicits._
+    def run(rows: Seq[(String, Timestamp, Double)], alphaPpm: Long) =
+      Stats.ewmaChart(rows.toDF("g", "ts", "v"), "g", "ts", "v",
+        bucketSeconds = 60L, alphaPpm = alphaPpm).collect()
+        .map(r => (r.getString(0), r.getTimestamp(1).getTime) ->
+          ((r.getLong(2),
+            if (r.isNullAt(3)) -1L else r.getLong(3),
+            if (r.isNullAt(4)) Long.MinValue else r.getLong(4)))).toMap
+    // minute buckets, values 4, 8, 8 at alpha = 1/2: s = 4e6, 6e6, 7e6
+    // micro; residuals NULL, 4e6, 2e6 (the one-step prediction errors)
+    val out = run(Seq(
+      ("g", ts("2024-01-01 00:00:30"), 4.0),
+      ("g", ts("2024-01-01 00:01:30"), 8.0),
+      ("g", ts("2024-01-01 00:02:30"), 8.0)), 500000L)
+    val t0 = ts("2024-01-01 00:00:00").getTime
+    assert(out === Map(
+      ("g", t0) -> ((4000000L, 4000000L, Long.MinValue)),
+      ("g", t0 + 60000L) -> ((8000000L, 6000000L, 4000000L)),
+      ("g", t0 + 120000L) -> ((8000000L, 7000000L, 2000000L))))
+    // same-bucket rows sum before smoothing; missing buckets skip (the
+    // recurrence runs over OBSERVED buckets)
+    val sparse = run(Seq(
+      ("g", ts("2024-01-01 00:00:10"), 1.0),
+      ("g", ts("2024-01-01 00:00:50"), 3.0),
+      ("g", ts("2024-01-01 00:30:00"), 8.0)), 500000L)
+    assert(sparse(("g", t0)) === ((4000000L, 4000000L, Long.MinValue)))
+    assert(sparse(("g", t0 + 1800000L)) === ((8000000L, 6000000L, 4000000L)))
+    // alpha = 1: the chart follows the series exactly
+    val follow = run(Seq(
+      ("g", ts("2024-01-01 00:00:30"), 4.0),
+      ("g", ts("2024-01-01 00:01:30"), 9.0)), 1000000L)
+    assert(follow(("g", t0 + 60000L))._2 === 9000000L)
+    // NULLs drop; groups independent; partitioning-invariant
+    val rows = (1 to 300).map(i => (s"g${i % 3}",
+      ts(f"2024-01-01 ${i % 24}%02d:${(i * 7) % 60}%02d:00"),
+      ((i * 13) % 50).toDouble / 4.0))
+    val a = run(rows, 300000L)
+    val b = Stats.ewmaChart(rows.toDF("g", "ts", "v").repartition(13),
+      "g", "ts", "v", 60L, 300000L).collect()
+      .map(r => (r.getString(0), r.getTimestamp(1).getTime) ->
+        ((r.getLong(2),
+          if (r.isNullAt(3)) -1L else r.getLong(3),
+          if (r.isNullAt(4)) Long.MinValue else r.getLong(4)))).toMap
+    assert(b === a)
+  }
+
+  test("sessionize: hand gap cut; ties share a session; per-key independence; exact panel fields; invariant") {
+    import spark.implicits._
+    def run(rows: Seq[(String, Timestamp)]) =
+      Temporal.sessionize(rows.toDF("u", "ts"), "u", "ts", 1800L).collect()
+        .map(r => (r.getString(0), r.getLong(1)) ->
+          ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    def us(s: String) = ts(s).getTime * 1000L
+    // 0min, 10min, then 40min of silence -> two sessions
+    val out = run(Seq(
+      ("u", ts("2024-01-01 10:00:00")), ("u", ts("2024-01-01 10:10:00")),
+      ("u", ts("2024-01-01 10:50:00"))))
+    assert(out === Map(
+      ("u", 1L) -> ((us("2024-01-01 10:00:00"), us("2024-01-01 10:10:00"),
+        600000000L, 2L)),
+      ("u", 2L) -> ((us("2024-01-01 10:50:00"), us("2024-01-01 10:50:00"),
+        0L, 1L))))
+    // a gap of EXACTLY the threshold stays one session (strict >)
+    val edge = run(Seq(
+      ("u", ts("2024-01-01 10:00:00")), ("u", ts("2024-01-01 10:30:00"))))
+    assert(edge.keySet === Set(("u", 1L)) && edge(("u", 1L))._4 === 2L)
+    // duplicate timestamps share a session; keys independent
+    val multi = run(Seq(
+      ("a", ts("2024-01-01 10:00:00")), ("a", ts("2024-01-01 10:00:00")),
+      ("b", ts("2024-01-01 23:00:00"))))
+    assert(multi(("a", 1L))._4 === 2L && multi(("b", 1L))._4 === 1L)
+    // partitioning-invariant on a pseudo-random stream
+    val rows = (1 to 400).map(i => (s"u${i % 7}",
+      ts(f"2024-01-01 ${(i * 3) % 24}%02d:${(i * 11) % 60}%02d:${(i * 7) % 60}%02d")))
+    val a = run(rows)
+    val b = Temporal.sessionize(rows.toDF("u", "ts").repartition(13),
+      "u", "ts", 1800L).collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    assert(b === a)
+  }
+
   test("kaplanMeier: hand product-limit curve; censoring reduces at-risk without a step; same-time censor counts at risk; all-censored group empty") {
     import spark.implicits._
     def run(rows: Seq[(String, Long, Boolean)]) =

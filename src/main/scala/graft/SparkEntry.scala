@@ -3131,6 +3131,18 @@ object SparkEntry {
     ops.Temporal.sessionize(events(dir).load(s).select("user_id", "ts"),
       "user_id", "ts", gapSeconds = 1800L)
 
+  /** Weekly user-value quintile mobility: do the same users stay in the
+    * top spend quintile week over week, or does the head churn?
+    */
+  private def rankMobilityQ(s: SparkSession, dir: String): DataFrame =
+    ops.Stats.rankMobility(
+      events(dir).load(s)
+        .filter(col("user_id").isNotNull && col("ts").isNotNull)
+        .select(col("user_id"), col("value"),
+          call_function("div", unix_micros(col("ts")),
+            lit(7L * 86400000000L)).as("week")),
+      "user_id", "week", "value", k = 5)
+
   /** Ordered 3-event behavior patterns per user with distinct-user
     * support — basket rules' sequential sibling over the event stream.
     */
@@ -3374,6 +3386,7 @@ object SparkEntry {
     "bipartite_project" -> (bipartiteProjectQ _),
     "ewma_chart" -> (ewmaChartQ _),
     "sessionize" -> (sessionizeQ _),
+    "rank_mobility" -> (rankMobilityQ _),
     "benford_audit" -> (benfordAuditQ _),
     "sequence_patterns" -> (sequencePatternsQ _),
     "autocorrelation" -> (autocorrelationQ _),
@@ -7982,6 +7995,37 @@ object SparkEntry {
           |  max(t) - min(t) AS duration_us,
           |  CAST(count(*) AS BIGINT) AS n_events
           |FROM s GROUP BY 1, 2""".stripMargin,
+      // mobility replay: per-(week, user) micro totals, the identical
+      // deterministic ntile under the (value, key-string) total order,
+      // lead-paired consecutive weeks, left-joined transitions (NULL
+      // bin_to = churned), integral row shares
+      "rank_mobility" ->
+        """WITH pk AS (
+          |  SELECT epoch_us(ts) // 604800000000 AS p,
+          |    CAST(user_id AS VARCHAR) AS k,
+          |    CAST(sum(CAST(floor(CAST(value AS DOUBLE) * 1000000)
+          |      AS BIGINT)) AS BIGINT) AS s
+          |  FROM events
+          |  WHERE user_id IS NOT NULL AND ts IS NOT NULL
+          |    AND value IS NOT NULL
+          |  GROUP BY 1, 2),
+          |bins AS (SELECT p, k,
+          |    CAST(ntile(5) OVER (PARTITION BY p ORDER BY s ASC, k ASC)
+          |      AS BIGINT) AS bin
+          |  FROM pk),
+          |pairs AS (SELECT p, lead(p) OVER (ORDER BY p) AS pn
+          |  FROM (SELECT DISTINCT p FROM bins)),
+          |tr AS (SELECT f.p AS period_from, pairs.pn AS period_to,
+          |    f.bin AS bin_from, t.bin AS bin_to,
+          |    CAST(count(*) AS BIGINT) AS n_keys
+          |  FROM bins f JOIN pairs ON pairs.p = f.p AND pairs.pn IS NOT NULL
+          |  LEFT JOIN bins t ON t.p = pairs.pn AND t.k = f.k
+          |  GROUP BY 1, 2, 3, 4)
+          |SELECT period_from, period_to, bin_from, bin_to, n_keys,
+          |  CAST(n_keys * 1000000 // sum(n_keys) OVER (
+          |    PARTITION BY period_from, period_to, bin_from) AS BIGINT)
+          |    AS share_ppm
+          |FROM tr""".stripMargin,
       // projection replay: the cap as a HAVING on left-membership counts
       // BEFORE the pair join — the drop-whole contract is replayed, not
       // approximated

@@ -1733,6 +1733,67 @@ object Stats {
           expr("(_top * 1000000) div _t").cast("long")).as("topk_share_ppm"))
   }
 
+  /** Rank-mobility transition matrix — the cohort question the static
+    * concentration panel ([[concentrationPanel]]) can't answer: do the
+    * same entities stay on top period over period, or does the head
+    * churn? Per period, each key's ⌊v·10⁶⌋ micro total ranks into k
+    * equi-depth bins ([[equiDepthBins]]' ntile discipline — deterministic
+    * under the (value, key) total order), and for every CONSECUTIVE
+    * period pair the matrix counts keys moving bin i → bin j, plus the
+    * row share `share_ppm = ⌊n·10⁶ / Σ_row n⌋`. A key absent from the
+    * next period reads `bin_to` NULL — the churned row, counted in its
+    * from-bin's denominator (disappearing IS a transition). Keys new in
+    * the later period have no from-bin and don't appear (they enter the
+    * NEXT pair's from side). All counts exact longs; NULL keys/periods/
+    * values drop.
+    *
+    * Shape at 100 TB: one corpus pass to (period, key) totals, ONE
+    * period-keyed exchange for the ntile windows (per-period entity
+    * cardinality — the [[concentrationPanel]] contract), the from→to
+    * self-join of the checkpointed bin table on (next-period, key), and
+    * two bounded-table attaches: the consecutive-period pairing is a
+    * lead window over the DISTINCT period table (period cardinality —
+    * the ≤255-row band-head precedent) and the row totals are a
+    * k·periods-row broadcast.
+    */
+  def rankMobility(
+      df: DataFrame,
+      keyCol: String,
+      periodCol: String,
+      valueCol: String,
+      k: Int): DataFrame = {
+    require(k >= 2, s"k must be >= 2, got $k")
+    import org.apache.spark.sql.expressions.Window
+    val perKey = df
+      .filter(col(keyCol).isNotNull && col(periodCol).isNotNull &&
+        col(valueCol).isNotNull)
+      .groupBy(col(periodCol).as("_p"), col(keyCol).cast("string").as("_k"))
+      .agg(sum(floor(col(valueCol).cast("double") * 1000000L).cast("long"))
+        .as("_s"))
+    val wBin = Window.partitionBy(col("_p"))
+      .orderBy(col("_s").asc, col("_k").asc)
+    val bins = perKey.withColumn("_bin", ntile(k).over(wBin).cast("long"))
+      .localCheckpoint(false) // feeds BOTH sides of the from→to join
+    val pairs = bins.select(col("_p")).distinct()
+      .withColumn("_pn", lead(col("_p"), 1).over(Window.orderBy(col("_p"))))
+      .filter(col("_pn").isNotNull)
+    val to = bins.select(col("_p").as("_pn"), col("_k"),
+      col("_bin").as("_bin_to"))
+    val tr = bins.join(broadcast(pairs), Seq("_p"))
+      .join(to, Seq("_pn", "_k"), "left")
+      .groupBy(col("_p").as("period_from"), col("_pn").as("period_to"),
+        col("_bin").as("bin_from"), col("_bin_to").as("bin_to"))
+      .agg(count(lit(1)).as("n_keys"))
+      .localCheckpoint(false) // feeds the row totals AND the share attach
+    val rowTot = tr.groupBy(col("period_from"), col("period_to"),
+      col("bin_from")).agg(sum(col("n_keys")).as("_rt"))
+    tr.join(broadcast(rowTot), Seq("period_from", "period_to", "bin_from"))
+      .select(col("period_from"), col("period_to"), col("bin_from"),
+        col("bin_to"), col("n_keys"),
+        expr("(CAST(n_keys AS DECIMAL(38,0)) * 1000000) div _rt")
+          .cast("long").as("share_ppm"))
+  }
+
   /** Exact per-group Pareto frontier (skyline) under maximize-both
     * dominance on two metrics — the classic Börzsönyi et al. (ICDE'01)
     * SKYLINE operator: a row survives iff NO other row in its group has

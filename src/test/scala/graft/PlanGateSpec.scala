@@ -521,6 +521,10 @@ class PlanGateSpec extends SparkTestBase {
     // agg ride it (hash partitioning on the key satisfies the grouped
     // clustering)
     "sessionize" -> 1,
+    // the k·periods-row total re-agg over the checkpointed transition
+    // table (inside its broadcast branch); the (period, key) totals,
+    // ntile window, and from→to join sit behind build-time checkpoints
+    "rank_mobility" -> 2,
     // the eval_auc discipline minus the rollup, plus the 1-row totals agg:
     // per-band agg (1), offsets prefix window over the ≤256-row band table
     // (1), per-band cumulative window (1), totals global agg (1) — no

@@ -2165,6 +2165,49 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(b === a)
   }
 
+  test("rankMobility: hand quintile transitions; churned keys read NULL bin_to inside the row share; new keys enter the next pair; invariant") {
+    import spark.implicits._
+    def run(rows: Seq[(String, Long, Double)], k: Int) =
+      Stats.rankMobility(rows.toDF("u", "p", "v"), "u", "p", "v", k)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          if (r.isNullAt(3)) -1L else r.getLong(3)) ->
+          ((r.getLong(4), r.getLong(5)))).toMap
+    // p1: a,b lower half; c,d upper. p2: b,c lower; a,e upper; d absent.
+    // a climbs 1->2, b stays 1, c drops 2->1, d churns (NULL bin_to,
+    // still in bin 2's denominator); new key e appears nowhere
+    val out = run(Seq(
+      ("a", 1L, 1.0), ("b", 1L, 2.0), ("c", 1L, 3.0), ("d", 1L, 4.0),
+      ("a", 2L, 4.0), ("b", 2L, 1.0), ("c", 2L, 2.0), ("e", 2L, 9.0)), 2)
+    assert(out === Map(
+      (1L, 2L, 1L, 1L) -> ((1L, 500000L)),
+      (1L, 2L, 1L, 2L) -> ((1L, 500000L)),
+      (1L, 2L, 2L, 1L) -> ((1L, 500000L)),
+      (1L, 2L, 2L, -1L) -> ((1L, 500000L))))
+    // ntile ties break on the key string: equal values order by key, so
+    // with k=2 over {a=5, b=5, c=5, d=5} the split is {a,b} | {c,d}
+    val tie = run(Seq(
+      ("a", 1L, 5.0), ("b", 1L, 5.0), ("c", 1L, 5.0), ("d", 1L, 5.0),
+      ("a", 2L, 5.0), ("b", 2L, 5.0), ("c", 2L, 5.0), ("d", 2L, 5.0)), 2)
+    assert(tie === Map(
+      (1L, 2L, 1L, 1L) -> ((2L, 1000000L)),
+      (1L, 2L, 2L, 2L) -> ((2L, 1000000L))))
+    // three periods pair consecutively: (1,2) and (2,3), never (1,3)
+    val tri = run(Seq(("a", 1L, 1.0), ("b", 1L, 2.0),
+      ("a", 2L, 1.0), ("b", 2L, 2.0), ("a", 3L, 2.0), ("b", 3L, 1.0)), 2)
+    assert(tri.keySet.map(t => (t._1, t._2)) === Set((1L, 2L), (2L, 3L)))
+    assert(tri((2L, 3L, 1L, 2L)) === ((1L, 1000000L)))
+    // partitioning-invariant
+    val rows = (1 to 300).map(i =>
+      (s"u${i % 23}", (i % 4).toLong, ((i * 7) % 50).toDouble / 4.0))
+    val a = run(rows, 5)
+    val b = Stats.rankMobility(rows.toDF("u", "p", "v").repartition(13),
+      "u", "p", "v", 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3)) ->
+        ((r.getLong(4), r.getLong(5)))).toMap
+    assert(b === a)
+  }
+
   test("kaplanMeier: hand product-limit curve; censoring reduces at-risk without a step; same-time censor counts at risk; all-censored group empty") {
     import spark.implicits._
     def run(rows: Seq[(String, Long, Boolean)]) =

@@ -3131,6 +3131,22 @@ object SparkEntry {
     ops.Temporal.sessionize(events(dir).load(s).select("user_id", "ts"),
       "user_id", "ts", gapSeconds = 1800L)
 
+  /** The streaming EWMA monitor's read path: daily per-type state
+    * partials (the incremental-store shape the exactly-once sink
+    * maintains) merged and folded — identical numbers to ewma_chart,
+    * state-table-sized work.
+    */
+  private def ewmaFromStateQ(s: SparkSession, dir: String): DataFrame = {
+    val ev = events(dir).load(s)
+      .filter(col("event_type").isNotNull && col("ts").isNotNull &&
+        col("value").isNotNull)
+      .withColumn("v_micro",
+        floor(col("value").cast("double") * 1000000L).cast("long"))
+    val state = ops.Incremental.dailyState(
+      ev, Seq("event_type"), "ts", "v_micro")
+    ops.Stats.ewmaFromDailyState(state, Seq("event_type"), 300000L)
+  }
+
   /** Weekly user-value quintile mobility: do the same users stay in the
     * top spend quintile week over week, or does the head churn?
     */
@@ -3160,6 +3176,15 @@ object SparkEntry {
       events(dir).load(s).select("event_type", "ts", "value"),
       "event_type", "ts", "value", bucketSeconds = 86400L,
       lags = Seq(1, 2, 3, 4, 5, 6, 7))
+
+  /** Lead/lag cross-correlation between every ordered event-type pair
+    * over daily value buckets — does signup volume lead purchase volume?
+    */
+  private def crossCorrelationQ(s: SparkSession, dir: String): DataFrame =
+    ops.Stats.crossCorrelation(
+      events(dir).load(s).select("event_type", "ts", "value"),
+      "event_type", "ts", "value", bucketSeconds = 86400L,
+      lags = Seq(0, 1, 2, 3))
 
   /** Exact DAU/WAU/MAU engagement panel over the events stream. */
   private def activeUsersQ(s: SparkSession, dir: String): DataFrame =
@@ -3387,6 +3412,8 @@ object SparkEntry {
     "ewma_chart" -> (ewmaChartQ _),
     "sessionize" -> (sessionizeQ _),
     "rank_mobility" -> (rankMobilityQ _),
+    "ewma_from_state" -> (ewmaFromStateQ _),
+    "cross_correlation" -> (crossCorrelationQ _),
     "benford_audit" -> (benfordAuditQ _),
     "sequence_patterns" -> (sequencePatternsQ _),
     "autocorrelation" -> (autocorrelationQ _),
@@ -7722,6 +7749,39 @@ object SparkEntry {
           |  CASE WHEN sxx * syy != 0
           |    THEN round(sxy / sqrt(sxx * syy), 6) END AS acf
           |FROM d""".stripMargin,
+      // cross-correlation replay: the autocorrelation chain with the
+      // b-side series decoupled from the a-side (bucket-keyed join,
+      // ordered pairs a != b, lag 0 included)
+      "cross_correlation" ->
+        """WITH base AS MATERIALIZED (
+          |  SELECT CAST(event_type AS VARCHAR) AS s,
+          |    epoch_us(ts) // 86400000000 AS b,
+          |    CAST(sum(CAST(floor(CAST(value AS DOUBLE) * 1000000)
+          |      AS BIGINT)) AS BIGINT) AS x
+          |  FROM events
+          |  WHERE event_type IS NOT NULL AND ts IS NOT NULL
+          |    AND value IS NOT NULL
+          |  GROUP BY 1, 2),
+          |p AS (SELECT a.s AS sa, c.s AS sb, l.lag,
+          |    CAST(a.x AS HUGEINT) AS xa, CAST(c.x AS HUGEINT) AS xc
+          |  FROM base a
+          |  CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS lag) l
+          |  JOIN base c ON c.b = a.b + l.lag AND c.s <> a.s),
+          |m AS (SELECT sa, sb, lag, count(*) AS n,
+          |    sum(xa) AS sa2, sum(xa * xa) AS saa,
+          |    sum(xc) AS sc, sum(xc * xc) AS scc,
+          |    sum(xa * xc) AS sac
+          |  FROM p GROUP BY 1, 2, 3),
+          |d AS (SELECT sa, sb, lag, n,
+          |    CAST(n * saa - sa2 * sa2 AS DOUBLE) AS sxx,
+          |    CAST(n * scc - sc * sc AS DOUBLE) AS syy,
+          |    CAST(n * sac - sa2 * sc AS DOUBLE) AS sxy
+          |  FROM m)
+          |SELECT sa AS series_a, sb AS series_b,
+          |  CAST(lag AS BIGINT) AS lag, n AS n_pairs,
+          |  CASE WHEN sxx * syy != 0
+          |    THEN round(sxy / sqrt(sxx * syy), 6) END AS ccf
+          |FROM d""".stripMargin,
       // Benford replay: integer-lane first digit (head of the decimal
       // string), dense 9-digit grid, integral shares, half-sum TVD
       "benford_audit" ->
@@ -7995,6 +8055,35 @@ object SparkEntry {
           |  max(t) - min(t) AS duration_us,
           |  CAST(count(*) AS BIGINT) AS n_events
           |FROM s GROUP BY 1, 2""".stripMargin,
+      // state-path EWMA replay: per-(type, day) partial sums (the
+      // incremental-store shape), then the IDENTICAL recurrence as
+      // ewma_chart keyed on the ISO day string
+      "ewma_from_state" ->
+        """WITH RECURSIVE b AS (
+          |  SELECT CAST(event_type AS VARCHAR) AS g,
+          |    CAST(CAST(ts AS DATE) AS VARCHAR) AS dt,
+          |    CAST(sum(CAST(floor(CAST(value AS DOUBLE) * 1000000)
+          |      AS BIGINT)) AS BIGINT) AS x
+          |  FROM events
+          |  WHERE event_type IS NOT NULL AND ts IS NOT NULL
+          |    AND value IS NOT NULL
+          |  GROUP BY 1, 2),
+          |st AS (SELECT g, dt, x, row_number() OVER (
+          |    PARTITION BY g ORDER BY dt) AS rn FROM b),
+          |ew AS (
+          |  SELECT g, dt, x, rn, CAST(x AS DOUBLE) AS s,
+          |    CAST(NULL AS DOUBLE) AS r
+          |  FROM st WHERE rn = 1
+          |  UNION ALL
+          |  SELECT o.g, o.dt, o.x, o.rn,
+          |    ew.s + (CAST(300000 AS DOUBLE) / 1000000.0) *
+          |      (CAST(o.x AS DOUBLE) - ew.s),
+          |    CAST(o.x AS DOUBLE) - ew.s
+          |  FROM ew JOIN st o ON o.g = ew.g AND o.rn = ew.rn + 1)
+          |SELECT g AS event_type, dt, x AS value_micro,
+          |  CAST(floor(s) AS BIGINT) AS ewma_micro,
+          |  CAST(floor(r) AS BIGINT) AS resid_micro
+          |FROM ew""".stripMargin,
       // mobility replay: per-(week, user) micro totals, the identical
       // deterministic ntile under the (value, key-string) total order,
       // lead-paired consecutive weeks, left-joined transitions (NULL

@@ -438,6 +438,74 @@ object Stats {
           .otherwise(round(sxy / sqrt(sxx * syy), 6)).as("acf"))
   }
 
+  /** Lagged cross-correlation between every ordered pair of series — the
+    * two-series sibling of [[autocorrelation]] (which answers "does this
+    * series repeat itself"; this answers the LEAD/LAG question between
+    * metrics: does signup volume lead purchase volume by k days?): per
+    * (series_a, series_b, lag), Pearson of a's bucket value at t against
+    * b's at t+lag over the buckets where BOTH exist (`n_pairs` rides
+    * along so sparse estimates are visibly sparse). a≠b ordered pairs —
+    * (a,b,k) reads "a leads b by k"; the reverse direction is its own
+    * row. Lag 0 is the contemporaneous correlation. The
+    * [[correlations]] discipline: the ⌊v·10⁶⌋ micro-unit bucket lane,
+    * six DECIMAL(38,0) moment sums, ONE correctly-rounded IEEE step per
+    * output row (round 6), NULL on zero variance.
+    *
+    * Shape at 100 TB: one corpus pass to the (series, bucket) sums
+    * (checkpointed — both join sides read it), the in-row lag explode,
+    * one bucket-keyed join (series count is a DIMENSION, so per-bucket
+    * fan-out is G², never data×data), one moment aggregation over
+    * G²·lags keys.
+    */
+  def crossCorrelation(
+      df: DataFrame,
+      seriesCol: String,
+      tsCol: String,
+      valueCol: String,
+      bucketSeconds: Long,
+      lags: Seq[Int]): DataFrame = {
+    require(bucketSeconds > 0, "bucketSeconds must be positive")
+    require(lags.nonEmpty && lags.forall(_ >= 0), "lags must be >= 0")
+    val usPerBucket = bucketSeconds * 1000000L
+    val base = df
+      .filter(col(seriesCol).isNotNull && col(tsCol).isNotNull &&
+        col(valueCol).isNotNull)
+      .groupBy(col(seriesCol).cast("string").as("_s"),
+        call_function("div", unix_micros(col(tsCol)), lit(usPerBucket))
+          .as("_b"))
+      .agg(sum(floor(col(valueCol).cast("double") * 1000000L).cast("long"))
+        .as("_x"))
+      .localCheckpoint(false)
+    val dec = "decimal(38,0)"
+    val probe = base
+      .withColumn("_lag", explode(typedLit(lags.map(_.toLong))))
+      .select(col("_s").as("_sa"), (col("_b") + col("_lag")).as("_b"),
+        col("_lag"), col("_x").as("_xa"))
+    val pairs = probe
+      .join(base.select(col("_s").as("_sb"), col("_b"), col("_x")), Seq("_b"))
+      .filter(col("_sa") =!= col("_sb"))
+      .select(col("_sa"), col("_sb"), col("_lag"),
+        col("_xa").cast(dec).as("_a"), col("_x").cast(dec).as("_c2"))
+    val n = col("_n").cast(dec)
+    val sxx = (n * col("_saa") - col("_sa2") * col("_sa2")).cast("double")
+    val syy = (n * col("_scc") - col("_sc") * col("_sc")).cast("double")
+    val sxy = (n * col("_sac") - col("_sa2") * col("_sc")).cast("double")
+    pairs
+      .groupBy(col("_sa"), col("_sb"), col("_lag"))
+      .agg(
+        count(lit(1)).as("_n"),
+        sum(col("_a")).as("_sa2"), sum(col("_a") * col("_a")).as("_saa"),
+        sum(col("_c2")).as("_sc"), sum(col("_c2") * col("_c2")).as("_scc"),
+        sum(col("_a") * col("_c2")).as("_sac"))
+      .select(
+        col("_sa").as("series_a"),
+        col("_sb").as("series_b"),
+        col("_lag").as("lag"),
+        col("_n").as("n_pairs"),
+        when(sxx * syy === 0.0, lit(null).cast("double"))
+          .otherwise(round(sxy / sqrt(sxx * syy), 6)).as("ccf"))
+  }
+
   /** Benford's-law first-digit audit — the fraud/data-quality screen audit
     * tooling ships (naturally-arising multiplicative quantities follow
     * P(d) = log10(1 + 1/d); fabricated or capped numbers don't): per
@@ -1375,6 +1443,34 @@ object Stats {
     * (map-side partials), ONE group-keyed exchange for the collect, the
     * fold and re-explode in-row.
     */
+  /** The shared EWMA left fold over a sorted `_steps` array of
+    * `(_b, _x)` structs — the first element seeds s = x with a NULL
+    * residual; alpha divides from its ppm integer IN-PLAN so the oracle's
+    * recursive CTE performs the identical IEEE ops. Consumed by
+    * [[ewmaChart]] (live bucketed corpus) and [[ewmaFromDailyState]]
+    * (the persisted incremental-state read path).
+    */
+  private def ewmaFoldSql(alphaPpm: Long): String =
+    s"""aggregate(
+       |  _steps,
+       |  struct(false AS init, CAST(0.0 AS DOUBLE) AS s,
+       |    CAST(array() AS ARRAY<STRUCT<b: BIGINT, x: BIGINT,
+       |      s: DOUBLE, r: DOUBLE>>) AS out),
+       |  (acc, e) -> struct(
+       |    true AS init,
+       |    CASE WHEN acc.init THEN acc.s +
+       |        (CAST($alphaPpm AS DOUBLE) / 1000000.0D) *
+       |        (CAST(e._x AS DOUBLE) - acc.s)
+       |      ELSE CAST(e._x AS DOUBLE) END AS s,
+       |    array_append(acc.out, struct(e._b AS b, e._x AS x,
+       |      CASE WHEN acc.init THEN acc.s +
+       |          (CAST($alphaPpm AS DOUBLE) / 1000000.0D) *
+       |          (CAST(e._x AS DOUBLE) - acc.s)
+       |        ELSE CAST(e._x AS DOUBLE) END AS s,
+       |      CASE WHEN acc.init
+       |        THEN CAST(e._x AS DOUBLE) - acc.s END AS r)) AS out),
+       |  acc -> acc.out)""".stripMargin
+
   def ewmaChart(
       df: DataFrame,
       groupCol: String,
@@ -1398,29 +1494,7 @@ object Stats {
       .groupBy(col("_g"))
       .agg(array_sort(collect_list(struct(col("_b"), col("_x"))))
         .as("_steps"))
-      .select(col("_g"), explode(expr(
-        // left fold in bucket order; the first bucket seeds s = x with a
-        // NULL residual; alpha divides from its ppm integer IN-PLAN so
-        // the oracle's recursive CTE performs the identical IEEE ops
-        s"""aggregate(
-           |  _steps,
-           |  struct(false AS init, CAST(0.0 AS DOUBLE) AS s,
-           |    CAST(array() AS ARRAY<STRUCT<b: BIGINT, x: BIGINT,
-           |      s: DOUBLE, r: DOUBLE>>) AS out),
-           |  (acc, e) -> struct(
-           |    true AS init,
-           |    CASE WHEN acc.init THEN acc.s +
-           |        (CAST($alphaPpm AS DOUBLE) / 1000000.0D) *
-           |        (CAST(e._x AS DOUBLE) - acc.s)
-           |      ELSE CAST(e._x AS DOUBLE) END AS s,
-           |    array_append(acc.out, struct(e._b AS b, e._x AS x,
-           |      CASE WHEN acc.init THEN acc.s +
-           |          (CAST($alphaPpm AS DOUBLE) / 1000000.0D) *
-           |          (CAST(e._x AS DOUBLE) - acc.s)
-           |        ELSE CAST(e._x AS DOUBLE) END AS s,
-           |      CASE WHEN acc.init
-           |        THEN CAST(e._x AS DOUBLE) - acc.s END AS r)) AS out),
-           |  acc -> acc.out)""".stripMargin)).as("_r"))
+      .select(col("_g"), explode(expr(ewmaFoldSql(alphaPpm))).as("_r"))
       .select(
         col("_g").as(groupCol),
         timestamp_micros(col("_r.b") * usPerBucket).as("bucket"),
@@ -1431,6 +1505,51 @@ object Stats {
         // disagree there — floor of identical doubles never does
         floor(col("_r.s")).cast("long").as("ewma_micro"),
         floor(col("_r.r")).cast("long").as("resid_micro"))
+  }
+
+  /** The STREAMING EWMA monitor's read side: [[ewmaChart]]'s identical
+    * recurrence over a persisted incremental daily-state store
+    * ([[Incremental.dailyState]] / the exactly-once
+    * [[Incremental.stateUpsertBatch]] streaming sink) instead of the raw
+    * corpus — per-batch partials merge to per-(key, day) exact sums
+    * (the store's integer-valued contract), then the same ordered fold.
+    * THIS is the 100 TB monitoring shape: the stream maintains
+    * kilobyte-scale daily partials with generational-commit durability,
+    * and the chart recomputes from days × keys state rows — the raw
+    * event history is never rescanned, and the monitor's cost follows
+    * the state table, not the stream.
+    *
+    * Determinism: identical to [[ewmaChart]] (same fold, same floors);
+    * folding the store equals charting the raw rows day-bucketed —
+    * per-day sums are associative exactly because the store's value lane
+    * is integral (spec-pinned). Output per (keys, dt): `value_micro`,
+    * `ewma_micro`, `resid_micro` (NULL first day per key).
+    */
+  def ewmaFromDailyState(
+      state: DataFrame,
+      keys: Seq[String],
+      alphaPpm: Long = 300000L): DataFrame = {
+    require(keys.nonEmpty, "need at least one key column")
+    require(alphaPpm >= 1 && alphaPpm <= 1000000L,
+      s"alphaPpm must be in [1, 1000000], got $alphaPpm")
+    val kc = keys.map(col)
+    val merged = state
+      .groupBy(kc :+ col("dt"): _*)
+      .agg(sum(col("sum_value")).as("_x"))
+      .withColumn("_b",
+        datediff(col("dt").cast("date"), to_date(lit("1970-01-01")))
+          .cast("long"))
+    merged
+      .groupBy(kc: _*)
+      .agg(array_sort(collect_list(struct(col("_b"), col("_x"))))
+        .as("_steps"))
+      .select(kc :+ explode(expr(ewmaFoldSql(alphaPpm))).as("_r"): _*)
+      .select(kc ++ Seq(
+        date_add(to_date(lit("1970-01-01")), col("_r.b").cast("int"))
+          .cast("string").as("dt"),
+        col("_r.x").as("value_micro"),
+        floor(col("_r.s")).cast("long").as("ewma_micro"),
+        floor(col("_r.r")).cast("long").as("resid_micro")): _*)
   }
 
   /** Seasonality-normalized anomaly panel — the drift family's PERIODIC

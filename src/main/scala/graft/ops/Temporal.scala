@@ -1146,10 +1146,14 @@ object Temporal {
           .cast("long").as("stickiness_ppm"))
   }
 
-  /** Batch gap-based sessionization panel — the batch counterpart to the
-    * streaming sessionizer ([[graft.streaming.EventStream]]'s
-    * session windows) and the aggregation [[activityGaps]] stops short
-    * of: activity gaps REPORT the silences, this op CUTS on them — a new
+  /** Batch gap-based sessionization panel. Two siblings exist by design:
+    * [[graft.streaming.EventStream.sessionizeBatch]] is the GraftEvent-
+    * shaped streaming-parity twin (same gap cut, emits timestamps + an
+    * IEEE value sum so its session SET compares against the live path);
+    * THIS is the generic-schema panel form — any key/timestamp columns,
+    * a 1-based session index, and an all-exact-integer panel with no
+    * float column. It is also the CUT [[activityGaps]] stops short of:
+    * activity gaps REPORT the silences, this op CUTS on them — a new
     * session starts wherever the key's gap to the previous event exceeds
     * `gapSeconds` — and returns one panel row per session: 1-based
     * `session_index` in time order, `session_start_us` / `session_end_us`

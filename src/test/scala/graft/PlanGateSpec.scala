@@ -525,6 +525,13 @@ class PlanGateSpec extends SparkTestBase {
     // table (inside its broadcast branch); the (period, key) totals,
     // ntile window, and from→to join sit behind build-time checkpoints
     "rank_mobility" -> 2,
+    // the raw->daily-state agg + the per-day partial merge + the
+    // group-keyed fold collect; recurrence/re-explode in-row
+    "ewma_from_state" -> 3,
+    // the pair moment agg; the in-row lag explode rides the checkpointed
+    // bucket table and the bucket-keyed join broadcasts at gate SF (at
+    // scale it re-keys both sides — the budget leaves that headroom)
+    "cross_correlation" -> 3,
     // the eval_auc discipline minus the rollup, plus the 1-row totals agg:
     // per-band agg (1), offsets prefix window over the ≤256-row band table
     // (1), per-band cumulative window (1), totals global agg (1) — no

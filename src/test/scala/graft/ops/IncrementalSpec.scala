@@ -132,6 +132,43 @@ class IncrementalSpec extends SparkTestBase {
     assert(merged(1L) === ((5L, 166L, 1L, 100L)))
   }
 
+  test("ewmaFromDailyState: folding streamed state partials == ewmaChart over the raw rows day-bucketed (the stream==batch contract)") {
+    val path =
+      java.nio.file.Files.createTempDirectory("graft-ewma").toString + "/state"
+    val rows = (1 to 120).map(i => (s"g${i % 3}",
+      ts(f"2024-01-${1 + i % 9}%02d ${(i * 5) % 24}%02d:00:00"),
+      ((i * 7) % 50).toDouble / 4.0)).toDF("g", "ts", "v")
+      .withColumn("v_micro",
+        floor(col("v").cast("double") * 1000000L).cast("long"))
+    // two micro-batches through the exactly-once sink worker, split
+    // mid-day so per-day sums must merge across batch partials
+    val (b1, b2) = (rows.filter(col("v_micro") % 2 === 0),
+      rows.filter(col("v_micro") % 2 =!= 0))
+    Incremental.stateUpsertBatch(b1, path, Seq("g"), "ts", "v_micro", 0L)
+    Incremental.stateUpsertBatch(b2, path, Seq("g"), "ts", "v_micro", 1L)
+    val got = Stats.ewmaFromDailyState(
+      spark.read.parquet(path), Seq("g"), 300000L).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3),
+          if (r.isNullAt(4)) Long.MinValue else r.getLong(4)))).toMap
+    // the live chart over the same raw rows at daily buckets
+    val want = Stats.ewmaChart(rows, "g", "ts", "v", 86400L, 300000L)
+      .collect().map(r => (r.getString(0),
+        r.getTimestamp(1).toInstant.toString.take(10)) ->
+        ((r.getLong(2), r.getLong(3),
+          if (r.isNullAt(4)) Long.MinValue else r.getLong(4)))).toMap
+    assert(got === want)
+    assert(got.nonEmpty)
+    // a replayed batch changes nothing (partition identity)
+    Incremental.stateUpsertBatch(b2, path, Seq("g"), "ts", "v_micro", 1L)
+    val replay = Stats.ewmaFromDailyState(
+      spark.read.parquet(path), Seq("g"), 300000L).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3),
+          if (r.isNullAt(4)) Long.MinValue else r.getLong(4)))).toMap
+    assert(replay === got)
+  }
+
   test("empty input and empty range degrade to empty frames") {
     val state = Incremental.dailyState(ev.limit(0), Seq("user_id"), "ts", "v")
     assert(state.count() === 0L)

@@ -2165,6 +2165,47 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(b === a)
   }
 
+  test("crossCorrelation: hand lead/lag pairs read exactly -1; single-pair reads NULL (zero variance); lag 0 symmetric; ordered pairs distinct; invariant") {
+    import spark.implicits._
+    def run(rows: Seq[(String, Timestamp, Double)], lags: Seq[Int]) =
+      Stats.crossCorrelation(rows.toDF("s", "ts", "v"), "s", "ts", "v",
+        bucketSeconds = 60L, lags = lags).collect()
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2)) ->
+          ((r.getLong(3),
+            if (r.isNullAt(4)) None else Some(r.getDouble(4))))).toMap
+    // a rises 1,2,3 over minutes 1-3; b = 10 - a(t-1) over minutes 2-4:
+    // (a,b,1) pairs (1,9),(2,8),(3,7) -> exactly -1 over 3 pairs;
+    // (a,b,0) shares minutes 2,3 -> (2,9),(3,8) -> -1 over 2;
+    // (b,a,1) has the single pair (9@m2, 3@m3) -> zero variance, NULL
+    val rows = Seq(
+      ("a", ts("2024-01-01 00:01:00"), 1.0),
+      ("a", ts("2024-01-01 00:02:00"), 2.0),
+      ("a", ts("2024-01-01 00:03:00"), 3.0),
+      ("b", ts("2024-01-01 00:02:00"), 9.0),
+      ("b", ts("2024-01-01 00:03:00"), 8.0),
+      ("b", ts("2024-01-01 00:04:00"), 7.0))
+    val out = run(rows, Seq(0, 1))
+    assert(out(("a", "b", 1L)) === ((3L, Some(-1.0))))
+    assert(out(("a", "b", 0L)) === ((2L, Some(-1.0))))
+    assert(out(("b", "a", 1L)) === ((1L, None)))
+    // lag 0 is the same pair set from both sides
+    assert(out(("b", "a", 0L)) === out(("a", "b", 0L)))
+    // no self rows
+    assert(!out.keySet.exists(k => k._1 == k._2))
+    // partitioning-invariant on a three-series fixture
+    val rnd = (1 to 300).map(i => (s"s${i % 3}",
+      ts(f"2024-01-0${1 + i % 9} ${(i * 5) % 24}%02d:00:00"),
+      ((i * 7) % 50).toDouble / 4.0))
+    val x = run(rnd, Seq(0, 1, 2))
+    val y = Stats.crossCorrelation(
+      rnd.toDF("s", "ts", "v").repartition(13), "s", "ts", "v", 60L,
+      Seq(0, 1, 2)).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)) ->
+        ((r.getLong(3),
+          if (r.isNullAt(4)) None else Some(r.getDouble(4))))).toMap
+    assert(y === x)
+  }
+
   test("rankMobility: hand quintile transitions; churned keys read NULL bin_to inside the row share; new keys enter the next pair; invariant") {
     import spark.implicits._
     def run(rows: Seq[(String, Long, Double)], k: Int) =

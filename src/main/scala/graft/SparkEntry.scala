@@ -2355,6 +2355,14 @@ object SparkEntry {
   private def cohortRetentionQuery(s: SparkSession, dir: String): DataFrame =
     ops.Temporal.cohortRetention(events(dir).load(s), "user_id", "ts")
 
+  /** Weekly-cohort LTV curve over the event stream — what each entry
+    * cohort has been worth by week w, per member.
+    */
+  private def cohortLtvQuery(s: SparkSession, dir: String): DataFrame =
+    ops.Temporal.cohortLtv(
+      events(dir).load(s).select("user_id", "ts", "value"),
+      "user_id", "ts", "value")
+
   /** First-order event transition matrix with ppm row probabilities —
     * [[ops.Temporal.transitionMatrix]] over the (ts, event_id) total order.
     */
@@ -3375,6 +3383,7 @@ object SparkEntry {
     "q1_rollup" -> (q1Rollup _),
     "q5_local_supplier" -> (q5LocalSupplier _),
     "cohort_retention" -> (cohortRetentionQuery _),
+    "cohort_ltv" -> (cohortLtvQuery _),
     "table_profile" -> (tableProfile _),
     "corpus_report" -> (corpusReportQ _),
     "tokenize_ids" -> (tokenizeIds _),
@@ -7599,6 +7608,33 @@ object SparkEntry {
           |  CAST(count(DISTINCT w.user_id) AS BIGINT) AS n_users
           |FROM w JOIN f USING (user_id)
           |GROUP BY 1, 2""".stripMargin,
+      // LTV replay: first-week cohorts, (cohort, age) distinct-active +
+      // micro sums, the running cumulative, age-0 sizes, integral
+      // per-member division (non-negative value lane)
+      "cohort_ltv" ->
+        """WITH e AS (SELECT user_id,
+          |    epoch_us(date_trunc('week', ts)) AS w,
+          |    CAST(floor(CAST(value AS DOUBLE) * 1000000) AS BIGINT) AS x
+          |  FROM events
+          |  WHERE user_id IS NOT NULL AND ts IS NOT NULL
+          |    AND value IS NOT NULL),
+          |f AS (SELECT user_id, min(w) AS cw FROM e GROUP BY 1),
+          |a AS (SELECT f.cw, (e.w - f.cw) // 604800000000 AS age,
+          |    CAST(count(DISTINCT e.user_id) AS BIGINT) AS n_active,
+          |    CAST(sum(e.x) AS BIGINT) AS value_micro
+          |  FROM e JOIN f USING (user_id) GROUP BY 1, 2),
+          |c AS (SELECT cw, age, n_active, value_micro,
+          |    CAST(sum(value_micro) OVER (PARTITION BY cw ORDER BY age
+          |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+          |      AS BIGINT) AS cum_value_micro
+          |  FROM a),
+          |sz AS (SELECT cw, n_active AS size FROM a WHERE age = 0)
+          |SELECT c.cw AS cohort_week_us, c.age AS weeks_since,
+          |  c.n_active, sz.size AS cohort_size, c.value_micro,
+          |  c.cum_value_micro,
+          |  CAST(CAST(c.cum_value_micro AS HUGEINT) // sz.size AS BIGINT)
+          |    AS cum_per_user_micro
+          |FROM c JOIN sz USING (cw)""".stripMargin,
       "tokenize_ids" ->
         s"""WITH $toksCte,
            |$vocabCtes,

@@ -960,6 +960,64 @@ object Temporal {
       .agg(count_distinct(col(keyCol)).as("n_users"))
   }
 
+  /** Cohort LTV curve — [[cohortRetention]]'s VALUE companion: retention
+    * counts who comes back; this accumulates what each weekly entry
+    * cohort has been worth by week w — the lifetime-value curve growth
+    * analytics reads payback periods off. Per (cohort week, weeks since):
+    * `n_active` (distinct keys active that week), `cohort_size` (the
+    * age-0 active count — every member's first event lands there by
+    * construction), the week's `value_micro` (⌊v·10⁶⌋ exact sums,
+    * non-negative contract — the Lorenz/LTV lane), the running
+    * `cum_value_micro`, and `cum_per_user_micro = cum div size` (the
+    * per-member LTV the payback question needs). Cohort weeks follow
+    * [[cohortRetention]]'s calendar discipline: `date_trunc week` +
+    * `datediff/7` — exact in any session zone where an epoch division
+    * misassigns DST weeks.
+    *
+    * Shape at 100 TB: one key-keyed exchange for the first-week window,
+    * one (cohort, age) aggregation (count_distinct expands once), the
+    * cumulative window rides cohort×age cardinality (weeks, not the
+    * corpus — checkpointed, since the age-0 sizes read it too), sizes
+    * attach as a cohort-count broadcast.
+    */
+  def cohortLtv(
+      df: DataFrame,
+      keyCol: String,
+      tsCol: String,
+      valueCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = df
+      .filter(col(keyCol).isNotNull && col(tsCol).isNotNull &&
+        col(valueCol).isNotNull)
+      .select(col(keyCol).as("_k"),
+        date_trunc("week", col(tsCol)).as("_w"),
+        floor(col(valueCol).cast("double") * 1000000L).cast("long").as("_x"))
+      .withColumn("_cw", min(col("_w")).over(Window.partitionBy(col("_k"))))
+      .withColumn("_age",
+        floor(datediff(to_date(col("_w")), to_date(col("_cw"))) / 7)
+          .cast("long"))
+    val agg = base.groupBy(col("_cw"), col("_age"))
+      .agg(count_distinct(col("_k")).as("n_active"),
+        sum(col("_x")).as("value_micro"))
+      .localCheckpoint(false) // feeds the cum window AND the age-0 sizes
+    val sizes = agg.filter(col("_age") === 0)
+      .select(col("_cw"), col("n_active").as("_size"))
+    agg
+      .withColumn("cum_value_micro", sum(col("value_micro")).over(
+        Window.partitionBy(col("_cw")).orderBy(col("_age"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .join(broadcast(sizes), Seq("_cw"))
+      .select(
+        unix_micros(col("_cw")).as("cohort_week_us"),
+        col("_age").as("weeks_since"),
+        col("n_active"),
+        col("_size").as("cohort_size"),
+        col("value_micro"),
+        col("cum_value_micro"),
+        expr("CAST(cum_value_micro AS DECIMAL(38,0)) div _size")
+          .cast("long").as("cum_per_user_micro"))
+  }
+
   /** Attribution join: for every `left` row, count and sum the `right` rows
     * with the same keys whose timestamp falls in the half-open window
     * `[left_ts - lookbackSeconds, left_ts)` — strictly before the probe row,

@@ -532,6 +532,10 @@ class PlanGateSpec extends SparkTestBase {
     // bucket table and the bucket-keyed join broadcasts at gate SF (at
     // scale it re-keys both sides — the budget leaves that headroom)
     "cross_correlation" -> 3,
+    // the cohort-keyed cumulative window over the checkpointed (cohort,
+    // age) panel; the first-week window and the distinct-active agg sit
+    // behind the checkpoint, sizes attach as a cohort-count broadcast
+    "cohort_ltv" -> 2,
     // the eval_auc discipline minus the rollup, plus the 1-row totals agg:
     // per-band agg (1), offsets prefix window over the ≤256-row band table
     // (1), per-band cumulative window (1), totals global agg (1) — no

@@ -2165,6 +2165,43 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(b === a)
   }
 
+  test("cohortLtv: hand weekly curve; cohort_size is the age-0 active count; cumulative and per-member values exact; invariant") {
+    import spark.implicits._
+    def run(rows: Seq[(String, Timestamp, Double)]) =
+      Temporal.cohortLtv(rows.toDF("u", "ts", "v"), "u", "ts", "v")
+        .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+          ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5),
+            r.getLong(6)))).toMap
+    // Mondays: W0=2024-01-01, W1=2024-01-08. u1,u2 enter W0; u3 enters W1
+    val rows = Seq(
+      ("u1", ts("2024-01-01 10:00:00"), 1.0),
+      ("u1", ts("2024-01-09 10:00:00"), 2.0),
+      ("u2", ts("2024-01-03 10:00:00"), 3.0),
+      ("u3", ts("2024-01-08 10:00:00"), 4.0),
+      ("u3", ts("2024-01-16 10:00:00"), 0.5))
+    val w0 = ts("2024-01-01 00:00:00").getTime * 1000L
+    val w1 = ts("2024-01-08 00:00:00").getTime * 1000L
+    val out = run(rows)
+    // W0 cohort: size 2; age 0 worth 4M cum 4M -> 2M each; age 1 only u1
+    // active, +2M -> cum 6M -> 3M per MEMBER (not per active)
+    assert(out((w0, 0L)) === ((2L, 2L, 4000000L, 4000000L, 2000000L)))
+    assert(out((w0, 1L)) === ((1L, 2L, 2000000L, 6000000L, 3000000L)))
+    // W1 cohort of one: micro floor keeps the 0.5 exact
+    assert(out((w1, 0L)) === ((1L, 1L, 4000000L, 4000000L, 4000000L)))
+    assert(out((w1, 1L)) === ((1L, 1L, 500000L, 4500000L, 4500000L)))
+    assert(out.size === 4)
+    // partitioning-invariant
+    val rnd = (1 to 300).map(i => (s"u${i % 17}",
+      ts(f"2024-01-${1 + (i * 3) % 28}%02d 12:00:00"),
+      ((i * 7) % 50).toDouble / 4.0))
+    val a = run(rnd)
+    val b = Temporal.cohortLtv(rnd.toDF("u", "ts", "v").repartition(13),
+      "u", "ts", "v").collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5),
+          r.getLong(6)))).toMap
+    assert(b === a)
+  }
+
   test("crossCorrelation: hand lead/lag pairs read exactly -1; single-pair reads NULL (zero variance); lag 0 symmetric; ordered pairs distinct; invariant") {
     import spark.implicits._
     def run(rows: Seq[(String, Timestamp, Double)], lags: Seq[Int]) =

@@ -2355,6 +2355,14 @@ object SparkEntry {
   private def cohortRetentionQuery(s: SparkSession, dir: String): DataFrame =
     ops.Temporal.cohortRetention(events(dir).load(s), "user_id", "ts")
 
+  /** Exact pairwise source-vocabulary overlap matrix over documents —
+    * the brute-force ground truth next to the KMV sketch path.
+    */
+  private def vocabOverlapQ(s: SparkSession, dir: String): DataFrame =
+    ops.TextAnalysis.vocabOverlap(
+      s.read.parquet(s"$dir/documents.parquet").select("source", "text"),
+      "source", "text")
+
   /** Weekly-cohort LTV curve over the event stream — what each entry
     * cohort has been worth by week w, per member.
     */
@@ -3384,6 +3392,7 @@ object SparkEntry {
     "q5_local_supplier" -> (q5LocalSupplier _),
     "cohort_retention" -> (cohortRetentionQuery _),
     "cohort_ltv" -> (cohortLtvQuery _),
+    "vocab_overlap" -> (vocabOverlapQ _),
     "table_profile" -> (tableProfile _),
     "corpus_report" -> (corpusReportQ _),
     "tokenize_ids" -> (tokenizeIds _),
@@ -7608,6 +7617,33 @@ object SparkEntry {
           |  CAST(count(DISTINCT w.user_id) AS BIGINT) AS n_users
           |FROM w JOIN f USING (user_id)
           |GROUP BY 1, 2""".stripMargin,
+      // overlap replay: distinct (source, token) membership, token-keyed
+      // pair intersections, dense a<b grid with zero-fill, integral
+      // jaccard + both containments
+      "vocab_overlap" ->
+        """WITH vt AS (SELECT DISTINCT source AS g, t FROM (
+          |  SELECT source, unnest(list_filter(
+          |    string_split_regex(lower(trim(text)), '\s+'),
+          |    x -> len(x) > 0)) AS t
+          |  FROM documents
+          |  WHERE source IS NOT NULL AND text IS NOT NULL)),
+          |sz AS (SELECT g, CAST(count(*) AS BIGINT) AS n FROM vt GROUP BY 1),
+          |cm AS (SELECT a.g AS ga, b.g AS gb, CAST(count(*) AS BIGINT) AS c
+          |  FROM vt a JOIN vt b ON a.t = b.t AND a.g < b.g GROUP BY 1, 2),
+          |grid AS (SELECT a.g AS ga, b.g AS gb, a.n AS n_a, b.n AS n_b
+          |  FROM sz a JOIN sz b ON a.g < b.g)
+          |SELECT grid.ga AS group_a, grid.gb AS group_b,
+          |  grid.n_a, grid.n_b,
+          |  coalesce(cm.c, 0) AS n_common,
+          |  grid.n_a + grid.n_b - coalesce(cm.c, 0) AS n_union,
+          |  CAST(CAST(coalesce(cm.c, 0) AS HUGEINT) * 1000000
+          |    // (grid.n_a + grid.n_b - coalesce(cm.c, 0)) AS BIGINT)
+          |    AS jaccard_ppm,
+          |  CAST(CAST(coalesce(cm.c, 0) AS HUGEINT) * 1000000 // grid.n_a
+          |    AS BIGINT) AS containment_a_ppm,
+          |  CAST(CAST(coalesce(cm.c, 0) AS HUGEINT) * 1000000 // grid.n_b
+          |    AS BIGINT) AS containment_b_ppm
+          |FROM grid LEFT JOIN cm ON cm.ga = grid.ga AND cm.gb = grid.gb""".stripMargin,
       // LTV replay: first-week cohorts, (cohort, age) distinct-active +
       // micro sums, the running cumulative, age-0 sizes, integral
       // per-member division (non-negative value lane)

@@ -969,6 +969,62 @@ object TextAnalysis {
     * caller fixed, not the data. The corpus-total denominator rides a 1-row
     * broadcast.
     */
+  /** Exact pairwise vocabulary-overlap matrix between groups — the
+    * brute-force twin of the KMV overlap matrix ([[graft.ops.Sketch
+    * .kmvPairwise]]): KMV answers the same question from
+    * kilobyte sketches with bounded error (the 100 TB default); THIS is
+    * the exact ground truth at distinct-vocabulary cost, the same
+    * exact-vs-sketch pairing as knn_brute vs the ANN paths. Per group
+    * pair (a < b, DENSE — disjoint pairs read 0, absence is the
+    * finding): `n_a`/`n_b` (distinct-token vocabulary sizes),
+    * `n_common`, `n_union = n_a + n_b − n_common`, `jaccard_ppm`, and
+    * both containments (`⌊common·10⁶/n_a⌋`, `/n_b`) — containment is
+    * what "is corpus B just a subset of A" actually asks, and Jaccard
+    * alone hides it. All exact longs + integral divisions. Tokens are
+    * the engine-standard lowercased whitespace tokens.
+    *
+    * Shape at 100 TB: one corpus pass to the DISTINCT (group, token)
+    * membership (checkpointed — the sizes agg and both pair-join sides
+    * read it), the intersection counts cluster on the token key with
+    * per-token fan-out ≤ C(G,2) — G is a DIMENSION (sources, snapshots),
+    * so total pair work is ≤ V·G²/2, the ksTest grid contract, never
+    * corpus × corpus; sizes attach as G-row broadcasts and the dense
+    * grid is the sanctioned dimension-sized broadcast cross.
+    */
+  def vocabOverlap(
+      df: DataFrame,
+      groupCol: String,
+      textCol: String): DataFrame = {
+    val vt = df
+      .filter(col(groupCol).isNotNull && col(textCol).isNotNull)
+      .select(col(groupCol).cast("string").as("_g"),
+        explode(tokens(col(textCol))).as("_t"))
+      .distinct()
+      .localCheckpoint(false) // feeds sizes AND both pair-join sides
+    val sizes = vt.groupBy(col("_g")).agg(count(lit(1)).as("_n"))
+    val common = vt
+      .join(vt.select(col("_g").as("_g2"), col("_t")), Seq("_t"))
+      .filter(col("_g") < col("_g2"))
+      .groupBy(col("_g"), col("_g2")).agg(count(lit(1)).as("n_common"))
+    val grid = sizes.select(col("_g"), col("_n").as("n_a"))
+      .crossJoin(broadcast(sizes.select(col("_g").as("_g2"),
+        col("_n").as("n_b"))))
+      .filter(col("_g") < col("_g2"))
+    grid
+      .join(common, Seq("_g", "_g2"), "left")
+      .withColumn("n_common", coalesce(col("n_common"), lit(0L)))
+      .withColumn("n_union", col("n_a") + col("n_b") - col("n_common"))
+      .select(
+        col("_g").as("group_a"), col("_g2").as("group_b"),
+        col("n_a"), col("n_b"), col("n_common"), col("n_union"),
+        expr("(CAST(n_common AS DECIMAL(38,0)) * 1000000) div n_union")
+          .cast("long").as("jaccard_ppm"),
+        expr("(CAST(n_common AS DECIMAL(38,0)) * 1000000) div n_a")
+          .cast("long").as("containment_a_ppm"),
+        expr("(CAST(n_common AS DECIMAL(38,0)) * 1000000) div n_b")
+          .cast("long").as("containment_b_ppm"))
+  }
+
   def vocabCoverage(
       df: DataFrame,
       idCol: String,

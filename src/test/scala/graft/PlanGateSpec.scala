@@ -536,6 +536,10 @@ class PlanGateSpec extends SparkTestBase {
     // age) panel; the first-week window and the distinct-active agg sit
     // behind the checkpoint, sizes attach as a cohort-count broadcast
     "cohort_ltv" -> 2,
+    // the G-row sizes agg + the token-keyed intersection join (2 re-keys
+    // off the membership checkpoint) + the pair agg; the dense grid is
+    // the whitelisted dimension cross
+    "vocab_overlap" -> 5,
     // the eval_auc discipline minus the rollup, plus the 1-row totals agg:
     // per-band agg (1), offsets prefix window over the ≤256-row band table
     // (1), per-band cumulative window (1), totals global agg (1) — no
@@ -585,7 +589,10 @@ class PlanGateSpec extends SparkTestBase {
     // scalar-attach idiom
     "eval_pr",
     // the 1-row moments x 1-row node-panel cross: the scalar-attach idiom
-    "graph_assortativity")
+    "graph_assortativity",
+    // the G-row dense source-pair grid cross (G = sources, a dimension):
+    // the kmv_jaccard pair-cross idiom
+    "vocab_overlap")
 
   test("every query has a plan budget (or a documented exemption)") {
     val missing = SparkEntry.queries.keySet -- maxShuffles.keySet -- iterative

@@ -944,4 +944,40 @@ class TextAnalysisSpec extends SparkTestBase {
       .collect().map(_.toSeq).toSet
     assert(a === b)
   }
+
+  test("vocabOverlap: hand jaccard/containments; dense grid zero-fills disjoint pairs; containment asymmetry; case folds and dupes collapse; invariant") {
+    import spark.implicits._
+    def run(rows: Seq[(String, String)]) =
+      TextAnalysis.vocabOverlap(rows.toDF("src", "text"), "src", "text")
+        .collect().map(r => (r.getString(0), r.getString(1)) ->
+          ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5),
+            r.getLong(6), r.getLong(7), r.getLong(8)))).toMap
+    // a = {x,y,z} (two docs), b = {y,z,w}: common 2, union 4 -> 500000;
+    // both containments floor(2e6/3); c = {q} disjoint from both: dense
+    // zero rows, jaccard 0
+    val out = run(Seq(("a", "x y"), ("a", "y z"), ("b", "y z w"),
+      ("c", "q")))
+    assert(out(("a", "b")) ===
+      ((3L, 3L, 2L, 4L, 500000L, 666666L, 666666L)))
+    assert(out(("a", "c")) === ((3L, 1L, 0L, 4L, 0L, 0L, 0L)))
+    assert(out(("b", "c")) === ((3L, 1L, 0L, 4L, 0L, 0L, 0L)))
+    assert(out.size === 3)
+    // containment asymmetry: d's vocab contains a's whole vocabulary
+    val sub = run(Seq(("a", "x y"), ("d", "x y z w")))
+    assert(sub(("a", "d")) ===
+      ((2L, 4L, 2L, 4L, 500000L, 1000000L, 500000L)))
+    // case folding and repeated tokens collapse into the vocabulary
+    assert(run(Seq(("a", "X x X"), ("b", "x")))(("a", "b")) ===
+      ((1L, 1L, 1L, 1L, 1000000L, 1000000L, 1000000L)))
+    // partitioning-invariant
+    val rnd = (1 to 200).map(i =>
+      (s"s${i % 4}", s"w${(i * 7) % 23} w${(i * 13) % 29} w${i % 11}"))
+    val x = run(rnd)
+    val y = TextAnalysis.vocabOverlap(
+      rnd.toDF("src", "text").repartition(13), "src", "text")
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5),
+          r.getLong(6), r.getLong(7), r.getLong(8)))).toMap
+    assert(y === x)
+  }
 }

@@ -118,10 +118,22 @@ object Bench {
     val slowest = timings.toSeq.sortBy(-_._2).take(30)
       .map { case (k, v) => s""""${esc(k)}":${math.rint(v * 1000) / 1000}""" }
       .mkString("{", ",", "}")
+    // fingerprint of the full-artifact FILE CONTENTS (json + newline, the
+    // exact bytes written below): tools/adjudicate.py follows the "full"
+    // pointer out of a driver artifact's stdout tail and refuses the
+    // per-query map unless this prefix matches — a stale or
+    // locally-overwritten BENCH_full_latest.json must never be
+    // adjudicated as the driver's run
+    val fullSha = {
+      val md = java.security.MessageDigest.getInstance("SHA-256")
+      md.digest((json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        .take(6).map(b => f"$b%02x").mkString
+    }
     println(
       s"""{"metric":"total","value":${math.rint(total * 1000) / 1000},"unit":"sec",""" +
         s""""n_queries":${timings.size},"errors":$es,"slowest":$slowest,""" +
-        s""""full":"BENCH_full_latest.json","sf":"${esc(sfDir)}"}""")
+        s""""full":"BENCH_full_latest.json","full_sha256":"$fullSha",""" +
+        s""""sf":"${esc(sfDir)}"}""")
     // also persist the full artifact: driver-side capture truncates long
     // stdout (BENCH_r05 lost 11 of 75 timings that way), and the per-query
     // map is the evidence the round is graded on

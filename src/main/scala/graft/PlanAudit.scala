@@ -41,29 +41,33 @@ object PlanAudit {
     // plan; exchange/join/scan counts are identical pre-execution.
     val aqeWas = spark.conf.get("spark.sql.adaptive.enabled")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
-    val shuffleRe = "Exchange (hash|range|Single)".r
-    val wscRe = """\*\((\d+)\)""".r
-    println("| query | shuffles | bcast | BHJ | SMJ | SHJ | BNLJ | cart | scans | pushed | codegen |")
-    println("|---|---|---|---|---|---|---|---|---|---|---|")
-    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
-      try {
-        val plan = fn(spark, sfDir).queryExecution.executedPlan.toString
-        def c(s: String) = s.r.findAllIn(plan).size
-        val shuffles = shuffleRe.findAllIn(plan).size
-        val spans = wscRe.findAllMatchIn(plan).map(_.group(1).toInt).toSet.size
-        val scans = c("FileScan parquet") + c("Scan parquet")
-        val pushed = "PushedFilters: \\[[^\\]]".r.findAllIn(plan).size
-        println(s"| $name | $shuffles | ${c("BroadcastExchange")} | " +
-          s"${c("BroadcastHashJoin")} | ${c("SortMergeJoin")} | " +
-          s"${c("ShuffledHashJoin")} | ${c("BroadcastNestedLoopJoin")} | " +
-          s"${c("CartesianProduct")} | $scans | $pushed | $spans |")
-      } catch {
-        case e: Throwable => println(s"| $name | ERROR ${e.getMessage} |")
+    // finally-restore: the per-query try/catch covers plan builds, but a
+    // throw from the unpersist loop or a println would otherwise leave
+    // AQE disabled for the rest of the session
+    try {
+      val shuffleRe = "Exchange (hash|range|Single)".r
+      val wscRe = """\*\((\d+)\)""".r
+      println("| query | shuffles | bcast | BHJ | SMJ | SHJ | BNLJ | cart | scans | pushed | codegen |")
+      println("|---|---|---|---|---|---|---|---|---|---|---|")
+      SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+        try {
+          val plan = fn(spark, sfDir).queryExecution.executedPlan.toString
+          def c(s: String) = s.r.findAllIn(plan).size
+          val shuffles = shuffleRe.findAllIn(plan).size
+          val spans = wscRe.findAllMatchIn(plan).map(_.group(1).toInt).toSet.size
+          val scans = c("FileScan parquet") + c("Scan parquet")
+          val pushed = "PushedFilters: \\[[^\\]]".r.findAllIn(plan).size
+          println(s"| $name | $shuffles | ${c("BroadcastExchange")} | " +
+            s"${c("BroadcastHashJoin")} | ${c("SortMergeJoin")} | " +
+            s"${c("ShuffledHashJoin")} | ${c("BroadcastNestedLoopJoin")} | " +
+            s"${c("CartesianProduct")} | $scans | $pushed | $spans |")
+        } catch {
+          case e: Throwable => println(s"| $name | ERROR ${e.getMessage} |")
+        }
+        spark.sparkContext.getPersistentRDDs.values
+          .foreach(_.unpersist(blocking = false))
       }
-      spark.sparkContext.getPersistentRDDs.values
-        .foreach(_.unpersist(blocking = false))
-    }
-    spark.conf.set("spark.sql.adaptive.enabled", aqeWas)
+    } finally spark.conf.set("spark.sql.adaptive.enabled", aqeWas)
   }
 
   /** Synthetic scenario (testdata isn't partitioned): write events

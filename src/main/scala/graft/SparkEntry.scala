@@ -7627,7 +7627,12 @@ object SparkEntry {
           |    x -> len(x) > 0)) AS t
           |  FROM documents
           |  WHERE source IS NOT NULL AND text IS NOT NULL)),
-          |sz AS (SELECT g, CAST(count(*) AS BIGINT) AS n FROM vt GROUP BY 1),
+          |gs AS (SELECT DISTINCT source AS g FROM documents
+          |  WHERE source IS NOT NULL AND text IS NOT NULL),
+          |sz AS (SELECT gs.g,
+          |    CAST(coalesce(c.n, 0) AS BIGINT) AS n
+          |  FROM gs LEFT JOIN (SELECT g, count(*) AS n FROM vt GROUP BY 1) c
+          |    USING (g)),
           |cm AS (SELECT a.g AS ga, b.g AS gb, CAST(count(*) AS BIGINT) AS c
           |  FROM vt a JOIN vt b ON a.t = b.t AND a.g < b.g GROUP BY 1, 2),
           |grid AS (SELECT a.g AS ga, b.g AS gb, a.n AS n_a, b.n AS n_b
@@ -7636,13 +7641,16 @@ object SparkEntry {
           |  grid.n_a, grid.n_b,
           |  coalesce(cm.c, 0) AS n_common,
           |  grid.n_a + grid.n_b - coalesce(cm.c, 0) AS n_union,
-          |  CAST(CAST(coalesce(cm.c, 0) AS HUGEINT) * 1000000
-          |    // (grid.n_a + grid.n_b - coalesce(cm.c, 0)) AS BIGINT)
+          |  CASE WHEN grid.n_a + grid.n_b - coalesce(cm.c, 0) = 0 THEN 0
+          |    ELSE CAST(CAST(coalesce(cm.c, 0) AS HUGEINT) * 1000000
+          |    // (grid.n_a + grid.n_b - coalesce(cm.c, 0)) AS BIGINT) END
           |    AS jaccard_ppm,
-          |  CAST(CAST(coalesce(cm.c, 0) AS HUGEINT) * 1000000 // grid.n_a
-          |    AS BIGINT) AS containment_a_ppm,
-          |  CAST(CAST(coalesce(cm.c, 0) AS HUGEINT) * 1000000 // grid.n_b
-          |    AS BIGINT) AS containment_b_ppm
+          |  CASE WHEN grid.n_a = 0 THEN 0
+          |    ELSE CAST(CAST(coalesce(cm.c, 0) AS HUGEINT) * 1000000
+          |    // grid.n_a AS BIGINT) END AS containment_a_ppm,
+          |  CASE WHEN grid.n_b = 0 THEN 0
+          |    ELSE CAST(CAST(coalesce(cm.c, 0) AS HUGEINT) * 1000000
+          |    // grid.n_b AS BIGINT) END AS containment_b_ppm
           |FROM grid LEFT JOIN cm ON cm.ga = grid.ga AND cm.gb = grid.gb""".stripMargin,
       // LTV replay: first-week cohorts, (cohort, age) distinct-active +
       // micro sums, the running cumulative, age-0 sizes, integral

@@ -31,6 +31,46 @@ final case class FeatureView(
   require(source.timestampField.isDefined, s"FeatureView $name needs source.timestampField")
 }
 
+/** Sketch evidence for planning the PIT join's per-view physical shape —
+  * [[Skew.joinStrategy]] wired into the feature-store read path. At 100 TB
+  * the [[Sketch.countMinSketch]]es live as table metadata (depth × width
+  * cells, kilobytes); handing them here lets `pointInTime` choose
+  * broadcast / plain / salted per view from measured key counts BEFORE any
+  * exchange, instead of the static rows × schema-width estimate it falls
+  * back to without hints.
+  *
+  * `entitySketch` is a CMS over the entity frame's join key;
+  * `featureSketches` maps view name → a CMS over the same key on that
+  * view's source, built with the SAME (width, depth). For multi-key views
+  * sketch any one consistent serialization of the key tuple (e.g. a
+  * `concat_ws` of the keys) on both sides — [[Skew.joinStrategy]] only
+  * compares counts, so any keying used consistently is valid. A view
+  * absent from `featureSketches` keeps the default static plan.
+  *
+  *  - "broadcast": the (distinct-keyed, ≤ entity-sized) entity frame rides
+  *    a broadcast into every feature scan task — no shuffle of the
+  *    feature side;
+  *  - "plain": both sides shuffle on the key once (the CMS inner product
+  *    says output is input-shaped, so AQE handles any mild skew);
+  *  - "salted": the CMS inner product predicts hot-key fan-out — the
+  *    feature side salts deterministically over `saltFactor` and the
+  *    per-view entity rows replicate `saltFactor`×, so each hot key's
+  *    arg-max work spreads over `saltFactor` tasks. Matched pairs are
+  *    IDENTICAL to the plain join (each feature row meets each entity row
+  *    exactly once — on its single matching salt replica), and the arg-max
+  *    aggregation never sees the salt, so results are byte-identical on
+  *    every path; only the exchange shape differs.
+  */
+final case class PitPlanHints(
+    entitySketch: DataFrame,
+    featureSketches: Map[String, DataFrame],
+    depth: Int,
+    broadcastMaxRows: Long = 1000000L,
+    saltAboveXPpm: Long = 4000000L,
+    saltFactor: Int = 16) {
+  require(saltFactor >= 2, "saltFactor must be >= 2 (1 would be the plain join)")
+}
+
 /** The three retrieval primitives of the reference offline store, re-expressed
   * as Catalyst plans (ref: data_engine_offline_store.py:351-513, 601-779).
   *
@@ -165,14 +205,18 @@ object FeatureStoreOps {
     *    collapsed into one `max(struct(event_ts, created_ts, tieBreak,
     *    features...))` aggregation — identical result, one shuffle;
     *  - the entity side is broadcast when its estimated size (rows × schema
-    *    default width) is under `graft.pit.broadcastBytes`.
+    *    default width) is under `graft.pit.broadcastBytes`; with
+    *    [[PitPlanHints]] the per-view shape is instead sketch-planned
+    *    (broadcast / plain / salted from CMS key-count evidence), results
+    *    byte-identical on every path.
     */
   def pointInTime(
       spark: SparkSession,
       entity: DataFrame,
       views: Seq[FeatureView],
       fullFeatureNames: Boolean = false,
-      entityTimestampColumn: Option[String] = None): GraftRetrievalJob = {
+      entityTimestampColumn: Option[String] = None,
+      planHints: Option[PitPlanHints] = None): GraftRetrievalJob = {
     val tsCol = entityTimestampColumn.getOrElse(inferEntityTimestampColumn(entity))
 
     def eval(): DataFrame = {
@@ -215,12 +259,39 @@ object FeatureStoreOps {
         // per-view distinct entity rows (template's __entity_dataframe CTE)
         val entKeysRaw = ent
           .select((view.entityKeys :+ tsCol).map(col): _*).distinct()
-        val entKeys = if (fits(entKeysRaw)) broadcast(entKeysRaw) else entKeysRaw
+        // physical shape: sketch-planned when the caller handed CMS
+        // evidence for this view ([[PitPlanHints]]); otherwise the static
+        // rows × schema-width broadcast estimate — byte-identical to the
+        // pre-hints plan
+        val strategy: Option[String] = planHints.flatMap(h =>
+          h.featureSketches.get(view.name).map(fs =>
+            Skew.joinStrategy(fs, h.entitySketch, h.depth,
+              h.broadcastMaxRows, h.saltAboveXPpm)))
+        val saltN: Option[Int] =
+          strategy.collect { case "salted" => planHints.get.saltFactor }
+        val entKeys = strategy match {
+          case None => if (fits(entKeysRaw)) broadcast(entKeysRaw) else entKeysRaw
+          case Some("broadcast") => broadcast(entKeysRaw)
+          case _ => entKeysRaw
+        }
 
-        val f = feat.alias("f")
-        val e = entKeys.alias("e")
-        val keyEq = view.entityKeys
+        val f = saltN match {
+          case Some(n) => feat.withColumn("_pit_salt",
+            pmod(xxhash64(featCols.map(col): _*), lit(n.toLong)).cast("int"))
+            .alias("f")
+          case None => feat.alias("f")
+        }
+        val e = saltN match {
+          case Some(n) => entKeys.withColumn("_pit_salt",
+            explode(typedLit((0 until n).toList))).alias("e")
+          case None => entKeys.alias("e")
+        }
+        val keyEq0 = view.entityKeys
           .map(k => f.col(k) === e.col(k)).reduce(_ && _)
+        // the deterministic whole-row salt matches exactly one replica, so
+        // the salted join's matched pairs are identical to the plain join's
+        val keyEq = if (saltN.isDefined)
+          keyEq0 && f.col("_pit_salt") === e.col("_pit_salt") else keyEq0
         val temporal = f.col(evtTs) <= e.col(tsCol) &&
           (if (ttl > 0) f.col(evtTs) >= e.col(tsCol) - expr(s"INTERVAL $ttl SECOND")
            else lit(true))

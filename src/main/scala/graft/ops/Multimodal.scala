@@ -98,20 +98,56 @@ object Multimodal {
       bos.toByteArray
     }
 
-    /** Decode any ImageIO-supported payload (PNG, BMP, GIF, JPEG) to ARGB
-      * pixels; None when the payload is not a decodable image. ImageIO
-      * signals corruption inconsistently — unknown formats return null but
-      * a TRUNCATED payload of a recognized format throws (EOF inside the
-      * PNG header) — so both are normalized to None: a corrupt byte string
-      * must drop the row, never kill the scan task.
+    /** Decode any ImageIO-supported payload (PNG, BMP, GIF, JPEG) to a
+      * BufferedImage with NO pixel-array copy; None when the payload is
+      * not a decodable image. ImageIO signals corruption inconsistently —
+      * unknown formats return null but a TRUNCATED payload of a recognized
+      * format throws (EOF inside the PNG header) — so both are normalized
+      * to None: a corrupt byte string must drop the row, never kill the
+      * scan task. The hash/stats passes consume the image directly
+      * ([[graft.ops.Multimodal.dHashImage]] samples 72 pixels; the sum
+      * passes row-stream through a reused buffer) — the full w×h ARGB
+      * copy that [[decode]] makes is only for callers that genuinely
+      * need every pixel at once (resize, specs).
+      */
+    def decodeImage(payload: Array[Byte]): Option[java.awt.image.BufferedImage] =
+      try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload)))
+      catch { case _: java.io.IOException => None }
+
+    /** Decode to ARGB pixels (a full copy — see [[decodeImage]] for the
+      * copy-free variant the per-row hot paths use).
       */
     def decode(payload: Array[Byte]): Option[Decoded] =
-      try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload)))
-        .map { img =>
-          val (w, h) = (img.getWidth, img.getHeight)
-          Decoded(w, h, img.getRGB(0, 0, w, h, null, 0, w))
+      decodeImage(payload).map { img =>
+        val (w, h) = (img.getWidth, img.getHeight)
+        Decoded(w, h, img.getRGB(0, 0, w, h, null, 0, w))
+      }
+
+    /** Per-channel pixel sums, row-streamed through `rowBuf` (caller keeps
+      * one buffer per partition and passes it to every image — the
+      * allocation that made the image-stats family GC-bound was one w×h
+      * int[] PER IMAGE; this is one max-width int[] per TASK). Values are
+      * identical to summing a bulk `getRGB` copy: both paths convert
+      * through the same ColorModel.
+      */
+    def sumRgbRows(img: java.awt.image.BufferedImage,
+        rowBuf0: Array[Int]): (Array[Int], Long, Long, Long) = {
+      val (w, h) = (img.getWidth, img.getHeight)
+      val rowBuf = if (rowBuf0.length >= w) rowBuf0 else new Array[Int](w)
+      var (sr, sg, sb) = (0L, 0L, 0L)
+      var y = 0
+      while (y < h) {
+        img.getRGB(0, y, w, 1, rowBuf, 0, w)
+        var x = 0
+        while (x < w) {
+          val p = rowBuf(x)
+          sr += (p >> 16) & 0xFF; sg += (p >> 8) & 0xFF; sb += p & 0xFF
+          x += 1
         }
-      catch { case _: java.io.IOException => None }
+        y += 1
+      }
+      (rowBuf, sr, sg, sb)
+    }
 
     /** Nearest-neighbor resize with EXPLICIT source-index math
       * (`sx = x·sw/dw`) rather than Graphics2D scaling — the mapping is a
@@ -411,28 +447,27 @@ object Multimodal {
       dropped: Option[org.apache.spark.util.LongAccumulator] = None): DataFrame = {
     import spark.implicits._
     media.select(col("item_id"), col("payload")).as[(Long, Array[Byte])]
-      .mapPartitions(_.flatMap { case (id, payload) =>
-        val stats = FrameContainer.decode(payload).flatMap { frames =>
-          val decoded = frames.map(ImageIoCodec.decode)
-          if (decoded.isEmpty || decoded.exists(_.isEmpty)) None
-          else {
-            var (sr, sg, sb) = (0L, 0L, 0L)
-            decoded.foreach { d =>
-              val argb = d.get.argb
-              var i = 0
-              while (i < argb.length) {
-                val p = argb(i)
-                sr += (p >> 16) & 0xFF; sg += (p >> 8) & 0xFF; sb += p & 0xFF
-                i += 1
+      .mapPartitions { it =>
+        var rowBuf = new Array[Int](0) // per-task, reused across frames
+        it.flatMap { case (id, payload) =>
+          val stats = FrameContainer.decode(payload).flatMap { frames =>
+            val decoded = frames.map(ImageIoCodec.decodeImage)
+            if (decoded.isEmpty || decoded.exists(_.isEmpty)) None
+            else {
+              var (sr, sg, sb) = (0L, 0L, 0L)
+              decoded.foreach { d =>
+                val (buf, r, g, b) = ImageIoCodec.sumRgbRows(d.get, rowBuf)
+                rowBuf = buf; sr += r; sg += g; sb += b
               }
+              val first = decoded.head.get
+              Some((id, frames.length.toLong,
+                first.getWidth, first.getHeight, sr, sg, sb))
             }
-            val first = decoded.head.get
-            Some((id, frames.length.toLong, first.width, first.height, sr, sg, sb))
           }
+          if (stats.isEmpty) dropped.foreach(_.add(1L))
+          stats
         }
-        if (stats.isEmpty) dropped.foreach(_.add(1L))
-        stats
-      })
+      }
       .toDF("item_id", "n_frames", "width", "height", "sum_r", "sum_g", "sum_b")
   }
 
@@ -612,18 +647,19 @@ object Multimodal {
   def imageStats(spark: SparkSession, media: DataFrame): DataFrame = {
     import spark.implicits._
     media.select(col("item_id"), col("payload")).as[(Long, Array[Byte])]
-      .mapPartitions(_.flatMap { case (id, payload) =>
-        ImageIoCodec.decode(payload).map { d =>
-          var (sr, sg, sb) = (0L, 0L, 0L)
-          var i = 0
-          while (i < d.argb.length) {
-            val p = d.argb(i)
-            sr += (p >> 16) & 0xFF; sg += (p >> 8) & 0xFF; sb += p & 0xFF
-            i += 1
+      .mapPartitions { it =>
+        // ONE row buffer per task, grown to the widest image seen — not
+        // one w×h copy per image (the GC churn that made this family's
+        // wall time swing 1.2–2.6 s run-to-run through round 16)
+        var rowBuf = new Array[Int](0)
+        it.flatMap { case (id, payload) =>
+          ImageIoCodec.decodeImage(payload).map { img =>
+            val (buf, sr, sg, sb) = ImageIoCodec.sumRgbRows(img, rowBuf)
+            rowBuf = buf
+            (id, img.getWidth, img.getHeight, sr, sg, sb)
           }
-          (id, d.width, d.height, sr, sg, sb)
         }
-      })
+      }
       .toDF("item_id", "width", "height", "sum_r", "sum_g", "sum_b")
   }
 
@@ -651,13 +687,38 @@ object Multimodal {
     import spark.implicits._
     media.select(col("item_id"), col("payload")).as[(Long, Array[Byte])]
       .mapPartitions(_.flatMap { case (id, payload) =>
-        ImageIoCodec.decode(payload).map(d => (id, dHashPixels(d)))
+        ImageIoCodec.decodeImage(payload).map(img => (id, dHashImage(img)))
       })
       .toDF("item_id", "dhash")
   }
 
-  /** The dHash core over decoded pixels — shared by [[dHash]] (images) and
-    * [[videoDHash]] (a video's representative frame).
+  /** The dHash core, sampling the 72 grid pixels STRAIGHT off the decoded
+    * image — the hash reads 9×8 pixels no matter how large the image is,
+    * so materializing a full w×h ARGB copy first (what the family did
+    * through round 16) was pure allocation churn: at 5 000 images/run it
+    * was the dominant GC load of the whole image-dedup family. Per-pixel
+    * `getRGB` converts through the same ColorModel as the bulk call, so
+    * the signature is bit-identical.
+    */
+  private[graft] def dHashImage(img: java.awt.image.BufferedImage): Long = {
+    val (w, h) = (img.getWidth, img.getHeight)
+    val lum = new Array[Int](9 * 8)
+    var gy = 0
+    while (gy < 8) {
+      var gx = 0
+      while (gx < 9) {
+        val p = img.getRGB(gx * w / 9, gy * h / 8)
+        lum(gy * 9 + gx) =
+          (77 * ((p >> 16) & 0xFF) + 150 * ((p >> 8) & 0xFF) + 29 * (p & 0xFF)) >> 8
+        gx += 1
+      }
+      gy += 1
+    }
+    lumToSig(lum)
+  }
+
+  /** [[dHashImage]] over an already-copied pixel array — kept for the
+    * arithmetic specs that pin the 9×8 index formula against hand pixels.
     */
   private[graft] def dHashPixels(d: ImageIoCodec.Decoded): Long = {
     val lum = new Array[Int](9 * 8)
@@ -674,8 +735,12 @@ object Multimodal {
       }
       gy += 1
     }
+    lumToSig(lum)
+  }
+
+  private def lumToSig(lum: Array[Int]): Long = {
     var sig = 0L
-    gy = 0
+    var gy = 0
     while (gy < 8) {
       var gx = 0
       while (gx < 8) {
@@ -709,8 +774,8 @@ object Multimodal {
         for {
           frames <- FrameContainer.decode(payload)
           if frameIndex < frames.length
-          d <- ImageIoCodec.decode(frames(frameIndex))
-        } yield (id, dHashPixels(d))
+          img <- ImageIoCodec.decodeImage(frames(frameIndex))
+        } yield (id, dHashImage(img))
       })
       .toDF("item_id", "dhash")
   }

@@ -400,6 +400,9 @@ object Stats {
       lags: Seq[Int]): DataFrame = {
     require(bucketSeconds > 0, "bucketSeconds must be positive")
     require(lags.nonEmpty && lags.forall(_ >= 1), "lags must be >= 1")
+    // same duplicate-lag discipline as crossCorrelation: a repeated lag
+    // leaves the correlation unchanged but inflates n_pairs for that lag
+    val lagSet = lags.distinct
     val usPerBucket = bucketSeconds * 1000000L
     // one corpus pass; checkpointed — both sides of the lag join read it
     val base = df
@@ -413,7 +416,7 @@ object Stats {
       .localCheckpoint(false)
     val dec = "decimal(38,0)"
     val probe = base
-      .withColumn("_lag", explode(typedLit(lags.map(_.toLong))))
+      .withColumn("_lag", explode(typedLit(lagSet.map(_.toLong))))
       .select(col("_g"), (col("_b") + col("_lag")).as("_b"),
         col("_lag"), col("_x").as("_xl"))
     val pairs = probe.join(base, Seq("_g", "_b"))
@@ -466,6 +469,11 @@ object Stats {
       lags: Seq[Int]): DataFrame = {
     require(bucketSeconds > 0, "bucketSeconds must be positive")
     require(lags.nonEmpty && lags.forall(_ >= 0), "lags must be >= 0")
+    // a repeated lag would double-count every matched bucket pair in that
+    // lag's (sa, sb, lag) group — ccf is invariant (all six moment sums
+    // scale together) but n_pairs would read 2x the truth, so sparse
+    // estimates would look denser than they are
+    val lagSet = lags.distinct
     val usPerBucket = bucketSeconds * 1000000L
     val base = df
       .filter(col(seriesCol).isNotNull && col(tsCol).isNotNull &&
@@ -478,7 +486,7 @@ object Stats {
       .localCheckpoint(false)
     val dec = "decimal(38,0)"
     val probe = base
-      .withColumn("_lag", explode(typedLit(lags.map(_.toLong))))
+      .withColumn("_lag", explode(typedLit(lagSet.map(_.toLong))))
       .select(col("_s").as("_sa"), (col("_b") + col("_lag")).as("_b"),
         col("_lag"), col("_x").as("_xa"))
     val pairs = probe
@@ -1793,7 +1801,14 @@ object Stats {
     *    0 = even, (n−1)/n·10⁶ = one owner;
     *  - `topk_share_ppm = ⌊(Σ top-`topK` s)·10⁶ / T⌋` — the head share.
     * Values must be non-negative (the Lorenz/Gini contract; the micro
-    * floor lane). A group with T = 0 reads NULL indices — no mass, no
+    * floor lane). Negative inputs are NOT rejected and pass through
+    * UNDEFINED — the indices can leave [0, 10⁶] (a negative T can even
+    * flip signs) exactly as a negative duration passes through
+    * [[kaplanMeier]]; callers with signed data (refunds, reversals)
+    * must clamp or filter first. A full corpus-pass pre-validation
+    * would double the scan cost of every well-formed caller to guard a
+    * contract violation, so the contract is documented, not enforced.
+    * A group with T = 0 reads NULL indices — no mass, no
     * concentration. NULL groups/entities/values drop.
     *
     * Overflow bound (document, don't discover): Σs² ≤ T² needs T < 10¹⁹

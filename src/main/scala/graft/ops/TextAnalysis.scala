@@ -981,7 +981,10 @@ object TextAnalysis {
     * both containments (`⌊common·10⁶/n_a⌋`, `/n_b`) — containment is
     * what "is corpus B just a subset of A" actually asks, and Jaccard
     * alone hides it. All exact longs + integral divisions. Tokens are
-    * the engine-standard lowercased whitespace tokens.
+    * the engine-standard lowercased whitespace tokens. The grid's group
+    * dimension comes from the PRE-tokenize input, so a group whose texts
+    * all tokenize empty still appears with size 0 (its pairs read 0
+    * across every metric) rather than silently vanishing.
     *
     * Shape at 100 TB: one corpus pass to the DISTINCT (group, token)
     * membership (checkpointed — the sizes agg and both pair-join sides
@@ -995,13 +998,23 @@ object TextAnalysis {
       df: DataFrame,
       groupCol: String,
       textCol: String): DataFrame = {
-    val vt = df
+    val filtered = df
       .filter(col(groupCol).isNotNull && col(textCol).isNotNull)
+    val vt = filtered
       .select(col(groupCol).cast("string").as("_g"),
         explode(tokens(col(textCol))).as("_t"))
       .distinct()
       .localCheckpoint(false) // feeds sizes AND both pair-join sides
-    val sizes = vt.groupBy(col("_g")).agg(count(lit(1)).as("_n"))
+    // the group dimension comes from the PRE-explode input: a group whose
+    // texts all tokenize to zero tokens never survives the explode, and
+    // building the grid from post-explode sizes would silently drop it —
+    // the dense-grid promise is that such a group READS 0, not vanishes.
+    // One extra scan, pruned to the single group column (G-sized agg).
+    val groups = filtered
+      .select(col(groupCol).cast("string").as("_g")).distinct()
+    val sizes = groups
+      .join(vt.groupBy(col("_g")).agg(count(lit(1)).as("_n")), Seq("_g"), "left")
+      .withColumn("_n", coalesce(col("_n"), lit(0L)))
     val common = vt
       .join(vt.select(col("_g").as("_g2"), col("_t")), Seq("_t"))
       .filter(col("_g") < col("_g2"))
@@ -1017,12 +1030,17 @@ object TextAnalysis {
       .select(
         col("_g").as("group_a"), col("_g2").as("group_b"),
         col("n_a"), col("n_b"), col("n_common"), col("n_union"),
-        expr("(CAST(n_common AS DECIMAL(38,0)) * 1000000) div n_union")
-          .cast("long").as("jaccard_ppm"),
-        expr("(CAST(n_common AS DECIMAL(38,0)) * 1000000) div n_a")
-          .cast("long").as("containment_a_ppm"),
-        expr("(CAST(n_common AS DECIMAL(38,0)) * 1000000) div n_b")
-          .cast("long").as("containment_b_ppm"))
+        // empty-vocabulary groups make the denominators 0; the dense-grid
+        // contract is that those pairs READ 0 (not null, not dropped)
+        when(col("n_union") === 0L, lit(0L)).otherwise(
+          expr("(CAST(n_common AS DECIMAL(38,0)) * 1000000) div n_union")
+            .cast("long")).as("jaccard_ppm"),
+        when(col("n_a") === 0L, lit(0L)).otherwise(
+          expr("(CAST(n_common AS DECIMAL(38,0)) * 1000000) div n_a")
+            .cast("long")).as("containment_a_ppm"),
+        when(col("n_b") === 0L, lit(0L)).otherwise(
+          expr("(CAST(n_common AS DECIMAL(38,0)) * 1000000) div n_b")
+            .cast("long")).as("containment_b_ppm"))
   }
 
   def vocabCoverage(

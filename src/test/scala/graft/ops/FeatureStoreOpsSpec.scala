@@ -229,6 +229,74 @@ class FeatureStoreOpsSpec extends SparkTestBase {
       (1L, "us") -> Some(1.0), (1L, "eu") -> Some(2.0), (2L, "eu") -> None))
   }
 
+  test("pointInTime planHints: plan flips broadcast/plain/salted on CMS sketch evidence; every strategy's rows byte-identical to the default path") {
+    import spark.implicits._
+    // feature side: key 1 is hot (6 rows), keys 2..4 one row each
+    val featRows =
+      (1 to 6).map(i => (1L, ts(f"2024-01-0$i 00:00:00"), i.toDouble)) ++
+        Seq((2L, ts("2024-01-02 00:00:00"), 20.0),
+          (3L, ts("2024-01-03 00:00:00"), 30.0),
+          (4L, ts("2024-01-04 00:00:00"), 40.0))
+    val featDf = featRows.toDF("k", "ets", "v")
+    featDf.createOrReplaceTempView("feat_hints_v")
+    val src = GraftSource.of(table = Some("feat_hints_v"), timestampField = Some("ets"))
+    val fv = FeatureView("fh", src, entityKeys = Seq("k"), features = Seq("v"))
+    // entity: hot key 1 twice (two as-of times), cold keys once
+    val entDf = Seq(
+      (1L, ts("2024-01-04 12:00:00")), (1L, ts("2024-01-07 00:00:00")),
+      (2L, ts("2024-01-05 00:00:00")), (3L, ts("2024-01-05 00:00:00")),
+      (5L, ts("2024-01-05 00:00:00"))).toDF("k", "event_timestamp")
+    val (width, depth) = (256, 3)
+    val skE = Sketch.countMinSketch(entDf, "k", width, depth).cache()
+    val skF = Sketch.countMinSketch(featDf, "k", width, depth).cache()
+    def run(hints: Option[PitPlanHints]) = {
+      val df = FeatureStoreOps.pointInTime(spark, entDf, Seq(fv),
+        planHints = hints).toDF
+      // plan BEFORE executing: after collect, AQE's final adaptive plan
+      // adds per-stage broadcast wrappers that would skew the exchange
+      // counts asserted below
+      val plan = df.queryExecution.executedPlan.toString
+      (df.collect().map(r => (r.getAs[Long]("k"),
+          r.getAs[Timestamp]("event_timestamp").toString,
+          Option(r.getAs[java.lang.Double]("v")).map(_.doubleValue))).toSet,
+        plan)
+    }
+    def hints(bcastMax: Long, saltAbove: Long) = Some(PitPlanHints(
+      skE, Map("fh" -> skF), depth,
+      broadcastMaxRows = bcastMax, saltAboveXPpm = saltAbove, saltFactor = 4))
+    // auto-broadcast off: only the EXPLICIT hint may broadcast, so the
+    // plan flip below is the strategy's doing, not Catalyst's size guess
+    val thrWas = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val (defRows, _) = run(None)
+      // expected semantics: key 1 @01-04 12:00 -> v=4 (latest <= asof),
+      // key 1 @01-07 -> 6, key 2 -> 20, key 3 -> 30, key 5 -> no match
+      assert(defRows === Set(
+        (1L, "2024-01-04 12:00:00.0", Some(4.0)),
+        (1L, "2024-01-07 00:00:00.0", Some(6.0)),
+        (2L, "2024-01-05 00:00:00.0", Some(20.0)),
+        (3L, "2024-01-05 00:00:00.0", Some(30.0)),
+        (5L, "2024-01-05 00:00:00.0", None)))
+      // entity sketch counts 6 keyed rows -> broadcast when the cap allows
+      val (bRows, bPlan) = run(hints(bcastMax = 100L, saltAbove = 100000000L))
+      // cap 0 forbids broadcast; est(join) = 6*2+1+1 = 14 <= 9 rows x 100x
+      val (pRows, pPlan) = run(hints(bcastMax = 0L, saltAbove = 100000000L))
+      // est 14 > 9 x 1.0 -> hot-key fan-out predicted -> salted
+      val (sRows, sPlan) = run(hints(bcastMax = 0L, saltAbove = 1000000L))
+      assert(bRows === defRows && pRows === defRows && sRows === defRows)
+      def nBcast(plan: String) = "BroadcastExchange".r.findAllIn(plan).size
+      assert(!bPlan.contains("_pit_salt") && !pPlan.contains("_pit_salt"))
+      assert(sPlan.contains("_pit_salt"))
+      // the broadcast strategy adds exactly the entity-side broadcast the
+      // plain strategy lacks (the final merge join is unaffected)
+      assert(nBcast(bPlan) === nBcast(pPlan) + 1)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thrWas)
+      skE.unpersist(); skF.unpersist()
+    }
+  }
+
   test("retrieval job is lazy and carries metadata (ref store.py:313-348)") {
     val job = FeatureStoreOps.pullAll(spark, featSrc, Seq("k"), Seq("v"), "ets",
       ts("2024-01-01 00:00:00"), ts("2024-01-05 00:00:00"))

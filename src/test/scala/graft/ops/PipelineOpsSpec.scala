@@ -2229,6 +2229,8 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(out(("b", "a", 0L)) === out(("a", "b", 0L)))
     // no self rows
     assert(!out.keySet.exists(k => k._1 == k._2))
+    // a repeated lag must not double-count n_pairs (lags dedupe up front)
+    assert(run(rows, Seq(1, 1, 0, 1)) === out)
     // partitioning-invariant on a three-series fixture
     val rnd = (1 to 300).map(i => (s"s${i % 3}",
       ts(f"2024-01-0${1 + i % 9} ${(i * 5) % 24}%02d:00:00"),
@@ -2416,6 +2418,10 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(out(("h", 2L))._1 === 6L)
     assert(out(("h", 1L))._2 === Some(-1.0)) // survivors still alternate
     assert(run(df.repartition(13)) === out)
+    // repeated lags dedupe up front: n_pairs must not double
+    assert(Stats.autocorrelation(df, "g", "ts", "v", 86400L, Seq(1, 2, 1))
+      .collect().map(r => (r.getString(0), r.getLong(1)) ->
+        ((r.getLong(2), Option(r.get(3))))).toMap === out)
   }
 
   test("chiSquare: exact independence reads zero; partitioning-invariant") {

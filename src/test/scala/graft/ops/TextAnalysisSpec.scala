@@ -969,6 +969,13 @@ class TextAnalysisSpec extends SparkTestBase {
     // case folding and repeated tokens collapse into the vocabulary
     assert(run(Seq(("a", "X x X"), ("b", "x")))(("a", "b")) ===
       ((1L, 1L, 1L, 1L, 1000000L, 1000000L, 1000000L)))
+    // a group whose texts all tokenize to ZERO tokens still lands on the
+    // dense grid with size 0 (every pair metric reads 0, no div-by-zero),
+    // rather than silently vanishing from the matrix
+    val empty = run(Seq(("a", "x y"), ("e", "   "), ("e", "")))
+    assert(empty(("a", "e")) === ((2L, 0L, 0L, 2L, 0L, 0L, 0L)))
+    assert(run(Seq(("e1", ""), ("e2", " ")))(("e1", "e2")) ===
+      ((0L, 0L, 0L, 0L, 0L, 0L, 0L)))
     // partitioning-invariant
     val rnd = (1 to 200).map(i =>
       (s"s${i % 4}", s"w${(i * 7) % 23} w${(i * 13) % 29} w${i % 11}"))

@@ -155,9 +155,10 @@ object Incremental {
     * partitions has its per-batch partials merged (the same algebraic
     * merge as [[mergeState]], still PARTIALS — sums sum, mins min) into a
     * single reserved `batch_id=-1` partition; the superseded batch
-    * directories are then deleted. Days under the threshold are not read,
-    * not rewritten, and stay byte-identical — at 100 TB the maintenance
-    * cost is proportional to the fragmentation, not the store.
+    * directories die with the parked generation. Days under the threshold
+    * are not read or rewritten — they ADOPT into the new generation as one
+    * metadata rename per day — so at 100 TB the maintenance cost is
+    * proportional to the fragmentation, not the store.
     *
     * The layout is the POINT: the compacted partition keeps the
     * `(dt, batch_id)` two-level shape [[stateUpsertBatch]] writes, so
@@ -165,13 +166,19 @@ object Incremental {
     * dt-only rebuild into the same path breaks the next
     * `spark.read.parquet` with conflicting directory structures).
     *
-    * Contracts: single concurrent maintainer (write-then-delete is not
-    * atomic — a reader racing the delete can double-count a day, the usual
-    * object-store compaction caveat); compact only days PAST the stream's
-    * replay horizon — a replay of batch `b` recreates `(dt, b)` after `b`
-    * was folded into `-1`, double-counting the day. `batch_id=-1` is
-    * reserved for compaction output (re-compacting a compacted day is a
-    * no-op merge with itself, so repeated maintenance is idempotent).
+    * Contracts: the rewrite commits through [[StoreSwap.swapIn]] at DAY
+    * granularity, so readers see either the fully-fragmented or the
+    * fully-compacted store (never the merged batch next to the fragments
+    * it absorbed) and a crash at any point leaves a complete generation
+    * for [[StoreSwap.recover]] — which the next [[stateUpsertBatch]] runs
+    * anyway, finishing the day-level adoption via the recorded depth
+    * marker even though upserts adopt at batch level. Writers stay
+    * single-maintainer (two concurrent swaps race their renames). Compact
+    * only days PAST the stream's replay horizon — a replay of batch `b`
+    * recreates `(dt, b)` after `b` was folded into `-1`, double-counting
+    * the day. `batch_id=-1` is reserved for compaction output
+    * (re-compacting a compacted day is a no-op merge with itself, so
+    * repeated maintenance is idempotent).
     *
     * Returns the compacted `dt` values.
     */
@@ -181,6 +188,9 @@ object Incremental {
       keys: Seq[String],
       maxBatchesPerDay: Int = 8): Seq[String] = {
     require(maxBatchesPerDay >= 1, "maxBatchesPerDay must be >= 1")
+    // same preamble as the upserts: a maintainer starting on a crashed
+    // store must see a complete generation before it lists fragmentation
+    StoreSwap.recover(spark, path, depth = 2)
     val root = new org.apache.hadoop.fs.Path(path)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(root)) return Seq.empty
@@ -194,19 +204,24 @@ object Incremental {
     if (dts.nonEmpty) {
       // ONE job for all fragmented days: the dt partition filter prunes the
       // scan to exactly them, the merge is mergeState's algebra with dt
-      // kept, and the repartition lands ~one output file per day
+      // kept, and the repartition lands ~one output file per day.
+      //
+      // Generational commit via StoreSwap at DAY granularity (depth 1, not
+      // the store's upsert depth 2): each compacted day REPLACES its whole
+      // dt= directory — adoption must bring over untouched DAYS wholesale
+      // and must NOT descend into a compacted day (its old batch_id dirs
+      // are superseded by the merged batch_id=-1; re-adopting them would
+      // double-count). The pre-swap shape (dynamic partition overwrite +
+      // manual fragment deletes) left a torn store at every point between
+      // the overwrite job commit and the last delete — a concurrent reader
+      // could see the merged batch AND the fragments it absorbed.
       val day = spark.read.parquet(path).filter(col("dt").cast("string").isin(dts: _*))
-      mergeAgg(day, "dt" +: keys)
+      val merged = mergeAgg(day, "dt" +: keys)
         .withColumn("batch_id", lit(-1L))
         .repartition(dts.size, col("dt"))
-        .write.mode("overwrite")
-        .option("partitionOverwriteMode", "dynamic")
-        .partitionBy("dt", "batch_id").parquet(path)
-      fragmented.foreach { d =>
-        fs.listStatus(d.getPath)
-          .filter(s => s.isDirectory && s.getPath.getName.startsWith("batch_id=") &&
-            s.getPath.getName != "batch_id=-1")
-          .foreach(s => fs.delete(s.getPath, true))
+      StoreSwap.swapIn(spark, path, 1) { tmp =>
+        // reads the still-live store, commits fully into the tmp generation
+        merged.write.mode("overwrite").partitionBy("dt", "batch_id").parquet(tmp)
       }
     }
     dts

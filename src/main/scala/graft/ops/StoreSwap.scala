@@ -57,6 +57,43 @@ object StoreSwap {
   private def tmpOf(path: String) = new Path(path + ".__tmp")
   private def prevOf(path: String) = new Path(path + ".__prev")
 
+  /** The adoption depth of an in-flight swap, recorded INSIDE the tmp
+    * generation (a `_`-prefixed sibling of `_SUCCESS`, invisible to
+    * readers). Needed because one store can be swapped at different
+    * granularities: `Incremental.stateUpsertBatch` adopts the
+    * `dt=/batch_id=` store at depth 2 (new batches slot into existing
+    * days) while [[Incremental.compactStateDays]] swaps the SAME store at
+    * depth 1 (a compacted day REPLACES the whole day — adopting its old
+    * batch dirs back in would double-count them). `recover` must finish
+    * an interrupted adoption at the depth the interrupted swap was using,
+    * not the depth its own caller happens to use, so the swap writes its
+    * depth down and recovery reads it back. The marker is deleted only
+    * after the parked generation is gone — until then it is the only
+    * record of which granularity the half-finished adoption was at.
+    */
+  private val DepthMarker = "_GRAFT_ADOPT_DEPTH"
+
+  private def writeDepthMarker(fs: FileSystem, gen: Path, depth: Int): Unit = {
+    val out = fs.create(new Path(gen, DepthMarker), true)
+    out.write(depth.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    out.close()
+  }
+
+  private def readDepthMarker(fs: FileSystem, gen: Path): Option[Int] =
+    try {
+      val mp = new Path(gen, DepthMarker)
+      if (!fs.exists(mp)) None
+      else {
+        val in = fs.open(mp)
+        try {
+          val b = new Array[Byte](16)
+          val n = in.read(b)
+          Some(new String(b, 0, math.max(n, 0),
+            java.nio.charset.StandardCharsets.UTF_8).trim.toInt)
+        } finally in.close()
+      }
+    } catch { case _: Exception => None }
+
   /** Leaf partition directories exactly `depth` `k=v` levels below
     * `root`; depth 0 means the store is flat and has no adoptable leaves.
     */
@@ -98,8 +135,15 @@ object StoreSwap {
       else if (fs.exists(prev)) fs.rename(prev, p)
     }
     if (fs.exists(p)) {
-      if (fs.exists(prev)) { adoptLeaves(fs, prev, p, depth); fs.delete(prev, true) }
+      if (fs.exists(prev)) {
+        // finish the interrupted adoption at the depth the interrupted
+        // swap recorded (a compaction swap on an upsert-depth store, or
+        // vice versa), not the caller's depth
+        adoptLeaves(fs, prev, p, readDepthMarker(fs, p).getOrElse(depth))
+        fs.delete(prev, true)
+      }
       if (fs.exists(tmp)) fs.delete(tmp, true)
+      fs.delete(new Path(p, DepthMarker), false) // stale marker, if any
     }
   }
 
@@ -116,10 +160,14 @@ object StoreSwap {
     val (tmp, prev) = (tmpOf(path), prevOf(path))
     if (fs.exists(tmp)) fs.delete(tmp, true)
     write(tmp.toString) // commits fully before the live path is touched
+    writeDepthMarker(fs, tmp, depth)
     if (fs.exists(prev)) fs.delete(prev, true)
     fs.rename(p, prev)
     adoptLeaves(fs, prev, tmp, depth)
     fs.rename(tmp, p)
     fs.delete(prev, true)
+    // only now — while prev existed, the marker was the record of which
+    // granularity a crash-interrupted adoption would need to resume at
+    fs.delete(new Path(p, DepthMarker), false)
   }
 }

@@ -251,18 +251,21 @@ object Temporal {
     * task-count of files; hundreds of batches ⇒ hundreds of small files)
     * is re-read, same-instant-collapsed with the store's own merge algebra
     * ([[collapseSameInstant]] — exactly what the next upsert would apply),
-    * and rewritten via dynamic partition overwrite as ~one file. Buckets
-    * under the threshold are not read, not rewritten, byte-identical
-    * after — maintenance cost follows fragmentation, not store size.
-    * [[readScd2Store]] output is unchanged by construction: it collapses
-    * and interval-izes at read time, and collapse is idempotent.
+    * and rewritten as ~one file. Buckets under the threshold are not read
+    * or rewritten — they ADOPT into the new generation as one metadata
+    * rename each — so maintenance cost follows fragmentation, not store
+    * size. [[readScd2Store]] output is unchanged by construction: it
+    * collapses and interval-izes at read time, and collapse is idempotent.
     *
-    * Single concurrent maintainer (dynamic overwrite of a bucket is not
-    * atomic against a racing reader listing that directory — the standard
-    * object-store compaction caveat). `numBuckets` must be the store's own
-    * bucket count (it recomputes each row's bucket; a different value
-    * would MOVE rows between partitions and break [[readScd2Store]]'s
-    * bucket pruning).
+    * The rewrite commits through [[StoreSwap.swapIn]] (the same
+    * bucket-level generational swap [[scd2UpsertBatch]] uses), so a
+    * reader sees either the fragmented or the compacted store — never a
+    * half-replaced bucket directory — and a crash at any point leaves a
+    * complete generation for [[StoreSwap.recover]]. Writers stay
+    * single-maintainer (two concurrent swaps race their renames).
+    * `numBuckets` must be the store's own bucket count (it recomputes
+    * each row's bucket; a different value would MOVE rows between
+    * partitions and break [[readScd2Store]]'s bucket pruning).
     *
     * Returns the compacted bucket ids.
     */
@@ -275,6 +278,9 @@ object Temporal {
       numBuckets: Int,
       maxFilesPerBucket: Int = 8): Seq[Int] = {
     require(maxFilesPerBucket >= 1, "maxFilesPerBucket must be >= 1")
+    // same preamble as the upserts: a maintainer starting on a crashed
+    // store must see a complete generation before it lists fragmentation
+    StoreSwap.recover(spark, path, depth = 1)
     val root = new org.apache.hadoop.fs.Path(path)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(root)) return Seq.empty
@@ -287,13 +293,18 @@ object Temporal {
       val rows = spark.read.parquet(path)
         .filter(col("bucket").isin(fragmented: _*))
         .select((keyCol +: tsCol +: valueCols).map(col): _*)
-      collapseSameInstant(rows, keyCol, tsCol, valueCols)
+      val compacted = collapseSameInstant(rows, keyCol, tsCol, valueCols)
         .select(col(keyCol) +: col(tsCol) +: valueCols.map(c => col(s"_v.$c").as(c)): _*)
         .withColumn("bucket", pmod(xxhash64(col(keyCol)), lit(numBuckets.toLong)).cast("int"))
         .repartition(fragmented.size, col("bucket"))
-        .write.mode("overwrite")
-        .option("partitionOverwriteMode", "dynamic")
-        .partitionBy("bucket").parquet(path)
+      // generational commit: the compacted buckets land in the tmp
+      // generation (reading the still-live store), untouched buckets adopt
+      // over as metadata renames, and the swap makes it live atomically —
+      // the in-place dynamic overwrite this replaces could show a racing
+      // reader a half-replaced bucket directory
+      StoreSwap.swapIn(spark, path, depth = 1) { tmp =>
+        compacted.write.mode("overwrite").partitionBy("bucket").parquet(tmp)
+      }
     }
     fragmented
   }

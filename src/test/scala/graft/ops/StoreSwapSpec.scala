@@ -133,4 +133,99 @@ class StoreSwapSpec extends SparkTestBase {
       "replay rewrites its own (dt, batch_id) partitions byte-identically")
     noSiblings(p)
   }
+
+  private def writeDepthMarker(gen: String, depth: Int): Unit = {
+    val out = fs.create(new Path(gen, "_GRAFT_ADOPT_DEPTH"), true)
+    out.write(depth.toString.getBytes("UTF-8")); out.close()
+  }
+
+  test("compactStateDays crash after park: the next UPSERT's depth-2 recovery finishes the DAY-level adoption via the depth marker — superseded batch dirs never resurface") {
+    import java.sql.Timestamp
+    def ts(s: String) = Timestamp.valueOf(s)
+    val p = freshBase("compact-state") + "/state"
+    // day 05 fragmented (3 batches), day 06 single-batch
+    Seq(
+      (0L, Seq((1L, ts("2024-01-05 10:00:00"), 100L), (2L, ts("2024-01-05 11:00:00"), 40L))),
+      (1L, Seq((1L, ts("2024-01-05 12:00:00"), 50L))),
+      (2L, Seq((1L, ts("2024-01-05 13:00:00"), 8L))),
+      (3L, Seq((1L, ts("2024-01-06 09:00:00"), 7L)))
+    ).foreach { case (id, rows) =>
+      Incremental.stateUpsertBatch(rows.toDF("user_id", "ts", "v"),
+        p, Seq("user_id"), "ts", "v", batchId = id)
+    }
+    def merged = Incremental.mergeRange(spark, p, Seq("user_id"),
+      "2024-01-01", "2024-12-31").collect().map(_.toSeq).toSet
+    val before = merged
+    // arrange the compaction swap's crash-after-park state BY HAND:
+    // live parked at prev; tmp = the compacted generation (day 05's
+    // partial rows re-labeled batch_id=-1 — range reads re-aggregate
+    // partials, so relabeling preserves every read), committed with
+    // _SUCCESS and the depth-1 marker the swap records
+    val dayCols = spark.read.parquet(p).columns
+    val day05 = spark.read.parquet(p).filter($"dt".cast("string") === "2024-01-05")
+      .withColumn("batch_id", org.apache.spark.sql.functions.lit(-1L))
+      .select(dayCols.map(org.apache.spark.sql.functions.col): _*)
+    day05.write.partitionBy("dt", "batch_id").parquet(p + ".__tmp")
+    writeDepthMarker(p + ".__tmp", 1)
+    fs.rename(new Path(p), new Path(p + ".__prev"))
+    // a NEW batch lands on the crashed store: its preamble recovery runs
+    // at the store's UPSERT depth (2) but must finish the interrupted
+    // adoption at the marker's depth (1) — descending into the compacted
+    // day would re-adopt batch_id=0..2 and double-count it
+    Incremental.stateUpsertBatch(
+      Seq((5L, ts("2024-01-07 09:00:00"), 3L)).toDF("user_id", "ts", "v"),
+      p, Seq("user_id"), "ts", "v", batchId = 9L)
+    def lsDay(dt: String) = new java.io.File(s"$p/dt=$dt")
+      .listFiles().filter(_.isDirectory).map(_.getName).sorted.toSeq
+    assert(lsDay("2024-01-05") === Seq("batch_id=-1"),
+      "compacted day keeps ONLY the merged partition")
+    assert(lsDay("2024-01-06") === Seq("batch_id=3"), "untouched day adopted whole")
+    assert(lsDay("2024-01-07") === Seq("batch_id=9"), "the new batch landed")
+    val after = merged
+    assert(after.size === before.size + 1 && before.subsetOf(after),
+      "reads: the pre-crash state is intact, plus exactly the new batch's day")
+    noSiblings(p)
+    assert(!fs.exists(new Path(p, "_GRAFT_ADOPT_DEPTH")), "marker cleaned up")
+  }
+
+  test("compactScd2Buckets crash after park: the compactor's own recovery preamble promotes the compacted generation, adopts untouched buckets, reads identical") {
+    val nb = 2
+    def bucketOf(k: Long) = spark.range(1).select(
+      org.apache.spark.sql.functions.pmod(
+        org.apache.spark.sql.functions.xxhash64(
+          org.apache.spark.sql.functions.lit(k)),
+        org.apache.spark.sql.functions.lit(nb.toLong)).cast("int"))
+      .collect().head.getInt(0)
+    val hot = (1L to 50L).filter(bucketOf(_) == 0).take(10)
+    val cold = (1L to 50L).find(bucketOf(_) == 1).get
+    def t(m: Int) = new java.sql.Timestamp(1700000000000L + m * 60000L)
+    val p = freshBase("compact-scd2") + "/store"
+    (1 to 3).foreach { i =>
+      Temporal.scd2UpsertBatch(
+        (hot.map(k => (k, t(i), s"P$i")) :+ ((cold, t(i), s"C$i")))
+          .toDF("user_id", "ts", "plan"),
+        p, "user_id", "ts", Seq("plan"), nb)
+    }
+    def readAll = Temporal.readScd2Store(
+      spark, p, "user_id", "ts", Seq("plan"), nb).collect().map(_.toSeq).toSet
+    val before = readAll
+    // crash-after-park state: tmp = compacted hot bucket (its current log
+    // rows, one file — file compaction preserves content exactly), with
+    // _SUCCESS + the depth marker; live parked at prev
+    val cols = spark.read.parquet(p).columns
+    spark.read.parquet(p).filter($"bucket" === 0)
+      .select(cols.map(org.apache.spark.sql.functions.col): _*)
+      .coalesce(1).write.partitionBy("bucket").parquet(p + ".__tmp")
+    writeDepthMarker(p + ".__tmp", 1)
+    fs.rename(new Path(p), new Path(p + ".__prev"))
+    // the next maintenance run's own preamble recovers: promote tmp,
+    // adopt bucket=1 from prev, and find nothing fragmented afterwards
+    val compacted = Temporal.compactScd2Buckets(spark, p, "user_id", "ts",
+      Seq("plan"), nb, maxFilesPerBucket = 3)
+    assert(compacted.isEmpty, "recovered store is already compact")
+    assert(new java.io.File(s"$p/bucket=0").listFiles()
+      .count(_.getName.endsWith(".parquet")) === 1, "hot bucket compacted")
+    assert(readAll === before, "interval read-back identical across the crash")
+    noSiblings(p)
+  }
 }

@@ -1,0 +1,16 @@
+package org.apache.spark
+
+/** Access to the (package-private) listener bus drain, for benchmark-side
+  * stage-metric collection: a query's stage-completion events are posted
+  * asynchronously, so a per-query metrics snapshot taken right after the
+  * action returns can miss the final stages unless the bus is drained
+  * first. `LiveListenerBus.waitUntilEmpty` is `private[spark]`; this is
+  * the minimal sanctioned bridge (same pattern as the repo's native
+  * expressions living under `org.apache.spark.sql.graft`). Local-mode
+  * benchmark use only — the bus queue is bounded and drains in
+  * milliseconds there.
+  */
+object GraftListenerBus {
+  def waitUntilEmpty(sc: SparkContext, timeoutMillis: Long): Unit =
+    sc.listenerBus.waitUntilEmpty(timeoutMillis)
+}

@@ -539,7 +539,11 @@ class PlanGateSpec extends SparkTestBase {
     // the G-row sizes agg + the token-keyed intersection join (2 re-keys
     // off the membership checkpoint) + the pair agg; the dense grid is
     // the whitelisted dimension cross
-    "vocab_overlap" -> 5,
+    // +1 since r17: the dense grid's group dimension comes from a
+    // PRE-tokenize distinct (so empty-vocabulary groups read 0 instead of
+    // vanishing) — a G-sized aggregation on its own pruned single-column
+    // scan
+    "vocab_overlap" -> 6,
     // the eval_auc discipline minus the rollup, plus the 1-row totals agg:
     // per-band agg (1), offsets prefix window over the ≤256-row band table
     // (1), per-band cumulative window (1), totals global agg (1) — no

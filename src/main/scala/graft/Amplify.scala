@@ -98,11 +98,25 @@ object Amplify {
                 concat(w, lit("x"), col("_c").cast("string"))).otherwise(w)),
               " "))))
       .withColumn("n_chars", length(col("text")).cast("long")))
+    // embeddings: a per-copy CYCLIC DIMENSION SHIFT, not an epsilon nudge.
+    // The old `+ c * 0.0001` kept every copy pair at cosine ≈ 1.0, so each
+    // base vector's copies formed a genuine near-dup CLIQUE and the
+    // near-dup pair count grew quadratically in the copy family — measured
+    // dedup_embedding: 2,000 pairs at sf0.1 → 377,179 on the 10× twin
+    // (188× output for 10× data; the operator itself was LINEAR per output
+    // pair). The shift is an isometry: within one copy the geometry is
+    // byte-identical to the base universe (distances, norms, neighbor
+    // structure — exactly what knn/IVF realism wants), while cross-copy
+    // cosines decorrelate to the random-vector band (|cos| ~ 1/√d), far
+    // below every registered near-dup threshold — so the duplicate rate is
+    // again driven by each query's planted density, the thing that scales
+    // linearly on a real corpus.
     amp("embeddings")(df => df
       .withColumn("vec_id", off("vec_id", V))
       .withColumn("embedding",
-        transform(col("embedding"),
-          x => x + col("_c").cast("float") * lit(0.0001f))))
+        transform(col("embedding"), (_, i) =>
+          element_at(col("embedding"),
+            (pmod(i + col("_c"), size(col("embedding"))) + 1).cast("int")))))
     // pure dimension tables: fixed row counts at any SF, copy verbatim
     for (t <- Seq("nation", "region")) {
       spark.read.parquet(s"$src/$t.parquet")

@@ -2363,6 +2363,14 @@ object SparkEntry {
       s.read.parquet(s"$dir/documents.parquet").select("source", "text"),
       "source", "text")
 
+  /** Vocabulary-novelty curve over ingest order (doc_id buckets of 500) —
+    * the Heaps'-law freshness monitor: is new data still new language?
+    */
+  private def vocabNoveltyQ(s: SparkSession, dir: String): DataFrame =
+    ops.TextAnalysis.vocabNovelty(
+      s.read.parquet(s"$dir/documents.parquet").select("doc_id", "text"),
+      "doc_id", "text", bucketSize = 500L)
+
   /** Weekly-cohort LTV curve over the event stream — what each entry
     * cohort has been worth by week w, per member.
     */
@@ -3393,6 +3401,7 @@ object SparkEntry {
     "cohort_retention" -> (cohortRetentionQuery _),
     "cohort_ltv" -> (cohortLtvQuery _),
     "vocab_overlap" -> (vocabOverlapQ _),
+    "vocab_novelty" -> (vocabNoveltyQ _),
     "table_profile" -> (tableProfile _),
     "corpus_report" -> (corpusReportQ _),
     "tokenize_ids" -> (tokenizeIds _),
@@ -7652,6 +7661,35 @@ object SparkEntry {
           |    ELSE CAST(CAST(coalesce(cm.c, 0) AS HUGEINT) * 1000000
           |    // grid.n_b AS BIGINT) END AS containment_b_ppm
           |FROM grid LEFT JOIN cm ON cm.ga = grid.ga AND cm.gb = grid.gb""".stripMargin,
+      // novelty replay: bucketed token stream, occurrence + distinct-type
+      // counts per bucket, first-bucket arg-min for the Heaps increment,
+      // running cumulative vocabulary, integral ppm divisions
+      "vocab_novelty" ->
+        """WITH tok AS (SELECT doc_id // 500 AS b, unnest(list_filter(
+          |    string_split_regex(lower(trim(text)), '\s+'),
+          |    x -> len(x) > 0)) AS t
+          |  FROM documents
+          |  WHERE doc_id IS NOT NULL AND text IS NOT NULL),
+          |occ AS (SELECT b, CAST(count(*) AS BIGINT) AS n_tokens
+          |  FROM tok GROUP BY 1),
+          |pairs AS (SELECT DISTINCT b, t FROM tok),
+          |types AS (SELECT b, CAST(count(*) AS BIGINT) AS n_types
+          |  FROM pairs GROUP BY 1),
+          |firstb AS (SELECT t, min(b) AS b FROM pairs GROUP BY 1),
+          |news AS (SELECT b, CAST(count(*) AS BIGINT) AS n_new_types
+          |  FROM firstb GROUP BY 1),
+          |j AS (SELECT occ.b, occ.n_tokens, types.n_types,
+          |    coalesce(news.n_new_types, 0) AS n_new_types
+          |  FROM occ JOIN types USING (b) LEFT JOIN news USING (b))
+          |SELECT b AS bucket, n_tokens, n_types, n_new_types,
+          |  CAST(sum(n_new_types) OVER (ORDER BY b
+          |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+          |    AS vocab_cum,
+          |  CAST(CAST(n_new_types AS HUGEINT) * 1000000 // n_types
+          |    AS BIGINT) AS novelty_ppm,
+          |  CAST(CAST(n_types AS HUGEINT) * 1000000 // n_tokens
+          |    AS BIGINT) AS ttr_ppm
+          |FROM j""".stripMargin,
       // LTV replay: first-week cohorts, (cohort, age) distinct-active +
       // micro sums, the running cumulative, age-0 sizes, integral
       // per-member division (non-negative value lane)

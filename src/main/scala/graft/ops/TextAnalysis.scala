@@ -1069,6 +1069,63 @@ object TextAnalysis {
         expr("CAST(_cum AS DECIMAL(38,0)) * 1000000 DIV _total").as("cum_ppm"))
   }
 
+  /** Corpus vocabulary-novelty curve — the crawl-freshness monitor next to
+    * [[vocabCoverage]] (which asks "how big a vocab covers the corpus";
+    * this asks "is new data still bringing new language, or are we
+    * re-crawling the same content"): bucket the corpus by ingest order
+    * (`orderCol div bucketSize` — doc ids ARE arrival order in a crawl
+    * log), and per bucket report exact longs:
+    *  - `n_tokens` (occurrences) and `n_types` (distinct tokens active);
+    *  - `n_new_types` — types whose FIRST bucket this is (the Heaps'-law
+    *    increment; a flattening curve means the source is exhausted);
+    *  - `vocab_cum` — cumulative distinct vocabulary through this bucket;
+    *  - `novelty_ppm = ⌊new·10⁶/types⌋` and the classic type-token ratio
+    *    `ttr_ppm = ⌊types·10⁶/tokens⌋` — both integral divisions on
+    *    DECIMAL(38,0) intermediates, engine-exact.
+    * Engine-standard lowercased whitespace tokens. A bucket whose docs all
+    * tokenize to zero tokens is ABSENT (no token mass, no novelty row —
+    * unlike [[vocabOverlap]]'s dense grid, a curve's missing x is visible
+    * by inspection). NULL order/text rows drop.
+    *
+    * Shape at 100 TB: two passes over the exploded token stream (the
+    * occurrence counts and the DISTINCT (bucket, type) membership — the
+    * dsir/text-family recompute convention; checkpointing the corpus-sized
+    * explode would cost more than the second scan), then everything
+    * downstream is membership-sized: first-bucket is a V-keyed arg-min,
+    * per-bucket counts are B-row aggregations, and the cumulative window
+    * runs single-partition over B result rows (the [[vocabCoverage]]
+    * bounded-result convention).
+    */
+  def vocabNovelty(
+      df: DataFrame,
+      orderCol: String,
+      textCol: String,
+      bucketSize: Long): DataFrame = {
+    require(bucketSize > 0, "bucketSize must be positive")
+    val toks = df
+      .filter(col(orderCol).isNotNull && col(textCol).isNotNull)
+      .select(
+        call_function("div", col(orderCol).cast("long"), lit(bucketSize)).as("_b"),
+        explode(tokens(col(textCol))).as("_t"))
+    val occ = toks.groupBy(col("_b")).agg(count(lit(1)).as("n_tokens"))
+    val pairs = toks.distinct().localCheckpoint(false) // types AND first-bucket
+    val types = pairs.groupBy(col("_b")).agg(count(lit(1)).as("n_types"))
+    val news = pairs.groupBy(col("_t")).agg(min(col("_b")).as("_b"))
+      .groupBy(col("_b")).agg(count(lit(1)).as("n_new_types"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("_b"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    occ.join(types, Seq("_b"))
+      .join(news, Seq("_b"), "left")
+      .withColumn("n_new_types", coalesce(col("n_new_types"), lit(0L)))
+      .withColumn("vocab_cum", sum(col("n_new_types")).over(w))
+      .select(col("_b").as("bucket"),
+        col("n_tokens"), col("n_types"), col("n_new_types"), col("vocab_cum"),
+        expr("(CAST(n_new_types AS DECIMAL(38,0)) * 1000000) div n_types")
+          .cast("long").as("novelty_ppm"),
+        expr("(CAST(n_types AS DECIMAL(38,0)) * 1000000) div n_tokens")
+          .cast("long").as("ttr_ppm"))
+  }
+
   /** Pointwise-mutual-information pair ranking over the [[cooccurrence]]
     * substrate: the `topK` within-`window` ordered token pairs by
     * `count(a,b) / (count(a) · count(b))` — PMI up to a corpus-wide constant

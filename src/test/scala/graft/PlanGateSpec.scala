@@ -544,6 +544,11 @@ class PlanGateSpec extends SparkTestBase {
     // vanishing) — a G-sized aggregation on its own pruned single-column
     // scan
     "vocab_overlap" -> 6,
+    // occurrence agg + distinct (bucket, type) membership + the V-keyed
+    // first-bucket arg-min's two stages + the single-partition cumulative
+    // window over B result rows (the vocabCoverage bounded-result
+    // convention)
+    "vocab_novelty" -> 5,
     // the eval_auc discipline minus the rollup, plus the 1-row totals agg:
     // per-band agg (1), offsets prefix window over the ≤256-row band table
     // (1), per-band cumulative window (1), totals global agg (1) — no

@@ -38,6 +38,7 @@ class EmptyInputSpec extends SparkTestBase {
     assert(Sampling.prioritySample(d, "doc_id", 5, "s").count() === 0L)
     assert(TextAnalysis.tokenStats(d, "doc_id", "text").count() === 0L)
     assert(TextAnalysis.qualityScore(d, "doc_id", "text").count() === 0L)
+    assert(TextAnalysis.vocabNovelty(d, "doc_id", "text", 10L).count() === 0L)
     assert(TextAnalysis.chunkDocuments(d, "doc_id", "text", 8, 4).count() === 0L)
     assert(Stats.groupedQuantiles(d, Seq("lang"), "doc_id", Seq(0.5)).count() === 0L)
     assert(Stats.zScoreOutliers(d, Seq("lang"), "doc_id", 3.0).count() === 0L)

@@ -987,4 +987,42 @@ class TextAnalysisSpec extends SparkTestBase {
           r.getLong(6), r.getLong(7), r.getLong(8)))).toMap
     assert(y === x)
   }
+
+  test("vocabNovelty: hand Heaps curve — new types, cumulative vocab, novelty/ttr ppm; repeats and case fold; empty buckets absent; invariant") {
+    import spark.implicits._
+    def run(rows: Seq[(Long, String)]) =
+      TextAnalysis.vocabNovelty(rows.toDF("id", "text"), "id", "text", 10L)
+        .collect().map(r => r.getLong(0) ->
+          ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+            r.getLong(5), r.getLong(6)))).toMap
+    // bucket 0: "a b a" + "C" -> 4 occurrences, types {a,b,c}=3, all new,
+    //   cum 3, novelty 1e6, ttr floor(3e6/4)=750000
+    // bucket 1: "a d d" -> 3 occ, types {a,d}=2, new {d}=1, cum 4,
+    //   novelty 500000, ttr 666666
+    // bucket 2: only whitespace text -> NO row (no token mass)
+    // bucket 3: "a" -> 1 occ, 1 type, 0 new, cum 4, novelty 0, ttr 1e6
+    val out = run(Seq(
+      (1L, "a b a"), (2L, "C"),
+      (11L, "a d d"),
+      (21L, "   "),
+      (31L, "a")))
+    assert(out === Map(
+      0L -> ((4L, 3L, 3L, 3L, 1000000L, 750000L)),
+      1L -> ((3L, 2L, 1L, 4L, 500000L, 666666L)),
+      3L -> ((1L, 1L, 0L, 4L, 0L, 1000000L))))
+    // partitioning-invariant on a larger fixture
+    val rnd = (1 to 400).map(i =>
+      (i.toLong, s"w${(i * 7) % 53} w${(i * 13) % 31} w${i % 11}"))
+    val x = run(rnd)
+    val y = TextAnalysis.vocabNovelty(
+      rnd.toDF("id", "text").repartition(13), "id", "text", 10L)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(5), r.getLong(6)))).toMap
+    assert(y === x)
+    // the curve's cumulative equals the distinct vocabulary of everything
+    // seen so far (probed on the last bucket)
+    val vocabAll = rnd.flatMap(_._2.split(" ")).distinct.size.toLong
+    assert(x(x.keySet.max)._4 === vocabAll)
+  }
 }

@@ -3006,6 +3006,13 @@ object SparkEntry {
       .withColumn("gap_end_us", unix_micros(col("gap_end")))
       .drop("gap_start", "gap_end")
 
+  /** Per-user inter-arrival burstiness panel over the event stream —
+    * clock-like vs Poisson vs bursty in one exact-integer row per user.
+    */
+  private def interarrivalStatsQ(s: SparkSession, dir: String): DataFrame =
+    ops.Temporal.interarrivalStats(
+      events(dir).load(s).select("user_id", "ts"), "user_id", "ts")
+
   /** k-anonymity / l-diversity audit of the customer table: equivalence
     * classes of (nation, segment) with account balance as the sensitive
     * attribute — the failing classes are the suppression work-list.
@@ -3425,6 +3432,7 @@ object SparkEntry {
     "mad_outliers" -> (madOutliersQ _),
     "interval_intersect" -> (intervalIntersectQ _),
     "activity_gaps" -> (activityGapsQ _),
+    "interarrival_stats" -> (interarrivalStatsQ _),
     "k_anonymity" -> (kAnonymityQ _),
     "fd_check" -> (fdCheckQ _),
     "trend_lines" -> (trendLinesQ _),
@@ -7550,6 +7558,29 @@ object SparkEntry {
           |SELECT k AS user_id, t - p AS gap_us,
           |  p AS gap_start_us, t AS gap_end_us
           |FROM g WHERE t - p > 172800000000""".stripMargin,
+      // burstiness replay: identical per-key lag gaps (the tie argument
+      // makes the gap MULTISET order-free), HUGEINT moment sums, the
+      // variance/mean^2 identity as one integral division
+      "interarrival_stats" ->
+        """WITH e AS (SELECT user_id AS k, epoch_us(ts) AS t FROM events
+          |  WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+          |g AS (SELECT k, t,
+          |    t - lag(t) OVER (PARTITION BY k ORDER BY t) AS gp
+          |  FROM e),
+          |a AS (SELECT k,
+          |    CAST(count(*) AS BIGINT) AS n_events,
+          |    CAST(count(gp) AS BIGINT) AS n_gaps,
+          |    CAST(max(t) - min(t) AS BIGINT) AS span_us,
+          |    CAST(sum(gp) AS HUGEINT) AS s1,
+          |    CAST(sum(CAST(gp AS HUGEINT) * gp) AS HUGEINT) AS s2
+          |  FROM g GROUP BY 1)
+          |SELECT k AS user_id, n_events, n_gaps, span_us,
+          |  CASE WHEN n_gaps = 0 THEN NULL
+          |    ELSE CAST(s1 // n_gaps AS BIGINT) END AS mean_gap_us,
+          |  CASE WHEN s1 IS NULL OR s1 = 0 THEN NULL
+          |    ELSE CAST(((CAST(n_gaps AS HUGEINT) * s2 - s1 * s1) * 1000000)
+          |      // (s1 * s1) AS BIGINT) END AS cv2_ppm
+          |FROM a""".stripMargin,
       // MAD replay: exact lower medians as rank (n+1)//2 order statistics
       // (never an interpolated midpoint), then the integral band test
       "mad_outliers" ->

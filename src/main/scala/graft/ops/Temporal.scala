@@ -632,6 +632,63 @@ object Temporal {
         (col("_t") - col("_prev")).as("gap_us"))
   }
 
+  /** Per-key inter-arrival burstiness panel — [[activityGaps]]'s
+    * statistical complement: gaps report the individual silences worth
+    * alarming on; THIS characterizes each key's whole arrival process in
+    * one row ("is this user's traffic clock-like, Poisson-like, or
+    * bursty" — the squared coefficient of variation of inter-arrival
+    * times is the standard burstiness statistic: exactly periodic → 0,
+    * Poisson → ~10⁶, heavy-tailed/bursty → ≫10⁶). Per key:
+    * `n_events`, `n_gaps` (= n_events − 1), `span_us`, `mean_gap_us`
+    * (integral `S₁ div n`), and
+    * `cv2_ppm = ⌊(n·S₂ − S₁²)·10⁶ / S₁²⌋` — the variance/mean² identity
+    * collapses to ONE integral division over the exact DECIMAL(38,0)
+    * moment sums S₁ = Σg, S₂ = Σg² (gaps in microseconds), so the whole
+    * panel is engine-replayable integer arithmetic, no float variance.
+    * Deterministic under timestamp ties: consecutive differences of a
+    * sorted multiset do not depend on tie order (the [[activityGaps]] /
+    * sessionize argument), and S₁/S₂ are order-free sums. Single-event
+    * keys read NULL mean/cv2 (no gaps); keys whose events all share one
+    * timestamp read mean 0, cv2 NULL (zero mean, CV undefined). NULL
+    * keys/timestamps drop.
+    *
+    * Overflow bound (document, don't discover): n·S₂·10⁶ < 10³⁸ holds
+    * while Σg² stays under 10²⁸ — a key with a million gaps averaging
+    * three hours is at ~10²⁶; astronomically longer processes overflow
+    * the decimal lane to NULL, never to a wrong number.
+    *
+    * Shape at 100 TB: ONE keyed exchange — the per-key lag window sorts
+    * within partitions and the moment aggregation clusters on the same
+    * hash partitioning, so Catalyst plans no second exchange (the
+    * sessionize one-exchange contract).
+    */
+  def interarrivalStats(
+      df: DataFrame,
+      keyCol: String,
+      tsCol: String): DataFrame = {
+    val w = Window.partitionBy(col("_k")).orderBy(col("_t"))
+    val dec = "decimal(38,0)"
+    df.filter(col(keyCol).isNotNull && col(tsCol).isNotNull)
+      .select(col(keyCol).as("_k"), unix_micros(col(tsCol)).as("_t"))
+      .withColumn("_g", col("_t") - lag(col("_t"), 1).over(w))
+      .groupBy(col("_k"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        count(col("_g")).as("n_gaps"),
+        (max(col("_t")) - min(col("_t"))).as("span_us"),
+        sum(col("_g").cast(dec)).as("_s1"),
+        sum(col("_g").cast(dec) * col("_g").cast(dec)).as("_s2"))
+      .select(
+        col("_k").as(keyCol),
+        col("n_events"), col("n_gaps"), col("span_us"),
+        when(col("n_gaps") === 0L, lit(null).cast("long"))
+          .otherwise(expr("CAST(_s1 div n_gaps AS BIGINT)")).as("mean_gap_us"),
+        when(col("_s1").isNull || col("_s1") === 0L, lit(null).cast("long"))
+          .otherwise(expr(
+            "CAST(((CAST(n_gaps AS DECIMAL(38,0)) * _s2 - _s1 * _s1) * 1000000)" +
+              " div (_s1 * _s1) AS BIGINT)")).as("cv2_ppm"))
+  }
+
   /** Position-based (U-shaped) multi-touch attribution — the
     * marketing-analytics staple completing the attribution family:
     * [[precedingJoinAgg]] counts what led up to a conversion, [[funnel]]

@@ -549,6 +549,9 @@ class PlanGateSpec extends SparkTestBase {
     // window over B result rows (the vocabCoverage bounded-result
     // convention)
     "vocab_novelty" -> 5,
+    // ONE keyed exchange: the lag window and the moment aggregation share
+    // the same hash partitioning (the sessionize one-exchange contract)
+    "interarrival_stats" -> 1,
     // the eval_auc discipline minus the rollup, plus the 1-row totals agg:
     // per-band agg (1), offsets prefix window over the ≤256-row band table
     // (1), per-band cumulative window (1), totals global agg (1) — no

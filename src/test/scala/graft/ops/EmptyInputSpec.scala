@@ -95,6 +95,7 @@ class EmptyInputSpec extends SparkTestBase {
     assert(Temporal.funnel(ev, "user_id", "ts", "event_type",
       Seq("view", "click")).count() === 0L)
     assert(Temporal.cohortRetention(ev, "user_id", "ts").count() === 0L)
+    assert(Temporal.interarrivalStats(ev, "user_id", "ts").count() === 0L)
     assert(Temporal.precedingJoinAgg(ev, ev, Seq("user_id"), "ts", "ts",
       60, "value").count() === 0L)
     assert(Sketch.countMinSketch(ev, "event_type", 256, 4).count() === 0L)

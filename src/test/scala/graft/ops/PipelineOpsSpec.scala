@@ -1897,6 +1897,42 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(run(rows.toDF("k", "ts").repartition(13)) === out)
   }
 
+  test("interarrivalStats: periodic reads cv2 0; hand-computed bursty cv2; single-event NULLs; all-tied reads mean 0 cv2 NULL; ties invariant; invariant") {
+    import spark.implicits._
+    def t(sec: Long) = new java.sql.Timestamp(sec * 1000L)
+    def run(rows: Seq[(String, java.sql.Timestamp)]) =
+      Temporal.interarrivalStats(rows.toDF("k", "ts"), "k", "ts")
+        .collect().map(r => r.getString(0) ->
+          ((r.getLong(1), r.getLong(2), r.getLong(3),
+            Option(r.get(4)), Option(r.get(5))))).toMap
+    // p: events at 0,10,20,30 -> gaps all 1e7us: mean 1e7, cv2 exactly 0
+    // b: events at 0,1,2,33 -> gaps us {1e6,1e6,31e6}: S1=33e6, S2=963e12;
+    //    cv2 = (3*963e12 - 33e6^2)*1e6 div (33e6^2)
+    //        = (2889e12 - 1089e12)*1e6 div 1089e12 = 1652892
+    // s: one event -> 0 gaps, NULL mean/cv2, span 0
+    // z: three events same second -> gaps {0,0}: mean 0, cv2 NULL
+    val rows = Seq(
+      ("p", t(0)), ("p", t(10)), ("p", t(20)), ("p", t(30)),
+      ("b", t(0)), ("b", t(1)), ("b", t(2)), ("b", t(33)),
+      ("s", t(5)),
+      ("z", t(7)), ("z", t(7)), ("z", t(7)))
+    val out = run(rows)
+    assert(out("p") === ((4L, 3L, 30000000L, Some(10000000L), Some(0L))))
+    assert(out("b") === ((4L, 3L, 33000000L, Some(11000000L), Some(1652892L))))
+    assert(out("s") === ((1L, 0L, 0L, None, None)))
+    assert(out("z") === ((3L, 2L, 0L, Some(0L), None)))
+    // tie-order invariance: equal timestamps contribute zero gaps whichever
+    // row the lag window picks first (sorted-multiset difference argument)
+    assert(run(rows.reverse) === out)
+    val rnd = (1 to 300).map(i => (s"u${i % 5}", t(((i * 37) % 250).toLong)))
+    val x = Temporal.interarrivalStats(rnd.toDF("k", "ts"), "k", "ts")
+      .collect().map(_.toSeq).toSet
+    val y = Temporal.interarrivalStats(
+      rnd.toDF("k", "ts").repartition(13), "k", "ts")
+      .collect().map(_.toSeq).toSet
+    assert(y === x)
+  }
+
   test("trendLines: perfect line recovers slope/intercept/r2 exactly; flat and single-point groups read NULL; partitioning-invariant") {
     import spark.implicits._
     def ts(sec: Long) = new java.sql.Timestamp(sec * 1000L)

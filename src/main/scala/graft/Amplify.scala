@@ -98,25 +98,41 @@ object Amplify {
                 concat(w, lit("x"), col("_c").cast("string"))).otherwise(w)),
               " "))))
       .withColumn("n_chars", length(col("text")).cast("long")))
-    // embeddings: a per-copy CYCLIC DIMENSION SHIFT, not an epsilon nudge.
-    // The old `+ c * 0.0001` kept every copy pair at cosine ≈ 1.0, so each
-    // base vector's copies formed a genuine near-dup CLIQUE and the
-    // near-dup pair count grew quadratically in the copy family — measured
-    // dedup_embedding: 2,000 pairs at sf0.1 → 377,179 on the 10× twin
-    // (188× output for 10× data; the operator itself was LINEAR per output
-    // pair). The shift is an isometry: within one copy the geometry is
-    // byte-identical to the base universe (distances, norms, neighbor
-    // structure — exactly what knn/IVF realism wants), while cross-copy
-    // cosines decorrelate to the random-vector band (|cos| ~ 1/√d), far
-    // below every registered near-dup threshold — so the duplicate rate is
-    // again driven by each query's planted density, the thing that scales
-    // linearly on a real corpus.
+    // embeddings: a per-copy CYCLIC DIMENSION SHIFT composed with per-CYCLE
+    // SIGN FLIPS, not an epsilon nudge. The old `+ c * 0.0001` kept every
+    // copy pair at cosine ≈ 1.0, so each base vector's copies formed a
+    // genuine near-dup CLIQUE and the near-dup pair count grew
+    // quadratically in the copy family — measured dedup_embedding: 2,000
+    // pairs at sf0.1 → 377,179 on the 10× twin (188× output for 10× data;
+    // the operator itself was LINEAR per output pair). Both maps are
+    // isometries: within one copy the geometry is byte-identical to the
+    // base universe (distances, norms, neighbor structure — exactly what
+    // knn/IVF realism wants), while cross-copy cosines decorrelate to the
+    // random-vector band (|cos| ~ 1/√d), far below every registered
+    // near-dup threshold — so the duplicate rate is again driven by each
+    // query's planted density, the thing that scales linearly on a real
+    // corpus. The shift alone is taken mod d (=64), so copies c and c+d
+    // would be BYTE-IDENTICAL (cosine exactly 1.0) — at the 100-copy sf100
+    // twin that silently reintroduced 36 exact-duplicate copy pairs per
+    // base vector. The second isometry is keyed on the shift CYCLE
+    // g = c div d: each cycle g > 0 flips a deterministic xxhash64-chosen
+    // sign pattern per dimension, so same-shift copies from different
+    // cycles differ in ~d/2 signs (cosine ≈ 0 in expectation); cycle 0 is
+    // the identity, keeping copy 0 byte-identical to the base universe.
     amp("embeddings")(df => df
       .withColumn("vec_id", off("vec_id", V))
-      .withColumn("embedding",
-        transform(col("embedding"), (_, i) =>
-          element_at(col("embedding"),
-            (pmod(i + col("_c"), size(col("embedding"))) + 1).cast("int")))))
+      .withColumn("embedding", {
+        val d = size(col("embedding"))
+        val cycle = expr("_c div size(embedding)")
+        transform(col("embedding"), (_, i) => {
+          val shifted = element_at(col("embedding"),
+            (pmod(i + col("_c"), d) + 1).cast("int"))
+          val sign = when(cycle === 0L, lit(1.0f)).otherwise(
+            when(pmod(xxhash64(cycle, i), lit(2L)) === 0, lit(1.0f))
+              .otherwise(lit(-1.0f)))
+          shifted * sign
+        })
+      }))
     // pure dimension tables: fixed row counts at any SF, copy verbatim
     for (t <- Seq("nation", "region")) {
       spark.read.parquet(s"$src/$t.parquet")

@@ -121,8 +121,14 @@ object Bench {
       }
       if (collectStageMetrics) {
         // drain the listener bus so this query's stage completions are in
-        // before the snapshot (local mode: a bounded queue, cheap)
-        org.apache.spark.GraftListenerBus.waitUntilEmpty(spark.sparkContext, 30000)
+        // before the snapshot (local mode: a bounded queue, cheap). A slow
+        // drain must not abort the remaining suite — waitUntilEmpty throws
+        // TimeoutException, and losing the whole artifact over one query's
+        // possibly-incomplete metrics is the wrong trade.
+        try org.apache.spark.GraftListenerBus.waitUntilEmpty(spark.sparkContext, 30000)
+        catch { case e: Throwable =>
+          System.err.println(s"bench: listener bus drain timed out for $name " +
+            s"(${e.getClass.getSimpleName}) — stage metrics may be incomplete") }
         stageMetrics(name) = (acc.get(0) - before(0), acc.get(1) - before(1),
           acc.get(2) - before(2), acc.get(3) - before(3))
       }

@@ -20,6 +20,12 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // Write the oracle map FIRST (it is static config; no query needs to run).
+    // Round-17 incident: a driver check that raced the dump found no
+    // oracle_sql.json and silently graded zero queries. With the map on disk
+    // up front, a premature check degrades to loud per-query
+    // MISSING_SPARK_OUTPUT failures instead of an empty artifact.
+    writeOracleJson(outDir)
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
@@ -30,6 +36,11 @@ object Verify {
       }
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
     }
+    spark.stop()
+  }
+
+  /** oracle_sql.json dump, written BEFORE the query loop (see main). */
+  private def writeOracleJson(outDir: String): Unit = {
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.
@@ -45,6 +56,5 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
-    spark.stop()
   }
 }

@@ -240,39 +240,88 @@ object Layout {
     }.mode("errorifexists").parquet(path)
   }
 
-  /** 16-bit rank of a numeric column over explicit `[lo, hi)` bounds — the
-    * histogram bin arithmetic at 65 536 bins, clamped into the edge ranks.
-    * Explicit bounds keep the rank (and so the whole layout) a pure function
-    * of the values, never of the dataset being written.
+  /** Per-column rank bits for a k-column Morton key: 16 bits (65 536 bins)
+    * up to four columns, shrinking so `k * bits <= 62` stays inside a
+    * positive long. Resolution only bounds how finely file boxes can cut
+    * value space — never correctness (the manifest records true min/max).
     */
-  private def rank16(c: org.apache.spark.sql.Column, lo: Double, hi: Double) = {
-    val w = (hi - lo) / 65536.0
-    least(greatest(floor((c - lo) / w), lit(0.0)), lit(65535.0)).cast("long")
+  private def mortonBits(k: Int): Int = math.min(16, 62 / k)
+
+  /** `bits`-bit rank of a numeric column over explicit `[lo, hi)` bounds —
+    * the histogram bin arithmetic at `2^bits` bins, clamped into the edge
+    * ranks. Explicit bounds keep the rank (and so the whole layout) a pure
+    * function of the values, never of the dataset being written.
+    */
+  private def rankBits(
+      c: org.apache.spark.sql.Column, lo: Double, hi: Double, bits: Int) = {
+    val bins = 1L << bits
+    val w = (hi - lo) / bins.toDouble
+    least(greatest(floor((c - lo) / w), lit(0.0)), lit((bins - 1).toDouble))
+      .cast("long")
   }
 
-  /** Interleave the low 16 bits of two long columns into a 32-bit Morton
-    * (Z-order) key: bit spreading via the classic shift-and-mask chain —
-    * five codegen'd integer ops per column, no UDF.
+  /** Interleave k rank columns (each `bits` wide, `k * bits <= 62`) into one
+    * Morton (Z-order) key: bit j of column i lands at position `j*k + i`.
+    * The generic construction is `k * bits` codegen'd shift/and/or triples —
+    * integer-only, no UDF, evaluated once per row on the write path where
+    * shuffle + IO dominate anyway.
     */
-  private def morton2(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) = {
-    def spread(x: org.apache.spark.sql.Column) = {
-      val m1 = x.bitwiseAND(lit(0xFFFFL))
-      val m2 = (m1.bitwiseOR(shiftleft(m1, 8))).bitwiseAND(lit(0x00FF00FFL))
-      val m3 = (m2.bitwiseOR(shiftleft(m2, 4))).bitwiseAND(lit(0x0F0F0F0FL))
-      val m4 = (m3.bitwiseOR(shiftleft(m3, 2))).bitwiseAND(lit(0x33333333L))
-      (m4.bitwiseOR(shiftleft(m4, 1))).bitwiseAND(lit(0x55555555L))
-    }
-    spread(a).bitwiseOR(shiftleft(spread(b), 1))
+  private def mortonK(ranks: Seq[org.apache.spark.sql.Column], bits: Int) = {
+    val k = ranks.size
+    val terms = for {
+      (r, i) <- ranks.zipWithIndex
+      j <- 0 until bits
+    } yield shiftleft(shiftrightunsigned(r, j).bitwiseAND(lit(1L)), j * k + i)
+    terms.reduce(_.bitwiseOR(_))
   }
+
+  /** The Morton key for a set of `(column, lo, hi)` index specs — shared by
+    * the write and append paths so both produce the identical layout. */
+  private def mortonKey(indexes: Seq[(String, Double, Double)]) = {
+    require(indexes.nonEmpty, "name at least one index column")
+    require(indexes.size <= 8, "more than 8 Z-order columns stops skipping " +
+      "anything (each gets <8 rank bits); split the layout instead")
+    indexes.foreach { case (c, lo, hi) =>
+      require(hi > lo, s"column $c: need hi > lo") }
+    val bits = mortonBits(indexes.size)
+    mortonK(indexes.map { case (c, lo, hi) => rankBits(col(c), lo, hi, bits) },
+      bits)
+  }
+
+  /** Per-file min/max aggregation over the index columns for `files` (or the
+    * whole table when `files` is empty) — the manifest rows. Columns are
+    * positional (`min_0/max_0, ...`) in the write-call's index order, which
+    * is the layout's documented contract exactly like the bounds. */
+  private def manifestRows(
+      spark: SparkSession, path: String, files: Seq[String],
+      indexCols: Seq[String]): DataFrame = {
+    val data = if (files.isEmpty) spark.read.parquet(path)
+      else spark.read.parquet(files: _*)
+    data.select(input_file_name().as("file") +: indexCols.map(col): _*)
+      .groupBy(col("file"))
+      .agg(
+        min(col(indexCols.head)).as("min_0"),
+        max(col(indexCols.head)).as("max_0") +:
+          indexCols.zipWithIndex.tail.flatMap { case (c, i) =>
+            Seq(min(col(c)).as(s"min_$i"), max(col(c)).as(s"max_$i"))
+          }: _*)
+  }
+
+  /** Manifest-filter for a query box: a file survives iff its box intersects
+    * the query box on EVERY index dimension. */
+  private def boxIntersects(box: Seq[(Double, Double)]): org.apache.spark.sql.Column =
+    box.zipWithIndex.map { case ((lo, hi), i) =>
+      col(s"min_$i") <= hi && col(s"max_$i") >= lo
+    }.reduce(_ && _)
 
   /** Z-ordered write + zone-map manifest — the data-skipping layout every
     * lakehouse table format (Delta OPTIMIZE ZORDER, Iceberg sort orders,
     * Hudi clustering) builds for multi-column selective scans, here
-    * first-class: rows sort by the Morton interleave of the two index
-    * columns' 16-bit ranks, so file boundaries become axis-aligned boxes in
-    * (a, b) space and a selective range on EITHER column touches only the
-    * files whose box intersects it — where a linear sort on `a` leaves a
-    * `b`-range scattered across every file. After the write, one columnar
+    * first-class: rows sort by the Morton interleave of the index columns'
+    * ranks, so file boundaries become axis-aligned boxes in index space and
+    * a selective range on ANY indexed column touches only the files whose
+    * box intersects it — where a linear sort on `a` leaves a `b`-range
+    * scattered across every file. After the write, one columnar
     * scan of ONLY the index columns builds the per-file min/max manifest
     * (`_zonemap/`, underscore-prefixed so normal parquet reads ignore it).
     *
@@ -280,7 +329,7 @@ object Layout {
     * candidate files from the kilobyte-scale manifest BEFORE the scan, so a
     * selective query over a petabyte table opens only the files that can
     * contain matches — the same I/O shape as partition pruning, but on
-    * value ranges of any two numeric columns, orthogonal to the partition
+    * value ranges of any k numeric columns, orthogonal to the partition
     * scheme. Null index values clamp nowhere: their rows sort to one end
     * (null ranks NULL → morton NULL → range-partitioner null group) and
     * their files carry null-aware min/max, which the pruner treats as
@@ -296,23 +345,31 @@ object Layout {
       path: String,
       indexA: (String, Double, Double),
       indexB: (String, Double, Double),
+      numFiles: Int): Unit =
+    writeZoneMapped(df, path, Seq(indexA, indexB), numFiles)
+
+  /** k-column form — `OPTIMIZE ZORDER BY (a, b, c, ...)`: rows sort by the
+    * Morton interleave of ALL the index columns' ranks (each column gets
+    * `min(16, 62/k)` rank bits), so file boundaries become axis-aligned
+    * k-boxes and a selective range on ANY indexed column prunes. More
+    * columns = coarser cuts per column (the standard lakehouse guidance:
+    * Z-order a handful of filter dimensions, not every column), enforced at
+    * 8 columns where per-column resolution stops paying.
+    */
+  def writeZoneMapped(
+      df: DataFrame,
+      path: String,
+      indexes: Seq[(String, Double, Double)],
       numFiles: Int): Unit = {
     require(numFiles >= 1, "numFiles must be >= 1")
-    val (ca, loA, hiA) = indexA
-    val (cb, loB, hiB) = indexB
-    require(hiA > loA && hiB > loB, "need hi > lo for both index columns")
-    val z = morton2(rank16(col(ca), loA, hiA), rank16(col(cb), loB, hiB))
+    val z = mortonKey(indexes)
     df.withColumn("_z", z)
       .repartitionByRange(numFiles, col("_z"))
       .sortWithinPartitions(col("_z"))
       .drop("_z")
       .write.mode("errorifexists").parquet(path)
-    val manifest = df.sparkSession.read.parquet(path)
-      .select(input_file_name().as("file"), col(ca), col(cb))
-      .groupBy(col("file"))
-      .agg(min(col(ca)).as("min_a"), max(col(ca)).as("max_a"),
-        min(col(cb)).as("min_b"), max(col(cb)).as("max_b"))
-    manifest.coalesce(1).write.mode("errorifexists").parquet(s"$path/_zonemap")
+    manifestRows(df.sparkSession, path, Seq.empty, indexes.map(_._1))
+      .coalesce(1).write.mode("errorifexists").parquet(s"$path/_zonemap")
   }
 
   /** Incremental zone-mapped ingest — the nightly-append sibling of
@@ -334,11 +391,18 @@ object Layout {
       path: String,
       indexA: (String, Double, Double),
       indexB: (String, Double, Double),
+      numFiles: Int): Unit =
+    appendZoneMapped(df, path, Seq(indexA, indexB), numFiles)
+
+  /** k-column form of the incremental append — the index specs MUST match
+    * the ones the layout was written with (the same bounds-are-a-contract
+    * discipline; the manifest's positional columns pin the arity). */
+  def appendZoneMapped(
+      df: DataFrame,
+      path: String,
+      indexes: Seq[(String, Double, Double)],
       numFiles: Int): Unit = {
     require(numFiles >= 1, "numFiles must be >= 1")
-    val (ca, loA, hiA) = indexA
-    val (cb, loB, hiB) = indexB
-    require(hiA > loA && hiB > loB, "need hi > lo for both index columns")
     val spark = df.sparkSession
     val fs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -353,7 +417,7 @@ object Layout {
       out.toSet
     }
     val before = dataFiles()
-    val z = morton2(rank16(col(ca), loA, hiA), rank16(col(cb), loB, hiB))
+    val z = mortonKey(indexes)
     df.withColumn("_z", z)
       .repartitionByRange(numFiles, col("_z"))
       .sortWithinPartitions(col("_z"))
@@ -361,11 +425,7 @@ object Layout {
       .write.mode("append").parquet(path)
     val added = (dataFiles() -- before).toSeq.sorted
     if (added.nonEmpty) {
-      val newRows = spark.read.parquet(added: _*)
-        .select(input_file_name().as("file"), col(ca), col(cb))
-        .groupBy(col("file"))
-        .agg(min(col(ca)).as("min_a"), max(col(ca)).as("max_a"),
-          min(col(cb)).as("min_b"), max(col(cb)).as("max_b"))
+      val newRows = manifestRows(spark, path, added, indexes.map(_._1))
       val manifestPath = s"$path/_zonemap"
       val merged = spark.read.parquet(manifestPath).unionByName(newRows)
       // the manifest is kilobytes — materialize before overwriting its input
@@ -389,13 +449,22 @@ object Layout {
       spark: SparkSession,
       path: String,
       colA: String, aLo: Double, aHi: Double,
-      colB: String, bLo: Double, bHi: Double): DataFrame = {
+      colB: String, bLo: Double, bHi: Double): DataFrame =
+    readZonePruned(spark, path, Seq((colA, aLo, aHi), (colB, bLo, bHi)))
+
+  /** k-column form: the query box names every index column in the layout's
+    * write order (positional manifest columns), with its `[lo, hi]` range —
+    * pass the full domain for a dimension the query doesn't constrain. */
+  def readZonePruned(
+      spark: SparkSession,
+      path: String,
+      box: Seq[(String, Double, Double)]): DataFrame = {
+    require(box.nonEmpty, "name every index column of the layout")
     val files = spark.read.parquet(s"$path/_zonemap")
-      .filter(col("min_a") <= aHi && col("max_a") >= aLo &&
-        col("min_b") <= bHi && col("max_b") >= bLo)
+      .filter(boxIntersects(box.map { case (_, lo, hi) => (lo, hi) }))
       .select("file").collect().map(_.getString(0))
-    val pred = col(colA) >= aLo && col(colA) <= aHi &&
-      col(colB) >= bLo && col(colB) <= bHi
+    val pred = box.map { case (c, lo, hi) => col(c) >= lo && col(c) <= hi }
+      .reduce(_ && _)
     if (files.isEmpty) {
       // preserve the schema without reading data files
       spark.read.parquet(path).filter(lit(false))
@@ -411,10 +480,17 @@ object Layout {
       spark: SparkSession,
       path: String,
       colA: String, aLo: Double, aHi: Double,
-      colB: String, bLo: Double, bHi: Double): (Long, Long) = {
+      colB: String, bLo: Double, bHi: Double): (Long, Long) =
+    zonePruneStats(spark, path, Seq((colA, aLo, aHi), (colB, bLo, bHi)))
+
+  /** k-column form of the candidate-file count. */
+  def zonePruneStats(
+      spark: SparkSession,
+      path: String,
+      box: Seq[(String, Double, Double)]): (Long, Long) = {
     val m = spark.read.parquet(s"$path/_zonemap")
-    val kept = m.filter(col("min_a") <= aHi && col("max_a") >= aLo &&
-      col("min_b") <= bHi && col("max_b") >= bLo).count()
+    val kept =
+      m.filter(boxIntersects(box.map { case (_, lo, hi) => (lo, hi) })).count()
     (kept, m.count())
   }
 }

@@ -79,20 +79,35 @@ object StoreSwap {
     out.close()
   }
 
-  private def readDepthMarker(fs: FileSystem, gen: Path): Option[Int] =
-    try {
-      val mp = new Path(gen, DepthMarker)
-      if (!fs.exists(mp)) None
-      else {
-        val in = fs.open(mp)
+  private def readDepthMarker(fs: FileSystem, gen: Path): Option[Int] = {
+    val mp = new Path(gen, DepthMarker)
+    if (!fs.exists(mp)) None
+    else {
+      val in = fs.open(mp)
+      val text =
         try {
+          // read to EOF, not a single read(): InputStream may return fewer
+          // bytes than available, and a short read of a multi-digit depth
+          // ("10" read as "1") would resume an interrupted adoption at the
+          // wrong granularity. The file is at most a few bytes.
+          val buf = new java.io.ByteArrayOutputStream(16)
           val b = new Array[Byte](16)
-          val n = in.read(b)
-          Some(new String(b, 0, math.max(n, 0),
-            java.nio.charset.StandardCharsets.UTF_8).trim.toInt)
+          var n = in.read(b)
+          while (n > 0) { buf.write(b, 0, n); n = in.read(b) }
+          new String(buf.toByteArray,
+            java.nio.charset.StandardCharsets.UTF_8).trim
         } finally in.close()
+      // a marker that EXISTS but does not parse is a corrupt record of an
+      // in-flight adoption — resuming at the caller's depth could adopt at
+      // the wrong granularity and double-count partitions. Fail loudly;
+      // the operator inspects the store rather than recovery guessing.
+      try Some(text.toInt)
+      catch { case _: NumberFormatException =>
+        throw new IllegalStateException(
+          s"corrupt $DepthMarker in $gen: '$text' is not an adoption depth")
       }
-    } catch { case _: Exception => None }
+    }
+  }
 
   /** Leaf partition directories exactly `depth` `k=v` levels below
     * `root`; depth 0 means the store is flat and has no adoptable leaves.

@@ -31,6 +31,13 @@ here since round 17): a row only COUNTS as over-2x if its ratio exceeds
 scheduler noise alone at local[32]; a 0.4 s anchor reading 0.9 s is
 machine jitter, not a performance regression, and is reported in a
 separate "jitter-band" list rather than as a finding.
+
+Reproducibility escalation (round 18): the jitter band must not become a
+permanent hiding place — a sub-0.25 s anchor that regresses 5x would
+otherwise never surface no matter how many runs reproduce it. When 3+
+runs are given and a jitter-band row reads over 2x in EVERY run
+individually, it escalates to a finding: noise is intermittent by
+definition, a delta that survives every run is real.
 """
 import hashlib
 import json
@@ -159,16 +166,27 @@ def main():
             unanchored.append((k, v))
     rows.sort(reverse=True)
     agg = sum(v for _, _, v, _ in rows) / sum(a for _, _, _, a in rows)
-    over2 = [r for r in rows
-             if r[0] > OVER_RATIO and (r[2] - r[3]) > OVER_ABS_SEC]
-    jitter = [r for r in rows
-              if r[0] > OVER_RATIO and (r[2] - r[3]) <= OVER_ABS_SEC]
+    # reproducibility escalation: >2x in EVERY one of 3+ runs is not noise
+    def reproduces(k, a):
+        obs = [qs[k] for _, qs in runs if k in qs]
+        return len(runs) >= 3 and len(obs) == len(runs) and \
+            all(v / a > OVER_RATIO for v in obs)
+
+    over2, jitter = [], []
+    for r in rows:
+        if r[0] <= OVER_RATIO:
+            continue
+        if (r[2] - r[3]) > OVER_ABS_SEC or reproduces(r[1], r[3]):
+            over2.append(r)
+        else:
+            jitter.append(r)
     print(f"anchored rows: {len(rows)}   aggregate (best-of-{len(runs)}): "
           f"{agg:.3f}x   rows over 2x: {len(over2)}   "
           f"jitter-band (>2x but <=+{OVER_ABS_SEC}s): {len(jitter)}")
     for ratio, k, v, a in over2:
+        tag = " [reproduces in every run]" if (v - a) <= OVER_ABS_SEC else ""
         print(f"  OVER   {ratio:5.2f}x  {k:32s} {v:7.2f} vs anchor {a:.2f}"
-              f"  (+{v - a:.2f}s)")
+              f"  (+{v - a:.2f}s){tag}")
     for ratio, k, v, a in jitter:
         print(f"  jitter {ratio:5.2f}x  {k:32s} {v:7.2f} vs anchor {a:.2f}"
               f"  (+{v - a:.2f}s, sub-{OVER_ABS_SEC}s delta)")

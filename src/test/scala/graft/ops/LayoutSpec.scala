@@ -309,6 +309,67 @@ class LayoutSpec extends SparkTestBase {
       .count() === fullN)
   }
 
+  test("k-column zone maps: 3-D grid prunes on ANY single dimension; pruned read = full scan + filter; append keeps the arity") {
+    import spark.implicits._
+    // a 32×32×32 value cube: every (a, b, c) combination, so any linear or
+    // 2-D layout necessarily scatters the remaining dimension
+    val cube = spark.range(32768L)
+      .select((col("id") / 1024).cast("long").as("a"),
+        ((col("id") / 32) % 32).cast("long").as("b"),
+        (col("id") % 32).cast("long").as("c"),
+        col("id").as("payload"))
+    val base = java.nio.file.Files.createTempDirectory("graft-z3").toString
+    val path = s"$base/z3"
+    val idx = Seq(("a", 0.0, 32.0), ("b", 0.0, 32.0), ("c", 0.0, 32.0))
+    Layout.writeZoneMapped(cube, path, idx, numFiles = 27)
+    assert(spark.read.parquet(path).count() === 32768L)
+    // correctness: a 3-D box through the pruner ≡ full scan + same predicate
+    val box = Seq(("a", 4.0, 11.0), ("b", 8.0, 15.0), ("c", 16.0, 23.0))
+    val full = spark.read.parquet(path)
+      .filter(col("a").between(4, 11) && col("b").between(8, 15) &&
+        col("c").between(16, 23))
+      .collect().map(_.toSeq).toSet
+    val pruned = Layout.readZonePruned(spark, path, box)
+    assert(pruned.collect().map(_.toSeq).toSet === full)
+    assert(full.size === 8 * 8 * 8)
+    // the I/O win on EVERY axis: a 25%-wide slab on one dimension (full
+    // domain on the others) keeps a strict subset of the 27 files
+    val whole = Seq(0.0 -> 32.0, 0.0 -> 32.0, 0.0 -> 32.0)
+    for (dim <- 0 until 3) {
+      val slab = whole.zipWithIndex.map { case ((lo, hi), i) =>
+        val (nm, _, _) = idx(i)
+        if (i == dim) (nm, 4.0, 11.0) else (nm, lo, hi)
+      }
+      val (kept, total) = Layout.zonePruneStats(spark, path, slab)
+      assert(total === 27L, s"expected 27 files, got $total")
+      assert(kept < total, s"dim $dim slab must prune: $kept/$total")
+    }
+    // the 3-D box intersects fewer files than any single-dimension slab
+    val (keptBox, _) = Layout.zonePruneStats(spark, path, box)
+    assert(keptBox < 27L)
+    // append in a fresh value region at the same arity: manifest grows by
+    // the new files only, reads over old and new regions stay exact
+    val manifestBefore = spark.read.parquet(s"$path/_zonemap")
+      .collect().map(_.toSeq).toSet
+    val batch = spark.range(32768L, 34768L)
+      .select(lit(31L).as("a"), lit(31L).as("b"),
+        (col("id") % 32).cast("long").as("c"), col("id").as("payload"))
+    Layout.appendZoneMapped(batch, path, idx, numFiles = 3)
+    val manifestAfter = spark.read.parquet(s"$path/_zonemap")
+      .collect().map(_.toSeq).toSet
+    assert(manifestBefore.subsetOf(manifestAfter))
+    assert(manifestAfter.size === manifestBefore.size + 3)
+    val corner = Layout.readZonePruned(spark, path,
+      Seq(("a", 31.0, 31.0), ("b", 31.0, 31.0), ("c", 0.0, 32.0)))
+    assert(corner.count() === spark.read.parquet(path)
+      .filter(col("a") === 31 && col("b") === 31).count())
+    // an impossible 3-D box prunes everything, schema preserved
+    val none = Layout.readZonePruned(spark, path,
+      Seq(("a", 100.0, 200.0), ("b", 0.0, 32.0), ("c", 0.0, 32.0)))
+    assert(none.count() === 0L)
+    assert(none.columns.toSeq === Seq("a", "b", "c", "payload"))
+  }
+
   test("appendZoneMapped: only new files scanned into the manifest; old rows byte-identical; reads stay exact") {
     import spark.implicits._
     val grid = spark.range(10000L)

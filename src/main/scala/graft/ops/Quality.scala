@@ -76,11 +76,19 @@ object Quality {
           when(col(n).isNotNull && !regexp_like(col(n), lit(p)), 1L).otherwise(0L))
     }
 
+    // the corpus row count rides the SAME agg definition as the row-local
+    // counters so the panel has one source of aggregate truth. Catalyst
+    // prunes each reference of `one` down to what it consumes: the unpivot
+    // keeps only the counters, and the n_rows reference prunes to a
+    // zero-column scan (ReadSchema struct<> — parquet answers it from
+    // footer row counts), so the physical plan is exactly a counters pass
+    // plus a metadata-only count, never a duplicated counters pass.
+    val aggCols = rowLocal.zipWithIndex.map { case ((_, c), i) => c.as(s"_v$i") } :+
+      count(lit(1)).as("_n_rows")
+    val one = df.agg(aggCols.head, aggCols.tail: _*)
     val local: Option[DataFrame] =
       if (rowLocal.isEmpty) None
       else {
-        val aggCols = rowLocal.zipWithIndex.map { case ((_, c), i) => c.as(s"_v$i") }
-        val one = df.agg(aggCols.head, aggCols.tail: _*)
         // unpivot the single row into one panel row per constraint
         val entries = rowLocal.zipWithIndex.map { case ((chk, _), i) =>
           struct(lit(checkName(chk)).as("check"), lit(chk.column).as("col_name"),
@@ -104,7 +112,7 @@ object Quality {
           .select(lit(checkName(c)).as("check"), lit(n).as("col_name"), col("n_violations"))
     }
 
-    val nRows = df.agg(count(lit(1)).as("n_rows"))
+    val nRows = one.select(col("_n_rows").as("n_rows"))
     (local.toSeq ++ distributional)
       .reduce(_ unionByName _)
       .join(broadcast(nRows))

@@ -171,6 +171,108 @@ class EventStreamSpec extends SparkTestBase {
     assert(estState.keySet === Set("g", "h"))
   }
 
+  test("streaming capstone: qualityGate -> nearDupGate -> dailyStateSink through ONE stream == the batch chain; replay idempotent end-to-end") {
+    // the live twin of pipeline_crawl_full: every live stage is individually
+    // batch-parity-pinned above, this pins the COMPOSITION — column shapes
+    // between stages, the one-stream end-to-end result against the batch
+    // chain, and replay idempotence through the terminal store.
+    import spark.implicits._
+    implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import graft.ops.{Dedup, Incremental, TextAnalysis}
+    import org.apache.spark.sql.functions.{lit, pmod, size}
+    val base = java.nio.file.Files.createTempDirectory("graft-capstone").toString
+    val (store, ckpt, batchStore) = (s"$base/store", s"$base/ckpt", s"$base/bstore")
+
+    // trained artifacts, built ONCE and shared by the batch and live forms
+    val train = Seq(
+      (100L, "the cat sat on the mat and the dog ran to the cat"),
+      (101L, "the cat and the dog sat on the mat near the door")).toDF("doc_id", "text")
+    val lm = TextAnalysis.trainLmTable(train, "text")
+    // the reference corpus must itself be FLUENT under the LM — a doc only
+    // reaches the near-dup gate after surviving the quality gate
+    val refA = "the cat sat on the mat near the door"
+    val reference = Seq((500L, refA)).toDF("doc_id", "text")
+    val idx = Dedup.buildNearDupIndex(reference, "doc_id", "text")
+    val d1 = Timestamp.valueOf("2024-03-01 10:00:00")
+    val d2 = Timestamp.valueOf("2024-03-02 09:00:00")
+    // every fate represented, across two dt partitions:
+    val batch1 = Seq(
+      (1L, d1, "the dog ran to the cat and the dog sat near the door"), // fluent + novel: KEPT
+      (2L, d1, refA),                                                   // fluent + near-dup: gated at stage 2
+      (3L, d1, "zz qq mat door cat ran"))                               // junk: gated at stage 1
+    val batch2 = Seq(
+      (4L, d2, "single"),                                               // no bigrams: gated at stage 1
+      (5L, d2, "the cat ran to the door and the dog ran to the mat"),   // fluent + novel: KEPT
+      (6L, d2, refA))                                                   // near-dup again, day 2: gated
+    val allDocs = (batch1 ++ batch2).toDF("doc_id", "ingested_at", "text")
+    // threshold from the BATCH scorer so the spec can't go vacuous
+    val scores = TextAnalysis.lmScore(train, allDocs, "doc_id", "text")
+      .filter(col("n_bigrams") > 0)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(1)))
+    val qs = scores.map { case (_, s, n) => s / n }.sorted
+    val thresholdQ = (qs.head + qs.last) / 2
+
+    // the composed chain — ONE definition consumed by batch and stream
+    def chain(in: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+      EventStream.nearDupGate(
+          EventStream.qualityGate(in, "text", lm, thresholdQ),
+          "text", idx, threshold = 0.8)
+        .filter(size(col("near_dups")) === 0)
+        .select(pmod(col("doc_id"), lit(2L)).as("shard"),
+          col("doc_id"), col("ingested_at"), col("n_bigrams").as("v"))
+
+    // batch ground truth + non-vacuity: both gates must gate something
+    val keptBatch = chain(allDocs).collect().map(_.getLong(1)).toSet
+    assert(keptBatch === Set(1L, 5L),
+      s"batch chain must keep exactly the fluent novel docs, got $keptBatch")
+    val afterQuality = EventStream.qualityGate(allDocs, "text", lm, thresholdQ)
+      .collect().map(_.getLong(0)).toSet
+    assert(afterQuality === Set(1L, 2L, 5L, 6L),
+      s"quality gate must pass the fluent docs incl. the near-dups: $afterQuality")
+    // the chained batch plan stays a pure projection: zero exchanges
+    val chainPlan = chain(allDocs).queryExecution.executedPlan.toString
+    assert(!chainPlan.contains("Exchange"),
+      s"the composed gate chain must not shuffle:\n$chainPlan")
+
+    // LIVE: the same chain through one MemoryStream into the daily-state
+    // store, two micro-batches (AvailableNow per queued batch, shared
+    // checkpoint — batch ids 0 then 1, the quantileSketchSink pattern)
+    val ms = MemoryStream[(Long, Timestamp, String)]
+    def run(): Unit = {
+      val q = EventStream.dailyStateSink(
+        chain(ms.toDF().toDF("doc_id", "ingested_at", "text")),
+        store, ckpt, Seq("shard"), "ingested_at", "v")
+      q.processAllAvailable(); q.stop()
+    }
+    ms.addData(batch1); run()
+    ms.addData(batch2); run()
+
+    // parity: the streamed store answers range merges identically to a
+    // store built by the BATCH chain in one upsert
+    Incremental.stateUpsertBatch(
+      chain(allDocs), batchStore, Seq("shard"), "ingested_at", "v", batchId = 0L)
+    def merged(p: String) = Incremental.mergeRange(
+        spark, p, Seq("shard"), "2024-03-01", "2024-03-02")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    val live = merged(store)
+    assert(live === merged(batchStore),
+      "stream-built state must answer exactly like the batch-chain store")
+    assert(live.keySet === Set(1L), "both kept docs land on shard 1 (odd ids)")
+    assert(live(1L)._1 === 2L, "one kept doc per day")
+
+    // replay idempotence END-TO-END: re-delivering micro-batch 1 through
+    // the same chain + upsert rewrites its own (dt, batch_id) partitions —
+    // store rows byte-identical, merges unchanged
+    val rowsBefore = spark.read.parquet(store).collect().map(_.toSeq).toSet
+    Incremental.stateUpsertBatch(
+      chain(batch2.toDF("doc_id", "ingested_at", "text")),
+      store, Seq("shard"), "ingested_at", "v", batchId = 1L)
+    assert(spark.read.parquet(store).collect().map(_.toSeq).toSet === rowsBefore,
+      "a replayed micro-batch must be a state no-op")
+    assert(merged(store) === live)
+  }
+
   test("qualityGateSink: per-batch panels equal the batch twin; replay rewrites, never duplicates") {
     import spark.implicits._
     import graft.ops.Quality

@@ -70,10 +70,18 @@ def load_anchors():
     anchors = dict(PROSE_ANCHORS)
     text = open(os.path.join(ROOT, "BASELINE.md")).read()
     text = text.split("## Round-over-round notes")[0]
-    for name, sec in re.findall(r"\| `([a-z0-9_]+)` \| ([0-9.]+) ", text):
+    for name, sec, bang in re.findall(
+            r"\| `([a-z0-9_]+)` \| ([0-9.]+)(!?) ", text):
         v = float(sec)
-        # a query re-anchored later in the file: grade against the tightest
-        anchors[name] = min(anchors.get(name, v), v)
+        if bang:
+            # `N.NN!` is a SUPERSEDING re-anchor: a documented upward
+            # re-anchor (stale in-suite-era number, measurement story in
+            # BASELINE.md) that REPLACES the old anchor instead of losing
+            # the min() race to it
+            anchors[name] = v
+        else:
+            # a query re-anchored later in the file: grade the tightest
+            anchors[name] = min(anchors.get(name, v), v)
     return anchors
 
 

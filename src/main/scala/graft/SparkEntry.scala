@@ -2212,6 +2212,28 @@ object SparkEntry {
     ops.Graph.labelPropagation(edges, "src", "dst", rounds = 4)
   }
 
+  /** HyperBall neighborhood panel over the purchase graph plus a planted
+    * 40-node PATH (nodes 3000001..3000040, its own component): the dense
+    * bipartite body saturates its balls within ~2 sweeps while the path's
+    * balls grow by exactly two nodes per radius — so every radius of the
+    * panel carries a real delta instead of an immediate fixed point. p=4
+    * (16 registers — the low-precision web-scale posture HyperBall's own
+    * paper runs; the register table is the exact artifact, precision only
+    * widens estimate error bars), maxRadius 3, undirected.
+    */
+  private def graphNeighborhoodQ(s: SparkSession, dir: String): DataFrame = {
+    val orders = s.read.parquet(s"$dir/orders.parquet")
+      .select("o_orderkey", "o_custkey")
+    val li = s.read.parquet(s"$dir/lineitem.parquet")
+      .select("l_orderkey", "l_suppkey")
+    val edges = orders.join(li, col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_custkey").as("src"), (col("l_suppkey") + 1000000L).as("dst"))
+    val path = s.range(1, 40)
+      .select((col("id") + 3000000L).as("src"), (col("id") + 3000001L).as("dst"))
+    ops.Graph.neighborhoodFunction(
+      edges.unionByName(path), "src", "dst", maxRadius = 3, p = 4)
+  }
+
   /** Triangle counts over the co-supply graph: suppliers are adjacent when
     * they ship line items in at least 28 common orders (the strength
     * threshold keeps the graph sparse — below it the co-supply relation
@@ -3363,6 +3385,7 @@ object SparkEntry {
     "page_rank" -> (pageRankQuery _),
     "page_rank_dangling" -> (pageRankDanglingQuery _),
     "graph_communities" -> (graphCommunitiesQ _),
+    "graph_neighborhood" -> (graphNeighborhoodQ _),
     "graph_kcore" -> (kCoreQ _),
     "triangle_count" -> (triangleCountQ _),
     "top_terms" -> (topTermsQuery _),
@@ -4151,6 +4174,11 @@ object SparkEntry {
     val hllRest = "((c0 % 256) << 48) | (c1 << 32) | (c2 << 16) | c3"
     val hllLadder = (1 to 56).map(r =>
       s"WHEN rest >= ${1L << (56 - r)} THEN $r").mkString(" ")
+    // the p=4 variant (graph_neighborhood's HyperBall precision): 4-bit
+    // bucket from the top chunk, 60-bit rest, rank ladder 1..60 else 61
+    val hllRestP4 = "((c0 % 4096) << 48) | (c1 << 32) | (c2 << 16) | c3"
+    val hllLadderP4 = (1 to 60).map(r =>
+      s"WHEN rest >= ${1L << (60 - r)} THEN $r").mkString(" ")
     // the three ANN replays as vals: each is its own oracle entry AND a
     // WITH-in-subquery branch of search_rrf_fusion (one definition, the
     // fused replay cannot drift from the per-ranking ones)
@@ -6958,6 +6986,46 @@ object SparkEntry {
            |l0 AS (SELECT a AS id, a AS community FROM e UNION SELECT b, b FROM e),
            |$lpaRounds
            |SELECT id, community FROM l4""".stripMargin
+      },
+      // HyperBall replay: the md5 register chain at p=4 (4-bit bucket,
+      // 60-bit rest, rank ladder) seeds each node's radius-0 ball, then
+      // three unrolled sweeps — each the node's own registers UNION ALL
+      // in-neighbor registers, bucket-wise max — exactly the
+      // hllMergeRegisters algebra; the panel re-aggregates the stacked
+      // radius tables
+      "graph_neighborhood" -> {
+        val sweeps = (1 to 3).map { r =>
+          s"""r$r AS (SELECT node, bucket, max(max_rank) AS max_rank FROM (
+             |  SELECT node, bucket, max_rank FROM r${r - 1}
+             |  UNION ALL
+             |  SELECT e.dst AS node, rr.bucket, rr.max_rank
+             |  FROM e JOIN r${r - 1} rr ON rr.node = e.src) t
+             |  GROUP BY 1, 2)""".stripMargin
+        }.mkString(",\n")
+        val stack = (0 to 3).map(r =>
+          s"SELECT $r AS radius, node, bucket, max_rank FROM r$r")
+          .mkString("\nUNION ALL ")
+        s"""WITH o AS (SELECT o_custkey AS src, l_suppkey + 1000000 AS dst
+           |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+           |pth AS (SELECT gs.j + 3000000 AS src, gs.j + 3000001 AS dst
+           |  FROM generate_series(1, 39) gs(j)),
+           |raw AS (SELECT src, dst FROM o UNION ALL SELECT src, dst FROM pth),
+           |e AS (SELECT DISTINCT src, dst FROM (
+           |    SELECT src, dst FROM raw UNION ALL SELECT dst, src FROM raw) s
+           |  WHERE src IS NOT NULL AND dst IS NOT NULL AND src <> dst),
+           |n AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+           |h AS (SELECT node, substr(md5(CAST(node AS VARCHAR)), 1, 16) AS hx FROM n),
+           |c AS (SELECT node, $hllChunks FROM h),
+           |b AS (SELECT node, c0 // 4096 AS bucket, $hllRestP4 AS rest FROM c),
+           |r0 AS (SELECT node, bucket, CASE $hllLadderP4 ELSE 61 END AS max_rank FROM b),
+           |$sweeps,
+           |allr AS ($stack),
+           |per AS (SELECT radius, CAST(count(*) AS BIGINT) AS n_register_rows,
+           |  CAST(count(DISTINCT node) AS BIGINT) AS n_nodes FROM allr GROUP BY 1)
+           |SELECT a.radius, a.max_rank, CAST(count(*) AS BIGINT) AS n_registers,
+           |  per.n_nodes, per.n_register_rows
+           |FROM allr a JOIN per ON per.radius = a.radius
+           |GROUP BY 1, 2, 4, 5""".stripMargin
       },
       // temperature-mix replay: per-corpus counts pivot into ONE row so the
       // √-sum is an explicit left-associated expression (the documented op

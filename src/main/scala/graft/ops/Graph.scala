@@ -581,4 +581,102 @@ object Graph {
           .otherwise(round(num.cast("double") / den.cast("double"), 6))
           .as("assortativity"))
   }
+
+  /** HyperBall neighborhood registers (Boldi & Vigna 2013, "In-Core
+    * Computation of Geometric Centralities with HyperBall") — the
+    * distance-distribution primitive the rest of the graph family can't
+    * answer: how many nodes sit within r hops of each node, for every r,
+    * WITHOUT all-pairs BFS. Each node carries an HLL register set of its
+    * radius-r ball; the radius-(r+1) ball is the union of the node's own
+    * ball with its in-neighbors' balls, and HLL union is register-wise max
+    * ([[Sketch.hllMergeRegisters]] — THE property that makes the sketch
+    * family compose with iteration). Exactly [[Sketch.hllBucketAndRank]]'s
+    * md5 arithmetic, so every register is a pure integer function of the
+    * node-id set and any engine replays the whole sweep bit-for-bit.
+    *
+    * Output: one register row per `(radius, node, bucket)` with `max_rank`
+    * — radius 0 is each node's own singleton ball; radii stack so the
+    * caller reads growth curves without re-running. Isolated nodes (on no
+    * edge) are absent — a ball needs a graph. Self-loops drop (they add
+    * nothing to any ball).
+    *
+    * Shape at 100 TB: per sweep ONE hash join of the edge list with the
+    * current register table plus one `(node, bucket)` re-aggregation —
+    * E × (registers per source) message rows, the HyperBall cost model,
+    * with `p` the accuracy/cost knob (m = 2^p registers ceiling per node;
+    * the paper runs low precisions at web scale for exactly this reason).
+    * Each radius localCheckpoints (the [[pageRank]] lineage discipline);
+    * all R+1 snapshots stay pinned because the OUTPUT reads every one —
+    * memory is (R+1) register tables, each at most V·2^p rows, and in
+    * practice collapsed far below the ceiling by bucket dedup.
+    */
+  def neighborhoodRegisters(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      maxRadius: Int,
+      p: Int = 4,
+      undirected: Boolean = true): DataFrame = {
+    require(maxRadius >= 0 && maxRadius <= 12,
+      "maxRadius must be in [0, 12] (each radius is a full edge sweep)")
+    val e0 = edges
+      .select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .filter(col("src").isNotNull && col("dst").isNotNull)
+    val eDir = if (undirected)
+      e0.unionByName(e0.select(col("dst").as("src"), col("src").as("dst")))
+    else e0
+    val e = eDir.filter(col("src") =!= col("dst")).distinct().localCheckpoint()
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct()
+    var regs = Sketch.hllRegisters(
+        nodes.select(col("node"), col("node").as("_v")), Seq("node"), "_v", p)
+      .localCheckpoint()
+    val perRadius = collection.mutable.Buffer(
+      regs.withColumn("radius", lit(0)))
+    for (r <- 1 to maxRadius) {
+      val msgs = e
+        .join(regs.withColumnRenamed("node", "src"), Seq("src"))
+        .select(col("dst").as("node"), col("bucket"), col("max_rank"))
+      regs = Sketch.hllMergeRegisters(regs.unionByName(msgs), Seq("node"))
+        .localCheckpoint()
+      perRadius += regs.withColumn("radius", lit(r))
+    }
+    perRadius.reduce(_ unionByName _)
+      .select(col("radius"), col("node"), col("bucket"), col("max_rank"))
+  }
+
+  /** The neighborhood-function panel over [[neighborhoodRegisters]] — the
+    * integer-exact surface (the [[Sketch.hllRegisters]] discipline: the
+    * register table is the oracle-checkable artifact; float estimates are
+    * monitoring math): per `(radius, max_rank)` the register count, with
+    * each radius's node count and total register rows alongside. A
+    * flattening `n_register_rows` curve IS the effective-diameter reading
+    * — once balls stop acquiring new buckets, the graph has run out of
+    * new reachable nodes.
+    */
+  def neighborhoodFunction(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      maxRadius: Int,
+      p: Int = 4,
+      undirected: Boolean = true): DataFrame = {
+    val regs =
+      neighborhoodRegisters(edges, srcCol, dstCol, maxRadius, p, undirected)
+    val per = regs.groupBy(col("radius"))
+      .agg(count(lit(1)).as("n_register_rows"),
+        countDistinct(col("node")).as("n_nodes"))
+    regs.groupBy(col("radius"), col("max_rank"))
+      .agg(count(lit(1)).as("n_registers"))
+      .join(broadcast(per), Seq("radius"))
+      .select(col("radius"), col("max_rank"), col("n_registers"),
+        col("n_nodes"), col("n_register_rows"))
+  }
+
+  /** Per-(radius, node) ball-size ESTIMATES from the registers — float,
+    * monitoring/spec-grade like [[Sketch.hllEstimate]] (which this is,
+    * grouped by radius and node); the registers stay the exact artifact.
+    */
+  def neighborhoodEstimates(registers: DataFrame, p: Int): DataFrame =
+    Sketch.hllEstimate(registers, Seq("radius", "node"), p)
 }

@@ -69,6 +69,9 @@ class PlanGateSpec extends SparkTestBase {
     "personalized_pagerank",
     // per-round label checkpoints (the page_rank shape)
     "graph_communities",
+    // per-radius register checkpoints (HyperBall sweeps); the final plan
+    // is the panel aggregation over the stacked snapshots
+    "graph_neighborhood",
     // per-round survivor checkpoints + the convergence count jobs; the
     // final plan is one degree aggregation over the last snapshot
     "graph_kcore",

@@ -341,4 +341,60 @@ class GraphSpec extends SparkTestBase {
       .collect()(0).toSeq
     assert(a === b)
   }
+
+  test("neighborhoodRegisters: radius-r registers == HLL of the TRUE r-ball; clique saturates; path grows by two") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, lit}
+    // a 5-node path 1-2-3-4-5 and a disjoint triangle 10-11-12
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L),
+      (10L, 11L), (11L, 12L), (12L, 10L)).toDF("src", "dst")
+    val p = 4
+    val regs = Graph.neighborhoodRegisters(edges, "src", "dst", maxRadius = 2, p = p)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getInt(3))).toSet
+    // ground truth: exact BFS balls, tiny graph
+    val adj = Map(1L -> Set(2L), 2L -> Set(1L, 3L), 3L -> Set(2L, 4L),
+      4L -> Set(3L, 5L), 5L -> Set(4L),
+      10L -> Set(11L, 12L), 11L -> Set(10L, 12L), 12L -> Set(10L, 11L))
+    def ball(v: Long, r: Int): Set[Long] =
+      if (r == 0) Set(v) else ball(v, r - 1).flatMap(u => adj(u) + u)
+    // the DEFINING property: each (radius, node)'s registers equal
+    // hllRegisters built directly over the true ball membership
+    val expected = (for {
+      r <- 0 to 2
+      v <- adj.keys
+    } yield (r, v)).flatMap { case (r, v) =>
+      graft.ops.Sketch.hllRegisters(
+          ball(v, r).toSeq.toDF("m").select(lit(v).as("node"), col("m")),
+          Seq("node"), "m", p)
+        .collect().map(x => (r, x.getLong(0), x.getLong(1), x.getInt(2)))
+    }.toSet
+    assert(regs === expected,
+      "HyperBall registers must equal HLL of the exact BFS ball at every radius")
+    // clique saturation: triangle nodes' registers stop changing at r=1
+    val tri = regs.filter(t => Set(10L, 11L, 12L).contains(t._2))
+    assert(tri.filter(_._1 == 1).map(t => (t._2, t._3, t._4)) ===
+      tri.filter(_._1 == 2).map(t => (t._2, t._3, t._4)),
+      "a saturated ball is a fixed point")
+    // panel: integral, radius-stacked, node counts constant
+    val panel = Graph.neighborhoodFunction(edges, "src", "dst", 2, p)
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(panel.map(_._4).toSet === Set(8L), "every node has a ball at every radius")
+    // estimates: per-node ball estimate is monotone in radius
+    val est = Graph.neighborhoodEstimates(
+        Graph.neighborhoodRegisters(edges, "src", "dst", 2, p), p)
+      .collect().map(r => (r.getLong(1), r.getInt(0)) -> r.getDouble(2)).toMap
+    for (v <- adj.keys; r <- 1 to 2)
+      assert(est((v, r)) >= est((v, r - 1)) - 1e-9,
+        s"ball estimate must not shrink: node $v radius $r")
+    // partitioning invariance
+    val regs13 = Graph.neighborhoodRegisters(
+        edges.repartition(13), "src", "dst", 2, p)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getInt(3))).toSet
+    assert(regs13 === regs)
+    // empty input: empty output, schema intact
+    val empty = Graph.neighborhoodRegisters(
+      edges.filter(lit(false)), "src", "dst", 2, p)
+    assert(empty.count() === 0L)
+    assert(empty.columns.toSeq === Seq("radius", "node", "bucket", "max_rank"))
+  }
 }

@@ -3177,6 +3177,18 @@ object SparkEntry {
       bucketSeconds = 86400L, alphaPpm = 300000L)
       .withColumn("bucket_us", unix_micros(col("bucket"))).drop("bucket")
 
+  /** Holt level+trend chart per event type over daily value buckets — the
+    * monitoring family's forecasting member next to ewma_chart: the
+    * residual is against the one-step forecast `level + trend`, so a
+    * steadily growing series alarms on breaks, not on its own growth.
+    */
+  private def holtChartQ(s: SparkSession, dir: String): DataFrame =
+    ops.Stats.holtChart(events(dir).load(s)
+        .select("event_type", "ts", "value"),
+      "event_type", "ts", "value",
+      bucketSeconds = 86400L, alphaPpm = 300000L, betaPpm = 100000L)
+      .withColumn("bucket_us", unix_micros(col("bucket"))).drop("bucket")
+
   /** Gap-based session panel per user over the event stream (30-minute
     * inactivity cut) — the batch counterpart to streaming sessions.
     */
@@ -3468,6 +3480,7 @@ object SparkEntry {
     "kaplan_meier" -> (kaplanMeierQ _),
     "bipartite_project" -> (bipartiteProjectQ _),
     "ewma_chart" -> (ewmaChartQ _),
+    "holt_chart" -> (holtChartQ _),
     "sessionize" -> (sessionizeQ _),
     "rank_mobility" -> (rankMobilityQ _),
     "ewma_from_state" -> (ewmaFromStateQ _),
@@ -8254,6 +8267,42 @@ object SparkEntry {
           |  CAST(floor(r) AS BIGINT) AS resid_micro,
           |  bkt * 86400000000 AS bucket_us
           |FROM ew""".stripMargin,
+      // Holt replay: the ewma_chart recursive CTE with the second
+      // recurrence — the level update repeats textually inside the trend
+      // update exactly as the engine's fold does, so the IEEE op tree is
+      // identical step for step
+      "holt_chart" -> {
+        val a = "(CAST(300000 AS DOUBLE) / 1000000.0)"
+        val bt = "(CAST(100000 AS DOUBLE) / 1000000.0)"
+        val lNext = s"($a * CAST(o.x AS DOUBLE) + (1.0 - $a) * (h.l + h.t))"
+        s"""WITH RECURSIVE b AS (
+           |  SELECT CAST(event_type AS VARCHAR) AS g,
+           |    epoch_us(ts) // 86400000000 AS bkt,
+           |    CAST(sum(CAST(floor(CAST(value AS DOUBLE) * 1000000)
+           |      AS BIGINT)) AS BIGINT) AS x
+           |  FROM events
+           |  WHERE event_type IS NOT NULL AND ts IS NOT NULL
+           |    AND value IS NOT NULL
+           |  GROUP BY 1, 2),
+           |st AS (SELECT g, bkt, x, row_number() OVER (
+           |    PARTITION BY g ORDER BY bkt) AS rn FROM b),
+           |h AS (
+           |  SELECT g, bkt, x, rn, CAST(x AS DOUBLE) AS l,
+           |    CAST(0.0 AS DOUBLE) AS t, CAST(NULL AS DOUBLE) AS r
+           |  FROM st WHERE rn = 1
+           |  UNION ALL
+           |  SELECT o.g, o.bkt, o.x, o.rn,
+           |    $lNext,
+           |    $bt * ($lNext - h.l) + (1.0 - $bt) * h.t,
+           |    CAST(o.x AS DOUBLE) - (h.l + h.t)
+           |  FROM h JOIN st o ON o.g = h.g AND o.rn = h.rn + 1)
+           |SELECT g AS event_type, x AS value_micro,
+           |  CAST(floor(l) AS BIGINT) AS level_micro,
+           |  CAST(floor(t) AS BIGINT) AS trend_micro,
+           |  CAST(floor(r) AS BIGINT) AS resid_micro,
+           |  bkt * 86400000000 AS bucket_us
+           |FROM h""".stripMargin
+      },
       // sessionization replay: the same lag > gap flag over sorted
       // timestamps, running flag sum as the session id, per-session agg
       "sessionize" ->

@@ -1560,6 +1560,104 @@ object Stats {
         floor(col("_r.r")).cast("long").as("resid_micro")): _*)
   }
 
+  /** The Holt left fold over a sorted `_steps` array of `(_b, _x)` structs
+    * — the [[ewmaFoldSql]] discipline with a second recurrence: the first
+    * element seeds level = x, trend = 0, NULL residual; every later step
+    * computes the one-step forecast `f = l + b`, then
+    * `l' = α·x + (1−α)·f` and `b' = β·(l'−l) + (1−β)·b` in FIXED operand
+    * order with α/β divided from their ppm integers in-plan, so the
+    * oracle's recursive CTE replays the identical IEEE ops (`l'` repeats
+    * textually inside the trend update — SQL lambdas have no let-binding,
+    * and both engines repeating the same expression stay bit-identical).
+    */
+  private def holtFoldSql(alphaPpm: Long, betaPpm: Long): String = {
+    val a = s"(CAST($alphaPpm AS DOUBLE) / 1000000.0D)"
+    val bta = s"(CAST($betaPpm AS DOUBLE) / 1000000.0D)"
+    val lNext =
+      s"($a * CAST(e._x AS DOUBLE) + (1.0D - $a) * (acc.l + acc.t))"
+    s"""aggregate(
+       |  _steps,
+       |  struct(false AS init, CAST(0.0 AS DOUBLE) AS l,
+       |    CAST(0.0 AS DOUBLE) AS t,
+       |    CAST(array() AS ARRAY<STRUCT<b: BIGINT, x: BIGINT,
+       |      l: DOUBLE, t: DOUBLE, r: DOUBLE>>) AS out),
+       |  (acc, e) -> struct(
+       |    true AS init,
+       |    CASE WHEN acc.init THEN $lNext
+       |      ELSE CAST(e._x AS DOUBLE) END AS l,
+       |    CASE WHEN acc.init THEN
+       |        $bta * ($lNext - acc.l) + (1.0D - $bta) * acc.t
+       |      ELSE CAST(0.0 AS DOUBLE) END AS t,
+       |    array_append(acc.out, struct(e._b AS b, e._x AS x,
+       |      CASE WHEN acc.init THEN $lNext
+       |        ELSE CAST(e._x AS DOUBLE) END AS l,
+       |      CASE WHEN acc.init THEN
+       |          $bta * ($lNext - acc.l) + (1.0D - $bta) * acc.t
+       |        ELSE CAST(0.0 AS DOUBLE) END AS t,
+       |      CASE WHEN acc.init
+       |        THEN CAST(e._x AS DOUBLE) - (acc.l + acc.t) END AS r)) AS out),
+       |  acc -> acc.out)""".stripMargin
+  }
+
+  /** Holt double-exponential (level + trend) chart — [[ewmaChart]]'s
+    * trend-aware sibling, the monitoring family's FORECASTING member: the
+    * EWMA tracks the current level with geometric forgetting but lags a
+    * trending series by `trend/α` forever; Holt's second recurrence
+    * estimates the per-bucket trend and folds it into the one-step
+    * forecast `f = l + b`, so the residual (`x − f`, the alarm signal)
+    * centers on zero for a steadily growing metric instead of flagging
+    * the growth itself. Seed: first bucket is the level with zero trend
+    * (documented — the trend warms up over the first few buckets rather
+    * than trusting one noisy first difference). Per (group, bucket):
+    * `value_micro` (exact long), `level_micro`/`trend_micro`/`resid_micro`
+    * — floors of bit-identical doubles (the [[ewmaChart]] lattice
+    * argument; residual NULL on each group's first bucket, no forecast
+    * yet).
+    *
+    * Determinism, state, and shape: exactly [[ewmaChart]] — ordered left
+    * fold, one corpus pass to (group, bucket) sums, ONE group-keyed
+    * exchange for the collect, fold and re-explode in-row; the fold
+    * buffers one group's buckets, bounded by time range / bucketSeconds.
+    * Missing buckets are skipped, not zero-filled (compose
+    * [[graft.ops.Temporal.resampleForwardFill]] upstream for dense time).
+    */
+  def holtChart(
+      df: DataFrame,
+      groupCol: String,
+      tsCol: String,
+      valueCol: String,
+      bucketSeconds: Long,
+      alphaPpm: Long = 300000L,
+      betaPpm: Long = 100000L): DataFrame = {
+    require(bucketSeconds > 0, "bucketSeconds must be positive")
+    require(alphaPpm >= 1 && alphaPpm <= 1000000L,
+      s"alphaPpm must be in [1, 1000000], got $alphaPpm")
+    require(betaPpm >= 1 && betaPpm <= 1000000L,
+      s"betaPpm must be in [1, 1000000], got $betaPpm")
+    val usPerBucket = bucketSeconds * 1000000L
+    val base = df
+      .filter(col(groupCol).isNotNull && col(tsCol).isNotNull &&
+        col(valueCol).isNotNull)
+      .groupBy(col(groupCol).cast("string").as("_g"),
+        call_function("div", unix_micros(col(tsCol)), lit(usPerBucket))
+          .as("_b"))
+      .agg(sum(floor(col(valueCol).cast("double") * 1000000L).cast("long"))
+        .as("_x"))
+    base
+      .groupBy(col("_g"))
+      .agg(array_sort(collect_list(struct(col("_b"), col("_x"))))
+        .as("_steps"))
+      .select(col("_g"),
+        explode(expr(holtFoldSql(alphaPpm, betaPpm))).as("_r"))
+      .select(
+        col("_g").as(groupCol),
+        timestamp_micros(col("_r.b") * usPerBucket).as("bucket"),
+        col("_r.x").as("value_micro"),
+        floor(col("_r.l")).cast("long").as("level_micro"),
+        floor(col("_r.t")).cast("long").as("trend_micro"),
+        floor(col("_r.r")).cast("long").as("resid_micro"))
+  }
+
   /** Seasonality-normalized anomaly panel — the drift family's PERIODIC
     * member next to [[cusumChangepoint]] (which finds one level shift;
     * this separates "it's Sunday" from "something broke"): per group the

@@ -520,6 +520,8 @@ class PlanGateSpec extends SparkTestBase {
     // the (group, bucket) sum agg + the group-keyed fold collect; the
     // recurrence and re-explode are in-row
     "ewma_chart" -> 2,
+    // identical chain — the second (trend) recurrence rides the same fold
+    "holt_chart" -> 2,
     // ONE key-keyed exchange: both windows AND the (key, session) panel
     // agg ride it (hash partitioning on the key satisfies the grouped
     // clustering)

@@ -2165,6 +2165,59 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(b === a)
   }
 
+  test("holtChart: hand level+trend recurrence at alpha=beta=1/2; trending series residuals center; NULLs drop; invariant") {
+    import spark.implicits._
+    def run(rows: Seq[(String, Timestamp, Double)], aPpm: Long, bPpm: Long) =
+      Stats.holtChart(rows.toDF("g", "ts", "v"), "g", "ts", "v",
+        bucketSeconds = 60L, alphaPpm = aPpm, betaPpm = bPpm).collect()
+        .map(r => (r.getString(0), r.getTimestamp(1).getTime) ->
+          ((r.getLong(2),
+            if (r.isNullAt(3)) Long.MinValue else r.getLong(3),
+            if (r.isNullAt(4)) Long.MinValue else r.getLong(4),
+            if (r.isNullAt(5)) Long.MinValue else r.getLong(5)))).toMap
+    // minute buckets, values 4, 8, 12 at alpha = beta = 1/2 (micro units):
+    //  t0: l = 4e6, b = 0, r = NULL
+    //  t1: f = 4e6;  l = .5·8e6 + .5·4e6 = 6e6;  b = .5·2e6 + 0 = 1e6; r = 4e6
+    //  t2: f = 7e6;  l = .5·12e6 + .5·7e6 = 9.5e6; b = .5·3.5e6 + .5·1e6
+    //      = 2.25e6; r = 5e6
+    val out = run(Seq(
+      ("g", ts("2024-01-01 00:00:30"), 4.0),
+      ("g", ts("2024-01-01 00:01:30"), 8.0),
+      ("g", ts("2024-01-01 00:02:30"), 12.0)), 500000L, 500000L)
+    val t0 = ts("2024-01-01 00:00:00").getTime
+    assert(out === Map(
+      ("g", t0) -> ((4000000L, 4000000L, 0L, Long.MinValue)),
+      ("g", t0 + 60000L) -> ((8000000L, 6000000L, 1000000L, 4000000L)),
+      ("g", t0 + 120000L) -> ((12000000L, 9500000L, 2250000L, 5000000L))))
+    // the Holt point vs the EWMA chart: on a perfectly linear series the
+    // trend estimate converges toward the true slope and the residual
+    // SHRINKS with each step, where ewmaChart's residual stays at a
+    // constant lag — run 8 linear steps and compare the last residuals
+    val linear = (0 to 7).map(i =>
+      ("g", ts(f"2024-01-01 00:0$i:30"), 10.0 + 5.0 * i))
+    val holtLast = run(linear, 500000L, 500000L)(("g", t0 + 7 * 60000L))._4
+    val ewmaLast = Stats.ewmaChart(linear.toDF("g", "ts", "v"), "g", "ts",
+        "v", 60L, 500000L).collect()
+      .filter(!_.isNullAt(4))
+      .map(r => r.getTimestamp(1).getTime -> r.getLong(4)).toMap
+      .apply(t0 + 7 * 60000L)
+    assert(math.abs(holtLast) < ewmaLast,
+      s"Holt must out-forecast EWMA on a linear trend: |$holtLast| vs $ewmaLast")
+    // NULLs drop; groups independent; partitioning-invariant
+    val rows = (1 to 300).map(i => (s"g${i % 3}",
+      ts(f"2024-01-01 ${i % 24}%02d:${(i * 7) % 60}%02d:00"),
+      ((i * 13) % 50).toDouble / 4.0))
+    val a = run(rows, 300000L, 100000L)
+    val b = Stats.holtChart(rows.toDF("g", "ts", "v").repartition(13),
+      "g", "ts", "v", 60L, 300000L, 100000L).collect()
+      .map(r => (r.getString(0), r.getTimestamp(1).getTime) ->
+        ((r.getLong(2),
+          if (r.isNullAt(3)) Long.MinValue else r.getLong(3),
+          if (r.isNullAt(4)) Long.MinValue else r.getLong(4),
+          if (r.isNullAt(5)) Long.MinValue else r.getLong(5)))).toMap
+    assert(b === a)
+  }
+
   test("sessionize: hand gap cut; ties share a session; per-key independence; exact panel fields; invariant") {
     import spark.implicits._
     def run(rows: Seq[(String, Timestamp)]) =

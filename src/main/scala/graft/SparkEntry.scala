@@ -3212,6 +3212,21 @@ object SparkEntry {
     ops.Stats.ewmaFromDailyState(state, Seq("event_type"), 300000L)
   }
 
+  /** Holt level+trend over the persisted daily-state shape — the
+    * ewma_from_state read path with the forecasting recurrence: the
+    * monitor's cost follows the state table, never the stream.
+    */
+  private def holtFromStateQ(s: SparkSession, dir: String): DataFrame = {
+    val ev = events(dir).load(s)
+      .filter(col("event_type").isNotNull && col("ts").isNotNull &&
+        col("value").isNotNull)
+      .withColumn("v_micro",
+        floor(col("value").cast("double") * 1000000L).cast("long"))
+    val state = ops.Incremental.dailyState(
+      ev, Seq("event_type"), "ts", "v_micro")
+    ops.Stats.holtFromDailyState(state, Seq("event_type"), 300000L, 100000L)
+  }
+
   /** Weekly user-value quintile mobility: do the same users stay in the
     * top spend quintile week over week, or does the head churn?
     */
@@ -3484,6 +3499,7 @@ object SparkEntry {
     "sessionize" -> (sessionizeQ _),
     "rank_mobility" -> (rankMobilityQ _),
     "ewma_from_state" -> (ewmaFromStateQ _),
+    "holt_from_state" -> (holtFromStateQ _),
     "cross_correlation" -> (crossCorrelationQ _),
     "benford_audit" -> (benfordAuditQ _),
     "sequence_patterns" -> (sequencePatternsQ _),
@@ -8350,6 +8366,40 @@ object SparkEntry {
           |  CAST(floor(s) AS BIGINT) AS ewma_micro,
           |  CAST(floor(r) AS BIGINT) AS resid_micro
           |FROM ew""".stripMargin,
+      // state-path Holt replay: the ewma_from_state day-keyed chain with
+      // the holt_chart recurrences — level repeated textually inside the
+      // trend update, identical op tree
+      "holt_from_state" -> {
+        val a = "(CAST(300000 AS DOUBLE) / 1000000.0)"
+        val bt = "(CAST(100000 AS DOUBLE) / 1000000.0)"
+        val lNext = s"($a * CAST(o.x AS DOUBLE) + (1.0 - $a) * (h.l + h.t))"
+        s"""WITH RECURSIVE b AS (
+           |  SELECT CAST(event_type AS VARCHAR) AS g,
+           |    CAST(CAST(ts AS DATE) AS VARCHAR) AS dt,
+           |    CAST(sum(CAST(floor(CAST(value AS DOUBLE) * 1000000)
+           |      AS BIGINT)) AS BIGINT) AS x
+           |  FROM events
+           |  WHERE event_type IS NOT NULL AND ts IS NOT NULL
+           |    AND value IS NOT NULL
+           |  GROUP BY 1, 2),
+           |st AS (SELECT g, dt, x, row_number() OVER (
+           |    PARTITION BY g ORDER BY dt) AS rn FROM b),
+           |h AS (
+           |  SELECT g, dt, x, rn, CAST(x AS DOUBLE) AS l,
+           |    CAST(0.0 AS DOUBLE) AS t, CAST(NULL AS DOUBLE) AS r
+           |  FROM st WHERE rn = 1
+           |  UNION ALL
+           |  SELECT o.g, o.dt, o.x, o.rn,
+           |    $lNext,
+           |    $bt * ($lNext - h.l) + (1.0 - $bt) * h.t,
+           |    CAST(o.x AS DOUBLE) - (h.l + h.t)
+           |  FROM h JOIN st o ON o.g = h.g AND o.rn = h.rn + 1)
+           |SELECT g AS event_type, dt, x AS value_micro,
+           |  CAST(floor(l) AS BIGINT) AS level_micro,
+           |  CAST(floor(t) AS BIGINT) AS trend_micro,
+           |  CAST(floor(r) AS BIGINT) AS resid_micro
+           |FROM h""".stripMargin
+      },
       // mobility replay: per-(week, user) micro totals, the identical
       // deterministic ntile under the (value, key-string) total order,
       // lead-paired consecutive weeks, left-joined transitions (NULL

@@ -1658,6 +1658,49 @@ object Stats {
         floor(col("_r.r")).cast("long").as("resid_micro"))
   }
 
+  /** [[holtChart]]'s persisted-state read side — [[ewmaFromDailyState]]'s
+    * trend-aware twin, the same 100 TB monitoring shape: the stream
+    * maintains per-(key, day) exact integral partials
+    * ([[Incremental.dailyState]] / the exactly-once
+    * [[Incremental.stateUpsertBatch]] sink), and the Holt level+trend
+    * chart recomputes from days × keys state rows without rescanning
+    * event history. The fold is the SAME private [[holtFoldSql]] the live
+    * chart consumes (they cannot drift); per-day sums merge associatively
+    * exactly because the store's value lane is integral. Output per
+    * (keys, dt): `value_micro`, `level_micro`, `trend_micro`,
+    * `resid_micro` (NULL first day per key).
+    */
+  def holtFromDailyState(
+      state: DataFrame,
+      keys: Seq[String],
+      alphaPpm: Long = 300000L,
+      betaPpm: Long = 100000L): DataFrame = {
+    require(keys.nonEmpty, "need at least one key column")
+    require(alphaPpm >= 1 && alphaPpm <= 1000000L,
+      s"alphaPpm must be in [1, 1000000], got $alphaPpm")
+    require(betaPpm >= 1 && betaPpm <= 1000000L,
+      s"betaPpm must be in [1, 1000000], got $betaPpm")
+    val kc = keys.map(col)
+    val merged = state
+      .groupBy(kc :+ col("dt"): _*)
+      .agg(sum(col("sum_value")).as("_x"))
+      .withColumn("_b",
+        datediff(col("dt").cast("date"), to_date(lit("1970-01-01")))
+          .cast("long"))
+    merged
+      .groupBy(kc: _*)
+      .agg(array_sort(collect_list(struct(col("_b"), col("_x"))))
+        .as("_steps"))
+      .select(kc :+ explode(expr(holtFoldSql(alphaPpm, betaPpm))).as("_r"): _*)
+      .select(kc ++ Seq(
+        date_add(to_date(lit("1970-01-01")), col("_r.b").cast("int"))
+          .cast("string").as("dt"),
+        col("_r.x").as("value_micro"),
+        floor(col("_r.l")).cast("long").as("level_micro"),
+        floor(col("_r.t")).cast("long").as("trend_micro"),
+        floor(col("_r.r")).cast("long").as("resid_micro")): _*)
+  }
+
   /** Seasonality-normalized anomaly panel — the drift family's PERIODIC
     * member next to [[cusumChangepoint]] (which finds one level shift;
     * this separates "it's Sunday" from "something broke"): per group the

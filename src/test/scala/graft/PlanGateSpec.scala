@@ -533,6 +533,8 @@ class PlanGateSpec extends SparkTestBase {
     // the raw->daily-state agg + the per-day partial merge + the
     // group-keyed fold collect; recurrence/re-explode in-row
     "ewma_from_state" -> 3,
+    // identical state-path chain with the trend recurrence in the fold
+    "holt_from_state" -> 3,
     // the pair moment agg; the in-row lag explode rides the checkpointed
     // bucket table and the bucket-keyed join broadcasts at gate SF (at
     // scale it re-keys both sides — the budget leaves that headroom)

@@ -137,6 +137,18 @@ object SparkEntry {
         col("value").as("feat_value"), col("event_type").as("feat_event_type"))
   }
 
+  /** Serving-freshness panel for the PIT view — per hourly age bucket, how
+    * many entity rows would be served a feature that old (NULL bucket =
+    * no servable row inside the 7-day TTL).
+    */
+  private def pitStalenessQ(s: SparkSession, dir: String): DataFrame = {
+    val fv = FeatureView("events", events(dir),
+      entityKeys = Seq("user_id"), features = Seq("value", "event_type"),
+      ttlSeconds = TtlSeconds, tieBreak = Some("event_id"))
+    FeatureStoreOps.stalenessAudit(s, entityFrame(s, dir), fv,
+      bucketSeconds = 3600L)
+  }
+
   private def pitJoinCreated(s: SparkSession, dir: String): DataFrame = {
     events(dir).load(s).createOrReplaceTempView("graft_events_v")
     // Late "correction" rows: same event timestamps, created 1h later, value
@@ -3285,6 +3297,7 @@ object SparkEntry {
     "pull_latest_ties" -> (pullLatestTies _),
     "online_store_latest" -> (onlineStoreLatestQ _),
     "pit_join" -> (pitJoin _),
+    "pit_staleness" -> (pitStalenessQ _),
     "pit_join_created" -> (pitJoinCreated _),
     "pit_join_multi" -> (pitJoinMulti _),
     "dedup_exact" -> (dedupExact _),
@@ -4332,6 +4345,26 @@ object SparkEntry {
            |SELECT user_id, ent_us AS event_timestamp_us,
            |       feat_value, feat_event_type
            |FROM pit""".stripMargin,
+      // staleness replay: the pit base/arg-max chain keeping the SERVED
+      // row's ts, then hourly integral age buckets (NULL = no servable
+      // row inside the TTL) counted per bucket
+      "pit_staleness" ->
+        s"""WITH $entCte, $evCte,
+           |base AS (
+           |  SELECT e.user_id, e.ent_us, v.ts_us, v.event_id
+           |  FROM ent e JOIN ev v ON v.user_id = e.user_id
+           |    AND v.ts_us <= e.ent_us AND v.ts_us >= e.ent_us - ${TtlSeconds}000000),
+           |sbest AS (
+           |  SELECT user_id, ent_us, ts_us FROM (
+           |    SELECT *, row_number() OVER (PARTITION BY user_id, ent_us
+           |      ORDER BY ts_us DESC, event_id DESC) AS rn FROM base)
+           |  WHERE rn = 1),
+           |aged AS (SELECT e.user_id,
+           |    (e.ent_us - b.ts_us) // 3600000000 AS age_bucket
+           |  FROM ent e LEFT JOIN sbest b
+           |    ON e.user_id = b.user_id AND e.ent_us = b.ent_us)
+           |SELECT 'events' AS view, age_bucket, CAST(count(*) AS BIGINT) AS n
+           |FROM aged GROUP BY 1, 2""".stripMargin,
       "pit_join_created" ->
         s"""WITH $entCte,
            |ev AS (

@@ -334,4 +334,78 @@ object FeatureStoreOps {
       RetrievalMetadata(featureNames, views.flatMap(_.entityKeys).distinct),
       fullFeatureNames)
   }
+
+  /** Serving-freshness audit for a feature view — the operating panel next
+    * to [[pointInTime]]: for each distinct entity row, how OLD is the
+    * feature row the PIT join would serve? The answer every feature-store
+    * team monitors (a TTL that mostly serves its own edge means the
+    * pipeline upstream is too slow) and the reference cannot express at
+    * all. The matched row is picked by exactly the PIT discipline — same
+    * temporal predicate (≤ entity ts, TTL lookback), same
+    * (event_ts, created_ts, tieBreak) arg-max, same scan-range prefilter —
+    * so the audited age is the age of the row [[pointInTime]] actually
+    * serves, not an approximation.
+    *
+    * Output: one row per `(view, age_bucket)` — `age_bucket =
+    * (entity_ts − served_ts) div bucketSeconds`, exact integral division
+    * of microseconds; `NULL` age_bucket counts the entity rows with NO
+    * servable feature inside the TTL (the misses a left PIT join fills
+    * with NULLs) — with `n` the distinct-entity-row count. Duplicated
+    * entity rows collapse first (PIT serves per distinct (keys, ts)).
+    *
+    * Shape at 100 TB: the [[pointInTime]] plan for one view minus the
+    * feature payload — the scan reads ONLY keys + timestamps (+ tie
+    * columns), the arg-max collapses per entity row, and the panel is an
+    * at-most-(TTL/bucket + 2)-row aggregation.
+    */
+  def stalenessAudit(
+      spark: SparkSession,
+      entity: DataFrame,
+      view: FeatureView,
+      bucketSeconds: Long = 3600L,
+      entityTimestampColumn: Option[String] = None): DataFrame = {
+    require(bucketSeconds > 0, "bucketSeconds must be positive")
+    val tsCol = entityTimestampColumn.getOrElse(inferEntityTimestampColumn(entity))
+    val ent = entity.select((view.entityKeys :+ tsCol).map(col): _*)
+      .distinct().localCheckpoint(eager = false)
+    val stats = ent.agg(
+      min(col(tsCol)).as("mn"), max(col(tsCol)).as("mx"),
+      count(lit(1)).as("n")).head()
+    val (minEnt, maxEnt, nEnt) =
+      (stats.getTimestamp(0), stats.getTimestamp(1), stats.getLong(2))
+    val evtTs = view.source.timestampField.get
+    val createdTs = view.source.createdTimestampColumn.filter(_.nonEmpty)
+    val ttl = view.ttlSeconds
+    val lowerTs = if (ttl > 0 && minEnt != null)
+      Some(Timestamp.from(minEnt.toInstant.minusSeconds(ttl))) else None
+    // keys + timestamps + tie columns ONLY — the payload never scans
+    val featCols =
+      ((view.entityKeys :+ evtTs) ++ createdTs.toSeq ++ view.tieBreak.toSeq)
+        .distinct
+    val feat = view.source.loadWithTimeRange(spark, lowerTs, Option(maxEnt))
+      .select(featCols.map(col): _*).alias("f")
+    def fits(df: DataFrame): Boolean =
+      estimatedBytes(df.schema, nEnt) <= broadcastByteThreshold(spark)
+    val e = (if (fits(ent)) broadcast(ent) else ent).alias("e")
+    val keyEq = view.entityKeys
+      .map(k => feat.col(k) === e.col(k)).reduce(_ && _)
+    val temporal = feat.col(evtTs) <= e.col(tsCol) &&
+      (if (ttl > 0)
+        feat.col(evtTs) >= e.col(tsCol) - expr(s"INTERVAL $ttl SECOND")
+      else lit(true))
+    val orderCols = evtTs +: (createdTs.toSeq ++ view.tieBreak.toSeq)
+    val served = feat.join(e, keyEq && temporal, "inner")
+      .groupBy((view.entityKeys.map(e.col(_)) :+ e.col(tsCol)): _*)
+      .agg(max(struct(orderCols.distinct.map(feat.col(_)): _*)).as("_best"))
+      .select(view.entityKeys.map(col) :+ col(tsCol) :+
+        col(s"_best.$evtTs").as("_served_ts"): _*)
+    ent.join(served, view.entityKeys :+ tsCol, "left")
+      .select(lit(view.name).as("view"),
+        // exact integral division — the age is non-negative by the join's
+        // temporal predicate, so div IS the floor bucket
+        expr(s"(unix_micros(`$tsCol`) - unix_micros(_served_ts)) div " +
+          s"${bucketSeconds * 1000000L}").as("age_bucket"))
+      .groupBy(col("view"), col("age_bucket"))
+      .agg(count(lit(1)).as("n"))
+  }
 }

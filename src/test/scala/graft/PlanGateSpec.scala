@@ -264,6 +264,10 @@ class PlanGateSpec extends SparkTestBase {
     "pack_sequences" -> 1,
     "pipeline_clean_corpus" -> 1,
     "pit_join" -> 2,
+    // the distinct-entity exchange + the served-row arg-max (which the
+    // left join back rides co-partitioned on (keys, ts)); panel agg is
+    // bucket-table-sized
+    "pit_staleness" -> 2,
     "pit_join_created" -> 2,
     "pit_join_multi" -> 4,
     "pull_all_events" -> 0,

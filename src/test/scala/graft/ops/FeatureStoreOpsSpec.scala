@@ -303,4 +303,49 @@ class FeatureStoreOpsSpec extends SparkTestBase {
     assert(job.metadata.features == Seq("v") && job.metadata.keys == Seq("k"))
     assert(job.metadata.minEventTimestamp.contains(ts("2024-01-01 00:00:00")))
   }
+
+  test("stalenessAudit: hand ages; misses bucket NULL; duplicate entity rows collapse; ages match what pointInTime serves") {
+    import org.apache.spark.sql.functions.{col, unix_micros}
+    val fv = FeatureView("f", featSrc, Seq("k"), Seq("v"),
+      ttlSeconds = 7L * 86400L, tieBreak = Some("rid"))
+    // entities at 2024-01-06 12:00: k=1 served the created-later 01-05 row
+    // (age 36h -> bucket 1 at daily), k=2 the 01-03 row (age 3.5d ->
+    // bucket 3), k=3's only row is in the FUTURE (miss), k=9 has no rows
+    // (miss); k=1 duplicated must count once
+    val ent = entity(
+      (1L, "2024-01-06 12:00:00"), (1L, "2024-01-06 12:00:00"),
+      (2L, "2024-01-06 12:00:00"), (3L, "2024-01-06 12:00:00"),
+      (9L, "2024-01-06 12:00:00"))
+    val panel = FeatureStoreOps.stalenessAudit(spark, ent, fv,
+      bucketSeconds = 86400L).collect()
+      .map(r => (if (r.isNullAt(1)) -1L else r.getLong(1)) -> r.getLong(2))
+      .toMap
+    assert(panel === Map(1L -> 1L, 3L -> 1L, -1L -> 2L))
+    assert(panel.values.sum === 4L, "duplicate entity row collapsed")
+    // TTL excludes: an entity 8 days after k=2's only row is a miss
+    val ttlPanel = FeatureStoreOps.stalenessAudit(spark,
+      entity((2L, "2024-01-11 00:00:01")), fv, bucketSeconds = 86400L)
+      .collect().map(r =>
+        (if (r.isNullAt(1)) -1L else r.getLong(1)) -> r.getLong(2)).toMap
+    assert(ttlPanel === Map(-1L -> 1L))
+    // parity with the SERVED row: expose the feature ts as a feature and
+    // recompute every entity row's bucket from pointInTime's own output
+    val fvTs = FeatureView("f", featSrc, Seq("k"), Seq("ets", "v"),
+      ttlSeconds = 7L * 86400L, tieBreak = Some("rid"))
+    val manyEnt = entity((1 to 12).map(i =>
+      (i % 4 + 1L, s"2024-01-0${i % 6 + 1} 0$i:00:00".take(19))): _*)
+    val pit = FeatureStoreOps.pointInTime(spark, manyEnt, Seq(fvTs)).toDF
+      .select(col("k"),
+        ((unix_micros(col("event_timestamp")) - unix_micros(col("ets")))
+          .cast("long")).as("_age_us"))
+      .collect()
+      .map(r => if (r.isNullAt(1)) -1L else r.getLong(1) / 86400000000L)
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val audit = FeatureStoreOps.stalenessAudit(spark, manyEnt, fvTs,
+      bucketSeconds = 86400L).collect()
+      .map(r => (if (r.isNullAt(1)) -1L else r.getLong(1)) -> r.getLong(2))
+      .toMap
+    assert(audit === pit,
+      "the audited age distribution must be the age of what PIT serves")
+  }
 }

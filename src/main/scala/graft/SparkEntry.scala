@@ -3201,6 +3201,15 @@ object SparkEntry {
       bucketSeconds = 86400L, alphaPpm = 300000L, betaPpm = 100000L)
       .withColumn("bucket_us", unix_micros(col("bucket"))).drop("bucket")
 
+  /** Theil–Sen robust daily trend per event type — trend_lines' median-
+    * slope twin: one corrupted day drags OLS, the pairwise-median vote
+    * ignores it.
+    */
+  private def theilSenQ(s: SparkSession, dir: String): DataFrame =
+    ops.Stats.theilSen(events(dir).load(s)
+        .select("event_type", "ts", "value"),
+      "event_type", "ts", "value", bucketSeconds = 86400L)
+
   /** Gap-based session panel per user over the event stream (30-minute
     * inactivity cut) — the batch counterpart to streaming sessions.
     */
@@ -3509,6 +3518,7 @@ object SparkEntry {
     "bipartite_project" -> (bipartiteProjectQ _),
     "ewma_chart" -> (ewmaChartQ _),
     "holt_chart" -> (holtChartQ _),
+    "theil_sen" -> (theilSenQ _),
     "sessionize" -> (sessionizeQ _),
     "rank_mobility" -> (rankMobilityQ _),
     "ewma_from_state" -> (ewmaFromStateQ _),
@@ -8316,6 +8326,43 @@ object SparkEntry {
           |  CAST(floor(r) AS BIGINT) AS resid_micro,
           |  bkt * 86400000000 AS bucket_us
           |FROM ew""".stripMargin,
+      // Theil-Sen replay: the same daily micro buckets, every (i < j)
+      // bucket pair's SIGN-SPLIT truncating ppm slope via self-join, the
+      // lower median by row_number, intercepts from the picked slope in
+      // the identical sign-split lane
+      "theil_sen" ->
+        """WITH b AS (SELECT CAST(event_type AS VARCHAR) AS g,
+          |    epoch_us(ts) // 86400000000 AS bkt,
+          |    CAST(sum(CAST(floor(CAST(value AS DOUBLE) * 1000000)
+          |      AS BIGINT)) AS BIGINT) AS x
+          |  FROM events
+          |  WHERE event_type IS NOT NULL AND ts IS NOT NULL
+          |    AND value IS NOT NULL
+          |  GROUP BY 1, 2),
+          |p AS (SELECT b1.g,
+          |    CASE WHEN b2.x - b1.x >= 0
+          |      THEN CAST((CAST(b2.x - b1.x AS HUGEINT) * 1000000)
+          |        // (b2.bkt - b1.bkt) AS BIGINT)
+          |      ELSE -CAST((CAST(-(b2.x - b1.x) AS HUGEINT) * 1000000)
+          |        // (b2.bkt - b1.bkt) AS BIGINT)
+          |    END AS s
+          |  FROM b b1 JOIN b b2 ON b1.g = b2.g AND b2.bkt > b1.bkt),
+          |ms AS (SELECT g, s, row_number() OVER (PARTITION BY g ORDER BY s) AS rn,
+          |    count(*) OVER (PARTITION BY g) AS m FROM p),
+          |sl AS (SELECT g, s AS slope_ppm, m AS n_pairs FROM ms
+          |  WHERE rn = (m + 1) // 2),
+          |nb AS (SELECT g, CAST(count(*) AS BIGINT) AS n_buckets FROM b GROUP BY 1),
+          |ic0 AS (SELECT b.g, b.x - (CASE WHEN sl.slope_ppm >= 0
+          |      THEN CAST((CAST(sl.slope_ppm AS HUGEINT) * b.bkt) // 1000000 AS BIGINT)
+          |      ELSE -CAST((CAST(-sl.slope_ppm AS HUGEINT) * b.bkt) // 1000000 AS BIGINT)
+          |    END) AS i0
+          |  FROM b JOIN sl ON sl.g = b.g),
+          |mi AS (SELECT g, i0, row_number() OVER (PARTITION BY g ORDER BY i0) AS rn,
+          |    count(*) OVER (PARTITION BY g) AS m FROM ic0),
+          |ic AS (SELECT g, i0 AS intercept_micro FROM mi WHERE rn = (m + 1) // 2)
+          |SELECT nb.g AS event_type, nb.n_buckets,
+          |  coalesce(sl.n_pairs, 0) AS n_pairs, sl.slope_ppm, ic.intercept_micro
+          |FROM nb LEFT JOIN sl ON sl.g = nb.g LEFT JOIN ic ON ic.g = nb.g""".stripMargin,
       // Holt replay: the ewma_chart recursive CTE with the second
       // recurrence — the level update repeats textually inside the trend
       // update exactly as the engine's fold does, so the IEEE op tree is

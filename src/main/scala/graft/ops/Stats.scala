@@ -369,6 +369,88 @@ object Stats {
         .otherwise(round(sxy * sxy / (sxx * syy), 6)).as("r2"): _*)
   }
 
+  /** Theil–Sen robust trend (Theil 1950 / Sen 1968) — [[trendLines]]'
+    * 29%-breakdown sibling, completing the robust lane the way
+    * [[madOutliers]] twins zScoreOutliers: OLS minimizes squared error,
+    * so ONE corrupted bucket drags the fitted slope arbitrarily; the
+    * Theil–Sen estimator is the MEDIAN of all pairwise bucket slopes and
+    * ignores up to ~29% corrupted points entirely. Values bucket by
+    * `bucketSeconds` into exact micro-unit sums (the [[ewmaChart]] lane),
+    * then per group every bucket pair (i < j) contributes
+    * `slope_ppm = trunc((x_j − x_i) · 10⁶ / (b_j − b_i))` — SIGN-SPLIT
+    * truncation toward zero built explicitly from non-negative integral
+    * divisions, because Spark's `div` truncates while other engines'
+    * `//` floors and the two disagree on negative slopes. The reported
+    * slope is the LOWER median of the sorted quantized slopes (even
+    * counts take the smaller middle — deterministic, no averaging), and
+    * the intercept is the lower median of `x_i − trunc(slope · b_i /10⁶)`
+    * over the buckets (the standard Theil–Sen intercept, same sign-split
+    * lane). Groups with a single bucket read NULL slope/intercept (no
+    * pair to vote). Exact while |Δx|·10⁶ < 10³⁸ — micro sums to 10³¹,
+    * far past any real series.
+    *
+    * Output per group: `n_buckets`, `n_pairs`,
+    * `slope_ppm` (micro-units per bucket, ppm-scaled), `intercept_micro`.
+    *
+    * Shape at 100 TB: one corpus pass to (group, bucket) sums, ONE
+    * group-keyed collect; the O(B²) pair vote runs IN-ROW over the
+    * bucket array — B is bounded by time range / bucketSeconds (the
+    * [[ewmaChart]] state contract), never by event volume.
+    */
+  def theilSen(
+      df: DataFrame,
+      groupCol: String,
+      tsCol: String,
+      valueCol: String,
+      bucketSeconds: Long): DataFrame = {
+    require(bucketSeconds > 0, "bucketSeconds must be positive")
+    val usPerBucket = bucketSeconds * 1000000L
+    val base = df
+      .filter(col(groupCol).isNotNull && col(tsCol).isNotNull &&
+        col(valueCol).isNotNull)
+      .groupBy(col(groupCol).cast("string").as("_g"),
+        call_function("div", unix_micros(col(tsCol)), lit(usPerBucket))
+          .as("_b"))
+      .agg(sum(floor(col(valueCol).cast("double") * 1000000L).cast("long"))
+        .as("_x"))
+    // sign-split truncating division: trunc(num·10⁶ / den), den > 0
+    def truncDivPpm(num: String, den: String): String =
+      s"""CASE WHEN $num >= 0
+         |  THEN CAST((CAST($num AS DECIMAL(38,0)) * 1000000) div ($den) AS BIGINT)
+         |  ELSE -CAST((CAST(-($num) AS DECIMAL(38,0)) * 1000000) div ($den) AS BIGINT)
+         |END""".stripMargin
+    val slopesSql =
+      s"""array_sort(flatten(transform(_steps, (e1, i) ->
+         |  transform(slice(_steps, i + 2, size(_steps)), e2 ->
+         |    ${truncDivPpm("e2._x - e1._x", "e2._b - e1._b")}))))""".stripMargin
+    // trunc(slope·b / 10⁶) with the same sign split (b ≥ 0 for any
+    // post-1970 bucket; pre-epoch buckets would flip den's sign — the
+    // micro lattice starts at the epoch by the unix_micros contract)
+    val interceptsSql =
+      s"""array_sort(transform(_steps, e ->
+         |  e._x - (CASE WHEN _slope >= 0
+         |    THEN CAST((CAST(_slope AS DECIMAL(38,0)) * e._b) div 1000000 AS BIGINT)
+         |    ELSE -CAST((CAST(-_slope AS DECIMAL(38,0)) * e._b) div 1000000 AS BIGINT)
+         |  END)))""".stripMargin
+    base
+      .groupBy(col("_g"))
+      .agg(array_sort(collect_list(struct(col("_b"), col("_x"))))
+        .as("_steps"))
+      .withColumn("_slopes", expr(slopesSql))
+      .withColumn("_slope", expr(
+        "CASE WHEN size(_slopes) = 0 THEN CAST(NULL AS BIGINT) ELSE " +
+          "element_at(_slopes, CAST((size(_slopes) + 1) div 2 AS INT)) END"))
+      .select(
+        col("_g").as(groupCol),
+        size(col("_steps")).as("n_buckets"),
+        size(col("_slopes")).cast("long").as("n_pairs"),
+        col("_slope").as("slope_ppm"),
+        when(col("_slope").isNull, lit(null).cast("long"))
+          .otherwise(expr(
+            s"element_at($interceptsSql, CAST((size(_steps) + 1) div 2 AS INT))"))
+          .as("intercept_micro"))
+  }
+
   /** Per-group autocorrelation at chosen bucket lags — the periodicity
     * DETECTOR the drift family's periodic member ([[seasonalAnomaly]])
     * assumes an answer to: seasonalAnomaly needs the caller to KNOW the

@@ -526,6 +526,9 @@ class PlanGateSpec extends SparkTestBase {
     "ewma_chart" -> 2,
     // identical chain — the second (trend) recurrence rides the same fold
     "holt_chart" -> 2,
+    // the same bucket agg + group collect; the O(B^2) pair vote and both
+    // medians run in-row over the bucket array
+    "theil_sen" -> 2,
     // ONE key-keyed exchange: both windows AND the (key, session) panel
     // agg ride it (hash partitioning on the key satisfies the grouped
     // clustering)

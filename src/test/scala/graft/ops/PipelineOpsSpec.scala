@@ -2218,6 +2218,49 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(b === a)
   }
 
+  test("theilSen: outlier-immune median slope where OLS drags; sign-split truncation exact; single bucket NULL; invariant") {
+    import spark.implicits._
+    def day(d: Int) = ts(f"2024-01-${d + 1}%02d 12:00:00")
+    // 8 daily buckets on y = 10 + 2d with day 3 corrupted to 1000:
+    // 21 clean pair slopes are exactly 2e12 (micro x ppm), the 7
+    // outlier pairs sort to the tails, lower median stays 2e12
+    val rows = (0 to 7).map(d =>
+      ("g", day(d), if (d == 3) 1000.0 else 10.0 + 2.0 * d))
+    val out = Stats.theilSen(rows.toDF("g", "ts", "v"), "g", "ts", "v",
+      86400L).collect().head
+    assert(out.getInt(1) === 8 && out.getLong(2) === 28L)
+    assert(out.getLong(3) === 2000000000000L, "median slope ignores the outlier")
+    val d0 = day(0).toInstant.getEpochSecond / 86400
+    assert(out.getLong(4) === 10000000L - 2000000L * d0,
+      "intercept median ignores the outlier row's intercept")
+    // ...where OLS is dragged: trendLines on the same series reads a slope
+    // far from 2.0/day
+    val ols = Stats.trendLines(
+      rows.map { case (g, t, v) => (g, t, math.round(v)) }.toDF("g", "ts", "v"),
+      Seq("g"), "ts", "v").collect().head.getDouble(2)
+    assert(math.abs(ols - 2.0) > 10.0, s"OLS must be dragged, got $ols")
+    // sign-split truncation toward ZERO (a flooring engine would read
+    // -333333333334): x goes 0 -> -1 over 3 buckets
+    val neg = Stats.theilSen(Seq(
+      ("n", day(0), 0.0), ("n", day(3), -1.0)).toDF("g", "ts", "v"),
+      "g", "ts", "v", 86400L).collect().head
+    assert(neg.getLong(3) === -333333333333L)
+    // single bucket: nothing to vote — NULL slope/intercept, 0 pairs
+    val one = Stats.theilSen(Seq(("s", day(0), 5.0)).toDF("g", "ts", "v"),
+      "g", "ts", "v", 86400L).collect().head
+    assert(one.getInt(1) === 1 && one.getLong(2) === 0L)
+    assert(one.isNullAt(3) && one.isNullAt(4))
+    // partitioning invariance
+    val big = (1 to 300).map(i => (s"g${i % 3}",
+      ts(f"2024-01-${1 + i % 9}%02d ${(i * 5) % 24}%02d:00:00"),
+      ((i * 13) % 50).toDouble / 4.0))
+    val a = Stats.theilSen(big.toDF("g", "ts", "v"), "g", "ts", "v", 86400L)
+      .collect().map(_.toSeq).toSet
+    val b = Stats.theilSen(big.toDF("g", "ts", "v").repartition(13),
+      "g", "ts", "v", 86400L).collect().map(_.toSeq).toSet
+    assert(a === b)
+  }
+
   test("sessionize: hand gap cut; ties share a session; per-key independence; exact panel fields; invariant") {
     import spark.implicits._
     def run(rows: Seq[(String, Timestamp)]) =

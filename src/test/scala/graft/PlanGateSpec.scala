@@ -264,10 +264,12 @@ class PlanGateSpec extends SparkTestBase {
     "pack_sequences" -> 1,
     "pipeline_clean_corpus" -> 1,
     "pit_join" -> 2,
-    // the distinct-entity exchange + the served-row arg-max (which the
-    // left join back rides co-partitioned on (keys, ts)); panel agg is
+    // the distinct-entity exchange + the served-row arg-max + the left
+    // join back (the entity side is a lazy checkpoint boundary, so its
+    // (keys, ts) partitioning is not visible to the join and one side
+    // re-exchanges when the broadcast estimate lapses); panel agg is
     // bucket-table-sized
-    "pit_staleness" -> 2,
+    "pit_staleness" -> 3,
     "pit_join_created" -> 2,
     "pit_join_multi" -> 4,
     "pull_all_events" -> 0,

@@ -2246,6 +2246,23 @@ object SparkEntry {
       edges.unionByName(path), "src", "dst", maxRadius = 3, p = 4)
   }
 
+  /** Harmonic centrality via HyperBall over the same graph — the
+    * CommonCrawl-style curation ranking, every node scored in three edge
+    * sweeps on the integral quantized-estimator lane.
+    */
+  private def graphHarmonicQ(s: SparkSession, dir: String): DataFrame = {
+    val orders = s.read.parquet(s"$dir/orders.parquet")
+      .select("o_orderkey", "o_custkey")
+    val li = s.read.parquet(s"$dir/lineitem.parquet")
+      .select("l_orderkey", "l_suppkey")
+    val edges = orders.join(li, col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_custkey").as("src"), (col("l_suppkey") + 1000000L).as("dst"))
+    val path = s.range(1, 40)
+      .select((col("id") + 3000000L).as("src"), (col("id") + 3000001L).as("dst"))
+    ops.Graph.harmonicCentrality(
+      edges.unionByName(path), "src", "dst", maxRadius = 3, p = 4)
+  }
+
   /** Triangle counts over the co-supply graph: suppliers are adjacent when
     * they ship line items in at least 28 common orders (the strength
     * threshold keeps the graph sparse — below it the co-supply relation
@@ -3435,6 +3452,7 @@ object SparkEntry {
     "page_rank_dangling" -> (pageRankDanglingQuery _),
     "graph_communities" -> (graphCommunitiesQ _),
     "graph_neighborhood" -> (graphNeighborhoodQ _),
+    "graph_harmonic" -> (graphHarmonicQ _),
     "graph_kcore" -> (kCoreQ _),
     "triangle_count" -> (triangleCountQ _),
     "top_terms" -> (topTermsQuery _),
@@ -4231,6 +4249,38 @@ object SparkEntry {
     val hllRestP4 = "((c0 % 4096) << 48) | (c1 << 32) | (c2 << 16) | c3"
     val hllLadderP4 = (1 to 60).map(r =>
       s"WHEN rest >= ${1L << (60 - r)} THEN $r").mkString(" ")
+    // shared HyperBall register chain over the purchase+path graph —
+    // edges, symmetrize, per-node p=4 seed registers, three unrolled
+    // bucket-wise-max sweeps, the stacked radius table `allr`; consumed by
+    // graph_neighborhood AND graph_harmonic so the replays cannot drift
+    val hyperballCtes = {
+      val sweeps = (1 to 3).map { r =>
+        s"""r$r AS (SELECT node, bucket, max(max_rank) AS max_rank FROM (
+           |  SELECT node, bucket, max_rank FROM r${r - 1}
+           |  UNION ALL
+           |  SELECT e.dst AS node, rr.bucket, rr.max_rank
+           |  FROM e JOIN r${r - 1} rr ON rr.node = e.src) t
+           |  GROUP BY 1, 2)""".stripMargin
+      }.mkString(",\n")
+      val stack = (0 to 3).map(r =>
+        s"SELECT $r AS radius, node, bucket, max_rank FROM r$r")
+        .mkString("\nUNION ALL ")
+      s"""o AS (SELECT o_custkey AS src, l_suppkey + 1000000 AS dst
+         |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+         |pth AS (SELECT gs.j + 3000000 AS src, gs.j + 3000001 AS dst
+         |  FROM generate_series(1, 39) gs(j)),
+         |raw AS (SELECT src, dst FROM o UNION ALL SELECT src, dst FROM pth),
+         |e AS (SELECT DISTINCT src, dst FROM (
+         |    SELECT src, dst FROM raw UNION ALL SELECT dst, src FROM raw) s
+         |  WHERE src IS NOT NULL AND dst IS NOT NULL AND src <> dst),
+         |n AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+         |h AS (SELECT node, substr(md5(CAST(node AS VARCHAR)), 1, 16) AS hx FROM n),
+         |c AS (SELECT node, $hllChunks FROM h),
+         |b AS (SELECT node, c0 // 4096 AS bucket, $hllRestP4 AS rest FROM c),
+         |r0 AS (SELECT node, bucket, CASE $hllLadderP4 ELSE 61 END AS max_rank FROM b),
+         |$sweeps,
+         |allr AS ($stack)""".stripMargin
+    }
     // the three ANN replays as vals: each is its own oracle entry AND a
     // WITH-in-subquery branch of search_rrf_fusion (one definition, the
     // fused replay cannot drift from the per-ranking ones)
@@ -7065,39 +7115,42 @@ object SparkEntry {
       // in-neighbor registers, bucket-wise max — exactly the
       // hllMergeRegisters algebra; the panel re-aggregates the stacked
       // radius tables
-      "graph_neighborhood" -> {
-        val sweeps = (1 to 3).map { r =>
-          s"""r$r AS (SELECT node, bucket, max(max_rank) AS max_rank FROM (
-             |  SELECT node, bucket, max_rank FROM r${r - 1}
-             |  UNION ALL
-             |  SELECT e.dst AS node, rr.bucket, rr.max_rank
-             |  FROM e JOIN r${r - 1} rr ON rr.node = e.src) t
-             |  GROUP BY 1, 2)""".stripMargin
-        }.mkString(",\n")
-        val stack = (0 to 3).map(r =>
-          s"SELECT $r AS radius, node, bucket, max_rank FROM r$r")
-          .mkString("\nUNION ALL ")
-        s"""WITH o AS (SELECT o_custkey AS src, l_suppkey + 1000000 AS dst
-           |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
-           |pth AS (SELECT gs.j + 3000000 AS src, gs.j + 3000001 AS dst
-           |  FROM generate_series(1, 39) gs(j)),
-           |raw AS (SELECT src, dst FROM o UNION ALL SELECT src, dst FROM pth),
-           |e AS (SELECT DISTINCT src, dst FROM (
-           |    SELECT src, dst FROM raw UNION ALL SELECT dst, src FROM raw) s
-           |  WHERE src IS NOT NULL AND dst IS NOT NULL AND src <> dst),
-           |n AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
-           |h AS (SELECT node, substr(md5(CAST(node AS VARCHAR)), 1, 16) AS hx FROM n),
-           |c AS (SELECT node, $hllChunks FROM h),
-           |b AS (SELECT node, c0 // 4096 AS bucket, $hllRestP4 AS rest FROM c),
-           |r0 AS (SELECT node, bucket, CASE $hllLadderP4 ELSE 61 END AS max_rank FROM b),
-           |$sweeps,
-           |allr AS ($stack),
+      "graph_neighborhood" ->
+        s"""WITH $hyperballCtes,
            |per AS (SELECT radius, CAST(count(*) AS BIGINT) AS n_register_rows,
            |  CAST(count(DISTINCT node) AS BIGINT) AS n_nodes FROM allr GROUP BY 1)
            |SELECT a.radius, a.max_rank, CAST(count(*) AS BIGINT) AS n_registers,
            |  per.n_nodes, per.n_register_rows
            |FROM allr a JOIN per ON per.radius = a.radius
-           |GROUP BY 1, 2, 4, 5""".stripMargin
+           |GROUP BY 1, 2, 4, 5""".stripMargin,
+      // harmonic-centrality replay: the shared HyperBall chain, then the
+      // QUANTIZED estimator per (radius, node) — HUGEINT denominator sum,
+      // the baked alpha numerator, the 15-entry linear-counting table
+      // (identical Scala-computed literals in plan and oracle) — lagged
+      // radius deltas clamped at 0, each divided by its radius
+      "graph_harmonic" -> {
+        val alphaNum =
+          (BigInt(ops.Graph.hllAlphaPpm(4)) * 16 * 16 * BigInt(2).pow(61)).toString
+        val lcCase = ops.Graph.hllLcMicroTable(4).zipWithIndex.map {
+          case (v, i) => s"WHEN ${i + 1} THEN $v"
+        }.mkString("CASE zeros ", " ", " ELSE NULL END")
+        s"""WITH $hyperballCtes,
+           |e0 AS (SELECT radius, node, count(*) AS ne,
+           |  sum(1::HUGEINT << (61 - max_rank)) AS d FROM allr GROUP BY 1, 2),
+           |e1 AS (SELECT radius, node, 16 - ne AS zeros,
+           |  CAST('$alphaNum' AS HUGEINT)
+           |    // (d + (16 - ne)::HUGEINT * 2305843009213693952) AS raw1 FROM e0),
+           |es AS (SELECT radius, node,
+           |  CASE WHEN zeros > 0 AND raw1 <= 40000000
+           |    THEN ($lcCase) ELSE CAST(raw1 AS BIGINT) END AS est FROM e1),
+           |lg AS (SELECT radius, node, est,
+           |  lag(est) OVER (PARTITION BY node ORDER BY radius) AS prev FROM es)
+           |SELECT node,
+           |  max(CASE WHEN radius = 3 THEN est END) AS ball_micro,
+           |  CAST(coalesce(sum(CASE WHEN radius > 0
+           |    THEN greatest(est - prev, 0) // radius END), 0) AS BIGINT)
+           |    AS harmonic_micro
+           |FROM lg GROUP BY 1""".stripMargin
       },
       // temperature-mix replay: per-corpus counts pivot into ONE row so the
       // √-sum is an explicit left-associated expression (the documented op

@@ -679,4 +679,85 @@ object Graph {
     */
   def neighborhoodEstimates(registers: DataFrame, p: Int): DataFrame =
     Sketch.hllEstimate(registers, Seq("radius", "node"), p)
+
+  /** Harmonic centrality via HyperBall — the paper's own headline
+    * application (Boldi & Vigna 2013/2014) and the curation ranking
+    * CommonCrawl publishes for the web graph: `H(v) = Σ_{u≠v} 1/d(u,v)`,
+    * estimated as `Σ_r (|B_v(r)| − |B_v(r−1)|)/r` over the
+    * [[neighborhoodRegisters]] ball sizes — every node scored in
+    * `maxRadius` edge sweeps, where exact all-pairs BFS is quadratic and
+    * [[pageRank]] measures a different (eigenvector-ish) notion.
+    *
+    * Everything stays in the INTEGRAL lane so any engine replays it
+    * bit-for-bit (the [[pageRank]] argument — float harmonic sums are
+    * shuffle-order-dependent): per (radius, node) the ball estimate is
+    * the standard HLL estimator QUANTIZED to micro-units —
+    * `raw = ⌊alpha_ppm·m²·2^61 / (Σ 2^(61−rank) + zeros·2^61)⌋` with
+    * every term an exact DECIMAL(38,0), and the small-range linear-
+    * counting branch (`zeros > 0` and raw ≤ 2.5m) reads a BAKED
+    * 15-entry integer table `⌊m·ln(m/zeros)·10⁶⌉` — the ln constants are
+    * compile-time literals in plan and oracle alike, so no runtime float
+    * ever crosses an engine boundary. Radius deltas clamp at 0 (the
+    * raw↔linear-counting switch can step an estimate down a hair; a ball
+    * never shrinks) and each contributes `delta div r`. Output per node:
+    * `ball_micro` (the radius-R ball estimate) and `harmonic_micro`.
+    * Estimator error is HLL's (~1.04/√m) — a RANKING signal, exactly the
+    * posture of the published web-graph rankings; `p` trades accuracy.
+    */
+  /** The quantized-estimator constants [[harmonicCentrality]] bakes into
+    * its plan — exposed (package-private) so the DuckDB oracle builder
+    * uses the SAME Scala computation and the literals cannot drift. */
+  private[graft] def hllAlphaPpm(p: Int): Long = math.round((
+    if (p == 4) 0.673 else if (p == 5) 0.697 else if (p == 6) 0.709
+    else 0.7213 / (1 + 1.079 / (1 << p))) * 1e6)
+
+  /** `⌊m·ln(m/z)·10⁶⌉` for z = 1..m−1 (index z−1). */
+  private[graft] def hllLcMicroTable(p: Int): Seq[Long] = {
+    val m = 1 << p
+    (1 until m).map(z => math.round(m * math.log(m.toDouble / z) * 1e6))
+  }
+
+  def harmonicCentrality(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      maxRadius: Int,
+      p: Int = 4,
+      undirected: Boolean = true): DataFrame = {
+    val regs =
+      neighborhoodRegisters(edges, srcCol, dstCol, maxRadius, p, undirected)
+    val m = 1 << p
+    val width = 64 - p
+    require(width - 1 <= 62, "p too small") // 2^(width+1-rank) must fit
+    val shiftBase = width + 1 // rank 1..width+1 → exponent width..0
+    val twoShift = BigInt(2).pow(shiftBase)
+    val alphaNum = BigInt(hllAlphaPpm(p)) * m * m * twoShift
+    val lcCase = hllLcMicroTable(p).zipWithIndex.map { case (v, i) =>
+      s"WHEN ${i + 1} THEN ${v}L"
+    }.mkString("CASE _zeros ", " ", " ELSE NULL END")
+    val est = regs
+      .groupBy(col("radius"), col("node"))
+      .agg(count(lit(1)).as("_nonempty"),
+        sum(expr(s"CAST(shiftleft(1L, $shiftBase - max_rank) AS DECIMAL(38,0))"))
+          .as("_d"))
+      .withColumn("_zeros", lit(m.toLong) - col("_nonempty"))
+      .withColumn("_raw", expr(
+        s"CAST((CAST('$alphaNum' AS DECIMAL(38,0))) div " +
+          s"(_d + CAST(_zeros AS DECIMAL(38,0)) * $twoShift) AS BIGINT)"))
+      .withColumn("est_micro", expr(
+        s"CASE WHEN _zeros > 0 AND _raw <= ${(2.5 * m * 1e6).toLong} " +
+          s"THEN ($lcCase) ELSE _raw END"))
+      .select(col("radius"), col("node"), col("est_micro"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("node")).orderBy(col("radius"))
+    est
+      .withColumn("_prev", lag(col("est_micro"), 1).over(w))
+      .groupBy(col("node"))
+      .agg(
+        max(when(col("radius") === maxRadius, col("est_micro")))
+          .as("ball_micro"),
+        coalesce(sum(when(col("radius") > 0, expr(
+          "greatest(est_micro - _prev, 0L) div radius"))), lit(0L))
+          .as("harmonic_micro"))
+  }
 }

@@ -72,6 +72,9 @@ class PlanGateSpec extends SparkTestBase {
     // per-radius register checkpoints (HyperBall sweeps); the final plan
     // is the panel aggregation over the stacked snapshots
     "graph_neighborhood",
+    // the same checkpointed register chain; the final plan is the
+    // quantized-estimator aggregation + one per-node lag window
+    "graph_harmonic",
     // per-round survivor checkpoints + the convergence count jobs; the
     // final plan is one degree aggregation over the last snapshot
     "graph_kcore",

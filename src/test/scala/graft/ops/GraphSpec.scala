@@ -397,4 +397,47 @@ class GraphSpec extends SparkTestBase {
     assert(empty.count() === 0L)
     assert(empty.columns.toSeq === Seq("radius", "node", "bucket", "max_rank"))
   }
+
+  test("harmonicCentrality: equals the quantized chain recomputed from the registers; star center outranks leaves; invariant") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // star (center 100, 8 leaves) + an isolated edge, radius 2, p = 4
+    val edges = ((1L to 8L).map(l => (100L, l)) :+ (500L, 501L))
+      .toDF("src", "dst")
+    val p = 4
+    val out = Graph.harmonicCentrality(edges, "src", "dst", maxRadius = 2, p = p)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    // THE consistency check: recompute the full integral chain in Scala
+    // from the exact registers — quantized raw estimator, baked
+    // linear-counting table, switch rule, clamped radius deltas
+    val m = 1 << p
+    val alphaNum = BigInt(Graph.hllAlphaPpm(p)) * m * m * BigInt(2).pow(61)
+    val lcT = Graph.hllLcMicroTable(p)
+    val regs = Graph.neighborhoodRegisters(edges, "src", "dst", 2, p)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getInt(3)))
+    def est(radius: Int, node: Long): Long = {
+      val ranks = regs.collect { case (r, n, mr) if r == radius && n == node => mr }
+      val d = ranks.map(r => BigInt(2).pow(61 - r)).sum
+      val zeros = m - ranks.length
+      val raw = alphaNum / (d + BigInt(zeros) * BigInt(2).pow(61))
+      if (zeros > 0 && raw <= BigInt((2.5 * m * 1e6).toLong)) lcT(zeros - 1)
+      else raw.toLong
+    }
+    for ((node, (ball, h)) <- out) {
+      assert(ball === est(2, node), s"ball_micro mismatch for $node")
+      val want = (1 to 2).map(r =>
+        math.max(est(r, node) - est(r - 1, node), 0L) / r).sum
+      assert(h === want, s"harmonic_micro mismatch for $node")
+    }
+    // ranking: the star center (8 neighbors at d=1) strictly outranks
+    // every leaf (1 at d=1, 7 at d=2) and the isolated pair
+    for (l <- 1L to 8L)
+      assert(out(100L)._2 > out(l)._2, s"center must outrank leaf $l")
+    assert(out(100L)._2 > out(500L)._2)
+    // partitioning invariance
+    val out13 = Graph.harmonicCentrality(edges.repartition(13),
+        "src", "dst", 2, p)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(out13 === out)
+  }
 }

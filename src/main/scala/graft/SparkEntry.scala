@@ -1811,6 +1811,26 @@ object SparkEntry {
     ops.Stats.correlations(fp, Seq("q", "ep", "disc", "tax"))
   }
 
+  /** Spearman matrix over the same four fixed-point lineitem columns as
+    * column_correlations — the monotone-association screen beside the
+    * linear one. The synthetic lineitem has no unique natural key
+    * ((l_orderkey, l_linenumber) repeats), so the row key is a generated
+    * id — legitimate here because the OUTPUT is invariant to id VALUES
+    * (ranks come from the data; ids only keep rows distinct through the
+    * re-pivot), which the operator's partitioning-invariance spec pins.
+    */
+  private def spearmanCorrelationsQ(s: SparkSession, dir: String): DataFrame = {
+    val li = s.read.parquet(s"$dir/lineitem.parquet")
+    val fp = li.select(
+      round(col("l_quantity") * 100).cast("long").as("q"),
+      round(col("l_extendedprice") * 100).cast("long").as("ep"),
+      round(col("l_discount") * 100).cast("long").as("disc"),
+      round(col("l_tax") * 100).cast("long").as("tax"))
+      .withColumn("_row", monotonically_increasing_id())
+    ops.Stats.spearmanCorrelations(fp,
+      Seq("_row"), Seq("q", "ep", "disc", "tax"))
+  }
+
   /** Recency-weighted per-user feature: half-life-decayed value sum as of
     * 2024-01-31 with a 6-hour half-life — the 30-day events table spans
     * ~120 half-lives, so the 40-half-life horizon genuinely binds (events
@@ -3384,6 +3404,7 @@ object SparkEntry {
     "rolling_features" -> (rollingFeatures _),
     "decayed_features" -> (decayedFeatures _),
     "column_correlations" -> (columnCorrelations _),
+    "spearman_correlations" -> (spearmanCorrelationsQ _),
     "embedding_mean_pool" -> (embeddingMeanPool _),
     "split_buckets" -> (splitBucketsQuery _),
     "split_exact" -> (splitExactQ _),
@@ -5523,6 +5544,39 @@ object SparkEntry {
       // correlation replay: identical exact decimal moment sums in ONE
       // pass, then the same single IEEE step per pair (generated from the
       // same pair list as the Spark side — the oracle cannot drift)
+      // Spearman replay: doubled average ranks per column via global
+      // rank/count windows (2*rank + ties - 1 == 2*below + ties + 1), then
+      // the IDENTICAL moment chain as column_correlations over the ranks
+      "spearman_correlations" -> {
+        val cc = Seq("q", "ep", "disc", "tax")
+        val cPairs = for { i <- cc.indices; j <- (i + 1) until cc.size }
+          yield (cc(i), cc(j))
+        def dd(c: String) = s"CAST($c AS DECIMAL(38,0))"
+        val sums = cc.flatMap(c => Seq(
+          s"sum(${dd(c)}) AS s_$c",
+          s"sum(${dd(c)} * ${dd(c)}) AS ss_$c")) ++
+          cPairs.map { case (a, b) => s"sum(${dd(a)} * ${dd(b)}) AS p_${a}_$b" }
+        val rankCols = cc.map(c =>
+          s"2 * rank() OVER (ORDER BY $c) + count(*) OVER (PARTITION BY $c) - 1 AS $c")
+        val branches = cPairs.map { case (a, b) =>
+          s"""SELECT '$a' AS col_x, '$b' AS col_y, n,
+             |  CASE WHEN CAST(nn * ss_$a - s_$a * s_$a AS DOUBLE) *
+             |            CAST(nn * ss_$b - s_$b * s_$b AS DOUBLE) = 0 THEN NULL
+             |  ELSE round(CAST(nn * p_${a}_$b - s_$a * s_$b AS DOUBLE) /
+             |    sqrt(CAST(nn * ss_$a - s_$a * s_$a AS DOUBLE) *
+             |         CAST(nn * ss_$b - s_$b * s_$b AS DOUBLE)), 6)
+             |  END AS rho FROM a""".stripMargin
+        }
+        s"""WITH f AS (SELECT
+           |  CAST(round(l_quantity * 100) AS BIGINT) AS q,
+           |  CAST(round(l_extendedprice * 100) AS BIGINT) AS ep,
+           |  CAST(round(l_discount * 100) AS BIGINT) AS disc,
+           |  CAST(round(l_tax * 100) AS BIGINT) AS tax FROM lineitem),
+           |g AS (SELECT ${rankCols.mkString(",\n  ")} FROM f),
+           |a AS (SELECT count(*) AS n, CAST(count(*) AS DECIMAL(38,0)) AS nn,
+           |  ${sums.mkString(",\n  ")} FROM g)
+           |${branches.mkString("\nUNION ALL\n")}""".stripMargin
+      },
       "column_correlations" -> {
         val cc = Seq("q", "ep", "disc", "tax")
         val cPairs = for { i <- cc.indices; j <- (i + 1) until cc.size }

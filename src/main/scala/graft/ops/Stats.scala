@@ -303,6 +303,79 @@ object Stats {
     g.select(inline(array(rows: _*)))
   }
 
+  /** Spearman rank-correlation matrix — [[correlations]]' MONOTONE twin,
+    * completing the association family the way Mann–Whitney completes KS:
+    * Pearson asks "do the features move together LINEARLY" and one heavy
+    * tail drags it; Spearman is Pearson over RANKS, invariant to any
+    * monotone rescaling and robust to outliers — the screening question
+    * ("is there any monotone relationship at all") a feature-profiling
+    * pass wants first. Ranks are AVERAGE ranks DOUBLED so they stay
+    * integers under ties (`2·avg = 2·(#strictly-below) + #ties + 1`),
+    * derived per column from a value-count table with a prefix window —
+    * the rank of a VALUE, joined back to the rows, so no global sort ever
+    * happens (a `Window.orderBy` without partitions would single-thread
+    * the corpus). The moment pass and the closed-form IEEE step are then
+    * EXACTLY [[correlations]] over the doubled ranks (DECIMAL(38,0) sums,
+    * one correctly-rounded divide, round 6, zero-variance → NULL).
+    *
+    * `idCols` name a unique row key (the re-pivot from melted ranks back
+    * to row shape needs one; a DUPLICATED key collapses to one row of
+    * per-column max ranks through the re-pivot groupBy — supply a real
+    * key, the contract every keyed operator in this file states). NULL
+    * values rank nothing: a row with ANY null among `cols` drops first —
+    * pairwise-complete Spearman with per-pair n is a different contract,
+    * documented out (the listwise form keeps one n for the whole matrix,
+    * the [[correlations]] shape).
+    *
+    * Shape at 100 TB: melt in-row → per-(col, value) count agg → the
+    * value-rank table (distinct-value-sized) joins back co-partitioned →
+    * one row-key re-pivot exchange → the single moment gather. Nothing
+    * corpus-sized crosses the wire more than twice, and no stage sorts
+    * more than each column's distinct-value table. The BOUND to know
+    * (document, don't discover): each column's prefix window runs its
+    * distinct-value table on ONE task — fine through ~10⁸ distinct
+    * values per column, and the remedy for a genuinely continuous
+    * column is quantile pre-bucketing ([[equiDepthBins]]): Spearman over
+    * bin ids equals Spearman over a monotone coarsening, the estimator's
+    * own invariance.
+    */
+  def spearmanCorrelations(
+      df: DataFrame,
+      idCols: Seq[String],
+      cols: Seq[String]): DataFrame = {
+    require(cols.size >= 2, "need at least two columns")
+    require(cols.distinct.size == cols.size, "columns must be distinct")
+    require(idCols.nonEmpty, "idCols must name a unique row key")
+    val complete = df
+      .filter(cols.map(col(_).isNotNull).reduce(_ && _))
+      .select((idCols ++ cols).map(col): _*)
+    val melted = complete.select(
+      struct(idCols.map(col): _*).as("_rid"),
+      explode(array(cols.map(c =>
+        struct(lit(c).as("c"), col(c).cast("decimal(38,0)").as("v"))): _*))
+        .as("_e"))
+      .select(col("_rid"), col("_e.c").as("_c"), col("_e.v").as("_v"))
+    // value-rank table: doubled average rank of each (col, value)
+    val counts = melted.groupBy(col("_c"), col("_v"))
+      .agg(count(lit(1)).as("_cnt"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("_c")).orderBy(col("_v"))
+    val ranks = counts
+      .withColumn("_below",
+        coalesce(sum(col("_cnt")).over(w) - col("_cnt"), lit(0L)))
+      .select(col("_c"), col("_v"),
+        (lit(2L) * col("_below") + col("_cnt") + 1L).as("_dr"))
+    // re-pivot melted ranks to one row per _rid with k doubled-rank cols
+    val ranked = melted.join(ranks, Seq("_c", "_v"))
+      .groupBy(col("_rid"))
+      .agg(
+        max(when(col("_c") === cols.head, col("_dr"))).as(cols.head),
+        cols.tail.map(c =>
+          max(when(col("_c") === c, col("_dr"))).as(c)): _*)
+    correlations(ranked, cols)
+      .withColumnRenamed("corr", "rho")
+  }
+
   /** Per-group linear trend — the "which metrics are trending, and how
     * fast" panel next to [[correlations]] (which asks whether two FEATURES
     * move together; this regresses each group's value on TIME): exact OLS

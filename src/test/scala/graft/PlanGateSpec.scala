@@ -534,6 +534,10 @@ class PlanGateSpec extends SparkTestBase {
     // the same bucket agg + group collect; the O(B^2) pair vote and both
     // medians run in-row over the bucket array
     "theil_sen" -> 2,
+    // the (col, value) count agg + its per-column prefix window (narrow
+    // melted rows), the row-key re-pivot, and the single moment gather
+    // (the rank join-back broadcasts its value table at gate SF)
+    "spearman_correlations" -> 4,
     // ONE key-keyed exchange: both windows AND the (key, session) panel
     // agg ride it (hash partitioning on the key satisfies the grouped
     // clustering)

@@ -2218,6 +2218,58 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(b === a)
   }
 
+  test("spearmanCorrelations: monotone-nonlinear reads exactly 1 where Pearson can't; ties average; outlier-robust; id-value and partitioning invariant") {
+    import spark.implicits._
+    def run(rows: Seq[(Long, Long, Long)]) =
+      Stats.spearmanCorrelations(
+        rows.toDF("id", "x", "y"), Seq("id"), Seq("x", "y"))
+        .collect().map(r => (r.getString(0), r.getString(1)) ->
+          (r.getLong(2), if (r.isNullAt(3)) null else r.getDouble(3))).toMap
+    // a perfect monotone but NONLINEAR relation: rho = 1 exactly, while
+    // Pearson on the same data is strictly below 1 — the family split
+    val cubic = (1L to 12L).map(i => (i, i, i * i * i))
+    assert(run(cubic)(("x", "y")) === ((12L, 1.0)))
+    val pearson = Stats.correlations(
+      cubic.toDF("id", "x", "y"), Seq("x", "y"))
+      .collect().head.getDouble(3)
+    assert(pearson < 1.0 && pearson > 0.9)
+    // reversed: exactly -1
+    assert(run((1L to 9L).map(i => (i, i, 100L - i)))(("x", "y"))._2 === -1.0)
+    // ties take AVERAGE ranks: hand case x=(1,2,2,3) doubled ranks
+    // (2,5,5,8), y=(1,3,2,4) doubled ranks (2,6,4,8) — centered products
+    // give 18/sqrt(18*20) = 0.948683 (round 6)
+    val tied = run(Seq((1L, 1L, 1L), (2L, 2L, 3L), (3L, 2L, 2L), (4L, 3L, 4L)))
+    assert(tied(("x", "y")) === ((4L, 0.948683)))
+    // one wild outlier barely moves rho (it is one rank step) while
+    // Pearson collapses toward it
+    val out = (1L to 20L).map(i => (i, i, i)) :+ (21L, 21L, -1000000L)
+    val rho = run(out)(("x", "y"))._2.asInstanceOf[Double]
+    assert(rho > 0.65, s"rho stays high under one outlier, got $rho")
+    val pOut = Stats.correlations(out.toDF("id", "x", "y"), Seq("x", "y"))
+      .collect().head.getDouble(3)
+    assert(pOut < 0.35, s"Pearson must collapse, got $pOut")
+    // zero-variance column: NULL, never NaN
+    assert(run((1L to 5L).map(i => (i, 7L, i)))(("x", "y"))._2 === null)
+    // listwise NULL drop: a row with any null among cols vanishes
+    val withNull = Stats.spearmanCorrelations(
+      Seq((1L, Some(1L), Some(1L)), (2L, Some(2L), None),
+        (3L, Some(3L), Some(3L)), (4L, Some(4L), Some(4L)))
+        .toDF("id", "x", "y"), Seq("id"), Seq("x", "y"))
+      .collect().head
+    assert(withNull.getLong(2) === 3L && withNull.getDouble(3) === 1.0)
+    // id VALUES are irrelevant (only distinctness matters) and the result
+    // is partitioning-invariant
+    val base = (1L to 50L).map(i => (i, (i * 7) % 23, (i * 13) % 29))
+    val a = run(base)
+    val relabeled = base.map { case (i, x, y) => (1000L - i, x, y) }
+    assert(run(relabeled) === a)
+    val c = Stats.spearmanCorrelations(
+      base.toDF("id", "x", "y").repartition(13), Seq("id"), Seq("x", "y"))
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), if (r.isNullAt(3)) null else r.getDouble(3))).toMap
+    assert(c === a)
+  }
+
   test("theilSen: outlier-immune median slope where OLS drags; sign-split truncation exact; single bucket NULL; invariant") {
     import spark.implicits._
     def day(d: Int) = ts(f"2024-01-${d + 1}%02d 12:00:00")

@@ -26,9 +26,16 @@ object Bench {
       "SPARK_GRAFT_CPUS", Runtime.getRuntime.availableProcessors.toString)
     val only = sys.env.get("SPARK_GRAFT_QUERIES")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    // shuffle parallelism defaults to the thread count but is its own knob:
+    // the iterative graph sweeps' per-sweep shuffle volume divides by THIS
+    // number (GraphSpec pins that every sweep exchange follows it), so a
+    // spill observed at N partitions disappears by raising it — the same
+    // lever a real cluster turns, exercised here by configuration
+    val shufflePartitions =
+      sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTITIONS", cpus)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions", shufflePartitions)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
@@ -124,9 +131,11 @@ object Bench {
         // before the snapshot (local mode: a bounded queue, cheap). A slow
         // drain must not abort the remaining suite — waitUntilEmpty throws
         // TimeoutException, and losing the whole artifact over one query's
-        // possibly-incomplete metrics is the wrong trade.
+        // possibly-incomplete metrics is the wrong trade. NonFatal only:
+        // an OOM or interrupt must still abort — continuing a suite on a
+        // corrupted heap would report garbage timings as real.
         try org.apache.spark.GraftListenerBus.waitUntilEmpty(spark.sparkContext, 30000)
-        catch { case e: Throwable =>
+        catch { case scala.util.control.NonFatal(e) =>
           System.err.println(s"bench: listener bus drain timed out for $name " +
             s"(${e.getClass.getSimpleName}) — stage metrics may be incomplete") }
         stageMetrics(name) = (acc.get(0) - before(0), acc.get(1) - before(1),

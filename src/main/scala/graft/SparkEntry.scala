@@ -1831,6 +1831,24 @@ object SparkEntry {
       Seq("_row"), Seq("q", "ep", "disc", "tax"))
   }
 
+  /** Pairwise-complete Spearman over the same fixed-point lineitem columns
+    * with DETERMINISTICALLY planted missingness (ep missing on every 3rd
+    * order, disc on every 5th) so the per-pair n genuinely differ — the
+    * sparse-table contract the listwise matrix cannot express (listwise
+    * would shrink every pair to the fully-observed ~53% of rows).
+    */
+  private def spearmanPairwiseQ(s: SparkSession, dir: String): DataFrame = {
+    val li = s.read.parquet(s"$dir/lineitem.parquet")
+    val fp = li.select(
+      round(col("l_quantity") * 100).cast("long").as("q"),
+      when(col("l_orderkey") % 3 === 0, lit(null).cast("long"))
+        .otherwise(round(col("l_extendedprice") * 100).cast("long")).as("ep"),
+      when(col("l_orderkey") % 5 === 0, lit(null).cast("long"))
+        .otherwise(round(col("l_discount") * 100).cast("long")).as("disc"),
+      round(col("l_tax") * 100).cast("long").as("tax"))
+    ops.Stats.spearmanPairwise(fp, Seq("q", "ep", "disc", "tax"))
+  }
+
   /** Recency-weighted per-user feature: half-life-decayed value sum as of
     * 2024-01-31 with a 6-hour half-life — the 30-day events table spans
     * ~120 half-lives, so the 40-half-life horizon genuinely binds (events
@@ -3238,6 +3256,19 @@ object SparkEntry {
       bucketSeconds = 86400L, alphaPpm = 300000L, betaPpm = 100000L)
       .withColumn("bucket_us", unix_micros(col("bucket"))).drop("bucket")
 
+  /** Holt–Winters level+trend+seasonality chart per event type over daily
+    * value buckets, weekly period — the forecasting lane's seasonal
+    * member: the residual is against `level + trend + day-of-week index`,
+    * so a metric with a weekend dip alarms on breaks, not on Saturdays.
+    */
+  private def holtWintersQ(s: SparkSession, dir: String): DataFrame =
+    ops.Stats.holtWintersChart(events(dir).load(s)
+        .select("event_type", "ts", "value"),
+      "event_type", "ts", "value",
+      bucketSeconds = 86400L, period = 7,
+      alphaPpm = 300000L, betaPpm = 100000L, gammaPpm = 300000L)
+      .withColumn("bucket_us", unix_micros(col("bucket"))).drop("bucket")
+
   /** Theil–Sen robust daily trend per event type — trend_lines' median-
     * slope twin: one corrupted day drags OLS, the pairwise-median vote
     * ignores it.
@@ -3283,6 +3314,23 @@ object SparkEntry {
     val state = ops.Incremental.dailyState(
       ev, Seq("event_type"), "ts", "v_micro")
     ops.Stats.holtFromDailyState(state, Seq("event_type"), 300000L, 100000L)
+  }
+
+  /** Holt–Winters over the persisted daily-state shape — the
+    * holt_from_state read path with the weekly seasonal recurrence: the
+    * monitor's cost follows the state table, never the stream, and the
+    * seasonal index array is part of the fold, not extra state rows.
+    */
+  private def holtWintersFromStateQ(s: SparkSession, dir: String): DataFrame = {
+    val ev = events(dir).load(s)
+      .filter(col("event_type").isNotNull && col("ts").isNotNull &&
+        col("value").isNotNull)
+      .withColumn("v_micro",
+        floor(col("value").cast("double") * 1000000L).cast("long"))
+    val state = ops.Incremental.dailyState(
+      ev, Seq("event_type"), "ts", "v_micro")
+    ops.Stats.holtWintersFromDailyState(state, Seq("event_type"),
+      period = 7, 300000L, 100000L, 300000L)
   }
 
   /** Weekly user-value quintile mobility: do the same users stay in the
@@ -3405,6 +3453,7 @@ object SparkEntry {
     "decayed_features" -> (decayedFeatures _),
     "column_correlations" -> (columnCorrelations _),
     "spearman_correlations" -> (spearmanCorrelationsQ _),
+    "spearman_pairwise" -> (spearmanPairwiseQ _),
     "embedding_mean_pool" -> (embeddingMeanPool _),
     "split_buckets" -> (splitBucketsQuery _),
     "split_exact" -> (splitExactQ _),
@@ -3557,6 +3606,8 @@ object SparkEntry {
     "bipartite_project" -> (bipartiteProjectQ _),
     "ewma_chart" -> (ewmaChartQ _),
     "holt_chart" -> (holtChartQ _),
+    "holt_winters" -> (holtWintersQ _),
+    "holt_winters_from_state" -> (holtWintersFromStateQ _),
     "theil_sen" -> (theilSenQ _),
     "sessionize" -> (sessionizeQ _),
     "rank_mobility" -> (rankMobilityQ _),
@@ -5575,6 +5626,46 @@ object SparkEntry {
            |g AS (SELECT ${rankCols.mkString(",\n  ")} FROM f),
            |a AS (SELECT count(*) AS n, CAST(count(*) AS DECIMAL(38,0)) AS nn,
            |  ${sums.mkString(",\n  ")} FROM g)
+           |${branches.mkString("\nUNION ALL\n")}""".stripMargin
+      },
+      // pairwise-complete Spearman replay: per pair, ranks computed over
+      // exactly the both-non-null rows (the same doubled-average-rank
+      // identity), then the identical per-pair moment chain — the planted
+      // missingness (ep: every 3rd order, disc: every 5th) makes per-pair
+      // n genuinely differ, so a listwise engine cannot fake this oracle
+      "spearman_pairwise" -> {
+        val cc = Seq("q", "ep", "disc", "tax")
+        val cPairs = for { i <- cc.indices; j <- (i + 1) until cc.size }
+          yield (cc(i), cc(j))
+        val branches = cPairs.map { case (a, b) =>
+          s"""SELECT '$a' AS col_x, '$b' AS col_y, n,
+             |  CASE WHEN n = 0 OR
+             |    CAST(nn * sxx - sx * sx AS DOUBLE) *
+             |    CAST(nn * syy - sy * sy AS DOUBLE) = 0 THEN NULL
+             |  ELSE round(CAST(nn * sxy - sx * sy AS DOUBLE) /
+             |    sqrt(CAST(nn * sxx - sx * sx AS DOUBLE) *
+             |         CAST(nn * syy - sy * sy AS DOUBLE)), 6)
+             |  END AS rho FROM (
+             |  SELECT count(*) AS n, CAST(count(*) AS DECIMAL(38,0)) AS nn,
+             |    sum(dx) AS sx, sum(dx * dx) AS sxx,
+             |    sum(dy) AS sy, sum(dy * dy) AS syy,
+             |    sum(dx * dy) AS sxy
+             |  FROM (SELECT
+             |    CAST(2 * rank() OVER (ORDER BY $a)
+             |      + count(*) OVER (PARTITION BY $a) - 1
+             |      AS DECIMAL(38,0)) AS dx,
+             |    CAST(2 * rank() OVER (ORDER BY $b)
+             |      + count(*) OVER (PARTITION BY $b) - 1
+             |      AS DECIMAL(38,0)) AS dy
+             |    FROM f WHERE $a IS NOT NULL AND $b IS NOT NULL) r) agg_$a$b""".stripMargin
+        }
+        s"""WITH f AS (SELECT
+           |  CAST(round(l_quantity * 100) AS BIGINT) AS q,
+           |  CASE WHEN l_orderkey % 3 = 0 THEN NULL
+           |    ELSE CAST(round(l_extendedprice * 100) AS BIGINT) END AS ep,
+           |  CASE WHEN l_orderkey % 5 = 0 THEN NULL
+           |    ELSE CAST(round(l_discount * 100) AS BIGINT) END AS disc,
+           |  CAST(round(l_tax * 100) AS BIGINT) AS tax FROM lineitem)
            |${branches.mkString("\nUNION ALL\n")}""".stripMargin
       },
       "column_correlations" -> {
@@ -8584,6 +8675,107 @@ object SparkEntry {
            |SELECT g AS event_type, dt, x AS value_micro,
            |  CAST(floor(l) AS BIGINT) AS level_micro,
            |  CAST(floor(t) AS BIGINT) AS trend_micro,
+           |  CAST(floor(r) AS BIGINT) AS resid_micro
+           |FROM h""".stripMargin
+      },
+      // Holt–Winters replay: the holt_chart recursive chain with the
+      // seasonal state carried as SEVEN explicit double columns (the
+      // Spark fold carries an array; same IEEE op tree, different
+      // layout) — level repeated textually inside the trend AND seasonal
+      // updates, phase selected by bkt % 7 in both engines
+      "holt_winters" -> {
+        val a = "(CAST(300000 AS DOUBLE) / 1000000.0)"
+        val bt = "(CAST(100000 AS DOUBLE) / 1000000.0)"
+        val g = "(CAST(300000 AS DOUBLE) / 1000000.0)"
+        val sPrev = "(CASE o.bkt % 7 " +
+          (0 until 7).map(i => s"WHEN $i THEN h.s$i").mkString(" ") + " END)"
+        val lNext =
+          s"($a * (CAST(o.x AS DOUBLE) - $sPrev) + (1.0 - $a) * (h.l + h.t))"
+        val sNext =
+          s"($g * (CAST(o.x AS DOUBLE) - $lNext) + (1.0 - $g) * $sPrev)"
+        val sCols = (0 until 7).map(i =>
+          s"CASE WHEN o.bkt % 7 = $i THEN $sNext ELSE h.s$i END")
+          .mkString(",\n           |    ").stripMargin
+        val zeroCols = (0 until 7).map(i => s"CAST(0.0 AS DOUBLE) AS s$i")
+          .mkString(", ")
+        s"""WITH RECURSIVE b AS (
+           |  SELECT CAST(event_type AS VARCHAR) AS g,
+           |    epoch_us(ts) // 86400000000 AS bkt,
+           |    CAST(sum(CAST(floor(CAST(value AS DOUBLE) * 1000000)
+           |      AS BIGINT)) AS BIGINT) AS x
+           |  FROM events
+           |  WHERE event_type IS NOT NULL AND ts IS NOT NULL
+           |    AND value IS NOT NULL
+           |  GROUP BY 1, 2),
+           |st AS (SELECT g, bkt, x, row_number() OVER (
+           |    PARTITION BY g ORDER BY bkt) AS rn FROM b),
+           |h AS (
+           |  SELECT g, bkt, x, rn, CAST(x AS DOUBLE) AS l,
+           |    CAST(0.0 AS DOUBLE) AS t, $zeroCols,
+           |    CAST(0.0 AS DOUBLE) AS si, CAST(NULL AS DOUBLE) AS r
+           |  FROM st WHERE rn = 1
+           |  UNION ALL
+           |  SELECT o.g, o.bkt, o.x, o.rn,
+           |    $lNext,
+           |    $bt * ($lNext - h.l) + (1.0 - $bt) * h.t,
+           |    $sCols,
+           |    $sNext,
+           |    CAST(o.x AS DOUBLE) - (h.l + h.t + $sPrev)
+           |  FROM h JOIN st o ON o.g = h.g AND o.rn = h.rn + 1)
+           |SELECT g AS event_type, x AS value_micro,
+           |  CAST(floor(l) AS BIGINT) AS level_micro,
+           |  CAST(floor(t) AS BIGINT) AS trend_micro,
+           |  CAST(floor(si) AS BIGINT) AS season_micro,
+           |  CAST(floor(r) AS BIGINT) AS resid_micro,
+           |  bkt * 86400000000 AS bucket_us
+           |FROM h""".stripMargin
+      },
+      // state-path Holt–Winters replay: the holt_from_state day-keyed
+      // chain with the seasonal columns; phase = epoch-day mod 7
+      "holt_winters_from_state" -> {
+        val a = "(CAST(300000 AS DOUBLE) / 1000000.0)"
+        val bt = "(CAST(100000 AS DOUBLE) / 1000000.0)"
+        val g = "(CAST(300000 AS DOUBLE) / 1000000.0)"
+        val sPrev = "(CASE o.dnum % 7 " +
+          (0 until 7).map(i => s"WHEN $i THEN h.s$i").mkString(" ") + " END)"
+        val lNext =
+          s"($a * (CAST(o.x AS DOUBLE) - $sPrev) + (1.0 - $a) * (h.l + h.t))"
+        val sNext =
+          s"($g * (CAST(o.x AS DOUBLE) - $lNext) + (1.0 - $g) * $sPrev)"
+        val sCols = (0 until 7).map(i =>
+          s"CASE WHEN o.dnum % 7 = $i THEN $sNext ELSE h.s$i END")
+          .mkString(",\n           |    ").stripMargin
+        val zeroCols = (0 until 7).map(i => s"CAST(0.0 AS DOUBLE) AS s$i")
+          .mkString(", ")
+        s"""WITH RECURSIVE b AS (
+           |  SELECT CAST(event_type AS VARCHAR) AS g,
+           |    CAST(CAST(ts AS DATE) AS VARCHAR) AS dt,
+           |    CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS dnum,
+           |    CAST(sum(CAST(floor(CAST(value AS DOUBLE) * 1000000)
+           |      AS BIGINT)) AS BIGINT) AS x
+           |  FROM events
+           |  WHERE event_type IS NOT NULL AND ts IS NOT NULL
+           |    AND value IS NOT NULL
+           |  GROUP BY 1, 2, 3),
+           |st AS (SELECT g, dt, dnum, x, row_number() OVER (
+           |    PARTITION BY g ORDER BY dt) AS rn FROM b),
+           |h AS (
+           |  SELECT g, dt, dnum, x, rn, CAST(x AS DOUBLE) AS l,
+           |    CAST(0.0 AS DOUBLE) AS t, $zeroCols,
+           |    CAST(0.0 AS DOUBLE) AS si, CAST(NULL AS DOUBLE) AS r
+           |  FROM st WHERE rn = 1
+           |  UNION ALL
+           |  SELECT o.g, o.dt, o.dnum, o.x, o.rn,
+           |    $lNext,
+           |    $bt * ($lNext - h.l) + (1.0 - $bt) * h.t,
+           |    $sCols,
+           |    $sNext,
+           |    CAST(o.x AS DOUBLE) - (h.l + h.t + $sPrev)
+           |  FROM h JOIN st o ON o.g = h.g AND o.rn = h.rn + 1)
+           |SELECT g AS event_type, dt, x AS value_micro,
+           |  CAST(floor(l) AS BIGINT) AS level_micro,
+           |  CAST(floor(t) AS BIGINT) AS trend_micro,
+           |  CAST(floor(si) AS BIGINT) AS season_micro,
            |  CAST(floor(r) AS BIGINT) AS resid_micro
            |FROM h""".stripMargin
       },

@@ -241,9 +241,10 @@ object Layout {
   }
 
   /** Per-column rank bits for a k-column Morton key: 16 bits (65 536 bins)
-    * up to four columns, shrinking so `k * bits <= 62` stays inside a
-    * positive long. Resolution only bounds how finely file boxes can cut
-    * value space — never correctness (the manifest records true min/max).
+    * up to three columns (62/4 = 15, so four columns get 15 bits), then
+    * 62/k so `k * bits <= 62` stays inside a positive long. Resolution only
+    * bounds how finely file boxes can cut value space — never correctness
+    * (the manifest records true min/max).
     */
   private def mortonBits(k: Int): Int = math.min(16, 62 / k)
 
@@ -305,6 +306,22 @@ object Layout {
           indexCols.zipWithIndex.tail.flatMap { case (c, i) =>
             Seq(min(col(c)).as(s"min_$i"), max(col(c)).as(s"max_$i"))
           }: _*)
+  }
+
+  /** Manifest reader shared by every zone-map consumer. Layouts written
+    * before the k-column generalization named the two manifest box columns
+    * `min_a/max_a/min_b/max_b`; the positional schema is `min_0/max_0/
+    * min_1/max_1`. An on-disk layout is a durable artifact — renaming the
+    * legacy columns on READ (a ↦ 0, b ↦ 1) keeps those tables pruning
+    * without a rewrite, and new writes only ever produce the positional
+    * names. */
+  private def readManifest(spark: SparkSession, path: String): DataFrame = {
+    val m = spark.read.parquet(s"$path/_zonemap")
+    if (m.columns.contains("min_a"))
+      m.withColumnsRenamed(Map(
+        "min_a" -> "min_0", "max_a" -> "max_0",
+        "min_b" -> "min_1", "max_b" -> "max_1"))
+    else m
   }
 
   /** Manifest-filter for a query box: a file survives iff its box intersects
@@ -427,7 +444,7 @@ object Layout {
     if (added.nonEmpty) {
       val newRows = manifestRows(spark, path, added, indexes.map(_._1))
       val manifestPath = s"$path/_zonemap"
-      val merged = spark.read.parquet(manifestPath).unionByName(newRows)
+      val merged = readManifest(spark, path).unionByName(newRows)
       // the manifest is kilobytes — materialize before overwriting its input
       val rows = merged.collect().toIndexedSeq
       val out = spark.createDataFrame(
@@ -460,7 +477,7 @@ object Layout {
       path: String,
       box: Seq[(String, Double, Double)]): DataFrame = {
     require(box.nonEmpty, "name every index column of the layout")
-    val files = spark.read.parquet(s"$path/_zonemap")
+    val files = readManifest(spark, path)
       .filter(boxIntersects(box.map { case (_, lo, hi) => (lo, hi) }))
       .select("file").collect().map(_.getString(0))
     val pred = box.map { case (c, lo, hi) => col(c) >= lo && col(c) <= hi }
@@ -488,7 +505,7 @@ object Layout {
       spark: SparkSession,
       path: String,
       box: Seq[(String, Double, Double)]): (Long, Long) = {
-    val m = spark.read.parquet(s"$path/_zonemap")
+    val m = readManifest(spark, path)
     val kept =
       m.filter(boxIntersects(box.map { case (_, lo, hi) => (lo, hi) })).count()
     (kept, m.count())

@@ -303,6 +303,96 @@ object Stats {
     g.select(inline(array(rows: _*)))
   }
 
+  /** The association family's eager input check: rank/moment operators in
+    * this file take integral FIXED-POINT columns (DECIMAL(38,0) sums must
+    * be exact, and a silent `cast("decimal(38,0)")` of a double would
+    * round fractional values to integers — manufacturing and destroying
+    * ties, exactly where a user feeding raw continuous values expects
+    * ranks to "just work" because ranks are scale-free). Rejecting up
+    * front is the [[trendLines]] discipline: any monotone fixed-point
+    * scaling (`round(v * 10000)`) leaves Spearman's rho untouched, so the
+    * caller loses nothing by scaling explicitly.
+    */
+  private def requireIntegralCols(
+      df: DataFrame, cols: Seq[String], op: String): Unit =
+    cols.foreach { c =>
+      val vt = df.schema(c).dataType
+      val ok = vt match {
+        case ByteType | ShortType | IntegerType | LongType => true
+        case d: DecimalType => d.scale == 0
+        case _ => false
+      }
+      require(ok, s"$op needs integral columns (byte/short/int/long or " +
+        s"decimal scale 0); '$c' is $vt — scale fractional values to " +
+        "fixed point first (e.g. round(v * 10000)); ranks are scale-free, " +
+        "so a monotone fixed-point scaling leaves rho unchanged")
+    }
+
+  /** Range buckets per column for the two-phase rank derivation: 255
+    * boundaries → 256 buckets of roughly equal DISTINCT-value count.
+    * More buckets would shrink the per-task sort further, but 256 already
+    * turns a 10¹¹-distinct-value column into ~4·10⁸-value sorts, and the
+    * offsets table stays trivially broadcastable (256·k rows).
+    */
+  private val rankRangeBuckets = 256
+
+  /** Doubled-average-rank table for a melted `(_c, _v)` stream: one row
+    * per distinct (column, value) carrying `_dr = 2·(#strictly-below) +
+    * #ties + 1` — the average rank doubled so ties stay integral.
+    *
+    * The prefix sum ("rows strictly below this value") is RANGE-BUCKETED
+    * in two phases — the [[graft.ops.Sampling.shuffleShards]] position
+    * machinery re-expressed for value order: a naive
+    * `Window.partitionBy(_c).orderBy(_v)` runs each column's WHOLE
+    * distinct-value table through one task's sort, which on a genuinely
+    * continuous 100-TB column (distinct ≈ row count) single-threads a
+    * ~10¹¹-value sort. Instead each column's values get ~equal-DISTINCT
+    * order-preserving range buckets from sampled quantile boundaries of
+    * the distinct-value table (the boundary pass aggregates the
+    * counts-table exchange, which Catalyst reuses — no extra corpus
+    * pass); phase 1 turns per-(col, bucket) count totals into cumulative
+    * bucket offsets via a window over the ≤256·k-row totals table, and
+    * phase 2 prefix-sums WITHIN each (col, bucket) only. Identical `_dr`
+    * to the single-sort formulation — bucket boundaries partition value
+    * order, so below-count = bucket offset + within-bucket prefix — but
+    * the largest per-task sort is ~distinct/256 per column and the
+    * parallelism is col·256 groups instead of col tasks. Boundary
+    * QUALITY only shapes balance, never results (any order-preserving
+    * bucketing gives the same ranks), so the approximate sketch is safe
+    * by construction.
+    */
+  private def doubledRanks(melted: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = melted.groupBy(col("_c"), col("_v"))
+      .agg(count(lit(1)).as("_cnt"))
+      // bucket on the DOUBLE image of the value: monotone (adjacent
+      // decimals collapsing to one double just share a bucket), and it
+      // keeps the quantile sketch in its native domain
+      .withColumn("_vd", col("_v").cast("double"))
+    val pcts = array((1 until rankRangeBuckets).map(i =>
+      lit(i.toDouble / rankRangeBuckets)): _*)
+    val bounds = counts.groupBy(col("_c"))
+      .agg(percentile_approx(col("_vd"), pcts, lit(10000)).as("_bnds"))
+    val bucketed = counts.join(broadcast(bounds), Seq("_c"))
+      .withColumn("_rb", aggregate(col("_bnds"), lit(0),
+        (acc, b) => acc + when(col("_vd") > b, 1).otherwise(0)))
+      .drop("_bnds", "_vd")
+    val offsets = bucketed.groupBy(col("_c"), col("_rb"))
+      .agg(sum(col("_cnt")).as("_bt"))
+      .withColumn("_boff", coalesce(
+        sum(col("_bt")).over(Window.partitionBy(col("_c")).orderBy(col("_rb"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("_c"), col("_rb"), col("_boff"))
+    val wIn = Window.partitionBy(col("_c"), col("_rb")).orderBy(col("_v"))
+    bucketed
+      .withColumn("_belowIn",
+        coalesce(sum(col("_cnt")).over(wIn) - col("_cnt"), lit(0L)))
+      .join(broadcast(offsets), Seq("_c", "_rb"))
+      .select(col("_c"), col("_v"),
+        (lit(2L) * (col("_boff") + col("_belowIn")) + col("_cnt") + 1L)
+          .as("_dr"))
+  }
+
   /** Spearman rank-correlation matrix — [[correlations]]' MONOTONE twin,
     * completing the association family the way Mann–Whitney completes KS:
     * Pearson asks "do the features move together LINEARLY" and one heavy
@@ -311,33 +401,34 @@ object Stats {
     * ("is there any monotone relationship at all") a feature-profiling
     * pass wants first. Ranks are AVERAGE ranks DOUBLED so they stay
     * integers under ties (`2·avg = 2·(#strictly-below) + #ties + 1`),
-    * derived per column from a value-count table with a prefix window —
-    * the rank of a VALUE, joined back to the rows, so no global sort ever
-    * happens (a `Window.orderBy` without partitions would single-thread
-    * the corpus). The moment pass and the closed-form IEEE step are then
-    * EXACTLY [[correlations]] over the doubled ranks (DECIMAL(38,0) sums,
-    * one correctly-rounded divide, round 6, zero-variance → NULL).
+    * derived per column from a value-count table with a TWO-PHASE
+    * range-bucketed prefix sum ([[doubledRanks]]) — the rank of a VALUE,
+    * joined back to the rows, so no stage ever sorts more than
+    * ~distinct/256 values of one column in one task (and no global sort
+    * ever happens). The moment pass and the closed-form IEEE step are
+    * then EXACTLY [[correlations]] over the doubled ranks (DECIMAL(38,0)
+    * sums, one correctly-rounded divide, round 6, zero-variance → NULL).
+    *
+    * Input columns must be integral fixed-point ([[requireIntegralCols]]
+    * — a silent decimal cast of doubles would round values together,
+    * manufacturing ties; ranks are scale-free, so `round(v * 10000)`
+    * loses nothing).
     *
     * `idCols` name a unique row key (the re-pivot from melted ranks back
     * to row shape needs one; a DUPLICATED key collapses to one row of
     * per-column max ranks through the re-pivot groupBy — supply a real
     * key, the contract every keyed operator in this file states). NULL
     * values rank nothing: a row with ANY null among `cols` drops first —
-    * pairwise-complete Spearman with per-pair n is a different contract,
-    * documented out (the listwise form keeps one n for the whole matrix,
-    * the [[correlations]] shape).
+    * the listwise form keeps one n for the whole matrix, the
+    * [[correlations]] shape; [[spearmanPairwise]] is the per-pair-n
+    * sibling for sparse feature tables.
     *
     * Shape at 100 TB: melt in-row → per-(col, value) count agg → the
-    * value-rank table (distinct-value-sized) joins back co-partitioned →
-    * one row-key re-pivot exchange → the single moment gather. Nothing
-    * corpus-sized crosses the wire more than twice, and no stage sorts
-    * more than each column's distinct-value table. The BOUND to know
-    * (document, don't discover): each column's prefix window runs its
-    * distinct-value table on ONE task — fine through ~10⁸ distinct
-    * values per column, and the remedy for a genuinely continuous
-    * column is quantile pre-bucketing ([[equiDepthBins]]): Spearman over
-    * bin ids equals Spearman over a monotone coarsening, the estimator's
-    * own invariance.
+    * value-rank table (distinct-value-sized) derives bucketed prefix
+    * sums and joins back co-partitioned → one row-key re-pivot exchange
+    * → the single moment gather. Nothing corpus-sized crosses the wire
+    * more than twice, and the largest single-task sort anywhere is one
+    * range bucket of one column's distinct values.
     */
   def spearmanCorrelations(
       df: DataFrame,
@@ -346,6 +437,7 @@ object Stats {
     require(cols.size >= 2, "need at least two columns")
     require(cols.distinct.size == cols.size, "columns must be distinct")
     require(idCols.nonEmpty, "idCols must name a unique row key")
+    requireIntegralCols(df, cols, "spearmanCorrelations")
     val complete = df
       .filter(cols.map(col(_).isNotNull).reduce(_ && _))
       .select((idCols ++ cols).map(col): _*)
@@ -355,16 +447,7 @@ object Stats {
         struct(lit(c).as("c"), col(c).cast("decimal(38,0)").as("v"))): _*))
         .as("_e"))
       .select(col("_rid"), col("_e.c").as("_c"), col("_e.v").as("_v"))
-    // value-rank table: doubled average rank of each (col, value)
-    val counts = melted.groupBy(col("_c"), col("_v"))
-      .agg(count(lit(1)).as("_cnt"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("_c")).orderBy(col("_v"))
-    val ranks = counts
-      .withColumn("_below",
-        coalesce(sum(col("_cnt")).over(w) - col("_cnt"), lit(0L)))
-      .select(col("_c"), col("_v"),
-        (lit(2L) * col("_below") + col("_cnt") + 1L).as("_dr"))
+    val ranks = doubledRanks(melted)
     // re-pivot melted ranks to one row per _rid with k doubled-rank cols
     val ranked = melted.join(ranks, Seq("_c", "_v"))
       .groupBy(col("_rid"))
@@ -374,6 +457,85 @@ object Stats {
           max(when(col("_c") === c, col("_dr"))).as(c)): _*)
     correlations(ranked, cols)
       .withColumnRenamed("corr", "rho")
+  }
+
+  /** Pairwise-complete Spearman — [[spearmanCorrelations]]' sparse-table
+    * sibling: the listwise form drops a row for ONE null among k columns,
+    * which on a sparse feature table silently shrinks every pair's n to
+    * the fully-observed subset; here each pair (a, b) ranks and counts
+    * over exactly the rows where BOTH a and b are non-null, so `n` is
+    * per-pair and no observation is wasted. The price is the classic
+    * statistics caveat (different pairs see different row subsets — the
+    * matrix need not be positive semidefinite) and an O(k²) work blowup:
+    * the melt carries 2·C(k,2) entries per row, so prefer the listwise
+    * form for wide dense matrices and this one for sparse/narrow ones.
+    *
+    * Ranks come from the same two-phase [[doubledRanks]] machinery keyed
+    * by (pair, side) instead of column — the identical scale posture —
+    * and each pair's moment chain is EXACTLY [[correlations]] over its
+    * doubled ranks. Every pair emits a row: a pair with zero complete
+    * rows reads n = 0 with a NULL rho (the zero-variance convention),
+    * never a vanished row.
+    *
+    * Shape at 100 TB: pair-melt in-row (2·C(k,2) entries/row) →
+    * per-(pair, side, value) count agg → bucketed rank table joins back
+    * (value tables broadcast while small, re-key at scale) → ONE
+    * (pair)-grouped moment agg. No row key needed — pairwise never
+    * re-pivots.
+    */
+  def spearmanPairwise(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.size >= 2, "need at least two columns")
+    require(cols.distinct.size == cols.size, "columns must be distinct")
+    requireIntegralCols(df, cols, "spearmanPairwise")
+    val dec = "decimal(38,0)"
+    val spark = df.sparkSession
+    val pairs = for { i <- cols.indices; j <- (i + 1) until cols.size }
+      yield (cols(i), cols(j))
+    val pairRows = df.select(explode(array(pairs.map { case (a, b) =>
+        struct(lit(a).as("cx"), lit(b).as("cy"),
+          col(a).cast(dec).as("vx"), col(b).cast(dec).as("vy")) }: _*))
+        .as("_p"))
+      .select(col("_p.cx").as("_cx"), col("_p.cy").as("_cy"),
+        col("_p.vx").as("_vx"), col("_p.vy").as("_vy"))
+      .filter(col("_vx").isNotNull && col("_vy").isNotNull)
+    // rank each side within its pair: (pair, side) is the rank "column".
+    // a NUL separator joins the key parts unambiguously (column names can't carry it)
+    def sideKey(side: String) =
+      concat_ws("\u0000", col("_cx"), col("_cy"), lit(side))
+    val melted = pairRows.select(explode(array(
+        struct(sideKey("x").as("c"), col("_vx").as("v")),
+        struct(sideKey("y").as("c"), col("_vy").as("v")))).as("_e"))
+      .select(col("_e.c").as("_c"), col("_e.v").as("_v"))
+    val ranks = doubledRanks(melted)
+    val rX = ranks.select(
+      col("_c").as("_kx"), col("_v").as("_vx"), col("_dr").as("_drx"))
+    val rY = ranks.select(
+      col("_c").as("_ky"), col("_v").as("_vy"), col("_dr").as("_dry"))
+    val joined = pairRows
+      .withColumn("_kx", sideKey("x")).withColumn("_ky", sideKey("y"))
+      .join(rX, Seq("_kx", "_vx")).join(rY, Seq("_ky", "_vy"))
+    val dx = col("_drx").cast(dec)
+    val dy = col("_dry").cast(dec)
+    val g = joined.groupBy(col("_cx"), col("_cy"))
+      .agg(count(lit(1)).as("_n"),
+        sum(dx).as("_sx"), sum(dx * dx).as("_sxx"),
+        sum(dy).as("_sy"), sum(dy * dy).as("_syy"),
+        sum(dx * dy).as("_sxy"))
+    // zero-complete-row pairs still emit: left-join the literal pair list
+    val allPairs = spark.range(1).select(
+      explode(array(pairs.map { case (a, b) =>
+        struct(lit(a).as("_cx"), lit(b).as("_cy")) }: _*)).as("_p"))
+      .select(col("_p._cx").as("_cx"), col("_p._cy").as("_cy"))
+    val n = col("_n").cast(dec)
+    val num = (n * col("_sxy") - col("_sx") * col("_sy")).cast("double")
+    val va = (n * col("_sxx") - col("_sx") * col("_sx")).cast("double")
+    val vb = (n * col("_syy") - col("_sy") * col("_sy")).cast("double")
+    allPairs.join(g, Seq("_cx", "_cy"), "left")
+      .select(col("_cx").as("col_x"), col("_cy").as("col_y"),
+        coalesce(col("_n"), lit(0L)).as("n"),
+        when(coalesce(col("_n"), lit(0L)) === 0L || va * vb === 0.0,
+          lit(null).cast("double"))
+          .otherwise(round(num / sqrt(va * vb), 6)).as("rho"))
   }
 
   /** Per-group linear trend — the "which metrics are trending, and how
@@ -1853,6 +2015,177 @@ object Stats {
         col("_r.x").as("value_micro"),
         floor(col("_r.l")).cast("long").as("level_micro"),
         floor(col("_r.t")).cast("long").as("trend_micro"),
+        floor(col("_r.r")).cast("long").as("resid_micro")): _*)
+  }
+
+  /** The Holt–Winters left fold over a sorted `_steps` array of `(_b, _x)`
+    * structs — [[holtFoldSql]] with the THIRD recurrence: the accumulator
+    * carries the level, the trend, and a `period`-slot additive seasonal
+    * index array (seeded all-zero; the first element seeds level = x,
+    * trend = 0, indices untouched). Every later step reads its phase's
+    * index `s = S[b mod period]`, forecasts `f = l + t + s`, then
+    * `l' = α·(x − s) + (1−α)·(l + t)`, `t' = β·(l' − l) + (1−β)·t`,
+    * `S'[phase] = γ·(x − l') + (1−γ)·s` in FIXED operand order with
+    * α/β/γ divided from their ppm integers in-plan. `l'` repeats
+    * textually inside the trend and seasonal updates (SQL lambdas have
+    * no let-binding; both engines repeating the same expression stay
+    * bit-identical), and the oracle's recursive CTE carries the seasonal
+    * state as `period` explicit columns — the identical IEEE op tree,
+    * differently laid out.
+    */
+  private def holtWintersFoldSql(
+      alphaPpm: Long, betaPpm: Long, gammaPpm: Long, period: Int): String = {
+    val a = s"(CAST($alphaPpm AS DOUBLE) / 1000000.0D)"
+    val bta = s"(CAST($betaPpm AS DOUBLE) / 1000000.0D)"
+    val g = s"(CAST($gammaPpm AS DOUBLE) / 1000000.0D)"
+    val phase = s"CAST(pmod(e._b, $period) AS INT)"
+    val sPrev = s"element_at(acc.s, $phase + 1)"
+    val lNext =
+      s"($a * (CAST(e._x AS DOUBLE) - $sPrev) + (1.0D - $a) * (acc.l + acc.t))"
+    val sNext = s"($g * (CAST(e._x AS DOUBLE) - $lNext) + (1.0D - $g) * $sPrev)"
+    val zeros = Seq.fill(period)("CAST(0.0 AS DOUBLE)").mkString(", ")
+    s"""aggregate(
+       |  _steps,
+       |  struct(false AS init, CAST(0.0 AS DOUBLE) AS l,
+       |    CAST(0.0 AS DOUBLE) AS t, array($zeros) AS s,
+       |    CAST(array() AS ARRAY<STRUCT<b: BIGINT, x: BIGINT,
+       |      l: DOUBLE, t: DOUBLE, si: DOUBLE, r: DOUBLE>>) AS out),
+       |  (acc, e) -> struct(
+       |    true AS init,
+       |    CASE WHEN acc.init THEN $lNext
+       |      ELSE CAST(e._x AS DOUBLE) END AS l,
+       |    CASE WHEN acc.init THEN
+       |        $bta * ($lNext - acc.l) + (1.0D - $bta) * acc.t
+       |      ELSE CAST(0.0 AS DOUBLE) END AS t,
+       |    CASE WHEN acc.init THEN
+       |        transform(acc.s, (v, i) ->
+       |          CASE WHEN i = $phase THEN $sNext ELSE v END)
+       |      ELSE acc.s END AS s,
+       |    array_append(acc.out, struct(e._b AS b, e._x AS x,
+       |      CASE WHEN acc.init THEN $lNext
+       |        ELSE CAST(e._x AS DOUBLE) END AS l,
+       |      CASE WHEN acc.init THEN
+       |          $bta * ($lNext - acc.l) + (1.0D - $bta) * acc.t
+       |        ELSE CAST(0.0 AS DOUBLE) END AS t,
+       |      CASE WHEN acc.init THEN $sNext
+       |        ELSE CAST(0.0 AS DOUBLE) END AS si,
+       |      CASE WHEN acc.init
+       |        THEN CAST(e._x AS DOUBLE) - (acc.l + acc.t + $sPrev)
+       |        END AS r)) AS out),
+       |  acc -> acc.out)""".stripMargin
+  }
+
+  /** Holt–Winters additive chart — the forecasting lane's SEASONAL member,
+    * completing EWMA (level) → [[holtChart]] (level + trend) → level +
+    * trend + seasonality: Holt's one-step forecast lags any metric with a
+    * weekly/daily shape by the full seasonal amplitude, flagging every
+    * weekend as an anomaly; the third recurrence (Winters 1960) maintains
+    * one additive index per phase (`bucket mod period` — 7 daily buckets
+    * = day-of-week) and folds it into the forecast `f = l + t + s`, so
+    * the residual centers on zero for a trending AND periodic series.
+    * Seed: first bucket is the level with zero trend and ALL-ZERO
+    * seasonal indices — the indices warm up as phases are revisited (the
+    * [[holtChart]] warm-up contract extended; the classic
+    * first-full-season initialization trades one period of residuals for
+    * faster convergence, a different contract, documented out). Per
+    * (group, bucket): `value_micro`, `level_micro`, `trend_micro`,
+    * `season_micro` (this bucket's phase index AFTER its update; 0 on
+    * the seed), `resid_micro` (NULL on the seed) — floors of
+    * bit-identical doubles (the [[ewmaChart]] lattice argument).
+    *
+    * Determinism, state, and shape: exactly [[holtChart]] — ordered left
+    * fold, one corpus pass to (group, bucket) sums, ONE group-keyed
+    * exchange for the collect, fold and re-explode in-row; the fold
+    * buffers one group's buckets (bounded by time range / bucketSeconds)
+    * plus the `period`-slot index array. Missing buckets are skipped,
+    * not zero-filled — a skipped bucket also skips its phase update
+    * (compose [[graft.ops.Temporal.resampleForwardFill]] upstream for
+    * dense time).
+    */
+  def holtWintersChart(
+      df: DataFrame,
+      groupCol: String,
+      tsCol: String,
+      valueCol: String,
+      bucketSeconds: Long,
+      period: Int = 7,
+      alphaPpm: Long = 300000L,
+      betaPpm: Long = 100000L,
+      gammaPpm: Long = 300000L): DataFrame = {
+    require(bucketSeconds > 0, "bucketSeconds must be positive")
+    require(period >= 2, "period must be >= 2 (a period of 1 is Holt)")
+    require(period <= 1000, "period must be <= 1000 (the index array is fold state)")
+    Seq(("alphaPpm", alphaPpm), ("betaPpm", betaPpm), ("gammaPpm", gammaPpm))
+      .foreach { case (n, v) =>
+        require(v >= 1 && v <= 1000000L, s"$n must be in [1, 1000000], got $v") }
+    val usPerBucket = bucketSeconds * 1000000L
+    val base = df
+      .filter(col(groupCol).isNotNull && col(tsCol).isNotNull &&
+        col(valueCol).isNotNull)
+      .groupBy(col(groupCol).cast("string").as("_g"),
+        call_function("div", unix_micros(col(tsCol)), lit(usPerBucket))
+          .as("_b"))
+      .agg(sum(floor(col(valueCol).cast("double") * 1000000L).cast("long"))
+        .as("_x"))
+    base
+      .groupBy(col("_g"))
+      .agg(array_sort(collect_list(struct(col("_b"), col("_x"))))
+        .as("_steps"))
+      .select(col("_g"),
+        explode(expr(holtWintersFoldSql(alphaPpm, betaPpm, gammaPpm, period)))
+          .as("_r"))
+      .select(
+        col("_g").as(groupCol),
+        timestamp_micros(col("_r.b") * usPerBucket).as("bucket"),
+        col("_r.x").as("value_micro"),
+        floor(col("_r.l")).cast("long").as("level_micro"),
+        floor(col("_r.t")).cast("long").as("trend_micro"),
+        floor(col("_r.si")).cast("long").as("season_micro"),
+        floor(col("_r.r")).cast("long").as("resid_micro"))
+  }
+
+  /** [[holtWintersChart]]'s persisted-state read side —
+    * [[holtFromDailyState]]'s seasonal twin, the same 100 TB monitoring
+    * shape: per-(key, day) exact integral partials from the incremental
+    * store ([[Incremental.dailyState]] / [[Incremental.stateUpsertBatch]]),
+    * the SAME private [[holtWintersFoldSql]] (they cannot drift), the
+    * day's phase = epoch-day mod `period` (7 = day-of-week). Output per
+    * (keys, dt): `value_micro`, `level_micro`, `trend_micro`,
+    * `season_micro`, `resid_micro` (NULL first day per key).
+    */
+  def holtWintersFromDailyState(
+      state: DataFrame,
+      keys: Seq[String],
+      period: Int = 7,
+      alphaPpm: Long = 300000L,
+      betaPpm: Long = 100000L,
+      gammaPpm: Long = 300000L): DataFrame = {
+    require(keys.nonEmpty, "need at least one key column")
+    require(period >= 2 && period <= 1000, s"period must be in [2, 1000], got $period")
+    Seq(("alphaPpm", alphaPpm), ("betaPpm", betaPpm), ("gammaPpm", gammaPpm))
+      .foreach { case (n, v) =>
+        require(v >= 1 && v <= 1000000L, s"$n must be in [1, 1000000], got $v") }
+    val kc = keys.map(col)
+    val merged = state
+      .groupBy(kc :+ col("dt"): _*)
+      .agg(sum(col("sum_value")).as("_x"))
+      .withColumn("_b",
+        datediff(col("dt").cast("date"), to_date(lit("1970-01-01")))
+          .cast("long"))
+    merged
+      .groupBy(kc: _*)
+      .agg(array_sort(collect_list(struct(col("_b"), col("_x"))))
+        .as("_steps"))
+      .select(kc :+
+        explode(expr(holtWintersFoldSql(alphaPpm, betaPpm, gammaPpm, period)))
+          .as("_r"): _*)
+      .select(kc ++ Seq(
+        date_add(to_date(lit("1970-01-01")), col("_r.b").cast("int"))
+          .cast("string").as("dt"),
+        col("_r.x").as("value_micro"),
+        floor(col("_r.l")).cast("long").as("level_micro"),
+        floor(col("_r.t")).cast("long").as("trend_micro"),
+        floor(col("_r.si")).cast("long").as("season_micro"),
         floor(col("_r.r")).cast("long").as("resid_micro")): _*)
   }
 

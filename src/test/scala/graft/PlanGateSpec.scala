@@ -531,13 +531,27 @@ class PlanGateSpec extends SparkTestBase {
     "ewma_chart" -> 2,
     // identical chain — the second (trend) recurrence rides the same fold
     "holt_chart" -> 2,
+    // identical chain again — the seasonal index array is FOLD state, not
+    // extra plan structure
+    "holt_winters" -> 2,
     // the same bucket agg + group collect; the O(B^2) pair vote and both
     // medians run in-row over the bucket array
     "theil_sen" -> 2,
-    // the (col, value) count agg + its per-column prefix window (narrow
-    // melted rows), the row-key re-pivot, and the single moment gather
-    // (the rank join-back broadcasts its value table at gate SF)
-    "spearman_correlations" -> 4,
+    // two-phase range-bucketed rank derivation: the (col, value) count
+    // agg appears FOUR times statically (bounds/offsets/bucketed branches
+    // all embed it — AQE stage reuse computes that shuffle once at
+    // runtime), + the per-col boundary agg (x2 static), the (col, bucket)
+    // offsets agg, its tiny per-col cumulative window, the (col, bucket)
+    // in-bucket prefix window, the rank join-back re-key, the row-key
+    // re-pivot, and the single moment gather; runtime-distinct ~7
+    "spearman_correlations" -> 11,
+    // same doubledRanks machinery keyed by (pair, side); the static count
+    // is dominated by the TWO rank join-backs each embedding the full
+    // ranks lineage (identical subtrees — AQE stage reuse computes each
+    // distinct exchange once; runtime-distinct ~9: counts, bounds,
+    // offsets agg + its tiny window, in-bucket window, two corpus-side
+    // join re-keys, two rank-side re-keys, the per-pair moment agg)
+    "spearman_pairwise" -> 19,
     // ONE key-keyed exchange: both windows AND the (key, session) panel
     // agg ride it (hash partitioning on the key satisfies the grouped
     // clustering)
@@ -551,6 +565,8 @@ class PlanGateSpec extends SparkTestBase {
     "ewma_from_state" -> 3,
     // identical state-path chain with the trend recurrence in the fold
     "holt_from_state" -> 3,
+    // identical state-path chain with the seasonal recurrence in the fold
+    "holt_winters_from_state" -> 3,
     // the pair moment agg; the in-row lag explode rides the checkpointed
     // bucket table and the bucket-keyed join broadcasts at gate SF (at
     // scale it re-keys both sides — the budget leaves that headroom)

@@ -440,4 +440,40 @@ class GraphSpec extends SparkTestBase {
       .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
     assert(out13 === out)
   }
+
+  test("iterative sweeps scale with spark.sql.shuffle.partitions — the spill lever is configuration, not luck") {
+    import spark.implicits._
+    // the 100x graph_neighborhood measurement showed 20 GB/sweep shuffling
+    // through however many partitions the SESSION sets; this pins that the
+    // sweep shuffles genuinely follow the knob (each radius snapshot is the
+    // localCheckpointed output of a (node, bucket) re-aggregation, so its
+    // partition count IS the sweep's shuffle partitioning). AQE coalescing
+    // is disabled for the observation — on tiny test data it would
+    // collapse everything to one partition and hide the contract.
+    // a star forest plus one triangle, so the k=2 peel below converges to
+    // a NON-empty core (an empty result collapses to a 0-partition
+    // LocalTableScan and would observe nothing)
+    val edges = ((1L to 40L).map(i => (i, i % 20 + 100L)) ++
+      Seq((200L, 201L), (201L, 202L), (202L, 200L))).toDF("src", "dst")
+    val conf = spark.conf
+    val before = (conf.get("spark.sql.shuffle.partitions"),
+      conf.get("spark.sql.adaptive.coalescePartitions.enabled", "true"))
+    try {
+      conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+      for (n <- Seq(7, 11)) {
+        conf.set("spark.sql.shuffle.partitions", n.toString)
+        val regs = Graph.neighborhoodRegisters(edges, "src", "dst",
+          maxRadius = 2, p = 4)
+        // union of 3 radius snapshots, each aggregated into n partitions
+        assert(regs.rdd.getNumPartitions === 3 * n,
+          s"sweep re-aggregation must shuffle into $n partitions")
+        // the peel loop follows the same knob: kCore's final degree agg
+        val core = Graph.kCore(edges, "src", "dst", k = 2)
+        assert(core.rdd.getNumPartitions === n)
+      }
+    } finally {
+      conf.set("spark.sql.shuffle.partitions", before._1)
+      conf.set("spark.sql.adaptive.coalescePartitions.enabled", before._2)
+    }
+  }
 }

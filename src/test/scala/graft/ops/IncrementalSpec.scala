@@ -200,6 +200,40 @@ class IncrementalSpec extends SparkTestBase {
     assert(replay === got)
   }
 
+  test("holtWintersFromDailyState: folding streamed state partials == holtWintersChart over the raw rows day-bucketed; replay no-op") {
+    val path =
+      java.nio.file.Files.createTempDirectory("graft-hw").toString + "/state"
+    val rows = (1 to 120).map(i => (s"g${i % 3}",
+      ts(f"2024-01-${1 + i % 9}%02d ${(i * 5) % 24}%02d:00:00"),
+      ((i * 7) % 50).toDouble / 4.0)).toDF("g", "ts", "v")
+      .withColumn("v_micro",
+        floor(col("v").cast("double") * 1000000L).cast("long"))
+    val (b1, b2) = (rows.filter(col("v_micro") % 2 === 0),
+      rows.filter(col("v_micro") % 2 =!= 0))
+    Incremental.stateUpsertBatch(b1, path, Seq("g"), "ts", "v_micro", 0L)
+    Incremental.stateUpsertBatch(b2, path, Seq("g"), "ts", "v_micro", 1L)
+    def read(df: org.apache.spark.sql.DataFrame,
+        dtOf: org.apache.spark.sql.Row => String) = df.collect()
+      .map(r => (r.getString(0), dtOf(r)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5),
+          if (r.isNullAt(6)) Long.MinValue else r.getLong(6)))).toMap
+    val got = read(Stats.holtWintersFromDailyState(
+      spark.read.parquet(path), Seq("g"), 7, 300000L, 100000L, 300000L),
+      _.getString(1))
+    val want = read(
+      Stats.holtWintersChart(rows, "g", "ts", "v", 86400L, 7,
+        300000L, 100000L, 300000L),
+      _.getTimestamp(1).toInstant.toString.take(10))
+    assert(got === want)
+    assert(got.nonEmpty)
+    // a replayed batch changes nothing (partition identity)
+    Incremental.stateUpsertBatch(b2, path, Seq("g"), "ts", "v_micro", 1L)
+    val replay = read(Stats.holtWintersFromDailyState(
+      spark.read.parquet(path), Seq("g"), 7, 300000L, 100000L, 300000L),
+      _.getString(1))
+    assert(replay === got)
+  }
+
   test("empty input and empty range degrade to empty frames") {
     val state = Incremental.dailyState(ev.limit(0), Seq("user_id"), "ts", "v")
     assert(state.count() === 0L)

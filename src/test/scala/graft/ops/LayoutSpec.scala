@@ -404,6 +404,50 @@ class LayoutSpec extends SparkTestBase {
     assert(total === 12L && kept === 4L, s"expected 4/12 files, got $kept/$total")
   }
 
+  test("legacy zone-map manifests (min_a/max_a/min_b/max_b) still read, prune, and append") {
+    val grid = spark.range(10000L)
+      .select((col("id") / 100).cast("long").as("a"),
+        (col("id") % 100).cast("long").as("b"), col("id").as("payload"))
+    val base = java.nio.file.Files.createTempDirectory("graft-zlegacy").toString
+    val path = s"$base/z"
+    Layout.writeZoneMapped(grid, path, ("a", 0.0, 100.0), ("b", 0.0, 100.0), 8)
+    // rewrite the manifest under the pre-generalization column names, the
+    // on-disk artifact a two-column layout written before the positional
+    // schema carries
+    val manifestPath = s"$path/_zonemap"
+    val legacyRows = spark.read.parquet(manifestPath)
+      .withColumnsRenamed(Map(
+        "min_0" -> "min_a", "max_0" -> "max_a",
+        "min_1" -> "min_b", "max_1" -> "max_b"))
+      .collect().toIndexedSeq
+    val legacySchema = org.apache.spark.sql.types.StructType(
+      spark.read.parquet(manifestPath).schema.fields.map(f =>
+        f.copy(name = f.name
+          .replace("_0", "_a").replace("_1", "_b"))))
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(legacyRows, 1), legacySchema)
+      .write.mode("overwrite").parquet(manifestPath)
+    assert(spark.read.parquet(manifestPath).columns.contains("min_a"))
+    // reads prune and stay exact through the rename-on-read mapping
+    val full = spark.read.parquet(path)
+      .filter(col("a").between(10, 19) && col("b").between(20, 29))
+      .collect().map(_.toSeq).toSet
+    val pruned = Layout.readZonePruned(spark, path, "a", 10, 19, "b", 20, 29)
+    assert(pruned.collect().map(_.toSeq).toSet === full)
+    val (kept, total) = Layout.zonePruneStats(spark, path, "a", 10, 19, "b", 20, 29)
+    assert(total === 8L && kept < total, s"legacy manifest must prune: $kept/$total")
+    // append merges the legacy rows and writes back positionally
+    val batch = spark.range(10000L, 11000L)
+      .select(lit(150L).as("a"), (col("id") % 100).cast("long").as("b"),
+        col("id").as("payload"))
+    Layout.appendZoneMapped(batch, path, ("a", 0.0, 100.0), ("b", 0.0, 100.0), 2)
+    val after = spark.read.parquet(manifestPath)
+    assert(after.columns.contains("min_0") && !after.columns.contains("min_a"))
+    assert(after.count() === 10L)
+    assert(Layout.readZonePruned(spark, path, "a", 140, 200, "b", 0, 100)
+      .count() === 1000L)
+  }
+
   test("writeWithBloomFilters: footer carries a real bloom filter; present keys hit, absent keys miss") {
     import scala.jdk.CollectionConverters._
     val df = spark.range(20000L).toDF("k")

@@ -2218,6 +2218,69 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(b === a)
   }
 
+  test("holtWintersChart: hand level+trend+seasonal recurrence at period 2; periodic series out-forecasts Holt; invariant") {
+    import spark.implicits._
+    def run(rows: Seq[(String, Timestamp, Double)]) =
+      Stats.holtWintersChart(rows.toDF("g", "ts", "v"), "g", "ts", "v",
+        bucketSeconds = 60L, period = 2,
+        alphaPpm = 500000L, betaPpm = 500000L, gammaPpm = 500000L).collect()
+        .map(r => (r.getString(0), r.getTimestamp(1).getTime) ->
+          ((r.getLong(2),
+            if (r.isNullAt(3)) Long.MinValue else r.getLong(3),
+            if (r.isNullAt(4)) Long.MinValue else r.getLong(4),
+            if (r.isNullAt(5)) Long.MinValue else r.getLong(5),
+            if (r.isNullAt(6)) Long.MinValue else r.getLong(6)))).toMap
+    // minute buckets, values 4, 8, 12, 6 at alpha=beta=gamma=1/2, period 2
+    // (2024-01-01T00:00 is an EVEN epoch minute, so phases go 0,1,0,1):
+    //  t0 ph0: seed l=4e6 t=0 s=[0,0] si=0 r=NULL
+    //  t1 ph1: sPrev=0; f=4e6; l=.5*8e6+.5*4e6=6e6; t=.5*2e6=1e6;
+    //          si=.5*(8e6-6e6)=1e6; r=4e6
+    //  t2 ph0: sPrev=0; f=7e6; l=.5*12e6+.5*7e6=9.5e6;
+    //          t=.5*3.5e6+.5e6=2.25e6; si=.5*2.5e6=1.25e6; r=5e6
+    //  t3 ph1: sPrev=1e6; f=9.5e6+2.25e6+1e6=12.75e6;
+    //          l=.5*(6e6-1e6)+.5*11.75e6=8.375e6;
+    //          t=.5*(8.375e6-9.5e6)+.5*2.25e6=562500;
+    //          si=.5*(6e6-8.375e6)+.5*1e6=-687500; r=-6.75e6
+    val out = run(Seq(
+      ("g", ts("2024-01-01 00:00:30"), 4.0),
+      ("g", ts("2024-01-01 00:01:30"), 8.0),
+      ("g", ts("2024-01-01 00:02:30"), 12.0),
+      ("g", ts("2024-01-01 00:03:30"), 6.0)))
+    val t0 = ts("2024-01-01 00:00:00").getTime
+    assert(out === Map(
+      ("g", t0) -> ((4000000L, 4000000L, 0L, 0L, Long.MinValue)),
+      ("g", t0 + 60000L) -> ((8000000L, 6000000L, 1000000L, 1000000L, 4000000L)),
+      ("g", t0 + 120000L) -> ((12000000L, 9500000L, 2250000L, 1250000L, 5000000L)),
+      ("g", t0 + 180000L) -> ((6000000L, 8375000L, 562500L, -687500L, -6750000L))))
+    // the Winters point vs plain Holt: on a purely periodic series the
+    // seasonal indices absorb the oscillation and the residual shrinks,
+    // where Holt's trend chases the alternation forever
+    val periodic = (0 to 11).map(i =>
+      ("g", ts(f"2024-01-01 00:$i%02d:30"), if (i % 2 == 0) 10.0 else 20.0))
+    val hwLast = run(periodic)(("g", t0 + 11 * 60000L))._5
+    val holtLast = Stats.holtChart(periodic.toDF("g", "ts", "v"),
+        "g", "ts", "v", 60L, 500000L, 500000L).collect()
+      .filter(!_.isNullAt(5))
+      .map(r => r.getTimestamp(1).getTime -> r.getLong(5)).toMap
+      .apply(t0 + 11 * 60000L)
+    assert(math.abs(hwLast) < math.abs(holtLast),
+      s"Winters must out-forecast Holt on a periodic series: |$hwLast| vs |$holtLast|")
+    // partitioning-invariant
+    val rows = (1 to 300).map(i => (s"g${i % 3}",
+      ts(f"2024-01-01 ${i % 24}%02d:${(i * 7) % 60}%02d:00"),
+      ((i * 13) % 50).toDouble / 4.0))
+    val a = run(rows)
+    val b = Stats.holtWintersChart(rows.toDF("g", "ts", "v").repartition(13),
+      "g", "ts", "v", 60L, 2, 500000L, 500000L, 500000L).collect()
+      .map(r => (r.getString(0), r.getTimestamp(1).getTime) ->
+        ((r.getLong(2),
+          if (r.isNullAt(3)) Long.MinValue else r.getLong(3),
+          if (r.isNullAt(4)) Long.MinValue else r.getLong(4),
+          if (r.isNullAt(5)) Long.MinValue else r.getLong(5),
+          if (r.isNullAt(6)) Long.MinValue else r.getLong(6)))).toMap
+    assert(b === a)
+  }
+
   test("spearmanCorrelations: monotone-nonlinear reads exactly 1 where Pearson can't; ties average; outlier-robust; id-value and partitioning invariant") {
     import spark.implicits._
     def run(rows: Seq[(Long, Long, Long)]) =
@@ -2268,6 +2331,105 @@ class PipelineOpsSpec extends SparkTestBase {
       .collect().map(r => (r.getString(0), r.getString(1)) ->
         (r.getLong(2), if (r.isNullAt(3)) null else r.getDouble(3))).toMap
     assert(c === a)
+  }
+
+  test("spearman rank derivation is range-bucketed: no window sorts a whole column's values in one task; doubles rejected") {
+    import spark.implicits._
+    val df = (1L to 500L).map(i => (i, (i * 7) % 101, (i * 13) % 37))
+      .toDF("id", "x", "y")
+    val q = Stats.spearmanCorrelations(df, Seq("id"), Seq("x", "y"))
+    // the scale gate: every Window that orders by the melted value (_v)
+    // must ALSO partition by the range bucket (_rb) — a window partitioned
+    // by the column alone would run each column's whole distinct-value
+    // table through one task's sort (the 100-TB single-thread hazard this
+    // derivation exists to remove)
+    val plan = q.queryExecution.executedPlan.toString
+    val windowLines = plan.linesIterator.filter(l =>
+      l.contains("Window") && l.contains("_v#")).toSeq
+    assert(windowLines.nonEmpty, "expected rank windows in the plan")
+    windowLines.foreach { l =>
+      assert(l.contains("_rb#"),
+        s"rank window must partition by the range bucket too:\n$l")
+    }
+    // same gate for the pairwise sibling (shared doubledRanks machinery)
+    val planP = Stats.spearmanPairwise(df, Seq("x", "y"))
+      .queryExecution.executedPlan.toString
+    val pLines = planP.linesIterator.filter(l =>
+      l.contains("Window") && l.contains("_v#")).toSeq
+    assert(pLines.nonEmpty && pLines.forall(_.contains("_rb#")))
+    // and the results survive the bucketing: many distinct values spread
+    // over >1 bucket must give the same rho as DuckDB-style hand ranks —
+    // x strictly increasing, y = x reversed gives exactly -1 across any
+    // bucket boundary placement
+    val rev = (1L to 2000L).map(i => (i, i, 2001L - i)).toDF("id", "x", "y")
+    val rho = Stats.spearmanCorrelations(rev, Seq("id"), Seq("x", "y"))
+      .collect().head.getDouble(3)
+    assert(rho === -1.0)
+    // the integral fixed-point contract is eager, not a silent rounding:
+    // double columns are rejected with the scaling remedy in the message
+    val dbl = Seq((1L, 1.5, 2.0), (2L, 2.5, 1.0)).toDF("id", "x", "y")
+    val e = intercept[IllegalArgumentException] {
+      Stats.spearmanCorrelations(dbl, Seq("id"), Seq("x", "y"))
+    }
+    assert(e.getMessage.contains("fixed point"))
+    intercept[IllegalArgumentException] {
+      Stats.spearmanPairwise(dbl, Seq("x", "y"))
+    }
+  }
+
+  test("spearmanPairwise: per-pair n over pairwise-complete rows; listwise contrast on planted NULLs; empty pair emits n=0") {
+    import spark.implicits._
+    def L(v: Long): Option[Long] = Some(v)
+    // x fully observed; y missing on rows 4-6; z missing on rows 1-2:
+    // (x,y) sees rows {1,2,3,7,8}, (x,z) sees {3,4,5,6,7,8},
+    // (y,z) sees {3,7,8} — three different n where listwise forces one
+    val rows = Seq(
+      (1L, L(10), L(1), Option.empty[Long]),
+      (2L, L(20), L(3), Option.empty[Long]),
+      (3L, L(30), L(2), L(5)),
+      (4L, L(40), None, L(4)),
+      (5L, L(50), None, L(3)),
+      (6L, L(60), None, L(2)),
+      (7L, L(70), L(4), L(1)),
+      (8L, L(80), L(5), L(6))).toDF("id", "x", "y", "z")
+    val pw = Stats.spearmanPairwise(rows, Seq("x", "y", "z"))
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), if (r.isNullAt(3)) null else r.getDouble(3))).toMap
+    assert(pw.size === 3)
+    assert(pw(("x", "y"))._1 === 5L)
+    assert(pw(("x", "z"))._1 === 6L)
+    assert(pw(("y", "z"))._1 === 3L)
+    // hand check (y,z) over rows 3,7,8: y=(2,4,5) ranks (1,2,3),
+    // z=(5,1,6) ranks (2,1,3) -> rho = 0.5
+    assert(pw(("y", "z"))._2 === 0.5)
+    // (x,z): z = (5,4,3,2,1,6) vs x increasing -> hand Spearman over
+    // ranks (1..6) x (5,4,3,2,1,6): sum d^2 = 40, rho = 1 - 240/210 =
+    // -0.142857 (round 6)
+    assert(pw(("x", "z"))._2 === -0.142857)
+    // listwise on the same table sees ONLY rows {3,7,8} for every pair
+    val lw = Stats.spearmanCorrelations(rows, Seq("id"), Seq("x", "y", "z"))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
+      .toMap
+    assert(lw.values.toSet === Set(3L))
+    // a pair with zero complete rows still emits, n=0 and NULL rho
+    val disjoint = Seq(
+      (1L, L(1), Option.empty[Long]), (2L, L(2), Option.empty[Long]),
+      (3L, Option.empty[Long], L(1)), (4L, Option.empty[Long], L(2)))
+      .toDF("id", "x", "y")
+    val empty = Stats.spearmanPairwise(disjoint, Seq("x", "y")).collect()
+    assert(empty.length === 1)
+    assert(empty.head.getLong(2) === 0L && empty.head.isNullAt(3))
+    // fully-observed table: pairwise == listwise (the contracts agree
+    // exactly when nothing is missing)
+    val dense = (1L to 60L).map(i => (i, (i * 7) % 23, (i * 13) % 29, i))
+      .toDF("id", "x", "y", "z")
+    val a = Stats.spearmanCorrelations(dense, Seq("id"), Seq("x", "y", "z"))
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getDouble(3))).toMap
+    val b = Stats.spearmanPairwise(dense, Seq("x", "y", "z"))
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getDouble(3))).toMap
+    assert(b === a)
   }
 
   test("theilSen: outlier-immune median slope where OLS drags; sign-split truncation exact; single bucket NULL; invariant") {

@@ -174,17 +174,23 @@ def main():
             unanchored.append((k, v))
     rows.sort(reverse=True)
     agg = sum(v for _, _, v, _ in rows) / sum(a for _, _, _, a in rows)
-    # reproducibility escalation: >2x in EVERY one of 3+ runs is not noise
-    def reproduces(k, a):
-        obs = [qs[k] for _, qs in runs if k in qs]
-        return len(runs) >= 3 and len(obs) == len(runs) and \
-            all(v / a > OVER_RATIO for v in obs)
+    # Reproducibility escalation, stated for what it IS under best-of-N
+    # grading: rows are built from the elementwise min across runs, so a
+    # row already over OVER_RATIO was over it in EVERY run that timed the
+    # query — the per-run ratio re-check is implied. The predicate
+    # therefore reduces to "3+ runs and the query was timed in all of
+    # them", and that strictness IS the intent: with enough runs, a >2x
+    # best-of is never one noisy sample, so it escalates out of the
+    # jitter band. (A query missing from some run — partial/subset
+    # artifacts — stays banded; one full run's evidence is not enough.)
+    def reproduces(k):
+        return len(runs) >= 3 and all(k in qs for _, qs in runs)
 
     over2, jitter = [], []
     for r in rows:
         if r[0] <= OVER_RATIO:
             continue
-        if (r[2] - r[3]) > OVER_ABS_SEC or reproduces(r[1], r[3]):
+        if (r[2] - r[3]) > OVER_ABS_SEC or reproduces(r[1]):
             over2.append(r)
         else:
             jitter.append(r)

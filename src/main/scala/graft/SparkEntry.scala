@@ -1849,6 +1849,26 @@ object SparkEntry {
     ops.Stats.spearmanPairwise(fp, Seq("q", "ep", "disc", "tax"))
   }
 
+  /** Kendall τ-b over lineitem's four LOW-CARDINALITY ordinal columns —
+    * quantity (50 levels), discount (11), tax (9), linenumber (7) — the
+    * regime the operator is FOR: with this much tying Spearman's average
+    * ranks wash out and τ-b's tie correction is the calibrated reading.
+    * linenumber carries the same deterministic planted missingness as
+    * spearman_pairwise (every 5th order) so the per-pair n genuinely
+    * differ and a listwise replay cannot fake the oracle. The grids stay
+    * ≤ 50×11 cells — the dense-grid contract the scaladoc states.
+    */
+  private def kendallTauQ(s: SparkSession, dir: String): DataFrame = {
+    val li = s.read.parquet(s"$dir/lineitem.parquet")
+    val fp = li.select(
+      round(col("l_quantity") * 100).cast("long").as("q"),
+      round(col("l_discount") * 100).cast("long").as("disc"),
+      round(col("l_tax") * 100).cast("long").as("tax"),
+      when(col("l_orderkey") % 5 === 0, lit(null).cast("long"))
+        .otherwise(col("l_linenumber").cast("long")).as("ln"))
+    ops.Stats.kendallTau(fp, Seq("q", "disc", "tax", "ln"))
+  }
+
   /** Recency-weighted per-user feature: half-life-decayed value sum as of
     * 2024-01-31 with a 6-hour half-life — the 30-day events table spans
     * ~120 half-lives, so the 40-half-life horizon genuinely binds (events
@@ -3454,6 +3474,7 @@ object SparkEntry {
     "column_correlations" -> (columnCorrelations _),
     "spearman_correlations" -> (spearmanCorrelationsQ _),
     "spearman_pairwise" -> (spearmanPairwiseQ _),
+    "kendall_tau" -> (kendallTauQ _),
     "embedding_mean_pool" -> (embeddingMeanPool _),
     "split_buckets" -> (splitBucketsQuery _),
     "split_exact" -> (splitExactQ _),
@@ -5667,6 +5688,77 @@ object SparkEntry {
            |    ELSE CAST(round(l_discount * 100) AS BIGINT) END AS disc,
            |  CAST(round(l_tax * 100) AS BIGINT) AS tax FROM lineitem)
            |${branches.mkString("\nUNION ALL\n")}""".stripMargin
+      },
+      // Kendall τ-b replay: the identical pair-melt → cell-count → dense
+      // marginal grid → 2-D dominance prefix (two cumulative windows)
+      // chain — every concordant/discordant/tie count an exact HUGEINT,
+      // τ-b the same two-cast/multiply/sqrt/divide/round-6 IEEE tree;
+      // the planted linenumber missingness (every 5th order) makes the
+      // per-pair n differ, so a listwise replay cannot fake this oracle
+      "kendall_tau" -> {
+        val cc = Seq("q", "disc", "tax", "ln")
+        val cPairs = for { i <- cc.indices; j <- (i + 1) until cc.size }
+          yield (cc(i), cc(j))
+        val melt = cPairs.map { case (a, b) =>
+          s"""SELECT '$a' AS cx, '$b' AS cy, $a AS vx, $b AS vy
+             |  FROM f WHERE $a IS NOT NULL AND $b IS NOT NULL""".stripMargin
+        }
+        s"""WITH f AS (SELECT
+           |  CAST(round(l_quantity * 100) AS BIGINT) AS q,
+           |  CAST(round(l_discount * 100) AS BIGINT) AS disc,
+           |  CAST(round(l_tax * 100) AS BIGINT) AS tax,
+           |  CASE WHEN l_orderkey % 5 = 0 THEN NULL
+           |    ELSE CAST(l_linenumber AS BIGINT) END AS ln FROM lineitem),
+           |pr AS MATERIALIZED (
+           |${melt.mkString("\nUNION ALL\n")}),
+           |cells AS MATERIALIZED (
+           |  SELECT cx, cy, vx, vy, CAST(count(*) AS HUGEINT) AS o
+           |  FROM pr GROUP BY 1, 2, 3, 4),
+           |xm AS MATERIALIZED (
+           |  SELECT cx, cy, vx, CAST(sum(o) AS HUGEINT) AS rt
+           |  FROM cells GROUP BY 1, 2, 3),
+           |ym AS MATERIALIZED (
+           |  SELECT cx, cy, vy, CAST(sum(o) AS HUGEINT) AS ct
+           |  FROM cells GROUP BY 1, 2, 3),
+           |grid AS MATERIALIZED (
+           |  SELECT xm.cx, xm.cy, xm.vx, ym.vy, xm.rt,
+           |    CAST(coalesce(cells.o, 0) AS HUGEINT) AS nij
+           |  FROM xm JOIN ym ON xm.cx = ym.cx AND xm.cy = ym.cy
+           |  LEFT JOIN cells ON cells.cx = xm.cx AND cells.cy = xm.cy
+           |    AND cells.vx = xm.vx AND cells.vy = ym.vy),
+           |d1 AS (SELECT cx, cy, vx, vy, rt, nij,
+           |    sum(nij) OVER (PARTITION BY cx, cy, vx ORDER BY vy
+           |      ROWS UNBOUNDED PRECEDING) AS rc
+           |  FROM grid),
+           |d2 AS MATERIALIZED (SELECT *,
+           |    sum(rc)  OVER wc AS p,
+           |    sum(nij) OVER wc AS cc2,
+           |    sum(rt)  OVER wc AS xt
+           |  FROM d1 WINDOW wc AS (PARTITION BY cx, cy, vy ORDER BY vx
+           |    ROWS UNBOUNDED PRECEDING)),
+           |g AS (SELECT cx, cy, CAST(sum(nij) AS HUGEINT) AS n,
+           |    sum(nij * (p - rc - cc2 + nij)) AS c,
+           |    sum(nij * ((xt - rt) - (p - rc))) AS d,
+           |    sum((nij * (nij - 1)) // 2) AS tb
+           |  FROM d2 GROUP BY 1, 2),
+           |t1 AS (SELECT cx, cy, sum((rt * (rt - 1)) // 2) AS t1
+           |  FROM xm GROUP BY 1, 2),
+           |t2 AS (SELECT cx, cy, sum((ct * (ct - 1)) // 2) AS t2
+           |  FROM ym GROUP BY 1, 2)
+           |SELECT g.cx AS col_x, g.cy AS col_y, CAST(n AS BIGINT) AS n,
+           |  CAST(c AS BIGINT) AS concordant,
+           |  CAST(d AS BIGINT) AS discordant,
+           |  CAST(t1 AS BIGINT) AS tied_x, CAST(t2 AS BIGINT) AS tied_y,
+           |  CAST(tb AS BIGINT) AS tied_both,
+           |  CASE WHEN n < 2 OR
+           |    CAST((n * (n - 1)) // 2 - t1 AS DOUBLE) *
+           |    CAST((n * (n - 1)) // 2 - t2 AS DOUBLE) = 0 THEN NULL
+           |  ELSE round(CAST(c - d AS DOUBLE) /
+           |    sqrt(CAST((n * (n - 1)) // 2 - t1 AS DOUBLE) *
+           |         CAST((n * (n - 1)) // 2 - t2 AS DOUBLE)), 6)
+           |  END AS tau_b
+           |FROM g JOIN t1 ON t1.cx = g.cx AND t1.cy = g.cy
+           |JOIN t2 ON t2.cx = g.cx AND t2.cy = g.cy""".stripMargin
       },
       "column_correlations" -> {
         val cc = Seq("q", "ep", "disc", "tax")

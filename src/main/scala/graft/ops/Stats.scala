@@ -538,6 +538,142 @@ object Stats {
           .otherwise(round(num / sqrt(va * vb), 6)).as("rho"))
   }
 
+  /** Kendall τ-b matrix — the association family's ORDINAL member,
+    * completing the triple next to Pearson ([[correlations]], linear),
+    * Spearman ([[spearmanCorrelations]], monotone-by-rank) and chi-square
+    * ([[chiSquare]], categorical): τ counts PAIRS — of all C(n,2) row
+    * pairs, how many order the two columns the same way (concordant)
+    * minus how many order them oppositely (discordant), with the τ-b tie
+    * correction `(C − D) / √((n₀−n₁)(n₀−n₂))` so heavily-tied
+    * ordinal/bucketed columns (star ratings, quality tiers, decile bins —
+    * exactly where Spearman's average ranks wash out) still read a
+    * calibrated [−1, 1]. The naive computation is the O(n²) pair scan; here
+    * every count derives from the CELL table (distinct value-pair counts)
+    * via exact 2-D dominance sums, so the corpus is touched ONCE and all
+    * pair arithmetic runs at dimension size.
+    *
+    * The dominance identity, per dense-grid cell (x, y) with count n_xy:
+    * with `RC = Σ_{y'≤y} n_x,y'` (cum within the x row), `P = Σ_{x'≤x} RC`
+    * (2-D inclusive prefix), `CC = Σ_{x'≤x} n_x',y` and
+    * `XT = Σ_{x'≤x} rowtot_x'`, the strictly-below-left count is
+    * `P − RC − CC + n_xy` and the below-left-above-right count is
+    * `(XT − rowtot) − (P − RC)`; `C = Σ n_xy·belowleft`,
+    * `D = Σ n_xy·belowright` count each pair exactly once at its
+    * larger-x cell. Every quantity is an exact integer (DECIMAL(38,0)
+    * products — counts never meet a float), so C, D, and all three tie
+    * totals are partitioning- and engine-identical; τ-b itself is the one
+    * closed-form IEEE step (two decimal→double casts, a multiply, a sqrt,
+    * a divide, round 6) on identical integers — the [[correlations]]
+    * discipline. A constant column (n₀ = n₁) reads NULL, never NaN; pairs
+    * with zero complete rows still emit (n = 0, NULL τ). Reported counts
+    * are BIGINT — exact through n ≈ 3·10⁹ rows per pair (C ≤ n²/2); the
+    * internal decimal lane is exact far beyond, so widen the output type
+    * before the count columns matter at larger n.
+    *
+    * NULL handling is PAIRWISE-complete (each pair (a, b) counts exactly
+    * the rows where both are non-null — the cell table is built per pair,
+    * so per-pair n is the natural contract here, matching
+    * [[spearmanPairwise]]; a listwise caller pre-filters).
+    *
+    * Input columns must be integral fixed-point ([[requireIntegralCols]]).
+    *
+    * Shape at 100 TB: ONE corpus pass — the in-row C(k,2) pair-melt
+    * expand into a single (pair, x, y) count aggregation (map-side
+    * partials) — then everything runs on the cell table: marginals are
+    * narrow re-aggregations, the dense R×C grid is the per-pair join of
+    * the two marginals (the [[chiSquare]] grid idiom — absent combinations
+    * materialize as zero cells because the prefix windows need every grid
+    * position), the two cumulative windows partition by (pair, x) /
+    * (pair, y) — C- and R-row partitions — and the final per-pair
+    * aggregation is one grid-sized pass. The documented scale bound is the
+    * grid: R·C cells per pair means categorical/ordinal/bucketed columns
+    * (pre-bucket continuous columns through [[equiDepthBins]] — τ over a
+    * monotone coarsening is τ of the buckets, the estimator's own
+    * granularity trade, same remedy the Spearman scaladoc names).
+    */
+  def kendallTau(df: DataFrame, cols: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(cols.size >= 2, "need at least two columns")
+    require(cols.distinct.size == cols.size, "columns must be distinct")
+    requireIntegralCols(df, cols, "kendallTau")
+    val dec = "decimal(38,0)"
+    val spark = df.sparkSession
+    val pairs = for { i <- cols.indices; j <- (i + 1) until cols.size }
+      yield (cols(i), cols(j))
+    val pairRows = df.select(explode(array(pairs.map { case (a, b) =>
+        struct(lit(a).as("cx"), lit(b).as("cy"),
+          col(a).cast(dec).as("vx"), col(b).cast(dec).as("vy")) }: _*))
+        .as("_p"))
+      .select(col("_p.cx").as("_cx"), col("_p.cy").as("_cy"),
+        col("_p.vx").as("_vx"), col("_p.vy").as("_vy"))
+      .filter(col("_vx").isNotNull && col("_vy").isNotNull)
+    // one corpus pass; checkpointed — both marginals and the grid's left
+    // join all hang off the cell table
+    val cells = pairRows
+      .groupBy(col("_cx"), col("_cy"), col("_vx"), col("_vy"))
+      .agg(count(lit(1)).as("_o"))
+      .localCheckpoint(false)
+    val xm = cells.groupBy(col("_cx"), col("_cy"), col("_vx"))
+      .agg(sum(col("_o")).as("_rt"))
+    val ym = cells.groupBy(col("_cx"), col("_cy"), col("_vy"))
+      .agg(sum(col("_o")).as("_ct"))
+    // dense grid: per-pair cross of the marginals (zero cells materialize
+    // — the prefix windows index every grid position), cell counts back on
+    val grid = xm.join(broadcast(ym), Seq("_cx", "_cy"))
+      .join(cells, Seq("_cx", "_cy", "_vx", "_vy"), "left")
+      .withColumn("_nij", coalesce(col("_o"), lit(0L)))
+    val wRC = Window.partitionBy(col("_cx"), col("_cy"), col("_vx"))
+      .orderBy(col("_vy"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wCol = Window.partitionBy(col("_cx"), col("_cy"), col("_vy"))
+      .orderBy(col("_vx"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val dom = grid
+      .withColumn("_rc", sum(col("_nij")).over(wRC))
+      .withColumn("_P", sum(col("_rc")).over(wCol))
+      .withColumn("_cc", sum(col("_nij")).over(wCol))
+      .withColumn("_xt", sum(col("_rt")).over(wCol))
+      .withColumn("_bl",
+        col("_P") - col("_rc") - col("_cc") + col("_nij"))
+      .withColumn("_br",
+        (col("_xt") - col("_rt")) - (col("_P") - col("_rc")))
+    val g = dom.groupBy(col("_cx"), col("_cy")).agg(
+      sum(col("_nij")).as("_n"),
+      sum(col("_nij").cast(dec) * col("_bl").cast(dec)).as("_C"),
+      sum(col("_nij").cast(dec) * col("_br").cast(dec)).as("_D"),
+      sum(expr(
+        s"(CAST(_nij AS $dec) * (_nij - 1)) div 2")).as("_tb"))
+    val tx = xm.groupBy(col("_cx"), col("_cy"))
+      .agg(sum(expr(s"(CAST(_rt AS $dec) * (_rt - 1)) div 2")).as("_t1"))
+    val ty = ym.groupBy(col("_cx"), col("_cy"))
+      .agg(sum(expr(s"(CAST(_ct AS $dec) * (_ct - 1)) div 2")).as("_t2"))
+    // pairs with zero complete rows still emit: left-join the pair list
+    val allPairs = spark.range(1).select(
+      explode(array(pairs.map { case (a, b) =>
+        struct(lit(a).as("_cx"), lit(b).as("_cy")) }: _*)).as("_p"))
+      .select(col("_p._cx").as("_cx"), col("_p._cy").as("_cy"))
+    val n = col("_n").cast(dec)
+    val n0 = expr(s"(CAST(_n AS $dec) * (_n - 1)) div 2")
+    val d1 = (n0 - col("_t1")).cast("double")
+    val d2 = (n0 - col("_t2")).cast("double")
+    allPairs
+      .join(g.join(tx, Seq("_cx", "_cy")).join(ty, Seq("_cx", "_cy")),
+        Seq("_cx", "_cy"), "left")
+      .select(
+        col("_cx").as("col_x"), col("_cy").as("col_y"),
+        coalesce(col("_n"), lit(0L)).cast("long").as("n"),
+        coalesce(col("_C"), lit(0L)).cast("long").as("concordant"),
+        coalesce(col("_D"), lit(0L)).cast("long").as("discordant"),
+        coalesce(col("_t1"), lit(0L)).cast("long").as("tied_x"),
+        coalesce(col("_t2"), lit(0L)).cast("long").as("tied_y"),
+        coalesce(col("_tb"), lit(0L)).cast("long").as("tied_both"),
+        when(coalesce(col("_n"), lit(0L)) < 2 || d1 * d2 === 0.0,
+          lit(null).cast("double"))
+          .otherwise(round(
+            (col("_C") - col("_D")).cast("double") / sqrt(d1 * d2), 6))
+          .as("tau_b"))
+  }
+
   /** Per-group linear trend — the "which metrics are trending, and how
     * fast" panel next to [[correlations]] (which asks whether two FEATURES
     * move together; this regresses each group's value on TIME): exact OLS

@@ -552,6 +552,12 @@ class PlanGateSpec extends SparkTestBase {
     // offsets agg + its tiny window, in-bucket window, two corpus-side
     // join re-keys, two rank-side re-keys, the per-pair moment agg)
     "spearman_pairwise" -> 19,
+    // ONE corpus exchange (the pair-melt cell groupBy, behind the lazy
+    // checkpoint); everything after runs at dimension size — the two
+    // marginal re-aggs, the two dominance-window re-keys ((pair,x) then
+    // (pair,y)), the two tie re-aggs (2-stage each), and the final
+    // pair-list attach; the dense grid itself rides broadcasts
+    "kendall_tau" -> 9,
     // ONE key-keyed exchange: both windows AND the (key, session) panel
     // agg ride it (hash partitioning on the key satisfies the grouped
     // clustering)

@@ -2432,6 +2432,73 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(b === a)
   }
 
+  test("kendallTau: hand pair counts and tie corrections exact; pair identity holds; pairwise NULLs; constant NULL; invariant") {
+    import spark.implicits._
+    def run(rows: Seq[(Long, Long)]) =
+      Stats.kendallTau(rows.toDF("x", "y"), Seq("x", "y"))
+        .collect().map(r => (r.getString(0), r.getString(1)) ->
+          ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5),
+            r.getLong(6), r.getLong(7)),
+            if (r.isNullAt(8)) null else r.getDouble(8))).toMap
+    // hand case, no ties: x=(1,2,3,4), y=(1,3,2,4) — the single (2,3)
+    // inversion is the one discordant pair; tau = (5-1)/6
+    val h = run(Seq((1L, 1L), (2L, 3L), (3L, 2L), (4L, 4L)))(("x", "y"))
+    assert(h._1 === ((4L, 5L, 1L, 0L, 0L, 0L)))
+    assert(h._2 === 0.666667)
+    // perfect concordance on a monotone NONLINEAR relation reads exactly 1
+    // (tau consumes order only — the Spearman family property)
+    val cubic = (1L to 12L).map(i => (i, i * i * i))
+    assert(run(cubic)(("x", "y"))._2 === 1.0)
+    assert(run((1L to 9L).map(i => (i, 100L - i)))(("x", "y"))._2 === -1.0)
+    // the textbook tie correction: x=(1,1,2,2), y=(1,2,3,4) — C=4, D=0,
+    // two x-tied pairs, tau-b = 4/sqrt((6-2)(6-0)) = 0.816497
+    val tb = run(Seq((1L, 1L), (1L, 2L), (2L, 3L), (2L, 4L)))(("x", "y"))
+    assert(tb._1 === ((4L, 4L, 0L, 2L, 0L, 0L)))
+    assert(tb._2 === 0.816497)
+    // both-tied pairs count in tied_x, tied_y AND tied_both:
+    // x=y=(1,1,2): one pair tied in both, two concordant, tau-b = 1
+    val bt = run(Seq((1L, 1L), (1L, 1L), (2L, 2L)))(("x", "y"))
+    assert(bt._1 === ((3L, 2L, 0L, 1L, 1L, 1L)))
+    assert(bt._2 === 1.0)
+    // the pair-count identity C + D + n1 + n2 - n_both = n(n-1)/2 on
+    // messy pseudo-random tied data (every pair is counted exactly once)
+    val messy = (1L to 200L).map(i => ((i * 7) % 13, (i * 11) % 17))
+    val m = run(messy)(("x", "y"))._1
+    assert(m._2 + m._3 + m._4 + m._5 - m._6 === m._1 * (m._1 - 1) / 2)
+    // constant column: n0 = n1, NULL not NaN
+    assert(run((1L to 5L).map(i => (7L, i)))(("x", "y"))._2 === null)
+    // pairwise-complete: per-pair n differ under planted NULLs, and a
+    // pair with zero complete rows still emits n=0/NULL
+    def L(v: Long): Option[Long] = Some(v)
+    val sparse = Seq(
+      (L(1L), L(1L), Option.empty[Long]),
+      (L(2L), L(2L), Option.empty[Long]),
+      (L(3L), Option.empty[Long], L(1L)),
+      (L(4L), Option.empty[Long], L(2L))).toDF("x", "y", "z")
+    val pw = Stats.kendallTau(sparse, Seq("x", "y", "z"))
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), if (r.isNullAt(8)) null else r.getDouble(8))).toMap
+    assert(pw.size === 3)
+    assert(pw(("x", "y")) === ((2L, 1.0)))
+    assert(pw(("x", "z")) === ((2L, 1.0)))
+    assert(pw(("y", "z")) === ((0L, null)))
+    // doubles rejected eagerly with the scaling remedy
+    val e = intercept[IllegalArgumentException] {
+      Stats.kendallTau(Seq((1.5, 2.0)).toDF("x", "y"), Seq("x", "y"))
+    }
+    assert(e.getMessage.contains("fixed point"))
+    // partitioning invariance
+    val base = (1L to 100L).map(i => ((i * 7) % 23, (i * 13) % 29))
+    val a = run(base)
+    val b = Stats.kendallTau(
+      base.toDF("x", "y").repartition(13), Seq("x", "y"))
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5),
+          r.getLong(6), r.getLong(7)),
+          if (r.isNullAt(8)) null else r.getDouble(8))).toMap
+    assert(b === a)
+  }
+
   test("theilSen: outlier-immune median slope where OLS drags; sign-split truncation exact; single bucket NULL; invariant") {
     import spark.implicits._
     def day(d: Int) = ts(f"2024-01-${d + 1}%02d 12:00:00")

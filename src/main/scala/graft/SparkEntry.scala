@@ -3006,6 +3006,26 @@ object SparkEntry {
     ops.Stats.chiSquare(ev, "event_type", "dow")
   }
 
+  /** Gini feature screen over events: target event_type; the integer-lane
+    * day-of-week and a floor-value bucket are honest near-independent
+    * features, while `leak` = length(event_type) is a PLANTED leaked
+    * feature (a deterministic function of the target, with classes
+    * error/click colliding at length 5) — the screen's defining reading:
+    * the leak's gain approaches the parent impurity while honest
+    * features sit near zero. Leak DETECTION is half of why this panel
+    * runs before training at all.
+    */
+  private def giniGainQ(s: SparkSession, dir: String): DataFrame = {
+    val ev = events(dir).load(s).select(
+      col("event_type"),
+      pmod(call_function("div", unix_micros(col("ts")), lit(86400000000L))
+        + 4, lit(7)).cast("string").as("dow"),
+      call_function("div", floor(col("value")).cast("long"), lit(20L))
+        .cast("string").as("vbucket"),
+      length(col("event_type")).cast("string").as("leak"))
+    ops.Stats.giniGain(ev, "event_type", Seq("dow", "vbucket", "leak"))
+  }
+
   /** Link-prediction panel over the co-supply graph (the triangle_count
     * graph: suppliers adjacent at >= 28 common orders) — every absent
     * edge at distance 2 scored by common neighbors / neighborhood
@@ -3605,6 +3625,7 @@ object SparkEntry {
     "active_users" -> (activeUsersQ _),
     "edit_distance_join" -> (editDistanceJoinQ _),
     "chi_square" -> (chiSquareQ _),
+    "gini_gain" -> (giniGainQ _),
     "link_predict" -> (linkPredictQ _),
     "eval_calibration" -> (calibrationQ _),
     "seasonal_anomaly" -> (seasonalAnomalyQ _),
@@ -9032,6 +9053,49 @@ object SparkEntry {
           |    * ((SELECT count(*) FROM ct) - 1) AS BIGINT) AS dof,
           |  nn AS n
           |FROM cells""".stripMargin,
+      // Gini feature-screen replay: the identical per-feature melt →
+      // (feature, value, class) cell counts → purity-mass floors
+      // a_v = (Σ n_vc²·10⁶)//n_v → panel chain in HUGEINT — every floor
+      // identical, so the quantized gains match bit-for-bit
+      "gini_gain" ->
+        """WITH ev AS (SELECT event_type AS t,
+          |    CAST((epoch_us(ts) // 86400000000 + 4) % 7 AS VARCHAR) AS dow,
+          |    CAST(CAST(floor(value) AS BIGINT) // 20 AS VARCHAR) AS vbucket,
+          |    CAST(length(event_type) AS VARCHAR) AS leak
+          |  FROM events WHERE event_type IS NOT NULL),
+          |m AS (
+          |  SELECT t, 'dow' AS f, dow AS v FROM ev WHERE dow IS NOT NULL
+          |  UNION ALL
+          |  SELECT t, 'vbucket', vbucket FROM ev WHERE vbucket IS NOT NULL
+          |  UNION ALL
+          |  SELECT t, 'leak', leak FROM ev WHERE leak IS NOT NULL),
+          |cells AS MATERIALIZED (
+          |  SELECT f, v, t, CAST(count(*) AS HUGEINT) AS o
+          |  FROM m GROUP BY 1, 2, 3),
+          |byv AS MATERIALIZED (
+          |  SELECT f, v, CAST(sum(o) AS HUGEINT) AS nv, sum(o * o) AS ssq
+          |  FROM cells GROUP BY 1, 2),
+          |byc AS (SELECT f, t, CAST(sum(o) AS HUGEINT) AS nc
+          |  FROM cells GROUP BY 1, 2),
+          |par AS (SELECT f, CAST(sum(nc) AS HUGEINT) AS n,
+          |    sum(nc * nc) AS csq
+          |  FROM byc GROUP BY 1),
+          |spl AS (SELECT f, sum((ssq * 1000000) // nv) AS s,
+          |    count(*) AS n_values
+          |  FROM byv GROUP BY 1),
+          |pan AS (SELECT par.f, n, n_values,
+          |    CAST(1000000 - (csq * 1000000) // (n * n) AS BIGINT)
+          |      AS parent_gini_ppm,
+          |    CAST(1000000 - s // n AS BIGINT) AS split_gini_ppm
+          |  FROM par JOIN spl ON spl.f = par.f)
+          |SELECT byv.f AS feature, v AS feature_value,
+          |  CAST(nv AS BIGINT) AS n_v,
+          |  CAST(1000000 - (ssq * 1000000) // (nv * nv) AS BIGINT)
+          |    AS child_gini_ppm,
+          |  CAST(n AS BIGINT) AS n, CAST(n_values AS BIGINT) AS n_values,
+          |  parent_gini_ppm, split_gini_ppm,
+          |  parent_gini_ppm - split_gini_ppm AS gain_ppm
+          |FROM byv JOIN pan ON pan.f = byv.f""".stripMargin,
       // link-prediction replay: the identical co-supply graph → adjacency
       // → capped wedge expansion → non-edge filter → degree attach chain
       // with integral `//` for the neighborhood Jaccard

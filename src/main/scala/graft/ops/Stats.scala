@@ -674,6 +674,114 @@ object Stats {
           .as("tau_b"))
   }
 
+  /** Gini-impurity feature screen — the "which features split the target
+    * best" panel a training pipeline runs BEFORE any model fitting (the
+    * split criterion CART trees maximize, here as a feature-ranking
+    * screen): for every feature column, the reduction in the target's
+    * Gini impurity when the corpus is partitioned by that feature's
+    * values. Gini is the association family's PREDICTIVE member next to
+    * [[chiSquare]] (which asks "associated at all?" — a significance
+    * question; this asks "how much purer do the target classes get" — an
+    * effect size in class-probability space), and unlike entropy-based
+    * information gain it is PURE RATIONAL ARITHMETIC in the counts — no
+    * engine ever computes a log, so the whole panel stays in the exact
+    * integer lane ([[benfordAudit]]'s reason for baking its constants).
+    *
+    * Per feature f: `gain = G(parent) − Σ_v (n_v/n)·G(child_v)` with
+    * `G = 1 − Σ_c p_c²`. Quantized: per feature value
+    * `a_v = ⌊Σ_c n_{v,c}²·10⁶ / n_v⌋` (the child purity mass, exact),
+    * `split_gini_ppm = 10⁶ − ⌊Σ_v a_v / n⌋`,
+    * `parent_gini_ppm = 10⁶ − ⌊Σ_c n_c²·10⁶ / n²⌋`, and
+    * `gain_ppm = (10⁶ − split_gini_ppm) − (10⁶ − parent_gini_ppm)` —
+    * every term a DECIMAL(38,0) integer, each floor < 1 ppm, so the
+    * panel is within |values|+1 ppm of the real statistic and
+    * bit-identical in any engine (the [[chiSquare]] quantization
+    * discipline; exact while n ≤ 10¹⁶ — n²·10⁶ must fit 38 digits).
+    * Floors can read an exactly-independent feature's gain as −1 ppm;
+    * compare magnitudes, not sign, at the bottom of the ranking.
+    *
+    * Rows drop per feature where the feature OR the target is NULL (the
+    * per-pair-complete contract — each feature screens on its own
+    * observed rows, and its parent impurity is computed over the SAME
+    * subset, so a sparse feature is not penalized for its missingness;
+    * a missingness-as-signal caller fills NULLs with a sentinel value
+    * first). Feature and target values compare by STRING identity — a
+    * split is a partition, no arithmetic ever touches the values, so
+    * any type works; pre-bucket continuous features
+    * ([[equiDepthBins]]) exactly as a tree's binning would.
+    *
+    * Output: one row per (feature, feature value) — `n_v`,
+    * `child_gini_ppm` — with the feature-level panel (`n`, `n_values`,
+    * `parent_gini_ppm`, `split_gini_ppm`, `gain_ppm`) attached to every
+    * row (the [[chiSquare]] cell+table shape).
+    *
+    * Shape at 100 TB: ONE corpus pass — the in-row k-feature melt into
+    * a (feature, value, class) count aggregation (map-side partials) —
+    * then everything at dimension size: the (feature, value) and
+    * (feature, class) re-aggs, the per-feature scalar terms, and two
+    * broadcast attaches. Nothing after the first exchange touches the
+    * corpus; the documented scale bound is the cell table
+    * (features × values × classes).
+    */
+  def giniGain(
+      df: DataFrame,
+      targetCol: String,
+      featureCols: Seq[String]): DataFrame = {
+    require(featureCols.nonEmpty, "need at least one feature column")
+    require(featureCols.distinct.size == featureCols.size,
+      "feature columns must be distinct")
+    require(!featureCols.contains(targetCol),
+      "targetCol cannot also be a feature")
+    val dec = "decimal(38,0)"
+    // in-row melt: k (feature, value, class) entries per row; per-feature
+    // NULL drop happens after the explode so each feature keeps its own
+    // observed subset
+    val cells = df
+      .filter(col(targetCol).isNotNull)
+      .select(col(targetCol).cast("string").as("_t"),
+        explode(array(featureCols.map(f =>
+          struct(lit(f).as("f"), col(f).cast("string").as("v"))): _*))
+          .as("_e"))
+      .filter(col("_e.v").isNotNull)
+      .groupBy(col("_e.f").as("_f"), col("_e.v").as("_v"), col("_t"))
+      .agg(count(lit(1)).as("_o"))
+      .localCheckpoint(false)
+    // per (feature, value): n_v and the child purity mass a_v
+    val byValue = cells.groupBy(col("_f"), col("_v"))
+      .agg(sum(col("_o")).as("_nv"),
+        sum(col("_o").cast(dec) * col("_o").cast(dec)).as("_ssq"))
+      .withColumn("_av", expr(s"(_ssq * 1000000) div _nv"))
+      .localCheckpoint(false) // the per-feature terms and the output share it
+    // per (feature, class): n_c — the parent's class distribution over
+    // the SAME per-feature-complete subset
+    val byClass = cells.groupBy(col("_f"), col("_t"))
+      .agg(sum(col("_o")).as("_nc"))
+    val parent = byClass.groupBy(col("_f"))
+      .agg(sum(col("_nc")).as("_n"),
+        sum(col("_nc").cast(dec) * col("_nc").cast(dec)).as("_csq"))
+      .withColumn("parent_gini_ppm",
+        (lit(1000000L) - expr(
+          s"(_csq * 1000000) div (CAST(_n AS $dec) * _n)")).cast("long"))
+    val split = byValue.groupBy(col("_f"))
+      .agg(sum(col("_av")).as("_s"), count(lit(1)).as("n_values"))
+    val panel = parent.join(split, Seq("_f"))
+      .withColumn("split_gini_ppm",
+        (lit(1000000L) - expr(s"(_s) div (CAST(_n AS $dec))")).cast("long"))
+      .withColumn("gain_ppm",
+        col("parent_gini_ppm").cast("long") - col("split_gini_ppm"))
+      .select(col("_f"), col("_n").as("n"), col("n_values"),
+        col("parent_gini_ppm"), col("split_gini_ppm"), col("gain_ppm"))
+    byValue
+      .join(broadcast(panel), Seq("_f"))
+      .select(
+        col("_f").as("feature"), col("_v").as("feature_value"),
+        col("_nv").as("n_v"),
+        (lit(1000000L) - expr(s"(_ssq * 1000000) div (CAST(_nv AS $dec) * _nv)"))
+          .cast("long").as("child_gini_ppm"),
+        col("n"), col("n_values"),
+        col("parent_gini_ppm"), col("split_gini_ppm"), col("gain_ppm"))
+  }
+
   /** Per-group linear trend — the "which metrics are trending, and how
     * fast" panel next to [[correlations]] (which asks whether two FEATURES
     * move together; this regresses each group's value on TIME): exact OLS

@@ -558,6 +558,10 @@ class PlanGateSpec extends SparkTestBase {
     // (pair,y)), the two tie re-aggs (2-stage each), and the final
     // pair-list attach; the dense grid itself rides broadcasts
     "kendall_tau" -> 9,
+    // ONE corpus exchange (the feature-melt cell groupBy, behind the lazy
+    // checkpoint) + the (feature, value) and (feature, class) re-aggs;
+    // the per-feature panel and its attach ride broadcasts
+    "gini_gain" -> 3,
     // ONE key-keyed exchange: both windows AND the (key, session) panel
     // agg ride it (hash partitioning on the key satisfies the grouped
     // clustering)

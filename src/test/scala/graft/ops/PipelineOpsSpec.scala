@@ -2499,6 +2499,65 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(b === a)
   }
 
+  test("giniGain: hand purity arithmetic exact; leak outranks honest features; per-feature NULLs; invariant") {
+    import spark.implicits._
+    def panel(df: org.apache.spark.sql.DataFrame, t: String, fs: Seq[String]) =
+      Stats.giniGain(df, t, fs).collect()
+        .map(r => (r.getString(0), r.getString(1)) ->
+          (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5),
+            r.getLong(6), r.getLong(7), r.getLong(8))).toMap
+    // perfect split: parent 0.5, split 0, gain = the whole parent
+    val p = panel(Seq(("A", "x"), ("A", "x"), ("B", "y"), ("B", "y"))
+      .toDF("t", "f"), "t", Seq("f"))
+    assert(p(("f", "x")) === ((2L, 0L, 4L, 2L, 500000L, 0L, 500000L)))
+    // useless split: children mirror the parent, gain exactly 0
+    val u = panel(Seq(("A", "x"), ("A", "y"), ("B", "x"), ("B", "y"))
+      .toDF("t", "f"), "t", Seq("f"))
+    assert(u(("f", "x"))._7 === 0L)
+    assert(u(("f", "x"))._2 === 500000L) // child gini = parent gini
+    // hand three-class case: t=(A,A,B,C), f=(p,p,q,q) — parent 625000,
+    // a_p = 4e6/2, a_q = 2e6/2, split floor 750000 -> gain 375000
+    val h = panel(Seq(("A", "p"), ("A", "p"), ("B", "q"), ("C", "q"))
+      .toDF("t", "f"), "t", Seq("f"))
+    assert(h(("f", "p")) === ((2L, 0L, 4L, 2L, 625000L, 250000L, 375000L)))
+    assert(h(("f", "q"))._2 === 500000L)
+    // a single-valued feature reads gain 0 (floors included: this case
+    // exercises the double-floor path, 5e6/3/3 vs 5e6/9 both 555555)
+    val s1 = panel(Seq(("A", "x"), ("A", "x"), ("B", "x"))
+      .toDF("t", "f"), "t", Seq("f"))
+    assert(s1(("f", "x")) === ((3L, 444445L, 3L, 1L, 444445L, 444445L, 0L)))
+    // per-feature-complete: a NULL in one feature drops that row for THAT
+    // feature only, and its parent recomputes over the same subset
+    val rows = Seq(
+      ("A", Some("x"), Some("p")), ("A", Some("x"), None),
+      ("B", Some("y"), Some("q")), ("B", Some("y"), Some("q")))
+      .toDF("t", "f", "g")
+    val pn = panel(rows, "t", Seq("f", "g"))
+    assert(pn(("f", "x"))._3 === 4L)  // f sees all 4 rows
+    assert(pn(("g", "p"))._3 === 3L)  // g sees 3 (its parent too)
+    assert(pn(("g", "p"))._5 === 444445L) // parent gini over {A,B,B}
+    // NULL target drops the row everywhere
+    val tn = panel(Seq((Some("A"), "x"), (None, "x"), (Some("B"), "y"))
+      .toDF("t", "f"), "t", Seq("f"))
+    assert(tn(("f", "x"))._3 === 2L)
+    // the defining screen reading: a LEAKED feature (deterministic
+    // function of the target) carries near-parent gain; an independent
+    // one sits at ~0 — the ranking is unambiguous
+    val big = (1 to 400).map { i =>
+      val t = Seq("aa", "bbb", "cccc")(i % 3)
+      (t, (i % 7).toString, t.length.toString)
+    }.toDF("t", "rand", "leak")
+    val pb = panel(big, "t", Seq("rand", "leak"))
+    val leakGain = pb(("leak", "2"))._7
+    val randGain = pb(("rand", "0"))._7
+    assert(leakGain > 600000L, s"leak gain should approach parent, got $leakGain")
+    assert(randGain < 10000L, s"independent feature should read ~0, got $randGain")
+    // partitioning invariance
+    val a = panel(big, "t", Seq("rand", "leak"))
+    val b = panel(big.repartition(13), "t", Seq("rand", "leak"))
+    assert(b === a)
+  }
+
   test("theilSen: outlier-immune median slope where OLS drags; sign-split truncation exact; single bucket NULL; invariant") {
     import spark.implicits._
     def day(d: Int) = ts(f"2024-01-${d + 1}%02d 12:00:00")

@@ -363,20 +363,33 @@ object Stats {
     */
   private def doubledRanks(melted: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // EAGER checkpoint (r19): the counts table is referenced by the
+    // boundary sketch, the bucketing join, the offsets aggregation and
+    // the in-bucket window — four static embeddings whose shared corpus
+    // exchange AQE reuse collapsed only UNRELIABLY in practice (measured
+    // in-suite: spearman_pairwise swung 30 s → 258 s between two
+    // consecutive full runs when reuse lapsed). The distinct-value table
+    // is dimension-sized by construction, so materializing it once is
+    // cheap and makes the corpus pass run exactly once, deterministically.
     val counts = melted.groupBy(col("_c"), col("_v"))
       .agg(count(lit(1)).as("_cnt"))
       // bucket on the DOUBLE image of the value: monotone (adjacent
       // decimals collapsing to one double just share a bucket), and it
       // keeps the quantile sketch in its native domain
       .withColumn("_vd", col("_v").cast("double"))
+      .localCheckpoint()
     val pcts = array((1 until rankRangeBuckets).map(i =>
       lit(i.toDouble / rankRangeBuckets)): _*)
     val bounds = counts.groupBy(col("_c"))
       .agg(percentile_approx(col("_vd"), pcts, lit(10000)).as("_bnds"))
+    // second eager cut: offsets and the in-bucket window both read the
+    // bucketed table; without it the bounds sketch + bucket join replay
+    // per consumer
     val bucketed = counts.join(broadcast(bounds), Seq("_c"))
       .withColumn("_rb", aggregate(col("_bnds"), lit(0),
         (acc, b) => acc + when(col("_vd") > b, 1).otherwise(0)))
       .drop("_bnds", "_vd")
+      .localCheckpoint()
     val offsets = bucketed.groupBy(col("_c"), col("_rb"))
       .agg(sum(col("_cnt")).as("_bt"))
       .withColumn("_boff", coalesce(

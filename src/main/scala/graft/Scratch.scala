@@ -4,14 +4,14 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Throwaway profiling main (not part of the driver contract).
-  * Current use: 1x vs 5x scaling stress for the round-7 batch-2 operators
-  * (setSimilarityJoin, searchBm25, bpeEncode, lmScore). The 5x corpus gets a
-  * copy-distinct prefix token per copy so shingle/bigram boundaries shift and
-  * the duplicate-pair rate stays representative instead of exploding 25x.
+  * Current use (r19): repeated per-stage tables for one query to diff a
+  * fast run against a slow run (variance hunt).
   */
 object Scratch {
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val qname = if (args.length > 1) args(1) else "spearman_pairwise"
+    val reps = if (args.length > 2) args(2).toInt else 5
     val spark = SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -20,54 +20,46 @@ object Scratch {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    def time[T](name: String)(f: => T): T = {
-      val t0 = System.nanoTime(); val r = f
-      println(f"[scratch] $name: ${(System.nanoTime() - t0) / 1e9}%.2fs"); r
-    }
     def noop(df: DataFrame): Unit =
       df.write.format("noop").mode("overwrite").save()
-
-    val d1Path = "target/stress_d1"
-    val d5Path = "target/stress_d5"
-    val docs = spark.read.parquet(s"$dir/documents.parquet")
-      .select("doc_id", "text", "source")
-    val d5 = (0 until 5).map(c => docs
-      .withColumn("doc_id", col("doc_id") + lit(c.toLong * 10000000L))
-      .withColumn("text", concat(lit(s"copytok$c "), col("text"))))
-      .reduce(_ unionByName _)
-    docs.write.mode("overwrite").parquet(d1Path)
-    d5.write.mode("overwrite").parquet(d5Path)
-    val one = spark.read.parquet(d1Path)
-    val five = spark.read.parquet(d5Path)
-    println(s"[scratch] d1 = ${one.count()}, d5 = ${five.count()}")
-
-    import graft.ops.{Dedup, TextAnalysis}
-    import spark.implicits._
-    // the single fixture definition (SparkEntry) — stress numbers must be
-    // measured on the same queries the suite benches
-    val queries = SparkEntry.bm25Queries.toDF("qid", "qtext")
-    val merges1 = TextAnalysis.trainBpeMerges(one, "text", numMerges = 12)
-      .localCheckpoint() // train held fixed: isolates ENCODE scaling
-
-    (1 to 2).foreach { round =>
-      for ((tag, df) <- Seq(("1x", one), ("5x", five))) {
-        time(s"set_similarity_join $tag (round $round)")(
-          noop(Dedup.setSimilarityJoin(df, "doc_id", "text", threshold = 0.8)))
-        time(s"search_bm25 $tag (round $round)")(
-          noop(TextAnalysis.searchBm25(df, "doc_id", "text", queries, k = 10)))
-        time(s"bpe_encode $tag (round $round)")(
-          noop(TextAnalysis.bpeEncode(df, "doc_id", "text", merges1)))
-        time(s"lm_score $tag (round $round)")(
-          noop(TextAnalysis.lmScore(df, df, "doc_id", "text", minCount = 2)))
-        // round-11 window family: both must scale ~linearly (digest
-        // arg-min + interval reassembly are linear; no candidate blowup)
-        time(s"dedup_windows $tag (round $round)")(
-          noop(Dedup.dedupWindows(df, "doc_id", "text", 12, 6)))
-        time(s"dedup_windows_against $tag (round $round)")(
-          noop(Dedup.dedupWindowsAgainst(df, one, "doc_id", "text", 12, 6)))
-        time(s"filter_lines $tag (round $round)")(
-          noop(TextAnalysis.filterLines(df, "doc_id", "text")))
+    case class StageRow(id: Int, sub: Long, done: Long,
+      taskMs: Long, gcMs: Long, nTasks: Int, shufR: Long, shufW: Long)
+    val rows = new java.util.concurrent.ConcurrentLinkedQueue[StageRow]()
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onStageCompleted(
+          sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+        val i = sc.stageInfo
+        val m = i.taskMetrics
+        rows.add(StageRow(i.stageId,
+          i.submissionTime.getOrElse(0L), i.completionTime.getOrElse(0L),
+          if (m != null) m.executorRunTime else 0L,
+          if (m != null) m.jvmGCTime else 0L, i.numTasks,
+          if (m != null) m.shuffleReadMetrics.totalBytesRead else 0L,
+          if (m != null) m.shuffleWriteMetrics.bytesWritten else 0L))
       }
+    })
+    val q = SparkEntry.queries(qname)
+    noop(q(spark, dir)) // warm-up
+    import scala.jdk.CollectionConverters._
+    for (rep <- 1 to reps) {
+      org.apache.spark.GraftListenerBus.waitUntilEmpty(spark.sparkContext, 30000)
+      rows.clear()
+      System.gc()
+      val t0 = System.nanoTime()
+      noop(q(spark, dir))
+      val dt = (System.nanoTime() - t0) / 1e9
+      org.apache.spark.GraftListenerBus.waitUntilEmpty(spark.sparkContext, 30000)
+      val rs = rows.asScala.toSeq.sortBy(_.sub)
+      val base = rs.map(_.sub).min
+      println(f"[scratch] === rep $rep: $dt%.2f s, stages=${rs.size}, " +
+        f"taskSum=${rs.map(_.taskMs).sum / 1000.0}%.1f s, gcSum=${rs.map(_.gcMs).sum / 1000.0}%.1f s")
+      rs.foreach { r =>
+        if (r.done - r.sub > 400)
+          println(f"[scratch]   t+${(r.sub - base) / 1000.0}%6.2f wall=${(r.done - r.sub) / 1000.0}%6.2f " +
+            f"task=${r.taskMs / 1000.0}%7.2f gc=${r.gcMs / 1000.0}%5.2f n=${r.nTasks}%3d " +
+            f"sr=${r.shufR / 1e6}%7.1fMB sw=${r.shufW / 1e6}%7.1fMB")
+      }
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
     }
     spark.stop()
   }

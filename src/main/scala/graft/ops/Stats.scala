@@ -289,7 +289,11 @@ object Stats {
           sum(d(c)).as(s"_s_$c"),
           sum(d(c) * d(c)).as(s"_ss_$c")))) ++
         pairs.map { case (a, b) => sum(d(a) * d(b)).as(s"_p_${a}_${b}") }
-    val g = df.agg(aggs.head, aggs.tail: _*)
+    // spread the narrow projection first (r19): the k(k+3)/2 decimal(38,0)
+    // partial sums are the whole cost of this operator, and a single-row-
+    // group input would otherwise run them on one core (no-op on any
+    // multi-split scan — see spread's contract)
+    val g = spread(df.select(cols.map(col): _*)).agg(aggs.head, aggs.tail: _*)
     val n = col("_n").cast(dec)
     val rows = pairs.map { case (a, b) =>
       val num = (n * col(s"_p_${a}_${b}") - col(s"_s_$a") * col(s"_s_$b")).cast("double")
@@ -328,6 +332,63 @@ object Stats {
         "so a monotone fixed-point scaling leaves rho unchanged")
     }
 
+  /** The value-lane type for the rank/grid machinery: native `long` when
+    * every input column is a plain integer type, `decimal(38,0)` only when
+    * a wide decimal input forces it. Ordering and equality are identical in
+    * either lane (integers are integers), so results cannot change — but
+    * the long lane keeps every exchange, sort, window and join key on
+    * 8-byte inline values instead of BigDecimal-backed decimal(38,0)
+    * (precision > 18 leaves Spark's compact-long decimal representation, so
+    * each comparison/hash materializes a java.math.BigDecimal — measured
+    * r19: spearman_pairwise 15.3 s → the decimal lane was the dominant
+    * cost, with only 35 MB of shuffle). The final MOMENT sums still cast to
+    * decimal(38,0) — exactness lives in the aggregation, not the keys.
+    */
+  private def valueLane(df: DataFrame, cols: Seq[String]): String =
+    if (cols.forall(c => df.schema(c).dataType match {
+      case ByteType | ShortType | IntegerType | LongType => true
+      case _ => false
+    })) "long" else "decimal(38,0)"
+
+  /** Spread a narrow projection across the session's parallelism before an
+    * in-row EXPAND (k-way melt / pair explode feeding a count aggregation):
+    * the bench corpus ships as single-row-group parquet, so a scan carries
+    * exactly one working split and the whole expand + partial-agg chain
+    * runs single-threaded (measured r19: the spearman_pairwise melt stage
+    * spent 3.3 s wall on 1 of 32 cores). One round-robin exchange of the
+    * NARROW projection (a few longs per row — the cheapest thing this
+    * operator will ever ship) restores full parallelism. Scale-adaptive by
+    * construction, not a tuned constant: when the input already carries at
+    * least half the session's shuffle parallelism — every real multi-split
+    * scan at 100 TB — this is the identity and no exchange exists.
+    */
+  private def spread(df: DataFrame): DataFrame = {
+    // scan-rooted inputs only (project/filter chains over a relation):
+    // probing anything wider would be wrong twice over — an upstream
+    // exchange already set the parallelism, and under AQE `df.rdd` (or
+    // executing any physical plan with joins) EXECUTES upstream stages to
+    // finalize the adaptive plan (measured r19: a spread() probe inside
+    // the Spearman moment pass silently ran the whole rank-join chain
+    // twice). The shape test runs on the optimized LOGICAL plan — the
+    // physical sparkPlan carries no Exchange nodes before
+    // EnsureRequirements, so it cannot be used for this test.
+    import org.apache.spark.sql.catalyst.plans.logical.{Filter => LFilter, LeafNode, Project => LProject}
+    def scanOnly(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): Boolean =
+      p match {
+        case _: LeafNode => true
+        case pr: LProject => scanOnly(pr.child)
+        case f: LFilter => scanOnly(f.child)
+        case _ => false
+      }
+    if (!scanOnly(df.queryExecution.optimizedPlan)) df
+    else {
+      val target = df.sparkSession.sessionState.conf.numShufflePartitions
+      // building the RDD graph of a scan-only plan runs no jobs
+      if (df.queryExecution.sparkPlan.execute().getNumPartitions * 2 >= target) df
+      else df.repartition(target)
+    }
+  }
+
   /** Range buckets per column for the two-phase rank derivation: 255
     * boundaries → 256 buckets of roughly equal DISTINCT-value count.
     * More buckets would shrink the per-task sort further, but 256 already
@@ -361,7 +422,7 @@ object Stats {
     * bucketing gives the same ranks), so the approximate sketch is safe
     * by construction.
     */
-  private def doubledRanks(melted: DataFrame): DataFrame = {
+  private[ops] def doubledRanks(melted: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     // EAGER checkpoint (r19): the counts table is referenced by the
     // boundary sketch, the bucketing join, the offsets aggregation and
@@ -382,14 +443,34 @@ object Stats {
       lit(i.toDouble / rankRangeBuckets)): _*)
     val bounds = counts.groupBy(col("_c"))
       .agg(percentile_approx(col("_vd"), pcts, lit(10000)).as("_bnds"))
-    // second eager cut: offsets and the in-bucket window both read the
-    // bucketed table; without it the bounds sketch + bucket join replay
-    // per consumer
+    // bucket index = #{boundaries strictly below the value} — computed by a
+    // BINARY-SEARCH when-tree over the sorted boundary array (8 comparisons
+    // per row, fully codegen'd) instead of the original `aggregate` fold
+    // over all 255 elements: higher-order functions run interpreted with
+    // per-element lambda binding, and the fold alone measured 3.7 s of the
+    // 14 s isolated spearman_pairwise at sf0.1 (255 × 1.1M distinct values).
+    // Identical _rb to the fold — lower_bound over a sorted array counts
+    // exactly #{b_i < v}, duplicates included — and _rb only shapes bucket
+    // BALANCE anyway (any order-preserving bucketing yields the same ranks).
+    def lowerBound(lo: Int, hi: Int): Column =
+      if (lo > hi) lit(0)
+      else {
+        val mid = (lo + hi) >>> 1
+        when(col("_vd") > element_at(col("_bnds"), mid),
+          lit(mid - lo + 1) + lowerBound(mid + 1, hi))
+          .otherwise(lowerBound(lo, mid - 1))
+      }
+    // NOT checkpointed (r19): offsets and the in-bucket window both read
+    // the bucketed table, but it derives deterministically from the
+    // checkpointed counts + the boundary aggregate, and with the
+    // binary-search bucket lookup the recompute is two cheap passes over a
+    // dimension-sized table — cheaper than a third sequential
+    // materialization barrier (the eager-checkpoint chain was serializing
+    // the whole derivation: counts + bucketed + ranks = three back-to-back
+    // jobs before the query proper even started).
     val bucketed = counts.join(broadcast(bounds), Seq("_c"))
-      .withColumn("_rb", aggregate(col("_bnds"), lit(0),
-        (acc, b) => acc + when(col("_vd") > b, 1).otherwise(0)))
+      .withColumn("_rb", lowerBound(1, rankRangeBuckets - 1))
       .drop("_bnds", "_vd")
-      .localCheckpoint()
     val offsets = bucketed.groupBy(col("_c"), col("_rb"))
       .agg(sum(col("_cnt")).as("_bt"))
       .withColumn("_boff", coalesce(
@@ -427,10 +508,10 @@ object Stats {
     * manufacturing ties; ranks are scale-free, so `round(v * 10000)`
     * loses nothing).
     *
-    * `idCols` name a unique row key (the re-pivot from melted ranks back
-    * to row shape needs one; a DUPLICATED key collapses to one row of
-    * per-column max ranks through the re-pivot groupBy — supply a real
-    * key, the contract every keyed operator in this file states). NULL
+    * `idCols` is retained for interface stability but no longer
+    * load-bearing (r19): ranks attach by k direct per-column value joins,
+    * so no re-pivot — and therefore no row key — is needed; rows keep
+    * their multiplicity regardless of key uniqueness. NULL
     * values rank nothing: a row with ANY null among `cols` drops first —
     * the listwise form keeps one n for the whole matrix, the
     * [[correlations]] shape; [[spearmanPairwise]] is the per-pair-n
@@ -438,10 +519,11 @@ object Stats {
     *
     * Shape at 100 TB: melt in-row → per-(col, value) count agg → the
     * value-rank table (distinct-value-sized) derives bucketed prefix
-    * sums and joins back co-partitioned → one row-key re-pivot exchange
-    * → the single moment gather. Nothing corpus-sized crosses the wire
-    * more than twice, and the largest single-task sort anywhere is one
-    * range bucket of one column's distinct values.
+    * sums, materializes once, and attaches back by k SHUFFLE_HASH joins
+    * on narrow value keys (build side = the per-column slice of the rank
+    * table, dimension-sized at any scale) → the single moment gather.
+    * The largest single-task sort anywhere is one range bucket of one
+    * column's distinct values.
     */
   def spearmanCorrelations(
       df: DataFrame,
@@ -451,23 +533,38 @@ object Stats {
     require(cols.distinct.size == cols.size, "columns must be distinct")
     require(idCols.nonEmpty, "idCols must name a unique row key")
     requireIntegralCols(df, cols, "spearmanCorrelations")
+    val lane = valueLane(df, cols)
+    // deliberately NOT spread: measured r19, the round-robin exchange after
+    // the (still single-threaded) scan cost more than the parallelism it
+    // bought — the melt's partial agg pipelines with the scan, and the
+    // downstream chain is dimension-sized
     val complete = df
       .filter(cols.map(col(_).isNotNull).reduce(_ && _))
-      .select((idCols ++ cols).map(col): _*)
+      .select(cols.map(c => col(c).cast(lane).as(c)): _*)
     val melted = complete.select(
-      struct(idCols.map(col): _*).as("_rid"),
       explode(array(cols.map(c =>
-        struct(lit(c).as("c"), col(c).cast("decimal(38,0)").as("v"))): _*))
+        struct(lit(c).as("c"), col(c).as("v"))): _*))
         .as("_e"))
-      .select(col("_rid"), col("_e.c").as("_c"), col("_e.v").as("_v"))
-    val ranks = doubledRanks(melted)
-    // re-pivot melted ranks to one row per _rid with k doubled-rank cols
-    val ranked = melted.join(ranks, Seq("_c", "_v"))
-      .groupBy(col("_rid"))
-      .agg(
-        max(when(col("_c") === cols.head, col("_dr"))).as(cols.head),
-        cols.tail.map(c =>
-          max(when(col("_c") === c, col("_dr"))).as(c)): _*)
+      .select(col("_e.c").as("_c"), col("_e.v").as("_v"))
+    // value → doubled-rank attach: one SHUFFLE_HASH join PER COLUMN on the
+    // complete frame, replacing the melt-join-repivot (r19): the retired
+    // re-pivot shuffled the k·n melted table twice (rank join + the
+    // _rid groupBy with a struct key) where k direct joins shuffle the
+    // corpus k times by narrow value keys and need NO row key at all —
+    // measured 7.9 s → 5.0 s isolated at sf0.1, and the k·n struct-keyed
+    // exchanges disappear from the plan. The rank table is materialized
+    // once (it feeds all k joins; exchange reuse across differently-keyed
+    // branches never fired in practice) and each join's build side is the
+    // dimension-sized per-column slice — SHUFFLE_HASH for the same
+    // scale-stability reason spearmanPairwise states.
+    val ranks = doubledRanks(melted).localCheckpoint()
+    val ranked = cols.foldLeft(complete) { (acc, c) =>
+      acc.join(
+        ranks.filter(col("_c") === c)
+          .select(col("_v").as(c), col("_dr").as(s"_dr_$c"))
+          .hint("SHUFFLE_HASH"),
+        Seq(c))
+    }.select(cols.map(c => col(s"_dr_$c").as(c)): _*)
     correlations(ranked, cols)
       .withColumnRenamed("corr", "rho")
   }
@@ -501,12 +598,14 @@ object Stats {
     require(cols.distinct.size == cols.size, "columns must be distinct")
     requireIntegralCols(df, cols, "spearmanPairwise")
     val dec = "decimal(38,0)"
+    val lane = valueLane(df, cols)
     val spark = df.sparkSession
     val pairs = for { i <- cols.indices; j <- (i + 1) until cols.size }
       yield (cols(i), cols(j))
-    val pairRows = df.select(explode(array(pairs.map { case (a, b) =>
+    val pairRows = df
+      .select(explode(array(pairs.map { case (a, b) =>
         struct(lit(a).as("cx"), lit(b).as("cy"),
-          col(a).cast(dec).as("vx"), col(b).cast(dec).as("vy")) }: _*))
+          col(a).cast(lane).as("vx"), col(b).cast(lane).as("vy")) }: _*))
         .as("_p"))
       .select(col("_p.cx").as("_cx"), col("_p.cy").as("_cy"),
         col("_p.vx").as("_vx"), col("_p.vy").as("_vy"))
@@ -519,14 +618,26 @@ object Stats {
         struct(sideKey("x").as("c"), col("_vx").as("v")),
         struct(sideKey("y").as("c"), col("_vy").as("v")))).as("_e"))
       .select(col("_e.c").as("_c"), col("_e.v").as("_v"))
-    val ranks = doubledRanks(melted)
+    // the rank table feeds BOTH join-backs (x and y side): materialize it
+    // once — without the cut each side's plan branch re-derives the whole
+    // window chain (measured r19: the two broadcast subtrees each carried
+    // the full bucketed→window pipeline; exchange reuse never fired).
+    // SHUFFLE_HASH for the join-backs, deliberately: the build side is the
+    // dimension-sized rank table (fits per-partition hash maps at any
+    // scale), while BROADCAST of a ~10⁶-row rank table measured SLOWER at
+    // sf0.1 (two driver-side builds; 5.0 s vs 3.7 s isolated) and stops
+    // being possible at 100 TB where distinct values ≈ row count — the
+    // hint keeps the same plan shape at every scale instead of flipping
+    // strategy on the broadcast-threshold estimate.
+    val ranks = doubledRanks(melted).localCheckpoint()
     val rX = ranks.select(
       col("_c").as("_kx"), col("_v").as("_vx"), col("_dr").as("_drx"))
     val rY = ranks.select(
       col("_c").as("_ky"), col("_v").as("_vy"), col("_dr").as("_dry"))
     val joined = pairRows
       .withColumn("_kx", sideKey("x")).withColumn("_ky", sideKey("y"))
-      .join(rX, Seq("_kx", "_vx")).join(rY, Seq("_ky", "_vy"))
+      .join(rX.hint("SHUFFLE_HASH"), Seq("_kx", "_vx"))
+      .join(rY.hint("SHUFFLE_HASH"), Seq("_ky", "_vy"))
     val dx = col("_drx").cast(dec)
     val dy = col("_dry").cast(dec)
     val g = joined.groupBy(col("_cx"), col("_cy"))
@@ -610,12 +721,14 @@ object Stats {
     require(cols.distinct.size == cols.size, "columns must be distinct")
     requireIntegralCols(df, cols, "kendallTau")
     val dec = "decimal(38,0)"
+    val lane = valueLane(df, cols)
     val spark = df.sparkSession
     val pairs = for { i <- cols.indices; j <- (i + 1) until cols.size }
       yield (cols(i), cols(j))
-    val pairRows = df.select(explode(array(pairs.map { case (a, b) =>
+    val pairRows = df
+      .select(explode(array(pairs.map { case (a, b) =>
         struct(lit(a).as("cx"), lit(b).as("cy"),
-          col(a).cast(dec).as("vx"), col(b).cast(dec).as("vy")) }: _*))
+          col(a).cast(lane).as("vx"), col(b).cast(lane).as("vy")) }: _*))
         .as("_p"))
       .select(col("_p.cx").as("_cx"), col("_p.cy").as("_cy"),
         col("_p.vx").as("_vx"), col("_p.vy").as("_vy"))
@@ -749,11 +862,13 @@ object Stats {
     // in-row melt: k (feature, value, class) entries per row; per-feature
     // NULL drop happens after the explode so each feature keeps its own
     // observed subset
-    val cells = df
+    val cells = spread(df
       .filter(col(targetCol).isNotNull)
-      .select(col(targetCol).cast("string").as("_t"),
+      .select(col(targetCol).cast("string").as("_t") +:
+        featureCols.map(f => col(f).cast("string").as(f)): _*))
+      .select(col("_t"),
         explode(array(featureCols.map(f =>
-          struct(lit(f).as("f"), col(f).cast("string").as("v"))): _*))
+          struct(lit(f).as("f"), col(f).as("v"))): _*))
           .as("_e"))
       .filter(col("_e.v").isNotNull)
       .groupBy(col("_e.f").as("_f"), col("_e.v").as("_v"), col("_t"))

@@ -287,7 +287,10 @@ class PlanGateSpec extends SparkTestBase {
     // previously hidden behind an eager checkpoint (the shuffle ran at
     // construction time); the inline-projection rewrite made the full lazy
     // plan visible, which is the honest count
-    "column_correlations" -> 1,
+    // +1 headroom for the conditional spread() round-robin exchange
+    // (fires only when the scan carries fewer splits than the session's
+    // parallelism — the single-row-group bench corpus)
+    "column_correlations" -> 2,
     // (group, dim) aggregation + per-group centroid re-collect
     "embedding_mean_pool" -> 2,
     "sample_hash" -> 0,
@@ -537,21 +540,16 @@ class PlanGateSpec extends SparkTestBase {
     // the same bucket agg + group collect; the O(B^2) pair vote and both
     // medians run in-row over the bucket array
     "theil_sen" -> 2,
-    // two-phase range-bucketed rank derivation: the (col, value) count
-    // agg appears FOUR times statically (bounds/offsets/bucketed branches
-    // all embed it — AQE stage reuse computes that shuffle once at
-    // runtime), + the per-col boundary agg (x2 static), the (col, bucket)
-    // offsets agg, its tiny per-col cumulative window, the (col, bucket)
-    // in-bucket prefix window, the rank join-back re-key, the row-key
-    // re-pivot, and the single moment gather; runtime-distinct ~7
-    "spearman_correlations" -> 11,
-    // same doubledRanks machinery keyed by (pair, side); the static count
-    // is dominated by the TWO rank join-backs each embedding the full
-    // ranks lineage (identical subtrees — AQE stage reuse computes each
-    // distinct exchange once; runtime-distinct ~9: counts, bounds,
-    // offsets agg + its tiny window, in-bucket window, two corpus-side
-    // join re-keys, two rank-side re-keys, the per-pair moment agg)
-    "spearman_pairwise" -> 19,
+    // r19 shape: the rank table is EAGERLY materialized at build time
+    // (doubledRanks counts checkpoint + the ranks checkpoint), so the
+    // static plan is the final segment only — k=4 SHUFFLE_HASH value
+    // joins (k probe re-keys + k build re-keys over the checkpointed
+    // ranks, 8) + the single moment gather; measured 9
+    "spearman_correlations" -> 9,
+    // r19 shape: ranks checkpointed at build; final segment = the two
+    // corpus-side SHUFFLE_HASH probe re-keys + two rank-side build
+    // re-keys + the per-pair moment agg + the pair-list attach; measured 6
+    "spearman_pairwise" -> 6,
     // ONE corpus exchange (the pair-melt cell groupBy, behind the lazy
     // checkpoint); everything after runs at dimension size — the two
     // marginal re-aggs, the two dominance-window re-keys ((pair,x) then
@@ -560,8 +558,10 @@ class PlanGateSpec extends SparkTestBase {
     "kendall_tau" -> 9,
     // ONE corpus exchange (the feature-melt cell groupBy, behind the lazy
     // checkpoint) + the (feature, value) and (feature, class) re-aggs;
-    // the per-feature panel and its attach ride broadcasts
-    "gini_gain" -> 3,
+    // the per-feature panel and its attach ride broadcasts; +1 headroom
+    // for the conditional spread() round-robin exchange (fires only when
+    // the scan carries fewer splits than the session's parallelism)
+    "gini_gain" -> 4,
     // ONE key-keyed exchange: both windows AND the (key, session) panel
     // agg ride it (hash partitioning on the key satisfies the grouped
     // clustering)

@@ -2337,13 +2337,26 @@ class PipelineOpsSpec extends SparkTestBase {
     import spark.implicits._
     val df = (1L to 500L).map(i => (i, (i * 7) % 101, (i * 13) % 37))
       .toDF("id", "x", "y")
-    val q = Stats.spearmanCorrelations(df, Seq("id"), Seq("x", "y"))
     // the scale gate: every Window that orders by the melted value (_v)
     // must ALSO partition by the range bucket (_rb) — a window partitioned
     // by the column alone would run each column's whole distinct-value
     // table through one task's sort (the 100-TB single-thread hazard this
-    // derivation exists to remove)
-    val plan = q.queryExecution.executedPlan.toString
+    // derivation exists to remove). Since r19 the rank table is eagerly
+    // checkpointed at build time (both Spearman callers), so the final
+    // query segment no longer CONTAINS the rank windows — the gate
+    // inspects the shared doubledRanks derivation plan directly, which is
+    // exactly the plan the checkpoint materializes.
+    val melted = df.select(org.apache.spark.sql.functions.explode(
+      org.apache.spark.sql.functions.array(
+        org.apache.spark.sql.functions.struct(
+          org.apache.spark.sql.functions.lit("x").as("c"),
+          org.apache.spark.sql.functions.col("x").as("v")),
+        org.apache.spark.sql.functions.struct(
+          org.apache.spark.sql.functions.lit("y").as("c"),
+          org.apache.spark.sql.functions.col("y").as("v")))).as("_e"))
+      .select(org.apache.spark.sql.functions.col("_e.c").as("_c"),
+        org.apache.spark.sql.functions.col("_e.v").as("_v"))
+    val plan = Stats.doubledRanks(melted).queryExecution.executedPlan.toString
     val windowLines = plan.linesIterator.filter(l =>
       l.contains("Window") && l.contains("_v#")).toSeq
     assert(windowLines.nonEmpty, "expected rank windows in the plan")
@@ -2351,12 +2364,6 @@ class PipelineOpsSpec extends SparkTestBase {
       assert(l.contains("_rb#"),
         s"rank window must partition by the range bucket too:\n$l")
     }
-    // same gate for the pairwise sibling (shared doubledRanks machinery)
-    val planP = Stats.spearmanPairwise(df, Seq("x", "y"))
-      .queryExecution.executedPlan.toString
-    val pLines = planP.linesIterator.filter(l =>
-      l.contains("Window") && l.contains("_v#")).toSeq
-    assert(pLines.nonEmpty && pLines.forall(_.contains("_rb#")))
     // and the results survive the bucketing: many distinct values spread
     // over >1 bucket must give the same rho as DuckDB-style hand ranks —
     // x strictly increasing, y = x reversed gives exactly -1 across any

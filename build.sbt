@@ -11,6 +11,15 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The forked process's stdout must reach sbt's stdout UNPREFIXED: the
+// default LoggedOutput strategy decorates every line with "[info] ", and
+// the bench driver's parser (which keeps the last ~2000 chars of stdout
+// and tries to recover the one-line JSON summary) has returned
+// "parsed": null for two rounds because the JSON arrived as
+// "[info] {...}". StdoutOutput passes the child's stdout/stderr through
+// verbatim, so the bench's final compact JSON line is a bare parseable
+// line (sbt's own "[success] Total time" line still follows it).
+run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -736,9 +736,13 @@ object SparkEntry {
     */
   private def imageNearDupMedia(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    // TWO consumers (the corrupted branch and the twin derivation) hang off
+    // the synthesized corpus: without the lazy checkpoint the union executes
+    // the per-row PNG synthesis twice (the capstone multi-consumer lesson)
     val base = Multimodal.synthesizeImages(s, docs(s, dir).select("doc_id"), "doc_id")
       .select(col("item_id"), col("payload"),
         col("meta.width").as("w"), col("meta.height").as("h"))
+      .localCheckpoint(false)
     // twins derive from the CLEAN payloads (a real pipeline's copies were
     // made before the original rotted); %7 wins when both rules match
     val twins = base
@@ -789,8 +793,11 @@ object SparkEntry {
     */
   private def videoNearDupQ(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    // corrupted + twins both read the synthesized corpus — checkpoint so
+    // the per-row container synthesis runs once, not twice
     val base = Multimodal.synthesizeVideos(s, docs(s, dir).select("doc_id"), "doc_id")
       .select(col("item_id"), col("payload"))
+      .localCheckpoint(false)
     val twins = base.filter(col("item_id") % 6 === 0)
       .as[(Long, Array[Byte])]
       .map { case (id, p) =>
@@ -815,8 +822,11 @@ object SparkEntry {
     */
   private def audioNearDupQ(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    // corrupted + twins both read the synthesized corpus — checkpoint so
+    // the per-row WAV synthesis runs once, not twice
     val base = Multimodal.synthesizeAudio(s, docs(s, dir).select("doc_id"), "doc_id")
       .select(col("item_id"), col("payload"))
+      .localCheckpoint(false)
     val twins = base
       .filter(col("item_id") % 7 === 0 || col("item_id") % 11 === 0)
       .as[(Long, Array[Byte])]
@@ -1098,7 +1108,10 @@ object SparkEntry {
 
   private def entityResolutionQ(s: SparkSession, dir: String): DataFrame = {
     val (base, kindA, kindB, _) = erParts(s, dir)
-    val recs = base.unionByName(kindA).unionByName(kindB)
+    // FIVE consumers hang off the planted universe (blocking keys, the
+    // trigram table, the CC node set, goldenRecords' wide side + id join) —
+    // without the lazy checkpoint each re-runs the 3-branch md5 derivation
+    val recs = base.unionByName(kindA).unionByName(kindB).localCheckpoint(false)
     val labels = ops.EntityResolution.resolveEntities(
       recs, "rec_id", "name", erBlocks, thresholdPpm = 550000L, maxBlock = 500)
     ops.EntityResolution.goldenRecords(recs, labels, "rec_id",
@@ -1116,8 +1129,11 @@ object SparkEntry {
     */
   private def entityResolutionAgainstQ(s: SparkSession, dir: String): DataFrame = {
     val (base, kindA, kindB, kindC) = erParts(s, dir)
-    val reference = base.withColumn("entity", col("rec_id"))
-    val batch = kindA.unionByName(kindB).unionByName(kindC)
+    // reference feeds the blocking keys, the grams table AND the entity
+    // attach; batch feeds blocking keys, grams and the id universe —
+    // checkpoint both so the md5 plant derivation runs once per side
+    val reference = base.withColumn("entity", col("rec_id")).localCheckpoint(false)
+    val batch = kindA.unionByName(kindB).unionByName(kindC).localCheckpoint(false)
     ops.EntityResolution.resolveAgainst(
       batch, reference, "rec_id", "name", "entity", erBlocks,
       thresholdPpm = 550000L, maxBlock = 500)
@@ -1135,8 +1151,10 @@ object SparkEntry {
   private def entityResolutionAgainstFsQ(s: SparkSession, dir: String): DataFrame = {
     import ops.EntityResolution.FieldWeight
     val (base, kindA, kindB, kindC) = erParts(s, dir)
-    val reference = base.withColumn("entity", col("rec_id"))
-    val batch = kindA.unionByName(kindB).unionByName(kindC)
+    // same multi-consumer shape as entity_resolution_against — one
+    // materialization per side instead of one per consumer
+    val reference = base.withColumn("entity", col("rec_id")).localCheckpoint(false)
+    val batch = kindA.unionByName(kindB).unionByName(kindC).localCheckpoint(false)
     ops.EntityResolution.resolveAgainstWeighted(
       batch, reference, "rec_id", "name", "entity", erBlocks,
       fields = Seq(FieldWeight("nation", 5L, -30L),

@@ -308,6 +308,19 @@ object Graph {
       .filter(col("a").isNotNull && col("b").isNotNull && col("a") =!= col("b"))
       .distinct()
       .localCheckpoint()
+    // r20 NOTE — incremental peeling attempted and REVERTED with numbers:
+    // maintaining degrees by per-endpoint loss subtraction (mark both
+    // endpoints against the peel set, aggregate losses over dropped edges
+    // only, apply with broadcastable joins) removes the per-round mirrored
+    // degree aggregation and both edge-volume semi-join exchanges — the
+    // right shape on paper at 100 TB — but a 13-round peel then runs
+    // 4 joins/round across ~10 AQE stages/round (128 stages total), and
+    // with only ~14 s of total task time the wall is pure stage-scheduling
+    // latency: measured 9.4–12.5 s against this form's 5.8 s at sf0.1.
+    // AQE's runtime broadcast conversion also still pays the big side's
+    // shuffle WRITE, so even the shuffle saving was partial. The simple
+    // form below keeps one heavy pipelined job + one trivial count per
+    // round.
     var live = und
     var nLive = live.count()
     var prevCkpt: Option[DataFrame] = Some(und)
@@ -616,6 +629,103 @@ object Graph {
       dstCol: String,
       maxRadius: Int,
       p: Int = 4,
+      undirected: Boolean = true): DataFrame =
+    neighborhoodWideStack(edges, srcCol, dstCol, maxRadius, p, undirected) match {
+      case Some(wide) => unpivotRegisters(wide, p)
+      case None =>
+        neighborhoodRegistersRowForm(edges, srcCol, dstCol, maxRadius, p, undirected)
+    }
+
+  /** The sweep loop in WIDE register form — one row per node, 2^p
+    * `max_rank` columns (NULL = empty bucket) — used whenever 2^p ≤ 64
+    * (the HyperBall posture: the paper itself runs LOW precisions at web
+    * scale). The row form shuffles E × (registers per source) three-column
+    * rows per sweep; the wide form shuffles E rows of 2^p small ints —
+    * ~16× fewer shuffle rows and hash-table entries at p = 4 (r20,
+    * guide §2.3: shuffle fewer rows/bytes), with the merge still a
+    * register-wise max (one codegen'd max slot per column, map-side
+    * partials intact). Returns the radius-stacked wide table
+    * `(radius, node, _r0.._r{m−1})`, each radius localCheckpointed (the
+    * [[pageRank]] lineage discipline; all stay pinned — the output reads
+    * every radius). None when 2^p > 64 (the wide plan would carry
+    * thousands of agg columns — callers fall back to the row form).
+    */
+  private def neighborhoodWideStack(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      maxRadius: Int,
+      p: Int,
+      undirected: Boolean): Option[DataFrame] = {
+    require(maxRadius >= 0 && maxRadius <= 12,
+      "maxRadius must be in [0, 12] (each radius is a full edge sweep)")
+    val m = 1 << p
+    if (m > 64) None
+    else {
+      val e0 = edges
+        .select(col(srcCol).as("src"), col(dstCol).as("dst"))
+        .filter(col("src").isNotNull && col("dst").isNotNull)
+      val eDir = if (undirected)
+        e0.unionByName(e0.select(col("dst").as("src"), col("src").as("dst")))
+      else e0
+      val e = eDir.filter(col("src") =!= col("dst")).distinct().localCheckpoint()
+      val nodes = e.select(col("src").as("node"))
+        .union(e.select(col("dst").as("node"))).distinct()
+      val rcols = (0 until m).map(b => s"_r$b")
+      // radius-0 registers straight from each node's own hash, pivoted to
+      // one row per node (same exchange count as the row form's build)
+      val base = Sketch.hllRegisters(
+        nodes.select(col("node"), col("node").as("_v")), Seq("node"), "_v", p)
+      var wide = base.groupBy(col("node"))
+        .agg(max(when(col("bucket") === 0, col("max_rank"))).as("_r0"),
+          (1 until m).map(b =>
+            max(when(col("bucket") === b, col("max_rank"))).as(s"_r$b")): _*)
+        .localCheckpoint()
+      val perRadius = collection.mutable.Buffer(
+        wide.withColumn("radius", lit(0)))
+      for (r <- 1 to maxRadius) {
+        val msgs = e
+          .join(wide.withColumnRenamed("node", "src"), Seq("src"))
+          .select(col("dst").as("node") +: rcols.map(col): _*)
+        // register-wise max: max() skips NULLs, so an absent bucket stays
+        // NULL exactly when no in-ball member occupies it (the row form's
+        // absence) — union-then-max is hllMergeRegisters column-wise
+        wide = wide.unionByName(msgs)
+          .groupBy(col("node"))
+          .agg(max(col(rcols.head)).as(rcols.head),
+            rcols.tail.map(c => max(col(c)).as(c)): _*)
+          .localCheckpoint()
+        perRadius += wide.withColumn("radius", lit(r))
+      }
+      Some(perRadius.reduce(_ unionByName _))
+    }
+  }
+
+  /** Wide stack → the public `(radius, node, bucket, max_rank)` row form:
+    * one in-row posexplode, absent (NULL) buckets filtered — identical
+    * rows and types to the row-form sweep (bucket rides as long, exactly
+    * [[Sketch.hllRegisters]]' shiftrightunsigned type).
+    */
+  private def unpivotRegisters(wide: DataFrame, p: Int): DataFrame = {
+    val rcols = (0 until (1 << p)).map(b => s"_r$b")
+    wide
+      .select(col("radius"), col("node"),
+        posexplode(array(rcols.map(col): _*)))
+      .filter(col("col").isNotNull)
+      .select(col("radius"), col("node"),
+        col("pos").cast("long").as("bucket"), col("col").as("max_rank"))
+  }
+
+  /** The pre-r20 row-form sweep, kept for p with 2^p > 64 (and as the
+    * equivalence baseline the wide lane is spec-gated against): message
+    * volume is E × (registers per source) three-column rows per sweep.
+    */
+  private[ops] def neighborhoodRegistersRowForm(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      maxRadius: Int,
+      p: Int = 4,
       undirected: Boolean = true): DataFrame = {
     require(maxRadius >= 0 && maxRadius <= 12,
       "maxRadius must be in [0, 12] (each radius is a full edge sweep)")
@@ -660,18 +770,38 @@ object Graph {
       dstCol: String,
       maxRadius: Int,
       p: Int = 4,
-      undirected: Boolean = true): DataFrame = {
-    val regs =
-      neighborhoodRegisters(edges, srcCol, dstCol, maxRadius, p, undirected)
-    val per = regs.groupBy(col("radius"))
-      .agg(count(lit(1)).as("n_register_rows"),
-        countDistinct(col("node")).as("n_nodes"))
-    regs.groupBy(col("radius"), col("max_rank"))
-      .agg(count(lit(1)).as("n_registers"))
-      .join(broadcast(per), Seq("radius"))
-      .select(col("radius"), col("max_rank"), col("n_registers"),
-        col("n_nodes"), col("n_register_rows"))
-  }
+      undirected: Boolean = true): DataFrame =
+    neighborhoodWideStack(edges, srcCol, dstCol, maxRadius, p, undirected) match {
+      case Some(wide) =>
+        // wide lane: the per-radius panel is an in-row projection over one
+        // node-sized pass (one row per node per radius — count(1) IS the
+        // node count, Σ non-null register columns IS the register-row
+        // count); only the (radius, max_rank) histogram needs the unpivot,
+        // and its map-side partials collapse to ≤ radii × ranks groups
+        val rcols = (0 until (1 << p)).map(b => s"_r$b")
+        val nonempty = rcols.map(c =>
+          when(col(c).isNotNull, 1L).otherwise(0L)).reduce(_ + _)
+        val per = wide.groupBy(col("radius"))
+          .agg(coalesce(sum(nonempty), lit(0L)).as("n_register_rows"),
+            count(lit(1)).as("n_nodes"))
+        unpivotRegisters(wide, p)
+          .groupBy(col("radius"), col("max_rank"))
+          .agg(count(lit(1)).as("n_registers"))
+          .join(broadcast(per), Seq("radius"))
+          .select(col("radius"), col("max_rank"), col("n_registers"),
+            col("n_nodes"), col("n_register_rows"))
+      case None =>
+        val regs = neighborhoodRegistersRowForm(
+          edges, srcCol, dstCol, maxRadius, p, undirected)
+        val per = regs.groupBy(col("radius"))
+          .agg(count(lit(1)).as("n_register_rows"),
+            countDistinct(col("node")).as("n_nodes"))
+        regs.groupBy(col("radius"), col("max_rank"))
+          .agg(count(lit(1)).as("n_registers"))
+          .join(broadcast(per), Seq("radius"))
+          .select(col("radius"), col("max_rank"), col("n_registers"),
+            col("n_nodes"), col("n_register_rows"))
+    }
 
   /** Per-(radius, node) ball-size ESTIMATES from the registers — float,
     * monitoring/spec-grade like [[Sketch.hllEstimate]] (which this is,
@@ -724,8 +854,6 @@ object Graph {
       maxRadius: Int,
       p: Int = 4,
       undirected: Boolean = true): DataFrame = {
-    val regs =
-      neighborhoodRegisters(edges, srcCol, dstCol, maxRadius, p, undirected)
     val m = 1 << p
     val width = 64 - p
     require(width - 1 <= 62, "p too small") // 2^(width+1-rank) must fit
@@ -735,11 +863,33 @@ object Graph {
     val lcCase = hllLcMicroTable(p).zipWithIndex.map { case (v, i) =>
       s"WHEN ${i + 1} THEN ${v}L"
     }.mkString("CASE _zeros ", " ", " ELSE NULL END")
-    val est = regs
-      .groupBy(col("radius"), col("node"))
-      .agg(count(lit(1)).as("_nonempty"),
-        sum(expr(s"CAST(shiftleft(1L, $shiftBase - max_rank) AS DECIMAL(38,0))"))
-          .as("_d"))
+    // the per-(radius, node) moment pair (_nonempty, _d) comes from the
+    // WIDE register stack as an in-row projection when 2^p ≤ 64 — the
+    // row-form groupBy re-exchanged V·registers·(R+1) rows just to count
+    // what the wide row already holds (r20); the estimator arithmetic
+    // downstream is byte-identical either way
+    val nd = neighborhoodWideStack(
+        edges, srcCol, dstCol, maxRadius, p, undirected) match {
+      case Some(wide) =>
+        val rcols = (0 until m).map(b => s"_r$b")
+        val nonempty = rcols.map(c =>
+          when(col(c).isNotNull, 1L).otherwise(0L)).reduce(_ + _)
+        val dSum = rcols.map(c =>
+          when(col(c).isNotNull,
+            expr(s"CAST(shiftleft(1L, $shiftBase - $c) AS DECIMAL(38,0))"))
+            .otherwise(lit(0).cast("decimal(38,0)"))).reduce(_ + _)
+        wide.select(col("radius"), col("node"),
+          nonempty.as("_nonempty"), dSum.as("_d"))
+      case None =>
+        neighborhoodRegistersRowForm(
+            edges, srcCol, dstCol, maxRadius, p, undirected)
+          .groupBy(col("radius"), col("node"))
+          .agg(count(lit(1)).as("_nonempty"),
+            sum(expr(
+              s"CAST(shiftleft(1L, $shiftBase - max_rank) AS DECIMAL(38,0))"))
+              .as("_d"))
+    }
+    val est = nd
       .withColumn("_zeros", lit(m.toLong) - col("_nonempty"))
       .withColumn("_raw", expr(
         s"CAST((CAST('$alphaNum' AS DECIMAL(38,0))) div " +

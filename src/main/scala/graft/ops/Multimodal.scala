@@ -78,6 +78,15 @@ object Multimodal {
 
   /** ===== real image codec (JDK `javax.imageio`, PNG — lossless) ===== */
   object ImageIoCodec {
+    // ImageIO defaults to a temp-FILE-backed stream cache: every encode and
+    // decode creates and deletes a disk cache file through a synchronized
+    // path, so 32 concurrent codec tasks serialize on it — measured r20 as
+    // a 3× executorRunTime swing (59 s → 200 s task-time for identical
+    // work) in the image-dedup family once the synthesis pass was
+    // parallelized. All payloads here are small in-memory byte arrays; the
+    // memory-cached stream is strictly better. Per-JVM, set once.
+    javax.imageio.ImageIO.setUseCache(false)
+
     final case class Decoded(width: Int, height: Int, argb: Array[Int])
 
     /** Encode a width×height image whose pixel (x, y) is `pixel(x, y)`
@@ -400,7 +409,9 @@ object Multimodal {
     */
   def synthesizeVideos(spark: SparkSession, df: DataFrame, idCol: String): DataFrame = {
     import spark.implicits._
-    df.select(col(idCol).cast("long")).as[Long]
+    // per-row work = n_frames REAL PNG encodes; spread the id rows so a
+    // single-split scan doesn't synthesize every container on one core
+    Par.spread(df.select(col(idCol).cast("long"))).as[Long]
       .mapPartitions(_.map { id =>
         require(id >= 0, s"synthesizeVideos needs non-negative ids; got $id")
         val nf = (id % 5 + 2).toInt
@@ -597,7 +608,10 @@ object Multimodal {
     */
   def synthesizeImages(spark: SparkSession, df: DataFrame, idCol: String): DataFrame = {
     import spark.implicits._
-    df.select(col(idCol).cast("long")).as[Long]
+    // PNG encode is the heaviest per-row work in this file; spread the
+    // 8-byte id rows so a single-split scan doesn't synthesize the whole
+    // corpus on one core (no-op on any multi-split scan — Par.spread)
+    Par.spread(df.select(col(idCol).cast("long"))).as[Long]
       .mapPartitions(_.map { id =>
         // Scala's % follows the sign: id <= -8 would hand BufferedImage a
         // non-positive dimension (IllegalArgumentException mid-job) and the

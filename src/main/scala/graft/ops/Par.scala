@@ -1,0 +1,54 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+
+/** Scan-parallelism helpers shared across operator families. */
+private[graft] object Par {
+
+  /** Spread a narrow scan-rooted projection across the session's
+    * parallelism before PER-ROW-HEAVY work (media synthesis/codec passes,
+    * tokenizer DP encodes, in-row expands feeding count aggregations): the
+    * bench corpus ships as single-row-group parquet, so a scan carries
+    * exactly one working split and the whole downstream chain runs
+    * single-threaded (measured r19: the spearman_pairwise melt stage spent
+    * 3.3 s wall on 1 of 32 cores; measured r20: video_stats spent ~5 s
+    * encoding+decoding PNGs on one core). One round-robin exchange of the
+    * NARROW projection (ids / a few longs per row — the cheapest thing the
+    * operator will ever ship) restores full parallelism. Scale-adaptive by
+    * construction, not a tuned constant: when the input already carries at
+    * least half the session's shuffle parallelism — every real multi-split
+    * scan at 100 TB — this is the identity and no exchange exists.
+    *
+    * Shape guard: scan-rooted inputs only (project/filter chains over a
+    * relation). Probing anything wider would be wrong twice over — an
+    * upstream exchange already set the parallelism, and under AQE executing
+    * any physical plan with joins runs upstream stages to finalize the
+    * adaptive plan (measured r19: a spread() probe inside the Spearman
+    * moment pass silently ran the whole rank-join chain twice). The shape
+    * test runs on the optimized LOGICAL plan — the physical sparkPlan
+    * carries no Exchange nodes before EnsureRequirements, so it cannot be
+    * used for this test. Filters whose condition carries a subquery are
+    * rejected too: sparkPlan.execute() runs prepare(), which would submit
+    * the subquery's jobs at operator-construction time (r19 advisory).
+    */
+  def spread(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.catalyst.plans.logical.{Filter => LFilter, LeafNode, LogicalPlan, Project => LProject}
+    import org.apache.spark.sql.catalyst.expressions.PlanExpression
+    def noSubquery(p: LogicalPlan): Boolean =
+      !p.expressions.exists(_.exists(_.isInstanceOf[PlanExpression[_]]))
+    def scanOnly(p: LogicalPlan): Boolean =
+      p match {
+        case _: LeafNode => true
+        case pr: LProject => noSubquery(pr) && scanOnly(pr.child)
+        case f: LFilter => noSubquery(f) && scanOnly(f.child)
+        case _ => false
+      }
+    if (!scanOnly(df.queryExecution.optimizedPlan)) df
+    else {
+      val target = df.sparkSession.sessionState.conf.numShufflePartitions
+      // building the RDD graph of a scan-only plan runs no jobs
+      if (df.queryExecution.sparkPlan.execute().getNumPartitions * 2 >= target) df
+      else df.repartition(target)
+    }
+  }
+}

@@ -432,6 +432,44 @@ object Sketch {
     * nightly unions, cross-corpus overlap matrices, and contamination
     * screens all run on k-row register slices without re-scanning text.
     */
+  /** Sub-bucket count for the bottom-k prefilter: the final per-group
+    * window sees at most this many × k rows, and each prefilter sort task
+    * handles ~distinct/(groups·256) hashes.
+    */
+  private val KmvPreBuckets = 256
+
+  /** Exact bottom-k per group with a PARALLEL prefilter (r20): a
+    * `row_number` window partitioned by the group columns alone runs each
+    * group's ENTIRE distinct-hash table through one task's sort — for the
+    * ungrouped (or few-group) sketch that is a single-task sort of every
+    * distinct value in the corpus at 100 TB. Ranking first within
+    * `(group, kmv_h mod 256)` keeps a provable superset — if h is among a
+    * group's k smallest overall, fewer than k hashes of that group are
+    * smaller, so certainly fewer than k within h's own sub-bucket — and
+    * bounds the final window's input at 256·k rows per group. The
+    * sub-bucket key is a pure function of the hash (deterministic under
+    * retries, unlike spark_partition_id), and hashes are distinct within a
+    * group, so both row_numbers are total orders and the surviving set is
+    * exactly the per-group bottom-k either way.
+    */
+  private def bottomKByHash(distinctHashes: DataFrame, groupCols: Seq[String], k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val keys = groupCols.map(col)
+    val wPre = Window
+      .partitionBy(keys :+ pmod(col("kmv_h"), lit(KmvPreBuckets.toLong)): _*)
+      .orderBy(col("kmv_h"))
+    val w =
+      if (groupCols.isEmpty) Window.orderBy(col("kmv_h"))
+      else Window.partitionBy(keys: _*).orderBy(col("kmv_h"))
+    distinctHashes
+      .withColumn("_pr", row_number().over(wPre))
+      .filter(col("_pr") <= k)
+      .drop("_pr")
+      .withColumn("_r", row_number().over(w))
+      .filter(col("_r") <= k)
+      .drop("_r")
+  }
+
   def kmvRegisters(
       df: DataFrame,
       groupCols: Seq[String],
@@ -439,19 +477,12 @@ object Sketch {
       k: Int,
       seed: String): DataFrame = {
     require(k >= 2, "k must be >= 2 (the estimator divides by k-1)")
-    import org.apache.spark.sql.expressions.Window
     val keys = groupCols.map(col)
     val distinctHashes = df
       .filter(col(valueCol).isNotNull)
       .select(keys :+ kmvHash(col(valueCol), seed).as("kmv_h"): _*)
       .distinct()
-    val w =
-      if (groupCols.isEmpty) Window.orderBy(col("kmv_h"))
-      else Window.partitionBy(keys: _*).orderBy(col("kmv_h"))
-    distinctHashes
-      .withColumn("_r", row_number().over(w))
-      .filter(col("_r") <= k)
-      .drop("_r")
+    bottomKByHash(distinctHashes, groupCols, k)
   }
 
   /** Merge KMV register tables by collapsing grouping dimensions (or
@@ -467,17 +498,9 @@ object Sketch {
       registers: DataFrame,
       groupCols: Seq[String],
       k: Int): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val keys = groupCols.map(col)
-    val w =
-      if (groupCols.isEmpty) Window.orderBy(col("kmv_h"))
-      else Window.partitionBy(keys: _*).orderBy(col("kmv_h"))
-    registers
-      .select(keys :+ col("kmv_h"): _*)
-      .distinct()
-      .withColumn("_r", row_number().over(w))
-      .filter(col("_r") <= k)
-      .drop("_r")
+    bottomKByHash(
+      registers.select(keys :+ col("kmv_h"): _*).distinct(), groupCols, k)
   }
 
   /** Distinct-cardinality estimate per group from a [[kmvRegisters]]

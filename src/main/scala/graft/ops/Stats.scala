@@ -347,47 +347,19 @@ object Stats {
   private def valueLane(df: DataFrame, cols: Seq[String]): String =
     if (cols.forall(c => df.schema(c).dataType match {
       case ByteType | ShortType | IntegerType | LongType => true
+      // scale-0 decimals up to precision 18 fit losslessly in long
+      // (10^18 − 1 < Long.MaxValue), so the documented fixed-point idiom
+      // round(v * 10000) cast to decimal rides the fast lane too (r19
+      // advisory); wider decimals keep the exact decimal(38,0) lane
+      case d: DecimalType => d.scale == 0 && d.precision <= 18
       case _ => false
     })) "long" else "decimal(38,0)"
 
-  /** Spread a narrow projection across the session's parallelism before an
-    * in-row EXPAND (k-way melt / pair explode feeding a count aggregation):
-    * the bench corpus ships as single-row-group parquet, so a scan carries
-    * exactly one working split and the whole expand + partial-agg chain
-    * runs single-threaded (measured r19: the spearman_pairwise melt stage
-    * spent 3.3 s wall on 1 of 32 cores). One round-robin exchange of the
-    * NARROW projection (a few longs per row — the cheapest thing this
-    * operator will ever ship) restores full parallelism. Scale-adaptive by
-    * construction, not a tuned constant: when the input already carries at
-    * least half the session's shuffle parallelism — every real multi-split
-    * scan at 100 TB — this is the identity and no exchange exists.
+  /** See [[Par.spread]] — promoted to a shared helper in r20 (the media
+    * synthesis and tokenizer-encode families have the same single-split
+    * scan shape); this alias keeps the call sites in this file unchanged.
     */
-  private def spread(df: DataFrame): DataFrame = {
-    // scan-rooted inputs only (project/filter chains over a relation):
-    // probing anything wider would be wrong twice over — an upstream
-    // exchange already set the parallelism, and under AQE `df.rdd` (or
-    // executing any physical plan with joins) EXECUTES upstream stages to
-    // finalize the adaptive plan (measured r19: a spread() probe inside
-    // the Spearman moment pass silently ran the whole rank-join chain
-    // twice). The shape test runs on the optimized LOGICAL plan — the
-    // physical sparkPlan carries no Exchange nodes before
-    // EnsureRequirements, so it cannot be used for this test.
-    import org.apache.spark.sql.catalyst.plans.logical.{Filter => LFilter, LeafNode, Project => LProject}
-    def scanOnly(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): Boolean =
-      p match {
-        case _: LeafNode => true
-        case pr: LProject => scanOnly(pr.child)
-        case f: LFilter => scanOnly(f.child)
-        case _ => false
-      }
-    if (!scanOnly(df.queryExecution.optimizedPlan)) df
-    else {
-      val target = df.sparkSession.sessionState.conf.numShufflePartitions
-      // building the RDD graph of a scan-only plan runs no jobs
-      if (df.queryExecution.sparkPlan.execute().getNumPartitions * 2 >= target) df
-      else df.repartition(target)
-    }
-  }
+  private def spread(df: DataFrame): DataFrame = Par.spread(df)
 
   /** Range buckets per column for the two-phase rank derivation: 255
     * boundaries → 256 buckets of roughly equal DISTINCT-value count.
@@ -422,7 +394,15 @@ object Stats {
     * bucketing gives the same ranks), so the approximate sketch is safe
     * by construction.
     */
-  private[ops] def doubledRanks(melted: DataFrame): DataFrame = {
+  private[ops] def doubledRanks(melted: DataFrame): DataFrame =
+    doubledRanksFromCounts(
+      melted.groupBy(col("_c"), col("_v")).agg(count(lit(1)).as("_cnt")))
+
+  /** [[doubledRanks]] over a PRE-COUNTED `(_c, _v, _cnt)` table — for
+    * callers that already hold per-(column, value) counts (the pairwise
+    * cell table derives them without a second corpus pass).
+    */
+  private[ops] def doubledRanksFromCounts(countsIn: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     // EAGER checkpoint (r19): the counts table is referenced by the
     // boundary sketch, the bucketing join, the offsets aggregation and
@@ -430,10 +410,15 @@ object Stats {
     // exchange AQE reuse collapsed only UNRELIABLY in practice (measured
     // in-suite: spearman_pairwise swung 30 s → 258 s between two
     // consecutive full runs when reuse lapsed). The distinct-value table
-    // is dimension-sized by construction, so materializing it once is
-    // cheap and makes the corpus pass run exactly once, deterministically.
-    val counts = melted.groupBy(col("_c"), col("_v"))
-      .agg(count(lit(1)).as("_cnt"))
+    // is dimension-sized by construction — distinct values per column —
+    // so materializing it once is cheap and makes the corpus pass run
+    // exactly once, deterministically. BOUND (r19 advisory, stated): for a
+    // genuinely continuous column distinct ≈ row count, so this pins a
+    // table of up to one row PER DISTINCT VALUE per column in
+    // executor-local storage — the deliberate trade against re-running the
+    // corpus melt 4×; the table is narrow (column tag, value, count), and
+    // the same bound already governs the rank join-backs downstream.
+    val counts = countsIn
       // bucket on the DOUBLE image of the value: monotone (adjacent
       // decimals collapsing to one double just share a bucket), and it
       // keeps the quantile sketch in its native domain
@@ -614,10 +599,33 @@ object Stats {
     // a NUL separator joins the key parts unambiguously (column names can't carry it)
     def sideKey(side: String) =
       concat_ws("\u0000", col("_cx"), col("_cy"), lit(side))
-    val melted = pairRows.select(explode(array(
-        struct(sideKey("x").as("c"), col("_vx").as("v")),
-        struct(sideKey("y").as("c"), col("_vy").as("v")))).as("_e"))
-      .select(col("_e.c").as("_c"), col("_e.v").as("_v"))
+    // CELL TABLE (r20, the kendallTau discipline applied here): the corpus
+    // is touched ONCE — the pair expand aggregates straight into distinct
+    // (pair, vx, vy) cells with their multiplicity — and every downstream
+    // step runs at cell size. This replaces the r19 shape, which ran TWO
+    // corpus passes (one melt feeding the rank build, one pair stream
+    // feeding the join-backs) and probed the rank joins with corpus rows —
+    // the admitted skew tail: for a low-cardinality column a handful of
+    // (side, value) keys carried the whole corpus through single
+    // partitions (the 10→17 s local variance). Cells bound any
+    // (side, value) join group by the PARTNER column's observed distinct
+    // count instead of its row count, and a fully-tied pair (the heavy-tie
+    // regime) collapses to its grid. Map-side partials absorb the hot
+    // cells before the one corpus exchange. Moments are weighted by the
+    // exact integer cell count — identical sums term for term, so rho is
+    // bit-identical.
+    val cells = pairRows
+      .groupBy(col("_cx"), col("_cy"), col("_vx"), col("_vy"))
+      .agg(count(lit(1)).as("_cw"))
+      // lazy checkpoint: the rank build below materializes it on its first
+      // job; the moment join then re-reads the persisted cells — one
+      // corpus pass total, deterministically (the r19 reuse lesson)
+      .localCheckpoint(false)
+    val counts = cells
+      .select(sideKey("x").as("_c"), col("_vx").as("_v"), col("_cw"))
+      .unionByName(cells
+        .select(sideKey("y").as("_c"), col("_vy").as("_v"), col("_cw")))
+      .groupBy(col("_c"), col("_v")).agg(sum(col("_cw")).as("_cnt"))
     // the rank table feeds BOTH join-backs (x and y side): materialize it
     // once — without the cut each side's plan branch re-derives the whole
     // window chain (measured r19: the two broadcast subtrees each carried
@@ -629,22 +637,23 @@ object Stats {
     // being possible at 100 TB where distinct values ≈ row count — the
     // hint keeps the same plan shape at every scale instead of flipping
     // strategy on the broadcast-threshold estimate.
-    val ranks = doubledRanks(melted).localCheckpoint()
+    val ranks = doubledRanksFromCounts(counts).localCheckpoint()
     val rX = ranks.select(
       col("_c").as("_kx"), col("_v").as("_vx"), col("_dr").as("_drx"))
     val rY = ranks.select(
       col("_c").as("_ky"), col("_v").as("_vy"), col("_dr").as("_dry"))
-    val joined = pairRows
+    val joined = cells
       .withColumn("_kx", sideKey("x")).withColumn("_ky", sideKey("y"))
       .join(rX.hint("SHUFFLE_HASH"), Seq("_kx", "_vx"))
       .join(rY.hint("SHUFFLE_HASH"), Seq("_ky", "_vy"))
+    val cw = col("_cw").cast(dec)
     val dx = col("_drx").cast(dec)
     val dy = col("_dry").cast(dec)
     val g = joined.groupBy(col("_cx"), col("_cy"))
-      .agg(count(lit(1)).as("_n"),
-        sum(dx).as("_sx"), sum(dx * dx).as("_sxx"),
-        sum(dy).as("_sy"), sum(dy * dy).as("_syy"),
-        sum(dx * dy).as("_sxy"))
+      .agg(sum(col("_cw")).as("_n"),
+        sum(cw * dx).as("_sx"), sum(cw * dx * dx).as("_sxx"),
+        sum(cw * dy).as("_sy"), sum(cw * dy * dy).as("_syy"),
+        sum(cw * dx * dy).as("_sxy"))
     // zero-complete-row pairs still emit: left-join the literal pair list
     val allPairs = spark.range(1).select(
       explode(array(pairs.map { case (a, b) =>

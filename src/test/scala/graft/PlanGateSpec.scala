@@ -493,9 +493,12 @@ class PlanGateSpec extends SparkTestBase {
     // projection over the checkpointed pair table with both item-support
     // sides on broadcasts — zero further exchanges
     "basket_rules" -> 0,
-    // corpus (group, hash) distinct + the group-partitioned bottom-k
-    // window; the estimate agg clusters on the window's partitioning
-    "kmv_distinct" -> 2,
+    // corpus (group, hash) distinct + the (group, hash mod 256) PREFILTER
+    // window (r20: the parallel bottom-k superset that keeps the final
+    // per-group window's input at ≤ 256·k rows instead of a single-task
+    // sort of every distinct hash) + the group-partitioned bottom-k
+    // window; the estimate agg clusters on the final window's partitioning
+    "kmv_distinct" -> 3,
     // membership-union groupBy on (a, b, h) + the per-pair bottom-k window
     // re-key to (a, b); register build + G² pair cross (a dimension-sized
     // BNLJ by design) sit behind build-time checkpoints

@@ -2918,4 +2918,31 @@ class PipelineOpsSpec extends SparkTestBase {
           x.getLong(6), x.getLong(7)))).toMap
     assert(rep === out)
   }
+
+  test("spearman/kendall: decimal(<=18,0) inputs ride the long value lane with identical results (r19 advisory)") {
+    import spark.implicits._
+    val base = Seq((1L, 5L, 9L), (2L, 4L, 8L), (3L, 3L, 7L), (4L, 2L, 9L),
+      (5L, 1L, 7L), (2L, 4L, 9L), (7L, 6L, 7L)).toDF("a", "b", "c")
+    val asDec = base.select(
+      col("a").cast("decimal(12,0)").as("a"),
+      col("b").cast("decimal(18,0)").as("b"),
+      col("c").cast("decimal(9,0)").as("c"))
+    def pw(df: org.apache.spark.sql.DataFrame) =
+      Stats.spearmanPairwise(df, Seq("a", "b", "c"))
+        .collect().map(_.toSeq).toSet
+    assert(pw(asDec) === pw(base))
+    def lw(df: org.apache.spark.sql.DataFrame) =
+      Stats.spearmanCorrelations(df.withColumn("_rid", monotonically_increasing_id()),
+        Seq("_rid"), Seq("a", "b", "c")).collect().map(_.toSeq).toSet
+    assert(lw(asDec) === lw(base))
+    def kt(df: org.apache.spark.sql.DataFrame) =
+      Stats.kendallTau(df, Seq("a", "b", "c")).collect().map(_.toSeq).toSet
+    assert(kt(asDec) === kt(base))
+    // a precision-19 decimal must stay on the wide decimal lane and agree
+    val asWide = base.select(
+      col("a").cast("decimal(19,0)").as("a"),
+      col("b").cast("decimal(38,0)").as("b"),
+      col("c").cast("decimal(19,0)").as("c"))
+    assert(pw(asWide) === pw(base))
+  }
 }

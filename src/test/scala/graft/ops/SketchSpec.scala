@@ -562,4 +562,30 @@ class SketchSpec extends SparkTestBase {
         .collect().map(_.toSeq).toSet
     assert(run(rows.repartition(1)) == run(rows.repartition(17)))
   }
+
+  test("kmvRegisters/kmvMergeRegisters: ungrouped global bottom-k exact under the parallel prefilter (r20)") {
+    import spark.implicits._
+    val df = (1 to 3000).map(i => s"u$i").toDF("v")
+    val regs = Sketch.kmvRegisters(df, Seq.empty, "v", k = 64, seed = "s")
+      .collect().map(_.getAs[Long]("kmv_h")).sorted.toSeq
+    val brute = Sketch.kmvRegisters(df, Seq.empty, "v", k = 1000000, seed = "s")
+      .collect().map(_.getAs[Long]("kmv_h")).sorted.toSeq
+    assert(brute.length === 3000)
+    assert(regs === brute.take(64))
+    // merge of halves == sketch of the whole, ungrouped
+    val a = (1 to 2000).map(i => s"u$i").toDF("v")
+    val b = (1001 to 3000).map(i => s"u$i").toDF("v")
+    val whole = Sketch.kmvRegisters(a.unionByName(b), Seq.empty, "v", 64, "s")
+      .collect().map(_.getAs[Long]("kmv_h")).sorted.toSeq
+    val merged = Sketch.kmvMergeRegisters(
+      Sketch.kmvRegisters(a, Seq.empty, "v", 64, "s")
+        .unionByName(Sketch.kmvRegisters(b, Seq.empty, "v", 64, "s")),
+      Seq.empty, 64)
+      .collect().map(_.getAs[Long]("kmv_h")).sorted.toSeq
+    assert(merged === whole)
+    // partitioning invariance of the prefilter
+    val p17 = Sketch.kmvRegisters(df.repartition(17), Seq.empty, "v", 64, "s")
+      .collect().map(_.getAs[Long]("kmv_h")).sorted.toSeq
+    assert(p17 === regs)
+  }
 }

@@ -1704,10 +1704,22 @@ object Dedup {
     // On serial-number corpora the value-only filter admits f² pairs per
     // hot tail gram (measured 10M candidates / 15k names at sf0.1); the
     // position predicate cuts that to the truly alignable pairs
+    // the candidate join's cost is its OUTPUT — the per-gram f² pair
+    // expansion and the codegen'd threshold verify — while its shuffle
+    // INPUT is a few MB of prefix rows: AQE's byte-based partition
+    // coalescing therefore collapses the join to ONE task (measured r20:
+    // 3.1 s of a 4.4 s query in a single-task stage). Pinning both sides
+    // as user-specified repartitions on the join key — the same exchange
+    // EnsureRequirements would plan, same session partition count — keeps
+    // the expansion parallel at every scale; AQE never coalesces
+    // user-specified repartitions
+    val nPart = df.sparkSession.sessionState.conf.numShufflePartitions
     val candBig = pref.select(col("_id").as("_aid"), col("_s").as("_as"),
         col("_len").as("_al"), col("_g"), col("_p").as("_pa"))
+      .repartition(nPart, col("_g"))
       .join(pref.select(col("_id").as("_bid"), col("_s").as("_bs"),
-        col("_len").as("_bl"), col("_g"), col("_p").as("_pb")), Seq("_g"))
+        col("_len").as("_bl"), col("_g"), col("_p").as("_pb"))
+        .repartition(nPart, col("_g")), Seq("_g"))
       .filter(col("_aid") < col("_bid") &&
         abs(col("_al") - col("_bl")) <= maxDistance &&
         abs(col("_pa") - col("_pb")) <= maxDistance)

@@ -171,9 +171,15 @@ object TextAnalysis {
     // one labeled-corpus scan for pair counts, checkpointed once — pair
     // table and prefix masses branch from it (the lmScore discipline); the
     // vocabulary sizes are the documented second scan
-    val trainPairs = labeled
-      .select(col(langCol).as("_lang"),
-        explode(WordPairs(charTokens(col(trainTextCol)), 1)).as("pair"))
+    // char-bigram extraction is per-row heavy (tokenize + pair strings per
+    // document): spread the narrow (lang, text) projection so a
+    // single-split scan doesn't run the whole pass on one core (no-op on
+    // any multi-split scan — Par.spread; measured r20: the three
+    // single-task corpus passes were 2.9 s of this query's 3.7 s)
+    val trainPairs = Par.spread(labeled.select(col(langCol).as("_lang"),
+        col(trainTextCol).as("_tt")))
+      .select(col("_lang"),
+        explode(WordPairs(charTokens(col("_tt")), 1)).as("pair"))
       .groupBy(col("_lang"), col("pair")).agg(count(lit(1)).as("c_pair"))
       .localCheckpoint()
     val prefixCounts = trainPairs
@@ -181,15 +187,17 @@ object TextAnalysis {
       .groupBy(col("_lang"), col("c1")).agg(sum(col("c_pair")).as("c_prefix"))
     val pairTable = trainPairs.filter(col("c_pair") >= minCount)
       .select(col("_lang"), col("pair"), col("c_pair"))
-    val langTable = labeled
-      .select(col(langCol).as("_lang"), explode(charTokens(col(trainTextCol))).as("_ch"))
+    val langTable = Par.spread(labeled
+        .select(col(langCol).as("_lang"), col(trainTextCol).as("_tt")))
+      .select(col("_lang"), explode(charTokens(col("_tt"))).as("_ch"))
       .groupBy(col("_lang"))
       .agg(greatest(count_distinct(col("_ch")), lit(1L)).as("v_size"))
     // doc side: compress to per-(id, pair) counts BEFORE the ×k expansion;
     // explode_outer keeps sub-2-char docs alive for their 'und' row
-    val docPairs = docs
-      .select(col(idCol).as("id"),
-        explode_outer(WordPairs(charTokens(col(textCol)), 1)).as("pair"))
+    val docPairs = Par.spread(docs
+        .select(col(idCol).as("id"), col(textCol).as("_tt")))
+      .select(col("id"),
+        explode_outer(WordPairs(charTokens(col("_tt")), 1)).as("pair"))
       .groupBy(col("id"), col("pair")).agg(count(col("pair")).as("c_doc"))
     val scored = docPairs
       // k-row language table: the 1-row scalar-attach idiom at k rows —
@@ -1550,15 +1558,19 @@ object TextAnalysis {
     // as in the original scheme. Alphabet chars never include the ASCII
     // space, so the space-joined pair keys below stay lossless in both
     // modes.
+    // per-row-heavy word build (tokenize + rlike / byte mapping): spread
+    // the narrow text projection so a single-split scan doesn't run it on
+    // one core (no-op on multi-split — Par.spread, r20)
+    val spreadText = Par.spread(trainDf.select(col(textCol).as("_tt")))
     val trainWords =
       if (byteLevel)
-        trainDf.select(posexplode(tokens(col(textCol))).as(Seq("pos", "word")))
+        spreadText.select(posexplode(tokens(col("_tt"))).as(Seq("pos", "word")))
           .select(when(col("pos") > 0, concat(lit(" "), col("word")))
             .otherwise(col("word")).as("word"))
           .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
           .select(col("cnt"), ByteSyms(col("word")).as("syms"))
       else
-        trainDf.select(explode(tokens(col(textCol))).as("word"))
+        spreadText.select(explode(tokens(col("_tt"))).as("word"))
           .filter(col("word").rlike("^[\\x21-\\x7e]+$"))
           .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
           .select(col("cnt"),
@@ -1568,6 +1580,11 @@ object TextAnalysis {
     val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, String, Long)]
     var rank = 1
     var exhausted = false
+    // previous generation's checkpoint blocks, releasable only AFTER the
+    // current (lazy) generation materializes — the trainWordPieceMerges
+    // discipline (r20: lazy per-rank rewrites fold into the next rank's
+    // collect, one scheduled job per rank instead of two)
+    var releasable: Option[DataFrame] = None
     while (rank <= numMerges && !exhausted) {
       // symbols are space-free (ASCII-printables minus the space the pair
       // string joins on), so the "l r" pair string orders exactly like the
@@ -1579,21 +1596,22 @@ object TextAnalysis {
           split(col("pair"), " ").getItem(1).as("r"), col("n"))
         .orderBy(col("n").desc, col("l"), col("r"))
         .limit(1).collect()
+      // that collect was the current generation's first action — its lazy
+      // checkpoint is materialized, the superseded rank's blocks can go
+      releasable.foreach(org.apache.spark.sql.graft.CheckpointUtil.unpersist(_))
+      releasable = None
       if (top.isEmpty) exhausted = true // every word is a single symbol
       else {
         val (l, r, n) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
         merges += ((rank, l, r, l + r, n))
-        val prev = words
+        releasable = Some(words)
         words = words
           .withColumn("syms", BpeMergeAdjacent(col("syms"), l, r))
-          .localCheckpoint() // truncate the per-rank growing lineage
-        // the new checkpoint is materialized (localCheckpoint is eager), so
-        // the superseded rank's blocks are dead — release them now instead
-        // of retaining one vocabulary copy per rank until driver GC
-        org.apache.spark.sql.graft.CheckpointUtil.unpersist(prev)
+          .localCheckpoint(false) // truncate the per-rank growing lineage
         rank += 1
       }
     }
+    releasable.foreach(org.apache.spark.sql.graft.CheckpointUtil.unpersist(_))
     // the merge table lives on the driver; nothing reads the final
     // vocabulary snapshot either
     org.apache.spark.sql.graft.CheckpointUtil.unpersist(words)
@@ -1646,8 +1664,11 @@ object TextAnalysis {
       }
     val spark = df.sparkSession
     import org.apache.spark.sql.graft.{BpeMergeAdjacent, WordPairs}
-    val trainWords = trainDf
-      .select(explode(tokens(col(textCol))).as("word"))
+    // the word-frequency build is per-row heavy (tokenize + rlike per
+    // token): spread the narrow text projection so a single-split scan
+    // doesn't run it on one core (no-op on multi-split — Par.spread)
+    val trainWords = Par.spread(trainDf.select(col(textCol).as("_tt")))
+      .select(explode(tokens(col("_tt"))).as("word"))
       .filter(col("word").rlike("^[\\x21-\\x7e]+$") &&
         !col("word").contains("#"))
       .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
@@ -1661,21 +1682,37 @@ object TextAnalysis {
       scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, String, Long, Long)]
     var rank = 1
     var exhausted = false
+    // previous generation's checkpoint blocks, releasable only AFTER the
+    // current (lazy) generation has materialized — a lazy checkpoint's
+    // lineage still reads them until its own first action
+    var releasable: Option[DataFrame] = None
     while (rank <= numMerges && !exhausted) {
+      // the symbol-count table is ALPHABET-BOUNDED by construction at any
+      // corpus scale (words pass the printable-ASCII filter, so symbols
+      // are ≤ 94 bare + 94 ## single-char forms + one merged piece per
+      // rank): collect it and attach nl/nr through a literal map instead
+      // of two hash joins — a 10-merge train ran ~6 tiny AQE stages per
+      // rank and was pure stage-latency at bench scale (r20; the values
+      // are identical, so the oracle's per-rank replay is unchanged)
       val symCnt = words
         .select(col("cnt"), explode(col("syms")).as("s"))
         .groupBy(col("s")).agg(sum(col("cnt")).as("ns"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      // this collect was the current generation's first action — its lazy
+      // checkpoint is now materialized and the previous one can release
+      releasable.foreach(org.apache.spark.sql.graft.CheckpointUtil.unpersist(_))
+      releasable = None
+      val symLit = typedLit(symCnt)
       val top = words
         .select(col("cnt"), explode(WordPairs(col("syms"), 1)).as("pair"))
         .groupBy(col("pair")).agg(sum(col("cnt")).as("n"))
         .select(split(col("pair"), " ").getItem(0).as("l"),
           split(col("pair"), " ").getItem(1).as("r"), col("n"))
-        .join(symCnt.select(col("s").as("l"), col("ns").as("nl")), "l")
-        .join(symCnt.select(col("s").as("r"), col("ns").as("nr")), "r")
+        .withColumn("nl", element_at(symLit, col("l")))
+        .withColumn("nr", element_at(symLit, col("r")))
         .withColumn("score_q",
           expr("(CAST(n AS DECIMAL(38,0)) * 1000000000000) div " +
             "(CAST(nl AS DECIMAL(38,0)) * nr)").cast("long"))
-        // USING joins move their key column first — fix positions by name
         .select(col("l"), col("r"), col("n"), col("score_q"))
         .orderBy(col("score_q").desc, col("n").desc, col("l"), col("r"))
         .limit(1).collect()
@@ -1685,11 +1722,13 @@ object TextAnalysis {
           top(0).getLong(2), top(0).getLong(3))
         val merged = l + r.stripPrefix("##")
         merges += ((rank, l, r, merged, n, sq))
-        val prev = words
+        // LAZY: the rewrite materializes inside the next rank's first job
+        // — one scheduled job per rank, not two; the consumed generation
+        // becomes releasable once that happens (see above)
+        releasable = Some(words)
         words = words
           .withColumn("syms", BpeMergeAdjacent(col("syms"), l, r, merged))
-          .localCheckpoint()
-        org.apache.spark.sql.graft.CheckpointUtil.unpersist(prev)
+          .localCheckpoint(false)
         rank += 1
       }
     }
@@ -1706,7 +1745,8 @@ object TextAnalysis {
     * vocabulary.
     */
   def wordPieceAlphabet(df: DataFrame, textCol: String): DataFrame =
-    df.select(explode(tokens(col(textCol))).as("word"))
+    Par.spread(df.select(col(textCol).as(textCol)))
+      .select(explode(tokens(col(textCol))).as("word"))
       .filter(col("word").rlike("^[\\x21-\\x7e]+$") &&
         !col("word").contains("#"))
       .select(explode(
@@ -1744,8 +1784,12 @@ object TextAnalysis {
       .filter(col("p").isNotNull).distinct()
       .collect().map(_.getString(0))
     val bc = spark.sparkContext.broadcast(new WordPieceVocab(pieces))
-    df.select(col(idCol),
-      WordPieceEncodeDoc(tokens(col(textCol)), bc, maxWordLen, unk).as("_sw"))
+    // the greedy longest-match DP is per-row heavy: spread the (id, text)
+    // projection so a single-split scan doesn't encode the corpus on one
+    // core (measured r20: a 1.7 s single-task stage; no-op on multi-split)
+    Par.spread(df.select(col(idCol), col(textCol)))
+      .select(col(idCol),
+        WordPieceEncodeDoc(tokens(col(textCol)), bc, maxWordLen, unk).as("_sw"))
       .select(col(idCol), size(col("_sw")).cast("int").as("n_subwords"),
         array_join(col("_sw"), " ").as("subwords_str"))
   }
